@@ -1,38 +1,66 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+queries() exposes every implemented operator from SURVEY.md §2 (plus the
+training-data pipeline operators); oracle_sql() carries the DuckDB twin for
+each. Implementations live in lucene_mapreduce_spark/.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from lucene_mapreduce_spark.operators import fulltext, parity  # noqa: E402
+from lucene_mapreduce_spark.operators.oracles import ORACLES, bm25_topk_sql  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: top-10 BM25 over the documents corpus at sf0.001."""
+    return fulltext.bm25_topk_documents(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # full-text / BM25 (SURVEY §2.7, A8, J1, W1)
+        "bm25_topk": lambda s, d: fulltext.bm25_topk_documents(s, d),
+        "bm25_topk_q2": lambda s, d: fulltext.bm25_topk_documents(
+            s, d, query_text=fulltext.SECOND_QUERY
+        ),
+        "term_df": fulltext.term_df,
+        "corpus_stats": fulltext.corpus_stats,
+        "doc_tf": fulltext.doc_tf,
+        # aggregations (SURVEY §2.4)
+        "latest_per_key": parity.latest_per_key,
+        "count_per_key": parity.count_per_key,
+        "distinct_projection": parity.distinct_projection,
+        "session_rollup": parity.session_rollup,
+        "global_stats_argmax": parity.global_stats_argmax,
+        "topk_per_key": parity.topk_per_key,
+        # joins (SURVEY §2.3)
+        "index_lookup_join": parity.index_lookup_join,
+        "index_lookup_join_with_misses": parity.index_lookup_join_with_misses,
+        "generation_fallback": parity.generation_fallback,
+        "ttl_anti_join": parity.ttl_anti_join,
+        "pair_symmetrize": parity.pair_symmetrize,
+        "tagged_union_merge": parity.tagged_union_merge,
+        # sources / sinks shape (SURVEY §2.1)
+        "multi_source_union": parity.multi_source_union,
+        # projections / scalar functions (SURVEY §2.2)
+        "field_extract_filter": parity.field_extract_filter,
+        "dictionary_filter": parity.dictionary_filter,
+        "url_host_md5": parity.url_host_md5,
+        "ts_parse_roundtrip": parity.ts_parse_roundtrip,
+    }
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out = {k: v for k, v in ORACLES.items() if v is not None}
+    out["bm25_topk"] = bm25_topk_sql(fulltext.FLAGSHIP_QUERY)
+    out["bm25_topk_q2"] = bm25_topk_sql(fulltext.SECOND_QUERY)
+    return out

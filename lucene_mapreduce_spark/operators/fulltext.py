@@ -1,0 +1,72 @@
+"""Full-text operators over the `documents` table (SURVEY.md §2.7, A8).
+
+These are the corpus-stat / posting-table faces of the index engine exposed
+as oracle-checkable queries: the same aggregations the segment build persists
+(index/build.py), computed declaratively. The actual binary segment pipeline
+lives in index/; these stay pure-DataFrame so DuckDB can replay them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lucene_mapreduce_spark.operators.parity import load
+from lucene_mapreduce_spark.query.bm25_df import bm25_scan_topk, corpus_postings
+
+# Flagship query text (terms drawn from the documents vocabulary: mixed df).
+FLAGSHIP_QUERY = "table scan fast merge"
+SECOND_QUERY = "vector stream window"
+
+
+def term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 — per-term document frequency + collection frequency.
+
+    The reference gets df implicitly from Lucene (XdiReportReducer.java:355);
+    our engine materializes it: explode+groupBy with map-side combine, one
+    shuffle at distinct-(doc,term) granularity, then a term-level re-agg.
+    """
+    docs = load(spark, sf_dir, "documents")
+    postings, _ = corpus_postings(docs)
+    return postings.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df_t"),
+        F.sum("tf").alias("cf_t"),
+        F.max("tf").alias("max_tf"),
+    )
+
+
+def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 — global corpus statistics (N, total tokens, avgdl) — the broadcast
+    side of every BM25 evaluation."""
+    docs = load(spark, sf_dir, "documents")
+    _, doclens = corpus_postings(docs)
+    return doclens.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("dl").cast("long")).alias("total_tokens"),
+        F.round(F.avg(F.col("dl").cast("double")), 6).alias("avgdl"),
+    )
+
+
+def doc_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2's logical content — the (doc, term, tf) posting relation, restricted
+    to one term-hash bucket so the output stays small at any sf. The bucket
+    predicate is the same xxhash64-based routing the segment layout uses."""
+    docs = load(spark, sf_dir, "documents")
+    postings, _ = corpus_postings(docs)
+    return postings.filter(F.pmod(F.xxhash64("term"), F.lit(8)) == 0)
+
+
+def bm25_topk_documents(
+    spark: SparkSession, sf_dir: str, query_text: str = FLAGSHIP_QUERY, k: int = 10
+) -> DataFrame:
+    """J1+W1+A8 — the flagship: top-k BM25 over documents for a fixed query.
+
+    Scores rounded to 6dp for the cross-engine hash compare; the pytest
+    rank-identity suite checks exact float64 against the pandas oracle.
+    """
+    docs = load(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        [("q0", query_text)], "query_id string, query_text string"
+    )
+    out = bm25_scan_topk(docs, queries, k=k, round_to=6)
+    return out.select("doc_id", "score", "rank")

@@ -1,0 +1,207 @@
+"""DuckDB oracle SQL for every queries() entry (the correctness gate).
+
+Each SQL string runs against pre-registered views (region nation customer
+supplier part orders lineitem events documents embeddings) and must produce
+the same column names, schema, and (rounded) values as the Spark query of the
+same key in __spark_entry__.queries().
+"""
+
+from __future__ import annotations
+
+from lucene_mapreduce_spark.functions.tokenize import duckdb_tokens_sql
+from lucene_mapreduce_spark.query.bm25 import B, K1
+
+TOKS = duckdb_tokens_sql("text")
+
+
+def bm25_topk_sql(query_text: str, k: int = 10) -> str:
+    """Brute-force BM25 in ANSI-ish SQL (DuckDB dialect) — the independent
+    re-derivation of the scorer spec in query/bm25.py."""
+    qlit = query_text.replace("'", "''")
+    return f"""
+WITH doclens AS (
+  SELECT doc_id, len({TOKS}) AS dl FROM documents
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n_docs, avg(dl::DOUBLE) AS avgdl FROM doclens
+),
+toks AS (
+  SELECT doc_id, unnest({TOKS}) AS term FROM documents
+),
+postings AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2
+),
+qterms AS (
+  SELECT DISTINCT unnest({duckdb_tokens_sql(f"'{qlit}'")}) AS term
+),
+dft AS (
+  SELECT p.term, count(*)::DOUBLE AS df_t
+  FROM postings p JOIN qterms q USING (term) GROUP BY 1
+),
+scored AS (
+  SELECT p.doc_id,
+         ln(1 + (s.n_docs - d.df_t + 0.5) / (d.df_t + 0.5))
+           * (p.tf * {K1 + 1.0}) / (p.tf + {K1} * (1 - {B} + {B} * l.dl / s.avgdl))
+           AS contrib
+  FROM postings p
+  JOIN dft d USING (term)
+  JOIN doclens l USING (doc_id)
+  CROSS JOIN stats s
+),
+agg AS (
+  SELECT doc_id, sum(contrib) AS score FROM scored GROUP BY 1
+)
+SELECT doc_id, round(score, 6) AS score, rank
+FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM agg
+)
+WHERE rank <= {k}
+"""
+
+
+ORACLES: dict[str, str] = {
+    # ------------------------------------------------------------- fulltext
+    "term_df": f"""
+WITH toks AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents),
+p AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2)
+SELECT term, count(*)::BIGINT AS df_t, sum(tf)::BIGINT AS cf_t, max(tf)::BIGINT AS max_tf
+FROM p GROUP BY 1
+""",
+    "corpus_stats": f"""
+WITH dl AS (SELECT doc_id, len({TOKS}) AS dl FROM documents)
+SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS total_tokens,
+       round(avg(dl::DOUBLE), 6) AS avgdl
+FROM dl
+""",
+    "doc_tf": None,  # xxhash64 bucket routing has no DuckDB twin (rows-only)
+    # ------------------------------------------------------------- A-family
+    "latest_per_key": """
+SELECT user_id, event_type AS last_event_type, round(value, 6) AS last_value, ts AS last_ts
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+    "count_per_key": """
+SELECT user_id, count(*)::BIGINT AS n_events FROM events GROUP BY user_id
+""",
+    "distinct_projection": """
+SELECT DISTINCT user_id, event_type FROM events
+""",
+    "session_rollup": """
+WITH per_type AS (
+  SELECT user_id, event_type, count(*)::BIGINT AS cnt FROM events GROUP BY 1, 2
+),
+maps AS (
+  SELECT user_id, string_agg(event_type || ':' || cnt, ',' ORDER BY event_type) AS type_counts
+  FROM per_type GROUP BY 1
+),
+spans AS (
+  SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts,
+         round(sum(value), 6) AS total_value
+  FROM events GROUP BY 1
+)
+SELECT s.user_id, s.first_ts, s.last_ts, s.total_value, m.type_counts
+FROM spans s JOIN maps m USING (user_id)
+""",
+    "global_stats_argmax": """
+WITH per_key AS (SELECT user_id, count(*)::BIGINT AS cnt FROM events GROUP BY 1)
+SELECT count(*)::BIGINT AS n_keys, sum(cnt)::BIGINT AS n_records,
+       (SELECT user_id FROM per_key ORDER BY cnt DESC, user_id DESC LIMIT 1) AS max_key,
+       max(cnt)::BIGINT AS max_cnt
+FROM per_key
+""",
+    "topk_per_key": """
+SELECT user_id, event_id, round(value, 6) AS value, rank FROM (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rank
+  FROM events
+) WHERE rank <= 5
+""",
+    # ------------------------------------------------------------- J-family
+    "index_lookup_join": """
+SELECT o_orderkey, o_custkey, c_name AS cust_name, c_nationkey AS cust_nation,
+       round(o_totalprice, 6) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+""",
+    "index_lookup_join_with_misses": """
+SELECT event_id, e.user_id, c_name AS cust_name, c_name IS NOT NULL AS matched
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+""",
+    "generation_fallback": """
+WITH g AS (
+  SELECT user_id, date_trunc('week', ts)::TIMESTAMP AS gen, ts, event_id, event_type
+  FROM events
+),
+newest AS (
+  SELECT user_id, gen AS hit_gen, event_type AS hit_event_type FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY user_id ORDER BY gen DESC, ts DESC, event_id DESC) AS rn
+    FROM g
+  ) WHERE rn = 1
+)
+SELECT c.c_custkey AS user_id, n.hit_gen, n.hit_event_type,
+       n.hit_gen IS NULL AS remained
+FROM customer c LEFT JOIN newest n ON c.c_custkey = n.user_id
+""",
+    "ttl_anti_join": """
+SELECT l_orderkey, count(*)::BIGINT AS n_lines,
+       round(sum(l_extendedprice), 4) AS total_price
+FROM lineitem
+WHERE l_orderkey NOT IN (
+  SELECT o_orderkey FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+)
+GROUP BY 1
+""",
+    "pair_symmetrize": """
+SELECT o_orderkey AS key, o_custkey AS paired, 'order2cust' AS direction FROM orders
+UNION ALL
+SELECT o_custkey AS key, o_orderkey AS paired, 'cust2order' AS direction FROM orders
+""",
+    "tagged_union_merge": """
+WITH state AS (
+  SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts, count(*)::BIGINT AS cnt
+  FROM events WHERE ts < TIMESTAMP '2024-01-08' GROUP BY 1
+),
+delta AS (
+  SELECT user_id, min(ts) AS d_first_ts, max(ts) AS d_last_ts, count(*)::BIGINT AS d_cnt
+  FROM events WHERE ts >= TIMESTAMP '2024-01-08' GROUP BY 1
+)
+SELECT coalesce(s.user_id, d.user_id) AS user_id,
+       least(s.first_ts, d.d_first_ts) AS first_ts,
+       greatest(s.last_ts, d.d_last_ts) AS last_ts,
+       (coalesce(s.cnt, 0) + coalesce(d.d_cnt, 0))::BIGINT AS cnt
+FROM state s FULL OUTER JOIN delta d ON s.user_id = d.user_id
+""",
+    "multi_source_union": """
+WITH u AS (
+  SELECT o_orderkey::BIGINT AS key, 'orders' AS vendor, o_totalprice AS amount FROM orders
+  UNION ALL
+  SELECT l_orderkey::BIGINT AS key, 'lineitem' AS vendor, l_extendedprice AS amount FROM lineitem
+)
+SELECT key, vendor, round(sum(amount), 4) AS amount_sum FROM u GROUP BY 1, 2
+""",
+    # ------------------------------------------------------------- P-family
+    "field_extract_filter": """
+SELECT event_id, etype, val, uid FROM (
+  SELECT event_id, coalesce(event_type, '\\N') AS etype,
+         value AS val, user_id AS uid
+  FROM events
+) WHERE etype <> '\\N' AND val IS NOT NULL AND val > 0
+""",
+    "dictionary_filter": """
+SELECT event_type, count(*)::BIGINT AS n FROM events
+WHERE event_type IN ('click', 'view', 'purchase') GROUP BY 1
+""",
+    "url_host_md5": """
+SELECT doc_id, md5(source || '.example.com') AS host_md5 FROM documents
+""",
+    "ts_parse_roundtrip": """
+SELECT event_id,
+       cast(floor(epoch(date_trunc('second', ts))) AS BIGINT) AS epoch_s,
+       strftime(date_trunc('day', ts) + INTERVAL 3 DAY, '%Y-%m-%d') AS slot_end
+FROM events
+""",
+}

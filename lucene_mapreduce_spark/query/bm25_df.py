@@ -1,0 +1,142 @@
+"""Distributed BM25 over a corpus DataFrame (scan path, no prebuilt index).
+
+This is the engine's correctness backbone (SURVEY.md §7.2 M1): the same
+scoring spec as ``bm25.py`` expressed as a declarative DataFrame plan so
+Catalyst handles pushdown/pruning and the shuffle strategy. The segment/WAND
+path (query/wand.py) must agree with this, which must agree with the pandas
+oracle.
+
+Scale shape (100 TB corpus, 1000 executors):
+- postings = explode + groupBy(doc, term): map-side partial aggregation keeps
+  the shuffle at distinct-(doc,term) volume, not token volume;
+- the query-term table is tiny and *broadcast* — the corpus never shuffles by
+  term for scoring;
+- df_t and corpus stats are computed once and reused across queries
+  (``corpus_postings`` is the cache point; the index build persists exactly
+  this + stats so queries skip the corpus scan entirely).
+
+Determinism: per-(query, doc) scores are accumulated in ascending term order
+via sort_array + aggregate over float64 — bit-identical results at any
+parallelism level (the N vs 4N scaling-efficiency requirement includes
+correctness at both sizes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from lucene_mapreduce_spark.functions.tokenize import tokenize_col, tokenize_pandas_udf
+from lucene_mapreduce_spark.query.bm25 import B, K1
+
+
+def corpus_postings(
+    docs: DataFrame,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    use_arrow_udf: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """(postings, doclens) for a corpus.
+
+    postings: (doc_id, term, tf)  — one row per distinct (doc, term)
+    doclens:  (doc_id, dl)        — token count per doc (0 for empty/null)
+
+    ``use_arrow_udf`` switches the tokenizer to the vectorized Arrow UDF
+    (index-build surface); default is the JVM-side expression — both are
+    equivalence-tested in test_tokenize.py.
+    """
+    tok = tokenize_pandas_udf(F.col(text_col)) if use_arrow_udf else tokenize_col(text_col)
+    toks = docs.select(F.col(doc_col).alias("doc_id"), tok.alias("tokens"))
+    doclens = toks.select("doc_id", F.size("tokens").alias("dl"))
+    postings = (
+        toks.select("doc_id", F.explode("tokens").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return postings, doclens
+
+
+def bm25_scan_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int | None = None,
+) -> DataFrame:
+    """Top-k BM25 for a batch of queries against a corpus DataFrame.
+
+    queries: (query_id string, query_text string). Returns
+    (query_id, doc_id, score double, rank int) with rank 1..k ordered by
+    (score desc, doc_id asc). ``round_to`` optionally rounds the score for
+    cross-engine hash comparison (the DuckDB gate); the pytest oracle uses
+    exact float64.
+    """
+    postings, doclens = corpus_postings(docs, doc_col, text_col)
+
+    stats = doclens.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    )
+
+    qterms = (
+        queries.select(
+            "query_id", F.explode(tokenize_col("query_text")).alias("term")
+        )
+        .distinct()
+    )
+
+    # df_t over the full corpus, restricted to the (few) query terms.
+    # semi-join first so the term-df aggregation only shuffles matching rows.
+    q_term_list = qterms.select("term").distinct()
+    df_t = (
+        postings.join(F.broadcast(q_term_list), "term", "inner")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df_t"))
+    )
+
+    matched = (
+        postings.join(F.broadcast(qterms), "term", "inner")
+        .join(F.broadcast(df_t), "term", "inner")
+        .join(doclens, "doc_id", "inner")
+        .crossJoin(F.broadcast(stats))
+    )
+
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df_t") + F.lit(0.5)) / (F.col("df_t") + F.lit(0.5))
+    )
+    tf = F.col("tf").cast("double")
+    dl = F.col("dl").cast("double")
+    denom = tf + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * dl / F.col("avgdl"))
+    contrib = idf * (tf * F.lit(K1 + 1.0)) / denom
+
+    scored = matched.select(
+        "query_id",
+        "doc_id",
+        F.col("term"),
+        contrib.alias("contrib"),
+    )
+
+    # Canonical ascending-term float64 accumulation => deterministic scores.
+    per_doc = (
+        scored.groupBy("query_id", "doc_id")
+        .agg(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("term", "contrib"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["contrib"],
+            ).alias("score")
+        )
+    )
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    out = (
+        per_doc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+    if round_to is not None:
+        out = out.withColumn("score", F.round("score", round_to))
+    return out.select("query_id", "doc_id", "score", "rank")
