@@ -1,0 +1,169 @@
+"""Segment build: corpus batch -> immutable posting-list segment + manifest.
+
+Replaces the reference's read-modify-write incremental Lucene build
+(IndexBuilderReducer.java:104-232: copy previous index local, append an hour,
+copy back) with immutable per-batch segments plus a manifest pointer flip —
+no in-place mutation, so failed builds never corrupt a published index.
+
+Shuffle/skew design for 10^12 turns:
+- one shuffle to (doc_id, term) granularity with map-side combine (token
+  volume never crosses the wire);
+- posting groups are keyed (term, chunk) where chunk = doc_id // chunk_docs:
+  a head term (Zipf skew — the reason the reference used prime partition
+  counts, IndexBuilderDriver.java:46) splits into bounded, docid-ordered
+  chunks instead of one giant group, so applyInPandas memory is capped at
+  chunk_docs postings regardless of term popularity, and chunk concatenation
+  preserves global docid order without re-sorting;
+- segment files are written partitionBy(phash) where
+  phash = pmod(xxhash64(term), P): the persisted partitioning contract the
+  query side prunes on (reference contract: reducer count == index partition
+  count, XdiReportDriver.java:76).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lucene_mapreduce_spark.functions.tokenize import tokenize_pandas_udf
+from lucene_mapreduce_spark.index.codec import encode_postings
+from lucene_mapreduce_spark.index.manifest import (
+    Manifest,
+    SegmentMeta,
+    commit_manifest,
+    load_manifest,
+    segment_dir,
+)
+
+POSTING_SCHEMA = (
+    "phash int, term string, chunk long, df_chunk int, cf_chunk long, "
+    "max_tf int, min_dl int, payload binary"
+)
+
+
+def latest_wins(corpus: DataFrame, doc_col: str = "doc_id", ts_col: str = "ts") -> DataFrame:
+    """A1 — dedup a batch to one row per doc, newest ts wins, deterministic
+    tie-break on the full row hash (reference intent: IndexBuilderReducer.java:142-163)."""
+    cols = [c for c in corpus.columns]
+    tie = F.struct(F.col(ts_col), F.xxhash64(*cols))
+    return (
+        corpus.groupBy(doc_col)
+        .agg(F.max_by(F.struct(*[c for c in cols if c != doc_col]), tie).alias("r"))
+        .select(doc_col, "r.*")
+    )
+
+
+def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """applyInPandas kernel: one (term, chunk) posting group -> one encoded row."""
+    pdf = pdf.sort_values("doc_id", kind="mergesort")
+    docids = pdf["doc_id"].to_numpy(np.uint64)
+    tfs = pdf["tf"].to_numpy(np.uint64)
+    dls = pdf["dl"].to_numpy(np.uint64)
+    payload = encode_postings(docids, tfs, dls)
+    return pd.DataFrame(
+        {
+            "phash": [int(pdf["phash"].iloc[0])],
+            "term": [pdf["term"].iloc[0]],
+            "chunk": [int(pdf["chunk"].iloc[0])],
+            "df_chunk": [len(docids)],
+            "cf_chunk": [int(tfs.sum())],
+            "max_tf": [int(tfs.max())],
+            "min_dl": [int(dls.min())],
+            "payload": [payload],
+        }
+    )
+
+
+def build_segment(
+    spark: SparkSession,
+    corpus: DataFrame,
+    index_dir: str,
+    num_partitions: int = 32,
+    chunk_docs: int = 1 << 20,
+    lineage: dict[str, Any] | None = None,
+) -> SegmentMeta:
+    """Build one immutable level-0 segment from a (doc_id, text) batch and
+    commit it to the manifest. Returns the committed SegmentMeta.
+
+    corpus must be unique per doc_id (apply ``latest_wins`` upstream for
+    update batches).
+    """
+    m = load_manifest(index_dir)
+    if m is None:
+        m = Manifest(num_partitions=num_partitions, chunk_docs=chunk_docs)
+    else:
+        num_partitions, chunk_docs = m.num_partitions, m.chunk_docs
+
+    seq = m.committed_seq + 1
+    seg_id = f"L0_{seq:06d}_{seq:06d}"
+    seg_path = segment_dir(index_dir, seg_id)
+
+    toks = corpus.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        tokenize_pandas_udf(F.col("text")).alias("tokens"),
+    )
+    doclens = toks.select("doc_id", F.size("tokens").alias("dl")).persist()
+
+    postings = (
+        toks.select("doc_id", F.explode("tokens").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .join(doclens, "doc_id")
+        .withColumn("phash", F.pmod(F.xxhash64("term"), F.lit(num_partitions)).cast("int"))
+        .withColumn("chunk", (F.col("doc_id") / F.lit(chunk_docs)).cast("long"))
+    )
+
+    encoded = postings.groupBy("phash", "term", "chunk").applyInPandas(
+        _encode_group, schema=POSTING_SCHEMA
+    )
+    # deterministic overwrite => failed builds are rerunnable (reference:
+    # removeOutputs before retry, XdiReportDriver.java:167-189)
+    encoded.write.mode("overwrite").partitionBy("phash").parquet(
+        os.path.join(seg_path, "postings")
+    )
+    doclens.write.mode("overwrite").parquet(os.path.join(seg_path, "doclens"))
+
+    # per-partition metrics (A2's per-key counts, generalized)
+    written = spark.read.parquet(os.path.join(seg_path, "postings"))
+    part_stats = (
+        written.groupBy("phash")
+        .agg(
+            F.countDistinct("term").alias("n_terms"),
+            F.sum("df_chunk").alias("n_postings"),
+        )
+        .collect()
+    )
+    totals = doclens.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_tokens")
+    ).collect()[0]
+    n_terms = written.select("term").distinct().count()
+    doclens.unpersist()
+
+    meta = SegmentMeta(
+        segment_id=seg_id,
+        level=0,
+        min_seq=seq,
+        max_seq=seq,
+        n_docs=int(totals["n_docs"]),
+        total_tokens=int(totals["total_tokens"] or 0),
+        n_terms=int(n_terms),
+        n_postings=int(sum(r["n_postings"] for r in part_stats)),
+        partitions=[
+            {
+                "phash": int(r["phash"]),
+                "n_terms": int(r["n_terms"]),
+                "n_postings": int(r["n_postings"]),
+            }
+            for r in sorted(part_stats, key=lambda r: r["phash"])
+        ],
+        lineage=dict(lineage or {}, batch_seq=seq),
+    )
+    m.segments.append(meta)
+    m.committed_seq = seq
+    commit_manifest(index_dir, m)
+    return meta

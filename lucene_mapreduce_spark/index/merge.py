@@ -1,0 +1,211 @@
+"""Hierarchical, checkpoint-resumable segment merge.
+
+The reference's merge story is Lucene ``forceMerge(1)`` every 2nd hour / at
+day end inside each reducer (IndexBuilderReducer.java:137,171-177;
+IndexBuilder.java:164-176) — single-node, in-place. Here a merge is a Spark
+job over immutable inputs: decode -> mask shadowed docs (latest-wins upsert)
+-> concat -> re-encode per (term, chunk), then a manifest commit. Crash at
+any point: data files are deterministically named and overwrite-rerunnable,
+and the manifest only flips after the new segment is fully written — so a
+re-run resumes mid-merge exactly where the last commit left it (north rule:
+"index builds resume mid-merge after failure").
+
+Scale shape: a merge shuffles only the posting *rows* (term-chunk blocks),
+never re-tokenizes the corpus; masking joins ride the same (chunk) keys.
+Memory per task stays bounded by chunk_docs regardless of term skew.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lucene_mapreduce_spark.index.build import POSTING_SCHEMA
+from lucene_mapreduce_spark.index.codec import decode_postings, encode_postings
+from lucene_mapreduce_spark.index.manifest import (
+    Manifest,
+    SegmentMeta,
+    commit_manifest,
+    load_manifest,
+    segment_dir,
+)
+
+
+def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """applyInPandas kernel: all segments' rows for one (term, chunk) ->
+    one merged, shadow-masked, re-encoded row."""
+    parts_doc, parts_tf, parts_dl = [], [], []
+    for _, row in pdf.iterrows():
+        docids, tfs, dls = decode_postings(row["payload"])
+        dead = row["dead"]
+        if dead is not None and len(dead):
+            keep = ~np.isin(docids, np.asarray(dead, np.uint64))
+            docids, tfs, dls = docids[keep], tfs[keep], dls[keep]
+        if len(docids):
+            parts_doc.append(docids)
+            parts_tf.append(tfs)
+            parts_dl.append(dls)
+    if not parts_doc:
+        return pd.DataFrame(
+            columns=[
+                "phash", "term", "chunk", "df_chunk", "cf_chunk",
+                "max_tf", "min_dl", "payload",
+            ]
+        )
+    docids = np.concatenate(parts_doc)
+    tfs = np.concatenate(parts_tf)
+    dls = np.concatenate(parts_dl)
+    order = np.argsort(docids, kind="mergesort")
+    docids, tfs, dls = docids[order], tfs[order], dls[order]
+    return pd.DataFrame(
+        {
+            "phash": [int(pdf["phash"].iloc[0])],
+            "term": [pdf["term"].iloc[0]],
+            "chunk": [int(pdf["chunk"].iloc[0])],
+            "df_chunk": [len(docids)],
+            "cf_chunk": [int(tfs.sum())],
+            "max_tf": [int(tfs.max())],
+            "min_dl": [int(dls.min())],
+            "payload": [encode_postings(docids, tfs, dls)],
+        }
+    )
+
+
+def _load_doclens(spark: SparkSession, index_dir: str, metas: list[SegmentMeta]) -> DataFrame:
+    dfs = []
+    for meta in metas:
+        d = spark.read.parquet(
+            os.path.join(segment_dir(index_dir, meta.segment_id), "doclens")
+        )
+        dfs.append(d.withColumn("seg_seq", F.lit(meta.min_seq)))
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+def merge_once(
+    spark: SparkSession,
+    index_dir: str,
+    segment_ids: list[str],
+    fault: Callable[[str], None] | None = None,
+) -> SegmentMeta:
+    """Merge a seq-contiguous group of segments into one; commit manifest.
+
+    ``fault`` is a test hook called with checkpoint names ("written",
+    "committed") to inject crashes for the resume tests.
+    """
+    m = load_manifest(index_dir)
+    assert m is not None, "no manifest"
+    metas = sorted((m.segment(s) for s in segment_ids), key=lambda s: s.min_seq)
+    # contiguity check: recency intervals must form one unbroken range
+    all_sorted = m.ordered()
+    idxs = [all_sorted.index(x) for x in metas]
+    assert idxs == list(range(min(idxs), max(idxs) + 1)), (
+        "merge group must be seq-contiguous to preserve upsert recency order"
+    )
+
+    min_seq = metas[0].min_seq
+    max_seq = metas[-1].max_seq
+    level = max(s.level for s in metas) + 1
+    seg_id = f"L{level}_{min_seq:06d}_{max_seq:06d}"
+    seg_path = segment_dir(index_dir, seg_id)
+
+    # ---- shadow (dead) docs: docid present in any newer input segment
+    doclens = _load_doclens(spark, index_dir, metas)
+    w = Window.partitionBy("doc_id").orderBy(F.col("seg_seq").desc())
+    ranked = doclens.withColumn("rn", F.row_number().over(w))
+    live = ranked.filter(F.col("rn") == 1).select("doc_id", "dl", "seg_seq")
+    dead = ranked.filter(F.col("rn") > 1).select("doc_id", "seg_seq")
+
+    chunk_docs = m.chunk_docs
+    dead_by_chunk = (
+        dead.withColumn("chunk", (F.col("doc_id") / F.lit(chunk_docs)).cast("long"))
+        .groupBy("seg_seq", "chunk")
+        .agg(F.collect_list("doc_id").alias("dead"))
+    )
+
+    rows = None
+    for meta in metas:
+        r = spark.read.parquet(
+            os.path.join(segment_dir(index_dir, meta.segment_id), "postings")
+        ).withColumn("seg_seq", F.lit(meta.min_seq))
+        rows = r if rows is None else rows.unionByName(r)
+
+    joined = rows.join(dead_by_chunk, ["seg_seq", "chunk"], "left")
+    merged = joined.groupBy("term", "chunk").applyInPandas(
+        _merge_group, schema=POSTING_SCHEMA
+    )
+    merged.write.mode("overwrite").partitionBy("phash").parquet(
+        os.path.join(seg_path, "postings")
+    )
+    live.select("doc_id", "dl").write.mode("overwrite").parquet(
+        os.path.join(seg_path, "doclens")
+    )
+    if fault:
+        fault("written")  # crash here => manifest still lists the inputs
+
+    written = spark.read.parquet(os.path.join(seg_path, "postings"))
+    part_stats = (
+        written.groupBy("phash")
+        .agg(F.countDistinct("term").alias("n_terms"), F.sum("df_chunk").alias("n_postings"))
+        .collect()
+    )
+    totals = (
+        spark.read.parquet(os.path.join(seg_path, "doclens"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_tokens"))
+        .collect()[0]
+    )
+    n_terms = written.select("term").distinct().count()
+
+    meta_out = SegmentMeta(
+        segment_id=seg_id,
+        level=level,
+        min_seq=min_seq,
+        max_seq=max_seq,
+        n_docs=int(totals["n_docs"]),
+        total_tokens=int(totals["total_tokens"] or 0),
+        n_terms=int(n_terms),
+        n_postings=int(sum(r["n_postings"] for r in part_stats)),
+        parents=[s.segment_id for s in metas],
+        partitions=[
+            {
+                "phash": int(r["phash"]),
+                "n_terms": int(r["n_terms"]),
+                "n_postings": int(r["n_postings"]),
+            }
+            for r in sorted(part_stats, key=lambda r: r["phash"])
+        ],
+        lineage={"merged_from": [s.segment_id for s in metas]},
+    )
+    m.segments = [s for s in m.segments if s.segment_id not in set(segment_ids)]
+    m.segments.append(meta_out)
+    commit_manifest(index_dir, m)
+    if fault:
+        fault("committed")
+    return meta_out
+
+
+def merge_all(
+    spark: SparkSession,
+    index_dir: str,
+    fanin: int = 8,
+    fault: Callable[[str], None] | None = None,
+) -> str:
+    """Hierarchically merge until one segment remains; each step is a
+    manifest checkpoint, so re-running after a crash continues the plan
+    (deterministic segment ids => already-written outputs are reused by
+    overwrite, never duplicated)."""
+    while True:
+        m = load_manifest(index_dir)
+        assert m is not None
+        segs = m.ordered()
+        if len(segs) <= 1:
+            return segs[0].segment_id if segs else ""
+        group = [s.segment_id for s in segs[: max(2, min(fanin, len(segs)))]]
+        merge_once(spark, index_dir, group, fault=fault)

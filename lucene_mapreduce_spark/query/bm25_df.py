@@ -101,7 +101,18 @@ def bm25_scan_topk(
         .join(doclens, "doc_id", "inner")
         .crossJoin(F.broadcast(stats))
     )
+    return score_and_topk(matched, k=k, round_to=round_to)
 
+
+def score_and_topk(
+    matched: DataFrame, k: int = 10, round_to: int | None = None
+) -> DataFrame:
+    """Score a matched-postings frame and take per-query top-k.
+
+    ``matched`` needs columns (query_id, doc_id, term, tf, dl, df_t, n_docs,
+    avgdl). Shared by the corpus-scan path and the segment/index path so the
+    scoring spec exists exactly once in DataFrame form.
+    """
     idf = F.log(
         F.lit(1.0)
         + (F.col("n_docs") - F.col("df_t") + F.lit(0.5)) / (F.col("df_t") + F.lit(0.5))

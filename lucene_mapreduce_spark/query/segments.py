@@ -1,0 +1,172 @@
+"""Query answering over built segments (the index path, SURVEY §2.7 F7).
+
+Replaces the reference's reducer-side Lucene probe (XdiReportReducer.java:
+342-400: copy index partition local, QueryParser + TopScoreDocCollector)
+with partition-pruned parquet reads of posting blocks:
+
+- query terms -> phash via the same xxhash64 contract the build wrote, so
+  only the matching ``phash=`` directories are scanned (directory pruning),
+  and ``term IN (...)`` pushes into parquet row-group filters;
+- posting payloads decode in a vectorized Arrow kernel (mapInPandas) to
+  (term, doc_id, tf, dl) — dl travels inside the payload, so scoring needs
+  no doclens side-join;
+- multi-segment reads mask shadowed (updated) docs via the latest-wins rule;
+  a fully merged index (1 segment) skips masking entirely;
+- scoring + top-k reuses score_and_topk — one scoring spec for all paths.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lucene_mapreduce_spark.functions.tokenize import tokenize_col
+from lucene_mapreduce_spark.index.codec import decode_postings
+from lucene_mapreduce_spark.index.manifest import Manifest, load_manifest, segment_dir
+from lucene_mapreduce_spark.query.bm25_df import score_and_topk
+
+
+def _decode_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out_term, out_doc, out_tf, out_dl, out_seq = [], [], [], [], []
+        for term, payload, seq in zip(pdf["term"], pdf["payload"], pdf["seg_seq"]):
+            docids, tfs, dls = decode_postings(payload)
+            n = len(docids)
+            if not n:
+                continue
+            out_term.append(pd.Series([term]).repeat(n))
+            out_doc.append(pd.Series(docids.astype("int64")))
+            out_tf.append(pd.Series(tfs.astype("int64")))
+            out_dl.append(pd.Series(dls.astype("int64")))
+            out_seq.append(pd.Series([seq]).repeat(n))
+        if not out_doc:
+            continue
+        yield pd.DataFrame(
+            {
+                "term": pd.concat(out_term, ignore_index=True),
+                "doc_id": pd.concat(out_doc, ignore_index=True),
+                "tf": pd.concat(out_tf, ignore_index=True),
+                "dl": pd.concat(out_dl, ignore_index=True),
+                "seg_seq": pd.concat(out_seq, ignore_index=True),
+            }
+        )
+
+
+def term_phashes(spark: SparkSession, terms: list[str], num_partitions: int) -> dict[str, int]:
+    """Route terms to their segment partitions with the build's own hash."""
+    if not terms:
+        return {}
+    df = spark.createDataFrame([(t,) for t in terms], "term string")
+    rows = df.select(
+        "term", F.pmod(F.xxhash64("term"), F.lit(num_partitions)).cast("int").alias("phash")
+    ).collect()
+    return {r["term"]: r["phash"] for r in rows}
+
+
+def read_postings(
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str],
+    manifest: Manifest | None = None,
+) -> DataFrame:
+    """Decoded live postings (term, doc_id, tf, dl) for the given terms."""
+    m = manifest or load_manifest(index_dir)
+    assert m is not None, f"no index at {index_dir}"
+    segs = m.ordered()
+    phashes = sorted(set(term_phashes(spark, terms, m.num_partitions).values()))
+
+    rows = None
+    for s in segs:
+        r = (
+            spark.read.parquet(os.path.join(segment_dir(index_dir, s.segment_id), "postings"))
+            .filter(F.col("phash").isin(phashes) & F.col("term").isin(terms))
+            .withColumn("seg_seq", F.lit(s.min_seq))
+        )
+        rows = r if rows is None else rows.unionByName(r)
+
+    decoded = rows.select("term", "payload", "seg_seq").mapInPandas(
+        _decode_rows, schema="term string, doc_id long, tf long, dl long, seg_seq long"
+    )
+
+    if len(segs) == 1:
+        return decoded.drop("seg_seq")
+
+    # multi-segment: keep only each doc's newest copy (latest-wins upsert)
+    live = live_doclens(spark, index_dir, m).select("doc_id", "seg_seq")
+    return decoded.join(live, ["doc_id", "seg_seq"], "left_semi").drop("seg_seq")
+
+
+def live_doclens(
+    spark: SparkSession, index_dir: str, manifest: Manifest | None = None
+) -> DataFrame:
+    """(doc_id, dl, seg_seq) with exactly one live row per doc."""
+    m = manifest or load_manifest(index_dir)
+    assert m is not None
+    dfs = None
+    for s in m.ordered():
+        d = spark.read.parquet(
+            os.path.join(segment_dir(index_dir, s.segment_id), "doclens")
+        ).withColumn("seg_seq", F.lit(s.min_seq))
+        dfs = d if dfs is None else dfs.unionByName(d)
+    if len(m.segments) == 1:
+        return dfs
+    w = Window.partitionBy("doc_id").orderBy(F.col("seg_seq").desc())
+    return (
+        dfs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def exact_stats(spark: SparkSession, index_dir: str) -> tuple[int, float]:
+    """Exact (n_docs, avgdl) over live docs. For a fully merged index this
+    equals the manifest's totals (asserted in tests); for a multi-generation
+    index it applies latest-wins."""
+    m = load_manifest(index_dir)
+    assert m is not None
+    if len(m.segments) == 1:
+        s = m.segments[0]
+        return s.n_docs, (s.total_tokens / s.n_docs if s.n_docs else 0.0)
+    row = (
+        live_doclens(spark, index_dir, m)
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("tot"))
+        .collect()[0]
+    )
+    n = int(row["n"])
+    return n, (int(row["tot"] or 0) / n if n else 0.0)
+
+
+def bm25_index_topk(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 10,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Top-k BM25 for a batch of queries against the built index.
+
+    Same output contract as bm25_scan_topk — rank-identical to the oracle.
+    """
+    m = load_manifest(index_dir)
+    assert m is not None
+    qterms = (
+        queries.select("query_id", F.explode(tokenize_col("query_text")).alias("term"))
+        .distinct()
+    )
+    terms = [r["term"] for r in qterms.select("term").distinct().collect()]
+    n_docs, avgdl = exact_stats(spark, index_dir)
+
+    postings = read_postings(spark, index_dir, terms, m)
+    df_t = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+
+    matched = (
+        postings.join(F.broadcast(qterms), "term", "inner")
+        .join(F.broadcast(df_t), "term", "inner")
+        .withColumn("n_docs", F.lit(float(n_docs)))
+        .withColumn("avgdl", F.lit(float(avgdl)))
+    )
+    return score_and_topk(matched, k=k, round_to=round_to)

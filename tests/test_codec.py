@@ -1,0 +1,87 @@
+"""Round-trip + property tests for the posting-block codec."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from lucene_mapreduce_spark.index.codec import (
+    BLOCK_SIZE,
+    PostingReader,
+    decode_postings,
+    encode_postings,
+    vb_decode,
+    vb_encode,
+)
+
+
+def test_vb_roundtrip_edges():
+    for vals in (
+        [],
+        [0],
+        [127],
+        [128],
+        [2**7, 2**14, 2**21, 2**28, 2**35, 2**63, 2**64 - 1],
+        list(range(1000)),
+    ):
+        arr = np.array(vals, np.uint64)
+        buf, widths = vb_encode(arr)
+        out = vb_decode(buf, len(arr))
+        assert (out == arr).all()
+        assert int(widths.sum()) == len(buf)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**63), max_size=500))
+def test_vb_roundtrip_property(vals):
+    arr = np.array(vals, np.uint64)
+    out = vb_decode(vb_encode(arr)[0], len(arr))
+    assert (out == arr).all()
+
+
+def _rand_postings(n, seed=0, docid_span=10**9):
+    rng = np.random.default_rng(seed)
+    docids = np.sort(rng.choice(docid_span, size=n, replace=False).astype(np.uint64))
+    tfs = rng.integers(1, 50, n).astype(np.uint64)
+    dls = rng.integers(1, 500, n).astype(np.uint64)
+    return docids, tfs, dls
+
+
+@pytest.mark.parametrize("n", [0, 1, 127, 128, 129, 1000, 5000])
+def test_postings_roundtrip(n):
+    docids, tfs, dls = _rand_postings(n, seed=n)
+    buf = encode_postings(docids, tfs, dls)
+    d2, t2, l2 = decode_postings(buf)
+    assert (d2 == docids).all() and (t2 == tfs).all() and (l2 == dls).all()
+
+
+def test_skip_table_blockmax():
+    n = 1000
+    docids, tfs, dls = _rand_postings(n, seed=3)
+    r = PostingReader(encode_postings(docids, tfs, dls))
+    assert r.n_blocks == (n + BLOCK_SIZE - 1) // BLOCK_SIZE
+    for i in range(r.n_blocks):
+        lo, hi = r.block_bounds(i)
+        assert r.skips[i]["last_docid"] == docids[hi - 1]
+        assert r.skips[i]["max_tf"] == tfs[lo:hi].max()
+        assert r.skips[i]["min_dl"] == dls[lo:hi].min()
+
+
+def test_non_increasing_docids_rejected():
+    with pytest.raises(ValueError):
+        encode_postings(
+            np.array([5, 5], np.uint64),
+            np.array([1, 1], np.uint64),
+            np.array([1, 1], np.uint64),
+        )
+
+
+def test_compression_is_effective():
+    # dense docids => ~1 byte per delta; raw int64 would be 8
+    docids = np.arange(10_000, dtype=np.uint64) * 3
+    tfs = np.ones(10_000, np.uint64)
+    dls = np.full(10_000, 30, np.uint64)
+    buf = encode_postings(docids, tfs, dls)
+    assert len(buf) < 10_000 * 4  # vs 24 bytes/posting raw
