@@ -11,9 +11,14 @@ Shuffle/skew design for 10^12 turns:
 - posting groups are keyed (term, chunk) where chunk = doc_id // chunk_docs:
   a head term (Zipf skew — the reason the reference used prime partition
   counts, IndexBuilderDriver.java:46) splits into bounded, docid-ordered
-  chunks instead of one giant group, so applyInPandas memory is capped at
-  chunk_docs postings regardless of term popularity, and chunk concatenation
-  preserves global docid order without re-sorting;
+  chunks instead of one giant group, so applyInPandas memory is capped
+  regardless of term popularity, and chunk concatenation preserves global
+  docid order without re-sorting. chunk_docs is a *docid-range* width: pick
+  it so one chunk spans ~10^6-10^7 live docs given your docid density (the
+  transcript packing conv<<20|turn is sparse — 2^36 covers ~65k
+  conversations ≈ 0.5M turns). Too-small chunks explode the group count and
+  drown the build in per-group overhead; too-large chunks re-create the
+  head-term memory problem the chunking exists to solve;
 - segment files are written partitionBy(phash) where
   phash = pmod(xxhash64(term), P): the persisted partitioning contract the
   query side prunes on (reference contract: reducer count == index partition
@@ -84,7 +89,7 @@ def build_segment(
     corpus: DataFrame,
     index_dir: str,
     num_partitions: int = 32,
-    chunk_docs: int = 1 << 20,
+    chunk_docs: int = 1 << 36,
     lineage: dict[str, Any] | None = None,
 ) -> SegmentMeta:
     """Build one immutable level-0 segment from a (doc_id, text) batch and
@@ -103,11 +108,12 @@ def build_segment(
     seg_id = f"L0_{seq:06d}_{seq:06d}"
     seg_path = segment_dir(index_dir, seg_id)
 
+    # tokenize ONCE (cached): doclens and postings both derive from it
     toks = corpus.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         tokenize_pandas_udf(F.col("text")).alias("tokens"),
-    )
-    doclens = toks.select("doc_id", F.size("tokens").alias("dl")).persist()
+    ).persist()
+    doclens = toks.select("doc_id", F.size("tokens").alias("dl"))
 
     postings = (
         toks.select("doc_id", F.explode("tokens").alias("term"))
@@ -121,14 +127,17 @@ def build_segment(
     encoded = postings.groupBy("phash", "term", "chunk").applyInPandas(
         _encode_group, schema=POSTING_SCHEMA
     )
-    # deterministic overwrite => failed builds are rerunnable (reference:
-    # removeOutputs before retry, XdiReportDriver.java:167-189)
-    encoded.write.mode("overwrite").partitionBy("phash").parquet(
-        os.path.join(seg_path, "postings")
-    )
+    # repartition by phash so files align 1:1 with the phash= dirs the query
+    # side prunes (avoids P*tasks tiny files); deterministic overwrite =>
+    # failed builds are rerunnable (reference: removeOutputs before retry,
+    # XdiReportDriver.java:167-189)
+    encoded.repartition(num_partitions, "phash").write.mode("overwrite").partitionBy(
+        "phash"
+    ).parquet(os.path.join(seg_path, "postings"))
     doclens.write.mode("overwrite").parquet(os.path.join(seg_path, "doclens"))
 
-    # per-partition metrics (A2's per-key counts, generalized)
+    # per-partition metrics (A2's per-key counts, generalized); n_terms is
+    # the sum over partitions because term fully determines phash
     written = spark.read.parquet(os.path.join(seg_path, "postings"))
     part_stats = (
         written.groupBy("phash")
@@ -141,8 +150,8 @@ def build_segment(
     totals = doclens.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_tokens")
     ).collect()[0]
-    n_terms = written.select("term").distinct().count()
-    doclens.unpersist()
+    n_terms = int(sum(r["n_terms"] for r in part_stats))
+    toks.unpersist()
 
     meta = SegmentMeta(
         segment_id=seg_id,

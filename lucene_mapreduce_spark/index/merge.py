@@ -141,9 +141,9 @@ def merge_once(
     merged = joined.groupBy("term", "chunk").applyInPandas(
         _merge_group, schema=POSTING_SCHEMA
     )
-    merged.write.mode("overwrite").partitionBy("phash").parquet(
-        os.path.join(seg_path, "postings")
-    )
+    merged.repartition(m.num_partitions, "phash").write.mode("overwrite").partitionBy(
+        "phash"
+    ).parquet(os.path.join(seg_path, "postings"))
     live.select("doc_id", "dl").write.mode("overwrite").parquet(
         os.path.join(seg_path, "doclens")
     )
@@ -161,7 +161,7 @@ def merge_once(
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_tokens"))
         .collect()[0]
     )
-    n_terms = written.select("term").distinct().count()
+    n_terms = int(sum(r["n_terms"] for r in part_stats))
 
     meta_out = SegmentMeta(
         segment_id=seg_id,

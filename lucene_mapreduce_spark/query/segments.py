@@ -57,14 +57,11 @@ def _decode_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 def term_phashes(spark: SparkSession, terms: list[str], num_partitions: int) -> dict[str, int]:
-    """Route terms to their segment partitions with the build's own hash."""
-    if not terms:
-        return {}
-    df = spark.createDataFrame([(t,) for t in terms], "term string")
-    rows = df.select(
-        "term", F.pmod(F.xxhash64("term"), F.lit(num_partitions)).cast("int").alias("phash")
-    ).collect()
-    return {r["term"]: r["phash"] for r in rows}
+    """Route terms to their segment partitions with the build's own hash
+    (pure-Python xxhash64 twin — no Spark job; parity tested vs F.xxhash64)."""
+    from lucene_mapreduce_spark.functions.hashing import term_phash
+
+    return {t: term_phash(t, num_partitions) for t in terms}
 
 
 def read_postings(

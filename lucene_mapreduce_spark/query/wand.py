@@ -1,0 +1,212 @@
+"""Low-latency top-k serving: block-max WAND over segment files.
+
+The distributed path (segments.bm25_index_topk) is for query *batches*; this
+path answers a single query in milliseconds by reading only the needed
+posting rows straight from parquet (pyarrow dataset, phash directory pruning
++ term dictionary filter) and running block-max WAND (Ding & Suel 2011,
+"Faster top-k document retrieval using block-max indexes") on the decoded
+arrays. No reference-code lineage: the reference's analogue is top-1 exact
+key probing (XdiReportReducer.java:355-371); WAND generalizes it to scored
+top-k with *safe* pruning — the result is bit-identical to the exhaustive
+scorer (asserted against the oracle in tests).
+
+Exactness: candidate docs are fully scored by accumulating idf*tfn in
+ascending-term order, the same canonical float64 order as every other path;
+pruning only skips docs whose upper bound cannot reach the current k-th
+score, with ties resolved (score desc, doc_id asc) — so the top-k set AND
+scores match the oracle exactly.
+
+Serving at 10^12 docs: one query touches only its terms' (term, chunk) rows
+inside the pruned phash directories — IO proportional to posting-list
+length, never corpus size. A fleet of servers would shard by phash exactly
+as the reference sharded reducers by partition count.
+"""
+
+from __future__ import annotations
+
+import heapq
+import os
+
+import numpy as np
+import pyarrow.dataset as ds
+
+from lucene_mapreduce_spark.functions.tokenize import tokenize_string
+from lucene_mapreduce_spark.index.codec import decode_postings
+from lucene_mapreduce_spark.index.manifest import Manifest, load_manifest, segment_dir
+from lucene_mapreduce_spark.query.bm25 import B, K1, bm25_idf
+
+from lucene_mapreduce_spark.functions.hashing import term_phash, xxhash64  # noqa: F401  (re-exported; parity tested vs Spark)
+
+_BM_BLOCK = 128  # block granularity for in-memory block-max pruning
+
+
+class _TermCursor:
+    __slots__ = (
+        "term", "idf", "docids", "tfs", "dls", "pos", "ub", "n",
+        "block_ub", "block_last",
+    )
+
+    def __init__(self, term, idf, docids, tfs, dls, contribs):
+        self.term = term
+        self.idf = idf
+        self.docids = docids
+        self.tfs = tfs
+        self.dls = dls
+        self.pos = 0
+        self.n = len(docids)
+        self.ub = float(contribs.max()) if self.n else 0.0
+        # per-block maxima (block-max WAND): ub of any doc inside block i
+        n_blocks = (self.n + _BM_BLOCK - 1) // _BM_BLOCK
+        pad = n_blocks * _BM_BLOCK - self.n
+        padded = np.pad(contribs, (0, pad), constant_values=0.0)
+        self.block_ub = padded.reshape(n_blocks, _BM_BLOCK).max(axis=1)
+        self.block_last = docids[
+            np.minimum(np.arange(1, n_blocks + 1) * _BM_BLOCK, self.n) - 1
+        ]
+
+    @property
+    def cur(self) -> int:
+        return int(self.docids[self.pos]) if self.pos < self.n else 1 << 62
+
+    def cur_block_ub(self, doc: int) -> float:
+        """Upper bound of the block containing `doc` for this cursor."""
+        if self.pos >= self.n:
+            return 0.0
+        b = int(np.searchsorted(self.block_last, doc, side="left"))
+        if b >= len(self.block_ub):
+            return 0.0
+        return float(self.block_ub[b])
+
+    def block_end(self, doc: int) -> int:
+        """Last docid of the block containing `doc` (for deep skips)."""
+        if self.pos >= self.n:
+            return 1 << 62
+        b = int(np.searchsorted(self.block_last, doc, side="left"))
+        if b >= len(self.block_last):
+            return 1 << 62
+        return int(self.block_last[b])
+
+    def advance_to(self, target: int) -> None:
+        # galloping via searchsorted over the decoded array (the on-disk skip
+        # table already bounded what we decoded to the term's chunks)
+        self.pos += int(np.searchsorted(self.docids[self.pos:], target, side="left"))
+
+
+class IndexSearcher:
+    """Loads manifest + stats once; answers queries with block-max WAND."""
+
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        m = load_manifest(index_dir)
+        assert m is not None, f"no index at {index_dir}"
+        assert len(m.segments) == 1, (
+            "IndexSearcher serves fully merged indexes; run merge_all first "
+            "(multi-generation serving goes through segments.bm25_index_topk)"
+        )
+        self.manifest: Manifest = m
+        seg = m.segments[0]
+        self.n_docs = seg.n_docs
+        self.avgdl = seg.total_tokens / seg.n_docs if seg.n_docs else 0.0
+        self._dataset = ds.dataset(
+            os.path.join(segment_dir(index_dir, seg.segment_id), "postings"),
+            format="parquet",
+            partitioning="hive",
+        )
+
+    def _read_term(self, term: str):
+        """All (chunk-ordered) posting rows of one term -> concatenated arrays."""
+        p = term_phash(term, self.manifest.num_partitions)
+        tbl = self._dataset.to_table(
+            filter=(ds.field("phash") == p) & (ds.field("term") == term),
+            columns=["chunk", "payload"],
+        )
+        if tbl.num_rows == 0:
+            return None
+        order = np.argsort(tbl["chunk"].to_numpy())
+        payloads = tbl["payload"].to_pylist()
+        parts = [decode_postings(payloads[i]) for i in order]
+        docids = np.concatenate([p[0] for p in parts])
+        tfs = np.concatenate([p[1] for p in parts])
+        dls = np.concatenate([p[2] for p in parts])
+        return docids.astype(np.int64), tfs.astype(np.float64), dls.astype(np.float64)
+
+    def _contrib(self, idf: float, tf, dl):
+        return idf * (tf * (K1 + 1.0)) / (tf + K1 * (1.0 - B + B * dl / self.avgdl))
+
+    def search(self, query_text: str, k: int = 10) -> list[tuple[int, float]]:
+        """Exact top-k [(doc_id, score)] by (score desc, doc_id asc)."""
+        terms = sorted(set(tokenize_string(query_text)))
+        cursors: list[_TermCursor] = []
+        for t in terms:
+            got = self._read_term(t)
+            if got is None:
+                continue
+            docids, tfs, dls = got
+            idf = bm25_idf(len(docids), self.n_docs)
+            contribs = self._contrib(idf, tfs, dls)
+            cursors.append(_TermCursor(t, idf, docids, tfs, dls, contribs))
+        if not cursors or self.n_docs == 0:
+            return []
+
+        heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap of top-k
+
+        def threshold() -> float:
+            return heap[0][0] if len(heap) == k else -1.0
+
+        while True:
+            live = [c for c in cursors if c.pos < c.n]
+            if not live:
+                break
+            live.sort(key=lambda c: c.cur)
+            # pivot: first prefix whose summed UBs could beat-or-tie the
+            # threshold (>= because an equal score can still enter the top-k
+            # via the doc_id tie-break)
+            acc, pivot_i = 0.0, -1
+            th = threshold()
+            for i, c in enumerate(live):
+                acc += c.ub
+                if acc >= th:
+                    pivot_i = i
+                    break
+            if pivot_i < 0:
+                break
+            pivot_doc = live[pivot_i].cur
+            # block-max refinement (BMW): bound pivot_doc by the maxima of
+            # the blocks that actually contain it, over EVERY cursor that
+            # could contribute to it — the prefix plus any later cursor
+            # currently sitting exactly at pivot_doc.
+            hi = pivot_i
+            while hi + 1 < len(live) and live[hi + 1].cur == pivot_doc:
+                hi += 1
+            block_acc = sum(c.cur_block_ub(pivot_doc) for c in live[: hi + 1])
+            if block_acc < th:
+                # safe deep skip: past the shallowest block end, but never
+                # past the next cursor's current doc (docs in between could
+                # combine prefix terms with that cursor's term)
+                skip_to = min(c.block_end(pivot_doc) for c in live[: hi + 1]) + 1
+                if hi + 1 < len(live):
+                    skip_to = min(skip_to, live[hi + 1].cur)
+                for c in live[: hi + 1]:
+                    c.advance_to(skip_to)
+                continue
+            if live[0].cur == pivot_doc:
+                # fully score pivot_doc: canonical ascending-term order
+                score = 0.0
+                for c in sorted(
+                    (c for c in live if c.cur == pivot_doc), key=lambda c: c.term
+                ):
+                    score += self._contrib(c.idf, c.tfs[c.pos], c.dls[c.pos])
+                entry = (score, -pivot_doc)
+                if len(heap) < k:
+                    heapq.heappush(heap, entry)
+                elif entry > heap[0]:
+                    heapq.heapreplace(heap, entry)
+                for c in live:
+                    if c.cur == pivot_doc:
+                        c.pos += 1
+            else:
+                for c in live[:pivot_i]:
+                    c.advance_to(pivot_doc)
+
+        out = sorted(heap, key=lambda e: (-e[0], -e[1]))
+        return [(-d, s) for s, d in out]
