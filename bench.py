@@ -30,8 +30,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS_HI = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-CPUS_LO = int(os.environ.get("SPARK_GRAFT_CPUS_LO", str(max(2, CPUS_HI // 4))))
-N_CONV = int(os.environ.get("SPARK_GRAFT_NCONV", "20000"))
+# scaling pair: N vs 4N worker cores. On this single box each core pairs a
+# JVM task thread with a Python Arrow worker, so the pair tops out at 16
+# (=32 busy cores) to avoid oversubscription polluting the measurement.
+CPUS_SCALE_LO = int(os.environ.get("SPARK_GRAFT_CPUS_LO", "4"))
+CPUS_SCALE_HI = int(os.environ.get("SPARK_GRAFT_CPUS_SCALE_HI", "16"))
+N_CONV = int(os.environ.get("SPARK_GRAFT_NCONV", "250000"))
 
 BENCH_QUERIES = [
     "tok00000 tok00001",
@@ -62,14 +66,32 @@ def _build_corpus(spark, n_conv: int):
     )
 
 
-def _timed_build(spark, corpus_path: str, index_dir: str) -> tuple[float, int]:
+def _timed_build(
+    spark, corpus_path: str, index_dir: str, warm_dir: str, reps: int = 1
+) -> tuple[float, int]:
+    """JIT/codegen-warm the session with a small throwaway build, then time
+    the real one (best of `reps`) — so the N vs 4N comparison measures
+    compute, not first-job JVM warmup or GC noise."""
+    import shutil as _sh
+
+    from pyspark.sql import functions as F
+
     from lucene_mapreduce_spark.index.build import build_segment
 
     corpus = spark.read.parquet(corpus_path)
     n_turns = corpus.count()  # warm the file listing; count is the metric base
-    t0 = time.perf_counter()
-    build_segment(spark, corpus, index_dir, num_partitions=32, chunk_docs=1 << 36)
-    return time.perf_counter() - t0, n_turns
+    warm = corpus.filter(F.pmod(F.col("doc_id"), F.lit(97)) == 0)
+    build_segment(spark, warm, warm_dir, num_partitions=32)
+    best = None
+    for r in range(reps):
+        tgt = index_dir if r == reps - 1 else index_dir + f"_r{r}"
+        t0 = time.perf_counter()
+        build_segment(spark, corpus, tgt, num_partitions=32)
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+        if tgt != index_dir:
+            _sh.rmtree(tgt, ignore_errors=True)
+    return best, n_turns
 
 
 def main() -> None:
@@ -85,9 +107,23 @@ def main() -> None:
     _build_corpus(spark, N_CONV).write.mode("overwrite").parquet(corpus_path)
     timings["datagen"] = round(time.perf_counter() - t0, 3)
 
-    # ---------- index build @ hi parallelism (+ incremental second batch)
+    # ---------- scaling pair leg 1: same build, lo parallelism (run FIRST
+    # so neither leg benefits from the other's OS page cache asymmetrically)
+    spark.stop()
+    spark_lo = _new_session(CPUS_SCALE_LO)
+    ix_lo = os.path.join(work, "ix_lo")
+    t_lo, _ = _timed_build(
+        spark_lo, corpus_path, ix_lo, os.path.join(work, "warm_lo"), reps=2
+    )
+    timings["index_build_lo"] = round(t_lo, 3)
+    spark_lo.stop()
+
+    # ---------- scaling pair leg 2 = the main build @ 4N cores
+    spark = _new_session(CPUS_SCALE_HI)
     ix_hi = os.path.join(work, "ix_hi")
-    t_hi, n_turns = _timed_build(spark, corpus_path, ix_hi)
+    t_hi, n_turns = _timed_build(
+        spark, corpus_path, ix_hi, os.path.join(work, "warm_hi"), reps=2
+    )
     timings["index_build"] = round(t_hi, 3)
 
     from lucene_mapreduce_spark.index.merge import merge_all
@@ -98,7 +134,7 @@ def main() -> None:
     from lucene_mapreduce_spark.index.build import build_segment
 
     corpus = spark.read.parquet(corpus_path)
-    delta = corpus.limit(n_turns // 10).withColumn(
+    delta = corpus.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 0).withColumn(
         "text", F.concat(F.lit("updated "), F.col("text"))
     )
     t0 = time.perf_counter()
@@ -134,41 +170,41 @@ def main() -> None:
     from lucene_mapreduce_spark.query.wand import IndexSearcher
 
     searcher = IndexSearcher(ix_hi)
-    searcher.search(BENCH_QUERIES[0], k=10)  # warm
+    cold: list[float] = []
+    for q in BENCH_QUERIES:  # cold: empty posting cache each time
+        searcher._cache.clear(); searcher._scored_cache.clear()
+        t0 = time.perf_counter()
+        searcher.search(q, k=10)
+        cold.append(time.perf_counter() - t0)
     lat: list[float] = []
-    for i in range(100):
+    for i in range(200):  # warm: posting cache resident (steady serving)
         q = BENCH_QUERIES[i % len(BENCH_QUERIES)]
         t0 = time.perf_counter()
         searcher.search(q, k=10)
         lat.append(time.perf_counter() - t0)
     lat.sort()
+    cold.sort()
     p50 = lat[len(lat) // 2]
     p95 = lat[int(len(lat) * 0.95)]
     timings["wand_p95_query"] = round(p95, 4)
     extra["serving"] = {
+        "wand_cold_max_s": round(cold[-1], 4),
         "wand_p50_s": round(p50, 4),
         "wand_p95_s": round(p95, 4),
         "queries_per_sec": round(1.0 / max(sum(lat) / len(lat), 1e-9), 1),
     }
 
-    # ---------- scaling pair: same build, lo parallelism
-    spark_lo = _new_session(CPUS_LO)
-    ix_lo = os.path.join(work, "ix_lo")
-    t_lo, _ = _timed_build(spark_lo, corpus_path, ix_lo)
-    timings["index_build_lo"] = round(t_lo, 3)
-    spark_lo.stop()
-
     thr_hi = n_turns / t_hi
     thr_lo = n_turns / t_lo
-    eff = (thr_hi / thr_lo) / (CPUS_HI / CPUS_LO)
+    eff = (thr_hi / thr_lo) / (CPUS_SCALE_HI / CPUS_SCALE_LO)
     extra["throughput"] = {
         "turns_indexed": n_turns,
         "turns_per_sec_hi": round(thr_hi, 1),
         "turns_per_sec_lo": round(thr_lo, 1),
     }
     extra["scaling"] = {
-        "cores_lo": CPUS_LO,
-        "cores_hi": CPUS_HI,
+        "cores_lo": CPUS_SCALE_LO,
+        "cores_hi": CPUS_SCALE_HI,
         "efficiency": round(eff, 3),
     }
 

@@ -5,20 +5,16 @@ Replaces the reference's read-modify-write incremental Lucene build
 copy back) with immutable per-batch segments plus a manifest pointer flip —
 no in-place mutation, so failed builds never corrupt a published index.
 
-Shuffle/skew design for 10^12 turns:
-- one shuffle to (doc_id, term) granularity with map-side combine (token
-  volume never crosses the wire);
-- posting groups are keyed (term, chunk) where chunk = doc_id // chunk_docs:
-  a head term (Zipf skew — the reason the reference used prime partition
-  counts, IndexBuilderDriver.java:46) splits into bounded, docid-ordered
-  chunks instead of one giant group, so applyInPandas memory is capped
-  regardless of term popularity, and chunk concatenation preserves global
-  docid order without re-sorting. chunk_docs is a *docid-range* width: pick
-  it so one chunk spans ~10^6-10^7 live docs given your docid density (the
-  transcript packing conv<<20|turn is sparse — 2^36 covers ~65k
-  conversations ≈ 0.5M turns). Too-small chunks explode the group count and
-  drown the build in per-group overhead; too-large chunks re-create the
-  head-term memory problem the chunking exists to solve;
+Shuffle/skew design for 10^12 turns (see kernels.py for the stage kernels):
+- map side tokenizes, counts per-doc tf AND locally encodes partial posting
+  lists per (term, chunk) — the shuffle carries compressed payloads
+  (~2-4 B/posting), never tokens or posting rows;
+- the shuffle key is (phash, chunk) where chunk = doc_id // chunk_docs: a
+  head term (Zipf skew — the reason the reference used prime partition
+  counts, IndexBuilderDriver.java:46) spreads its chunks across tasks, and
+  reduce-side memory stays bounded by chunk_docs regardless of term skew;
+- chunk_docs is a *docid-range* width, auto-sized from the corpus docid span
+  when a new index is created and pinned in the manifest afterwards;
 - segment files are written partitionBy(phash) where
   phash = pmod(xxhash64(term), P): the persisted partitioning contract the
   query side prunes on (reference contract: reducer count == index partition
@@ -28,26 +24,24 @@ Shuffle/skew design for 10^12 turns:
 from __future__ import annotations
 
 import os
-from typing import Any, Iterator
+from typing import Any
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from lucene_mapreduce_spark.functions.tokenize import tokenize_pandas_udf
-from lucene_mapreduce_spark.index.codec import encode_postings
+from lucene_mapreduce_spark.functions.tokenize import tokenize_col
+from lucene_mapreduce_spark.index.kernels import (
+    PARTIAL_SCHEMA,
+    POSTING_SCHEMA,
+    _make_partial_encoder,
+    _merge_stream,
+)
 from lucene_mapreduce_spark.index.manifest import (
     Manifest,
     SegmentMeta,
     commit_manifest,
     load_manifest,
     segment_dir,
-)
-
-POSTING_SCHEMA = (
-    "phash int, term string, chunk long, df_chunk int, cf_chunk long, "
-    "max_tf int, min_dl int, payload binary"
 )
 
 
@@ -63,33 +57,12 @@ def latest_wins(corpus: DataFrame, doc_col: str = "doc_id", ts_col: str = "ts") 
     )
 
 
-def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    """applyInPandas kernel: one (term, chunk) posting group -> one encoded row."""
-    pdf = pdf.sort_values("doc_id", kind="mergesort")
-    docids = pdf["doc_id"].to_numpy(np.uint64)
-    tfs = pdf["tf"].to_numpy(np.uint64)
-    dls = pdf["dl"].to_numpy(np.uint64)
-    payload = encode_postings(docids, tfs, dls)
-    return pd.DataFrame(
-        {
-            "phash": [int(pdf["phash"].iloc[0])],
-            "term": [pdf["term"].iloc[0]],
-            "chunk": [int(pdf["chunk"].iloc[0])],
-            "df_chunk": [len(docids)],
-            "cf_chunk": [int(tfs.sum())],
-            "max_tf": [int(tfs.max())],
-            "min_dl": [int(dls.min())],
-            "payload": [payload],
-        }
-    )
-
-
 def build_segment(
     spark: SparkSession,
     corpus: DataFrame,
     index_dir: str,
     num_partitions: int = 32,
-    chunk_docs: int = 1 << 36,
+    chunk_docs: int | None = None,
     lineage: dict[str, Any] | None = None,
 ) -> SegmentMeta:
     """Build one immutable level-0 segment from a (doc_id, text) batch and
@@ -99,41 +72,69 @@ def build_segment(
     update batches).
     """
     m = load_manifest(index_dir)
-    if m is None:
-        m = Manifest(num_partitions=num_partitions, chunk_docs=chunk_docs)
-    else:
+    if m is not None:
+        # the index's physical contract is already pinned
         num_partitions, chunk_docs = m.num_partitions, m.chunk_docs
+    else:
+        if chunk_docs is None:
+            # auto-size the docid-range chunk width: ~4 chunks per shuffle
+            # partition across the observed docid span, so a head term that
+            # appears in every doc still splits into ~4P parallel,
+            # memory-bounded groups (the salting that replaces the
+            # reference's prime-partition-count trick)
+            span_row = corpus.agg(
+                F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+            ).collect()[0]
+            span = max(int(span_row["hi"] or 0) - int(span_row["lo"] or 0) + 1, 1)
+            target_chunks = 4 * max(
+                int(spark.conf.get("spark.sql.shuffle.partitions", "32")), num_partitions
+            )
+            chunk_docs = max(span // target_chunks, 1 << 12)
+        m = Manifest(num_partitions=num_partitions, chunk_docs=int(chunk_docs))
 
     seq = m.committed_seq + 1
     seg_id = f"L0_{seq:06d}_{seq:06d}"
     seg_path = segment_dir(index_dir, seg_id)
 
-    # tokenize ONCE (cached): doclens and postings both derive from it
-    toks = corpus.select(
+    # stage 1 (map): tokenize + tf + local partial posting encode — one
+    # vectorized Arrow pass; nothing token-granular ever shuffles
+    partial = corpus.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    ).mapInArrow(
+        _make_partial_encoder(num_partitions, int(chunk_docs)), schema=PARTIAL_SCHEMA
+    )
+
+    # stage 2 (reduce): merge partials per (term, chunk). Shuffle key
+    # (phash, chunk) spreads head-term chunks across tasks; partitionBy
+    # below still lays files under the phash= dirs the query side prunes.
+    # Rows sorted so the streaming merger sees whole groups and parquet
+    # row-group min/max stats on `term` support serving-side pruning (the
+    # on-disk analogue of Lucene's term dictionary). Deterministic
+    # overwrite => failed builds are rerunnable (reference: removeOutputs
+    # before retry, XdiReportDriver.java:167-189).
+    enc_parts = max(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32")), num_partitions
+    )
+    encoded = (
+        partial.withColumn("dead", F.lit(None).cast("array<long>"))
+        .repartition(enc_parts, "phash", "chunk")
+        .sortWithinPartitions("term", "chunk")
+        .select("phash", "term", "chunk", "payload", "dead")
+        .mapInPandas(_merge_stream, schema=POSTING_SCHEMA)
+    )
+    (
+        encoded.write.mode("overwrite")
+        .option("parquet.block.size", 1 << 20)
+        .partitionBy("phash")
+        .parquet(os.path.join(seg_path, "postings"))
+    )
+
+    # doclens (incl. zero-token docs) from a cheap second scan — JVM-side
+    # tokenizer expression, no UDF, prunes to (doc_id, text)
+    doclens = corpus.select(
         F.col("doc_id").cast("long").alias("doc_id"),
-        tokenize_pandas_udf(F.col("text")).alias("tokens"),
-    ).persist()
-    doclens = toks.select("doc_id", F.size("tokens").alias("dl"))
-
-    postings = (
-        toks.select("doc_id", F.explode("tokens").alias("term"))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .join(doclens, "doc_id")
-        .withColumn("phash", F.pmod(F.xxhash64("term"), F.lit(num_partitions)).cast("int"))
-        .withColumn("chunk", (F.col("doc_id") / F.lit(chunk_docs)).cast("long"))
+        F.size(tokenize_col("text")).alias("dl"),
     )
-
-    encoded = postings.groupBy("phash", "term", "chunk").applyInPandas(
-        _encode_group, schema=POSTING_SCHEMA
-    )
-    # repartition by phash so files align 1:1 with the phash= dirs the query
-    # side prunes (avoids P*tasks tiny files); deterministic overwrite =>
-    # failed builds are rerunnable (reference: removeOutputs before retry,
-    # XdiReportDriver.java:167-189)
-    encoded.repartition(num_partitions, "phash").write.mode("overwrite").partitionBy(
-        "phash"
-    ).parquet(os.path.join(seg_path, "postings"))
     doclens.write.mode("overwrite").parquet(os.path.join(seg_path, "doclens"))
 
     # per-partition metrics (A2's per-key counts, generalized); n_terms is
@@ -147,11 +148,14 @@ def build_segment(
         )
         .collect()
     )
-    totals = doclens.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_tokens")
-    ).collect()[0]
+    # totals from the doclens parquet just written — re-aggregating the lazy
+    # `doclens` plan would re-scan and re-tokenize the whole corpus
+    totals = (
+        spark.read.parquet(os.path.join(seg_path, "doclens"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_tokens"))
+        .collect()[0]
+    )
     n_terms = int(sum(r["n_terms"] for r in part_stats))
-    toks.unpersist()
 
     meta = SegmentMeta(
         segment_id=seg_id,

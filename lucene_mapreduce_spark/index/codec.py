@@ -135,6 +135,72 @@ def encode_postings(
     return header + skips.tobytes() + doc_buf + tf_buf + dl_buf
 
 
+def encode_many(
+    docids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    starts: np.ndarray,
+    block_size: int = BLOCK_SIZE,
+) -> list[bytes]:
+    """Encode MANY posting groups in one vectorized pass.
+
+    ``starts`` marks group start indices into the (group-contiguous,
+    docid-sorted-within-group) arrays. The varbyte streams for all groups are
+    produced by three whole-array ``vb_encode`` calls; the per-group
+    remainder is only header packing + buffer slicing — this is what lets a
+    build stream-encode an entire shuffle partition without per-group pandas
+    overhead.
+    """
+    n = len(docids)
+    if n == 0:
+        return []
+    docids = np.ascontiguousarray(docids, np.uint64)
+    tfs = np.ascontiguousarray(tfs, np.uint64)
+    dls = np.ascontiguousarray(dls, np.uint64)
+    starts = np.ascontiguousarray(starts, np.int64)
+    ends = np.concatenate([starts[1:], [n]])
+
+    deltas = docids.copy()
+    deltas[1:] = docids[1:] - docids[:-1]
+    deltas[starts] = docids[starts]
+    if n > 1:
+        interior = np.ones(n, bool)
+        interior[starts] = False
+        if (docids[1:][interior[1:]] <= docids[:-1][interior[1:]]).any():
+            raise ValueError("docids must be strictly increasing within groups")
+
+    doc_buf, doc_w = vb_encode(deltas)
+    tf_buf, tf_w = vb_encode(tfs)
+    dl_buf, dl_w = vb_encode(dls)
+    doc_cum = np.concatenate(([0], np.cumsum(doc_w)))
+    tf_cum = np.concatenate(([0], np.cumsum(tf_w)))
+    dl_cum = np.concatenate(([0], np.cumsum(dl_w)))
+
+    payloads: list[bytes] = []
+    for g in range(len(starts)):
+        lo, hi = int(starts[g]), int(ends[g])
+        cnt = hi - lo
+        n_blocks = (cnt + block_size - 1) // block_size
+        bstarts = lo + np.arange(n_blocks, dtype=np.int64) * block_size
+        bends = np.minimum(bstarts + block_size, hi)
+        skips = np.zeros(n_blocks, dtype=_SKIP_DTYPE)
+        skips["last_docid"] = docids[bends - 1]
+        skips["doc_off"] = doc_cum[bstarts] - doc_cum[lo]
+        skips["tf_off"] = tf_cum[bstarts] - tf_cum[lo]
+        skips["dl_off"] = dl_cum[bstarts] - dl_cum[lo]
+        skips["max_tf"] = np.maximum.reduceat(tfs[lo:hi], bstarts - lo)
+        skips["min_dl"] = np.minimum.reduceat(dls[lo:hi], bstarts - lo)
+        header = _HEADER.pack(MAGIC, VERSION, cnt, block_size, n_blocks)
+        payloads.append(
+            header
+            + skips.tobytes()
+            + doc_buf[doc_cum[lo]: doc_cum[hi]]
+            + tf_buf[tf_cum[lo]: tf_cum[hi]]
+            + dl_buf[dl_cum[lo]: dl_cum[hi]]
+        )
+    return payloads
+
+
 class PostingReader:
     """Zero-copy-ish view over an encoded posting payload."""
 

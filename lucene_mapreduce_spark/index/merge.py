@@ -25,8 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from lucene_mapreduce_spark.index.build import POSTING_SCHEMA
-from lucene_mapreduce_spark.index.codec import decode_postings, encode_postings
+from lucene_mapreduce_spark.index.kernels import POSTING_SCHEMA, _merge_stream
 from lucene_mapreduce_spark.index.manifest import (
     Manifest,
     SegmentMeta,
@@ -34,46 +33,6 @@ from lucene_mapreduce_spark.index.manifest import (
     load_manifest,
     segment_dir,
 )
-
-
-def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    """applyInPandas kernel: all segments' rows for one (term, chunk) ->
-    one merged, shadow-masked, re-encoded row."""
-    parts_doc, parts_tf, parts_dl = [], [], []
-    for _, row in pdf.iterrows():
-        docids, tfs, dls = decode_postings(row["payload"])
-        dead = row["dead"]
-        if dead is not None and len(dead):
-            keep = ~np.isin(docids, np.asarray(dead, np.uint64))
-            docids, tfs, dls = docids[keep], tfs[keep], dls[keep]
-        if len(docids):
-            parts_doc.append(docids)
-            parts_tf.append(tfs)
-            parts_dl.append(dls)
-    if not parts_doc:
-        return pd.DataFrame(
-            columns=[
-                "phash", "term", "chunk", "df_chunk", "cf_chunk",
-                "max_tf", "min_dl", "payload",
-            ]
-        )
-    docids = np.concatenate(parts_doc)
-    tfs = np.concatenate(parts_tf)
-    dls = np.concatenate(parts_dl)
-    order = np.argsort(docids, kind="mergesort")
-    docids, tfs, dls = docids[order], tfs[order], dls[order]
-    return pd.DataFrame(
-        {
-            "phash": [int(pdf["phash"].iloc[0])],
-            "term": [pdf["term"].iloc[0]],
-            "chunk": [int(pdf["chunk"].iloc[0])],
-            "df_chunk": [len(docids)],
-            "cf_chunk": [int(tfs.sum())],
-            "max_tf": [int(tfs.max())],
-            "min_dl": [int(dls.min())],
-            "payload": [encode_postings(docids, tfs, dls)],
-        }
-    )
 
 
 def _load_doclens(spark: SparkSession, index_dir: str, metas: list[SegmentMeta]) -> DataFrame:
@@ -138,12 +97,21 @@ def merge_once(
         rows = r if rows is None else rows.unionByName(r)
 
     joined = rows.join(dead_by_chunk, ["seg_seq", "chunk"], "left")
-    merged = joined.groupBy("term", "chunk").applyInPandas(
-        _merge_group, schema=POSTING_SCHEMA
+    merge_parts = max(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32")), m.num_partitions
     )
-    merged.repartition(m.num_partitions, "phash").write.mode("overwrite").partitionBy(
-        "phash"
-    ).parquet(os.path.join(seg_path, "postings"))
+    merged = (
+        joined.repartition(merge_parts, "phash", "chunk")
+        .sortWithinPartitions("term", "chunk", "seg_seq")
+        .select("phash", "term", "chunk", "payload", "dead")
+        .mapInPandas(_merge_stream, schema=POSTING_SCHEMA)
+    )
+    (
+        merged.write.mode("overwrite")
+        .option("parquet.block.size", 1 << 20)
+        .partitionBy("phash")
+        .parquet(os.path.join(seg_path, "postings"))
+    )
     live.select("doc_id", "dl").write.mode("overwrite").parquet(
         os.path.join(seg_path, "doclens")
     )

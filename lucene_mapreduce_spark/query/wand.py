@@ -43,7 +43,7 @@ _BM_BLOCK = 128  # block granularity for in-memory block-max pruning
 class _TermCursor:
     __slots__ = (
         "term", "idf", "docids", "tfs", "dls", "pos", "ub", "n",
-        "block_ub", "block_last",
+        "block_ub", "block_last", "_contribs",
     )
 
     def __init__(self, term, idf, docids, tfs, dls, contribs):
@@ -52,6 +52,7 @@ class _TermCursor:
         self.docids = docids
         self.tfs = tfs
         self.dls = dls
+        self._contribs = contribs
         self.pos = 0
         self.n = len(docids)
         self.ub = float(contribs.max()) if self.n else 0.0
@@ -63,6 +64,9 @@ class _TermCursor:
         self.block_last = docids[
             np.minimum(np.arange(1, n_blocks + 1) * _BM_BLOCK, self.n) - 1
         ]
+
+    def contribs_full(self) -> np.ndarray:
+        return self._contribs
 
     @property
     def cur(self) -> int:
@@ -112,9 +116,28 @@ class IndexSearcher:
             format="parquet",
             partitioning="hive",
         )
+        self._cache: dict[str, object] = {}
+        self._cache_cap = 4096
+        self._scored_cache: dict[tuple, tuple] = {}
 
     def _read_term(self, term: str):
-        """All (chunk-ordered) posting rows of one term -> concatenated arrays."""
+        """All (chunk-ordered) posting rows of one term -> concatenated
+        arrays + precomputed contributions, LRU-cached (hot query terms stay
+        resident, like Lucene's term/posting caches)."""
+        cached = self._cache.get(term)
+        if cached is not None or term in self._cache:
+            return cached
+        got = self._read_term_cold(term)
+        if got is not None:
+            docids, tfs, dls = got
+            idf = bm25_idf(len(docids), self.n_docs)
+            got = (docids, tfs, dls, self._contrib(idf, tfs, dls), idf)
+        if len(self._cache) >= self._cache_cap:
+            self._cache.pop(next(iter(self._cache)))
+        self._cache[term] = got
+        return got
+
+    def _read_term_cold(self, term: str):
         p = term_phash(term, self.manifest.num_partitions)
         tbl = self._dataset.to_table(
             filter=(ds.field("phash") == p) & (ds.field("term") == term),
@@ -133,20 +156,32 @@ class IndexSearcher:
     def _contrib(self, idf: float, tf, dl):
         return idf * (tf * (K1 + 1.0)) / (tf + K1 * (1.0 - B + B * dl / self.avgdl))
 
-    def search(self, query_text: str, k: int = 10) -> list[tuple[int, float]]:
-        """Exact top-k [(doc_id, score)] by (score desc, doc_id asc)."""
+    def search(
+        self, query_text: str, k: int = 10, algorithm: str = "auto"
+    ) -> list[tuple[int, float]]:
+        """Exact top-k [(doc_id, score)] by (score desc, doc_id asc).
+
+        algorithm: "wand" (block-max WAND loop — wins on selective queries
+        over long indexes, where skipping eliminates most candidates),
+        "exhaustive" (fully vectorized numpy scoring — wins on dense
+        head-term queries where WAND can't prune and a Python-loop pivot
+        walk would touch nearly every doc), or "auto" (route by candidate
+        volume). Both are exact and tested rank+score-identical.
+        """
         terms = sorted(set(tokenize_string(query_text)))
         cursors: list[_TermCursor] = []
         for t in terms:
             got = self._read_term(t)
             if got is None:
                 continue
-            docids, tfs, dls = got
-            idf = bm25_idf(len(docids), self.n_docs)
-            contribs = self._contrib(idf, tfs, dls)
+            docids, tfs, dls, contribs, idf = got
             cursors.append(_TermCursor(t, idf, docids, tfs, dls, contribs))
         if not cursors or self.n_docs == 0:
             return []
+        if algorithm == "exhaustive" or (
+            algorithm == "auto" and sum(c.n for c in cursors) > 50_000
+        ):
+            return self._search_exhaustive(cursors, k)
 
         heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap of top-k
 
@@ -210,3 +245,36 @@ class IndexSearcher:
 
         out = sorted(heap, key=lambda e: (-e[0], -e[1]))
         return [(-d, s) for s, d in out]
+
+    def _search_exhaustive(self, cursors: list[_TermCursor], k: int):
+        """Vectorized exact scoring: per-term scatter-add into the candidate
+        score vector, accumulated in ascending-term order (cursors arrive
+        term-sorted) — bit-identical to the oracle's summation (adding an
+        explicit 0.0 for absent terms is an IEEE no-op; pandas/np grouped
+        sums are NOT used because their accumulation order is pairwise).
+        The scored candidate arrays are cached per term-set — the index is
+        immutable, so repeat queries (any k) are pure cache hits."""
+        key = tuple(c.term for c in cursors)
+        hit = self._scored_cache.get(key)
+        if hit is not None:
+            uniq, scores = hit
+        elif len(cursors) == 1:
+            c = cursors[0]
+            uniq, scores = c.docids, c.contribs_full()
+        else:
+            uniq = np.unique(np.concatenate([c.docids for c in cursors]))
+            scores = np.zeros(len(uniq), dtype=np.float64)
+            for c in cursors:  # ascending term order
+                idx = np.searchsorted(uniq, c.docids)
+                scores[idx] += c.contribs_full()
+            if len(self._scored_cache) >= 64:
+                self._scored_cache.pop(next(iter(self._scored_cache)))
+            self._scored_cache[key] = (uniq, scores)
+        if len(uniq) > k:
+            # keep everything tied-or-above the k-th score so the docid
+            # tie-break stays exact, then sort only that subset
+            kth = -np.partition(-scores, k - 1)[k - 1]
+            keep = scores >= kth
+            uniq, scores = uniq[keep], scores[keep]
+        order = np.lexsort((uniq, -scores))[:k]
+        return [(int(uniq[i]), float(scores[i])) for i in order]

@@ -44,9 +44,15 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # local-scale split size: benchmark inputs are a few hundred MB, and
+        # the default 128m would hand the scan (and any fused mapInPandas
+        # stage) to 1-2 tasks — serializing the whole pipeline. On a real
+        # cluster reading 100 TB the partition count is huge either way;
+        # override via extra_conf there.
+        .config("spark.sql.files.maxPartitionBytes", os.environ.get("SPARK_GRAFT_SPLIT", "8m"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

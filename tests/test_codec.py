@@ -11,6 +11,7 @@ from lucene_mapreduce_spark.index.codec import (
     BLOCK_SIZE,
     PostingReader,
     decode_postings,
+    encode_many,
     encode_postings,
     vb_decode,
     vb_encode,
@@ -76,6 +77,22 @@ def test_non_increasing_docids_rejected():
             np.array([1, 1], np.uint64),
             np.array([1, 1], np.uint64),
         )
+
+
+def test_encode_many_matches_single():
+    rng = np.random.default_rng(9)
+    groups = []
+    for g in range(50):
+        n = int(rng.integers(1, 400))
+        docids = np.sort(rng.choice(10**7, size=n, replace=False).astype(np.uint64))
+        tfs = rng.integers(1, 30, n).astype(np.uint64)
+        dls = rng.integers(1, 300, n).astype(np.uint64)
+        groups.append((docids, tfs, dls))
+    cat = lambda i: np.concatenate([g[i] for g in groups])  # noqa: E731
+    starts = np.cumsum([0] + [len(g[0]) for g in groups[:-1]])
+    many = encode_many(cat(0), cat(1), cat(2), np.array(starts))
+    for payload, (d, t, l) in zip(many, groups):
+        assert payload == encode_postings(d, t, l)
 
 
 def test_compression_is_effective():

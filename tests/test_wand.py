@@ -56,10 +56,11 @@ def test_wand_rank_identity(merged_index):
     for q in WAND_QUERIES:
         for k in (1, 3, 10, 50):
             exp = bm25_oracle_pandas(pdf, q, k=k)
-            got = searcher.search(q, k=k)
-            assert [d for d, _ in got] == list(exp.doc_id), f"{q!r} k={k} docids"
-            for (d, s), es in zip(got, exp.score):
-                assert s == es, f"{q!r} k={k} doc {d}: {s!r} != {es!r}"
+            for algo in ("wand", "exhaustive"):
+                got = searcher.search(q, k=k, algorithm=algo)
+                assert [d for d, _ in got] == list(exp.doc_id), f"{algo} {q!r} k={k} docids"
+                for (d, s), es in zip(got, exp.score):
+                    assert s == es, f"{algo} {q!r} k={k} doc {d}: {s!r} != {es!r}"
 
 
 def test_wand_tied_scores_tiebreak(spark, tmp_path):
