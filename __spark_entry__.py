@@ -15,7 +15,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from lucene_mapreduce_spark.operators import fulltext, parity  # noqa: E402
+from lucene_mapreduce_spark.operators import (  # noqa: E402
+    dedup,
+    fulltext,
+    parity,
+    similarity,
+    textstats,
+)
 from lucene_mapreduce_spark.operators.oracles import ORACLES, bm25_topk_sql  # noqa: E402
 
 
@@ -55,6 +61,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dictionary_filter": parity.dictionary_filter,
         "url_host_md5": parity.url_host_md5,
         "ts_parse_roundtrip": parity.ts_parse_roundtrip,
+        # training-data pipeline: dedup family
+        "exact_dedup": dedup.exact_dedup,
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "minhash_signatures": dedup.minhash_signatures,
+        "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
+        "simhash": dedup.simhash,
+        "simhash_near_pairs": dedup.simhash_near_pairs,
+        # training-data pipeline: similarity search
+        "ann_bruteforce_topk": similarity.ann_bruteforce_topk,
+        "ann_lsh_topk": similarity.ann_lsh_topk,
+        "embedding_near_dup_pairs": similarity.embedding_near_dup_pairs,
+        # training-data pipeline: text analysis
+        "language_id": textstats.language_id,
+        "quality_score": textstats.quality_score,
+        "token_counts": textstats.token_counts,
+        "doc_fingerprint": textstats.doc_fingerprint,
     }
     return q
 

@@ -61,7 +61,194 @@ WHERE rank <= {k}
 """
 
 
+_SHINGLES = f"""
+tok AS (SELECT doc_id, {TOKS} AS tokens FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2] AS shingle
+  FROM (
+    SELECT doc_id, tokens, unnest(range(1, len(tokens) - 1)) AS i
+    FROM tok WHERE len(tokens) >= 3
+  )
+)"""
+
+_EN_STOP = "('the','a','of','and','to','in','is','it')"
+
 ORACLES: dict[str, str] = {
+    # ------------------------------------------------------------- dedup
+    "exact_dedup": """
+SELECT md5(text) AS text_md5, min(doc_id) AS keeper_doc_id, count(*)::BIGINT AS n_copies
+FROM documents GROUP BY 1
+""",
+    "ngram_jaccard_pairs": f"""
+WITH {_SHINGLES},
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.5
+""",
+    "minhash_signatures": f"""
+WITH {_SHINGLES}
+SELECT doc_id, i::INT AS i, min(md5(i::VARCHAR || ':' || shingle)) AS sig
+FROM sh, range(0, 12) t(i)
+GROUP BY 1, 2
+""",
+    "minhash_lsh_pairs": f"""
+WITH {_SHINGLES},
+sigs AS (
+  SELECT doc_id, i, min(md5(i::VARCHAR || ':' || shingle)) AS sig
+  FROM sh, range(0, 12) t(i) GROUP BY 1, 2
+),
+banded AS (
+  SELECT doc_id, (i // 3)::INT AS band,
+         md5(string_agg(i::VARCHAR || ':' || sig, '|' ORDER BY i)) AS band_key
+  FROM sigs GROUP BY doc_id, (i // 3)::INT
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+""",
+    "simhash": f"""
+WITH tok AS (SELECT doc_id, unnest({TOKS}) AS token FROM documents),
+tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+h AS (SELECT doc_id, tf, md5(token) AS h FROM tf),
+per_bit AS (
+  SELECT doc_id, j,
+         sum(tf * CASE WHEN substr(h, (j + 1)::INT, 1)
+                        IN ('1','3','5','7','9','b','d','f')
+                  THEN 1 ELSE -1 END)::BIGINT AS s
+  FROM h, range(0, 32) t(j) GROUP BY 1, 2
+)
+SELECT doc_id,
+       sum(CASE WHEN s > 0 THEN (1::BIGINT << j::INT) ELSE 0 END)::BIGINT AS simhash
+FROM per_bit GROUP BY 1
+""",
+    "simhash_near_pairs": f"""
+WITH tok AS (SELECT doc_id, unnest({TOKS}) AS token FROM documents),
+tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+h AS (SELECT doc_id, tf, md5(token) AS h FROM tf),
+per_bit AS (
+  SELECT doc_id, j,
+         sum(tf * CASE WHEN substr(h, (j + 1)::INT, 1)
+                        IN ('1','3','5','7','9','b','d','f')
+                  THEN 1 ELSE -1 END)::BIGINT AS s
+  FROM h, range(0, 32) t(j) GROUP BY 1, 2
+),
+fp AS (
+  SELECT doc_id,
+         sum(CASE WHEN s > 0 THEN (1::BIGINT << j::INT) ELSE 0 END)::BIGINT AS simhash
+  FROM per_bit GROUP BY 1
+),
+banded AS (
+  SELECT doc_id, simhash, band,
+         (simhash >> (band * 8)) & 255 AS band_val
+  FROM fp, range(0, 4) t(band)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sh_a, b.simhash AS sh_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b))::INT AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 6
+""",
+    # ------------------------------------------------------------- similarity
+    "ann_bruteforce_topk": """
+WITH q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, cosine, rank FROM (
+  SELECT vec_id, cosine,
+         row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM (
+    SELECT vec_id,
+           round(list_dot_product(embedding::DOUBLE[], qvec)
+                 / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(qvec, qvec))), 6) AS cosine
+    FROM embeddings, q WHERE vec_id <> 0
+  )
+) WHERE rank <= 10
+""",
+    "embedding_near_dup_pairs": """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+             / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6)
+       AS cosine
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+            / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+               * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6)
+      >= 0.35
+""",
+    "ann_lsh_topk": None,  # approximate bucket recall — rows-only check
+    # ------------------------------------------------------------- textstats
+    "language_id": f"""
+WITH t AS (SELECT doc_id, list_distinct({TOKS}) AS toks FROM documents),
+s AS (
+  SELECT doc_id,
+    len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it'))) AS en,
+    len(list_filter(toks, x -> x IN ('el','la','de','y','en','que','es','un'))) AS es,
+    len(list_filter(toks, x -> x IN ('der','die','das','und','in','zu','ist','ein'))) AS de,
+    len(list_filter(toks, x -> x IN ('le','la','de','et','en','que','est','un'))) AS fr
+  FROM t
+)
+SELECT doc_id,
+  CASE WHEN greatest(en, es, de, fr) <= 0 THEN 'und'
+       WHEN en = greatest(en, es, de, fr) THEN 'en'
+       WHEN es = greatest(en, es, de, fr) THEN 'es'
+       WHEN de = greatest(en, es, de, fr) THEN 'de'
+       ELSE 'fr' END AS pred_lang
+FROM s
+""",
+    "quality_score": f"""
+WITH b AS (
+  SELECT doc_id, text, {TOKS} AS toks,
+         length(text) AS n_char,
+         length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
+         length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha
+  FROM documents
+),
+c AS (
+  SELECT doc_id, len(toks) AS n_tok, n_char, n_punct, n_alpha,
+         len(list_filter(toks, t -> t IN {_EN_STOP})) AS n_stop,
+         greatest(len(toks), 1) AS safe_tok, greatest(n_char, 1) AS safe_char
+  FROM b
+)
+SELECT doc_id, n_tok::INT AS n_tokens,
+  round((n_char - (n_tok - 1)) / safe_tok::DOUBLE, 6) AS mean_token_len,
+  round(n_punct / safe_char::DOUBLE, 6) AS punct_ratio,
+  round(n_alpha / safe_char::DOUBLE, 6) AS alpha_ratio,
+  round(n_stop / safe_tok::DOUBLE, 6) AS stopword_ratio,
+  round(0.4 * least(n_tok / 50.0, 1.0)
+      + 0.3 * (n_alpha / safe_char::DOUBLE)
+      + 0.2 * (1.0 - n_punct / safe_char::DOUBLE)
+      + 0.1 * least(n_stop / safe_tok::DOUBLE * 5.0, 1.0), 6) AS quality
+FROM c
+""",
+    "token_counts": f"""
+SELECT doc_id,
+       len({TOKS})::INT AS ws_tokens,
+       len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9 ]'))::INT AS bpe_ish_tokens
+FROM documents
+""",
+    "doc_fingerprint": """
+SELECT doc_id, min(md5(substr(text, i, 8))) AS fingerprint
+FROM (
+  SELECT doc_id, text,
+         unnest(range(1, greatest(length(text) - 7, 1) + 1, 4)) AS i
+  FROM documents
+)
+GROUP BY doc_id
+""",
     # ------------------------------------------------------------- fulltext
     "term_df": f"""
 WITH toks AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents),

@@ -1,0 +1,104 @@
+"""Text analysis operators for training-data pipelines.
+
+Language-ID (stopword-membership heuristic), quality scoring (length /
+punctuation / stopword / word-shape ratios), token counting (whitespace +
+word-ish regex), and k-gram document fingerprinting. All pure built-in
+expressions (JVM codegen, no UDFs) with DuckDB oracle twins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lucene_mapreduce_spark.functions.tokenize import tokenize_col
+from lucene_mapreduce_spark.operators.parity import load
+
+# tiny deterministic stopword lists (shared literal sets with the oracle SQL)
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it"],
+    "es": ["el", "la", "de", "y", "en", "que", "es", "un"],
+    "de": ["der", "die", "das", "und", "in", "zu", "ist", "ein"],
+    "fr": ["le", "la", "de", "et", "en", "que", "est", "un"],
+}
+
+
+def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: argmax over languages of the fraction of
+    tokens in that language's stopword list; 'und' (undetermined) when no
+    stopword hits at all. The synthetic corpus is mostly English-ish tokens,
+    so 'und'/'en' dominate — determinism is what the gate checks."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tokenize_col("text")
+    scores = [
+        F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in ws]))).alias(lang)
+        for lang, ws in STOPWORDS.items()
+    ]
+    scored = docs.select("doc_id", *scores)
+    langs = list(STOPWORDS)
+    best = F.greatest(*[F.col(lang) for lang in langs])
+    pred = F.when(best <= 0, F.lit("und"))
+    for lang in langs:  # first language (dict order) wins ties — pinned
+        pred = pred.when(F.col(lang) == best, F.lit(lang))
+    return scored.select("doc_id", pred.alias("pred_lang"))
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: token count, mean token length, punctuation ratio,
+    stopword ratio, alpha ratio, and a pinned linear score. Every feature is
+    a codegen'd expression over one scan."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tokenize_col("text")
+    n_tok = F.size(toks)
+    n_char = F.length(F.col("text"))
+    n_punct = n_char - F.length(F.regexp_replace(F.col("text"), "[.,;:!?]", ""))
+    n_alpha = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", ""))
+    en_stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(en_stop, t)))
+    safe_tok = F.greatest(n_tok, F.lit(1))
+    safe_char = F.greatest(n_char, F.lit(1))
+    mean_len = (n_char - (n_tok - 1)) / safe_tok
+    score = (
+        F.lit(0.4) * F.least(n_tok / F.lit(50.0), F.lit(1.0))
+        + F.lit(0.3) * (n_alpha / safe_char)
+        + F.lit(0.2) * (F.lit(1.0) - n_punct / safe_char)
+        + F.lit(0.1) * F.least(n_stop / safe_tok * F.lit(5.0), F.lit(1.0))
+    )
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(mean_len, 6).alias("mean_token_len"),
+        F.round(n_punct / safe_char, 6).alias("punct_ratio"),
+        F.round(n_alpha / safe_char, 6).alias("alpha_ratio"),
+        F.round(n_stop / safe_tok, 6).alias("stopword_ratio"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens (the analyzer) and a
+    BPE-ish word/punct regex count (regexp_count of `[a-zA-Z0-9]+|[^a-zA-Z0-9 ]`)
+    — the standard pre-tokenizer proxy for LLM token estimation."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(tokenize_col("text")).alias("ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit("[a-zA-Z0-9]+|[^a-zA-Z0-9 ]")).alias(
+            "bpe_ish_tokens"
+        ),
+    )
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-gram document fingerprint: the minimum md5 over character 8-grams
+    (stride 4) — a winnowing-style rolling fingerprint; equal fingerprints
+    => high overlap candidates. Pure expressions (sequence + transform)."""
+    docs = load(spark, sf_dir, "documents")
+    n = F.length("text")
+    starts = F.sequence(F.lit(1), F.greatest((n - 7), F.lit(1)), F.lit(4))
+    return docs.select(
+        "doc_id",
+        F.array_min(
+            F.transform(starts, lambda i: F.md5(F.substr(F.col("text"), i, F.lit(8))))
+        ).alias("fingerprint"),
+    )
