@@ -1,0 +1,129 @@
+"""TTL expiry: purge expired docs from the index (J3 on real segments).
+
+The reference runs a dedicated MapReduce anti-join job over TSV dumps
+(TTLFilterReducer.java:26-72: drop any key marked 'expired'). Here expiry is
+a segment rewrite: the expired doc_ids become extra `dead` entries fed to
+the same streaming merge kernel the hierarchical merge uses, so one pass
+rewrites postings AND doclens and commits a fresh manifest atomically.
+Queries before the commit see the old index; after it, the purged docs are
+gone from every path (batch scorer, WAND, lookups).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lucene_mapreduce_spark.index.kernels import POSTING_SCHEMA, _merge_stream
+from lucene_mapreduce_spark.index.manifest import (
+    SegmentMeta,
+    commit_manifest,
+    load_manifest,
+    segment_dir,
+)
+
+
+def purge_expired(
+    spark: SparkSession, index_dir: str, expired: DataFrame, key_col: str = "doc_id"
+) -> SegmentMeta:
+    """Rewrite the whole index without the expired doc_ids (also performs a
+    full merge — expiry rides the merge it would have triggered anyway).
+    Returns the new single segment's meta."""
+    m = load_manifest(index_dir)
+    assert m is not None, f"no index at {index_dir}"
+    metas = m.ordered()
+    expired_ids = expired.select(
+        F.col(key_col).cast("long").alias("doc_id")
+    ).distinct()
+
+    # live = newest copy per doc, minus expired
+    doclens = None
+    for s in metas:
+        d = spark.read.parquet(
+            os.path.join(segment_dir(index_dir, s.segment_id), "doclens")
+        ).withColumn("seg_seq", F.lit(s.min_seq))
+        doclens = d if doclens is None else doclens.unionByName(d)
+    w = Window.partitionBy("doc_id").orderBy(F.col("seg_seq").desc())
+    ranked = doclens.withColumn("rn", F.row_number().over(w))
+    live = (
+        ranked.filter(F.col("rn") == 1)
+        .join(expired_ids, "doc_id", "left_anti")
+        .select("doc_id", "dl")
+    )
+    # dead per (segment, chunk): shadowed copies + every expired doc
+    shadowed = ranked.filter(F.col("rn") > 1).select("doc_id", "seg_seq")
+    exp_all = None
+    for s in metas:
+        e = expired_ids.withColumn("seg_seq", F.lit(s.min_seq))
+        exp_all = e if exp_all is None else exp_all.unionByName(e)
+    dead = shadowed.unionByName(exp_all).distinct()
+    dead_by_chunk = (
+        dead.withColumn("chunk", (F.col("doc_id") / F.lit(m.chunk_docs)).cast("long"))
+        .groupBy("seg_seq", "chunk")
+        .agg(F.collect_list("doc_id").alias("dead"))
+    )
+
+    rows = None
+    for s in metas:
+        r = spark.read.parquet(
+            os.path.join(segment_dir(index_dir, s.segment_id), "postings")
+        ).withColumn("seg_seq", F.lit(s.min_seq))
+        rows = r if rows is None else rows.unionByName(r)
+
+    min_seq, max_seq = metas[0].min_seq, metas[-1].max_seq
+    level = max(s.level for s in metas) + 1
+    seg_id = f"L{level}_{min_seq:06d}_{max_seq:06d}_ttl"
+    seg_path = segment_dir(index_dir, seg_id)
+
+    parts = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), m.num_partitions)
+    merged = (
+        rows.join(dead_by_chunk, ["seg_seq", "chunk"], "left")
+        .repartition(parts, "phash", "chunk")
+        .sortWithinPartitions("term", "chunk", "seg_seq")
+        .select("phash", "term", "chunk", "payload", "dead")
+        .mapInPandas(_merge_stream, schema=POSTING_SCHEMA)
+    )
+    (
+        merged.write.mode("overwrite")
+        .option("parquet.block.size", 1 << 20)
+        .partitionBy("phash")
+        .parquet(os.path.join(seg_path, "postings"))
+    )
+    live.write.mode("overwrite").parquet(os.path.join(seg_path, "doclens"))
+
+    written = spark.read.parquet(os.path.join(seg_path, "postings"))
+    part_stats = (
+        written.groupBy("phash")
+        .agg(F.countDistinct("term").alias("n_terms"), F.sum("df_chunk").alias("n_postings"))
+        .collect()
+    )
+    totals = (
+        spark.read.parquet(os.path.join(seg_path, "doclens"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_tokens"))
+        .collect()[0]
+    )
+    meta_out = SegmentMeta(
+        segment_id=seg_id,
+        level=level,
+        min_seq=min_seq,
+        max_seq=max_seq,
+        n_docs=int(totals["n_docs"]),
+        total_tokens=int(totals["total_tokens"] or 0),
+        n_terms=int(sum(r["n_terms"] for r in part_stats)),
+        n_postings=int(sum(r["n_postings"] for r in part_stats)),
+        parents=[s.segment_id for s in metas],
+        partitions=[
+            {
+                "phash": int(r["phash"]),
+                "n_terms": int(r["n_terms"]),
+                "n_postings": int(r["n_postings"]),
+            }
+            for r in sorted(part_stats, key=lambda r: r["phash"])
+        ],
+        lineage={"ttl_purge_of": [s.segment_id for s in metas]},
+    )
+    m.segments = [meta_out]
+    commit_manifest(index_dir, m)
+    return meta_out

@@ -1,0 +1,143 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+A 100 TB training-data pipeline carries media as `binary` columns with a
+typed metadata struct, and runs decode / feature-extract / resize /
+frame-sample as Arrow-batched kernels (mapInPandas) so bytes never round-trip
+through Python row-at-a-time. The image/audio codec libraries are not in
+this container, so the *codec* is a deterministic fake over a 16-byte
+header (documented below) — the Spark-side plumbing (schemas, batching,
+partitioning, kernel signatures) is real and tested; swapping the fake for
+PIL/pyav/soundfile changes only the marked lines inside each kernel.
+
+Fake media format (deterministic, seeded from media_id):
+  bytes 0-3   magic b"FMED"
+  bytes 4-7   width  (uint32 LE)   [images/video]
+  bytes 8-11  height (uint32 LE)   [images/video]
+  bytes 12-15 n_frames or sample_rate (uint32 LE)
+  bytes 16+   payload (pseudo-random uint8, length = w*h or n_samples)
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MAGIC = b"FMED"
+
+MEDIA_SCHEMA = (
+    "media_id long, kind string, data binary, "
+    "width int, height int, rate int"
+)
+
+
+def synth_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic synthetic media table (no external data)."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    kinds = ["image", "audio", "video"]
+    for i in range(n):
+        kind = kinds[i % 3]
+        w, h = int(rng.integers(4, 17)), int(rng.integers(4, 17))
+        rate = int(rng.integers(2, 9))  # n_frames (video) / kHz (audio)
+        if kind == "image":
+            payload_len = w * h
+        elif kind == "video":
+            payload_len = w * h * rate
+        else:
+            payload_len = rate * 1000
+        payload = rng.integers(0, 256, payload_len, dtype=np.uint8).tobytes()
+        data = MAGIC + struct.pack("<III", w, h, rate) + payload
+        rows.append((i, kind, bytearray(data), w, h, rate))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _parse_header(buf: bytes) -> tuple[int, int, int]:
+    assert buf[:4] == MAGIC, "bad media payload"
+    return struct.unpack("<III", buf[4:16])
+
+
+def decode_features(media: DataFrame) -> DataFrame:
+    """Decode + feature-extract kernel: (media_id, kind, n_bytes, mean_val,
+    std_val). The np.frombuffer line is where a real decoder goes."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, kinds, nb, mean_v, std_v = [], [], [], [], []
+            for mid, kind, data in zip(pdf["media_id"], pdf["kind"], pdf["data"]):
+                _parse_header(data)
+                arr = np.frombuffer(data, np.uint8, offset=16)  # <- real decode here
+                ids.append(mid)
+                kinds.append(kind)
+                nb.append(len(arr))
+                mean_v.append(float(arr.mean()) if len(arr) else 0.0)
+                std_v.append(float(arr.std()) if len(arr) else 0.0)
+            yield pd.DataFrame(
+                {"media_id": ids, "kind": kinds, "n_bytes": nb,
+                 "mean_val": mean_v, "std_val": std_v}
+            )
+
+    return media.select("media_id", "kind", "data").mapInPandas(
+        kernel, schema="media_id long, kind string, n_bytes long, mean_val double, std_val double"
+    )
+
+
+def resize_images(media: DataFrame, out_w: int = 4, out_h: int = 4) -> DataFrame:
+    """Resize kernel: block-mean downsample of the fake image raster to
+    (out_w, out_h); emits a new binary in the same format. Real deployments
+    replace the numpy reshape/mean with PIL.Image.resize."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                w, h, rate = _parse_header(data)
+                arr = np.frombuffer(data, np.uint8, offset=16)[: w * h]
+                img = arr.reshape(h, w)
+                ys = np.linspace(0, h, out_h + 1).astype(int)
+                xs = np.linspace(0, w, out_w + 1).astype(int)
+                small = np.zeros((out_h, out_w), np.uint8)
+                for yi in range(out_h):
+                    for xi in range(out_w):
+                        block = img[ys[yi]: max(ys[yi + 1], ys[yi] + 1),
+                                    xs[xi]: max(xs[xi + 1], xs[xi] + 1)]
+                        small[yi, xi] = int(block.mean())
+                blob = MAGIC + struct.pack("<III", out_w, out_h, rate) + small.tobytes()
+                ids.append(mid)
+                blobs.append(blob)
+            yield pd.DataFrame({"media_id": ids, "data": blobs})
+
+    return (
+        media.filter(F.col("kind") == "image")
+        .select("media_id", "data")
+        .mapInPandas(kernel, schema="media_id long, data binary")
+    )
+
+
+def sample_frames(media: DataFrame, every: int = 2) -> DataFrame:
+    """Frame-sampling kernel for video: one output row per sampled frame
+    (media_id, frame_idx, frame binary). Real deployments replace the
+    stride slice with a container demuxer (pyav)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                w, h, n_frames = _parse_header(data)
+                arr = np.frombuffer(data, np.uint8, offset=16)
+                for f in range(0, n_frames, every):
+                    frame = arr[f * w * h: (f + 1) * w * h]
+                    ids.append(mid)
+                    idxs.append(f)
+                    frames.append(MAGIC + struct.pack("<III", w, h, 1) + frame.tobytes())
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return (
+        media.filter(F.col("kind") == "video")
+        .select("media_id", "data")
+        .mapInPandas(kernel, schema="media_id long, frame_idx int, frame binary")
+    )

@@ -1,0 +1,79 @@
+"""Structured-Streaming incremental index build.
+
+The reference's hourly incremental pipeline (IndexBuilder.java: resume from
+e_status.txt, consume hours up to the lock service's ready hour, append to
+the previous index) maps to Structured Streaming with
+``Trigger.AvailableNow``: the checkpoint directory *is* e_status.txt (source
+offsets survive restarts), each micro-batch becomes one immutable level-0
+segment via foreachBatch, and the segment manifest records batch lineage.
+Late/duplicate turns are handled by latest-wins at merge time, exactly like
+the batch path — streaming and batch share one build.
+
+Also provides the watermarked windowed aggregation shape (event-time
+windows + late-data bound) the reference never had (SURVEY §2.9: "no
+event-time windows ... nothing to port there" — we add them anyway because
+a transcript pipeline needs them).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lucene_mapreduce_spark.datagen.transcripts import TRANSCRIPT_SCHEMA, with_docid
+from lucene_mapreduce_spark.index.build import build_segment, latest_wins
+
+
+def run_incremental_build(
+    spark: SparkSession,
+    input_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    num_partitions: int = 32,
+) -> int:
+    """Consume all currently-available parquet files under ``input_dir``
+    (transcript schema) and append one segment per micro-batch; returns the
+    number of batches processed this run. Re-running with the same
+    checkpoint only processes NEW files — the streaming analogue of the
+    reference's resume-from-last-built-hour."""
+    processed = {"n": 0}
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        corpus = latest_wins(
+            with_docid(batch_df).select("doc_id", "text", "ts")
+        ).select("doc_id", "text")
+        build_segment(
+            batch_df.sparkSession,
+            corpus,
+            index_dir,
+            num_partitions=num_partitions,
+            lineage={"stream_batch_id": int(batch_id), "source": input_dir},
+        )
+        processed["n"] += 1
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(input_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return processed["n"]
+
+
+def windowed_turn_counts(stream_df: DataFrame, late: str = "1 hour") -> DataFrame:
+    """Watermarked tumbling-window aggregation over the transcript stream:
+    turns per (day, role) with late data admitted up to ``late``."""
+    return (
+        stream_df.withWatermark("ts", late)
+        .groupBy(F.window("ts", "1 day").alias("w"), "role")
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+        .select(F.col("w.start").alias("day"), "role", "n_turns")
+    )
