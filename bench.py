@@ -82,8 +82,12 @@ def _timed_build(
     n_turns = corpus.count()  # warm the file listing; count is the metric base
     warm = corpus.filter(F.pmod(F.col("doc_id"), F.lit(97)) == 0)
     build_segment(spark, warm, warm_dir, num_partitions=32)
+    import gc as _gc
+
     best = None
     for r in range(reps):
+        _gc.collect()
+        spark.sparkContext._jvm.System.gc()  # tame GC drift between reps
         tgt = index_dir if r == reps - 1 else index_dir + f"_r{r}"
         t0 = time.perf_counter()
         build_segment(spark, corpus, tgt, num_partitions=32)
@@ -113,7 +117,7 @@ def main() -> None:
     spark_lo = _new_session(CPUS_SCALE_LO)
     ix_lo = os.path.join(work, "ix_lo")
     t_lo, _ = _timed_build(
-        spark_lo, corpus_path, ix_lo, os.path.join(work, "warm_lo"), reps=2
+        spark_lo, corpus_path, ix_lo, os.path.join(work, "warm_lo"), reps=3
     )
     timings["index_build_lo"] = round(t_lo, 3)
     spark_lo.stop()
@@ -122,7 +126,7 @@ def main() -> None:
     spark = _new_session(CPUS_SCALE_HI)
     ix_hi = os.path.join(work, "ix_hi")
     t_hi, n_turns = _timed_build(
-        spark, corpus_path, ix_hi, os.path.join(work, "warm_hi"), reps=2
+        spark, corpus_path, ix_hi, os.path.join(work, "warm_hi"), reps=3
     )
     timings["index_build"] = round(t_hi, 3)
 

@@ -57,6 +57,68 @@ def latest_wins(corpus: DataFrame, doc_col: str = "doc_id", ts_col: str = "ts") 
     )
 
 
+def segment_stats(spark: SparkSession, seg_path: str):
+    """Per-partition metrics (A2's per-key counts, generalized) + doc totals
+    for a just-written segment. n_terms sums over partitions because term
+    fully determines phash.
+
+    Small segments (metadata well under a GB) aggregate driver-side with
+    multithreaded DuckDB over the parquet footers/columns — zero extra Spark
+    jobs, which is what keeps small-batch builds free of fixed job overhead.
+    Larger segments fall back to Spark jobs (same results).
+    """
+    post_dir = os.path.join(seg_path, "postings")
+    dl_dir = os.path.join(seg_path, "doclens")
+    size = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(seg_path)
+        for f in fs
+    )
+    if size < 1 << 30:
+        import duckdb
+
+        con = duckdb.connect()
+        part_stats = con.sql(
+            f"""SELECT phash, count(DISTINCT term) AS n_terms,
+                       sum(df_chunk)::BIGINT AS n_postings
+                FROM read_parquet('{post_dir}/*/*.parquet', hive_partitioning=1)
+                GROUP BY 1"""
+        ).fetchall()
+        part_stats = [
+            {"phash": int(p), "n_terms": int(t), "n_postings": int(n)}
+            for p, t, n in part_stats
+        ]
+        n_docs, total_tokens = con.sql(
+            f"SELECT count(*), coalesce(sum(dl),0)::BIGINT FROM read_parquet('{dl_dir}/*.parquet')"
+        ).fetchone()
+        con.close()
+        return part_stats, {"n_docs": int(n_docs), "total_tokens": int(total_tokens)}
+
+    written = spark.read.parquet(post_dir)
+    rows = (
+        written.groupBy("phash")
+        .agg(
+            F.countDistinct("term").alias("n_terms"),
+            F.sum("df_chunk").alias("n_postings"),
+        )
+        .collect()
+    )
+    part_stats = [
+        {"phash": int(r["phash"]), "n_terms": int(r["n_terms"]),
+         "n_postings": int(r["n_postings"])}
+        for r in rows
+    ]
+    totals = (
+        spark.read.parquet(dl_dir)
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_tokens"))
+        .collect()[0]
+    )
+    return part_stats, {
+        "n_docs": int(totals["n_docs"]),
+        "total_tokens": int(totals["total_tokens"] or 0),
+    }
+
+
 def build_segment(
     spark: SparkSession,
     corpus: DataFrame,
@@ -137,24 +199,7 @@ def build_segment(
     )
     doclens.write.mode("overwrite").parquet(os.path.join(seg_path, "doclens"))
 
-    # per-partition metrics (A2's per-key counts, generalized); n_terms is
-    # the sum over partitions because term fully determines phash
-    written = spark.read.parquet(os.path.join(seg_path, "postings"))
-    part_stats = (
-        written.groupBy("phash")
-        .agg(
-            F.countDistinct("term").alias("n_terms"),
-            F.sum("df_chunk").alias("n_postings"),
-        )
-        .collect()
-    )
-    # totals from the doclens parquet just written — re-aggregating the lazy
-    # `doclens` plan would re-scan and re-tokenize the whole corpus
-    totals = (
-        spark.read.parquet(os.path.join(seg_path, "doclens"))
-        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_tokens"))
-        .collect()[0]
-    )
+    part_stats, totals = segment_stats(spark, seg_path)
     n_terms = int(sum(r["n_terms"] for r in part_stats))
 
     meta = SegmentMeta(

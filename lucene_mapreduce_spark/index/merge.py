@@ -25,6 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from lucene_mapreduce_spark.index.build import segment_stats
 from lucene_mapreduce_spark.index.kernels import POSTING_SCHEMA, _merge_stream
 from lucene_mapreduce_spark.index.manifest import (
     Manifest,
@@ -118,17 +119,7 @@ def merge_once(
     if fault:
         fault("written")  # crash here => manifest still lists the inputs
 
-    written = spark.read.parquet(os.path.join(seg_path, "postings"))
-    part_stats = (
-        written.groupBy("phash")
-        .agg(F.countDistinct("term").alias("n_terms"), F.sum("df_chunk").alias("n_postings"))
-        .collect()
-    )
-    totals = (
-        spark.read.parquet(os.path.join(seg_path, "doclens"))
-        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_tokens"))
-        .collect()[0]
-    )
+    part_stats, totals = segment_stats(spark, seg_path)
     n_terms = int(sum(r["n_terms"] for r in part_stats))
 
     meta_out = SegmentMeta(

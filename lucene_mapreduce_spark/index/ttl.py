@@ -16,6 +16,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from lucene_mapreduce_spark.index.build import segment_stats
 from lucene_mapreduce_spark.index.kernels import POSTING_SCHEMA, _merge_stream
 from lucene_mapreduce_spark.index.manifest import (
     SegmentMeta,
@@ -93,17 +94,7 @@ def purge_expired(
     )
     live.write.mode("overwrite").parquet(os.path.join(seg_path, "doclens"))
 
-    written = spark.read.parquet(os.path.join(seg_path, "postings"))
-    part_stats = (
-        written.groupBy("phash")
-        .agg(F.countDistinct("term").alias("n_terms"), F.sum("df_chunk").alias("n_postings"))
-        .collect()
-    )
-    totals = (
-        spark.read.parquet(os.path.join(seg_path, "doclens"))
-        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_tokens"))
-        .collect()[0]
-    )
+    part_stats, totals = segment_stats(spark, seg_path)
     meta_out = SegmentMeta(
         segment_id=seg_id,
         level=level,
