@@ -61,6 +61,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dictionary_filter": parity.dictionary_filter,
         "url_host_md5": parity.url_host_md5,
         "ts_parse_roundtrip": parity.ts_parse_roundtrip,
+        "newest_k_generations": parity.newest_k_generations,
+        "first_wins_dedup": parity.first_wins_dedup,
+        "coalesce_defaults": parity.coalesce_defaults,
         # training-data pipeline: dedup family
         "exact_dedup": dedup.exact_dedup,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,

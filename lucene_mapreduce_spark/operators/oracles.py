@@ -370,6 +370,31 @@ WITH u AS (
 )
 SELECT key, vendor, round(sum(amount), 4) AS amount_sum FROM u GROUP BY 1, 2
 """,
+    "newest_k_generations": """
+WITH g AS (SELECT DISTINCT date_trunc('week', ts)::TIMESTAMP AS gen FROM events),
+newest AS (SELECT gen FROM g ORDER BY gen DESC LIMIT 3)
+SELECT date_trunc('week', ts)::TIMESTAMP AS gen, count(*)::BIGINT AS n_events,
+       count(DISTINCT user_id)::BIGINT AS n_users
+FROM events
+WHERE date_trunc('week', ts)::TIMESTAMP IN (SELECT gen FROM newest)
+GROUP BY 1
+""",
+    "first_wins_dedup": """
+SELECT user_id, event_type, event_id AS first_event_id,
+       min(ts) OVER (PARTITION BY user_id, event_type) AS first_ts
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id, event_type ORDER BY ts ASC, event_id ASC) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+    "coalesce_defaults": """
+SELECT event_id,
+       coalesce(nullif(event_type, ''), 'unknown') AS etype,
+       coalesce(value, 0.0) AS val,
+       coalesce(nullif(props, ''), '{}') AS props_n
+FROM events
+""",
     # ------------------------------------------------------------- P-family
     "field_extract_filter": """
 SELECT event_id, etype, val, uid FROM (

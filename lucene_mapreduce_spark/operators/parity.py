@@ -365,6 +365,52 @@ def url_host_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def newest_k_generations(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """W3 — newest-K generation selection (XdiReportReducer.listTargetIndex:
+    302-335 picks the <=limits newest index dates). Generations = weeks of
+    the events table; keep the K newest and report per-generation volumes.
+    The generation list is tiny => broadcast semi-join against it."""
+    events = load(spark, sf_dir, "events")
+    gens = events.select(F.date_trunc("week", F.col("ts")).alias("gen")).distinct()
+    w = Window.orderBy(F.col("gen").desc())
+    newest = gens.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    return (
+        events.withColumn("gen", F.date_trunc("week", F.col("ts")))
+        .join(F.broadcast(newest.select("gen")), "gen", "left_semi")
+        .groupBy("gen")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+def first_wins_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 — first-wins dedup, made deterministic (the reference's
+    ConcurrentHashMap check-and-insert keeps whichever thread arrives first,
+    ParserHandler.java:126-130; we pin 'first' to min (ts, event_id)).
+    min_by aggregation: one shuffle, map-side combinable — no window sort."""
+    events = load(spark, sf_dir, "events")
+    first = F.struct(F.col("ts"), F.col("event_id"))
+    return events.groupBy("user_id", "event_type").agg(
+        F.min_by("event_id", first).alias("first_event_id"),
+        F.min("ts").alias("first_ts"),
+    )
+
+
+def coalesce_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 — per-field defaulting of empty/null values
+    (CookieStability.java:277-288 maps empty strings to the literal "null").
+    coalesce/nullif compose into one projection — no UDF, one scan."""
+    events = load(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.coalesce(F.nullif(F.col("event_type"), F.lit("")), F.lit("unknown")).alias(
+            "etype"
+        ),
+        F.coalesce(F.col("value"), F.lit(0.0)).alias("val"),
+        F.coalesce(F.nullif(F.col("props"), F.lit("")), F.lit("{}")).alias("props_n"),
+    )
+
+
 def ts_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P3/P9 — timestamp parse + date arithmetic
     (IndexBuilderMapper.java:42-44 — with the intended HH fix, SURVEY §7.4;

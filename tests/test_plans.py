@@ -1,0 +1,85 @@
+"""Physical-plan regression tests: pushdown, pruning, broadcast.
+
+These encode the scale contract: a change that silently stops a filter from
+reaching the parquet scan, reads extra columns, or de-broadcasts a dimension
+join fails here — long before it 10x's a 100 TB scan.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_mapreduce_spark.datagen.transcripts import transcripts_df, with_docid
+from lucene_mapreduce_spark.index.build import build_segment
+from lucene_mapreduce_spark.operators import parity
+from lucene_mapreduce_spark.plans.inspect import (
+    explain_str,
+    has_broadcast_join,
+    partition_filters,
+    pushed_filters,
+    read_schemas,
+)
+
+
+@pytest.fixture(scope="module")
+def small_index(spark, tmp_path_factory):
+    ix = str(tmp_path_factory.mktemp("plan_ix"))
+    corpus = with_docid(transcripts_df(spark, n_conv=30, seed=1)).select("doc_id", "text")
+    build_segment(spark, corpus, ix, num_partitions=8)
+    return ix
+
+
+def test_segment_scan_prunes_partition_and_pushes_term(spark, small_index):
+    import os
+
+    from lucene_mapreduce_spark.index.manifest import load_manifest, segment_dir
+
+    m = load_manifest(small_index)
+    seg = m.segments[0].segment_id
+    df = (
+        spark.read.parquet(os.path.join(segment_dir(small_index, seg), "postings"))
+        .filter((F.col("phash") == 3) & (F.col("term") == "tok00000"))
+        .select("term", "payload")
+    )
+    # phash is a hive partition column => directory pruning, not a data filter
+    pf = " ".join(partition_filters(df))
+    assert "phash" in pf, f"phash not in PartitionFilters: {pf}"
+    pushed = " ".join(pushed_filters(df))
+    assert "term" in pushed, f"term not pushed to scan: {pushed}"
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    df = parity.distinct_projection(spark, sf_dir)
+    schemas = read_schemas(df)
+    assert schemas, "no scan found"
+    assert all("value" not in s and "props" not in s for s in schemas), schemas
+
+
+def test_dimension_join_broadcasts(spark, sf_dir):
+    assert has_broadcast_join(parity.index_lookup_join(spark, sf_dir))
+    assert has_broadcast_join(parity.index_lookup_join_with_misses(spark, sf_dir))
+
+
+def test_filter_pushdown_events(spark, sf_dir):
+    df = parity.dictionary_filter(spark, sf_dir)
+    pushed = " ".join(pushed_filters(df))
+    assert "event_type" in pushed, pushed
+
+
+def test_bm25_scan_plan_shape(spark, sf_dir):
+    from lucene_mapreduce_spark.operators.fulltext import bm25_topk_documents
+
+    df = bm25_topk_documents(spark, sf_dir)
+    plan = explain_str(df)
+    # the tiny sides (query terms, df_t, stats) must broadcast — the corpus
+    # must never shuffle by term for scoring
+    assert plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin") >= 2, plan[:2000]
+
+
+def test_ttl_anti_join_is_broadcast_anti(spark, sf_dir):
+    df = parity.ttl_anti_join(spark, sf_dir)
+    plan = explain_str(df)
+    assert "LeftAnti" in plan, plan[:1500]
+    # expired set is small => broadcast anti-join, no full shuffle
+    assert "BroadcastHashJoin" in plan, plan[:1500]
