@@ -117,7 +117,7 @@ def main() -> None:
     spark_lo = _new_session(CPUS_SCALE_LO)
     ix_lo = os.path.join(work, "ix_lo")
     t_lo, _ = _timed_build(
-        spark_lo, corpus_path, ix_lo, os.path.join(work, "warm_lo"), reps=3
+        spark_lo, corpus_path, ix_lo, os.path.join(work, "warm_lo"), reps=2
     )
     timings["index_build_lo"] = round(t_lo, 3)
     spark_lo.stop()
@@ -126,7 +126,7 @@ def main() -> None:
     spark = _new_session(CPUS_SCALE_HI)
     ix_hi = os.path.join(work, "ix_hi")
     t_hi, n_turns = _timed_build(
-        spark, corpus_path, ix_hi, os.path.join(work, "warm_hi"), reps=3
+        spark, corpus_path, ix_hi, os.path.join(work, "warm_hi"), reps=2
     )
     timings["index_build"] = round(t_hi, 3)
 
