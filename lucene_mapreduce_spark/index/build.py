@@ -184,20 +184,36 @@ def build_segment(
         .select("phash", "term", "chunk", "payload", "dead")
         .mapInPandas(_merge_stream, schema=POSTING_SCHEMA)
     )
+
+    # doclens (incl. zero-token docs) from a cheap second scan — JVM-side
+    # tokenizer expression, no UDF, prunes to (doc_id, text). Runs as a
+    # CONCURRENT job from a helper thread: the Spark scheduler interleaves
+    # it with the postings job's idle slots, hiding its wall time entirely.
+    doclens = corpus.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(tokenize_col("text")).alias("dl"),
+    )
+    import threading
+
+    dl_err: list[BaseException] = []
+
+    def _write_doclens() -> None:
+        try:
+            doclens.write.mode("overwrite").parquet(os.path.join(seg_path, "doclens"))
+        except BaseException as e:  # noqa: BLE001 — re-raised on the main thread
+            dl_err.append(e)
+
+    dl_thread = threading.Thread(target=_write_doclens, daemon=True)
+    dl_thread.start()
     (
         encoded.write.mode("overwrite")
         .option("parquet.block.size", 1 << 20)
         .partitionBy("phash")
         .parquet(os.path.join(seg_path, "postings"))
     )
-
-    # doclens (incl. zero-token docs) from a cheap second scan — JVM-side
-    # tokenizer expression, no UDF, prunes to (doc_id, text)
-    doclens = corpus.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.size(tokenize_col("text")).alias("dl"),
-    )
-    doclens.write.mode("overwrite").parquet(os.path.join(seg_path, "doclens"))
+    dl_thread.join()
+    if dl_err:
+        raise dl_err[0]
 
     part_stats, totals = segment_stats(spark, seg_path)
     n_terms = int(sum(r["n_terms"] for r in part_stats))
