@@ -126,12 +126,17 @@ def build_segment(
     num_partitions: int = 32,
     chunk_docs: int | None = None,
     lineage: dict[str, Any] | None = None,
+    store_fields: bool = False,
 ) -> SegmentMeta:
     """Build one immutable level-0 segment from a (doc_id, text) batch and
     commit it to the manifest. Returns the committed SegmentMeta.
 
     corpus must be unique per doc_id (apply ``latest_wins`` upstream for
-    update batches).
+    update batches). ``store_fields`` additionally writes a doc_id-range-
+    sorted docstore parquet (the reference's compressed stored field,
+    IndexBuilderReducer.java:157-158) enabling payload-enriching lookup
+    joins (query/fallback.lookup_join) — parquet's column compression plays
+    the role of CompressionTools.compress.
     """
     m = load_manifest(index_dir)
     if m is not None:
@@ -215,6 +220,15 @@ def build_segment(
     if dl_err:
         raise dl_err[0]
 
+    if store_fields:
+        (
+            corpus.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+            .repartitionByRange(num_partitions, "doc_id")
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite")
+            .parquet(os.path.join(seg_path, "docstore"))
+        )
+
     part_stats, totals = segment_stats(spark, seg_path)
     n_terms = int(sum(r["n_terms"] for r in part_stats))
 
@@ -236,6 +250,7 @@ def build_segment(
             for r in sorted(part_stats, key=lambda r: r["phash"])
         ],
         lineage=dict(lineage or {}, batch_seq=seq),
+        has_docstore=bool(store_fields),
     )
     m.segments.append(meta)
     m.committed_seq = seq

@@ -36,6 +36,9 @@ class SegmentMeta:
     n_terms: int
     n_postings: int
     parents: list[str] = field(default_factory=list)
+    # stored-fields sidecar present (the reference's stored `mapinfo` payload,
+    # IndexBuilderReducer.java:157-158 — here a doc_id-sorted parquet docstore)
+    has_docstore: bool = False
     # per-partition metrics + lineage (north rule: per-partition lineage
     # and metrics written alongside checkpointed segment manifests)
     partitions: list[dict[str, Any]] = field(default_factory=list)

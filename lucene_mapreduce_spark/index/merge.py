@@ -116,6 +116,24 @@ def merge_once(
     live.select("doc_id", "dl").write.mode("overwrite").parquet(
         os.path.join(seg_path, "doclens")
     )
+
+    # stored fields propagate through merges: newest copy per live doc
+    has_docstore = all(s.has_docstore for s in metas)
+    if has_docstore:
+        stores = None
+        for meta in metas:
+            d = spark.read.parquet(
+                os.path.join(segment_dir(index_dir, meta.segment_id), "docstore")
+            ).withColumn("seg_seq", F.lit(meta.min_seq))
+            stores = d if stores is None else stores.unionByName(d)
+        (
+            stores.join(live.select("doc_id", "seg_seq"), ["doc_id", "seg_seq"], "left_semi")
+            .drop("seg_seq")
+            .repartitionByRange(m.num_partitions, "doc_id")
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite")
+            .parquet(os.path.join(seg_path, "docstore"))
+        )
     if fault:
         fault("written")  # crash here => manifest still lists the inputs
 
@@ -141,6 +159,7 @@ def merge_once(
             for r in sorted(part_stats, key=lambda r: r["phash"])
         ],
         lineage={"merged_from": [s.segment_id for s in metas]},
+        has_docstore=has_docstore,
     )
     m.segments = [s for s in m.segments if s.segment_id not in set(segment_ids)]
     m.segments.append(meta_out)

@@ -64,6 +64,48 @@ def lookup_keys(
     )
 
 
+def lookup_join(
+    spark: SparkSession,
+    index_dir: str,
+    probes: DataFrame,
+    key_col: str = "doc_id",
+    max_generations: int = 6,
+) -> DataFrame:
+    """J1 proper — the payload-enriching index-lookup join: each probe key
+    is resolved against the newest generation holding it and enriched with
+    the stored document payload (the reference decompresses `mapinfo` on a
+    hit, XdiReportReducer.java:369). Requires segments built with
+    ``store_fields=True``.
+
+    Returns (doc_id, hit, gen_seq, text) — misses have null text; doc_id
+    pushdown prunes docstore row groups (stores are doc_id-range sorted).
+    """
+    m = load_manifest(index_dir)
+    assert m is not None, f"no index at {index_dir}"
+    gens = sorted(m.ordered(), key=lambda s: -s.max_seq)[:max_generations]
+    assert all(s.has_docstore for s in gens), (
+        "lookup_join needs store_fields=True segments (docstore sidecars)"
+    )
+    stores = None
+    for s in gens:
+        d = (
+            spark.read.parquet(os.path.join(segment_dir(index_dir, s.segment_id), "docstore"))
+            .withColumn("gen_seq", F.lit(s.max_seq))
+        )
+        stores = d if stores is None else stores.unionByName(d)
+    newest = stores.groupBy("doc_id").agg(
+        F.max("gen_seq").alias("gen_seq"),
+        F.max_by("text", F.col("gen_seq")).alias("text"),
+    )
+    keys = probes.select(F.col(key_col).cast("long").alias("doc_id")).distinct()
+    return keys.join(newest, "doc_id", "left").select(
+        "doc_id",
+        F.col("gen_seq").isNotNull().alias("hit"),
+        "gen_seq",
+        "text",
+    )
+
+
 def write_hits_misses(
     resolved: DataFrame, out_dir: str
 ) -> tuple[str, str]:

@@ -83,6 +83,35 @@ def test_ttl_purge(spark, gen_index, tmp_path):
     assert resolved.filter("hit").count() == 0
 
 
+def test_lookup_join_enrichment(spark, tmp_path):
+    """J1 with stored fields: probes get the NEWEST payload; upserts serve
+    the updated text; misses have null text; docstore survives merges."""
+    from lucene_mapreduce_spark.index.merge import merge_all
+    from lucene_mapreduce_spark.query.fallback import lookup_join
+
+    ix = str(tmp_path / "store_ix")
+    full = with_docid(transcripts_df(spark, n_conv=20, seed=13)).cache()
+    b1 = full.select("doc_id", "text")
+    build_segment(spark, b1, ix, num_partitions=4, store_fields=True)
+    upd = (
+        full.filter("turn_idx = 0 and conv_id < 'conv_00000003'")
+        .withColumn("text", F.concat(F.lit("UPDATED "), F.col("text")))
+        .select("doc_id", "text")
+    )
+    build_segment(spark, upd, ix, num_partitions=4, store_fields=True)
+
+    probes = spark.createDataFrame([(0,), (1 << 20,), (99 << 20,)], "doc_id long")
+    got = {r["doc_id"]: r for r in lookup_join(spark, ix, probes).collect()}
+    assert got[0]["hit"] and got[0]["text"].startswith("UPDATED ")
+    assert got[1 << 20]["hit"] and got[1 << 20]["gen_seq"] == 2
+    assert not got[99 << 20]["hit"] and got[99 << 20]["text"] is None
+
+    merge_all(spark, ix)
+    got2 = {r["doc_id"]: r for r in lookup_join(spark, ix, probes).collect()}
+    assert got2[0]["text"] == got[0]["text"]
+    assert not got2[99 << 20]["hit"]
+
+
 def test_multimodal_kernels(spark):
     media = mm.synth_media(spark, n=30, seed=5).cache()
     feats = mm.decode_features(media).toPandas()
