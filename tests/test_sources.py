@@ -71,6 +71,21 @@ def test_max_records_per_file(spark, sf_dir, tmp_path):
     assert len(files) >= n // 100
 
 
+def test_sequencefile_scan(spark, tmp_path):
+    """S1 — the reference's hourly input is SequenceFile (Text, Text)
+    (IndexBuilderDriver.java:49); sc.sequenceFile reads it natively."""
+    p = str(tmp_path / "seq")
+    sc = spark.sparkContext
+    sc.parallelize([(f"k{i}", f"v{i}\tm{i}\tb{i}") for i in range(50)], 2).saveAsSequenceFile(p)
+    rdd = sc.sequenceFile(p)
+    df = spark.createDataFrame(rdd, "key string, value string")
+    parsed = df.select(F.split("value", "\t").alias("w")).select(
+        F.col("w").getItem(1).alias("mid")
+    )
+    assert parsed.count() == 50
+    assert parsed.filter(F.col("mid") == "m7").count() == 1
+
+
 def test_tokenizer_on_read_text(spark, tmp_path):
     """S1-ish end-to-end: raw text lines -> tokenize -> countable tokens."""
     p = tmp_path / "lines.txt"
