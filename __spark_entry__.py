@@ -37,6 +37,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_q2": lambda s, d: fulltext.bm25_topk_documents(
             s, d, query_text=fulltext.SECOND_QUERY
         ),
+        "bm25_index_topk": fulltext.bm25_index_topk_documents,
+        "bm25_wand_topk": fulltext.bm25_wand_topk_documents,
         "term_df": fulltext.term_df,
         "corpus_stats": fulltext.corpus_stats,
         "doc_tf": fulltext.doc_tf,
@@ -88,4 +90,7 @@ def oracle_sql() -> dict[str, str]:
     out = {k: v for k, v in ORACLES.items() if v is not None}
     out["bm25_topk"] = bm25_topk_sql(fulltext.FLAGSHIP_QUERY)
     out["bm25_topk_q2"] = bm25_topk_sql(fulltext.SECOND_QUERY)
+    # the index-backed and serving paths must match the SAME oracle
+    out["bm25_index_topk"] = bm25_topk_sql(fulltext.FLAGSHIP_QUERY)
+    out["bm25_wand_topk"] = bm25_topk_sql(fulltext.FLAGSHIP_QUERY)
     return out

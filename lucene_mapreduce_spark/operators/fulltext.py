@@ -70,3 +70,59 @@ def bm25_topk_documents(
     )
     out = bm25_scan_topk(docs, queries, k=k, round_to=6)
     return out.select("doc_id", "score", "rank")
+
+
+# ---- index-backed gate entries: build real segments over the documents
+# table (cached per sf_dir for the gate run) and answer through the actual
+# engine, so the driver's correctness record covers posting encode/merge/
+# query — not just the scan scorer.
+_GATE_INDEXES: dict[str, str] = {}
+
+
+def _gate_index(spark: SparkSession, sf_dir: str) -> str:
+    import os
+    import tempfile
+
+    from lucene_mapreduce_spark.index.build import build_segment
+    from lucene_mapreduce_spark.index.manifest import load_manifest
+    from lucene_mapreduce_spark.index.merge import merge_all
+
+    path = _GATE_INDEXES.get(sf_dir)
+    if path and load_manifest(path) is not None:
+        return path
+    path = os.path.join(tempfile.mkdtemp(prefix="lmr_gate_"), "ix")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # two batches + a merge so the gate exercises the full lifecycle
+    build_segment(spark, docs.filter("doc_id % 2 = 0"), path, num_partitions=8)
+    build_segment(spark, docs.filter("doc_id % 2 = 1"), path)
+    merge_all(spark, path)
+    _GATE_INDEXES[sf_dir] = path
+    return path
+
+
+def bm25_index_topk_documents(
+    spark: SparkSession, sf_dir: str, query_text: str = FLAGSHIP_QUERY, k: int = 10
+) -> DataFrame:
+    """F2-F7 end-to-end: segment build + hierarchical merge + distributed
+    index query; same oracle SQL as the scan path (they must agree)."""
+    from lucene_mapreduce_spark.query.segments import bm25_index_topk
+
+    ix = _gate_index(spark, sf_dir)
+    queries = spark.createDataFrame(
+        [("q0", query_text)], "query_id string, query_text string"
+    )
+    out = bm25_index_topk(spark, ix, queries, k=k, round_to=6)
+    return out.select("doc_id", "score", "rank")
+
+
+def bm25_wand_topk_documents(
+    spark: SparkSession, sf_dir: str, query_text: str = FLAGSHIP_QUERY, k: int = 10
+) -> DataFrame:
+    """The serving path (block-max WAND / vectorized exhaustive) against the
+    same oracle: IndexSearcher reads the merged gate index without Spark."""
+    from lucene_mapreduce_spark.query.wand import IndexSearcher
+
+    ix = _gate_index(spark, sf_dir)
+    hits = IndexSearcher(ix).search(query_text, k=k)
+    rows = [(int(d), float(round(s, 6)), i + 1) for i, (d, s) in enumerate(hits)]
+    return spark.createDataFrame(rows, "doc_id long, score double, rank int")
