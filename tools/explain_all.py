@@ -1,0 +1,62 @@
+"""Dump formatted physical plans of headline queries to PLANS.md.
+
+Usage: python tools/explain_all.py   (writes PLANS.md at the repo root)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+HEADER = """# PLANS — physical plans of the headline queries (auto-generated)
+
+`python tools/explain_all.py` regenerates this file. What to look for:
+- **PushedFilters / PartitionFilters** on every scan (term dictionary
+  filters reach parquet row groups; phash prunes directories)
+- **ReadSchema** minimal (column pruning)
+- **BroadcastHashJoin** for every dimension/stats/query-terms join — the
+  corpus or posting side never shuffles for scoring
+- **WholeStageCodegen** spans around all relational work; Python appears
+  only as MapInArrow/MapInPandas islands (the codec/tokenizer kernels)
+"""
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+    from lucene_mapreduce_spark.operators import dedup, fulltext, parity
+    from lucene_mapreduce_spark.plans.inspect import explain_str
+    from lucene_mapreduce_spark.session import get_spark
+
+    spark = get_spark("explain", cpus=8)
+
+    sections = [
+        ("bm25_topk (corpus-scan BM25, flagship)",
+         lambda: fulltext.bm25_topk_documents(spark, sf_dir)),
+        ("bm25_index_topk (segment-index BM25: build+merge+query)",
+         lambda: fulltext.bm25_index_topk_documents(spark, sf_dir)),
+        ("index_lookup_join (J1 dimension join)",
+         lambda: parity.index_lookup_join(spark, sf_dir)),
+        ("ttl_anti_join (J3)",
+         lambda: parity.ttl_anti_join(spark, sf_dir)),
+        ("generation_fallback (J2, one-shuffle form)",
+         lambda: parity.generation_fallback(spark, sf_dir)),
+        ("exact_dedup",
+         lambda: dedup.exact_dedup(spark, sf_dir)),
+        ("minhash_lsh_pairs",
+         lambda: dedup.minhash_lsh_pairs(spark, sf_dir)),
+    ]
+
+    out = [HEADER]
+    for title, fn in sections:
+        plan = explain_str(fn())
+        out.append(f"\n## {title}\n\n```\n{plan.strip()}\n```\n")
+    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                           "PLANS.md"), "w") as f:
+        f.write("".join(out))
+    print("PLANS.md written")
+
+
+if __name__ == "__main__":
+    main()
