@@ -68,6 +68,47 @@ def run_incremental_build(
     return processed["n"]
 
 
+def conversation_progress(stream_df: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): tracks
+    per-conversation progress — turns seen so far, max turn_idx, latest ts —
+    with state carried across micro-batches. This is the streaming analogue
+    of the reference's per-key incremental bookkeeping (CookieStability's
+    state+delta merge, J5) expressed as a first-class stateful operator
+    instead of a self-join against yesterday's output.
+
+    Emits one row per conversation per micro-batch in which it changed.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def track(key, pdfs, state: GroupState):
+        turns, max_turn, last_ts = (
+            state.get if state.exists else (0, -1, None)
+        )
+        for pdf in pdfs:
+            turns += len(pdf)
+            max_turn = max(max_turn, int(pdf["turn_idx"].max()))
+            ts = pdf["ts"].max()
+            last_ts = ts if last_ts is None else max(last_ts, ts)
+        state.update((turns, max_turn, last_ts))
+        yield pd.DataFrame(
+            {
+                "conv_id": [key[0]],
+                "turns_seen": [turns],
+                "max_turn_idx": [max_turn],
+                "last_ts": [last_ts],
+            }
+        )
+
+    return stream_df.groupBy("conv_id").applyInPandasWithState(
+        track,
+        outputStructType="conv_id string, turns_seen long, max_turn_idx int, last_ts timestamp",
+        stateStructType="turns long, max_turn int, last_ts timestamp",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def windowed_turn_counts(stream_df: DataFrame, late: str = "1 hour") -> DataFrame:
     """Watermarked tumbling-window aggregation over the transcript stream:
     turns per (day, role) with late data admitted up to ``late``."""

@@ -167,6 +167,44 @@ def test_streaming_incremental_build(spark, tmp_path):
     assert len(m3.segments) == len(m2.segments)
 
 
+def test_stateful_conversation_progress(spark, tmp_path):
+    """applyInPandasWithState: state must accumulate ACROSS micro-batches —
+    a conversation split over two files reports cumulative turn counts."""
+    from lucene_mapreduce_spark.datagen.transcripts import TRANSCRIPT_SCHEMA
+    from lucene_mapreduce_spark.streaming.incremental import conversation_progress
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    pdf = gen_transcripts_pandas(n_conv=6, seed=55)
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    # split each conversation's turns across two files by parity
+    pdf[pdf.turn_idx % 2 == 0].to_parquet(src + "/a.parquet", index=False)
+    pdf[pdf.turn_idx % 2 == 1].to_parquet(src + "/b.parquet", index=False)
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # force 2 micro-batches
+        .parquet(src)
+    )
+    q = (
+        conversation_progress(stream)
+        .writeStream.format("memory")
+        .queryName("conv_progress")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.sql(
+        "SELECT conv_id, max(turns_seen) AS turns FROM conv_progress GROUP BY conv_id"
+    ).toPandas()
+    expected = pdf.groupby("conv_id").size()
+    assert len(out) == 6
+    for _, row in out.iterrows():
+        assert row["turns"] == expected[row["conv_id"]], row["conv_id"]
+
+
 def test_windowed_turn_counts_batch_semantics(spark):
     # the windowed agg is testable in batch mode (same plan semantics)
     from lucene_mapreduce_spark.streaming.incremental import windowed_turn_counts
