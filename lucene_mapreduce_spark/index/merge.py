@@ -20,15 +20,12 @@ from __future__ import annotations
 import os
 from typing import Callable
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lucene_mapreduce_spark.index.build import segment_stats
 from lucene_mapreduce_spark.index.kernels import POSTING_SCHEMA, _merge_stream
 from lucene_mapreduce_spark.index.manifest import (
-    Manifest,
     SegmentMeta,
     commit_manifest,
     load_manifest,

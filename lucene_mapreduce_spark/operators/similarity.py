@@ -56,26 +56,21 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFr
     )
 
 
-def _hyperplane_sign(vec_col, plane_idx):
+def _hyperplane_sign(vec_col, plane_idx, dim: int = 64):
     """Deterministic pseudo-random hyperplane: component j of plane i has
-    sign from parity of a hex digit of md5(i || ':' || j) — the same
+    sign from the first hex digit of md5(i || ':' || j) — the same
     md5-derived family the dedup ops use, so it is reproducible anywhere."""
-    dim = 64
-
-    def signed_sum(i):
-        comps = F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda j: F.element_at(vec_col, j + 1)
-            * F.when(
-                F.substring(
-                    F.md5(F.concat(F.lit(str(plane_idx) + ":"), j.cast("string"))), 1, 1
-                ).isin("0", "1", "2", "3", "4", "5", "6", "7"),
-                F.lit(1.0),
-            ).otherwise(F.lit(-1.0)),
-        )
-        return F.aggregate(comps, F.lit(0.0), lambda s, v: s + v)
-
-    return signed_sum(plane_idx) > 0
+    comps = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: F.element_at(vec_col, j + 1)
+        * F.when(
+            F.substring(
+                F.md5(F.concat(F.lit(str(plane_idx) + ":"), j.cast("string"))), 1, 1
+            ).isin("0", "1", "2", "3", "4", "5", "6", "7"),
+            F.lit(1.0),
+        ).otherwise(F.lit(-1.0)),
+    )
+    return F.aggregate(comps, F.lit(0.0), lambda acc, v: acc + v) > 0
 
 
 def ann_lsh_topk(

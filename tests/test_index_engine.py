@@ -16,7 +16,7 @@ import pytest
 from lucene_mapreduce_spark.datagen.transcripts import transcripts_df, with_docid
 from lucene_mapreduce_spark.index.build import build_segment, latest_wins
 from lucene_mapreduce_spark.index.manifest import load_manifest
-from lucene_mapreduce_spark.index.merge import merge_all, merge_once
+from lucene_mapreduce_spark.index.merge import merge_all
 from lucene_mapreduce_spark.query.bm25 import bm25_oracle_pandas
 from lucene_mapreduce_spark.query.segments import (
     bm25_index_topk,
