@@ -30,12 +30,17 @@ def run_incremental_build(
     index_dir: str,
     checkpoint_dir: str,
     num_partitions: int = 32,
+    merge_when: int | None = None,
 ) -> int:
     """Consume all currently-available parquet files under ``input_dir``
     (transcript schema) and append one segment per micro-batch; returns the
     number of batches processed this run. Re-running with the same
     checkpoint only processes NEW files — the streaming analogue of the
-    reference's resume-from-last-built-hour."""
+    reference's resume-from-last-built-hour.
+
+    ``merge_when``: when set, hierarchically merge once the segment count
+    reaches it — the reference's merge cadence ("merge every 2nd hour / at
+    day end", IndexBuilder.java:164-176) as a declarative threshold."""
     processed = {"n": 0}
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -65,6 +70,14 @@ def run_incremental_build(
         .start()
     )
     q.awaitTermination()
+
+    if merge_when is not None:
+        from lucene_mapreduce_spark.index.manifest import load_manifest
+        from lucene_mapreduce_spark.index.merge import merge_all
+
+        m = load_manifest(index_dir)
+        if m is not None and len(m.segments) >= merge_when:
+            merge_all(spark, index_dir)
     return processed["n"]
 
 
