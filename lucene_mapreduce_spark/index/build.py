@@ -29,10 +29,11 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from lucene_mapreduce_spark.functions.tokenize import tokenize_col
 from lucene_mapreduce_spark.index.kernels import (
+    DOCLEN_SCHEMA,
     PARTIAL_SCHEMA,
     POSTING_SCHEMA,
+    _decode_doclens,
     _make_partial_encoder,
     _merge_stream,
 )
@@ -57,18 +58,21 @@ def latest_wins(corpus: DataFrame, doc_col: str = "doc_id", ts_col: str = "ts") 
     )
 
 
-def segment_stats(spark: SparkSession, seg_path: str):
+def segment_stats(spark: SparkSession, seg_path: str, num_partitions: int):
     """Per-partition metrics (A2's per-key counts, generalized) + doc totals
     for a just-written segment. n_terms sums over partitions because term
     fully determines phash.
 
+    Doc totals come for free from the reserved doclen pseudo-term rows
+    (phash == num_partitions): entries carry tf=dl, so n_docs = sum(df_chunk)
+    and total_tokens = sum(cf_chunk) — plain columnar sums, no decode.
+
     Small segments (metadata well under a GB) aggregate driver-side with
     multithreaded DuckDB over the parquet footers/columns — zero extra Spark
     jobs, which is what keeps small-batch builds free of fixed job overhead.
-    Larger segments fall back to Spark jobs (same results).
+    Larger segments fall back to ONE Spark job (same results).
     """
     post_dir = os.path.join(seg_path, "postings")
-    dl_dir = os.path.join(seg_path, "doclens")
     size = sum(
         os.path.getsize(os.path.join(r, f))
         for r, _, fs in os.walk(seg_path)
@@ -78,45 +82,52 @@ def segment_stats(spark: SparkSession, seg_path: str):
         import duckdb
 
         con = duckdb.connect()
-        part_stats = con.sql(
+        rows = con.sql(
             f"""SELECT phash, count(DISTINCT term) AS n_terms,
-                       sum(df_chunk)::BIGINT AS n_postings
+                       sum(df_chunk)::BIGINT AS n_postings,
+                       sum(cf_chunk)::BIGINT AS n_tokens
                 FROM read_parquet('{post_dir}/*/*.parquet', hive_partitioning=1)
                 GROUP BY 1"""
         ).fetchall()
-        part_stats = [
-            {"phash": int(p), "n_terms": int(t), "n_postings": int(n)}
-            for p, t, n in part_stats
-        ]
-        n_docs, total_tokens = con.sql(
-            f"SELECT count(*), coalesce(sum(dl),0)::BIGINT FROM read_parquet('{dl_dir}/*.parquet')"
-        ).fetchone()
         con.close()
-        return part_stats, {"n_docs": int(n_docs), "total_tokens": int(total_tokens)}
-
-    written = spark.read.parquet(post_dir)
-    rows = (
-        written.groupBy("phash")
-        .agg(
-            F.countDistinct("term").alias("n_terms"),
-            F.sum("df_chunk").alias("n_postings"),
-        )
-        .collect()
-    )
+        rows = [(int(p), int(t), int(n), int(c)) for p, t, n, c in rows]
+    else:
+        rows = [
+            (int(r["phash"]), int(r["n_terms"]), int(r["n_postings"]),
+             int(r["n_tokens"] or 0))
+            for r in (
+                spark.read.parquet(post_dir)
+                .groupBy("phash")
+                .agg(
+                    F.countDistinct("term").alias("n_terms"),
+                    F.sum("df_chunk").alias("n_postings"),
+                    F.sum("cf_chunk").alias("n_tokens"),
+                )
+                .collect()
+            )
+        ]
     part_stats = [
-        {"phash": int(r["phash"]), "n_terms": int(r["n_terms"]),
-         "n_postings": int(r["n_postings"])}
-        for r in rows
+        {"phash": p, "n_terms": t, "n_postings": n}
+        for p, t, n, _ in rows
+        if p != num_partitions
     ]
-    totals = (
-        spark.read.parquet(dl_dir)
-        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_tokens"))
-        .collect()[0]
+    dl_rows = [(n, c) for p, _, n, c in rows if p == num_partitions]
+    n_docs = dl_rows[0][0] if dl_rows else 0
+    total_tokens = dl_rows[0][1] if dl_rows else 0
+    return part_stats, {"n_docs": int(n_docs), "total_tokens": int(total_tokens)}
+
+
+def read_doclens(spark: SparkSession, seg_path: str, num_partitions: int) -> DataFrame:
+    """(doc_id, dl) of one segment, decoded from the reserved doclen
+    pseudo-term rows — reads exactly one phash directory (path pruning)."""
+    p = os.path.join(seg_path, "postings", f"phash={num_partitions}")
+    if not os.path.exists(p):
+        return spark.createDataFrame([], DOCLEN_SCHEMA)
+    return (
+        spark.read.parquet(p)
+        .select("payload")
+        .mapInPandas(_decode_doclens, schema=DOCLEN_SCHEMA)
     )
-    return part_stats, {
-        "n_docs": int(totals["n_docs"]),
-        "total_tokens": int(totals["total_tokens"] or 0),
-    }
 
 
 def build_segment(
@@ -182,43 +193,23 @@ def build_segment(
     enc_parts = max(
         int(spark.conf.get("spark.sql.shuffle.partitions", "32")), num_partitions
     )
+    # Doclens ride the same pass as the reserved DL_TERM pseudo-term rows
+    # (kernels.py) — the whole build is ONE Spark job: scan -> encode ->
+    # shuffle -> merge -> write. No second corpus scan, no separate doclens
+    # job; this is what keeps fixed per-job cost off the scaling curve.
     encoded = (
         partial.withColumn("dead", F.lit(None).cast("array<long>"))
         .repartition(enc_parts, "phash", "chunk")
-        .sortWithinPartitions("term", "chunk")
+        .sortWithinPartitions("phash", "term", "chunk")
         .select("phash", "term", "chunk", "payload", "dead")
         .mapInPandas(_merge_stream, schema=POSTING_SCHEMA)
     )
-
-    # doclens (incl. zero-token docs) from a cheap second scan — JVM-side
-    # tokenizer expression, no UDF, prunes to (doc_id, text). Runs as a
-    # CONCURRENT job from a helper thread: the Spark scheduler interleaves
-    # it with the postings job's idle slots, hiding its wall time entirely.
-    doclens = corpus.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.size(tokenize_col("text")).alias("dl"),
-    )
-    import threading
-
-    dl_err: list[BaseException] = []
-
-    def _write_doclens() -> None:
-        try:
-            doclens.write.mode("overwrite").parquet(os.path.join(seg_path, "doclens"))
-        except BaseException as e:  # noqa: BLE001 — re-raised on the main thread
-            dl_err.append(e)
-
-    dl_thread = threading.Thread(target=_write_doclens, daemon=True)
-    dl_thread.start()
     (
         encoded.write.mode("overwrite")
         .option("parquet.block.size", 1 << 20)
         .partitionBy("phash")
         .parquet(os.path.join(seg_path, "postings"))
     )
-    dl_thread.join()
-    if dl_err:
-        raise dl_err[0]
 
     if store_fields:
         (
@@ -229,7 +220,7 @@ def build_segment(
             .parquet(os.path.join(seg_path, "docstore"))
         )
 
-    part_stats, totals = segment_stats(spark, seg_path)
+    part_stats, totals = segment_stats(spark, seg_path, num_partitions)
     n_terms = int(sum(r["n_terms"] for r in part_stats))
 
     meta = SegmentMeta(

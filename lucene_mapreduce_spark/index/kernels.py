@@ -34,10 +34,38 @@ POSTING_SCHEMA = (
 
 PARTIAL_SCHEMA = "phash int, term string, chunk long, payload binary"
 
+# Reserved pseudo-term that carries per-doc lengths INSIDE the postings
+# parquet (entries are (doc_id, tf=dl, dl=dl), so chunk-level df_chunk /
+# cf_chunk sums give n_docs / total_tokens without decoding). Identified by
+# phash == num_partitions (a reserved directory real terms can never hash
+# to), never by name — a document containing the literal string is harmless.
+# This is what lets one Spark job produce postings AND doclens AND stats:
+# the reference pays a second pass for document norms; we don't.
+DL_TERM = "\x00dl"
+
+DOCLEN_SCHEMA = "doc_id long, dl long"
+
+
+def _decode_doclens(batches):
+    """mapInPandas kernel: pseudo-term posting rows -> (doc_id, dl) rows."""
+    for pdf in batches:
+        ids, dls = [], []
+        for payload in pdf["payload"]:
+            docids, _tfs, dl = decode_postings(payload)
+            if len(docids):
+                ids.append(docids.astype("int64"))
+                dls.append(dl.astype("int64"))
+        if ids:
+            yield pd.DataFrame(
+                {"doc_id": np.concatenate(ids), "dl": np.concatenate(dls)}
+            )
+
 
 def _make_partial_encoder(num_partitions: int, chunk_docs: int):
     """mapInArrow kernel factory: (doc_id, text) -> locally-encoded partial
-    posting rows (phash, term, chunk, payload)."""
+    posting rows (phash, term, chunk, payload), PLUS per-doc-length rows
+    under the reserved DL_TERM pseudo-term (phash = num_partitions) — one
+    corpus pass feeds postings, doclens, and segment stats."""
 
     def fn(batches):
         from collections import Counter
@@ -49,21 +77,55 @@ def _make_partial_encoder(num_partitions: int, chunk_docs: int):
 
         split = TOKEN_SPLIT_RE.split
         d_parts, tf_parts, dl_parts = [], [], []
+        doc_id_parts, doc_dl_parts = [], []  # per-doc lengths, incl. dl=0 docs
         terms: list[str] = []
         for batch in batches:
             ids = batch.column(0).to_numpy(zero_copy_only=False)
             texts = batch.column(1).to_pylist()
+            per_doc_dl = np.zeros(len(ids), dtype=np.int64)
             for i, s in enumerate(texts):
                 if not s:
                     continue
                 toks = [t for t in split(s) if t]
                 if not toks:
                     continue
+                per_doc_dl[i] = len(toks)
                 c = Counter(toks)
                 d_parts.append(np.full(len(c), ids[i], dtype=np.int64))
                 terms.extend(c.keys())
                 tf_parts.append(np.fromiter(c.values(), np.int64, len(c)))
                 dl_parts.append(np.full(len(c), len(toks), dtype=np.int64))
+            if len(ids):
+                doc_id_parts.append(np.asarray(ids, dtype=np.int64))
+                doc_dl_parts.append(per_doc_dl)
+
+        if doc_id_parts:
+            # doclen pseudo rows: entries (doc_id, tf=dl, dl=dl) per chunk
+            pid = np.concatenate(doc_id_parts)
+            pdl = np.concatenate(doc_dl_parts)
+            pchunk = pid // chunk_docs
+            porder = np.lexsort((pid, pchunk))
+            pid, pdl, pchunk = pid[porder], pdl[porder], pchunk[porder]
+            pn = len(pid)
+            pchange = np.empty(pn, bool)
+            pchange[0] = True
+            pchange[1:] = pchunk[1:] != pchunk[:-1]
+            pstarts = np.flatnonzero(pchange)
+            ppayloads = encode_many(
+                pid.astype(np.uint64), pdl.astype(np.uint64),
+                pdl.astype(np.uint64), pstarts,
+            )
+            ng = len(pstarts)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.full(ng, num_partitions, np.int32), type=pa.int32()),
+                    pa.array([DL_TERM] * ng, type=pa.string()),
+                    pa.array(pchunk[pstarts], type=pa.int64()),
+                    pa.array(ppayloads, type=pa.binary()),
+                ],
+                names=["phash", "term", "chunk", "payload"],
+            )
+
         if not d_parts:
             return
         d = np.concatenate(d_parts)
@@ -110,10 +172,15 @@ def _merge_stream(batches):
     def process(pdf: pd.DataFrame, final: bool):
         term = pdf["term"].to_numpy()
         chunk = pdf["chunk"].to_numpy()
+        ph = pdf["phash"].to_numpy()
         n = len(pdf)
         change = np.empty(n, bool)
         change[0] = True
-        change[1:] = (term[1:] != term[:-1]) | (chunk[1:] != chunk[:-1])
+        # group identity includes phash so a real token that happens to spell
+        # DL_TERM (different phash) never merges with the pseudo rows
+        change[1:] = (
+            (term[1:] != term[:-1]) | (chunk[1:] != chunk[:-1]) | (ph[1:] != ph[:-1])
+        )
         gstarts = np.flatnonzero(change)
         if not final:
             cut = int(gstarts[-1])

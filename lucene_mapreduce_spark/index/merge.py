@@ -23,7 +23,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from lucene_mapreduce_spark.index.build import segment_stats
+from lucene_mapreduce_spark.index.build import read_doclens, segment_stats
 from lucene_mapreduce_spark.index.kernels import POSTING_SCHEMA, _merge_stream
 from lucene_mapreduce_spark.index.manifest import (
     SegmentMeta,
@@ -33,11 +33,13 @@ from lucene_mapreduce_spark.index.manifest import (
 )
 
 
-def _load_doclens(spark: SparkSession, index_dir: str, metas: list[SegmentMeta]) -> DataFrame:
+def _load_doclens(
+    spark: SparkSession, index_dir: str, metas: list[SegmentMeta], num_partitions: int
+) -> DataFrame:
     dfs = []
     for meta in metas:
-        d = spark.read.parquet(
-            os.path.join(segment_dir(index_dir, meta.segment_id), "doclens")
+        d = read_doclens(
+            spark, segment_dir(index_dir, meta.segment_id), num_partitions
         )
         dfs.append(d.withColumn("seg_seq", F.lit(meta.min_seq)))
     out = dfs[0]
@@ -74,15 +76,18 @@ def merge_once(
     seg_path = segment_dir(index_dir, seg_id)
 
     # ---- shadow (dead) docs: docid present in any newer input segment
-    doclens = _load_doclens(spark, index_dir, metas)
+    doclens = _load_doclens(spark, index_dir, metas, m.num_partitions)
     w = Window.partitionBy("doc_id").orderBy(F.col("seg_seq").desc())
     ranked = doclens.withColumn("rn", F.row_number().over(w))
     live = ranked.filter(F.col("rn") == 1).select("doc_id", "dl", "seg_seq")
     dead = ranked.filter(F.col("rn") > 1).select("doc_id", "seg_seq")
 
     chunk_docs = m.chunk_docs
+    # exact int64 division (DIV), matching the build kernel's `//`: float
+    # division diverges near chunk boundaries for doc_id >= 2^53 and would
+    # silently miss dead docs at the conv<<20 packing scale (~2^57)
     dead_by_chunk = (
-        dead.withColumn("chunk", (F.col("doc_id") / F.lit(chunk_docs)).cast("long"))
+        dead.withColumn("chunk", F.expr(f"doc_id DIV {chunk_docs}"))
         .groupBy("seg_seq", "chunk")
         .agg(F.collect_list("doc_id").alias("dead"))
     )
@@ -98,9 +103,12 @@ def merge_once(
     merge_parts = max(
         int(spark.conf.get("spark.sql.shuffle.partitions", "32")), m.num_partitions
     )
+    # One write covers postings AND doclens: the DL_TERM pseudo rows merge
+    # through the same kernel, and the dead-list masking drops shadowed
+    # docs from them exactly as it does from real posting lists.
     merged = (
         joined.repartition(merge_parts, "phash", "chunk")
-        .sortWithinPartitions("term", "chunk", "seg_seq")
+        .sortWithinPartitions("phash", "term", "chunk", "seg_seq")
         .select("phash", "term", "chunk", "payload", "dead")
         .mapInPandas(_merge_stream, schema=POSTING_SCHEMA)
     )
@@ -109,9 +117,6 @@ def merge_once(
         .option("parquet.block.size", 1 << 20)
         .partitionBy("phash")
         .parquet(os.path.join(seg_path, "postings"))
-    )
-    live.select("doc_id", "dl").write.mode("overwrite").parquet(
-        os.path.join(seg_path, "doclens")
     )
 
     # stored fields propagate through merges: newest copy per live doc
@@ -134,7 +139,7 @@ def merge_once(
     if fault:
         fault("written")  # crash here => manifest still lists the inputs
 
-    part_stats, totals = segment_stats(spark, seg_path)
+    part_stats, totals = segment_stats(spark, seg_path, m.num_partitions)
     n_terms = int(sum(r["n_terms"] for r in part_stats))
 
     meta_out = SegmentMeta(

@@ -16,7 +16,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from lucene_mapreduce_spark.index.build import segment_stats
+from lucene_mapreduce_spark.index.build import read_doclens, segment_stats
 from lucene_mapreduce_spark.index.kernels import POSTING_SCHEMA, _merge_stream
 from lucene_mapreduce_spark.index.manifest import (
     SegmentMeta,
@@ -42,16 +42,16 @@ def purge_expired(
     # live = newest copy per doc, minus expired
     doclens = None
     for s in metas:
-        d = spark.read.parquet(
-            os.path.join(segment_dir(index_dir, s.segment_id), "doclens")
+        d = read_doclens(
+            spark, segment_dir(index_dir, s.segment_id), m.num_partitions
         ).withColumn("seg_seq", F.lit(s.min_seq))
         doclens = d if doclens is None else doclens.unionByName(d)
     w = Window.partitionBy("doc_id").orderBy(F.col("seg_seq").desc())
     ranked = doclens.withColumn("rn", F.row_number().over(w))
-    live = (
+    live_pairs = (
         ranked.filter(F.col("rn") == 1)
         .join(expired_ids, "doc_id", "left_anti")
-        .select("doc_id", "dl")
+        .select("doc_id", "seg_seq")
     )
     # dead per (segment, chunk): shadowed copies + every expired doc
     shadowed = ranked.filter(F.col("rn") > 1).select("doc_id", "seg_seq")
@@ -60,8 +60,10 @@ def purge_expired(
         e = expired_ids.withColumn("seg_seq", F.lit(s.min_seq))
         exp_all = e if exp_all is None else exp_all.unionByName(e)
     dead = shadowed.unionByName(exp_all).distinct()
+    # exact int64 division (DIV) — float division misses chunk boundaries
+    # for doc_id >= 2^53 (see merge.py)
     dead_by_chunk = (
-        dead.withColumn("chunk", (F.col("doc_id") / F.lit(m.chunk_docs)).cast("long"))
+        dead.withColumn("chunk", F.expr(f"doc_id DIV {m.chunk_docs}"))
         .groupBy("seg_seq", "chunk")
         .agg(F.collect_list("doc_id").alias("dead"))
     )
@@ -79,10 +81,12 @@ def purge_expired(
     seg_path = segment_dir(index_dir, seg_id)
 
     parts = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), m.num_partitions)
+    # One write covers postings AND doclens (DL_TERM pseudo rows): expired
+    # and shadowed docs are masked from both by the same dead lists.
     merged = (
         rows.join(dead_by_chunk, ["seg_seq", "chunk"], "left")
         .repartition(parts, "phash", "chunk")
-        .sortWithinPartitions("term", "chunk", "seg_seq")
+        .sortWithinPartitions("phash", "term", "chunk", "seg_seq")
         .select("phash", "term", "chunk", "payload", "dead")
         .mapInPandas(_merge_stream, schema=POSTING_SCHEMA)
     )
@@ -92,9 +96,28 @@ def purge_expired(
         .partitionBy("phash")
         .parquet(os.path.join(seg_path, "postings"))
     )
-    live.write.mode("overwrite").parquet(os.path.join(seg_path, "doclens"))
 
-    part_stats, totals = segment_stats(spark, seg_path)
+    # stored fields survive the purge: newest copy per live doc (mirrors
+    # merge.py — the reference keeps its stored `mapinfo` through TTL jobs,
+    # TTLFilterReducer.java:26-72 only drops expired keys)
+    has_docstore = all(s.has_docstore for s in metas)
+    if has_docstore:
+        stores = None
+        for s in metas:
+            d = spark.read.parquet(
+                os.path.join(segment_dir(index_dir, s.segment_id), "docstore")
+            ).withColumn("seg_seq", F.lit(s.min_seq))
+            stores = d if stores is None else stores.unionByName(d)
+        (
+            stores.join(live_pairs, ["doc_id", "seg_seq"], "left_semi")
+            .drop("seg_seq")
+            .repartitionByRange(m.num_partitions, "doc_id")
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite")
+            .parquet(os.path.join(seg_path, "docstore"))
+        )
+
+    part_stats, totals = segment_stats(spark, seg_path, m.num_partitions)
     meta_out = SegmentMeta(
         segment_id=seg_id,
         level=level,
@@ -114,6 +137,7 @@ def purge_expired(
             for r in sorted(part_stats, key=lambda r: r["phash"])
         ],
         lineage={"ttl_purge_of": [s.segment_id for s in metas]},
+        has_docstore=has_docstore,
     )
     m.segments = [meta_out]
     commit_manifest(index_dir, m)

@@ -50,10 +50,12 @@ def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F2's logical content — the (doc, term, tf) posting relation, restricted
     to one term-hash bucket so the output stays small at any sf. The bucket
-    predicate is the same xxhash64-based routing the segment layout uses."""
+    is md5-derived (first hex digit) so DuckDB replays it bit-for-bit — the
+    engine's own layout uses xxhash64 routing, but that hash has no DuckDB
+    twin and belongs in the (pytest-covered) index path, not the gate row."""
     docs = load(spark, sf_dir, "documents")
     postings, _ = corpus_postings(docs)
-    return postings.filter(F.pmod(F.xxhash64("term"), F.lit(8)) == 0)
+    return postings.filter(F.substring(F.md5("term"), 1, 1) == "0")
 
 
 def bm25_topk_documents(
@@ -122,7 +124,16 @@ def bm25_wand_topk_documents(
     same oracle: IndexSearcher reads the merged gate index without Spark."""
     from lucene_mapreduce_spark.query.wand import IndexSearcher
 
+    from decimal import ROUND_HALF_UP, Decimal
+
     ix = _gate_index(spark, sf_dir)
     hits = IndexSearcher(ix).search(query_text, k=k)
-    rows = [(int(d), float(round(s, 6)), i + 1) for i, (d, s) in enumerate(hits)]
+
+    def _round6(x: float) -> float:
+        # HALF_UP on the shortest decimal repr — matches F.round on doubles
+        # (Java BigDecimal.valueOf) and DuckDB round; Python round() is
+        # half-even and would hash-diverge on exact halves.
+        return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+    rows = [(int(d), _round6(s), i + 1) for i, (d, s) in enumerate(hits)]
     return spark.createDataFrame(rows, "doc_id long, score double, rank int")

@@ -262,7 +262,11 @@ SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS total_tokens,
        round(avg(dl::DOUBLE), 6) AS avgdl
 FROM dl
 """,
-    "doc_tf": None,  # xxhash64 bucket routing has no DuckDB twin (rows-only)
+    "doc_tf": f"""
+WITH toks AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents),
+p AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2)
+SELECT doc_id, term, tf FROM p WHERE substr(md5(term), 1, 1) = '0'
+""",
     # ------------------------------------------------------------- A-family
     "latest_per_key": """
 SELECT user_id, event_type AS last_event_type, round(value, 6) AS last_value, ts AS last_ts

@@ -320,11 +320,14 @@ def field_extract_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     and validity-filtered — the same parse/project/filter shape on one pass
     over the scan."""
     events = load(spark, sf_dir, "events")
+    # every field null-sentineled BEFORE concat_ws — concat_ws silently
+    # drops NULLs, which would shift fields left and let a NULL-value row
+    # slip past the validity filter with val=user_id
     line = F.concat_ws(
         "\t",
         F.coalesce(F.col("event_type"), F.lit("\\N")),
-        F.col("value").cast("string"),
-        F.col("user_id").cast("string"),
+        F.coalesce(F.col("value").cast("string"), F.lit("\\N")),
+        F.coalesce(F.col("user_id").cast("string"), F.lit("\\N")),
     )
     parts = F.split(line, "\t")
     return (
@@ -332,8 +335,8 @@ def field_extract_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_id",
             F.col("w").getItem(0).alias("etype"),
-            F.col("w").getItem(1).cast("double").alias("val"),
-            F.col("w").getItem(2).cast("long").alias("uid"),
+            F.col("w").getItem(1).try_cast("double").alias("val"),
+            F.col("w").getItem(2).try_cast("long").alias("uid"),
         )
         .filter(
             (F.col("etype") != "\\N") & F.col("val").isNotNull() & (F.col("val") > 0)

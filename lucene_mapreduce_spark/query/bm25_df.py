@@ -47,7 +47,11 @@ def corpus_postings(
     """
     tok = tokenize_pandas_udf(F.col(text_col)) if use_arrow_udf else tokenize_col(text_col)
     toks = docs.select(F.col(doc_col).alias("doc_id"), tok.alias("tokens"))
-    doclens = toks.select("doc_id", F.size("tokens").alias("dl"))
+    # coalesce: F.size is NULL for NULL text under ANSI — the oracle and the
+    # index build both treat those docs as dl=0, so avgdl must include them
+    doclens = toks.select(
+        "doc_id", F.coalesce(F.size("tokens"), F.lit(0)).alias("dl")
+    )
     postings = (
         toks.select("doc_id", F.explode("tokens").alias("term"))
         .groupBy("doc_id", "term")
@@ -104,6 +108,22 @@ def bm25_scan_topk(
     return score_and_topk(matched, k=k, round_to=round_to)
 
 
+# Bounded cache registry: score_and_topk persists its scored frame so the
+# two-phase rank+rescore reuses one computation; the result is consumed
+# lazily by the caller, so the unpersist can't happen inside the call.
+# Keeping the last 2 persisted frames (current + one in flight) and evicting
+# older ones caps executor cache growth across long query sessions.
+_PERSISTED: list[DataFrame] = []
+
+
+def _persist_bounded(df: DataFrame, keep: int = 2) -> DataFrame:
+    df = df.persist()
+    _PERSISTED.append(df)
+    while len(_PERSISTED) > keep:
+        _PERSISTED.pop(0).unpersist()
+    return df
+
+
 def score_and_topk(
     matched: DataFrame, k: int = 10, round_to: int | None = None
 ) -> DataFrame:
@@ -131,12 +151,14 @@ def score_and_topk(
     denom = tf + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * dl / F.col("avgdl"))
     contrib = idf * (tf * F.lit(K1 + 1.0)) / denom
 
-    scored = matched.select(
-        "query_id",
-        "doc_id",
-        F.col("term"),
-        contrib.alias("contrib"),
-    ).persist()
+    scored = _persist_bounded(
+        matched.select(
+            "query_id",
+            "doc_id",
+            F.col("term"),
+            contrib.alias("contrib"),
+        )
+    )
 
     eps = 1e-9
     approx = scored.groupBy("query_id", "doc_id").agg(F.sum("contrib").alias("s_ap"))

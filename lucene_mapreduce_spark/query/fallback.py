@@ -41,12 +41,13 @@ def lookup_keys(
     assert m is not None, f"no index at {index_dir}"
     gens = sorted(m.ordered(), key=lambda s: -s.max_seq)[:max_generations]
 
+    from lucene_mapreduce_spark.index.build import read_doclens
+
     docs = None
     for s in gens:
-        d = (
-            spark.read.parquet(os.path.join(segment_dir(index_dir, s.segment_id), "doclens"))
-            .withColumn("gen_seq", F.lit(s.max_seq))
-        )
+        d = read_doclens(
+            spark, segment_dir(index_dir, s.segment_id), m.num_partitions
+        ).withColumn("gen_seq", F.lit(s.max_seq))
         docs = d if docs is None else docs.unionByName(d)
 
     newest = docs.groupBy("doc_id").agg(

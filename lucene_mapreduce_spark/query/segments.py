@@ -100,13 +100,16 @@ def read_postings(
 def live_doclens(
     spark: SparkSession, index_dir: str, manifest: Manifest | None = None
 ) -> DataFrame:
-    """(doc_id, dl, seg_seq) with exactly one live row per doc."""
+    """(doc_id, dl, seg_seq) with exactly one live row per doc (decoded from
+    each segment's reserved DL_TERM pseudo rows — see index/kernels.py)."""
+    from lucene_mapreduce_spark.index.build import read_doclens
+
     m = manifest or load_manifest(index_dir)
     assert m is not None
     dfs = None
     for s in m.ordered():
-        d = spark.read.parquet(
-            os.path.join(segment_dir(index_dir, s.segment_id), "doclens")
+        d = read_doclens(
+            spark, segment_dir(index_dir, s.segment_id), m.num_partitions
         ).withColumn("seg_seq", F.lit(s.min_seq))
         dfs = d if dfs is None else dfs.unionByName(d)
     if len(m.segments) == 1:

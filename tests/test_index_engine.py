@@ -123,10 +123,14 @@ def test_partition_contract(spark, built):
     seg = m.ordered()[0]
     p = os.path.join(index_dir, "segments", seg.segment_id, "postings")
     df = spark.read.parquet(p)
+    # phash == num_partitions is the reserved doclen pseudo-term partition
+    # (kernels.DL_TERM) — every REAL term must live under its hash dir
     bad = df.filter(
-        F.pmod(F.xxhash64("term"), F.lit(m.num_partitions)).cast("int") != F.col("phash")
+        (F.col("phash") != F.lit(m.num_partitions))
+        & (F.pmod(F.xxhash64("term"), F.lit(m.num_partitions)).cast("int") != F.col("phash"))
     ).count()
     assert bad == 0
+    assert df.filter(F.col("phash") == F.lit(m.num_partitions)).count() > 0
     assert any(e.startswith("phash=") for e in os.listdir(p))
 
 
