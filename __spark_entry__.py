@@ -18,6 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from lucene_mapreduce_spark.operators import (  # noqa: E402
     dedup,
     fulltext,
+    multimodal,
     parity,
     similarity,
     textstats,
@@ -39,6 +40,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "bm25_index_topk": fulltext.bm25_index_topk_documents,
         "bm25_wand_topk": fulltext.bm25_wand_topk_documents,
+        "bm25_wand_topk_unmerged": fulltext.bm25_wand_topk_unmerged,
+        "boolean_and_query": fulltext.boolean_and_query,
         "term_df": fulltext.term_df,
         "corpus_stats": fulltext.corpus_stats,
         "doc_tf": fulltext.doc_tf,
@@ -77,6 +80,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce_topk": similarity.ann_bruteforce_topk,
         "ann_lsh_topk": similarity.ann_lsh_topk,
         "embedding_near_dup_pairs": similarity.embedding_near_dup_pairs,
+        # training-data pipeline: multimodal (binary columns + Arrow kernels)
+        "media_decode_stats": multimodal.media_decode_stats,
+        "media_frame_stats": multimodal.media_frame_stats,
         # training-data pipeline: text analysis
         "language_id": textstats.language_id,
         "quality_score": textstats.quality_score,
@@ -93,4 +99,5 @@ def oracle_sql() -> dict[str, str]:
     # the index-backed and serving paths must match the SAME oracle
     out["bm25_index_topk"] = bm25_topk_sql(fulltext.FLAGSHIP_QUERY)
     out["bm25_wand_topk"] = bm25_topk_sql(fulltext.FLAGSHIP_QUERY)
+    out["bm25_wand_topk_unmerged"] = bm25_topk_sql(fulltext.FLAGSHIP_QUERY)
     return out

@@ -146,9 +146,15 @@ def transcripts_df_distributed(
         (i * n_conv // partitions, (i + 1) * n_conv // partitions, seed + 7919 * i)
         for i in range(partitions)
     ]
+    # EXACTLY one bounds row per partition: parallelize slices the list
+    # positionally. (A hash repartition of tiny bounds rows collides — some
+    # partitions get 2-4 conversation ranges, others 0 — and the resulting
+    # 4x input-split skew turns into a straggler task that caps stage
+    # scaling at any core count.)
     plan = spark.createDataFrame(
-        pd.DataFrame(bounds, columns=["lo", "hi", "seed"])
-    ).repartition(partitions, "lo")
+        spark.sparkContext.parallelize(bounds, partitions),
+        "lo long, hi long, seed long",
+    )
     return plan.mapInPandas(gen, schema=TRANSCRIPT_SCHEMA)
 
 

@@ -197,9 +197,18 @@ def build_segment(
     # (kernels.py) — the whole build is ONE Spark job: scan -> encode ->
     # shuffle -> merge -> write. No second corpus scan, no separate doclens
     # job; this is what keeps fixed per-job cost off the scaling curve.
+    #
+    # Shuffle key is (phash, salt) where salt = chunk mod n_salt: a head
+    # term still fans out over n_salt tasks (memory stays chunk-bounded
+    # either way — the kernel streams groups), while each reduce task owns
+    # only a few phash values, so partitionBy(phash) writes ~4 files per
+    # task instead of one per (task x phash) — ~8x fewer output files, ~8x
+    # less driver-side commit work and fewer footers for serving to prune.
+    n_salt = max(2, (4 * enc_parts) // (num_partitions + 1))
     encoded = (
         partial.withColumn("dead", F.lit(None).cast("array<long>"))
-        .repartition(enc_parts, "phash", "chunk")
+        .withColumn("salt", F.pmod(F.col("chunk"), F.lit(n_salt)))
+        .repartition(enc_parts, "phash", "salt")
         .sortWithinPartitions("phash", "term", "chunk")
         .select("phash", "term", "chunk", "payload", "dead")
         .mapInPandas(_merge_stream, schema=POSTING_SCHEMA)

@@ -106,8 +106,10 @@ def merge_once(
     # One write covers postings AND doclens: the DL_TERM pseudo rows merge
     # through the same kernel, and the dead-list masking drops shadowed
     # docs from them exactly as it does from real posting lists.
+    n_salt = max(2, (4 * merge_parts) // (m.num_partitions + 1))
     merged = (
-        joined.repartition(merge_parts, "phash", "chunk")
+        joined.withColumn("salt", F.pmod(F.col("chunk"), F.lit(n_salt)))
+        .repartition(merge_parts, "phash", "salt")
         .sortWithinPartitions("phash", "term", "chunk", "seg_seq")
         .select("phash", "term", "chunk", "payload", "dead")
         .mapInPandas(_merge_stream, schema=POSTING_SCHEMA)

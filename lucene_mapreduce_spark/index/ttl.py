@@ -83,9 +83,11 @@ def purge_expired(
     parts = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), m.num_partitions)
     # One write covers postings AND doclens (DL_TERM pseudo rows): expired
     # and shadowed docs are masked from both by the same dead lists.
+    n_salt = max(2, (4 * parts) // (m.num_partitions + 1))
     merged = (
         rows.join(dead_by_chunk, ["seg_seq", "chunk"], "left")
-        .repartition(parts, "phash", "chunk")
+        .withColumn("salt", F.pmod(F.col("chunk"), F.lit(n_salt)))
+        .repartition(parts, "phash", "salt")
         .sortWithinPartitions("phash", "term", "chunk", "seg_seq")
         .select("phash", "term", "chunk", "payload", "dead")
         .mapInPandas(_merge_stream, schema=POSTING_SCHEMA)

@@ -9,13 +9,18 @@ hash functions are md5-based *strings* so Spark and DuckDB agree bit-for-bit
 
 Scale notes: every self-join goes through a shingle/bucket key (never a
 cross join); candidate generation is O(shared-bucket pairs); Zipf-skewed
-shingle keys are the classic hot spot — the `max_bucket` caps below drop
-degenerate buckets exactly like production LSH pipelines do.
+shingle keys are the classic hot spot — `_cap_buckets` drops degenerate
+buckets (> MAX_BUCKET members) before every self-join, so per-bucket pair
+counts are bounded at any corpus size (a shingle present in half of 10^12
+docs contributes zero candidate pairs instead of 10^23). SimHash is 64-bit
+with 16-bit bands: 65,536 bucket values per band keeps bucket population
+~N/65k — the 8-bit-band variant (256 buckets) goes quadratic per bucket at
+10^9+ docs.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lucene_mapreduce_spark.functions.tokenize import tokenize_col
@@ -24,6 +29,20 @@ from lucene_mapreduce_spark.operators.parity import load
 N_MINHASH = 12
 LSH_BANDS = 4  # 4 bands x 3 rows
 SHINGLE_K = 3
+MAX_BUCKET = 100  # drop join keys shared by more docs than this (skew cap)
+
+
+def _cap_buckets(df: DataFrame, key_cols: list[str], max_bucket: int) -> DataFrame:
+    """Drop rows whose join-key bucket exceeds max_bucket members — the
+    standard hot-key guard for LSH/shingle self-joins (a degenerate bucket
+    of B docs would emit B^2/2 pairs). Window count + filter: one extra
+    shuffle on the same key the join uses, map-side combinable."""
+    w = Window.partitionBy(*key_cols)
+    return (
+        df.withColumn("__bn", F.count(F.lit(1)).over(w))
+        .filter(F.col("__bn") <= max_bucket)
+        .drop("__bn")
+    )
 
 
 def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -59,16 +78,22 @@ def _shingles(docs: DataFrame) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.5
+    spark: SparkSession, sf_dir: str, threshold: float = 0.5,
+    max_bucket: int = MAX_BUCKET,
 ) -> DataFrame:
     """Near-dup pairs by exact Jaccard over 3-gram shingles.
 
     Candidate pairs come from the shingle inverted index (self-equi-join on
     shingle) — never a cross join; intersection counts fall out of the join,
-    union sizes from per-doc shingle counts.
+    union sizes from per-doc shingle counts. Shingles present in more than
+    max_bucket docs are dropped BEFORE the join (stop-shingle filtering):
+    one Zipf-head shingle would otherwise emit a quadratic pair blowup, and
+    a shingle shared by >100 docs carries no near-dup signal anyway.
+    Jaccard is computed over the capped shingle universe on both sides of
+    the fraction (sizes come from the same filtered set).
     """
     docs = load(spark, sf_dir, "documents")
-    sh = _shingles(docs)
+    sh = _cap_buckets(_shingles(docs), ["shingle"], max_bucket)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
 
     a = sh.alias("a")
@@ -115,11 +140,15 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed.groupBy("doc_id", "i").agg(F.min("h").alias("sig"))
 
 
-def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_lsh_pairs(
+    spark: SparkSession, sf_dir: str, max_bucket: int = MAX_BUCKET
+) -> DataFrame:
     """MinHash + LSH banding: signatures grouped into LSH_BANDS bands of
     N_MINHASH/LSH_BANDS rows; docs sharing any band key become candidate
     pairs (then exact-verified downstream by ngram_jaccard_pairs at scale).
-    The band key is itself md5(banded sigs) — short join keys, skew-safe."""
+    The band key is itself md5(banded sigs) — high-cardinality join keys —
+    and band buckets over max_bucket members (byte-identical doc clusters)
+    are dropped before the self-join, bounding pair output per bucket."""
     sigs = minhash_signatures(spark, sf_dir)
     rows_per_band = N_MINHASH // LSH_BANDS
     banded = (
@@ -137,6 +166,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("band_key")
         )
     )
+    banded = _cap_buckets(banded, ["band", "band_key"], max_bucket)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -151,17 +181,28 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def simhash(spark: SparkSession, sf_dir: str, bits: int = 32) -> DataFrame:
-    """SimHash fingerprints: bit j of the fingerprint is the sign of the
-    tf-weighted sum of (2*parity(md5(token) hex digit j) - 1) over tokens.
-    A 32-bit md5-derived hash family — identical in Spark and DuckDB.
-    """
+def simhash(spark: SparkSession, sf_dir: str, bits: int = 64) -> DataFrame:
+    """64-bit SimHash fingerprints, stored as two 32-bit halves
+    (simhash_hi = bits 32..63, simhash_lo = bits 0..31). Bit j's sign comes
+    from the tf-weighted sum of hex-digit parities of
+    md5('0:'||token) || md5('1:'||token) — an md5-derived family identical
+    in Spark and DuckDB (two halves because a BIGINT 1<<63 overflows
+    DuckDB's checked shift; 2x32 also gives natural 16-bit band slices).
+
+    64 bits is the production width: hamming<=k near-dup detection over
+    32 bits saturates at web scale (too many unrelated docs collide)."""
     docs = load(spark, sf_dir, "documents")
     tf = (
         docs.select("doc_id", F.explode(tokenize_col("text")).alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .withColumn("h", F.md5("token"))
+        .withColumn(
+            "h",
+            F.concat(
+                F.md5(F.concat(F.lit("0:"), F.col("token"))),
+                F.md5(F.concat(F.lit("1:"), F.col("token"))),
+            ),
+        )
     )
     per_bit = tf.select(
         "doc_id",
@@ -187,27 +228,47 @@ def simhash(spark: SparkSession, sf_dir: str, bits: int = 32) -> DataFrame:
         .select(
             "doc_id",
             F.expr(
-                "CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), j) "
+                "CASE WHEN s > 0 AND j >= 32 "
+                "THEN shiftleft(CAST(1 AS BIGINT), j - 32) "
                 "ELSE CAST(0 AS BIGINT) END"
-            ).alias("bit"),
+            ).alias("bit_hi"),
+            F.expr(
+                "CASE WHEN s > 0 AND j < 32 "
+                "THEN shiftleft(CAST(1 AS BIGINT), j) "
+                "ELSE CAST(0 AS BIGINT) END"
+            ).alias("bit_lo"),
         )
     )
-    return bitvals.groupBy("doc_id").agg(F.sum("bit").alias("simhash"))
+    return bitvals.groupBy("doc_id").agg(
+        F.sum("bit_hi").alias("simhash_hi"), F.sum("bit_lo").alias("simhash_lo")
+    )
 
 
-def simhash_near_pairs(spark: SparkSession, sf_dir: str, max_hamming: int = 6) -> DataFrame:
-    """Near-dup candidates by SimHash hamming distance, bucketed by 8-bit
-    bands (a pair within hamming<=6 over 32 bits shares >=1 of 4 bands by
-    pigeonhole when distance < 4... kept exact here by verifying the
-    distance after the band join)."""
+def simhash_near_pairs(
+    spark: SparkSession, sf_dir: str, max_hamming: int = 12,
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """Near-dup candidates by 64-bit SimHash hamming distance, bucketed by
+    FOUR 16-BIT BANDS (65,536 bucket values per band — bucket population
+    stays ~N/65k at any corpus size; 8-bit bands go quadratic per bucket
+    beyond 10^9 docs). Candidates from the band equi-join (guaranteed
+    complete for hamming < 4 by pigeonhole, probabilistic above), verified
+    with the exact distance; degenerate buckets are capped."""
     sh = simhash(spark, sf_dir).cache()
+    # band 0,1 from the low half (bits 0-15, 16-31); band 2,3 from the high
     banded = sh.select(
         "doc_id",
-        "simhash",
+        "simhash_hi",
+        "simhash_lo",
         F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
     ).withColumn(
-        "band_val", F.expr("shiftright(simhash, band * 8) & CAST(255 AS BIGINT)")
+        "band_val",
+        F.expr(
+            "shiftright(CASE WHEN band < 2 THEN simhash_lo ELSE simhash_hi END, "
+            "pmod(band, 2) * 16) & CAST(65535 AS BIGINT)"
+        ),
     )
+    banded = _cap_buckets(banded, ["band", "band_val"], max_bucket)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -219,12 +280,16 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str, max_hamming: int = 6) -
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+            F.col("a.simhash_hi").alias("hi_a"),
+            F.col("a.simhash_lo").alias("lo_a"),
+            F.col("b.simhash_hi").alias("hi_b"),
+            F.col("b.simhash_lo").alias("lo_b"),
         )
         .distinct()
     )
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    ham = F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b"))) + F.bit_count(
+        F.col("lo_a").bitwiseXOR(F.col("lo_b"))
+    )
     return (
         cand.withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)

@@ -17,6 +17,7 @@ from lucene_mapreduce_spark.query.bm25_df import bm25_scan_topk, corpus_postings
 # Flagship query text (terms drawn from the documents vocabulary: mixed df).
 FLAGSHIP_QUERY = "table scan fast merge"
 SECOND_QUERY = "vector stream window"
+BOOLEAN_QUERY = "table merge"
 
 
 def term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -115,6 +116,74 @@ def bm25_index_topk_documents(
     )
     out = bm25_index_topk(spark, ix, queries, k=k, round_to=6)
     return out.select("doc_id", "score", "rank")
+
+
+def boolean_and_query(
+    spark: SparkSession, sf_dir: str, query_text: str = BOOLEAN_QUERY
+) -> DataFrame:
+    """Exact conjunctive (AND) retrieval through the index's posting
+    cursors — the reference QueryParser's boolean surface
+    (XdiReportReducer.java:356). Oracle: docs whose token set contains
+    every query term."""
+    from lucene_mapreduce_spark.query.wand import IndexSearcher
+
+    ix = _gate_index(spark, sf_dir)
+    docids = IndexSearcher(ix).search_boolean(query_text, mode="and")
+    return spark.createDataFrame([(int(d),) for d in docids], "doc_id long")
+
+
+_GATE_INDEXES_UNMERGED: dict[str, str] = {}
+
+
+def _gate_index_unmerged(spark: SparkSession, sf_dir: str) -> str:
+    """A deliberately UNMERGED 2-generation index whose latest-wins state
+    equals the documents table: batch 1 holds the even docs plus STALE text
+    for the odd docs; batch 2 re-indexes the true odd docs, shadowing the
+    stale copies. Serving it must mask the stale generation without a merge
+    (the reference's between-merges reality, XdiReportReducer.java:248-285).
+    """
+    import os
+    import tempfile
+
+    from lucene_mapreduce_spark.index.build import build_segment
+    from lucene_mapreduce_spark.index.manifest import load_manifest
+
+    path = _GATE_INDEXES_UNMERGED.get(sf_dir)
+    if path and load_manifest(path) is not None:
+        return path
+    path = os.path.join(tempfile.mkdtemp(prefix="lmr_gate_um_"), "ix")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    stale_odd = docs.filter("doc_id % 2 = 1").withColumn(
+        "text", F.concat(F.lit("stale shadowed "), F.col("text"))
+    )
+    build_segment(
+        spark, docs.filter("doc_id % 2 = 0").unionByName(stale_odd), path,
+        num_partitions=8,
+    )
+    build_segment(spark, docs.filter("doc_id % 2 = 1"), path)
+    _GATE_INDEXES_UNMERGED[sf_dir] = path
+    return path
+
+
+def bm25_wand_topk_unmerged(
+    spark: SparkSession, sf_dir: str, query_text: str = FLAGSHIP_QUERY, k: int = 10
+) -> DataFrame:
+    """Multi-generation serving: block-max WAND over the UNMERGED
+    2-generation gate index — stale shadowed copies must be masked by the
+    latest-wins live map, and the result must match the same corpus oracle
+    as every other BM25 path."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from lucene_mapreduce_spark.query.wand import IndexSearcher
+
+    ix = _gate_index_unmerged(spark, sf_dir)
+    hits = IndexSearcher(ix).search(query_text, k=k)
+
+    def _round6(x: float) -> float:
+        return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+    rows = [(int(d), _round6(s), i + 1) for i, (d, s) in enumerate(hits)]
+    return spark.createDataFrame(rows, "doc_id long, score double, rank int")
 
 
 def bm25_wand_topk_documents(

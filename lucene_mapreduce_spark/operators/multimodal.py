@@ -62,27 +62,44 @@ def _parse_header(buf: bytes) -> tuple[int, int, int]:
 
 
 def decode_features(media: DataFrame) -> DataFrame:
-    """Decode + feature-extract kernel: (media_id, kind, n_bytes, mean_val,
-    std_val). The np.frombuffer line is where a real decoder goes."""
+    """Decode + feature-extract kernel: (media_id, kind, n_bytes, sum_bytes,
+    mean_val, std_val). The np.frombuffer line is where a real decoder goes.
+
+    mean/std derive from EXACT integer sums (sum, sum-of-squares fit in
+    int64 for any realistic payload) through a fixed float expression —
+    mean = s/n, std = sqrt(sq/n - (s/n)*(s/n)) — so a SQL oracle evaluating
+    the identical expression on the identical integers is bit-identical
+    (np.mean/np.std would pairwise-sum and 1-ulp-diverge)."""
+    import math
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, kinds, nb, mean_v, std_v = [], [], [], [], []
+            ids, kinds, nb, sb, mean_v, std_v = [], [], [], [], [], []
             for mid, kind, data in zip(pdf["media_id"], pdf["kind"], pdf["data"]):
                 _parse_header(data)
                 arr = np.frombuffer(data, np.uint8, offset=16)  # <- real decode here
+                n = len(arr)
+                s = int(arr.sum(dtype=np.int64))
+                sq = int((arr.astype(np.int64) ** 2).sum())
                 ids.append(mid)
                 kinds.append(kind)
-                nb.append(len(arr))
-                mean_v.append(float(arr.mean()) if len(arr) else 0.0)
-                std_v.append(float(arr.std()) if len(arr) else 0.0)
+                nb.append(n)
+                sb.append(s)
+                mean_v.append(s / n if n else 0.0)
+                std_v.append(
+                    math.sqrt(sq / n - (s / n) * (s / n)) if n else 0.0
+                )
             yield pd.DataFrame(
-                {"media_id": ids, "kind": kinds, "n_bytes": nb,
+                {"media_id": ids, "kind": kinds, "n_bytes": nb, "sum_bytes": sb,
                  "mean_val": mean_v, "std_val": std_v}
             )
 
     return media.select("media_id", "kind", "data").mapInPandas(
-        kernel, schema="media_id long, kind string, n_bytes long, mean_val double, std_val double"
+        kernel,
+        schema=(
+            "media_id long, kind string, n_bytes long, sum_bytes long, "
+            "mean_val double, std_val double"
+        ),
     )
 
 
@@ -115,6 +132,114 @@ def resize_images(media: DataFrame, out_w: int = 4, out_h: int = 4) -> DataFrame
         media.filter(F.col("kind") == "image")
         .select("media_id", "data")
         .mapInPandas(kernel, schema="media_id long, data binary")
+    )
+
+
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic media table derived from `documents` doc_ids — the
+    oracle-checkable face of the family. Payload bytes are ASCII md5 hex
+    chains, so a SQL engine can verify the DECODED statistics closed-form
+    while the Spark side exercises the real binary plumbing (blob assembly,
+    header parse, Arrow-batched decode kernels):
+
+      kind  = (image, audio, video)[doc_id % 3]
+      image/audio: payload = md5(str(doc_id)) hex ASCII, repeated
+                   r = 1 + doc_id % 4 times      (w=8, h=4r, rate=r)
+      video:       rate = 2 + doc_id % 5 frames; frame f's 32 bytes are
+                   md5(str(doc_id*1000 + f)) hex ASCII (w=8, h=4)
+    """
+    import hashlib
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, kinds, blobs, ws, hs, rates = [], [], [], [], [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                kind = ("image", "audio", "video")[did % 3]
+                if kind == "video":
+                    rate = 2 + did % 5
+                    payload = b"".join(
+                        hashlib.md5(str(did * 1000 + f).encode())
+                        .hexdigest()
+                        .encode()
+                        for f in range(rate)
+                    )
+                    w, h = 8, 4
+                else:
+                    rate = 1 + did % 4
+                    payload = hashlib.md5(str(did).encode()).hexdigest().encode() * rate
+                    w, h = 8, 4 * rate
+                ids.append(did)
+                kinds.append(kind)
+                blobs.append(MAGIC + struct.pack("<III", w, h, rate) + payload)
+                ws.append(w)
+                hs.append(h)
+                rates.append(rate)
+            yield pd.DataFrame(
+                {"media_id": ids, "kind": kinds, "data": blobs,
+                 "width": ws, "height": hs, "rate": rates}
+            )
+
+    return docs.select("doc_id").mapInPandas(kernel, schema=MEDIA_SCHEMA)
+
+
+def frame_stats(frames: DataFrame) -> DataFrame:
+    """Per-frame byte statistics over sample_frames output (exact integer
+    sums; same oracle-matched float expression as decode_features)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, nb, sb, mean_v = [], [], [], [], []
+            for mid, fidx, frame in zip(
+                pdf["media_id"], pdf["frame_idx"], pdf["frame"]
+            ):
+                arr = np.frombuffer(frame, np.uint8, offset=16)
+                n = len(arr)
+                s = int(arr.sum(dtype=np.int64))
+                ids.append(mid)
+                idxs.append(fidx)
+                nb.append(n)
+                sb.append(s)
+                mean_v.append(s / n if n else 0.0)
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "n_bytes": nb,
+                 "sum_bytes": sb, "mean_val": mean_v}
+            )
+
+    return frames.mapInPandas(
+        kernel,
+        schema="media_id long, frame_idx int, n_bytes long, sum_bytes long, mean_val double",
+    )
+
+
+def media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate entry: decode + feature-extract over the document-derived media
+    table; every stat is oracle-verified closed-form from md5(doc_id)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from lucene_mapreduce_spark.operators.parity import load
+
+    media = media_from_documents(load(spark, sf_dir, "documents"))
+    out = decode_features(media)
+    return out.select(
+        "media_id", "kind", "n_bytes", "sum_bytes",
+        F.round("mean_val", 6).alias("mean_val"),
+        F.round("std_val", 6).alias("std_val"),
+    )
+
+
+def media_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate entry: video frame-sampling (stride 2) + per-frame stats over
+    the document-derived media table, oracle-verified closed-form."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from lucene_mapreduce_spark.operators.parity import load
+
+    media = media_from_documents(load(spark, sf_dir, "documents"))
+    out = frame_stats(sample_frames(media, every=2))
+    return out.select(
+        "media_id", "frame_idx", "n_bytes", "sum_bytes",
+        F.round("mean_val", 6).alias("mean_val"),
     )
 
 

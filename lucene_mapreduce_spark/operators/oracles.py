@@ -82,10 +82,15 @@ FROM documents GROUP BY 1
 """,
     "ngram_jaccard_pairs": f"""
 WITH {_SHINGLES},
-sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY 1),
+shc AS (
+  SELECT doc_id, shingle FROM (
+    SELECT *, count(*) OVER (PARTITION BY shingle) AS bn FROM sh
+  ) WHERE bn <= 100
+),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM shc GROUP BY 1),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,
@@ -111,55 +116,68 @@ banded AS (
   SELECT doc_id, (i // 3)::INT AS band,
          md5(string_agg(i::VARCHAR || ':' || sig, '|' ORDER BY i)) AS band_key
   FROM sigs GROUP BY doc_id, (i // 3)::INT
+),
+capped AS (
+  SELECT doc_id, band, band_key FROM (
+    SELECT *, count(*) OVER (PARTITION BY band, band_key) AS bn FROM banded
+  ) WHERE bn <= 100
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM banded a JOIN banded b
+FROM capped a JOIN capped b
   ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 """,
     "simhash": f"""
 WITH tok AS (SELECT doc_id, unnest({TOKS}) AS token FROM documents),
 tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
-h AS (SELECT doc_id, tf, md5(token) AS h FROM tf),
+h AS (SELECT doc_id, tf, md5('0:' || token) || md5('1:' || token) AS h FROM tf),
 per_bit AS (
   SELECT doc_id, j,
          sum(tf * CASE WHEN substr(h, (j + 1)::INT, 1)
                         IN ('1','3','5','7','9','b','d','f')
                   THEN 1 ELSE -1 END)::BIGINT AS s
-  FROM h, range(0, 32) t(j) GROUP BY 1, 2
+  FROM h, range(0, 64) t(j) GROUP BY 1, 2
 )
 SELECT doc_id,
-       sum(CASE WHEN s > 0 THEN (1::BIGINT << j::INT) ELSE 0 END)::BIGINT AS simhash
+       sum(CASE WHEN s > 0 AND j >= 32 THEN (1::BIGINT << (j - 32)::INT) ELSE 0 END)::BIGINT AS simhash_hi,
+       sum(CASE WHEN s > 0 AND j < 32 THEN (1::BIGINT << j::INT) ELSE 0 END)::BIGINT AS simhash_lo
 FROM per_bit GROUP BY 1
 """,
     "simhash_near_pairs": f"""
 WITH tok AS (SELECT doc_id, unnest({TOKS}) AS token FROM documents),
 tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
-h AS (SELECT doc_id, tf, md5(token) AS h FROM tf),
+h AS (SELECT doc_id, tf, md5('0:' || token) || md5('1:' || token) AS h FROM tf),
 per_bit AS (
   SELECT doc_id, j,
          sum(tf * CASE WHEN substr(h, (j + 1)::INT, 1)
                         IN ('1','3','5','7','9','b','d','f')
                   THEN 1 ELSE -1 END)::BIGINT AS s
-  FROM h, range(0, 32) t(j) GROUP BY 1, 2
+  FROM h, range(0, 64) t(j) GROUP BY 1, 2
 ),
 fp AS (
   SELECT doc_id,
-         sum(CASE WHEN s > 0 THEN (1::BIGINT << j::INT) ELSE 0 END)::BIGINT AS simhash
+         sum(CASE WHEN s > 0 AND j >= 32 THEN (1::BIGINT << (j - 32)::INT) ELSE 0 END)::BIGINT AS hi,
+         sum(CASE WHEN s > 0 AND j < 32 THEN (1::BIGINT << j::INT) ELSE 0 END)::BIGINT AS lo
   FROM per_bit GROUP BY 1
 ),
 banded AS (
-  SELECT doc_id, simhash, band,
-         (simhash >> (band * 8)) & 255 AS band_val
+  SELECT doc_id, hi, lo, band,
+         ((CASE WHEN band < 2 THEN lo ELSE hi END) >> ((band % 2) * 16)) & 65535 AS band_val
   FROM fp, range(0, 4) t(band)
+),
+capped AS (
+  SELECT doc_id, hi, lo, band, band_val FROM (
+    SELECT *, count(*) OVER (PARTITION BY band, band_val) AS bn FROM banded
+  ) WHERE bn <= 100
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         a.simhash AS sh_a, b.simhash AS sh_b
-  FROM banded a JOIN banded b
+         a.hi AS hi_a, a.lo AS lo_a, b.hi AS hi_b, b.lo AS lo_b
+  FROM capped a JOIN capped b
     ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
 )
-SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b))::INT AS hamming
-FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 6
+SELECT doc_a, doc_b,
+       (bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)))::INT AS hamming
+FROM cand WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 12
 """,
     # ------------------------------------------------------------- similarity
     "ann_bruteforce_topk": """
@@ -176,20 +194,58 @@ SELECT vec_id, cosine, rank FROM (
   )
 ) WHERE rank <= 10
 """,
-    "embedding_near_dup_pairs": """
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-             / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-                * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6)
-       AS cosine
-FROM embeddings a JOIN embeddings b
-  ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-            / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-               * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6)
-      >= 0.35
+    # embedding_near_dup_pairs / ann_lsh_topk: generated below (literal
+    # hyperplane sign matrices shared with operators/similarity.py)
+    # ------------------------------------------------------------- multimodal
+    # the media table is derived from documents doc_ids with md5 ASCII
+    # payloads (multimodal.media_from_documents), so decoded stats have a
+    # closed form; mean/std evaluate the SAME float expression on the SAME
+    # exact integers as the Spark kernel (bit-identical)
+    "media_decode_stats": """
+WITH d AS (SELECT doc_id FROM documents),
+img AS (
+  SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'image' ELSE 'audio' END AS kind,
+         1 + (doc_id % 4) AS r, md5(doc_id::VARCHAR) AS hx
+  FROM d WHERE doc_id % 3 <> 2
+),
+ib AS (SELECT doc_id, kind, r, ascii(substr(hx, i::INT, 1)) AS v
+       FROM img, range(1, 33) t(i)),
+ia AS (SELECT doc_id, kind, max(r) AS r, sum(v)::BIGINT AS s, sum(v*v)::BIGINT AS sq
+       FROM ib GROUP BY 1, 2),
+istats AS (
+  SELECT doc_id AS media_id, kind, (32*r)::BIGINT AS n, (s*r)::BIGINT AS s,
+         (sq*r)::BIGINT AS sq
+  FROM ia
+),
+vid AS (SELECT doc_id, 2 + (doc_id % 5) AS rate FROM d WHERE doc_id % 3 = 2),
+vb AS (SELECT doc_id, unnest(range(0, rate)) AS f FROM vid),
+vv AS (SELECT doc_id, ascii(substr(md5((doc_id*1000+f)::VARCHAR), i::INT, 1)) AS v
+       FROM vb, range(1, 33) t(i)),
+vstats AS (
+  SELECT doc_id AS media_id, 'video' AS kind, count(*)::BIGINT AS n,
+         sum(v)::BIGINT AS s, sum(v*v)::BIGINT AS sq
+  FROM vv GROUP BY 1
+),
+allstats AS (SELECT * FROM istats UNION ALL SELECT * FROM vstats)
+SELECT media_id, kind, n AS n_bytes, s AS sum_bytes,
+       round(s / n, 6) AS mean_val,
+       round(sqrt(sq / n - (s / n) * (s / n)), 6) AS std_val
+FROM allstats
 """,
-    "ann_lsh_topk": None,  # approximate bucket recall — rows-only check
+    "media_frame_stats": """
+WITH vid AS (SELECT doc_id, 2 + (doc_id % 5) AS rate
+             FROM documents WHERE doc_id % 3 = 2),
+fr AS (SELECT doc_id, unnest(range(0, rate, 2)) AS f FROM vid),
+fv AS (SELECT doc_id, f,
+              ascii(substr(md5((doc_id*1000+f)::VARCHAR), i::INT, 1)) AS v
+       FROM fr, range(1, 33) t(i)),
+agg AS (SELECT doc_id AS media_id, f::INT AS frame_idx,
+               count(*)::BIGINT AS n_bytes, sum(v)::BIGINT AS sum_bytes
+        FROM fv GROUP BY 1, 2)
+SELECT media_id, frame_idx, n_bytes, sum_bytes,
+       round(sum_bytes / n_bytes, 6) AS mean_val
+FROM agg
+""",
     # ------------------------------------------------------------- textstats
     "language_id": f"""
 WITH t AS (SELECT doc_id, list_distinct({TOKS}) AS toks FROM documents),
@@ -261,6 +317,10 @@ WITH dl AS (SELECT doc_id, len({TOKS}) AS dl FROM documents)
 SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS total_tokens,
        round(avg(dl::DOUBLE), 6) AS avgdl
 FROM dl
+""",
+    "boolean_and_query": f"""
+SELECT doc_id FROM (SELECT doc_id, {TOKS} AS toks FROM documents)
+WHERE list_contains(toks, 'table') AND list_contains(toks, 'merge')
 """,
     "doc_tf": f"""
 WITH toks AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents),
@@ -421,3 +481,116 @@ SELECT event_id,
 FROM events
 """,
 }
+
+
+# ---------------------------------------------------------------- LSH twins
+# The hyperplane sign matrix is a constant (md5-derived, see
+# similarity.plane_signs); both engines evaluate the SAME literal +-1
+# vectors, and every dot product is an explicit left-to-right +-chain —
+# bit-identical to Spark's sequential `aggregate` fold, so bucket
+# membership (and therefore the row set) matches exactly.
+
+def _dot_chain(vec_expr: str, plane_idx: int) -> str:
+    from lucene_mapreduce_spark.operators.similarity import plane_signs
+
+    return " + ".join(
+        f"{vec_expr}[{j + 1}]*{s}" for j, s in enumerate(plane_signs(plane_idx))
+    )
+
+
+def _sig_expr(vec_expr: str, first_plane: int, n_planes: int) -> str:
+    return " || ".join(
+        f"(CASE WHEN ({_dot_chain(vec_expr, first_plane + p)}) > 0 "
+        f"THEN '1' ELSE '0' END)"
+        for p in range(n_planes)
+    )
+
+
+def _ann_lsh_sql() -> str:
+    from lucene_mapreduce_spark.operators.similarity import (
+        ANN_PLANES,
+        ANN_PROBE_HAMMING,
+        ANN_TABLES,
+        QUERY_VEC_ID,
+    )
+
+    sig_cols = ",\n       ".join(
+        f"{_sig_expr('v', t * ANN_PLANES, ANN_PLANES)} AS s{t}"
+        for t in range(ANN_TABLES)
+    )
+    near = " OR ".join(
+        f"len(list_filter(range(1, {ANN_PLANES + 1}), "
+        f"i -> substr(s.s{t}, i::INT, 1) <> substr(q.s{t}, i::INT, 1))) "
+        f"<= {ANN_PROBE_HAMMING}"
+        for t in range(ANN_TABLES)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sig AS (
+SELECT vec_id, v,
+       {sig_cols}
+FROM e
+),
+q AS (SELECT * FROM sig WHERE vec_id = {QUERY_VEC_ID}),
+cand AS (
+  SELECT s.vec_id, s.v FROM sig s, q
+  WHERE s.vec_id <> {QUERY_VEC_ID} AND ({near})
+),
+scored AS (
+  SELECT c.vec_id,
+         round(list_dot_product(c.v, q.v)
+               / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.v, q.v))), 6)
+           AS cosine
+  FROM cand c, q
+)
+SELECT vec_id, cosine, rank FROM (
+  SELECT vec_id, cosine,
+         row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+
+def _near_dup_sql() -> str:
+    from lucene_mapreduce_spark.operators.similarity import (
+        _NDUP_PLANE_BASE,
+        NDUP_BANDS,
+        NDUP_MAX_BUCKET,
+        NDUP_PLANES_PER_BAND,
+    )
+
+    branches = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, {b} AS band, "
+        f"{_sig_expr('v', _NDUP_PLANE_BASE + b * NDUP_PLANES_PER_BAND, NDUP_PLANES_PER_BAND)}"
+        f" AS band_key FROM e"
+        for b in range(NDUP_BANDS)
+    )
+    cos = (
+        "list_dot_product(ea.v, eb.v) / (sqrt(list_dot_product(ea.v, ea.v)) "
+        "* sqrt(list_dot_product(eb.v, eb.v)))"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+banded AS (
+{branches}
+),
+capped AS (
+  SELECT vec_id, band, band_key FROM (
+    SELECT *, count(*) OVER (PARTITION BY band, band_key) AS bn FROM banded
+  ) WHERE bn <= {NDUP_MAX_BUCKET}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM capped a JOIN capped b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, round({cos}, 6) AS cosine
+FROM cand
+JOIN e ea ON ea.vec_id = vec_a
+JOIN e eb ON eb.vec_id = vec_b
+WHERE round({cos}, 6) >= 0.35
+"""
+
+
+ORACLES["ann_lsh_topk"] = _ann_lsh_sql()
+ORACLES["embedding_near_dup_pairs"] = _near_dup_sql()

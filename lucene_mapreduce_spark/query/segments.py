@@ -67,23 +67,48 @@ def term_phashes(spark: SparkSession, terms: list[str], num_partitions: int) -> 
 def read_postings(
     spark: SparkSession,
     index_dir: str,
-    terms: list[str],
+    terms: list[str] | DataFrame,
     manifest: Manifest | None = None,
 ) -> DataFrame:
-    """Decoded live postings (term, doc_id, tf, dl) for the given terms."""
+    """Decoded live postings (term, doc_id, tf, dl) for the given terms.
+
+    ``terms`` as a small list drives phash-directory pruning + parquet
+    row-group pushdown (`term IN (...)`) — optimal for interactive queries.
+    ``terms`` as a DataFrame is the offline-batch shape (the reference's
+    daily 1 TB probe join, XdiReportDriver.java:253-266): the term set
+    never materializes on the driver; postings scan all phash directories
+    once and broadcast-hash-join against the term frame.
+    """
     m = manifest or load_manifest(index_dir)
     assert m is not None, f"no index at {index_dir}"
     segs = m.ordered()
-    phashes = sorted(set(term_phashes(spark, terms, m.num_partitions).values()))
 
     rows = None
-    for s in segs:
-        r = (
-            spark.read.parquet(os.path.join(segment_dir(index_dir, s.segment_id), "postings"))
-            .filter(F.col("phash").isin(phashes) & F.col("term").isin(terms))
-            .withColumn("seg_seq", F.lit(s.min_seq))
-        )
-        rows = r if rows is None else rows.unionByName(r)
+    if isinstance(terms, DataFrame):
+        tdf = F.broadcast(terms.select("term").distinct())
+        for s in segs:
+            r = (
+                spark.read.parquet(
+                    os.path.join(segment_dir(index_dir, s.segment_id), "postings")
+                )
+                # phash < P excludes the reserved doclen pseudo partition
+                # (a query token could legitimately spell DL_TERM)
+                .filter(F.col("phash") < F.lit(m.num_partitions))
+                .join(tdf, "term", "inner")
+                .withColumn("seg_seq", F.lit(s.min_seq))
+            )
+            rows = r if rows is None else rows.unionByName(r)
+    else:
+        phashes = sorted(set(term_phashes(spark, terms, m.num_partitions).values()))
+        for s in segs:
+            r = (
+                spark.read.parquet(
+                    os.path.join(segment_dir(index_dir, s.segment_id), "postings")
+                )
+                .filter(F.col("phash").isin(phashes) & F.col("term").isin(terms))
+                .withColumn("seg_seq", F.lit(s.min_seq))
+            )
+            rows = r if rows is None else rows.unionByName(r)
 
     decoded = rows.select("term", "payload", "seg_seq").mapInPandas(
         _decode_rows, schema="term string, doc_id long, tf long, dl long, seg_seq long"
@@ -146,10 +171,16 @@ def bm25_index_topk(
     queries: DataFrame,
     k: int = 10,
     round_to: int | None = None,
+    max_pushdown_terms: int = 256,
 ) -> DataFrame:
     """Top-k BM25 for a batch of queries against the built index.
 
     Same output contract as bm25_scan_topk — rank-identical to the oracle.
+    Small term sets (<= max_pushdown_terms) collect driver-side and push
+    into phash-directory pruning + row-group filters; larger batches (the
+    reference's million-probe offline joins) stay fully distributed — the
+    term frame broadcast-joins the postings scan, nothing materializes on
+    the driver.
     """
     m = load_manifest(index_dir)
     assert m is not None
@@ -157,7 +188,13 @@ def bm25_index_topk(
         queries.select("query_id", F.explode(tokenize_col("query_text")).alias("term"))
         .distinct()
     )
-    terms = [r["term"] for r in qterms.select("term").distinct().collect()]
+    qterm_list = qterms.select("term").distinct()
+    # bounded probe: fetch at most max_pushdown_terms+1 rows to pick the plan
+    head = qterm_list.limit(max_pushdown_terms + 1).collect()
+    if len(head) <= max_pushdown_terms:
+        terms: list[str] | DataFrame = [r["term"] for r in head]
+    else:
+        terms = qterm_list
     n_docs, avgdl = exact_stats(spark, index_dir)
 
     postings = read_postings(spark, index_dir, terms, m)

@@ -97,28 +97,73 @@ class _TermCursor:
 
 
 class IndexSearcher:
-    """Loads manifest + stats once; answers queries with block-max WAND."""
+    """Loads manifest + stats once; answers queries with block-max WAND.
+
+    Serves merged AND multi-generation (unmerged) indexes: between merges —
+    most of the time in an hourly incremental pipeline — postings are read
+    from every generation newest-first and shadowed (updated) docs masked
+    by a latest-wins live map, the way the reference's reducer walks its
+    searcher array across up to 6 index generations
+    (XdiReportReducer.java:248-285, 348-373). The live map here is decoded
+    from the segments' doclen pseudo rows at open; a petabyte-scale
+    deployment would maintain per-segment livedoc bitmaps + merged stats in
+    the manifest instead (Lucene's .liv analogue) — and serve mostly-merged
+    indexes anyway.
+    """
 
     def __init__(self, index_dir: str):
         self.index_dir = index_dir
         m = load_manifest(index_dir)
         assert m is not None, f"no index at {index_dir}"
-        assert len(m.segments) == 1, (
-            "IndexSearcher serves fully merged indexes; run merge_all first "
-            "(multi-generation serving goes through segments.bm25_index_topk)"
-        )
         self.manifest: Manifest = m
-        seg = m.segments[0]
-        self.n_docs = seg.n_docs
-        self.avgdl = seg.total_tokens / seg.n_docs if seg.n_docs else 0.0
-        self._dataset = ds.dataset(
-            os.path.join(segment_dir(index_dir, seg.segment_id), "postings"),
-            format="parquet",
-            partitioning="hive",
-        )
+        segs = m.ordered()
+        self._seg_seqs = [s.min_seq for s in segs]
+        self._datasets = [
+            ds.dataset(
+                os.path.join(segment_dir(index_dir, s.segment_id), "postings"),
+                format="parquet",
+                partitioning="hive",
+            )
+            for s in segs
+        ]
+        if len(segs) == 1:
+            seg = segs[0]
+            self.n_docs = seg.n_docs
+            self.avgdl = seg.total_tokens / seg.n_docs if seg.n_docs else 0.0
+            self._live_doc = self._live_seg = None
+        else:
+            self._load_live_map(m)
         self._cache: dict[str, object] = {}
         self._cache_cap = 4096
         self._scored_cache: dict[tuple, tuple] = {}
+
+    def _load_live_map(self, m: Manifest) -> None:
+        """Latest-wins doc -> generation map + exact live corpus stats,
+        decoded from each generation's doclen pseudo rows (newest first,
+        first occurrence wins)."""
+        doc_parts, dl_parts, seq_parts = [], [], []
+        for seg_seq, dataset in sorted(
+            zip(self._seg_seqs, self._datasets), key=lambda x: -x[0]
+        ):
+            tbl = dataset.to_table(
+                filter=ds.field("phash") == m.num_partitions, columns=["payload"]
+            )
+            for payload in tbl["payload"].to_pylist():
+                d, _tf, dl = decode_postings(payload)
+                doc_parts.append(d.astype(np.int64))
+                dl_parts.append(dl.astype(np.int64))
+                seq_parts.append(np.full(len(d), seg_seq, np.int64))
+        docs = np.concatenate(doc_parts) if doc_parts else np.zeros(0, np.int64)
+        dls = np.concatenate(dl_parts) if dl_parts else np.zeros(0, np.int64)
+        seqs = np.concatenate(seq_parts) if seq_parts else np.zeros(0, np.int64)
+        # newest-first stable: first occurrence of a doc is its live copy
+        order = np.argsort(-seqs, kind="stable")
+        docs, dls, seqs = docs[order], dls[order], seqs[order]
+        uniq, first = np.unique(docs, return_index=True)
+        self._live_doc = uniq
+        self._live_seg = seqs[first]
+        self.n_docs = int(len(uniq))
+        self.avgdl = float(dls[first].sum()) / self.n_docs if self.n_docs else 0.0
 
     def _read_term(self, term: str):
         """All (chunk-ordered) posting rows of one term -> concatenated
@@ -139,22 +184,67 @@ class IndexSearcher:
 
     def _read_term_cold(self, term: str):
         p = term_phash(term, self.manifest.num_partitions)
-        tbl = self._dataset.to_table(
-            filter=(ds.field("phash") == p) & (ds.field("term") == term),
-            columns=["chunk", "payload"],
-        )
-        if tbl.num_rows == 0:
+        doc_parts, tf_parts, dl_parts = [], [], []
+        for seg_seq, dataset in zip(self._seg_seqs, self._datasets):
+            tbl = dataset.to_table(
+                filter=(ds.field("phash") == p) & (ds.field("term") == term),
+                columns=["chunk", "payload"],
+            )
+            if tbl.num_rows == 0:
+                continue
+            order = np.argsort(tbl["chunk"].to_numpy())
+            payloads = tbl["payload"].to_pylist()
+            for i in order:
+                d, tf, dl = decode_postings(payloads[i])
+                if not len(d):
+                    continue
+                d = d.astype(np.int64)
+                if self._live_doc is not None:
+                    # keep a posting only if this generation holds the
+                    # doc's live (newest) copy
+                    idx = np.searchsorted(self._live_doc, d)
+                    live = self._live_seg[idx] == seg_seq
+                    if not live.all():
+                        d, tf, dl = d[live], tf[live], dl[live]
+                        if not len(d):
+                            continue
+                doc_parts.append(d)
+                tf_parts.append(tf)
+                dl_parts.append(dl)
+        if not doc_parts:
             return None
-        order = np.argsort(tbl["chunk"].to_numpy())
-        payloads = tbl["payload"].to_pylist()
-        parts = [decode_postings(payloads[i]) for i in order]
-        docids = np.concatenate([p[0] for p in parts])
-        tfs = np.concatenate([p[1] for p in parts])
-        dls = np.concatenate([p[2] for p in parts])
-        return docids.astype(np.int64), tfs.astype(np.float64), dls.astype(np.float64)
+        docids = np.concatenate(doc_parts)
+        tfs = np.concatenate(tf_parts)
+        dls = np.concatenate(dl_parts)
+        if len(self._datasets) > 1:
+            order = np.argsort(docids, kind="mergesort")
+            docids, tfs, dls = docids[order], tfs[order], dls[order]
+        return docids, tfs.astype(np.float64), dls.astype(np.float64)
 
     def _contrib(self, idf: float, tf, dl):
         return idf * (tf * (K1 + 1.0)) / (tf + K1 * (1.0 - B + B * dl / self.avgdl))
+
+    def search_boolean(self, query_text: str, mode: str = "and") -> np.ndarray:
+        """Exact boolean retrieval over the posting lists: docids containing
+        ALL query terms ("and") or ANY ("or"), sorted ascending. This is the
+        reference QueryParser's conjunctive/disjunctive surface
+        (XdiReportReducer.java:356) answered from the same decoded cursors
+        WAND uses — set intersection/union over sorted docid arrays."""
+        terms = sorted(set(tokenize_string(query_text)))
+        lists = []
+        for t in terms:
+            got = self._read_term(t)
+            if got is None:
+                if mode == "and":
+                    return np.zeros(0, np.int64)
+                continue
+            lists.append(got[0])
+        if not lists:
+            return np.zeros(0, np.int64)
+        out = lists[0]
+        for arr in lists[1:]:
+            out = np.intersect1d(out, arr) if mode == "and" else np.union1d(out, arr)
+        return out.astype(np.int64)
 
     def search(
         self, query_text: str, k: int = 10, algorithm: str = "auto"
