@@ -210,6 +210,16 @@ def main() -> None:
     bm25_index_topk(spark, ix_hi, qdf, k=10).collect()
     timings["bm25_batch_query"] = round(time.perf_counter() - t0, 3)
 
+    # ---------- oracle-suite headliners on the sf tables (before the 10k
+    # batch so its large persisted frames don't pressure these timings)
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    for name in ("bm25_topk", "ttl_anti_join", "latest_per_key", "generation_fallback"):
+        t0 = time.perf_counter()
+        qs[name](spark, SF_DIR).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
     # offline probe batch: 10k queries over mid/tail vocabulary — term count
     # exceeds the pushdown cap, so this exercises the fully-distributed
     # broadcast-join path (no driver-side term materialization)
@@ -222,15 +232,6 @@ def main() -> None:
     n_big = bm25_index_topk(spark, ix_hi, qbig, k=10).count()
     timings["bm25_batch_10k_queries"] = round(time.perf_counter() - t0, 3)
     assert n_big > 0
-
-    # ---------- oracle-suite headliners on the sf tables
-    import __spark_entry__ as entrymod
-
-    qs = entrymod.queries()
-    for name in ("bm25_topk", "ttl_anti_join", "latest_per_key", "generation_fallback"):
-        t0 = time.perf_counter()
-        qs[name](spark, SF_DIR).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
 
     spark.stop()
 

@@ -46,6 +46,18 @@ def main() -> None:
          lambda: dedup.exact_dedup(spark, sf_dir)),
         ("minhash_lsh_pairs",
          lambda: dedup.minhash_lsh_pairs(spark, sf_dir)),
+        ("ann_lsh_topk (multi-table multi-probe hyperplane LSH)",
+         lambda: __import__(
+             "lucene_mapreduce_spark.operators.similarity", fromlist=["x"]
+         ).ann_lsh_topk(spark, sf_dir)),
+        ("embedding_near_dup_pairs (LSH-band-blocked self-join)",
+         lambda: __import__(
+             "lucene_mapreduce_spark.operators.similarity", fromlist=["x"]
+         ).embedding_near_dup_pairs(spark, sf_dir)),
+        ("media_decode_stats (binary decode kernel over derived media)",
+         lambda: __import__(
+             "lucene_mapreduce_spark.operators.multimodal", fromlist=["x"]
+         ).media_decode_stats(spark, sf_dir)),
     ]
 
     out = [HEADER]
