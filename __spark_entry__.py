@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from lucene_mapreduce_spark.operators import (  # noqa: E402
+    curation,
     dedup,
     fulltext,
     multimodal,
@@ -80,6 +81,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce_topk": similarity.ann_bruteforce_topk,
         "ann_lsh_topk": similarity.ann_lsh_topk,
         "embedding_near_dup_pairs": similarity.embedding_near_dup_pairs,
+        # training-data pipeline: curation composites
+        "near_dup_components": curation.near_dup_components,
+        "curation_pipeline": curation.curation_pipeline,
         # training-data pipeline: multimodal (binary columns + Arrow kernels)
         "media_decode_stats": multimodal.media_decode_stats,
         "media_frame_stats": multimodal.media_frame_stats,

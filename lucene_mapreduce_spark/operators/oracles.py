@@ -594,3 +594,37 @@ WHERE round({cos}, 6) >= 0.35
 
 ORACLES["ann_lsh_topk"] = _ann_lsh_sql()
 ORACLES["embedding_near_dup_pairs"] = _near_dup_sql()
+
+# ------------------------------------------------------------- curation
+# near-dup components: the Spark side runs iterative min-label propagation
+# to a fixpoint; the oracle computes the same fixpoint as a recursive CTE
+# (reach(v, l): label l is reachable from v; component = min reachable).
+ORACLES["near_dup_components"] = f"""
+WITH RECURSIVE pairs AS ({ORACLES["minhash_lsh_pairs"]}),
+sym AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION ALL SELECT doc_b AS u, doc_a AS v FROM pairs),
+reach(v, l) AS (
+  SELECT DISTINCT u AS v, u AS l FROM sym
+  UNION
+  SELECT s.v AS v, r.l AS l FROM sym s JOIN reach r ON r.v = s.u
+)
+SELECT v AS doc_id, min(l)::BIGINT AS component FROM reach GROUP BY 1
+"""
+
+ORACLES["curation_pipeline"] = f"""
+WITH lang AS ({ORACLES["language_id"]}),
+q AS ({ORACLES["quality_score"]}),
+keepers AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+pairs AS ({ORACLES["ngram_jaccard_pairs"]}),
+losers AS (SELECT DISTINCT doc_b AS doc_id FROM pairs)
+SELECT d.doc_id, lang.pred_lang, q.quality,
+       (k.doc_id IS NOT NULL) AS is_keeper,
+       (l.doc_id IS NOT NULL) AS near_dup_loser,
+       (lang.pred_lang = 'en' AND q.quality >= 0.5
+        AND k.doc_id IS NOT NULL AND l.doc_id IS NULL) AS kept
+FROM documents d
+JOIN lang USING (doc_id)
+JOIN q USING (doc_id)
+LEFT JOIN keepers k ON k.doc_id = d.doc_id
+LEFT JOIN losers l ON l.doc_id = d.doc_id
+"""

@@ -217,6 +217,21 @@ def test_ttl_purge_preserves_docstore(spark, tmp_path):
     assert not got[2]["hit"] and got[2]["text"] is None
 
 
+def test_connected_components_min_label(spark):
+    """Min-label propagation over a chain, a triangle and an isolated pair:
+    every node must land on its component's minimum id, including long
+    chains (propagation crosses the full diameter)."""
+    from lucene_mapreduce_spark.operators.curation import connected_components
+
+    edges = spark.createDataFrame(
+        # chain 1-2-3-4-5, triangle 10-11-12, pair 20-21
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "doc_a long, doc_b long",
+    )
+    got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
 def test_multigen_wand_matches_merged(spark, tmp_path):
     """IndexSearcher over an UNMERGED 2-generation index (with shadowed
     stale docs) must return exactly what the merged index returns."""
