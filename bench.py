@@ -157,8 +157,11 @@ def main() -> None:
     chunk_docs = _corpus_chunk_docs(corpus_path)
     spark_lo = _new_session(CPUS_SCALE_LO)
     ix_lo = os.path.join(work, "ix_lo")
+    # 4 reps on the small leg: its first reps carry page-cache/JIT warmup
+    # that the later ones shed (observed minima keep dropping through rep 3)
     t_lo, _, reps_lo = _timed_build(
-        spark_lo, corpus_path, ix_lo, os.path.join(work, "warm_lo"), chunk_docs
+        spark_lo, corpus_path, ix_lo, os.path.join(work, "warm_lo"), chunk_docs,
+        reps=4,
     )
     timings["index_build_lo"] = round(t_lo, 3)
     spark_lo.stop()

@@ -254,7 +254,9 @@ def simhash_near_pairs(
     beyond 10^9 docs). Candidates from the band equi-join (guaranteed
     complete for hamming < 4 by pigeonhole, probabilistic above), verified
     with the exact distance; degenerate buckets are capped."""
-    sh = simhash(spark, sf_dir).cache()
+    from lucene_mapreduce_spark.session import persist_bounded
+
+    sh = persist_bounded(simhash(spark, sf_dir))
     # band 0,1 from the low half (bits 0-15, 16-31); band 2,3 from the high
     banded = sh.select(
         "doc_id",

@@ -108,20 +108,12 @@ def bm25_scan_topk(
     return score_and_topk(matched, k=k, round_to=round_to)
 
 
-# Bounded cache registry: score_and_topk persists its scored frame so the
-# two-phase rank+rescore reuses one computation; the result is consumed
-# lazily by the caller, so the unpersist can't happen inside the call.
-# Keeping the last 2 persisted frames (current + one in flight) and evicting
-# older ones caps executor cache growth across long query sessions.
-_PERSISTED: list[DataFrame] = []
-
-
-def _persist_bounded(df: DataFrame, keep: int = 2) -> DataFrame:
-    df = df.persist()
-    _PERSISTED.append(df)
-    while len(_PERSISTED) > keep:
-        _PERSISTED.pop(0).unpersist()
-    return df
+# score_and_topk persists its scored frame so the two-phase rank+rescore
+# reuses one computation; the result is consumed lazily by the caller, so
+# the unpersist can't happen inside the call — the session-level bounded
+# registry evicts older frames instead (asserted in
+# test_scale_robustness::test_score_and_topk_cache_bounded).
+from lucene_mapreduce_spark.session import persist_bounded as _persist_bounded  # noqa: E402
 
 
 def score_and_topk(

@@ -12,7 +12,21 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
+
+# Bounded cache registry: operators that persist an intermediate (reused by
+# two plan branches) register it here; older entries are evicted, so a
+# long-lived session running thousands of queries never accumulates cached
+# partitions (each entry would otherwise live until session end).
+_PERSISTED: list[DataFrame] = []
+
+
+def persist_bounded(df: DataFrame, keep: int = 2) -> DataFrame:
+    df = df.persist()
+    _PERSISTED.append(df)
+    while len(_PERSISTED) > keep:
+        _PERSISTED.pop(0).unpersist()
+    return df
 
 
 def get_spark(

@@ -83,3 +83,48 @@ def test_ttl_anti_join_is_broadcast_anti(spark, sf_dir):
     assert "LeftAnti" in plan, plan[:1500]
     # expired set is small => broadcast anti-join, no full shuffle
     assert "BroadcastHashJoin" in plan, plan[:1500]
+
+
+def test_similarity_plans_have_no_cartesian(spark, sf_dir):
+    """The LSH paths must candidate-generate via key-equality joins — a
+    regression to all-pairs shows up as a Cartesian/NestedLoop join over
+    the full table (ann's single-row query broadcast is exempt)."""
+    from lucene_mapreduce_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    plan = explain_str(embedding_near_dup_pairs(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    # the band self-join is an equi-join
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_ann_lsh_probe_is_bucket_join(spark, sf_dir):
+    """Candidate generation = broadcast semi-join on (table, sig) probe
+    keys; the exact rescore touches only bucket members."""
+    from lucene_mapreduce_spark.operators.similarity import ann_lsh_topk
+
+    plan = explain_str(ann_lsh_topk(spark, sf_dir))
+    assert "LeftSemi" in plan, plan[:2000]
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+
+
+def test_batch_query_broadcast_join_path(spark, small_index):
+    """Above the pushdown cap, the term plan must be a broadcast join with
+    NO driver-side term list (no isin/In filter on term) — and the doclen
+    pseudo partition must be excluded at the scan."""
+    from lucene_mapreduce_spark.query.segments import bm25_index_topk
+
+    queries = spark.range(50).selectExpr(
+        "concat('q', id) AS query_id",
+        "concat('tok', lpad(cast(id AS string), 5, '0')) AS query_text",
+    )
+    df = bm25_index_topk(spark, small_index, queries, max_pushdown_terms=10)
+    plan = explain_str(df)
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    pushed = " ".join(pushed_filters(df))
+    assert "term," not in pushed and "In(term" not in pushed, pushed
+    pf = " ".join(partition_filters(df))
+    assert "phash" in pf, pf  # pseudo-partition exclusion prunes directories

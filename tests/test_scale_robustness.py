@@ -217,6 +217,38 @@ def test_ttl_purge_preserves_docstore(spark, tmp_path):
     assert not got[2]["hit"] and got[2]["text"] is None
 
 
+def test_boolean_search_and_or(spark, tmp_path):
+    """Exact conjunctive/disjunctive retrieval through the posting cursors
+    matches set algebra over the corpus, on a merged AND an unmerged index."""
+    from lucene_mapreduce_spark.index.build import build_segment
+    from lucene_mapreduce_spark.query.wand import IndexSearcher
+
+    texts = {
+        0: "apple banana cherry",
+        1: "apple banana",
+        2: "banana cherry",
+        3: "apple",
+        4: "durian",
+        5: "",
+    }
+    corpus = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    ix = str(tmp_path / "ix")
+    build_segment(spark, corpus.filter("doc_id < 3"), ix, num_partitions=4)
+    build_segment(spark, corpus.filter("doc_id >= 3"), ix)  # unmerged, 2 gens
+
+    s = IndexSearcher(ix)
+    have = lambda *ts: sorted(
+        d for d, t in texts.items() if all(x in t.split() for x in ts)
+    )
+    any_of = lambda *ts: sorted(
+        d for d, t in texts.items() if any(x in t.split() for x in ts)
+    )
+    assert list(s.search_boolean("apple banana")) == have("apple", "banana")
+    assert list(s.search_boolean("apple banana", mode="or")) == any_of("apple", "banana")
+    assert list(s.search_boolean("apple missingterm")) == []
+    assert list(s.search_boolean("missingterm", mode="or")) == []
+
+
 def test_connected_components_min_label(spark):
     """Min-label propagation over a chain, a triangle and an isolated pair:
     every node must land on its component's minimum id, including long
