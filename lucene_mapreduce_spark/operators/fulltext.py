@@ -18,6 +18,7 @@ from lucene_mapreduce_spark.query.bm25_df import bm25_scan_topk, corpus_postings
 FLAGSHIP_QUERY = "table scan fast merge"
 SECOND_QUERY = "vector stream window"
 BOOLEAN_QUERY = "table merge"
+PHRASE_QUERY = "fast merge"
 
 
 def term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -95,9 +96,13 @@ def _gate_index(spark: SparkSession, sf_dir: str) -> str:
         return path
     path = os.path.join(tempfile.mkdtemp(prefix="lmr_gate_"), "ix")
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    # two batches + a merge so the gate exercises the full lifecycle
-    build_segment(spark, docs.filter("doc_id % 2 = 0"), path, num_partitions=8)
-    build_segment(spark, docs.filter("doc_id % 2 = 1"), path)
+    # two batches + a merge so the gate exercises the full lifecycle;
+    # store_fields so phrase verification has the docstore sidecar
+    build_segment(
+        spark, docs.filter("doc_id % 2 = 0"), path, num_partitions=8,
+        store_fields=True,
+    )
+    build_segment(spark, docs.filter("doc_id % 2 = 1"), path, store_fields=True)
     merge_all(spark, path)
     _GATE_INDEXES[sf_dir] = path
     return path
@@ -129,6 +134,21 @@ def boolean_and_query(
 
     ix = _gate_index(spark, sf_dir)
     docids = IndexSearcher(ix).search_boolean(query_text, mode="and")
+    return spark.createDataFrame([(int(d),) for d in docids], "doc_id long")
+
+
+def phrase_query(
+    spark: SparkSession, sf_dir: str, phrase_text: str = PHRASE_QUERY
+) -> DataFrame:
+    """Exact phrase retrieval through the index: posting-cursor AND
+    intersection narrows to candidates, stored fields verify token
+    adjacency (Lucene-without-positions strategy; the reference's
+    QueryParser accepts quoted phrases, XdiReportReducer.java:356).
+    Oracle: docs whose token array contains the phrase contiguously."""
+    from lucene_mapreduce_spark.query.wand import IndexSearcher
+
+    ix = _gate_index(spark, sf_dir)
+    docids = IndexSearcher(ix).search_phrase(phrase_text)
     return spark.createDataFrame([(int(d),) for d in docids], "doc_id long")
 
 

@@ -246,6 +246,60 @@ class IndexSearcher:
             out = np.intersect1d(out, arr) if mode == "and" else np.union1d(out, arr)
         return out.astype(np.int64)
 
+    def _load_texts(self, docids: np.ndarray) -> dict[int, str]:
+        """Stored fields for the given docids, newest generation wins.
+        Requires store_fields=True segments (docstore sidecars — doc_id
+        range-sorted parquet, so the isin filter prunes row groups)."""
+        want = set(int(d) for d in docids)
+        out: dict[int, str] = {}
+        segs = sorted(self.manifest.ordered(), key=lambda s: -s.min_seq)
+        assert all(s.has_docstore for s in segs), (
+            "phrase verification needs store_fields=True segments"
+        )
+        for s in segs:
+            if not want:
+                break
+            store = ds.dataset(
+                os.path.join(
+                    segment_dir(self.index_dir, s.segment_id), "docstore"
+                ),
+                format="parquet",
+            )
+            tbl = store.to_table(
+                filter=ds.field("doc_id").isin(list(want)),
+                columns=["doc_id", "text"],
+            )
+            for d, t in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()):
+                if d in want:
+                    out[d] = t
+                    want.discard(d)
+        return out
+
+    def search_phrase(self, phrase_text: str) -> np.ndarray:
+        """Exact phrase retrieval: docids whose token stream contains the
+        query tokens as a contiguous subsequence, sorted ascending.
+
+        Two-stage, like Lucene without positions: the posting cursors
+        AND-intersect to a candidate set (cheap, index-only), then the
+        candidates' stored fields verify adjacency. IO is proportional to
+        the conjunctive result size, never the corpus."""
+        phrase = tokenize_string(phrase_text)
+        if not phrase:
+            return np.zeros(0, np.int64)
+        cand = self.search_boolean(phrase_text, mode="and")
+        if not len(cand):
+            return cand
+        texts = self._load_texts(cand)
+        k = len(phrase)
+        hits = []
+        for d in cand:
+            toks = tokenize_string(texts.get(int(d), ""))
+            if any(
+                toks[i: i + k] == phrase for i in range(len(toks) - k + 1)
+            ):
+                hits.append(int(d))
+        return np.asarray(sorted(hits), np.int64)
+
     def search(
         self, query_text: str, k: int = 10, algorithm: str = "auto"
     ) -> list[tuple[int, float]]:

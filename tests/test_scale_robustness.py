@@ -249,6 +249,40 @@ def test_boolean_search_and_or(spark, tmp_path):
     assert list(s.search_boolean("missingterm", mode="or")) == []
 
 
+def test_phrase_search_latest_wins(spark, tmp_path):
+    """Phrase retrieval verifies adjacency against the NEWEST stored copy:
+    an update that breaks the phrase must drop the doc, one that adds it
+    must include it — without any merge."""
+    from lucene_mapreduce_spark.index.build import build_segment
+    from lucene_mapreduce_spark.query.wand import IndexSearcher
+
+    ix = str(tmp_path / "ix")
+    gen1 = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "alpha gamma beta"),
+            (3, "x alpha beta y"),
+            (4, "nothing here"),
+        ],
+        "doc_id long, text string",
+    )
+    build_segment(spark, gen1, ix, num_partitions=4, store_fields=True)
+    gen2 = spark.createDataFrame(
+        [
+            (3, "x alpha y beta"),   # phrase broken by the update
+            (4, "now alpha beta"),   # phrase introduced by the update
+        ],
+        "doc_id long, text string",
+    )
+    build_segment(spark, gen2, ix, store_fields=True)
+
+    s = IndexSearcher(ix)
+    assert list(s.search_phrase("alpha beta")) == [1, 4]
+    assert list(s.search_phrase("alpha beta gamma")) == [1]
+    assert list(s.search_phrase("beta alpha")) == []
+    assert list(s.search_phrase("")) == []
+
+
 def test_connected_components_min_label(spark):
     """Min-label propagation over a chain, a triangle and an isolated pair:
     every node must land on its component's minimum id, including long
