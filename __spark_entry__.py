@@ -92,6 +92,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": textstats.language_id,
         "quality_score": textstats.quality_score,
         "token_counts": textstats.token_counts,
+        "stratified_sample": textstats.stratified_sample,
+        "token_length_histogram": textstats.token_length_histogram,
         "doc_fingerprint": textstats.doc_fingerprint,
     }
     return q

@@ -296,6 +296,18 @@ SELECT doc_id,
        len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9 ]'))::INT AS bpe_ish_tokens
 FROM documents
 """,
+    "stratified_sample": """
+SELECT doc_id, source, bucket FROM (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 2))::INT AS INT) AS bucket
+  FROM documents
+) WHERE bucket * 100 < 25 * 256
+""",
+    "token_length_histogram": f"""
+SELECT source, (floor(len({TOKS}) / 10) * 10)::BIGINT AS len_bucket,
+       count(*)::BIGINT AS n_docs
+FROM documents GROUP BY 1, 2
+""",
     "doc_fingerprint": """
 SELECT doc_id, min(md5(substr(text, i, 8))) AS fingerprint
 FROM (

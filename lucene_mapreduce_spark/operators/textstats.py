@@ -89,6 +89,49 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stratified_sample(
+    spark: SparkSession, sf_dir: str, pct_by_source: dict[str, int] | None = None,
+    default_pct: int = 25,
+) -> DataFrame:
+    """Deterministic stratified sampling — the reproducible alternative to
+    RNG sampling for training-data mixes: a doc is kept iff its md5-derived
+    bucket (first two hex digits of md5(doc_id), 256 buckets) falls under
+    its source's percentage. Same doc set on ANY engine, any run, any
+    cluster size; per-stratum rates are the dataset-mixing weights. Pure
+    codegen expressions, no shuffle — the filter pushes to the scan."""
+    docs = load(spark, sf_dir, "documents")
+    # bucket in [0, 256): first two hex digits of md5(doc_id as string)
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10).cast("int")
+    pct = F.lit(default_pct)
+    for src, p in (pct_by_source or {}).items():
+        pct = F.when(F.col("source") == src, F.lit(p)).otherwise(pct)
+    return (
+        docs.withColumn("bucket", bucket)
+        .filter(F.col("bucket") * 100 < pct * 256)
+        .select("doc_id", "source", "bucket")
+    )
+
+
+def token_length_histogram(
+    spark: SparkSession, sf_dir: str, bucket_width: int = 10
+) -> DataFrame:
+    """Token-length distribution per source: histogram buckets of the
+    whitespace token count — the length-mix report every corpus curation
+    run starts from. One map-side-combinable groupBy."""
+    docs = load(spark, sf_dir, "documents")
+    dl = F.coalesce(F.size(tokenize_col("text")), F.lit(0))
+    return (
+        docs.select(
+            "source",
+            (F.floor(dl / F.lit(bucket_width)) * bucket_width)
+            .cast("long")
+            .alias("len_bucket"),
+        )
+        .groupBy("source", "len_bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-gram document fingerprint: the minimum md5 over character 8-grams
     (stride 4) — a winnowing-style rolling fingerprint; equal fingerprints
