@@ -125,19 +125,24 @@ def ngram_jaccard_pairs(
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures: sig_i(doc) = min over shingles of
     md5(i || ':' || shingle). Lexicographic min over an md5 hex string is a
-    valid uniform min-hash; md5 keeps Spark and DuckDB bit-identical."""
+    valid uniform min-hash; md5 keeps Spark and DuckDB bit-identical.
+
+    Shuffle shape: ONE groupBy over the shingle rows with N_MINHASH min
+    aggregates (map-side combinable) — never an explode x N_MINHASH row
+    blowup; the wide row then unpivots to the (doc_id, i, sig) contract
+    after aggregation (stack is per-row, no shuffle)."""
     docs = load(spark, sf_dir, "documents")
     sh = _shingles(docs)
-    hashed = sh.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(N_MINHASH - 1))).alias("i"),
-        F.col("shingle"),
-    ).select(
-        "doc_id",
-        "i",
-        F.md5(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("shingle"))).alias("h"),
+    wide = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"s{i}")
+            for i in range(N_MINHASH)
+        ]
     )
-    return hashed.groupBy("doc_id", "i").agg(F.min("h").alias("sig"))
+    stack = ", ".join(f"{i}, s{i}" for i in range(N_MINHASH))
+    return wide.selectExpr(
+        "doc_id", f"stack({N_MINHASH}, {stack}) AS (i, sig)"
+    ).select("doc_id", F.col("i").cast("int").alias("i"), "sig")
 
 
 def minhash_lsh_pairs(
@@ -204,43 +209,33 @@ def simhash(spark: SparkSession, sf_dir: str, bits: int = 64) -> DataFrame:
             ),
         )
     )
-    per_bit = tf.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j"),
-        F.col("tf"),
-        F.col("h"),
-    ).select(
-        "doc_id",
-        "j",
-        (
-            F.col("tf")
-            * F.when(
-                F.substr(F.col("h"), F.col("j") + 1, F.lit(1)).isin(
-                    "1", "3", "5", "7", "9", "b", "d", "f"
-                ),
-                F.lit(1),
-            ).otherwise(F.lit(-1))
-        ).alias("w"),
+    # ONE groupBy with `bits` signed-tf sums (map-side combinable) instead
+    # of an explode x bits row blowup — 64x less shuffle volume; the sums
+    # are exact integers so the fingerprint is unchanged
+    odd = ("1", "3", "5", "7", "9", "b", "d", "f")
+    sums = tf.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.substring("h", j + 1, 1).isin(*odd), F.col("tf")).otherwise(
+                    -F.col("tf")
+                )
+            ).alias(f"s{j}")
+            for j in range(bits)
+        ]
     )
-    bitvals = (
-        per_bit.groupBy("doc_id", "j")
-        .agg(F.sum("w").alias("s"))
-        .select(
-            "doc_id",
-            F.expr(
-                "CASE WHEN s > 0 AND j >= 32 "
-                "THEN shiftleft(CAST(1 AS BIGINT), j - 32) "
-                "ELSE CAST(0 AS BIGINT) END"
-            ).alias("bit_hi"),
-            F.expr(
-                "CASE WHEN s > 0 AND j < 32 "
-                "THEN shiftleft(CAST(1 AS BIGINT), j) "
-                "ELSE CAST(0 AS BIGINT) END"
-            ).alias("bit_lo"),
-        )
-    )
-    return bitvals.groupBy("doc_id").agg(
-        F.sum("bit_hi").alias("simhash_hi"), F.sum("bit_lo").alias("simhash_lo")
+    hi = None
+    lo = None
+    for j in range(bits):
+        bit = F.when(
+            F.col(f"s{j}") > 0,
+            F.shiftleft(F.lit(1).cast("long"), j % 32),
+        ).otherwise(F.lit(0).cast("long"))
+        if j < 32:
+            lo = bit if lo is None else lo + bit
+        else:
+            hi = bit if hi is None else hi + bit
+    return sums.select(
+        "doc_id", hi.alias("simhash_hi"), lo.alias("simhash_lo")
     )
 
 
