@@ -167,7 +167,13 @@ def _merge_stream(batches):
     each row is one encoded posting block for that group (a map-side partial
     during builds, a segment's block during merges); decode, drop shadowed
     docids (rows may carry a `dead` docid list), merge-sort by docid, and
-    batch re-encode all groups at once (codec.encode_many)."""
+    batch re-encode all groups at once (codec.encode_many).
+
+    Pass-through fast path: a single-row group with no dead list and
+    already-known stats (merge inputs carry the segment's stat columns) is
+    copied verbatim — no decode, no re-encode. Incremental merges whose
+    deltas land in new docid chunks leave the base segment's untouched
+    blocks byte-identical and nearly free."""
 
     def process(pdf: pd.DataFrame, final: bool):
         term = pdf["term"].to_numpy()
@@ -193,13 +199,37 @@ def _merge_stream(batches):
 
         payloads = head["payload"].to_numpy()
         deads = head["dead"].to_numpy() if "dead" in head.columns else None
+        stats = (
+            {c: head[c].to_numpy() for c in ("df_chunk", "cf_chunk", "max_tf", "min_dl")}
+            if "df_chunk" in head.columns
+            else None
+        )
         gends = np.concatenate([gstarts[1:], [len(head)]])
         all_doc, all_tf, all_dl = [], [], []
-        out_starts, metas = [], []
+        out_starts = []
         total = 0
+        # per emitted group: (phash, term, chunk, df, cf, max_tf, min_dl,
+        # payload-or-None); None payloads are filled from encode_many after
+        rows: list[list] = []
+        rework_slots: list[int] = []
         for g in range(len(gstarts)):
+            i0, i1 = int(gstarts[g]), int(gends[g])
+            dead0 = deads[i0] if deads is not None else None
+            if (
+                stats is not None
+                and i1 - i0 == 1
+                and (dead0 is None or len(dead0) == 0)
+                and not pd.isna(stats["df_chunk"][i0])
+            ):
+                rows.append([
+                    int(ph[i0]), term[i0], int(chunk[i0]),
+                    int(stats["df_chunk"][i0]), int(stats["cf_chunk"][i0]),
+                    int(stats["max_tf"][i0]), int(stats["min_dl"][i0]),
+                    payloads[i0],
+                ])
+                continue
             parts_doc, parts_tf, parts_dl = [], [], []
-            for i in range(int(gstarts[g]), int(gends[g])):
+            for i in range(i0, i1):
                 docids, tfs, dls = decode_postings(payloads[i])
                 if deads is not None:
                     dead = deads[i]
@@ -225,26 +255,33 @@ def _merge_stream(batches):
             all_dl.append(dls)
             out_starts.append(total)
             total += len(docids)
-            i0 = int(gstarts[g])
-            metas.append((int(head["phash"].iloc[i0]), term[i0], int(chunk[i0])))
+            rows.append([
+                int(ph[i0]), term[i0], int(chunk[i0]),
+                len(docids), int(tfs.sum()), int(tfs.max()), int(dls.min()),
+                None,
+            ])
+            rework_slots.append(len(rows) - 1)
 
-        if not metas:
+        if not rows:
             return None, tail
-        docids = np.concatenate(all_doc)
-        tfs = np.concatenate(all_tf)
-        dls = np.concatenate(all_dl)
-        starts = np.asarray(out_starts, np.int64)
-        ends = np.concatenate([starts[1:], [total]])
+        if rework_slots:
+            docids = np.concatenate(all_doc)
+            tfs = np.concatenate(all_tf)
+            dls = np.concatenate(all_dl)
+            starts = np.asarray(out_starts, np.int64)
+            enc = encode_many(docids, tfs, dls, starts)
+            for slot, payload in zip(rework_slots, enc):
+                rows[slot][7] = payload
         out = pd.DataFrame(
             {
-                "phash": np.array([m[0] for m in metas], "int32"),
-                "term": [m[1] for m in metas],
-                "chunk": np.array([m[2] for m in metas], "int64"),
-                "df_chunk": (ends - starts).astype("int32"),
-                "cf_chunk": np.add.reduceat(tfs, starts).astype("int64"),
-                "max_tf": np.maximum.reduceat(tfs, starts).astype("int32"),
-                "min_dl": np.minimum.reduceat(dls, starts).astype("int32"),
-                "payload": encode_many(docids, tfs, dls, starts),
+                "phash": np.array([r[0] for r in rows], "int32"),
+                "term": [r[1] for r in rows],
+                "chunk": np.array([r[2] for r in rows], "int64"),
+                "df_chunk": np.array([r[3] for r in rows], "int32"),
+                "cf_chunk": np.array([r[4] for r in rows], "int64"),
+                "max_tf": np.array([r[5] for r in rows], "int32"),
+                "min_dl": np.array([r[6] for r in rows], "int32"),
+                "payload": [r[7] for r in rows],
             }
         )
         return out, tail

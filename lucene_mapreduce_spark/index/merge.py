@@ -107,11 +107,16 @@ def merge_once(
     # through the same kernel, and the dead-list masking drops shadowed
     # docs from them exactly as it does from real posting lists.
     n_salt = max(2, (4 * merge_parts) // (m.num_partitions + 1))
+    # stat columns ride along so single-source groups with no dead docs
+    # pass through the kernel without decode/re-encode
     merged = (
         joined.withColumn("salt", F.pmod(F.col("chunk"), F.lit(n_salt)))
         .repartition(merge_parts, "phash", "salt")
         .sortWithinPartitions("phash", "term", "chunk", "seg_seq")
-        .select("phash", "term", "chunk", "payload", "dead")
+        .select(
+            "phash", "term", "chunk", "df_chunk", "cf_chunk", "max_tf",
+            "min_dl", "payload", "dead",
+        )
         .mapInPandas(_merge_stream, schema=POSTING_SCHEMA)
     )
     (

@@ -89,7 +89,10 @@ def purge_expired(
         .withColumn("salt", F.pmod(F.col("chunk"), F.lit(n_salt)))
         .repartition(parts, "phash", "salt")
         .sortWithinPartitions("phash", "term", "chunk", "seg_seq")
-        .select("phash", "term", "chunk", "payload", "dead")
+        .select(
+            "phash", "term", "chunk", "df_chunk", "cf_chunk", "max_tf",
+            "min_dl", "payload", "dead",
+        )
         .mapInPandas(_merge_stream, schema=POSTING_SCHEMA)
     )
     (

@@ -298,6 +298,61 @@ def test_connected_components_min_label(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
+def test_merge_passthrough_preserves_untouched_blocks(spark, tmp_path):
+    """A delta in a disjoint docid range must leave the base segment's
+    posting blocks BYTE-identical through the merge (pass-through path) and
+    still produce a correct merged index."""
+    import os
+
+    from lucene_mapreduce_spark.index.build import build_segment
+    from lucene_mapreduce_spark.index.manifest import load_manifest, segment_dir
+    from lucene_mapreduce_spark.index.merge import merge_all
+    from lucene_mapreduce_spark.query.wand import IndexSearcher
+
+    ix = str(tmp_path / "ix")
+    base = spark.createDataFrame(
+        [(i, f"alpha beta w{i % 7}") for i in range(500)], "doc_id long, text string"
+    )
+    # delta lands in a far docid range => different chunks, no shadowing
+    delta = spark.createDataFrame(
+        [(10_000_000 + i, f"alpha gamma w{i % 5}") for i in range(100)],
+        "doc_id long, text string",
+    )
+    build_segment(spark, base, ix, num_partitions=4, chunk_docs=1 << 12)
+    m0 = load_manifest(ix)
+    seg0 = m0.segments[0].segment_id
+    before = {}
+    p0 = os.path.join(segment_dir(ix, seg0), "postings")
+    import pyarrow.dataset as pads
+
+    for b in pads.dataset(p0, partitioning="hive").to_table(
+        columns=["term", "chunk", "payload"]
+    ).to_pylist():
+        before[(b["term"], b["chunk"])] = bytes(b["payload"])
+
+    build_segment(spark, delta, ix)
+    merge_all(spark, ix)
+    m1 = load_manifest(ix)
+    assert len(m1.segments) == 1
+    p1 = os.path.join(segment_dir(ix, m1.segments[0].segment_id), "postings")
+    after = {}
+    for b in pads.dataset(p1, partitioning="hive").to_table(
+        columns=["term", "chunk", "payload"]
+    ).to_pylist():
+        after[(b["term"], b["chunk"])] = bytes(b["payload"])
+    # every base block whose (term, chunk) was untouched by the delta is
+    # byte-identical in the merged segment
+    untouched = [k for k in before if k in after and k[1] < 1000]
+    assert untouched, "expected untouched base groups"
+    assert all(before[k] == after[k] for k in untouched)
+    # and the merged index answers correctly across both ranges
+    s = IndexSearcher(ix)
+    assert len(s.search_boolean("alpha", mode="and")) == 600
+    assert len(s.search_boolean("beta")) == 500
+    assert len(s.search_boolean("gamma")) == 100
+    assert s.n_docs == 600
+
+
 def test_multigen_wand_matches_merged(spark, tmp_path):
     """IndexSearcher over an UNMERGED 2-generation index (with shadowed
     stale docs) must return exactly what the merged index returns."""
