@@ -202,6 +202,19 @@ def main() -> None:
     merge_all(spark, ix_hi, fanin=8)
     timings["merge_all"] = round(time.perf_counter() - t0, 3)
 
+    # hourly-append shape: a delta of NEW docids (fresh conversations land
+    # in fresh docid chunks), merged into the big base — the base's posting
+    # blocks pass through the merge kernel byte-identically (no decode)
+    delta_new = corpus.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 3).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1 << 41)
+    )
+    t0 = time.perf_counter()
+    build_segment(spark, delta_new, ix_hi)
+    timings["index_build_delta_new_range"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    merge_all(spark, ix_hi, fanin=8)
+    timings["merge_incremental_new_range"] = round(time.perf_counter() - t0, 3)
+
     # ---------- distributed batch query path
     from lucene_mapreduce_spark.query.segments import bm25_index_topk
 
