@@ -150,6 +150,7 @@ def build_segment(
     the role of CompressionTools.compress.
     """
     m = load_manifest(index_dir)
+    base_version = m.version if m is not None else 0
     if m is not None:
         # the index's physical contract is already pinned
         num_partitions, chunk_docs = m.num_partitions, m.chunk_docs
@@ -254,5 +255,7 @@ def build_segment(
     )
     m.segments.append(meta)
     m.committed_seq = seq
-    commit_manifest(index_dir, m)
+    # optimistic concurrency: refuse to clobber a manifest another writer
+    # advanced while this build ran (single-writer contract violation)
+    commit_manifest(index_dir, m, expect_version=base_version)
     return meta

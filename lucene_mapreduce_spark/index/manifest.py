@@ -45,6 +45,13 @@ class SegmentMeta:
     lineage: dict[str, Any] = field(default_factory=dict)
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed between our read and our commit — the
+    single-writer contract (reference: lock-service gating + `ps -ef` job
+    locks, scripts/build_index.sh:3-7) was violated; retry from a fresh
+    manifest read instead of silently losing the other writer's segments."""
+
+
 @dataclass
 class Manifest:
     num_partitions: int
@@ -53,6 +60,8 @@ class Manifest:
     committed_seq: int = 0
     format_version: int = 1
     updated_at: str = ""
+    # monotonically increasing commit counter (optimistic concurrency token)
+    version: int = 0
 
     def segment(self, segment_id: str) -> SegmentMeta:
         for s in self.segments:
@@ -87,8 +96,27 @@ def load_manifest(index_dir: str) -> Manifest | None:
     return Manifest(segments=segs, **raw)
 
 
-def commit_manifest(index_dir: str, m: Manifest) -> None:
-    """Atomic commit: write tmp, fsync, rename over manifest.json."""
+def commit_manifest(
+    index_dir: str, m: Manifest, expect_version: int | None = None
+) -> None:
+    """Atomic commit: write tmp, fsync, rename over manifest.json.
+
+    ``expect_version`` enables optimistic concurrency: pass the version of
+    the manifest you READ; if a different writer committed in between, the
+    commit raises ConcurrentCommitError instead of overwriting (losing)
+    their segments. (Rename itself is atomic, so readers never see a torn
+    manifest either way.)"""
+    if expect_version is not None:
+        cur = load_manifest(index_dir)
+        cur_version = cur.version if cur is not None else 0
+        if cur_version != expect_version:
+            raise ConcurrentCommitError(
+                f"manifest at {index_dir} moved from version {expect_version} "
+                f"to {cur_version} during this job; reload and retry"
+            )
+        m.version = cur_version + 1
+    else:
+        m.version += 1
     m.updated_at = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
     os.makedirs(index_dir, exist_ok=True)
     payload = asdict(m)

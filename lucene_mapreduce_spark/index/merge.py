@@ -172,7 +172,7 @@ def merge_once(
     )
     m.segments = [s for s in m.segments if s.segment_id not in set(segment_ids)]
     m.segments.append(meta_out)
-    commit_manifest(index_dir, m)
+    commit_manifest(index_dir, m, expect_version=m.version)
     if fault:
         fault("committed")
     return meta_out

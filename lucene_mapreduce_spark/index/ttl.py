@@ -145,5 +145,5 @@ def purge_expired(
         has_docstore=has_docstore,
     )
     m.segments = [meta_out]
-    commit_manifest(index_dir, m)
+    commit_manifest(index_dir, m, expect_version=m.version)
     return meta_out

@@ -298,6 +298,30 @@ def test_connected_components_min_label(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
+def test_concurrent_commit_detected(spark, tmp_path):
+    """A writer holding a stale manifest must fail its commit instead of
+    silently overwriting (losing) a segment another writer appended."""
+    from lucene_mapreduce_spark.index.build import build_segment
+    from lucene_mapreduce_spark.index.manifest import (
+        ConcurrentCommitError,
+        commit_manifest,
+        load_manifest,
+    )
+
+    ix = str(tmp_path / "ix")
+    c1 = spark.createDataFrame([(1, "a b"), (2, "b c")], "doc_id long, text string")
+    c2 = spark.createDataFrame([(3, "c d")], "doc_id long, text string")
+    build_segment(spark, c1, ix, num_partitions=4)
+    stale = load_manifest(ix)
+    build_segment(spark, c2, ix)  # another writer advances the manifest
+    with pytest.raises(ConcurrentCommitError):
+        commit_manifest(ix, stale, expect_version=stale.version)
+    # a fresh read commits cleanly and nothing was lost
+    fresh = load_manifest(ix)
+    assert len(fresh.segments) == 2
+    commit_manifest(ix, fresh, expect_version=fresh.version)
+
+
 def test_merge_passthrough_preserves_untouched_blocks(spark, tmp_path):
     """A delta in a disjoint docid range must leave the base segment's
     posting blocks BYTE-identical through the merge (pass-through path) and
