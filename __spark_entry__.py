@@ -82,6 +82,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce_topk": similarity.ann_bruteforce_topk,
         "ann_lsh_topk": similarity.ann_lsh_topk,
         "embedding_near_dup_pairs": similarity.embedding_near_dup_pairs,
+        # streaming: custom stateful operator through a real stream run
+        "streaming_conversation_progress": (
+            lambda s, d: __import__(
+                "lucene_mapreduce_spark.streaming.incremental", fromlist=["x"]
+            ).streaming_conversation_progress(s, d)
+        ),
+        "streaming_windowed_counts": (
+            lambda s, d: __import__(
+                "lucene_mapreduce_spark.streaming.incremental", fromlist=["x"]
+            ).streaming_windowed_counts(s, d)
+        ),
         # training-data pipeline: curation composites
         "near_dup_components": curation.near_dup_components,
         "curation_pipeline": curation.curation_pipeline,

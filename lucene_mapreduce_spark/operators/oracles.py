@@ -344,6 +344,19 @@ WITH toks AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents),
 p AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2)
 SELECT doc_id, term, tf FROM p WHERE substr(md5(term), 1, 1) = '0'
 """,
+    # ------------------------------------------------------------- streaming
+    # single-micro-batch run of the stateful operator == per-conv aggregate
+    # (turn_idx is the 0-based per-conv rank, so max = count-1)
+    "streaming_conversation_progress": """
+SELECT user_id::VARCHAR AS conv_id, count(*)::BIGINT AS turns_seen,
+       (count(*) - 1)::INT AS max_turn_idx, max(ts) AS last_ts
+FROM events GROUP BY user_id
+""",
+    "streaming_windowed_counts": """
+SELECT date_trunc('day', ts)::TIMESTAMP AS day, event_type AS role,
+       count(*)::BIGINT AS n_turns
+FROM events GROUP BY 1, 2
+""",
     # ------------------------------------------------------------- A-family
     "latest_per_key": """
 SELECT user_id, event_type AS last_event_type, round(value, 6) AS last_value, ts AS last_ts

@@ -122,6 +122,56 @@ def conversation_progress(stream_df: DataFrame) -> DataFrame:
     )
 
 
+_GATE_SEQ = [0]
+
+
+def streaming_conversation_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate entry for the custom stateful operator: derive a transcript
+    stream from the events table (conv = user, turns ranked by ts), run it
+    through a REAL Structured Streaming query (parquet source -> the
+    applyInPandasWithState operator -> memory sink, Trigger.AvailableNow),
+    and return the emitted rows. The input is written as ONE file so the
+    run is a single micro-batch, making the update-mode output equal to a
+    plain per-conversation aggregate — which the DuckDB oracle replays
+    (turns_seen = count, max_turn_idx = count-1, last_ts = max ts)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from lucene_mapreduce_spark.operators.parity import load
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    derived = (
+        load(spark, sf_dir, "events")
+        .select(
+            F.col("user_id").cast("string").alias("conv_id"),
+            (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+            "ts",
+        )
+    )
+    src = os.path.join(tempfile.mkdtemp(prefix="lmr_stream_gate_"), "src")
+    derived.coalesce(1).write.mode("overwrite").parquet(src)
+
+    _GATE_SEQ[0] += 1
+    sink = f"conv_progress_gate_{_GATE_SEQ[0]}"
+    stream = spark.readStream.schema(
+        "conv_id string, turn_idx int, ts timestamp"
+    ).parquet(src)
+    q = (
+        conversation_progress(stream)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        "conv_id", "turns_seen", "max_turn_idx", "last_ts"
+    )
+
+
 def windowed_turn_counts(stream_df: DataFrame, late: str = "1 hour") -> DataFrame:
     """Watermarked tumbling-window aggregation over the transcript stream:
     turns per (day, role) with late data admitted up to ``late``."""
@@ -131,3 +181,34 @@ def windowed_turn_counts(stream_df: DataFrame, late: str = "1 hour") -> DataFram
         .agg(F.count(F.lit(1)).alias("n_turns"))
         .select(F.col("w.start").alias("day"), "role", "n_turns")
     )
+
+
+def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate entry for the watermarked windowed aggregation: a real stream
+    run (parquet source -> watermark + tumbling window -> memory sink) over
+    an events-derived stream, single micro-batch so update-mode output
+    equals the per-(day, event_type) batch aggregate the oracle replays."""
+    import os
+    import tempfile
+
+    from lucene_mapreduce_spark.operators.parity import load
+
+    derived = load(spark, sf_dir, "events").select(
+        F.col("event_type").alias("role"), "ts"
+    )
+    src = os.path.join(tempfile.mkdtemp(prefix="lmr_stream_gate_"), "src")
+    derived.coalesce(1).write.mode("overwrite").parquet(src)
+
+    _GATE_SEQ[0] += 1
+    sink = f"windowed_counts_gate_{_GATE_SEQ[0]}"
+    stream = spark.readStream.schema("role string, ts timestamp").parquet(src)
+    q = (
+        windowed_turn_counts(stream)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select("day", "role", "n_turns")
