@@ -19,6 +19,7 @@ from lucene_mapreduce_spark.operators import (  # noqa: E402
     curation,
     dedup,
     fulltext,
+    ivf,
     multimodal,
     parity,
     similarity,
@@ -81,6 +82,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data pipeline: similarity search
         "ann_bruteforce_topk": similarity.ann_bruteforce_topk,
         "ann_lsh_topk": similarity.ann_lsh_topk,
+        "ann_ivf_topk": ivf.ann_ivf_topk,
         "embedding_near_dup_pairs": similarity.embedding_near_dup_pairs,
         # streaming: custom stateful operator through a real stream run
         "streaming_conversation_progress": (

@@ -1,0 +1,165 @@
+"""IVF-Flat approximate nearest-neighbor search over the `embeddings` table.
+
+The LSH family (similarity.py) buckets by random hyperplanes; IVF is the
+other standard scale shape: a small coarse quantizer (C centroids) splits
+the corpus into C inverted lists, a query probes only its `nprobe` nearest
+lists, and list members are scored exactly.  Scan cost drops by a factor of
+C/nprobe, and — unlike LSH — the lists are *data-adaptive*, so recall holds
+on clustered corpora where fixed hyperplanes shear clusters apart.
+
+Scale shape (10^12 rows): the coarse quantizer is a small trained artifact
+(here: the C lowest-vec_id vectors, a deterministic stand-in for k-means —
+real IVF trains centroids offline on a sample, exactly this size); it lives
+as plan-time literals, so list assignment is ONE shuffle-free projection
+(an array-of-structs max over C inline cosines, pure codegen — no window,
+no groupBy, no UDF).  Lists are persisted `partitionBy(list_id)`
+(`write_ivf_index`), so a probe is directory pruning: the scan plans only
+`nprobe` of C partitions.  See test_ivf.py for the pruning witness.
+
+Determinism contract: every cosine folds sequentially in component order
+(F.aggregate on Spark, list_dot_product in DuckDB — verified bit-identical
+by the ann_bruteforce gate); assignment ties break on the smaller centroid
+id, rank ties on the smaller vec_id, so the DuckDB oracle reproduces the
+probed row set and scores exactly (hash-checked, not rows-only).
+
+Reference parity: the reference has no vector search; this extends the
+index-probe idiom (XdiReportReducer.java's generation-ordered searcher
+walk) to embedding columns, as SURVEY §2's training-data-pipeline family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lucene_mapreduce_spark.operators.parity import load
+from lucene_mapreduce_spark.operators.similarity import QUERY_VEC_ID, _cosine
+
+N_CENTROIDS = 16  # deterministic coarse quantizer: vec_id 1..N_CENTROIDS
+N_PROBE = 4  # lists probed per query
+
+
+def _cosine_guarded(a: Column, b: Column) -> Column:
+    """Sequential-fold cosine; -2.0 (below any real cosine) for zero-norm
+    inputs so degenerate vectors sort last instead of producing NaN."""
+    na2 = F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, v: s + v)
+    nb2 = F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda s, v: s + v)
+    return F.when((na2 == 0) | (nb2 == 0), F.lit(-2.0)).otherwise(_cosine(a, b))
+
+
+def _centroids(spark: SparkSession, sf_dir: str) -> list[tuple[int, list[float]]]:
+    """The coarse quantizer: [(cid, vector)] for vec_id 1..N_CENTROIDS.
+    C rows of metadata scale — the standard IVF artifact that rides the
+    driver/closure, like a trained k-means codebook."""
+    rows = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id").between(1, N_CENTROIDS))
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .collect()
+    )
+    return sorted((int(r["vec_id"]), [float(x) for x in r["v"]]) for r in rows)
+
+
+def _assign_col(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column:
+    """list_id = argmax-cosine centroid (ties -> smaller cid), as one
+    shuffle-free expression: array_max over struct(cosine, -cid) — struct
+    ordering is lexicographic, so max picks highest cosine then lowest cid."""
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    _cosine_guarded(
+                        vec, F.array(*[F.lit(x) for x in cvec])
+                    ).alias("c"),
+                    F.lit(-cid).alias("neg_cid"),
+                )
+                for cid, cvec in centroids
+            ]
+        )
+    )
+    return -best["neg_cid"]
+
+
+def assign_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, embedding, list_id): every vector tagged with its inverted
+    list.  One projection over the scan — zero shuffles."""
+    emb = load(spark, sf_dir, "embeddings")
+    cents = _centroids(spark, sf_dir)
+    return emb.select(
+        "vec_id",
+        "embedding",
+        _assign_col(F.col("embedding").cast("array<double>"), cents).alias("list_id"),
+    )
+
+
+def write_ivf_index(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
+    """Persist the inverted lists partitioned by list_id: a probe becomes
+    directory pruning (scan reads nprobe of N_CENTROIDS partitions)."""
+    assign_lists(spark, sf_dir).write.mode("overwrite").partitionBy(
+        "list_id"
+    ).parquet(out_dir)
+
+
+def _probe_lists(
+    qvec: list[float], centroids: list[tuple[int, list[float]]], nprobe: int
+) -> list[int]:
+    """The nprobe centroid ids nearest the query, by the same sequential
+    left-fold cosine both engines use (ties -> smaller cid)."""
+
+    def fold_dot(a: list[float], b: list[float]) -> float:
+        s = 0.0
+        for x, y in zip(a, b):
+            s = s + x * y
+        return s
+
+    scored = []
+    for cid, cvec in centroids:
+        nq, nc = fold_dot(qvec, qvec) ** 0.5, fold_dot(cvec, cvec) ** 0.5
+        cos = -2.0 if nq * nc == 0 else fold_dot(qvec, cvec) / (nq * nc)
+        scored.append((-cos, cid))
+    return [cid for _, cid in sorted(scored)[:nprobe]]
+
+
+def ann_ivf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 10,
+    nprobe: int = N_PROBE,
+    lists_df: DataFrame | None = None,
+) -> DataFrame:
+    """Approximate cosine top-k via IVF probing: score only the vectors
+    whose list_id is among the query's nprobe nearest centroids.
+
+    Pass lists_df (e.g. spark.read.parquet on a write_ivf_index output) to
+    probe a persisted index — the IN filter on list_id then prunes
+    partitions and the scan reads nprobe/N_CENTROIDS of the data.  Without
+    it the assignment is computed inline (still one shuffle-free pass).
+    """
+    cents = _centroids(spark, sf_dir)
+    qvec = [
+        float(x)
+        for x in load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select(F.col("embedding").cast("array<double>"))
+        .collect()[0][0]
+    ]
+    probe = _probe_lists(qvec, cents, nprobe)
+
+    lists = lists_df if lists_df is not None else assign_lists(spark, sf_dir)
+    qcol = F.array(*[F.lit(x) for x in qvec])
+    scored = (
+        lists.filter(F.col("list_id").isin(probe))
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select(
+            "vec_id",
+            F.round(
+                _cosine_guarded(F.col("embedding").cast("array<double>"), qcol), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "cosine", "rank")
+    )

@@ -622,7 +622,62 @@ WHERE round({cos}, 6) >= 0.35
 """
 
 
+def _ann_ivf_sql() -> str:
+    """IVF twin: assignment = per-vector argmax cosine over the C centroid
+    vectors (row_number window = the Spark side's array-of-structs max);
+    probe = the query's nprobe nearest centroids; rescore exact.  The
+    zero-norm guard (-2.0) mirrors ivf._cosine_guarded."""
+    from lucene_mapreduce_spark.operators.ivf import N_CENTROIDS, N_PROBE
+    from lucene_mapreduce_spark.operators.similarity import QUERY_VEC_ID
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"CASE WHEN list_dot_product({a}, {a}) = 0"
+            f" OR list_dot_product({b}, {b}) = 0 THEN -2.0"
+            f" ELSE list_dot_product({a}, {b})"
+            f" / (sqrt(list_dot_product({a}, {a}))"
+            f" * sqrt(list_dot_product({b}, {b}))) END"
+        )
+
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (
+  SELECT vec_id AS cid, v AS cv FROM e
+  WHERE vec_id BETWEEN 1 AND {N_CENTROIDS}
+),
+q AS (SELECT v AS qv FROM e WHERE vec_id = {QUERY_VEC_ID}),
+probe AS (
+  SELECT cid FROM (
+    SELECT c.cid,
+           row_number() OVER (ORDER BY {cos("q.qv", "c.cv")} DESC, c.cid ASC)
+             AS rn
+    FROM cents c, q
+  ) WHERE rn <= {N_PROBE}
+),
+assign AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cos("e.v", "c.cv")} DESC, c.cid ASC)
+             AS rn
+    FROM e, cents c
+  ) WHERE rn = 1
+),
+scored AS (
+  SELECT a.vec_id, round({cos("a.v", "q.qv")}, 6) AS cosine
+  FROM assign a JOIN probe p ON a.cid = p.cid, q
+  WHERE a.vec_id <> {QUERY_VEC_ID}
+)
+SELECT vec_id, cosine, rank FROM (
+  SELECT vec_id, cosine,
+         row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+
 ORACLES["ann_lsh_topk"] = _ann_lsh_sql()
+ORACLES["ann_ivf_topk"] = _ann_ivf_sql()
 ORACLES["embedding_near_dup_pairs"] = _near_dup_sql()
 
 # ------------------------------------------------------------- curation

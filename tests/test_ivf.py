@@ -1,0 +1,109 @@
+"""IVF-Flat ANN: recall on planted neighbors, persisted-index partition
+pruning, and rank identity between the inline and persisted paths."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_mapreduce_spark.plans.inspect import partition_filters
+
+
+def _write_embeddings(tmp_path, vecs):
+    sf_dir = str(tmp_path)
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(len(vecs), dtype=np.int64),
+            "embedding": [np.asarray(v, np.float32) for v in vecs],
+            "label": [0] * len(vecs),
+        }
+    )
+    pdf.to_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return sf_dir
+
+
+@pytest.fixture(scope="module")
+def planted(tmp_path_factory):
+    """vec_id 0 = query; vec_id 1..16 = 16 diverse random vectors (the
+    deterministic centroids); then 30 planted near-copies of the query and
+    1000 random distractors.  All planted neighbors share the query's
+    nearest centroids, so nprobe=4 must recover the bruteforce top-10."""
+    rng = np.random.default_rng(11)
+    q = rng.normal(size=64)
+    q /= np.linalg.norm(q)
+    vecs = [q]
+    for _ in range(16):  # vec_id 1..16: the coarse quantizer
+        vecs.append(rng.normal(size=64))
+    for _ in range(30):
+        vecs.append(q + rng.normal(scale=0.03, size=64))
+    for _ in range(1000):
+        vecs.append(rng.normal(size=64))
+    return _write_embeddings(tmp_path_factory.mktemp("ivf"), vecs)
+
+
+def test_ivf_recall_on_planted_neighbors(spark, planted):
+    from lucene_mapreduce_spark.operators.ivf import ann_ivf_topk
+    from lucene_mapreduce_spark.operators.similarity import ann_bruteforce_topk
+
+    bf = {r["vec_id"] for r in ann_bruteforce_topk(spark, planted).collect()}
+    ivf = {r["vec_id"] for r in ann_ivf_topk(spark, planted).collect()}
+    assert len(bf) == 10
+    # every bruteforce hit clusters with the query's centroids -> full recall
+    assert len(bf & ivf) >= 9
+
+
+def test_ivf_assignment_covers_all_lists_boundedly(spark, planted):
+    from lucene_mapreduce_spark.operators.ivf import N_CENTROIDS, assign_lists
+
+    counts = (
+        assign_lists(spark, planted)
+        .groupBy("list_id")
+        .count()
+        .toPandas()
+        .set_index("list_id")["count"]
+    )
+    assert counts.sum() == 1047
+    assert counts.index.isin(range(1, N_CENTROIDS + 1)).all()
+    # distractors are isotropic -> no list degenerates to >40% of the corpus
+    assert counts.max() <= 1047 * 0.4
+
+
+def test_ivf_persisted_index_prunes_partitions(spark, planted, tmp_path):
+    """The probe on a written index must be directory pruning (list_id is a
+    hive partition column), and return the same rows as the inline path."""
+    from lucene_mapreduce_spark.operators.ivf import ann_ivf_topk, write_ivf_index
+
+    out = os.path.join(str(tmp_path), "ivf_index")
+    write_ivf_index(spark, planted, out)
+    lists = spark.read.parquet(out)
+
+    probed = ann_ivf_topk(spark, planted, lists_df=lists)
+    pf = " ".join(partition_filters(probed))
+    assert "list_id" in pf, f"list_id not in PartitionFilters: {pf}"
+
+    inline = ann_ivf_topk(spark, planted)
+    assert [tuple(r) for r in probed.collect()] == [
+        tuple(r) for r in inline.collect()
+    ]
+
+
+def test_ivf_scan_reads_only_probed_fraction(spark, planted, tmp_path):
+    from lucene_mapreduce_spark.operators.ivf import (
+        N_CENTROIDS,
+        N_PROBE,
+        assign_lists,
+        write_ivf_index,
+    )
+
+    out = os.path.join(str(tmp_path), "ivf_index")
+    write_ivf_index(spark, planted, out)
+    lists = spark.read.parquet(out)
+    # the pruned scan materializes only the probed lists' rows
+    probe_rows = lists.filter(F.col("list_id").isin([1, 2, 3, 4])).count()
+    total = assign_lists(spark, planted).count()
+    assert probe_rows < total  # strictly less: pruning has something to cut
+    assert N_PROBE < N_CENTROIDS
