@@ -44,6 +44,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_wand_topk": fulltext.bm25_wand_topk_documents,
         "bm25_wand_topk_unmerged": fulltext.bm25_wand_topk_unmerged,
         "boolean_and_query": fulltext.boolean_and_query,
+        "boolean_or_query": fulltext.boolean_or_query,
+        "boolean_and_not_query": fulltext.boolean_and_not_query,
         "phrase_query": fulltext.phrase_query,
         "term_df": fulltext.term_df,
         "corpus_stats": fulltext.corpus_stats,

@@ -137,6 +137,35 @@ def boolean_and_query(
     return spark.createDataFrame([(int(d),) for d in docids], "doc_id long")
 
 
+def boolean_or_query(
+    spark: SparkSession, sf_dir: str, query_text: str = BOOLEAN_QUERY
+) -> DataFrame:
+    """Exact disjunctive (OR) retrieval through the posting cursors —
+    sorted-docid union, the SHOULD side of the reference QueryParser's
+    boolean surface (XdiReportReducer.java:356). Oracle: docs whose token
+    set contains any query term."""
+    from lucene_mapreduce_spark.query.wand import IndexSearcher
+
+    ix = _gate_index(spark, sf_dir)
+    docids = IndexSearcher(ix).search_boolean(query_text, mode="or")
+    return spark.createDataFrame([(int(d),) for d in docids], "doc_id long")
+
+
+def boolean_and_not_query(
+    spark: SparkSession,
+    sf_dir: str,
+    include_text: str = "table",
+    exclude_text: str = "merge",
+) -> DataFrame:
+    """MUST + MUST_NOT retrieval: conjunctive candidates minus the
+    prohibited union, as sorted-array set difference over the cursors."""
+    from lucene_mapreduce_spark.query.wand import IndexSearcher
+
+    ix = _gate_index(spark, sf_dir)
+    docids = IndexSearcher(ix).search_and_not(include_text, exclude_text)
+    return spark.createDataFrame([(int(d),) for d in docids], "doc_id long")
+
+
 def phrase_query(
     spark: SparkSession, sf_dir: str, phrase_text: str = PHRASE_QUERY
 ) -> DataFrame:

@@ -334,6 +334,14 @@ FROM dl
 SELECT doc_id FROM (SELECT doc_id, {TOKS} AS toks FROM documents)
 WHERE list_contains(toks, 'table') AND list_contains(toks, 'merge')
 """,
+    "boolean_or_query": f"""
+SELECT doc_id FROM (SELECT doc_id, {TOKS} AS toks FROM documents)
+WHERE list_contains(toks, 'table') OR list_contains(toks, 'merge')
+""",
+    "boolean_and_not_query": f"""
+SELECT doc_id FROM (SELECT doc_id, {TOKS} AS toks FROM documents)
+WHERE list_contains(toks, 'table') AND NOT list_contains(toks, 'merge')
+""",
     "phrase_query": f"""
 SELECT doc_id FROM (SELECT doc_id, {TOKS} AS toks FROM documents)
 WHERE len(list_filter(range(1, len(toks)),

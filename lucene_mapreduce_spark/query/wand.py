@@ -246,6 +246,18 @@ class IndexSearcher:
             out = np.intersect1d(out, arr) if mode == "and" else np.union1d(out, arr)
         return out.astype(np.int64)
 
+    def search_and_not(self, include_text: str, exclude_text: str) -> np.ndarray:
+        """Conjunctive retrieval with exclusion: docids containing ALL of
+        include_text's terms and NONE of exclude_text's — Lucene's
+        MUST/MUST_NOT clause pair, answered as sorted-array set difference
+        over the same decoded cursors (prohibited lists are only ever read
+        for the candidate range, never scored)."""
+        inc = self.search_boolean(include_text, mode="and")
+        if not len(inc):
+            return inc
+        exc = self.search_boolean(exclude_text, mode="or")
+        return np.setdiff1d(inc, exc, assume_unique=True).astype(np.int64)
+
     def _load_texts(self, docids: np.ndarray) -> dict[int, str]:
         """Stored fields for the given docids, newest generation wins.
         Requires store_fields=True segments (docstore sidecars — doc_id

@@ -247,6 +247,15 @@ def test_boolean_search_and_or(spark, tmp_path):
     assert list(s.search_boolean("apple banana", mode="or")) == any_of("apple", "banana")
     assert list(s.search_boolean("apple missingterm")) == []
     assert list(s.search_boolean("missingterm", mode="or")) == []
+    not_of = lambda inc, exc: sorted(
+        d
+        for d, t in texts.items()
+        if all(x in t.split() for x in inc.split())
+        and not any(x in t.split() for x in exc.split())
+    )
+    assert list(s.search_and_not("apple", "banana")) == not_of("apple", "banana")
+    assert list(s.search_and_not("apple", "missingterm")) == not_of("apple", "")
+    assert list(s.search_and_not("missingterm", "apple")) == []
 
 
 def test_phrase_search_latest_wins(spark, tmp_path):
