@@ -41,6 +41,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             s, d, query_text=fulltext.SECOND_QUERY
         ),
         "bm25_index_topk": fulltext.bm25_index_topk_documents,
+        "bm25_range_topk": fulltext.bm25_range_topk_documents,
         "bm25_wand_topk": fulltext.bm25_wand_topk_documents,
         "bm25_wand_topk_unmerged": fulltext.bm25_wand_topk_unmerged,
         "boolean_and_query": fulltext.boolean_and_query,
@@ -120,6 +121,10 @@ def oracle_sql() -> dict[str, str]:
     out["bm25_topk_q2"] = bm25_topk_sql(fulltext.SECOND_QUERY)
     # the index-backed and serving paths must match the SAME oracle
     out["bm25_index_topk"] = bm25_topk_sql(fulltext.FLAGSHIP_QUERY)
+    out["bm25_range_topk"] = bm25_topk_sql(
+        fulltext.FLAGSHIP_QUERY,
+        doc_where=f"doc_id >= {fulltext.RANGE_LO} AND doc_id < {fulltext.RANGE_HI}",
+    )
     out["bm25_wand_topk"] = bm25_topk_sql(fulltext.FLAGSHIP_QUERY)
     out["bm25_wand_topk_unmerged"] = bm25_topk_sql(fulltext.FLAGSHIP_QUERY)
     return out

@@ -117,17 +117,23 @@ def segment_stats(spark: SparkSession, seg_path: str, num_partitions: int):
     return part_stats, {"n_docs": int(n_docs), "total_tokens": int(total_tokens)}
 
 
-def read_doclens(spark: SparkSession, seg_path: str, num_partitions: int) -> DataFrame:
+def read_doclens(
+    spark: SparkSession,
+    seg_path: str,
+    num_partitions: int,
+    chunk_range: tuple[int, int] | None = None,
+) -> DataFrame:
     """(doc_id, dl) of one segment, decoded from the reserved doclen
-    pseudo-term rows — reads exactly one phash directory (path pruning)."""
+    pseudo-term rows — reads exactly one phash directory (path pruning).
+    chunk_range=(lo, hi) additionally prunes to the inclusive chunk span
+    via parquet row-group stats (rows are chunk-sorted) before decoding."""
     p = os.path.join(seg_path, "postings", f"phash={num_partitions}")
     if not os.path.exists(p):
         return spark.createDataFrame([], DOCLEN_SCHEMA)
-    return (
-        spark.read.parquet(p)
-        .select("payload")
-        .mapInPandas(_decode_doclens, schema=DOCLEN_SCHEMA)
-    )
+    rows = spark.read.parquet(p)
+    if chunk_range is not None:
+        rows = rows.filter(F.col("chunk").between(*chunk_range))
+    return rows.select("payload").mapInPandas(_decode_doclens, schema=DOCLEN_SCHEMA)
 
 
 def build_segment(

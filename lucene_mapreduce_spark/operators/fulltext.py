@@ -123,6 +123,26 @@ def bm25_index_topk_documents(
     return out.select("doc_id", "score", "rank")
 
 
+RANGE_LO, RANGE_HI = 100, 350  # the docid span for the scoped-search gate
+
+
+def bm25_range_topk_documents(
+    spark: SparkSession, sf_dir: str, query_text: str = FLAGSHIP_QUERY, k: int = 10
+) -> DataFrame:
+    """Docid-range-scoped search: top-k BM25 over docs [RANGE_LO, RANGE_HI)
+    only, with stats scoped to the range — every index read (postings and
+    doclen rows) prunes to the range's chunk span. Oracle: the same BM25
+    spec over the pre-filtered corpus."""
+    from lucene_mapreduce_spark.query.segments import bm25_range_topk
+
+    ix = _gate_index(spark, sf_dir)
+    queries = spark.createDataFrame(
+        [("q0", query_text)], "query_id string, query_text string"
+    )
+    out = bm25_range_topk(spark, ix, queries, RANGE_LO, RANGE_HI, k=k, round_to=6)
+    return out.select("doc_id", "score", "rank")
+
+
 def boolean_and_query(
     spark: SparkSession, sf_dir: str, query_text: str = BOOLEAN_QUERY
 ) -> DataFrame:

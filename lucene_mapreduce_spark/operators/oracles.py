@@ -14,19 +14,20 @@ from lucene_mapreduce_spark.query.bm25 import B, K1
 TOKS = duckdb_tokens_sql("text")
 
 
-def bm25_topk_sql(query_text: str, k: int = 10) -> str:
+def bm25_topk_sql(query_text: str, k: int = 10, doc_where: str = "TRUE") -> str:
     """Brute-force BM25 in ANSI-ish SQL (DuckDB dialect) — the independent
-    re-derivation of the scorer spec in query/bm25.py."""
+    re-derivation of the scorer spec in query/bm25.py.  doc_where scopes
+    the corpus (docs AND stats) — the twin of the range-scoped index path."""
     qlit = query_text.replace("'", "''")
     return f"""
 WITH doclens AS (
-  SELECT doc_id, len({TOKS}) AS dl FROM documents
+  SELECT doc_id, len({TOKS}) AS dl FROM documents WHERE {doc_where}
 ),
 stats AS (
   SELECT count(*)::DOUBLE AS n_docs, avg(dl::DOUBLE) AS avgdl FROM doclens
 ),
 toks AS (
-  SELECT doc_id, unnest({TOKS}) AS term FROM documents
+  SELECT doc_id, unnest({TOKS}) AS term FROM documents WHERE {doc_where}
 ),
 postings AS (
   SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2

@@ -69,6 +69,7 @@ def read_postings(
     index_dir: str,
     terms: list[str] | DataFrame,
     manifest: Manifest | None = None,
+    chunk_range: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Decoded live postings (term, doc_id, tf, dl) for the given terms.
 
@@ -78,18 +79,29 @@ def read_postings(
     daily 1 TB probe join, XdiReportDriver.java:253-266): the term set
     never materializes on the driver; postings scan all phash directories
     once and broadcast-hash-join against the term frame.
+
+    chunk_range=(lo, hi) prunes every posting read to the inclusive chunk
+    span (parquet row-group stats on the chunk-sorted rows) — the docid-
+    range axis of pruning, orthogonal to phash/term.
     """
     m = manifest or load_manifest(index_dir)
     assert m is not None, f"no index at {index_dir}"
     segs = m.ordered()
+
+    def _chunked(r: DataFrame) -> DataFrame:
+        return (
+            r if chunk_range is None else r.filter(F.col("chunk").between(*chunk_range))
+        )
 
     rows = None
     if isinstance(terms, DataFrame):
         tdf = F.broadcast(terms.select("term").distinct())
         for s in segs:
             r = (
-                spark.read.parquet(
-                    os.path.join(segment_dir(index_dir, s.segment_id), "postings")
+                _chunked(
+                    spark.read.parquet(
+                        os.path.join(segment_dir(index_dir, s.segment_id), "postings")
+                    )
                 )
                 # phash < P excludes the reserved doclen pseudo partition
                 # (a query token could legitimately spell DL_TERM)
@@ -102,8 +114,10 @@ def read_postings(
         phashes = sorted(set(term_phashes(spark, terms, m.num_partitions).values()))
         for s in segs:
             r = (
-                spark.read.parquet(
-                    os.path.join(segment_dir(index_dir, s.segment_id), "postings")
+                _chunked(
+                    spark.read.parquet(
+                        os.path.join(segment_dir(index_dir, s.segment_id), "postings")
+                    )
                 )
                 .filter(F.col("phash").isin(phashes) & F.col("term").isin(terms))
                 .withColumn("seg_seq", F.lit(s.min_seq))
@@ -118,15 +132,21 @@ def read_postings(
         return decoded.drop("seg_seq")
 
     # multi-segment: keep only each doc's newest copy (latest-wins upsert)
-    live = live_doclens(spark, index_dir, m).select("doc_id", "seg_seq")
+    live = live_doclens(spark, index_dir, m, chunk_range=chunk_range).select(
+        "doc_id", "seg_seq"
+    )
     return decoded.join(live, ["doc_id", "seg_seq"], "left_semi").drop("seg_seq")
 
 
 def live_doclens(
-    spark: SparkSession, index_dir: str, manifest: Manifest | None = None
+    spark: SparkSession,
+    index_dir: str,
+    manifest: Manifest | None = None,
+    chunk_range: tuple[int, int] | None = None,
 ) -> DataFrame:
     """(doc_id, dl, seg_seq) with exactly one live row per doc (decoded from
-    each segment's reserved DL_TERM pseudo rows — see index/kernels.py)."""
+    each segment's reserved DL_TERM pseudo rows — see index/kernels.py).
+    chunk_range prunes each segment's doclen read to the chunk span."""
     from lucene_mapreduce_spark.index.build import read_doclens
 
     m = manifest or load_manifest(index_dir)
@@ -134,7 +154,10 @@ def live_doclens(
     dfs = None
     for s in m.ordered():
         d = read_doclens(
-            spark, segment_dir(index_dir, s.segment_id), m.num_partitions
+            spark,
+            segment_dir(index_dir, s.segment_id),
+            m.num_partitions,
+            chunk_range=chunk_range,
         ).withColumn("seg_seq", F.lit(s.min_seq))
         dfs = d if dfs is None else dfs.unionByName(d)
     if len(m.segments) == 1:
@@ -200,6 +223,75 @@ def bm25_index_topk(
     postings = read_postings(spark, index_dir, terms, m)
     df_t = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
 
+    matched = (
+        postings.join(F.broadcast(qterms), "term", "inner")
+        .join(F.broadcast(df_t), "term", "inner")
+        .withColumn("n_docs", F.lit(float(n_docs)))
+        .withColumn("avgdl", F.lit(float(avgdl)))
+    )
+    return score_and_topk(matched, k=k, round_to=round_to)
+
+
+def bm25_range_topk(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    lo: int,
+    hi: int,
+    k: int = 10,
+    round_to: int | None = None,
+    max_pushdown_terms: int = 256,
+) -> DataFrame:
+    """Scoped top-k BM25 over the docid range [lo, hi): search one tenant /
+    conversation span / time shard of the index without touching the rest.
+
+    Because doc_id packs (conv << 20 | turn) and posting blocks are keyed
+    by chunk = doc_id DIV chunk_docs, a docid range is a CHUNK range — the
+    scoped query prunes every read (postings AND the doclen pseudo-term
+    rows) to ~ (hi-lo)/chunk_docs blocks via parquet row-group stats, an
+    axis of pruning orthogonal to phash directories and term row-groups.
+    At 10^12 docs a tenant-scoped query reads only its own chunk span.
+
+    Scoring semantics are range-scoped BM25: df_t, n_docs and avgdl are
+    computed over the live docs of [lo, hi) — the result is exactly what a
+    standalone index built from that range would return (the oracle filters
+    the corpus first and runs the same BM25 spec).
+    """
+    m = load_manifest(index_dir)
+    assert m is not None, f"no index at {index_dir}"
+    assert lo < hi
+    c_range = (lo // m.chunk_docs, (hi - 1) // m.chunk_docs)
+    in_range = (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+
+    qterms = (
+        queries.select("query_id", F.explode(tokenize_col("query_text")).alias("term"))
+        .distinct()
+    )
+    qterm_list = qterms.select("term").distinct()
+    head = qterm_list.limit(max_pushdown_terms + 1).collect()
+    terms: list[str] | DataFrame = (
+        [r["term"] for r in head] if len(head) <= max_pushdown_terms else qterm_list
+    )
+
+    # range-scoped stats from the chunk-pruned doclen rows (boundary chunks
+    # need the exact docid filter — a chunk can straddle lo or hi)
+    row = (
+        live_doclens(spark, index_dir, m, chunk_range=c_range)
+        .filter(in_range)
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("tot"))
+        .collect()[0]
+    )
+    n_docs = int(row["n"])
+    if n_docs == 0:
+        return spark.createDataFrame(
+            [], "query_id string, doc_id long, score double, rank int"
+        )
+    avgdl = int(row["tot"] or 0) / n_docs
+
+    postings = read_postings(spark, index_dir, terms, m, chunk_range=c_range).filter(
+        in_range
+    )
+    df_t = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
     matched = (
         postings.join(F.broadcast(qterms), "term", "inner")
         .join(F.broadcast(df_t), "term", "inner")

@@ -1,0 +1,73 @@
+"""Docid-range-scoped search: chunk pruning reaches the scan, and the
+range-scoped result equals a standalone index built from only that range."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_mapreduce_spark.datagen.transcripts import transcripts_df, with_docid
+from lucene_mapreduce_spark.index.build import build_segment
+from lucene_mapreduce_spark.index.merge import merge_all
+from lucene_mapreduce_spark.plans.inspect import pushed_filters
+from lucene_mapreduce_spark.query.segments import bm25_range_topk
+
+
+@pytest.fixture(scope="module")
+def range_corpus(spark, tmp_path_factory):
+    """One merged index over 200 conversations, plus the corpus frame."""
+    base = tmp_path_factory.mktemp("range_ix")
+    corpus = with_docid(transcripts_df(spark, n_conv=200, seed=31)).select(
+        "doc_id", "text"
+    )
+    ix = str(base / "full")
+    build_segment(spark, corpus, ix, num_partitions=8, chunk_docs=1 << 12)
+    merge_all(spark, ix)
+    return ix, corpus, str(base)
+
+
+def _q(spark, text="tok00000 tok00001 tok00003"):
+    return spark.createDataFrame(
+        [("q0", text)], "query_id string, query_text string"
+    )
+
+
+def test_range_equals_standalone_subindex(spark, range_corpus):
+    """bm25_range_topk over [lo, hi) must return exactly what an index
+    built from only that docid span returns (stats are range-scoped)."""
+    ix, corpus, base = range_corpus
+    lo, hi = 50 << 20, 120 << 20  # conversations 50..119
+    sub_ix = base + "/sub"
+    build_segment(
+        spark,
+        corpus.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)),
+        sub_ix,
+        num_partitions=8,
+        chunk_docs=1 << 12,
+    )
+    got = bm25_range_topk(spark, ix, _q(spark), lo, hi, k=10, round_to=6)
+    want = __import__(
+        "lucene_mapreduce_spark.query.segments", fromlist=["x"]
+    ).bm25_index_topk(spark, sub_ix, _q(spark), k=10, round_to=6)
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+
+
+def test_range_chunk_filter_reaches_scan(spark, range_corpus):
+    ix, _, _ = range_corpus
+    lo, hi = 50 << 20, 120 << 20
+    df = bm25_range_topk(spark, ix, _q(spark), lo, hi, k=10)
+    pushed = " ".join(pushed_filters(df))
+    assert "chunk" in pushed, f"chunk range not pushed to scan: {pushed}"
+
+
+def test_range_boundary_and_empty(spark, range_corpus):
+    ix, corpus, _ = range_corpus
+    # a range covering everything == the unscoped result set size
+    full = bm25_range_topk(spark, ix, _q(spark), 0, 1 << 62, k=10, round_to=6)
+    assert full.count() == 10
+    # an empty docid span yields zero rows with the right schema
+    empty = bm25_range_topk(spark, ix, _q(spark), 1 << 40, (1 << 40) + 1, k=10)
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == [
+        "query_id", "doc_id", "score", "rank",
+    ]
