@@ -58,6 +58,12 @@ def main() -> None:
          lambda: __import__(
              "lucene_mapreduce_spark.operators.multimodal", fromlist=["x"]
          ).media_decode_stats(spark, sf_dir)),
+        ("ann_ivf_topk (IVF-Flat: shuffle-free list assignment + probe)",
+         lambda: __import__(
+             "lucene_mapreduce_spark.operators.ivf", fromlist=["x"]
+         ).ann_ivf_topk(spark, sf_dir)),
+        ("bm25_range_topk (docid-range scoped search: chunk-span pruning)",
+         lambda: fulltext.bm25_range_topk_documents(spark, sf_dir)),
     ]
 
     out = [HEADER]
