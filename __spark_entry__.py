@@ -25,7 +25,11 @@ from lucene_mapreduce_spark.operators import (  # noqa: E402
     similarity,
     textstats,
 )
-from lucene_mapreduce_spark.operators.oracles import ORACLES, bm25_topk_sql  # noqa: E402
+from lucene_mapreduce_spark.operators.oracles import (  # noqa: E402
+    ORACLES,
+    bm25_topk_sql,
+    mlt_sql,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -42,6 +46,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "bm25_index_topk": fulltext.bm25_index_topk_documents,
         "bm25_range_topk": fulltext.bm25_range_topk_documents,
+        "more_like_this": fulltext.more_like_this_documents,
         "bm25_wand_topk": fulltext.bm25_wand_topk_documents,
         "bm25_wand_topk_unmerged": fulltext.bm25_wand_topk_unmerged,
         "boolean_and_query": fulltext.boolean_and_query,
@@ -121,6 +126,7 @@ def oracle_sql() -> dict[str, str]:
     out["bm25_topk_q2"] = bm25_topk_sql(fulltext.SECOND_QUERY)
     # the index-backed and serving paths must match the SAME oracle
     out["bm25_index_topk"] = bm25_topk_sql(fulltext.FLAGSHIP_QUERY)
+    out["more_like_this"] = mlt_sql(fulltext.MLT_SRC_DOC)
     out["bm25_range_topk"] = bm25_topk_sql(
         fulltext.FLAGSHIP_QUERY,
         doc_where=f"doc_id >= {fulltext.RANGE_LO} AND doc_id < {fulltext.RANGE_HI}",

@@ -124,6 +124,20 @@ def bm25_index_topk_documents(
 
 
 RANGE_LO, RANGE_HI = 100, 350  # the docid span for the scoped-search gate
+MLT_SRC_DOC = 42  # the source document for the more-like-this gate
+
+
+def more_like_this_documents(
+    spark: SparkSession, sf_dir: str, src_doc: int = MLT_SRC_DOC, k: int = 10
+) -> DataFrame:
+    """Lucene MoreLikeThis parity over the gate index: docs most similar
+    to src_doc via its top tf-idf terms (see query/segments.more_like_this).
+    Oracle: the same term-extraction + BM25 spec in SQL."""
+    from lucene_mapreduce_spark.query.segments import more_like_this
+
+    ix = _gate_index(spark, sf_dir)
+    out = more_like_this(spark, ix, src_doc, k=k, round_to=6)
+    return out.select("doc_id", "score", "rank")
 
 
 def bm25_range_topk_documents(

@@ -62,6 +62,64 @@ WHERE rank <= {k}
 """
 
 
+def mlt_sql(src: int, max_terms: int = 8, k: int = 10) -> str:
+    """MoreLikeThis twin: rank the source doc's terms by tf * BM25-idf
+    (ties -> term asc), take max_terms, run the BM25 spec with that term
+    set, exclude the source doc from the results (stats corpus-global)."""
+    return f"""
+WITH doclens AS (
+  SELECT doc_id, len({TOKS}) AS dl FROM documents
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n_docs, avg(dl::DOUBLE) AS avgdl FROM doclens
+),
+toks AS (
+  SELECT doc_id, unnest({TOKS}) AS term FROM documents
+),
+postings AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2
+),
+srcterms AS (
+  SELECT term, tf FROM postings WHERE doc_id = {src}
+),
+dfc AS (
+  SELECT p.term, count(*)::DOUBLE AS df_t
+  FROM postings p JOIN srcterms s USING (term) GROUP BY 1
+),
+qterms AS (
+  SELECT term FROM (
+    SELECT s.term,
+           s.tf * ln(1 + (st.n_docs - d.df_t + 0.5) / (d.df_t + 0.5)) AS sc
+    FROM srcterms s JOIN dfc d USING (term) CROSS JOIN stats st
+  ) ORDER BY sc DESC, term ASC LIMIT {max_terms}
+),
+dft AS (
+  SELECT d.term, d.df_t FROM dfc d JOIN qterms q USING (term)
+),
+scored AS (
+  SELECT p.doc_id,
+         ln(1 + (s.n_docs - d.df_t + 0.5) / (d.df_t + 0.5))
+           * (p.tf * {K1 + 1.0}) / (p.tf + {K1} * (1 - {B} + {B} * l.dl / s.avgdl))
+           AS contrib
+  FROM postings p
+  JOIN dft d USING (term)
+  JOIN doclens l USING (doc_id)
+  CROSS JOIN stats s
+  WHERE p.doc_id <> {src}
+),
+agg AS (
+  SELECT doc_id, sum(contrib) AS score FROM scored GROUP BY 1
+)
+SELECT doc_id, round(score, 6) AS score, rank
+FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM agg
+)
+WHERE rank <= {k}
+"""
+
+
 _SHINGLES = f"""
 tok AS (SELECT doc_id, {TOKS} AS tokens FROM documents),
 sh AS (

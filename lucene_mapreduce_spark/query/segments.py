@@ -232,6 +232,80 @@ def bm25_index_topk(
     return score_and_topk(matched, k=k, round_to=round_to)
 
 
+def more_like_this(
+    spark: SparkSession,
+    index_dir: str,
+    src_doc: int,
+    k: int = 10,
+    max_terms: int = 8,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Lucene MoreLikeThis parity: top-k docs most similar to src_doc.
+
+    The source doc's stored text (docstore sidecar) yields its term
+    frequencies; its terms are ranked by tf * idf (idf = the BM25 idf,
+    ln(1 + (N - df + 0.5)/(df + 0.5)), ties -> term asc) and the top
+    max_terms become a BM25 query against the index, excluding src_doc
+    from the results (stats stay corpus-global, like Lucene's MLT).
+
+    The extracted-term stage is metadata-scale (one doc's vocabulary, df
+    fetched via the pruned posting read); the search stage is the same
+    distributed plan as bm25_index_topk.  Requires store_fields=True.
+    """
+    import math
+
+    import numpy as np
+
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_string
+    from lucene_mapreduce_spark.query.wand import IndexSearcher
+
+    m = load_manifest(index_dir)
+    assert m is not None, f"no index at {index_dir}"
+    text = (
+        IndexSearcher(index_dir)
+        ._load_texts(np.asarray([src_doc], np.int64))
+        .get(int(src_doc))
+    )
+    assert text is not None, f"doc {src_doc} not stored in {index_dir}"
+    tf: dict[str, int] = {}
+    for t in tokenize_string(text):
+        tf[t] = tf.get(t, 0) + 1
+    cand = sorted(tf)
+    assert cand, f"doc {src_doc} has no tokens"
+
+    n_docs, avgdl = exact_stats(spark, index_dir)
+    dfmap = {
+        r["term"]: int(r["df"])
+        for r in read_postings(spark, index_dir, cand, m)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .collect()
+    }
+    # identical float spec to the oracle: tf * ln(1 + (N - df + .5)/(df + .5))
+    ranked = sorted(
+        (
+            (-(tf[t] * math.log(1.0 + (n_docs - dfmap[t] + 0.5) / (dfmap[t] + 0.5))), t)
+            for t in cand
+            if t in dfmap
+        )
+    )
+    qts = [t for _, t in ranked[:max_terms]]
+
+    postings = read_postings(spark, index_dir, qts, m)
+    df_t = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    qterms = spark.createDataFrame(
+        [("q0", t) for t in qts], "query_id string, term string"
+    )
+    matched = (
+        postings.filter(F.col("doc_id") != src_doc)
+        .join(F.broadcast(qterms), "term", "inner")
+        .join(F.broadcast(df_t), "term", "inner")
+        .withColumn("n_docs", F.lit(float(n_docs)))
+        .withColumn("avgdl", F.lit(float(avgdl)))
+    )
+    return score_and_topk(matched, k=k, round_to=round_to)
+
+
 def bm25_range_topk(
     spark: SparkSession,
     index_dir: str,

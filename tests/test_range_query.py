@@ -60,6 +60,34 @@ def test_range_chunk_filter_reaches_scan(spark, range_corpus):
     assert "chunk" in pushed, f"chunk range not pushed to scan: {pushed}"
 
 
+def test_more_like_this_finds_near_copy(spark, tmp_path):
+    """A near-copy of the source doc must rank first, and the source doc
+    itself must be excluded from the results."""
+    import pandas as pd
+
+    from lucene_mapreduce_spark.query.segments import more_like_this
+
+    texts = {
+        0: "quantum flux capacitor resonance chamber alpha beta",
+        1: "quantum flux capacitor resonance chamber alpha gamma",  # near-copy
+        2: "unrelated cooking recipe with flour sugar butter",
+        3: "another unrelated text about gardening tulips roses",
+        4: "quantum mechanics textbook chapter one",
+    }
+    pdf = pd.DataFrame(
+        {"doc_id": list(texts), "text": [texts[d] for d in texts]}
+    )
+    sf = str(tmp_path)
+    pdf.to_parquet(sf + "/documents.parquet")
+    corpus = spark.createDataFrame(pdf)
+    ix = sf + "/ix"
+    build_segment(spark, corpus, ix, num_partitions=4, store_fields=True)
+
+    out = more_like_this(spark, ix, 0, k=3).collect()
+    assert out[0]["doc_id"] == 1
+    assert all(r["doc_id"] != 0 for r in out)
+
+
 def test_range_boundary_and_empty(spark, range_corpus):
     ix, corpus, _ = range_corpus
     # a range covering everything == the unscoped result set size
