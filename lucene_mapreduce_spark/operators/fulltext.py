@@ -157,6 +157,57 @@ def bm25_range_topk_documents(
     return out.select("doc_id", "score", "rank")
 
 
+SNIPPET_WIDTH = 3  # tokens of context either side of the first hit
+
+
+def search_snippets(
+    spark: SparkSession,
+    sf_dir: str,
+    query_text: str = FLAGSHIP_QUERY,
+    k: int = 10,
+    width: int = SNIPPET_WIDTH,
+) -> DataFrame:
+    """Top-k BM25 plus a (2*width+1)-token snippet around the first query-
+    term occurrence, read from the index's stored fields — the Lucene
+    highlighter surface. The snippet join touches only the k result docs;
+    tokenization/slicing is pure codegen (array_position/slice/array_join).
+    """
+    import os
+
+    from lucene_mapreduce_spark.functions.tokenize import (
+        tokenize_col,
+        tokenize_string,
+    )
+    from lucene_mapreduce_spark.index.manifest import load_manifest, segment_dir
+
+    ix = _gate_index(spark, sf_dir)
+    topk = bm25_index_topk_documents(spark, sf_dir, query_text, k)
+    m = load_manifest(ix)
+    assert m is not None and all(s.has_docstore for s in m.segments)
+    stores = [
+        os.path.join(segment_dir(ix, s.segment_id), "docstore")
+        for s in m.ordered()
+    ]
+    assert len(stores) == 1, "snippets expect the merged gate index"
+
+    qts = sorted(set(tokenize_string(query_text)))
+    toks = tokenize_col(F.col("text"))
+    absent = F.lit(1 << 30)
+    pos = [
+        F.when(F.array_position(toks, t) == 0, absent).otherwise(
+            F.array_position(toks, t)
+        )
+        for t in qts
+    ]
+    first = F.least(*pos) if len(pos) > 1 else pos[0]
+    start = F.greatest(F.lit(1), first - F.lit(width))
+    snippet = F.array_join(F.slice(toks, start, 2 * width + 1), " ")
+    docs = spark.read.parquet(stores[0]).select(
+        "doc_id", snippet.alias("snippet")
+    )
+    return topk.join(docs, "doc_id").select("doc_id", "score", "rank", "snippet")
+
+
 def boolean_and_query(
     spark: SparkSession, sf_dir: str, query_text: str = BOOLEAN_QUERY
 ) -> DataFrame:

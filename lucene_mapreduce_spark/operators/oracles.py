@@ -120,6 +120,35 @@ WHERE rank <= {k}
 """
 
 
+def snippets_sql(query_text: str, k: int = 10, width: int = 3) -> str:
+    """Highlighter twin: the bm25 top-k joined with a (2*width+1)-token
+    window around the first query-term hit (list_position/list_slice are
+    1-based like Spark's array_position/slice)."""
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_string
+
+    qts = sorted(set(tokenize_string(query_text)))
+    absent = 1 << 30
+    pos = ", ".join(
+        f"CASE WHEN list_position(toks, '{t}') = 0 THEN {absent}"
+        f" ELSE list_position(toks, '{t}') END"
+        for t in qts
+    )
+    first = f"least({pos})" if len(qts) > 1 else pos
+    return f"""
+WITH topk AS ({bm25_topk_sql(query_text, k)}),
+docs AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+snip AS (
+  SELECT doc_id,
+         array_to_string(list_slice(toks, s, s + {2 * width}), ' ') AS snippet
+  FROM (
+    SELECT doc_id, toks, greatest(1, {first} - {width}) AS s FROM docs
+  )
+)
+SELECT t.doc_id, t.score, t.rank, s.snippet
+FROM topk t JOIN snip s USING (doc_id)
+"""
+
+
 _SHINGLES = f"""
 tok AS (SELECT doc_id, {TOKS} AS tokens FROM documents),
 sh AS (
