@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_range_topk": fulltext.bm25_range_topk_documents,
         "more_like_this": fulltext.more_like_this_documents,
         "search_snippets": fulltext.search_snippets,
+        "search_facets": fulltext.search_facets,
         "bm25_wand_topk": fulltext.bm25_wand_topk_documents,
         "bm25_wand_topk_unmerged": fulltext.bm25_wand_topk_unmerged,
         "boolean_and_query": fulltext.boolean_and_query,

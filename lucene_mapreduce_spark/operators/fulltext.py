@@ -208,6 +208,38 @@ def search_snippets(
     return topk.join(docs, "doc_id").select("doc_id", "score", "rank", "snippet")
 
 
+def search_facets(
+    spark: SparkSession, sf_dir: str, query_text: str = BOOLEAN_QUERY
+) -> DataFrame:
+    """Lucene-faceting parity: facet the disjunctive (OR) result set by
+    predicted language, with doc counts and the quality-score band
+    (min/max of the per-doc rounded quality — exact, no float-sum
+    nondeterminism). The facet dimensions ride existing codegen operators
+    (language_id, quality_score); the result-set join is a broadcast of
+    the hit list."""
+    from lucene_mapreduce_spark.operators.textstats import (
+        language_id,
+        quality_score,
+    )
+    from lucene_mapreduce_spark.query.wand import IndexSearcher
+
+    ix = _gate_index(spark, sf_dir)
+    docids = IndexSearcher(ix).search_boolean(query_text, mode="or")
+    hits = spark.createDataFrame([(int(d),) for d in docids], "doc_id long")
+    lang = language_id(spark, sf_dir).select("doc_id", "pred_lang")
+    qual = quality_score(spark, sf_dir).select("doc_id", "quality")
+    return (
+        lang.join(F.broadcast(hits), "doc_id")
+        .join(qual, "doc_id")
+        .groupBy("pred_lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("quality").alias("min_quality"),
+            F.max("quality").alias("max_quality"),
+        )
+    )
+
+
 def boolean_and_query(
     spark: SparkSession, sf_dir: str, query_text: str = BOOLEAN_QUERY
 ) -> DataFrame:

@@ -792,6 +792,19 @@ reach(v, l) AS (
 SELECT v AS doc_id, min(l)::BIGINT AS component FROM reach GROUP BY 1
 """
 
+# faceting over a boolean result set: language facet with quality bands
+# (min/max of per-row ROUNDED quality — exact on both engines, no grouped
+# float-sum nondeterminism)
+ORACLES["search_facets"] = f"""
+WITH hits AS ({ORACLES["boolean_or_query"]}),
+lang AS ({ORACLES["language_id"]}),
+q AS ({ORACLES["quality_score"]})
+SELECT lang.pred_lang, count(*)::BIGINT AS n_docs,
+       min(q.quality) AS min_quality, max(q.quality) AS max_quality
+FROM hits JOIN lang USING (doc_id) JOIN q USING (doc_id)
+GROUP BY 1
+"""
+
 ORACLES["curation_pipeline"] = f"""
 WITH lang AS ({ORACLES["language_id"]}),
 q AS ({ORACLES["quality_score"]}),
