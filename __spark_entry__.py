@@ -101,6 +101,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "lucene_mapreduce_spark.streaming.incremental", fromlist=["x"]
             ).streaming_conversation_progress(s, d)
         ),
+        "streaming_exact_dedup": (
+            lambda s, d: __import__(
+                "lucene_mapreduce_spark.streaming.incremental", fromlist=["x"]
+            ).streaming_exact_dedup(s, d)
+        ),
         "streaming_windowed_counts": (
             lambda s, d: __import__(
                 "lucene_mapreduce_spark.streaming.incremental", fromlist=["x"]

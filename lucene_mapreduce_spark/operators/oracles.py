@@ -453,6 +453,11 @@ SELECT date_trunc('day', ts)::TIMESTAMP AS day, event_type AS role,
        count(*)::BIGINT AS n_turns
 FROM events GROUP BY 1, 2
 """,
+    # single-micro-batch run of the stateful dedup == min doc_id per hash
+    "streaming_exact_dedup": """
+SELECT md5(text) AS text_md5, min(doc_id)::BIGINT AS doc_id
+FROM documents GROUP BY 1
+""",
     # ------------------------------------------------------------- A-family
     "latest_per_key": """
 SELECT user_id, event_type AS last_event_type, round(value, 6) AS last_value, ts AS last_ts

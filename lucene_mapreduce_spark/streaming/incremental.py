@@ -172,6 +172,73 @@ def streaming_conversation_progress(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def stream_dedup(stream_df: DataFrame) -> DataFrame:
+    """Stateful streaming exact-dedup: first-seen-wins per content hash,
+    with the seen-set carried across micro-batches (applyInPandasWithState
+    keyed by text_md5). A duplicate arriving hours after the original is
+    dropped without re-reading any persisted output — the streaming
+    analogue of the batch exact_dedup operator (operators/dedup.py), and
+    the dedup stage of a near-real-time ingest pipeline.
+
+    Emits exactly the newly-kept (text_md5, doc_id) rows per batch; within
+    a batch the keeper is the smallest doc_id (deterministic regardless of
+    arrival order). State per key is one int64 — bounded and shardable by
+    the same key the groupBy distributes on.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def keep(key, pdfs, state: GroupState):
+        new_min = None
+        for pdf in pdfs:
+            if len(pdf):
+                m = int(pdf["doc_id"].min())
+                new_min = m if new_min is None else min(new_min, m)
+        if state.exists or new_min is None:
+            return  # hash already kept in an earlier batch -> drop
+        state.update((new_min,))
+        yield pd.DataFrame({"text_md5": [key[0]], "doc_id": [new_min]})
+
+    return stream_df.groupBy("text_md5").applyInPandasWithState(
+        keep,
+        outputStructType="text_md5 string, doc_id long",
+        stateStructType="keeper long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate entry for the stateful dedup: a real stream run (parquet source
+    -> stream_dedup -> memory sink, single micro-batch) over the documents
+    table keyed by md5(text); update-mode output equals the batch
+    min-doc_id-per-hash aggregate the DuckDB oracle replays."""
+    import os
+    import tempfile
+
+    from lucene_mapreduce_spark.operators.parity import load
+
+    derived = load(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("text_md5")
+    )
+    src = os.path.join(tempfile.mkdtemp(prefix="lmr_stream_gate_"), "src")
+    derived.coalesce(1).write.mode("overwrite").parquet(src)
+
+    _GATE_SEQ[0] += 1
+    sink = f"stream_dedup_gate_{_GATE_SEQ[0]}"
+    stream = spark.readStream.schema("doc_id long, text_md5 string").parquet(src)
+    q = (
+        stream_dedup(stream)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select("text_md5", "doc_id")
+
+
 def windowed_turn_counts(stream_df: DataFrame, late: str = "1 hour") -> DataFrame:
     """Watermarked tumbling-window aggregation over the transcript stream:
     turns per (day, role) with late data admitted up to ``late``."""

@@ -205,6 +205,51 @@ def test_stateful_conversation_progress(spark, tmp_path):
         assert row["turns"] == expected[row["conv_id"]], row["conv_id"]
 
 
+def test_stream_dedup_state_across_batches(spark, tmp_path):
+    """A duplicate arriving in a LATER micro-batch must be dropped by the
+    carried seen-set state; fresh content must still be kept."""
+    import pandas as pd
+
+    from lucene_mapreduce_spark.streaming.incremental import stream_dedup
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # batch A: docs 0-3 (doc 3 duplicates doc 1's content)
+    pd.DataFrame(
+        {"doc_id": [0, 1, 2, 3], "text_md5": ["h0", "h1", "h2", "h1"]}
+    ).to_parquet(src + "/a.parquet", index=False)
+    # batch B: doc 4 duplicates batch A's h0; doc 5 is fresh
+    pd.DataFrame(
+        {"doc_id": [4, 5], "text_md5": ["h0", "h3"]}
+    ).to_parquet(src + "/b.parquet", index=False)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text_md5 string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("stream_dedup_t")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = {
+        r["text_md5"]: r["doc_id"]
+        for r in spark.table("stream_dedup_t").collect()
+    }
+    # file listing order isn't guaranteed; whichever batch ran first, each
+    # hash is emitted exactly once with that batch's min doc_id
+    assert set(out) == {"h0", "h1", "h2", "h3"}
+    assert out["h1"] == 1 and out["h2"] == 2 and out["h3"] == 5
+    assert out["h0"] in (0, 4)
+    assert spark.table("stream_dedup_t").count() == 4
+
+
 def test_windowed_turn_counts_batch_semantics(spark):
     # the windowed agg is testable in batch mode (same plan semantics)
     from lucene_mapreduce_spark.streaming.incremental import windowed_turn_counts
