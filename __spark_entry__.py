@@ -29,6 +29,7 @@ from lucene_mapreduce_spark.operators.oracles import (  # noqa: E402
     ORACLES,
     bm25_topk_sql,
     mlt_sql,
+    parsed_query_sql,
     snippets_sql,
 )
 
@@ -50,6 +51,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "more_like_this": fulltext.more_like_this_documents,
         "search_snippets": fulltext.search_snippets,
         "search_facets": fulltext.search_facets,
+        "parsed_query": fulltext.parsed_query,
         "bm25_wand_topk": fulltext.bm25_wand_topk_documents,
         "bm25_wand_topk_unmerged": fulltext.bm25_wand_topk_unmerged,
         "boolean_and_query": fulltext.boolean_and_query,
@@ -136,6 +138,7 @@ def oracle_sql() -> dict[str, str]:
     out["bm25_index_topk"] = bm25_topk_sql(fulltext.FLAGSHIP_QUERY)
     out["more_like_this"] = mlt_sql(fulltext.MLT_SRC_DOC)
     out["search_snippets"] = snippets_sql(fulltext.FLAGSHIP_QUERY)
+    out["parsed_query"] = parsed_query_sql(fulltext.PARSED_QUERY)
     out["bm25_range_topk"] = bm25_topk_sql(
         fulltext.FLAGSHIP_QUERY,
         doc_where=f"doc_id >= {fulltext.RANGE_LO} AND doc_id < {fulltext.RANGE_HI}",

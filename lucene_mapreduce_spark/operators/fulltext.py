@@ -208,6 +208,30 @@ def search_snippets(
     return topk.join(docs, "doc_id").select("doc_id", "score", "rank", "snippet")
 
 
+PARSED_QUERY = '+table -vector "fast merge" scan query'
+
+
+def parsed_query(
+    spark: SparkSession, sf_dir: str, query: str = PARSED_QUERY, k: int = 10
+) -> DataFrame:
+    """The full QueryParser surface in one gate entry: MUST + MUST_NOT +
+    phrase + SHOULD clauses parsed by query/parse.py and answered through
+    the index cursors (IndexSearcher.search_parsed). Oracle: the same
+    parse applied as SQL predicates + candidate-restricted BM25."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from lucene_mapreduce_spark.query.wand import IndexSearcher
+
+    ix = _gate_index(spark, sf_dir)
+    hits = IndexSearcher(ix).search_parsed(query, k=k)
+
+    def _round6(x: float) -> float:
+        return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+    rows = [(int(d), _round6(s), i + 1) for i, (d, s) in enumerate(hits)]
+    return spark.createDataFrame(rows, "doc_id long, score double, rank int")
+
+
 def search_facets(
     spark: SparkSession, sf_dir: str, query_text: str = BOOLEAN_QUERY
 ) -> DataFrame:

@@ -120,6 +120,65 @@ WHERE rank <= {k}
 """
 
 
+def parsed_query_sql(query: str, k: int = 10) -> str:
+    """QueryParser twin: the same parse (query/parse.py) rendered as SQL —
+    MUST/phrase/MUST_NOT as candidate predicates, BM25 over SHOULD+MUST
+    terms with corpus-global stats restricted to the candidates;
+    candidates matching no scoring term keep score 0.0 (constant-score)."""
+    from lucene_mapreduce_spark.query.parse import parse_query
+
+    must, must_not, phrases, should = parse_query(query)
+    scoring = sorted(set(must) | set(should))
+    conds = [f"list_contains(toks, '{t}')" for t in must]
+    for ph in phrases:
+        adj = " AND ".join(f"toks[i+{j}] = '{w}'" for j, w in enumerate(ph))
+        conds.append(f"len(list_filter(range(1, len(toks)), i -> {adj})) > 0")
+    if not conds:
+        ors = " OR ".join(f"list_contains(toks, '{t}')" for t in scoring)
+        conds.append(f"({ors})")
+    conds += [f"NOT list_contains(toks, '{t}')" for t in must_not]
+    where = " AND ".join(conds)
+    terms_lit = ", ".join(f"'{t}'" for t in scoring)
+    return f"""
+WITH docs AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+doclens AS (SELECT doc_id, len(toks) AS dl FROM docs),
+stats AS (
+  SELECT count(*)::DOUBLE AS n_docs, avg(dl::DOUBLE) AS avgdl FROM doclens
+),
+cand AS (SELECT doc_id FROM docs WHERE {where}),
+toklist AS (SELECT doc_id, unnest(toks) AS term FROM docs),
+postings AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toklist GROUP BY 1, 2
+),
+qterms AS (SELECT unnest([{terms_lit}]) AS term),
+dft AS (
+  SELECT p.term, count(*)::DOUBLE AS df_t
+  FROM postings p JOIN qterms q USING (term) GROUP BY 1
+),
+scored AS (
+  SELECT p.doc_id,
+         ln(1 + (s.n_docs - d.df_t + 0.5) / (d.df_t + 0.5))
+           * (p.tf * {K1 + 1.0}) / (p.tf + {K1} * (1 - {B} + {B} * l.dl / s.avgdl))
+           AS contrib
+  FROM postings p
+  JOIN dft d USING (term)
+  JOIN doclens l USING (doc_id)
+  CROSS JOIN stats s
+  JOIN cand c ON c.doc_id = p.doc_id
+),
+agg AS (SELECT doc_id, sum(contrib) AS score FROM scored GROUP BY 1),
+ranked AS (
+  SELECT c.doc_id, coalesce(a.score, 0.0) AS score
+  FROM cand c LEFT JOIN agg a USING (doc_id)
+)
+SELECT doc_id, round(score, 6) AS score, rank FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM ranked
+) WHERE rank <= {k}
+"""
+
+
 def snippets_sql(query_text: str, k: int = 10, width: int = 3) -> str:
     """Highlighter twin: the bm25 top-k joined with a (2*width+1)-token
     window around the first query-term hit (list_position/list_slice are

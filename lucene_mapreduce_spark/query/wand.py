@@ -312,6 +312,50 @@ class IndexSearcher:
                 hits.append(int(d))
         return np.asarray(sorted(hits), np.int64)
 
+    def search_parsed(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        """Lucene-QueryParser surface: `+must -not "a phrase" should` — see
+        query/parse.py for the exact grammar/semantics. Returns exact top-k
+        [(doc_id, score)] by (score desc, doc_id asc); scores are BM25 over
+        the SHOULD+MUST terms with corpus-global stats, candidates filtered
+        by the MUST/phrase/MUST_NOT clauses through the same cursors."""
+        from lucene_mapreduce_spark.query.parse import parse_query
+
+        must, must_not, phrases, should = parse_query(query)
+        cand: np.ndarray | None = None
+        if must:
+            cand = self.search_boolean(" ".join(must), mode="and")
+            if not len(cand):
+                return []
+        for ph in phrases:
+            hits = self.search_phrase(" ".join(ph))
+            cand = hits if cand is None else np.intersect1d(cand, hits)
+            if not len(cand):
+                return []
+        scoring = sorted(set(must) | set(should))
+        if cand is None:
+            if not scoring:
+                return []
+            cand = self.search_boolean(" ".join(scoring), mode="or")
+        if must_not and len(cand):
+            exc = self.search_boolean(" ".join(must_not), mode="or")
+            cand = np.setdiff1d(cand, exc, assume_unique=True)
+        if not len(cand):
+            return []
+        # exact scoring of the candidate set: per-term scatter-add in
+        # ascending term order (same accumulation as _search_exhaustive)
+        scores = np.zeros(len(cand), np.float64)
+        for t in scoring:
+            got = self._read_term(t)
+            if got is None:
+                continue
+            docids, _tfs, _dls, contribs, _idf = got
+            idx = np.searchsorted(docids, cand)
+            idx_c = np.minimum(idx, max(len(docids) - 1, 0))
+            hit = docids[idx_c] == cand
+            scores[hit] += contribs[idx_c[hit]]
+        order = np.lexsort((cand, -scores))[:k]
+        return [(int(cand[i]), float(scores[i])) for i in order]
+
     def search(
         self, query_text: str, k: int = 10, algorithm: str = "auto"
     ) -> list[tuple[int, float]]:
