@@ -231,7 +231,12 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
-    for name in ("bm25_topk", "ttl_anti_join", "latest_per_key", "generation_fallback"):
+    # bm25_range_topk/more_like_this share one cached gate index (built on
+    # the first of the two — its build cost lands on that entry's timing)
+    for name in (
+        "bm25_topk", "ttl_anti_join", "latest_per_key", "generation_fallback",
+        "bm25_range_topk", "more_like_this",
+    ):
         t0 = time.perf_counter()
         qs[name](spark, SF_DIR).collect()
         timings[name] = round(time.perf_counter() - t0, 3)
