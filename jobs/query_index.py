@@ -6,6 +6,11 @@ Usage:
   # or a query batch:
   ... --queries /path/to/queries.parquet --out /path/to/results
   # (queries.parquet: query_id string, query_text string)
+
+Single-query flags:
+  --syntax lucene     parse `+must -not "phrase" should` clause syntax
+  --like DOC_ID       MoreLikeThis: docs similar to DOC_ID (needs docstore)
+  --range LO:HI       scope the search to docids [LO, HI)
 """
 
 from __future__ import annotations
@@ -20,23 +25,49 @@ def main() -> None:
     ap.add_argument("--queries", default=None)
     ap.add_argument("--out", default=None)
     ap.add_argument("-k", type=int, default=10)
+    ap.add_argument("--syntax", choices=["terms", "lucene"], default="terms")
+    ap.add_argument("--like", type=int, default=None)
+    ap.add_argument("--range", default=None, help="LO:HI docid span")
     args = ap.parse_args()
 
-    if args.query and not args.queries:
+    if args.query and not args.queries and not args.range and args.like is None:
         # single-query serving path: no Spark job at all
         from lucene_mapreduce_spark.query.wand import IndexSearcher
 
-        for doc_id, score in IndexSearcher(args.index).search(args.query, k=args.k):
+        searcher = IndexSearcher(args.index)
+        hits = (
+            searcher.search_parsed(args.query, k=args.k)
+            if args.syntax == "lucene"
+            else searcher.search(args.query, k=args.k)
+        )
+        for doc_id, score in hits:
             print(f"{doc_id}\t{score:.6f}")
         return
 
     from pyspark.sql import SparkSession
 
-    from lucene_mapreduce_spark.query.segments import bm25_index_topk
+    from lucene_mapreduce_spark.query.segments import (
+        bm25_index_topk,
+        bm25_range_topk,
+        more_like_this,
+    )
 
     spark = SparkSession.builder.getOrCreate()
-    queries = spark.read.parquet(args.queries)
-    out = bm25_index_topk(spark, args.index, queries, k=args.k)
+    if args.like is not None:
+        out = more_like_this(spark, args.index, args.like, k=args.k)
+    elif args.range is not None:
+        lo, hi = (int(x) for x in args.range.split(":"))
+        queries = (
+            spark.read.parquet(args.queries)
+            if args.queries
+            else spark.createDataFrame(
+                [("q0", args.query)], "query_id string, query_text string"
+            )
+        )
+        out = bm25_range_topk(spark, args.index, queries, lo, hi, k=args.k)
+    else:
+        queries = spark.read.parquet(args.queries)
+        out = bm25_index_topk(spark, args.index, queries, k=args.k)
     if args.out:
         out.write.mode("overwrite").parquet(args.out)
     else:
