@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boolean_and_not_query": fulltext.boolean_and_not_query,
         "phrase_query": fulltext.phrase_query,
         "term_df": fulltext.term_df,
+        "index_stats": fulltext.index_stats,
         "corpus_stats": fulltext.corpus_stats,
         "doc_tf": fulltext.doc_tf,
         # aggregations (SURVEY §2.4)

@@ -208,6 +208,37 @@ def search_snippets(
     return topk.join(docs, "doc_id").select("doc_id", "score", "rank", "snippet")
 
 
+def index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-integrity check as a gate query: the manifest's segment-stat
+    bookkeeping (n_docs, total_tokens — columnar sums maintained through
+    build and merge, never recounted from the corpus) and the term
+    dictionary cardinality must equal ground truth recomputed by the
+    oracle from the raw documents table."""
+    import os
+
+    from lucene_mapreduce_spark.index.manifest import load_manifest, segment_dir
+
+    ix = _gate_index(spark, sf_dir)
+    m = load_manifest(ix)
+    assert m is not None
+    n_docs = sum(s.n_docs for s in m.segments)
+    total_tokens = sum(s.total_tokens for s in m.segments)
+    postings = None
+    for s in m.ordered():
+        p = spark.read.parquet(
+            os.path.join(segment_dir(ix, s.segment_id), "postings")
+        ).filter(F.col("phash") < F.lit(m.num_partitions))
+        postings = p if postings is None else postings.unionByName(p)
+    return (
+        postings.agg(F.countDistinct("term").alias("n_terms"))
+        .select(
+            F.lit(n_docs).cast("long").alias("n_docs"),
+            F.lit(total_tokens).cast("long").alias("total_tokens"),
+            F.col("n_terms").cast("long").alias("n_terms"),
+        )
+    )
+
+
 PARSED_QUERY = '+table -vector "fast merge" scan query'
 
 

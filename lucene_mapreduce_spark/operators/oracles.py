@@ -512,6 +512,15 @@ SELECT date_trunc('day', ts)::TIMESTAMP AS day, event_type AS role,
        count(*)::BIGINT AS n_turns
 FROM events GROUP BY 1, 2
 """,
+    # index integrity: manifest stats + dictionary cardinality vs raw corpus
+    "index_stats": f"""
+WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents)
+SELECT count(*)::BIGINT AS n_docs,
+       coalesce(sum(len(toks)), 0)::BIGINT AS total_tokens,
+       (SELECT count(DISTINCT term)
+        FROM (SELECT unnest(toks) AS term FROM t))::BIGINT AS n_terms
+FROM t
+""",
     # single-micro-batch run of the stateful dedup == min doc_id per hash
     "streaming_exact_dedup": """
 SELECT md5(text) AS text_md5, min(doc_id)::BIGINT AS doc_id
