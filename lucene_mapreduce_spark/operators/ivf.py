@@ -80,16 +80,85 @@ def _assign_col(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column
     return -best["neg_cid"]
 
 
-def assign_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+def assign_lists(
+    spark: SparkSession,
+    sf_dir: str,
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
     """(vec_id, embedding, list_id): every vector tagged with its inverted
-    list.  One projection over the scan — zero shuffles."""
+    list.  One projection over the scan — zero shuffles.  Pass a trained
+    quantizer from train_centroids to override the static one."""
     emb = load(spark, sf_dir, "embeddings")
-    cents = _centroids(spark, sf_dir)
+    cents = centroids if centroids is not None else _centroids(spark, sf_dir)
     return emb.select(
         "vec_id",
         "embedding",
         _assign_col(F.col("embedding").cast("array<double>"), cents).alias("list_id"),
     )
+
+
+def train_centroids(
+    spark: SparkSession,
+    sf_dir: str,
+    iters: int = 5,
+) -> list[tuple[int, list[float]]]:
+    """Spherical k-means (Lloyd's) refinement of the coarse quantizer.
+
+    Init = the static quantizer (lowest-vec_id vectors), unit-normalized;
+    each iteration is ONE scan with the shuffle-free argmax assignment plus
+    one C×dim-cell mean aggregation (posexplode -> groupBy(list, pos) ->
+    avg, map-side combinable — C*dim rows reach the driver, never vectors).
+    Empty lists keep their previous centroid.  At 10^12 rows you train on a
+    bounded sample (the standard IVF recipe) — same code, sampled input.
+
+    Trained centroids raise recall on clustered corpora (asserted in
+    tests); they are NOT hash-gate material — distributed float means are
+    reduction-order dependent at the ulp level, unlike the static
+    quantizer's exact md5-free determinism.
+    """
+    import numpy as np
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    norm2 = F.aggregate(
+        F.transform("v", lambda x: x * x), F.lit(0.0), lambda s, x: s + x
+    )
+    unit = emb.select(
+        "vec_id",
+        F.when(norm2 == 0, F.col("v"))
+        .otherwise(F.transform("v", lambda x: x / F.sqrt(norm2)))
+        .alias("v"),
+    )
+
+    init = _centroids(spark, sf_dir)
+    cids = [cid for cid, _ in init]
+    mat: dict[int, np.ndarray] = {}
+    for cid, vec in init:
+        a = np.asarray(vec, np.float64)
+        n = np.linalg.norm(a)
+        mat[cid] = a / n if n > 0 else a
+    dim = len(init[0][1])
+
+    for _ in range(iters):
+        cents = [(cid, [float(x) for x in mat[cid]]) for cid in cids]
+        assign = unit.select(
+            "v", _assign_col(F.col("v"), cents).alias("list_id")
+        )
+        cells = (
+            assign.select("list_id", F.posexplode("v").alias("pos", "val"))
+            .groupBy("list_id", "pos")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        new = {cid: np.zeros(dim) for cid in cids}
+        for r in cells:
+            new[int(r["list_id"])][int(r["pos"])] = r["m"]
+        for cid in cids:
+            n = np.linalg.norm(new[cid])
+            if n > 0:
+                mat[cid] = new[cid] / n
+    return [(cid, [float(x) for x in mat[cid]]) for cid in cids]
 
 
 def write_ivf_index(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
@@ -126,6 +195,7 @@ def ann_ivf_topk(
     k: int = 10,
     nprobe: int = N_PROBE,
     lists_df: DataFrame | None = None,
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k via IVF probing: score only the vectors
     whose list_id is among the query's nprobe nearest centroids.
@@ -135,7 +205,7 @@ def ann_ivf_topk(
     partitions and the scan reads nprobe/N_CENTROIDS of the data.  Without
     it the assignment is computed inline (still one shuffle-free pass).
     """
-    cents = _centroids(spark, sf_dir)
+    cents = centroids if centroids is not None else _centroids(spark, sf_dir)
     qvec = [
         float(x)
         for x in load(spark, sf_dir, "embeddings")
@@ -145,7 +215,11 @@ def ann_ivf_topk(
     ]
     probe = _probe_lists(qvec, cents, nprobe)
 
-    lists = lists_df if lists_df is not None else assign_lists(spark, sf_dir)
+    lists = (
+        lists_df
+        if lists_df is not None
+        else assign_lists(spark, sf_dir, centroids=cents)
+    )
     qcol = F.array(*[F.lit(x) for x in qvec])
     scored = (
         lists.filter(F.col("list_id").isin(probe))

@@ -91,6 +91,38 @@ def test_ivf_persisted_index_prunes_partitions(spark, planted, tmp_path):
     ]
 
 
+def test_ivf_trained_centroids_improve_objective_and_recall(spark, planted):
+    """Spherical k-means refinement must not hurt: the mean assignment
+    cosine (the k-means objective) improves over the static quantizer, and
+    planted-neighbor recall stays full."""
+    from lucene_mapreduce_spark.operators.ivf import (
+        _centroids,
+        ann_ivf_topk,
+        train_centroids,
+    )
+    from lucene_mapreduce_spark.operators.similarity import ann_bruteforce_topk
+
+    emb = pd.read_parquet(os.path.join(planted, "embeddings.parquet"))
+    V = np.stack([np.asarray(v, np.float64) for v in emb["embedding"]])
+    V = V / np.linalg.norm(V, axis=1, keepdims=True)
+
+    def objective(cents):
+        C = np.stack([np.asarray(v) for _, v in cents])
+        C = C / np.linalg.norm(C, axis=1, keepdims=True)
+        return float((V @ C.T).max(axis=1).mean())
+
+    static = _centroids(spark, planted)
+    trained = train_centroids(spark, planted, iters=5)
+    assert objective(trained) > objective(static) + 0.01
+
+    bf = {r["vec_id"] for r in ann_bruteforce_topk(spark, planted).collect()}
+    got = {
+        r["vec_id"]
+        for r in ann_ivf_topk(spark, planted, centroids=trained).collect()
+    }
+    assert len(bf & got) >= 9
+
+
 def test_ivf_scan_reads_only_probed_fraction(spark, planted, tmp_path):
     from lucene_mapreduce_spark.operators.ivf import (
         N_CENTROIDS,

@@ -69,6 +69,33 @@ def test_search_parsed_should_only_equals_bm25(parsed_ix):
     assert s.search_parsed("apple banana") == s.search("apple banana", k=10)
 
 
+def test_search_parsed_multigeneration_latest_wins(spark, tmp_path):
+    """Parsed queries serve unmerged 2-generation indexes: an update that
+    removes the must-term must drop the doc; a new doc must appear."""
+    sf = str(tmp_path)
+    ix = sf + "/ix"
+    gen1 = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [0, 1], "text": ["apple banana cherry", "apple fig"]}
+        )
+    )
+    build_segment(spark, gen1, ix, num_partitions=4, store_fields=True)
+    gen2 = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": ["grape melon", "apple banana cherry date"],
+            }
+        )
+    )
+    build_segment(spark, gen2, ix, store_fields=True)  # unmerged, 2 gens
+
+    s = IndexSearcher(ix)
+    ids = [d for d, _ in s.search_parsed('+apple "banana cherry"')]
+    # doc 1 lost 'apple' in gen2 (latest wins); doc 2 is new
+    assert sorted(ids) == [0, 2]
+
+
 def test_search_parsed_empty_and_missing(parsed_ix):
     s = IndexSearcher(parsed_ix)
     assert s.search_parsed("") == []
