@@ -64,6 +64,10 @@ def main() -> None:
          ).ann_ivf_topk(spark, sf_dir)),
         ("bm25_range_topk (docid-range scoped search: chunk-span pruning)",
          lambda: fulltext.bm25_range_topk_documents(spark, sf_dir)),
+        ("search_snippets (highlighter: top-k join docstore, codegen slice)",
+         lambda: fulltext.search_snippets(spark, sf_dir)),
+        ("search_facets (hit-list broadcast over codegen facet dims)",
+         lambda: fulltext.search_facets(spark, sf_dir)),
     ]
 
     out = [HEADER]
