@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": textstats.language_id,
         "quality_score": textstats.quality_score,
         "token_counts": textstats.token_counts,
+        "token_windows": textstats.token_windows,
         "stratified_sample": textstats.stratified_sample,
         "token_length_histogram": textstats.token_length_histogram,
         "doc_fingerprint": textstats.doc_fingerprint,

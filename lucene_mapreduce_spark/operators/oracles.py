@@ -512,6 +512,16 @@ SELECT date_trunc('day', ts)::TIMESTAMP AS day, event_type AS role,
        count(*)::BIGINT AS n_turns
 FROM events GROUP BY 1, 2
 """,
+    # context-window chunking (range is end-exclusive = sequence inclusive)
+    "token_windows": f"""
+WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents)
+SELECT doc_id,
+       ((i - 1) // 25)::INT AS win_idx,
+       len(list_slice(toks, i::INT, i::INT + 49))::BIGINT AS n_tokens,
+       array_to_string(list_slice(toks, i::INT, i::INT + 49), ' ')
+         AS window_text
+FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1, 25)) AS i FROM t)
+""",
     # index integrity: manifest stats + dictionary cardinality vs raw corpus
     "index_stats": f"""
 WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents)

@@ -89,6 +89,36 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def token_windows(
+    spark: SparkSession, sf_dir: str, window: int = 50, stride: int = 25
+) -> DataFrame:
+    """Context-window chunking: split each document's token stream into
+    overlapping windows of `window` tokens every `stride` — the packing
+    stage of an LLM training-data pipeline (long doc -> training
+    contexts). One scan, pure codegen (sequence/explode/slice): at 100 TB
+    this is an embarrassingly parallel map with output ~window/stride x
+    input, no shuffle at all."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tokenize_col("text")
+    starts = F.when(
+        F.size(toks) > 0,
+        F.sequence(F.lit(1), F.size(toks), F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        docs.select("doc_id", toks.alias("toks"), F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            F.expr(f"CAST((start - 1) DIV {stride} AS INT)").alias("win_idx"),
+            F.size(F.slice("toks", F.col("start"), window))
+            .cast("long")
+            .alias("n_tokens"),
+            F.array_join(F.slice("toks", F.col("start"), window), " ").alias(
+                "window_text"
+            ),
+        )
+    )
+
+
 def stratified_sample(
     spark: SparkSession, sf_dir: str, pct_by_source: dict[str, int] | None = None,
     default_pct: int = 25,
