@@ -29,6 +29,7 @@ from lucene_mapreduce_spark.operators.oracles import (  # noqa: E402
     ORACLES,
     bm25_topk_sql,
     mlt_sql,
+    fuzzy_sql,
     parsed_query_sql,
     snippets_sql,
 )
@@ -51,6 +52,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "more_like_this": fulltext.more_like_this_documents,
         "search_snippets": fulltext.search_snippets,
         "search_facets": fulltext.search_facets,
+        "fuzzy_query": fulltext.fuzzy_query,
         "parsed_query": fulltext.parsed_query,
         "bm25_wand_topk": fulltext.bm25_wand_topk_documents,
         "bm25_wand_topk_unmerged": fulltext.bm25_wand_topk_unmerged,
@@ -141,6 +143,7 @@ def oracle_sql() -> dict[str, str]:
     out["more_like_this"] = mlt_sql(fulltext.MLT_SRC_DOC)
     out["search_snippets"] = snippets_sql(fulltext.FLAGSHIP_QUERY)
     out["parsed_query"] = parsed_query_sql(fulltext.PARSED_QUERY)
+    out["fuzzy_query"] = fuzzy_sql(fulltext.FUZZY_QUERY)
     out["bm25_range_topk"] = bm25_topk_sql(
         fulltext.FLAGSHIP_QUERY,
         doc_where=f"doc_id >= {fulltext.RANGE_LO} AND doc_id < {fulltext.RANGE_HI}",

@@ -208,6 +208,66 @@ def search_snippets(
     return topk.join(docs, "doc_id").select("doc_id", "score", "rank", "snippet")
 
 
+FUZZY_QUERY = "merg windoe"  # two misspellings; dist<=1 expands each
+
+
+def fuzzy_query(
+    spark: SparkSession,
+    sf_dir: str,
+    query_text: str = FUZZY_QUERY,
+    k: int = 10,
+    max_dist: int = 1,
+) -> DataFrame:
+    """Lucene FuzzyQuery parity: each query token expands to the index
+    dictionary terms within edit distance max_dist (levenshtein — built-in
+    on both engines), and the expanded set is scored as a normal BM25
+    query through the index path.
+
+    The dictionary scan is a column-pruned read of the postings' `term`
+    column (phash dirs < P, parquet reads only that column); the
+    expansion join broadcasts the handful of query tokens. At 10^12 docs
+    the dictionary is a side artifact (Lucene's terms index) — same plan,
+    smaller input. Oracle: the same expansion + BM25 spec in SQL."""
+    import os
+
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_string
+    from lucene_mapreduce_spark.index.manifest import load_manifest, segment_dir
+    from lucene_mapreduce_spark.query.segments import bm25_index_topk
+
+    ix = _gate_index(spark, sf_dir)
+    m = load_manifest(ix)
+    assert m is not None
+    vocab = None
+    for s in m.ordered():
+        v = (
+            spark.read.parquet(
+                os.path.join(segment_dir(ix, s.segment_id), "postings")
+            )
+            .filter(F.col("phash") < F.lit(m.num_partitions))
+            .select("term")
+        )
+        vocab = v if vocab is None else vocab.unionByName(v)
+    qdf = spark.createDataFrame(
+        [(t,) for t in sorted(set(tokenize_string(query_text)))], "q string"
+    )
+    matched = sorted(
+        r["term"]
+        for r in vocab.distinct()
+        .crossJoin(F.broadcast(qdf))
+        .filter(F.levenshtein("term", "q") <= max_dist)
+        .select("term")
+        .distinct()
+        .collect()
+    )
+    if not matched:
+        return spark.createDataFrame([], "doc_id long, score double, rank int")
+    queries = spark.createDataFrame(
+        [("q0", " ".join(matched))], "query_id string, query_text string"
+    )
+    out = bm25_index_topk(spark, ix, queries, k=k, round_to=6)
+    return out.select("doc_id", "score", "rank")
+
+
 def index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index-integrity check as a gate query: the manifest's segment-stat
     bookkeeping (n_docs, total_tokens — columnar sums maintained through
