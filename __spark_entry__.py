@@ -31,6 +31,7 @@ from lucene_mapreduce_spark.operators.oracles import (  # noqa: E402
     mlt_sql,
     fuzzy_sql,
     parsed_query_sql,
+    prefix_sql,
     snippets_sql,
 )
 
@@ -53,6 +54,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_snippets": fulltext.search_snippets,
         "search_facets": fulltext.search_facets,
         "fuzzy_query": fulltext.fuzzy_query,
+        "prefix_query": fulltext.prefix_query,
         "parsed_query": fulltext.parsed_query,
         "bm25_wand_topk": fulltext.bm25_wand_topk_documents,
         "bm25_wand_topk_unmerged": fulltext.bm25_wand_topk_unmerged,
@@ -144,6 +146,7 @@ def oracle_sql() -> dict[str, str]:
     out["search_snippets"] = snippets_sql(fulltext.FLAGSHIP_QUERY)
     out["parsed_query"] = parsed_query_sql(fulltext.PARSED_QUERY)
     out["fuzzy_query"] = fuzzy_sql(fulltext.FUZZY_QUERY)
+    out["prefix_query"] = prefix_sql(fulltext.PREFIX_QUERY)
     out["bm25_range_topk"] = bm25_topk_sql(
         fulltext.FLAGSHIP_QUERY,
         doc_where=f"doc_id >= {fulltext.RANGE_LO} AND doc_id < {fulltext.RANGE_HI}",

@@ -228,13 +228,32 @@ def fuzzy_query(
     expansion join broadcasts the handful of query tokens. At 10^12 docs
     the dictionary is a side artifact (Lucene's terms index) — same plan,
     smaller input. Oracle: the same expansion + BM25 spec in SQL."""
-    import os
-
     from lucene_mapreduce_spark.functions.tokenize import tokenize_string
-    from lucene_mapreduce_spark.index.manifest import load_manifest, segment_dir
-    from lucene_mapreduce_spark.query.segments import bm25_index_topk
 
     ix = _gate_index(spark, sf_dir)
+    vocab = _index_vocab(spark, ix)
+    qdf = spark.createDataFrame(
+        [(t,) for t in sorted(set(tokenize_string(query_text)))], "q string"
+    )
+    matched = sorted(
+        r["term"]
+        for r in vocab.crossJoin(F.broadcast(qdf))
+        .filter(F.levenshtein("term", "q") <= max_dist)
+        .select("term")
+        .distinct()
+        .collect()
+    )
+    return _score_expanded(spark, ix, matched, k)
+
+
+def _index_vocab(spark: SparkSession, ix: str) -> DataFrame:
+    """Distinct dictionary terms — a column-pruned read of the postings'
+    `term` column across segments (at 10^12 docs: a dictionary sidecar,
+    Lucene's terms index; same plan, smaller input)."""
+    import os
+
+    from lucene_mapreduce_spark.index.manifest import load_manifest, segment_dir
+
     m = load_manifest(ix)
     assert m is not None
     vocab = None
@@ -247,18 +266,15 @@ def fuzzy_query(
             .select("term")
         )
         vocab = v if vocab is None else vocab.unionByName(v)
-    qdf = spark.createDataFrame(
-        [(t,) for t in sorted(set(tokenize_string(query_text)))], "q string"
-    )
-    matched = sorted(
-        r["term"]
-        for r in vocab.distinct()
-        .crossJoin(F.broadcast(qdf))
-        .filter(F.levenshtein("term", "q") <= max_dist)
-        .select("term")
-        .distinct()
-        .collect()
-    )
+    return vocab.distinct()
+
+
+def _score_expanded(
+    spark: SparkSession, ix: str, matched: list[str], k: int
+) -> DataFrame:
+    """BM25 top-k over an expanded term set through the index path."""
+    from lucene_mapreduce_spark.query.segments import bm25_index_topk
+
     if not matched:
         return spark.createDataFrame([], "doc_id long, score double, rank int")
     queries = spark.createDataFrame(
@@ -266,6 +282,26 @@ def fuzzy_query(
     )
     out = bm25_index_topk(spark, ix, queries, k=k, round_to=6)
     return out.select("doc_id", "score", "rank")
+
+
+PREFIX_QUERY = "s"  # expands to stream/small/sort/scan/slow/spark at gate
+
+
+def prefix_query(
+    spark: SparkSession, sf_dir: str, prefix: str = PREFIX_QUERY, k: int = 10
+) -> DataFrame:
+    """Lucene PrefixQuery parity: all dictionary terms starting with the
+    prefix, scored as one BM25 query through the index path. Same
+    expansion plan as fuzzy_query with a startswith predicate (which a
+    sorted term dictionary answers as a range seek at scale)."""
+    ix = _gate_index(spark, sf_dir)
+    matched = sorted(
+        r["term"]
+        for r in _index_vocab(spark, ix)
+        .filter(F.col("term").startswith(prefix))
+        .collect()
+    )
+    return _score_expanded(spark, ix, matched, k)
 
 
 def index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

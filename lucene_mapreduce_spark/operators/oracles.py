@@ -233,6 +233,51 @@ WHERE rank <= {k}
 """
 
 
+def prefix_sql(prefix: str, k: int = 10) -> str:
+    """PrefixQuery twin: vocabulary terms LIKE 'prefix%', BM25 over them."""
+    return f"""
+WITH doclens AS (
+  SELECT doc_id, len({TOKS}) AS dl FROM documents
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n_docs, avg(dl::DOUBLE) AS avgdl FROM doclens
+),
+toks AS (
+  SELECT doc_id, unnest({TOKS}) AS term FROM documents
+),
+postings AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2
+),
+qterms AS (
+  SELECT DISTINCT term FROM toks WHERE term LIKE '{prefix}%'
+),
+dft AS (
+  SELECT p.term, count(*)::DOUBLE AS df_t
+  FROM postings p JOIN qterms q USING (term) GROUP BY 1
+),
+scored AS (
+  SELECT p.doc_id,
+         ln(1 + (s.n_docs - d.df_t + 0.5) / (d.df_t + 0.5))
+           * (p.tf * {K1 + 1.0}) / (p.tf + {K1} * (1 - {B} + {B} * l.dl / s.avgdl))
+           AS contrib
+  FROM postings p
+  JOIN dft d USING (term)
+  JOIN doclens l USING (doc_id)
+  CROSS JOIN stats s
+),
+agg AS (
+  SELECT doc_id, sum(contrib) AS score FROM scored GROUP BY 1
+)
+SELECT doc_id, round(score, 6) AS score, rank
+FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM agg
+)
+WHERE rank <= {k}
+"""
+
+
 def snippets_sql(query_text: str, k: int = 10, width: int = 3) -> str:
     """Highlighter twin: the bm25 top-k joined with a (2*width+1)-token
     window around the first query-term hit (list_position/list_slice are

@@ -88,6 +88,40 @@ def test_more_like_this_finds_near_copy(spark, tmp_path):
     assert all(r["doc_id"] != 0 for r in out)
 
 
+def test_fuzzy_and_prefix_query_semantics(spark, tmp_path):
+    import pandas as pd
+
+    from lucene_mapreduce_spark.operators.fulltext import (
+        bm25_index_topk_documents,
+        fuzzy_query,
+        prefix_query,
+    )
+
+    texts = {
+        0: "merge conflict resolved",
+        1: "marge simpson episode",   # dist 1 from 'merge'
+        2: "merge merge merge",
+        3: "emerge from water",       # dist 1 (one insertion)
+        4: "mercy rule applied",      # prefix 'mer', dist 2 from merge
+    }
+    sf = str(tmp_path)
+    pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())}).to_parquet(
+        sf + "/documents.parquet"
+    )
+    fz = fuzzy_query(spark, sf, query_text="merge").collect()
+    assert {r["doc_id"] for r in fz} == {0, 1, 2, 3}
+    # dist 0 degenerates to the exact BM25 query — full identity
+    exact = bm25_index_topk_documents(spark, sf, "merge").collect()
+    fz0 = fuzzy_query(spark, sf, query_text="merge", max_dist=0).collect()
+    assert [tuple(r) for r in fz0] == [tuple(r) for r in exact]
+    # no dictionary term within distance 1 -> empty with the right schema
+    assert fuzzy_query(spark, sf, query_text="zzzzzzz").count() == 0
+
+    pf = prefix_query(spark, sf, prefix="mer").collect()
+    assert {r["doc_id"] for r in pf} == {0, 2, 4}  # merge, mercy
+    assert prefix_query(spark, sf, prefix="zzz").count() == 0
+
+
 def test_range_boundary_and_empty(spark, range_corpus):
     ix, corpus, _ = range_corpus
     # a range covering everything == the unscoped result set size
