@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boolean_and_query": fulltext.boolean_and_query,
         "boolean_or_query": fulltext.boolean_or_query,
         "boolean_and_not_query": fulltext.boolean_and_not_query,
+        "near_query": fulltext.near_query,
         "phrase_query": fulltext.phrase_query,
         "term_df": fulltext.term_df,
         "index_stats": fulltext.index_stats,

@@ -434,6 +434,25 @@ def boolean_and_not_query(
     return spark.createDataFrame([(int(d),) for d in docids], "doc_id long")
 
 
+NEAR_WINDOW = 4
+
+
+def near_query(
+    spark: SparkSession,
+    sf_dir: str,
+    query_text: str = BOOLEAN_QUERY,
+    window: int = NEAR_WINDOW,
+) -> DataFrame:
+    """Proximity retrieval through the index (Lucene SpanNear, unordered):
+    docs where some `window`-token span contains all query terms. Oracle:
+    a sliding-window containment scan over the token arrays."""
+    from lucene_mapreduce_spark.query.wand import IndexSearcher
+
+    ix = _gate_index(spark, sf_dir)
+    docids = IndexSearcher(ix).search_near(query_text, window=window)
+    return spark.createDataFrame([(int(d),) for d in docids], "doc_id long")
+
+
 def phrase_query(
     spark: SparkSession, sf_dir: str, phrase_text: str = PHRASE_QUERY
 ) -> DataFrame:

@@ -588,6 +588,15 @@ WHERE list_contains(toks, 'table') OR list_contains(toks, 'merge')
 SELECT doc_id FROM (SELECT doc_id, {TOKS} AS toks FROM documents)
 WHERE list_contains(toks, 'table') AND NOT list_contains(toks, 'merge')
 """,
+    # unordered proximity: some 4-token window contains both terms (window
+    # starts past len-4 are truncated slices — subsets of earlier full
+    # windows, so they never add matches; equivalent to the 0-based scan)
+    "near_query": f"""
+SELECT doc_id FROM (SELECT doc_id, {TOKS} AS toks FROM documents)
+WHERE len(list_filter(range(1, len(toks) + 1), i ->
+      list_contains(list_slice(toks, i, i + 3), 'table')
+  AND list_contains(list_slice(toks, i, i + 3), 'merge'))) > 0
+""",
     "phrase_query": f"""
 SELECT doc_id FROM (SELECT doc_id, {TOKS} AS toks FROM documents)
 WHERE len(list_filter(range(1, len(toks)),

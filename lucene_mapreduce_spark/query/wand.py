@@ -356,6 +356,30 @@ class IndexSearcher:
         order = np.lexsort((cand, -scores))[:k]
         return [(int(cand[i]), float(scores[i])) for i in order]
 
+    def search_near(self, query_text: str, window: int = 4) -> np.ndarray:
+        """Proximity retrieval (Lucene SpanNear, unordered): docids where
+        some `window`-token span contains ALL query terms. Same two-stage
+        strategy as phrases: posting cursors AND-intersect to candidates,
+        stored fields verify the window — IO proportional to the
+        conjunctive result, never the corpus."""
+        terms = sorted(set(tokenize_string(query_text)))
+        if not terms:
+            return np.zeros(0, np.int64)
+        cand = self.search_boolean(query_text, mode="and")
+        if not len(cand):
+            return cand
+        texts = self._load_texts(cand)
+        need = set(terms)
+        hits = []
+        for d in cand:
+            toks = tokenize_string(texts.get(int(d), ""))
+            if any(
+                need <= set(toks[i: i + window])
+                for i in range(max(len(toks) - window + 1, 1))
+            ):
+                hits.append(int(d))
+        return np.asarray(sorted(hits), np.int64)
+
     def search(
         self, query_text: str, k: int = 10, algorithm: str = "auto"
     ) -> list[tuple[int, float]]:

@@ -233,8 +233,13 @@ def test_boolean_search_and_or(spark, tmp_path):
     }
     corpus = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
     ix = str(tmp_path / "ix")
-    build_segment(spark, corpus.filter("doc_id < 3"), ix, num_partitions=4)
-    build_segment(spark, corpus.filter("doc_id >= 3"), ix)  # unmerged, 2 gens
+    build_segment(
+        spark, corpus.filter("doc_id < 3"), ix, num_partitions=4,
+        store_fields=True,
+    )
+    build_segment(  # unmerged, 2 gens
+        spark, corpus.filter("doc_id >= 3"), ix, store_fields=True
+    )
 
     s = IndexSearcher(ix)
     have = lambda *ts: sorted(
@@ -256,6 +261,19 @@ def test_boolean_search_and_or(spark, tmp_path):
     assert list(s.search_and_not("apple", "banana")) == not_of("apple", "banana")
     assert list(s.search_and_not("apple", "missingterm")) == not_of("apple", "")
     assert list(s.search_and_not("missingterm", "apple")) == []
+    # proximity: both terms inside one 3-token window
+    near = lambda a, b, w: sorted(
+        d
+        for d, t in texts.items()
+        if any(
+            {a, b} <= set(t.split()[i: i + w])
+            for i in range(max(len(t.split()) - w + 1, 1))
+        )
+    )
+    assert list(s.search_near("apple banana", window=3)) == near(
+        "apple", "banana", 3
+    )
+    assert list(s.search_near("apple missingterm", window=3)) == []
 
 
 def test_phrase_search_latest_wins(spark, tmp_path):
