@@ -136,6 +136,34 @@ def read_doclens(
     return rows.select("payload").mapInPandas(_decode_doclens, schema=DOCLEN_SCHEMA)
 
 
+def write_dictionary(
+    spark: SparkSession, seg_path: str, num_partitions: int, n_files: int = 1
+) -> None:
+    """Term-dictionary sidecar (Lucene's terms index analogue): one
+    term-sorted parquet of (term, df, cf) per segment, produced by COLUMNAR
+    sums of the posting blocks' df_chunk/cf_chunk — no payload decode, a
+    column-pruned aggregation over just-written output. The merge kernel
+    keeps df_chunk exact through pass-through and dead-doc rewrites, so a
+    regenerated dictionary always holds live counts. Term-sorted files
+    answer prefix expansion as a row-group range seek and carry df for
+    scoring without touching postings."""
+    dic = (
+        spark.read.parquet(os.path.join(seg_path, "postings"))
+        .filter(F.col("phash") < F.lit(num_partitions))
+        .groupBy("term")
+        .agg(
+            F.sum("df_chunk").cast("long").alias("df"),
+            F.sum("cf_chunk").cast("long").alias("cf"),
+        )
+    )
+    (
+        dic.repartitionByRange(n_files, "term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(os.path.join(seg_path, "dictionary"))
+    )
+
+
 def build_segment(
     spark: SparkSession,
     corpus: DataFrame,
@@ -144,6 +172,7 @@ def build_segment(
     chunk_docs: int | None = None,
     lineage: dict[str, Any] | None = None,
     store_fields: bool = False,
+    with_dict: bool = False,
 ) -> SegmentMeta:
     """Build one immutable level-0 segment from a (doc_id, text) batch and
     commit it to the manifest. Returns the committed SegmentMeta.
@@ -236,6 +265,9 @@ def build_segment(
             .parquet(os.path.join(seg_path, "docstore"))
         )
 
+    if with_dict:
+        write_dictionary(spark, seg_path, num_partitions)
+
     part_stats, totals = segment_stats(spark, seg_path, num_partitions)
     n_terms = int(sum(r["n_terms"] for r in part_stats))
 
@@ -258,6 +290,7 @@ def build_segment(
         ],
         lineage=dict(lineage or {}, batch_seq=seq),
         has_docstore=bool(store_fields),
+        has_dict=bool(with_dict),
     )
     m.segments.append(meta)
     m.committed_seq = seq

@@ -39,6 +39,10 @@ class SegmentMeta:
     # stored-fields sidecar present (the reference's stored `mapinfo` payload,
     # IndexBuilderReducer.java:157-158 — here a doc_id-sorted parquet docstore)
     has_docstore: bool = False
+    # term-dictionary sidecar present (Lucene's terms index analogue:
+    # term-sorted (term, df, cf) parquet — fuzzy/prefix expansion and df
+    # lookups without touching posting payloads)
+    has_dict: bool = False
     # per-partition metrics + lineage (north rule: per-partition lineage
     # and metrics written alongside checkpointed segment manifests)
     partitions: list[dict[str, Any]] = field(default_factory=list)

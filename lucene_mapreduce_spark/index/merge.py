@@ -143,6 +143,15 @@ def merge_once(
             .write.mode("overwrite")
             .parquet(os.path.join(seg_path, "docstore"))
         )
+    # the term-dictionary sidecar regenerates from the merged blocks'
+    # columnar stats (df_chunk stays exact through pass-through and
+    # dead-doc rewrites) — live counts, no payload decode
+    has_dict = all(s.has_dict for s in metas)
+    if has_dict:
+        from lucene_mapreduce_spark.index.build import write_dictionary
+
+        write_dictionary(spark, seg_path, m.num_partitions)
+
     if fault:
         fault("written")  # crash here => manifest still lists the inputs
 
@@ -169,6 +178,7 @@ def merge_once(
         ],
         lineage={"merged_from": [s.segment_id for s in metas]},
         has_docstore=has_docstore,
+        has_dict=has_dict,
     )
     m.segments = [s for s in m.segments if s.segment_id not in set(segment_ids)]
     m.segments.append(meta_out)

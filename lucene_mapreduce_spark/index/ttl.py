@@ -122,6 +122,12 @@ def purge_expired(
             .parquet(os.path.join(seg_path, "docstore"))
         )
 
+    has_dict = all(s.has_dict for s in metas)
+    if has_dict:
+        from lucene_mapreduce_spark.index.build import write_dictionary
+
+        write_dictionary(spark, seg_path, m.num_partitions)
+
     part_stats, totals = segment_stats(spark, seg_path, m.num_partitions)
     meta_out = SegmentMeta(
         segment_id=seg_id,
@@ -143,6 +149,7 @@ def purge_expired(
         ],
         lineage={"ttl_purge_of": [s.segment_id for s in metas]},
         has_docstore=has_docstore,
+        has_dict=has_dict,
     )
     m.segments = [meta_out]
     commit_manifest(index_dir, m, expect_version=m.version)

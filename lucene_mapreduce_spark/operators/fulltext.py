@@ -247,9 +247,10 @@ def fuzzy_query(
 
 
 def _index_vocab(spark: SparkSession, ix: str) -> DataFrame:
-    """Distinct dictionary terms — a column-pruned read of the postings'
-    `term` column across segments (at 10^12 docs: a dictionary sidecar,
-    Lucene's terms index; same plan, smaller input)."""
+    """Distinct dictionary terms. Segments built with_dict=True read the
+    term-sorted dictionary sidecar (index/build.write_dictionary — Lucene's
+    terms index analogue, tiny vs the postings); otherwise a column-pruned
+    read of the postings' `term` column — same plan, bigger input."""
     import os
 
     from lucene_mapreduce_spark.index.manifest import load_manifest, segment_dir
@@ -258,13 +259,15 @@ def _index_vocab(spark: SparkSession, ix: str) -> DataFrame:
     assert m is not None
     vocab = None
     for s in m.ordered():
-        v = (
-            spark.read.parquet(
-                os.path.join(segment_dir(ix, s.segment_id), "postings")
+        seg = segment_dir(ix, s.segment_id)
+        if s.has_dict:
+            v = spark.read.parquet(os.path.join(seg, "dictionary")).select("term")
+        else:
+            v = (
+                spark.read.parquet(os.path.join(seg, "postings"))
+                .filter(F.col("phash") < F.lit(m.num_partitions))
+                .select("term")
             )
-            .filter(F.col("phash") < F.lit(m.num_partitions))
-            .select("term")
-        )
         vocab = v if vocab is None else vocab.unionByName(v)
     return vocab.distinct()
 

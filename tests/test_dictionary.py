@@ -1,0 +1,107 @@
+"""Term-dictionary sidecar: exact (term, df, cf) vs corpus truth, live
+counts through merge upserts, and identical expansion results."""
+
+from __future__ import annotations
+
+import os
+from collections import Counter
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_mapreduce_spark.functions.tokenize import tokenize_string
+from lucene_mapreduce_spark.index.build import build_segment
+from lucene_mapreduce_spark.index.manifest import load_manifest, segment_dir
+from lucene_mapreduce_spark.index.merge import merge_all
+
+
+def _truth(texts: dict[int, str]):
+    df: Counter = Counter()
+    cf: Counter = Counter()
+    for t in texts.values():
+        toks = tokenize_string(t)
+        cf.update(toks)
+        df.update(set(toks))
+    return df, cf
+
+
+def _read_dict(spark, ix):
+    m = load_manifest(ix)
+    assert m is not None and len(m.segments) == 1 and m.segments[0].has_dict
+    seg = segment_dir(ix, m.segments[0].segment_id)
+    rows = spark.read.parquet(os.path.join(seg, "dictionary")).collect()
+    return {r["term"]: (r["df"], r["cf"]) for r in rows}
+
+
+def test_dictionary_matches_corpus_truth(spark, tmp_path):
+    texts = {
+        0: "apple banana apple cherry",
+        1: "banana cherry date",
+        2: "apple apple apple",
+        3: "",
+    }
+    corpus = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    ix = str(tmp_path / "ix")
+    build_segment(spark, corpus, ix, num_partitions=4, with_dict=True)
+    got = _read_dict(spark, ix)
+    df, cf = _truth(texts)
+    assert got == {t: (df[t], cf[t]) for t in df}
+
+
+def test_dictionary_live_counts_after_upsert_merge(spark, tmp_path):
+    """An upsert that rewrites a doc must be reflected: the merged
+    segment's dictionary counts ONLY the live copies."""
+    ix = str(tmp_path / "ix")
+    g1 = {0: "apple banana", 1: "apple cherry"}
+    g2 = {1: "durian durian"}  # doc 1 rewritten: loses apple/cherry
+    build_segment(
+        spark,
+        spark.createDataFrame(list(g1.items()), "doc_id long, text string"),
+        ix,
+        num_partitions=4,
+        with_dict=True,
+    )
+    build_segment(
+        spark,
+        spark.createDataFrame(list(g2.items()), "doc_id long, text string"),
+        ix,
+        with_dict=True,
+    )
+    merge_all(spark, ix)
+    got = _read_dict(spark, ix)
+    df, cf = _truth({0: g1[0], 1: g2[1]})
+    assert got == {t: (df[t], cf[t]) for t in df}
+    assert "cherry" not in got
+
+
+def test_expansion_identical_with_and_without_dict(spark, tmp_path):
+    from lucene_mapreduce_spark.operators import fulltext
+
+    texts = {0: "merge conflict", 1: "marge episode", 2: "stream sort scan"}
+    pdf = pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    sf_plain, sf_dict = str(tmp_path / "a"), str(tmp_path / "b")
+    for d in (sf_plain, sf_dict):
+        os.makedirs(d)
+        pdf.to_parquet(d + "/documents.parquet")
+    # gate helper builds without dict for sf_plain; hand-build one with dict
+    ixd = sf_dict + "/ix"
+    build_segment(
+        spark,
+        spark.createDataFrame(pdf),
+        ixd,
+        num_partitions=4,
+        store_fields=True,
+        with_dict=True,
+    )
+    merge_all(spark, ixd)
+    fulltext._GATE_INDEXES[sf_dict] = ixd  # route the gate path to it
+
+    fz_plain = fulltext.fuzzy_query(spark, sf_plain, query_text="merge").collect()
+    fz_dict = fulltext.fuzzy_query(spark, sf_dict, query_text="merge").collect()
+    assert [tuple(r) for r in fz_plain] == [tuple(r) for r in fz_dict]
+    pf_plain = fulltext.prefix_query(spark, sf_plain, prefix="s").collect()
+    pf_dict = fulltext.prefix_query(spark, sf_dict, prefix="s").collect()
+    assert [tuple(r) for r in pf_plain] == [tuple(r) for r in pf_dict]
