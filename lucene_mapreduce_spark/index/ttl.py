@@ -26,6 +26,21 @@ from lucene_mapreduce_spark.index.manifest import (
 )
 
 
+def delete_docs(
+    spark: SparkSession, index_dir: str, docids: "DataFrame | list[int]"
+) -> SegmentMeta:
+    """Explicit deletion (Lucene deleteDocuments parity — the lifecycle op
+    the reference only has in TTL form): physically rewrite the index
+    without the given doc_ids. Same one-pass segment rewrite as TTL
+    expiry; after the atomic manifest flip the docs are gone from every
+    query path (batch scorer, WAND, lookups, stored fields)."""
+    if not isinstance(docids, DataFrame):
+        docids = spark.createDataFrame(
+            [(int(d),) for d in docids], "doc_id long"
+        )
+    return purge_expired(spark, index_dir, docids)
+
+
 def purge_expired(
     spark: SparkSession, index_dir: str, expired: DataFrame, key_col: str = "doc_id"
 ) -> SegmentMeta:

@@ -217,6 +217,32 @@ def test_ttl_purge_preserves_docstore(spark, tmp_path):
     assert not got[2]["hit"] and got[2]["text"] is None
 
 
+def test_delete_docs_removes_from_every_path(spark, tmp_path):
+    """Explicit deletion: deleted docs vanish from boolean retrieval, WAND
+    top-k, and the dictionary-backed stats; survivors keep exact counts."""
+    from lucene_mapreduce_spark.index.build import build_segment
+    from lucene_mapreduce_spark.index.manifest import load_manifest
+    from lucene_mapreduce_spark.index.ttl import delete_docs
+    from lucene_mapreduce_spark.query.wand import IndexSearcher
+
+    ix = str(tmp_path / "ix")
+    corpus = spark.createDataFrame(
+        [(i, f"shared body tok{i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    build_segment(
+        spark, corpus, ix, num_partitions=4, store_fields=True, with_dict=True
+    )
+    meta = delete_docs(spark, ix, [0, 5, 19])
+    assert meta.n_docs == 17 and meta.has_docstore and meta.has_dict
+
+    s = IndexSearcher(ix)
+    assert list(s.search_boolean("tok5", mode="or")) == []
+    hits = {d for d, _ in s.search("shared", k=20)}
+    assert hits == set(range(20)) - {0, 5, 19}
+    assert load_manifest(ix).n_docs_upper == 17
+
+
 def test_boolean_search_and_or(spark, tmp_path):
     """Exact conjunctive/disjunctive retrieval through the posting cursors
     matches set algebra over the corpus, on a merged AND an unmerged index."""
