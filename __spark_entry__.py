@@ -32,7 +32,10 @@ from lucene_mapreduce_spark.operators.oracles import (  # noqa: E402
     fuzzy_sql,
     parsed_query_sql,
     prefix_sql,
+    regexp_sql,
     snippets_sql,
+    term_range_sql,
+    wildcard_sql,
 )
 
 
@@ -55,6 +58,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_facets": fulltext.search_facets,
         "fuzzy_query": fulltext.fuzzy_query,
         "prefix_query": fulltext.prefix_query,
+        "wildcard_query": fulltext.wildcard_query,
+        "regexp_query": fulltext.regexp_query,
+        "term_range_query": fulltext.term_range_query,
         "parsed_query": fulltext.parsed_query,
         "bm25_wand_topk": fulltext.bm25_wand_topk_documents,
         "bm25_wand_topk_unmerged": fulltext.bm25_wand_topk_unmerged,
@@ -148,6 +154,9 @@ def oracle_sql() -> dict[str, str]:
     out["parsed_query"] = parsed_query_sql(fulltext.PARSED_QUERY)
     out["fuzzy_query"] = fuzzy_sql(fulltext.FUZZY_QUERY)
     out["prefix_query"] = prefix_sql(fulltext.PREFIX_QUERY)
+    out["wildcard_query"] = wildcard_sql(fulltext.WILDCARD_QUERY)
+    out["regexp_query"] = regexp_sql(fulltext.REGEXP_QUERY)
+    out["term_range_query"] = term_range_sql(*fulltext.TERM_RANGE)
     out["bm25_range_topk"] = bm25_topk_sql(
         fulltext.FLAGSHIP_QUERY,
         doc_where=f"doc_id >= {fulltext.RANGE_LO} AND doc_id < {fulltext.RANGE_HI}",

@@ -307,6 +307,85 @@ def prefix_query(
     return _score_expanded(spark, ix, matched, k)
 
 
+WILDCARD_QUERY = "s?a*"  # ? = one char, * = any run -> scan/small/spark
+
+
+def wildcard_to_regex(pattern: str) -> str:
+    """Translate a Lucene wildcard pattern (`*` any run, `?` one char) to an
+    anchored regex understood identically by Java regex (Spark rlike) and
+    RE2 (DuckDB regexp_matches); every other char is escaped literal."""
+    import re as _re
+
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(_re.escape(ch))
+    return "^" + "".join(out) + "$"
+
+
+def wildcard_query(
+    spark: SparkSession, sf_dir: str, pattern: str = WILDCARD_QUERY, k: int = 10
+) -> DataFrame:
+    """Lucene WildcardQuery parity: the pattern expands against the term
+    dictionary (Lucene walks the terms index with an automaton —
+    WildcardQuery -> AutomatonQuery; here an anchored rlike over the
+    dictionary sidecar, a tiny column-pruned read), then BM25 over the
+    expansion through the index path like fuzzy/prefix."""
+    ix = _gate_index(spark, sf_dir)
+    rx = wildcard_to_regex(pattern)
+    matched = sorted(
+        r["term"]
+        for r in _index_vocab(spark, ix).filter(F.col("term").rlike(rx)).collect()
+    )
+    return _score_expanded(spark, ix, matched, k)
+
+
+REGEXP_QUERY = "(row|column|vector)s?"  # Lucene RegexpQuery is full-match
+
+
+def regexp_query(
+    spark: SparkSession, sf_dir: str, pattern: str = REGEXP_QUERY, k: int = 10
+) -> DataFrame:
+    """Lucene RegexpQuery parity: full-match regex over the term dictionary
+    (Lucene compiles the regex to an automaton and intersects it with the
+    terms index), BM25 over the matching terms. Anchoring ^...$ gives the
+    same full-match semantics on both engines."""
+    ix = _gate_index(spark, sf_dir)
+    rx = "^" + pattern + "$"
+    matched = sorted(
+        r["term"]
+        for r in _index_vocab(spark, ix).filter(F.col("term").rlike(rx)).collect()
+    )
+    return _score_expanded(spark, ix, matched, k)
+
+
+TERM_RANGE = ("query", "sort")  # inclusive both ends, like TermRangeQuery
+
+
+def term_range_query(
+    spark: SparkSession,
+    sf_dir: str,
+    lo: str = TERM_RANGE[0],
+    hi: str = TERM_RANGE[1],
+    k: int = 10,
+) -> DataFrame:
+    """Lucene TermRangeQuery parity (includeLower/includeUpper=true):
+    lexicographic [lo, hi] over the term dictionary — exactly the seek the
+    sorted dictionary sidecar exists for — then BM25 over the expansion."""
+    ix = _gate_index(spark, sf_dir)
+    matched = sorted(
+        r["term"]
+        for r in _index_vocab(spark, ix)
+        .filter((F.col("term") >= F.lit(lo)) & (F.col("term") <= F.lit(hi)))
+        .collect()
+    )
+    return _score_expanded(spark, ix, matched, k)
+
+
 def index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index-integrity check as a gate query: the manifest's segment-stat
     bookkeeping (n_docs, total_tokens — columnar sums maintained through

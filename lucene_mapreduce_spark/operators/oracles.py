@@ -235,6 +235,32 @@ WHERE rank <= {k}
 
 def prefix_sql(prefix: str, k: int = 10) -> str:
     """PrefixQuery twin: vocabulary terms LIKE 'prefix%', BM25 over them."""
+    return _expansion_bm25_sql(f"term LIKE '{prefix}%'", k)
+
+
+def wildcard_sql(pattern: str, k: int = 10) -> str:
+    """WildcardQuery twin: the same wildcard->anchored-regex translation the
+    engine uses, replayed with DuckDB regexp_matches."""
+    from lucene_mapreduce_spark.operators.fulltext import wildcard_to_regex
+
+    rx = wildcard_to_regex(pattern).replace("'", "''")
+    return _expansion_bm25_sql(f"regexp_matches(term, '{rx}')", k)
+
+
+def regexp_sql(pattern: str, k: int = 10) -> str:
+    """RegexpQuery twin: anchored full-match regex over the vocabulary."""
+    rx = ("^" + pattern + "$").replace("'", "''")
+    return _expansion_bm25_sql(f"regexp_matches(term, '{rx}')", k)
+
+
+def term_range_sql(lo: str, hi: str, k: int = 10) -> str:
+    """TermRangeQuery twin: lexicographic [lo, hi] over the vocabulary."""
+    return _expansion_bm25_sql(f"term >= '{lo}' AND term <= '{hi}'", k)
+
+
+def _expansion_bm25_sql(term_pred: str, k: int) -> str:
+    """BM25 over the vocabulary terms matching `term_pred` — the shared
+    skeleton of the multi-term (dictionary-expansion) query oracles."""
     return f"""
 WITH doclens AS (
   SELECT doc_id, len({TOKS}) AS dl FROM documents
@@ -249,7 +275,7 @@ postings AS (
   SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2
 ),
 qterms AS (
-  SELECT DISTINCT term FROM toks WHERE term LIKE '{prefix}%'
+  SELECT DISTINCT term FROM toks WHERE {term_pred}
 ),
 dft AS (
   SELECT p.term, count(*)::DOUBLE AS df_t

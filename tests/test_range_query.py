@@ -122,6 +122,56 @@ def test_fuzzy_and_prefix_query_semantics(spark, tmp_path):
     assert prefix_query(spark, sf, prefix="zzz").count() == 0
 
 
+def test_wildcard_regexp_and_term_range_semantics(spark, tmp_path):
+    import pandas as pd
+
+    from lucene_mapreduce_spark.operators.fulltext import (
+        bm25_index_topk_documents,
+        regexp_query,
+        term_range_query,
+        wildcard_query,
+        wildcard_to_regex,
+    )
+
+    texts = {
+        0: "merge conflict resolved",
+        1: "marge simpson episode",
+        2: "moose in the garden",
+        3: "mergers and acquisitions",
+        4: "zebra crossing ahead",
+    }
+    sf = str(tmp_path)
+    pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())}).to_parquet(
+        sf + "/documents.parquet"
+    )
+    # ? is exactly one char; * any run (incl. empty). m?rge: merge, marge
+    wc = wildcard_query(spark, sf, pattern="m?rge").collect()
+    assert {r["doc_id"] for r in wc} == {0, 1}
+    # m*e full-match: merge, marge, moose — NOT mergers (trailing 'rs')
+    wc2 = wildcard_query(spark, sf, pattern="m*e").collect()
+    assert {r["doc_id"] for r in wc2} == {0, 1, 2}
+    # a pattern with no wildcard degenerates to the exact term query
+    exact = bm25_index_topk_documents(spark, sf, "merge").collect()
+    wc3 = wildcard_query(spark, sf, pattern="merge").collect()
+    assert [tuple(r) for r in wc3] == [tuple(r) for r in exact]
+    assert wildcard_query(spark, sf, pattern="zz*").count() == 0
+    # regex metachars in the literal part are escaped, not interpreted
+    assert wildcard_to_regex("a.b*") == "^a\\.b.*$"
+
+    # RegexpQuery is full-match: 'merge(rs)?' hits merge + mergers only
+    rx = regexp_query(spark, sf, pattern="m[ae]rge(rs)?").collect()
+    assert {r["doc_id"] for r in rx} == {0, 1, 3}
+    assert regexp_query(spark, sf, pattern="erge").count() == 0  # not substring
+
+    # TermRangeQuery: lexicographic inclusive — 'mergers' > 'merge', so the
+    # [marge, merge] range excludes it; [merge, moose] picks it back up
+    tr = term_range_query(spark, sf, lo="marge", hi="merge").collect()
+    assert {r["doc_id"] for r in tr} == {0, 1}  # marge, merge
+    tr2 = term_range_query(spark, sf, lo="merge", hi="moose").collect()
+    assert {r["doc_id"] for r in tr2} == {0, 2, 3}  # merge, mergers, moose
+    assert term_range_query(spark, sf, lo="zz", hi="zzz").count() == 0
+
+
 def test_range_boundary_and_empty(spark, range_corpus):
     ix, corpus, _ = range_corpus
     # a range covering everything == the unscoped result set size
