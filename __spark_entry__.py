@@ -30,11 +30,14 @@ from lucene_mapreduce_spark.operators.oracles import (  # noqa: E402
     bm25_topk_sql,
     mlt_sql,
     fuzzy_sql,
+    collapse_sql,
     parsed_query_sql,
     prefix_sql,
     regexp_sql,
     snippets_sql,
+    sort_by_field_sql,
     term_range_sql,
+    total_hits_sql,
     wildcard_sql,
 )
 
@@ -61,6 +64,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wildcard_query": fulltext.wildcard_query,
         "regexp_query": fulltext.regexp_query,
         "term_range_query": fulltext.term_range_query,
+        "search_collapse": fulltext.search_collapse,
+        "search_total_hits": fulltext.search_total_hits,
+        "search_sort_by_field": fulltext.search_sort_by_field,
         "parsed_query": fulltext.parsed_query,
         "bm25_wand_topk": fulltext.bm25_wand_topk_documents,
         "bm25_wand_topk_unmerged": fulltext.bm25_wand_topk_unmerged,
@@ -157,6 +163,11 @@ def oracle_sql() -> dict[str, str]:
     out["wildcard_query"] = wildcard_sql(fulltext.WILDCARD_QUERY)
     out["regexp_query"] = regexp_sql(fulltext.REGEXP_QUERY)
     out["term_range_query"] = term_range_sql(*fulltext.TERM_RANGE)
+    out["search_collapse"] = collapse_sql(
+        fulltext.FLAGSHIP_QUERY, k=fulltext.COLLAPSE_K
+    )
+    out["search_total_hits"] = total_hits_sql(fulltext.BOOLEAN_QUERY)
+    out["search_sort_by_field"] = sort_by_field_sql(fulltext.BOOLEAN_QUERY)
     out["bm25_range_topk"] = bm25_topk_sql(
         fulltext.FLAGSHIP_QUERY,
         doc_where=f"doc_id >= {fulltext.RANGE_LO} AND doc_id < {fulltext.RANGE_HI}",

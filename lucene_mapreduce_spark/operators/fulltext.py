@@ -473,6 +473,95 @@ def search_facets(
     )
 
 
+COLLAPSE_K = 5
+
+
+def search_collapse(
+    spark: SparkSession,
+    sf_dir: str,
+    query_text: str = FLAGSHIP_QUERY,
+    k: int = COLLAPSE_K,
+) -> DataFrame:
+    """Lucene collapse/grouping parity (CollapsingTopDocsCollector / the
+    grouping module): one best-scoring hit per document-field group (the
+    `lang` field), groups ranked by their best hit's score. Scores all
+    hits through the shared exact BM25 index path, joins the collapse
+    field from the docs table, then a per-group row_number keeps the
+    winner (score desc, doc_id asc — deterministic on 6dp-rounded scores).
+    At scale the per-group window partitions by (query, lang) — cardinality
+    bounded by the group count, never a global sort of the hit set."""
+    from pyspark.sql import Window
+
+    from lucene_mapreduce_spark.query.segments import bm25_index_topk
+
+    ix = _gate_index(spark, sf_dir)
+    queries = spark.createDataFrame(
+        [("q0", query_text)], "query_id string, query_text string"
+    )
+    scored = bm25_index_topk(spark, ix, queries, k=1 << 30, round_to=6).select(
+        "doc_id", "score"
+    )
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    w_grp = Window.partitionBy("lang").orderBy(F.desc("score"), F.asc("doc_id"))
+    best = (
+        scored.join(docs, "doc_id")
+        .withColumn("rn", F.row_number().over(w_grp))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    w_all = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        best.withColumn("grp_rank", F.row_number().over(w_all))
+        .filter(F.col("grp_rank") <= k)
+        .select("lang", "doc_id", "score", "grp_rank")
+    )
+
+
+def search_total_hits(
+    spark: SparkSession, sf_dir: str, query_text: str = BOOLEAN_QUERY
+) -> DataFrame:
+    """Lucene TotalHitCountCollector parity: the hit count of the boolean
+    query under both conjunctive (AND) and disjunctive (OR) semantics —
+    counted from the posting cursors without materializing documents."""
+    from lucene_mapreduce_spark.query.wand import IndexSearcher
+
+    ix = _gate_index(spark, sf_dir)
+    s = IndexSearcher(ix)
+    n_and = len(s.search_boolean(query_text, mode="and"))
+    n_or = len(s.search_boolean(query_text, mode="or"))
+    return spark.createDataFrame(
+        [(n_and, n_or)], "n_and long, n_or long"
+    )
+
+
+def search_sort_by_field(
+    spark: SparkSession,
+    sf_dir: str,
+    query_text: str = BOOLEAN_QUERY,
+    k: int = 10,
+) -> DataFrame:
+    """Lucene Sort(SortField) parity: the conjunctive result set ordered by
+    a document field instead of relevance (n_chars desc, doc_id asc as the
+    tiebreak — Lucene's index-order tiebreak made explicit). The field
+    values come from a broadcast-hit join against the docs table; ranking
+    is a WindowGroupLimit top-k, not a global sort."""
+    from pyspark.sql import Window
+
+    from lucene_mapreduce_spark.query.wand import IndexSearcher
+
+    ix = _gate_index(spark, sf_dir)
+    docids = IndexSearcher(ix).search_boolean(query_text, mode="and")
+    hits = spark.createDataFrame([(int(d),) for d in docids], "doc_id long")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w = Window.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        docs.join(F.broadcast(hits), "doc_id")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "n_chars", "rank")
+    )
+
+
 def boolean_and_query(
     spark: SparkSession, sf_dir: str, query_text: str = BOOLEAN_QUERY
 ) -> DataFrame:

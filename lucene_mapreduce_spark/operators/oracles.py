@@ -258,6 +258,102 @@ def term_range_sql(lo: str, hi: str, k: int = 10) -> str:
     return _expansion_bm25_sql(f"term >= '{lo}' AND term <= '{hi}'", k)
 
 
+def collapse_sql(query_text: str, k: int = 5) -> str:
+    """search_collapse twin: BM25 spec, 6dp-rounded scores, best hit per
+    `lang` group, groups ranked by best score. Windows order on the ROUNDED
+    score + doc_id — the same deterministic key the engine collapses on."""
+    qlit = query_text.replace("'", "''")
+    return f"""
+WITH doclens AS (
+  SELECT doc_id, len({TOKS}) AS dl FROM documents
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n_docs, avg(dl::DOUBLE) AS avgdl FROM doclens
+),
+toks AS (
+  SELECT doc_id, unnest({TOKS}) AS term FROM documents
+),
+postings AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2
+),
+qterms AS (
+  SELECT DISTINCT unnest({duckdb_tokens_sql(f"'{qlit}'")}) AS term
+),
+dft AS (
+  SELECT p.term, count(*)::DOUBLE AS df_t
+  FROM postings p JOIN qterms q USING (term) GROUP BY 1
+),
+scored AS (
+  SELECT p.doc_id,
+         ln(1 + (s.n_docs - d.df_t + 0.5) / (d.df_t + 0.5))
+           * (p.tf * {K1 + 1.0}) / (p.tf + {K1} * (1 - {B} + {B} * l.dl / s.avgdl))
+           AS contrib
+  FROM postings p
+  JOIN dft d USING (term)
+  JOIN doclens l USING (doc_id)
+  CROSS JOIN stats s
+),
+agg AS (
+  SELECT doc_id, round(sum(contrib), 6) AS score FROM scored GROUP BY 1
+),
+best AS (
+  SELECT d.lang, a.doc_id, a.score,
+         row_number() OVER (
+           PARTITION BY d.lang ORDER BY a.score DESC, a.doc_id ASC
+         ) AS rn
+  FROM agg a JOIN documents d USING (doc_id)
+)
+SELECT lang, doc_id, score, grp_rank
+FROM (
+  SELECT lang, doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS grp_rank
+  FROM best WHERE rn = 1
+)
+WHERE grp_rank <= {k}
+"""
+
+
+def _boolean_match_ctes(query_text: str) -> str:
+    """Shared CTEs: per-doc distinct-query-term match count vs the query's
+    distinct term count (m = |qt| <=> conjunctive match)."""
+    qlit = query_text.replace("'", "''")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKS}) AS term FROM documents
+),
+qt AS (
+  SELECT DISTINCT unnest({duckdb_tokens_sql(f"'{qlit}'")}) AS term
+),
+nq AS (SELECT count(*) AS c FROM qt),
+per_doc AS (
+  SELECT doc_id, count(DISTINCT t.term) AS m
+  FROM toks t JOIN qt USING (term) GROUP BY 1
+)"""
+
+
+def total_hits_sql(query_text: str) -> str:
+    """search_total_hits twin: AND / OR hit counts of the boolean query."""
+    return f"""{_boolean_match_ctes(query_text)}
+SELECT (SELECT count(*) FROM per_doc, nq WHERE m = c)::BIGINT AS n_and,
+       (SELECT count(*) FROM per_doc)::BIGINT AS n_or
+"""
+
+
+def sort_by_field_sql(query_text: str, k: int = 10) -> str:
+    """search_sort_by_field twin: conjunctive hits ordered by n_chars desc,
+    doc_id asc."""
+    return f"""{_boolean_match_ctes(query_text)},
+matched AS (SELECT doc_id FROM per_doc, nq WHERE m = c)
+SELECT doc_id, n_chars, rank
+FROM (
+  SELECT d.doc_id, d.n_chars,
+         row_number() OVER (ORDER BY d.n_chars DESC, d.doc_id ASC) AS rank
+  FROM documents d JOIN matched USING (doc_id)
+)
+WHERE rank <= {k}
+"""
+
+
 def _expansion_bm25_sql(term_pred: str, k: int) -> str:
     """BM25 over the vocabulary terms matching `term_pred` — the shared
     skeleton of the multi-term (dictionary-expansion) query oracles."""
