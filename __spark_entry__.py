@@ -74,7 +74,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boolean_or_query": fulltext.boolean_or_query,
         "boolean_and_not_query": fulltext.boolean_and_not_query,
         "near_query": fulltext.near_query,
+        "near_query_positions": fulltext.near_query_positions,
         "phrase_query": fulltext.phrase_query,
+        "phrase_query_positions": fulltext.phrase_query_positions,
         "term_df": fulltext.term_df,
         "index_stats": fulltext.index_stats,
         "corpus_stats": fulltext.corpus_stats,

@@ -164,6 +164,71 @@ def write_dictionary(
     )
 
 
+def write_positions(
+    spark: SparkSession,
+    seg_path: str,
+    corpus: DataFrame,
+    num_partitions: int,
+    chunk_docs: int,
+) -> None:
+    """Positional-postings sidecar (Lucene's .pos file analogue): one row
+    per (term, doc) holding the ascending token positions of the term in
+    the doc, laid out exactly like the postings — partitionBy(phash),
+    rows sorted (term, chunk, doc_id) so term filters prune row groups and
+    chunk spans prune ranges. Phrase/proximity queries verify against this
+    instead of re-tokenizing stored fields.
+
+    The (term, positions) pairs are computed map-side with higher-order
+    array expressions (pure codegen, no token-granular shuffle); the only
+    shuffle is the (phash, salt) placement before the partitioned write —
+    rows are (term, doc)-granular with an int-array payload, the same
+    order of magnitude as Lucene's .pos data itself."""
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_col
+
+    toks = F.coalesce(tokenize_col(F.col("text")), F.array())
+    pairs = F.transform(
+        F.array_distinct(toks),
+        lambda t: F.struct(
+            t.alias("term"),
+            F.filter(
+                F.transform(
+                    toks, lambda x, i: F.when(x == t, i).otherwise(F.lit(-1))
+                ),
+                lambda p: p >= 0,
+            ).alias("positions"),
+        ),
+    )
+    enc_parts = max(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32")), num_partitions
+    )
+    n_salt = max(2, (4 * enc_parts) // (num_partitions + 1))
+    pos = (
+        corpus.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.explode(pairs).alias("p"),
+        )
+        .select(
+            F.pmod(F.xxhash64(F.col("p.term")), F.lit(num_partitions))
+            .cast("int")
+            .alias("phash"),
+            F.col("p.term").alias("term"),
+            F.expr(f"doc_id DIV {chunk_docs}").alias("chunk"),
+            "doc_id",
+            F.col("p.positions").alias("positions"),
+        )
+        .withColumn("salt", F.pmod(F.col("chunk"), F.lit(n_salt)))
+        .repartition(enc_parts, "phash", "salt")
+        .sortWithinPartitions("phash", "term", "chunk", "doc_id")
+        .select("phash", "term", "chunk", "doc_id", "positions")
+    )
+    (
+        pos.write.mode("overwrite")
+        .option("parquet.block.size", 1 << 20)
+        .partitionBy("phash")
+        .parquet(os.path.join(seg_path, "positions"))
+    )
+
+
 def build_segment(
     spark: SparkSession,
     corpus: DataFrame,
@@ -173,6 +238,7 @@ def build_segment(
     lineage: dict[str, Any] | None = None,
     store_fields: bool = False,
     with_dict: bool = False,
+    with_positions: bool = False,
 ) -> SegmentMeta:
     """Build one immutable level-0 segment from a (doc_id, text) batch and
     commit it to the manifest. Returns the committed SegmentMeta.
@@ -268,6 +334,9 @@ def build_segment(
     if with_dict:
         write_dictionary(spark, seg_path, num_partitions)
 
+    if with_positions:
+        write_positions(spark, seg_path, corpus, num_partitions, int(chunk_docs))
+
     part_stats, totals = segment_stats(spark, seg_path, num_partitions)
     n_terms = int(sum(r["n_terms"] for r in part_stats))
 
@@ -291,6 +360,7 @@ def build_segment(
         lineage=dict(lineage or {}, batch_seq=seq),
         has_docstore=bool(store_fields),
         has_dict=bool(with_dict),
+        has_positions=bool(with_positions),
     )
     m.segments.append(meta)
     m.committed_seq = seq

@@ -43,6 +43,10 @@ class SegmentMeta:
     # term-sorted (term, df, cf) parquet — fuzzy/prefix expansion and df
     # lookups without touching posting payloads)
     has_dict: bool = False
+    # positional-postings sidecar present (Lucene's .pos file analogue:
+    # per (term, doc) token positions, phash-partitioned like the postings —
+    # phrase/proximity verification without stored fields)
+    has_positions: bool = False
     # per-partition metrics + lineage (north rule: per-partition lineage
     # and metrics written alongside checkpointed segment manifests)
     partitions: list[dict[str, Any]] = field(default_factory=list)

@@ -48,6 +48,41 @@ def _load_doclens(
     return out
 
 
+def _propagate_positions(
+    spark: SparkSession,
+    index_dir: str,
+    metas: list[SegmentMeta],
+    seg_path: str,
+    live: DataFrame,
+    m,
+) -> None:
+    """Carry the positions sidecar through a segment rewrite: union the
+    inputs' rows, keep only each doc's live (newest) copy, rewrite with the
+    standard (phash, salt) placement and (term, chunk, doc_id) sort so the
+    serving-side pruning contract is identical to a fresh build's."""
+    pos = None
+    for meta in metas:
+        p = spark.read.parquet(
+            os.path.join(segment_dir(index_dir, meta.segment_id), "positions")
+        ).withColumn("seg_seq", F.lit(meta.min_seq))
+        pos = p if pos is None else pos.unionByName(p)
+    parts = max(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32")), m.num_partitions
+    )
+    n_salt = max(2, (4 * parts) // (m.num_partitions + 1))
+    (
+        pos.join(live.select("doc_id", "seg_seq"), ["doc_id", "seg_seq"], "left_semi")
+        .withColumn("salt", F.pmod(F.col("chunk"), F.lit(n_salt)))
+        .repartition(parts, "phash", "salt")
+        .sortWithinPartitions("phash", "term", "chunk", "doc_id")
+        .select("phash", "term", "chunk", "doc_id", "positions")
+        .write.mode("overwrite")
+        .option("parquet.block.size", 1 << 20)
+        .partitionBy("phash")
+        .parquet(os.path.join(seg_path, "positions"))
+    )
+
+
 def merge_once(
     spark: SparkSession,
     index_dir: str,
@@ -152,6 +187,13 @@ def merge_once(
 
         write_dictionary(spark, seg_path, m.num_partitions)
 
+    # positional postings propagate like the docstore: the (term, doc)
+    # rows of each doc's newest (live) copy, re-laid-out under the new
+    # segment's phash dirs — no recompute from text
+    has_positions = all(s.has_positions for s in metas)
+    if has_positions:
+        _propagate_positions(spark, index_dir, metas, seg_path, live, m)
+
     if fault:
         fault("written")  # crash here => manifest still lists the inputs
 
@@ -179,6 +221,7 @@ def merge_once(
         lineage={"merged_from": [s.segment_id for s in metas]},
         has_docstore=has_docstore,
         has_dict=has_dict,
+        has_positions=has_positions,
     )
     m.segments = [s for s in m.segments if s.segment_id not in set(segment_ids)]
     m.segments.append(meta_out)

@@ -143,6 +143,13 @@ def purge_expired(
 
         write_dictionary(spark, seg_path, m.num_partitions)
 
+    # positions survive the purge like the docstore: live copies only
+    has_positions = all(s.has_positions for s in metas)
+    if has_positions:
+        from lucene_mapreduce_spark.index.merge import _propagate_positions
+
+        _propagate_positions(spark, index_dir, metas, seg_path, live_pairs, m)
+
     part_stats, totals = segment_stats(spark, seg_path, m.num_partitions)
     meta_out = SegmentMeta(
         segment_id=seg_id,
@@ -165,6 +172,7 @@ def purge_expired(
         lineage={"ttl_purge_of": [s.segment_id for s in metas]},
         has_docstore=has_docstore,
         has_dict=has_dict,
+        has_positions=has_positions,
     )
     m.segments = [meta_out]
     commit_manifest(index_dir, m, expect_version=m.version)

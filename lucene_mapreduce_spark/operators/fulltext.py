@@ -97,12 +97,16 @@ def _gate_index(spark: SparkSession, sf_dir: str) -> str:
     path = os.path.join(tempfile.mkdtemp(prefix="lmr_gate_"), "ix")
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     # two batches + a merge so the gate exercises the full lifecycle;
-    # store_fields so phrase verification has the docstore sidecar
+    # store_fields for docstore-verified phrases + lookups, with_positions
+    # so the positional (.pos-style) phrase/near gates have the sidecar
     build_segment(
         spark, docs.filter("doc_id % 2 = 0"), path, num_partitions=8,
-        store_fields=True,
+        store_fields=True, with_positions=True,
     )
-    build_segment(spark, docs.filter("doc_id % 2 = 1"), path, store_fields=True)
+    build_segment(
+        spark, docs.filter("doc_id % 2 = 1"), path, store_fields=True,
+        with_positions=True,
+    )
     merge_all(spark, path)
     _GATE_INDEXES[sf_dir] = path
     return path
@@ -615,12 +619,31 @@ def near_query(
     window: int = NEAR_WINDOW,
 ) -> DataFrame:
     """Proximity retrieval through the index (Lucene SpanNear, unordered):
-    docs where some `window`-token span contains all query terms. Oracle:
-    a sliding-window containment scan over the token arrays."""
+    docs where some `window`-token span contains all query terms, verified
+    by re-tokenizing stored fields. Oracle: a sliding-window containment
+    scan over the token arrays."""
     from lucene_mapreduce_spark.query.wand import IndexSearcher
 
     ix = _gate_index(spark, sf_dir)
-    docids = IndexSearcher(ix).search_near(query_text, window=window)
+    docids = IndexSearcher(ix).search_near(query_text, window=window, use="stored")
+    return spark.createDataFrame([(int(d),) for d in docids], "doc_id long")
+
+
+def near_query_positions(
+    spark: SparkSession,
+    sf_dir: str,
+    query_text: str = BOOLEAN_QUERY,
+    window: int = NEAR_WINDOW,
+) -> DataFrame:
+    """The same proximity semantics answered from the positional sidecar
+    (Lucene's .pos strategy) — no stored fields touched; must match the
+    identical oracle as near_query."""
+    from lucene_mapreduce_spark.query.wand import IndexSearcher
+
+    ix = _gate_index(spark, sf_dir)
+    docids = IndexSearcher(ix).search_near(
+        query_text, window=window, use="positions"
+    )
     return spark.createDataFrame([(int(d),) for d in docids], "doc_id long")
 
 
@@ -635,7 +658,21 @@ def phrase_query(
     from lucene_mapreduce_spark.query.wand import IndexSearcher
 
     ix = _gate_index(spark, sf_dir)
-    docids = IndexSearcher(ix).search_phrase(phrase_text)
+    docids = IndexSearcher(ix).search_phrase(phrase_text, use="stored")
+    return spark.createDataFrame([(int(d),) for d in docids], "doc_id long")
+
+
+def phrase_query_positions(
+    spark: SparkSession, sf_dir: str, phrase_text: str = PHRASE_QUERY
+) -> DataFrame:
+    """The same phrase semantics answered from the positional sidecar
+    (successive position-list intersection, Lucene PhraseQuery over .pos)
+    — no stored fields touched; must match the identical oracle as
+    phrase_query."""
+    from lucene_mapreduce_spark.query.wand import IndexSearcher
+
+    ix = _gate_index(spark, sf_dir)
+    docids = IndexSearcher(ix).search_phrase(phrase_text, use="positions")
     return spark.createDataFrame([(int(d),) for d in docids], "doc_id long")
 
 

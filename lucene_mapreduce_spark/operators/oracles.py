@@ -724,6 +724,18 @@ SELECT doc_id FROM (SELECT doc_id, {TOKS} AS toks FROM documents)
 WHERE len(list_filter(range(1, len(toks)),
           i -> toks[i] = 'fast' AND toks[i+1] = 'merge')) > 0
 """,
+    # the positional-sidecar answer paths must match the SAME semantics
+    "near_query_positions": f"""
+SELECT doc_id FROM (SELECT doc_id, {TOKS} AS toks FROM documents)
+WHERE len(list_filter(range(1, len(toks) + 1), i ->
+      list_contains(list_slice(toks, i, i + 3), 'table')
+  AND list_contains(list_slice(toks, i, i + 3), 'merge'))) > 0
+""",
+    "phrase_query_positions": f"""
+SELECT doc_id FROM (SELECT doc_id, {TOKS} AS toks FROM documents)
+WHERE len(list_filter(range(1, len(toks)),
+          i -> toks[i] = 'fast' AND toks[i+1] = 'merge')) > 0
+""",
     "doc_tf": f"""
 WITH toks AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents),
 p AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2)

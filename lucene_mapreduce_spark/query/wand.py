@@ -136,6 +136,7 @@ class IndexSearcher:
         self._cache: dict[str, object] = {}
         self._cache_cap = 4096
         self._scored_cache: dict[tuple, tuple] = {}
+        self._pos_datasets: list | None = None
 
     def _load_live_map(self, m: Manifest) -> None:
         """Latest-wins doc -> generation map + exact live corpus stats,
@@ -287,20 +288,104 @@ class IndexSearcher:
                     want.discard(d)
         return out
 
-    def search_phrase(self, phrase_text: str) -> np.ndarray:
+    def positions_available(self) -> bool:
+        """True iff every generation carries the positional sidecar."""
+        return all(s.has_positions for s in self.manifest.ordered())
+
+    def _load_positions(
+        self, docids: np.ndarray, terms: list[str]
+    ) -> dict[tuple[int, str], np.ndarray]:
+        """Ascending token positions for each (candidate doc, query term)
+        from the positional sidecar, newest (live) generation wins —
+        Lucene's .pos read path. Reads only the terms' phash dirs, with
+        term + doc_id filters pruning row groups (rows are sorted
+        (term, chunk, doc_id) on disk)."""
+        if self._pos_datasets is None:
+            self._pos_datasets = [
+                ds.dataset(
+                    os.path.join(
+                        segment_dir(self.index_dir, s.segment_id), "positions"
+                    ),
+                    format="parquet",
+                    partitioning="hive",
+                )
+                for s in self.manifest.ordered()
+            ]
+        want = [int(d) for d in docids]
+        phashes = sorted(
+            {term_phash(t, self.manifest.num_partitions) for t in terms}
+        )
+        out: dict[tuple[int, str], np.ndarray] = {}
+        for seg_seq, dataset in zip(self._seg_seqs, self._pos_datasets):
+            tbl = dataset.to_table(
+                filter=(
+                    ds.field("phash").isin(phashes)
+                    & ds.field("term").isin(list(terms))
+                    & ds.field("doc_id").isin(want)
+                ),
+                columns=["term", "doc_id", "positions"],
+            )
+            for t, d, ps in zip(
+                tbl["term"].to_pylist(),
+                tbl["doc_id"].to_pylist(),
+                tbl["positions"].to_pylist(),
+            ):
+                if self._live_doc is not None:
+                    idx = int(np.searchsorted(self._live_doc, d))
+                    if (
+                        idx >= len(self._live_doc)
+                        or self._live_doc[idx] != d
+                        or self._live_seg[idx] != seg_seq
+                    ):
+                        continue
+                out[(int(d), t)] = np.asarray(ps, np.int64)
+        return out
+
+    def _verify_phrase_positions(
+        self, cand: np.ndarray, phrase: list[str]
+    ) -> np.ndarray:
+        """Adjacency check from positions: successively intersect each
+        term's positions with the previous survivors shifted by one —
+        survivors after the last term are phrase-start positions."""
+        posmap = self._load_positions(cand, sorted(set(phrase)))
+        hits = []
+        for d in cand:
+            cur = posmap.get((int(d), phrase[0]))
+            if cur is None:
+                continue
+            for t in phrase[1:]:
+                nxt = posmap.get((int(d), t))
+                if nxt is None:
+                    cur = None
+                    break
+                cur = cur[np.isin(cur + 1, nxt)]
+                if not len(cur):
+                    cur = None
+                    break
+                cur = cur + 1  # advance to the matched position
+            if cur is not None and len(cur):
+                hits.append(int(d))
+        return np.asarray(sorted(hits), np.int64)
+
+    def search_phrase(self, phrase_text: str, use: str = "auto") -> np.ndarray:
         """Exact phrase retrieval: docids whose token stream contains the
         query tokens as a contiguous subsequence, sorted ascending.
 
-        Two-stage, like Lucene without positions: the posting cursors
-        AND-intersect to a candidate set (cheap, index-only), then the
-        candidates' stored fields verify adjacency. IO is proportional to
-        the conjunctive result size, never the corpus."""
+        Two-stage: the posting cursors AND-intersect to a candidate set
+        (cheap, index-only), then adjacency is verified from the
+        positional sidecar when every generation has one (Lucene's .pos
+        strategy; ``use="positions"`` to require it) or by re-tokenizing
+        the candidates' stored fields (Lucene-without-positions;
+        ``use="stored"``). Either way IO is proportional to the
+        conjunctive result size, never the corpus."""
         phrase = tokenize_string(phrase_text)
         if not phrase:
             return np.zeros(0, np.int64)
         cand = self.search_boolean(phrase_text, mode="and")
         if not len(cand):
             return cand
+        if use == "positions" or (use == "auto" and self.positions_available()):
+            return self._verify_phrase_positions(cand, phrase)
         texts = self._load_texts(cand)
         k = len(phrase)
         hits = []
@@ -356,18 +441,67 @@ class IndexSearcher:
         order = np.lexsort((cand, -scores))[:k]
         return [(int(cand[i]), float(scores[i])) for i in order]
 
-    def search_near(self, query_text: str, window: int = 4) -> np.ndarray:
+    def _verify_near_positions(
+        self, cand: np.ndarray, terms: list[str], window: int
+    ) -> np.ndarray:
+        """Window check from positions: merge the terms' position lists
+        (term-labeled), then a two-pointer sweep finds whether any span of
+        <= `window` consecutive token slots covers every term. Token
+        positions are term-disjoint within a doc, so coverage counting is
+        exact."""
+        posmap = self._load_positions(cand, terms)
+        k = len(terms)
+        hits = []
+        for d in cand:
+            lists = [posmap.get((int(d), t)) for t in terms]
+            if any(lst is None for lst in lists):
+                continue
+            pos = np.concatenate(lists)
+            lab = np.concatenate(
+                [np.full(len(lst), i, np.int64) for i, lst in enumerate(lists)]
+            )
+            order = np.argsort(pos, kind="stable")
+            pos, lab = pos[order], lab[order]
+            count = np.zeros(k, np.int64)
+            covered = 0
+            i = 0
+            found = False
+            for j in range(len(pos)):
+                if count[lab[j]] == 0:
+                    covered += 1
+                count[lab[j]] += 1
+                while covered == k:
+                    if pos[j] - pos[i] <= window - 1:
+                        found = True
+                        break
+                    count[lab[i]] -= 1
+                    if count[lab[i]] == 0:
+                        covered -= 1
+                    i += 1
+                if found:
+                    break
+            if found:
+                hits.append(int(d))
+        return np.asarray(sorted(hits), np.int64)
+
+    def search_near(
+        self, query_text: str, window: int = 4, use: str = "auto"
+    ) -> np.ndarray:
         """Proximity retrieval (Lucene SpanNear, unordered): docids where
         some `window`-token span contains ALL query terms. Same two-stage
         strategy as phrases: posting cursors AND-intersect to candidates,
-        stored fields verify the window — IO proportional to the
-        conjunctive result, never the corpus."""
+        then the positional sidecar (when every generation has one, or
+        ``use="positions"``) or the stored fields (``use="stored"``)
+        verify the window — IO proportional to the conjunctive result,
+        never the corpus."""
         terms = sorted(set(tokenize_string(query_text)))
         if not terms:
             return np.zeros(0, np.int64)
         cand = self.search_boolean(query_text, mode="and")
         if not len(cand):
             return cand
+        if use == "positions" or (use == "auto" and self.positions_available()):
+            return self._verify_near_positions(cand, terms, window)
         texts = self._load_texts(cand)
         need = set(terms)
         hits = []

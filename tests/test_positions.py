@@ -1,0 +1,148 @@
+"""Positional-postings sidecar (Lucene .pos parity): build, upsert masking,
+merge/TTL propagation, and phrase/near verification from positions must agree
+exactly with the stored-field verification path."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_mapreduce_spark.index.build import build_segment
+from lucene_mapreduce_spark.index.manifest import load_manifest
+from lucene_mapreduce_spark.index.merge import merge_all
+from lucene_mapreduce_spark.query.wand import IndexSearcher
+
+
+def _corpus(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture()
+def pos_index(spark, tmp_path):
+    """Two generations, unmerged: doc 2 is re-indexed in batch 2 with the
+    phrase REMOVED — positions of the stale copy must be masked."""
+    ix = str(tmp_path / "ix")
+    batch1 = _corpus(
+        spark,
+        [
+            (0, "fast merge wins the race"),
+            (1, "merge fast but not fast merge"),  # phrase at the tail
+            (2, "fast merge here too"),  # will be shadowed without the phrase
+            (3, "fast and merge far apart from fast"),
+        ],
+    )
+    build_segment(
+        spark, batch1, ix, num_partitions=4, store_fields=True,
+        with_positions=True,
+    )
+    batch2 = _corpus(spark, [(2, "merge then much later a fast one")])
+    build_segment(spark, batch2, ix, store_fields=True, with_positions=True)
+    return ix
+
+
+def test_phrase_positions_masks_stale_generation(spark, pos_index):
+    s = IndexSearcher(pos_index)
+    assert s.positions_available()
+    got_pos = s.search_phrase("fast merge", use="positions")
+    got_sto = s.search_phrase("fast merge", use="stored")
+    assert list(got_pos) == [0, 1]
+    assert list(got_pos) == list(got_sto)
+    # auto prefers positions when every generation has the sidecar
+    assert list(s.search_phrase("fast merge")) == [0, 1]
+
+
+def test_near_positions_matches_stored(spark, pos_index):
+    s = IndexSearcher(pos_index)
+    for w in (2, 3, 4, 6):
+        got_pos = s.search_near("fast merge", window=w, use="positions")
+        got_sto = s.search_near("fast merge", window=w, use="stored")
+        assert list(got_pos) == list(got_sto), f"window={w}"
+    # window 2 == adjacency in either order: docs 0 and 1
+    assert list(s.search_near("fast merge", window=2, use="positions")) == [0, 1]
+
+
+def test_repeated_term_phrase(spark, tmp_path):
+    ix = str(tmp_path / "ix")
+    build_segment(
+        spark,
+        _corpus(
+            spark,
+            [
+                (0, "merge merge conflict"),
+                (1, "merge once then merge again"),
+                (2, "a merge merge merge chain"),
+            ],
+        ),
+        ix,
+        num_partitions=4,
+        store_fields=True,
+        with_positions=True,
+    )
+    s = IndexSearcher(ix)
+    for use in ("positions", "stored"):
+        assert list(s.search_phrase("merge merge", use=use)) == [0, 2]
+        assert list(s.search_phrase("merge merge merge", use=use)) == [2]
+
+
+def test_positions_survive_merge_and_ttl(spark, pos_index):
+    # merge: flag propagates, stale copies dropped from the sidecar
+    merge_all(spark, pos_index)
+    m = load_manifest(pos_index)
+    assert len(m.ordered()) == 1 and m.ordered()[0].has_positions
+    s = IndexSearcher(pos_index)
+    assert list(s.search_phrase("fast merge", use="positions")) == [0, 1]
+    # the merged sidecar holds only live rows: doc 2's stale text had
+    # 'here' — it must be gone from positions entirely
+    import os
+
+    from lucene_mapreduce_spark.index.manifest import segment_dir
+
+    seg = segment_dir(pos_index, m.ordered()[0].segment_id)
+    pos = spark.read.parquet(os.path.join(seg, "positions"))
+    assert pos.filter(F.col("term") == "here").count() == 0
+    assert pos.filter((F.col("doc_id") == 2) & (F.col("term") == "later")).count() == 1
+
+    # TTL purge: doc 0 expires; positions survive for the rest
+    from lucene_mapreduce_spark.index.ttl import delete_docs
+
+    delete_docs(spark, pos_index, [0])
+    m2 = load_manifest(pos_index)
+    assert m2.ordered()[0].has_positions
+    s2 = IndexSearcher(pos_index)
+    assert list(s2.search_phrase("fast merge", use="positions")) == [1]
+
+
+def test_auto_falls_back_without_sidecar(spark, tmp_path):
+    ix = str(tmp_path / "ix")
+    build_segment(
+        spark,
+        _corpus(spark, [(0, "fast merge plain")]),
+        ix,
+        num_partitions=4,
+        store_fields=True,
+    )
+    s = IndexSearcher(ix)
+    assert not s.positions_available()
+    assert list(s.search_phrase("fast merge")) == [0]  # stored-field path
+
+
+def test_positions_content_matches_tokenization(spark, tmp_path):
+    """The sidecar's (term, positions) rows equal a direct tokenization."""
+    ix = str(tmp_path / "ix")
+    text = "alpha beta alpha gamma beta alpha"
+    build_segment(
+        spark, _corpus(spark, [(7, text)]), ix, num_partitions=4,
+        with_positions=True,
+    )
+    import os
+
+    from lucene_mapreduce_spark.index.manifest import segment_dir
+
+    m = load_manifest(ix)
+    seg = segment_dir(ix, m.ordered()[0].segment_id)
+    rows = {
+        r["term"]: list(r["positions"])
+        for r in spark.read.parquet(os.path.join(seg, "positions")).collect()
+    }
+    assert rows == {"alpha": [0, 2, 5], "beta": [1, 4], "gamma": [3]}
