@@ -30,7 +30,10 @@ from lucene_mapreduce_spark.operators.oracles import (  # noqa: E402
     bm25_topk_sql,
     mlt_sql,
     fuzzy_sql,
+    boosted_sql,
     collapse_sql,
+    field_scoped_sql,
+    msm_sql,
     parsed_query_sql,
     prefix_sql,
     regexp_sql,
@@ -64,6 +67,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wildcard_query": fulltext.wildcard_query,
         "regexp_query": fulltext.regexp_query,
         "term_range_query": fulltext.term_range_query,
+        "boosted_query": fulltext.boosted_query,
+        "min_should_match_query": fulltext.min_should_match_query,
+        "field_scoped_query": fulltext.field_scoped_query,
         "search_collapse": fulltext.search_collapse,
         "search_total_hits": fulltext.search_total_hits,
         "search_sort_by_field": fulltext.search_sort_by_field,
@@ -165,6 +171,9 @@ def oracle_sql() -> dict[str, str]:
     out["wildcard_query"] = wildcard_sql(fulltext.WILDCARD_QUERY)
     out["regexp_query"] = regexp_sql(fulltext.REGEXP_QUERY)
     out["term_range_query"] = term_range_sql(*fulltext.TERM_RANGE)
+    out["boosted_query"] = boosted_sql()
+    out["min_should_match_query"] = msm_sql()
+    out["field_scoped_query"] = field_scoped_sql()
     out["search_collapse"] = collapse_sql(
         fulltext.FLAGSHIP_QUERY, k=fulltext.COLLAPSE_K
     )

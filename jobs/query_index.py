@@ -9,6 +9,8 @@ Usage:
 
 Single-query flags:
   --syntax lucene     parse `+must -not "phrase" should` clause syntax
+  --syntax ext        additionally `term^2.5` boosts + `field:value` clauses
+  --min-should-match N  require >= N SHOULD terms to match (with --syntax ext)
   --like DOC_ID       MoreLikeThis: docs similar to DOC_ID (needs docstore)
   --range LO:HI       scope the search to docids [LO, HI)
 """
@@ -25,7 +27,8 @@ def main() -> None:
     ap.add_argument("--queries", default=None)
     ap.add_argument("--out", default=None)
     ap.add_argument("-k", type=int, default=10)
-    ap.add_argument("--syntax", choices=["terms", "lucene"], default="terms")
+    ap.add_argument("--syntax", choices=["terms", "lucene", "ext"], default="terms")
+    ap.add_argument("--min-should-match", type=int, default=0)
     ap.add_argument("--like", type=int, default=None)
     ap.add_argument("--range", default=None, help="LO:HI docid span")
     args = ap.parse_args()
@@ -35,11 +38,14 @@ def main() -> None:
         from lucene_mapreduce_spark.query.wand import IndexSearcher
 
         searcher = IndexSearcher(args.index)
-        hits = (
-            searcher.search_parsed(args.query, k=args.k)
-            if args.syntax == "lucene"
-            else searcher.search(args.query, k=args.k)
-        )
+        if args.syntax == "ext":
+            hits = searcher.search_parsed_ext(
+                args.query, k=args.k, min_should_match=args.min_should_match
+            )
+        elif args.syntax == "lucene":
+            hits = searcher.search_parsed(args.query, k=args.k)
+        else:
+            hits = searcher.search(args.query, k=args.k)
         for doc_id, score in hits:
             print(f"{doc_id}\t{score:.6f}")
         return

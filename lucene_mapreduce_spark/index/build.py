@@ -323,8 +323,14 @@ def build_segment(
     )
 
     if store_fields:
+        # ALL corpus columns are stored (text + any keyword fields like
+        # lang/source) — Lucene's StoredField surface; field-scoped query
+        # clauses (query/parse.parse_query_ext) filter on these
         (
-            corpus.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+            corpus.select(
+                F.col("doc_id").cast("long").alias("doc_id"),
+                *[c for c in corpus.columns if c != "doc_id"],
+            )
             .repartitionByRange(num_partitions, "doc_id")
             .sortWithinPartitions("doc_id")
             .write.mode("overwrite")

@@ -95,7 +95,10 @@ def _gate_index(spark: SparkSession, sf_dir: str) -> str:
     if path and load_manifest(path) is not None:
         return path
     path = os.path.join(tempfile.mkdtemp(prefix="lmr_gate_"), "ix")
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # lang/source ride as stored keyword fields (field-scoped clauses)
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
     # two batches + a merge so the gate exercises the full lifecycle;
     # store_fields for docstore-verified phrases + lookups, with_positions
     # so the positional (.pos-style) phrase/near gates have the sidecar
@@ -443,6 +446,73 @@ def parsed_query(
 
     rows = [(int(d), _round6(s), i + 1) for i, (d, s) in enumerate(hits)]
     return spark.createDataFrame(rows, "doc_id long, score double, rank int")
+
+
+def _hits_df(spark: SparkSession, hits: list[tuple[int, float]]) -> DataFrame:
+    """[(doc_id, score)] from a searcher -> (doc_id, score, rank) frame with
+    the gate's HALF_UP 6dp rounding."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _round6(x: float) -> float:
+        return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+    rows = [(int(d), _round6(s), i + 1) for i, (d, s) in enumerate(hits)]
+    return spark.createDataFrame(rows, "doc_id long, score double, rank int")
+
+
+BOOSTED_QUERY = "table^3 merge scan^0.5"
+
+
+def boosted_query(
+    spark: SparkSession, sf_dir: str, query: str = BOOSTED_QUERY, k: int = 10
+) -> DataFrame:
+    """Lucene query-time boosts (Query#setBoost / BoostQuery): ``term^w``
+    scales that term's BM25 contribution before accumulation. Answered on
+    the serving path (search_parsed_ext); oracle: the BM25 spec with a
+    per-term weight column."""
+    from lucene_mapreduce_spark.query.wand import IndexSearcher
+
+    ix = _gate_index(spark, sf_dir)
+    return _hits_df(spark, IndexSearcher(ix).search_parsed_ext(query, k=k))
+
+
+MSM_QUERY = "merge scan window vector"
+MSM_N = 2
+
+
+def min_should_match_query(
+    spark: SparkSession,
+    sf_dir: str,
+    query: str = MSM_QUERY,
+    n: int = MSM_N,
+    k: int = 10,
+) -> DataFrame:
+    """Lucene BooleanQuery.setMinimumNumberShouldMatch parity: candidates
+    must match at least `n` of the SHOULD terms; scoring is unchanged
+    BM25 over the matched terms."""
+    from lucene_mapreduce_spark.query.wand import IndexSearcher
+
+    ix = _gate_index(spark, sf_dir)
+    return _hits_df(
+        spark, IndexSearcher(ix).search_parsed_ext(query, k=k, min_should_match=n)
+    )
+
+
+FIELD_QUERY = "+merge lang:en -source:src3 scan"
+
+
+def field_scoped_query(
+    spark: SparkSession, sf_dir: str, query: str = FIELD_QUERY, k: int = 10
+) -> DataFrame:
+    """Keyword-field clauses (Lucene TermQuery on untokenized fields):
+    ``lang:en`` restricts candidates to docs whose stored lang field is
+    exactly 'en', ``-source:src3`` excludes a source — both verified from
+    the docstore columns (the engine stores keyword fields as columns,
+    the analytical twin of Lucene doc values). Terms still score BM25."""
+    from lucene_mapreduce_spark.query.wand import IndexSearcher
+
+    ix = _gate_index(spark, sf_dir)
+    return _hits_df(spark, IndexSearcher(ix).search_parsed_ext(query, k=k))
 
 
 def search_facets(

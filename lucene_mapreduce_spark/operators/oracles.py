@@ -354,6 +354,95 @@ WHERE rank <= {k}
 """
 
 
+def ext_scored_sql(
+    score_terms: list[tuple[str, float]], cand_sql: str, k: int = 10
+) -> str:
+    """Oracle skeleton for the extended-parser gates (boosts, field scopes,
+    minimum_should_match): BM25 contributions scaled by a per-term weight,
+    summed over the docs selected by `cand_sql` (which may reference the
+    toks CTE); candidates matching no scoring term keep score 0.0."""
+    vals = ", ".join(f"('{t}', {w!r}::DOUBLE)" for t, w in score_terms)
+    return f"""
+WITH doclens AS (
+  SELECT doc_id, len({TOKS}) AS dl FROM documents
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n_docs, avg(dl::DOUBLE) AS avgdl FROM doclens
+),
+toks AS (
+  SELECT doc_id, unnest({TOKS}) AS term FROM documents
+),
+postings AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2
+),
+qterms(term, boost) AS (SELECT * FROM (VALUES {vals}) v(term, boost)),
+dft AS (
+  SELECT p.term, count(*)::DOUBLE AS df_t
+  FROM postings p JOIN qterms q USING (term) GROUP BY 1
+),
+cand AS ({cand_sql}),
+scored AS (
+  SELECT p.doc_id,
+         q.boost * ln(1 + (s.n_docs - d.df_t + 0.5) / (d.df_t + 0.5))
+           * (p.tf * {K1 + 1.0}) / (p.tf + {K1} * (1 - {B} + {B} * l.dl / s.avgdl))
+           AS contrib
+  FROM postings p
+  JOIN qterms q USING (term)
+  JOIN dft d USING (term)
+  JOIN doclens l USING (doc_id)
+  JOIN cand c USING (doc_id)
+  CROSS JOIN stats s
+),
+agg AS (
+  SELECT c.doc_id, coalesce(sum(s.contrib), 0.0) AS score
+  FROM cand c LEFT JOIN scored s USING (doc_id) GROUP BY 1
+)
+SELECT doc_id, round(score, 6) AS score, rank
+FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM agg
+)
+WHERE rank <= {k}
+"""
+
+
+def boosted_sql(k: int = 10) -> str:
+    """boosted_query twin: `table^3 merge scan^0.5` — candidates are docs
+    matching any scoring term; contributions carry the boosts."""
+    return ext_scored_sql(
+        [("merge", 1.0), ("scan", 0.5), ("table", 3.0)],
+        "SELECT DISTINCT doc_id FROM toks "
+        "WHERE term IN ('merge', 'scan', 'table')",
+        k,
+    )
+
+
+def msm_sql(k: int = 10) -> str:
+    """min_should_match_query twin: `merge scan window vector` with
+    minimum_should_match=2 — candidates match >= 2 distinct query terms."""
+    terms = "('merge', 'scan', 'window', 'vector')"
+    return ext_scored_sql(
+        [("merge", 1.0), ("scan", 1.0), ("vector", 1.0), ("window", 1.0)],
+        f"SELECT doc_id FROM (SELECT doc_id, count(DISTINCT term) AS mm "
+        f"FROM toks WHERE term IN {terms} GROUP BY 1) WHERE mm >= 2",
+        k,
+    )
+
+
+def field_scoped_sql(k: int = 10) -> str:
+    """field_scoped_query twin: `+merge lang:en -source:src3 scan` — the
+    conjunctive term plus exact keyword-field predicates bound candidates;
+    merge and scan score."""
+    return ext_scored_sql(
+        [("merge", 1.0), ("scan", 1.0)],
+        f"SELECT doc_id FROM documents "
+        f"WHERE list_contains({TOKS}, 'merge') "
+        f"AND lang = 'en' AND NOT source = 'src3'",
+        k,
+    )
+
+
 def _expansion_bm25_sql(term_pred: str, k: int) -> str:
     """BM25 over the vocabulary terms matching `term_pred` — the shared
     skeleton of the multi-term (dictionary-expansion) query oracles."""

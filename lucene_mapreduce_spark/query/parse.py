@@ -53,3 +53,71 @@ def parse_query(
         else:
             should.update(tokenize_string(raw))
     return sorted(must), sorted(must_not), phrases, sorted(should)
+
+
+_FIELD = re.compile(r"^(\w+):(\S+)$")
+_BOOST = re.compile(r"^(.*?)\^(\d+(?:\.\d+)?)$")
+
+
+def parse_query_ext(query: str) -> dict:
+    """Extended Lucene-QueryParser surface on top of :func:`parse_query`'s
+    grammar — adds the two classic per-clause decorations:
+
+    - ``term^2.5``        -> a query-time boost on that term's BM25
+                             contribution (Lucene Query#setBoost); allowed
+                             on bare and ``+`` terms (a MUST_NOT boost is
+                             meaningless and ignored, like Lucene).
+    - ``field:value``     -> a keyword-field clause (``+lang:en`` MUST,
+                             ``-source:src3`` MUST_NOT, bare = MUST —
+                             Lucene TermQuery on an untokenized field);
+                             values match the stored field exactly.
+
+    Returns a dict: must / must_not / should (sorted term lists), phrases,
+    boosts (term -> float, default absent = 1.0), field_must /
+    field_must_not (sorted (field, value) lists).
+    """
+    phrases: list[list[str]] = []
+
+    def _grab(m: re.Match) -> str:
+        toks = tokenize_string(m.group(1))
+        if toks:
+            phrases.append(toks)
+        return " "
+
+    rest = _QUOTED.sub(_grab, query)
+    must: set[str] = set()
+    must_not: set[str] = set()
+    should: set[str] = set()
+    boosts: dict[str, float] = {}
+    field_must: set[tuple[str, str]] = set()
+    field_must_not: set[tuple[str, str]] = set()
+    for raw in rest.split():
+        sign = ""
+        if raw[:1] in "+-" and len(raw) > 1:
+            sign, raw = raw[0], raw[1:]
+        fm = _FIELD.match(raw)
+        if fm:
+            pair = (fm.group(1).lower(), fm.group(2))
+            (field_must_not if sign == "-" else field_must).add(pair)
+            continue
+        boost = None
+        bm = _BOOST.match(raw)
+        if bm and bm.group(1):
+            raw, boost = bm.group(1), float(bm.group(2))
+        toks = tokenize_string(raw)
+        if sign == "-":
+            must_not.update(toks)
+            continue
+        (must if sign == "+" else should).update(toks)
+        if boost is not None:
+            for t in toks:
+                boosts[t] = boosts.get(t, 1.0) * boost
+    return {
+        "must": sorted(must),
+        "must_not": sorted(must_not),
+        "phrases": phrases,
+        "should": sorted(should),
+        "boosts": boosts,
+        "field_must": sorted(field_must),
+        "field_must_not": sorted(field_must_not),
+    }

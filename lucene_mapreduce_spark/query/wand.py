@@ -259,15 +259,18 @@ class IndexSearcher:
         exc = self.search_boolean(exclude_text, mode="or")
         return np.setdiff1d(inc, exc, assume_unique=True).astype(np.int64)
 
-    def _load_texts(self, docids: np.ndarray) -> dict[int, str]:
-        """Stored fields for the given docids, newest generation wins.
-        Requires store_fields=True segments (docstore sidecars — doc_id
-        range-sorted parquet, so the isin filter prunes row groups)."""
+    def _load_stored(
+        self, docids: np.ndarray, cols: list[str]
+    ) -> dict[int, tuple]:
+        """Stored-field values (any subset of docstore columns) for the
+        given docids, newest generation wins. Requires store_fields=True
+        segments (docstore sidecars — doc_id range-sorted parquet, so the
+        isin filter prunes row groups)."""
         want = set(int(d) for d in docids)
-        out: dict[int, str] = {}
+        out: dict[int, tuple] = {}
         segs = sorted(self.manifest.ordered(), key=lambda s: -s.min_seq)
         assert all(s.has_docstore for s in segs), (
-            "phrase verification needs store_fields=True segments"
+            "stored-field access needs store_fields=True segments"
         )
         for s in segs:
             if not want:
@@ -280,13 +283,20 @@ class IndexSearcher:
             )
             tbl = store.to_table(
                 filter=ds.field("doc_id").isin(list(want)),
-                columns=["doc_id", "text"],
+                columns=["doc_id", *cols],
             )
-            for d, t in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()):
+            vals = [tbl[c].to_pylist() for c in cols]
+            for i, d in enumerate(tbl["doc_id"].to_pylist()):
                 if d in want:
-                    out[d] = t
+                    out[d] = tuple(v[i] for v in vals)
                     want.discard(d)
         return out
+
+    def _load_texts(self, docids: np.ndarray) -> dict[int, str]:
+        """Stored text for the given docids, newest generation wins."""
+        return {
+            d: v[0] for d, v in self._load_stored(docids, ["text"]).items()
+        }
 
     def positions_available(self) -> bool:
         """True iff every generation carries the positional sidecar."""
@@ -438,6 +448,87 @@ class IndexSearcher:
             idx_c = np.minimum(idx, max(len(docids) - 1, 0))
             hit = docids[idx_c] == cand
             scores[hit] += contribs[idx_c[hit]]
+        order = np.lexsort((cand, -scores))[:k]
+        return [(int(cand[i]), float(scores[i])) for i in order]
+
+    def search_parsed_ext(
+        self, query: str, k: int = 10, min_should_match: int = 0
+    ) -> list[tuple[int, float]]:
+        """Extended QueryParser surface (query/parse.parse_query_ext):
+        everything search_parsed does, plus per-term boosts (``term^2.5``
+        scale that term's BM25 contribution), keyword-field clauses
+        (``lang:en`` / ``-source:src3`` filter candidates against stored
+        fields — Lucene TermQuery on an untokenized field), and Lucene
+        BooleanQuery's minimum_should_match (candidates must match at
+        least N SHOULD terms). Field clauses require at least one term or
+        phrase clause to bound the candidate set (a pure-field query
+        would need a field index, which this engine stores as columns,
+        not postings — use the Spark batch path for those)."""
+        from lucene_mapreduce_spark.query.parse import parse_query_ext
+
+        spec = parse_query_ext(query)
+        cand: np.ndarray | None = None
+        if spec["must"]:
+            cand = self.search_boolean(" ".join(spec["must"]), mode="and")
+            if not len(cand):
+                return []
+        for ph in spec["phrases"]:
+            hits = self.search_phrase(" ".join(ph))
+            cand = hits if cand is None else np.intersect1d(cand, hits)
+            if not len(cand):
+                return []
+        scoring = sorted(set(spec["must"]) | set(spec["should"]))
+        if cand is None:
+            assert scoring, (
+                "field-only queries need a term/phrase clause to bound "
+                "candidates on the serving path"
+            )
+            cand = self.search_boolean(" ".join(scoring), mode="or")
+        if spec["must_not"] and len(cand):
+            exc = self.search_boolean(" ".join(spec["must_not"]), mode="or")
+            cand = np.setdiff1d(cand, exc, assume_unique=True)
+        fm, fmn = spec["field_must"], spec["field_must_not"]
+        if (fm or fmn) and len(cand):
+            cols = sorted({f for f, _ in fm} | {f for f, _ in fmn})
+            stored = self._load_stored(cand, cols)
+            keep = []
+            for d in cand:
+                vals = stored.get(int(d))
+                if vals is None:
+                    continue
+                rec = dict(zip(cols, vals))
+                if all(str(rec.get(f)) == v for f, v in fm) and not any(
+                    str(rec.get(f)) == v for f, v in fmn
+                ):
+                    keep.append(int(d))
+            cand = np.asarray(keep, np.int64)
+        if min_should_match > 0 and len(cand) and spec["should"]:
+            mcount = np.zeros(len(cand), np.int64)
+            for t in spec["should"]:
+                got = self._read_term(t)
+                if got is None:
+                    continue
+                docids = got[0]
+                idx = np.searchsorted(docids, cand)
+                idx_c = np.minimum(idx, max(len(docids) - 1, 0))
+                hit = docids[idx_c] == cand
+                mcount[hit] += 1
+            cand = cand[mcount >= min_should_match]
+        if not len(cand):
+            return []
+        # exact scoring: per-term scatter-add in ascending term order,
+        # each term's contribution scaled by its query-time boost
+        scores = np.zeros(len(cand), np.float64)
+        for t in scoring:
+            got = self._read_term(t)
+            if got is None:
+                continue
+            docids, _tfs, _dls, contribs, _idf = got
+            w = spec["boosts"].get(t, 1.0)
+            idx = np.searchsorted(docids, cand)
+            idx_c = np.minimum(idx, max(len(docids) - 1, 0))
+            hit = docids[idx_c] == cand
+            scores[hit] += w * contribs[idx_c[hit]]
         order = np.lexsort((cand, -scores))[:k]
         return [(int(cand[i]), float(scores[i])) for i in order]
 
