@@ -732,6 +732,19 @@ def phrase_query(
     return spark.createDataFrame([(int(d),) for d in docids], "doc_id long")
 
 
+def phrase_match_batch(
+    spark: SparkSession, sf_dir: str, phrase_text: str = PHRASE_QUERY
+) -> DataFrame:
+    """The fully-distributed phrase path (query/segments.phrase_match):
+    position-list intersection as a chain of doc_id joins over the
+    positional sidecar — for whole-corpus phrase workloads. Must match the
+    identical oracle as the two serving-path phrase gates."""
+    from lucene_mapreduce_spark.query.segments import phrase_match
+
+    ix = _gate_index(spark, sf_dir)
+    return phrase_match(spark, ix, phrase_text)
+
+
 def phrase_query_positions(
     spark: SparkSession, sf_dir: str, phrase_text: str = PHRASE_QUERY
 ) -> DataFrame:

@@ -170,6 +170,82 @@ def live_doclens(
     )
 
 
+def read_positions(
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str],
+    manifest: Manifest | None = None,
+) -> DataFrame:
+    """Live positional rows (term, doc_id, positions) for the given terms
+    from the positional sidecar (build with_positions=True): phash-directory
+    pruning + term row-group pushdown, latest-wins across generations —
+    the batch-path twin of IndexSearcher._load_positions."""
+    m = manifest or load_manifest(index_dir)
+    assert m is not None, f"no index at {index_dir}"
+    segs = m.ordered()
+    assert all(s.has_positions for s in segs), (
+        "batch phrase matching needs with_positions=True segments"
+    )
+    phashes = sorted(set(term_phashes(spark, terms, m.num_partitions).values()))
+    rows = None
+    for s in segs:
+        r = (
+            spark.read.parquet(
+                os.path.join(segment_dir(index_dir, s.segment_id), "positions")
+            )
+            .filter(F.col("phash").isin(phashes) & F.col("term").isin(terms))
+            .withColumn("seg_seq", F.lit(s.min_seq))
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    rows = rows.select("term", "doc_id", "positions", "seg_seq")
+    if len(segs) == 1:
+        return rows.drop("seg_seq")
+    live = live_doclens(spark, index_dir, m).select("doc_id", "seg_seq")
+    return rows.join(live, ["doc_id", "seg_seq"], "left_semi").drop("seg_seq")
+
+
+def phrase_match(
+    spark: SparkSession, index_dir: str, phrase_text: str
+) -> DataFrame:
+    """Distributed exact phrase matching — the offline-batch twin of
+    IndexSearcher.search_phrase(use="positions"), for phrase workloads over
+    the whole corpus (curation filters, n-gram mining) where a driver-side
+    candidate walk would not scale.
+
+    Plan: one pruned positions read per phrase term, then a chain of
+    doc_id equi-joins that successively intersects each term's position
+    array with the previous survivors shifted by one (higher-order array
+    expressions, pure codegen — no UDF). Each joined frame holds only the
+    docs containing that term, so AQE broadcasts the rare side; survivors
+    after the last term are the phrase's start positions."""
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_string
+
+    phrase = tokenize_string(phrase_text)
+    if not phrase:
+        return spark.createDataFrame([], "doc_id long")
+    pos = read_positions(spark, index_dir, sorted(set(phrase)))
+    cur = pos.filter(F.col("term") == phrase[0]).select(
+        "doc_id", F.col("positions").alias("s")
+    )
+    for i, t in enumerate(phrase[1:], 1):
+        nxt = pos.filter(F.col("term") == t).select(
+            "doc_id", F.col("positions").alias(f"p{i}")
+        )
+        cur = (
+            cur.join(nxt, "doc_id")
+            .withColumn(
+                "s",
+                F.filter(
+                    F.transform("s", lambda x: x + 1),
+                    lambda x: F.array_contains(F.col(f"p{i}"), x),
+                ),
+            )
+            .filter(F.size("s") > 0)
+            .select("doc_id", "s")
+        )
+    return cur.select("doc_id").orderBy("doc_id")
+
+
 def exact_stats(spark: SparkSession, index_dir: str) -> tuple[int, float]:
     """Exact (n_docs, avgdl) over live docs. For a fully merged index this
     equals the manifest's totals (asserted in tests); for a multi-generation

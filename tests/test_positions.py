@@ -113,6 +113,33 @@ def test_positions_survive_merge_and_ttl(spark, pos_index):
     assert list(s2.search_phrase("fast merge", use="positions")) == [1]
 
 
+def test_phrase_match_batch_identity(spark, pos_index):
+    """The distributed phrase path must equal the serving path on the
+    unmerged 2-generation fixture (live-copy masking included)."""
+    from lucene_mapreduce_spark.query.segments import phrase_match
+
+    s = IndexSearcher(pos_index)
+    for q in ("fast merge", "fast merge wins", "merge fast"):
+        got = [r["doc_id"] for r in phrase_match(spark, pos_index, q).collect()]
+        want = list(s.search_phrase(q, use="positions"))
+        assert got == want, q
+    assert phrase_match(spark, pos_index, "").count() == 0
+
+
+def test_phrase_match_batch_repeated_term(spark, tmp_path):
+    from lucene_mapreduce_spark.query.segments import phrase_match
+
+    ix = str(tmp_path / "ix")
+    build_segment(
+        spark,
+        _corpus(spark, [(0, "merge merge go"), (1, "merge stop merge")]),
+        ix,
+        num_partitions=4,
+        with_positions=True,
+    )
+    assert [r["doc_id"] for r in phrase_match(spark, ix, "merge merge").collect()] == [0]
+
+
 def test_auto_falls_back_without_sidecar(spark, tmp_path):
     ix = str(tmp_path / "ix")
     build_segment(
