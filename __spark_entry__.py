@@ -40,6 +40,8 @@ from lucene_mapreduce_spark.operators.oracles import (  # noqa: E402
     snippets_sql,
     sort_by_field_sql,
     term_range_sql,
+    terms_enum_sql,
+    tfidf_sql,
     total_hits_sql,
     wildcard_sql,
 )
@@ -67,6 +69,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wildcard_query": fulltext.wildcard_query,
         "regexp_query": fulltext.regexp_query,
         "term_range_query": fulltext.term_range_query,
+        "search_after_page": fulltext.search_after_page,
+        "tfidf_topk": fulltext.tfidf_topk,
+        "terms_enum": fulltext.terms_enum,
         "boosted_query": fulltext.boosted_query,
         "min_should_match_query": fulltext.min_should_match_query,
         "field_scoped_query": fulltext.field_scoped_query,
@@ -172,6 +177,13 @@ def oracle_sql() -> dict[str, str]:
     out["wildcard_query"] = wildcard_sql(fulltext.WILDCARD_QUERY)
     out["regexp_query"] = regexp_sql(fulltext.REGEXP_QUERY)
     out["term_range_query"] = term_range_sql(*fulltext.TERM_RANGE)
+    out["search_after_page"] = (
+        "SELECT doc_id, score, rank FROM ("
+        + bm25_topk_sql(fulltext.FLAGSHIP_QUERY, k=20)
+        + ") t WHERE rank > 10"
+    )
+    out["tfidf_topk"] = tfidf_sql(fulltext.FLAGSHIP_QUERY)
+    out["terms_enum"] = terms_enum_sql(fulltext.TERMS_ENUM_K)
     out["boosted_query"] = boosted_sql()
     out["min_should_match_query"] = msm_sql()
     out["field_scoped_query"] = field_scoped_sql()

@@ -95,20 +95,23 @@ def _gate_index(spark: SparkSession, sf_dir: str) -> str:
     if path and load_manifest(path) is not None:
         return path
     path = os.path.join(tempfile.mkdtemp(prefix="lmr_gate_"), "ix")
-    # lang/source ride as stored keyword fields (field-scoped clauses)
-    docs = load(spark, sf_dir, "documents").select(
-        "doc_id", "text", "lang", "source"
+    # lang/source ride as stored keyword fields (field-scoped clauses);
+    # test fixtures may carry only a subset — store what exists
+    raw = load(spark, sf_dir, "documents")
+    docs = raw.select(
+        "doc_id", "text",
+        *[c for c in ("lang", "source") if c in raw.columns],
     )
     # two batches + a merge so the gate exercises the full lifecycle;
     # store_fields for docstore-verified phrases + lookups, with_positions
     # so the positional (.pos-style) phrase/near gates have the sidecar
     build_segment(
         spark, docs.filter("doc_id % 2 = 0"), path, num_partitions=8,
-        store_fields=True, with_positions=True,
+        store_fields=True, with_positions=True, with_dict=True,
     )
     build_segment(
         spark, docs.filter("doc_id % 2 = 1"), path, store_fields=True,
-        with_positions=True,
+        with_positions=True, with_dict=True,
     )
     merge_all(spark, path)
     _GATE_INDEXES[sf_dir] = path
@@ -513,6 +516,117 @@ def field_scoped_query(
 
     ix = _gate_index(spark, sf_dir)
     return _hits_df(spark, IndexSearcher(ix).search_parsed_ext(query, k=k))
+
+
+def search_after_page(
+    spark: SparkSession,
+    sf_dir: str,
+    query_text: str = FLAGSHIP_QUERY,
+    page_size: int = 10,
+) -> DataFrame:
+    """Lucene searchAfter parity: fetch page 1 through the serving path,
+    then page 2 strictly after the last hit's (score, doc_id) cursor —
+    ranks page_size+1 .. 2*page_size of the same oracle ranking. Exercises
+    exact-cursor pagination (the cursor score is the exact float page 1
+    returned)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from lucene_mapreduce_spark.query.wand import IndexSearcher
+
+    ix = _gate_index(spark, sf_dir)
+    s = IndexSearcher(ix)
+    page1 = s.search(query_text, k=page_size)
+    if len(page1) < page_size:
+        return spark.createDataFrame([], "doc_id long, score double, rank int")
+    cursor = (page1[-1][1], page1[-1][0])
+    page2 = s.search_after(query_text, cursor, k=page_size)
+
+    def _round6(x: float) -> float:
+        return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+    rows = [
+        (int(d), _round6(sc), page_size + i + 1) for i, (d, sc) in enumerate(page2)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, score double, rank int")
+
+
+def tfidf_topk(
+    spark: SparkSession, sf_dir: str, query_text: str = FLAGSHIP_QUERY, k: int = 10
+) -> DataFrame:
+    """Pluggable similarity (Lucene's ClassicSimilarity, pre-BM25 default):
+    score = sum over matched terms of sqrt(tf) * (1 + ln(N/(df+1)))^2 *
+    (1/sqrt(dl)). Same index read path as BM25, different formula — the
+    Similarity seam the reference inherits from Lucene. Canonical
+    ascending-term accumulation keeps it float-exact vs the oracle."""
+    from pyspark.sql import Window
+
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_string
+    from lucene_mapreduce_spark.query.segments import exact_stats, read_postings
+
+    ix = _gate_index(spark, sf_dir)
+    terms = sorted(set(tokenize_string(query_text)))
+    n_docs, _avgdl = exact_stats(spark, ix)
+    postings = read_postings(spark, ix, terms)
+    df_t = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    idf = F.lit(1.0) + F.log(F.lit(float(n_docs)) / (F.col("df_t") + F.lit(1.0)))
+    contrib = (
+        F.sqrt(F.col("tf").cast("double"))
+        * idf * idf
+        / F.sqrt(F.col("dl").cast("double"))
+    )
+    scored = postings.join(F.broadcast(df_t), "term").select(
+        "doc_id", "term", contrib.alias("contrib")
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("term", "contrib"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["contrib"],
+        ).alias("score")
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", F.round("score", 6).alias("score"), "rank")
+    )
+
+
+TERMS_ENUM_K = 15
+
+
+def terms_enum(
+    spark: SparkSession, sf_dir: str, k: int = TERMS_ENUM_K
+) -> DataFrame:
+    """Lucene TermsEnum / index-browsing parity: the top-k dictionary terms
+    by (df desc, term asc) with their collection frequencies, read from the
+    term-dictionary sidecar (never the postings payloads). Oracle recomputes
+    df/cf from the raw corpus — so this also proves the sidecar's columnar
+    df/cf sums stay exact through build + merge."""
+    import os
+
+    from pyspark.sql import Window
+
+    from lucene_mapreduce_spark.index.manifest import load_manifest, segment_dir
+
+    ix = _gate_index(spark, sf_dir)
+    m = load_manifest(ix)
+    assert m is not None and all(s.has_dict for s in m.ordered())
+    dic = None
+    for s in m.ordered():
+        d = spark.read.parquet(
+            os.path.join(segment_dir(ix, s.segment_id), "dictionary")
+        )
+        dic = d if dic is None else dic.unionByName(d)
+    dic = dic.groupBy("term").agg(
+        F.sum("df").cast("long").alias("df"), F.sum("cf").cast("long").alias("cf")
+    )
+    w = Window.orderBy(F.desc("df"), F.asc("term"))
+    return (
+        dic.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("term", "df", "cf", "rank")
+    )
 
 
 def search_facets(

@@ -354,6 +354,74 @@ WHERE rank <= {k}
 """
 
 
+def tfidf_sql(query_text: str, k: int = 10) -> str:
+    """tfidf_topk twin — Lucene ClassicSimilarity: sqrt(tf) * idf^2 /
+    sqrt(dl) with idf = 1 + ln(N/(df+1)); idf squared by explicit
+    multiplication (pow() is not guaranteed bit-equal to x*x)."""
+    qlit = query_text.replace("'", "''")
+    idf = "(1 + ln(s.n_docs / (d.df_t + 1.0)))"
+    return f"""
+WITH doclens AS (
+  SELECT doc_id, len({TOKS}) AS dl FROM documents
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n_docs FROM doclens
+),
+toks AS (
+  SELECT doc_id, unnest({TOKS}) AS term FROM documents
+),
+postings AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2
+),
+qterms AS (
+  SELECT DISTINCT unnest({duckdb_tokens_sql(f"'{qlit}'")}) AS term
+),
+dft AS (
+  SELECT p.term, count(*)::DOUBLE AS df_t
+  FROM postings p JOIN qterms q USING (term) GROUP BY 1
+),
+scored AS (
+  SELECT p.doc_id,
+         sqrt(p.tf) * {idf} * {idf} / sqrt(l.dl::DOUBLE) AS contrib
+  FROM postings p
+  JOIN dft d USING (term)
+  JOIN doclens l USING (doc_id)
+  CROSS JOIN stats s
+),
+agg AS (
+  SELECT doc_id, sum(contrib) AS score FROM scored GROUP BY 1
+)
+SELECT doc_id, round(score, 6) AS score, rank
+FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM agg
+)
+WHERE rank <= {k}
+"""
+
+
+def terms_enum_sql(k: int = 15) -> str:
+    """terms_enum twin: df/cf per term recomputed from the raw corpus,
+    top-k by (df desc, term asc)."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKS}) AS term FROM documents
+),
+d AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS cf
+  FROM toks GROUP BY 1
+)
+SELECT term, df, cf, rank
+FROM (
+  SELECT term, df, cf,
+         row_number() OVER (ORDER BY df DESC, term ASC) AS rank
+  FROM d
+)
+WHERE rank <= {k}
+"""
+
+
 def ext_scored_sql(
     score_terms: list[tuple[str, float]], cand_sql: str, k: int = 10
 ) -> str:

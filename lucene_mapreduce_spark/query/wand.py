@@ -695,30 +695,67 @@ class IndexSearcher:
         out = sorted(heap, key=lambda e: (-e[0], -e[1]))
         return [(-d, s) for s, d in out]
 
-    def _search_exhaustive(self, cursors: list[_TermCursor], k: int):
-        """Vectorized exact scoring: per-term scatter-add into the candidate
-        score vector, accumulated in ascending-term order (cursors arrive
-        term-sorted) — bit-identical to the oracle's summation (adding an
-        explicit 0.0 for absent terms is an IEEE no-op; pandas/np grouped
-        sums are NOT used because their accumulation order is pairwise).
-        The scored candidate arrays are cached per term-set — the index is
-        immutable, so repeat queries (any k) are pure cache hits."""
+    def _scored_arrays(self, cursors: list[_TermCursor]):
+        """(docids, scores) for every candidate of the term set: per-term
+        scatter-add in ascending-term order (cursors arrive term-sorted) —
+        bit-identical to the oracle's summation (adding an explicit 0.0 for
+        absent terms is an IEEE no-op; pandas/np grouped sums are NOT used
+        because their accumulation order is pairwise). Cached per term-set
+        — the index is immutable, so repeat queries are pure cache hits."""
         key = tuple(c.term for c in cursors)
         hit = self._scored_cache.get(key)
         if hit is not None:
-            uniq, scores = hit
-        elif len(cursors) == 1:
+            return hit
+        if len(cursors) == 1:
             c = cursors[0]
-            uniq, scores = c.docids, c.contribs_full()
-        else:
-            uniq = np.unique(np.concatenate([c.docids for c in cursors]))
-            scores = np.zeros(len(uniq), dtype=np.float64)
-            for c in cursors:  # ascending term order
-                idx = np.searchsorted(uniq, c.docids)
-                scores[idx] += c.contribs_full()
-            if len(self._scored_cache) >= 64:
-                self._scored_cache.pop(next(iter(self._scored_cache)))
-            self._scored_cache[key] = (uniq, scores)
+            return c.docids, c.contribs_full()
+        uniq = np.unique(np.concatenate([c.docids for c in cursors]))
+        scores = np.zeros(len(uniq), dtype=np.float64)
+        for c in cursors:  # ascending term order
+            idx = np.searchsorted(uniq, c.docids)
+            scores[idx] += c.contribs_full()
+        if len(self._scored_cache) >= 64:
+            self._scored_cache.pop(next(iter(self._scored_cache)))
+        self._scored_cache[key] = (uniq, scores)
+        return uniq, scores
+
+    def search_after(
+        self, query_text: str, after: tuple[float, int], k: int = 10
+    ) -> list[tuple[int, float]]:
+        """Lucene IndexSearcher.searchAfter parity: the next k results
+        STRICTLY after the cursor (score, doc_id) in (score desc, doc_id
+        asc) order — deep pagination without re-sending earlier pages.
+        The cursor score must be the exact float the previous page
+        returned (scores are deterministic — canonical accumulation), so
+        the strict-after filter is an exact comparison, like Lucene's
+        FieldDoc cursor."""
+        terms = sorted(set(tokenize_string(query_text)))
+        cursors: list[_TermCursor] = []
+        for t in terms:
+            got = self._read_term(t)
+            if got is None:
+                continue
+            docids, tfs, dls, contribs, idf = got
+            cursors.append(_TermCursor(t, idf, docids, tfs, dls, contribs))
+        if not cursors or self.n_docs == 0:
+            return []
+        uniq, scores = self._scored_arrays(cursors)
+        s0, d0 = float(after[0]), int(after[1])
+        qual = (scores < s0) | ((scores == s0) & (uniq > d0))
+        uniq, scores = uniq[qual], scores[qual]
+        if not len(uniq):
+            return []
+        if len(uniq) > k:
+            kth = -np.partition(-scores, k - 1)[k - 1]
+            keep = scores >= kth
+            uniq, scores = uniq[keep], scores[keep]
+        order = np.lexsort((uniq, -scores))[:k]
+        return [(int(uniq[i]), float(scores[i])) for i in order]
+
+    def _search_exhaustive(self, cursors: list[_TermCursor], k: int):
+        """Exact top-k from the vectorized candidate scoring
+        (:meth:`_scored_arrays`)."""
+        uniq, scores = self._scored_arrays(cursors)
         if len(uniq) > k:
             # keep everything tied-or-above the k-th score so the docid
             # tie-break stays exact, then sort only that subset

@@ -52,6 +52,44 @@ def test_total_hits_and_or(spark, corpus_dir):
     assert (r2["n_and"], r2["n_or"]) == (0, 4)
 
 
+def test_search_after_pagination(spark, tmp_path):
+    """page1 + searchAfter(page1 cursor) must equal one search(k=2n) —
+    including across score ties (doc_id tie-break at the page boundary)."""
+    import pandas as pd
+
+    from lucene_mapreduce_spark.index.build import build_segment
+    from lucene_mapreduce_spark.query.wand import IndexSearcher
+
+    texts = {}
+    for d in range(30):
+        # many ties: docs in groups of 3 share identical text
+        texts[d] = f"alpha beta group{d // 3}" if d % 2 == 0 else f"alpha group{d // 3}"
+    sf = str(tmp_path)
+    pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())}).to_parquet(
+        sf + "/documents.parquet"
+    )
+    ix = sf + "/ix"
+    build_segment(
+        spark,
+        spark.createDataFrame(
+            pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+        ),
+        ix,
+        num_partitions=4,
+    )
+    s = IndexSearcher(ix)
+    full = s.search("alpha beta", k=20)
+    for n in (3, 5, 7, 10):
+        page1 = s.search("alpha beta", k=n)
+        cursor = (page1[-1][1], page1[-1][0])
+        page2 = s.search_after("alpha beta", cursor, k=n)
+        assert page1 + page2 == full[: len(page1 + page2)], f"page_size={n}"
+    # cursor at the very last hit of the whole result set -> empty page
+    everything = s.search("alpha beta", k=100)
+    last = everything[-1]
+    assert s.search_after("alpha beta", (last[1], last[0]), k=5) == []
+
+
 def test_sort_by_field_order_and_limit(spark, corpus_dir):
     from lucene_mapreduce_spark.operators.fulltext import search_sort_by_field
 
