@@ -68,6 +68,13 @@ def main() -> None:
          lambda: fulltext.search_snippets(spark, sf_dir)),
         ("search_facets (hit-list broadcast over codegen facet dims)",
          lambda: fulltext.search_facets(spark, sf_dir)),
+        ("phrase_match_batch (distributed positional phrase: join chain + "
+         "array intersection, no UDF)",
+         lambda: fulltext.phrase_match_batch(spark, sf_dir)),
+        ("search_collapse (grouping: per-lang best hit over exact scores)",
+         lambda: fulltext.search_collapse(spark, sf_dir)),
+        ("tfidf_topk (pluggable similarity over the index read path)",
+         lambda: fulltext.tfidf_topk(spark, sf_dir)),
     ]
 
     out = [HEADER]
