@@ -89,6 +89,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_query": fulltext.phrase_query,
         "phrase_query_positions": fulltext.phrase_query_positions,
         "phrase_match_batch": fulltext.phrase_match_batch,
+        "boolean_match_batch": fulltext.boolean_match_batch,
+        "near_match_batch": fulltext.near_match_batch,
         "term_df": fulltext.term_df,
         "index_stats": fulltext.index_stats,
         "corpus_stats": fulltext.corpus_stats,

@@ -846,6 +846,34 @@ def phrase_query(
     return spark.createDataFrame([(int(d),) for d in docids], "doc_id long")
 
 
+def boolean_match_batch(
+    spark: SparkSession, sf_dir: str, query_text: str = BOOLEAN_QUERY
+) -> DataFrame:
+    """The fully-distributed conjunctive path (query/segments.boolean_match):
+    per-doc distinct-term count over pruned posting reads — for
+    whole-corpus boolean curation filters. Same oracle as the cursor-path
+    boolean_and_query."""
+    from lucene_mapreduce_spark.query.segments import boolean_match
+
+    ix = _gate_index(spark, sf_dir)
+    return boolean_match(spark, ix, query_text, mode="and")
+
+
+def near_match_batch(
+    spark: SparkSession,
+    sf_dir: str,
+    query_text: str = BOOLEAN_QUERY,
+    window: int = NEAR_WINDOW,
+) -> DataFrame:
+    """The fully-distributed proximity path (query/segments.near_match):
+    positional join chain + anchored window-containment expression. Same
+    oracle as the serving-path near_query gates."""
+    from lucene_mapreduce_spark.query.segments import near_match
+
+    ix = _gate_index(spark, sf_dir)
+    return near_match(spark, ix, query_text, window=window)
+
+
 def phrase_match_batch(
     spark: SparkSession, sf_dir: str, phrase_text: str = PHRASE_QUERY
 ) -> DataFrame:

@@ -898,6 +898,16 @@ SELECT doc_id FROM (SELECT doc_id, {TOKS} AS toks FROM documents)
 WHERE len(list_filter(range(1, len(toks)),
           i -> toks[i] = 'fast' AND toks[i+1] = 'merge')) > 0
 """,
+    "boolean_match_batch": f"""
+SELECT doc_id FROM (SELECT doc_id, {TOKS} AS toks FROM documents)
+WHERE list_contains(toks, 'table') AND list_contains(toks, 'merge')
+""",
+    "near_match_batch": f"""
+SELECT doc_id FROM (SELECT doc_id, {TOKS} AS toks FROM documents)
+WHERE len(list_filter(range(1, len(toks) + 1), i ->
+      list_contains(list_slice(toks, i, i + 3), 'table')
+  AND list_contains(list_slice(toks, i, i + 3), 'merge'))) > 0
+""",
     "doc_tf": f"""
 WITH toks AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents),
 p AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2)

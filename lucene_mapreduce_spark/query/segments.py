@@ -246,6 +246,86 @@ def phrase_match(
     return cur.select("doc_id").orderBy("doc_id")
 
 
+def boolean_match(
+    spark: SparkSession, index_dir: str, query_text: str, mode: str = "and"
+) -> DataFrame:
+    """Distributed boolean retrieval — the batch twin of
+    IndexSearcher.search_boolean for whole-corpus curation filters.
+
+    OR is a distinct over the pruned posting reads; AND is a per-doc
+    distinct-term count equal to the query's term count (map-side
+    combinable, one shuffle at doc granularity). A term absent from the
+    index can never reach the full count, so AND degenerates to empty
+    exactly like the cursor path."""
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_string
+
+    terms = sorted(set(tokenize_string(query_text)))
+    if not terms:
+        return spark.createDataFrame([], "doc_id long")
+    postings = read_postings(spark, index_dir, terms)
+    if mode == "or":
+        return postings.select("doc_id").distinct().orderBy("doc_id")
+    return (
+        postings.groupBy("doc_id")
+        .agg(F.countDistinct("term").alias("m"))
+        .filter(F.col("m") == len(terms))
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+def near_match(
+    spark: SparkSession, index_dir: str, query_text: str, window: int = 4
+) -> DataFrame:
+    """Distributed proximity retrieval (SpanNear, unordered) from the
+    positional sidecar — the batch twin of
+    IndexSearcher.search_near(use="positions").
+
+    Plan: the phrase_match join chain collects every query term's position
+    array per doc, then one codegen expression checks containment: some
+    window of `window` consecutive token slots holds a position of every
+    term. Anchoring at each candidate position is exact — a qualifying
+    window can always be slid right until its left edge IS one of the
+    chosen positions."""
+    from functools import reduce as _reduce
+
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_string
+
+    terms = sorted(set(tokenize_string(query_text)))
+    if not terms:
+        return spark.createDataFrame([], "doc_id long")
+    pos = read_positions(spark, index_dir, terms)
+    cur = pos.filter(F.col("term") == terms[0]).select(
+        "doc_id", F.col("positions").alias("p0")
+    )
+    for i, t in enumerate(terms[1:], 1):
+        nxt = pos.filter(F.col("term") == t).select(
+            "doc_id", F.col("positions").alias(f"p{i}")
+        )
+        cur = cur.join(nxt, "doc_id")
+    k = len(terms)
+    anchors = (
+        F.flatten(F.array(*[F.col(f"p{i}") for i in range(k)]))
+        if k > 1
+        else F.col("p0")
+    )
+    hi = F.lit(window - 1)
+
+    def _covered(a):
+        return _reduce(
+            lambda acc, i: acc
+            & F.exists(F.col(f"p{i}"), lambda x: (x >= a) & (x <= a + hi)),
+            range(1, k),
+            F.exists(F.col("p0"), lambda x: (x >= a) & (x <= a + hi)),
+        )
+
+    return (
+        cur.filter(F.exists(anchors, _covered))
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
 def exact_stats(spark: SparkSession, index_dir: str) -> tuple[int, float]:
     """Exact (n_docs, avgdl) over live docs. For a fully merged index this
     equals the manifest's totals (asserted in tests); for a multi-generation

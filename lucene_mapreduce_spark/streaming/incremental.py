@@ -31,6 +31,9 @@ def run_incremental_build(
     checkpoint_dir: str,
     num_partitions: int = 32,
     merge_when: int | None = None,
+    store_fields: bool = False,
+    with_dict: bool = False,
+    with_positions: bool = False,
 ) -> int:
     """Consume all currently-available parquet files under ``input_dir``
     (transcript schema) and append one segment per micro-batch; returns the
@@ -40,7 +43,10 @@ def run_incremental_build(
 
     ``merge_when``: when set, hierarchically merge once the segment count
     reaches it — the reference's merge cadence ("merge every 2nd hour / at
-    day end", IndexBuilder.java:164-176) as a declarative threshold."""
+    day end", IndexBuilder.java:164-176) as a declarative threshold.
+    ``store_fields`` / ``with_dict`` / ``with_positions`` enable the
+    docstore, term-dictionary, and positional sidecars on every streamed
+    segment (they propagate through the cadence merges)."""
     processed = {"n": 0}
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -55,6 +61,9 @@ def run_incremental_build(
             index_dir,
             num_partitions=num_partitions,
             lineage={"stream_batch_id": int(batch_id), "source": input_dir},
+            store_fields=store_fields,
+            with_dict=with_dict,
+            with_positions=with_positions,
         )
         processed["n"] += 1
 

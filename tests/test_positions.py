@@ -140,6 +140,64 @@ def test_phrase_match_batch_repeated_term(spark, tmp_path):
     assert [r["doc_id"] for r in phrase_match(spark, ix, "merge merge").collect()] == [0]
 
 
+def test_boolean_and_near_match_batch_identity(spark, pos_index):
+    """Distributed boolean/proximity paths equal the serving path on the
+    unmerged 2-generation fixture."""
+    from lucene_mapreduce_spark.query.segments import boolean_match, near_match
+
+    s = IndexSearcher(pos_index)
+    for q in ("fast merge", "fast", "merge race"):
+        got_and = [r["doc_id"] for r in boolean_match(spark, pos_index, q).collect()]
+        assert got_and == list(s.search_boolean(q, mode="and")), f"and {q}"
+        got_or = [
+            r["doc_id"]
+            for r in boolean_match(spark, pos_index, q, mode="or").collect()
+        ]
+        assert got_or == list(s.search_boolean(q, mode="or")), f"or {q}"
+    for w in (2, 3, 5):
+        got = [
+            r["doc_id"]
+            for r in near_match(spark, pos_index, "fast merge", window=w).collect()
+        ]
+        want = list(s.search_near("fast merge", window=w, use="positions"))
+        assert got == want, f"window={w}"
+
+
+def test_streaming_build_with_sidecars(spark, tmp_path):
+    """Streamed segments can carry all three sidecars; phrase queries work
+    on the streamed index and the flags survive the cadence merge."""
+    import pandas as pd
+
+    from lucene_mapreduce_spark.datagen.transcripts import transcripts_df
+    from lucene_mapreduce_spark.streaming.incremental import (
+        run_incremental_build,
+    )
+
+    src = str(tmp_path / "in")
+    ix = str(tmp_path / "ix")
+    ck = str(tmp_path / "ck")
+    df = transcripts_df(spark, n_conv=12, seed=7).toPandas()
+    for c in ("ts",):
+        df[c] = df[c].astype("datetime64[us]")
+    import os
+
+    os.makedirs(src, exist_ok=True)
+    df.to_parquet(src + "/batch0.parquet")
+    n = run_incremental_build(
+        spark, src, ix, ck, num_partitions=4, merge_when=1,
+        store_fields=True, with_dict=True, with_positions=True,
+    )
+    assert n == 1
+    m = load_manifest(ix)
+    seg = m.ordered()[0]
+    assert seg.has_docstore and seg.has_dict and seg.has_positions
+    s = IndexSearcher(ix)
+    assert s.positions_available()
+    # a phrase from the generated vocabulary resolves through positions
+    hits = s.search_phrase("tok00000", use="positions")
+    assert len(hits) > 0
+
+
 def test_auto_falls_back_without_sidecar(spark, tmp_path):
     ix = str(tmp_path / "ix")
     build_segment(
