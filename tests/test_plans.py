@@ -49,6 +49,35 @@ def test_segment_scan_prunes_partition_and_pushes_term(spark, small_index):
     assert "term" in pushed, f"term not pushed to scan: {pushed}"
 
 
+@pytest.fixture(scope="module")
+def pos_plan_index(spark, tmp_path_factory):
+    ix = str(tmp_path_factory.mktemp("plan_pos_ix"))
+    corpus = with_docid(transcripts_df(spark, n_conv=30, seed=1)).select(
+        "doc_id", "text"
+    )
+    build_segment(spark, corpus, ix, num_partitions=8, with_positions=True)
+    return ix
+
+
+def test_phrase_match_plan_prunes_and_pushes(spark, pos_plan_index):
+    """The distributed phrase plan must show phash directory pruning AND
+    per-term row-group pushdown on every positions scan, with the array
+    intersection in the (codegen) join — no UDF, no cartesian."""
+    from lucene_mapreduce_spark.query.segments import near_match, phrase_match
+
+    df = phrase_match(spark, pos_plan_index, "tok00000 tok00001")
+    pf = " ".join(partition_filters(df))
+    assert "phash" in pf, f"phash not in PartitionFilters: {pf}"
+    pushed = " ".join(pushed_filters(df))
+    assert "term" in pushed, f"term not pushed to positions scan: {pushed}"
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "PythonUDF" not in plan
+
+    near = near_match(spark, pos_plan_index, "tok00000 tok00001", window=3)
+    pf2 = " ".join(partition_filters(near))
+    assert "phash" in pf2
+
+
 def test_column_pruning_reaches_scan(spark, sf_dir):
     df = parity.distinct_projection(spark, sf_dir)
     schemas = read_schemas(df)

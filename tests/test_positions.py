@@ -163,6 +163,45 @@ def test_boolean_and_near_match_batch_identity(spark, pos_index):
         assert got == want, f"window={w}"
 
 
+def test_near_match_three_terms(spark, tmp_path):
+    """Proximity with three terms: a window must contain ALL of them —
+    pairwise closeness is not enough (doc 1: a-b close, b-c close, but no
+    single 3-token window holds a, b, and c)."""
+    from lucene_mapreduce_spark.query.segments import near_match
+
+    ix = str(tmp_path / "ix")
+    build_segment(
+        spark,
+        _corpus(
+            spark,
+            [
+                (0, "alpha beta gamma end"),          # window 3 holds all
+                (1, "alpha x beta x gamma"),          # pairwise only
+                (2, "gamma beta alpha"),              # order-free
+                (3, "alpha beta alpha beta"),         # missing gamma
+            ],
+        ),
+        ix,
+        num_partitions=4,
+        store_fields=True,
+        with_positions=True,
+    )
+    got = [
+        r["doc_id"]
+        for r in near_match(spark, ix, "alpha beta gamma", window=3).collect()
+    ]
+    assert got == [0, 2]
+    s = IndexSearcher(ix)
+    for w in (3, 5):
+        assert [
+            r["doc_id"]
+            for r in near_match(spark, ix, "alpha beta gamma", window=w).collect()
+        ] == list(s.search_near("alpha beta gamma", window=w, use="positions"))
+        assert list(
+            s.search_near("alpha beta gamma", window=w, use="positions")
+        ) == list(s.search_near("alpha beta gamma", window=w, use="stored"))
+
+
 def test_streaming_build_with_sidecars(spark, tmp_path):
     """Streamed segments can carry all three sidecars; phrase queries work
     on the streamed index and the flags survive the cadence merge."""
