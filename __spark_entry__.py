@@ -34,9 +34,11 @@ from lucene_mapreduce_spark.operators.oracles import (  # noqa: E402
     collapse_sql,
     field_scoped_sql,
     msm_sql,
+    ngram_counts_sql,
     parsed_query_sql,
     prefix_sql,
     regexp_sql,
+    significant_terms_sql,
     snippets_sql,
     sort_by_field_sql,
     term_range_sql,
@@ -69,6 +71,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wildcard_query": fulltext.wildcard_query,
         "regexp_query": fulltext.regexp_query,
         "term_range_query": fulltext.term_range_query,
+        "significant_terms": fulltext.significant_terms,
+        "ngram_counts": textstats.ngram_counts,
         "search_after_page": fulltext.search_after_page,
         "tfidf_topk": fulltext.tfidf_topk,
         "terms_enum": fulltext.terms_enum,
@@ -179,6 +183,11 @@ def oracle_sql() -> dict[str, str]:
     out["wildcard_query"] = wildcard_sql(fulltext.WILDCARD_QUERY)
     out["regexp_query"] = regexp_sql(fulltext.REGEXP_QUERY)
     out["term_range_query"] = term_range_sql(*fulltext.TERM_RANGE)
+    out["significant_terms"] = significant_terms_sql(
+        fulltext.BOOLEAN_QUERY, k=fulltext.SIGTERMS_K,
+        min_df=fulltext.SIGTERMS_MIN_DF,
+    )
+    out["ngram_counts"] = ngram_counts_sql(textstats.NGRAM_TOP_K)
     out["search_after_page"] = (
         "SELECT doc_id, score, rank FROM ("
         + bm25_topk_sql(fulltext.FLAGSHIP_QUERY, k=20)

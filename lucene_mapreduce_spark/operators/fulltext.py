@@ -750,6 +750,66 @@ def search_sort_by_field(
     )
 
 
+SIGTERMS_K = 15
+SIGTERMS_MIN_DF = 3
+
+
+def significant_terms(
+    spark: SparkSession,
+    sf_dir: str,
+    query_text: str = BOOLEAN_QUERY,
+    k: int = SIGTERMS_K,
+    min_df: int = SIGTERMS_MIN_DF,
+) -> DataFrame:
+    """Significant-terms aggregation (Elasticsearch/Lucene search-analytics
+    surface): terms overrepresented in the query's (OR) result set vs the
+    whole corpus. Score = (df_fg/n_fg) / (df_bg/n_bg) — the foreground
+    lift, 6dp-rounded; query terms excluded (they are trivially lifted);
+    df_fg >= min_df filters noise. The hit list broadcasts; both df
+    aggregations are map-side-combinable groupBys over one explode each."""
+    from pyspark.sql import Window
+
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_col, tokenize_string
+    from lucene_mapreduce_spark.query.wand import IndexSearcher
+
+    ix = _gate_index(spark, sf_dir)
+    docids = IndexSearcher(ix).search_boolean(query_text, mode="or")
+    hits = spark.createDataFrame([(int(d),) for d in docids], "doc_id long")
+    n_fg = len(docids)
+    docs = load(spark, sf_dir, "documents")
+    n_bg = docs.count()
+    toks = docs.select("doc_id", F.explode(tokenize_col("text")).alias("term"))
+    bg = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df_bg"))
+    fg = (
+        toks.join(F.broadcast(hits), "doc_id")
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df_fg"))
+    )
+    qterms = set(tokenize_string(query_text))
+    w = Window.orderBy(F.desc("lift"), F.asc("term"))
+    return (
+        fg.join(bg, "term")
+        .filter(~F.col("term").isin(sorted(qterms)) & (F.col("df_fg") >= min_df))
+        .withColumn(
+            "lift",
+            F.round(
+                (F.col("df_fg") / F.lit(float(n_fg)))
+                / (F.col("df_bg") / F.lit(float(n_bg))),
+                6,
+            ),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "term",
+            F.col("df_fg").cast("long").alias("df_fg"),
+            F.col("df_bg").cast("long").alias("df_bg"),
+            "lift",
+            "rank",
+        )
+    )
+
+
 def boolean_and_query(
     spark: SparkSession, sf_dir: str, query_text: str = BOOLEAN_QUERY
 ) -> DataFrame:

@@ -422,6 +422,74 @@ WHERE rank <= {k}
 """
 
 
+def ngram_counts_sql(k: int = 20) -> str:
+    """ngram_counts twin: top-k bigrams by (count desc, ngram asc) with
+    6dp-rounded PMI against unigram independence."""
+    return f"""
+WITH d AS (SELECT {TOKS} AS toks FROM documents),
+bi AS (
+  SELECT unnest(list_transform(range(1, len(toks)),
+                i -> toks[i] || ' ' || toks[i+1])) AS ngram
+  FROM d
+),
+bic AS (SELECT ngram, count(*)::BIGINT AS c_xy FROM bi GROUP BY 1),
+uni AS (SELECT unnest(toks) AS tok FROM d),
+unic AS (SELECT tok, count(*)::DOUBLE AS c FROM uni GROUP BY 1),
+tot AS (SELECT (SELECT sum(c) FROM unic) AS u_tot,
+               (SELECT sum(c_xy)::DOUBLE FROM bic) AS t_tot)
+SELECT ngram, n_occ, pmi, rank
+FROM (
+  SELECT b.ngram, b.c_xy AS n_occ,
+         round(ln((b.c_xy / t.t_tot)
+                  / ((x.c / t.u_tot) * (y.c / t.u_tot))), 6) AS pmi,
+         row_number() OVER (ORDER BY b.c_xy DESC, b.ngram ASC) AS rank
+  FROM bic b
+  JOIN unic x ON x.tok = string_split(b.ngram, ' ')[1]
+  JOIN unic y ON y.tok = string_split(b.ngram, ' ')[2]
+  CROSS JOIN tot t
+)
+WHERE rank <= {k}
+"""
+
+
+def significant_terms_sql(
+    query_text: str, k: int = 15, min_df: int = 3
+) -> str:
+    """significant_terms twin: foreground (OR hit set) vs background doc
+    frequencies, lift = (df_fg/n_fg)/(df_bg/n_bg) rounded 6dp, query terms
+    excluded, ranked (lift desc, term asc)."""
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_string
+
+    qts = sorted(set(tokenize_string(query_text)))
+    qlits = ", ".join(f"'{t}'" for t in qts)
+    lift = "round((f.df_fg / nfg.n) / (b.df_bg / nbg.n), 6)"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKS}) AS term FROM documents
+),
+qt AS (SELECT unnest([{qlits}]) AS term),
+hits AS (SELECT DISTINCT doc_id FROM toks JOIN qt USING (term)),
+nfg AS (SELECT count(*)::DOUBLE AS n FROM hits),
+nbg AS (SELECT count(*)::DOUBLE AS n FROM documents),
+fg AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df_fg
+  FROM toks JOIN hits USING (doc_id) GROUP BY 1
+),
+bg AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df_bg FROM toks GROUP BY 1
+)
+SELECT term, df_fg, df_bg, lift, rank
+FROM (
+  SELECT f.term, f.df_fg, b.df_bg, {lift} AS lift,
+         row_number() OVER (ORDER BY {lift} DESC, f.term ASC) AS rank
+  FROM fg f JOIN bg b USING (term)
+  CROSS JOIN nfg CROSS JOIN nbg
+  WHERE f.df_fg >= {min_df} AND f.term NOT IN ({qlits})
+)
+WHERE rank <= {k}
+"""
+
+
 def ext_scored_sql(
     score_terms: list[tuple[str, float]], cand_sql: str, k: int = 10
 ) -> str:

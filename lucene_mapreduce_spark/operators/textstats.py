@@ -119,6 +119,74 @@ def token_windows(
     )
 
 
+NGRAM_TOP_K = 20
+
+
+def ngram_counts(
+    spark: SparkSession, sf_dir: str, k: int = NGRAM_TOP_K
+) -> DataFrame:
+    """Top-k corpus bigrams with PMI — the collocation-mining stage of a
+    training-data pipeline (and the stats a tokenizer-merge step starts
+    from). Bigrams come from one codegen pass (zip_with over shifted
+    slices, no UDF); counts are map-side-combinable groupBys; PMI =
+    ln((c_xy/T) / ((c_x/U)^2-style independence)) with U = total token
+    occurrences, T = total bigram occurrences. Ranked (count desc, ngram
+    asc) for determinism; PMI rounded 6dp on both engines."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tokenize_col("text")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bi = (
+        docs.select(F.explode(bigrams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+    )
+    uni = (
+        docs.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = uni.agg(
+        F.sum("c").alias("u_tot")
+    ).crossJoin(bi.agg(F.sum("c_xy").alias("t_tot")))
+    parts = F.split(F.col("ngram"), " ")
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("c_xy"), F.asc("ngram"))
+    return (
+        bi.withColumn("x", parts[0])
+        .withColumn("y", parts[1])
+        # vocab-sized dims: plain equi-joins on the term key (AQE
+        # broadcasts when small; a 10^7-term vocab at 100 TB shuffles —
+        # one row per bigram either way, no skew amplification)
+        .join(uni.selectExpr("tok AS x", "c AS c_x"), "x")
+        .join(uni.selectExpr("tok AS y", "c AS c_y"), "y")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "pmi",
+            F.round(
+                F.log(
+                    (F.col("c_xy") / F.col("t_tot"))
+                    / (
+                        (F.col("c_x") / F.col("u_tot"))
+                        * (F.col("c_y") / F.col("u_tot"))
+                    )
+                ),
+                6,
+            ),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("ngram", F.col("c_xy").cast("long").alias("n_occ"), "pmi", "rank")
+    )
+
+
 def stratified_sample(
     spark: SparkSession, sf_dir: str, pct_by_source: dict[str, int] | None = None,
     default_pct: int = 25,

@@ -1,0 +1,71 @@
+"""Corpus-analytics operators: bigram collocations (PMI) and
+significant-terms lift on controlled corpora."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+
+
+def _write_docs(tmp_path, texts, lang="en", source="src0"):
+    sf = str(tmp_path)
+    pd.DataFrame(
+        {
+            "doc_id": list(range(len(texts))),
+            "text": texts,
+            "lang": [lang] * len(texts),
+            "source": [source] * len(texts),
+        }
+    ).to_parquet(sf + "/documents.parquet")
+    return sf
+
+
+def test_ngram_counts_and_pmi(spark, tmp_path):
+    from lucene_mapreduce_spark.operators.textstats import ngram_counts
+
+    sf = _write_docs(
+        tmp_path,
+        [
+            "new york new york",   # "new york" x2, "york new" x1
+            "new york city",       # "new york", "york city"
+            "brand new day",
+        ],
+    )
+    rows = {r["ngram"]: r for r in ngram_counts(spark, sf, k=50).collect()}
+    assert rows["new york"]["n_occ"] == 3
+    assert rows["york new"]["n_occ"] == 1
+    # top rank is the most frequent bigram, ties by ngram asc
+    top = min(rows.values(), key=lambda r: r["rank"])
+    assert top["ngram"] == "new york"
+    # PMI spot check: c_xy=3, T=7 bigrams (3+2+2), c_new=4, c_york=3,
+    # U=10 tokens
+    want = round(math.log((3 / 7) / ((4 / 10) * (3 / 10))), 6)
+    assert abs(rows["new york"]["pmi"] - want) < 1e-9
+    # single-token and empty docs contribute no bigrams (no crash)
+    (tmp_path / "b").mkdir(exist_ok=True)
+    sf2 = _write_docs(tmp_path / "b", ["solo", ""])
+    assert ngram_counts(spark, sf2, k=10).count() == 0
+
+
+def test_significant_terms_lift(spark, tmp_path):
+    from lucene_mapreduce_spark.operators.fulltext import significant_terms
+
+    # 'marker' appears in ALL docs matching 'hit' but few others ->
+    # top lift; 'common' is everywhere -> lift ~1 ranks below
+    texts = []
+    for d in range(12):
+        if d < 4:
+            texts.append("hit marker common alpha")
+        else:
+            texts.append("common beta other words")
+    sf = _write_docs(tmp_path, texts)
+    out = significant_terms(spark, sf, query_text="hit", k=10, min_df=2).collect()
+    terms = {r["term"]: r for r in out}
+    assert "hit" not in terms  # query terms excluded
+    assert terms["marker"]["df_fg"] == 4 and terms["marker"]["df_bg"] == 4
+    # marker lift = (4/4)/(4/12) = 3.0; common lift = (4/4)/(12/12) = 1.0
+    assert terms["marker"]["lift"] == 3.0
+    assert terms["common"]["lift"] == 1.0
+    assert out[0]["term"] in ("alpha", "marker")  # both lift 3.0, tie by term
+    assert out[0]["term"] == "alpha"

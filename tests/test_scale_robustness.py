@@ -464,3 +464,46 @@ def test_multigen_wand_matches_merged(spark, tmp_path):
             assert sa.search(q, k=10, algorithm=algo) == sb.search(
                 q, k=10, algorithm=algo
             ), f"mismatch on {q!r}/{algo}"
+
+
+def test_hot_phrase_distributed_paths_bounded(spark, tmp_path):
+    """A phrase whose terms appear in 80% of docs: the distributed
+    phrase/near/boolean paths stay linear (per-doc rows with position
+    arrays — no self-join, no quadratic candidate blowup) and agree with
+    the serving path."""
+    from lucene_mapreduce_spark.index.build import build_segment
+    from lucene_mapreduce_spark.query.segments import (
+        boolean_match,
+        near_match,
+        phrase_match,
+    )
+    from lucene_mapreduce_spark.query.wand import IndexSearcher
+
+    n = 2000
+    texts = []
+    for d in range(n):
+        if d % 5 == 0:
+            texts.append(f"filler{d} alone here")
+        elif d % 2 == 0:
+            texts.append(f"hot term pair doc{d}")          # phrase present
+        else:
+            texts.append(f"hot doc{d} term spread wide")   # both, not adjacent
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64), "text": texts})
+    )
+    ix = str(tmp_path / "ix")
+    build_segment(
+        spark, corpus, ix, num_partitions=8, store_fields=True,
+        with_positions=True,
+    )
+    got = phrase_match(spark, ix, "hot term").collect()
+    s = IndexSearcher(ix)
+    assert [r["doc_id"] for r in got] == list(
+        s.search_phrase("hot term", use="positions")
+    )
+    assert len(got) == len([d for d in range(n) if d % 5 and d % 2 == 0])
+    # window=2 == adjacency (either order): only the phrase docs qualify;
+    # window=3 additionally admits the hot-X-term docs (span 2)
+    assert near_match(spark, ix, "hot term", window=2).count() == len(got)
+    assert near_match(spark, ix, "hot term", window=3).count() == n - n // 5
+    assert boolean_match(spark, ix, "hot term").count() == n - n // 5
