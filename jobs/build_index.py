@@ -26,6 +26,18 @@ def main() -> None:
     ap.add_argument("--streaming", action="store_true")
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--format", default="parquet", choices=["parquet", "iceberg"])
+    ap.add_argument(
+        "--store-fields", action="store_true",
+        help="docstore sidecar (stored fields: all input columns)",
+    )
+    ap.add_argument(
+        "--with-dict", action="store_true",
+        help="term-dictionary sidecar (fuzzy/prefix/wildcard expansion)",
+    )
+    ap.add_argument(
+        "--with-positions", action="store_true",
+        help="positional sidecar (phrase/proximity without stored fields)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -41,7 +53,9 @@ def main() -> None:
 
         assert args.checkpoint, "--streaming requires --checkpoint"
         n = run_incremental_build(
-            spark, args.input, args.index, args.checkpoint, args.partitions
+            spark, args.input, args.index, args.checkpoint, args.partitions,
+            store_fields=args.store_fields, with_dict=args.with_dict,
+            with_positions=args.with_positions,
         )
         print(f"processed {n} micro-batches")
     else:
@@ -60,6 +74,8 @@ def main() -> None:
         meta = build_segment(
             spark, corpus, args.index, num_partitions=args.partitions,
             lineage={"input": args.input},
+            store_fields=args.store_fields, with_dict=args.with_dict,
+            with_positions=args.with_positions,
         )
         print(f"built {meta.segment_id}: {meta.n_docs} docs, {meta.n_postings} postings")
 

@@ -479,10 +479,12 @@ class IndexSearcher:
                 return []
         scoring = sorted(set(spec["must"]) | set(spec["should"]))
         if cand is None:
-            assert scoring, (
-                "field-only queries need a term/phrase clause to bound "
-                "candidates on the serving path"
-            )
+            if not scoring:
+                assert not (spec["field_must"] or spec["field_must_not"]), (
+                    "field-only queries need a term/phrase clause to bound "
+                    "candidates on the serving path"
+                )
+                return []
             cand = self.search_boolean(" ".join(scoring), mode="or")
         if spec["must_not"] and len(cand):
             exc = self.search_boolean(" ".join(spec["must_not"]), mode="or")

@@ -93,3 +93,78 @@ def test_search_parsed_randomized_identity(spark, tmp_path_factory, seed):
         got = s.search_parsed(query, k=10)
         want = _ref_parsed(texts, query, k=10)
         assert got == want, f"seed={seed} query={query!r}"
+
+
+@pytest.mark.parametrize("seed", [13, 47])
+def test_search_parsed_ext_degenerates_randomized(spark, tmp_path_factory, seed):
+    """Without boosts/fields/min_should_match, search_parsed_ext must be
+    float-identical to search_parsed on random queries; a ^1 boost is an
+    exact no-op (1.0 * x == x in IEEE)."""
+    rng = random.Random(seed)
+    texts = {
+        d: " ".join(rng.choices(VOCAB, k=rng.randint(3, 20)))
+        for d in range(80)
+    }
+    sf = str(tmp_path_factory.mktemp(f"px{seed}"))
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    )
+    ix = sf + "/ix"
+    build_segment(spark, corpus, ix, num_partitions=4, store_fields=True)
+    s = IndexSearcher(ix)
+    for _ in range(20):
+        parts = []
+        for w in rng.sample(VOCAB, rng.randint(1, 5)):
+            parts.append(rng.choice(["", "", "+", "-"]) + w)
+        if rng.random() < 0.4:
+            a, b = rng.sample(VOCAB, 2)
+            parts.append(f'"{a} {b}"')
+        query = " ".join(parts)
+        assert s.search_parsed_ext(query, k=10) == s.search_parsed(query, k=10), query
+        boosted1 = " ".join(
+            p + "^1" if p and p[0] not in "+-\"" and rng.random() < 0.5 else p
+            for p in parts
+        )
+        assert s.search_parsed_ext(boosted1, k=10) == s.search_parsed(query, k=10), (
+            boosted1
+        )
+
+
+@pytest.mark.parametrize("seed", [23, 61])
+def test_phrase_near_positions_vs_stored_randomized(
+    spark, tmp_path_factory, seed
+):
+    """Random corpora + random phrases/windows: the positional and
+    stored-field verification paths must return identical doc sets, and
+    the distributed batch paths must match the serving path."""
+    from lucene_mapreduce_spark.query.segments import near_match, phrase_match
+
+    rng = random.Random(seed)
+    small_vocab = VOCAB[:8]  # dense: phrases actually occur
+    texts = {
+        d: " ".join(rng.choices(small_vocab, k=rng.randint(2, 15)))
+        for d in range(60)
+    }
+    sf = str(tmp_path_factory.mktemp(f"pp{seed}"))
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    )
+    ix = sf + "/ix"
+    build_segment(
+        spark, corpus, ix, num_partitions=4, store_fields=True,
+        with_positions=True,
+    )
+    s = IndexSearcher(ix)
+    for _ in range(10):
+        ph = " ".join(rng.choices(small_vocab, k=rng.randint(2, 3)))
+        a = list(s.search_phrase(ph, use="positions"))
+        b = list(s.search_phrase(ph, use="stored"))
+        assert a == b, f"phrase {ph!r}"
+        c = [r["doc_id"] for r in phrase_match(spark, ix, ph).collect()]
+        assert c == a, f"batch phrase {ph!r}"
+        w = rng.randint(2, 5)
+        na = list(s.search_near(ph, window=w, use="positions"))
+        nb = list(s.search_near(ph, window=w, use="stored"))
+        assert na == nb, f"near {ph!r} w={w}"
+        nc = [r["doc_id"] for r in near_match(spark, ix, ph, window=w).collect()]
+        assert nc == na, f"batch near {ph!r} w={w}"
