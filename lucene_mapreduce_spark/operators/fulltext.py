@@ -673,22 +673,21 @@ def search_collapse(
     """Lucene collapse/grouping parity (CollapsingTopDocsCollector / the
     grouping module): one best-scoring hit per document-field group (the
     `lang` field), groups ranked by their best hit's score. Scores all
-    hits through the shared exact BM25 index path, joins the collapse
-    field from the docs table, then a per-group row_number keeps the
-    winner (score desc, doc_id asc — deterministic on 6dp-rounded scores).
-    At scale the per-group window partitions by (query, lang) — cardinality
-    bounded by the group count, never a global sort of the hit set."""
+    hits through the UNRANKED exact index path (bm25_scores — canonical
+    accumulation, no per-query global window), joins the collapse field,
+    then a per-group row_number keeps the winner (score desc, doc_id asc
+    — deterministic on 6dp-rounded scores). The only global sort is over
+    the collapsed winners — cardinality = the group count, never the hit
+    set."""
     from pyspark.sql import Window
 
-    from lucene_mapreduce_spark.query.segments import bm25_index_topk
+    from lucene_mapreduce_spark.query.segments import bm25_scores
 
     ix = _gate_index(spark, sf_dir)
     queries = spark.createDataFrame(
         [("q0", query_text)], "query_id string, query_text string"
     )
-    scored = bm25_index_topk(spark, ix, queries, k=1 << 30, round_to=6).select(
-        "doc_id", "score"
-    )
+    scored = bm25_scores(spark, ix, queries, round_to=6).select("doc_id", "score")
     docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
     w_grp = Window.partitionBy("lang").orderBy(F.desc("score"), F.asc("doc_id"))
     best = (

@@ -116,6 +116,40 @@ def bm25_scan_topk(
 from lucene_mapreduce_spark.session import persist_bounded as _persist_bounded  # noqa: E402
 
 
+def _contrib_frame(matched: DataFrame) -> DataFrame:
+    """(query_id, doc_id, term, contrib) — the BM25 per-term contribution
+    expression, shared by the top-k and all-scores paths."""
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df_t") + F.lit(0.5)) / (F.col("df_t") + F.lit(0.5))
+    )
+    tf = F.col("tf").cast("double")
+    dl = F.col("dl").cast("double")
+    denom = tf + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * dl / F.col("avgdl"))
+    contrib = idf * (tf * F.lit(K1 + 1.0)) / denom
+    return matched.select("query_id", "doc_id", F.col("term"), contrib.alias("contrib"))
+
+
+def exact_scores(
+    matched: DataFrame, round_to: int | None = None
+) -> DataFrame:
+    """(query_id, doc_id, score) for EVERY matched doc — canonical
+    ascending-term accumulation, NO ranking window. For operators that
+    impose their own (narrower) ranking downstream — collapse partitions
+    by group, clustering never ranks globally — so no single-partition
+    per-query sort ever materializes."""
+    per_doc = _contrib_frame(matched).groupBy("query_id", "doc_id").agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("term", "contrib"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["contrib"],
+        ).alias("score")
+    )
+    if round_to is not None:
+        per_doc = per_doc.withColumn("score", F.round("score", round_to))
+    return per_doc
+
+
 def score_and_topk(
     matched: DataFrame, k: int = 10, round_to: int | None = None
 ) -> DataFrame:
@@ -134,23 +168,7 @@ def score_and_topk(
     float error (e.g. identical documents) all fall inside the margin, so
     the final (score desc, doc_id asc) top-k is bit-identical to the oracle.
     """
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs") - F.col("df_t") + F.lit(0.5)) / (F.col("df_t") + F.lit(0.5))
-    )
-    tf = F.col("tf").cast("double")
-    dl = F.col("dl").cast("double")
-    denom = tf + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * dl / F.col("avgdl"))
-    contrib = idf * (tf * F.lit(K1 + 1.0)) / denom
-
-    scored = _persist_bounded(
-        matched.select(
-            "query_id",
-            "doc_id",
-            F.col("term"),
-            contrib.alias("contrib"),
-        )
-    )
+    scored = _persist_bounded(_contrib_frame(matched))
 
     eps = 1e-9
     approx = scored.groupBy("query_id", "doc_id").agg(F.sum("contrib").alias("s_ap"))

@@ -361,6 +361,35 @@ def bm25_index_topk(
     term frame broadcast-joins the postings scan, nothing materializes on
     the driver.
     """
+    matched = _matched_frame(spark, index_dir, queries, max_pushdown_terms)
+    return score_and_topk(matched, k=k, round_to=round_to)
+
+
+def bm25_scores(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    round_to: int | None = None,
+    max_pushdown_terms: int = 256,
+) -> DataFrame:
+    """(query_id, doc_id, score) for EVERY matching doc — the unranked
+    exact-score face of the index path, for operators that impose their
+    own narrower ranking (collapse partitions by group) and must never
+    funnel the full hit set through one per-query window partition."""
+    from lucene_mapreduce_spark.query.bm25_df import exact_scores
+
+    matched = _matched_frame(spark, index_dir, queries, max_pushdown_terms)
+    return exact_scores(matched, round_to=round_to)
+
+
+def _matched_frame(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    max_pushdown_terms: int,
+) -> DataFrame:
+    """(query_id, doc_id, term, tf, dl, df_t, n_docs, avgdl) for a query
+    batch — the shared prologue of the ranked and unranked index paths."""
     m = load_manifest(index_dir)
     assert m is not None
     qterms = (
@@ -379,13 +408,12 @@ def bm25_index_topk(
     postings = read_postings(spark, index_dir, terms, m)
     df_t = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
 
-    matched = (
+    return (
         postings.join(F.broadcast(qterms), "term", "inner")
         .join(F.broadcast(df_t), "term", "inner")
         .withColumn("n_docs", F.lit(float(n_docs)))
         .withColumn("avgdl", F.lit(float(avgdl)))
     )
-    return score_and_topk(matched, k=k, round_to=round_to)
 
 
 def more_like_this(
