@@ -558,8 +558,6 @@ def tfidf_topk(
     (1/sqrt(dl)). Same index read path as BM25, different formula — the
     Similarity seam the reference inherits from Lucene. Canonical
     ascending-term accumulation keeps it float-exact vs the oracle."""
-    from pyspark.sql import Window
-
     from lucene_mapreduce_spark.functions.tokenize import tokenize_string
     from lucene_mapreduce_spark.query.segments import exact_stats, read_postings
 
@@ -584,12 +582,11 @@ def tfidf_topk(
             lambda acc, x: acc + x["contrib"],
         ).alias("score")
     )
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
-        per_doc.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("doc_id", F.round("score", 6).alias("score"), "rank")
-    )
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+
+    return ranked_topk(
+        per_doc, [F.desc("score"), F.asc("doc_id")], k
+    ).select("doc_id", F.round("score", 6).alias("score"), "rank")
 
 
 TERMS_ENUM_K = 15
@@ -605,8 +602,6 @@ def terms_enum(
     df/cf sums stay exact through build + merge."""
     import os
 
-    from pyspark.sql import Window
-
     from lucene_mapreduce_spark.index.manifest import load_manifest, segment_dir
 
     ix = _gate_index(spark, sf_dir)
@@ -621,12 +616,11 @@ def terms_enum(
     dic = dic.groupBy("term").agg(
         F.sum("df").cast("long").alias("df"), F.sum("cf").cast("long").alias("cf")
     )
-    w = Window.orderBy(F.desc("df"), F.asc("term"))
-    return (
-        dic.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("term", "df", "cf", "rank")
-    )
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+
+    return ranked_topk(
+        dic, [F.desc("df"), F.asc("term")], k
+    ).select("term", "df", "cf", "rank")
 
 
 def search_facets(
@@ -636,21 +630,21 @@ def search_facets(
     predicted language, with doc counts and the quality-score band
     (min/max of the per-doc rounded quality — exact, no float-sum
     nondeterminism). The facet dimensions ride existing codegen operators
-    (language_id, quality_score); the result-set join is a broadcast of
-    the hit list."""
+    (language_id, quality_score); the hit set is computed DISTRIBUTED
+    (boolean_match) so a web-scale result set never touches the driver,
+    and AQE broadcasts it when small."""
     from lucene_mapreduce_spark.operators.textstats import (
         language_id,
         quality_score,
     )
-    from lucene_mapreduce_spark.query.wand import IndexSearcher
+    from lucene_mapreduce_spark.query.segments import boolean_match
 
     ix = _gate_index(spark, sf_dir)
-    docids = IndexSearcher(ix).search_boolean(query_text, mode="or")
-    hits = spark.createDataFrame([(int(d),) for d in docids], "doc_id long")
+    hits = boolean_match(spark, ix, query_text, mode="or")
     lang = language_id(spark, sf_dir).select("doc_id", "pred_lang")
     qual = quality_score(spark, sf_dir).select("doc_id", "quality")
     return (
-        lang.join(F.broadcast(hits), "doc_id")
+        lang.join(hits, "doc_id")
         .join(qual, "doc_id")
         .groupBy("pred_lang")
         .agg(
@@ -730,23 +724,19 @@ def search_sort_by_field(
     """Lucene Sort(SortField) parity: the conjunctive result set ordered by
     a document field instead of relevance (n_chars desc, doc_id asc as the
     tiebreak — Lucene's index-order tiebreak made explicit). The field
-    values come from a broadcast-hit join against the docs table; ranking
-    is a WindowGroupLimit top-k, not a global sort."""
-    from pyspark.sql import Window
-
-    from lucene_mapreduce_spark.query.wand import IndexSearcher
+    values come from a hit join against the docs table (the hit set is
+    computed DISTRIBUTED — boolean_match — so a web-scale conjunction
+    never materializes on the driver); ranking is TakeOrderedAndProject,
+    not a global window."""
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+    from lucene_mapreduce_spark.query.segments import boolean_match
 
     ix = _gate_index(spark, sf_dir)
-    docids = IndexSearcher(ix).search_boolean(query_text, mode="and")
-    hits = spark.createDataFrame([(int(d),) for d in docids], "doc_id long")
+    hits = boolean_match(spark, ix, query_text, mode="and")
     docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    w = Window.orderBy(F.desc("n_chars"), F.asc("doc_id"))
-    return (
-        docs.join(F.broadcast(hits), "doc_id")
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("doc_id", "n_chars", "rank")
-    )
+    return ranked_topk(
+        docs.join(hits, "doc_id"), [F.desc("n_chars"), F.asc("doc_id")], k
+    ).select("doc_id", "n_chars", "rank")
 
 
 SIGTERMS_K = 15
@@ -764,29 +754,28 @@ def significant_terms(
     surface): terms overrepresented in the query's (OR) result set vs the
     whole corpus. Score = (df_fg/n_fg) / (df_bg/n_bg) — the foreground
     lift, 6dp-rounded; query terms excluded (they are trivially lifted);
-    df_fg >= min_df filters noise. The hit list broadcasts; both df
-    aggregations are map-side-combinable groupBys over one explode each."""
-    from pyspark.sql import Window
-
+    df_fg >= min_df filters noise. The hit set is computed DISTRIBUTED
+    (boolean_match — no driver materialization of a web-scale result set);
+    both df aggregations are map-side-combinable groupBys over one explode
+    each; ranking is TakeOrderedAndProject over the filtered term stats."""
     from lucene_mapreduce_spark.functions.tokenize import tokenize_col, tokenize_string
-    from lucene_mapreduce_spark.query.wand import IndexSearcher
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+    from lucene_mapreduce_spark.query.segments import boolean_match
 
     ix = _gate_index(spark, sf_dir)
-    docids = IndexSearcher(ix).search_boolean(query_text, mode="or")
-    hits = spark.createDataFrame([(int(d),) for d in docids], "doc_id long")
-    n_fg = len(docids)
+    hits = boolean_match(spark, ix, query_text, mode="or")
+    n_fg = hits.count()
     docs = load(spark, sf_dir, "documents")
     n_bg = docs.count()
     toks = docs.select("doc_id", F.explode(tokenize_col("text")).alias("term"))
     bg = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df_bg"))
     fg = (
-        toks.join(F.broadcast(hits), "doc_id")
+        toks.join(hits, "doc_id")
         .groupBy("term")
         .agg(F.countDistinct("doc_id").alias("df_fg"))
     )
     qterms = set(tokenize_string(query_text))
-    w = Window.orderBy(F.desc("lift"), F.asc("term"))
-    return (
+    lifted = (
         fg.join(bg, "term")
         .filter(~F.col("term").isin(sorted(qterms)) & (F.col("df_fg") >= min_df))
         .withColumn(
@@ -797,15 +786,15 @@ def significant_terms(
                 6,
             ),
         )
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "term",
-            F.col("df_fg").cast("long").alias("df_fg"),
-            F.col("df_bg").cast("long").alias("df_bg"),
-            "lift",
-            "rank",
-        )
+    )
+    return ranked_topk(
+        lifted, [F.desc("lift"), F.asc("term")], k
+    ).select(
+        "term",
+        F.col("df_fg").cast("long").alias("df_fg"),
+        F.col("df_bg").cast("long").alias("df_bg"),
+        "lift",
+        "rank",
     )
 
 

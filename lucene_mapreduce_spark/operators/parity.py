@@ -20,6 +20,17 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def ranked_topk(df: DataFrame, order, k: int, rank_col: str = "rank") -> DataFrame:
+    """Deterministic global top-k WITHOUT a single-partition window over
+    the full input: orderBy().limit(k) compiles to TakeOrderedAndProject
+    (per-partition heaps + tiny driver merge), then the rank column rides
+    a window over only the k survivors. `order` must be a total order
+    (include a unique tiebreak column)."""
+    top = df.orderBy(*order).limit(k)
+    w = Window.orderBy(*order)
+    return top.withColumn(rank_col, F.row_number().over(w))
+
+
 # ---------------------------------------------------------------- A1
 def latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 — latest-record-per-key argmax by timestamp.

@@ -156,10 +156,9 @@ def ngram_counts(
         F.sum("c").alias("u_tot")
     ).crossJoin(bi.agg(F.sum("c_xy").alias("t_tot")))
     parts = F.split(F.col("ngram"), " ")
-    from pyspark.sql import Window
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
 
-    w = Window.orderBy(F.desc("c_xy"), F.asc("ngram"))
-    return (
+    scored = (
         bi.withColumn("x", parts[0])
         .withColumn("y", parts[1])
         # vocab-sized dims: plain equi-joins on the term key (AQE
@@ -181,10 +180,10 @@ def ngram_counts(
                 6,
             ),
         )
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("ngram", F.col("c_xy").cast("long").alias("n_occ"), "pmi", "rank")
     )
+    return ranked_topk(
+        scored, [F.desc("c_xy"), F.asc("ngram")], k
+    ).select("ngram", F.col("c_xy").cast("long").alias("n_occ"), "pmi", "rank")
 
 
 def stratified_sample(
