@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "significant_terms": fulltext.significant_terms,
         "ngram_counts": textstats.ngram_counts,
         "search_after_page": fulltext.search_after_page,
+        "search_sort_after_page": fulltext.search_sort_after_page,
         "tfidf_topk": fulltext.tfidf_topk,
         "terms_enum": fulltext.terms_enum,
         "boosted_query": fulltext.boosted_query,
@@ -191,6 +192,11 @@ def oracle_sql() -> dict[str, str]:
     out["search_after_page"] = (
         "SELECT doc_id, score, rank FROM ("
         + bm25_topk_sql(fulltext.FLAGSHIP_QUERY, k=20)
+        + ") t WHERE rank > 10"
+    )
+    out["search_sort_after_page"] = (
+        "SELECT doc_id, n_chars, rank FROM ("
+        + sort_by_field_sql(fulltext.BOOLEAN_QUERY, k=20)
         + ") t WHERE rank > 10"
     )
     out["tfidf_topk"] = tfidf_sql(fulltext.FLAGSHIP_QUERY)

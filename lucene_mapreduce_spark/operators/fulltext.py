@@ -798,6 +798,41 @@ def significant_terms(
     )
 
 
+def search_sort_after_page(
+    spark: SparkSession,
+    sf_dir: str,
+    query_text: str = BOOLEAN_QUERY,
+    page_size: int = 10,
+) -> DataFrame:
+    """Lucene searchAfter with a FieldDoc cursor on a FIELD sort: page 2 of
+    the n_chars-ordered conjunctive result, strictly after page 1's last
+    (n_chars, doc_id). Exact-value cursor comparison (integers — no float
+    subtlety); the after-filter pushes into the scan side of the hit join
+    and the page is TakeOrderedAndProject, so deep pagination never
+    re-sorts or re-ships earlier pages."""
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+    from lucene_mapreduce_spark.query.segments import boolean_match
+
+    page1 = search_sort_by_field(spark, sf_dir, query_text, k=page_size).collect()
+    if len(page1) < page_size:
+        return spark.createDataFrame([], "doc_id long, n_chars long, rank int")
+    c_n, c_d = page1[-1]["n_chars"], page1[-1]["doc_id"]
+    ix = _gate_index(spark, sf_dir)
+    hits = boolean_match(spark, ix, query_text, mode="and")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    after = (F.col("n_chars") < F.lit(c_n)) | (
+        (F.col("n_chars") == F.lit(c_n)) & (F.col("doc_id") > F.lit(c_d))
+    )
+    page2 = ranked_topk(
+        docs.join(hits, "doc_id").filter(after),
+        [F.desc("n_chars"), F.asc("doc_id")],
+        page_size,
+    )
+    return page2.select(
+        "doc_id", "n_chars", (F.col("rank") + F.lit(page_size)).alias("rank")
+    )
+
+
 def boolean_and_query(
     spark: SparkSession, sf_dir: str, query_text: str = BOOLEAN_QUERY
 ) -> DataFrame:
