@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_counts": textstats.ngram_counts,
         "search_after_page": fulltext.search_after_page,
         "search_sort_after_page": fulltext.search_sort_after_page,
+        "pure_field_query": fulltext.pure_field_query,
         "tfidf_topk": fulltext.tfidf_topk,
         "terms_enum": fulltext.terms_enum,
         "boosted_query": fulltext.boosted_query,

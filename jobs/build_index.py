@@ -38,7 +38,16 @@ def main() -> None:
         "--with-positions", action="store_true",
         help="positional sidecar (phrase/proximity without stored fields)",
     )
+    ap.add_argument(
+        "--index-fields", default=None,
+        help="comma-separated keyword columns to index (field:value clauses)",
+    )
     args = ap.parse_args()
+    index_fields = (
+        [c.strip() for c in args.index_fields.split(",") if c.strip()]
+        if args.index_fields
+        else None
+    )
 
     from pyspark.sql import SparkSession
 
@@ -66,16 +75,17 @@ def main() -> None:
         )
         if "doc_id" not in df.columns:
             df = with_docid(df)
+        keep = ["doc_id", "text"] + (index_fields or [])
         corpus = (
-            latest_wins(df.select("doc_id", "text", "ts")).select("doc_id", "text")
+            latest_wins(df.select(*keep, "ts")).select(*keep)
             if "ts" in df.columns
-            else df.select("doc_id", "text")
+            else df.select(*keep)
         )
         meta = build_segment(
             spark, corpus, args.index, num_partitions=args.partitions,
             lineage={"input": args.input},
             store_fields=args.store_fields, with_dict=args.with_dict,
-            with_positions=args.with_positions,
+            with_positions=args.with_positions, index_fields=index_fields,
         )
         print(f"built {meta.segment_id}: {meta.n_docs} docs, {meta.n_postings} postings")
 

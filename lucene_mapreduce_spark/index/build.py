@@ -229,6 +229,37 @@ def write_positions(
     )
 
 
+def write_fields(
+    spark: SparkSession,
+    seg_path: str,
+    corpus: DataFrame,
+    field_cols: list[str],
+    num_partitions: int,
+) -> None:
+    """Indexed-keyword-fields sidecar (Lucene StringField analogue): one
+    (field, value, doc_id) row per doc per indexed column, laid out
+    partitionBy(field) with rows sorted (value, doc_id) — a field clause
+    reads one field directory with the value filter pruning row groups,
+    exactly a keyword posting list. Values index untokenized (exact
+    match), like Lucene's StringField vs TextField."""
+    sel = None
+    for c in field_cols:
+        r = corpus.select(
+            F.lit(c).alias("field"),
+            F.col(c).cast("string").alias("value"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+        ).filter(F.col("value").isNotNull())
+        sel = r if sel is None else sel.unionByName(r)
+    (
+        sel.repartition(num_partitions, "field", "value")
+        .sortWithinPartitions("field", "value", "doc_id")
+        .write.mode("overwrite")
+        .option("parquet.block.size", 1 << 20)
+        .partitionBy("field")
+        .parquet(os.path.join(seg_path, "fields"))
+    )
+
+
 def build_segment(
     spark: SparkSession,
     corpus: DataFrame,
@@ -239,6 +270,7 @@ def build_segment(
     store_fields: bool = False,
     with_dict: bool = False,
     with_positions: bool = False,
+    index_fields: list[str] | None = None,
 ) -> SegmentMeta:
     """Build one immutable level-0 segment from a (doc_id, text) batch and
     commit it to the manifest. Returns the committed SegmentMeta.
@@ -343,6 +375,11 @@ def build_segment(
     if with_positions:
         write_positions(spark, seg_path, corpus, num_partitions, int(chunk_docs))
 
+    if index_fields:
+        missing = [c for c in index_fields if c not in corpus.columns]
+        assert not missing, f"index_fields not in corpus: {missing}"
+        write_fields(spark, seg_path, corpus, list(index_fields), num_partitions)
+
     part_stats, totals = segment_stats(spark, seg_path, num_partitions)
     n_terms = int(sum(r["n_terms"] for r in part_stats))
 
@@ -367,6 +404,7 @@ def build_segment(
         has_docstore=bool(store_fields),
         has_dict=bool(with_dict),
         has_positions=bool(with_positions),
+        indexed_fields=sorted(index_fields or []),
     )
     m.segments.append(meta)
     m.committed_seq = seq

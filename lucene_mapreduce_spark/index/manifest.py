@@ -47,6 +47,10 @@ class SegmentMeta:
     # per (term, doc) token positions, phash-partitioned like the postings —
     # phrase/proximity verification without stored fields)
     has_positions: bool = False
+    # indexed keyword fields (Lucene StringField analogue): names of the
+    # corpus columns whose (value -> doc_ids) postings live in the fields
+    # sidecar — field clauses resolve from the index, no docstore scan
+    indexed_fields: list[str] = field(default_factory=list)
     # per-partition metrics + lineage (north rule: per-partition lineage
     # and metrics written alongside checkpointed segment manifests)
     partitions: list[dict[str, Any]] = field(default_factory=list)

@@ -83,6 +83,36 @@ def _propagate_positions(
     )
 
 
+def _propagate_fields(
+    spark: SparkSession,
+    index_dir: str,
+    metas: list[SegmentMeta],
+    seg_path: str,
+    live: DataFrame,
+    m,
+    field_names: list[str],
+) -> None:
+    """Carry the indexed-fields sidecar through a rewrite: union inputs,
+    keep each doc's live copy, restore the (field, value, doc_id) layout."""
+    rows = None
+    for meta in metas:
+        r = spark.read.parquet(
+            os.path.join(segment_dir(index_dir, meta.segment_id), "fields")
+        ).withColumn("seg_seq", F.lit(meta.min_seq))
+        rows = r if rows is None else rows.unionByName(r)
+    (
+        rows.filter(F.col("field").isin(field_names))
+        .join(live.select("doc_id", "seg_seq"), ["doc_id", "seg_seq"], "left_semi")
+        .repartition(m.num_partitions, "field", "value")
+        .sortWithinPartitions("field", "value", "doc_id")
+        .select("field", "value", "doc_id")
+        .write.mode("overwrite")
+        .option("parquet.block.size", 1 << 20)
+        .partitionBy("field")
+        .parquet(os.path.join(seg_path, "fields"))
+    )
+
+
 def merge_once(
     spark: SparkSession,
     index_dir: str,
@@ -194,6 +224,14 @@ def merge_once(
     if has_positions:
         _propagate_positions(spark, index_dir, metas, seg_path, live, m)
 
+    # indexed keyword fields: intersection of the inputs' field sets
+    # propagates, live rows only (same latest-wins join as the docstore)
+    indexed_fields = sorted(
+        set.intersection(*(set(s.indexed_fields) for s in metas))
+    ) if metas else []
+    if indexed_fields:
+        _propagate_fields(spark, index_dir, metas, seg_path, live, m, indexed_fields)
+
     if fault:
         fault("written")  # crash here => manifest still lists the inputs
 
@@ -222,6 +260,7 @@ def merge_once(
         has_docstore=has_docstore,
         has_dict=has_dict,
         has_positions=has_positions,
+        indexed_fields=indexed_fields,
     )
     m.segments = [s for s in m.segments if s.segment_id not in set(segment_ids)]
     m.segments.append(meta_out)

@@ -150,6 +150,16 @@ def purge_expired(
 
         _propagate_positions(spark, index_dir, metas, seg_path, live_pairs, m)
 
+    indexed_fields = sorted(
+        set.intersection(*(set(s.indexed_fields) for s in metas))
+    ) if metas else []
+    if indexed_fields:
+        from lucene_mapreduce_spark.index.merge import _propagate_fields
+
+        _propagate_fields(
+            spark, index_dir, metas, seg_path, live_pairs, m, indexed_fields
+        )
+
     part_stats, totals = segment_stats(spark, seg_path, m.num_partitions)
     meta_out = SegmentMeta(
         segment_id=seg_id,
@@ -173,6 +183,7 @@ def purge_expired(
         has_docstore=has_docstore,
         has_dict=has_dict,
         has_positions=has_positions,
+        indexed_fields=indexed_fields,
     )
     m.segments = [meta_out]
     commit_manifest(index_dir, m, expect_version=m.version)

@@ -105,13 +105,15 @@ def _gate_index(spark: SparkSession, sf_dir: str) -> str:
     # two batches + a merge so the gate exercises the full lifecycle;
     # store_fields for docstore-verified phrases + lookups, with_positions
     # so the positional (.pos-style) phrase/near gates have the sidecar
+    kw = [c for c in ("lang", "source") if c in docs.columns]
     build_segment(
         spark, docs.filter("doc_id % 2 = 0"), path, num_partitions=8,
         store_fields=True, with_positions=True, with_dict=True,
+        index_fields=kw,
     )
     build_segment(
         spark, docs.filter("doc_id % 2 = 1"), path, store_fields=True,
-        with_positions=True, with_dict=True,
+        with_positions=True, with_dict=True, index_fields=kw,
     )
     merge_all(spark, path)
     _GATE_INDEXES[sf_dir] = path
@@ -796,6 +798,26 @@ def significant_terms(
         "lift",
         "rank",
     )
+
+
+PURE_FIELD = ("lang", "de")
+
+
+def pure_field_query(
+    spark: SparkSession,
+    sf_dir: str,
+    fld: str = PURE_FIELD[0],
+    value: str = PURE_FIELD[1],
+) -> DataFrame:
+    """A query with NO text clause at all — exact keyword-field retrieval
+    from the indexed-fields sidecar (Lucene StringField TermQuery),
+    answered on the fully-distributed path (query/segments.field_match).
+    The serving-path twin (IndexSearcher._field_hits) powers
+    field_scoped_query's clauses and is unit-tested for identity."""
+    from lucene_mapreduce_spark.query.segments import field_match
+
+    ix = _gate_index(spark, sf_dir)
+    return field_match(spark, ix, fld, value)
 
 
 def search_sort_after_page(

@@ -966,6 +966,9 @@ SELECT doc_id FROM (SELECT doc_id, {TOKS} AS toks FROM documents)
 WHERE len(list_filter(range(1, len(toks)),
           i -> toks[i] = 'fast' AND toks[i+1] = 'merge')) > 0
 """,
+    "pure_field_query": """
+SELECT doc_id FROM documents WHERE lang = 'de' ORDER BY doc_id
+""",
     "boolean_match_batch": f"""
 SELECT doc_id FROM (SELECT doc_id, {TOKS} AS toks FROM documents)
 WHERE list_contains(toks, 'table') AND list_contains(toks, 'merge')

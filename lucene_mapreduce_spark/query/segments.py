@@ -246,6 +246,37 @@ def phrase_match(
     return cur.select("doc_id").orderBy("doc_id")
 
 
+def field_match(
+    spark: SparkSession, index_dir: str, fld: str, value: str
+) -> DataFrame:
+    """Distributed keyword-field retrieval from the indexed-fields sidecar
+    (Lucene StringField TermQuery): one field-directory read per segment
+    with the value filter pruning row groups, latest-wins across
+    generations. The batch twin of IndexSearcher._field_hits — pure field
+    queries at corpus scale without touching text postings."""
+    m = load_manifest(index_dir)
+    assert m is not None, f"no index at {index_dir}"
+    segs = m.ordered()
+    assert all(fld in s.indexed_fields for s in segs), (
+        f"field {fld!r} not indexed in every generation"
+    )
+    rows = None
+    for s in segs:
+        r = (
+            spark.read.parquet(
+                os.path.join(segment_dir(index_dir, s.segment_id), "fields")
+            )
+            .filter((F.col("field") == fld) & (F.col("value") == value))
+            .withColumn("seg_seq", F.lit(s.min_seq))
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    rows = rows.select("doc_id", "seg_seq")
+    if len(segs) > 1:
+        live = live_doclens(spark, index_dir, m).select("doc_id", "seg_seq")
+        rows = rows.join(live, ["doc_id", "seg_seq"], "left_semi")
+    return rows.select("doc_id").distinct().orderBy("doc_id")
+
+
 def boolean_match(
     spark: SparkSession, index_dir: str, query_text: str, mode: str = "and"
 ) -> DataFrame:

@@ -137,6 +137,8 @@ class IndexSearcher:
         self._cache_cap = 4096
         self._scored_cache: dict[tuple, tuple] = {}
         self._pos_datasets: list | None = None
+        self._field_datasets: list | None = None
+        self._field_cache: dict[tuple[str, str], np.ndarray] = {}
 
     def _load_live_map(self, m: Manifest) -> None:
         """Latest-wins doc -> generation map + exact live corpus stats,
@@ -451,6 +453,55 @@ class IndexSearcher:
         order = np.lexsort((cand, -scores))[:k]
         return [(int(cand[i]), float(scores[i])) for i in order]
 
+    def indexed_fields(self) -> set[str]:
+        """Keyword fields indexed in EVERY generation (usable as posting
+        lists); others fall back to stored-field verification."""
+        segs = self.manifest.ordered()
+        if not segs:
+            return set()
+        return set.intersection(*(set(s.indexed_fields) for s in segs))
+
+    def _field_hits(self, fld: str, value: str) -> np.ndarray:
+        """Sorted live docids whose indexed keyword field equals `value` —
+        a keyword posting list read from the fields sidecar (field
+        directory pruning + value row-group pushdown), latest-wins across
+        generations, cached like term postings."""
+        key = (fld, value)
+        hit = self._field_cache.get(key)
+        if hit is not None:
+            return hit
+        if self._field_datasets is None:
+            self._field_datasets = [
+                ds.dataset(
+                    os.path.join(
+                        segment_dir(self.index_dir, s.segment_id), "fields"
+                    ),
+                    format="parquet",
+                    partitioning="hive",
+                )
+                for s in self.manifest.ordered()
+            ]
+        parts = []
+        for seg_seq, dataset in zip(self._seg_seqs, self._field_datasets):
+            tbl = dataset.to_table(
+                filter=(ds.field("field") == fld) & (ds.field("value") == value),
+                columns=["doc_id"],
+            )
+            d = tbl["doc_id"].to_numpy().astype(np.int64)
+            if self._live_doc is not None and len(d):
+                idx = np.searchsorted(self._live_doc, d)
+                idx_c = np.minimum(idx, max(len(self._live_doc) - 1, 0))
+                keep = (self._live_doc[idx_c] == d) & (
+                    self._live_seg[idx_c] == seg_seq
+                )
+                d = d[keep]
+            parts.append(d)
+        out = np.sort(np.concatenate(parts)) if parts else np.zeros(0, np.int64)
+        if len(self._field_cache) >= 1024:
+            self._field_cache.pop(next(iter(self._field_cache)))
+        self._field_cache[key] = out
+        return out
+
     def search_parsed_ext(
         self, query: str, k: int = 10, min_should_match: int = 0
     ) -> list[tuple[int, float]]:
@@ -467,6 +518,11 @@ class IndexSearcher:
         from lucene_mapreduce_spark.query.parse import parse_query_ext
 
         spec = parse_query_ext(query)
+        idx_flds = self.indexed_fields()
+        fm_idx = [(f, v) for f, v in spec["field_must"] if f in idx_flds]
+        fm_doc = [(f, v) for f, v in spec["field_must"] if f not in idx_flds]
+        fmn_idx = [(f, v) for f, v in spec["field_must_not"] if f in idx_flds]
+        fmn_doc = [(f, v) for f, v in spec["field_must_not"] if f not in idx_flds]
         cand: np.ndarray | None = None
         if spec["must"]:
             cand = self.search_boolean(" ".join(spec["must"]), mode="and")
@@ -477,21 +533,32 @@ class IndexSearcher:
             cand = hits if cand is None else np.intersect1d(cand, hits)
             if not len(cand):
                 return []
+        # indexed-field MUST clauses intersect like keyword posting lists —
+        # a pure field query is answerable when every field is indexed
+        for f, v in fm_idx:
+            hits = self._field_hits(f, v)
+            cand = hits if cand is None else np.intersect1d(cand, hits)
+            if not len(cand):
+                return []
         scoring = sorted(set(spec["must"]) | set(spec["should"]))
         if cand is None:
             if not scoring:
-                assert not (spec["field_must"] or spec["field_must_not"]), (
-                    "field-only queries need a term/phrase clause to bound "
-                    "candidates on the serving path"
+                assert not (fm_doc or fmn_doc or fmn_idx), (
+                    "field-only queries need an indexed MUST field or a "
+                    "term/phrase clause to bound candidates on the serving "
+                    "path"
                 )
                 return []
             cand = self.search_boolean(" ".join(scoring), mode="or")
         if spec["must_not"] and len(cand):
             exc = self.search_boolean(" ".join(spec["must_not"]), mode="or")
             cand = np.setdiff1d(cand, exc, assume_unique=True)
-        fm, fmn = spec["field_must"], spec["field_must_not"]
-        if (fm or fmn) and len(cand):
-            cols = sorted({f for f, _ in fm} | {f for f, _ in fmn})
+        for f, v in fmn_idx:
+            if not len(cand):
+                break
+            cand = np.setdiff1d(cand, self._field_hits(f, v), assume_unique=True)
+        if (fm_doc or fmn_doc) and len(cand):
+            cols = sorted({f for f, _ in fm_doc} | {f for f, _ in fmn_doc})
             stored = self._load_stored(cand, cols)
             keep = []
             for d in cand:
@@ -499,8 +566,8 @@ class IndexSearcher:
                 if vals is None:
                     continue
                 rec = dict(zip(cols, vals))
-                if all(str(rec.get(f)) == v for f, v in fm) and not any(
-                    str(rec.get(f)) == v for f, v in fmn
+                if all(str(rec.get(f)) == v for f, v in fm_doc) and not any(
+                    str(rec.get(f)) == v for f, v in fmn_doc
                 ):
                     keep.append(int(d))
             cand = np.asarray(keep, np.int64)
