@@ -37,6 +37,7 @@ from lucene_mapreduce_spark.operators.oracles import (  # noqa: E402
     ngram_counts_sql,
     parsed_query_sql,
     prefix_sql,
+    range_parsed_sql,
     regexp_sql,
     significant_terms_sql,
     snippets_sql,
@@ -76,6 +77,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_after_page": fulltext.search_after_page,
         "search_sort_after_page": fulltext.search_sort_after_page,
         "pure_field_query": fulltext.pure_field_query,
+        "numeric_range_query": fulltext.numeric_range_query,
+        "range_parsed_query": fulltext.range_parsed_query,
         "tfidf_topk": fulltext.tfidf_topk,
         "terms_enum": fulltext.terms_enum,
         "boosted_query": fulltext.boosted_query,
@@ -202,6 +205,7 @@ def oracle_sql() -> dict[str, str]:
     )
     out["tfidf_topk"] = tfidf_sql(fulltext.FLAGSHIP_QUERY)
     out["terms_enum"] = terms_enum_sql(fulltext.TERMS_ENUM_K)
+    out["range_parsed_query"] = range_parsed_sql()
     out["boosted_query"] = boosted_sql()
     out["min_should_match_query"] = msm_sql()
     out["field_scoped_query"] = field_scoped_sql()

@@ -247,12 +247,21 @@ def write_fields(
         r = corpus.select(
             F.lit(c).alias("field"),
             F.col(c).cast("string").alias("value"),
+            # numeric twin (NULL for non-numeric — try_cast, ANSI-safe):
+            # range clauses (Lucene PointRangeQuery) filter this with
+            # row-group stats instead of string compares
+            F.col(c).try_cast("double").alias("num_value"),
             F.col("doc_id").cast("long").alias("doc_id"),
         ).filter(F.col("value").isNotNull())
         sel = r if sel is None else sel.unionByName(r)
     (
         sel.repartition(num_partitions, "field", "value")
-        .sortWithinPartitions("field", "value", "doc_id")
+        # numeric fields cluster by num_value (range pruning), string
+        # fields (num_value all NULL) by value — equal values stay
+        # contiguous either way, so exact-match pruning holds for both
+        .sortWithinPartitions(
+            "field", F.col("num_value").asc_nulls_last(), "value", "doc_id"
+        )
         .write.mode("overwrite")
         .option("parquet.block.size", 1 << 20)
         .partitionBy("field")

@@ -104,8 +104,10 @@ def _propagate_fields(
         rows.filter(F.col("field").isin(field_names))
         .join(live.select("doc_id", "seg_seq"), ["doc_id", "seg_seq"], "left_semi")
         .repartition(m.num_partitions, "field", "value")
-        .sortWithinPartitions("field", "value", "doc_id")
-        .select("field", "value", "doc_id")
+        .sortWithinPartitions(
+            "field", F.col("num_value").asc_nulls_last(), "value", "doc_id"
+        )
+        .select("field", "value", "num_value", "doc_id")
         .write.mode("overwrite")
         .option("parquet.block.size", 1 << 20)
         .partitionBy("field")

@@ -100,12 +100,12 @@ def _gate_index(spark: SparkSession, sf_dir: str) -> str:
     raw = load(spark, sf_dir, "documents")
     docs = raw.select(
         "doc_id", "text",
-        *[c for c in ("lang", "source") if c in raw.columns],
+        *[c for c in ("lang", "source", "n_chars") if c in raw.columns],
     )
     # two batches + a merge so the gate exercises the full lifecycle;
     # store_fields for docstore-verified phrases + lookups, with_positions
     # so the positional (.pos-style) phrase/near gates have the sidecar
-    kw = [c for c in ("lang", "source") if c in docs.columns]
+    kw = [c for c in ("lang", "source", "n_chars") if c in docs.columns]
     build_segment(
         spark, docs.filter("doc_id % 2 = 0"), path, num_partitions=8,
         store_fields=True, with_positions=True, with_dict=True,
@@ -798,6 +798,45 @@ def significant_terms(
         "lift",
         "rank",
     )
+
+
+NUM_RANGE = ("n_chars", 100.0, 300.0)
+
+
+def numeric_range_query(
+    spark: SparkSession,
+    sf_dir: str,
+    fld: str = NUM_RANGE[0],
+    lo: float = NUM_RANGE[1],
+    hi: float = NUM_RANGE[2],
+) -> DataFrame:
+    """Lucene PointRangeQuery parity with no text clause: docs whose
+    indexed numeric field lies in [lo, hi], answered on the
+    fully-distributed path (query/segments.field_range_match) from the
+    num-sorted fields sidecar."""
+    from lucene_mapreduce_spark.query.segments import field_range_match
+
+    ix = _gate_index(spark, sf_dir)
+    return field_range_match(spark, ix, fld, lo, hi)
+
+
+RANGE_PARSED_QUERY = "+merge n_chars:[100 TO 300] lang:en scan"
+
+
+def range_parsed_query(
+    spark: SparkSession,
+    sf_dir: str,
+    query: str = RANGE_PARSED_QUERY,
+    k: int = 10,
+) -> DataFrame:
+    """The full extended grammar in one serving-path gate: conjunctive
+    term + numeric range clause + keyword field clause + scored SHOULD
+    term, through search_parsed_ext (range and field clauses resolve from
+    the indexed sidecars)."""
+    from lucene_mapreduce_spark.query.wand import IndexSearcher
+
+    ix = _gate_index(spark, sf_dir)
+    return _hits_df(spark, IndexSearcher(ix).search_parsed_ext(query, k=k))
 
 
 PURE_FIELD = ("lang", "de")

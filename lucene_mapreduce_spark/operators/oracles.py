@@ -490,6 +490,19 @@ WHERE rank <= {k}
 """
 
 
+def range_parsed_sql(k: int = 10) -> str:
+    """range_parsed_query twin: `+merge n_chars:[100 TO 300] lang:en scan`
+    — conjunctive term + numeric range + keyword field bound candidates;
+    merge and scan score."""
+    return ext_scored_sql(
+        [("merge", 1.0), ("scan", 1.0)],
+        f"SELECT doc_id FROM documents "
+        f"WHERE list_contains({TOKS}, 'merge') "
+        f"AND n_chars BETWEEN 100 AND 300 AND lang = 'en'",
+        k,
+    )
+
+
 def ext_scored_sql(
     score_terms: list[tuple[str, float]], cand_sql: str, k: int = 10
 ) -> str:
@@ -968,6 +981,10 @@ WHERE len(list_filter(range(1, len(toks)),
 """,
     "pure_field_query": """
 SELECT doc_id FROM documents WHERE lang = 'de' ORDER BY doc_id
+""",
+    "numeric_range_query": """
+SELECT doc_id FROM documents WHERE n_chars BETWEEN 100 AND 300
+ORDER BY doc_id
 """,
     "boolean_match_batch": f"""
 SELECT doc_id FROM (SELECT doc_id, {TOKS} AS toks FROM documents)

@@ -57,6 +57,9 @@ def parse_query(
 
 _FIELD = re.compile(r"^(\w+):(\S+)$")
 _BOOST = re.compile(r"^(.*?)\^(\d+(?:\.\d+)?)$")
+# numeric range clause: field:[lo TO hi], * = open end (Lucene syntax);
+# matched BEFORE whitespace split because the brackets contain spaces
+_RANGE = re.compile(r"([+-]?)(\w+):\[\s*(\S+)\s+TO\s+(\S+)\s*\]")
 
 
 def parse_query_ext(query: str) -> dict:
@@ -71,6 +74,9 @@ def parse_query_ext(query: str) -> dict:
                              ``-source:src3`` MUST_NOT, bare = MUST —
                              Lucene TermQuery on an untokenized field);
                              values match the stored field exactly.
+    - ``field:[lo TO hi]``-> a numeric range clause (Lucene
+                             PointRangeQuery; inclusive, ``*`` = open
+                             end); ``-`` prefix makes it MUST_NOT.
 
     Returns a dict: must / must_not / should (sorted term lists), phrases,
     boosts (term -> float, default absent = 1.0), field_must /
@@ -85,6 +91,17 @@ def parse_query_ext(query: str) -> dict:
         return " "
 
     rest = _QUOTED.sub(_grab, query)
+    range_must: list[tuple[str, float | None, float | None]] = []
+    range_must_not: list[tuple[str, float | None, float | None]] = []
+
+    def _grab_range(m: re.Match) -> str:
+        lo = None if m.group(3) == "*" else float(m.group(3))
+        hi = None if m.group(4) == "*" else float(m.group(4))
+        tgt = range_must_not if m.group(1) == "-" else range_must
+        tgt.append((m.group(2).lower(), lo, hi))
+        return " "
+
+    rest = _RANGE.sub(_grab_range, rest)
     must: set[str] = set()
     must_not: set[str] = set()
     should: set[str] = set()
@@ -120,4 +137,15 @@ def parse_query_ext(query: str) -> dict:
         "boosts": boosts,
         "field_must": sorted(field_must),
         "field_must_not": sorted(field_must_not),
+        "range_must": sorted(range_must, key=_range_key),
+        "range_must_not": sorted(range_must_not, key=_range_key),
     }
+
+
+def _range_key(t: tuple) -> tuple:
+    fld, lo, hi = t
+    return (
+        fld,
+        lo if lo is not None else float("-inf"),
+        hi if hi is not None else float("inf"),
+    )

@@ -277,6 +277,44 @@ def field_match(
     return rows.select("doc_id").distinct().orderBy("doc_id")
 
 
+def field_range_match(
+    spark: SparkSession,
+    index_dir: str,
+    fld: str,
+    lo: float | None,
+    hi: float | None,
+) -> DataFrame:
+    """Distributed numeric-range retrieval (Lucene PointRangeQuery) over
+    the fields sidecar's num_value column — inclusive [lo, hi], None =
+    open end. Row-group stats prune because numeric fields are num-sorted
+    on disk."""
+    m = load_manifest(index_dir)
+    assert m is not None, f"no index at {index_dir}"
+    segs = m.ordered()
+    assert all(fld in s.indexed_fields for s in segs), (
+        f"field {fld!r} not indexed in every generation"
+    )
+    rows = None
+    for s in segs:
+        r = spark.read.parquet(
+            os.path.join(segment_dir(index_dir, s.segment_id), "fields")
+        ).filter(F.col("field") == fld)
+        if lo is not None:
+            r = r.filter(F.col("num_value") >= lo)
+        if hi is not None:
+            r = r.filter(F.col("num_value") <= hi)
+        rows = (
+            r.withColumn("seg_seq", F.lit(s.min_seq))
+            if rows is None
+            else rows.unionByName(r.withColumn("seg_seq", F.lit(s.min_seq)))
+        )
+    rows = rows.select("doc_id", "seg_seq")
+    if len(segs) > 1:
+        live = live_doclens(spark, index_dir, m).select("doc_id", "seg_seq")
+        rows = rows.join(live, ["doc_id", "seg_seq"], "left_semi")
+    return rows.select("doc_id").distinct().orderBy("doc_id")
+
+
 def boolean_match(
     spark: SparkSession, index_dir: str, query_text: str, mode: str = "and"
 ) -> DataFrame:

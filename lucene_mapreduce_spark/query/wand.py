@@ -502,6 +502,43 @@ class IndexSearcher:
         self._field_cache[key] = out
         return out
 
+    def _field_range_hits(
+        self, fld: str, lo: float | None, hi: float | None
+    ) -> np.ndarray:
+        """Sorted live docids whose indexed field's numeric value lies in
+        [lo, hi] (inclusive; None = open end) — Lucene PointRangeQuery
+        over the fields sidecar's num_value column (row-group stats prune
+        because numeric fields are num-sorted on disk)."""
+        if self._field_datasets is None:
+            self._field_datasets = [
+                ds.dataset(
+                    os.path.join(
+                        segment_dir(self.index_dir, s.segment_id), "fields"
+                    ),
+                    format="parquet",
+                    partitioning="hive",
+                )
+                for s in self.manifest.ordered()
+            ]
+        flt = ds.field("field") == fld
+        if lo is not None:
+            flt = flt & (ds.field("num_value") >= lo)
+        if hi is not None:
+            flt = flt & (ds.field("num_value") <= hi)
+        parts = []
+        for seg_seq, dataset in zip(self._seg_seqs, self._field_datasets):
+            d = dataset.to_table(filter=flt, columns=["doc_id"])["doc_id"]
+            d = d.to_numpy().astype(np.int64)
+            if self._live_doc is not None and len(d):
+                idx = np.searchsorted(self._live_doc, d)
+                idx_c = np.minimum(idx, max(len(self._live_doc) - 1, 0))
+                keep = (self._live_doc[idx_c] == d) & (
+                    self._live_seg[idx_c] == seg_seq
+                )
+                d = d[keep]
+            parts.append(d)
+        return np.sort(np.concatenate(parts)) if parts else np.zeros(0, np.int64)
+
     def search_parsed_ext(
         self, query: str, k: int = 10, min_should_match: int = 0
     ) -> list[tuple[int, float]]:
@@ -533,6 +570,11 @@ class IndexSearcher:
             cand = hits if cand is None else np.intersect1d(cand, hits)
             if not len(cand):
                 return []
+        rm = spec.get("range_must", [])
+        rmn = spec.get("range_must_not", [])
+        assert all(f in idx_flds for f, _, _ in rm + rmn), (
+            "range clauses need the field indexed in every generation"
+        )
         # indexed-field MUST clauses intersect like keyword posting lists —
         # a pure field query is answerable when every field is indexed
         for f, v in fm_idx:
@@ -540,10 +582,15 @@ class IndexSearcher:
             cand = hits if cand is None else np.intersect1d(cand, hits)
             if not len(cand):
                 return []
+        for f, lo, hi in rm:
+            hits = self._field_range_hits(f, lo, hi)
+            cand = hits if cand is None else np.intersect1d(cand, hits)
+            if not len(cand):
+                return []
         scoring = sorted(set(spec["must"]) | set(spec["should"]))
         if cand is None:
             if not scoring:
-                assert not (fm_doc or fmn_doc or fmn_idx), (
+                assert not (fm_doc or fmn_doc or fmn_idx or rmn), (
                     "field-only queries need an indexed MUST field or a "
                     "term/phrase clause to bound candidates on the serving "
                     "path"
@@ -557,6 +604,12 @@ class IndexSearcher:
             if not len(cand):
                 break
             cand = np.setdiff1d(cand, self._field_hits(f, v), assume_unique=True)
+        for f, lo, hi in rmn:
+            if not len(cand):
+                break
+            cand = np.setdiff1d(
+                cand, self._field_range_hits(f, lo, hi), assume_unique=True
+            )
         if (fm_doc or fmn_doc) and len(cand):
             cols = sorted({f for f, _ in fm_doc} | {f for f, _ in fmn_doc})
             stored = self._load_stored(cand, cols)

@@ -97,6 +97,45 @@ def test_fields_survive_merge_and_ttl(spark, field_index):
     assert list(IndexSearcher(field_index)._field_hits("lang", "en")) == [2]
 
 
+def test_numeric_range_clauses(spark, tmp_path):
+    from lucene_mapreduce_spark.query.parse import parse_query_ext
+    from lucene_mapreduce_spark.query.segments import field_range_match
+
+    spec = parse_query_ext("+merge n_chars:[100 TO 300] -size:[* TO 5] term")
+    assert spec["range_must"] == [("n_chars", 100.0, 300.0)]
+    assert spec["range_must_not"] == [("size", None, 5.0)]
+    assert spec["must"] == ["merge"] and spec["should"] == ["term"]
+
+    ix = str(tmp_path / "ix")
+    rows = [
+        (0, "alpha", "en", "10"),
+        (1, "alpha", "en", "50"),
+        (2, "alpha", "de", "100"),
+        (3, "beta", "de", "200"),
+    ]
+    corpus = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text", "lang", "size"])
+    )
+    build_segment(
+        spark, corpus, ix, num_partitions=4, store_fields=True,
+        index_fields=["lang", "size"],
+    )
+    s = IndexSearcher(ix)
+    # inclusive bounds, open ends
+    assert list(s._field_range_hits("size", 50, 100)) == [1, 2]
+    assert list(s._field_range_hits("size", None, 50)) == [0, 1]
+    assert list(s._field_range_hits("size", 150, None)) == [3]
+    # through the parser: pure range, mixed with terms and MUST_NOT range
+    assert [d for d, _ in s.search_parsed_ext("size:[50 TO 100]", k=10)] == [1, 2]
+    assert [d for d, _ in s.search_parsed_ext("+alpha size:[* TO 60]", k=10)] == [0, 1]
+    assert [d for d, _ in s.search_parsed_ext("alpha -size:[* TO 60]", k=10)] == [2]
+    # distributed twin
+    got = [r["doc_id"] for r in field_range_match(spark, ix, "size", 50, 100).collect()]
+    assert got == [1, 2]
+    # a string field has NULL num_value everywhere -> empty range hits
+    assert list(s._field_range_hits("lang", 0, 1e9)) == []
+
+
 def test_unindexed_field_falls_back_to_docstore(spark, tmp_path):
     """A field clause on a column that is stored but NOT indexed still
     works through the stored-field verification path."""
