@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_sort_after_page": fulltext.search_sort_after_page,
         "pure_field_query": fulltext.pure_field_query,
         "numeric_range_query": fulltext.numeric_range_query,
+        "field_facets": fulltext.field_facets,
         "range_parsed_query": fulltext.range_parsed_query,
         "tfidf_topk": fulltext.tfidf_topk,
         "terms_enum": fulltext.terms_enum,

@@ -839,6 +839,30 @@ def range_parsed_query(
     return _hits_df(spark, IndexSearcher(ix).search_parsed_ext(query, k=k))
 
 
+def field_facets(
+    spark: SparkSession,
+    sf_dir: str,
+    query_text: str = BOOLEAN_QUERY,
+    fld: str = "lang",
+) -> DataFrame:
+    """Facet counts straight from the INDEX's keyword postings (Lucene
+    facets over SortedSetDocValues — no document access at all): per-value
+    doc counts of an indexed field over the disjunctive hit set. Both
+    sides are index reads (boolean_match + field_values); the count is a
+    map-side-combinable groupBy."""
+    from lucene_mapreduce_spark.query.segments import boolean_match, field_values
+
+    ix = _gate_index(spark, sf_dir)
+    hits = boolean_match(spark, ix, query_text, mode="or")
+    vals = field_values(spark, ix, fld)
+    return (
+        vals.join(hits, "doc_id")
+        .groupBy("value")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("value")
+    )
+
+
 PURE_FIELD = ("lang", "de")
 
 

@@ -986,6 +986,12 @@ SELECT doc_id FROM documents WHERE lang = 'de' ORDER BY doc_id
 SELECT doc_id FROM documents WHERE n_chars BETWEEN 100 AND 300
 ORDER BY doc_id
 """,
+    "field_facets": f"""
+SELECT lang AS value, count(*)::BIGINT AS n_docs
+FROM (SELECT doc_id, lang, {TOKS} AS toks FROM documents)
+WHERE list_contains(toks, 'table') OR list_contains(toks, 'merge')
+GROUP BY 1 ORDER BY 1
+""",
     "boolean_match_batch": f"""
 SELECT doc_id FROM (SELECT doc_id, {TOKS} AS toks FROM documents)
 WHERE list_contains(toks, 'table') AND list_contains(toks, 'merge')

@@ -34,6 +34,7 @@ def run_incremental_build(
     store_fields: bool = False,
     with_dict: bool = False,
     with_positions: bool = False,
+    index_fields: list[str] | None = None,
 ) -> int:
     """Consume all currently-available parquet files under ``input_dir``
     (transcript schema) and append one segment per micro-batch; returns the
@@ -49,12 +50,14 @@ def run_incremental_build(
     segment (they propagate through the cadence merges)."""
     processed = {"n": 0}
 
+    keep = ["doc_id", "text", *(index_fields or [])]
+
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):
             return
         corpus = latest_wins(
-            with_docid(batch_df).select("doc_id", "text", "ts")
-        ).select("doc_id", "text")
+            with_docid(batch_df).select(*keep, "ts")
+        ).select(*keep)
         build_segment(
             batch_df.sparkSession,
             corpus,
@@ -64,6 +67,7 @@ def run_incremental_build(
             store_fields=store_fields,
             with_dict=with_dict,
             with_positions=with_positions,
+            index_fields=index_fields,
         )
         processed["n"] += 1
 

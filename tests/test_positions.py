@@ -225,16 +225,21 @@ def test_streaming_build_with_sidecars(spark, tmp_path):
     n = run_incremental_build(
         spark, src, ix, ck, num_partitions=4, merge_when=1,
         store_fields=True, with_dict=True, with_positions=True,
+        index_fields=["role"],
     )
     assert n == 1
     m = load_manifest(ix)
     seg = m.ordered()[0]
     assert seg.has_docstore and seg.has_dict and seg.has_positions
+    assert seg.indexed_fields == ["role"]
     s = IndexSearcher(ix)
     assert s.positions_available()
     # a phrase from the generated vocabulary resolves through positions
     hits = s.search_phrase("tok00000", use="positions")
     assert len(hits) > 0
+    # the streamed keyword field answers pure field queries
+    roles = s.search_parsed_ext("role:user", k=1 << 20)
+    assert len(roles) > 0
 
 
 def test_auto_falls_back_without_sidecar(spark, tmp_path):
