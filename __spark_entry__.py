@@ -33,6 +33,7 @@ from lucene_mapreduce_spark.operators.oracles import (  # noqa: E402
     boosted_sql,
     collapse_sql,
     field_scoped_sql,
+    grouped_topn_sql,
     msm_sql,
     ngram_counts_sql,
     parsed_query_sql,
@@ -86,6 +87,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_should_match_query": fulltext.min_should_match_query,
         "field_scoped_query": fulltext.field_scoped_query,
         "search_collapse": fulltext.search_collapse,
+        "search_grouped_topn": fulltext.search_grouped_topn,
+        "contamination_check": dedup.contamination_check,
         "search_total_hits": fulltext.search_total_hits,
         "search_sort_by_field": fulltext.search_sort_by_field,
         "parsed_query": fulltext.parsed_query,
@@ -210,6 +213,10 @@ def oracle_sql() -> dict[str, str]:
     out["boosted_query"] = boosted_sql()
     out["min_should_match_query"] = msm_sql()
     out["field_scoped_query"] = field_scoped_sql()
+    out["search_grouped_topn"] = grouped_topn_sql(
+        fulltext.FLAGSHIP_QUERY, n=fulltext.GROUP_TOP_N,
+        k_groups=fulltext.GROUP_TOP_GROUPS,
+    )
     out["search_collapse"] = collapse_sql(
         fulltext.FLAGSHIP_QUERY, k=fulltext.COLLAPSE_K
     )

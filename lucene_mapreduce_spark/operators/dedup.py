@@ -77,6 +77,43 @@ def _shingles(docs: DataFrame) -> DataFrame:
     )
 
 
+EVAL_MOD = 97
+
+
+def contamination_check(
+    spark: SparkSession,
+    sf_dir: str,
+    eval_mod: int = EVAL_MOD,
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """Benchmark decontamination: training docs sharing any token 3-gram
+    with the held-out eval split — the n-gram-overlap contamination test
+    an LLM data pipeline runs before training. The eval split here is the
+    deterministic doc_id % eval_mod == 0 slice (stand-in for an external
+    benchmark table; the plan is identical with any eval DataFrame). The
+    eval shingle set is benchmark-sized -> broadcast side of the join
+    against the training shingle index; hot shingles are capped before
+    the join like every shingle self-join (a stop-shingle carries no
+    contamination signal). Output per contaminated training doc: how many
+    eval docs it overlaps and how many (shingle, eval_doc) matches."""
+    docs = load(spark, sf_dir, "documents")
+    sh = _cap_buckets(_shingles(docs), ["shingle"], max_bucket)
+    ev = sh.filter(F.col("doc_id") % eval_mod == 0).select(
+        F.col("doc_id").alias("eval_doc_id"), "shingle"
+    )
+    tr = sh.filter(F.col("doc_id") % eval_mod != 0).select(
+        F.col("doc_id").alias("train_doc_id"), "shingle"
+    )
+    return (
+        tr.join(F.broadcast(ev), "shingle")
+        .groupBy("train_doc_id")
+        .agg(
+            F.countDistinct("eval_doc_id").alias("n_eval_docs"),
+            F.count(F.lit(1)).alias("n_shared"),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     spark: SparkSession, sf_dir: str, threshold: float = 0.5,
     max_bucket: int = MAX_BUCKET,

@@ -700,6 +700,53 @@ def search_collapse(
     )
 
 
+GROUP_TOP_N = 2
+GROUP_TOP_GROUPS = 3
+
+
+def search_grouped_topn(
+    spark: SparkSession,
+    sf_dir: str,
+    query_text: str = FLAGSHIP_QUERY,
+    n: int = GROUP_TOP_N,
+    k_groups: int = GROUP_TOP_GROUPS,
+) -> DataFrame:
+    """Lucene grouping-module TopGroups parity: the top-n hits inside each
+    lang group, for the k_groups groups with the best leading hit.
+    Per-group ranking is a WindowGroupLimit-pushed window (partitioned by
+    group — parallel); group selection ranks only the group leaders."""
+    from pyspark.sql import Window
+
+    from lucene_mapreduce_spark.query.segments import bm25_scores
+
+    ix = _gate_index(spark, sf_dir)
+    queries = spark.createDataFrame(
+        [("q0", query_text)], "query_id string, query_text string"
+    )
+    scored = bm25_scores(spark, ix, queries, round_to=6).select("doc_id", "score")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    w_in = Window.partitionBy("lang").orderBy(F.desc("score"), F.asc("doc_id"))
+    top_in = (
+        scored.join(docs, "doc_id")
+        .withColumn("pos", F.row_number().over(w_in))
+        .filter(F.col("pos") <= n)
+    )
+    leaders = top_in.filter(F.col("pos") == 1).select(
+        "lang", F.col("score").alias("lead_score"), F.col("doc_id").alias("lead_doc")
+    )
+    w_grp = Window.orderBy(F.desc("lead_score"), F.asc("lead_doc"))
+    top_groups = (
+        leaders.withColumn("grp_rank", F.row_number().over(w_grp))
+        .filter(F.col("grp_rank") <= k_groups)
+        .select("lang", "grp_rank")
+    )
+    return (
+        top_in.join(F.broadcast(top_groups), "lang")
+        .select("lang", "grp_rank", "pos", "doc_id", "score")
+        .orderBy("grp_rank", "pos")
+    )
+
+
 def search_total_hits(
     spark: SparkSession, sf_dir: str, query_text: str = BOOLEAN_QUERY
 ) -> DataFrame:

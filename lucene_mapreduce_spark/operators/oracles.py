@@ -313,6 +313,66 @@ WHERE grp_rank <= {k}
 """
 
 
+def grouped_topn_sql(
+    query_text: str, n: int = 2, k_groups: int = 3
+) -> str:
+    """search_grouped_topn twin: per-lang top-n of the 6dp-rounded BM25
+    scores, groups ranked by their leading hit."""
+    qlit = query_text.replace("'", "''")
+    return f"""
+WITH doclens AS (
+  SELECT doc_id, len({TOKS}) AS dl FROM documents
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n_docs, avg(dl::DOUBLE) AS avgdl FROM doclens
+),
+toks AS (
+  SELECT doc_id, unnest({TOKS}) AS term FROM documents
+),
+postings AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2
+),
+qterms AS (
+  SELECT DISTINCT unnest({duckdb_tokens_sql(f"'{qlit}'")}) AS term
+),
+dft AS (
+  SELECT p.term, count(*)::DOUBLE AS df_t
+  FROM postings p JOIN qterms q USING (term) GROUP BY 1
+),
+scored AS (
+  SELECT p.doc_id,
+         ln(1 + (s.n_docs - d.df_t + 0.5) / (d.df_t + 0.5))
+           * (p.tf * {K1 + 1.0}) / (p.tf + {K1} * (1 - {B} + {B} * l.dl / s.avgdl))
+           AS contrib
+  FROM postings p
+  JOIN dft d USING (term)
+  JOIN doclens l USING (doc_id)
+  CROSS JOIN stats s
+),
+agg AS (
+  SELECT doc_id, round(sum(contrib), 6) AS score FROM scored GROUP BY 1
+),
+g AS (
+  SELECT a.doc_id, a.score, d.lang,
+         row_number() OVER (
+           PARTITION BY d.lang ORDER BY a.score DESC, a.doc_id ASC
+         ) AS pos
+  FROM agg a JOIN documents d USING (doc_id)
+),
+leaders AS (
+  SELECT lang, score AS lead_score, doc_id AS lead_doc FROM g WHERE pos = 1
+),
+tg AS (
+  SELECT lang,
+         row_number() OVER (ORDER BY lead_score DESC, lead_doc ASC) AS grp_rank
+  FROM leaders
+)
+SELECT g.lang, t.grp_rank, g.pos, g.doc_id, g.score
+FROM g JOIN tg t USING (lang)
+WHERE g.pos <= {n} AND t.grp_rank <= {k_groups}
+"""
+
+
 def _boolean_match_ctes(query_text: str) -> str:
     """Shared CTEs: per-doc distinct-query-term match count vs the query's
     distinct term count (m = |qt| <=> conjunctive match)."""
@@ -705,6 +765,20 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.5
+""",
+    "contamination_check": f"""
+WITH {_SHINGLES},
+shc AS (
+  SELECT doc_id, shingle FROM (
+    SELECT *, count(*) OVER (PARTITION BY shingle) AS bn FROM sh
+  ) WHERE bn <= 100
+),
+ev AS (SELECT doc_id AS eval_doc_id, shingle FROM shc WHERE doc_id % 97 = 0),
+tr AS (SELECT doc_id AS train_doc_id, shingle FROM shc WHERE doc_id % 97 <> 0)
+SELECT train_doc_id, count(DISTINCT eval_doc_id)::BIGINT AS n_eval_docs,
+       count(*)::BIGINT AS n_shared
+FROM tr JOIN ev USING (shingle)
+GROUP BY 1
 """,
     "minhash_signatures": f"""
 WITH {_SHINGLES}

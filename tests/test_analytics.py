@@ -48,6 +48,37 @@ def test_ngram_counts_and_pmi(spark, tmp_path):
     assert ngram_counts(spark, sf2, k=10).count() == 0
 
 
+def test_contamination_check_planted(spark, tmp_path):
+    """A training doc containing an eval doc's exact 3-gram run is flagged;
+    clean docs are not; a stop-shingle shared by everyone is capped out."""
+    from lucene_mapreduce_spark.operators.dedup import contamination_check
+
+    texts = {}
+    # eval docs: ids % 7 == 0 (use eval_mod=7 for a small fixture)
+    texts[0] = "secret benchmark answer alpha beta"
+    texts[7] = "another held out probe gamma delta"
+    # contaminated trainer: contains eval 0's 3-gram "secret benchmark answer"
+    texts[1] = "prefix words secret benchmark answer suffix"
+    # clean trainers
+    texts[2] = "totally unrelated text about cooking pasta"
+    texts[3] = "gamma delta alone is only a bigram overlap"
+    sf = str(tmp_path)
+    pd.DataFrame(
+        {
+            "doc_id": sorted(texts),
+            "text": [texts[k] for k in sorted(texts)],
+            "lang": ["en"] * len(texts),
+            "source": ["s"] * len(texts),
+        }
+    ).to_parquet(sf + "/documents.parquet")
+    out = {
+        r["train_doc_id"]: r
+        for r in contamination_check(spark, sf, eval_mod=7).collect()
+    }
+    assert 1 in out and out[1]["n_eval_docs"] == 1 and out[1]["n_shared"] == 1
+    assert 2 not in out and 3 not in out
+
+
 def test_significant_terms_lift(spark, tmp_path):
     from lucene_mapreduce_spark.operators.fulltext import significant_terms
 
