@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_collapse": fulltext.search_collapse,
         "search_grouped_topn": fulltext.search_grouped_topn,
         "contamination_check": dedup.contamination_check,
+        "gopher_rules": textstats.gopher_rules,
         "search_total_hits": fulltext.search_total_hits,
         "search_sort_by_field": fulltext.search_sort_by_field,
         "parsed_query": fulltext.parsed_query,

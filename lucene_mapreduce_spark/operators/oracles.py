@@ -766,6 +766,31 @@ JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.5
 """,
+    "gopher_rules": f"""
+WITH d AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+base AS (
+  SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+    CASE WHEN len(toks) > 0 THEN round(
+      list_sum(list_transform(toks, x -> len(x)))::DOUBLE / len(toks), 6)
+      ELSE 0.0 END AS mean_token_len,
+    CASE WHEN len(toks) >= 3 THEN round(
+      1.0 - len(list_distinct(list_transform(range(1, len(toks) - 1),
+        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))::DOUBLE
+      / (len(toks) - 2), 6)
+      ELSE 0.0 END AS frac_dup_3gram,
+    CASE WHEN len(toks) > 0 THEN round(
+      list_max(list_transform(list_distinct(toks),
+        t -> len(list_filter(toks, x -> x = t))))::DOUBLE / len(toks), 6)
+      ELSE 0.0 END AS top_token_frac
+  FROM d
+)
+SELECT doc_id, n_tokens, mean_token_len, frac_dup_3gram, top_token_frac,
+       (n_tokens BETWEEN 5 AND 10000
+        AND mean_token_len BETWEEN 2.0 AND 12.0
+        AND frac_dup_3gram <= 0.3
+        AND top_token_frac <= 0.3) AS keep
+FROM base
+""",
     "contamination_check": f"""
 WITH {_SHINGLES},
 shc AS (

@@ -119,6 +119,84 @@ def token_windows(
     )
 
 
+def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style per-document quality rules — the repetition and
+    shape filters an LLM corpus curation pass applies before training:
+
+    - n_tokens and mean token length (too short / too long / gibberish)
+    - frac_dup_3gram: fraction of intra-doc 3-grams that are repeats
+      (boilerplate and looping text)
+    - top_token_frac: share of the most frequent token (degenerate docs)
+    - keep: the conjunction of documented thresholds
+
+    Everything is a per-row codegen expression over the token array — no
+    shuffle, no UDF; the keep filter pushes work nowhere because there is
+    no exchange to push past (embarrassingly parallel at any scale)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tokenize_col("text")
+    n = F.size(toks)
+    mean_len = F.when(
+        n > 0,
+        F.round(
+            F.aggregate(
+                toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+            ).cast("double")
+            / n,
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    tg_total = F.greatest(n - F.lit(2), F.lit(0))
+    threegrams = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(2)),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    dup3 = F.when(
+        tg_total > 0,
+        F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct(threegrams)).cast("double") / tg_total,
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    top_frac = F.when(
+        n > 0,
+        F.round(
+            F.array_max(
+                F.transform(
+                    F.array_distinct(toks),
+                    lambda t: F.size(F.filter(toks, lambda x: x == t)),
+                )
+            ).cast("double")
+            / n,
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    out = docs.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        mean_len.alias("mean_token_len"),
+        dup3.alias("frac_dup_3gram"),
+        top_frac.alias("top_token_frac"),
+    )
+    keep = (
+        (F.col("n_tokens") >= 5)
+        & (F.col("n_tokens") <= 10000)
+        & (F.col("mean_token_len") >= 2.0)
+        & (F.col("mean_token_len") <= 12.0)
+        & (F.col("frac_dup_3gram") <= 0.3)
+        & (F.col("top_token_frac") <= 0.3)
+    )
+    return out.withColumn("keep", keep)
+
+
 NGRAM_TOP_K = 20
 
 

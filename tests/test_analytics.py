@@ -79,6 +79,25 @@ def test_contamination_check_planted(spark, tmp_path):
     assert 2 not in out and 3 not in out
 
 
+def test_gopher_rules_semantics(spark, tmp_path):
+    from lucene_mapreduce_spark.operators.textstats import gopher_rules
+
+    texts = [
+        "a normal document with seven distinct tokens",     # keep
+        "spam spam spam spam spam spam spam spam",          # top_token_frac 1.0
+        "too short",                                        # n_tokens < 5
+        "one two one two one two one two one two",          # dup 3-grams
+    ]
+    sf = _write_docs(tmp_path, texts)
+    rows = {r["doc_id"]: r for r in gopher_rules(spark, sf).collect()}
+    assert rows[0]["keep"] is True
+    assert rows[1]["keep"] is False and rows[1]["top_token_frac"] == 1.0
+    assert rows[2]["keep"] is False and rows[2]["n_tokens"] == 2
+    assert rows[3]["keep"] is False and rows[3]["frac_dup_3gram"] > 0.3
+    # dup fraction spot check: 10 tokens -> 8 3-grams, 2 distinct -> 0.75
+    assert rows[3]["frac_dup_3gram"] == 0.75
+
+
 def test_significant_terms_lift(spark, tmp_path):
     from lucene_mapreduce_spark.operators.fulltext import significant_terms
 
