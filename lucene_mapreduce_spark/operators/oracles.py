@@ -885,6 +885,26 @@ SELECT doc_a, doc_b,
 FROM cand WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 12
 """,
     # ------------------------------------------------------------- similarity
+    "ann_batch_topk": """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+  FROM embeddings WHERE vec_id % 101 = 0
+)
+SELECT query_id, vec_id, cosine, rank FROM (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC
+         ) AS rank
+  FROM (
+    SELECT q.query_id, e.vec_id,
+           round(list_dot_product(e.embedding::DOUBLE[], q.qvec)
+                 / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                          e.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(q.qvec, q.qvec))), 6) AS cosine
+    FROM embeddings e, q WHERE e.vec_id <> q.query_id
+  )
+) WHERE rank <= 5
+""",
     "ann_bruteforce_topk": """
 WITH q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0)
 SELECT vec_id, cosine, rank FROM (

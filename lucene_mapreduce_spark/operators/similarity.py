@@ -102,6 +102,48 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFr
     )
 
 
+ANN_BATCH_MOD = 101
+
+
+def ann_batch_topk(
+    spark: SparkSession, sf_dir: str, k: int = 5, qmod: int = ANN_BATCH_MOD
+) -> DataFrame:
+    """Batch exact ANN: cosine top-k for EVERY query vector of a probe
+    batch (the deterministic vec_id % qmod == 0 slice stands in for the
+    reference's daily probe file). The query batch broadcasts against one
+    corpus scan; per-query ranking is a WindowGroupLimit-pushed window
+    partitioned by query — queries score in parallel, no per-query jobs.
+    At 10^12 rows the same plan holds with the LSH/IVF candidate
+    generation swapped in front of the scoring join."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % qmod == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                _cosine(
+                    F.col("embedding").cast("array<double>"),
+                    F.col("qvec").cast("array<double>"),
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
 def _probe_sigs(qbits: str, max_hamming: int) -> list[str]:
     """All bit-strings within hamming<=max_hamming of qbits (multi-probe)."""
     from itertools import combinations
