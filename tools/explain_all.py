@@ -75,6 +75,18 @@ def main() -> None:
          lambda: fulltext.search_collapse(spark, sf_dir)),
         ("tfidf_topk (pluggable similarity over the index read path)",
          lambda: fulltext.tfidf_topk(spark, sf_dir)),
+        ("field_facets (index-only facet counts: keyword postings x hits)",
+         lambda: fulltext.field_facets(spark, sf_dir)),
+        ("contamination_check (decontamination: broadcast eval shingles)",
+         lambda: dedup.contamination_check(spark, sf_dir)),
+        ("gopher_rules (shuffle-free per-row quality expressions)",
+         lambda: __import__(
+             "lucene_mapreduce_spark.operators.textstats", fromlist=["x"]
+         ).gopher_rules(spark, sf_dir)),
+        ("ann_batch_topk (probe batch: one scan, per-query WindowGroupLimit)",
+         lambda: __import__(
+             "lucene_mapreduce_spark.operators.similarity", fromlist=["x"]
+         ).ann_batch_topk(spark, sf_dir)),
     ]
 
     out = [HEADER]
