@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_check": dedup.contamination_check,
         "gopher_rules": textstats.gopher_rules,
         "ann_batch_topk": similarity.ann_batch_topk,
+        "ann_ivf_batch_topk": ivf.ann_ivf_batch_topk,
         "search_total_hits": fulltext.search_total_hits,
         "search_sort_by_field": fulltext.search_sort_by_field,
         "parsed_query": fulltext.parsed_query,

@@ -189,6 +189,70 @@ def _probe_lists(
     return [cid for _, cid in sorted(scored)[:nprobe]]
 
 
+def ann_ivf_batch_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 5,
+    qmod: int | None = None,
+    nprobe: int = N_PROBE,
+    lists_df: DataFrame | None = None,
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """Batch IVF probing: top-k for every query of a probe batch through
+    the inverted lists. Per-query probe sets are computed driver-side
+    against the (tiny) centroid table — Lucene-style query rewriting —
+    and shipped as a broadcast (query_id, list_id, qvec) frame; the join
+    on list_id prunes the scan to the union of probed partitions, and
+    each (query, vector) pair scores at most once (a vector lives in
+    exactly one list). Per-query ranking is a WindowGroupLimit window."""
+    from lucene_mapreduce_spark.operators.similarity import ANN_BATCH_MOD
+
+    qmod = ANN_BATCH_MOD if qmod is None else qmod
+    cents = centroids if centroids is not None else _centroids(spark, sf_dir)
+    qrows = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % qmod == 0)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .collect()
+    )
+    pairs = []
+    for r in qrows:
+        qid = int(r["vec_id"])
+        qv = [float(x) for x in r["v"]]
+        for lid in _probe_lists(qv, cents, nprobe):
+            pairs.append((qid, int(lid), qv))
+    qdf = spark.createDataFrame(
+        pairs, "query_id long, list_id int, qvec array<double>"
+    )
+    lists = (
+        lists_df
+        if lists_df is not None
+        else assign_lists(spark, sf_dir, centroids=cents)
+    )
+    scored = (
+        lists.join(F.broadcast(qdf), "list_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                _cosine_guarded(
+                    F.col("embedding").cast("array<double>"), F.col("qvec")
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
 def ann_ivf_topk(
     spark: SparkSession,
     sf_dir: str,

@@ -1482,8 +1482,65 @@ SELECT vec_id, cosine, rank FROM (
 """
 
 
+def _ann_ivf_batch_sql(k: int = 5, qmod: int = 101) -> str:
+    """Batch-IVF twin: per-query probe sets AND assignments computed in
+    SQL (probe selection is NOT imported from the engine — the oracle
+    independently derives which lists each query probes)."""
+    from lucene_mapreduce_spark.operators.ivf import N_CENTROIDS, N_PROBE
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"CASE WHEN list_dot_product({a}, {a}) = 0"
+            f" OR list_dot_product({b}, {b}) = 0 THEN -2.0"
+            f" ELSE list_dot_product({a}, {b})"
+            f" / (sqrt(list_dot_product({a}, {a}))"
+            f" * sqrt(list_dot_product({b}, {b}))) END"
+        )
+
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (
+  SELECT vec_id AS cid, v AS cv FROM e
+  WHERE vec_id BETWEEN 1 AND {N_CENTROIDS}
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % {qmod} = 0),
+probe AS (
+  SELECT query_id, cid FROM (
+    SELECT q.query_id, c.cid,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {cos("q.qv", "c.cv")} DESC, c.cid ASC)
+             AS rn
+    FROM cents c, q
+  ) WHERE rn <= {N_PROBE}
+),
+assign AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cos("e.v", "c.cv")} DESC, c.cid ASC)
+             AS rn
+    FROM e, cents c
+  ) WHERE rn = 1
+),
+scored AS (
+  SELECT q.query_id, a.vec_id, round({cos("a.v", "q.qv")}, 6) AS cosine
+  FROM assign a
+  JOIN probe p ON a.cid = p.cid
+  JOIN q ON q.query_id = p.query_id
+  WHERE a.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, cosine, rank FROM (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
 ORACLES["ann_lsh_topk"] = _ann_lsh_sql()
 ORACLES["ann_ivf_topk"] = _ann_ivf_sql()
+ORACLES["ann_ivf_batch_topk"] = _ann_ivf_batch_sql()
 ORACLES["embedding_near_dup_pairs"] = _near_dup_sql()
 
 # ------------------------------------------------------------- curation

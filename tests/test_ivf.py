@@ -139,3 +139,23 @@ def test_ivf_scan_reads_only_probed_fraction(spark, planted, tmp_path):
     total = assign_lists(spark, planted).count()
     assert probe_rows < total  # strictly less: pruning has something to cut
     assert N_PROBE < N_CENTROIDS
+
+
+def test_ivf_batch_query0_matches_single(spark, sf_dir):
+    """query_id 0 is in the probe batch (0 % mod == 0); its batch rows
+    must equal the single-query IVF path at the same k."""
+    from lucene_mapreduce_spark.operators.ivf import (
+        ann_ivf_batch_topk,
+        ann_ivf_topk,
+    )
+
+    single = [
+        (r["vec_id"], r["cosine"], r["rank"])
+        for r in ann_ivf_topk(spark, sf_dir, k=5).collect()
+    ]
+    batch = [
+        (r["vec_id"], r["cosine"], r["rank"])
+        for r in ann_ivf_batch_topk(spark, sf_dir, k=5).collect()
+        if r["query_id"] == 0
+    ]
+    assert batch == single
