@@ -91,11 +91,13 @@ def contamination_check(
     an LLM data pipeline runs before training. The eval split here is the
     deterministic doc_id % eval_mod == 0 slice (stand-in for an external
     benchmark table; the plan is identical with any eval DataFrame). The
-    eval shingle set is benchmark-sized -> broadcast side of the join
-    against the training shingle index; hot shingles are capped before
-    the join like every shingle self-join (a stop-shingle carries no
-    contamination signal). Output per contaminated training doc: how many
-    eval docs it overlaps and how many (shingle, eval_doc) matches."""
+    join is a plain shingle-key equi-join (AQE broadcasts the eval side
+    when it is benchmark-sized, shuffles when the "eval" slice is large —
+    never a forced broadcast of an unbounded side); hot shingles are
+    capped before the join like every shingle self-join (a stop-shingle
+    carries no contamination signal). Output per contaminated training
+    doc: how many eval docs it overlaps and how many (shingle, eval_doc)
+    matches."""
     docs = load(spark, sf_dir, "documents")
     sh = _cap_buckets(_shingles(docs), ["shingle"], max_bucket)
     ev = sh.filter(F.col("doc_id") % eval_mod == 0).select(
@@ -105,7 +107,7 @@ def contamination_check(
         F.col("doc_id").alias("train_doc_id"), "shingle"
     )
     return (
-        tr.join(F.broadcast(ev), "shingle")
+        tr.join(ev, "shingle")
         .groupBy("train_doc_id")
         .agg(
             F.countDistinct("eval_doc_id").alias("n_eval_docs"),

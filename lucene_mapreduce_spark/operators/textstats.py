@@ -166,18 +166,31 @@ def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ),
     ).otherwise(F.lit(0.0))
+    # longest equal-run over the SORTED token array = max token count —
+    # O(dl) per doc (a distinct x filter scan would be O(distinct * dl),
+    # quadratic on adversarially long repetitive docs)
+    run_state = F.aggregate(
+        F.array_sort(toks),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
     top_frac = F.when(
         n > 0,
-        F.round(
-            F.array_max(
-                F.transform(
-                    F.array_distinct(toks),
-                    lambda t: F.size(F.filter(toks, lambda x: x == t)),
-                )
-            ).cast("double")
-            / n,
-            6,
-        ),
+        F.round(run_state.cast("double") / n, 6),
     ).otherwise(F.lit(0.0))
     out = docs.select(
         "doc_id",
