@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_query_positions": fulltext.near_query_positions,
         "phrase_query": fulltext.phrase_query,
         "phrase_query_positions": fulltext.phrase_query_positions,
+        "phrase_slop_query": fulltext.phrase_slop_query,
         "phrase_match_batch": fulltext.phrase_match_batch,
         "boolean_match_batch": fulltext.boolean_match_batch,
         "near_match_batch": fulltext.near_match_batch,

@@ -1089,6 +1089,26 @@ def near_match_batch(
     return near_match(spark, ix, query_text, window=window)
 
 
+PHRASE_SLOP = 1
+
+
+def phrase_slop_query(
+    spark: SparkSession,
+    sf_dir: str,
+    phrase_text: str = PHRASE_QUERY,
+    slop: int = PHRASE_SLOP,
+) -> DataFrame:
+    """Sloppy phrase retrieval (`"fast merge"~1` — QueryParser phrase
+    slop): the terms in order with at most `slop` extra tokens between,
+    verified from the positional sidecar (greedy nearest-next chaining).
+    Oracle: an ordered sliding check over the token arrays."""
+    from lucene_mapreduce_spark.query.wand import IndexSearcher
+
+    ix = _gate_index(spark, sf_dir)
+    docids = IndexSearcher(ix).search_phrase_slop(phrase_text, slop=slop)
+    return spark.createDataFrame([(int(d),) for d in docids], "doc_id long")
+
+
 def phrase_match_batch(
     spark: SparkSession, sf_dir: str, phrase_text: str = PHRASE_QUERY
 ) -> DataFrame:

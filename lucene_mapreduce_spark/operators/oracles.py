@@ -1093,6 +1093,13 @@ SELECT doc_id FROM (SELECT doc_id, {TOKS} AS toks FROM documents)
 WHERE len(list_filter(range(1, len(toks)),
           i -> toks[i] = 'fast' AND toks[i+1] = 'merge')) > 0
 """,
+    # ordered slop-1: 'fast' then 'merge' within the next 2 positions
+    "phrase_slop_query": f"""
+SELECT doc_id FROM (SELECT doc_id, {TOKS} AS toks FROM documents)
+WHERE len(list_filter(range(1, len(toks) + 1), i ->
+      toks[i] = 'fast'
+  AND list_contains(list_slice(toks, i + 1, i + 2), 'merge'))) > 0
+""",
     "phrase_match_batch": f"""
 SELECT doc_id FROM (SELECT doc_id, {TOKS} AS toks FROM documents)
 WHERE len(list_filter(range(1, len(toks)),

@@ -60,6 +60,8 @@ _BOOST = re.compile(r"^(.*?)\^(\d+(?:\.\d+)?)$")
 # numeric range clause: field:[lo TO hi], * = open end (Lucene syntax);
 # matched BEFORE whitespace split because the brackets contain spaces
 _RANGE = re.compile(r"([+-]?)(\w+):\[\s*(\S+)\s+TO\s+(\S+)\s*\]")
+# sloppy phrase "a b"~N — matched before plain quotes strip the suffix
+_SLOPPY = re.compile(r'"([^"]*)"~(\d+)')
 
 
 def parse_query_ext(query: str) -> dict:
@@ -77,12 +79,31 @@ def parse_query_ext(query: str) -> dict:
     - ``field:[lo TO hi]``-> a numeric range clause (Lucene
                              PointRangeQuery; inclusive, ``*`` = open
                              end); ``-`` prefix makes it MUST_NOT.
+    - ``"a b"~N``         -> a sloppy phrase (QueryParser phrase slop):
+                             the terms IN ORDER with at most N extra
+                             tokens interleaved total (ordered SpanNear —
+                             a documented simplification of Lucene's
+                             transposition-counting slop). ~0 or no
+                             suffix = the exact phrase.
 
-    Returns a dict: must / must_not / should (sorted term lists), phrases,
-    boosts (term -> float, default absent = 1.0), field_must /
-    field_must_not (sorted (field, value) lists).
+    Returns a dict: must / must_not / should (sorted term lists), phrases
+    (slop-0), sloppy_phrases ((tokens, slop) pairs), boosts (term ->
+    float, default absent = 1.0), field_must / field_must_not (sorted
+    (field, value) lists), range_must / range_must_not.
     """
     phrases: list[list[str]] = []
+    sloppy: list[tuple[list[str], int]] = []
+
+    def _grab_sloppy(m: re.Match) -> str:
+        toks = tokenize_string(m.group(1))
+        slop = int(m.group(2))
+        if toks:
+            (phrases if slop == 0 else sloppy).append(
+                toks if slop == 0 else (toks, slop)
+            )
+        return " "
+
+    rest = _SLOPPY.sub(_grab_sloppy, query)
 
     def _grab(m: re.Match) -> str:
         toks = tokenize_string(m.group(1))
@@ -90,7 +111,7 @@ def parse_query_ext(query: str) -> dict:
             phrases.append(toks)
         return " "
 
-    rest = _QUOTED.sub(_grab, query)
+    rest = _QUOTED.sub(_grab, rest)
     range_must: list[tuple[str, float | None, float | None]] = []
     range_must_not: list[tuple[str, float | None, float | None]] = []
 
@@ -133,6 +154,7 @@ def parse_query_ext(query: str) -> dict:
         "must": sorted(must),
         "must_not": sorted(must_not),
         "phrases": phrases,
+        "sloppy_phrases": sloppy,
         "should": sorted(should),
         "boosts": boosts,
         "field_must": sorted(field_must),

@@ -539,6 +539,68 @@ class IndexSearcher:
             parts.append(d)
         return np.sort(np.concatenate(parts)) if parts else np.zeros(0, np.int64)
 
+    def search_phrase_slop(
+        self, phrase_text: str, slop: int, use: str = "auto"
+    ) -> np.ndarray:
+        """Sloppy phrase (`"a b"~N`): the phrase terms IN ORDER with at
+        most `slop` extra tokens interleaved in total (ordered SpanNear —
+        a documented simplification of Lucene's transposition-counting
+        slop; slop 0 degenerates to the exact phrase). Verification is
+        greedy per start position — chaining each term to its nearest
+        following occurrence minimizes the span, so existence under the
+        slop budget is exact."""
+        phrase = tokenize_string(phrase_text)
+        if not phrase:
+            return np.zeros(0, np.int64)
+        if slop <= 0 or len(phrase) == 1:
+            return self.search_phrase(phrase_text, use=use)
+        cand = self.search_boolean(phrase_text, mode="and")
+        if not len(cand):
+            return cand
+        budget = slop + len(phrase) - 1  # max allowed (p_k - p_1)
+        if use == "positions" or (use == "auto" and self.positions_available()):
+            posmap = self._load_positions(cand, sorted(set(phrase)))
+
+            def _pos(d: int, t: str):
+                return posmap.get((int(d), t))
+
+        else:
+            texts = self._load_texts(cand)
+            tok_cache = {
+                int(d): tokenize_string(texts.get(int(d), "")) for d in cand
+            }
+
+            def _pos(d: int, t: str):
+                toks = tok_cache[int(d)]
+                p = np.asarray(
+                    [i for i, x in enumerate(toks) if x == t], np.int64
+                )
+                return p if len(p) else None
+
+        hits = []
+        for d in cand:
+            starts = _pos(d, phrase[0])
+            if starts is None:
+                continue
+            last = starts.copy()
+            keep_starts = starts
+            ok = True
+            for t in phrase[1:]:
+                nxt = _pos(d, t)
+                if nxt is None:
+                    ok = False
+                    break
+                idx = np.searchsorted(nxt, last, side="right")
+                valid = idx < len(nxt)
+                if not valid.any():
+                    ok = False
+                    break
+                keep_starts = keep_starts[valid]
+                last = nxt[idx[valid]]
+            if ok and len(last) and ((last - keep_starts) <= budget).any():
+                hits.append(int(d))
+        return np.asarray(sorted(hits), np.int64)
+
     def search_parsed_ext(
         self, query: str, k: int = 10, min_should_match: int = 0
     ) -> list[tuple[int, float]]:
@@ -567,6 +629,11 @@ class IndexSearcher:
                 return []
         for ph in spec["phrases"]:
             hits = self.search_phrase(" ".join(ph))
+            cand = hits if cand is None else np.intersect1d(cand, hits)
+            if not len(cand):
+                return []
+        for ph, slop in spec.get("sloppy_phrases", []):
+            hits = self.search_phrase_slop(" ".join(ph), slop)
             cand = hits if cand is None else np.intersect1d(cand, hits)
             if not len(cand):
                 return []

@@ -163,6 +163,50 @@ def test_boolean_and_near_match_batch_identity(spark, pos_index):
         assert got == want, f"window={w}"
 
 
+def test_phrase_slop_semantics(spark, tmp_path):
+    from lucene_mapreduce_spark.query.parse import parse_query_ext
+
+    ix = str(tmp_path / "ix")
+    build_segment(
+        spark,
+        _corpus(
+            spark,
+            [
+                (0, "fast merge now"),            # exact
+                (1, "fast x merge"),              # 1 gap
+                (2, "fast x y merge"),            # 2 gaps
+                (3, "merge then fast"),           # reversed — ordered slop: no
+                (4, "fast alone and also merge fast merge"),  # exact at tail
+            ],
+        ),
+        ix,
+        num_partitions=4,
+        store_fields=True,
+        with_positions=True,
+    )
+    s = IndexSearcher(ix)
+    # slop 0 == exact phrase
+    assert list(s.search_phrase_slop("fast merge", 0)) == list(
+        s.search_phrase("fast merge")
+    )
+    for use in ("positions", "stored"):
+        assert list(s.search_phrase_slop("fast merge", 1, use=use)) == [0, 1, 4]
+        assert list(s.search_phrase_slop("fast merge", 2, use=use)) == [0, 1, 2, 4]
+    # reversed order never matches an ordered sloppy phrase
+    assert 3 not in set(s.search_phrase_slop("fast merge", 5))
+    # parser grammar + ext integration
+    spec = parse_query_ext('now "fast merge"~2 -zzz')
+    assert spec["sloppy_phrases"] == [(["fast", "merge"], 2)]
+    assert spec["phrases"] == []
+    hits = s.search_parsed_ext('"fast merge"~1 now', k=10)
+    # candidates = the slop-1 hits; doc 0 ranks first (scores SHOULD 'now')
+    assert [d for d, _ in hits] == [0, 1, 4]
+    assert hits[0][1] > hits[1][1] == hits[2][1] == 0.0
+    # ~0 routes to the exact-phrase clause list
+    spec0 = parse_query_ext('"fast merge"~0')
+    assert spec0["phrases"] == [["fast", "merge"]] and spec0["sloppy_phrases"] == []
+
+
 def test_near_match_three_terms(spark, tmp_path):
     """Proximity with three terms: a window must contain ALL of them —
     pairwise closeness is not enough (doc 1: a-b close, b-c close, but no
