@@ -30,6 +30,7 @@ from lucene_mapreduce_spark.operators.oracles import (  # noqa: E402
     bm25_topk_sql,
     mlt_sql,
     fuzzy_sql,
+    autocomplete_sql,
     boosted_sql,
     collapse_sql,
     field_scoped_sql,
@@ -43,6 +44,7 @@ from lucene_mapreduce_spark.operators.oracles import (  # noqa: E402
     significant_terms_sql,
     snippets_sql,
     sort_by_field_sql,
+    spell_suggest_sql,
     term_range_sql,
     terms_enum_sql,
     tfidf_sql,
@@ -83,6 +85,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_parsed_query": fulltext.range_parsed_query,
         "tfidf_topk": fulltext.tfidf_topk,
         "terms_enum": fulltext.terms_enum,
+        "spell_suggest": fulltext.spell_suggest,
+        "autocomplete": fulltext.autocomplete,
         "boosted_query": fulltext.boosted_query,
         "min_should_match_query": fulltext.min_should_match_query,
         "field_scoped_query": fulltext.field_scoped_query,
@@ -213,6 +217,8 @@ def oracle_sql() -> dict[str, str]:
     )
     out["tfidf_topk"] = tfidf_sql(fulltext.FLAGSHIP_QUERY)
     out["terms_enum"] = terms_enum_sql(fulltext.TERMS_ENUM_K)
+    out["spell_suggest"] = spell_suggest_sql(fulltext.SPELL_INPUT)
+    out["autocomplete"] = autocomplete_sql(fulltext.AUTOCOMPLETE_PREFIX)
     out["range_parsed_query"] = range_parsed_sql()
     out["boosted_query"] = boosted_sql()
     out["min_should_match_query"] = msm_sql()

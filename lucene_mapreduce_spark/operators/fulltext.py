@@ -398,6 +398,78 @@ def term_range_query(
     return _score_expanded(spark, ix, matched, k)
 
 
+SPELL_INPUT = "sor"  # -> sort (dist 1) then row/slow (dist 2, df ties)
+
+
+def spell_suggest(
+    spark: SparkSession,
+    sf_dir: str,
+    word: str = SPELL_INPUT,
+    max_dist: int = 2,
+    k: int = 5,
+) -> DataFrame:
+    """Lucene SpellChecker (did-you-mean) parity: dictionary terms within
+    edit distance `max_dist` of the input, ranked (distance asc, df desc,
+    term asc) — more-frequent corrections win ties, exactly the
+    spellchecker's popularity heuristic. Candidates come from the
+    term-dictionary sidecar (df rides along, no postings touched)."""
+    import os
+
+    from lucene_mapreduce_spark.index.manifest import load_manifest, segment_dir
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+
+    ix = _gate_index(spark, sf_dir)
+    m = load_manifest(ix)
+    assert m is not None and all(s.has_dict for s in m.ordered())
+    dic = None
+    for s in m.ordered():
+        d = spark.read.parquet(
+            os.path.join(segment_dir(ix, s.segment_id), "dictionary")
+        ).select("term", "df")
+        dic = d if dic is None else dic.unionByName(d)
+    dic = dic.groupBy("term").agg(F.sum("df").cast("long").alias("df"))
+    cands = dic.withColumn(
+        "dist", F.levenshtein(F.col("term"), F.lit(word)).cast("int")
+    ).filter(F.col("dist") <= max_dist)
+    return ranked_topk(
+        cands, [F.asc("dist"), F.desc("df"), F.asc("term")], k
+    ).select("term", "dist", "df", "rank")
+
+
+AUTOCOMPLETE_PREFIX = "s"
+
+
+def autocomplete(
+    spark: SparkSession,
+    sf_dir: str,
+    prefix: str = AUTOCOMPLETE_PREFIX,
+    k: int = 5,
+) -> DataFrame:
+    """Lucene suggest-module parity (prefix completion): dictionary terms
+    starting with the prefix ranked by collection frequency desc (term
+    asc ties) — the weight a suggester index carries. A sorted term
+    dictionary answers the prefix scan as a range seek at scale."""
+    import os
+
+    from lucene_mapreduce_spark.index.manifest import load_manifest, segment_dir
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+
+    ix = _gate_index(spark, sf_dir)
+    m = load_manifest(ix)
+    assert m is not None and all(s.has_dict for s in m.ordered())
+    dic = None
+    for s in m.ordered():
+        d = spark.read.parquet(
+            os.path.join(segment_dir(ix, s.segment_id), "dictionary")
+        ).select("term", "cf")
+        dic = d if dic is None else dic.unionByName(d)
+    dic = dic.groupBy("term").agg(F.sum("cf").cast("long").alias("cf"))
+    cands = dic.filter(F.col("term").startswith(prefix))
+    return ranked_topk(
+        cands, [F.desc("cf"), F.asc("term")], k
+    ).select("term", "cf", "rank")
+
+
 def index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index-integrity check as a gate query: the manifest's segment-stat
     bookkeeping (n_docs, total_tokens — columnar sums maintained through

@@ -461,6 +461,49 @@ WHERE rank <= {k}
 """
 
 
+def spell_suggest_sql(word: str, max_dist: int = 2, k: int = 5) -> str:
+    """spell_suggest twin: vocabulary terms within levenshtein max_dist,
+    ranked (dist asc, df desc, term asc)."""
+    w = word.replace("'", "''")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKS}) AS term FROM documents
+),
+d AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM toks GROUP BY 1
+),
+c AS (
+  SELECT term, levenshtein(term, '{w}')::INT AS dist, df FROM d
+  WHERE levenshtein(term, '{w}') <= {max_dist}
+)
+SELECT term, dist, df, rank
+FROM (
+  SELECT term, dist, df,
+         row_number() OVER (ORDER BY dist ASC, df DESC, term ASC) AS rank
+  FROM c
+)
+WHERE rank <= {k}
+"""
+
+
+def autocomplete_sql(prefix: str, k: int = 5) -> str:
+    """autocomplete twin: prefix-matched vocabulary ranked by cf desc."""
+    p = prefix.replace("'", "''")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKS}) AS term FROM documents
+),
+d AS (SELECT term, count(*)::BIGINT AS cf FROM toks GROUP BY 1)
+SELECT term, cf, rank
+FROM (
+  SELECT term, cf,
+         row_number() OVER (ORDER BY cf DESC, term ASC) AS rank
+  FROM d WHERE term LIKE '{p}%'
+)
+WHERE rank <= {k}
+"""
+
+
 def terms_enum_sql(k: int = 15) -> str:
     """terms_enum twin: df/cf per term recomputed from the raw corpus,
     top-k by (df desc, term asc)."""

@@ -100,6 +100,13 @@ def test_expansion_identical_with_and_without_dict(spark, tmp_path):
     fulltext._GATE_INDEXES[sf_dict] = ixd  # route the gate path to it
 
     fz_plain = fulltext.fuzzy_query(spark, sf_plain, query_text="merge").collect()
+    # suggest module rides the same dictionary: did-you-mean + completion
+    sg = fulltext.spell_suggest(spark, sf_dict, word="merg", max_dist=1).collect()
+    assert sg and sg[0]["term"] == "merge" and sg[0]["dist"] == 1
+    ac = fulltext.autocomplete(spark, sf_dict, prefix="me").collect()
+    assert [r["term"] for r in ac][:1] == ["merge"]
+    # cf-desc ranking with term-asc ties, rank contiguous from 1
+    assert [r["rank"] for r in ac] == list(range(1, len(ac) + 1))
     fz_dict = fulltext.fuzzy_query(spark, sf_dict, query_text="merge").collect()
     assert [tuple(r) for r in fz_plain] == [tuple(r) for r in fz_dict]
     pf_plain = fulltext.prefix_query(spark, sf_plain, prefix="s").collect()
