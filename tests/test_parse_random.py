@@ -168,3 +168,9 @@ def test_phrase_near_positions_vs_stored_randomized(
         assert na == nb, f"near {ph!r} w={w}"
         nc = [r["doc_id"] for r in near_match(spark, ix, ph, window=w).collect()]
         assert nc == na, f"batch near {ph!r} w={w}"
+        slop = rng.randint(0, 3)
+        sa = list(s.search_phrase_slop(ph, slop, use="positions"))
+        sb = list(s.search_phrase_slop(ph, slop, use="stored"))
+        assert sa == sb, f"slop {ph!r} ~{slop}"
+        if slop == 0:
+            assert sa == list(s.search_phrase(ph, use="positions"))
