@@ -13,11 +13,17 @@ Single-query flags:
   --min-should-match N  require >= N SHOULD terms to match (with --syntax ext)
   --like DOC_ID       MoreLikeThis: docs similar to DOC_ID (needs docstore)
   --range LO:HI       scope the search to docids [LO, HI)
+  --spell WORD        did-you-mean suggestions from the dictionary sidecar
+  --complete PREFIX   autocomplete from the dictionary sidecar
 """
 
 from __future__ import annotations
 
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
@@ -31,7 +37,45 @@ def main() -> None:
     ap.add_argument("--min-should-match", type=int, default=0)
     ap.add_argument("--like", type=int, default=None)
     ap.add_argument("--range", default=None, help="LO:HI docid span")
+    ap.add_argument("--spell", default=None)
+    ap.add_argument("--complete", default=None)
     args = ap.parse_args()
+
+    if args.spell or args.complete:
+        # dictionary-sidecar suggesters: driver-side DuckDB read, no Spark
+        import os
+
+        import duckdb
+
+        from lucene_mapreduce_spark.index.manifest import (
+            load_manifest,
+            segment_dir,
+        )
+
+        m = load_manifest(args.index)
+        assert m is not None and all(s.has_dict for s in m.ordered()), (
+            "--spell/--complete need with_dict=True segments"
+        )
+        globs = ", ".join(
+            f"'{os.path.join(segment_dir(args.index, s.segment_id), 'dictionary')}/*.parquet'"
+            for s in m.ordered()
+        )
+        if args.spell:
+            w = args.spell.replace("'", "''")
+            sql = (
+                f"SELECT term, levenshtein(term, '{w}') AS dist, sum(df)::BIGINT AS df "
+                f"FROM read_parquet([{globs}]) WHERE levenshtein(term, '{w}') <= 2 "
+                f"GROUP BY 1, 2 ORDER BY dist, df DESC, term LIMIT {args.k}"
+            )
+        else:
+            p = args.complete.replace("'", "''")
+            sql = (
+                f"SELECT term, sum(cf)::BIGINT AS cf FROM read_parquet([{globs}]) "
+                f"WHERE term LIKE '{p}%' GROUP BY 1 ORDER BY cf DESC, term LIMIT {args.k}"
+            )
+        for row in duckdb.sql(sql).fetchall():
+            print("\t".join(str(x) for x in row))
+        return
 
     if args.query and not args.queries and not args.range and args.like is None:
         # single-query serving path: no Spark job at all
