@@ -87,6 +87,11 @@ def main() -> None:
          lambda: __import__(
              "lucene_mapreduce_spark.operators.similarity", fromlist=["x"]
          ).ann_batch_topk(spark, sf_dir)),
+        ("ann_ivf_batch_topk (batch probing: broadcast (query, list) frame "
+         "over the list-pruned scan)",
+         lambda: __import__(
+             "lucene_mapreduce_spark.operators.ivf", fromlist=["x"]
+         ).ann_ivf_batch_topk(spark, sf_dir)),
     ]
 
     out = [HEADER]
