@@ -68,7 +68,7 @@ def main() -> None:
         n = run_incremental_build(
             spark, args.input, args.index, args.checkpoint, args.partitions,
             store_fields=args.store_fields, with_dict=args.with_dict,
-            with_positions=args.with_positions,
+            with_positions=args.with_positions, index_fields=index_fields,
         )
         print(f"processed {n} micro-batches")
     else:

@@ -42,38 +42,18 @@ def main() -> None:
     args = ap.parse_args()
 
     if args.spell or args.complete:
-        # dictionary-sidecar suggesters: driver-side DuckDB read, no Spark
-        import os
+        # serving-side suggesters: the searcher's in-memory sorted
+        # dictionary (binary-search seek / banded vectorized levenshtein)
+        # — interactive at any index size, no Spark job
+        from lucene_mapreduce_spark.query.wand import IndexSearcher
 
-        import duckdb
-
-        from lucene_mapreduce_spark.index.manifest import (
-            load_manifest,
-            segment_dir,
+        searcher = IndexSearcher(args.index)
+        rows = (
+            searcher.spell_suggest(args.spell, k=args.k)
+            if args.spell
+            else searcher.autocomplete(args.complete, k=args.k)
         )
-
-        m = load_manifest(args.index)
-        assert m is not None and all(s.has_dict for s in m.ordered()), (
-            "--spell/--complete need with_dict=True segments"
-        )
-        globs = ", ".join(
-            f"'{os.path.join(segment_dir(args.index, s.segment_id), 'dictionary')}/*.parquet'"
-            for s in m.ordered()
-        )
-        if args.spell:
-            w = args.spell.replace("'", "''")
-            sql = (
-                f"SELECT term, levenshtein(term, '{w}') AS dist, sum(df)::BIGINT AS df "
-                f"FROM read_parquet([{globs}]) WHERE levenshtein(term, '{w}') <= 2 "
-                f"GROUP BY 1, 2 ORDER BY dist, df DESC, term LIMIT {args.k}"
-            )
-        else:
-            p = args.complete.replace("'", "''")
-            sql = (
-                f"SELECT term, sum(cf)::BIGINT AS cf FROM read_parquet([{globs}]) "
-                f"WHERE term LIKE '{p}%' GROUP BY 1 ORDER BY cf DESC, term LIMIT {args.k}"
-            )
-        for row in duckdb.sql(sql).fetchall():
+        for row in rows:
             print("\t".join(str(x) for x in row))
         return
 

@@ -222,6 +222,12 @@ def search_snippets(
 
 FUZZY_QUERY = "merg windoe"  # two misspellings; dist<=1 expands each
 
+# Lucene BooleanQuery.maxClauseCount parity: multi-term rewrites never
+# expand past this many clauses (the reference's QueryParser inherits the
+# same default, XdiReportReducer.java:356). When a pattern matches more,
+# the highest-df terms win — Lucene's TOP_TERMS scoring rewrite.
+MAX_EXPANSIONS = 1024
+
 
 def fuzzy_query(
     spark: SparkSession,
@@ -229,6 +235,7 @@ def fuzzy_query(
     query_text: str = FUZZY_QUERY,
     k: int = 10,
     max_dist: int = 1,
+    max_expansions: int = MAX_EXPANSIONS,
 ) -> DataFrame:
     """Lucene FuzzyQuery parity: each query token expands to the index
     dictionary terms within edit distance max_dist (levenshtein — built-in
@@ -247,22 +254,22 @@ def fuzzy_query(
     qdf = spark.createDataFrame(
         [(t,) for t in sorted(set(tokenize_string(query_text)))], "q string"
     )
-    matched = sorted(
-        r["term"]
-        for r in vocab.crossJoin(F.broadcast(qdf))
+    cands = (
+        vocab.crossJoin(F.broadcast(qdf))
         .filter(F.levenshtein("term", "q") <= max_dist)
-        .select("term")
+        .select("term", "df")
         .distinct()
-        .collect()
     )
-    return _score_expanded(spark, ix, matched, k)
+    return _score_expanded(spark, ix, _expand_capped(cands, max_expansions), k)
 
 
 def _index_vocab(spark: SparkSession, ix: str) -> DataFrame:
-    """Distinct dictionary terms. Segments built with_dict=True read the
-    term-sorted dictionary sidecar (index/build.write_dictionary — Lucene's
-    terms index analogue, tiny vs the postings); otherwise a column-pruned
-    read of the postings' `term` column — same plan, bigger input."""
+    """Distinct dictionary terms with their document frequencies (term, df).
+    Segments built with_dict=True read the term-sorted dictionary sidecar
+    (index/build.write_dictionary — Lucene's terms index analogue, tiny vs
+    the postings); otherwise df falls back to the term's posting-block
+    count — decode-free, and rank-equivalent for TOP_TERMS truncation (a
+    term's block count is monotone in its df at fixed chunk width)."""
     import os
 
     from lucene_mapreduce_spark.index.manifest import load_manifest, segment_dir
@@ -273,15 +280,30 @@ def _index_vocab(spark: SparkSession, ix: str) -> DataFrame:
     for s in m.ordered():
         seg = segment_dir(ix, s.segment_id)
         if s.has_dict:
-            v = spark.read.parquet(os.path.join(seg, "dictionary")).select("term")
+            v = spark.read.parquet(os.path.join(seg, "dictionary")).select(
+                "term", "df"
+            )
         else:
             v = (
                 spark.read.parquet(os.path.join(seg, "postings"))
                 .filter(F.col("phash") < F.lit(m.num_partitions))
-                .select("term")
+                .groupBy("term")
+                .agg(F.count(F.lit(1)).alias("df"))
             )
         vocab = v if vocab is None else vocab.unionByName(v)
-    return vocab.distinct()
+    return vocab.groupBy("term").agg(F.sum("df").cast("long").alias("df"))
+
+
+def _expand_capped(cands: DataFrame, max_expansions: int) -> list[str]:
+    """Bounded multi-term expansion: collect at most `max_expansions` terms
+    from a (term, df) candidate frame, highest df first (TOP_TERMS rewrite
+    — more selective truncation than Lucene's hard maxClauseCount error).
+    The limit rides the plan (TakeOrderedAndProject), so a pathological
+    pattern (`*`, regexp `.*`) ships the cap to the driver, never the
+    vocabulary. Under the cap the result is the full match set — identical
+    to an uncapped expansion."""
+    head = cands.orderBy(F.desc("df"), F.asc("term")).limit(max_expansions).collect()
+    return sorted(r["term"] for r in head)
 
 
 def _score_expanded(
@@ -303,20 +325,19 @@ PREFIX_QUERY = "s"  # expands to stream/small/sort/scan/slow/spark at gate
 
 
 def prefix_query(
-    spark: SparkSession, sf_dir: str, prefix: str = PREFIX_QUERY, k: int = 10
+    spark: SparkSession,
+    sf_dir: str,
+    prefix: str = PREFIX_QUERY,
+    k: int = 10,
+    max_expansions: int = MAX_EXPANSIONS,
 ) -> DataFrame:
     """Lucene PrefixQuery parity: all dictionary terms starting with the
     prefix, scored as one BM25 query through the index path. Same
     expansion plan as fuzzy_query with a startswith predicate (which a
     sorted term dictionary answers as a range seek at scale)."""
     ix = _gate_index(spark, sf_dir)
-    matched = sorted(
-        r["term"]
-        for r in _index_vocab(spark, ix)
-        .filter(F.col("term").startswith(prefix))
-        .collect()
-    )
-    return _score_expanded(spark, ix, matched, k)
+    cands = _index_vocab(spark, ix).filter(F.col("term").startswith(prefix))
+    return _score_expanded(spark, ix, _expand_capped(cands, max_expansions), k)
 
 
 WILDCARD_QUERY = "s?a*"  # ? = one char, * = any run -> scan/small/spark
@@ -340,7 +361,11 @@ def wildcard_to_regex(pattern: str) -> str:
 
 
 def wildcard_query(
-    spark: SparkSession, sf_dir: str, pattern: str = WILDCARD_QUERY, k: int = 10
+    spark: SparkSession,
+    sf_dir: str,
+    pattern: str = WILDCARD_QUERY,
+    k: int = 10,
+    max_expansions: int = MAX_EXPANSIONS,
 ) -> DataFrame:
     """Lucene WildcardQuery parity: the pattern expands against the term
     dictionary (Lucene walks the terms index with an automaton —
@@ -349,18 +374,19 @@ def wildcard_query(
     expansion through the index path like fuzzy/prefix."""
     ix = _gate_index(spark, sf_dir)
     rx = wildcard_to_regex(pattern)
-    matched = sorted(
-        r["term"]
-        for r in _index_vocab(spark, ix).filter(F.col("term").rlike(rx)).collect()
-    )
-    return _score_expanded(spark, ix, matched, k)
+    cands = _index_vocab(spark, ix).filter(F.col("term").rlike(rx))
+    return _score_expanded(spark, ix, _expand_capped(cands, max_expansions), k)
 
 
 REGEXP_QUERY = "(row|column|vector)s?"  # Lucene RegexpQuery is full-match
 
 
 def regexp_query(
-    spark: SparkSession, sf_dir: str, pattern: str = REGEXP_QUERY, k: int = 10
+    spark: SparkSession,
+    sf_dir: str,
+    pattern: str = REGEXP_QUERY,
+    k: int = 10,
+    max_expansions: int = MAX_EXPANSIONS,
 ) -> DataFrame:
     """Lucene RegexpQuery parity: full-match regex over the term dictionary
     (Lucene compiles the regex to an automaton and intersects it with the
@@ -368,11 +394,8 @@ def regexp_query(
     same full-match semantics on both engines."""
     ix = _gate_index(spark, sf_dir)
     rx = "^" + pattern + "$"
-    matched = sorted(
-        r["term"]
-        for r in _index_vocab(spark, ix).filter(F.col("term").rlike(rx)).collect()
-    )
-    return _score_expanded(spark, ix, matched, k)
+    cands = _index_vocab(spark, ix).filter(F.col("term").rlike(rx))
+    return _score_expanded(spark, ix, _expand_capped(cands, max_expansions), k)
 
 
 TERM_RANGE = ("query", "sort")  # inclusive both ends, like TermRangeQuery
@@ -384,21 +407,43 @@ def term_range_query(
     lo: str = TERM_RANGE[0],
     hi: str = TERM_RANGE[1],
     k: int = 10,
+    max_expansions: int = MAX_EXPANSIONS,
 ) -> DataFrame:
     """Lucene TermRangeQuery parity (includeLower/includeUpper=true):
     lexicographic [lo, hi] over the term dictionary — exactly the seek the
     sorted dictionary sidecar exists for — then BM25 over the expansion."""
     ix = _gate_index(spark, sf_dir)
-    matched = sorted(
-        r["term"]
-        for r in _index_vocab(spark, ix)
-        .filter((F.col("term") >= F.lit(lo)) & (F.col("term") <= F.lit(hi)))
-        .collect()
+    cands = _index_vocab(spark, ix).filter(
+        (F.col("term") >= F.lit(lo)) & (F.col("term") <= F.lit(hi))
     )
-    return _score_expanded(spark, ix, matched, k)
+    return _score_expanded(spark, ix, _expand_capped(cands, max_expansions), k)
 
 
 SPELL_INPUT = "sor"  # -> sort (dist 1) then row/slow (dist 2, df ties)
+
+
+def _dictionary_stats(spark: SparkSession, ix: str) -> DataFrame:
+    """(term, df, cf) from the term-dictionary sidecar. MERGED-ONLY
+    contract (asserted, like the positions/fields per-generation asserts):
+    on an unmerged index a re-indexed doc's stale generation would still
+    count toward df/cf (Lucene's docFreq-ignores-deletions behavior), which
+    diverges from this repo's corpus-recomputed oracles — merge_all first.
+    IndexSearcher's serving-side suggesters handle the unmerged case with
+    the documented Lucene semantics."""
+    import os
+
+    from lucene_mapreduce_spark.index.manifest import load_manifest, segment_dir
+
+    m = load_manifest(ix)
+    assert m is not None and all(s.has_dict for s in m.ordered())
+    assert len(m.ordered()) == 1, (
+        "dictionary df/cf stats require a merged index (merge_all): "
+        "unmerged generations double-count shadowed docs"
+    )
+    s = m.ordered()[0]
+    return spark.read.parquet(
+        os.path.join(segment_dir(ix, s.segment_id), "dictionary")
+    ).select("term", F.col("df").cast("long"), F.col("cf").cast("long"))
 
 
 def spell_suggest(
@@ -413,21 +458,10 @@ def spell_suggest(
     term asc) — more-frequent corrections win ties, exactly the
     spellchecker's popularity heuristic. Candidates come from the
     term-dictionary sidecar (df rides along, no postings touched)."""
-    import os
-
-    from lucene_mapreduce_spark.index.manifest import load_manifest, segment_dir
     from lucene_mapreduce_spark.operators.parity import ranked_topk
 
     ix = _gate_index(spark, sf_dir)
-    m = load_manifest(ix)
-    assert m is not None and all(s.has_dict for s in m.ordered())
-    dic = None
-    for s in m.ordered():
-        d = spark.read.parquet(
-            os.path.join(segment_dir(ix, s.segment_id), "dictionary")
-        ).select("term", "df")
-        dic = d if dic is None else dic.unionByName(d)
-    dic = dic.groupBy("term").agg(F.sum("df").cast("long").alias("df"))
+    dic = _dictionary_stats(spark, ix).select("term", "df")
     cands = dic.withColumn(
         "dist", F.levenshtein(F.col("term"), F.lit(word)).cast("int")
     ).filter(F.col("dist") <= max_dist)
@@ -449,21 +483,10 @@ def autocomplete(
     starting with the prefix ranked by collection frequency desc (term
     asc ties) — the weight a suggester index carries. A sorted term
     dictionary answers the prefix scan as a range seek at scale."""
-    import os
-
-    from lucene_mapreduce_spark.index.manifest import load_manifest, segment_dir
     from lucene_mapreduce_spark.operators.parity import ranked_topk
 
     ix = _gate_index(spark, sf_dir)
-    m = load_manifest(ix)
-    assert m is not None and all(s.has_dict for s in m.ordered())
-    dic = None
-    for s in m.ordered():
-        d = spark.read.parquet(
-            os.path.join(segment_dir(ix, s.segment_id), "dictionary")
-        ).select("term", "cf")
-        dic = d if dic is None else dic.unionByName(d)
-    dic = dic.groupBy("term").agg(F.sum("cf").cast("long").alias("cf"))
+    dic = _dictionary_stats(spark, ix).select("term", "cf")
     cands = dic.filter(F.col("term").startswith(prefix))
     return ranked_topk(
         cands, [F.desc("cf"), F.asc("term")], k
@@ -674,22 +697,8 @@ def terms_enum(
     term-dictionary sidecar (never the postings payloads). Oracle recomputes
     df/cf from the raw corpus — so this also proves the sidecar's columnar
     df/cf sums stay exact through build + merge."""
-    import os
-
-    from lucene_mapreduce_spark.index.manifest import load_manifest, segment_dir
-
     ix = _gate_index(spark, sf_dir)
-    m = load_manifest(ix)
-    assert m is not None and all(s.has_dict for s in m.ordered())
-    dic = None
-    for s in m.ordered():
-        d = spark.read.parquet(
-            os.path.join(segment_dir(ix, s.segment_id), "dictionary")
-        )
-        dic = d if dic is None else dic.unionByName(d)
-    dic = dic.groupBy("term").agg(
-        F.sum("df").cast("long").alias("df"), F.sum("cf").cast("long").alias("cf")
-    )
+    dic = _dictionary_stats(spark, ix)
     from lucene_mapreduce_spark.operators.parity import ranked_topk
 
     return ranked_topk(

@@ -295,9 +295,8 @@ def ann_ivf_topk(
             ).alias("cosine"),
         )
     )
-    w = Window.orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("vec_id", "cosine", "rank")
-    )
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+
+    return ranked_topk(
+        scored, [F.desc("cosine"), F.asc("vec_id")], k
+    ).select("vec_id", "cosine", "rank")

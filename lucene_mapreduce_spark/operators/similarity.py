@@ -76,6 +76,8 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFr
     """Exact cosine top-k of every vector vs the fixed query vector
     (vec_id=0). The query vector is broadcast; the scan stays JVM-side
     (zip_with/aggregate — no UDF)."""
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+
     emb = load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("embedding").alias("qvec")
@@ -94,12 +96,11 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFr
             ).alias("cosine"),
         )
     )
-    w = Window.orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("vec_id", "cosine", "rank")
-    )
+    # TakeOrderedAndProject top-k — never a single-partition global window
+    # over the whole corpus (parity.ranked_topk)
+    return ranked_topk(
+        scored, [F.desc("cosine"), F.asc("vec_id")], k
+    ).select("vec_id", "cosine", "rank")
 
 
 ANN_BATCH_MOD = 101
@@ -213,12 +214,11 @@ def ann_lsh_topk(
     scored = cand.select(
         "vec_id", F.round(_cosine(vec, qvec), 6).alias("cosine")
     )
-    w = Window.orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("vec_id", "cosine", "rank")
-    )
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+
+    return ranked_topk(
+        scored, [F.desc("cosine"), F.asc("vec_id")], k
+    ).select("vec_id", "cosine", "rank")
 
 
 def embedding_near_dup_pairs(

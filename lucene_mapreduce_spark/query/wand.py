@@ -40,6 +40,39 @@ from lucene_mapreduce_spark.functions.hashing import term_phash, xxhash64  # noq
 _BM_BLOCK = 128  # block granularity for in-memory block-max pruning
 
 
+def _lev_banded(terms: np.ndarray, lens: np.ndarray, word: str) -> np.ndarray:
+    """Levenshtein distance from `word` to EVERY term of a numpy unicode
+    array at once: Wagner-Fischer with the term axis vectorized — the DP
+    runs max_len * len(word) elementwise numpy steps over all terms
+    simultaneously (numpy's fixed-width UCS4 storage gives the padded
+    codepoint matrix via a view, no per-term Python). Exact for all
+    lengths; callers band by length first so the matrix stays narrow."""
+    n = len(word)
+    N = len(terms)
+    out = np.empty(N, np.int64)
+    out[lens == 0] = n
+    M = int(lens.max()) if N else 0
+    if M == 0:
+        return out
+    w = np.frombuffer(word.encode("utf-32-le"), np.uint32)
+    enc = np.ascontiguousarray(terms.astype(f"U{M}")).view(np.uint32).reshape(N, M)
+    prev = np.tile(np.arange(n + 1, dtype=np.int64), (N, 1))
+    nxt = np.empty_like(prev)
+    for j in range(1, M + 1):
+        nxt[:, 0] = j
+        cj = enc[:, j - 1]
+        for i in range(1, n + 1):
+            sub = prev[:, i - 1] + (cj != w[i - 1])
+            nxt[:, i] = np.minimum(
+                np.minimum(prev[:, i], nxt[:, i - 1]) + 1, sub
+            )
+        done = lens == j
+        if done.any():
+            out[done] = nxt[done, n]
+        prev, nxt = nxt, prev
+    return out
+
+
 class _TermCursor:
     __slots__ = (
         "term", "idf", "docids", "tfs", "dls", "pos", "ub", "n",
@@ -139,6 +172,7 @@ class IndexSearcher:
         self._pos_datasets: list | None = None
         self._field_datasets: list | None = None
         self._field_cache: dict[tuple[str, str], np.ndarray] = {}
+        self._dict_arrays: tuple | None = None
 
     def _load_live_map(self, m: Manifest) -> None:
         """Latest-wins doc -> generation map + exact live corpus stats,
@@ -940,6 +974,85 @@ class IndexSearcher:
             uniq, scores = uniq[keep], scores[keep]
         order = np.lexsort((uniq, -scores))[:k]
         return [(int(uniq[i]), float(scores[i])) for i in order]
+
+    # ---- suggesters: interactive did-you-mean / completion from the
+    # term-sorted dictionary sidecar, loaded once per searcher. The Lucene
+    # analogue is the FST terms index answering prefix/fuzzy seeks in
+    # microseconds; here the (tiny vs postings) dictionary lives in memory
+    # as sorted numpy arrays — completion is a binary-search range seek,
+    # spelling is a vectorized banded edit-distance over the length band.
+    # Multi-generation note (Lucene docFreq parity): df/cf sum over ALL
+    # generations — shadowed (re-indexed) docs still count, exactly like
+    # Lucene's docFreq ignoring deletions; the oracle-checked Spark
+    # suggesters instead assert a merged index (fulltext._dictionary_stats).
+
+    def _load_dict(self):
+        """(terms sorted unicode array, df, cf, lengths) — cached."""
+        if self._dict_arrays is not None:
+            return self._dict_arrays
+        segs = self.manifest.ordered()
+        assert all(s.has_dict for s in segs), (
+            "suggesters need with_dict=True segments"
+        )
+        tables = [
+            ds.dataset(
+                os.path.join(segment_dir(self.index_dir, s.segment_id), "dictionary"),
+                format="parquet",
+            ).to_table(columns=["term", "df", "cf"])
+            for s in segs
+        ]
+        terms = np.concatenate([t["term"].to_numpy(zero_copy_only=False) for t in tables])
+        df = np.concatenate([t["df"].to_numpy() for t in tables]).astype(np.int64)
+        cf = np.concatenate([t["cf"].to_numpy() for t in tables]).astype(np.int64)
+        terms = terms.astype(str)
+        order = np.argsort(terms, kind="stable")
+        terms, df, cf = terms[order], df[order], cf[order]
+        if len(segs) > 1:
+            uniq, start = np.unique(terms, return_index=True)
+            df = np.add.reduceat(df, start)
+            cf = np.add.reduceat(cf, start)
+            terms = uniq
+        lens = np.char.str_len(terms)
+        self._dict_arrays = (terms, df, cf, lens)
+        return self._dict_arrays
+
+    def autocomplete(self, prefix: str, k: int = 5) -> list[tuple[str, int]]:
+        """[(term, cf)] completions ranked (cf desc, term asc) — the same
+        contract as the Spark-side gate (fulltext.autocomplete), answered
+        as a binary-search range seek on the sorted dictionary."""
+        terms, _df, cf, _lens = self._load_dict()
+        lo = int(np.searchsorted(terms, prefix, side="left"))
+        hi = int(np.searchsorted(terms, prefix + "￿", side="left"))
+        if lo >= hi:
+            return []
+        t, c = terms[lo:hi], cf[lo:hi]
+        order = np.lexsort((t, -c))[:k]
+        return [(str(t[i]), int(c[i])) for i in order]
+
+    def spell_suggest(
+        self, word: str, max_dist: int = 2, k: int = 5
+    ) -> list[tuple[str, int, int]]:
+        """[(term, dist, df)] did-you-mean suggestions ranked (dist asc,
+        df desc, term asc) — the Spark gate's ranking (fulltext.
+        spell_suggest). Exact: every dictionary term within levenshtein
+        max_dist is considered; the length band |len-len(word)| <= max_dist
+        prunes before the vectorized DP (a char-level Wagner-Fischer run
+        simultaneously over all banded terms in numpy)."""
+        terms, df, _cf, lens = self._load_dict()
+        n = len(word)
+        band = (lens >= n - max_dist) & (lens <= n + max_dist)
+        cand_t, cand_df, cand_len = terms[band], df[band], lens[band]
+        if not len(cand_t):
+            return []
+        dist = _lev_banded(cand_t, cand_len, word)
+        keep = dist <= max_dist
+        cand_t, cand_df, dist = cand_t[keep], cand_df[keep], dist[keep]
+        if not len(cand_t):
+            return []
+        order = np.lexsort((cand_t, -cand_df, dist))[:k]
+        return [
+            (str(cand_t[i]), int(dist[i]), int(cand_df[i])) for i in order
+        ]
 
     def _search_exhaustive(self, cursors: list[_TermCursor], k: int):
         """Exact top-k from the vectorized candidate scoring

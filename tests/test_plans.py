@@ -157,3 +157,22 @@ def test_batch_query_broadcast_join_path(spark, small_index):
     assert "term," not in pushed and "In(term" not in pushed, pushed
     pf = " ".join(partition_filters(df))
     assert "phash" in pf, pf  # pseudo-partition exclusion prunes directories
+
+
+def test_ann_single_query_rankers_take_ordered(spark, sf_dir):
+    """Single-query ANN top-k must rank via TakeOrderedAndProject (per-
+    partition heaps), never a single-partition window over the scored
+    corpus — the row_number window may only see the k survivors."""
+    from lucene_mapreduce_spark.operators.ivf import ann_ivf_topk
+    from lucene_mapreduce_spark.operators.similarity import (
+        ann_bruteforce_topk,
+        ann_lsh_topk,
+    )
+
+    for df in (
+        ann_bruteforce_topk(spark, sf_dir, k=5),
+        ann_lsh_topk(spark, sf_dir, k=5),
+        ann_ivf_topk(spark, sf_dir, k=5),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan, plan[:2000]
