@@ -89,6 +89,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "autocomplete": fulltext.autocomplete,
         "boosted_query": fulltext.boosted_query,
         "min_should_match_query": fulltext.min_should_match_query,
+        "boosted_match_batch": fulltext.boosted_match_batch,
+        "msm_match_batch": fulltext.msm_match_batch,
         "field_scoped_query": fulltext.field_scoped_query,
         "search_collapse": fulltext.search_collapse,
         "search_grouped_topn": fulltext.search_grouped_topn,
@@ -222,6 +224,9 @@ def oracle_sql() -> dict[str, str]:
     out["range_parsed_query"] = range_parsed_sql()
     out["boosted_query"] = boosted_sql()
     out["min_should_match_query"] = msm_sql()
+    # the distributed batch twins must match the SAME oracles
+    out["boosted_match_batch"] = boosted_sql()
+    out["msm_match_batch"] = msm_sql()
     out["field_scoped_query"] = field_scoped_sql()
     out["search_grouped_topn"] = grouped_topn_sql(
         fulltext.FLAGSHIP_QUERY, n=fulltext.GROUP_TOP_N,

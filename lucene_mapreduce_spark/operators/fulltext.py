@@ -598,6 +598,50 @@ def min_should_match_query(
     )
 
 
+def _ext_score_terms(query: str) -> list[tuple[str, float]]:
+    """(term, boost) scoring pairs from an extended-grammar query string —
+    the same parse the serving path uses (query/parse.parse_query_ext)."""
+    from lucene_mapreduce_spark.query.parse import parse_query_ext
+
+    spec = parse_query_ext(query)
+    terms = sorted(set(spec["must"]) | set(spec["should"]))
+    return [(t, spec["boosts"].get(t, 1.0)) for t in terms]
+
+
+def boosted_match_batch(
+    spark: SparkSession, sf_dir: str, query: str = BOOSTED_QUERY, k: int = 10
+) -> DataFrame:
+    """The fully-distributed twin of boosted_query: weighted BM25 through
+    query/segments.ext_score_topk — an offline boosted-query batch job
+    never materializes hits on the driver. Same oracle as the serving
+    gate (boosted_sql)."""
+    from lucene_mapreduce_spark.query.segments import ext_score_topk
+
+    ix = _gate_index(spark, sf_dir)
+    return ext_score_topk(
+        spark, ix, _ext_score_terms(query), min_match=1, k=k, round_to=6
+    )
+
+
+def msm_match_batch(
+    spark: SparkSession,
+    sf_dir: str,
+    query: str = MSM_QUERY,
+    n: int = MSM_N,
+    k: int = 10,
+) -> DataFrame:
+    """The fully-distributed twin of min_should_match_query: candidates
+    must match >= n distinct SHOULD terms (one map-side-combinable count
+    at doc granularity), scored as unweighted BM25. Same oracle as the
+    serving gate (msm_sql)."""
+    from lucene_mapreduce_spark.query.segments import ext_score_topk
+
+    ix = _gate_index(spark, sf_dir)
+    return ext_score_topk(
+        spark, ix, _ext_score_terms(query), min_match=n, k=k, round_to=6
+    )
+
+
 FIELD_QUERY = "+merge lang:en -source:src3 scan"
 
 

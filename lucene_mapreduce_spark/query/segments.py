@@ -514,6 +514,81 @@ def _matched_frame(
     )
 
 
+def ext_score_topk(
+    spark: SparkSession,
+    index_dir: str,
+    score_terms: list[tuple[str, float]],
+    min_match: int = 1,
+    k: int = 10,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Distributed weighted BM25 with minimum_should_match — the batch
+    twin of IndexSearcher.search_parsed_ext's scored surface, so an
+    offline job with boosted queries (`table^3 merge scan^0.5`) has a
+    scale path and never funnels hits through the driver.
+
+    Semantics match the serving path exactly: candidates are live docs
+    matching >= min_match distinct scoring terms; each matched term
+    contributes weight * BM25(term, doc); accumulation is canonical
+    ascending-term order (float-exact vs the oracle); ranking is
+    (score desc, doc_id asc) via TakeOrderedAndProject.
+
+    Plan shape: one pruned posting read for the term set; df_t and the
+    weight table broadcast; candidate selection is a map-side-combinable
+    distinct-term count at doc granularity; only the aggregated per-doc
+    scores are ranked."""
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+    from lucene_mapreduce_spark.query.bm25 import B, K1
+
+    terms = sorted({t for t, _ in score_terms})
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double, rank int")
+    n_docs, avgdl = exact_stats(spark, index_dir)
+    postings = read_postings(spark, index_dir, terms)
+    df_t = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    wdf = spark.createDataFrame(
+        sorted(score_terms), "term string, weight double"
+    )
+
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df_t") + F.lit(0.5))
+        / (F.col("df_t") + F.lit(0.5))
+    )
+    tf = F.col("tf").cast("double")
+    dl = F.col("dl").cast("double")
+    denom = tf + F.lit(K1) * (
+        F.lit(1.0 - B) + F.lit(B) * dl / F.lit(float(avgdl))
+    )
+    contrib = F.col("weight") * idf * (tf * F.lit(K1 + 1.0)) / denom
+
+    matched = (
+        postings.join(F.broadcast(wdf), "term", "inner")
+        .join(F.broadcast(df_t), "term", "inner")
+        .select("doc_id", "term", contrib.alias("contrib"))
+    )
+    cand = (
+        postings.groupBy("doc_id")
+        .agg(F.countDistinct("term").alias("mm"))
+        .filter(F.col("mm") >= min_match)
+        .select("doc_id")
+    )
+    scores = matched.groupBy("doc_id").agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("term", "contrib"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["contrib"],
+        ).alias("score")
+    )
+    out = cand.join(scores, "doc_id", "left").select(
+        "doc_id", F.coalesce("score", F.lit(0.0)).alias("score")
+    )
+    out = ranked_topk(out, [F.desc("score"), F.asc("doc_id")], k)
+    if round_to is not None:
+        out = out.withColumn("score", F.round("score", round_to))
+    return out.select("doc_id", "score", "rank")
+
+
 def more_like_this(
     spark: SparkSession,
     index_dir: str,

@@ -507,3 +507,20 @@ def test_hot_phrase_distributed_paths_bounded(spark, tmp_path):
     assert near_match(spark, ix, "hot term", window=2).count() == len(got)
     assert near_match(spark, ix, "hot term", window=3).count() == n - n // 5
     assert boolean_match(spark, ix, "hot term").count() == n - n // 5
+
+
+def test_connected_components_chain_log_rounds(spark):
+    """Large-star/small-star must collapse a LONG chain (diameter 10^4) in
+    logarithmic rounds — min-label propagation would need ~10^4. Labels
+    must still be the component minimum for every node."""
+    import math
+
+    from lucene_mapreduce_spark.operators.curation import _star_rounds
+
+    n = 10_000
+    edges = spark.range(1, n).selectExpr("id + 1 AS u", "id AS v")
+    stars, rounds = _star_rounds(edges, max_iter=50)
+    assert rounds <= 2 * math.ceil(math.log2(n)), rounds
+    got = stars.collect()
+    assert all(r["v"] == 1 for r in got), "every non-root must point at min"
+    assert {r["u"] for r in got} == set(range(2, n + 1))
