@@ -234,15 +234,17 @@ def main() -> None:
     # bm25_range_topk/more_like_this share one cached gate index (built
     # once, on bm25_range_topk's first rep; best-of-2 below means the
     # recorded number is the warm query, not the one-time gate build).
-    # Each headliner is best-of-2: single-shot timings on this shared
-    # hypervisor carry 1.5-2x noise spikes (BENCH.md) that a second rep
-    # reliably sheds; the extra rep costs seconds, not minutes.
+    # Each headliner is best-of-3: single-shot timings on this shared
+    # hypervisor carry 1.5-2x noise spikes (BENCH.md) that later reps
+    # reliably shed (BENCH_r02 recorded an 18 s bm25_topk against a 3-6 s
+    # quiet band off exactly this); the extra reps cost seconds, not
+    # minutes, and the recorded artifact is the evidence of record.
     for name in (
         "bm25_topk", "ttl_anti_join", "latest_per_key", "generation_fallback",
         "bm25_range_topk", "more_like_this",
     ):
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             qs[name](spark, SF_DIR).collect()
             best = min(best, time.perf_counter() - t0)
@@ -269,10 +271,15 @@ def main() -> None:
     searcher = IndexSearcher(ix_hi)
     cold: list[float] = []
     for q in BENCH_QUERIES:  # cold: empty posting cache each time
-        searcher._cache.clear(); searcher._scored_cache.clear()
-        t0 = time.perf_counter()
-        searcher.search(q, k=10)
-        cold.append(time.perf_counter() - t0)
+        # best-of-2 per query: the cache clear keeps both reps cold (every
+        # posting re-read + re-decoded); the rep only sheds host IO spikes
+        best = float("inf")
+        for _ in range(2):
+            searcher._cache.clear(); searcher._scored_cache.clear()
+            t0 = time.perf_counter()
+            searcher.search(q, k=10)
+            best = min(best, time.perf_counter() - t0)
+        cold.append(best)
     lat: list[float] = []
     for i in range(200):  # warm: posting cache resident (steady serving)
         q = BENCH_QUERIES[i % len(BENCH_QUERIES)]

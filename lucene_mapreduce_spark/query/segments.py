@@ -560,7 +560,9 @@ def ext_score_topk(
     denom = tf + F.lit(K1) * (
         F.lit(1.0 - B) + F.lit(B) * dl / F.lit(float(avgdl))
     )
-    contrib = F.col("weight") * idf * (tf * F.lit(K1 + 1.0)) / denom
+    # parenthesized exactly as the serving path accumulates
+    # (w * contrib, wand.py search_parsed_ext) so the two are float-identical
+    contrib = F.col("weight") * (idf * (tf * F.lit(K1 + 1.0)) / denom)
 
     matched = (
         postings.join(F.broadcast(wdf), "term", "inner")

@@ -91,3 +91,41 @@ def test_min_should_match(field_ix):
     any_ = sorted(d for d, _ in s.search_parsed_ext("merge scan", min_should_match=1))
     assert any_ == [0, 1, 2, 3]
     assert s.search_parsed_ext("merge scan", min_should_match=3) == []
+
+
+def test_ext_score_topk_matches_serving_randomized(spark, tmp_path):
+    """The distributed weighted path (segments.ext_score_topk) must be
+    doc- and score-identical to the serving path (search_parsed_ext) for
+    randomized boosted / minimum_should_match queries — both implement the
+    same canonical ascending-term accumulation."""
+    import random
+
+    from lucene_mapreduce_spark.datagen.transcripts import (
+        transcripts_df,
+        with_docid,
+    )
+    from lucene_mapreduce_spark.query.segments import ext_score_topk
+
+    ix = str(tmp_path / "ix")
+    corpus = with_docid(transcripts_df(spark, n_conv=40, seed=5)).select(
+        "doc_id", "text"
+    )
+    build_segment(spark, corpus, ix, num_partitions=8)
+    s = IndexSearcher(ix)
+    vocab = ["tok00000", "tok00001", "tok00002", "tok00010", "tok00042",
+             "tok00100", "tok01500", "missingtok"]
+    rng = random.Random(11)
+    for trial in range(8):
+        terms = rng.sample(vocab, rng.randint(1, 4))
+        weights = [round(rng.choice([0.5, 1.0, 2.0, 3.0]), 2) for _ in terms]
+        msm = rng.randint(1, max(1, len(terms) - 1))
+        q = " ".join(
+            t if w == 1.0 else f"{t}^{w}" for t, w in zip(terms, weights)
+        )
+        serving = s.search_parsed_ext(q, k=10, min_should_match=msm)
+        got = ext_score_topk(
+            spark, ix, list(zip(terms, weights)), min_match=msm, k=10
+        ).collect()
+        assert [r["doc_id"] for r in got] == [d for d, _ in serving], (q, msm)
+        for r, (_, sc) in zip(got, serving):
+            assert r["score"] == sc, (q, msm, r)
