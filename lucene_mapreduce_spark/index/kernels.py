@@ -166,14 +166,28 @@ def _merge_stream(batches):
     """mapInPandas kernel: stream a partition sorted by (term, chunk) where
     each row is one encoded posting block for that group (a map-side partial
     during builds, a segment's block during merges); decode, drop shadowed
-    docids (rows may carry a `dead` docid list), merge-sort by docid, and
-    batch re-encode all groups at once (codec.encode_many).
+    docids, merge-sort by docid, and batch re-encode all groups at once
+    (codec.encode_many).
+
+    Dead-doc lists arrive one of two ways:
+    - MARKER rows (input carries a `seg_seq` column): term == "" rows hold
+      the (seg_seq, chunk) dead list ONCE per phash; they sort before every
+      real term of their phash section (empty string < any token, incl.
+      DL_TERM's leading NUL) and are consumed into a partition-local map,
+      so the shuffle ships each dead list O(num_partitions) times — NOT
+      once per posting row. The per-row `dead` join it replaces multiplied
+      a chunk's dead list by every (term, chunk) block in the chunk,
+      measured as 12.8x merge cost at 4x data (BENCH.md round 3).
+    - legacy per-row `dead` column (no seg_seq column): kept for the build
+      path, whose rows all carry null.
 
     Pass-through fast path: a single-row group with no dead list and
     already-known stats (merge inputs carry the segment's stat columns) is
     copied verbatim — no decode, no re-encode. Incremental merges whose
     deltas land in new docid chunks leave the base segment's untouched
     blocks byte-identical and nearly free."""
+
+    dead_map: dict[tuple[int, int], np.ndarray] = {}
 
     def process(pdf: pd.DataFrame, final: bool):
         term = pdf["term"].to_numpy()
@@ -198,7 +212,25 @@ def _merge_stream(batches):
             head, tail = pdf, None
 
         payloads = head["payload"].to_numpy()
-        deads = head["dead"].to_numpy() if "dead" in head.columns else None
+        seqs = head["seg_seq"].to_numpy() if "seg_seq" in head.columns else None
+        deads = (
+            head["dead"].to_numpy()
+            if seqs is None and "dead" in head.columns
+            else None
+        )
+
+        def row_dead(i: int):
+            if seqs is not None:
+                return dead_map.get((int(seqs[i]), int(chunk[i])))
+            if deads is not None:
+                d = deads[i]
+                return (
+                    np.asarray(d, np.uint64)
+                    if d is not None and len(d)
+                    else None
+                )
+            return None
+
         stats = (
             {c: head[c].to_numpy() for c in ("df_chunk", "cf_chunk", "max_tf", "min_dl")}
             if "df_chunk" in head.columns
@@ -214,11 +246,10 @@ def _merge_stream(batches):
         rework_slots: list[int] = []
         for g in range(len(gstarts)):
             i0, i1 = int(gstarts[g]), int(gends[g])
-            dead0 = deads[i0] if deads is not None else None
             if (
                 stats is not None
                 and i1 - i0 == 1
-                and (dead0 is None or len(dead0) == 0)
+                and row_dead(i0) is None
                 and not pd.isna(stats["df_chunk"][i0])
             ):
                 rows.append([
@@ -231,11 +262,10 @@ def _merge_stream(batches):
             parts_doc, parts_tf, parts_dl = [], [], []
             for i in range(i0, i1):
                 docids, tfs, dls = decode_postings(payloads[i])
-                if deads is not None:
-                    dead = deads[i]
-                    if dead is not None and len(dead):
-                        keep = ~np.isin(docids, np.asarray(dead, np.uint64))
-                        docids, tfs, dls = docids[keep], tfs[keep], dls[keep]
+                dead = row_dead(i)
+                if dead is not None:
+                    keep = ~np.isin(docids, dead)
+                    docids, tfs, dls = docids[keep], tfs[keep], dls[keep]
                 if len(docids):
                     parts_doc.append(docids)
                     parts_tf.append(tfs)
@@ -288,6 +318,17 @@ def _merge_stream(batches):
 
     carry = None
     for pdf in batches:
+        if "seg_seq" in pdf.columns and len(pdf):
+            mk = (pdf["term"] == "").to_numpy()
+            if mk.any():
+                for s, c, dd in zip(
+                    pdf["seg_seq"].to_numpy()[mk],
+                    pdf["chunk"].to_numpy()[mk],
+                    pdf["dead"].to_numpy()[mk],
+                ):
+                    if dd is not None and len(dd):
+                        dead_map[(int(s), int(c))] = np.asarray(dd, np.uint64)
+                pdf = pdf[~mk].reset_index(drop=True)
         if carry is not None:
             pdf = pd.concat([carry, pdf], ignore_index=True)
             carry = None

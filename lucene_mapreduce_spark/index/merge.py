@@ -115,6 +115,31 @@ def _propagate_fields(
     )
 
 
+def _dead_markers(
+    spark: SparkSession, dead_by_chunk: DataFrame, num_partitions: int
+) -> DataFrame:
+    """Dead-list marker rows for the merge/TTL shuffle: one row per
+    (phash, seg_seq, chunk) — phash 0..P inclusive so the DL_TERM pseudo
+    partition is masked too — with term == "" so they sort ahead of every
+    real term (and DL_TERM's leading NUL) inside their phash section.
+    The kernel (_merge_stream) consumes them into a partition-local map."""
+    phashes = spark.range(num_partitions + 1).select(
+        F.col("id").cast("int").alias("phash")
+    )
+    return dead_by_chunk.crossJoin(F.broadcast(phashes)).select(
+        "phash",
+        F.lit("").alias("term"),
+        "chunk",
+        F.lit(None).cast("int").alias("df_chunk"),
+        F.lit(None).cast("long").alias("cf_chunk"),
+        F.lit(None).cast("int").alias("max_tf"),
+        F.lit(None).cast("int").alias("min_dl"),
+        F.lit(None).cast("binary").alias("payload"),
+        "seg_seq",
+        F.col("dead"),
+    )
+
+
 def merge_once(
     spark: SparkSession,
     index_dir: str,
@@ -166,7 +191,6 @@ def merge_once(
         ).withColumn("seg_seq", F.lit(meta.min_seq))
         rows = r if rows is None else rows.unionByName(r)
 
-    joined = rows.join(dead_by_chunk, ["seg_seq", "chunk"], "left")
     merge_parts = max(
         int(spark.conf.get("spark.sql.shuffle.partitions", "32")), m.num_partitions
     )
@@ -174,16 +198,26 @@ def merge_once(
     # through the same kernel, and the dead-list masking drops shadowed
     # docs from them exactly as it does from real posting lists.
     n_salt = max(2, (4 * merge_parts) // (m.num_partitions + 1))
-    # stat columns ride along so single-source groups with no dead docs
-    # pass through the kernel without decode/re-encode
+    # Dead lists ride the shuffle as MARKER rows (term == "", one per
+    # (phash, seg_seq, chunk)) that sort ahead of their phash section —
+    # each list ships O(num_partitions) times total. Joining them onto the
+    # posting rows instead (the old plan) replicated a chunk's whole dead
+    # array onto EVERY (term, chunk) block of that chunk: at 8M turns that
+    # was ~50 GB of shuffled dead lists against ~0.3 GB of payloads, a
+    # 12.8x merge blow-up at 4x data (BENCH.md round 3).
     merged = (
-        joined.withColumn("salt", F.pmod(F.col("chunk"), F.lit(n_salt)))
+        rows.select(
+            "phash", "term", "chunk", "df_chunk", "cf_chunk", "max_tf",
+            "min_dl", "payload", "seg_seq",
+            F.lit(None).cast("array<long>").alias("dead"),
+        )
+        .unionByName(_dead_markers(spark, dead_by_chunk, m.num_partitions))
+        .withColumn("salt", F.pmod(F.col("chunk"), F.lit(n_salt)))
         .repartition(merge_parts, "phash", "salt")
         .sortWithinPartitions("phash", "term", "chunk", "seg_seq")
-        .select(
-            "phash", "term", "chunk", "df_chunk", "cf_chunk", "max_tf",
-            "min_dl", "payload", "dead",
-        )
+        .drop("salt")
+        # stat columns ride along so single-source groups with no dead docs
+        # pass through the kernel without decode/re-encode
         .mapInPandas(_merge_stream, schema=POSTING_SCHEMA)
     )
     (

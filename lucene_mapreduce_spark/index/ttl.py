@@ -99,15 +99,22 @@ def purge_expired(
     # One write covers postings AND doclens (DL_TERM pseudo rows): expired
     # and shadowed docs are masked from both by the same dead lists.
     n_salt = max(2, (4 * parts) // (m.num_partitions + 1))
+    # dead lists ship as marker rows, never per-posting-row joins — see
+    # merge._dead_markers (a TTL purge's dead set is a large fraction of
+    # the index, the worst case for the replicating join this replaces)
+    from lucene_mapreduce_spark.index.merge import _dead_markers
+
     merged = (
-        rows.join(dead_by_chunk, ["seg_seq", "chunk"], "left")
+        rows.select(
+            "phash", "term", "chunk", "df_chunk", "cf_chunk", "max_tf",
+            "min_dl", "payload", "seg_seq",
+            F.lit(None).cast("array<long>").alias("dead"),
+        )
+        .unionByName(_dead_markers(spark, dead_by_chunk, m.num_partitions))
         .withColumn("salt", F.pmod(F.col("chunk"), F.lit(n_salt)))
         .repartition(parts, "phash", "salt")
         .sortWithinPartitions("phash", "term", "chunk", "seg_seq")
-        .select(
-            "phash", "term", "chunk", "df_chunk", "cf_chunk", "max_tf",
-            "min_dl", "payload", "dead",
-        )
+        .drop("salt")
         .mapInPandas(_merge_stream, schema=POSTING_SCHEMA)
     )
     (
