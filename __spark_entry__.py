@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_query_positions": fulltext.phrase_query_positions,
         "phrase_slop_query": fulltext.phrase_slop_query,
         "phrase_match_batch": fulltext.phrase_match_batch,
+        "slop_match_batch": fulltext.slop_match_batch,
         "boolean_match_batch": fulltext.boolean_match_batch,
         "near_match_batch": fulltext.near_match_batch,
         "term_df": fulltext.term_df,
@@ -149,6 +150,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "simhash": dedup.simhash,
         "simhash_near_pairs": dedup.simhash_near_pairs,
+        "duplicate_ngram_fraction": dedup.duplicate_ngram_fraction,
+        "dsir_importance_weights": textstats.dsir_importance_weights,
         # training-data pipeline: similarity search
         "ann_bruteforce_topk": similarity.ann_bruteforce_topk,
         "ann_lsh_topk": similarity.ann_lsh_topk,

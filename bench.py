@@ -158,10 +158,14 @@ def main() -> None:
     spark_lo = _new_session(CPUS_SCALE_LO)
     ix_lo = os.path.join(work, "ix_lo")
     # 4 reps on the small leg: its first reps carry page-cache/JIT warmup
-    # that the later ones shed (observed minima keep dropping through rep 3)
+    # that the later ones shed (observed minima keep dropping through rep 3).
+    # At big-corpus scale (sf1 step-up, N_CONV >= 500k) each leg runs
+    # minutes, so host-noise spikes are a small fraction of the leg and 2
+    # reps suffice — keeps the 2-core leg affordable.
+    big = N_CONV >= 500_000
     t_lo, _, reps_lo = _timed_build(
         spark_lo, corpus_path, ix_lo, os.path.join(work, "warm_lo"), chunk_docs,
-        reps=4,
+        reps=2 if big else 4,
     )
     timings["index_build_lo"] = round(t_lo, 3)
     spark_lo.stop()
@@ -170,7 +174,8 @@ def main() -> None:
     spark_hi = _new_session(CPUS_SCALE_HI)
     ix_s = os.path.join(work, "ix_s")
     t_hi, n_turns, reps_hi = _timed_build(
-        spark_hi, corpus_path, ix_s, os.path.join(work, "warm_s"), chunk_docs
+        spark_hi, corpus_path, ix_s, os.path.join(work, "warm_s"), chunk_docs,
+        reps=2 if big else 3,
     )
     timings["index_build_hi"] = round(t_hi, 3)
     spark_hi.stop()

@@ -333,3 +333,71 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+DUP_NGRAM_K = 5
+
+
+def _positional_grams(docs: DataFrame, k: int) -> DataFrame:
+    """(doc_id, gram): one row per token k-gram POSITION (multiplicity
+    kept, unlike ``_shingles``) — the unit of the substring-duplication
+    measure below."""
+    toks = tokenize_col("text")
+    idx = F.sequence(F.lit(1), F.size(toks) - (k - 1))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(k)]
+        ),
+    )
+    return docs.filter(F.size(toks) >= k).select(
+        "doc_id", F.explode(grams).alias("gram")
+    )
+
+
+def duplicate_ngram_fraction(
+    spark: SparkSession, sf_dir: str, k: int = DUP_NGRAM_K, min_df: int = 2
+) -> DataFrame:
+    """Per-doc duplicated-substring signal at token k-gram granularity —
+    the distributed stand-in for suffix-array exact substring dedup (Lee
+    et al. 2021, "Deduplicating Training Data Makes Language Models
+    Better"): the fraction of a doc's k-gram positions whose k-gram also
+    occurs in >= min_df distinct documents. Pipelines drop or trim docs
+    with a high fraction (boilerplate, licenses, templated spam).
+
+    Plan shape (all map-side combinable, no self-join): one groupBy(gram)
+    over the DISTINCT (doc, gram) set for document frequency, an equi-join
+    of the positional gram stream against the (small-ish) duplicated-gram
+    set, and a per-doc count rollup. Hot grams (boilerplate present in
+    millions of docs) are exactly the ones flagged — they join to ONE row
+    each, so skew is bounded; nothing is ever broadcast or collected.
+    Reference has no analogue (nearest is DISTINCT, copy_fields_for_index
+    .pig:67); this is LLM-pipeline surface beyond the reference."""
+    docs = load(spark, sf_dir, "documents")
+    g = _positional_grams(docs, k)
+    dup = (
+        g.distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("gdf"))
+        .filter(F.col("gdf") >= min_df)
+        .select("gram")
+    )
+    total = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    dupped = (
+        g.join(dup, "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup_grams"))
+    )
+    return (
+        total.join(dupped, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_dup_grams", F.lit(0)).alias("n_dup_grams"),
+            F.round(
+                F.coalesce("n_dup_grams", F.lit(0))
+                / F.col("n_grams").cast("double"),
+                6,
+            ).alias("dup_fraction"),
+        )
+    )

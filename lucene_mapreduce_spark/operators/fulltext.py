@@ -1247,6 +1247,22 @@ def phrase_match_batch(
     return phrase_match(spark, ix, phrase_text)
 
 
+def slop_match_batch(
+    spark: SparkSession,
+    sf_dir: str,
+    phrase_text: str = PHRASE_QUERY,
+    slop: int = PHRASE_SLOP,
+) -> DataFrame:
+    """The fully-distributed sloppy-phrase path (query/segments.slop_match):
+    greedy nearest-next chaining as a single codegen expression over joined
+    position arrays — whole-corpus `"a b"~N` workloads with no driver-side
+    candidate walk. Must match the identical oracle as phrase_slop_query."""
+    from lucene_mapreduce_spark.query.segments import slop_match
+
+    ix = _gate_index(spark, sf_dir)
+    return slop_match(spark, ix, phrase_text, slop)
+
+
 def phrase_query_positions(
     spark: SparkSession, sf_dir: str, phrase_text: str = PHRASE_QUERY
 ) -> DataFrame:

@@ -1639,3 +1639,69 @@ JOIN q USING (doc_id)
 LEFT JOIN keepers k ON k.doc_id = d.doc_id
 LEFT JOIN losers l ON l.doc_id = d.doc_id
 """
+
+# --------------------------------------------- substring-dup + DSIR family
+# duplicate_ngram_fraction: token 5-gram positional duplication measure
+# (operators/dedup.duplicate_ngram_fraction — Lee et al. 2021 shape)
+ORACLES["duplicate_ngram_fraction"] = f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t) - 3), i ->
+           t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                || ' ' || t[i+4])) AS gram
+  FROM toks WHERE len(t) >= 5
+),
+dup AS (
+  SELECT gram FROM (
+    SELECT gram, count(DISTINCT doc_id) AS gdf FROM g GROUP BY 1
+  ) WHERE gdf >= 2
+),
+tot AS (SELECT doc_id, count(*)::BIGINT AS n_grams FROM g GROUP BY 1),
+dups AS (
+  SELECT doc_id, count(*)::BIGINT AS n_dup_grams
+  FROM g JOIN dup USING (gram) GROUP BY 1
+)
+SELECT t.doc_id, t.n_grams,
+       coalesce(d.n_dup_grams, 0)::BIGINT AS n_dup_grams,
+       round(coalesce(d.n_dup_grams, 0) / t.n_grams::DOUBLE, 6) AS dup_fraction
+FROM tot t LEFT JOIN dups d USING (doc_id)
+"""
+
+# dsir_importance_weights: hashed-bigram importance weights
+# (operators/textstats.dsir_importance_weights — Xie et al. 2023 shape);
+# md5-derived 256-bucket hashing shared with the Spark side
+ORACLES["dsir_importance_weights"] = f"""
+WITH toks AS (SELECT doc_id, lang, {TOKS} AS t FROM documents),
+g AS (
+  SELECT doc_id, lang, ('0x' || substr(md5(gram), 1, 2))::INT AS bucket
+  FROM (
+    SELECT doc_id, lang,
+           unnest(list_transform(range(1, len(t)), i ->
+             t[i] || ' ' || t[i+1])) AS gram
+    FROM toks WHERE len(t) >= 2
+  )
+),
+counts AS (
+  SELECT bucket,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::DOUBLE AS t_b,
+         count(*)::DOUBLE AS r_b
+  FROM g GROUP BY 1
+),
+totals AS (SELECT sum(t_b) AS t_tot, sum(r_b) AS r_tot FROM counts),
+lr AS (
+  SELECT bucket,
+         ln((t_b + 1) / (t_tot + 256)) - ln((r_b + 1) / (r_tot + 256)) AS lr
+  FROM counts CROSS JOIN totals
+),
+per_bucket AS (
+  SELECT doc_id, bucket, count(*)::BIGINT AS c_b FROM g GROUP BY 1, 2
+)
+SELECT p.doc_id, sum(p.c_b)::BIGINT AS n_grams,
+       round(sum(p.c_b * l.lr), 6) AS weight
+FROM per_bucket p JOIN lr l USING (bucket)
+GROUP BY 1
+"""
+
+# the distributed sloppy-phrase twin must match the serving-path oracle
+ORACLES["slop_match_batch"] = ORACLES["phrase_slop_query"]

@@ -333,3 +333,98 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(starts, lambda i: F.md5(F.substr(F.col("text"), i, F.lit(8))))
         ).alias("fingerprint"),
     )
+
+
+DSIR_BUCKETS = 256
+DSIR_TARGET_LANG = "en"
+
+
+def dsir_importance_weights(
+    spark: SparkSession,
+    sf_dir: str,
+    target_lang: str = DSIR_TARGET_LANG,
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling" — public): per-doc
+    log-importance weight log p_target(doc) - log p_raw(doc) under hashed
+    bigram bag-of-ngrams models, Laplace-smoothed. The target distribution
+    is estimated from the in-corpus slice lang == target_lang (stand-in
+    for an external high-quality corpus; the plan is identical with any
+    target DataFrame), the raw distribution from the whole corpus.
+    Pipelines resample raw data with probability ∝ exp(weight) to tilt the
+    mix toward the target domain.
+
+    Plan shape: bigrams hash to ``n_buckets`` md5-derived buckets (same
+    idiom as stratified_sample — engine-portable, no xxhash); ONE
+    map-side-combinable groupBy(bucket) estimates both distributions (256
+    rows); the per-doc rollup joins the exploded gram stream against the
+    256-row log-ratio table — broadcast by size, so the only shuffle on
+    the big side is the final groupBy(doc_id). No collect, no self-join;
+    bucket count is a constant, so skew is bounded by design. LLM-pipeline
+    surface beyond the reference (no analogue)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tokenize_col("text")
+    idx = F.sequence(F.lit(1), F.size(toks) - 1)
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+        ),
+    )
+    g = (
+        docs.filter(F.size(toks) >= 2)
+        .select("doc_id", "lang", F.explode(grams).alias("gram"))
+        .select(
+            "doc_id",
+            "lang",
+            F.conv(F.substring(F.md5("gram"), 1, 2), 16, 10)
+            .cast("int")
+            .alias("bucket"),
+        )
+    )
+    counts = g.groupBy("bucket").agg(
+        F.sum(F.when(F.col("lang") == target_lang, 1).otherwise(0)).alias("t_b"),
+        F.count(F.lit(1)).alias("r_b"),
+    )
+    totals = counts.agg(
+        F.sum("t_b").alias("t_tot"), F.sum("r_b").alias("r_tot")
+    )
+    log_ratio = counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log((F.col("t_b") + 1.0) / (F.col("t_tot") + float(n_buckets)))
+            - F.log((F.col("r_b") + 1.0) / (F.col("r_tot") + float(n_buckets)))
+        ).alias("lr"),
+    )
+    # canonical accumulation (house rule, see query/bm25.py): one term per
+    # (doc, bucket), summed sequentially in ascending-bucket order — the
+    # per-doc weight is bit-deterministic across runs and partitionings
+    per_bucket = (
+        g.groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("c_b"))
+        .join(F.broadcast(log_ratio), "bucket")
+        .select(
+            "doc_id",
+            "c_b",
+            F.struct(F.col("bucket"), (F.col("c_b") * F.col("lr")).alias("term"))
+            .alias("bt"),
+        )
+    )
+    return (
+        per_bucket.groupBy("doc_id")
+        .agg(
+            F.sum("c_b").alias("n_grams"),
+            F.sort_array(F.collect_list("bt")).alias("bts"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            F.round(
+                F.aggregate(
+                    "bts", F.lit(0.0), lambda acc, x: acc + x["term"]
+                ),
+                6,
+            ).alias("weight"),
+        )
+    )

@@ -424,6 +424,54 @@ def near_match(
     )
 
 
+def slop_match(
+    spark: SparkSession, index_dir: str, phrase_text: str, slop: int
+) -> DataFrame:
+    """Distributed sloppy phrase (`"a b"~N`, ordered gap budget) — the
+    offline-batch twin of IndexSearcher.search_phrase_slop, completing the
+    batch family (phrase/boolean/near/field/range/boosted/msm) with the
+    last serving-only retrieval shape.
+
+    Plan: one pruned positions read per distinct term, a doc_id equi-join
+    chain (AQE broadcasts rare terms), then ONE codegen expression per doc
+    replaying the serving path's greedy nearest-next chaining: from each
+    start position of the first term, every later term binds to its
+    smallest position after the previous term's binding (array_min over a
+    filtered position array; an unmatchable step yields null, which
+    propagates to a False verdict). Greedy chaining minimizes the span, so
+    existence under the budget is exact — identical semantics, zero
+    driver-side candidate walks."""
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_string
+
+    phrase = tokenize_string(phrase_text)
+    if not phrase:
+        return spark.createDataFrame([], "doc_id long")
+    if slop <= 0 or len(phrase) == 1:
+        return phrase_match(spark, index_dir, phrase_text)
+    terms = sorted(set(phrase))
+    col_of = {t: f"pt{j}" for j, t in enumerate(terms)}
+    pos = read_positions(spark, index_dir, terms)
+    cur = None
+    for j, t in enumerate(terms):
+        nxt = pos.filter(F.col("term") == t).select(
+            "doc_id", F.col("positions").alias(col_of[t])
+        )
+        cur = nxt if cur is None else cur.join(nxt, "doc_id")
+    budget = slop + len(phrase) - 1  # max allowed (p_last - p_first)
+
+    def _chain_ok(s):
+        last = s
+        for t in phrase[1:]:
+            last = F.array_min(F.filter(F.col(col_of[t]), lambda x: x > last))
+        return F.coalesce((last - s) <= F.lit(budget), F.lit(False))
+
+    return (
+        cur.filter(F.exists(F.col(col_of[phrase[0]]), _chain_ok))
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
 def exact_stats(spark: SparkSession, index_dir: str) -> tuple[int, float]:
     """Exact (n_docs, avgdl) over live docs. For a fully merged index this
     equals the manifest's totals (asserted in tests); for a multi-generation

@@ -119,3 +119,51 @@ def test_significant_terms_lift(spark, tmp_path):
     assert terms["common"]["lift"] == 1.0
     assert out[0]["term"] in ("alpha", "marker")  # both lift 3.0, tie by term
     assert out[0]["term"] == "alpha"
+
+
+def test_duplicate_ngram_fraction(spark, tmp_path):
+    from lucene_mapreduce_spark.operators.dedup import duplicate_ngram_fraction
+
+    texts = [
+        "a b c d e f",      # grams: "a b c d e", "b c d e f"
+        "a b c d e zzz",    # shares "a b c d e" with doc 0
+        "p q r s t u",      # all grams unique
+        "x y",              # too short: no 5-grams, excluded
+    ]
+    sf = _write_docs(tmp_path, texts)
+    rows = {r["doc_id"]: r for r in duplicate_ngram_fraction(spark, sf).collect()}
+    assert set(rows) == {0, 1, 2}
+    assert rows[0]["n_grams"] == 2 and rows[0]["n_dup_grams"] == 1
+    assert rows[0]["dup_fraction"] == 0.5
+    assert rows[1]["dup_fraction"] == 0.5
+    assert rows[2]["n_dup_grams"] == 0 and rows[2]["dup_fraction"] == 0.0
+
+
+def test_dsir_importance_weights_direction(spark, tmp_path):
+    """Docs written in the target-domain vocabulary get higher importance
+    weights than off-domain docs; weights of an on-domain doc are positive
+    (its hashed bigrams are overrepresented in the target slice)."""
+    from lucene_mapreduce_spark.operators.textstats import dsir_importance_weights
+
+    sf = str(tmp_path)
+    texts, langs = [], []
+    for i in range(20):
+        texts.append("quality clean prose flows nicely here")
+        langs.append("en")
+    for i in range(20):
+        texts.append("spam junk noise garbage filler words")
+        langs.append("de")
+    pd.DataFrame(
+        {
+            "doc_id": list(range(len(texts))),
+            "text": texts,
+            "lang": langs,
+            "source": ["src0"] * len(texts),
+        }
+    ).to_parquet(sf + "/documents.parquet")
+    rows = {r["doc_id"]: r for r in dsir_importance_weights(spark, sf).collect()}
+    assert len(rows) == 40
+    assert all(r["n_grams"] == 5 for r in rows.values())  # 6 tokens -> 5 bigrams
+    w_target = rows[0]["weight"]
+    w_other = rows[25]["weight"]
+    assert w_target > 0 > w_other

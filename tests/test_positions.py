@@ -319,3 +319,41 @@ def test_positions_content_matches_tokenization(spark, tmp_path):
         for r in spark.read.parquet(os.path.join(seg, "positions")).collect()
     }
     assert rows == {"alpha": [0, 2, 5], "beta": [1, 4], "gamma": [3]}
+
+
+def test_slop_match_batch_vs_serving(spark, tmp_path):
+    """Distributed slop_match replays the serving path's greedy chaining
+    exactly: 3-term phrases, repeated terms, and budget edge cases over a
+    corpus designed to stress ordered-gap semantics."""
+    from lucene_mapreduce_spark.query.segments import slop_match
+
+    ix = str(tmp_path / "ix")
+    corpus = _corpus(
+        spark,
+        [
+            (0, "a b c"),                    # exact, span 2
+            (1, "a x b c"),                  # a..c span 3 (one gap)
+            (2, "a x x b x c"),              # span 5 (three gaps)
+            (3, "c b a"),                    # wrong order
+            (4, "a b x x x x c"),            # span 6
+            (5, "b a b c"),                  # a(1) b(2) c(3): span 2
+            (6, "a c b c"),                  # b after c: a(0) b(2) c(3) span 3
+            (7, "a b"),                      # missing c
+            (8, "a a a b c"),                # multiple starts, best is a(2)
+        ],
+    )
+    build_segment(spark, corpus, ix, num_partitions=4, with_positions=True)
+    s = IndexSearcher(ix)
+    for slop in (0, 1, 2, 3, 4):
+        serving = set(int(d) for d in s.search_phrase_slop("a b c", slop=slop))
+        batch = {
+            r["doc_id"] for r in slop_match(spark, ix, "a b c", slop).collect()
+        }
+        assert batch == serving, f"slop={slop}: {batch} vs {serving}"
+    # repeated-term phrase: "b c b" needs two distinct b positions in order
+    for slop in (0, 2):
+        serving = set(int(d) for d in s.search_phrase_slop("b c b", slop=slop))
+        batch = {
+            r["doc_id"] for r in slop_match(spark, ix, "b c b", slop).collect()
+        }
+        assert batch == serving, f"b c b slop={slop}: {batch} vs {serving}"
