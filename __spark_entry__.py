@@ -152,6 +152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_pairs": dedup.simhash_near_pairs,
         "duplicate_ngram_fraction": dedup.duplicate_ngram_fraction,
         "dsir_importance_weights": textstats.dsir_importance_weights,
+        "semdedup": similarity.semdedup,
         # training-data pipeline: similarity search
         "ann_bruteforce_topk": similarity.ann_bruteforce_topk,
         "ann_lsh_topk": similarity.ann_lsh_topk,
@@ -187,6 +188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": textstats.stratified_sample,
         "token_length_histogram": textstats.token_length_histogram,
         "doc_fingerprint": textstats.doc_fingerprint,
+        "unigram_logprob": textstats.unigram_logprob,
     }
     return q
 

@@ -1705,3 +1705,90 @@ GROUP BY 1
 
 # the distributed sloppy-phrase twin must match the serving-path oracle
 ORACLES["slop_match_batch"] = ORACLES["phrase_slop_query"]
+
+
+# ------------------------------------------- unigram LM + semdedup family
+# unigram_logprob: corpus-unigram cross-entropy (textstats.unigram_logprob
+# — CCNet-style LM filtering stand-in, Wenzek et al. 2020 shape)
+ORACLES["unigram_logprob"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKS}) AS term FROM documents
+),
+model AS (SELECT term, count(*)::DOUBLE AS cf FROM toks GROUP BY 1),
+totals AS (
+  SELECT sum(cf) AS n_total, count(*)::DOUBLE AS vocab FROM model
+),
+lp AS (
+  SELECT term, ln((cf + 1) / (n_total + vocab)) AS lp
+  FROM model CROSS JOIN totals
+),
+per AS (SELECT doc_id, term, count(*)::BIGINT AS c_t FROM toks GROUP BY 1, 2)
+SELECT p.doc_id, sum(p.c_t)::BIGINT AS n_tokens,
+       round(-sum(p.c_t * l.lp) / sum(p.c_t), 6) AS cross_entropy
+FROM per p JOIN lp l USING (term)
+GROUP BY 1
+"""
+
+
+def _semdedup_sql() -> str:
+    """SemDeDup twin (similarity.semdedup): assignment re-derived from the
+    same 16-centroid quantizer as the IVF oracles; the per-cluster rank cap
+    and the lowest-id-wins keep rule are replayed exactly."""
+    from lucene_mapreduce_spark.operators.ivf import N_CENTROIDS
+    from lucene_mapreduce_spark.operators.similarity import (
+        SEMDEDUP_MAX_CLUSTER,
+        SEMDEDUP_THRESHOLD,
+    )
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"CASE WHEN list_dot_product({a}, {a}) = 0"
+            f" OR list_dot_product({b}, {b}) = 0 THEN -2.0"
+            f" ELSE list_dot_product({a}, {b})"
+            f" / (sqrt(list_dot_product({a}, {a}))"
+            f" * sqrt(list_dot_product({b}, {b}))) END"
+        )
+
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (
+  SELECT vec_id AS cid, v AS cv FROM e
+  WHERE vec_id BETWEEN 1 AND {N_CENTROIDS}
+),
+assign AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cos("e.v", "c.cv")} DESC, c.cid ASC)
+             AS rn
+    FROM e, cents c
+  ) WHERE rn = 1
+),
+capped AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY cid ORDER BY vec_id) AS crn
+    FROM assign
+  ) WHERE crn <= {SEMDEDUP_MAX_CLUSTER}
+),
+hits AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM capped a JOIN capped b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE round({cos("a.v", "b.v")}, 6) >= {SEMDEDUP_THRESHOLD}
+),
+sym AS (
+  SELECT vec_a AS vec_id, vec_b AS nbr FROM hits
+  UNION ALL
+  SELECT vec_b, vec_a FROM hits
+),
+stats AS (
+  SELECT vec_id, count(*)::BIGINT AS n_dups, min(nbr) AS min_nbr
+  FROM sym GROUP BY 1
+)
+SELECT c.vec_id, c.cid AS list_id,
+       coalesce(s.n_dups, 0)::BIGINT AS n_dups,
+       (s.n_dups IS NULL OR s.min_nbr > c.vec_id) AS keep
+FROM capped c LEFT JOIN stats s USING (vec_id)
+"""
+
+
+ORACLES["semdedup"] = _semdedup_sql()

@@ -292,3 +292,82 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# semdedup: centroid-clustered semantic dedup
+SEMDEDUP_THRESHOLD = 0.4  # intra-cluster cosine at/above which docs are dups
+SEMDEDUP_MAX_CLUSTER = 1000  # deterministic per-cluster participation cap
+
+
+def semdedup(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = SEMDEDUP_THRESHOLD,
+    max_cluster: int = SEMDEDUP_MAX_CLUSTER,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
+    cluster the corpus with a coarse quantizer, compare embeddings only
+    WITHIN a cluster, and keep one representative per near-duplicate
+    relation.  Complements the LSH banding path (embedding_near_dup_pairs):
+    data-adaptive clusters catch paraphrase-level dups that fixed
+    hyperplanes shear apart.  Returns one row per participating vector:
+    (vec_id, list_id, n_dups, keep) with keep = false iff some same-cluster
+    vector with a SMALLER vec_id matches at >= threshold (deterministic
+    lowest-id-wins representative, engine-portable).
+
+    Plan shape: cluster assignment reuses the IVF coarse quantizer
+    (ivf._assign_col — plan-time literals, zero-shuffle projection); the
+    only self-join is the intra-cluster pair join keyed on list_id.  At
+    scale the cluster count C grows with the corpus (SemDeDup uses
+    C ~ N/10^3..10^4, trained via ivf.train_centroids), holding cluster
+    size — and so per-cluster pair cost — constant; the `max_cluster`
+    rank cap (lowest vec_ids participate, mirrored exactly by the oracle)
+    bounds the degenerate case where a cluster collapses.  Cosines fold
+    sequentially and compare at 6-dp rounding on both engines, so the
+    verdict is hash-exact.  LLM-pipeline surface beyond the reference."""
+    from lucene_mapreduce_spark.operators.ivf import _cosine_guarded, assign_lists
+
+    a = assign_lists(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"), "list_id"
+    )
+    w = Window.partitionBy("list_id").orderBy("vec_id")
+    capped = (
+        a.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= max_cluster)
+        .drop("rn")
+    )
+    left = capped.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "list_id"
+    )
+    right = capped.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "list_id"
+    )
+    pairs = (
+        left.join(right, "list_id")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(_cosine_guarded(F.col("va"), F.col("vb")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+    sym = pairs.select(
+        F.col("vec_a").alias("vec_id"), F.col("vec_b").alias("nbr")
+    ).unionByName(
+        pairs.select(F.col("vec_b").alias("vec_id"), F.col("vec_a").alias("nbr"))
+    )
+    stats = sym.groupBy("vec_id").agg(
+        F.count(F.lit(1)).alias("n_dups"), F.min("nbr").alias("min_nbr")
+    )
+    return (
+        capped.join(stats, "vec_id", "left")
+        .select(
+            "vec_id",
+            "list_id",
+            F.coalesce("n_dups", F.lit(0)).cast("long").alias("n_dups"),
+            (
+                F.col("n_dups").isNull() | (F.col("min_nbr") > F.col("vec_id"))
+            ).alias("keep"),
+        )
+    )

@@ -428,3 +428,64 @@ def dsir_importance_weights(
             ).alias("weight"),
         )
     )
+
+
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc cross-entropy under a corpus-trained unigram language model
+    (Laplace-smoothed) — the distributable stand-in for CCNet-style LM
+    perplexity filtering (Wenzek et al. 2020, public): pipelines bucket
+    docs by cross-entropy and drop the worst tail (gibberish, boilerplate,
+    non-linguistic noise).  Cross-entropy rather than perplexity is
+    reported: exp() would amplify last-ulp summation noise past the 6-dp
+    rounding the gate hashes.
+
+    Plan shape: ONE map-side-combinable groupBy(term) trains the model
+    (vocab-sized, stays distributed); the per-doc rollup equi-joins the
+    per-(doc, term) counts against it (AQE broadcasts when the vocab is
+    small, sort-merge when it is not — never forced); the per-doc sum is
+    canonically ascending-term (house determinism rule, see query/bm25.py)
+    so the score is bit-stable across runs and partitionings.  No collect,
+    no self-join, no UDF.  LLM-pipeline surface beyond the reference
+    (nearest shape: per-key aggregation, XdiDetail.pig:45)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = (
+        docs.select("doc_id", F.explode(tokenize_col("text")).alias("term"))
+    )
+    model = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cf"))
+    totals = model.agg(
+        F.sum("cf").alias("n_total"),
+        F.count(F.lit(1)).alias("vocab"),
+    )
+    logp = model.crossJoin(F.broadcast(totals)).select(
+        "term",
+        F.log(
+            (F.col("cf") + 1.0) / (F.col("n_total") + F.col("vocab"))
+        ).alias("lp"),
+    )
+    per_term = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("c_t"))
+        .join(logp, "term")
+        .select(
+            "doc_id",
+            "c_t",
+            F.struct(F.col("term"), (F.col("c_t") * F.col("lp")).alias("v"))
+            .alias("tv"),
+        )
+    )
+    return (
+        per_term.groupBy("doc_id")
+        .agg(
+            F.sum("c_t").alias("n_tokens"),
+            F.sort_array(F.collect_list("tv")).alias("tvs"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                -F.aggregate("tvs", F.lit(0.0), lambda a, x: a + x["v"])
+                / F.col("n_tokens"),
+                6,
+            ).alias("cross_entropy"),
+        )
+    )

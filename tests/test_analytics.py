@@ -167,3 +167,18 @@ def test_dsir_importance_weights_direction(spark, tmp_path):
     w_target = rows[0]["weight"]
     w_other = rows[25]["weight"]
     assert w_target > 0 > w_other
+
+
+def test_unigram_logprob_closed_form(spark, tmp_path):
+    from lucene_mapreduce_spark.operators.textstats import unigram_logprob
+
+    # corpus: a:2 b:2 c:1, total 5, vocab 3 -> Laplace lp = ln((cf+1)/8)
+    sf = _write_docs(tmp_path, ["a a b", "b c"])
+    rows = {r["doc_id"]: r for r in unigram_logprob(spark, sf).collect()}
+    assert rows[0]["n_tokens"] == 3 and rows[1]["n_tokens"] == 2
+    lp_ab = math.log(3 / 8)  # a and b both have cf=2
+    lp_c = math.log(2 / 8)
+    assert rows[0]["cross_entropy"] == round(-lp_ab, 6)
+    assert rows[1]["cross_entropy"] == round(-(lp_ab + lp_c) / 2, 6)
+    # the doc built from the rarer token is more surprising
+    assert rows[1]["cross_entropy"] > rows[0]["cross_entropy"]

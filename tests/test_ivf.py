@@ -159,3 +159,51 @@ def test_ivf_batch_query0_matches_single(spark, sf_dir):
         if r["query_id"] == 0
     ]
     assert batch == single
+
+
+def test_semdedup_planted_group(tmp_path, spark):
+    """A planted trio of near-copies (off-centroid direction) is one
+    semantic-dup group: lowest vec_id kept, others dropped; everything
+    else is a singleton that survives."""
+    from lucene_mapreduce_spark.operators.similarity import semdedup
+
+    rng = np.random.default_rng(7)
+    vecs = [rng.normal(size=64)]  # vec 0
+    for _ in range(16):  # vec 1..16: the coarse quantizer
+        vecs.append(rng.normal(size=64))
+    d = rng.normal(size=64)
+    for _ in range(3):  # vec 17..19: near-copies of direction d
+        vecs.append(d + rng.normal(scale=0.03, size=64))
+    sf = _write_embeddings(tmp_path, vecs)
+    rows = {r["vec_id"]: r for r in semdedup(spark, sf).collect()}
+    assert len(rows) == 20
+    assert rows[17]["keep"] and not rows[18]["keep"] and not rows[19]["keep"]
+    assert {rows[i]["n_dups"] for i in (17, 18, 19)} == {2}
+    # the trio landed in ONE cluster
+    assert len({rows[i]["list_id"] for i in (17, 18, 19)}) == 1
+    for i in list(range(17)):
+        assert rows[i]["keep"] and rows[i]["n_dups"] == 0, i
+
+
+def test_semdedup_cluster_cap(tmp_path, spark):
+    """Only the max_cluster lowest vec_ids of an oversized cluster
+    participate; the verdict is computed over the capped membership."""
+    from lucene_mapreduce_spark.operators.similarity import semdedup
+
+    rng = np.random.default_rng(3)
+    vecs = [rng.normal(size=64) for _ in range(17)]  # vec 0..16
+    d = rng.normal(size=64)
+    for _ in range(10):  # vec 17..26: one big near-dup cluster
+        vecs.append(d + rng.normal(scale=0.02, size=64))
+    sf = _write_embeddings(tmp_path, vecs)
+    rows = {r["vec_id"]: r for r in semdedup(spark, sf, max_cluster=5).collect()}
+    # the dup direction's cluster is [0, 5, 17..26] (vec 0 and centroid 5
+    # happen to share it under this seed): the cap keeps the 5 lowest ids
+    # [0, 5, 17, 18, 19], so 20..26 don't participate at all
+    clustered = [i for i in range(17, 27) if i in rows]
+    assert clustered == [17, 18, 19]
+    assert rows[17]["keep"] and not rows[18]["keep"] and not rows[19]["keep"]
+    assert all(rows[i]["n_dups"] == 2 for i in clustered)
+    # the two random co-members are not semantic dups of anything
+    assert rows[0]["keep"] and rows[0]["n_dups"] == 0
+    assert rows[5]["keep"] and rows[5]["n_dups"] == 0
