@@ -92,6 +92,22 @@ def main() -> None:
          lambda: __import__(
              "lucene_mapreduce_spark.operators.ivf", fromlist=["x"]
          ).ann_ivf_batch_topk(spark, sf_dir)),
+        ("semdedup (IVF-cluster semantic dedup: intra-cluster pair join)",
+         lambda: __import__(
+             "lucene_mapreduce_spark.operators.similarity", fromlist=["x"]
+         ).semdedup(spark, sf_dir)),
+        ("unigram_logprob (corpus-unigram LM cross-entropy scoring)",
+         lambda: __import__(
+             "lucene_mapreduce_spark.operators.textstats", fromlist=["x"]
+         ).unigram_logprob(spark, sf_dir)),
+        ("slop_match_batch (distributed sloppy phrase: greedy chain expr)",
+         lambda: fulltext.slop_match_batch(spark, sf_dir)),
+        ("duplicate_ngram_fraction (substring-dup signal: gram df join)",
+         lambda: dedup.duplicate_ngram_fraction(spark, sf_dir)),
+        ("dsir_importance_weights (hashed-bigram importance weights)",
+         lambda: __import__(
+             "lucene_mapreduce_spark.operators.textstats", fromlist=["x"]
+         ).dsir_importance_weights(spark, sf_dir)),
     ]
 
     out = [HEADER]
