@@ -28,29 +28,35 @@ from lucene_mapreduce_spark.operators import (  # noqa: E402
 from lucene_mapreduce_spark.operators.oracles import (  # noqa: E402
     ORACLES,
     bm25_topk_sql,
+    block_join_sql,
     mlt_sql,
     fuzzy_sql,
     autocomplete_sql,
     boosted_sql,
     collapse_sql,
+    dismax_sql,
     field_scoped_sql,
     grouped_topn_sql,
     msm_sql,
     ngram_counts_sql,
     parsed_query_sql,
     prefix_sql,
+    range_facets_sql,
     range_parsed_sql,
     regexp_sql,
+    rrf_sql,
     significant_terms_sql,
     snippets_sql,
     sort_by_field_sql,
     spell_suggest_sql,
+    synonym_sql,
     term_range_sql,
     terms_enum_sql,
     tfidf_sql,
     total_hits_sql,
     wildcard_sql,
 )
+from lucene_mapreduce_spark.operators.oracles import TOKS as _TOKS  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -94,6 +100,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "field_scoped_query": fulltext.field_scoped_query,
         "search_collapse": fulltext.search_collapse,
         "search_grouped_topn": fulltext.search_grouped_topn,
+        "synonym_query": fulltext.synonym_query,
+        "dismax_query": fulltext.dismax_query,
+        "block_join_topk": fulltext.block_join_topk,
+        "phrase_prefix_query": fulltext.phrase_prefix_query,
+        "range_facets": fulltext.range_facets,
+        "rrf_fusion": similarity.rrf_fusion,
         "contamination_check": dedup.contamination_check,
         "gopher_rules": textstats.gopher_rules,
         "ann_batch_topk": similarity.ann_batch_topk,
@@ -248,4 +260,24 @@ def oracle_sql() -> dict[str, str]:
     )
     out["bm25_wand_topk"] = bm25_topk_sql(fulltext.FLAGSHIP_QUERY)
     out["bm25_wand_topk_unmerged"] = bm25_topk_sql(fulltext.FLAGSHIP_QUERY)
+    out["synonym_query"] = synonym_sql(fulltext.SYNONYM_SET)
+    out["dismax_query"] = dismax_sql(
+        fulltext.DISMAX_SUBQUERIES, tie=fulltext.DISMAX_TIE
+    )
+    out["block_join_topk"] = block_join_sql(
+        fulltext.FLAGSHIP_QUERY, width=fulltext.BLOCK_WIDTH
+    )
+    out["phrase_prefix_query"] = f"""
+SELECT doc_id FROM (SELECT doc_id, {{toks}} AS toks FROM documents)
+WHERE len(list_filter(range(1, len(toks)), i ->
+      toks[i] = '{fulltext.PHRASE_PREFIX[0]}'
+  AND starts_with(toks[i+1], '{fulltext.PHRASE_PREFIX[1]}'))) > 0
+""".replace("{toks}", _TOKS)
+    out["range_facets"] = range_facets_sql(
+        fulltext.BOOLEAN_QUERY, fulltext.FACET_RANGES
+    )
+    out["rrf_fusion"] = rrf_sql(
+        fulltext.FLAGSHIP_QUERY, depth=similarity.RRF_DEPTH,
+        rrf_k=similarity.RRF_K,
+    )
     return out

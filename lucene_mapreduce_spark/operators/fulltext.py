@@ -1351,3 +1351,244 @@ def bm25_wand_topk_documents(
 
     rows = [(int(d), _round6(s), i + 1) for i, (d, s) in enumerate(hits)]
     return spark.createDataFrame(rows, "doc_id long, score double, rank int")
+
+
+# ---------------------------------------------------------------- synonym
+SYNONYM_SET = ("scan", "merge", "join")  # one synonym group for the gate
+
+
+def synonym_query(
+    spark: SparkSession,
+    sf_dir: str,
+    synonyms: tuple[str, ...] = SYNONYM_SET,
+    k: int = 10,
+) -> DataFrame:
+    """Lucene SynonymQuery parity (the query SynonymGraphFilter rewrites
+    to): the whole synonym set scores as ONE pseudo-term — per-doc tf is
+    the SUM of the members' tfs, document frequency is the MAX of the
+    members' dfs (SynonymQuery's blended docFreq), and the blended
+    (tf, df) pair runs once through the standard BM25 formula.
+
+    Plan: one pruned posting read for the member terms; the blended df is
+    a one-row aggregate broadcast into the scoring projection (never a
+    driver collect); per-doc blending is a map-side-combinable groupBy.
+    tf-blending sums integers, so there is no float-accumulation-order
+    hazard anywhere before the single scoring expression.
+    Oracle: the same blend spelled in SQL (synonym_sql)."""
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+    from lucene_mapreduce_spark.query.bm25 import B, K1
+    from lucene_mapreduce_spark.query.segments import exact_stats, read_postings
+
+    ix = _gate_index(spark, sf_dir)
+    n_docs, avgdl = exact_stats(spark, ix)
+    posts = read_postings(spark, ix, sorted(set(synonyms)))
+    dfb = (
+        posts.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .agg(F.max("df").cast("double").alias("df_b"))
+    )
+    blended = posts.groupBy("doc_id").agg(
+        F.sum("tf").cast("double").alias("tf"),
+        F.max("dl").cast("double").alias("dl"),
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df_b") + F.lit(0.5))
+        / (F.col("df_b") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(K1) * (
+        F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.lit(float(avgdl))
+    )
+    scored = blended.crossJoin(F.broadcast(dfb)).select(
+        "doc_id",
+        F.round(idf * (F.col("tf") * F.lit(K1 + 1.0)) / denom, 6).alias("score"),
+    )
+    return ranked_topk(scored, [F.desc("score"), F.asc("doc_id")], k).select(
+        "doc_id", "score", "rank"
+    )
+
+
+# ---------------------------------------------------------------- dismax
+DISMAX_SUBQUERIES = ("merge scan", "window sort")
+DISMAX_TIE = 0.3
+
+
+def dismax_query(
+    spark: SparkSession,
+    sf_dir: str,
+    subqueries: tuple[str, str] = DISMAX_SUBQUERIES,
+    tie: float = DISMAX_TIE,
+    k: int = 10,
+) -> DataFrame:
+    """Lucene DisjunctionMaxQuery parity: a doc matching any subquery
+    scores max(subquery scores) + tie * (sum of the non-max scores) —
+    the tie-breaker blend dismax is famous for (multi-field search uses
+    exactly this shape per field).
+
+    Exactly two subqueries are scored, which keeps every float
+    combination here a single add/multiply (order-free): the non-max sum
+    is just min(score) when both match, 0 otherwise. The per-subquery
+    scores come from the exact unranked index path (bm25_scores —
+    canonical ascending-term accumulation), so the only ranking window
+    runs over the fused per-doc rows via ranked_topk."""
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+    from lucene_mapreduce_spark.query.segments import bm25_scores
+
+    assert len(subqueries) == 2, "dismax gate scores exactly two subqueries"
+    ix = _gate_index(spark, sf_dir)
+    qdf = spark.createDataFrame(
+        [(f"d{i}", q) for i, q in enumerate(subqueries)],
+        "query_id string, query_text string",
+    )
+    sc = bm25_scores(spark, ix, qdf)
+    per = sc.groupBy("doc_id").agg(
+        F.max("score").alias("mx"),
+        F.min("score").alias("mn"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    other = F.when(F.col("n") > 1, F.col("mn")).otherwise(F.lit(0.0))
+    scored = per.select(
+        "doc_id", F.round(F.col("mx") + F.lit(tie) * other, 6).alias("score")
+    )
+    return ranked_topk(scored, [F.desc("score"), F.asc("doc_id")], k).select(
+        "doc_id", "score", "rank"
+    )
+
+
+# ---------------------------------------------------------------- block join
+BLOCK_WIDTH = 8  # parent block = 8 consecutive docids (conv of 8 turns)
+
+
+def block_join_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_text: str = FLAGSHIP_QUERY,
+    k: int = 10,
+    width: int = BLOCK_WIDTH,
+) -> DataFrame:
+    """Lucene ToParentBlockJoinQuery parity (ScoreMode.Max): children are
+    the indexed docs, parents are fixed docid blocks (the transcript
+    shape: a conversation's turns share a docid block, docids are
+    conv<<20|turn), and a parent's score is the MAX over its matching
+    children, with the matching-child count alongside (the block join's
+    child hit accounting).
+
+    Plan: the exact unranked index path scores children (bm25_scores, no
+    per-query global window), the parent rollup is one map-side-
+    combinable groupBy on a derived key, and only parent rows are ranked
+    (ranked_topk). max-then-round is float-safe: child scores are already
+    float64-exact per the determinism spec, and max picks one of them."""
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+    from lucene_mapreduce_spark.query.segments import bm25_scores
+
+    ix = _gate_index(spark, sf_dir)
+    queries = spark.createDataFrame(
+        [("q0", query_text)], "query_id string, query_text string"
+    )
+    child = bm25_scores(spark, ix, queries)
+    parents = (
+        child.withColumn(
+            "parent_id", F.floor(F.col("doc_id") / F.lit(width)).cast("long")
+        )
+        .groupBy("parent_id")
+        .agg(
+            F.round(F.max("score"), 6).alias("score"),
+            F.count(F.lit(1)).cast("long").alias("n_children"),
+        )
+    )
+    return ranked_topk(
+        parents, [F.desc("score"), F.asc("parent_id")], k
+    ).select("parent_id", "score", "n_children", "rank")
+
+
+# ---------------------------------------------------------------- phrase prefix
+PHRASE_PREFIX = ("fast", "s")  # the query  "fast s*"
+
+
+def phrase_prefix_query(
+    spark: SparkSession,
+    sf_dir: str,
+    first: str = PHRASE_PREFIX[0],
+    prefix: str = PHRASE_PREFIX[1],
+    max_expansions: int = MAX_EXPANSIONS,
+) -> DataFrame:
+    """Lucene MultiPhraseQuery parity (match_phrase_prefix): docs where
+    `first` is immediately followed by ANY dictionary term starting with
+    `prefix`. The prefix expands df-ranked and capped like every other
+    multi-term rewrite (Lucene's maxExpansions); adjacency is verified
+    from the positional sidecar — the expansion set's position lists are
+    unioned per doc (one flatten groupBy), then intersected against the
+    anchor term's positions shifted by one, all pure codegen. Under the
+    cap the result equals the uncapped expansion (gate vocabulary is far
+    below 1024 terms).
+    Oracle: toks[i] = first AND starts_with(toks[i+1], prefix)."""
+    from lucene_mapreduce_spark.query.segments import read_positions
+
+    ix = _gate_index(spark, sf_dir)
+    cands = _index_vocab(spark, ix).filter(F.col("term").startswith(prefix))
+    exps = _expand_capped(cands, max_expansions)
+    if not exps:
+        return spark.createDataFrame([], "doc_id long")
+    pos = read_positions(spark, ix, sorted({first, *exps}))
+    anchor = pos.filter(F.col("term") == first).select(
+        "doc_id", F.col("positions").alias("s")
+    )
+    nxt = (
+        pos.filter(F.col("term").isin(exps))
+        .groupBy("doc_id")
+        .agg(F.flatten(F.collect_list("positions")).alias("p1"))
+    )
+    return (
+        anchor.join(nxt, "doc_id")
+        .withColumn(
+            "s",
+            F.filter(
+                F.transform("s", lambda x: x + 1),
+                lambda x: F.array_contains(F.col("p1"), x),
+            ),
+        )
+        .filter(F.size("s") > 0)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------- range facets
+FACET_RANGES = ((0, 150), (150, 300), (300, 1 << 20))  # [lo, hi) buckets
+
+
+def range_facets(
+    spark: SparkSession,
+    sf_dir: str,
+    query_text: str = BOOLEAN_QUERY,
+    fld: str = "n_chars",
+    ranges: tuple[tuple[int, int], ...] = FACET_RANGES,
+) -> DataFrame:
+    """Lucene LongRangeFacetCounts parity: [lo, hi) bucket counts of a
+    numeric doc-value field over the FULL hit set of the disjunctive
+    query (facets count every hit, not the top-k page). The hit set stays
+    distributed (boolean_match mode="or"); field values come from the
+    fields sidecar's num_value column (SortedNumericDocValues face) and
+    join only the hit docs; the bucket expression is one codegen CASE.
+    """
+    from lucene_mapreduce_spark.query.segments import (
+        boolean_match,
+        field_num_values,
+    )
+
+    ix = _gate_index(spark, sf_dir)
+    hits = boolean_match(spark, ix, query_text, mode="or")
+    nums = field_num_values(spark, ix, fld)
+    bucket = F.lit(None).cast("string")
+    for lo, hi in reversed(ranges):
+        bucket = F.when(
+            (F.col("num_value") >= lo) & (F.col("num_value") < hi),
+            F.lit(f"[{lo},{hi})"),
+        ).otherwise(bucket)
+    return (
+        nums.join(hits, "doc_id")
+        .select(bucket.alias("bucket"))
+        .filter(F.col("bucket").isNotNull())
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

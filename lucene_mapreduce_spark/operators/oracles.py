@@ -770,6 +770,232 @@ FROM topk t JOIN snip s USING (doc_id)
 """
 
 
+def synonym_sql(synonyms: tuple[str, ...], k: int = 10) -> str:
+    """SynonymQuery twin: per-doc tf = sum of member tfs, df = max member
+    df, one BM25 evaluation over the blend — same formula spelling as
+    bm25_topk_sql so the float expressions are identical."""
+    inlist = ", ".join(f"'{t}'" for t in sorted(set(synonyms)))
+    return f"""
+WITH doclens AS (
+  SELECT doc_id, len({TOKS}) AS dl FROM documents
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n_docs, avg(dl::DOUBLE) AS avgdl FROM doclens
+),
+toks AS (
+  SELECT doc_id, unnest({TOKS}) AS term FROM documents
+),
+postings AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks
+  WHERE term IN ({inlist}) GROUP BY 1, 2
+),
+dfb AS (
+  SELECT max(df)::DOUBLE AS df_b
+  FROM (SELECT count(*) AS df FROM postings GROUP BY term)
+),
+blended AS (
+  SELECT doc_id, sum(tf) AS tf FROM postings GROUP BY 1
+),
+scored AS (
+  SELECT b.doc_id,
+         round(ln(1 + (s.n_docs - d.df_b + 0.5) / (d.df_b + 0.5))
+           * (b.tf * {K1 + 1.0})
+           / (b.tf + {K1} * (1 - {B} + {B} * l.dl / s.avgdl)), 6) AS score
+  FROM blended b
+  JOIN doclens l USING (doc_id)
+  CROSS JOIN dfb d
+  CROSS JOIN stats s
+)
+SELECT doc_id, score, rank FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+def dismax_sql(
+    subqueries: tuple[str, str], tie: float = 0.3, k: int = 10
+) -> str:
+    """DisjunctionMaxQuery twin: per-subquery BM25 doc scores (the
+    bm25_topk_sql spec per term set), fused per doc as
+    max + tie * (non-max sum) — with two subqueries the non-max sum is
+    min when both match, 0 otherwise."""
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_string
+
+    qrows = []
+    allterms: set[str] = set()
+    for i, q in enumerate(subqueries):
+        ts = sorted(set(tokenize_string(q)))
+        allterms.update(ts)
+        arr = ", ".join(f"'{t}'" for t in ts)
+        qrows.append(f"SELECT 'd{i}' AS query_id, unnest([{arr}]) AS term")
+    inlist = ", ".join(f"'{t}'" for t in sorted(allterms))
+    qcte = " UNION ALL ".join(qrows)
+    return f"""
+WITH doclens AS (
+  SELECT doc_id, len({TOKS}) AS dl FROM documents
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n_docs, avg(dl::DOUBLE) AS avgdl FROM doclens
+),
+toks AS (
+  SELECT doc_id, unnest({TOKS}) AS term FROM documents
+),
+postings AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks
+  WHERE term IN ({inlist}) GROUP BY 1, 2
+),
+q AS ({qcte}),
+dft AS (
+  SELECT term, count(*)::DOUBLE AS df_t FROM postings GROUP BY 1
+),
+scored AS (
+  SELECT q.query_id, p.doc_id,
+         ln(1 + (s.n_docs - d.df_t + 0.5) / (d.df_t + 0.5))
+           * (p.tf * {K1 + 1.0})
+           / (p.tf + {K1} * (1 - {B} + {B} * l.dl / s.avgdl)) AS contrib
+  FROM postings p
+  JOIN q USING (term)
+  JOIN dft d USING (term)
+  JOIN doclens l USING (doc_id)
+  CROSS JOIN stats s
+),
+agg AS (
+  SELECT query_id, doc_id, sum(contrib) AS score FROM scored GROUP BY 1, 2
+),
+fused AS (
+  SELECT doc_id,
+         round(max(score) + {tie} * CASE WHEN count(*) > 1
+               THEN min(score) ELSE 0.0::DOUBLE END, 6) AS score
+  FROM agg GROUP BY 1
+)
+SELECT doc_id, score, rank FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM fused
+) WHERE rank <= {k}
+"""
+
+
+def block_join_sql(query_text: str, width: int = 8, k: int = 10) -> str:
+    """ToParentBlockJoin twin (ScoreMode.Max): the bm25 per-doc scores
+    rolled up to docid-block parents — max child score + child count."""
+    qlit = query_text.replace("'", "''")
+    return f"""
+WITH doclens AS (
+  SELECT doc_id, len({TOKS}) AS dl FROM documents
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n_docs, avg(dl::DOUBLE) AS avgdl FROM doclens
+),
+toks AS (
+  SELECT doc_id, unnest({TOKS}) AS term FROM documents
+),
+postings AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2
+),
+qterms AS (
+  SELECT DISTINCT unnest({duckdb_tokens_sql(f"'{qlit}'")}) AS term
+),
+dft AS (
+  SELECT p.term, count(*)::DOUBLE AS df_t
+  FROM postings p JOIN qterms q USING (term) GROUP BY 1
+),
+scored AS (
+  SELECT p.doc_id,
+         ln(1 + (s.n_docs - d.df_t + 0.5) / (d.df_t + 0.5))
+           * (p.tf * {K1 + 1.0})
+           / (p.tf + {K1} * (1 - {B} + {B} * l.dl / s.avgdl)) AS contrib
+  FROM postings p
+  JOIN dft d USING (term)
+  JOIN doclens l USING (doc_id)
+  CROSS JOIN stats s
+),
+agg AS (
+  SELECT doc_id, sum(contrib) AS score FROM scored GROUP BY 1
+),
+parents AS (
+  SELECT (doc_id // {width})::BIGINT AS parent_id,
+         round(max(score), 6) AS score,
+         count(*)::BIGINT AS n_children
+  FROM agg GROUP BY 1
+)
+SELECT parent_id, score, n_children, rank FROM (
+  SELECT parent_id, score, n_children,
+         row_number() OVER (ORDER BY score DESC, parent_id ASC) AS rank
+  FROM parents
+) WHERE rank <= {k}
+"""
+
+
+def range_facets_sql(
+    query_text: str,
+    ranges: tuple[tuple[int, int], ...],
+    fld: str = "n_chars",
+) -> str:
+    """LongRangeFacetCounts twin: [lo, hi) bucket counts of the numeric
+    field over the full disjunctive hit set."""
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_string
+
+    terms = sorted(set(tokenize_string(query_text)))
+    hit = " OR ".join(f"list_contains(toks, '{t}')" for t in terms)
+    case = " ".join(
+        f"WHEN {fld} >= {lo} AND {fld} < {hi} THEN '[{lo},{hi})'"
+        for lo, hi in ranges
+    )
+    return f"""
+WITH hits AS (
+  SELECT doc_id FROM (SELECT doc_id, {TOKS} AS toks FROM documents)
+  WHERE {hit}
+),
+b AS (
+  SELECT CASE {case} END AS bucket
+  FROM documents d JOIN hits USING (doc_id)
+)
+SELECT bucket, count(*)::BIGINT AS n_docs FROM b
+WHERE bucket IS NOT NULL GROUP BY 1
+"""
+
+
+def rrf_sql(
+    query_text: str, depth: int = 50, k: int = 10, rrf_k: int = 60
+) -> str:
+    """Reciprocal-rank-fusion twin: the bm25 top-`depth` and the exact
+    cosine top-`depth` (vec_id=0 probe, query vec excluded — same
+    convention as ann_bruteforce_topk) full-outer joined, each list
+    contributing 1/(rrf_k + rank)."""
+    return f"""
+WITH lex AS ({bm25_topk_sql(query_text, k=depth)}),
+qv AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0),
+vec AS (
+  SELECT vec_id AS doc_id, rank FROM (
+    SELECT vec_id, row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS rank
+    FROM (
+      SELECT vec_id,
+             round(list_dot_product(embedding::DOUBLE[], qvec)
+                   / (sqrt(list_dot_product(embedding::DOUBLE[],
+                                            embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(qvec, qvec))), 6) AS cosine
+      FROM embeddings, qv WHERE vec_id <> 0
+    )
+  ) WHERE rank <= {depth}
+),
+fused AS (
+  SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+         round(coalesce(1.0::DOUBLE / ({rrf_k} + l.rank), 0.0::DOUBLE)
+               + coalesce(1.0::DOUBLE / ({rrf_k} + v.rank), 0.0::DOUBLE),
+               6) AS rrf
+  FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+)
+SELECT doc_id, rrf, rank FROM (
+  SELECT doc_id, rrf,
+         row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS rank
+  FROM fused
+) WHERE rank <= {k}
+"""
+
+
 _SHINGLES = f"""
 tok AS (SELECT doc_id, {TOKS} AS tokens FROM documents),
 sh AS (

@@ -371,3 +371,52 @@ def semdedup(
             ).alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------- hybrid RRF
+RRF_K = 60  # the standard reciprocal-rank-fusion constant (Cormack 2009)
+RRF_DEPTH = 50  # fusion depth per retriever
+
+
+def rrf_fusion(
+    spark: SparkSession, sf_dir: str, k: int = 10, depth: int = RRF_DEPTH
+) -> DataFrame:
+    """Hybrid retrieval: the BM25 lexical top-`depth` (flagship query via
+    the real index path) and the exact-cosine vector top-`depth` (the
+    fixed vec_id=0 probe shared with the ANN gates; embeddings.vec_id is
+    documents.doc_id's embedding row) fused by Reciprocal Rank Fusion:
+    score(d) = sum over lists of 1/(RRF_K + rank_d) — the standard
+    training-pipeline blend of sparse and dense retrieval (Cormack,
+    Clarke & Buettcher 2009, public).
+
+    Both retrievers already rank through TakeOrderedAndProject paths; the
+    fusion itself is a tiny (2*depth rows max) full-outer join, so every
+    float here is one add of two exactly-representable reciprocals —
+    deterministic with no accumulation machinery."""
+    from lucene_mapreduce_spark.operators import fulltext
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+
+    lex = fulltext.bm25_index_topk_documents(
+        spark, sf_dir, k=depth
+    ).select("doc_id", F.col("rank").alias("lrank"))
+    vec = ann_bruteforce_topk(spark, sf_dir, k=depth).select(
+        F.col("vec_id").alias("doc_id"), F.col("rank").alias("vrank")
+    )
+    fused = (
+        lex.join(vec, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(
+                    F.lit(1.0) / (F.lit(RRF_K) + F.col("lrank")), F.lit(0.0)
+                )
+                + F.coalesce(
+                    F.lit(1.0) / (F.lit(RRF_K) + F.col("vrank")), F.lit(0.0)
+                ),
+                6,
+            ).alias("rrf"),
+        )
+    )
+    return ranked_topk(fused, [F.desc("rrf"), F.asc("doc_id")], k).select(
+        "doc_id", "rrf", "rank"
+    )

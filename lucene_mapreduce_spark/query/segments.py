@@ -306,6 +306,36 @@ def field_values(
     return rows.select("value", "doc_id")
 
 
+def field_num_values(
+    spark: SparkSession, index_dir: str, fld: str
+) -> DataFrame:
+    """(doc_id, num_value) live rows of one indexed numeric field — the
+    SortedNumericDocValues face of the fields sidecar (the num_value twin
+    written for PointRangeQuery), for range faceting and numeric rollups
+    over hit sets. Same read/latest-wins shape as field_values."""
+    m = load_manifest(index_dir)
+    assert m is not None, f"no index at {index_dir}"
+    segs = m.ordered()
+    assert all(fld in s.indexed_fields for s in segs), (
+        f"field {fld!r} not indexed in every generation"
+    )
+    rows = None
+    for s in segs:
+        r = (
+            spark.read.parquet(
+                os.path.join(segment_dir(index_dir, s.segment_id), "fields")
+            )
+            .filter(F.col("field") == fld)
+            .withColumn("seg_seq", F.lit(s.min_seq))
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    rows = rows.select("doc_id", "num_value", "seg_seq")
+    if len(segs) > 1:
+        live = live_doclens(spark, index_dir, m).select("doc_id", "seg_seq")
+        rows = rows.join(live, ["doc_id", "seg_seq"], "left_semi")
+    return rows.select("doc_id", "num_value")
+
+
 def field_range_match(
     spark: SparkSession,
     index_dir: str,

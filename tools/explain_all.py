@@ -108,6 +108,20 @@ def main() -> None:
          lambda: __import__(
              "lucene_mapreduce_spark.operators.textstats", fromlist=["x"]
          ).dsir_importance_weights(spark, sf_dir)),
+        ("synonym_query (SynonymQuery blend: one-row df broadcast)",
+         lambda: fulltext.synonym_query(spark, sf_dir)),
+        ("dismax_query (DisjunctionMaxQuery: per-subquery exact scores)",
+         lambda: fulltext.dismax_query(spark, sf_dir)),
+        ("block_join_topk (ToParentBlockJoin: parent rollup groupBy)",
+         lambda: fulltext.block_join_topk(spark, sf_dir)),
+        ("phrase_prefix_query (MultiPhraseQuery: unioned position lists)",
+         lambda: fulltext.phrase_prefix_query(spark, sf_dir)),
+        ("range_facets (LongRangeFacetCounts over the full hit set)",
+         lambda: fulltext.range_facets(spark, sf_dir)),
+        ("rrf_fusion (hybrid BM25 + cosine reciprocal-rank fusion)",
+         lambda: __import__(
+             "lucene_mapreduce_spark.operators.similarity", fromlist=["x"]
+         ).rrf_fusion(spark, sf_dir)),
     ]
 
     out = [HEADER]
