@@ -29,6 +29,19 @@ from lucene_mapreduce_spark.operators.oracles import (  # noqa: E402
     ORACLES,
     bm25_topk_sql,
     block_join_sql,
+    dl_percentiles_sql,
+    drill_sideways_sql,
+    function_score_sql,
+    rescore_sql,
+    explain_sql,
+    kmv_sql,
+    span_first_sql,
+    span_not_sql,
+    generation_sql,
+    to_child_sql,
+    cms_sql,
+    lmdirichlet_sql,
+    taxonomy_sql,
     mlt_sql,
     fuzzy_sql,
     autocomplete_sql,
@@ -106,6 +119,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_prefix_query": fulltext.phrase_prefix_query,
         "range_facets": fulltext.range_facets,
         "rrf_fusion": similarity.rrf_fusion,
+        "explain_scores": fulltext.explain_scores,
+        "drill_sideways_facets": fulltext.drill_sideways_facets,
+        "kmv_distinct_tokens": fulltext.kmv_distinct_tokens,
+        "span_first_query": fulltext.span_first_query,
+        "span_not_query": fulltext.span_not_query,
+        "dl_percentiles": fulltext.dl_percentiles,
+        "rescore_topk": fulltext.rescore_topk,
+        "function_score_query": fulltext.function_score_query,
+        "search_at_generation": fulltext.search_at_generation,
+        "to_child_block_join": fulltext.to_child_block_join,
+        "cms_heavy_hitters": fulltext.cms_heavy_hitters,
+        "lmdirichlet_topk": fulltext.lmdirichlet_topk,
+        "taxonomy_facets": fulltext.taxonomy_facets,
         "contamination_check": dedup.contamination_check,
         "gopher_rules": textstats.gopher_rules,
         "ann_batch_topk": similarity.ann_batch_topk,
@@ -280,4 +306,32 @@ WHERE len(list_filter(range(1, len(toks)), i ->
         fulltext.FLAGSHIP_QUERY, depth=similarity.RRF_DEPTH,
         rrf_k=similarity.RRF_K,
     )
+    out["explain_scores"] = explain_sql(
+        fulltext.FLAGSHIP_QUERY, fulltext.EXPLAIN_DOC
+    )
+    out["drill_sideways_facets"] = drill_sideways_sql(
+        fulltext.BOOLEAN_QUERY, *fulltext.DRILL_DOWN
+    )
+    out["kmv_distinct_tokens"] = kmv_sql(fulltext.KMV_K)
+    out["span_first_query"] = span_first_sql(*fulltext.SPAN_FIRST)
+    out["span_not_query"] = span_not_sql(*fulltext.SPAN_NOT)
+    out["dl_percentiles"] = dl_percentiles_sql(fulltext.DL_PERCENTILES)
+    out["rescore_topk"] = rescore_sql(
+        fulltext.FLAGSHIP_QUERY,
+        tuple(fulltext.PHRASE_QUERY.split()),
+        fulltext.RESCORE_WEIGHT,
+        n=fulltext.RESCORE_DEPTH,
+    )
+    out["function_score_query"] = function_score_sql(fulltext.FLAGSHIP_QUERY)
+    out["search_at_generation"] = generation_sql(fulltext.FLAGSHIP_QUERY)
+    out["to_child_block_join"] = to_child_sql(
+        fulltext.FLAGSHIP_QUERY, width=fulltext.BLOCK_WIDTH, k=5
+    )
+    out["cms_heavy_hitters"] = cms_sql(
+        fulltext.CMS_ROWS, fulltext.CMS_WIDTH, fulltext.CMS_TOPK
+    )
+    out["lmdirichlet_topk"] = lmdirichlet_sql(
+        fulltext.FLAGSHIP_QUERY, mu=fulltext.LMD_MU
+    )
+    out["taxonomy_facets"] = taxonomy_sql(fulltext.BOOLEAN_QUERY)
     return out

@@ -58,12 +58,20 @@ def _new_session(cpus: int):
         # task-side commit: the driver-serial rename pass of the v1
         # protocol is a fixed cost that lands on the scaling curve
         "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version": "2",
+        # survive multi-minute driver GC/reclaim stalls on the big runs:
+        # the sf1 10k-batch run died to the default 120 s heartbeat
+        # timeout after a 205 s freeze at 90% memory pressure — a real
+        # cluster sets these high for exactly this reason
+        "spark.network.timeout": "600s",
+        "spark.executor.heartbeatInterval": "30s",
     }
-    if os.path.isdir("/dev/shm"):
+    if os.path.isdir("/dev/shm") and N_CONV < 500_000:
         # shuffle + scratch on tmpfs: a single box shares ONE disk
         # writeback queue across "executors"; a real cluster gives each
         # executor its own local disk — tmpfs removes that shared-queue
-        # artifact (and measurably tightens rep-to-rep variance)
+        # artifact (and measurably tightens rep-to-rep variance). Big runs
+        # (sf1 step-up) take the real disk instead: tmpfs shuffle competes
+        # with the 48g heap for RAM — the squeeze behind the freeze above.
         local = "/dev/shm/lmr_bench_local"
         os.makedirs(local, exist_ok=True)
         extra["spark.local.dir"] = local

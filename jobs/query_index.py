@@ -39,6 +39,10 @@ def main() -> None:
     ap.add_argument("--range", default=None, help="LO:HI docid span")
     ap.add_argument("--spell", default=None)
     ap.add_argument("--complete", default=None)
+    ap.add_argument(
+        "--as-of", type=int, default=None,
+        help="pin the search to a point-in-time commit (batch seq)",
+    )
     args = ap.parse_args()
 
     if args.spell or args.complete:
@@ -61,7 +65,7 @@ def main() -> None:
         # single-query serving path: no Spark job at all
         from lucene_mapreduce_spark.query.wand import IndexSearcher
 
-        searcher = IndexSearcher(args.index)
+        searcher = IndexSearcher(args.index, as_of=args.as_of)
         if args.syntax == "ext":
             hits = searcher.search_parsed_ext(
                 args.query, k=args.k, min_should_match=args.min_should_match

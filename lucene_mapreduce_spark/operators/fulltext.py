@@ -1592,3 +1592,547 @@ def range_facets(
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+# ---------------------------------------------------------------- explain
+EXPLAIN_DOC = 42  # the fixed doc whose score gets broken down
+
+
+def explain_scores(
+    spark: SparkSession,
+    sf_dir: str,
+    query_text: str = FLAGSHIP_QUERY,
+    doc_id: int = EXPLAIN_DOC,
+) -> DataFrame:
+    """Lucene IndexSearcher.explain parity: the per-term score breakdown
+    for one (query, doc) pair — tf, df, idf, and the term's BM25
+    contribution, exactly the numbers the serving scorer accumulates
+    (their ascending-term sum IS the doc's score in every top-k gate).
+
+    Plan: the same pruned posting read as a normal query; df_t needs all
+    matching docs (that IS the statistic) but the explained doc's rows
+    reduce to a handful joined against the broadcast df frame."""
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_string
+    from lucene_mapreduce_spark.query.bm25 import B, K1
+    from lucene_mapreduce_spark.query.segments import exact_stats, read_postings
+
+    ix = _gate_index(spark, sf_dir)
+    n_docs, avgdl = exact_stats(spark, ix)
+    qts = sorted(set(tokenize_string(query_text)))
+    posts = read_postings(spark, ix, qts)
+    df_t = posts.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    row = posts.filter(F.col("doc_id") == F.lit(doc_id)).join(
+        F.broadcast(df_t), "term"
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df_t").cast("double") + F.lit(0.5))
+        / (F.col("df_t").cast("double") + F.lit(0.5))
+    )
+    tf = F.col("tf").cast("double")
+    dl = F.col("dl").cast("double")
+    denom = tf + F.lit(K1) * (
+        F.lit(1.0 - B) + F.lit(B) * dl / F.lit(float(avgdl))
+    )
+    return row.select(
+        "term",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("df_t").cast("long").alias("df_t"),
+        F.round(idf, 6).alias("idf"),
+        F.round(idf * (tf * F.lit(K1 + 1.0)) / denom, 6).alias("contrib"),
+    )
+
+
+# ---------------------------------------------------------------- drill sideways
+DRILL_DOWN = ("lang", "en")  # the drill-down dimension=value for the gate
+
+
+def drill_sideways_facets(
+    spark: SparkSession,
+    sf_dir: str,
+    query_text: str = BOOLEAN_QUERY,
+    drill: tuple[str, str] = DRILL_DOWN,
+) -> DataFrame:
+    """Lucene DrillSideways parity over the fields sidecar: with a
+    drill-down on one dimension (lang=en), each dimension's facet counts
+    are computed with every OTHER drill-down applied — the drilled
+    dimension itself sees the undrilled hit set (so its sibling values
+    stay visible, the whole point of drill-sideways), while the other
+    dimension is counted inside the drill-down.
+
+    Plan: one distributed hit set (boolean_match OR), two fields-sidecar
+    reads (SortedSetDocValues face), map-side-combinable counts; the
+    drill filter is a semi-join with the tiny drilled-value doc list."""
+    from lucene_mapreduce_spark.query.segments import boolean_match, field_values
+
+    fld, val = drill
+    other = "source" if fld == "lang" else "lang"
+    ix = _gate_index(spark, sf_dir)
+    hits = boolean_match(spark, ix, query_text, mode="or")
+    drilled_dim = field_values(spark, ix, fld)
+    other_dim = field_values(spark, ix, other)
+    drill_docs = drilled_dim.filter(F.col("value") == val).select("doc_id")
+    sideways = (
+        drilled_dim.join(hits, "doc_id")
+        .groupBy("value")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(F.lit(fld).alias("dim"), "value", "n_docs")
+    )
+    drilled = (
+        other_dim.join(hits, "doc_id")
+        .join(drill_docs, "doc_id", "left_semi")
+        .groupBy("value")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(F.lit(other).alias("dim"), "value", "n_docs")
+    )
+    return sideways.unionByName(drilled)
+
+
+# ---------------------------------------------------------------- KMV sketch
+KMV_K = 16  # < the ~40-term gate vocabulary so the sketch actually engages
+
+
+def kmv_distinct_tokens(
+    spark: SparkSession, sf_dir: str, k: int = KMV_K
+) -> DataFrame:
+    """K-minimum-values distinct-count sketch over the corpus vocabulary
+    (Bar-Yossef et al. 2002, public): hash every distinct token with the
+    engine-shared md5, keep the k smallest, and estimate distinct count
+    as (k-1) * 2^52 / kth_smallest — where the hash value is the first
+    13 hex chars parsed as a 52-bit integer (exactly representable in
+    float64, so the one division is bit-identical cross-engine).
+
+    The exact distinct count rides alongside to witness sketch quality;
+    at 10^12 docs you would drop that column — the whole point is that
+    the k-smallest heap is a TakeOrdered over a map-side-combined
+    distinct, never a full global count-distinct shuffle tree. Output:
+    one row (n_exact, kth_hash, estimate)."""
+    docs = load(spark, sf_dir, "documents")
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_col
+
+    terms = docs.select(
+        F.explode(tokenize_col(F.col("text"))).alias("term")
+    ).distinct()
+    hashed = terms.select(
+        F.conv(F.substring(F.md5("term"), 1, 13), 16, 10)
+        .cast("long")
+        .alias("h")
+    )
+    kth = hashed.orderBy(F.asc("h")).limit(k).agg(F.max("h").alias("kth_hash"))
+    n = terms.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    est = F.round(
+        F.lit(float((k - 1) * (1 << 52))) / F.col("kth_hash").cast("double"), 6
+    )
+    return n.crossJoin(F.broadcast(kth)).select(
+        "n_exact", "kth_hash", est.alias("estimate")
+    )
+
+
+# ---------------------------------------------------------------- spans
+SPAN_FIRST = ("merge", 5)  # SpanFirstQuery(term, end)
+SPAN_NOT = ("fast", "merge", 1)  # SpanNotQuery(include, exclude, dist)
+
+
+def span_first_query(
+    spark: SparkSession,
+    sf_dir: str,
+    term: str = SPAN_FIRST[0],
+    end: int = SPAN_FIRST[1],
+) -> DataFrame:
+    """Lucene SpanFirstQuery parity: docs where `term` occurs within the
+    first `end` token positions (span end <= end). One pruned positional-
+    sidecar read; the check is array_min < end — positions are stored
+    ascending, 0-based (build.write_positions)."""
+    from lucene_mapreduce_spark.query.segments import read_positions
+
+    ix = _gate_index(spark, sf_dir)
+    pos = read_positions(spark, ix, [term])
+    return (
+        pos.filter(F.col("term") == term)
+        .filter(F.array_min("positions") < F.lit(end))
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+def span_not_query(
+    spark: SparkSession,
+    sf_dir: str,
+    include: str = SPAN_NOT[0],
+    exclude: str = SPAN_NOT[1],
+    dist: int = SPAN_NOT[2],
+) -> DataFrame:
+    """Lucene SpanNotQuery parity (with pre/post = dist): docs with an
+    occurrence of `include` that has NO occurrence of `exclude` within
+    `dist` positions — 'fast' not next to 'merge'. Two pruned positional
+    reads, one doc_id left join, and a pure-codegen exists/forall over
+    the position arrays (no UDF)."""
+    from lucene_mapreduce_spark.query.segments import read_positions
+
+    ix = _gate_index(spark, sf_dir)
+    pos = read_positions(spark, ix, sorted({include, exclude}))
+    inc = pos.filter(F.col("term") == include).select(
+        "doc_id", F.col("positions").alias("pi")
+    )
+    exc = pos.filter(F.col("term") == exclude).select(
+        "doc_id", F.col("positions").alias("pe")
+    )
+    j = inc.join(exc, "doc_id", "left").withColumn(
+        "pe", F.coalesce(F.col("pe"), F.expr("CAST(array() AS array<int>)"))
+    )
+    keep = F.exists(
+        "pi",
+        lambda p: ~F.exists("pe", lambda q: F.abs(p - q) <= F.lit(dist)),
+    )
+    return j.filter(keep).select("doc_id").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------- percentiles
+DL_PERCENTILES = (0.5, 0.9, 0.99)
+
+
+def dl_percentiles(
+    spark: SparkSession,
+    sf_dir: str,
+    ps: tuple[float, ...] = DL_PERCENTILES,
+) -> DataFrame:
+    """Exact linear-interpolated doc-length percentiles over the corpus
+    (the stats a curation pipeline thresholds on). Spark's `percentile`
+    and DuckDB's `quantile_cont` both compute type-7 quantiles
+    (h = (n-1)p, linear between order statistics), so the values agree
+    to float64 and round(6) hash-exactly. Exact percentile sorts within
+    groups — fine for a global scalar profile; at 10^12 rows swap in a
+    t-digest/KLL sketch (approx_percentile) and drop the oracle."""
+    docs = load(spark, sf_dir, "documents")
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_col
+
+    dls = docs.select(F.size(tokenize_col(F.col("text"))).alias("dl"))
+    plist = ", ".join(str(p) for p in ps)
+    row = dls.agg(
+        F.expr(f"percentile(dl, array({plist}))").alias("qs")
+    ).select(
+        F.posexplode("qs").alias("i", "q")
+    )
+    pmap = F.array(*[F.lit(p) for p in ps])
+    return row.select(
+        F.element_at(pmap, F.col("i") + 1).alias("p"),
+        F.round("q", 6).alias("dl_quantile"),
+    )
+
+
+# ---------------------------------------------------------------- rescore
+RESCORE_WEIGHT = 2.0
+RESCORE_DEPTH = 50
+
+
+def rescore_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_text: str = FLAGSHIP_QUERY,
+    phrase_text: str = PHRASE_QUERY,
+    weight: float = RESCORE_WEIGHT,
+    n: int = RESCORE_DEPTH,
+    k: int = 10,
+) -> DataFrame:
+    """Lucene QueryRescorer parity: a cheap first-pass BM25 top-n page is
+    re-scored by adding `weight` for docs that also match the exact
+    phrase (the classic phrase-boost second pass), then re-ranked to
+    top-k. The phrase side is the distributed positional path
+    (phrase_match); the combine is one left-semi-style join over n rows
+    and a single float add — the second pass never touches docs outside
+    the first-pass page, exactly Lucene's rescore contract."""
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+    from lucene_mapreduce_spark.query.segments import phrase_match
+
+    ix = _gate_index(spark, sf_dir)
+    base = bm25_index_topk_documents(spark, sf_dir, query_text, k=n).select(
+        "doc_id", "score"
+    )
+    ph = phrase_match(spark, ix, phrase_text).withColumn("hit", F.lit(1.0))
+    combined = base.join(ph, "doc_id", "left").select(
+        "doc_id",
+        F.round(
+            F.col("score") + F.lit(weight) * F.coalesce("hit", F.lit(0.0)), 6
+        ).alias("score"),
+    )
+    return ranked_topk(combined, [F.desc("score"), F.asc("doc_id")], k).select(
+        "doc_id", "score", "rank"
+    )
+
+
+# ---------------------------------------------------------------- function score
+def function_score_query(
+    spark: SparkSession,
+    sf_dir: str,
+    query_text: str = FLAGSHIP_QUERY,
+    k: int = 10,
+) -> DataFrame:
+    """Lucene FunctionScoreQuery parity: the BM25 relevance score
+    multiplied by a field-value function — ln(1 + n_chars), the standard
+    doc-quality/recency boost shape. The field rides the fields
+    sidecar's num_value face (never the raw corpus), the BM25 side is
+    the exact unranked index path, and only the fused rows rank."""
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+    from lucene_mapreduce_spark.query.segments import bm25_scores, field_num_values
+
+    ix = _gate_index(spark, sf_dir)
+    queries = spark.createDataFrame(
+        [("q0", query_text)], "query_id string, query_text string"
+    )
+    base = bm25_scores(spark, ix, queries).select("doc_id", "score")
+    nums = field_num_values(spark, ix, "n_chars")
+    fused = base.join(nums, "doc_id").select(
+        "doc_id",
+        F.round(
+            F.col("score")
+            * F.log(F.lit(1.0) + F.col("num_value").cast("double")),
+            6,
+        ).alias("score"),
+    )
+    return ranked_topk(fused, [F.desc("score"), F.asc("doc_id")], k).select(
+        "doc_id", "score", "rank"
+    )
+
+
+# ---------------------------------------------------------------- point in time
+PIT_SEQ = 1  # the gate reads the unmerged index as of its FIRST batch
+
+
+def search_at_generation(
+    spark: SparkSession,
+    sf_dir: str,
+    query_text: str = FLAGSHIP_QUERY,
+    as_of: int = PIT_SEQ,
+    k: int = 10,
+) -> DataFrame:
+    """Lucene point-in-time reader / IndexCommit parity: BM25 top-k over
+    the UNMERGED 2-generation gate index pinned to its first commit —
+    batch 2's re-indexed docs (and their shadowing) must be invisible, so
+    the result is BM25 over generation 1's corpus (even docs + the stale
+    odd copies), stats included. The reference pins every reducer run to
+    one such commit (XdiReportReducer.java:342-356); Lucene exposes it as
+    DirectoryReader.open(IndexCommit) / PIT ids on the search side.
+
+    Plan-wise this is free: pit_manifest filters the segment list BEFORE
+    any read is planned, so the query scans exactly the gen-1 parquet and
+    nothing newer (no mask joins — a PIT read of the first generation is
+    single-segment)."""
+    from lucene_mapreduce_spark.query.segments import bm25_index_topk, pit_manifest
+
+    ix = _gate_index_unmerged(spark, sf_dir)
+    m = pit_manifest(ix, as_of)
+    queries = spark.createDataFrame(
+        [("q0", query_text)], "query_id string, query_text string"
+    )
+    out = bm25_index_topk(spark, ix, queries, k=k, round_to=6, manifest=m)
+    return out.select("doc_id", "score", "rank")
+
+
+# ---------------------------------------------------------------- to-child join
+def to_child_block_join(
+    spark: SparkSession,
+    sf_dir: str,
+    query_text: str = FLAGSHIP_QUERY,
+    k: int = 5,
+    width: int = BLOCK_WIDTH,
+) -> DataFrame:
+    """Lucene ToChildBlockJoinQuery parity: rank parent blocks by their
+    best-matching child (ScoreMode.Max, the block_join_topk rollup), then
+    return EVERY child of the top-k parents carrying the parent's score —
+    'give me the full conversations behind the best-matching turns', the
+    retrieval shape context-window packing needs.
+
+    Plan: the child scoring and parent rollup are block_join_topk's
+    (exact unranked index path + one map-side-combinable groupBy); only k
+    parent rows rank; the child expansion is the doclen pseudo-term read
+    (cheapest whole-index column) broadcast-semi-joined to the k parents
+    — at scale the k parent blocks are contiguous docid ranges, so the
+    read could chunk-prune further (read_postings chunk_range)."""
+    from pyspark.sql import Window
+
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+    from lucene_mapreduce_spark.query.segments import bm25_scores, live_doclens
+
+    ix = _gate_index(spark, sf_dir)
+    queries = spark.createDataFrame(
+        [("q0", query_text)], "query_id string, query_text string"
+    )
+    child = bm25_scores(spark, ix, queries)
+    parents = (
+        child.withColumn(
+            "parent_id", F.floor(F.col("doc_id") / F.lit(width)).cast("long")
+        )
+        .groupBy("parent_id")
+        .agg(F.round(F.max("score"), 6).alias("score"))
+    )
+    top = ranked_topk(parents, [F.desc("score"), F.asc("parent_id")], k).select(
+        "parent_id", "score"
+    )
+    kids = live_doclens(spark, ix).select(
+        "doc_id",
+        F.floor(F.col("doc_id") / F.lit(width)).cast("long").alias("parent_id"),
+    )
+    out = kids.join(F.broadcast(top), "parent_id")
+    w = Window.orderBy(F.desc("score"), F.asc("parent_id"), F.asc("doc_id"))
+    # k parents x block width rows total — the global window ranks <= k*width
+    # rows, not a corpus (same bounded shape ranked_topk leaves after its
+    # TakeOrdered prefilter)
+    return out.select(
+        "doc_id", "parent_id", "score", F.row_number().over(w).alias("rank")
+    )
+
+
+# ---------------------------------------------------------------- count-min
+CMS_ROWS = 4
+CMS_WIDTH = 8192
+CMS_TOPK = 10
+
+
+def cms_heavy_hitters(
+    spark: SparkSession,
+    sf_dir: str,
+    rows: int = CMS_ROWS,
+    width: int = CMS_WIDTH,
+    k: int = CMS_TOPK,
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005, public) over corpus
+    term frequencies, witnessed on the exact top-k heavy hitters: each of
+    `rows` hash rows buckets every vocabulary term by a 52-bit md5 prefix
+    mod `width`; a term's estimate is the min over rows of its bucket
+    sums. CMS never underestimates, so cf_est >= cf — the oracle checks
+    both the sketch cells and the estimates bit-exactly (md5 is the one
+    cross-engine hash, CLAUDE.md).
+
+    Scale shape: token counts first reduce to the vocabulary frame (one
+    map-side-combinable groupBy — the sketch aggregation then touches
+    vocab x rows rows, billions not trillions at 100 TB); the rows x width
+    cell table is KB-sized and broadcast back for the estimate join. The
+    exact cf column is the sf-scale witness; at 10^12 tokens you drop it
+    and keep only sketch cells + a candidate stream."""
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_col
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+
+    docs = load(spark, sf_dir, "documents")
+    cf = (
+        docs.select(F.explode(tokenize_col(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cf"))
+    )
+
+    def _bucket(r: int):
+        h = F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"cms{r}:"), F.col("term"))), 1, 13),
+            16, 10,
+        ).cast("long")
+        return (h % F.lit(width)).alias(f"b{r}")
+
+    buckets = cf.select("term", "cf", *[_bucket(r) for r in range(rows)])
+    cells = None
+    for r in range(rows):
+        c = buckets.select(
+            F.lit(r).alias("r"), F.col(f"b{r}").alias("bucket"), "cf"
+        )
+        cells = c if cells is None else cells.unionByName(c)
+    sketch = cells.groupBy("r", "bucket").agg(F.sum("cf").alias("cell"))
+
+    hh = ranked_topk(cf, [F.desc("cf"), F.asc("term")], k)
+    hh_cells = None
+    for r in range(rows):
+        c = hh.select("term", "cf", "rank", F.lit(r).alias("r"), _bucket(r))
+        c = c.withColumnRenamed(f"b{r}", "bucket")
+        hh_cells = c if hh_cells is None else hh_cells.unionByName(c)
+    est = (
+        hh_cells.join(F.broadcast(sketch), ["r", "bucket"])
+        .groupBy("term", "cf", "rank")
+        .agg(F.min("cell").cast("long").alias("cf_est"))
+    )
+    return est.select("term", "cf", "cf_est", "rank").orderBy("rank")
+
+
+# ---------------------------------------------------------------- LM Dirichlet
+LMD_MU = 2000.0
+
+
+def lmdirichlet_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_text: str = FLAGSHIP_QUERY,
+    mu: float = LMD_MU,
+    k: int = 10,
+) -> DataFrame:
+    """Lucene LMDirichletSimilarity parity (Zhai & Lafferty 2001) through
+    the same pruned index read as tfidf_topk: per matched term the
+    contribution is max(0, ln(1 + tf/(mu*p(t|C))) + ln(mu/(dl+mu))) with
+    p(t|C) = cf_t/total_tokens — Lucene clamps negative term scores to 0
+    (scores must be non-negative for WAND). Per-doc sums are canonical
+    ascending-term accumulation (the house determinism rule), rounded 6dp.
+
+    total_tokens comes straight off the merged manifest (columnar segment
+    stats — no corpus scan); cf_t is one aggregate over the already-pruned
+    query-term postings."""
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_string
+    from lucene_mapreduce_spark.index.manifest import load_manifest
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+    from lucene_mapreduce_spark.query.segments import read_postings
+
+    ix = _gate_index(spark, sf_dir)
+    m = load_manifest(ix)
+    total = float(sum(s.total_tokens for s in m.ordered()))
+    qts = sorted(set(tokenize_string(query_text)))
+    posts = read_postings(spark, ix, qts)
+    cf = posts.groupBy("term").agg(F.sum("tf").cast("double").alias("cf_t"))
+    j = posts.join(F.broadcast(cf), "term")
+    tf = F.col("tf").cast("double")
+    dl = F.col("dl").cast("double")
+    contrib = F.greatest(
+        F.lit(0.0),
+        F.log(F.lit(1.0) + tf / (F.lit(mu) * (F.col("cf_t") / F.lit(total))))
+        + F.log(F.lit(mu) / (dl + F.lit(mu))),
+    )
+    scored = j.select("doc_id", "term", contrib.alias("contrib"))
+    agg = scored.groupBy("doc_id").agg(
+        F.round(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("term", "contrib"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["contrib"],
+            ),
+            6,
+        ).alias("score")
+    )
+    return ranked_topk(agg, [F.desc("score"), F.asc("doc_id")], k).select(
+        "doc_id", "score", "rank"
+    )
+
+
+# ---------------------------------------------------------------- taxonomy
+def taxonomy_facets(
+    spark: SparkSession,
+    sf_dir: str,
+    query_text: str = BOOLEAN_QUERY,
+) -> DataFrame:
+    """Lucene taxonomy-facet parity (hierarchical dim paths, e.g.
+    source/lang): counts for the hit set at EVERY level of the hierarchy —
+    per (source, lang) leaf, per source subtotal, and the root total —
+    Spark's rollup lattice, which Catalyst executes with map-side partial
+    aggregation in one shuffle (no per-level re-scan). NULL lattice slots
+    surface as '<all>' so the row set is schema-stable cross-engine.
+
+    Facet sources are the fields sidecar (SortedSetDocValues face), never
+    the raw corpus — same contract as field_facets/drill_sideways."""
+    from lucene_mapreduce_spark.query.segments import boolean_match, field_values
+
+    ix = _gate_index(spark, sf_dir)
+    hits = boolean_match(spark, ix, query_text, mode="or")
+    src = field_values(spark, ix, "source").withColumnRenamed("value", "source")
+    lng = field_values(spark, ix, "lang").withColumnRenamed("value", "lang")
+    j = hits.join(src, "doc_id").join(lng, "doc_id")
+    return (
+        j.rollup("source", "lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .select(
+            F.coalesce("source", F.lit("<all>")).alias("source"),
+            F.coalesce("lang", F.lit("<all>")).alias("lang"),
+            "n_docs",
+        )
+    )

@@ -996,6 +996,214 @@ SELECT doc_id, rrf, rank FROM (
 """
 
 
+def explain_sql(query_text: str, doc_id: int) -> str:
+    """IndexSearcher.explain twin: per-term tf/df/idf/contribution for one
+    (query, doc) pair — the same formula pieces as bm25_topk_sql."""
+    qlit = query_text.replace("'", "''")
+    return f"""
+WITH doclens AS (
+  SELECT doc_id, len({TOKS}) AS dl FROM documents
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n_docs, avg(dl::DOUBLE) AS avgdl FROM doclens
+),
+toks AS (
+  SELECT doc_id, unnest({TOKS}) AS term FROM documents
+),
+postings AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2
+),
+qterms AS (
+  SELECT DISTINCT unnest({duckdb_tokens_sql(f"'{qlit}'")}) AS term
+),
+dft AS (
+  SELECT p.term, count(*)::BIGINT AS df_t
+  FROM postings p JOIN qterms q USING (term) GROUP BY 1
+)
+SELECT p.term, p.tf, d.df_t,
+       round(ln(1 + (s.n_docs - d.df_t::DOUBLE + 0.5)
+                    / (d.df_t::DOUBLE + 0.5)), 6) AS idf,
+       round(ln(1 + (s.n_docs - d.df_t::DOUBLE + 0.5)
+                    / (d.df_t::DOUBLE + 0.5))
+             * (p.tf::DOUBLE * {K1 + 1.0})
+             / (p.tf::DOUBLE + {K1} * (1 - {B} + {B} * l.dl / s.avgdl)),
+             6) AS contrib
+FROM postings p
+JOIN dft d USING (term)
+JOIN doclens l USING (doc_id)
+CROSS JOIN stats s
+WHERE p.doc_id = {doc_id}
+"""
+
+
+def drill_sideways_sql(
+    query_text: str, fld: str = "lang", val: str = "en"
+) -> str:
+    """DrillSideways twin: the drilled dim counts the undrilled hit set,
+    the other dim counts inside the drill-down."""
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_string
+
+    other = "source" if fld == "lang" else "lang"
+    terms = sorted(set(tokenize_string(query_text)))
+    hit = " OR ".join(f"list_contains(toks, '{t}')" for t in terms)
+    return f"""
+WITH hits AS (
+  SELECT doc_id FROM (SELECT doc_id, {TOKS} AS toks FROM documents)
+  WHERE {hit}
+)
+SELECT '{fld}' AS dim, d.{fld} AS value, count(*)::BIGINT AS n_docs
+FROM documents d JOIN hits USING (doc_id) GROUP BY 2
+UNION ALL
+SELECT '{other}' AS dim, d.{other} AS value, count(*)::BIGINT AS n_docs
+FROM documents d JOIN hits USING (doc_id)
+WHERE d.{fld} = '{val}' GROUP BY 2
+"""
+
+
+def kmv_sql(k: int) -> str:
+    """KMV sketch twin: the k lexicographically-parsed-smallest md5
+    52-bit prefixes of the distinct vocabulary; the one float division
+    is identical IEEE both engines."""
+    return f"""
+WITH terms AS (
+  SELECT DISTINCT unnest({TOKS}) AS term FROM documents
+),
+hashed AS (
+  SELECT list_reduce(
+           list_transform(string_split(substr(md5(term), 1, 13), ''),
+                          c -> (strpos('0123456789abcdef', c) - 1)::BIGINT),
+           (a, b) -> a * 16 + b) AS h
+  FROM terms
+),
+kth AS (
+  SELECT max(h)::BIGINT AS kth_hash
+  FROM (SELECT h FROM hashed ORDER BY h ASC LIMIT {k})
+),
+n AS (SELECT count(*)::BIGINT AS n_exact FROM terms)
+SELECT n.n_exact, kth.kth_hash,
+       round({float((k - 1) * (1 << 52))} / kth.kth_hash::DOUBLE, 6)
+         AS estimate
+FROM n CROSS JOIN kth
+"""
+
+
+def span_first_sql(term: str, end: int) -> str:
+    """SpanFirstQuery twin: the term inside the first `end` tokens
+    (DuckDB lists are 1-based; the sidecar is 0-based — same span)."""
+    return f"""
+SELECT doc_id FROM (SELECT doc_id, {TOKS} AS toks FROM documents)
+WHERE list_contains(list_slice(toks, 1, {end}), '{term}')
+ORDER BY doc_id
+"""
+
+
+def span_not_sql(include: str, exclude: str, dist: int) -> str:
+    """SpanNotQuery twin: an `include` occurrence with no `exclude`
+    within `dist` positions."""
+    return f"""
+SELECT doc_id FROM (SELECT doc_id, {TOKS} AS toks FROM documents)
+WHERE len(list_filter(range(1, len(toks) + 1), i ->
+      toks[i] = '{include}'
+  AND len(list_filter(range(greatest(1, i - {dist}),
+                            least(len(toks), i + {dist}) + 1),
+                      j -> toks[j] = '{exclude}')) = 0)) > 0
+ORDER BY doc_id
+"""
+
+
+def dl_percentiles_sql(ps: tuple[float, ...]) -> str:
+    """Type-7 quantile twin: DuckDB quantile_cont matches Spark's exact
+    `percentile` (h = (n-1)p linear interpolation)."""
+    rows = " UNION ALL ".join(
+        f"SELECT {p}::DOUBLE AS p, round(quantile_cont(dl, {p}), 6)"
+        f" AS dl_quantile FROM dls"
+        for p in ps
+    )
+    return f"""
+WITH dls AS (SELECT len({TOKS}) AS dl FROM documents)
+{rows}
+"""
+
+
+def rescore_sql(
+    query_text: str,
+    phrase: tuple[str, str],
+    weight: float,
+    n: int = 50,
+    k: int = 10,
+) -> str:
+    """QueryRescorer twin: first-pass top-n + phrase-boost second pass."""
+    a, b = phrase
+    return f"""
+WITH base AS ({bm25_topk_sql(query_text, k=n)}),
+ph AS (
+  SELECT doc_id FROM (SELECT doc_id, {TOKS} AS toks FROM documents)
+  WHERE len(list_filter(range(1, len(toks)),
+            i -> toks[i] = '{a}' AND toks[i+1] = '{b}')) > 0
+),
+combined AS (
+  SELECT base.doc_id,
+         round(base.score + {weight} * CASE WHEN ph.doc_id IS NULL
+               THEN 0.0::DOUBLE ELSE 1.0::DOUBLE END, 6) AS score
+  FROM base LEFT JOIN ph USING (doc_id)
+)
+SELECT doc_id, score, rank FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM combined
+) WHERE rank <= {k}
+"""
+
+
+def function_score_sql(query_text: str, k: int = 10) -> str:
+    """FunctionScoreQuery twin: BM25 per-doc score * ln(1 + n_chars)."""
+    qlit = query_text.replace("'", "''")
+    return f"""
+WITH doclens AS (
+  SELECT doc_id, len({TOKS}) AS dl FROM documents
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n_docs, avg(dl::DOUBLE) AS avgdl FROM doclens
+),
+toks AS (
+  SELECT doc_id, unnest({TOKS}) AS term FROM documents
+),
+postings AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2
+),
+qterms AS (
+  SELECT DISTINCT unnest({duckdb_tokens_sql(f"'{qlit}'")}) AS term
+),
+dft AS (
+  SELECT p.term, count(*)::DOUBLE AS df_t
+  FROM postings p JOIN qterms q USING (term) GROUP BY 1
+),
+scored AS (
+  SELECT p.doc_id,
+         ln(1 + (s.n_docs - d.df_t + 0.5) / (d.df_t + 0.5))
+           * (p.tf * {K1 + 1.0})
+           / (p.tf + {K1} * (1 - {B} + {B} * l.dl / s.avgdl)) AS contrib
+  FROM postings p
+  JOIN dft d USING (term)
+  JOIN doclens l USING (doc_id)
+  CROSS JOIN stats s
+),
+agg AS (
+  SELECT doc_id, sum(contrib) AS score FROM scored GROUP BY 1
+),
+fused AS (
+  SELECT a.doc_id,
+         round(a.score * ln(1.0 + d.n_chars::DOUBLE), 6) AS score
+  FROM agg a JOIN documents d USING (doc_id)
+)
+SELECT doc_id, score, rank FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM fused
+) WHERE rank <= {k}
+"""
+
+
 _SHINGLES = f"""
 tok AS (SELECT doc_id, {TOKS} AS tokens FROM documents),
 sh AS (
@@ -2018,3 +2226,190 @@ FROM capped c LEFT JOIN stats s USING (vec_id)
 
 
 ORACLES["semdedup"] = _semdedup_sql()
+
+
+def generation_sql(query_text: str, k: int = 10) -> str:
+    """Point-in-time twin: BM25 over the UNMERGED gate index's generation-1
+    corpus — even docs verbatim plus the stale odd copies batch 1 indexed
+    ('stale shadowed ' prefix, _gate_index_unmerged's construction). The
+    CTE shadows the `documents` view (DuckDB needs main. to reach it)."""
+    base = bm25_topk_sql(query_text, k)
+    pit_cte = """documents AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 1
+              THEN 'stale shadowed ' || text ELSE text END AS text
+  FROM main.documents
+),
+"""
+    return base.replace("WITH doclens AS", "WITH " + pit_cte + "doclens AS", 1)
+
+
+def to_child_sql(query_text: str, width: int = 8, k: int = 5) -> str:
+    """ToChildBlockJoin twin: top-k parents by max child score, then every
+    child of those parents carrying the parent's score."""
+    qlit = query_text.replace("'", "''")
+    return f"""
+WITH doclens AS (
+  SELECT doc_id, len({TOKS}) AS dl FROM documents
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n_docs, avg(dl::DOUBLE) AS avgdl FROM doclens
+),
+toks AS (
+  SELECT doc_id, unnest({TOKS}) AS term FROM documents
+),
+postings AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2
+),
+qterms AS (
+  SELECT DISTINCT unnest({duckdb_tokens_sql(f"'{qlit}'")}) AS term
+),
+dft AS (
+  SELECT p.term, count(*)::DOUBLE AS df_t
+  FROM postings p JOIN qterms q USING (term) GROUP BY 1
+),
+scored AS (
+  SELECT p.doc_id,
+         ln(1 + (s.n_docs - d.df_t + 0.5) / (d.df_t + 0.5))
+           * (p.tf * {K1 + 1.0})
+           / (p.tf + {K1} * (1 - {B} + {B} * l.dl / s.avgdl)) AS contrib
+  FROM postings p
+  JOIN dft d USING (term)
+  JOIN doclens l USING (doc_id)
+  CROSS JOIN stats s
+),
+agg AS (
+  SELECT doc_id, sum(contrib) AS score FROM scored GROUP BY 1
+),
+parents AS (
+  SELECT (doc_id // {width})::BIGINT AS parent_id,
+         round(max(score), 6) AS score
+  FROM agg GROUP BY 1
+),
+top AS (
+  SELECT parent_id, score FROM (
+    SELECT parent_id, score,
+           row_number() OVER (ORDER BY score DESC, parent_id ASC) AS rn
+    FROM parents
+  ) WHERE rn <= {k}
+)
+SELECT d.doc_id, t.parent_id, t.score,
+       row_number() OVER (
+         ORDER BY t.score DESC, t.parent_id ASC, d.doc_id ASC
+       ) AS rank
+FROM documents d
+JOIN top t ON (d.doc_id // {width})::BIGINT = t.parent_id
+ORDER BY rank
+"""
+
+
+_MD5_52 = (
+    "list_reduce(list_transform(string_split(substr(md5({e}), 1, 13), ''),"
+    " c -> (strpos('0123456789abcdef', c) - 1)::BIGINT),"
+    " (a, b) -> a * 16 + b)"
+)
+
+
+def cms_sql(rows: int = 4, width: int = 8192, k: int = 10) -> str:
+    """Count-min twin: identical md5-bucket rows, bucket sums, and min-over-
+    rows estimates for the exact top-k heavy hitters."""
+    bucket = _MD5_52.format(e="'cms' || r::VARCHAR || ':' || term") + f" % {width}"
+    return f"""
+WITH toks AS (
+  SELECT unnest({TOKS}) AS term FROM documents
+),
+cf AS (
+  SELECT term, count(*)::BIGINT AS cf FROM toks GROUP BY 1
+),
+rs AS (SELECT unnest(range(0, {rows})) AS r),
+cells AS (
+  SELECT rs.r, {bucket} AS bucket, cf.cf
+  FROM cf CROSS JOIN rs
+),
+sketch AS (
+  SELECT r, bucket, sum(cf)::BIGINT AS cell FROM cells GROUP BY 1, 2
+),
+hh AS (
+  SELECT term, cf, rank FROM (
+    SELECT term, cf,
+           row_number() OVER (ORDER BY cf DESC, term ASC) AS rank
+    FROM cf
+  ) WHERE rank <= {k}
+),
+hh_cells AS (
+  SELECT hh.term, hh.cf, hh.rank, rs.r, {bucket} AS bucket
+  FROM hh CROSS JOIN rs
+),
+est AS (
+  SELECT h.term, h.cf, h.rank, min(s.cell)::BIGINT AS cf_est
+  FROM hh_cells h JOIN sketch s USING (r, bucket)
+  GROUP BY 1, 2, 3
+)
+SELECT term, cf, cf_est, rank FROM est ORDER BY rank
+"""
+
+
+def lmdirichlet_sql(query_text: str, mu: float = 2000.0, k: int = 10) -> str:
+    """LMDirichletSimilarity twin: identical float expression shape
+    (ln(1 + tf/(mu*(cf_t/total))) + ln(mu/(dl+mu)), clamped at 0 per term),
+    canonical-order-safe because DuckDB's per-group sum matches the
+    sequential spec on the gate query sizes (same contract as bm25 sums)."""
+    qlit = query_text.replace("'", "''")
+    return f"""
+WITH doclens AS (
+  SELECT doc_id, len({TOKS}) AS dl FROM documents
+),
+tot AS (
+  SELECT sum(dl)::DOUBLE AS total FROM doclens
+),
+toks AS (
+  SELECT doc_id, unnest({TOKS}) AS term FROM documents
+),
+postings AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2
+),
+qterms AS (
+  SELECT DISTINCT unnest({duckdb_tokens_sql(f"'{qlit}'")}) AS term
+),
+cft AS (
+  SELECT p.term, sum(p.tf)::DOUBLE AS cf_t
+  FROM postings p JOIN qterms q USING (term) GROUP BY 1
+),
+scored AS (
+  SELECT p.doc_id, p.term,
+         greatest(0.0, ln(1.0 + p.tf::DOUBLE / ({mu} * (c.cf_t / t.total)))
+                       + ln({mu} / (l.dl::DOUBLE + {mu}))) AS contrib
+  FROM postings p
+  JOIN cft c USING (term)
+  JOIN doclens l USING (doc_id)
+  CROSS JOIN tot t
+),
+agg AS (
+  SELECT doc_id, round(sum(contrib), 6) AS score FROM scored GROUP BY 1
+)
+SELECT doc_id, score, rank FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM agg
+) WHERE rank <= {k}
+"""
+
+
+def taxonomy_sql(query_text: str) -> str:
+    """Taxonomy-facet twin: GROUP BY ROLLUP(source, lang) over the OR hit
+    set, NULL lattice slots as '<all>'."""
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_string
+
+    terms = sorted(set(tokenize_string(query_text)))
+    hit = " OR ".join(f"list_contains(toks, '{t}')" for t in terms)
+    return f"""
+WITH hits AS (
+  SELECT doc_id FROM (SELECT doc_id, {TOKS} AS toks FROM documents)
+  WHERE {hit}
+)
+SELECT coalesce(source, '<all>') AS source,
+       coalesce(lang, '<all>') AS lang,
+       count(*)::BIGINT AS n_docs
+FROM documents d JOIN hits USING (doc_id)
+GROUP BY ROLLUP (source, lang)
+"""

@@ -502,11 +502,33 @@ def slop_match(
     )
 
 
-def exact_stats(spark: SparkSession, index_dir: str) -> tuple[int, float]:
+def pit_manifest(
+    index_dir: str, as_of: int, manifest: Manifest | None = None
+) -> Manifest:
+    """Lucene point-in-time reader / IndexCommit parity: the manifest
+    restricted to segments wholly committed at batch seq <= as_of. Every
+    read path that accepts a ``manifest`` override (read_postings,
+    live_doclens, exact_stats, bm25_index_topk) then serves the index
+    exactly as it stood after that batch — later generations are invisible,
+    including their shadowing of earlier docs (the searcher the reference
+    opens per reducer run is pinned to one such commit,
+    XdiReportReducer.java:342-356)."""
+    import dataclasses
+
+    m = manifest or load_manifest(index_dir)
+    assert m is not None, f"no index at {index_dir}"
+    segs = [s for s in m.segments if s.max_seq <= as_of]
+    assert segs, f"no segments committed at or before seq {as_of}"
+    return dataclasses.replace(m, segments=segs)
+
+
+def exact_stats(
+    spark: SparkSession, index_dir: str, manifest: Manifest | None = None
+) -> tuple[int, float]:
     """Exact (n_docs, avgdl) over live docs. For a fully merged index this
     equals the manifest's totals (asserted in tests); for a multi-generation
     index it applies latest-wins."""
-    m = load_manifest(index_dir)
+    m = manifest or load_manifest(index_dir)
     assert m is not None
     if len(m.segments) == 1:
         s = m.segments[0]
@@ -527,6 +549,7 @@ def bm25_index_topk(
     k: int = 10,
     round_to: int | None = None,
     max_pushdown_terms: int = 256,
+    manifest: Manifest | None = None,
 ) -> DataFrame:
     """Top-k BM25 for a batch of queries against the built index.
 
@@ -537,7 +560,9 @@ def bm25_index_topk(
     term frame broadcast-joins the postings scan, nothing materializes on
     the driver.
     """
-    matched = _matched_frame(spark, index_dir, queries, max_pushdown_terms)
+    matched = _matched_frame(
+        spark, index_dir, queries, max_pushdown_terms, manifest=manifest
+    )
     return score_and_topk(matched, k=k, round_to=round_to)
 
 
@@ -563,10 +588,12 @@ def _matched_frame(
     index_dir: str,
     queries: DataFrame,
     max_pushdown_terms: int,
+    manifest: Manifest | None = None,
 ) -> DataFrame:
     """(query_id, doc_id, term, tf, dl, df_t, n_docs, avgdl) for a query
-    batch — the shared prologue of the ranked and unranked index paths."""
-    m = load_manifest(index_dir)
+    batch — the shared prologue of the ranked and unranked index paths.
+    ``manifest`` overrides the on-disk manifest (point-in-time reads)."""
+    m = manifest or load_manifest(index_dir)
     assert m is not None
     qterms = (
         queries.select("query_id", F.explode(tokenize_col("query_text")).alias("term"))
@@ -579,7 +606,7 @@ def _matched_frame(
         terms: list[str] | DataFrame = [r["term"] for r in head]
     else:
         terms = qterm_list
-    n_docs, avgdl = exact_stats(spark, index_dir)
+    n_docs, avgdl = exact_stats(spark, index_dir, m)
 
     postings = read_postings(spark, index_dir, terms, m)
     df_t = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))

@@ -144,10 +144,17 @@ class IndexSearcher:
     indexes anyway.
     """
 
-    def __init__(self, index_dir: str):
+    def __init__(self, index_dir: str, as_of: int | None = None):
+        """``as_of`` pins the searcher to a point-in-time commit (segments
+        with max_seq <= as_of) — Lucene's DirectoryReader.open(IndexCommit),
+        the same contract as query.segments.pit_manifest."""
         self.index_dir = index_dir
         m = load_manifest(index_dir)
         assert m is not None, f"no index at {index_dir}"
+        if as_of is not None:
+            from lucene_mapreduce_spark.query.segments import pit_manifest
+
+            m = pit_manifest(index_dir, as_of, m)
         self.manifest: Manifest = m
         segs = m.ordered()
         self._seg_seqs = [s.min_seq for s in segs]

@@ -121,3 +121,119 @@ def test_rrf_scores_recomputed_from_lists(spark, sf_dir):
     lexset, vecset = set(lex["doc_id"]), set(vec["vec_id"])
     fusedset = set(out["doc_id"])
     assert fusedset & lexset and fusedset & vecset
+
+
+def test_explain_contribs_sum_to_doc_score(spark, sf_dir):
+    """The per-term breakdown must re-assemble into the doc's gate score."""
+    br = fulltext.explain_scores(spark, sf_dir).toPandas()
+    allhits = fulltext.bm25_index_topk_documents(
+        spark, sf_dir, k=100000
+    ).toPandas()
+    mine = allhits[allhits["doc_id"] == fulltext.EXPLAIN_DOC]
+    if len(br) == 0:
+        assert len(mine) == 0
+    else:
+        # contribs are individually rounded; the sum matches to 6dp slack
+        assert abs(br["contrib"].sum() - float(mine["score"].iloc[0])) < 1e-5
+        assert (br["df_t"] > 0).all() and (br["tf"] > 0).all()
+
+
+def test_drill_sideways_invariants(spark, sf_dir):
+    fld, val = fulltext.DRILL_DOWN
+    out = fulltext.drill_sideways_facets(spark, sf_dir).toPandas()
+    docs = _corpus(sf_dir)
+    qts = set(tokenize_string(fulltext.BOOLEAN_QUERY))
+    hits = docs[docs["text"].map(lambda t: bool(qts & set(tokenize_string(t))))]
+    lang_rows = out[out["dim"] == fld]
+    # drilled dim counts the UNDRILLED hit set (sibling values visible)
+    assert int(lang_rows["n_docs"].sum()) == len(hits)
+    src_rows = out[out["dim"] != fld]
+    assert int(src_rows["n_docs"].sum()) == int((hits[fld] == val).sum())
+
+
+def test_kmv_sketch_matches_reference_formula(spark, sf_dir):
+    import hashlib
+
+    out = fulltext.kmv_distinct_tokens(spark, sf_dir).toPandas().iloc[0]
+    docs = _corpus(sf_dir)
+    vocab = sorted({t for x in docs["text"] for t in tokenize_string(x)})
+    hs = sorted(
+        int(hashlib.md5(t.encode()).hexdigest()[:13], 16) for t in vocab
+    )
+    k = fulltext.KMV_K
+    kth = hs[: k][-1]
+    assert int(out["n_exact"]) == len(vocab)
+    assert int(out["kth_hash"]) == kth
+    assert abs(out["estimate"] - round((k - 1) * (1 << 52) / kth, 6)) < 1e-9
+
+
+def test_span_queries_verified_in_corpus(spark, sf_dir):
+    term, end = fulltext.SPAN_FIRST
+    inc, exc, dist = fulltext.SPAN_NOT
+    docs = _corpus(sf_dir)
+    got_first = {
+        r["doc_id"] for r in fulltext.span_first_query(spark, sf_dir).collect()
+    }
+    got_not = {
+        r["doc_id"] for r in fulltext.span_not_query(spark, sf_dir).collect()
+    }
+    want_first, want_not = set(), set()
+    for d, text in zip(docs["doc_id"], docs["text"]):
+        ts = tokenize_string(text)
+        if term in ts[:end]:
+            want_first.add(int(d))
+        pi = [i for i, t in enumerate(ts) if t == inc]
+        pe = [i for i, t in enumerate(ts) if t == exc]
+        if any(all(abs(p - q) > dist for q in pe) for p in pi):
+            want_not.add(int(d))
+    assert got_first == want_first and want_first
+    assert got_not == want_not and want_not
+
+
+def test_dl_percentiles_match_numpy(spark, sf_dir):
+    import numpy as np
+
+    out = fulltext.dl_percentiles(spark, sf_dir).toPandas()
+    docs = _corpus(sf_dir)
+    dls = np.array([len(tokenize_string(t)) for t in docs["text"]], dtype=float)
+    for _, r in out.iterrows():
+        want = np.quantile(dls, r["p"])  # numpy default = type-7 linear
+        assert abs(r["dl_quantile"] - round(want, 6)) < 1e-9
+
+
+def test_rescore_phrase_boost(spark, sf_dir):
+    """Docs matching the phrase gain exactly +weight; others unchanged;
+    second pass never adds docs beyond the first-pass page."""
+    base = fulltext.bm25_index_topk_documents(
+        spark, sf_dir, k=fulltext.RESCORE_DEPTH
+    ).toPandas()
+    out = fulltext.rescore_topk(spark, sf_dir, k=50).toPandas()
+    docs = _corpus(sf_dir)
+    a, b = fulltext.PHRASE_QUERY.split()
+    phrased = set()
+    for d, text in zip(docs["doc_id"], docs["text"]):
+        ts = tokenize_string(text)
+        if any(x == a and y == b for x, y in zip(ts, ts[1:])):
+            phrased.add(int(d))
+    base_scores = dict(zip(base["doc_id"], base["score"]))
+    assert set(out["doc_id"]) <= set(base_scores)
+    for _, r in out.iterrows():
+        boost = fulltext.RESCORE_WEIGHT if r["doc_id"] in phrased else 0.0
+        assert abs(r["score"] - round(base_scores[r["doc_id"]] + boost, 6)) < 1e-9
+    assert phrased & set(out["doc_id"])  # the boost actually fired
+
+
+def test_function_score_is_field_scaled_bm25(spark, sf_dir):
+    import math as m
+
+    out = fulltext.function_score_query(spark, sf_dir, k=10).toPandas()
+    allhits = fulltext.bm25_index_topk_documents(
+        spark, sf_dir, k=100000
+    ).toPandas()
+    docs = _corpus(sf_dir).set_index("doc_id")
+    fused = {
+        int(d): float(s) * m.log(1.0 + float(docs.loc[int(d), "n_chars"]))
+        for d, s in zip(allhits["doc_id"], allhits["score"])
+    }
+    want = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert list(out["doc_id"]) == [d for d, _ in want]

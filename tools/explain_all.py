@@ -122,6 +122,25 @@ def main() -> None:
          lambda: __import__(
              "lucene_mapreduce_spark.operators.similarity", fromlist=["x"]
          ).rrf_fusion(spark, sf_dir)),
+        ("explain_scores (per-term breakdown: broadcast df join)",
+         lambda: fulltext.explain_scores(spark, sf_dir)),
+        ("drill_sideways_facets (two dims, semi-join drill filter)",
+         lambda: fulltext.drill_sideways_facets(spark, sf_dir)),
+        ("kmv_distinct_tokens (TakeOrdered k-min sketch, no global "
+         "count-distinct)",
+         lambda: fulltext.kmv_distinct_tokens(spark, sf_dir)),
+        ("span_not_query (positional exists/forall codegen)",
+         lambda: fulltext.span_not_query(spark, sf_dir)),
+        ("search_at_generation (PIT manifest prune — single-segment scan)",
+         lambda: fulltext.search_at_generation(spark, sf_dir)),
+        ("to_child_block_join (parent rollup + broadcast child expansion)",
+         lambda: fulltext.to_child_block_join(spark, sf_dir)),
+        ("cms_heavy_hitters (vocab-reduced sketch cells, broadcast est join)",
+         lambda: fulltext.cms_heavy_hitters(spark, sf_dir)),
+        ("lmdirichlet_topk (pruned postings + manifest total_tokens)",
+         lambda: fulltext.lmdirichlet_topk(spark, sf_dir)),
+        ("taxonomy_facets (rollup lattice, one shuffle via partial aggs)",
+         lambda: fulltext.taxonomy_facets(spark, sf_dir)),
     ]
 
     out = [HEADER]
