@@ -42,6 +42,13 @@ from lucene_mapreduce_spark.operators.oracles import (  # noqa: E402
     cms_sql,
     lmdirichlet_sql,
     taxonomy_sql,
+    bm25f_sql,
+    constant_score_sql,
+    filter_clause_sql,
+    terms_set_sql,
+    common_terms_sql,
+    span_or_near_sql,
+    hit_stats_sql,
     mlt_sql,
     fuzzy_sql,
     autocomplete_sql,
@@ -132,6 +139,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": fulltext.cms_heavy_hitters,
         "lmdirichlet_topk": fulltext.lmdirichlet_topk,
         "taxonomy_facets": fulltext.taxonomy_facets,
+        "constant_score_query": fulltext.constant_score_query,
+        "filter_clause_query": fulltext.filter_clause_query,
+        "terms_set_query": fulltext.terms_set_query,
+        "common_terms_query": fulltext.common_terms_query,
+        "span_or_near_query": fulltext.span_or_near_query,
+        "hit_stats_facets": fulltext.hit_stats_facets,
+        "delete_by_query": fulltext.delete_by_query,
+        "bm25f_topk": fulltext.bm25f_topk,
         "contamination_check": dedup.contamination_check,
         "gopher_rules": textstats.gopher_rules,
         "ann_batch_topk": similarity.ann_batch_topk,
@@ -212,9 +227,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "lucene_mapreduce_spark.streaming.incremental", fromlist=["x"]
             ).streaming_windowed_counts(s, d)
         ),
+        "streaming_session_windows": (
+            lambda s, d: __import__(
+                "lucene_mapreduce_spark.streaming.incremental", fromlist=["x"]
+            ).streaming_session_windows(s, d)
+        ),
         # training-data pipeline: curation composites
         "near_dup_components": curation.near_dup_components,
         "curation_pipeline": curation.curation_pipeline,
+        "cluster_representative": curation.cluster_representative,
         # training-data pipeline: multimodal (binary columns + Arrow kernels)
         "media_decode_stats": multimodal.media_decode_stats,
         "media_frame_stats": multimodal.media_frame_stats,
@@ -334,4 +355,15 @@ WHERE len(list_filter(range(1, len(toks)), i ->
         fulltext.FLAGSHIP_QUERY, mu=fulltext.LMD_MU
     )
     out["taxonomy_facets"] = taxonomy_sql(fulltext.BOOLEAN_QUERY)
+    out["constant_score_query"] = constant_score_sql(*fulltext.CONST_SCORE)
+    out["filter_clause_query"] = filter_clause_sql(*fulltext.FILTER_CLAUSE)
+    out["terms_set_query"] = terms_set_sql(fulltext.TERMS_SET_TERMS.split())
+    out["common_terms_query"] = common_terms_sql(*fulltext.COMMON_TERMS)
+    out["span_or_near_query"] = span_or_near_sql(*fulltext.SPAN_OR_NEAR)
+    out["hit_stats_facets"] = hit_stats_sql(fulltext.BOOLEAN_QUERY.split())
+    out["bm25f_topk"] = bm25f_sql(fulltext.BM25F_QUERY, w_text=fulltext.BM25F_W[0], w_kw=fulltext.BM25F_W[1])
+    out["delete_by_query"] = bm25_topk_sql(
+        fulltext.FLAGSHIP_QUERY,
+        doc_where=f"NOT list_contains({_TOKS}, '{fulltext.DELETE_TERM}')",
+    )
     return out

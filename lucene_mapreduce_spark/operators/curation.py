@@ -171,3 +171,31 @@ def curation_pipeline(
         & F.col("is_keeper")
         & ~F.col("near_dup_loser"),
     )
+
+
+def cluster_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per near-dup cluster, the kept representative: the longest member
+    (max token count, ties to the smallest doc_id) — the "keep best, drop
+    the rest" step a curation pipeline runs after clustering (the
+    complement of curation_pipeline's drop-larger rule, at cluster rather
+    than pair granularity). One docid-keyed join (components x doclens)
+    and one map-side-combinable groupBy with an argmax struct — no
+    per-cluster window, so a 10^9-doc cluster set never sorts."""
+    from lucene_mapreduce_spark.query.bm25_df import corpus_postings
+
+    comp = near_dup_components(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents")
+    _, doclens = corpus_postings(docs)
+    j = comp.join(doclens, "doc_id")
+    agg = j.groupBy("component").agg(
+        F.max(
+            F.struct(F.col("dl").alias("dl"), (-F.col("doc_id")).alias("nd"))
+        ).alias("s"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+    return agg.select(
+        "component",
+        (-F.col("s.nd")).cast("long").alias("kept_doc_id"),
+        F.col("s.dl").cast("long").alias("kept_dl"),
+        F.col("n_members").cast("long").alias("n_members"),
+    ).orderBy("component")

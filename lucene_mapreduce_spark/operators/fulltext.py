@@ -2136,3 +2136,380 @@ def taxonomy_facets(
             "n_docs",
         )
     )
+
+
+# ------------------------------------------------------------ constant score
+CONST_SCORE = ("merge", 150.0, 400.0, 2.5)  # term, n_chars lo/hi, boost
+
+
+def constant_score_query(
+    spark: SparkSession,
+    sf_dir: str,
+    term: str = CONST_SCORE[0],
+    lo: float = CONST_SCORE[1],
+    hi: float = CONST_SCORE[2],
+    boost: float = CONST_SCORE[3],
+) -> DataFrame:
+    """Lucene ConstantScoreQuery parity: a filter (term AND numeric range)
+    wrapped so every hit scores exactly `boost` — no BM25 evaluation at
+    all. Both legs are pure index reads (postings + the num-sorted fields
+    sidecar); the intersection is a semi-join, so nothing ever leaves
+    docid granularity. Reference builds its searcher over the same Lucene
+    API surface (XdiReportReducer.java:356)."""
+    from lucene_mapreduce_spark.query.segments import (
+        boolean_match,
+        field_range_match,
+    )
+
+    ix = _gate_index(spark, sf_dir)
+    t_hits = boolean_match(spark, ix, term, mode="or")
+    r_hits = field_range_match(spark, ix, "n_chars", lo, hi)
+    return (
+        t_hits.join(r_hits, "doc_id", "left_semi")
+        .select("doc_id", F.lit(float(boost)).alias("score"))
+        .orderBy("doc_id")
+    )
+
+
+# ------------------------------------------------------------- FILTER occur
+FILTER_CLAUSE = ("table scan fast", "merge")  # SHOULD terms, FILTER term
+
+
+def filter_clause_query(
+    spark: SparkSession,
+    sf_dir: str,
+    should: str = FILTER_CLAUSE[0],
+    filt: str = FILTER_CLAUSE[1],
+    k: int = 10,
+) -> DataFrame:
+    """BooleanQuery with Occur.FILTER parity: the filter clause constrains
+    matches but contributes NO score (and, per Lucene, does not alter the
+    corpus-level stats the SHOULD terms score with). Docs matching only
+    the filter still match, at score 0 — exactly BooleanQuery's "optional
+    clauses are optional once a required/filter clause exists". Scores
+    ride the unranked index path (bm25_scores); the filter is a semi-ish
+    left join at docid granularity; top-k is TakeOrderedAndProject."""
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+    from lucene_mapreduce_spark.query.segments import bm25_scores, boolean_match
+
+    ix = _gate_index(spark, sf_dir)
+    hits = boolean_match(spark, ix, filt, mode="or")
+    q = spark.createDataFrame(
+        [("q0", should)], "query_id string, query_text string"
+    )
+    sc = bm25_scores(spark, ix, q, round_to=6).select("doc_id", "score")
+    j = hits.join(sc, "doc_id", "left").withColumn(
+        "score", F.coalesce("score", F.lit(0.0))
+    )
+    out = ranked_topk(j, [F.desc("score"), F.asc("doc_id")], k)
+    return out.select("doc_id", "score", "rank")
+
+
+# ----------------------------------------------------------- TermsSetQuery
+TERMS_SET_TERMS = "table scan fast merge"  # CoveringQuery clause set
+
+
+def terms_set_query(
+    spark: SparkSession,
+    sf_dir: str,
+    terms_text: str = TERMS_SET_TERMS,
+) -> DataFrame:
+    """Lucene TermsSetQuery / CoveringQuery parity: match docs where the
+    number of distinct query terms present reaches a PER-DOC minimum read
+    from a long docvalues field (minimumNumberShouldMatchField). The
+    minimum here derives from the indexed n_chars field (1 + n_chars % 3 in
+    {1,2,3}); matched counts come from one pruned postings read, the
+    per-doc minimum from the fields sidecar — a docid-keyed join, no text
+    access."""
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_string
+    from lucene_mapreduce_spark.query.segments import (
+        field_num_values,
+        read_postings,
+    )
+
+    ix = _gate_index(spark, sf_dir)
+    terms = sorted(set(tokenize_string(terms_text)))
+    m = (
+        read_postings(spark, ix, terms)
+        .groupBy("doc_id")
+        .agg(F.countDistinct("term").alias("n_matched"))
+    )
+    req = field_num_values(spark, ix, "n_chars").select(
+        "doc_id",
+        (F.lit(1) + F.col("num_value").cast("long") % 3).alias("required"),
+    )
+    return (
+        m.join(req, "doc_id")
+        .filter(F.col("n_matched") >= F.col("required"))
+        .select(
+            "doc_id",
+            F.col("n_matched").cast("long").alias("n_matched"),
+            F.col("required").cast("long").alias("required"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# -------------------------------------------------------- CommonTermsQuery
+COMMON_TERMS = ("dup merge scan", 0.1)  # query, maxTermFrequency cutoff
+
+
+def common_terms_query(
+    spark: SparkSession,
+    sf_dir: str,
+    query_text: str = COMMON_TERMS[0],
+    max_tf: float = COMMON_TERMS[1],
+    k: int = 10,
+) -> DataFrame:
+    """Lucene CommonTermsQuery parity (lowFreqOccur=MUST,
+    highFreqOccur=SHOULD): query terms with df/N > maxTermFrequency are
+    demoted to optional; rare terms stay required. The split reads the
+    term dictionary (query-sized collect); candidate docs must contain
+    every low-freq term (one pruned postings read, map-side-combinable
+    count); scoring covers ALL query terms via the unranked index path, so
+    a doc's score still credits the common terms it contains."""
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_string
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+    from lucene_mapreduce_spark.query.segments import (
+        bm25_scores,
+        exact_stats,
+        read_postings,
+    )
+
+    ix = _gate_index(spark, sf_dir)
+    terms = sorted(set(tokenize_string(query_text)))
+    n_docs, _ = exact_stats(spark, ix)
+    dfs = {
+        r["term"]: r["df"]
+        for r in _index_vocab(spark, ix).filter(F.col("term").isin(terms)).collect()
+    }
+    low = [t for t in terms if dfs.get(t, 0) / n_docs <= max_tf]
+    q = spark.createDataFrame(
+        [("q0", " ".join(terms))], "query_id string, query_text string"
+    )
+    sc = bm25_scores(spark, ix, q, round_to=6).select("doc_id", "score")
+    if low:
+        lp = (
+            read_postings(spark, ix, low)
+            .groupBy("doc_id")
+            .agg(F.countDistinct("term").alias("nl"))
+            .filter(F.col("nl") == len(low))
+        )
+        sc = sc.join(lp.select("doc_id"), "doc_id", "left_semi")
+    out = ranked_topk(sc, [F.desc("score"), F.asc("doc_id")], k)
+    return out.select("doc_id", "score", "rank")
+
+
+# ------------------------------------------------- SpanNear(SpanOr(a,b), c)
+SPAN_OR_NEAR = ("fast", "slow", "merge", 3)
+
+
+def span_or_near_query(
+    spark: SparkSession,
+    sf_dir: str,
+    a: str = SPAN_OR_NEAR[0],
+    b: str = SPAN_OR_NEAR[1],
+    c: str = SPAN_OR_NEAR[2],
+    dist: int = SPAN_OR_NEAR[3],
+) -> DataFrame:
+    """Nested span parity — SpanNearQuery(SpanOrQuery(a, b), c, slop):
+    docs where some occurrence of `a` OR `b` lies within `dist` token
+    positions of an occurrence of `c`. The OR leg is a flatten over the
+    two terms' position arrays (order irrelevant — the check is pure
+    existence); the proximity check is one codegen exists/exists over two
+    pruned positional-sidecar reads."""
+    from lucene_mapreduce_spark.query.segments import read_positions
+
+    ix = _gate_index(spark, sf_dir)
+    pos = read_positions(spark, ix, sorted({a, b, c}))
+    ab = (
+        pos.filter(F.col("term").isin([a, b]))
+        .groupBy("doc_id")
+        .agg(F.flatten(F.collect_list("positions")).alias("pab"))
+    )
+    pc = pos.filter(F.col("term") == c).select(
+        "doc_id", F.col("positions").alias("pc")
+    )
+    j = ab.join(pc, "doc_id")
+    hit = F.exists(
+        "pab", lambda p: F.exists("pc", lambda q: F.abs(p - q) <= F.lit(dist))
+    )
+    return j.filter(hit).select("doc_id").orderBy("doc_id")
+
+
+# ---------------------------------------------------- numeric stats facets
+def hit_stats_facets(
+    spark: SparkSession,
+    sf_dir: str,
+    query_text: str = BOOLEAN_QUERY,
+) -> DataFrame:
+    """Numeric stats facet (Solr StatsComponent / ES stats aggregation
+    shape): per-lang count/min/max/sum/avg of the indexed n_chars field
+    over the disjunctive hit set. Every leg is an index read (postings +
+    both faces of the fields sidecar); the rollup is one
+    map-side-combinable groupBy — at 100 TB this is hits-sized, never
+    corpus-sized."""
+    from lucene_mapreduce_spark.query.segments import (
+        boolean_match,
+        field_num_values,
+        field_values,
+    )
+
+    ix = _gate_index(spark, sf_dir)
+    hits = boolean_match(spark, ix, query_text, mode="or")
+    lang = field_values(spark, ix, "lang").select(
+        F.col("value").alias("lang"), "doc_id"
+    )
+    nv = field_num_values(spark, ix, "n_chars")
+    j = hits.join(lang, "doc_id").join(nv, "doc_id")
+    return (
+        j.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(F.col("num_value").cast("long")).alias("min_chars"),
+            F.max(F.col("num_value").cast("long")).alias("max_chars"),
+            F.sum(F.col("num_value").cast("long")).alias("sum_chars"),
+            F.round(F.avg(F.col("num_value").cast("double")), 6).alias(
+                "avg_chars"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------- delete-by-query
+DELETE_TERM = "vector"
+
+
+def delete_by_query(
+    spark: SparkSession,
+    sf_dir: str,
+    del_term: str = DELETE_TERM,
+    query_text: str = FLAGSHIP_QUERY,
+    k: int = 10,
+) -> DataFrame:
+    """IndexWriter.deleteDocuments(TermQuery) + forceMergeDeletes parity:
+    resolve the delete query to a docid set (one pruned postings read),
+    then answer the flagship BM25 top-k as if those docs were expunged —
+    df_t recomputed over surviving postings, (N, avgdl) over surviving
+    doclens (two scalars). Everything stays index-side: no corpus scan, no
+    rebuild; the delete set rides as a left-anti join at docid
+    granularity. This is the post-merge semantics (deleted docs absent
+    from stats), the contract our oracles use everywhere."""
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_string
+    from lucene_mapreduce_spark.query.bm25_df import score_and_topk
+    from lucene_mapreduce_spark.query.segments import (
+        boolean_match,
+        live_doclens,
+        read_postings,
+    )
+
+    ix = _gate_index(spark, sf_dir)
+    dele = boolean_match(spark, ix, del_term, mode="or")
+    terms = sorted(set(tokenize_string(query_text)))
+    pos = read_postings(spark, ix, terms).join(dele, "doc_id", "left_anti")
+    dl = (
+        live_doclens(spark, ix)
+        .select("doc_id", "dl")
+        .join(dele, "doc_id", "left_anti")
+    )
+    row = dl.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    ).collect()[0]
+    df_t = pos.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    matched = (
+        pos.withColumn("query_id", F.lit("q0"))
+        .join(F.broadcast(df_t), "term")
+        .withColumn("n_docs", F.lit(int(row["n"])))
+        .withColumn("avgdl", F.lit(float(row["avgdl"])))
+    )
+    out = score_and_topk(matched, k=k, round_to=6)
+    return out.select("doc_id", "score", "rank")
+
+
+# ------------------------------------------------------------------- BM25F
+BM25F_QUERY = "src3 table merge"  # 'src3' hits only the keyword field
+BM25F_W = (1.0, 2.0)  # field weights: text, keyword(source)
+
+
+def bm25f_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_text: str = BM25F_QUERY,
+    kw_field: str = "source",
+    w_text: float = BM25F_W[0],
+    w_kw: float = BM25F_W[1],
+    k: int = 10,
+) -> DataFrame:
+    """BM25F (Robertson/Zaragoza) over two fields: the tokenized text
+    (weight w_text, length-normalized with the standard b) and an indexed
+    keyword field (weight w_kw, no length norm — single-token field).
+    Per-term field-weighted tf:  tfn = w_text*tf_text/norm + w_kw*tf_kw;
+    idf uses df over docs matching the term in ANY field; score =
+    sum_t idf * tfn/(k1+tfn), canonical ascending-term accumulation.
+
+    Both tf legs are index reads (pruned postings + the fields sidecar's
+    SortedSetDocValues face) merged by a (term, doc) full join; stats are
+    the manifest scalars. This is the multi-field search shape
+    (title^2 + body) every search UI runs."""
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_string
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+    from lucene_mapreduce_spark.query.bm25 import B, K1
+    from lucene_mapreduce_spark.query.segments import (
+        exact_stats,
+        field_values,
+        live_doclens,
+        read_postings,
+    )
+
+    ix = _gate_index(spark, sf_dir)
+    terms = sorted(set(tokenize_string(query_text)))
+    n_docs, avgdl = exact_stats(spark, ix)
+    tp = read_postings(spark, ix, terms).select(
+        "term", "doc_id", F.col("tf").alias("tf_text")
+    )
+    kv = (
+        field_values(spark, ix, kw_field)
+        .filter(F.col("value").isin(terms))
+        .select(F.col("value").alias("term"), "doc_id", F.lit(1).alias("tf_kw"))
+    )
+    m = tp.join(kv, ["term", "doc_id"], "full").select(
+        "term",
+        "doc_id",
+        F.coalesce(F.col("tf_text"), F.lit(0)).cast("double").alias("tf_text"),
+        F.coalesce(F.col("tf_kw"), F.lit(0)).cast("double").alias("tf_kw"),
+    )
+    dls = live_doclens(spark, ix).select("doc_id", "dl")
+    m = m.join(dls, "doc_id", "left").withColumn(
+        "dl", F.coalesce(F.col("dl"), F.lit(0)).cast("double")
+    )
+    dfa = m.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df_any"))
+    norm = F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.lit(float(avgdl))
+    tfn = (
+        F.lit(float(w_text)) * F.col("tf_text") / norm
+        + F.lit(float(w_kw)) * F.col("tf_kw")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df_any") + F.lit(0.5))
+        / (F.col("df_any") + F.lit(0.5))
+    )
+    contribs = m.join(F.broadcast(dfa), "term").select(
+        "doc_id",
+        "term",
+        (idf * tfn / (F.lit(K1) + tfn)).alias("contrib"),
+    )
+    per_doc = contribs.groupBy("doc_id").agg(
+        F.round(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("term", "contrib"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["contrib"],
+            ),
+            6,
+        ).alias("score")
+    )
+    return ranked_topk(per_doc, [F.desc("score"), F.asc("doc_id")], k).select(
+        "doc_id", "score", "rank"
+    )

@@ -2413,3 +2413,289 @@ SELECT coalesce(source, '<all>') AS source,
 FROM documents d JOIN hits USING (doc_id)
 GROUP BY ROLLUP (source, lang)
 """
+
+
+# ------------------------------------------------- round-3 session-4 batch
+def constant_score_sql(term: str, lo: float, hi: float, boost: float) -> str:
+    """ConstantScoreQuery twin: filter hits score exactly the boost."""
+    return f"""
+SELECT doc_id, {boost} AS score
+FROM (SELECT doc_id, n_chars, {TOKS} AS toks FROM documents)
+WHERE n_chars BETWEEN {lo} AND {hi} AND list_contains(toks, '{term}')
+ORDER BY doc_id
+"""
+
+
+def filter_clause_sql(should: str, filt: str, k: int = 10) -> str:
+    """Occur.FILTER twin: scores over the SHOULD terms with FULL corpus
+    stats; the filter term constrains matches scorelessly; filter-only
+    docs match at 0.0."""
+    qlit = should.replace("'", "''")
+    return f"""
+WITH doclens AS (
+  SELECT doc_id, len({TOKS}) AS dl FROM documents
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n_docs, avg(dl::DOUBLE) AS avgdl FROM doclens
+),
+toks AS (
+  SELECT doc_id, unnest({TOKS}) AS term FROM documents
+),
+postings AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2
+),
+qterms AS (
+  SELECT DISTINCT unnest({duckdb_tokens_sql(f"'{qlit}'")}) AS term
+),
+dft AS (
+  SELECT p.term, count(*)::DOUBLE AS df_t
+  FROM postings p JOIN qterms q USING (term) GROUP BY 1
+),
+scored AS (
+  SELECT p.doc_id,
+         ln(1 + (s.n_docs - d.df_t + 0.5) / (d.df_t + 0.5))
+           * (p.tf * {K1 + 1.0}) / (p.tf + {K1} * (1 - {B} + {B} * l.dl / s.avgdl))
+           AS contrib
+  FROM postings p
+  JOIN dft d USING (term)
+  JOIN doclens l USING (doc_id)
+  CROSS JOIN stats s
+),
+agg AS (
+  SELECT doc_id, round(sum(contrib), 6) AS score FROM scored GROUP BY 1
+),
+hits AS (
+  SELECT DISTINCT doc_id FROM toks WHERE term = '{filt}'
+),
+j AS (
+  SELECT h.doc_id, coalesce(a.score, 0.0) AS score
+  FROM hits h LEFT JOIN agg a USING (doc_id)
+)
+SELECT doc_id, score, rank FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM j
+) WHERE rank <= {k}
+"""
+
+
+def terms_set_sql(terms: list[str]) -> str:
+    """TermsSetQuery / CoveringQuery twin: per-doc minimum from n_chars."""
+    inlist = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    return f"""
+WITH toks AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents),
+m AS (
+  SELECT doc_id, count(DISTINCT term)::BIGINT AS n_matched
+  FROM toks WHERE term IN ({inlist}) GROUP BY 1
+)
+SELECT d.doc_id, m.n_matched, (1 + d.n_chars % 3)::BIGINT AS required
+FROM m JOIN documents d USING (doc_id)
+WHERE m.n_matched >= 1 + d.n_chars % 3
+ORDER BY doc_id
+"""
+
+
+def common_terms_sql(query_text: str, max_tf: float, k: int = 10) -> str:
+    """CommonTermsQuery twin: terms with df/N > maxTermFrequency demoted
+    to SHOULD; rare terms are MUST; score credits every matched term."""
+    qlit = query_text.replace("'", "''")
+    return f"""
+WITH doclens AS (
+  SELECT doc_id, len({TOKS}) AS dl FROM documents
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n_docs, avg(dl::DOUBLE) AS avgdl FROM doclens
+),
+toks AS (
+  SELECT doc_id, unnest({TOKS}) AS term FROM documents
+),
+postings AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2
+),
+qterms AS (
+  SELECT DISTINCT unnest({duckdb_tokens_sql(f"'{qlit}'")}) AS term
+),
+dft AS (
+  SELECT p.term, count(*)::DOUBLE AS df_t
+  FROM postings p JOIN qterms q USING (term) GROUP BY 1
+),
+low AS (
+  SELECT q.term FROM qterms q LEFT JOIN dft d USING (term) CROSS JOIN stats s
+  WHERE coalesce(d.df_t, 0) / s.n_docs <= {max_tf}
+),
+cand AS (
+  SELECT doc_id FROM postings JOIN low USING (term)
+  GROUP BY doc_id
+  HAVING count(DISTINCT term) = (SELECT count(*) FROM low)
+),
+scored AS (
+  SELECT p.doc_id,
+         ln(1 + (s.n_docs - d.df_t + 0.5) / (d.df_t + 0.5))
+           * (p.tf * {K1 + 1.0}) / (p.tf + {K1} * (1 - {B} + {B} * l.dl / s.avgdl))
+           AS contrib
+  FROM postings p
+  JOIN dft d USING (term)
+  JOIN doclens l USING (doc_id)
+  CROSS JOIN stats s
+),
+agg AS (
+  SELECT doc_id, round(sum(contrib), 6) AS score FROM scored GROUP BY 1
+),
+sel AS (
+  SELECT a.doc_id, a.score FROM agg a
+  WHERE (SELECT count(*) FROM low) = 0
+     OR a.doc_id IN (SELECT doc_id FROM cand)
+)
+SELECT doc_id, score, rank FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM sel
+) WHERE rank <= {k}
+"""
+
+
+def span_or_near_sql(a: str, b: str, c: str, dist: int) -> str:
+    """SpanNear(SpanOr(a, b), c, slop) twin: an (a|b) occurrence within
+    `dist` positions of a `c` occurrence."""
+    return f"""
+SELECT doc_id FROM (SELECT doc_id, {TOKS} AS toks FROM documents)
+WHERE len(list_filter(range(1, len(toks) + 1), i ->
+      toks[i] IN ('{a}', '{b}')
+  AND len(list_filter(range(greatest(1, i - {dist}),
+                            least(len(toks), i + {dist}) + 1),
+                      j -> toks[j] = '{c}')) > 0)) > 0
+ORDER BY doc_id
+"""
+
+
+def hit_stats_sql(terms: list[str]) -> str:
+    """Numeric stats facet twin: per-lang stats of n_chars over the
+    disjunctive hit set."""
+    inlist = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    return f"""
+WITH toks AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents),
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ({inlist}))
+SELECT d.lang AS lang,
+       count(*)::BIGINT AS n_docs,
+       min(d.n_chars)::BIGINT AS min_chars,
+       max(d.n_chars)::BIGINT AS max_chars,
+       sum(d.n_chars)::BIGINT AS sum_chars,
+       round(avg(d.n_chars::DOUBLE), 6) AS avg_chars
+FROM hits h JOIN documents d USING (doc_id)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+ORACLES["cluster_representative"] = f"""
+WITH comp AS (SELECT * FROM ({ORACLES["near_dup_components"]}) t),
+dls AS (SELECT doc_id, len({TOKS}) AS dl FROM documents),
+j AS (SELECT c.component, c.doc_id, d.dl FROM comp c JOIN dls d USING (doc_id)),
+r AS (
+  SELECT component, doc_id AS kept_doc_id, dl AS kept_dl,
+         row_number() OVER (PARTITION BY component
+                            ORDER BY dl DESC, doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY component) AS n_members
+  FROM j
+)
+SELECT component, kept_doc_id, kept_dl::BIGINT AS kept_dl,
+       n_members::BIGINT AS n_members
+FROM r WHERE rn = 1 ORDER BY component
+"""
+
+
+# streaming session windows: gaps-and-islands twin (gap = 1 hour; a gap of
+# exactly 1 hour starts a new session — Spark session windows are
+# end-exclusive; session_end = last event + gap)
+ORACLES["streaming_session_windows"] = """
+WITH e AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+),
+x AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL 1 HOUR
+              THEN 1 ELSE 0 END AS brk
+  FROM e
+),
+y AS (
+  SELECT user_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM x
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 1 HOUR AS session_end,
+       count(*)::BIGINT AS n_events
+FROM y GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
+def bm25f_sql(
+    query_text: str,
+    kw_field: str = "source",
+    w_text: float = 1.0,
+    w_kw: float = 2.0,
+    k: int = 10,
+) -> str:
+    """BM25F twin: field-weighted tf (text length-normalized, keyword not),
+    idf over any-field df."""
+    qlit = query_text.replace("'", "''")
+    return f"""
+WITH doclens AS (
+  SELECT doc_id, len({TOKS}) AS dl FROM documents
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n_docs, avg(dl::DOUBLE) AS avgdl FROM doclens
+),
+toks AS (
+  SELECT doc_id, unnest({TOKS}) AS term FROM documents
+),
+postings AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2
+),
+qterms AS (
+  SELECT DISTINCT unnest({duckdb_tokens_sql(f"'{qlit}'")}) AS term
+),
+tt AS (
+  SELECT p.doc_id, p.term, p.tf AS tf_text
+  FROM postings p JOIN qterms q USING (term)
+),
+kw AS (
+  SELECT doc_id, {kw_field} AS term, 1.0 AS tf_kw FROM documents
+  WHERE {kw_field} IN (SELECT term FROM qterms)
+),
+m AS (
+  SELECT coalesce(t.doc_id, w.doc_id) AS doc_id,
+         coalesce(t.term, w.term) AS term,
+         coalesce(t.tf_text, 0) AS tf_text,
+         coalesce(w.tf_kw, 0) AS tf_kw
+  FROM tt t FULL JOIN kw w ON t.doc_id = w.doc_id AND t.term = w.term
+),
+dfa AS (
+  SELECT term, count(*)::DOUBLE AS df_any FROM m GROUP BY 1
+),
+mm AS (
+  SELECT m.doc_id, m.term,
+         {w_text} * m.tf_text
+           / ((1 - {B}) + {B} * coalesce(l.dl, 0)::DOUBLE / s.avgdl)
+           + {w_kw} * m.tf_kw AS tfn
+  FROM m LEFT JOIN doclens l USING (doc_id) CROSS JOIN stats s
+),
+scored AS (
+  SELECT mm.doc_id,
+         ln(1 + (s.n_docs - d.df_any + 0.5) / (d.df_any + 0.5))
+           * mm.tfn / ({K1} + mm.tfn) AS contrib
+  FROM mm JOIN dfa d USING (term) CROSS JOIN stats s
+),
+agg AS (
+  SELECT doc_id, round(sum(contrib), 6) AS score FROM scored GROUP BY 1
+)
+SELECT doc_id, score, rank FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM agg
+) WHERE rank <= {k}
+"""

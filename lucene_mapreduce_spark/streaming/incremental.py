@@ -292,3 +292,60 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(sink).select("day", "role", "n_turns")
+
+
+def session_windows(stream_df: DataFrame, gap: str = "1 hour") -> DataFrame:
+    """Stateful session-window aggregation: per-user sessions that merge
+    events separated by less than ``gap`` (Spark merges an event into a
+    session while its ts falls before the session's current end = last
+    event + gap; window end is exclusive, so a gap of exactly ``gap``
+    starts a new session). The streaming-state twin of the gaps-and-
+    islands batch rewrite the oracle replays."""
+    return (
+        stream_df.withWatermark("ts", "0 seconds")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate entry for the session-window operator: a real stream run
+    (parquet source -> session_window aggregation -> memory sink) over the
+    purchase-event stream. Session windows reject update mode; complete
+    mode emits the full merged-session state after the single availableNow
+    batch, which equals the batch gaps-and-islands aggregate (session_end
+    = last event ts + gap, per Spark's session close semantics)."""
+    import os
+    import tempfile
+
+    from lucene_mapreduce_spark.operators.parity import load
+
+    derived = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts")
+    )
+    src = os.path.join(tempfile.mkdtemp(prefix="lmr_stream_gate_"), "src")
+    derived.coalesce(1).write.mode("overwrite").parquet(src)
+
+    _GATE_SEQ[0] += 1
+    sink = f"session_windows_gate_{_GATE_SEQ[0]}"
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(src)
+    q = (
+        session_windows(stream)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        "user_id", "session_start", "session_end", "n_events"
+    )
