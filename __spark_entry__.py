@@ -44,6 +44,9 @@ from lucene_mapreduce_spark.operators.oracles import (  # noqa: E402
     taxonomy_sql,
     bm25f_sql,
     constant_score_sql,
+    infix_suggest_sql,
+    term_vectors_sql,
+    percolate_sql,
     filter_clause_sql,
     terms_set_sql,
     common_terms_sql,
@@ -147,6 +150,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hit_stats_facets": fulltext.hit_stats_facets,
         "delete_by_query": fulltext.delete_by_query,
         "bm25f_topk": fulltext.bm25f_topk,
+        "infix_suggest": fulltext.infix_suggest,
+        "term_vectors": fulltext.term_vectors,
+        "percolate_match": fulltext.percolate_match,
+        "events_rollup": parity.events_rollup,
         "contamination_check": dedup.contamination_check,
         "gopher_rules": textstats.gopher_rules,
         "ann_batch_topk": similarity.ann_batch_topk,
@@ -362,6 +369,9 @@ WHERE len(list_filter(range(1, len(toks)), i ->
     out["span_or_near_query"] = span_or_near_sql(*fulltext.SPAN_OR_NEAR)
     out["hit_stats_facets"] = hit_stats_sql(fulltext.BOOLEAN_QUERY.split())
     out["bm25f_topk"] = bm25f_sql(fulltext.BM25F_QUERY, w_text=fulltext.BM25F_W[0], w_kw=fulltext.BM25F_W[1])
+    out["infix_suggest"] = infix_suggest_sql(fulltext.INFIX_QUERY)
+    out["term_vectors"] = term_vectors_sql(fulltext.EXPLAIN_DOC)
+    out["percolate_match"] = percolate_sql(fulltext.PERCOLATE_QUERIES)
     out["delete_by_query"] = bm25_topk_sql(
         fulltext.FLAGSHIP_QUERY,
         doc_where=f"NOT list_contains({_TOKS}, '{fulltext.DELETE_TERM}')",

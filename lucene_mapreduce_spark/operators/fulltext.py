@@ -2513,3 +2513,123 @@ def bm25f_topk(
     return ranked_topk(per_doc, [F.desc("score"), F.asc("doc_id")], k).select(
         "doc_id", "score", "rank"
     )
+
+
+# --------------------------------------------------------- infix suggester
+INFIX_QUERY = "or"  # matches sort / order / vector at the gate vocabulary
+
+
+def infix_suggest(
+    spark: SparkSession,
+    sf_dir: str,
+    infix: str = INFIX_QUERY,
+    k: int = 5,
+) -> DataFrame:
+    """Lucene AnalyzingInfixSuggester parity: dictionary terms containing
+    the input ANYWHERE (not just as a prefix), ranked by collection
+    frequency desc (term asc ties) — the 'search-as-you-type inside
+    words' suggester. Same dictionary-sidecar read as autocomplete with a
+    contains predicate; the serving twin answers from the sorted
+    dictionary snapshot."""
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+
+    ix = _gate_index(spark, sf_dir)
+    dic = _dictionary_stats(spark, ix).select("term", "cf")
+    cands = dic.filter(F.col("term").contains(infix))
+    return ranked_topk(cands, [F.desc("cf"), F.asc("term")], k).select(
+        "term", "cf", "rank"
+    )
+
+
+# ------------------------------------------------------------ term vectors
+def term_vectors(
+    spark: SparkSession,
+    sf_dir: str,
+    doc_id: int = EXPLAIN_DOC,
+) -> DataFrame:
+    """Lucene TermVectorsReader parity: the per-document view of the index
+    — every term of one doc with its tf and ascending positions, read
+    from the positional sidecar (never by re-tokenizing stored text).
+    The sidecar is term-major (partitionBy(phash), rows sorted (term,
+    chunk, doc_id)), so the doc-major access prunes by the doc's CHUNK:
+    row-group stats skip everything outside chunk == doc_id DIV
+    chunk_docs in every phash directory — the same orthogonal pruning
+    axis bm25_range_topk uses, flipped to a point lookup. One row per
+    (term, position) so the cross-engine hash compare stays scalar."""
+    import os
+
+    from lucene_mapreduce_spark.index.manifest import load_manifest, segment_dir
+
+    ix = _gate_index(spark, sf_dir)
+    m = load_manifest(ix)
+    assert m is not None and all(s.has_positions for s in m.ordered())
+    assert len(m.ordered()) == 1, (
+        "term_vectors reads the merged index (merge_all first): doc-major "
+        "access on unmerged generations would need the live map per row"
+    )
+    s = m.ordered()[0]
+    ch = doc_id // m.chunk_docs
+    rows = (
+        spark.read.parquet(os.path.join(segment_dir(ix, s.segment_id), "positions"))
+        .filter(F.col("phash") < F.lit(m.num_partitions))
+        .filter((F.col("chunk") == F.lit(ch)) & (F.col("doc_id") == F.lit(doc_id)))
+    )
+    return (
+        rows.select(
+            "term",
+            F.size("positions").cast("long").alias("tf"),
+            F.explode("positions").alias("pos"),
+        )
+        .select("term", "tf", F.col("pos").cast("int").alias("pos"))
+        .orderBy("term", "pos")
+    )
+
+
+# -------------------------------------------------------------- percolator
+PERCOLATE_QUERIES = (
+    ("p0", "table merge"),
+    ("p1", "fast scan"),
+    ("p2", "dup"),
+    ("p3", "vector stream window"),
+    ("p4", "slow join hash"),
+)
+
+
+def percolate_match(
+    spark: SparkSession,
+    sf_dir: str,
+    queries: tuple[tuple[str, str], ...] = PERCOLATE_QUERIES,
+) -> DataFrame:
+    """Percolator parity (Lucene MemoryIndex / ES percolate): a registry
+    of stored conjunctive queries, evaluated against every document —
+    which alerts fire for which doc. The registry explodes to a tiny
+    (query_id, term) frame broadcast against ONE pruned postings read of
+    the union term set; a per-(query, doc) distinct-term count equal to
+    the query's term count decides the match — map-side combinable, one
+    shuffle at (query, doc) granularity, corpus never re-tokenized. At
+    100 TB this is the streaming-alert shape: new docs join a static
+    broadcast registry."""
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_string
+    from lucene_mapreduce_spark.query.segments import read_postings
+
+    ix = _gate_index(spark, sf_dir)
+    reg = [
+        (qid, t)
+        for qid, qtext in queries
+        for t in sorted(set(tokenize_string(qtext)))
+    ]
+    need = {qid: len({t for q, t in reg if q == qid}) for qid, _ in queries}
+    terms = sorted({t for _, t in reg})
+    regdf = spark.createDataFrame(reg, "query_id string, term string")
+    needdf = spark.createDataFrame(
+        sorted(need.items()), "query_id string, n_terms int"
+    )
+    pos = read_postings(spark, ix, terms).select("term", "doc_id")
+    hits = (
+        pos.join(F.broadcast(regdf), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.countDistinct("term").alias("m"))
+        .join(F.broadcast(needdf), "query_id")
+        .filter(F.col("m") == F.col("n_terms"))
+    )
+    return hits.select("query_id", "doc_id").orderBy("query_id", "doc_id")

@@ -2605,22 +2605,29 @@ FROM r WHERE rn = 1 ORDER BY component
 
 # streaming session windows: gaps-and-islands twin (gap = 1 hour; a gap of
 # exactly 1 hour starts a new session — Spark session windows are
-# end-exclusive; session_end = last event + gap)
+# end-exclusive; session_end = last event + gap). Both window passes order
+# by (ts, event_id): duplicate timestamps are common (sf1 has 180k per-user
+# ties) and with ORDER BY ts alone the lag pass and the running-sum pass
+# may sort ties differently, splitting a session into two groups with
+# identical bounds — Spark's session_window is tie-order-invariant, so the
+# twin must be too.
 ORACLES["streaming_session_windows"] = """
 WITH e AS (
-  SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
 ),
 x AS (
-  SELECT user_id, ts,
-         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) IS NULL
+                OR ts - lag(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)
                    >= INTERVAL 1 HOUR
               THEN 1 ELSE 0 END AS brk
   FROM e
 ),
 y AS (
   SELECT user_id, ts,
-         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                         ROWS UNBOUNDED PRECEDING) AS sid
   FROM x
 )
@@ -2698,4 +2705,78 @@ SELECT doc_id, score, rank FROM (
          row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
   FROM agg
 ) WHERE rank <= {k}
+"""
+
+
+def infix_suggest_sql(infix: str, k: int = 5) -> str:
+    """infix suggester twin: contains-matched vocabulary ranked by cf."""
+    p = infix.replace("'", "''")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKS}) AS term FROM documents
+),
+d AS (SELECT term, count(*)::BIGINT AS cf FROM toks GROUP BY 1)
+SELECT term, cf, rank
+FROM (
+  SELECT term, cf,
+         row_number() OVER (ORDER BY cf DESC, term ASC) AS rank
+  FROM d WHERE position('{p}' IN term) > 0
+)
+WHERE rank <= {k}
+"""
+
+
+def term_vectors_sql(doc_id: int) -> str:
+    """TermVectors twin: (term, tf, position) rows of one doc recomputed
+    from the raw text (0-based positions, ascending)."""
+    return f"""
+WITH d AS (SELECT {TOKS} AS toks FROM documents WHERE doc_id = {doc_id}),
+p AS (
+  SELECT toks[i] AS term, (i - 1)::INT AS pos
+  FROM d, unnest(range(1, len(toks) + 1)) AS t(i)
+),
+tf AS (SELECT term, count(*)::BIGINT AS tf FROM p GROUP BY 1)
+SELECT p.term, tf.tf, p.pos
+FROM p JOIN tf USING (term)
+ORDER BY p.term, p.pos
+"""
+
+
+def percolate_sql(queries: tuple[tuple[str, str], ...]) -> str:
+    """Percolator twin: conjunctive registered queries vs every doc."""
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_string
+
+    reg_rows = []
+    for qid, qtext in queries:
+        for t in sorted(set(tokenize_string(qtext))):
+            reg_rows.append(f"SELECT '{qid}' AS query_id, '{t}' AS term")
+    reg = " UNION ALL ".join(reg_rows)
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest({TOKS}) AS term FROM documents
+),
+reg AS ({reg}),
+need AS (SELECT query_id, count(*) AS n_terms FROM reg GROUP BY 1)
+SELECT r.query_id, t.doc_id
+FROM toks t JOIN reg r USING (term)
+GROUP BY r.query_id, t.doc_id
+HAVING count(DISTINCT t.term) = (
+  SELECT n_terms FROM need WHERE need.query_id = r.query_id
+)
+ORDER BY query_id, doc_id
+"""
+
+
+ORACLES["events_rollup"] = """
+WITH base AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         round(value, 6)::DECIMAL(18,6) AS v
+  FROM events
+)
+SELECT coalesce(event_type, '<all>') AS event_type,
+       coalesce(day::VARCHAR, '<all>') AS day,
+       count(*)::BIGINT AS n_events,
+       (sum(v))::DOUBLE AS sum_value
+FROM base GROUP BY ROLLUP (event_type, day)
+ORDER BY event_type, day
 """

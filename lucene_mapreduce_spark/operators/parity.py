@@ -436,3 +436,34 @@ def ts_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp(s, "yyyy-MM-dd_HH:mm:ss").alias("epoch_s"),
         F.date_format(F.date_add(F.to_date("ts"), 3), "yyyy-MM-dd").alias("slot_end"),
     )
+
+
+def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style temporal rollup over the events stream: count and
+    sum(value) per (event_type, day) plus per-type subtotals and the grand
+    total — the ROLLUP lattice Catalyst executes as one shuffle with
+    map-side partial aggregation (no per-level re-scan). Float sums are
+    per-row-rounded then accumulated as DECIMAL(18,6) — order-free exact
+    arithmetic, so the result is bit-stable at any parallelism (the house
+    determinism rule applied to money-style aggregation); '<all>'
+    sentinels keep lattice slots schema-stable cross-engine."""
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.round("value", 6).cast("decimal(18,6)").alias("v"),
+    )
+    return (
+        base.rollup("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("v").cast("double").alias("sum_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("<all>")).alias("event_type"),
+            F.coalesce(F.col("day").cast("string"), F.lit("<all>")).alias("day"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("event_type", "day")
+    )

@@ -247,3 +247,58 @@ def test_cluster_representative_is_longest_member(spark, sf_dir):
         best = max(members, key=lambda d: (dl[d], -d))
         assert (r.kept_doc_id, r.kept_dl) == (best, dl[best])
         assert r.n_members == len(members)
+
+
+def test_infix_suggest_contains_and_rank(spark, sf_dir):
+    out = fulltext.infix_suggest(spark, sf_dir).toPandas()
+    assert len(out) > 0
+    assert out["term"].str.contains(fulltext.INFIX_QUERY).all()
+    docs = _corpus(sf_dir)
+    from collections import Counter
+
+    cf = Counter(t for txt in docs["text"] for t in tokenize_string(txt))
+    cand = sorted(
+        ((t, c) for t, c in cf.items() if fulltext.INFIX_QUERY in t),
+        key=lambda tc: (-tc[1], tc[0]),
+    )[:5]
+    assert [(r.term, r.cf) for r in out.itertuples()] == cand
+
+
+def test_term_vectors_match_tokenization(spark, sf_dir):
+    out = fulltext.term_vectors(spark, sf_dir).toPandas()
+    docs = _corpus(sf_dir)
+    txt = docs.loc[docs["doc_id"] == fulltext.EXPLAIN_DOC, "text"].iloc[0]
+    ts = tokenize_string(txt)
+    exp = sorted(
+        ((t, ts.count(t), i) for i, t in enumerate(ts)),
+        key=lambda r: (r[0], r[2]),
+    )
+    assert [(r.term, r.tf, r.pos) for r in out.itertuples()] == exp
+
+
+def test_percolate_membership(spark, sf_dir):
+    out = fulltext.percolate_match(spark, sf_dir).toPandas()
+    docs = _corpus(sf_dir)
+    toks = {int(r.doc_id): set(tokenize_string(r.text)) for r in docs.itertuples()}
+    exp = set()
+    for qid, qtext in fulltext.PERCOLATE_QUERIES:
+        need = set(tokenize_string(qtext))
+        for d, ts in toks.items():
+            if need <= ts:
+                exp.add((qid, d))
+    assert {(r.query_id, r.doc_id) for r in out.itertuples()} == exp
+
+
+def test_events_rollup_lattice_consistency(spark, sf_dir):
+    from lucene_mapreduce_spark.operators import parity
+
+    out = parity.events_rollup(spark, sf_dir).toPandas()
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    total = out[(out["event_type"] == "<all>") & (out["day"] == "<all>")]
+    assert len(total) == 1 and int(total["n_events"].iloc[0]) == len(ev)
+    # per-type subtotals equal the sum of their day rows
+    leaves = out[(out["event_type"] != "<all>") & (out["day"] != "<all>")]
+    subs = out[(out["event_type"] != "<all>") & (out["day"] == "<all>")]
+    agg = leaves.groupby("event_type")["n_events"].sum()
+    for r in subs.itertuples():
+        assert int(r.n_events) == int(agg[r.event_type])

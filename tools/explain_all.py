@@ -141,6 +141,18 @@ def main() -> None:
          lambda: fulltext.lmdirichlet_topk(spark, sf_dir)),
         ("taxonomy_facets (rollup lattice, one shuffle via partial aggs)",
          lambda: fulltext.taxonomy_facets(spark, sf_dir)),
+        ("percolate_match (broadcast query registry vs pruned postings)",
+         lambda: fulltext.percolate_match(spark, sf_dir)),
+        ("delete_by_query (left-anti delete mask + survivor-stat deltas)",
+         lambda: fulltext.delete_by_query(spark, sf_dir)),
+        ("bm25f_topk (two-field tf merge: full join + any-field df)",
+         lambda: fulltext.bm25f_topk(spark, sf_dir)),
+        ("term_vectors (doc-major point lookup: chunk row-group pruning)",
+         lambda: fulltext.term_vectors(spark, sf_dir)),
+        ("events_rollup (temporal ROLLUP, DECIMAL-exact order-free sums)",
+         lambda: parity.events_rollup(spark, sf_dir)),
+        ("filter_clause_query (scoreless FILTER: left join + TakeOrdered)",
+         lambda: fulltext.filter_clause_query(spark, sf_dir)),
     ]
 
     out = [HEADER]
