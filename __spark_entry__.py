@@ -47,6 +47,13 @@ from lucene_mapreduce_spark.operators.oracles import (  # noqa: E402
     infix_suggest_sql,
     term_vectors_sql,
     percolate_sql,
+    lmjelinekmercer_sql,
+    boosting_sql,
+    span_within_sql,
+    top_hits_sql,
+    matched_queries_sql,
+    random_score_sql,
+    decay_sql,
     filter_clause_sql,
     terms_set_sql,
     common_terms_sql,
@@ -154,6 +161,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_vectors": fulltext.term_vectors,
         "percolate_match": fulltext.percolate_match,
         "events_rollup": parity.events_rollup,
+        "lmjelinekmercer_topk": fulltext.lmjelinekmercer_topk,
+        "boosting_query": fulltext.boosting_query,
+        "span_within_query": fulltext.span_within_query,
+        "top_hits_facets": fulltext.top_hits_facets,
+        "matched_queries": fulltext.matched_queries,
+        "random_score_query": fulltext.random_score_query,
+        "decay_function_score": fulltext.decay_function_score,
         "contamination_check": dedup.contamination_check,
         "gopher_rules": textstats.gopher_rules,
         "ann_batch_topk": similarity.ann_batch_topk,
@@ -372,6 +386,26 @@ WHERE len(list_filter(range(1, len(toks)), i ->
     out["infix_suggest"] = infix_suggest_sql(fulltext.INFIX_QUERY)
     out["term_vectors"] = term_vectors_sql(fulltext.EXPLAIN_DOC)
     out["percolate_match"] = percolate_sql(fulltext.PERCOLATE_QUERIES)
+    out["lmjelinekmercer_topk"] = lmjelinekmercer_sql(
+        fulltext.FLAGSHIP_QUERY, lam=fulltext.LMJM_LAMBDA
+    )
+    out["boosting_query"] = boosting_sql(
+        fulltext.FLAGSHIP_QUERY, fulltext.BOOSTING_NEG[0], fulltext.BOOSTING_NEG[1]
+    )
+    out["span_within_query"] = span_within_sql(*fulltext.SPAN_WITHIN)
+    out["top_hits_facets"] = top_hits_sql(
+        fulltext.FLAGSHIP_QUERY, per_bucket=fulltext.TOP_HITS_PER_LANG
+    )
+    out["matched_queries"] = matched_queries_sql(fulltext.MATCHED_CLAUSES)
+    out["random_score_query"] = random_score_sql(fulltext.RANDOM_SEED)
+    import math as _math
+
+    out["decay_function_score"] = decay_sql(
+        fulltext.FLAGSHIP_QUERY,
+        fulltext.DECAY_PARAMS[0],
+        fulltext.DECAY_PARAMS[1],
+        _math.log(fulltext.DECAY_PARAMS[2]),
+    )
     out["delete_by_query"] = bm25_topk_sql(
         fulltext.FLAGSHIP_QUERY,
         doc_where=f"NOT list_contains({_TOKS}, '{fulltext.DELETE_TERM}')",

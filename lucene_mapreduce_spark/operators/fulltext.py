@@ -2633,3 +2633,324 @@ def percolate_match(
         .filter(F.col("m") == F.col("n_terms"))
     )
     return hits.select("query_id", "doc_id").orderBy("query_id", "doc_id")
+
+
+# ------------------------------------------------------- LM Jelinek-Mercer
+LMJM_LAMBDA = 0.7  # Lucene LMJelinekMercerSimilarity default
+
+
+def lmjelinekmercer_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_text: str = FLAGSHIP_QUERY,
+    lam: float = LMJM_LAMBDA,
+    k: int = 10,
+) -> DataFrame:
+    """Lucene LMJelinekMercerSimilarity parity (Zhai & Lafferty 2001,
+    linear interpolation smoothing): per matched term the contribution is
+    ln(1 + ((1-λ)·tf/dl) / (λ·cf_t/total_tokens)) — always non-negative
+    (log1p of a positive ratio), so no clamp is needed, unlike Dirichlet.
+    Same pruned index read as lmdirichlet_topk; total_tokens off the
+    merged manifest's columnar stats, cf_t one aggregate over the pruned
+    query-term postings; per-doc sums are canonical ascending-term
+    accumulation (the house determinism rule), rounded 6dp."""
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_string
+    from lucene_mapreduce_spark.index.manifest import load_manifest
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+    from lucene_mapreduce_spark.query.segments import read_postings
+
+    ix = _gate_index(spark, sf_dir)
+    m = load_manifest(ix)
+    total = float(sum(s.total_tokens for s in m.ordered()))
+    qts = sorted(set(tokenize_string(query_text)))
+    posts = read_postings(spark, ix, qts)
+    cf = posts.groupBy("term").agg(F.sum("tf").cast("double").alias("cf_t"))
+    j = posts.join(F.broadcast(cf), "term")
+    tf = F.col("tf").cast("double")
+    dl = F.col("dl").cast("double")
+    contrib = F.log(
+        F.lit(1.0)
+        + (F.lit(1.0 - lam) * tf / dl)
+        / (F.lit(lam) * (F.col("cf_t") / F.lit(total)))
+    )
+    scored = j.select("doc_id", "term", contrib.alias("contrib"))
+    agg = scored.groupBy("doc_id").agg(
+        F.round(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("term", "contrib"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["contrib"],
+            ),
+            6,
+        ).alias("score")
+    )
+    return ranked_topk(agg, [F.desc("score"), F.asc("doc_id")], k).select(
+        "doc_id", "score", "rank"
+    )
+
+
+# ------------------------------------------------------------ boosting query
+BOOSTING_NEG = ("slow", 0.5)  # (negative term, negative_boost)
+
+
+def boosting_query(
+    spark: SparkSession,
+    sf_dir: str,
+    query_text: str = FLAGSHIP_QUERY,
+    neg_term: str = BOOSTING_NEG[0],
+    negative_boost: float = BOOSTING_NEG[1],
+    k: int = 10,
+) -> DataFrame:
+    """ES `boosting` query / Lucene BoostingQuery parity: docs matching
+    the positive query score normally; docs ALSO matching the negative
+    query keep matching but have their score multiplied by
+    negative_boost (< 1) — demotion without exclusion, the soft twin of
+    AND-NOT. The negative set is one pruned postings read left-joined
+    onto the unranked exact BM25 face; only fused rows rank."""
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+    from lucene_mapreduce_spark.query.segments import bm25_scores, read_postings
+
+    ix = _gate_index(spark, sf_dir)
+    queries = spark.createDataFrame(
+        [("q0", query_text)], "query_id string, query_text string"
+    )
+    base = bm25_scores(spark, ix, queries).select("doc_id", "score")
+    neg = (
+        read_postings(spark, ix, [neg_term])
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_neg", F.lit(True))
+    )
+    fused = base.join(F.broadcast(neg), "doc_id", "left").select(
+        "doc_id",
+        F.round(
+            F.col("score")
+            * F.when(F.col("is_neg"), F.lit(negative_boost)).otherwise(F.lit(1.0)),
+            6,
+        ).alias("score"),
+    )
+    return ranked_topk(fused, [F.desc("score"), F.asc("doc_id")], k).select(
+        "doc_id", "score", "rank"
+    )
+
+
+# --------------------------------------------------------------- span within
+SPAN_WITHIN = ("table", "merge", 6, "fast")  # big = Near(a, b, slop); little = c
+
+
+def span_within_query(
+    spark: SparkSession,
+    sf_dir: str,
+    a: str = SPAN_WITHIN[0],
+    b: str = SPAN_WITHIN[1],
+    dist: int = SPAN_WITHIN[2],
+    c: str = SPAN_WITHIN[3],
+) -> DataFrame:
+    """SpanWithinQuery parity — little=c contained in big=SpanNear(a, b,
+    slop, unordered): docs where some occurrence of `c` lies INSIDE the
+    [min, max] position envelope of an (a, b) pair at most `dist` apart
+    (the same simplified gap-budget span envelope the other span gates
+    use). Three pruned positional-sidecar reads; the containment test is
+    pure codegen exists/exists/exists over the position arrays — no
+    explode, no shuffle beyond the three-way doc_id join."""
+    from lucene_mapreduce_spark.query.segments import read_positions
+
+    ix = _gate_index(spark, sf_dir)
+    pos = read_positions(spark, ix, sorted({a, b, c}))
+
+    def arm(t: str, name: str) -> DataFrame:
+        return pos.filter(F.col("term") == t).select(
+            "doc_id", F.col("positions").alias(name)
+        )
+
+    j = arm(a, "pa").join(arm(b, "pb"), "doc_id").join(arm(c, "pc"), "doc_id")
+    hit = F.exists(
+        "pa",
+        lambda i: F.exists(
+            "pb",
+            lambda jj: (F.abs(i - jj) <= F.lit(dist))
+            & F.exists(
+                "pc",
+                lambda p: (p >= F.least(i, jj)) & (p <= F.greatest(i, jj)),
+            ),
+        ),
+    )
+    return j.filter(hit).select("doc_id").orderBy("doc_id")
+
+
+# ------------------------------------------------------------- top-hits facet
+TOP_HITS_PER_LANG = 3
+
+
+def top_hits_facets(
+    spark: SparkSession,
+    sf_dir: str,
+    query_text: str = FLAGSHIP_QUERY,
+    per_bucket: int = TOP_HITS_PER_LANG,
+) -> DataFrame:
+    """ES `top_hits` aggregation parity (grouping top-k per facet bucket):
+    for one query, the best `per_bucket` docs by BM25 within EVERY lang
+    bucket — the 'show 3 best matches per language' SERP shape. The hit
+    set comes from the unranked exact index path, langs from the fields
+    sidecar; ranking is a window partitioned BY BUCKET (never a global
+    single-partition window), so at 100 TB each bucket ranks
+    independently inside its shuffle partition."""
+    from pyspark.sql import Window
+
+    from lucene_mapreduce_spark.query.segments import bm25_scores, field_values
+
+    ix = _gate_index(spark, sf_dir)
+    queries = spark.createDataFrame(
+        [("q0", query_text)], "query_id string, query_text string"
+    )
+    hits = bm25_scores(spark, ix, queries, round_to=6).select("doc_id", "score")
+    lang = field_values(spark, ix, "lang").select(
+        "doc_id", F.col("value").alias("lang")
+    )
+    j = hits.join(lang, "doc_id")
+    w = Window.partitionBy("lang").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= per_bucket)
+        .select("lang", "doc_id", "score", "rank")
+        .orderBy("lang", "rank")
+    )
+
+
+# ------------------------------------------------------------ matched queries
+MATCHED_CLAUSES = (
+    ("fast_scan", "fast scan"),
+    ("has_table", "table"),
+    ("merge_join", "merge join"),
+)
+
+
+def matched_queries(
+    spark: SparkSession,
+    sf_dir: str,
+    clauses: tuple[tuple[str, str], ...] = MATCHED_CLAUSES,
+) -> DataFrame:
+    """ES `matched_queries` (named clauses) parity: a bool query of named
+    SHOULD clauses (each a conjunctive term query); every matching doc
+    reports WHICH clauses matched, as a comma-joined name list sorted
+    asc (kept scalar for the cross-engine hash). Same broadcast-registry
+    shape as percolate_match — one pruned postings read of the union
+    term set, per-(clause, doc) distinct-term counts, map-side
+    combinable."""
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_string
+    from lucene_mapreduce_spark.query.segments import read_postings
+
+    ix = _gate_index(spark, sf_dir)
+    reg = [
+        (name, t)
+        for name, qtext in clauses
+        for t in sorted(set(tokenize_string(qtext)))
+    ]
+    need = {name: len({t for n, t in reg if n == name}) for name, _ in clauses}
+    regdf = spark.createDataFrame(reg, "name string, term string")
+    needdf = spark.createDataFrame(
+        sorted(need.items()), "name string, n_terms int"
+    )
+    pos = read_postings(spark, ix, sorted({t for _, t in reg})).select(
+        "term", "doc_id"
+    )
+    per_clause = (
+        pos.join(F.broadcast(regdf), "term")
+        .groupBy("name", "doc_id")
+        .agg(F.countDistinct("term").alias("m"))
+        .join(F.broadcast(needdf), "name")
+        .filter(F.col("m") == F.col("n_terms"))
+    )
+    return (
+        per_clause.groupBy("doc_id")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("name")), ",").alias(
+                "matched"
+            )
+        )
+        .orderBy("doc_id")
+    )
+
+
+# -------------------------------------------------------------- random score
+RANDOM_SEED = "s7"
+
+
+def random_score_query(
+    spark: SparkSession,
+    sf_dir: str,
+    seed: str = RANDOM_SEED,
+    k: int = 10,
+) -> DataFrame:
+    """ES function_score `random_score` parity, made reproducible: each
+    doc's score is a uniform [0, 1) drawn from the engine-shared md5 of
+    (seed, doc_id) — first 13 hex chars as a 52-bit integer (exactly
+    representable in float64; same conversion as the KMV sketch) over
+    2^52. Deterministic on any engine at any parallelism — the seeded
+    shuffling/eval-sampling face of function scoring. Pure codegen map +
+    TakeOrdered; the corpus is never shuffled."""
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+
+    docs = load(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(seed + ":"), F.col("doc_id").cast("string"))),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("long")
+    scored = docs.select(
+        "doc_id",
+        F.round(h.cast("double") / F.lit(float(1 << 52)), 6).alias("score"),
+    )
+    return ranked_topk(scored, [F.desc("score"), F.asc("doc_id")], k).select(
+        "doc_id", "score", "rank"
+    )
+
+
+# ------------------------------------------------------- gauss decay scoring
+DECAY_PARAMS = (300.0, 150.0, 0.5)  # origin, scale, decay on n_chars
+
+
+def decay_function_score(
+    spark: SparkSession,
+    sf_dir: str,
+    query_text: str = FLAGSHIP_QUERY,
+    origin: float = DECAY_PARAMS[0],
+    scale: float = DECAY_PARAMS[1],
+    decay: float = DECAY_PARAMS[2],
+    k: int = 10,
+) -> DataFrame:
+    """ES function_score `gauss` decay parity: BM25 multiplied by
+    exp(ln(decay) · (x - origin)² / scale²) over the indexed n_chars
+    field (offset 0) — score halves `scale` away from `origin`, the
+    standard recency/size-preference shape. ln(decay) is folded to a
+    Python float literal so both engines evaluate the identical IEEE
+    expression; the field rides the fields sidecar's num_value face,
+    BM25 is the exact unranked index path, only fused rows rank."""
+    import math
+
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+    from lucene_mapreduce_spark.query.segments import bm25_scores, field_num_values
+
+    ln_decay = math.log(decay)
+    ix = _gate_index(spark, sf_dir)
+    queries = spark.createDataFrame(
+        [("q0", query_text)], "query_id string, query_text string"
+    )
+    base = bm25_scores(spark, ix, queries).select("doc_id", "score")
+    nums = field_num_values(spark, ix, "n_chars")
+    x = F.col("num_value").cast("double")
+    mult = F.exp(
+        F.lit(ln_decay)
+        * ((x - F.lit(origin)) * (x - F.lit(origin)))
+        / F.lit(scale * scale)
+    )
+    fused = base.join(nums, "doc_id").select(
+        "doc_id", F.round(F.col("score") * mult, 6).alias("score")
+    )
+    return ranked_topk(fused, [F.desc("score"), F.asc("doc_id")], k).select(
+        "doc_id", "score", "rank"
+    )

@@ -2780,3 +2780,225 @@ SELECT coalesce(event_type, '<all>') AS event_type,
 FROM base GROUP BY ROLLUP (event_type, day)
 ORDER BY event_type, day
 """
+
+
+_BM25_AGG = f"""
+doclens AS (
+  SELECT doc_id, len({TOKS}) AS dl FROM documents
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n_docs, avg(dl::DOUBLE) AS avgdl FROM doclens
+),
+toks AS (
+  SELECT doc_id, unnest({TOKS}) AS term FROM documents
+),
+postings AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2
+),
+dft AS (
+  SELECT p.term, count(*)::DOUBLE AS df_t
+  FROM postings p JOIN qterms q USING (term) GROUP BY 1
+),
+scored AS (
+  SELECT p.doc_id,
+         ln(1 + (s.n_docs - d.df_t + 0.5) / (d.df_t + 0.5))
+           * (p.tf * {K1 + 1.0})
+           / (p.tf + {K1} * (1 - {B} + {B} * l.dl / s.avgdl)) AS contrib
+  FROM postings p
+  JOIN dft d USING (term)
+  JOIN doclens l USING (doc_id)
+  CROSS JOIN stats s
+),
+agg AS (
+  SELECT doc_id, sum(contrib) AS score FROM scored GROUP BY 1
+)
+"""
+
+
+def _qterms_cte(query_text: str) -> str:
+    qlit = query_text.replace("'", "''")
+    return f"""qterms AS (
+  SELECT DISTINCT unnest({duckdb_tokens_sql(f"'{qlit}'")}) AS term
+),"""
+
+
+def lmjelinekmercer_sql(query_text: str, lam: float = 0.7, k: int = 10) -> str:
+    """LMJelinekMercerSimilarity twin: per-term
+    ln(1 + ((1-λ)·tf/dl) / (λ·cf_t/total)), always positive."""
+    qlit = query_text.replace("'", "''")
+    return f"""
+WITH doclens AS (
+  SELECT doc_id, len({TOKS}) AS dl FROM documents
+),
+tot AS (
+  SELECT sum(dl)::DOUBLE AS total FROM doclens
+),
+toks AS (
+  SELECT doc_id, unnest({TOKS}) AS term FROM documents
+),
+postings AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2
+),
+qterms AS (
+  SELECT DISTINCT unnest({duckdb_tokens_sql(f"'{qlit}'")}) AS term
+),
+cft AS (
+  SELECT p.term, sum(p.tf)::DOUBLE AS cf_t
+  FROM postings p JOIN qterms q USING (term) GROUP BY 1
+),
+scored AS (
+  SELECT p.doc_id, p.term,
+         ln(1.0 + ({1.0 - lam} * p.tf::DOUBLE / l.dl::DOUBLE)
+                  / ({lam} * (c.cf_t / t.total))) AS contrib
+  FROM postings p
+  JOIN cft c USING (term)
+  JOIN doclens l USING (doc_id)
+  CROSS JOIN tot t
+),
+agg AS (
+  SELECT doc_id, round(sum(contrib), 6) AS score FROM scored GROUP BY 1
+)
+SELECT doc_id, score, rank FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM agg
+) WHERE rank <= {k}
+"""
+
+
+def boosting_sql(
+    query_text: str, neg_term: str, negative_boost: float, k: int = 10
+) -> str:
+    """Boosting-query twin: BM25 score × negative_boost when the doc also
+    contains the negative term."""
+    return f"""
+WITH {_qterms_cte(query_text)}
+{_BM25_AGG},
+fused AS (
+  SELECT a.doc_id,
+         round(a.score * CASE WHEN a.doc_id IN (
+             SELECT doc_id FROM postings WHERE term = '{neg_term}')
+           THEN {negative_boost} ELSE 1.0 END, 6) AS score
+  FROM agg a
+)
+SELECT doc_id, score, rank FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM fused
+) WHERE rank <= {k}
+"""
+
+
+def span_within_sql(a: str, b: str, dist: int, c: str) -> str:
+    """SpanWithin twin: a `c` occurrence inside the [min, max] envelope
+    of an (a, b) pair at most `dist` apart."""
+    return f"""
+SELECT doc_id FROM (SELECT doc_id, {TOKS} AS toks FROM documents)
+WHERE len(list_filter(range(1, len(toks) + 1), i ->
+      toks[i] = '{a}'
+  AND len(list_filter(range(1, len(toks) + 1), j ->
+          toks[j] = '{b}' AND abs(i - j) <= {dist}
+      AND len(list_filter(range(least(i, j), greatest(i, j) + 1),
+                          p -> toks[p] = '{c}')) > 0)) > 0)) > 0
+ORDER BY doc_id
+"""
+
+
+def top_hits_sql(query_text: str, per_bucket: int = 3) -> str:
+    """top_hits-aggregation twin: best per_bucket BM25 docs per lang."""
+    return f"""
+WITH {_qterms_cte(query_text)}
+{_BM25_AGG},
+j AS (
+  SELECT d.lang, a.doc_id, round(a.score, 6) AS score
+  FROM agg a JOIN documents d USING (doc_id)
+)
+SELECT lang, doc_id, score, rank FROM (
+  SELECT lang, doc_id, score,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM j
+) WHERE rank <= {per_bucket}
+ORDER BY lang, rank
+"""
+
+
+def matched_queries_sql(clauses: tuple[tuple[str, str], ...]) -> str:
+    """matched_queries twin: per doc the sorted names of the named
+    conjunctive clauses it satisfies."""
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_string
+
+    reg_rows = []
+    for name, qtext in clauses:
+        for t in sorted(set(tokenize_string(qtext))):
+            reg_rows.append(f"SELECT '{name}' AS name, '{t}' AS term")
+    reg = " UNION ALL ".join(reg_rows)
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest({TOKS}) AS term FROM documents
+),
+reg AS ({reg}),
+need AS (SELECT name, count(*) AS n_terms FROM reg GROUP BY 1),
+per_clause AS (
+  SELECT r.name, t.doc_id
+  FROM toks t JOIN reg r USING (term)
+  GROUP BY r.name, t.doc_id
+  HAVING count(DISTINCT t.term) = (
+    SELECT n_terms FROM need WHERE need.name = r.name
+  )
+)
+SELECT doc_id, string_agg(name, ',' ORDER BY name) AS matched
+FROM per_clause GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def random_score_sql(seed: str, k: int = 10) -> str:
+    """random_score twin: md5(seed:doc_id) 52-bit prefix / 2^52."""
+    return f"""
+WITH hashed AS (
+  SELECT doc_id,
+         list_reduce(
+           list_transform(
+             string_split(substr(md5('{seed}:' || doc_id::VARCHAR), 1, 13), ''),
+             c -> (strpos('0123456789abcdef', c) - 1)::BIGINT),
+           (a, b) -> a * 16 + b) AS h
+  FROM documents
+)
+, rounded AS (
+  SELECT doc_id, round(h::DOUBLE / {float(1 << 52)!r}, 6) AS score
+  FROM hashed
+)
+SELECT doc_id, score, rank FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM rounded
+) WHERE rank <= {k}
+"""
+
+
+def decay_sql(
+    query_text: str,
+    origin: float,
+    scale: float,
+    ln_decay: float,
+    k: int = 10,
+) -> str:
+    """gauss-decay function_score twin: BM25 × exp(ln_decay·(x-o)²/s²)
+    on n_chars; ln_decay passed pre-folded so both engines share the
+    literal."""
+    return f"""
+WITH {_qterms_cte(query_text)}
+{_BM25_AGG},
+fused AS (
+  SELECT a.doc_id,
+         round(a.score * exp({ln_decay!r}
+               * ((d.n_chars::DOUBLE - {origin!r}) * (d.n_chars::DOUBLE - {origin!r}))
+               / {scale * scale!r}), 6) AS score
+  FROM agg a JOIN documents d USING (doc_id)
+)
+SELECT doc_id, score, rank FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM fused
+) WHERE rank <= {k}
+"""

@@ -153,6 +153,14 @@ def main() -> None:
          lambda: parity.events_rollup(spark, sf_dir)),
         ("filter_clause_query (scoreless FILTER: left join + TakeOrdered)",
          lambda: fulltext.filter_clause_query(spark, sf_dir)),
+        ("boosting_query (broadcast negative set over unranked BM25 face)",
+         lambda: fulltext.boosting_query(spark, sf_dir)),
+        ("top_hits_facets (per-bucket window — partitioned, never global)",
+         lambda: fulltext.top_hits_facets(spark, sf_dir)),
+        ("matched_queries (broadcast named-clause registry, one shuffle)",
+         lambda: fulltext.matched_queries(spark, sf_dir)),
+        ("random_score_query (pure codegen map + TakeOrdered, no shuffle)",
+         lambda: fulltext.random_score_query(spark, sf_dir)),
     ]
 
     out = [HEADER]
