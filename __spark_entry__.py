@@ -54,6 +54,16 @@ from lucene_mapreduce_spark.operators.oracles import (  # noqa: E402
     matched_queries_sql,
     random_score_sql,
     decay_sql,
+    highlight_sql,
+    phrase_suggest_sql,
+    ann_recall_sql,
+    funnel_sql,
+    histogram_sql,
+    adjacency_sql,
+    composite_sql,
+    filtered_ann_sql,
+    hybrid_linear_sql,
+    domain_quality_sql,
     filter_clause_sql,
     terms_set_sql,
     common_terms_sql,
@@ -168,6 +178,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matched_queries": fulltext.matched_queries,
         "random_score_query": fulltext.random_score_query,
         "decay_function_score": fulltext.decay_function_score,
+        "highlight_all_fragments": fulltext.highlight_all_fragments,
+        "phrase_suggest": fulltext.phrase_suggest,
+        "ann_recall_at_k": similarity.ann_recall_at_k,
+        "histogram_facets": fulltext.histogram_facets,
+        "adjacency_matrix_facets": fulltext.adjacency_matrix_facets,
+        "composite_agg_page": fulltext.composite_agg_page,
+        "funnel_analysis": parity.funnel_analysis,
+        "retention_cohorts": parity.retention_cohorts,
+        "json_props_stats": parity.json_props_stats,
+        "filtered_ann_topk": similarity.filtered_ann_topk,
+        "hybrid_linear_fusion": similarity.hybrid_linear_fusion,
+        "domain_quality_rollup": textstats.domain_quality_rollup,
         "contamination_check": dedup.contamination_check,
         "gopher_rules": textstats.gopher_rules,
         "ann_batch_topk": similarity.ann_batch_topk,
@@ -252,6 +274,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lambda s, d: __import__(
                 "lucene_mapreduce_spark.streaming.incremental", fromlist=["x"]
             ).streaming_session_windows(s, d)
+        ),
+        "streaming_percolate": (
+            lambda s, d: __import__(
+                "lucene_mapreduce_spark.streaming.incremental", fromlist=["x"]
+            ).streaming_percolate(s, d)
         ),
         # training-data pipeline: curation composites
         "near_dup_components": curation.near_dup_components,
@@ -397,6 +424,29 @@ WHERE len(list_filter(range(1, len(toks)), i ->
         fulltext.FLAGSHIP_QUERY, per_bucket=fulltext.TOP_HITS_PER_LANG
     )
     out["matched_queries"] = matched_queries_sql(fulltext.MATCHED_CLAUSES)
+    out["streaming_percolate"] = percolate_sql(fulltext.PERCOLATE_QUERIES)
+    out["highlight_all_fragments"] = highlight_sql(
+        fulltext.FLAGSHIP_QUERY, k=fulltext.HIGHLIGHT_K, width=fulltext.SNIPPET_WIDTH
+    )
+    out["phrase_suggest"] = phrase_suggest_sql(*fulltext.PHRASE_SUGGEST_INPUT)
+    out["ann_recall_at_k"] = ann_recall_sql()
+    out["histogram_facets"] = histogram_sql(
+        fulltext.BOOLEAN_QUERY.split(), fulltext.HISTOGRAM_WIDTH
+    )
+    out["adjacency_matrix_facets"] = adjacency_sql(fulltext.MATCHED_CLAUSES)
+    out["composite_agg_page"] = composite_sql(
+        fulltext.COMPOSITE_AFTER, fulltext.COMPOSITE_SIZE
+    )
+    out["funnel_analysis"] = funnel_sql(parity.FUNNEL_STEPS)
+    out["filtered_ann_topk"] = filtered_ann_sql(similarity.FILTERED_ANN_LABEL)
+    out["hybrid_linear_fusion"] = hybrid_linear_sql(
+        fulltext.FLAGSHIP_QUERY,
+        depth=similarity.HYBRID_DEPTH,
+        alpha=similarity.HYBRID_ALPHA,
+    )
+    out["domain_quality_rollup"] = domain_quality_sql(
+        textstats.QUALITY_KEEP_THRESHOLD
+    )
     out["random_score_query"] = random_score_sql(fulltext.RANDOM_SEED)
     import math as _math
 

@@ -2954,3 +2954,245 @@ def decay_function_score(
     return ranked_topk(fused, [F.desc("score"), F.asc("doc_id")], k).select(
         "doc_id", "score", "rank"
     )
+
+
+# -------------------------------------------------- multi-fragment highlight
+HIGHLIGHT_K = 5  # docs highlighted (top-k of the flagship query)
+
+
+def highlight_all_fragments(
+    spark: SparkSession,
+    sf_dir: str,
+    query_text: str = FLAGSHIP_QUERY,
+    k: int = HIGHLIGHT_K,
+    width: int = SNIPPET_WIDTH,
+) -> DataFrame:
+    """Lucene UnifiedHighlighter multi-fragment parity: for the query's
+    top-k docs, EVERY occurrence of any query term yields one fragment —
+    (doc_id, pos, snippet) with the (2·width+1)-token window around the
+    hit, read from the index's stored fields (search_snippets does only
+    the first occurrence). Occurrence discovery and slicing are pure
+    codegen (filter over a position sequence + slice/array_join), the
+    docstore join touches only the k result docs — fragment count is
+    hits-sized, never corpus-sized."""
+    import os
+
+    from lucene_mapreduce_spark.functions.tokenize import (
+        tokenize_col,
+        tokenize_string,
+    )
+    from lucene_mapreduce_spark.index.manifest import load_manifest, segment_dir
+
+    ix = _gate_index(spark, sf_dir)
+    topk = bm25_index_topk_documents(spark, sf_dir, query_text, k)
+    m = load_manifest(ix)
+    assert m is not None and all(s.has_docstore for s in m.segments)
+    stores = [
+        os.path.join(segment_dir(ix, s.segment_id), "docstore")
+        for s in m.ordered()
+    ]
+    assert len(stores) == 1, "highlighting expects the merged gate index"
+
+    qts = sorted(set(tokenize_string(query_text)))
+    docs = spark.read.parquet(stores[0]).select(
+        "doc_id", tokenize_col(F.col("text")).alias("toks")
+    )
+    j = topk.select("doc_id", "score", "rank").join(docs, "doc_id")
+    occ = F.filter(
+        F.sequence(F.lit(1), F.size("toks")),
+        lambda i: F.element_at("toks", i).isin(qts),
+    )
+    e = j.select("doc_id", "score", "rank", "toks", F.explode(occ).alias("i"))
+    start = F.greatest(F.lit(1), F.col("i") - F.lit(width))
+    return e.select(
+        "doc_id",
+        "score",
+        "rank",
+        (F.col("i") - 1).cast("int").alias("pos"),
+        F.array_join(F.slice("toks", start, 2 * width + 1), " ").alias(
+            "snippet"
+        ),
+    ).orderBy("doc_id", "pos")
+
+
+# ------------------------------------------------------------ phrase suggest
+PHRASE_SUGGEST_INPUT = ("slw", "jion")  # -> "slow join" > "row join" by bigram count
+
+
+def phrase_suggest(
+    spark: SparkSession,
+    sf_dir: str,
+    w1: str = PHRASE_SUGGEST_INPUT[0],
+    w2: str = PHRASE_SUGGEST_INPUT[1],
+    max_dist: int = 2,
+    k: int = 5,
+) -> DataFrame:
+    """ES phrase suggester / Lucene WordBreakSpellChecker parity:
+    correct a two-word phrase by generating per-word dictionary
+    candidates within edit distance max_dist (DirectSpellChecker's
+    maxEdits=2 default) and ranking candidate PAIRS by how often they
+    occur adjacently in the corpus — bigram language-model evidence, the
+    thing per-word spell_suggest cannot see. Candidate frames are
+    dictionary-sized (broadcast); the bigram table is one
+    map-side-combinable groupBy over a codegen transform (no shuffle
+    before the count)."""
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_col
+    from lucene_mapreduce_spark.operators.parity import load, ranked_topk
+
+    ix = _gate_index(spark, sf_dir)
+    vocab = _index_vocab(spark, ix).select("term")
+    c1 = vocab.filter(F.levenshtein("term", F.lit(w1)) <= max_dist).select(
+        F.col("term").alias("t1")
+    )
+    c2 = vocab.filter(F.levenshtein("term", F.lit(w2)) <= max_dist).select(
+        F.col("term").alias("t2")
+    )
+    toks = tokenize_col(F.col("text"))
+    pair = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 1),
+        lambda i: F.struct(
+            F.element_at("toks", i).alias("t1"),
+            F.element_at("toks", i + 1).alias("t2"),
+        ),
+    )
+    bigrams = (
+        load(spark, sf_dir, "documents")
+        .select(toks.alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(F.explode(pair).alias("p"))
+        .select("p.t1", "p.t2")
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    cands = bigrams.join(F.broadcast(c1), "t1").join(F.broadcast(c2), "t2")
+    return ranked_topk(
+        cands, [F.desc("n"), F.asc("t1"), F.asc("t2")], k
+    ).select("t1", "t2", "n", "rank")
+
+
+# ----------------------------------------------------------- histogram facet
+HISTOGRAM_WIDTH = 50  # n_chars bucket width for the hit-set histogram
+
+
+def histogram_facets(
+    spark: SparkSession,
+    sf_dir: str,
+    query_text: str = BOOLEAN_QUERY,
+    width: int = HISTOGRAM_WIDTH,
+) -> DataFrame:
+    """ES `histogram` aggregation over the hit set: fixed-width numeric
+    buckets of the indexed n_chars field (bucket key = floor(x/width)·
+    width, empty buckets absent — ES min_doc_count=1). Hits from the
+    postings read, values from the fields sidecar's num_value face; the
+    rollup is one map-side-combinable groupBy — hits-sized, never
+    corpus-sized."""
+    from lucene_mapreduce_spark.query.segments import boolean_match, field_num_values
+
+    ix = _gate_index(spark, sf_dir)
+    hits = boolean_match(spark, ix, query_text, mode="or")
+    nv = field_num_values(spark, ix, "n_chars")
+    j = hits.join(nv, "doc_id")
+    bucket = (F.floor(F.col("num_value").cast("double") / width) * width).cast(
+        "long"
+    )
+    return (
+        j.groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("bucket")
+    )
+
+
+# ----------------------------------------------------- adjacency matrix facet
+def adjacency_matrix_facets(
+    spark: SparkSession,
+    sf_dir: str,
+    clauses: tuple[tuple[str, str], ...] = MATCHED_CLAUSES,
+) -> DataFrame:
+    """ES `adjacency_matrix` aggregation parity: for a set of named
+    filters, the doc count of every filter and every pairwise
+    intersection — keys 'a', 'a&b' (names sorted, ES's exact key
+    format). Per-filter doc sets come from the same broadcast-registry
+    postings read as matched_queries; the pairwise leg is a self-join on
+    doc_id restricted to name1 <= name2, so the work is
+    sum-of-hit-sizes², never corpus²."""
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_string
+    from lucene_mapreduce_spark.query.segments import read_postings
+
+    ix = _gate_index(spark, sf_dir)
+    reg = [
+        (name, t)
+        for name, qtext in clauses
+        for t in sorted(set(tokenize_string(qtext)))
+    ]
+    need = {name: len({t for n, t in reg if n == name}) for name, _ in clauses}
+    regdf = spark.createDataFrame(reg, "name string, term string")
+    needdf = spark.createDataFrame(
+        sorted(need.items()), "name string, n_terms int"
+    )
+    pos = read_postings(spark, ix, sorted({t for _, t in reg})).select(
+        "term", "doc_id"
+    )
+    per_clause = (
+        pos.join(F.broadcast(regdf), "term")
+        .groupBy("name", "doc_id")
+        .agg(F.countDistinct("term").alias("m"))
+        .join(F.broadcast(needdf), "name")
+        .filter(F.col("m") == F.col("n_terms"))
+        .select("name", "doc_id")
+    )
+    a = per_clause.select(F.col("name").alias("n1"), "doc_id")
+    b = per_clause.select(F.col("name").alias("n2"), "doc_id")
+    pairs = a.join(b, "doc_id").filter(F.col("n1") <= F.col("n2"))
+    key = F.when(F.col("n1") == F.col("n2"), F.col("n1")).otherwise(
+        F.concat_ws("&", "n1", "n2")
+    )
+    return (
+        pairs.groupBy(key.alias("key"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("key")
+    )
+
+
+# ------------------------------------------------------------- composite agg
+COMPOSITE_AFTER = ("src1", "en")  # after_key cursor: resume past this bucket
+COMPOSITE_SIZE = 5
+
+
+def composite_agg_page(
+    spark: SparkSession,
+    sf_dir: str,
+    after: tuple[str, str] = COMPOSITE_AFTER,
+    size: int = COMPOSITE_SIZE,
+) -> DataFrame:
+    """ES `composite` aggregation parity: deterministic cursor-paged
+    iteration over the (source, lang) bucket space — the aggregation
+    twin of search_after. Buckets sort ascending by the full key tuple;
+    the page starts strictly AFTER the cursor and is `size` buckets
+    long. Both facet columns come from the fields sidecar (never the
+    raw corpus); the page select is a TakeOrdered over the bucketed
+    counts, so paging through 10^9 buckets never materializes more than
+    one page."""
+    from lucene_mapreduce_spark.query.segments import field_values
+
+    ix = _gate_index(spark, sf_dir)
+    src = field_values(spark, ix, "source").select(
+        "doc_id", F.col("value").alias("source")
+    )
+    lng = field_values(spark, ix, "lang").select(
+        "doc_id", F.col("value").alias("lang")
+    )
+    buckets = (
+        src.join(lng, "doc_id")
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    a_src, a_lang = after
+    page = buckets.filter(
+        (F.col("source") > a_src)
+        | ((F.col("source") == a_src) & (F.col("lang") > a_lang))
+    )
+    return (
+        page.orderBy("source", "lang")
+        .limit(size)
+        .select("source", "lang", "n_docs")
+    )

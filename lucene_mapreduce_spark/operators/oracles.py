@@ -3002,3 +3002,294 @@ SELECT doc_id, score, rank FROM (
   FROM fused
 ) WHERE rank <= {k}
 """
+
+
+def highlight_sql(query_text: str, k: int = 5, width: int = 3) -> str:
+    """Multi-fragment highlighter twin: every query-term occurrence in
+    the top-k docs with its (2·width+1)-token window. list_slice's
+    inclusive end == Spark slice(start, 2w+1)."""
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_string
+
+    qts = sorted(set(tokenize_string(query_text)))
+    inlist = ", ".join(f"'{t}'" for t in qts)
+    return f"""
+WITH {_qterms_cte(query_text)}
+{_BM25_AGG},
+topk AS (
+  SELECT doc_id, round(score, 6) AS score, rank FROM (
+    SELECT doc_id, score,
+           row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+    FROM agg
+  ) WHERE rank <= {k}
+),
+tk AS (SELECT doc_id, {TOKS} AS tokens FROM documents),
+frags AS (
+  SELECT t.doc_id, t.score, t.rank, (r.i - 1)::INT AS pos,
+         array_to_string(
+           list_slice(d.tokens, greatest(1, r.i - {width}),
+                      greatest(1, r.i - {width}) + {2 * width}), ' ') AS snippet
+  FROM topk t
+  JOIN tk d USING (doc_id),
+  unnest(range(1, len(d.tokens) + 1)) AS r(i)
+  WHERE d.tokens[r.i] IN ({inlist})
+)
+SELECT doc_id, score, rank, pos, snippet FROM frags ORDER BY doc_id, pos
+"""
+
+
+def phrase_suggest_sql(
+    w1: str, w2: str, max_dist: int = 2, k: int = 5
+) -> str:
+    """Phrase-suggester twin: per-word levenshtein candidates from the
+    corpus vocabulary, pairs ranked by adjacent-bigram count."""
+    return f"""
+WITH tk AS (SELECT {TOKS} AS tokens FROM documents),
+big AS (
+  SELECT tokens[r.i] AS t1, tokens[r.i + 1] AS t2, count(*)::BIGINT AS n
+  FROM tk, unnest(range(1, len(tokens))) AS r(i)
+  WHERE len(tokens) >= 2
+  GROUP BY 1, 2
+),
+vocab AS (
+  SELECT DISTINCT unnest({TOKS}) AS term FROM documents
+),
+c1 AS (SELECT term AS t1 FROM vocab WHERE levenshtein(term, '{w1}') <= {max_dist}),
+c2 AS (SELECT term AS t2 FROM vocab WHERE levenshtein(term, '{w2}') <= {max_dist})
+SELECT t1, t2, n, rank FROM (
+  SELECT b.t1, b.t2, b.n,
+         row_number() OVER (ORDER BY b.n DESC, b.t1 ASC, b.t2 ASC) AS rank
+  FROM big b JOIN c1 USING (t1) JOIN c2 USING (t2)
+) WHERE rank <= {k}
+"""
+
+
+def ann_recall_sql(k: int = 5) -> str:
+    """recall@k of the IVF batch vs the exact brute batch, per query —
+    both legs are the INDEPENDENT oracle derivations (probe selection and
+    assignment recomputed in SQL, nothing imported from the engine)."""
+    brute = ORACLES["ann_batch_topk"]
+    ivf = _ann_ivf_batch_sql(k=k)
+    return f"""
+WITH brute AS (SELECT query_id, vec_id FROM ({brute})),
+ivf AS (SELECT query_id, vec_id FROM ({ivf})),
+hits AS (
+  SELECT i.query_id, count(*)::BIGINT AS n_hits
+  FROM ivf i JOIN brute b USING (query_id, vec_id)
+  GROUP BY 1
+),
+qs AS (SELECT DISTINCT query_id FROM brute)
+SELECT q.query_id,
+       coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+       round(coalesce(h.n_hits, 0)::DOUBLE / {float(k)!r}, 6) AS recall
+FROM qs q LEFT JOIN hits h USING (query_id)
+ORDER BY query_id
+"""
+
+
+def funnel_sql(steps: tuple[str, ...]) -> str:
+    """Ordered-funnel twin: per-user strictly-increasing first-occurrence
+    frontier, one CTE per step."""
+    ctes, prev = [], None
+    for i, step in enumerate(steps):
+        name = f"s{i + 1}"
+        if prev is None:
+            ctes.append(
+                f"{name} AS (SELECT user_id, min(ts) AS t FROM events"
+                f" WHERE event_type = '{step}' GROUP BY 1)"
+            )
+        else:
+            ctes.append(
+                f"{name} AS (SELECT e.user_id, min(e.ts) AS t FROM events e"
+                f" JOIN {prev} USING (user_id)"
+                f" WHERE e.event_type = '{step}' AND e.ts > {prev}.t GROUP BY 1)"
+            )
+        prev = name
+    selects = " UNION ALL ".join(
+        f"SELECT '{i + 1}_{step}' AS step, count(*)::BIGINT AS n_users FROM s{i + 1}"
+        for i, step in enumerate(steps)
+    )
+    return f"WITH {', '.join(ctes)} {selects}"
+
+
+ORACLES["retention_cohorts"] = """
+WITH ev AS (
+  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS week FROM events
+),
+first AS (SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY 1),
+cells AS (
+  SELECT e.user_id, f.cohort_week,
+         ((e.week - f.cohort_week) // 7)::INT AS week_offset
+  FROM ev e JOIN first f USING (user_id)
+)
+SELECT cohort_week::VARCHAR AS cohort_week, week_offset,
+       count(DISTINCT user_id)::BIGINT AS n_users
+FROM cells GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def histogram_sql(terms: list[str], width: int) -> str:
+    """Hit-set numeric histogram twin: floor(n_chars/width)*width buckets."""
+    inlist = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    return f"""
+WITH toks AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents),
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ({inlist}))
+SELECT (floor(d.n_chars::DOUBLE / {width}) * {width})::BIGINT AS bucket,
+       count(*)::BIGINT AS n_docs
+FROM hits h JOIN documents d USING (doc_id)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def adjacency_sql(clauses: tuple[tuple[str, str], ...]) -> str:
+    """adjacency_matrix twin: per-filter and pairwise-intersection doc
+    counts, ES key format 'a' / 'a&b'."""
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_string
+
+    reg_rows = []
+    for name, qtext in clauses:
+        for t in sorted(set(tokenize_string(qtext))):
+            reg_rows.append(f"SELECT '{name}' AS name, '{t}' AS term")
+    reg = " UNION ALL ".join(reg_rows)
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest({TOKS}) AS term FROM documents
+),
+reg AS ({reg}),
+need AS (SELECT name, count(*) AS n_terms FROM reg GROUP BY 1),
+per_clause AS (
+  SELECT r.name, t.doc_id
+  FROM toks t JOIN reg r USING (term)
+  GROUP BY r.name, t.doc_id
+  HAVING count(DISTINCT t.term) = (
+    SELECT n_terms FROM need WHERE need.name = r.name
+  )
+)
+SELECT CASE WHEN a.name = b.name THEN a.name
+            ELSE a.name || '&' || b.name END AS key,
+       count(*)::BIGINT AS n_docs
+FROM per_clause a JOIN per_clause b USING (doc_id)
+WHERE a.name <= b.name
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def composite_sql(after: tuple[str, str], size: int) -> str:
+    """composite-aggregation twin: cursor-paged (source, lang) buckets."""
+    a_src, a_lang = after
+    return f"""
+SELECT source, lang, count(*)::BIGINT AS n_docs
+FROM documents
+GROUP BY 1, 2
+HAVING source > '{a_src}' OR (source = '{a_src}' AND lang > '{a_lang}')
+ORDER BY source, lang
+LIMIT {size}
+"""
+
+
+def filtered_ann_sql(label: int, k: int = 10) -> str:
+    """Pre-filtered kNN twin: label predicate applied before scoring."""
+    return f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, cosine, rank FROM (
+  SELECT vec_id, cosine,
+         row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM (
+    SELECT vec_id,
+           round(list_dot_product(embedding::DOUBLE[], qvec)
+                 / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(qvec, qvec))), 6) AS cosine
+    FROM embeddings, q WHERE vec_id <> 0 AND label = {label}
+  )
+) WHERE rank <= {k}
+"""
+
+
+def hybrid_linear_sql(
+    query_text: str, k: int = 10, depth: int = 20, alpha: float = 0.5
+) -> str:
+    """Min-max linear hybrid twin: both legs 6dp-rounded, normalized on
+    [min, max] of their own top-depth list, blended α·lex + (1-α)·vec."""
+    return f"""
+WITH {_qterms_cte(query_text)}
+{_BM25_AGG},
+lex AS (
+  -- rank on the UNROUNDED score (the index path's cut), normalize the
+  -- 6dp-rounded value (what the Spark leg exposes)
+  SELECT doc_id, round(score, 6) AS lscore FROM (
+    SELECT doc_id, score,
+           row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+    FROM agg
+  ) WHERE r <= {depth}
+),
+qv AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0),
+vec AS (
+  SELECT doc_id, cosine AS vscore FROM (
+    SELECT vec_id AS doc_id, cosine,
+           row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS r
+    FROM (
+      SELECT vec_id,
+             round(list_dot_product(embedding::DOUBLE[], qvec)
+                   / (sqrt(list_dot_product(embedding::DOUBLE[],
+                                            embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(qvec, qvec))), 6) AS cosine
+      FROM embeddings, qv WHERE vec_id <> 0
+    )
+  ) WHERE r <= {depth}
+),
+lmm AS (SELECT min(lscore) AS mn, max(lscore) AS mx FROM lex),
+vmm AS (SELECT min(vscore) AS mn, max(vscore) AS mx FROM vec),
+ln AS (
+  SELECT doc_id, CASE WHEN m.mx = m.mn THEN 1.0
+                      ELSE (lscore - m.mn) / (m.mx - m.mn) END AS nl
+  FROM lex CROSS JOIN lmm m
+),
+vn AS (
+  SELECT doc_id, CASE WHEN m.mx = m.mn THEN 1.0
+                      ELSE (vscore - m.mn) / (m.mx - m.mn) END AS nv
+  FROM vec CROSS JOIN vmm m
+),
+fused AS (
+  SELECT coalesce(ln.doc_id, vn.doc_id) AS doc_id,
+         round({alpha!r} * coalesce(nl, 0.0)
+               + {1.0 - alpha!r} * coalesce(nv, 0.0), 6) AS score
+  FROM ln FULL OUTER JOIN vn USING (doc_id)
+)
+SELECT doc_id, score, rank FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM fused
+) WHERE rank <= {k}
+"""
+
+
+def domain_quality_sql(threshold: float) -> str:
+    """Domain quality rollup twin: DECIMAL-exact mean of 6dp scores."""
+    return f"""
+WITH q AS ({ORACLES["quality_score"]}),
+j AS (
+  SELECT d.source, q.quality::DECIMAL(18,6) AS qd,
+         CASE WHEN q.quality >= {threshold!r} THEN 1 ELSE 0 END AS keep
+  FROM documents d JOIN q USING (doc_id)
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+       round(sum(qd)::DOUBLE / count(*), 6) AS mean_quality,
+       round(sum(keep)::DOUBLE / count(*), 6) AS keep_rate
+FROM j GROUP BY 1 ORDER BY 1
+"""
+
+
+ORACLES["json_props_stats"] = """
+WITH base AS (
+  SELECT event_type,
+         CAST(json_extract(props, '$.k') AS INT) AS k
+  FROM events
+)
+SELECT event_type,
+       count(*)::BIGINT AS n_events,
+       sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_malformed,
+       min(k)::BIGINT AS min_k,
+       max(k)::BIGINT AS max_k,
+       count(DISTINCT k)::BIGINT AS distinct_k,
+       round(sum(k::DECIMAL(18,6))::DOUBLE / count(k), 6) AS mean_k
+FROM base GROUP BY 1 ORDER BY 1
+"""

@@ -467,3 +467,105 @@ def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+FUNNEL_STEPS = ("signup", "view", "purchase")
+
+
+def funnel_analysis(
+    spark: SparkSession,
+    sf_dir: str,
+    steps: tuple[str, ...] = FUNNEL_STEPS,
+) -> DataFrame:
+    """Ordered-funnel analytics over the events stream: how many users
+    completed step 1, step 1 then LATER step 2, then LATER step 3 — the
+    classic product funnel (strictly increasing first-occurrence
+    timestamps). Each stage is one filtered min-aggregate joined to the
+    previous stage's per-user frontier; all joins key on user_id, so at
+    100 TB the whole funnel is len(steps) map-side-combinable aggregates
+    over one event shuffle — never a per-user sort or a window over the
+    raw stream."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    frontier = None
+    rows = []
+    for i, step in enumerate(steps):
+        e = ev.filter(F.col("event_type") == step)
+        if frontier is not None:
+            e = e.join(frontier, "user_id").filter(F.col("ts") > F.col("prev_ts"))
+        frontier = e.groupBy("user_id").agg(F.min("ts").alias("prev_ts"))
+        rows.append(
+            frontier.select(
+                F.lit(f"{i + 1}_{step}").alias("step"),
+                F.lit(i + 1).alias("step_idx"),
+            )
+            .groupBy("step", "step_idx")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("step_idx").select("step", "n_users")
+
+
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort-retention analytics: users grouped by the week of their
+    FIRST event (the cohort), counted as retained in every later week
+    they appear — the (cohort_week, week_offset) retention matrix. Two
+    map-side-combinable aggregates keyed on user_id and on the matrix
+    cell; the per-user first-week frontier broadcasts back onto the
+    event stream (users << events at any scale). Week arithmetic in
+    whole days (datediff/7) so both engines agree on offsets regardless
+    of their week-truncation return types."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.to_date(F.date_trunc("week", "ts")).alias("week")
+    )
+    first = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    cells = (
+        ev.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.datediff("week", "cohort_week") / 7).cast("int").alias(
+                "week_offset"
+            ),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+    )
+    return cells.select(
+        F.col("cohort_week").cast("string").alias("cohort_week"),
+        "week_offset",
+        "n_users",
+    ).orderBy("cohort_week", "week_offset")
+
+
+def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column handling: events.props carries a JSON
+    payload ('{"k": N}'); parse it with a TYPED from_json (schema'd,
+    whole-stage codegen — never a per-row Python json.loads) and
+    aggregate per event_type: count, min/max/distinct of k, and an
+    order-free DECIMAL mean. At 100 TB the parse is a map-side
+    expression fused into the scan stage; a malformed payload becomes
+    NULL (PERMISSIVE), counted separately so data-quality drift is
+    visible rather than silent."""
+    ev = load(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k INT")["k"]
+    base = ev.select("event_type", k.alias("k"))
+    return (
+        base.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.when(F.col("k").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_malformed"),
+            F.min("k").cast("long").alias("min_k"),
+            F.max("k").cast("long").alias("max_k"),
+            F.countDistinct("k").cast("long").alias("distinct_k"),
+            F.round(
+                F.sum(F.col("k").cast("decimal(18,6)")).cast("double")
+                / F.count("k"),
+                6,
+            ).alias("mean_k"),
+        )
+        .orderBy("event_type")
+    )

@@ -420,3 +420,134 @@ def rrf_fusion(
     return ranked_topk(fused, [F.desc("rrf"), F.asc("doc_id")], k).select(
         "doc_id", "rrf", "rank"
     )
+
+
+def ann_recall_at_k(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """Self-evaluating ANN quality gate: recall@k of the IVF-probed path
+    against the exact brute-force batch, per query — the measurement a
+    100-TB vector deployment runs continuously (approximate serving path
+    + a sampled exact audit). Both legs are the existing distributed
+    batch operators; the comparison is one (query, vec) semi-join and a
+    per-query count, so audit cost is k·|probe batch|, independent of
+    corpus size. recall is exact-rational (n_hits/k) rounded 6dp."""
+    from lucene_mapreduce_spark.operators.ivf import ann_ivf_batch_topk
+
+    brute = ann_batch_topk(spark, sf_dir, k=k).select("query_id", "vec_id")
+    ivf = ann_ivf_batch_topk(spark, sf_dir, k=k).select("query_id", "vec_id")
+    hits = ivf.join(brute, ["query_id", "vec_id"], "left_semi")
+    per_q = hits.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits")
+    )
+    qs = brute.select("query_id").distinct()
+    return (
+        qs.join(per_q, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0)).cast("double") / F.lit(float(k)),
+                6,
+            ).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
+FILTERED_ANN_LABEL = 3
+
+
+def filtered_ann_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    label: int = FILTERED_ANN_LABEL,
+    k: int = 10,
+) -> DataFrame:
+    """Filtered vector search (ES kNN `filter` / pre-filtered ANN): exact
+    cosine top-k restricted to vectors whose metadata label matches —
+    the filter applies BEFORE scoring (pre-filter semantics, so the
+    result always has k matching vectors; post-filtering an unfiltered
+    top-k can starve). The label predicate is a plain column filter that
+    pushes to the parquet scan (PushedFilters), then the same broadcast
+    query + JVM zip_with scoring as the unfiltered path. At scale the
+    filter composes with IVF list pruning — candidate lists are scanned
+    WITH the pushed predicate."""
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qvec")
+    )
+    scored = (
+        emb.filter((F.col("label") == label) & (F.col("vec_id") != QUERY_VEC_ID))
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(
+                _cosine(
+                    F.col("embedding").cast("array<double>"),
+                    F.col("qvec").cast("array<double>"),
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    return ranked_topk(
+        scored, [F.desc("cosine"), F.asc("vec_id")], k
+    ).select("vec_id", "cosine", "rank")
+
+
+HYBRID_ALPHA = 0.5
+HYBRID_DEPTH = 20
+
+
+def hybrid_linear_fusion(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 10,
+    depth: int = HYBRID_DEPTH,
+    alpha: float = HYBRID_ALPHA,
+) -> DataFrame:
+    """Hybrid retrieval, score-based: min-max-normalize the BM25 top-depth
+    and the cosine top-depth onto [0, 1] and blend linearly —
+    score = α·norm_lex + (1-α)·norm_vec, absent list → 0 (the
+    normalization ES calls `min_max` in hybrid/linear retrievers; the
+    rank-based twin is rrf_fusion). Each list is depth rows, so min/max
+    are broadcast scalars and the fusion join is KB-sized; normalization
+    runs on the 6dp-rounded leg scores so both engines see identical
+    inputs."""
+    from lucene_mapreduce_spark.operators import fulltext
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+
+    lex = fulltext.bm25_index_topk_documents(spark, sf_dir, k=depth).select(
+        "doc_id", F.col("score").alias("lscore")
+    )
+    vec = ann_bruteforce_topk(spark, sf_dir, k=depth).select(
+        F.col("vec_id").alias("doc_id"), F.col("cosine").alias("vscore")
+    )
+
+    def norm(df: DataFrame, col: str) -> DataFrame:
+        mm = df.agg(
+            F.min(col).alias("mn"), F.max(col).alias("mx")
+        )
+        return df.crossJoin(F.broadcast(mm)).select(
+            "doc_id",
+            F.when(F.col("mx") == F.col("mn"), F.lit(1.0))
+            .otherwise((F.col(col) - F.col("mn")) / (F.col("mx") - F.col("mn")))
+            .alias(f"n_{col}"),
+        )
+
+    fused = (
+        norm(lex, "lscore")
+        .join(norm(vec, "vscore"), "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.round(
+                F.lit(alpha) * F.coalesce("n_lscore", F.lit(0.0))
+                + F.lit(1.0 - alpha) * F.coalesce("n_vscore", F.lit(0.0)),
+                6,
+            ).alias("score"),
+        )
+    )
+    return ranked_topk(fused, [F.desc("score"), F.asc("doc_id")], k).select(
+        "doc_id", "score", "rank"
+    )

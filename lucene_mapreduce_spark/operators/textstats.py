@@ -489,3 +489,43 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cross_entropy"),
         )
     )
+
+
+QUALITY_KEEP_THRESHOLD = 0.8
+
+
+def domain_quality_rollup(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = QUALITY_KEEP_THRESHOLD,
+) -> DataFrame:
+    """Domain-level quality aggregation (the FineWeb/DCLM pattern: filter
+    decisions reviewed per SOURCE, not per doc — a domain whose keep-rate
+    collapses signals a systematically bad feed). Per source: doc count,
+    mean quality, and the keep-rate at the pipeline threshold. The mean
+    accumulates 6dp-rounded per-doc scores as DECIMAL(18,6) — order-free
+    exact arithmetic (the events_rollup rule), so the result is
+    bit-stable at any parallelism; one map-side-combinable groupBy over
+    the quality_score scan."""
+    from lucene_mapreduce_spark.operators.parity import load
+
+    q = quality_score(spark, sf_dir).select("doc_id", "quality")
+    src = load(spark, sf_dir, "documents").select("doc_id", "source")
+    j = src.join(q, "doc_id").select(
+        "source",
+        F.col("quality").cast("decimal(18,6)").alias("qd"),
+        F.when(F.col("quality") >= threshold, 1).otherwise(0).alias("keep"),
+    )
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(
+                F.sum("qd").cast("double") / F.count(F.lit(1)), 6
+            ).alias("mean_quality"),
+            F.round(
+                F.sum("keep").cast("double") / F.count(F.lit(1)), 6
+            ).alias("keep_rate"),
+        )
+        .orderBy("source")
+    )

@@ -349,3 +349,61 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink).select(
         "user_id", "session_start", "session_end", "n_events"
     )
+
+
+def streaming_percolate(
+    spark: SparkSession,
+    sf_dir: str,
+    queries: tuple[tuple[str, str], ...] | None = None,
+) -> DataFrame:
+    """Streaming percolator — the alert shape end-to-end: documents arrive
+    as a stream, a STATIC broadcastable registry of named conjunctive
+    queries is joined against each micro-batch, and (query_id, doc_id)
+    alert rows append to the sink. The match test is pure codegen
+    (array_intersect size == query size on the distinct token set) inside
+    a stream-static inner join — stateless, so append mode with no
+    watermark; at 100 TB/day this is exactly the saved-search/alerting
+    topology (tiny static registry, unbounded doc stream). Batch twin:
+    operators/fulltext.percolate_match (same oracle)."""
+    import os
+    import tempfile
+
+    from lucene_mapreduce_spark.functions.tokenize import (
+        tokenize_col,
+        tokenize_string,
+    )
+    from lucene_mapreduce_spark.operators.fulltext import PERCOLATE_QUERIES
+    from lucene_mapreduce_spark.operators.parity import load
+
+    queries = queries or PERCOLATE_QUERIES
+    src = os.path.join(tempfile.mkdtemp(prefix="lmr_perc_gate_"), "src")
+    load(spark, sf_dir, "documents").select("doc_id", "text").coalesce(
+        1
+    ).write.mode("overwrite").parquet(src)
+
+    reg = spark.createDataFrame(
+        [(qid, sorted(set(tokenize_string(qtext)))) for qid, qtext in queries],
+        "query_id string, q_terms array<string>",
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .parquet(src)
+        .select("doc_id", F.array_distinct(tokenize_col("text")).alias("toks"))
+    )
+    joined = stream.join(
+        F.broadcast(reg),
+        F.size(F.array_intersect("toks", "q_terms")) == F.size("q_terms"),
+        "inner",
+    ).select("query_id", "doc_id")
+
+    _GATE_SEQ[0] += 1
+    sink = f"percolate_gate_{_GATE_SEQ[0]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).orderBy("query_id", "doc_id")

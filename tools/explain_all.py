@@ -161,6 +161,32 @@ def main() -> None:
          lambda: fulltext.matched_queries(spark, sf_dir)),
         ("random_score_query (pure codegen map + TakeOrdered, no shuffle)",
          lambda: fulltext.random_score_query(spark, sf_dir)),
+        ("highlight_all_fragments (hits-sized docstore join, codegen slice)",
+         lambda: fulltext.highlight_all_fragments(spark, sf_dir)),
+        ("phrase_suggest (broadcast candidate frames over one bigram agg)",
+         lambda: fulltext.phrase_suggest(spark, sf_dir)),
+        ("ann_recall_at_k (IVF vs brute semi-join audit)",
+         lambda: __import__(
+             "lucene_mapreduce_spark.operators.similarity", fromlist=["x"]
+         ).ann_recall_at_k(spark, sf_dir)),
+        ("funnel_analysis (per-step frontier aggregates, user_id-keyed)",
+         lambda: parity.funnel_analysis(spark, sf_dir)),
+        ("retention_cohorts (two map-side-combinable aggs over events)",
+         lambda: parity.retention_cohorts(spark, sf_dir)),
+        ("adjacency_matrix_facets (hit-sized self-join, never corpus^2)",
+         lambda: fulltext.adjacency_matrix_facets(spark, sf_dir)),
+        ("composite_agg_page (cursor filter + TakeOrdered page)",
+         lambda: fulltext.composite_agg_page(spark, sf_dir)),
+        ("filtered_ann_topk (label predicate pushed to the scan, pre-filter)",
+         lambda: __import__(
+             "lucene_mapreduce_spark.operators.similarity", fromlist=["x"]
+         ).filtered_ann_topk(spark, sf_dir)),
+        ("json_props_stats (typed from_json fused into the scan stage)",
+         lambda: parity.json_props_stats(spark, sf_dir)),
+        ("domain_quality_rollup (decimal-exact mean, one combinable groupBy)",
+         lambda: __import__(
+             "lucene_mapreduce_spark.operators.textstats", fromlist=["x"]
+         ).domain_quality_rollup(spark, sf_dir)),
     ]
 
     out = [HEADER]
