@@ -64,6 +64,20 @@ from lucene_mapreduce_spark.operators.oracles import (  # noqa: E402
     filtered_ann_sql,
     hybrid_linear_sql,
     domain_quality_sql,
+    date_histogram_sql,
+    moving_avg_sql,
+    bucket_selector_sql,
+    weighted_avg_sql,
+    multi_terms_sql,
+    rare_terms_sql,
+    pinned_sql,
+    span_containing_sql,
+    rank_feature_sql,
+    distance_feature_sql,
+    terms_shard_sql,
+    pii_redaction_sql,
+    source_cap_sql,
+    mixture_weights_sql,
     filter_clause_sql,
     terms_set_sql,
     common_terms_sql,
@@ -190,6 +204,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filtered_ann_topk": similarity.filtered_ann_topk,
         "hybrid_linear_fusion": similarity.hybrid_linear_fusion,
         "domain_quality_rollup": textstats.domain_quality_rollup,
+        "date_histogram_facets": parity.date_histogram_facets,
+        "moving_avg_pipeline": parity.moving_avg_pipeline,
+        "bucket_selector_agg": parity.bucket_selector_agg,
+        "weighted_avg_agg": textstats.weighted_avg_agg,
+        "multi_terms_agg": fulltext.multi_terms_agg,
+        "rare_terms_agg": fulltext.rare_terms_agg,
+        "pinned_query": fulltext.pinned_query,
+        "span_containing_query": fulltext.span_containing_query,
+        "rank_feature_query": fulltext.rank_feature_query,
+        "distance_feature_query": fulltext.distance_feature_query,
+        "terms_shard_approx": fulltext.terms_shard_approx,
+        "pii_redaction": textstats.pii_redaction,
+        "source_frequency_cap": textstats.source_frequency_cap,
+        "temperature_mixture_weights": textstats.temperature_mixture_weights,
         "contamination_check": dedup.contamination_check,
         "gopher_rules": textstats.gopher_rules,
         "ann_batch_topk": similarity.ann_batch_topk,
@@ -443,6 +471,36 @@ WHERE len(list_filter(range(1, len(toks)), i ->
         fulltext.FLAGSHIP_QUERY,
         depth=similarity.HYBRID_DEPTH,
         alpha=similarity.HYBRID_ALPHA,
+    )
+    out["span_containing_query"] = span_containing_sql(*fulltext.SPAN_CONTAINING)
+    out["rank_feature_query"] = rank_feature_sql(
+        fulltext.FLAGSHIP_QUERY, *fulltext.RANK_FEATURE
+    )
+    out["distance_feature_query"] = distance_feature_sql(
+        fulltext.FLAGSHIP_QUERY, *fulltext.DISTANCE_FEATURE
+    )
+    out["terms_shard_approx"] = terms_shard_sql(
+        fulltext.TERMS_SHARD_N, fulltext.TERMS_SHARD_SIZE, fulltext.TERMS_SHARD_K
+    )
+    out["pii_redaction"] = pii_redaction_sql(
+        textstats.PII_PATTERN, textstats.PII_MASK
+    )
+    out["source_frequency_cap"] = source_cap_sql(textstats.SOURCE_CAP)
+    out["temperature_mixture_weights"] = mixture_weights_sql()
+    out["date_histogram_facets"] = date_histogram_sql()
+    out["moving_avg_pipeline"] = moving_avg_sql(parity.MOVING_AVG_WINDOW)
+    out["bucket_selector_agg"] = bucket_selector_sql(
+        parity.BUCKET_SELECTOR_FACTOR
+    )
+    out["weighted_avg_agg"] = weighted_avg_sql()
+    out["multi_terms_agg"] = multi_terms_sql(
+        fulltext.BOOLEAN_QUERY.split(), fulltext.MULTI_TERMS_K
+    )
+    out["rare_terms_agg"] = rare_terms_sql(
+        fulltext.RARE_MAX_DF_FRACTION, fulltext.RARE_TERMS_K
+    )
+    out["pinned_query"] = pinned_sql(
+        fulltext.FLAGSHIP_QUERY, fulltext.PINNED_N, 10
     )
     out["domain_quality_rollup"] = domain_quality_sql(
         textstats.QUALITY_KEEP_THRESHOLD

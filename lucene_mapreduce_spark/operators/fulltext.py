@@ -3196,3 +3196,315 @@ def composite_agg_page(
         .limit(size)
         .select("source", "lang", "n_docs")
     )
+
+
+# -------------------------------------------------------------- multi-terms
+MULTI_TERMS_K = 10
+
+
+def multi_terms_agg(
+    spark: SparkSession,
+    sf_dir: str,
+    query_text: str = BOOLEAN_QUERY,
+    k: int = MULTI_TERMS_K,
+) -> DataFrame:
+    """ES `multi_terms` aggregation parity: the top-k composite
+    (lang, source) buckets of the hit set by doc count (count desc,
+    keys asc — ES's deterministic tiebreak). Hits come from the pruned
+    postings read, both key fields from the fields sidecar; the bucket
+    rollup is one map-side-combinable groupBy and only the bucket table
+    (#langs x #sources, never the hit set) passes through ranked_topk's
+    bounded TakeOrdered + k-survivor window."""
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+    from lucene_mapreduce_spark.query.segments import boolean_match, field_values
+
+    ix = _gate_index(spark, sf_dir)
+    hits = boolean_match(spark, ix, query_text, mode="or")
+    langs = field_values(spark, ix, "lang").select(
+        "doc_id", F.col("value").alias("lang")
+    )
+    srcs = field_values(spark, ix, "source").select(
+        "doc_id", F.col("value").alias("source")
+    )
+    buckets = (
+        hits.join(langs, "doc_id")
+        .join(srcs, "doc_id")
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    return ranked_topk(
+        buckets, [F.desc("n_docs"), F.asc("lang"), F.asc("source")], k
+    ).select("lang", "source", "n_docs", "rank")
+
+
+# --------------------------------------------------------------- rare terms
+RARE_MAX_DF_FRACTION = 0.5  # rare = appears in at most half the corpus
+RARE_TERMS_K = 20
+
+
+def rare_terms_agg(
+    spark: SparkSession,
+    sf_dir: str,
+    max_df_fraction: float = RARE_MAX_DF_FRACTION,
+    k: int = RARE_TERMS_K,
+) -> DataFrame:
+    """ES `rare_terms` aggregation parity: dictionary terms whose doc
+    frequency is at most `max_df_fraction` of the corpus, rarest first
+    (df asc, term asc). ES's max_doc_count is absolute; the gate uses a
+    fractional cutoff so the same parameters stay selective at every
+    scale factor. Reads only the term-dictionary sidecar plus a one-row
+    corpus count — no postings, no corpus scan; the survivor set is
+    cutoff-bounded before the ranked_topk window."""
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+    from lucene_mapreduce_spark.query.segments import live_doclens
+
+    ix = _gate_index(spark, sf_dir)
+    dic = _dictionary_stats(spark, ix).select("term", "df")
+    n = live_doclens(spark, ix).agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs")
+    )
+    rare = dic.crossJoin(F.broadcast(n)).filter(
+        F.col("df").cast("double") <= F.lit(max_df_fraction) * F.col("n_docs")
+    )
+    return ranked_topk(rare, [F.asc("df"), F.asc("term")], k).select(
+        "term", "df", "rank"
+    )
+
+
+# ------------------------------------------------------------------- pinned
+PINNED_N = 2  # the gate pins the two smallest doc_ids (stand-in id list)
+
+
+def pinned_query(
+    spark: SparkSession,
+    sf_dir: str,
+    query_text: str = FLAGSHIP_QUERY,
+    n_pinned: int = PINNED_N,
+    k: int = 10,
+) -> DataFrame:
+    """ES `pinned` query parity: editorially promoted ids rank ahead of
+    the organic hits, in their given order, deduplicated from the
+    organic tail. The gate's id list is 'the n_pinned smallest live
+    doc_ids' (a deterministic stand-in for a literal id list — static
+    ids can't survive scale-factor changes); organic = the exact BM25
+    index path with pinned ids anti-joined out. Ranks, not scores, are
+    the output — ES gives pinned hits artificial sort values. Both
+    ranking windows are bounded (n_pinned and k survivors)."""
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+    from lucene_mapreduce_spark.query.segments import bm25_scores, live_doclens
+
+    ix = _gate_index(spark, sf_dir)
+    pinned = ranked_topk(
+        live_doclens(spark, ix).select("doc_id"), [F.asc("doc_id")], n_pinned
+    ).select("doc_id", F.col("rank").alias("pos"), F.lit(1).alias("pinned"))
+    queries = spark.createDataFrame(
+        [("q0", query_text)], "query_id string, query_text string"
+    )
+    organic = (
+        bm25_scores(spark, ix, queries, round_to=6)
+        .join(F.broadcast(pinned.select("doc_id")), "doc_id", "left_anti")
+    )
+    org_top = ranked_topk(
+        organic, [F.desc("score"), F.asc("doc_id")], k - n_pinned
+    ).select(
+        "doc_id",
+        (F.col("rank") + n_pinned).alias("pos"),
+        F.lit(0).alias("pinned"),
+    )
+    return (
+        pinned.unionByName(org_top)
+        .select(F.col("pos").alias("rank"), "doc_id", "pinned")
+        .orderBy("rank")
+    )
+
+
+# --------------------------------------------------------- span containing
+SPAN_CONTAINING = ("scan", "sort", 6, "table")  # big = Near(a,b,slop); little = c
+
+
+def span_containing_query(
+    spark: SparkSession,
+    sf_dir: str,
+    a: str = SPAN_CONTAINING[0],
+    b: str = SPAN_CONTAINING[1],
+    dist: int = SPAN_CONTAINING[2],
+    c: str = SPAN_CONTAINING[3],
+) -> DataFrame:
+    """SpanContainingQuery parity — big=SpanNear(a, b, slop, unordered)
+    spans that CONTAIN an occurrence of little=c. Where span_within
+    answers 'which docs have a little inside some big', containing
+    enumerates the BIG side: per doc, the number of a-anchored (a, b)
+    envelopes at most `dist` apart that hold a `c` — the span-count face
+    Lucene's weight exposes. Three pruned positional-sidecar reads; the
+    counting is pure codegen size/filter/exists over position arrays."""
+    from lucene_mapreduce_spark.query.segments import read_positions
+
+    ix = _gate_index(spark, sf_dir)
+    pos = read_positions(spark, ix, sorted({a, b, c}))
+
+    def arm(t: str, name: str) -> DataFrame:
+        return pos.filter(F.col("term") == t).select(
+            "doc_id", F.col("positions").alias(name)
+        )
+
+    j = arm(a, "pa").join(arm(b, "pb"), "doc_id").join(arm(c, "pc"), "doc_id")
+    n_spans = F.size(
+        F.filter(
+            "pa",
+            lambda i: F.exists(
+                "pb",
+                lambda jj: (F.abs(i - jj) <= F.lit(dist))
+                & F.exists(
+                    "pc",
+                    lambda p: (p >= F.least(i, jj)) & (p <= F.greatest(i, jj)),
+                ),
+            ),
+        )
+    )
+    return (
+        j.select("doc_id", n_spans.cast("long").alias("n_spans"))
+        .filter(F.col("n_spans") > 0)
+        .orderBy("doc_id")
+    )
+
+
+# ------------------------------------------------------------- rank feature
+RANK_FEATURE = (256.0, 2.0)  # pivot, weight — saturation on n_chars
+
+
+def rank_feature_query(
+    spark: SparkSession,
+    sf_dir: str,
+    query_text: str = FLAGSHIP_QUERY,
+    pivot: float = RANK_FEATURE[0],
+    weight: float = RANK_FEATURE[1],
+    k: int = 10,
+) -> DataFrame:
+    """ES `rank_feature` query parity (saturation function, the default):
+    score = BM25 + weight * x / (x + pivot) over the indexed n_chars
+    field — ADDITIVE, the bool-should composition ES documents, unlike
+    the multiplicative function_score twin. Field values ride the fields
+    sidecar's num_value face, BM25 is the exact unranked index path,
+    only fused rows rank (bounded ranked_topk window)."""
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+    from lucene_mapreduce_spark.query.segments import bm25_scores, field_num_values
+
+    ix = _gate_index(spark, sf_dir)
+    queries = spark.createDataFrame(
+        [("q0", query_text)], "query_id string, query_text string"
+    )
+    base = bm25_scores(spark, ix, queries).select("doc_id", "score")
+    nums = field_num_values(spark, ix, "n_chars")
+    x = F.col("num_value").cast("double")
+    fused = base.join(nums, "doc_id").select(
+        "doc_id",
+        F.round(
+            F.col("score") + F.lit(weight) * x / (x + F.lit(pivot)), 6
+        ).alias("score"),
+    )
+    return ranked_topk(fused, [F.desc("score"), F.asc("doc_id")], k).select(
+        "doc_id", "score", "rank"
+    )
+
+
+# --------------------------------------------------------- distance feature
+DISTANCE_FEATURE = (300.0, 50.0, 1.5)  # origin, pivot, weight on n_chars
+
+
+def distance_feature_query(
+    spark: SparkSession,
+    sf_dir: str,
+    query_text: str = FLAGSHIP_QUERY,
+    origin: float = DISTANCE_FEATURE[0],
+    pivot: float = DISTANCE_FEATURE[1],
+    weight: float = DISTANCE_FEATURE[2],
+    k: int = 10,
+) -> DataFrame:
+    """ES `distance_feature` query parity: score = BM25 + weight *
+    pivot / (pivot + |x - origin|) — the recency/proximity booster
+    (score halves one pivot away from origin), additive like
+    rank_feature but peaked at origin rather than saturating. Same
+    fields-sidecar + exact-BM25 + bounded-ranking shape as its
+    siblings."""
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+    from lucene_mapreduce_spark.query.segments import bm25_scores, field_num_values
+
+    ix = _gate_index(spark, sf_dir)
+    queries = spark.createDataFrame(
+        [("q0", query_text)], "query_id string, query_text string"
+    )
+    base = bm25_scores(spark, ix, queries).select("doc_id", "score")
+    nums = field_num_values(spark, ix, "n_chars")
+    x = F.col("num_value").cast("double")
+    fused = base.join(nums, "doc_id").select(
+        "doc_id",
+        F.round(
+            F.col("score")
+            + F.lit(weight) * F.lit(pivot) / (F.lit(pivot) + F.abs(x - F.lit(origin))),
+            6,
+        ).alias("score"),
+    )
+    return ranked_topk(fused, [F.desc("score"), F.asc("doc_id")], k).select(
+        "doc_id", "score", "rank"
+    )
+
+
+# -------------------------------------------------- sharded terms accounting
+TERMS_SHARD_N = 4  # simulated shards (doc_id mod N)
+TERMS_SHARD_SIZE = 3  # per-shard candidate list length
+TERMS_SHARD_K = 5
+
+
+def terms_shard_approx(
+    spark: SparkSession,
+    sf_dir: str,
+    n_shards: int = TERMS_SHARD_N,
+    shard_size: int = TERMS_SHARD_SIZE,
+    k: int = TERMS_SHARD_K,
+) -> DataFrame:
+    """ES `terms` aggregation DISTRIBUTED accounting parity: each shard
+    reports only its top shard_size buckets, the coordinator sums the
+    reported counts and publishes doc_count_error_upper_bound = the sum,
+    over shards that did NOT report a bucket, of that shard's last
+    (shard_size-th) reported count — the exact ES error-bound algorithm,
+    the part of a terms agg that only exists because execution is
+    sharded. Shards are doc_id mod n_shards over the fields sidecar's
+    source face; per-shard ranking windows partition BY SHARD; every
+    later frame (reported lists, shard tails, candidates) is
+    shard_size x n_shards-bounded and broadcast."""
+    from pyspark.sql import Window
+
+    from lucene_mapreduce_spark.query.segments import field_values
+
+    ix = _gate_index(spark, sf_dir)
+    srcs = field_values(spark, ix, "source").select(
+        F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("long").alias("shard"),
+        F.col("value").alias("source"),
+    )
+    per_shard = srcs.groupBy("shard", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    w = Window.partitionBy("shard").orderBy(F.desc("cnt"), F.asc("source"))
+    reported = per_shard.withColumn("pos", F.row_number().over(w)).filter(
+        F.col("pos") <= shard_size
+    )
+    tails = reported.groupBy("shard").agg(F.min("cnt").alias("tail"))
+    merged = reported.groupBy("source").agg(F.sum("cnt").alias("doc_count"))
+    missing = (
+        merged.select("source")
+        .crossJoin(F.broadcast(tails))
+        .join(reported.select("shard", "source"), ["shard", "source"], "left_anti")
+    )
+    errs = missing.groupBy("source").agg(F.sum("tail").alias("err"))
+    out = merged.join(F.broadcast(errs), "source", "left").select(
+        "source",
+        "doc_count",
+        F.coalesce("err", F.lit(0)).cast("long").alias(
+            "doc_count_error_upper_bound"
+        ),
+    )
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+
+    return ranked_topk(
+        out, [F.desc("doc_count"), F.asc("source")], k
+    ).select("source", "doc_count", "doc_count_error_upper_bound", "rank")

@@ -3293,3 +3293,283 @@ SELECT event_type,
        round(sum(k::DECIMAL(18,6))::DOUBLE / count(k), 6) AS mean_k
 FROM base GROUP BY 1 ORDER BY 1
 """
+
+
+def date_histogram_sql() -> str:
+    """date_histogram (min_doc_count=0) twin: gap-filled daily counts."""
+    return """
+WITH days AS (SELECT ts::DATE AS day FROM events),
+counts AS (SELECT day, count(*)::BIGINT AS n FROM days GROUP BY 1),
+cal AS (
+  SELECT unnest(generate_series(min(day), max(day), INTERVAL 1 DAY))::DATE
+         AS day
+  FROM days
+)
+SELECT cal.day::VARCHAR AS day, coalesce(c.n, 0)::BIGINT AS n_events
+FROM cal LEFT JOIN counts c USING (day)
+ORDER BY 1
+"""
+
+
+def moving_avg_sql(width: int) -> str:
+    """moving_fn pipeline-agg twin: trailing moving average over the
+    gap-filled histogram (integer frame sums — order-free exact)."""
+    return f"""
+WITH days AS (SELECT ts::DATE AS day FROM events),
+counts AS (SELECT day, count(*)::BIGINT AS n FROM days GROUP BY 1),
+cal AS (
+  SELECT unnest(generate_series(min(day), max(day), INTERVAL 1 DAY))::DATE
+         AS day
+  FROM days
+),
+hist AS (
+  SELECT cal.day, coalesce(c.n, 0)::BIGINT AS n_events
+  FROM cal LEFT JOIN counts c USING (day)
+)
+SELECT day::VARCHAR AS day, n_events,
+       round(
+         (sum(n_events) OVER w)::DOUBLE / (count(*) OVER w)::DOUBLE, 6
+       ) AS mov_avg
+FROM hist
+WINDOW w AS (ORDER BY day ROWS BETWEEN {width - 1} PRECEDING AND CURRENT ROW)
+ORDER BY day
+"""
+
+
+def bucket_selector_sql(factor: float) -> str:
+    """bucket_selector twin: buckets whose mean value beats factor x the
+    global mean; both means divide exact DECIMAL sums cast to double."""
+    return f"""
+WITH base AS (
+  SELECT event_type, (ts::DATE)::VARCHAR AS day,
+         round(value, 6)::DECIMAL(18,6) AS v
+  FROM events
+),
+buckets AS (
+  SELECT event_type, day, count(*)::BIGINT AS n_events, sum(v) AS sum_v
+  FROM base GROUP BY 1, 2
+),
+total AS (SELECT sum(v)::DOUBLE / count(*)::DOUBLE AS gmean FROM base)
+SELECT event_type, day, n_events, round(sum_v::DOUBLE, 6) AS sum_value
+FROM buckets, total
+WHERE sum_v::DOUBLE / n_events::DOUBLE > {factor!r} * gmean
+ORDER BY event_type, day
+"""
+
+
+def weighted_avg_sql() -> str:
+    """weighted_avg twin: per-lang sum(n_chars)/sum(dl) — both BIGINT."""
+    return f"""
+SELECT lang, count(*)::BIGINT AS n_docs,
+       round(sum(n_chars)::DOUBLE / sum(len({TOKS}))::DOUBLE, 6)
+         AS w_chars_per_token
+FROM documents
+GROUP BY lang ORDER BY lang
+"""
+
+
+def multi_terms_sql(terms: list[str], k: int) -> str:
+    """multi_terms twin: top-k (lang, source) buckets of the OR hit set."""
+    inlist = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    return f"""
+WITH toks AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents),
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ({inlist})),
+buckets AS (
+  SELECT d.lang, d.source, count(*)::BIGINT AS n_docs
+  FROM hits JOIN documents d USING (doc_id)
+  GROUP BY 1, 2
+)
+SELECT lang, source, n_docs, rank FROM (
+  SELECT lang, source, n_docs,
+         row_number() OVER (ORDER BY n_docs DESC, lang ASC, source ASC)
+           AS rank
+  FROM buckets
+) WHERE rank <= {k}
+"""
+
+
+def rare_terms_sql(max_df_fraction: float, k: int) -> str:
+    """rare_terms twin: corpus-recomputed df <= fraction x N, rarest first."""
+    return f"""
+WITH toks AS (SELECT DISTINCT doc_id, unnest({TOKS}) AS term FROM documents),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM toks GROUP BY 1),
+n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents)
+SELECT term, df, rank FROM (
+  SELECT term, df,
+         row_number() OVER (ORDER BY df ASC, term ASC) AS rank
+  FROM dfs, n
+  WHERE df::DOUBLE <= {max_df_fraction!r} * n_docs
+) WHERE rank <= {k}
+"""
+
+
+def pinned_sql(query_text: str, n_pinned: int, k: int) -> str:
+    """pinned-query twin: the n_pinned smallest doc_ids lead in id order,
+    then the BM25 organic ranking with those ids excluded."""
+    return f"""
+WITH {_qterms_cte(query_text)}
+{_BM25_AGG},
+pin AS (
+  SELECT doc_id, row_number() OVER (ORDER BY doc_id ASC) AS pos
+  FROM documents
+  ORDER BY doc_id ASC LIMIT {n_pinned}
+),
+organic AS (
+  SELECT a.doc_id,
+         row_number() OVER (ORDER BY round(a.score, 6) DESC, a.doc_id ASC)
+           + {n_pinned} AS pos
+  FROM agg a
+  WHERE a.doc_id NOT IN (SELECT doc_id FROM pin)
+)
+SELECT pos AS rank, doc_id, pinned FROM (
+  SELECT pos, doc_id, 1 AS pinned FROM pin
+  UNION ALL
+  SELECT pos, doc_id, 0 AS pinned FROM organic WHERE pos <= {k}
+)
+ORDER BY rank
+"""
+
+
+def span_containing_sql(a: str, b: str, dist: int, c: str) -> str:
+    """SpanContaining twin: per doc, the count of a-anchored (a, b)
+    envelopes at most dist apart that hold a c occurrence."""
+    return f"""
+SELECT doc_id, n_spans FROM (
+  SELECT doc_id,
+         len(list_filter(range(1, len(toks) + 1), i ->
+             toks[i] = '{a}'
+         AND len(list_filter(range(1, len(toks) + 1), j ->
+                 toks[j] = '{b}' AND abs(i - j) <= {dist}
+             AND len(list_filter(range(least(i, j), greatest(i, j) + 1),
+                                 p -> toks[p] = '{c}')) > 0)) > 0))::BIGINT
+           AS n_spans
+  FROM (SELECT doc_id, {TOKS} AS toks FROM documents)
+)
+WHERE n_spans > 0
+ORDER BY doc_id
+"""
+
+
+def _feature_fused_sql(query_text: str, boost_expr: str, k: int) -> str:
+    """Shared additive feature-query twin: BM25 + boost_expr(n_chars)."""
+    return f"""
+WITH {_qterms_cte(query_text)}
+{_BM25_AGG},
+fused AS (
+  SELECT a.doc_id,
+         round(a.score + {boost_expr}, 6) AS score
+  FROM agg a JOIN documents d USING (doc_id)
+)
+SELECT doc_id, score, rank FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM fused
+) WHERE rank <= {k}
+"""
+
+
+def rank_feature_sql(
+    query_text: str, pivot: float, weight: float, k: int = 10
+) -> str:
+    """rank_feature twin: BM25 + weight * x / (x + pivot)."""
+    return _feature_fused_sql(
+        query_text,
+        f"{weight!r} * d.n_chars::DOUBLE / (d.n_chars::DOUBLE + {pivot!r})",
+        k,
+    )
+
+
+def distance_feature_sql(
+    query_text: str, origin: float, pivot: float, weight: float, k: int = 10
+) -> str:
+    """distance_feature twin: BM25 + weight * pivot/(pivot + |x-origin|)."""
+    return _feature_fused_sql(
+        query_text,
+        f"{weight!r} * {pivot!r} / "
+        f"({pivot!r} + abs(d.n_chars::DOUBLE - {origin!r}))",
+        k,
+    )
+
+
+def terms_shard_sql(n_shards: int, shard_size: int, k: int) -> str:
+    """Sharded terms-agg accounting twin: per-shard top lists, summed
+    reported counts, ES doc_count_error_upper_bound."""
+    return f"""
+WITH src AS (SELECT doc_id % {n_shards} AS shard, source FROM documents),
+per_shard AS (
+  SELECT shard, source, count(*)::BIGINT AS cnt FROM src GROUP BY 1, 2
+),
+reported AS (
+  SELECT shard, source, cnt FROM (
+    SELECT shard, source, cnt,
+           row_number() OVER (
+             PARTITION BY shard ORDER BY cnt DESC, source ASC) AS pos
+    FROM per_shard
+  ) WHERE pos <= {shard_size}
+),
+tails AS (SELECT shard, min(cnt) AS tail FROM reported GROUP BY 1),
+merged AS (
+  SELECT source, sum(cnt)::BIGINT AS doc_count FROM reported GROUP BY 1
+),
+errs AS (
+  SELECT m.source, sum(t.tail)::BIGINT AS err
+  FROM merged m
+  CROSS JOIN tails t
+  LEFT JOIN reported r ON r.shard = t.shard AND r.source = m.source
+  WHERE r.source IS NULL
+  GROUP BY 1
+)
+SELECT source, doc_count,
+       coalesce(err, 0)::BIGINT AS doc_count_error_upper_bound, rank
+FROM (
+  SELECT m.source, m.doc_count, e.err,
+         row_number() OVER (ORDER BY m.doc_count DESC, m.source ASC) AS rank
+  FROM merged m LEFT JOIN errs e USING (source)
+) WHERE rank <= {k}
+"""
+
+
+def pii_redaction_sql(pattern: str, mask: str) -> str:
+    """PII-scrub twin: global regexp count + masked-text md5 witness."""
+    return f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{pattern}'))::BIGINT AS n_redacted,
+       md5(regexp_replace(text, '{pattern}', '{mask}', 'g')) AS clean_md5
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def source_cap_sql(cap: int) -> str:
+    """Frequency-cap twin: lowest `cap` doc_ids per source."""
+    return f"""
+SELECT source, doc_id, rank FROM (
+  SELECT source, doc_id,
+         row_number() OVER (
+           PARTITION BY source ORDER BY doc_id ASC) AS rank
+  FROM documents
+) WHERE rank <= {cap}
+ORDER BY source, rank
+"""
+
+
+def mixture_weights_sql() -> str:
+    """Temperature-mixture twin: sqrt(token count) per source normalized
+    over a DECIMAL(18,6) order-free total."""
+    return f"""
+WITH per_src AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+         sum(len({TOKS}))::BIGINT AS n_tokens
+  FROM documents GROUP BY 1
+),
+weighted AS (
+  SELECT source, n_docs, n_tokens,
+         round(sqrt(n_tokens::DOUBLE), 6)::DECIMAL(18,6) AS w
+  FROM per_src
+),
+z AS (SELECT sum(w) AS z FROM weighted)
+SELECT source, n_docs, n_tokens,
+       round(w::DOUBLE / z::DOUBLE, 6) AS weight
+FROM weighted, z
+ORDER BY source
+"""

@@ -569,3 +569,95 @@ def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ------------------------------------------------------------ date histogram
+def date_histogram_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `date_histogram` aggregation with min_doc_count=0: daily event
+    counts over the stream's full [min(day), max(day)] calendar, EMPTY
+    DAYS PRESENT as zero rows (the property a plain groupBy can't give).
+    The calendar rides one single-row aggregate exploded through
+    F.sequence — bounded by elapsed days, never event count — then the
+    per-day counts (one map-side-combinable groupBy) left-join onto it.
+    At 100 TB the shuffle carries one row per day, not per event."""
+    ev = load(spark, sf_dir, "events").select(F.to_date("ts").alias("day"))
+    counts = ev.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    cal = (
+        ev.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select(F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day"))
+    )
+    return (
+        cal.join(counts, "day", "left")
+        .select(
+            F.col("day").cast("string").alias("day"),
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+        )
+        .orderBy("day")
+    )
+
+
+MOVING_AVG_WINDOW = 7
+
+
+def moving_avg_pipeline(
+    spark: SparkSession, sf_dir: str, width: int = MOVING_AVG_WINDOW
+) -> DataFrame:
+    """ES `moving_fn` pipeline aggregation: a trailing `width`-day moving
+    average OVER the gap-filled date histogram (pipeline aggs consume
+    bucket series, not raw docs — zeros from empty days count). The
+    ordered window frames ROWS width-1 PRECEDING over the histogram
+    rows — cardinality = elapsed days (bounded, like ranked_topk's
+    k-survivor window), never the event stream. Counts are integers, so
+    the frame sum is exact in double at any evaluation order."""
+    hist = date_histogram_facets(spark, sf_dir)
+    w = Window.orderBy("day").rowsBetween(-(width - 1), Window.currentRow)
+    return hist.select(
+        "day",
+        "n_events",
+        F.round(
+            F.sum("n_events").over(w).cast("double") / F.count(F.lit(1)).over(w),
+            6,
+        ).alias("mov_avg"),
+    ).orderBy("day")
+
+
+BUCKET_SELECTOR_FACTOR = 1.02
+
+
+def bucket_selector_agg(
+    spark: SparkSession, sf_dir: str, factor: float = BUCKET_SELECTOR_FACTOR
+) -> DataFrame:
+    """ES `bucket_selector` pipeline aggregation (HAVING over buckets):
+    keep the (event_type, day) buckets whose mean value exceeds `factor`
+    x the global mean — a scale-free cutoff, so the gate stays selective
+    at every sf. Both means divide order-free DECIMAL(18,6) exact sums
+    (the events_rollup rule) cast to double, so the comparison is the
+    identical IEEE expression in both engines — no rounding before the
+    cut, no boundary flips. One shuffle for the buckets; the global mean
+    is a broadcast single row."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").cast("string").alias("day"),
+        F.round("value", 6).cast("decimal(18,6)").alias("v"),
+    )
+    buckets = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("v").alias("sum_v"),
+    )
+    total = ev.agg(
+        (F.sum("v").cast("double") / F.count(F.lit(1))).alias("gmean")
+    )
+    return (
+        buckets.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("sum_v").cast("double") / F.col("n_events")
+            > F.lit(factor) * F.col("gmean")
+        )
+        .select(
+            "event_type",
+            "day",
+            "n_events",
+            F.round(F.col("sum_v").cast("double"), 6).alias("sum_value"),
+        )
+        .orderBy("event_type", "day")
+    )

@@ -529,3 +529,129 @@ def domain_quality_rollup(
         )
         .orderBy("source")
     )
+
+
+def weighted_avg_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `weighted_avg` aggregation: per-lang mean chars-per-token
+    weighted by each doc's token count — i.e. sum(n_chars)/sum(dl), the
+    corpus-true average a plain doc-level mean of ratios would bias
+    toward short docs. Both sums are BIGINT-exact (order-free), the
+    division is one IEEE op on identical operands — bit-stable at any
+    parallelism. One map-side-combinable groupBy over the corpus scan."""
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(
+        "lang",
+        F.col("n_chars").cast("long").alias("chars"),
+        F.size(tokenize_col("text")).cast("long").alias("dl"),
+    )
+    return (
+        base.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(
+                F.sum("chars").cast("double") / F.sum("dl").cast("double"), 6
+            ).alias("w_chars_per_token"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ----------------------------------------------------------- PII redaction
+PII_PATTERN = r"\b(customer|key|hash)\b"  # gate stand-in; prod swaps an
+PII_MASK = "[X]"  # email/phone/ssn alternation — same plumbing
+
+
+def pii_redaction(
+    spark: SparkSession,
+    sf_dir: str,
+    pattern: str = PII_PATTERN,
+    mask: str = PII_MASK,
+) -> DataFrame:
+    """PII scrubbing pass of a training-data pipeline: count and mask
+    every match of a sensitive-entity regex per document. The gate's
+    pattern targets the synthetic vocabulary (the corpus carries no real
+    PII); a production run swaps in the email/phone/ssn alternation —
+    the plumbing (one codegen scan, regexp_count + regexp_replace
+    global, md5 witness of the scrubbed text) is identical. Shuffle-free
+    map at any scale."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(pattern)).cast("long").alias(
+            "n_redacted"
+        ),
+        F.md5(F.regexp_replace(F.col("text"), pattern, mask)).alias(
+            "clean_md5"
+        ),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------- source frequency cap
+SOURCE_CAP = 3  # max docs kept per source
+
+
+def source_frequency_cap(
+    spark: SparkSession, sf_dir: str, cap: int = SOURCE_CAP
+) -> DataFrame:
+    """Per-domain frequency capping (the C4/RefinedWeb move against
+    boilerplate-heavy hosts): keep at most `cap` documents per source,
+    deterministically the lowest doc_ids — a reproducible sample, not a
+    random one. The ranking window partitions BY SOURCE, so at 100 TB
+    each domain ranks independently inside its shuffle partition and
+    the output is cap x n_sources rows."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents").select("source", "doc_id")
+    w = Window.partitionBy("source").orderBy(F.asc("doc_id"))
+    return (
+        docs.withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= cap)
+        .select("source", "doc_id", F.col("pos").alias("rank"))
+        .orderBy("source", "rank")
+    )
+
+
+# ------------------------------------------------- mixture-weight sampling
+MIXTURE_ALPHA_DOC = "sqrt"  # alpha = 0.5 (T=2 temperature sampling)
+
+
+def temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture weighting across sources (the
+    multilingual-sampling rule of mC4/XLM-R, alpha = 0.5): each source's
+    sampling weight is sqrt(token_count) normalized over all sources —
+    upweights the tail, damps the head. sqrt of a BIGINT is
+    correctly-rounded IEEE (identical in every engine — the reason the
+    gate pins alpha at 0.5 rather than a pow()); the 6dp-rounded weights
+    accumulate as DECIMAL(18,6), so the normalizer is order-free exact
+    and the final division is one IEEE op on identical operands. One
+    map-side-combinable groupBy + a broadcast one-row total."""
+    docs = load(spark, sf_dir, "documents")
+    per_src = (
+        docs.select("source", F.size(tokenize_col("text")).cast("long").alias("dl"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("dl").alias("n_tokens"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(F.sqrt(F.col("n_tokens").cast("double")), 6)
+            .cast("decimal(18,6)")
+            .alias("w"),
+        )
+    )
+    z = per_src.agg(F.sum("w").alias("z"))
+    return (
+        per_src.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(
+                F.col("w").cast("double") / F.col("z").cast("double"), 6
+            ).alias("weight"),
+        )
+        .orderBy("source")
+    )
