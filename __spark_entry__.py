@@ -78,6 +78,17 @@ from lucene_mapreduce_spark.operators.oracles import (  # noqa: E402
     pii_redaction_sql,
     source_cap_sql,
     mixture_weights_sql,
+    diversified_sampler_sql,
+    span_multi_near_sql,
+    sayt_sql,
+    derivative_sql,
+    stats_bucket_sql,
+    date_range_sql,
+    auto_date_histogram_sql,
+    scroll_slices_sql,
+    percentile_ranks_sql,
+    string_stats_sql,
+    embedding_norm_sql,
     filter_clause_sql,
     terms_set_sql,
     common_terms_sql,
@@ -218,6 +229,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": textstats.pii_redaction,
         "source_frequency_cap": textstats.source_frequency_cap,
         "temperature_mixture_weights": textstats.temperature_mixture_weights,
+        "diversified_sampler_topk": fulltext.diversified_sampler_topk,
+        "span_multi_near_query": fulltext.span_multi_near_query,
+        "search_as_you_type": fulltext.search_as_you_type,
+        "derivative_pipeline": parity.derivative_pipeline,
+        "stats_bucket_pipeline": parity.stats_bucket_pipeline,
+        "date_range_facets": parity.date_range_facets,
+        "auto_date_histogram": parity.auto_date_histogram,
+        "scroll_slices": parity.scroll_slices,
+        "percentile_ranks_agg": textstats.percentile_ranks_agg,
+        "string_stats_agg": textstats.string_stats_agg,
+        "embedding_norm_stats": similarity.embedding_norm_stats,
         "contamination_check": dedup.contamination_check,
         "gopher_rules": textstats.gopher_rules,
         "ann_batch_topk": similarity.ann_batch_topk,
@@ -472,6 +494,23 @@ WHERE len(list_filter(range(1, len(toks)), i ->
         depth=similarity.HYBRID_DEPTH,
         alpha=similarity.HYBRID_ALPHA,
     )
+    out["diversified_sampler_topk"] = diversified_sampler_sql(
+        fulltext.FLAGSHIP_QUERY, fulltext.DIVERSIFIED_MAX_PER_SOURCE, 10
+    )
+    out["span_multi_near_query"] = span_multi_near_sql(*fulltext.SPAN_MULTI)
+    out["search_as_you_type"] = sayt_sql(*fulltext.SAYT_INPUT, 10)
+    out["derivative_pipeline"] = derivative_sql()
+    out["stats_bucket_pipeline"] = stats_bucket_sql()
+    out["date_range_facets"] = date_range_sql(parity.DATE_RANGES)
+    out["auto_date_histogram"] = auto_date_histogram_sql(
+        parity.AUTO_HISTO_TARGET
+    )
+    out["scroll_slices"] = scroll_slices_sql(parity.SCROLL_SLICES)
+    out["percentile_ranks_agg"] = percentile_ranks_sql(
+        textstats.PERCENTILE_RANK_VALUES
+    )
+    out["string_stats_agg"] = string_stats_sql()
+    out["embedding_norm_stats"] = embedding_norm_sql()
     out["span_containing_query"] = span_containing_sql(*fulltext.SPAN_CONTAINING)
     out["rank_feature_query"] = rank_feature_sql(
         fulltext.FLAGSHIP_QUERY, *fulltext.RANK_FEATURE

@@ -3508,3 +3508,131 @@ def terms_shard_approx(
     return ranked_topk(
         out, [F.desc("doc_count"), F.asc("source")], k
     ).select("source", "doc_count", "doc_count_error_upper_bound", "rank")
+
+
+# ------------------------------------------------------- diversified sampler
+DIVERSIFIED_MAX_PER_SOURCE = 2
+
+
+def diversified_sampler_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_text: str = FLAGSHIP_QUERY,
+    max_per_key: int = DIVERSIFIED_MAX_PER_SOURCE,
+    k: int = 10,
+) -> DataFrame:
+    """ES `diversified_sampler` aggregation parity: the relevance top-k
+    under a diversity constraint — at most max_per_key hits per source
+    survive before the global cut, so one boilerplate-heavy host can't
+    monopolize the page. The per-source de-duplication window partitions
+    BY SOURCE (parallel, WindowGroupLimit-prunable); only the survivors
+    (≤ max_per_key x n_sources) pass through the bounded global
+    ranked_topk."""
+    from pyspark.sql import Window
+
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+    from lucene_mapreduce_spark.query.segments import bm25_scores, field_values
+
+    ix = _gate_index(spark, sf_dir)
+    queries = spark.createDataFrame(
+        [("q0", query_text)], "query_id string, query_text string"
+    )
+    scored = bm25_scores(spark, ix, queries, round_to=6).select("doc_id", "score")
+    srcs = field_values(spark, ix, "source").select(
+        "doc_id", F.col("value").alias("source")
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("doc_id"))
+    kept = (
+        scored.join(srcs, "doc_id")
+        .withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= max_per_key)
+        .drop("pos")
+    )
+    return ranked_topk(kept, [F.desc("score"), F.asc("doc_id")], k).select(
+        "source", "doc_id", "score", "rank"
+    )
+
+
+# ------------------------------------------------------------ span multi
+SPAN_MULTI = ("sl", "join", 4)  # prefix, anchor term, max distance
+
+
+def span_multi_near_query(
+    spark: SparkSession,
+    sf_dir: str,
+    prefix: str = SPAN_MULTI[0],
+    anchor: str = SPAN_MULTI[1],
+    dist: int = SPAN_MULTI[2],
+    max_expansions: int = MAX_EXPANSIONS,
+) -> DataFrame:
+    """SpanMultiTermQueryWrapper parity: SpanNear(SpanMulti(prefix*),
+    anchor, slop, unordered) — docs where ANY dictionary expansion of the
+    prefix occurs within `dist` positions of the anchor term. The prefix
+    expands against the term dictionary under the TOP_TERMS cap (the same
+    bounded rewrite as prefix_query); the positional check is one pruned
+    positions read over expansions+anchor and a codegen exists² over
+    position arrays, grouped per doc so multiple matching expansions
+    count once."""
+    from lucene_mapreduce_spark.query.segments import read_positions
+
+    ix = _gate_index(spark, sf_dir)
+    cands = _index_vocab(spark, ix).filter(F.col("term").startswith(prefix))
+    expanded = _expand_capped(cands, max_expansions)
+    if not expanded:
+        return spark.createDataFrame([], "doc_id long")
+    pos = read_positions(spark, ix, sorted(set(expanded) | {anchor}))
+    multi = pos.filter(F.col("term").isin(expanded)).select(
+        "doc_id", F.col("positions").alias("pm")
+    )
+    anch = pos.filter(F.col("term") == anchor).select(
+        "doc_id", F.col("positions").alias("pa")
+    )
+    hit = F.exists(
+        "pm",
+        lambda i: F.exists("pa", lambda j: F.abs(i - j) <= F.lit(dist)),
+    )
+    return (
+        multi.join(anch, "doc_id")
+        .filter(hit)
+        .select("doc_id")
+        .distinct()
+        .orderBy("doc_id")
+    )
+
+
+# ------------------------------------------------------- search-as-you-type
+SAYT_INPUT = ("slow", "jo")  # completed terms + trailing prefix
+
+
+def search_as_you_type(
+    spark: SparkSession,
+    sf_dir: str,
+    full_terms: str = SAYT_INPUT[0],
+    prefix: str = SAYT_INPUT[1],
+    k: int = 10,
+    max_expansions: int = MAX_EXPANSIONS,
+) -> DataFrame:
+    """ES search_as_you_type / match_bool_prefix parity: every completed
+    term matches normally, the trailing partial term matches as a prefix;
+    ranking is BM25 over the completed terms, the prefix clause is a
+    FILTER (its expansion set is unstable mid-keystroke, so ES doesn't
+    let it move scores). Prefix expansion = the capped dictionary rewrite;
+    the filter leg is a distinct-doc semi-join on the expansions'
+    postings."""
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+    from lucene_mapreduce_spark.query.segments import bm25_scores, read_postings
+
+    ix = _gate_index(spark, sf_dir)
+    cands = _index_vocab(spark, ix).filter(F.col("term").startswith(prefix))
+    expanded = _expand_capped(cands, max_expansions)
+    if not expanded:
+        return spark.createDataFrame([], "doc_id long, score double, rank int")
+    queries = spark.createDataFrame(
+        [("q0", full_terms)], "query_id string, query_text string"
+    )
+    scored = bm25_scores(spark, ix, queries, round_to=6).select("doc_id", "score")
+    has_prefix = read_postings(spark, ix, expanded).select("doc_id").distinct()
+    kept = scored.join(has_prefix, "doc_id", "left_semi")
+    return ranked_topk(kept, [F.desc("score"), F.asc("doc_id")], k).select(
+        "doc_id", "score", "rank"
+    )

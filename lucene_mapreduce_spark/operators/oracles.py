@@ -3573,3 +3573,227 @@ SELECT source, n_docs, n_tokens,
 FROM weighted, z
 ORDER BY source
 """
+
+
+def diversified_sampler_sql(query_text: str, max_per_key: int, k: int) -> str:
+    """diversified_sampler twin: per-source cap on the 6dp BM25 hit set,
+    then the global top-k."""
+    return f"""
+WITH {_qterms_cte(query_text)}
+{_BM25_AGG},
+divsrc AS (
+  SELECT a.doc_id, round(a.score, 6) AS score, d.source
+  FROM agg a JOIN documents d USING (doc_id)
+),
+kept AS (
+  SELECT source, doc_id, score FROM (
+    SELECT source, doc_id, score,
+           row_number() OVER (
+             PARTITION BY source ORDER BY score DESC, doc_id ASC) AS pos
+    FROM divsrc
+  ) WHERE pos <= {max_per_key}
+)
+SELECT source, doc_id, score, rank FROM (
+  SELECT source, doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM kept
+) WHERE rank <= {k}
+"""
+
+
+def span_multi_near_sql(prefix: str, anchor: str, dist: int) -> str:
+    """SpanMulti-near twin: any prefix-matching token within dist of the
+    anchor token."""
+    return f"""
+SELECT doc_id FROM (SELECT doc_id, {TOKS} AS toks FROM documents)
+WHERE len(list_filter(range(1, len(toks) + 1), i ->
+      starts_with(toks[i], '{prefix}')
+  AND len(list_filter(range(1, len(toks) + 1), j ->
+          toks[j] = '{anchor}' AND abs(i - j) <= {dist})) > 0)) > 0
+ORDER BY doc_id
+"""
+
+
+def sayt_sql(full_terms: str, prefix: str, k: int) -> str:
+    """search_as_you_type twin: BM25 over the completed terms, filtered
+    to docs holding any prefix-matching token."""
+    return f"""
+WITH {_qterms_cte(full_terms)}
+{_BM25_AGG},
+haspfx AS (
+  SELECT DISTINCT doc_id
+  FROM (SELECT doc_id, unnest({TOKS}) AS term FROM documents)
+  WHERE starts_with(term, '{prefix}')
+)
+SELECT doc_id, score, rank FROM (
+  SELECT a.doc_id, round(a.score, 6) AS score,
+         row_number() OVER (ORDER BY round(a.score, 6) DESC, a.doc_id ASC)
+           AS rank
+  FROM agg a JOIN haspfx USING (doc_id)
+) WHERE rank <= {k}
+"""
+
+
+_DAILY_HIST = """
+days AS (SELECT ts::DATE AS day FROM events),
+counts AS (SELECT day, count(*)::BIGINT AS n FROM days GROUP BY 1),
+cal AS (
+  SELECT unnest(generate_series(min(day), max(day), INTERVAL 1 DAY))::DATE
+         AS day
+  FROM days
+),
+hist AS (
+  SELECT cal.day, coalesce(c.n, 0)::BIGINT AS n_events
+  FROM cal LEFT JOIN counts c USING (day)
+)"""
+
+
+def derivative_sql() -> str:
+    """derivative + cumulative_sum pipeline twin over the daily histogram."""
+    return f"""
+WITH {_DAILY_HIST}
+SELECT day::VARCHAR AS day, n_events,
+       coalesce(n_events - lag(n_events) OVER (ORDER BY day), 0)::BIGINT
+         AS deriv,
+       (sum(n_events) OVER (ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+         AS cum_events
+FROM hist
+ORDER BY day
+"""
+
+
+def stats_bucket_sql() -> str:
+    """stats_bucket pipeline twin: stats over the daily bucket series."""
+    return f"""
+WITH {_DAILY_HIST}
+SELECT count(*)::BIGINT AS n_buckets,
+       min(n_events)::BIGINT AS min_events,
+       max(n_events)::BIGINT AS max_events,
+       sum(n_events)::BIGINT AS sum_events,
+       round(sum(n_events)::DOUBLE / count(*)::DOUBLE, 6) AS avg_events
+FROM hist
+"""
+
+
+def date_range_sql(ranges) -> str:
+    """date_range-agg twin: [from, to) buckets with open ends."""
+    arms = []
+    for lo, hi in ranges:
+        conds = []
+        if lo is not None:
+            conds.append(f"day >= DATE '{lo}'")
+        if hi is not None:
+            conds.append(f"day < DATE '{hi}'")
+        cond = " AND ".join(conds) or "TRUE"
+        key = f"{lo or '*'}-{hi or '*'}"
+        arms.append(
+            f"SELECT '{key}' AS key, "
+            f"sum(CASE WHEN {cond} THEN 1 ELSE 0 END)::BIGINT AS n_events "
+            "FROM days"
+        )
+    body = " UNION ALL ".join(arms)
+    return f"""
+WITH days AS (SELECT ts::DATE AS day FROM events)
+{body}
+ORDER BY key
+"""
+
+
+def auto_date_histogram_sql(target: int) -> str:
+    """auto_date_histogram twin: smallest of day/week/month keeping the
+    bucket count <= target; elapsed-day bucket arithmetic."""
+    return f"""
+WITH days AS (SELECT ts::DATE AS day FROM events),
+span AS (
+  SELECT min(day) AS lo,
+         CASE WHEN date_diff('day', min(day), max(day)) + 1 <= {target}
+                THEN 1
+              WHEN ceil((date_diff('day', min(day), max(day)) + 1) / 7.0)
+                   <= {target} THEN 7
+              ELSE 30 END AS ilen
+  FROM days
+),
+bucketed AS (
+  SELECT CASE WHEN s.ilen = 1 THEN 'day'
+              WHEN s.ilen = 7 THEN 'week' ELSE 'month' END AS interval,
+         date_diff('day', s.lo, d.day) // s.ilen AS bucket_idx,
+         (s.lo + ((date_diff('day', s.lo, d.day) // s.ilen) * s.ilen)
+          * INTERVAL 1 DAY)::DATE::VARCHAR AS bucket_start
+  FROM days d, span s
+)
+SELECT interval, bucket_start, count(*)::BIGINT AS n_events
+FROM bucketed
+GROUP BY interval, bucket_idx, bucket_start
+ORDER BY bucket_idx
+"""
+
+
+def scroll_slices_sql(n_slices: int) -> str:
+    """Sliced-scroll twin: md5 52-bit prefix of the id mod n_slices."""
+    h = _MD5_52.format(e="doc_id::VARCHAR")
+    return f"""
+SELECT ({h}) % {n_slices} AS slice_id,
+       count(*)::BIGINT AS n_docs,
+       min(doc_id) AS min_doc_id,
+       max(doc_id) AS max_doc_id
+FROM documents
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def percentile_ranks_sql(values) -> str:
+    """percentile_ranks twin: exact <=-value percentage per probe."""
+    arms = " UNION ALL ".join(
+        f"SELECT {float(v)!r} AS value, "
+        f"round(sum(CASE WHEN n_chars <= {v} THEN 1 ELSE 0 END)::DOUBLE "
+        f"* 100.0 / count(*)::DOUBLE, 6) AS pct FROM documents"
+        for v in values
+    )
+    return f"{arms} ORDER BY value"
+
+
+def string_stats_sql() -> str:
+    """string_stats twin: length stats + DECIMAL-summed token entropy."""
+    return f"""
+WITH lens AS (
+  SELECT count(*)::BIGINT AS n_docs,
+         min(len(text))::BIGINT AS min_len,
+         max(len(text))::BIGINT AS max_len,
+         round(sum(len(text))::DOUBLE / count(*)::DOUBLE, 6) AS avg_len
+  FROM documents
+),
+cf AS (
+  SELECT term, count(*)::BIGINT AS cf
+  FROM (SELECT unnest({TOKS}) AS term FROM documents) GROUP BY 1
+),
+tot AS (SELECT sum(cf)::DOUBLE AS total FROM cf),
+ent AS (
+  SELECT round(sum(h)::DOUBLE, 6) AS unigram_entropy FROM (
+    SELECT round(-(cf::DOUBLE / total) * ln(cf::DOUBLE / total),
+                 6)::DECIMAL(18,6) AS h
+    FROM cf, tot
+  )
+)
+SELECT n_docs, min_len, max_len, avg_len, unigram_entropy
+FROM lens, ent
+"""
+
+
+def embedding_norm_sql() -> str:
+    """Embedding-norm audit twin: 6dp per-vector L2 norms, DECIMAL mean."""
+    return """
+WITH norms AS (
+  SELECT label,
+         round(sqrt(list_dot_product(embedding::DOUBLE[],
+                                     embedding::DOUBLE[])), 6) AS norm
+  FROM embeddings
+)
+SELECT label, count(*)::BIGINT AS n_vecs,
+       min(norm) AS min_norm,
+       round(sum(norm::DECIMAL(18,6))::DOUBLE / count(*)::DOUBLE, 6)
+         AS mean_norm,
+       max(norm) AS max_norm
+FROM norms
+GROUP BY label ORDER BY label
+"""

@@ -661,3 +661,162 @@ def bucket_selector_agg(
         )
         .orderBy("event_type", "day")
     )
+
+
+def derivative_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `derivative` + `cumulative_sum` pipeline aggregations over the
+    gap-filled date histogram: per day, the count, its first difference
+    (lag default = the first count, so day 1 reads 0 — ES omits the
+    first bucket; a defaulted lag keeps the frame single and the schema
+    dense), and the running total. Integer window arithmetic over
+    elapsed-days-bounded rows — exact at any order, never event-sized."""
+    hist = date_histogram_facets(spark, sf_dir)
+    w = Window.orderBy("day")
+    return hist.select(
+        "day",
+        "n_events",
+        F.coalesce(
+            F.col("n_events") - F.lag("n_events", 1).over(w), F.lit(0)
+        ).cast("long").alias("deriv"),
+        F.sum("n_events")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("cum_events"),
+    ).orderBy("day")
+
+
+def stats_bucket_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `stats_bucket` pipeline aggregation: min/max/sum/count/avg OVER
+    the daily bucket series (sibling pipeline — consumes the histogram,
+    zeros from empty days included). One single-row aggregate over the
+    bounded bucket table; avg divides exact BIGINTs."""
+    hist = date_histogram_facets(spark, sf_dir)
+    return hist.agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.min("n_events").cast("long").alias("min_events"),
+        F.max("n_events").cast("long").alias("max_events"),
+        F.sum("n_events").cast("long").alias("sum_events"),
+        F.round(
+            F.sum("n_events").cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_events"),
+    )
+
+
+DATE_RANGES = (
+    (None, "2024-01-11"),
+    ("2024-01-11", "2024-01-21"),
+    ("2024-01-21", None),
+)
+
+
+def date_range_facets(
+    spark: SparkSession,
+    sf_dir: str,
+    ranges: tuple[tuple[str | None, str | None], ...] = DATE_RANGES,
+) -> DataFrame:
+    """ES `date_range` aggregation parity: explicit [from, to) buckets
+    (from inclusive, to exclusive — ES's convention), open ends allowed,
+    keys in ES's '*-to' / 'from-to' / 'from-*' format. Ranges may
+    overlap in general, so each is one filtered conditional aggregate
+    over a single scan — never one pass per range."""
+    ev = load(spark, sf_dir, "events").select(F.to_date("ts").alias("day"))
+    aggs = []
+    for lo, hi in ranges:
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col("day") >= F.lit(lo).cast("date"))
+        if hi is not None:
+            cond = cond & (F.col("day") < F.lit(hi).cast("date"))
+        key = f"{lo or '*'}-{hi or '*'}"
+        aggs.append(
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(key)
+        )
+    wide = ev.agg(*aggs)
+    pairs = [
+        F.struct(F.lit(c).alias("key"), F.col(f"`{c}`").alias("n_events"))
+        for c in wide.columns
+    ]
+    return (
+        wide.select(F.explode(F.array(*pairs)).alias("kv"))
+        .select("kv.key", "kv.n_events")
+        .orderBy("key")
+    )
+
+
+AUTO_HISTO_TARGET = 12  # max buckets the auto interval may produce
+
+
+def auto_date_histogram(
+    spark: SparkSession, sf_dir: str, target: int = AUTO_HISTO_TARGET
+) -> DataFrame:
+    """ES `auto_date_histogram` parity: pick the smallest calendar
+    interval (day -> week -> month) that keeps the bucket count at or
+    under `target`, then bucket the stream with it. The interval CHOICE
+    is data-driven INSIDE the plan (a one-row span aggregate broadcast
+    onto the stream — no driver round-trip): bucket index = elapsed
+    days // interval length from the stream's first day, so both
+    engines agree regardless of week/month truncation types."""
+    ev = load(spark, sf_dir, "events").select(F.to_date("ts").alias("day"))
+    span = ev.agg(
+        F.min("day").alias("lo"),
+        (F.datediff(F.max("day"), F.min("day")) + 1).alias("n_days"),
+    ).select(
+        "lo",
+        F.when(F.col("n_days") <= target, 1)
+        .when(F.ceil(F.col("n_days") / 7) <= target, 7)
+        .otherwise(30)
+        .alias("ilen"),
+    )
+    bucketed = ev.crossJoin(F.broadcast(span)).select(
+        F.floor(F.datediff(F.col("day"), F.col("lo")) / F.col("ilen")).alias(
+            "bucket_idx"
+        ),
+        F.date_add(
+            F.col("lo"),
+            (
+                F.floor(F.datediff(F.col("day"), F.col("lo")) / F.col("ilen"))
+                * F.col("ilen")
+            ).cast("int"),
+        )
+        .cast("string")
+        .alias("bucket_start"),
+        F.when(F.col("ilen") == 1, "day")
+        .when(F.col("ilen") == 7, "week")
+        .otherwise("month")
+        .alias("interval"),
+    )
+    return (
+        bucketed.groupBy("interval", "bucket_idx", "bucket_start")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .orderBy("bucket_idx")
+        .select("interval", "bucket_start", "n_events")
+    )
+
+
+SCROLL_SLICES = 4
+
+
+def scroll_slices(
+    spark: SparkSession, sf_dir: str, n_slices: int = SCROLL_SLICES
+) -> DataFrame:
+    """ES sliced-scroll parity (the parallel-export contract): the corpus
+    splits into n_slices disjoint, exhaustive slices by a hash of the
+    document id (md5 52-bit prefix mod n — the engine-shared hash, like
+    random_score), and each slice reports its row count and id bounds —
+    what each parallel export worker would independently stream. One
+    map-side-combinable groupBy; slices are data-location-independent,
+    so workers never coordinate."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10
+    ).cast("long")
+    return (
+        docs.select(F.pmod(h, F.lit(n_slices)).alias("slice_id"), "doc_id")
+        .groupBy("slice_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("slice_id")
+    )

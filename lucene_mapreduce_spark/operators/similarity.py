@@ -551,3 +551,39 @@ def hybrid_linear_fusion(
     return ranked_topk(fused, [F.desc("score"), F.asc("doc_id")], k).select(
         "doc_id", "score", "rank"
     )
+
+
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table quality audit (the pre-ANN sanity pass of a
+    training pipeline: degenerate norms signal a broken encoder): per
+    label, the vector count and the min/mean/max L2 norm. Norms fold
+    sequentially in component order (the module's determinism contract —
+    DuckDB's list_dot_product matches bit-for-bit); per-vector norms are
+    6dp-rounded, the mean accumulates them as DECIMAL(18,6) so the
+    rollup is order-free exact at any parallelism. One combinable
+    groupBy over the embeddings scan."""
+    emb = load(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    norm = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.transform(v, lambda x: x * x), F.lit(0.0), lambda s, x: s + x
+            )
+        ),
+        6,
+    )
+    base = emb.select("label", norm.alias("norm"))
+    return (
+        base.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.min("norm").alias("min_norm"),
+            F.round(
+                F.sum(F.col("norm").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_norm"),
+            F.max("norm").alias("max_norm"),
+        )
+        .orderBy("label")
+    )

@@ -655,3 +655,79 @@ def temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------- percentile ranks
+PERCENTILE_RANK_VALUES = (150, 300, 450)  # n_chars thresholds
+
+
+def percentile_ranks_agg(
+    spark: SparkSession,
+    sf_dir: str,
+    values: tuple[int, ...] = PERCENTILE_RANK_VALUES,
+) -> DataFrame:
+    """ES `percentile_ranks` aggregation: for each probe value, the
+    percentage of documents whose n_chars is at or below it — the
+    inverse of the percentiles agg (dl_percentiles is the forward
+    face). Exact counting (ES's TDigest is approximate; at gate scale
+    the exact answer IS the spec), one conditional aggregate per probe
+    over a single scan, BIGINT counts divided once."""
+    docs = load(spark, sf_dir, "documents")
+    aggs = [
+        F.round(
+            F.sum(F.when(F.col("n_chars") <= v, 1).otherwise(0)).cast("double")
+            * 100.0
+            / F.count(F.lit(1)),
+            6,
+        ).alias(str(v))
+        for v in values
+    ]
+    wide = docs.agg(*aggs)
+    pairs = [
+        F.struct(
+            F.lit(float(v)).alias("value"), F.col(str(v)).alias("pct")
+        )
+        for v in values
+    ]
+    return (
+        wide.select(F.explode(F.array(*pairs)).alias("kv"))
+        .select("kv.value", "kv.pct")
+        .orderBy("value")
+    )
+
+
+def string_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `string_stats` aggregation (show_distribution=true) over the
+    text field: doc count, min/max/avg length, and the Shannon entropy
+    of the corpus token distribution (ES computes character entropy; the
+    analyzer-token variant is the LM-relevant one here and uses the
+    postings shape). Entropy terms -p·ln(p) are 6dp-rounded then summed
+    as DECIMAL — order-free, so the only float ops are one ln and one
+    multiply per VOCAB ENTRY on identical IEEE inputs. Lengths sum as
+    BIGINTs; everything is one corpus scan + one vocab-sized rollup."""
+    docs = load(spark, sf_dir, "documents")
+    lens = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min(F.length("text")).cast("long").alias("min_len"),
+        F.max(F.length("text")).cast("long").alias("max_len"),
+        F.round(
+            F.sum(F.length("text")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_len"),
+    )
+    tok = docs.select(F.explode(tokenize_col("text")).alias("term"))
+    cf = tok.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("cf"))
+    total = cf.agg(F.sum("cf").cast("double").alias("total"))
+    ent = (
+        cf.crossJoin(F.broadcast(total))
+        .select(
+            F.round(
+                -(F.col("cf") / F.col("total"))
+                * F.log(F.col("cf") / F.col("total")),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("h")
+        )
+        .agg(F.round(F.sum("h").cast("double"), 6).alias("unigram_entropy"))
+    )
+    return lens.crossJoin(F.broadcast(ent))
