@@ -89,6 +89,27 @@ from lucene_mapreduce_spark.operators.oracles import (  # noqa: E402
     percentile_ranks_sql,
     string_stats_sql,
     embedding_norm_sql,
+    serial_diff_sql,
+    bucket_extrema_sql,
+    bucket_script_sql,
+    bucket_sort_sql,
+    normalize_sql,
+    top_metrics_sql,
+    t_test_sql,
+    extended_stats_sql,
+    boxplot_sql,
+    mad_sql,
+    matrix_stats_sql,
+    filters_agg_sql,
+    has_child_sql,
+    has_parent_sql,
+    children_agg_sql,
+    scripted_metric_sql,
+    combined_fields_sql,
+    rank_eval_sql,
+    linear_classifier_sql,
+    sampler_agg_sql,
+    geo_distance_sql,
     filter_clause_sql,
     terms_set_sql,
     common_terms_sql,
@@ -240,6 +261,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentile_ranks_agg": textstats.percentile_ranks_agg,
         "string_stats_agg": textstats.string_stats_agg,
         "embedding_norm_stats": similarity.embedding_norm_stats,
+        "serial_diff_pipeline": parity.serial_diff_pipeline,
+        "bucket_extrema_pipeline": parity.bucket_extrema_pipeline,
+        "bucket_script_pipeline": parity.bucket_script_pipeline,
+        "bucket_sort_pipeline": parity.bucket_sort_pipeline,
+        "normalize_pipeline": parity.normalize_pipeline,
+        "top_metrics_agg": parity.top_metrics_agg,
+        "t_test_agg": parity.t_test_agg,
+        "extended_stats_agg": textstats.extended_stats_agg,
+        "boxplot_agg": textstats.boxplot_agg,
+        "mad_agg": textstats.mad_agg,
+        "matrix_stats_agg": textstats.matrix_stats_agg,
+        "filters_agg": textstats.filters_agg,
+        "has_child_query": parity.has_child_query,
+        "has_parent_query": parity.has_parent_query,
+        "children_agg": parity.children_agg,
+        "scripted_metric_agg": parity.scripted_metric_agg,
+        "combined_fields_query": fulltext.combined_fields_query,
+        "rank_eval": fulltext.rank_eval,
+        "linear_classifier_topk": textstats.linear_classifier_topk,
+        "sampler_agg": textstats.sampler_agg,
+        "geo_distance_query": textstats.geo_distance_query,
         "contamination_check": dedup.contamination_check,
         "gopher_rules": textstats.gopher_rules,
         "ann_batch_topk": similarity.ann_batch_topk,
@@ -511,6 +553,39 @@ WHERE len(list_filter(range(1, len(toks)), i ->
     )
     out["string_stats_agg"] = string_stats_sql()
     out["embedding_norm_stats"] = embedding_norm_sql()
+    out["serial_diff_pipeline"] = serial_diff_sql(parity.SERIAL_DIFF_LAG)
+    out["bucket_extrema_pipeline"] = bucket_extrema_sql()
+    out["bucket_script_pipeline"] = bucket_script_sql()
+    out["bucket_sort_pipeline"] = bucket_sort_sql(
+        parity.BUCKET_SORT_FROM, parity.BUCKET_SORT_SIZE
+    )
+    out["normalize_pipeline"] = normalize_sql()
+    out["top_metrics_agg"] = top_metrics_sql()
+    out["t_test_agg"] = t_test_sql(*parity.T_TEST_GROUPS)
+    out["extended_stats_agg"] = extended_stats_sql()
+    out["boxplot_agg"] = boxplot_sql()
+    out["mad_agg"] = mad_sql()
+    out["matrix_stats_agg"] = matrix_stats_sql()
+    out["filters_agg"] = filters_agg_sql(textstats.FILTERS_BUCKETS)
+    out["has_child_query"] = has_child_sql(
+        *parity.HAS_CHILD_PRED, parity.HAS_CHILD_MIN, 10
+    )
+    out["has_parent_query"] = has_parent_sql(parity.HAS_PARENT_SEGMENT, 10)
+    out["children_agg"] = children_agg_sql()
+    out["scripted_metric_agg"] = scripted_metric_sql()
+    out["combined_fields_query"] = combined_fields_sql(
+        fulltext.CF_QUERY, "source", *fulltext.CF_W, 10
+    )
+    out["rank_eval"] = rank_eval_sql(
+        fulltext.FLAGSHIP_QUERY, fulltext.RANK_EVAL_K, fulltext.RANK_EVAL_MIN_TERMS
+    )
+    out["linear_classifier_topk"] = linear_classifier_sql(10)
+    out["sampler_agg"] = sampler_agg_sql(
+        textstats.SAMPLER_SHARDS, textstats.SAMPLER_PER_SHARD
+    )
+    out["geo_distance_query"] = geo_distance_sql(
+        *textstats.GEO_CENTER, textstats.GEO_MAX_KM, 10
+    )
     out["span_containing_query"] = span_containing_sql(*fulltext.SPAN_CONTAINING)
     out["rank_feature_query"] = rank_feature_sql(
         fulltext.FLAGSHIP_QUERY, *fulltext.RANK_FEATURE

@@ -3636,3 +3636,179 @@ def search_as_you_type(
     return ranked_topk(kept, [F.desc("score"), F.asc("doc_id")], k).select(
         "doc_id", "score", "rank"
     )
+
+
+# ---------------------------------------------------------- combined fields
+CF_QUERY = BM25F_QUERY  # 'src3' again hits only the keyword field
+CF_W = (1.0, 2.0)  # per-field weights (ES requires >= 1)
+
+
+def combined_fields_query(
+    spark: SparkSession,
+    sf_dir: str,
+    query_text: str = CF_QUERY,
+    kw_field: str = "source",
+    w_text: float = CF_W[0],
+    w_kw: float = CF_W[1],
+    k: int = 10,
+) -> DataFrame:
+    """ES `combined_fields` query: term-centric multi-field scoring that
+    treats the fields as ONE merged pseudo-field (the BM25F sibling with
+    a SHARED length norm instead of per-field norms): tf_c = sum_f
+    w_f*tf_f, dl_c = sum_f w_f*len_f, avgdl_c likewise, one BM25
+    saturation over the combined tf. df is any-field df. The keyword
+    field contributes len 1 to every doc, so avgdl_c = w_text*avgdl +
+    w_kw — a manifest scalar, no extra pass. Same pruned-index reads as
+    bm25f_topk; scoring is one canonical ascending-term fold."""
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_string
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+    from lucene_mapreduce_spark.query.bm25 import B, K1
+    from lucene_mapreduce_spark.query.segments import (
+        exact_stats,
+        field_values,
+        live_doclens,
+        read_postings,
+    )
+
+    ix = _gate_index(spark, sf_dir)
+    terms = sorted(set(tokenize_string(query_text)))
+    n_docs, avgdl = exact_stats(spark, ix)
+    avgdl_c = float(w_text) * float(avgdl) + float(w_kw)
+    tp = read_postings(spark, ix, terms).select(
+        "term", "doc_id", F.col("tf").alias("tf_text")
+    )
+    kv = (
+        field_values(spark, ix, kw_field)
+        .filter(F.col("value").isin(terms))
+        .select(F.col("value").alias("term"), "doc_id", F.lit(1).alias("tf_kw"))
+    )
+    m = tp.join(kv, ["term", "doc_id"], "full").select(
+        "term",
+        "doc_id",
+        F.coalesce(F.col("tf_text"), F.lit(0)).cast("double").alias("tf_text"),
+        F.coalesce(F.col("tf_kw"), F.lit(0)).cast("double").alias("tf_kw"),
+    )
+    dls = live_doclens(spark, ix).select("doc_id", "dl")
+    m = m.join(dls, "doc_id", "left").withColumn(
+        "dl", F.coalesce(F.col("dl"), F.lit(0)).cast("double")
+    )
+    dfa = m.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df_any"))
+    tfc = F.lit(float(w_text)) * F.col("tf_text") + F.lit(float(w_kw)) * F.col(
+        "tf_kw"
+    )
+    dlc = F.lit(float(w_text)) * F.col("dl") + F.lit(float(w_kw))
+    norm = F.lit(K1) * (
+        F.lit(1.0 - B) + F.lit(B) * dlc / F.lit(avgdl_c)
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df_any") + F.lit(0.5))
+        / (F.col("df_any") + F.lit(0.5))
+    )
+    contribs = m.join(F.broadcast(dfa), "term").select(
+        "doc_id",
+        "term",
+        (idf * tfc * F.lit(K1 + 1.0) / (tfc + norm)).alias("contrib"),
+    )
+    per_doc = contribs.groupBy("doc_id").agg(
+        F.round(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("term", "contrib"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["contrib"],
+            ),
+            6,
+        ).alias("score")
+    )
+    return ranked_topk(per_doc, [F.desc("score"), F.asc("doc_id")], k).select(
+        "doc_id", "score", "rank"
+    )
+
+
+# ------------------------------------------------------------------ rank eval
+RANK_EVAL_K = 10
+RANK_EVAL_MIN_TERMS = 3  # rel = distinct query terms matched - (min-1)
+
+
+def rank_eval(
+    spark: SparkSession,
+    sf_dir: str,
+    query_text: str = FLAGSHIP_QUERY,
+    k: int = RANK_EVAL_K,
+    min_terms: int = RANK_EVAL_MIN_TERMS,
+) -> DataFrame:
+    """ES `rank_eval` API: precision@k, MRR@k and NDCG@k of the engine's
+    own BM25 top-k against graded relevance labels. Labels are derived,
+    not hand-curated: rel(doc) = max(0, distinct query terms present -
+    (min_terms-1)) — docs holding >= min_terms of the query's terms are
+    relevant, all of them graded 1..(n_terms-min_terms+1). Gains are
+    (2^rel - 1); DCG terms are 6dp-rounded then DECIMAL-summed
+    (order-free exact over the k ranks); IDCG ranks the global label
+    multiset through the bounded ranked_topk. One index-backed ranking +
+    one tokenised-corpus label scan — the offline search-quality job at
+    any scale."""
+    from lucene_mapreduce_spark.functions.tokenize import (
+        tokenize_col,
+        tokenize_string,
+    )
+    from lucene_mapreduce_spark.operators.parity import load, ranked_topk
+
+    terms = sorted(set(tokenize_string(query_text)))
+    page = bm25_topk_documents(spark, sf_dir, query_text, k=k).select(
+        "doc_id", "rank"
+    )
+    docs = load(spark, sf_dir, "documents")
+    tarr = F.array(*[F.lit(t) for t in terms])
+    nmatch = F.size(F.array_intersect(tarr, tokenize_col("text")))
+    rels = docs.select(
+        "doc_id",
+        F.greatest(
+            nmatch - F.lit(min_terms - 1), F.lit(0)
+        ).cast("long").alias("rel"),
+    )
+    gain = F.pow(F.lit(2.0), F.col("rel").cast("double")) - F.lit(1.0)
+    disc = F.log2(F.col("rank").cast("double") + F.lit(1.0))
+    page_dcg = (
+        page.join(rels, "doc_id", "left")
+        .na.fill({"rel": 0})
+        .select(
+            F.col("rel"),
+            F.round(gain / disc, 6).cast("decimal(18,6)").alias("dg"),
+            F.when(F.col("rel") > 0, 1).otherwise(0).alias("is_rel"),
+            F.when(F.col("rel") > 0, F.col("rank")).alias("rel_rank"),
+        )
+        .agg(
+            F.round(F.sum("dg").cast("double"), 6).alias("dcg"),
+            F.round(
+                F.sum("is_rel").cast("double") / F.lit(float(k)), 6
+            ).alias("precision"),
+            F.round(
+                F.coalesce(
+                    F.lit(1.0) / F.min("rel_rank").cast("double"), F.lit(0.0)
+                ),
+                6,
+            ).alias("mrr"),
+        )
+    )
+    ideal = ranked_topk(
+        rels.filter(F.col("rel") > 0),
+        [F.desc("rel"), F.asc("doc_id")],
+        k,
+        rank_col="irank",
+    ).select(
+        F.round(
+            (F.pow(F.lit(2.0), F.col("rel").cast("double")) - F.lit(1.0))
+            / F.log2(F.col("irank").cast("double") + F.lit(1.0)),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("idg")
+    )
+    idcg = ideal.agg(F.round(F.sum("idg").cast("double"), 6).alias("idcg"))
+    return page_dcg.crossJoin(F.broadcast(idcg)).select(
+        "precision",
+        "mrr",
+        "dcg",
+        "idcg",
+        F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
+    )

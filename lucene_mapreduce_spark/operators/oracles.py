@@ -3797,3 +3797,505 @@ SELECT label, count(*)::BIGINT AS n_vecs,
 FROM norms
 GROUP BY label ORDER BY label
 """
+
+
+def serial_diff_sql(lag: int) -> str:
+    """serial_diff twin: lag-N difference over the daily histogram."""
+    return f"""
+WITH {_DAILY_HIST}
+SELECT day::VARCHAR AS day, n_events,
+       coalesce(n_events - lag(n_events, {lag}) OVER (ORDER BY day),
+                0)::BIGINT AS serial_diff
+FROM hist
+ORDER BY day
+"""
+
+
+def bucket_extrema_sql() -> str:
+    """max_bucket/min_bucket twin: extreme bucket key+value, earliest
+    tied day."""
+    return f"""
+WITH {_DAILY_HIST}
+(SELECT 'max_bucket' AS metric, day::VARCHAR AS key, n_events AS value
+ FROM hist ORDER BY n_events DESC, day ASC LIMIT 1)
+UNION ALL
+(SELECT 'min_bucket' AS metric, day::VARCHAR AS key, n_events AS value
+ FROM hist ORDER BY n_events ASC, day ASC LIMIT 1)
+ORDER BY metric
+"""
+
+
+def bucket_script_sql() -> str:
+    """bucket_script twin: per-day purchase revenue over bucket count,
+    DECIMAL-exact sums."""
+    return """
+WITH base AS (
+  SELECT (ts::DATE)::VARCHAR AS day,
+         CASE WHEN event_type = 'purchase'
+              THEN round(value, 6)::DECIMAL(18,6)
+              ELSE 0::DECIMAL(18,6) END AS pv
+  FROM events
+),
+buckets AS (
+  SELECT day, count(*)::BIGINT AS n_events, sum(pv) AS psum
+  FROM base GROUP BY 1
+)
+SELECT day, n_events,
+       round(psum::DOUBLE, 6) AS purchase_sum,
+       round(psum::DOUBLE / n_events::DOUBLE, 6) AS purchase_per_event
+FROM buckets
+ORDER BY day
+"""
+
+
+def bucket_sort_sql(skip: int, size: int) -> str:
+    """bucket_sort twin: metric-desc ordered buckets paged from/size."""
+    return f"""
+WITH {_DAILY_HIST}
+SELECT position, day, n_events FROM (
+  SELECT day::VARCHAR AS day, n_events,
+         row_number() OVER (ORDER BY n_events DESC, day ASC) AS position
+  FROM hist
+) WHERE position > {skip} AND position <= {skip + size}
+ORDER BY position
+"""
+
+
+def normalize_sql() -> str:
+    """normalize (proportion_of_sum) twin over the daily histogram."""
+    return f"""
+WITH {_DAILY_HIST},
+total AS (SELECT sum(n_events)::DOUBLE AS total FROM hist)
+SELECT day::VARCHAR AS day, n_events,
+       round(n_events::DOUBLE / total, 6) AS prop_of_sum
+FROM hist, total
+ORDER BY day
+"""
+
+
+def top_metrics_sql() -> str:
+    """top_metrics twin: value at the latest (ts, event_id) per type."""
+    return """
+SELECT event_type, ts_str, latest_value FROM (
+  SELECT event_type, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+         round(value, 6) AS latest_value,
+         row_number() OVER (
+           PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS pos
+  FROM events
+) WHERE pos = 1
+ORDER BY event_type
+"""
+
+
+def t_test_sql(a: str, b: str) -> str:
+    """Welch t-test twin: DECIMAL-exact sums, identical moment chain."""
+    return f"""
+WITH base AS (
+  SELECT event_type,
+         round(value, 6)::DECIMAL(18,6) AS v,
+         round(round(value, 6) * round(value, 6), 6)::DECIMAL(28,6) AS vv
+  FROM events WHERE event_type IN ('{a}', '{b}')
+),
+g AS (
+  SELECT event_type, count(*)::BIGINT AS n, sum(v) AS sv, sum(vv) AS svv
+  FROM base GROUP BY 1
+),
+stats AS (
+  SELECT event_type, n,
+         sv::DOUBLE / n::DOUBLE AS m,
+         (svv::DOUBLE - n::DOUBLE * (sv::DOUBLE / n::DOUBLE)
+            * (sv::DOUBLE / n::DOUBLE)) / (n::DOUBLE - 1.0) AS s2
+  FROM g
+)
+SELECT sa.n AS n1, sb.n AS n2,
+       round(sa.m, 6) AS mean_a, round(sb.m, 6) AS mean_b,
+       round((sa.m - sb.m)
+             / sqrt(sa.s2 / sa.n::DOUBLE + sb.s2 / sb.n::DOUBLE), 6)
+         AS t_stat
+FROM (SELECT * FROM stats WHERE event_type = '{a}') sa,
+     (SELECT * FROM stats WHERE event_type = '{b}') sb
+"""
+
+
+def extended_stats_sql() -> str:
+    """extended_stats twin: BIGINT moments, population variance, sigma=2
+    bounds."""
+    return """
+WITH g AS (
+  SELECT count(*)::BIGINT AS n_docs,
+         min(n_chars)::BIGINT AS min_chars,
+         max(n_chars)::BIGINT AS max_chars,
+         sum(n_chars)::BIGINT AS sum_chars,
+         sum(n_chars * n_chars)::BIGINT AS ssq
+  FROM documents
+)
+SELECT n_docs, min_chars, max_chars, sum_chars,
+       round(sum_chars::DOUBLE / n_docs::DOUBLE, 6) AS avg_chars,
+       ssq AS sum_of_squares,
+       round((ssq::DOUBLE - n_docs::DOUBLE
+              * (sum_chars::DOUBLE / n_docs::DOUBLE)
+              * (sum_chars::DOUBLE / n_docs::DOUBLE)) / n_docs::DOUBLE, 6)
+         AS variance,
+       round(sqrt((ssq::DOUBLE - n_docs::DOUBLE
+              * (sum_chars::DOUBLE / n_docs::DOUBLE)
+              * (sum_chars::DOUBLE / n_docs::DOUBLE)) / n_docs::DOUBLE), 6)
+         AS std_deviation,
+       round(sum_chars::DOUBLE / n_docs::DOUBLE
+             + 2.0 * sqrt((ssq::DOUBLE - n_docs::DOUBLE
+               * (sum_chars::DOUBLE / n_docs::DOUBLE)
+               * (sum_chars::DOUBLE / n_docs::DOUBLE)) / n_docs::DOUBLE), 6)
+         AS std_upper,
+       round(sum_chars::DOUBLE / n_docs::DOUBLE
+             - 2.0 * sqrt((ssq::DOUBLE - n_docs::DOUBLE
+               * (sum_chars::DOUBLE / n_docs::DOUBLE)
+               * (sum_chars::DOUBLE / n_docs::DOUBLE)) / n_docs::DOUBLE), 6)
+         AS std_lower
+FROM g
+"""
+
+
+def boxplot_sql() -> str:
+    """boxplot twin: per-lang type-7 quartiles + IQR on n_chars."""
+    return """
+SELECT lang,
+       count(*)::BIGINT AS n_docs,
+       min(n_chars)::BIGINT AS min_chars,
+       round(quantile_cont(n_chars, 0.25), 6) AS q1,
+       round(quantile_cont(n_chars, 0.5), 6) AS q2,
+       round(quantile_cont(n_chars, 0.75), 6) AS q3,
+       max(n_chars)::BIGINT AS max_chars,
+       round(quantile_cont(n_chars, 0.75) - quantile_cont(n_chars, 0.25), 6)
+         AS iqr
+FROM documents
+GROUP BY lang ORDER BY lang
+"""
+
+
+def mad_sql() -> str:
+    """median_absolute_deviation twin: exact median of |x - median|."""
+    return """
+WITH med AS (
+  SELECT lang, quantile_cont(n_chars, 0.5) AS med
+  FROM documents GROUP BY lang
+),
+dev AS (
+  SELECT d.lang, abs(d.n_chars::DOUBLE - m.med) AS ad
+  FROM documents d JOIN med m USING (lang)
+)
+SELECT dev.lang, round(m.med, 6) AS median_chars,
+       round(quantile_cont(dev.ad, 0.5), 6) AS mad
+FROM dev JOIN med m ON dev.lang = m.lang
+GROUP BY dev.lang, m.med
+ORDER BY dev.lang
+"""
+
+
+def matrix_stats_sql() -> str:
+    """matrix_stats twin: BIGINT cross-moments on (n_chars, dl), sample
+    covariance + Pearson correlation."""
+    return f"""
+WITH base AS (
+  SELECT n_chars::BIGINT AS x, len({TOKS})::BIGINT AS y FROM documents
+),
+g AS (
+  SELECT count(*)::BIGINT AS n_docs,
+         sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+         sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy,
+         sum(x * y)::BIGINT AS sxy
+  FROM base
+),
+m AS (
+  SELECT n_docs,
+         sx::DOUBLE / n_docs::DOUBLE AS mx,
+         sy::DOUBLE / n_docs::DOUBLE AS my,
+         (sxx::DOUBLE - n_docs::DOUBLE * (sx::DOUBLE / n_docs::DOUBLE)
+            * (sx::DOUBLE / n_docs::DOUBLE)) / (n_docs::DOUBLE - 1.0) AS vx,
+         (syy::DOUBLE - n_docs::DOUBLE * (sy::DOUBLE / n_docs::DOUBLE)
+            * (sy::DOUBLE / n_docs::DOUBLE)) / (n_docs::DOUBLE - 1.0) AS vy,
+         (sxy::DOUBLE - n_docs::DOUBLE * (sx::DOUBLE / n_docs::DOUBLE)
+            * (sy::DOUBLE / n_docs::DOUBLE)) / (n_docs::DOUBLE - 1.0) AS cov
+  FROM g
+)
+SELECT n_docs,
+       round(mx, 6) AS mean_chars, round(my, 6) AS mean_tokens,
+       round(vx, 6) AS var_chars, round(vy, 6) AS var_tokens,
+       round(cov, 6) AS covariance,
+       round(cov / sqrt(vx * vy), 6) AS correlation
+FROM m
+"""
+
+
+def filters_agg_sql(buckets) -> str:
+    """filters-agg twin: CASE-mapped named length bands."""
+    arms = []
+    for name, lo, hi in buckets:
+        cond = f"n_chars >= {lo}"
+        if hi is not None:
+            cond += f" AND n_chars < {hi}"
+        arms.append(f"WHEN {cond} THEN '{name}'")
+    case = "CASE " + " ".join(arms) + " ELSE 'other' END"
+    return f"""
+SELECT {case} AS key, count(*)::BIGINT AS n_docs,
+       round(sum(n_chars)::DOUBLE / count(*)::DOUBLE, 6) AS avg_chars
+FROM documents
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def has_child_sql(
+    priority: str, status: str, min_children: int, k: int
+) -> str:
+    """has_child twin: per-parent sum of matching children's totalprice,
+    min_children enforced."""
+    return f"""
+WITH per_parent AS (
+  SELECT o_custkey AS c_custkey,
+         count(*)::BIGINT AS n_children,
+         round(sum(round(o_totalprice, 6)::DECIMAL(18,6))::DOUBLE, 6)
+           AS score
+  FROM orders
+  WHERE o_orderpriority = '{priority}' AND o_orderstatus = '{status}'
+  GROUP BY 1
+  HAVING count(*) >= {min_children}
+)
+SELECT c_custkey, n_children, score, rank FROM (
+  SELECT *, row_number() OVER (ORDER BY score DESC, c_custkey ASC) AS rank
+  FROM per_parent
+) WHERE rank <= {k}
+"""
+
+
+def has_parent_sql(segment: str, k: int) -> str:
+    """has_parent twin: children of matching parents, parent acctbal as
+    score."""
+    return f"""
+SELECT o_orderkey, c_custkey, parent_score, rank FROM (
+  SELECT o.o_orderkey, c.c_custkey,
+         round(c.c_acctbal, 6) AS parent_score,
+         row_number() OVER (
+           ORDER BY round(c.c_acctbal, 6) DESC, o.o_orderkey ASC) AS rank
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment = '{segment}'
+) WHERE rank <= {k}
+"""
+
+
+def children_agg_sql() -> str:
+    """children-agg twin: child count + DECIMAL revenue per parent
+    segment."""
+    return """
+SELECT c.c_mktsegment,
+       count(*)::BIGINT AS n_orders,
+       round(sum(round(o.o_totalprice, 6)::DECIMAL(18,6))::DOUBLE, 6)
+         AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def scripted_metric_sql() -> str:
+    """scripted_metric twin: per-type RMS from DECIMAL-exact square sums."""
+    return """
+SELECT event_type, count(*)::BIGINT AS n,
+       round(sqrt(sum(round(round(value, 6) * round(value, 6), 6)
+                      ::DECIMAL(28,6))::DOUBLE
+                  / count(*)::DOUBLE), 6) AS rms_value
+FROM events
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def combined_fields_sql(
+    query_text: str,
+    kw_field: str = "source",
+    w_text: float = 1.0,
+    w_kw: float = 2.0,
+    k: int = 10,
+) -> str:
+    """combined_fields twin: merged-pseudo-field BM25 (shared length
+    norm), any-field df."""
+    qlit = query_text.replace("'", "''")
+    return f"""
+WITH doclens AS (
+  SELECT doc_id, len({TOKS}) AS dl FROM documents
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n_docs,
+         {w_text} * avg(dl::DOUBLE) + {w_kw} AS avgdl_c
+  FROM doclens
+),
+toks AS (
+  SELECT doc_id, unnest({TOKS}) AS term FROM documents
+),
+postings AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2
+),
+qterms AS (
+  SELECT DISTINCT unnest({duckdb_tokens_sql(f"'{qlit}'")}) AS term
+),
+tt AS (
+  SELECT p.doc_id, p.term, p.tf AS tf_text
+  FROM postings p JOIN qterms q USING (term)
+),
+kw AS (
+  SELECT doc_id, {kw_field} AS term, 1.0 AS tf_kw FROM documents
+  WHERE {kw_field} IN (SELECT term FROM qterms)
+),
+m AS (
+  SELECT coalesce(t.doc_id, w.doc_id) AS doc_id,
+         coalesce(t.term, w.term) AS term,
+         coalesce(t.tf_text, 0) AS tf_text,
+         coalesce(w.tf_kw, 0) AS tf_kw
+  FROM tt t FULL JOIN kw w ON t.doc_id = w.doc_id AND t.term = w.term
+),
+dfa AS (
+  SELECT term, count(*)::DOUBLE AS df_any FROM m GROUP BY 1
+),
+mm AS (
+  SELECT m.doc_id, m.term,
+         {w_text} * m.tf_text + {w_kw} * m.tf_kw AS tfc,
+         {K1} * ((1 - {B}) + {B}
+           * ({w_text} * coalesce(l.dl, 0)::DOUBLE + {w_kw}) / s.avgdl_c)
+           AS norm
+  FROM m LEFT JOIN doclens l USING (doc_id) CROSS JOIN stats s
+),
+scored AS (
+  SELECT mm.doc_id,
+         ln(1 + (s.n_docs - d.df_any + 0.5) / (d.df_any + 0.5))
+           * mm.tfc * ({K1} + 1.0) / (mm.tfc + mm.norm) AS contrib
+  FROM mm JOIN dfa d USING (term) CROSS JOIN stats s
+),
+agg AS (
+  SELECT doc_id, round(sum(contrib), 6) AS score FROM scored GROUP BY 1
+)
+SELECT doc_id, score, rank FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM agg
+) WHERE rank <= {k}
+"""
+
+
+def rank_eval_sql(query_text: str, k: int, min_terms: int) -> str:
+    """rank_eval twin: precision/MRR/NDCG@k of the BM25 page against
+    derived graded labels."""
+    return f"""
+WITH {_qterms_cte(query_text)}
+{_BM25_AGG},
+page AS (
+  SELECT doc_id, rank FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+    FROM agg
+  ) WHERE rank <= {k}
+),
+rels AS (
+  SELECT d.doc_id,
+         greatest(
+           (SELECT count(*) FROM qterms q
+            WHERE list_contains({TOKS}, q.term)) - {min_terms - 1},
+           0)::BIGINT AS rel
+  FROM documents d
+),
+pg AS (
+  SELECT p.rank, coalesce(r.rel, 0) AS rel,
+         round((pow(2.0, coalesce(r.rel, 0)::DOUBLE) - 1.0)
+               / log2(p.rank::DOUBLE + 1.0), 6)::DECIMAL(18,6) AS dg
+  FROM page p LEFT JOIN rels r USING (doc_id)
+),
+pm AS (
+  SELECT round(sum(dg)::DOUBLE, 6) AS dcg,
+         round(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END)::DOUBLE
+               / {float(k)!r}, 6) AS precision,
+         round(coalesce(
+           1.0 / min(CASE WHEN rel > 0 THEN rank END)::DOUBLE, 0.0), 6)
+           AS mrr
+  FROM pg
+),
+ideal AS (
+  SELECT round((pow(2.0, rel::DOUBLE) - 1.0)
+               / log2(irank::DOUBLE + 1.0), 6)::DECIMAL(18,6) AS idg
+  FROM (
+    SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id ASC) AS irank
+    FROM rels WHERE rel > 0
+  ) WHERE irank <= {k}
+),
+im AS (SELECT round(sum(idg)::DOUBLE, 6) AS idcg FROM ideal)
+SELECT precision, mrr, dcg, idcg, round(dcg / idcg, 6) AS ndcg
+FROM pm, im
+"""
+
+
+def linear_classifier_sql(k: int) -> str:
+    """Hashed-linear-classifier twin: integer per-mille weights from the
+    shared md5 hash."""
+    h = _MD5_52.format(e="term")
+    return f"""
+WITH tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest({TOKS}) AS term FROM documents)
+  GROUP BY 1, 2
+),
+per_doc AS (
+  SELECT doc_id, sum(tf * (({h}) % 2001 - 1000))::BIGINT AS milli
+  FROM tf GROUP BY 1
+),
+scored AS (
+  SELECT doc_id,
+         round(milli::DOUBLE / 1000.0, 6) AS score,
+         CASE WHEN milli > 0 THEN 'keep' ELSE 'drop' END AS label
+  FROM per_doc
+)
+SELECT doc_id, score, label, rank FROM (
+  SELECT *, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+def sampler_agg_sql(n_shards: int, per_shard: int) -> str:
+    """sampler-agg twin: first per_shard docs per doc_id-mod shard, lang
+    counts over the sample."""
+    return f"""
+WITH sampled AS (
+  SELECT lang FROM (
+    SELECT lang,
+           row_number() OVER (
+             PARTITION BY doc_id % {n_shards} ORDER BY doc_id ASC) AS pos
+    FROM documents
+  ) WHERE pos <= {per_shard}
+)
+SELECT lang, count(*)::BIGINT AS n_sampled
+FROM sampled GROUP BY 1 ORDER BY 1
+"""
+
+
+def geo_distance_sql(
+    clat: float, clon: float, max_km: float, k: int
+) -> str:
+    """geo_distance twin: md5-derived coordinates, identical haversine
+    chain, rank on the 3dp-rounded distance."""
+    hlat = _MD5_52.format(e="doc_id::VARCHAR || ':lat'")
+    hlon = _MD5_52.format(e="doc_id::VARCHAR || ':lon'")
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         (({hlat}) % 1800001)::DOUBLE / 10000.0 - 90.0 AS lat,
+         (({hlon}) % 3600001)::DOUBLE / 10000.0 - 180.0 AS lon
+  FROM documents
+),
+hits AS (
+  SELECT doc_id, round(lat, 4) AS lat, round(lon, 4) AS lon,
+         round(2.0 * 6371.0 * asin(sqrt(
+           sin(radians(lat - ({clat!r})) / 2.0)
+             * sin(radians(lat - ({clat!r})) / 2.0)
+           + cos(radians({clat!r})) * cos(radians(lat))
+             * sin(radians(lon - ({clon!r})) / 2.0)
+             * sin(radians(lon - ({clon!r})) / 2.0))), 3) AS dist_km
+  FROM base
+)
+SELECT doc_id, lat, lon, dist_km, rank FROM (
+  SELECT *, row_number() OVER (ORDER BY dist_km ASC, doc_id ASC) AS rank
+  FROM hits WHERE dist_km <= {max_km!r}
+) WHERE rank <= {k}
+"""

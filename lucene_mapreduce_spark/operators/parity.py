@@ -820,3 +820,338 @@ def scroll_slices(
         )
         .orderBy("slice_id")
     )
+
+
+SERIAL_DIFF_LAG = 7
+
+
+def serial_diff_pipeline(
+    spark: SparkSession, sf_dir: str, lag: int = SERIAL_DIFF_LAG
+) -> DataFrame:
+    """ES `serial_diff` pipeline aggregation (lag=7): the week-over-week
+    difference of each daily bucket count over the gap-filled histogram —
+    the seasonality-removal twin of `derivative` (lag=1). The first
+    `lag` buckets default to 0 (ES omits them; a dense schema keeps the
+    gate's column contract stable). Integer lag arithmetic over the
+    bounded bucket series."""
+    hist = date_histogram_facets(spark, sf_dir)
+    w = Window.orderBy("day")
+    return hist.select(
+        "day",
+        "n_events",
+        F.coalesce(
+            F.col("n_events") - F.lag("n_events", lag).over(w), F.lit(0)
+        ).cast("long").alias("serial_diff"),
+    ).orderBy("day")
+
+
+def bucket_extrema_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `max_bucket` + `min_bucket` sibling pipelines over the daily
+    histogram: which bucket holds the extreme value, and what it is.
+    ES returns ALL tied keys as an array; this returns the EARLIEST tied
+    day (deterministic scalar key — documented divergence, the value is
+    identical). Two rows ('max', 'min'); empty gap-filled days make the
+    min honest (a day with zero events is a real minimum). One bounded
+    sort over the bucket series, never the event stream."""
+    hist = date_histogram_facets(spark, sf_dir)
+    mx = (
+        hist.orderBy(F.desc("n_events"), F.asc("day"))
+        .limit(1)
+        .select(F.lit("max_bucket").alias("metric"), F.col("day").alias("key"),
+                F.col("n_events").cast("long").alias("value"))
+    )
+    mn = (
+        hist.orderBy(F.asc("n_events"), F.asc("day"))
+        .limit(1)
+        .select(F.lit("min_bucket").alias("metric"), F.col("day").alias("key"),
+                F.col("n_events").cast("long").alias("value"))
+    )
+    return mx.unionAll(mn).orderBy("metric")
+
+
+def bucket_script_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `bucket_script` parent pipeline: a per-bucket metric computed
+    FROM two sibling sub-aggregations — here purchase revenue per event
+    (sum(value) where event_type='purchase' / bucket count) per day.
+    Both sub-aggs come out of ONE conditional aggregate pass (never one
+    scan per metric); the float leg is per-row 6dp-rounded and summed as
+    DECIMAL(18,6) (order-free exact), the script division is one IEEE op
+    on identical operands."""
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        F.to_date("ts").cast("string").alias("day"),
+        F.when(
+            F.col("event_type") == "purchase",
+            F.round("value", 6).cast("decimal(18,6)"),
+        ).otherwise(F.lit(0).cast("decimal(18,6)")).alias("pv"),
+    )
+    return (
+        base.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("pv").alias("psum"),
+        )
+        .select(
+            "day",
+            "n_events",
+            F.round(F.col("psum").cast("double"), 6).alias("purchase_sum"),
+            F.round(
+                F.col("psum").cast("double") / F.col("n_events").cast("double"),
+                6,
+            ).alias("purchase_per_event"),
+        )
+        .orderBy("day")
+    )
+
+
+BUCKET_SORT_FROM = 2
+BUCKET_SORT_SIZE = 5
+
+
+def bucket_sort_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    skip: int = BUCKET_SORT_FROM,
+    size: int = BUCKET_SORT_SIZE,
+) -> DataFrame:
+    """ES `bucket_sort` pipeline: re-order the daily buckets by their
+    metric (count desc, day asc tie-break — deterministic under equal
+    counts) and page with from/size — the "top busiest days" panel.
+    The sort runs over the bounded bucket series (30 rows), not the
+    event stream; position is the 1-based rank in the sorted series."""
+    hist = date_histogram_facets(spark, sf_dir)
+    w = Window.orderBy(F.desc("n_events"), F.asc("day"))
+    return (
+        hist.withColumn("position", F.row_number().over(w))
+        .filter(
+            (F.col("position") > skip) & (F.col("position") <= skip + size)
+        )
+        .select("position", "day", F.col("n_events").cast("long").alias("n_events"))
+        .orderBy("position")
+    )
+
+
+def normalize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `normalize` pipeline (method=proportion_of_sum): each daily
+    bucket's share of the total event count. The total is a one-row
+    aggregate broadcast back onto the bounded bucket series (no
+    unpartitioned window, no second stream scan); BIGINT counts divide
+    once per bucket."""
+    hist = date_histogram_facets(spark, sf_dir)
+    total = hist.agg(F.sum("n_events").cast("double").alias("total"))
+    return (
+        hist.crossJoin(F.broadcast(total))
+        .select(
+            "day",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.round(F.col("n_events").cast("double") / F.col("total"), 6)
+            .alias("prop_of_sum"),
+        )
+        .orderBy("day")
+    )
+
+
+def top_metrics_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `top_metrics` aggregation: per event_type, the `value` carried
+    by the LATEST event (sort: ts desc, event_id desc — the id tie-break
+    makes equal-timestamp streams deterministic, which ES leaves
+    undefined). One per-group window (parallel across types,
+    WindowGroupLimit-prunable); the timestamp reports as a
+    microsecond-precision formatted string — engine-neutral (the column
+    is TIMESTAMP_NTZ, so epoch conversion would drag in a session
+    timezone)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") == 1)
+        .select(
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+            F.round("value", 6).alias("latest_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+T_TEST_GROUPS = ("click", "view")
+
+
+def t_test_agg(
+    spark: SparkSession,
+    sf_dir: str,
+    groups: tuple[str, str] = T_TEST_GROUPS,
+) -> DataFrame:
+    """ES `t_test` aggregation (type=heteroscedastic): Welch's t between
+    two event populations' values. Per-row values are 6dp-rounded and
+    summed as DECIMAL (order-free exact: mean numerators and
+    sum-of-squares are bit-identical at any parallelism); the variance /
+    t-statistic arithmetic is then a fixed chain of IEEE ops on those
+    identical operands, written with the same shape in both engines.
+    One conditional-aggregate pass over the stream — never one scan per
+    population."""
+    a, b = groups
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(list(groups))
+    )
+    base = ev.select(
+        "event_type",
+        F.round("value", 6).cast("decimal(18,6)").alias("v"),
+        F.round(
+            F.round("value", 6) * F.round("value", 6), 6
+        ).cast("decimal(28,6)").alias("vv"),
+    )
+    g = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").alias("sv"),
+        F.sum("vv").alias("svv"),
+    )
+    n = F.col("n").cast("double")
+    m = F.col("sv").cast("double") / n
+    # sample variance from exact sums: (ssq - n*m*m) / (n-1)
+    s2 = (F.col("svv").cast("double") - n * m * m) / (n - F.lit(1.0))
+    stats = g.select(
+        "event_type", "n", m.alias("mean"), s2.alias("s2")
+    )
+    sa = stats.filter(F.col("event_type") == a).select(
+        F.col("n").alias("n1"), F.col("mean").alias("m1"), F.col("s2").alias("s21")
+    )
+    sb = stats.filter(F.col("event_type") == b).select(
+        F.col("n").alias("n2"), F.col("mean").alias("m2"), F.col("s2").alias("s22")
+    )
+    return sa.crossJoin(F.broadcast(sb)).select(
+        "n1",
+        "n2",
+        F.round("m1", 6).alias("mean_a"),
+        F.round("m2", 6).alias("mean_b"),
+        F.round(
+            (F.col("m1") - F.col("m2"))
+            / F.sqrt(
+                F.col("s21") / F.col("n1").cast("double")
+                + F.col("s22") / F.col("n2").cast("double")
+            ),
+            6,
+        ).alias("t_stat"),
+    )
+
+
+HAS_CHILD_PRED = ("1-URGENT", "O")  # child query: priority + status
+HAS_CHILD_MIN = 2  # ES min_children
+
+
+def has_child_query(
+    spark: SparkSession,
+    sf_dir: str,
+    priority: str = HAS_CHILD_PRED[0],
+    status: str = HAS_CHILD_PRED[1],
+    min_children: int = HAS_CHILD_MIN,
+    k: int = 10,
+) -> DataFrame:
+    """ES `has_child` query (join field parity, customer->orders):
+    parents whose children match the child query, score_mode=sum over
+    the matching children's scores (child score = its totalprice),
+    min_children enforced. The child filter pushes into the orders scan;
+    scoring is one combinable groupBy on the child's parent key — the
+    parent table is only touched to type the survivors (left-semi by
+    construction of the key). Child money sums as DECIMAL — order-free
+    exact."""
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == priority)
+        & (F.col("o_orderstatus") == status)
+    )
+    per_parent = (
+        orders.select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.round("o_totalprice", 6).cast("decimal(18,6)").alias("v"),
+        )
+        .groupBy("c_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_children"),
+            F.round(F.sum("v").cast("double"), 6).alias("score"),
+        )
+        .filter(F.col("n_children") >= min_children)
+    )
+    return ranked_topk(
+        per_parent, [F.desc("score"), F.asc("c_custkey")], k
+    ).select("c_custkey", "n_children", "score", "rank")
+
+
+HAS_PARENT_SEGMENT = "BUILDING"
+
+
+def has_parent_query(
+    spark: SparkSession,
+    sf_dir: str,
+    segment: str = HAS_PARENT_SEGMENT,
+    k: int = 10,
+) -> DataFrame:
+    """ES `has_parent` query (customer->orders): children whose PARENT
+    matches the parent query (mktsegment), each child carrying the
+    parent's score (score=true; parent score = its acctbal). The matched
+    parent set is a filtered dim broadcast onto the child scan — no
+    shuffle of the big side, the 100-TB-correct shape for a selective
+    parent query."""
+    cust = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == segment
+    ).select("c_custkey", F.round("c_acctbal", 6).alias("parent_score"))
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("c_custkey")
+    )
+    hits = orders.join(F.broadcast(cust), "c_custkey")
+    return ranked_topk(
+        hits, [F.desc("parent_score"), F.asc("o_orderkey")], k
+    ).select("o_orderkey", "c_custkey", "parent_score", "rank")
+
+
+def children_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `children` aggregation: bucket by a PARENT field (mktsegment),
+    aggregate over each bucket's CHILDREN (order count + revenue). One
+    equi-join from the child stream to the parent key (dim broadcast at
+    gate scale; at 100 TB both sides shuffle on custkey, which bucketing
+    co-locates) and one combinable groupBy; revenue sums as DECIMAL."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.round("o_totalprice", 6).cast("decimal(18,6)").alias("v"),
+    )
+    return (
+        orders.join(F.broadcast(cust), "c_custkey")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum("v").cast("double"), 6).alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def scripted_metric_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `scripted_metric` aggregation parity: a user-defined
+    map/combine/reduce fold — here the RMS of `value` per event_type
+    (map: v^2; combine: partial sums; reduce: sqrt(sum/n)). The fold is
+    expressed as a combinable aggregate, NOT a per-row script: squares
+    are 6dp-rounded and summed as DECIMAL (order-free exact), so the
+    distributed fold is bit-identical to the serial one — the property
+    ES scripted_metric leaves to the script author."""
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.round(F.round("value", 6) * F.round("value", 6), 6)
+        .cast("decimal(28,6)")
+        .alias("vv"),
+    )
+    return (
+        base.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(
+                F.sqrt(
+                    F.sum("vv").cast("double") / F.count(F.lit(1)).cast("double")
+                ),
+                6,
+            ).alias("rms_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -731,3 +731,289 @@ def string_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum("h").cast("double"), 6).alias("unigram_entropy"))
     )
     return lens.crossJoin(F.broadcast(ent))
+
+
+def extended_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `extended_stats` aggregation over n_chars: count, min, max,
+    sum, avg, sum_of_squares, population variance, std deviation, and
+    the sigma=2 bounds. Every accumulator is a BIGINT sum of integers
+    (order-free exact); the moment arithmetic — (ssq - n*m^2)/n — is a
+    fixed IEEE chain on identical operands in both engines, so 6dp
+    rounding hash-matches. One map-side-combinable aggregate."""
+    docs = load(spark, sf_dir, "documents")
+    g = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("long").alias("ssq"),
+    )
+    n = F.col("n_docs").cast("double")
+    m = F.col("sum_chars").cast("double") / n
+    var = (F.col("ssq").cast("double") - n * m * m) / n
+    return g.select(
+        "n_docs",
+        "min_chars",
+        "max_chars",
+        "sum_chars",
+        F.round(m, 6).alias("avg_chars"),
+        F.col("ssq").alias("sum_of_squares"),
+        F.round(var, 6).alias("variance"),
+        F.round(F.sqrt(var), 6).alias("std_deviation"),
+        F.round(m + F.lit(2.0) * F.sqrt(var), 6).alias("std_upper"),
+        F.round(m - F.lit(2.0) * F.sqrt(var), 6).alias("std_lower"),
+    )
+
+
+def boxplot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `boxplot` aggregation per lang over n_chars: min, q1, median,
+    q3, max, IQR. Quartiles are exact type-7 (linear-interpolated)
+    order statistics — Spark `percentile` and DuckDB `quantile_cont`
+    share the definition to float64 (the dl_percentiles contract); ES's
+    TDigest is approximate, so the exact answer IS the spec at gate
+    scale. Per-group percentile sorts stay inside each lang partition."""
+    docs = load(spark, sf_dir, "documents")
+    g = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+        F.expr("percentile(n_chars, array(0.25, 0.5, 0.75))").alias("qs"),
+    )
+    q1 = F.element_at("qs", 1)
+    q2 = F.element_at("qs", 2)
+    q3 = F.element_at("qs", 3)
+    return g.select(
+        "lang",
+        "n_docs",
+        "min_chars",
+        F.round(q1, 6).alias("q1"),
+        F.round(q2, 6).alias("q2"),
+        F.round(q3, 6).alias("q3"),
+        "max_chars",
+        F.round(q3 - q1, 6).alias("iqr"),
+    ).orderBy("lang")
+
+
+def mad_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `median_absolute_deviation` aggregation per lang over n_chars:
+    median of |x - median(x)|, both medians exact type-7 (ES's TDigest
+    variant is approximate — exact is the spec here). Two grouped
+    percentile passes; the per-lang medians re-attach via a broadcast
+    join (lang cardinality is tiny), so the second pass is one more
+    shuffle-free scan."""
+    docs = load(spark, sf_dir, "documents").select("lang", "n_chars")
+    med = docs.groupBy("lang").agg(
+        F.expr("percentile(n_chars, 0.5)").alias("med")
+    )
+    dev = docs.join(F.broadcast(med), "lang").select(
+        "lang", F.abs(F.col("n_chars").cast("double") - F.col("med")).alias("ad")
+    )
+    return (
+        dev.groupBy("lang")
+        .agg(F.round(F.expr("percentile(ad, 0.5)"), 6).alias("mad"))
+        .join(med.select("lang", F.round("med", 6).alias("median_chars")), "lang")
+        .select("lang", "median_chars", "mad")
+        .orderBy("lang")
+    )
+
+
+def matrix_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `matrix_stats` aggregation over the field pair
+    (n_chars, token count): counts, means, sample variances, covariance,
+    and Pearson correlation. Both fields are integers, so all five
+    accumulators (sums, both sums of squares, the cross-product sum) are
+    BIGINT-exact and order-free; the moment formulas then run as an
+    identical IEEE chain in both engines. One aggregate over one scan —
+    the tokenizer supplies y without a second pass."""
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(
+        F.col("n_chars").cast("long").alias("x"),
+        F.size(tokenize_col("text")).cast("long").alias("y"),
+    )
+    g = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n_docs").cast("double")
+    mx = F.col("sx").cast("double") / n
+    my = F.col("sy").cast("double") / n
+    vx = (F.col("sxx").cast("double") - n * mx * mx) / (n - F.lit(1.0))
+    vy = (F.col("syy").cast("double") - n * my * my) / (n - F.lit(1.0))
+    cov = (F.col("sxy").cast("double") - n * mx * my) / (n - F.lit(1.0))
+    return g.select(
+        "n_docs",
+        F.round(mx, 6).alias("mean_chars"),
+        F.round(my, 6).alias("mean_tokens"),
+        F.round(vx, 6).alias("var_chars"),
+        F.round(vy, 6).alias("var_tokens"),
+        F.round(cov, 6).alias("covariance"),
+        F.round(cov / F.sqrt(vx * vy), 6).alias("correlation"),
+    )
+
+
+FILTERS_BUCKETS = (("short", 0, 220), ("medium", 220, 380), ("long", 380, None))
+
+
+def filters_agg(
+    spark: SparkSession,
+    sf_dir: str,
+    buckets: tuple = FILTERS_BUCKETS,
+) -> DataFrame:
+    """ES `filters` aggregation: named predicate buckets (here n_chars
+    length bands, exhaustive by construction — the ES `other_bucket`
+    slot would catch anything unmatched) each reporting its doc count
+    and mean length. The bands are disjoint, so one CASE projection +
+    one combinable groupBy covers every bucket in a single scan — never
+    one filtered pass per named bucket."""
+    docs = load(spark, sf_dir, "documents")
+    key = None
+    for name, lo, hi in buckets:
+        cond = F.col("n_chars") >= lo
+        if hi is not None:
+            cond = cond & (F.col("n_chars") < hi)
+        key = F.when(cond, name) if key is None else key.when(cond, name)
+    base = docs.select(key.otherwise("other").alias("key"), "n_chars")
+    return (
+        base.groupBy("key")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(
+                F.sum("n_chars").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_chars"),
+        )
+        .orderBy("key")
+    )
+
+
+def _md5_52(col):
+    """52-bit integer from the md5 hex prefix — the engine-shared hash
+    (DuckDB twin: _MD5_52 in oracles.py)."""
+    return F.conv(F.substring(F.md5(col), 1, 13), 16, 10).cast("long")
+
+
+def linear_classifier_topk(
+    spark: SparkSession, sf_dir: str, k: int = 10
+) -> DataFrame:
+    """Hashed linear text classifier (the fastText-style quality-filter
+    shape of a training pipeline): score(doc) = sum_t tf_t * w(t) with
+    w(t) = (md5_52(t) mod 2001 - 1000) / 1000 — a deterministic stand-in
+    weight table; a production run swaps in learned weights via the same
+    hashing-trick lookup (no vocabulary broadcast, the hash IS the
+    table). All arithmetic below the final divide is INTEGER (tf x
+    per-mille weight, BIGINT sums) — order-free exact at any
+    parallelism. Top-k most 'positive' docs + the sign label."""
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+
+    docs = load(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(tokenize_col("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    w_milli = F.pmod(_md5_52(F.col("term")), F.lit(2001)) - F.lit(1000)
+    per_doc = (
+        tf.select("doc_id", (F.col("tf") * w_milli).alias("contrib_milli"))
+        .groupBy("doc_id")
+        .agg(F.sum("contrib_milli").cast("long").alias("milli"))
+        .select(
+            "doc_id",
+            F.round(F.col("milli").cast("double") / F.lit(1000.0), 6).alias(
+                "score"
+            ),
+            F.when(F.col("milli") > 0, "keep").otherwise("drop").alias("label"),
+        )
+    )
+    return ranked_topk(per_doc, [F.desc("score"), F.asc("doc_id")], k).select(
+        "doc_id", "score", "label", "rank"
+    )
+
+
+SAMPLER_SHARDS = 4
+SAMPLER_PER_SHARD = 25
+
+
+def sampler_agg(
+    spark: SparkSession,
+    sf_dir: str,
+    n_shards: int = SAMPLER_SHARDS,
+    per_shard: int = SAMPLER_PER_SHARD,
+) -> DataFrame:
+    """ES `sampler` aggregation: sub-aggregate over only the FIRST
+    shard_size docs per shard instead of the full hit set (ES's
+    cost-capped facet). Shard = doc_id mod n (the gate's shard model,
+    like terms_shard_approx); 'first' = lowest doc_id — ES takes
+    first-seen segment order, which a deterministic engine must pin.
+    The per-shard cut is a WindowGroupLimit (map-side prunable), the
+    sub-agg (lang counts) runs over <= n*shard_size survivors."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.pmod("doc_id", F.lit(n_shards)).alias("shard")
+    )
+    w = Window.partitionBy("shard").orderBy(F.asc("doc_id"))
+    sampled = docs.withColumn("pos", F.row_number().over(w)).filter(
+        F.col("pos") <= per_shard
+    )
+    return (
+        sampled.groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sampled"))
+        .orderBy("lang")
+    )
+
+
+GEO_CENTER = (40.7, -74.0)  # query point (lat, lon)
+GEO_MAX_KM = 8000.0
+
+
+def geo_distance_query(
+    spark: SparkSession,
+    sf_dir: str,
+    center: tuple[float, float] = GEO_CENTER,
+    max_km: float = GEO_MAX_KM,
+    k: int = 10,
+) -> DataFrame:
+    """ES `geo_distance` query + sort: docs within max_km of a point,
+    nearest first. The corpus has no geo field, so coordinates derive
+    deterministically from the doc id via the engine-shared md5 hash
+    (lat in [-90,90], lon in [-180,180] at 1e-4 degree grid) — the
+    Spark-side plumbing (haversine in codegen, filter + distance sort)
+    is exactly what a real lat/lon column gets. Ranking uses the
+    3dp-ROUNDED distance with a doc_id tie-break (the random_score
+    lesson: never rank on unrounded floats across engines). Shuffle-free
+    scan + bounded top-k."""
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+
+    clat, clon = center
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    lat = (
+        F.pmod(_md5_52(F.concat(F.col("doc_id").cast("string"), F.lit(":lat"))),
+               F.lit(1800001)).cast("double") / F.lit(10000.0) - F.lit(90.0)
+    )
+    lon = (
+        F.pmod(_md5_52(F.concat(F.col("doc_id").cast("string"), F.lit(":lon"))),
+               F.lit(3600001)).cast("double") / F.lit(10000.0) - F.lit(180.0)
+    )
+    base = docs.select("doc_id", lat.alias("lat"), lon.alias("lon"))
+    dphi = F.radians(F.col("lat") - F.lit(float(clat))) / F.lit(2.0)
+    dlmb = F.radians(F.col("lon") - F.lit(float(clon))) / F.lit(2.0)
+    a = (
+        F.sin(dphi) * F.sin(dphi)
+        + F.cos(F.radians(F.lit(float(clat))))
+        * F.cos(F.radians(F.col("lat")))
+        * F.sin(dlmb)
+        * F.sin(dlmb)
+    )
+    dist = F.round(F.lit(2.0 * 6371.0) * F.asin(F.sqrt(a)), 3)
+    hits = base.select(
+        "doc_id",
+        F.round("lat", 4).alias("lat"),
+        F.round("lon", 4).alias("lon"),
+        dist.alias("dist_km"),
+    ).filter(F.col("dist_km") <= max_km)
+    return ranked_topk(hits, [F.asc("dist_km"), F.asc("doc_id")], k).select(
+        "doc_id", "lat", "lon", "dist_km", "rank"
+    )
