@@ -110,6 +110,13 @@ from lucene_mapreduce_spark.operators.oracles import (  # noqa: E402
     linear_classifier_sql,
     sampler_agg_sql,
     geo_distance_sql,
+    mget_sql,
+    intervals_sql,
+    cumulative_cardinality_sql,
+    moving_fn_sql,
+    geo_bounding_box_sql,
+    geotile_grid_sql,
+    hll_cardinality_sql,
     filter_clause_sql,
     terms_set_sql,
     common_terms_sql,
@@ -282,6 +289,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linear_classifier_topk": textstats.linear_classifier_topk,
         "sampler_agg": textstats.sampler_agg,
         "geo_distance_query": textstats.geo_distance_query,
+        "mget_docstore": fulltext.mget_docstore,
+        "intervals_query": fulltext.intervals_query,
+        "cumulative_cardinality_pipeline": parity.cumulative_cardinality_pipeline,
+        "moving_fn_pipeline": parity.moving_fn_pipeline,
+        "geo_bounding_box_query": textstats.geo_bounding_box_query,
+        "geotile_grid_agg": textstats.geotile_grid_agg,
+        "hll_cardinality": textstats.hll_cardinality,
         "contamination_check": dedup.contamination_check,
         "gopher_rules": textstats.gopher_rules,
         "ann_batch_topk": similarity.ann_batch_topk,
@@ -586,6 +600,15 @@ WHERE len(list_filter(range(1, len(toks)), i ->
     out["geo_distance_query"] = geo_distance_sql(
         *textstats.GEO_CENTER, textstats.GEO_MAX_KM, 10
     )
+    out["mget_docstore"] = mget_sql(fulltext.MGET_N)
+    out["intervals_query"] = intervals_sql(*fulltext.INTERVALS)
+    out["cumulative_cardinality_pipeline"] = cumulative_cardinality_sql()
+    out["moving_fn_pipeline"] = moving_fn_sql(parity.MOVING_FN_WINDOW)
+    out["geo_bounding_box_query"] = geo_bounding_box_sql(*textstats.GEO_BOX, 20)
+    out["geotile_grid_agg"] = geotile_grid_sql(
+        textstats.GEOTILE_ZOOM, 10, textstats._PI_LIT, textstats._MERC_MAX_LAT
+    )
+    out["hll_cardinality"] = hll_cardinality_sql(textstats.HLL_P)
     out["span_containing_query"] = span_containing_sql(*fulltext.SPAN_CONTAINING)
     out["rank_feature_query"] = rank_feature_sql(
         fulltext.FLAGSHIP_QUERY, *fulltext.RANK_FEATURE

@@ -3812,3 +3812,89 @@ def rank_eval(
         "idcg",
         F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
     )
+
+
+# ----------------------------------------------------------------- mget
+MGET_N = 5  # GET the n smallest doc ids (literal ids can't survive sf)
+
+
+def mget_docstore(
+    spark: SparkSession, sf_dir: str, n: int = MGET_N
+) -> DataFrame:
+    """ES mget / Lucene stored-fields GET: fetch the stored fields of an
+    explicit id set straight from the docstore sidecar — no scoring, no
+    tokenization, the point-lookup API every serving layer needs. The id
+    list is literal in the plan, so the parquet scan prunes to the row
+    groups whose doc_id min/max overlap (PushedFilters: In) — at 100 TB
+    this touches a handful of pages, not the corpus. Ids here = the n
+    smallest doc_ids (pinned_query's trick: ids that exist at every sf);
+    text returns as an md5 witness to keep the gate row light."""
+    import os
+
+    from lucene_mapreduce_spark.index.manifest import load_manifest, segment_dir
+
+    ix = _gate_index(spark, sf_dir)
+    m = load_manifest(ix)
+    assert m is not None and all(s.has_docstore for s in m.segments)
+    stores = [
+        os.path.join(segment_dir(ix, s.segment_id), "docstore")
+        for s in m.ordered()
+    ]
+    assert len(stores) == 1, "mget expects the merged gate index"
+    store = spark.read.parquet(stores[0])
+    ids = [
+        r.doc_id
+        for r in store.select("doc_id").orderBy("doc_id").limit(n).collect()
+    ]
+    return (
+        store.filter(F.col("doc_id").isin(ids))
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.md5("text").alias("text_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ------------------------------------------------------------- intervals
+INTERVALS = ("table", ("scan", "merge"), 2)  # t1, any_of, max_gaps
+
+
+def intervals_query(
+    spark: SparkSession,
+    sf_dir: str,
+    first: str = INTERVALS[0],
+    any_of: tuple[str, str] = INTERVALS[1],
+    max_gaps: int = INTERVALS[2],
+) -> DataFrame:
+    """ES `intervals` query: all_of(ordered=true, max_gaps) over
+    [term, any_of(t2, t3)] — `first` must be followed by EITHER
+    alternative within max_gaps intervening tokens (q - p - 1 <=
+    max_gaps, q > p). Ordered-with-gap-budget distinguishes it from the
+    unordered span family; the any_of leg flattens two position arrays.
+    Two pruned positional-sidecar reads + one codegen exists² — same
+    distributed shape as every span operator."""
+    from lucene_mapreduce_spark.query.segments import read_positions
+
+    ix = _gate_index(spark, sf_dir)
+    pos = read_positions(spark, ix, sorted({first, *any_of}))
+    p1 = pos.filter(F.col("term") == first).select(
+        "doc_id", F.col("positions").alias("p1")
+    )
+    alts = (
+        pos.filter(F.col("term").isin(list(any_of)))
+        .groupBy("doc_id")
+        .agg(F.flatten(F.collect_list("positions")).alias("palt"))
+    )
+    j = p1.join(alts, "doc_id")
+    hit = F.exists(
+        "p1",
+        lambda p: F.exists(
+            "palt",
+            lambda q: (q > p) & (q - p - F.lit(1) <= F.lit(max_gaps)),
+        ),
+    )
+    return j.filter(hit).select("doc_id").orderBy("doc_id")

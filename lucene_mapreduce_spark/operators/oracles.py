@@ -4299,3 +4299,174 @@ SELECT doc_id, lat, lon, dist_km, rank FROM (
   FROM hits WHERE dist_km <= {max_km!r}
 ) WHERE rank <= {k}
 """
+
+
+def mget_sql(n: int) -> str:
+    """mget twin: stored fields of the n smallest ids, text as md5."""
+    return f"""
+SELECT doc_id, lang, source, n_chars::BIGINT AS n_chars,
+       md5(text) AS text_md5
+FROM documents
+WHERE doc_id IN (SELECT doc_id FROM documents ORDER BY doc_id LIMIT {n})
+ORDER BY doc_id
+"""
+
+
+def intervals_sql(first: str, any_of, max_gaps: int) -> str:
+    """intervals twin: ordered all_of(first, any_of(...)) with a gap
+    budget over token positions."""
+    alts = ", ".join(f"'{t}'" for t in sorted(any_of))
+    return f"""
+SELECT doc_id FROM (SELECT doc_id, {TOKS} AS toks FROM documents)
+WHERE len(list_filter(range(1, len(toks) + 1), i ->
+      toks[i] = '{first}'
+  AND len(list_filter(range(1, len(toks) + 1), j ->
+          toks[j] IN ({alts}) AND j > i
+          AND j - i - 1 <= {max_gaps})) > 0)) > 0
+ORDER BY doc_id
+"""
+
+
+def cumulative_cardinality_sql() -> str:
+    """cumulative_cardinality twin: first-day contribution + running
+    sum."""
+    return """
+WITH firsts AS (
+  SELECT user_id, min(ts::DATE) AS first_day FROM events GROUP BY 1
+),
+per_day AS (
+  SELECT first_day AS day, count(*)::BIGINT AS new_users
+  FROM firsts GROUP BY 1
+),
+cal AS (
+  SELECT unnest(generate_series(min(ts::DATE), max(ts::DATE),
+                                INTERVAL 1 DAY))::DATE AS day
+  FROM events
+)
+SELECT day::VARCHAR AS day,
+       coalesce(p.new_users, 0)::BIGINT AS new_users,
+       (sum(coalesce(p.new_users, 0)) OVER (ORDER BY cal.day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+         AS cum_users
+FROM cal LEFT JOIN per_day p USING (day)
+ORDER BY day
+"""
+
+
+def moving_fn_sql(window: int) -> str:
+    """moving_fn twin: trailing-window max/min/avg, current excluded."""
+    frame = f"ROWS BETWEEN {window} PRECEDING AND 1 PRECEDING"
+    return f"""
+WITH {_DAILY_HIST}
+SELECT day::VARCHAR AS day, n_events,
+       coalesce(max(n_events) OVER (ORDER BY day {frame}), 0)::BIGINT
+         AS mov_max,
+       coalesce(min(n_events) OVER (ORDER BY day {frame}), 0)::BIGINT
+         AS mov_min,
+       CASE WHEN count(n_events) OVER (ORDER BY day {frame}) > 0
+            THEN round((sum(n_events) OVER (ORDER BY day {frame}))::DOUBLE
+                       / (count(n_events) OVER (ORDER BY day {frame}))::DOUBLE,
+                       6)
+            ELSE 0.0 END AS mov_avg
+FROM hist
+ORDER BY day
+"""
+
+
+_GEO_COORDS = f"""
+SELECT doc_id,
+       (({_MD5_52.format(e="doc_id::VARCHAR || ':lat'")}) % 1800001)::DOUBLE
+         / 10000.0 - 90.0 AS lat,
+       (({_MD5_52.format(e="doc_id::VARCHAR || ':lon'")}) % 3600001)::DOUBLE
+         / 10000.0 - 180.0 AS lon
+FROM documents
+"""
+
+
+def geo_bounding_box_sql(
+    lat_lo: float, lat_hi: float, lon_lo: float, lon_hi: float, k: int
+) -> str:
+    """geo_bounding_box twin: box filter over the derived coordinates."""
+    return f"""
+WITH pts AS ({_GEO_COORDS})
+SELECT doc_id, lat, lon, rank FROM (
+  SELECT doc_id, round(lat, 4) AS lat, round(lon, 4) AS lon,
+         row_number() OVER (ORDER BY doc_id ASC) AS rank
+  FROM pts
+  WHERE lat >= {lat_lo!r} AND lat <= {lat_hi!r}
+    AND lon >= {lon_lo!r} AND lon <= {lon_hi!r}
+) WHERE rank <= {k}
+"""
+
+
+def geotile_grid_sql(zoom: int, k: int, pi_lit: float, max_lat: float) -> str:
+    """geotile_grid twin: identical Mercator tile arithmetic, shared pi
+    literal."""
+    n = float(1 << zoom)
+    nmax = (1 << zoom) - 1
+    return f"""
+WITH pts AS ({_GEO_COORDS}),
+keyed AS (
+  SELECT '{zoom}' || '/' ||
+         least({nmax}, floor((lon + 180.0) / 360.0 * {n!r}))::BIGINT::VARCHAR
+         || '/' ||
+         greatest(0, least({nmax}, floor(
+           (1.0 - ln(tan(radians(greatest(least(lat, {max_lat!r}),
+                                          -{max_lat!r})))
+                     + 1.0 / cos(radians(greatest(least(lat, {max_lat!r}),
+                                                  -{max_lat!r}))))
+                 / {pi_lit!r}) / 2.0 * {n!r})))::BIGINT::VARCHAR AS tile
+  FROM pts
+),
+counts AS (SELECT tile, count(*)::BIGINT AS n_docs FROM keyed GROUP BY 1)
+SELECT tile, n_docs, rank FROM (
+  SELECT tile, n_docs,
+         row_number() OVER (ORDER BY n_docs DESC, tile ASC) AS rank
+  FROM counts
+) WHERE rank <= {k}
+"""
+
+
+def hll_cardinality_sql(p: int) -> str:
+    """HLL cardinality twin: identical 12/40 bit split, BIGINT-scaled
+    register fold, linear-counting branch."""
+    m = 1 << p
+    alpha_num = 0.7213 / (1.0 + 1.079 / m) * m * m * float(1 << 41)
+    h = _MD5_52.format(e="term")
+    return f"""
+WITH terms AS (
+  SELECT DISTINCT unnest({TOKS}) AS term FROM documents
+),
+hashed AS (
+  SELECT ({h}) AS h FROM terms
+),
+regs AS (
+  SELECT h >> 40 AS bucket,
+         max(CASE WHEN (h & {(1 << 40) - 1}) = 0 THEN 41
+                  ELSE 40 - floor(log2((h & {(1 << 40) - 1})::DOUBLE))::INT
+             END) AS m_j
+  FROM hashed GROUP BY 1
+),
+folded AS (
+  SELECT count(*)::BIGINT AS used,
+         sum(1::BIGINT << (41 - m_j))::BIGINT AS s_used
+  FROM regs
+),
+exact AS (SELECT count(*)::BIGINT AS n_exact FROM terms),
+est AS (
+  SELECT used,
+         {alpha_num!r}
+           / (s_used + ({m} - used) * {1 << 41})::DOUBLE AS e_raw,
+         ({m} - used)::DOUBLE AS v
+  FROM folded
+)
+SELECT x.n_exact, e.used,
+       round(CASE WHEN e.e_raw <= {2.5 * m!r} AND e.v > 0
+                  THEN {float(m)!r} * ln({float(m)!r} / e.v)
+                  ELSE e.e_raw END, 4) AS hll_estimate,
+       round(abs(CASE WHEN e.e_raw <= {2.5 * m!r} AND e.v > 0
+                      THEN {float(m)!r} * ln({float(m)!r} / e.v)
+                      ELSE e.e_raw END - x.n_exact::DOUBLE)
+             / x.n_exact::DOUBLE, 6) AS rel_err
+FROM est e, exact x
+"""

@@ -1155,3 +1155,69 @@ def scripted_metric_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def cumulative_cardinality_pipeline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ES `cumulative_cardinality` pipeline: distinct users seen up to
+    and including each day. NOT a per-day distinct-union rescan (ES
+    merges HLL sketches; O(days x stream) in naive SQL): each user
+    contributes once at their FIRST day — one groupBy(user) min, one
+    bounded per-day count, one running sum over the calendar. Exactly
+    the incremental-sketch-merge shape, exact instead of approximate."""
+    ev = load(spark, sf_dir, "events")
+    firsts = (
+        ev.select("user_id", F.to_date("ts").alias("day"))
+        .groupBy("user_id")
+        .agg(F.min("day").alias("first_day"))
+    )
+    per_day = firsts.groupBy("first_day").agg(
+        F.count(F.lit(1)).cast("long").alias("new_users")
+    )
+    cal = (
+        ev.agg(
+            F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+        )
+        .select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        cal.join(per_day, cal.day == per_day.first_day, "left")
+        .select(
+            F.col("day").cast("string").alias("day"),
+            F.coalesce("new_users", F.lit(0)).cast("long").alias("new_users"),
+        )
+        .withColumn("cum_users", F.sum("new_users").over(w).cast("long"))
+        .orderBy("day")
+    )
+
+
+MOVING_FN_WINDOW = 7  # trailing window, EXCLUDING the current bucket (ES)
+
+
+def moving_fn_pipeline(
+    spark: SparkSession, sf_dir: str, window: int = MOVING_FN_WINDOW
+) -> DataFrame:
+    """ES `moving_fn` pipeline (shift=0): max / min / unweighted avg over
+    the PREVIOUS `window` buckets, current excluded — the generic
+    user-scripted sibling of moving_avg. Integer frame extremes are
+    exact at any order; the avg divides two frame-local BIGINTs. Empty
+    leading frames yield 0 (ES yields null; dense schema keeps the gate
+    contract)."""
+    hist = date_histogram_facets(spark, sf_dir)
+    w = Window.orderBy("day").rowsBetween(-window, -1)
+    cnt = F.count("n_events").over(w)
+    return hist.select(
+        "day",
+        "n_events",
+        F.coalesce(F.max("n_events").over(w), F.lit(0)).cast("long").alias(
+            "mov_max"
+        ),
+        F.coalesce(F.min("n_events").over(w), F.lit(0)).cast("long").alias(
+            "mov_min"
+        ),
+        F.when(cnt > 0, F.round(
+            F.sum("n_events").over(w).cast("double") / cnt.cast("double"), 6
+        )).otherwise(F.lit(0.0)).alias("mov_avg"),
+    ).orderBy("day")

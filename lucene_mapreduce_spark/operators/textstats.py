@@ -1017,3 +1017,152 @@ def geo_distance_query(
     return ranked_topk(hits, [F.asc("dist_km"), F.asc("doc_id")], k).select(
         "doc_id", "lat", "lon", "dist_km", "rank"
     )
+
+
+def _geo_coords(docs: DataFrame) -> DataFrame:
+    """md5-derived deterministic (lat, lon) per doc — the shared synthetic
+    geo field (geo_distance_query documents the contract)."""
+    lat = (
+        F.pmod(_md5_52(F.concat(F.col("doc_id").cast("string"), F.lit(":lat"))),
+               F.lit(1800001)).cast("double") / F.lit(10000.0) - F.lit(90.0)
+    )
+    lon = (
+        F.pmod(_md5_52(F.concat(F.col("doc_id").cast("string"), F.lit(":lon"))),
+               F.lit(3600001)).cast("double") / F.lit(10000.0) - F.lit(180.0)
+    )
+    return docs.select("doc_id", lat.alias("lat"), lon.alias("lon"))
+
+
+GEO_BOX = (20.0, 60.0, -100.0, -40.0)  # lat_lo, lat_hi, lon_lo, lon_hi
+
+
+def geo_bounding_box_query(
+    spark: SparkSession,
+    sf_dir: str,
+    box: tuple[float, float, float, float] = GEO_BOX,
+    k: int = 20,
+) -> DataFrame:
+    """ES `geo_bounding_box` query: docs whose point falls inside the
+    box, first k by doc id. Pure codegen comparisons over the derived
+    coordinates (a real geo column scans identically); the box predicate
+    would push into a parquet scan of materialized lat/lon columns."""
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+
+    lat_lo, lat_hi, lon_lo, lon_hi = box
+    pts = _geo_coords(load(spark, sf_dir, "documents"))
+    hits = pts.filter(
+        (F.col("lat") >= lat_lo) & (F.col("lat") <= lat_hi)
+        & (F.col("lon") >= lon_lo) & (F.col("lon") <= lon_hi)
+    ).select(
+        "doc_id", F.round("lat", 4).alias("lat"), F.round("lon", 4).alias("lon")
+    )
+    return ranked_topk(hits, [F.asc("doc_id")], k).select(
+        "doc_id", "lat", "lon", "rank"
+    )
+
+
+GEOTILE_ZOOM = 4
+_MERC_MAX_LAT = 85.05112878
+_PI_LIT = 3.141592653589793  # shared literal — never each engine's pi()
+
+
+def geotile_grid_agg(
+    spark: SparkSession,
+    sf_dir: str,
+    zoom: int = GEOTILE_ZOOM,
+    k: int = 10,
+) -> DataFrame:
+    """ES `geotile_grid` aggregation: Web-Mercator z/x/y tile keys at
+    `zoom`, doc counts per tile, top-k tiles. Latitude clamps to the
+    Mercator limit (ES's convention); x/y derive from the shared literal
+    pi so both engines floor the same doubles. One codegen projection +
+    one combinable groupBy + bounded top-k."""
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+
+    n = float(1 << zoom)
+    pts = _geo_coords(load(spark, sf_dir, "documents"))
+    lat_c = F.greatest(
+        F.least(F.col("lat"), F.lit(_MERC_MAX_LAT)), F.lit(-_MERC_MAX_LAT)
+    )
+    x = F.least(
+        F.lit((1 << zoom) - 1),
+        F.floor((F.col("lon") + F.lit(180.0)) / F.lit(360.0) * F.lit(n)),
+    ).cast("long")
+    mer = F.log(
+        F.tan(F.radians(lat_c)) + F.lit(1.0) / F.cos(F.radians(lat_c))
+    )
+    y = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(
+            F.lit((1 << zoom) - 1),
+            F.floor(
+                (F.lit(1.0) - mer / F.lit(_PI_LIT)) / F.lit(2.0) * F.lit(n)
+            ),
+        ).cast("long"),
+    )
+    keyed = pts.select(
+        F.concat_ws(
+            "/", F.lit(str(zoom)), x.cast("string"), y.cast("string")
+        ).alias("tile")
+    )
+    counts = keyed.groupBy("tile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    return ranked_topk(counts, [F.desc("n_docs"), F.asc("tile")], k).select(
+        "tile", "n_docs", "rank"
+    )
+
+
+HLL_P = 12  # 4096 buckets; md5_52 = 12 bucket bits + 40 rho bits
+_HLL_M = 1 << HLL_P
+_HLL_ALPHA_NUM = 0.7213 / (1.0 + 1.079 / _HLL_M) * _HLL_M * _HLL_M * float(1 << 41)
+
+
+def hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `cardinality` aggregation parity: HyperLogLog (p=12) estimate
+    of the corpus vocabulary size next to the exact answer. The register
+    fold avoids float accumulation entirely: S = sum_j 2^-M_j is scaled
+    by 2^41 into BIGINT adds (every addend a power of two, max total
+    2^53 — exact, order-free), the small-range linear-counting branch
+    (E <= 2.5m with empty registers) follows the canonical estimator.
+    The md5 hash splits 12 bucket bits / 40 rho bits — shared by the
+    oracle bit-for-bit. One distinct + one 4096-ary groupBy; vocab-sized
+    work, corpus-sized only at the tokenizer scan."""
+    docs = load(spark, sf_dir, "documents")
+    terms = docs.select(
+        F.explode(tokenize_col("text")).alias("term")
+    ).distinct()
+    h = _md5_52(F.col("term"))
+    w = h.bitwiseAND(F.lit((1 << 40) - 1))
+    rho = F.when(w == 0, F.lit(41)).otherwise(
+        F.lit(40) - F.floor(F.log2(w.cast("double")))
+    ).cast("int")
+    regs = (
+        terms.select(F.shiftright(h, 40).alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("m_j"))
+    )
+    folded = regs.agg(
+        F.count(F.lit(1)).cast("long").alias("used"),
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 41 - m_j)"))
+        .cast("long")
+        .alias("s_used"),
+    )
+    exact = terms.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    s_int = F.col("s_used") + (F.lit(_HLL_M) - F.col("used")) * F.lit(1 << 41)
+    e_raw = F.lit(_HLL_ALPHA_NUM) / s_int.cast("double")
+    v = (F.lit(_HLL_M) - F.col("used")).cast("double")
+    est = F.when(
+        (e_raw <= F.lit(2.5 * _HLL_M)) & (v > 0),
+        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / v),
+    ).otherwise(e_raw)
+    return folded.crossJoin(F.broadcast(exact)).select(
+        "n_exact",
+        "used",
+        F.round(est, 4).alias("hll_estimate"),
+        F.round(
+            F.abs(est - F.col("n_exact").cast("double"))
+            / F.col("n_exact").cast("double"),
+            6,
+        ).alias("rel_err"),
+    )
