@@ -117,6 +117,21 @@ from lucene_mapreduce_spark.operators.oracles import (  # noqa: E402
     geo_bounding_box_sql,
     geotile_grid_sql,
     hll_cardinality_sql,
+    ewma_sql,
+    percentiles_bucket_sql,
+    change_point_sql,
+    rate_agg_sql,
+    categorize_text_sql,
+    frequent_pairs_sql,
+    tfidf_keywords_sql,
+    bpe_pairs_sql,
+    geohash_grid_sql,
+    ip_range_sql,
+    stemmed_terms_sql,
+    moving_median_sql,
+    packing_stats_sql,
+    terms_lookup_sql,
+    runtime_field_sql,
     filter_clause_sql,
     terms_set_sql,
     common_terms_sql,
@@ -296,6 +311,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_bounding_box_query": textstats.geo_bounding_box_query,
         "geotile_grid_agg": textstats.geotile_grid_agg,
         "hll_cardinality": textstats.hll_cardinality,
+        "ewma_pipeline": parity.ewma_pipeline,
+        "percentiles_bucket_pipeline": parity.percentiles_bucket_pipeline,
+        "change_point_agg": parity.change_point_agg,
+        "rate_agg": parity.rate_agg,
+        "categorize_text_agg": textstats.categorize_text_agg,
+        "frequent_pairs_agg": textstats.frequent_pairs_agg,
+        "tfidf_keywords": textstats.tfidf_keywords,
+        "bpe_pair_counts": textstats.bpe_pair_counts,
+        "geohash_grid_agg": textstats.geohash_grid_agg,
+        "ip_range_agg": textstats.ip_range_agg,
+        "stemmed_terms_agg": textstats.stemmed_terms_agg,
+        "moving_median_pipeline": parity.moving_median_pipeline,
+        "packing_stats": textstats.packing_stats,
+        "terms_lookup_query": fulltext.terms_lookup_query,
+        "runtime_field_query": fulltext.runtime_field_query,
         "contamination_check": dedup.contamination_check,
         "gopher_rules": textstats.gopher_rules,
         "ann_batch_topk": similarity.ann_batch_topk,
@@ -609,6 +639,29 @@ WHERE len(list_filter(range(1, len(toks)), i ->
         textstats.GEOTILE_ZOOM, 10, textstats._PI_LIT, textstats._MERC_MAX_LAT
     )
     out["hll_cardinality"] = hll_cardinality_sql(textstats.HLL_P)
+    out["ewma_pipeline"] = ewma_sql(parity.EWMA_ALPHA)
+    out["percentiles_bucket_pipeline"] = percentiles_bucket_sql(
+        parity.PCT_BUCKET_PS
+    )
+    out["change_point_agg"] = change_point_sql()
+    out["rate_agg"] = rate_agg_sql()
+    out["categorize_text_agg"] = categorize_text_sql(
+        textstats.CATEGORIZE_SIG_TOKENS, 10
+    )
+    out["frequent_pairs_agg"] = frequent_pairs_sql(
+        textstats.FREQ_PAIRS_HOT, 10
+    )
+    out["tfidf_keywords"] = tfidf_keywords_sql(textstats.TFIDF_KEYWORDS_K)
+    out["bpe_pair_counts"] = bpe_pairs_sql(textstats.BPE_PAIRS_K)
+    out["geohash_grid_agg"] = geohash_grid_sql(10, textstats._GEOHASH32)
+    out["ip_range_agg"] = ip_range_sql(textstats.IP_RANGES)
+    out["stemmed_terms_agg"] = stemmed_terms_sql(textstats.STEM_TOP_K)
+    out["moving_median_pipeline"] = moving_median_sql(
+        parity.MOVING_MEDIAN_WINDOW
+    )
+    out["packing_stats"] = packing_stats_sql(textstats.PACKING_BUDGET)
+    out["terms_lookup_query"] = terms_lookup_sql(20)
+    out["runtime_field_query"] = runtime_field_sql(fulltext.FLAGSHIP_QUERY, 10)
     out["span_containing_query"] = span_containing_sql(*fulltext.SPAN_CONTAINING)
     out["rank_feature_query"] = rank_feature_sql(
         fulltext.FLAGSHIP_QUERY, *fulltext.RANK_FEATURE

@@ -3898,3 +3898,74 @@ def intervals_query(
         ),
     )
     return j.filter(hit).select("doc_id").orderBy("doc_id")
+
+
+# ------------------------------------------------------------ terms lookup
+def terms_lookup_query(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """ES `terms` query with TERMS LOOKUP: the term list is not literal
+    — it's fetched from another document's field (here: the corpus's
+    smallest doc_id), then every doc sharing any of those terms matches,
+    ranked by how many DISTINCT lookup terms it shares (doc_id-asc
+    ties). Fully distributed: the lookup doc's token set is a one-row
+    frame broadcast into a semi-join against the exploded corpus —
+    no driver-side term materialization, unlike the capped literal
+    expansions. The lookup doc itself reports first (it shares all its
+    terms)."""
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_col
+    from lucene_mapreduce_spark.operators.parity import load, ranked_topk
+
+    docs = load(spark, sf_dir, "documents")
+    lookup_id = docs.agg(F.min("doc_id").alias("lid"))
+    lookup_terms = (
+        docs.join(F.broadcast(lookup_id), docs.doc_id == F.col("lid"))
+        .select(F.explode(F.array_distinct(tokenize_col("text"))).alias("term"))
+    )
+    corpus = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokenize_col("text"))).alias("term")
+    )
+    hits = (
+        corpus.join(F.broadcast(lookup_terms), "term")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    return ranked_topk(hits, [F.desc("n_shared"), F.asc("doc_id")], k).select(
+        "doc_id", "n_shared", "rank"
+    )
+
+
+# ------------------------------------------------------------ runtime field
+def runtime_field_query(
+    spark: SparkSession,
+    sf_dir: str,
+    query_text: str = FLAGSHIP_QUERY,
+    k: int = 10,
+) -> DataFrame:
+    """ES runtime_mappings / script_fields: a per-hit computed field
+    (chars per token) evaluated AT QUERY TIME in the plan — never
+    materialized in the index. The runtime expression runs only over the
+    k result docs' stored fields (docstore read of the page), which is
+    exactly ES's contract: runtime fields cost per-hit, not per-doc."""
+    import os
+
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_col
+    from lucene_mapreduce_spark.index.manifest import load_manifest, segment_dir
+
+    ix = _gate_index(spark, sf_dir)
+    topk = bm25_index_topk_documents(spark, sf_dir, query_text, k)
+    m = load_manifest(ix)
+    stores = [
+        os.path.join(segment_dir(ix, s.segment_id), "docstore")
+        for s in m.ordered()
+    ]
+    assert len(stores) == 1, "runtime fields expect the merged gate index"
+    fields = spark.read.parquet(stores[0]).select(
+        "doc_id",
+        F.round(
+            F.col("n_chars").cast("double")
+            / F.size(tokenize_col("text")).cast("double"),
+            6,
+        ).alias("chars_per_token"),
+    )
+    return topk.join(fields, "doc_id").select(
+        "doc_id", "score", "rank", "chars_per_token"
+    ).orderBy("rank")

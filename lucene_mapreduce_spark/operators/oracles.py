@@ -4470,3 +4470,349 @@ SELECT x.n_exact, e.used,
              / x.n_exact::DOUBLE, 6) AS rel_err
 FROM est e, exact x
 """
+
+
+def ewma_sql(alpha: float) -> str:
+    """ewma twin: identical sequential left fold per prefix of the
+    bucket series."""
+    a, b = float(alpha), 1.0 - float(alpha)
+    return f"""
+WITH {_DAILY_HIST},
+packed AS (
+  SELECT list(day::VARCHAR ORDER BY day) AS ds,
+         list(n_events::DOUBLE ORDER BY day) AS ns,
+         list(n_events ORDER BY day) AS raw
+  FROM hist
+)
+,
+idx AS (
+  SELECT ds, ns, raw, unnest(range(1, len(ds) + 1)) AS i FROM packed
+)
+SELECT ds[i] AS day, raw[i]::BIGINT AS n_events,
+       round(list_reduce(ns[1:i],
+             (acc, x) -> (acc * {b!r}) + (x * {a!r})), 6) AS ewma
+FROM idx
+ORDER BY day
+"""
+
+
+def percentiles_bucket_sql(ps) -> str:
+    """percentiles_bucket twin: type-7 quantiles over the bucket
+    counts."""
+    arms = " UNION ALL ".join(
+        f"SELECT {float(p)!r} AS p, "
+        f"round(quantile_cont(n_events, {p}), 6) AS bucket_value FROM hist"
+        for p in ps
+    )
+    return f"WITH {_DAILY_HIST}\n{arms} ORDER BY p"
+
+
+def change_point_sql() -> str:
+    """change_point twin: max |x - mean| bucket, z-like magnitude."""
+    return f"""
+WITH {_DAILY_HIST},
+g AS (
+  SELECT count(*)::BIGINT AS n, sum(n_events)::BIGINT AS s,
+         sum(n_events * n_events)::BIGINT AS ssq
+  FROM hist
+),
+stats AS (
+  SELECT s::DOUBLE / n::DOUBLE AS mean,
+         sqrt((ssq::DOUBLE - n::DOUBLE * (s::DOUBLE / n::DOUBLE)
+               * (s::DOUBLE / n::DOUBLE)) / n::DOUBLE) AS std
+  FROM g
+)
+SELECT day::VARCHAR AS day, n_events,
+       CASE WHEN n_events::DOUBLE > mean THEN 'spike' ELSE 'dip' END
+         AS change_type,
+       round(abs(n_events::DOUBLE - mean) / std, 6) AS magnitude
+FROM hist, stats
+ORDER BY abs(n_events::DOUBLE - mean) DESC, day ASC
+LIMIT 1
+"""
+
+
+def rate_agg_sql() -> str:
+    """rate twin: per-type events per week over the stream span."""
+    return """
+WITH span AS (
+  SELECT (date_diff('day', min(ts::DATE), max(ts::DATE)) + 1)::BIGINT
+           AS span_days
+  FROM events
+)
+SELECT event_type, count(*)::BIGINT AS n,
+       round(count(*)::DOUBLE * 7.0 / span_days::DOUBLE, 6)
+         AS rate_per_week
+FROM events, span
+GROUP BY event_type, span_days
+ORDER BY event_type
+"""
+
+
+def categorize_text_sql(sig_tokens: int, k: int) -> str:
+    """categorize_text twin: leading-token digit-collapsed signature
+    counts."""
+    return f"""
+WITH sigs AS (
+  SELECT array_to_string(
+           list_transform({TOKS}[1:{sig_tokens}],
+                          t -> regexp_replace(t, '[0-9]+', '#', 'g')),
+           ' ') AS category
+  FROM documents
+),
+counts AS (SELECT category, count(*)::BIGINT AS n_docs FROM sigs GROUP BY 1)
+SELECT category, n_docs, rank FROM (
+  SELECT category, n_docs,
+         row_number() OVER (ORDER BY n_docs DESC, category ASC) AS rank
+  FROM counts
+) WHERE rank <= {k}
+"""
+
+
+def frequent_pairs_sql(hot_k: int, k: int) -> str:
+    """frequent_item_sets(size=2) twin: hot-term-pruned co-occurrence
+    pairs."""
+    return f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, term
+  FROM (SELECT doc_id, unnest({TOKS}) AS term FROM documents)
+),
+hot AS (
+  SELECT term FROM (
+    SELECT term, row_number() OVER (
+             ORDER BY count(*) DESC, term ASC) AS rk
+    FROM dt GROUP BY term
+  ) WHERE rk <= {hot_k}
+),
+ht AS (SELECT dt.doc_id, dt.term FROM dt JOIN hot USING (term)),
+pairs AS (
+  SELECT a.term AS term_a, b.term AS term_b, count(*)::BIGINT AS support
+  FROM ht a JOIN ht b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY 1, 2
+)
+SELECT term_a, term_b, support, rank FROM (
+  SELECT term_a, term_b, support,
+         row_number() OVER (
+           ORDER BY support DESC, term_a ASC, term_b ASC) AS rank
+  FROM pairs
+) WHERE rank <= {k}
+"""
+
+
+def tfidf_keywords_sql(k: int) -> str:
+    """tfidf_keywords twin: per-doc top-k tf*ln(N/df), rounded-score
+    ranking."""
+    return f"""
+WITH tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest({TOKS}) AS term FROM documents)
+  GROUP BY 1, 2
+),
+dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf::DOUBLE * ln(n.n / dft.df::DOUBLE), 6) AS tfidf
+  FROM tf JOIN dft USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tfidf, krank FROM (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (
+           PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS krank
+  FROM scored
+) WHERE krank <= {k}
+ORDER BY doc_id, krank
+"""
+
+
+def bpe_pairs_sql(k: int) -> str:
+    """bpe_pair_counts twin: frequency-weighted adjacent char pairs over
+    word types."""
+    return f"""
+WITH words AS (
+  SELECT word, count(*)::BIGINT AS freq
+  FROM (SELECT unnest({TOKS}) AS word FROM documents)
+  GROUP BY 1
+),
+pairs AS (
+  SELECT substr(word, i, 2) AS pair, freq
+  FROM words, unnest(range(1, length(word))) AS t(i)
+  WHERE length(word) >= 2
+),
+counts AS (SELECT pair, sum(freq)::BIGINT AS count FROM pairs GROUP BY 1)
+SELECT pair, count, rank FROM (
+  SELECT pair, count,
+         row_number() OVER (ORDER BY count DESC, pair ASC) AS rank
+  FROM counts
+) WHERE rank <= {k}
+"""
+
+
+def geohash_grid_sql(k: int, alphabet: str) -> str:
+    """geohash_grid twin: identical floor/interleave/base32 chain."""
+    lon_bits = " + ".join(
+        f"(((lon_idx >> {7 - j}) & 1) << {14 - 2 * j})" for j in range(8)
+    )
+    lat_bits = " + ".join(
+        f"(((lat_idx >> {6 - j}) & 1) << {13 - 2 * j})" for j in range(7)
+    )
+    return f"""
+WITH pts AS ({_GEO_COORDS}),
+cells AS (
+  SELECT least(255, floor((lon + 180.0) / 360.0 * 256.0))::BIGINT
+           AS lon_idx,
+         least(127, floor((lat + 90.0) / 180.0 * 128.0))::BIGINT
+           AS lat_idx
+  FROM pts
+),
+hashed AS (SELECT ({lon_bits} + {lat_bits}) AS v FROM cells),
+keyed AS (
+  SELECT substr('{alphabet}', ((v >> 10) & 31)::INT + 1, 1)
+         || substr('{alphabet}', ((v >> 5) & 31)::INT + 1, 1)
+         || substr('{alphabet}', (v & 31)::INT + 1, 1) AS geohash
+  FROM hashed
+),
+counts AS (SELECT geohash, count(*)::BIGINT AS n_docs FROM keyed GROUP BY 1)
+SELECT geohash, n_docs, rank FROM (
+  SELECT geohash, n_docs,
+         row_number() OVER (ORDER BY n_docs DESC, geohash ASC) AS rank
+  FROM counts
+) WHERE rank <= {k}
+"""
+
+
+def ip_range_sql(ranges) -> str:
+    """ip_range twin: [from, to) uint32 buckets over the md5-derived
+    IP."""
+    h = _MD5_52.format(e="user_id::VARCHAR || ':ip'")
+    arms = []
+    for lo, hi, key in ranges:
+        conds = []
+        if lo is not None:
+            conds.append(f"ip >= {lo}")
+        if hi is not None:
+            conds.append(f"ip < {hi}")
+        cond = " AND ".join(conds) or "TRUE"
+        arms.append(
+            f"SELECT '{key}' AS key, "
+            f"sum(CASE WHEN {cond} THEN 1 ELSE 0 END)::BIGINT AS n_events "
+            "FROM base"
+        )
+    body = " UNION ALL ".join(arms)
+    return f"""
+WITH base AS (SELECT ({h}) % {1 << 32} AS ip FROM events)
+{body}
+ORDER BY key
+"""
+
+
+_STEM_CASE = """
+CASE WHEN length(word) > 5 AND word LIKE '%ing'
+       THEN substr(word, 1, length(word) - 3)
+     WHEN length(word) > 4 AND word LIKE '%ed'
+       THEN substr(word, 1, length(word) - 2)
+     WHEN length(word) > 4 AND word LIKE '%es'
+       THEN substr(word, 1, length(word) - 2)
+     WHEN length(word) > 3 AND word LIKE '%s' AND word NOT LIKE '%ss'
+       THEN substr(word, 1, length(word) - 1)
+     ELSE word END
+"""
+
+
+def stemmed_terms_sql(k: int) -> str:
+    """stemmed_terms twin: pinned minimal-stem CASE + cf ranking."""
+    return f"""
+WITH toks AS (SELECT unnest({TOKS}) AS word FROM documents),
+stems AS (SELECT {_STEM_CASE} AS stem FROM toks),
+counts AS (SELECT stem, count(*)::BIGINT AS cf FROM stems GROUP BY 1)
+SELECT stem, cf, rank FROM (
+  SELECT stem, cf, row_number() OVER (ORDER BY cf DESC, stem ASC) AS rank
+  FROM counts
+) WHERE rank <= {k}
+"""
+
+
+def moving_median_sql(window: int) -> str:
+    """moving_percentiles(p50) twin: trailing-inclusive frame median."""
+    frame = f"ROWS BETWEEN {window - 1} PRECEDING AND CURRENT ROW"
+    return f"""
+WITH {_DAILY_HIST}
+SELECT day::VARCHAR AS day, n_events,
+       round(quantile_cont(n_events, 0.5) OVER (ORDER BY day {frame}), 6)
+         AS mov_median
+FROM hist
+ORDER BY day
+"""
+
+
+def packing_stats_sql(budget: int) -> str:
+    """packing twin: per-source concat-and-chunk offsets, bins, boundary
+    docs."""
+    return f"""
+WITH base AS (
+  SELECT source, doc_id, len({TOKS})::BIGINT AS dl FROM documents
+),
+placed AS (
+  SELECT source, dl,
+         (sum(dl) OVER (PARTITION BY source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - dl) AS off
+  FROM base
+),
+bins AS (
+  SELECT source, dl,
+         off // {budget} AS bin_start,
+         (off + dl - 1) // {budget} AS bin_end
+  FROM placed
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(dl)::BIGINT AS total_tokens,
+       ceil(sum(dl) / {float(budget)!r})::BIGINT AS n_bins,
+       sum(CASE WHEN bin_end > bin_start THEN 1 ELSE 0 END)::BIGINT
+         AS n_boundary_docs
+FROM bins
+GROUP BY source ORDER BY source
+"""
+
+
+def terms_lookup_sql(k: int) -> str:
+    """terms-lookup twin: shared-distinct-term counts vs the smallest
+    doc's token set."""
+    return f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, term
+  FROM (SELECT doc_id, unnest({TOKS}) AS term FROM documents)
+),
+lookup AS (
+  SELECT term FROM dt WHERE doc_id = (SELECT min(doc_id) FROM documents)
+),
+hits AS (
+  SELECT dt.doc_id, count(*)::BIGINT AS n_shared
+  FROM dt JOIN lookup USING (term)
+  GROUP BY 1
+)
+SELECT doc_id, n_shared, rank FROM (
+  SELECT doc_id, n_shared,
+         row_number() OVER (ORDER BY n_shared DESC, doc_id ASC) AS rank
+  FROM hits
+) WHERE rank <= {k}
+"""
+
+
+def runtime_field_sql(query_text: str, k: int) -> str:
+    """runtime-field twin: BM25 page + per-hit computed chars/token."""
+    return f"""
+WITH {_qterms_cte(query_text)}
+{_BM25_AGG},
+page AS (
+  SELECT doc_id, round(score, 6) AS score, rank FROM (
+    SELECT doc_id, score,
+           row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+    FROM agg
+  ) WHERE rank <= {k}
+)
+SELECT p.doc_id, p.score, p.rank,
+       round(d.n_chars::DOUBLE / len({TOKS})::DOUBLE, 6)
+         AS chars_per_token
+FROM page p JOIN documents d USING (doc_id)
+ORDER BY p.rank
+"""

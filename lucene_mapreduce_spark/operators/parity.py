@@ -1221,3 +1221,159 @@ def moving_fn_pipeline(
             F.sum("n_events").over(w).cast("double") / cnt.cast("double"), 6
         )).otherwise(F.lit(0.0)).alias("mov_avg"),
     ).orderBy("day")
+
+
+EWMA_ALPHA = 0.3
+
+
+def ewma_pipeline(
+    spark: SparkSession, sf_dir: str, alpha: float = EWMA_ALPHA
+) -> DataFrame:
+    """ES `moving_fn` MovingFunctions.ewma: exponentially weighted moving
+    average over the daily buckets, seeded at the first bucket. EWMA is
+    an inherently SEQUENTIAL left fold — so it runs over the bounded
+    bucket series (30 rows collected into one array), never the event
+    stream, and each bucket's value re-folds its prefix with the
+    IDENTICAL op chain the oracle uses ((acc*0.7)+(x*0.3) left-to-right)
+    — cross-engine bit-stable because both engines execute the same IEEE
+    sequence, not because the fold is order-free."""
+    hist = date_histogram_facets(spark, sf_dir)
+    packed = hist.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("day"),
+                    F.col("n_events").cast("double").alias("n_events"),
+                )
+            )
+        ).alias("xs")
+    ).select(
+        F.col("xs"),
+        F.transform("xs", lambda s: s["n_events"]).alias("ns"),
+    )
+    a, b = float(alpha), 1.0 - float(alpha)
+    exploded = packed.select(
+        "ns", F.posexplode("xs").alias("pos", "x")
+    )
+    ewma = F.aggregate(
+        F.slice(F.col("ns"), 2, F.col("pos")),
+        F.element_at("ns", 1),
+        lambda acc, x: (acc * F.lit(b)) + (x * F.lit(a)),
+    )
+    return exploded.select(
+        F.col("x.day").alias("day"),
+        F.col("x.n_events").cast("long").alias("n_events"),
+        F.round(ewma, 6).alias("ewma"),
+    ).orderBy("day")
+
+
+PCT_BUCKET_PS = (0.5, 0.9)
+
+
+def percentiles_bucket_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    ps: tuple[float, ...] = PCT_BUCKET_PS,
+) -> DataFrame:
+    """ES `percentiles_bucket` sibling pipeline: type-7 percentiles OVER
+    the daily bucket counts (which day-volume is the p90 day). Exact
+    order statistics over the bounded series — the dl_percentiles
+    contract applied to buckets."""
+    hist = date_histogram_facets(spark, sf_dir)
+    plist = ", ".join(str(p) for p in ps)
+    row = hist.agg(
+        F.expr(f"percentile(n_events, array({plist}))").alias("qs")
+    ).select(F.posexplode("qs").alias("i", "q"))
+    pmap = F.array(*[F.lit(p) for p in ps])
+    return row.select(
+        F.element_at(pmap, F.col("i") + 1).alias("p"),
+        F.round("q", 6).alias("bucket_value"),
+    )
+
+
+def change_point_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `change_point` aggregation (simplified spike/dip detector):
+    the bucket most distant from the series mean, its direction, and the
+    z-like magnitude |x-mean|/std (population std from BIGINT moments).
+    One bounded sort over the bucket series; earliest tied day wins
+    (deterministic where ES is best-effort)."""
+    hist = date_histogram_facets(spark, sf_dir)
+    g = hist.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("n_events").cast("long").alias("s"),
+        F.sum(F.col("n_events") * F.col("n_events")).cast("long").alias("ssq"),
+    )
+    n = F.col("n").cast("double")
+    m = F.col("s").cast("double") / n
+    std = F.sqrt((F.col("ssq").cast("double") - n * m * m) / n)
+    stats = g.select(m.alias("mean"), std.alias("std"))
+    scored = hist.crossJoin(F.broadcast(stats)).select(
+        "day",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.abs(F.col("n_events").cast("double") - F.col("mean")).alias("dev"),
+        F.col("mean"),
+        F.col("std"),
+    )
+    return (
+        scored.orderBy(F.desc("dev"), F.asc("day"))
+        .limit(1)
+        .select(
+            "day",
+            "n_events",
+            F.when(
+                F.col("n_events").cast("double") > F.col("mean"), "spike"
+            ).otherwise("dip").alias("change_type"),
+            F.round(F.col("dev") / F.col("std"), 6).alias("magnitude"),
+        )
+    )
+
+
+def rate_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `rate` aggregation (unit=week): per event_type, events per
+    week over the stream's span. BIGINT counts, one shared span row
+    broadcast onto the per-type counts, a single IEEE division chain
+    (n * 7 / span_days) identical in both engines."""
+    ev = load(spark, sf_dir, "events")
+    span = ev.agg(
+        (F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts"))) + 1)
+        .cast("long")
+        .alias("span_days")
+    )
+    per_type = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return (
+        per_type.crossJoin(F.broadcast(span))
+        .select(
+            "event_type",
+            "n",
+            F.round(
+                F.col("n").cast("double") * F.lit(7.0)
+                / F.col("span_days").cast("double"),
+                6,
+            ).alias("rate_per_week"),
+        )
+        .orderBy("event_type")
+    )
+
+
+MOVING_MEDIAN_WINDOW = 7  # trailing, INCLUDING the current bucket
+
+
+def moving_median_pipeline(
+    spark: SparkSession, sf_dir: str, window: int = MOVING_MEDIAN_WINDOW
+) -> DataFrame:
+    """ES `moving_percentiles` pipeline (p50): the trailing-window median
+    of the daily bucket counts, window including the current bucket
+    (shift=1 in ES terms — the smoother's convention, unlike moving_fn's
+    exclusive frame). Exact type-7 median per frame over the bounded
+    bucket series; ES's sliding TDigest is approximate — exact is the
+    spec at bucket cardinality."""
+    hist = date_histogram_facets(spark, sf_dir)
+    w = Window.orderBy("day").rowsBetween(-(window - 1), 0)
+    med = F.expr("percentile(n_events, 0.5)").over(w)
+    return hist.select(
+        "day",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round(med, 6).alias("mov_median"),
+    ).orderBy("day")

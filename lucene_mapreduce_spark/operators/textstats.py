@@ -1166,3 +1166,350 @@ def hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rel_err"),
     )
+
+
+CATEGORIZE_SIG_TOKENS = 2  # leading tokens forming the category signature
+
+
+def categorize_text_agg(
+    spark: SparkSession,
+    sf_dir: str,
+    sig_tokens: int = CATEGORIZE_SIG_TOKENS,
+    k: int = 10,
+) -> DataFrame:
+    """ES `categorize_text` aggregation (the log-pattern grouper,
+    drastically simplified but the same contract): documents bucket by a
+    token-shape signature — the first `sig_tokens` analyzer tokens with
+    digit runs collapsed to '#' — and the top-k categories report their
+    doc counts. Pure codegen signature + one combinable groupBy; real ES
+    uses a drain-tree, which is order-dependent — the fixed signature is
+    the deterministic stand-in."""
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+
+    docs = load(spark, sf_dir, "documents")
+    sig = F.concat_ws(
+        " ",
+        F.transform(
+            F.slice(tokenize_col("text"), 1, sig_tokens),
+            lambda t: F.regexp_replace(t, "[0-9]+", "#"),
+        ),
+    )
+    counts = docs.select(sig.alias("category")).groupBy("category").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    return ranked_topk(
+        counts, [F.desc("n_docs"), F.asc("category")], k
+    ).select("category", "n_docs", "rank")
+
+
+FREQ_PAIRS_HOT = 30  # df-ranked vocabulary slice feeding the pair join
+
+
+def frequent_pairs_agg(
+    spark: SparkSession,
+    sf_dir: str,
+    hot_k: int = FREQ_PAIRS_HOT,
+    k: int = 10,
+) -> DataFrame:
+    """ES `frequent_item_sets` aggregation at size=2 (the co-occurrence
+    miner): the top-k pairs of terms appearing together in a document,
+    support = co-occurring doc count. The pair space is bounded BEFORE
+    the self-join: only the hot_k highest-df terms participate (ties
+    term-asc — Apriori's frequent-1-itemset pruning), so the per-doc
+    blowup is <= C(hot_k, 2) regardless of corpus size. One df groupBy +
+    one broadcast semi-join + one bounded self-join on doc_id."""
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+
+    docs = load(spark, sf_dir, "documents")
+    dt = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokenize_col("text"))).alias("term")
+    )
+    df_tbl = dt.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    hot = ranked_topk(df_tbl, [F.desc("df"), F.asc("term")], hot_k).select(
+        "term"
+    )
+    ht = dt.join(F.broadcast(hot), "term")
+    a = ht.select("doc_id", F.col("term").alias("term_a"))
+    b = ht.select("doc_id", F.col("term").alias("term_b"))
+    pairs = a.join(b, "doc_id").filter(F.col("term_a") < F.col("term_b"))
+    counts = pairs.groupBy("term_a", "term_b").agg(
+        F.count(F.lit(1)).cast("long").alias("support")
+    )
+    return ranked_topk(
+        counts, [F.desc("support"), F.asc("term_a"), F.asc("term_b")], k
+    ).select("term_a", "term_b", "support", "rank")
+
+
+TFIDF_KEYWORDS_K = 3
+
+
+def tfidf_keywords(
+    spark: SparkSession, sf_dir: str, k: int = TFIDF_KEYWORDS_K
+) -> DataFrame:
+    """Per-document keyword extraction: the top-k terms by tf·idf
+    (idf = ln(N/df), the classic form) — the 'what is this doc about'
+    signal a labeling/routing pipeline attaches to every document. tf
+    and df are integers; the one float op (tf·ln(N/df)) runs on
+    identical operands in both engines; ranking uses the ROUNDED score
+    (term-asc ties), per-doc windows partition BY DOC (parallel,
+    WindowGroupLimit-prunable). One tokenize scan + one vocab groupBy +
+    one broadcast of the df table-join."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(tokenize_col("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    df_tbl = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    scored = (
+        tf.join(df_tbl, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf").cast("double")
+                * F.log(F.col("n") / F.col("df").cast("double")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("krank", F.row_number().over(w))
+        .filter(F.col("krank") <= k)
+        .select("doc_id", "term", "tfidf", "krank")
+        .orderBy("doc_id", "krank")
+    )
+
+
+BPE_PAIRS_K = 20
+
+
+def bpe_pair_counts(
+    spark: SparkSession, sf_dir: str, k: int = BPE_PAIRS_K
+) -> DataFrame:
+    """Tokenizer-training step 1 (BPE, Sennrich et al. 2016): the
+    corpus-frequency-weighted counts of adjacent CHARACTER pairs inside
+    word types — the statistic whose argmax is the first merge. The
+    pair enumeration runs over the VOCABULARY (one row per distinct
+    word, carrying its corpus frequency), not the corpus: at 100 TB the
+    word-type table is MB-scale while the token stream is the full
+    dataset — the classic count-then-expand rewrite. Top-k pairs,
+    count desc / pair asc."""
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+
+    docs = load(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokenize_col("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    pairs_arr = F.when(
+        F.length("word") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.length("word") - 1),
+            lambda i: F.col("word").substr(i, F.lit(2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = words.select("freq", F.explode(pairs_arr).alias("pair"))
+    counts = exploded.groupBy("pair").agg(
+        F.sum("freq").cast("long").alias("count")
+    )
+    return ranked_topk(counts, [F.desc("count"), F.asc("pair")], k).select(
+        "pair", "count", "rank"
+    )
+
+
+_GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+GEOHASH_PRECISION = 3  # 15 bits: 8 lon + 7 lat, lon-first interleave
+
+
+def geohash_grid_agg(
+    spark: SparkSession, sf_dir: str, k: int = 10
+) -> DataFrame:
+    """ES `geohash_grid` aggregation at precision 3: base32 geohash cell
+    counts over the derived coordinates. The hash is pure integer
+    arithmetic after one floor each for the lon/lat cell indexes
+    (identical float chains both engines), so the interleave and the
+    base32 lookup are bit-exact by construction. One codegen projection
+    + one combinable groupBy + bounded top-k."""
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+
+    pts = _geo_coords(load(spark, sf_dir, "documents"))
+    lon_idx = F.least(
+        F.lit(255),
+        F.floor((F.col("lon") + F.lit(180.0)) / F.lit(360.0) * F.lit(256.0)),
+    ).cast("long")
+    lat_idx = F.least(
+        F.lit(127),
+        F.floor((F.col("lat") + F.lit(90.0)) / F.lit(180.0) * F.lit(128.0)),
+    ).cast("long")
+    # lon-first bit interleave: l7 a6 l6 a5 ... a0 l0 (15 bits)
+    v = F.lit(0).cast("long")
+    for j in range(8):  # lon bit l_{7-j} lands at position 14 - 2j
+        v = v + F.shiftleft(
+            F.shiftright(lon_idx, 7 - j).bitwiseAND(F.lit(1)), 14 - 2 * j
+        )
+    for j in range(7):  # lat bit a_{6-j} lands at position 13 - 2j
+        v = v + F.shiftleft(
+            F.shiftright(lat_idx, 6 - j).bitwiseAND(F.lit(1)), 13 - 2 * j
+        )
+    ch = lambda shift: F.expr(  # noqa: E731
+        f"substring('{_GEOHASH32}', CAST((v >> {shift}) & 31 AS INT) + 1, 1)"
+    )
+    keyed = pts.select(v.alias("v")).select(
+        F.concat(ch(10), ch(5), ch(0)).alias("geohash")
+    )
+    counts = keyed.groupBy("geohash").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    return ranked_topk(counts, [F.desc("n_docs"), F.asc("geohash")], k).select(
+        "geohash", "n_docs", "rank"
+    )
+
+
+IP_RANGES = (
+    (None, 0x40000000, "*-64.0.0.0"),
+    (0x40000000, 0x80000000, "64.0.0.0-128.0.0.0"),
+    (0x80000000, 0xC0000000, "128.0.0.0-192.0.0.0"),
+    (0xC0000000, None, "192.0.0.0-*"),
+)
+
+
+def ip_range_agg(
+    spark: SparkSession, sf_dir: str, ranges: tuple = IP_RANGES
+) -> DataFrame:
+    """ES `ip_range` aggregation: [from, to) buckets over a synthetic
+    client IPv4 (md5-derived from user_id — the corpus carries no real
+    IPs; a real inet column buckets identically on its uint32 face).
+    Every bucket is one conditional aggregate over a single scan, keys
+    in ES's dotted 'from-to' format."""
+    ev = load(spark, sf_dir, "events")
+    ip = F.pmod(
+        _md5_52(F.concat(F.col("user_id").cast("string"), F.lit(":ip"))),
+        F.lit(1 << 32),
+    )
+    base = ev.select(ip.alias("ip"))
+    aggs = []
+    for lo, hi, key in ranges:
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col("ip") >= lo)
+        if hi is not None:
+            cond = cond & (F.col("ip") < hi)
+        aggs.append(
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(key)
+        )
+    wide = base.agg(*aggs)
+    pairs = [
+        F.struct(F.lit(key).alias("key"), F.col(f"`{key}`").alias("n_events"))
+        for _, _, key in ranges
+    ]
+    return (
+        wide.select(F.explode(F.array(*pairs)).alias("kv"))
+        .select("kv.key", "kv.n_events")
+        .orderBy("key")
+    )
+
+
+STEM_TOP_K = 20
+
+
+def _minimal_stem(word):
+    """EnglishMinimalStem-style pinned suffix rules (first match wins,
+    stems stay >= 3 chars): -ing, -ed, -es, -s (not -ss)."""
+    L = F.length(word)
+    return (
+        F.when(
+            (L > 5) & word.endswith("ing"), word.substr(F.lit(1), L - 3)
+        )
+        .when((L > 4) & word.endswith("ed"), word.substr(F.lit(1), L - 2))
+        .when((L > 4) & word.endswith("es"), word.substr(F.lit(1), L - 2))
+        .when(
+            (L > 3) & word.endswith("s") & ~word.endswith("ss"),
+            word.substr(F.lit(1), L - 1),
+        )
+        .otherwise(word)
+    )
+
+
+def stemmed_terms_agg(
+    spark: SparkSession, sf_dir: str, k: int = STEM_TOP_K
+) -> DataFrame:
+    """Analyzer-chain parity (Lucene EnglishMinimalStemFilter shape): a
+    terms aggregation over STEMMED tokens — plural/participle variants
+    collapse into one bucket ('merge', 'merges', 'merged', 'merging'
+    count together). The stem rules are pinned literal suffix CASEs
+    (identical in the SQL twin); one tokenize scan + one combinable
+    groupBy + bounded top-k, count desc / stem asc."""
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokenize_col("text")).alias("word"))
+    stems = toks.select(_minimal_stem(F.col("word")).alias("stem"))
+    counts = stems.groupBy("stem").agg(
+        F.count(F.lit(1)).cast("long").alias("cf")
+    )
+    return ranked_topk(counts, [F.desc("cf"), F.asc("stem")], k).select(
+        "stem", "cf", "rank"
+    )
+
+
+PACKING_BUDGET = 512  # context-window token budget
+
+
+def packing_stats(
+    spark: SparkSession, sf_dir: str, budget: int = PACKING_BUDGET
+) -> DataFrame:
+    """Concat-and-chunk sequence packing (the GPT-style pretraining
+    layout: concatenate each stream's docs in a pinned order, slice into
+    fixed `budget`-token contexts): per source, the bin count and how
+    many documents straddle a context boundary (the attention-bleed
+    metric packing studies report). Offsets come from one per-source
+    cumulative window (parallel across sources, pinned doc_id order —
+    reproducible at any parallelism); everything is BIGINT arithmetic.
+    True first-fit packing is inherently sequential; concat-and-chunk is
+    the distributable discipline real pipelines use."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(
+        "source",
+        "doc_id",
+        F.size(tokenize_col("text")).cast("long").alias("dl"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    placed = base.select(
+        "source",
+        "dl",
+        (F.sum("dl").over(w) - F.col("dl")).alias("off"),
+    ).select(
+        "source",
+        "dl",
+        F.floor(F.col("off") / budget).alias("bin_start"),
+        F.floor((F.col("off") + F.col("dl") - 1) / budget).alias("bin_end"),
+    )
+    return (
+        placed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("dl").cast("long").alias("total_tokens"),
+            F.ceil(F.sum("dl") / F.lit(float(budget))).cast("long").alias(
+                "n_bins"
+            ),
+            F.sum(
+                F.when(F.col("bin_end") > F.col("bin_start"), 1).otherwise(0)
+            ).cast("long").alias("n_boundary_docs"),
+        )
+        .orderBy("source")
+    )
