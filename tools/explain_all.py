@@ -187,6 +187,30 @@ def main() -> None:
          lambda: __import__(
              "lucene_mapreduce_spark.operators.textstats", fromlist=["x"]
          ).domain_quality_rollup(spark, sf_dir)),
+        ("hll_cardinality (BIGINT-scaled HLL register fold)",
+         lambda: __import__(
+             "lucene_mapreduce_spark.operators.textstats", fromlist=["x"]
+         ).hll_cardinality(spark, sf_dir)),
+        ("frequent_pairs_agg (Apriori hot-k prune before the doc self-join)",
+         lambda: __import__(
+             "lucene_mapreduce_spark.operators.textstats", fromlist=["x"]
+         ).frequent_pairs_agg(spark, sf_dir)),
+        ("tfidf_keywords (per-doc WindowGroupLimit keyword extraction)",
+         lambda: __import__(
+             "lucene_mapreduce_spark.operators.textstats", fromlist=["x"]
+         ).tfidf_keywords(spark, sf_dir)),
+        ("has_child_query (child-side groupBy, no parent shuffle)",
+         lambda: parity.has_child_query(spark, sf_dir)),
+        ("combined_fields_query (shared-norm multi-field BM25)",
+         lambda: fulltext.combined_fields_query(spark, sf_dir)),
+        ("packing_stats (per-source cumulative-offset window)",
+         lambda: __import__(
+             "lucene_mapreduce_spark.operators.textstats", fromlist=["x"]
+         ).packing_stats(spark, sf_dir)),
+        ("bpe_pair_counts (vocab-sized pair expand after word-type count)",
+         lambda: __import__(
+             "lucene_mapreduce_spark.operators.textstats", fromlist=["x"]
+         ).bpe_pair_counts(spark, sf_dir)),
     ]
 
     out = [HEADER]
