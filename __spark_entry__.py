@@ -132,6 +132,9 @@ from lucene_mapreduce_spark.operators.oracles import (  # noqa: E402
     packing_stats_sql,
     terms_lookup_sql,
     runtime_field_sql,
+    geo_centroid_sql,
+    mixture_resample_sql,
+    token_budget_trim_sql,
     filter_clause_sql,
     terms_set_sql,
     common_terms_sql,
@@ -326,6 +329,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packing_stats": textstats.packing_stats,
         "terms_lookup_query": fulltext.terms_lookup_query,
         "runtime_field_query": fulltext.runtime_field_query,
+        "geo_centroid_agg": textstats.geo_centroid_agg,
+        "mixture_resample": textstats.mixture_resample,
+        "token_budget_trim": textstats.token_budget_trim,
         "contamination_check": dedup.contamination_check,
         "gopher_rules": textstats.gopher_rules,
         "ann_batch_topk": similarity.ann_batch_topk,
@@ -662,6 +668,11 @@ WHERE len(list_filter(range(1, len(toks)), i ->
     out["packing_stats"] = packing_stats_sql(textstats.PACKING_BUDGET)
     out["terms_lookup_query"] = terms_lookup_sql(20)
     out["runtime_field_query"] = runtime_field_sql(fulltext.FLAGSHIP_QUERY, 10)
+    out["geo_centroid_agg"] = geo_centroid_sql(
+        textstats._PI_LIT, textstats._MERC_MAX_LAT
+    )
+    out["mixture_resample"] = mixture_resample_sql(textstats.MIXTURE_BASE_KEEP)
+    out["token_budget_trim"] = token_budget_trim_sql(textstats.TRIM_BUDGET)
     out["span_containing_query"] = span_containing_sql(*fulltext.SPAN_CONTAINING)
     out["rank_feature_query"] = rank_feature_sql(
         fulltext.FLAGSHIP_QUERY, *fulltext.RANK_FEATURE

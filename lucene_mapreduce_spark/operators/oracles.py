@@ -4816,3 +4816,76 @@ SELECT p.doc_id, p.score, p.rank,
 FROM page p JOIN documents d USING (doc_id)
 ORDER BY p.rank
 """
+
+
+def geo_centroid_sql(pi_lit: float, max_lat: float) -> str:
+    """geo_centroid twin: zoom-2 tiles, exact micro-degree BIGINT
+    centroid sums."""
+    zoom, n, nmax = 2, 4.0, 3
+    return f"""
+WITH pts AS ({_GEO_COORDS}),
+keyed AS (
+  SELECT '{zoom}' || '/' ||
+         least({nmax}, floor((lon + 180.0) / 360.0 * {n!r}))::BIGINT::VARCHAR
+         || '/' ||
+         greatest(0, least({nmax}, floor(
+           (1.0 - ln(tan(radians(greatest(least(lat, {max_lat!r}),
+                                          -{max_lat!r})))
+                     + 1.0 / cos(radians(greatest(least(lat, {max_lat!r}),
+                                                  -{max_lat!r}))))
+                 / {pi_lit!r}) / 2.0 * {n!r})))::BIGINT::VARCHAR AS tile,
+         round(lat * 10000.0)::BIGINT AS lat_e4,
+         round(lon * 10000.0)::BIGINT AS lon_e4
+  FROM pts
+)
+SELECT tile, count(*)::BIGINT AS n_docs,
+       round(sum(lat_e4)::DOUBLE / (count(*)::DOUBLE * 10000.0), 6)
+         AS centroid_lat,
+       round(sum(lon_e4)::DOUBLE / (count(*)::DOUBLE * 10000.0), 6)
+         AS centroid_lon
+FROM keyed
+GROUP BY tile ORDER BY tile
+"""
+
+
+def mixture_resample_sql(base_keep: float) -> str:
+    """mixture_resample twin: sqrt-temperature keep rates, md5-uniform
+    decisions."""
+    h = _MD5_52.format(e="doc_id::VARCHAR || ':mix'")
+    return f"""
+WITH toks AS (
+  SELECT source, doc_id, len({TOKS})::BIGINT AS dl FROM documents
+),
+per_src AS (
+  SELECT source, count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS tokens
+  FROM toks GROUP BY 1
+),
+mx AS (SELECT max(tokens) AS max_tokens FROM per_src),
+rates AS (
+  SELECT source, n_docs,
+         least(1.0, {float(base_keep)!r}
+               * sqrt(max_tokens::DOUBLE / tokens::DOUBLE)) AS keep_rate
+  FROM per_src, mx
+),
+decided AS (
+  SELECT t.source, ({h})::DOUBLE / {float(1 << 52)!r} AS u
+  FROM toks t
+)
+SELECT d.source, max(r.n_docs) AS n_docs,
+       round(max(r.keep_rate), 6) AS keep_rate,
+       sum(CASE WHEN d.u < r.keep_rate THEN 1 ELSE 0 END)::BIGINT AS n_kept
+FROM decided d JOIN rates r USING (source)
+GROUP BY d.source ORDER BY d.source
+"""
+
+
+def token_budget_trim_sql(budget: int) -> str:
+    """token_budget_trim twin: slice + rejoin + md5 witness."""
+    return f"""
+SELECT doc_id,
+       len({TOKS})::BIGINT AS n_tokens,
+       least(len({TOKS})::BIGINT, {budget}) AS n_kept,
+       md5(array_to_string({TOKS}[1:{budget}], ' ')) AS trimmed_md5
+FROM documents
+ORDER BY doc_id
+"""

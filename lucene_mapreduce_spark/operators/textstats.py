@@ -1513,3 +1513,140 @@ def packing_stats(
         )
         .orderBy("source")
     )
+
+
+def geo_centroid_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `geo_centroid` aggregation: the arithmetic mean point of each
+    geotile-zoom-2 cell's members (per-bucket centroids, ES's common
+    nesting). Coordinates land on a 1e-4-degree grid, so scaling by 1e4
+    makes every accumulator an exact BIGINT sum; the centroid divides
+    once per bucket. One combinable groupBy over the derived points."""
+    pts = _geo_coords(load(spark, sf_dir, "documents"))
+    zoom = 2
+    n = float(1 << zoom)
+    lat_c = F.greatest(
+        F.least(F.col("lat"), F.lit(_MERC_MAX_LAT)), F.lit(-_MERC_MAX_LAT)
+    )
+    x = F.least(
+        F.lit((1 << zoom) - 1),
+        F.floor((F.col("lon") + F.lit(180.0)) / F.lit(360.0) * F.lit(n)),
+    ).cast("long")
+    mer = F.log(
+        F.tan(F.radians(lat_c)) + F.lit(1.0) / F.cos(F.radians(lat_c))
+    )
+    y = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(
+            F.lit((1 << zoom) - 1),
+            F.floor(
+                (F.lit(1.0) - mer / F.lit(_PI_LIT)) / F.lit(2.0) * F.lit(n)
+            ),
+        ).cast("long"),
+    )
+    # exact integer micro-degree accumulators: lat = k/1e4 - 90 exactly
+    lat_e4 = F.round(F.col("lat") * 10000.0).cast("long")
+    lon_e4 = F.round(F.col("lon") * 10000.0).cast("long")
+    keyed = pts.select(
+        F.concat_ws("/", F.lit(str(zoom)), x.cast("string"), y.cast("string"))
+        .alias("tile"),
+        lat_e4.alias("lat_e4"),
+        lon_e4.alias("lon_e4"),
+    )
+    return (
+        keyed.groupBy("tile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(
+                F.sum("lat_e4").cast("double")
+                / (F.count(F.lit(1)).cast("double") * F.lit(10000.0)),
+                6,
+            ).alias("centroid_lat"),
+            F.round(
+                F.sum("lon_e4").cast("double")
+                / (F.count(F.lit(1)).cast("double") * F.lit(10000.0)),
+                6,
+            ).alias("centroid_lon"),
+        )
+        .orderBy("tile")
+    )
+
+
+MIXTURE_BASE_KEEP = 0.5  # keep probability for the LARGEST source
+
+
+def mixture_resample(
+    spark: SparkSession, sf_dir: str, base_keep: float = MIXTURE_BASE_KEEP
+) -> DataFrame:
+    """Temperature-mixture REALIZATION: turn the α=0.5 per-source target
+    weights (temperature_mixture_weights) into an actual deterministic
+    document sample — doc kept iff md5_uniform(doc_id) < its source's
+    keep rate, rates scaled so the largest source keeps `base_keep`.
+    Per-source keep rate = base_keep · sqrt(max_tokens/tokens): the
+    up/down-weighting a data-mixing run applies before training. The
+    whole decision is a per-row hash compare against a broadcast 20-row
+    rate table; reports per-source kept counts vs targets."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", "doc_id", F.size(tokenize_col("text")).cast("long").alias("dl")
+    )
+    per_src = toks.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("tokens"),
+    )
+    mx = per_src.agg(F.max("tokens").alias("max_tokens"))
+    rates = per_src.crossJoin(F.broadcast(mx)).select(
+        "source",
+        "n_docs",
+        (
+            F.lit(float(base_keep))
+            * F.sqrt(
+                F.col("max_tokens").cast("double")
+                / F.col("tokens").cast("double")
+            )
+        ).alias("keep_rate_raw"),
+    ).select(
+        "source",
+        "n_docs",
+        F.least(F.lit(1.0), F.col("keep_rate_raw")).alias("keep_rate"),
+    )
+    u = _md5_52(F.concat(F.col("doc_id").cast("string"), F.lit(":mix"))).cast(
+        "double"
+    ) / F.lit(float(1 << 52))
+    decided = toks.select("source", u.alias("u")).join(
+        F.broadcast(rates), "source"
+    )
+    return (
+        decided.groupBy("source")
+        .agg(
+            F.max("n_docs").alias("n_docs"),
+            F.round(F.max("keep_rate"), 6).alias("keep_rate"),
+            F.sum(F.when(F.col("u") < F.col("keep_rate"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+TRIM_BUDGET = 64  # max tokens kept per document
+
+
+def token_budget_trim(
+    spark: SparkSession, sf_dir: str, budget: int = TRIM_BUDGET
+) -> DataFrame:
+    """Context-limit truncation: cap every document at `budget` analyzer
+    tokens (the pre-tokenization trim a context-window pipeline applies
+    before packing), reporting old/new token counts and an md5 witness
+    of the trimmed text. Shuffle-free codegen map (slice + array_join) —
+    embarrassingly parallel at any scale."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tokenize_col("text")
+    trimmed = F.array_join(F.slice(toks, 1, budget), " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.least(F.size(toks).cast("long"), F.lit(budget).cast("long")).alias(
+            "n_kept"
+        ),
+        F.md5(trimmed).alias("trimmed_md5"),
+    ).orderBy("doc_id")

@@ -1,0 +1,68 @@
+"""Tests: round-3 session-7 batch 13 (geo centroid / mixture resample /
+token budget trim) — invariants beyond the DuckDB oracle gate."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pandas as pd
+
+from lucene_mapreduce_spark.functions.tokenize import tokenize_string
+from lucene_mapreduce_spark.operators import textstats
+
+
+def _docs(sf_dir: str) -> pd.DataFrame:
+    return pd.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_geo_centroid_inside_tile_and_weighted(spark, sf_dir):
+    out = textstats.geo_centroid_agg(spark, sf_dir).toPandas()
+    docs = _docs(sf_dir)
+    assert out["n_docs"].sum() == len(docs)
+    # zoom-2 tiles: x in [0,4) of 90-degree lon bands; centroid lon must
+    # lie inside its tile's lon band (lat bands are Mercator-warped, so
+    # check lon only, which is linear)
+    for _, r in out.iterrows():
+        x = int(r["tile"].split("/")[1])
+        lo, hi = -180 + 90 * x, -180 + 90 * (x + 1)
+        assert lo - 1e-6 <= r["centroid_lon"] <= hi + 1e-6
+
+
+def test_mixture_resample_rates_and_counts(spark, sf_dir):
+    out = textstats.mixture_resample(spark, sf_dir).toPandas()
+    docs = _docs(sf_dir)
+    toks = {
+        s: sum(len(tokenize_string(t)) for t in g["text"])
+        for s, g in docs.groupby("source")
+    }
+    mx = max(toks.values())
+    for _, r in out.iterrows():
+        want = min(1.0, textstats.MIXTURE_BASE_KEEP * math.sqrt(mx / toks[r["source"]]))
+        assert math.isclose(r["keep_rate"], round(want, 6), abs_tol=1e-9)
+        assert 0 <= r["n_kept"] <= r["n_docs"]
+    # recompute one source's kept count by hand
+    src = out["source"].iloc[0]
+    grp = docs[docs["source"] == src]
+    rate = min(1.0, textstats.MIXTURE_BASE_KEEP * math.sqrt(mx / toks[src]))
+    kept = sum(
+        1
+        for d in grp["doc_id"]
+        if int(hashlib.md5(f"{int(d)}:mix".encode()).hexdigest()[:13], 16)
+        / float(1 << 52)
+        < rate
+    )
+    assert out.loc[out["source"] == src, "n_kept"].iloc[0] == kept
+
+
+def test_token_budget_trim_witnesses(spark, sf_dir):
+    out = textstats.token_budget_trim(spark, sf_dir).toPandas()
+    docs = _docs(sf_dir).sort_values("doc_id")
+    b = textstats.TRIM_BUDGET
+    assert list(out["doc_id"]) == list(docs["doc_id"])
+    for (_, r), txt in zip(out.iterrows(), docs["text"]):
+        toks = tokenize_string(txt)
+        assert r["n_tokens"] == len(toks)
+        assert r["n_kept"] == min(len(toks), b)
+        want = hashlib.md5(" ".join(toks[:b]).encode()).hexdigest()
+        assert r["trimmed_md5"] == want
