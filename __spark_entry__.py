@@ -135,6 +135,7 @@ from lucene_mapreduce_spark.operators.oracles import (  # noqa: E402
     geo_centroid_sql,
     mixture_resample_sql,
     token_budget_trim_sql,
+    stream_join_sql,
     filter_clause_sql,
     terms_set_sql,
     common_terms_sql,
@@ -332,6 +333,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_centroid_agg": textstats.geo_centroid_agg,
         "mixture_resample": textstats.mixture_resample,
         "token_budget_trim": textstats.token_budget_trim,
+        "streaming_stream_join": (
+            lambda s, d: __import__(
+                "lucene_mapreduce_spark.streaming.incremental", fromlist=["x"]
+            ).streaming_stream_join(s, d)
+        ),
         "contamination_check": dedup.contamination_check,
         "gopher_rules": textstats.gopher_rules,
         "ann_batch_topk": similarity.ann_batch_topk,
@@ -673,6 +679,10 @@ WHERE len(list_filter(range(1, len(toks)), i ->
     )
     out["mixture_resample"] = mixture_resample_sql(textstats.MIXTURE_BASE_KEEP)
     out["token_budget_trim"] = token_budget_trim_sql(textstats.TRIM_BUDGET)
+    from lucene_mapreduce_spark.streaming import incremental as _inc
+    out["streaming_stream_join"] = stream_join_sql(
+        _inc.STREAM_JOIN_WINDOW_MIN
+    )
     out["span_containing_query"] = span_containing_sql(*fulltext.SPAN_CONTAINING)
     out["rank_feature_query"] = rank_feature_sql(
         fulltext.FLAGSHIP_QUERY, *fulltext.RANK_FEATURE

@@ -4889,3 +4889,16 @@ SELECT doc_id,
 FROM documents
 ORDER BY doc_id
 """
+
+
+def stream_join_sql(window_min: int) -> str:
+    """stream-stream join twin: the batch attribution join."""
+    return f"""
+SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id
+FROM (SELECT * FROM events WHERE event_type = 'view') v
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON v.user_id = p.user_id
+ AND p.ts >= v.ts
+ AND p.ts <= v.ts + INTERVAL {window_min} MINUTE
+ORDER BY v.user_id, view_id, purchase_id
+"""

@@ -407,3 +407,76 @@ def streaming_percolate(
     )
     q.awaitTermination()
     return spark.table(sink).orderBy("query_id", "doc_id")
+
+
+STREAM_JOIN_WINDOW_MIN = 60  # purchase attributes to a view within an hour
+
+
+def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked STREAM-STREAM inner join (the attribution topology:
+    which view led to which purchase): two unbounded event streams join
+    on user with a bounded event-time range (purchase within
+    STREAM_JOIN_WINDOW_MIN minutes after the view). Both sides carry
+    watermarks, and the range condition bounds the state Spark must
+    retain — the two requirements that make an unbounded×unbounded join
+    feasible at all; state per user is one watermark-window of events
+    regardless of stream length. Append mode, availableNow — the final
+    table equals the batch join (the oracle)."""
+    import os
+    import tempfile
+
+    from lucene_mapreduce_spark.operators.parity import load
+
+    src = os.path.join(tempfile.mkdtemp(prefix="lmr_ssj_gate_"), "src")
+    load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(["view", "purchase"])
+    ).select("event_id", "user_id", "event_type", "ts").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    schema = "event_id long, user_id long, event_type string, ts timestamp"
+    views = (
+        spark.readStream.schema(schema)
+        .parquet(src)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "30 minutes")
+    )
+    purchases = (
+        spark.readStream.schema(schema)
+        .parquet(src)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "30 minutes")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("view_ts")
+            + F.expr(f"INTERVAL {STREAM_JOIN_WINDOW_MIN} MINUTES")
+        ),
+        "inner",
+    ).select(F.col("v_user").alias("user_id"), "view_id", "purchase_id")
+
+    _GATE_SEQ[0] += 1
+    sink = f"stream_join_gate_{_GATE_SEQ[0]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).orderBy("user_id", "view_id", "purchase_id")
