@@ -136,6 +136,8 @@ from lucene_mapreduce_spark.operators.oracles import (  # noqa: E402
     mixture_resample_sql,
     token_budget_trim_sql,
     stream_join_sql,
+    contexts_suggest_sql,
+    random_sampler_sql,
     filter_clause_sql,
     terms_set_sql,
     common_terms_sql,
@@ -333,6 +335,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_centroid_agg": textstats.geo_centroid_agg,
         "mixture_resample": textstats.mixture_resample,
         "token_budget_trim": textstats.token_budget_trim,
+        "contexts_suggest": textstats.contexts_suggest,
+        "random_sampler_agg": textstats.random_sampler_agg,
         "streaming_stream_join": (
             lambda s, d: __import__(
                 "lucene_mapreduce_spark.streaming.incremental", fromlist=["x"]
@@ -679,6 +683,10 @@ WHERE len(list_filter(range(1, len(toks)), i ->
     )
     out["mixture_resample"] = mixture_resample_sql(textstats.MIXTURE_BASE_KEEP)
     out["token_budget_trim"] = token_budget_trim_sql(textstats.TRIM_BUDGET)
+    out["contexts_suggest"] = contexts_suggest_sql(
+        *textstats.CTX_SUGGEST, textstats.CTX_SUGGEST_K
+    )
+    out["random_sampler_agg"] = random_sampler_sql(textstats.RANDOM_SAMPLER_P)
     from lucene_mapreduce_spark.streaming import incremental as _inc
     out["streaming_stream_join"] = stream_join_sql(
         _inc.STREAM_JOIN_WINDOW_MIN

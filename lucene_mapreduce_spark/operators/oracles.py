@@ -4902,3 +4902,37 @@ JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
  AND p.ts <= v.ts + INTERVAL {window_min} MINUTE
 ORDER BY v.user_id, view_id, purchase_id
 """
+
+
+def contexts_suggest_sql(prefix: str, ctx_lang: str, k: int) -> str:
+    """context suggester twin: in-context prefix completions by cf."""
+    return f"""
+WITH toks AS (
+  SELECT unnest({TOKS}) AS term FROM documents WHERE lang = '{ctx_lang}'
+),
+cands AS (
+  SELECT term, count(*)::BIGINT AS cf FROM toks
+  WHERE starts_with(term, '{prefix}') GROUP BY 1
+)
+SELECT term, cf, rank FROM (
+  SELECT term, cf, row_number() OVER (ORDER BY cf DESC, term ASC) AS rank
+  FROM cands
+) WHERE rank <= {k}
+"""
+
+
+def random_sampler_sql(p: float) -> str:
+    """random_sampler twin: md5-uniform sample, scaled estimates."""
+    h = _MD5_52.format(e="doc_id::VARCHAR || ':rs'")
+    return f"""
+WITH base AS (
+  SELECT lang,
+         CASE WHEN ({h})::DOUBLE / {float(1 << 52)!r} < {float(p)!r}
+              THEN 1 ELSE 0 END AS in_sample
+  FROM documents
+)
+SELECT lang, sum(in_sample)::BIGINT AS n_sampled,
+       round(sum(in_sample)::DOUBLE / {float(p)!r}, 6) AS est_docs,
+       count(*)::BIGINT AS exact_docs
+FROM base GROUP BY lang ORDER BY lang
+"""

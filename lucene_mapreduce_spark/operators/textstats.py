@@ -1650,3 +1650,67 @@ def token_budget_trim(
         ),
         F.md5(trimmed).alias("trimmed_md5"),
     ).orderBy("doc_id")
+
+
+CTX_SUGGEST = ("s", "en")  # prefix, lang context
+CTX_SUGGEST_K = 5
+
+
+def contexts_suggest(
+    spark: SparkSession,
+    sf_dir: str,
+    prefix: str = CTX_SUGGEST[0],
+    ctx_lang: str = CTX_SUGGEST[1],
+    k: int = CTX_SUGGEST_K,
+) -> DataFrame:
+    """ES completion suggester WITH CONTEXTS: completions for a prefix
+    restricted to one context value (here: only suggestions evidenced in
+    docs of the given lang), ranked by in-context collection frequency.
+    The context dimension makes the dictionary per-(context, term) — one
+    filtered tokenize scan + one combinable groupBy; the plain
+    suggesters (spell/autocomplete/infix) stay on the global dictionary
+    sidecar."""
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("lang") == ctx_lang)
+    toks = docs.select(F.explode(tokenize_col("text")).alias("term"))
+    cands = (
+        toks.filter(F.col("term").startswith(prefix))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cf"))
+    )
+    return ranked_topk(cands, [F.desc("cf"), F.asc("term")], k).select(
+        "term", "cf", "rank"
+    )
+
+
+RANDOM_SAMPLER_P = 0.25
+
+
+def random_sampler_agg(
+    spark: SparkSession, sf_dir: str, p: float = RANDOM_SAMPLER_P
+) -> DataFrame:
+    """ES `random_sampler` aggregation: sub-aggregate over a p-probability
+    document sample and SCALE the counts back up (count/p) — the
+    constant-cost estimator for expensive aggs over huge hit sets. The
+    sample is md5-uniform per doc (deterministic at any parallelism,
+    like random_score); per-lang rows report the sampled count, the
+    scaled estimate, and the exact count as the accuracy witness."""
+    docs = load(spark, sf_dir, "documents")
+    u = _md5_52(F.concat(F.col("doc_id").cast("string"), F.lit(":rs"))).cast(
+        "double"
+    ) / F.lit(float(1 << 52))
+    base = docs.select(
+        "lang", F.when(u < F.lit(float(p)), 1).otherwise(0).alias("in_sample")
+    )
+    return (
+        base.groupBy("lang")
+        .agg(
+            F.sum("in_sample").cast("long").alias("n_sampled"),
+            F.round(
+                F.sum("in_sample").cast("double") / F.lit(float(p)), 6
+            ).alias("est_docs"),
+            F.count(F.lit(1)).cast("long").alias("exact_docs"),
+        )
+        .orderBy("lang")
+    )

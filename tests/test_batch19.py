@@ -66,3 +66,35 @@ def test_token_budget_trim_witnesses(spark, sf_dir):
         assert r["n_kept"] == min(len(toks), b)
         want = hashlib.md5(" ".join(toks[:b]).encode()).hexdigest()
         assert r["trimmed_md5"] == want
+
+
+def test_contexts_suggest_respects_context(spark, sf_dir):
+    from collections import Counter
+
+    out = textstats.contexts_suggest(spark, sf_dir).toPandas()
+    prefix, ctx = textstats.CTX_SUGGEST
+    docs = _docs(sf_dir)
+    in_ctx = Counter(
+        t
+        for l, x in zip(docs["lang"], docs["text"])
+        if l == ctx
+        for t in tokenize_string(x)
+        if t.startswith(prefix)
+    )
+    exp = sorted(in_ctx.items(), key=lambda kv: (-kv[1], kv[0]))[
+        : textstats.CTX_SUGGEST_K
+    ]
+    assert list(zip(out["term"], out["cf"])) == exp
+
+
+def test_random_sampler_deterministic_and_scaled(spark, sf_dir):
+    out = textstats.random_sampler_agg(spark, sf_dir).toPandas()
+    p = textstats.RANDOM_SAMPLER_P
+    docs = _docs(sf_dir)
+    assert out["exact_docs"].sum() == len(docs)
+    for _, r in out.iterrows():
+        assert math.isclose(r["est_docs"], r["n_sampled"] / p, abs_tol=1e-6)
+        assert 0 <= r["n_sampled"] <= r["exact_docs"]
+    # second run identical (the sample is a hash, not an RNG)
+    again = textstats.random_sampler_agg(spark, sf_dir).toPandas()
+    assert again.equals(out)
