@@ -138,6 +138,8 @@ from lucene_mapreduce_spark.operators.oracles import (  # noqa: E402
     stream_join_sql,
     contexts_suggest_sql,
     random_sampler_sql,
+    pivot_table_sql,
+    cube_agg_sql,
     filter_clause_sql,
     terms_set_sql,
     common_terms_sql,
@@ -337,6 +339,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_trim": textstats.token_budget_trim,
         "contexts_suggest": textstats.contexts_suggest,
         "random_sampler_agg": textstats.random_sampler_agg,
+        "pivot_table_agg": textstats.pivot_table_agg,
+        "cube_agg": textstats.cube_agg,
         "streaming_stream_join": (
             lambda s, d: __import__(
                 "lucene_mapreduce_spark.streaming.incremental", fromlist=["x"]
@@ -687,6 +691,8 @@ WHERE len(list_filter(range(1, len(toks)), i ->
         *textstats.CTX_SUGGEST, textstats.CTX_SUGGEST_K
     )
     out["random_sampler_agg"] = random_sampler_sql(textstats.RANDOM_SAMPLER_P)
+    out["pivot_table_agg"] = pivot_table_sql(textstats.PIVOT_SOURCES)
+    out["cube_agg"] = cube_agg_sql()
     from lucene_mapreduce_spark.streaming import incremental as _inc
     out["streaming_stream_join"] = stream_join_sql(
         _inc.STREAM_JOIN_WINDOW_MIN

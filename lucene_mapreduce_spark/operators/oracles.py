@@ -4936,3 +4936,32 @@ SELECT lang, sum(in_sample)::BIGINT AS n_sampled,
        count(*)::BIGINT AS exact_docs
 FROM base GROUP BY lang ORDER BY lang
 """
+
+
+def pivot_table_sql(sources) -> str:
+    """pivot twin: conditional aggregates per pinned source column."""
+    cols = ",\n       ".join(
+        f"sum(CASE WHEN source = '{s}' THEN 1 ELSE 0 END)::BIGINT AS {s}"
+        for s in sources
+    )
+    inlist = ", ".join(f"'{s}'" for s in sources)
+    return f"""
+SELECT lang,
+       {cols}
+FROM documents
+WHERE source IN ({inlist})
+GROUP BY lang ORDER BY lang
+"""
+
+
+def cube_agg_sql() -> str:
+    """cube twin: GROUP BY CUBE with '<all>' sentinels."""
+    return """
+SELECT coalesce(lang, '<all>') AS lang,
+       coalesce(source, '<all>') AS source,
+       count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS sum_chars
+FROM documents
+GROUP BY CUBE (lang, source)
+ORDER BY lang, source
+"""

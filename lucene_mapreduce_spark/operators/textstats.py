@@ -1714,3 +1714,57 @@ def random_sampler_agg(
         )
         .orderBy("lang")
     )
+
+
+PIVOT_SOURCES = ("src0", "src1", "src2", "src3")
+
+
+def pivot_table_agg(
+    spark: SparkSession,
+    sf_dir: str,
+    sources: tuple[str, ...] = PIVOT_SOURCES,
+) -> DataFrame:
+    """Crosstab / pivot table: lang rows x source columns doc counts,
+    through Spark's native `groupBy().pivot()` (one shuffle — the pivot
+    column list is PINNED, so no discovery pass and a static schema; an
+    unpinned pivot would scan once just to learn the columns). The
+    datagen's source names are sf-stable, so the pinned list works at
+    every scale."""
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("source").isin(list(sources))
+    )
+    wide = (
+        docs.groupBy("lang")
+        .pivot("source", list(sources))
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "lang",
+        *[
+            F.coalesce(F.col(f"`{s}`"), F.lit(0)).cast("long").alias(s)
+            for s in sources
+        ],
+    ).orderBy("lang")
+
+
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY CUBE over (lang, source): all four lattice levels —
+    (lang, source), lang subtotals, source subtotals, grand total — in
+    ONE shuffle with map-side partials (the CUBE twin of events_rollup's
+    ROLLUP; CUBE adds the source-only slice ROLLUP lacks). '<all>'
+    sentinels keep lattice slots schema-stable cross-engine."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.cube("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .select(
+            F.coalesce("lang", F.lit("<all>")).alias("lang"),
+            F.coalesce("source", F.lit("<all>")).alias("source"),
+            "n_docs",
+            "sum_chars",
+        )
+        .orderBy("lang", "source")
+    )

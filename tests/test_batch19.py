@@ -98,3 +98,27 @@ def test_random_sampler_deterministic_and_scaled(spark, sf_dir):
     # second run identical (the sample is a hash, not an RNG)
     again = textstats.random_sampler_agg(spark, sf_dir).toPandas()
     assert again.equals(out)
+
+
+def test_pivot_table_counts(spark, sf_dir):
+    out = textstats.pivot_table_agg(spark, sf_dir).toPandas()
+    docs = _docs(sf_dir)
+    for _, r in out.iterrows():
+        for s in textstats.PIVOT_SOURCES:
+            want = ((docs["lang"] == r["lang"]) & (docs["source"] == s)).sum()
+            assert r[s] == want
+
+
+def test_cube_agg_lattice_consistency(spark, sf_dir):
+    out = textstats.cube_agg(spark, sf_dir).toPandas()
+    docs = _docs(sf_dir)
+    grand = out[(out["lang"] == "<all>") & (out["source"] == "<all>")].iloc[0]
+    assert grand["n_docs"] == len(docs)
+    assert grand["sum_chars"] == docs["n_chars"].sum()
+    # lang subtotals sum to the grand total; leaf cells sum to subtotals
+    lang_rows = out[(out["lang"] != "<all>") & (out["source"] == "<all>")]
+    assert lang_rows["n_docs"].sum() == len(docs)
+    leaves = out[(out["lang"] != "<all>") & (out["source"] != "<all>")]
+    assert leaves["n_docs"].sum() == len(docs)
+    src_rows = out[(out["lang"] == "<all>") & (out["source"] != "<all>")]
+    assert src_rows["n_docs"].sum() == len(docs)
