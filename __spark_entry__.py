@@ -140,6 +140,7 @@ from lucene_mapreduce_spark.operators.oracles import (  # noqa: E402
     random_sampler_sql,
     pivot_table_sql,
     cube_agg_sql,
+    contamination_fraction_sql,
     filter_clause_sql,
     terms_set_sql,
     common_terms_sql,
@@ -341,6 +342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_sampler_agg": textstats.random_sampler_agg,
         "pivot_table_agg": textstats.pivot_table_agg,
         "cube_agg": textstats.cube_agg,
+        "contamination_fraction": dedup.contamination_fraction,
         "streaming_stream_join": (
             lambda s, d: __import__(
                 "lucene_mapreduce_spark.streaming.incremental", fromlist=["x"]
@@ -693,6 +695,9 @@ WHERE len(list_filter(range(1, len(toks)), i ->
     out["random_sampler_agg"] = random_sampler_sql(textstats.RANDOM_SAMPLER_P)
     out["pivot_table_agg"] = pivot_table_sql(textstats.PIVOT_SOURCES)
     out["cube_agg"] = cube_agg_sql()
+    out["contamination_fraction"] = contamination_fraction_sql(
+        3, dedup.EVAL_MOD, dedup.CONTAM_FRACTION
+    )
     from lucene_mapreduce_spark.streaming import incremental as _inc
     out["streaming_stream_join"] = stream_join_sql(
         _inc.STREAM_JOIN_WINDOW_MIN

@@ -401,3 +401,56 @@ def duplicate_ngram_fraction(
             ).alias("dup_fraction"),
         )
     )
+
+
+CONTAM_FRACTION = 0.05  # contaminated if >= 5% of a doc's 3-grams are shared
+
+
+def contamination_fraction(
+    spark: SparkSession,
+    sf_dir: str,
+    eval_mod: int = EVAL_MOD,
+    threshold: float = CONTAM_FRACTION,
+) -> DataFrame:
+    """Fraction-based decontamination (the overlap-RATIO method modern
+    pipelines use instead of contamination_check's any-shared-shingle
+    flag): a training doc is contaminated when >= threshold of its
+    DISTINCT token 3-grams appear anywhere in the eval split. The eval
+    side collapses to a distinct shingle SET before the join (a semi-join
+    — per-eval-doc attribution doesn't matter for the ratio, so no hot-
+    shingle blowup is possible), the per-doc denominator rides the same
+    shingle frame. Reports every doc over threshold with its ratio."""
+    docs = load(spark, sf_dir, "documents")
+    sh = _shingles(docs)
+    ev = (
+        sh.filter(F.col("doc_id") % eval_mod == 0)
+        .select("shingle")
+        .distinct()
+    )
+    tr = sh.filter(F.col("doc_id") % eval_mod != 0)
+    totals = tr.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles")
+    )
+    shared = (
+        tr.join(ev, "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    return (
+        totals.join(shared, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared"),
+        )
+        .withColumn(
+            "frac",
+            F.round(
+                F.col("n_shared").cast("double")
+                / F.col("n_shingles").cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("frac") >= threshold)
+        .orderBy("doc_id")
+    )

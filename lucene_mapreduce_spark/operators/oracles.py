@@ -4965,3 +4965,39 @@ FROM documents
 GROUP BY CUBE (lang, source)
 ORDER BY lang, source
 """
+
+
+def contamination_fraction_sql(
+    shingle_k: int, eval_mod: int, threshold: float
+) -> str:
+    """contamination_fraction twin: shared-distinct-shingle ratio vs the
+    eval shingle set."""
+    return f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(toks[i:i+{shingle_k - 1}], ' ') AS shingle
+  FROM (SELECT doc_id, {TOKS} AS toks FROM documents),
+       unnest(range(1, len(toks) - {shingle_k - 2})) AS t(i)
+  WHERE len(toks) >= {shingle_k}
+),
+ev AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id % {eval_mod} = 0
+),
+tr AS (SELECT * FROM sh WHERE doc_id % {eval_mod} != 0),
+totals AS (
+  SELECT doc_id, count(*)::BIGINT AS n_shingles FROM tr GROUP BY 1
+),
+shared AS (
+  SELECT tr.doc_id, count(*)::BIGINT AS n_shared
+  FROM tr SEMI JOIN ev USING (shingle)
+  GROUP BY 1
+)
+SELECT t.doc_id, t.n_shingles,
+       coalesce(s.n_shared, 0)::BIGINT AS n_shared,
+       round(coalesce(s.n_shared, 0)::DOUBLE / t.n_shingles::DOUBLE, 6)
+         AS frac
+FROM totals t LEFT JOIN shared s USING (doc_id)
+WHERE round(coalesce(s.n_shared, 0)::DOUBLE / t.n_shingles::DOUBLE, 6)
+      >= {threshold!r}
+ORDER BY t.doc_id
+"""

@@ -122,3 +122,25 @@ def test_cube_agg_lattice_consistency(spark, sf_dir):
     assert leaves["n_docs"].sum() == len(docs)
     src_rows = out[(out["lang"] == "<all>") & (out["source"] != "<all>")]
     assert src_rows["n_docs"].sum() == len(docs)
+
+
+def test_contamination_fraction_ratios(spark, sf_dir):
+    from lucene_mapreduce_spark.operators import dedup
+
+    out = dedup.contamination_fraction(spark, sf_dir).toPandas()
+    docs = _docs(sf_dir)
+
+    def shingles(txt):
+        t = tokenize_string(txt)
+        return {" ".join(t[i : i + 3]) for i in range(len(t) - 2)}
+
+    ev = set()
+    for d, txt in zip(docs["doc_id"], docs["text"]):
+        if d % dedup.EVAL_MOD == 0:
+            ev |= shingles(txt)
+    for _, r in out.iterrows():
+        assert r["doc_id"] % dedup.EVAL_MOD != 0
+        sh = shingles(docs.set_index("doc_id").loc[r["doc_id"], "text"])
+        assert r["n_shingles"] == len(sh)
+        assert r["n_shared"] == len(sh & ev)
+        assert r["frac"] >= dedup.CONTAM_FRACTION
