@@ -181,6 +181,59 @@ def entry(spark: SparkSession) -> DataFrame:
     return fulltext.bm25_topk_documents(spark, "/root/testdata/sf0.001")
 
 
+# Driver-gate rotation (VERDICT r3 item #1): the driver's correctness gate
+# samples the FIRST 50 entries of queries(). Rounds 1-3 verified 106 of 234
+# names; the names below have never had a driver CORRECTNESS row. They are
+# promoted to the head of the dict (in this order) so CORRECTNESS_r04 verifies
+# 50 previously-unverified queries; the remainder rotate up next round.
+_DRIVER_PRIORITY = [
+    "constant_score_query", "filter_clause_query", "terms_set_query",
+    "common_terms_query", "span_or_near_query", "hit_stats_facets",
+    "delete_by_query", "bm25f_topk", "infix_suggest", "term_vectors",
+    "percolate_match", "events_rollup", "lmjelinekmercer_topk",
+    "boosting_query", "span_within_query", "top_hits_facets",
+    "matched_queries", "random_score_query", "decay_function_score",
+    "highlight_all_fragments", "phrase_suggest", "ann_recall_at_k",
+    "histogram_facets", "adjacency_matrix_facets", "composite_agg_page",
+    "funnel_analysis", "retention_cohorts", "json_props_stats",
+    "filtered_ann_topk", "hybrid_linear_fusion", "domain_quality_rollup",
+    "date_histogram_facets", "moving_avg_pipeline", "bucket_selector_agg",
+    "weighted_avg_agg", "multi_terms_agg", "rare_terms_agg", "pinned_query",
+    "span_containing_query", "rank_feature_query", "distance_feature_query",
+    "terms_shard_approx", "pii_redaction", "source_frequency_cap",
+    "temperature_mixture_weights", "diversified_sampler_topk",
+    "span_multi_near_query", "search_as_you_type", "derivative_pipeline",
+    "stats_bucket_pipeline",
+    # --- slots 51+: verified next round (keep never-verified contiguous) ---
+    "date_range_facets", "auto_date_histogram", "scroll_slices",
+    "percentile_ranks_agg", "string_stats_agg", "embedding_norm_stats",
+    "serial_diff_pipeline", "bucket_extrema_pipeline",
+    "bucket_script_pipeline", "bucket_sort_pipeline", "normalize_pipeline",
+    "top_metrics_agg", "t_test_agg", "extended_stats_agg", "boxplot_agg",
+    "mad_agg", "matrix_stats_agg", "filters_agg", "has_child_query",
+    "has_parent_query", "children_agg", "scripted_metric_agg",
+    "combined_fields_query", "rank_eval", "linear_classifier_topk",
+    "sampler_agg", "geo_distance_query", "mget_docstore", "intervals_query",
+    "cumulative_cardinality_pipeline", "moving_fn_pipeline",
+    "geo_bounding_box_query", "geotile_grid_agg", "hll_cardinality",
+    "ewma_pipeline", "percentiles_bucket_pipeline", "change_point_agg",
+    "rate_agg", "categorize_text_agg", "frequent_pairs_agg",
+    "tfidf_keywords", "bpe_pair_counts", "geohash_grid_agg", "ip_range_agg",
+    "stemmed_terms_agg", "moving_median_pipeline", "packing_stats",
+    "terms_lookup_query", "runtime_field_query", "geo_centroid_agg",
+    "mixture_resample", "token_budget_trim", "contexts_suggest",
+    "random_sampler_agg", "pivot_table_agg", "cube_agg",
+    "contamination_fraction", "streaming_stream_join", "slop_match_batch",
+    "index_stats", "duplicate_ngram_fraction", "dsir_importance_weights",
+    "semdedup", "ann_ivf_topk", "streaming_conversation_progress",
+    "streaming_exact_dedup", "streaming_windowed_counts",
+    "streaming_session_windows", "streaming_percolate",
+    "near_dup_components", "curation_pipeline", "cluster_representative",
+    "media_decode_stats", "media_frame_stats", "token_windows",
+    "stratified_sample", "token_length_histogram", "unigram_logprob",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # full-text / BM25 (SURVEY §2.7, A8, J1, W1)
@@ -455,7 +508,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": textstats.doc_fingerprint,
         "unigram_logprob": textstats.unigram_logprob,
     }
-    return q
+    ordered = {name: q[name] for name in _DRIVER_PRIORITY}
+    ordered.update({name: fn for name, fn in q.items() if name not in ordered})
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:

@@ -2417,6 +2417,12 @@ def delete_by_query(
         F.count(F.lit(1)).alias("n"),
         F.avg(F.col("dl").cast("double")).alias("avgdl"),
     ).collect()[0]
+    if row["n"] == 0:
+        # the delete query matched every document — avgdl is NULL and
+        # there is nothing left to score (ADVICE r3 guard)
+        return spark.createDataFrame(
+            [], "doc_id bigint, score double, rank int"
+        )
     df_t = pos.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
     matched = (
         pos.withColumn("query_id", F.lit("q0"))

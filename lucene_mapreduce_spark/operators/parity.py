@@ -15,6 +15,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+# NOTE on unpartitioned Window.orderBy usage in this module: the pipeline
+# aggregations (moving_avg, derivative, serial_diff, moving_median,
+# bucket_sort, ewma, ...) window over the GAP-FILLED DATE HISTOGRAM, whose
+# cardinality is elapsed days — a few thousand rows at any corpus size —
+# never the raw event stream. Spark's "No Partition Defined for Window
+# operation" WARN on these is expected and bounded; it does not indicate
+# skew (ADVICE r3, documented rather than suppressed).
+
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

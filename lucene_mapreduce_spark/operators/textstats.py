@@ -1497,7 +1497,12 @@ def packing_stats(
         "source",
         "dl",
         F.floor(F.col("off") / budget).alias("bin_start"),
-        F.floor((F.col("off") + F.col("dl") - 1) / budget).alias("bin_end"),
+        # zero-token docs would make bin_end = bin_start - 1; clamp so the
+        # straddle test stays consistent with n_bins = ceil(sum/budget)
+        F.greatest(
+            F.floor(F.col("off") / budget),
+            F.floor((F.col("off") + F.col("dl") - 1) / budget),
+        ).alias("bin_end"),
     )
     return (
         placed.groupBy("source")

@@ -138,6 +138,30 @@ def conversation_progress(stream_df: DataFrame) -> DataFrame:
 _GATE_SEQ = [0]
 
 
+def _finish_gate(spark, q, sink, src, select_cols=None, order_by=None):
+    """Await the gate stream, materialize the memory sink into a standalone
+    DataFrame, then release the sink table and the temp source dir.
+
+    The memory sink already holds the (bounded) gate result in driver
+    memory, so re-materializing via createDataFrame adds nothing; what it
+    buys is that the temp view can be dropped and the mkdtemp source
+    removed immediately — repeated gate runs in one long session previously
+    leaked /tmp disk and driver memory (ADVICE r3)."""
+    import os
+    import shutil
+
+    q.awaitTermination()
+    df = spark.table(sink)
+    if select_cols:
+        df = df.select(*select_cols)
+    if order_by:
+        df = df.orderBy(*order_by)
+    out = spark.createDataFrame(df.collect(), df.schema)
+    spark.catalog.dropTempView(sink)
+    shutil.rmtree(os.path.dirname(src), ignore_errors=True)
+    return out
+
+
 def streaming_conversation_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gate entry for the custom stateful operator: derive a transcript
     stream from the events table (conv = user, turns ranked by ts), run it
@@ -179,9 +203,9 @@ def streaming_conversation_progress(spark: SparkSession, sf_dir: str) -> DataFra
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
-    return spark.table(sink).select(
-        "conv_id", "turns_seen", "max_turn_idx", "last_ts"
+    return _finish_gate(
+        spark, q, sink, src,
+        select_cols=["conv_id", "turns_seen", "max_turn_idx", "last_ts"],
     )
 
 
@@ -248,8 +272,7 @@ def streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
-    return spark.table(sink).select("text_md5", "doc_id")
+    return _finish_gate(spark, q, sink, src, select_cols=["text_md5", "doc_id"])
 
 
 def windowed_turn_counts(stream_df: DataFrame, late: str = "1 hour") -> DataFrame:
@@ -290,8 +313,7 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
-    return spark.table(sink).select("day", "role", "n_turns")
+    return _finish_gate(spark, q, sink, src, select_cols=["day", "role", "n_turns"])
 
 
 def session_windows(stream_df: DataFrame, gap: str = "1 hour") -> DataFrame:
@@ -345,9 +367,9 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
-    return spark.table(sink).select(
-        "user_id", "session_start", "session_end", "n_events"
+    return _finish_gate(
+        spark, q, sink, src,
+        select_cols=["user_id", "session_start", "session_end", "n_events"],
     )
 
 
@@ -405,8 +427,7 @@ def streaming_percolate(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
-    return spark.table(sink).orderBy("query_id", "doc_id")
+    return _finish_gate(spark, q, sink, src, order_by=["query_id", "doc_id"])
 
 
 STREAM_JOIN_WINDOW_MIN = 60  # purchase attributes to a view within an hour
@@ -478,5 +499,6 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
-    return spark.table(sink).orderBy("user_id", "view_id", "purchase_id")
+    return _finish_gate(
+        spark, q, sink, src, order_by=["user_id", "view_id", "purchase_id"]
+    )
