@@ -1917,7 +1917,11 @@ def _ann_ivf_sql() -> str:
     vectors (row_number window = the Spark side's array-of-structs max);
     probe = the query's nprobe nearest centroids; rescore exact.  The
     zero-norm guard (-2.0) mirrors ivf._cosine_guarded."""
-    from lucene_mapreduce_spark.operators.ivf import N_CENTROIDS, N_PROBE
+    from lucene_mapreduce_spark.operators.ivf import (
+        N_CENTROIDS_MIN,
+        N_PROBE,
+        TARGET_LIST_SIZE,
+    )
     from lucene_mapreduce_spark.operators.similarity import QUERY_VEC_ID
 
     def cos(a: str, b: str) -> str:
@@ -1933,7 +1937,8 @@ def _ann_ivf_sql() -> str:
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 cents AS (
   SELECT vec_id AS cid, v AS cv FROM e
-  WHERE vec_id BETWEEN 1 AND {N_CENTROIDS}
+  WHERE vec_id BETWEEN 1 AND
+    (SELECT greatest({N_CENTROIDS_MIN}, count(*) // {TARGET_LIST_SIZE}) FROM e)
 ),
 q AS (SELECT v AS qv FROM e WHERE vec_id = {QUERY_VEC_ID}),
 probe AS (
@@ -1970,7 +1975,11 @@ def _ann_ivf_batch_sql(k: int = 5, qmod: int = 101) -> str:
     """Batch-IVF twin: per-query probe sets AND assignments computed in
     SQL (probe selection is NOT imported from the engine — the oracle
     independently derives which lists each query probes)."""
-    from lucene_mapreduce_spark.operators.ivf import N_CENTROIDS, N_PROBE
+    from lucene_mapreduce_spark.operators.ivf import (
+        N_CENTROIDS_MIN,
+        N_PROBE,
+        TARGET_LIST_SIZE,
+    )
 
     def cos(a: str, b: str) -> str:
         return (
@@ -1985,7 +1994,8 @@ def _ann_ivf_batch_sql(k: int = 5, qmod: int = 101) -> str:
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 cents AS (
   SELECT vec_id AS cid, v AS cv FROM e
-  WHERE vec_id BETWEEN 1 AND {N_CENTROIDS}
+  WHERE vec_id BETWEEN 1 AND
+    (SELECT greatest({N_CENTROIDS_MIN}, count(*) // {TARGET_LIST_SIZE}) FROM e)
 ),
 q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % {qmod} = 0),
 probe AS (
@@ -2168,7 +2178,10 @@ def _semdedup_sql() -> str:
     """SemDeDup twin (similarity.semdedup): assignment re-derived from the
     same 16-centroid quantizer as the IVF oracles; the per-cluster rank cap
     and the lowest-id-wins keep rule are replayed exactly."""
-    from lucene_mapreduce_spark.operators.ivf import N_CENTROIDS
+    from lucene_mapreduce_spark.operators.ivf import (
+        N_CENTROIDS_MIN,
+        TARGET_LIST_SIZE,
+    )
     from lucene_mapreduce_spark.operators.similarity import (
         SEMDEDUP_MAX_CLUSTER,
         SEMDEDUP_THRESHOLD,
@@ -2187,7 +2200,8 @@ def _semdedup_sql() -> str:
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 cents AS (
   SELECT vec_id AS cid, v AS cv FROM e
-  WHERE vec_id BETWEEN 1 AND {N_CENTROIDS}
+  WHERE vec_id BETWEEN 1 AND
+    (SELECT greatest({N_CENTROIDS_MIN}, count(*) // {TARGET_LIST_SIZE}) FROM e)
 ),
 assign AS (
   SELECT vec_id, v, cid FROM (

@@ -304,6 +304,8 @@ def semdedup(
     sf_dir: str,
     threshold: float = SEMDEDUP_THRESHOLD,
     max_cluster: int = SEMDEDUP_MAX_CLUSTER,
+    c: int | None = None,
+    target_list_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
     cluster the corpus with a coarse quantizer, compare embeddings only
@@ -316,18 +318,32 @@ def semdedup(
     lowest-id-wins representative, engine-portable).
 
     Plan shape: cluster assignment reuses the IVF coarse quantizer
-    (ivf._assign_col — plan-time literals, zero-shuffle projection); the
-    only self-join is the intra-cluster pair join keyed on list_id.  At
-    scale the cluster count C grows with the corpus (SemDeDup uses
-    C ~ N/10^3..10^4, trained via ivf.train_centroids), holding cluster
-    size — and so per-cluster pair cost — constant; the `max_cluster`
-    rank cap (lowest vec_ids participate, mirrored exactly by the oracle)
-    bounds the degenerate case where a cluster collapses.  Cosines fold
-    sequentially and compare at 6-dp rounding on both engines, so the
-    verdict is hash-exact.  LLM-pipeline surface beyond the reference."""
-    from lucene_mapreduce_spark.operators.ivf import _cosine_guarded, assign_lists
+    (zero-shuffle codegen projection for small codebooks, Arrow matmul
+    kernel past ivf._INLINE_ASSIGN_MAX); the only self-join is the
+    intra-cluster pair join keyed on list_id.  The cluster count is
+    ivf.n_centroids(count) = max(16, N // target_list_size), so C grows
+    linearly with the corpus (SemDeDup's C ~ N/10^3..10^4 recipe), holding
+    cluster size — and so per-cluster pair cost AND the participation
+    fraction under `max_cluster` — constant as N grows (asserted by
+    test_ivf's doubling test); the rank cap only bounds the degenerate
+    case where a cluster collapses.  Cosines fold sequentially and compare
+    at 6-dp rounding on both engines, so the verdict is hash-exact (the
+    gate runs at the C=16 floor).  LLM-pipeline surface beyond the
+    reference."""
+    from lucene_mapreduce_spark.operators.ivf import (
+        TARGET_LIST_SIZE,
+        _cosine_guarded,
+        assign_lists,
+    )
 
-    a = assign_lists(spark, sf_dir).select(
+    a = assign_lists(
+        spark,
+        sf_dir,
+        c=c,
+        target_list_size=(
+            TARGET_LIST_SIZE if target_list_size is None else target_list_size
+        ),
+    ).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"), "list_id"
     )
     w = Window.partitionBy("list_id").orderBy("vec_id")

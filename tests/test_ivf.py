@@ -207,3 +207,63 @@ def test_semdedup_cluster_cap(tmp_path, spark):
     # the two random co-members are not semantic dups of anything
     assert rows[0]["keep"] and rows[0]["n_dups"] == 0
     assert rows[5]["keep"] and rows[5]["n_dups"] == 0
+
+
+def test_quantizer_grows_and_kernel_matches_inline(tmp_path, spark):
+    """VERDICT r3 defect #1: the cluster count must scale with the corpus
+    (C = max(16, N // target_list_size)), and past _INLINE_ASSIGN_MAX the
+    Arrow matmul kernel must produce the same assignment as the codegen
+    literal path (argmax ties break on the smaller cid in both)."""
+    from lucene_mapreduce_spark.operators.ivf import (
+        _INLINE_ASSIGN_MAX,
+        _assign_col,
+        _assign_kernel,
+        _centroids,
+        n_centroids,
+    )
+
+    assert n_centroids(1000) == 16  # test-SF floor: gates unchanged
+    assert n_centroids(1_000_000) == 244
+    assert n_centroids(1024, target_list_size=8) == 128
+
+    rng = np.random.default_rng(5)
+    vecs = [rng.normal(size=16) for _ in range(1024)]
+    sf = _write_embeddings(tmp_path, vecs)
+    cents = _centroids(spark, sf, target_list_size=8)
+    assert len(cents) == 128 > _INLINE_ASSIGN_MAX
+
+    emb = spark.read.parquet(os.path.join(sf, "embeddings.parquet")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    inline = emb.select(
+        "vec_id", _assign_col(F.col("v"), cents).alias("list_id")
+    ).toPandas().set_index("vec_id")["list_id"]
+    kernel = emb.select(
+        "vec_id", _assign_kernel(cents)(F.col("v")).alias("list_id")
+    ).toPandas().set_index("vec_id")["list_id"]
+    assert (inline.sort_index() == kernel.sort_index()).all()
+
+
+def test_semdedup_participation_holds_when_corpus_doubles(tmp_path, spark):
+    """With C scaling linearly in N, expected cluster size is constant, so
+    the max_cluster rank cap stays slack and EVERY vector participates in
+    dedup at both N and 2N (the r3 defect was participation decaying
+    toward 0 as N grew past C * max_cluster)."""
+    from lucene_mapreduce_spark.operators.similarity import semdedup
+
+    rng = np.random.default_rng(9)
+    parts = []
+    for tag, n in (("a", 512), ("b", 1024)):
+        vecs = [rng.normal(size=16) for _ in range(n)]
+        sf = _write_embeddings(tmp_path_sub(tmp_path, tag), vecs)
+        out = semdedup(spark, sf, target_list_size=8, max_cluster=64).toPandas()
+        parts.append((n, len(out), out["list_id"].nunique()))
+    (n1, rows1, c1), (n2, rows2, c2) = parts
+    assert rows1 == n1 and rows2 == n2  # participation fraction = 1.0
+    assert c2 > c1  # the codebook actually grew with the corpus
+
+
+def tmp_path_sub(tmp_path, name):
+    p = os.path.join(str(tmp_path), name)
+    os.makedirs(p, exist_ok=True)
+    return p
