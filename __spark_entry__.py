@@ -203,9 +203,9 @@ _DRIVER_PRIORITY = [
     "terms_shard_approx", "pii_redaction", "source_frequency_cap",
     "temperature_mixture_weights", "diversified_sampler_topk",
     "span_multi_near_query", "search_as_you_type", "derivative_pipeline",
-    "stats_bucket_pipeline",
+    "vendor_line_parse",
     # --- slots 51+: verified next round (keep never-verified contiguous) ---
-    "date_range_facets", "auto_date_histogram", "scroll_slices",
+    "stats_bucket_pipeline", "date_range_facets", "auto_date_histogram", "scroll_slices",
     "percentile_ranks_agg", "string_stats_agg", "embedding_norm_stats",
     "serial_diff_pipeline", "bucket_extrema_pipeline",
     "bucket_script_pipeline", "bucket_sort_pipeline", "normalize_pipeline",
@@ -447,6 +447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dictionary_filter": parity.dictionary_filter,
         "url_host_md5": parity.url_host_md5,
         "ts_parse_roundtrip": parity.ts_parse_roundtrip,
+        "vendor_line_parse": parity.vendor_line_parse,
         "newest_k_generations": parity.newest_k_generations,
         "first_wins_dedup": parity.first_wins_dedup,
         "coalesce_defaults": parity.coalesce_defaults,

@@ -1800,6 +1800,40 @@ SELECT event_id,
        strftime(date_trunc('day', ts) + INTERVAL 3 DAY, '%Y-%m-%d') AS slot_end
 FROM events
 """,
+    # P4 — vendor control-char line parse (XdiReportScreen6Mapper.java:16-40).
+    # Same deterministic line reconstitution as parity.vendor_line_parse:
+    # chr(1)=^A field delimiter, chr(2)=^B strippable prefix marker.
+    "vendor_line_parse": """
+WITH lines AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0 THEN chr(2) || ' k' || doc_id || ' '
+         ELSE ' k' || doc_id || ' ' END AS kraw,
+    CASE WHEN doc_id % 7 = 0 THEN '\\N'
+         WHEN doc_id % 11 = 0 THEN ''
+         WHEN doc_id % 5 = 0 THEN chr(2) || 'v-' || source
+         ELSE source END AS vraw
+  FROM documents
+), raw AS (
+  SELECT CASE WHEN doc_id % 13 = 0 THEN kraw
+              ELSE kraw || chr(1) || vraw || chr(1) || 'x' || doc_id END AS line
+  FROM lines
+), parts AS (
+  SELECT str_split(line, chr(1)) AS w FROM raw
+  WHERE len(str_split(line, chr(1))) > 1
+), cleaned AS (
+  SELECT trim(regexp_replace(w[1], '^' || chr(2), '')) AS k,
+         trim(regexp_replace(w[2], '^' || chr(2), '')) AS v
+  FROM parts
+), valid AS (
+  SELECT k, v FROM cleaned
+  WHERE k <> '' AND k <> '\\N' AND v <> '' AND v <> '\\N'
+)
+SELECT out_key, out_val, count(*)::BIGINT AS n FROM (
+  SELECT v AS out_key, k || '&screen6' AS out_val FROM valid
+  UNION ALL
+  SELECT k AS out_key, v || '&screen6' AS out_val FROM valid
+) GROUP BY 1, 2
+""",
 }
 
 

@@ -96,3 +96,29 @@ def test_tokenizer_on_read_text(spark, tmp_path):
         .count()
     )
     assert n == 5
+
+
+def test_load_seam_dispatches_iceberg(monkeypatch):
+    """The corpus loader is the single seam for the Iceberg read surface:
+    with SPARK_GRAFT_CORPUS_FORMAT=iceberg it must issue
+    read.format("iceberg").load("<ns>.<table>") — verified with a stub
+    reader since this sandbox ships no iceberg runtime jar."""
+    from lucene_mapreduce_spark.operators.parity import load
+
+    calls = {}
+
+    class _Reader:
+        def format(self, fmt):
+            calls["format"] = fmt
+            return self
+
+        def load(self, path):
+            calls["path"] = path
+            return "DF"
+
+    class _Spark:
+        read = _Reader()
+
+    monkeypatch.setenv("SPARK_GRAFT_CORPUS_FORMAT", "iceberg")
+    assert load(_Spark(), "lake.corpus", "documents") == "DF"
+    assert calls == {"format": "iceberg", "path": "lake.corpus.documents"}
