@@ -44,6 +44,10 @@ from lucene_mapreduce_spark.index.manifest import (
     load_manifest,
     segment_dir,
 )
+from lucene_mapreduce_spark.index.partitioning import (
+    even_salted_repartition,
+    salted_plan,
+)
 
 
 def latest_wins(corpus: DataFrame, doc_col: str = "doc_id", ts_col: str = "ts") -> DataFrame:
@@ -201,7 +205,7 @@ def write_positions(
     enc_parts = max(
         int(spark.conf.get("spark.sql.shuffle.partitions", "32")), num_partitions
     )
-    n_salt = max(2, (4 * enc_parts) // (num_partitions + 1))
+    n_tasks, n_salt = salted_plan(enc_parts, num_partitions)
     pos = (
         corpus.select(
             F.col("doc_id").cast("long").alias("doc_id"),
@@ -217,7 +221,9 @@ def write_positions(
             F.col("p.positions").alias("positions"),
         )
         .withColumn("salt", F.pmod(F.col("chunk"), F.lit(n_salt)))
-        .repartition(enc_parts, "phash", "salt")
+    )
+    pos = (
+        even_salted_repartition(pos, n_tasks, n_salt)
         .sortWithinPartitions("phash", "term", "chunk", "doc_id")
         .select("phash", "term", "chunk", "doc_id", "positions")
     )
@@ -347,11 +353,17 @@ def build_segment(
     # only a few phash values, so partitionBy(phash) writes ~4 files per
     # task instead of one per (task x phash) — ~8x fewer output files, ~8x
     # less driver-side commit work and fewer footers for serving to prune.
-    n_salt = max(2, (4 * enc_parts) // (num_partitions + 1))
+    # Key->task placement is explicit (partitioning.even_salted_repartition):
+    # hash placement of the ~(P+1)*n_salt keys left measured 3x byte skew
+    # and empty tasks in the reduce wave — the dominant scaling-efficiency
+    # loss at high core counts.
+    n_tasks, n_salt = salted_plan(enc_parts, num_partitions)
     encoded = (
         partial.withColumn("dead", F.lit(None).cast("array<long>"))
         .withColumn("salt", F.pmod(F.col("chunk"), F.lit(n_salt)))
-        .repartition(enc_parts, "phash", "salt")
+    )
+    encoded = (
+        even_salted_repartition(encoded, n_tasks, n_salt)
         .sortWithinPartitions("phash", "term", "chunk")
         .select("phash", "term", "chunk", "payload", "dead")
         .mapInPandas(_merge_stream, schema=POSTING_SCHEMA)

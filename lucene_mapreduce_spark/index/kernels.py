@@ -68,36 +68,43 @@ def _make_partial_encoder(num_partitions: int, chunk_docs: int):
     corpus pass feeds postings, doclens, and segment stats."""
 
     def fn(batches):
-        from collections import Counter
-
         import pyarrow as pa
+        import pyarrow.compute as pc
 
         from lucene_mapreduce_spark.functions.hashing import term_phash
-        from lucene_mapreduce_spark.functions.tokenize import TOKEN_SPLIT_RE
+        from lucene_mapreduce_spark.functions.tokenize import _RE2_SPLIT
 
-        split = TOKEN_SPLIT_RE.split
-        d_parts, tf_parts, dl_parts = [], [], []
+        # Tokenize + per-(doc, term) tf entirely in Arrow C++ / numpy — no
+        # per-document Python loop (measured 1.7x on the end-to-end kernel
+        # core vs the regex+Counter loop it replaces, BENCH.md round 4):
+        # split_pattern_regex -> flatten -> dictionary_encode gives token
+        # codes; tf collapse is one hash value_counts over a combined
+        # (doc-index, code) int64 key. Token equality with the other three
+        # tokenizer implementations is pinned by test_tokenize (RE2's
+        # explicit ASCII class, tokenize.py).
+        flat_parts: list = []  # token strings per batch (Arrow arrays)
+        gidx_parts: list[np.ndarray] = []  # task-local doc index per token
         doc_id_parts, doc_dl_parts = [], []  # per-doc lengths, incl. dl=0 docs
-        terms: list[str] = []
+        n_docs_seen = 0
         for batch in batches:
             ids = batch.column(0).to_numpy(zero_copy_only=False)
-            texts = batch.column(1).to_pylist()
-            per_doc_dl = np.zeros(len(ids), dtype=np.int64)
-            for i, s in enumerate(texts):
-                if not s:
-                    continue
-                toks = [t for t in split(s) if t]
-                if not toks:
-                    continue
-                per_doc_dl[i] = len(toks)
-                c = Counter(toks)
-                d_parts.append(np.full(len(c), ids[i], dtype=np.int64))
-                terms.extend(c.keys())
-                tf_parts.append(np.fromiter(c.values(), np.int64, len(c)))
-                dl_parts.append(np.full(len(c), len(toks), dtype=np.int64))
-            if len(ids):
-                doc_id_parts.append(np.asarray(ids, dtype=np.int64))
-                doc_dl_parts.append(per_doc_dl)
+            if not len(ids):
+                continue
+            toks = pc.split_pattern_regex(batch.column(1), _RE2_SPLIT)
+            flat = pc.list_flatten(toks)
+            parent = pc.list_parent_indices(toks)
+            mask = pc.not_equal(flat, "")
+            flat = pc.filter(flat, mask)
+            parent_np = pc.filter(parent, mask).to_numpy().astype(np.int64)
+            per_doc_dl = np.bincount(parent_np, minlength=len(ids)).astype(
+                np.int64
+            )
+            if len(parent_np):
+                flat_parts.append(flat)
+                gidx_parts.append(parent_np + n_docs_seen)
+            doc_id_parts.append(np.asarray(ids, dtype=np.int64))
+            doc_dl_parts.append(per_doc_dl)
+            n_docs_seen += len(ids)
 
         if doc_id_parts:
             # doclen pseudo rows: entries (doc_id, tf=dl, dl=dl) per chunk
@@ -126,12 +133,26 @@ def _make_partial_encoder(num_partitions: int, chunk_docs: int):
                 names=["phash", "term", "chunk", "payload"],
             )
 
-        if not d_parts:
+        if not flat_parts:
             return
-        d = np.concatenate(d_parts)
-        tf = np.concatenate(tf_parts)
-        dl = np.concatenate(dl_parts)
-        codes, uniq = pd.factorize(np.asarray(terms, dtype=object), sort=False)
+        dic = pc.dictionary_encode(
+            pa.chunked_array(flat_parts).combine_chunks()
+        )
+        codes_tok = dic.indices.to_numpy().astype(np.int64)
+        uniq = np.asarray(dic.dictionary.to_pylist(), dtype=object)
+        nvocab = len(uniq)
+        gidx = np.concatenate(gidx_parts)
+        # one hash pass counts tf per (doc, term); doc index and vocab code
+        # both fit 32 bits, so the combined key is collision-free in int64
+        vc = pc.value_counts(pa.array(gidx * nvocab + codes_tok))
+        key = vc.field("values").to_numpy()
+        tf = vc.field("counts").to_numpy().astype(np.int64)
+        pair_gidx = key // nvocab
+        codes = key % nvocab
+        dl_by_gidx = np.concatenate(doc_dl_parts)
+        id_by_gidx = np.concatenate(doc_id_parts)
+        d = id_by_gidx[pair_gidx]
+        dl = dl_by_gidx[pair_gidx]
         chunk = d // chunk_docs
         order = np.lexsort((d, chunk, codes))
         d, tf, dl = d[order], tf[order], dl[order]

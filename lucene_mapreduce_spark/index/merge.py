@@ -25,6 +25,10 @@ from pyspark.sql import functions as F
 
 from lucene_mapreduce_spark.index.build import read_doclens, segment_stats
 from lucene_mapreduce_spark.index.kernels import POSTING_SCHEMA, _merge_stream
+from lucene_mapreduce_spark.index.partitioning import (
+    even_salted_repartition,
+    salted_plan,
+)
 from lucene_mapreduce_spark.index.manifest import (
     SegmentMeta,
     commit_manifest,
@@ -69,11 +73,13 @@ def _propagate_positions(
     parts = max(
         int(spark.conf.get("spark.sql.shuffle.partitions", "32")), m.num_partitions
     )
-    n_salt = max(2, (4 * parts) // (m.num_partitions + 1))
-    (
+    n_tasks, n_salt = salted_plan(parts, m.num_partitions)
+    live_pos = (
         pos.join(live.select("doc_id", "seg_seq"), ["doc_id", "seg_seq"], "left_semi")
         .withColumn("salt", F.pmod(F.col("chunk"), F.lit(n_salt)))
-        .repartition(parts, "phash", "salt")
+    )
+    (
+        even_salted_repartition(live_pos, n_tasks, n_salt)
         .sortWithinPartitions("phash", "term", "chunk", "doc_id")
         .select("phash", "term", "chunk", "doc_id", "positions")
         .write.mode("overwrite")
@@ -197,7 +203,7 @@ def merge_once(
     # One write covers postings AND doclens: the DL_TERM pseudo rows merge
     # through the same kernel, and the dead-list masking drops shadowed
     # docs from them exactly as it does from real posting lists.
-    n_salt = max(2, (4 * merge_parts) // (m.num_partitions + 1))
+    n_tasks, n_salt = salted_plan(merge_parts, m.num_partitions)
     # Dead lists ride the shuffle as MARKER rows (term == "", one per
     # (phash, seg_seq, chunk)) that sort ahead of their phash section —
     # each list ships O(num_partitions) times total. Joining them onto the
@@ -213,7 +219,9 @@ def merge_once(
         )
         .unionByName(_dead_markers(spark, dead_by_chunk, m.num_partitions))
         .withColumn("salt", F.pmod(F.col("chunk"), F.lit(n_salt)))
-        .repartition(merge_parts, "phash", "salt")
+    )
+    merged = (
+        even_salted_repartition(merged, n_tasks, n_salt)
         .sortWithinPartitions("phash", "term", "chunk", "seg_seq")
         .drop("salt")
         # stat columns ride along so single-source groups with no dead docs

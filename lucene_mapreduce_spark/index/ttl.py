@@ -18,6 +18,10 @@ from pyspark.sql import functions as F
 
 from lucene_mapreduce_spark.index.build import read_doclens, segment_stats
 from lucene_mapreduce_spark.index.kernels import POSTING_SCHEMA, _merge_stream
+from lucene_mapreduce_spark.index.partitioning import (
+    even_salted_repartition,
+    salted_plan,
+)
 from lucene_mapreduce_spark.index.manifest import (
     SegmentMeta,
     commit_manifest,
@@ -98,7 +102,7 @@ def purge_expired(
     parts = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), m.num_partitions)
     # One write covers postings AND doclens (DL_TERM pseudo rows): expired
     # and shadowed docs are masked from both by the same dead lists.
-    n_salt = max(2, (4 * parts) // (m.num_partitions + 1))
+    n_tasks, n_salt = salted_plan(parts, m.num_partitions)
     # dead lists ship as marker rows, never per-posting-row joins — see
     # merge._dead_markers (a TTL purge's dead set is a large fraction of
     # the index, the worst case for the replicating join this replaces)
@@ -112,7 +116,9 @@ def purge_expired(
         )
         .unionByName(_dead_markers(spark, dead_by_chunk, m.num_partitions))
         .withColumn("salt", F.pmod(F.col("chunk"), F.lit(n_salt)))
-        .repartition(parts, "phash", "salt")
+    )
+    merged = (
+        even_salted_repartition(merged, n_tasks, n_salt)
         .sortWithinPartitions("phash", "term", "chunk", "seg_seq")
         .drop("salt")
         .mapInPandas(_merge_stream, schema=POSTING_SCHEMA)

@@ -180,6 +180,15 @@ class IndexSearcher:
         self._field_datasets: list | None = None
         self._field_cache: dict[tuple[str, str], np.ndarray] = {}
         self._dict_arrays: tuple | None = None
+        # Warm every posting fragment's footer (row-group stats) at open
+        # time, like Lucene reading its term-dictionary/skip metadata when a
+        # segment is opened: the first probe of a term then reads only its
+        # own row groups instead of paying dataset discovery + footer IO on
+        # the query path (the recorded cold-max spike, BENCH.md round 4).
+        # Cost is one small read per file at open; serving opens once.
+        for d in self._datasets:
+            for frag in d.get_fragments():
+                frag.ensure_complete_metadata()
 
     def _load_live_map(self, m: Manifest) -> None:
         """Latest-wins doc -> generation map + exact live corpus stats,
