@@ -218,6 +218,29 @@ class IndexSearcher:
         self.n_docs = int(len(uniq))
         self.avgdl = float(dls[first].sum()) / self.n_docs if self.n_docs else 0.0
 
+    def _all_live_docs(self) -> np.ndarray:
+        """Sorted docids of every live doc, decoded once from the DL_TERM
+        pseudo rows (multi-generation searchers already hold this as the
+        latest-wins live map) and cached for the searcher's lifetime."""
+        if self._live_doc is not None:
+            return self._live_doc
+        cached = getattr(self, "_all_docs_cache", None)
+        if cached is None:
+            parts = []
+            for dataset in self._datasets:
+                tbl = dataset.to_table(
+                    filter=ds.field("phash") == self.manifest.num_partitions,
+                    columns=["payload"],
+                )
+                for payload in tbl["payload"].to_pylist():
+                    d, _tf, _dl = decode_postings(payload)
+                    parts.append(d.astype(np.int64))
+            cached = (
+                np.sort(np.concatenate(parts)) if parts else np.zeros(0, np.int64)
+            )
+            self._all_docs_cache = cached
+        return cached
+
     def _read_term(self, term: str):
         """All (chunk-ordered) posting rows of one term -> concatenated
         arrays + precomputed contributions, LRU-cached (hot query terms stay
@@ -948,6 +971,26 @@ class IndexSearcher:
         if len(cursors) == 1:
             c = cursors[0]
             return c.docids, c.contribs_full()
+        total = sum(len(c.docids) for c in cursors)
+        if total * 2 >= self.n_docs and len(cursors) > 1:
+            # head-term regime: the candidate set approaches the corpus, so
+            # scatter-add over the (cached, sorted) full live-doc domain and
+            # drop never-hit docs — skips the O(total log total) sort of the
+            # concatenated docids, the cold-query bottleneck for dense
+            # terms. Accumulation per doc is the same ascending-term
+            # sequence of adds, so scores stay bit-identical.
+            base = self._all_live_docs()
+            scores_full = np.zeros(len(base), dtype=np.float64)
+            hit = np.zeros(len(base), dtype=bool)
+            for c in cursors:  # ascending term order
+                idx = np.searchsorted(base, c.docids)
+                scores_full[idx] += c.contribs_full()
+                hit[idx] = True
+            uniq, scores = base[hit], scores_full[hit]
+            if len(self._scored_cache) >= 64:
+                self._scored_cache.pop(next(iter(self._scored_cache)))
+            self._scored_cache[key] = (uniq, scores)
+            return uniq, scores
         uniq = np.unique(np.concatenate([c.docids for c in cursors]))
         scores = np.zeros(len(uniq), dtype=np.float64)
         for c in cursors:  # ascending term order
