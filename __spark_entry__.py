@@ -508,6 +508,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_length_histogram": textstats.token_length_histogram,
         "doc_fingerprint": textstats.doc_fingerprint,
         "unigram_logprob": textstats.unigram_logprob,
+        # round-4 session-10 batch 20
+        "ip_prefix_agg": textstats.ip_prefix_agg,
+        "geo_line_agg": textstats.geo_line_agg,
+        "lexical_diversity": textstats.lexical_diversity,
+        "cumulative_sum_pipeline": parity.cumulative_sum_pipeline,
+        "bucket_correlation_agg": parity.bucket_correlation_agg,
+        "sparse_vector_topk": fulltext.sparse_vector_topk,
+        "significant_text_agg": fulltext.significant_text_agg,
+        "exists_query": fulltext.exists_query,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})
@@ -804,4 +813,30 @@ WHERE len(list_filter(range(1, len(toks)), i ->
         fulltext.FLAGSHIP_QUERY,
         doc_where=f"NOT list_contains({_TOKS}, '{fulltext.DELETE_TERM}')",
     )
+    # round-4 session-10 batch 20
+    from lucene_mapreduce_spark.operators.oracles import (
+        bucket_correlation_sql,
+        cumulative_sum_sql,
+        exists_query_sql,
+        geo_line_sql,
+        ip_prefix_sql,
+        lexical_diversity_sql,
+        significant_text_sql,
+        sparse_vector_sql,
+    )
+
+    out["ip_prefix_agg"] = ip_prefix_sql(textstats.IP_PREFIX_LEN)
+    out["geo_line_agg"] = geo_line_sql(
+        textstats.GEO_LINE_TRACKS, textstats.GEO_LINE_SIZE
+    )
+    out["lexical_diversity"] = lexical_diversity_sql()
+    out["cumulative_sum_pipeline"] = cumulative_sum_sql()
+    out["bucket_correlation_agg"] = bucket_correlation_sql()
+    out["sparse_vector_topk"] = sparse_vector_sql(
+        fulltext.SPARSE_QUERY_WEIGHTS, fulltext.SPARSE_TOPK
+    )
+    out["significant_text_agg"] = significant_text_sql(
+        fulltext.SIGTEXT_TERM, fulltext.SIGTEXT_K, fulltext.SIGTEXT_MIN_DF
+    )
+    out["exists_query"] = exists_query_sql(fulltext.EXISTS_FIELD_VALUES)
     return out

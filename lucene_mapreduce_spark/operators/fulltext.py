@@ -3975,3 +3975,152 @@ def runtime_field_query(
     return topk.join(fields, "doc_id").select(
         "doc_id", "score", "rank", "chars_per_token"
     ).orderBy("rank")
+
+
+# ELSER/SPLADE-shaped weighted-token query: per-mille integer weights keep
+# every score an exact BIGINT (score = sum over occurrences of w[token]).
+SPARSE_QUERY_WEIGHTS = {"merge": 2500, "spark": 1800, "scan": 1200, "window": 700}
+SPARSE_TOPK = 10
+
+
+def sparse_vector_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    weights: dict[str, int] | None = None,
+    k: int = SPARSE_TOPK,
+) -> DataFrame:
+    """ES `sparse_vector` / weighted-tokens query (the learned-sparse
+    ELSER/SPLADE serving shape): score(doc) = sum over query tokens of
+    w_q(token) x tf(token, doc). Per-mille integer weights make the
+    score an exact BIGINT — rank ties break on doc_id identically in
+    both engines. One tokenize scan, token-level weight lookup folded
+    into the explode (summing w per OCCURRENCE equals w x tf), one
+    combinable groupBy, bounded top-k."""
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_col
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+
+    w = weights or SPARSE_QUERY_WEIGHTS
+    docs = load(spark, sf_dir, "documents")
+    tok = F.explode(tokenize_col("text")).alias("term")
+    weight = F.lit(None).cast("long")
+    expr = None
+    for t, wt in sorted(w.items()):
+        expr = (
+            F.when(F.col("term") == t, F.lit(wt))
+            if expr is None
+            else expr.when(F.col("term") == t, F.lit(wt))
+        )
+    occ = (
+        docs.select("doc_id", tok)
+        .filter(F.col("term").isin(sorted(w)))
+        .select("doc_id", expr.otherwise(F.lit(0)).cast("long").alias("w"))
+    )
+    scored = occ.groupBy("doc_id").agg(
+        F.sum("w").cast("long").alias("score_milli")
+    )
+    out = ranked_topk(scored, [F.desc("score_milli"), F.asc("doc_id")], k)
+    return out.select(
+        "doc_id",
+        "score_milli",
+        F.round(F.col("score_milli").cast("double") / F.lit(1000.0), 6).alias(
+            "score"
+        ),
+        "rank",
+    )
+
+
+SIGTEXT_TERM = "stream"
+SIGTEXT_K = 10
+SIGTEXT_MIN_DF = 3
+
+
+def significant_text_agg(
+    spark: SparkSession,
+    sf_dir: str,
+    term: str = SIGTEXT_TERM,
+    k: int = SIGTEXT_K,
+    min_df: int = SIGTEXT_MIN_DF,
+) -> DataFrame:
+    """ES `significant_text` aggregation with filter_duplicate_text=true:
+    like significant_terms, but re-analyzes the _source text and DEDUPES
+    exact duplicate texts first (boilerplate/mirror pages would otherwise
+    manufacture significance — the reason ES added the flag). Dedup keeps
+    the min doc_id per md5(text) (one hash-partitioned window); the
+    foreground is a text containment match (no index needed — ES runs
+    this on sampled hits), and both df sides are one explode+groupBy over
+    the deduped corpus. Lift = (df_fg/n_fg)/(df_bg/n_bg), 6dp."""
+    from pyspark.sql import Window
+
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_col
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+
+    docs = load(spark, sf_dir, "documents")
+    wdup = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    dd = (
+        docs.withColumn("rn", F.row_number().over(wdup))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", tokenize_col("text").alias("toks"))
+    )
+    dd = dd.withColumn("is_fg", F.array_contains("toks", term))
+    counts = dd.agg(
+        F.count(F.lit(1)).alias("n_bg"),
+        F.sum(F.col("is_fg").cast("long")).alias("n_fg"),
+    ).collect()[0]
+    n_bg, n_fg = int(counts["n_bg"]), int(counts["n_fg"])
+    pairs = dd.select(
+        "doc_id", "is_fg", F.explode(F.array_distinct("toks")).alias("term")
+    )
+    stats = pairs.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df_bg"),
+        F.sum(F.col("is_fg").cast("long")).cast("long").alias("df_fg"),
+    )
+    lifted = (
+        stats.filter((F.col("term") != term) & (F.col("df_fg") >= min_df))
+        .withColumn(
+            "lift",
+            F.round(
+                (F.col("df_fg") / F.lit(float(n_fg)))
+                / (F.col("df_bg") / F.lit(float(n_bg))),
+                6,
+            ),
+        )
+    )
+    return ranked_topk(lifted, [F.desc("lift"), F.asc("term")], k).select(
+        "term", "df_fg", "df_bg", "lift", "rank"
+    )
+
+
+EXISTS_FIELD_VALUES = ("customer", "vector")  # sparse extracted keyword field
+
+
+def exists_query(
+    spark: SparkSession,
+    sf_dir: str,
+    values: tuple[str, str] = EXISTS_FIELD_VALUES,
+) -> DataFrame:
+    """ES `exists` / `missing` query over a SPARSE field: documents only
+    carry the keyword field when extraction found one of the pinned
+    values in the text (how sparse fields arise in real mappings — the
+    indexer skips docs with nothing to index). Reports exists/missing
+    counts per lang: one tokenize scan, containment CASE (no regex —
+    regex no-match semantics differ cross-engine), one combinable
+    groupBy."""
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_col
+
+    a, b = values
+    docs = load(spark, sf_dir, "documents")
+    toks = tokenize_col("text")
+    fld = (
+        F.when(F.array_contains(toks, a), F.lit(a))
+        .when(F.array_contains(toks, b), F.lit(b))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return (
+        docs.select("lang", fld.alias("fld"))
+        .groupBy("lang")
+        .agg(
+            F.sum(F.col("fld").isNotNull().cast("long")).cast("long").alias("n_exists"),
+            F.sum(F.col("fld").isNull().cast("long")).cast("long").alias("n_missing"),
+        )
+        .orderBy("lang")
+    )

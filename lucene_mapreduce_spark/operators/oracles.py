@@ -5049,3 +5049,183 @@ WHERE round(coalesce(s.n_shared, 0)::DOUBLE / t.n_shingles::DOUBLE, 6)
       >= {threshold!r}
 ORDER BY t.doc_id
 """
+
+
+def ip_prefix_sql(prefix_len: int) -> str:
+    """ip_prefix twin: /prefix_len networks of the md5-derived uint32 IP,
+    discovered buckets (GROUP BY), ES network-address keys."""
+    h = _MD5_52.format(e="user_id::VARCHAR || ':ip'")
+    div = float(1 << (32 - prefix_len))
+    return f"""
+WITH base AS (
+  SELECT floor((({h}) % {1 << 32}) / {div!r})::BIGINT AS bucket FROM events
+)
+SELECT bucket,
+       bucket::VARCHAR || '.0.0.0/{prefix_len}' AS key,
+       count(*)::BIGINT AS n_events
+FROM base GROUP BY 1 ORDER BY bucket
+"""
+
+
+def geo_line_sql(n_tracks: int, size: int) -> str:
+    """geo_line twin: per-track first-`size` points in (ts, event_id)
+    order, micro-degree integer "lat,lon" joined with '|'."""
+    hlat = _MD5_52.format(e="event_id::VARCHAR || ':elat'")
+    hlon = _MD5_52.format(e="event_id::VARCHAR || ':elon'")
+    return f"""
+WITH pts AS (
+  SELECT user_id % {n_tracks} AS track_id, ts, event_id,
+         (({hlat}) % 1800001 - 900000)::VARCHAR || ',' ||
+         (({hlon}) % 3600001 - 1800000)::VARCHAR AS pt
+  FROM events
+),
+head AS (
+  SELECT * FROM pts
+  QUALIFY row_number() OVER (PARTITION BY track_id ORDER BY ts, event_id)
+          <= {size}
+)
+SELECT track_id::BIGINT AS track_id,
+       count(*)::BIGINT AS n_points,
+       string_agg(pt, '|' ORDER BY ts, event_id) AS line
+FROM head GROUP BY 1 ORDER BY track_id
+"""
+
+
+def lexical_diversity_sql() -> str:
+    """lexical_diversity twin: per-doc type-token ratio."""
+    return f"""
+WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents)
+SELECT doc_id,
+       len(toks)::BIGINT AS n_tokens,
+       len(list_distinct(toks))::BIGINT AS n_types,
+       CASE WHEN len(toks) > 0
+            THEN round(len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE, 6)
+            END AS ttr
+FROM t ORDER BY doc_id
+"""
+
+
+def cumulative_sum_sql() -> str:
+    """cumulative_sum twin: running total over the gap-filled histogram."""
+    return f"""
+WITH {_DAILY_HIST}
+SELECT day::VARCHAR AS day, n_events,
+       sum(n_events) OVER (ORDER BY day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+         AS cum_events
+FROM hist ORDER BY day
+"""
+
+
+def bucket_correlation_sql() -> str:
+    """bucket_correlation twin: Pearson r from exact integer/DECIMAL sums
+    (the t_test rule), identical IEEE chain."""
+    return """
+WITH ev AS (
+  SELECT ts::DATE AS day, round(value, 6)::DECIMAL(18,6) AS v FROM events
+),
+buckets AS (
+  SELECT day, count(*)::BIGINT AS x, sum(v)::DECIMAL(18,6) AS y
+  FROM ev GROUP BY 1
+),
+b AS (
+  SELECT x, y, (x * x)::BIGINT AS xx,
+         x::DECIMAL(12,0) * y AS xy,
+         -- width > 18 forces int128 storage; (18,6)*(18,6) multiplies in
+         -- int64 raw values and overflows once a day's sum tops ~3e9
+         y::DECIMAL(19,6) * y::DECIMAL(19,6) AS yy
+  FROM buckets
+),
+sums AS (
+  SELECT count(*)::BIGINT AS nb, sum(x)::BIGINT AS sx, sum(y) AS sy,
+         sum(xx)::BIGINT AS sxx, sum(xy) AS sxy, sum(yy) AS syy
+  FROM b
+)
+SELECT nb AS n_buckets,
+       round((nb::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+             / (sqrt(nb::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                * sqrt(nb::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)),
+             6) AS corr
+FROM sums
+"""
+
+
+def sparse_vector_sql(weights: dict, k: int) -> str:
+    """sparse_vector twin: per-occurrence integer weights summed per doc."""
+    arms = " ".join(
+        f"WHEN '{t}' THEN {w}" for t, w in sorted(weights.items())
+    )
+    inlist = ", ".join(f"'{t}'" for t in sorted(weights))
+    return f"""
+WITH occ AS (
+  SELECT doc_id, unnest({TOKS}) AS term FROM documents
+),
+w AS (
+  SELECT doc_id, (CASE term {arms} ELSE 0 END)::BIGINT AS w
+  FROM occ WHERE term IN ({inlist})
+),
+scored AS (
+  SELECT doc_id, sum(w)::BIGINT AS score_milli FROM w GROUP BY 1
+)
+SELECT doc_id, score_milli,
+       round(score_milli::DOUBLE / 1000.0, 6) AS score, rank
+FROM (
+  SELECT doc_id, score_milli,
+         row_number() OVER (ORDER BY score_milli DESC, doc_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+def significant_text_sql(term: str, k: int, min_df: int) -> str:
+    """significant_text twin: md5(text) dedup keeping min doc_id, then
+    the significant_terms lift over the deduped corpus."""
+    return f"""
+WITH dd AS (
+  SELECT doc_id, {TOKS} AS toks FROM documents
+  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+),
+fg AS (SELECT doc_id, toks, list_contains(toks, '{term}') AS is_fg FROM dd),
+counts AS (
+  SELECT count(*)::BIGINT AS n_bg,
+         sum(CASE WHEN is_fg THEN 1 ELSE 0 END)::BIGINT AS n_fg
+  FROM fg
+),
+pairs AS (
+  SELECT doc_id, is_fg, unnest(list_distinct(toks)) AS term FROM fg
+),
+stats AS (
+  SELECT term, count(*)::BIGINT AS df_bg,
+         sum(CASE WHEN is_fg THEN 1 ELSE 0 END)::BIGINT AS df_fg
+  FROM pairs GROUP BY 1
+),
+lifted AS (
+  SELECT term, df_fg, df_bg,
+         round((df_fg::DOUBLE / c.n_fg::DOUBLE)
+               / (df_bg::DOUBLE / c.n_bg::DOUBLE), 6) AS lift
+  FROM stats, counts c
+  WHERE term != '{term}' AND df_fg >= {min_df}
+)
+SELECT term, df_fg, df_bg, lift, rank FROM (
+  SELECT *, row_number() OVER (ORDER BY lift DESC, term ASC) AS rank
+  FROM lifted
+) WHERE rank <= {k}
+"""
+
+
+def exists_query_sql(values: tuple) -> str:
+    """exists twin: sparse extracted keyword field, per-lang counts."""
+    a, b = values
+    return f"""
+WITH t AS (
+  SELECT lang,
+         CASE WHEN list_contains({TOKS}, '{a}') THEN '{a}'
+              WHEN list_contains({TOKS}, '{b}') THEN '{b}'
+              END AS fld
+  FROM documents
+)
+SELECT lang,
+       sum(CASE WHEN fld IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_exists,
+       sum(CASE WHEN fld IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_missing
+FROM t GROUP BY 1 ORDER BY lang
+"""

@@ -1469,3 +1469,61 @@ def vendor_line_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("out_key", "out_val").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+def cumulative_sum_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `cumulative_sum` pipeline aggregation: running event total over
+    the gap-filled date histogram (zeros from empty days ride along, like
+    moving_avg_pipeline). The ordered window frames the histogram rows —
+    cardinality = elapsed days, bounded — and the operands are integers,
+    so the running sum is exact at any evaluation order."""
+    hist = date_histogram_facets(spark, sf_dir)
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return hist.select(
+        "day",
+        "n_events",
+        F.sum("n_events").over(w).cast("long").alias("cum_events"),
+    ).orderBy("day")
+
+
+def bucket_correlation_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `bucket_correlation` pipeline aggregation (count_correlation
+    shape): Pearson r between the daily bucket doc_counts and the daily
+    value sums, over OBSERVED days. All five Pearson sums accumulate as
+    exact integers / DECIMALs (the t_test_agg rule: order-free exact
+    operands, then one fixed IEEE chain written identically in the
+    DuckDB twin). Two shuffles total: per-day buckets, then one
+    single-row aggregate over <= elapsed-days rows."""
+    ev = load(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"),
+        F.round("value", 6).cast("decimal(18,6)").alias("v"),
+    )
+    buckets = ev.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("x"),
+        F.sum("v").alias("y"),  # decimal(28,6) exact
+    )
+    b = buckets.select(
+        F.col("x"),
+        F.col("y").cast("decimal(18,6)").alias("y"),
+        (F.col("x") * F.col("x")).alias("xx"),
+        (F.col("x").cast("decimal(12,0)") * F.col("y").cast("decimal(18,6)")).alias("xy"),
+        (F.col("y").cast("decimal(18,6)") * F.col("y").cast("decimal(18,6)")).alias("yy"),
+    )
+    sums = b.agg(
+        F.count(F.lit(1)).cast("long").alias("nb"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum("xx").cast("long").alias("sxx"),
+        F.sum("xy").alias("sxy"),
+        F.sum("yy").alias("syy"),
+    )
+    nb = F.col("nb").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    cov_n = nb * F.col("sxy").cast("double") - sx * sy
+    var_x = nb * F.col("sxx").cast("double") - sx * sx
+    var_y = nb * F.col("syy").cast("double") - sy * sy
+    return sums.select(
+        F.col("nb").alias("n_buckets"),
+        F.round(cov_n / (F.sqrt(var_x) * F.sqrt(var_y)), 6).alias("corr"),
+    )

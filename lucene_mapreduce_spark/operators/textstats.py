@@ -1773,3 +1773,118 @@ def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+IP_PREFIX_LEN = 8  # ES ip_prefix prefix_length (IPv4 /8 networks)
+
+
+def ip_prefix_agg(
+    spark: SparkSession, sf_dir: str, prefix_len: int = IP_PREFIX_LEN
+) -> DataFrame:
+    """ES `ip_prefix` aggregation: events bucketed by the /prefix_len
+    network of the synthetic client IPv4 (the md5-derived uint32 shared
+    with ip_range_agg), keys in ES's network-address "a.0.0.0/8" form.
+    Unlike ip_range's pinned range list, the buckets are DISCOVERED from
+    the data — one combinable groupBy over the prefix integer; bucket
+    count is bounded by 2^prefix_len regardless of corpus size."""
+    ev = load(spark, sf_dir, "events")
+    ip = F.pmod(
+        _md5_52(F.concat(F.col("user_id").cast("string"), F.lit(":ip"))),
+        F.lit(1 << 32),
+    )
+    shift = 32 - prefix_len
+    bucket = F.floor(ip / F.lit(float(1 << shift))).cast("long")
+    key = F.concat(
+        bucket.cast("string"), F.lit(".0.0.0/" + str(prefix_len))
+    )
+    return (
+        ev.select(bucket.alias("bucket"), key.alias("key"))
+        .groupBy("bucket", "key")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .orderBy("bucket")
+    )
+
+
+GEO_LINE_TRACKS = 8  # synthetic track/entity count (user_id mod N)
+GEO_LINE_SIZE = 20  # ES geo_line `size`: keep the FIRST size points
+
+
+def geo_line_agg(
+    spark: SparkSession,
+    sf_dir: str,
+    n_tracks: int = GEO_LINE_TRACKS,
+    size: int = GEO_LINE_SIZE,
+) -> DataFrame:
+    """ES `geo_line` aggregation: per track (entity = user_id mod
+    n_tracks), the first `size` points in (ts, event_id) order joined
+    into a trajectory string. Points are md5-derived MICRO-DEGREE
+    integers ("lat_e4,lon_e4") — integer rendering is bit-identical
+    cross-engine, where float-to-string formatting is not. The per-track
+    window ranks then keeps `size` rows (WindowGroupLimit prunes
+    map-side); the line assembly aggregates <= size rows per track."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    lat_e4 = (
+        F.pmod(
+            _md5_52(F.concat(F.col("event_id").cast("string"), F.lit(":elat"))),
+            F.lit(1800001),
+        )
+        - F.lit(900000)
+    ).cast("long")
+    lon_e4 = (
+        F.pmod(
+            _md5_52(F.concat(F.col("event_id").cast("string"), F.lit(":elon"))),
+            F.lit(3600001),
+        )
+        - F.lit(1800000)
+    ).cast("long")
+    pts = ev.select(
+        F.pmod(F.col("user_id"), F.lit(n_tracks)).cast("long").alias("track_id"),
+        F.col("ts"),
+        F.col("event_id"),
+        F.concat(lat_e4.cast("string"), F.lit(","), lon_e4.cast("string")).alias(
+            "pt"
+        ),
+    )
+    w = Window.partitionBy("track_id").orderBy("ts", "event_id")
+    head = pts.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= size
+    )
+    return (
+        head.groupBy("track_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "pt"))
+                    ),
+                    lambda x: x["pt"],
+                ),
+                "|",
+            ).alias("line"),
+        )
+        .orderBy("track_id")
+    )
+
+
+def lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-token ratio per document — the classic lexical-diversity
+    quality signal an LLM curation pass scores alongside gopher_rules
+    (template/boilerplate text repeats a tiny vocabulary; TTR flags it).
+    Shuffle-free per-row expressions: token count, distinct-token count,
+    and their ratio from the same tokenize pass."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tokenize_col("text")
+    n_tokens = F.size(toks).cast("long")
+    n_types = F.size(F.array_distinct(toks)).cast("long")
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_types.alias("n_types"),
+        F.when(
+            n_tokens > 0,
+            F.round(n_types.cast("double") / n_tokens.cast("double"), 6),
+        ).alias("ttr"),
+    ).orderBy("doc_id")
