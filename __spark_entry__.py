@@ -517,6 +517,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparse_vector_topk": fulltext.sparse_vector_topk,
         "significant_text_agg": fulltext.significant_text_agg,
         "exists_query": fulltext.exists_query,
+        # round-4 session-10 batch 21
+        "dfr_topk": fulltext.dfr_topk,
+        "variable_width_histogram_agg": textstats.variable_width_histogram_agg,
+        "bucket_count_ks_test": parity.bucket_count_ks_test,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})
@@ -839,4 +843,15 @@ WHERE len(list_filter(range(1, len(toks)), i ->
         fulltext.SIGTEXT_TERM, fulltext.SIGTEXT_K, fulltext.SIGTEXT_MIN_DF
     )
     out["exists_query"] = exists_query_sql(fulltext.EXISTS_FIELD_VALUES)
+    from lucene_mapreduce_spark.operators.oracles import (
+        bucket_count_ks_sql,
+        dfr_sql,
+        variable_width_histogram_sql,
+    )
+
+    out["dfr_topk"] = dfr_sql(fulltext.FLAGSHIP_QUERY, fulltext.DFR_INV_LN2, 10)
+    out["variable_width_histogram_agg"] = variable_width_histogram_sql(
+        textstats.VWH_K, textstats.VWH_ITERS
+    )
+    out["bucket_count_ks_test"] = bucket_count_ks_sql()
     return out

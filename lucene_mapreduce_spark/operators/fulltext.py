@@ -4124,3 +4124,64 @@ def exists_query(
         )
         .orderBy("lang")
     )
+
+
+DFR_INV_LN2 = 1.4426950408889634  # shared literal: 1/ln(2), both engines
+
+
+def dfr_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_text: str = FLAGSHIP_QUERY,
+    k: int = 10,
+) -> DataFrame:
+    """Lucene DFRSimilarity(BasicModelIF, AfterEffectL, NormalizationH2
+    c=1) parity — the divergence-from-randomness member of the similarity
+    family (BM25 / classic TF-IDF / LMDirichlet / LMJelinekMercer / BM25F
+    are the others):
+
+        tfn     = tf · log2(1 + avgdl/dl)          (H2, c=1)
+        info    = log2(1 + (N+1)/(cf_t + 0.5))      (IF)
+        contrib = tfn · info / (1 + tfn)            (L after-effect)
+
+    log2 is ln·(1/ln 2) with the multiplier a SHARED Python literal —
+    each engine's own log2() is not guaranteed the same ulp. N/avgdl come
+    off the merged manifest's columnar segment stats (no corpus scan);
+    cf_t is one aggregate over the pruned query-term postings; per-doc
+    sums are canonical ascending-term accumulation, rounded 6dp."""
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_string
+    from lucene_mapreduce_spark.index.manifest import load_manifest
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+    from lucene_mapreduce_spark.query.segments import read_postings
+
+    ix = _gate_index(spark, sf_dir)
+    m = load_manifest(ix)
+    segs = m.ordered()
+    n_docs = float(sum(s.n_docs for s in segs))
+    avgdl = float(sum(s.total_tokens for s in segs)) / n_docs
+    qts = sorted(set(tokenize_string(query_text)))
+    posts = read_postings(spark, ix, qts)
+    cf = posts.groupBy("term").agg(F.sum("tf").cast("double").alias("cf_t"))
+    j = posts.join(F.broadcast(cf), "term")
+    tf = F.col("tf").cast("double")
+    dl = F.col("dl").cast("double")
+    tfn = tf * (F.log(F.lit(1.0) + F.lit(avgdl) / dl) * F.lit(DFR_INV_LN2))
+    info = (
+        F.log(F.lit(1.0) + F.lit(n_docs + 1.0) / (F.col("cf_t") + F.lit(0.5)))
+        * F.lit(DFR_INV_LN2)
+    )
+    contrib = tfn * info / (F.lit(1.0) + tfn)
+    scored = j.select("doc_id", "term", contrib.alias("contrib"))
+    agg = scored.groupBy("doc_id").agg(
+        F.round(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("term", "contrib"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["contrib"],
+            ),
+            6,
+        ).alias("score")
+    )
+    return ranked_topk(agg, [F.desc("score"), F.asc("doc_id")], k).select(
+        "doc_id", "score", "rank"
+    )

@@ -4809,7 +4809,7 @@ placed AS (
 bins AS (
   SELECT source, dl,
          off // {budget} AS bin_start,
-         (off + dl - 1) // {budget} AS bin_end
+         greatest(off // {budget}, (off + dl - 1) // {budget}) AS bin_end
   FROM placed
 )
 SELECT source, count(*)::BIGINT AS n_docs,
@@ -5228,4 +5228,117 @@ SELECT lang,
        sum(CASE WHEN fld IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_exists,
        sum(CASE WHEN fld IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_missing
 FROM t GROUP BY 1 ORDER BY lang
+"""
+
+
+def dfr_sql(query_text: str, inv_ln2: float, k: int) -> str:
+    """DFR(IF, L, H2 c=1) twin: identical ln-based log2 chain with the
+    shared 1/ln(2) literal; ordered per-doc fold (ascending term)."""
+    qlit = query_text.replace("'", "''")
+    return f"""
+WITH doclens AS (
+  SELECT doc_id, len({TOKS}) AS dl FROM documents
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n, (sum(dl)::DOUBLE / count(*)::DOUBLE) AS avgdl
+  FROM doclens
+),
+toks AS (
+  SELECT doc_id, unnest({TOKS}) AS term FROM documents
+),
+postings AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2
+),
+qterms AS (
+  SELECT DISTINCT unnest({duckdb_tokens_sql(f"'{qlit}'")}) AS term
+),
+cft AS (
+  SELECT p.term, sum(p.tf)::DOUBLE AS cf_t
+  FROM postings p JOIN qterms q USING (term) GROUP BY 1
+),
+scored AS (
+  SELECT p.doc_id, p.term,
+         (p.tf::DOUBLE * (ln(1.0 + s.avgdl / l.dl::DOUBLE) * {inv_ln2!r}))
+         * (ln(1.0 + (s.n + 1.0) / (c.cf_t + 0.5)) * {inv_ln2!r})
+         / (1.0 + p.tf::DOUBLE * (ln(1.0 + s.avgdl / l.dl::DOUBLE) * {inv_ln2!r}))
+           AS contrib
+  FROM postings p
+  JOIN cft c USING (term)
+  JOIN doclens l USING (doc_id)
+  CROSS JOIN stats s
+),
+agg AS (
+  SELECT doc_id,
+         round(list_reduce(list_prepend(0.0, list(contrib ORDER BY term)),
+                           (a, b) -> a + b), 6) AS score
+  FROM scored GROUP BY 1
+)
+SELECT doc_id, score, rank FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM agg
+) WHERE rank <= {k}
+"""
+
+
+def variable_width_histogram_sql(k: int, iters: int) -> str:
+    """variable_width_histogram twin: pinned order-statistic init +
+    `iters` Lloyd passes, ties to the lower bucket id."""
+    assert iters == 2, "twin is written for the pinned 2-pass spec"
+    return f"""
+WITH base AS (SELECT doc_id, n_chars::BIGINT AS v FROM documents),
+nn AS (SELECT count(*)::BIGINT AS n FROM base),
+ranked AS (
+  SELECT doc_id, v, row_number() OVER (ORDER BY v, doc_id) - 1 AS rn
+  FROM base
+),
+c0 AS (
+  SELECT i.i AS cid, r.v::DOUBLE AS c
+  FROM (SELECT unnest(range({k})) AS i) i, nn, ranked r
+  WHERE r.rn = ((2 * i.i + 1) * nn.n) // {2 * k}
+),
+a1 AS (
+  SELECT doc_id, v, cid FROM (
+    SELECT b.doc_id, b.v, c.cid,
+           row_number() OVER (PARTITION BY b.doc_id
+                              ORDER BY abs(b.v::DOUBLE - c.c), c.cid) AS rr
+    FROM base b CROSS JOIN c0 c
+  ) WHERE rr = 1
+),
+c1 AS (
+  SELECT cid, sum(v)::DOUBLE / count(*)::DOUBLE AS c FROM a1 GROUP BY 1
+),
+a2 AS (
+  SELECT doc_id, v, cid FROM (
+    SELECT b.doc_id, b.v, c.cid,
+           row_number() OVER (PARTITION BY b.doc_id
+                              ORDER BY abs(b.v::DOUBLE - c.c), c.cid) AS rr
+    FROM base b CROSS JOIN c1 c
+  ) WHERE rr = 1
+)
+SELECT cid AS bucket, count(*)::BIGINT AS n_docs,
+       min(v)::BIGINT AS v_min, max(v)::BIGINT AS v_max,
+       round(sum(v)::DOUBLE / count(*)::DOUBLE, 6) AS mean
+FROM a2 GROUP BY 1 ORDER BY bucket
+"""
+
+
+def bucket_count_ks_sql() -> str:
+    """bucket_count_ks_test twin: KS D vs uniform over the calendar."""
+    return f"""
+WITH {_DAILY_HIST},
+cum AS (
+  SELECT row_number() OVER (ORDER BY day) AS idx,
+         sum(n_events) OVER (ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM hist
+),
+tot AS (
+  SELECT count(*)::BIGINT AS n_days, sum(n_events)::BIGINT AS total_events
+  FROM hist
+)
+SELECT n_days, total_events,
+       round(max(abs(cum::DOUBLE / total_events::DOUBLE
+                     - idx::DOUBLE / n_days::DOUBLE)), 6) AS d_stat
+FROM cum, tot GROUP BY 1, 2
 """

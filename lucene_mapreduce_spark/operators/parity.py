@@ -1527,3 +1527,31 @@ def bucket_correlation_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nb").alias("n_buckets"),
         F.round(cov_n / (F.sqrt(var_x) * F.sqrt(var_y)), 6).alias("corr"),
     )
+
+
+def bucket_count_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `bucket_count_ks_test` pipeline aggregation (uniform
+    alternative): the Kolmogorov-Smirnov D statistic between the daily
+    bucket-count distribution and uniform over the gap-filled calendar —
+    D = max_i |cum_i/total − i/n_days|. Every operand is a ratio of
+    exact BIGINTs cast to double in the same expression shape as the
+    DuckDB twin; max is order-free. Window cardinality = elapsed days."""
+    hist = date_histogram_facets(spark, sf_dir)
+    wc = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        F.sum("n_events").over(wc).cast("long").alias("cum"),
+        F.row_number().over(Window.orderBy("day")).cast("long").alias("idx"),
+    )
+    tot = hist.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("n_events").cast("long").alias("total_events"),
+    )
+    d = F.abs(
+        F.col("cum").cast("double") / F.col("total_events").cast("double")
+        - F.col("idx").cast("double") / F.col("n_days").cast("double")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("n_days", "total_events")
+        .agg(F.round(F.max(d), 6).alias("d_stat"))
+    )

@@ -1888,3 +1888,75 @@ def lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(n_types.cast("double") / n_tokens.cast("double"), 6),
         ).alias("ttr"),
     ).orderBy("doc_id")
+
+
+VWH_K = 5  # ES variable_width_histogram `buckets`
+VWH_ITERS = 2  # fixed Lloyd refinement passes (deterministic stand-in)
+
+
+def variable_width_histogram_agg(
+    spark: SparkSession, sf_dir: str, k: int = VWH_K, iters: int = VWH_ITERS
+) -> DataFrame:
+    """ES `variable_width_histogram` aggregation: k data-driven buckets
+    over documents.n_chars. ES's streaming algorithm is order-dependent;
+    the deterministic stand-in is pinned: centroids init at the exact
+    order statistics rank_i = ((2i+1)·n)//(2k), then `iters` Lloyd
+    assignment passes (nearest centroid, ties to the lower bucket id;
+    centroid = exact-integer-sum mean). Each pass is one broadcast
+    k-literal CASE over the scan plus one combinable groupBy; only k-row
+    centroid tables ever reach the driver. At 100 TB the init ranks
+    would come from an approximate quantile sketch (ES's own init is
+    approximate too); the exact ranks here keep the DuckDB twin
+    bit-identical."""
+    docs = load(spark, sf_dir, "documents")
+    vals = docs.select("doc_id", F.col("n_chars").cast("long").alias("v"))
+    n = vals.count()
+    from pyspark.sql import Window
+
+    ranks = [((2 * i + 1) * n) // (2 * k) for i in range(k)]
+    w = Window.orderBy("v", "doc_id")
+    ranked = vals.withColumn("rn", F.row_number().over(w) - 1)
+    init = {
+        r["rn"]: float(r["v"])
+        for r in ranked.filter(F.col("rn").isin(sorted(set(ranks))))
+        .select("rn", "v")
+        .collect()
+    }
+    cents = [(i, init[ranks[i]]) for i in range(k)]
+
+    def assign(df, cs):
+        arr = F.array(
+            *[
+                F.struct(
+                    F.abs(F.col("v").cast("double") - F.lit(c)).alias("d"),
+                    F.lit(cid).alias("cid"),
+                )
+                for cid, c in cs
+            ]
+        )
+        return df.withColumn("cid", F.array_min(arr)["cid"].cast("long"))
+
+    for _ in range(iters - 1):
+        stats = (
+            assign(vals, cents)
+            .groupBy("cid")
+            .agg(F.sum("v").cast("long").alias("sv"), F.count(F.lit(1)).alias("nc"))
+            .collect()
+        )
+        cents = sorted(
+            (int(r["cid"]), float(r["sv"]) / float(r["nc"])) for r in stats
+        )
+    return (
+        assign(vals, cents)
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("v").cast("long").alias("v_min"),
+            F.max("v").cast("long").alias("v_max"),
+            F.round(
+                F.sum("v").cast("double") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("mean"),
+        )
+        .withColumnRenamed("cid", "bucket")
+        .orderBy("bucket")
+    )

@@ -150,3 +150,71 @@ def test_exists_counts_cover_corpus(spark, sf_dir):
         if a in tokenize_string(t) or b in tokenize_string(t)
     )
     assert int(out["n_exists"].sum()) == n_exists
+
+
+def test_bucket_count_ks_recompute(spark, sf_dir):
+    out = parity.bucket_count_ks_test(spark, sf_dir).toPandas()
+    ev = _events(sf_dir)
+    days = ev["ts"].dt.date
+    cal = pd.date_range(days.min(), days.max(), freq="D").date
+    counts = days.value_counts().reindex(cal, fill_value=0).sort_index()
+    cum = counts.cumsum().to_numpy(float) / counts.sum()
+    idx = np.arange(1, len(cal) + 1, dtype=float) / len(cal)
+    want = round(float(np.abs(cum - idx).max()), 6)
+    assert int(out["n_days"].iloc[0]) == len(cal)
+    assert abs(out["d_stat"].iloc[0] - want) < 1e-9
+    assert 0.0 <= out["d_stat"].iloc[0] <= 1.0
+
+
+def test_variable_width_histogram_recompute(spark, sf_dir):
+    out = textstats.variable_width_histogram_agg(spark, sf_dir).toPandas()
+    docs = _docs(sf_dir).sort_values(["n_chars", "doc_id"]).reset_index(drop=True)
+    v = docs["n_chars"].to_numpy("int64")
+    n, k = len(v), textstats.VWH_K
+    cents = [(i, float(v[((2 * i + 1) * n) // (2 * k)])) for i in range(k)]
+
+    def assign(cs):
+        d = np.abs(v[None, :].astype(float) - np.array([c for _, c in cs])[:, None])
+        return np.array([cs[j][0] for j in d.argmin(axis=0)])  # argmin: first (lowest cid) wins ties
+
+    cid = assign(cents)
+    cents = sorted(
+        (c, v[cid == c].sum() / float((cid == c).sum()))
+        for c in np.unique(cid)
+    )
+    cid = assign(cents)
+    assert int(out["n_docs"].sum()) == n
+    for b in out.itertuples():
+        sel = v[cid == b.bucket]
+        assert (b.n_docs, b.v_min, b.v_max) == (len(sel), sel.min(), sel.max())
+        assert abs(b.mean - round(sel.sum() / float(len(sel)), 6)) < 1e-9
+
+
+def test_dfr_scores_recompute(spark, sf_dir):
+    out = fulltext.dfr_topk(spark, sf_dir).toPandas()
+    docs = _docs(sf_dir)
+    import math
+
+    toks = {int(r.doc_id): tokenize_string(r.text) for r in docs.itertuples()}
+    n_docs = float(len(docs))
+    avgdl = sum(len(t) for t in toks.values()) / n_docs
+    qts = sorted(set(tokenize_string(fulltext.FLAGSHIP_QUERY)))
+    cf = {
+        q: float(sum(t.count(q) for t in toks.values())) for q in qts
+    }
+    scores = {}
+    for d, t in toks.items():
+        s = 0.0
+        for q in qts:  # ascending-term sequential accumulation
+            tf = t.count(q)
+            if not tf or not cf[q]:
+                continue
+            tfn = tf * (math.log(1.0 + avgdl / len(t)) * fulltext.DFR_INV_LN2)
+            info = math.log(1.0 + (n_docs + 1.0) / (cf[q] + 0.5)) * fulltext.DFR_INV_LN2
+            s += tfn * info / (1.0 + tfn)
+        if s > 0.0:
+            scores[d] = round(s, 6)
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = list(zip(out["doc_id"].astype(int), out["score"]))
+    assert [d for d, _ in got] == [d for d, _ in want]
+    assert all(abs(a - b) < 1e-9 for (_, a), (_, b) in zip(got, want))
