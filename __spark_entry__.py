@@ -521,6 +521,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dfr_topk": fulltext.dfr_topk,
         "variable_width_histogram_agg": textstats.variable_width_histogram_agg,
         "bucket_count_ks_test": parity.bucket_count_ks_test,
+        # round-4 session-11 batch 22
+        "dfi_topk": fulltext.dfi_topk,
+        "axiomatic_topk": fulltext.axiomatic_topk,
+        "bigram_logprob": textstats.bigram_logprob,
+        "ols_token_chars_fit": textstats.ols_token_chars_fit,
+        "winnowing_dup_candidates": dedup.winnowing_dup_candidates,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})
@@ -854,4 +860,21 @@ WHERE len(list_filter(range(1, len(toks)), i ->
         textstats.VWH_K, textstats.VWH_ITERS
     )
     out["bucket_count_ks_test"] = bucket_count_ks_sql()
+    from lucene_mapreduce_spark.operators.oracles import (
+        BIGRAM_LOGPROB_SQL,
+        OLS_TOKEN_CHARS_SQL,
+        axiomatic_sql,
+        dfi_sql,
+        winnowing_sql,
+    )
+
+    out["dfi_topk"] = dfi_sql(fulltext.FLAGSHIP_QUERY, fulltext.DFR_INV_LN2, 10)
+    out["axiomatic_topk"] = axiomatic_sql(
+        fulltext.FLAGSHIP_QUERY, fulltext.AXIOMATIC_S, 10
+    )
+    out["bigram_logprob"] = BIGRAM_LOGPROB_SQL
+    out["ols_token_chars_fit"] = OLS_TOKEN_CHARS_SQL
+    out["winnowing_dup_candidates"] = winnowing_sql(
+        dedup.WINNOW_K, dedup.WINNOW_W, dedup.WINNOW_CAP, dedup.WINNOW_TOPN
+    )
     return out

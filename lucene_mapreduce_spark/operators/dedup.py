@@ -454,3 +454,61 @@ def contamination_fraction(
         .filter(F.col("frac") >= threshold)
         .orderBy("doc_id")
     )
+
+
+WINNOW_K = 8  # char k-gram width
+WINNOW_W = 4  # winnowing window (consecutive k-grams per min-selection)
+WINNOW_CAP = 512  # pinned prefix cap: fingerprint the first 512 chars only
+WINNOW_TOPN = 10
+
+
+def winnowing_dup_candidates(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    cap: int = WINNOW_CAP,
+    topn: int = WINNOW_TOPN,
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003 — the MOSS
+    local document fingerprinting algorithm, public): md5 every char
+    k-gram (stride 1), take the minimum hash of each w-window of
+    consecutive k-grams, keep the distinct minima as the doc's fingerprint
+    set. Docs sharing a fingerprint are near-dup candidates; output the
+    topn hottest fingerprints with doc counts and the min doc_id witness.
+
+    The text is capped at a pinned 512-char prefix: at 100 TB the
+    fingerprint count per doc must be bounded by contract, not by the data
+    (MOSS itself windows long files). Guarantee kept within the cap: any
+    shared substring of length >= k + w - 1 chars yields a shared
+    fingerprint. All pure built-in expressions (transform / slice /
+    array_min / array_distinct — JVM codegen); the only shuffle is the
+    fingerprint groupBy, which is md5-uniform (no hot keys beyond true
+    duplicates). Distinct from doc_fingerprint (global min, stride 4):
+    winnowing guarantees LOCAL coverage, so partial overlaps are caught."""
+    docs = load(spark, sf_dir, "documents")
+    body = F.substring(F.col("text"), 1, cap)
+    n = F.length(body)
+    hashes = F.transform(
+        F.sequence(F.lit(1), n - F.lit(k - 1)),
+        lambda i: F.md5(F.substr(body, i, F.lit(k))),
+    )
+    mins = F.transform(
+        F.sequence(F.lit(1), F.size(hashes) - F.lit(w - 1)),
+        lambda j: F.array_min(F.slice(hashes, j, w)),
+    )
+    fps = (
+        docs.where(n >= F.lit(k + w - 1))
+        .select("doc_id", F.explode(F.array_distinct(mins)).alias("fp"))
+    )
+    hot = fps.groupBy("fp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("doc_id").alias("witness_doc_id"),
+    )
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+
+    return ranked_topk(
+        hot.where(F.col("n_docs") >= 2),
+        [F.desc("n_docs"), F.asc("fp")],
+        topn,
+    ).select("fp", "n_docs", "witness_doc_id", "rank")

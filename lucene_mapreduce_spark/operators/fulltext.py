@@ -4185,3 +4185,121 @@ def dfr_topk(
     return ranked_topk(agg, [F.desc("score"), F.asc("doc_id")], k).select(
         "doc_id", "score", "rank"
     )
+
+
+def dfi_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_text: str = FLAGSHIP_QUERY,
+    k: int = 10,
+) -> DataFrame:
+    """Lucene DFISimilarity(IndependenceChiSquared) parity — divergence
+    from independence (Kocabas, Dincer, Karaoglan 2014; the last member
+    of Lucene's core similarity family not yet covered):
+
+        expected = (cf_t + 1) * dl / (total_tokens + 1)
+        contrib  = 0                       if tf <= expected
+                 = log2(1 + (tf-expected)^2 / expected)  otherwise
+
+    log2 = ln * DFR_INV_LN2 (shared literal, same rationale as dfr_topk).
+    Docs whose every term contributes 0 are dropped (score must be > 0),
+    matching Lucene's WAND-compatible non-negative-score contract.
+    N/total_tokens come off the merged manifest's columnar segment stats;
+    per-doc sums are canonical ascending-term accumulation, rounded 6dp.
+    Reference parity anchor: the scoring seam the reference feeds from its
+    reducer-merged index (IndexBuilderReducer.java:120-160)."""
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_string
+    from lucene_mapreduce_spark.index.manifest import load_manifest
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+    from lucene_mapreduce_spark.query.segments import read_postings
+
+    ix = _gate_index(spark, sf_dir)
+    m = load_manifest(ix)
+    total = float(sum(s.total_tokens for s in m.ordered()))
+    qts = sorted(set(tokenize_string(query_text)))
+    posts = read_postings(spark, ix, qts)
+    cf = posts.groupBy("term").agg(F.sum("tf").cast("double").alias("cf_t"))
+    j = posts.join(F.broadcast(cf), "term")
+    tf = F.col("tf").cast("double")
+    dl = F.col("dl").cast("double")
+    expected = (F.col("cf_t") + F.lit(1.0)) * dl / F.lit(total + 1.0)
+    chi2 = (tf - expected) * (tf - expected) / expected
+    contrib = F.when(tf <= expected, F.lit(0.0)).otherwise(
+        F.log(F.lit(1.0) + chi2) * F.lit(DFR_INV_LN2)
+    )
+    scored = j.select("doc_id", "term", contrib.alias("contrib"))
+    agg = (
+        scored.groupBy("doc_id")
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.sort_array(F.collect_list(F.struct("term", "contrib"))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["contrib"],
+                ),
+                6,
+            ).alias("score")
+        )
+        .where(F.col("score") > 0.0)
+    )
+    return ranked_topk(agg, [F.desc("score"), F.asc("doc_id")], k).select(
+        "doc_id", "score", "rank"
+    )
+
+
+AXIOMATIC_S = 0.5  # F2EXP length-normalization s (Lucene default)
+# Lucene's AxiomaticF2EXP defaults k=0.35; k is a constructor parameter and
+# we pin k=0.5 so idf = sqrt((N+1)/df) — sqrt is correctly-rounded IEEE in
+# both engines while pow(x, 0.35) is not (same determinism trade as
+# temperature_mixture_weights' alpha=0.5).
+AXIOMATIC_K = 0.5
+
+
+def axiomatic_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_text: str = FLAGSHIP_QUERY,
+    k: int = 10,
+) -> DataFrame:
+    """Lucene AxiomaticF2EXP parity (Fang & Zhai 2005 axiomatic retrieval;
+    Lucene's Axiomatic similarity family):
+
+        tfln = tf / (tf + s + s * dl/avgdl)        (s = 0.5)
+        idf  = ((N+1)/df_t) ^ k                    (k pinned 0.5 => sqrt)
+        contrib = tfln * idf
+
+    df_t is one aggregate over the pruned query-term postings; N/avgdl off
+    the manifest stats. Canonical ascending-term sums, rounded 6dp."""
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_string
+    from lucene_mapreduce_spark.index.manifest import load_manifest
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+    from lucene_mapreduce_spark.query.segments import read_postings
+
+    ix = _gate_index(spark, sf_dir)
+    m = load_manifest(ix)
+    segs = m.ordered()
+    n_docs = float(sum(s.n_docs for s in segs))
+    avgdl = float(sum(s.total_tokens for s in segs)) / n_docs
+    qts = sorted(set(tokenize_string(query_text)))
+    posts = read_postings(spark, ix, qts)
+    df = posts.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df_t"))
+    j = posts.join(F.broadcast(df), "term")
+    tf = F.col("tf").cast("double")
+    dl = F.col("dl").cast("double")
+    tfln = tf / (tf + F.lit(AXIOMATIC_S) + F.lit(AXIOMATIC_S) * dl / F.lit(avgdl))
+    idf = F.sqrt(F.lit(n_docs + 1.0) / F.col("df_t"))
+    contrib = tfln * idf
+    scored = j.select("doc_id", "term", contrib.alias("contrib"))
+    agg = scored.groupBy("doc_id").agg(
+        F.round(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("term", "contrib"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["contrib"],
+            ),
+            6,
+        ).alias("score")
+    )
+    return ranked_topk(agg, [F.desc("score"), F.asc("doc_id")], k).select(
+        "doc_id", "score", "rank"
+    )

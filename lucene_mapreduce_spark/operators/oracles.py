@@ -5342,3 +5342,204 @@ SELECT n_days, total_events,
                      - idx::DOUBLE / n_days::DOUBLE)), 6) AS d_stat
 FROM cum, tot GROUP BY 1, 2
 """
+
+
+def dfi_sql(query_text: str, inv_ln2: float, k: int) -> str:
+    """DFI(ChiSquared) twin: expected = (cf+1)*dl/(total+1), zero-clamped
+    chi-squared info with the shared 1/ln(2) literal; ordered per-doc fold;
+    score must be > 0 to rank (Lucene non-negative-score contract)."""
+    qlit = query_text.replace("'", "''")
+    return f"""
+WITH doclens AS (
+  SELECT doc_id, len({TOKS}) AS dl FROM documents
+),
+stats AS (
+  SELECT sum(dl)::DOUBLE AS total FROM doclens
+),
+toks AS (
+  SELECT doc_id, unnest({TOKS}) AS term FROM documents
+),
+postings AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2
+),
+qterms AS (
+  SELECT DISTINCT unnest({duckdb_tokens_sql(f"'{qlit}'")}) AS term
+),
+cft AS (
+  SELECT p.term, sum(p.tf)::DOUBLE AS cf_t
+  FROM postings p JOIN qterms q USING (term) GROUP BY 1
+),
+scored AS (
+  SELECT p.doc_id, p.term,
+         CASE WHEN p.tf::DOUBLE <= (c.cf_t + 1.0) * l.dl::DOUBLE / (s.total + 1.0)
+              THEN 0.0
+              ELSE ln(1.0 + (p.tf::DOUBLE - (c.cf_t + 1.0) * l.dl::DOUBLE / (s.total + 1.0))
+                            * (p.tf::DOUBLE - (c.cf_t + 1.0) * l.dl::DOUBLE / (s.total + 1.0))
+                            / ((c.cf_t + 1.0) * l.dl::DOUBLE / (s.total + 1.0)))
+                   * {inv_ln2!r}
+         END AS contrib
+  FROM postings p
+  JOIN cft c USING (term)
+  JOIN doclens l USING (doc_id)
+  CROSS JOIN stats s
+),
+agg AS (
+  SELECT doc_id,
+         round(list_reduce(list_prepend(0.0, list(contrib ORDER BY term)),
+                           (a, b) -> a + b), 6) AS score
+  FROM scored GROUP BY 1
+)
+SELECT doc_id, score, rank FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM agg WHERE score > 0.0
+) WHERE rank <= {k}
+"""
+
+
+def axiomatic_sql(query_text: str, s_param: float, k: int) -> str:
+    """AxiomaticF2EXP twin with k pinned 0.5: idf = sqrt((N+1)/df) —
+    correctly-rounded IEEE in both engines; ordered per-doc fold."""
+    qlit = query_text.replace("'", "''")
+    return f"""
+WITH doclens AS (
+  SELECT doc_id, len({TOKS}) AS dl FROM documents
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n, (sum(dl)::DOUBLE / count(*)::DOUBLE) AS avgdl
+  FROM doclens
+),
+toks AS (
+  SELECT doc_id, unnest({TOKS}) AS term FROM documents
+),
+postings AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2
+),
+qterms AS (
+  SELECT DISTINCT unnest({duckdb_tokens_sql(f"'{qlit}'")}) AS term
+),
+dft AS (
+  SELECT p.term, count(*)::DOUBLE AS df_t
+  FROM postings p JOIN qterms q USING (term) GROUP BY 1
+),
+scored AS (
+  SELECT p.doc_id, p.term,
+         (p.tf::DOUBLE
+          / (p.tf::DOUBLE + {s_param!r} + {s_param!r} * l.dl::DOUBLE / s.avgdl))
+         * sqrt((s.n + 1.0) / d.df_t) AS contrib
+  FROM postings p
+  JOIN dft d USING (term)
+  JOIN doclens l USING (doc_id)
+  CROSS JOIN stats s
+),
+agg AS (
+  SELECT doc_id,
+         round(list_reduce(list_prepend(0.0, list(contrib ORDER BY term)),
+                           (a, b) -> a + b), 6) AS score
+  FROM scored GROUP BY 1
+)
+SELECT doc_id, score, rank FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM agg
+) WHERE rank <= {k}
+"""
+
+
+BIGRAM_LOGPROB_SQL = f"""
+WITH toklists AS (
+  SELECT doc_id, {TOKS} AS toks FROM documents
+),
+bi AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+  FROM toklists WHERE len(toks) >= 2
+),
+model AS (
+  SELECT bigram, count(*)::BIGINT AS c_uv FROM bi GROUP BY 1
+),
+uni AS (
+  SELECT t.term, count(*)::BIGINT AS c_u
+  FROM (SELECT unnest({TOKS}) AS term FROM documents) t GROUP BY 1
+),
+vocab AS (
+  SELECT count(*)::BIGINT AS v FROM uni
+),
+logp AS (
+  SELECT m.bigram,
+         ln((m.c_uv + 1.0) / (u.c_u + vocab.v)) AS lp
+  FROM model m
+  JOIN uni u ON u.term = split_part(m.bigram, ' ', 1)
+  CROSS JOIN vocab
+),
+per_bi AS (
+  SELECT b.doc_id, b.bigram, count(*)::BIGINT AS c_b
+  FROM bi b GROUP BY 1, 2
+)
+SELECT p.doc_id,
+       sum(p.c_b)::BIGINT AS n_bigrams,
+       round(-list_reduce(list_prepend(0.0, list(p.c_b * l.lp ORDER BY p.bigram)),
+                          (a, b) -> a + b)
+             / sum(p.c_b)::DOUBLE, 6) AS cross_entropy
+FROM per_bi p JOIN logp l USING (bigram)
+GROUP BY 1
+"""
+
+
+OLS_TOKEN_CHARS_SQL = f"""
+WITH base AS (
+  SELECT n_chars::BIGINT AS x, len({TOKS})::BIGINT AS y FROM documents
+),
+s AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+         sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx,
+         sum(y * y)::BIGINT AS syy
+  FROM base
+)
+SELECT n,
+       round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+             / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE), 6) AS slope,
+       round((sy::DOUBLE - ((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                            / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE))
+                           * sx::DOUBLE) / n::DOUBLE, 6) AS intercept,
+       round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+             * (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+             / ((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 6) AS r2
+FROM s
+"""
+
+
+def winnowing_sql(k: int, w: int, cap: int, topn: int) -> str:
+    """Winnowing twin: same k-gram md5 / w-window minima / distinct set /
+    hot-fingerprint ranking, in DuckDB list expressions."""
+    return f"""
+WITH body AS (
+  SELECT doc_id, substring(text, 1, {cap}) AS b FROM documents
+  WHERE length(substring(text, 1, {cap})) >= {k + w - 1}
+),
+hashes AS (
+  SELECT doc_id,
+         list_transform(range(1, length(b) - {k - 2}),
+                        i -> md5(substring(b, i, {k}))) AS h
+  FROM body
+),
+fps AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           list_transform(range(1, len(h) - {w - 2}),
+                          j -> list_min(h[j:j + {w - 1}])))) AS fp
+  FROM hashes
+),
+hot AS (
+  SELECT fp, count(*)::BIGINT AS n_docs, min(doc_id) AS witness_doc_id
+  FROM fps GROUP BY 1 HAVING count(*) >= 2
+)
+SELECT fp, n_docs, witness_doc_id, rank FROM (
+  SELECT fp, n_docs, witness_doc_id,
+         row_number() OVER (ORDER BY n_docs DESC, fp ASC) AS rank
+  FROM hot
+) WHERE rank <= {topn}
+"""

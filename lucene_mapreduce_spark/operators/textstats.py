@@ -1960,3 +1960,126 @@ def variable_width_histogram_agg(
         .withColumnRenamed("cid", "bucket")
         .orderBy("bucket")
     )
+
+
+def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc cross-entropy under a corpus-trained bigram language model
+    (Laplace-smoothed) — the order-2 sibling of unigram_logprob and the
+    distributable stand-in for KenLM-style perplexity filtering (CCNet,
+    Wenzek et al. 2020, public). Pinned model: context count c(u) is the
+    corpus UNIGRAM count of u (the standard approximation, counts doc-final
+    tokens too); p(v|u) = (c(u,v)+1)/(c(u)+V) with V = distinct token
+    types. Docs with < 2 tokens have no bigrams and are excluded.
+
+    Plan shape mirrors unigram_logprob: one groupBy((u,v)) trains the
+    bigram table (stays distributed, vocab²-bounded but sparse), unigram
+    context counts join onto it by u, and the per-doc rollup equi-joins
+    per-(doc, bigram) counts against the model. Per-doc sums are
+    canonically ascending by the "u v" bigram key (house determinism
+    rule), so the score is bit-stable across partitionings. No collect,
+    no UDF."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize_col("text").alias("toks"))
+    bi = toks.where(F.size("toks") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(2), F.size("toks")),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(F.col("toks"), i - F.lit(1)),
+                    F.element_at(F.col("toks"), i),
+                ),
+            )
+        ).alias("bigram"),
+    )
+    model = bi.groupBy("bigram").agg(F.count(F.lit(1)).alias("c_uv"))
+    uni = (
+        docs.select(F.explode(tokenize_col("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c_u"))
+    )
+    vocab = uni.agg(F.count(F.lit(1)).alias("v"))
+    logp = (
+        model.withColumn("u", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
+        .join(uni.withColumnRenamed("term", "u"), "u")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "bigram",
+            F.log(
+                (F.col("c_uv") + 1.0) / (F.col("c_u") + F.col("v"))
+            ).alias("lp"),
+        )
+    )
+    per_bi = (
+        bi.groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("c_b"))
+        .join(logp, "bigram")
+        .select(
+            "doc_id",
+            "c_b",
+            F.struct(F.col("bigram"), (F.col("c_b") * F.col("lp")).alias("v"))
+            .alias("bv"),
+        )
+    )
+    return (
+        per_bi.groupBy("doc_id")
+        .agg(
+            F.sum("c_b").alias("n_bigrams"),
+            F.sort_array(F.collect_list("bv")).alias("bvs"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(
+                -F.aggregate("bvs", F.lit(0.0), lambda a, x: a + x["v"])
+                / F.col("n_bigrams"),
+                6,
+            ).alias("cross_entropy"),
+        )
+    )
+
+
+def ols_token_chars_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form OLS fit of token count on n_chars over the corpus —
+    the distributed "one pass of sufficient statistics" regression every
+    training-data pipeline uses for compute-budget planning (chars->tokens
+    conversion factors). All five sufficient statistics (Sx, Sy, Sxy, Sxx,
+    Syy) are EXACT integer sums (order-free — the one aggregation shape
+    that needs no canonical-order fold), combined into slope / intercept /
+    r2 in float64 on the driver side of the expression tree:
+
+        slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2)
+        r2    = (n*Sxy - Sx*Sy)^2 / ((n*Sxx - Sx^2) * (n*Syy - Sy^2))
+
+    One scan, map-side-combinable scalar aggregate, no shuffle beyond the
+    final single-row reduce. BIGINT is safe: n_chars < 2^13, squared < 2^26,
+    times 2^33 docs stays < 2^63."""
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(
+        F.col("n_chars").cast("long").alias("x"),
+        F.size(tokenize_col("text")).cast("long").alias("y"),
+    )
+    s = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    cov = n * sxy - sx * sy
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    return s.select(
+        "n",
+        F.round(cov / varx, 6).alias("slope"),
+        F.round((sy - (cov / varx) * sx) / n, 6).alias("intercept"),
+        F.round(cov * cov / (varx * vary), 6).alias("r2"),
+    )
