@@ -527,6 +527,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob": textstats.bigram_logprob,
         "ols_token_chars_fit": textstats.ols_token_chars_fit,
         "winnowing_dup_candidates": dedup.winnowing_dup_candidates,
+        # round-4 session-11 batch 23
+        "kmv_intersection": fulltext.kmv_intersection,
+        "geo_distance_agg": textstats.geo_distance_agg,
+        "ccnet_perplexity_buckets": textstats.ccnet_perplexity_buckets,
+        "zipf_fit": textstats.zipf_fit,
+        "flesch_reading_ease": textstats.flesch_reading_ease,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})
@@ -877,4 +883,21 @@ WHERE len(list_filter(range(1, len(toks)), i ->
     out["winnowing_dup_candidates"] = winnowing_sql(
         dedup.WINNOW_K, dedup.WINNOW_W, dedup.WINNOW_CAP, dedup.WINNOW_TOPN
     )
+    from lucene_mapreduce_spark.operators.oracles import (
+        FLESCH_SQL,
+        ZIPF_FIT_SQL,
+        ccnet_buckets_sql,
+        geo_distance_agg_sql,
+        kmv_intersection_sql,
+    )
+
+    out["kmv_intersection"] = kmv_intersection_sql(
+        fulltext.KMV_LANG_A, fulltext.KMV_LANG_B, fulltext.KMV_K
+    )
+    out["geo_distance_agg"] = geo_distance_agg_sql(
+        textstats.GEO_CENTER[0], textstats.GEO_CENTER[1], textstats.GEO_RING_EDGES
+    )
+    out["ccnet_perplexity_buckets"] = ccnet_buckets_sql(textstats.CCNET_TILES)
+    out["zipf_fit"] = ZIPF_FIT_SQL
+    out["flesch_reading_ease"] = FLESCH_SQL
     return out

@@ -4303,3 +4303,85 @@ def axiomatic_topk(
     return ranked_topk(agg, [F.desc("score"), F.asc("doc_id")], k).select(
         "doc_id", "score", "rank"
     )
+
+
+KMV_LANG_A = "en"
+KMV_LANG_B = "es"
+
+
+def kmv_intersection(
+    spark: SparkSession,
+    sf_dir: str,
+    lang_a: str = KMV_LANG_A,
+    lang_b: str = KMV_LANG_B,
+    k: int = KMV_K,
+) -> DataFrame:
+    """Theta-sketch set intersection over two per-language vocabularies
+    (Dasgupta et al. 2016, the DataSketches theta sketch — public): KMV
+    sketch each side (k smallest 52-bit md5 hashes of the distinct
+    tokens), set theta = min(kth_a, kth_b), and estimate the
+    intersection cardinality as |{h in BOTH sketches, h < theta}| *
+    2^52 / theta. The exact intersection rides alongside as the witness
+    column (dropped at 10^12 scale — the sketches ARE the point: two
+    TakeOrdered heaps replace a cross-vocabulary distinct-join).
+
+    The per-side k-smallest is a rank-capped window PARTITIONED by side
+    (map-side WindowGroupLimit prunes before the shuffle); the hash
+    join of two k-row sets is broadcast trivially."""
+    from lucene_mapreduce_spark.operators.parity import load
+    from lucene_mapreduce_spark.operators.textstats import _md5_52
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_col
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    terms = (
+        docs.where(F.col("lang").isin([lang_a, lang_b]))
+        .select("lang", F.explode(tokenize_col("text")).alias("term"))
+        .distinct()
+        .select("lang", _md5_52(F.col("term")).alias("h"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.asc("h"))
+    sk = terms.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+    kths = sk.groupBy("lang").agg(F.max("h").alias("kth"))
+    a = kths.where(F.col("lang") == lang_a).select(F.col("kth").alias("kth_a"))
+    b = kths.where(F.col("lang") == lang_b).select(F.col("kth").alias("kth_b"))
+    pair = a.crossJoin(b).select(
+        "kth_a", "kth_b", F.least("kth_a", "kth_b").alias("theta")
+    )
+    both = (
+        sk.where(F.col("lang") == lang_a)
+        .select("h")
+        .join(sk.where(F.col("lang") == lang_b).select("h"), "h")
+    )
+    n_match = both.crossJoin(F.broadcast(pair)).where(
+        F.col("h") < F.col("theta")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_match"))
+    exact = (
+        docs.where(F.col("lang") == lang_a)
+        .select(F.explode(tokenize_col("text")).alias("term"))
+        .distinct()
+        .join(
+            docs.where(F.col("lang") == lang_b)
+            .select(F.explode(tokenize_col("text")).alias("term"))
+            .distinct(),
+            "term",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    )
+    return (
+        pair.crossJoin(F.broadcast(n_match))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "kth_a",
+            "kth_b",
+            "theta",
+            "n_match",
+            F.round(
+                F.col("n_match").cast("double")
+                * F.lit(float(1 << 52))
+                / F.col("theta").cast("double"),
+                6,
+            ).alias("est_intersection"),
+            "n_exact",
+        )
+    )

@@ -5543,3 +5543,169 @@ SELECT fp, n_docs, witness_doc_id, rank FROM (
   FROM hot
 ) WHERE rank <= {topn}
 """
+
+
+def kmv_intersection_sql(lang_a: str, lang_b: str, k: int) -> str:
+    """Theta-sketch intersection twin: per-lang KMV over distinct-token
+    52-bit md5 hashes, theta = min(kth), matched-hash count under theta."""
+    h = _MD5_52.format(e="term")
+    return f"""
+WITH terms AS (
+  SELECT DISTINCT lang, unnest({TOKS}) AS term
+  FROM documents WHERE lang IN ('{lang_a}', '{lang_b}')
+),
+hashed AS (
+  SELECT lang, {h} AS h FROM terms
+),
+sk AS (
+  SELECT lang, h FROM (
+    SELECT lang, h,
+           row_number() OVER (PARTITION BY lang ORDER BY h ASC) AS rn
+    FROM hashed
+  ) WHERE rn <= {k}
+),
+kths AS (SELECT lang, max(h) AS kth FROM sk GROUP BY 1),
+pair AS (
+  SELECT a.kth AS kth_a, b.kth AS kth_b, least(a.kth, b.kth) AS theta
+  FROM (SELECT kth FROM kths WHERE lang = '{lang_a}') a,
+       (SELECT kth FROM kths WHERE lang = '{lang_b}') b
+),
+matches AS (
+  SELECT count(*)::BIGINT AS n_match
+  FROM (SELECT h FROM sk WHERE lang = '{lang_a}') a
+  JOIN (SELECT h FROM sk WHERE lang = '{lang_b}') b USING (h)
+  CROSS JOIN pair WHERE h < pair.theta
+),
+exact AS (
+  SELECT count(*)::BIGINT AS n_exact
+  FROM (SELECT DISTINCT term FROM terms WHERE lang = '{lang_a}') a
+  JOIN (SELECT DISTINCT term FROM terms WHERE lang = '{lang_b}') b
+    USING (term)
+)
+SELECT kth_a, kth_b, theta, n_match,
+       round(n_match::DOUBLE * {float(1 << 52)!r} / theta::DOUBLE, 6)
+         AS est_intersection,
+       n_exact
+FROM pair, matches, exact
+"""
+
+
+def geo_distance_agg_sql(
+    clat: float, clon: float, edges: list[float]
+) -> str:
+    """geo_distance-agg twin: identical haversine chain, ring bucketing
+    on the 3dp-rounded distance, DECIMAL(18,3) exact mean sums, literal
+    ring table preserved for empty rings."""
+    hlat = _MD5_52.format(e="doc_id::VARCHAR || ':lat'")
+    hlon = _MD5_52.format(e="doc_id::VARCHAR || ':lon'")
+    rows = []
+    for i, lo in enumerate(edges):
+        hi = edges[i + 1] if i + 1 < len(edges) else None
+        key = f"{lo:g}-{hi:g}" if hi is not None else f"{lo:g}-*"
+        hi_sql = f"{hi!r}" if hi is not None else "NULL"
+        rows.append(f"({i}, '{key}', {lo!r}, {hi_sql}::DOUBLE)")
+    vals = ", ".join(rows)
+    return f"""
+WITH rings(ring, key, lo, hi) AS (VALUES {vals}),
+base AS (
+  SELECT doc_id,
+         (({hlat}) % 1800001)::DOUBLE / 10000.0 - 90.0 AS lat,
+         (({hlon}) % 3600001)::DOUBLE / 10000.0 - 180.0 AS lon
+  FROM documents
+),
+d AS (
+  SELECT round(2.0 * 6371.0 * asin(sqrt(
+           sin(radians(lat - ({clat!r})) / 2.0)
+             * sin(radians(lat - ({clat!r})) / 2.0)
+           + cos(radians({clat!r})) * cos(radians(lat))
+             * sin(radians(lon - ({clon!r})) / 2.0)
+             * sin(radians(lon - ({clon!r})) / 2.0))), 3) AS dist_km
+  FROM base
+),
+agg AS (
+  SELECT r.ring, r.key, count(*)::BIGINT AS n_docs,
+         sum(d.dist_km::DECIMAL(18,3)) AS dsum
+  FROM d JOIN rings r
+    ON d.dist_km >= r.lo AND (r.hi IS NULL OR d.dist_km < r.hi)
+  GROUP BY 1, 2
+)
+SELECT r.ring::INT AS ring, r.key,
+       coalesce(a.n_docs, 0)::BIGINT AS n_docs,
+       round(a.dsum::DOUBLE / a.n_docs::DOUBLE, 6) AS mean_km
+FROM rings r LEFT JOIN agg a ON r.ring = a.ring
+ORDER BY r.ring
+"""
+
+
+def ccnet_buckets_sql(tiles: int) -> str:
+    """CCNet perplexity-bucket twin: ntile over the (rounded ce, doc_id)
+    order per lang, composed over the unigram_logprob oracle itself."""
+    return f"""
+WITH ce AS ({ORACLES["unigram_logprob"]}),
+tiled AS (
+  SELECT d.lang, ce.cross_entropy,
+         ntile({tiles}) OVER (
+           PARTITION BY d.lang
+           ORDER BY ce.cross_entropy ASC, ce.doc_id ASC) AS bucket
+  FROM ce JOIN documents d USING (doc_id)
+)
+SELECT lang, bucket::INT AS bucket, count(*)::BIGINT AS n_docs,
+       round(sum(cross_entropy::DECIMAL(18,6))::DOUBLE
+             / count(*)::DOUBLE, 6) AS mean_ce,
+       min(cross_entropy) AS min_ce,
+       max(cross_entropy) AS max_ce
+FROM tiled GROUP BY 1, 2 ORDER BY lang, bucket
+"""
+
+
+ZIPF_FIT_SQL = f"""
+WITH freq AS (
+  SELECT term, count(*)::BIGINT AS cf
+  FROM (SELECT unnest({TOKS}) AS term FROM documents) t GROUP BY 1
+),
+xy AS (
+  SELECT round(ln(rank::DOUBLE), 6)::DECIMAL(18,6) AS x,
+         round(ln(cf::DOUBLE), 6)::DECIMAL(18,6) AS y
+  FROM (
+    SELECT cf, row_number() OVER (ORDER BY cf DESC, term ASC) AS rank
+    FROM freq
+  )
+),
+s AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum((x * y)::DECIMAL(28,12)) AS sxy,
+         sum((x * x)::DECIMAL(28,12)) AS sxx,
+         sum((y * y)::DECIMAL(28,12)) AS syy
+  FROM xy
+)
+SELECT n,
+       round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+             / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE), 6) AS slope,
+       round((sy::DOUBLE - ((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                            / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE))
+                           * sx::DOUBLE) / n::DOUBLE, 6) AS intercept,
+       round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+             * (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+             / ((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 6) AS r2
+FROM s
+"""
+
+
+FLESCH_SQL = f"""
+SELECT doc_id,
+       len({TOKS})::BIGINT AS n_words,
+       greatest(1, len(regexp_extract_all(lower(text), '[.!?]+')))::BIGINT
+         AS n_sentences,
+       len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT
+         AS n_syllables,
+       round(206.835
+             - 1.015 * len({TOKS})::DOUBLE
+               / greatest(1, len(regexp_extract_all(lower(text), '[.!?]+')))::DOUBLE
+             - 84.6 * len(regexp_extract_all(lower(text), '[aeiouy]+'))::DOUBLE
+               / len({TOKS})::DOUBLE, 6) AS fre
+FROM documents
+WHERE len({TOKS}) > 0
+ORDER BY doc_id
+"""

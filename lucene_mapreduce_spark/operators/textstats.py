@@ -2083,3 +2083,198 @@ def ols_token_chars_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((sy - (cov / varx) * sx) / n, 6).alias("intercept"),
         F.round(cov * cov / (varx * vary), 6).alias("r2"),
     )
+
+
+GEO_RING_EDGES = [0.0, 2000.0, 5000.0, 8000.0]  # km, last ring open-ended
+
+
+def geo_distance_agg(
+    spark: SparkSession,
+    sf_dir: str,
+    center: tuple[float, float] = GEO_CENTER,
+    edges: list[float] | None = None,
+) -> DataFrame:
+    """ES `geo_distance` aggregation: ring buckets around a point with
+    per-ring doc counts and mean distance. Same md5-derived coordinates
+    and haversine chain as geo_distance_query; bucketing is on the
+    3dp-ROUNDED distance (the geo-family rule — identical trig chains,
+    compare only rounded values). Empty rings still emit a row with
+    n_docs = 0 (ES keeps requested ranges), via a literal ring table
+    left join. Mean distance sums the DECIMAL(18,3)-cast rounded
+    distances (order-free exact) and divides in float64."""
+    if edges is None:
+        edges = GEO_RING_EDGES
+    clat, clon = center
+    pts = _geo_coords(load(spark, sf_dir, "documents"))
+    dphi = F.radians(F.col("lat") - F.lit(float(clat))) / F.lit(2.0)
+    dlmb = F.radians(F.col("lon") - F.lit(float(clon))) / F.lit(2.0)
+    a = (
+        F.sin(dphi) * F.sin(dphi)
+        + F.cos(F.radians(F.lit(float(clat))))
+        * F.cos(F.radians(F.col("lat")))
+        * F.sin(dlmb)
+        * F.sin(dlmb)
+    )
+    dist = F.round(F.lit(2.0 * 6371.0) * F.asin(F.sqrt(a)), 3)
+    d = pts.select(dist.alias("dist_km"))
+    rings = []
+    for i, lo in enumerate(edges):
+        hi = edges[i + 1] if i + 1 < len(edges) else None
+        key = f"{lo:g}-{hi:g}" if hi is not None else f"{lo:g}-*"
+        rings.append((i, key, lo, hi))
+    ring_df = spark.createDataFrame(
+        rings, "ring INT, key STRING, lo DOUBLE, hi DOUBLE"
+    )
+    binned = d.join(
+        F.broadcast(ring_df),
+        (F.col("dist_km") >= F.col("lo"))
+        & (F.col("hi").isNull() | (F.col("dist_km") < F.col("hi"))),
+    )
+    agg = binned.groupBy("ring", "key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("dist_km").cast("decimal(18,3)")).alias("dsum"),
+    )
+    return (
+        ring_df.join(agg, ["ring", "key"], "left")
+        .select(
+            "ring",
+            "key",
+            F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+            F.round(
+                F.col("dsum").cast("double") / F.col("n_docs").cast("double"), 6
+            ).alias("mean_km"),
+        )
+        .orderBy("ring")
+    )
+
+
+CCNET_TILES = 3  # head / middle / tail
+
+
+def ccnet_perplexity_buckets(
+    spark: SparkSession, sf_dir: str, tiles: int = CCNET_TILES
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020, public): per
+    language, rank docs by unigram-LM cross-entropy (unigram_logprob's
+    6dp-ROUNDED score — rank on rounded, doc_id tie-break) and split into
+    head/middle/tail terciles with ntile. Output per (lang, bucket):
+    doc count, exact DECIMAL-summed mean cross-entropy, min/max.
+
+    Composition, not re-derivation: builds directly on the
+    unigram_logprob DataFrame (already gate-green), joined to the lang
+    column — one extra bounded-per-lang window and a groupBy."""
+    from pyspark.sql import Window
+
+    ce = unigram_logprob(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    j = ce.join(docs, "doc_id")
+    w = Window.partitionBy("lang").orderBy(
+        F.asc("cross_entropy"), F.asc("doc_id")
+    )
+    tiled = j.withColumn("bucket", F.ntile(tiles).over(w))
+    return (
+        tiled.groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(
+                F.sum(F.col("cross_entropy").cast("decimal(18,6)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("mean_ce"),
+            F.min("cross_entropy").alias("min_ce"),
+            F.max("cross_entropy").alias("max_ce"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law exponent fit over the corpus token-frequency table:
+    OLS of ln(freq) on ln(rank) (rank by freq desc, term asc). The
+    classic corpus-health diagnostic for training data (a natural corpus
+    fits slope ~ -1; synthetic/boilerplate-heavy corpora flatten).
+
+    Determinism: ln() values are ROUNDED to 6dp and cast DECIMAL(18,6);
+    every sufficient statistic is an exact DECIMAL sum (products cast
+    DECIMAL(28,12) before summing — the scripted_metric_agg recipe), so
+    the fit is independent of aggregation order in both engines. The
+    frequency table is vocab-sized; the rank window is a single bounded
+    sort."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(tokenize_col("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cf"))
+    )
+    w = Window.orderBy(F.desc("cf"), F.asc("term"))
+    xy = freq.withColumn("rank", F.row_number().over(w)).select(
+        F.round(F.log(F.col("rank").cast("double")), 6)
+        .cast("decimal(18,6)")
+        .alias("x"),
+        F.round(F.log(F.col("cf").cast("double")), 6)
+        .cast("decimal(18,6)")
+        .alias("y"),
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(28,12)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(28,12)")).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(28,12)")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    cov = n * sxy - sx * sy
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    return s.select(
+        "n",
+        F.round(cov / varx, 6).alias("slope"),
+        F.round((sy - (cov / varx) * sx) / n, 6).alias("intercept"),
+        F.round(cov * cov / (varx * vary), 6).alias("r2"),
+    )
+
+
+def flesch_reading_ease(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease score per document (Flesch 1948 — the standard
+    readability gate in data-curation pipelines): 206.835 - 1.015 *
+    words/sentences - 84.6 * syllables/words. Pinned heuristics, shared
+    with the oracle: words = tokenizer token count; sentences =
+    greatest(1, count of [.!?]+ runs) — the synthetic corpus has no
+    sentence punctuation, so the guard keeps the leg defined; syllables =
+    count of [aeiouy]+ vowel groups in the lowercased text (the classic
+    syllable approximation). Pure per-row codegen arithmetic on integer
+    counts — no sums, no determinism hazard."""
+    docs = load(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    words = F.size(tokenize_col("text")).cast("long")
+    sentences = F.greatest(
+        F.lit(1).cast("long"), F.regexp_count(low, F.lit(r"[.!?]+")).cast("long")
+    )
+    syllables = F.regexp_count(low, F.lit(r"[aeiouy]+")).cast("long")
+    fre = F.round(
+        F.lit(206.835)
+        - F.lit(1.015) * words.cast("double") / sentences.cast("double")
+        - F.lit(84.6) * syllables.cast("double") / words.cast("double"),
+        6,
+    )
+    return (
+        docs.where(words > 0)
+        .select(
+            "doc_id",
+            words.alias("n_words"),
+            sentences.alias("n_sentences"),
+            syllables.alias("n_syllables"),
+            fre.alias("fre"),
+        )
+        .orderBy("doc_id")
+    )
