@@ -533,6 +533,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_perplexity_buckets": textstats.ccnet_perplexity_buckets,
         "zipf_fit": textstats.zipf_fit,
         "flesch_reading_ease": textstats.flesch_reading_ease,
+        # round-4 session-11 batch 24
+        "asof_join": parity.asof_join,
+        "domain_entropy": textstats.domain_entropy,
+        "minhash_jaccard_audit": dedup.minhash_jaccard_audit,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})
@@ -900,4 +904,13 @@ WHERE len(list_filter(range(1, len(toks)), i ->
     out["ccnet_perplexity_buckets"] = ccnet_buckets_sql(textstats.CCNET_TILES)
     out["zipf_fit"] = ZIPF_FIT_SQL
     out["flesch_reading_ease"] = FLESCH_SQL
+    from lucene_mapreduce_spark.operators.oracles import (
+        DOMAIN_ENTROPY_SQL,
+        MINHASH_AUDIT_SQL,
+        asof_join_sql,
+    )
+
+    out["asof_join"] = asof_join_sql(parity.ASOF_LEFT_TYPE, parity.ASOF_RIGHT_TYPE)
+    out["domain_entropy"] = DOMAIN_ENTROPY_SQL
+    out["minhash_jaccard_audit"] = MINHASH_AUDIT_SQL
     return out

@@ -512,3 +512,41 @@ def winnowing_dup_candidates(
         [F.desc("n_docs"), F.asc("fp")],
         topn,
     ).select("fp", "n_docs", "witness_doc_id", "rank")
+
+
+def minhash_jaccard_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator audit (the dedup twin of ann_recall_at_k): for
+    every exact near-dup pair (3-gram Jaccard >= 0.5, the
+    ngram_jaccard_pairs truth set), the MinHash-estimated Jaccard —
+    fraction of equal signature components — and its absolute error.
+    Continuous-audit shape: the truth pairs are few (planted dups), so
+    the signature join is pair-bounded, never corpus-quadratic; at scale
+    you run it over a sampled pair set with identical plans."""
+    pairs = ngram_jaccard_pairs(spark, sf_dir)
+    sigs = minhash_signatures(spark, sf_dir)
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"), "i", F.col("sig").alias("sig_a")
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"), "i", F.col("sig").alias("sig_b")
+    )
+    est = (
+        F.broadcast(pairs)
+        .join(sa, "doc_a")
+        .join(sb, ["doc_b", "i"])
+        .groupBy("doc_a", "doc_b", "jaccard")
+        .agg(
+            F.round(
+                F.sum((F.col("sig_a") == F.col("sig_b")).cast("int"))
+                / F.lit(float(N_MINHASH)),
+                6,
+            ).alias("mh_est")
+        )
+    )
+    return est.select(
+        "doc_a",
+        "doc_b",
+        "jaccard",
+        "mh_est",
+        F.round(F.abs(F.col("mh_est") - F.col("jaccard")), 6).alias("abs_err"),
+    ).orderBy("doc_a", "doc_b")

@@ -5709,3 +5709,94 @@ FROM documents
 WHERE len({TOKS}) > 0
 ORDER BY doc_id
 """
+
+
+def asof_join_sql(left_type: str, right_type: str) -> str:
+    """AS-OF join twin: correlated latest-at-or-before pick with the
+    pinned (ts desc, event_id desc) tie rule. DuckDB's native ASOF JOIN
+    leaves equal-ts ties engine-defined, so the twin ranks explicitly."""
+    return f"""
+WITH v AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = '{right_type}'
+),
+p AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = '{left_type}'
+),
+m AS (
+  SELECT event_id, vid, vts FROM (
+    SELECT p.event_id, v.event_id AS vid, v.ts AS vts,
+           row_number() OVER (PARTITION BY p.event_id
+                              ORDER BY v.ts DESC, v.event_id DESC) AS rn
+    FROM p JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+  ) WHERE rn = 1
+)
+SELECT p.event_id, p.user_id,
+       epoch_us(p.ts)::BIGINT AS ts_us,
+       m.vid AS view_event_id,
+       epoch_us(m.vts)::BIGINT AS view_ts_us,
+       (epoch_us(p.ts) - epoch_us(m.vts))::BIGINT AS gap_us
+FROM p LEFT JOIN m USING (event_id)
+ORDER BY p.event_id
+"""
+
+
+DOMAIN_ENTROPY_SQL = """
+WITH per AS (
+  SELECT source, lang, count(*)::BIGINT AS n_sl
+  FROM documents GROUP BY 1, 2
+),
+rolled AS (
+  SELECT source, sum(n_sl)::BIGINT AS n_docs,
+         count(*)::INT AS n_langs,
+         list((n_sl, lang) ORDER BY lang) AS ls
+  FROM per GROUP BY 1
+)
+SELECT source, n_docs, n_langs,
+       round(-list_reduce(
+         list_prepend(0.0,
+           list_transform(ls, x ->
+             (x[1]::DOUBLE / n_docs::DOUBLE)
+             * ln(x[1]::DOUBLE / n_docs::DOUBLE))),
+         (a, b) -> a + b), 6) AS entropy
+FROM rolled ORDER BY source
+"""
+
+
+MINHASH_AUDIT_SQL = f"""
+WITH {_SHINGLES},
+shc AS (
+  SELECT doc_id, shingle FROM (
+    SELECT *, count(*) OVER (PARTITION BY shingle) AS bn FROM sh
+  ) WHERE bn <= 100
+),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM shc GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_inter
+  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b,
+         round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.5
+),
+sigs AS (
+  SELECT doc_id, i, min(md5(i::VARCHAR || ':' || shingle)) AS sig
+  FROM sh, range(0, 12) t(i) GROUP BY 1, 2
+),
+est AS (
+  SELECT p.doc_a, p.doc_b, p.jaccard,
+         round(sum(CASE WHEN a.sig = b.sig THEN 1 ELSE 0 END)::DOUBLE
+               / 12.0, 6) AS mh_est
+  FROM pairs p
+  JOIN sigs a ON a.doc_id = p.doc_a
+  JOIN sigs b ON b.doc_id = p.doc_b AND b.i = a.i
+  GROUP BY 1, 2, 3
+)
+SELECT doc_a, doc_b, jaccard, mh_est,
+       round(abs(mh_est - jaccard), 6) AS abs_err
+FROM est ORDER BY doc_a, doc_b
+"""

@@ -1555,3 +1555,59 @@ def bucket_count_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_days", "total_events")
         .agg(F.round(F.max(d), 6).alias("d_stat"))
     )
+
+
+ASOF_LEFT_TYPE = "purchase"
+ASOF_RIGHT_TYPE = "view"
+
+
+def asof_join(
+    spark: SparkSession,
+    sf_dir: str,
+    left_type: str = ASOF_LEFT_TYPE,
+    right_type: str = ASOF_RIGHT_TYPE,
+) -> DataFrame:
+    """AS-OF join — the canonical time-series operator Spark's DataFrame
+    API lacks (pandas merge_asof / DuckDB ASOF JOIN): for every `purchase`
+    event, the LATEST `view` event of the same user at-or-before its
+    timestamp. Pinned tie rules: a view at exactly the purchase ts counts;
+    among equal view timestamps the max event_id wins.
+
+    Distributed shape (the standard union-tag recipe): tag both sides,
+    ONE shuffle on user_id, and a running last-non-null window over
+    (ts, side, event_id) order — views sort before purchases at equal ts,
+    so rowsBetween(-inf, -1) sees them. No join at all: at 10^12 events
+    this is one repartition + one linear pass per user partition, vs the
+    range-join blowup a naive ts-inequality join would plan. Timestamps
+    surface as microsecond-epoch BIGINTs (NTZ-safe via the UTC-pinned
+    session cast) plus the gap; NULL when a purchase has no prior view."""
+    ev = load(spark, sf_dir, "events")
+    tagged = ev.where(F.col("event_type").isin([left_type, right_type])).select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.col("event_type") == left_type).cast("int").alias("is_left"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("is_left"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev = F.last(
+        F.when(F.col("is_left") == 0, F.struct("ts", "event_id")),
+        ignorenulls=True,
+    ).over(w)
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    return (
+        tagged.withColumn("prev", prev)
+        .where(F.col("is_left") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            us(F.col("ts")).alias("ts_us"),
+            F.col("prev.event_id").alias("view_event_id"),
+            us(F.col("prev.ts")).alias("view_ts_us"),
+            (us(F.col("ts")) - us(F.col("prev.ts"))).alias("gap_us"),
+        )
+        .orderBy("event_id")
+    )

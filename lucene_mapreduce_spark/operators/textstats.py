@@ -2278,3 +2278,37 @@ def flesch_reading_ease(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def domain_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Shannon entropy of the language distribution — the
+    diversity-report aggregate a mixture-curation pipeline watches per
+    domain/source (a source collapsing to one language is a crawl or
+    filter regression). H = -sum p ln p in nats over the per-source lang
+    shares; the fold is canonically ascending by lang (house determinism
+    rule). One two-key groupBy then a source-level rollup — both
+    map-side combinable; lang cardinality bounds the fold."""
+    docs = load(spark, sf_dir, "documents")
+    per = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sl")
+    )
+    rolled = per.groupBy("source").agg(
+        F.sum("n_sl").alias("n_docs"),
+        F.sort_array(F.collect_list(F.struct("lang", "n_sl"))).alias("ls"),
+    )
+    nd = F.col("n_docs").cast("double")
+    return rolled.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.size("ls").alias("n_langs"),
+        F.round(
+            -F.aggregate(
+                "ls",
+                F.lit(0.0),
+                lambda acc, x: acc
+                + (x["n_sl"].cast("double") / nd)
+                * F.log(x["n_sl"].cast("double") / nd),
+            ),
+            6,
+        ).alias("entropy"),
+    ).orderBy("source")
