@@ -537,6 +537,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": parity.asof_join,
         "domain_entropy": textstats.domain_entropy,
         "minhash_jaccard_audit": dedup.minhash_jaccard_audit,
+        "streaming_topk_keys": (
+            lambda s, d: __import__(
+                "lucene_mapreduce_spark.streaming.incremental", fromlist=["x"]
+            ).streaming_topk_keys(s, d)
+        ),
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})
@@ -913,4 +918,8 @@ WHERE len(list_filter(range(1, len(toks)), i ->
     out["asof_join"] = asof_join_sql(parity.ASOF_LEFT_TYPE, parity.ASOF_RIGHT_TYPE)
     out["domain_entropy"] = DOMAIN_ENTROPY_SQL
     out["minhash_jaccard_audit"] = MINHASH_AUDIT_SQL
+    from lucene_mapreduce_spark.operators.oracles import streaming_topk_keys_sql
+    from lucene_mapreduce_spark.streaming.incremental import TOPK_KEYS_K
+
+    out["streaming_topk_keys"] = streaming_topk_keys_sql(TOPK_KEYS_K)
     return out

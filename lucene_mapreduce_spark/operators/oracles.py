@@ -5800,3 +5800,22 @@ SELECT doc_a, doc_b, jaccard, mh_est,
        round(abs(mh_est - jaccard), 6) AS abs_err
 FROM est ORDER BY doc_a, doc_b
 """
+
+
+def streaming_topk_keys_sql(topk: int) -> str:
+    """Streaming windowed top-k twin: batch per-(day, k) counts ranked
+    (n desc, k asc); day as a date string (NTZ-safe both engines)."""
+    return f"""
+WITH buckets AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CAST(json_extract(props, '$.k') AS INT) AS k,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT day, k, n, rank FROM (
+  SELECT day, k, n,
+         row_number() OVER (PARTITION BY day ORDER BY n DESC, k ASC) AS rank
+  FROM buckets
+) WHERE rank <= {topk}
+ORDER BY day, rank
+"""

@@ -502,3 +502,68 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _finish_gate(
         spark, q, sink, src, order_by=["user_id", "view_id", "purchase_id"]
     )
+
+
+TOPK_KEYS_K = 3
+
+
+def windowed_topk_keys(stream_df: DataFrame, late: str = "1 hour") -> DataFrame:
+    """Watermarked per-day heavy-key counting over the event stream: the
+    streaming HALF of a windowed top-k — counts per (day, k) accumulate in
+    streaming state (map-side combinable, watermark-bounded); the rank cut
+    happens at serve time on the materialized buckets, because Spark
+    (correctly) refuses non-time window functions over an unbounded
+    stream. Same split ES makes: shards stream counts, the coordinator
+    ranks."""
+    k = F.from_json(F.col("props"), "k INT")["k"]
+    return (
+        stream_df.withWatermark("ts", late)
+        .groupBy(F.window("ts", "1 day").alias("w"), k.alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("day"), "k", "n")
+    )
+
+
+def streaming_topk_keys(
+    spark: SparkSession, sf_dir: str, topk: int = TOPK_KEYS_K
+) -> DataFrame:
+    """Gate entry for streaming windowed top-k: a real stream run
+    (parquet source -> watermark + tumbling-day count per JSON key k ->
+    memory sink, availableNow single batch), then the top-`topk` keys per
+    day ranked (n desc, k asc) over the bounded materialized buckets.
+    The day surfaces as a date string (NTZ-safe, both engines)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from lucene_mapreduce_spark.operators.parity import load
+
+    derived = load(spark, sf_dir, "events").select("props", "ts")
+    src = os.path.join(tempfile.mkdtemp(prefix="lmr_stream_gate_"), "src")
+    derived.coalesce(1).write.mode("overwrite").parquet(src)
+
+    _GATE_SEQ[0] += 1
+    sink = f"topk_keys_gate_{_GATE_SEQ[0]}"
+    stream = spark.readStream.schema("props string, ts timestamp").parquet(src)
+    q = (
+        windowed_topk_keys(stream)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    buckets = _finish_gate(spark, q, sink, src, select_cols=["day", "k", "n"])
+    w = Window.partitionBy("day").orderBy(F.desc("n"), F.asc("k"))
+    return (
+        buckets.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= topk)
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("k").cast("int").alias("k"),
+            F.col("n").cast("long").alias("n"),
+            "rank",
+        )
+        .orderBy("day", "rank")
+    )

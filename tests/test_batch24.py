@@ -90,3 +90,28 @@ def test_minhash_audit_recompute(spark, sf_dir):
         assert abs(r.abs_err - round(abs(r.mh_est - r.jaccard), 6)) < 1e-9
         # a >=0.5-Jaccard pair should mostly agree on minhashes
         assert r.mh_est >= 0.25
+
+
+def test_streaming_topk_keys_equals_batch(spark, sf_dir):
+    import json
+
+    from lucene_mapreduce_spark.streaming.incremental import (
+        TOPK_KEYS_K,
+        streaming_topk_keys,
+    )
+
+    out = streaming_topk_keys(spark, sf_dir).toPandas()
+    ev = _events(sf_dir)
+    ev = ev.assign(
+        day=ev["ts"].dt.strftime("%Y-%m-%d"),
+        k=[json.loads(p)["k"] for p in ev["props"]],
+    )
+    counts = ev.groupby(["day", "k"]).size().reset_index(name="n")
+    for day, grp in counts.groupby("day"):
+        want = grp.sort_values(["n", "k"], ascending=[False, True]).head(
+            TOPK_KEYS_K
+        )
+        got = out[out["day"] == day].sort_values("rank")
+        assert list(got["k"]) == list(want["k"])
+        assert list(got["n"]) == list(want["n"])
+    assert set(out["rank"]) == set(range(1, TOPK_KEYS_K + 1))
