@@ -542,6 +542,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "lucene_mapreduce_spark.streaming.incremental", fromlist=["x"]
             ).streaming_topk_keys(s, d)
         ),
+        # round-4 session-11 batch 25
+        "ks_two_sample": parity.ks_two_sample,
+        "seasonal_anomaly_days": parity.seasonal_anomaly_days,
+        "gini_coefficient": textstats.gini_coefficient,
+        "term_burstiness": textstats.term_burstiness,
+        "reservoir_sample_per_lang": textstats.reservoir_sample_per_lang,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})
@@ -922,4 +928,19 @@ WHERE len(list_filter(range(1, len(toks)), i ->
     from lucene_mapreduce_spark.streaming.incremental import TOPK_KEYS_K
 
     out["streaming_topk_keys"] = streaming_topk_keys_sql(TOPK_KEYS_K)
+    from lucene_mapreduce_spark.operators.oracles import (
+        GINI_SQL,
+        burstiness_sql,
+        ks_two_sample_sql,
+        reservoir_sql,
+        seasonal_anomaly_sql,
+    )
+
+    out["ks_two_sample"] = ks_two_sample_sql(parity.KS_SRC_A, parity.KS_SRC_B)
+    out["seasonal_anomaly_days"] = seasonal_anomaly_sql(parity.ANOMALY_SIGMA)
+    out["gini_coefficient"] = GINI_SQL
+    out["term_burstiness"] = burstiness_sql(
+        textstats.BURSTINESS_MIN_DF, textstats.BURSTINESS_TOPK
+    )
+    out["reservoir_sample_per_lang"] = reservoir_sql(textstats.RESERVOIR_PER_LANG)
     return out

@@ -5819,3 +5819,126 @@ SELECT day, k, n, rank FROM (
 ) WHERE rank <= {topk}
 ORDER BY day, rank
 """
+
+
+def ks_two_sample_sql(src_a: str, src_b: str) -> str:
+    """Two-sample KS twin: pooled-value running cumsums, integer-ratio
+    CDF legs, one rounded max."""
+    return f"""
+WITH per AS (
+  SELECT source, n_chars AS v, count(*)::BIGINT AS c
+  FROM documents WHERE source IN ('{src_a}', '{src_b}')
+  GROUP BY 1, 2
+),
+merged AS (
+  SELECT coalesce(a.v, b.v) AS v,
+         coalesce(a.c, 0)::BIGINT AS ca, coalesce(b.c, 0)::BIGINT AS cb
+  FROM (SELECT v, c FROM per WHERE source = '{src_a}') a
+  FULL OUTER JOIN (SELECT v, c FROM per WHERE source = '{src_b}') b
+    USING (v)
+),
+cum AS (
+  SELECT v,
+         sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS cum_a,
+         sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS cum_b
+  FROM merged
+),
+tot AS (
+  SELECT sum(ca)::BIGINT AS n_a, sum(cb)::BIGINT AS n_b FROM merged
+)
+SELECT n_a, n_b,
+       round(max(abs(cum_a::DOUBLE / n_a::DOUBLE
+                     - cum_b::DOUBLE / n_b::DOUBLE)), 6) AS d_stat
+FROM cum, tot GROUP BY 1, 2
+"""
+
+
+def seasonal_anomaly_sql(factor: float) -> str:
+    """Seasonal median/MAD anomaly twin: pinned (day - 2024-01-01) % 7
+    dow, exact quantile_cont medians."""
+    return f"""
+WITH {_DAILY_HIST},
+h AS (
+  SELECT day::VARCHAR AS day,
+         ((day::DATE - DATE '2024-01-01') % 7)::INT AS dow,
+         n_events
+  FROM hist
+),
+med AS (
+  SELECT dow, quantile_cont(n_events, 0.5) AS med FROM h GROUP BY 1
+),
+j AS (SELECT h.*, med.med FROM h JOIN med USING (dow)),
+mad AS (
+  SELECT dow, quantile_cont(abs(n_events - med), 0.5) AS mad
+  FROM j GROUP BY 1
+)
+SELECT j.day, j.dow, j.n_events,
+       round(j.med, 6) AS med, round(mad.mad, 6) AS mad,
+       (abs(j.n_events::DOUBLE - j.med) > {factor!r} * mad.mad) AS is_anomaly
+FROM j JOIN mad USING (dow)
+ORDER BY j.day
+"""
+
+
+GINI_SQL = f"""
+WITH freq AS (
+  SELECT term, count(*)::BIGINT AS cf
+  FROM (SELECT unnest({TOKS}) AS term FROM documents) t GROUP BY 1
+),
+ranked AS (
+  SELECT cf, row_number() OVER (ORDER BY cf ASC, term ASC) AS i FROM freq
+),
+s AS (
+  SELECT count(*)::BIGINT AS n_terms, sum(cf)::BIGINT AS total_tokens,
+         sum(i * cf)::BIGINT AS iwsum
+  FROM ranked
+)
+SELECT n_terms, total_tokens,
+       round((2.0 * iwsum::DOUBLE - (n_terms::DOUBLE + 1.0)
+              * total_tokens::DOUBLE)
+             / (n_terms::DOUBLE * total_tokens::DOUBLE), 6) AS gini
+FROM s
+"""
+
+
+def burstiness_sql(min_df: int, k: int) -> str:
+    """Burstiness twin: all-integer per-term sufficient statistics,
+    rounded-VMR rank."""
+    return f"""
+WITH tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest({TOKS}) AS term FROM documents) t
+  GROUP BY 1, 2
+),
+per AS (
+  SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS s1,
+         sum(tf * tf)::BIGINT AS s2
+  FROM tf GROUP BY 1
+),
+scored AS (
+  SELECT term, df, s1,
+         round((df::DOUBLE * s2::DOUBLE - s1::DOUBLE * s1::DOUBLE)
+               / (df::DOUBLE * s1::DOUBLE), 6) AS vmr
+  FROM per WHERE df >= {min_df}
+)
+SELECT term, df, s1 AS total_tf, vmr, rank FROM (
+  SELECT *, row_number() OVER (ORDER BY vmr DESC, term ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+def reservoir_sql(n: int) -> str:
+    """Bottom-k priority-sample twin."""
+    h = _MD5_52.format(e="doc_id::VARCHAR || ':rsv'")
+    return f"""
+SELECT lang, doc_id, pri, rank FROM (
+  SELECT lang, doc_id, {h} AS pri,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY {h} ASC, doc_id ASC) AS rank
+  FROM documents
+) WHERE rank <= {n}
+ORDER BY lang, rank
+"""

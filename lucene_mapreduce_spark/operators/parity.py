@@ -1611,3 +1611,105 @@ def asof_join(
         )
         .orderBy("event_id")
     )
+
+
+KS_SRC_A = "src1"
+KS_SRC_B = "src2"
+
+
+def ks_two_sample(
+    spark: SparkSession,
+    sf_dir: str,
+    src_a: str = KS_SRC_A,
+    src_b: str = KS_SRC_B,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov D between two sources' document-length
+    (n_chars) distributions — the drift test a curation pipeline runs when
+    a crawl source changes shape (the two-sample sibling of
+    bucket_count_ks_test's uniformity check). Exact: per-source per-value
+    counts, ONE full-outer merge on the pooled value axis, running integer
+    cumsums, D = max |cumA/nA - cumB/nB| evaluated at every pooled point.
+    Both CDF legs are integer-ratio divisions (correctly rounded, identical
+    chains cross-engine); only the final max is rounded. The shuffle
+    carries one row per distinct value, never per doc."""
+    docs = load(spark, sf_dir, "documents")
+    per = (
+        docs.where(F.col("source").isin([src_a, src_b]))
+        .groupBy("source", "n_chars")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    a = per.where(F.col("source") == src_a).select(
+        F.col("n_chars").alias("v"), F.col("c").alias("ca")
+    )
+    b = per.where(F.col("source") == src_b).select(
+        F.col("n_chars").alias("v"), F.col("c").alias("cb")
+    )
+    merged = a.join(b, "v", "full").select(
+        "v",
+        F.coalesce("ca", F.lit(0)).alias("ca"),
+        F.coalesce("cb", F.lit(0)).alias("cb"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = merged.select(
+        "v",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+    )
+    tot = merged.agg(
+        F.sum("ca").cast("long").alias("n_a"), F.sum("cb").cast("long").alias("n_b")
+    )
+    return cum.crossJoin(F.broadcast(tot)).agg(
+        F.first("n_a").alias("n_a"),
+        F.first("n_b").alias("n_b"),
+        F.round(
+            F.max(
+                F.abs(
+                    F.col("cum_a").cast("double") / F.col("n_a").cast("double")
+                    - F.col("cum_b").cast("double") / F.col("n_b").cast("double")
+                )
+            ),
+            6,
+        ).alias("d_stat"),
+    )
+
+
+ANOMALY_SIGMA = 3.0
+
+
+def seasonal_anomaly_days(
+    spark: SparkSession, sf_dir: str, factor: float = ANOMALY_SIGMA
+) -> DataFrame:
+    """Seasonal (day-of-week) anomaly detection over the daily event
+    histogram — the robust median/MAD detector (Leys et al. 2013; the
+    standard ops-analytics rule |x - med_dow| > k * MAD_dow). Day-of-week
+    is pinned as (day - 2024-01-01) % 7 — never the engines' locale-/
+    convention-dependent dow functions. Medians are exact type-7
+    (percentile == quantile_cont, the moving_median equivalence) over the
+    bounded per-dow day series; the day count bounds every window."""
+    hist = date_histogram_facets(spark, sf_dir)
+    h = hist.withColumn(
+        "dow",
+        F.pmod(F.datediff(F.to_date("day"), F.lit("2024-01-01")), F.lit(7)),
+    )
+    med = h.groupBy("dow").agg(
+        F.expr("percentile(n_events, 0.5)").alias("med")
+    )
+    j = h.join(F.broadcast(med), "dow")
+    mad = j.groupBy("dow").agg(
+        F.expr("percentile(abs(n_events - med), 0.5)").alias("mad")
+    )
+    return (
+        j.join(F.broadcast(mad), "dow")
+        .select(
+            "day",
+            F.col("dow").cast("int").alias("dow"),
+            "n_events",
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+            (
+                F.abs(F.col("n_events").cast("double") - F.col("med"))
+                > F.lit(factor) * F.col("mad")
+            ).alias("is_anomaly"),
+        )
+        .orderBy("day")
+    )

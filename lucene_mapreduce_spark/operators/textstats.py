@@ -2312,3 +2312,118 @@ def domain_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("entropy"),
     ).orderBy("source")
+
+
+def gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of the corpus token-frequency distribution — the
+    inequality diagnostic next to zipf_fit (a training corpus whose mass
+    concentrates in a few tokens has high Gini; a drift up means
+    boilerplate is creeping in). Exact closed form over frequencies
+    sorted ascending (ties broken by term so ranks are deterministic):
+
+        G = (2 * sum(i * cf_i) - (n + 1) * sum(cf)) / (n * sum(cf))
+
+    Every sum is an exact BIGINT (rank * cf stays far under 2^63 at any
+    real vocab); the single division happens once in float64. One
+    vocab-sized groupBy + one bounded sort window."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(tokenize_col("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cf"))
+    )
+    w = Window.orderBy(F.asc("cf"), F.asc("term"))
+    ranked = freq.withColumn("i", F.row_number().over(w))
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum("cf").cast("long").alias("total_tokens"),
+        F.sum(F.col("i").cast("long") * F.col("cf")).cast("long").alias("iwsum"),
+    )
+    n = F.col("n_terms").cast("double")
+    tot = F.col("total_tokens").cast("double")
+    return s.select(
+        "n_terms",
+        "total_tokens",
+        F.round(
+            (F.lit(2.0) * F.col("iwsum").cast("double") - (n + F.lit(1.0)) * tot)
+            / (n * tot),
+            6,
+        ).alias("gini"),
+    )
+
+
+BURSTINESS_MIN_DF = 10
+BURSTINESS_TOPK = 10
+
+
+def term_burstiness(
+    spark: SparkSession,
+    sf_dir: str,
+    min_df: int = BURSTINESS_MIN_DF,
+    k: int = BURSTINESS_TOPK,
+) -> DataFrame:
+    """Term burstiness (Church & Gale 1995, public): the variance-to-mean
+    ratio of a term's tf across the documents CONTAINING it — bursty
+    terms (VMR >> 1) cluster in few docs; function words sit near
+    Poisson. The content/function-word diagnostic for tokenizer and
+    stopword decisions in a curation pipeline.
+
+        VMR_t = (df * sum(tf^2) - sum(tf)^2) / (df * sum(tf))
+
+    All-integer sufficient statistics per term (one map-side-combinable
+    groupBy over (doc, term) counts), one double division, rank on the
+    ROUNDED score with term tie-break."""
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+
+    docs = load(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(tokenize_col("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    per = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("s1"),
+        F.sum(F.col("tf") * F.col("tf")).cast("long").alias("s2"),
+    )
+    dfc = F.col("df").cast("double")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    scored = per.where(F.col("df") >= min_df).select(
+        "term",
+        "df",
+        "s1",
+        F.round((dfc * s2 - s1 * s1) / (dfc * s1), 6).alias("vmr"),
+    )
+    return ranked_topk(scored, [F.desc("vmr"), F.asc("term")], k).select(
+        "term", "df", F.col("s1").alias("total_tf"), "vmr", "rank"
+    )
+
+
+RESERVOIR_PER_LANG = 5
+
+
+def reservoir_sample_per_lang(
+    spark: SparkSession, sf_dir: str, n: int = RESERVOIR_PER_LANG
+) -> DataFrame:
+    """Exactly-n-per-language sample via bottom-k hash priorities — the
+    distributed, deterministic equivalent of reservoir sampling (priority
+    sampling: keep the n smallest md5(doc_id || ':rsv')). Unlike the
+    Bernoulli random_sampler_agg, the output size is exact per stratum,
+    and any cluster size produces the same sample (no RNG, no state). A
+    rank-capped window per lang — map-side WindowGroupLimit keeps the
+    shuffle n-bounded."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    pri = _md5_52(F.concat(F.col("doc_id").cast("string"), F.lit(":rsv")))
+    w = Window.partitionBy("lang").orderBy(F.asc("pri"), F.asc("doc_id"))
+    return (
+        docs.select("lang", "doc_id", pri.alias("pri"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= n)
+        .select("lang", "doc_id", "pri", "rank")
+        .orderBy("lang", "rank")
+    )
