@@ -548,6 +548,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gini_coefficient": textstats.gini_coefficient,
         "term_burstiness": textstats.term_burstiness,
         "reservoir_sample_per_lang": textstats.reservoir_sample_per_lang,
+        # round-4 session-11 batch 26
+        "heaps_law_fit": textstats.heaps_law_fit,
+        "tokens_per_byte_by_source": textstats.tokens_per_byte_by_source,
+        "terms_order_by_metric": parity.terms_order_by_metric,
+        "daily_distinct_users": parity.daily_distinct_users,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})
@@ -943,4 +948,15 @@ WHERE len(list_filter(range(1, len(toks)), i ->
         textstats.BURSTINESS_MIN_DF, textstats.BURSTINESS_TOPK
     )
     out["reservoir_sample_per_lang"] = reservoir_sql(textstats.RESERVOIR_PER_LANG)
+    from lucene_mapreduce_spark.operators.oracles import (
+        DAILY_DISTINCT_USERS_SQL,
+        HEAPS_FIT_SQL,
+        TERMS_ORDER_BY_METRIC_SQL,
+        TOKENS_PER_BYTE_SQL,
+    )
+
+    out["heaps_law_fit"] = HEAPS_FIT_SQL
+    out["tokens_per_byte_by_source"] = TOKENS_PER_BYTE_SQL
+    out["terms_order_by_metric"] = TERMS_ORDER_BY_METRIC_SQL
+    out["daily_distinct_users"] = DAILY_DISTINCT_USERS_SQL
     return out

@@ -5942,3 +5942,87 @@ SELECT lang, doc_id, pri, rank FROM (
 ) WHERE rank <= {n}
 ORDER BY lang, rank
 """
+
+
+HEAPS_FIT_SQL = f"""
+WITH dls AS (
+  SELECT doc_id, len({TOKS})::BIGINT AS dl FROM documents
+),
+first AS (
+  SELECT doc_id, count(*)::BIGINT AS new_types FROM (
+    SELECT term, min(doc_id) AS doc_id
+    FROM (SELECT doc_id, unnest({TOKS}) AS term FROM documents) t
+    GROUP BY 1
+  ) GROUP BY 1
+),
+cum AS (
+  SELECT d.doc_id,
+         sum(d.dl) OVER (ORDER BY d.doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens,
+         sum(coalesce(f.new_types, 0)) OVER (ORDER BY d.doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_vocab
+  FROM dls d LEFT JOIN first f USING (doc_id)
+),
+xy AS (
+  SELECT round(ln(cum_tokens::DOUBLE), 6)::DECIMAL(18,6) AS x,
+         round(ln(cum_vocab::DOUBLE), 6)::DECIMAL(18,6) AS y
+  FROM cum WHERE cum_tokens > 0 AND cum_vocab > 0
+),
+s AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum((x * y)::DECIMAL(28,12)) AS sxy,
+         sum((x * x)::DECIMAL(28,12)) AS sxx,
+         sum((y * y)::DECIMAL(28,12)) AS syy
+  FROM xy
+)
+SELECT n,
+       round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+             / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE), 6) AS beta,
+       round((sy::DOUBLE - ((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                            / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE))
+                           * sx::DOUBLE) / n::DOUBLE, 6) AS intercept,
+       round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+             * (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+             / ((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 6) AS r2
+FROM s
+"""
+
+
+TOKENS_PER_BYTE_SQL = f"""
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(len({TOKS}))::BIGINT AS n_tokens,
+       sum(n_chars)::BIGINT AS n_bytes,
+       round(sum(len({TOKS}))::DOUBLE / sum(n_chars)::DOUBLE, 6)
+         AS tokens_per_byte,
+       round(sum(n_chars)::DOUBLE / sum(len({TOKS}))::DOUBLE, 6)
+         AS bytes_per_token
+FROM documents GROUP BY 1 ORDER BY source
+"""
+
+
+TERMS_ORDER_BY_METRIC_SQL = """
+WITH agg AS (
+  SELECT event_type, count(*)::BIGINT AS n_events,
+         sum(round(value, 6)::DECIMAL(18,6)) AS vsum
+  FROM events GROUP BY 1
+),
+scored AS (
+  SELECT event_type, n_events,
+         round(vsum::DOUBLE / n_events::DOUBLE, 6) AS mean_value
+  FROM agg
+)
+SELECT event_type, n_events, mean_value,
+       row_number() OVER (ORDER BY mean_value DESC, event_type ASC) AS rank
+FROM scored
+ORDER BY rank
+"""
+
+
+DAILY_DISTINCT_USERS_SQL = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       count(*)::BIGINT AS n_events,
+       count(DISTINCT user_id)::BIGINT AS n_users
+FROM events GROUP BY 1 ORDER BY day
+"""

@@ -1713,3 +1713,45 @@ def seasonal_anomaly_days(
         )
         .orderBy("day")
     )
+
+
+def terms_order_by_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `terms` aggregation ordered by a sub-aggregation metric (order:
+    {mean_value: desc}) rather than doc_count — the bucket-sort-by-metric
+    path. The metric is the mean of the DOUBLE value column; each value is
+    6dp-rounded into DECIMAL(18,6) before the sum (order-free exact — the
+    scripted_metric recipe), the bucket rank uses the ROUNDED mean with an
+    event_type tie-break."""
+    ev = load(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.round(F.col("value"), 6).cast("decimal(18,6)")).alias("vsum"),
+    )
+    scored = agg.select(
+        "event_type",
+        "n_events",
+        F.round(
+            F.col("vsum").cast("double") / F.col("n_events").cast("double"), 6
+        ).alias("mean_value"),
+    )
+    return ranked_topk(
+        scored, [F.desc("mean_value"), F.asc("event_type")], 1 << 30
+    ).select("event_type", "n_events", "mean_value", "rank")
+
+
+def daily_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-day distinct-user counts (the ES `cardinality` sub-agg
+    under a date_histogram, exact flavor — hll_cardinality is the sketch
+    twin, cumulative_cardinality the first-seen variant). Spark plans
+    countDistinct as a two-phase partial-distinct aggregate: the shuffle
+    carries (day, user) pairs once, never raw events."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.select(F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .orderBy("day")
+    )

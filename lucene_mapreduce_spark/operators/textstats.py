@@ -2427,3 +2427,97 @@ def reservoir_sample_per_lang(
         .select("lang", "doc_id", "pri", "rank")
         .orderBy("lang", "rank")
     )
+
+
+def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit V = K * n^beta over the corpus ingestion order
+    (doc_id ascending): cumulative distinct-vocabulary size against
+    cumulative token count, fitted in log-log space — the
+    vocabulary-growth diagnostic that says whether a corpus keeps
+    contributing new types at scale (beta ~ 0.4-0.6 for natural text;
+    a pinned synthetic vocabulary saturates toward 0).
+
+    Distributed shape: per-term FIRST document (one groupBy min), per-doc
+    new-type counts (one groupBy), then a single bounded cumsum window
+    over the doc axis. The OLS reuses the zipf_fit determinism recipe:
+    6dp-rounded ln values in DECIMAL(18,6), DECIMAL(28,12) product sums."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    dls = docs.select(
+        "doc_id", F.size(tokenize_col("text")).cast("long").alias("dl")
+    )
+    first = (
+        docs.select("doc_id", F.explode(tokenize_col("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("new_types"))
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        dls.join(first, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.sum("dl").over(w).alias("cum_tokens"),
+            F.sum(F.coalesce("new_types", F.lit(0))).over(w).alias("cum_vocab"),
+        )
+        .where((F.col("cum_tokens") > 0) & (F.col("cum_vocab") > 0))
+    )
+    xy = cum.select(
+        F.round(F.log(F.col("cum_tokens").cast("double")), 6)
+        .cast("decimal(18,6)")
+        .alias("x"),
+        F.round(F.log(F.col("cum_vocab").cast("double")), 6)
+        .cast("decimal(18,6)")
+        .alias("y"),
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(28,12)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(28,12)")).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(28,12)")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    cov = n * sxy - sx * sy
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    return s.select(
+        "n",
+        F.round(cov / varx, 6).alias("beta"),
+        F.round((sy - (cov / varx) * sx) / n, 6).alias("intercept"),
+        F.round(cov * cov / (varx * vary), 6).alias("r2"),
+    )
+
+
+def tokens_per_byte_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chars-per-token (and its inverse) per source — the compression /
+    fertility planning table a tokenizer-budget pipeline keeps per domain.
+    All-integer sums, two divisions in float64 per row."""
+    docs = load(spark, sf_dir, "documents")
+    agg = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(tokenize_col("text")).cast("long")).cast("long").alias(
+            "n_tokens"
+        ),
+        F.sum(F.col("n_chars").cast("long")).cast("long").alias("n_bytes"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "n_bytes",
+        F.round(
+            F.col("n_tokens").cast("double") / F.col("n_bytes").cast("double"), 6
+        ).alias("tokens_per_byte"),
+        F.round(
+            F.col("n_bytes").cast("double") / F.col("n_tokens").cast("double"), 6
+        ).alias("bytes_per_token"),
+    ).orderBy("source")
