@@ -211,6 +211,16 @@ def main() -> None:
          lambda: __import__(
              "lucene_mapreduce_spark.operators.textstats", fromlist=["x"]
          ).bpe_pair_counts(spark, sf_dir)),
+        ("asof_join (union-tag + running last-non-null window: ONE shuffle, "
+         "no range-join blowup)",
+         lambda: parity.asof_join(spark, sf_dir)),
+        ("winnowing_dup_candidates (MOSS fingerprints: codegen k-gram/"
+         "window-min arrays, md5-uniform groupBy)",
+         lambda: dedup.winnowing_dup_candidates(spark, sf_dir)),
+        ("bigram_logprob (order-2 LM: bigram model join + canonical fold)",
+         lambda: __import__(
+             "lucene_mapreduce_spark.operators.textstats", fromlist=["x"]
+         ).bigram_logprob(spark, sf_dir)),
     ]
 
     out = [HEADER]
