@@ -553,6 +553,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokens_per_byte_by_source": textstats.tokens_per_byte_by_source,
         "terms_order_by_metric": parity.terms_order_by_metric,
         "daily_distinct_users": parity.daily_distinct_users,
+        # round-4 session-11 batch 27
+        "chunk_stitch_candidates": dedup.chunk_stitch_candidates,
+        "trigram_langid_confusion": textstats.trigram_langid_confusion,
+        "holt_linear_pipeline": parity.holt_linear_pipeline,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})
@@ -959,4 +963,13 @@ WHERE len(list_filter(range(1, len(toks)), i ->
     out["tokens_per_byte_by_source"] = TOKENS_PER_BYTE_SQL
     out["terms_order_by_metric"] = TERMS_ORDER_BY_METRIC_SQL
     out["daily_distinct_users"] = DAILY_DISTINCT_USERS_SQL
+    from lucene_mapreduce_spark.operators.oracles import (
+        HOLT_LINEAR_SQL,
+        TRIGRAM_LANGID_SQL,
+        chunk_stitch_sql,
+    )
+
+    out["chunk_stitch_candidates"] = chunk_stitch_sql(dedup.STITCH_K)
+    out["trigram_langid_confusion"] = TRIGRAM_LANGID_SQL
+    out["holt_linear_pipeline"] = HOLT_LINEAR_SQL
     return out

@@ -550,3 +550,35 @@ def minhash_jaccard_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mh_est",
         F.round(F.abs(F.col("mh_est") - F.col("jaccard")), 6).alias("abs_err"),
     ).orderBy("doc_a", "doc_b")
+
+
+STITCH_K = 4  # tokens compared at the seam
+
+
+def chunk_stitch_candidates(
+    spark: SparkSession, sf_dir: str, k: int = STITCH_K
+) -> DataFrame:
+    """Chunking-artifact detection: pairs (a, b) where doc a's LAST k
+    tokens equal doc b's FIRST k tokens — the signature of one source
+    document split into consecutive chunks by an ingestion pipeline
+    (stitch a+b back together before training, or drop the seam dup).
+    Two md5 seam keys per doc, one equi-join on the key — never a
+    substring scan; md5-uniform join keys, so no skew beyond true
+    stitch groups."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tokenize_col("text")
+    base = docs.where(F.size(toks) >= k).select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.slice(toks, 1, k))).alias("head_key"),
+        F.md5(
+            F.concat_ws(" ", F.slice(toks, F.size(toks) - F.lit(k - 1), k))
+        ).alias("tail_key"),
+    )
+    tails = base.select(F.col("doc_id").alias("doc_a"), F.col("tail_key").alias("key"))
+    heads = base.select(F.col("doc_id").alias("doc_b"), F.col("head_key").alias("key"))
+    return (
+        tails.join(heads, "key")
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b", "key")
+        .orderBy("doc_a", "doc_b")
+    )

@@ -6026,3 +6026,90 @@ SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
        count(DISTINCT user_id)::BIGINT AS n_users
 FROM events GROUP BY 1 ORDER BY day
 """
+
+
+def chunk_stitch_sql(k: int) -> str:
+    """Chunk-stitch twin: md5 seam keys, one equi-join."""
+    return f"""
+WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+base AS (
+  SELECT doc_id,
+         md5(array_to_string(toks[1:{k}], ' ')) AS head_key,
+         md5(array_to_string(toks[len(toks) - {k - 1}:len(toks)], ' '))
+           AS tail_key
+  FROM t WHERE len(toks) >= {k}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.tail_key AS key
+FROM base a JOIN base b
+  ON a.tail_key = b.head_key AND a.doc_id <> b.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+
+TRIGRAM_LANGID_SQL = """
+WITH d AS (
+  SELECT doc_id, lang, lower(text) AS low FROM documents
+  WHERE length(lower(text)) >= 3
+),
+dg AS (
+  SELECT doc_id, lang, g, count(*)::BIGINT AS c FROM (
+    SELECT doc_id, lang,
+           unnest(list_transform(range(1, length(low) - 1),
+                                 i -> substring(low, i, 3))) AS g
+    FROM d
+  ) GROUP BY 1, 2, 3
+),
+profile AS (
+  SELECT g, lang AS plang, sum(c)::BIGINT AS pc FROM dg GROUP BY 1, 2
+),
+dnorm AS (
+  SELECT doc_id, sum(c * c)::BIGINT AS ss_d FROM dg GROUP BY 1
+),
+pnorm AS (
+  SELECT plang, sum(pc * pc)::BIGINT AS ss_p FROM profile GROUP BY 1
+),
+dots AS (
+  SELECT dg.doc_id, dg.lang, p.plang, sum(dg.c * p.pc)::BIGINT AS dot
+  FROM dg JOIN profile p USING (g) GROUP BY 1, 2, 3
+),
+scored AS (
+  SELECT dots.doc_id, dots.lang, dots.plang,
+         round(dot::DOUBLE / (sqrt(ss_d::DOUBLE) * sqrt(ss_p::DOUBLE)), 6)
+           AS cos
+  FROM dots JOIN dnorm USING (doc_id) JOIN pnorm USING (plang)
+),
+pred AS (
+  SELECT doc_id, lang, plang AS predicted FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY cos DESC, plang ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+SELECT lang, predicted, count(*)::BIGINT AS n_docs
+FROM pred GROUP BY 1, 2 ORDER BY lang, predicted
+"""
+
+
+HOLT_LINEAR_SQL = f"""
+WITH {_DAILY_HIST},
+packed AS (
+  SELECT list(day::VARCHAR ORDER BY day) AS ds,
+         list(n_events ORDER BY day) AS raw,
+         list([n_events::DOUBLE, 0.0] ORDER BY day) AS pairs
+  FROM hist
+),
+idx AS (
+  SELECT ds, raw, pairs, unnest(range(1, len(ds) + 1)) AS i FROM packed
+),
+folded AS (
+  SELECT ds[i] AS day, raw[i]::BIGINT AS n_events,
+         list_reduce(pairs[1:i], (acc, x) ->
+           [0.5 * x[1] + 0.5 * (acc[1] + acc[2]),
+            0.5 * ((0.5 * x[1] + 0.5 * (acc[1] + acc[2])) - acc[1])
+              + 0.5 * acc[2]]) AS st
+  FROM idx
+)
+SELECT day, n_events,
+       round(st[1], 6) AS level, round(st[2], 6) AS trend
+FROM folded ORDER BY day
+"""

@@ -1755,3 +1755,60 @@ def daily_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+HOLT_ALPHA = 0.5  # level gain — pinned 0.5: each step is exact halving
+HOLT_BETA = 0.5  # trend gain
+
+
+def holt_linear_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `moving_fn` MovingFunctions.holt (double exponential smoothing,
+    Holt linear trend) over the daily buckets: level and trend states,
+    seeded level = first bucket, trend = 0. Like ewma_pipeline this is an
+    inherently sequential fold re-run per prefix of the BOUNDED bucket
+    series; the pair state rides an array accumulator so the identical
+    IEEE chain runs in both engines (DuckDB list_reduce requires acc type
+    == element type, hence [value, 0.0] pair elements). alpha = beta =
+    0.5 — exact halvings, the pow()/ordering-safe gain choice."""
+    hist = date_histogram_facets(spark, sf_dir)
+    packed = hist.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("day"),
+                    F.col("n_events").cast("double").alias("n_events"),
+                )
+            )
+        ).alias("xs")
+    ).select(
+        "xs",
+        F.transform(
+            "xs", lambda s: F.array(s["n_events"], F.lit(0.0))
+        ).alias("pairs"),
+    )
+    exploded = packed.select("pairs", F.posexplode("xs").alias("pos", "x"))
+    half = F.lit(0.5)
+
+    def _l(acc, x):
+        return half * F.element_at(x, 1) + half * (
+            F.element_at(acc, 1) + F.element_at(acc, 2)
+        )
+
+    def _merge(acc, x):
+        return F.array(
+            _l(acc, x),
+            half * (_l(acc, x) - F.element_at(acc, 1))
+            + half * F.element_at(acc, 2),
+        )
+
+    state = F.aggregate(
+        F.slice(F.col("pairs"), 2, F.col("pos")),
+        F.element_at("pairs", 1),
+        _merge,
+    )
+    return exploded.select(
+        F.col("x.day").alias("day"),
+        F.col("x.n_events").cast("long").alias("n_events"),
+        F.round(F.element_at(state, 1), 6).alias("level"),
+        F.round(F.element_at(state, 2), 6).alias("trend"),
+    ).orderBy("day")

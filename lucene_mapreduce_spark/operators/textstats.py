@@ -2521,3 +2521,76 @@ def tokens_per_byte_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_bytes").cast("double") / F.col("n_tokens").cast("double"), 6
         ).alias("bytes_per_token"),
     ).orderBy("source")
+
+
+def trigram_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram language identification (Cavnar & Trenkle 1994
+    textcat shape, cosine flavor) evaluated as a confusion matrix against
+    the corpus labels — the second, independent lang-ID signal next to
+    language_id's stopword heuristic (agreement drift between the two is
+    the curation alarm). Per-language profiles are corpus trigram counts;
+    a doc's score against a language is the cosine between INTEGER count
+    vectors — dot products and squared norms are exact BIGINT sums
+    (order-free), one sqrt+divide chain per (doc, lang), predicted =
+    argmax on the ROUNDED cosine with lang tie-break.
+
+    Plan: trigram explode -> one (doc, g) groupBy -> equi-join against
+    the (g, lang) profile table (trigram-vocab-bounded) -> one (doc,
+    lang) groupBy. Missing (doc, lang) rows mean zero overlap and can
+    never win the argmax (a doc always overlaps its own language)."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(low) - F.lit(2)),
+        lambda i: F.substr(low, i, F.lit(3)),
+    )
+    dg = (
+        docs.where(F.length(low) >= 3)
+        .select("doc_id", "lang", F.explode(grams).alias("g"))
+        .groupBy("doc_id", "lang", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    profile = dg.groupBy("g", F.col("lang").alias("plang")).agg(
+        F.sum("c").alias("pc")
+    )
+    dnorm = dg.groupBy("doc_id").agg(
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("ss_d")
+    )
+    pnorm = profile.groupBy("plang").agg(
+        F.sum(F.col("pc") * F.col("pc")).cast("long").alias("ss_p")
+    )
+    dots = (
+        dg.join(profile, "g")
+        .groupBy("doc_id", "lang", "plang")
+        .agg(F.sum(F.col("c") * F.col("pc")).cast("long").alias("dot"))
+    )
+    scored = (
+        dots.join(dnorm, "doc_id")
+        .join(F.broadcast(pnorm), "plang")
+        .select(
+            "doc_id",
+            "lang",
+            "plang",
+            F.round(
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("ss_d").cast("double"))
+                    * F.sqrt(F.col("ss_p").cast("double"))
+                ),
+                6,
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("cos"), F.asc("plang"))
+    pred = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "lang", F.col("plang").alias("predicted"))
+    )
+    return (
+        pred.groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("lang", "predicted")
+    )
