@@ -557,6 +557,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_stitch_candidates": dedup.chunk_stitch_candidates,
         "trigram_langid_confusion": textstats.trigram_langid_confusion,
         "holt_linear_pipeline": parity.holt_linear_pipeline,
+        # round-4 session-11 batch 28
+        "ann_pq_topk": (
+            lambda s, d: __import__(
+                "lucene_mapreduce_spark.operators.similarity", fromlist=["x"]
+            ).ann_pq_topk(s, d)
+        ),
+        "near_dup_leakage_matrix": dedup.near_dup_leakage_matrix,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})
@@ -972,4 +979,18 @@ WHERE len(list_filter(range(1, len(toks)), i ->
     out["chunk_stitch_candidates"] = chunk_stitch_sql(dedup.STITCH_K)
     out["trigram_langid_confusion"] = TRIGRAM_LANGID_SQL
     out["holt_linear_pipeline"] = HOLT_LINEAR_SQL
+    from lucene_mapreduce_spark.operators.oracles import (
+        NEAR_DUP_LEAKAGE_SQL,
+        ann_pq_sql,
+    )
+    from lucene_mapreduce_spark.operators.similarity import (
+        PQ_K,
+        PQ_M,
+        PQ_SUBDIM,
+        PQ_TOPK,
+        QUERY_VEC_ID,
+    )
+
+    out["ann_pq_topk"] = ann_pq_sql(PQ_M, PQ_SUBDIM, PQ_K, QUERY_VEC_ID, PQ_TOPK)
+    out["near_dup_leakage_matrix"] = NEAR_DUP_LEAKAGE_SQL
     return out

@@ -582,3 +582,31 @@ def chunk_stitch_candidates(
         .select("doc_a", "doc_b", "key")
         .orderBy("doc_a", "doc_b")
     )
+
+
+def near_dup_leakage_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-duplicate leakage matrix: the verified near-dup
+    pairs (ngram_jaccard_pairs, exact 3-gram Jaccard >= 0.5) rolled up by
+    UNORDERED source pair — the curation report that says which domains
+    are mirroring each other (off-diagonal cells) vs self-duplicating
+    (diagonal). Pair set is dup-bounded; two dimension joins + one
+    two-key groupBy."""
+    pairs = ngram_jaccard_pairs(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    sa = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a")
+    )
+    sb = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b")
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.least("src_a", "src_b").alias("source_lo"),
+            F.greatest("src_a", "src_b").alias("source_hi"),
+        )
+        .groupBy("source_lo", "source_hi")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .orderBy("source_lo", "source_hi")
+    )

@@ -6113,3 +6113,88 @@ SELECT day, n_events,
        round(st[1], 6) AS level, round(st[2], 6) AS trend
 FROM folded ORDER BY day
 """
+
+
+def ann_pq_sql(m: int, subdim: int, kcode: int, query_vec_id: int, k: int) -> str:
+    """PQ/ADC twin: deterministic codebooks (vec_id 1..kcode subvectors),
+    6dp-rounded sequential subspace folds, argmin ties to lowest cid,
+    ascending-m ADC sum, exact-L2 audit column."""
+    dim = m * subdim
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (
+  SELECT vec_id::INT AS cid, v AS cv FROM e
+  WHERE vec_id BETWEEN 1 AND {kcode}
+),
+ms AS (SELECT unnest(range({m}))::INT AS m),
+tri AS (
+  SELECT e.vec_id, ms.m, c.cid,
+         round(list_reduce(
+           list_prepend(0.0, list_transform(
+             range(ms.m * {subdim} + 1, ms.m * {subdim} + {subdim} + 1),
+             d -> (e.v[d] - c.cv[d]) * (e.v[d] - c.cv[d]))),
+           (a, b) -> a + b), 6) AS d
+  FROM e, cents c, ms
+),
+codes AS (
+  SELECT vec_id, m, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                 ORDER BY d ASC, cid ASC) AS rn
+    FROM tri
+  ) WHERE rn = 1
+),
+qtab AS (
+  SELECT m, cid, d AS qd FROM tri WHERE vec_id = {query_vec_id}
+),
+adc AS (
+  SELECT c.vec_id,
+         round(list_reduce(list_prepend(0.0, list(q.qd ORDER BY c.m)),
+                           (a, b) -> a + b), 6) AS approx_dist
+  FROM codes c JOIN qtab q USING (m, cid)
+  GROUP BY 1
+),
+qv AS (SELECT v AS q FROM e WHERE vec_id = {query_vec_id}),
+exact AS (
+  SELECT e.vec_id,
+         round(list_reduce(
+           list_prepend(0.0, list_transform(range(1, {dim + 1}),
+             d -> (e.v[d] - qv.q[d]) * (e.v[d] - qv.q[d]))),
+           (a, b) -> a + b), 6) AS exact_dist
+  FROM e, qv
+)
+SELECT vec_id, approx_dist, exact_dist, rank FROM (
+  SELECT a.vec_id, a.approx_dist, x.exact_dist,
+         row_number() OVER (ORDER BY a.approx_dist ASC, a.vec_id ASC) AS rank
+  FROM adc a JOIN exact x USING (vec_id)
+  WHERE a.vec_id <> {query_vec_id}
+) WHERE rank <= {k}
+"""
+
+
+NEAR_DUP_LEAKAGE_SQL = f"""
+WITH {_SHINGLES},
+shc AS (
+  SELECT doc_id, shingle FROM (
+    SELECT *, count(*) OVER (PARTITION BY shingle) AS bn FROM sh
+  ) WHERE bn <= 100
+),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM shc GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_inter
+  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.5
+)
+SELECT least(da.source, db.source) AS source_lo,
+       greatest(da.source, db.source) AS source_hi,
+       count(*)::BIGINT AS n_pairs
+FROM pairs
+JOIN documents da ON da.doc_id = doc_a
+JOIN documents db ON db.doc_id = doc_b
+GROUP BY 1, 2 ORDER BY source_lo, source_hi
+"""

@@ -603,3 +603,107 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+PQ_M = 4  # subspaces
+PQ_SUBDIM = 16  # dims per subspace (DIM / PQ_M)
+PQ_K = 16  # codewords per subspace
+PQ_TOPK = 10
+
+
+def ann_pq_topk(
+    spark: SparkSession, sf_dir: str, k: int = PQ_TOPK
+) -> DataFrame:
+    """Product-quantization ANN (Jégou, Douze, Schmid 2011 — the PQ/ADC
+    paper; completes the ANN family next to brute / hyperplane-LSH /
+    IVF-Flat): each vector is encoded as PQ_M 4-bit codes (argmin-L2
+    codeword per 16-dim subspace against a deterministic codebook — the
+    subvectors of vec_id 1..PQ_K, the IVF-init convention), and query
+    distance is ADC: one PQ_M x PQ_K lookup table from the query, approx
+    dist = sum of per-subspace table entries. Exact L2 rides alongside as
+    the audit column (the ann_recall_at_k pattern).
+
+    Determinism: every subspace distance is a SEQUENTIAL ascending-dim
+    fold rounded 6dp before the argmin (ties -> lowest codeword id); the
+    ADC sum folds ascending-m. Scale shape: encode cost is the standard
+    N x K x M broadcast-codebook map (no shuffle); at 10^12 vectors the
+    codes table is 2 bytes/vector — the point of PQ — and the rank cut is
+    one WindowGroupLimit top-k."""
+    from lucene_mapreduce_spark.operators.parity import load, ranked_topk
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = emb.where(
+        (F.col("vec_id") >= 1) & (F.col("vec_id") <= PQ_K)
+    ).select(F.col("vec_id").cast("int").alias("cid"), F.col("v").alias("cv"))
+    ms = spark.range(PQ_M).select(F.col("id").cast("int").alias("m"))
+
+    def subdist(vcol, ccol):
+        dims = F.sequence(
+            F.col("m") * PQ_SUBDIM + 1, (F.col("m") + 1) * PQ_SUBDIM
+        )
+        return F.round(
+            F.aggregate(
+                dims,
+                F.lit(0.0),
+                lambda acc, d: acc
+                + (F.element_at(vcol, d) - F.element_at(ccol, d))
+                * (F.element_at(vcol, d) - F.element_at(ccol, d)),
+            ),
+            6,
+        )
+
+    tri = (
+        emb.crossJoin(F.broadcast(ms))
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "m",
+            "cid",
+            subdist(F.col("v"), F.col("cv")).alias("d"),
+        )
+    )
+    w = Window.partitionBy("vec_id", "m").orderBy(F.asc("d"), F.asc("cid"))
+    codes = (
+        tri.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "m", "cid")
+    )
+    qtab = tri.where(F.col("vec_id") == QUERY_VEC_ID).select(
+        "m", "cid", F.col("d").alias("qd")
+    )
+    adc = (
+        codes.join(F.broadcast(qtab), ["m", "cid"])
+        .groupBy("vec_id")
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.sort_array(F.collect_list(F.struct("m", "qd"))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["qd"],
+                ),
+                6,
+            ).alias("approx_dist")
+        )
+    )
+    qv = emb.where(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("v").alias("qv")
+    )
+    exact = emb.crossJoin(F.broadcast(qv)).select(
+        "vec_id",
+        F.round(
+            F.aggregate(
+                F.sequence(F.lit(1), F.lit(PQ_M * PQ_SUBDIM)),
+                F.lit(0.0),
+                lambda acc, d: acc
+                + (F.element_at(F.col("v"), d) - F.element_at(F.col("qv"), d))
+                * (F.element_at(F.col("v"), d) - F.element_at(F.col("qv"), d)),
+            ),
+            6,
+        ).alias("exact_dist"),
+    )
+    scored = adc.join(exact, "vec_id").where(F.col("vec_id") != QUERY_VEC_ID)
+    return ranked_topk(
+        scored, [F.asc("approx_dist"), F.asc("vec_id")], k
+    ).select("vec_id", "approx_dist", "exact_dist", "rank")
