@@ -564,6 +564,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).ann_pq_topk(s, d)
         ),
         "near_dup_leakage_matrix": dedup.near_dup_leakage_matrix,
+        # round-4 session-11 batch 29
+        "rocchio_prf_topk": fulltext.rocchio_prf_topk,
+        "bloom_filter_membership": textstats.bloom_filter_membership,
+        "train_val_test_split": textstats.train_val_test_split,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})
@@ -993,4 +997,26 @@ WHERE len(list_filter(range(1, len(toks)), i ->
 
     out["ann_pq_topk"] = ann_pq_sql(PQ_M, PQ_SUBDIM, PQ_K, QUERY_VEC_ID, PQ_TOPK)
     out["near_dup_leakage_matrix"] = NEAR_DUP_LEAKAGE_SQL
+    from lucene_mapreduce_spark.operators.oracles import (
+        bloom_membership_sql,
+        rocchio_prf_sql,
+        split_report_sql,
+    )
+
+    out["rocchio_prf_topk"] = rocchio_prf_sql(
+        fulltext.FLAGSHIP_QUERY,
+        fulltext.PRF_FEEDBACK_K,
+        fulltext.PRF_EXPANSION_N,
+        fulltext.PRF_EXP_WEIGHT,
+        10,
+    )
+    out["bloom_filter_membership"] = bloom_membership_sql(
+        textstats.BLOOM_M,
+        textstats.BLOOM_K,
+        textstats.BLOOM_INSERT_LANG,
+        textstats.BLOOM_N_PROBES,
+    )
+    out["train_val_test_split"] = split_report_sql(
+        textstats.SPLIT_PCTS[2], textstats.SPLIT_PCTS[1]
+    )
     return out

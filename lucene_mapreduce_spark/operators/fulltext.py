@@ -4385,3 +4385,114 @@ def kmv_intersection(
             "n_exact",
         )
     )
+
+
+PRF_FEEDBACK_K = 10  # feedback depth (stage-1 top-k)
+PRF_EXPANSION_N = 3  # expansion terms appended to the query
+PRF_EXP_WEIGHT = 0.5  # expansion-term weight (originals weigh 1.0)
+
+
+def rocchio_prf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_text: str = FLAGSHIP_QUERY,
+    k: int = 10,
+) -> DataFrame:
+    """Pseudo-relevance feedback (Rocchio 1971 / RM3 shape — Lucene's
+    QueryRescorer + MoreLikeThis territory, the classic two-pass IR
+    operator): stage 1 ranks the original query by BM25 and takes the
+    top PRF_FEEDBACK_K docs as the feedback set; stage 2 picks the
+    PRF_EXPANSION_N highest-lift terms from the feedback docs (score =
+    total feedback tf x ln(N/df), original terms excluded, rank on the
+    ROUNDED score with term tie-break); stage 3 re-scores with the
+    expanded weighted query (originals 1.0, expansions PRF_EXP_WEIGHT),
+    per-doc sums in canonical ascending-term order as everywhere.
+
+    Pinned deviation from bm25_topk: the stage-1 feedback cut ranks on
+    the 6dp-ROUNDED score (doc_id tie) so feedback membership can never
+    flip on a last-ulp cross-engine difference. All three stages are one
+    plan — corpus stats broadcast, no collect."""
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_col, tokenize_string
+    from lucene_mapreduce_spark.operators.parity import load, ranked_topk
+    from lucene_mapreduce_spark.query.bm25 import B, K1
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokenize_col("text")).alias("term"))
+    doclens = docs.select(
+        "doc_id", F.size(tokenize_col("text")).cast("double").alias("dl")
+    )
+    stats = doclens.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    postings = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    dfs = postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df_t")
+    )
+
+    def contribs(term_weights: DataFrame) -> DataFrame:
+        """per-(doc, term) weighted BM25 contribution for the given
+        (term, w) frame (broadcast — query-sized)."""
+        j = (
+            postings.join(F.broadcast(term_weights), "term")
+            .join(dfs, "term")
+            .join(doclens, "doc_id")
+            .crossJoin(F.broadcast(stats))
+        )
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("df_t") + F.lit(0.5))
+            / (F.col("df_t") + F.lit(0.5))
+        )
+        tfn = (
+            F.col("tf")
+            * F.lit(K1 + 1.0)
+            / (
+                F.col("tf")
+                + F.lit(K1)
+                * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.col("avgdl"))
+            )
+        )
+        return j.select(
+            "doc_id", "term", (F.col("w") * idf * tfn).alias("contrib")
+        )
+
+    def fold_topk(c: DataFrame, depth: int) -> DataFrame:
+        agg = c.groupBy("doc_id").agg(
+            F.round(
+                F.aggregate(
+                    F.sort_array(F.collect_list(F.struct("term", "contrib"))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["contrib"],
+                ),
+                6,
+            ).alias("score")
+        )
+        return ranked_topk(agg, [F.desc("score"), F.asc("doc_id")], depth)
+
+    qts = sorted(set(tokenize_string(query_text)))
+    q1 = spark.createDataFrame([(t, 1.0) for t in qts], "term string, w double")
+    feedback = fold_topk(contribs(q1), PRF_FEEDBACK_K).select("doc_id")
+
+    fb_tf = (
+        postings.join(F.broadcast(feedback), "doc_id")
+        .where(~F.col("term").isin(qts))
+        .groupBy("term")
+        .agg(F.sum("tf").alias("fb_tf"))
+        .join(dfs, "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            F.round(
+                F.col("fb_tf") * F.log(F.col("n_docs") / F.col("df_t")), 6
+            ).alias("lift"),
+        )
+    )
+    expansion = (
+        ranked_topk(fb_tf, [F.desc("lift"), F.asc("term")], PRF_EXPANSION_N)
+        .select("term", F.lit(PRF_EXP_WEIGHT).alias("w"))
+    )
+    q2 = q1.select("term", "w").unionByName(expansion)
+    return fold_topk(contribs(q2), k).select("doc_id", "score", "rank")

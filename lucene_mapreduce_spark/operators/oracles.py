@@ -6198,3 +6198,156 @@ JOIN documents da ON da.doc_id = doc_a
 JOIN documents db ON db.doc_id = doc_b
 GROUP BY 1, 2 ORDER BY source_lo, source_hi
 """
+
+
+def rocchio_prf_sql(
+    query_text: str, fb_k: int, exp_n: int, exp_w: float, k: int
+) -> str:
+    """Rocchio/RM3 twin: identical three-stage plan — rounded-score
+    feedback cut, tf x ln(N/df) expansion lift, weighted ordered fold."""
+    qlit = query_text.replace("'", "''")
+    return f"""
+WITH doclens AS (
+  SELECT doc_id, len({TOKS})::DOUBLE AS dl FROM documents
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM doclens
+),
+toks AS (
+  SELECT doc_id, unnest({TOKS}) AS term FROM documents
+),
+postings AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2
+),
+dfs AS (
+  SELECT term, count(*)::DOUBLE AS df_t FROM postings GROUP BY 1
+),
+qterms AS (
+  SELECT DISTINCT unnest({duckdb_tokens_sql(f"'{qlit}'")}) AS term
+),
+c1 AS (
+  SELECT p.doc_id, p.term,
+         ln(1.0 + (s.n - d.df_t + 0.5) / (d.df_t + 0.5))
+         * p.tf * {K1 + 1.0!r}
+         / (p.tf + {K1!r} * ({1.0 - B!r} + {B!r} * l.dl / s.avgdl)) AS contrib
+  FROM postings p
+  JOIN qterms q USING (term)
+  JOIN dfs d USING (term)
+  JOIN doclens l USING (doc_id)
+  CROSS JOIN stats s
+),
+s1 AS (
+  SELECT doc_id,
+         round(list_reduce(list_prepend(0.0, list(contrib ORDER BY term)),
+                           (a, b) -> a + b), 6) AS score
+  FROM c1 GROUP BY 1
+),
+feedback AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+    FROM s1
+  ) WHERE rn <= {fb_k}
+),
+fbtf AS (
+  SELECT p.term,
+         round(sum(p.tf) * ln(s.n / d.df_t), 6) AS lift
+  FROM postings p
+  JOIN feedback f USING (doc_id)
+  JOIN dfs d USING (term)
+  CROSS JOIN stats s
+  WHERE p.term NOT IN (SELECT term FROM qterms)
+  GROUP BY p.term, s.n, d.df_t
+),
+expansion AS (
+  SELECT term, {exp_w!r} AS w FROM (
+    SELECT term, row_number() OVER (ORDER BY lift DESC, term ASC) AS rn
+    FROM fbtf
+  ) WHERE rn <= {exp_n}
+),
+q2 AS (
+  SELECT term, 1.0 AS w FROM qterms
+  UNION ALL SELECT term, w FROM expansion
+),
+c2 AS (
+  SELECT p.doc_id, p.term,
+         q.w * ln(1.0 + (s.n - d.df_t + 0.5) / (d.df_t + 0.5))
+         * p.tf * {K1 + 1.0!r}
+         / (p.tf + {K1!r} * ({1.0 - B!r} + {B!r} * l.dl / s.avgdl)) AS contrib
+  FROM postings p
+  JOIN q2 q USING (term)
+  JOIN dfs d USING (term)
+  JOIN doclens l USING (doc_id)
+  CROSS JOIN stats s
+),
+s2 AS (
+  SELECT doc_id,
+         round(list_reduce(list_prepend(0.0, list(contrib ORDER BY term)),
+                           (a, b) -> a + b), 6) AS score
+  FROM c2 GROUP BY 1
+)
+SELECT doc_id, score, rank FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM s2
+) WHERE rank <= {k}
+"""
+
+
+def bloom_membership_sql(
+    m: int, k_h: int, insert_lang: str, n_probes: int
+) -> str:
+    """Bloom-filter twin: distinct-position relation as the bitmap,
+    synthetic 'probe:i' guaranteed-negative probes."""
+    h = _MD5_52.format(e="i::VARCHAR || ':' || term")
+    return f"""
+WITH inserted AS (
+  SELECT DISTINCT unnest({TOKS}) AS term
+  FROM documents WHERE lang = '{insert_lang}'
+),
+probes AS (
+  SELECT 'probe:' || j::VARCHAR AS term FROM range({n_probes}) t(j)
+),
+hashes AS (SELECT unnest(range({k_h}))::INT AS i),
+bits AS (
+  SELECT DISTINCT ({h}) % {m} AS pos FROM inserted, hashes
+),
+probe_pos AS (
+  SELECT term, ({h}) % {m} AS pos FROM probes, hashes
+),
+probe_hits AS (
+  SELECT term FROM probe_pos p
+  WHERE EXISTS (SELECT 1 FROM bits b WHERE b.pos = p.pos)
+  GROUP BY term HAVING count(*) = {k_h}
+),
+counts AS (
+  SELECT (SELECT count(*) FROM inserted)::BIGINT AS n_inserted,
+         (SELECT count(*) FROM bits)::BIGINT AS n_bits_set,
+         (SELECT count(*) FROM probes)::BIGINT AS n_probes,
+         (SELECT count(*) FROM probe_hits)::BIGINT AS n_false_pos
+)
+SELECT {m}::INT AS m, {k_h}::INT AS k, n_inserted, n_bits_set, n_probes,
+       n_false_pos,
+       round(n_false_pos::DOUBLE / n_probes::DOUBLE, 6) AS fp_rate
+FROM counts
+"""
+
+
+def split_report_sql(test_pct: int, val_pct: int) -> str:
+    """Hash-split twin."""
+    h = _MD5_52.format(e="doc_id::VARCHAR || ':split'")
+    return f"""
+WITH per AS (
+  SELECT lang,
+         CASE WHEN ({h}) % 100 < {test_pct} THEN 'test'
+              WHEN ({h}) % 100 < {test_pct + val_pct} THEN 'val'
+              ELSE 'train' END AS split,
+         count(*)::BIGINT AS n_docs
+  FROM documents GROUP BY 1, 2
+),
+tot AS (SELECT lang, sum(n_docs)::BIGINT AS n_lang FROM per GROUP BY 1)
+SELECT per.lang, per.split, per.n_docs,
+       round(per.n_docs::DOUBLE / tot.n_lang::DOUBLE, 6) AS frac
+FROM per JOIN tot USING (lang)
+ORDER BY lang, split
+"""

@@ -2594,3 +2594,117 @@ def trigram_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
         .orderBy("lang", "predicted")
     )
+
+
+BLOOM_M = 256  # bits
+BLOOM_K = 3  # hash functions
+BLOOM_INSERT_LANG = "en"
+BLOOM_N_PROBES = 200  # synthetic out-of-vocabulary probe terms
+
+
+def bloom_filter_membership(
+    spark: SparkSession,
+    sf_dir: str,
+    m: int = BLOOM_M,
+    k_h: int = BLOOM_K,
+    insert_lang: str = BLOOM_INSERT_LANG,
+) -> DataFrame:
+    """Bloom-filter membership sketch (Bloom 1970 — the classic
+    distributed-join prefilter; completes the sketch family next to
+    CMS / KMV / HLL / MinHash / SimHash): insert one language's distinct
+    vocabulary (k_h md5 bit positions per token), probe with
+    BLOOM_N_PROBES synthetic 'probe:i' terms (guaranteed true negatives
+    — this corpus shares one vocabulary across languages, so in-corpus
+    negatives don't exist), and report the realized false-positive rate
+    against the m/k/n theory. All-integer bit positions (md5 mod m),
+    set-semantics via distinct — no RNG, no mutable bitmap: the 'filter'
+    is a distinct-position relation, which is exactly how a distributed
+    bloom build shuffles."""
+    docs = load(spark, sf_dir, "documents")
+    inserted = (
+        docs.where(F.col("lang") == insert_lang)
+        .select(F.explode(tokenize_col("text")).alias("term"))
+        .distinct()
+    )
+    probes = spark.range(BLOOM_N_PROBES).select(
+        F.concat(F.lit("probe:"), F.col("id").cast("string")).alias("term")
+    )
+    hashes = spark.range(k_h).select(F.col("id").cast("int").alias("i"))
+
+    def positions(terms: DataFrame) -> DataFrame:
+        return terms.crossJoin(F.broadcast(hashes)).select(
+            "term",
+            F.pmod(
+                _md5_52(
+                    F.concat(F.col("i").cast("string"), F.lit(":"), F.col("term"))
+                ),
+                F.lit(m),
+            ).alias("pos"),
+        )
+
+    bits = positions(inserted).select("pos").distinct()
+    probe_hits = (
+        positions(probes)
+        .join(bits, "pos", "left_semi")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .where(F.col("n_hit") == k_h)
+    )
+    counts = (
+        inserted.agg(F.count(F.lit(1)).cast("long").alias("n_inserted"))
+        .crossJoin(bits.agg(F.count(F.lit(1)).cast("long").alias("n_bits_set")))
+        .crossJoin(probes.agg(F.count(F.lit(1)).cast("long").alias("n_probes")))
+        .crossJoin(
+            probe_hits.agg(F.count(F.lit(1)).cast("long").alias("n_false_pos"))
+        )
+    )
+    return counts.select(
+        F.lit(m).cast("int").alias("m"),
+        F.lit(k_h).cast("int").alias("k"),
+        "n_inserted",
+        "n_bits_set",
+        "n_probes",
+        "n_false_pos",
+        F.round(
+            F.col("n_false_pos").cast("double") / F.col("n_probes").cast("double"),
+            6,
+        ).alias("fp_rate"),
+    )
+
+
+SPLIT_PCTS = (98, 1, 1)  # train / val / test
+
+
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test split report (98/1/1):
+    bucket = md5(doc_id:'split') mod 100 — the reproducible-at-any-
+    cluster-size split every training pipeline pins before tokenizing.
+    Output per (lang, split): counts and the within-lang fraction."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        _md5_52(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))),
+        F.lit(100),
+    )
+    test_lt = SPLIT_PCTS[2]
+    val_lt = SPLIT_PCTS[2] + SPLIT_PCTS[1]
+    split = (
+        F.when(bucket < test_lt, F.lit("test"))
+        .when(bucket < val_lt, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    per = docs.select("lang", split.alias("split")).groupBy("lang", "split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    tot = per.groupBy("lang").agg(F.sum("n_docs").alias("n_lang"))
+    return (
+        per.join(tot, "lang")
+        .select(
+            "lang",
+            "split",
+            "n_docs",
+            F.round(
+                F.col("n_docs").cast("double") / F.col("n_lang").cast("double"), 6
+            ).alias("frac"),
+        )
+        .orderBy("lang", "split")
+    )
