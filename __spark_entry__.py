@@ -568,6 +568,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rocchio_prf_topk": fulltext.rocchio_prf_topk,
         "bloom_filter_membership": textstats.bloom_filter_membership,
         "train_val_test_split": textstats.train_val_test_split,
+        # round-4 session-12 batch 30
+        "ib_topk": fulltext.ib_topk,
+        "boolean_sim_topk": fulltext.boolean_sim_topk,
+        "sig_terms_chi2": fulltext.sig_terms_chi2,
+        "cosine_rescore_topk": (
+            lambda s, d: __import__(
+                "lucene_mapreduce_spark.operators.similarity", fromlist=["x"]
+            ).cosine_rescore_topk(s, d)
+        ),
+        "autocorrelation_daily": parity.autocorrelation_daily,
+        "geo_bounds_agg": textstats.geo_bounds_agg,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})
@@ -1019,4 +1030,27 @@ WHERE len(list_filter(range(1, len(toks)), i ->
     out["train_val_test_split"] = split_report_sql(
         textstats.SPLIT_PCTS[2], textstats.SPLIT_PCTS[1]
     )
+    from lucene_mapreduce_spark.operators.oracles import (
+        GEO_BOUNDS_SQL,
+        acf_sql,
+        boolean_sim_sql,
+        cosine_rescore_sql,
+        ib_sql,
+        sig_chi2_sql,
+    )
+    from lucene_mapreduce_spark.operators.similarity import (
+        RESCORE_DEPTH,
+        RESCORE_TOPK,
+    )
+
+    out["ib_topk"] = ib_sql(fulltext.FLAGSHIP_QUERY, fulltext.DFR_INV_LN2, 10)
+    out["boolean_sim_topk"] = boolean_sim_sql(fulltext.FLAGSHIP_QUERY, 10)
+    out["sig_terms_chi2"] = sig_chi2_sql(
+        fulltext.BOOLEAN_QUERY, fulltext.SIGCHI2_MIN_DF, fulltext.SIGCHI2_K
+    )
+    out["cosine_rescore_topk"] = cosine_rescore_sql(
+        fulltext.FLAGSHIP_QUERY, RESCORE_DEPTH, RESCORE_TOPK
+    )
+    out["autocorrelation_daily"] = acf_sql(parity.ACF_MAX_LAG)
+    out["geo_bounds_agg"] = GEO_BOUNDS_SQL
     return out

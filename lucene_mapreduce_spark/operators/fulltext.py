@@ -4496,3 +4496,165 @@ def rocchio_prf_topk(
     )
     q2 = q1.select("term", "w").unionByName(expansion)
     return fold_topk(contribs(q2), k).select("doc_id", "score", "rank")
+
+
+def ib_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_text: str = FLAGSHIP_QUERY,
+    k: int = 10,
+) -> DataFrame:
+    """Lucene IBSimilarity(DistributionLL, LambdaDF, NormalizationH2 c=1)
+    parity — the information-based member that completes the Lucene core
+    similarity zoo (BM25 / Classic / DFR / DFI / Axiomatic / LMDirichlet
+    / LMJelinekMercer / BM25F / Boolean are the others already covered):
+
+        tfn     = tf · log2(1 + avgdl/dl)      (H2, c=1)
+        lambda  = (df_t + 1) / (N + 1)          (LambdaDF)
+        contrib = ln(1 + tfn / lambda)          (LL: -ln(λ/(λ+tfn)))
+
+    log2 is ln·DFR_INV_LN2 (shared literal — the dfr_topk rationale); the
+    LL log is NATURAL (Lucene Math.log). Scores are strictly positive so
+    no clamp is needed (WAND-compatible contract). N/avgdl come off the
+    merged manifest's columnar segment stats; df_t is one aggregate over
+    the pruned query-term postings; per-doc sums are canonical
+    ascending-term accumulation, rounded 6dp. Reference parity anchor:
+    the reducer-merged scoring seam (IndexBuilderReducer.java:120-160)."""
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_string
+    from lucene_mapreduce_spark.index.manifest import load_manifest
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+    from lucene_mapreduce_spark.query.segments import read_postings
+
+    ix = _gate_index(spark, sf_dir)
+    m = load_manifest(ix)
+    segs = m.ordered()
+    n_docs = float(sum(s.n_docs for s in segs))
+    avgdl = float(sum(s.total_tokens for s in segs)) / n_docs
+    qts = sorted(set(tokenize_string(query_text)))
+    posts = read_postings(spark, ix, qts)
+    dfs = posts.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df_t")
+    )
+    j = posts.join(F.broadcast(dfs), "term")
+    tf = F.col("tf").cast("double")
+    dl = F.col("dl").cast("double")
+    tfn = tf * (F.log(F.lit(1.0) + F.lit(avgdl) / dl) * F.lit(DFR_INV_LN2))
+    lam = (F.col("df_t") + F.lit(1.0)) / F.lit(n_docs + 1.0)
+    contrib = F.log(F.lit(1.0) + tfn / lam)
+    scored = j.select("doc_id", "term", contrib.alias("contrib"))
+    agg = scored.groupBy("doc_id").agg(
+        F.round(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("term", "contrib"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["contrib"],
+            ),
+            6,
+        ).alias("score")
+    )
+    return ranked_topk(agg, [F.desc("score"), F.asc("doc_id")], k).select(
+        "doc_id", "score", "rank"
+    )
+
+
+def boolean_sim_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_text: str = FLAGSHIP_QUERY,
+    k: int = 10,
+) -> DataFrame:
+    """Lucene BooleanSimilarity parity: score = sum of matched-clause
+    boosts — with unit boosts, the count of DISTINCT query terms present
+    in the doc. Pure-integer scores (no float determinism surface at
+    all); ties rank by doc_id, matching the engine's stable ordering
+    contract. The degenerate-but-real similarity used for filter-style
+    fields where only match cardinality matters. One pruned postings
+    read, one map-side-combinable count."""
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_string
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+    from lucene_mapreduce_spark.query.segments import read_postings
+
+    ix = _gate_index(spark, sf_dir)
+    qts = sorted(set(tokenize_string(query_text)))
+    posts = read_postings(spark, ix, qts)
+    agg = posts.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("score")
+    )
+    return ranked_topk(agg, [F.desc("score"), F.asc("doc_id")], k).select(
+        "doc_id", "score", "rank"
+    )
+
+
+SIGCHI2_K = 10
+SIGCHI2_MIN_DF = 3
+
+
+def sig_terms_chi2(
+    spark: SparkSession,
+    sf_dir: str,
+    query_text: str = BOOLEAN_QUERY,
+    k: int = SIGCHI2_K,
+    min_df: int = SIGCHI2_MIN_DF,
+) -> DataFrame:
+    """significant_terms with the chi_square heuristic (the ES
+    alternative to the default JLH-style lift already covered by
+    significant_terms): 2x2 contingency chi-squared of term presence in
+    the foreground (OR hit set) vs the rest of the corpus,
+
+        a = df_fg, b = n_fg - a, c = df_bg - a, d = (n_bg - n_fg) - c
+        chi2 = n_bg * (ad - bc)^2 / ((a+b)(c+d)(a+c)(b+d))
+
+    include_negatives=false: only positively associated terms rank
+    (integer cross-multiply a·n_bg > df_bg·n_fg — no float boundary).
+    The chi2 itself is ONE fixed IEEE chain over exact integer inputs,
+    written identically in the DuckDB twin, rounded 6dp; rank on the
+    rounded score with term tie-break. Same distributed hit-set shape as
+    significant_terms (no driver materialization)."""
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_col, tokenize_string
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+    from lucene_mapreduce_spark.query.segments import boolean_match
+
+    ix = _gate_index(spark, sf_dir)
+    hits = boolean_match(spark, ix, query_text, mode="or")
+    n_fg = hits.count()
+    docs = load(spark, sf_dir, "documents")
+    n_bg = docs.count()
+    toks = docs.select("doc_id", F.explode(tokenize_col("text")).alias("term"))
+    bg = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df_bg"))
+    fg = (
+        toks.join(hits, "doc_id")
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df_fg"))
+    )
+    qterms = sorted(set(tokenize_string(query_text)))
+    a = F.col("df_fg").cast("double")
+    b = F.lit(float(n_fg)) - a
+    c = F.col("df_bg").cast("double") - a
+    d = F.lit(float(n_bg - n_fg)) - c
+    chi2 = (
+        F.lit(float(n_bg))
+        * (a * d - b * c)
+        * (a * d - b * c)
+        / ((a + b) * (c + d) * (a + c) * (b + d))
+    )
+    scored = (
+        fg.join(bg, "term")
+        .filter(
+            ~F.col("term").isin(qterms)
+            & (F.col("df_fg") >= min_df)
+            # positive association, exact integer cross-multiply
+            & (
+                F.col("df_fg").cast("long") * F.lit(int(n_bg))
+                > F.col("df_bg").cast("long") * F.lit(int(n_fg))
+            )
+        )
+        .select(
+            "term",
+            F.col("df_fg").cast("long").alias("df_fg"),
+            F.col("df_bg").cast("long").alias("df_bg"),
+            F.round(chi2, 6).alias("chi2"),
+        )
+    )
+    return ranked_topk(scored, [F.desc("chi2"), F.asc("term")], k).select(
+        "term", "df_fg", "df_bg", "chi2", "rank"
+    )

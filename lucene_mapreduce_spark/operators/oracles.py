@@ -6351,3 +6351,198 @@ SELECT per.lang, per.split, per.n_docs,
 FROM per JOIN tot USING (lang)
 ORDER BY lang, split
 """
+
+
+def ib_sql(query_text: str, inv_ln2: float, k: int) -> str:
+    """IB(LL, LambdaDF, H2 c=1) twin: tfn via the shared 1/ln(2) literal,
+    NATURAL-log LL distribution, ordered per-doc fold (ascending term)."""
+    qlit = query_text.replace("'", "''")
+    tfn = f"(p.tf::DOUBLE * (ln(1.0 + s.avgdl / l.dl::DOUBLE) * {inv_ln2!r}))"
+    lam = "((d.df_t + 1.0) / (s.n + 1.0))"
+    return f"""
+WITH doclens AS (
+  SELECT doc_id, len({TOKS}) AS dl FROM documents
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n, (sum(dl)::DOUBLE / count(*)::DOUBLE) AS avgdl
+  FROM doclens
+),
+toks AS (
+  SELECT doc_id, unnest({TOKS}) AS term FROM documents
+),
+postings AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2
+),
+qterms AS (
+  SELECT DISTINCT unnest({duckdb_tokens_sql(f"'{qlit}'")}) AS term
+),
+dft AS (
+  SELECT p.term, count(*)::DOUBLE AS df_t
+  FROM postings p JOIN qterms q USING (term) GROUP BY 1
+),
+scored AS (
+  SELECT p.doc_id, p.term,
+         ln(1.0 + {tfn} / {lam}) AS contrib
+  FROM postings p
+  JOIN dft d USING (term)
+  JOIN doclens l USING (doc_id)
+  CROSS JOIN stats s
+),
+agg AS (
+  SELECT doc_id,
+         round(list_reduce(list_prepend(0.0, list(contrib ORDER BY term)),
+                           (a, b) -> a + b), 6) AS score
+  FROM scored GROUP BY 1
+)
+SELECT doc_id, score, rank FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM agg
+) WHERE rank <= {k}
+"""
+
+
+def boolean_sim_sql(query_text: str, k: int) -> str:
+    """BooleanSimilarity twin: score = count of distinct matched query
+    terms (pure integers)."""
+    qlit = query_text.replace("'", "''")
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest({TOKS}) AS term FROM documents
+),
+qterms AS (
+  SELECT DISTINCT unnest({duckdb_tokens_sql(f"'{qlit}'")}) AS term
+),
+agg AS (
+  SELECT doc_id, count(*)::BIGINT AS score
+  FROM toks JOIN qterms USING (term) GROUP BY 1
+)
+SELECT doc_id, score, rank FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM agg
+) WHERE rank <= {k}
+"""
+
+
+def cosine_rescore_sql(query_text: str, depth: int, k: int) -> str:
+    """Retrieve-then-rerank twin: BM25 top-depth on the UNROUNDED score
+    (the index path's cut), candidates re-ranked by embedding cosine vs
+    the fixed query vector (vec_id=0)."""
+    return f"""
+WITH {_qterms_cte(query_text)}
+{_BM25_AGG},
+cand AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+    FROM agg
+  ) WHERE r <= {depth}
+),
+qv AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0),
+rescored AS (
+  SELECT c.doc_id,
+         round(list_dot_product(e.embedding::DOUBLE[], qvec)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                        e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(qvec, qvec))), 6) AS cosine
+  FROM cand c JOIN embeddings e ON e.vec_id = c.doc_id CROSS JOIN qv
+)
+SELECT doc_id, cosine, rank FROM (
+  SELECT doc_id, cosine,
+         row_number() OVER (ORDER BY cosine DESC, doc_id ASC) AS rank
+  FROM rescored
+) WHERE rank <= {k}
+"""
+
+
+def acf_sql(max_lag: int) -> str:
+    """Daily-count autocorrelation twin: exact-integer sufficient
+    statistics over the gap-filled calendar, one fixed float64 chain."""
+    return f"""
+WITH {_DAILY_HIST},
+idx AS (
+  SELECT row_number() OVER (ORDER BY day) AS i, n_events::BIGINT AS x
+  FROM hist
+),
+g AS (
+  SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS s,
+         sum(x * x)::BIGINT AS ss
+  FROM idx
+),
+lags AS (SELECT unnest(range(1, {max_lag + 1}))::INT AS lag),
+per AS (
+  SELECT l.lag, count(*)::BIGINT AS n_pairs,
+         sum(h1.x * h2.x)::BIGINT AS sxy,
+         sum(h1.x)::BIGINT AS sh, sum(h2.x)::BIGINT AS st
+  FROM lags l
+  JOIN idx h1 ON true
+  JOIN idx h2 ON h2.i = h1.i + l.lag
+  GROUP BY 1
+)
+SELECT lag, n_pairs,
+       round((sxy::DOUBLE
+              - (s::DOUBLE / n::DOUBLE) * (sh + st)::DOUBLE
+              + n_pairs::DOUBLE * (s::DOUBLE / n::DOUBLE)
+                * (s::DOUBLE / n::DOUBLE))
+             / (ss::DOUBLE - s::DOUBLE * s::DOUBLE / n::DOUBLE), 6) AS acf
+FROM per, g ORDER BY lag
+"""
+
+
+def sig_chi2_sql(query_text: str, min_df: int, k: int) -> str:
+    """significant_terms chi_square twin: 2x2 contingency chi-squared,
+    positive-association filter by integer cross-multiply."""
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_string
+
+    qts = sorted(set(tokenize_string(query_text)))
+    qlits = ", ".join(f"'{t}'" for t in qts)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKS}) AS term FROM documents
+),
+qt AS (SELECT unnest([{qlits}]) AS term),
+hits AS (SELECT DISTINCT doc_id FROM toks JOIN qt USING (term)),
+nfg AS (SELECT count(*)::BIGINT AS n FROM hits),
+nbg AS (SELECT count(*)::BIGINT AS n FROM documents),
+fg AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df_fg
+  FROM toks JOIN hits USING (doc_id) GROUP BY 1
+),
+bg AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df_bg FROM toks GROUP BY 1
+),
+cells AS (
+  SELECT f.term, f.df_fg, b.df_bg,
+         f.df_fg::DOUBLE AS a,
+         nfg.n::DOUBLE - f.df_fg::DOUBLE AS bb,
+         b.df_bg::DOUBLE - f.df_fg::DOUBLE AS c,
+         (nbg.n - nfg.n)::DOUBLE - (b.df_bg::DOUBLE - f.df_fg::DOUBLE) AS d,
+         nbg.n::DOUBLE AS nall
+  FROM fg f JOIN bg b USING (term), nfg, nbg
+  WHERE f.term NOT IN ({qlits}) AND f.df_fg >= {min_df}
+    AND f.df_fg * nbg.n > b.df_bg * nfg.n
+)
+SELECT term, df_fg, df_bg, chi2, rank FROM (
+  SELECT term, df_fg, df_bg, chi2,
+         row_number() OVER (ORDER BY chi2 DESC, term ASC) AS rank
+  FROM (
+    SELECT term, df_fg, df_bg,
+           round(nall * (a * d - bb * c) * (a * d - bb * c)
+                 / ((a + bb) * (c + d) * (a + c) * (bb + d)), 6) AS chi2
+    FROM cells
+  )
+) WHERE rank <= {k}
+"""
+
+
+GEO_BOUNDS_SQL = f"""
+WITH pts AS ({_GEO_COORDS})
+SELECT d.lang, count(*)::BIGINT AS n_docs,
+       round(max(p.lat), 6) AS top_left_lat,
+       round(min(p.lon), 6) AS top_left_lon,
+       round(min(p.lat), 6) AS bottom_right_lat,
+       round(max(p.lon), 6) AS bottom_right_lon
+FROM pts p JOIN documents d USING (doc_id)
+GROUP BY 1 ORDER BY 1
+"""

@@ -1812,3 +1812,68 @@ def holt_linear_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at(state, 1), 6).alias("level"),
         F.round(F.element_at(state, 2), 6).alias("trend"),
     ).orderBy("day")
+
+
+ACF_MAX_LAG = 7
+
+
+def autocorrelation_daily(
+    spark: SparkSession, sf_dir: str, max_lag: int = ACF_MAX_LAG
+) -> DataFrame:
+    """Sample autocorrelation of the daily event-count series at lags
+    1..max_lag — the seasonality detector that motivates the dow-indexed
+    seasonal_anomaly_days gate (a weekly cycle shows as a peak at lag 7).
+    Series = the gap-filled calendar histogram (zeros count; an ACF over
+    observed-days-only would alias gaps into correlation).
+
+        r_L = sum_{t<=n-L}(x_t - m)(x_{t+L} - m) / sum_t(x_t - m)^2,
+        m = global mean
+
+    expanded to exact-integer sufficient statistics (S, SS, and per-lag
+    SXY/SH/ST — all BIGINT) combined in ONE fixed float64 chain written
+    identically in the DuckDB twin, rounded 6dp. The lag pairing is an
+    equality self-join on row index shifted by L (lags x days rows, both
+    bounded by the calendar — never event-count-sized); the index window
+    is single-partition by design, bounded by elapsed days (the module's
+    documented pipeline-agg pattern)."""
+    from pyspark.sql import Window
+
+    hist = date_histogram_facets(spark, sf_dir)
+    idx = hist.select(
+        F.row_number().over(Window.orderBy("day")).alias("i"),
+        F.col("n_events").cast("long").alias("x"),
+    )
+    g = idx.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("ss"),
+    )
+    lags = spark.range(1, max_lag + 1).select(F.col("id").cast("int").alias("lag"))
+    h1 = idx.crossJoin(F.broadcast(lags)).select(
+        "lag", (F.col("i") + F.col("lag")).alias("j"), F.col("x").alias("x1")
+    )
+    h2 = idx.select(F.col("i").alias("j"), F.col("x").alias("x2"))
+    per = (
+        h1.join(h2, "j")
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.col("x1") * F.col("x2")).cast("long").alias("sxy"),
+            F.sum("x1").cast("long").alias("sh"),
+            F.sum("x2").cast("long").alias("st"),
+        )
+    )
+    nD = F.col("n").cast("double")
+    sD = F.col("s").cast("double")
+    mean = sD / nD
+    num = (
+        F.col("sxy").cast("double")
+        - mean * (F.col("sh") + F.col("st")).cast("double")
+        + F.col("n_pairs").cast("double") * mean * mean
+    )
+    den = F.col("ss").cast("double") - sD * sD / nD
+    return (
+        per.crossJoin(F.broadcast(g))
+        .select("lag", "n_pairs", F.round(num / den, 6).alias("acf"))
+        .orderBy("lag")
+    )

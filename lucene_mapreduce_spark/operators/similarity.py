@@ -707,3 +707,53 @@ def ann_pq_topk(
     return ranked_topk(
         scored, [F.asc("approx_dist"), F.asc("vec_id")], k
     ).select("vec_id", "approx_dist", "exact_dist", "rank")
+
+
+RESCORE_DEPTH = 50
+RESCORE_TOPK = 10
+
+
+def cosine_rescore_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = RESCORE_TOPK,
+    depth: int = RESCORE_DEPTH,
+) -> DataFrame:
+    """Retrieve-then-rerank (the semantic-rescore pipeline ES ships as a
+    `rescorer` with a vector similarity, and every RAG stack runs at
+    serving time): BM25 selects the top-`depth` lexical candidates —
+    ranked on the UNROUNDED score, the index path's cut, same rule as
+    hybrid_linear_fusion — then the candidate set alone is re-ranked by
+    embedding cosine against the fixed query vector (vec_id=0, the
+    module's query-by-example contract; the query doc itself may appear
+    and tops the list at cosine 1.0, which is the honest self-match).
+    At 100 TB the expensive leg is the lexical top-depth (index-pruned);
+    the rescore touches exactly `depth` vectors — a broadcast-sized
+    join, never a corpus scan."""
+    from lucene_mapreduce_spark.operators import fulltext
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+
+    cand = fulltext.bm25_index_topk_documents(spark, sf_dir, k=depth).select(
+        "doc_id"
+    )
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qvec")
+    )
+    rescored = (
+        emb.join(F.broadcast(cand), emb.vec_id == cand.doc_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "doc_id",
+            F.round(
+                _cosine(
+                    F.col("embedding").cast("array<double>"),
+                    F.col("qvec").cast("array<double>"),
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    return ranked_topk(
+        rescored, [F.desc("cosine"), F.asc("doc_id")], k
+    ).select("doc_id", "cosine", "rank")

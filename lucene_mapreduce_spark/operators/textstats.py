@@ -2708,3 +2708,27 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "split")
     )
+
+
+def geo_bounds_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `geo_bounds` metric aggregation per language bucket: the
+    tightest bounding box (top-left / bottom-right corners) enclosing
+    every document point, plus the doc count. Coordinates are the shared
+    md5-derived synthetic geo field (geo_distance_query documents the
+    contract). min/max are order-free SELECTIONS — no float accumulation
+    surface at all — so the only determinism requirement is the identical
+    coordinate-derivation chain, already pinned by the geo family; values
+    are 6dp-rounded on output. One map-side-combinable groupBy."""
+    docs = load(spark, sf_dir, "documents")
+    pts = _geo_coords(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    return (
+        pts.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.max("lat"), 6).alias("top_left_lat"),
+            F.round(F.min("lon"), 6).alias("top_left_lon"),
+            F.round(F.min("lat"), 6).alias("bottom_right_lat"),
+            F.round(F.max("lon"), 6).alias("bottom_right_lon"),
+        )
+        .orderBy("lang")
+    )
