@@ -579,6 +579,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "autocorrelation_daily": parity.autocorrelation_daily,
         "geo_bounds_agg": textstats.geo_bounds_agg,
+        # round-4 session-12 batch 31
+        "containment_pairs": dedup.containment_pairs,
+        "dup_cluster_size_histogram": curation.dup_cluster_size_histogram,
+        "frequent_triples_agg": textstats.frequent_triples_agg,
+        "kl_divergence_by_source": textstats.kl_divergence_by_source,
+        "embedding_centroid_by_label": (
+            lambda s, d: __import__(
+                "lucene_mapreduce_spark.operators.similarity", fromlist=["x"]
+            ).embedding_centroid_by_label(s, d)
+        ),
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})
@@ -1053,4 +1063,23 @@ WHERE len(list_filter(range(1, len(toks)), i ->
     )
     out["autocorrelation_daily"] = acf_sql(parity.ACF_MAX_LAG)
     out["geo_bounds_agg"] = GEO_BOUNDS_SQL
+    from lucene_mapreduce_spark.operators.dedup import (
+        CONTAINMENT_THRESHOLD,
+        MAX_BUCKET,
+    )
+    from lucene_mapreduce_spark.operators.oracles import (
+        CENTROID_BY_LABEL_SQL,
+        DUP_CLUSTER_HIST_SQL,
+        KL_BY_SOURCE_SQL,
+        containment_sql,
+        frequent_triples_sql,
+    )
+
+    out["containment_pairs"] = containment_sql(CONTAINMENT_THRESHOLD, MAX_BUCKET)
+    out["dup_cluster_size_histogram"] = DUP_CLUSTER_HIST_SQL
+    out["frequent_triples_agg"] = frequent_triples_sql(
+        textstats.FREQ_TRIPLES_HOT, textstats.FREQ_TRIPLES_K
+    )
+    out["kl_divergence_by_source"] = KL_BY_SOURCE_SQL
+    out["embedding_centroid_by_label"] = CENTROID_BY_LABEL_SQL
     return out

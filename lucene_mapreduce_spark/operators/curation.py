@@ -199,3 +199,22 @@ def cluster_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.dl").cast("long").alias("kept_dl"),
         F.col("n_members").cast("long").alias("n_members"),
     ).orderBy("component")
+
+
+def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size histogram: how many clusters of each size the
+    MinHash-LSH component pass found — the dedup-health report a curation
+    run publishes (a heavy tail of giant clusters means boilerplate or a
+    degenerate shingle space; the histogram is the first thing to read
+    before trusting a dedup rate). Two map-side-combinable groupBys over
+    the component output — cluster count, then size histogram; both keyed
+    on bounded cardinalities."""
+    comp = near_dup_components(spark, sf_dir)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("size")
+    )
+    return (
+        sizes.groupBy("size")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+        .orderBy("size")
+    )

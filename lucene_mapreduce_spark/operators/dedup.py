@@ -610,3 +610,52 @@ def near_dup_leakage_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
         .orderBy("source_lo", "source_hi")
     )
+
+
+CONTAINMENT_THRESHOLD = 0.8
+
+
+def containment_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = CONTAINMENT_THRESHOLD,
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """DIRECTIONAL near-dup detection by one-way shingle containment
+    (Broder 1997's containment, the quote/subset signal symmetric Jaccard
+    misses: a short doc fully embedded in a long one has low Jaccard but
+    containment ~1.0 — exactly the quote/boilerplate-inclusion case a
+    training-data pipeline must catch for decontamination and source
+    attribution):
+
+        C(src -> dst) = |S(src) ∩ S(dst)| / |S(src)|
+
+    Candidates come from the same capped shingle inverted-index self-join
+    as ngram_jaccard_pairs (hot shingles dropped BEFORE the join — never
+    all-pairs); each undirected candidate emits up to two directed rows.
+    Counts are integers, the single division rounds 6dp."""
+    docs = load(spark, sf_dir, "documents")
+    sh = _cap_buckets(_shingles(docs), ["shingle"], max_bucket)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    both = inter.join(sa, "doc_a").join(sb, "doc_b")
+    fwd = both.select(
+        F.col("doc_a").alias("doc_src"),
+        F.col("doc_b").alias("doc_dst"),
+        F.round(F.col("n_inter") / F.col("n_a"), 6).alias("containment"),
+    )
+    rev = both.select(
+        F.col("doc_b").alias("doc_src"),
+        F.col("doc_a").alias("doc_dst"),
+        F.round(F.col("n_inter") / F.col("n_b"), 6).alias("containment"),
+    )
+    return fwd.unionByName(rev).filter(F.col("containment") >= threshold)

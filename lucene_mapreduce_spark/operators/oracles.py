@@ -6546,3 +6546,139 @@ SELECT d.lang, count(*)::BIGINT AS n_docs,
 FROM pts p JOIN documents d USING (doc_id)
 GROUP BY 1 ORDER BY 1
 """
+
+
+def containment_sql(threshold: float, max_bucket: int) -> str:
+    """Directional shingle-containment twin: capped inverted-index
+    self-join, both directions, filter on the ROUNDED value."""
+    return f"""
+WITH {_SHINGLES},
+shc AS (
+  SELECT doc_id, shingle FROM (
+    SELECT *, count(*) OVER (PARTITION BY shingle) AS bn FROM sh
+  ) WHERE bn <= {max_bucket}
+),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM shc GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_inter
+  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+bi AS (
+  SELECT doc_a, doc_b, n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+),
+directed AS (
+  SELECT doc_a AS doc_src, doc_b AS doc_dst,
+         round(n_inter::DOUBLE / n_a, 6) AS containment FROM bi
+  UNION ALL
+  SELECT doc_b AS doc_src, doc_a AS doc_dst,
+         round(n_inter::DOUBLE / n_b, 6) AS containment FROM bi
+)
+SELECT doc_src, doc_dst, containment
+FROM directed WHERE containment >= {threshold!r}
+"""
+
+
+DUP_CLUSTER_HIST_SQL = f"""
+WITH comp AS (SELECT * FROM ({ORACLES["near_dup_components"]}) t),
+sizes AS (SELECT component, count(*)::BIGINT AS size FROM comp GROUP BY 1)
+SELECT size, count(*)::BIGINT AS n_clusters
+FROM sizes GROUP BY 1 ORDER BY 1
+"""
+
+
+def frequent_triples_sql(hot_k: int, k: int) -> str:
+    """frequent_item_sets size=3 twin: hot-k df prune, triple self-join."""
+    return f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, unnest({TOKS}) AS term FROM documents
+),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM dt GROUP BY 1),
+hot AS (
+  SELECT term FROM (
+    SELECT term, row_number() OVER (ORDER BY df DESC, term ASC) AS r
+    FROM dfs
+  ) WHERE r <= {hot_k}
+),
+ht AS (SELECT dt.doc_id, dt.term FROM dt JOIN hot USING (term)),
+triples AS (
+  SELECT a.term AS term_a, b.term AS term_b, c.term AS term_c,
+         count(*)::BIGINT AS support
+  FROM ht a
+  JOIN ht b ON a.doc_id = b.doc_id AND a.term < b.term
+  JOIN ht c ON b.doc_id = c.doc_id AND b.term < c.term
+  GROUP BY 1, 2, 3
+)
+SELECT term_a, term_b, term_c, support, rank FROM (
+  SELECT *, row_number() OVER (
+    ORDER BY support DESC, term_a ASC, term_b ASC, term_c ASC) AS rank
+  FROM triples
+) WHERE rank <= {k}
+"""
+
+
+KL_BY_SOURCE_SQL = f"""
+WITH toks AS (
+  SELECT source, unnest({TOKS}) AS term FROM documents
+),
+per AS (
+  SELECT source, term, count(*)::BIGINT AS cnt FROM toks GROUP BY 1, 2
+),
+tot_s AS (SELECT source, sum(cnt)::BIGINT AS tot_s FROM per GROUP BY 1),
+corpus AS (SELECT term, sum(cnt)::BIGINT AS cf FROM per GROUP BY 1),
+tot AS (SELECT sum(cf)::BIGINT AS tot FROM corpus),
+contribs AS (
+  SELECT p.source,
+         round((p.cnt::DOUBLE / t.tot_s::DOUBLE)
+               * ln((p.cnt::DOUBLE / t.tot_s::DOUBLE)
+                    / (c.cf::DOUBLE / g.tot::DOUBLE)),
+               12)::DECIMAL(28,12) AS contrib
+  FROM per p
+  JOIN tot_s t USING (source)
+  JOIN corpus c USING (term)
+  CROSS JOIN tot g
+)
+SELECT source, count(*)::BIGINT AS n_terms,
+       round(sum(contrib)::DOUBLE, 6) AS kl_nats
+FROM contribs GROUP BY 1 ORDER BY 1
+"""
+
+
+CENTROID_BY_LABEL_SQL = """
+WITH comp AS (
+  SELECT label, unnest(range(len(embedding))) AS dim, embedding
+  FROM embeddings
+),
+vals AS (
+  SELECT label, dim,
+         round(embedding[dim + 1]::DOUBLE, 6)::DECIMAL(18,6) AS v
+  FROM comp
+),
+per AS (
+  SELECT label, dim, count(*)::BIGINT AS n, sum(v) AS s
+  FROM vals GROUP BY 1, 2
+),
+m AS (SELECT label, dim, s::DOUBLE / n AS m FROM per),
+g AS (
+  SELECT dim, sum(s)::DOUBLE / sum(n)::DOUBLE AS g FROM per GROUP BY 1
+),
+folded AS (
+  SELECT label,
+         list_reduce(list_prepend(0.0, list(m * g ORDER BY dim)),
+                     (a, b) -> a + b) AS dot,
+         sqrt(list_reduce(list_prepend(0.0, list(m * m ORDER BY dim)),
+                          (a, b) -> a + b)) AS norm_m,
+         sqrt(list_reduce(list_prepend(0.0, list(g * g ORDER BY dim)),
+                          (a, b) -> a + b)) AS norm_g
+  FROM m JOIN g USING (dim) GROUP BY label
+),
+counts AS (SELECT label, count(*)::BIGINT AS n_vecs FROM embeddings GROUP BY 1)
+SELECT c.label, c.n_vecs,
+       round(f.norm_m, 6) AS centroid_norm,
+       round(f.dot / (f.norm_m * f.norm_g), 6) AS cos_to_global
+FROM counts c JOIN folded f USING (label)
+ORDER BY c.label
+"""

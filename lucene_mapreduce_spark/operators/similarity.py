@@ -757,3 +757,78 @@ def cosine_rescore_topk(
     return ranked_topk(
         rescored, [F.desc("cosine"), F.asc("doc_id")], k
     ).select("doc_id", "cosine", "rank")
+
+
+def embedding_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid audit: vector count, centroid L2 norm,
+    and cosine(label centroid, global centroid) — the cluster-separation
+    / drift report an embedding-space curation pass publishes (a label
+    whose centroid collapses onto the global mean carries no signal; a
+    norm near 0 means the label's vectors cancel). Determinism: per-dim
+    component sums accumulate 6dp-rounded values as DECIMAL(18,6) —
+    order-free exact at any parallelism (the embedding_norm_stats rule;
+    a raw float sum over rows would be partition-order-dependent) — and
+    the 64-dim dot/norm folds run in ascending dimension order via the
+    sorted-struct aggregate. Shuffle shape: one posexplode groupBy keyed
+    (label, dim) — label x 64 rows — then bounded rollups."""
+    emb = load(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>"))
+    ).select(
+        "label",
+        F.col("pos").alias("dim"),
+        F.round("col", 6).cast("decimal(18,6)").alias("v"),
+    )
+    per = comp.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").alias("s"),
+    )
+    # centroid component: exact decimal sum cast to double, then divide
+    # (the DECIMAL mean rule)
+    m = per.select(
+        "label", "dim", (F.col("s").cast("double") / F.col("n")).alias("m")
+    )
+    g = (
+        per.groupBy("dim")
+        .agg(
+            F.sum("n").cast("long").alias("ng"),
+            F.sum("s").alias("sg"),
+        )
+        .select("dim", (F.col("sg").cast("double") / F.col("ng")).alias("g"))
+    )
+    folded = (
+        m.join(F.broadcast(g), "dim")
+        .groupBy("label")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("dim", "m", "g"))).alias("ds")
+        )
+        .select(
+            "label",
+            F.aggregate(
+                "ds", F.lit(0.0), lambda acc, x: acc + x["m"] * x["g"]
+            ).alias("dot"),
+            F.sqrt(
+                F.aggregate(
+                    "ds", F.lit(0.0), lambda acc, x: acc + x["m"] * x["m"]
+                )
+            ).alias("norm_m"),
+            F.sqrt(
+                F.aggregate(
+                    "ds", F.lit(0.0), lambda acc, x: acc + x["g"] * x["g"]
+                )
+            ).alias("norm_g"),
+        )
+    )
+    counts = emb.groupBy("label").agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
+    return (
+        counts.join(folded, "label")
+        .select(
+            "label",
+            "n_vecs",
+            F.round("norm_m", 6).alias("centroid_norm"),
+            F.round(
+                F.col("dot") / (F.col("norm_m") * F.col("norm_g")), 6
+            ).alias("cos_to_global"),
+        )
+        .orderBy("label")
+    )

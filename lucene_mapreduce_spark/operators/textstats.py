@@ -2732,3 +2732,92 @@ def geo_bounds_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+FREQ_TRIPLES_HOT = 16
+FREQ_TRIPLES_K = 10
+
+
+def frequent_triples_agg(
+    spark: SparkSession,
+    sf_dir: str,
+    hot_k: int = FREQ_TRIPLES_HOT,
+    k: int = FREQ_TRIPLES_K,
+) -> DataFrame:
+    """ES `frequent_item_sets` at size=3 (frequent_pairs_agg's level-3
+    sibling): the top-k term triples co-occurring in documents, support =
+    doc count. Apriori level-1 pruning bounds the space BEFORE any join:
+    only the hot_k highest-df terms participate (ties term-asc), so the
+    per-doc blowup is <= C(hot_k, 3) at any corpus size; the level-2
+    prune (triples from frequent pairs only) is the documented next
+    refinement if hot_k ever needs to grow. One df groupBy + one
+    broadcast semi-join + two bounded self-joins on doc_id."""
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+
+    docs = load(spark, sf_dir, "documents")
+    dt = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokenize_col("text"))).alias("term")
+    )
+    df_tbl = dt.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    hot = ranked_topk(df_tbl, [F.desc("df"), F.asc("term")], hot_k).select("term")
+    ht = dt.join(F.broadcast(hot), "term")
+    a = ht.select("doc_id", F.col("term").alias("term_a"))
+    b = ht.select("doc_id", F.col("term").alias("term_b"))
+    c = ht.select("doc_id", F.col("term").alias("term_c"))
+    triples = (
+        a.join(b, "doc_id")
+        .filter(F.col("term_a") < F.col("term_b"))
+        .join(c, "doc_id")
+        .filter(F.col("term_b") < F.col("term_c"))
+    )
+    counts = triples.groupBy("term_a", "term_b", "term_c").agg(
+        F.count(F.lit(1)).cast("long").alias("support")
+    )
+    return ranked_topk(
+        counts,
+        [F.desc("support"), F.asc("term_a"), F.asc("term_b"), F.asc("term_c")],
+        k,
+    ).select("term_a", "term_b", "term_c", "support", "rank")
+
+
+def kl_divergence_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL divergence KL(P_source || P_corpus) over unigram
+    distributions — the distribution-shift report of a mixture pipeline
+    (DSIR's importance weights are the per-doc form; this is the
+    per-domain rollup a curation run tracks release-over-release). The
+    corpus support contains every source's support, so KL is finite with
+    no smoothing:
+
+        KL_s = sum_t p_t ln(p_t / q_t),  p = cnt_st/tot_s, q = cf_t/tot
+
+    Per-(source, term) contributions are one fixed IEEE chain on exact
+    integer counts, rounded 12dp and summed as DECIMAL(28,12) — order-free
+    exact at any parallelism, NO vocab-sized collect (the fold-based
+    entropy pattern would not scale to a real vocabulary). Two
+    map-side-combinable groupBys + one broadcast of the vocab-sized
+    corpus table."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(tokenize_col("text")).alias("term"))
+    per = toks.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    tot_s = per.groupBy("source").agg(F.sum("cnt").cast("long").alias("tot_s"))
+    corpus = per.groupBy("term").agg(F.sum("cnt").cast("long").alias("cf"))
+    tot = corpus.agg(F.sum("cf").cast("long").alias("tot"))
+    p = F.col("cnt").cast("double") / F.col("tot_s").cast("double")
+    q = F.col("cf").cast("double") / F.col("tot").cast("double")
+    contrib = F.round(p * F.log(p / q), 12).cast("decimal(28,12)")
+    j = (
+        per.join(tot_s, "source")
+        .join(corpus, "term")
+        .crossJoin(F.broadcast(tot))
+        .select("source", contrib.alias("contrib"))
+    )
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.round(F.sum("contrib").cast("double"), 6).alias("kl_nats"),
+        )
+        .orderBy("source")
+    )
