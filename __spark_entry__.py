@@ -589,6 +589,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "lucene_mapreduce_spark.operators.similarity", fromlist=["x"]
             ).embedding_centroid_by_label(s, d)
         ),
+        # round-4 session-12 batch 32
+        "most_fields_topk": fulltext.most_fields_topk,
+        "weighted_reservoir_sample": textstats.weighted_reservoir_sample,
+        "char_trigram_entropy": textstats.char_trigram_entropy,
+        "vocab_overlap_sources": textstats.vocab_overlap_sources,
+        "stopword_coverage": textstats.stopword_coverage,
+        "streaming_dedup_watermark": (
+            lambda s, d: __import__(
+                "lucene_mapreduce_spark.streaming.incremental", fromlist=["x"]
+            ).streaming_dedup_watermark(s, d)
+        ),
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})
@@ -1082,4 +1093,19 @@ WHERE len(list_filter(range(1, len(toks)), i ->
     )
     out["kl_divergence_by_source"] = KL_BY_SOURCE_SQL
     out["embedding_centroid_by_label"] = CENTROID_BY_LABEL_SQL
+    from lucene_mapreduce_spark.operators.oracles import (
+        CHAR_TRIGRAM_ENTROPY_SQL,
+        VOCAB_OVERLAP_SQL,
+        most_fields_sql,
+        stopword_coverage_sql,
+        weighted_reservoir_sql,
+    )
+
+    out["most_fields_topk"] = most_fields_sql(fulltext.BM25F_QUERY, 10)
+    out["weighted_reservoir_sample"] = weighted_reservoir_sql(
+        textstats.WRS_K_PER_LANG
+    )
+    out["char_trigram_entropy"] = CHAR_TRIGRAM_ENTROPY_SQL
+    out["vocab_overlap_sources"] = VOCAB_OVERLAP_SQL
+    out["stopword_coverage"] = stopword_coverage_sql(textstats.STOPWORD_TOP_K)
     return out

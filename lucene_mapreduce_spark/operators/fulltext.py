@@ -4658,3 +4658,71 @@ def sig_terms_chi2(
     return ranked_topk(scored, [F.desc("chi2"), F.asc("term")], k).select(
         "term", "df_fg", "df_bg", "chi2", "rank"
     )
+
+
+def most_fields_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_text: str = BM25F_QUERY,
+    kw_field: str = "source",
+    k: int = 10,
+) -> DataFrame:
+    """ES `multi_match` type=most_fields over (text, source): each field
+    is scored INDEPENDENTLY with its own BM25 statistics and the field
+    scores are summed — the semantic sibling of bm25f_topk (shared-norm
+    BM25F) and combined_fields_query (blended term stats); most_fields is
+    what ES runs when the same text is analyzed differently per field.
+    The keyword leg is single-token-per-doc, so its tf/length factor
+    collapses to 1 and the contribution is exactly the term idf — the
+    text leg is the standard scan-path BM25 (canonical ascending-term
+    fold). Legs meet in ONE full-outer join on doc_id; the final add
+    happens once, rounded 6dp. Same query as bm25f_topk ('src3' matches
+    only the keyword field)."""
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_string
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+    from lucene_mapreduce_spark.query.bm25_df import corpus_postings, exact_scores
+
+    docs = load(spark, sf_dir, "documents")
+    postings, doclens = corpus_postings(docs)
+    stats = doclens.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    )
+    qts = sorted(set(tokenize_string(query_text)))
+    qterms = spark.createDataFrame([("q0", t) for t in qts], "query_id string, term string")
+    df_t = (
+        postings.join(F.broadcast(qterms.select("term")), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df_t"))
+    )
+    matched = (
+        postings.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(df_t), "term")
+        .join(doclens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    tleg = exact_scores(matched).select("doc_id", F.col("score").alias("tscore"))
+    dfk = docs.groupBy(kw_field).agg(F.count(F.lit(1)).cast("double").alias("dfk"))
+    kleg = (
+        docs.select("doc_id", kw_field)
+        .filter(F.col(kw_field).isin(qts))
+        .join(F.broadcast(dfk), kw_field)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("dfk") + F.lit(0.5))
+                / (F.col("dfk") + F.lit(0.5))
+            ).alias("kscore"),
+        )
+    )
+    fused = tleg.join(kleg, "doc_id", "full_outer").select(
+        "doc_id",
+        F.round(
+            F.coalesce("tscore", F.lit(0.0)) + F.coalesce("kscore", F.lit(0.0)), 6
+        ).alias("score"),
+    )
+    return ranked_topk(fused, [F.desc("score"), F.asc("doc_id")], k).select(
+        "doc_id", "score", "rank"
+    )

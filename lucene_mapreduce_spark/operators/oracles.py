@@ -6682,3 +6682,127 @@ SELECT c.label, c.n_vecs,
 FROM counts c JOIN folded f USING (label)
 ORDER BY c.label
 """
+
+
+def most_fields_sql(query_text: str, k: int) -> str:
+    """multi_match most_fields twin: independent per-field BM25, text leg
+    = the shared _BM25_AGG chain, keyword leg = pure idf (single-token
+    field), one full-outer add rounded 6dp."""
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_string
+
+    qts = sorted(set(tokenize_string(query_text)))
+    qlits = ", ".join(f"'{t}'" for t in qts)
+    return f"""
+WITH {_qterms_cte(query_text)}
+{_BM25_AGG},
+dfk AS (
+  SELECT source, count(*)::DOUBLE AS dfk FROM documents GROUP BY 1
+),
+kleg AS (
+  SELECT d.doc_id,
+         ln(1.0 + (s.n_docs - k.dfk + 0.5) / (k.dfk + 0.5)) AS kscore
+  FROM documents d JOIN dfk k USING (source) CROSS JOIN stats s
+  WHERE d.source IN ({qlits})
+),
+fused AS (
+  SELECT coalesce(t.doc_id, kl.doc_id) AS doc_id,
+         round(coalesce(t.score, 0.0) + coalesce(kl.kscore, 0.0), 6) AS score
+  FROM agg t FULL OUTER JOIN kleg kl USING (doc_id)
+)
+SELECT doc_id, score, rank FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM fused
+) WHERE rank <= {k}
+"""
+
+
+ORACLES["streaming_dedup_watermark"] = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
+def weighted_reservoir_sql(k: int) -> str:
+    """A-ES weighted bottom-k twin: u = (md5_52 + 1)/(2^52 + 1),
+    key = round(-ln(u)/n_chars, 6), per-lang rank on (key, doc_id)."""
+    h = _MD5_52.format(e="doc_id::VARCHAR || ':wrs'")
+    return f"""
+WITH keyed AS (
+  SELECT lang, doc_id, n_chars::BIGINT AS n_chars,
+         round(-ln((({h})::DOUBLE + 1.0) / 4503599627370497.0)
+               / n_chars::DOUBLE, 6) AS es_key
+  FROM documents
+)
+SELECT lang, doc_id, n_chars, es_key, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY lang ORDER BY es_key ASC, doc_id ASC) AS rank
+  FROM keyed
+) WHERE rank <= {k}
+"""
+
+
+CHAR_TRIGRAM_ENTROPY_SQL = """
+WITH lowered AS (
+  SELECT lang, lower(text) AS t FROM documents WHERE len(lower(text)) >= 3
+),
+grams AS (
+  SELECT lang, substr(t, i::INT, 3) AS g
+  FROM (SELECT lang, t, unnest(range(1, len(t) - 1)) AS i FROM lowered)
+),
+per AS (SELECT lang, g, count(*)::BIGINT AS c FROM grams GROUP BY 1, 2),
+tot AS (SELECT lang, sum(c)::BIGINT AS tot FROM per GROUP BY 1),
+contribs AS (
+  SELECT per.lang,
+         round((c::DOUBLE / tot::DOUBLE) * ln(c::DOUBLE / tot::DOUBLE),
+               12)::DECIMAL(28,12) AS contrib
+  FROM per JOIN tot USING (lang)
+)
+SELECT lang, count(*)::BIGINT AS n_trigrams,
+       round(-(sum(contrib)::DOUBLE), 6) AS entropy_nats
+FROM contribs GROUP BY 1 ORDER BY 1
+"""
+
+
+VOCAB_OVERLAP_SQL = f"""
+WITH vocab AS (
+  SELECT DISTINCT source, unnest({TOKS}) AS term FROM documents
+),
+sizes AS (SELECT source, count(*)::BIGINT AS n_terms FROM vocab GROUP BY 1),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*)::BIGINT AS n_inter
+  FROM vocab a JOIN vocab b ON a.term = b.term AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b, n_inter,
+       round(n_inter::DOUBLE / (sa.n_terms + sb.n_terms - n_inter), 6)
+         AS jaccard
+FROM inter
+JOIN sizes sa ON sa.source = src_a
+JOIN sizes sb ON sb.source = src_b
+ORDER BY src_a, src_b
+"""
+
+
+def stopword_coverage_sql(k: int) -> str:
+    """Top-k token-mass coverage twin: all-integer rank + running sum."""
+    return f"""
+WITH freq AS (
+  SELECT term, count(*)::BIGINT AS cf
+  FROM (SELECT unnest({TOKS}) AS term FROM documents) t GROUP BY 1
+),
+tot AS (SELECT sum(cf)::BIGINT AS tot FROM freq),
+head AS (
+  SELECT term, cf, rank FROM (
+    SELECT term, cf, row_number() OVER (ORDER BY cf DESC, term ASC) AS rank
+    FROM freq
+  ) WHERE rank <= {k}
+)
+SELECT term, cf, rank,
+       (sum(cf) OVER (ORDER BY rank
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+         AS cum_cf,
+       round((sum(cf) OVER (ORDER BY rank
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE
+             / tot::DOUBLE, 6) AS coverage
+FROM head, tot ORDER BY rank
+"""

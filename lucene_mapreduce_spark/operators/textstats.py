@@ -2821,3 +2821,161 @@ def kl_divergence_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+WRS_K_PER_LANG = 3
+
+
+def weighted_reservoir_sample(
+    spark: SparkSession, sf_dir: str, k: int = WRS_K_PER_LANG
+) -> DataFrame:
+    """Weighted sampling without replacement, per language — the
+    Efraimidis-Spirakis A-ES scheme every distributed sampler uses
+    (Spark's own sampleBy is Bernoulli; A-ES gives EXACTLY k docs with
+    inclusion probability proportional to weight): each doc draws
+    u = md5-uniform, keyed by -ln(u)/w (w = n_chars, longer docs more
+    likely), and the k SMALLEST keys per language win. The md5-uniform
+    is the house 52-bit construction (reservoir_sample_per_lang's
+    unweighted sibling); -ln(u)/w is one fixed IEEE chain on it; the
+    per-group cut is a WindowGroupLimit-pushed rank on the ROUNDED key
+    (6dp collisions broken by doc_id — same rule as random_score_query).
+    One corpus scan, one bounded per-lang window."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    u = (
+        _md5_52(F.concat(F.col("doc_id").cast("string"), F.lit(":wrs"))).cast(
+            "double"
+        )
+        + F.lit(1.0)
+    ) / F.lit(4503599627370497.0)  # (h+1)/(2^52+1): u in (0,1], ln defined
+    key = F.round(-F.log(u) / F.col("n_chars").cast("double"), 6)
+    base = docs.select("lang", "doc_id", "n_chars", key.alias("es_key"))
+    w = Window.partitionBy("lang").orderBy(F.asc("es_key"), F.asc("doc_id"))
+    return (
+        base.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("lang", "doc_id", F.col("n_chars").cast("long").alias("n_chars"),
+                "es_key", F.col("rnk").alias("rank"))
+    )
+
+
+def char_trigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Shannon entropy of the character-trigram distribution
+    — the compression-proxy quality signal (low trigram entropy flags
+    boilerplate/repetitive text; it is also the statistic behind the
+    char-ngram language-ID family, cf. trigram_langid_confusion). Text is
+    lowercased; trigrams slide over the raw string including spaces.
+    H = -sum p ln p in nats; per-trigram contributions are one fixed IEEE
+    chain on exact integer counts, rounded 12dp and summed DECIMAL(28,12)
+    — order-free exact, no vocab-sized collect (the kl_divergence rule).
+    Two map-side-combinable groupBys."""
+    docs = load(spark, sf_dir, "documents")
+    # filter len >= 3 BEFORE sequence(): sequence(1, n) DESCENDS for n < 1
+    lowered = docs.select("lang", F.lower("text").alias("t")).filter(
+        F.length("t") >= 3
+    )
+    grams = lowered.select(
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("t") - F.lit(2)),
+                lambda i: F.col("t").substr(i, F.lit(3)),
+            )
+        ).alias("g"),
+    )
+    per = grams.groupBy("lang", "g").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = per.groupBy("lang").agg(F.sum("c").cast("long").alias("tot"))
+    p = F.col("c").cast("double") / F.col("tot").cast("double")
+    contrib = F.round(p * F.log(p), 12).cast("decimal(28,12)")
+    return (
+        per.join(tot, "lang")
+        .select("lang", contrib.alias("contrib"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+            F.round(-F.sum("contrib").cast("double"), 6).alias("entropy_nats"),
+        )
+        .orderBy("lang")
+    )
+
+
+def vocab_overlap_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources — the crawl-dedup
+    diagnostic that catches two 'different' domains serving the same
+    content farm (high vocab overlap) before document-level dedup spends
+    a pass on them. Source cardinality is bounded (a mixture config, not
+    data-sized), so the pair table is small by construction; the
+    intersection comes from a self-equi-join on term (inverted, never
+    all-pairs-of-docs) with integer counts and one rounded division."""
+    docs = load(spark, sf_dir, "documents")
+    vocab = docs.select(
+        "source", F.explode(tokenize_col("text")).alias("term")
+    ).distinct()
+    sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("n_terms"))
+    a = vocab.alias("a")
+    b = vocab.alias("b")
+    inter = (
+        a.join(b, (F.col("a.term") == F.col("b.term"))
+               & (F.col("a.source") < F.col("b.source")))
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("n_terms").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("n_terms").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("n_inter").cast("long").alias("n_inter"),
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+STOPWORD_TOP_K = 10
+
+
+def stopword_coverage(
+    spark: SparkSession, sf_dir: str, k: int = STOPWORD_TOP_K
+) -> DataFrame:
+    """Cumulative token-mass coverage of the top-k corpus terms — the
+    stopword-list sizing curve (how much of the corpus a k-term stoplist
+    removes; the Zipf-head complement of zipf_fit). All-integer: cf per
+    term, rank by (cf desc, term asc), running BIGINT sum over the k-row
+    head; the coverage fraction is one division, 6dp. One vocab-sized
+    groupBy + a k-bounded window."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(tokenize_col("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cf"))
+    )
+    tot = freq.agg(F.sum("cf").cast("long").alias("tot"))
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+
+    head = ranked_topk(freq, [F.desc("cf"), F.asc("term")], k)
+    w = Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        head.withColumn("cum_cf", F.sum("cf").over(w).cast("long"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "term",
+            "cf",
+            "rank",
+            "cum_cf",
+            F.round(F.col("cum_cf").cast("double") / F.col("tot").cast("double"), 6)
+            .alias("coverage"),
+        )
+        .orderBy("rank")
+    )

@@ -567,3 +567,44 @@ def streaming_topk_keys(
         )
         .orderBy("day", "rank")
     )
+
+
+def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate entry for dropDuplicatesWithinWatermark — the bounded-state
+    streaming dedup (state for a key expires once the watermark passes it,
+    unlike stream_dedup's grow-forever seen-set; this is the operator a
+    24/7 ingest actually runs). A real stream run: parquet events source
+    -> 1h watermark on ts -> dropDuplicatesWithinWatermark(user_id,
+    event_type) -> append-mode memory sink, availableNow. Only the key
+    columns are projected on output: WHICH duplicate row survives is
+    arrival-order-defined (engine nondeterminism by contract), the key
+    SET is exact — so the gate compares the key set, and the DuckDB twin
+    is a plain DISTINCT."""
+    import os
+    import tempfile
+
+    from lucene_mapreduce_spark.operators.parity import load
+
+    derived = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts")
+    )
+    src = os.path.join(tempfile.mkdtemp(prefix="lmr_stream_gate_"), "src")
+    derived.coalesce(1).write.mode("overwrite").parquet(src)
+
+    _GATE_SEQ[0] += 1
+    sink = f"dedup_wm_gate_{_GATE_SEQ[0]}"
+    stream = spark.readStream.schema(
+        "user_id long, event_type string, ts timestamp"
+    ).parquet(src)
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+    q = (
+        deduped.select("user_id", "event_type")
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    return _finish_gate(spark, q, sink, src, select_cols=["user_id", "event_type"])
