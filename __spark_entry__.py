@@ -600,6 +600,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "lucene_mapreduce_spark.streaming.incremental", fromlist=["x"]
             ).streaming_dedup_watermark(s, d)
         ),
+        # round-4 session-12 batch 33
+        "mmr_diversified_topk": (
+            lambda s, d: __import__(
+                "lucene_mapreduce_spark.operators.similarity", fromlist=["x"]
+            ).mmr_diversified_topk(s, d)
+        ),
+        "rank_biased_overlap": (
+            lambda s, d: __import__(
+                "lucene_mapreduce_spark.operators.similarity", fromlist=["x"]
+            ).rank_biased_overlap(s, d)
+        ),
+        "index_posting_audit": fulltext.index_posting_audit,
+        "near_dup_degree_histogram": curation.near_dup_degree_histogram,
+        "session_duration_stats": parity.session_duration_stats,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})
@@ -1108,4 +1122,26 @@ WHERE len(list_filter(range(1, len(toks)), i ->
     out["char_trigram_entropy"] = CHAR_TRIGRAM_ENTROPY_SQL
     out["vocab_overlap_sources"] = VOCAB_OVERLAP_SQL
     out["stopword_coverage"] = stopword_coverage_sql(textstats.STOPWORD_TOP_K)
+    from lucene_mapreduce_spark.operators.oracles import (
+        NEAR_DUP_DEGREE_HIST_SQL,
+        mmr_sql,
+        rbo_sql,
+        session_duration_sql,
+    )
+    from lucene_mapreduce_spark.operators.similarity import (
+        MMR_DEPTH,
+        MMR_K,
+        MMR_LAMBDA,
+        RBO_DEPTH,
+        RBO_P,
+    )
+
+    out["mmr_diversified_topk"] = mmr_sql(MMR_LAMBDA, MMR_DEPTH, MMR_K)
+    out["rank_biased_overlap"] = rbo_sql(
+        fulltext.FLAGSHIP_QUERY,
+        [(d, (1.0 - RBO_P) * RBO_P ** (d - 1)) for d in range(1, RBO_DEPTH + 1)],
+        RBO_DEPTH,
+    )
+    out["near_dup_degree_histogram"] = NEAR_DUP_DEGREE_HIST_SQL
+    out["session_duration_stats"] = session_duration_sql(parity.SESSION_GAP_S)
     return out

@@ -218,3 +218,22 @@ def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
         .orderBy("size")
     )
+
+
+def near_dup_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the MinHash-LSH candidate graph — the
+    skew diagnostic BEFORE running connected components (a node with
+    degree 10^4 is a boilerplate hub that will glue the component pass
+    into one giant cluster; dup_cluster_size_histogram reads the damage
+    after, this reads it before). Edges count once per unordered pair;
+    degree sums both endpoints; two bounded groupBys."""
+    edges = minhash_lsh_pairs(spark, sf_dir)
+    nodes = edges.select(F.col("doc_a").alias("doc_id")).unionAll(
+        edges.select(F.col("doc_b").alias("doc_id"))
+    )
+    deg = nodes.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("degree")
+    )

@@ -4726,3 +4726,32 @@ def most_fields_topk(
     return ranked_topk(fused, [F.desc("score"), F.asc("doc_id")], k).select(
         "doc_id", "score", "rank"
     )
+
+
+def index_posting_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec-integrity audit as a gate query: DECODE every live posting
+    payload (varbyte+delta blocks through the real reader — index_stats
+    checks only manifest bookkeeping, this one exercises the decode path
+    over the whole index) and recompute the corpus invariants: posting
+    count = distinct (doc, term), sum(tf) = total token count, distinct
+    docs, distinct terms, max tf. The oracle rederives all five from the
+    raw documents table — any codec/merge corruption breaks the equality.
+    The vocabulary rides as a broadcast term frame (read_postings' batch
+    shape): the postings scan happens once, no driver term list."""
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_col
+    from lucene_mapreduce_spark.query.segments import read_postings
+
+    ix = _gate_index(spark, sf_dir)
+    vocab = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(tokenize_col("text")).alias("term"))
+        .distinct()
+    )
+    posts = read_postings(spark, ix, vocab)
+    return posts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_postings"),
+        F.sum("tf").cast("long").alias("total_tokens"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.countDistinct("term").cast("long").alias("n_terms"),
+        F.max("tf").cast("long").alias("max_tf"),
+    )

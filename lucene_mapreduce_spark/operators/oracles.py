@@ -6806,3 +6806,164 @@ SELECT term, cf, rank,
              / tot::DOUBLE, 6) AS coverage
 FROM head, tot ORDER BY rank
 """
+
+
+_CAND_COS = """round(list_dot_product(e.embedding::DOUBLE[], qvec)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                        e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(qvec, qvec))), 6)"""
+
+
+def mmr_sql(lam: float, depth: int, k: int) -> str:
+    """MMR twin: cosine top-depth candidates + rounded sim matrix, greedy
+    unrolled as k chained CTEs (argmax with (mmr DESC, vec_id ASC) ties);
+    rank-1 score is pure relevance."""
+    one_m = 1.0 - lam
+    parts = [f"""
+WITH qv AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0),
+scoredall AS (
+  SELECT e.vec_id, e.embedding, {_CAND_COS} AS rel
+  FROM embeddings e CROSS JOIN qv WHERE e.vec_id <> 0
+),
+cand AS (
+  SELECT vec_id, embedding, rel FROM (
+    SELECT *, row_number() OVER (ORDER BY rel DESC, vec_id ASC) AS r
+    FROM scoredall
+  ) WHERE r <= {depth}
+),
+sims AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(a.embedding::DOUBLE[],
+                                        a.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(b.embedding::DOUBLE[],
+                                          b.embedding::DOUBLE[]))), 6) AS s
+  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+),
+s1 AS (
+  SELECT 1 AS rank, vec_id, rel AS mmr FROM cand
+  ORDER BY rel DESC, vec_id ASC LIMIT 1
+),
+sel1 AS (SELECT vec_id FROM s1)"""]
+    for i in range(2, k + 1):
+        parts.append(f""",
+r{i} AS (
+  SELECT c.vec_id, {lam!r} * c.rel - {one_m!r} * max(s.s) AS mmr
+  FROM cand c JOIN sims s ON s.va = c.vec_id
+    AND s.vb IN (SELECT vec_id FROM sel{i - 1})
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{i - 1})
+  GROUP BY c.vec_id, c.rel
+),
+s{i} AS (
+  SELECT {i} AS rank, vec_id, mmr FROM r{i}
+  ORDER BY mmr DESC, vec_id ASC LIMIT 1
+),
+sel{i} AS (SELECT vec_id FROM sel{i - 1} UNION ALL SELECT vec_id FROM s{i})""")
+    union = " UNION ALL ".join(f"SELECT * FROM s{i}" for i in range(1, k + 1))
+    parts.append(f"""
+SELECT rank, vec_id, round(mmr, 6) AS mmr FROM ({union}) ORDER BY rank""")
+    return "".join(parts)
+
+
+ORACLES["index_posting_audit"] = f"""
+WITH postings AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest({TOKS}) AS term FROM documents) t
+  GROUP BY 1, 2
+)
+SELECT count(*)::BIGINT AS n_postings,
+       sum(tf)::BIGINT AS total_tokens,
+       count(DISTINCT doc_id)::BIGINT AS n_docs,
+       count(DISTINCT term)::BIGINT AS n_terms,
+       max(tf)::BIGINT AS max_tf
+FROM postings
+"""
+
+
+NEAR_DUP_DEGREE_HIST_SQL = f"""
+WITH edges AS ({ORACLES["minhash_lsh_pairs"]}),
+nodes AS (
+  SELECT doc_a AS doc_id FROM edges
+  UNION ALL SELECT doc_b AS doc_id FROM edges
+),
+deg AS (SELECT doc_id, count(*)::BIGINT AS degree FROM nodes GROUP BY 1)
+SELECT degree, count(*)::BIGINT AS n_docs
+FROM deg GROUP BY 1 ORDER BY 1
+"""
+
+
+def session_duration_sql(gap_s: int) -> str:
+    """Batch sessionization rollup twin: gaps-and-islands with total
+    (us, event_id) order, exact integer micros durations."""
+    gap_us = gap_s * 1_000_000
+    return f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+),
+x AS (
+  SELECT user_id, event_id, us,
+         CASE WHEN lag(us) OVER (PARTITION BY user_id
+                                 ORDER BY us, event_id) IS NULL
+                OR us - lag(us) OVER (PARTITION BY user_id
+                                      ORDER BY us, event_id) >= {gap_us}
+              THEN 1 ELSE 0 END AS brk
+  FROM e
+),
+y AS (
+  SELECT user_id, us,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM x
+),
+sessions AS (
+  SELECT user_id, sid, count(*)::BIGINT AS n_events,
+         (max(us) - min(us))::BIGINT AS dur_us
+  FROM y GROUP BY 1, 2
+)
+SELECT count(*)::BIGINT AS n_sessions,
+       count(DISTINCT user_id)::BIGINT AS n_users,
+       round(sum(n_events)::DOUBLE / count(*)::DOUBLE, 6) AS mean_events,
+       round(sum(dur_us)::DOUBLE / count(*)::DOUBLE / 1000000.0, 6)
+         AS mean_duration_s,
+       round(max(dur_us)::DOUBLE / 1000000.0, 6) AS max_duration_s
+FROM sessions
+"""
+
+
+def rbo_sql(query_text: str, weights: list[tuple[int, float]], depth: int) -> str:
+    """RBO twin: BM25 ranks on the UNROUNDED score (index path's cut),
+    cosine ranks, shared Python geometric-weight literals, ascending-d
+    fold."""
+    wrows = " UNION ALL ".join(
+        f"SELECT {d} AS d, {w!r} AS w" for d, w in weights
+    )
+    return f"""
+WITH {_qterms_cte(query_text)}
+{_BM25_AGG},
+lex AS (
+  SELECT doc_id AS id, r AS ra FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+    FROM agg
+  ) WHERE r <= {depth}
+),
+qv AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0),
+vec AS (
+  SELECT vec_id AS id, r AS rb FROM (
+    SELECT e.vec_id,
+           row_number() OVER (ORDER BY {_CAND_COS} DESC, e.vec_id ASC) AS r
+    FROM embeddings e CROSS JOIN qv WHERE e.vec_id <> 0
+  ) WHERE r <= {depth}
+),
+weights AS ({wrows}),
+ov AS (
+  SELECT w.d, w.w, count(*)::BIGINT AS ov
+  FROM lex JOIN vec USING (id) CROSS JOIN weights w
+  WHERE lex.ra <= w.d AND vec.rb <= w.d
+  GROUP BY 1, 2
+)
+SELECT {depth} AS depth, {0.9!r} AS p,
+       round(list_reduce(list_prepend(0.0,
+               list(w * (ov::DOUBLE) / (d::DOUBLE) ORDER BY d)),
+             (a, b) -> a + b), 6) AS rbo
+FROM ov
+"""

@@ -1877,3 +1877,62 @@ def autocorrelation_daily(
         .select("lag", "n_pairs", F.round(num / den, 6).alias("acf"))
         .orderBy("lag")
     )
+
+
+SESSION_GAP_S = 3600
+
+
+def session_duration_stats(
+    spark: SparkSession, sf_dir: str, gap_s: int = SESSION_GAP_S
+) -> DataFrame:
+    """Batch sessionization rollup: gaps-and-islands over ALL events per
+    user (1h idle gap, the streaming_session_windows recipe without the
+    window-end padding) aggregated to the engagement report — session
+    count, users, mean events/session, mean and max session duration.
+    Total (ts, event_id) order in BOTH window passes (ties split sessions
+    nondeterministically otherwise — the sf1-caught trap). Durations are
+    exact integer epoch-microsecond diffs; means divide exact BIGINT sums
+    once in float64 (micros → seconds inside the same chain), rounded
+    6dp. unix_micros REJECTS NTZ — cast through timestamp under the
+    UTC-pinned session (the asof_join rule)."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    brk = F.when(
+        F.lag("us").over(w).isNull()
+        | (F.col("us") - F.lag("us").over(w) >= gap_s * 1_000_000),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    x = ev.withColumn("brk", brk)
+    sid = F.sum("brk").over(
+        Window.partitionBy("user_id").orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sessions = (
+        x.withColumn("sid", sid)
+        .groupBy("user_id", "sid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            (F.max("us") - F.min("us")).cast("long").alias("dur_us"),
+        )
+    )
+    return sessions.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.round(
+            F.sum("n_events").cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("mean_events"),
+        F.round(
+            F.sum("dur_us").cast("double")
+            / F.count(F.lit(1)).cast("double") / F.lit(1000000.0),
+            6,
+        ).alias("mean_duration_s"),
+        F.round(F.max("dur_us").cast("double") / F.lit(1000000.0), 6).alias(
+            "max_duration_s"
+        ),
+    )

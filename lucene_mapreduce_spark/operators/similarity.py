@@ -832,3 +832,144 @@ def embedding_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+MMR_LAMBDA = 0.7
+MMR_DEPTH = 50
+MMR_K = 5
+RBO_P = 0.9
+RBO_DEPTH = 20
+
+
+def mmr_diversified_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = MMR_K,
+    depth: int = MMR_DEPTH,
+    lam: float = MMR_LAMBDA,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998)
+    over the cosine top-`depth` candidates: greedily pick k vectors
+    maximizing  λ·rel − (1−λ)·max_sim_to_selected  — the diversified
+    retrieval every RAG serving stack runs to avoid k near-identical
+    passages. Distribution split: candidate generation AND the
+    depth×depth candidate similarity matrix are Spark scans/joins
+    (rounded 6dp, the engine's float contract); the k-step greedy runs on
+    the collected depth-bounded matrix — inherently sequential,
+    serving-time, O(k·depth) on ≤ depth(depth−1) rows, the same bounded-
+    collect class as the pagination cursors. Rank-1 score is the pure
+    relevance (no selected set yet), matching the unrolled SQL twin."""
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qvec")
+    )
+    scored = (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "embedding",
+            F.round(
+                _cosine(
+                    F.col("embedding").cast("array<double>"),
+                    F.col("qvec").cast("array<double>"),
+                ),
+                6,
+            ).alias("rel"),
+        )
+    )
+    cand = ranked_topk(scored, [F.desc("rel"), F.asc("vec_id")], depth).select(
+        "vec_id", "embedding", "rel"
+    )
+    a = cand.alias("a")
+    b = cand.alias("b")
+    sims = (
+        a.join(b, F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("va"),
+            F.col("b.vec_id").alias("vb"),
+            F.round(
+                _cosine(
+                    F.col("a.embedding").cast("array<double>"),
+                    F.col("b.embedding").cast("array<double>"),
+                ),
+                6,
+            ).alias("s"),
+        )
+    )
+    rel = {int(r["vec_id"]): float(r["rel"]) for r in cand.select("vec_id", "rel").collect()}
+    sim = {(int(r["va"]), int(r["vb"])): float(r["s"]) for r in sims.collect()}
+    selected: list[tuple[int, float]] = []
+    chosen: list[int] = []
+    for step in range(k):
+        best = None
+        for v in sorted(rel):
+            if v in chosen:
+                continue
+            if not chosen:
+                score = rel[v]
+            else:
+                score = lam * rel[v] - (1.0 - lam) * max(
+                    sim[(v, c)] for c in chosen
+                )
+            if best is None or score > best[1] or (score == best[1] and v < best[0]):
+                best = (v, score)
+        chosen.append(best[0])
+        selected.append((step + 1, best[0], round(best[1], 6)))
+    return spark.createDataFrame(
+        selected, "rank INT, vec_id BIGINT, mmr DOUBLE"
+    )
+
+
+def rank_biased_overlap(
+    spark: SparkSession,
+    sf_dir: str,
+    p: float = RBO_P,
+    depth: int = RBO_DEPTH,
+) -> DataFrame:
+    """Truncated rank-biased overlap (Webber, Moffat & Zobel 2010)
+    between the lexical (BM25) and vector (cosine) top-`depth` rankings
+    — the list-agreement metric a hybrid-retrieval tuner watches (RBO→1
+    means the vector leg adds nothing; RBO→0 means fusion is load-
+    bearing):  RBO@D = (1−p) Σ_{d=1..D} p^{d−1} · |A_d ∩ B_d| / d.
+    The geometric weights are PYTHON literals embedded in both engines
+    (pow() is not correctly-rounded cross-engine — the axiomatic_topk
+    rule); overlaps are integers from one depth-bounded join; the final
+    fold is ascending-d sequential, rounded 6dp."""
+    from lucene_mapreduce_spark.operators import fulltext
+
+    lex = fulltext.bm25_index_topk_documents(spark, sf_dir, k=depth).select(
+        F.col("doc_id").alias("id"), F.col("rank").alias("ra")
+    )
+    vec = ann_bruteforce_topk(spark, sf_dir, k=depth).select(
+        F.col("vec_id").alias("id"), F.col("rank").alias("rb")
+    )
+    j = lex.join(vec, "id")
+    depths = spark.createDataFrame(
+        [(d, (1.0 - p) * p ** (d - 1)) for d in range(1, depth + 1)],
+        "d INT, w DOUBLE",
+    )
+    ov = (
+        j.crossJoin(F.broadcast(depths))
+        .filter((F.col("ra") <= F.col("d")) & (F.col("rb") <= F.col("d")))
+        .groupBy("d", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("ov"))
+    )
+    # absent depths have overlap 0 — contribute nothing; fold ascending d
+    folded = ov.agg(
+        F.round(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("d", "w", "ov"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["w"] * x["ov"].cast("double") / x["d"].cast("double"),
+            ),
+            6,
+        ).alias("rbo")
+    )
+    return folded.select(
+        F.lit(depth).cast("int").alias("depth"),
+        F.lit(p).alias("p"),
+        "rbo",
+    )
