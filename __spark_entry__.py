@@ -614,6 +614,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_posting_audit": fulltext.index_posting_audit,
         "near_dup_degree_histogram": curation.near_dup_degree_histogram,
         "session_duration_stats": parity.session_duration_stats,
+        # round-4 session-12 batch 34
+        "vector_prf_topk": (
+            lambda s, d: __import__(
+                "lucene_mapreduce_spark.operators.similarity", fromlist=["x"]
+            ).vector_prf_topk(s, d)
+        ),
+        "session_event_pairs": parity.session_event_pairs,
+        "top_duplicate_ngrams": dedup.top_duplicate_ngrams,
+        "simhash_hamming_histogram": dedup.simhash_hamming_histogram,
+        "lang_source_independence": textstats.lang_source_independence,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})
@@ -1144,4 +1154,29 @@ WHERE len(list_filter(range(1, len(toks)), i ->
     )
     out["near_dup_degree_histogram"] = NEAR_DUP_DEGREE_HIST_SQL
     out["session_duration_stats"] = session_duration_sql(parity.SESSION_GAP_S)
+    from lucene_mapreduce_spark.operators.dedup import (
+        TOP_DUP_NGRAM_K,
+        TOP_DUP_NGRAM_N,
+    )
+    from lucene_mapreduce_spark.operators.oracles import (
+        LANG_SOURCE_INDEP_SQL,
+        SIMHASH_HAMMING_HIST_SQL,
+        session_pairs_sql,
+        top_dup_ngrams_sql,
+        vector_prf_sql,
+    )
+    from lucene_mapreduce_spark.operators.similarity import (
+        VPRF_FEEDBACK_K,
+        VPRF_TOPK,
+    )
+
+    out["vector_prf_topk"] = vector_prf_sql(VPRF_FEEDBACK_K, VPRF_TOPK)
+    out["session_event_pairs"] = session_pairs_sql(
+        parity.SESSION_GAP_S, parity.SESSION_PAIRS_K
+    )
+    out["top_duplicate_ngrams"] = top_dup_ngrams_sql(
+        TOP_DUP_NGRAM_N, TOP_DUP_NGRAM_K
+    )
+    out["simhash_hamming_histogram"] = SIMHASH_HAMMING_HIST_SQL
+    out["lang_source_independence"] = LANG_SOURCE_INDEP_SQL
     return out

@@ -659,3 +659,45 @@ def containment_pairs(
         F.round(F.col("n_inter") / F.col("n_b"), 6).alias("containment"),
     )
     return fwd.unionByName(rev).filter(F.col("containment") >= threshold)
+
+
+def simhash_hamming_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-distance histogram over the SimHash candidate pairs — the
+    threshold-tuning curve for simhash_near_pairs (where to cut
+    max_hamming is read off this distribution: a bimodal histogram
+    separates true near-dups from band-collision noise). One bounded
+    groupBy over the verified candidate output."""
+    pairs = simhash_near_pairs(spark, sf_dir)
+    return (
+        pairs.groupBy("hamming")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .orderBy("hamming")
+    )
+
+
+TOP_DUP_NGRAM_N = 5
+TOP_DUP_NGRAM_K = 10
+
+
+def top_duplicate_ngrams(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = TOP_DUP_NGRAM_N,
+    k: int = TOP_DUP_NGRAM_K,
+) -> DataFrame:
+    """The top-k token {n}-grams appearing in MORE THAN ONE document — the
+    boilerplate detector that names the offending strings (headers,
+    licenses, navigation chrome) before a remove-duplicated-substrings
+    pass; duplicate_ngram_fraction measures the per-doc damage, this op
+    ranks the causes corpus-wide. df counts distinct docs per gram; only
+    df >= 2 rank. One explode + two map-side-combinable groupBys +
+    TakeOrderedAndProject."""
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+
+    docs = load(spark, sf_dir, "documents")
+    grams = _positional_grams(docs, n).select("doc_id", "gram").distinct()
+    dfs = grams.groupBy("gram").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    dup = dfs.filter(F.col("df") >= 2)
+    return ranked_topk(dup, [F.desc("df"), F.asc("gram")], k).select(
+        "gram", "df", "rank"
+    )

@@ -6967,3 +6967,142 @@ SELECT {depth} AS depth, {0.9!r} AS p,
              (a, b) -> a + b), 6) AS rbo
 FROM ov
 """
+
+
+SIMHASH_HAMMING_HIST_SQL = f"""
+WITH pairs AS ({ORACLES["simhash_near_pairs"]})
+SELECT hamming, count(*)::BIGINT AS n_pairs
+FROM pairs GROUP BY 1 ORDER BY 1
+"""
+
+
+def top_dup_ngrams_sql(n: int, k: int) -> str:
+    """Top duplicated token n-gram twin: positional grams (list slice is
+    END-INCLUSIVE in DuckDB), distinct per doc, df >= 2."""
+    return f"""
+WITH tok AS (SELECT doc_id, {TOKS} AS tokens FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(tokens[i:i+{n - 1}], ' ') AS gram
+  FROM (
+    SELECT doc_id, tokens, unnest(range(1, len(tokens) - {n - 2})) AS i
+    FROM tok WHERE len(tokens) >= {n}
+  )
+),
+dfs AS (SELECT gram, count(*)::BIGINT AS df FROM grams GROUP BY 1)
+SELECT gram, df, rank FROM (
+  SELECT gram, df, row_number() OVER (ORDER BY df DESC, gram ASC) AS rank
+  FROM dfs WHERE df >= 2
+) WHERE rank <= {k}
+"""
+
+
+LANG_SOURCE_INDEP_SQL = """
+WITH cells AS (
+  SELECT source, lang, count(*)::BIGINT AS o FROM documents GROUP BY 1, 2
+),
+rows_m AS (SELECT source, sum(o)::BIGINT AS rt FROM cells GROUP BY 1),
+cols_m AS (SELECT lang, sum(o)::BIGINT AS ct FROM cells GROUP BY 1),
+nn AS (SELECT sum(o)::BIGINT AS n FROM cells),
+contribs AS (
+  SELECT c.source, c.lang,
+         (c.o::DOUBLE - r.rt::DOUBLE * l.ct::DOUBLE / nn.n::DOUBLE)
+         * (c.o::DOUBLE - r.rt::DOUBLE * l.ct::DOUBLE / nn.n::DOUBLE)
+         / (r.rt::DOUBLE * l.ct::DOUBLE / nn.n::DOUBLE) AS c
+  FROM cells c
+  JOIN rows_m r USING (source)
+  JOIN cols_m l USING (lang)
+  CROSS JOIN nn
+),
+folded AS (
+  SELECT count(*)::BIGINT AS n_cells,
+         round(list_reduce(list_prepend(0.0,
+                 list(c ORDER BY source, lang)), (a, b) -> a + b), 6) AS chi2
+  FROM contribs
+)
+SELECT f.n_cells,
+       ((SELECT count(*) FROM rows_m) - 1)::BIGINT
+         * ((SELECT count(*) FROM cols_m) - 1)::BIGINT AS dof,
+       f.chi2
+FROM folded f
+"""
+
+
+def session_pairs_sql(gap_s: int, k: int) -> str:
+    """Session market-basket twin: gaps-and-islands sessions, distinct
+    event-type baskets, pair support rank."""
+    gap_us = gap_s * 1_000_000
+    return f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+),
+x AS (
+  SELECT user_id, event_id, event_type, us,
+         CASE WHEN lag(us) OVER (PARTITION BY user_id
+                                 ORDER BY us, event_id) IS NULL
+                OR us - lag(us) OVER (PARTITION BY user_id
+                                      ORDER BY us, event_id) >= {gap_us}
+              THEN 1 ELSE 0 END AS brk
+  FROM e
+),
+y AS (
+  SELECT user_id, event_type,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM x
+),
+baskets AS (SELECT DISTINCT user_id, sid, event_type FROM y),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         count(*)::BIGINT AS support
+  FROM baskets a
+  JOIN baskets b ON a.user_id = b.user_id AND a.sid = b.sid
+                AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, support, rank FROM (
+  SELECT *, row_number() OVER (
+    ORDER BY support DESC, type_a ASC, type_b ASC) AS rank
+  FROM pairs
+) WHERE rank <= {k}
+"""
+
+
+def vector_prf_sql(fb_k: int, k: int) -> str:
+    """Vector-PRF twin: cosine top-fb_k feedback, DECIMAL-mean recentered
+    query over {query} ∪ feedback, one corpus re-scan."""
+    return f"""
+WITH qv AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0),
+first AS (
+  SELECT e.vec_id, {_CAND_COS} AS cosine
+  FROM embeddings e CROSS JOIN qv WHERE e.vec_id <> 0
+),
+fb AS (
+  SELECT vec_id FROM (
+    SELECT vec_id, row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS r
+    FROM first
+  ) WHERE r <= {fb_k}
+),
+pool AS (SELECT vec_id FROM fb UNION ALL SELECT 0 AS vec_id),
+comps AS (
+  SELECT dim, round(embedding[dim + 1]::DOUBLE, 6)::DECIMAL(18,6) AS v
+  FROM (
+    SELECT e.embedding, unnest(range(len(e.embedding))) AS dim
+    FROM embeddings e JOIN pool USING (vec_id)
+  )
+),
+m AS (
+  SELECT dim, sum(v)::DOUBLE / count(*)::BIGINT AS m
+  FROM comps GROUP BY 1
+),
+qn AS (SELECT list(m ORDER BY dim) AS qvec FROM m),
+rescored AS (
+  SELECT e.vec_id, {_CAND_COS} AS cosine
+  FROM embeddings e CROSS JOIN qn WHERE e.vec_id <> 0
+)
+SELECT vec_id, cosine, rank FROM (
+  SELECT vec_id, cosine,
+         row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM rescored
+) WHERE rank <= {k}
+"""

@@ -1936,3 +1936,55 @@ def session_duration_stats(
             "max_duration_s"
         ),
     )
+
+
+SESSION_PAIRS_K = 10
+
+
+def session_event_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    gap_s: int = SESSION_GAP_S,
+    k: int = SESSION_PAIRS_K,
+) -> DataFrame:
+    """Market-basket mining over SESSIONS: the top-k event-type pairs
+    co-occurring within one user session (frequent_pairs_agg's basket is
+    a document; here the basket is a gaps-and-islands session — the
+    'users who do A in a sitting also do B' signal). Session assignment
+    is the session_duration_stats recipe (total (us, event_id) order);
+    baskets are DISTINCT event types per session; the pair space is
+    bounded by event-type cardinality squared, so the self-join on the
+    session key never blows up."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    brk = F.when(
+        F.lag("us").over(w).isNull()
+        | (F.col("us") - F.lag("us").over(w) >= gap_s * 1_000_000),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    sid = F.sum("brk").over(
+        Window.partitionBy("user_id").orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    baskets = (
+        ev.withColumn("brk", brk)
+        .withColumn("sid", sid)
+        .select("user_id", "sid", "event_type")
+        .distinct()
+    )
+    a = baskets.select("user_id", "sid", F.col("event_type").alias("type_a"))
+    b = baskets.select("user_id", "sid", F.col("event_type").alias("type_b"))
+    pairs = a.join(b, ["user_id", "sid"]).filter(F.col("type_a") < F.col("type_b"))
+    counts = pairs.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).cast("long").alias("support")
+    )
+    return ranked_topk(
+        counts, [F.desc("support"), F.asc("type_a"), F.asc("type_b")], k
+    ).select("type_a", "type_b", "support", "rank")

@@ -973,3 +973,75 @@ def rank_biased_overlap(
         F.lit(p).alias("p"),
         "rbo",
     )
+
+
+VPRF_FEEDBACK_K = 3
+VPRF_TOPK = 10
+
+
+def vector_prf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    fb_k: int = VPRF_FEEDBACK_K,
+    k: int = VPRF_TOPK,
+) -> DataFrame:
+    """Vector pseudo-relevance feedback (the embedding twin of
+    rocchio_prf_topk): retrieve the cosine top-fb_k for the fixed query
+    vector, recenter the query on the mean of {query} ∪ feedback, and
+    re-search the corpus with the expanded vector — the query-drift
+    trick dense-retrieval stacks use where Rocchio used term weights.
+    Determinism: the new query vector's components are DECIMAL(18,6)
+    sums of 6dp-rounded components divided once in float64 (order-free
+    exact — the embedding_centroid rule); it is a 64-value bounded
+    collect (the centroid-table class) re-entering the plan as literals,
+    so the corpus re-scan stays one distributed cosine pass with the
+    sequential fold."""
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qvec")
+    )
+    first = (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(
+                _cosine(
+                    F.col("embedding").cast("array<double>"),
+                    F.col("qvec").cast("array<double>"),
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    fb = ranked_topk(first, [F.desc("cosine"), F.asc("vec_id")], fb_k).select(
+        "vec_id"
+    )
+    pool = fb.unionByName(
+        emb.filter(F.col("vec_id") == QUERY_VEC_ID).select("vec_id")
+    )
+    comps = (
+        emb.join(F.broadcast(pool), "vec_id")
+        .select(F.posexplode(F.col("embedding").cast("array<double>")))
+        .select(
+            F.col("pos").alias("dim"),
+            F.round("col", 6).cast("decimal(18,6)").alias("v"),
+        )
+        .groupBy("dim")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).cast("long").alias("n"))
+        .select("dim", (F.col("s").cast("double") / F.col("n")).alias("m"))
+        .orderBy("dim")
+    )
+    qnew = [float(r["m"]) for r in comps.collect()]  # 64 values, bounded
+    qlit = F.array(*[F.lit(v) for v in qnew])
+    rescored = emb.filter(F.col("vec_id") != QUERY_VEC_ID).select(
+        "vec_id",
+        F.round(
+            _cosine(F.col("embedding").cast("array<double>"), qlit), 6
+        ).alias("cosine"),
+    )
+    return ranked_topk(rescored, [F.desc("cosine"), F.asc("vec_id")], k).select(
+        "vec_id", "cosine", "rank"
+    )

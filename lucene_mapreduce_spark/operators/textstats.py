@@ -2979,3 +2979,56 @@ def stopword_coverage(
         )
         .orderBy("rank")
     )
+
+
+def lang_source_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-squared test of independence over the (source, lang)
+    contingency table — the mixture-health audit (a source whose language
+    mix diverges from the corpus signals a crawl config drift; the
+    per-bucket twin is bucket_correlation_agg, this is the global test).
+    Observed counts and both margins are exact BIGINTs; each cell's
+    (o−e)²/e is one fixed IEEE chain; cells fold in ascending
+    (source, lang) order (cell count = |sources|×|langs|, config-bounded,
+    so the sorted-struct fold never sees data-sized lists). dof =
+    (R−1)(C−1). One two-key groupBy + broadcast margins."""
+    docs = load(spark, sf_dir, "documents")
+    cells = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    )
+    rows = cells.groupBy("source").agg(F.sum("o").cast("long").alias("rt"))
+    cols = cells.groupBy("lang").agg(F.sum("o").cast("long").alias("ct"))
+    n = cells.agg(F.sum("o").cast("long").alias("n"))
+    e = (
+        F.col("rt").cast("double")
+        * F.col("ct").cast("double")
+        / F.col("n").cast("double")
+    )
+    contrib = (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e
+    j = (
+        cells.join(F.broadcast(rows), "source")
+        .join(F.broadcast(cols), "lang")
+        .crossJoin(F.broadcast(n))
+        .select("source", "lang", contrib.alias("c"))
+    )
+    folded = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.round(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("source", "lang", "c"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["c"],
+            ),
+            6,
+        ).alias("chi2"),
+    )
+    r = rows.agg(F.count(F.lit(1)).cast("long").alias("nr"))
+    c = cols.agg(F.count(F.lit(1)).cast("long").alias("nc"))
+    return (
+        folded.crossJoin(F.broadcast(r))
+        .crossJoin(F.broadcast(c))
+        .select(
+            "n_cells",
+            ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("long").alias("dof"),
+            "chi2",
+        )
+    )
