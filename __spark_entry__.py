@@ -624,6 +624,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_duplicate_ngrams": dedup.top_duplicate_ngrams,
         "simhash_hamming_histogram": dedup.simhash_hamming_histogram,
         "lang_source_independence": textstats.lang_source_independence,
+        # round-4 session-12 batch 35
+        "value_percentiles_by_type": parity.value_percentiles_by_type,
+        "user_reach_wilson": parity.user_reach_wilson,
+        "hourly_activity_profile": parity.hourly_activity_profile,
+        "int8_quantization_audit": (
+            lambda s, d: __import__(
+                "lucene_mapreduce_spark.operators.similarity", fromlist=["x"]
+            ).int8_quantization_audit(s, d)
+        ),
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})
@@ -1179,4 +1188,15 @@ WHERE len(list_filter(range(1, len(toks)), i ->
     )
     out["simhash_hamming_histogram"] = SIMHASH_HAMMING_HIST_SQL
     out["lang_source_independence"] = LANG_SOURCE_INDEP_SQL
+    from lucene_mapreduce_spark.operators.oracles import (
+        INT8_QUANT_AUDIT_SQL,
+        user_reach_wilson_sql,
+        value_percentiles_sql,
+    )
+
+    out["value_percentiles_by_type"] = value_percentiles_sql(
+        parity.VALUE_PERCENTILES
+    )
+    out["user_reach_wilson"] = user_reach_wilson_sql(parity.WILSON_Z)
+    out["int8_quantization_audit"] = INT8_QUANT_AUDIT_SQL
     return out

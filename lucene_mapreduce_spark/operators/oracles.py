@@ -7106,3 +7106,84 @@ SELECT vec_id, cosine, rank FROM (
   FROM rescored
 ) WHERE rank <= {k}
 """
+
+
+def value_percentiles_sql(ps: tuple[float, ...]) -> str:
+    """Grouped type-7 percentiles twin over 6dp-rounded values."""
+    rows = " UNION ALL ".join(
+        f"SELECT event_type, {p} AS p,"
+        f" round(quantile_cont(v, {p}), 6) AS value_quantile"
+        f" FROM ev GROUP BY event_type" for p in ps
+    )
+    return f"""
+WITH ev AS (SELECT event_type, round(value, 6) AS v FROM events)
+{rows}
+ORDER BY event_type, p
+"""
+
+
+def user_reach_wilson_sql(z: float) -> str:
+    """Wilson interval twin: identical fixed chain, z and z^2 as shared
+    Python literals."""
+    z2 = z * z
+    p = "(k::DOUBLE / n::DOUBLE)"
+    denom = f"(1.0 + {z2!r} / n::DOUBLE)"
+    center = f"({p} + {z2!r} / (2.0 * n::DOUBLE)) / {denom}"
+    half = (
+        f"{z!r} * sqrt({p} * (1.0 - {p}) / n::DOUBLE"
+        f" + {z2!r} / (4.0 * n::DOUBLE * n::DOUBLE)) / {denom}"
+    )
+    return f"""
+WITH per AS (
+  SELECT event_type, count(DISTINCT user_id)::BIGINT AS k
+  FROM events GROUP BY 1
+),
+tot AS (SELECT count(DISTINCT user_id)::BIGINT AS n FROM events)
+SELECT event_type, k AS n_users_type, n AS n_users,
+       round({p}, 6) AS p_hat,
+       round({center} - {half}, 6) AS wilson_lo,
+       round({center} + {half}, 6) AS wilson_hi
+FROM per, tot ORDER BY event_type
+"""
+
+
+ORACLES["hourly_activity_profile"] = """
+SELECT (epoch_us(ts) // 3600000000) % 24 AS hour,
+       event_type, count(*)::BIGINT AS n_events
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+INT8_QUANT_AUDIT_SQL = """
+WITH comp AS (
+  SELECT vec_id, label, dim, embedding[dim + 1]::DOUBLE AS v
+  FROM (
+    SELECT vec_id, label, embedding,
+           unnest(range(len(embedding))) AS dim
+    FROM embeddings
+  )
+),
+dimstats AS (
+  SELECT dim, min(v) AS mn, max(v) AS mx FROM comp GROUP BY 1
+),
+errs AS (
+  SELECT c.vec_id, c.label, c.dim,
+         (c.v - CASE WHEN d.mx = d.mn THEN d.mn
+                     ELSE d.mn + round((c.v - d.mn) / ((d.mx - d.mn) / 255.0))
+                           * ((d.mx - d.mn) / 255.0) END)
+         * (c.v - CASE WHEN d.mx = d.mn THEN d.mn
+                       ELSE d.mn + round((c.v - d.mn) / ((d.mx - d.mn) / 255.0))
+                             * ((d.mx - d.mn) / 255.0) END) AS e2
+  FROM comp c JOIN dimstats d USING (dim)
+),
+per_vec AS (
+  SELECT vec_id, label,
+         round(list_reduce(list_prepend(0.0, list(e2 ORDER BY dim)),
+                           (a, b) -> a + b) / 64.0, 6) AS mse
+  FROM errs GROUP BY 1, 2
+)
+SELECT label, count(*)::BIGINT AS n_vecs,
+       round(sum(mse::DECIMAL(18,6))::DOUBLE / count(*), 6) AS mean_mse,
+       max(mse) AS max_mse
+FROM per_vec GROUP BY 1 ORDER BY 1
+"""

@@ -1988,3 +1988,102 @@ def session_event_pairs(
     return ranked_topk(
         counts, [F.desc("support"), F.asc("type_a"), F.asc("type_b")], k
     ).select("type_a", "type_b", "support", "rank")
+
+
+VALUE_PERCENTILES = (0.5, 0.9, 0.99)
+
+
+def value_percentiles_by_type(
+    spark: SparkSession,
+    sf_dir: str,
+    ps: tuple[float, ...] = VALUE_PERCENTILES,
+) -> DataFrame:
+    """ES `percentiles` aggregation under a `terms` bucket: exact type-7
+    (linear-interpolated) percentiles of the event value per event_type —
+    the grouped sibling of dl_percentiles (same engine-agreement rule:
+    Spark `percentile` and DuckDB `quantile_cont` are both type-7, so
+    values agree to float64). Inputs are 6dp-rounded doubles on BOTH
+    sides before the sort (the house float-compare contract); group
+    cardinality bounds the per-group sort. At 10^12 rows swap in
+    approx_percentile and drop the oracle (the dl_percentiles note)."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.round("value", 6).alias("v")
+    )
+    plist = ", ".join(str(p) for p in ps)
+    rows = ev.groupBy("event_type").agg(
+        F.expr(f"percentile(v, array({plist}))").alias("qs")
+    ).select("event_type", F.posexplode("qs").alias("i", "q"))
+    pmap = F.array(*[F.lit(p) for p in ps])
+    return rows.select(
+        "event_type",
+        F.element_at(pmap, F.col("i") + 1).alias("p"),
+        F.round("q", 6).alias("value_quantile"),
+    ).orderBy("event_type", "p")
+
+
+WILSON_Z = 1.96
+
+
+def user_reach_wilson(
+    spark: SparkSession, sf_dir: str, z: float = WILSON_Z
+) -> DataFrame:
+    """Per-event-type user reach with a Wilson 95% score interval — the
+    'how many of our users do X, and how sure are we' report (the Wilson
+    interval is the industry default for binomial proportions because it
+    behaves at p near 0/1, unlike the normal approximation). reach =
+    distinct users with the event / all users; lo/hi are ONE fixed IEEE
+    chain each on exact integer counts with z embedded as a shared
+    literal, rounded 6dp. Two distinct-count groupBys, no joins bigger
+    than the type cardinality."""
+    ev = load(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("k")
+    )
+    tot = ev.agg(F.countDistinct("user_id").cast("long").alias("n"))
+    kD = F.col("k").cast("double")
+    nD = F.col("n").cast("double")
+    p = kD / nD
+    z2 = z * z  # Python-folded literal product
+    denom = F.lit(1.0) + F.lit(z2) / nD
+    center = (p + F.lit(z2) / (F.lit(2.0) * nD)) / denom
+    half = (
+        F.lit(z)
+        * F.sqrt(
+            p * (F.lit(1.0) - p) / nD
+            + F.lit(z2) / (F.lit(4.0) * nD * nD)
+        )
+        / denom
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            F.col("k").alias("n_users_type"),
+            F.col("n").alias("n_users"),
+            F.round(p, 6).alias("p_hat"),
+            F.round(center - half, 6).alias("wilson_lo"),
+            F.round(center + half, 6).alias("wilson_hi"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def hourly_activity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day × event-type activity crosstab — the diurnal-load
+    profile capacity planning reads (and the seasonality complement of
+    autocorrelation_daily's lag view). Hour comes from integer epoch
+    arithmetic ((us // 3600e6) % 24 — never the engine's hour(), the
+    seasonal_anomaly_days dow rule); one map-side-combinable groupBy."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        # `div` = exact integral division on longs ( `/` would go through
+        # float64 and can flip the floor at exact hour boundaries)
+        (
+            F.expr("unix_micros(cast(ts as timestamp)) div 3600000000") % 24
+        ).cast("long").alias("hour"),
+    )
+    return (
+        ev.groupBy("hour", "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .orderBy("hour", "event_type")
+    )

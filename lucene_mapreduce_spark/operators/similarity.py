@@ -1045,3 +1045,57 @@ def vector_prf_topk(
     return ranked_topk(rescored, [F.desc("cosine"), F.asc("vec_id")], k).select(
         "vec_id", "cosine", "rank"
     )
+
+
+def int8_quantization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar (int8) quantization error audit: quantize every embedding
+    component to 256 levels on a per-dimension [min, max] grid (the
+    scheme int8-HNSW / faiss SQ8 serve with), dequantize, and report the
+    per-label reconstruction MSE — the go/no-go read before shipping a
+    quantized ANN index (ann_pq_topk audits the PQ variant's RANKING,
+    this audits SQ's GEOMETRY). Per-dim min/max are order-free
+    selections; the quantize-dequantize chain is fixed IEEE on identical
+    operands (code = round((v−mn)/scale), deq = mn + code·scale, scale
+    degeneracy guarded); per-vector MSE folds in ascending dim order,
+    rounds 6dp, and rolls up per label as DECIMAL (order-free). Shuffles:
+    one 64-row dim-stats groupBy + one per-vector fold groupBy."""
+    emb = load(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "vec_id", "label",
+        F.posexplode(F.col("embedding").cast("array<double>")),
+    ).select("vec_id", "label", F.col("pos").alias("dim"), F.col("col").alias("v"))
+    dimstats = comp.groupBy("dim").agg(
+        F.min("v").alias("mn"), F.max("v").alias("mx")
+    )
+    scale = (F.col("mx") - F.col("mn")) / F.lit(255.0)
+    j = comp.join(F.broadcast(dimstats), "dim")
+    deq = F.when(F.col("mx") == F.col("mn"), F.col("mn")).otherwise(
+        F.col("mn") + F.round((F.col("v") - F.col("mn")) / scale, 0) * scale
+    )
+    errs = j.select(
+        "vec_id", "label", "dim",
+        ((F.col("v") - deq) * (F.col("v") - deq)).alias("e2"),
+    )
+    per_vec = errs.groupBy("vec_id", "label").agg(
+        F.round(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("dim", "e2"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["e2"],
+            ) / F.lit(float(DIM)),
+            6,
+        ).alias("mse")
+    )
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.round(
+                F.sum(F.col("mse").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_mse"),
+            F.max("mse").alias("max_mse"),
+        )
+        .orderBy("label")
+    )
