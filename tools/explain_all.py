@@ -221,6 +221,34 @@ def main() -> None:
          lambda: __import__(
              "lucene_mapreduce_spark.operators.textstats", fromlist=["x"]
          ).bigram_logprob(spark, sf_dir)),
+        ("cosine_rescore_topk (retrieve-then-rerank: depth-bounded "
+         "broadcast rescore join, never a corpus vector scan)",
+         lambda: __import__(
+             "lucene_mapreduce_spark.operators.similarity", fromlist=["x"]
+         ).cosine_rescore_topk(spark, sf_dir)),
+        ("most_fields_topk (independent per-field BM25, one full-outer add)",
+         lambda: fulltext.most_fields_topk(spark, sf_dir)),
+        ("containment_pairs (directional dedup: capped shingle "
+         "inverted-index self-join)",
+         lambda: dedup.containment_pairs(spark, sf_dir)),
+        ("kl_divergence_by_source (DECIMAL-summed contributions, "
+         "no vocab-sized collect)",
+         lambda: __import__(
+             "lucene_mapreduce_spark.operators.textstats", fromlist=["x"]
+         ).kl_divergence_by_source(spark, sf_dir)),
+        ("index_posting_audit (full decode scan, broadcast vocab frame)",
+         lambda: fulltext.index_posting_audit(spark, sf_dir)),
+        ("session_event_pairs (gaps-and-islands baskets + bounded "
+         "pair self-join)",
+         lambda: parity.session_event_pairs(spark, sf_dir)),
+        ("autocorrelation_daily (calendar-bounded lag self-join, "
+         "integer sufficient stats)",
+         lambda: parity.autocorrelation_daily(spark, sf_dir)),
+        ("int8_quantization_audit (64-row dim stats broadcast + "
+         "per-vector fold)",
+         lambda: __import__(
+             "lucene_mapreduce_spark.operators.similarity", fromlist=["x"]
+         ).int8_quantization_audit(spark, sf_dir)),
     ]
 
     out = [HEADER]
