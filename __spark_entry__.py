@@ -633,6 +633,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "lucene_mapreduce_spark.operators.similarity", fromlist=["x"]
             ).int8_quantization_audit(s, d)
         ),
+        # round-4 session-12 batch 36
+        "rolling_7d_distinct_users": parity.rolling_7d_distinct_users,
+        "time_to_convert_stats": parity.time_to_convert_stats,
+        "term_df_histogram": textstats.term_df_histogram,
+        "generation_diff_report": fulltext.generation_diff_report,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})
@@ -1199,4 +1204,13 @@ WHERE len(list_filter(range(1, len(toks)), i ->
     )
     out["user_reach_wilson"] = user_reach_wilson_sql(parity.WILSON_Z)
     out["int8_quantization_audit"] = INT8_QUANT_AUDIT_SQL
+    from lucene_mapreduce_spark.operators.oracles import (
+        TERM_DF_HISTOGRAM_SQL,
+        time_to_convert_sql,
+    )
+
+    out["time_to_convert_stats"] = time_to_convert_sql(
+        parity.CONVERT_FROM, parity.CONVERT_TO
+    )
+    out["term_df_histogram"] = TERM_DF_HISTOGRAM_SQL
     return out

@@ -4755,3 +4755,40 @@ def index_posting_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("term").cast("long").alias("n_terms"),
         F.max("tf").cast("long").alias("max_tf"),
     )
+
+
+def generation_diff_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit-to-commit diff report over the PIT machinery: read the
+    live doc-length map at generation 1 (pit_manifest — even docs + the
+    stale shadowed odd copies) and at the latest commit, and report how
+    many docs changed and the net token delta — the 'what did this
+    reindex actually touch' audit an operator reads before publishing a
+    swap (F6). Both legs are the real doclen pseudo-term decode; the
+    join is doc-keyed; counts/deltas are exact BIGINTs. The oracle knows
+    the gate's stale-copy construction (odd docs carry a 2-token prefix
+    at gen 1), so any PIT or latest-wins masking bug breaks equality."""
+    from lucene_mapreduce_spark.index.manifest import load_manifest
+    from lucene_mapreduce_spark.query.segments import live_doclens, pit_manifest
+
+    ix = _gate_index_unmerged(spark, sf_dir)
+    m1 = pit_manifest(ix, PIT_SEQ)
+    mL = load_manifest(ix)
+    d1 = live_doclens(spark, ix, manifest=m1).select(
+        "doc_id", F.col("dl").alias("dl1")
+    )
+    dL = live_doclens(spark, ix, manifest=mL).select(
+        "doc_id", F.col("dl").alias("dl2")
+    )
+    j = d1.join(dL, "doc_id", "full_outer")
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(
+            F.when(F.col("dl1") != F.col("dl2"), F.lit(1)).otherwise(F.lit(0))
+        ).cast("long").alias("n_changed"),
+        F.sum(
+            F.when(F.col("dl1") == F.col("dl2"), F.lit(1)).otherwise(F.lit(0))
+        ).cast("long").alias("n_unchanged"),
+        F.sum(F.col("dl2").cast("long") - F.col("dl1").cast("long"))
+        .cast("long")
+        .alias("token_delta"),
+    )

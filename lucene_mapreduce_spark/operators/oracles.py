@@ -7187,3 +7187,67 @@ SELECT label, count(*)::BIGINT AS n_vecs,
        max(mse) AS max_mse
 FROM per_vec GROUP BY 1 ORDER BY 1
 """
+
+
+ORACLES["rolling_7d_distinct_users"] = """
+WITH pairs AS (SELECT DISTINCT ts::DATE AS day, user_id FROM events),
+cal AS (SELECT DISTINCT ts::DATE AS day FROM events),
+fan AS (
+  SELECT (p.day + o.off * INTERVAL 1 DAY)::DATE AS day, p.user_id
+  FROM pairs p, (SELECT unnest(range(7))::INT AS off) o
+)
+SELECT f.day::VARCHAR AS day, count(DISTINCT f.user_id)::BIGINT AS wau
+FROM fan f JOIN cal USING (day)
+GROUP BY f.day ORDER BY f.day
+"""
+
+
+def time_to_convert_sql(step_a: str, step_b: str) -> str:
+    """First-touch conversion timing twin: exact micros deltas, type-7
+    median on the per-row /1e6 chain, mean from the exact sum."""
+    return f"""
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+),
+fa AS (
+  SELECT user_id, min(us) AS ta FROM e
+  WHERE event_type = '{step_a}' GROUP BY 1
+),
+fb AS (
+  SELECT e.user_id, min(e.us) AS tb, min(fa.ta) AS ta2
+  FROM e JOIN fa USING (user_id)
+  WHERE e.event_type = '{step_b}' AND e.us > fa.ta
+  GROUP BY 1
+),
+deltas AS (
+  SELECT (tb - ta2)::BIGINT AS dus, (tb - ta2) / 1000000.0 AS dt_s FROM fb
+)
+SELECT count(*)::BIGINT AS n_converted,
+       round(quantile_cont(dt_s, 0.5), 6) AS p50_s,
+       round(sum(dus)::DOUBLE / count(*)::DOUBLE / 1000000.0, 6) AS mean_s,
+       round(max(dus)::DOUBLE / 1000000.0, 6) AS max_s
+FROM deltas
+"""
+
+
+TERM_DF_HISTOGRAM_SQL = f"""
+WITH dfs AS (
+  SELECT term, count(*)::BIGINT AS df
+  FROM (SELECT DISTINCT doc_id, unnest({TOKS}) AS term FROM documents) t
+  GROUP BY 1
+),
+b AS (SELECT (length(bin(df)) - 1)::INT AS log2_df, df FROM dfs)
+SELECT log2_df, (1::BIGINT << log2_df)::BIGINT AS df_lo,
+       count(*)::BIGINT AS n_terms, sum(df)::BIGINT AS sum_df
+FROM b GROUP BY 1 ORDER BY 1
+"""
+
+
+ORACLES["generation_diff_report"] = """
+SELECT count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS n_changed,
+       sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_unchanged,
+       (-2 * sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END))::BIGINT
+         AS token_delta
+FROM documents
+"""

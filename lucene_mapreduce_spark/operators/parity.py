@@ -2087,3 +2087,90 @@ def hourly_activity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
         .orderBy("hour", "event_type")
     )
+
+
+ROLLING_DISTINCT_DAYS = 7
+
+
+def rolling_7d_distinct_users(
+    spark: SparkSession, sf_dir: str, days: int = ROLLING_DISTINCT_DAYS
+) -> DataFrame:
+    """Trailing 7-day DISTINCT active users per day (the WAU curve) —
+    the aggregate a plain window sum cannot give (distinct doesn't
+    decompose; daily_distinct_users is the 1-day point). Shape: collapse
+    events to distinct (day, user) pairs FIRST (the only data-sized
+    shuffle), then fan each pair out to the <= `days` calendar days it
+    supports via a bounded offsets join, then one distinct-count per day.
+    Row inflation is x days on the already-collapsed pair set — at 100 TB
+    this is the standard sliding-distinct rewrite (the alternative, an
+    HLL union tree, trades exactness; cumulative_cardinality_pipeline
+    shows the sketch-free running variant). Days outside the observed
+    calendar are dropped; each output day therefore reports the true
+    trailing window clipped to the stream start."""
+    ev = load(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    pairs = ev.distinct()
+    offs = spark.range(0, days).select(F.col("id").cast("int").alias("off"))
+    cal = ev.select("day").distinct()
+    fan = (
+        pairs.crossJoin(F.broadcast(offs))
+        .select(F.date_add("day", F.col("off")).alias("day"), "user_id")
+        .join(cal, "day")  # clip to observed days
+    )
+    return (
+        fan.groupBy("day")
+        .agg(F.countDistinct("user_id").cast("long").alias("wau"))
+        .select(F.col("day").cast("string").alias("day"), "wau")
+        .orderBy("day")
+    )
+
+
+CONVERT_FROM, CONVERT_TO = "view", "purchase"
+
+
+def time_to_convert_stats(
+    spark: SparkSession,
+    sf_dir: str,
+    step_a: str = CONVERT_FROM,
+    step_b: str = CONVERT_TO,
+) -> DataFrame:
+    """First-touch conversion timing: per user, the delta from FIRST
+    `view` to the FIRST `purchase` strictly after it (funnel_analysis
+    counts who converts; this reports how long conversion takes). Two
+    map-side-combinable min-aggregates + one broadcast-sized join on
+    user_id; deltas are exact epoch-micros BIGINTs, the percentile is
+    type-7 on the derived seconds (one fixed /1e6 chain both engines),
+    means divide exact sums once."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    first_a = (
+        ev.filter(F.col("event_type") == step_a)
+        .groupBy("user_id")
+        .agg(F.min("us").alias("ta"))
+    )
+    bs = ev.filter(F.col("event_type") == step_b).join(first_a, "user_id")
+    first_b = (
+        bs.filter(F.col("us") > F.col("ta"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("tb"), F.min("ta").alias("ta2"))
+    )
+    # deltas stay exact BIGINT micros; /1e6 happens per-row (identical
+    # chain for the percentile sort) or once on the exact sum (mean)
+    deltas = first_b.select(
+        (F.col("tb") - F.col("ta2")).cast("long").alias("dus"),
+        ((F.col("tb") - F.col("ta2")) / F.lit(1000000.0)).alias("dt_s"),
+    )
+    return deltas.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.round(F.expr("percentile(dt_s, 0.5)"), 6).alias("p50_s"),
+        F.round(
+            F.sum("dus").cast("double")
+            / F.count(F.lit(1)).cast("double") / F.lit(1000000.0),
+            6,
+        ).alias("mean_s"),
+        F.round(F.max("dus").cast("double") / F.lit(1000000.0), 6).alias("max_s"),
+    )

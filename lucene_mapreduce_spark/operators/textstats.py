@@ -3032,3 +3032,39 @@ def lang_source_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chi2",
         )
     )
+
+
+def term_df_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed document-frequency histogram of the vocabulary — the
+    posting-list size distribution that drives index planning (how many
+    terms are Zipf-head vs singleton tail decides skip-list and
+    block-max layout; the build's (phash, chunk) salting exists because
+    of this tail). Bucket = floor(log2(df)) computed EXACTLY as
+    len(bin(df)) - 1 — pure integer, no engine log2 (whose ulps differ
+    at exact powers of two). One vocab-sized groupBy + a ~30-row
+    rollup."""
+    docs = load(spark, sf_dir, "documents")
+    dfs = (
+        docs.select(
+            "doc_id", F.explode(F.array_distinct(tokenize_col("text"))).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+    bucket = (F.length(F.bin(F.col("df"))) - F.lit(1)).cast("int")
+    return (
+        dfs.select(bucket.alias("log2_df"), "df")
+        .groupBy("log2_df")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.sum("df").cast("long").alias("sum_df"),
+        )
+        .select(
+            "log2_df",
+            # shiftleft's Column overload throws NOT_ITERABLE (the hll rule)
+            F.expr("cast(shiftleft(1, log2_df) as long)").alias("df_lo"),
+            "n_terms",
+            "sum_df",
+        )
+        .orderBy("log2_df")
+    )
