@@ -256,3 +256,115 @@ class PostingReader:
 
 def decode_postings(buf: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     return PostingReader(buf).decode_all()
+
+
+def decode_postings_many(
+    data: np.ndarray, starts: np.ndarray, ends: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode MANY posting payloads in one set of vectorized passes.
+
+    ``data`` is a uint8 buffer holding the payloads (e.g. an Arrow binary
+    column's value buffer, zero-copy); payload i occupies
+    ``data[starts[i]:ends[i]]``. Returns (docids int64, tfs float64,
+    dls float64) concatenated in payload order — value-identical to
+    concatenating per-payload ``decode_postings`` results (asserted in
+    tests), but the varbyte width loop, flatnonzero and cumsum each run
+    ONCE over the whole batch instead of once per ~50 KB payload. This is
+    the cold-query serving path: a head term's posting list spans hundreds
+    of chunk payloads and the per-call fixed costs dominated the decode
+    (profiled: 774 decode_postings calls = 0.77 s of a 1.05 s cold query).
+    """
+    starts = np.asarray(starts, np.int64)
+    ends = np.asarray(ends, np.int64)
+    if len(starts) == 0:
+        z = np.zeros(0, np.int64)
+        return z, np.zeros(0, np.float64), np.zeros(0, np.float64)
+    # headers: count u32 at +3, n_blocks u32 at +9 (little-endian) —
+    # gathered byte-by-byte (4 gathers of n_payloads elements), never a
+    # whole-buffer dtype conversion
+    def _u32(off: np.ndarray) -> np.ndarray:
+        return (
+            data[off].astype(np.int64)
+            | (data[off + 1].astype(np.int64) << 8)
+            | (data[off + 2].astype(np.int64) << 16)
+            | (data[off + 3].astype(np.int64) << 24)
+        )
+
+    counts = _u32(starts + 3)
+    n_blocks = _u32(starts + 9)
+    body_starts = starts + _HEADER.size + n_blocks * _SKIP_DTYPE.itemsize
+    nz = counts > 0
+    if not nz.all():
+        counts, body_starts, ends = counts[nz], body_starts[nz], ends[nz]
+    if len(counts) == 0:
+        z = np.zeros(0, np.int64)
+        return z, np.zeros(0, np.float64), np.zeros(0, np.float64)
+    # Blocked decode: payloads are grouped into ~1 MB body batches. One
+    # monolithic pass over a multi-MB head-term body streams every width
+    # pass through DRAM; ~1 MB groups keep the working set cache-resident
+    # (measured 210 ms monolithic vs 121 ms per-payload vs ~85 ms blocked
+    # on a 1.9M-posting term) while the per-group fixed cost stays ~20
+    # python iterations per term instead of ~800.
+    sizes = ends - body_starts
+    group_of = (np.cumsum(sizes) - sizes) >> 20
+    cuts = np.flatnonzero(np.diff(group_of)) + 1
+    out_d, out_tf, out_dl = [], [], []
+    for lo, hi in zip(
+        np.concatenate(([0], cuts)), np.concatenate((cuts, [len(counts)]))
+    ):
+        body = np.concatenate(
+            [data[a:b] for a, b in zip(body_starts[lo:hi], ends[lo:hi])]
+        )
+        d, tf, dl = _decode_concat_bodies(body, counts[lo:hi])
+        out_d.append(d)
+        out_tf.append(tf)
+        out_dl.append(dl)
+    if len(out_d) == 1:
+        return out_d[0], out_tf[0], out_dl[0]
+    return (
+        np.concatenate(out_d),
+        np.concatenate(out_tf),
+        np.concatenate(out_dl),
+    )
+
+
+def _decode_concat_bodies(
+    body: np.ndarray, counts: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized decode of back-to-back posting BODIES (streams only,
+    headers stripped); payload i contributes 3*counts[i] varbyte values."""
+    # every varbyte stream ends on a terminator byte (<128), so value
+    # boundaries never straddle payload joins in the concatenation
+    ends_v = np.flatnonzero(body < 128)
+    n_vals = len(ends_v)
+    assert n_vals == int(3 * counts.sum()), "corrupt posting batch"
+    starts_v = np.empty_like(ends_v)
+    starts_v[0] = 0
+    starts_v[1:] = ends_v[:-1] + 1
+    widths = ends_v - starts_v + 1
+    vals = (body[starts_v] & 0x7F).astype(np.uint64)
+    for w in range(1, int(widths.max())):
+        m = widths > w
+        vals[m] |= (body[starts_v[m] + w] & np.uint8(0x7F)).astype(
+            np.uint64
+        ) << np.uint64(7 * w)
+    # per payload the values run [doc deltas | tfs | dls], counts[i] each
+    npay = len(counts)
+    coff = np.zeros(npay + 1, np.int64)
+    np.cumsum(counts, out=coff[1:])
+    n_tot = int(coff[-1])
+    voff = coff[:-1] * 3  # value offset of payload i's doc-delta run
+    pay_id = np.repeat(np.arange(npay, dtype=np.int64), counts)
+    pos = np.arange(n_tot, dtype=np.int64) - np.repeat(coff[:-1], counts)
+    doc_idx = voff[pay_id] + pos
+    tf_idx = doc_idx + counts[pay_id]
+    dl_idx = tf_idx + counts[pay_id]
+    deltas = vals[doc_idx]
+    tfs = vals[tf_idx].astype(np.float64)
+    dls = vals[dl_idx].astype(np.float64)
+    # segmented cumsum: deltas[first-of-payload] is the absolute docid
+    tot = np.cumsum(deltas)
+    first = coff[:-1]
+    base = tot[first] - deltas[first]
+    docids = (tot - np.repeat(base, counts)).astype(np.int64)
+    return docids, tfs, dls

@@ -26,18 +26,51 @@ from __future__ import annotations
 
 import heapq
 import os
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 import pyarrow.dataset as ds
 
+import pyarrow as pa
+
 from lucene_mapreduce_spark.functions.tokenize import tokenize_string
-from lucene_mapreduce_spark.index.codec import decode_postings
+from lucene_mapreduce_spark.index.codec import decode_postings_many
 from lucene_mapreduce_spark.index.manifest import Manifest, load_manifest, segment_dir
 from lucene_mapreduce_spark.query.bm25 import B, K1, bm25_idf
 
 from lucene_mapreduce_spark.functions.hashing import term_phash, xxhash64  # noqa: F401  (re-exported; parity tested vs Spark)
 
 _BM_BLOCK = 128  # block granularity for in-memory block-max pruning
+_PREFETCH_WORKERS = 8  # cold-query term prefetch pool width
+_POOL: ThreadPoolExecutor | None = None
+
+
+def _pool() -> ThreadPoolExecutor:
+    """Process-wide worker pool for serving-side cold-path parallelism
+    (term prefetch, per-term searchsorted, live-map warm). Shared across
+    searchers — one 8-thread pool per process, not per IndexSearcher, so
+    test suites that open hundreds of searchers don't accumulate threads.
+    Tasks are pure reads over immutable per-searcher state."""
+    global _POOL
+    if _POOL is None:
+        _POOL = ThreadPoolExecutor(max_workers=_PREFETCH_WORKERS)
+    return _POOL
+
+
+def _binary_views(col: "pa.ChunkedArray"):
+    """Zero-copy (data, starts, ends) view of an Arrow binary column: the
+    payloads stay in Arrow's value buffer; only the offsets are materialized.
+    Replaces to_pylist(), which copied every ~50 KB payload into a Python
+    bytes object on the cold-query path."""
+    arr = col.combine_chunks()
+    if len(arr) == 0:
+        z = np.zeros(0, np.int64)
+        return np.zeros(0, np.uint8), z, z
+    odt = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+    off = np.frombuffer(arr.buffers()[1], dtype=odt)
+    off = off[arr.offset : arr.offset + len(arr) + 1].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], np.uint8)
+    return data, off[:-1], off[1:]
 
 
 def _lev_banded(terms: np.ndarray, lens: np.ndarray, word: str) -> np.ndarray:
@@ -204,6 +237,15 @@ class IndexSearcher:
         for d in self._datasets:
             for frag in d.get_fragments():
                 frag.ensure_complete_metadata()
+        # Build the live-doc domain (DL pseudo-term decode + sort, the
+        # head-term scoring base) CONCURRENTLY at open instead of inline in
+        # the first head-term query — serving opens once, and the first
+        # cold query was paying this ~0.2 s on the query path.
+        self._all_docs_future = (
+            _pool().submit(self._compute_all_docs)
+            if self._live_doc is None
+            else None
+        )
 
     def _load_live_map(self, m: Manifest) -> None:
         """Latest-wins doc -> generation map + exact live corpus stats,
@@ -216,9 +258,10 @@ class IndexSearcher:
             tbl = dataset.to_table(
                 filter=ds.field("phash") == m.num_partitions, columns=["payload"]
             )
-            for payload in tbl["payload"].to_pylist():
-                d, _tf, dl = decode_postings(payload)
-                doc_parts.append(d.astype(np.int64))
+            data, bs, be = _binary_views(tbl["payload"])
+            d, _tf, dl = decode_postings_many(data, bs, be)
+            if len(d):
+                doc_parts.append(d)
                 dl_parts.append(dl.astype(np.int64))
                 seq_parts.append(np.full(len(d), seg_seq, np.int64))
         docs = np.concatenate(doc_parts) if doc_parts else np.zeros(0, np.int64)
@@ -241,20 +284,27 @@ class IndexSearcher:
             return self._live_doc
         cached = getattr(self, "_all_docs_cache", None)
         if cached is None:
-            parts = []
-            for dataset in self._datasets:
-                tbl = dataset.to_table(
-                    filter=ds.field("phash") == self.manifest.num_partitions,
-                    columns=["payload"],
-                )
-                for payload in tbl["payload"].to_pylist():
-                    d, _tf, _dl = decode_postings(payload)
-                    parts.append(d.astype(np.int64))
-            cached = (
-                np.sort(np.concatenate(parts)) if parts else np.zeros(0, np.int64)
-            )
+            fut = getattr(self, "_all_docs_future", None)
+            if fut is not None:
+                self._all_docs_future = None
+                cached = fut.result()
+            else:
+                cached = self._compute_all_docs()
             self._all_docs_cache = cached
         return cached
+
+    def _compute_all_docs(self) -> np.ndarray:
+        parts = []
+        for dataset in self._datasets:
+            tbl = dataset.to_table(
+                filter=ds.field("phash") == self.manifest.num_partitions,
+                columns=["payload"],
+            )
+            data, bs, be = _binary_views(tbl["payload"])
+            d, _tf, _dl = decode_postings_many(data, bs, be)
+            if len(d):
+                parts.append(d)
+        return np.sort(np.concatenate(parts)) if parts else np.zeros(0, np.int64)
 
     def _read_term(self, term: str):
         """All (chunk-ordered) posting rows of one term -> concatenated
@@ -263,15 +313,43 @@ class IndexSearcher:
         cached = self._cache.get(term)
         if cached is not None or term in self._cache:
             return cached
+        got = self._load_term_cold(term)
+        self._cache_put(term, got)
+        return got
+
+    def _load_term_cold(self, term: str):
+        """Full cold load of one term: parquet read + varbyte decode + idf +
+        per-posting BM25 contributions. Read-only over the immutable dataset
+        handles and numpy buffers, so it is safe to run concurrently from
+        the prefetch pool (pyarrow IO and the vectorized decode/contrib math
+        all release the GIL)."""
         got = self._read_term_cold(term)
-        if got is not None:
-            docids, tfs, dls = got
-            idf = bm25_idf(len(docids), self.n_docs)
-            got = (docids, tfs, dls, self._contrib(idf, tfs, dls), idf)
+        if got is None:
+            return None
+        docids, tfs, dls = got
+        idf = bm25_idf(len(docids), self.n_docs)
+        return (docids, tfs, dls, self._contrib(idf, tfs, dls), idf)
+
+    def _cache_put(self, term: str, got) -> None:
         if len(self._cache) >= self._cache_cap:
             self._cache.pop(next(iter(self._cache)))
         self._cache[term] = got
-        return got
+
+    def prefetch_terms(self, terms) -> None:
+        """Warm the posting cache for every uncached term CONCURRENTLY —
+        Lucene's analogue is the per-segment TermsEnum seek + postings read
+        being IO-parallel across query terms. A cold multi-term query was
+        previously len(terms) sequential (read + decode) legs; the pool
+        overlaps them (cache insertion stays in the caller's thread, so the
+        LRU dict is never mutated concurrently)."""
+        missing = [t for t in dict.fromkeys(terms) if t not in self._cache]
+        if not missing:
+            return
+        if len(missing) == 1:
+            self._read_term(missing[0])
+            return
+        for t, got in zip(missing, _pool().map(self._load_term_cold, missing)):
+            self._cache_put(t, got)
 
     def _read_term_cold(self, term: str):
         p = term_phash(term, self.manifest.num_partitions)
@@ -283,26 +361,19 @@ class IndexSearcher:
             )
             if tbl.num_rows == 0:
                 continue
+            # Batch decode: ALL of the term's chunk payloads in one set of
+            # vectorized passes (one flatnonzero, one width loop, one
+            # segmented cumsum) straight off the zero-copy Arrow value
+            # buffer. This replaced a per-payload decode loop whose fixed
+            # per-call costs dominated cold queries (774 decode calls =
+            # 0.77 s of a 1.05 s cold 5-head-term query). Liveness is still
+            # ONE searchsorted per segment over the chunk-ordered (hence
+            # docid-sorted) concatenation.
             order = np.argsort(tbl["chunk"].to_numpy())
-            payloads = tbl["payload"].to_pylist()
-            # Per-payload decode beats a concatenated batch decode here:
-            # ~50 KB payload chunks stay in L2 through the varbyte width
-            # passes, while a single multi-MB concatenated scan does not
-            # (measured 0.94 s vs 1.22 s cold max on the 250k-conv A/B).
-            # Liveness is still ONE searchsorted per segment over the
-            # chunk-ordered (hence docid-sorted) concatenation.
-            seg_d, seg_tf, seg_dl = [], [], []
-            for i in order:
-                d, tf, dl = decode_postings(payloads[i])
-                if len(d):
-                    seg_d.append(d.astype(np.int64))
-                    seg_tf.append(tf)
-                    seg_dl.append(dl)
-            if not seg_d:
+            data, bs, be = _binary_views(tbl["payload"])
+            d, tf, dl = decode_postings_many(data, bs[order], be[order])
+            if not len(d):
                 continue
-            d = np.concatenate(seg_d) if len(seg_d) > 1 else seg_d[0]
-            tf = np.concatenate(seg_tf) if len(seg_tf) > 1 else seg_tf[0]
-            dl = np.concatenate(seg_dl) if len(seg_dl) > 1 else seg_dl[0]
             if self._live_doc is not None:
                 # keep a posting only if this generation holds the doc's
                 # live (newest) copy
@@ -317,13 +388,13 @@ class IndexSearcher:
             dl_parts.append(dl)
         if not doc_parts:
             return None
-        docids = np.concatenate(doc_parts)
-        tfs = np.concatenate(tf_parts)
-        dls = np.concatenate(dl_parts)
+        docids = np.concatenate(doc_parts) if len(doc_parts) > 1 else doc_parts[0]
+        tfs = np.concatenate(tf_parts) if len(tf_parts) > 1 else tf_parts[0]
+        dls = np.concatenate(dl_parts) if len(dl_parts) > 1 else dl_parts[0]
         if len(self._datasets) > 1:
             order = np.argsort(docids, kind="mergesort")
             docids, tfs, dls = docids[order], tfs[order], dls[order]
-        return docids, tfs.astype(np.float64), dls.astype(np.float64)
+        return docids, tfs, dls
 
     def _contrib(self, idf: float, tf, dl):
         return idf * (tf * (K1 + 1.0)) / (tf + K1 * (1.0 - B + B * dl / self.avgdl))
@@ -335,6 +406,7 @@ class IndexSearcher:
         (XdiReportReducer.java:356) answered from the same decoded cursors
         WAND uses — set intersection/union over sorted docid arrays."""
         terms = sorted(set(tokenize_string(query_text)))
+        self.prefetch_terms(terms)
         lists = []
         for t in terms:
             got = self._read_term(t)
@@ -530,6 +602,7 @@ class IndexSearcher:
             if not len(cand):
                 return []
         scoring = sorted(set(must) | set(should))
+        self.prefetch_terms(scoring)
         if cand is None:
             if not scoring:
                 return []
@@ -756,6 +829,7 @@ class IndexSearcher:
             if not len(cand):
                 return []
         scoring = sorted(set(spec["must"]) | set(spec["should"]))
+        self.prefetch_terms(scoring)
         if cand is None:
             if not scoring:
                 assert not (fm_doc or fmn_doc or fmn_idx or rmn), (
@@ -908,6 +982,7 @@ class IndexSearcher:
         volume). Both are exact and tested rank+score-identical.
         """
         terms = sorted(set(tokenize_string(query_text)))
+        self.prefetch_terms(terms)
         cursors: list[_TermCursor] = []
         for t in terms:
             got = self._read_term(t)
@@ -1010,8 +1085,13 @@ class IndexSearcher:
             base = self._all_live_docs()
             scores_full = np.zeros(len(base), dtype=np.float64)
             hit = np.zeros(len(base), dtype=bool)
-            for c in cursors:  # ascending term order
-                idx = np.searchsorted(base, c.docids)
+            # the searchsorted legs are independent and GIL-releasing —
+            # compute them in the pool; the scatter-adds below stay
+            # SEQUENTIAL in ascending term order (bit-identical scores)
+            idxs = list(
+                _pool().map(lambda c: np.searchsorted(base, c.docids), cursors)
+            )
+            for c, idx in zip(cursors, idxs):  # ascending term order
                 scores_full[idx] += c.contribs_full()
                 hit[idx] = True
             uniq, scores = base[hit], scores_full[hit]
@@ -1021,8 +1101,10 @@ class IndexSearcher:
             return uniq, scores
         uniq = np.unique(np.concatenate([c.docids for c in cursors]))
         scores = np.zeros(len(uniq), dtype=np.float64)
-        for c in cursors:  # ascending term order
-            idx = np.searchsorted(uniq, c.docids)
+        idxs = list(
+            _pool().map(lambda c: np.searchsorted(uniq, c.docids), cursors)
+        )
+        for c, idx in zip(cursors, idxs):  # ascending term order
             scores[idx] += c.contribs_full()
         if len(self._scored_cache) >= 64:
             self._scored_cache.pop(next(iter(self._scored_cache)))
@@ -1040,6 +1122,7 @@ class IndexSearcher:
         the strict-after filter is an exact comparison, like Lucene's
         FieldDoc cursor."""
         terms = sorted(set(tokenize_string(query_text)))
+        self.prefetch_terms(terms)
         cursors: list[_TermCursor] = []
         for t in terms:
             got = self._read_term(t)

@@ -102,3 +102,46 @@ def test_compression_is_effective():
     dls = np.full(10_000, 30, np.uint64)
     buf = encode_postings(docids, tfs, dls)
     assert len(buf) < 10_000 * 4  # vs 24 bytes/posting raw
+
+
+def test_decode_postings_many_matches_single():
+    from lucene_mapreduce_spark.index.codec import decode_postings_many
+
+    rng = np.random.default_rng(17)
+    groups = []
+    for g in range(40):
+        n = int(rng.integers(0, 500))  # include empty payloads
+        docids = np.sort(
+            rng.choice(10**9, size=n, replace=False).astype(np.uint64)
+        )
+        tfs = rng.integers(1, 1 << 20, n).astype(np.uint64)
+        dls = rng.integers(1, 1 << 16, n).astype(np.uint64)
+        groups.append((docids, tfs, dls))
+    payloads = [encode_postings(*g) for g in groups]
+    data = np.frombuffer(b"".join(payloads), np.uint8)
+    lens = np.array([len(p) for p in payloads], np.int64)
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    d, tf, dl = decode_postings_many(data, starts, ends)
+    exp_d = np.concatenate([g[0] for g in groups]).astype(np.int64)
+    exp_tf = np.concatenate([g[1] for g in groups]).astype(np.float64)
+    exp_dl = np.concatenate([g[2] for g in groups]).astype(np.float64)
+    assert d.dtype == np.int64 and tf.dtype == np.float64
+    np.testing.assert_array_equal(d, exp_d)
+    np.testing.assert_array_equal(tf, exp_tf)
+    np.testing.assert_array_equal(dl, exp_dl)
+    # payload-order permutation (the chunk argsort path) must hold too
+    perm = rng.permutation(len(groups))
+    d2, _tf2, _dl2 = decode_postings_many(data, starts[perm], ends[perm])
+    np.testing.assert_array_equal(
+        d2, np.concatenate([groups[i][0] for i in perm]).astype(np.int64)
+    )
+
+
+def test_decode_postings_many_empty():
+    from lucene_mapreduce_spark.index.codec import decode_postings_many
+
+    d, tf, dl = decode_postings_many(
+        np.zeros(0, np.uint8), np.zeros(0, np.int64), np.zeros(0, np.int64)
+    )
+    assert len(d) == len(tf) == len(dl) == 0
