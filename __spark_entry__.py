@@ -22,6 +22,7 @@ from lucene_mapreduce_spark.operators import (  # noqa: E402
     ivf,
     multimodal,
     parity,
+    relational,
     similarity,
     textstats,
 )
@@ -638,6 +639,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_to_convert_stats": parity.time_to_convert_stats,
         "term_df_histogram": textstats.term_df_histogram,
         "generation_diff_report": fulltext.generation_diff_report,
+        # round-4 session-13 batch 37: warehouse-relational pack
+        "pricing_summary": relational.pricing_summary,
+        "order_priority_count": relational.order_priority_count,
+        "returned_item_customers": relational.returned_item_customers,
+        "local_supplier_volume": relational.local_supplier_volume,
+        "large_volume_customers": relational.large_volume_customers,
+        "rfm_segments": relational.rfm_segments,
+        "part_affinity_lift": relational.part_affinity_lift,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})

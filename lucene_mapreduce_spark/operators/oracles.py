@@ -7251,3 +7251,139 @@ SELECT count(*)::BIGINT AS n_docs,
          AS token_delta
 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# Batch 37: warehouse-relational pack (operators/relational.py). Float
+# aggregates follow the round-then-DECIMAL-sum rule; per-row products are
+# single-expression float64 chains identical in both engines (2-dp TPC-H
+# value shapes keep the 4-dp round far from representation boundaries).
+
+ORACLES["pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity::BIGINT)::BIGINT AS sum_qty,
+       round((sum(round(l_extendedprice, 2)::DECIMAL(28,2)))::DOUBLE, 4)
+         AS sum_base_price,
+       round((sum(round(l_extendedprice * (1 - l_discount), 4)
+                  ::DECIMAL(28,4)))::DOUBLE, 4) AS sum_disc_price,
+       round((sum(round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6)
+                  ::DECIMAL(28,6)))::DOUBLE, 6) AS sum_charge,
+       round(sum(l_quantity::BIGINT)::DOUBLE / count(*), 6) AS avg_qty,
+       round((sum(round(l_extendedprice, 2)::DECIMAL(28,2)))::DOUBLE
+             / count(*), 6) AS avg_price,
+       round((sum(round(l_discount, 2)::DECIMAL(28,2)))::DOUBLE
+             / count(*), 6) AS avg_disc,
+       count(*)::BIGINT AS n_lines
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+ORACLES["order_priority_count"] = """
+SELECT o_orderpriority, count(*)::BIGINT AS n_orders
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1997-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate >= o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY 1 ORDER BY 1
+"""
+
+ORACLES["returned_item_customers"] = """
+WITH rev AS (
+  SELECT o_custkey,
+         sum(round(l_extendedprice * (1 - l_discount), 4)::DECIMAL(28,4))
+           AS revenue
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+  GROUP BY 1
+),
+ranked AS (
+  SELECT c_custkey, c_name, n_name,
+         round(rev.revenue::DOUBLE, 4) AS revenue,
+         row_number() OVER (ORDER BY rev.revenue DESC, c_custkey) AS rank
+  FROM rev
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+)
+SELECT * FROM ranked WHERE rank <= 20 ORDER BY rank
+"""
+
+ORACLES["local_supplier_volume"] = """
+SELECT n_name,
+       round((sum(round(l_extendedprice * (1 - l_discount), 4)
+                  ::DECIMAL(28,4)))::DOUBLE, 4) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY 1 ORDER BY 2 DESC, 1
+"""
+
+ORACLES["large_volume_customers"] = """
+WITH big AS (
+  SELECT l_orderkey, sum(l_quantity::BIGINT)::BIGINT AS total_qty
+  FROM lineitem GROUP BY 1 HAVING sum(l_quantity::BIGINT) > 250
+)
+SELECT c_custkey, c_name, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+       round(o_totalprice, 2) AS o_totalprice, total_qty
+FROM big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_qty DESC, o_orderkey
+"""
+
+ORACLES["rfm_segments"] = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         max(o_orderdate) AS last_order,
+         count(*)::BIGINT AS frequency,
+         sum(round(o_totalprice, 2)::DECIMAL(28,2)) AS monetary
+  FROM orders GROUP BY 1
+),
+ref AS (SELECT max(o_orderdate) AS d FROM orders),
+coded AS (
+  SELECT o_custkey,
+         ntile(4) OVER (ORDER BY date_diff('day', last_order::DATE, d::DATE),
+                        o_custkey) AS r_q,
+         ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_q,
+         ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_q
+  FROM per_cust CROSS JOIN ref
+)
+SELECT r_q, f_q, m_q, count(*)::BIGINT AS n_customers
+FROM coded GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+ORACLES["part_affinity_lift"] = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT count(DISTINCT l_orderkey)::DOUBLE AS n_orders FROM op),
+part_n AS (SELECT l_partkey, count(*)::BIGINT AS n_part FROM op GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*)::BIGINT AS n_ab
+  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+scored AS (
+  SELECT pa, pb, n_ab, na.n_part AS n_a, nb.n_part AS n_b,
+         round((n_ab::DOUBLE * n_orders)
+               / (na.n_part::DOUBLE * nb.n_part::DOUBLE), 6) AS lift
+  FROM pairs
+  JOIN part_n na ON pairs.pa = na.l_partkey
+  JOIN part_n nb ON pairs.pb = nb.l_partkey
+  CROSS JOIN n
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY n_ab DESC, lift DESC, pa, pb) AS rank
+  FROM scored
+)
+SELECT pa, pb, n_ab, n_a, n_b, lift, rank FROM ranked
+WHERE rank <= 20 ORDER BY rank
+"""

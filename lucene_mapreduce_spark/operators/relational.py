@@ -1,0 +1,340 @@
+"""Warehouse-relational analytics over the TPC-H-shaped tables.
+
+The reference engine's report jobs join its index tables against dimension
+files and aggregate (XdiReportReducer.java's join-then-count loops;
+SURVEY.md SS2.4-2.5 J/A families). This module exercises those same join +
+aggregate shapes at warehouse scale on the relational side of the testdata
+(region nation customer supplier part orders lineitem) with the classic
+TPC-H query patterns: partial-aggregatable scans, broadcast dimension
+joins, semi-joins, group-filter (HAVING) joins back to facts, quantile
+segmentation, and basket self-joins.
+
+Scale posture (100 TB): facts (lineitem, orders) are only ever scanned,
+filtered, and hash-aggregated on their natural keys; dimensions ride
+broadcast joins; the one self-join (part_affinity_lift) is bounded by
+per-order basket size and Apriori-pruned before the join. Every float
+aggregate is rounded per-row and summed as DECIMAL so results are
+order-free and engine-exact (CLAUDE.md determinism rules).
+
+Determinism note: prices/discounts/taxes are 2-dp values and quantities
+are integral (TPC-H shapes), so per-row products like
+extendedprice*(1-discount) are computed identically in float64 by both
+engines, and a 4-dp round before the DECIMAL sum is far from any
+representation boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lucene_mapreduce_spark.operators.parity import load
+
+# Pinned analysis parameters (shared with the oracles; scale-free).
+PRICING_CUTOFF = "2000-12-01"
+PRIORITY_WINDOW = ("1997-01-01", "1997-07-01")
+LATE_SHIP_DAYS = 60
+VOLUME_REGION = "ASIA"
+VOLUME_WINDOW = ("1996-01-01", "1997-01-01")
+LARGE_ORDER_QTY = 250
+RETURNED_TOP_K = 20
+AFFINITY_MIN_SUPPORT = 2
+AFFINITY_TOP_K = 20
+
+
+def _dec_sum(col, scale: int = 4, out: str | None = None):
+    """Order-free exact sum of a float column: round per row, accumulate as
+    DECIMAL (associative integer arithmetic), cast the exact total back to
+    double. DuckDB twin: round(x, s)::DECIMAL(28,s)."""
+    return F.sum(F.round(col, scale).cast(f"decimal(28,{scale})"))
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: single-scan pricing summary of shipped lineitems.
+
+    The canonical partial-aggregate report (reference analogue: the
+    XdiReportReducer count/sum loops over one input). Catalyst plan: one
+    parquet scan with the shipdate filter pushed down, map-side partial
+    hash aggregate on the 6-ish (returnflag, linestatus) groups, one
+    tiny shuffle. No joins; scales linearly with the fact table."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit(PRICING_CUTOFF).cast("timestamp")
+    )
+    ep = F.col("l_extendedprice")
+    disc_price = ep * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    n = F.count(F.lit(1))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.round(_dec_sum(ep, 2).cast("double"), 4).alias("sum_base_price"),
+            F.round(_dec_sum(disc_price, 4).cast("double"), 4).alias(
+                "sum_disc_price"
+            ),
+            # charge = ep*(1-d)*(1+t) is an exact SIX-dp decimal (2dp x 2dp
+            # x 2dp); rounding it at 4dp would sit on genuine .5 boundaries
+            # where engine tie rules differ — 6dp is boundary-free exact
+            F.round(_dec_sum(charge, 6).cast("double"), 6).alias("sum_charge"),
+            F.round(
+                F.sum(F.col("l_quantity").cast("long")).cast("double") / n, 6
+            ).alias("avg_qty"),
+            F.round(_dec_sum(ep, 2).cast("double") / n, 6).alias("avg_price"),
+            F.round(_dec_sum(F.col("l_discount"), 2).cast("double") / n, 6).alias(
+                "avg_disc"
+            ),
+            n.cast("long").alias("n_lines"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def order_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders in a quarter-window that had at least one
+    late-shipping line (shipdate >= orderdate + 60 days), counted per
+    priority. The EXISTS is a LEFT SEMI join — Spark never materializes
+    the multiplicity, so the fact-fact join carries only the order keys
+    that matter and the aggregate stays tiny."""
+    lo, hi = PRIORITY_WINDOW
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(lo).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(hi).cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (
+            F.col("l_shipdate")
+            >= F.col("o_orderdate") + F.expr(f"INTERVAL {LATE_SHIP_DAYS} DAYS")
+        ),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top customers by revenue lost to returned items
+    (l_returnflag = 'R'), with the nation name from a broadcast dim.
+    Revenue is an exact DECIMAL sum, so the top-k rank (revenue DESC,
+    custkey ASC) is engine-identical. Plan: lineitem filter+agg to order
+    grain, join orders (fact-fact, key-partitioned), agg to customer
+    grain, broadcast-join customer+nation."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    rev = li.select(
+        "l_orderkey",
+        F.round(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 4
+        )
+        .cast("decimal(28,4)")
+        .alias("rev"),
+    )
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    per_cust = (
+        rev.join(orders, rev.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum("rev").alias("revenue"))
+    )
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    from pyspark.sql.window import Window
+
+    joined = per_cust.join(
+        F.broadcast(cust), per_cust.o_custkey == cust.c_custkey
+    ).join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    ranked = joined.select(
+        "c_custkey",
+        "c_name",
+        "n_name",
+        F.round(F.col("revenue").cast("double"), 4).alias("revenue"),
+        F.row_number()
+        .over(Window.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc()))
+        .alias("rank"),
+    )
+    return ranked.filter(F.col("rank") <= RETURNED_TOP_K).orderBy("rank")
+
+
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue per nation from orders where the customer
+    and the supplier sit in the same nation of one region, over a
+    one-year window. Dims (region, nation, supplier, customer at test
+    scale) broadcast; the two fact legs (orders filtered by date,
+    lineitem) hash-join on their keys. At 100 TB customer stops being
+    broadcastable — that leg becomes a key-partitioned shuffle join, the
+    plan is otherwise unchanged."""
+    lo, hi = VOLUME_WINDOW
+    region = load(spark, sf_dir, "region").filter(
+        F.col("r_name") == VOLUME_REGION
+    )
+    nation = load(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    cust = load(spark, sf_dir, "customer").join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    )
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(lo).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(hi).cast("timestamp"))
+    )
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        F.round(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 4
+        )
+        .cast("decimal(28,4)")
+        .alias("rev"),
+    )
+    j = (
+        li.join(orders.select("o_orderkey", "o_custkey"), li.l_orderkey == F.col("o_orderkey"))
+        .join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey", "n_name")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("s_nationkey") == F.col("c_nationkey"))
+    )
+    return (
+        j.groupBy("n_name")
+        .agg(F.round(F.sum("rev").cast("double"), 4).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total lineitem quantity exceeds a
+    threshold, joined back to customer. The HAVING runs at order grain
+    BEFORE any join (groupBy lineitem on orderkey), so only qualifying
+    keys reach the orders/customer joins — the 100-TB-safe ordering."""
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("total_qty"))
+        .filter(F.col("total_qty") > LARGE_ORDER_QTY)
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+            F.round(F.col("o_totalprice"), 2).alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.col("total_qty").desc(), F.col("o_orderkey"))
+    )
+
+
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation — the
+    classic CRM rollup the reference's per-user report jobs approximate.
+    Each metric is quartile-coded with ntile(4) over a TOTAL order
+    (metric, custkey) so bucket edges are engine-identical; output is the
+    segment lattice with customer counts. One groupBy over orders, three
+    window passes over the 1-row-per-customer aggregate (tiny), no joins
+    against facts after the first aggregate."""
+    from pyspark.sql.window import Window
+
+    orders = load(spark, sf_dir, "orders")
+    ref_day = orders.agg(F.max("o_orderdate").alias("d"))
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.sum(F.round(F.col("o_totalprice"), 2).cast("decimal(28,2)")).alias(
+                "monetary"
+            ),
+        )
+        .crossJoin(F.broadcast(ref_day))
+        .withColumn("recency_days", F.datediff(F.col("d"), F.col("last_order")).cast("long"))
+    )
+    coded = per_cust.select(
+        "o_custkey",
+        F.ntile(4)
+        .over(Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey")))
+        .alias("r_q"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("frequency").desc(), F.col("o_custkey")))
+        .alias("f_q"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("monetary").desc(), F.col("o_custkey")))
+        .alias("m_q"),
+    )
+    return (
+        coded.groupBy("r_q", "f_q", "m_q")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+        .orderBy("r_q", "f_q", "m_q")
+    )
+
+
+def part_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity over co-ordered parts: support and lift for
+    part pairs appearing in the same order. Shape: collapse to DISTINCT
+    (order, part) first, self-join within order with pa < pb (bounded by
+    basket size, <= ~13 lines/order), HAVING on pair support, lift =
+    n_ab * N / (n_a * n_b) from broadcast per-part counts. The Apriori
+    observation (a pair is frequent only if both parts are) means at
+    real scale the per-part count table prunes the self-join inputs;
+    baskets bound the blowup regardless."""
+    from pyspark.sql.window import Window
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    n_orders = li.select("l_orderkey").distinct().count()
+    part_n = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_part")
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("pb")
+    )
+    pairs = (
+        a.join(b, (a.ok == b.ok2) & (a.pa < b.pb))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= AFFINITY_MIN_SUPPORT)
+    )
+    na = part_n.select(F.col("l_partkey").alias("pa"), F.col("n_part").alias("n_a"))
+    nb = part_n.select(F.col("l_partkey").alias("pb"), F.col("n_part").alias("n_b"))
+    scored = (
+        pairs.join(F.broadcast(na), "pa")
+        .join(F.broadcast(nb), "pb")
+        .select(
+            "pa",
+            "pb",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_ab").cast("double")
+                * F.lit(float(n_orders))
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    ranked = scored.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(
+                F.col("n_ab").desc(), F.col("lift").desc(), F.col("pa"), F.col("pb")
+            )
+        ),
+    )
+    return ranked.filter(F.col("rank") <= AFFINITY_TOP_K).orderBy("rank")
