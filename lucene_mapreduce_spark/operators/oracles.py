@@ -7387,3 +7387,154 @@ ranked AS (
 SELECT pa, pb, n_ab, n_a, n_b, lift, rank FROM ranked
 WHERE rank <= 20 ORDER BY rank
 """
+
+
+# ---------------------------------------------------------------------------
+# Batch 38
+
+def maxsim_sql(k: int = 10) -> str:
+    """Late-interaction twin: the SAME generated arithmetic expression
+    (shared pinned query matrix + op tree), DuckDB 1-based subscripts."""
+    from lucene_mapreduce_spark.operators.similarity import maxsim_expr
+
+    expr = maxsim_expr(lambda j: f"embedding[{j + 1}]::DOUBLE")
+    return f"""
+WITH scored AS (
+  SELECT vec_id, round({expr}, 6) AS maxsim FROM embeddings
+)
+SELECT vec_id, maxsim, rank FROM (
+  SELECT *, row_number() OVER (ORDER BY maxsim DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= {k} ORDER BY rank
+"""
+
+
+ORACLES["levenshtein_near_dup_pairs"] = """
+WITH d AS (SELECT doc_id, text, substr(text, 1, 32) AS pfx FROM documents),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.text AS ta, b.text AS tb,
+         row_number() OVER (PARTITION BY a.pfx
+                            ORDER BY a.doc_id, b.doc_id) AS pair_rank
+  FROM d a JOIN d b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, levenshtein(ta, tb)::BIGINT AS edit_dist
+FROM pairs
+WHERE pair_rank <= 64 AND levenshtein(ta, tb) <= 16
+ORDER BY doc_a, doc_b
+"""
+
+SPAN_CORRUPTION_SQL = f"""
+WITH t AS (SELECT doc_id, {{toks}} AS toks FROM documents),
+pos AS (SELECT doc_id, unnest(range(len(toks))) AS pos FROM t),
+m AS (
+  SELECT doc_id, pos,
+         (({_MD5_52.format(e="'sc:' || doc_id::VARCHAR || ':' || pos::VARCHAR")})
+          % 1000 < 150) AS m
+  FROM pos
+),
+r AS (
+  SELECT doc_id, m,
+         (m AND NOT coalesce(
+            lag(m) OVER (PARTITION BY doc_id ORDER BY pos), FALSE)
+         ) AS span_start
+  FROM m
+)
+SELECT count(*)::BIGINT AS total_tokens,
+       sum(CASE WHEN m THEN 1 ELSE 0 END)::BIGINT AS masked_tokens,
+       sum(CASE WHEN span_start THEN 1 ELSE 0 END)::BIGINT AS n_spans,
+       round(sum(CASE WHEN m THEN 1 ELSE 0 END)::DOUBLE
+             / count(*)::DOUBLE, 6) AS mask_rate,
+       round(sum(CASE WHEN m THEN 1 ELSE 0 END)::DOUBLE
+             / sum(CASE WHEN span_start THEN 1 ELSE 0 END)::DOUBLE, 6)
+         AS avg_span_len
+FROM r
+"""
+
+ORACLES["term_drift_halves"] = f"""
+WITH halves AS (
+  SELECT doc_id, doc_id % 2 = 0 AS is_a, {{toks}} AS toks FROM documents
+),
+n AS (
+  SELECT sum(CASE WHEN is_a THEN 1 ELSE 0 END)::BIGINT AS n_a,
+         sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END)::BIGINT AS n_b
+  FROM halves
+),
+df AS (
+  SELECT term,
+         sum(CASE WHEN is_a THEN 1 ELSE 0 END)::BIGINT AS df_a,
+         sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END)::BIGINT AS df_b
+  FROM (SELECT DISTINCT doc_id, is_a, unnest(toks) AS term FROM halves)
+  GROUP BY 1
+  HAVING sum(CASE WHEN is_a THEN 1 ELSE 0 END)
+       + sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) >= 20
+),
+scored AS (
+  SELECT term, df_a, df_b,
+         round(abs(ln((df_a + 1)::DOUBLE / (n_a + 1)::DOUBLE)
+                 - ln((df_b + 1)::DOUBLE / (n_b + 1)::DOUBLE)), 6) AS drift
+  FROM df CROSS JOIN n
+)
+SELECT term, df_a, df_b, drift, rank FROM (
+  SELECT *, row_number() OVER (ORDER BY drift DESC, term) AS rank FROM scored
+) WHERE rank <= 20 ORDER BY rank
+"""
+
+_CUSUM_FOLD = (
+    "list_reduce([0.0::DOUBLE] || ns[1:i], "
+    "(acc, x) -> greatest(0.0, acc + ((x - mean) / std - 0.5)))"
+)
+
+CUSUM_ALERTS_SQL = f"""
+WITH {_DAILY_HIST},
+packed AS (
+  SELECT list(day::VARCHAR ORDER BY day) AS ds,
+         list(n_events::DOUBLE ORDER BY day) AS ns,
+         list(n_events ORDER BY day) AS raw
+  FROM hist
+),
+st AS (
+  SELECT ds, ns, raw, len(ns)::DOUBLE AS nd,
+         list_reduce(ns, (a, x) -> a + x) AS s1,
+         list_reduce(list_transform(ns, x -> x * x), (a, x) -> a + x) AS s2
+  FROM packed
+),
+st2 AS (
+  SELECT ds, ns, raw, s1 / nd AS mean,
+         sqrt(s2 / nd - (s1 / nd) * (s1 / nd)) AS std
+  FROM st
+),
+idx AS (
+  SELECT ds, ns, raw, mean, std, unnest(range(1, len(ds) + 1)) AS i FROM st2
+)
+SELECT ds[i] AS day, raw[i]::BIGINT AS n_events,
+       round({_CUSUM_FOLD}, 6) AS cusum,
+       (CASE WHEN {_CUSUM_FOLD} > 4.0 THEN 1 ELSE 0 END)::INT AS alert
+FROM idx ORDER BY day
+"""
+
+ORACLES["affinity_triangles"] = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+deg AS (
+  SELECT node, count(*)::BIGINT AS d
+  FROM (SELECT pa AS node FROM e UNION ALL SELECT pb FROM e)
+  GROUP BY 1
+),
+w AS (SELECT sum(d * (d - 1) / 2)::BIGINT AS n_wedges,
+             count(*)::BIGINT AS n_parts FROM deg),
+t AS (
+  SELECT count(*)::BIGINT AS n_triangles
+  FROM e e1 JOIN e e2 ON e1.pb = e2.pa
+            JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+),
+ne AS (SELECT count(*)::BIGINT AS n_edges FROM e)
+SELECT n_parts, n_edges, n_wedges, n_triangles,
+       round(3.0 * n_triangles::DOUBLE / n_wedges::DOUBLE, 6)
+         AS global_clustering
+FROM w, ne, t
+"""

@@ -2174,3 +2174,59 @@ def time_to_convert_stats(
         ).alias("mean_s"),
         F.round(F.max("dus").cast("double") / F.lit(1000000.0), 6).alias("max_s"),
     )
+
+
+# --- batch 38: CUSUM drift alarm over the daily histogram -------------------
+
+CUSUM_K = 0.5  # slack, in z units
+CUSUM_H = 4.0  # alarm threshold
+
+
+def cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM change detector over daily event counts (Page 1954):
+    s_i = max(0, s_{i-1} + z_i - k) with alarm at s_i > h — the classic
+    sequential drift monitor (change_point_agg is the single-shot twin).
+    z-scores standardize with mean/std derived from exact integer
+    sufficient statistics in an identical double chain on both engines.
+    The recursion is inherently sequential, so like ewma_pipeline it runs
+    over the BOUNDED day series (collected to one array; day count, never
+    event count) and each day's value re-folds its prefix with the exact
+    op chain the oracle uses (init 0.0, greatest(0, acc + (z - k)))."""
+    hist = date_histogram_facets(spark, sf_dir)
+    packed = hist.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct("day", F.col("n_events").cast("double").alias("n"))
+            )
+        ).alias("xs")
+    ).select(
+        "xs", F.transform("xs", lambda s: s["n"]).alias("ns")
+    )
+    nd = F.size("ns").cast("double")
+    s1 = F.aggregate("ns", F.lit(0.0), lambda a, x: a + x)
+    s2 = F.aggregate("ns", F.lit(0.0), lambda a, x: a + x * x)
+    stats = packed.select(
+        "xs", "ns", (s1 / nd).alias("mean"), (s2 / nd).alias("s2n")
+    ).select(
+        "xs",
+        "ns",
+        "mean",
+        F.sqrt(F.col("s2n") - F.col("mean") * F.col("mean")).alias("std"),
+    )
+    exploded = stats.select(
+        "ns", "mean", "std", F.posexplode("xs").alias("pos", "x")
+    )
+    mean, std = F.col("mean"), F.col("std")
+    cusum = F.aggregate(
+        F.slice(F.col("ns"), 1, F.col("pos") + 1),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(
+            F.lit(0.0), acc + ((x - mean) / std - F.lit(CUSUM_K))
+        ),
+    )
+    return exploded.select(
+        F.col("x.day").alias("day"),
+        F.col("x.n").cast("long").alias("n_events"),
+        F.round(cusum, 6).alias("cusum"),
+        F.when(cusum > F.lit(CUSUM_H), 1).otherwise(0).cast("int").alias("alert"),
+    ).orderBy("day")

@@ -338,3 +338,59 @@ def part_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return ranked.filter(F.col("rank") <= AFFINITY_TOP_K).orderBy("rank")
+
+
+def affinity_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census + global clustering coefficient of the co-order
+    part graph (edges = part pairs co-ordered in >= AFFINITY_MIN_SUPPORT
+    orders, oriented pa < pb). Triangles enumerate as e1=(a,b), e2=(b,c),
+    e3=(a,c) — each counted once under the a<b<c orientation, the standard
+    distributed pattern (at real scale the join keys are degree-ordered
+    first so the high-degree node never anchors the wedge; the support
+    threshold already prunes the graph here). Wedges from integer degree
+    counts; clustering = 3*triangles/wedges over exact BIGINTs."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, (a.ok == b.ok2) & (a.pa < b.pb))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= AFFINITY_MIN_SUPPORT)
+        .select("pa", "pb")
+    )
+    deg = (
+        edges.select(F.col("pa").alias("node"))
+        .unionAll(edges.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    wedges = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges"),
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+    )
+    e1 = edges.select(F.col("pa").alias("x"), F.col("pb").alias("y"))
+    e2 = edges.select(F.col("pa").alias("y2"), F.col("pb").alias("z"))
+    e3 = edges.select(F.col("pa").alias("x3"), F.col("pb").alias("z3"))
+    tri = (
+        e1.join(e2, e1.y == e2.y2)
+        .join(e3, (F.col("x") == F.col("x3")) & (F.col("z") == F.col("z3")))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return (
+        wedges.crossJoin(n_edges)
+        .crossJoin(tri)
+        .select(
+            "n_parts",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.round(
+                F.lit(3.0)
+                * F.col("n_triangles").cast("double")
+                / F.col("n_wedges").cast("double"),
+                6,
+            ).alias("global_clustering"),
+        )
+    )

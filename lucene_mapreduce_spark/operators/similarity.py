@@ -1099,3 +1099,71 @@ def int8_quantization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --- batch 38: ColBERT-style late interaction ------------------------------
+
+MAXSIM_Q_TOKENS = 4  # pseudo query-token count
+MAXSIM_SUBDIM = 16  # per-token sub-vector width (64-dim doc vec -> 4 chunks)
+
+
+def _maxsim_query_matrix() -> list[list[float]]:
+    """Deterministic 4x16 query-token matrix: per-mille weights from the
+    engine-shared md5_52 convention (md5 hex prefix 13 -> int, % 2001 -
+    1000, / 1000), computed once in Python and pinned as literals in BOTH
+    engines' expressions (the shared-literal rule for derived constants,
+    like _PI_LIT / folded ln(decay))."""
+    out = []
+    for t in range(MAXSIM_Q_TOKENS):
+        row = []
+        for i in range(MAXSIM_SUBDIM):
+            h = int(hashlib.md5(f"msq:{t}:{i}".encode()).hexdigest()[:13], 16)
+            row.append((h % 2001 - 1000) / 1000.0)
+        out.append(row)
+    return out
+
+
+MAXSIM_Q = _maxsim_query_matrix()
+
+
+def maxsim_expr(elem: "callable") -> str:
+    """The late-interaction score as ONE arithmetic expression string,
+    generated identically for both engines (`elem(j)` renders the j-th
+    0-based doc-vector element in the engine's syntax). score =
+    sum_t max_s dot(q_t, d_s): every dot is a left-associated ascending-dim
+    chain, the max is greatest(...), the outer sum left-associated — the
+    same IEEE op tree on both sides."""
+    tok_maxes = []
+    for t in range(MAXSIM_Q_TOKENS):
+        dots = []
+        for s in range(MAXSIM_Q_TOKENS):
+            terms = " + ".join(
+                f"({MAXSIM_Q[t][i]!r} * {elem(s * MAXSIM_SUBDIM + i)})"
+                for i in range(MAXSIM_SUBDIM)
+            )
+            dots.append(f"({terms})")
+        tok_maxes.append(f"greatest({', '.join(dots)})")
+    return " + ".join(tok_maxes)
+
+
+def maxsim_late_interaction_topk(
+    spark: SparkSession, sf_dir: str, k: int = 10
+) -> DataFrame:
+    """ColBERT-style late-interaction retrieval (Khattab & Zaharia 2020,
+    SIGIR): the doc vector is treated as 4 token sub-vectors of 16 dims;
+    score = sum over query tokens of the MAX dot product against any doc
+    sub-vector. The whole scorer is one JVM-side codegen expression per
+    row (no UDF, no explode): a single corpus scan + TakeOrderedAndProject
+    top-k — the same shape as ann_bruteforce_topk, so the IVF/LSH pruned
+    variants apply unchanged if recall targets allow."""
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    # Spark SQL array subscript is 0-based
+    expr = maxsim_expr(lambda j: f"CAST(embedding[{j}] AS DOUBLE)")
+    scored = emb.select(
+        "vec_id", F.round(F.expr(expr), 6).alias("maxsim")
+    )
+    return ranked_topk(scored, [F.desc("maxsim"), F.asc("vec_id")], k).select(
+        "vec_id", "maxsim", "rank"
+    )

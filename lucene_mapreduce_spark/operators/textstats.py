@@ -3068,3 +3068,112 @@ def term_df_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("log2_df")
     )
+
+
+# --- batch 38: span-corruption masking plan + vocabulary drift --------------
+
+SC_MASK_PERMILLE = 150  # 15% token corruption rate (T5 defaults)
+
+
+def span_corruption_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption masking plan audit (Raffel et al. 2020):
+    each token is marked for corruption by the engine-shared md5 coin
+    (md5_52('sc:doc:pos') % 1000 < 150), consecutive marked tokens merge
+    into one span (= one sentinel token in the T5 objective). The audit
+    reports the corpus totals a pretraining pipeline budgets from: mask
+    rate, sentinel (span) count, mean span length. All counts are
+    integers (order-free); the two ratios divide exact BIGINT totals.
+    Shape: one explode + per-doc lag window (partitioned by doc_id — no
+    skew) + one global aggregate."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(tokenize_col("text")).alias("pos", "term")
+    )
+    coin = F.pmod(
+        _md5_52(F.concat(F.lit("sc:"), F.col("doc_id"), F.lit(":"), F.col("pos"))),
+        F.lit(1000),
+    )
+    masked = toks.select(
+        "doc_id", "pos", (coin < F.lit(SC_MASK_PERMILLE)).alias("m")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = masked.select(
+        "doc_id",
+        F.col("m"),
+        (
+            F.col("m")
+            & ~F.coalesce(F.lag("m").over(w), F.lit(False))
+        ).alias("span_start"),
+    )
+    return runs.agg(
+        F.count(F.lit(1)).cast("long").alias("total_tokens"),
+        F.sum(F.col("m").cast("long")).cast("long").alias("masked_tokens"),
+        F.sum(F.col("span_start").cast("long")).cast("long").alias("n_spans"),
+        F.round(
+            F.sum(F.col("m").cast("long")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("mask_rate"),
+        F.round(
+            F.sum(F.col("m").cast("long")).cast("double")
+            / F.sum(F.col("span_start").cast("long")).cast("double"),
+            6,
+        ).alias("avg_span_len"),
+    )
+
+
+DRIFT_MIN_DF = 20
+DRIFT_TOP_K = 20
+
+
+def term_drift_halves(spark: SparkSession, sf_dir: str, k: int = DRIFT_TOP_K) -> DataFrame:
+    """Vocabulary drift between two deterministic corpus halves (doc_id
+    parity stands in for a train/future time split): per-term smoothed
+    log-odds shift |ln((df_a+1)/(n_a+1)) - ln((df_b+1)/(n_b+1))|, top
+    movers. The drift monitor a training pipeline runs between snapshots
+    to catch distribution shift before it reaches the model. df counts
+    are exact integers; the two ln() legs evaluate the same doubles in
+    both engines. One token explode + groupBy, a broadcast 2-row total,
+    TakeOrderedAndProject top-k."""
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 2 == 0).alias("is_a"), "text"
+    )
+    n = docs.agg(
+        F.sum(F.col("is_a").cast("long")).alias("n_a"),
+        F.sum((~F.col("is_a")).cast("long")).alias("n_b"),
+    )
+    df = (
+        docs.select("doc_id", "is_a", F.explode(tokenize_col("text")).alias("term"))
+        .distinct()
+        .groupBy("term")
+        .agg(
+            F.sum(F.col("is_a").cast("long")).alias("df_a"),
+            F.sum((~F.col("is_a")).cast("long")).alias("df_b"),
+        )
+        .filter((F.col("df_a") + F.col("df_b")) >= DRIFT_MIN_DF)
+    )
+    scored = df.crossJoin(F.broadcast(n)).select(
+        "term",
+        "df_a",
+        "df_b",
+        F.round(
+            F.abs(
+                F.log(
+                    (F.col("df_a") + F.lit(1)).cast("double")
+                    / (F.col("n_a") + F.lit(1)).cast("double")
+                )
+                - F.log(
+                    (F.col("df_b") + F.lit(1)).cast("double")
+                    / (F.col("n_b") + F.lit(1)).cast("double")
+                )
+            ),
+            6,
+        ).alias("drift"),
+    )
+    return ranked_topk(scored, [F.desc("drift"), F.asc("term")], k).select(
+        "term", "df_a", "df_b", "drift", "rank"
+    )
