@@ -654,6 +654,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_drift_halves": textstats.term_drift_halves,
         "cusum_alerts": parity.cusum_alerts,
         "affinity_triangles": relational.affinity_triangles,
+        # round-4 session-13 batch 39
+        "geo_polygon_query": textstats.geo_polygon_query,
+        "hard_negative_mining": similarity.hard_negative_mining,
+        "centroid_outlier_vecs": similarity.centroid_outlier_vecs,
+        "oov_rate_by_source": textstats.oov_rate_by_source,
+        "stickiness_ratio": parity.stickiness_ratio,
+        "percolate_range_match": fulltext.percolate_range_match,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})
@@ -1241,4 +1248,17 @@ WHERE len(list_filter(range(1, len(toks)), i ->
     out["span_corruption_stats"] = SPAN_CORRUPTION_SQL.replace("{toks}", _TOKS)
     out["term_drift_halves"] = out["term_drift_halves"].replace("{toks}", _TOKS)
     out["cusum_alerts"] = CUSUM_ALERTS_SQL
+
+    # round-4 session-13 batch 39
+    from lucene_mapreduce_spark.operators.oracles import (
+        OOV_RATE_SQL,
+        geo_polygon_sql,
+        percolate_range_sql,
+    )
+
+    out["geo_polygon_query"] = geo_polygon_sql()
+    out["oov_rate_by_source"] = OOV_RATE_SQL.replace("{toks}", _TOKS)
+    out["percolate_range_match"] = percolate_range_sql(
+        fulltext.PERCOLATE_RANGE_QUERIES
+    ).replace("{toks}", _TOKS)
     return out

@@ -4792,3 +4792,67 @@ def generation_diff_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("token_delta"),
     )
+
+
+# --- batch 39: percolator with range clauses --------------------------------
+
+PERCOLATE_RANGE_QUERIES = (
+    # (query_id, conjunctive terms, n_chars_lo, n_chars_hi) — ES percolator
+    # docs store bool{must: terms, filter: range} queries of this shape
+    ("r0", "table merge", 100, 400),
+    ("r1", "fast scan", 250, 10000),
+    ("r2", "dup", 0, 320),
+    ("r3", "slow join", 150, 350),
+)
+
+
+def percolate_range_match(
+    spark: SparkSession,
+    sf_dir: str,
+    queries: tuple[tuple[str, str, int, int], ...] = PERCOLATE_RANGE_QUERIES,
+) -> DataFrame:
+    """Percolator with mixed clause types (ES percolate on bool queries
+    holding a terms MUST plus a numeric range FILTER): which stored
+    alerts fire for which doc. The conjunctive-term leg is
+    percolate_match's broadcast-registry shape (one pruned postings read
+    of the union term set); the range FILTER then joins the candidates
+    against the doc-length field and a broadcast (query, lo, hi) table —
+    scoreless, exactly like Lucene's FILTER occur. Candidates shrink
+    BEFORE the range join, so the extra clause costs one broadcast probe
+    per surviving (query, doc) pair."""
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_string
+    from lucene_mapreduce_spark.operators.parity import load
+    from lucene_mapreduce_spark.query.segments import read_postings
+
+    ix = _gate_index(spark, sf_dir)
+    reg = [
+        (qid, t)
+        for qid, qtext, _lo, _hi in queries
+        for t in sorted(set(tokenize_string(qtext)))
+    ]
+    need = {qid: len({t for q, t in reg if q == qid}) for qid, *_ in queries}
+    terms = sorted({t for _, t in reg})
+    regdf = spark.createDataFrame(reg, "query_id string, term string")
+    needdf = spark.createDataFrame(
+        sorted(need.items()), "query_id string, n_terms int"
+    )
+    rangedf = spark.createDataFrame(
+        [(qid, lo, hi) for qid, _q, lo, hi in queries],
+        "query_id string, lo long, hi long",
+    )
+    pos = read_postings(spark, ix, terms).select("term", "doc_id")
+    cand = (
+        pos.join(F.broadcast(regdf), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.countDistinct("term").alias("m"))
+        .join(F.broadcast(needdf), "query_id")
+        .filter(F.col("m") == F.col("n_terms"))
+    )
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return (
+        cand.join(docs, "doc_id")
+        .join(F.broadcast(rangedf), "query_id")
+        .filter((F.col("n_chars") >= F.col("lo")) & (F.col("n_chars") < F.col("hi")))
+        .select("query_id", "doc_id")
+        .orderBy("query_id", "doc_id")
+    )

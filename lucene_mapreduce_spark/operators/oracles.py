@@ -7538,3 +7538,141 @@ SELECT n_parts, n_edges, n_wedges, n_triangles,
          AS global_clustering
 FROM w, ne, t
 """
+
+
+# ---------------------------------------------------------------------------
+# Batch 39
+
+def geo_polygon_sql(k: int = 20) -> str:
+    """Polygon-containment twin: the SAME generated ray-casting predicate
+    (shared pinned vertices and op tree) over the derived coordinates."""
+    from lucene_mapreduce_spark.operators.textstats import polygon_contains_expr
+
+    pred = polygon_contains_expr("lon", "lat")
+    return f"""
+WITH pts AS ({_GEO_COORDS}),
+hits AS (
+  SELECT doc_id, round(lat, 4) AS lat, round(lon, 4) AS lon
+  FROM pts WHERE {pred}
+)
+SELECT doc_id, lat, lon, rank FROM (
+  SELECT *, row_number() OVER (ORDER BY doc_id) AS rank FROM hits
+) WHERE rank <= {k} ORDER BY rank
+"""
+
+
+ORACLES["hard_negative_mining"] = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (
+  SELECT vec_id AS query_id, label AS qlabel, v AS qv
+  FROM e WHERE vec_id % 251 = 0
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_dot_product(e.v, q.qv)
+               / (sqrt(list_dot_product(e.v, e.v))
+                  * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+  FROM e CROSS JOIN q
+  WHERE e.label <> q.qlabel AND e.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+ORACLES["centroid_outlier_vecs"] = """
+WITH comp AS (
+  SELECT label, unnest(range(len(embedding))) AS dim, embedding
+  FROM embeddings
+),
+vals AS (
+  SELECT label, dim,
+         round(embedding[dim + 1]::DOUBLE, 6)::DECIMAL(18,6) AS v
+  FROM comp
+),
+per AS (
+  SELECT label, dim, count(*)::BIGINT AS n, sum(v) AS s
+  FROM vals GROUP BY 1, 2
+),
+m AS (SELECT label, dim, s::DOUBLE / n AS m FROM per),
+cent AS (SELECT label, list(m ORDER BY dim) AS cvec FROM m GROUP BY 1),
+d AS (
+  SELECT e.vec_id, e.label,
+         round(sqrt(list_reduce(list_prepend(0.0,
+           list_transform(range(len(e.embedding)),
+             i -> (e.embedding[i + 1]::DOUBLE - cvec[i + 1])
+                * (e.embedding[i + 1]::DOUBLE - cvec[i + 1]))),
+           (a, b) -> a + b)), 6) AS dist
+  FROM embeddings e JOIN cent USING (label)
+)
+SELECT vec_id, label, dist, rank FROM (
+  SELECT *, row_number() OVER (ORDER BY dist DESC, vec_id) AS rank FROM d
+) WHERE rank <= 20 ORDER BY rank
+"""
+
+OOV_RATE_SQL = """
+WITH toks AS (SELECT doc_id, source, unnest({toks}) AS term FROM documents),
+df AS (
+  SELECT term, count(*)::BIGINT AS df
+  FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY 1
+),
+vocab AS (
+  SELECT term FROM (
+    SELECT term, row_number() OVER (ORDER BY df DESC, term) AS r FROM df
+  ) WHERE r <= 512
+),
+tot AS (SELECT source, count(*)::BIGINT AS total_tokens FROM toks GROUP BY 1),
+oo AS (
+  SELECT source, count(*)::BIGINT AS oov_tokens
+  FROM toks WHERE term NOT IN (SELECT term FROM vocab) GROUP BY 1
+)
+SELECT t.source, total_tokens,
+       coalesce(oov_tokens, 0)::BIGINT AS oov_tokens,
+       round(coalesce(oov_tokens, 0)::DOUBLE / total_tokens::DOUBLE, 6)
+         AS oov_rate
+FROM tot t LEFT JOIN oo USING (source) ORDER BY source
+"""
+
+ORACLES["stickiness_ratio"] = """
+WITH du AS (
+  SELECT DISTINCT strftime(ts, '%Y-%m') AS month,
+                  strftime(ts, '%Y-%m-%d') AS day, user_id
+  FROM events
+),
+dau AS (SELECT month, day, count(*)::BIGINT AS dau FROM du GROUP BY 1, 2),
+pm AS (
+  SELECT month, sum(dau)::BIGINT AS dau_sum, count(*)::BIGINT AS n_days
+  FROM dau GROUP BY 1
+),
+mau AS (
+  SELECT month, count(*)::BIGINT AS mau
+  FROM (SELECT DISTINCT month, user_id FROM du) GROUP BY 1
+)
+SELECT month, mau, n_days, dau_sum,
+       round((dau_sum::DOUBLE / n_days::DOUBLE) / mau::DOUBLE, 6)
+         AS stickiness
+FROM pm JOIN mau USING (month) ORDER BY month
+"""
+
+
+def percolate_range_sql(queries) -> str:
+    """Range-percolator twin: each stored query re-derived as a full-scan
+    arm (terms containment + n_chars range) over the tokenized corpus."""
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_string
+
+    arms = []
+    for qid, qtext, lo, hi in queries:
+        terms = sorted(set(tokenize_string(qtext)))
+        conds = " AND ".join(f"list_contains(toks, '{t}')" for t in terms)
+        arms.append(
+            f"SELECT '{qid}' AS query_id, doc_id FROM t "
+            f"WHERE n_chars >= {lo} AND n_chars < {hi} AND {conds}"
+        )
+    body = "\nUNION ALL\n".join(arms)
+    return (
+        "WITH t AS (SELECT doc_id, n_chars, {toks} AS toks FROM documents)\n"
+        + body
+        + "\nORDER BY query_id, doc_id"
+    )

@@ -2230,3 +2230,47 @@ def cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cusum, 6).alias("cusum"),
         F.when(cusum > F.lit(CUSUM_H), 1).otherwise(0).cast("int").alias("alert"),
     ).orderBy("day")
+
+
+def stickiness_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per calendar month — the engagement ratio next
+    to daily_distinct_users (point) and rolling_7d_distinct_users (WAU).
+    mau = distinct users in the month; dau_avg = sum over observed days
+    of the day's distinct users / observed day count. Both numerators
+    come from ONE distinct (day, user) collapse (the only data-sized
+    shuffle); everything after is integer arithmetic over month-grain
+    rows, divided identically in both engines."""
+    ev = load(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM").alias("month"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "user_id",
+    )
+    day_users = ev.distinct()  # (month, day, user)
+    dau = day_users.groupBy("month", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("dau")
+    )
+    per_month_days = dau.groupBy("month").agg(
+        F.sum("dau").cast("long").alias("dau_sum"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    mau = (
+        day_users.select("month", "user_id")
+        .distinct()
+        .groupBy("month")
+        .agg(F.count(F.lit(1)).cast("long").alias("mau"))
+    )
+    return (
+        per_month_days.join(mau, "month")
+        .select(
+            "month",
+            "mau",
+            "n_days",
+            "dau_sum",
+            F.round(
+                (F.col("dau_sum").cast("double") / F.col("n_days").cast("double"))
+                / F.col("mau").cast("double"),
+                6,
+            ).alias("stickiness"),
+        )
+        .orderBy("month")
+    )

@@ -1167,3 +1167,102 @@ def maxsim_late_interaction_topk(
     return ranked_topk(scored, [F.desc("maxsim"), F.asc("vec_id")], k).select(
         "vec_id", "maxsim", "rank"
     )
+
+
+# --- batch 39: hard negatives + centroid outliers ---------------------------
+
+HARDNEG_MOD = 251
+HARDNEG_K = 5
+
+
+def hard_negative_mining(
+    spark: SparkSession, sf_dir: str, k: int = HARDNEG_K, qmod: int = HARDNEG_MOD
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each probe
+    vector (vec_id % qmod == 0) the top-k most cosine-similar vectors
+    carrying a DIFFERENT label — the negatives that actually teach the
+    model. Same shape as ann_batch_topk (broadcast probe batch, one
+    corpus scan, per-query WindowGroupLimit) plus the label-mismatch
+    predicate; at scale the IVF-pruned variant applies unchanged."""
+    from pyspark.sql.window import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % qmod == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("label").alias("qlabel"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(
+            (F.col("label") != F.col("qlabel"))
+            & (F.col("vec_id") != F.col("query_id"))
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                _cosine(
+                    F.col("embedding").cast("array<double>"),
+                    F.col("qvec").cast("array<double>"),
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+CENTROID_OUTLIER_K = 20
+
+
+def centroid_outlier_vecs(
+    spark: SparkSession, sf_dir: str, k: int = CENTROID_OUTLIER_K
+) -> DataFrame:
+    """Mislabeled-embedding audit: the k vectors farthest (L2) from their
+    own label's centroid — the first list a curation pass reviews for
+    label noise / outlier contamination. Centroids reuse the
+    embedding_centroid_by_label derivation exactly (6dp DECIMAL component
+    sums, then double means); distances fold ascending dims off the
+    broadcast per-label centroid arrays — one corpus scan, no UDF."""
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>"))
+    ).select(
+        "label",
+        F.col("pos").alias("dim"),
+        F.round("col", 6).cast("decimal(18,6)").alias("v"),
+    )
+    m = (
+        comp.groupBy("label", "dim")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"), F.sum("v").alias("s"))
+        .select(
+            "label", "dim", (F.col("s").cast("double") / F.col("n")).alias("m")
+        )
+    )
+    cent = (
+        m.groupBy("label")
+        .agg(F.sort_array(F.collect_list(F.struct("dim", "m"))).alias("cm"))
+        .select("label", F.transform("cm", lambda s: s["m"]).alias("cvec"))
+    )
+    v = F.col("embedding").cast("array<double>")
+    d2 = F.aggregate(
+        F.zip_with(v, F.col("cvec"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    scored = emb.join(F.broadcast(cent), "label").select(
+        "vec_id", "label", F.round(F.sqrt(d2), 6).alias("dist")
+    )
+    return ranked_topk(scored, [F.desc("dist"), F.asc("vec_id")], k).select(
+        "vec_id", "label", "dist", "rank"
+    )

@@ -3177,3 +3177,101 @@ def term_drift_halves(spark: SparkSession, sf_dir: str, k: int = DRIFT_TOP_K) ->
     return ranked_topk(scored, [F.desc("drift"), F.asc("term")], k).select(
         "term", "df_a", "df_b", "drift", "rank"
     )
+
+
+# --- batch 39: polygon containment + OOV rate -------------------------------
+
+GEO_POLYGON = (  # (lon, lat) vertices, non-convex pentagon
+    (-80.0, 40.0),
+    (-60.0, 10.0),
+    (-20.0, 0.0),
+    (0.0, 30.0),
+    (-40.0, 60.0),
+)
+
+
+def polygon_contains_expr(px: str, py: str) -> str:
+    """Ray-casting point-in-polygon predicate as ONE shared expression
+    string (`px`/`py` render the point's lon/lat in the engine's syntax):
+    odd number of polygon edges crossed by the horizontal ray. Each edge
+    term is the identical float chain in both engines; vertices are
+    pinned literals. Boundary-exact points can't occur: the synthetic
+    coordinates live on a 1e-4 grid, the edges don't."""
+    n = len(GEO_POLYGON)
+    terms = []
+    for i in range(n):
+        xi, yi = GEO_POLYGON[i]
+        xj, yj = GEO_POLYGON[(i + 1) % n]
+        terms.append(
+            f"(CASE WHEN (({yi!r} > {py}) <> ({yj!r} > {py})) AND"
+            f" ({px} < ({xj!r} - {xi!r}) * ({py} - {yi!r})"
+            f" / ({yj!r} - {yi!r}) + {xi!r}) THEN 1 ELSE 0 END)"
+        )
+    return "((" + " + ".join(terms) + ") % 2 = 1)"
+
+
+def geo_polygon_query(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """Lucene LatLonPoint.newPolygonQuery parity: docs whose derived point
+    falls inside the pinned pentagon, first k by doc id. The ray-casting
+    predicate is one codegen expression per row (no UDF); on an index
+    with materialized lat/lon the polygon's bounding box pushes into the
+    scan first and the exact test runs on survivors — the standard
+    two-phase geo filter."""
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+
+    pts = _geo_coords(load(spark, sf_dir, "documents"))
+    inside = pts.filter(F.expr(polygon_contains_expr("lon", "lat"))).select(
+        "doc_id", F.round("lat", 4).alias("lat"), F.round("lon", 4).alias("lon")
+    )
+    return ranked_topk(inside, [F.asc("doc_id")], k).select(
+        "doc_id", "lat", "lon", "rank"
+    )
+
+
+OOV_VOCAB_SIZE = 512
+
+
+def oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary token rate per source against a pinned-size
+    vocabulary (the OOV_VOCAB_SIZE highest-df terms, df ties broken by
+    term — the byte-fallback-rate planning number a tokenizer owner reads
+    per corpus slice). Everything is integer counts; the vocabulary is
+    derived IN-ENGINE (df ranking), broadcast back as an anti-join —
+    never collected to the driver. Two explodes over the corpus: one for
+    df, one for the per-source token count."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.explode(tokenize_col("text")).alias("term")
+    )
+    df = (
+        toks.select("doc_id", "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+
+    vocab = ranked_topk(df, [F.desc("df"), F.asc("term")], OOV_VOCAB_SIZE).select(
+        "term"
+    )
+    oov = toks.join(F.broadcast(vocab), "term", "left_anti")
+    tot = toks.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("total_tokens")
+    )
+    oo = oov.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("oov_tokens")
+    )
+    return (
+        tot.join(oo, "source", "left")
+        .select(
+            "source",
+            "total_tokens",
+            F.coalesce("oov_tokens", F.lit(0)).cast("long").alias("oov_tokens"),
+            F.round(
+                F.coalesce("oov_tokens", F.lit(0)).cast("double")
+                / F.col("total_tokens").cast("double"),
+                6,
+            ).alias("oov_rate"),
+        )
+        .orderBy("source")
+    )
