@@ -661,6 +661,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oov_rate_by_source": textstats.oov_rate_by_source,
         "stickiness_ratio": parity.stickiness_ratio,
         "percolate_range_match": fulltext.percolate_range_match,
+        # round-4 session-13 batch 40
+        "bm25_tuned_topk": fulltext.bm25_tuned_topk,
+        "sig_terms_background_filter": fulltext.sig_terms_background_filter,
+        "supplier_hhi_by_nation": relational.supplier_hhi_by_nation,
+        "equidepth_histogram_totals": relational.equidepth_histogram_totals,
+        "semdedup_threshold_sweep": similarity.semdedup_threshold_sweep,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})
@@ -1261,4 +1267,25 @@ WHERE len(list_filter(range(1, len(toks)), i ->
     out["percolate_range_match"] = percolate_range_sql(
         fulltext.PERCOLATE_RANGE_QUERIES
     ).replace("{toks}", _TOKS)
+
+    # round-4 session-13 batch 40
+    from lucene_mapreduce_spark.operators.oracles import (
+        equidepth_sql,
+        semdedup_sweep_sql,
+        sig_terms_bg_sql,
+    )
+
+    out["bm25_tuned_topk"] = bm25_topk_sql(
+        fulltext.FLAGSHIP_QUERY, k1=fulltext.TUNED_K1, b=fulltext.TUNED_B
+    )
+    out["sig_terms_background_filter"] = sig_terms_bg_sql(
+        fulltext.BOOLEAN_QUERY, fulltext.SIGBG_LANG,
+        k=fulltext.SIGTERMS_K, min_df=fulltext.SIGTERMS_MIN_DF,
+    )
+    out["equidepth_histogram_totals"] = equidepth_sql(
+        relational.EQUIDEPTH_BINS
+    )
+    out["semdedup_threshold_sweep"] = semdedup_sweep_sql(
+        similarity.SEMDEDUP_SWEEP
+    )
     return out

@@ -4856,3 +4856,134 @@ def percolate_range_match(
         .select("query_id", "doc_id")
         .orderBy("query_id", "doc_id")
     )
+
+
+# --- batch 40: tuned BM25 + background-filtered significant terms -----------
+
+TUNED_K1 = 0.9
+TUNED_B = 0.4
+
+
+def bm25_tuned_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_text: str = FLAGSHIP_QUERY,
+    k1: float = TUNED_K1,
+    b: float = TUNED_B,
+    k: int = 10,
+) -> DataFrame:
+    """BM25 with non-default (k1, b) — Lucene's BM25Similarity(k1, b)
+    constructor surface (short-query tuning: lower k1 saturates tf
+    sooner, lower b flattens length normalization). Same corpus-scan
+    shape and canonical ascending-term accumulation as bm25_topk; only
+    the two constants differ, so rank shifts vs the default scorer are
+    attributable to tuning alone (asserted in tests)."""
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_col, tokenize_string
+    from lucene_mapreduce_spark.operators.parity import load, ranked_topk
+
+    docs = load(spark, sf_dir, "documents")
+    dls = docs.select("doc_id", F.size(tokenize_col("text")).alias("dl"))
+    stats = dls.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    )
+    toks = docs.select("doc_id", F.explode(tokenize_col("text")).alias("term"))
+    qterms = sorted(set(tokenize_string(query_text)))
+    postings = (
+        toks.filter(F.col("term").isin(qterms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    df_t = postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df_t")
+    )
+    matched = (
+        postings.join(F.broadcast(df_t), "term")
+        .join(dls, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df_t") + F.lit(0.5)) / (F.col("df_t") + F.lit(0.5))
+    )
+    dl = F.col("dl").cast("double")
+    contrib = (
+        idf
+        * (F.col("tf") * F.lit(k1 + 1.0))
+        / (F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / F.col("avgdl")))
+    )
+    per_doc = (
+        matched.select("doc_id", "term", contrib.alias("contrib"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.sort_array(F.collect_list(F.struct("term", "contrib"))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["contrib"],
+                ),
+                6,
+            ).alias("score")
+        )
+    )
+    return ranked_topk(per_doc, [F.desc("score"), F.asc("doc_id")], k).select(
+        "doc_id", "score", "rank"
+    )
+
+
+SIGBG_LANG = "en"
+
+
+def sig_terms_background_filter(
+    spark: SparkSession,
+    sf_dir: str,
+    query_text: str = BOOLEAN_QUERY,
+    bg_lang: str = SIGBG_LANG,
+    k: int = SIGTERMS_K,
+    min_df: int = SIGTERMS_MIN_DF,
+) -> DataFrame:
+    """ES significant_terms with `background_filter`: significance is
+    measured against a SCOPED background (here docs of one language)
+    instead of the whole index — the knob that stops corpus-wide
+    commonness from masking within-slice signal. Foreground = query hits
+    intersected with the background (ES requires fg ⊆ bg for the ratio
+    to be a lift). Same distributed shape as significant_terms: one
+    explode, two combinable df aggregations, bounded top-k."""
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_col, tokenize_string
+    from lucene_mapreduce_spark.operators.parity import load, ranked_topk
+    from lucene_mapreduce_spark.query.segments import boolean_match
+
+    ix = _gate_index(spark, sf_dir)
+    bg_docs = load(spark, sf_dir, "documents").filter(F.col("lang") == bg_lang)
+    hits = boolean_match(spark, ix, query_text, mode="or").join(
+        bg_docs.select("doc_id"), "doc_id"
+    )
+    n_fg = hits.count()
+    n_bg = bg_docs.count()
+    toks = bg_docs.select("doc_id", F.explode(tokenize_col("text")).alias("term"))
+    bg = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df_bg"))
+    fg = (
+        toks.join(hits, "doc_id")
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df_fg"))
+    )
+    qterms = set(tokenize_string(query_text))
+    lifted = (
+        fg.join(bg, "term")
+        .filter(~F.col("term").isin(sorted(qterms)) & (F.col("df_fg") >= min_df))
+        .withColumn(
+            "lift",
+            F.round(
+                (F.col("df_fg") / F.lit(float(n_fg)))
+                / (F.col("df_bg") / F.lit(float(n_bg))),
+                6,
+            ),
+        )
+    )
+    return ranked_topk(lifted, [F.desc("lift"), F.asc("term")], k).select(
+        "term",
+        F.col("df_fg").cast("long").alias("df_fg"),
+        F.col("df_bg").cast("long").alias("df_bg"),
+        "lift",
+        "rank",
+    )

@@ -14,10 +14,17 @@ from lucene_mapreduce_spark.query.bm25 import B, K1
 TOKS = duckdb_tokens_sql("text")
 
 
-def bm25_topk_sql(query_text: str, k: int = 10, doc_where: str = "TRUE") -> str:
+def bm25_topk_sql(
+    query_text: str,
+    k: int = 10,
+    doc_where: str = "TRUE",
+    k1: float = K1,
+    b: float = B,
+) -> str:
     """Brute-force BM25 in ANSI-ish SQL (DuckDB dialect) — the independent
     re-derivation of the scorer spec in query/bm25.py.  doc_where scopes
-    the corpus (docs AND stats) — the twin of the range-scoped index path."""
+    the corpus (docs AND stats) — the twin of the range-scoped index path;
+    k1/b expose the BM25Similarity(k1, b) tuning surface."""
     qlit = query_text.replace("'", "''")
     return f"""
 WITH doclens AS (
@@ -42,7 +49,7 @@ dft AS (
 scored AS (
   SELECT p.doc_id,
          ln(1 + (s.n_docs - d.df_t + 0.5) / (d.df_t + 0.5))
-           * (p.tf * {K1 + 1.0}) / (p.tf + {K1} * (1 - {B} + {B} * l.dl / s.avgdl))
+           * (p.tf * {k1 + 1.0}) / (p.tf + {k1} * (1 - {b} + {b} * l.dl / s.avgdl))
            AS contrib
   FROM postings p
   JOIN dft d USING (term)
@@ -7676,3 +7683,110 @@ def percolate_range_sql(queries) -> str:
         + body
         + "\nORDER BY query_id, doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 40
+
+def sig_terms_bg_sql(
+    query_text: str, bg_lang: str, k: int = 15, min_df: int = 3
+) -> str:
+    """significant_terms-with-background_filter twin: the whole
+    significance computation is scoped to the background slice (one
+    language); foreground = hits within that slice."""
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_string
+
+    qts = sorted(set(tokenize_string(query_text)))
+    qlits = ", ".join(f"'{t}'" for t in qts)
+    lift = "round((f.df_fg / nfg.n) / (b.df_bg / nbg.n), 6)"
+    return f"""
+WITH bgdocs AS (SELECT doc_id, text FROM documents WHERE lang = '{bg_lang}'),
+toks AS (
+  SELECT doc_id, unnest({TOKS}) AS term FROM bgdocs
+),
+qt AS (SELECT unnest([{qlits}]) AS term),
+hits AS (SELECT DISTINCT doc_id FROM toks JOIN qt USING (term)),
+nfg AS (SELECT count(*)::DOUBLE AS n FROM hits),
+nbg AS (SELECT count(*)::DOUBLE AS n FROM bgdocs),
+fg AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df_fg
+  FROM toks JOIN hits USING (doc_id) GROUP BY 1
+),
+bg AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df_bg FROM toks GROUP BY 1
+)
+SELECT term, df_fg, df_bg, lift, rank
+FROM (
+  SELECT f.term, f.df_fg, b.df_bg, {lift} AS lift,
+         row_number() OVER (ORDER BY {lift} DESC, f.term ASC) AS rank
+  FROM fg f JOIN bg b USING (term)
+  CROSS JOIN nfg CROSS JOIN nbg
+  WHERE f.df_fg >= {min_df} AND f.term NOT IN ({qlits})
+)
+WHERE rank <= {k}
+"""
+
+
+ORACLES["supplier_hhi_by_nation"] = """
+WITH rev AS (
+  SELECT l_suppkey,
+         round(l_extendedprice * (1 - l_discount), 4)::DECIMAL(28,4) AS rev
+  FROM lineitem
+),
+per_supp AS (
+  SELECT s_nationkey, s_suppkey, sum(rev) AS srev
+  FROM rev JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY 1, 2
+),
+per_nation AS (
+  SELECT s_nationkey, sum(srev) AS nrev, count(*)::BIGINT AS n_suppliers
+  FROM per_supp GROUP BY 1
+),
+hhi AS (
+  SELECT p.s_nationkey, n.n_suppliers, n.nrev,
+         round(sum(round((p.srev::DOUBLE / n.nrev::DOUBLE)
+                       * (p.srev::DOUBLE / n.nrev::DOUBLE), 12)
+                   ::DECIMAL(28,12))::DOUBLE, 6) AS hhi
+  FROM per_supp p JOIN per_nation n USING (s_nationkey)
+  GROUP BY 1, 2, 3
+)
+SELECT n_name, n_suppliers, round(nrev::DOUBLE, 4) AS revenue, hhi
+FROM hhi JOIN nation ON s_nationkey = n_nationkey
+ORDER BY n_name
+"""
+
+
+def equidepth_sql(bins: int = 8) -> str:
+    ps = ", ".join(str(i / bins) for i in range(1, bins))
+    return f"""
+WITH edges AS (
+  SELECT quantile_cont(o_totalprice, [{ps}]) AS e FROM orders
+),
+binned AS (
+  SELECT len(list_filter(e, x -> o_totalprice > x)) AS bin, e
+  FROM orders CROSS JOIN edges
+)
+SELECT bin::INT AS bin, count(*)::BIGINT AS n_orders,
+       CASE WHEN bin > 0 THEN round(any_value(e)[bin], 6) END AS lo_edge
+FROM binned GROUP BY bin ORDER BY bin
+"""
+
+
+def semdedup_sweep_sql(thresholds) -> str:
+    # the blocking+verify base is _near_dup_sql's pair set at its default
+    # 0.35 cutoff, which must be <= the sweep minimum for the counts to
+    # be complete
+    assert min(thresholds) >= 0.35
+    vals = ", ".join(f"({float(t)!r})" for t in sorted(thresholds))
+    return f"""
+WITH base AS ({_near_dup_sql()}),
+th(threshold) AS (VALUES {vals}),
+counts AS (
+  SELECT threshold, count(*)::BIGINT AS n_pairs
+  FROM base JOIN th ON base.cosine >= th.threshold
+  GROUP BY 1
+)
+SELECT th.threshold, coalesce(counts.n_pairs, 0)::BIGINT AS n_pairs
+FROM th LEFT JOIN counts USING (threshold)
+ORDER BY threshold
+"""

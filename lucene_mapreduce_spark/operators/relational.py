@@ -394,3 +394,93 @@ def affinity_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("global_clustering"),
         )
     )
+
+
+def supplier_hhi_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman supplier-concentration index per nation:
+    revenue share of each supplier within its nation, HHI = sum of
+    squared shares (1/n = perfectly even, 1.0 = monopoly). Revenue is an
+    exact DECIMAL sum; shares divide two exact decimals cast to double
+    (identical chain both engines); the share-squared sum re-enters
+    DECIMAL at 12dp before aggregation — the entropy-sum rule, because a
+    raw double sum over suppliers would be partition-order-dependent."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.round(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 4
+        )
+        .cast("decimal(28,4)")
+        .alias("rev"),
+    )
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    per_supp = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("s_nationkey", "s_suppkey")
+        .agg(F.sum("rev").alias("srev"))
+    )
+    per_nation = per_supp.groupBy("s_nationkey").agg(
+        F.sum("srev").alias("nrev"),
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+    )
+    share = F.col("srev").cast("double") / F.col("nrev").cast("double")
+    hhi = (
+        per_supp.join(per_nation, "s_nationkey")
+        .select(
+            "s_nationkey",
+            "n_suppliers",
+            F.col("nrev"),
+            F.round(share * share, 12).cast("decimal(28,12)").alias("sq"),
+        )
+        .groupBy("s_nationkey", "n_suppliers", "nrev")
+        .agg(F.round(F.sum("sq").cast("double"), 6).alias("hhi"))
+    )
+    return (
+        hhi.join(F.broadcast(nation), hhi.s_nationkey == nation.n_nationkey)
+        .select(
+            "n_name",
+            "n_suppliers",
+            F.round(F.col("nrev").cast("double"), 4).alias("revenue"),
+            "hhi",
+        )
+        .orderBy("n_name")
+    )
+
+
+EQUIDEPTH_BINS = 8
+
+
+def equidepth_histogram_totals(
+    spark: SparkSession, sf_dir: str, bins: int = EQUIDEPTH_BINS
+) -> DataFrame:
+    """Equi-depth (quantile-binned) histogram of order totals: bin edges
+    are exact type-7 quantiles at i/bins (Spark `percentile` == DuckDB
+    `quantile_cont`, the dl_percentiles parity), each order lands in the
+    bin counted by edges it strictly exceeds. The optimizer-statistics
+    histogram shape (equi-WIDTH is histogram_facets; ES's
+    variable_width_histogram is the clustering cousin). One aggregate
+    for the edge array (broadcast back), one combinable groupBy."""
+    orders = load(spark, sf_dir, "orders").select("o_totalprice")
+    ps = ", ".join(str(i / bins) for i in range(1, bins))
+    edges = orders.agg(
+        F.expr(f"percentile(o_totalprice, array({ps}))").alias("edges")
+    )
+    binned = orders.crossJoin(F.broadcast(edges)).select(
+        F.size(
+            F.filter("edges", lambda e: F.col("o_totalprice") > e)
+        ).alias("bin"),
+        "edges",
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(
+                F.when(
+                    F.col("bin") > 0, F.element_at(F.first("edges"), F.col("bin"))
+                ),
+                6,
+            ).alias("lo_edge"),
+        )
+        .orderBy("bin")
+    )

@@ -1266,3 +1266,35 @@ def centroid_outlier_vecs(
     return ranked_topk(scored, [F.desc("dist"), F.asc("vec_id")], k).select(
         "vec_id", "label", "dist", "rank"
     )
+
+
+SEMDEDUP_SWEEP = (0.35, 0.40, 0.45, 0.50)
+
+
+def semdedup_threshold_sweep(
+    spark: SparkSession, sf_dir: str, thresholds: tuple[float, ...] = SEMDEDUP_SWEEP
+) -> DataFrame:
+    """Near-dup threshold calibration curve: how many candidate pairs the
+    LSH-band blocking yields at each cosine cutoff — the sweep a curation
+    owner reads before pinning a semantic-dedup threshold (too low eats
+    real data, too high misses paraphrases). One blocking+verify pass
+    (embedding_near_dup_pairs at the sweep minimum), then a broadcast
+    threshold table LEFT-joined so every cutoff reports, including zero."""
+    pairs = embedding_near_dup_pairs(spark, sf_dir, threshold=min(thresholds))
+    th = spark.createDataFrame(
+        [(float(t),) for t in sorted(thresholds)], "threshold double"
+    )
+    counts = (
+        pairs.crossJoin(F.broadcast(th))
+        .filter(F.col("cosine") >= F.col("threshold"))
+        .groupBy("threshold")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+    return (
+        th.join(counts, "threshold", "left")
+        .select(
+            "threshold",
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+        )
+        .orderBy("threshold")
+    )
