@@ -667,6 +667,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_hhi_by_nation": relational.supplier_hhi_by_nation,
         "equidepth_histogram_totals": relational.equidepth_histogram_totals,
         "semdedup_threshold_sweep": similarity.semdedup_threshold_sweep,
+        # round-4 session-13 batch 41
+        "rank_feature_log_query": fulltext.rank_feature_log_query,
+        "rank_feature_sigmoid_query": fulltext.rank_feature_sigmoid_query,
+        "pit_search_after_page": fulltext.pit_search_after_page,
+        "vocab_coverage_curve": textstats.vocab_coverage_curve,
+        "term_dict_frontcoding_report": textstats.term_dict_frontcoding_report,
+        "peak_concurrent_sessions": parity.peak_concurrent_sessions,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})
@@ -1287,5 +1294,31 @@ WHERE len(list_filter(range(1, len(toks)), i ->
     )
     out["semdedup_threshold_sweep"] = semdedup_sweep_sql(
         similarity.SEMDEDUP_SWEEP
+    )
+
+    # round-4 session-13 batch 41
+    from lucene_mapreduce_spark.operators.oracles import (
+        FRONTCODING_SQL,
+        rank_feature_log_sql,
+        rank_feature_sigmoid_sql,
+        vocab_coverage_sql,
+    )
+
+    out["rank_feature_log_query"] = rank_feature_log_sql(
+        fulltext.FLAGSHIP_QUERY, *fulltext.RANK_FEATURE_LOG
+    )
+    out["rank_feature_sigmoid_query"] = rank_feature_sigmoid_sql(
+        fulltext.FLAGSHIP_QUERY, *fulltext.RANK_FEATURE_SIGMOID
+    )
+    out["pit_search_after_page"] = (
+        "SELECT doc_id, score, rank FROM ("
+        + generation_sql(fulltext.FLAGSHIP_QUERY, k=20)
+        + ") t WHERE rank > 10"
+    )
+    out["vocab_coverage_curve"] = vocab_coverage_sql(
+        textstats.VOCAB_COVERAGE_PCTS
+    ).replace("{toks}", _TOKS)
+    out["term_dict_frontcoding_report"] = FRONTCODING_SQL.replace(
+        "{toks}", _TOKS
     )
     return out

@@ -4987,3 +4987,108 @@ def sig_terms_background_filter(
         "lift",
         "rank",
     )
+
+
+# --- batch 41: rank_feature function variants + PIT pagination --------------
+
+RANK_FEATURE_LOG = (200.0, 1.5)  # (scaling pivot, weight)
+RANK_FEATURE_SIGMOID = (250.0, 2.0)  # (pivot, weight); exponent pinned 2
+
+
+def rank_feature_log_query(
+    spark: SparkSession,
+    sf_dir: str,
+    query_text: str = FLAGSHIP_QUERY,
+    pivot: float = RANK_FEATURE_LOG[0],
+    weight: float = RANK_FEATURE_LOG[1],
+    k: int = 10,
+) -> DataFrame:
+    """ES `rank_feature` with the `log` function: score = BM25 +
+    weight * ln(1 + x/pivot) — the unbounded-boost variant (saturation is
+    rank_feature_query). ln is correctly rounded in both engines; the
+    additive fuse and plumbing are identical to the saturation twin."""
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+    from lucene_mapreduce_spark.query.segments import bm25_scores, field_num_values
+
+    ix = _gate_index(spark, sf_dir)
+    queries = spark.createDataFrame(
+        [("q0", query_text)], "query_id string, query_text string"
+    )
+    base = bm25_scores(spark, ix, queries).select("doc_id", "score")
+    nums = field_num_values(spark, ix, "n_chars")
+    x = F.col("num_value").cast("double")
+    fused = base.join(nums, "doc_id").select(
+        "doc_id",
+        F.round(
+            F.col("score")
+            + F.lit(weight) * F.log(F.lit(1.0) + x / F.lit(pivot)),
+            6,
+        ).alias("score"),
+    )
+    return ranked_topk(fused, [F.desc("score"), F.asc("doc_id")], k).select(
+        "doc_id", "score", "rank"
+    )
+
+
+def rank_feature_sigmoid_query(
+    spark: SparkSession,
+    sf_dir: str,
+    query_text: str = FLAGSHIP_QUERY,
+    pivot: float = RANK_FEATURE_SIGMOID[0],
+    weight: float = RANK_FEATURE_SIGMOID[1],
+    k: int = 10,
+) -> DataFrame:
+    """ES `rank_feature` with the `sigmoid` function at exponent 2:
+    score = BM25 + weight * x^2 / (x^2 + pivot^2). The exponent is pinned
+    to 2 so the power is a plain product (pow() is not correctly rounded
+    cross-engine — the axiomatic_topk rule); the S-curve shape the ES
+    docs recommend for mid-range feature values is preserved."""
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+    from lucene_mapreduce_spark.query.segments import bm25_scores, field_num_values
+
+    ix = _gate_index(spark, sf_dir)
+    queries = spark.createDataFrame(
+        [("q0", query_text)], "query_id string, query_text string"
+    )
+    base = bm25_scores(spark, ix, queries).select("doc_id", "score")
+    nums = field_num_values(spark, ix, "n_chars")
+    x = F.col("num_value").cast("double")
+    fused = base.join(nums, "doc_id").select(
+        "doc_id",
+        F.round(
+            F.col("score")
+            + F.lit(weight) * (x * x) / (x * x + F.lit(pivot) * F.lit(pivot)),
+            6,
+        ).alias("score"),
+    )
+    return ranked_topk(fused, [F.desc("score"), F.asc("doc_id")], k).select(
+        "doc_id", "score", "rank"
+    )
+
+
+def pit_search_after_page(
+    spark: SparkSession,
+    sf_dir: str,
+    query_text: str = FLAGSHIP_QUERY,
+    as_of: int = PIT_SEQ,
+    k: int = 10,
+) -> DataFrame:
+    """search_after on a point-in-time reader — the pairing ES REQUIRES
+    for consistent deep pagination (a PIT id pins the generation so pages
+    never shift under concurrent indexing; Lucene: searchAfter against
+    one IndexCommit's reader). Page 2 (ranks k+1..2k) of the PIT-pinned
+    BM25 ranking; the newer generation's re-indexed docs must be
+    invisible on every page."""
+    from lucene_mapreduce_spark.query.segments import bm25_index_topk, pit_manifest
+
+    ix = _gate_index_unmerged(spark, sf_dir)
+    m = pit_manifest(ix, as_of)
+    queries = spark.createDataFrame(
+        [("q0", query_text)], "query_id string, query_text string"
+    )
+    out = bm25_index_topk(spark, ix, queries, k=2 * k, round_to=6, manifest=m)
+    return (
+        out.filter(F.col("rank") > k)
+        .select("doc_id", "score", "rank")
+        .orderBy("rank")
+    )

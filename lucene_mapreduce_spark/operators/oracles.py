@@ -7790,3 +7790,110 @@ SELECT th.threshold, coalesce(counts.n_pairs, 0)::BIGINT AS n_pairs
 FROM th LEFT JOIN counts USING (threshold)
 ORDER BY threshold
 """
+
+
+# ---------------------------------------------------------------------------
+# Batch 41
+
+def rank_feature_log_sql(
+    query_text: str, pivot: float, weight: float, k: int = 10
+) -> str:
+    """rank_feature `log` twin: BM25 + weight * ln(1 + x/pivot)."""
+    return _feature_fused_sql(
+        query_text,
+        f"{weight!r} * ln(1 + d.n_chars::DOUBLE / {pivot!r})",
+        k,
+    )
+
+
+def rank_feature_sigmoid_sql(
+    query_text: str, pivot: float, weight: float, k: int = 10
+) -> str:
+    """rank_feature `sigmoid` twin at exponent 2 (plain products — pow()
+    is not correctly rounded cross-engine)."""
+    x2 = "(d.n_chars::DOUBLE * d.n_chars::DOUBLE)"
+    return _feature_fused_sql(
+        query_text,
+        f"{weight!r} * {x2} / ({x2} + {pivot!r} * {pivot!r})",
+        k,
+    )
+
+
+VOCAB_COVERAGE_SQL_TMPL = """
+WITH counts AS (
+  SELECT term, count(*)::BIGINT AS n
+  FROM (SELECT unnest({toks}) AS term FROM documents) GROUP BY 1
+),
+tot AS (SELECT sum(n)::BIGINT AS total FROM counts),
+ranked AS (
+  SELECT sum(n) OVER (ORDER BY n DESC, term
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         row_number() OVER (ORDER BY n DESC, term) AS r
+  FROM counts
+)
+{arms}
+ORDER BY pct
+"""
+
+
+def vocab_coverage_sql(pcts) -> str:
+    arms = "\nUNION ALL\n".join(
+        f"(SELECT {float(p)!r} AS pct, r::BIGINT AS k_terms,"
+        f" cum::BIGINT AS tokens_covered, total"
+        f" FROM ranked CROSS JOIN tot"
+        f" WHERE cum * 100 >= total * {int(round(p * 100))}"
+        f" ORDER BY r LIMIT 1)"
+        for p in pcts
+    )
+    return VOCAB_COVERAGE_SQL_TMPL.replace("{arms}", arms)
+
+
+FRONTCODING_SQL = """
+WITH terms AS (SELECT DISTINCT unnest({toks}) AS term FROM documents),
+pairs AS (SELECT term, lag(term) OVER (ORDER BY term) AS prev FROM terms),
+per AS (
+  SELECT length(term)::BIGINT AS term_len,
+         (CASE WHEN prev IS NULL THEN 0 ELSE
+            len(list_filter(range(1, least(length(term), length(prev)) + 1),
+                i -> substr(term, 1, i) = substr(prev, 1, i))) END)::BIGINT
+           AS lcp
+  FROM pairs
+)
+SELECT count(*)::BIGINT AS n_terms, sum(term_len)::BIGINT AS raw_bytes,
+       sum(lcp)::BIGINT AS saved_bytes,
+       round(sum(lcp)::DOUBLE / sum(term_len)::DOUBLE, 6) AS savings_ratio
+FROM per
+"""
+
+ORACLES["peak_concurrent_sessions"] = """
+WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+x AS (
+  SELECT user_id, us, event_id,
+         CASE WHEN lag(us) OVER w IS NULL
+                OR us - lag(us) OVER w >= 3600000000 THEN 1 ELSE 0 END AS brk
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+s AS (
+  SELECT user_id, us,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM x
+),
+sess AS (
+  SELECT user_id, sid, min(us) AS s_us, max(us) AS e_us FROM s GROUP BY 1, 2
+),
+b AS (
+  SELECT s_us AS t, 1 AS delta FROM sess
+  UNION ALL
+  SELECT e_us AS t, -1 AS delta FROM sess
+),
+r AS (
+  SELECT t, sum(delta) OVER (ORDER BY t, delta
+                             ROWS UNBOUNDED PRECEDING) AS conc
+  FROM b
+),
+p AS (SELECT max(conc)::BIGINT AS peak FROM r),
+fa AS (SELECT min(t)::BIGINT AS peak_at_us FROM r, p WHERE conc = peak),
+n AS (SELECT count(*)::BIGINT AS n_sessions FROM sess)
+SELECT n_sessions, peak AS peak_concurrent, peak_at_us FROM n, p, fa
+"""

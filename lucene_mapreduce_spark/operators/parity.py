@@ -2274,3 +2274,55 @@ def stickiness_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+def peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak simultaneous sessions (the capacity-planning number): sessions
+    are the session_duration_stats gaps-and-islands intervals; the peak
+    is the classic boundary sweep — +1 at each session start, -1 at each
+    end, running sum in (time, delta) order with ends sorting BEFORE
+    starts at equal timestamps (touching sessions don't overlap). All
+    integer epoch-micro arithmetic. The sweep's global cumulative window
+    runs over 2 rows per SESSION (not per event) — bounded by session
+    count; at petabyte scale the sweep shards by coarse time range and
+    merges per-shard offsets, same discipline as the pipeline aggs."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    brk = F.when(
+        F.lag("us").over(w).isNull()
+        | (F.col("us") - F.lag("us").over(w) >= SESSION_GAP_S * 1_000_000),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    sid = F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    sessions = (
+        ev.withColumn("brk", brk)
+        .withColumn("sid", sid)
+        .groupBy("user_id", "sid")
+        .agg(F.min("us").alias("s_us"), F.max("us").alias("e_us"))
+    )
+    bounds = sessions.select(
+        F.col("s_us").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(
+        sessions.select(F.col("e_us").alias("t"), F.lit(-1).alias("delta"))
+    )
+    sweep = Window.orderBy("t", "delta").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    running = bounds.select(
+        "t", F.sum("delta").over(sweep).alias("conc")
+    )
+    peak = running.agg(F.max("conc").cast("long").alias("peak"))
+    first_at = (
+        running.join(F.broadcast(peak), running.conc == F.col("peak"))
+        .agg(F.min("t").cast("long").alias("peak_at_us"))
+    )
+    n = sessions.agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+    return n.crossJoin(peak).crossJoin(first_at).select(
+        "n_sessions", F.col("peak").alias("peak_concurrent"), "peak_at_us"
+    )

@@ -3275,3 +3275,92 @@ def oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- batch 41: vocabulary coverage + term-dictionary front-coding -----------
+
+VOCAB_COVERAGE_PCTS = (0.5, 0.9, 0.99)
+
+
+def vocab_coverage_curve(
+    spark: SparkSession, sf_dir: str, pcts: tuple[float, ...] = VOCAB_COVERAGE_PCTS
+) -> DataFrame:
+    """Vocabulary coverage curve: the smallest k such that the top-k
+    terms (by token count, ties by term) cover >= p of all token mass,
+    for each target p — the table a tokenizer-vocabulary owner reads to
+    size the vocab. The coverage test is exact integer arithmetic
+    (cum * 100 >= total * round(p*100) — no float thresholds); the
+    cumulative window runs over the term-count table (vocab-sized, NOT
+    corpus-sized), single-partition by design like the pipeline aggs."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(tokenize_col("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    order = Window.orderBy(F.desc("n"), F.asc("term"))
+    ranked = counts.select(
+        "n",
+        F.sum("n").over(order.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.row_number().over(order).alias("r"),
+    ).crossJoin(
+        F.broadcast(counts.agg(F.sum("n").cast("long").alias("total")))
+    )
+    pieces = []
+    for p in pcts:
+        num = int(round(p * 100))
+        pieces.append(
+            ranked.filter(F.col("cum") * 100 >= F.col("total") * num)
+            .orderBy("r")
+            .limit(1)
+            .select(
+                F.lit(float(p)).alias("pct"),
+                F.col("r").cast("long").alias("k_terms"),
+                F.col("cum").alias("tokens_covered"),
+                "total",
+            )
+        )
+    out = pieces[0]
+    for piece in pieces[1:]:
+        out = out.unionByName(piece)
+    return out.orderBy("pct")
+
+
+def term_dict_frontcoding_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Front-coding (shared-prefix) compression estimate for the sorted
+    term dictionary — the byte-savings number behind Lucene\'s
+    prefix-compressed terms index blocks. For each term in sorted order
+    the saved bytes equal the longest common prefix with its
+    predecessor; LCP is counted as the number of prefix lengths i whose
+    substr(1, i) matches (prefix matches are downward-closed, so the
+    count IS the LCP — one codegen expression, no UDF). The lag window
+    runs over the vocab-sized dictionary."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    terms = docs.select(F.explode(tokenize_col("text")).alias("term")).distinct()
+    prev = F.lag("term").over(Window.orderBy("term"))
+    pairs = terms.select("term", prev.alias("prev"))
+    m = F.least(F.length("term"), F.length("prev"))
+    lcp = F.when(F.col("prev").isNull(), F.lit(0)).otherwise(
+        F.size(
+            F.filter(
+                F.sequence(F.lit(1), m),
+                lambda i: F.col("term").substr(F.lit(1), i)
+                == F.col("prev").substr(F.lit(1), i),
+            )
+        )
+    )
+    per = pairs.select(
+        F.length("term").cast("long").alias("term_len"), lcp.cast("long").alias("lcp")
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum("term_len").cast("long").alias("raw_bytes"),
+        F.sum("lcp").cast("long").alias("saved_bytes"),
+        F.round(
+            F.sum("lcp").cast("double") / F.sum("term_len").cast("double"), 6
+        ).alias("savings_ratio"),
+    )
