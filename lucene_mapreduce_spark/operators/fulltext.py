@@ -309,7 +309,17 @@ def _expand_capped(cands: DataFrame, max_expansions: int) -> list[str]:
 def _score_expanded(
     spark: SparkSession, ix: str, matched: list[str], k: int
 ) -> DataFrame:
-    """BM25 top-k over an expanded term set through the index path."""
+    """BM25 top-k over an expanded term set through the index path.
+
+    Ranks on the ROUNDED score (+ doc_id): expansions carry up to 1024
+    terms, so distinct docs can collide at 6dp while the engines'
+    unrounded last-ulp order differs (canonical ascending sum here vs the
+    oracle's plain sum) — the random_score_query rule, first seen
+    flipping a term_range_query rank pair at sf1. The index path fetches
+    a 2k page by exact score first, so any rounded tie crossing the cut
+    is resolved identically on both sides (a tie spanning the whole 2k
+    margin would need 6dp-equal scores across k extra docs)."""
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
     from lucene_mapreduce_spark.query.segments import bm25_index_topk
 
     if not matched:
@@ -317,8 +327,12 @@ def _score_expanded(
     queries = spark.createDataFrame(
         [("q0", " ".join(matched))], "query_id string, query_text string"
     )
-    out = bm25_index_topk(spark, ix, queries, k=k, round_to=6)
-    return out.select("doc_id", "score", "rank")
+    page = bm25_index_topk(spark, ix, queries, k=2 * k, round_to=6).select(
+        "doc_id", "score"
+    )
+    return ranked_topk(page, [F.desc("score"), F.asc("doc_id")], k).select(
+        "doc_id", "score", "rank"
+    )
 
 
 PREFIX_QUERY = "s"  # expands to stream/small/sort/scan/slow/spark at gate

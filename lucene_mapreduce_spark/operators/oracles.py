@@ -232,8 +232,13 @@ agg AS (
 )
 SELECT doc_id, round(score, 6) AS score, rank
 FROM (
+  -- rank on the ROUNDED score: expansions carry up to 1024 terms, so two
+  -- docs can collide at 6dp while the engines' unrounded last-ulp order
+  -- differs (plain sum here vs canonical ascending sum in Spark) — the
+  -- random_score_query rule, first seen flipping at sf1
   SELECT doc_id, score,
-         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+         row_number() OVER (ORDER BY round(score, 6) DESC, doc_id ASC)
+           AS rank
   FROM agg
 )
 WHERE rank <= {k}
@@ -740,8 +745,13 @@ agg AS (
 )
 SELECT doc_id, round(score, 6) AS score, rank
 FROM (
+  -- rank on the ROUNDED score: expansions carry up to 1024 terms, so two
+  -- docs can collide at 6dp while the engines' unrounded last-ulp order
+  -- differs (plain sum here vs canonical ascending sum in Spark) — the
+  -- random_score_query rule, first seen flipping at sf1
   SELECT doc_id, score,
-         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+         row_number() OVER (ORDER BY round(score, 6) DESC, doc_id ASC)
+           AS rank
   FROM agg
 )
 WHERE rank <= {k}
