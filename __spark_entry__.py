@@ -674,6 +674,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage_curve": textstats.vocab_coverage_curve,
         "term_dict_frontcoding_report": textstats.term_dict_frontcoding_report,
         "peak_concurrent_sessions": parity.peak_concurrent_sessions,
+        # round-4 session-13 batch 42
+        "query_difficulty_predictors": fulltext.query_difficulty_predictors,
+        "shingle_uniqueness_profile": textstats.shingle_uniqueness_profile,
+        "sax_daily_symbols": parity.sax_daily_symbols,
+        "part_pagerank_3iter": relational.part_pagerank_3iter,
+        "streaming_percolate_range": (
+            lambda s, d: __import__(
+                "lucene_mapreduce_spark.streaming.incremental", fromlist=["x"]
+            ).streaming_percolate_range(s, d)
+        ),
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})
@@ -1321,4 +1331,23 @@ WHERE len(list_filter(range(1, len(toks)), i ->
     out["term_dict_frontcoding_report"] = FRONTCODING_SQL.replace(
         "{toks}", _TOKS
     )
+
+    # round-4 session-13 batch 42
+    from lucene_mapreduce_spark.operators.oracles import (
+        PAGERANK_SQL,
+        SAX_SQL,
+        qdp_sql,
+        shingle_profile_sql,
+    )
+    from lucene_mapreduce_spark.operators.textstats import SHINGLE_PROFILE_WS
+
+    out["query_difficulty_predictors"] = qdp_sql(fulltext.QDP_QUERIES).replace(
+        "{toks}", _TOKS
+    )
+    out["shingle_uniqueness_profile"] = shingle_profile_sql(
+        SHINGLE_PROFILE_WS
+    ).replace("{toks}", _TOKS)
+    out["sax_daily_symbols"] = SAX_SQL
+    out["part_pagerank_3iter"] = PAGERANK_SQL
+    out["streaming_percolate_range"] = out["percolate_range_match"]
     return out

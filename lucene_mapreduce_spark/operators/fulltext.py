@@ -5106,3 +5106,80 @@ def pit_search_after_page(
         .select("doc_id", "score", "rank")
         .orderBy("rank")
     )
+
+
+# --- batch 42: pre-retrieval query difficulty prediction ---------------------
+
+QDP_QUERIES = (
+    ("q0", FLAGSHIP_QUERY),
+    ("q1", SECOND_QUERY),
+    ("q2", BOOLEAN_QUERY),
+    ("q3", PHRASE_QUERY),
+)
+
+
+def query_difficulty_predictors(
+    spark: SparkSession,
+    sf_dir: str,
+    queries: tuple[tuple[str, str], ...] = QDP_QUERIES,
+) -> DataFrame:
+    """Pre-retrieval query performance prediction (QPP): the classic
+    predictors a search cluster computes BEFORE running a query to route
+    or throttle it — term count, avg/max idf (specificity), and SCQ
+    (similarity collection-query, He & Ounis 2004: sum over terms of
+    (1 + ln(cf_t)) * idf_t). One corpus explode builds df/cf for the
+    union term set; per-query sums fold in ascending term order (the
+    house determinism rule), divisions and ln identical cross-engine."""
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_col, tokenize_string
+    from lucene_mapreduce_spark.operators.parity import load
+
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    reg = [
+        (qid, t)
+        for qid, qtext in queries
+        for t in sorted(set(tokenize_string(qtext)))
+    ]
+    regdf = spark.createDataFrame(reg, "query_id string, term string")
+    union_terms = sorted({t for _, t in reg})
+    toks = docs.select("doc_id", F.explode(tokenize_col("text")).alias("term"))
+    stats = (
+        toks.filter(F.col("term").isin(union_terms))
+        .groupBy("term")
+        .agg(
+            F.countDistinct("doc_id").cast("double").alias("df"),
+            F.count(F.lit(1)).cast("double").alias("cf"),
+        )
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    per_term = regdf.join(F.broadcast(stats), "term").select(
+        "query_id",
+        "term",
+        idf.alias("idf"),
+        ((F.lit(1.0) + F.log("cf")) * idf).alias("scq_t"),
+    )
+    folded = per_term.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.round(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("term", "idf"))),
+                F.lit(0.0),
+                lambda a, x: a + x["idf"],
+            )
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("avg_idf"),
+        F.round(F.max("idf"), 6).alias("max_idf"),
+        F.round(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("term", "scq_t"))),
+                F.lit(0.0),
+                lambda a, x: a + x["scq_t"],
+            ),
+            6,
+        ).alias("scq"),
+    )
+    return folded.orderBy("query_id")

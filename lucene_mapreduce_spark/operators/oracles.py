@@ -7907,3 +7907,134 @@ fa AS (SELECT min(t)::BIGINT AS peak_at_us FROM r, p WHERE conc = peak),
 n AS (SELECT count(*)::BIGINT AS n_sessions FROM sess)
 SELECT n_sessions, peak AS peak_concurrent, peak_at_us FROM n, p, fa
 """
+
+
+# ---------------------------------------------------------------------------
+# Batch 42
+
+def qdp_sql(queries) -> str:
+    """Query-difficulty-predictor twin: df/cf from one corpus explode,
+    idf/SCQ folds in ascending term order."""
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_string
+
+    reg_rows = ", ".join(
+        f"('{qid}', '{t}')"
+        for qid, qtext in queries
+        for t in sorted(set(tokenize_string(qtext)))
+    )
+    union_terms = ", ".join(
+        f"'{t}'"
+        for t in sorted({t for _, q in queries for t in tokenize_string(q)})
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, unnest({{toks}}) AS term FROM documents),
+nd AS (SELECT count(*)::DOUBLE AS n FROM documents),
+reg(query_id, term) AS (VALUES {reg_rows}),
+stats AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df,
+         count(*)::DOUBLE AS cf
+  FROM toks WHERE term IN ({union_terms}) GROUP BY 1
+),
+per AS (
+  SELECT query_id, r.term,
+         ln(1 + (nd.n - df + 0.5) / (df + 0.5)) AS idf,
+         (1.0 + ln(cf)) * ln(1 + (nd.n - df + 0.5) / (df + 0.5)) AS scq_t
+  FROM reg r JOIN stats USING (term) CROSS JOIN nd
+)
+SELECT query_id, count(*)::BIGINT AS n_terms,
+       round(list_reduce([0.0::DOUBLE] || list(idf ORDER BY term),
+                         (a, b) -> a + b) / count(*), 6) AS avg_idf,
+       round(max(idf), 6) AS max_idf,
+       round(list_reduce([0.0::DOUBLE] || list(scq_t ORDER BY term),
+                         (a, b) -> a + b), 6) AS scq
+FROM per GROUP BY 1 ORDER BY 1
+"""
+
+
+def shingle_profile_sql(ws) -> str:
+    arms = "\nUNION ALL\n".join(
+        f"""(SELECT {w}::INT AS w, count(*)::BIGINT AS total_shingles,
+        count(DISTINCT sh)::BIGINT AS distinct_shingles,
+        round(count(DISTINCT sh)::DOUBLE / count(*)::DOUBLE, 6) AS uniqueness
+ FROM (SELECT unnest(list_transform(range(1, len(toks) - {w} + 2),
+              i -> array_to_string(toks[i:i + {w} - 1], ' '))) AS sh
+       FROM t WHERE len(toks) >= {w}))"""
+        for w in ws
+    )
+    return (
+        "WITH t AS (SELECT {toks} AS toks FROM documents)\n"
+        + arms
+        + "\nORDER BY w"
+    )
+
+
+SAX_SQL = f"""
+WITH {_DAILY_HIST},
+packed AS (SELECT list(n_events::DOUBLE ORDER BY day) AS ns FROM hist),
+st AS (
+  SELECT ns, len(ns)::DOUBLE AS nd,
+         list_reduce(ns, (a, x) -> a + x) AS s1,
+         list_reduce(list_transform(ns, x -> x * x), (a, x) -> a + x) AS s2
+  FROM packed
+),
+st2 AS (
+  SELECT ns, s1 / nd AS mean, sqrt(s2 / nd - (s1 / nd) * (s1 / nd)) AS std
+  FROM st
+),
+idx AS (SELECT ns, mean, std, unnest(range(len(ns))) AS pos FROM st2),
+z AS (
+  SELECT (pos // 5)::BIGINT AS window_id, pos,
+         (ns[pos + 1] - mean) / std AS z
+  FROM idx
+),
+paa AS (
+  SELECT window_id, count(*)::BIGINT AS n_days,
+         list_reduce([0.0::DOUBLE] || list(z ORDER BY pos),
+                     (a, b) -> a + b) / count(*) AS paa_raw
+  FROM z GROUP BY 1
+)
+SELECT window_id, n_days, round(paa_raw, 6) AS paa,
+       CASE WHEN paa_raw < -0.6745 THEN 'a'
+            WHEN paa_raw < 0.0 THEN 'b'
+            WHEN paa_raw < 0.6745 THEN 'c' ELSE 'd' END AS symbol
+FROM paa ORDER BY window_id
+"""
+
+_PR_EDGES = """
+op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+edges AS (SELECT pa AS src, pb AS dst FROM e
+          UNION ALL SELECT pb AS src, pa AS dst FROM e),
+deg AS (SELECT src, count(*)::BIGINT AS deg FROM edges GROUP BY 1),
+nn AS (SELECT count(*)::DOUBLE AS n FROM deg)
+"""
+
+
+def _pr_iter(prev: str, cur: str) -> str:
+    return f"""{cur} AS (
+  SELECT dst AS src,
+         (1.0 - 0.85) / (SELECT n FROM nn)
+           + sum(round(0.85 * r / deg::DOUBLE, 12)::DECIMAL(28,12))::DOUBLE
+           AS r
+  FROM edges JOIN {prev} USING (src) JOIN deg USING (src)
+  GROUP BY dst
+)"""
+
+
+PAGERANK_SQL = f"""
+WITH {_PR_EDGES},
+r0 AS (SELECT src, 1.0 / n AS r FROM deg CROSS JOIN nn),
+{_pr_iter("r0", "r1")},
+{_pr_iter("r1", "r2")},
+{_pr_iter("r2", "r3")}
+SELECT part, pagerank, rank FROM (
+  SELECT src AS part, round(r, 6) AS pagerank,
+         row_number() OVER (ORDER BY round(r, 6) DESC, src ASC) AS rank
+  FROM r3
+) WHERE rank <= 20 ORDER BY rank
+"""

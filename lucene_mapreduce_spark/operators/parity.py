@@ -2326,3 +2326,64 @@ def peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n.crossJoin(peak).crossJoin(first_at).select(
         "n_sessions", F.col("peak").alias("peak_concurrent"), "peak_at_us"
     )
+
+
+SAX_WINDOW_DAYS = 5
+SAX_BREAKPOINTS = (-0.6745, 0.0, 0.6745)  # Gaussian quartile literals
+
+
+def sax_daily_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolization of the daily event series (Lin et al. 2003):
+    z-normalize the gap-filled histogram with exact integer sufficient
+    statistics (the cusum_alerts chain), PAA-average non-overlapping
+    5-day windows, and map each window to a quartile symbol a-d against
+    pinned Gaussian breakpoints. Window means fold their <= 5 z-values
+    in ascending day order (identical op chain both engines); symbol
+    assignment compares the UNROUNDED mean to literal breakpoints —
+    breakpoint-equality can't occur (means inherit the irrational std
+    divisor). Day-count-bounded like every pipeline agg."""
+    from pyspark.sql import Window
+
+    hist = date_histogram_facets(spark, sf_dir)
+    packed = hist.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct("day", F.col("n_events").cast("double").alias("n"))
+            )
+        ).alias("xs")
+    ).select("xs", F.transform("xs", lambda s: s["n"]).alias("ns"))
+    nd = F.size("ns").cast("double")
+    s1 = F.aggregate("ns", F.lit(0.0), lambda a, x: a + x)
+    s2 = F.aggregate("ns", F.lit(0.0), lambda a, x: a + x * x)
+    stats = packed.select(
+        "xs", (s1 / nd).alias("mean"),
+        F.sqrt(s2 / nd - (s1 / nd) * (s1 / nd)).alias("std"),
+    )
+    rows = stats.select(
+        "mean", "std", F.posexplode("xs").alias("pos", "x")
+    ).select(
+        (F.col("pos") / F.lit(SAX_WINDOW_DAYS)).cast("long").alias("window_id"),
+        F.col("pos").alias("pos"),
+        ((F.col("x.n") - F.col("mean")) / F.col("std")).alias("z"),
+    )
+    paa = rows.groupBy("window_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        (
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("pos", "z"))),
+                F.lit(0.0),
+                lambda a, x: a + x["z"],
+            )
+            / F.count(F.lit(1)).cast("double")
+        ).alias("paa_raw"),
+    )
+    b1, b2, b3 = SAX_BREAKPOINTS
+    sym = (
+        F.when(F.col("paa_raw") < F.lit(b1), "a")
+        .when(F.col("paa_raw") < F.lit(b2), "b")
+        .when(F.col("paa_raw") < F.lit(b3), "c")
+        .otherwise("d")
+    )
+    return paa.select(
+        "window_id", "n_days", F.round("paa_raw", 6).alias("paa"), sym.alias("symbol")
+    ).orderBy("window_id")

@@ -484,3 +484,67 @@ def equidepth_histogram_totals(
         )
         .orderBy("bin")
     )
+
+
+PAGERANK_D = 0.85
+PAGERANK_ITERS = 3
+PAGERANK_TOP_K = 20
+
+
+def part_pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 unrolled power iterations, damping 0.85) over the
+    undirected co-order part graph — the iterative-algorithm shape on
+    Spark: each iteration is one join + one aggregate, the rank vector
+    never leaves the cluster. Determinism: neighbor contributions are
+    rounded to 12dp and summed as DECIMAL (order-free — a raw double sum
+    across neighbors would be partition-order-dependent); the oracle
+    unrolls the same three iterations as CTEs (the MMR precedent).
+    Convergence is not the point at 3 iterations — identical arithmetic
+    is."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("pb"))
+    e = (
+        a.join(b, (a.ok == b.ok2) & (a.pa < b.pb))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= AFFINITY_MIN_SUPPORT)
+        .select("pa", "pb")
+    )
+    edges = e.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionAll(
+        e.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    n_nodes = deg.count()
+    base = (1.0 - PAGERANK_D) / float(n_nodes)
+    rank = deg.select("src", F.lit(1.0 / float(n_nodes)).alias("r"))
+    for _ in range(PAGERANK_ITERS):
+        contrib = (
+            edges.join(rank, "src")
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.round(
+                    F.lit(PAGERANK_D) * F.col("r") / F.col("deg").cast("double"),
+                    12,
+                )
+                .cast("decimal(28,12)")
+                .alias("c"),
+            )
+        )
+        rank = (
+            contrib.groupBy("node")
+            .agg((F.lit(base) + F.sum("c").cast("double")).alias("r"))
+            .select(F.col("node").alias("src"), "r")
+        )
+    from pyspark.sql.window import Window
+
+    scored = rank.select(
+        F.col("src").alias("part"), F.round("r", 6).alias("pagerank")
+    )
+    w = Window.orderBy(F.col("pagerank").desc(), F.col("part").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= PAGERANK_TOP_K)
+        .orderBy("rank")
+    )

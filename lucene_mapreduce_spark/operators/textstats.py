@@ -3364,3 +3364,51 @@ def term_dict_frontcoding_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("lcp").cast("double") / F.sum("term_len").cast("double"), 6
         ).alias("savings_ratio"),
     )
+
+
+SHINGLE_PROFILE_WS = (2, 3, 4, 5)
+
+
+def shingle_uniqueness_profile(
+    spark: SparkSession, sf_dir: str, ws: tuple[int, ...] = SHINGLE_PROFILE_WS
+) -> DataFrame:
+    """w-shingle uniqueness curve: distinct vs total shingles per window
+    width — the profile that picks the shingle width for MinHash/Jaccard
+    dedup (too narrow = everything collides, too wide = nothing does).
+    One explode per width over the tokenized corpus, integer counts, the
+    ratio divided identically in both engines. Short docs guard the
+    sequence with a size filter (Spark sequence(1, n) DESCENDS when
+    n < 1 — the bigram_logprob trap)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(tokenize_col("text").alias("toks"))
+    pieces = []
+    for w in ws:
+        sh = (
+            toks.filter(F.size("toks") >= w)
+            .select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("toks") - F.lit(w) + 1),
+                        lambda i: F.array_join(
+                            F.slice("toks", i, F.lit(w)), " "
+                        ),
+                    )
+                ).alias("sh")
+            )
+        )
+        pieces.append(
+            sh.agg(
+                F.lit(w).cast("int").alias("w"),
+                F.count(F.lit(1)).cast("long").alias("total_shingles"),
+                F.countDistinct("sh").cast("long").alias("distinct_shingles"),
+                F.round(
+                    F.countDistinct("sh").cast("double")
+                    / F.count(F.lit(1)).cast("double"),
+                    6,
+                ).alias("uniqueness"),
+            )
+        )
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("w")

@@ -608,3 +608,68 @@ def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     return _finish_gate(spark, q, sink, src, select_cols=["user_id", "event_type"])
+
+
+def streaming_percolate_range(
+    spark: SparkSession,
+    sf_dir: str,
+    queries: tuple[tuple[str, str, int, int], ...] | None = None,
+) -> DataFrame:
+    """Streaming percolator with mixed clause types: the stored queries
+    carry a conjunctive terms MUST plus a numeric n_chars range FILTER
+    (operators/fulltext.percolate_range_match is the batch twin and
+    shares the oracle). Same topology as streaming_percolate — static
+    broadcast registry, stateless stream-static inner join, append mode,
+    no watermark — with the range predicate fused into the join
+    condition, exactly how a saved-search alert with a length guard runs
+    against an unbounded doc stream."""
+    import os
+    import tempfile
+
+    from lucene_mapreduce_spark.functions.tokenize import (
+        tokenize_col,
+        tokenize_string,
+    )
+    from lucene_mapreduce_spark.operators.fulltext import PERCOLATE_RANGE_QUERIES
+    from lucene_mapreduce_spark.operators.parity import load
+
+    queries = queries or PERCOLATE_RANGE_QUERIES
+    src = os.path.join(tempfile.mkdtemp(prefix="lmr_percr_gate_"), "src")
+    load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars"
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+
+    reg = spark.createDataFrame(
+        [
+            (qid, sorted(set(tokenize_string(qtext))), lo, hi)
+            for qid, qtext, lo, hi in queries
+        ],
+        "query_id string, q_terms array<string>, lo long, hi long",
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string, n_chars long")
+        .parquet(src)
+        .select(
+            "doc_id",
+            "n_chars",
+            F.array_distinct(tokenize_col("text")).alias("toks"),
+        )
+    )
+    joined = stream.join(
+        F.broadcast(reg),
+        (F.size(F.array_intersect("toks", "q_terms")) == F.size("q_terms"))
+        & (F.col("n_chars") >= F.col("lo"))
+        & (F.col("n_chars") < F.col("hi")),
+        "inner",
+    ).select("query_id", "doc_id")
+
+    _GATE_SEQ[0] += 1
+    sink = f"percolate_range_gate_{_GATE_SEQ[0]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    return _finish_gate(spark, q, sink, src, order_by=["query_id", "doc_id"])
