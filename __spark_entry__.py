@@ -684,6 +684,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "lucene_mapreduce_spark.streaming.incremental", fromlist=["x"]
             ).streaming_percolate_range(s, d)
         ),
+        # round-4 session-13 batch 43
+        "event_type_user_jaccard": parity.event_type_user_jaccard,
+        "weekly_churn_rate": parity.weekly_churn_rate,
+        "knn_label_confusion": similarity.knn_label_confusion,
+        "sig_terms_gnd": fulltext.sig_terms_gnd,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})
@@ -1350,4 +1355,12 @@ WHERE len(list_filter(range(1, len(toks)), i ->
     out["sax_daily_symbols"] = SAX_SQL
     out["part_pagerank_3iter"] = PAGERANK_SQL
     out["streaming_percolate_range"] = out["percolate_range_match"]
+
+    # round-4 session-13 batch 43
+    from lucene_mapreduce_spark.operators.oracles import sig_terms_gnd_sql
+
+    out["sig_terms_gnd"] = sig_terms_gnd_sql(
+        fulltext.BOOLEAN_QUERY, k=fulltext.SIGTERMS_K,
+        min_df=fulltext.SIGTERMS_MIN_DF,
+    )
     return out

@@ -5183,3 +5183,51 @@ def query_difficulty_predictors(
         ).alias("scq"),
     )
     return folded.orderBy("query_id")
+
+
+def sig_terms_gnd(
+    spark: SparkSession,
+    sf_dir: str,
+    query_text: str = BOOLEAN_QUERY,
+    k: int = SIGTERMS_K,
+    min_df: int = SIGTERMS_MIN_DF,
+) -> DataFrame:
+    """Significant terms scored by Google Normalized Distance (ES's `gnd`
+    heuristic; Cilibrasi & Vitanyi 2007): gnd = (max(ln fg, ln df) -
+    ln overlap) / (ln N - min(ln fg, ln df)) where overlap = df_fg —
+    smaller is MORE significant, so ranking ascends. All inputs are exact
+    integer counts; ln chains and the division are identical in both
+    engines; same distributed shape as the lift-scored significant_terms."""
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_col, tokenize_string
+    from lucene_mapreduce_spark.operators.parity import load, ranked_topk
+    from lucene_mapreduce_spark.query.segments import boolean_match
+
+    ix = _gate_index(spark, sf_dir)
+    hits = boolean_match(spark, ix, query_text, mode="or")
+    n_fg = hits.count()
+    docs = load(spark, sf_dir, "documents")
+    n_bg = docs.count()
+    toks = docs.select("doc_id", F.explode(tokenize_col("text")).alias("term"))
+    bg = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df_bg"))
+    fg = (
+        toks.join(hits, "doc_id")
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df_fg"))
+    )
+    qterms = set(tokenize_string(query_text))
+    lf = F.log(F.lit(float(n_fg)))
+    ld = F.log(F.col("df_bg").cast("double"))
+    lo = F.log(F.col("df_fg").cast("double"))
+    gnd = (F.greatest(lf, ld) - lo) / (F.log(F.lit(float(n_bg))) - F.least(lf, ld))
+    scored = (
+        fg.join(bg, "term")
+        .filter(~F.col("term").isin(sorted(qterms)) & (F.col("df_fg") >= min_df))
+        .withColumn("gnd", F.round(gnd, 6))
+    )
+    return ranked_topk(scored, [F.asc("gnd"), F.asc("term")], k).select(
+        "term",
+        F.col("df_fg").cast("long").alias("df_fg"),
+        F.col("df_bg").cast("long").alias("df_bg"),
+        "gnd",
+        "rank",
+    )

@@ -8038,3 +8038,107 @@ SELECT part, pagerank, rank FROM (
   FROM r3
 ) WHERE rank <= 20 ORDER BY rank
 """
+
+
+# ---------------------------------------------------------------------------
+# Batch 43
+
+ORACLES["event_type_user_jaccard"] = """
+WITH ev AS (SELECT DISTINCT event_type, user_id FROM events),
+inter AS (
+  SELECT a.event_type AS ta, b.event_type AS tb, count(*)::BIGINT AS n_inter
+  FROM ev a JOIN ev b ON a.user_id = b.user_id
+                     AND a.event_type < b.event_type
+  GROUP BY 1, 2
+),
+per AS (SELECT event_type, count(*)::BIGINT AS n FROM ev GROUP BY 1)
+SELECT ta, tb, na.n AS n_a, nb.n AS n_b, n_inter,
+       round(n_inter::DOUBLE / (na.n + nb.n - n_inter)::DOUBLE, 6) AS jaccard
+FROM inter
+JOIN per na ON ta = na.event_type
+JOIN per nb ON tb = nb.event_type
+ORDER BY ta, tb
+"""
+
+ORACLES["weekly_churn_rate"] = """
+WITH ev AS (
+  SELECT DISTINCT ((epoch_us(ts) // 86400000000) // 7)::BIGINT AS m, user_id
+  FROM events
+),
+mx AS (SELECT max(m) AS mx FROM ev),
+base AS (SELECT m, user_id FROM ev, mx WHERE m < mx),
+act AS (SELECT m, count(*)::BIGINT AS active FROM base GROUP BY 1),
+ret AS (
+  SELECT b.m, count(*)::BIGINT AS retained
+  FROM base b
+  WHERE EXISTS (SELECT 1 FROM ev e2
+                WHERE e2.m = b.m + 1 AND e2.user_id = b.user_id)
+  GROUP BY 1
+)
+SELECT m, active, coalesce(retained, 0)::BIGINT AS retained,
+       round((active - coalesce(retained, 0))::DOUBLE / active::DOUBLE, 6)
+         AS churn_rate
+FROM act LEFT JOIN ret USING (m) ORDER BY m
+"""
+
+ORACLES["knn_label_confusion"] = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (
+  SELECT vec_id AS query_id, label AS qlabel, v AS qv
+  FROM e WHERE vec_id % 97 = 0
+),
+scored AS (
+  SELECT q.query_id, q.qlabel, e.label AS nn_label, e.vec_id,
+         round(list_dot_product(e.v, q.qv)
+               / (sqrt(list_dot_product(e.v, e.v))
+                  * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+  FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id
+),
+nn AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+SELECT qlabel AS label, nn_label, count(*)::BIGINT AS n
+FROM nn GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def sig_terms_gnd_sql(query_text: str, k: int = 15, min_df: int = 3) -> str:
+    """gnd-scored significant_terms twin: smaller distance = more
+    significant, rank ascends on the rounded score."""
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_string
+
+    qts = sorted(set(tokenize_string(query_text)))
+    qlits = ", ".join(f"'{t}'" for t in qts)
+    gnd = (
+        "round((greatest(ln(nfg.n), ln(b.df_bg::DOUBLE)) - ln(f.df_fg::DOUBLE))"
+        " / (ln(nbg.n) - least(ln(nfg.n), ln(b.df_bg::DOUBLE))), 6)"
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKS}) AS term FROM documents
+),
+qt AS (SELECT unnest([{qlits}]) AS term),
+hits AS (SELECT DISTINCT doc_id FROM toks JOIN qt USING (term)),
+nfg AS (SELECT count(*)::DOUBLE AS n FROM hits),
+nbg AS (SELECT count(*)::DOUBLE AS n FROM documents),
+fg AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df_fg
+  FROM toks JOIN hits USING (doc_id) GROUP BY 1
+),
+bg AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df_bg FROM toks GROUP BY 1
+)
+SELECT term, df_fg, df_bg, gnd, rank
+FROM (
+  SELECT f.term, f.df_fg, b.df_bg, {gnd} AS gnd,
+         row_number() OVER (ORDER BY {gnd} ASC, f.term ASC) AS rank
+  FROM fg f JOIN bg b USING (term)
+  CROSS JOIN nfg CROSS JOIN nbg
+  WHERE f.df_fg >= {min_df} AND f.term NOT IN ({qlits})
+)
+WHERE rank <= {k}
+"""

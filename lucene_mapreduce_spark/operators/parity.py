@@ -2387,3 +2387,80 @@ def sax_daily_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paa.select(
         "window_id", "n_days", F.round("paa_raw", 6).alias("paa"), sym.alias("symbol")
     ).orderBy("window_id")
+
+
+def event_type_user_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-audience overlap between event types: Jaccard |A∩B|/|A∪B| for
+    every type pair — the adjacency matrix of behavioral segments
+    (adjacency_matrix_facets is the doc-side facet twin). One distinct
+    (type, user) collapse; the pair join is bounded by the type
+    vocabulary squared, never by users. Integer counts; one division."""
+    ev = load(spark, sf_dir, "events").select("event_type", "user_id").distinct()
+    a = ev.select(F.col("event_type").alias("ta"), F.col("user_id").alias("u"))
+    b = ev.select(F.col("event_type").alias("tb"), F.col("user_id").alias("u2"))
+    inter = (
+        a.join(b, (a.u == b.u2) & (a.ta < b.tb))
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    per = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    na = per.select(F.col("event_type").alias("ta"), F.col("n").alias("n_a"))
+    nb = per.select(F.col("event_type").alias("tb"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(na), "ta")
+        .join(F.broadcast(nb), "tb")
+        .select(
+            "ta",
+            "tb",
+            "n_a",
+            "n_b",
+            "n_inter",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("ta", "tb")
+    )
+
+
+def weekly_churn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week churn: of the users active in week w, the share
+    with NO activity in w+1 (stickiness_ratio's retention complement).
+    Weeks index as epoch-day div 7 integers (exact `div` arithmetic —
+    never the engine's week() which disagrees across engines and spans);
+    one distinct (week, user) collapse feeds both sides of a self-join
+    on w+1. The last week has no successor and is excluded (its churn is
+    not yet observable)."""
+    ev = load(spark, sf_dir, "events").select(
+        F.expr(
+            "(unix_micros(cast(ts as timestamp)) div 86400000000) div 7"
+        ).cast("long").alias("m"),
+        "user_id",
+    ).distinct()
+    nxt = ev.select((F.col("m") - 1).alias("m_prev"), F.col("user_id").alias("u2"))
+    last = ev.agg(F.max("m").alias("mx"))
+    base = ev.crossJoin(F.broadcast(last)).filter(F.col("m") < F.col("mx"))
+    retained = base.join(
+        nxt, (base.m == nxt.m_prev) & (base.user_id == nxt.u2), "left_semi"
+    ).groupBy("m").agg(F.count(F.lit(1)).cast("long").alias("retained"))
+    active = base.groupBy("m").agg(
+        F.count(F.lit(1)).cast("long").alias("active")
+    )
+    return (
+        active.join(retained, "m", "left")
+        .select(
+            "m",
+            "active",
+            F.coalesce("retained", F.lit(0)).cast("long").alias("retained"),
+            F.round(
+                (F.col("active") - F.coalesce("retained", F.lit(0))).cast("double")
+                / F.col("active").cast("double"),
+                6,
+            ).alias("churn_rate"),
+        )
+        .orderBy("m")
+    )

@@ -1298,3 +1298,52 @@ def semdedup_threshold_sweep(
         )
         .orderBy("threshold")
     )
+
+
+KNN_CONFUSION_MOD = 97
+
+
+def knn_label_confusion(
+    spark: SparkSession, sf_dir: str, qmod: int = KNN_CONFUSION_MOD
+) -> DataFrame:
+    """1-NN label confusion matrix over a deterministic probe sample
+    (vec_id % qmod == 0): each probe's nearest neighbor by cosine
+    (excluding itself), tallied as (true label, neighbor label) — the
+    embedding-space quality audit a labeling pipeline reads before
+    trusting kNN pseudo-labels. The probe batch broadcasts against one
+    corpus scan (ann_batch_topk's shape at k=1); the diagonal mass is the
+    leave-one-out 1-NN accuracy."""
+    from pyspark.sql.window import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % qmod == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("label").alias("qlabel"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "qlabel",
+            F.col("label").alias("nn_label"),
+            "vec_id",
+            F.round(
+                _cosine(
+                    F.col("embedding").cast("array<double>"),
+                    F.col("qvec").cast("array<double>"),
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    nn = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        nn.groupBy(F.col("qlabel").alias("label"), "nn_label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("label", "nn_label")
+    )
