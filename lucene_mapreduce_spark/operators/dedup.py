@@ -486,7 +486,16 @@ def winnowing_dup_candidates(
     fingerprint groupBy, which is md5-uniform (no hot keys beyond true
     duplicates). Distinct from doc_fingerprint (global min, stride 4):
     winnowing guarantees LOCAL coverage, so partial overlaps are caught."""
-    docs = load(spark, sf_dir, "documents")
+    # Repartition BEFORE the fingerprint projection: per row this is the
+    # heaviest expression in the repo (~500 md5 + ~500 window minima), and
+    # a small parquet input (one ~20 MB file at the 10x gate) otherwise
+    # yields 1-2 scan partitions — one task ground ~25M md5 calls
+    # single-threaded for the whole sf1 corpus. At 100 TB the scan has
+    # thousands of partitions naturally; this keeps the small-input case
+    # honest. Row-local projection, so the shuffle changes nothing else.
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     body = F.substring(F.col("text"), 1, cap)
     n = F.length(body)
     hashes = F.transform(
