@@ -689,6 +689,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weekly_churn_rate": parity.weekly_churn_rate,
         "knn_label_confusion": similarity.knn_label_confusion,
         "sig_terms_gnd": fulltext.sig_terms_gnd,
+        # round-4 session-14 batch 44: warehouse pack 2
+        "shipping_priority_topk": relational.shipping_priority_topk,
+        "forecast_revenue_delta": relational.forecast_revenue_delta,
+        "volume_shipping_by_nation": relational.volume_shipping_by_nation,
+        "market_share_by_year": relational.market_share_by_year,
+        "customer_order_histogram": relational.customer_order_histogram,
+        "promo_revenue_share": relational.promo_revenue_share,
+        "small_qty_order_revenue": relational.small_qty_order_revenue,
+        "disjunctive_filter_revenue": relational.disjunctive_filter_revenue,
+        "dormant_customer_balance": relational.dormant_customer_balance,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})

@@ -8142,3 +8142,179 @@ FROM (
 )
 WHERE rank <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Batch 44: warehouse pack 2 (operators/relational.py) — the remaining
+# TPC-H shapes expressible over the available columns. Same determinism
+# rules as batch 37: round-then-DECIMAL sums, exact 4dp revenue products.
+
+ORACLES["shipping_priority_topk"] = """
+WITH agg AS (
+  SELECT o_orderkey, o_orderdate,
+         sum(round(l_extendedprice * (1 - l_discount), 4)::DECIMAL(28,4))
+           AS revenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderdate < TIMESTAMP '1998-06-01'
+    AND l_shipdate > TIMESTAMP '1998-06-01'
+    AND o_custkey IN (SELECT c_custkey FROM customer
+                      WHERE c_mktsegment = 'BUILDING')
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT o_orderkey,
+         strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+         round(revenue::DOUBLE, 4) AS revenue,
+         row_number() OVER (ORDER BY revenue DESC, o_orderkey) AS rank
+  FROM agg
+)
+SELECT * FROM ranked WHERE rank <= 10 ORDER BY rank
+"""
+
+ORACLES["forecast_revenue_delta"] = """
+SELECT round((sum(round(l_extendedprice * l_discount, 4)::DECIMAL(28,4)))
+             ::DOUBLE, 4) AS revenue_delta,
+       count(*)::BIGINT AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+ORACLES["volume_shipping_by_nation"] = """
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       year(l_shipdate)::INT AS ship_year,
+       round((sum(round(l_extendedprice * (1 - l_discount), 4)
+                  ::DECIMAL(28,4)))::DOUBLE, 4) AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation nc ON c_nationkey = nc.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND ns.n_name IN ('NATION_2', 'NATION_7')
+  AND nc.n_name IN ('NATION_2', 'NATION_7')
+  AND ns.n_name <> nc.n_name
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+ORACLES["market_share_by_year"] = """
+WITH j AS (
+  SELECT year(o_orderdate)::INT AS order_year, ns.n_name AS supp_nation,
+         round(l_extendedprice * (1 - l_discount), 4)::DECIMAL(28,4) AS rev
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ns ON s_nationkey = ns.n_nationkey
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'STANDARD')
+    AND o_custkey IN (SELECT c_custkey FROM customer
+                      WHERE c_nationkey IN
+                        (SELECT n_nationkey FROM nation
+                         JOIN region ON n_regionkey = r_regionkey
+                         WHERE r_name = 'ASIA'))
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1998-01-01'
+),
+agg AS (
+  SELECT order_year,
+         sum(CASE WHEN supp_nation = 'NATION_2' THEN rev
+                  ELSE 0::DECIMAL(28,4) END) AS nation_rev,
+         sum(rev) AS total_rev
+  FROM j GROUP BY 1
+)
+SELECT order_year,
+       round(nation_rev::DOUBLE, 4) AS nation_rev,
+       round(total_rev::DOUBLE, 4) AS total_rev,
+       round(nation_rev::DOUBLE / total_rev::DOUBLE, 6) AS mkt_share
+FROM agg ORDER BY order_year
+"""
+
+ORACLES["customer_order_histogram"] = """
+WITH per_cust AS (
+  SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey
+                   AND o_orderpriority <> '1-URGENT'
+  GROUP BY 1
+)
+SELECT c_count, count(*)::BIGINT AS custdist
+FROM per_cust GROUP BY 1
+ORDER BY custdist DESC, c_count DESC
+"""
+
+ORACLES["promo_revenue_share"] = """
+WITH j AS (
+  SELECT p_type,
+         round(l_extendedprice * (1 - l_discount), 4)::DECIMAL(28,4) AS rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+),
+agg AS (
+  SELECT sum(CASE WHEN p_type = 'PROMO' THEN rev
+                  ELSE 0::DECIMAL(28,4) END) AS promo_rev,
+         sum(rev) AS total_rev
+  FROM j
+)
+SELECT round(promo_rev::DOUBLE, 4) AS promo_rev,
+       round(total_rev::DOUBLE, 4) AS total_rev,
+       round(100.0 * promo_rev::DOUBLE / total_rev::DOUBLE, 6) AS promo_pct
+FROM agg
+"""
+
+ORACLES["small_qty_order_revenue"] = """
+WITH brand_li AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part
+                      WHERE p_brand = 'Brand#11')
+),
+avg_qty AS (
+  SELECT l_partkey AS pk,
+         sum(l_quantity::BIGINT)::DOUBLE / count(*)::DOUBLE AS avg_qty
+  FROM brand_li GROUP BY 1
+)
+SELECT round((sum(round(l_extendedprice, 2)::DECIMAL(28,2)))::DOUBLE / 7.0, 4)
+         AS avg_yearly,
+       count(*)::BIGINT AS n_lines
+FROM brand_li JOIN avg_qty ON l_partkey = pk
+WHERE l_quantity < 0.2 * avg_qty
+"""
+
+ORACLES["disjunctive_filter_revenue"] = """
+SELECT round((sum(round(l_extendedprice * (1 - l_discount), 4)
+              ::DECIMAL(28,4)))::DOUBLE, 4) AS revenue,
+       count(*)::BIGINT AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11
+       AND p_size BETWEEN 1 AND 5)
+   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20
+       AND p_size BETWEEN 1 AND 10)
+   OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30
+       AND p_size BETWEEN 1 AND 15)
+"""
+
+ORACLES["dormant_customer_balance"] = """
+WITH segs AS (
+  SELECT * FROM customer
+  WHERE c_mktsegment IN ('AUTOMOBILE', 'HOUSEHOLD', 'MACHINERY')
+),
+avg_bal AS (
+  SELECT (sum(round(c_acctbal, 2)::DECIMAL(28,2)))::DOUBLE
+         / count(*)::DOUBLE AS avg_bal
+  FROM segs WHERE c_acctbal > 0.0
+)
+SELECT c_mktsegment, count(*)::BIGINT AS n_custs,
+       round((sum(round(c_acctbal, 2)::DECIMAL(28,2)))::DOUBLE, 2)
+         AS total_bal
+FROM segs, avg_bal
+WHERE c_acctbal > avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2001-01-01')
+GROUP BY 1 ORDER BY 1
+"""

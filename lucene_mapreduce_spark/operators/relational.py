@@ -548,3 +548,397 @@ def part_pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= PAGERANK_TOP_K)
         .orderBy("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 44: warehouse pack 2 — the remaining TPC-H query shapes expressible
+# over the available columns (no partsupp table; no l_shipmode/receiptdate).
+# Reference analogue: SURVEY.md §2.4-2.5 join+aggregate report families.
+
+SHIP_SEGMENT = "BUILDING"
+SHIP_CUTOFF = "1998-06-01"
+SHIP_TOP_K = 10
+FORECAST_WINDOW = ("1996-01-01", "1997-01-01")
+FORECAST_DISCOUNT = (0.05, 0.07)
+FORECAST_MAX_QTY = 24
+VOLUME_NATIONS = ("NATION_2", "NATION_7")
+VOLUME_SHIP_WINDOW = ("1996-01-01", "1998-01-01")
+SHARE_REGION = "ASIA"
+SHARE_NATION = "NATION_2"
+SHARE_TYPE = "STANDARD"
+SHARE_WINDOW = ("1996-01-01", "1998-01-01")
+HIST_EXCLUDE_PRIORITY = "1-URGENT"
+PROMO_WINDOW = ("1996-03-01", "1996-04-01")
+SMALLQTY_BRAND = "Brand#11"
+SMALLQTY_FRACTION = 0.2
+DISJUNCT_CLAUSES = (
+    ("Brand#12", 1, 11, 1, 5),
+    ("Brand#2", 10, 20, 1, 10),
+    ("Brand#3", 20, 30, 1, 15),
+)
+DORMANT_SEGMENTS = ("AUTOMOBILE", "HOUSEHOLD", "MACHINERY")
+DORMANT_CUTOFF = "2001-01-01"
+
+
+def _rev4():
+    """extendedprice*(1-discount) rounded at its exact 4-dp scale, as
+    DECIMAL for order-free summation (2dp x 2dp product is exact 4dp)."""
+    return (
+        F.round(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 4)
+        .cast("decimal(28,4)")
+        .alias("rev")
+    )
+
+
+def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: top unshipped-order revenue for one market segment.
+    Orders placed before the cutoff whose lines ship after it; revenue
+    aggregated at order grain. Plan: both date filters push to the scans,
+    customer-segment dim broadcasts into orders, the lineitem join runs
+    key-partitioned on orderkey, top-k is an exact-DECIMAL rank."""
+    from pyspark.sql.window import Window
+
+    cut = F.lit(SHIP_CUTOFF).cast("timestamp")
+    cust = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == SHIP_SEGMENT)
+        .select("c_custkey")
+    )
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < cut)
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+    )
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > cut)
+        .select("l_orderkey", _rev4())
+    )
+    agg = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum("rev").alias("revenue"))
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= SHIP_TOP_K)
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+            F.round(F.col("revenue").cast("double"), 4).alias("revenue"),
+            "rank",
+        )
+        .orderBy("rank")
+    )
+
+
+def forecast_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the pure predicate-pushdown aggregate — revenue
+    delta from discounts in a band, small quantities, one ship year. No
+    joins, no shuffle beyond the single-row final aggregate; the plan is
+    one parquet scan with all three predicates in PushedFilters. The
+    discount band compares stored 2-dp doubles against the same literals
+    in both engines. rev = ep*discount is exact at 4dp."""
+    lo, hi = FORECAST_WINDOW
+    dlo, dhi = FORECAST_DISCOUNT
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(lo).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(hi).cast("timestamp"))
+        & (F.col("l_discount") >= dlo)
+        & (F.col("l_discount") <= dhi)
+        & (F.col("l_quantity") < FORECAST_MAX_QTY)
+    )
+    return li.agg(
+        F.round(
+            F.sum(
+                F.round(F.col("l_extendedprice") * F.col("l_discount"), 4).cast(
+                    "decimal(28,4)"
+                )
+            ).cast("double"),
+            4,
+        ).alias("revenue_delta"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    )
+
+
+def volume_shipping_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by ship
+    year — supplier in one nation, ordering customer in the other, both
+    directions. The two nation dims broadcast into supplier and (via
+    orders) customer; the lineitem-orders join is the only fact-fact
+    shuffle. Group keys (supp_nation, cust_nation, year) are tiny."""
+    lo, hi = VOLUME_SHIP_WINDOW
+    na, nb = VOLUME_NATIONS
+    nation = load(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(na, nb)
+    )
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation.select("n_nationkey", F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    cust = (
+        load(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(
+                nation.select(
+                    F.col("n_nationkey").alias("nk2"),
+                    F.col("n_name").alias("cust_nation"),
+                )
+            ),
+            F.col("c_nationkey") == F.col("nk2"),
+        )
+        .select("c_custkey", "cust_nation")
+    )
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(lo).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(hi).cast("timestamp"))
+    )
+    j = (
+        li.select("l_orderkey", "l_suppkey", F.year("l_shipdate").alias("ship_year"), _rev4())
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        j.groupBy("supp_nation", "cust_nation", "ship_year")
+        .agg(F.round(F.sum("rev").cast("double"), 4).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's supplier share of a region's imports
+    of one part type, per order year. share = nation revenue / total
+    revenue from exact DECIMAL sums (conditional numerator via CASE
+    inside the same aggregate — one pass, no second join)."""
+    lo, hi = SHARE_WINDOW
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == SHARE_REGION)
+    rnation = load(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    cust = (
+        load(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(rnation.select("n_nationkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+            "left_semi",
+        )
+        .select("c_custkey")
+    )
+    part = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_type") == SHARE_TYPE)
+        .select("p_partkey")
+    )
+    snation = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation")
+    )
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(snation), F.col("s_nationkey") == F.col("snk"))
+        .select("s_suppkey", "supp_nation")
+    )
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(lo).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(hi).cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", _rev4()
+    )
+    j = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .join(orders.select("o_orderkey", "o_custkey", F.year("o_orderdate").alias("order_year")), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    agg = j.groupBy("order_year").agg(
+        F.sum(
+            F.when(F.col("supp_nation") == SHARE_NATION, F.col("rev")).otherwise(
+                F.lit(0).cast("decimal(28,4)")
+            )
+        ).alias("nation_rev"),
+        F.sum("rev").alias("total_rev"),
+    )
+    return agg.select(
+        "order_year",
+        F.round(F.col("nation_rev").cast("double"), 4).alias("nation_rev"),
+        F.round(F.col("total_rev").cast("double"), 4).alias("total_rev"),
+        F.round(
+            F.col("nation_rev").cast("double") / F.col("total_rev").cast("double"), 6
+        ).alias("mkt_share"),
+    ).orderBy("order_year")
+
+
+def customer_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by order count, orders
+    filtered by a predicate (non-urgent priority stands in for the
+    comment NOT LIKE). LEFT join keeps zero-order customers; two cheap
+    aggregates (customer grain, then count grain)."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != HIST_EXCLUDE_PRIORITY)
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: percent of one month's revenue from promo parts.
+    Part-type dim broadcasts; numerator is a CASE inside the single
+    aggregate over exact DECIMAL revenue."""
+    lo, hi = PROMO_WINDOW
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(lo).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(hi).cast("timestamp"))
+    )
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = li.select("l_partkey", _rev4()).join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    )
+    agg = j.agg(
+        F.sum(
+            F.when(F.col("p_type") == "PROMO", F.col("rev")).otherwise(
+                F.lit(0).cast("decimal(28,4)")
+            )
+        ).alias("promo_rev"),
+        F.sum("rev").alias("total_rev"),
+    )
+    return agg.select(
+        F.round(F.col("promo_rev").cast("double"), 4).alias("promo_rev"),
+        F.round(F.col("total_rev").cast("double"), 4).alias("total_rev"),
+        F.round(
+            F.lit(100.0)
+            * F.col("promo_rev").cast("double")
+            / F.col("total_rev").cast("double"),
+            6,
+        ).alias("promo_pct"),
+    )
+
+
+def small_qty_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from lineitems of one brand whose quantity
+    sits below a fraction of that part's average quantity. The correlated
+    scalar subquery becomes a per-part aggregate joined back — computed
+    BEFORE the brand filter narrows it (the per-part average is over all
+    lines of that part, matching Q17 semantics). Quantities are integral
+    doubles, so avg = BIGINT sum / count is engine-identical; the 0.2×
+    threshold compare is a single float product both sides."""
+    part = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == SMALLQTY_BRAND)
+        .select("p_partkey")
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    brand_li = li.join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+    )
+    avg_qty = brand_li.groupBy("l_partkey").agg(
+        (
+            F.sum(F.col("l_quantity").cast("long")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_qty")
+    )
+    j = brand_li.join(F.broadcast(avg_qty.withColumnRenamed("l_partkey", "pk")),
+                      F.col("l_partkey") == F.col("pk")).filter(
+        F.col("l_quantity") < F.lit(SMALLQTY_FRACTION) * F.col("avg_qty")
+    )
+    return j.agg(
+        F.round(
+            F.sum(F.round(F.col("l_extendedprice"), 2).cast("decimal(28,2)")).cast(
+                "double"
+            )
+            / 7.0,
+            4,
+        ).alias("avg_yearly"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    )
+
+
+def disjunctive_filter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR of three (brand, quantity
+    band, size band) conjunctions — the disjunctive-pushdown stress
+    query. One broadcast join part->lineitem, the OR evaluated as a
+    single boolean expression so Catalyst can still prune columns."""
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity", _rev4())
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    cond = F.lit(False)
+    for brand, qlo, qhi, slo, shi in DISJUNCT_CLAUSES:
+        cond = cond | (
+            (F.col("p_brand") == brand)
+            & (F.col("l_quantity") >= qlo)
+            & (F.col("l_quantity") <= qhi)
+            & (F.col("p_size") >= slo)
+            & (F.col("p_size") <= shi)
+        )
+    return j.filter(cond).agg(
+        F.round(F.sum("rev").cast("double"), 4).alias("revenue"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    )
+
+
+def dormant_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: positive-balance customers in selected segments
+    with no recent orders (anti-join), vs the segment-set average
+    balance. Every customer has SOME order in the testdata, so 'dormant'
+    = no order since DORMANT_CUTOFF — the NOT EXISTS shape is identical.
+    The average is an exact DECIMAL(2dp) sum / count; balances compare
+    against it as doubles (same chain both engines)."""
+    segs = list(DORMANT_SEGMENTS)
+    cust = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin(segs)
+    )
+    avg_row = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (
+                F.sum(F.round(F.col("c_acctbal"), 2).cast("decimal(28,2)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)).cast("double")
+            ).alias("avg_bal")
+        )
+    )
+    recent = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit(DORMANT_CUTOFF).cast("timestamp"))
+        .select("o_custkey")
+    )
+    dormant = (
+        cust.crossJoin(F.broadcast(avg_row))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+    )
+    return (
+        dormant.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_custs"),
+            F.round(
+                F.sum(F.round(F.col("c_acctbal"), 2).cast("decimal(28,2)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
