@@ -699,6 +699,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "small_qty_order_revenue": relational.small_qty_order_revenue,
         "disjunctive_filter_revenue": relational.disjunctive_filter_revenue,
         "dormant_customer_balance": relational.dormant_customer_balance,
+        # round-4 session-14 batch 45: rank-statistics pack
+        "mann_whitney_u": parity.mann_whitney_u,
+        "spearman_rho_daily": parity.spearman_rho_daily,
+        "kendall_tau_daily": parity.kendall_tau_daily,
+        "benford_first_digit": relational.benford_first_digit,
+        "histogram_quantile_audit": relational.histogram_quantile_audit,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})

@@ -8318,3 +8318,183 @@ WHERE c_acctbal > avg_bal
                     AND o_orderdate >= TIMESTAMP '2001-01-01')
 GROUP BY 1 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Batch 45: rank-statistics pack (operators/parity.py + relational.py).
+# Statistics assemble from exact integers (2x tie-averaged ranks, pair
+# counts); the closed-form float chain is written in the same op order as
+# the Spark side.
+
+ORACLES["mann_whitney_u"] = """
+WITH per AS (
+  SELECT event_type, value, count(*)::BIGINT AS c
+  FROM events WHERE event_type IN ('purchase', 'click')
+  GROUP BY 1, 2
+),
+pooled AS (
+  SELECT value AS v,
+         coalesce(sum(CASE WHEN event_type = 'purchase' THEN c END), 0)
+           ::BIGINT AS ta,
+         coalesce(sum(CASE WHEN event_type = 'click' THEN c END), 0)
+           ::BIGINT AS tb
+  FROM per GROUP BY 1
+),
+ranked AS (
+  SELECT ta, tb, ta + tb AS t,
+         2 * (sum(ta + tb) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - (ta + tb)) + (ta + tb) + 1 AS r2
+  FROM pooled
+),
+agg AS (
+  SELECT sum(ta)::BIGINT AS n_a, sum(tb)::BIGINT AS n_b,
+         sum(ta * r2)::BIGINT AS ra2,
+         sum(t * t * t - t)::BIGINT AS tie3
+  FROM ranked
+)
+SELECT n_a, n_b,
+       round(ra2::DOUBLE / 2.0 - n_a::DOUBLE * (n_a::DOUBLE + 1.0) / 2.0, 2)
+         AS u_a,
+       round(((ra2::DOUBLE / 2.0 - n_a::DOUBLE * (n_a::DOUBLE + 1.0) / 2.0)
+              - n_a::DOUBLE * n_b::DOUBLE / 2.0)
+             / sqrt(n_a::DOUBLE * n_b::DOUBLE / 12.0
+                    * (((n_a::DOUBLE + n_b::DOUBLE) + 1.0)
+                       - tie3::DOUBLE
+                         / ((n_a::DOUBLE + n_b::DOUBLE)
+                            * ((n_a::DOUBLE + n_b::DOUBLE) - 1.0)))), 6)
+         AS z
+FROM agg
+"""
+
+ORACLES["spearman_rho_daily"] = """
+WITH daily AS (
+  SELECT date_trunc('day', ts)::TIMESTAMP AS day,
+         count(*)::BIGINT AS cnt,
+         sum(round(value, 2)::DECIMAL(28,2)) AS rev
+  FROM events GROUP BY 1
+),
+ranked AS (
+  SELECT (2 * rank() OVER (ORDER BY cnt)
+          + count(*) OVER (PARTITION BY cnt) - 1)::BIGINT AS rx2,
+         (2 * rank() OVER (ORDER BY rev)
+          + count(*) OVER (PARTITION BY rev) - 1)::BIGINT AS ry2
+  FROM daily
+),
+agg AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(rx2)::BIGINT AS sx, sum(ry2)::BIGINT AS sy,
+         sum(rx2 * rx2)::BIGINT AS sxx, sum(ry2 * ry2)::BIGINT AS syy,
+         sum(rx2 * ry2)::BIGINT AS sxy
+  FROM ranked
+)
+SELECT n,
+       round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+             / sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                    * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 6)
+         AS spearman_rho
+FROM agg
+"""
+
+ORACLES["kendall_tau_daily"] = """
+WITH daily AS (
+  SELECT date_trunc('day', ts)::TIMESTAMP AS day,
+         count(*)::BIGINT AS cnt,
+         sum(round(value, 2)::DECIMAL(28,2)) AS rev
+  FROM events GROUP BY 1
+),
+pairs AS (
+  SELECT CASE WHEN l.cnt > r.cnt THEN 1 WHEN l.cnt < r.cnt THEN -1
+              ELSE 0 END AS dx,
+         CASE WHEN l.rev > r.rev THEN 1 WHEN l.rev < r.rev THEN -1
+              ELSE 0 END AS dy
+  FROM daily l JOIN daily r ON l.day < r.day
+),
+agg AS (
+  SELECT count(*)::BIGINT AS n0,
+         sum(CASE WHEN dx * dy = 1 THEN 1 ELSE 0 END)::BIGINT AS conc,
+         sum(CASE WHEN dx * dy = -1 THEN 1 ELSE 0 END)::BIGINT AS disc,
+         sum(CASE WHEN dx = 0 THEN 1 ELSE 0 END)::BIGINT AS tie_x,
+         sum(CASE WHEN dy = 0 THEN 1 ELSE 0 END)::BIGINT AS tie_y
+  FROM pairs
+)
+SELECT n0, conc, disc, tie_x, tie_y,
+       round((conc::DOUBLE - disc::DOUBLE)
+             / sqrt((n0::DOUBLE - tie_x::DOUBLE)
+                    * (n0::DOUBLE - tie_y::DOUBLE)), 6) AS kendall_tau_b
+FROM agg
+"""
+
+_BENFORD_CASE = """CASE digit
+  WHEN 1 THEN 0.3010299956639812
+  WHEN 2 THEN 0.17609125905568124
+  WHEN 3 THEN 0.12493873660829992
+  WHEN 4 THEN 0.09691001300805642
+  WHEN 5 THEN 0.07918124604762482
+  WHEN 6 THEN 0.06694678963061322
+  WHEN 7 THEN 0.05799194697768673
+  WHEN 8 THEN 0.05115252244738129
+  WHEN 9 THEN 0.04575749056067514 END"""
+
+ORACLES["benford_first_digit"] = f"""
+WITH counts AS (
+  SELECT substr(floor(o_totalprice)::BIGINT::VARCHAR, 1, 1)::INT AS digit,
+         count(*)::BIGINT AS observed
+  FROM orders WHERE o_totalprice >= 1.0
+  GROUP BY 1
+),
+tot AS (SELECT sum(observed)::BIGINT AS n FROM counts),
+cells AS (
+  SELECT digit, observed,
+         round(n::DOUBLE * ({_BENFORD_CASE}), 6) AS expected,
+         round((observed::DOUBLE - n::DOUBLE * ({_BENFORD_CASE}))
+               * (observed::DOUBLE - n::DOUBLE * ({_BENFORD_CASE}))
+               / (n::DOUBLE * ({_BENFORD_CASE})), 6) AS contrib,
+         round((observed::DOUBLE - n::DOUBLE * ({_BENFORD_CASE}))
+               * (observed::DOUBLE - n::DOUBLE * ({_BENFORD_CASE}))
+               / (n::DOUBLE * ({_BENFORD_CASE})), 12)::DECIMAL(28,12) AS c12
+  FROM counts, tot
+),
+chi AS (SELECT round(sum(c12)::DOUBLE, 6) AS chi2 FROM cells)
+SELECT digit, observed, expected, contrib, chi2
+FROM cells, chi ORDER BY digit
+"""
+
+ORACLES["histogram_quantile_audit"] = """
+WITH stats AS (
+  SELECT min(o_totalprice) AS vmin, max(o_totalprice) AS vmax,
+         count(*)::BIGINT AS n,
+         quantile_cont(o_totalprice, [0.5, 0.9, 0.99]) AS exact_qs
+  FROM orders
+),
+binned AS (
+  SELECT least(floor((o_totalprice - vmin)
+               / ((vmax - vmin) / 20.0))::INT, 19) AS bin,
+         count(*)::BIGINT AS c
+  FROM orders, stats
+  GROUP BY 1
+),
+cum AS (
+  SELECT bin, c,
+         sum(c) OVER (ORDER BY bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c
+           AS cum_before,
+         sum(c) OVER (ORDER BY bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM binned
+),
+qs AS (SELECT * FROM (VALUES (0, 0.5), (1, 0.9), (2, 0.99)) AS t(qi, q)),
+hit AS (
+  SELECT q, bin,
+         vmin + bin::DOUBLE * ((vmax - vmin) / 20.0)
+              + ((vmax - vmin) / 20.0)
+                * (q * n::DOUBLE - cum_before::DOUBLE) / c::DOUBLE AS approx,
+         exact_qs[qi + 1] AS exact
+  FROM cum, qs, stats
+  WHERE cum_before::DOUBLE < q * n::DOUBLE
+    AND q * n::DOUBLE <= cum::DOUBLE
+)
+SELECT q, bin, round(approx, 6) AS approx_q, round(exact, 6) AS exact_q,
+       round(abs(approx - exact), 6) AS abs_err
+FROM hit ORDER BY q
+"""

@@ -2464,3 +2464,183 @@ def weekly_churn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("m")
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 45: rank-statistics pack. Every statistic is assembled from exact
+# integers (tie-averaged ranks carried as 2x-rank BIGINTs, pair counts,
+# per-value tallies) so the only floating-point is the final closed-form
+# formula — one identical +,-,*,/,sqrt chain in both engines (all
+# correctly-rounded IEEE ops), rounded once at the end.
+
+MWU_TYPE_A = "purchase"
+MWU_TYPE_B = "click"
+
+
+def mann_whitney_u(
+    spark: SparkSession,
+    sf_dir: str,
+    type_a: str = MWU_TYPE_A,
+    type_b: str = MWU_TYPE_B,
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) between two event types' value
+    distributions — the nonparametric drift test next to ks_two_sample's
+    sup-norm. Exact rank arithmetic: per-value tallies, ONE window over
+    the pooled distinct-value axis (bounded by distinct values, never
+    rows), tie-averaged ranks carried as 2x-ranks so every sum is a
+    BIGINT; U, the tie-corrected sigma, and z leave integer land only in
+    the final expression. The normal approximation is the standard
+    large-n report (n ~ 2000 per leg here)."""
+    ev = load(spark, sf_dir, "events").where(
+        F.col("event_type").isin([type_a, type_b])
+    )
+    per = ev.groupBy("event_type", "value").agg(F.count(F.lit(1)).alias("c"))
+    a = per.where(F.col("event_type") == type_a).select(
+        F.col("value").alias("v"), F.col("c").alias("ta")
+    )
+    b = per.where(F.col("event_type") == type_b).select(
+        F.col("value").alias("v"), F.col("c").alias("tb")
+    )
+    pooled = a.join(b, "v", "full").select(
+        "v",
+        F.coalesce("ta", F.lit(0)).cast("long").alias("ta"),
+        F.coalesce("tb", F.lit(0)).cast("long").alias("tb"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    t = F.col("ta") + F.col("tb")
+    ranked = pooled.select(
+        "ta",
+        "tb",
+        t.alias("t"),
+        # 2x tie-averaged rank = 2*(count of smaller) + t + 1, an integer
+        (F.lit(2) * (F.sum(t).over(w) - t) + t + F.lit(1)).alias("r2"),
+    )
+    agg = ranked.agg(
+        F.sum("ta").cast("long").alias("n_a"),
+        F.sum("tb").cast("long").alias("n_b"),
+        F.sum(F.col("ta") * F.col("r2")).cast("long").alias("ra2"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("long")
+        .alias("tie3"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    n = na + nb
+    u_a = F.col("ra2").cast("double") / F.lit(2.0) - na * (na + F.lit(1.0)) / F.lit(
+        2.0
+    )
+    mu = na * nb / F.lit(2.0)
+    sig2 = (
+        na
+        * nb
+        / F.lit(12.0)
+        * ((n + F.lit(1.0)) - F.col("tie3").cast("double") / (n * (n - F.lit(1.0))))
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round(u_a, 2).alias("u_a"),
+        F.round((u_a - mu) / F.sqrt(sig2), 6).alias("z"),
+    )
+
+
+def _daily_rank2(df: DataFrame, metric: str, out: str) -> DataFrame:
+    """2x tie-averaged rank of a 30-ish-row daily series: rank() gives the
+    count-of-smaller+1, count() over the tie partition gives the tie size;
+    2*avg_rank = 2*rank + ties - 1 stays integral."""
+    return df.select(
+        "*",
+        (
+            F.lit(2) * F.rank().over(Window.orderBy(metric))
+            + F.count(F.lit(1)).over(Window.partitionBy(metric))
+            - F.lit(1)
+        )
+        .cast("long")
+        .alias(out),
+    )
+
+
+def spearman_rho_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between daily event count and daily
+    value sum — 'do busier days move more value?'. Daily sums are exact
+    DECIMAL(2dp); both metrics get tie-averaged 2x-ranks (integers), and
+    rho comes from the Pearson closed form over those integer rank sums
+    (the 2x scaling cancels). The window frame is the day axis (~30
+    rows), never event rows."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum(F.round(F.col("value"), 2).cast("decimal(28,2)")).alias("rev"),
+    )
+    ranked = _daily_rank2(_daily_rank2(daily, "cnt", "rx2"), "rev", "ry2")
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("rx2").cast("long").alias("sx"),
+        F.sum("ry2").cast("long").alias("sy"),
+        F.sum(F.col("rx2") * F.col("rx2")).cast("long").alias("sxx"),
+        F.sum(F.col("ry2") * F.col("ry2")).cast("long").alias("syy"),
+        F.sum(F.col("rx2") * F.col("ry2")).cast("long").alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    num = n * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    dx = n * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    ).cast("double")
+    dy = n * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    return agg.select(
+        "n", F.round(num / F.sqrt(dx * dy), 6).alias("spearman_rho")
+    )
+
+
+def kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b between the same daily (count, value-sum) series —
+    the concordant/discordant-pair sibling of spearman_rho_daily. The
+    O(n^2) pair enumeration is a self-join bounded by the DAY axis
+    (30 rows -> 435 pairs), counted with exact integers; tau-b's tie
+    terms come from the same pair counts."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum(F.round(F.col("value"), 2).cast("decimal(28,2)")).alias("rev"),
+    )
+    l = daily.select(
+        F.col("day").alias("d1"), F.col("cnt").alias("x1"), F.col("rev").alias("y1")
+    )
+    r = daily.select(
+        F.col("day").alias("d2"), F.col("cnt").alias("x2"), F.col("rev").alias("y2")
+    )
+    pairs = l.join(r, F.col("d1") < F.col("d2"))
+    dx = F.when(F.col("x1") > F.col("x2"), 1).when(
+        F.col("x1") < F.col("x2"), -1
+    ).otherwise(0)
+    dy = F.when(F.col("y1") > F.col("y2"), 1).when(
+        F.col("y1") < F.col("y2"), -1
+    ).otherwise(0)
+    agg = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        F.sum(F.when(dx * dy == 1, 1).otherwise(0)).cast("long").alias("conc"),
+        F.sum(F.when(dx * dy == -1, 1).otherwise(0)).cast("long").alias("disc"),
+        F.sum(F.when(dx == 0, 1).otherwise(0)).cast("long").alias("tie_x"),
+        F.sum(F.when(dy == 0, 1).otherwise(0)).cast("long").alias("tie_y"),
+    )
+    num = F.col("conc").cast("double") - F.col("disc").cast("double")
+    den = F.sqrt(
+        (F.col("n0").cast("double") - F.col("tie_x").cast("double"))
+        * (F.col("n0").cast("double") - F.col("tie_y").cast("double"))
+    )
+    return agg.select(
+        "n0",
+        "conc",
+        "disc",
+        "tie_x",
+        "tie_y",
+        F.round(num / den, 6).alias("kendall_tau_b"),
+    )

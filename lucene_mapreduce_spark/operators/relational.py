@@ -942,3 +942,133 @@ def dormant_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 45 (relational side): audit statistics over order totals.
+
+# Benford P(d) = log10(1 + 1/d), materialized as shared Python literals so
+# both engines consume the SAME doubles (never each engine's log10 — the
+# _PI_LIT rule).
+BENFORD_P = {
+    1: 0.3010299956639812,
+    2: 0.17609125905568124,
+    3: 0.12493873660829992,
+    4: 0.09691001300805642,
+    5: 0.07918124604762482,
+    6: 0.06694678963061322,
+    7: 0.05799194697768673,
+    8: 0.05115252244738129,
+    9: 0.04575749056067514,
+}
+
+
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals — the classic fraud /
+    data-quality screen. First digit extracted via BIGINT->string cast
+    (engine-identical, no log10 on data); expected counts and chi2
+    contributions use the shared literal P(d) table; contributions round
+    at 12dp into DECIMAL so the chi2 total is order-free."""
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1.0)
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+    ).cast("int")
+    counts = (
+        orders.select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("observed"))
+    )
+    tot = counts.agg(F.sum("observed").cast("long").alias("n"))
+    p = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in BENFORD_P.items() for x in kv]
+        ),
+        F.col("digit"),
+    )
+    expected = F.col("n").cast("double") * p
+    contrib = (
+        (F.col("observed").cast("double") - expected)
+        * (F.col("observed").cast("double") - expected)
+        / expected
+    )
+    cells = counts.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "observed",
+        F.round(expected, 6).alias("expected"),
+        F.round(contrib, 6).alias("contrib"),
+        F.round(contrib, 12).cast("decimal(28,12)").alias("c12"),
+    )
+    chi2 = cells.agg(F.round(F.sum("c12").cast("double"), 6).alias("chi2"))
+    return (
+        cells.crossJoin(F.broadcast(chi2))
+        .select("digit", "observed", "expected", "contrib", "chi2")
+        .orderBy("digit")
+    )
+
+
+HISTQ_BINS = 20
+HISTQ_QS = (0.5, 0.9, 0.99)
+
+
+def histogram_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus-style histogram_quantile vs the exact quantile: fixed-
+    width histogram over order totals (integer bucket counts), linear
+    interpolation inside the target bucket, next to the exact type-7
+    percentile. The scale path (histogram) is one combinable groupBy; the
+    exact leg exists to report the approximation error. Bucket selection
+    (cum_before < q*n <= cum) is a strict double compare on identical
+    chains, so both engines pick the same bucket."""
+    from pyspark.sql.window import Window
+
+    orders = load(spark, sf_dir, "orders").select("o_totalprice")
+    stats = orders.agg(
+        F.min("o_totalprice").alias("vmin"),
+        F.max("o_totalprice").alias("vmax"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr(
+            "percentile(o_totalprice, array("
+            + ", ".join(str(q) for q in HISTQ_QS)
+            + "))"
+        ).alias("exact_qs"),
+    )
+    width = (F.col("vmax") - F.col("vmin")) / F.lit(float(HISTQ_BINS))
+    binned = (
+        orders.crossJoin(F.broadcast(stats))
+        .select(
+            F.least(
+                F.floor((F.col("o_totalprice") - F.col("vmin")) / width).cast("int"),
+                F.lit(HISTQ_BINS - 1),
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = binned.select(
+        "bin", "c", (F.sum("c").over(w) - F.col("c")).alias("cum_before"),
+        F.sum("c").over(w).alias("cum")
+    )
+    qs = spark.createDataFrame(
+        [(i, float(q)) for i, q in enumerate(HISTQ_QS)], "qi int, q double"
+    )
+    j = cum.crossJoin(F.broadcast(qs)).crossJoin(F.broadcast(stats))
+    target = F.col("q") * F.col("n").cast("double")
+    hit = j.filter(
+        (F.col("cum_before").cast("double") < target)
+        & (target <= F.col("cum").cast("double"))
+    )
+    approx = (
+        F.col("vmin")
+        + F.col("bin").cast("double") * width
+        + width
+        * (target - F.col("cum_before").cast("double"))
+        / F.col("c").cast("double")
+    )
+    exact = F.element_at(F.col("exact_qs"), F.col("qi") + 1)
+    return hit.select(
+        F.col("q"),
+        F.col("bin"),
+        F.round(approx, 6).alias("approx_q"),
+        F.round(exact, 6).alias("exact_q"),
+        F.round(F.abs(approx - exact), 6).alias("abs_err"),
+    ).orderBy("q")
