@@ -705,6 +705,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kendall_tau_daily": parity.kendall_tau_daily,
         "benford_first_digit": relational.benford_first_digit,
         "histogram_quantile_audit": relational.histogram_quantile_audit,
+        # round-4 session-14 batch 46: scale patterns + sig-terms heuristics
+        "point_in_interval_join": parity.point_in_interval_join,
+        "decayed_event_counts": parity.decayed_event_counts,
+        "int8_ann_recall": similarity.int8_ann_recall,
+        "sig_terms_mi": fulltext.sig_terms_mi,
+        "sig_terms_percentage": fulltext.sig_terms_percentage,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})
@@ -1378,5 +1384,21 @@ WHERE len(list_filter(range(1, len(toks)), i ->
     out["sig_terms_gnd"] = sig_terms_gnd_sql(
         fulltext.BOOLEAN_QUERY, k=fulltext.SIGTERMS_K,
         min_df=fulltext.SIGTERMS_MIN_DF,
+    )
+
+    # round-4 session-14 batch 46
+    from lucene_mapreduce_spark.operators.oracles import (
+        decayed_counts_sql,
+        sig_mi_sql,
+        sig_pct_sql,
+    )
+
+    out["decayed_event_counts"] = decayed_counts_sql()
+    out["sig_terms_mi"] = sig_mi_sql(
+        fulltext.BOOLEAN_QUERY, fulltext.SIGCHI2_MIN_DF, fulltext.SIGCHI2_K,
+        fulltext.DFR_INV_LN2,
+    )
+    out["sig_terms_percentage"] = sig_pct_sql(
+        fulltext.BOOLEAN_QUERY, fulltext.SIGCHI2_MIN_DF, fulltext.SIGCHI2_K
     )
     return out

@@ -5231,3 +5231,123 @@ def sig_terms_gnd(
         "gnd",
         "rank",
     )
+
+
+# --- batch 46: remaining significant_terms heuristics ------------------------
+
+
+def _sig_cells(spark: SparkSession, sf_dir: str, query_text: str, min_df: int):
+    """Shared fg/bg contingency assembly for the significant_terms
+    heuristic family (chi2 / gnd / mi / percentage): OR hit set from the
+    gate index, per-term df_fg/df_bg, query terms + min_df + positive-
+    association filter (integer cross-multiply). Returns (filtered
+    DataFrame with df_fg/df_bg, n_fg, n_bg)."""
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_col, tokenize_string
+    from lucene_mapreduce_spark.query.segments import boolean_match
+
+    ix = _gate_index(spark, sf_dir)
+    hits = boolean_match(spark, ix, query_text, mode="or")
+    n_fg = hits.count()
+    docs = load(spark, sf_dir, "documents")
+    n_bg = docs.count()
+    toks = docs.select("doc_id", F.explode(tokenize_col("text")).alias("term"))
+    bg = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df_bg"))
+    fg = (
+        toks.join(hits, "doc_id")
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df_fg"))
+    )
+    qterms = sorted(set(tokenize_string(query_text)))
+    cells = (
+        fg.join(bg, "term")
+        .filter(
+            ~F.col("term").isin(qterms)
+            & (F.col("df_fg") >= min_df)
+            & (
+                F.col("df_fg").cast("long") * F.lit(int(n_bg))
+                > F.col("df_bg").cast("long") * F.lit(int(n_fg))
+            )
+        )
+    )
+    return cells, n_fg, n_bg
+
+
+def sig_terms_mi(
+    spark: SparkSession,
+    sf_dir: str,
+    query_text: str = BOOLEAN_QUERY,
+    k: int = SIGCHI2_K,
+    min_df: int = SIGCHI2_MIN_DF,
+) -> DataFrame:
+    """significant_terms with the mutual_information heuristic (the
+    third ES heuristic next to chi_square and gnd): MI of the 2x2 (term
+    presence x foreground membership) table,
+
+        MI = Σ_cells (n_xy/N) * log2(N*n_xy / (rowtot*coltot))
+
+    cells summed in the FIXED order (1,1),(1,0),(0,1),(0,0); zero cells
+    contribute 0 (the p->0 limit). log2 = ln * the shared 1/ln2 literal
+    (the dfr_topk rule). Positive-association filter as in chi2."""
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+
+    cells, n_fg, n_bg = _sig_cells(spark, sf_dir, query_text, min_df)
+    nn = float(n_bg)
+    a = F.col("df_fg").cast("double")  # term & fg
+    b = F.lit(float(n_fg)) - a  # no term... (term absent, fg)  [n01 below]
+    c = F.col("df_bg").cast("double") - a  # term & bg-rest
+    d = F.lit(float(n_bg - n_fg)) - c  # absent & bg-rest
+    row1 = F.col("df_bg").cast("double")  # term present total
+    row0 = F.lit(nn) - row1
+    col1 = F.lit(float(n_fg))
+    col0 = F.lit(float(n_bg - n_fg))
+
+    def contrib(n, rowtot, coltot):
+        return F.when(
+            n > 0,
+            (n / F.lit(nn))
+            * F.log(F.lit(nn) * n / (rowtot * coltot))
+            * F.lit(DFR_INV_LN2),
+        ).otherwise(F.lit(0.0))
+
+    mi = (
+        contrib(a, row1, col1)
+        + contrib(b, row0, col1)
+        + contrib(c, row1, col0)
+        + contrib(d, row0, col0)
+    )
+    scored = cells.select(
+        "term",
+        F.col("df_fg").cast("long").alias("df_fg"),
+        F.col("df_bg").cast("long").alias("df_bg"),
+        F.round(mi, 6).alias("mi"),
+    )
+    return ranked_topk(scored, [F.desc("mi"), F.asc("term")], k).select(
+        "term", "df_fg", "df_bg", "mi", "rank"
+    )
+
+
+def sig_terms_percentage(
+    spark: SparkSession,
+    sf_dir: str,
+    query_text: str = BOOLEAN_QUERY,
+    k: int = SIGCHI2_K,
+    min_df: int = SIGCHI2_MIN_DF,
+) -> DataFrame:
+    """significant_terms with the percentage heuristic — the simplest ES
+    scorer: what fraction of the term's documents sit in the foreground
+    (df_fg / df_bg, an exact integer ratio). Same filters as the other
+    heuristics; rank on the rounded ratio with term tie-break."""
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+
+    cells, _n_fg, _n_bg = _sig_cells(spark, sf_dir, query_text, min_df)
+    scored = cells.select(
+        "term",
+        F.col("df_fg").cast("long").alias("df_fg"),
+        F.col("df_bg").cast("long").alias("df_bg"),
+        F.round(
+            F.col("df_fg").cast("double") / F.col("df_bg").cast("double"), 6
+        ).alias("pct"),
+    )
+    return ranked_topk(scored, [F.desc("pct"), F.asc("term")], k).select(
+        "term", "df_fg", "df_bg", "pct", "rank"
+    )

@@ -8498,3 +8498,215 @@ SELECT q, bin, round(approx, 6) AS approx_q, round(exact, 6) AS exact_q,
        round(abs(approx - exact), 6) AS abs_err
 FROM hit ORDER BY q
 """
+
+
+# ---------------------------------------------------------------------------
+# Batch 46: scale-pattern pack + remaining significant_terms heuristics.
+
+ORACLES["point_in_interval_join"] = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, ts, epoch_us(ts) AS us FROM events
+),
+x AS (
+  SELECT user_id, us, event_id,
+         CASE WHEN lag(us) OVER (PARTITION BY user_id
+                                 ORDER BY us, event_id) IS NULL
+                OR us - lag(us) OVER (PARTITION BY user_id
+                                      ORDER BY us, event_id)
+                   >= 3600::BIGINT * 1000000
+              THEN 1 ELSE 0 END AS brk
+  FROM e WHERE event_type IN ('view', 'click')
+),
+y AS (
+  SELECT user_id, us,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM x
+),
+intervals AS (
+  SELECT user_id, min(us) AS lo, max(us) AS hi FROM y GROUP BY user_id, sid
+),
+pts AS (
+  SELECT user_id AS p_user, event_id, us,
+         strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+  FROM e WHERE event_type = 'purchase'
+),
+matched AS (
+  SELECT DISTINCT p.event_id
+  FROM pts p JOIN intervals i
+    ON p.p_user = i.user_id AND p.us >= i.lo AND p.us <= i.hi
+)
+SELECT day, count(*)::BIGINT AS n_purchases,
+       sum(CASE WHEN m.event_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_in_session,
+       round(sum(CASE WHEN m.event_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+             / count(*)::DOUBLE, 6) AS in_session_pct
+FROM pts LEFT JOIN matched m USING (event_id)
+GROUP BY day ORDER BY day
+"""
+
+
+def decayed_counts_sql() -> str:
+    """Time-decayed counts twin: the per-age weight CASE ladder is built
+    from the SAME Python literal table as the Spark map (shared-literal
+    rule)."""
+    from lucene_mapreduce_spark.operators.parity import DECAY_W
+
+    ladder = " ".join(
+        f"WHEN {age} THEN {w!r}" for age, w in DECAY_W.items()
+    )
+    return f"""
+WITH d AS (
+  SELECT event_type, date_trunc('day', ts) AS day FROM events
+),
+ref AS (SELECT max(day) AS ref_day FROM d),
+aged AS (
+  SELECT event_type,
+         CASE date_diff('day', day, ref_day) {ladder} END AS w
+  FROM d, ref
+)
+SELECT event_type, count(*)::BIGINT AS n_events,
+       round(sum(round(w, 12)::DECIMAL(28,12))::DOUBLE, 6) AS decayed_count
+FROM aged GROUP BY 1 ORDER BY 1
+"""
+
+
+ORACLES["decayed_event_counts"] = None  # built in oracle_sql() (literals)
+
+ORACLES["int8_ann_recall"] = """
+WITH comp AS (
+  SELECT vec_id, dim, embedding[dim + 1]::DOUBLE AS v
+  FROM (
+    SELECT vec_id, embedding, unnest(range(len(embedding))) AS dim
+    FROM embeddings
+  )
+),
+dimstats AS (
+  SELECT dim, min(v) AS mn, max(v) AS mx FROM comp GROUP BY 1
+),
+deq AS (
+  SELECT c.vec_id, c.dim, c.v,
+         CASE WHEN d.mx = d.mn THEN d.mn
+              ELSE d.mn + round((c.v - d.mn) / ((d.mx - d.mn) / 255.0))
+                    * ((d.mx - d.mn) / 255.0) END AS dq
+  FROM comp c JOIN dimstats d USING (dim)
+),
+vecs AS (
+  SELECT vec_id,
+         list(v ORDER BY dim) AS fvec,
+         list(dq ORDER BY dim) AS qvec
+  FROM deq GROUP BY 1
+),
+probes AS (
+  SELECT vec_id AS query_id, fvec AS pf, qvec AS pq
+  FROM vecs WHERE vec_id < 8
+),
+scored AS (
+  SELECT p.query_id, v.vec_id,
+         round(list_dot_product(v.fvec, p.pf)
+               / (sqrt(list_dot_product(v.fvec, v.fvec))
+                  * sqrt(list_dot_product(p.pf, p.pf))), 6) AS cos_f,
+         round(list_dot_product(v.qvec, p.pq)
+               / (sqrt(list_dot_product(v.qvec, v.qvec))
+                  * sqrt(list_dot_product(p.pq, p.pq))), 6) AS cos_q
+  FROM vecs v, probes p WHERE v.vec_id <> p.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_f DESC, vec_id ASC) AS rank_f,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_q DESC, vec_id ASC) AS rank_q
+  FROM scored
+)
+SELECT query_id,
+       sum(CASE WHEN rank_f <= 10 AND rank_q <= 10 THEN 1 ELSE 0 END)
+         ::BIGINT AS n_overlap,
+       round(sum(CASE WHEN rank_f <= 10 AND rank_q <= 10 THEN 1 ELSE 0 END)
+             ::DOUBLE / 10.0, 6) AS recall
+FROM ranked GROUP BY 1 ORDER BY 1
+"""
+
+
+def _sig_cells_sql(query_text: str, min_df: int) -> str:
+    """Shared CTE prefix for the significant_terms heuristic twins."""
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_string
+
+    qts = sorted(set(tokenize_string(query_text)))
+    qlits = ", ".join(f"'{t}'" for t in qts)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKS}) AS term FROM documents
+),
+qt AS (SELECT unnest([{qlits}]) AS term),
+hits AS (SELECT DISTINCT doc_id FROM toks JOIN qt USING (term)),
+nfg AS (SELECT count(*)::BIGINT AS n FROM hits),
+nbg AS (SELECT count(*)::BIGINT AS n FROM documents),
+fg AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df_fg
+  FROM toks JOIN hits USING (doc_id) GROUP BY 1
+),
+bg AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df_bg FROM toks GROUP BY 1
+),
+cells AS (
+  SELECT f.term, f.df_fg, b.df_bg, nfg.n AS n_fg, nbg.n AS n_bg
+  FROM fg f JOIN bg b USING (term), nfg, nbg
+  WHERE f.term NOT IN ({qlits}) AND f.df_fg >= {min_df}
+    AND f.df_fg * nbg.n > b.df_bg * nfg.n
+)"""
+
+
+def sig_mi_sql(query_text: str, min_df: int, k: int, inv_ln2: float) -> str:
+    """mutual_information heuristic twin: cells summed in the fixed
+    (1,1),(1,0),(0,1),(0,0) order, zero cells contribute 0, log2 via the
+    shared 1/ln2 literal."""
+
+    def contrib(n, rowtot, coltot):
+        return (
+            f"CASE WHEN {n} > 0 THEN ({n} / nn) * ln(nn * {n}"
+            f" / ({rowtot} * {coltot})) * {inv_ln2!r} ELSE 0.0 END"
+        )
+
+    a = "a"
+    b = "(c1 - a)"
+    c = "(r1 - a)"
+    d = "((nn - c1) - (r1 - a))"
+    mi = (
+        contrib(a, "r1", "c1")
+        + " + "
+        + contrib(b, "(nn - r1)", "c1")
+        + " + "
+        + contrib(c, "r1", "(nn - c1)")
+        + " + "
+        + contrib(d, "(nn - r1)", "(nn - c1)")
+    )
+    return f"""{_sig_cells_sql(query_text, min_df)}
+SELECT term, df_fg, df_bg, mi, rank FROM (
+  SELECT term, df_fg, df_bg, mi,
+         row_number() OVER (ORDER BY mi DESC, term ASC) AS rank
+  FROM (
+    SELECT term, df_fg, df_bg, round({mi}, 6) AS mi
+    FROM (
+      SELECT term, df_fg, df_bg,
+             df_fg::DOUBLE AS a, df_bg::DOUBLE AS r1,
+             n_fg::DOUBLE AS c1, n_bg::DOUBLE AS nn
+      FROM cells
+    )
+  )
+) WHERE rank <= {k}
+"""
+
+
+def sig_pct_sql(query_text: str, min_df: int, k: int) -> str:
+    """percentage heuristic twin: df_fg / df_bg."""
+    return f"""{_sig_cells_sql(query_text, min_df)}
+SELECT term, df_fg, df_bg, pct, rank FROM (
+  SELECT term, df_fg, df_bg,
+         round(df_fg::DOUBLE / df_bg::DOUBLE, 6) AS pct,
+         row_number() OVER (
+           ORDER BY round(df_fg::DOUBLE / df_bg::DOUBLE, 6) DESC, term ASC
+         ) AS rank
+  FROM cells
+) WHERE rank <= {k}
+"""

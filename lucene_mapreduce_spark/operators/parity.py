@@ -2644,3 +2644,141 @@ def kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tie_y",
         F.round(num / den, 6).alias("kendall_tau_b"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 46 (events side): scale-pattern operators.
+
+PII_BUCKET_US = 3_600 * 1_000_000  # 1h interval-join buckets
+PII_GAP_S = 3_600
+PII_BROWSE_TYPES = ("view", "click")
+PII_POINT_TYPE = "purchase"
+
+
+def point_in_interval_join(
+    spark: SparkSession, sf_dir: str, gap_s: int = PII_GAP_S
+) -> DataFrame:
+    """Point-in-interval attribution join — purchases assigned to the
+    BROWSE session (gaps-and-islands over view/click only) that contains
+    them. The scale pattern is the point: a naive t BETWEEN lo AND hi
+    join is a theta-join (O(n*m) compare, one partition in Spark);
+    instead each interval explodes into the 1-hour epoch buckets it
+    spans (bounded: session length / 1h), points key into exactly one
+    bucket, and the join is a plain equi-join on (user, bucket) with the
+    exact BETWEEN as a post-filter. Sessions per user are disjoint, so a
+    purchase matches at most once — no dedup shuffle needed. Output is a
+    per-day attribution report."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.col("ts"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    browse = ev.where(F.col("event_type").isin(list(PII_BROWSE_TYPES)))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    brk = F.when(
+        F.lag("us").over(w).isNull()
+        | (F.col("us") - F.lag("us").over(w) >= gap_s * 1_000_000),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    sid = F.sum("brk").over(
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    intervals = (
+        browse.withColumn("brk", brk)
+        .withColumn("sid", sid)
+        .groupBy("user_id", "sid")
+        .agg(F.min("us").alias("lo"), F.max("us").alias("hi"))
+    )
+    fan = intervals.select(
+        "user_id",
+        "lo",
+        "hi",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("lo") / PII_BUCKET_US),
+                F.floor(F.col("hi") / PII_BUCKET_US),
+            )
+        ).alias("bucket"),
+    )
+    pts = ev.where(F.col("event_type") == PII_POINT_TYPE).select(
+        F.col("user_id").alias("p_user"),
+        "event_id",
+        "us",
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"),
+    )
+    matched = pts.join(
+        fan,
+        (F.col("p_user") == F.col("user_id"))
+        & (F.floor(F.col("us") / PII_BUCKET_US) == F.col("bucket"))
+        & (F.col("us") >= F.col("lo"))
+        & (F.col("us") <= F.col("hi")),
+        "left_semi",
+    ).select("event_id")
+    return (
+        pts.join(matched.withColumn("hit", F.lit(1)), "event_id", "left")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias(
+                "n_in_session"
+            ),
+        )
+        .select(
+            "day",
+            "n_purchases",
+            "n_in_session",
+            F.round(
+                F.col("n_in_session").cast("double")
+                / F.col("n_purchases").cast("double"),
+                6,
+            ).alias("in_session_pct"),
+        )
+        .orderBy("day")
+    )
+
+
+DECAY_HALF_LIFE_DAYS = 7.0
+DECAY_MAX_AGE = 40
+
+# Per-age decay weights 0.5^(age/half_life), computed ONCE in Python and
+# consumed as the SAME literals by both engines (the shared-literal rule —
+# pow() on data is not cross-engine safe, a literal table is).
+DECAY_W = {
+    age: 0.5 ** (age / DECAY_HALF_LIFE_DAYS) for age in range(DECAY_MAX_AGE + 1)
+}
+
+
+def decayed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed event counts per type (half-life 7
+    days, anchored at the corpus max day) — the freshness-weighted
+    engagement score a trending/ranking feed maintains. Age in whole
+    days is an exact integer; the weight comes from the shared literal
+    table (never engine pow()); weights round 12dp into DECIMAL so the
+    per-type sums are order-free. One scan + one tiny groupBy."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    )
+    ref = ev.agg(F.max("day").alias("ref_day"))
+    wmap = F.create_map(
+        *[F.lit(x) for kv in DECAY_W.items() for x in (kv[0], float(kv[1]))]
+    )
+    aged = ev.crossJoin(F.broadcast(ref)).select(
+        "event_type",
+        F.element_at(wmap, F.datediff(F.col("ref_day"), F.col("day")).cast("int"))
+        .alias("w"),
+    )
+    return (
+        aged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(
+                F.sum(F.round(F.col("w"), 12).cast("decimal(28,12)")).cast("double"),
+                6,
+            ).alias("decayed_count"),
+        )
+        .orderBy("event_type")
+    )

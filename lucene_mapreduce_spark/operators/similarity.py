@@ -1347,3 +1347,100 @@ def knn_label_confusion(
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .orderBy("label", "nn_label")
     )
+
+
+# --- batch 46: SQ8 recall audit ---------------------------------------------
+
+INT8_RECALL_K = 10
+INT8_RECALL_PROBES = 8  # probe vectors = vec_id 0..7
+
+
+def int8_ann_recall(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = INT8_RECALL_K,
+    n_probes: int = INT8_RECALL_PROBES,
+) -> DataFrame:
+    """Recall@k of int8-scalar-quantized cosine search vs exact float
+    cosine — the RANKING audit next to int8_quantization_audit's
+    geometry MSE (and ann_pq_topk's PQ sibling). Every embedding is
+    quantize-dequantized on the same per-dim [min,max]/255 grid as the
+    audit; both legs score the probe batch against the full corpus in
+    one pass (two cosines per pair row), rank per probe on the ROUNDED
+    score with vec_id tie-break, and recall = |top-k(float) ∩
+    top-k(deq)| / k. Plan: 64-row dim-stats groupBy, deq arrays
+    reassembled by an ascending-dim sort (order-pinned), probe batch
+    broadcast — the corpus is scanned once, the per-probe windows are
+    WindowGroupLimit-pruned."""
+    from pyspark.sql.window import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>"))
+    ).select("vec_id", F.col("pos").alias("dim"), F.col("col").alias("v"))
+    dimstats = comp.groupBy("dim").agg(
+        F.min("v").alias("mn"), F.max("v").alias("mx")
+    )
+    scale = (F.col("mx") - F.col("mn")) / F.lit(255.0)
+    deq = F.when(F.col("mx") == F.col("mn"), F.col("mn")).otherwise(
+        F.col("mn") + F.round((F.col("v") - F.col("mn")) / scale, 0) * scale
+    )
+    vecs = (
+        comp.join(F.broadcast(dimstats), "dim")
+        .select("vec_id", "dim", "v", deq.alias("dq"))
+        .groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("dim", "v"))), lambda s: s["v"]
+            ).alias("fvec"),
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("dim", "dq"))), lambda s: s["dq"]
+            ).alias("qvec"),
+        )
+    )
+    probes = vecs.filter(F.col("vec_id") < n_probes).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("fvec").alias("pf"),
+        F.col("qvec").alias("pq"),
+    )
+    pairs = vecs.crossJoin(F.broadcast(probes)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        "vec_id",
+        F.round(_cosine(F.col("fvec"), F.col("pf")), 6).alias("cos_f"),
+        F.round(_cosine(F.col("qvec"), F.col("pq")), 6).alias("cos_q"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("cos_f").desc(), F.col("vec_id").asc()
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("cos_q").desc(), F.col("vec_id").asc()
+    )
+    ranked = scored.select(
+        "query_id",
+        "vec_id",
+        F.row_number().over(wf).alias("rank_f"),
+        F.row_number().over(wq).alias("rank_q"),
+    ).filter((F.col("rank_f") <= k) | (F.col("rank_q") <= k))
+    return (
+        ranked.groupBy("query_id")
+        .agg(
+            F.sum(
+                F.when((F.col("rank_f") <= k) & (F.col("rank_q") <= k), 1).otherwise(
+                    0
+                )
+            )
+            .cast("long")
+            .alias("n_overlap")
+        )
+        .select(
+            "query_id",
+            "n_overlap",
+            F.round(F.col("n_overlap").cast("double") / F.lit(float(k)), 6).alias(
+                "recall"
+            ),
+        )
+        .orderBy("query_id")
+    )
