@@ -711,6 +711,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "int8_ann_recall": similarity.int8_ann_recall,
         "sig_terms_mi": fulltext.sig_terms_mi,
         "sig_terms_percentage": fulltext.sig_terms_percentage,
+        # round-4 session-14 batch 47: warehouse pack 3 (TPC-H set complete)
+        "min_cost_supplier": relational.min_cost_supplier,
+        "product_type_profit": relational.product_type_profit,
+        "important_part_shares": relational.important_part_shares,
+        "late_lines_by_priority": relational.late_lines_by_priority,
+        "top_supplier_revenue": relational.top_supplier_revenue,
+        "parts_supplier_count": relational.parts_supplier_count,
+        "promotion_part_suppliers": relational.promotion_part_suppliers,
+        "waiting_orders_suppliers": relational.waiting_orders_suppliers,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})

@@ -8710,3 +8710,171 @@ SELECT term, df_fg, df_bg, pct, rank FROM (
   FROM cells
 ) WHERE rank <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Batch 47: warehouse pack 3 — Q2/Q9/Q11/Q12/Q15/Q16/Q20/Q21 shapes.
+
+ORACLES["min_cost_supplier"] = """
+WITH cost AS (
+  SELECT l_partkey, l_suppkey,
+         min(round(l_extendedprice / l_quantity, 6)) AS cost
+  FROM lineitem GROUP BY 1, 2
+),
+supp AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+parts AS (
+  SELECT p_partkey, p_name FROM part
+  WHERE p_type = 'STANDARD' AND p_size >= 40
+),
+j AS (
+  SELECT c.*, p.p_partkey, p.p_name, s.s_name, s.s_acctbal, s.n_name,
+         s.s_suppkey,
+         min(c.cost) OVER (PARTITION BY p.p_partkey) AS min_cost
+  FROM cost c
+  JOIN parts p ON c.l_partkey = p.p_partkey
+  JOIN supp s ON c.l_suppkey = s.s_suppkey
+),
+ranked AS (
+  SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name, p_partkey, p_name,
+         round(cost, 6) AS unit_cost,
+         row_number() OVER (ORDER BY s_acctbal DESC, n_name ASC, s_name ASC,
+                            p_partkey ASC, s_suppkey ASC) AS rank
+  FROM j WHERE cost = min_cost
+)
+SELECT rank, s_acctbal, s_name, n_name, p_partkey, p_name, unit_cost
+FROM ranked WHERE rank <= 100 ORDER BY rank
+"""
+
+ORACLES["product_type_profit"] = """
+SELECT n_name AS nation, year(o_orderdate)::INT AS order_year,
+       round(sum(round(l_extendedprice * (1 - l_discount)
+                       - 0.6 * p_retailprice * l_quantity, 6)
+                 ::DECIMAL(28,6))::DOUBLE, 4) AS profit,
+       count(*)::BIGINT AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2 ORDER BY 1 ASC, 2 DESC
+"""
+
+ORACLES["important_part_shares"] = """
+WITH supp AS (
+  SELECT s_suppkey FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3'
+),
+per_part AS (
+  SELECT l_partkey,
+         sum(round(l_extendedprice * 100.0, 0)::BIGINT) AS value_cents
+  FROM lineitem
+  WHERE l_suppkey IN (SELECT s_suppkey FROM supp)
+  GROUP BY 1
+),
+total AS (SELECT sum(value_cents) AS total_cents FROM per_part)
+SELECT l_partkey AS p_partkey,
+       round(value_cents::DOUBLE / 100.0, 2) AS value
+FROM per_part, total
+WHERE value_cents * 10000 > total_cents * 10
+ORDER BY value DESC, p_partkey ASC
+"""
+
+ORACLES["late_lines_by_priority"] = """
+SELECT l_returnflag,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY 1 ORDER BY 1
+"""
+
+ORACLES["top_supplier_revenue"] = """
+WITH rev AS (
+  SELECT l_suppkey,
+         sum(round(l_extendedprice * (1 - l_discount), 4)::DECIMAL(28,4))
+           AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY 1
+),
+best AS (
+  SELECT l_suppkey, total_rev, max(total_rev) OVER () AS max_rev FROM rev
+)
+SELECT s_suppkey, s_name, round(total_rev::DOUBLE, 4) AS total_revenue
+FROM best JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_rev = max_rev
+ORDER BY s_suppkey
+"""
+
+ORACLES["parts_supplier_count"] = """
+WITH pairs AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+  WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+)
+SELECT p_brand, p_type, count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+FROM pairs JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#4' AND p_type <> 'PROMO'
+GROUP BY 1, 2
+ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC
+"""
+
+ORACLES["promotion_part_suppliers"] = """
+WITH qual AS (
+  SELECT DISTINCT l_suppkey
+  FROM (
+    SELECT l_partkey, l_suppkey, sum(l_quantity::BIGINT) AS qty
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_partkey IN (SELECT p_partkey FROM part
+                        WHERE p_name LIKE 'small%')
+    GROUP BY 1, 2
+  ) WHERE qty > 50
+)
+SELECT s_suppkey, s_name, n_name AS nation
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (SELECT l_suppkey FROM qual)
+ORDER BY s_suppkey
+"""
+
+ORACLES["waiting_orders_suppliers"] = """
+WITH per_pair AS (
+  SELECT o_orderkey, l_suppkey,
+         max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                  THEN 1 ELSE 0 END) AS supp_late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY 1, 2
+),
+flagged AS (
+  SELECT *, count(*) OVER (PARTITION BY o_orderkey) AS n_supp,
+         sum(supp_late) OVER (PARTITION BY o_orderkey) AS n_late_supp
+  FROM per_pair
+),
+counts AS (
+  SELECT l_suppkey, count(*)::BIGINT AS numwait
+  FROM flagged
+  WHERE supp_late = 1 AND n_supp > 1 AND n_late_supp = 1
+  GROUP BY 1
+),
+ranked AS (
+  SELECT s_name, numwait,
+         row_number() OVER (ORDER BY numwait DESC, s_name ASC) AS rank
+  FROM counts JOIN supplier ON l_suppkey = s_suppkey
+)
+SELECT rank, s_name, numwait FROM ranked WHERE rank <= 20 ORDER BY rank
+"""

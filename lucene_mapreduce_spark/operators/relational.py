@@ -1072,3 +1072,415 @@ def histogram_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(exact, 6).alias("exact_q"),
         F.round(F.abs(approx - exact), 6).alias("abs_err"),
     ).orderBy("q")
+
+
+# ---------------------------------------------------------------------------
+# Batch 47: warehouse pack 3 — the last TPC-H query shapes (Q2, Q9, Q11,
+# Q12, Q15, Q16, Q20, Q21), completing all 22. No partsupp table exists in
+# the testdata, so lineitem's (l_partkey, l_suppkey) pairs serve as the
+# supply relation wherever TPC-H reads partsupp: unit cost is the minimum
+# observed round(extendedprice/quantity, 6) for the pair, availability is
+# the pair's shipped-quantity total. Reference analogue: SURVEY.md §2.4-2.5
+# join+aggregate report families (XdiReportReducer join-then-count loops).
+
+MINCOST_REGION = "EUROPE"
+MINCOST_TYPE = "STANDARD"
+MINCOST_MIN_SIZE = 40
+MINCOST_TOP_K = 100
+PROFIT_NAME_SUBSTR = "red"
+PROFIT_COST_FACTOR = 0.6  # supplycost stand-in = 0.6 * p_retailprice
+IMPORTANT_NATION = "NATION_3"
+IMPORTANT_SHARE_BP = 10  # keep parts above 10 basis points (0.1%) of total
+LATE_PRIORITY_HIGH = ("1-URGENT", "2-HIGH")
+LATE_WINDOW = ("1997-01-01", "1998-01-01")
+TOP_SUPPLIER_QUARTER = ("1997-01-01", "1997-04-01")
+SUPPCNT_EXCL_BRAND = "Brand#4"
+SUPPCNT_EXCL_TYPE = "PROMO"
+PROMOTION_NAME_PREFIX = "small"
+PROMOTION_WINDOW = ("1997-01-01", "1998-01-01")
+PROMOTION_MIN_QTY = 50
+WAITING_LATE_DAYS = 60
+WAITING_STATUS = "F"
+WAITING_TOP_K = 20
+
+
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each qualifying part, the region supplier with
+    the minimum unit cost (correlated-min subquery). Unit cost per
+    (part, supplier) = min round(extendedprice/quantity, 6) over their
+    lineitems — the float division is a single IEEE op both engines
+    compute identically, and min is order-free. Plan: the part and
+    supplier dims broadcast into the (part,supp) aggregate; the
+    correlated min is a per-part window (no self-join); top-k is an
+    exact rank with a full tie-break chain."""
+    from pyspark.sql.window import Window
+
+    nations = (
+        load(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(
+                load(spark, sf_dir, "region").filter(
+                    F.col("r_name") == MINCOST_REGION
+                )
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nations), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    parts = (
+        load(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_type") == MINCOST_TYPE)
+            & (F.col("p_size") >= MINCOST_MIN_SIZE)
+        )
+        .select("p_partkey", "p_name")
+    )
+    cost = (
+        load(spark, sf_dir, "lineitem")
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            F.round(F.col("l_extendedprice") / F.col("l_quantity"), 6).alias(
+                "unit_cost"
+            ),
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("unit_cost").alias("cost"))
+    )
+    j = (
+        cost.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    wmin = Window.partitionBy("p_partkey")
+    best = j.withColumn("min_cost", F.min("cost").over(wmin)).filter(
+        F.col("cost") == F.col("min_cost")
+    )
+    w = Window.orderBy(
+        F.col("s_acctbal").desc(),
+        F.col("n_name").asc(),
+        F.col("s_name").asc(),
+        F.col("p_partkey").asc(),
+        F.col("s_suppkey").asc(),
+    )
+    return (
+        best.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= MINCOST_TOP_K)
+        .select(
+            "rank",
+            F.round(F.col("s_acctbal"), 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.round(F.col("cost"), 6).alias("unit_cost"),
+        )
+        .orderBy("rank")
+    )
+
+
+def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and order year for parts
+    whose name contains a substring. Profit per line = revenue minus a
+    supply-cost stand-in (0.6 * p_retailprice * quantity — retailprice is
+    2dp so the cost is an exact 3dp decimal; revenue is exact 4dp; the
+    difference rounds tie-free at 6dp into order-free DECIMAL sums).
+    Plan: part-name filter broadcasts, supplier/nation broadcast, the
+    orders join carries only (orderkey, year)."""
+    parts = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains(PROFIT_NAME_SUBSTR))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp_nation = (
+        load(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(load(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").cast("int").alias("order_year")
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount", "l_quantity",
+    )
+    profit = F.round(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        - F.lit(PROFIT_COST_FACTOR) * F.col("p_retailprice") * F.col("l_quantity"),
+        6,
+    )
+    return (
+        li.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("nation", "order_year")
+        .agg(
+            F.round(
+                F.sum(profit.cast("decimal(28,6)")).cast("double"), 4
+            ).alias("profit"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+        .orderBy("nation", F.col("order_year").desc())
+    )
+
+
+def important_part_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose value through one nation's suppliers
+    exceeds a fractional threshold of that nation's total (the
+    HAVING-vs-global-scalar pattern). All money is exact integer cents
+    (round(extendedprice*100) — 2dp doubles land within an ulp of the
+    integer), so the threshold comparison value*10000 > total*bp is pure
+    integer arithmetic with no float boundary. Plan: the national
+    supplier dim broadcasts; the global total is a one-row broadcast
+    cross join, not a driver collect."""
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load(spark, sf_dir, "nation").filter(
+                    F.col("n_name") == IMPORTANT_NATION
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .select(
+            "l_partkey",
+            F.round(F.col("l_extendedprice") * 100.0, 0)
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    per_part = li.groupBy("l_partkey").agg(F.sum("cents").alias("value_cents"))
+    total = per_part.agg(F.sum("value_cents").alias("total_cents"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("value_cents") * F.lit(10000)
+            > F.col("total_cents") * F.lit(IMPORTANT_SHARE_BP)
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round(F.col("value_cents").cast("double") / 100.0, 2).alias("value"),
+        )
+        .orderBy(F.col("value").desc(), F.col("p_partkey").asc())
+    )
+
+
+def late_lines_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional counting after a fact-fact join —
+    late-shipping lines (shipdate > orderdate + 60 days) in one ship
+    year, bucketed by returnflag with high-priority vs low-priority
+    CASE counts (no l_shipmode column; returnflag is the line-grain
+    categorical). Integer counts only; both date filters push down."""
+    lo, hi = LATE_WINDOW
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit(lo).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(hi).cast("timestamp"))
+        )
+        .select("l_orderkey", "l_shipdate", "l_returnflag")
+    )
+    high = F.col("o_orderpriority").isin(list(LATE_PRIORITY_HIGH))
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        f"INTERVAL {WAITING_LATE_DAYS} DAYS"
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(late)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with maximum revenue in one
+    quarter — the view-then-max-subquery pattern as a window max over
+    exact DECIMAL(28,4) sums (ties all kept, like the spec). Plan: one
+    filtered lineitem scan, per-supplier partial aggregate, 100-row
+    window; supplier dim broadcasts into the winners only."""
+    from pyspark.sql.window import Window
+
+    lo, hi = TOP_SUPPLIER_QUARTER
+    rev = (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit(lo).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(hi).cast("timestamp"))
+        )
+        .select("l_suppkey", _rev4())
+        .groupBy("l_suppkey")
+        .agg(F.sum("rev").alias("total_rev"))
+    )
+    best = rev.withColumn(
+        "max_rev", F.max("total_rev").over(Window.partitionBy())
+    ).filter(F.col("total_rev") == F.col("max_rev"))
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        best.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("total_rev").cast("double"), 4).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def parts_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per (brand, type) for
+    parts outside an excluded brand/type, excluding flagged suppliers
+    (NOT IN → anti-join; negative account balance is the complaint
+    stand-in). Supply pairs come from lineitem distinct (part, supp).
+    Plan: dims broadcast, one distinct + one countDistinct shuffle."""
+    parts = (
+        load(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != SUPPCNT_EXCL_BRAND)
+            & (F.col("p_type") != SUPPCNT_EXCL_TYPE)
+        )
+        .select("p_partkey", "p_brand", "p_type")
+    )
+    bad_supp = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    pairs = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+        .join(
+            F.broadcast(bad_supp),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+    )
+    return (
+        pairs.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(),
+            F.col("p_brand").asc(),
+            F.col("p_type").asc(),
+        )
+    )
+
+
+def promotion_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers holding significant stock of promotion
+    parts — two nested semi-joins (supplier ← exists (part,supp) pair ←
+    part-name filter) with a correlated quantity aggregate. Availability
+    stand-in: the pair's shipped quantity in the window must exceed a
+    floor. Integer quantity sums; the name-filtered part dim broadcasts
+    into the pair aggregate."""
+    lo, hi = PROMOTION_WINDOW
+    parts = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith(PROMOTION_NAME_PREFIX))
+        .select("p_partkey")
+    )
+    qual_pairs = (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit(lo).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(hi).cast("timestamp"))
+        )
+        .join(
+            F.broadcast(parts),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+        .filter(F.col("qty") > PROMOTION_MIN_QTY)
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        supp.join(qual_pairs, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
+        .orderBy("s_suppkey")
+    )
+
+
+def waiting_orders_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the ONLY late shipper in a
+    multi-supplier finalized order (exists + not-exists pair). Rewritten
+    shuffle-once: per (order, supplier) late flags, then per-order
+    distinct-supplier and late-supplier counts via a window — a supplier
+    qualifies when they are late, the order has >1 supplier, and exactly
+    one supplier is late. Late = shipdate > orderdate + 60 days."""
+    from pyspark.sql.window import Window
+
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == WAITING_STATUS)
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = (
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr(f"INTERVAL {WAITING_LATE_DAYS} DAYS")
+    ).cast("int")
+    per_pair = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .withColumn("late", late)
+        .groupBy("o_orderkey", "l_suppkey")
+        .agg(F.max("late").alias("supp_late"))
+    )
+    w = Window.partitionBy("o_orderkey")
+    flagged = per_pair.select(
+        "o_orderkey",
+        "l_suppkey",
+        "supp_late",
+        F.count(F.lit(1)).over(w).alias("n_supp"),
+        F.sum("supp_late").over(w).alias("n_late_supp"),
+    )
+    qual = flagged.filter(
+        (F.col("supp_late") == 1)
+        & (F.col("n_supp") > 1)
+        & (F.col("n_late_supp") == 1)
+    )
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    counts = (
+        qual.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    wr = Window.orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= WAITING_TOP_K)
+        .select("rank", "s_name", "numwait")
+        .orderBy("rank")
+    )
