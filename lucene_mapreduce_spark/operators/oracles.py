@@ -8779,11 +8779,12 @@ per_part AS (
   WHERE l_suppkey IN (SELECT s_suppkey FROM supp)
   GROUP BY 1
 ),
-total AS (SELECT sum(value_cents) AS total_cents FROM per_part)
+total AS (SELECT sum(value_cents) AS total_cents,
+                 count(*)::BIGINT AS n_parts FROM per_part)
 SELECT l_partkey AS p_partkey,
        round(value_cents::DOUBLE / 100.0, 2) AS value
 FROM per_part, total
-WHERE value_cents * 10000 > total_cents * 10
+WHERE value_cents * n_parts > total_cents * 2
 ORDER BY value DESC, p_partkey ASC
 """
 

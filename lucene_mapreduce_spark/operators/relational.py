@@ -1090,7 +1090,7 @@ MINCOST_TOP_K = 100
 PROFIT_NAME_SUBSTR = "red"
 PROFIT_COST_FACTOR = 0.6  # supplycost stand-in = 0.6 * p_retailprice
 IMPORTANT_NATION = "NATION_3"
-IMPORTANT_SHARE_BP = 10  # keep parts above 10 basis points (0.1%) of total
+IMPORTANT_SHARE_MULT = 2  # keep parts above 2x the mean part share
 LATE_PRIORITY_HIGH = ("1-URGENT", "2-HIGH")
 LATE_WINDOW = ("1997-01-01", "1998-01-01")
 TOP_SUPPLIER_QUARTER = ("1997-01-01", "1997-04-01")
@@ -1235,10 +1235,12 @@ def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def important_part_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: parts whose value through one nation's suppliers
-    exceeds a fractional threshold of that nation's total (the
-    HAVING-vs-global-scalar pattern). All money is exact integer cents
+    exceeds a threshold of that nation's total (the HAVING-vs-global-
+    scalar pattern). The spec's fixed fraction de-selects everything as
+    the corpus grows, so the cutoff is 2x the MEAN part share — scale-
+    free by construction. All money is exact integer cents
     (round(extendedprice*100) — 2dp doubles land within an ulp of the
-    integer), so the threshold comparison value*10000 > total*bp is pure
+    integer), so the comparison value*n_parts > mult*total is pure
     integer arithmetic with no float boundary. Plan: the national
     supplier dim broadcasts; the global total is a one-row broadcast
     cross join, not a driver collect."""
@@ -1265,12 +1267,15 @@ def important_part_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     per_part = li.groupBy("l_partkey").agg(F.sum("cents").alias("value_cents"))
-    total = per_part.agg(F.sum("value_cents").alias("total_cents"))
+    total = per_part.agg(
+        F.sum("value_cents").alias("total_cents"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
     return (
         per_part.crossJoin(F.broadcast(total))
         .filter(
-            F.col("value_cents") * F.lit(10000)
-            > F.col("total_cents") * F.lit(IMPORTANT_SHARE_BP)
+            F.col("value_cents") * F.col("n_parts")
+            > F.col("total_cents") * F.lit(IMPORTANT_SHARE_MULT)
         )
         .select(
             F.col("l_partkey").alias("p_partkey"),

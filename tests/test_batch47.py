@@ -85,7 +85,7 @@ def test_important_part_shares_recompute(spark, sf_dir):
     sel["cents"] = (sel["l_extendedprice"] * 100.0).round(0).astype("int64")
     per = sel.groupby("l_partkey")["cents"].sum()
     total = int(per.sum())
-    keep = per[per * 10000 > total * relational.IMPORTANT_SHARE_BP]
+    keep = per[per * len(per) > total * relational.IMPORTANT_SHARE_MULT]
     assert set(out["p_partkey"]) == set(keep.index)
     # values descend and equal the exact cents totals
     assert (out["value"].values[:-1] >= out["value"].values[1:]).all()
