@@ -720,6 +720,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parts_supplier_count": relational.parts_supplier_count,
         "promotion_part_suppliers": relational.promotion_part_suppliers,
         "waiting_orders_suppliers": relational.waiting_orders_suppliers,
+        # round-4 session-14 batch 48: JLH sig-terms, vector audits,
+        # parent agg, repetition signals, percentile trim
+        "sig_terms_jlh": fulltext.sig_terms_jlh,
+        "matryoshka_recall": similarity.matryoshka_recall,
+        "ann_radius_search": similarity.ann_radius_search,
+        "parent_agg": parity.parent_agg,
+        "repetition_signals": textstats.repetition_signals,
+        "length_trim_report": textstats.length_trim_report,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})
@@ -1408,6 +1416,13 @@ WHERE len(list_filter(range(1, len(toks)), i ->
         fulltext.DFR_INV_LN2,
     )
     out["sig_terms_percentage"] = sig_pct_sql(
+        fulltext.BOOLEAN_QUERY, fulltext.SIGCHI2_MIN_DF, fulltext.SIGCHI2_K
+    )
+
+    # round-4 session-14 batch 48
+    from lucene_mapreduce_spark.operators.oracles import sig_jlh_sql
+
+    out["sig_terms_jlh"] = sig_jlh_sql(
         fulltext.BOOLEAN_QUERY, fulltext.SIGCHI2_MIN_DF, fulltext.SIGCHI2_K
     )
     return out

@@ -5351,3 +5351,39 @@ def sig_terms_percentage(
     return ranked_topk(scored, [F.desc("pct"), F.asc("term")], k).select(
         "term", "df_fg", "df_bg", "pct", "rank"
     )
+
+
+def sig_terms_jlh(
+    spark: SparkSession,
+    sf_dir: str,
+    query_text: str = BOOLEAN_QUERY,
+    k: int = SIGCHI2_K,
+    min_df: int = SIGCHI2_MIN_DF,
+) -> DataFrame:
+    """significant_terms with the JLH heuristic — Elasticsearch's
+    DEFAULT scorer, completing the heuristic family (chi_square, gnd,
+    mutual_information, percentage, jlh):
+
+        jlh = (fg% - bg%) * (fg% / bg%)
+
+    absolute change times relative change, fg% = df_fg/n_fg and
+    bg% = df_bg/n_bg. One float chain, written in the identical
+    operation order in both engines; the positive-association filter
+    guarantees fg% > bg% so the score is positive. Shares the _sig_cells
+    contingency assembly (gate-index OR hit set, min_df, query-term
+    exclusion)."""
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+
+    cells, n_fg, n_bg = _sig_cells(spark, sf_dir, query_text, min_df)
+    fg_pct = F.col("df_fg").cast("double") / F.lit(float(n_fg))
+    bg_pct = F.col("df_bg").cast("double") / F.lit(float(n_bg))
+    jlh = (fg_pct - bg_pct) * (fg_pct / bg_pct)
+    scored = cells.select(
+        "term",
+        F.col("df_fg").cast("long").alias("df_fg"),
+        F.col("df_bg").cast("long").alias("df_bg"),
+        F.round(jlh, 6).alias("jlh"),
+    )
+    return ranked_topk(scored, [F.desc("jlh"), F.asc("term")], k).select(
+        "term", "df_fg", "df_bg", "jlh", "rank"
+    )

@@ -8879,3 +8879,162 @@ ranked AS (
 )
 SELECT rank, s_name, numwait FROM ranked WHERE rank <= 20 ORDER BY rank
 """
+
+
+# ---------------------------------------------------------------------------
+# Batch 48: JLH sig-terms, Matryoshka/radius vector audits, parent agg,
+# Gopher repetition signals, percentile length trim.
+
+
+def sig_jlh_sql(query_text: str, min_df: int, k: int) -> str:
+    """JLH heuristic twin: (fg% - bg%) * (fg% / bg%), the identical
+    float chain as the Spark expression."""
+    return f"""{_sig_cells_sql(query_text, min_df)}
+SELECT term, df_fg, df_bg, jlh, rank FROM (
+  SELECT term, df_fg, df_bg, jlh,
+         row_number() OVER (ORDER BY jlh DESC, term ASC) AS rank
+  FROM (
+    SELECT term, df_fg, df_bg,
+           round((fg_pct - bg_pct) * (fg_pct / bg_pct), 6) AS jlh
+    FROM (
+      SELECT term, df_fg, df_bg,
+             df_fg::DOUBLE / n_fg::DOUBLE AS fg_pct,
+             df_bg::DOUBLE / n_bg::DOUBLE AS bg_pct
+      FROM cells
+    )
+  )
+) WHERE rank <= {k}
+"""
+
+
+ORACLES["matryoshka_recall"] = """
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS fvec,
+         (embedding::DOUBLE[])[1:32] AS tvec
+  FROM embeddings
+),
+probes AS (
+  SELECT vec_id AS query_id, fvec AS pf, tvec AS pt FROM v WHERE vec_id < 8
+),
+scored AS (
+  SELECT p.query_id, v.vec_id,
+         round(list_dot_product(v.fvec, p.pf)
+               / (sqrt(list_dot_product(v.fvec, v.fvec))
+                  * sqrt(list_dot_product(p.pf, p.pf))), 6) AS cos_f,
+         round(list_dot_product(v.tvec, p.pt)
+               / (sqrt(list_dot_product(v.tvec, v.tvec))
+                  * sqrt(list_dot_product(p.pt, p.pt))), 6) AS cos_t
+  FROM v, probes p WHERE v.vec_id <> p.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_f DESC, vec_id ASC) AS rank_f,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_t DESC, vec_id ASC) AS rank_t
+  FROM scored
+)
+SELECT query_id,
+       sum(CASE WHEN rank_f <= 10 AND rank_t <= 10 THEN 1 ELSE 0 END)
+         ::BIGINT AS n_overlap,
+       round(sum(CASE WHEN rank_f <= 10 AND rank_t <= 10 THEN 1 ELSE 0 END)
+             ::DOUBLE / 10.0, 6) AS recall
+FROM ranked GROUP BY 1 ORDER BY 1
+"""
+
+ORACLES["ann_radius_search"] = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS fvec FROM embeddings),
+probes AS (SELECT vec_id AS query_id, fvec AS pf FROM v WHERE vec_id < 8),
+scored AS (
+  SELECT p.query_id, v.vec_id,
+         round(list_dot_product(v.fvec, p.pf)
+               / (sqrt(list_dot_product(v.fvec, v.fvec))
+                  * sqrt(list_dot_product(p.pf, p.pf))), 6) AS cos
+  FROM v, probes p WHERE v.vec_id <> p.query_id
+),
+hits AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id ASC) AS rn
+  FROM scored WHERE cos >= 0.2
+)
+SELECT query_id, count(*)::BIGINT AS n_neighbors, max(cos) AS max_cos,
+       max(CASE WHEN rn = 1 THEN vec_id END) AS nearest_id
+FROM hits GROUP BY 1 ORDER BY 1
+"""
+
+ORACLES["parent_agg"] = """
+SELECT c_mktsegment, count(*)::BIGINT AS n_child_orders,
+       count(DISTINCT c_custkey)::BIGINT AS n_parents
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY 1 ORDER BY 1
+"""
+
+ORACLES["repetition_signals"] = f"""
+WITH d AS (
+  SELECT doc_id, source, {TOKS} AS toks FROM documents
+),
+eligible AS (SELECT * FROM d WHERE len(toks) >= 3),
+bi AS (
+  SELECT doc_id, (len(toks) - 1)::BIGINT AS n_2grams, gram
+  FROM eligible,
+       unnest(list_transform(range(1, len(toks)),
+                             i -> toks[i] || ' ' || toks[i + 1])) AS t(gram)
+),
+bi_top AS (
+  SELECT doc_id, any_value(n_2grams) AS n_2grams, max(cnt)::BIGINT AS top2_cnt
+  FROM (SELECT doc_id, n_2grams, gram, count(*) AS cnt
+        FROM bi GROUP BY 1, 2, 3)
+  GROUP BY 1
+),
+tri AS (
+  SELECT doc_id, (len(toks) - 2)::BIGINT AS n_3grams, gram
+  FROM eligible,
+       unnest(list_transform(range(1, len(toks) - 1),
+              i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+         AS t(gram)
+),
+tri_top AS (
+  SELECT doc_id, any_value(n_3grams) AS n_3grams, max(cnt)::BIGINT AS top3_cnt
+  FROM (SELECT doc_id, n_3grams, gram, count(*) AS cnt
+        FROM tri GROUP BY 1, 2, 3)
+  GROUP BY 1
+),
+j AS (
+  SELECT e.source, b.n_2grams, b.top2_cnt, t.n_3grams, t.top3_cnt
+  FROM eligible e
+  JOIN bi_top b USING (doc_id)
+  JOIN tri_top t USING (doc_id)
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+       round(sum(round(top2_cnt::DOUBLE / n_2grams::DOUBLE, 6)
+                 ::DECIMAL(28,6))::DOUBLE / count(*)::DOUBLE, 6)
+         AS mean_top2_frac,
+       round(sum(round(top3_cnt::DOUBLE / n_3grams::DOUBLE, 6)
+                 ::DECIMAL(28,6))::DOUBLE / count(*)::DOUBLE, 6)
+         AS mean_top3_frac,
+       sum(CASE WHEN top2_cnt * 100 > n_2grams * 20 THEN 1 ELSE 0 END)
+         ::BIGINT AS n_flag_top2,
+       sum(CASE WHEN top3_cnt * 100 > n_3grams * 18 THEN 1 ELSE 0 END)
+         ::BIGINT AS n_flag_top3
+FROM j GROUP BY 1 ORDER BY 1
+"""
+
+ORACLES["length_trim_report"] = """
+WITH bands AS (
+  SELECT lang, quantile_cont(n_chars::DOUBLE, 0.05) AS lo,
+         quantile_cont(n_chars::DOUBLE, 0.95) AS hi
+  FROM documents GROUP BY 1
+)
+SELECT d.lang, count(*)::BIGINT AS n_docs,
+       round(any_value(lo), 6) AS p5_chars,
+       round(any_value(hi), 6) AS p95_chars,
+       sum(CASE WHEN d.n_chars::DOUBLE >= lo AND d.n_chars::DOUBLE <= hi
+                THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       (count(*) - sum(CASE WHEN d.n_chars::DOUBLE >= lo
+                            AND d.n_chars::DOUBLE <= hi
+                       THEN 1 ELSE 0 END))::BIGINT AS n_trimmed
+FROM documents d JOIN bands USING (lang)
+GROUP BY 1 ORDER BY 1
+"""

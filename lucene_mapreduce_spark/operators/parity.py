@@ -2782,3 +2782,28 @@ def decayed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+PARENT_AGG_PRIORITY = "1-URGENT"
+
+
+def parent_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `parent` aggregation (the reverse of children_agg): buckets
+    computed in the CHILD context roll up to PARENT-side fields — here,
+    urgent orders (children) bucketed by their customer's market segment
+    (parent field), counting both child docs and distinct parents. The
+    parent dim broadcasts; one small groupBy. Reference analogue: the
+    join-then-count report loops (SURVEY.md §2.4 J1/A2)."""
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == PARENT_AGG_PRIORITY
+    )
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_child_orders"),
+            F.countDistinct("c_custkey").cast("long").alias("n_parents"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -1444,3 +1444,125 @@ def int8_ann_recall(
         )
         .orderBy("query_id")
     )
+
+
+# --- batch 48: Matryoshka truncation audit + cosine radius search -----------
+
+MRL_TRUNC_DIM = 32  # keep the first half of the 64-dim embeddings
+MRL_RECALL_K = 10
+RADIUS_COS_MIN = 0.2
+RADIUS_PROBES = 8
+
+
+def matryoshka_recall(
+    spark: SparkSession,
+    sf_dir: str,
+    trunc_dim: int = MRL_TRUNC_DIM,
+    k: int = MRL_RECALL_K,
+    n_probes: int = RADIUS_PROBES,
+) -> DataFrame:
+    """Recall@k of truncated-dimension cosine search vs full-dimension —
+    the Matryoshka-representation audit (would serving on the first
+    trunc_dim dims preserve the top-k?). Sibling of int8_ann_recall's
+    quantization audit: both legs rank the probe batch against the full
+    corpus on the ROUNDED cosine with vec_id tie-break; recall =
+    |top-k(full) ∩ top-k(truncated)| / k per probe. The truncated leg is
+    a plain F.slice — no second scan, both cosines come off one pass."""
+    from pyspark.sql.window import Window
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("fvec")
+    )
+    vecs = emb.withColumn("tvec", F.slice(F.col("fvec"), 1, trunc_dim))
+    probes = vecs.filter(F.col("vec_id") < n_probes).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("fvec").alias("pf"),
+        F.col("tvec").alias("pt"),
+    )
+    pairs = vecs.crossJoin(F.broadcast(probes)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        "vec_id",
+        F.round(_cosine(F.col("fvec"), F.col("pf")), 6).alias("cos_f"),
+        F.round(_cosine(F.col("tvec"), F.col("pt")), 6).alias("cos_t"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("cos_f").desc(), F.col("vec_id").asc()
+    )
+    wt = Window.partitionBy("query_id").orderBy(
+        F.col("cos_t").desc(), F.col("vec_id").asc()
+    )
+    ranked = scored.select(
+        "query_id",
+        "vec_id",
+        F.row_number().over(wf).alias("rank_f"),
+        F.row_number().over(wt).alias("rank_t"),
+    ).filter((F.col("rank_f") <= k) | (F.col("rank_t") <= k))
+    return (
+        ranked.groupBy("query_id")
+        .agg(
+            F.sum(
+                F.when((F.col("rank_f") <= k) & (F.col("rank_t") <= k), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("n_overlap")
+        )
+        .select(
+            "query_id",
+            "n_overlap",
+            F.round(F.col("n_overlap").cast("double") / F.lit(float(k)), 6).alias(
+                "recall"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
+def ann_radius_search(
+    spark: SparkSession,
+    sf_dir: str,
+    cos_min: float = RADIUS_COS_MIN,
+    n_probes: int = RADIUS_PROBES,
+) -> DataFrame:
+    """Cosine radius (range) search: for each probe, every corpus vector
+    with cosine >= the threshold — the fixed-radius twin of the top-k
+    queries (Lucene's RnnCollector / range-query-over-vector shape).
+    Returns the per-probe neighbor count, the max cosine, and the
+    nearest neighbor id (rounded-cosine rank, vec_id tie-break). Plan:
+    probes broadcast, one corpus scan, a WindowGroupLimit-pruned rank
+    for the nearest id; the threshold filter runs before the window so
+    the ranked set is radius-bounded."""
+    from pyspark.sql.window import Window
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("fvec")
+    )
+    probes = emb.filter(F.col("vec_id") < n_probes).select(
+        F.col("vec_id").alias("query_id"), F.col("fvec").alias("pf")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(_cosine(F.col("fvec"), F.col("pf")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= F.lit(float(cos_min)))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_neighbors"),
+            F.max("cos").alias("max_cos"),
+            F.max(F.when(F.col("rn") == 1, F.col("vec_id"))).alias("nearest_id"),
+        )
+        .orderBy("query_id")
+    )

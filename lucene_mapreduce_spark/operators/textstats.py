@@ -3412,3 +3412,116 @@ def shingle_uniqueness_profile(
     for p in pieces[1:]:
         out = out.unionByName(p)
     return out.orderBy("w")
+
+
+# --- batch 48: Gopher repetition signals + percentile length trim -----------
+
+REP_MIN_TOKENS = 3
+REP_TOP2_FLAG_PCT = 20  # flag when the top bigram covers > 20% of bigrams
+REP_TOP3_FLAG_PCT = 18  # flag when the top trigram covers > 18% of trigrams
+TRIM_LO_Q = 0.05
+TRIM_HI_Q = 0.95
+
+
+def _top_ngram_frac(docs: DataFrame, n: int):
+    """Per-doc fraction of n-gram slots covered by the single most
+    frequent n-gram (the Gopher repetition signal). Returns (doc_id,
+    n_grams, top_cnt) — the fraction itself stays an exact integer pair
+    so threshold flags never hit a float boundary."""
+    toks = tokenize_col("text")
+    grams = F.expr(
+        "transform(sequence(1, size(toks) - {m}), "
+        "i -> concat_ws(' ', slice(toks, i, {n})))".format(m=n - 1, n=n)
+    )
+    exploded = (
+        docs.select("doc_id", toks.alias("toks"))
+        .filter(F.size(F.col("toks")) >= REP_MIN_TOKENS)
+        .select("doc_id", F.size(F.col("toks")).alias("n_toks"),
+                F.explode(grams).alias("gram"))
+    )
+    return (
+        exploded.groupBy("doc_id", "n_toks", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            (F.first("n_toks") - F.lit(n - 1)).cast("long").alias(f"n_{n}grams"),
+            F.max("cnt").cast("long").alias(f"top{n}_cnt"),
+        )
+    )
+
+
+def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals rolled up per source: the mean
+    fraction of bigram/trigram slots covered by each document's most
+    frequent bigram/trigram, plus counts of documents whose coverage
+    crosses the MassiveText-style thresholds (top-2gram > 20%, top-3gram
+    > 18% — integer cross-multiplied, no float boundary). Mean fractions
+    are 6dp-rounded DECIMAL sums divided as doubles (the DECIMAL-mean
+    rule). Two bounded groupBys per n-gram order; the per-doc joins are
+    on doc_id."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    bi = _top_ngram_frac(docs, 2)
+    tri = _top_ngram_frac(docs, 3)
+    j = (
+        docs.select("doc_id", "source")
+        .join(bi, "doc_id")
+        .join(tri, "doc_id")
+    )
+    frac2 = F.col("top2_cnt").cast("double") / F.col("n_2grams").cast("double")
+    frac3 = F.col("top3_cnt").cast("double") / F.col("n_3grams").cast("double")
+    flag2 = (
+        F.col("top2_cnt") * F.lit(100) > F.col("n_2grams") * F.lit(REP_TOP2_FLAG_PCT)
+    ).cast("long")
+    flag3 = (
+        F.col("top3_cnt") * F.lit(100) > F.col("n_3grams") * F.lit(REP_TOP3_FLAG_PCT)
+    ).cast("long")
+    n = F.count(F.lit(1))
+    return (
+        j.groupBy("source")
+        .agg(
+            n.cast("long").alias("n_docs"),
+            F.round(
+                F.sum(F.round(frac2, 6).cast("decimal(28,6)")).cast("double")
+                / n.cast("double"),
+                6,
+            ).alias("mean_top2_frac"),
+            F.round(
+                F.sum(F.round(frac3, 6).cast("decimal(28,6)")).cast("double")
+                / n.cast("double"),
+                6,
+            ).alias("mean_top3_frac"),
+            F.sum(flag2).cast("long").alias("n_flag_top2"),
+            F.sum(flag3).cast("long").alias("n_flag_top3"),
+        )
+        .orderBy("source")
+    )
+
+
+def length_trim_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile length trim — the outlier-removal curation step: per
+    language, documents outside the [p5, p95] band of n_chars are
+    trimmed. Percentile is exact type-7 (Spark percentile == DuckDB
+    quantile_cont, the equidepth rule); band membership compares exact
+    integers against the interpolated doubles both engines derive
+    identically. One scan + a per-lang aggregate joined back broadcast."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    bands = docs.groupBy("lang").agg(
+        F.percentile(F.col("n_chars").cast("double"), F.lit(TRIM_LO_Q)).alias("lo"),
+        F.percentile(F.col("n_chars").cast("double"), F.lit(TRIM_HI_Q)).alias("hi"),
+    )
+    j = docs.join(F.broadcast(bands), "lang")
+    kept = (
+        (F.col("n_chars").cast("double") >= F.col("lo"))
+        & (F.col("n_chars").cast("double") <= F.col("hi"))
+    ).cast("long")
+    return (
+        j.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.first("lo"), 6).alias("p5_chars"),
+            F.round(F.first("hi"), 6).alias("p95_chars"),
+            F.sum(kept).cast("long").alias("n_kept"),
+            (F.count(F.lit(1)) - F.sum(kept)).cast("long").alias("n_trimmed"),
+        )
+        .orderBy("lang")
+    )
