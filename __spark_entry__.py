@@ -728,6 +728,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parent_agg": parity.parent_agg,
         "repetition_signals": textstats.repetition_signals,
         "length_trim_report": textstats.length_trim_report,
+        # round-4 session-14 batch 49: cross_fields, span position range,
+        # negated percolation, quality curve, fertility, covariance audit
+        "cross_fields_topk": fulltext.cross_fields_topk,
+        "span_position_range_query": fulltext.span_position_range_query,
+        "percolate_not_match": fulltext.percolate_not_match,
+        "quality_threshold_sweep": textstats.quality_threshold_sweep,
+        "tokenizer_fertility_by_lang": textstats.tokenizer_fertility_by_lang,
+        "covariance_topk_dims": similarity.covariance_topk_dims,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})
@@ -1424,5 +1432,23 @@ WHERE len(list_filter(range(1, len(toks)), i ->
 
     out["sig_terms_jlh"] = sig_jlh_sql(
         fulltext.BOOLEAN_QUERY, fulltext.SIGCHI2_MIN_DF, fulltext.SIGCHI2_K
+    )
+
+    # round-4 session-14 batch 49
+    from lucene_mapreduce_spark.operators.oracles import (
+        cross_fields_sql,
+        percolate_not_sql,
+        quality_threshold_sweep_sql,
+        span_position_range_sql,
+    )
+    from lucene_mapreduce_spark.operators.textstats import QUALITY_THRESHOLDS
+
+    out["cross_fields_topk"] = cross_fields_sql(fulltext.BM25F_QUERY, k=10)
+    out["span_position_range_query"] = span_position_range_sql(
+        *fulltext.SPAN_POS_RANGE
+    )
+    out["percolate_not_match"] = percolate_not_sql(fulltext.PERCOLATE_NOT_QUERIES)
+    out["quality_threshold_sweep"] = quality_threshold_sweep_sql(
+        QUALITY_THRESHOLDS
     )
     return out

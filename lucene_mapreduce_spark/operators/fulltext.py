@@ -5387,3 +5387,190 @@ def sig_terms_jlh(
     return ranked_topk(scored, [F.desc("jlh"), F.asc("term")], k).select(
         "term", "df_fg", "df_bg", "jlh", "rank"
     )
+
+
+# --- batch 49: cross_fields, span position range, negated percolation -------
+
+SPAN_POS_RANGE = ("merge", 3, 12)  # SpanPositionRangeQuery(term, lo, hi)
+PERCOLATE_NOT_QUERIES = (
+    ("n0", "table merge", "slow"),
+    ("n1", "fast scan", "dup"),
+    ("n2", "vector", "window"),
+)
+
+
+def cross_fields_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_text: str = BM25F_QUERY,
+    kw_field: str = "source",
+    k: int = 10,
+) -> DataFrame:
+    """ES `multi_match` type=cross_fields over (text, source) — the last
+    multi-match mode next to best_fields (dismax_query), most_fields,
+    bm25f and combined_fields. Term-centric with BLENDED statistics
+    (Lucene BlendedTermQuery): per term df_blend = max(df_text, df_kw)
+    feeds ONE idf; each field is then saturated with its own norm and
+    the per-term contribution is the BEST field score (dismax,
+    tie_breaker 0). The keyword leg's tf/len factor collapses to 1 so
+    its score is exactly the blended idf. Per-doc total is the canonical
+    ascending-term fold. One pruned postings read + one field-values
+    read; dims broadcast."""
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_string
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+    from lucene_mapreduce_spark.query.bm25 import B, K1
+    from lucene_mapreduce_spark.query.segments import (
+        exact_stats,
+        field_values,
+        live_doclens,
+        read_postings,
+    )
+
+    ix = _gate_index(spark, sf_dir)
+    terms = sorted(set(tokenize_string(query_text)))
+    n_docs, avgdl = exact_stats(spark, ix)
+    tp = read_postings(spark, ix, terms).select("term", "doc_id", "tf")
+    kv = (
+        field_values(spark, ix, kw_field)
+        .filter(F.col("value").isin(terms))
+        .select(F.col("value").alias("term"), "doc_id")
+    )
+    df_text = tp.groupBy("term").agg(F.count(F.lit(1)).alias("df_text"))
+    df_kw = kv.groupBy("term").agg(F.count(F.lit(1)).alias("df_kw"))
+    dfb = (
+        df_text.join(df_kw, "term", "full_outer")
+        .select(
+            "term",
+            F.greatest(
+                F.coalesce(F.col("df_text"), F.lit(0)),
+                F.coalesce(F.col("df_kw"), F.lit(0)),
+            )
+            .cast("double")
+            .alias("df_b"),
+        )
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df_b") + F.lit(0.5))
+        / (F.col("df_b") + F.lit(0.5))
+    )
+    dls = live_doclens(spark, ix).select("doc_id", "dl")
+    tleg = (
+        tp.join(dls, "doc_id")
+        .select(
+            "term",
+            "doc_id",
+            (
+                F.col("tf").cast("double")
+                * F.lit(K1 + 1.0)
+                / (
+                    F.col("tf").cast("double")
+                    + F.lit(K1)
+                    * (
+                        F.lit(1.0 - B)
+                        + F.lit(B) * F.col("dl").cast("double") / F.lit(float(avgdl))
+                    )
+                )
+            ).alias("sat_text"),
+        )
+    )
+    m = tleg.join(
+        kv.withColumn("kw_hit", F.lit(1.0)), ["term", "doc_id"], "full_outer"
+    ).select(
+        "term",
+        "doc_id",
+        F.greatest(
+            F.coalesce(F.col("sat_text"), F.lit(0.0)),
+            F.coalesce(F.col("kw_hit"), F.lit(0.0)),
+        ).alias("sat_best"),
+    )
+    contribs = m.join(F.broadcast(dfb), "term").select(
+        "doc_id", "term", (idf * F.col("sat_best")).alias("contrib")
+    )
+    per_doc = contribs.groupBy("doc_id").agg(
+        F.round(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("term", "contrib"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["contrib"],
+            ),
+            6,
+        ).alias("score")
+    )
+    return ranked_topk(per_doc, [F.desc("score"), F.asc("doc_id")], k).select(
+        "doc_id", "score", "rank"
+    )
+
+
+def span_position_range_query(
+    spark: SparkSession,
+    sf_dir: str,
+    term: str = SPAN_POS_RANGE[0],
+    lo: int = SPAN_POS_RANGE[1],
+    hi: int = SPAN_POS_RANGE[2],
+) -> DataFrame:
+    """Lucene SpanPositionRangeQuery parity: occurrences of `term` whose
+    span lies inside token positions [lo, hi) — SpanFirst generalized to
+    an interior window (0-based positions, span end = p+1 <= hi). One
+    pruned positional-sidecar read; the count of in-window occurrences
+    rides along (pure codegen filter over the position array)."""
+    from lucene_mapreduce_spark.query.segments import read_positions
+
+    ix = _gate_index(spark, sf_dir)
+    pos = read_positions(spark, ix, [term])
+    n_in = F.size(
+        F.filter(
+            F.col("positions"),
+            lambda p: (p >= F.lit(lo)) & (p < F.lit(hi)),
+        )
+    )
+    return (
+        pos.filter(F.col("term") == term)
+        .select("doc_id", n_in.cast("long").alias("n_in_range"))
+        .filter(F.col("n_in_range") > 0)
+        .orderBy("doc_id")
+    )
+
+
+def percolate_not_match(
+    spark: SparkSession,
+    sf_dir: str,
+    queries: tuple[tuple[str, str, str], ...] = PERCOLATE_NOT_QUERIES,
+) -> DataFrame:
+    """Percolator with negation: each registered query is a conjunction
+    of required terms PLUS one MUST_NOT term — the alert fires only when
+    every required term is present and the forbidden term is absent.
+    Same broadcast-registry shape as percolate_match; the negation is a
+    left-anti join against the forbidden-term postings (never a
+    NOT-IN-driver list). Completes the percolator surface: conjunctive,
+    range, streaming, negated."""
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_string
+    from lucene_mapreduce_spark.query.segments import read_postings
+
+    ix = _gate_index(spark, sf_dir)
+    req = [
+        (qid, t)
+        for qid, qtext, _neg in queries
+        for t in sorted(set(tokenize_string(qtext)))
+    ]
+    neg = [(qid, n) for qid, _qtext, n in queries]
+    need = {qid: len({t for q, t in req if q == qid}) for qid, _, _ in queries}
+    terms = sorted({t for _, t in req} | {n for _, n in neg})
+    reqdf = spark.createDataFrame(req, "query_id string, term string")
+    negdf = spark.createDataFrame(neg, "query_id string, term string")
+    needdf = spark.createDataFrame(
+        sorted(need.items()), "query_id string, n_terms int"
+    )
+    pos = read_postings(spark, ix, terms).select("term", "doc_id")
+    hits = (
+        pos.join(F.broadcast(reqdf), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.countDistinct("term").alias("m"))
+        .join(F.broadcast(needdf), "query_id")
+        .filter(F.col("m") == F.col("n_terms"))
+        .select("query_id", "doc_id")
+    )
+    forbidden = pos.join(F.broadcast(negdf), "term").select("query_id", "doc_id")
+    return hits.join(forbidden, ["query_id", "doc_id"], "left_anti").orderBy(
+        "query_id", "doc_id"
+    )

@@ -9038,3 +9038,192 @@ SELECT d.lang, count(*)::BIGINT AS n_docs,
 FROM documents d JOIN bands USING (lang)
 GROUP BY 1 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Batch 49: cross_fields, span position range, negated percolation, quality
+# operating curve, tokenizer fertility, dimension covariance audit.
+
+
+def cross_fields_sql(query_text: str, k: int) -> str:
+    """multi_match cross_fields twin: blended df = max(df_text, df_kw)
+    feeds one idf; per-term score = idf * best field saturation (keyword
+    saturation collapses to 1); plain-sum agg (<=4 query terms, the
+    _BM25_AGG precedent), rank on rounded score."""
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_string
+
+    qts = sorted(set(tokenize_string(query_text)))
+    qlits = ", ".join(f"'{t}'" for t in qts)
+    return f"""
+WITH {_qterms_cte(query_text)}
+doclens AS (
+  SELECT doc_id, len({TOKS}) AS dl FROM documents
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n_docs, avg(dl::DOUBLE) AS avgdl FROM doclens
+),
+toks AS (
+  SELECT doc_id, unnest({TOKS}) AS term FROM documents
+),
+postings AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf
+  FROM toks JOIN qterms USING (term) GROUP BY 1, 2
+),
+df_text AS (SELECT term, count(*)::BIGINT AS dft FROM postings GROUP BY 1),
+df_kw AS (
+  SELECT source AS term, count(*)::BIGINT AS dfk FROM documents
+  WHERE source IN ({qlits}) GROUP BY 1
+),
+dfb AS (
+  SELECT coalesce(t.term, kk.term) AS term,
+         greatest(coalesce(t.dft, 0), coalesce(kk.dfk, 0))::DOUBLE AS df_b
+  FROM df_text t FULL OUTER JOIN df_kw kk ON t.term = kk.term
+),
+tleg AS (
+  SELECT p.term, p.doc_id,
+         (p.tf * {K1 + 1.0})
+           / (p.tf + {K1} * (1 - {B} + {B} * l.dl / s.avgdl)) AS sat_text
+  FROM postings p JOIN doclens l USING (doc_id) CROSS JOIN stats s
+),
+kleg AS (
+  SELECT d.source AS term, d.doc_id, 1.0 AS kw_hit FROM documents d
+  WHERE d.source IN ({qlits})
+),
+m AS (
+  SELECT coalesce(t.term, kk.term) AS term,
+         coalesce(t.doc_id, kk.doc_id) AS doc_id,
+         greatest(coalesce(t.sat_text, 0.0), coalesce(kk.kw_hit, 0.0))
+           AS sat_best
+  FROM tleg t FULL OUTER JOIN kleg kk
+    ON t.term = kk.term AND t.doc_id = kk.doc_id
+),
+contribs AS (
+  SELECT m.doc_id,
+         ln(1.0 + (s.n_docs - b.df_b + 0.5) / (b.df_b + 0.5)) * m.sat_best
+           AS contrib
+  FROM m JOIN dfb b USING (term) CROSS JOIN stats s
+),
+agg AS (
+  SELECT doc_id, round(sum(contrib), 6) AS score FROM contribs GROUP BY 1
+)
+SELECT doc_id, score, rank FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM agg
+) WHERE rank <= {k}
+"""
+
+
+def span_position_range_sql(term: str, lo: int, hi: int) -> str:
+    """SpanPositionRangeQuery twin: 0-based token positions recomputed
+    from the corpus; count of occurrences with lo <= p < hi."""
+    return f"""
+SELECT doc_id, n_in_range FROM (
+  SELECT doc_id,
+         len(list_filter(range(len(toks)),
+             i -> toks[i + 1] = '{term}' AND i >= {lo} AND i < {hi}))
+           ::BIGINT AS n_in_range
+  FROM (SELECT doc_id, {TOKS} AS toks FROM documents)
+) WHERE n_in_range > 0 ORDER BY doc_id
+"""
+
+
+def percolate_not_sql(queries) -> str:
+    """Negated-percolator twin: doc token sets vs a VALUES registry of
+    (query, required terms, forbidden term)."""
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_string
+
+    req_rows = ", ".join(
+        f"('{qid}', '{t}')"
+        for qid, qtext, _n in queries
+        for t in sorted(set(tokenize_string(qtext)))
+    )
+    neg_rows = ", ".join(f"('{qid}', '{n}')" for qid, _q, n in queries)
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest({TOKS}) AS term FROM documents
+),
+req(query_id, term) AS (VALUES {req_rows}),
+neg(query_id, term) AS (VALUES {neg_rows}),
+need AS (SELECT query_id, count(*)::BIGINT AS n_terms FROM req GROUP BY 1),
+hits AS (
+  SELECT r.query_id, t.doc_id
+  FROM toks t JOIN req r USING (term)
+  GROUP BY 1, 2
+  HAVING count(DISTINCT t.term) = (SELECT n_terms FROM need
+                                   WHERE need.query_id = r.query_id)
+),
+forbidden AS (
+  SELECT n.query_id, t.doc_id FROM toks t JOIN neg n USING (term)
+)
+SELECT h.query_id, h.doc_id FROM hits h
+ANTI JOIN forbidden f ON h.query_id = f.query_id AND h.doc_id = f.doc_id
+ORDER BY 1, 2
+"""
+
+
+def quality_threshold_sweep_sql(thresholds) -> str:
+    """Quality operating-curve twin over the shared quality chain."""
+    tvals = ", ".join(f"({float(t)!r})" for t in thresholds)
+    return f"""
+WITH q AS ({ORACLES["quality_score"]}),
+thr(threshold) AS (VALUES {tvals}),
+j AS (
+  SELECT thr.threshold, d.source, q.quality
+  FROM q JOIN documents d USING (doc_id) CROSS JOIN thr
+)
+SELECT threshold, source, count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN quality >= threshold THEN 1 ELSE 0 END)::BIGINT
+         AS n_kept,
+       round(sum(CASE WHEN quality >= threshold THEN 1 ELSE 0 END)::DOUBLE
+             / count(*)::DOUBLE, 6) AS keep_rate
+FROM j GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+ORACLES["tokenizer_fertility_by_lang"] = f"""
+WITH d AS (
+  SELECT lang, len({TOKS})::BIGINT AS ws,
+         len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9 ]'))::BIGINT
+           AS bpe,
+         n_chars
+  FROM documents
+)
+SELECT lang, count(*)::BIGINT AS n_docs,
+       sum(ws)::BIGINT AS total_ws_words,
+       sum(bpe)::BIGINT AS total_bpe_tokens,
+       round(sum(bpe)::DOUBLE / sum(ws)::DOUBLE, 6) AS fertility,
+       round(sum(n_chars)::DOUBLE / sum(bpe)::DOUBLE, 6) AS chars_per_token
+FROM d GROUP BY 1 ORDER BY 1
+"""
+
+ORACLES["covariance_topk_dims"] = """
+WITH comp AS (
+  SELECT vec_id, dim, e[dim + 1] AS v
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS e,
+               unnest(range(len(embedding))) AS dim
+        FROM embeddings)
+),
+pairs AS (
+  SELECT a.dim AS di, b.dim AS dj, a.v AS x, b.v AS y
+  FROM comp a JOIN comp b ON a.vec_id = b.vec_id AND a.dim < b.dim
+),
+agg AS (
+  SELECT di, dj, count(*)::DOUBLE AS n,
+         sum(round(x, 12)::DECIMAL(38,12)) AS sx,
+         sum(round(y, 12)::DECIMAL(38,12)) AS sy,
+         sum(round(x * y, 12)::DECIMAL(38,12)) AS sxy
+  FROM pairs GROUP BY 1, 2
+),
+scored AS (
+  SELECT di, dj,
+         round((sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE / n) / n, 6) AS cov,
+         round(abs((sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE / n) / n), 6)
+           AS abs_cov
+  FROM agg
+)
+SELECT rank, di, dj, cov, abs_cov FROM (
+  SELECT *, row_number() OVER (ORDER BY abs_cov DESC, di ASC, dj ASC) AS rank
+  FROM scored
+) WHERE rank <= 20 ORDER BY rank
+"""

@@ -1566,3 +1566,60 @@ def ann_radius_search(
         )
         .orderBy("query_id")
     )
+
+
+# --- batch 49: embedding dimension covariance audit --------------------------
+
+COV_TOP_K = 20
+
+
+def covariance_topk_dims(
+    spark: SparkSession, sf_dir: str, k: int = COV_TOP_K
+) -> DataFrame:
+    """Top-k embedding dimension pairs by |covariance| — the redundancy
+    audit run before picking PCA/whitening or a Matryoshka cut: strongly
+    covarying dimensions carry duplicated signal. All (i<j) pairs
+    explode from ONE nested-transform expression per row (no self-join,
+    no shuffle before the 2,016-group aggregate); sums accumulate as
+    12dp DECIMAL of the per-row products (order-free), and the
+    covariance (Sxy - Sx*Sy/n)/n is derived from the exact totals in one
+    identical float chain per engine. At 100 TB this is a single
+    map-side-combinable pass — the group count is dim²/2, independent of
+    corpus size."""
+    from pyspark.sql.window import Window
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("e")
+    )
+    pairs = emb.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(0, size(e) - 2), i -> "
+                "transform(sequence(i + 1, size(e) - 1), j -> "
+                # Spark SQL's [] subscript is 0-based (element_at is 1-based)
+                "struct(i AS di, j AS dj, e[i] AS x, e[j] AS y))))"
+            )
+        ).alias("p")
+    ).select("p.di", "p.dj", "p.x", "p.y")
+    agg = pairs.groupBy("di", "dj").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.round(F.col("x"), 12).cast("decimal(38,12)")).alias("sx"),
+        F.sum(F.round(F.col("y"), 12).cast("decimal(38,12)")).alias("sy"),
+        F.sum(F.round(F.col("x") * F.col("y"), 12).cast("decimal(38,12)")).alias(
+            "sxy"
+        ),
+    )
+    cov = (
+        F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double") / F.col("n")
+    ) / F.col("n")
+    scored = agg.select(
+        "di", "dj", F.round(cov, 6).alias("cov"), F.round(F.abs(cov), 6).alias("abs_cov")
+    )
+    w = Window.orderBy(F.col("abs_cov").desc(), F.col("di").asc(), F.col("dj").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("rank", "di", "dj", "cov", "abs_cov")
+        .orderBy("rank")
+    )

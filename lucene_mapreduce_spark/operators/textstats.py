@@ -3525,3 +3525,76 @@ def length_trim_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --- batch 49: quality operating curve + tokenizer fertility ----------------
+
+QUALITY_THRESHOLDS = (0.65, 0.75, 0.85, 0.88)
+
+
+def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operating curve of the quality filter: for each pinned threshold,
+    per-source kept counts and keep rate — what a curation run consults
+    before committing to a cutoff (the quality twin of
+    semdedup_threshold_sweep). Compares the 6dp-ROUNDED score both
+    engines already agree on against literal thresholds, so no float
+    boundary is in play. One scan, a tiny threshold-literal cross join,
+    one groupBy."""
+    from lucene_mapreduce_spark.operators.textstats import quality_score
+
+    q = quality_score(spark, sf_dir).select("doc_id", "quality")
+    src = load(spark, sf_dir, "documents").select("doc_id", "source")
+    thr = spark.createDataFrame(
+        [(float(t),) for t in QUALITY_THRESHOLDS], "threshold double"
+    )
+    j = q.join(src, "doc_id").crossJoin(F.broadcast(thr))
+    return (
+        j.groupBy("threshold", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum((F.col("quality") >= F.col("threshold")).cast("int"))
+            .cast("long")
+            .alias("n_kept"),
+        )
+        .select(
+            "threshold",
+            "source",
+            "n_docs",
+            "n_kept",
+            F.round(
+                F.col("n_kept").cast("double") / F.col("n_docs").cast("double"), 6
+            ).alias("keep_rate"),
+        )
+        .orderBy("threshold", "source")
+    )
+
+
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit per language: BPE-ish tokens per
+    whitespace word (the classic fertility ratio) and characters per
+    BPE-ish token — the numbers a tokenizer report quotes when deciding
+    whether a language is over-segmented. All sufficient statistics are
+    exact integer sums (token counts, char counts); the ratios divide
+    the exact totals as doubles, rounded 6dp. One scan, one tiny
+    groupBy."""
+    docs = load(spark, sf_dir, "documents")
+    ws = F.size(tokenize_col("text")).cast("long")
+    bpe = F.regexp_count(
+        F.col("text"), F.lit("[a-zA-Z0-9]+|[^a-zA-Z0-9 ]")
+    ).cast("long")
+    return (
+        docs.select("lang", ws.alias("ws"), bpe.alias("bpe"), F.col("n_chars"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("ws").cast("long").alias("total_ws_words"),
+            F.sum("bpe").cast("long").alias("total_bpe_tokens"),
+            F.round(
+                F.sum("bpe").cast("double") / F.sum("ws").cast("double"), 6
+            ).alias("fertility"),
+            F.round(
+                F.sum("n_chars").cast("double") / F.sum("bpe").cast("double"), 6
+            ).alias("chars_per_token"),
+        )
+        .orderBy("lang")
+    )
