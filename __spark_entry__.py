@@ -736,6 +736,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_threshold_sweep": textstats.quality_threshold_sweep,
         "tokenizer_fertility_by_lang": textstats.tokenizer_fertility_by_lang,
         "covariance_topk_dims": similarity.covariance_topk_dims,
+        # batch 50: match_bool_prefix, payload scoring, block-join avg,
+        # ERR@k, global agg, 1-bit quantization recall
+        "match_bool_prefix_query": fulltext.match_bool_prefix_query,
+        "payload_score_query": fulltext.payload_score_query,
+        "block_join_avg_topk": fulltext.block_join_avg_topk,
+        "err_at_k": fulltext.err_at_k,
+        "global_agg": fulltext.global_agg,
+        "binary_quantization_recall": similarity.binary_quantization_recall,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})
@@ -1451,4 +1459,23 @@ WHERE len(list_filter(range(1, len(toks)), i ->
     out["quality_threshold_sweep"] = quality_threshold_sweep_sql(
         QUALITY_THRESHOLDS
     )
+
+    # batch 50
+    from lucene_mapreduce_spark.operators.oracles import (
+        block_join_avg_sql,
+        err_at_k_sql,
+        global_agg_sql,
+        match_bool_prefix_sql,
+        payload_score_sql,
+    )
+
+    out["match_bool_prefix_query"] = match_bool_prefix_sql(
+        *fulltext.MATCH_BOOL_PREFIX
+    )
+    out["payload_score_query"] = payload_score_sql(fulltext.PAYLOAD_TERM)
+    out["block_join_avg_topk"] = block_join_avg_sql(fulltext.FLAGSHIP_QUERY)
+    out["err_at_k"] = err_at_k_sql(
+        fulltext.FLAGSHIP_QUERY, fulltext.RANK_EVAL_K, fulltext.RANK_EVAL_MIN_TERMS
+    )
+    out["global_agg"] = global_agg_sql(fulltext.GLOBAL_AGG_TERM)
     return out

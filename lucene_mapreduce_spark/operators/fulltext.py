@@ -5574,3 +5574,259 @@ def percolate_not_match(
     return hits.join(forbidden, ["query_id", "doc_id"], "left_anti").orderBy(
         "query_id", "doc_id"
     )
+
+
+# --- batch 50: match_bool_prefix, payload scoring, block-join avg, ERR@k,
+# --- global agg ---------------------------------------------------------
+
+MATCH_BOOL_PREFIX = ("slow merge", "vec")  # full terms + last-token prefix
+
+
+def match_bool_prefix_query(
+    spark: SparkSession,
+    sf_dir: str,
+    query_text: str = MATCH_BOOL_PREFIX[0],
+    prefix: str = MATCH_BOOL_PREFIX[1],
+    k: int = 10,
+    max_expansions: int = MAX_EXPANSIONS,
+) -> DataFrame:
+    """ES `match_bool_prefix` parity: every token but the last is a full
+    BM25 SHOULD term, the last token is a PrefixQuery SHOULD clause under
+    Lucene's CONSTANT_SCORE rewrite — the prefix leg contributes a flat
+    1.0 when the doc holds ANY dictionary term with that prefix
+    (MultiTermQuery constant-score semantics: one bit, not per-expansion
+    scoring). Hit set = union of the clauses (bool SHOULD, msm=1).
+
+    Plan: exact unranked BM25 over the index for the full terms, a
+    df-ranked capped dictionary expansion (same `maxExpansions` rewrite
+    as prefix_query — under the cap the set equals the uncapped oracle),
+    the prefix hit set as one pruned postings read collapsed to distinct
+    doc_ids, FULL OUTER fuse, and only fused rows rank. Ranks on the
+    ROUNDED score (expansion rule, see _score_expanded)."""
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+    from lucene_mapreduce_spark.query.segments import bm25_scores, read_postings
+
+    ix = _gate_index(spark, sf_dir)
+    queries = spark.createDataFrame(
+        [("q0", query_text)], "query_id string, query_text string"
+    )
+    base = bm25_scores(spark, ix, queries).select("doc_id", "score")
+    cands = _index_vocab(spark, ix).filter(F.col("term").startswith(prefix))
+    exps = _expand_capped(cands, max_expansions)
+    if exps:
+        phits = (
+            read_postings(spark, ix, exps)
+            .select("doc_id")
+            .distinct()
+            .withColumn("pboost", F.lit(1.0))
+        )
+    else:
+        phits = spark.createDataFrame([], "doc_id long, pboost double")
+    fused = base.join(phits, "doc_id", "full_outer").select(
+        "doc_id",
+        F.round(
+            F.coalesce(F.col("score"), F.lit(0.0))
+            + F.coalesce(F.col("pboost"), F.lit(0.0)),
+            6,
+        ).alias("score"),
+    )
+    return ranked_topk(fused, [F.desc("score"), F.asc("doc_id")], k).select(
+        "doc_id", "score", "rank"
+    )
+
+
+PAYLOAD_TERM = "merge"  # PayloadScoreQuery(SpanTermQuery(term), SumFunction)
+
+
+def payload_score_query(
+    spark: SparkSession,
+    sf_dir: str,
+    term: str = PAYLOAD_TERM,
+    k: int = 10,
+) -> DataFrame:
+    """Lucene PayloadScoreQuery parity (SpanTermQuery + SumFunction,
+    includeSpanScore=false): the doc score is the SUM of the payloads
+    stored at the term's positions. Payloads here follow the engine-shared
+    synthetic convention payload(doc, pos) = 1 + (md5_52('pl:term:doc:pos')
+    mod 16) — the analyzer-attached integer payload a real deployment
+    would index (e.g. a token weight); all-integer so the sum is exact at
+    any parallelism. One tokenize scan (posexplode = the positional
+    sidecar's content recomputed), a doc-level groupBy, bounded ranking."""
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_col
+    from lucene_mapreduce_spark.operators.parity import load, ranked_topk
+
+    docs = load(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id", F.posexplode(tokenize_col("text")).alias("pos", "tok")
+    ).filter(F.col("tok") == F.lit(term))
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(f"pl:{term}:"),
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.col("pos").cast("string"),
+                )
+            ),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("long")
+    payload = (h % F.lit(16) + F.lit(1)).cast("long")
+    scored = (
+        pos.select("doc_id", payload.alias("payload"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("payload").cast("long").alias("payload_score"),
+            F.count(F.lit(1)).cast("long").alias("n_positions"),
+        )
+    )
+    return ranked_topk(
+        scored, [F.desc("payload_score"), F.asc("doc_id")], k
+    ).select("doc_id", "payload_score", "n_positions", "rank")
+
+
+def block_join_avg_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_text: str = FLAGSHIP_QUERY,
+    k: int = 10,
+    width: int = BLOCK_WIDTH,
+) -> DataFrame:
+    """ToParentBlockJoinQuery ScoreMode.Avg — the sibling of
+    block_join_topk (Max): a parent's score is the MEAN of its matching
+    children's BM25 scores. Child scores are 6dp-rounded then summed as
+    DECIMAL(18,6) (order-free exact), and the mean divides the exact
+    decimal total AS DOUBLE by the child count (the cross-engine-safe
+    decimal-mean pattern) — so the avg is bit-identical at any partition
+    count. Same one-groupBy parent rollup + bounded ranking as Max."""
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+    from lucene_mapreduce_spark.query.segments import bm25_scores
+
+    ix = _gate_index(spark, sf_dir)
+    queries = spark.createDataFrame(
+        [("q0", query_text)], "query_id string, query_text string"
+    )
+    child = bm25_scores(spark, ix, queries)
+    parents = (
+        child.withColumn(
+            "parent_id", F.floor(F.col("doc_id") / F.lit(width)).cast("long")
+        )
+        .groupBy("parent_id")
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("score"), 6).cast("decimal(18,6)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("score"),
+            F.count(F.lit(1)).cast("long").alias("n_children"),
+        )
+    )
+    return ranked_topk(
+        parents, [F.desc("score"), F.asc("parent_id")], k
+    ).select("parent_id", "score", "n_children", "rank")
+
+
+def err_at_k(
+    spark: SparkSession,
+    sf_dir: str,
+    query_text: str = FLAGSHIP_QUERY,
+    k: int = RANK_EVAL_K,
+    min_terms: int = RANK_EVAL_MIN_TERMS,
+) -> DataFrame:
+    """Expected Reciprocal Rank @ k (Chapelle et al., CIKM'09) of the
+    engine's own BM25 page — the cascade-model metric next to rank_eval's
+    P/MRR/NDCG, sharing its derived graded labels (rel = distinct query
+    terms matched - (min_terms-1), floored at 0). R_i = (2^rel - 1) /
+    2^g_max with g_max pinned from the query shape, so every R is an
+    exact DYADIC rational and the cascade products Π(1-R_j) are exact in
+    float64; the ERR sum folds ascending-rank identically on both
+    engines. The page is k-bounded, so the fold runs over one collected
+    k-array — no driver loop, no unbounded window."""
+    from lucene_mapreduce_spark.functions.tokenize import (
+        tokenize_col,
+        tokenize_string,
+    )
+    from lucene_mapreduce_spark.operators.parity import load
+
+    terms = sorted(set(tokenize_string(query_text)))
+    gmax = len(terms) - (min_terms - 1)
+    denom = float(2**gmax)
+    page = bm25_topk_documents(spark, sf_dir, query_text, k=k).select(
+        "doc_id", "rank"
+    )
+    docs = load(spark, sf_dir, "documents")
+    tarr = F.array(*[F.lit(t) for t in terms])
+    nmatch = F.size(F.array_intersect(tarr, tokenize_col("text")))
+    rels = docs.select(
+        "doc_id",
+        F.greatest(nmatch - F.lit(min_terms - 1), F.lit(0))
+        .cast("long")
+        .alias("rel"),
+    )
+    pg = (
+        page.join(rels, "doc_id", "left")
+        .na.fill({"rel": 0})
+        .select("rank", F.col("rel").cast("double").alias("rel"))
+    )
+    row = pg.groupBy().agg(
+        F.expr(
+            "transform(sort_array(collect_list(struct(rank, rel))),"
+            f" s -> (pow(2.0, s.rel) - 1.0) / {denom!r})"
+        ).alias("rs"),
+        F.sum(F.when(F.col("rel") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_rel"),
+    )
+    err = F.expr(
+        "round(aggregate(sequence(1, size(rs)), cast(0.0 as double),"
+        " (acc, i) -> acc + rs[i-1] / cast(i as double)"
+        "   * aggregate(slice(rs, 1, i-1), cast(1.0 as double),"
+        "               (p, r) -> p * (1.0 - r)),"
+        " x -> x), 6)"
+    )
+    return row.select(err.alias("err"), "n_rel")
+
+
+GLOBAL_AGG_TERM = "merge"
+
+
+def global_agg(
+    spark: SparkSession,
+    sf_dir: str,
+    term: str = GLOBAL_AGG_TERM,
+) -> DataFrame:
+    """ES `global` aggregation parity: a search runs in query context (a
+    term query) while a sibling `global` bucket computes the same metrics
+    over the WHOLE corpus, ignoring the query — the all-vs-matched
+    comparison row every relevance dashboard shows. One scan: each doc
+    explodes to its scope list (['query','global'] on hit, ['global']
+    otherwise) and one groupBy aggregates both buckets; integer sums
+    exact, means divide the exact totals as doubles."""
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_col
+    from lucene_mapreduce_spark.operators.parity import load
+
+    docs = load(spark, sf_dir, "documents")
+    hit = F.array_contains(tokenize_col("text"), term)
+    scopes = F.when(
+        hit, F.array(F.lit("query"), F.lit("global"))
+    ).otherwise(F.array(F.lit("global")))
+    return (
+        docs.select(F.explode(scopes).alias("scope"), "n_chars")
+        .groupBy("scope")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.round(
+                F.sum("n_chars").cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("avg_chars"),
+        )
+        .orderBy("scope")
+    )

@@ -9227,3 +9227,179 @@ SELECT rank, di, dj, cov, abs_cov FROM (
   FROM scored
 ) WHERE rank <= 20 ORDER BY rank
 """
+
+
+# --- batch 50 ----------------------------------------------------------------
+
+
+def match_bool_prefix_sql(query_text: str, prefix: str, k: int = 10) -> str:
+    """match_bool_prefix twin: plain-sum BM25 over the full terms + a
+    constant 1.0 when the doc holds any term with the prefix (Lucene
+    CONSTANT_SCORE multi-term rewrite). Uncapped expansion — the gate
+    vocabulary sits far below the engine's 1024 cap, so the sets match."""
+    plit = prefix.replace("'", "''")
+    return f"""
+WITH {_qterms_cte(query_text)}
+{_BM25_AGG},
+ph AS (
+  SELECT DISTINCT doc_id FROM toks WHERE term LIKE '{plit}%'
+),
+fused AS (
+  SELECT coalesce(a.doc_id, ph.doc_id) AS doc_id,
+         round(coalesce(a.score, 0.0)
+               + CASE WHEN ph.doc_id IS NOT NULL THEN 1.0 ELSE 0.0 END,
+               6) AS score
+  FROM agg a FULL OUTER JOIN ph ON a.doc_id = ph.doc_id
+)
+SELECT doc_id, score, rank FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM fused
+) WHERE rank <= {k}
+"""
+
+
+def payload_score_sql(term: str, k: int = 10) -> str:
+    """PayloadScoreQuery twin: integer payload 1 + (md5_52 mod 16) summed
+    over the term's 0-based token positions."""
+    tlit = term.replace("'", "''")
+    h = _MD5_52.format(
+        e=f"'pl:{tlit}:' || doc_id::VARCHAR || ':' || i::VARCHAR"
+    )
+    return f"""
+WITH pos AS (
+  SELECT doc_id, i
+  FROM (SELECT doc_id, {TOKS} AS toks FROM documents),
+       unnest(range(len(toks))) AS r(i)
+  WHERE toks[i + 1] = '{tlit}'
+),
+scored AS (
+  SELECT doc_id,
+         sum(({h}) % 16 + 1)::BIGINT AS payload_score,
+         count(*)::BIGINT AS n_positions
+  FROM pos GROUP BY 1
+)
+SELECT doc_id, payload_score, n_positions, rank FROM (
+  SELECT *, row_number() OVER (ORDER BY payload_score DESC, doc_id ASC)
+         AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+def block_join_avg_sql(query_text: str, width: int = 8, k: int = 10) -> str:
+    """ToParentBlockJoin ScoreMode.Avg twin: 6dp-rounded child scores
+    DECIMAL-summed, exact total divided AS DOUBLE by the child count."""
+    return f"""
+WITH {_qterms_cte(query_text)}
+{_BM25_AGG},
+parents AS (
+  SELECT (doc_id // {width})::BIGINT AS parent_id,
+         round(sum(round(score, 6)::DECIMAL(18,6))::DOUBLE
+               / count(*)::DOUBLE, 6) AS score,
+         count(*)::BIGINT AS n_children
+  FROM agg GROUP BY 1
+)
+SELECT parent_id, score, n_children, rank FROM (
+  SELECT parent_id, score, n_children,
+         row_number() OVER (ORDER BY score DESC, parent_id ASC) AS rank
+  FROM parents
+) WHERE rank <= {k}
+"""
+
+
+def err_at_k_sql(query_text: str, k: int, min_terms: int) -> str:
+    """ERR@k twin: rank_eval's derived graded labels, dyadic R_i, and the
+    same ascending-rank cascade fold ([init] || list prepend pattern)."""
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_string
+
+    gmax = len(sorted(set(tokenize_string(query_text)))) - (min_terms - 1)
+    denom = float(2**gmax)
+    return f"""
+WITH {_qterms_cte(query_text)}
+{_BM25_AGG},
+page AS (
+  SELECT doc_id, rank FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+    FROM agg
+  ) WHERE rank <= {k}
+),
+rels AS (
+  SELECT d.doc_id,
+         greatest(
+           (SELECT count(*) FROM qterms q
+            WHERE list_contains({TOKS}, q.term)) - {min_terms - 1},
+           0)::BIGINT AS rel
+  FROM documents d
+),
+pg AS (
+  SELECT p.rank, coalesce(r.rel, 0)::DOUBLE AS rel
+  FROM page p LEFT JOIN rels r USING (doc_id)
+),
+lst AS (
+  SELECT list((pow(2.0, rel) - 1.0) / {denom!r} ORDER BY rank) AS rs,
+         sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END)::BIGINT AS n_rel
+  FROM pg
+)
+SELECT round(list_reduce(
+         [0.0] || list_transform(range(1, len(rs) + 1),
+           i -> rs[i] / i::DOUBLE
+                * list_reduce([1.0] || rs[1:i-1],
+                              (p, r) -> p * (1.0 - r))),
+         (a, b) -> a + b), 6) AS err,
+       n_rel
+FROM lst
+"""
+
+
+def global_agg_sql(term: str) -> str:
+    """ES global-bucket twin: per-scope counts/sums with the query bucket
+    nested inside the global one via scope-list explosion."""
+    tlit = term.replace("'", "''")
+    return f"""
+WITH scoped AS (
+  SELECT unnest(CASE WHEN list_contains({TOKS}, '{tlit}')
+                THEN ['query', 'global'] ELSE ['global'] END) AS scope,
+         n_chars
+  FROM documents
+)
+SELECT scope, count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS total_chars,
+       round(sum(n_chars)::DOUBLE / count(*)::DOUBLE, 6) AS avg_chars
+FROM scoped GROUP BY 1 ORDER BY 1
+"""
+
+
+ORACLES["binary_quantization_recall"] = """
+WITH vecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+),
+probes AS (
+  SELECT vec_id AS query_id, e AS pe FROM vecs WHERE vec_id < 8
+),
+scored AS (
+  SELECT p.query_id, v.vec_id,
+         round(list_dot_product(v.e, p.pe)
+               / (sqrt(list_dot_product(v.e, v.e))
+                  * sqrt(list_dot_product(p.pe, p.pe))), 6) AS cos_f,
+         len(list_filter(range(len(v.e)),
+             i -> (v.e[i + 1] >= 0) <> (p.pe[i + 1] >= 0)))::BIGINT
+           AS hamming
+  FROM vecs v, probes p WHERE v.vec_id <> p.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_f DESC, vec_id ASC) AS rank_f,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY hamming ASC, vec_id ASC) AS rank_b
+  FROM scored
+)
+SELECT query_id,
+       sum(CASE WHEN rank_f <= 10 AND rank_b <= 10 THEN 1 ELSE 0 END)
+         ::BIGINT AS n_overlap,
+       round(sum(CASE WHEN rank_f <= 10 AND rank_b <= 10 THEN 1 ELSE 0 END)
+             ::DOUBLE / 10.0, 6) AS recall
+FROM ranked GROUP BY 1 ORDER BY 1
+"""

@@ -1623,3 +1623,85 @@ def covariance_topk_dims(
         .select("rank", "di", "dj", "cov", "abs_cov")
         .orderBy("rank")
     )
+
+
+# --- batch 50: 1-bit binary quantization recall audit ------------------------
+
+BQ_RECALL_K = 10
+BQ_RECALL_PROBES = 8  # probe vectors = vec_id 0..7
+
+
+def binary_quantization_recall(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = BQ_RECALL_K,
+    n_probes: int = BQ_RECALL_PROBES,
+) -> DataFrame:
+    """Recall@k of 1-bit binary-quantized search (sign bit per dim,
+    Hamming ranking) vs exact float cosine — the most aggressive point on
+    the quantization curve next to int8_ann_recall and ann_pq_topk. The
+    bit convention is (v >= 0) on the float64-widened value, applied
+    identically to corpus and probe, so the Hamming count is an exact
+    integer on any engine; the float leg ranks on the 6dp-rounded cosine
+    with vec_id tie-break like every ANN audit here. Plan: probe batch
+    broadcast, one corpus scan, per-probe WindowGroupLimit-pruned
+    windows — at 100 TB the brute legs are the AUDIT (cost ∝ probes ×
+    corpus), the serving path is the IVF/LSH family."""
+    from pyspark.sql.window import Window
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    probes = emb.filter(F.col("vec_id") < n_probes).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("pe")
+    )
+    pairs = emb.crossJoin(F.broadcast(probes)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    ham = F.aggregate(
+        F.zip_with(
+            F.col("e"),
+            F.col("pe"),
+            lambda a, b: ((a >= 0) != (b >= 0)).cast("int"),
+        ),
+        F.lit(0),
+        lambda s, v: s + v,
+    )
+    scored = pairs.select(
+        "query_id",
+        "vec_id",
+        F.round(_cosine(F.col("e"), F.col("pe")), 6).alias("cos_f"),
+        ham.cast("long").alias("hamming"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("cos_f").desc(), F.col("vec_id").asc()
+    )
+    wb = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("vec_id").asc()
+    )
+    ranked = scored.select(
+        "query_id",
+        "vec_id",
+        F.row_number().over(wf).alias("rank_f"),
+        F.row_number().over(wb).alias("rank_b"),
+    ).filter((F.col("rank_f") <= k) | (F.col("rank_b") <= k))
+    return (
+        ranked.groupBy("query_id")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("rank_f") <= k) & (F.col("rank_b") <= k), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_overlap")
+        )
+        .select(
+            "query_id",
+            "n_overlap",
+            F.round(F.col("n_overlap").cast("double") / F.lit(float(k)), 6).alias(
+                "recall"
+            ),
+        )
+        .orderBy("query_id")
+    )
