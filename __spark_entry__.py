@@ -744,6 +744,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "err_at_k": fulltext.err_at_k,
         "global_agg": fulltext.global_agg,
         "binary_quantization_recall": similarity.binary_quantization_recall,
+        # batch 51: Damerau fuzzy, conversation rollup, shingle novelty,
+        # numeric profile, PCA power iteration, IVF balance audit
+        "fuzzy_transpositions_query": fulltext.fuzzy_transpositions_query,
+        "conversation_block_stats": fulltext.conversation_block_stats,
+        "ngram_novelty_by_source": textstats.ngram_novelty_by_source,
+        "numeric_token_profile": textstats.numeric_token_profile,
+        "pca_top_component": similarity.pca_top_component,
+        "ivf_balance_report": ivf.ivf_balance_report,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})
@@ -1478,4 +1486,23 @@ WHERE len(list_filter(range(1, len(toks)), i ->
         fulltext.FLAGSHIP_QUERY, fulltext.RANK_EVAL_K, fulltext.RANK_EVAL_MIN_TERMS
     )
     out["global_agg"] = global_agg_sql(fulltext.GLOBAL_AGG_TERM)
+
+    # batch 51
+    from lucene_mapreduce_spark.operators.oracles import (
+        conversation_block_sql,
+        fuzzy_transpositions_sql,
+        ivf_balance_sql,
+        ngram_novelty_sql,
+        pca_top_component_sql,
+    )
+
+    out["fuzzy_transpositions_query"] = fuzzy_transpositions_sql(
+        fulltext.FUZZY_TRANS_QUERY
+    )
+    out["conversation_block_stats"] = conversation_block_sql(fulltext.BLOCK_WIDTH)
+    out["ngram_novelty_by_source"] = ngram_novelty_sql(
+        textstats.NOVELTY_SHINGLE_K
+    )
+    out["pca_top_component"] = pca_top_component_sql()
+    out["ivf_balance_report"] = ivf_balance_sql()
     return out

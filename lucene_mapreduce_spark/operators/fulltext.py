@@ -5830,3 +5830,83 @@ def global_agg(
         )
         .orderBy("scope")
     )
+
+
+# --- batch 51: Damerau-1 fuzzy, conversation block rollup --------------------
+
+FUZZY_TRANS_QUERY = "tabel"  # OSA distance 1 from 'table' (transposition)
+
+
+def damerau1_transpositions(term: str) -> list[str]:
+    """All distinct adjacent-transposition variants of `term` (the extra
+    neighbors Damerau/OSA distance 1 adds over Levenshtein 1). Lucene
+    builds this automaton from the QUERY on the client — so the variant
+    list is a plan-time literal, identical on every engine."""
+    out = []
+    for i in range(len(term) - 1):
+        if term[i] != term[i + 1]:
+            v = term[:i] + term[i + 1] + term[i] + term[i + 2 :]
+            if v != term and v not in out:
+                out.append(v)
+    return out
+
+
+def fuzzy_transpositions_query(
+    spark: SparkSession,
+    sf_dir: str,
+    query_term: str = FUZZY_TRANS_QUERY,
+    k: int = 10,
+    max_expansions: int = MAX_EXPANSIONS,
+) -> DataFrame:
+    """ES `fuzzy` with transpositions=true (the default) / Lucene
+    FuzzyQuery(transpositions=true): the edit-distance automaton counts an
+    adjacent transposition as ONE edit (optimal string alignment), so
+    'tabel' reaches 'table' at distance 1 where plain Levenshtein needs 2.
+    Expansion predicate: levenshtein <= 1 OR term in the query's
+    transposition-variant set (client-built, like Lucene's LevenshteinAutomata)
+    — then the expanded set scores as one BM25 query through the index
+    path with the shared capped-expansion ranking rules."""
+    ix = _gate_index(spark, sf_dir)
+    variants = damerau1_transpositions(query_term)
+    pred = F.levenshtein(F.col("term"), F.lit(query_term)) <= 1
+    if variants:
+        pred = pred | F.col("term").isin(variants)
+    cands = _index_vocab(spark, ix).filter(pred)
+    return _score_expanded(spark, ix, _expand_capped(cands, max_expansions), k)
+
+
+def conversation_block_stats(
+    spark: SparkSession,
+    sf_dir: str,
+    width: int = BLOCK_WIDTH,
+) -> DataFrame:
+    """Per-conversation rollup over the transcript docid-block layout
+    (docids are conv<<20|turn in the engine; the gate corpus mirrors it
+    as fixed-width blocks, same as block_join_topk): turns per
+    conversation, total tokens, total chars, mean turn length — the
+    per-conversation profile a transcript-curation pass reads before
+    length/turn-count filtering. All sums are exact integers; the mean
+    divides exact totals as doubles. One scan + one map-side-combinable
+    groupBy on a derived key — no skew (blocks are fixed-width)."""
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_col
+    from lucene_mapreduce_spark.operators.parity import load
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.floor(F.col("doc_id") / F.lit(width)).cast("long").alias("conv_id"),
+            F.size(tokenize_col("text")).cast("long").alias("toks"),
+            F.col("n_chars"),
+        )
+        .groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_turns"),
+            F.sum("toks").cast("long").alias("total_tokens"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.round(
+                F.sum("n_chars").cast("double") / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("avg_turn_chars"),
+        )
+        .orderBy("conv_id")
+    )

@@ -384,3 +384,35 @@ def ann_ivf_topk(
     return ranked_topk(
         scored, [F.desc("cosine"), F.asc("vec_id")], k
     ).select("vec_id", "cosine", "rank")
+
+
+# --- batch 51: inverted-list balance audit ------------------------------------
+
+
+def ivf_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Occupancy audit of the IVF inverted lists: per-list vector count,
+    corpus share, and imbalance factor n / (N/C) — the skew report that
+    decides whether the quantizer needs retraining (a hot list makes its
+    probes scan-heavy; an imbalance factor near C means the index
+    degenerated to brute force). Same deterministic assignment as the
+    serving path (assign_lists), one map-side-combinable groupBy over
+    the zero-shuffle assignment projection."""
+    emb = load(spark, sf_dir, "embeddings")
+    n_total = emb.count()
+    c = n_centroids(n_total)
+    counts = (
+        assign_lists(spark, sf_dir)
+        .groupBy("list_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+    )
+    mean = float(n_total) / float(c)
+    return counts.select(
+        "list_id",
+        "n_vectors",
+        F.round(F.col("n_vectors").cast("double") / F.lit(float(n_total)), 6).alias(
+            "share"
+        ),
+        F.round(F.col("n_vectors").cast("double") / F.lit(mean), 6).alias(
+            "imbalance"
+        ),
+    ).orderBy("list_id")

@@ -9403,3 +9403,186 @@ SELECT query_id,
              ::DOUBLE / 10.0, 6) AS recall
 FROM ranked GROUP BY 1 ORDER BY 1
 """
+
+
+# --- batch 51 ----------------------------------------------------------------
+
+
+def fuzzy_transpositions_sql(query_term: str, k: int = 10) -> str:
+    """Damerau/OSA-1 fuzzy twin: levenshtein <= 1 OR the client-built
+    adjacent-transposition variant set, then the expansion BM25 spec."""
+    from lucene_mapreduce_spark.operators.fulltext import (
+        damerau1_transpositions,
+    )
+
+    qlit = query_term.replace("'", "''")
+    variants = damerau1_transpositions(query_term)
+    pred = f"levenshtein(term, '{qlit}') <= 1"
+    if variants:
+        vlits = ", ".join(f"'{v}'" for v in variants)
+        pred += f" OR term IN ({vlits})"
+    return _expansion_bm25_sql(pred, k)
+
+
+def conversation_block_sql(width: int = 8) -> str:
+    """Transcript conversation-rollup twin over the docid-block layout."""
+    return f"""
+SELECT (doc_id // {width})::BIGINT AS conv_id,
+       count(*)::BIGINT AS n_turns,
+       sum(len({TOKS}))::BIGINT AS total_tokens,
+       sum(n_chars)::BIGINT AS total_chars,
+       round(sum(n_chars)::DOUBLE / count(*)::DOUBLE, 6) AS avg_turn_chars
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
+def ngram_novelty_sql(k: int = 5) -> str:
+    """Shingle-novelty twin: first-occurrence = min doc_id per distinct
+    k-token shingle; per-doc ratios 6dp-rounded then DECIMAL-averaged."""
+    return f"""
+WITH t AS (SELECT doc_id, source, {TOKS} AS toks FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, source,
+         array_to_string(toks[i:i + {k - 1}], ' ') AS shingle
+  FROM (SELECT doc_id, source, toks, unnest(range(1, len(toks) - {k - 2}))
+          AS i
+        FROM t WHERE len(toks) >= {k})
+),
+first AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY 1),
+per_doc AS (
+  SELECT s.doc_id, s.source, count(*)::BIGINT AS n_shingles,
+         sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)::BIGINT
+           AS n_novel
+  FROM sh s JOIN first f USING (shingle) GROUP BY 1, 2
+),
+rd AS (
+  SELECT source, n_shingles,
+         round(n_novel::DOUBLE / n_shingles::DOUBLE, 6)::DECIMAL(18,6)
+           AS novelty
+  FROM per_doc
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(n_shingles)::BIGINT AS total_shingles,
+       round(sum(novelty)::DOUBLE / count(*)::DOUBLE, 6) AS mean_novelty
+FROM rd GROUP BY 1 ORDER BY 1
+"""
+
+
+ORACLES["numeric_token_profile"] = f"""
+WITH d AS (
+  SELECT source, {TOKS} AS toks FROM documents
+),
+per AS (
+  SELECT source, len(toks)::BIGINT AS n_toks,
+         len(list_filter(toks, t -> regexp_matches(t, '^[0-9]+$')))::BIGINT
+           AS n_num
+  FROM d
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(n_toks)::BIGINT AS total_tokens,
+       sum(n_num)::BIGINT AS numeric_tokens,
+       round(sum(n_num)::DOUBLE / sum(n_toks)::DOUBLE, 6) AS numeric_rate,
+       round(sum(CASE WHEN n_num > 0 THEN 1 ELSE 0 END)::DOUBLE
+             / count(*)::DOUBLE, 6) AS frac_docs_with_digit
+FROM per GROUP BY 1 ORDER BY 1
+"""
+
+
+def pca_top_component_sql(d: int = 64) -> str:
+    """Power-iteration twin: two unrolled iterations, every reduction a
+    12dp-rounded DECIMAL(38,12) sum — order-free, engine-identical."""
+    w0 = repr(1.0 / d**0.5)
+    return f"""
+WITH comp AS (
+  SELECT vec_id, dim, embedding[dim + 1]::DOUBLE AS v
+  FROM (SELECT vec_id, embedding, unnest(range(len(embedding))) AS dim
+        FROM embeddings)
+),
+nn AS (SELECT count(DISTINCT vec_id)::DOUBLE AS n FROM comp),
+mu AS (
+  SELECT dim,
+         sum(round(v, 12)::DECIMAL(38,12))::DOUBLE / (SELECT n FROM nn)
+           AS mu
+  FROM comp GROUP BY 1
+),
+cent AS (
+  SELECT c.vec_id, c.dim, c.v - m.mu AS c
+  FROM comp c JOIN mu m USING (dim)
+),
+y1 AS (
+  SELECT vec_id,
+         sum(round(c * {w0}, 12)::DECIMAL(38,12))::DOUBLE AS y
+  FROM cent GROUP BY 1
+),
+s1 AS (
+  SELECT dim, sum(round(y.y * c.c, 12)::DECIMAL(38,12))::DOUBLE AS s
+  FROM cent c JOIN y1 y USING (vec_id) GROUP BY 1
+),
+nrm1 AS (
+  SELECT sqrt(sum(round(s * s, 12)::DECIMAL(38,12))::DOUBLE) AS nrm FROM s1
+),
+w1 AS (SELECT dim, s / (SELECT nrm FROM nrm1) AS w FROM s1),
+y2 AS (
+  SELECT c.vec_id,
+         sum(round(c.c * w.w, 12)::DECIMAL(38,12))::DOUBLE AS y
+  FROM cent c JOIN w1 w USING (dim) GROUP BY 1
+),
+s2 AS (
+  SELECT dim, sum(round(y.y * c.c, 12)::DECIMAL(38,12))::DOUBLE AS s
+  FROM cent c JOIN y2 y USING (vec_id) GROUP BY 1
+),
+nrm2 AS (
+  SELECT sqrt(sum(round(s * s, 12)::DECIMAL(38,12))::DOUBLE) AS nrm FROM s2
+)
+SELECT dim::INT AS dim,
+       round(s / (SELECT nrm FROM nrm2), 6) AS loading,
+       round((SELECT nrm FROM nrm2) / (SELECT n FROM nn), 6) AS eigenvalue
+FROM s2 ORDER BY dim
+"""
+
+
+def ivf_balance_sql() -> str:
+    """IVF list-occupancy twin: the serving path's deterministic
+    assignment (argmax cosine over the vec-1..C codebook), grouped."""
+    from lucene_mapreduce_spark.operators.ivf import (
+        N_CENTROIDS_MIN,
+        TARGET_LIST_SIZE,
+    )
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"CASE WHEN list_dot_product({a}, {a}) = 0"
+            f" OR list_dot_product({b}, {b}) = 0 THEN -2.0"
+            f" ELSE list_dot_product({a}, {b})"
+            f" / (sqrt(list_dot_product({a}, {a}))"
+            f" * sqrt(list_dot_product({b}, {b}))) END"
+        )
+
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+nc AS (
+  SELECT greatest({N_CENTROIDS_MIN}, count(*) // {TARGET_LIST_SIZE})::BIGINT
+           AS c,
+         count(*)::BIGINT AS total
+  FROM e
+),
+cents AS (
+  SELECT vec_id AS cid, v AS cv FROM e
+  WHERE vec_id BETWEEN 1 AND (SELECT c FROM nc)
+),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cos("e.v", "c.cv")} DESC, c.cid ASC)
+             AS rn
+    FROM e, cents c
+  ) WHERE rn = 1
+)
+SELECT cid AS list_id, count(*)::BIGINT AS n_vectors,
+       round(count(*)::DOUBLE / (SELECT total FROM nc)::DOUBLE, 6) AS share,
+       round(count(*)::DOUBLE
+             / ((SELECT total FROM nc)::DOUBLE / (SELECT c FROM nc)::DOUBLE),
+             6) AS imbalance
+FROM assign GROUP BY 1 ORDER BY 1
+"""

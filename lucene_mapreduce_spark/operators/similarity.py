@@ -1705,3 +1705,104 @@ def binary_quantization_recall(
         )
         .orderBy("query_id")
     )
+
+
+# --- batch 51: distributed top principal component (power iteration) ---------
+
+PCA_ROUND = 12  # per-term rounding scale feeding the order-free DECIMAL sums
+
+
+def pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding cloud via TWO unrolled
+    power iterations from the deterministic uniform start w0 = 1/sqrt(d)
+    (= 0.125 exactly at d=64) — the whitening/anisotropy audit run before
+    deciding a PCA cut (a dominant component means the embedding space
+    wastes capacity; see also covariance_topk_dims). Fully distributed
+    and order-free: every reduction (per-vector projection y = <x-mu, w>,
+    per-dim scatter s = X'y, squared norms) rounds its terms at 12dp and
+    sums as DECIMAL(38,12), so the result is bit-identical at any
+    partition count and on any engine; the only driver-side values are
+    the 64-row w vectors (broadcast dims, the IVF-centroid precedent).
+    Output: per-dim loadings of w2 and the Rayleigh eigenvalue estimate
+    ||s2||/n. At 100 TB each iteration is two map-side-combinable
+    aggregations over one corpus scan — the classic scalable power step."""
+    emb = load(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>"))
+    ).select("vec_id", F.col("pos").alias("dim"), F.col("col").alias("v"))
+    comp = comp.persist()
+    n = comp.select("vec_id").distinct().count()
+    d = comp.agg(F.max("dim")).collect()[0][0] + 1
+    mu = comp.groupBy("dim").agg(
+        (
+            F.sum(F.round(F.col("v"), PCA_ROUND).cast("decimal(38,12)")).cast(
+                "double"
+            )
+            / F.lit(float(n))
+        ).alias("mu")
+    )
+    centered = comp.join(F.broadcast(mu), "dim").select(
+        "vec_id", "dim", (F.col("v") - F.col("mu")).alias("c")
+    )
+    centered = centered.persist()
+    w0 = 1.0 / float(d) ** 0.5
+    wdf = mu.select("dim", F.lit(w0).alias("w"))
+
+    def power_step(w_in: DataFrame):
+        y = (
+            centered.join(F.broadcast(w_in), "dim")
+            .groupBy("vec_id")
+            .agg(
+                F.sum(
+                    F.round(F.col("c") * F.col("w"), PCA_ROUND).cast(
+                        "decimal(38,12)"
+                    )
+                )
+                .cast("double")
+                .alias("y")
+            )
+        )
+        s = (
+            centered.join(y, "vec_id")
+            .groupBy("dim")
+            .agg(
+                F.sum(
+                    F.round(F.col("y") * F.col("c"), PCA_ROUND).cast(
+                        "decimal(38,12)"
+                    )
+                )
+                .cast("double")
+                .alias("s")
+            )
+        )
+        norm = s.agg(
+            F.sqrt(
+                F.sum(
+                    F.round(F.col("s") * F.col("s"), PCA_ROUND).cast(
+                        "decimal(38,12)"
+                    )
+                ).cast("double")
+            ).alias("norm")
+        )
+        w_out = s.crossJoin(F.broadcast(norm)).select(
+            "dim", (F.col("s") / F.col("norm")).alias("w")
+        )
+        return w_out, norm
+
+    w1, _n1 = power_step(wdf)
+    w2, n2 = power_step(w1)
+    out = (
+        w2.crossJoin(F.broadcast(n2))
+        .select(
+            "dim",
+            F.round(F.col("w"), 6).alias("loading"),
+            F.round(F.col("norm") / F.lit(float(n)), 6).alias("eigenvalue"),
+        )
+        .orderBy("dim")
+    )
+    rows = out.collect()
+    comp.unpersist()
+    centered.unpersist()
+    return spark.createDataFrame(
+        rows, "dim int, loading double, eigenvalue double"
+    )

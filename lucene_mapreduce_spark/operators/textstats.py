@@ -3598,3 +3598,109 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --- batch 51: shingle novelty + numeric-token profile -----------------------
+
+NOVELTY_SHINGLE_K = 5
+
+
+def ngram_novelty_by_source(
+    spark: SparkSession, sf_dir: str, k: int = NOVELTY_SHINGLE_K
+) -> DataFrame:
+    """Corpus-order novelty per source: a doc's novelty is the fraction
+    of its DISTINCT k-token shingles whose first corpus occurrence (min
+    doc_id) is this doc — the incremental-information signal a dedup-
+    aware data mix consults (a source whose novelty decays is re-crawling
+    itself). Per source: mean per-doc novelty (each ratio 6dp-rounded
+    then DECIMAL-summed — order-free), doc and shingle totals. Plan: one
+    shingle explode, one groupBy(shingle) min, one equi-join back —
+    bucketed by shingle hash at any scale, never all-pairs."""
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_col
+
+    docs = load(spark, sf_dir, "documents")
+    sh = (
+        docs.select("doc_id", "source", tokenize_col("text").alias("toks"))
+        .filter(F.size("toks") >= k)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {k - 1}),"
+                    f" i -> concat_ws(' ', slice(toks, i, {k})))"
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        sh.join(first, "shingle")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .select(
+            "source",
+            "n_shingles",
+            F.round(
+                F.col("n_novel").cast("double") / F.col("n_shingles").cast("double"),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("novelty"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_shingles").cast("long").alias("total_shingles"),
+            F.round(
+                F.sum("novelty").cast("double") / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("mean_novelty"),
+        )
+        .orderBy("source")
+    )
+
+
+def numeric_token_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric-token density per source: share of tokens that are pure
+    digit runs and the fraction of docs containing any digit — the
+    boilerplate/table-dump signal quality filters threshold on (price
+    lists and log dumps are digit-heavy). Exact integer sufficient
+    statistics; one scan, one tiny groupBy."""
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_col
+
+    docs = load(spark, sf_dir, "documents")
+    toks = tokenize_col("text")
+    n_num = F.size(F.filter(toks, lambda t: t.rlike("^[0-9]+$")))
+    return (
+        docs.select(
+            "source",
+            F.size(toks).cast("long").alias("n_toks"),
+            n_num.cast("long").alias("n_num"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("total_tokens"),
+            F.sum("n_num").cast("long").alias("numeric_tokens"),
+            F.round(
+                F.sum("n_num").cast("double") / F.sum("n_toks").cast("double"), 6
+            ).alias("numeric_rate"),
+            F.round(
+                F.sum(F.when(F.col("n_num") > 0, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("frac_docs_with_digit"),
+        )
+        .orderBy("source")
+    )
