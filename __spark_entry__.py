@@ -752,6 +752,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "numeric_token_profile": textstats.numeric_token_profile,
         "pca_top_component": similarity.pca_top_component,
         "ivf_balance_report": ivf.ivf_balance_report,
+        # batch 52: simple_query_string, MLT unlike, BM25+, terms agg
+        # include/exclude, source overlap matrix, LSH band sweep
+        "simple_query_string_query": fulltext.simple_query_string_query,
+        "mlt_unlike_topk": fulltext.mlt_unlike_topk,
+        "bm25plus_topk": fulltext.bm25plus_topk,
+        "terms_agg_include_exclude": fulltext.terms_agg_include_exclude,
+        "source_overlap_matrix": dedup.source_overlap_matrix,
+        "lsh_band_sweep": dedup.lsh_band_sweep,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})
@@ -1505,4 +1513,36 @@ WHERE len(list_filter(range(1, len(toks)), i ->
     )
     out["pca_top_component"] = pca_top_component_sql()
     out["ivf_balance_report"] = ivf_balance_sql()
+
+    # batch 52
+    from lucene_mapreduce_spark.operators.dedup import (
+        LSH_SWEEP_CONFIGS,
+        LSH_SWEEP_TAU,
+        OVERLAP_MAX_SOURCES_PER_SHINGLE,
+    )
+    from lucene_mapreduce_spark.operators.oracles import (
+        bm25plus_sql,
+        lsh_band_sweep_sql,
+        mlt_unlike_sql,
+        source_overlap_sql,
+        sqs_sql,
+        terms_include_exclude_sql,
+    )
+
+    out["simple_query_string_query"] = sqs_sql(fulltext.SQS_QUERY)
+    out["mlt_unlike_topk"] = mlt_unlike_sql(
+        fulltext.MLT_SRC_DOC, fulltext.MLT_UNLIKE_DOC
+    )
+    out["bm25plus_topk"] = bm25plus_sql(
+        fulltext.FLAGSHIP_QUERY, fulltext.BM25PLUS_DELTA
+    )
+    out["terms_agg_include_exclude"] = terms_include_exclude_sql(
+        fulltext.TERMS_INCLUDE, fulltext.TERMS_EXCLUDE
+    )
+    out["source_overlap_matrix"] = source_overlap_sql(
+        OVERLAP_MAX_SOURCES_PER_SHINGLE
+    )
+    out["lsh_band_sweep"] = lsh_band_sweep_sql(
+        LSH_SWEEP_CONFIGS, LSH_SWEEP_TAU
+    )
     return out

@@ -760,3 +760,195 @@ def levenshtein_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("edit_dist") <= LEV_MAX_DIST)
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --- batch 52: source overlap matrix + LSH band operating points --------------
+
+OVERLAP_MAX_SOURCES_PER_SHINGLE = 100  # skew cap on the shingle self-join
+LSH_SWEEP_CONFIGS = ((2, 6), (3, 4), (4, 3), (6, 2), (12, 1))  # (bands, rows)
+LSH_SWEEP_TAU = 0.5  # exact-jaccard threshold defining a true duplicate pair
+
+
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional source-to-source shingle containment: for each ordered
+    source pair (a, b), |shingles(a) ∩ shingles(b)| / |shingles(a)| — the
+    cross-source contamination matrix a data-mix audit reads (a source
+    largely contained in another adds little; a mirror shows up as a
+    near-1.0 row). Shingle sets collapse to DISTINCT (shingle, source)
+    first, so the self-join key cardinality is bounded by the source
+    count per shingle (capped, like every dedup join here) — never
+    doc-pair-shaped. Group count = |sources|²."""
+    docs = load(spark, sf_dir, "documents")
+    ss = (
+        _shingles(docs)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("shingle", "source")
+        .distinct()
+    )
+    capped = (
+        ss.withColumn(
+            "ns", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        )
+        .filter(F.col("ns") <= OVERLAP_MAX_SOURCES_PER_SHINGLE)
+        .drop("ns")
+    )
+    sizes = capped.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles")
+    )
+    a = capped.alias("a")
+    b = capped.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.source") != F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    return (
+        inter.join(
+            sizes.withColumnRenamed("source", "source_a").withColumnRenamed(
+                "n_shingles", "size_a"
+            ),
+            "source_a",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double") / F.col("size_a").cast("double"),
+                6,
+            ).alias("containment"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+def lsh_band_sweep(
+    spark: SparkSession,
+    sf_dir: str,
+    configs: tuple = LSH_SWEEP_CONFIGS,
+    tau: float = LSH_SWEEP_TAU,
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """LSH banding operating points: for every (bands, rows_per_band)
+    factorization of the N_MINHASH signature, the candidate-pair count
+    and the precision against exact shingle Jaccard >= tau — the curve a
+    dedup deployment consults to pick its band shape (more bands = higher
+    recall & more candidates; the s-curve threshold is (1/b)^(1/r)).
+    Exact verification runs ONCE over the union of all configs'
+    candidates (semi-join-restricted shingle intersection — never
+    corpus-wide all-pairs), then each config joins its own candidate set
+    against the verdicts. Plan: the signature groupBy is shared; per
+    config one banded groupBy + capped self-join, same shape the
+    production minhash_lsh_pairs path runs."""
+    from functools import reduce
+
+    sigs = minhash_signatures(spark, sf_dir).persist()
+    per_config = []
+    for bands, rows in configs:
+        assert bands * rows == N_MINHASH
+        banded = (
+            sigs.withColumn("band", (F.col("i") / rows).cast("int"))
+            .groupBy("doc_id", "band")
+            .agg(
+                F.md5(
+                    F.array_join(
+                        F.transform(
+                            F.sort_array(F.collect_list(F.struct("i", "sig"))),
+                            lambda x: F.concat_ws(
+                                ":", x["i"].cast("string"), x["sig"]
+                            ),
+                        ),
+                        "|",
+                    )
+                ).alias("band_key")
+            )
+        )
+        banded = _cap_buckets(banded, ["band", "band_key"], max_bucket)
+        a = banded.alias("a")
+        b = banded.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+            .withColumn("bands", F.lit(bands))
+            .withColumn("rows_per_band", F.lit(rows))
+        )
+        per_config.append(pairs)
+    allc = reduce(lambda x, y: x.unionByName(y), per_config).persist()
+    uni = allc.select("doc_a", "doc_b").distinct()
+    docs = load(spark, sf_dir, "documents")
+    sh = _shingles(docs)
+    cand_docs = (
+        uni.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(uni.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    shc = sh.join(cand_docs, "doc_id", "left_semi")
+    sizes = shc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    sa = shc.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = shc.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        uni.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    verdicts = (
+        uni.join(inter, ["doc_a", "doc_b"], "left")
+        .na.fill({"inter": 0})
+        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sa"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sb"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("sa") + F.col("sb") - F.col("inter")).cast("double")
+                >= F.lit(tau)
+            ).alias("is_true"),
+        )
+    )
+    out = (
+        allc.join(verdicts, ["doc_a", "doc_b"])
+        .groupBy("bands", "rows_per_band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates"),
+            F.sum(F.when(F.col("is_true"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_true"),
+        )
+        .select(
+            "bands",
+            "rows_per_band",
+            "n_candidates",
+            "n_true",
+            F.round(
+                F.col("n_true").cast("double") / F.col("n_candidates").cast("double"),
+                6,
+            ).alias("precision"),
+        )
+        .orderBy("bands")
+    )
+    rows_out = out.collect()
+    sigs.unpersist()
+    allc.unpersist()
+    return spark.createDataFrame(
+        rows_out,
+        "bands int, rows_per_band int, n_candidates long, n_true long,"
+        " precision double",
+    )

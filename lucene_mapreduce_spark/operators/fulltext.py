@@ -5910,3 +5910,277 @@ def conversation_block_stats(
         )
         .orderBy("conv_id")
     )
+
+
+# --- batch 52: simple_query_string, MLT unlike, BM25+, terms include/exclude -
+
+SQS_QUERY = 'slow | merge "fast scan" -dup'
+
+
+def parse_simple_query_string(q: str) -> tuple[list, list[str]]:
+    """ES SimpleQueryParser (paren-free subset): whitespace = AND,
+    space-separated `|` = OR binding the adjacent atoms into one group,
+    `-` negates, quotes make a phrase. Returns (groups, not_terms) where
+    groups is a list of OR-groups and each atom is ('term', t) or
+    ('phrase', tokens). Built client-side from the query string, like
+    Lucene's parser — both engines see the same literal structure."""
+    import re as _re
+
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_string
+
+    parts = _re.findall(r'"[^"]*"|\S+', q)
+    groups: list[list] = []
+    nots: list[str] = []
+    cur: list = []
+    pending_or = False
+    for p in parts:
+        if p == "|":
+            pending_or = True
+            continue
+        neg = p.startswith("-") and len(p) > 1
+        if neg:
+            p = p[1:]
+        if p.startswith('"'):
+            toks = tokenize_string(p.strip('"'))
+            atoms = [("phrase", toks)] if toks else []
+        else:
+            atoms = [("term", t) for t in tokenize_string(p)]
+        if not atoms:
+            pending_or = False
+            continue
+        if neg:
+            nots.extend(t for kind, t in atoms if kind == "term")
+            pending_or = False
+            continue
+        if pending_or and cur:
+            cur.extend(atoms)
+        else:
+            if cur:
+                groups.append(cur)
+            cur = list(atoms)
+        pending_or = False
+    if cur:
+        groups.append(cur)
+    return groups, sorted(set(nots))
+
+
+def simple_query_string_query(
+    spark: SparkSession,
+    sf_dir: str,
+    query: str = SQS_QUERY,
+    k: int = 10,
+) -> DataFrame:
+    """ES `simple_query_string` parity (paren-free flags TERM|PHRASE|OR|
+    NOT, default_operator=AND): the parsed OR-groups AND together, each
+    group satisfied by any of its term/phrase atoms, `-` terms exclude.
+    Scoring follows the parsed_query convention: BM25 over the positive
+    TERMS with corpus-global stats restricted to the candidate set;
+    phrase atoms gate membership but score 0 (constant-score), so a doc
+    matching only via the phrase still returns. Every leg is an index
+    read: per-group hit sets from pruned postings (boolean_match /
+    phrase_match positional sidecar), intersected docid-wise; the NOT
+    set is one anti-join."""
+    from functools import reduce
+
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+    from lucene_mapreduce_spark.query.segments import (
+        bm25_scores,
+        boolean_match,
+        phrase_match,
+    )
+
+    ix = _gate_index(spark, sf_dir)
+    groups, nots = parse_simple_query_string(query)
+    assert groups, "simple_query_string needs at least one positive group"
+
+    def group_hits(g):
+        legs = []
+        terms = [t for kind, t in g if kind == "term"]
+        if terms:
+            legs.append(
+                boolean_match(spark, ix, " ".join(terms), mode="or").select(
+                    "doc_id"
+                )
+            )
+        for kind, toks in g:
+            if kind == "phrase":
+                legs.append(
+                    phrase_match(spark, ix, " ".join(toks)).select("doc_id")
+                )
+        return reduce(lambda a, b: a.unionByName(b), legs).distinct()
+
+    cand = reduce(
+        lambda a, b: a.join(b, "doc_id", "inner"),
+        [group_hits(g) for g in groups],
+    )
+    if nots:
+        cand = cand.join(
+            boolean_match(spark, ix, " ".join(nots), mode="or").select("doc_id"),
+            "doc_id",
+            "left_anti",
+        )
+    scoring = sorted(
+        {t for g in groups for kind, t in g if kind == "term"}
+    )
+    if scoring:
+        q = spark.createDataFrame(
+            [("q0", " ".join(scoring))], "query_id string, query_text string"
+        )
+        sc = bm25_scores(spark, ix, q, round_to=6).select("doc_id", "score")
+        cand = cand.join(sc, "doc_id", "left").withColumn(
+            "score", F.coalesce("score", F.lit(0.0))
+        )
+    else:
+        cand = cand.withColumn("score", F.lit(0.0))
+    return ranked_topk(cand, [F.desc("score"), F.asc("doc_id")], k).select(
+        "doc_id", "score", "rank"
+    )
+
+
+MLT_UNLIKE_DOC = 17  # negative exemplar: its terms are vetoed from the query
+
+
+def mlt_unlike_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    src_doc: int = MLT_SRC_DOC,
+    unlike_doc: int = MLT_UNLIKE_DOC,
+    k: int = 10,
+) -> DataFrame:
+    """ES more_like_this with `unlike` parity: the negative exemplar's
+    vocabulary is removed from the source doc's candidate terms BEFORE
+    the tf*idf top-terms cut, steering the query away from what both
+    docs share. Same metadata-scale term extraction + distributed BM25
+    search as more_like_this; the unlike doc's token set comes from the
+    same docstore point-read."""
+    import numpy as np
+
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_string
+    from lucene_mapreduce_spark.query.segments import more_like_this
+    from lucene_mapreduce_spark.query.wand import IndexSearcher
+
+    ix = _gate_index(spark, sf_dir)
+    text = (
+        IndexSearcher(ix)
+        ._load_texts(np.asarray([unlike_doc], np.int64))
+        .get(int(unlike_doc))
+    )
+    assert text is not None, f"doc {unlike_doc} not stored in {ix}"
+    out = more_like_this(
+        spark,
+        ix,
+        src_doc,
+        k=k,
+        round_to=6,
+        exclude_terms=set(tokenize_string(text)),
+    )
+    return out.select("doc_id", "score", "rank")
+
+
+BM25PLUS_DELTA = 1.0  # Lv & Zhai (CIKM'11) lower-bound bonus
+
+
+def bm25plus_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_text: str = FLAGSHIP_QUERY,
+    delta: float = BM25PLUS_DELTA,
+    k: int = 10,
+) -> DataFrame:
+    """BM25+ (Lv & Zhai, CIKM'11): per matching term the saturation gets
+    a +delta lower bound — score = Σ idf·(sat + δ) — fixing BM25's
+    long-document penalty where a single occurrence in a long doc scores
+    below epsilon. Published similarity next to the Lucene zoo
+    (bm25_tuned exposes k1/b; this exposes the +δ axis). Scan path with
+    the canonical ascending-term fold; ranks on the ROUNDED score
+    (composite scoring rule)."""
+    from lucene_mapreduce_spark.functions.tokenize import (
+        tokenize_col,
+        tokenize_string,
+    )
+    from lucene_mapreduce_spark.operators.parity import load, ranked_topk
+
+    terms = sorted(set(tokenize_string(query_text)))
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", tokenize_col("text").alias("toks")
+    )
+    dl = docs.select("doc_id", F.size("toks").cast("double").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    post = (
+        docs.select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    dft = post.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df_t"))
+    from lucene_mapreduce_spark.query.bm25 import B, K1
+
+    j = (
+        post.join(F.broadcast(dft), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5)
+    )
+    sat = (F.col("tf") * F.lit(K1 + 1.0)) / (
+        F.col("tf") + F.lit(K1) * (1 - B + B * F.col("dl") / F.col("avgdl"))
+    )
+    contrib = idf * (sat + F.lit(delta))
+    # canonical ascending-term sequential fold (determinism spec)
+    agg = (
+        j.select("doc_id", "term", contrib.alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("term", "c"))),
+                    lambda s: s["c"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("score")
+        )
+        .select("doc_id", F.round("score", 6).alias("score"))
+    )
+    return ranked_topk(agg, [F.desc("score"), F.asc("doc_id")], k).select(
+        "doc_id", "score", "rank"
+    )
+
+
+TERMS_INCLUDE = "^s.*"  # terms-agg include regex
+TERMS_EXCLUDE = ("scan", "slow")  # terms-agg exclude list
+
+
+def terms_agg_include_exclude(
+    spark: SparkSession,
+    sf_dir: str,
+    include: str = TERMS_INCLUDE,
+    exclude: tuple = TERMS_EXCLUDE,
+    k: int = 20,
+) -> DataFrame:
+    """ES terms aggregation with `include` (regex) and `exclude` (exact
+    list) parity over the token vocabulary: doc-frequency buckets for
+    terms matching the include pattern minus the exclusions, top-k by
+    (doc_count desc, term asc). The include/exclude filter applies
+    BEFORE the ranking cut, like ES. One explode + distinct + groupBy —
+    the vocabulary-bounded agg shape."""
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_col
+    from lucene_mapreduce_spark.operators.parity import load, ranked_topk
+
+    docs = load(spark, sf_dir, "documents")
+    tok = (
+        docs.select("doc_id", F.explode(tokenize_col("text")).alias("term"))
+        .distinct()
+        .filter(F.col("term").rlike(include))
+        .filter(~F.col("term").isin(list(exclude)))
+    )
+    counts = tok.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("doc_count")
+    )
+    return ranked_topk(
+        counts, [F.desc("doc_count"), F.asc("term")], k
+    ).select("term", "doc_count", "rank")

@@ -9586,3 +9586,307 @@ SELECT cid AS list_id, count(*)::BIGINT AS n_vectors,
              6) AS imbalance
 FROM assign GROUP BY 1 ORDER BY 1
 """
+
+
+# --- batch 52 ----------------------------------------------------------------
+
+
+def sqs_sql(query: str, k: int = 10) -> str:
+    """simple_query_string twin: the client-parsed OR-groups as ANDed
+    predicates (term containment / phrase adjacency), NOT terms excluded,
+    BM25 over the positive terms restricted to candidates (constant-score
+    phrase legs keep score 0) — the parsed_query skeleton."""
+    from lucene_mapreduce_spark.operators.fulltext import (
+        parse_simple_query_string,
+    )
+
+    groups, nots = parse_simple_query_string(query)
+    conds = []
+    scoring: set[str] = set()
+    for g in groups:
+        preds = []
+        for kind, v in g:
+            if kind == "term":
+                preds.append(f"list_contains(toks, '{v}')")
+                scoring.add(v)
+            else:
+                adj = " AND ".join(
+                    f"toks[i+{j}] = '{w}'" for j, w in enumerate(v)
+                )
+                preds.append(
+                    f"len(list_filter(range(1, len(toks)), i -> {adj})) > 0"
+                )
+        conds.append("(" + " OR ".join(preds) + ")")
+    conds += [f"NOT list_contains(toks, '{t}')" for t in nots]
+    where = " AND ".join(conds)
+    terms_lit = ", ".join(f"'{t}'" for t in sorted(scoring))
+    return f"""
+WITH docs AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+doclens AS (SELECT doc_id, len(toks) AS dl FROM docs),
+stats AS (
+  SELECT count(*)::DOUBLE AS n_docs, avg(dl::DOUBLE) AS avgdl FROM doclens
+),
+cand AS (SELECT doc_id FROM docs WHERE {where}),
+toklist AS (SELECT doc_id, unnest(toks) AS term FROM docs),
+postings AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toklist GROUP BY 1, 2
+),
+qterms AS (SELECT unnest([{terms_lit}]) AS term),
+dft AS (
+  SELECT p.term, count(*)::DOUBLE AS df_t
+  FROM postings p JOIN qterms q USING (term) GROUP BY 1
+),
+scored AS (
+  SELECT p.doc_id,
+         ln(1 + (s.n_docs - d.df_t + 0.5) / (d.df_t + 0.5))
+           * (p.tf * {K1 + 1.0}) / (p.tf + {K1} * (1 - {B} + {B} * l.dl / s.avgdl))
+           AS contrib
+  FROM postings p
+  JOIN dft d USING (term)
+  JOIN doclens l USING (doc_id)
+  CROSS JOIN stats s
+  JOIN cand c ON c.doc_id = p.doc_id
+),
+agg AS (SELECT doc_id, sum(contrib) AS score FROM scored GROUP BY 1),
+ranked AS (
+  SELECT c.doc_id, coalesce(a.score, 0.0) AS score
+  FROM cand c LEFT JOIN agg a USING (doc_id)
+)
+SELECT doc_id, round(score, 6) AS score, rank FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM ranked
+) WHERE rank <= {k}
+"""
+
+
+def mlt_unlike_sql(
+    src: int, unlike: int, max_terms: int = 8, k: int = 10
+) -> str:
+    """more_like_this `unlike` twin: the negative exemplar's vocabulary
+    is vetoed from the source doc's candidate terms before the tf*idf
+    top-terms cut; the rest is the mlt_sql spec."""
+    return f"""
+WITH doclens AS (
+  SELECT doc_id, len({TOKS}) AS dl FROM documents
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n_docs, avg(dl::DOUBLE) AS avgdl FROM doclens
+),
+toks AS (
+  SELECT doc_id, unnest({TOKS}) AS term FROM documents
+),
+postings AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2
+),
+srcterms AS (
+  SELECT term, tf FROM postings WHERE doc_id = {src}
+    AND term NOT IN (SELECT term FROM postings WHERE doc_id = {unlike})
+),
+dfc AS (
+  SELECT p.term, count(*)::DOUBLE AS df_t
+  FROM postings p JOIN srcterms s USING (term) GROUP BY 1
+),
+qterms AS (
+  SELECT term FROM (
+    SELECT s.term,
+           s.tf * ln(1 + (st.n_docs - d.df_t + 0.5) / (d.df_t + 0.5)) AS sc
+    FROM srcterms s JOIN dfc d USING (term) CROSS JOIN stats st
+  ) ORDER BY sc DESC, term ASC LIMIT {max_terms}
+),
+dft AS (
+  SELECT d.term, d.df_t FROM dfc d JOIN qterms q USING (term)
+),
+scored AS (
+  SELECT p.doc_id,
+         ln(1 + (s.n_docs - d.df_t + 0.5) / (d.df_t + 0.5))
+           * (p.tf * {K1 + 1.0}) / (p.tf + {K1} * (1 - {B} + {B} * l.dl / s.avgdl))
+           AS contrib
+  FROM postings p
+  JOIN dft d USING (term)
+  JOIN doclens l USING (doc_id)
+  CROSS JOIN stats s
+  WHERE p.doc_id <> {src}
+),
+agg AS (
+  SELECT doc_id, sum(contrib) AS score FROM scored GROUP BY 1
+)
+SELECT doc_id, round(score, 6) AS score, rank
+FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM agg
+)
+WHERE rank <= {k}
+"""
+
+
+def bm25plus_sql(query_text: str, delta: float, k: int = 10) -> str:
+    """BM25+ twin: contrib = idf * (saturation + delta); ranks on the
+    ROUNDED score (composite rule, matching the engine)."""
+    return f"""
+WITH {_qterms_cte(query_text)}
+doclens AS (
+  SELECT doc_id, len({TOKS}) AS dl FROM documents
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n_docs, avg(dl::DOUBLE) AS avgdl FROM doclens
+),
+toks AS (
+  SELECT doc_id, unnest({TOKS}) AS term FROM documents
+),
+postings AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2
+),
+dft AS (
+  SELECT p.term, count(*)::DOUBLE AS df_t
+  FROM postings p JOIN qterms q USING (term) GROUP BY 1
+),
+scored AS (
+  SELECT p.doc_id,
+         ln(1 + (s.n_docs - d.df_t + 0.5) / (d.df_t + 0.5))
+           * ((p.tf * {K1 + 1.0})
+              / (p.tf + {K1} * (1 - {B} + {B} * l.dl / s.avgdl))
+              + {delta!r}) AS contrib
+  FROM postings p
+  JOIN dft d USING (term)
+  JOIN doclens l USING (doc_id)
+  CROSS JOIN stats s
+),
+agg AS (
+  SELECT doc_id, round(sum(contrib), 6) AS score FROM scored GROUP BY 1
+)
+SELECT doc_id, score, rank FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM agg
+) WHERE rank <= {k}
+"""
+
+
+def terms_include_exclude_sql(
+    include: str, exclude: tuple, k: int = 20
+) -> str:
+    """terms-agg include/exclude twin: doc-frequency buckets filtered
+    before the ranking cut."""
+    ex = ", ".join(f"'{e}'" for e in exclude)
+    return f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest({TOKS}) AS term FROM documents
+),
+counts AS (
+  SELECT term, count(*)::BIGINT AS doc_count FROM tok
+  WHERE regexp_matches(term, '{include}') AND term NOT IN ({ex})
+  GROUP BY 1
+)
+SELECT term, doc_count, rank FROM (
+  SELECT term, doc_count,
+         row_number() OVER (ORDER BY doc_count DESC, term ASC) AS rank
+  FROM counts
+) WHERE rank <= {k}
+"""
+
+
+def source_overlap_sql(max_sources: int = 100) -> str:
+    """Source containment-matrix twin: distinct (shingle, source),
+    skew-capped, directional intersection / |shingles(a)|."""
+    return f"""
+WITH {_SHINGLES},
+ss AS (
+  SELECT DISTINCT s.shingle, d.source
+  FROM sh s JOIN documents d USING (doc_id)
+),
+capped AS (
+  SELECT shingle, source FROM (
+    SELECT *, count(*) OVER (PARTITION BY shingle) AS ns FROM ss
+  ) WHERE ns <= {max_sources}
+),
+sizes AS (
+  SELECT source, count(*)::BIGINT AS n_shingles FROM capped GROUP BY 1
+),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         count(*)::BIGINT AS n_shared
+  FROM capped a JOIN capped b
+    ON a.shingle = b.shingle AND a.source <> b.source
+  GROUP BY 1, 2
+)
+SELECT i.source_a, i.source_b, i.n_shared,
+       round(i.n_shared::DOUBLE / z.n_shingles::DOUBLE, 6) AS containment
+FROM inter i JOIN sizes z ON z.source = i.source_a
+ORDER BY 1, 2
+"""
+
+
+def lsh_band_sweep_sql(
+    configs: tuple, tau: float, max_bucket: int = 100
+) -> str:
+    """LSH band-sweep twin: per-config banded candidates (same md5 band
+    keys and caps as the production path), one shared exact-jaccard
+    verification over the candidate union."""
+    cfg_ctes = []
+    unions = []
+    for bands, rows in configs:
+        cfg_ctes.append(
+            f"""banded_{bands} AS (
+  SELECT doc_id, (i // {rows})::INT AS band,
+         md5(string_agg(i::VARCHAR || ':' || sig, '|' ORDER BY i))
+           AS band_key
+  FROM sigs GROUP BY doc_id, (i // {rows})::INT
+),
+capped_{bands} AS (
+  SELECT doc_id, band, band_key FROM (
+    SELECT *, count(*) OVER (PARTITION BY band, band_key) AS bn
+    FROM banded_{bands}
+  ) WHERE bn <= {max_bucket}
+),
+pairs_{bands} AS (
+  SELECT DISTINCT {bands} AS bands, {rows} AS rows_per_band,
+         a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM capped_{bands} a JOIN capped_{bands} b
+    ON a.band = b.band AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+)"""
+        )
+        unions.append(f"SELECT * FROM pairs_{bands}")
+    cfgs = ",\n".join(cfg_ctes)
+    allsel = " UNION ALL ".join(unions)
+    return f"""
+WITH {_SHINGLES},
+sigs AS (
+  SELECT doc_id, i, min(md5(i::VARCHAR || ':' || shingle)) AS sig
+  FROM sh, range(0, 12) t(i) GROUP BY 1, 2
+),
+{cfgs},
+allc AS ({allsel}),
+uni AS (SELECT DISTINCT doc_a, doc_b FROM allc),
+cdocs AS (
+  SELECT DISTINCT doc_a AS doc_id FROM uni
+  UNION SELECT DISTINCT doc_b FROM uni
+),
+shc AS (SELECT s.doc_id, s.shingle FROM sh s SEMI JOIN cdocs USING (doc_id)),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM shc GROUP BY 1),
+inter AS (
+  SELECT u.doc_a, u.doc_b, count(*)::BIGINT AS n_int
+  FROM uni u
+  JOIN shc a ON a.doc_id = u.doc_a
+  JOIN shc b ON b.doc_id = u.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+),
+verd AS (
+  SELECT u.doc_a, u.doc_b,
+         coalesce(n.n_int, 0)::DOUBLE
+           / (sa.sz + sb.sz - coalesce(n.n_int, 0))::DOUBLE >= {tau!r}
+           AS is_true
+  FROM uni u
+  LEFT JOIN inter n ON n.doc_a = u.doc_a AND n.doc_b = u.doc_b
+  JOIN sizes sa ON sa.doc_id = u.doc_a
+  JOIN sizes sb ON sb.doc_id = u.doc_b
+)
+SELECT c.bands, c.rows_per_band, count(*)::BIGINT AS n_candidates,
+       sum(CASE WHEN v.is_true THEN 1 ELSE 0 END)::BIGINT AS n_true,
+       round(sum(CASE WHEN v.is_true THEN 1 ELSE 0 END)::DOUBLE
+             / count(*)::DOUBLE, 6) AS precision
+FROM allc c JOIN verd v ON v.doc_a = c.doc_a AND v.doc_b = c.doc_b
+GROUP BY 1, 2 ORDER BY 1
+"""

@@ -703,6 +703,7 @@ def more_like_this(
     k: int = 10,
     max_terms: int = 8,
     round_to: int | None = None,
+    exclude_terms: set[str] | None = None,
 ) -> DataFrame:
     """Lucene MoreLikeThis parity: top-k docs most similar to src_doc.
 
@@ -734,7 +735,9 @@ def more_like_this(
     tf: dict[str, int] = {}
     for t in tokenize_string(text):
         tf[t] = tf.get(t, 0) + 1
-    cand = sorted(tf)
+    # `unlike` support (ES more_like_this): veto the negative exemplar's
+    # vocabulary BEFORE the top-terms cut
+    cand = sorted(t for t in tf if not (exclude_terms and t in exclude_terms))
     assert cand, f"doc {src_doc} has no tokens"
 
     n_docs, avgdl = exact_stats(spark, index_dir)
