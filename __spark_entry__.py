@@ -760,6 +760,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "terms_agg_include_exclude": fulltext.terms_agg_include_exclude,
         "source_overlap_matrix": dedup.source_overlap_matrix,
         "lsh_band_sweep": dedup.lsh_band_sweep,
+        # batch 53: MultiPhraseQuery, FuzzySuggester, RM3 relevance model,
+        # terms-agg partition paging, Dunning LLR collocations
+        "multi_phrase_query": fulltext.multi_phrase_query,
+        "fuzzy_autocomplete": fulltext.fuzzy_autocomplete,
+        "rm3_expansion_terms": fulltext.rm3_expansion_terms,
+        "terms_partition_agg": fulltext.terms_partition_agg,
+        "bigram_llr_collocations": textstats.bigram_llr_collocations,
+        # batch 54: event analytics (Markov transitions, onboarding paths,
+        # sessionization sweep, last-touch attribution, Mann-Kendall) + ARI
+        "event_transition_matrix": parity.event_transition_matrix,
+        "top_event_paths": parity.top_event_paths,
+        "session_gap_sweep": parity.session_gap_sweep,
+        "attribution_last_touch": parity.attribution_last_touch,
+        "mann_kendall_trend": parity.mann_kendall_trend,
+        "ari_readability": textstats.ari_readability,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})
@@ -1545,4 +1560,45 @@ WHERE len(list_filter(range(1, len(toks)), i ->
     out["lsh_band_sweep"] = lsh_band_sweep_sql(
         LSH_SWEEP_CONFIGS, LSH_SWEEP_TAU
     )
+
+    # batch 53
+    from lucene_mapreduce_spark.operators.oracles import (
+        bigram_llr_sql,
+        fuzzy_autocomplete_sql,
+        multi_phrase_sql,
+        rm3_sql,
+        terms_partition_sql,
+    )
+    from lucene_mapreduce_spark.operators.textstats import LLR_MIN_PAIR, LLR_TOPK
+
+    out["multi_phrase_query"] = multi_phrase_sql(
+        fulltext.MULTI_PHRASE[0], fulltext.MULTI_PHRASE[1]
+    )
+    out["fuzzy_autocomplete"] = fuzzy_autocomplete_sql(
+        fulltext.FUZZY_SUGGEST_INPUT, 1
+    )
+    out["rm3_expansion_terms"] = rm3_sql(
+        fulltext.FLAGSHIP_QUERY, fulltext.PRF_FEEDBACK_K, fulltext.RM3_EXPANSION_K
+    )
+    out["terms_partition_agg"] = terms_partition_sql(
+        fulltext.TERMS_PARTITION, fulltext.TERMS_NUM_PARTITIONS
+    )
+    out["bigram_llr_collocations"] = bigram_llr_sql(LLR_MIN_PAIR, LLR_TOPK)
+
+    # batch 54
+    from lucene_mapreduce_spark.operators.oracles import (
+        attribution_last_touch_sql,
+        mann_kendall_sql,
+        session_gap_sweep_sql,
+        top_event_paths_sql,
+    )
+
+    out["top_event_paths"] = top_event_paths_sql(
+        parity.PATH_DEPTH, parity.PATH_TOPK
+    )
+    out["session_gap_sweep"] = session_gap_sweep_sql(parity.GAP_SWEEP_S)
+    out["attribution_last_touch"] = attribution_last_touch_sql(
+        parity.ATTR_CONVERSION
+    )
+    out["mann_kendall_trend"] = mann_kendall_sql(parity.MK_Z_CRIT)
     return out

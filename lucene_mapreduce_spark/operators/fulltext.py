@@ -6184,3 +6184,197 @@ def terms_agg_include_exclude(
     return ranked_topk(
         counts, [F.desc("doc_count"), F.asc("term")], k
     ).select("term", "doc_count", "rank")
+
+
+# ------------------------------------------------- batch 53: query surface
+MULTI_PHRASE = ("fast", ("merge", "sort"))  # slot 0 term, slot 1 synonyms
+
+
+def multi_phrase_query(
+    spark: SparkSession,
+    sf_dir: str,
+    first: str = MULTI_PHRASE[0],
+    alts: tuple = MULTI_PHRASE[1],
+    k: int = 0,
+) -> DataFrame:
+    """Lucene MultiPhraseQuery parity (the synonym-slot phrase the
+    QueryParser builds for analyzer-injected synonyms): position p must
+    hold `first` and position p+1 any of `alts` — "fast (merge|sort)".
+    Both legs are pruned positional-sidecar reads; the adjacency check is
+    one codegen exists/exists over the joined position arrays (the
+    span_or_near pattern with an exact +1 offset instead of a window).
+    Reference: query grammar surface, XdiReportReducer.java:356."""
+    from lucene_mapreduce_spark.query.segments import read_positions
+
+    ix = _gate_index(spark, sf_dir)
+    pos = read_positions(spark, ix, sorted({first, *alts}))
+    pa = pos.filter(F.col("term") == first).select(
+        "doc_id", F.col("positions").alias("pa")
+    )
+    pb = (
+        pos.filter(F.col("term").isin(list(alts)))
+        .groupBy("doc_id")
+        .agg(F.flatten(F.collect_list("positions")).alias("pb"))
+    )
+    j = pa.join(pb, "doc_id")
+    hit = F.exists(
+        "pa", lambda p: F.exists("pb", lambda q: q == p + F.lit(1))
+    )
+    return j.filter(hit).select("doc_id").orderBy("doc_id")
+
+
+FUZZY_SUGGEST_INPUT = "ba"  # typo-tolerant completion input
+
+
+def fuzzy_autocomplete(
+    spark: SparkSession,
+    sf_dir: str,
+    prefix: str = FUZZY_SUGGEST_INPUT,
+    max_edits: int = 1,
+    k: int = 5,
+) -> DataFrame:
+    """Lucene FuzzySuggester parity (typo-tolerant completion): dictionary
+    terms whose length-|input| prefix is within `max_edits` Levenshtein
+    edits of the input, ranked by collection frequency desc (term asc
+    ties) — autocomplete that survives a typo in the prefix. Served from
+    the term-dictionary sidecar like autocomplete/spell_suggest; the
+    edit check is the engines' shared exact levenshtein()."""
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+
+    ix = _gate_index(spark, sf_dir)
+    dic = _dictionary_stats(spark, ix).select("term", "cf")
+    cands = dic.withColumn(
+        "dist",
+        F.levenshtein(
+            F.substring(F.col("term"), 1, len(prefix)), F.lit(prefix)
+        ).cast("int"),
+    ).filter(F.col("dist") <= max_edits)
+    return ranked_topk(
+        cands, [F.desc("cf"), F.asc("term")], k
+    ).select("term", "dist", "cf", "rank")
+
+
+RM3_EXPANSION_K = 15  # expansion terms returned
+
+
+def rm3_expansion_terms(
+    spark: SparkSession,
+    sf_dir: str,
+    query_text: str = FLAGSHIP_QUERY,
+    fb_k: int = PRF_FEEDBACK_K,
+    k: int = RM3_EXPANSION_K,
+) -> DataFrame:
+    """RM1/RM3 relevance-model expansion terms (Lavrenko & Croft 2001 —
+    the language-model PRF sibling of rocchio_prf_topk, which re-ranks
+    docs; this returns the model itself, the artifact a query-expansion
+    service caches): rank the flagship query by BM25, take the top fb_k
+    docs with rank-decay weights 1/r, and score each non-query term by
+    sum_d (tf_td / dl_d) / rank_d — P(w|d) under the doc LM, rank-
+    discounted. Feedback membership cuts on the 6dp-ROUNDED BM25 score
+    (rocchio's pinned rule); per-term sums over the <= fb_k contributions
+    are rounded 12dp and summed DECIMAL(28,12) — order-free exact."""
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_col, tokenize_string
+    from lucene_mapreduce_spark.operators.parity import load, ranked_topk
+    from lucene_mapreduce_spark.query.bm25 import B, K1
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokenize_col("text")).alias("term"))
+    doclens = docs.select(
+        "doc_id", F.size(tokenize_col("text")).cast("double").alias("dl")
+    )
+    stats = doclens.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    postings = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    dfs = postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df_t")
+    )
+    qts = sorted(set(tokenize_string(query_text)))
+    qdf = spark.createDataFrame([(t,) for t in qts], "term string")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df_t") + F.lit(0.5))
+        / (F.col("df_t") + F.lit(0.5))
+    )
+    tfn = (
+        F.col("tf")
+        * F.lit(K1 + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(K1)
+            * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    c1 = (
+        postings.join(F.broadcast(qdf), "term")
+        .join(dfs, "term")
+        .join(doclens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "term", (idf * tfn).alias("contrib"))
+    )
+    s1 = c1.groupBy("doc_id").agg(
+        F.round(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("term", "contrib"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["contrib"],
+            ),
+            6,
+        ).alias("score")
+    )
+    feedback = ranked_topk(
+        s1, [F.desc("score"), F.asc("doc_id")], fb_k
+    ).select("doc_id", F.col("rank").cast("double").alias("r"))
+    contrib = F.round(
+        (F.col("tf") / F.col("dl")) / F.col("r"), 12
+    ).cast("decimal(28,12)")
+    rm = (
+        postings.join(F.broadcast(feedback), "doc_id")
+        .join(doclens, "doc_id")
+        .where(~F.col("term").isin(qts))
+        .select("term", contrib.alias("c"))
+        .groupBy("term")
+        .agg(F.round(F.sum("c").cast("double"), 6).alias("rm_score"))
+    )
+    return ranked_topk(
+        rm, [F.desc("rm_score"), F.asc("term")], k
+    ).select("term", "rm_score", "rank")
+
+
+TERMS_PARTITION = 0  # which partition this page fetches
+TERMS_NUM_PARTITIONS = 4
+
+
+def terms_partition_agg(
+    spark: SparkSession,
+    sf_dir: str,
+    partition: int = TERMS_PARTITION,
+    num_partitions: int = TERMS_NUM_PARTITIONS,
+    k: int = 15,
+) -> DataFrame:
+    """ES terms aggregation with `include: {partition, num_partitions}`
+    parity — the paging protocol for huge-cardinality term sets: each
+    request processes only the terms whose hash lands in one partition,
+    so a client walks the full vocabulary in num_partitions bounded
+    pages. Partitioning hash is the engine-shared 52-bit md5 (the house
+    rule: never engine-native hash in oracle-checked paths); buckets are
+    doc_count, top-k (doc_count desc, term asc) within the partition."""
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_col
+    from lucene_mapreduce_spark.operators.parity import load, ranked_topk
+    from lucene_mapreduce_spark.operators.textstats import _md5_52
+
+    docs = load(spark, sf_dir, "documents")
+    tok = (
+        docs.select("doc_id", F.explode(tokenize_col("text")).alias("term"))
+        .distinct()
+        .filter(_md5_52(F.col("term")) % num_partitions == partition)
+    )
+    counts = tok.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("doc_count")
+    )
+    return ranked_topk(
+        counts, [F.desc("doc_count"), F.asc("term")], k
+    ).select("term", "doc_count", "rank")

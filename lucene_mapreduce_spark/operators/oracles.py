@@ -9890,3 +9890,336 @@ SELECT c.bands, c.rows_per_band, count(*)::BIGINT AS n_candidates,
 FROM allc c JOIN verd v ON v.doc_a = c.doc_a AND v.doc_b = c.doc_b
 GROUP BY 1, 2 ORDER BY 1
 """
+
+
+# --------------------------------------------------------------- batch 53
+def multi_phrase_sql(first: str, alts: tuple) -> str:
+    """MultiPhraseQuery twin: position i holds `first`, i+1 any of
+    `alts` — the synonym-slot phrase."""
+    inlist = ", ".join(f"'{a}'" for a in alts)
+    return f"""
+SELECT doc_id FROM (SELECT doc_id, {TOKS} AS toks FROM documents)
+WHERE len(list_filter(range(1, len(toks)), i ->
+      toks[i] = '{first}' AND toks[i + 1] IN ({inlist}))) > 0
+ORDER BY doc_id
+"""
+
+
+def fuzzy_autocomplete_sql(prefix: str, max_edits: int, k: int = 5) -> str:
+    """FuzzySuggester twin: length-|input| term prefixes within
+    max_edits Levenshtein edits of the input, ranked by cf."""
+    p = prefix.replace("'", "''")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKS}) AS term FROM documents
+),
+d AS (SELECT term, count(*)::BIGINT AS cf FROM toks GROUP BY 1),
+c AS (
+  SELECT term, levenshtein(substr(term, 1, {len(prefix)}), '{p}')::INT AS dist, cf
+  FROM d
+)
+SELECT term, dist, cf, rank
+FROM (
+  SELECT term, dist, cf,
+         row_number() OVER (ORDER BY cf DESC, term ASC) AS rank
+  FROM c WHERE dist <= {max_edits}
+)
+WHERE rank <= {k}
+"""
+
+
+def rm3_sql(query_text: str, fb_k: int, k: int) -> str:
+    """RM1/RM3 expansion-term twin: rounded-score BM25 feedback cut,
+    then sum_d (tf/dl)/rank_d per non-query term — 12dp DECIMAL sums."""
+    qlit = query_text.replace("'", "''")
+    return f"""
+WITH doclens AS (
+  SELECT doc_id, len({TOKS})::DOUBLE AS dl FROM documents
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM doclens
+),
+toks AS (
+  SELECT doc_id, unnest({TOKS}) AS term FROM documents
+),
+postings AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2
+),
+dfs AS (
+  SELECT term, count(*)::DOUBLE AS df_t FROM postings GROUP BY 1
+),
+qterms AS (
+  SELECT DISTINCT unnest({duckdb_tokens_sql(f"'{qlit}'")}) AS term
+),
+c1 AS (
+  SELECT p.doc_id, p.term,
+         ln(1.0 + (s.n - d.df_t + 0.5) / (d.df_t + 0.5))
+         * p.tf * {K1 + 1.0!r}
+         / (p.tf + {K1!r} * ({1.0 - B!r} + {B!r} * l.dl / s.avgdl)) AS contrib
+  FROM postings p
+  JOIN qterms q USING (term)
+  JOIN dfs d USING (term)
+  JOIN doclens l USING (doc_id)
+  CROSS JOIN stats s
+),
+s1 AS (
+  SELECT doc_id,
+         round(list_reduce(list_prepend(0.0, list(contrib ORDER BY term)),
+                           (a, b) -> a + b), 6) AS score
+  FROM c1 GROUP BY 1
+),
+feedback AS (
+  SELECT doc_id, rn::DOUBLE AS r FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+    FROM s1
+  ) WHERE rn <= {fb_k}
+),
+rm AS (
+  SELECT p.term,
+         round(sum(round((p.tf / l.dl) / f.r, 12)::DECIMAL(28,12))::DOUBLE,
+               6) AS rm_score
+  FROM postings p
+  JOIN feedback f USING (doc_id)
+  JOIN doclens l USING (doc_id)
+  WHERE p.term NOT IN (SELECT term FROM qterms)
+  GROUP BY 1
+)
+SELECT term, rm_score, rank FROM (
+  SELECT term, rm_score,
+         row_number() OVER (ORDER BY rm_score DESC, term ASC) AS rank
+  FROM rm
+) WHERE rank <= {k}
+"""
+
+
+def terms_partition_sql(partition: int, num_partitions: int, k: int = 15) -> str:
+    """terms-agg partition paging twin: md5-52 term hash mod
+    num_partitions selects the page; doc_count buckets within it."""
+    h = _MD5_52.format(e="term")
+    return f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest({TOKS}) AS term FROM documents
+),
+counts AS (
+  SELECT term, count(*)::BIGINT AS doc_count FROM tok
+  WHERE ({h}) % {num_partitions} = {partition}
+  GROUP BY 1
+)
+SELECT term, doc_count, rank FROM (
+  SELECT term, doc_count,
+         row_number() OVER (ORDER BY doc_count DESC, term ASC) AS rank
+  FROM counts
+) WHERE rank <= {k}
+"""
+
+
+def bigram_llr_sql(min_pair: int, k: int) -> str:
+    """Dunning G² collocation twin — the identical cell expression and
+    parenthesization as the Spark side (DOUBLE casts before products)."""
+
+    def cell(kc: str, row: str, col: str) -> str:
+        return (
+            f"CASE WHEN {kc} > 0 THEN ({kc})::DOUBLE * "
+            f"ln((({kc})::DOUBLE * n_tot::DOUBLE) / "
+            f"(({row})::DOUBLE * ({col})::DOUBLE)) ELSE 0.0 END"
+        )
+
+    t11 = cell("n_ab", "ca", "cb")
+    t12 = cell("ca - n_ab", "ca", "n_tot - cb")
+    t21 = cell("cb - n_ab", "n_tot - ca", "cb")
+    t22 = cell("n_tot - ca - cb + n_ab", "n_tot - ca", "n_tot - cb")
+    return f"""
+WITH t AS (
+  SELECT {TOKS} AS toks FROM documents WHERE len({TOKS}) >= 2
+),
+pairs AS (
+  SELECT unnest(list_transform(range(1, len(toks)),
+                i -> struct_pack(a := toks[i], b := toks[i + 1]))) AS p
+  FROM t
+),
+ab AS (
+  SELECT p.a AS term_a, p.b AS term_b, count(*)::BIGINT AS n_ab
+  FROM pairs GROUP BY 1, 2
+),
+ca_t AS (SELECT term_a, sum(n_ab)::BIGINT AS ca FROM ab GROUP BY 1),
+cb_t AS (SELECT term_b, sum(n_ab)::BIGINT AS cb FROM ab GROUP BY 1),
+tot AS (SELECT sum(n_ab)::BIGINT AS n_tot FROM ab),
+scored AS (
+  SELECT term_a, term_b, n_ab,
+         round(2.0 * ((({t11} + {t12}) + {t21}) + {t22}), 6) AS llr
+  FROM ab JOIN ca_t USING (term_a) JOIN cb_t USING (term_b) CROSS JOIN tot
+  WHERE n_ab >= {min_pair}
+)
+SELECT term_a, term_b, n_ab, llr, rank FROM (
+  SELECT term_a, term_b, n_ab, llr,
+         row_number() OVER (ORDER BY llr DESC, term_a ASC, term_b ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+# --------------------------------------------------------------- batch 54
+ORACLES["event_transition_matrix"] = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+),
+x AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY us, event_id) AS to_type
+  FROM e
+),
+pairs AS (
+  SELECT from_type, to_type, count(*)::BIGINT AS n
+  FROM x WHERE to_type IS NOT NULL GROUP BY 1, 2
+),
+tot AS (SELECT from_type, sum(n)::BIGINT AS tot FROM pairs GROUP BY 1)
+SELECT p.from_type, p.to_type, p.n,
+       round(p.n::DOUBLE / t.tot::DOUBLE, 6) AS prob
+FROM pairs p JOIN tot t USING (from_type)
+ORDER BY p.from_type, p.to_type
+"""
+
+
+def top_event_paths_sql(depth: int, k: int) -> str:
+    """Onboarding-path twin: first `depth` event types per user joined
+    '>' under total (us, event_id) order."""
+    return f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+),
+x AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY us, event_id) AS rn
+  FROM e
+),
+paths AS (
+  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM x WHERE rn <= {depth} GROUP BY 1
+),
+counts AS (
+  SELECT path, count(*)::BIGINT AS n_users FROM paths GROUP BY 1
+)
+SELECT path, n_users, rank FROM (
+  SELECT path, n_users,
+         row_number() OVER (ORDER BY n_users DESC, path ASC) AS rank
+  FROM counts
+) WHERE rank <= {k}
+"""
+
+
+def session_gap_sweep_sql(gaps: tuple) -> str:
+    """Sessionization sweep twin: one lag pass, thresholds cross join."""
+    glist = ", ".join(str(int(g)) for g in gaps)
+    return f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+),
+g AS (
+  SELECT us - lag(us) OVER (PARTITION BY user_id
+                            ORDER BY us, event_id) AS gap_us
+  FROM e
+),
+th AS (SELECT unnest([{glist}])::INT AS gap_s),
+j AS (
+  SELECT th.gap_s,
+         CASE WHEN g.gap_us IS NULL
+                OR g.gap_us >= th.gap_s::BIGINT * 1000000
+              THEN 1 ELSE 0 END AS brk
+  FROM g CROSS JOIN th
+)
+SELECT gap_s, sum(brk)::BIGINT AS n_sessions,
+       round(count(*)::DOUBLE / sum(brk)::DOUBLE, 6) AS events_per_session
+FROM j GROUP BY 1 ORDER BY 1
+"""
+
+
+def attribution_last_touch_sql(conversion: str) -> str:
+    """Last-touch attribution twin: running last(non-conversion type
+    IGNORE NULLS) per user, credited at each conversion row."""
+    return f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+),
+x AS (
+  SELECT event_type,
+         coalesce(
+           last_value(CASE WHEN event_type <> '{conversion}'
+                           THEN event_type END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS UNBOUNDED PRECEDING),
+           '(none)') AS channel
+  FROM e
+),
+conv AS (
+  SELECT channel, count(*)::BIGINT AS n_conversions
+  FROM x WHERE event_type = '{conversion}' GROUP BY 1
+),
+tot AS (SELECT sum(n_conversions)::BIGINT AS tot FROM conv)
+SELECT channel, n_conversions,
+       round(n_conversions::DOUBLE / tot::DOUBLE, 6) AS share
+FROM conv CROSS JOIN tot ORDER BY channel
+"""
+
+
+def mann_kendall_sql(z_crit: float) -> str:
+    """Mann-Kendall twin: exact BIGINT S + tie-corrected variance
+    numerator, one shared IEEE z chain."""
+    return f"""
+WITH daily AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, count(*)::BIGINT AS c
+  FROM events GROUP BY 1
+),
+s AS (
+  SELECT sum(CASE WHEN b.c > a.c THEN 1
+                  WHEN b.c < a.c THEN -1 ELSE 0 END)::BIGINT AS s_stat
+  FROM daily a JOIN daily b ON a.day < b.day
+),
+nd AS (SELECT count(*)::BIGINT AS n_days FROM daily),
+ties AS (
+  SELECT sum(t * (t - 1) * (2 * t + 5))::BIGINT AS tie_num
+  FROM (SELECT count(*)::BIGINT AS t FROM daily GROUP BY c)
+),
+j AS (
+  SELECT n_days, s_stat,
+         (n_days * (n_days - 1) * (2 * n_days + 5) - tie_num)::BIGINT
+           AS var_num18
+  FROM s CROSS JOIN nd CROSS JOIN ties
+),
+zc AS (
+  SELECT n_days, s_stat, var_num18,
+         CASE WHEN s_stat > 0 THEN
+                (s_stat - 1)::DOUBLE / sqrt(var_num18::DOUBLE / 18.0)
+              WHEN s_stat < 0 THEN
+                (s_stat + 1)::DOUBLE / sqrt(var_num18::DOUBLE / 18.0)
+              ELSE 0.0 END AS zv
+  FROM j
+)
+SELECT n_days, s_stat, var_num18, round(zv, 6) AS z,
+       CASE WHEN zv > {z_crit!r} THEN 'increasing'
+            WHEN zv < -{z_crit!r} THEN 'decreasing'
+            ELSE 'no_trend' END AS trend
+FROM zc
+"""
+
+
+ORACLES["ari_readability"] = f"""
+WITH per AS (
+  SELECT source,
+         round(
+           4.71 * (length(replace(text, ' ', ''))::BIGINT::DOUBLE
+                   / len({TOKS})::BIGINT::DOUBLE)
+           + 0.5 * (len({TOKS})::BIGINT::DOUBLE
+                    / greatest(1::BIGINT,
+                        (length(text)
+                         - length(regexp_replace(text, '[.!?]', '', 'g')))::BIGINT
+                      )::DOUBLE)
+           - 21.43, 12)::DECIMAL(28,12) AS ari
+  FROM documents WHERE len({TOKS}) > 0
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+       round(sum(ari)::DOUBLE / count(*)::DOUBLE, 6) AS avg_ari
+FROM per GROUP BY 1 ORDER BY 1
+"""

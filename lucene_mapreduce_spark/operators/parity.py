@@ -2807,3 +2807,256 @@ def parent_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# ---------------------------------------------- batch 54: event analytics
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams —
+    the behavioral-model input of a product-analytics pipeline (what
+    follows a click?): adjacent (from, to) event-type pairs under total
+    (us, event_id) order per user, with the row-normalized transition
+    probability. Counts are exact integers; prob is one BIGINT/BIGINT →
+    DOUBLE divide rounded 6dp (identical chain both engines). Event-type
+    cardinality bounds the output; the lead() window shuffles once on
+    user_id — the same key every sessionization query uses."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    pairs = (
+        ev.withColumn("to_type", F.lead("event_type").over(w))
+        .filter(F.col("to_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("to_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = pairs.groupBy("from_type").agg(F.sum("n").cast("long").alias("tot"))
+    return (
+        pairs.join(tot, "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.round(
+                F.col("n").cast("double") / F.col("tot").cast("double"), 6
+            ).alias("prob"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+PATH_DEPTH = 3
+PATH_TOPK = 20
+
+
+def top_event_paths(
+    spark: SparkSession, sf_dir: str, depth: int = PATH_DEPTH, k: int = PATH_TOPK
+) -> DataFrame:
+    """Top onboarding paths: each user's first `depth` event types (total
+    (us, event_id) order) joined into a '>' path, ranked by user count
+    (path asc ties) — the Sankey/funnel-discovery rollup. The per-user
+    cut is a WindowGroupLimit-prunable row_number; the path join is an
+    ordered in-group sort over <= depth elements, never a corpus sort."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    firstk = ev.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= depth
+    )
+    paths = firstk.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    counts = paths.groupBy("path").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    return ranked_topk(
+        counts, [F.desc("n_users"), F.asc("path")], k
+    ).select("path", "n_users", "rank")
+
+
+GAP_SWEEP_S = (300, 900, 1800, 3600)
+
+
+def session_gap_sweep(
+    spark: SparkSession, sf_dir: str, gaps: tuple = GAP_SWEEP_S
+) -> DataFrame:
+    """Sessionization operating-point sweep (the lsh_band_sweep of the
+    events side): for each inactivity threshold, the corpus-wide session
+    count and events-per-session under the house gaps-and-islands rule
+    (a gap >= threshold breaks; first event per user always breaks). One
+    lag() pass computes every per-row gap, then a 4-row broadcast cross
+    join scores all thresholds in a single aggregation — the sweep costs
+    one shuffle regardless of how many thresholds are swept."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gapped = ev.withColumn("gap_us", F.col("us") - F.lag("us").over(w))
+    th = spark.createDataFrame([(int(g),) for g in gaps], "gap_s int")
+    j = gapped.crossJoin(F.broadcast(th))
+    brk = F.when(
+        F.col("gap_us").isNull()
+        | (F.col("gap_us") >= F.col("gap_s").cast("long") * 1_000_000),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return (
+        j.select("gap_s", brk.alias("brk"))
+        .groupBy("gap_s")
+        .agg(
+            F.sum("brk").cast("long").alias("n_sessions"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+        .select(
+            "gap_s",
+            "n_sessions",
+            F.round(
+                F.col("n_events").cast("double")
+                / F.col("n_sessions").cast("double"),
+                6,
+            ).alias("events_per_session"),
+        )
+        .orderBy("gap_s")
+    )
+
+
+ATTR_CONVERSION = "purchase"
+
+
+def attribution_last_touch(
+    spark: SparkSession, sf_dir: str, conversion: str = ATTR_CONVERSION
+) -> DataFrame:
+    """Last-touch attribution: each conversion event is credited to the
+    user's most recent PRIOR non-conversion event type (total (us,
+    event_id) order; a conversion with no prior touch lands in
+    '(none)'). The carry is one last(ignorenulls) running window — the
+    asof_join union-tag recipe specialized to a same-table self-asof —
+    so attribution is a single shuffle on user_id, no self-join. Share
+    is n/total, one rounded divide."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != conversion, F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    conv = (
+        ev.withColumn("channel", F.coalesce(touch, F.lit("(none)")))
+        .filter(F.col("event_type") == conversion)
+        .groupBy("channel")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_conversions"))
+    )
+    tot = conv.agg(F.sum("n_conversions").cast("long").alias("tot"))
+    return (
+        conv.crossJoin(F.broadcast(tot))
+        .select(
+            "channel",
+            "n_conversions",
+            F.round(
+                F.col("n_conversions").cast("double")
+                / F.col("tot").cast("double"),
+                6,
+            ).alias("share"),
+        )
+        .orderBy("channel")
+    )
+
+
+MK_Z_CRIT = 1.96
+
+
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test over the daily event-count series — the
+    nonparametric monotone-trend monitor (the hypothesis-test sibling of
+    seasonal_anomaly_days; spearman_rho_daily is the paired-series
+    form). S = sum_{i<j} sign(c_j - c_i) and the tie-corrected variance
+    numerator n(n-1)(2n+5) - sum t(t-1)(2t+5) are EXACT BIGINT
+    arithmetic (day count is calendar-bounded, the pair self-join is
+    days², never events²); z = (S -/+ 1)/sqrt(num/18.0) is one fixed
+    IEEE chain on those integers — identical in both engines (sqrt is
+    correctly rounded; pow is not, so none is used)."""
+    ev = load(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day")
+    )
+    daily = ev.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    a = daily.select(F.col("day").alias("d1"), F.col("c").alias("c1"))
+    b = daily.select(F.col("day").alias("d2"), F.col("c").alias("c2"))
+    sgn = (
+        F.when(F.col("c2") > F.col("c1"), 1)
+        .when(F.col("c2") < F.col("c1"), -1)
+        .otherwise(0)
+    )
+    s_stat = (
+        a.join(b, F.col("d1") < F.col("d2"))
+        .agg(F.sum(sgn).cast("long").alias("s_stat"))
+    )
+    nd = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    ties = (
+        daily.groupBy("c")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).cast("long").alias("tie_num")
+        )
+    )
+    j = s_stat.crossJoin(nd).crossJoin(ties)
+    var_num = (
+        F.col("n_days") * (F.col("n_days") - 1) * (2 * F.col("n_days") + 5)
+        - F.col("tie_num")
+    )
+    z = (
+        F.when(
+            F.col("s_stat") > 0,
+            (F.col("s_stat") - 1).cast("double")
+            / F.sqrt(var_num.cast("double") / F.lit(18.0)),
+        )
+        .when(
+            F.col("s_stat") < 0,
+            (F.col("s_stat") + 1).cast("double")
+            / F.sqrt(var_num.cast("double") / F.lit(18.0)),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    return j.select(
+        "n_days",
+        "s_stat",
+        var_num.cast("long").alias("var_num18"),
+        F.round(z, 6).alias("z"),
+        F.when(z > MK_Z_CRIT, "increasing")
+        .when(z < -MK_Z_CRIT, "decreasing")
+        .otherwise("no_trend")
+        .alias("trend"),
+    )

@@ -3704,3 +3704,125 @@ def numeric_token_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# -------------------------------------------- batch 53: Dunning LLR bigrams
+LLR_MIN_PAIR = 5  # bigram support floor
+LLR_TOPK = 20
+
+
+def bigram_llr_collocations(
+    spark: SparkSession, sf_dir: str, min_pair: int = LLR_MIN_PAIR, k: int = LLR_TOPK
+) -> DataFrame:
+    """Dunning log-likelihood-ratio collocations (Dunning 1993 — the
+    heuristic ngram_counts' PMI and the sig_terms family were missing;
+    ES significant_terms offers the same G² as a scored_heuristic):
+    adjacent-bigram G² against the independence model from the 2x2
+    contingency of (first=a) x (second=b) over all corpus bigrams.
+    All margins are exact integer counts (two map-side-combinable
+    groupBys + one broadcast scalar); the per-bigram G² is one fixed
+    IEEE chain — each cell's count is cast to DOUBLE before any product
+    so the expression never overflows at 100-TB bigram counts, and both
+    engines evaluate the identical parenthesization. Rank on the
+    6dp-ROUNDED llr (term_a, term_b ties)."""
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(tokenize_col("text").alias("t")).filter(F.size("t") >= 2)
+    pairs = t.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - F.lit(1)),
+                lambda i: F.struct(
+                    F.element_at("t", i).alias("a"),
+                    F.element_at("t", i + F.lit(1)).alias("b"),
+                ),
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("term_a"), F.col("p.b").alias("term_b"))
+    ab = pairs.groupBy("term_a", "term_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ab")
+    )
+    ca = ab.groupBy("term_a").agg(F.sum("n_ab").cast("long").alias("ca"))
+    cb = ab.groupBy("term_b").agg(F.sum("n_ab").cast("long").alias("cb"))
+    tot = ab.agg(F.sum("n_ab").cast("long").alias("n_tot"))
+
+    def cell(kc, row, col):
+        kd = kc.cast("double")
+        return F.when(
+            kc > 0,
+            kd
+            * F.log(
+                (kd * F.col("n_tot").cast("double"))
+                / (row.cast("double") * col.cast("double"))
+            ),
+        ).otherwise(F.lit(0.0))
+
+    n, a, b2 = F.col("n_tot"), F.col("ca"), F.col("cb")
+    k11, k12 = F.col("n_ab"), a - F.col("n_ab")
+    k21, k22 = b2 - F.col("n_ab"), n - a - b2 + F.col("n_ab")
+    llr = F.round(
+        F.lit(2.0)
+        * (
+            (
+                (cell(k11, a, b2) + cell(k12, a, n - b2))
+                + cell(k21, n - a, b2)
+            )
+            + cell(k22, n - a, n - b2)
+        ),
+        6,
+    )
+    scored = (
+        ab.filter(F.col("n_ab") >= min_pair)
+        .join(ca, "term_a")
+        .join(cb, "term_b")
+        .crossJoin(F.broadcast(tot))
+        .select("term_a", "term_b", "n_ab", llr.alias("llr"))
+    )
+    return ranked_topk(
+        scored, [F.desc("llr"), F.asc("term_a"), F.asc("term_b")], k
+    ).select("term_a", "term_b", F.col("n_ab").cast("long").alias("n_ab"), "llr", "rank")
+
+
+# ------------------------------------------------ batch 54: ARI readability
+def ari_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Automated Readability Index rollup per source — the second
+    readability proxy next to flesch_reading_ease (ARI needs no syllable
+    model, only chars/words/sentences, so it is the cheap screen a
+    curation pass runs corpus-wide): ARI = 4.71·(chars/words) +
+    0.5·(words/sentences) − 21.43 with chars = non-space characters,
+    words = token count, sentences = greatest(1, terminal-punct count)
+    (the flesch guard — the synthetic corpus carries no punctuation).
+    The per-doc value is one fixed IEEE chain; the per-source mean sums
+    12dp-rounded DECIMAL(28,12) contributions then divides the
+    double-cast sum (the DECIMAL-mean rule)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tokenize_col("text")
+    chars = F.length(F.regexp_replace(F.col("text"), " ", "")).cast("long")
+    words = F.size(toks).cast("long")
+    sents = F.greatest(
+        F.lit(1).cast("long"),
+        (
+            F.length(F.col("text"))
+            - F.length(F.regexp_replace(F.col("text"), "[.!?]", ""))
+        ).cast("long"),
+    )
+    ari = (
+        F.lit(4.71) * (chars.cast("double") / words.cast("double"))
+        + F.lit(0.5) * (words.cast("double") / sents.cast("double"))
+        - F.lit(21.43)
+    )
+    per = docs.filter(F.size(toks) > 0).select(
+        "source", F.round(ari, 12).cast("decimal(28,12)").alias("ari")
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(
+                F.sum("ari").cast("double") / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("avg_ari"),
+        )
+        .orderBy("source")
+    )
