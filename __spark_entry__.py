@@ -775,6 +775,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution_last_touch": parity.attribution_last_touch,
         "mann_kendall_trend": parity.mann_kendall_trend,
         "ari_readability": textstats.ari_readability,
+        # batch 55: PQ distortion audit, curriculum buckets, repeat-exposure
+        # plan, split stratification audit, JSD by source, Cohen's kappa
+        "pq_distortion_report": similarity.pq_distortion_report,
+        "curriculum_buckets": textstats.curriculum_buckets,
+        "repeat_exposure_plan": textstats.repeat_exposure_plan,
+        "split_balance_audit": textstats.split_balance_audit,
+        "jsd_by_source": textstats.jsd_by_source,
+        "cohens_kappa": textstats.cohens_kappa,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})
@@ -1601,4 +1609,34 @@ WHERE len(list_filter(range(1, len(toks)), i ->
         parity.ATTR_CONVERSION
     )
     out["mann_kendall_trend"] = mann_kendall_sql(parity.MK_Z_CRIT)
+
+    # batch 55
+    from lucene_mapreduce_spark.operators.oracles import (
+        COHENS_KAPPA_SQL,
+        curriculum_buckets_sql,
+        jsd_by_source_sql,
+        pq_distortion_sql,
+        repeat_exposure_sql,
+        split_balance_sql,
+    )
+    from lucene_mapreduce_spark.operators.similarity import (
+        PQ_K,
+        PQ_M,
+        PQ_SUBDIM,
+    )
+    from lucene_mapreduce_spark.operators.textstats import (
+        _LN2,
+        CURRICULUM_BUCKETS,
+        EXPOSURE_BUDGET_MULT,
+        SPLIT_PCTS,
+    )
+
+    out["pq_distortion_report"] = pq_distortion_sql(PQ_M, PQ_SUBDIM, PQ_K)
+    out["curriculum_buckets"] = curriculum_buckets_sql(CURRICULUM_BUCKETS)
+    out["repeat_exposure_plan"] = repeat_exposure_sql(EXPOSURE_BUDGET_MULT)
+    out["split_balance_audit"] = split_balance_sql(
+        SPLIT_PCTS[2], SPLIT_PCTS[2] + SPLIT_PCTS[1]
+    )
+    out["jsd_by_source"] = jsd_by_source_sql(_LN2)
+    out["cohens_kappa"] = COHENS_KAPPA_SQL
     return out

@@ -10223,3 +10223,181 @@ SELECT source, count(*)::BIGINT AS n_docs,
        round(sum(ari)::DOUBLE / count(*)::DOUBLE, 6) AS avg_ari
 FROM per GROUP BY 1 ORDER BY 1
 """
+
+
+# --------------------------------------------------------------- batch 55
+def pq_distortion_sql(m: int, subdim: int, kcode: int) -> str:
+    """PQ distortion twin: the ann_pq encode chain, rolled up per
+    subspace (codewords used, mean/max squared error)."""
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (
+  SELECT vec_id::INT AS cid, v AS cv FROM e
+  WHERE vec_id BETWEEN 1 AND {kcode}
+),
+ms AS (SELECT unnest(range({m}))::INT AS m),
+tri AS (
+  SELECT e.vec_id, ms.m, c.cid,
+         round(list_reduce(
+           list_prepend(0.0, list_transform(
+             range(ms.m * {subdim} + 1, ms.m * {subdim} + {subdim} + 1),
+             d -> (e.v[d] - c.cv[d]) * (e.v[d] - c.cv[d]))),
+           (a, b) -> a + b), 6) AS d
+  FROM e, cents c, ms
+),
+assigned AS (
+  SELECT m, cid, d::DECIMAL(18,6) AS d FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                 ORDER BY d ASC, cid ASC) AS rn
+    FROM tri
+  ) WHERE rn = 1
+)
+SELECT m, count(*)::BIGINT AS n_vecs,
+       count(DISTINCT cid)::BIGINT AS codewords_used,
+       round(sum(d)::DOUBLE / count(*)::DOUBLE, 6) AS avg_sq_err,
+       round(max(d)::DOUBLE, 6) AS max_sq_err
+FROM assigned GROUP BY 1 ORDER BY 1
+"""
+
+
+def curriculum_buckets_sql(n_buckets: int) -> str:
+    """Length-curriculum twin: ntile over (dl, doc_id), DECIMAL TTR
+    means."""
+    return f"""
+WITH per AS (
+  SELECT doc_id, len({TOKS})::BIGINT AS dl,
+         len(list_distinct({TOKS}))::BIGINT AS types
+  FROM documents WHERE len({TOKS}) > 0
+),
+b AS (
+  SELECT ntile({n_buckets}) OVER (ORDER BY dl ASC, doc_id ASC) AS bucket,
+         dl,
+         round(types::DOUBLE / dl::DOUBLE, 12)::DECIMAL(28,12) AS ttr
+  FROM per
+)
+SELECT bucket, count(*)::BIGINT AS n_docs,
+       min(dl)::BIGINT AS min_dl, max(dl)::BIGINT AS max_dl,
+       sum(dl)::BIGINT AS total_tokens,
+       round(sum(ttr)::DOUBLE / count(*)::DOUBLE, 6) AS avg_ttr
+FROM b GROUP BY 1 ORDER BY 1
+"""
+
+
+def repeat_exposure_sql(budget_mult: int) -> str:
+    """Repeat-exposure plan twin: sqrt-temperature weights, floor'd
+    planned tokens, epochs divide."""
+    return f"""
+WITH per AS (
+  SELECT source, sum(len({TOKS}))::BIGINT AS n_tokens
+  FROM documents GROUP BY 1
+),
+w AS (
+  SELECT source, n_tokens,
+         round(sqrt(n_tokens::DOUBLE), 6)::DECIMAL(18,6) AS w
+  FROM per
+),
+z AS (SELECT sum(w) AS z, sum(n_tokens)::BIGINT AS tot FROM w),
+x AS (
+  SELECT source, n_tokens,
+         round(w::DOUBLE / z::DOUBLE, 6) AS weight,
+         floor(round(w::DOUBLE / z::DOUBLE, 6)
+               * (tot * {budget_mult})::DOUBLE)::BIGINT AS planned_tokens
+  FROM w CROSS JOIN z
+)
+SELECT source, n_tokens, weight, planned_tokens,
+       round(planned_tokens::DOUBLE / n_tokens::DOUBLE, 6) AS epochs
+FROM x ORDER BY source
+"""
+
+
+def split_balance_sql(test_lt: int, val_lt: int) -> str:
+    """Split stratification-audit twin: md5 split buckets, unrounded
+    share subtraction rounded once."""
+    h = _MD5_52.format(e="doc_id::VARCHAR || ':split'")
+    return f"""
+WITH base AS (
+  SELECT lang,
+         CASE WHEN ({h}) % 100 < {test_lt} THEN 'test'
+              WHEN ({h}) % 100 < {val_lt} THEN 'val'
+              ELSE 'train' END AS split
+  FROM documents
+),
+per AS (
+  SELECT split, lang, count(*)::BIGINT AS n_docs FROM base GROUP BY 1, 2
+),
+st AS (SELECT split, sum(n_docs)::BIGINT AS n_split FROM per GROUP BY 1),
+lt AS (SELECT lang, sum(n_docs)::BIGINT AS n_lang FROM per GROUP BY 1),
+g AS (SELECT sum(n_docs)::BIGINT AS n_all FROM per)
+SELECT p.split, p.lang, p.n_docs,
+       round(p.n_docs::DOUBLE / st.n_split::DOUBLE, 6) AS split_frac,
+       round(lt.n_lang::DOUBLE / g.n_all::DOUBLE, 6) AS global_frac,
+       round(abs(p.n_docs::DOUBLE / st.n_split::DOUBLE
+                 - lt.n_lang::DOUBLE / g.n_all::DOUBLE), 6) AS abs_dev
+FROM per p JOIN st USING (split) JOIN lt USING (lang) CROSS JOIN g
+ORDER BY p.split, p.lang
+"""
+
+
+def jsd_by_source_sql(ln2: float) -> str:
+    """JSD twin: in-support 12dp DECIMAL sums + closed-form ln2·(1−Q_in)
+    out-of-support mass."""
+    return f"""
+WITH toks AS (
+  SELECT source, unnest({TOKS}) AS term FROM documents
+),
+per AS (
+  SELECT source, term, count(*)::BIGINT AS cnt FROM toks GROUP BY 1, 2
+),
+tot_s AS (SELECT source, sum(cnt)::BIGINT AS tot_s FROM per GROUP BY 1),
+corpus AS (SELECT term, sum(cnt)::BIGINT AS cf FROM per GROUP BY 1),
+tot AS (SELECT sum(cf)::BIGINT AS tot FROM corpus),
+c AS (
+  SELECT p.source,
+         round((p.cnt::DOUBLE / ts.tot_s::DOUBLE)
+               * ln((2.0 * (p.cnt::DOUBLE / ts.tot_s::DOUBLE))
+                    / ((p.cnt::DOUBLE / ts.tot_s::DOUBLE)
+                       + (co.cf::DOUBLE / t.tot::DOUBLE))),
+               12)::DECIMAL(28,12) AS c_p,
+         round((co.cf::DOUBLE / t.tot::DOUBLE)
+               * ln((2.0 * (co.cf::DOUBLE / t.tot::DOUBLE))
+                    / ((p.cnt::DOUBLE / ts.tot_s::DOUBLE)
+                       + (co.cf::DOUBLE / t.tot::DOUBLE))),
+               12)::DECIMAL(28,12) AS c_q,
+         round(co.cf::DOUBLE / t.tot::DOUBLE, 12)::DECIMAL(28,12) AS q_in
+  FROM per p
+  JOIN tot_s ts USING (source)
+  JOIN corpus co USING (term)
+  CROSS JOIN tot t
+),
+agg AS (
+  SELECT source, count(*)::BIGINT AS n_terms,
+         sum(c_p)::DOUBLE AS s_p, sum(c_q)::DOUBLE AS s_q,
+         sum(q_in)::DOUBLE AS qin
+  FROM c GROUP BY 1
+)
+SELECT source, n_terms,
+       round(0.5 * s_p + 0.5 * (s_q + {ln2!r} * (1.0 - qin)), 6) AS jsd_nats
+FROM agg ORDER BY source
+"""
+
+
+COHENS_KAPPA_SQL = f"""
+WITH conf AS ({TRIGRAM_LANGID_SQL}),
+n AS (SELECT sum(n_docs)::BIGINT AS n FROM conf),
+diag AS (
+  SELECT coalesce(sum(n_docs), 0)::BIGINT AS n_agree
+  FROM conf WHERE lang = predicted
+),
+rws AS (SELECT lang, sum(n_docs)::BIGINT AS rn FROM conf GROUP BY 1),
+cls AS (SELECT predicted, sum(n_docs)::BIGINT AS cn FROM conf GROUP BY 1),
+pe AS (
+  SELECT sum(rn::DECIMAL(38,0) * cn::DECIMAL(38,0))::DOUBLE AS pe_num
+  FROM rws JOIN cls ON rws.lang = cls.predicted
+)
+SELECT n, n_agree,
+       round(n_agree::DOUBLE / n::DOUBLE, 6) AS po,
+       round(pe_num / (n::DOUBLE * n::DOUBLE), 6) AS pe,
+       round((n_agree::DOUBLE / n::DOUBLE - pe_num / (n::DOUBLE * n::DOUBLE))
+             / (1.0 - pe_num / (n::DOUBLE * n::DOUBLE)), 6) AS kappa
+FROM n CROSS JOIN diag CROSS JOIN pe
+"""

@@ -1806,3 +1806,66 @@ def pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "dim int, loading double, eigenvalue double"
     )
+
+
+def pq_distortion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-subspace product-quantization distortion audit — the codebook
+    health check a vector pipeline runs before trusting ADC recall
+    (ann_pq_topk is the serving path; this is its observability twin,
+    like ivf_balance_report for IVF): for every subspace m, the count of
+    codewords actually used, and the mean / max squared reconstruction
+    error of the argmin assignment. Encode is the exact ann_pq_topk
+    chain (6dp-rounded sequential subspace folds, argmin ties to lowest
+    cid); means sum DECIMAL(18,6) over the already-rounded distances —
+    order-free exact. Scale: N x K x M broadcast map, one groupBy(m)."""
+    from lucene_mapreduce_spark.operators.parity import load
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = emb.where(
+        (F.col("vec_id") >= 1) & (F.col("vec_id") <= PQ_K)
+    ).select(F.col("vec_id").cast("int").alias("cid"), F.col("v").alias("cv"))
+    ms = spark.range(PQ_M).select(F.col("id").cast("int").alias("m"))
+
+    def subdist(vcol, ccol):
+        dims = F.sequence(
+            F.col("m") * PQ_SUBDIM + 1, (F.col("m") + 1) * PQ_SUBDIM
+        )
+        return F.round(
+            F.aggregate(
+                dims,
+                F.lit(0.0),
+                lambda acc, d: acc
+                + (F.element_at(vcol, d) - F.element_at(ccol, d))
+                * (F.element_at(vcol, d) - F.element_at(ccol, d)),
+            ),
+            6,
+        )
+
+    tri = (
+        emb.crossJoin(F.broadcast(ms))
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id", "m", "cid", subdist(F.col("v"), F.col("cv")).alias("d")
+        )
+    )
+    w = Window.partitionBy("vec_id", "m").orderBy(F.asc("d"), F.asc("cid"))
+    assigned = (
+        tri.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("m", "cid", F.col("d").cast("decimal(18,6)").alias("d"))
+    )
+    return (
+        assigned.groupBy("m")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.countDistinct("cid").cast("long").alias("codewords_used"),
+            F.round(
+                F.sum("d").cast("double") / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("avg_sq_err"),
+            F.round(F.max("d").cast("double"), 6).alias("max_sq_err"),
+        )
+        .orderBy("m")
+    )

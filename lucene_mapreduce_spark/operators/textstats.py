@@ -3826,3 +3826,239 @@ def ari_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------- batch 55: training-data planning family
+CURRICULUM_BUCKETS = 10
+
+
+def curriculum_buckets(
+    spark: SparkSession, sf_dir: str, n_buckets: int = CURRICULUM_BUCKETS
+) -> DataFrame:
+    """Length-curriculum bucketing (curriculum learning's shortest-first
+    schedule — Bengio et al. 2009; the scheduling twin of
+    ccnet_perplexity_buckets, which buckets by LM difficulty): docs are
+    ntile'd into n_buckets by (doc length, doc_id) — the tie rule that
+    makes ntile identical in both engines — and each bucket reports its
+    size, length range, token budget, and mean type-token ratio (the
+    lexical-diversity signal trainers watch as the curriculum advances).
+    TTR per doc is one integer divide rounded 12dp; means sum
+    DECIMAL(28,12) — order-free. One corpus scan + one bounded window."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    toks = tokenize_col("text")
+    per = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("dl"),
+        F.size(F.array_distinct(toks)).cast("long").alias("types"),
+    ).filter(F.col("dl") > 0)
+    w = Window.orderBy(F.asc("dl"), F.asc("doc_id"))
+    ttr = F.round(
+        F.col("types").cast("double") / F.col("dl").cast("double"), 12
+    ).cast("decimal(28,12)")
+    b = per.withColumn("bucket", F.ntile(n_buckets).over(w)).select(
+        "bucket", "dl", ttr.alias("ttr")
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("dl").alias("min_dl"),
+            F.max("dl").alias("max_dl"),
+            F.sum("dl").cast("long").alias("total_tokens"),
+            F.round(
+                F.sum("ttr").cast("double") / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("avg_ttr"),
+        )
+        .orderBy("bucket")
+    )
+
+
+EXPOSURE_BUDGET_MULT = 2  # token budget = mult x corpus tokens
+
+
+def repeat_exposure_plan(
+    spark: SparkSession, sf_dir: str, budget_mult: int = EXPOSURE_BUDGET_MULT
+) -> DataFrame:
+    """Per-source repeat/epoch plan under a temperature-balanced mixture
+    (the how-many-epochs-of-each-source schedule a data-constrained run
+    derives — Muennighoff et al. 2023 territory): target share per
+    source is the sqrt-temperature weight (temperature_mixture_weights'
+    exact DECIMAL recipe), the token budget is budget_mult x corpus
+    tokens, planned tokens = floor(weight x budget) (floor, not round —
+    never over-commits the budget), and epochs = planned / available.
+    Every product is one IEEE op on identical operands; floor is exact."""
+    docs = load(spark, sf_dir, "documents")
+    per_src = (
+        docs.select("source", F.size(tokenize_col("text")).cast("long").alias("dl"))
+        .groupBy("source")
+        .agg(F.sum("dl").cast("long").alias("n_tokens"))
+        .select(
+            "source",
+            "n_tokens",
+            F.round(F.sqrt(F.col("n_tokens").cast("double")), 6)
+            .cast("decimal(18,6)")
+            .alias("w"),
+        )
+    )
+    z = per_src.agg(
+        F.sum("w").alias("z"), F.sum("n_tokens").cast("long").alias("tot")
+    )
+    weight = F.round(F.col("w").cast("double") / F.col("z").cast("double"), 6)
+    budget = (F.col("tot") * F.lit(budget_mult)).cast("double")
+    planned = F.floor(weight * budget).cast("long")
+    return (
+        per_src.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            "n_tokens",
+            weight.alias("weight"),
+            planned.alias("planned_tokens"),
+            F.round(
+                planned.cast("double") / F.col("n_tokens").cast("double"), 6
+            ).alias("epochs"),
+        )
+        .orderBy("source")
+    )
+
+
+def split_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratification audit of the train/val/test hash split (the check
+    that train_val_test_split's md5 buckets didn't skew any language —
+    run before every release): per (split, lang), the doc count, the
+    language's share WITHIN the split, its share in the full corpus, and
+    the absolute deviation between the two. All shares are single
+    BIGINT/BIGINT -> DOUBLE divides; abs-dev subtracts the two UNROUNDED
+    doubles then rounds once (the bucket_selector rule: never compare or
+    subtract already-rounded values)."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        _md5_52(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))),
+        F.lit(100),
+    )
+    test_lt = SPLIT_PCTS[2]
+    val_lt = SPLIT_PCTS[2] + SPLIT_PCTS[1]
+    split = (
+        F.when(bucket < test_lt, F.lit("test"))
+        .when(bucket < val_lt, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    base = docs.select("lang", split.alias("split"))
+    per = base.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    split_tot = per.groupBy("split").agg(
+        F.sum("n_docs").cast("long").alias("n_split")
+    )
+    lang_tot = per.groupBy("lang").agg(
+        F.sum("n_docs").cast("long").alias("n_lang")
+    )
+    grand = per.agg(F.sum("n_docs").cast("long").alias("n_all"))
+    sf = F.col("n_docs").cast("double") / F.col("n_split").cast("double")
+    gf = F.col("n_lang").cast("double") / F.col("n_all").cast("double")
+    return (
+        per.join(split_tot, "split")
+        .join(lang_tot, "lang")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "split",
+            "lang",
+            "n_docs",
+            F.round(sf, 6).alias("split_frac"),
+            F.round(gf, 6).alias("global_frac"),
+            F.round(F.abs(sf - gf), 6).alias("abs_dev"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+_LN2 = 0.6931471805599453  # shared literal — never each engine's ln(2)
+
+
+def jsd_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between each source's unigram
+    distribution and the corpus distribution — the SYMMETRIC, bounded
+    ([0, ln2]) sibling of kl_divergence_by_source (JSD is the standard
+    domain-shift distance because it never blows up on support
+    mismatch). Out-of-support mass needs no vocab-sized scan: for terms
+    the source lacks, p=0 so m=q/2 and the q-leg contribution collapses
+    to q·ln2 — summed in closed form as ln2·(1 − Q_in), with Q_in the
+    corpus mass on the source's support. All three sums accumulate
+    12dp-rounded DECIMAL(28,12) contributions (the KL rule); ln2 is the
+    shared _LN2 literal. Two groupBys + one broadcast corpus table."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(tokenize_col("text")).alias("term"))
+    per = toks.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    tot_s = per.groupBy("source").agg(F.sum("cnt").cast("long").alias("tot_s"))
+    corpus = per.groupBy("term").agg(F.sum("cnt").cast("long").alias("cf"))
+    tot = corpus.agg(F.sum("cf").cast("long").alias("tot"))
+    p = F.col("cnt").cast("double") / F.col("tot_s").cast("double")
+    q = F.col("cf").cast("double") / F.col("tot").cast("double")
+    dec = lambda c: F.round(c, 12).cast("decimal(28,12)")
+    j = (
+        per.join(tot_s, "source")
+        .join(corpus, "term")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            dec(p * F.log((F.lit(2.0) * p) / (p + q))).alias("c_p"),
+            dec(q * F.log((F.lit(2.0) * q) / (p + q))).alias("c_q"),
+            dec(q).alias("q_in"),
+        )
+    )
+    agg = j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum("c_p").cast("double").alias("s_p"),
+        F.sum("c_q").cast("double").alias("s_q"),
+        F.sum("q_in").cast("double").alias("qin"),
+    )
+    jsd = F.round(
+        F.lit(0.5) * F.col("s_p")
+        + F.lit(0.5)
+        * (F.col("s_q") + F.lit(_LN2) * (F.lit(1.0) - F.col("qin"))),
+        6,
+    )
+    return agg.select("source", "n_terms", jsd.alias("jsd_nats")).orderBy(
+        "source"
+    )
+
+
+def cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the stored language label and the
+    char-trigram language-ID prediction — the chance-corrected agreement
+    score that turns trigram_langid_confusion's matrix into one
+    monitorable number (kappa < threshold is the labeler-drift alarm).
+    Built ON the confusion matrix: po = diag/N; pe = Σ row·col / N²
+    with the products summed as DECIMAL(38,0) (exact at any scale — a
+    BIGINT product would overflow at 100-TB doc counts); kappa =
+    (po − pe)/(1 − pe) is one fixed IEEE chain on those exact sums."""
+    conf = trigram_langid_confusion(spark, sf_dir)
+    n = conf.agg(F.sum("n_docs").cast("long").alias("n"))
+    diag = conf.filter(F.col("lang") == F.col("predicted")).agg(
+        F.sum("n_docs").cast("long").alias("n_agree")
+    )
+    rows = conf.groupBy("lang").agg(F.sum("n_docs").cast("long").alias("rn"))
+    cols = conf.groupBy("predicted").agg(
+        F.sum("n_docs").cast("long").alias("cn")
+    )
+    pe_num = (
+        rows.join(cols, rows["lang"] == cols["predicted"])
+        .select(
+            (F.col("rn").cast("decimal(38,0)") * F.col("cn").cast("decimal(38,0)")).alias("rc")
+        )
+        .agg(F.sum("rc").cast("double").alias("pe_num"))
+    )
+    j = n.crossJoin(diag).crossJoin(pe_num)
+    po = F.col("n_agree").cast("double") / F.col("n").cast("double")
+    pe = F.col("pe_num") / (F.col("n").cast("double") * F.col("n").cast("double"))
+    return j.select(
+        "n",
+        "n_agree",
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.round((po - pe) / (F.lit(1.0) - pe), 6).alias("kappa"),
+    )
