@@ -783,6 +783,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_balance_audit": textstats.split_balance_audit,
         "jsd_by_source": textstats.jsd_by_source,
         "cohens_kappa": textstats.cohens_kappa,
+        # batch 56: Cramér's V, two-proportion z-test, hourly chi² GoF,
+        # Theil inequality, dup-cluster source mix
+        "cramers_v_lang_source": textstats.cramers_v_lang_source,
+        "two_proportion_z_test": parity.two_proportion_z_test,
+        "chi2_hourly_uniformity": parity.chi2_hourly_uniformity,
+        "theil_index_by_source": textstats.theil_index_by_source,
+        "dup_cluster_source_mix": curation.dup_cluster_source_mix,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})
@@ -1639,4 +1646,19 @@ WHERE len(list_filter(range(1, len(toks)), i ->
     )
     out["jsd_by_source"] = jsd_by_source_sql(_LN2)
     out["cohens_kappa"] = COHENS_KAPPA_SQL
+
+    # batch 56
+    from lucene_mapreduce_spark.operators.oracles import (
+        CHI2_HOURLY_SQL,
+        CRAMERS_V_SQL,
+        THEIL_BY_SOURCE_SQL,
+        two_proportion_z_sql,
+    )
+
+    out["cramers_v_lang_source"] = CRAMERS_V_SQL
+    out["two_proportion_z_test"] = two_proportion_z_sql(
+        "purchase", parity.Z_CRIT_95
+    )
+    out["chi2_hourly_uniformity"] = CHI2_HOURLY_SQL
+    out["theil_index_by_source"] = THEIL_BY_SOURCE_SQL
     return out

@@ -237,3 +237,32 @@ def near_dup_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
         .orderBy("degree")
     )
+
+
+def dup_cluster_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mix histogram over near-dup clusters — the cross-source
+    contamination view of the dedup graph (a cluster spanning many
+    sources means the same text is syndicated across crawls; the pairwise
+    face is near_dup_leakage_matrix, this is the cluster-level rollup):
+    per connected component, count members and distinct sources, then
+    histogram clusters by source count. Components come from the
+    large-star/small-star MinHash-LSH graph; everything after is two
+    bounded groupBys."""
+    comp = near_dup_components(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    per = (
+        comp.join(docs, "doc_id")
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+        )
+    )
+    return (
+        per.groupBy("n_sources")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum("n_members").cast("long").alias("n_docs"),
+        )
+        .orderBy("n_sources")
+    )

@@ -10401,3 +10401,145 @@ SELECT n, n_agree,
              / (1.0 - pe_num / (n::DOUBLE * n::DOUBLE)), 6) AS kappa
 FROM n CROSS JOIN diag CROSS JOIN pe
 """
+
+
+# --------------------------------------------------------------- batch 56
+CRAMERS_V_SQL = """
+WITH cells AS (
+  SELECT source, lang, count(*)::BIGINT AS o FROM documents GROUP BY 1, 2
+),
+rows_m AS (SELECT source, sum(o)::BIGINT AS rt FROM cells GROUP BY 1),
+cols_m AS (SELECT lang, sum(o)::BIGINT AS ct FROM cells GROUP BY 1),
+nn AS (SELECT sum(o)::BIGINT AS n FROM cells),
+contribs AS (
+  SELECT c.source, c.lang,
+         (c.o::DOUBLE - r.rt::DOUBLE * l.ct::DOUBLE / nn.n::DOUBLE)
+         * (c.o::DOUBLE - r.rt::DOUBLE * l.ct::DOUBLE / nn.n::DOUBLE)
+         / (r.rt::DOUBLE * l.ct::DOUBLE / nn.n::DOUBLE) AS c
+  FROM cells c
+  JOIN rows_m r USING (source)
+  JOIN cols_m l USING (lang)
+  CROSS JOIN nn
+),
+folded AS (
+  SELECT list_reduce(list_prepend(0.0,
+           list(c ORDER BY source, lang)), (a, b) -> a + b) AS chi2_raw
+  FROM contribs
+),
+dims AS (
+  SELECT (SELECT count(*) FROM rows_m)::BIGINT AS nr,
+         (SELECT count(*) FROM cols_m)::BIGINT AS nc
+)
+SELECT nn.n,
+       round(f.chi2_raw, 6) AS chi2,
+       ((d.nr - 1) * (d.nc - 1))::BIGINT AS dof,
+       round(sqrt(f.chi2_raw
+                  / (nn.n::DOUBLE * (least(d.nr, d.nc) - 1)::DOUBLE)), 6)
+         AS cramers_v
+FROM folded f CROSS JOIN nn CROSS JOIN dims d
+"""
+
+
+def two_proportion_z_sql(success: str, z_crit: float) -> str:
+    """Two-proportion z twin: pinned dow rule, exact cell counts, one
+    shared pooled-z chain."""
+    return f"""
+WITH tagged AS (
+  SELECT CASE WHEN ((strftime(ts, '%Y-%m-%d')::DATE - DATE '2024-01-01') % 7)
+                   >= 5
+              THEN 'weekend' ELSE 'weekday' END AS grp,
+         CASE WHEN event_type = '{success}' THEN 1 ELSE 0 END AS s
+  FROM events
+),
+agg AS (
+  SELECT grp, count(*)::BIGINT AS n, sum(s)::BIGINT AS x
+  FROM tagged GROUP BY 1
+),
+wide AS (
+  SELECT max(CASE WHEN grp = 'weekend' THEN n END) AS n1,
+         max(CASE WHEN grp = 'weekend' THEN x END) AS x1,
+         max(CASE WHEN grp = 'weekday' THEN n END) AS n2,
+         max(CASE WHEN grp = 'weekday' THEN x END) AS x2
+  FROM agg
+),
+zc AS (
+  SELECT n1, x1, n2, x2,
+         x1::DOUBLE / n1::DOUBLE AS p1,
+         x2::DOUBLE / n2::DOUBLE AS p2,
+         (x1::DOUBLE + x2::DOUBLE) / (n1::DOUBLE + n2::DOUBLE) AS pp
+  FROM wide
+)
+SELECT n1::BIGINT AS n_weekend, x1::BIGINT AS x_weekend,
+       n2::BIGINT AS n_weekday, x2::BIGINT AS x_weekday,
+       round(p1, 6) AS p_weekend, round(p2, 6) AS p_weekday,
+       round((p1 - p2) / sqrt(pp * (1.0 - pp)
+             * (1.0 / n1::DOUBLE + 1.0 / n2::DOUBLE)), 6) AS z,
+       abs((p1 - p2) / sqrt(pp * (1.0 - pp)
+           * (1.0 / n1::DOUBLE + 1.0 / n2::DOUBLE))) > {z_crit!r}
+         AS significant
+FROM zc
+"""
+
+
+CHI2_HOURLY_SQL = """
+WITH counts AS (
+  SELECT (epoch_us(ts) // 3600000000) % 24 AS hour, count(*)::BIGINT AS o
+  FROM events GROUP BY 1
+),
+hours AS (SELECT unnest(range(24))::BIGINT AS hour),
+filled AS (
+  SELECT h.hour, coalesce(c.o, 0)::BIGINT AS o
+  FROM hours h LEFT JOIN counts c USING (hour)
+),
+nn AS (SELECT sum(o)::BIGINT AS n FROM filled),
+contribs AS (
+  SELECT hour,
+         (o::DOUBLE - nn.n::DOUBLE / 24.0)
+         * (o::DOUBLE - nn.n::DOUBLE / 24.0)
+         / (nn.n::DOUBLE / 24.0) AS c
+  FROM filled CROSS JOIN nn
+)
+SELECT nn.n, 24::BIGINT AS n_cells, 23::BIGINT AS dof,
+       (SELECT round(list_reduce(list_prepend(0.0, list(c ORDER BY hour)),
+                                 (a, b) -> a + b), 6) FROM contribs) AS chi2
+FROM nn
+"""
+
+
+THEIL_BY_SOURCE_SQL = f"""
+WITH per AS (
+  SELECT source, len({TOKS})::BIGINT AS dl FROM documents
+  WHERE len({TOKS}) > 0
+),
+stats AS (
+  SELECT source, count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS tot
+  FROM per GROUP BY 1
+),
+c AS (
+  SELECT p.source,
+         round((p.dl::DOUBLE / (s.tot::DOUBLE / s.n_docs::DOUBLE))
+               * ln(p.dl::DOUBLE / (s.tot::DOUBLE / s.n_docs::DOUBLE)),
+               12)::DECIMAL(28,12) AS c
+  FROM per p JOIN stats s USING (source)
+),
+agg AS (SELECT source, sum(c)::DOUBLE AS s FROM c GROUP BY 1)
+SELECT a.source, st.n_docs,
+       round(st.tot::DOUBLE / st.n_docs::DOUBLE, 6) AS mean_dl,
+       round(a.s / st.n_docs::DOUBLE, 6) AS theil_t
+FROM agg a JOIN stats st USING (source)
+ORDER BY a.source
+"""
+
+
+ORACLES["dup_cluster_source_mix"] = f"""
+WITH comp AS (SELECT * FROM ({ORACLES["near_dup_components"]}) t),
+per AS (
+  SELECT c.component, count(*)::BIGINT AS n_members,
+         count(DISTINCT d.source)::BIGINT AS n_sources
+  FROM comp c JOIN documents d USING (doc_id)
+  GROUP BY 1
+)
+SELECT n_sources, count(*)::BIGINT AS n_clusters,
+       sum(n_members)::BIGINT AS n_docs
+FROM per GROUP BY 1 ORDER BY 1
+"""

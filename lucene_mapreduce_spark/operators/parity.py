@@ -3060,3 +3060,97 @@ def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("no_trend")
         .alias("trend"),
     )
+
+
+# ------------------------------------------- batch 56: hypothesis testing
+Z_CRIT_95 = 1.96
+
+
+def two_proportion_z_test(
+    spark: SparkSession, sf_dir: str, success: str = "purchase"
+) -> DataFrame:
+    """Two-proportion pooled z-test: weekend vs weekday conversion rate
+    (share of `success` events) — the A/B-style proportion test missing
+    next to t_test_agg (means), mann_whitney_u (ranks) and ks_two_sample
+    (distributions). Day-of-week uses the pinned (day − 2024-01-01) % 7
+    rule (2024-01-01 is a Monday ⇒ weekend = dow 5,6), never engine
+    dow(). All four cell counts are exact BIGINTs; p1/p2/pooled-p/z is
+    one fixed IEEE chain on them (sqrt correctly rounded); significance
+    compares the UNROUNDED |z| to 1.96."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    )
+    dow = F.pmod(F.datediff(F.to_date("day"), F.lit("2024-01-01")), F.lit(7))
+    tagged = ev.select(
+        F.when(dow >= 5, F.lit("weekend")).otherwise(F.lit("weekday")).alias(
+            "grp"
+        ),
+        F.when(F.col("event_type") == success, 1).otherwise(0).alias("s"),
+    )
+    agg = tagged.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("s").cast("long").alias("x"),
+    )
+    wide = agg.groupBy().pivot("grp", ["weekend", "weekday"]).agg(
+        F.first("n").alias("n"), F.first("x").alias("x")
+    )
+    n1, x1 = F.col("weekend_n").cast("double"), F.col("weekend_x").cast("double")
+    n2, x2 = F.col("weekday_n").cast("double"), F.col("weekday_x").cast("double")
+    p1, p2 = x1 / n1, x2 / n2
+    pp = (x1 + x2) / (n1 + n2)
+    z = (p1 - p2) / F.sqrt(
+        pp * (F.lit(1.0) - pp) * (F.lit(1.0) / n1 + F.lit(1.0) / n2)
+    )
+    return wide.select(
+        F.col("weekend_n").cast("long").alias("n_weekend"),
+        F.col("weekend_x").cast("long").alias("x_weekend"),
+        F.col("weekday_n").cast("long").alias("n_weekday"),
+        F.col("weekday_x").cast("long").alias("x_weekday"),
+        F.round(p1, 6).alias("p_weekend"),
+        F.round(p2, 6).alias("p_weekday"),
+        F.round(z, 6).alias("z"),
+        (F.abs(z) > F.lit(Z_CRIT_95)).alias("significant"),
+    )
+
+
+def chi2_hourly_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared goodness-of-fit of the hour-of-day event histogram
+    against the uniform model — the diurnal-skew test on top of
+    hourly_activity_profile's crosstab (lang_source_independence is the
+    independence flavor; this is GoF with pinned e = N/24). Hours use
+    the exact integer (us div 3600e6) % 24 rule; all 24 cells are
+    gap-filled so empty hours still contribute (0−e)²/e; the fold runs
+    in ascending-hour order (24 cells, bounded)."""
+    ev = load(spark, sf_dir, "events").select(
+        (
+            F.expr("unix_micros(cast(ts as timestamp)) div 3600000000") % 24
+        ).cast("long").alias("hour")
+    )
+    counts = ev.groupBy("hour").agg(F.count(F.lit(1)).cast("long").alias("o"))
+    hours = spark.range(24).select(F.col("id").cast("long").alias("hour"))
+    filled = hours.join(counts, "hour", "left").select(
+        "hour", F.coalesce("o", F.lit(0)).cast("long").alias("o")
+    )
+    n = filled.agg(F.sum("o").cast("long").alias("n"))
+    e = F.col("n").cast("double") / F.lit(24.0)
+    contrib = (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e
+    j = filled.crossJoin(F.broadcast(n)).select("hour", contrib.alias("c"))
+    return (
+        j.agg(
+            F.round(
+                F.aggregate(
+                    F.sort_array(F.collect_list(F.struct("hour", "c"))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["c"],
+                ),
+                6,
+            ).alias("chi2")
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "n",
+            F.lit(24).cast("long").alias("n_cells"),
+            F.lit(23).cast("long").alias("dof"),
+            "chi2",
+        )
+    )

@@ -4062,3 +4062,98 @@ def cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pe, 6).alias("pe"),
         F.round((po - pe) / (F.lit(1.0) - pe), 6).alias("kappa"),
     )
+
+
+# -------------------------------------- batch 56: association + inequality
+def cramers_v_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V over the (source, lang) contingency table — the
+    normalized ([0,1]) effect-size companion to
+    lang_source_independence's raw chi² (chi² grows with N; V is what a
+    release-over-release dashboard compares): V = sqrt(chi² / (N·(min(R,
+    C)−1))). The chi² fold is the house ascending-(source,lang) struct
+    fold on exact-integer margins, kept UNROUNDED for the V chain (round
+    once per output — the bucket_selector rule); sqrt is correctly
+    rounded IEEE."""
+    docs = load(spark, sf_dir, "documents")
+    cells = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    )
+    rows = cells.groupBy("source").agg(F.sum("o").cast("long").alias("rt"))
+    cols = cells.groupBy("lang").agg(F.sum("o").cast("long").alias("ct"))
+    n = cells.agg(F.sum("o").cast("long").alias("n"))
+    e = (
+        F.col("rt").cast("double")
+        * F.col("ct").cast("double")
+        / F.col("n").cast("double")
+    )
+    contrib = (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e
+    j = (
+        cells.join(F.broadcast(rows), "source")
+        .join(F.broadcast(cols), "lang")
+        .crossJoin(F.broadcast(n))
+        .select("source", "lang", contrib.alias("c"))
+    )
+    folded = j.agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("source", "lang", "c"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["c"],
+        ).alias("chi2_raw")
+    )
+    r = rows.agg(F.count(F.lit(1)).cast("long").alias("nr"))
+    c = cols.agg(F.count(F.lit(1)).cast("long").alias("nc"))
+    j2 = (
+        folded.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(r))
+        .crossJoin(F.broadcast(c))
+    )
+    v = F.sqrt(
+        F.col("chi2_raw")
+        / (
+            F.col("n").cast("double")
+            * (F.least("nr", "nc") - F.lit(1)).cast("double")
+        )
+    )
+    return j2.select(
+        "n",
+        F.round(F.col("chi2_raw"), 6).alias("chi2"),
+        ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("long").alias("dof"),
+        F.round(v, 6).alias("cramers_v"),
+    )
+
+
+def theil_index_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index of document lengths per source — the
+    decomposable entropy-based inequality measure next to
+    gini_coefficient (Theil is what mixture dashboards use because
+    between/within-group terms add up): T = (1/n) Σ (x/μ)·ln(x/μ). μ is
+    exact-integer sum / count; each doc's contribution is one fixed IEEE
+    chain rounded 12dp and summed DECIMAL(28,12) (the KL rule), divided
+    by n once. Zero-length docs are excluded (ln undefined)."""
+    docs = load(spark, sf_dir, "documents")
+    per = docs.select(
+        "source", F.size(tokenize_col("text")).cast("long").alias("dl")
+    ).filter(F.col("dl") > 0)
+    stats = per.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("tot"),
+    )
+    mu = F.col("tot").cast("double") / F.col("n_docs").cast("double")
+    x = F.col("dl").cast("double")
+    contrib = F.round((x / mu) * F.log(x / mu), 12).cast("decimal(28,12)")
+    j = per.join(F.broadcast(stats), "source").select(
+        "source", contrib.alias("c")
+    )
+    agg = j.groupBy("source").agg(F.sum("c").cast("double").alias("s"))
+    return (
+        agg.join(stats, "source")
+        .select(
+            "source",
+            "n_docs",
+            F.round(mu, 6).alias("mean_dl"),
+            F.round(F.col("s") / F.col("n_docs").cast("double"), 6).alias(
+                "theil_t"
+            ),
+        )
+        .orderBy("source")
+    )
