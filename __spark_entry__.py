@@ -790,6 +790,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi2_hourly_uniformity": parity.chi2_hourly_uniformity,
         "theil_index_by_source": textstats.theil_index_by_source,
         "dup_cluster_source_mix": curation.dup_cluster_source_mix,
+        # batch 57: IVF-PQ composite ANN, Poisson bootstrap CI, dataset card
+        "ann_ivf_pq_topk": ivf.ann_ivf_pq_topk,
+        "poisson_bootstrap_ci": textstats.poisson_bootstrap_ci,
+        "dataset_card_report": textstats.dataset_card_report,
+        # batch 58: graph explore, LTR features, code-switch, burst bots
+        "graph_explore": fulltext.graph_explore,
+        "ltr_feature_log": fulltext.ltr_feature_log,
+        "code_switch_stats": textstats.code_switch_stats,
+        "bot_burst_detection": parity.bot_burst_detection,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})
@@ -1661,4 +1670,53 @@ WHERE len(list_filter(range(1, len(toks)), i ->
     )
     out["chi2_hourly_uniformity"] = CHI2_HOURLY_SQL
     out["theil_index_by_source"] = THEIL_BY_SOURCE_SQL
+
+    # batch 57
+    from lucene_mapreduce_spark.operators.ivf import N_PROBE
+    from lucene_mapreduce_spark.operators.oracles import (
+        DATASET_CARD_SQL,
+        ann_ivf_pq_sql,
+        poisson_bootstrap_sql,
+    )
+    from lucene_mapreduce_spark.operators.similarity import QUERY_VEC_ID
+    from lucene_mapreduce_spark.operators.textstats import (
+        _POIS1_CDF,
+        BOOTSTRAP_B,
+    )
+
+    out["ann_ivf_pq_topk"] = ann_ivf_pq_sql(
+        PQ_M, PQ_SUBDIM, PQ_K, QUERY_VEC_ID, N_PROBE, 10
+    )
+    out["poisson_bootstrap_ci"] = poisson_bootstrap_sql(
+        BOOTSTRAP_B, _POIS1_CDF
+    )
+    out["dataset_card_report"] = DATASET_CARD_SQL
+
+    # batch 58
+    from lucene_mapreduce_spark.operators.fulltext import (
+        GRAPH_H1,
+        GRAPH_H2,
+        GRAPH_SEED_TERM,
+        LTR_K,
+    )
+    from lucene_mapreduce_spark.operators.oracles import (
+        bot_burst_sql,
+        code_switch_sql,
+        graph_explore_sql,
+        ltr_feature_log_sql,
+    )
+    from lucene_mapreduce_spark.operators.parity import (
+        BURST_BOT_THRESHOLD,
+        BURST_WINDOW_S,
+    )
+    from lucene_mapreduce_spark.operators.textstats import STOPWORDS
+
+    out["graph_explore"] = graph_explore_sql(GRAPH_SEED_TERM, GRAPH_H1, GRAPH_H2)
+    out["ltr_feature_log"] = ltr_feature_log_sql(
+        fulltext.FLAGSHIP_QUERY, LTR_K
+    )
+    out["code_switch_stats"] = code_switch_sql(STOPWORDS)
+    out["bot_burst_detection"] = bot_burst_sql(
+        BURST_WINDOW_S, BURST_BOT_THRESHOLD
+    )
     return out

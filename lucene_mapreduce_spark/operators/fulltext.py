@@ -6378,3 +6378,154 @@ def terms_partition_agg(
     return ranked_topk(
         counts, [F.desc("doc_count"), F.asc("term")], k
     ).select("term", "doc_count", "rank")
+
+
+# ------------------------------------------------------- batch 58
+GRAPH_SEED_TERM = "table"
+GRAPH_H1 = 5
+GRAPH_H2 = 3
+
+
+def graph_explore(
+    spark: SparkSession,
+    sf_dir: str,
+    seed: str = GRAPH_SEED_TERM,
+    h1: int = GRAPH_H1,
+    h2: int = GRAPH_H2,
+) -> DataFrame:
+    """ES Graph-API explore parity (the `_graph/explore` 2-hop walk):
+    from a seed term, hop-1 vertices are the `h1` terms most often
+    co-occurring with the seed (count of shared docs — the simplest
+    significance mode, `use_significance: false`); hop 2 expands each
+    hop-1 vertex to its `h2` strongest co-occurring terms excluding the
+    seed and every hop-1 vertex. Scores are exact BIGINT doc counts (no
+    float anywhere); ties break term-ascending. Output = the connections
+    table (depth, parent, term, score, per-parent rank).
+
+    Scale shape: the term-doc relation is the distinct postings pair set
+    (token-volume explode collapsed by distinct — one shuffle); each hop
+    is an equi-join on doc_id + one map-side-combinable count. The only
+    driver materialization is the h1-row frontier (bounded by the h1
+    parameter, never the corpus)."""
+    from pyspark.sql import Window
+
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_col
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+
+    docs = load(spark, sf_dir, "documents")
+    dt = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokenize_col("text"))).alias("term")
+    )
+    seed_docs = dt.filter(F.col("term") == seed).select("doc_id")
+    h1_counts = (
+        dt.join(seed_docs, "doc_id")
+        .filter(F.col("term") != seed)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("score"))
+    )
+    hop1 = ranked_topk(h1_counts, [F.desc("score"), F.asc("term")], h1)
+    # bounded frontier: exactly h1 rows cross the driver
+    hop1_terms = [r["term"] for r in hop1.select("term").collect()]
+    parents = dt.filter(F.col("term").isin(hop1_terms)).select(
+        "doc_id", F.col("term").alias("parent")
+    )
+    excluded = hop1_terms + [seed]
+    h2_counts = (
+        parents.join(dt, "doc_id")
+        .filter(~F.col("term").isin(excluded))
+        .groupBy("parent", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("score"))
+    )
+    w = Window.partitionBy("parent").orderBy(F.desc("score"), F.asc("term"))
+    hop2 = (
+        h2_counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= h2)
+    )
+    d1 = hop1.select(
+        F.lit(1).alias("depth"),
+        F.lit(seed).alias("parent"),
+        "term",
+        "score",
+        "rank",
+    )
+    d2 = hop2.select(F.lit(2).alias("depth"), "parent", "term", "score", "rank")
+    return d1.unionByName(d2).orderBy("depth", "parent", "rank")
+
+
+LTR_K = 20
+
+
+def ltr_feature_log(
+    spark: SparkSession,
+    sf_dir: str,
+    query_text: str = FLAGSHIP_QUERY,
+    k: int = LTR_K,
+) -> DataFrame:
+    """Learning-to-rank feature extraction (the ES LTR plugin's
+    feature-logging mode / Lucene expressions feature sets): for the
+    top-k BM25 hits of the flagship query, emit the per-(query, doc)
+    feature vector a ranker trains on — matched-term count, total and
+    max tf, min df across matched terms, doc length, and the BM25 score
+    itself. Integer features are exact; the only float is the
+    6dp-rounded canonical-fold BM25 (rank on the ROUNDED score both
+    engines — the house rule). One postings build + broadcast qterm
+    joins; features ride the same groupBy that folds the score."""
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_string
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+    from lucene_mapreduce_spark.query.bm25 import B, K1
+
+    docs = load(spark, sf_dir, "documents")
+    postings, doclens = corpus_postings(docs)
+    stats = doclens.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    )
+    qts = sorted(set(tokenize_string(query_text)))
+    qframe = spark.createDataFrame([(t,) for t in qts], "term string")
+    df_t = (
+        postings.join(F.broadcast(qframe), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df_t"))
+    )
+    matched = (
+        postings.join(F.broadcast(qframe), "term")
+        .join(F.broadcast(df_t), "term")
+        .join(doclens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df_t") + F.lit(0.5))
+        / (F.col("df_t") + F.lit(0.5))
+    )
+    tf = F.col("tf").cast("double")
+    dl = F.col("dl").cast("double")
+    contrib = (
+        idf
+        * (tf * F.lit(K1 + 1.0))
+        / (tf + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * dl / F.col("avgdl")))
+    )
+    feats = (
+        matched.select(
+            "doc_id", "term", "tf", "df_t", "dl", contrib.alias("contrib")
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_matched"),
+            F.sum("tf").cast("long").alias("sum_tf"),
+            F.max("tf").cast("long").alias("max_tf"),
+            F.min("df_t").cast("long").alias("min_df"),
+            F.max("dl").cast("long").alias("dl"),
+            F.round(
+                F.aggregate(
+                    F.sort_array(F.collect_list(F.struct("term", "contrib"))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["contrib"],
+                ),
+                6,
+            ).alias("bm25"),
+        )
+    )
+    return ranked_topk(feats, [F.desc("bm25"), F.asc("doc_id")], k).select(
+        "doc_id", "n_matched", "sum_tf", "max_tf", "min_df", "dl", "bm25", "rank"
+    )

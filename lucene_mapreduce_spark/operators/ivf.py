@@ -416,3 +416,97 @@ def ivf_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "imbalance"
         ),
     ).orderBy("list_id")
+
+
+def ann_ivf_pq_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 10,
+    nprobe: int = N_PROBE,
+) -> DataFrame:
+    """IVF-PQ composite ANN (the Faiss IndexIVFPQ shape — the memory-
+    bound scale path: coarse lists cut the scan to nprobe/C of the
+    corpus, PQ codes cut per-candidate cost to M table lookups): probe
+    selection and list assignment are EXACTLY ann_ivf_topk's (argmax
+    cosine, ties to smaller cid); candidates inside the probed lists are
+    ranked by PQ/ADC squared-L2 (ann_pq_topk's encode: 6dp-rounded
+    sequential subspace folds, argmin ties to lowest codeword,
+    ascending-m ADC sum). Pinned composite: cosine coarse metric over an
+    L2 fine metric — both chains already hash-gated individually.
+    Scale: candidate encode is |probed| x PQ_K x PQ_M broadcast work; at
+    10^12 vectors the codes for a list page in as 2 B/vector."""
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+    from lucene_mapreduce_spark.operators.similarity import (
+        PQ_K,
+        PQ_M,
+        PQ_SUBDIM,
+    )
+
+    cents = _centroids(spark, sf_dir)
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    qrow = emb.filter(F.col("vec_id") == QUERY_VEC_ID).collect()[0]
+    probes = _probe_lists([float(x) for x in qrow["v"]], cents, nprobe)
+    cand = (
+        assign_lists(spark, sf_dir, centroids=cents)
+        .filter(F.col("list_id").isin([int(p) for p in probes]))
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
+    pq_cents = emb.where(
+        (F.col("vec_id") >= 1) & (F.col("vec_id") <= PQ_K)
+    ).select(F.col("vec_id").cast("int").alias("cid"), F.col("v").alias("cv"))
+    ms = spark.range(PQ_M).select(F.col("id").cast("int").alias("m"))
+
+    def subdist(vcol, ccol):
+        dims = F.sequence(
+            F.col("m") * PQ_SUBDIM + 1, (F.col("m") + 1) * PQ_SUBDIM
+        )
+        return F.round(
+            F.aggregate(
+                dims,
+                F.lit(0.0),
+                lambda acc, d: acc
+                + (F.element_at(vcol, d) - F.element_at(ccol, d))
+                * (F.element_at(vcol, d) - F.element_at(ccol, d)),
+            ),
+            6,
+        )
+
+    tri = (
+        cand.crossJoin(F.broadcast(ms))
+        .crossJoin(F.broadcast(pq_cents))
+        .select(
+            "vec_id", "m", "cid", subdist(F.col("v"), F.col("cv")).alias("d")
+        )
+    )
+    w = Window.partitionBy("vec_id", "m").orderBy(F.asc("d"), F.asc("cid"))
+    codes = (
+        tri.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "m", "cid")
+    )
+    qtab = (
+        emb.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .crossJoin(F.broadcast(ms))
+        .crossJoin(F.broadcast(pq_cents))
+        .select("m", "cid", subdist(F.col("v"), F.col("cv")).alias("qd"))
+    )
+    adc = (
+        codes.join(F.broadcast(qtab), ["m", "cid"])
+        .groupBy("vec_id")
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.sort_array(F.collect_list(F.struct("m", "qd"))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["qd"],
+                ),
+                6,
+            ).alias("approx_dist")
+        )
+    )
+    return ranked_topk(
+        adc, [F.asc("approx_dist"), F.asc("vec_id")], k
+    ).select("vec_id", "approx_dist", "rank")

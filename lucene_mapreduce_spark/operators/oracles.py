@@ -10543,3 +10543,295 @@ SELECT n_sources, count(*)::BIGINT AS n_clusters,
        sum(n_members)::BIGINT AS n_docs
 FROM per GROUP BY 1 ORDER BY 1
 """
+
+
+# --------------------------------------------------------------- batch 57
+def ann_ivf_pq_sql(
+    m: int, subdim: int, kcode: int, query_vec_id: int, nprobe: int, k: int
+) -> str:
+    """IVF-PQ twin: ann_ivf's cosine assign/probe CTEs feeding ann_pq's
+    ADC chain, restricted to the probed candidates."""
+    from lucene_mapreduce_spark.operators.ivf import (
+        N_CENTROIDS_MIN,
+        TARGET_LIST_SIZE,
+    )
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"CASE WHEN list_dot_product({a}, {a}) = 0"
+            f" OR list_dot_product({b}, {b}) = 0 THEN -2.0"
+            f" ELSE list_dot_product({a}, {b})"
+            f" / (sqrt(list_dot_product({a}, {a}))"
+            f" * sqrt(list_dot_product({b}, {b}))) END"
+        )
+
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+ivf_cents AS (
+  SELECT vec_id AS cid, v AS cv FROM e
+  WHERE vec_id BETWEEN 1 AND
+    (SELECT greatest({N_CENTROIDS_MIN}, count(*) // {TARGET_LIST_SIZE}) FROM e)
+),
+q AS (SELECT v AS qv FROM e WHERE vec_id = {query_vec_id}),
+probe AS (
+  SELECT cid FROM (
+    SELECT c.cid,
+           row_number() OVER (ORDER BY {cos("q.qv", "c.cv")} DESC, c.cid ASC)
+             AS rn
+    FROM ivf_cents c, q
+  ) WHERE rn <= {nprobe}
+),
+assign AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cos("e.v", "c.cv")} DESC, c.cid ASC)
+             AS rn
+    FROM e, ivf_cents c
+  ) WHERE rn = 1
+),
+cand AS (
+  SELECT a.vec_id, a.v FROM assign a JOIN probe p ON a.cid = p.cid
+  WHERE a.vec_id <> {query_vec_id}
+),
+pq_cents AS (
+  SELECT vec_id::INT AS cid, v AS cv FROM e
+  WHERE vec_id BETWEEN 1 AND {kcode}
+),
+ms AS (SELECT unnest(range({m}))::INT AS m),
+tri AS (
+  SELECT c.vec_id, ms.m, pc.cid,
+         round(list_reduce(
+           list_prepend(0.0, list_transform(
+             range(ms.m * {subdim} + 1, ms.m * {subdim} + {subdim} + 1),
+             d -> (c.v[d] - pc.cv[d]) * (c.v[d] - pc.cv[d]))),
+           (a, b) -> a + b), 6) AS d
+  FROM cand c, pq_cents pc, ms
+),
+codes AS (
+  SELECT vec_id, m, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                 ORDER BY d ASC, cid ASC) AS rn
+    FROM tri
+  ) WHERE rn = 1
+),
+qtab AS (
+  SELECT ms.m, pc.cid,
+         round(list_reduce(
+           list_prepend(0.0, list_transform(
+             range(ms.m * {subdim} + 1, ms.m * {subdim} + {subdim} + 1),
+             d -> (q.qv[d] - pc.cv[d]) * (q.qv[d] - pc.cv[d]))),
+           (a, b) -> a + b), 6) AS qd
+  FROM q, pq_cents pc, ms
+),
+adc AS (
+  SELECT c.vec_id,
+         round(list_reduce(list_prepend(0.0, list(t.qd ORDER BY c.m)),
+                           (a, b) -> a + b), 6) AS approx_dist
+  FROM codes c JOIN qtab t USING (m, cid)
+  GROUP BY 1
+)
+SELECT vec_id, approx_dist, rank FROM (
+  SELECT vec_id, approx_dist,
+         row_number() OVER (ORDER BY approx_dist ASC, vec_id ASC) AS rank
+  FROM adc
+) WHERE rank <= {k}
+"""
+
+
+def poisson_bootstrap_sql(b: int, cdf: tuple) -> str:
+    """Poisson-bootstrap twin: md5-uniform inverted through the pinned
+    Poisson(1) CDF literals, exact BIGINT weighted sums, type-7 CI."""
+    h = _MD5_52.format(e="doc_id::VARCHAR || ':boot:' || b::VARCHAR")
+    return f"""
+WITH per AS (
+  SELECT doc_id, len({TOKS})::BIGINT AS dl FROM documents
+),
+reps AS (SELECT unnest(range({b}))::INT AS b),
+wts AS (
+  SELECT per.doc_id, per.dl, reps.b,
+         (CASE WHEN ({h})::DOUBLE / 4503599627370496.0 < {cdf[0]!r} THEN 0
+               WHEN ({h})::DOUBLE / 4503599627370496.0 < {cdf[1]!r} THEN 1
+               WHEN ({h})::DOUBLE / 4503599627370496.0 < {cdf[2]!r} THEN 2
+               WHEN ({h})::DOUBLE / 4503599627370496.0 < {cdf[3]!r} THEN 3
+               WHEN ({h})::DOUBLE / 4503599627370496.0 < {cdf[4]!r} THEN 4
+               ELSE 5 END)::BIGINT AS w
+  FROM per CROSS JOIN reps
+),
+means AS (
+  SELECT b, round(sum(w * dl)::DOUBLE / sum(w)::DOUBLE, 6) AS m
+  FROM wts GROUP BY 1
+),
+stats AS (
+  SELECT count(*)::BIGINT AS n_docs,
+         round(sum(dl)::DOUBLE / count(*)::DOUBLE, 6) AS mean_dl
+  FROM per
+),
+ci AS (
+  SELECT count(*)::BIGINT AS b_replicas,
+         round(quantile_cont(m, 0.025), 6) AS ci_lo,
+         round(quantile_cont(m, 0.5), 6) AS ci_mid,
+         round(quantile_cont(m, 0.975), 6) AS ci_hi
+  FROM means
+)
+SELECT * FROM stats CROSS JOIN ci
+"""
+
+
+DATASET_CARD_SQL = f"""
+WITH groups AS (
+  SELECT md5(text) AS h, count(*)::BIGINT AS gn FROM documents GROUP BY 1
+),
+base AS (
+  SELECT d.source, d.lang, d.n_chars, len({TOKS})::BIGINT AS dl, g.gn
+  FROM documents d JOIN groups g ON md5(d.text) = g.h
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(dl)::BIGINT AS n_tokens,
+       count(DISTINCT lang)::BIGINT AS n_langs,
+       sum(CASE WHEN gn > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_docs,
+       round(sum(CASE WHEN gn > 1 THEN 1 ELSE 0 END)::DOUBLE
+             / count(*)::DOUBLE, 6) AS dup_frac,
+       round(sum(n_chars)::DOUBLE / count(*)::DOUBLE, 6) AS avg_chars
+FROM base GROUP BY 1 ORDER BY 1
+"""
+
+
+# --------------------------------------------------------------- batch 58
+def graph_explore_sql(seed: str, h1: int, h2: int) -> str:
+    """Graph-explore twin: distinct term-doc pairs, two hop CTEs with
+    row_number cuts — all-integer scores, term-ascending ties."""
+    s = seed.replace("'", "''")
+    return f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id, unnest({TOKS}) AS term FROM documents
+  )
+),
+seed_docs AS (SELECT doc_id FROM dt WHERE term = '{s}'),
+h1c AS (
+  SELECT dt.term, count(*)::BIGINT AS score
+  FROM dt JOIN seed_docs USING (doc_id)
+  WHERE dt.term <> '{s}' GROUP BY 1
+),
+hop1 AS (
+  SELECT term, score, rank FROM (
+    SELECT term, score,
+           row_number() OVER (ORDER BY score DESC, term ASC) AS rank
+    FROM h1c
+  ) WHERE rank <= {h1}
+),
+p2 AS (
+  SELECT dt.doc_id, h.term AS parent FROM dt JOIN hop1 h ON dt.term = h.term
+),
+h2c AS (
+  SELECT p2.parent, dt.term, count(*)::BIGINT AS score
+  FROM p2 JOIN dt USING (doc_id)
+  WHERE dt.term <> '{s}' AND dt.term NOT IN (SELECT term FROM hop1)
+  GROUP BY 1, 2
+),
+hop2 AS (
+  SELECT parent, term, score, rank FROM (
+    SELECT parent, term, score,
+           row_number() OVER (PARTITION BY parent
+                              ORDER BY score DESC, term ASC) AS rank
+    FROM h2c
+  ) WHERE rank <= {h2}
+)
+SELECT 1 AS depth, '{s}' AS parent, term, score, rank FROM hop1
+UNION ALL
+SELECT 2 AS depth, parent, term, score, rank FROM hop2
+ORDER BY depth, parent, rank
+"""
+
+
+def ltr_feature_log_sql(query_text: str, k: int) -> str:
+    """LTR feature-log twin: the plain-sum BM25 oracle (safe for the
+    4-term flagship query) plus exact-integer feature aggregates; rank
+    on the ROUNDED score both engines."""
+    return f"""
+WITH {_qterms_cte(query_text)}
+{_BM25_AGG},
+feats AS (
+  SELECT p.doc_id,
+         count(*)::BIGINT AS n_matched,
+         sum(p.tf)::BIGINT AS sum_tf,
+         max(p.tf)::BIGINT AS max_tf,
+         min(d.df_t)::BIGINT AS min_df,
+         max(l.dl)::BIGINT AS dl
+  FROM postings p
+  JOIN dft d USING (term)
+  JOIN doclens l USING (doc_id)
+  GROUP BY 1
+)
+SELECT doc_id, n_matched, sum_tf, max_tf, min_df, dl, bm25, rank FROM (
+  SELECT f.doc_id, f.n_matched, f.sum_tf, f.max_tf, f.min_df, f.dl,
+         round(a.score, 6) AS bm25,
+         row_number() OVER (ORDER BY round(a.score, 6) DESC, f.doc_id ASC)
+           AS rank
+  FROM feats f JOIN agg a USING (doc_id)
+) WHERE rank <= {k}
+"""
+
+
+def code_switch_sql(stopwords: dict) -> str:
+    """Code-switch twin: per-language marker counts from list_filter over
+    the shared tokenizer, DECIMAL(28,12) minority-fraction sums."""
+    langs = list(stopwords)
+    cnt_exprs = []
+    for lang in langs:
+        lits = ", ".join("'" + w.replace("'", "''") + "'" for w in stopwords[lang])
+        cnt_exprs.append(
+            f"len(list_filter(toks, t -> list_contains([{lits}], t)))::BIGINT"
+            f" AS c_{lang}"
+        )
+    total = " + ".join(f"c_{lang}" for lang in langs)
+    maxc = "greatest(" + ", ".join(f"c_{lang}" for lang in langs) + ")"
+    nlang = " + ".join(
+        f"(CASE WHEN c_{lang} > 0 THEN 1 ELSE 0 END)" for lang in langs
+    )
+    cols = ",\n         ".join(cnt_exprs)
+    return f"""
+WITH t AS (SELECT source, {TOKS} AS toks FROM documents),
+c AS (
+  SELECT source,
+         {cols}
+  FROM t
+),
+feat AS (
+  SELECT source,
+         (CASE WHEN ({total}) > 0 THEN 1 ELSE 0 END) AS marked,
+         (CASE WHEN ({nlang}) >= 2 THEN 1 ELSE 0 END) AS switched,
+         (CASE WHEN ({total}) > 0 THEN
+            round((({total}) - {maxc})::DOUBLE / ({total})::DOUBLE, 12)
+              ::DECIMAL(28,12)
+          END) AS minority_frac
+  FROM c
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(marked)::BIGINT AS n_marked,
+       sum(switched)::BIGINT AS n_switched,
+       round(sum(minority_frac)::DOUBLE / sum(marked)::DOUBLE, 6)
+         AS mean_minority_frac
+FROM feat GROUP BY 1 ORDER BY 1
+"""
+
+
+def bot_burst_sql(window_s: int, threshold: int) -> str:
+    """Burst-detection twin: RANGE frame over integer epoch seconds —
+    simultaneous events are frame peers in both engines."""
+    return f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) // 1000000 AS es FROM events
+),
+b AS (
+  SELECT user_id,
+         count(*) OVER (PARTITION BY user_id ORDER BY es
+                        RANGE BETWEEN {window_s - 1} PRECEDING
+                        AND CURRENT ROW) AS burst
+  FROM e
+)
+SELECT user_id, count(*)::BIGINT AS n_events, max(burst)::BIGINT AS max_burst,
+       (CASE WHEN max(burst) >= {threshold} THEN 1 ELSE 0 END)::INT AS is_bot
+FROM b GROUP BY 1 ORDER BY 1
+"""

@@ -3154,3 +3154,47 @@ def chi2_hourly_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chi2",
         )
     )
+
+
+# ------------------------------------------------------- batch 58
+BURST_WINDOW_S = 86400
+BURST_BOT_THRESHOLD = 8
+
+
+def bot_burst_detection(
+    spark: SparkSession,
+    sf_dir: str,
+    window_s: int = BURST_WINDOW_S,
+    threshold: int = BURST_BOT_THRESHOLD,
+) -> DataFrame:
+    """Per-user burst detection (the rate-limiter / bot-filter audit a
+    crawl-or-abuse pipeline runs): for every event, how many of the
+    user's events fall in the trailing `window_s` seconds — a RANGE
+    window frame on integer epoch seconds, so simultaneous events are
+    frame peers in both engines (a ROWS frame would tie-break
+    arbitrarily). A user whose max burst reaches `threshold` is flagged.
+    All integers end to end. Scale: the window partitions by user_id —
+    embarrassingly parallel, state bounded by one user's window span;
+    the rollup is one map-side-combinable groupBy."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp)) div 1000000").alias("es"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("es")
+        .rangeBetween(-(window_s - 1), 0)
+    )
+    burst = ev.withColumn("burst", F.count(F.lit(1)).over(w))
+    return (
+        burst.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.max("burst").cast("long").alias("max_burst"),
+        )
+        .withColumn(
+            "is_bot",
+            F.when(F.col("max_burst") >= threshold, 1).otherwise(0),
+        )
+        .orderBy("user_id")
+    )

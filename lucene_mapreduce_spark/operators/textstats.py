@@ -4157,3 +4157,185 @@ def theil_index_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------- batch 57: Poisson bootstrap + data card
+# Poisson(1) CDF as shared literals (the house rule: one Python float
+# chain, never each engine's exp()) — P(X<=k) for k = 0..4; weights cap
+# at 5 (P > 0.9996).
+_POIS1_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+)
+BOOTSTRAP_B = 64
+
+
+def poisson_bootstrap_ci(
+    spark: SparkSession, sf_dir: str, b: int = BOOTSTRAP_B
+) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the mean document length
+    — THE distributed bootstrap (Chamandy et al., Google 2012): classic
+    resampling needs a global row index (a corpus-wide shuffle); the
+    Poisson trick gives each (doc, replica) an independent Poisson(1)
+    weight instead, so every replica is one weighted mean computed in the
+    same single pass, no index, no driver loop. Weights come from the
+    engine-shared md5-uniform inverted through the pinned _POIS1_CDF
+    literals (capped at 5); per-replica sums are EXACT BIGINTs (weight x
+    integer dl), means round 6dp, and the 2.5/50/97.5 percentiles over
+    the B replica means are exact type-7 (the percentile ==
+    quantile_cont rule). Cost: B x corpus rows map-side, one groupBy(b),
+    one bounded percentile over B values."""
+    docs = load(spark, sf_dir, "documents")
+    per = docs.select(
+        "doc_id", F.size(tokenize_col("text")).cast("long").alias("dl")
+    )
+    reps = spark.range(b).select(F.col("id").cast("int").alias("b"))
+    u = (
+        _md5_52(
+            F.concat(
+                F.col("doc_id").cast("string"), F.lit(":boot:"),
+                F.col("b").cast("string"),
+            )
+        ).cast("double")
+        / F.lit(4503599627370496.0)  # 2^52
+    )
+    wgt = (
+        F.when(u < _POIS1_CDF[0], 0)
+        .when(u < _POIS1_CDF[1], 1)
+        .when(u < _POIS1_CDF[2], 2)
+        .when(u < _POIS1_CDF[3], 3)
+        .when(u < _POIS1_CDF[4], 4)
+        .otherwise(5)
+        .cast("long")
+    )
+    means = (
+        per.crossJoin(F.broadcast(reps))
+        .select("b", wgt.alias("w"), (wgt * F.col("dl")).alias("wdl"))
+        .groupBy("b")
+        .agg(
+            F.sum("w").cast("long").alias("sw"),
+            F.sum("wdl").cast("long").alias("swdl"),
+        )
+        .select(
+            F.round(
+                F.col("swdl").cast("double") / F.col("sw").cast("double"), 6
+            ).alias("m")
+        )
+    )
+    stats = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(
+            F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("mean_dl"),
+    )
+    ci = means.agg(
+        F.count(F.lit(1)).cast("long").alias("b_replicas"),
+        F.round(F.expr("percentile(m, 0.025)"), 6).alias("ci_lo"),
+        F.round(F.expr("percentile(m, 0.5)"), 6).alias("ci_mid"),
+        F.round(F.expr("percentile(m, 0.975)"), 6).alias("ci_hi"),
+    )
+    return stats.crossJoin(F.broadcast(ci))
+
+
+def dataset_card_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset-card summary — the one-table artifact a corpus
+    release ships (HuggingFace dataset-card statistics section): doc and
+    token counts, language breadth, the exact-duplicate fraction (member
+    docs of any corpus-wide md5(text) group of size > 1 — exact_dedup's
+    membership rule), and mean chars/doc. Integer counts, two
+    map-side-combinable groupBys, one vocab-free hash self-rollup; the
+    only floats are two final rounded divides."""
+    docs = load(spark, sf_dir, "documents")
+    groups = docs.groupBy(F.md5("text").alias("h")).agg(
+        F.count(F.lit(1)).cast("long").alias("gn")
+    )
+    base = docs.select(
+        "source",
+        "lang",
+        "n_chars",
+        F.size(tokenize_col("text")).cast("long").alias("dl"),
+        F.md5("text").alias("h"),
+    ).join(groups, "h")
+    return (
+        base.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("dl").cast("long").alias("n_tokens"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            F.sum(F.when(F.col("gn") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_docs"),
+            F.round(
+                F.sum(F.when(F.col("gn") > 1, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("dup_frac"),
+            F.round(
+                F.sum("n_chars").cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("avg_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+# ----------------------------------- batch 58: code-switch detection
+def code_switch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level code-switch detection rolled up by source — the
+    multilingual-corpus audit a lang-ID pass at document granularity
+    misses (CJK/EN mixing, quoted spans): per document, count marker
+    tokens per language (membership in each STOPWORDS list, counted with
+    multiplicity; a token in several lists votes for each — pinned
+    rule), call a doc `marked` when any marker hits, `switched` when
+    markers from >= 2 languages hit, and measure the minority fraction
+    (1 - majority-language share of marker tokens). Per-source rollup:
+    doc counts are exact integers; the mean minority fraction sums
+    12dp-rounded DECIMAL(28,12) contributions (the scale-safe order-free
+    pattern) before one final divide. Single corpus scan, one groupBy —
+    shuffle-free per-row feature extraction."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tokenize_col("text")
+    langs = list(STOPWORDS)
+    cnts = []
+    def _marker_count(words):
+        arr = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    for lang in langs:
+        cnts.append(
+            _marker_count(STOPWORDS[lang]).cast("long").alias(f"c_{lang}")
+        )
+    per = docs.select("source", *cnts)
+    total = sum(F.col(f"c_{lang}") for lang in langs)
+    maxc = F.greatest(*[F.col(f"c_{lang}") for lang in langs])
+    nlang = sum(
+        F.when(F.col(f"c_{lang}") > 0, 1).otherwise(0) for lang in langs
+    )
+    minority = (total - maxc).cast("double") / total.cast("double")
+    feat = per.select(
+        "source",
+        (total > 0).cast("int").alias("marked"),
+        (nlang >= 2).cast("int").alias("switched"),
+        F.when(
+            total > 0,
+            F.round(minority, 12).cast("decimal(28,12)"),
+        ).alias("minority_frac"),
+    )
+    return (
+        feat.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("marked").cast("long").alias("n_marked"),
+            F.sum("switched").cast("long").alias("n_switched"),
+            F.round(
+                F.sum("minority_frac").cast("double")
+                / F.sum("marked").cast("double"),
+                6,
+            ).alias("mean_minority_frac"),
+        )
+        .orderBy("source")
+    )
