@@ -799,6 +799,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ltr_feature_log": fulltext.ltr_feature_log,
         "code_switch_stats": textstats.code_switch_stats,
         "bot_burst_detection": parity.bot_burst_detection,
+        # batch 59: curation funnel, windowFunnel, ingest simulate, relaxation
+        "curation_funnel_report": curation.curation_funnel_report,
+        "window_funnel_steps": parity.window_funnel_steps,
+        "ingest_pipeline_simulate": textstats.ingest_pipeline_simulate,
+        "query_relaxation_ladder": fulltext.query_relaxation_ladder,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})
@@ -1718,5 +1723,20 @@ WHERE len(list_filter(range(1, len(toks)), i ->
     out["code_switch_stats"] = code_switch_sql(STOPWORDS)
     out["bot_burst_detection"] = bot_burst_sql(
         BURST_WINDOW_S, BURST_BOT_THRESHOLD
+    )
+
+    # batch 59
+    from lucene_mapreduce_spark.operators.oracles import (
+        relaxation_ladder_sql,
+        window_funnel_sql,
+    )
+    from lucene_mapreduce_spark.operators.parity import (
+        FUNNEL_STEPS,
+        FUNNEL_WINDOW_S,
+    )
+
+    out["window_funnel_steps"] = window_funnel_sql(FUNNEL_WINDOW_S, FUNNEL_STEPS)
+    out["query_relaxation_ladder"] = relaxation_ladder_sql(
+        fulltext.FLAGSHIP_QUERY
     )
     return out

@@ -266,3 +266,32 @@ def dup_cluster_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_sources")
     )
+
+
+# ------------------------------------------------------- batch 59
+def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source filter-funnel survival counts — the chart every corpus
+    curation run publishes (how many docs each cascade stage keeps, per
+    source): stage order pinned to curation_pipeline's keep rule —
+    (1) predicted language 'en', (2) + quality >= floor, (3) + exact-dup
+    keeper, (4) + not a near-dup loser (== `kept`). Counts are cumulative
+    ANDs of the per-doc flags curation_pipeline already computes, so the
+    funnel is one extra groupBy over that audit frame joined to the
+    source column — all exact integers, no new shuffle shape."""
+    flags = curation_pipeline(spark, sf_dir)
+    src = load(spark, sf_dir, "documents").select("doc_id", "source")
+    f = flags.join(src, "doc_id")
+    s1 = F.col("pred_lang") == "en"
+    s2 = s1 & (F.col("quality") >= F.lit(QUALITY_FLOOR))
+    s3 = s2 & F.col("is_keeper")
+    return (
+        f.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(s1.cast("int")).cast("long").alias("n_lang"),
+            F.sum(s2.cast("int")).cast("long").alias("n_quality"),
+            F.sum(s3.cast("int")).cast("long").alias("n_dedup"),
+            F.sum(F.col("kept").cast("int")).cast("long").alias("n_kept"),
+        )
+        .orderBy("source")
+    )

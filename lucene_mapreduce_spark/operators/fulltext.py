@@ -6529,3 +6529,54 @@ def ltr_feature_log(
     return ranked_topk(feats, [F.desc("bm25"), F.asc("doc_id")], k).select(
         "doc_id", "n_matched", "sum_tf", "max_tf", "min_df", "dl", "bm25", "rank"
     )
+
+
+def query_relaxation_ladder(
+    spark: SparkSession,
+    sf_dir: str,
+    query_text: str = FLAGSHIP_QUERY,
+) -> DataFrame:
+    """Query-relaxation ladder (the zero-results fallback a search box
+    runs — ES `common_terms`/cutoff thinking applied as progressive
+    term dropping): starting from the full conjunction, drop the
+    COMMONEST remaining term (global df desc, term asc ties) one step
+    at a time down to the single rarest term, and report the hit count
+    at every step. Step k's hit set = docs containing every surviving
+    term — computed in ONE pass: per-doc matched-term sets against the
+    (broadcast) query vocabulary, then k cumulative containment counts
+    ride the same aggregate. The only driver materialization is the
+    |q|-row df table that fixes the drop order. All-integer output."""
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_col, tokenize_string
+
+    docs = load(spark, sf_dir, "documents")
+    qts = sorted(set(tokenize_string(query_text)))
+    toks = F.array_distinct(tokenize_col("text"))
+    qarr = F.array(*[F.lit(t) for t in qts])
+    matched = docs.select(
+        "doc_id", F.array_intersect(toks, qarr).alias("mt")
+    ).filter(F.size("mt") > 0)
+    # |q| rows cross the driver: the drop order (df desc, term asc)
+    df_rows = (
+        matched.select(F.explode("mt").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df_t"))
+        .collect()
+    )
+    dfs = {r["term"]: r["df_t"] for r in df_rows}
+    order = sorted(qts, key=lambda t: (-dfs.get(t, 0), t))
+    step_aggs = []
+    for k in range(len(order)):
+        remaining = order[k:]
+        need = F.array(*[F.lit(t) for t in remaining])
+        hit = F.size(F.array_intersect(F.col("mt"), need)) == len(remaining)
+        step_aggs.append(
+            F.sum(hit.cast("int")).cast("long").alias(f"h_{k}")
+        )
+    counts = matched.agg(*step_aggs).collect()[0]
+    rows = [
+        (k, len(order) - k, ",".join(sorted(order[k:])), int(counts[f"h_{k}"]))
+        for k in range(len(order))
+    ]
+    return spark.createDataFrame(
+        rows, "step int, n_terms int, terms string, n_hits bigint"
+    ).orderBy("step")

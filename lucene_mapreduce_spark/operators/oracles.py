@@ -10835,3 +10835,106 @@ SELECT user_id, count(*)::BIGINT AS n_events, max(burst)::BIGINT AS max_burst,
        (CASE WHEN max(burst) >= {threshold} THEN 1 ELSE 0 END)::INT AS is_bot
 FROM b GROUP BY 1 ORDER BY 1
 """
+
+
+# --------------------------------------------------------------- batch 59
+ORACLES["curation_funnel_report"] = f"""
+WITH cp AS ({ORACLES["curation_pipeline"]})
+SELECT d.source, count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN cp.pred_lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS n_lang,
+       sum(CASE WHEN cp.pred_lang = 'en' AND cp.quality >= 0.5
+            THEN 1 ELSE 0 END)::BIGINT AS n_quality,
+       sum(CASE WHEN cp.pred_lang = 'en' AND cp.quality >= 0.5
+            AND cp.is_keeper THEN 1 ELSE 0 END)::BIGINT AS n_dedup,
+       sum(CASE WHEN cp.kept THEN 1 ELSE 0 END)::BIGINT AS n_kept
+FROM cp JOIN documents d USING (doc_id)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def window_funnel_sql(window_s: int, steps: tuple) -> str:
+    """windowFunnel twin: per-user sorted step-timestamp lists, greedy
+    next-event chains via nested list_filter/list_min lambdas."""
+    s0, s1, s2 = steps
+    return f"""
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) // 1000000 AS es FROM events
+),
+per AS (
+  SELECT user_id,
+    list_sort(list(es) FILTER (WHERE event_type = '{s0}')) AS ts0,
+    list_sort(list(es) FILTER (WHERE event_type = '{s1}')) AS ts1,
+    list_sort(list(es) FILTER (WHERE event_type = '{s2}')) AS ts2
+  FROM e GROUP BY 1
+),
+d AS (
+  SELECT user_id,
+    CASE
+      WHEN len(list_filter(ts0, v ->
+        coalesce(list_min(list_filter(ts2, x -> x >
+          list_min(list_filter(ts1, c -> c > v)))) <= v + {window_s},
+          false))) > 0 THEN 3
+      WHEN len(list_filter(ts0, v ->
+        coalesce(list_min(list_filter(ts1, c -> c > v)) <= v + {window_s},
+          false))) > 0 THEN 2
+      WHEN len(ts0) > 0 THEN 1
+      ELSE 0 END AS depth
+  FROM per
+)
+SELECT depth, count(*)::BIGINT AS n_users FROM d GROUP BY 1 ORDER BY 1
+"""
+
+
+ORACLES["ingest_pipeline_simulate"] = f"""
+WITH t AS (
+  SELECT doc_id,
+         {duckdb_tokens_sql("regexp_replace(lower(text), '[0-9]+', '0', 'g')")}
+           AS parts
+  FROM documents
+)
+SELECT doc_id, len(parts)::BIGINT AS n_parts,
+       md5(array_to_string(parts, ' ')) AS fingerprint
+FROM t ORDER BY doc_id
+"""
+
+
+def relaxation_ladder_sql(query_text: str) -> str:
+    """Relaxation-ladder twin: df drop order computed in SQL (zero-df
+    query terms kept with df 0, matching the Spark side), per-step
+    containment counts."""
+    qlit = query_text.replace("'", "''")
+    return f"""
+WITH qterms AS (
+  SELECT DISTINCT unnest({duckdb_tokens_sql(f"'{qlit}'")}) AS term
+),
+matched AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id, unnest({TOKS}) AS term FROM documents
+  ) JOIN qterms USING (term)
+),
+dft AS (
+  SELECT q.term, coalesce(c.df_t, 0)::BIGINT AS df_t
+  FROM qterms q LEFT JOIN (
+    SELECT term, count(*)::BIGINT AS df_t FROM matched GROUP BY 1
+  ) c USING (term)
+),
+ranked AS (
+  SELECT term, row_number() OVER (ORDER BY df_t DESC, term ASC) AS dr
+  FROM dft
+),
+nq AS (SELECT count(*)::INT AS n FROM ranked),
+steps AS (SELECT unnest(range((SELECT n FROM nq)))::INT AS step),
+per AS (
+  SELECT s.step, m.doc_id, count(*)::INT AS hit_cnt
+  FROM matched m JOIN ranked r USING (term) CROSS JOIN steps s
+  WHERE r.dr > s.step
+  GROUP BY 1, 2
+)
+SELECT s.step,
+       ((SELECT n FROM nq) - s.step)::INT AS n_terms,
+       (SELECT string_agg(term, ',' ORDER BY term) FROM ranked
+         WHERE dr > s.step) AS terms,
+       (SELECT count(*) FROM per p WHERE p.step = s.step
+          AND p.hit_cnt = (SELECT n FROM nq) - s.step)::BIGINT AS n_hits
+FROM steps s ORDER BY 1
+"""

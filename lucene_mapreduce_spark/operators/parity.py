@@ -3198,3 +3198,64 @@ def bot_burst_detection(
         )
         .orderBy("user_id")
     )
+
+
+FUNNEL_WINDOW_S = 3600
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def window_funnel_steps(
+    spark: SparkSession,
+    sf_dir: str,
+    window_s: int = FUNNEL_WINDOW_S,
+    steps: tuple = FUNNEL_STEPS,
+) -> DataFrame:
+    """ClickHouse `windowFunnel` parity — the TIME-BOUNDED funnel
+    (funnel_analysis is the unbounded strictly-later chain): a user
+    reaches depth d when some chain step1 < step2 < ... < stepd exists
+    with every event inside `window_s` seconds of the chain's FIRST
+    event. Existence reduces to a greedy next-event chain (the earliest
+    step-2 after a step-1 can only help — proof in the funnel literature
+    and checked by the brute-force test): per user, sorted per-step
+    timestamp arrays, then an EXISTS over anchor events with nested
+    array_min(filter(...)) lookups — all codegen, no UDF. Per-user state
+    is that user's event timestamps (the bot_burst_detection bound);
+    the rollup is one groupBy. Output: funnel depth histogram."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr("unix_micros(cast(ts as timestamp)) div 1000000").alias("es"),
+    )
+    arrs = [
+        F.sort_array(
+            F.collect_list(F.when(F.col("event_type") == s, F.col("es")))
+        ).alias(f"ts_{i}")
+        for i, s in enumerate(steps)
+    ]
+    per = ev.groupBy("user_id").agg(*arrs)
+    w = F.lit(window_s)
+
+    # depth >= 1: any step-1 event at all
+    d1 = F.size("ts_0") > 0
+    # depth >= 2: some step-1 v with a step-2 strictly after, within window
+    nxt1 = lambda v: F.array_min(F.filter(F.col("ts_1"), lambda c: c > v))  # noqa: E731
+    d2 = F.coalesce(
+        F.exists(F.col("ts_0"), lambda v: nxt1(v) <= v + w), F.lit(False)
+    )
+    # depth >= 3: earliest step-2 after v, then some step-3 after that,
+    # still within window of v
+    def chain3(v):
+        c = nxt1(v)
+        p = F.array_min(F.filter(F.col("ts_2"), lambda x: x > c))
+        return p <= v + w
+
+    d3 = F.coalesce(F.exists(F.col("ts_0"), chain3), F.lit(False))
+    depth = (
+        F.when(d3, 3).when(d2, 2).when(d1, 1).otherwise(0).alias("depth")
+    )
+    return (
+        per.select(depth)
+        .groupBy("depth")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy("depth")
+    )

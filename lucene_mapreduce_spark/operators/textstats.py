@@ -4339,3 +4339,24 @@ def code_switch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------- batch 59: ingest pipeline simulate
+def ingest_pipeline_simulate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ingest-pipeline `_simulate` parity — the processor chain a
+    cluster runs on every indexed doc, executed as one codegen'd
+    projection: lowercase -> gsub (digit runs collapse to '0') -> split
+    (the shared whitespace analyzer) -> set (n_parts + an md5
+    fingerprint of the normalized text). The fingerprint is the witness
+    column: any divergence in any processor flips it. Shuffle-free
+    per-row work; DuckDB's regexp_replace needs the 'g' flag to match
+    Spark's replace-all default (the house trap list)."""
+    docs = load(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.col("text")), "[0-9]+", "0")
+    parts = tokenize_col(norm)
+    joined = F.array_join(parts, " ")
+    return docs.select(
+        "doc_id",
+        F.size(parts).cast("long").alias("n_parts"),
+        F.md5(joined).alias("fingerprint"),
+    ).orderBy("doc_id")
