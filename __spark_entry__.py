@@ -804,6 +804,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_funnel_steps": parity.window_funnel_steps,
         "ingest_pipeline_simulate": textstats.ingest_pipeline_simulate,
         "query_relaxation_ladder": fulltext.query_relaxation_ladder,
+        # batch 60: KM survival, cohort LTV, multi-word synonym
+        "kaplan_meier_survival": parity.kaplan_meier_survival,
+        "cohort_ltv_curve": parity.cohort_ltv_curve,
+        "multiword_synonym_query": fulltext.multiword_synonym_query,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})
@@ -1738,5 +1742,12 @@ WHERE len(list_filter(range(1, len(toks)), i ->
     out["window_funnel_steps"] = window_funnel_sql(FUNNEL_WINDOW_S, FUNNEL_STEPS)
     out["query_relaxation_ladder"] = relaxation_ladder_sql(
         fulltext.FLAGSHIP_QUERY
+    )
+
+    # batch 60
+    from lucene_mapreduce_spark.operators.oracles import mw_synonym_sql
+
+    out["multiword_synonym_query"] = mw_synonym_sql(
+        fulltext.MW_SYNONYM_TERM, fulltext.MW_SYNONYM_PHRASE, 10
     )
     return out

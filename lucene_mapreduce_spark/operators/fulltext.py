@@ -6580,3 +6580,80 @@ def query_relaxation_ladder(
     return spark.createDataFrame(
         rows, "step int, n_terms int, terms string, n_hits bigint"
     ).orderBy("step")
+
+
+MW_SYNONYM_TERM = "merge"
+MW_SYNONYM_PHRASE = ("hash", "join")
+
+
+def multiword_synonym_query(
+    spark: SparkSession,
+    sf_dir: str,
+    term: str = MW_SYNONYM_TERM,
+    phrase: tuple = MW_SYNONYM_PHRASE,
+    k: int = 10,
+) -> DataFrame:
+    """Multi-word synonym parity (SynonymGraphFilter at query time — the
+    graph case SynonymQuery alone can't express: one side of the synonym
+    set is a PHRASE): 'merge' ≡ "hash join". The phrase side scores like
+    a term whose tf is the adjacent-occurrence count and whose df is the
+    docs containing >= 1 occurrence; the set then blends exactly like
+    synonym_query — tf = sum of member tfs (integers), df = max of
+    member dfs, one pass through BM25. Everything before the single
+    scoring expression is integer arithmetic, so no accumulation-order
+    hazard exists; rank on the 6dp-rounded score. One corpus scan, two
+    scalar aggregates broadcast into the scoring projection.
+
+    Phrase-tf guard: Spark sequence(1, n) DESCENDS when n < 1 (the
+    batch-11 trap) — docs shorter than the phrase pin tf_p = 0."""
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_col
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+    from lucene_mapreduce_spark.query.bm25 import B, K1
+
+    w0, w1 = phrase
+    docs = load(spark, sf_dir, "documents")
+    t = tokenize_col("text")
+    tf_t = F.size(F.filter(t, lambda x: x == F.lit(term)))
+    tf_p = F.when(
+        F.size(t) >= 2,
+        F.size(
+            F.filter(
+                F.sequence(F.lit(1), F.size(t) - 1),
+                lambda i: (F.element_at(t, i) == F.lit(w0))
+                & (F.element_at(t, i + 1) == F.lit(w1)),
+            )
+        ),
+    ).otherwise(F.lit(0))
+    per = docs.select(
+        "doc_id",
+        F.size(t).cast("long").alias("dl"),
+        tf_t.cast("long").alias("tf_t"),
+        tf_p.cast("long").alias("tf_p"),
+    )
+    stats = per.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+        F.sum((F.col("tf_t") > 0).cast("int")).cast("double").alias("df_t"),
+        F.sum((F.col("tf_p") > 0).cast("int")).cast("double").alias("df_p"),
+    )
+    m = (
+        per.filter((F.col("tf_t") > 0) | (F.col("tf_p") > 0))
+        .crossJoin(F.broadcast(stats))
+        .withColumn("tf", (F.col("tf_t") + F.col("tf_p")).cast("double"))
+        .withColumn("df_b", F.greatest("df_t", "df_p"))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df_b") + F.lit(0.5))
+        / (F.col("df_b") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(K1) * (
+        F.lit(1.0 - B) + F.lit(B) * F.col("dl").cast("double") / F.col("avgdl")
+    )
+    scored = m.select(
+        "doc_id",
+        F.round(idf * F.col("tf") * F.lit(K1 + 1.0) / denom, 6).alias("score"),
+    )
+    return ranked_topk(scored, [F.desc("score"), F.asc("doc_id")], k).select(
+        "doc_id", "score", "rank"
+    )

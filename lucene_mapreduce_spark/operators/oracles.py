@@ -10938,3 +10938,130 @@ SELECT s.step,
           AND p.hit_cnt = (SELECT n FROM nq) - s.step)::BIGINT AS n_hits
 FROM steps s ORDER BY 1
 """
+
+
+# --------------------------------------------------------------- batch 60
+ORACLES["kaplan_meier_survival"] = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) // 1000000 AS es FROM events
+),
+t_end AS (SELECT max(es) AS te FROM e),
+signup AS (
+  SELECT user_id, min(es) AS s FROM e WHERE event_type = 'signup' GROUP BY 1
+),
+fp AS (
+  SELECT e.user_id, min(e.es) AS p
+  FROM e JOIN signup g USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.es > g.s
+  GROUP BY 1
+),
+obs AS (
+  SELECT (CASE WHEN f.p IS NOT NULL THEN f.p - g.s
+               ELSE (SELECT te FROM t_end) - g.s END) AS t,
+         (CASE WHEN f.p IS NOT NULL THEN 1 ELSE 0 END) AS event
+  FROM signup g LEFT JOIN fp f USING (user_id)
+),
+grp AS (
+  SELECT t, count(*)::BIGINT AS n_here, sum(event)::BIGINT AS d
+  FROM obs GROUP BY 1
+),
+risk AS (
+  SELECT t, d,
+         (sum(n_here) OVER ()
+          - coalesce(sum(n_here) OVER (ORDER BY t
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         )::BIGINT AS n_at_risk
+  FROM grp
+),
+ev_rows AS (SELECT t, n_at_risk, d FROM risk WHERE d > 0),
+km AS (
+  SELECT t, n_at_risk, d,
+         sum(CASE WHEN d < n_at_risk THEN
+               round(ln(1.0 - d::DOUBLE / n_at_risk::DOUBLE), 12)
+                 ::DECIMAL(28,12) END)
+           OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS logsum,
+         max(CASE WHEN d = n_at_risk THEN 1 ELSE 0 END)
+           OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS hit_zero
+  FROM ev_rows
+)
+SELECT t, n_at_risk, d,
+       (CASE WHEN hit_zero = 1 THEN 0.0
+             ELSE round(exp(logsum::DOUBLE), 6) END) AS survival
+FROM km ORDER BY t
+"""
+
+
+ORACLES["cohort_ltv_curve"] = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) // 604800000000 AS week,
+         round(value, 2)::DECIMAL(18,2) AS rev
+  FROM events
+),
+cohort AS (
+  SELECT user_id, min(week)::BIGINT AS cohort_week FROM e GROUP BY 1
+),
+per AS (
+  SELECT c.cohort_week, (e.week - c.cohort_week)::BIGINT AS week_offset,
+         e.rev
+  FROM e JOIN cohort c USING (user_id)
+),
+users AS (
+  SELECT cohort_week, count(*)::BIGINT AS n_users FROM cohort GROUP BY 1
+),
+rolled AS (
+  SELECT cohort_week, week_offset, sum(rev) AS rev_d
+  FROM per GROUP BY 1, 2
+)
+SELECT r.cohort_week, r.week_offset, u.n_users,
+       round(r.rev_d::DOUBLE, 2) AS revenue,
+       round(sum(r.rev_d) OVER (PARTITION BY r.cohort_week
+             ORDER BY r.week_offset ROWS BETWEEN UNBOUNDED PRECEDING
+             AND CURRENT ROW)::DOUBLE, 2) AS cum_revenue
+FROM rolled r JOIN users u USING (cohort_week)
+ORDER BY 1, 2
+"""
+
+
+def mw_synonym_sql(term: str, phrase: tuple, k: int) -> str:
+    """Multi-word synonym twin: phrase-tf via adjacent-position
+    list_filter, SynonymQuery blend (sum tfs, max dfs), one BM25 pass."""
+    tl = term.replace("'", "''")
+    w0 = phrase[0].replace("'", "''")
+    w1 = phrase[1].replace("'", "''")
+    return f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+per AS (
+  SELECT doc_id, len(t)::BIGINT AS dl,
+         len(list_filter(t, x -> x = '{tl}'))::BIGINT AS tf_t,
+         (CASE WHEN len(t) >= 2 THEN
+            len(list_filter(range(1, len(t)), i ->
+              t[i] = '{w0}' AND t[i+1] = '{w1}'))
+          ELSE 0 END)::BIGINT AS tf_p
+  FROM toks
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n_docs, avg(dl::DOUBLE) AS avgdl,
+         sum(CASE WHEN tf_t > 0 THEN 1 ELSE 0 END)::DOUBLE AS df_t,
+         sum(CASE WHEN tf_p > 0 THEN 1 ELSE 0 END)::DOUBLE AS df_p
+  FROM per
+),
+scored AS (
+  SELECT p.doc_id,
+         round(
+           ln(1 + (s.n_docs - greatest(s.df_t, s.df_p) + 0.5)
+                  / (greatest(s.df_t, s.df_p) + 0.5))
+           * ((p.tf_t + p.tf_p)::DOUBLE * {K1 + 1.0})
+           / ((p.tf_t + p.tf_p)::DOUBLE
+              + {K1} * (1 - {B} + {B} * p.dl::DOUBLE / s.avgdl)), 6)
+           AS score
+  FROM per p CROSS JOIN stats s
+  WHERE p.tf_t > 0 OR p.tf_p > 0
+)
+SELECT doc_id, score, rank FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""

@@ -3259,3 +3259,141 @@ def window_funnel_steps(
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
         .orderBy("depth")
     )
+
+
+def kaplan_meier_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival estimate for time-to-purchase after signup,
+    right-censored at the end of the observed stream — THE
+    time-to-event analysis (churn/conversion lifetimes) a plain mean
+    cannot give under censoring. Per user: duration = first purchase
+    strictly after the first signup, else censored at (stream end -
+    signup). The risk table groups by duration (exact integer seconds):
+    n_at_risk(t) = users with duration >= t via an exclusive prefix sum,
+    d(t) = events at t; S(t) = prod(1 - d/n) realized as exp of a
+    cumulative DECIMAL(28,12) sum of 12dp-rounded ln terms (the
+    order-free log-product pattern; exp/ln are the engine-shared calls
+    decay_function_score already gates). d == n would be ln(0): a
+    prefix flag pins survival to exactly 0 from that point on.
+    The ordered windows run over the distinct-duration table (bounded by
+    time resolution, never event volume — the pipeline-agg precedent)."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr("unix_micros(cast(ts as timestamp)) div 1000000").alias("es"),
+    )
+    t_end = ev.agg(F.max("es")).collect()[0][0]  # scalar
+    signup = ev.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("es").alias("s")
+    )
+    first_purchase = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(signup, "user_id")
+        .filter(F.col("es") > F.col("s"))
+        .groupBy("user_id")
+        .agg(F.min("es").alias("p"))
+    )
+    obs = signup.join(first_purchase, "user_id", "left").select(
+        F.when(F.col("p").isNotNull(), F.col("p") - F.col("s"))
+        .otherwise(F.lit(int(t_end)) - F.col("s"))
+        .alias("t"),
+        F.col("p").isNotNull().cast("int").alias("event"),
+    )
+    grp = obs.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("n_here"),
+        F.sum("event").cast("long").alias("d"),
+    )
+    w_all = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_excl = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    w_incl = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    risk = grp.select(
+        "t",
+        "d",
+        (
+            F.sum("n_here").over(w_all)
+            - F.coalesce(F.sum("n_here").over(w_excl), F.lit(0))
+        ).alias("n_at_risk"),
+    ).filter(F.col("d") > 0)
+    contrib = F.when(
+        F.col("d") < F.col("n_at_risk"),
+        F.round(
+            F.log(
+                F.lit(1.0)
+                - F.col("d").cast("double") / F.col("n_at_risk").cast("double")
+            ),
+            12,
+        ).cast("decimal(28,12)"),
+    )
+    km = risk.select(
+        "t",
+        "n_at_risk",
+        "d",
+        F.sum(contrib).over(w_incl).alias("logsum"),
+        F.max((F.col("d") == F.col("n_at_risk")).cast("int"))
+        .over(w_incl)
+        .alias("hit_zero"),
+    )
+    return km.select(
+        "t",
+        "n_at_risk",
+        "d",
+        F.when(F.col("hit_zero") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.col("logsum").cast("double")), 6))
+        .alias("survival"),
+    ).orderBy("t")
+
+
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative revenue (LTV) curve per signup cohort — cohort = the
+    user's first-event epoch-week (epoch-day div 7, the weekly-churn
+    rule: calendar truncation is degenerate on a one-month stream),
+    offset = event week - cohort week. Revenue sums 2dp-rounded
+    DECIMAL(18,2) values (the event generator emits exact 2dp floats,
+    so the sums are EXACT at any order/parallelism); the cumulative
+    curve is a per-cohort ordered window over those decimals. Two
+    shuffles: first-event per user, then the (cohort, offset) rollup."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        # epoch-week via exact integral division ( `/` is float and can
+        # flip floors at boundaries — the hourly_activity_profile rule)
+        F.expr("unix_micros(cast(ts as timestamp)) div 604800000000").alias(
+            "week"
+        ),
+        F.round(F.col("value"), 2).cast("decimal(18,2)").alias("rev"),
+    )
+    cohort = ev.groupBy("user_id").agg(
+        F.min("week").cast("long").alias("cohort_week")
+    )
+    per = (
+        ev.join(cohort, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+            "rev",
+        )
+    )
+    users = cohort.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    rolled = per.groupBy("cohort_week", "week_offset").agg(
+        F.sum("rev").alias("rev_d")
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        rolled.withColumn("cum_d", F.sum("rev_d").over(w))
+        .join(users, "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_users",
+            F.round(F.col("rev_d").cast("double"), 2).alias("revenue"),
+            F.round(F.col("cum_d").cast("double"), 2).alias("cum_revenue"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
