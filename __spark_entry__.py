@@ -808,6 +808,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kaplan_meier_survival": parity.kaplan_meier_survival,
         "cohort_ltv_curve": parity.cohort_ltv_curve,
         "multiword_synonym_query": fulltext.multiword_synonym_query,
+        # batch 61: pareto curve, new-vs-returning, file sizing, MLM, refine
+        "pareto_share_curve": parity.pareto_share_curve,
+        "new_vs_returning_daily": parity.new_vs_returning_daily,
+        "output_file_sizing_plan": parity.output_file_sizing_plan,
+        "mlm_masking_plan": textstats.mlm_masking_plan,
+        "pq_rescore_topk": similarity.pq_rescore_topk,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})
@@ -1749,5 +1755,32 @@ WHERE len(list_filter(range(1, len(toks)), i ->
 
     out["multiword_synonym_query"] = mw_synonym_sql(
         fulltext.MW_SYNONYM_TERM, fulltext.MW_SYNONYM_PHRASE, 10
+    )
+
+    # batch 61
+    from lucene_mapreduce_spark.operators.oracles import (
+        file_sizing_sql,
+        mlm_masking_sql,
+        pq_rescore_sql,
+    )
+    from lucene_mapreduce_spark.operators.parity import (
+        FILE_SIZING_TARGET_BYTES,
+    )
+    from lucene_mapreduce_spark.operators.similarity import (
+        PQ_SHORTLIST,
+        PQ_TOPK,
+    )
+    from lucene_mapreduce_spark.operators.textstats import (
+        MLM_MASK_RATE,
+        MLM_MASK_TOK,
+        MLM_RANDOM,
+    )
+
+    out["output_file_sizing_plan"] = file_sizing_sql(FILE_SIZING_TARGET_BYTES)
+    out["mlm_masking_plan"] = mlm_masking_sql(
+        MLM_MASK_RATE, MLM_MASK_TOK, MLM_RANDOM
+    )
+    out["pq_rescore_topk"] = pq_rescore_sql(
+        PQ_M, PQ_SUBDIM, PQ_K, QUERY_VEC_ID, PQ_SHORTLIST, PQ_TOPK
     )
     return out

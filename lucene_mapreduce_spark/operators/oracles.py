@@ -11065,3 +11065,113 @@ SELECT doc_id, score, rank FROM (
   FROM scored
 ) WHERE rank <= {k}
 """
+
+
+# --------------------------------------------------------------- batch 61
+ORACLES["pareto_share_curve"] = """
+WITH per_user AS (
+  SELECT user_id, sum(round(value, 2)::DECIMAL(18,2)) AS urev
+  FROM events GROUP BY 1
+),
+dec AS (
+  SELECT user_id, urev,
+         ntile(10) OVER (ORDER BY urev DESC, user_id ASC) AS decile
+  FROM per_user
+),
+rolled AS (
+  SELECT decile, count(*)::BIGINT AS n_users, sum(urev) AS drev
+  FROM dec GROUP BY 1
+),
+total AS (SELECT sum(drev) AS trev FROM rolled)
+SELECT r.decile, r.n_users,
+       round(r.drev::DOUBLE, 2) AS revenue,
+       round(r.drev::DOUBLE / t.trev::DOUBLE, 6) AS share,
+       round(sum(r.drev) OVER (ORDER BY r.decile
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::DOUBLE
+             / t.trev::DOUBLE, 6) AS cum_share
+FROM rolled r CROSS JOIN total t
+ORDER BY 1
+"""
+
+
+ORACLES["new_vs_returning_daily"] = """
+WITH pairs AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+),
+first AS (SELECT user_id, min(day) AS first_day FROM pairs GROUP BY 1)
+SELECT p.day,
+       sum(CASE WHEN p.day = f.first_day THEN 1 ELSE 0 END)::BIGINT AS n_new,
+       sum(CASE WHEN p.day > f.first_day THEN 1 ELSE 0 END)::BIGINT
+         AS n_returning
+FROM pairs p JOIN first f USING (user_id)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def file_sizing_sql(target: int) -> str:
+    """File-sizing twin: exact integer ceiling division."""
+    return f"""
+WITH rolled AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+         sum(n_chars)::BIGINT AS total_bytes
+  FROM documents GROUP BY 1
+),
+planned AS (
+  SELECT *, ((total_bytes + {target} - 1) // {target})::BIGINT AS n_files
+  FROM rolled
+)
+SELECT source, n_docs, total_bytes, n_files,
+       ((n_docs + n_files - 1) // n_files)::BIGINT AS rows_per_file,
+       ((total_bytes + n_files - 1) // n_files)::BIGINT AS bytes_per_file
+FROM planned ORDER BY source
+"""
+
+
+def mlm_masking_sql(rate: float, mask_tok: float, rnd: float) -> str:
+    """MLM masking twin: both md5-uniform draws inverted identically."""
+    um = _MD5_52.format(
+        e="doc_id::VARCHAR || ':mask:' || i::VARCHAR"
+    )
+    ua = _MD5_52.format(e="doc_id::VARCHAR || ':act:' || i::VARCHAR")
+    return f"""
+WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+per AS (
+  SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+         (CASE WHEN len(toks) >= 1 THEN
+            list_filter(range(1, len(toks) + 1), i ->
+              ({um})::DOUBLE / 4503599627370496.0 < {rate!r})
+          ELSE []::BIGINT[] END) AS masked
+  FROM t
+)
+SELECT doc_id, n_tokens, len(masked)::BIGINT AS n_masked,
+       len(list_filter(masked, i ->
+         ({ua})::DOUBLE / 4503599627370496.0 < {mask_tok!r}))::BIGINT
+         AS n_mask_tok,
+       len(list_filter(masked, i ->
+         ({ua})::DOUBLE / 4503599627370496.0 >= {mask_tok!r}
+         AND ({ua})::DOUBLE / 4503599627370496.0 < {rnd!r}))::BIGINT
+         AS n_random,
+       (len(masked)
+        - len(list_filter(masked, i ->
+            ({ua})::DOUBLE / 4503599627370496.0 < {rnd!r})))::BIGINT
+         AS n_keep,
+       md5(coalesce(
+         array_to_string(list_transform(masked, i -> i::VARCHAR), ','), ''))
+         AS witness
+FROM per ORDER BY doc_id
+"""
+
+
+def pq_rescore_sql(
+    m: int, subdim: int, kcode: int, query_vec_id: int, shortlist: int, k: int
+) -> str:
+    """PQ-refine twin: the ADC shortlist re-ranked by its exact-L2
+    audit column."""
+    return f"""
+WITH pq AS ({ann_pq_sql(m, subdim, kcode, query_vec_id, shortlist)})
+SELECT vec_id, exact_dist, rank FROM (
+  SELECT vec_id, exact_dist,
+         row_number() OVER (ORDER BY exact_dist ASC, vec_id ASC) AS rank
+  FROM pq
+) WHERE rank <= {k}
+"""

@@ -3397,3 +3397,112 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+def pareto_share_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration (Pareto) curve by user decile — the 80/20
+    chart next to gini_coefficient's scalar: users ranked by exact
+    DECIMAL(18,2) revenue (2dp event values sum exactly at any order),
+    cut into ntile(10) deciles on the total order (revenue desc,
+    user_id asc — the RFM tie rule, identical in both engines), then
+    per-decile revenue share and cumulative share. The ntile window
+    ranks the per-user rollup (user cardinality, already reduced —
+    the RFM precedent); shares are two rounded divides over exact
+    decimal sums."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.round(F.col("value"), 2).cast("decimal(18,2)").alias("rev")
+    )
+    per_user = ev.groupBy("user_id").agg(F.sum("rev").alias("urev"))
+    w = Window.orderBy(F.desc("urev"), F.asc("user_id"))
+    dec = per_user.withColumn("decile", F.ntile(10).over(w))
+    rolled = dec.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("urev").alias("drev"),
+    )
+    total = rolled.agg(F.sum("drev").alias("trev"))
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        rolled.crossJoin(F.broadcast(total))
+        .withColumn("cum", F.sum("drev").over(wc))
+        .select(
+            "decile",
+            "n_users",
+            F.round(F.col("drev").cast("double"), 2).alias("revenue"),
+            F.round(
+                F.col("drev").cast("double") / F.col("trev").cast("double"), 6
+            ).alias("share"),
+            F.round(
+                F.col("cum").cast("double") / F.col("trev").cast("double"), 6
+            ).alias("cum_share"),
+        )
+        .orderBy("decile")
+    )
+
+
+def new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning active users — the acquisition/retention
+    split next to daily_distinct_users' single count: a user is `new`
+    on their first-seen epoch-day, `returning` on any later active day.
+    Shape: collapse to distinct (user, day) pairs first (the WAU-curve
+    rule), one min-day rollup, one join back — all integers."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias(
+            "day"
+        ),
+    )
+    pairs = ev.distinct()
+    first = pairs.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    return (
+        pairs.join(first, "user_id")
+        .groupBy("day")
+        .agg(
+            F.sum((F.col("day") == F.col("first_day")).cast("int"))
+            .cast("long")
+            .alias("n_new"),
+            F.sum((F.col("day") > F.col("first_day")).cast("int"))
+            .cast("long")
+            .alias("n_returning"),
+        )
+        .orderBy("day")
+    )
+
+
+FILE_SIZING_TARGET_BYTES = 1024
+
+
+def output_file_sizing_plan(
+    spark: SparkSession, sf_dir: str, target: int = FILE_SIZING_TARGET_BYTES
+) -> DataFrame:
+    """Output file-sizing plan (the reference's gzip-output sizing
+    concern, S9 in SURVEY §2.1 — pick file counts so each compressed
+    shard lands near a target size): per source, total bytes (n_chars
+    as the uncompressed proxy), files = ceil(bytes/target), and the
+    per-file row/byte budgets a writer would use for
+    repartitionByRange. Pure integer ceiling arithmetic
+    ((a + b - 1) div b), one map-side-combinable groupBy."""
+    docs = load(spark, sf_dir, "documents").select("source", "n_chars")
+    rolled = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_bytes"),
+    )
+    # ceil(a/b) = (a + b - 1) div b — `div` keeps the floors exact
+    # (`/` goes through float64, the hourly_activity_profile trap)
+    planned = rolled.withColumn(
+        "n_files",
+        F.expr(f"(total_bytes + {int(target)} - 1) div {int(target)}").cast(
+            "long"
+        ),
+    )
+    return planned.select(
+        "source",
+        "n_docs",
+        "total_bytes",
+        "n_files",
+        F.expr("(n_docs + n_files - 1) div n_files")
+        .cast("long")
+        .alias("rows_per_file"),
+        F.expr("(total_bytes + n_files - 1) div n_files")
+        .cast("long")
+        .alias("bytes_per_file"),
+    ).orderBy("source")

@@ -1869,3 +1869,29 @@ def pq_distortion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("m")
     )
+
+
+PQ_SHORTLIST = 50
+
+
+def pq_rescore_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    shortlist: int = PQ_SHORTLIST,
+    k: int = PQ_TOPK,
+) -> DataFrame:
+    """Two-stage PQ-then-exact retrieval (the Faiss refine / IndexRefine
+    pattern — THE production ANN recipe: a cheap ADC pass shortlists,
+    the exact metric re-ranks only the shortlist): stage 1 is
+    ann_pq_topk's ADC chain cut at `shortlist`; stage 2 re-ranks those
+    rows by the exact L2 audit column the PQ pass already carries.
+    Rescore cost is bounded by the shortlist parameter, never the
+    corpus — at 10^12 vectors stage 2 reads `shortlist` full vectors."""
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+
+    s = ann_pq_topk(spark, sf_dir, k=shortlist).select(
+        "vec_id", "approx_dist", "exact_dist"
+    )
+    return ranked_topk(
+        s, [F.asc("exact_dist"), F.asc("vec_id")], k
+    ).select("vec_id", "exact_dist", "rank")

@@ -4360,3 +4360,66 @@ def ingest_pipeline_simulate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(parts).cast("long").alias("n_parts"),
         F.md5(joined).alias("fingerprint"),
     ).orderBy("doc_id")
+
+
+# --------------------------------- batch 61: MLM masking plan
+MLM_MASK_RATE = 0.15
+MLM_MASK_TOK = 0.8
+MLM_RANDOM = 0.9
+_2_52 = 4503599627370496.0
+
+
+def mlm_masking_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BERT-style MLM masking plan (Devlin et al. 2019 §3.1 — the
+    span_corruption_stats sibling for encoder pretraining): each token
+    position draws an md5-uniform; positions under 15% are selected, and
+    a second independent draw splits them 80/10/10 into [MASK] / random
+    token / keep-original. Both draws are the engine-shared 52-bit md5
+    on (doc_id, role, position), so the realized plan is identical at
+    any parallelism and in the DuckDB twin. Per-doc outputs are counts
+    plus an md5 witness over the selected position list — any divergence
+    in any draw flips the witness. Shuffle-free single scan; position
+    enumeration is a codegen filter over sequence(1, dl) (guarded: empty
+    docs pin an empty array — the sequence-descends trap)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tokenize_col("text")
+    dl = F.size(toks)
+    pos = F.when(dl >= 1, F.sequence(F.lit(1), dl)).otherwise(
+        F.array().cast("array<int>")
+    )
+
+    def u(role, i):
+        return (
+            _md5_52(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit(f":{role}:"),
+                    i.cast("string"),
+                )
+            ).cast("double")
+            / F.lit(_2_52)
+        )
+
+    masked = F.filter(pos, lambda i: u("mask", i) < MLM_MASK_RATE)
+    n_mask_tok = F.size(
+        F.filter(masked, lambda i: u("act", i) < MLM_MASK_TOK)
+    )
+    n_random = F.size(
+        F.filter(
+            masked,
+            lambda i: (u("act", i) >= MLM_MASK_TOK)
+            & (u("act", i) < MLM_RANDOM),
+        )
+    )
+    witness = F.md5(
+        F.array_join(F.transform(masked, lambda i: i.cast("string")), ",")
+    )
+    return docs.select(
+        "doc_id",
+        dl.cast("long").alias("n_tokens"),
+        F.size(masked).cast("long").alias("n_masked"),
+        n_mask_tok.cast("long").alias("n_mask_tok"),
+        n_random.cast("long").alias("n_random"),
+        (F.size(masked) - n_mask_tok - n_random).cast("long").alias("n_keep"),
+        witness.alias("witness"),
+    ).orderBy("doc_id")
