@@ -814,6 +814,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "output_file_sizing_plan": parity.output_file_sizing_plan,
         "mlm_masking_plan": textstats.mlm_masking_plan,
         "pq_rescore_topk": similarity.pq_rescore_topk,
+        # batch 62: Holt-Winters, latency percentiles, cosine pair histo, CLI
+        "holt_winters_pipeline": parity.holt_winters_pipeline,
+        "lineitem_latency_percentiles": parity.lineitem_latency_percentiles,
+        "cosine_pair_histogram": similarity.cosine_pair_histogram,
+        "coleman_liau_index": textstats.coleman_liau_index,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})
@@ -1783,4 +1788,15 @@ WHERE len(list_filter(range(1, len(toks)), i ->
     out["pq_rescore_topk"] = pq_rescore_sql(
         PQ_M, PQ_SUBDIM, PQ_K, QUERY_VEC_ID, PQ_SHORTLIST, PQ_TOPK
     )
+
+    # batch 62
+    from lucene_mapreduce_spark.operators.oracles import (
+        cosine_pair_histogram_sql,
+        holt_winters_sql,
+    )
+    from lucene_mapreduce_spark.operators.parity import HW_SEASON
+    from lucene_mapreduce_spark.operators.similarity import PAIR_HASH_MULT
+
+    out["holt_winters_pipeline"] = holt_winters_sql(HW_SEASON)
+    out["cosine_pair_histogram"] = cosine_pair_histogram_sql(PAIR_HASH_MULT)
     return out

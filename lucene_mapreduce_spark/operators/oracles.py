@@ -11175,3 +11175,102 @@ SELECT vec_id, exact_dist, rank FROM (
   FROM pq
 ) WHERE rank <= {k}
 """
+
+
+# --------------------------------------------------------------- batch 62
+def holt_winters_sql(season: int) -> str:
+    """Holt-Winters twin: 9-wide flat state arrays through list_reduce
+    (acc type == element type), identical halving gains."""
+    width = season + 2
+    zeros = ", ".join(["0.0"] * (width - 1))
+    # season slots 3..width rotate left; element 3 is s_{t-m}
+    keep = ", ".join(f"acc[{i}]" for i in range(4, width + 1))
+    lp = "(0.5 * (x[1] - acc[3]) + 0.5 * (acc[1] + acc[2]))"
+    return f"""
+WITH {_DAILY_HIST},
+packed AS (
+  SELECT list(day::VARCHAR ORDER BY day) AS ds,
+         list(n_events ORDER BY day) AS raw,
+         list([n_events::DOUBLE, {zeros}] ORDER BY day) AS pairs
+  FROM hist
+),
+idx AS (
+  SELECT ds, raw, pairs, unnest(range(1, len(ds) + 1)) AS i FROM packed
+),
+folded AS (
+  SELECT ds[i] AS day, raw[i]::BIGINT AS n_events,
+         list_reduce(pairs[1:i], (acc, x) ->
+           [{lp},
+            0.5 * ({lp} - acc[1]) + 0.5 * acc[2],
+            {keep},
+            0.5 * (x[1] - {lp}) + 0.5 * acc[3]]) AS st
+  FROM idx
+)
+SELECT day, n_events,
+       round(st[1], 6) AS level, round(st[2], 6) AS trend,
+       round(st[{width}], 6) AS season
+FROM folded ORDER BY day
+"""
+
+
+ORACLES["lineitem_latency_percentiles"] = """
+WITH li AS (
+  SELECT l.l_orderkey,
+         date_diff('day', o.o_orderdate, l.l_shipdate) AS lat
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+)
+SELECT o.o_orderpriority, count(*)::BIGINT AS n_lines,
+       round(quantile_cont(li.lat, 0.5), 6) AS p50,
+       round(quantile_cont(li.lat, 0.9), 6) AS p90,
+       round(quantile_cont(li.lat, 0.99), 6) AS p99
+FROM li JOIN orders o ON o.o_orderkey = li.l_orderkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def cosine_pair_histogram_sql(mult: int) -> str:
+    """Pair-histogram twin: identical mod-first partner arithmetic and
+    the list_dot_product cosine (== the zip_with ascending fold)."""
+    def cos(a, b):
+        return (
+            f"CASE WHEN list_dot_product({a}, {a}) = 0"
+            f" OR list_dot_product({b}, {b}) = 0 THEN -2.0"
+            f" ELSE list_dot_product({a}, {b})"
+            f" / (sqrt(list_dot_product({a}, {a}))"
+            f" * sqrt(list_dot_product({b}, {b}))) END"
+        )
+
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (SELECT count(*)::BIGINT AS n FROM e),
+a AS (
+  SELECT e.vec_id AS a_id, e.v AS av,
+         ((e.vec_id % n.n) * ({mult} % n.n)) % n.n AS b_id
+  FROM e, n
+),
+pairs AS (
+  SELECT floor(round({cos("a.av", "b.v")}, 6) * 10.0)::INT AS bin
+  FROM a JOIN e b ON b.vec_id = a.b_id
+  WHERE a.a_id <> a.b_id
+)
+SELECT bin, count(*)::BIGINT AS n_pairs FROM pairs GROUP BY 1 ORDER BY 1
+"""
+
+
+ORACLES["coleman_liau_index"] = f"""
+WITH per AS (
+  SELECT source,
+         round(
+           0.0588 * (100.0 * len(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                     ::DOUBLE / len({TOKS})::DOUBLE)
+           - 0.296 * (100.0 * greatest(1, len(text)
+               - len(regexp_replace(text, '[.!?]', '', 'g')))::DOUBLE
+               / len({TOKS})::DOUBLE)
+           - 15.8, 12)::DECIMAL(28,12) AS cli
+  FROM documents
+  WHERE len({TOKS}) > 0
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+       round(sum(cli)::DOUBLE / count(*)::DOUBLE, 6) AS avg_cli
+FROM per GROUP BY 1 ORDER BY 1
+"""

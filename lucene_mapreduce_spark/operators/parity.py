@@ -3506,3 +3506,97 @@ def output_file_sizing_plan(
         .cast("long")
         .alias("bytes_per_file"),
     ).orderBy("source")
+
+
+HW_SEASON = 7
+
+
+def holt_winters_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `moving_fn` MovingFunctions.holtWinters (additive triple
+    exponential smoothing) over the daily buckets — completes the
+    moving_fn family after ewma (1 state) and holt (2 states) with the
+    seasonal member (2 + `HW_SEASON` states). Pinned seeds: level = x1,
+    trend = 0, season all 0; alpha = beta = gamma = 0.5 (exact halvings,
+    the pow()/ordering-safe gains). The state rides a flat 9-wide DOUBLE
+    array so the identical IEEE chain folds in both engines (the
+    holt_linear_pipeline acc-type rule: DuckDB list_reduce needs acc
+    type == element type); the fold re-runs per prefix of the BOUNDED
+    day series (the ewma O(n²)-on-n-buckets discipline). The season
+    array rotates left each step, so element 3 is always s_{t-m}."""
+    hist = date_histogram_facets(spark, sf_dir)
+    width = HW_SEASON + 2
+    packed = hist.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("day"),
+                    F.col("n_events").cast("double").alias("n_events"),
+                )
+            )
+        ).alias("xs")
+    ).select(
+        "xs",
+        F.transform(
+            "xs",
+            lambda s: F.array(
+                s["n_events"], *[F.lit(0.0)] * (width - 1)
+            ),
+        ).alias("pairs"),
+    )
+    exploded = packed.select("pairs", F.posexplode("xs").alias("pos", "x"))
+    half = F.lit(0.5)
+
+    def _lp(acc, x):
+        return half * (F.element_at(x, 1) - F.element_at(acc, 3)) + half * (
+            F.element_at(acc, 1) + F.element_at(acc, 2)
+        )
+
+    def _merge(acc, x):
+        lp = _lp(acc, x)
+        return F.array(
+            lp,
+            half * (lp - F.element_at(acc, 1)) + half * F.element_at(acc, 2),
+            *[F.element_at(acc, i) for i in range(4, width + 1)],
+            half * (F.element_at(x, 1) - lp) + half * F.element_at(acc, 3),
+        )
+
+    state = F.aggregate(
+        F.slice(F.col("pairs"), 2, F.col("pos")),
+        F.element_at("pairs", 1),
+        _merge,
+    )
+    return exploded.select(
+        F.col("x.day").alias("day"),
+        F.col("x.n_events").cast("long").alias("n_events"),
+        F.round(F.element_at(state, 1), 6).alias("level"),
+        F.round(F.element_at(state, 2), 6).alias("trend"),
+        F.round(F.element_at(state, width), 6).alias("season"),
+    ).orderBy("day")
+
+
+def lineitem_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency percentiles per order priority — the
+    warehouse SLA table next to late_lines_by_priority's counts:
+    latency = l_shipdate - o_orderdate in days (exact integer datediff),
+    and the p50/p90/p99 are exact type-7 interpolations (the
+    dl_percentiles rule: Spark percentile() == DuckDB quantile_cont).
+    One join for priority + orderdate, one grouped exact-percentile
+    aggregate."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority", "o_orderdate"
+    )
+    return (
+        li.join(orders, "l_orderkey")
+        .withColumn(
+            "lat", F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.round(F.expr("percentile(lat, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(lat, 0.9)"), 6).alias("p90"),
+            F.round(F.expr("percentile(lat, 0.99)"), 6).alias("p99"),
+        )
+        .orderBy("o_orderpriority")
+    )

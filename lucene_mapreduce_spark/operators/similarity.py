@@ -1895,3 +1895,45 @@ def pq_rescore_topk(
     return ranked_topk(
         s, [F.asc("exact_dist"), F.asc("vec_id")], k
     ).select("vec_id", "exact_dist", "rank")
+
+
+PAIR_HASH_MULT = 2654435761  # Knuth multiplicative constant
+
+
+def cosine_pair_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-geometry audit: the cosine distribution over a
+    deterministic O(N) pair sample — the hubness/anisotropy check an
+    embedding release ships (a concentrated histogram near a high mean
+    predicts poor ANN recall). Pairing is index-arithmetic, not random:
+    vector i partners with (i·2654435761) mod N (Knuth multiplicative
+    hashing — a fixed permutation-like map), so the sample is
+    reproducible at any parallelism and join-computable: ONE equi-join
+    on the computed partner id, never an all-pairs blowup. Cosines are
+    the engine-shared zip_with/aggregate fold rounded 6dp; bins are
+    floor(cos·10) integers."""
+    from lucene_mapreduce_spark.operators.parity import load
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    n = emb.count()  # scalar
+    a = emb.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("v").alias("av"),
+        # mod-first keeps the product under 2^63 for any corpus up to
+        # ~3e9 vectors (id % n and MULT % n are both < n)
+        (
+            ((F.col("vec_id") % F.lit(int(n))) * F.lit(PAIR_HASH_MULT % n))
+            % F.lit(int(n))
+        ).alias("b_id"),
+    ).filter(F.col("a_id") != F.col("b_id"))
+    b = emb.select(F.col("vec_id").alias("b_id"), F.col("v").alias("bv"))
+    cos = F.round(_cosine(F.col("av"), F.col("bv")), 6)
+    pairs = a.join(b, "b_id").select(
+        F.floor(cos * F.lit(10.0)).cast("int").alias("bin")
+    )
+    return (
+        pairs.groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .orderBy("bin")
+    )

@@ -4423,3 +4423,48 @@ def mlm_masking_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.size(masked) - n_mask_tok - n_random).cast("long").alias("n_keep"),
         witness.alias("witness"),
     ).orderBy("doc_id")
+
+
+def coleman_liau_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coleman-Liau readability per source — the third readability
+    screen next to flesch and ARI, chosen because it is letter-based
+    (no syllable model, robust to tokenizer choice): CLI = 0.0588·L −
+    0.296·S − 15.8 with L = letters per 100 words and S = sentences per
+    100 words (sentences = greatest(1, terminal-punct count), the
+    flesch/ARI guard for the punctuation-free synthetic corpus).
+    Per-source mean via 12dp DECIMAL(28,12) sums (the DECIMAL-mean
+    rule); letters count only [A-Za-z]."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tokenize_col("text")
+    letters = F.length(
+        F.regexp_replace(F.col("text"), "[^a-zA-Z]", "")
+    ).cast("long")
+    words = F.size(toks).cast("long")
+    sents = F.greatest(
+        F.lit(1).cast("long"),
+        (
+            F.length(F.col("text"))
+            - F.length(F.regexp_replace(F.col("text"), "[.!?]", ""))
+        ).cast("long"),
+    )
+    cli = (
+        F.lit(0.0588)
+        * (F.lit(100.0) * letters.cast("double") / words.cast("double"))
+        - F.lit(0.296)
+        * (F.lit(100.0) * sents.cast("double") / words.cast("double"))
+        - F.lit(15.8)
+    )
+    per = docs.filter(F.size(toks) > 0).select(
+        "source", F.round(cli, 12).cast("decimal(28,12)").alias("cli")
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(
+                F.sum("cli").cast("double") / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("avg_cli"),
+        )
+        .orderBy("source")
+    )
