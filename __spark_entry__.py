@@ -819,6 +819,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_latency_percentiles": parity.lineitem_latency_percentiles,
         "cosine_pair_histogram": similarity.cosine_pair_histogram,
         "coleman_liau_index": textstats.coleman_liau_index,
+        # batch 63: TextRank keywords, position-based attribution
+        "textrank_keywords": textstats.textrank_keywords,
+        "attribution_position_based": parity.attribution_position_based,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})
@@ -1799,4 +1802,24 @@ WHERE len(list_filter(range(1, len(toks)), i ->
 
     out["holt_winters_pipeline"] = holt_winters_sql(HW_SEASON)
     out["cosine_pair_histogram"] = cosine_pair_histogram_sql(PAIR_HASH_MULT)
+
+    # batch 63
+    from lucene_mapreduce_spark.operators.oracles import (
+        attribution_position_sql,
+        textrank_sql,
+    )
+    from lucene_mapreduce_spark.operators.parity import ATTR_CONVERSION
+    from lucene_mapreduce_spark.operators.textstats import (
+        TEXTRANK_D,
+        TEXTRANK_ITERS,
+        TEXTRANK_MIN_SUPPORT,
+        TEXTRANK_TOP_K,
+    )
+
+    out["textrank_keywords"] = textrank_sql(
+        TEXTRANK_MIN_SUPPORT, TEXTRANK_ITERS, TEXTRANK_D, TEXTRANK_TOP_K
+    )
+    out["attribution_position_based"] = attribution_position_sql(
+        ATTR_CONVERSION
+    )
     return out

@@ -9851,11 +9851,25 @@ pairs_{bands} AS (
         unions.append(f"SELECT * FROM pairs_{bands}")
     cfgs = ",\n".join(cfg_ctes)
     allsel = " UNION ALL ".join(unions)
+    minaggs = ",\n         ".join(
+        f"min(md5('{i}:' || shingle)) AS s{i}" for i in range(12)
+    )
+    sigcase = " ".join(f"WHEN i = {i} THEN s{i}" for i in range(12))
     return f"""
 WITH {_SHINGLES},
+-- wide-then-unpivot signatures: 12 min-aggregates over ONE pass of sh
+-- (the Spark side's no-explode-blowup rule) — the sh x 12 cross join
+-- form materialized 12x the shingle volume and exhausted temp disk at
+-- sf1
+sigsw AS (
+  SELECT doc_id,
+         {minaggs}
+  FROM sh GROUP BY 1
+),
 sigs AS (
-  SELECT doc_id, i, min(md5(i::VARCHAR || ':' || shingle)) AS sig
-  FROM sh, range(0, 12) t(i) GROUP BY 1, 2
+  SELECT doc_id, i::INT AS i,
+         (CASE {sigcase} END) AS sig
+  FROM sigsw, range(0, 12) t(i)
 ),
 {cfgs},
 allc AS ({allsel}),
@@ -11273,4 +11287,96 @@ WITH per AS (
 SELECT source, count(*)::BIGINT AS n_docs,
        round(sum(cli)::DOUBLE / count(*)::DOUBLE, 6) AS avg_cli
 FROM per GROUP BY 1 ORDER BY 1
+"""
+
+
+# --------------------------------------------------------------- batch 63
+def textrank_sql(
+    min_support: int, iters: int, d: float, k: int
+) -> str:
+    """TextRank twin: canonical 'min max' adjacent pairs, support-cut
+    word graph, the unrolled-PageRank DECIMAL iteration CTEs."""
+    edges = f"""
+toksw AS (SELECT {TOKS} AS t FROM documents),
+pairs AS (
+  SELECT unnest(list_transform(range(1, len(t)), i ->
+    CASE WHEN t[i] <= t[i+1] THEN t[i] || ' ' || t[i+1]
+         ELSE t[i+1] || ' ' || t[i] END)) AS pr
+  FROM toksw WHERE len(t) >= 2
+),
+e AS (
+  SELECT split_part(pr, ' ', 1) AS wa, split_part(pr, ' ', 2) AS wb
+  FROM (SELECT pr, count(*) AS n FROM pairs GROUP BY 1
+        HAVING count(*) >= {min_support})
+  WHERE split_part(pr, ' ', 1) <> split_part(pr, ' ', 2)
+),
+edges AS (SELECT wa AS src, wb AS dst FROM e
+          UNION ALL SELECT wb AS src, wa AS dst FROM e),
+deg AS (SELECT src, count(*)::BIGINT AS deg FROM edges GROUP BY 1),
+nn AS (SELECT count(*)::DOUBLE AS n FROM deg)"""
+
+    def it(prev: str, cur: str) -> str:
+        return f"""{cur} AS (
+  SELECT dst AS src,
+         (1.0 - {d}) / (SELECT n FROM nn)
+           + sum(round({d} * r / deg::DOUBLE, 12)::DECIMAL(28,12))::DOUBLE
+           AS r
+  FROM edges JOIN {prev} USING (src) JOIN deg USING (src)
+  GROUP BY dst
+)"""
+
+    chain = ",\n".join(
+        it(f"r{i}", f"r{i + 1}") for i in range(iters)
+    )
+    return f"""
+WITH {edges},
+r0 AS (SELECT src, 1.0 / n AS r FROM deg CROSS JOIN nn),
+{chain}
+SELECT term, textrank, rank FROM (
+  SELECT src AS term, round(r, 6) AS textrank,
+         row_number() OVER (ORDER BY round(r, 6) DESC, src ASC) AS rank
+  FROM r{iters}
+) WHERE rank <= {k} ORDER BY rank
+"""
+
+
+def attribution_position_sql(conversion: str) -> str:
+    """Position-based attribution twin: identical path join, position
+    windows, and U-shaped credit CASE."""
+    c = conversion.replace("'", "''")
+    return f"""
+WITH ev AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+),
+conv AS (
+  SELECT user_id, event_id AS cid, us AS cus FROM ev
+  WHERE event_type = '{c}'
+),
+touch AS (
+  SELECT user_id, event_id, event_type, us FROM ev
+  WHERE event_type <> '{c}'
+),
+path AS (
+  SELECT c.user_id, c.cid, t.event_type, t.us, t.event_id
+  FROM conv c JOIN touch t USING (user_id)
+  WHERE t.us < c.cus OR (t.us = c.cus AND t.event_id < c.cid)
+),
+ranked AS (
+  SELECT event_type,
+         row_number() OVER (PARTITION BY user_id, cid
+                            ORDER BY us, event_id) AS pos,
+         count(*) OVER (PARTITION BY user_id, cid) AS n
+  FROM path
+),
+credited AS (
+  SELECT event_type AS channel,
+         round(CASE WHEN n = 1 THEN 1.0
+               WHEN pos = 1 OR pos = n THEN
+                 (CASE WHEN n = 2 THEN 0.5 ELSE 0.4 END)
+               ELSE 0.2 / (n - 2)::DOUBLE END, 12)::DECIMAL(28,12) AS cr
+  FROM ranked
+)
+SELECT channel, count(*)::BIGINT AS n_touches,
+       round(sum(cr)::DOUBLE, 6) AS credit
+FROM credited GROUP BY 1 ORDER BY 1
 """

@@ -3600,3 +3600,63 @@ def lineitem_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+def attribution_position_based(
+    spark: SparkSession, sf_dir: str, conversion: str = ATTR_CONVERSION
+) -> DataFrame:
+    """Position-based (U-shaped 40/20/40) multi-touch attribution — the
+    fractional-credit sibling of attribution_last_touch: each
+    conversion's full prior touch path (non-conversion events, strict
+    (us, event_id) total order) splits credit 0.4 to the first touch,
+    0.4 to the last, 0.2 evenly across the middles (1 touch -> 1.0,
+    2 touches -> 0.5/0.5 — the standard renormalization). Credits are
+    exact rationals realized as identical IEEE divides; per-channel
+    sums take 12dp-rounded DECIMAL(28,12) contributions (order-free).
+    The path join is per-user bounded (the windowFunnel state rule);
+    positions ride one window partitioned per conversion."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    conv = ev.filter(F.col("event_type") == conversion).select(
+        "user_id",
+        F.col("event_id").alias("cid"),
+        F.col("us").alias("cus"),
+    )
+    touch = ev.filter(F.col("event_type") != conversion).select(
+        "user_id", "event_id", "event_type", "us"
+    )
+    path = conv.join(touch, "user_id").filter(
+        (F.col("us") < F.col("cus"))
+        | ((F.col("us") == F.col("cus")) & (F.col("event_id") < F.col("cid")))
+    )
+    w = Window.partitionBy("user_id", "cid").orderBy("us", "event_id")
+    wn = Window.partitionBy("user_id", "cid")
+    ranked = path.select(
+        "event_type",
+        F.row_number().over(w).alias("pos"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    credit = (
+        F.when(F.col("n") == 1, F.lit(1.0))
+        .when(
+            (F.col("pos") == 1) | (F.col("pos") == F.col("n")),
+            F.when(F.col("n") == 2, F.lit(0.5)).otherwise(F.lit(0.4)),
+        )
+        .otherwise(F.lit(0.2) / (F.col("n") - 2).cast("double"))
+    )
+    return (
+        ranked.select(
+            F.col("event_type").alias("channel"),
+            F.round(credit, 12).cast("decimal(28,12)").alias("c"),
+        )
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_touches"),
+            F.round(F.sum("c").cast("double"), 6).alias("credit"),
+        )
+        .orderBy("channel")
+    )

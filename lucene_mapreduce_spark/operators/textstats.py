@@ -4468,3 +4468,84 @@ def coleman_liau_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------- batch 63: TextRank keywords
+TEXTRANK_D = 0.85
+TEXTRANK_ITERS = 3
+TEXTRANK_MIN_SUPPORT = 2
+TEXTRANK_TOP_K = 10
+
+
+def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004) over the
+    corpus-level word co-occurrence graph — the graph-centrality
+    complement to tfidf_keywords' frequency view: vertices are word
+    types, edges are adjacent-token pairs (window 2) seen >=
+    TEXTRANK_MIN_SUPPORT times corpus-wide, and the score is 3 unrolled
+    PageRank iterations at damping 0.85 (part_pagerank_3iter's exact
+    discipline: neighbor contributions rounded 12dp and summed as
+    DECIMAL — order-free; the oracle unrolls the same CTEs). The graph
+    is vocabulary-sized (types, not tokens), so every iteration is a
+    vocab-scale join however big the corpus."""
+    docs = load(spark, sf_dir, "documents")
+    t = tokenize_col("text")
+    pair = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.concat_ws(
+                " ",
+                F.least(F.element_at(t, i), F.element_at(t, i + 1)),
+                F.greatest(F.element_at(t, i), F.element_at(t, i + 1)),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    e = (
+        docs.select(F.explode(pair).alias("pr"))
+        .groupBy("pr")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= TEXTRANK_MIN_SUPPORT)
+        .select(
+            F.split_part(F.col("pr"), F.lit(" "), F.lit(1)).alias("wa"),
+            F.split_part(F.col("pr"), F.lit(" "), F.lit(2)).alias("wb"),
+        )
+        .filter(F.col("wa") != F.col("wb"))
+    )
+    edges = e.select(F.col("wa").alias("src"), F.col("wb").alias("dst")).unionAll(
+        e.select(F.col("wb").alias("src"), F.col("wa").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    n_nodes = deg.count()
+    base = (1.0 - TEXTRANK_D) / float(n_nodes)
+    rank = deg.select("src", F.lit(1.0 / float(n_nodes)).alias("r"))
+    for _ in range(TEXTRANK_ITERS):
+        contrib = (
+            edges.join(rank, "src")
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.round(
+                    F.lit(TEXTRANK_D) * F.col("r") / F.col("deg").cast("double"),
+                    12,
+                )
+                .cast("decimal(28,12)")
+                .alias("c"),
+            )
+        )
+        rank = (
+            contrib.groupBy("node")
+            .agg((F.lit(base) + F.sum("c").cast("double")).alias("r"))
+            .select(F.col("node").alias("src"), "r")
+        )
+    from pyspark.sql import Window
+
+    scored = rank.select(
+        F.col("src").alias("term"), F.round("r", 6).alias("textrank")
+    )
+    w = Window.orderBy(F.col("textrank").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TEXTRANK_TOP_K)
+        .orderBy("rank")
+    )

@@ -738,7 +738,14 @@ def more_like_this(
     # `unlike` support (ES more_like_this): veto the negative exemplar's
     # vocabulary BEFORE the top-terms cut
     cand = sorted(t for t in tf if not (exclude_terms and t in exclude_terms))
-    assert cand, f"doc {src_doc} has no tokens"
+    if not cand:
+        # every candidate vetoed (possible on closed vocabularies: at sf1
+        # the 31-token corpus lets one long exemplar cover the whole source
+        # vocabulary) — ES returns an empty page for an empty query, and the
+        # SQL oracle yields zero rows through the same emptiness
+        return spark.createDataFrame(
+            [], "query_id string, doc_id bigint, score double, rank int"
+        )
 
     n_docs, avgdl = exact_stats(spark, index_dir)
     dfmap = {
