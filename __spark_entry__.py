@@ -822,6 +822,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 63: TextRank keywords, position-based attribution
         "textrank_keywords": textstats.textrank_keywords,
         "attribution_position_based": parity.attribution_position_based,
+        # batch 64: grouping sets, anisotropy, entry-channel conversion
+        "grouping_sets_agg": parity.grouping_sets_agg,
+        "embedding_anisotropy": similarity.embedding_anisotropy,
+        "session_entry_conversion": parity.session_entry_conversion,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})
@@ -1821,5 +1825,15 @@ WHERE len(list_filter(range(1, len(toks)), i ->
     )
     out["attribution_position_based"] = attribution_position_sql(
         ATTR_CONVERSION
+    )
+
+    # batch 64
+    from lucene_mapreduce_spark.operators.oracles import (
+        session_entry_conversion_sql,
+    )
+    from lucene_mapreduce_spark.operators.parity import SESSION_GAP_S
+
+    out["session_entry_conversion"] = session_entry_conversion_sql(
+        SESSION_GAP_S, ATTR_CONVERSION
     )
     return out

@@ -11380,3 +11380,87 @@ SELECT channel, count(*)::BIGINT AS n_touches,
        round(sum(cr)::DOUBLE, 6) AS credit
 FROM credited GROUP BY 1 ORDER BY 1
 """
+
+
+# --------------------------------------------------------------- batch 64
+def session_entry_conversion_sql(gap_s: int, conversion: str) -> str:
+    """Entry-channel conversion twin: identical gaps-and-islands with
+    the total (us, event_id) order in both window passes."""
+    c = conversion.replace("'", "''")
+    return f"""
+WITH ev AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+),
+b AS (
+  SELECT *, (CASE WHEN lag(us) OVER w IS NULL
+                  OR us - lag(us) OVER w >= {gap_s}::BIGINT * 1000000
+             THEN 1 ELSE 0 END) AS brk
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS sid
+  FROM b
+),
+se AS (
+  SELECT *, first_value(event_type) OVER (
+              PARTITION BY user_id, sid ORDER BY us, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS entry
+  FROM s
+),
+sess AS (
+  SELECT user_id, sid, entry,
+         max(CASE WHEN event_type = '{c}' THEN 1 ELSE 0 END) AS converted
+  FROM se GROUP BY 1, 2, 3
+)
+SELECT entry, count(*)::BIGINT AS n_sessions,
+       sum(converted)::BIGINT AS n_converted,
+       round(sum(converted)::DOUBLE / count(*)::DOUBLE, 6)
+         AS conversion_rate
+FROM sess GROUP BY 1 ORDER BY 1
+"""
+
+
+ORACLES["grouping_sets_agg"] = """
+WITH e AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day FROM events
+)
+SELECT coalesce(event_type, '<all>') AS event_type,
+       coalesce(day::VARCHAR, '<all>') AS day,
+       grouping_id(event_type, day)::INT AS gid,
+       count(*)::BIGINT AS n_events
+FROM e
+GROUP BY GROUPING SETS ((event_type), (day), (event_type, day))
+ORDER BY gid, event_type, day
+"""
+
+
+ORACLES["embedding_anisotropy"] = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+nrm AS (
+  SELECT vec_id, v,
+         sqrt(list_reduce(list_prepend(0.0,
+           list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nn
+  FROM e
+),
+unit AS (
+  SELECT d AS dim,
+         round(v[d + 1] / nn, 12)::DECIMAL(28,12) AS u
+  FROM nrm, unnest(range(len(v))) t(d)
+  WHERE nn > 0
+),
+sums AS (SELECT dim, sum(u) AS s FROM unit GROUP BY 1),
+n AS (SELECT count(*)::DOUBLE AS n FROM nrm WHERE nn > 0),
+agg AS (
+  SELECT sum(round(s::DOUBLE * s::DOUBLE, 12)::DECIMAL(38,12))::DOUBLE AS sq
+  FROM sums
+)
+SELECT n.n::BIGINT AS n_vectors,
+       round((agg.sq - n.n) / (n.n * (n.n - 1.0)), 6)
+         AS mean_pairwise_cosine
+FROM agg CROSS JOIN n
+"""

@@ -3660,3 +3660,88 @@ def attribution_position_based(
         )
         .orderBy("channel")
     )
+
+
+def session_entry_conversion(
+    spark: SparkSession, sf_dir: str, gap_s: int = SESSION_GAP_S
+) -> DataFrame:
+    """Session conversion rate by ENTRY channel — the landing-page
+    report (which first-touch event type opens sessions that convert):
+    sessions are the house gaps-and-islands (1h idle gap, total (us,
+    event_id) order in both window passes — the sf1-caught tie rule);
+    each session's entry = its first event's type, converted = any
+    purchase inside the session. Counts are exact integers; the rate is
+    one rounded divide. Same shuffle shape as session_duration_stats
+    plus a first()-over-window projection."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    brk = F.when(
+        F.lag("us").over(w).isNull()
+        | (F.col("us") - F.lag("us").over(w) >= gap_s * 1_000_000),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    x = ev.withColumn("brk", brk)
+    sid = F.sum("brk").over(
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    we = (
+        Window.partitionBy("user_id", "sid")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sessions = (
+        x.withColumn("sid", sid)
+        .withColumn("entry", F.first("event_type").over(we))
+        .groupBy("user_id", "sid", "entry")
+        .agg(
+            F.max(
+                (F.col("event_type") == F.lit(ATTR_CONVERSION)).cast("int")
+            ).alias("converted")
+        )
+    )
+    return (
+        sessions.groupBy("entry")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum("converted").cast("long").alias("n_converted"),
+            F.round(
+                F.sum("converted").cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("conversion_rate"),
+        )
+        .orderBy("entry")
+    )
+
+
+def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping_id — completes the
+    multidimensional-aggregate trio next to events_rollup (ROLLUP) and
+    cube_agg (CUBE): the (event_type), (day), and (event_type, day)
+    sets in ONE pass, with the '<all>' sentinel for the collapsed
+    dimension (the taxonomy_facets rule — NULL group keys would be
+    ambiguous against real NULLs). grouping_id disambiguates which set
+    each row came from in both engines."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("gs_events")
+    return spark.sql(
+        """
+        SELECT coalesce(event_type, '<all>') AS event_type,
+               coalesce(CAST(day AS STRING), '<all>') AS day,
+               CAST(grouping_id(event_type, day) AS INT) AS gid,
+               CAST(count(1) AS LONG) AS n_events
+        FROM (
+          SELECT event_type,
+                 unix_micros(cast(ts as timestamp)) div 86400000000 AS day
+          FROM gs_events
+        )
+        GROUP BY GROUPING SETS ((event_type), (day), (event_type, day))
+        ORDER BY gid, event_type, day
+        """
+    )

@@ -1937,3 +1937,51 @@ def cosine_pair_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
         .orderBy("bin")
     )
+
+
+def embedding_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus anisotropy (Ethayarajh 2019's mean pairwise cosine proxy)
+    WITHOUT enumerating pairs — the identity the distributed setting
+    wants: over L2-normalized vectors, sum of all pairwise dots =
+    ||Σ u||² − N, so mean pairwise cosine = (||Σ u||² − N)/(N(N−1)).
+    One pass: per-dimension sums of 12dp-rounded DECIMAL(28,12)
+    normalized components (posexplode → order-free exact sums — the
+    embedding_centroid pattern), then scalar double math. O(N·d) work,
+    O(d) state; the pair histogram (cosine_pair_histogram) samples, this
+    computes the exact corpus mean."""
+    from lucene_mapreduce_spark.operators.parity import load
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id"), F.col("embedding").cast("array<double>").alias("v")
+    )
+    norm = F.sqrt(
+        F.aggregate(F.col("v"), F.lit(0.0), lambda s, x: s + x * x)
+    )
+    unit = emb.filter(norm > 0).select(
+        F.posexplode(
+            F.transform(F.col("v"), lambda x: x / norm)
+        ).alias("dim", "u")
+    )
+    sums = unit.groupBy("dim").agg(
+        F.sum(F.round(F.col("u"), 12).cast("decimal(28,12)")).alias("s")
+    )
+    # the cross-dimension square sum is also order-free DECIMAL — a raw
+    # double sum over 64 dims would be partition-order-dependent
+    agg = sums.agg(
+        F.sum(
+            F.round(
+                F.col("s").cast("double") * F.col("s").cast("double"), 12
+            ).cast("decimal(38,12)")
+        )
+        .cast("double")
+        .alias("sq"),
+    )
+    n = emb.filter(norm > 0).count()
+    return agg.select(
+        F.lit(int(n)).cast("long").alias("n_vectors"),
+        F.round(
+            (F.col("sq") - F.lit(float(n)))
+            / F.lit(float(n) * (float(n) - 1.0)),
+            6,
+        ).alias("mean_pairwise_cosine"),
+    )
