@@ -826,6 +826,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_agg": parity.grouping_sets_agg,
         "embedding_anisotropy": similarity.embedding_anisotropy,
         "session_entry_conversion": parity.session_entry_conversion,
+        # batch 65: dup-method agreement, BPE merge gain, BM25 param sweep
+        "dup_method_agreement": dedup.dup_method_agreement,
+        "bpe_merge_gain": textstats.bpe_merge_gain,
+        "bm25_param_sweep_overlap": fulltext.bm25_param_sweep_overlap,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})
@@ -1835,5 +1839,12 @@ WHERE len(list_filter(range(1, len(toks)), i ->
 
     out["session_entry_conversion"] = session_entry_conversion_sql(
         SESSION_GAP_S, ATTR_CONVERSION
+    )
+
+    # batch 65
+    from lucene_mapreduce_spark.operators.oracles import bm25_sweep_sql
+
+    out["bm25_param_sweep_overlap"] = bm25_sweep_sql(
+        fulltext.FLAGSHIP_QUERY, fulltext.BM25_SWEEP_COMBOS
     )
     return out

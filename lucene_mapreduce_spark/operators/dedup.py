@@ -952,3 +952,39 @@ def lsh_band_sweep(
         "bands int, rows_per_band int, n_candidates long, n_true long,"
         " precision double",
     )
+
+
+def dup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agreement audit between the two signature-based near-dup
+    detectors — the calibration table a dedup pipeline publishes before
+    trusting either alone: MinHash-LSH candidate pairs vs SimHash band
+    pairs, intersected on (doc_a, doc_b) (both emit doc_a < doc_b, so
+    the join is direct). Disagreement rows are where the methods see
+    different geometry (token-set Jaccard vs weighted-feature cosine).
+    One full-outer join over two already-bounded candidate sets; all
+    integers plus one rounded Jaccard."""
+    a = minhash_lsh_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_a")
+    )
+    b = simhash_near_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_b")
+    )
+    j = a.join(b, ["doc_a", "doc_b"], "full_outer")
+    return j.agg(
+        F.sum(F.coalesce("in_a", F.lit(0))).cast("long").alias("n_minhash"),
+        F.sum(F.coalesce("in_b", F.lit(0))).cast("long").alias("n_simhash"),
+        F.sum(
+            (F.col("in_a").isNotNull() & F.col("in_b").isNotNull()).cast("int")
+        )
+        .cast("long")
+        .alias("n_both"),
+        F.round(
+            F.sum(
+                (F.col("in_a").isNotNull() & F.col("in_b").isNotNull()).cast(
+                    "int"
+                )
+            ).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("jaccard"),
+    )

@@ -6657,3 +6657,43 @@ def multiword_synonym_query(
     return ranked_topk(scored, [F.desc("score"), F.asc("doc_id")], k).select(
         "doc_id", "score", "rank"
     )
+
+
+BM25_SWEEP_COMBOS = ((0.9, 0.3), (1.5, 0.6), (2.0, 0.9))
+
+
+def bm25_param_sweep_overlap(
+    spark: SparkSession,
+    sf_dir: str,
+    query_text: str = FLAGSHIP_QUERY,
+    combos: tuple = BM25_SWEEP_COMBOS,
+    k: int = 10,
+) -> DataFrame:
+    """BM25 (k1, b) tuning audit: for each candidate parameter point,
+    how much of the DEFAULT top-k page survives — the cheap first look
+    a relevance engineer takes before rank-correlation studies
+    (bm25_tuned_topk exposes one point; this sweeps the grid). Each leg
+    is the same scan-path BM25 with rounded-score ranking; pages are
+    k-row driver materializations (bounded by k x |combos|, never the
+    corpus), intersected as Python sets."""
+    from lucene_mapreduce_spark.query.bm25 import B as _B
+    from lucene_mapreduce_spark.query.bm25 import K1 as _K1
+
+    default_ids = {
+        r["doc_id"]
+        for r in bm25_tuned_topk(
+            spark, sf_dir, query_text, k1=_K1, b=_B, k=k
+        ).collect()
+    }
+    rows = []
+    for k1, b in combos:
+        ids = {
+            r["doc_id"]
+            for r in bm25_tuned_topk(
+                spark, sf_dir, query_text, k1=k1, b=b, k=k
+            ).collect()
+        }
+        rows.append((float(k1), float(b), len(ids & default_ids)))
+    return spark.createDataFrame(
+        rows, "k1 double, b double, n_common bigint"
+    ).orderBy("k1", "b")

@@ -11464,3 +11464,75 @@ SELECT n.n::BIGINT AS n_vectors,
          AS mean_pairwise_cosine
 FROM agg CROSS JOIN n
 """
+
+
+# --------------------------------------------------------------- batch 65
+ORACLES["dup_method_agreement"] = f"""
+WITH a AS ({ORACLES["minhash_lsh_pairs"]}),
+b0 AS ({ORACLES["simhash_near_pairs"]}),
+b AS (SELECT doc_a, doc_b FROM b0),
+j AS (
+  SELECT coalesce(a.doc_a, b.doc_a) AS doc_a,
+         coalesce(a.doc_b, b.doc_b) AS doc_b,
+         (a.doc_a IS NOT NULL) AS in_a, (b.doc_a IS NOT NULL) AS in_b
+  FROM a FULL OUTER JOIN b USING (doc_a, doc_b)
+)
+SELECT sum(CASE WHEN in_a THEN 1 ELSE 0 END)::BIGINT AS n_minhash,
+       sum(CASE WHEN in_b THEN 1 ELSE 0 END)::BIGINT AS n_simhash,
+       sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END)::BIGINT AS n_both,
+       round(sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END)::DOUBLE
+             / count(*)::DOUBLE, 6) AS jaccard
+FROM j
+"""
+
+
+ORACLES["bpe_merge_gain"] = f"""
+WITH words AS (
+  SELECT word, count(*)::BIGINT AS freq FROM (
+    SELECT unnest({TOKS}) AS word FROM documents
+  ) GROUP BY 1
+),
+pairs AS (
+  SELECT freq, unnest(list_transform(range(1, len(word)), i ->
+           substr(word, i, 2))) AS pair
+  FROM words WHERE len(word) >= 2
+),
+top AS (
+  SELECT pair FROM (
+    SELECT pair, sum(freq) AS c,
+           row_number() OVER (ORDER BY sum(freq) DESC, pair ASC) AS rn
+    FROM pairs GROUP BY 1
+  ) WHERE rn = 1
+),
+agg AS (
+  SELECT (SELECT pair FROM top) AS pair,
+         sum(w.freq * ((len(w.word) - len(replace(w.word,
+             (SELECT pair FROM top), ''))) // 2))::BIGINT AS n_merges,
+         sum(w.freq * len(w.word))::BIGINT AS symbols_before
+  FROM words w
+)
+SELECT pair, n_merges, symbols_before,
+       (symbols_before - n_merges)::BIGINT AS symbols_after,
+       round((symbols_before - n_merges)::DOUBLE
+             / symbols_before::DOUBLE, 6) AS compression
+FROM agg
+"""
+
+
+def bm25_sweep_sql(query_text: str, combos: tuple, k: int = 10) -> str:
+    """Param-sweep twin: one bm25_topk_sql CTE per (k1, b) point plus
+    the default page, intersection counts per combo."""
+    ctes = [f"dflt AS ({bm25_topk_sql(query_text, k=k)})"]
+    sels = []
+    for idx, (k1, b) in enumerate(combos):
+        ctes.append(
+            f"c{idx} AS ({bm25_topk_sql(query_text, k=k, k1=k1, b=b)})"
+        )
+        sels.append(
+            f"SELECT {k1}::DOUBLE AS k1, {b}::DOUBLE AS b,"
+            f" (SELECT count(*) FROM c{idx} JOIN dflt USING (doc_id))"
+            f"::BIGINT AS n_common"
+        )
+    body = ",\n".join(ctes)
+    union = "\nUNION ALL\n".join(sels)
+    return f"WITH {body}\n{union}\nORDER BY k1, b"

@@ -4549,3 +4549,60 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TEXTRANK_TOP_K)
         .orderBy("rank")
     )
+
+
+def bpe_merge_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-training step 2 (the merge application bpe_pair_counts
+    stops short of): apply the single argmax character-pair merge and
+    measure the realized corpus compression. The argmax counts
+    OVERLAPPING adjacent pairs (classic BPE statistics) but application
+    is leftmost non-overlapping (greedy merge), realized here as
+    (len(word) - len(replace(word, pair, ''))) div 2 — literal replace,
+    no regex, identical leftmost semantics in both engines. Work runs
+    over WORD TYPES weighted by corpus frequency (the count-then-expand
+    rewrite: vocabulary-scale, never token-scale). Output: the merge
+    pair, realized merges, symbol counts before/after, compression."""
+    docs = load(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokenize_col("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    pairs_arr = F.when(
+        F.length("word") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.length("word") - 1),
+            lambda i: F.col("word").substr(i, F.lit(2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counts = (
+        words.select("freq", F.explode(pairs_arr).alias("pair"))
+        .groupBy("pair")
+        .agg(F.sum("freq").cast("long").alias("count"))
+    )
+    top = counts.orderBy(F.desc("count"), F.asc("pair")).limit(1).collect()
+    pair = top[0]["pair"]  # bounded: one row crosses the driver
+    plit = pair.replace("'", "''")
+    # `div` — exact integral halving (the `/`-is-float floor trap)
+    merges_w = F.expr(
+        f"(length(word) - length(replace(word, '{plit}', ''))) div 2"
+    ).cast("long")
+    agg = words.agg(
+        F.sum(F.col("freq") * F.length("word").cast("long"))
+        .cast("long")
+        .alias("symbols_before"),
+        F.sum(F.col("freq") * merges_w).cast("long").alias("n_merges"),
+    )
+    return agg.select(
+        F.lit(pair).alias("pair"),
+        "n_merges",
+        "symbols_before",
+        (F.col("symbols_before") - F.col("n_merges"))
+        .cast("long")
+        .alias("symbols_after"),
+        F.round(
+            (F.col("symbols_before") - F.col("n_merges")).cast("double")
+            / F.col("symbols_before").cast("double"),
+            6,
+        ).alias("compression"),
+    )
