@@ -830,6 +830,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_method_agreement": dedup.dup_method_agreement,
         "bpe_merge_gain": textstats.bpe_merge_gain,
         "bm25_param_sweep_overlap": fulltext.bm25_param_sweep_overlap,
+        # batch 66: pruned percolation, item-item cosine, dim quartiles
+        "percolate_pruned": fulltext.percolate_pruned,
+        "item_cosine_similarity": relational.item_cosine_similarity,
+        "embedding_dim_quartiles": similarity.embedding_dim_quartiles,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})
@@ -1846,5 +1850,18 @@ WHERE len(list_filter(range(1, len(toks)), i ->
 
     out["bm25_param_sweep_overlap"] = bm25_sweep_sql(
         fulltext.FLAGSHIP_QUERY, fulltext.BM25_SWEEP_COMBOS
+    )
+
+    # batch 66 — percolate_pruned must match percolate_match's oracle
+    # EXACTLY (same semantics, cheaper plan)
+    from lucene_mapreduce_spark.operators.oracles import item_cosine_sql
+    from lucene_mapreduce_spark.operators.relational import (
+        AFFINITY_MIN_SUPPORT,
+        ITEM_COSINE_TOP_K,
+    )
+
+    out["percolate_pruned"] = percolate_sql(fulltext.PERCOLATE_QUERIES)
+    out["item_cosine_similarity"] = item_cosine_sql(
+        AFFINITY_MIN_SUPPORT, ITEM_COSINE_TOP_K
     )
     return out

@@ -6697,3 +6697,65 @@ def bm25_param_sweep_overlap(
     return spark.createDataFrame(
         rows, "k1 double, b double, n_common bigint"
     ).orderBy("k1", "b")
+
+
+def percolate_pruned(
+    spark: SparkSession,
+    sf_dir: str,
+    queries: tuple[tuple[str, str], ...] = PERCOLATE_QUERIES,
+) -> DataFrame:
+    """Percolator with the RAREST-TERM reverse index — the scale
+    optimization real percolators run (Lucene's TermsQuery pre-filter /
+    ES percolator's extraction phase): a doc can only fire query q if it
+    contains q's globally rarest term, so candidate (query, doc) pairs
+    come from the rarest-term postings alone (Σ df(rarest) rows, a tiny
+    fraction of the full registry-term join), and only candidates pay
+    the conjunctive verification. Must return EXACTLY percolate_match's
+    rows — same oracle SQL, different (cheaper) physical plan; the
+    gate proves the prune loses nothing. Registry df ranking is a
+    |union-terms|-row driver materialization (registry-scale, never
+    corpus-scale)."""
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_string
+    from lucene_mapreduce_spark.query.segments import read_postings
+
+    ix = _gate_index(spark, sf_dir)
+    reg = [
+        (qid, t)
+        for qid, qtext in queries
+        for t in sorted(set(tokenize_string(qtext)))
+    ]
+    need = {qid: len({t for q, t in reg if q == qid}) for qid, _ in queries}
+    terms = sorted({t for _, t in reg})
+    pos = read_postings(spark, ix, terms).select("term", "doc_id")
+    dfs = {
+        r["term"]: r["n"]
+        for r in pos.groupBy("term").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    rarest = {
+        qid: min(
+            (t for q, t in reg if q == qid),
+            key=lambda t: (dfs.get(t, 0), t),
+        )
+        for qid, _ in queries
+    }
+    rarestdf = spark.createDataFrame(
+        sorted(rarest.items()), "query_id string, term string"
+    )
+    cand = (
+        pos.join(F.broadcast(rarestdf), "term")
+        .select("query_id", "doc_id")
+        .distinct()
+    )
+    regdf = spark.createDataFrame(reg, "query_id string, term string")
+    needdf = spark.createDataFrame(
+        sorted(need.items()), "query_id string, n_terms int"
+    )
+    hits = (
+        pos.join(F.broadcast(regdf), "term")
+        .join(cand, ["query_id", "doc_id"], "left_semi")
+        .groupBy("query_id", "doc_id")
+        .agg(F.countDistinct("term").alias("m"))
+        .join(F.broadcast(needdf), "query_id")
+        .filter(F.col("m") == F.col("n_terms"))
+    )
+    return hits.select("query_id", "doc_id").orderBy("query_id", "doc_id")

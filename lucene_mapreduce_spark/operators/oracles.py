@@ -9878,24 +9878,23 @@ cdocs AS (
   SELECT DISTINCT doc_a AS doc_id FROM uni
   UNION SELECT DISTINCT doc_b FROM uni
 ),
-shc AS (SELECT s.doc_id, s.shingle FROM sh s SEMI JOIN cdocs USING (doc_id)),
-sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM shc GROUP BY 1),
-inter AS (
-  SELECT u.doc_a, u.doc_b, count(*)::BIGINT AS n_int
-  FROM uni u
-  JOIN shc a ON a.doc_id = u.doc_a
-  JOIN shc b ON b.doc_id = u.doc_b AND b.shingle = a.shingle
-  GROUP BY 1, 2
+-- per-candidate-doc sorted shingle LISTS, intersected per pair with
+-- list_intersect: the row volume stays at |pairs|, never
+-- |pairs| x |shingles| (the string-join form materialized ~50x the
+-- pair count at sf1 and exhausted temp disk)
+shl AS (
+  SELECT s.doc_id, list(DISTINCT s.shingle) AS ls,
+         count(DISTINCT s.shingle)::BIGINT AS sz
+  FROM sh s SEMI JOIN cdocs USING (doc_id) GROUP BY 1
 ),
 verd AS (
   SELECT u.doc_a, u.doc_b,
-         coalesce(n.n_int, 0)::DOUBLE
-           / (sa.sz + sb.sz - coalesce(n.n_int, 0))::DOUBLE >= {tau!r}
-           AS is_true
+         len(list_intersect(a.ls, b.ls))::DOUBLE
+           / (a.sz + b.sz - len(list_intersect(a.ls, b.ls)))::DOUBLE
+           >= {tau!r} AS is_true
   FROM uni u
-  LEFT JOIN inter n ON n.doc_a = u.doc_a AND n.doc_b = u.doc_b
-  JOIN sizes sa ON sa.doc_id = u.doc_a
-  JOIN sizes sb ON sb.doc_id = u.doc_b
+  JOIN shl a ON a.doc_id = u.doc_a
+  JOIN shl b ON b.doc_id = u.doc_b
 )
 SELECT c.bands, c.rows_per_band, count(*)::BIGINT AS n_candidates,
        sum(CASE WHEN v.is_true THEN 1 ELSE 0 END)::BIGINT AS n_true,
@@ -11536,3 +11535,43 @@ def bm25_sweep_sql(query_text: str, combos: tuple, k: int = 10) -> str:
     body = ",\n".join(ctes)
     union = "\nUNION ALL\n".join(sels)
     return f"WITH {body}\n{union}\nORDER BY k1, b"
+
+
+# --------------------------------------------------------------- batch 66
+def item_cosine_sql(min_support: int, k: int) -> str:
+    """Item-item cosine twin over distinct (order, part) pairs."""
+    return f"""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+co AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*)::BIGINT AS n_ab
+  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= {min_support}
+),
+deg AS (SELECT l_partkey, count(*)::BIGINT AS n FROM op GROUP BY 1),
+scored AS (
+  SELECT co.pa, co.pb, co.n_ab,
+         round(co.n_ab::DOUBLE / sqrt(da.n::DOUBLE * db.n::DOUBLE), 6)
+           AS cosine
+  FROM co JOIN deg da ON da.l_partkey = co.pa
+          JOIN deg db ON db.l_partkey = co.pb
+)
+SELECT pa, pb, n_ab, cosine, rank FROM (
+  SELECT *, row_number() OVER (ORDER BY cosine DESC, pa ASC, pb ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+ORACLES["embedding_dim_quartiles"] = """
+WITH e AS (
+  SELECT d AS dim, v[d + 1] AS x
+  FROM (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+       unnest(range(len(v))) t(d)
+)
+SELECT dim::INT AS dim, count(*)::BIGINT AS n,
+       round(quantile_cont(x, 0.25), 6) AS q1,
+       round(quantile_cont(x, 0.5), 6) AS median,
+       round(quantile_cont(x, 0.75), 6) AS q3
+FROM e GROUP BY 1 ORDER BY 1
+"""

@@ -1489,3 +1489,50 @@ def waiting_orders_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("rank", "s_name", "numwait")
         .orderBy("rank")
     )
+
+
+ITEM_COSINE_TOP_K = 20
+
+
+def item_cosine_similarity(
+    spark: SparkSession, sf_dir: str, k: int = ITEM_COSINE_TOP_K
+) -> DataFrame:
+    """Item-item cosine similarity over order co-occurrence — the
+    neighborhood-model recsys primitive next to part_affinity_lift's
+    lift view: sim(a, b) = n_ab / sqrt(n_a · n_b) on distinct
+    (order, part) pairs, support cut at AFFINITY_MIN_SUPPORT co-orders
+    BEFORE the pair join prunes the tail. Counts are exact integers;
+    the cosine is one fixed IEEE expression; ranks on the ROUNDED
+    score (pa, pb ties). Same self-join shape as the affinity ops —
+    order-key co-location, never all-pairs."""
+    from lucene_mapreduce_spark.operators.parity import load, ranked_topk
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("pb"))
+    co = (
+        a.join(b, (a.ok == b.ok2) & (a.pa < b.pb))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= AFFINITY_MIN_SUPPORT)
+    )
+    deg = li.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    scored = (
+        co.join(deg.select(F.col("l_partkey").alias("pa"), F.col("n").alias("na")), "pa")
+        .join(deg.select(F.col("l_partkey").alias("pb"), F.col("n").alias("nb")), "pb")
+        .select(
+            "pa",
+            "pb",
+            "n_ab",
+            F.round(
+                F.col("n_ab").cast("double")
+                / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    return ranked_topk(
+        scored, [F.desc("cosine"), F.asc("pa"), F.asc("pb")], k
+    ).select("pa", "pb", "n_ab", "cosine", "rank")

@@ -1985,3 +1985,29 @@ def embedding_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_pairwise_cosine"),
     )
+
+
+def embedding_dim_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension quartiles of the embedding corpus — the calibration
+    table int8 quantization and robust scaling read (int8_quantization_
+    audit pins one scheme; this publishes the underlying statistics):
+    exact type-7 q1/median/q3 per dimension (the percentile ==
+    quantile_cont rule), computed from one posexplode + one grouped
+    exact-percentile aggregate — 64 groups however large the corpus."""
+    from lucene_mapreduce_spark.operators.parity import load
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "x"
+        )
+    )
+    return (
+        emb.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.expr("percentile(x, 0.25)"), 6).alias("q1"),
+            F.round(F.expr("percentile(x, 0.5)"), 6).alias("median"),
+            F.round(F.expr("percentile(x, 0.75)"), 6).alias("q3"),
+        )
+        .orderBy("dim")
+    )
