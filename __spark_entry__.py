@@ -834,6 +834,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percolate_pruned": fulltext.percolate_pruned,
         "item_cosine_similarity": relational.item_cosine_similarity,
         "embedding_dim_quartiles": similarity.embedding_dim_quartiles,
+        # batch 67: nprobe recall curve, LSH + tf-idf cosine rescore
+        "ivf_nprobe_recall_curve": similarity.ivf_nprobe_recall_curve,
+        "lsh_tfidf_cosine_rescore": dedup.lsh_tfidf_cosine_rescore,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})
@@ -1863,5 +1866,18 @@ WHERE len(list_filter(range(1, len(toks)), i ->
     out["percolate_pruned"] = percolate_sql(fulltext.PERCOLATE_QUERIES)
     out["item_cosine_similarity"] = item_cosine_sql(
         AFFINITY_MIN_SUPPORT, ITEM_COSINE_TOP_K
+    )
+
+    # batch 67
+    from lucene_mapreduce_spark.operators.dedup import TFIDF_RESCORE_TOP_K
+    from lucene_mapreduce_spark.operators.oracles import (
+        lsh_tfidf_rescore_sql,
+        nprobe_curve_sql,
+    )
+    from lucene_mapreduce_spark.operators.similarity import NPROBE_CURVE
+
+    out["ivf_nprobe_recall_curve"] = nprobe_curve_sql(NPROBE_CURVE, 5)
+    out["lsh_tfidf_cosine_rescore"] = lsh_tfidf_rescore_sql(
+        TFIDF_RESCORE_TOP_K
     )
     return out

@@ -988,3 +988,97 @@ def dup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("jaccard"),
     )
+
+
+TFIDF_RESCORE_TOP_K = 20
+
+
+def lsh_tfidf_cosine_rescore(
+    spark: SparkSession, sf_dir: str, k: int = TFIDF_RESCORE_TOP_K
+) -> DataFrame:
+    """Two-stage lexical similarity join (Bayardo et al., WWW'07 shape:
+    cheap candidate generation + exact scoring, never all-pairs): the
+    MinHash-LSH candidate pairs re-scored with EXACT tf-idf cosine.
+    Weights w = tf · (1 + ln(N/(df+1))) (the ClassicSimilarity idf
+    tfidf_topk pins); per-doc norms and per-pair dot products sum
+    12dp-rounded DECIMAL(28,12) contributions (order-free — a raw
+    grouped double sum would be partition-order-dependent); the final
+    cosine is one double expression, ranked on the ROUNDED score.
+    Pair-scoring volume is |candidates| x shared-terms, bounded by the
+    LSH stage at any corpus size."""
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_col
+    from lucene_mapreduce_spark.operators.parity import load, ranked_topk
+
+    docs = load(spark, sf_dir, "documents")
+    postings = (
+        docs.select("doc_id", F.explode(tokenize_col("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    n_docs = docs.count()
+    dft = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = F.col("tf") * (
+        F.lit(1.0)
+        + F.log(F.lit(float(n_docs)) / (F.col("df").cast("double") + F.lit(1.0)))
+    )
+    weighted = postings.join(F.broadcast(dft), "term").select(
+        "doc_id", "term", w.alias("w")
+    )
+    norms = (
+        weighted.select(
+            "doc_id",
+            F.round(F.col("w") * F.col("w"), 12)
+            .cast("decimal(28,12)")
+            .alias("w2"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sqrt(F.sum("w2").cast("double")).alias("norm"))
+    )
+    cand = minhash_lsh_pairs(spark, sf_dir)
+    dots = (
+        cand.join(
+            weighted.select(
+                F.col("doc_id").alias("doc_a"),
+                "term",
+                F.col("w").alias("wa"),
+            ),
+            "doc_a",
+        )
+        .join(
+            weighted.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("term"),
+                F.col("w").alias("wb"),
+            ),
+            ["doc_b", "term"],
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("wa") * F.col("wb"), 12)
+            .cast("decimal(28,12)")
+            .alias("p"),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum("p").cast("double").alias("dot"))
+    )
+    scored = (
+        dots.join(
+            norms.select(F.col("doc_id").alias("doc_a"), F.col("norm").alias("na")),
+            "doc_a",
+        )
+        .join(
+            norms.select(F.col("doc_id").alias("doc_b"), F.col("norm").alias("nb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    return ranked_topk(
+        scored, [F.desc("cosine"), F.asc("doc_a"), F.asc("doc_b")], k
+    ).select("doc_a", "doc_b", "cosine", "rank")

@@ -2022,7 +2022,9 @@ SELECT vec_id, cosine, rank FROM (
 """
 
 
-def _ann_ivf_batch_sql(k: int = 5, qmod: int = 101) -> str:
+def _ann_ivf_batch_sql(
+    k: int = 5, qmod: int = 101, nprobe: int | None = None
+) -> str:
     """Batch-IVF twin: per-query probe sets AND assignments computed in
     SQL (probe selection is NOT imported from the engine — the oracle
     independently derives which lists each query probes)."""
@@ -2031,6 +2033,9 @@ def _ann_ivf_batch_sql(k: int = 5, qmod: int = 101) -> str:
         N_PROBE,
         TARGET_LIST_SIZE,
     )
+
+    if nprobe is None:
+        nprobe = N_PROBE
 
     def cos(a: str, b: str) -> str:
         return (
@@ -2056,7 +2061,7 @@ probe AS (
                               ORDER BY {cos("q.qv", "c.cv")} DESC, c.cid ASC)
              AS rn
     FROM cents c, q
-  ) WHERE rn <= {N_PROBE}
+  ) WHERE rn <= {nprobe}
 ),
 assign AS (
   SELECT vec_id, v, cid FROM (
@@ -11574,4 +11579,73 @@ SELECT dim::INT AS dim, count(*)::BIGINT AS n,
        round(quantile_cont(x, 0.5), 6) AS median,
        round(quantile_cont(x, 0.75), 6) AS q3
 FROM e GROUP BY 1 ORDER BY 1
+"""
+
+
+# --------------------------------------------------------------- batch 67
+def nprobe_curve_sql(nprobes: tuple, k: int) -> str:
+    """Recall-curve twin: one independent IVF derivation per nprobe
+    against the shared brute page."""
+    brute = ORACLES["ann_batch_topk"]
+    blocks = []
+    for np_ in nprobes:
+        ivf = _ann_ivf_batch_sql(k=k, nprobe=np_)
+        blocks.append(f"""
+SELECT {np_}::INT AS nprobe,
+       (SELECT count(DISTINCT query_id) FROM brute)::BIGINT AS n_queries,
+       (SELECT count(*) FROM (SELECT query_id, vec_id FROM ({ivf})) i
+         SEMI JOIN brute b USING (query_id, vec_id))::BIGINT AS total_hits,
+       round((SELECT count(*) FROM (SELECT query_id, vec_id FROM ({ivf})) i
+         SEMI JOIN brute b USING (query_id, vec_id))::DOUBLE
+         / ({k} * (SELECT count(DISTINCT query_id) FROM brute))::DOUBLE, 6)
+         AS recall""")
+    union = "\nUNION ALL\n".join(blocks)
+    return f"""
+WITH brute AS (SELECT query_id, vec_id FROM ({brute}))
+{union}
+ORDER BY nprobe
+"""
+
+
+def lsh_tfidf_rescore_sql(k: int) -> str:
+    """Two-stage rescore twin: LSH candidates + exact tf-idf cosine with
+    DECIMAL norm/dot sums."""
+    return f"""
+WITH cand AS ({ORACLES["minhash_lsh_pairs"]}),
+toks AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents),
+postings AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2
+),
+nd AS (SELECT count(*)::DOUBLE AS n FROM documents),
+dft AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY 1),
+weighted AS (
+  SELECT p.doc_id, p.term,
+         p.tf * (1.0 + ln((SELECT n FROM nd) / (d.df + 1.0))) AS w
+  FROM postings p JOIN dft d USING (term)
+),
+norms AS (
+  SELECT doc_id,
+         sqrt(sum(round(w * w, 12)::DECIMAL(28,12))::DOUBLE) AS norm
+  FROM weighted GROUP BY 1
+),
+dots AS (
+  SELECT c.doc_a, c.doc_b,
+         sum(round(a.w * b.w, 12)::DECIMAL(28,12))::DOUBLE AS dot
+  FROM cand c
+  JOIN weighted a ON a.doc_id = c.doc_a
+  JOIN weighted b ON b.doc_id = c.doc_b AND b.term = a.term
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT d.doc_a, d.doc_b,
+         round(d.dot / (na.norm * nb.norm), 6) AS cosine
+  FROM dots d
+  JOIN norms na ON na.doc_id = d.doc_a
+  JOIN norms nb ON nb.doc_id = d.doc_b
+)
+SELECT doc_a, doc_b, cosine, rank FROM (
+  SELECT *, row_number() OVER (ORDER BY cosine DESC, doc_a ASC, doc_b ASC)
+    AS rank
+  FROM scored
+) WHERE rank <= {k}
 """

@@ -2011,3 +2011,44 @@ def embedding_dim_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+NPROBE_CURVE = (1, 2, 4)
+
+
+def ivf_nprobe_recall_curve(
+    spark: SparkSession, sf_dir: str, nprobes: tuple = NPROBE_CURVE, k: int = 5
+) -> DataFrame:
+    """Recall-vs-nprobe operating curve for the IVF index — the tuning
+    chart an ANN deployment reads before pinning its latency/recall
+    point (ann_recall_at_k measures ONE point; this sweeps the knob).
+    Per nprobe: the IVF batch leg against the exact brute batch,
+    aggregate recall = total hits / (k · queries) — all integers until
+    one exact-rational divide. Audit cost is |sweep| x the probe-batch
+    work, corpus-independent."""
+    from lucene_mapreduce_spark.operators.ivf import ann_ivf_batch_topk
+
+    brute = ann_batch_topk(spark, sf_dir, k=k).select("query_id", "vec_id")
+    nq = brute.select("query_id").distinct().count()
+    legs = []
+    for np_ in nprobes:
+        ivf = ann_ivf_batch_topk(spark, sf_dir, k=k, nprobe=np_).select(
+            "query_id", "vec_id"
+        )
+        hits = ivf.join(brute, ["query_id", "vec_id"], "left_semi")
+        legs.append(
+            hits.agg(F.count(F.lit(1)).cast("long").alias("total_hits")).select(
+                F.lit(int(np_)).cast("int").alias("nprobe"),
+                F.lit(int(nq)).cast("long").alias("n_queries"),
+                "total_hits",
+                F.round(
+                    F.col("total_hits").cast("double")
+                    / F.lit(float(k * nq)),
+                    6,
+                ).alias("recall"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out.orderBy("nprobe")
