@@ -837,6 +837,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 67: nprobe recall curve, LSH + tf-idf cosine rescore
         "ivf_nprobe_recall_curve": similarity.ivf_nprobe_recall_curve,
         "lsh_tfidf_cosine_rescore": dedup.lsh_tfidf_cosine_rescore,
+        # batch 68: sliding-window streaming gate
+        "streaming_sliding_counts": (
+            lambda s, d: __import__(
+                "lucene_mapreduce_spark.streaming.incremental", fromlist=["x"]
+            ).streaming_sliding_counts(s, d)
+        ),
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})

@@ -11649,3 +11649,18 @@ SELECT doc_a, doc_b, cosine, rank FROM (
   FROM scored
 ) WHERE rank <= {k}
 """
+
+
+ORACLES["streaming_sliding_counts"] = """
+WITH e AS (
+  SELECT event_type, (epoch_us(ts) // 3600000000) AS h FROM events
+),
+expanded AS (
+  SELECT event_type, (h - o) * 3600000000 AS start_us
+  FROM e, (SELECT unnest([0, 1]) AS o)
+)
+SELECT strftime(make_timestamp(start_us), '%Y-%m-%d %H:%M:%S')
+         AS window_start,
+       event_type, count(*)::BIGINT AS n_events
+FROM expanded GROUP BY 1, 2 ORDER BY 1, 2
+"""

@@ -673,3 +673,57 @@ def streaming_percolate_range(
         .start()
     )
     return _finish_gate(spark, q, sink, src, order_by=["query_id", "doc_id"])
+
+
+def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate entry for SLIDING windowed aggregation (window duration 2h,
+    slide 1h — each event lands in exactly two overlapping windows; the
+    tumbling gate covers the duration == slide case): watermarked stream
+    -> F.window(ts, '2 hours', '1 hour') x event_type counts -> memory
+    sink, availableNow single micro-batch so update mode equals the
+    batch aggregate. Oracle: each event expands to its two epoch-aligned
+    window starts (hour h and h-1) in SQL. Window starts are cast to
+    STRING both sides (the date_histogram rule)."""
+    import os
+    import tempfile
+
+    from lucene_mapreduce_spark.operators.parity import load
+
+    derived = load(spark, sf_dir, "events").select("event_type", "ts")
+    src = os.path.join(tempfile.mkdtemp(prefix="lmr_stream_gate_"), "src")
+    derived.coalesce(1).write.mode("overwrite").parquet(src)
+
+    _GATE_SEQ[0] += 1
+    sink = f"sliding_counts_gate_{_GATE_SEQ[0]}"
+    stream = spark.readStream.schema("event_type string, ts timestamp").parquet(
+        src
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    q = (
+        agg.select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+        )
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    return _finish_gate(
+        spark,
+        q,
+        sink,
+        src,
+        select_cols=["window_start", "event_type", "n_events"],
+        order_by=["window_start", "event_type"],
+    )
