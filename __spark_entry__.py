@@ -843,6 +843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "lucene_mapreduce_spark.streaming.incremental", fromlist=["x"]
             ).streaming_sliding_counts(s, d)
         ),
+        "index_rollover_plan": parity.index_rollover_plan,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})
@@ -1886,4 +1887,10 @@ WHERE len(list_filter(range(1, len(toks)), i ->
     out["lsh_tfidf_cosine_rescore"] = lsh_tfidf_rescore_sql(
         TFIDF_RESCORE_TOP_K
     )
+
+    # batch 69
+    from lucene_mapreduce_spark.operators.oracles import rollover_plan_sql
+    from lucene_mapreduce_spark.operators.parity import ROLLOVER_MAX_DOCS
+
+    out["index_rollover_plan"] = rollover_plan_sql(ROLLOVER_MAX_DOCS)
     return out

@@ -11664,3 +11664,27 @@ SELECT strftime(make_timestamp(start_us), '%Y-%m-%d %H:%M:%S')
        event_type, count(*)::BIGINT AS n_events
 FROM expanded GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+def rollover_plan_sql(max_docs: int) -> str:
+    """Rollover-plan twin: identical prefix sum + integral division."""
+    return f"""
+WITH daily AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, count(*)::BIGINT AS n_docs
+  FROM events GROUP BY 1
+),
+cum AS (
+  SELECT day, n_docs,
+         sum(n_docs) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW)::BIGINT AS cum_docs
+  FROM daily
+),
+sh AS (
+  SELECT *, ((cum_docs - 1) // {max_docs})::BIGINT AS shard FROM cum
+)
+SELECT day, n_docs, cum_docs, shard,
+       (CASE WHEN lag(shard) OVER (ORDER BY day) IS NULL
+             OR shard <> lag(shard) OVER (ORDER BY day)
+        THEN 1 ELSE 0 END)::INT AS is_rollover_day
+FROM sh ORDER BY day
+"""

@@ -3745,3 +3745,45 @@ def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY gid, event_type, day
         """
     )
+
+
+ROLLOVER_MAX_DOCS = 700
+
+
+def index_rollover_plan(
+    spark: SparkSession, sf_dir: str, max_docs: int = ROLLOVER_MAX_DOCS
+) -> DataFrame:
+    """ILM-style rollover plan (ES `max_docs` rollover condition): walk
+    the daily ingest volumes and assign each day to the write index it
+    would land in — shard = (cumulative docs - 1) div max_docs — plus
+    the day the alias flips. All integer: one daily count, one ordered
+    prefix sum over the bounded day table (the pipeline-agg rule), one
+    `div`. The plan is what a capacity dashboard renders; at 100 TB the
+    window runs over calendar days, never events."""
+    ev = load(spark, sf_dir, "events").select(
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias(
+            "day"
+        )
+    )
+    daily = ev.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.withColumn("cum_docs", F.sum("n_docs").over(w))
+    shard = F.expr(f"(cum_docs - 1) div {int(max_docs)}").cast("long")
+    out = cum.withColumn("shard", shard)
+    wlag = Window.orderBy("day")
+    return out.select(
+        "day",
+        "n_docs",
+        "cum_docs",
+        "shard",
+        F.when(
+            F.lag("shard").over(wlag).isNull()
+            | (F.col("shard") != F.lag("shard").over(wlag)),
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("is_rollover_day"),
+    ).orderBy("day")
