@@ -844,6 +844,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).streaming_sliding_counts(s, d)
         ),
         "index_rollover_plan": parity.index_rollover_plan,
+        "nelson_aalen_hazard": parity.nelson_aalen_hazard,
+        "attribution_time_decay": parity.attribution_time_decay,
+        "cuped_adjusted_metric": parity.cuped_adjusted_metric,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})
@@ -1893,4 +1896,17 @@ WHERE len(list_filter(range(1, len(toks)), i ->
     from lucene_mapreduce_spark.operators.parity import ROLLOVER_MAX_DOCS
 
     out["index_rollover_plan"] = rollover_plan_sql(ROLLOVER_MAX_DOCS)
+
+    # batch 70
+    from lucene_mapreduce_spark.operators.oracles import (
+        attribution_time_decay_sql,
+    )
+    from lucene_mapreduce_spark.operators.parity import (
+        TD_LAM_LIT,
+        TD_LOOKBACK_S,
+    )
+
+    out["attribution_time_decay"] = attribution_time_decay_sql(
+        parity.ATTR_CONVERSION, TD_LAM_LIT, TD_LOOKBACK_S
+    )
     return out

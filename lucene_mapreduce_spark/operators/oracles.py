@@ -11688,3 +11688,146 @@ SELECT day, n_docs, cum_docs, shard,
         THEN 1 ELSE 0 END)::INT AS is_rollover_day
 FROM sh ORDER BY day
 """
+
+
+ORACLES["nelson_aalen_hazard"] = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) // 1000000 AS es FROM events
+),
+t_end AS (SELECT max(es) AS te FROM e),
+signup AS (
+  SELECT user_id, min(es) AS s FROM e WHERE event_type = 'signup' GROUP BY 1
+),
+fp AS (
+  SELECT e.user_id, min(e.es) AS p
+  FROM e JOIN signup g USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.es > g.s
+  GROUP BY 1
+),
+obs AS (
+  SELECT (CASE WHEN f.p IS NOT NULL THEN f.p - g.s
+               ELSE (SELECT te FROM t_end) - g.s END) AS t,
+         (CASE WHEN f.p IS NOT NULL THEN 1 ELSE 0 END) AS event
+  FROM signup g LEFT JOIN fp f USING (user_id)
+),
+grp AS (
+  SELECT t, count(*)::BIGINT AS n_here, sum(event)::BIGINT AS d
+  FROM obs GROUP BY 1
+),
+risk AS (
+  SELECT t, d,
+         (sum(n_here) OVER ()
+          - coalesce(sum(n_here) OVER (ORDER BY t
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         )::BIGINT AS n_at_risk
+  FROM grp
+),
+ev_rows AS (SELECT t, n_at_risk, d FROM risk WHERE d > 0),
+na AS (
+  SELECT t, n_at_risk, d,
+         sum(round(d::DOUBLE / n_at_risk::DOUBLE, 12)::DECIMAL(28,12))
+           OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS hsum
+  FROM ev_rows
+)
+SELECT t, n_at_risk, d,
+       round(hsum::DOUBLE, 6) AS cum_hazard,
+       round(exp(-(hsum::DOUBLE)), 6) AS na_survival
+FROM na ORDER BY t
+"""
+
+
+def attribution_time_decay_sql(
+    conversion: str, lam_lit: str, lookback_s: int
+) -> str:
+    """Time-decay attribution twin: identical integer dt seconds, the
+    SAME decay-rate repr literal, 12dp DECIMAL weights/credits."""
+    cv = conversion.replace("'", "''")
+    lb_us = int(lookback_s) * 1000000
+    return f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+),
+conv AS (
+  SELECT user_id, event_id AS conv_id, us AS conv_us
+  FROM e WHERE event_type = '{cv}'
+),
+touch AS (
+  SELECT user_id, event_type AS channel, us AS touch_us
+  FROM e WHERE event_type <> '{cv}'
+),
+pairs AS (
+  SELECT c.user_id, c.conv_id, t.channel,
+         (c.conv_us - t.touch_us) // 1000000 AS ds
+  FROM conv c JOIN touch t ON c.user_id = t.user_id
+   AND t.touch_us < c.conv_us AND c.conv_us - t.touch_us <= {lb_us}
+),
+wtd AS (
+  SELECT user_id, conv_id, channel,
+         round(exp(ds::DOUBLE * -{lam_lit}), 12)::DECIMAL(28,12) AS w
+  FROM pairs
+),
+cred AS (
+  SELECT channel,
+         round(w::DOUBLE / (sum(w) OVER (PARTITION BY user_id, conv_id)
+               )::DOUBLE, 12)::DECIMAL(28,12) AS credit
+  FROM wtd
+),
+chan AS (
+  SELECT channel, round(sum(credit)::DOUBLE, 6) AS credit,
+         count(*)::BIGINT AS n_touchpoints
+  FROM cred GROUP BY 1
+),
+none_row AS (
+  SELECT '(none)' AS channel, round(n::DOUBLE, 6) AS credit,
+         n AS n_touchpoints
+  FROM (SELECT count(*)::BIGINT AS n FROM conv c
+        WHERE NOT EXISTS (SELECT 1 FROM pairs p
+                          WHERE p.conv_id = c.conv_id))
+  WHERE n > 0
+)
+SELECT * FROM chan UNION ALL SELECT * FROM none_row ORDER BY channel
+"""
+
+
+ORACLES["cuped_adjusted_metric"] = f"""
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us,
+         round(value, 2)::DECIMAL(18,2) AS rev
+  FROM events
+),
+sp AS (SELECT (min(us) + max(us)) // 2 AS split_us FROM e),
+per AS (
+  SELECT user_id,
+         coalesce(sum(CASE WHEN us < (SELECT split_us FROM sp)
+                           THEN 1 END), 0)::BIGINT AS x,
+         coalesce(sum(CASE WHEN us >= (SELECT split_us FROM sp)
+                           AND event_type = 'purchase' THEN rev END),
+                  0)::DECIMAL(18,2) AS y
+  FROM e GROUP BY 1
+),
+g AS (
+  SELECT (CASE WHEN {_MD5_52.format(e="user_id::VARCHAR || ':cuped'")} % 2 = 0
+               THEN 'A' ELSE 'B' END) AS arm,
+         count(*)::BIGINT AS n, sum(x)::BIGINT AS sx, sum(y) AS sy,
+         sum(x * x)::BIGINT AS sxx, sum(x * y) AS sxy
+  FROM per GROUP BY 1
+),
+pooled AS (
+  SELECT arm, n, sx, sy,
+         (sum(n) OVER ())::DOUBLE AS pn,
+         (sum(sx) OVER ())::DOUBLE AS psx,
+         (sum(sy) OVER ())::DOUBLE AS psy,
+         (sum(sxx) OVER ())::DOUBLE AS psxx,
+         (sum(sxy) OVER ())::DOUBLE AS psxy
+  FROM g
+)
+SELECT arm, n,
+       round(sx::DOUBLE / n::DOUBLE, 6) AS mean_x,
+       round(sy::DOUBLE / n::DOUBLE, 6) AS mean_y,
+       round((pn * psxy - psx * psy) / (pn * psxx - psx * psx), 6) AS theta,
+       round(sy::DOUBLE / n::DOUBLE
+             - ((pn * psxy - psx * psy) / (pn * psxx - psx * psx))
+               * (sx::DOUBLE / n::DOUBLE - psx / pn), 6) AS adjusted_mean
+FROM pooled ORDER BY arm
+"""

@@ -3787,3 +3787,262 @@ def index_rollover_plan(
         .cast("int")
         .alias("is_rollover_day"),
     ).orderBy("day")
+
+
+def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimate for time-to-purchase —
+    the additive sibling of kaplan_meier_survival (same right-censored
+    risk table; reference cadence: the survival family a churn
+    dashboard pairs). H(t) = sum_{t_i<=t} d_i/n_i accumulated as a
+    cumulative DECIMAL(28,12) sum of 12dp-rounded per-event ratios
+    (order-free — the log-product pattern without the log), plus the
+    Breslow survival exp(-H). Unlike KM there is no d==n singularity:
+    d/n = 1 is a finite hazard step. Ordered windows run over the
+    bounded distinct-duration table, never event volume."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr("unix_micros(cast(ts as timestamp)) div 1000000").alias("es"),
+    )
+    t_end = ev.agg(F.max("es")).collect()[0][0]  # scalar
+    signup = ev.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("es").alias("s")
+    )
+    first_purchase = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(signup, "user_id")
+        .filter(F.col("es") > F.col("s"))
+        .groupBy("user_id")
+        .agg(F.min("es").alias("p"))
+    )
+    obs = signup.join(first_purchase, "user_id", "left").select(
+        F.when(F.col("p").isNotNull(), F.col("p") - F.col("s"))
+        .otherwise(F.lit(int(t_end)) - F.col("s"))
+        .alias("t"),
+        F.col("p").isNotNull().cast("int").alias("event"),
+    )
+    grp = obs.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("n_here"),
+        F.sum("event").cast("long").alias("d"),
+    )
+    w_all = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_excl = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    w_incl = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    risk = grp.select(
+        "t",
+        "d",
+        (
+            F.sum("n_here").over(w_all)
+            - F.coalesce(F.sum("n_here").over(w_excl), F.lit(0))
+        ).alias("n_at_risk"),
+    ).filter(F.col("d") > 0)
+    step = F.round(
+        F.col("d").cast("double") / F.col("n_at_risk").cast("double"), 12
+    ).cast("decimal(28,12)")
+    na = risk.select(
+        "t",
+        "n_at_risk",
+        "d",
+        F.sum(step).over(w_incl).alias("hsum"),
+    )
+    return na.select(
+        "t",
+        "n_at_risk",
+        "d",
+        F.round(F.col("hsum").cast("double"), 6).alias("cum_hazard"),
+        F.round(F.exp(-F.col("hsum").cast("double")), 6).alias(
+            "na_survival"
+        ),
+    ).orderBy("t")
+
+
+import math as _math  # noqa: E402
+
+# Time-decay attribution constants: 1-day half-life, 7-day lookback.
+# The decay rate is pinned as ONE Python repr literal shared by the Spark
+# plan and the DuckDB oracle builder (the _PI_LIT rule — never let each
+# engine derive ln(2)/86400 itself).
+TD_HALF_LIFE_S = 86400
+TD_LOOKBACK_S = 7 * 86400
+TD_LAM_LIT = repr(_math.log(2.0) / float(TD_HALF_LIFE_S))
+
+
+def attribution_time_decay(
+    spark: SparkSession, sf_dir: str, conversion: str = ATTR_CONVERSION
+) -> DataFrame:
+    """Exponential time-decay multi-touch attribution — the third
+    attribution model (last_touch, position_based are the gates it
+    joins). Every non-conversion touch within the 7-day lookback before
+    a conversion earns weight exp(-lambda * dt_seconds) with a 1-day
+    half-life; weights are normalized per conversion (credit sums to 1)
+    and credit rolls up per channel. Weights are 12dp-rounded DECIMALs
+    so the per-conversion normalizer and the channel rollup are
+    order-free; the per-pair divide is one IEEE op on identical
+    doubles. Conversions with no in-window touch credit '(none)' at
+    1.0 each. The join is per-user and time-bounded (hash join on
+    user_id, range residual) — the standard attribution shape that
+    scales by user, never corpus x corpus."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    conv = ev.filter(F.col("event_type") == conversion).select(
+        "user_id",
+        F.col("event_id").alias("conv_id"),
+        F.col("us").alias("conv_us"),
+    )
+    touch = ev.filter(F.col("event_type") != conversion).select(
+        "user_id",
+        F.col("event_type").alias("channel"),
+        F.col("us").alias("touch_us"),
+    )
+    lam = float(TD_LAM_LIT)
+    lb_us = TD_LOOKBACK_S * 1000000
+    pairs = conv.join(
+        touch,
+        [
+            conv.user_id == touch.user_id,
+            touch.touch_us < conv.conv_us,
+            conv.conv_us - touch.touch_us <= F.lit(lb_us),
+        ],
+    ).select(
+        conv.user_id,
+        "conv_id",
+        "channel",
+        F.expr("(conv_us - touch_us) div 1000000").alias("ds"),
+    )
+    w_dec = F.round(
+        F.exp(F.col("ds").cast("double") * F.lit(-lam)), 12
+    ).cast("decimal(28,12)")
+    wc = Window.partitionBy("user_id", "conv_id")
+    credited = pairs.select(
+        "channel",
+        F.round(
+            w_dec.cast("double") / F.sum(w_dec).over(wc).cast("double"), 12
+        )
+        .cast("decimal(28,12)")
+        .alias("credit"),
+    )
+    per_channel = credited.groupBy("channel").agg(
+        F.round(F.sum("credit").cast("double"), 6).alias("credit"),
+        F.count(F.lit(1)).cast("long").alias("n_touchpoints"),
+    )
+    unattributed = (
+        conv.join(
+            pairs.select("conv_id").distinct(), "conv_id", "left_anti"
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .filter(F.col("n") > 0)
+        .select(
+            F.lit("(none)").alias("channel"),
+            F.round(F.col("n").cast("double"), 6).alias("credit"),
+            F.col("n").alias("n_touchpoints"),
+        )
+    )
+    return per_channel.unionByName(unattributed).orderBy("channel")
+
+
+def cuped_adjusted_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced experiment readout (Deng et al. 2013) —
+    the adjustment every modern A/B platform applies before the
+    two_proportion_z_test / t_test_agg readouts this repo already
+    gates. Users are md5-assigned to arms A/B; the pre-period covariate
+    x = the user's event count before the stream midpoint, the metric
+    y = post-midpoint purchase revenue. theta = cov(x,y)/var(x) is
+    computed POOLED from EXACT sufficient statistics (BIGINT counts,
+    DECIMAL(18,2) revenue sums, exact BIGINT/DECIMAL cross-products —
+    order-free at any parallelism); the adjusted mean per arm
+    y_bar - theta*(x_bar - x_bar_pooled) is one fixed IEEE chain on
+    those exact sums, identical in both engines. Two shuffles: the
+    per-user rollup and the 2-row arm aggregate."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.round(F.col("value"), 2).cast("decimal(18,2)").alias("rev"),
+    )
+    lohi = ev.agg(F.min("us"), F.max("us")).collect()[0]
+    split_us = (int(lohi[0]) + int(lohi[1])) // 2
+    per = ev.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("us") < split_us, 1)), F.lit(0)
+        )
+        .cast("long")
+        .alias("x"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("us") >= split_us)
+                    & (F.col("event_type") == "purchase"),
+                    F.col("rev"),
+                )
+            ),
+            F.lit(0).cast("decimal(18,2)"),
+        )
+        # pin the per-user metric back to (18,2): DuckDB's sum widens to
+        # DECIMAL(38,2) and BIGINT*DECIMAL(38,2) overflows its multiply
+        # width — both engines cross-multiply from the same narrow type
+        .cast("decimal(18,2)")
+        .alias("y"),
+    )
+    arm = F.when(
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("user_id").cast("string"), F.lit(":cuped")
+                        )
+                    ),
+                    1,
+                    13,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(2),
+        )
+        == 0,
+        F.lit("A"),
+    ).otherwise(F.lit("B"))
+    g = per.groupBy(arm.alias("arm")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    pooled = g.select(
+        "arm",
+        "n",
+        "sx",
+        "sy",
+        F.sum("n").over(w_all).cast("double").alias("pn"),
+        F.sum("sx").over(w_all).cast("double").alias("psx"),
+        F.sum("sy").over(w_all).cast("double").alias("psy"),
+        F.sum("sxx").over(w_all).cast("double").alias("psxx"),
+        F.sum("sxy").over(w_all).cast("double").alias("psxy"),
+    )
+    theta = (
+        F.col("pn") * F.col("psxy") - F.col("psx") * F.col("psy")
+    ) / (F.col("pn") * F.col("psxx") - F.col("psx") * F.col("psx"))
+    xbar_pooled = F.col("psx") / F.col("pn")
+    mean_x = F.col("sx").cast("double") / F.col("n").cast("double")
+    mean_y = F.col("sy").cast("double") / F.col("n").cast("double")
+    return pooled.select(
+        "arm",
+        "n",
+        F.round(mean_x, 6).alias("mean_x"),
+        F.round(mean_y, 6).alias("mean_y"),
+        F.round(theta, 6).alias("theta"),
+        F.round(mean_y - theta * (mean_x - xbar_pooled), 6).alias(
+            "adjusted_mean"
+        ),
+    ).orderBy("arm")
