@@ -847,6 +847,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nelson_aalen_hazard": parity.nelson_aalen_hazard,
         "attribution_time_decay": parity.attribution_time_decay,
         "cuped_adjusted_metric": parity.cuped_adjusted_metric,
+        "rake_keywords": textstats.rake_keywords,
+        "dup_shingle_run_report": textstats.dup_shingle_run_report,
+        "sprt_daily_llr": parity.sprt_daily_llr,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})
@@ -1908,5 +1911,22 @@ WHERE len(list_filter(range(1, len(toks)), i ->
 
     out["attribution_time_decay"] = attribution_time_decay_sql(
         parity.ATTR_CONVERSION, TD_LAM_LIT, TD_LOOKBACK_S
+    )
+
+    # batch 71
+    from lucene_mapreduce_spark.operators.oracles import (
+        dup_run_sql,
+        rake_sql,
+        sprt_sql,
+    )
+
+    out["rake_keywords"] = rake_sql(
+        textstats.RAKE_TOP_K,
+        textstats.RAKE_MAX_PHRASE_LEN,
+        textstats.RAKE_STOPWORDS,
+    )
+    out["dup_shingle_run_report"] = dup_run_sql(textstats.DUP_RUN_MIN)
+    out["sprt_daily_llr"] = sprt_sql(
+        parity.SPRT_L1_LIT, parity.SPRT_L0_LIT, parity.SPRT_BOUND_LIT
     )
     return out

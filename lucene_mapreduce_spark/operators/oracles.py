@@ -11831,3 +11831,124 @@ SELECT arm, n,
                * (sx::DOUBLE / n::DOUBLE - psx / pn), 6) AS adjusted_mean
 FROM pooled ORDER BY arm
 """
+
+
+def rake_sql(k: int, maxlen: int, stopwords: list) -> str:
+    """RAKE twin: identical island grouping, deg/freq integers, 12dp
+    DECIMAL word scores, 6dp rounded phrase rank."""
+    stoplist = ", ".join("'" + w.replace("'", "''") + "'" for w in stopwords)
+    return f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+posw AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(t) + 1),
+         i -> {{'pos': i, 'w': t[i]}})) AS s
+  FROM toks
+),
+pw AS (SELECT doc_id, s.pos AS pos, s.w AS w FROM posw),
+nonstop AS (
+  SELECT doc_id, pos, w FROM pw WHERE w NOT IN ({stoplist})
+),
+isl AS (
+  SELECT doc_id, pos, w,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM nonstop
+),
+phr AS (
+  SELECT doc_id, grp, string_agg(w, ' ' ORDER BY pos) AS phrase,
+         count(*)::BIGINT AS plen
+  FROM isl GROUP BY 1, 2 HAVING count(*) <= {maxlen}
+),
+ws AS (
+  SELECT w, round(sum(plen)::DOUBLE / count(*)::DOUBLE, 12)
+              ::DECIMAL(28,12) AS wscore
+  FROM (SELECT unnest(string_split(phrase, ' ')) AS w, plen FROM phr)
+  GROUP BY 1
+),
+dphr AS (
+  SELECT phrase, count(*)::BIGINT AS n_occurrences FROM phr GROUP BY 1
+),
+scored AS (
+  SELECT d.phrase, d.n_occurrences, round(sum(s.wscore)::DOUBLE, 6) AS score
+  FROM (SELECT phrase, n_occurrences,
+               unnest(string_split(phrase, ' ')) AS w
+        FROM dphr) d
+  JOIN ws s USING (w)
+  GROUP BY 1, 2
+)
+SELECT rank, phrase, n_occurrences, score FROM (
+  SELECT *, row_number() OVER (ORDER BY score DESC, phrase) AS rank
+  FROM scored
+) WHERE rank <= {k} ORDER BY rank
+"""
+
+
+def dup_run_sql(min_run: int) -> str:
+    """Dup-shingle-run twin: identical positional 3-gram shingles,
+    distinct-doc dup flag, gaps-and-islands runs, integer rollup."""
+    return f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+shp AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+    i -> {{'pos': i,
+           'sh': t[i] || ' ' || t[i+1] || ' ' || t[i+2]}})) AS s
+  FROM toks WHERE len(t) >= 3
+),
+base AS (SELECT doc_id, s.pos AS pos, s.sh AS sh FROM shp),
+dup AS (
+  SELECT sh FROM (
+    SELECT sh, count(DISTINCT doc_id) AS nd FROM base GROUP BY 1
+  ) WHERE nd >= 2
+),
+runs AS (
+  SELECT doc_id, count(*)::BIGINT AS run
+  FROM (SELECT b.doc_id, b.pos,
+               b.pos - row_number() OVER (PARTITION BY b.doc_id
+                                          ORDER BY b.pos) AS grp
+        FROM base b JOIN dup USING (sh))
+  GROUP BY doc_id, grp
+),
+per_doc AS (SELECT doc_id, max(run)::BIGINT AS longest FROM runs GROUP BY 1),
+rep AS (
+  SELECT d.source, coalesce(p.longest, 0)::BIGINT AS longest
+  FROM documents d LEFT JOIN per_doc p USING (doc_id)
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN longest > 0 THEN 1 ELSE 0 END)::BIGINT AS docs_with_dup,
+       max(longest)::BIGINT AS max_run,
+       round(sum(longest)::DOUBLE / count(*)::DOUBLE, 6)
+         AS mean_longest_run,
+       sum(CASE WHEN longest >= {min_run} THEN 1 ELSE 0 END)::BIGINT
+         AS docs_run_ge_min
+FROM rep GROUP BY 1 ORDER BY 1
+"""
+
+
+def sprt_sql(l1_lit: str, l0_lit: str, bound_lit: str) -> str:
+    """SPRT twin: the same repr literals, 12dp DECIMAL daily LLR terms,
+    cumulative walk against +/- the Wald bound."""
+    return f"""
+WITH daily AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, count(*)::BIGINT AS n,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+           AS c
+  FROM events GROUP BY 1
+),
+llr AS (
+  SELECT day, n, c,
+         round(c::DOUBLE * {l1_lit} + (n - c)::DOUBLE * {l0_lit}, 12)
+           ::DECIMAL(28,12) AS llr_d
+  FROM daily
+),
+cum AS (
+  SELECT day, n, c, llr_d,
+         sum(llr_d) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum_d
+  FROM llr
+)
+SELECT day, n, c, round(llr_d::DOUBLE, 6) AS llr,
+       round(cum_d::DOUBLE, 6) AS cum_llr,
+       (CASE WHEN cum_d::DOUBLE >= {bound_lit} THEN 'accept_h1'
+             WHEN cum_d::DOUBLE <= -{bound_lit} THEN 'accept_h0'
+             ELSE 'continue' END) AS decision
+FROM cum ORDER BY day
+"""

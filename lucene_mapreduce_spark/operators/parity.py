@@ -4046,3 +4046,62 @@ def cuped_adjusted_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
             "adjusted_mean"
         ),
     ).orderBy("arm")
+
+
+# SPRT over the daily conversion rate: H0 p=0.18 vs H1 p=0.22,
+# alpha = beta = 0.05. The per-event log-likelihood ratios and the Wald
+# decision bound ln((1-beta)/alpha) = ln(19) are pinned repr literals
+# shared with the oracle (the TD_LAM_LIT rule).
+SPRT_P0 = 0.18
+SPRT_P1 = 0.22
+SPRT_L1_LIT = repr(_math.log(SPRT_P1 / SPRT_P0))
+SPRT_L0_LIT = repr(_math.log((1.0 - SPRT_P1) / (1.0 - SPRT_P0)))
+SPRT_BOUND_LIT = repr(_math.log(0.95 / 0.05))
+
+
+def sprt_daily_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald SPRT sequential A/B monitor over the daily purchase rate —
+    the always-valid sequential-testing companion to the fixed-horizon
+    two_proportion_z_test / cuped_adjusted_metric readouts (peeking at
+    a z-test daily inflates alpha; SPRT's ln(19) bounds do not). Per
+    day: LLR = c*ln(p1/p0) + (n-c)*ln((1-p1)/(1-p0)) from EXACT integer
+    (n, c) times pinned repr literals, rounded to a 12dp DECIMAL so the
+    running sum is order-free; the decision walks the cumulative LLR
+    against +/- ln(19). The ordered window runs over the bounded
+    calendar-day table (the pipeline-agg rule)."""
+    ev = load(spark, sf_dir, "events").select(
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias(
+            "day"
+        ),
+        "event_type",
+    )
+    daily = ev.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("event_type") == "purchase").cast("int"))
+        .cast("long")
+        .alias("c"),
+    )
+    l1 = float(SPRT_L1_LIT)
+    l0 = float(SPRT_L0_LIT)
+    bound = float(SPRT_BOUND_LIT)
+    contrib = F.round(
+        F.col("c").cast("double") * F.lit(l1)
+        + (F.col("n") - F.col("c")).cast("double") * F.lit(l0),
+        12,
+    ).cast("decimal(28,12)")
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    out = daily.withColumn("llr_d", contrib).withColumn(
+        "cum_d", F.sum("llr_d").over(w)
+    )
+    cum_dbl = F.col("cum_d").cast("double")
+    return out.select(
+        "day",
+        "n",
+        "c",
+        F.round(F.col("llr_d").cast("double"), 6).alias("llr"),
+        F.round(cum_dbl, 6).alias("cum_llr"),
+        F.when(cum_dbl >= F.lit(bound), F.lit("accept_h1"))
+        .when(cum_dbl <= F.lit(-bound), F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+        .alias("decision"),
+    ).orderBy("day")

@@ -4606,3 +4606,167 @@ def bpe_merge_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("compression"),
     )
+
+
+RAKE_TOP_K = 15
+RAKE_MAX_PHRASE_LEN = 4
+# RAKE's delimiter set: the union of every per-language stoplist (sorted so
+# the Spark isin() list and the SQL IN list are the same literal sequence).
+RAKE_STOPWORDS = sorted({w for ws in STOPWORDS.values() for w in ws})
+
+
+def rake_keywords(
+    spark: SparkSession, sf_dir: str, k: int = RAKE_TOP_K
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) — the third keyword
+    surface next to tfidf_keywords / textrank_keywords: candidate
+    phrases are maximal stopword-free token runs (classic
+    gaps-and-islands on position), capped at 4 words; word score =
+    deg(w)/freq(w) over all candidate occurrences (deg counts the
+    phrase length, i.e. self + co-occurring words); a phrase scores the
+    sum of its member word scores. deg/freq are EXACT integers; the
+    word score is one divide rounded to a 12dp DECIMAL so the per-phrase
+    sum is order-free; ranks cut on the 6dp-rounded score with the
+    phrase text as total-order tiebreak. Shuffles: the per-doc island
+    window, two vocab-bounded groupBys, one word-score equi-join."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    toks = tokenize_col("text")
+    pos_w = docs.select(
+        "doc_id", F.posexplode(toks).alias("p0", "w")
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "w")
+    nonstop = pos_w.filter(~F.col("w").isin(RAKE_STOPWORDS))
+    wn = Window.partitionBy("doc_id").orderBy("pos")
+    isl = nonstop.withColumn("grp", F.col("pos") - F.row_number().over(wn))
+    phrases = (
+        isl.groupBy("doc_id", "grp")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s["w"],
+                ),
+            ).alias("phrase"),
+            F.count(F.lit(1)).cast("long").alias("plen"),
+        )
+        .filter(F.col("plen") <= RAKE_MAX_PHRASE_LEN)
+    )
+    wstat = (
+        phrases.select(F.explode(F.split("phrase", " ")).alias("w"), "plen")
+        .groupBy("w")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum("plen").cast("long").alias("deg"),
+        )
+        .select(
+            "w",
+            F.round(
+                F.col("deg").cast("double") / F.col("freq").cast("double"),
+                12,
+            )
+            .cast("decimal(28,12)")
+            .alias("wscore"),
+        )
+    )
+    dphr = phrases.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences")
+    )
+    scored = (
+        dphr.select(
+            "phrase",
+            "n_occurrences",
+            F.explode(F.split("phrase", " ")).alias("w"),
+        )
+        .join(wstat, "w")
+        .groupBy("phrase", "n_occurrences")
+        .agg(F.round(F.sum("wscore").cast("double"), 6).alias("score"))
+    )
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+
+    return ranked_topk(
+        scored, [F.desc("score"), F.asc("phrase")], k
+    ).select("rank", "phrase", "n_occurrences", "score")
+
+
+DUP_RUN_MIN = 5
+
+
+def dup_shingle_run_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source longest-duplicated-substring profile — the tractable
+    distributed stand-in for suffix-array exact-substring dedup (Lee et
+    al. 2021 'Deduplicating Training Data Makes LMs Better'): a 3-gram
+    shingle is 'duplicated' when it occurs in >=2 distinct docs; per doc
+    the longest CONSECUTIVE run of duplicated shingles (gaps-and-islands
+    on shingle position) approximates the doc's longest substring shared
+    with the rest of the corpus (run r = r+2 shared tokens). The report
+    rolls up per source: docs with any dup run, max/mean longest run,
+    and docs at/above the cut-worthy threshold. All counts are exact
+    integers; the only float is one 6dp mean divide. Shuffles: the
+    shingle-df groupBy, the dup-flag equi-join back (corpus-linear, a
+    flag join, never a pair join), the per-doc island window."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    toks = tokenize_col("text")
+    idx = F.sequence(F.lit(1), F.size(toks) - 2)
+    sh_arr = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i),
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+        ),
+    )
+    base = (
+        docs.filter(F.size(toks) >= 3)
+        .select("doc_id", F.posexplode(sh_arr).alias("p0", "sh"))
+        .select("doc_id", (F.col("p0") + 1).alias("pos"), "sh")
+    )
+    dupsh = (
+        base.select("sh", "doc_id")
+        .distinct()
+        .groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("sh")
+    )
+    wn = Window.partitionBy("doc_id").orderBy("pos")
+    runs = (
+        base.join(dupsh, "sh")
+        .withColumn("grp", F.col("pos") - F.row_number().over(wn))
+        .groupBy("doc_id", "grp")
+        .agg(F.count(F.lit(1)).cast("long").alias("run"))
+    )
+    per_doc = runs.groupBy("doc_id").agg(F.max("run").alias("longest"))
+    rep = (
+        docs.select("doc_id", "source")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "source",
+            F.coalesce(F.col("longest"), F.lit(0)).cast("long").alias(
+                "longest"
+            ),
+        )
+    )
+    return (
+        rep.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum((F.col("longest") > 0).cast("int"))
+            .cast("long")
+            .alias("docs_with_dup"),
+            F.max("longest").cast("long").alias("max_run"),
+            F.round(
+                F.sum("longest").cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("mean_longest_run"),
+            F.sum((F.col("longest") >= DUP_RUN_MIN).cast("int"))
+            .cast("long")
+            .alias("docs_run_ge_min"),
+        )
+        .orderBy("source")
+    )
