@@ -850,6 +850,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rake_keywords": textstats.rake_keywords,
         "dup_shingle_run_report": textstats.dup_shingle_run_report,
         "sprt_daily_llr": parity.sprt_daily_llr,
+        "log_merge_plan": parity.log_merge_plan,
+        "scd2_user_state_intervals": parity.scd2_user_state_intervals,
+        "shard_allocation_plan": parity.shard_allocation_plan,
+        "search_sort_missing_last": fulltext.search_sort_missing_last,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})
@@ -1928,5 +1932,20 @@ WHERE len(list_filter(range(1, len(toks)), i ->
     out["dup_shingle_run_report"] = dup_run_sql(textstats.DUP_RUN_MIN)
     out["sprt_daily_llr"] = sprt_sql(
         parity.SPRT_L1_LIT, parity.SPRT_L0_LIT, parity.SPRT_BOUND_LIT
+    )
+
+    # batch 72
+    from lucene_mapreduce_spark.operators.oracles import (
+        log_merge_sql,
+        shard_allocation_sql,
+        sort_missing_sql,
+    )
+
+    out["log_merge_plan"] = log_merge_sql(parity.LOG_MERGE_FACTOR)
+    out["shard_allocation_plan"] = shard_allocation_sql(
+        parity.N_ALLOC_SHARDS, parity.N_ALLOC_NODES
+    )
+    out["search_sort_missing_last"] = sort_missing_sql(
+        fulltext.SORT_MISSING_K
     )
     return out

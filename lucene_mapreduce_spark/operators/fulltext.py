@@ -6759,3 +6759,48 @@ def percolate_pruned(
         .filter(F.col("m") == F.col("n_terms"))
     )
     return hits.select("query_id", "doc_id").orderBy("query_id", "doc_id")
+
+
+SORT_MISSING_K = 20
+
+
+def search_sort_missing_last(
+    spark: SparkSession, sf_dir: str, k: int = SORT_MISSING_K
+) -> DataFrame:
+    """Lucene SortField.setMissingValue parity: a MatchAllDocsQuery
+    sorted ascending by a sparse numeric doc value with missing values
+    forced LAST (setMissingValue(Long.MAX_VALUE)), doc_id as the
+    index-order tiebreak. The sparse field is the shared md5-derived
+    contract: num = n_chars where md5(doc_id:'mv') keeps ~3/4 of docs,
+    NULL otherwise — so the page crosses the present/missing boundary
+    only at corpus sizes below k and the NULLS LAST semantics are what
+    the gate pins. TakeOrderedAndProject, never a global window."""
+    from lucene_mapreduce_spark.operators.parity import load, ranked_topk
+
+    docs = load(spark, sf_dir, "documents")
+    present = (
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("doc_id").cast("string"), F.lit(":mv")
+                        )
+                    ),
+                    1,
+                    13,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(4),
+        )
+        != 0
+    )
+    vals = docs.select(
+        "doc_id",
+        F.when(present, F.col("n_chars").cast("long")).alias("num"),
+    )
+    return ranked_topk(
+        vals, [F.asc_nulls_last("num"), F.asc("doc_id")], k
+    ).select("rank", "doc_id", "num")

@@ -11952,3 +11952,100 @@ SELECT day, n, c, round(llr_d::DOUBLE, 6) AS llr,
              ELSE 'continue' END) AS decision
 FROM cum ORDER BY day
 """
+
+
+def log_merge_sql(merge_factor: int) -> str:
+    """LogDocMergePolicy twin: integer log10 via string length."""
+    return f"""
+WITH segs AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+         count(*)::BIGINT AS n_docs
+  FROM events GROUP BY 1, 2
+),
+lv AS (
+  SELECT (length(n_docs::VARCHAR) - 1)::BIGINT AS level FROM segs
+),
+per AS (
+  SELECT level, count(*)::BIGINT AS n_segments FROM lv GROUP BY 1
+)
+SELECT level, n_segments,
+       (n_segments // {merge_factor})::BIGINT AS n_merges,
+       (n_segments - (n_segments // {merge_factor}) * {merge_factor}
+       )::BIGINT AS n_left_at_level
+FROM per ORDER BY level
+"""
+
+
+ORACLES["scd2_user_state_intervals"] = """
+WITH e AS (
+  SELECT user_id, event_id, event_type AS state, epoch_us(ts) AS us
+  FROM events
+),
+chg AS (
+  SELECT user_id, event_id, state, us,
+         (CASE WHEN lag(state) OVER w IS NULL
+               OR state <> lag(state) OVER w THEN 1 ELSE 0 END) AS c
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+ver AS (
+  SELECT user_id, state, us,
+         sum(c) OVER (PARTITION BY user_id ORDER BY us, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS version
+  FROM chg
+),
+iv AS (
+  SELECT user_id, version::BIGINT AS version, min(state) AS state,
+         min(us) AS valid_from_us
+  FROM ver GROUP BY user_id, version
+)
+SELECT user_id, version, state, valid_from_us,
+       lead(valid_from_us) OVER w2 AS valid_to_us,
+       (CASE WHEN lead(valid_from_us) OVER w2 IS NULL
+             THEN 1 ELSE 0 END)::INT AS is_current
+FROM iv
+WINDOW w2 AS (PARTITION BY user_id ORDER BY version)
+ORDER BY user_id, version
+"""
+
+
+def shard_allocation_sql(n_shards: int, n_nodes: int) -> str:
+    """Shard-allocation twin: identical md5 routing + round-robin."""
+    h = _MD5_52.format(e="doc_id::VARCHAR || ':shard'")
+    return f"""
+WITH per_shard AS (
+  SELECT ({h}) % {n_shards} AS shard, count(*)::BIGINT AS n_docs
+  FROM documents GROUP BY 1
+),
+legs AS (
+  SELECT shard % {n_nodes} AS node, 1 AS is_primary, n_docs FROM per_shard
+  UNION ALL
+  SELECT (shard + 1) % {n_nodes} AS node, 0 AS is_primary, n_docs
+  FROM per_shard
+)
+SELECT node::BIGINT AS node,
+       sum(is_primary)::BIGINT AS n_primary,
+       sum(1 - is_primary)::BIGINT AS n_replica,
+       sum(CASE WHEN is_primary = 1 THEN n_docs END)::BIGINT
+         AS docs_primary,
+       sum(n_docs)::BIGINT AS docs_total
+FROM legs GROUP BY 1 ORDER BY 1
+"""
+
+
+def sort_missing_sql(k: int) -> str:
+    """Sort-missing-last twin: same md5 sparsity, NULLS LAST page."""
+    h = _MD5_52.format(e="doc_id::VARCHAR || ':mv'")
+    return f"""
+WITH vals AS (
+  SELECT doc_id,
+         (CASE WHEN ({h}) % 4 <> 0 THEN n_chars::BIGINT END) AS num
+  FROM documents
+)
+SELECT rank, doc_id, num FROM (
+  SELECT doc_id, num,
+         row_number() OVER (ORDER BY num ASC NULLS LAST, doc_id) AS rank
+  FROM vals
+) WHERE rank <= {k} ORDER BY rank
+"""

@@ -4105,3 +4105,143 @@ def sprt_daily_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("continue"))
         .alias("decision"),
     ).orderBy("day")
+
+
+LOG_MERGE_FACTOR = 10
+
+
+def log_merge_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene LogDocMergePolicy plan (LogMergePolicy.findMerges): treat
+    each ingest day's doc count as a flushed segment, bucket segments
+    into size levels level = floor(log10(maxDoc)) — computed as
+    length(docs::string)-1, EXACT integer log10, no float log — and at
+    each level a full mergeFactor=10 group merges into one segment of
+    the next level. The plan reports per level: segment count, merges
+    triggered, and the post-merge segment count (n - 10m + m... the
+    merged outputs graduate a level, so n_after here = leftover at the
+    level). Pure integer walk over the bounded day table — the
+    merge-policy twin of index_rollover_plan (index/merge.py implements
+    the real hierarchical merge this plan models)."""
+    ev = load(spark, sf_dir, "events").select(
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias(
+            "day"
+        ),
+        "event_type",
+    )
+    # flush unit = (day, event_type): realistic size spread across levels
+    segs = ev.groupBy("day", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    level = (F.length(F.col("n_docs").cast("string")) - 1).cast("long")
+    per = segs.select(level.alias("level")).groupBy("level").agg(
+        F.count(F.lit(1)).cast("long").alias("n_segments")
+    )
+    merges = F.expr(f"n_segments div {LOG_MERGE_FACTOR}").cast("long")
+    return per.select(
+        "level",
+        "n_segments",
+        merges.alias("n_merges"),
+        (F.col("n_segments") - merges * LOG_MERGE_FACTOR).alias(
+            "n_left_at_level"
+        ),
+    ).orderBy("level")
+
+
+def scd2_user_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension build from an event changelog — the
+    slowly-changing-dimension discipline the tagged-union state+delta
+    merge (J5) feeds at 100 TB: per user, consecutive runs of the same
+    event_type collapse to versioned validity intervals
+    [valid_from_us, valid_to_us) with an is_current flag on the open
+    interval. Change detection is one lag() per user on the total
+    (us, event_id) order; versions are the running sum of change flags;
+    interval ends come from lead() over the per-user version table.
+    Everything is exact integers on one user_id shuffle."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.col("event_type").alias("state"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    wo = Window.partitionBy("user_id").orderBy("us", "event_id")
+    chg = (
+        F.lag("state").over(wo).isNull()
+        | (F.col("state") != F.lag("state").over(wo))
+    ).cast("int")
+    ver = ev.withColumn(
+        "version",
+        F.sum(chg).over(wo.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    iv = ver.groupBy("user_id", "version").agg(
+        # every row in a version-island carries the SAME state by
+        # construction; min() is just the deterministic pick of it
+        F.min("state").alias("state"),
+        F.min("us").alias("valid_from_us"),
+    )
+    wv = Window.partitionBy("user_id").orderBy("version")
+    return iv.select(
+        "user_id",
+        F.col("version").cast("long").alias("version"),
+        "state",
+        "valid_from_us",
+        F.lead("valid_from_us").over(wv).alias("valid_to_us"),
+        F.lead("valid_from_us").over(wv).isNull().cast("int").alias(
+            "is_current"
+        ),
+    ).orderBy("user_id", "version")
+
+
+N_ALLOC_SHARDS = 12
+N_ALLOC_NODES = 5
+
+
+def shard_allocation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES-style balanced shard allocation plan: documents hash to
+    N_ALLOC_SHARDS primaries via the engine-shared md5 routing hash
+    (ES `_routing`), primaries round-robin over N_ALLOC_NODES
+    (node = shard mod nodes) and each replica lands on the next node —
+    never colocated with its primary, the ES same-node allocation
+    decider. The report is the per-node balance sheet a capacity
+    planner reads: primary/replica shard counts and the doc volume each
+    node serves. All integer; one shard-sized groupBy."""
+    docs = load(spark, sf_dir, "documents")
+    shard = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.col("doc_id").cast("string"), F.lit(":shard"))
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(N_ALLOC_SHARDS),
+    )
+    per_shard = docs.select(shard.alias("shard")).groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    primary = per_shard.select(
+        F.pmod(F.col("shard"), F.lit(N_ALLOC_NODES)).alias("node"),
+        F.lit(1).alias("is_primary"),
+        "n_docs",
+    )
+    replica = per_shard.select(
+        F.pmod(F.col("shard") + 1, F.lit(N_ALLOC_NODES)).alias("node"),
+        F.lit(0).alias("is_primary"),
+        "n_docs",
+    )
+    both = primary.unionByName(replica)
+    return (
+        both.groupBy("node")
+        .agg(
+            F.sum("is_primary").cast("long").alias("n_primary"),
+            F.sum(1 - F.col("is_primary")).cast("long").alias("n_replica"),
+            F.sum(F.when(F.col("is_primary") == 1, F.col("n_docs")))
+            .cast("long")
+            .alias("docs_primary"),
+            F.sum("n_docs").cast("long").alias("docs_total"),
+        )
+        .orderBy("node")
+    )
