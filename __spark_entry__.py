@@ -854,6 +854,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_user_state_intervals": parity.scd2_user_state_intervals,
         "shard_allocation_plan": parity.shard_allocation_plan,
         "search_sort_missing_last": fulltext.search_sort_missing_last,
+        "bounce_rate_by_entry": parity.bounce_rate_by_entry,
+        "triplet_mining_plan": similarity.triplet_mining_plan,
+        "feature_hash_collision_report": (
+            textstats.feature_hash_collision_report
+        ),
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})
@@ -1947,5 +1952,20 @@ WHERE len(list_filter(range(1, len(toks)), i ->
     )
     out["search_sort_missing_last"] = sort_missing_sql(
         fulltext.SORT_MISSING_K
+    )
+
+    # batch 73
+    from lucene_mapreduce_spark.operators.oracles import (
+        bounce_rate_sql,
+        feature_hash_sql,
+        triplet_mining_sql,
+    )
+
+    out["bounce_rate_by_entry"] = bounce_rate_sql(parity.SESSION_GAP_S)
+    out["triplet_mining_plan"] = triplet_mining_sql(
+        similarity.TRIPLET_MOD, similarity.TRIPLET_MARGIN
+    )
+    out["feature_hash_collision_report"] = feature_hash_sql(
+        textstats.FEATURE_HASH_BUCKETS
     )
     return out

@@ -12049,3 +12049,115 @@ SELECT rank, doc_id, num FROM (
   FROM vals
 ) WHERE rank <= {k} ORDER BY rank
 """
+
+
+def bounce_rate_sql(gap_s: int) -> str:
+    """Bounce-rate twin: identical sessionization, exact-one-event flag."""
+    return f"""
+WITH ev AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+),
+b AS (
+  SELECT *, (CASE WHEN lag(us) OVER w IS NULL
+                  OR us - lag(us) OVER w >= {gap_s}::BIGINT * 1000000
+             THEN 1 ELSE 0 END) AS brk
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS sid
+  FROM b
+),
+se AS (
+  SELECT *, first_value(event_type) OVER (
+              PARTITION BY user_id, sid ORDER BY us, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS entry
+  FROM s
+),
+sess AS (
+  SELECT user_id, sid, entry, count(*)::BIGINT AS n_events
+  FROM se GROUP BY 1, 2, 3
+)
+SELECT entry, count(*)::BIGINT AS n_sessions,
+       sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)::BIGINT AS n_bounced,
+       round(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)::DOUBLE
+             / count(*)::DOUBLE, 6) AS bounce_rate
+FROM sess GROUP BY 1 ORDER BY 1
+"""
+
+
+def triplet_mining_sql(qmod: int, margin: float) -> str:
+    """Triplet-mining twin: same anchor pick, rounded-cosine ranks,
+    hardest-valid negative below the positive similarity."""
+    return f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (
+  SELECT vec_id AS anchor_id, label AS qlabel, v AS qv
+  FROM e WHERE vec_id % {qmod} = 0
+),
+scored AS (
+  SELECT q.anchor_id, q.qlabel, e.vec_id, e.label,
+         round(list_dot_product(e.v, q.qv)
+               / (sqrt(list_dot_product(e.v, e.v))
+                  * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+  FROM e CROSS JOIN q
+  WHERE e.vec_id <> q.anchor_id
+),
+pos AS (
+  SELECT anchor_id, vec_id AS pos_id, cosine AS pos_sim FROM (
+    SELECT *, row_number() OVER (PARTITION BY anchor_id
+               ORDER BY cosine DESC, vec_id ASC) AS r
+    FROM scored WHERE label = qlabel
+  ) WHERE r = 1
+),
+neg AS (
+  SELECT anchor_id, pos_id, pos_sim, vec_id AS neg_id,
+         cosine AS neg_sim FROM (
+    SELECT s.*, p.pos_id, p.pos_sim,
+           row_number() OVER (PARTITION BY s.anchor_id
+             ORDER BY s.cosine DESC, s.vec_id ASC) AS r
+    FROM scored s JOIN pos p USING (anchor_id)
+    WHERE s.label <> s.qlabel AND s.cosine < p.pos_sim
+  ) WHERE r = 1
+)
+SELECT anchor_id, pos_id, pos_sim, neg_id, neg_sim,
+       round(pos_sim - neg_sim, 6) AS triplet_gap,
+       (CASE WHEN pos_sim - neg_sim < {margin} THEN 1 ELSE 0 END)::INT
+         AS semi_hard
+FROM neg ORDER BY anchor_id
+"""
+
+
+def feature_hash_sql(n_buckets: int) -> str:
+    """Feature-hash collision twin: identical md5 bucket, load
+    histogram with the computed empty-bucket row."""
+    h = _MD5_52.format(e="term")
+    return f"""
+WITH toks AS (SELECT {TOKS} AS t FROM documents),
+vocab AS (
+  SELECT term, count(*)::BIGINT AS cf
+  FROM (SELECT unnest(t) AS term FROM toks) GROUP BY 1
+),
+per_bucket AS (
+  SELECT ({h}) % {n_buckets} AS b, count(*)::BIGINT AS load,
+         sum(cf)::BIGINT AS mass
+  FROM vocab GROUP BY 1
+),
+hist AS (
+  SELECT load, count(*)::BIGINT AS n_buckets, sum(mass)::BIGINT
+           AS token_mass
+  FROM per_bucket GROUP BY 1
+),
+empty AS (
+  SELECT 0::BIGINT AS load,
+         ({n_buckets} - count(*))::BIGINT AS n_buckets,
+         0::BIGINT AS token_mass
+  FROM per_bucket
+)
+SELECT * FROM hist
+UNION ALL
+SELECT * FROM empty WHERE n_buckets > 0
+ORDER BY load
+"""

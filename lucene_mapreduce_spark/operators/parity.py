@@ -4245,3 +4245,62 @@ def shard_allocation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("node")
     )
+
+
+def bounce_rate_by_entry(
+    spark: SparkSession, sf_dir: str, gap_s: int = SESSION_GAP_S
+) -> DataFrame:
+    """Bounce rate by session ENTRY channel — the single-event-session
+    complement of session_entry_conversion (same house gaps-and-islands
+    sessionization, 1h idle gap, total (us, event_id) order in both
+    window passes). A session bounces when it contains exactly one
+    event. Counts are exact integers; the rate is one rounded divide."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    brk = F.when(
+        F.lag("us").over(w).isNull()
+        | (F.col("us") - F.lag("us").over(w) >= gap_s * 1_000_000),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    x = ev.withColumn("brk", brk)
+    sid = F.sum("brk").over(
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    we = (
+        Window.partitionBy("user_id", "sid")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sessions = (
+        x.withColumn("sid", sid)
+        .withColumn("entry", F.first("event_type").over(we))
+        .groupBy("user_id", "sid", "entry")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    return (
+        sessions.groupBy("entry")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum((F.col("n_events") == 1).cast("int"))
+            .cast("long")
+            .alias("n_bounced"),
+        )
+        .select(
+            "entry",
+            "n_sessions",
+            "n_bounced",
+            F.round(
+                F.col("n_bounced").cast("double")
+                / F.col("n_sessions").cast("double"),
+                6,
+            ).alias("bounce_rate"),
+        )
+        .orderBy("entry")
+    )

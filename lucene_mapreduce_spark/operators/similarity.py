@@ -2052,3 +2052,90 @@ def ivf_nprobe_recall_curve(
     for leg in legs[1:]:
         out = out.unionByName(leg)
     return out.orderBy("nprobe")
+
+
+TRIPLET_MOD = 37  # ~14 anchors on the 500-vec gate corpus; still bounded at scale
+TRIPLET_MARGIN = 0.05
+
+
+def triplet_mining_plan(
+    spark: SparkSession,
+    sf_dir: str,
+    qmod: int = TRIPLET_MOD,
+    margin: float = TRIPLET_MARGIN,
+) -> DataFrame:
+    """Margin-based (anchor, positive, negative) triplet mining for
+    contrastive training — the structured sibling of
+    hard_negative_mining: per md5-free anchor (vec_id % qmod == 0) the
+    positive is the most-cosine-similar SAME-label vector, the negative
+    the most similar DIFFERENT-label vector that is still farther than
+    the positive (neg_sim < pos_sim — the 'hardest valid' choice; FaceNet
+    semi-hard when pos_sim - neg_sim < margin, easy otherwise). One
+    broadcast anchor batch x one corpus scan, per-anchor
+    WindowGroupLimit — the ann_batch_topk shape; ranks cut on the
+    ROUNDED cosine with vec_id tiebreak (the sf1 rank rule). Anchors
+    whose label has no other member, or with no valid negative, drop —
+    a training-set plan only emits complete triplets."""
+    from pyspark.sql.window import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % qmod == 0).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("label").alias("qlabel"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "qlabel",
+            "vec_id",
+            "label",
+            F.round(
+                _cosine(
+                    F.col("embedding").cast("array<double>"),
+                    F.col("qvec").cast("array<double>"),
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    wp = Window.partitionBy("anchor_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    pos = (
+        scored.filter(F.col("label") == F.col("qlabel"))
+        .withColumn("r", F.row_number().over(wp))
+        .filter(F.col("r") == 1)
+        .select(
+            "anchor_id",
+            F.col("vec_id").alias("pos_id"),
+            F.col("cosine").alias("pos_sim"),
+        )
+    )
+    neg = (
+        scored.filter(F.col("label") != F.col("qlabel"))
+        .join(pos, "anchor_id")
+        .filter(F.col("cosine") < F.col("pos_sim"))
+        .withColumn("r", F.row_number().over(wp))
+        .filter(F.col("r") == 1)
+        .select(
+            "anchor_id",
+            "pos_id",
+            "pos_sim",
+            F.col("vec_id").alias("neg_id"),
+            F.col("cosine").alias("neg_sim"),
+        )
+    )
+    return neg.select(
+        "anchor_id",
+        "pos_id",
+        F.col("pos_sim").alias("pos_sim"),
+        "neg_id",
+        F.col("neg_sim").alias("neg_sim"),
+        F.round(F.col("pos_sim") - F.col("neg_sim"), 6).alias("triplet_gap"),
+        (F.col("pos_sim") - F.col("neg_sim") < F.lit(margin))
+        .cast("int")
+        .alias("semi_hard"),
+    ).orderBy("anchor_id")

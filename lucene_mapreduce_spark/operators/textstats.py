@@ -4770,3 +4770,41 @@ def dup_shingle_run_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+FEATURE_HASH_BUCKETS = 4096
+
+
+def feature_hash_collision_report(
+    spark: SparkSession, sf_dir: str, n_buckets: int = FEATURE_HASH_BUCKETS
+) -> DataFrame:
+    """Hashing-trick collision audit (fastText / VW feature hashing):
+    every distinct corpus term hashes to feature = md5_52(term) mod
+    n_buckets; the report is the bucket-load histogram — for each load
+    L, how many buckets hold exactly L distinct terms (load 0 = the
+    empty-bucket row, computed as n_buckets minus used) and how much
+    token MASS (sum of cf) rides collided buckets at that load. The
+    sizing curve a feature-hashed model reads before picking table
+    width. All-integer; two vocab-bounded groupBys."""
+    docs = load(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(tokenize_col("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cf"))
+    )
+    bucket = F.pmod(_md5_52(F.col("term")), F.lit(n_buckets))
+    per_bucket = vocab.select(bucket.alias("b"), "cf").groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("load"),
+        F.sum("cf").cast("long").alias("mass"),
+    )
+    hist = per_bucket.groupBy("load").agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum("mass").cast("long").alias("token_mass"),
+    )
+    used = per_bucket.agg(F.count(F.lit(1)).cast("long").alias("u"))
+    empty = used.select(
+        F.lit(0).cast("long").alias("load"),
+        (F.lit(n_buckets) - F.col("u")).cast("long").alias("n_buckets"),
+        F.lit(0).cast("long").alias("token_mass"),
+    ).filter(F.col("n_buckets") > 0)
+    return hist.unionByName(empty).orderBy("load")
