@@ -859,6 +859,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_hash_collision_report": (
             textstats.feature_hash_collision_report
         ),
+        # batch 74: EQL sequence, rank-window trio, unpivot
+        "eql_sequence_match": parity.eql_sequence_match,
+        "window_rank_functions": parity.window_rank_functions,
+        "unpivot_lang_counts": parity.unpivot_lang_counts,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})
@@ -1786,11 +1790,13 @@ WHERE len(list_filter(range(1, len(toks)), i ->
         window_funnel_sql,
     )
     from lucene_mapreduce_spark.operators.parity import (
-        FUNNEL_STEPS,
         FUNNEL_WINDOW_S,
+        WINDOW_FUNNEL_STEPS,
     )
 
-    out["window_funnel_steps"] = window_funnel_sql(FUNNEL_WINDOW_S, FUNNEL_STEPS)
+    out["window_funnel_steps"] = window_funnel_sql(
+        FUNNEL_WINDOW_S, WINDOW_FUNNEL_STEPS
+    )
     out["query_relaxation_ladder"] = relaxation_ladder_sql(
         fulltext.FLAGSHIP_QUERY
     )
@@ -1968,4 +1974,15 @@ WHERE len(list_filter(range(1, len(toks)), i ->
     out["feature_hash_collision_report"] = feature_hash_sql(
         textstats.FEATURE_HASH_BUCKETS
     )
+
+    # batch 74
+    from lucene_mapreduce_spark.operators.oracles import (
+        eql_sequence_sql,
+        unpivot_lang_sql,
+        window_rank_sql,
+    )
+
+    out["eql_sequence_match"] = eql_sequence_sql(parity.EQL_MAXSPAN_S)
+    out["window_rank_functions"] = window_rank_sql()
+    out["unpivot_lang_counts"] = unpivot_lang_sql(parity.UNPIVOT_LANGS)
     return out

@@ -12161,3 +12161,96 @@ UNION ALL
 SELECT * FROM empty WHERE n_buckets > 0
 ORDER BY load
 """
+
+
+def eql_sequence_sql(maxspan_s: int) -> str:
+    """EQL sequence twin: per-head greedy chain via row_number argmins,
+    span filter after the purchase pick, earliest completed match per
+    user on the full lexicographic tuple."""
+    return f"""
+WITH ev AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+),
+v AS (SELECT user_id, event_id AS v_id, us AS v_us FROM ev
+      WHERE event_type = 'view'),
+c AS (SELECT user_id, event_id AS c_id, us AS c_us FROM ev
+      WHERE event_type = 'click'),
+p AS (SELECT user_id, event_id AS p_id, us AS p_us FROM ev
+      WHERE event_type = 'purchase'),
+vc AS (
+  SELECT user_id, v_id, v_us, c_id, c_us FROM (
+    SELECT v.user_id, v.v_id, v.v_us, c.c_id, c.c_us,
+           row_number() OVER (PARTITION BY v.user_id, v.v_id
+                              ORDER BY c.c_us, c.c_id) AS r
+    FROM v JOIN c ON v.user_id = c.user_id
+    WHERE c.c_us > v.v_us
+  ) WHERE r = 1
+),
+vcp AS (
+  SELECT user_id, v_id, v_us, c_id, c_us, p_id, p_us FROM (
+    SELECT vc.user_id, vc.v_id, vc.v_us, vc.c_id, vc.c_us,
+           p.p_id, p.p_us,
+           row_number() OVER (PARTITION BY vc.user_id, vc.v_id
+                              ORDER BY p.p_us, p.p_id) AS r
+    FROM vc JOIN p ON vc.user_id = p.user_id
+    WHERE p.p_us > vc.c_us
+  ) WHERE r = 1
+    AND p_us - v_us <= {maxspan_s}::BIGINT * 1000000
+)
+SELECT user_id, v_id, c_id, p_id, v_us,
+       (p_us - v_us)::BIGINT AS span_us
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY user_id
+      ORDER BY v_us, v_id, c_id, c_us, p_id, p_us) AS rr
+  FROM vcp
+) WHERE rr = 1
+ORDER BY user_id
+"""
+
+
+def window_rank_sql() -> str:
+    """Rank-window twin: exact DECIMAL spend, total-ordered window,
+    percent_rank/cume_dist/ntile/row_number over the full customer set
+    before the top-100 cut."""
+    return """
+WITH spend AS (
+  SELECT o_custkey,
+         sum(round(o_totalprice, 2)::DECIMAL(18,2)) AS spend_d
+  FROM orders GROUP BY 1
+),
+ranked AS (
+  SELECT o_custkey,
+         round(spend_d::DOUBLE, 2) AS spend,
+         round(percent_rank() OVER w, 6) AS pct_rank,
+         round(cume_dist() OVER w, 6) AS cume_dist,
+         ntile(10) OVER w::INT AS decile,
+         row_number() OVER w::INT AS rank
+  FROM spend
+  WINDOW w AS (ORDER BY spend_d DESC, o_custkey ASC)
+)
+SELECT * FROM ranked WHERE rank <= 100 ORDER BY rank
+"""
+
+
+def unpivot_lang_sql(langs: list[str]) -> str:
+    """Unpivot twin: pinned-list wide counts melted losslessly via
+    UNION ALL (the stack() equivalent)."""
+    cases = ",\n         ".join(
+        f"sum(CASE WHEN lang = '{lng}' THEN 1 ELSE 0 END)::BIGINT"
+        f" AS n_{lng}"
+        for lng in langs
+    )
+    arms = "\nUNION ALL\n".join(
+        f"SELECT source, '{lng}' AS lang, n_{lng} AS n_docs FROM wide"
+        for lng in langs
+    )
+    return f"""
+WITH wide AS (
+  SELECT source,
+         {cases}
+  FROM documents GROUP BY 1
+)
+{arms}
+ORDER BY source, lang
+"""

@@ -3201,14 +3201,14 @@ def bot_burst_detection(
 
 
 FUNNEL_WINDOW_S = 3600
-FUNNEL_STEPS = ("view", "click", "purchase")
+WINDOW_FUNNEL_STEPS = ("view", "click", "purchase")
 
 
 def window_funnel_steps(
     spark: SparkSession,
     sf_dir: str,
     window_s: int = FUNNEL_WINDOW_S,
-    steps: tuple = FUNNEL_STEPS,
+    steps: tuple = WINDOW_FUNNEL_STEPS,
 ) -> DataFrame:
     """ClickHouse `windowFunnel` parity — the TIME-BOUNDED funnel
     (funnel_analysis is the unbounded strictly-later chain): a user
@@ -4303,4 +4303,128 @@ def bounce_rate_by_entry(
             ).alias("bounce_rate"),
         )
         .orderBy("entry")
+    )
+
+
+EQL_MAXSPAN_S = 86400
+
+
+def eql_sequence_match(
+    spark: SparkSession, sf_dir: str, maxspan_s: int = EQL_MAXSPAN_S
+) -> DataFrame:
+    """Elastic EQL `sequence by user_id [view][click][purchase] with
+    maxspan=1d` — unlike window_funnel_steps (level counts) this emits
+    the matched event TUPLE. For each view event the follow-up chain is
+    greedy-minimal (earliest click strictly after the view, then
+    earliest purchase strictly after that click): for a FIXED head the
+    greedy chain minimizes the final timestamp, so greedy==exhaustive
+    per head and scanning all heads is exhaustive, period (the
+    window_funnel proof). The report keeps each user's earliest
+    completed in-span match. All joins are per-user and
+    time-monotone — groupBy-min after an equi-join on user_id, the
+    bounded attribution shape; everything is exact integers."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("v_id"), F.col("us").alias("v_us")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("c_id"), F.col("us").alias("c_us")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("p_id"), F.col("us").alias("p_us")
+    )
+    # earliest click after each view; (us, event_id) min-struct keeps the
+    # pick total-ordered when two clicks share a timestamp
+    vc = (
+        v.join(c, "user_id")
+        .filter(F.col("c_us") > F.col("v_us"))
+        .groupBy("user_id", "v_id", "v_us")
+        .agg(F.min(F.struct("c_us", "c_id")).alias("mc"))
+        .select(
+            "user_id", "v_id", "v_us",
+            F.col("mc.c_us").alias("c_us"), F.col("mc.c_id").alias("c_id"),
+        )
+    )
+    vcp = (
+        vc.join(p, "user_id")
+        .filter(F.col("p_us") > F.col("c_us"))
+        .groupBy("user_id", "v_id", "v_us", "c_id", "c_us")
+        .agg(F.min(F.struct("p_us", "p_id")).alias("mp"))
+        .select(
+            "user_id", "v_id", "v_us", "c_id", "c_us",
+            F.col("mp.p_us").alias("p_us"), F.col("mp.p_id").alias("p_id"),
+        )
+        .filter(F.col("p_us") - F.col("v_us") <= maxspan_s * 1_000_000)
+    )
+    first = vcp.groupBy("user_id").agg(
+        F.min(F.struct("v_us", "v_id", "c_id", "c_us", "p_id", "p_us")).alias(
+            "m"
+        )
+    )
+    return first.select(
+        "user_id",
+        F.col("m.v_id").alias("v_id"),
+        F.col("m.c_id").alias("c_id"),
+        F.col("m.p_id").alias("p_id"),
+        F.col("m.v_us").alias("v_us"),
+        (F.col("m.p_us") - F.col("m.v_us")).alias("span_us"),
+    ).orderBy("user_id")
+
+
+def window_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining SQL rank-window functions in one gate —
+    percent_rank / cume_dist / ntile(10) over per-customer revenue
+    (rfm_segments already gates ntile alone). Revenue is the exact
+    DECIMAL(18,2) sum of o_totalprice, the window order is the TOTAL
+    order (spend desc, custkey asc) so every rank function is
+    deterministic; floats are 6dp-rounded on output. Page bounded to
+    the top 100 spenders after ranking over the full customer table."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice"), 2).cast("decimal(18,2)").alias("tp"),
+    )
+    spend = orders.groupBy("o_custkey").agg(F.sum("tp").alias("spend_d"))
+    w = Window.orderBy(F.desc("spend_d"), F.asc("o_custkey"))
+    ranked = spend.select(
+        "o_custkey",
+        F.round(F.col("spend_d").cast("double"), 2).alias("spend"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
+        F.ntile(10).over(w).cast("int").alias("decile"),
+        F.row_number().over(w).alias("rank"),
+    )
+    return ranked.filter(F.col("rank") <= 100).orderBy("rank")
+
+
+UNPIVOT_LANGS = ["en", "es", "de", "fr"]
+
+
+def unpivot_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long UNPIVOT (the inverse of pivot_table_agg): the
+    per-source document counts are first pivoted wide over the pinned
+    language list (one sum(CASE) per lang — no discovery pass), then
+    melted back to (source, lang, n_docs) with Spark's stack()
+    expression. Zero rows are kept — the melt must be lossless. All
+    integer."""
+    docs = load(spark, sf_dir, "documents")
+    wide = docs.groupBy("source").agg(
+        *[
+            F.sum((F.col("lang") == lng).cast("int"))
+            .cast("long")
+            .alias(f"n_{lng}")
+            for lng in UNPIVOT_LANGS
+        ]
+    )
+    stack_expr = "stack({n}, {args}) as (lang, n_docs)".format(
+        n=len(UNPIVOT_LANGS),
+        args=", ".join(f"'{lng}', n_{lng}" for lng in UNPIVOT_LANGS),
+    )
+    return (
+        wide.select("source", F.expr(stack_expr))
+        .orderBy("source", "lang")
     )

@@ -51,7 +51,7 @@ def test_window_funnel_matches_bruteforce(spark, sf_dir):
     ev = pd.read_parquet(f"{sf_dir}/events.parquet")
     ev["es"] = ev.ts.astype("int64") // 10**6
     w = parity.FUNNEL_WINDOW_S
-    s0, s1, s2 = parity.FUNNEL_STEPS
+    s0, s1, s2 = parity.WINDOW_FUNNEL_STEPS
     depths: dict[int, int] = {}
     for _, g in ev.groupby("user_id"):
         d = _funnel_depth_brute(
