@@ -863,6 +863,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eql_sequence_match": parity.eql_sequence_match,
         "window_rank_functions": parity.window_rank_functions,
         "unpivot_lang_counts": parity.unpivot_lang_counts,
+        # batch 75: experimentation pack
+        "ab_power_analysis": parity.ab_power_analysis,
+        "did_estimate": parity.did_estimate,
+        "anova_event_value": parity.anova_event_value,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})
@@ -1985,4 +1989,15 @@ WHERE len(list_filter(range(1, len(toks)), i ->
     out["eql_sequence_match"] = eql_sequence_sql(parity.EQL_MAXSPAN_S)
     out["window_rank_functions"] = window_rank_sql()
     out["unpivot_lang_counts"] = unpivot_lang_sql(parity.UNPIVOT_LANGS)
+
+    # batch 75: the experimentation pack
+    from lucene_mapreduce_spark.operators.oracles import (
+        ab_power_sql,
+        did_sql,
+    )
+
+    out["ab_power_analysis"] = ab_power_sql(
+        parity.AB_Z_ALPHA, parity.AB_Z_BETA, parity.AB_MDE
+    )
+    out["did_estimate"] = did_sql(parity.DID_SPLIT_US)
     return out

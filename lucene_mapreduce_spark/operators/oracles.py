@@ -12254,3 +12254,140 @@ WITH wide AS (
 {arms}
 ORDER BY source, lang
 """
+
+
+def ab_power_sql(z_a: float, z_b: float, mde: float) -> str:
+    """Power-analysis twin: identical exact integer aggregates, the
+    same pinned-repr z/mde literals (::DOUBLE so DuckDB never routes
+    through DECIMAL arithmetic), the same no-pow() IEEE chain."""
+    mde2 = mde * mde
+    return f"""
+WITH ud AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS converted
+  FROM events GROUP BY 1, 2
+),
+daily AS (
+  SELECT count(*)::BIGINT AS user_days,
+         sum(converted)::BIGINT AS conv_days,
+         count(DISTINCT day)::BIGINT AS n_days
+  FROM ud
+),
+c1 AS (
+  SELECT user_days, conv_days,
+         conv_days::DOUBLE / user_days::DOUBLE AS p1,
+         user_days::DOUBLE / n_days::DOUBLE AS avg_daily
+  FROM daily
+),
+c2 AS (
+  SELECT *, p1 + ({mde!r}::DOUBLE) AS p2,
+         (p1 + (p1 + ({mde!r}::DOUBLE))) / (2.0::DOUBLE) AS pbar
+  FROM c1
+),
+c3 AS (
+  SELECT *,
+         ({z_a!r}::DOUBLE)
+           * sqrt((2.0::DOUBLE) * pbar * ((1.0::DOUBLE) - pbar))
+         + ({z_b!r}::DOUBLE)
+           * sqrt(p1 * ((1.0::DOUBLE) - p1)
+                  + p2 * ((1.0::DOUBLE) - p2)) AS root
+  FROM c2
+),
+c4 AS (
+  SELECT *, ceil(root * root / ({mde2!r}::DOUBLE))::BIGINT AS req FROM c3
+)
+SELECT user_days, conv_days, round(p1, 6) AS p_hat,
+       req AS required_per_arm, (req * 2)::BIGINT AS required_total,
+       round(avg_daily, 6) AS avg_daily_users,
+       ceil((req * 2)::DOUBLE / avg_daily)::BIGINT AS days_needed
+FROM c4
+"""
+
+
+def did_sql(split_us: int) -> str:
+    """DiD twin: identical md5 arm split, pinned midpoint, exact
+    DECIMAL(28,6) cell sums, the same cell-mean/DiD IEEE chain."""
+    h = _MD5_52.format(e="user_id::VARCHAR || ':did'")
+    return f"""
+WITH cells AS (
+  SELECT ({h}) % 2 AS t,
+         (CASE WHEN epoch_us(ts) >= {split_us} THEN 1 ELSE 0 END) AS p,
+         round(value, 6)::DECIMAL(28,6) AS v
+  FROM events WHERE event_type = 'purchase'
+),
+agg AS (
+  SELECT
+    coalesce(sum(CASE WHEN t = 1 AND p = 0 THEN 1 END), 0)::BIGINT
+      AS n_t_pre,
+    coalesce(sum(CASE WHEN t = 1 AND p = 1 THEN 1 END), 0)::BIGINT
+      AS n_t_post,
+    coalesce(sum(CASE WHEN t = 0 AND p = 0 THEN 1 END), 0)::BIGINT
+      AS n_c_pre,
+    coalesce(sum(CASE WHEN t = 0 AND p = 1 THEN 1 END), 0)::BIGINT
+      AS n_c_post,
+    sum(CASE WHEN t = 1 AND p = 0 THEN v END)::DOUBLE
+      / coalesce(sum(CASE WHEN t = 1 AND p = 0 THEN 1 END), 0)::DOUBLE
+      AS mt_pre,
+    sum(CASE WHEN t = 1 AND p = 1 THEN v END)::DOUBLE
+      / coalesce(sum(CASE WHEN t = 1 AND p = 1 THEN 1 END), 0)::DOUBLE
+      AS mt_post,
+    sum(CASE WHEN t = 0 AND p = 0 THEN v END)::DOUBLE
+      / coalesce(sum(CASE WHEN t = 0 AND p = 0 THEN 1 END), 0)::DOUBLE
+      AS mc_pre,
+    sum(CASE WHEN t = 0 AND p = 1 THEN v END)::DOUBLE
+      / coalesce(sum(CASE WHEN t = 0 AND p = 1 THEN 1 END), 0)::DOUBLE
+      AS mc_post
+  FROM cells
+)
+SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
+       round(mt_pre, 6) AS mean_t_pre,
+       round(mt_post, 6) AS mean_t_post,
+       round(mc_pre, 6) AS mean_c_pre,
+       round(mc_post, 6) AS mean_c_post,
+       round((mt_post - mt_pre) - (mc_post - mc_pre), 6) AS did
+FROM agg
+"""
+
+
+ORACLES["anova_event_value"] = """
+WITH base AS (
+  SELECT event_type,
+         round(value, 6)::DECIMAL(18,6) AS v,
+         round(round(value, 6) * round(value, 6), 6)::DECIMAL(28,6) AS vv
+  FROM events
+),
+g AS (
+  SELECT event_type, count(*)::BIGINT AS n, sum(v) AS sv, sum(vv) AS svv
+  FROM base GROUP BY 1
+),
+pooled AS (
+  SELECT n, sv, svv,
+         count(*) OVER ()::BIGINT AS k,
+         sum(n) OVER ()::BIGINT AS n_tot,
+         sum(sv) OVER ()::DOUBLE AS sv_tot
+  FROM g
+),
+terms AS (
+  SELECT k, n_tot,
+         round(n::DOUBLE
+               * ((sv::DOUBLE / n::DOUBLE)
+                  - (sv_tot / n_tot::DOUBLE))
+               * ((sv::DOUBLE / n::DOUBLE)
+                  - (sv_tot / n_tot::DOUBLE)), 6)::DECIMAL(28,6) AS ssb_t,
+         round(svv::DOUBLE
+               - n::DOUBLE * (sv::DOUBLE / n::DOUBLE)
+                 * (sv::DOUBLE / n::DOUBLE), 6)::DECIMAL(28,6) AS ssw_t
+  FROM pooled
+),
+fin AS (
+  SELECT k, n_tot, sum(ssb_t) AS ssb, sum(ssw_t) AS ssw
+  FROM terms GROUP BY 1, 2
+)
+SELECT k, n_tot,
+       round(ssb::DOUBLE, 6) AS ssb,
+       round(ssw::DOUBLE, 6) AS ssw,
+       round((ssb::DOUBLE / (k - 1)::DOUBLE)
+             / (ssw::DOUBLE / (n_tot - k)::DOUBLE), 6) AS f_stat
+FROM fin
+"""

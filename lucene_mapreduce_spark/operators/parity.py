@@ -4428,3 +4428,216 @@ def unpivot_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         wide.select("source", F.expr(stack_expr))
         .orderBy("source", "lang")
     )
+
+
+# --- batch 75: the experimentation pack ------------------------------------
+# Pinned normal quantiles (two-sided alpha=0.05, power=0.80) and the absolute
+# minimum-detectable-effect. The z literals are shared verbatim with the
+# DuckDB oracle (pinned-repr convention, like attribution_time_decay) so both
+# engines run the identical IEEE chain from identical parsed doubles.
+AB_Z_ALPHA = 1.959964
+AB_Z_BETA = 0.841621
+AB_MDE = 0.05
+DID_SPLIT_US = 1705363200000000  # 2024-01-16T00:00:00Z, the stream midpoint
+
+
+def ab_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-experiment power analysis (the two-proportion sample-size
+    formula every A/B platform quotes). The experiment unit is the
+    USER-DAY and the baseline rate p1 is the fraction of user-days with
+    a purchase — per-user lifetime conversion saturates near 1.0 on
+    this corpus (p1+mde would leave [0,1] and the variance term goes
+    negative), while daily conversion is the bounded rate a real
+    platform powers on. Per-arm n required to detect an absolute
+    AB_MDE lift at alpha=.05 / power=.80 is
+    n = (z_a*sqrt(2*pbar*qbar) + z_b*sqrt(p1*q1 + p2*q2))^2 / mde^2,
+    and the runway is that total divided by observed average daily
+    active users. Everything derives from exact integer aggregates;
+    the float chain is fixed-shape IEEE on identical operands — no
+    pow(), squares are x*x. One day-sized rollup; scalar crossJoin."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            / F.lit(86400000000)
+        ).alias("day"),
+    )
+    daily = (
+        ev.groupBy("user_id", "day")
+        .agg(
+            F.max(
+                (F.col("event_type") == "purchase").cast("int")
+            ).alias("converted")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("user_days"),
+            F.sum("converted").cast("long").alias("conv_days"),
+            F.countDistinct("day").cast("long").alias("n_days"),
+        )
+    )
+    j = daily
+    p1 = F.col("conv_days").cast("double") / F.col("user_days").cast(
+        "double"
+    )
+    p2 = p1 + F.lit(AB_MDE)
+    pbar = (p1 + p2) / F.lit(2.0)
+    root = F.lit(AB_Z_ALPHA) * F.sqrt(
+        F.lit(2.0) * pbar * (F.lit(1.0) - pbar)
+    ) + F.lit(AB_Z_BETA) * F.sqrt(
+        p1 * (F.lit(1.0) - p1) + p2 * (F.lit(1.0) - p2)
+    )
+    req = F.ceil(root * root / F.lit(AB_MDE * AB_MDE)).cast("long")
+    avg_daily = F.col("user_days").cast("double") / F.col("n_days").cast(
+        "double"
+    )
+    return j.select(
+        "user_days",
+        "conv_days",
+        F.round(p1, 6).alias("p_hat"),
+        req.alias("required_per_arm"),
+        (req * 2).alias("required_total"),
+        F.round(avg_daily, 6).alias("avg_daily_users"),
+        F.ceil(
+            (req * 2).cast("double") / avg_daily
+        ).cast("long").alias("days_needed"),
+    )
+
+
+def did_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences readout: users md5-split into
+    treatment/control, periods split at the pinned stream midpoint, the
+    metric is mean purchase value per cell. The 2x2 cell means come
+    from exact DECIMAL(28,6) sums over 6dp-rounded values (order-free
+    at any parallelism); DiD = (T_post-T_pre) - (C_post-C_pre) is a
+    fixed IEEE chain on those identical cell means, rounded on output.
+    One conditional-aggregate pass — never four scans."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    treat = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.col("user_id").cast("string"), F.lit(":did"))
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(2),
+    )
+    post = (
+        F.unix_micros(F.col("ts").cast("timestamp")) >= F.lit(DID_SPLIT_US)
+    ).cast("int")
+    cells = ev.select(
+        treat.alias("t"),
+        post.alias("p"),
+        F.round("value", 6).cast("decimal(28,6)").alias("v"),
+    )
+
+    def cell_n(t: int, p: int):
+        return (
+            F.coalesce(
+                F.sum(
+                    F.when((F.col("t") == t) & (F.col("p") == p), 1)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+        )
+
+    def cell_mean(t: int, p: int):
+        s = F.sum(
+            F.when((F.col("t") == t) & (F.col("p") == p), F.col("v"))
+        )
+        return s.cast("double") / cell_n(t, p).cast("double")
+
+    agg = cells.agg(
+        cell_n(1, 0).alias("n_t_pre"),
+        cell_n(1, 1).alias("n_t_post"),
+        cell_n(0, 0).alias("n_c_pre"),
+        cell_n(0, 1).alias("n_c_post"),
+        cell_mean(1, 0).alias("mt_pre"),
+        cell_mean(1, 1).alias("mt_post"),
+        cell_mean(0, 0).alias("mc_pre"),
+        cell_mean(0, 1).alias("mc_post"),
+    )
+    did = (F.col("mt_post") - F.col("mt_pre")) - (
+        F.col("mc_post") - F.col("mc_pre")
+    )
+    return agg.select(
+        "n_t_pre",
+        "n_t_post",
+        "n_c_pre",
+        "n_c_post",
+        F.round("mt_pre", 6).alias("mean_t_pre"),
+        F.round("mt_post", 6).alias("mean_t_post"),
+        F.round("mc_pre", 6).alias("mean_c_pre"),
+        F.round("mc_post", 6).alias("mean_c_post"),
+        F.round(did, 6).alias("did"),
+    )
+
+
+def anova_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F statistic of event value across event types —
+    the k-group generalization of t_test_agg. Per-group sufficient
+    statistics are exact (BIGINT n, DECIMAL sums of 6dp-rounded v and
+    v*v); group means are IEEE divisions of identical operands. The
+    between/within sums of squares are per-group IEEE terms rounded at
+    6dp and summed as DECIMAL over the k=5 group rows (order-free —
+    a plain double sum over groups could 1-ulp-diverge between
+    engines). Two tiny aggregates after the one corpus scan."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.round("value", 6).cast("decimal(18,6)").alias("v"),
+        F.round(F.round("value", 6) * F.round("value", 6), 6)
+        .cast("decimal(28,6)")
+        .alias("vv"),
+    )
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").alias("sv"),
+        F.sum("vv").alias("svv"),
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    pooled = g.select(
+        "n",
+        "sv",
+        "svv",
+        F.count(F.lit(1)).over(w_all).cast("long").alias("k"),
+        F.sum("n").over(w_all).cast("long").alias("n_tot"),
+        F.sum("sv").over(w_all).cast("double").alias("sv_tot"),
+    )
+    nd = F.col("n").cast("double")
+    m_g = F.col("sv").cast("double") / nd
+    m = F.col("sv_tot") / F.col("n_tot").cast("double")
+    ssb_term = nd * (m_g - m) * (m_g - m)
+    ssw_term = F.col("svv").cast("double") - nd * m_g * m_g
+    terms = pooled.select(
+        "k",
+        "n_tot",
+        F.round(ssb_term, 6).cast("decimal(28,6)").alias("ssb_t"),
+        F.round(ssw_term, 6).cast("decimal(28,6)").alias("ssw_t"),
+    )
+    fin = terms.groupBy("k", "n_tot").agg(
+        F.sum("ssb_t").alias("ssb"),
+        F.sum("ssw_t").alias("ssw"),
+    )
+    f_stat = (
+        F.col("ssb").cast("double") / (F.col("k") - 1).cast("double")
+    ) / (
+        F.col("ssw").cast("double")
+        / (F.col("n_tot") - F.col("k")).cast("double")
+    )
+    return fin.select(
+        "k",
+        "n_tot",
+        F.round(F.col("ssb").cast("double"), 6).alias("ssb"),
+        F.round(F.col("ssw").cast("double"), 6).alias("ssw"),
+        F.round(f_stat, 6).alias("f_stat"),
+    )
