@@ -867,6 +867,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_power_analysis": parity.ab_power_analysis,
         "did_estimate": parity.did_estimate,
         "anova_event_value": parity.anova_event_value,
+        # batch 76: graph pack + CH retention
+        "kcore_peel_rounds": relational.kcore_peel_rounds,
+        "label_propagation_parts": relational.label_propagation_parts,
+        "retention_conditions": parity.retention_conditions,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})
@@ -2000,4 +2004,23 @@ WHERE len(list_filter(range(1, len(toks)), i ->
         parity.AB_Z_ALPHA, parity.AB_Z_BETA, parity.AB_MDE
     )
     out["did_estimate"] = did_sql(parity.DID_SPLIT_US)
+
+    # batch 76: graph pack + CH retention
+    from lucene_mapreduce_spark.operators.oracles import (
+        kcore_sql,
+        lpa_sql,
+        retention_sql,
+    )
+
+    out["kcore_peel_rounds"] = kcore_sql(
+        relational.AFFINITY_MIN_SUPPORT,
+        relational.KCORE_K,
+        relational.KCORE_ROUNDS,
+    )
+    out["label_propagation_parts"] = lpa_sql(
+        relational.AFFINITY_MIN_SUPPORT, relational.LPA_ITERS
+    )
+    out["retention_conditions"] = retention_sql(
+        *parity.RETENTION_WINDOWS_D
+    )
     return out

@@ -12391,3 +12391,138 @@ SELECT k, n_tot,
              / (ssw::DOUBLE / (n_tot - k)::DOUBLE), 6) AS f_stat
 FROM fin
 """
+
+
+def kcore_sql(support: int, k: int, rounds: int) -> str:
+    """k-core peel twin: identical support-pruned co-order edges,
+    peel rounds unrolled as CTE chains (degree table excludes isolated
+    nodes, so isolated survivors drop the following round — the same
+    semantics as the Spark semi-join chain)."""
+    parts = [
+        f"""
+li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+e0 AS (
+  SELECT a.pk AS pa, b.pk AS pb
+  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+  GROUP BY 1, 2 HAVING count(*) >= {support}
+),
+n0 AS (SELECT count(DISTINCT node)::BIGINT AS n FROM
+       (SELECT pa AS node FROM e0 UNION ALL SELECT pb FROM e0))"""
+    ]
+    rows = []
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(f"""
+d{r} AS (
+  SELECT node, count(*)::BIGINT AS d FROM
+  (SELECT pa AS node FROM e{p} UNION ALL SELECT pb FROM e{p})
+  GROUP BY 1
+),
+s{r} AS (SELECT node FROM d{r} WHERE d >= {k}),
+e{r} AS (
+  SELECT pa, pb FROM e{p}
+  WHERE pa IN (SELECT node FROM s{r}) AND pb IN (SELECT node FROM s{r})
+),
+c{r} AS (SELECT count(*)::BIGINT AS n_surv FROM s{r}),
+g{r} AS (SELECT count(*)::BIGINT AS n_edges FROM e{r})""")
+        before = "(SELECT n FROM n0)" if r == 1 else f"(SELECT n_surv FROM c{p})"
+        rows.append(
+            f"SELECT {r}::INT AS round, "
+            f"({before} - (SELECT n_surv FROM c{r}))::BIGINT AS n_removed, "
+            f"(SELECT n_surv FROM c{r}) AS n_survivors, "
+            f"(SELECT n_edges FROM g{r}) AS n_edges"
+        )
+    return (
+        "WITH " + ",".join(parts) + "\n"
+        + "\nUNION ALL\n".join(rows)
+        + "\nORDER BY round"
+    )
+
+
+def lpa_sql(support: int, iters: int) -> str:
+    """Label-propagation twin: identical edges, p_brand init labels,
+    per-iteration neighbor-mode with the (count desc, label asc)
+    row_number tie-break."""
+    parts = [
+        f"""
+li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+e AS (
+  SELECT a.pk AS pa, b.pk AS pb
+  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+  GROUP BY 1, 2 HAVING count(*) >= {support}
+),
+nodes AS (SELECT pa AS node FROM e UNION SELECT pb FROM e),
+adj AS (SELECT pa AS u, pb AS v FROM e
+        UNION ALL SELECT pb, pa FROM e),
+l0 AS (
+  SELECT n.node, p.p_brand AS lbl
+  FROM nodes n JOIN part p ON p.p_partkey = n.node
+)"""
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(f"""
+c{i} AS (
+  SELECT a.u AS node, l.lbl, count(*)::BIGINT AS cnt
+  FROM adj a JOIN l{p} l ON l.node = a.v
+  GROUP BY 1, 2
+),
+l{i} AS (
+  SELECT node, lbl FROM (
+    SELECT node, lbl, row_number() OVER (
+      PARTITION BY node ORDER BY cnt DESC, lbl ASC) AS r
+    FROM c{i}
+  ) WHERE r = 1
+)""")
+    cols = ", ".join(
+        f"l{i}.lbl AS label_{i}" for i in range(1, iters + 1)
+    )
+    joins = " ".join(
+        f"JOIN l{i} ON l{i}.node = l0.node" for i in range(1, iters + 1)
+    )
+    return (
+        "WITH " + ",".join(parts)
+        + f"\nSELECT l0.node AS p_partkey, l0.lbl AS label_init, {cols}"
+        + f"\nFROM l0 {joins}\nORDER BY p_partkey"
+    )
+
+
+def retention_sql(d7: int, d14: int) -> str:
+    """Retention-conditions twin: same first-signup anchor and
+    strictly-after purchase windows, exact integers."""
+    return f"""
+WITH peru AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS t0
+  FROM events GROUP BY 1
+),
+flags AS (
+  SELECT e.user_id,
+         max(CASE WHEN epoch_us(e.ts) > p.t0
+                   AND epoch_us(e.ts) <= p.t0 + {d7}::BIGINT * 86400000000
+              THEN 1 ELSE 0 END) AS h7,
+         max(CASE WHEN epoch_us(e.ts) > p.t0
+                   AND epoch_us(e.ts) <= p.t0 + {d14}::BIGINT * 86400000000
+              THEN 1 ELSE 0 END) AS h14
+  FROM events e JOIN peru p ON e.user_id = p.user_id
+  WHERE e.event_type = 'purchase' AND p.t0 IS NOT NULL
+  GROUP BY 1
+),
+j AS (
+  SELECT p.user_id, p.t0, f.h7, f.h14
+  FROM peru p LEFT JOIN flags f ON p.user_id = f.user_id
+),
+agg AS (
+  SELECT count(*)::BIGINT AS n_users,
+         count(t0)::BIGINT AS n_signed_up,
+         coalesce(sum(CASE WHEN t0 IS NOT NULL THEN h7 END), 0)::BIGINT
+           AS n_ret_7d,
+         coalesce(sum(CASE WHEN t0 IS NOT NULL THEN h14 END), 0)::BIGINT
+           AS n_ret_14d
+  FROM j
+)
+SELECT n_users, n_signed_up, n_ret_7d, n_ret_14d,
+       round(n_ret_7d::DOUBLE / n_signed_up::DOUBLE, 6) AS ret_7d_rate,
+       round(n_ret_14d::DOUBLE / n_signed_up::DOUBLE, 6) AS ret_14d_rate
+FROM agg
+"""

@@ -4641,3 +4641,88 @@ def anova_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("ssw").cast("double"), 6).alias("ssw"),
         F.round(f_stat, 6).alias("f_stat"),
     )
+
+
+RETENTION_WINDOWS_D = (7, 14)
+
+
+def retention_conditions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse `retention(cond1, cond2, ...)` aggregate shape:
+    cond1 = the user signed up, cond2/cond3 = the user purchased
+    strictly after their FIRST signup within 7 / 14 days. Per CH
+    semantics r_i = cond1 AND cond_i, aggregated to counts + rates.
+    Distinct from retention_cohorts (weekly cohort/offset matrix) —
+    this is the single-row conditional-retention readout. Per-user
+    anchor via one conditional-min groupBy, purchase flags via one
+    equi-join bounded by purchases-per-user, all exact integers until
+    the final two divisions."""
+    d7, d14 = RETENTION_WINDOWS_D
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    peru = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "signup", F.col("us"))
+        ).alias("t0")
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "us"
+    )
+    flags = (
+        pur.join(peru, "user_id")
+        .filter(F.col("t0").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                (
+                    (F.col("us") > F.col("t0"))
+                    & (
+                        F.col("us")
+                        <= F.col("t0") + F.lit(d7 * 86400000000)
+                    )
+                ).cast("int")
+            ).alias("h7"),
+            F.max(
+                (
+                    (F.col("us") > F.col("t0"))
+                    & (
+                        F.col("us")
+                        <= F.col("t0") + F.lit(d14 * 86400000000)
+                    )
+                ).cast("int")
+            ).alias("h14"),
+        )
+    )
+    j = peru.join(flags, "user_id", "left")
+    agg = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.count("t0").cast("long").alias("n_signed_up"),
+        F.coalesce(
+            F.sum(F.when(F.col("t0").isNotNull(), F.col("h7"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_ret_7d"),
+        F.coalesce(
+            F.sum(F.when(F.col("t0").isNotNull(), F.col("h14"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_ret_14d"),
+    )
+    return agg.select(
+        "n_users",
+        "n_signed_up",
+        "n_ret_7d",
+        "n_ret_14d",
+        F.round(
+            F.col("n_ret_7d").cast("double")
+            / F.col("n_signed_up").cast("double"),
+            6,
+        ).alias("ret_7d_rate"),
+        F.round(
+            F.col("n_ret_14d").cast("double")
+            / F.col("n_signed_up").cast("double"),
+            6,
+        ).alias("ret_14d_rate"),
+    )

@@ -1536,3 +1536,151 @@ def item_cosine_similarity(
     return ranked_topk(
         scored, [F.desc("cosine"), F.asc("pa"), F.asc("pb")], k
     ).select("pa", "pb", "n_ab", "cosine", "rank")
+
+
+# --- batch 76: graph pack over the co-order part graph ---------------------
+KCORE_K = 3
+KCORE_ROUNDS = 3
+LPA_ITERS = 2
+
+
+def _coorder_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The co-order part graph shared by affinity_triangles /
+    kcore_peel_rounds / label_propagation_parts: undirected edges
+    (pa < pb) between parts co-ordered in >= AFFINITY_MIN_SUPPORT
+    orders. Basket-bounded self-join, support-pruned before anything
+    downstream touches it."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("pb"))
+    return (
+        a.join(b, (a.ok == b.ok2) & (a.pa < b.pb))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= AFFINITY_MIN_SUPPORT)
+        .select("pa", "pb")
+    )
+
+
+def kcore_peel_rounds(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = KCORE_K,
+    rounds: int = KCORE_ROUNDS,
+) -> DataFrame:
+    """k-core decomposition by synchronous peeling (the distributed
+    k-core recipe: each round drops every node with degree < k in the
+    CURRENT induced subgraph, recomputes degrees, repeats). Bounded
+    unroll of KCORE_ROUNDS rounds — the same bounded-iteration
+    discipline as part_pagerank_3iter / near_dup_components. Each
+    round is one degree groupBy plus two semi-joins; the edge set is
+    localCheckpoint()ed per round so lineage stays flat at scale.
+    Isolated survivors (degree 0 after a removal wave) count as
+    removed in the NEXT round, matching the degree-table semantics in
+    both engines. All integers."""
+    edges = _coorder_edges(spark, sf_dir).localCheckpoint()
+    deg = (
+        edges.select(F.col("pa").alias("node"))
+        .unionAll(edges.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    prev_n = deg.agg(F.count(F.lit(1)).cast("long").alias("n_before"))
+    out = None
+    cur = edges
+    for r in range(1, rounds + 1):
+        deg_r = (
+            cur.select(F.col("pa").alias("node"))
+            .unionAll(cur.select(F.col("pb").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        )
+        surv = deg_r.filter(F.col("d") >= k).select("node")
+        cur = (
+            cur.join(surv, cur.pa == surv.node, "left_semi")
+            .join(surv, F.col("pb") == surv.node, "left_semi")
+            .localCheckpoint()
+        )
+        n_surv = surv.agg(
+            F.count(F.lit(1)).cast("long").alias("n_survivors")
+        )
+        n_edges = cur.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+        row = (
+            prev_n.crossJoin(n_surv)
+            .crossJoin(n_edges)
+            .select(
+                F.lit(r).cast("int").alias("round"),
+                (F.col("n_before") - F.col("n_survivors"))
+                .cast("long")
+                .alias("n_removed"),
+                "n_survivors",
+                "n_edges",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+        prev_n = n_surv.select(F.col("n_survivors").alias("n_before"))
+    return out.orderBy("round")
+
+
+def label_propagation_parts(
+    spark: SparkSession, sf_dir: str, iters: int = LPA_ITERS
+) -> DataFrame:
+    """Synchronous label propagation (community detection) over the
+    co-order part graph, LPA_ITERS unrolled iterations. Initial label
+    = p_brand; each iteration every node takes the most frequent label
+    among its neighbors' PREVIOUS labels, ties broken by minimum label
+    (the deterministic-LPA convention — raw LPA's random tie-break is
+    not reproducible). Per iteration: one adjacency join + one
+    (node,label) count groupBy + one WindowGroupLimit argmax — the
+    standard Pregel-as-joins shape. Every graph node has >= 1 edge so
+    no keep-own-label branch is needed."""
+    from pyspark.sql.window import Window
+
+    edges = _coorder_edges(spark, sf_dir).localCheckpoint()
+    nodes = (
+        edges.select(F.col("pa").alias("node"))
+        .union(edges.select(F.col("pb").alias("node")))
+        .distinct()
+    )
+    part = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("node"), F.col("p_brand").alias("lbl")
+    )
+    labels = [nodes.join(F.broadcast(part), "node").select("node", "lbl")]
+    adj = edges.select(
+        F.col("pa").alias("u"), F.col("pb").alias("v")
+    ).unionAll(edges.select(F.col("pb").alias("u"), F.col("pa").alias("v")))
+    for _ in range(iters):
+        prev = labels[-1]
+        cnt = (
+            adj.join(
+                prev.select(F.col("node").alias("v"), "lbl"), "v"
+            )
+            .groupBy(F.col("u").alias("node"), "lbl")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        w = Window.partitionBy("node").orderBy(
+            F.desc("cnt"), F.asc("lbl")
+        )
+        nxt = (
+            cnt.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") == 1)
+            .select("node", "lbl")
+            .localCheckpoint()
+        )
+        labels.append(nxt)
+    out = labels[0].select(
+        F.col("node").alias("p_partkey"), F.col("lbl").alias("label_init")
+    )
+    for i, li_df in enumerate(labels[1:], start=1):
+        out = out.join(
+            li_df.select(
+                F.col("node").alias("p_partkey"),
+                F.col("lbl").alias(f"label_{i}"),
+            ),
+            "p_partkey",
+        )
+    return out.orderBy("p_partkey")
