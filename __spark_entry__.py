@@ -871,6 +871,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore_peel_rounds": relational.kcore_peel_rounds,
         "label_propagation_parts": relational.label_propagation_parts,
         "retention_conditions": parity.retention_conditions,
+        # batch 77: lakehouse layout plans + robust trend
+        "zorder_layout_plan": relational.zorder_layout_plan,
+        "file_skipping_audit": relational.file_skipping_audit,
+        "theil_sen_weekly_trend": relational.theil_sen_weekly_trend,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})
@@ -2022,5 +2026,23 @@ WHERE len(list_filter(range(1, len(toks)), i ->
     )
     out["retention_conditions"] = retention_sql(
         *parity.RETENTION_WINDOWS_D
+    )
+
+    # batch 77: lakehouse layout plans
+    from lucene_mapreduce_spark.operators.oracles import (
+        file_skipping_sql,
+        zorder_sql,
+    )
+
+    out["zorder_layout_plan"] = zorder_sql(
+        relational.ZORDER_N_FILES,
+        relational.ZORDER_X_BUCKETS,
+        relational.ZORDER_Y_BUCKETS,
+        relational.ZORDER_PRED_BUCKET,
+    )
+    _skip_lo = 883612800000000  # 1998-01-01T00:00:00Z us
+    _skip_hi = 891302400000000  # 1998-03-31T00:00:00Z us
+    out["file_skipping_audit"] = file_skipping_sql(
+        relational.SKIP_N_FILES, str(_skip_lo), str(_skip_hi)
     )
     return out

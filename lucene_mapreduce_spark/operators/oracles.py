@@ -12526,3 +12526,140 @@ SELECT n_users, n_signed_up, n_ret_7d, n_ret_14d,
        round(n_ret_14d::DOUBLE / n_signed_up::DOUBLE, 6) AS ret_14d_rate
 FROM agg
 """
+
+
+def _zexpr_duck(bx: str, by: str) -> str:
+    terms = []
+    for i in range(4):
+        terms.append(f"((({bx}) // {1 << i}) % 2) * {1 << (2 * i + 1)}")
+        terms.append(f"((({by}) // {1 << i}) % 2) * {1 << (2 * i)}")
+    return " + ".join(terms)
+
+
+def zorder_sql(n_files: int, xb: int, yb: int, pb: int) -> str:
+    """Z-order layout twin: identical Morton arithmetic (pure integer
+    div/mod) over data-derived bucket widths, identical ntile file
+    assignment over the same total orders, same overlap test and
+    bucket-pb probe ranges."""
+    z = _zexpr_duck(
+        f"(l_partkey * {xb}) // nx", f"(l_suppkey * {yb}) // ny"
+    )
+    bounds = {
+        "x_range": (
+            "l_partkey",
+            f"(SELECT nx * {pb} // {xb} FROM mk)",
+            f"(SELECT nx * {pb + 1} // {xb} - 1 FROM mk)",
+        ),
+        "y_range": (
+            "l_suppkey",
+            f"(SELECT ny * {pb} // {yb} FROM mk)",
+            f"(SELECT ny * {pb + 1} // {yb} - 1 FROM mk)",
+        ),
+    }
+    legs = []
+    for lname, order in (
+        ("linear", "l_partkey, l_suppkey, l_orderkey, l_linenumber"),
+        ("zorder", "z, l_partkey, l_suppkey, l_orderkey, l_linenumber"),
+    ):
+        for pname, (col, lo, hi) in bounds.items():
+            mn, mx = (
+                ("min_x", "max_x")
+                if col == "l_partkey"
+                else ("min_y", "max_y")
+            )
+            hit = f"{mn} <= {hi} AND {mx} >= {lo}"
+            matched = (
+                f"(SELECT count(*) FROM li"
+                f" WHERE {col} BETWEEN {lo} AND {hi})"
+            )
+            legs.append(f"""
+SELECT '{lname}' AS layout, '{pname}' AS predicate,
+       count(*)::BIGINT AS n_files,
+       sum(CASE WHEN {hit} THEN 1 ELSE 0 END)::BIGINT AS files_read,
+       (count(*) - sum(CASE WHEN {hit} THEN 1 ELSE 0 END))::BIGINT
+         AS files_skipped,
+       {matched}::BIGINT AS rows_matched,
+       sum(CASE WHEN {hit} THEN n_rows ELSE 0 END)::BIGINT AS rows_scanned,
+       round(sum(CASE WHEN {hit} THEN n_rows ELSE 0 END)::DOUBLE
+             / {matched}::DOUBLE, 6) AS read_amplification
+FROM (
+  SELECT f, min(l_partkey) AS min_x, max(l_partkey) AS max_x,
+         min(l_suppkey) AS min_y, max(l_suppkey) AS max_y,
+         count(*)::BIGINT AS n_rows
+  FROM (SELECT ntile({n_files}) OVER (ORDER BY {order}) AS f,
+               l_partkey, l_suppkey
+        FROM li)
+  GROUP BY f
+)""")
+    return (
+        "WITH mk AS (SELECT max(l_partkey) + 1 AS nx,"
+        " max(l_suppkey) + 1 AS ny FROM lineitem),\n"
+        f"li AS (SELECT l_partkey, l_suppkey, l_orderkey,"
+        f" l_linenumber, {z} AS z FROM lineitem, mk)\n"
+        + "\nUNION ALL\n".join(legs)
+        + "\nORDER BY layout, predicate"
+    )
+
+
+def file_skipping_sql(n_files: int, lo: str, hi: str) -> str:
+    """File-skipping twin: identical epoch-us bounds, ntile files,
+    overlap accounting."""
+    legs = []
+    for lname, order in (
+        ("arrival", "o_orderkey"),
+        ("date_sorted", "d_us, o_orderkey"),
+    ):
+        legs.append(f"""
+SELECT '{lname}' AS layout,
+       count(*)::BIGINT AS n_files,
+       sum(CASE WHEN mn <= {hi} AND mx >= {lo} THEN 1 ELSE 0 END)::BIGINT
+         AS files_read,
+       (count(*) - sum(CASE WHEN mn <= {hi} AND mx >= {lo}
+                       THEN 1 ELSE 0 END))::BIGINT AS files_skipped,
+       (SELECT count(*) FROM o
+        WHERE d_us BETWEEN {lo} AND {hi})::BIGINT AS rows_matched,
+       sum(CASE WHEN mn <= {hi} AND mx >= {lo} THEN n_rows ELSE 0 END)::BIGINT
+         AS rows_scanned,
+       round(sum(CASE WHEN mn <= {hi} AND mx >= {lo} THEN n_rows
+                 ELSE 0 END)::DOUBLE
+             / (SELECT count(*) FROM o
+                WHERE d_us BETWEEN {lo} AND {hi})::DOUBLE, 6)
+         AS read_amplification
+FROM (
+  SELECT f, min(d_us) AS mn, max(d_us) AS mx, count(*)::BIGINT AS n_rows
+  FROM (SELECT ntile({n_files}) OVER (ORDER BY {order}) AS f, d_us FROM o)
+  GROUP BY f
+)""")
+    return (
+        "WITH o AS (SELECT o_orderkey, epoch_us(o_orderdate) AS d_us"
+        " FROM orders)\n"
+        + "\nUNION ALL\n".join(legs)
+        + "\nORDER BY layout"
+    )
+
+
+ORACLES["theil_sen_weekly_trend"] = """
+WITH weekly AS (
+  SELECT (epoch_us(o_orderdate) // 86400000000) // 7 AS wk,
+         sum(round(o_totalprice, 2)::DECIMAL(18,2))::DOUBLE AS rev
+  FROM orders GROUP BY 1
+),
+pairs AS (
+  SELECT round((b.rev - a.rev) / (b.wk - a.wk)::DOUBLE, 6) AS slope
+  FROM weekly a JOIN weekly b ON a.wk < b.wk
+),
+sen AS (
+  SELECT quantile_cont(slope, 0.5) AS sen_slope,
+         count(*)::BIGINT AS n_pairs
+  FROM pairs
+),
+resid AS (
+  SELECT n_pairs, sen_slope,
+         round(w.rev - s.sen_slope * w.wk::DOUBLE, 6) AS resid
+  FROM weekly w CROSS JOIN sen s
+)
+SELECT count(*)::BIGINT AS n_weeks, n_pairs,
+       round(sen_slope, 6) AS sen_slope,
+       round(quantile_cont(resid, 0.5), 6) AS intercept
+FROM resid GROUP BY n_pairs, sen_slope
+"""

@@ -1684,3 +1684,267 @@ def label_propagation_parts(
             "p_partkey",
         )
     return out.orderBy("p_partkey")
+
+
+# --- batch 77: lakehouse layout planning + robust trend ---------------------
+ZORDER_N_FILES = 64
+ZORDER_X_BUCKETS = 16
+ZORDER_Y_BUCKETS = 16
+ZORDER_PRED_BUCKET = 4  # the probe range = bucket 4 of each dim
+SKIP_N_FILES = 64
+SKIP_PRED_DATES = ("1998-01-01", "1998-03-31")
+
+
+def _z_expr(bx: str, by: str, divop: str) -> str:
+    """4+4-bit Morton interleave as pure integer div/mod arithmetic —
+    no shift operators, so the identical formula runs in Spark SQL
+    (`div`) and DuckDB (`//`). x bits land on odd positions."""
+    terms = []
+    for i in range(4):
+        terms.append(f"((({bx}) {divop} {1 << i}) % 2) * {1 << (2 * i + 1)}")
+        terms.append(f"((({by}) {divop} {1 << i}) % 2) * {1 << (2 * i)}")
+    return " + ".join(terms)
+
+
+def zorder_layout_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER file-clustering plan (Delta/Iceberg OPTIMIZE ZORDER BY):
+    lineitem rows are laid into ZORDER_N_FILES files under (a) the
+    linear lexicographic sort (l_partkey, l_suppkey) and (b) the
+    Morton z-order of the two keys' 16-level buckets; for a range
+    predicate on EACH dim (bucket ZORDER_PRED_BUCKET of that dim's
+    key space — derived from max(key)+1 by exact integer arithmetic so
+    the plan is scale-free) the report counts the files a min/max
+    footer index lets the scan skip. The point the numbers make:
+    linear prunes only its leading key, z-order prunes both. File
+    assignment is an ntile over the total sort order (exact,
+    oracle-matchable; the row-count single-partition window is bounded
+    at test scale — the production path is repartitionByRange on the
+    same z key, the identical discipline at any scale). All integers
+    except the final read-amplification ratio."""
+    from pyspark.sql.window import Window
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey", "l_linenumber"
+    )
+    mrow = li.agg(
+        F.max("l_partkey").alias("mx"), F.max("l_suppkey").alias("my")
+    ).collect()[0]
+    nx, ny = int(mrow["mx"]) + 1, int(mrow["my"]) + 1
+    bx = f"(l_partkey * {ZORDER_X_BUCKETS}) div {nx}"
+    by = f"(l_suppkey * {ZORDER_Y_BUCKETS}) div {ny}"
+    li = li.withColumn("z", F.expr(_z_expr(bx, by, "div")))
+    pb = ZORDER_PRED_BUCKET
+    preds = {
+        "x_range": (
+            "l_partkey",
+            nx * pb // ZORDER_X_BUCKETS,
+            nx * (pb + 1) // ZORDER_X_BUCKETS - 1,
+        ),
+        "y_range": (
+            "l_suppkey",
+            ny * pb // ZORDER_Y_BUCKETS,
+            ny * (pb + 1) // ZORDER_Y_BUCKETS - 1,
+        ),
+    }
+    layouts = {
+        "linear": Window.orderBy(
+            "l_partkey", "l_suppkey", "l_orderkey", "l_linenumber"
+        ),
+        "zorder": Window.orderBy(
+            "z", "l_partkey", "l_suppkey", "l_orderkey", "l_linenumber"
+        ),
+    }
+    matched = li.agg(
+        *[
+            F.sum(F.col(c).between(lo, hi).cast("int"))
+            .cast("long")
+            .alias(f"m_{p}")
+            for p, (c, lo, hi) in preds.items()
+        ]
+    )
+    out = None
+    for lname, w in layouts.items():
+        files = (
+            li.select(
+                F.ntile(ZORDER_N_FILES).over(w).alias("f"),
+                "l_partkey",
+                "l_suppkey",
+            )
+            .groupBy("f")
+            .agg(
+                F.min("l_partkey").alias("min_x"),
+                F.max("l_partkey").alias("max_x"),
+                F.min("l_suppkey").alias("min_y"),
+                F.max("l_suppkey").alias("max_y"),
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+            )
+        )
+        for pname, (col, lo, hi) in preds.items():
+            mn, mx = ("min_x", "max_x") if col == "l_partkey" else (
+                "min_y",
+                "max_y",
+            )
+            hit = (F.col(mn) <= hi) & (F.col(mx) >= lo)
+            row = (
+                files.agg(
+                    F.count(F.lit(1)).cast("long").alias("n_files"),
+                    F.sum(hit.cast("int")).cast("long").alias("files_read"),
+                    F.sum(F.when(hit, F.col("n_rows")).otherwise(0))
+                    .cast("long")
+                    .alias("rows_scanned"),
+                )
+                .crossJoin(F.broadcast(matched))
+                .select(
+                    F.lit(lname).alias("layout"),
+                    F.lit(pname).alias("predicate"),
+                    "n_files",
+                    "files_read",
+                    (F.col("n_files") - F.col("files_read"))
+                    .cast("long")
+                    .alias("files_skipped"),
+                    F.col(f"m_{pname}").alias("rows_matched"),
+                    "rows_scanned",
+                    F.round(
+                        F.col("rows_scanned").cast("double")
+                        / F.col(f"m_{pname}").cast("double"),
+                        6,
+                    ).alias("read_amplification"),
+                )
+            )
+            out = row if out is None else out.unionByName(row)
+    return out.orderBy("layout", "predicate")
+
+
+def file_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min/max footer-pruning audit (the parquet row-group / Iceberg
+    manifest skip story): orders land in SKIP_N_FILES files under (a)
+    arrival order (o_orderkey) and (b) a date-clustered rewrite; a
+    pinned quarter-long date-range predicate then reads only the files
+    whose [min,max] orderdate straddles it. Companion to
+    zorder_layout_plan for the single-dim case — the number that
+    justifies clustering-on-write at 100 TB. All integer plus one
+    ratio."""
+    from pyspark.sql.window import Window
+
+    lo_us, hi_us = [
+        int(
+            __import__("datetime")
+            .datetime.strptime(d, "%Y-%m-%d")
+            .replace(tzinfo=__import__("datetime").timezone.utc)
+            .timestamp()
+        )
+        * 1_000_000
+        for d in SKIP_PRED_DATES
+    ]
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("d_us"),
+    )
+    pred = F.col("d_us").between(lo_us, hi_us)
+    matched = orders.agg(
+        F.sum(pred.cast("int")).cast("long").alias("rows_matched")
+    )
+    layouts = {
+        "arrival": Window.orderBy("o_orderkey"),
+        "date_sorted": Window.orderBy("d_us", "o_orderkey"),
+    }
+    out = None
+    for lname, w in layouts.items():
+        files = (
+            orders.select(
+                F.ntile(SKIP_N_FILES).over(w).alias("f"), "d_us"
+            )
+            .groupBy("f")
+            .agg(
+                F.min("d_us").alias("mn"),
+                F.max("d_us").alias("mx"),
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+            )
+        )
+        hit = (F.col("mn") <= hi_us) & (F.col("mx") >= lo_us)
+        row = (
+            files.agg(
+                F.count(F.lit(1)).cast("long").alias("n_files"),
+                F.sum(hit.cast("int")).cast("long").alias("files_read"),
+                F.sum(F.when(hit, F.col("n_rows")).otherwise(0))
+                .cast("long")
+                .alias("rows_scanned"),
+            )
+            .crossJoin(F.broadcast(matched))
+            .select(
+                F.lit(lname).alias("layout"),
+                "n_files",
+                "files_read",
+                (F.col("n_files") - F.col("files_read"))
+                .cast("long")
+                .alias("files_skipped"),
+                "rows_matched",
+                "rows_scanned",
+                F.round(
+                    F.col("rows_scanned").cast("double")
+                    / F.col("rows_matched").cast("double"),
+                    6,
+                ).alias("read_amplification"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("layout")
+
+
+def theil_sen_weekly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of weekly order revenue: the median of
+    all pairwise slopes (y_j - y_i)/(w_j - w_i), plus the matching
+    median-residual intercept — the outlier-proof sibling of
+    ols_token_chars_fit / mann_kendall_trend. Weekly revenue is an
+    exact DECIMAL(18,2) sum cast to double; each pairwise slope is one
+    IEEE division of identical operands, 6dp-rounded BEFORE the median
+    so both engines rank identical values (percentile() == DuckDB
+    quantile_cont, type-7). Weeks are epoch-day div 7 (never engine
+    week-truncation). The pair join is week-count bounded (~n^2/2 of a
+    few hundred rows), never row-count bounded."""
+    orders = load(spark, sf_dir, "orders").select(
+        F.expr(
+            "(unix_micros(cast(o_orderdate as timestamp))"
+            " div 86400000000) div 7"
+        ).alias("wk"),
+        F.round(F.col("o_totalprice"), 2)
+        .cast("decimal(18,2)")
+        .alias("tp"),
+    )
+    weekly = orders.groupBy("wk").agg(
+        F.sum("tp").cast("double").alias("rev")
+    )
+    a = weekly.select(
+        F.col("wk").alias("w1"), F.col("rev").alias("r1")
+    )
+    b = weekly.select(
+        F.col("wk").alias("w2"), F.col("rev").alias("r2")
+    )
+    pairs = a.join(b, F.col("w1") < F.col("w2")).select(
+        F.round(
+            (F.col("r2") - F.col("r1"))
+            / (F.col("w2") - F.col("w1")).cast("double"),
+            6,
+        ).alias("slope")
+    )
+    sen = pairs.agg(
+        F.expr("percentile(slope, 0.5)").alias("sen_slope"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+    )
+    resid = weekly.crossJoin(F.broadcast(sen)).select(
+        "n_pairs",
+        "sen_slope",
+        F.round(
+            F.col("rev") - F.col("sen_slope") * F.col("wk").cast("double"),
+            6,
+        ).alias("resid"),
+    )
+    return resid.groupBy("n_pairs", "sen_slope").agg(
+        F.count(F.lit(1)).cast("long").alias("n_weeks"),
+        F.expr("percentile(resid, 0.5)").alias("intercept"),
+    ).select(
+        "n_weeks",
+        "n_pairs",
+        F.round("sen_slope", 6).alias("sen_slope"),
+        F.round("intercept", 6).alias("intercept"),
+    )
