@@ -875,6 +875,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_layout_plan": relational.zorder_layout_plan,
         "file_skipping_audit": relational.file_skipping_audit,
         "theil_sen_weekly_trend": relational.theil_sen_weekly_trend,
+        # batch 78: shingle field, index-sort plan, HLL union
+        "shingle_field_topk": fulltext.shingle_field_topk,
+        "index_sort_plan": fulltext.index_sort_plan,
+        "hll_union_sources": textstats.hll_union_sources,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})
@@ -2045,4 +2049,19 @@ WHERE len(list_filter(range(1, len(toks)), i ->
     out["file_skipping_audit"] = file_skipping_sql(
         relational.SKIP_N_FILES, str(_skip_lo), str(_skip_hi)
     )
+
+    # batch 78: shingle field, index-sort plan, HLL union
+    from lucene_mapreduce_spark.operators.oracles import (
+        hll_union_sql,
+        index_sort_plan_sql,
+        shingle_field_sql,
+    )
+
+    out["shingle_field_topk"] = shingle_field_sql(
+        fulltext.FLAGSHIP_QUERY, fulltext.SHINGLE_W
+    )
+    out["index_sort_plan"] = index_sort_plan_sql(
+        fulltext.SORT_PLAN_SEGMENTS, fulltext.SORT_PLAN_K
+    )
+    out["hll_union_sources"] = hll_union_sql(textstats.HLL_P)
     return out

@@ -6804,3 +6804,192 @@ def search_sort_missing_last(
     return ranked_topk(
         vals, [F.asc_nulls_last("num"), F.asc("doc_id")], k
     ).select("rank", "doc_id", "num")
+
+
+# --- batch 78: shingle-field BM25 + index-sort early-termination plan ------
+SHINGLE_W = 0.4  # phrase-leg weight (ES index_phrases / common-grams boost)
+
+
+def shingle_field_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_text: str = FLAGSHIP_QUERY,
+    w_shingle: float = SHINGLE_W,
+    k: int = 10,
+) -> DataFrame:
+    """Index-time shingle field (Lucene ShingleFilter / ES
+    `index_phrases: true`): the score is unigram BM25 plus w_shingle x
+    BM25 over a 2-gram shingle field with its OWN statistics (df over
+    bigram postings, dl2 = tokens-1, avgdl2 over docs that HAVE the
+    field, i.e. >= 2 tokens — Lucene field norms average over docs
+    carrying the field). Query shingles are the adjacent token pairs of
+    the raw query. This buys match_phrase-adjacent ranking without
+    positions at query time — the classic index-fatter/query-faster
+    trade. Each leg accumulates canonically ascending by its term; the
+    legs combine UNROUNDED and the sum rounds at 6dp for ranking (the
+    composite-score house rule). Two groupBys per leg, all
+    corpus-scan-shaped; no positions sidecar needed."""
+    from lucene_mapreduce_spark.functions.tokenize import (
+        tokenize_col,
+        tokenize_string,
+    )
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+    from lucene_mapreduce_spark.query.bm25 import B, K1
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize_col("text").alias("toks"))
+
+    qtok = tokenize_string(query_text)
+    quni = sorted(set(qtok))
+    qbi = sorted({f"{a} {b}" for a, b in zip(qtok, qtok[1:])})
+
+    def leg(postings: DataFrame, doclens: DataFrame, qlist: list[str]):
+        stats = doclens.agg(
+            F.count(F.lit(1)).cast("double").alias("n_docs"),
+            F.avg(F.col("dl").cast("double")).alias("avgdl"),
+        )
+        qdf = spark.createDataFrame(
+            [(t,) for t in qlist], "term string"
+        )
+        hits = postings.join(F.broadcast(qdf), "term")
+        df_t = hits.groupBy("term").agg(
+            F.count(F.lit(1)).cast("double").alias("df_t")
+        )
+        m = (
+            hits.join(F.broadcast(df_t), "term")
+            .join(doclens, "doc_id")
+            .crossJoin(F.broadcast(stats))
+        )
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("df_t") + F.lit(0.5))
+            / (F.col("df_t") + F.lit(0.5))
+        )
+        tf = F.col("tf").cast("double")
+        denom = tf + F.lit(K1) * (
+            F.lit(1.0 - B) + F.lit(B) * F.col("dl").cast("double") / F.col("avgdl")
+        )
+        contrib = idf * (tf * F.lit(K1 + 1.0)) / denom
+        return (
+            m.select("doc_id", "term", contrib.alias("contrib"))
+            .groupBy("doc_id")
+            .agg(
+                F.aggregate(
+                    F.sort_array(
+                        F.collect_list(F.struct("term", "contrib"))
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["contrib"],
+                ).alias("score")
+            )
+        )
+
+    uni_postings = (
+        toks.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    uni_dl = toks.select("doc_id", F.size("toks").alias("dl"))
+    s1 = leg(uni_postings, uni_dl, quni).withColumnRenamed(
+        "score", "s_uni"
+    )
+
+    bi = toks.where(F.size("toks") >= 2)
+    bi_postings = (
+        bi.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(2), F.size("toks")),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(F.col("toks"), i - F.lit(1)),
+                        F.element_at(F.col("toks"), i),
+                    ),
+                )
+            ).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    bi_dl = bi.select("doc_id", (F.size("toks") - 1).alias("dl"))
+    s2 = leg(bi_postings, bi_dl, qbi).withColumnRenamed("score", "s_bi")
+
+    both = s1.join(s2, "doc_id", "full").select(
+        "doc_id",
+        F.coalesce(F.col("s_uni"), F.lit(0.0)).alias("s_uni"),
+        F.coalesce(F.col("s_bi"), F.lit(0.0)).alias("s_bi"),
+    )
+    scored = both.select(
+        "doc_id",
+        F.round(
+            F.col("s_uni") + F.lit(float(w_shingle)) * F.col("s_bi"), 6
+        ).alias("score"),
+        F.round("s_bi", 6).alias("shingle_score"),
+    )
+    return ranked_topk(
+        scored, [F.desc("score"), F.asc("doc_id")], k
+    ).select("doc_id", "score", "shingle_score", "rank")
+
+
+SORT_PLAN_SEGMENTS = 8
+SORT_PLAN_K = 100
+
+
+def index_sort_plan(
+    spark: SparkSession,
+    sf_dir: str,
+    n_segments: int = SORT_PLAN_SEGMENTS,
+    k: int = SORT_PLAN_K,
+) -> DataFrame:
+    """Lucene IndexSorting early-termination plan
+    (IndexWriterConfig.setIndexSort + TopFieldCollector's
+    canEarlyTerminate path): if every segment is sorted by the query
+    sort (n_chars DESC, doc_id ASC), a global top-k needs at most the
+    deepest per-segment rank that the true top-k reaches — everything
+    below is provably unreachable and never scanned. The report, per
+    segment (doc_id mod n_segments, the arrival-ish spread): segment
+    size, how many of its docs made the global top-k, the deepest
+    sorted rank the collector must visit, and the rows early
+    termination saves. Global top-k rides ranked_topk
+    (TakeOrderedAndProject — no corpus-wide window); per-segment ranks
+    window inside the segment partition. All integer."""
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    seg = docs.withColumn(
+        "seg", F.pmod(F.col("doc_id"), F.lit(n_segments)).cast("int")
+    )
+    wseg = Window.partitionBy("seg").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    ranked = seg.withColumn("r", F.row_number().over(wseg))
+    topk = ranked_topk(
+        docs, [F.desc("n_chars"), F.asc("doc_id")], k
+    ).select("doc_id")
+    j = ranked.join(
+        F.broadcast(topk.withColumn("hit", F.lit(1))), "doc_id", "left"
+    )
+    return (
+        j.groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_in_topk"),
+            F.coalesce(
+                F.max(F.when(F.col("hit") == 1, F.col("r"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("deepest_rank_needed"),
+        )
+        .select(
+            "seg",
+            "n_docs",
+            "n_in_topk",
+            "deepest_rank_needed",
+            (F.col("n_docs") - F.col("deepest_rank_needed"))
+            .cast("long")
+            .alias("rows_saved"),
+        )
+        .orderBy("seg")
+    )

@@ -12663,3 +12663,180 @@ SELECT count(*)::BIGINT AS n_weeks, n_pairs,
        round(quantile_cont(resid, 0.5), 6) AS intercept
 FROM resid GROUP BY n_pairs, sen_slope
 """
+
+
+def shingle_field_sql(
+    query_text: str, w_shingle: float, k: int = 10
+) -> str:
+    """Shingle-field BM25 twin: identical unigram + bigram legs with
+    per-field statistics (bigram dl/avgdl over docs with >= 2 tokens),
+    each leg a plain per-doc sum (safe: both query legs stay under the
+    plain-sum ulp bound like _BM25_AGG's 4-term flagship), combined
+    unrounded and ranked on the 6dp round."""
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_string
+
+    qlit = query_text.replace("'", "''")
+    toks = tokenize_string(query_text)
+    bis = sorted({f"{a} {b}" for a, b in zip(toks, toks[1:])})
+    bi_vals = ", ".join("('" + b.replace("'", "''") + "')" for b in bis)
+    return f"""
+WITH qterms AS (
+  SELECT DISTINCT unnest({duckdb_tokens_sql(f"'{qlit}'")}) AS term
+),
+qbi (term) AS (VALUES {bi_vals}),
+doclens AS (SELECT doc_id, len({TOKS}) AS dl FROM documents),
+stats AS (
+  SELECT count(*)::DOUBLE AS n_docs, avg(dl::DOUBLE) AS avgdl FROM doclens
+),
+toks AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents),
+postings AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2
+),
+dft AS (
+  SELECT p.term, count(*)::DOUBLE AS df_t
+  FROM postings p JOIN qterms q USING (term) GROUP BY 1
+),
+s_uni AS (
+  SELECT p.doc_id,
+         sum(ln(1 + (s.n_docs - d.df_t + 0.5) / (d.df_t + 0.5))
+             * (p.tf * {K1 + 1.0})
+             / (p.tf + {K1} * (1 - {B} + {B} * l.dl / s.avgdl))) AS sc
+  FROM postings p
+  JOIN dft d USING (term)
+  JOIN doclens l USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY 1
+),
+btoks AS (
+  SELECT doc_id, t AS ts FROM (SELECT doc_id, {TOKS} AS t FROM documents)
+  WHERE len(t) >= 2
+),
+bi_doclens AS (SELECT doc_id, len(ts) - 1 AS dl FROM btoks),
+bi_stats AS (
+  SELECT count(*)::DOUBLE AS n_docs, avg(dl::DOUBLE) AS avgdl
+  FROM bi_doclens
+),
+bi_postings AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(2, len(ts) + 1),
+                                 i -> ts[i - 1] || ' ' || ts[i])) AS term
+    FROM btoks
+  ) GROUP BY 1, 2
+),
+bi_dft AS (
+  SELECT p.term, count(*)::DOUBLE AS df_t
+  FROM bi_postings p JOIN qbi q USING (term) GROUP BY 1
+),
+s_bi AS (
+  SELECT p.doc_id,
+         sum(ln(1 + (s.n_docs - d.df_t + 0.5) / (d.df_t + 0.5))
+             * (p.tf * {K1 + 1.0})
+             / (p.tf + {K1} * (1 - {B} + {B} * l.dl / s.avgdl))) AS sc
+  FROM bi_postings p
+  JOIN bi_dft d USING (term)
+  JOIN bi_doclens l USING (doc_id)
+  CROSS JOIN bi_stats s
+  GROUP BY 1
+),
+legs AS (
+  SELECT coalesce(u.doc_id, b.doc_id) AS doc_id,
+         coalesce(u.sc, 0.0) AS su, coalesce(b.sc, 0.0) AS sb
+  FROM s_uni u FULL JOIN s_bi b ON u.doc_id = b.doc_id
+),
+scored AS (
+  SELECT doc_id,
+         round(su + {w_shingle!r}::DOUBLE * sb, 6) AS score,
+         round(sb, 6) AS shingle_score
+  FROM legs
+)
+SELECT doc_id, score, shingle_score,
+       row_number() OVER (ORDER BY score DESC, doc_id ASC)::INT AS rank
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def index_sort_plan_sql(n_segments: int, k: int) -> str:
+    """Index-sort early-termination twin: identical mod segments,
+    per-segment sorted ranks, global top-k by the same total order."""
+    return f"""
+WITH ranked AS (
+  SELECT doc_id, n_chars,
+         (doc_id % {n_segments})::INT AS seg,
+         row_number() OVER (
+           PARTITION BY doc_id % {n_segments}
+           ORDER BY n_chars DESC, doc_id ASC) AS r
+  FROM documents
+),
+topk AS (
+  SELECT doc_id, 1 AS hit FROM documents
+  ORDER BY n_chars DESC, doc_id ASC LIMIT {k}
+),
+j AS (
+  SELECT ranked.*, topk.hit
+  FROM ranked LEFT JOIN topk ON ranked.doc_id = topk.doc_id
+)
+SELECT seg,
+       count(*)::BIGINT AS n_docs,
+       coalesce(sum(hit), 0)::BIGINT AS n_in_topk,
+       coalesce(max(CASE WHEN hit = 1 THEN r END), 0)::BIGINT
+         AS deepest_rank_needed,
+       (count(*) - coalesce(max(CASE WHEN hit = 1 THEN r END), 0))::BIGINT
+         AS rows_saved
+FROM j GROUP BY seg ORDER BY seg
+"""
+
+
+def hll_union_sql(p: int) -> str:
+    """HLL union twin: identical per-source registers, bucket-max merge
+    for the union row, same estimator chain as hll_cardinality."""
+    m = 1 << p
+    alpha_num = 0.7213 / (1.0 + 1.079 / m) * m * m * float(1 << 41)
+    h = _MD5_52.format(e="term")
+    est = (
+        f"CASE WHEN e_raw <= {2.5 * m!r} AND v > 0 "
+        f"THEN {float(m)!r} * ln({float(m)!r} / v) ELSE e_raw END"
+    )
+    return f"""
+WITH st AS (
+  SELECT DISTINCT source, unnest({TOKS}) AS term FROM documents
+),
+hashed AS (SELECT source, ({h}) AS h FROM st),
+regs AS (
+  SELECT source, h >> 40 AS bucket,
+         max(CASE WHEN (h & {(1 << 40) - 1}) = 0 THEN 41
+                  ELSE 40 - floor(log2((h & {(1 << 40) - 1})::DOUBLE))::INT
+             END) AS m_j
+  FROM hashed GROUP BY 1, 2
+),
+union_regs AS (
+  SELECT '(union)' AS source, bucket, max(m_j) AS m_j
+  FROM regs GROUP BY 2
+),
+folded AS (
+  SELECT source, count(*)::BIGINT AS used,
+         sum(1::BIGINT << (41 - m_j))::BIGINT AS s_used
+  FROM (SELECT * FROM regs UNION ALL SELECT * FROM union_regs)
+  GROUP BY 1
+),
+exact AS (
+  SELECT source, count(*)::BIGINT AS n_exact FROM st GROUP BY 1
+  UNION ALL
+  SELECT '(union)', count(DISTINCT term)::BIGINT FROM st
+),
+est AS (
+  SELECT source, used,
+         {alpha_num!r}
+           / (s_used + ({m} - used) * {1 << 41})::DOUBLE AS e_raw,
+         ({m} - used)::DOUBLE AS v
+  FROM folded
+)
+SELECT e.source, x.n_exact, e.used,
+       round({est}, 4) AS hll_estimate,
+       round(abs(({est}) - x.n_exact::DOUBLE) / x.n_exact::DOUBLE, 6)
+         AS rel_err
+FROM est e JOIN exact x ON e.source = x.source
+ORDER BY e.source
+"""

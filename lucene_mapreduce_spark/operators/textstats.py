@@ -4808,3 +4808,77 @@ def feature_hash_collision_report(
         F.lit(0).cast("long").alias("token_mass"),
     ).filter(F.col("n_buckets") > 0)
     return hist.unionByName(empty).orderBy("load")
+
+
+def hll_union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeability story behind hll_cardinality: per-source HLL
+    registers (p=12, same md5 12/40 bit split) estimate each source's
+    vocabulary, and the UNION row folds those SAME registers with a
+    bucket-wise max — the sketch-merge every distributed cardinality
+    pipeline ships to the coordinator instead of raw values. Exact
+    distinct counts ride alongside for the error column. Registers per
+    source: one (source, bucket) groupBy; the union re-agg touches only
+    sources x 4096 rows — coordinator-sized at any corpus."""
+    docs = load(spark, sf_dir, "documents")
+    st = docs.select(
+        "source", F.explode(tokenize_col("text")).alias("term")
+    ).distinct()
+    h = _md5_52(F.col("term"))
+    w = h.bitwiseAND(F.lit((1 << 40) - 1))
+    rho = (
+        F.when(w == 0, F.lit(41))
+        .otherwise(F.lit(40) - F.floor(F.log2(w.cast("double"))))
+        .cast("int")
+    )
+    regs = (
+        st.select(
+            "source", F.shiftright(h, 40).alias("bucket"), rho.alias("rho")
+        )
+        .groupBy("source", "bucket")
+        .agg(F.max("rho").alias("m_j"))
+    )
+    union_regs = regs.groupBy("bucket").agg(F.max("m_j").alias("m_j"))
+
+    def fold(r: DataFrame) -> DataFrame:
+        return r.groupBy("source").agg(
+            F.count(F.lit(1)).cast("long").alias("used"),
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 41 - m_j)"))
+            .cast("long")
+            .alias("s_used"),
+        )
+
+    folded = fold(regs).unionByName(
+        fold(union_regs.select(F.lit("(union)").alias("source"), "m_j"))
+    )
+    exact = (
+        st.groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+        .unionByName(
+            st.select("term")
+            .distinct()
+            .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+            .select(F.lit("(union)").alias("source"), "n_exact")
+        )
+    )
+    s_int = F.col("s_used") + (F.lit(_HLL_M) - F.col("used")) * F.lit(1 << 41)
+    e_raw = F.lit(_HLL_ALPHA_NUM) / s_int.cast("double")
+    v = (F.lit(_HLL_M) - F.col("used")).cast("double")
+    est = F.when(
+        (e_raw <= F.lit(2.5 * _HLL_M)) & (v > 0),
+        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / v),
+    ).otherwise(e_raw)
+    return (
+        folded.join(exact, "source")
+        .select(
+            "source",
+            "n_exact",
+            "used",
+            F.round(est, 4).alias("hll_estimate"),
+            F.round(
+                F.abs(est - F.col("n_exact").cast("double"))
+                / F.col("n_exact").cast("double"),
+                6,
+            ).alias("rel_err"),
+        )
+        .orderBy("source")
+    )
