@@ -879,6 +879,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shingle_field_topk": fulltext.shingle_field_topk,
         "index_sort_plan": fulltext.index_sort_plan,
         "hll_union_sources": textstats.hll_union_sources,
+        # batch 79: Borda fusion, JL audit, Bollinger bands
+        "borda_fusion_topk": similarity.borda_fusion_topk,
+        "jl_projection_audit": similarity.jl_projection_audit,
+        "bollinger_bands_daily": parity.bollinger_bands_daily,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})
@@ -2064,4 +2068,24 @@ WHERE len(list_filter(range(1, len(toks)), i ->
         fulltext.SORT_PLAN_SEGMENTS, fulltext.SORT_PLAN_K
     )
     out["hll_union_sources"] = hll_union_sql(textstats.HLL_P)
+
+    # batch 79: Borda fusion, JL audit, Bollinger bands
+    from lucene_mapreduce_spark.operators.oracles import (
+        bollinger_sql,
+        borda_sql,
+        jl_audit_sql,
+    )
+
+    out["borda_fusion_topk"] = borda_sql(
+        fulltext.FLAGSHIP_QUERY,
+        similarity.RRF_DEPTH,
+        similarity.BORDA_W_LEX,
+        similarity.BORDA_W_VEC,
+    )
+    out["jl_projection_audit"] = jl_audit_sql(
+        similarity._jl_signs(), similarity.PAIR_HASH_MULT
+    )
+    out["bollinger_bands_daily"] = bollinger_sql(
+        parity.BOLLINGER_WINDOW, parity.BOLLINGER_NSIGMA
+    )
     return out

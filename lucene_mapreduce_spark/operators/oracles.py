@@ -12840,3 +12840,128 @@ SELECT e.source, x.n_exact, e.used,
 FROM est e JOIN exact x ON e.source = x.source
 ORDER BY e.source
 """
+
+
+def borda_sql(
+    query_text: str,
+    depth: int,
+    w_lex: int,
+    w_vec: int,
+    k: int = 10,
+) -> str:
+    """Borda-fusion twin: same two retriever legs as rrf_sql, integer
+    (depth + 1 - rank) points per list with integer weights."""
+    return f"""
+WITH lex AS ({bm25_topk_sql(query_text, k=depth)}),
+qv AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0),
+vec AS (
+  SELECT vec_id AS doc_id, rank FROM (
+    SELECT vec_id,
+           row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS rank
+    FROM (
+      SELECT vec_id,
+             round(list_dot_product(embedding::DOUBLE[], qvec)
+                   / (sqrt(list_dot_product(embedding::DOUBLE[],
+                                            embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(qvec, qvec))), 6) AS cosine
+      FROM embeddings, qv WHERE vec_id <> 0
+    )
+  ) WHERE rank <= {depth}
+),
+fused AS (
+  SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+         ({w_lex} * coalesce({depth + 1} - l.rank, 0)
+          + {w_vec} * coalesce({depth + 1} - v.rank, 0))::BIGINT AS borda
+  FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+)
+SELECT doc_id, borda, rank FROM (
+  SELECT doc_id, borda,
+         row_number() OVER (ORDER BY borda DESC, doc_id ASC) AS rank
+  FROM fused
+) WHERE rank <= {k}
+"""
+
+
+def jl_audit_sql(signs: list[list[int]], mult: int) -> str:
+    """JL-audit twin: the SAME pinned sign matrix rendered as explicit
+    +-v[i] chains (left-assoc + == the Spark fold with 0.0 init), 0.25
+    scale, identical Knuth pairing, fold-with-init distances."""
+    jl_k, jl_dim = len(signs), len(signs[0])
+    proj = ",\n         ".join(
+        "round(("
+        + " ".join(
+            ("+" if s > 0 else "-") + f" v[{i + 1}]"
+            for i, s in enumerate(signs[j])
+        ).lstrip("+ ")
+        + (") * 0.25::DOUBLE, 12) AS y%d" % j)
+        for j in range(jl_k)
+    )
+    d2p = " + ".join(
+        f"(a.y{j} - b.y{j}) * (a.y{j} - b.y{j})" for j in range(jl_k)
+    )
+    return f"""
+WITH emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+nrow AS (SELECT count(*)::BIGINT AS n FROM emb),
+pe AS (
+  SELECT vec_id, v,
+         {proj}
+  FROM emb
+),
+pa AS (
+  SELECT pe.*,
+         ((vec_id % n) * ({mult} % n)) % n AS b_id
+  FROM pe, nrow
+),
+pairs AS (
+  SELECT a.v AS av, b.v AS bv,
+         list_reduce(
+           [0.0::DOUBLE] || list_transform(
+             range(1, {jl_dim + 1}),
+             i -> (a.v[i] - b.v[i]) * (a.v[i] - b.v[i])),
+           (acc, x) -> acc + x) AS d2o,
+         {d2p} AS d2p
+  FROM pa a JOIN pe b ON b.vec_id = a.b_id
+  WHERE a.vec_id <> a.b_id
+)
+SELECT floor(round(d2p / d2o, 6) * 10.0)::INT AS bin,
+       count(*)::BIGINT AS n_pairs
+FROM pairs WHERE d2o > 0
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def bollinger_sql(width: int, nsigma: float) -> str:
+    """Bollinger twin: identical gap-filled histogram, integer frame
+    sums, same mean/std/band chain; warmup rows dropped by frame
+    count."""
+    return f"""
+WITH {_DAILY_HIST},
+framed AS (
+  SELECT day, n_events,
+         count(*) OVER w AS n_in_frame,
+         sum(n_events) OVER w::BIGINT AS s,
+         sum(n_events * n_events) OVER w::BIGINT AS ss
+  FROM hist
+  WINDOW w AS (ORDER BY day
+               ROWS BETWEEN {width - 1} PRECEDING AND CURRENT ROW)
+),
+calc AS (
+  SELECT day, n_events,
+         s::DOUBLE / {float(width)!r} AS m,
+         sqrt((ss::DOUBLE - {float(width)!r}
+               * (s::DOUBLE / {float(width)!r})
+               * (s::DOUBLE / {float(width)!r}))
+              / ({float(width)!r} - 1.0::DOUBLE)) AS std
+  FROM framed WHERE n_in_frame = {width}
+)
+SELECT day::VARCHAR AS day, n_events,
+       round(m, 6) AS mean_w,
+       round(m - {nsigma!r}::DOUBLE * std, 6) AS lower_band,
+       round(m + {nsigma!r}::DOUBLE * std, 6) AS upper_band,
+       (CASE WHEN n_events::DOUBLE > m + {nsigma!r}::DOUBLE * std
+               OR n_events::DOUBLE < m - {nsigma!r}::DOUBLE * std
+        THEN 1 ELSE 0 END)::INT AS out_of_band
+FROM calc ORDER BY day
+"""

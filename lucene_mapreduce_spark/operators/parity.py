@@ -4726,3 +4726,55 @@ def retention_conditions(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ret_14d_rate"),
     )
+
+
+BOLLINGER_WINDOW = 7
+BOLLINGER_NSIGMA = 2.0
+
+
+def bollinger_bands_daily(
+    spark: SparkSession,
+    sf_dir: str,
+    width: int = BOLLINGER_WINDOW,
+    nsigma: float = BOLLINGER_NSIGMA,
+) -> DataFrame:
+    """Bollinger bands over the gap-filled daily event histogram: the
+    trailing `width`-day mean +- nsigma x sample stddev, and the
+    out-of-band flag an ops dashboard alerts on — the volatility-scaled
+    sibling of seasonal_anomaly_days. Frame sums are INTEGER (counts
+    and squared counts), so mean/variance derive from exact operands in
+    both engines; the sqrt/compare chain is fixed-shape IEEE. Warmup
+    days (incomplete frame) are excluded rather than padded. Window
+    cardinality = elapsed days (the documented bounded unpartitioned
+    window)."""
+    hist = date_histogram_facets(spark, sf_dir)
+    w = Window.orderBy("day").rowsBetween(-(width - 1), Window.currentRow)
+    framed = hist.select(
+        "day",
+        "n_events",
+        F.count(F.lit(1)).over(w).alias("n_in_frame"),
+        F.sum("n_events").over(w).cast("long").alias("s"),
+        F.sum(F.col("n_events") * F.col("n_events"))
+        .over(w)
+        .cast("long")
+        .alias("ss"),
+    ).filter(F.col("n_in_frame") == width)
+    nd = F.lit(float(width))
+    m = F.col("s").cast("double") / nd
+    var = (F.col("ss").cast("double") - nd * m * m) / (nd - F.lit(1.0))
+    std = F.sqrt(var)
+    upper = m + F.lit(nsigma) * std
+    lower = m - F.lit(nsigma) * std
+    return framed.select(
+        "day",
+        "n_events",
+        F.round(m, 6).alias("mean_w"),
+        F.round(lower, 6).alias("lower_band"),
+        F.round(upper, 6).alias("upper_band"),
+        (
+            (F.col("n_events").cast("double") > upper)
+            | (F.col("n_events").cast("double") < lower)
+        )
+        .cast("int")
+        .alias("out_of_band"),
+    ).orderBy("day")

@@ -2139,3 +2139,150 @@ def triplet_mining_plan(
         .cast("int")
         .alias("semi_hard"),
     ).orderBy("anchor_id")
+
+
+# --- batch 79: Borda fusion + Johnson-Lindenstrauss projection audit --------
+BORDA_W_LEX = 2  # integer list weights keep the whole score exact
+BORDA_W_VEC = 1
+JL_DIM = 64  # source embedding width (datagen-pinned)
+JL_K = 16  # projected width; 1/sqrt(16) = 0.25 is an exact scale
+
+
+def _jl_signs() -> list[list[int]]:
+    """The pinned +-1 JL sign matrix: sign(j,i) from md5(f"{j}:{i}:jl")
+    parity — data-independent, shared verbatim with the oracle (the
+    maxsim pinned-matrix convention)."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(
+                hashlib.md5(f"{j}:{i}:jl".encode()).hexdigest()[:13], 16
+            )
+            % 2
+            == 0
+            else -1
+            for i in range(JL_DIM)
+        ]
+        for j in range(JL_K)
+    ]
+
+
+def borda_fusion_topk(
+    spark: SparkSession, sf_dir: str, k: int = 10, depth: int = RRF_DEPTH
+) -> DataFrame:
+    """Weighted Borda-count fusion — rrf_fusion's positional sibling:
+    each retriever's top-`depth` list awards (depth + 1 - rank) points,
+    lexical list weighted BORDA_W_LEX, vector list BORDA_W_VEC, so the
+    fused score is EXACT INTEGER arithmetic end to end (no reciprocal
+    floats at all). Same two retriever legs as rrf_fusion (index-path
+    BM25 + exact cosine from the vec_id=0 probe); the fusion is a
+    2*depth-row full-outer join."""
+    from lucene_mapreduce_spark.operators import fulltext
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+
+    lex = fulltext.bm25_index_topk_documents(
+        spark, sf_dir, k=depth
+    ).select("doc_id", F.col("rank").alias("lrank"))
+    vec = ann_bruteforce_topk(spark, sf_dir, k=depth).select(
+        F.col("vec_id").alias("doc_id"), F.col("rank").alias("vrank")
+    )
+    fused = lex.join(vec, "doc_id", "full_outer").select(
+        "doc_id",
+        (
+            F.lit(BORDA_W_LEX)
+            * F.coalesce(
+                F.lit(depth + 1) - F.col("lrank"), F.lit(0)
+            )
+            + F.lit(BORDA_W_VEC)
+            * F.coalesce(
+                F.lit(depth + 1) - F.col("vrank"), F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("borda"),
+    )
+    return ranked_topk(
+        fused, [F.desc("borda"), F.asc("doc_id")], k
+    ).select("doc_id", "borda", "rank")
+
+
+def jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss distance-preservation audit: every vector
+    projects to JL_K dims through the pinned +-1 sign matrix (Achlioptas
+    2003's database-friendly projection) scaled by the exact 1/sqrt(16)
+    = 0.25, and the squared-distance ratio d2_proj/d2_orig is
+    histogrammed over the same deterministic Knuth-multiplicative pair
+    sample as cosine_pair_histogram. Determinism: sign products are
+    exact (+-x), each projection/distance is a sequential left fold
+    with 0.0 init over identical operands in identical order in both
+    engines (the CUSUM fold rule), components round 12dp, the ratio
+    6dp before the decade bin. One projection pass + ONE equi-join —
+    never all pairs."""
+    from lucene_mapreduce_spark.operators.parity import load
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    signs = _jl_signs()
+    proj_cols = [
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col("v"),
+                    F.array(*[F.lit(float(s)) for s in signs[j]]),
+                    lambda x, s: x * s,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            * F.lit(0.25),
+            12,
+        ).alias(f"y{j}")
+        for j in range(JL_K)
+    ]
+    pe = emb.select("vec_id", "v", *proj_cols)
+    n = emb.count()  # scalar
+    a = pe.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("v").alias("av"),
+        *[F.col(f"y{j}").alias(f"ya{j}") for j in range(JL_K)],
+        (
+            ((F.col("vec_id") % F.lit(int(n))) * F.lit(PAIR_HASH_MULT % n))
+            % F.lit(int(n))
+        ).alias("b_id"),
+    ).filter(F.col("a_id") != F.col("b_id"))
+    b = pe.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("v").alias("bv"),
+        *[F.col(f"y{j}").alias(f"yb{j}") for j in range(JL_K)],
+    )
+    d2o = F.aggregate(
+        F.zip_with(
+            F.col("av"), F.col("bv"), lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    d2p = F.lit(0.0)
+    for j in range(JL_K):
+        diff = F.col(f"ya{j}") - F.col(f"yb{j}")
+        d2p = d2p + diff * diff
+    pairs = (
+        a.join(b, "b_id")
+        .select(d2o.alias("d2o"), d2p.alias("d2p"))
+        .filter(F.col("d2o") > 0)
+        .select(
+            F.floor(
+                F.round(F.col("d2p") / F.col("d2o"), 6) * F.lit(10.0)
+            )
+            .cast("int")
+            .alias("bin")
+        )
+    )
+    return (
+        pairs.groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .orderBy("bin")
+    )
