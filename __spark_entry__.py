@@ -883,6 +883,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "borda_fusion_topk": similarity.borda_fusion_topk,
         "jl_projection_audit": similarity.jl_projection_audit,
         "bollinger_bands_daily": parity.bollinger_bands_daily,
+        # batch 80: EQL until, nav window functions, b-bit minhash
+        "eql_sequence_until": parity.eql_sequence_until,
+        "window_nav_functions": parity.window_nav_functions,
+        "bbit_minhash_audit": dedup.bbit_minhash_audit,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})
@@ -2088,4 +2092,15 @@ WHERE len(list_filter(range(1, len(toks)), i ->
     out["bollinger_bands_daily"] = bollinger_sql(
         parity.BOLLINGER_WINDOW, parity.BOLLINGER_NSIGMA
     )
+
+    # batch 80: EQL until, nav window functions, b-bit minhash
+    from lucene_mapreduce_spark.operators.oracles import (
+        BBIT_MINHASH_SQL,
+        WINDOW_NAV_SQL,
+        eql_until_sql,
+    )
+
+    out["eql_sequence_until"] = eql_until_sql(parity.EQL_MAXSPAN_S)
+    out["window_nav_functions"] = WINDOW_NAV_SQL
+    out["bbit_minhash_audit"] = BBIT_MINHASH_SQL
     return out

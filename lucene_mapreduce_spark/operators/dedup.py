@@ -1082,3 +1082,55 @@ def lsh_tfidf_cosine_rescore(
     return ranked_topk(
         scored, [F.desc("cosine"), F.asc("doc_a"), F.asc("doc_b")], k
     ).select("doc_a", "doc_b", "cosine", "rank")
+
+
+def bbit_minhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b-bit MinHash audit (Li & Koenig 2010, b=1): each of the
+    N_MINHASH signature components keeps only ONE BIT (parity of the
+    md5 sig's last hex digit), shrinking the sketch 128x; Jaccard is
+    recovered from the bit-collision rate as max(0, 2*c/K - 1) —
+    unbiased because non-equal minhashes collide on a random bit with
+    probability 1/2. Audited against the exact 3-gram Jaccard on the
+    same truth pairs as minhash_jaccard_audit; with K=12 the estimate
+    is deliberately coarse — the audit is the evidence for how much
+    resolution one bit per component buys at 1/128 the sketch bytes.
+    Pair-bounded joins throughout."""
+    pairs = ngram_jaccard_pairs(spark, sf_dir)
+    sigs = minhash_signatures(spark, sf_dir).select(
+        "doc_id",
+        "i",
+        (
+            F.conv(F.substring(F.col("sig"), 32, 1), 16, 10).cast("int")
+            % 2
+        ).alias("bit"),
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"), "i", F.col("bit").alias("bit_a")
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"), "i", F.col("bit").alias("bit_b")
+    )
+    est = (
+        F.broadcast(pairs)
+        .join(sa, "doc_a")
+        .join(sb, ["doc_b", "i"])
+        .groupBy("doc_a", "doc_b", "jaccard")
+        .agg(
+            F.sum((F.col("bit_a") == F.col("bit_b")).cast("int"))
+            .cast("long")
+            .alias("c")
+        )
+    )
+    bbit = F.greatest(
+        F.lit(0.0),
+        F.lit(2.0) * F.col("c").cast("double") / F.lit(float(N_MINHASH))
+        - F.lit(1.0),
+    )
+    return est.select(
+        "doc_a",
+        "doc_b",
+        "jaccard",
+        "c",
+        F.round(bbit, 6).alias("bbit_est"),
+        F.round(F.abs(bbit - F.col("jaccard")), 6).alias("abs_err"),
+    ).orderBy("doc_a", "doc_b")

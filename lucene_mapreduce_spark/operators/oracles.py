@@ -12965,3 +12965,120 @@ SELECT day::VARCHAR AS day, n_events,
         THEN 1 ELSE 0 END)::INT AS out_of_band
 FROM calc ORDER BY day
 """
+
+
+def eql_until_sql(maxspan_s: int) -> str:
+    """EQL-until twin: per-head earliest purchase vs earliest error,
+    error-first (or tie) kills the head, earliest survivor per user."""
+    return f"""
+WITH ev AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+),
+v AS (SELECT user_id, event_id AS v_id, us AS v_us FROM ev
+      WHERE event_type = 'view'),
+p AS (SELECT user_id, event_id AS p_id, us AS p_us FROM ev
+      WHERE event_type = 'purchase'),
+er AS (SELECT user_id, us AS e_us FROM ev WHERE event_type = 'error'),
+vp AS (
+  SELECT user_id, v_id, v_us, p_id, p_us FROM (
+    SELECT v.user_id, v.v_id, v.v_us, p.p_id, p.p_us,
+           row_number() OVER (PARTITION BY v.user_id, v.v_id
+                              ORDER BY p.p_us, p.p_id) AS r
+    FROM v JOIN p ON v.user_id = p.user_id
+    WHERE p.p_us > v.v_us
+  ) WHERE r = 1
+),
+ve AS (
+  SELECT v.user_id, v.v_id, min(er.e_us) AS e1_us
+  FROM v JOIN er ON v.user_id = er.user_id
+  WHERE er.e_us > v.v_us
+  GROUP BY 1, 2
+),
+valid AS (
+  SELECT vp.* FROM vp LEFT JOIN ve USING (user_id, v_id)
+  WHERE (ve.e1_us IS NULL OR vp.p_us < ve.e1_us)
+    AND vp.p_us - vp.v_us <= {maxspan_s}::BIGINT * 1000000
+)
+SELECT user_id, v_id, p_id, v_us, (p_us - v_us)::BIGINT AS span_us
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY user_id ORDER BY v_us, v_id, p_id, p_us) AS rr
+  FROM valid
+) WHERE rr = 1
+ORDER BY user_id
+"""
+
+
+WINDOW_NAV_SQL = """
+WITH o AS (
+  SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS d_us,
+         round(o_totalprice, 2) AS tp
+  FROM orders
+),
+nav AS (
+  SELECT o_custkey,
+         row_number() OVER w AS rn,
+         count(*) OVER wf::BIGINT AS n_orders,
+         first_value(tp) OVER wf AS first_price,
+         nth_value(tp, 2) OVER wf AS second_price,
+         last_value(tp) OVER wf AS last_price,
+         lead(d_us) OVER w AS next_us,
+         d_us
+  FROM o
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY d_us, o_orderkey),
+         wf AS (PARTITION BY o_custkey ORDER BY d_us, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND UNBOUNDED FOLLOWING)
+)
+SELECT o_custkey, n_orders, first_price, second_price, last_price,
+       ((next_us - d_us) // 86400000000)::BIGINT AS first_to_second_days
+FROM nav WHERE rn = 1
+ORDER BY o_custkey
+"""
+
+
+BBIT_MINHASH_SQL = f"""
+WITH {_SHINGLES},
+shc AS (
+  SELECT doc_id, shingle FROM (
+    SELECT *, count(*) OVER (PARTITION BY shingle) AS bn FROM sh
+  ) WHERE bn <= 100
+),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM shc GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_inter
+  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b,
+         round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.5
+),
+sigs AS (
+  SELECT doc_id, i,
+         (strpos('0123456789abcdef',
+                 substr(min(md5(i::VARCHAR || ':' || shingle)), 32, 1))
+          - 1) % 2 AS bit
+  FROM sh, range(0, 12) t(i) GROUP BY 1, 2
+),
+est AS (
+  SELECT p.doc_a, p.doc_b, p.jaccard,
+         sum(CASE WHEN a.bit = b.bit THEN 1 ELSE 0 END)::BIGINT AS c
+  FROM pairs p
+  JOIN sigs a ON a.doc_id = p.doc_a
+  JOIN sigs b ON b.doc_id = p.doc_b AND b.i = a.i
+  GROUP BY 1, 2, 3
+)
+SELECT doc_a, doc_b, jaccard, c,
+       round(greatest(0.0::DOUBLE,
+                      2.0::DOUBLE * c::DOUBLE / 12.0::DOUBLE
+                      - 1.0::DOUBLE), 6) AS bbit_est,
+       round(abs(greatest(0.0::DOUBLE,
+                          2.0::DOUBLE * c::DOUBLE / 12.0::DOUBLE
+                          - 1.0::DOUBLE) - jaccard), 6) AS abs_err
+FROM est ORDER BY doc_a, doc_b
+"""

@@ -4778,3 +4778,105 @@ def bollinger_bands_daily(
         .cast("int")
         .alias("out_of_band"),
     ).orderBy("day")
+
+
+def eql_sequence_until(
+    spark: SparkSession, sf_dir: str, maxspan_s: int = EQL_MAXSPAN_S
+) -> DataFrame:
+    """EQL `sequence by user_id [view][purchase] until [error]`: the
+    until clause KILLS a pending sequence — a view whose earliest
+    following purchase comes after an intervening error never matches
+    (the error expired the pending head; a later purchase cannot
+    resurrect it). Per head: p1 = earliest purchase strictly after the
+    view, e1 = earliest error strictly after the view; the head matches
+    iff p1 exists, p1 < e1 (or no error follows — a tie means the error
+    fired first, EQL processes until-events before completion), and the
+    span fits. Earliest completed match per user. Same
+    groupBy-min-struct shape as eql_sequence_match; exact integers."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("v_id"), F.col("us").alias("v_us")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("p_id"), F.col("us").alias("p_us")
+    )
+    e = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("us").alias("e_us")
+    )
+    vp = (
+        v.join(p, "user_id")
+        .filter(F.col("p_us") > F.col("v_us"))
+        .groupBy("user_id", "v_id", "v_us")
+        .agg(F.min(F.struct("p_us", "p_id")).alias("mp"))
+        .select(
+            "user_id", "v_id", "v_us",
+            F.col("mp.p_us").alias("p_us"), F.col("mp.p_id").alias("p_id"),
+        )
+    )
+    ve = (
+        v.join(e, "user_id")
+        .filter(F.col("e_us") > F.col("v_us"))
+        .groupBy("user_id", "v_id")
+        .agg(F.min("e_us").alias("e1_us"))
+    )
+    valid = (
+        vp.join(ve, ["user_id", "v_id"], "left")
+        .filter(
+            (F.col("e1_us").isNull() | (F.col("p_us") < F.col("e1_us")))
+            & (F.col("p_us") - F.col("v_us") <= maxspan_s * 1_000_000)
+        )
+    )
+    first = valid.groupBy("user_id").agg(
+        F.min(F.struct("v_us", "v_id", "p_id", "p_us")).alias("m")
+    )
+    return first.select(
+        "user_id",
+        F.col("m.v_id").alias("v_id"),
+        F.col("m.p_id").alias("p_id"),
+        F.col("m.v_us").alias("v_us"),
+        (F.col("m.p_us") - F.col("m.v_us")).alias("span_us"),
+    ).orderBy("user_id")
+
+
+def window_nav_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL navigation window functions in one gate — first_value /
+    last_value (full frame) / nth_value(2) / lead — over each
+    customer's order sequence (total order: orderdate, orderkey). One
+    summary row per customer: order count, first/second/last prices
+    (exact 2dp), and the day gap between the first two orders.
+    Completes the window-function surface next to
+    window_rank_functions (rank family) and the lag/lead islands gates.
+    Partitioned windows only — no global sort."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("d_us"),
+        F.round(F.col("o_totalprice"), 2).alias("tp"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d_us", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    nav = orders.select(
+        "o_custkey",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wf).cast("long").alias("n_orders"),
+        F.first_value(F.col("tp")).over(wf).alias("first_price"),
+        F.nth_value(F.col("tp"), 2).over(wf).alias("second_price"),
+        F.last_value(F.col("tp")).over(wf).alias("last_price"),
+        F.lead("d_us").over(w).alias("next_us"),
+        F.col("d_us"),
+    ).filter(F.col("rn") == 1)
+    return nav.select(
+        "o_custkey",
+        "n_orders",
+        "first_price",
+        "second_price",
+        "last_price",
+        F.expr("(next_us - d_us) div 86400000000")
+        .cast("long")
+        .alias("first_to_second_days"),
+    ).orderBy("o_custkey")
