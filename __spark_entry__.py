@@ -887,6 +887,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eql_sequence_until": parity.eql_sequence_until,
         "window_nav_functions": parity.window_nav_functions,
         "bbit_minhash_audit": dedup.bbit_minhash_audit,
+        # batch 81: embedding drift, centered anisotropy, grid DBSCAN
+        "embedding_drift_halves": similarity.embedding_drift_halves,
+        "centered_anisotropy_audit": similarity.centered_anisotropy_audit,
+        "geo_grid_dbscan_cores": textstats.geo_grid_dbscan_cores,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})
@@ -2103,4 +2107,13 @@ WHERE len(list_filter(range(1, len(toks)), i ->
     out["eql_sequence_until"] = eql_until_sql(parity.EQL_MAXSPAN_S)
     out["window_nav_functions"] = WINDOW_NAV_SQL
     out["bbit_minhash_audit"] = BBIT_MINHASH_SQL
+
+    # batch 81: grid DBSCAN (drift/anisotropy ride literal ORACLES)
+    from lucene_mapreduce_spark.operators.oracles import dbscan_sql
+
+    out["geo_grid_dbscan_cores"] = dbscan_sql(
+        textstats.DBSCAN_CELL,
+        textstats.DBSCAN_FACTOR,
+        textstats.DBSCAN_N_CELLS,
+    )
     return out

@@ -13082,3 +13082,155 @@ SELECT doc_a, doc_b, jaccard, c,
                           - 1.0::DOUBLE) - jaccard), 6) AS abs_err
 FROM est ORDER BY doc_a, doc_b
 """
+
+
+ORACLES["embedding_drift_halves"] = """
+WITH emb AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+),
+nrow AS (SELECT count(*)::BIGINT AS n FROM emb),
+per AS (
+  SELECT label,
+         (CASE WHEN vec_id * 2 < (SELECT n FROM nrow)
+          THEN 1 ELSE 0 END) AS half,
+         unnest(range(len(v))) AS dim,
+         v[unnest(range(len(v))) + 1] AS x
+  FROM emb
+),
+sums AS (
+  SELECT label, half, dim,
+         sum(round(x, 12)::DECIMAL(28,12)) AS s,
+         count(*)::BIGINT AS nv
+  FROM per GROUP BY 1, 2, 3
+),
+m AS (
+  SELECT label, half, dim, s::DOUBLE / nv::DOUBLE AS m, nv FROM sums
+),
+j AS (
+  SELECT a.label, a.dim, a.m AS ma, b.m AS mb,
+         a.nv AS n_a, b.nv AS n_b
+  FROM (SELECT * FROM m WHERE half = 1) a
+  JOIN (SELECT * FROM m WHERE half = 0) b
+    ON a.label = b.label AND a.dim = b.dim
+),
+terms AS (
+  SELECT label, n_a, n_b,
+         round(ma * mb, 12)::DECIMAL(38,12) AS dt,
+         round(ma * ma, 12)::DECIMAL(38,12) AS at,
+         round(mb * mb, 12)::DECIMAL(38,12) AS bt
+  FROM j
+),
+agg AS (
+  SELECT label, n_a, n_b,
+         sum(dt)::DOUBLE AS dot, sum(at)::DOUBLE AS aa,
+         sum(bt)::DOUBLE AS bb
+  FROM terms GROUP BY 1, 2, 3
+)
+SELECT label, n_a, n_b,
+       round(dot / (sqrt(aa) * sqrt(bb)), 6) AS centroid_cosine
+FROM agg ORDER BY label
+"""
+
+
+ORACLES["centered_anisotropy_audit"] = """
+WITH emb AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+raw_n AS (
+  SELECT v,
+         sqrt(list_reduce([0.0::DOUBLE] || list_transform(v, x -> x * x),
+                          (a, b) -> a + b)) AS nrm
+  FROM emb
+),
+raw_units AS (
+  SELECT list_transform(v, x -> x / nrm) AS u FROM raw_n WHERE nrm > 0
+),
+raw_sums AS (
+  SELECT dim, sum(round(x, 12)::DECIMAL(28,12)) AS s FROM (
+    SELECT unnest(range(len(u))) AS dim,
+           u[unnest(range(len(u))) + 1] AS x
+    FROM raw_units
+  ) GROUP BY 1
+),
+raw_sq AS (
+  SELECT sum(round(s::DOUBLE * s::DOUBLE, 12)::DECIMAL(38,12))::DOUBLE
+           AS sq
+  FROM raw_sums
+),
+raw_cnt AS (SELECT count(*)::BIGINT AS n FROM raw_units),
+mu AS (
+  SELECT dim, (sum(round(x, 12)::DECIMAL(28,12)))::DOUBLE
+              / count(*)::DOUBLE AS m
+  FROM (
+    SELECT unnest(range(len(v))) AS dim,
+           v[unnest(range(len(v))) + 1] AS x
+    FROM emb
+  ) GROUP BY 1
+),
+mulist AS (SELECT list(m ORDER BY dim) AS mu FROM mu),
+cent AS (
+  SELECT list_transform(range(1, len(v) + 1),
+                        i -> v[i] - mu[i]) AS c
+  FROM emb, mulist
+),
+cent_n AS (
+  SELECT c,
+         sqrt(list_reduce([0.0::DOUBLE] || list_transform(c, x -> x * x),
+                          (a, b) -> a + b)) AS nrm
+  FROM cent
+),
+cent_units AS (
+  SELECT list_transform(c, x -> x / nrm) AS u FROM cent_n WHERE nrm > 0
+),
+cent_sums AS (
+  SELECT dim, sum(round(x, 12)::DECIMAL(28,12)) AS s FROM (
+    SELECT unnest(range(len(u))) AS dim,
+           u[unnest(range(len(u))) + 1] AS x
+    FROM cent_units
+  ) GROUP BY 1
+),
+cent_sq AS (
+  SELECT sum(round(s::DOUBLE * s::DOUBLE, 12)::DECIMAL(38,12))::DOUBLE
+           AS sq
+  FROM cent_sums
+),
+cent_cnt AS (SELECT count(*)::BIGINT AS n FROM cent_units)
+SELECT rc.n AS n_raw, cc.n AS n_centered,
+       round((rs.sq - rc.n::DOUBLE)
+             / (rc.n::DOUBLE * (rc.n::DOUBLE - 1.0)), 6)
+         AS raw_mean_cosine,
+       round((cs.sq - cc.n::DOUBLE)
+             / (cc.n::DOUBLE * (cc.n::DOUBLE - 1.0)), 6)
+         AS centered_mean_cosine
+FROM raw_sq rs, raw_cnt rc, cent_sq cs, cent_cnt cc
+"""
+
+
+def dbscan_sql(cell: int, factor: int, n_cells: int) -> str:
+    """Grid-DBSCAN twin: identical integer cells, 9-shift neighborhood
+    sums, BIGINT cross-multiplied core test."""
+    h_lat = _MD5_52.format(e="doc_id::VARCHAR || ':lat'")
+    h_lon = _MD5_52.format(e="doc_id::VARCHAR || ':lon'")
+    return f"""
+WITH cells AS (
+  SELECT (({h_lat}) % 1800001) // {cell} AS cx,
+         (({h_lon}) % 3600001) // {cell} AS cy
+  FROM documents
+),
+counts AS (
+  SELECT cx, cy, count(*)::BIGINT AS n FROM cells GROUP BY 1, 2
+),
+nb AS (
+  SELECT cx + dx AS tx, cy + dy AS ty, sum(n)::BIGINT AS nb_count
+  FROM counts,
+       (SELECT unnest([-1, 0, 1]) AS dx) sx,
+       (SELECT unnest([-1, 0, 1]) AS dy) sy
+  GROUP BY 1, 2
+),
+total AS (SELECT sum(n)::BIGINT AS n_docs FROM counts)
+SELECT c.cx, c.cy, c.n, nb.nb_count,
+       (CASE WHEN nb.nb_count * {n_cells} >= {factor * 9} * t.n_docs
+        THEN 1 ELSE 0 END)::INT AS is_core
+FROM counts c
+JOIN nb ON nb.tx = c.cx AND nb.ty = c.cy
+CROSS JOIN total t
+ORDER BY c.cx, c.cy
+"""

@@ -2286,3 +2286,178 @@ def jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
         .orderBy("bin")
     )
+
+
+def embedding_drift_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift monitor: per label, the cosine between the
+    centroid of the corpus' first half (vec_id*2 < N) and its second
+    half — the per-class geometry-shift check a recurring ingest runs
+    (term_drift_halves' dense sibling). Per-dim centroid components
+    come from exact DECIMAL(28,12) sums (the embedding_centroid
+    pattern); the cross-half dot/norm accumulations re-enter DECIMAL at
+    12dp per dimension (the entropy-sum rule — a raw double sum over
+    dims would be partition-order-dependent). Work is O(N*d) + a
+    (labels x dims)-sized re-aggregate."""
+    from lucene_mapreduce_spark.operators.parity import load
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    n = emb.count()  # scalar
+    half = (F.col("vec_id") * 2 < F.lit(int(n))).cast("int").alias("half")
+    per = emb.select(
+        "label", half, F.posexplode("v").alias("dim", "x")
+    )
+    sums = per.groupBy("label", "half", "dim").agg(
+        F.sum(F.round(F.col("x"), 12).cast("decimal(28,12)")).alias("s"),
+        F.count(F.lit(1)).cast("long").alias("nv"),
+    )
+    m = sums.select(
+        "label",
+        "half",
+        "dim",
+        (F.col("s").cast("double") / F.col("nv").cast("double")).alias("m"),
+        "nv",
+    )
+    a = m.filter(F.col("half") == 1).select(
+        "label", "dim", F.col("m").alias("ma"), F.col("nv").alias("n_a")
+    )
+    b = m.filter(F.col("half") == 0).select(
+        "label", "dim", F.col("m").alias("mb"), F.col("nv").alias("n_b")
+    )
+    j = a.join(b, ["label", "dim"])
+    terms = j.select(
+        "label",
+        "n_a",
+        "n_b",
+        F.round(F.col("ma") * F.col("mb"), 12)
+        .cast("decimal(38,12)")
+        .alias("dt"),
+        F.round(F.col("ma") * F.col("ma"), 12)
+        .cast("decimal(38,12)")
+        .alias("at"),
+        F.round(F.col("mb") * F.col("mb"), 12)
+        .cast("decimal(38,12)")
+        .alias("bt"),
+    )
+    agg = terms.groupBy("label", "n_a", "n_b").agg(
+        F.sum("dt").cast("double").alias("dot"),
+        F.sum("at").cast("double").alias("aa"),
+        F.sum("bt").cast("double").alias("bb"),
+    )
+    return agg.select(
+        "label",
+        "n_a",
+        "n_b",
+        F.round(
+            F.col("dot") / (F.sqrt(F.col("aa")) * F.sqrt(F.col("bb"))), 6
+        ).alias("centroid_cosine"),
+    ).orderBy("label")
+
+
+def centered_anisotropy_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mean-centering's effect on anisotropy (Mu & Viswanath 2018's
+    'all-but-the-top' first step, public): the exact mean pairwise
+    cosine of the corpus BEFORE and AFTER subtracting the per-dim
+    corpus mean, both via the norm-of-mean identity
+    (embedding_anisotropy) — centering collapses the common-direction
+    inflation, and this pairs the two numbers that prove it. The 64
+    dim means come from exact DECIMAL sums and ride into the centered
+    pass as collected literals (bounded, d-sized — the centroid-table
+    collect rule); every per-dim accumulation re-enters DECIMAL at
+    12dp."""
+    from lucene_mapreduce_spark.operators.parity import load
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("v")
+    )
+
+    def mean_pairwise(unit_src: DataFrame) -> tuple:
+        """(n, sum-of-squared-dim-sums frame) over unit vectors."""
+        unit = unit_src.select(
+            F.posexplode("u").alias("dim", "x")
+        )
+        sums = unit.groupBy("dim").agg(
+            F.sum(F.round(F.col("x"), 12).cast("decimal(28,12)")).alias(
+                "s"
+            )
+        )
+        return sums.agg(
+            F.sum(
+                F.round(
+                    F.col("s").cast("double") * F.col("s").cast("double"),
+                    12,
+                ).cast("decimal(38,12)")
+            )
+            .cast("double")
+            .alias("sq")
+        )
+
+    norm_raw = F.sqrt(
+        F.aggregate(F.col("v"), F.lit(0.0), lambda s, x: s + x * x)
+    )
+    raw_units = emb.filter(norm_raw > 0).select(
+        F.transform(F.col("v"), lambda x: x / norm_raw).alias("u")
+    )
+    n_raw = raw_units.count()
+    raw_sq = mean_pairwise(raw_units)
+
+    mu_rows = (
+        emb.select(F.posexplode("v").alias("dim", "x"))
+        .groupBy("dim")
+        .agg(
+            F.sum(F.round(F.col("x"), 12).cast("decimal(28,12)")).alias(
+                "s"
+            ),
+            F.count(F.lit(1)).cast("long").alias("nv"),
+        )
+        .orderBy("dim")
+        .collect()
+    )  # bounded: d rows
+    mu = [float(r["s"]) / float(r["nv"]) for r in mu_rows]
+    mu_arr = F.array(*[F.lit(x) for x in mu])
+    cvec = F.zip_with(F.col("v"), mu_arr, lambda x, m_: x - m_)
+    cent_units = (
+        emb.select(cvec.alias("c"))
+        .filter(
+            F.sqrt(
+                F.aggregate(
+                    F.col("c"), F.lit(0.0), lambda s, x: s + x * x
+                )
+            )
+            > 0
+        )
+        .select(
+            F.transform(
+                F.col("c"),
+                lambda x: x
+                / F.sqrt(
+                    F.aggregate(
+                        F.col("c"), F.lit(0.0), lambda s, x2: s + x2 * x2
+                    )
+                ),
+            ).alias("u")
+        )
+    )
+    n_cent = cent_units.count()
+    cent_sq = mean_pairwise(cent_units)
+
+    def mpc(sq_col, n_):
+        return F.round(
+            (sq_col - F.lit(float(n_)))
+            / F.lit(float(n_) * (float(n_) - 1.0)),
+            6,
+        )
+
+    return raw_sq.crossJoin(
+        cent_sq.withColumnRenamed("sq", "sq_c")
+    ).select(
+        F.lit(int(n_raw)).cast("long").alias("n_raw"),
+        F.lit(int(n_cent)).cast("long").alias("n_centered"),
+        mpc(F.col("sq"), n_raw).alias("raw_mean_cosine"),
+        mpc(F.col("sq_c"), n_cent).alias("centered_mean_cosine"),
+    )

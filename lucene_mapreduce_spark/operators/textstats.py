@@ -4882,3 +4882,78 @@ def hll_union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+DBSCAN_CELL = 100000  # 10-degree cells on the 1e4-scaled integer grid
+DBSCAN_FACTOR = 2  # core = neighborhood density >= 2x the uniform mean
+DBSCAN_N_CELLS = 18 * 36  # the full 10-degree lat x lon grid
+
+
+def geo_grid_dbscan_cores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-DBSCAN core-cell detection over the shared md5 geo field:
+    docs land in 10-degree cells ON THE INTEGER 1e-4-degree grid (no
+    float binning), each cell's 3x3 neighborhood count is one
+    explode-shift groupBy (the distributed epsilon-neighborhood — 9
+    shifted contributions per non-empty cell, never a spatial
+    self-join), and a cell is a CORE when its neighborhood beats
+    DBSCAN_FACTOR x the uniform expectation (9 cells' worth of mean
+    density) — the comparison cross-multiplied in BIGINTs so it is
+    scale-free and float-free. Bounded output: every non-empty cell
+    with its own count, neighborhood count, and core flag."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    latm = F.pmod(
+        _md5_52(F.concat(F.col("doc_id").cast("string"), F.lit(":lat"))),
+        F.lit(1800001),
+    )
+    lonm = F.pmod(
+        _md5_52(F.concat(F.col("doc_id").cast("string"), F.lit(":lon"))),
+        F.lit(3600001),
+    )
+    cells = docs.select(
+        latm.alias("latm"), lonm.alias("lonm")
+    ).select(
+        F.expr(f"latm div {DBSCAN_CELL}").cast("long").alias("cx"),
+        F.expr(f"lonm div {DBSCAN_CELL}").cast("long").alias("cy"),
+    )
+    counts = cells.groupBy("cx", "cy").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    shifts = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    nb = (
+        counts.select("cx", "cy", "n", F.explode(shifts).alias("sh"))
+        .select(
+            (F.col("cx") + F.col("sh.dx")).alias("tx"),
+            (F.col("cy") + F.col("sh.dy")).alias("ty"),
+            "n",
+        )
+        .groupBy("tx", "ty")
+        .agg(F.sum("n").cast("long").alias("nb_count"))
+    )
+    total = counts.agg(F.sum("n").cast("long").alias("n_docs"))
+    out = (
+        counts.join(
+            nb,
+            (counts.cx == nb.tx) & (counts.cy == nb.ty),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "cx",
+            "cy",
+            "n",
+            "nb_count",
+            # nb_count / 9 >= FACTOR * n_docs / N_CELLS, cross-multiplied
+            (
+                F.col("nb_count") * F.lit(DBSCAN_N_CELLS)
+                >= F.lit(DBSCAN_FACTOR * 9) * F.col("n_docs")
+            )
+            .cast("int")
+            .alias("is_core"),
+        )
+    )
+    return out.orderBy("cx", "cy")
