@@ -891,6 +891,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_drift_halves": similarity.embedding_drift_halves,
         "centered_anisotropy_audit": similarity.centered_anisotropy_audit,
         "geo_grid_dbscan_cores": textstats.geo_grid_dbscan_cores,
+        # batch 82: AMS F2 sketch, k-anonymity, DP counts
+        "ams_f2_sketch_audit": textstats.ams_f2_sketch_audit,
+        "k_anonymity_audit": textstats.k_anonymity_audit,
+        "dp_noisy_counts": textstats.dp_noisy_counts,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})
@@ -2116,4 +2120,17 @@ WHERE len(list_filter(range(1, len(toks)), i ->
         textstats.DBSCAN_FACTOR,
         textstats.DBSCAN_N_CELLS,
     )
+
+    # batch 82: AMS F2 sketch, k-anonymity, DP counts
+    from lucene_mapreduce_spark.operators.oracles import (
+        ams_f2_sql,
+        dp_counts_sql,
+        k_anon_sql,
+    )
+
+    out["ams_f2_sketch_audit"] = ams_f2_sql(textstats.AMS_SKETCHES)
+    out["k_anonymity_audit"] = k_anon_sql(
+        textstats.K_ANON_THRESHOLD, textstats.K_ANON_CHARS_BUCKET
+    )
+    out["dp_noisy_counts"] = dp_counts_sql(textstats.DP_EPSILON)
     return out

@@ -13234,3 +13234,78 @@ JOIN nb ON nb.tx = c.cx AND nb.ty = c.cy
 CROSS JOIN total t
 ORDER BY c.cx, c.cy
 """
+
+
+def ams_f2_sql(n_sketches: int) -> str:
+    """AMS F2 twin: identical md5-parity signs, BIGINT sketch sums."""
+    cols = []
+    for i in range(n_sketches):
+        h = _MD5_52.format(e=f"'{i}:' || term || ':ams'")
+        cols.append(
+            f"sum(CASE WHEN ({h}) % 2 = 0 THEN cf ELSE -cf END)::BIGINT"
+            f" AS s{i}"
+        )
+    est = " + ".join(f"s{i} * s{i}" for i in range(n_sketches))
+    return f"""
+WITH vocab AS (
+  SELECT term, count(*)::BIGINT AS cf
+  FROM (SELECT unnest({TOKS}) AS term FROM documents) GROUP BY 1
+),
+agg AS (
+  SELECT count(*)::BIGINT AS n_terms,
+         sum(cf * cf)::BIGINT AS f2_exact,
+         {", ".join(cols)}
+  FROM vocab
+)
+SELECT n_terms, f2_exact,
+       round(({est})::DOUBLE / {float(n_sketches)!r}, 6) AS f2_estimate,
+       round(abs(({est})::DOUBLE / {float(n_sketches)!r}
+                 - f2_exact::DOUBLE) / f2_exact::DOUBLE, 6) AS rel_err
+FROM agg
+"""
+
+
+def k_anon_sql(threshold: int, bucket: int) -> str:
+    """k-anonymity twin: identical quasi-identifier and class math."""
+    return f"""
+WITH groups AS (
+  SELECT lang, source, n_chars // {bucket} AS len_b,
+         count(*)::BIGINT AS k
+  FROM documents GROUP BY 1, 2, 3
+)
+SELECT count(*)::BIGINT AS n_classes,
+       min(k)::BIGINT AS k_min,
+       sum(CASE WHEN k < {threshold} THEN 1 ELSE 0 END)::BIGINT
+         AS classes_below_k,
+       coalesce(sum(CASE WHEN k < {threshold} THEN k END), 0)::BIGINT
+         AS docs_below_k,
+       sum(k)::BIGINT AS n_docs
+FROM groups
+"""
+
+
+def dp_counts_sql(epsilon: float) -> str:
+    """DP-counts twin: identical md5-uniform draw and Laplace inverse
+    CDF chain."""
+    h = _MD5_52.format(e="lang || ':dp'")
+    return f"""
+WITH counts AS (
+  SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY 1
+),
+draw AS (
+  SELECT lang, n,
+         ({h})::DOUBLE / {float(1 << 52)!r} - 0.5::DOUBLE AS half
+  FROM counts
+),
+noise AS (
+  SELECT lang, n,
+         ({-1.0 / epsilon!r}::DOUBLE)
+           * (CASE WHEN half >= 0 THEN 1.0::DOUBLE
+              ELSE -1.0::DOUBLE END)
+           * ln(1.0::DOUBLE - 2.0::DOUBLE * abs(half)) AS noise
+  FROM draw
+)
+SELECT lang, n, round(noise, 6) AS noise,
+       round(n::DOUBLE + noise, 6) AS noisy_n
+FROM noise ORDER BY lang
+"""

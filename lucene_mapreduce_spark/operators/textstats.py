@@ -4957,3 +4957,133 @@ def geo_grid_dbscan_cores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy("cx", "cy")
+
+
+AMS_SKETCHES = 8  # independent +-1 sketches averaged
+
+
+def ams_f2_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS second-frequency-moment sketch (Alon-Matias-Szegedy 1996)
+    audited against the exact F2 = sum cf^2 of the token distribution:
+    each of AMS_SKETCHES sketches draws a +-1 sign per term from md5
+    parity and keeps X_i = sum_t s_i(t)*cf_t — a single BIGINT per
+    sketch, mergeable by addition (the sketch is one map-side-combining
+    groupBy however large the corpus); E[X^2] = F2. The estimate is
+    the mean of the 8 squares. Everything before the final division is
+    exact integer arithmetic."""
+    docs = load(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(tokenize_col("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cf"))
+    )
+    signed = vocab.select(
+        "cf",
+        *[
+            F.when(
+                F.pmod(
+                    _md5_52(
+                        F.concat(F.lit(f"{i}:"), F.col("term"), F.lit(":ams"))
+                    ),
+                    F.lit(2),
+                )
+                == 0,
+                F.col("cf"),
+            )
+            .otherwise(-F.col("cf"))
+            .alias(f"x{i}")
+            for i in range(AMS_SKETCHES)
+        ],
+    )
+    agg = signed.agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum(F.col("cf") * F.col("cf")).cast("long").alias("f2_exact"),
+        *[
+            F.sum(F.col(f"x{i}")).cast("long").alias(f"s{i}")
+            for i in range(AMS_SKETCHES)
+        ],
+    )
+    est_sum = None
+    for i in range(AMS_SKETCHES):
+        sq = F.col(f"s{i}") * F.col(f"s{i}")
+        est_sum = sq if est_sum is None else est_sum + sq
+    est = est_sum.cast("double") / F.lit(float(AMS_SKETCHES))
+    return agg.select(
+        "n_terms",
+        "f2_exact",
+        F.round(est, 6).alias("f2_estimate"),
+        F.round(
+            F.abs(est - F.col("f2_exact").cast("double"))
+            / F.col("f2_exact").cast("double"),
+            6,
+        ).alias("rel_err"),
+    )
+
+
+K_ANON_THRESHOLD = 5
+K_ANON_CHARS_BUCKET = 200
+
+
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the release quasi-identifier
+    (lang, source, n_chars bucketed to K_ANON_CHARS_BUCKET): the
+    minimum equivalence-class size and how many documents sit in
+    classes below K_ANON_THRESHOLD — the re-identification risk
+    summary a privacy review reads before a corpus ships. One groupBy
+    at quasi-identifier cardinality; all integers."""
+    docs = load(spark, sf_dir, "documents").select(
+        "lang",
+        "source",
+        F.expr(f"n_chars div {K_ANON_CHARS_BUCKET}").alias("len_b"),
+    )
+    groups = docs.groupBy("lang", "source", "len_b").agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    return groups.agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.min("k").cast("long").alias("k_min"),
+        F.sum((F.col("k") < K_ANON_THRESHOLD).cast("int"))
+        .cast("long")
+        .alias("classes_below_k"),
+        F.coalesce(
+            F.sum(F.when(F.col("k") < K_ANON_THRESHOLD, F.col("k"))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("docs_below_k"),
+        F.sum("k").cast("long").alias("n_docs"),
+    )
+
+
+DP_EPSILON = 1.0
+
+
+def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private released counts (Laplace mechanism,
+    sensitivity 1, pinned epsilon) over per-lang document counts, with
+    the DETERMINISTIC md5-uniform noise draw the reproducible-release
+    recipe uses: u = md5_52(lang)/2^52, noise = -(1/eps) * sgn(u-1/2) *
+    ln(1 - 2|u - 1/2|) — the exact Laplace inverse CDF on identical
+    parsed doubles in both engines (ln over identical operands, the
+    BM25 precedent). True counts ride alongside: the gate verifies the
+    MECHANISM's arithmetic, not secrecy."""
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    u = _md5_52(F.concat(F.col("lang"), F.lit(":dp"))).cast(
+        "double"
+    ) / F.lit(float(1 << 52))
+    half = u - F.lit(0.5)
+    mag = F.lit(1.0) - F.lit(2.0) * F.abs(half)
+    noise = (
+        F.lit(-1.0 / DP_EPSILON)
+        * F.when(half >= 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+        * F.log(mag)
+    )
+    return counts.select(
+        "lang",
+        "n",
+        F.round(noise, 6).alias("noise"),
+        F.round(F.col("n").cast("double") + noise, 6).alias("noisy_n"),
+    ).orderBy("lang")
