@@ -895,6 +895,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ams_f2_sketch_audit": textstats.ams_f2_sketch_audit,
         "k_anonymity_audit": textstats.k_anonymity_audit,
         "dp_noisy_counts": textstats.dp_noisy_counts,
+        # batch 83: 2-hop centrality, order dedup, RLE audit
+        "harmonic_centrality_2hop": relational.harmonic_centrality_2hop,
+        "duplicate_order_detection": relational.duplicate_order_detection,
+        "rle_encodability_audit": relational.rle_encodability_audit,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})
@@ -2133,4 +2137,19 @@ WHERE len(list_filter(range(1, len(toks)), i ->
         textstats.K_ANON_THRESHOLD, textstats.K_ANON_CHARS_BUCKET
     )
     out["dp_noisy_counts"] = dp_counts_sql(textstats.DP_EPSILON)
+
+    # batch 83: 2-hop centrality, order dedup, RLE audit
+    from lucene_mapreduce_spark.operators.oracles import (
+        RLE_AUDIT_SQL,
+        dup_order_sql,
+        harmonic_2hop_sql,
+    )
+
+    out["harmonic_centrality_2hop"] = harmonic_2hop_sql(
+        relational.AFFINITY_MIN_SUPPORT
+    )
+    out["duplicate_order_detection"] = dup_order_sql(
+        relational.DUP_ORDER_WINDOW_D, relational.DUP_ORDER_PRICE_BAND
+    )
+    out["rle_encodability_audit"] = RLE_AUDIT_SQL
     return out

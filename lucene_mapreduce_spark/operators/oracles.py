@@ -13309,3 +13309,93 @@ SELECT lang, n, round(noise, 6) AS noise,
        round(n::DOUBLE + noise, 6) AS noisy_n
 FROM noise ORDER BY lang
 """
+
+
+def harmonic_2hop_sql(support: int, k: int = 20) -> str:
+    """2-hop harmonic centrality twin: identical edges, exact-distance-2
+    set via anti-join on the 1-hop set."""
+    return f"""
+WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+e AS (
+  SELECT a.pk AS pa, b.pk AS pb
+  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+  GROUP BY 1, 2 HAVING count(*) >= {support}
+),
+adj AS (SELECT pa AS u, pb AS v FROM e UNION ALL SELECT pb, pa FROM e),
+deg AS (SELECT u, count(*)::BIGINT AS n1 FROM adj GROUP BY 1),
+twoset AS (
+  SELECT DISTINCT a.u, b.v AS w
+  FROM adj a JOIN adj b ON a.v = b.u
+  WHERE a.u <> b.v
+),
+two AS (
+  SELECT t.u, count(*)::BIGINT AS n2
+  FROM twoset t
+  LEFT JOIN adj d ON d.u = t.u AND d.v = t.w
+  WHERE d.u IS NULL
+  GROUP BY 1
+),
+cent AS (
+  SELECT deg.u AS p_partkey, deg.n1,
+         coalesce(two.n2, 0)::BIGINT AS n2,
+         deg.n1::DOUBLE + coalesce(two.n2, 0)::DOUBLE / 2.0 AS centrality
+  FROM deg LEFT JOIN two ON two.u = deg.u
+)
+SELECT p_partkey, n1, n2, centrality, rank FROM (
+  SELECT *, row_number() OVER (
+      ORDER BY centrality DESC, p_partkey ASC)::INT AS rank
+  FROM cent
+) WHERE rank <= {k} ORDER BY rank
+"""
+
+
+def dup_order_sql(window_d: int, band: int) -> str:
+    """Duplicate-order twin: identical customer blocking, DECIMAL price
+    band, day-gap filter."""
+    return f"""
+WITH o AS (
+  SELECT o_custkey, o_orderkey,
+         round(o_totalprice, 2)::DECIMAL(18,2) AS tp,
+         epoch_us(o_orderdate) // 86400000000 AS day
+  FROM orders
+)
+SELECT a.o_custkey,
+       a.o_orderkey AS ok_a, b.o_orderkey AS ok_b,
+       a.tp::DOUBLE AS price_a, b.tp::DOUBLE AS price_b,
+       abs(a.tp - b.tp)::DOUBLE AS price_diff,
+       abs(a.day - b.day)::BIGINT AS day_gap
+FROM o a JOIN o b
+  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+WHERE abs(a.day - b.day) <= {window_d}
+  AND abs(a.tp - b.tp) <= {band}::DECIMAL(18,2)
+ORDER BY a.o_custkey, ok_a, ok_b
+"""
+
+
+RLE_AUDIT_SQL = """
+WITH arrival AS (
+  SELECT count(*)::BIGINT AS n_rows,
+         sum(CASE WHEN prev IS NULL OR prev <> lang
+             THEN 1 ELSE 0 END)::BIGINT AS n_runs
+  FROM (
+    SELECT lang, lag(lang) OVER (ORDER BY doc_id) AS prev FROM documents
+  )
+),
+clustered AS (
+  SELECT count(*)::BIGINT AS n_rows,
+         sum(CASE WHEN prev IS NULL OR prev <> lang
+             THEN 1 ELSE 0 END)::BIGINT AS n_runs
+  FROM (
+    SELECT lang, lag(lang) OVER (ORDER BY lang, doc_id) AS prev
+    FROM documents
+  )
+)
+SELECT 'arrival' AS layout, n_rows, n_runs,
+       round(n_rows::DOUBLE / n_runs::DOUBLE, 6) AS avg_run_len
+FROM arrival
+UNION ALL
+SELECT 'lang_clustered', n_rows, n_runs,
+       round(n_rows::DOUBLE / n_runs::DOUBLE, 6)
+FROM clustered
+ORDER BY layout
+"""

@@ -1948,3 +1948,165 @@ def theil_sen_weekly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("sen_slope", 6).alias("sen_slope"),
         F.round("intercept", 6).alias("intercept"),
     )
+
+
+# --- batch 83: storage encodability + graph centrality + order dedup --------
+def harmonic_centrality_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop-truncated harmonic centrality over the co-order part graph:
+    C(v) = |N1(v)| + |N2(v)|/2, with N2 the nodes at distance exactly 2
+    (neighbors-of-neighbors minus N1 minus v). The standard bounded-BFS
+    stand-in for full harmonic centrality at scale — one adjacency
+    self-join bounded by degree, one distinct, two counts; top 20 by
+    centrality (total order: score desc, node asc). Score is
+    half-integral so it rides an exact 1dp double."""
+    from pyspark.sql.window import Window  # noqa: F401 (parity w/ sibs)
+
+    edges = _coorder_edges(spark, sf_dir).localCheckpoint()
+    adj = edges.select(
+        F.col("pa").alias("u"), F.col("pb").alias("v")
+    ).unionAll(edges.select(F.col("pb").alias("u"), F.col("pa").alias("v")))
+    deg = adj.groupBy("u").agg(
+        F.count(F.lit(1)).cast("long").alias("n1")
+    )
+    two = (
+        adj.alias("a")
+        .join(
+            adj.alias("b"), F.col("a.v") == F.col("b.u")
+        )
+        .select(F.col("a.u").alias("u"), F.col("b.v").alias("w"))
+        .filter(F.col("u") != F.col("w"))
+        .distinct()
+        .join(
+            adj.select(
+                F.col("u").alias("u"), F.col("v").alias("w")
+            ).withColumn("d1", F.lit(1)),
+            ["u", "w"],
+            "left",
+        )
+        .filter(F.col("d1").isNull())
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).cast("long").alias("n2"))
+    )
+    cent = deg.join(two, "u", "left").select(
+        F.col("u").alias("p_partkey"),
+        "n1",
+        F.coalesce("n2", F.lit(0)).cast("long").alias("n2"),
+        (
+            F.col("n1").cast("double")
+            + F.coalesce("n2", F.lit(0)).cast("double") / F.lit(2.0)
+        ).alias("centrality"),
+    )
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+
+    return ranked_topk(
+        cent, [F.desc("centrality"), F.asc("p_partkey")], 20
+    ).select("p_partkey", "n1", "n2", "centrality", "rank")
+
+
+DUP_ORDER_WINDOW_D = 7
+DUP_ORDER_PRICE_BAND = 5000  # dollars; exact DECIMAL band
+
+
+def duplicate_order_detection(
+    spark: SparkSession,
+    sf_dir: str,
+    window_d: int = DUP_ORDER_WINDOW_D,
+    band: int = DUP_ORDER_PRICE_BAND,
+) -> DataFrame:
+    """Duplicate-transaction detection (the fintech dedup shape): order
+    pairs from the SAME customer within window_d days whose 2dp totals
+    differ by at most DUP_ORDER_PRICE_BAND — the candidate set a
+    chargeback/double-billing review walks. Blocking on the customer
+    key makes the self-join orders-per-customer-bounded (never
+    all-pairs), the entity-resolution blocking discipline; the band
+    and gap tests are exact DECIMAL/integer filters after the
+    equi-join. Oriented a < b by orderkey."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.col("o_totalprice"), 2)
+        .cast("decimal(18,2)")
+        .alias("tp"),
+        F.expr(
+            "unix_micros(cast(o_orderdate as timestamp)) div 86400000000"
+        ).alias("day"),
+    )
+    a = o.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("ok_a"),
+        F.col("tp").alias("tp_a"),
+        F.col("day").alias("day_a"),
+    )
+    b = o.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("ok_b"),
+        F.col("tp").alias("tp_b"),
+        F.col("day").alias("day_b"),
+    )
+    pairs = (
+        a.join(b, "o_custkey")
+        .filter(F.col("ok_a") < F.col("ok_b"))
+        .filter(F.abs(F.col("day_a") - F.col("day_b")) <= F.lit(window_d))
+        .filter(
+            F.abs(F.col("tp_a") - F.col("tp_b"))
+            <= F.lit(band).cast("decimal(18,2)")
+        )
+    )
+    return pairs.select(
+        "o_custkey",
+        "ok_a",
+        "ok_b",
+        F.col("tp_a").cast("double").alias("price_a"),
+        F.col("tp_b").cast("double").alias("price_b"),
+        F.abs(F.col("tp_a") - F.col("tp_b"))
+        .cast("double")
+        .alias("price_diff"),
+        F.abs(F.col("day_a") - F.col("day_b"))
+        .cast("long")
+        .alias("day_gap"),
+    ).orderBy("o_custkey", "ok_a", "ok_b")
+
+
+def rle_encodability_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length encodability audit for the documents.lang column —
+    the storage-layout twin of file_skipping_audit: under (a) arrival
+    order (doc_id) and (b) a lang-clustered rewrite, count the RLE runs
+    a dictionary+RLE column encoder would emit. Clustering collapses
+    runs to ~cardinality, the reason OPTIMIZE-then-encode shrinks cold
+    columns. Runs counted with one lag-window pass per layout (window
+    over the corpus: bounded at test scale; the production measurement
+    samples per file, same plan per file). All integers plus one
+    ratio."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = None
+    for lname, order in (
+        ("arrival", [F.asc("doc_id")]),
+        ("lang_clustered", [F.asc("lang"), F.asc("doc_id")]),
+    ):
+        w = Window.orderBy(*order)
+        runs = docs.select(
+            F.when(
+                F.lag("lang").over(w).isNull()
+                | (F.lag("lang").over(w) != F.col("lang")),
+                1,
+            )
+            .otherwise(0)
+            .alias("brk")
+        )
+        row = runs.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("brk").cast("long").alias("n_runs"),
+        ).select(
+            F.lit(lname).alias("layout"),
+            "n_rows",
+            "n_runs",
+            F.round(
+                F.col("n_rows").cast("double")
+                / F.col("n_runs").cast("double"),
+                6,
+            ).alias("avg_run_len"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("layout")
