@@ -899,6 +899,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_centrality_2hop": relational.harmonic_centrality_2hop,
         "duplicate_order_detection": relational.duplicate_order_detection,
         "rle_encodability_audit": relational.rle_encodability_audit,
+        # batch 84: seasonality strength, forecast backtest, bloom skip
+        "dow_seasonality_strength": parity.dow_seasonality_strength,
+        "forecast_baseline_backtest": parity.forecast_baseline_backtest,
+        "bloom_file_skipping_audit": relational.bloom_file_skipping_audit,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})
@@ -2152,4 +2156,22 @@ WHERE len(list_filter(range(1, len(toks)), i ->
         relational.DUP_ORDER_WINDOW_D, relational.DUP_ORDER_PRICE_BAND
     )
     out["rle_encodability_audit"] = RLE_AUDIT_SQL
+
+    # batch 84: seasonality strength, forecast backtest, bloom skip
+    from lucene_mapreduce_spark.operators.oracles import (
+        FORECAST_BACKTEST_SQL,
+        bloom_skip_sql,
+        dow_strength_sql,
+    )
+
+    out["dow_seasonality_strength"] = dow_strength_sql(
+        parity.DOW_ANCHOR_DAY
+    )
+    out["forecast_baseline_backtest"] = FORECAST_BACKTEST_SQL
+    out["bloom_file_skipping_audit"] = bloom_skip_sql(
+        relational.BLOOM_FILES,
+        relational.BLOOM_BITS,
+        relational.BLOOM_PROBE_STRIDE,
+        relational.BLOOM_N_PROBES,
+    )
     return out

@@ -13399,3 +13399,119 @@ SELECT 'lang_clustered', n_rows, n_runs,
 FROM clustered
 ORDER BY layout
 """
+
+
+def dow_strength_sql(anchor_day: int) -> str:
+    """Seasonality-strength twin: identical epoch-day dow, exact-ratio
+    dow means, 6dp DECIMAL squared-term sums."""
+    return f"""
+WITH counts AS (
+  SELECT epoch_us(ts) // 86400000000 AS eday, count(*)::BIGINT AS n
+  FROM events GROUP BY 1
+),
+cal AS (
+  SELECT unnest(range(min(eday), max(eday) + 1)) AS eday FROM counts
+),
+hist AS (
+  SELECT cal.eday, coalesce(c.n, 0)::BIGINT AS y,
+         ((cal.eday - {anchor_day}) % 7 + 7) % 7 AS dow
+  FROM cal LEFT JOIN counts c USING (eday)
+),
+dm AS (
+  SELECT dow, sum(y)::DOUBLE / count(*)::DOUBLE AS s
+  FROM hist GROUP BY 1
+),
+grand AS (
+  SELECT sum(y)::DOUBLE / count(*)::DOUBLE AS g,
+         count(*)::BIGINT AS n_days
+  FROM hist
+),
+terms AS (
+  SELECT n_days,
+         round((y::DOUBLE - g) * (y::DOUBLE - g), 6)::DECIMAL(28,6) AS tt,
+         round((y::DOUBLE - s) * (y::DOUBLE - s), 6)::DECIMAL(28,6) AS rt
+  FROM hist JOIN dm USING (dow) CROSS JOIN grand
+),
+agg AS (
+  SELECT n_days, sum(tt)::DOUBLE AS ss_total, sum(rt)::DOUBLE AS ss_resid
+  FROM terms GROUP BY 1
+)
+SELECT n_days,
+       round(ss_total / n_days::DOUBLE, 6) AS var_total,
+       round(ss_resid / n_days::DOUBLE, 6) AS var_resid,
+       round(greatest(0.0::DOUBLE, 1.0::DOUBLE - ss_resid / ss_total), 6)
+         AS seasonal_strength
+FROM agg
+"""
+
+
+FORECAST_BACKTEST_SQL = f"""
+WITH {_DAILY_HIST},
+lagged AS (
+  SELECT n_events AS y,
+         lag(n_events, 1) OVER (ORDER BY day) AS p_naive,
+         lag(n_events, 7) OVER (ORDER BY day) AS p_snaive
+  FROM hist
+),
+legs AS (
+  SELECT 'naive' AS model, y, p_naive AS p FROM lagged
+  WHERE p_naive IS NOT NULL
+  UNION ALL
+  SELECT 'seasonal_naive', y, p_snaive FROM lagged
+  WHERE p_snaive IS NOT NULL
+),
+err AS (
+  SELECT model, abs(y - p)::BIGINT AS ae,
+         (CASE WHEN y > 0
+          THEN round(abs(y - p)::DOUBLE / y::DOUBLE, 12)::DECIMAL(28,12)
+          END) AS ape
+  FROM legs
+)
+SELECT model, count(*)::BIGINT AS n_points,
+       round(sum(ae)::DOUBLE / count(*)::DOUBLE, 6) AS mae,
+       round(sum(ape)::DOUBLE / count(ape)::DOUBLE, 6) AS mape
+FROM err GROUP BY model ORDER BY model
+"""
+
+
+def bloom_skip_sql(
+    n_files: int, n_bits: int, stride: int, n_probes: int
+) -> str:
+    """Bloom-skipping twin: identical md5 file placement, two-hash
+    63-bit masks, bit_or fold, probe ladder."""
+
+    def h(e: str, salt: str, mod: int) -> str:
+        return f"({_MD5_52.format(e=f'{e}::VARCHAR || {chr(39)}:{salt}{chr(39)}')}) % {mod}"
+
+    return f"""
+WITH keyed AS (
+  SELECT o_orderkey,
+         {h('o_orderkey', 'file', n_files)} AS f,
+         ((1::BIGINT << ({h('o_orderkey', 'b1', n_bits)}))
+          | (1::BIGINT << ({h('o_orderkey', 'b2', n_bits)}))) AS m
+  FROM orders
+),
+files AS (SELECT f, bit_or(m) AS fmask FROM keyed GROUP BY 1),
+probes AS (
+  SELECT unnest(range(0, {n_probes})) * {stride} AS probe_key
+),
+pk AS (
+  SELECT probe_key,
+         ((1::BIGINT << ({h('probe_key', 'b1', n_bits)}))
+          | (1::BIGINT << ({h('probe_key', 'b2', n_bits)}))) AS kmask
+  FROM probes
+),
+passes AS (
+  SELECT probe_key,
+         sum(CASE WHEN (fmask & kmask) = kmask THEN 1 ELSE 0 END)::BIGINT
+           AS files_pass
+  FROM pk CROSS JOIN files GROUP BY 1
+),
+ex AS (SELECT DISTINCT o_orderkey AS probe_key, 1 AS e FROM orders)
+SELECT p.probe_key,
+       coalesce(ex.e, 0)::INT AS key_exists,
+       p.files_pass,
+       (p.files_pass - coalesce(ex.e, 0))::BIGINT AS false_positives
+FROM passes p LEFT JOIN ex ON ex.probe_key = p.probe_key
+ORDER BY p.probe_key
+"""

@@ -4880,3 +4880,131 @@ def window_nav_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("first_to_second_days"),
     ).orderBy("o_custkey")
+
+
+DOW_ANCHOR_DAY = 19723  # 2024-01-01 as epoch days (the house dow rule)
+
+
+def dow_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality strength (Hyndman's tsfeatures
+    `seasonal_strength`, public): 1 - var(residual)/var(total) over the
+    gap-filled daily histogram, where the seasonal component is the
+    per-dow mean and dow = (epoch_day - 2024-01-01) mod 7 (the house
+    rule — never engine dow()). Counts are integers; the dow means are
+    exact-integer ratios; residual/total squared terms are 6dp-rounded
+    DECIMAL sums so the variance ratio is order-free. One day-sized
+    rollup after the histogram."""
+    ev = load(spark, sf_dir, "events").select(
+        F.expr(
+            "unix_micros(cast(ts as timestamp)) div 86400000000"
+        ).alias("eday")
+    )
+    counts = ev.groupBy("eday").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    cal = counts.agg(
+        F.min("eday").alias("lo"), F.max("eday").alias("hi")
+    ).select(F.explode(F.expr("sequence(lo, hi)")).alias("eday"))
+    hist = cal.join(counts, "eday", "left").select(
+        "eday",
+        F.coalesce("n", F.lit(0)).cast("long").alias("y"),
+        F.pmod(F.col("eday") - F.lit(DOW_ANCHOR_DAY), F.lit(7)).alias(
+            "dow"
+        ),
+    )
+    dow_means = hist.groupBy("dow").agg(
+        (
+            F.sum("y").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("s")
+    )
+    grand = hist.agg(
+        (
+            F.sum("y").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("g"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    j = hist.join(F.broadcast(dow_means), "dow").crossJoin(
+        F.broadcast(grand)
+    )
+    terms = j.select(
+        "n_days",
+        F.round(
+            (F.col("y").cast("double") - F.col("g"))
+            * (F.col("y").cast("double") - F.col("g")),
+            6,
+        )
+        .cast("decimal(28,6)")
+        .alias("tt"),
+        F.round(
+            (F.col("y").cast("double") - F.col("s"))
+            * (F.col("y").cast("double") - F.col("s")),
+            6,
+        )
+        .cast("decimal(28,6)")
+        .alias("rt"),
+    )
+    agg = terms.groupBy("n_days").agg(
+        F.sum("tt").cast("double").alias("ss_total"),
+        F.sum("rt").cast("double").alias("ss_resid"),
+    )
+    strength = F.greatest(
+        F.lit(0.0),
+        F.lit(1.0) - F.col("ss_resid") / F.col("ss_total"),
+    )
+    return agg.select(
+        "n_days",
+        F.round(F.col("ss_total") / F.col("n_days").cast("double"), 6)
+        .alias("var_total"),
+        F.round(F.col("ss_resid") / F.col("n_days").cast("double"), 6)
+        .alias("var_resid"),
+        F.round(strength, 6).alias("seasonal_strength"),
+    )
+
+
+def forecast_baseline_backtest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """One-step backtest of the two baseline forecasters every real
+    forecast must beat — naive (tomorrow = today) and seasonal-naive
+    (tomorrow = same weekday last week) — over the gap-filled daily
+    histogram. MAE from exact integer error sums; MAPE over positive
+    actuals with 12dp-DECIMAL ratio sums (order-free). Two window lags
+    over the day-sized series; one output row per model."""
+    hist = date_histogram_facets(spark, sf_dir)
+    w = Window.orderBy("day")
+    lagged = hist.select(
+        F.col("n_events").alias("y"),
+        F.lag("n_events", 1).over(w).alias("p_naive"),
+        F.lag("n_events", 7).over(w).alias("p_snaive"),
+    )
+    out = None
+    for model, pcol in (("naive", "p_naive"), ("seasonal_naive", "p_snaive")):
+        e = lagged.filter(F.col(pcol).isNotNull()).select(
+            F.abs(F.col("y") - F.col(pcol)).cast("long").alias("ae"),
+            F.when(
+                F.col("y") > 0,
+                F.round(
+                    F.abs(F.col("y") - F.col(pcol)).cast("double")
+                    / F.col("y").cast("double"),
+                    12,
+                ).cast("decimal(28,12)"),
+            ).alias("ape"),
+        )
+        row = e.agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            F.sum("ae").cast("long").alias("sum_ae"),
+            F.count("ape").cast("long").alias("n_ape"),
+            F.sum("ape").cast("double").alias("sum_ape"),
+        ).select(
+            F.lit(model).alias("model"),
+            "n_points",
+            F.round(
+                F.col("sum_ae").cast("double")
+                / F.col("n_points").cast("double"),
+                6,
+            ).alias("mae"),
+            F.round(F.col("sum_ape") / F.col("n_ape").cast("double"), 6)
+            .alias("mape"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("model")

@@ -2110,3 +2110,102 @@ def rle_encodability_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("layout")
+
+
+BLOOM_FILES = 64
+BLOOM_BITS = 63  # bits 0..62 of a BIGINT mask; sign bit untouched
+BLOOM_PROBE_STRIDE = 1009  # probe keys k*stride, half beyond the keyspace
+BLOOM_N_PROBES = 30
+
+
+def bloom_file_skipping_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bloom-filter file skipping for point lookups (the parquet
+    bloom_filter / Iceberg bloom story, complement of the min/max
+    audit): orders hash-place into BLOOM_FILES files (hashed placement
+    defeats min/max pruning entirely — every file spans the whole key
+    range — so blooms are the ONLY skipper), each file folds a 63-bit
+    bloom mask (two md5 hash functions per key, bit_or aggregate —
+    mergeable, footer-sized), and a pinned probe ladder (stride
+    BLOOM_PROBE_STRIDE, half the probes beyond the keyspace) counts
+    files passing each probe vs the one file that can truly contain
+    it. false_positives = passes - exists: the number a capacity plan
+    reads to size bits-per-key. All integer/md5."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey")
+
+    def h(col, salt: str, mod: int):
+        return F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(col.cast("string"), F.lit(f":{salt}"))
+                    ),
+                    1,
+                    13,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(mod),
+        )
+
+    # masks via expr columns (shiftleft needs F.expr — the hll rule)
+    keyed = o.select(
+        "o_orderkey",
+        h(F.col("o_orderkey"), "file", BLOOM_FILES).alias("f"),
+        h(F.col("o_orderkey"), "b1", BLOOM_BITS).alias("h1"),
+        h(F.col("o_orderkey"), "b2", BLOOM_BITS).alias("h2"),
+    ).select(
+        "o_orderkey",
+        "f",
+        F.expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(h1 AS INT))"
+            " | shiftleft(CAST(1 AS BIGINT), CAST(h2 AS INT))"
+        ).alias("m"),
+    )
+    files = keyed.groupBy("f").agg(F.expr("bit_or(m)").alias("fmask"))
+    probes = spark.createDataFrame(
+        [(k * BLOOM_PROBE_STRIDE,) for k in range(BLOOM_N_PROBES)],
+        "probe_key long",
+    )
+    pk = probes.select(
+        "probe_key",
+        h(F.col("probe_key"), "b1", BLOOM_BITS).alias("h1"),
+        h(F.col("probe_key"), "b2", BLOOM_BITS).alias("h2"),
+    ).select(
+        "probe_key",
+        F.expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(h1 AS INT))"
+            " | shiftleft(CAST(1 AS BIGINT), CAST(h2 AS INT))"
+        ).alias("kmask"),
+    )
+    passes = (
+        pk.crossJoin(F.broadcast(files))
+        .select(
+            "probe_key",
+            (
+                F.expr("fmask & kmask") == F.col("kmask")
+            ).cast("int").alias("pass"),
+        )
+        .groupBy("probe_key")
+        .agg(F.sum("pass").cast("long").alias("files_pass"))
+    )
+    exists = o.select(F.col("o_orderkey").alias("probe_key")).distinct()
+    out = (
+        passes.join(
+            exists.withColumn("ex", F.lit(1)), "probe_key", "left"
+        )
+        .select(
+            "probe_key",
+            F.coalesce("ex", F.lit(0)).cast("int").alias("key_exists"),
+            "files_pass",
+            (
+                F.col("files_pass")
+                - F.coalesce("ex", F.lit(0)).cast("long")
+            )
+            .cast("long")
+            .alias("false_positives"),
+        )
+    )
+    return out.orderBy("probe_key")
