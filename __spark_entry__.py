@@ -903,6 +903,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dow_seasonality_strength": parity.dow_seasonality_strength,
         "forecast_baseline_backtest": parity.forecast_baseline_backtest,
         "bloom_file_skipping_audit": relational.bloom_file_skipping_audit,
+        # batch 85: constraint suite, data profiling, any-order funnel
+        "constraint_check_suite": parity.constraint_check_suite,
+        "data_profile_audit": parity.data_profile_audit,
+        "any_order_funnel": parity.any_order_funnel,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})
@@ -2173,5 +2177,18 @@ WHERE len(list_filter(range(1, len(toks)), i ->
         relational.BLOOM_BITS,
         relational.BLOOM_PROBE_STRIDE,
         relational.BLOOM_N_PROBES,
+    )
+
+    # batch 85: constraint suite, data profiling, any-order funnel
+    from lucene_mapreduce_spark.operators.oracles import (
+        CONSTRAINT_SUITE_SQL,
+        any_order_funnel_sql,
+        data_profile_sql,
+    )
+
+    out["constraint_check_suite"] = CONSTRAINT_SUITE_SQL
+    out["data_profile_audit"] = data_profile_sql(parity.PROFILE_COLS)
+    out["any_order_funnel"] = any_order_funnel_sql(
+        parity.ANY_ORDER_TYPES, parity.ANY_ORDER_WINDOW_S
     )
     return out

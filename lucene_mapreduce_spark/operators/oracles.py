@@ -13515,3 +13515,107 @@ SELECT p.probe_key,
 FROM passes p LEFT JOIN ex ON ex.probe_key = p.probe_key
 ORDER BY p.probe_key
 """
+
+
+CONSTRAINT_SUITE_SQL = """
+WITH pk AS (
+  SELECT coalesce(sum(CASE WHEN c > 1 THEN c - 1 END), 0)::BIGINT AS v
+  FROM (SELECT o_orderkey, count(*)::BIGINT AS c
+        FROM orders GROUP BY 1)
+),
+fk1 AS (
+  SELECT count(*)::BIGINT AS v FROM orders o
+  WHERE NOT EXISTS (SELECT 1 FROM customer c
+                    WHERE c.c_custkey = o.o_custkey)
+),
+fk2 AS (
+  SELECT count(*)::BIGINT AS v FROM lineitem l
+  WHERE NOT EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_orderkey = l.l_orderkey)
+),
+nonneg AS (
+  SELECT sum(CASE WHEN value < 0 THEN 1 ELSE 0 END)::BIGINT AS v
+  FROM events
+),
+nonnull AS (
+  SELECT sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS v
+  FROM events
+),
+nchars AS (
+  SELECT sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)::BIGINT
+           AS v
+  FROM documents
+)
+SELECT * FROM (
+  SELECT 'orders_pk_unique' AS check_name, v AS n_violations,
+         (v = 0)::INT AS passed FROM pk
+  UNION ALL
+  SELECT 'orders_custkey_fk', v, (v = 0)::INT FROM fk1
+  UNION ALL
+  SELECT 'lineitem_orderkey_fk', v, (v = 0)::INT FROM fk2
+  UNION ALL
+  SELECT 'events_value_nonnegative', v, (v = 0)::INT FROM nonneg
+  UNION ALL
+  SELECT 'events_user_id_not_null', v, (v = 0)::INT FROM nonnull
+  UNION ALL
+  SELECT 'documents_n_chars_consistent', v, (v = 0)::INT FROM nchars
+) ORDER BY check_name
+"""
+
+
+def data_profile_sql(cols: list[tuple[str, str]]) -> str:
+    """Profile twin: identical per-(table, column) aggregates."""
+    legs = []
+    for tbl, col in cols:
+        legs.append(f"""
+SELECT '{tbl}' AS tbl, '{col}' AS col,
+       count(*)::BIGINT AS n_rows,
+       sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+       sum(CASE WHEN isnan({col}) THEN 1 ELSE 0 END)::BIGINT AS n_nan,
+       round(min({col}), 6) AS min_v,
+       round(max({col}), 6) AS max_v
+FROM {tbl}""")
+    return "\nUNION ALL\n".join(legs) + "\nORDER BY tbl, col"
+
+
+def any_order_funnel_sql(types: tuple, window_s: int) -> str:
+    """Any-order funnel twin: anchored exists-tests per type, ordered
+    frontier leg, identical rate arithmetic."""
+    w_us = window_s * 1_000_000
+    tlist = ", ".join(f"'{t}'" for t in types)
+    exists_legs = " AND ".join(
+        f"""EXISTS (
+      SELECT 1 FROM ev t WHERE t.user_id = a.user_id
+        AND t.event_type = '{t}'
+        AND t.us >= a.us AND t.us <= a.us + {w_us})"""
+        for t in types
+    )
+    return f"""
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+  WHERE event_type IN ({tlist})
+),
+anyu AS (
+  SELECT DISTINCT a.user_id
+  FROM ev a
+  WHERE {exists_legs}
+),
+ord AS (
+  SELECT DISTINCT v.user_id
+  FROM ev v
+  JOIN ev c ON c.user_id = v.user_id AND c.event_type = 'click'
+           AND c.us > v.us
+  JOIN ev p ON p.user_id = v.user_id AND p.event_type = 'purchase'
+           AND p.us > c.us AND p.us - v.us <= {w_us}
+  WHERE v.event_type = 'view'
+),
+tot AS (SELECT count(DISTINCT user_id)::BIGINT AS n_users FROM ev)
+SELECT t.n_users,
+       (SELECT count(*) FROM anyu)::BIGINT AS n_any_order,
+       (SELECT count(*) FROM ord)::BIGINT AS n_ordered,
+       round((SELECT count(*) FROM anyu)::DOUBLE / t.n_users::DOUBLE, 6)
+         AS any_order_rate,
+       round((SELECT count(*) FROM ord)::DOUBLE / t.n_users::DOUBLE, 6)
+         AS ordered_rate
+FROM tot t
+"""

@@ -5008,3 +5008,203 @@ def forecast_baseline_backtest(
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("model")
+
+
+def constraint_check_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style declarative constraint suite (Schelter et al. 2018,
+    public) over the warehouse tables — the verification layer a
+    production pipeline runs before publishing a snapshot: primary-key
+    uniqueness, referential integrity (orders->customer,
+    lineitem->orders), non-negative measures, non-null keys, and the
+    stored-vs-derived consistency check n_chars == length(text). Each
+    constraint is one aggregate or one anti-join count; the suite
+    unions fixed one-row frames so the output is constraint-keyed and
+    engine-exact integers."""
+    docs = load(spark, sf_dir, "documents")
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    customer = load(spark, sf_dir, "customer")
+    events = load(spark, sf_dir, "events")
+
+    def row(name: str, viol):
+        return viol.select(
+            F.lit(name).alias("check_name"),
+            F.col("v").cast("long").alias("n_violations"),
+            (F.col("v") == 0).cast("int").alias("passed"),
+        )
+
+    pk = orders.groupBy("o_orderkey").agg(
+        F.count(F.lit(1)).alias("c")
+    ).agg(F.sum(F.when(F.col("c") > 1, F.col("c") - 1)).alias("v")).select(
+        F.coalesce("v", F.lit(0)).alias("v")
+    )
+    fk1 = (
+        orders.join(
+            customer.select(F.col("c_custkey").alias("o_custkey")),
+            "o_custkey",
+            "left_anti",
+        ).agg(F.count(F.lit(1)).alias("v"))
+    )
+    fk2 = (
+        lineitem.join(
+            orders.select(F.col("o_orderkey").alias("l_orderkey")),
+            "l_orderkey",
+            "left_anti",
+        ).agg(F.count(F.lit(1)).alias("v"))
+    )
+    nonneg = events.agg(
+        F.sum((F.col("value") < 0).cast("int")).alias("v")
+    )
+    nonnull = events.agg(
+        F.sum(F.col("user_id").isNull().cast("int")).alias("v")
+    )
+    nchars = docs.agg(
+        F.sum(
+            (F.col("n_chars") != F.length("text")).cast("int")
+        ).alias("v")
+    )
+    out = (
+        row("orders_pk_unique", pk)
+        .unionByName(row("orders_custkey_fk", fk1))
+        .unionByName(row("lineitem_orderkey_fk", fk2))
+        .unionByName(row("events_value_nonnegative", nonneg))
+        .unionByName(row("events_user_id_not_null", nonnull))
+        .unionByName(row("documents_n_chars_consistent", nchars))
+    )
+    return out.orderBy("check_name")
+
+
+PROFILE_COLS = [
+    ("events", "value"),
+    ("orders", "o_totalprice"),
+    ("lineitem", "l_extendedprice"),
+    ("lineitem", "l_discount"),
+]
+
+
+def data_profile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profile audit (the Deequ/Great-Expectations profiling
+    shape) for the measure columns: row count, null count, NaN count,
+    6dp min/max — the drift baseline a pipeline stores per snapshot
+    and diffs on the next one. One aggregate per (table, column);
+    unioned fixed rows."""
+    out = None
+    for tbl, col in PROFILE_COLS:
+        df = load(spark, sf_dir, tbl)
+        row = df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.col(col).isNull().cast("int"))
+            .cast("long")
+            .alias("n_null"),
+            F.sum(F.isnan(F.col(col)).cast("int"))
+            .cast("long")
+            .alias("n_nan"),
+            F.round(F.min(col), 6).alias("min_v"),
+            F.round(F.max(col), 6).alias("max_v"),
+        ).select(
+            F.lit(tbl).alias("tbl"),
+            F.lit(col).alias("col"),
+            "n_rows",
+            "n_null",
+            "n_nan",
+            "min_v",
+            "max_v",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("tbl", "col")
+
+
+ANY_ORDER_TYPES = ("view", "click", "purchase")
+ANY_ORDER_WINDOW_S = 86400
+
+
+def any_order_funnel(
+    spark: SparkSession,
+    sf_dir: str,
+    window_s: int = ANY_ORDER_WINDOW_S,
+) -> DataFrame:
+    """Any-order funnel (ClickHouse windowFunnel's unordered cousin):
+    users who performed ALL of ANY_ORDER_TYPES within some window_s
+    span, in ANY order. A qualifying window exists iff one exists
+    ANCHORED at a qualifying event (the earliest event of the triple),
+    so the check joins each candidate anchor to one exists-test per
+    type — per-user bounded, never a cross-product over event triples.
+    Output: the single comparison row against the ORDERED funnel count
+    (windowFunnel level 3), the number a growth team reads to see how
+    much ordering assumptions hide."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    ).filter(F.col("event_type").isin(list(ANY_ORDER_TYPES)))
+    w_us = window_s * 1_000_000
+    anchors = ev.select("user_id", F.col("us").alias("a_us"))
+    per_type = None
+    for t in ANY_ORDER_TYPES:
+        leg = (
+            anchors.join(
+                ev.filter(F.col("event_type") == t).select(
+                    "user_id", F.col("us").alias("t_us")
+                ),
+                "user_id",
+            )
+            .filter(
+                (F.col("t_us") >= F.col("a_us"))
+                & (F.col("t_us") <= F.col("a_us") + F.lit(w_us))
+            )
+            .select("user_id", "a_us")
+            .distinct()
+            .withColumn("hit", F.lit(1))
+            .withColumnRenamed("hit", f"h_{t}")
+        )
+        per_type = (
+            leg
+            if per_type is None
+            else per_type.join(leg, ["user_id", "a_us"])
+        )
+    any_users = per_type.select("user_id").distinct()
+    # ordered leg: view -> click -> purchase frontier within the window
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("us").alias("v_us")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("us").alias("c_us")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("us").alias("p_us")
+    )
+    ordered = (
+        v.join(c, "user_id")
+        .filter(F.col("c_us") > F.col("v_us"))
+        .join(p, "user_id")
+        .filter(
+            (F.col("p_us") > F.col("c_us"))
+            & (F.col("p_us") - F.col("v_us") <= F.lit(w_us))
+        )
+        .select("user_id")
+        .distinct()
+    )
+    total = ev.select("user_id").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    na = any_users.agg(F.count(F.lit(1)).cast("long").alias("n_any_order"))
+    no = ordered.agg(F.count(F.lit(1)).cast("long").alias("n_ordered"))
+    return (
+        total.crossJoin(na)
+        .crossJoin(no)
+        .select(
+            "n_users",
+            "n_any_order",
+            "n_ordered",
+            F.round(
+                F.col("n_any_order").cast("double")
+                / F.col("n_users").cast("double"),
+                6,
+            ).alias("any_order_rate"),
+            F.round(
+                F.col("n_ordered").cast("double")
+                / F.col("n_users").cast("double"),
+                6,
+            ).alias("ordered_rate"),
+        )
+    )
