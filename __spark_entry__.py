@@ -907,6 +907,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "constraint_check_suite": parity.constraint_check_suite,
         "data_profile_audit": parity.data_profile_audit,
         "any_order_funnel": parity.any_order_funnel,
+        # batch 86: decompounder, date math, set ops
+        "compound_split_suggest": fulltext.compound_split_suggest,
+        "date_math_range_query": fulltext.date_math_range_query,
+        "set_operations_users": fulltext.set_operations_users,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})
@@ -2191,4 +2195,17 @@ WHERE len(list_filter(range(1, len(toks)), i ->
     out["any_order_funnel"] = any_order_funnel_sql(
         parity.ANY_ORDER_TYPES, parity.ANY_ORDER_WINDOW_S
     )
+
+    # batch 86: decompounder, date math, set ops
+    from lucene_mapreduce_spark.operators.oracles import (
+        SET_OPS_SQL,
+        compound_split_sql,
+        date_math_sql,
+    )
+
+    out["compound_split_suggest"] = compound_split_sql(
+        fulltext.COMPOUND_INPUTS
+    )
+    out["date_math_range_query"] = date_math_sql(fulltext.DATE_MATH_DAYS)
+    out["set_operations_users"] = SET_OPS_SQL
     return out

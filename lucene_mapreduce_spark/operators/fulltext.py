@@ -6993,3 +6993,155 @@ def index_sort_plan(
         )
         .orderBy("seg")
     )
+
+
+# --- batch 86: decompounder + date-math range + set ops ---------------------
+COMPOUND_INPUTS = ("tablescan", "fastmerge", "sortkey", "bigdata", "xqzzy")
+
+
+def compound_split_suggest(
+    spark: SparkSession,
+    sf_dir: str,
+    inputs: tuple = COMPOUND_INPUTS,
+) -> DataFrame:
+    """Dictionary decompounder (Lucene
+    DictionaryCompoundWordTokenFilter / ES query segmentation): each
+    unsegmented input enumerates every split point; splits whose BOTH
+    halves are corpus dictionary terms rank by cf(left)*cf(right) —
+    exact BIGINT products, the unigram-LM segmentation score. Inputs
+    with no valid split (the last probe) emit nothing. The dictionary
+    is the corpus term->cf table (vocabulary-sized, broadcast); split
+    enumeration is input-length-bounded codegen — no UDF."""
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_col
+
+    docs = load(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(tokenize_col("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cf"))
+    )
+    probes = spark.createDataFrame(
+        [(s,) for s in inputs], "input string"
+    )
+    splits = probes.select(
+        "input",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("input") - 1),
+                lambda i: F.struct(
+                    F.substring(F.col("input"), F.lit(1), i).alias(
+                        "left"
+                    ),
+                    F.col("input")
+                    .substr(i + F.lit(1), F.length("input"))
+                    .alias("right"),
+                ),
+            )
+        ).alias("sp"),
+    ).select("input", F.col("sp.left").alias("lft"), F.col("sp.right").alias("rgt"))
+    lv = vocab.select(
+        F.col("term").alias("lft"), F.col("cf").alias("cf_left")
+    )
+    rv = vocab.select(
+        F.col("term").alias("rgt"), F.col("cf").alias("cf_right")
+    )
+    valid = (
+        splits.join(F.broadcast(lv), "lft")
+        .join(F.broadcast(rv), "rgt")
+        .select(
+            "input",
+            "lft",
+            "rgt",
+            "cf_left",
+            "cf_right",
+            (F.col("cf_left") * F.col("cf_right"))
+            .cast("long")
+            .alias("score"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("input").orderBy(
+        F.desc("score"), F.asc("lft")
+    )
+    return (
+        valid.withColumn("rank", F.row_number().over(w))
+        .select(
+            "input", "lft", "rgt", "cf_left", "cf_right", "score", "rank"
+        )
+        .orderBy("input", "rank")
+    )
+
+
+DATE_MATH_DAYS = 7  # the "now-7d" window
+
+
+def date_math_range_query(
+    spark: SparkSession, sf_dir: str, days: int = DATE_MATH_DAYS
+) -> DataFrame:
+    """ES date-math range query (`{"range": {"ts": {"gte": "now-7d",
+    "lte": "now"}}}`): `now` anchors to the stream's max timestamp (the
+    deterministic stand-in for wall clock), the window is the pinned
+    day span, and the page reports the match count plus an md5 witness
+    over the ascending matched event ids — the count+witness contract
+    the redaction/trim gates use. One scan with an aggregate-derived
+    bound."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    now = ev.agg(F.max("us").alias("now_us"))
+    j = ev.crossJoin(F.broadcast(now)).filter(
+        (F.col("us") >= F.col("now_us") - F.lit(days * 86400000000))
+        & (F.col("us") <= F.col("now_us"))
+    )
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits"),
+        F.min("event_id").cast("long").alias("first_id"),
+        F.max("event_id").cast("long").alias("last_id"),
+        F.md5(
+            F.array_join(
+                F.sort_array(
+                    F.collect_list(F.col("event_id").cast("string"))
+                ),
+                ",",
+            )
+        ).alias("witness"),
+    )
+
+
+def set_operations_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.6 set-operation surface in one gate: the user-id sets
+    who viewed INTERSECT purchased, viewed EXCEPT purchased, and the
+    distinct UNION — each leg a relational set op (not hand-rolled
+    joins), counts plus an md5 witness over the ascending member list.
+    Set ops distribute as hash shuffles on the id — the exact shape
+    Spark compiles them to."""
+    ev = load(spark, sf_dir, "events")
+
+    def leg(t: str):
+        return ev.filter(F.col("event_type") == t).select(
+            "user_id"
+        ).distinct()
+
+    v, p, e = leg("view"), leg("purchase"), leg("error")
+    ops = {
+        "view_intersect_purchase": v.intersect(p),
+        "view_except_purchase": v.exceptAll(p).distinct(),
+        "view_union_error": v.union(e).distinct(),
+    }
+    out = None
+    for name, df in ops.items():
+        row = df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.md5(
+                F.array_join(
+                    F.sort_array(
+                        F.collect_list(F.col("user_id").cast("string"))
+                    ),
+                    ",",
+                )
+            ).alias("witness"),
+        ).select(F.lit(name).alias("op"), "n_users", "witness")
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("op")

@@ -13619,3 +13619,80 @@ SELECT t.n_users,
          AS ordered_rate
 FROM tot t
 """
+
+
+def compound_split_sql(inputs: tuple) -> str:
+    """Decompounder twin: identical split enumeration and BIGINT
+    cf-product ranking."""
+    vals = ", ".join("('" + s.replace("'", "''") + "')" for s in inputs)
+    return f"""
+WITH vocab AS (
+  SELECT term, count(*)::BIGINT AS cf
+  FROM (SELECT unnest({TOKS}) AS term FROM documents) GROUP BY 1
+),
+probes (input) AS (VALUES {vals}),
+splits AS (
+  SELECT input,
+         substr(input, 1, i) AS lft,
+         substr(input, i + 1) AS rgt
+  FROM probes, unnest(range(1, length(input))) t(i)
+),
+valid AS (
+  SELECT s.input, s.lft, s.rgt, lv.cf AS cf_left, rv.cf AS cf_right,
+         (lv.cf * rv.cf)::BIGINT AS score
+  FROM splits s
+  JOIN vocab lv ON lv.term = s.lft
+  JOIN vocab rv ON rv.term = s.rgt
+)
+SELECT input, lft, rgt, cf_left, cf_right, score,
+       row_number() OVER (PARTITION BY input
+                          ORDER BY score DESC, lft ASC)::INT AS rank
+FROM valid
+ORDER BY input, rank
+"""
+
+
+def date_math_sql(days: int) -> str:
+    """Date-math range twin: max-ts anchor, identical bounds and
+    witness."""
+    return f"""
+WITH ev AS (SELECT event_id, epoch_us(ts) AS us FROM events),
+nowr AS (SELECT max(us) AS now_us FROM ev),
+hits AS (
+  SELECT event_id FROM ev, nowr
+  WHERE us >= now_us - {days}::BIGINT * 86400000000 AND us <= now_us
+)
+SELECT count(*)::BIGINT AS n_hits,
+       min(event_id)::BIGINT AS first_id,
+       max(event_id)::BIGINT AS last_id,
+       md5(coalesce(array_to_string(
+             list_sort(list(event_id::VARCHAR)), ','), '')) AS witness
+FROM hits
+"""
+
+
+SET_OPS_SQL = """
+WITH v AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+e AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error'),
+i1 AS (SELECT user_id FROM v INTERSECT SELECT user_id FROM p),
+x1 AS (SELECT user_id FROM v EXCEPT SELECT user_id FROM p),
+u1 AS (SELECT user_id FROM v UNION SELECT user_id FROM e)
+SELECT * FROM (
+  SELECT 'view_intersect_purchase' AS op,
+         count(*)::BIGINT AS n_users,
+         md5(coalesce(array_to_string(
+               list_sort(list(user_id::VARCHAR)), ','), '')) AS witness
+  FROM i1
+  UNION ALL
+  SELECT 'view_except_purchase', count(*)::BIGINT,
+         md5(coalesce(array_to_string(
+               list_sort(list(user_id::VARCHAR)), ','), ''))
+  FROM x1
+  UNION ALL
+  SELECT 'view_union_error', count(*)::BIGINT,
+         md5(coalesce(array_to_string(
+               list_sort(list(user_id::VARCHAR)), ','), ''))
+  FROM u1
+) ORDER BY op
+"""
