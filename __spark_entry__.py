@@ -911,6 +911,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compound_split_suggest": fulltext.compound_split_suggest,
         "date_math_range_query": fulltext.date_math_range_query,
         "set_operations_users": fulltext.set_operations_users,
+        # batch 87: funnel latency matrix, basket sizes, SLO burn
+        "funnel_step_latency_matrix": parity.funnel_step_latency_matrix,
+        "basket_size_stats": parity.basket_size_stats,
+        "slo_burn_alerts": parity.slo_burn_alerts,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})
@@ -2208,4 +2212,22 @@ WHERE len(list_filter(range(1, len(toks)), i ->
     )
     out["date_math_range_query"] = date_math_sql(fulltext.DATE_MATH_DAYS)
     out["set_operations_users"] = SET_OPS_SQL
+
+    # batch 87: funnel latency matrix, basket sizes, SLO burn
+    from lucene_mapreduce_spark.operators.oracles import (
+        BASKET_SIZE_SQL,
+        funnel_latency_sql,
+        slo_burn_sql,
+    )
+
+    out["funnel_step_latency_matrix"] = funnel_latency_sql(
+        parity.EQL_MAXSPAN_S
+    )
+    out["basket_size_stats"] = BASKET_SIZE_SQL
+    out["slo_burn_alerts"] = slo_burn_sql(
+        parity.SLO_ERROR_BUDGET,
+        parity.SLO_WINDOWS_H[0],
+        parity.SLO_WINDOWS_H[1],
+        parity.SLO_BURN_THRESHOLD,
+    )
     return out

@@ -13696,3 +13696,99 @@ SELECT * FROM (
   FROM u1
 ) ORDER BY op
 """
+
+
+def funnel_latency_sql(maxspan_s: int) -> str:
+    """Funnel-latency twin: the eql_sequence chains re-derived, gap
+    percentiles per step edge."""
+    return f"""
+WITH chains AS ({eql_sequence_sql(maxspan_s).strip()}),
+ev AS (SELECT event_id AS c_id, epoch_us(ts) AS c_us FROM events),
+g AS (
+  SELECT (ev.c_us - chains.v_us)::DOUBLE / 1000000.0 AS g_vc,
+         (chains.v_us + chains.span_us - ev.c_us)::DOUBLE / 1000000.0
+           AS g_cp,
+         chains.span_us::DOUBLE / 1000000.0 AS g_vp
+  FROM chains JOIN ev ON ev.c_id = chains.c_id
+)
+SELECT * FROM (
+  SELECT 'view_to_click' AS step, count(*)::BIGINT AS n_chains,
+         round(quantile_cont(g_vc, 0.5), 6) AS p50_s,
+         round(quantile_cont(g_vc, 0.9), 6) AS p90_s,
+         round(max(g_vc), 6) AS max_s
+  FROM g
+  UNION ALL
+  SELECT 'click_to_purchase', count(*)::BIGINT,
+         round(quantile_cont(g_cp, 0.5), 6),
+         round(quantile_cont(g_cp, 0.9), 6), round(max(g_cp), 6)
+  FROM g
+  UNION ALL
+  SELECT 'view_to_purchase', count(*)::BIGINT,
+         round(quantile_cont(g_vp, 0.5), 6),
+         round(quantile_cont(g_vp, 0.9), 6), round(max(g_vp), 6)
+  FROM g
+) ORDER BY step
+"""
+
+
+BASKET_SIZE_SQL = """
+WITH per_order AS (
+  SELECT l_orderkey, count(*)::BIGINT AS n_items,
+         sum(round(l_extendedprice * (1.0 - l_discount), 4)
+             ::DECIMAL(28,4)) AS orev
+  FROM lineitem GROUP BY 1
+)
+SELECT n_items, count(*)::BIGINT AS n_orders,
+       round(sum(orev)::DOUBLE / count(*)::DOUBLE, 6) AS mean_revenue
+FROM per_order GROUP BY 1 ORDER BY 1
+"""
+
+
+def slo_burn_sql(
+    budget: float, short_h: int, long_h: int, threshold: float
+) -> str:
+    """SLO burn twin: identical hourly histogram, trailing frames,
+    pinned-repr budget/threshold literals."""
+    return f"""
+WITH counts AS (
+  SELECT epoch_us(ts) // 3600000000 AS eh,
+         count(*)::BIGINT AS n,
+         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT
+           AS ne
+  FROM events GROUP BY 1
+),
+cal AS (
+  SELECT unnest(range(min(eh), max(eh) + 1)) AS eh FROM counts
+),
+hist AS (
+  SELECT cal.eh, coalesce(c.n, 0)::BIGINT AS n,
+         coalesce(c.ne, 0)::BIGINT AS ne
+  FROM cal LEFT JOIN counts c USING (eh)
+),
+framed AS (
+  SELECT eh,
+         count(*) OVER wl AS frame_l,
+         sum(n) OVER ws::BIGINT AS ns, sum(ne) OVER ws::BIGINT AS nes,
+         sum(n) OVER wl::BIGINT AS nl, sum(ne) OVER wl::BIGINT AS nel
+  FROM hist
+  WINDOW ws AS (ORDER BY eh ROWS BETWEEN {short_h - 1} PRECEDING
+                AND CURRENT ROW),
+         wl AS (ORDER BY eh ROWS BETWEEN {long_h - 1} PRECEDING
+                AND CURRENT ROW)
+)
+SELECT eh,
+       round(nes::DOUBLE / ns::DOUBLE, 6) AS rate_short,
+       round(nel::DOUBLE / nl::DOUBLE, 6) AS rate_long,
+       round(nes::DOUBLE / ns::DOUBLE / ({budget!r}::DOUBLE), 6)
+         AS burn_short,
+       round(nel::DOUBLE / nl::DOUBLE / ({budget!r}::DOUBLE), 6)
+         AS burn_long,
+       (CASE WHEN nes::DOUBLE / ns::DOUBLE / ({budget!r}::DOUBLE)
+                  > {threshold!r}::DOUBLE
+              AND nel::DOUBLE / nl::DOUBLE / ({budget!r}::DOUBLE)
+                  > {threshold!r}::DOUBLE
+        THEN 1 ELSE 0 END)::INT AS page
+FROM framed
+WHERE frame_l = {long_h} AND ns > 0 AND nl > 0
+ORDER BY eh
+"""

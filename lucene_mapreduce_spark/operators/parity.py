@@ -5208,3 +5208,147 @@ def any_order_funnel(
             ).alias("ordered_rate"),
         )
     )
+
+
+def funnel_step_latency_matrix(
+    spark: SparkSession, sf_dir: str, maxspan_s: int = EQL_MAXSPAN_S
+) -> DataFrame:
+    """Per-step funnel latency: over each user's earliest completed
+    view->click->purchase chain (EXACTLY eql_sequence_match's tuples —
+    the two operators must agree, which the shared construction
+    guarantees), the type-7 p50/p90 of the view->click and
+    click->purchase gaps in seconds plus the end-to-end span. Gaps are
+    exact integer micros scaled by exact 1e-6; percentile() ==
+    quantile_cont both engines. One row per step edge."""
+    chains = eql_sequence_match(spark, sf_dir, maxspan_s=maxspan_s)
+    # recover c_us: v_us + span is p_us; c_us must be re-derived — emit
+    # gaps straight from the chain tuple via a rejoin on the click leg
+    ev = load(spark, sf_dir, "events").select(
+        F.col("event_id").alias("c_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("c_us"),
+    )
+    g = chains.join(F.broadcast(ev), "c_id").select(
+        ((F.col("c_us") - F.col("v_us")).cast("double") / F.lit(1e6))
+        .alias("g_vc"),
+        (
+            (F.col("v_us") + F.col("span_us") - F.col("c_us")).cast(
+                "double"
+            )
+            / F.lit(1e6)
+        ).alias("g_cp"),
+        (F.col("span_us").cast("double") / F.lit(1e6)).alias("g_vp"),
+    )
+    out = None
+    for step, col in (
+        ("view_to_click", "g_vc"),
+        ("click_to_purchase", "g_cp"),
+        ("view_to_purchase", "g_vp"),
+    ):
+        row = g.agg(
+            F.count(F.lit(1)).cast("long").alias("n_chains"),
+            F.round(F.expr(f"percentile({col}, 0.5)"), 6).alias("p50_s"),
+            F.round(F.expr(f"percentile({col}, 0.9)"), 6).alias("p90_s"),
+            F.round(F.max(col), 6).alias("max_s"),
+        ).select(
+            F.lit(step).alias("step"), "n_chains", "p50_s", "p90_s", "max_s"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("step")
+
+
+def basket_size_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Basket-size distribution: orders histogrammed by line count with
+    the mean basket revenue per size — the assortment metric next to
+    customer_order_histogram (orders per customer). Revenue =
+    extendedprice*(1-discount) rounded 4dp into DECIMAL sums (the
+    relational determinism rule); one lineitem groupBy + one size-keyed
+    re-agg."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.round(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+            4,
+        )
+        .cast("decimal(28,4)")
+        .alias("rev"),
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum("rev").alias("orev"),
+    )
+    return (
+        per_order.groupBy("n_items")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(
+                F.sum("orev").cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("mean_revenue"),
+        )
+        .orderBy("n_items")
+    )
+
+
+SLO_ERROR_BUDGET = 0.25  # error-rate SLO (synthetic stream runs ~20%)
+SLO_WINDOWS_H = (6, 24)  # the SRE multiwindow pair (scaled to the corpus)
+SLO_BURN_THRESHOLD = 1.2  # page when BOTH windows burn above this
+
+
+def slo_burn_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiwindow error-budget burn alerts (Google SRE workbook,
+    public): over the gap-filled HOURLY histogram of total vs error
+    events, the trailing short/long-window error rates, their burn
+    rates against SLO_ERROR_BUDGET, and the page flag that fires only
+    when BOTH windows burn above SLO_BURN_THRESHOLD — the
+    double-window guard against blips and slow bleeds alike. Frame
+    sums are integers; rates/burns are fixed IEEE chains on exact
+    operands, 6dp. Emits only complete-frame hours."""
+    ev = load(spark, sf_dir, "events").select(
+        F.expr(
+            "unix_micros(cast(ts as timestamp)) div 3600000000"
+        ).alias("eh"),
+        (F.col("event_type") == "error").cast("int").alias("is_err"),
+    )
+    counts = ev.groupBy("eh").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("is_err").cast("long").alias("ne"),
+    )
+    cal = counts.agg(
+        F.min("eh").alias("lo"), F.max("eh").alias("hi")
+    ).select(F.explode(F.expr("sequence(lo, hi)")).alias("eh"))
+    hist = cal.join(counts, "eh", "left").select(
+        "eh",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+        F.coalesce("ne", F.lit(0)).cast("long").alias("ne"),
+    )
+    short_h, long_h = SLO_WINDOWS_H
+    ws = Window.orderBy("eh").rowsBetween(-(short_h - 1), Window.currentRow)
+    wl = Window.orderBy("eh").rowsBetween(-(long_h - 1), Window.currentRow)
+    framed = hist.select(
+        "eh",
+        F.count(F.lit(1)).over(wl).alias("frame_l"),
+        F.sum("n").over(ws).cast("long").alias("ns"),
+        F.sum("ne").over(ws).cast("long").alias("nes"),
+        F.sum("n").over(wl).cast("long").alias("nl"),
+        F.sum("ne").over(wl).cast("long").alias("nel"),
+    ).filter(
+        (F.col("frame_l") == long_h) & (F.col("ns") > 0) & (F.col("nl") > 0)
+    )
+    rate_s = F.col("nes").cast("double") / F.col("ns").cast("double")
+    rate_l = F.col("nel").cast("double") / F.col("nl").cast("double")
+    burn_s = rate_s / F.lit(SLO_ERROR_BUDGET)
+    burn_l = rate_l / F.lit(SLO_ERROR_BUDGET)
+    return framed.select(
+        "eh",
+        F.round(rate_s, 6).alias("rate_short"),
+        F.round(rate_l, 6).alias("rate_long"),
+        F.round(burn_s, 6).alias("burn_short"),
+        F.round(burn_l, 6).alias("burn_long"),
+        (
+            (burn_s > F.lit(SLO_BURN_THRESHOLD))
+            & (burn_l > F.lit(SLO_BURN_THRESHOLD))
+        )
+        .cast("int")
+        .alias("page"),
+    ).orderBy("eh")
