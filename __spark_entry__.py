@@ -915,6 +915,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_step_latency_matrix": parity.funnel_step_latency_matrix,
         "basket_size_stats": parity.basket_size_stats,
         "slo_burn_alerts": parity.slo_burn_alerts,
+        # batch 88: Neyman allocation, dict-encoding audit, join skew
+        "neyman_allocation_plan": textstats.neyman_allocation_plan,
+        "dict_encoding_audit": textstats.dict_encoding_audit,
+        "join_skew_report": textstats.join_skew_report,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})
@@ -2230,4 +2234,15 @@ WHERE len(list_filter(range(1, len(toks)), i ->
         parity.SLO_WINDOWS_H[1],
         parity.SLO_BURN_THRESHOLD,
     )
+
+    # batch 88: Neyman allocation, dict-encoding audit, join skew
+    from lucene_mapreduce_spark.operators.oracles import (
+        dict_audit_sql,
+        join_skew_sql,
+        neyman_sql,
+    )
+
+    out["neyman_allocation_plan"] = neyman_sql(textstats.NEYMAN_BUDGET)
+    out["dict_encoding_audit"] = dict_audit_sql(textstats.DICT_AUDIT_COLS)
+    out["join_skew_report"] = join_skew_sql(textstats.JOIN_SKEW_KEYS)
     return out

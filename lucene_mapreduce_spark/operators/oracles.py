@@ -13792,3 +13792,99 @@ FROM framed
 WHERE frame_l = {long_h} AND ns > 0 AND nl > 0
 ORDER BY eh
 """
+
+
+def neyman_sql(budget: int) -> str:
+    """Neyman-allocation twin: exact integer sufficient stats, 6dp
+    weights, 12dp remainders, identical largest-remainder ranking."""
+    return f"""
+WITH g AS (
+  SELECT lang, source, count(*)::BIGINT AS n_h,
+         sum(n_chars)::BIGINT AS sx,
+         sum(n_chars * n_chars)::BIGINT AS sxx
+  FROM documents GROUP BY 1, 2
+),
+wh AS (
+  SELECT lang, source, n_h,
+         round(CASE WHEN n_h > 1 THEN
+           sqrt((sxx::DOUBLE - n_h::DOUBLE
+                 * (sx::DOUBLE / n_h::DOUBLE)
+                 * (sx::DOUBLE / n_h::DOUBLE))
+                / (n_h::DOUBLE - 1.0)) ELSE 0.0::DOUBLE END, 6) AS s_h,
+         round(CASE WHEN n_h > 1 THEN n_h::DOUBLE
+               * sqrt((sxx::DOUBLE - n_h::DOUBLE
+                       * (sx::DOUBLE / n_h::DOUBLE)
+                       * (sx::DOUBLE / n_h::DOUBLE))
+                      / (n_h::DOUBLE - 1.0))
+               ELSE 0.0::DOUBLE END, 6)::DECIMAL(28,6) AS w_h
+  FROM g
+),
+tot AS (SELECT sum(w_h) AS w_tot FROM wh),
+shares AS (
+  SELECT lang, source, n_h, s_h,
+         {float(budget)!r}::DOUBLE * w_h::DOUBLE / w_tot::DOUBLE AS raw
+  FROM wh CROSS JOIN tot
+),
+based AS (
+  SELECT lang, source, n_h, s_h,
+         round(raw, 6) AS raw_share,
+         floor(raw)::BIGINT AS base,
+         round(raw - floor(raw), 12) AS rem
+  FROM shares
+),
+leftover AS (
+  SELECT ({budget} - sum(base))::BIGINT AS extra FROM based
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+      ORDER BY rem DESC, lang ASC, source ASC) AS rr
+  FROM based CROSS JOIN leftover
+)
+SELECT lang, source, n_h, s_h, raw_share,
+       (base + (CASE WHEN rr <= extra THEN 1 ELSE 0 END))::BIGINT
+         AS allocated
+FROM ranked ORDER BY lang, source
+"""
+
+
+def dict_audit_sql(cols: list[tuple[str, str]]) -> str:
+    """Dict-encoding twin: identical integer byte model; index bits as
+    the bit length of (cardinality - 1)."""
+    legs = []
+    for tbl, col in cols:
+        legs.append(f"""
+SELECT '{tbl}' AS tbl, '{col}' AS col, n_rows, n_distinct,
+       plain_bytes, index_bits,
+       (dict_payload + (n_rows * index_bits + 7) // 8)::BIGINT
+         AS dict_bytes,
+       round((dict_payload + (n_rows * index_bits + 7) // 8)::DOUBLE
+             / plain_bytes::DOUBLE, 6) AS compression_ratio
+FROM (
+  SELECT b.n_rows, b.plain_bytes, d.n_distinct, d.dict_payload,
+         (CASE WHEN d.n_distinct <= 2 THEN 1
+          ELSE length(bin(d.n_distinct - 1)) END)::INT AS index_bits
+  FROM (SELECT count(*)::BIGINT AS n_rows,
+               sum(length({col}))::BIGINT AS plain_bytes FROM {tbl}) b,
+       (SELECT count(*)::BIGINT AS n_distinct,
+               sum(length(v))::BIGINT AS dict_payload
+        FROM (SELECT DISTINCT {col} AS v FROM {tbl})) d
+)""")
+    return "\nUNION ALL\n".join(legs) + "\nORDER BY tbl, col"
+
+
+def join_skew_sql(keys: list[tuple[str, str]]) -> str:
+    """Join-skew twin: identical per-key group stats."""
+    legs = []
+    for tbl, key in keys:
+        legs.append(f"""
+SELECT '{tbl}' AS tbl, '{key}' AS key,
+       count(*)::BIGINT AS n_keys,
+       sum(c)::BIGINT AS n_rows,
+       max(c)::BIGINT AS max_group,
+       round(quantile_cont(c, 0.5), 6) AS p50_group,
+       round(quantile_cont(c, 0.99), 6) AS p99_group,
+       round(max(c)::DOUBLE / sum(c)::DOUBLE, 6) AS max_key_share,
+       round(max(c)::DOUBLE
+             / (sum(c)::DOUBLE / count(*)::DOUBLE), 6) AS skew_factor
+FROM (SELECT {key}, count(*)::BIGINT AS c FROM {tbl} GROUP BY 1)""")
+    return "\nUNION ALL\n".join(legs) + "\nORDER BY tbl, key"

@@ -5087,3 +5087,193 @@ def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(noise, 6).alias("noise"),
         F.round(F.col("n").cast("double") + noise, 6).alias("noisy_n"),
     ).orderBy("lang")
+
+
+NEYMAN_BUDGET = 1000  # total sample size to apportion
+
+
+def neyman_allocation_plan(
+    spark: SparkSession, sf_dir: str, budget: int = NEYMAN_BUDGET
+) -> DataFrame:
+    """Neyman-optimal stratified-sample allocation with
+    largest-remainder (Hamilton) integer apportionment: strata =
+    (lang, source), weight w_h = N_h * S_h (S_h = sample stddev of
+    n_chars from exact integer sufficient statistics), raw share =
+    budget * w_h / W, each stratum gets floor(share) and the leftover
+    units go to the largest fractional remainders (ties by stratum
+    key) — the exact-sum-preserving rounding every survey pipeline
+    needs. Remainders compare at a 12dp round on identical operands;
+    the apportionment invariant (allocations sum to the budget) is
+    structural. Stratum-sized frames end to end."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents").select(
+        "lang",
+        "source",
+        F.col("n_chars").cast("long").alias("x"),
+    )
+    g = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_h"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    nd = F.col("n_h").cast("double")
+    m = F.col("sx").cast("double") / nd
+    s_h = F.when(
+        F.col("n_h") > 1,
+        F.sqrt(
+            (F.col("sxx").cast("double") - nd * m * m)
+            / (nd - F.lit(1.0))
+        ),
+    ).otherwise(F.lit(0.0))
+    wh = g.select(
+        "lang",
+        "source",
+        "n_h",
+        F.round(s_h, 6).alias("s_h"),
+        F.round(nd * s_h, 6).cast("decimal(28,6)").alias("w_h"),
+    )
+    tot = wh.agg(F.sum("w_h").alias("w_tot"))
+    shares = wh.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "source",
+        "n_h",
+        "s_h",
+        (
+            F.lit(float(budget))
+            * F.col("w_h").cast("double")
+            / F.col("w_tot").cast("double")
+        ).alias("raw"),
+    )
+    based = shares.select(
+        "lang",
+        "source",
+        "n_h",
+        "s_h",
+        F.round("raw", 6).alias("raw_share"),
+        F.floor("raw").cast("long").alias("base"),
+        F.round(F.col("raw") - F.floor("raw"), 12).alias("rem"),
+    )
+    leftover = based.agg(
+        (F.lit(budget) - F.sum("base")).cast("long").alias("extra")
+    )
+    w = Window.orderBy(F.desc("rem"), F.asc("lang"), F.asc("source"))
+    ranked = based.crossJoin(F.broadcast(leftover)).withColumn(
+        "rr", F.row_number().over(w)
+    )
+    return ranked.select(
+        "lang",
+        "source",
+        "n_h",
+        "s_h",
+        "raw_share",
+        (
+            F.col("base")
+            + (F.col("rr") <= F.col("extra")).cast("long")
+        ).alias("allocated"),
+    ).orderBy("lang", "source")
+
+
+DICT_AUDIT_COLS = [("documents", "lang"), ("documents", "source"),
+                   ("orders", "o_orderpriority"),
+                   ("lineitem", "l_returnflag")]
+
+
+def dict_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-encoding benefit audit (the parquet/ORC encode
+    decision, companion of rle_encodability_audit): per string column,
+    plain bytes = sum of value lengths vs dict bytes = dictionary
+    payload + ceil(n_rows x index_bits / 8), index_bits =
+    ceil(log2(cardinality)) computed INTEGER-ONLY as the bit length of
+    (cardinality - 1) — no float log near a power-of-two boundary.
+    All integers except the final ratio."""
+    out = None
+    for tbl, col in DICT_AUDIT_COLS:
+        df = load(spark, sf_dir, tbl).select(F.col(col).alias("v"))
+        dstats = df.select("v").distinct().agg(
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.sum(F.length("v")).cast("long").alias("dict_payload"),
+        )
+        base = df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.length("v")).cast("long").alias("plain_bytes"),
+        )
+        j = base.crossJoin(F.broadcast(dstats)).withColumn(
+            "index_bits",
+            F.when(F.col("n_distinct") <= 2, F.lit(1))
+            .otherwise(F.length(F.bin(F.col("n_distinct") - 1)))
+            .cast("int"),
+        ).withColumn(
+            "dict_bytes",
+            (
+                F.col("dict_payload")
+                + F.expr(
+                    "(n_rows * index_bits + 7) div 8"
+                ).cast("long")
+            ).cast("long"),
+        )
+        row = j.select(
+            F.lit(tbl).alias("tbl"),
+            F.lit(col).alias("col"),
+            "n_rows",
+            "n_distinct",
+            "plain_bytes",
+            "index_bits",
+            "dict_bytes",
+            F.round(
+                F.col("dict_bytes").cast("double")
+                / F.col("plain_bytes").cast("double"),
+                6,
+            ).alias("compression_ratio"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("tbl", "col")
+
+
+JOIN_SKEW_KEYS = [("events", "user_id"), ("lineitem", "l_partkey"),
+                  ("lineitem", "l_suppkey")]
+
+
+def join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew report — the diagnosis a 100-TB join plan runs
+    before choosing salting / AQE skew-join: per candidate join key,
+    group-size p50/p99 (exact type-7), the hottest key's share of all
+    rows, and the skew factor max/mean. Everything derives from one
+    groupBy per key at key cardinality; all integer inputs, 6dp
+    ratios."""
+    out = None
+    for tbl, key in JOIN_SKEW_KEYS:
+        df = load(spark, sf_dir, tbl).select(F.col(key).alias("k"))
+        g = df.groupBy("k").agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+        row = g.agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum("c").cast("long").alias("n_rows"),
+            F.max("c").cast("long").alias("max_group"),
+            F.expr("percentile(c, 0.5)").alias("p50_group"),
+            F.expr("percentile(c, 0.99)").alias("p99_group"),
+        ).select(
+            F.lit(tbl).alias("tbl"),
+            F.lit(key).alias("key"),
+            "n_keys",
+            "n_rows",
+            "max_group",
+            F.round("p50_group", 6).alias("p50_group"),
+            F.round("p99_group", 6).alias("p99_group"),
+            F.round(
+                F.col("max_group").cast("double")
+                / F.col("n_rows").cast("double"),
+                6,
+            ).alias("max_key_share"),
+            F.round(
+                F.col("max_group").cast("double")
+                / (
+                    F.col("n_rows").cast("double")
+                    / F.col("n_keys").cast("double")
+                ),
+                6,
+            ).alias("skew_factor"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("tbl", "key")
