@@ -919,6 +919,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neyman_allocation_plan": textstats.neyman_allocation_plan,
         "dict_encoding_audit": textstats.dict_encoding_audit,
         "join_skew_report": textstats.join_skew_report,
+        # batch 89: Welford merge, correlated subquery, Hurst exponent
+        "welford_merge_audit": parity.welford_merge_audit,
+        "correlated_subquery_gate": parity.correlated_subquery_gate,
+        "hurst_exponent_daily": parity.hurst_exponent_daily,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})
@@ -2245,4 +2249,15 @@ WHERE len(list_filter(range(1, len(toks)), i ->
     out["neyman_allocation_plan"] = neyman_sql(textstats.NEYMAN_BUDGET)
     out["dict_encoding_audit"] = dict_audit_sql(textstats.DICT_AUDIT_COLS)
     out["join_skew_report"] = join_skew_sql(textstats.JOIN_SKEW_KEYS)
+
+    # batch 89: Welford merge, correlated subquery, Hurst exponent
+    from lucene_mapreduce_spark.operators.oracles import (
+        WELFORD_MERGE_SQL,
+        correlated_subquery_sql,
+        hurst_sql,
+    )
+
+    out["welford_merge_audit"] = WELFORD_MERGE_SQL
+    out["correlated_subquery_gate"] = correlated_subquery_sql(20)
+    out["hurst_exponent_daily"] = hurst_sql(parity.HURST_WINDOWS)
     return out

@@ -13888,3 +13888,153 @@ SELECT '{tbl}' AS tbl, '{key}' AS key,
              / (sum(c)::DOUBLE / count(*)::DOUBLE), 6) AS skew_factor
 FROM (SELECT {key}, count(*)::BIGINT AS c FROM {tbl} GROUP BY 1)""")
     return "\nUNION ALL\n".join(legs) + "\nORDER BY tbl, key"
+
+
+WELFORD_MERGE_SQL = """
+WITH g AS (
+  SELECT source, count(*)::BIGINT AS n,
+         sum(n_chars)::BIGINT AS sx,
+         sum(n_chars * n_chars)::BIGINT AS sxx
+  FROM documents GROUP BY 1
+),
+parts AS (
+  SELECT source, n,
+         sx::DOUBLE / n::DOUBLE AS m,
+         sxx::DOUBLE - n::DOUBLE * (sx::DOUBLE / n::DOUBLE)
+           * (sx::DOUBLE / n::DOUBLE) AS m2
+  FROM g
+),
+packed AS (
+  SELECT list({'m2': m2, 'm': m, 'n': n} ORDER BY source) AS ps
+  FROM parts
+),
+-- DuckDB evaluates struct-pack lambda fields SEQUENTIALLY, mutating the
+-- accumulator as it goes (measured: a field reading a.n after 'n' was
+-- written sees the NEW n). Field order m2 -> m -> n means every field
+-- reads only not-yet-written accumulator slots, matching Spark's
+-- snapshot semantics exactly.
+merged AS (
+  SELECT list_reduce(
+           [{'m2': 0.0::DOUBLE, 'm': 0.0::DOUBLE, 'n': 0::BIGINT}] || ps,
+           (a, p) -> {
+             'm2': a.m2 + p.m2
+                   + (p.m - a.m) * (p.m - a.m)
+                     * a.n::DOUBLE * p.n::DOUBLE / (a.n + p.n)::DOUBLE,
+             'm': (a.n::DOUBLE * a.m + p.n::DOUBLE * p.m)
+                  / (a.n + p.n)::DOUBLE,
+             'n': a.n + p.n
+           }) AS acc
+  FROM packed
+),
+direct AS (
+  SELECT count(*)::BIGINT AS n_d,
+         (sum(n_chars * n_chars)::DOUBLE
+          - count(*)::DOUBLE
+            * (sum(n_chars)::DOUBLE / count(*)::DOUBLE)
+            * (sum(n_chars)::DOUBLE / count(*)::DOUBLE))
+         / (count(*)::DOUBLE - 1.0) AS var_direct
+  FROM documents
+)
+SELECT m.acc.n AS n,
+       round(m.acc.m2 / (m.acc.n::DOUBLE - 1.0), 6) AS var_merged,
+       round(d.var_direct, 6) AS var_direct,
+       round(abs(m.acc.m2 / (m.acc.n::DOUBLE - 1.0) - d.var_direct), 6)
+         AS abs_diff
+FROM merged m, direct d
+"""
+
+
+def correlated_subquery_sql(k: int) -> str:
+    """Correlated-subquery twin: the IDENTICAL correlated scalar
+    subquery text DuckDB decorrelates its own way."""
+    return f"""
+WITH gate_orders_corr AS (
+  SELECT o_custkey, o_orderkey,
+         round(o_totalprice, 2)::DECIMAL(18,2) AS tp
+  FROM orders
+)
+SELECT o_custkey,
+       count(*)::BIGINT AS n_above,
+       round(min(tp)::DOUBLE, 2) AS min_above_price
+FROM gate_orders_corr o
+WHERE tp > (SELECT avg(tp::DOUBLE)
+            FROM gate_orders_corr i
+            WHERE i.o_custkey = o.o_custkey)
+GROUP BY o_custkey
+ORDER BY n_above DESC, o_custkey ASC
+LIMIT {k}
+"""
+
+
+def hurst_sql(windows: tuple) -> str:
+    """Hurst twin: identical block R/S construction per pinned window,
+    12dp-rounded logs, DECIMAL OLS sums."""
+    legs = []
+    for wsize in windows:
+        legs.append(f"""
+SELECT {wsize}::INT AS window_d,
+       count(*)::BIGINT AS n_blocks,
+       round(sum(rs)::DOUBLE / count(*)::DOUBLE, 6) AS mean_rs
+FROM (
+  SELECT round(r / s, 6)::DECIMAL(28,6) AS rs FROM (
+    SELECT b, max(c) - min(c) AS r,
+           sqrt((any_value(bss)::DOUBLE
+                 - {float(wsize)!r}
+                   * (any_value(bs)::DOUBLE / {float(wsize)!r})
+                   * (any_value(bs)::DOUBLE / {float(wsize)!r}))
+                / ({float(wsize)!r} - 1.0)) AS s
+    FROM (
+      SELECT b, bss, bs,
+             sum(d) OVER (PARTITION BY b ORDER BY idx
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS c
+      FROM (
+        SELECT blk.b, blk.idx,
+               blk.y::DOUBLE - sz.bs::DOUBLE / {float(wsize)!r} AS d,
+               sz.bss, sz.bs
+        FROM (SELECT idx // {wsize} AS b, idx, y FROM hist) blk
+        JOIN (
+          SELECT idx // {wsize} AS b, count(*)::BIGINT AS bn,
+                 sum(y)::BIGINT AS bs, sum(y * y)::BIGINT AS bss
+          FROM hist GROUP BY 1 HAVING count(*) = {wsize}
+        ) sz USING (b)
+      )
+    ) GROUP BY b
+  ) WHERE s > 0
+)""")
+    points = "\nUNION ALL\n".join(legs)
+    return f"""
+WITH counts AS (
+  SELECT epoch_us(ts) // 86400000000 AS eday, count(*)::BIGINT AS n
+  FROM events GROUP BY 1
+),
+cal AS (
+  SELECT unnest(range(min(eday), max(eday) + 1)) AS eday FROM counts
+),
+hist AS (
+  SELECT row_number() OVER (ORDER BY cal.eday) - 1 AS idx,
+         coalesce(c.n, 0)::BIGINT AS y
+  FROM cal LEFT JOIN counts c USING (eday)
+),
+pts AS (
+{points}
+),
+logged AS (
+  SELECT window_d, n_blocks, mean_rs,
+         round(ln(window_d::DOUBLE), 12) AS lx,
+         round(ln(mean_rs), 12) AS ly
+  FROM pts
+),
+sums AS (
+  SELECT window_d, n_blocks, mean_rs,
+         count(*) OVER ()::DOUBLE AS k,
+         sum(round(lx, 12)::DECIMAL(38,12)) OVER ()::DOUBLE AS sx,
+         sum(round(ly, 12)::DECIMAL(38,12)) OVER ()::DOUBLE AS sy,
+         sum(round(lx * lx, 12)::DECIMAL(38,12)) OVER ()::DOUBLE AS sxx,
+         sum(round(lx * ly, 12)::DECIMAL(38,12)) OVER ()::DOUBLE AS sxy
+  FROM logged
+)
+SELECT window_d, n_blocks, mean_rs,
+       round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS hurst
+FROM sums ORDER BY window_d
+"""

@@ -5352,3 +5352,283 @@ def slo_burn_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("page"),
     ).orderBy("eh")
+
+
+def welford_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parallel-variance merge audit (Chan/Golub/LeVeque pairwise
+    update — the algebra inside every distributed AVG/STDDEV
+    accumulator): per-source partials (n, mean, M2) derive from exact
+    integer sufficient statistics, merge SEQUENTIALLY in ascending
+    source order (delta = m2-m1; M2 += delta^2 * n1*n2/(n1+n2) — the
+    same fixed IEEE chain in both engines), and the merged variance
+    sits next to the directly-computed global variance. The audit
+    certifies the mergeable-accumulator path agrees with the oracle
+    formula to 6dp — the invariant that makes per-partition partial
+    aggregation safe at any cluster size. Source-count-bounded fold."""
+    docs = load(spark, sf_dir, "documents").select(
+        "source", F.col("n_chars").cast("long").alias("x")
+    )
+    g = (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        )
+        .select(
+            "source",
+            "n",
+            (F.col("sx").cast("double") / F.col("n").cast("double"))
+            .alias("m"),
+            (
+                F.col("sxx").cast("double")
+                - F.col("n").cast("double")
+                * (F.col("sx").cast("double") / F.col("n").cast("double"))
+                * (F.col("sx").cast("double") / F.col("n").cast("double"))
+            ).alias("m2"),
+        )
+    )
+    packed = g.agg(
+        F.sort_array(
+            F.collect_list(F.struct("source", "n", "m", "m2"))
+        ).alias("parts")
+    )
+    merged = packed.select(
+        F.aggregate(
+            F.col("parts"),
+            F.struct(
+                F.lit(0).cast("long").alias("n"),
+                F.lit(0.0).alias("m"),
+                F.lit(0.0).alias("m2"),
+            ),
+            lambda acc, p: F.struct(
+                (acc["n"] + p["n"]).alias("n"),
+                (
+                    (
+                        acc["n"].cast("double") * acc["m"]
+                        + p["n"].cast("double") * p["m"]
+                    )
+                    / (acc["n"] + p["n"]).cast("double")
+                ).alias("m"),
+                (
+                    acc["m2"]
+                    + p["m2"]
+                    + (p["m"] - acc["m"])
+                    * (p["m"] - acc["m"])
+                    * acc["n"].cast("double")
+                    * p["n"].cast("double")
+                    / (acc["n"] + p["n"]).cast("double")
+                ).alias("m2"),
+            ),
+        ).alias("acc")
+    )
+    direct = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_d"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    ).select(
+        "n_d",
+        (
+            (
+                F.col("sxx").cast("double")
+                - F.col("n_d").cast("double")
+                * (F.col("sx").cast("double") / F.col("n_d").cast("double"))
+                * (F.col("sx").cast("double") / F.col("n_d").cast("double"))
+            )
+            / (F.col("n_d").cast("double") - F.lit(1.0))
+        ).alias("var_direct"),
+    )
+    return merged.crossJoin(F.broadcast(direct)).select(
+        F.col("acc.n").alias("n"),
+        F.round(
+            F.col("acc.m2") / (F.col("acc.n").cast("double") - F.lit(1.0)),
+            6,
+        ).alias("var_merged"),
+        F.round("var_direct", 6).alias("var_direct"),
+        F.round(
+            F.abs(
+                F.col("acc.m2")
+                / (F.col("acc.n").cast("double") - F.lit(1.0))
+                - F.col("var_direct")
+            ),
+            6,
+        ).alias("abs_diff"),
+    )
+
+
+def correlated_subquery_gate(
+    spark: SparkSession, sf_dir: str, k: int = 20
+) -> DataFrame:
+    """Correlated-subquery surface gate: orders priced strictly above
+    their OWN customer's average order price, counted per customer —
+    expressed as an actual correlated scalar subquery through
+    spark.sql so Catalyst's decorrelation (rewrite to aggregate+join)
+    is what executes, not a hand-decorrelated plan. Top-k customers by
+    above-average count (count desc, custkey asc). DuckDB runs the
+    identical correlated SQL. Exact 2dp comparisons."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.col("o_totalprice"), 2)
+        .cast("decimal(18,2)")
+        .alias("tp"),
+    )
+    orders.createOrReplaceTempView("gate_orders_corr")
+    out = spark.sql(
+        f"""
+SELECT o_custkey,
+       count(*) AS n_above,
+       round(cast(min(tp) AS double), 2) AS min_above_price
+FROM gate_orders_corr o
+WHERE tp > (SELECT avg(cast(tp AS double))
+            FROM gate_orders_corr i
+            WHERE i.o_custkey = o.o_custkey)
+GROUP BY o_custkey
+ORDER BY n_above DESC, o_custkey ASC
+LIMIT {k}
+"""
+    )
+    return out.select(
+        "o_custkey",
+        F.col("n_above").cast("long").alias("n_above"),
+        "min_above_price",
+    )
+
+
+HURST_WINDOWS = (7, 14, 28)
+
+
+def hurst_exponent_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent by rescaled-range analysis over the gap-filled
+    daily event counts: for each pinned window size the non-overlapping
+    blocks yield R/S = (range of cumulative mean-deviations) / sample
+    std; H is the OLS slope of ln(mean R/S) against ln(window). Block
+    statistics derive from exact integer frame sums; cumulative
+    deviations are fixed-order prefix sums inside each block (day-order
+    windows); ln over identical operands. Output one row per window
+    plus the fitted H on each (constant across rows — the
+    ols_token_chars_fit convention for publishing a scalar fit beside
+    its points)."""
+    ev = load(spark, sf_dir, "events").select(
+        F.expr(
+            "unix_micros(cast(ts as timestamp)) div 86400000000"
+        ).alias("eday")
+    )
+    counts = ev.groupBy("eday").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    cal = counts.agg(
+        F.min("eday").alias("lo"), F.max("eday").alias("hi")
+    ).select(F.explode(F.expr("sequence(lo, hi)")).alias("eday"))
+    hist = (
+        cal.join(counts, "eday", "left")
+        .select(
+            "eday", F.coalesce("n", F.lit(0)).cast("long").alias("y")
+        )
+        .withColumn(
+            "idx",
+            F.row_number().over(Window.orderBy("eday")) - 1,
+        )
+    )
+    per_w = None
+    for wsize in HURST_WINDOWS:
+        blk = hist.select(
+            (F.col("idx") / F.lit(wsize)).cast("long").alias("b"),
+            F.col("idx"),
+            "y",
+        )
+        sizes = blk.groupBy("b").agg(
+            F.count(F.lit(1)).alias("bn"),
+            F.sum("y").cast("long").alias("bs"),
+            F.sum(F.col("y") * F.col("y")).cast("long").alias("bss"),
+        ).filter(F.col("bn") == wsize)
+        dev = blk.join(sizes, "b").select(
+            "b",
+            "idx",
+            (
+                F.col("y").cast("double")
+                - F.col("bs").cast("double") / F.lit(float(wsize))
+            ).alias("d"),
+            "bss",
+            "bs",
+        )
+        wcum = (
+            Window.partitionBy("b")
+            .orderBy("idx")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum = dev.select(
+            "b", "bss", "bs", F.sum("d").over(wcum).alias("c")
+        )
+        rs = (
+            cum.groupBy("b", "bss", "bs")
+            .agg(
+                (F.max("c") - F.min("c")).alias("r")
+            )
+            .select(
+                "b",
+                "r",
+                F.sqrt(
+                    (
+                        F.col("bss").cast("double")
+                        - F.lit(float(wsize))
+                        * (F.col("bs").cast("double") / F.lit(float(wsize)))
+                        * (F.col("bs").cast("double") / F.lit(float(wsize)))
+                    )
+                    / F.lit(float(wsize) - 1.0)
+                ).alias("s"),
+            )
+            .filter(F.col("s") > 0)
+            .select(
+                F.round(F.col("r") / F.col("s"), 6)
+                .cast("decimal(28,6)")
+                .alias("rs")
+            )
+        )
+        row = rs.agg(
+            F.count(F.lit(1)).cast("long").alias("n_blocks"),
+            F.round(
+                F.sum("rs").cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("mean_rs"),
+        ).select(
+            F.lit(wsize).cast("int").alias("window_d"),
+            "n_blocks",
+            "mean_rs",
+            # logs of identical rounded operands; 12dp re-entry so the
+            # 3-row OLS sums are order-free DECIMALs (entropy-sum rule)
+            F.round(F.log(F.lit(float(wsize))), 12).alias("lx"),
+            F.round(F.log("mean_rs"), 12).alias("ly"),
+        )
+        per_w = row if per_w is None else per_w.unionByName(row)
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+
+    def dsum(col):
+        return (
+            F.sum(F.round(col, 12).cast("decimal(38,12)"))
+            .over(w_all)
+            .cast("double")
+        )
+
+    fit = per_w.select(
+        "window_d",
+        "n_blocks",
+        "mean_rs",
+        F.count(F.lit(1)).over(w_all).cast("double").alias("k"),
+        dsum(F.col("lx")).alias("sx"),
+        dsum(F.col("ly")).alias("sy"),
+        dsum(F.col("lx") * F.col("lx")).alias("sxx"),
+        dsum(F.col("lx") * F.col("ly")).alias("sxy"),
+    )
+    h = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return fit.select(
+        "window_d",
+        "n_blocks",
+        "mean_rs",
+        F.round(h, 6).alias("hurst"),
+    ).orderBy("window_d")
