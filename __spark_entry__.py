@@ -923,6 +923,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "welford_merge_audit": parity.welford_merge_audit,
         "correlated_subquery_gate": parity.correlated_subquery_gate,
         "hurst_exponent_daily": parity.hurst_exponent_daily,
+        # batch 90: tuning advisor, revenue waterfall, Markov absorption
+        "spark_tuning_advisor": relational.spark_tuning_advisor,
+        "revenue_waterfall": relational.revenue_waterfall,
+        "markov_absorption_3step": parity.markov_absorption_3step,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})
@@ -2260,4 +2264,23 @@ WHERE len(list_filter(range(1, len(toks)), i ->
     out["welford_merge_audit"] = WELFORD_MERGE_SQL
     out["correlated_subquery_gate"] = correlated_subquery_sql(20)
     out["hurst_exponent_daily"] = hurst_sql(parity.HURST_WINDOWS)
+
+    # batch 90: tuning advisor, revenue waterfall, Markov absorption
+    from lucene_mapreduce_spark.operators.oracles import (
+        REVENUE_WATERFALL_SQL,
+        markov_absorption_sql,
+        tuning_advisor_sql,
+    )
+
+    out["spark_tuning_advisor"] = tuning_advisor_sql(
+        relational.ADVISOR_TABLES,
+        relational.ADVISOR_BROADCAST_BYTES,
+        relational.ADVISOR_PARTITION_BYTES,
+        relational.ADVISOR_SLOTS,
+        relational.ADVISOR_SCHEMAS,
+    )
+    out["revenue_waterfall"] = REVENUE_WATERFALL_SQL
+    out["markov_absorption_3step"] = markov_absorption_sql(
+        parity.MARKOV_TARGET
+    )
     return out

@@ -14038,3 +14038,125 @@ SELECT window_d, n_blocks, mean_rs,
        round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS hurst
 FROM sums ORDER BY window_d
 """
+
+
+def tuning_advisor_sql(
+    tables: list[str],
+    bcast: int,
+    pbytes: int,
+    slots: int,
+    schemas: dict,
+) -> str:
+    """Tuning-advisor twin: identical typed-width byte model; `schemas`
+    maps table -> list of (col, kind) with kind in
+    {'string','floatarr','fixed'}."""
+    legs = []
+    for tbl in tables:
+        width = " + ".join(
+            (
+                f"coalesce(length({c})::BIGINT, 0)"
+                if k == "string"
+                else (
+                    f"coalesce(len({c})::BIGINT, 0) * 4"
+                    if k == "floatarr"
+                    else "8::BIGINT"
+                )
+            )
+            for c, k in schemas[tbl]
+        )
+        legs.append(f"""
+SELECT '{tbl}' AS tbl, n_rows, est_bytes,
+       (CASE WHEN est_bytes <= {bcast} THEN 1 ELSE 0 END)::INT
+         AS broadcastable,
+       greatest(1, (est_bytes + {pbytes - 1}) // {pbytes})::BIGINT
+         AS scan_partitions,
+       ((greatest(1, (est_bytes + {pbytes - 1}) // {pbytes})
+         + {slots - 1}) // {slots})::BIGINT AS task_waves
+FROM (
+  SELECT count(*)::BIGINT AS n_rows,
+         sum({width})::BIGINT AS est_bytes
+  FROM {tbl}
+)""")
+    return "\nUNION ALL\n".join(legs) + "\nORDER BY tbl"
+
+
+REVENUE_WATERFALL_SQL = """
+WITH agg AS (
+  SELECT
+    sum(round(l_extendedprice, 4)::DECIMAL(38,4)) AS gross,
+    sum(round(l_extendedprice * l_discount, 4)::DECIMAL(38,4))
+      AS discount,
+    sum(round(l_extendedprice * (1.0 - l_discount), 4)::DECIMAL(38,4))
+      AS net,
+    sum(round(l_extendedprice * (1.0 - l_discount) * l_tax, 4)
+        ::DECIMAL(38,4)) AS tax,
+    sum(round(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax), 4)
+        ::DECIMAL(38,4)) AS charge
+  FROM lineitem
+)
+SELECT * FROM (
+  SELECT '1_gross' AS component, round(gross::DOUBLE, 2) AS amount
+  FROM agg
+  UNION ALL SELECT '2_discount', round(discount::DOUBLE, 2) FROM agg
+  UNION ALL SELECT '3_net', round(net::DOUBLE, 2) FROM agg
+  UNION ALL SELECT '4_tax', round(tax::DOUBLE, 2) FROM agg
+  UNION ALL SELECT '5_charge', round(charge::DOUBLE, 2) FROM agg
+) ORDER BY component
+"""
+
+
+def markov_absorption_sql(target: str) -> str:
+    """Markov-absorption twin: identical transition matrix and three
+    unrolled DECIMAL-reentry iterations."""
+    t = target.replace("'", "''")
+    return f"""
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events
+),
+tr AS (
+  SELECT s, t, count(*)::BIGINT AS c FROM (
+    SELECT event_type AS s,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY us, event_id) AS t
+    FROM ev
+  ) WHERE t IS NOT NULL GROUP BY 1, 2
+),
+totals AS (SELECT s, sum(c)::BIGINT AS n FROM tr GROUP BY 1),
+tmat AS (
+  SELECT tr.s, tr.t, tr.c::DOUBLE / totals.n::DOUBLE AS p
+  FROM tr JOIN totals USING (s)
+),
+states AS (SELECT s FROM totals),
+p1 AS (
+  SELECT st.s, coalesce(m.p, 0.0::DOUBLE) AS pk
+  FROM states st LEFT JOIN (
+    SELECT s, p FROM tmat WHERE t = '{t}'
+  ) m USING (s)
+),
+r2 AS (
+  SELECT m.s, sum(round(m.p * p1.pk, 12)::DECIMAL(38,12))::DOUBLE
+           AS reach
+  FROM tmat m JOIN p1 ON p1.s = m.t
+  WHERE m.t <> '{t}' GROUP BY 1
+),
+p2 AS (
+  SELECT p1.s, p1.pk + coalesce(r2.reach, 0.0::DOUBLE) AS pk
+  FROM p1 LEFT JOIN r2 USING (s)
+),
+r3 AS (
+  SELECT m.s, sum(round(m.p * p2.pk, 12)::DECIMAL(38,12))::DOUBLE
+           AS reach
+  FROM tmat m JOIN p2 ON p2.s = m.t
+  WHERE m.t <> '{t}' GROUP BY 1
+),
+p3 AS (
+  SELECT p1.s, p1.pk + coalesce(r3.reach, 0.0::DOUBLE) AS pk
+  FROM p1 LEFT JOIN r3 USING (s)
+)
+SELECT p1.s AS start_state,
+       round(p1.pk, 6) AS p_1step,
+       round(p2.pk, 6) AS p_2step,
+       round(p3.pk, 6) AS p_3step
+FROM p1 JOIN p2 ON p2.s = p1.s JOIN p3 ON p3.s = p1.s
+ORDER BY start_state
+"""

@@ -5632,3 +5632,98 @@ def hurst_exponent_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_rs",
         F.round(h, 6).alias("hurst"),
     ).orderBy("window_d")
+
+
+MARKOV_TARGET = "purchase"
+
+
+def markov_absorption_3step(
+    spark: SparkSession, sf_dir: str, target: str = MARKOV_TARGET
+) -> DataFrame:
+    """Bounded absorbing-Markov conversion probability: from each start
+    state (event type), the probability of REACHING `target` within
+    1/2/3 transitions of the empirical per-user transition chain
+    (event_transition_matrix's counts normalized per source state;
+    target absorbs). The recursion p_k(s) = T[s,target] +
+    sum_{s' != target} T[s,s'] * p_{k-1}(s') unrolls three times —
+    PageRank's bounded-iteration discipline — with every product
+    12dp-rounded into DECIMAL sums so each iteration's vector is
+    order-free exact. State-space-sized frames after one corpus
+    groupBy."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    trans = (
+        ev.select(
+            F.col("event_type").alias("s"),
+            F.lead("event_type").over(w).alias("t"),
+        )
+        .filter(F.col("t").isNotNull())
+        .groupBy("s", "t")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    totals = trans.groupBy("s").agg(F.sum("c").cast("long").alias("n"))
+    tmat = trans.join(totals, "s").select(
+        "s",
+        "t",
+        (F.col("c").cast("double") / F.col("n").cast("double")).alias(
+            "p"
+        ),
+    )
+    # p1(s) = T[s, target]
+    pk = tmat.filter(F.col("t") == target).select(
+        "s", F.col("p").alias("pk")
+    )
+    states = totals.select("s")
+    results = [
+        states.join(pk, "s", "left").select(
+            "s", F.coalesce("pk", F.lit(0.0)).alias("p1")
+        )
+    ]
+    cur = results[0].withColumnRenamed("p1", "pk")
+    for step in (2, 3):
+        nxt = (
+            tmat.filter(F.col("t") != target)
+            .join(
+                cur.select(F.col("s").alias("t"), F.col("pk").alias("pp")),
+                "t",
+            )
+            .select(
+                "s",
+                F.round(F.col("p") * F.col("pp"), 12)
+                .cast("decimal(38,12)")
+                .alias("term"),
+            )
+            .groupBy("s")
+            .agg(F.sum("term").cast("double").alias("reach"))
+        )
+        base = results[0].select(
+            "s", F.col("p1").alias("direct")
+        )
+        cur = (
+            states.join(base, "s", "left")
+            .join(nxt, "s", "left")
+            .select(
+                "s",
+                (
+                    F.coalesce("direct", F.lit(0.0))
+                    + F.coalesce("reach", F.lit(0.0))
+                ).alias("pk"),
+            )
+        )
+        results.append(
+            cur.select("s", F.col("pk").alias(f"p{step}"))
+        )
+    out = results[0]
+    for r in results[1:]:
+        out = out.join(r, "s")
+    return out.select(
+        F.col("s").alias("start_state"),
+        F.round("p1", 6).alias("p_1step"),
+        F.round("p2", 6).alias("p_2step"),
+        F.round("p3", 6).alias("p_3step"),
+    ).orderBy("start_state")

@@ -2209,3 +2209,175 @@ def bloom_file_skipping_audit(
         )
     )
     return out.orderBy("probe_key")
+
+
+# --- batch 90: tuning advisor + revenue waterfall ----------------------------
+ADVISOR_BROADCAST_BYTES = 10 * 1024 * 1024  # spark's default 10MB threshold
+ADVISOR_PARTITION_BYTES = 128 * 1024 * 1024  # maxPartitionBytes default
+ADVISOR_SLOTS = 32
+ADVISOR_TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents",
+]
+
+
+def spark_tuning_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/partition tuning advisor — the pre-flight a 100-TB plan
+    review runs: per table an uncompressed-bytes estimate from typed
+    column widths (8B per numeric/timestamp, length() per string,
+    4B+4B per float-array element header-free approximation), the
+    broadcast-vs-shuffle verdict against Spark's 10MB default, the
+    scan partition count at 128MB maxPartitionBytes, and the task
+    waves that partition count costs on ADVISOR_SLOTS slots. Estimates
+    are EXACT integer sums (never sampled), so the advice is
+    reproducible; the real cluster multiplies by its measured
+    compression ratio — the advisor publishes the invariant part."""
+    out = None
+    for tbl in ADVISOR_TABLES:
+        df = load(spark, sf_dir, tbl)
+        width = None
+        for f_ in df.schema.fields:
+            t = f_.dataType.simpleString()
+            if t == "string":
+                w = F.coalesce(
+                    F.length(F.col(f_.name)).cast("long"), F.lit(0)
+                )
+            elif t.startswith("array<float"):
+                w = (
+                    F.coalesce(
+                        F.size(F.col(f_.name)).cast("long"), F.lit(0)
+                    )
+                    * 4
+                )
+            else:
+                w = F.lit(8).cast("long")
+            width = w if width is None else width + w
+        row = df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(width).cast("long").alias("est_bytes"),
+        ).select(
+            F.lit(tbl).alias("tbl"),
+            "n_rows",
+            "est_bytes",
+            (F.col("est_bytes") <= F.lit(ADVISOR_BROADCAST_BYTES))
+            .cast("int")
+            .alias("broadcastable"),
+            F.greatest(
+                F.lit(1),
+                F.expr(
+                    f"(est_bytes + {ADVISOR_PARTITION_BYTES - 1})"
+                    f" div {ADVISOR_PARTITION_BYTES}"
+                ),
+            )
+            .cast("long")
+            .alias("scan_partitions"),
+        ).select(
+            "tbl",
+            "n_rows",
+            "est_bytes",
+            "broadcastable",
+            "scan_partitions",
+            F.expr(
+                f"(scan_partitions + {ADVISOR_SLOTS - 1})"
+                f" div {ADVISOR_SLOTS}"
+            )
+            .cast("long")
+            .alias("task_waves"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("tbl")
+
+
+def revenue_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue decomposition waterfall (TPC-H Q1's money columns as a
+    report): gross extendedprice, discount given, net after discount,
+    tax collected on net, and the final charge — each an exact
+    DECIMAL sum of 4dp-rounded per-row amounts (the relational
+    determinism rule), published as (component, amount) rows in
+    waterfall order. One scan, one aggregate."""
+    li = load(spark, sf_dir, "lineitem")
+
+    def dsum(expr):
+        return F.sum(F.round(expr, 4).cast("decimal(38,4)"))
+
+    agg = li.agg(
+        dsum(F.col("l_extendedprice")).alias("gross"),
+        dsum(F.col("l_extendedprice") * F.col("l_discount")).alias(
+            "discount"
+        ),
+        dsum(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        ).alias("net"),
+        dsum(
+            F.col("l_extendedprice")
+            * (F.lit(1.0) - F.col("l_discount"))
+            * F.col("l_tax")
+        ).alias("tax"),
+        dsum(
+            F.col("l_extendedprice")
+            * (F.lit(1.0) - F.col("l_discount"))
+            * (F.lit(1.0) + F.col("l_tax"))
+        ).alias("charge"),
+    )
+    rows = []
+    for i, name in enumerate(
+        ["1_gross", "2_discount", "3_net", "4_tax", "5_charge"]
+    ):
+        col = name.split("_", 1)[1]
+        rows.append(
+            agg.select(
+                F.lit(name).alias("component"),
+                F.round(F.col(col).cast("double"), 2).alias("amount"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("component")
+
+
+# Pinned (column, kind) schemas feeding the advisor's DuckDB twin — must
+# mirror the datagen parquet schema (kind: string | floatarr | fixed).
+ADVISOR_SCHEMAS = {
+    "region": [("r_regionkey", "fixed"), ("r_name", "string")],
+    "nation": [
+        ("n_nationkey", "fixed"), ("n_name", "string"),
+        ("n_regionkey", "fixed"),
+    ],
+    "customer": [
+        ("c_custkey", "fixed"), ("c_name", "string"),
+        ("c_nationkey", "fixed"), ("c_acctbal", "fixed"),
+        ("c_mktsegment", "string"),
+    ],
+    "supplier": [
+        ("s_suppkey", "fixed"), ("s_name", "string"),
+        ("s_nationkey", "fixed"), ("s_acctbal", "fixed"),
+    ],
+    "part": [
+        ("p_partkey", "fixed"), ("p_name", "string"),
+        ("p_brand", "string"), ("p_type", "string"),
+        ("p_size", "fixed"), ("p_retailprice", "fixed"),
+    ],
+    "orders": [
+        ("o_orderkey", "fixed"), ("o_custkey", "fixed"),
+        ("o_orderstatus", "string"), ("o_totalprice", "fixed"),
+        ("o_orderdate", "fixed"), ("o_orderpriority", "string"),
+    ],
+    "lineitem": [
+        ("l_orderkey", "fixed"), ("l_partkey", "fixed"),
+        ("l_suppkey", "fixed"), ("l_linenumber", "fixed"),
+        ("l_quantity", "fixed"), ("l_extendedprice", "fixed"),
+        ("l_discount", "fixed"), ("l_tax", "fixed"),
+        ("l_returnflag", "string"), ("l_linestatus", "string"),
+        ("l_shipdate", "fixed"),
+    ],
+    "events": [
+        ("event_id", "fixed"), ("ts", "fixed"), ("user_id", "fixed"),
+        ("event_type", "string"), ("value", "fixed"),
+        ("props", "string"),
+    ],
+    "documents": [
+        ("doc_id", "fixed"), ("text", "string"), ("lang", "string"),
+        ("source", "string"), ("n_chars", "fixed"),
+    ],
+}
