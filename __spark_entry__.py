@@ -927,6 +927,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spark_tuning_advisor": relational.spark_tuning_advisor,
         "revenue_waterfall": relational.revenue_waterfall,
         "markov_absorption_3step": parity.markov_absorption_3step,
+        # batch 91: packing attention waste, pass@k, hapax
+        "packing_attention_waste": textstats.packing_attention_waste,
+        "pass_at_k_estimate": textstats.pass_at_k_estimate,
+        "hapax_report": textstats.hapax_report,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})
@@ -2283,4 +2287,17 @@ WHERE len(list_filter(range(1, len(toks)), i ->
     out["markov_absorption_3step"] = markov_absorption_sql(
         parity.MARKOV_TARGET
     )
+
+    # batch 91: packing attention waste, pass@k, hapax
+    from lucene_mapreduce_spark.operators.oracles import (
+        HAPAX_SQL,
+        packing_waste_sql,
+        pass_at_k_sql,
+    )
+
+    out["packing_attention_waste"] = packing_waste_sql(
+        textstats.PACKING_BUDGET
+    )
+    out["pass_at_k_estimate"] = pass_at_k_sql(textstats.PASS_AT_K)
+    out["hapax_report"] = HAPAX_SQL
     return out

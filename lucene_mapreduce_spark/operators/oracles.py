@@ -14160,3 +14160,98 @@ SELECT p1.s AS start_state,
 FROM p1 JOIN p2 ON p2.s = p1.s JOIN p3 ON p3.s = p1.s
 ORDER BY start_state
 """
+
+
+def packing_waste_sql(budget: int) -> str:
+    """Attention-waste twin: identical placement, bin-overlap segments,
+    12dp DECIMAL cross-fraction means."""
+    return f"""
+WITH base AS (
+  SELECT source, doc_id, len({TOKS})::BIGINT AS dl FROM documents
+),
+placed AS (
+  SELECT source, dl,
+         (sum(dl) OVER (PARTITION BY source ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW)
+          - dl)::BIGINT AS off
+  FROM base WHERE dl > 0
+),
+segs AS (
+  SELECT source, b,
+         least(off + dl, (b + 1) * {budget})
+           - greatest(off, b * {budget}) AS seg
+  FROM (
+    SELECT source, off, dl,
+           unnest(range(off // {budget}, (off + dl - 1) // {budget} + 1))
+             AS b
+    FROM placed
+  )
+),
+bins AS (
+  SELECT source, b, sum(seg)::BIGINT AS binlen,
+         sum(seg * seg)::BIGINT AS sumsq,
+         count(*)::BIGINT AS n_segs
+  FROM segs GROUP BY 1, 2
+),
+res AS (
+  SELECT source, n_segs,
+         round(1.0::DOUBLE - sumsq::DOUBLE
+               / ({float(budget) * float(budget)!r}::DOUBLE), 12)
+           ::DECIMAL(28,12) AS xfrac
+  FROM bins WHERE binlen = {budget}
+)
+SELECT source, count(*)::BIGINT AS n_full_bins,
+       round(sum(xfrac)::DOUBLE / count(*)::DOUBLE, 6)
+         AS mean_cross_frac,
+       round(sum(n_segs)::DOUBLE / count(*)::DOUBLE, 6)
+         AS mean_docs_per_bin
+FROM res GROUP BY 1 ORDER BY 1
+"""
+
+
+def pass_at_k_sql(k: int) -> str:
+    """pass@k twin: identical bounded product and 12dp DECIMAL mean."""
+    prod = " * ".join(
+        f"((n - c - {i})::DOUBLE / (n - {i})::DOUBLE)" for i in range(k)
+    )
+    return f"""
+WITH per AS (
+  SELECT user_id, count(*)::BIGINT AS n,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+           AS c
+  FROM events GROUP BY 1
+),
+scored AS (
+  SELECT round(CASE WHEN n - c < {k} THEN 1.0::DOUBLE
+               ELSE 1.0::DOUBLE - ({prod}) END, 12)::DECIMAL(28,12) AS p
+  FROM per WHERE n >= {k}
+)
+SELECT count(*)::BIGINT AS n_tasks, {k}::INT AS k,
+       round(sum(p)::DOUBLE / count(*)::DOUBLE, 6) AS mean_pass_at_k
+FROM scored
+"""
+
+
+HAPAX_SQL = f"""
+WITH toks AS (
+  SELECT source, unnest({TOKS}) AS term FROM documents
+),
+per_src AS (
+  SELECT source, term, count(*)::BIGINT AS cf FROM toks GROUP BY 1, 2
+),
+src_rows AS (
+  SELECT source, count(*)::BIGINT AS vocab,
+         sum(CASE WHEN cf = 1 THEN 1 ELSE 0 END)::BIGINT AS hapax
+  FROM per_src GROUP BY 1
+),
+corpus AS (
+  SELECT '(corpus)' AS source, count(*)::BIGINT AS vocab,
+         sum(CASE WHEN cf = 1 THEN 1 ELSE 0 END)::BIGINT AS hapax
+  FROM (SELECT term, count(*)::BIGINT AS cf FROM toks GROUP BY 1)
+)
+SELECT source, vocab, hapax,
+       round(hapax::DOUBLE / vocab::DOUBLE, 6) AS hapax_frac
+FROM (SELECT * FROM src_rows UNION ALL SELECT * FROM corpus)
+ORDER BY source
+"""

@@ -5277,3 +5277,177 @@ def join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("tbl", "key")
+
+
+def packing_attention_waste(
+    spark: SparkSession, sf_dir: str, budget: int = PACKING_BUDGET
+) -> DataFrame:
+    """The cost side of packing_stats' layout: for each FULL packed
+    context, the fraction of attention pairs that cross a document
+    boundary — 1 - sum(seg_len^2)/budget^2 over the document segments
+    the context holds (the quantity document-masking / best-fit
+    packing papers optimize). Same pinned placement as packing_stats
+    (per-source concat in doc_id order); each doc explodes to the
+    bins it overlaps (bounded by dl/budget + 1), segment lengths are
+    exact integer interval intersections, and the per-source mean
+    cross-fraction re-enters DECIMAL at 12dp. Partial tail bins are
+    excluded — their pair budget differs."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(
+        "source",
+        "doc_id",
+        F.size(tokenize_col("text")).cast("long").alias("dl"),
+    ).filter(F.col("dl") > 0)
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    placed = base.select(
+        "source",
+        "dl",
+        (F.sum("dl").over(w) - F.col("dl")).alias("off"),
+    )
+    segs = placed.select(
+        "source",
+        "off",
+        "dl",
+        F.explode(
+            F.sequence(
+                F.expr(f"off div {budget}"),
+                F.expr(f"(off + dl - 1) div {budget}"),
+            )
+        ).alias("b"),
+    ).select(
+        "source",
+        "b",
+        (
+            F.least(
+                F.col("off") + F.col("dl"),
+                (F.col("b") + 1) * F.lit(budget),
+            )
+            - F.greatest(F.col("off"), F.col("b") * F.lit(budget))
+        ).alias("seg"),
+    )
+    bins = segs.groupBy("source", "b").agg(
+        F.sum("seg").cast("long").alias("binlen"),
+        F.sum(F.col("seg") * F.col("seg")).cast("long").alias("sumsq"),
+        F.count(F.lit(1)).cast("long").alias("n_segs"),
+    )
+    full = bins.filter(F.col("binlen") == budget).select(
+        "source",
+        "n_segs",
+        F.round(
+            F.lit(1.0)
+            - F.col("sumsq").cast("double")
+            / F.lit(float(budget) * float(budget)),
+            12,
+        )
+        .cast("decimal(28,12)")
+        .alias("cross"),
+    )
+    return (
+        full.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_full_bins"),
+            F.round(
+                F.sum("cross").cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("mean_cross_frac"),
+            F.round(
+                F.sum("n_segs").cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("mean_docs_per_bin"),
+        )
+        .orderBy("source")
+    )
+
+
+PASS_AT_K = 3
+
+
+def pass_at_k_estimate(
+    spark: SparkSession, sf_dir: str, k: int = PASS_AT_K
+) -> DataFrame:
+    """The unbiased pass@k estimator (Chen et al. 2021, public):
+    1 - C(n-c, k)/C(n, k) computed as the bounded product
+    prod_{i<k} (n-c-i)/(n-i) — exact per task because k is pinned
+    small. Tasks here are users, trials their events, successes their
+    purchases (the estimator's arithmetic is the gate; the mapping is
+    the corpus stand-in). Per-task estimates re-enter DECIMAL at 12dp
+    for the order-free mean. Tasks with n < k are excluded per the
+    paper's protocol."""
+    ev = load(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("event_type") == "purchase").cast("int"))
+        .cast("long")
+        .alias("c"),
+    ).filter(F.col("n") >= k)
+    prod = F.lit(1.0)
+    for i in range(k):
+        prod = prod * (
+            (F.col("n") - F.col("c") - F.lit(i)).cast("double")
+            / (F.col("n") - F.lit(i)).cast("double")
+        )
+    est = F.when(F.col("n") - F.col("c") < k, F.lit(1.0)).otherwise(
+        F.lit(1.0) - prod
+    )
+    scored = per.select(
+        F.round(est, 12).cast("decimal(28,12)").alias("p")
+    )
+    return scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_tasks"),
+        F.lit(k).cast("int").alias("k"),
+        F.round(
+            F.sum("p").cast("double") / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("mean_pass_at_k"),
+    )
+
+
+def hapax_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax legomena report: per source (plus the corpus row) the
+    vocabulary size, the count of terms occurring exactly once, and
+    the hapax fraction — the long-tail health metric beside
+    lexical_diversity's TTR and zipf_fit's slope. Vocabulary-sized
+    groupBys only."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(tokenize_col("text")).alias("term")
+    )
+    per_src = toks.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("cf")
+    )
+    src_rows = per_src.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum((F.col("cf") == 1).cast("int")).cast("long").alias("hapax"),
+    )
+    corpus = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cf"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("vocab"),
+            F.sum((F.col("cf") == 1).cast("int"))
+            .cast("long")
+            .alias("hapax"),
+        )
+        .select(F.lit("(corpus)").alias("source"), "vocab", "hapax")
+    )
+    return (
+        src_rows.unionByName(corpus)
+        .select(
+            "source",
+            "vocab",
+            "hapax",
+            F.round(
+                F.col("hapax").cast("double") / F.col("vocab").cast("double"),
+                6,
+            ).alias("hapax_frac"),
+        )
+        .orderBy("source")
+    )
