@@ -931,6 +931,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packing_attention_waste": textstats.packing_attention_waste,
         "pass_at_k_estimate": textstats.pass_at_k_estimate,
         "hapax_report": textstats.hapax_report,
+        # batch 92: CDC chunking, recsys coverage/novelty, l-diversity
+        "cdc_chunk_histogram": textstats.cdc_chunk_histogram,
+        "recsys_coverage_novelty": textstats.recsys_coverage_novelty,
+        "l_diversity_audit": textstats.l_diversity_audit,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})
@@ -2300,4 +2304,17 @@ WHERE len(list_filter(range(1, len(toks)), i ->
     )
     out["pass_at_k_estimate"] = pass_at_k_sql(textstats.PASS_AT_K)
     out["hapax_report"] = HAPAX_SQL
+
+    # batch 92: CDC chunking, recsys coverage/novelty, l-diversity
+    from lucene_mapreduce_spark.operators.oracles import (
+        L_DIVERSITY_SQL,
+        cdc_sql,
+        recsys_sql,
+    )
+
+    out["cdc_chunk_histogram"] = cdc_sql(
+        textstats.CDC_WGRAM, textstats.CDC_DIVISOR
+    )
+    out["recsys_coverage_novelty"] = recsys_sql(textstats.RECSYS_TOPK)
+    out["l_diversity_audit"] = L_DIVERSITY_SQL
     return out

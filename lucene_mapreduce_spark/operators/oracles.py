@@ -14255,3 +14255,91 @@ SELECT source, vocab, hapax,
 FROM (SELECT * FROM src_rows UNION ALL SELECT * FROM corpus)
 ORDER BY source
 """
+
+
+def cdc_sql(wgram: int, divisor: int) -> str:
+    """CDC twin: identical trailing-window md5 boundary test and
+    bucketed chunk-length histogram."""
+    h = _MD5_52.format(e=f"substr(text, i - {wgram - 1}, {wgram})")
+    return f"""
+WITH bounds AS (
+  SELECT doc_id, length(text)::BIGINT AS len,
+         list_filter(
+           list_transform(range({wgram}, length(text) + 1),
+             i -> CASE WHEN ({h}) % {divisor} = 0
+                  THEN i::BIGINT END),
+           x -> x IS NOT NULL) AS cuts
+  FROM documents WHERE length(text) >= {wgram}
+),
+chunks AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(cuts) + 2),
+           j -> (CASE WHEN j = len(cuts) + 1 THEN len
+                 ELSE cuts[j] END)
+                - (CASE WHEN j = 1 THEN 0 ELSE cuts[j - 1] END)))
+           AS clen
+  FROM bounds
+)
+SELECT (clen // {divisor})::BIGINT AS bucket,
+       count(*)::BIGINT AS n_chunks,
+       sum(clen)::BIGINT AS total_chars
+FROM chunks WHERE clen > 0
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def recsys_sql(k: int) -> str:
+    """Coverage/novelty twin: identical top-k neighbor lists and
+    12dp DECIMAL novelty mean."""
+    return f"""
+WITH li AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+),
+co AS (
+  SELECT a.pk AS pa, b.pk AS pb, count(*)::BIGINT AS c
+  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk
+  GROUP BY 1, 2
+),
+recs AS (
+  SELECT pa, pb FROM (
+    SELECT pa, pb,
+           row_number() OVER (PARTITION BY pa
+                              ORDER BY c DESC, pb ASC) AS r
+    FROM co
+  ) WHERE r <= {k}
+),
+catalog AS (SELECT count(*)::BIGINT AS n_catalog FROM part),
+pop AS (SELECT pk, count(*)::BIGINT AS n_orders FROM li GROUP BY 1),
+tot AS (SELECT count(*)::BIGINT AS n_total FROM li),
+nov AS (
+  SELECT round(-log2(pop.n_orders::DOUBLE / tot.n_total::DOUBLE), 12)
+           ::DECIMAL(28,12) AS nv
+  FROM recs JOIN pop ON pop.pk = recs.pb CROSS JOIN tot
+)
+SELECT
+  (SELECT count(DISTINCT pb) FROM recs)::BIGINT AS n_recommended,
+  c.n_catalog,
+  round((SELECT count(DISTINCT pb) FROM recs)::DOUBLE
+        / c.n_catalog::DOUBLE, 6) AS catalog_coverage,
+  (SELECT count(*) FROM recs)::BIGINT AS n_lists,
+  (SELECT round(sum(nv)::DOUBLE / count(*)::DOUBLE, 6) FROM nov)
+    AS mean_novelty
+FROM catalog c
+"""
+
+
+L_DIVERSITY_SQL = """
+WITH classes AS (
+  SELECT source, n_chars // 200 AS len_b,
+         count(*)::BIGINT AS n_rows,
+         count(DISTINCT lang)::BIGINT AS l_div
+  FROM documents GROUP BY 1, 2
+)
+SELECT count(*)::BIGINT AS n_classes,
+       min(l_div)::BIGINT AS l_min,
+       sum(CASE WHEN l_div < 3 THEN 1 ELSE 0 END)::BIGINT
+         AS classes_below_l,
+       coalesce(sum(CASE WHEN l_div < 3 THEN n_rows END), 0)::BIGINT
+         AS docs_below_l
+FROM classes
+"""

@@ -5451,3 +5451,192 @@ def hapax_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+CDC_WGRAM = 8  # boundary test window (chars)
+CDC_DIVISOR = 64  # expected chunk length ~ divisor chars
+
+
+def cdc_chunk_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking statistics (the Rabin/FastCDC boundary
+    discipline storage dedup uses, deterministic md5 stand-in): a
+    boundary falls after position i when md5 of the trailing
+    CDC_WGRAM-char window hashes to 0 mod CDC_DIVISOR — content-local,
+    so an insertion only reshuffles nearby chunks (the CDC property;
+    fixed-size chunking would shift every boundary). The report is the
+    corpus histogram of chunk lengths in CDC_DIVISOR-char buckets plus
+    the doc count — the distribution a dedup-store capacity plan reads.
+    Window enumeration is one sequence-transform codegen expression per
+    doc; everything else is integer groupBys."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    n = F.length("text")
+    # boundary positions: i = end index (W..len) where the window hashes
+    # to 0 mod D; chunk bounds = [prev boundary, i)
+    bounds = docs.filter(n >= CDC_WGRAM).select(
+        "doc_id",
+        n.alias("len"),
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(CDC_WGRAM), n),
+                lambda i: F.when(
+                    F.pmod(
+                        _md5_52(
+                            F.substring(
+                                F.col("text"),
+                                (i - F.lit(CDC_WGRAM - 1)).cast("int"),
+                                CDC_WGRAM,
+                            )
+                        ),
+                        F.lit(CDC_DIVISOR),
+                    )
+                    == 0,
+                    i,
+                ).otherwise(F.lit(None)),
+            ),
+            lambda x: x.isNotNull(),
+        ).alias("cuts"),
+    )
+    chunks = bounds.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.concat(F.array(F.lit(0)), F.col("cuts")),
+                F.concat(F.col("cuts"), F.array(F.col("len"))),
+                lambda a, b: (b - a).cast("long"),
+            )
+        ).alias("clen"),
+    ).filter(F.col("clen") > 0)
+    return (
+        chunks.groupBy(
+            F.expr(f"clen div {CDC_DIVISOR}").cast("long").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum("clen").cast("long").alias("total_chars"),
+        )
+        .orderBy("bucket")
+    )
+
+
+RECSYS_TOPK = 5
+
+
+def recsys_coverage_novelty(
+    spark: SparkSession, sf_dir: str, k: int = RECSYS_TOPK
+) -> DataFrame:
+    """Recommender-list quality metrics over the co-order
+    item-similarity top-k (item_cosine_similarity's raw-count
+    neighbor lists as 'recommendations'): CATALOG COVERAGE = distinct
+    recommended parts / catalog size, and NOVELTY = mean
+    -log2(popularity share) of recommended items (Vargas & Castells
+    2011, public) — the long-tail exposure numbers a recsys review
+    reads beside accuracy. Popularity shares are exact integer ratios;
+    logs on identical operands re-enter DECIMAL at 12dp for the mean.
+    One co-order groupBy + a top-k window per item."""
+    from pyspark.sql import Window
+
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("pb"))
+    co = (
+        a.join(b, (a.ok == b.ok2) & (a.pa != b.pb))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    w = Window.partitionBy("pa").orderBy(F.desc("c"), F.asc("pb"))
+    recs = (
+        co.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= k)
+        .select("pa", "pb")
+    )
+    catalog = load(spark, sf_dir, "part").agg(
+        F.count(F.lit(1)).cast("long").alias("n_catalog")
+    )
+    pop = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+    tot = li.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    nov = (
+        recs.join(pop, recs.pb == pop.l_partkey)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.round(
+                -F.log2(
+                    F.col("n_orders").cast("double")
+                    / F.col("n_total").cast("double")
+                ),
+                12,
+            )
+            .cast("decimal(28,12)")
+            .alias("nv")
+        )
+    )
+    cov = recs.select(F.col("pb")).distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_recommended")
+    )
+    nrecs = recs.agg(F.count(F.lit(1)).cast("long").alias("n_lists"))
+    novagg = nov.agg(
+        F.round(
+            F.sum("nv").cast("double") / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("mean_novelty")
+    )
+    return (
+        cov.crossJoin(catalog)
+        .crossJoin(nrecs)
+        .crossJoin(novagg)
+        .select(
+            "n_recommended",
+            "n_catalog",
+            F.round(
+                F.col("n_recommended").cast("double")
+                / F.col("n_catalog").cast("double"),
+                6,
+            ).alias("catalog_coverage"),
+            "n_lists",
+            "mean_novelty",
+        )
+    )
+
+
+L_DIVERSITY_MIN = 3
+
+
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007, public) — the
+    sensitive-attribute sequel to k_anonymity_audit: equivalence
+    classes are (source, n_chars bucket), the sensitive attribute is
+    lang; a class is l-diverse when it carries >= L_DIVERSITY_MIN
+    distinct langs. Reports class counts, the minimum diversity, and
+    the documents exposed in under-diverse classes. Class-cardinality
+    groupBys; all integers."""
+    docs = load(spark, sf_dir, "documents").select(
+        "source",
+        F.expr("n_chars div 200").alias("len_b"),
+        "lang",
+    )
+    classes = docs.groupBy("source", "len_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("lang").cast("long").alias("l_div"),
+    )
+    return classes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.min("l_div").cast("long").alias("l_min"),
+        F.sum((F.col("l_div") < L_DIVERSITY_MIN).cast("int"))
+        .cast("long")
+        .alias("classes_below_l"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("l_div") < L_DIVERSITY_MIN, F.col("n_rows")
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("docs_below_l"),
+    )
