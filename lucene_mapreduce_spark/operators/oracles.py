@@ -13579,6 +13579,131 @@ FROM {tbl}""")
 
 
 def any_order_funnel_sql(types: tuple, window_s: int) -> str:
+    """Any-order funnel twin: backward-running-min next-occurrence per
+    type (the scale-safe formulation — correlated EXISTS decorrelates
+    quadratically and exhausted temp disk at sf1), ordered frontier
+    leg, identical rate arithmetic."""
+    w_us = window_s * 1_000_000
+    tlist = ", ".join(f"'{t}'" for t in types)
+    nxt_cols = ",\n         ".join(
+        f"min(CASE WHEN event_type = '{t}' THEN us END)"
+        f" OVER (PARTITION BY user_id ORDER BY us, event_id"
+        f" ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)"
+        f" AS nxt_{i}"
+        for i, t in enumerate(types)
+    )
+    conds = " AND ".join(
+        f"nxt_{i} IS NOT NULL AND nxt_{i} <= us + {w_us}"
+        for i in range(len(types))
+    )
+    return f"""
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events
+  WHERE event_type IN ({tlist})
+),
+nxt AS (
+  SELECT user_id, us,
+         {nxt_cols}
+  FROM ev
+),
+anyu AS (
+  SELECT DISTINCT user_id FROM nxt WHERE {conds}
+),
+marked AS (
+  SELECT user_id, event_type, us,
+         min(CASE WHEN event_type = 'click' THEN us END)
+           OVER (PARTITION BY user_id ORDER BY us
+                 RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+           AS nxt_click,
+         min(CASE WHEN event_type = 'purchase' THEN us END)
+           OVER (PARTITION BY user_id ORDER BY us
+                 RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+           AS nxt_purchase
+  FROM ev
+),
+ord AS (
+  SELECT DISTINCT v.user_id
+  FROM (SELECT user_id, us AS v_us, nxt_click AS c1 FROM marked
+        WHERE event_type = 'view' AND nxt_click IS NOT NULL) v
+  JOIN (SELECT DISTINCT user_id, us AS c1, nxt_purchase AS p1
+        FROM marked WHERE event_type = 'click') c
+    ON c.user_id = v.user_id AND c.c1 = v.c1
+  WHERE c.p1 IS NOT NULL AND c.p1 - v.v_us <= {w_us}
+),
+tot AS (SELECT count(DISTINCT user_id)::BIGINT AS n_users FROM ev)
+SELECT t.n_users,
+       (SELECT count(*) FROM anyu)::BIGINT AS n_any_order,
+       (SELECT count(*) FROM ord)::BIGINT AS n_ordered,
+       round((SELECT count(*) FROM anyu)::DOUBLE / t.n_users::DOUBLE, 6)
+         AS any_order_rate,
+       round((SELECT count(*) FROM ord)::DOUBLE / t.n_users::DOUBLE, 6)
+         AS ordered_rate
+FROM tot t
+"""
+
+
+CONSTRAINT_SUITE_SQL = """
+WITH pk AS (
+  SELECT coalesce(sum(CASE WHEN c > 1 THEN c - 1 END), 0)::BIGINT AS v
+  FROM (SELECT o_orderkey, count(*)::BIGINT AS c
+        FROM orders GROUP BY 1)
+),
+fk1 AS (
+  SELECT count(*)::BIGINT AS v FROM orders o
+  WHERE NOT EXISTS (SELECT 1 FROM customer c
+                    WHERE c.c_custkey = o.o_custkey)
+),
+fk2 AS (
+  SELECT count(*)::BIGINT AS v FROM lineitem l
+  WHERE NOT EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_orderkey = l.l_orderkey)
+),
+nonneg AS (
+  SELECT sum(CASE WHEN value < 0 THEN 1 ELSE 0 END)::BIGINT AS v
+  FROM events
+),
+nonnull AS (
+  SELECT sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS v
+  FROM events
+),
+nchars AS (
+  SELECT sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)::BIGINT
+           AS v
+  FROM documents
+)
+SELECT * FROM (
+  SELECT 'orders_pk_unique' AS check_name, v AS n_violations,
+         (v = 0)::INT AS passed FROM pk
+  UNION ALL
+  SELECT 'orders_custkey_fk', v, (v = 0)::INT FROM fk1
+  UNION ALL
+  SELECT 'lineitem_orderkey_fk', v, (v = 0)::INT FROM fk2
+  UNION ALL
+  SELECT 'events_value_nonnegative', v, (v = 0)::INT FROM nonneg
+  UNION ALL
+  SELECT 'events_user_id_not_null', v, (v = 0)::INT FROM nonnull
+  UNION ALL
+  SELECT 'documents_n_chars_consistent', v, (v = 0)::INT FROM nchars
+) ORDER BY check_name
+"""
+
+
+def data_profile_sql(cols: list[tuple[str, str]]) -> str:
+    """Profile twin: identical per-(table, column) aggregates."""
+    legs = []
+    for tbl, col in cols:
+        legs.append(f"""
+SELECT '{tbl}' AS tbl, '{col}' AS col,
+       count(*)::BIGINT AS n_rows,
+       sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+       sum(CASE WHEN isnan({col}) THEN 1 ELSE 0 END)::BIGINT AS n_nan,
+       round(min({col}), 6) AS min_v,
+       round(max({col}), 6) AS max_v
+FROM {tbl}""")
+    return "\nUNION ALL\n".join(legs) + "\nORDER BY tbl, col"
+
+
+def any_order_funnel_sql(types: tuple, window_s: int) -> str:
     """Any-order funnel twin: anchored exists-tests per type, ordered
     frontier leg, identical rate arithmetic."""
     w_us = window_s * 1_000_000
@@ -13600,14 +13725,26 @@ anyu AS (
   FROM ev a
   WHERE {exists_legs}
 ),
+marked AS (
+  SELECT user_id, event_type, us,
+         min(CASE WHEN event_type = 'click' THEN us END)
+           OVER (PARTITION BY user_id ORDER BY us
+                 RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+           AS nxt_click,
+         min(CASE WHEN event_type = 'purchase' THEN us END)
+           OVER (PARTITION BY user_id ORDER BY us
+                 RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+           AS nxt_purchase
+  FROM ev
+),
 ord AS (
   SELECT DISTINCT v.user_id
-  FROM ev v
-  JOIN ev c ON c.user_id = v.user_id AND c.event_type = 'click'
-           AND c.us > v.us
-  JOIN ev p ON p.user_id = v.user_id AND p.event_type = 'purchase'
-           AND p.us > c.us AND p.us - v.us <= {w_us}
-  WHERE v.event_type = 'view'
+  FROM (SELECT user_id, us AS v_us, nxt_click AS c1 FROM marked
+        WHERE event_type = 'view' AND nxt_click IS NOT NULL) v
+  JOIN (SELECT DISTINCT user_id, us AS c1, nxt_purchase AS p1
+        FROM marked WHERE event_type = 'click') c
+    ON c.user_id = v.user_id AND c.c1 = v.c1
+  WHERE c.p1 IS NOT NULL AND c.p1 - v.v_us <= {w_us}
 ),
 tot AS (SELECT count(DISTINCT user_id)::BIGINT AS n_users FROM ev)
 SELECT t.n_users,

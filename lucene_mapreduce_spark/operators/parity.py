@@ -5136,50 +5136,79 @@ def any_order_funnel(
         "user_id",
         "event_type",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
     ).filter(F.col("event_type").isin(list(ANY_ORDER_TYPES)))
     w_us = window_s * 1_000_000
-    anchors = ev.select("user_id", F.col("us").alias("a_us"))
-    per_type = None
-    for t in ANY_ORDER_TYPES:
-        leg = (
-            anchors.join(
-                ev.filter(F.col("event_type") == t).select(
-                    "user_id", F.col("us").alias("t_us")
-                ),
-                "user_id",
-            )
-            .filter(
-                (F.col("t_us") >= F.col("a_us"))
-                & (F.col("t_us") <= F.col("a_us") + F.lit(w_us))
-            )
-            .select("user_id", "a_us")
-            .distinct()
-            .withColumn("hit", F.lit(1))
-            .withColumnRenamed("hit", f"h_{t}")
-        )
-        per_type = (
-            leg
-            if per_type is None
-            else per_type.join(leg, ["user_id", "a_us"])
-        )
-    any_users = per_type.select("user_id").distinct()
-    # ordered leg: view -> click -> purchase frontier within the window
-    v = ev.filter(F.col("event_type") == "view").select(
-        "user_id", F.col("us").alias("v_us")
+    # next-occurrence-per-type via a BACKWARD running min over each
+    # user's timeline (never an anchor x occurrences join — the naive
+    # correlated-exists formulation is quadratic per user and exhausted
+    # the sf1 oracle's temp disk): an anchor qualifies iff every type's
+    # next occurrence at-or-after it fits in the window.
+    wback = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
-    c = ev.filter(F.col("event_type") == "click").select(
-        "user_id", F.col("us").alias("c_us")
+    nxt = ev.select(
+        "user_id",
+        "us",
+        *[
+            F.min(
+                F.when(F.col("event_type") == t, F.col("us"))
+            )
+            .over(wback)
+            .alias(f"nxt_{i}")
+            for i, t in enumerate(ANY_ORDER_TYPES)
+        ],
     )
-    p = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", F.col("us").alias("p_us")
+    cond = None
+    for i in range(len(ANY_ORDER_TYPES)):
+        c = F.col(f"nxt_{i}").isNotNull() & (
+            F.col(f"nxt_{i}") <= F.col("us") + F.lit(w_us)
+        )
+        cond = c if cond is None else (cond & c)
+    any_users = nxt.filter(cond).select("user_id").distinct()
+    # ordered leg (view -> click -> purchase, greedy == exhaustive per
+    # the eql proof): strictly-later next occurrences via RANGE frames
+    # anchored 1us forward — two bounded equi-joins, never the v x c x p
+    # cross product.
+    wrange = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(1, Window.unboundedFollowing)
+    )
+    marked = ev.select(
+        "user_id",
+        "event_type",
+        "us",
+        F.min(
+            F.when(F.col("event_type") == "click", F.col("us"))
+        )
+        .over(wrange)
+        .alias("nxt_click"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("us"))
+        )
+        .over(wrange)
+        .alias("nxt_purchase"),
+    )
+    views = marked.filter(
+        (F.col("event_type") == "view") & F.col("nxt_click").isNotNull()
+    ).select("user_id", F.col("us").alias("v_us"), F.col("nxt_click").alias("c1"))
+    clicks = (
+        marked.filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("us").alias("c1"),
+            F.col("nxt_purchase").alias("p1"),
+        )
+        .distinct()
     )
     ordered = (
-        v.join(c, "user_id")
-        .filter(F.col("c_us") > F.col("v_us"))
-        .join(p, "user_id")
+        views.join(clicks, ["user_id", "c1"])
         .filter(
-            (F.col("p_us") > F.col("c_us"))
-            & (F.col("p_us") - F.col("v_us") <= F.lit(w_us))
+            F.col("p1").isNotNull()
+            & (F.col("p1") - F.col("v_us") <= F.lit(w_us))
         )
         .select("user_id")
         .distinct()
