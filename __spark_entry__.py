@@ -935,6 +935,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_chunk_histogram": textstats.cdc_chunk_histogram,
         "recsys_coverage_novelty": textstats.recsys_coverage_novelty,
         "l_diversity_audit": textstats.l_diversity_audit,
+        # batch 93: delta varint, AQE coalesce plan, systematic sample
+        "delta_varint_audit": relational.delta_varint_audit,
+        "aqe_coalesce_plan": relational.aqe_coalesce_plan,
+        "systematic_sample_audit": relational.systematic_sample_audit,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})
@@ -2317,4 +2321,19 @@ WHERE len(list_filter(range(1, len(toks)), i ->
     )
     out["recsys_coverage_novelty"] = recsys_sql(textstats.RECSYS_TOPK)
     out["l_diversity_audit"] = L_DIVERSITY_SQL
+
+    # batch 93: delta varint, AQE coalesce plan, systematic sample
+    from lucene_mapreduce_spark.operators.oracles import (
+        DELTA_VARINT_SQL,
+        aqe_coalesce_sql,
+        systematic_sample_sql,
+    )
+
+    out["delta_varint_audit"] = DELTA_VARINT_SQL
+    out["aqe_coalesce_plan"] = aqe_coalesce_sql(
+        relational.AQE_PARTITIONS, relational.AQE_TARGET_DIV
+    )
+    out["systematic_sample_audit"] = systematic_sample_sql(
+        relational.SYS_SAMPLE_K, relational.SYS_SAMPLE_OFFSET
+    )
     return out

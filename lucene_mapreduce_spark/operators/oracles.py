@@ -14480,3 +14480,91 @@ SELECT count(*)::BIGINT AS n_classes,
          AS docs_below_l
 FROM classes
 """
+
+
+DELTA_VARINT_SQL = """
+WITH li AS (
+  SELECT l_partkey::BIGINT AS v, l_orderkey, l_linenumber FROM lineitem
+),
+raw AS (
+  SELECT count(*)::BIGINT AS n_values,
+         sum(CASE WHEN v <= 0 THEN 1
+             ELSE (length(bin(v)) + 6) // 7 END)::BIGINT AS total_bytes
+  FROM li
+),
+deltas AS (
+  SELECT v - coalesce(lag(v) OVER (ORDER BY v, l_orderkey,
+                                   l_linenumber), 0) AS d
+  FROM li
+),
+sortd AS (
+  SELECT count(*)::BIGINT AS n_values,
+         sum(CASE WHEN d <= 0 THEN 1
+             ELSE (length(bin(d)) + 6) // 7 END)::BIGINT AS total_bytes
+  FROM deltas
+)
+SELECT layout, n_values, total_bytes,
+       round(total_bytes::DOUBLE / n_values::DOUBLE, 6) AS bytes_per_value
+FROM (
+  SELECT 'raw_varint' AS layout, * FROM raw
+  UNION ALL
+  SELECT 'delta_sorted_varint', * FROM sortd
+) ORDER BY layout
+"""
+
+
+def aqe_coalesce_sql(n_parts: int, target_div: int) -> str:
+    """AQE-coalesce twin: identical md5 partitions; the greedy pass is
+    a RECURSIVE CTE stepping the partition order (list_reduce cannot
+    accumulate a list inside a struct-pack lambda in this DuckDB —
+    measured: `a.out || x.out` keeps only the last element)."""
+    h = _MD5_52.format(e="user_id::VARCHAR || ':aqe'")
+    return f"""
+WITH RECURSIVE ev AS (SELECT ({h}) % {n_parts} AS p FROM events),
+counts AS (SELECT p, count(*)::BIGINT AS c FROM ev GROUP BY 1),
+tgt AS (
+  SELECT ((sum(c) + {target_div - 1}) // {target_div})::BIGINT AS target
+  FROM counts
+),
+seq AS (
+  SELECT p, c, row_number() OVER (ORDER BY p) AS i FROM counts
+),
+walk AS (
+  SELECT i, p, c, 0::INT AS grp, c AS run FROM seq WHERE i = 1
+  UNION ALL
+  SELECT q.i, q.p, q.c,
+         (CASE WHEN w.run >= t.target THEN w.grp + 1
+          ELSE w.grp END)::INT,
+         CASE WHEN w.run >= t.target THEN q.c ELSE w.run + q.c END
+  FROM walk w JOIN seq q ON q.i = w.i + 1 CROSS JOIN tgt t
+)
+SELECT grp, count(*)::BIGINT AS n_partitions,
+       sum(c)::BIGINT AS rows,
+       min(p)::BIGINT AS first_p, max(p)::BIGINT AS last_p
+FROM walk GROUP BY grp ORDER BY grp
+"""
+
+
+def systematic_sample_sql(k: int, offset: int) -> str:
+    """Systematic-sample twin: identical row-index stride."""
+    return f"""
+WITH idx AS (
+  SELECT n_chars::BIGINT AS x,
+         row_number() OVER (ORDER BY doc_id) - 1 AS i
+  FROM documents
+),
+samp AS (
+  SELECT count(*)::BIGINT AS n_sample, sum(x)::BIGINT AS s_sample
+  FROM idx WHERE i % {k} = {offset}
+),
+pop AS (
+  SELECT count(*)::BIGINT AS n_pop, sum(x)::BIGINT AS s_pop FROM idx
+)
+SELECT n_sample, n_pop,
+       round(s_sample::DOUBLE / n_sample::DOUBLE, 6) AS sample_mean,
+       round(s_pop::DOUBLE / n_pop::DOUBLE, 6) AS pop_mean,
+       round(abs(s_sample::DOUBLE / n_sample::DOUBLE
+                 - s_pop::DOUBLE / n_pop::DOUBLE)
+             / (s_pop::DOUBLE / n_pop::DOUBLE), 6) AS rel_err
+FROM samp, pop
+"""

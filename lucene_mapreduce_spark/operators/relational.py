@@ -2381,3 +2381,196 @@ ADVISOR_SCHEMAS = {
         ("source", "string"), ("n_chars", "fixed"),
     ],
 }
+
+
+# --- batch 93: delta-varint audit, AQE coalesce plan, systematic sample -----
+def delta_varint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta + varint encoding audit for an integer key column
+    (l_partkey) — the third leg of the encoding trilogy next to
+    rle_encodability_audit and dict_encoding_audit: raw varint bytes in
+    arrival order vs varint-of-deltas after a sort (parquet
+    DELTA_BINARY_PACKED's win). varint size = max(1,
+    ceil(bit_length(v)/7)), bit length INTEGER-ONLY via length(bin(v));
+    sorted deltas are non-negative so no zigzag term. One window lag
+    over the sorted view; exact integer byte totals."""
+    from pyspark.sql.window import Window
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").cast("long").alias("v"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+
+    def vbytes_int(col):
+        # integer ceil(bits/7); bits+6 <= 70 so the float floor is exact
+        return (
+            F.when(col <= 0, F.lit(1))
+            .otherwise(F.floor((F.length(F.bin(col)) + 6) / 7))
+            .cast("long")
+        )
+
+    raw = li.select(vbytes_int(F.col("v")).alias("b")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_values"),
+        F.sum("b").cast("long").alias("total_bytes"),
+    )
+    w = Window.orderBy("v", "l_orderkey", "l_linenumber")
+    deltas = li.select(
+        (F.col("v") - F.coalesce(F.lag("v").over(w), F.lit(0))).alias(
+            "d"
+        )
+    )
+    sortd = deltas.select(vbytes_int(F.col("d")).alias("b")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_values"),
+        F.sum("b").cast("long").alias("total_bytes"),
+    )
+    out = raw.select(
+        F.lit("raw_varint").alias("layout"), "n_values", "total_bytes"
+    ).unionByName(
+        sortd.select(
+            F.lit("delta_sorted_varint").alias("layout"),
+            "n_values",
+            "total_bytes",
+        )
+    )
+    return out.select(
+        "layout",
+        "n_values",
+        "total_bytes",
+        F.round(
+            F.col("total_bytes").cast("double")
+            / F.col("n_values").cast("double"),
+            6,
+        ).alias("bytes_per_value"),
+    ).orderBy("layout")
+
+
+AQE_PARTITIONS = 32
+AQE_TARGET_DIV = 8  # coalesce toward ~8 groups at any scale
+
+
+def aqe_coalesce_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQE partition-coalescing simulation
+    (spark.sql.adaptive.coalescePartitions): events hash to
+    AQE_PARTITIONS shuffle partitions via the engine-shared md5
+    routing, and adjacent partitions greedily merge until each group
+    reaches the scale-free target total/AQE_TARGET_DIV rows — exactly
+    the post-shuffle stats walk AQE's coalescer performs. The greedy
+    pass is a sequential fold over the partition-count-bounded array
+    (32 elements, the CUSUM fold discipline); output one row per
+    coalesced group. All integers."""
+    ev = load(spark, sf_dir, "events").select(
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("user_id").cast("string"),
+                            F.lit(":aqe"),
+                        )
+                    ),
+                    1,
+                    13,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(AQE_PARTITIONS),
+        ).alias("p")
+    )
+    counts = ev.groupBy("p").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    packed = counts.agg(
+        F.sort_array(F.collect_list(F.struct("p", "c"))).alias("ps"),
+        F.sum("c").cast("long").alias("total"),
+    )
+    target = F.expr(f"(total + {AQE_TARGET_DIV - 1}) div {AQE_TARGET_DIV}")
+    folded = packed.select(
+        target.alias("target"),
+        F.aggregate(
+            F.col("ps"),
+            F.struct(
+                F.lit(0).cast("int").alias("grp"),
+                F.lit(0).cast("long").alias("run"),
+                F.expr(
+                    "CAST(array() AS array<struct<p:bigint,grp:int>>)"
+                ).alias("out"),
+            ),
+            lambda acc, x: F.struct(
+                F.when(
+                    acc["run"] >= target, acc["grp"] + 1
+                ).otherwise(acc["grp"]).alias("grp"),
+                F.when(acc["run"] >= target, x["c"])
+                .otherwise(acc["run"] + x["c"])
+                .alias("run"),
+                F.concat(
+                    acc["out"],
+                    F.array(
+                        F.struct(
+                            x["p"].cast("bigint").alias("p"),
+                            F.when(
+                                acc["run"] >= target, acc["grp"] + 1
+                            )
+                            .otherwise(acc["grp"])
+                            .cast("int")
+                            .alias("grp"),
+                        )
+                    ),
+                ).alias("out"),
+            ),
+        ).alias("acc"),
+    )
+    assign = folded.select(
+        F.explode(F.col("acc.out")).alias("a")
+    ).select(F.col("a.p").alias("p"), F.col("a.grp").alias("grp"))
+    return (
+        assign.join(counts, "p")
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_partitions"),
+            F.sum("c").cast("long").alias("rows"),
+            F.min("p").cast("long").alias("first_p"),
+            F.max("p").cast("long").alias("last_p"),
+        )
+        .orderBy("grp")
+    )
+
+
+SYS_SAMPLE_K = 10
+SYS_SAMPLE_OFFSET = 3
+
+
+def systematic_sample_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic sampling audit (every k-th element of the doc_id
+    order, pinned offset): sample mean of n_chars vs the population
+    mean and the relative error — the survey-sampling sibling of
+    reservoir/stratified. Exact integer sums both legs; one bounded
+    window for the row index."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("long").alias("x")
+    )
+    idx = docs.withColumn(
+        "i", F.row_number().over(Window.orderBy("doc_id")) - 1
+    )
+    samp = idx.filter(
+        F.pmod(F.col("i"), F.lit(SYS_SAMPLE_K)) == SYS_SAMPLE_OFFSET
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_sample"),
+        F.sum("x").cast("long").alias("s_sample"),
+    )
+    pop = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pop"),
+        F.sum("x").cast("long").alias("s_pop"),
+    )
+    j = samp.crossJoin(F.broadcast(pop))
+    ms = F.col("s_sample").cast("double") / F.col("n_sample").cast("double")
+    mp = F.col("s_pop").cast("double") / F.col("n_pop").cast("double")
+    return j.select(
+        "n_sample",
+        "n_pop",
+        F.round(ms, 6).alias("sample_mean"),
+        F.round(mp, 6).alias("pop_mean"),
+        F.round(F.abs(ms - mp) / mp, 6).alias("rel_err"),
+    )
