@@ -939,6 +939,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_varint_audit": relational.delta_varint_audit,
         "aqe_coalesce_plan": relational.aqe_coalesce_plan,
         "systematic_sample_audit": relational.systematic_sample_audit,
+        # batch 94: median-of-medians, dense_rank, quantile disc/cont
+        "median_of_medians_audit": parity.median_of_medians_audit,
+        "dense_rank_ties_page": parity.dense_rank_ties_page,
+        "quantile_disc_cont_audit": parity.quantile_disc_cont_audit,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})
@@ -2336,4 +2340,15 @@ WHERE len(list_filter(range(1, len(toks)), i ->
     out["systematic_sample_audit"] = systematic_sample_sql(
         relational.SYS_SAMPLE_K, relational.SYS_SAMPLE_OFFSET
     )
+
+    # batch 94: median-of-medians, dense_rank, quantile disc/cont
+    from lucene_mapreduce_spark.operators.oracles import (
+        dense_rank_sql,
+        mom_sql,
+        qdc_sql,
+    )
+
+    out["median_of_medians_audit"] = mom_sql(parity.MOM_BUCKETS)
+    out["dense_rank_ties_page"] = dense_rank_sql(50)
+    out["quantile_disc_cont_audit"] = qdc_sql(parity.QDC_PS)
     return out

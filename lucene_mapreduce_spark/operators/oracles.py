@@ -14568,3 +14568,69 @@ SELECT n_sample, n_pop,
              / (s_pop::DOUBLE / n_pop::DOUBLE), 6) AS rel_err
 FROM samp, pop
 """
+
+
+def mom_sql(buckets: int) -> str:
+    """Median-of-medians twin: identical md5 buckets, type-7 medians."""
+    h = _MD5_52.format(e="doc_id::VARCHAR || ':mom'")
+    return f"""
+WITH docs AS (
+  SELECT ({h}) % {buckets} AS b, n_chars::DOUBLE AS x FROM documents
+),
+per_bucket AS (
+  SELECT b, round(quantile_cont(x, 0.5), 6) AS med FROM docs GROUP BY 1
+),
+mom AS (
+  SELECT count(*)::BIGINT AS n_buckets,
+         round(quantile_cont(med, 0.5), 6) AS mom
+  FROM per_bucket
+),
+exact AS (
+  SELECT round(quantile_cont(x, 0.5), 6) AS exact_median FROM docs
+)
+SELECT n_buckets, mom, exact_median,
+       round(abs(mom - exact_median) / exact_median, 6) AS rel_err
+FROM mom, exact
+"""
+
+
+def dense_rank_sql(k: int) -> str:
+    """rank/dense_rank twin with the identical tie-heavy order."""
+    return f"""
+SELECT rn, doc_id, n_chars, rnk, drnk,
+       (rnk - drnk)::BIGINT AS tie_gap
+FROM (
+  SELECT doc_id, n_chars,
+         rank() OVER (ORDER BY n_chars DESC)::BIGINT AS rnk,
+         dense_rank() OVER (ORDER BY n_chars DESC)::BIGINT AS drnk,
+         row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM documents
+) WHERE rn <= {k} ORDER BY rn
+"""
+
+
+def qdc_sql(ps: tuple) -> str:
+    """Disc-vs-cont quantile twin: explicit ceil(p*n) row pick for the
+    discrete leg, quantile_cont for the continuous one."""
+    legs = []
+    for p in ps:
+        legs.append(f"""
+SELECT {p!r}::DOUBLE AS p,
+       round((SELECT x FROM ranked, nrow
+              WHERE r = greatest(1, ceil({p!r}::DOUBLE * n::DOUBLE))), 6)
+         AS q_disc,
+       round((SELECT quantile_cont(x, {p!r}) FROM docs), 6) AS q_cont,
+       round((SELECT quantile_cont(x, {p!r}) FROM docs), 6)
+         - round((SELECT x FROM ranked, nrow
+                  WHERE r = greatest(1,
+                        ceil({p!r}::DOUBLE * n::DOUBLE))), 6) AS gap
+""")
+    return f"""
+WITH docs AS (SELECT n_chars::DOUBLE AS x FROM documents),
+nrow AS (SELECT count(*)::BIGINT AS n FROM docs),
+ranked AS (
+  SELECT x, row_number() OVER (ORDER BY x) AS r FROM docs
+)
+{"UNION ALL".join(legs)}
+ORDER BY p
+"""

@@ -5756,3 +5756,134 @@ def markov_absorption_3step(
         F.round("p2", 6).alias("p_2step"),
         F.round("p3", 6).alias("p_3step"),
     ).orderBy("start_state")
+
+
+MOM_BUCKETS = 16
+
+
+def median_of_medians_audit(
+    spark: SparkSession, sf_dir: str, buckets: int = MOM_BUCKETS
+) -> DataFrame:
+    """Median-of-medians approximation audit: docs hash into
+    MOM_BUCKETS md5 partitions, each yields its exact type-7 median of
+    n_chars, and the median of those medians sits next to the exact
+    global median with its relative error — the two-level quantile
+    shortcut a shuffle-averse pipeline is tempted by, and the audit
+    that shows what it costs. percentile() == quantile_cont both
+    engines; bucket medians are a bucket-count-bounded frame."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("double").alias("x")
+    )
+    b = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.col("doc_id").cast("string"), F.lit(":mom"))
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(buckets),
+    )
+    per_bucket = (
+        docs.select(b.alias("b"), "x")
+        .groupBy("b")
+        .agg(F.round(F.expr("percentile(x, 0.5)"), 6).alias("med"))
+    )
+    mom = per_bucket.agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.round(F.expr("percentile(med, 0.5)"), 6).alias("mom"),
+    )
+    exact = docs.agg(
+        F.round(F.expr("percentile(x, 0.5)"), 6).alias("exact_median")
+    )
+    return mom.crossJoin(F.broadcast(exact)).select(
+        "n_buckets",
+        "mom",
+        "exact_median",
+        F.round(
+            F.abs(F.col("mom") - F.col("exact_median"))
+            / F.col("exact_median"),
+            6,
+        ).alias("rel_err"),
+    )
+
+
+def dense_rank_ties_page(
+    spark: SparkSession, sf_dir: str, k: int = 50
+) -> DataFrame:
+    """rank() vs dense_rank() over a tie-heavy order (n_chars DESC) —
+    the last two rank-window functions the surface was missing
+    (window_rank_functions covers percent_rank/cume_dist/ntile/
+    row_number). The page is the top-k by (n_chars desc, doc_id) with
+    both rank flavors and the gap column that is nonzero exactly where
+    ties compressed. Rank window is over the full corpus but the page
+    cut rides the row_number total order."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    wv = Window.orderBy(F.desc("n_chars"))
+    wt = Window.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    ranked = docs.select(
+        "doc_id",
+        "n_chars",
+        F.rank().over(wv).cast("long").alias("rnk"),
+        F.dense_rank().over(wv).cast("long").alias("drnk"),
+        F.row_number().over(wt).alias("rn"),
+    )
+    return (
+        ranked.filter(F.col("rn") <= k)
+        .select(
+            "rn",
+            "doc_id",
+            "n_chars",
+            "rnk",
+            "drnk",
+            (F.col("rnk") - F.col("drnk")).cast("long").alias("tie_gap"),
+        )
+        .orderBy("rn")
+    )
+
+
+QDC_PS = (0.25, 0.5, 0.9)
+
+
+def quantile_disc_cont_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_disc vs percentile_cont (type-7) audit over n_chars:
+    the discrete quantile is the element at ceil(p*n) of the sorted
+    order (computed explicitly via row_number so both engines share
+    the definition rather than trusting built-in disc variants), the
+    continuous one is the interpolating percentile both engines agree
+    on. One row per pinned p with the gap — the reason a spec must say
+    WHICH quantile it means."""
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("n_chars").cast("double").alias("x")
+    )
+    n_row = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ranked = docs.select(
+        "x", F.row_number().over(Window.orderBy("x")).alias("r")
+    )
+    out = None
+    for p in QDC_PS:
+        disc = (
+            ranked.crossJoin(F.broadcast(n_row))
+            .filter(
+                F.col("r")
+                == F.greatest(
+                    F.lit(1), F.ceil(F.lit(p) * F.col("n").cast("double"))
+                )
+            )
+            .select(F.col("x").alias("disc"))
+        )
+        cont = docs.agg(
+            F.round(F.expr(f"percentile(x, {p!r}D)"), 6).alias("cont")
+        )
+        row = disc.crossJoin(F.broadcast(cont)).select(
+            F.lit(p).alias("p"),
+            F.round("disc", 6).alias("q_disc"),
+            F.col("cont").alias("q_cont"),
+            F.round(F.col("cont") - F.col("disc"), 6).alias("gap"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("p")
