@@ -943,6 +943,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "median_of_medians_audit": parity.median_of_medians_audit,
         "dense_rank_ties_page": parity.dense_rank_ties_page,
         "quantile_disc_cont_audit": parity.quantile_disc_cont_audit,
+        # batch 95: t-closeness, selectivity audit, PSI drift
+        "t_closeness_audit": textstats.t_closeness_audit,
+        "selectivity_independence_audit": (
+            textstats.selectivity_independence_audit
+        ),
+        "psi_value_drift": textstats.psi_value_drift,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})
@@ -2351,4 +2357,17 @@ WHERE len(list_filter(range(1, len(toks)), i ->
     out["median_of_medians_audit"] = mom_sql(parity.MOM_BUCKETS)
     out["dense_rank_ties_page"] = dense_rank_sql(50)
     out["quantile_disc_cont_audit"] = qdc_sql(parity.QDC_PS)
+
+    # batch 95: t-closeness, selectivity audit, PSI drift
+    from lucene_mapreduce_spark.operators.oracles import (
+        T_CLOSENESS_SQL,
+        psi_sql,
+        selectivity_sql,
+    )
+
+    out["t_closeness_audit"] = T_CLOSENESS_SQL
+    out["selectivity_independence_audit"] = selectivity_sql(
+        textstats.SELECTIVITY_PREDS
+    )
+    out["psi_value_drift"] = psi_sql(textstats.PSI_DECILES)
     return out

@@ -14634,3 +14634,116 @@ ranked AS (
 {"UNION ALL".join(legs)}
 ORDER BY p
 """
+
+
+T_CLOSENESS_SQL = """
+WITH docs AS (
+  SELECT source, n_chars // 200 AS len_b, lang FROM documents
+),
+gd AS (SELECT lang, count(*)::BIGINT AS gn FROM docs GROUP BY 1),
+gt AS (SELECT count(*)::BIGINT AS gt FROM docs),
+cls AS (
+  SELECT source, len_b, lang, count(*)::BIGINT AS cn
+  FROM docs GROUP BY 1, 2, 3
+),
+ctot AS (
+  SELECT source, len_b, sum(cn)::BIGINT AS ct FROM cls GROUP BY 1, 2
+),
+support AS (
+  SELECT ctot.source, ctot.len_b, ctot.ct, gd.lang, gd.gn, gt.gt
+  FROM ctot CROSS JOIN gd CROSS JOIN gt
+),
+j AS (
+  SELECT s.source, s.len_b,
+         round(abs(coalesce(c.cn, 0)::DOUBLE / s.ct::DOUBLE
+                   - s.gn::DOUBLE / s.gt::DOUBLE), 12)
+           ::DECIMAL(28,12) AS term
+  FROM support s
+  LEFT JOIN cls c ON c.source = s.source AND c.len_b = s.len_b
+                 AND c.lang = s.lang
+),
+per_cls AS (
+  SELECT source, len_b,
+         round(sum(term)::DOUBLE / 2.0, 6) AS t
+  FROM j GROUP BY 1, 2
+)
+SELECT count(*)::BIGINT AS n_classes,
+       round(max(t), 6) AS t_max,
+       sum(CASE WHEN t > 0.2 THEN 1 ELSE 0 END)::BIGINT
+         AS classes_above_t
+FROM per_cls
+"""
+
+
+def selectivity_sql(preds: list) -> str:
+    """Selectivity twin: identical pinned predicate pairs."""
+    legs = []
+    for name, pa, pb in preds:
+        legs.append(f"""
+SELECT '{name}' AS pred, na, nb, nab,
+       round((na::DOUBLE / n::DOUBLE) * (nb::DOUBLE / n::DOUBLE), 6)
+         AS sel_independent,
+       round(nab::DOUBLE / n::DOUBLE, 6) AS sel_actual,
+       round(CASE WHEN nab > 0 THEN greatest(
+           ((na::DOUBLE / n::DOUBLE) * (nb::DOUBLE / n::DOUBLE))
+             / (nab::DOUBLE / n::DOUBLE),
+           (nab::DOUBLE / n::DOUBLE)
+             / ((na::DOUBLE / n::DOUBLE) * (nb::DOUBLE / n::DOUBLE)))
+       END, 6) AS q_error
+FROM (
+  SELECT count(*)::BIGINT AS n,
+         sum(CASE WHEN {pa} THEN 1 ELSE 0 END)::BIGINT AS na,
+         sum(CASE WHEN {pb} THEN 1 ELSE 0 END)::BIGINT AS nb,
+         sum(CASE WHEN ({pa}) AND ({pb}) THEN 1 ELSE 0 END)::BIGINT
+           AS nab
+  FROM documents
+)""")
+    return "\nUNION ALL\n".join(legs) + "\nORDER BY pred"
+
+
+def psi_sql(deciles: int) -> str:
+    """PSI twin: reference-half type-7 decile edges computed inline,
+    identical bucket cascade, floored 12dp DECIMAL terms."""
+    qs = ", ".join(f"{i / deciles!r}" for i in range(1, deciles))
+    return f"""
+WITH ev AS (
+  SELECT epoch_us(ts) AS us, value::DOUBLE AS v FROM events
+),
+split AS (SELECT (min(us) + max(us)) // 2 AS s FROM ev),
+ref AS (SELECT v FROM ev, split WHERE us < s),
+cur AS (SELECT v FROM ev, split WHERE us >= s),
+edges AS (SELECT quantile_cont(v, [{qs}]) AS e FROM ref),
+hr AS (
+  SELECT list_sum(list_transform(e, x ->
+           CASE WHEN v > x THEN 1 ELSE 0 END))::INT AS b,
+         count(*)::BIGINT AS n_ref
+  FROM ref, edges GROUP BY 1
+),
+hc AS (
+  SELECT list_sum(list_transform(e, x ->
+           CASE WHEN v > x THEN 1 ELSE 0 END))::INT AS b,
+         count(*)::BIGINT AS n_cur
+  FROM cur, edges GROUP BY 1
+),
+buckets AS (SELECT unnest(range(0, {deciles}))::INT AS b),
+h AS (
+  SELECT buckets.b, coalesce(hr.n_ref, 0)::BIGINT AS n_ref,
+         coalesce(hc.n_cur, 0)::BIGINT AS n_cur
+  FROM buckets LEFT JOIN hr USING (b) LEFT JOIN hc USING (b)
+),
+tots AS (
+  SELECT sum(n_ref)::BIGINT AS tr, sum(n_cur)::BIGINT AS tc FROM h
+),
+terms AS (
+  SELECT round(
+           (greatest(n_ref::DOUBLE / tr::DOUBLE, 1e-06)
+            - greatest(n_cur::DOUBLE / tc::DOUBLE, 1e-06))
+           * ln(greatest(n_ref::DOUBLE / tr::DOUBLE, 1e-06)
+                / greatest(n_cur::DOUBLE / tc::DOUBLE, 1e-06)), 12)
+           ::DECIMAL(28,12) AS term
+  FROM h, tots
+)
+SELECT {deciles}::INT AS n_buckets,
+       round(sum(term)::DOUBLE, 6) AS psi
+FROM terms
+"""

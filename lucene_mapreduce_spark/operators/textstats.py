@@ -5640,3 +5640,194 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("docs_below_l"),
     )
+
+
+T_CLOSENESS_MAX = 0.2
+
+
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li/Li/Venkatasubramanian 2007, public) — the
+    distributional member of the k-anonymity / l-diversity trilogy:
+    per equivalence class (source, n_chars//200) the variational
+    distance 0.5 * sum |p_lang - q_lang| between the class's lang
+    distribution and the corpus-wide one (the categorical EMD). Class
+    probabilities are exact integer ratios; the per-class distance
+    re-enters DECIMAL at 12dp summed over the pinned lang support.
+    Reports class count, max t, and classes above T_CLOSENESS_MAX."""
+    docs = load(spark, sf_dir, "documents").select(
+        "source",
+        F.expr("n_chars div 200").alias("len_b"),
+        "lang",
+    )
+    global_d = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("gn")
+    )
+    gtot = docs.agg(F.count(F.lit(1)).cast("long").alias("gt"))
+    cls = docs.groupBy("source", "len_b", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("cn")
+    )
+    ctot = cls.groupBy("source", "len_b").agg(
+        F.sum("cn").cast("long").alias("ct")
+    )
+    # outer-join class counts onto the full lang support so absent
+    # langs contribute |0 - q|
+    support = ctot.crossJoin(F.broadcast(global_d)).crossJoin(
+        F.broadcast(gtot)
+    )
+    j = support.join(cls, ["source", "len_b", "lang"], "left").select(
+        "source",
+        "len_b",
+        F.round(
+            F.abs(
+                F.coalesce(F.col("cn"), F.lit(0)).cast("double")
+                / F.col("ct").cast("double")
+                - F.col("gn").cast("double") / F.col("gt").cast("double")
+            ),
+            12,
+        )
+        .cast("decimal(28,12)")
+        .alias("term"),
+    )
+    per_cls = j.groupBy("source", "len_b").agg(
+        F.round(F.sum("term").cast("double") / F.lit(2.0), 6).alias("t")
+    )
+    return per_cls.agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.round(F.max("t"), 6).alias("t_max"),
+        F.sum((F.col("t") > T_CLOSENESS_MAX).cast("int"))
+        .cast("long")
+        .alias("classes_above_t"),
+    )
+
+
+SELECTIVITY_PREDS = [
+    ("lang_en__len_hi", "lang = 'en'", "n_chars > 500"),
+    ("src0__len_lo", "source = 'src0'", "n_chars <= 300"),
+    ("lang_de__src1", "lang = 'de'", "source = 'src1'"),
+]
+
+
+def selectivity_independence_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Optimizer-statistics audit: for pinned conjunctive predicate
+    pairs, the INDEPENDENCE-ASSUMPTION selectivity estimate
+    sel(a)*sel(b) vs the measured sel(a AND b) — the error every
+    cost-based optimizer (Catalyst's stats included) silently makes on
+    correlated columns. Exact integer counts; one conditional
+    aggregate per pair. The q-error column (max of est/act, act/est)
+    is the planner-literature metric."""
+    docs = load(spark, sf_dir, "documents")
+    out = None
+    for name, pa, pb in SELECTIVITY_PREDS:
+        row = docs.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.expr(pa).cast("int")).cast("long").alias("na"),
+            F.sum(F.expr(pb).cast("int")).cast("long").alias("nb"),
+            F.sum((F.expr(pa) & F.expr(pb)).cast("int"))
+            .cast("long")
+            .alias("nab"),
+        )
+        nd = F.col("n").cast("double")
+        est = (
+            F.col("na").cast("double")
+            / nd
+            * (F.col("nb").cast("double") / nd)
+        )
+        act = F.col("nab").cast("double") / nd
+        qerr = F.when(act > 0, F.greatest(est / act, act / est)).otherwise(
+            F.lit(None)
+        )
+        leg = row.select(
+            F.lit(name).alias("pred"),
+            "na",
+            "nb",
+            "nab",
+            F.round(est, 6).alias("sel_independent"),
+            F.round(act, 6).alias("sel_actual"),
+            F.round(qerr, 6).alias("q_error"),
+        )
+        out = leg if out is None else out.unionByName(leg)
+    return out.orderBy("pred")
+
+
+PSI_DECILES = 10
+
+
+def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and second half of
+    the event stream's value distribution (the standard ML-monitoring
+    drift score): bucket edges are the REFERENCE half's type-7 deciles
+    (collected — a decile-count-bounded driver table, the centroid
+    rule), both halves histogram against them, PSI = sum (p-q) *
+    ln(p/q) with 12dp DECIMAL term re-entry and the 1e-6 zero-bucket
+    floor the industry recipe uses. One scan per half after the
+    midpoint aggregate."""
+    ev = load(spark, sf_dir, "events").select(
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.col("value").cast("double").alias("v"),
+    )
+    lohi = ev.agg(F.min("us"), F.max("us")).collect()[0]
+    split = (int(lohi[0]) + int(lohi[1])) // 2
+    ref = ev.filter(F.col("us") < split)
+    cur = ev.filter(F.col("us") >= split)
+    qs = [i / PSI_DECILES for i in range(1, PSI_DECILES)]
+    edges = [
+        float(x)
+        for x in ref.agg(
+            F.expr(
+                "percentile(v, array("
+                + ", ".join(f"{q!r}D" for q in qs)
+                + "))"
+            ).alias("e")
+        ).collect()[0]["e"]
+    ]
+
+    def bucket(col):
+        b = F.lit(0)
+        for i, e in enumerate(edges):
+            b = F.when(col > F.lit(e), F.lit(i + 1)).otherwise(b)
+        return b
+
+    def hist(df, label):
+        return (
+            df.select(bucket(F.col("v")).alias("b"))
+            .groupBy("b")
+            .agg(F.count(F.lit(1)).cast("long").alias(f"n_{label}"))
+        )
+
+    buckets = spark.range(PSI_DECILES).select(
+        F.col("id").cast("int").alias("b")
+    )
+    h = (
+        buckets.join(hist(ref, "ref"), "b", "left")
+        .join(hist(cur, "cur"), "b", "left")
+        .select(
+            "b",
+            F.coalesce("n_ref", F.lit(0)).cast("long").alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).cast("long").alias("n_cur"),
+        )
+    )
+    tots = h.agg(
+        F.sum("n_ref").cast("long").alias("tr"),
+        F.sum("n_cur").cast("long").alias("tc"),
+    )
+    FLOOR = 1e-6
+    jn = h.crossJoin(F.broadcast(tots))
+    p = F.greatest(
+        F.col("n_ref").cast("double") / F.col("tr").cast("double"),
+        F.lit(FLOOR),
+    )
+    q = F.greatest(
+        F.col("n_cur").cast("double") / F.col("tc").cast("double"),
+        F.lit(FLOOR),
+    )
+    terms = jn.select(
+        F.round((p - q) * F.log(p / q), 12)
+        .cast("decimal(28,12)")
+        .alias("term")
+    )
+    return terms.agg(
+        F.lit(PSI_DECILES).cast("int").alias("n_buckets"),
+        F.round(F.sum("term").cast("double"), 6).alias("psi"),
+    )
