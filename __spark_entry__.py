@@ -949,6 +949,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             textstats.selectivity_independence_audit
         ),
         "psi_value_drift": textstats.psi_value_drift,
+        # batch 96: quantization granularity, bloom join pushdown
+        "quantization_granularity_audit": (
+            similarity.quantization_granularity_audit
+        ),
+        "bloom_join_pushdown_audit": (
+            relational.bloom_join_pushdown_audit
+        ),
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})
@@ -2370,4 +2377,15 @@ WHERE len(list_filter(range(1, len(toks)), i ->
         textstats.SELECTIVITY_PREDS
     )
     out["psi_value_drift"] = psi_sql(textstats.PSI_DECILES)
+
+    # batch 96: quantization granularity, bloom join pushdown
+    from lucene_mapreduce_spark.operators.oracles import (
+        QUANT_GRANULARITY_SQL,
+        bloom_join_sql,
+    )
+
+    out["quantization_granularity_audit"] = QUANT_GRANULARITY_SQL
+    out["bloom_join_pushdown_audit"] = bloom_join_sql(
+        relational.BLOOM_JOIN_BITS, 883612800000000, 891302400000000
+    )
     return out

@@ -14747,3 +14747,80 @@ SELECT {deciles}::INT AS n_buckets,
        round(sum(term)::DOUBLE, 6) AS psi
 FROM terms
 """
+
+
+QUANT_GRANULARITY_SQL = """
+WITH comp AS (
+  SELECT unnest(range(len(v))) AS dim,
+         v[unnest(range(len(v))) + 1] AS v
+  FROM (SELECT embedding::DOUBLE[] AS v FROM embeddings)
+),
+dimstats AS (
+  SELECT dim, min(v) AS mn, max(v) AS mx FROM comp GROUP BY 1
+),
+gstats AS (SELECT min(v) AS mn, max(v) AS mx FROM comp),
+pc AS (
+  SELECT round((v - deq) * (v - deq), 12)::DECIMAL(28,12) AS e2,
+         round(abs(v - deq), 12) AS ae
+  FROM (
+    SELECT c.v,
+           CASE WHEN d.mx = d.mn THEN d.mn
+                ELSE d.mn + round((c.v - d.mn)
+                                  / ((d.mx - d.mn) / 255.0), 0)
+                     * ((d.mx - d.mn) / 255.0) END AS deq
+    FROM comp c JOIN dimstats d USING (dim)
+  )
+),
+pt AS (
+  SELECT round((v - deq) * (v - deq), 12)::DECIMAL(28,12) AS e2,
+         round(abs(v - deq), 12) AS ae
+  FROM (
+    SELECT c.v,
+           CASE WHEN g.mx = g.mn THEN g.mn
+                ELSE g.mn + round((c.v - g.mn)
+                                  / ((g.mx - g.mn) / 255.0), 0)
+                     * ((g.mx - g.mn) / 255.0) END AS deq
+    FROM comp c CROSS JOIN gstats g
+  )
+)
+SELECT * FROM (
+  SELECT 'per_channel' AS scheme, count(*)::BIGINT AS n_components,
+         round(sum(e2)::DOUBLE / count(*)::DOUBLE, 12) AS mse,
+         round(max(ae), 6) AS max_abs_err
+  FROM pc
+  UNION ALL
+  SELECT 'per_tensor', count(*)::BIGINT,
+         round(sum(e2)::DOUBLE / count(*)::DOUBLE, 12),
+         round(max(ae), 6)
+  FROM pt
+) ORDER BY scheme
+"""
+
+
+def bloom_join_sql(bits: int, lo_us: int, hi_us: int) -> str:
+    """Bloom-join twin: identical one-hash buckets and pass sets."""
+    hb = _MD5_52.format(e="o_orderkey::VARCHAR || ':bj'")
+    hp = _MD5_52.format(e="l_orderkey::VARCHAR || ':bj'")
+    return f"""
+WITH build AS (
+  SELECT o_orderkey FROM orders
+  WHERE epoch_us(o_orderdate) BETWEEN {lo_us} AND {hi_us}
+),
+bloom AS (SELECT DISTINCT ({hb}) % {bits} AS b FROM build),
+probe AS (SELECT l_orderkey FROM lineitem),
+passed AS (
+  SELECT count(*)::BIGINT AS n_pass FROM probe
+  WHERE (({hp}) % {bits}) IN (SELECT b FROM bloom)
+),
+matched AS (
+  SELECT count(*)::BIGINT AS n_match FROM probe
+  WHERE l_orderkey IN (SELECT o_orderkey FROM build)
+),
+np AS (SELECT count(*)::BIGINT AS n_probe FROM probe),
+nb AS (SELECT count(*)::BIGINT AS n_build_keys FROM build)
+SELECT nb.n_build_keys, np.n_probe, m.n_match, p.n_pass,
+       (p.n_pass - m.n_match)::BIGINT AS false_passes,
+       round(1.0::DOUBLE - p.n_pass::DOUBLE / np.n_probe::DOUBLE, 6)
+         AS shuffle_reduction
+FROM np, nb, passed p, matched m
+"""

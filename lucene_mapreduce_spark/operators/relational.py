@@ -2574,3 +2574,85 @@ def systematic_sample_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mp, 6).alias("pop_mean"),
         F.round(F.abs(ms - mp) / mp, 6).alias("rel_err"),
     )
+
+
+BLOOM_JOIN_BITS = 65536  # k=1 bloom width for the semi-join pushdown
+
+
+def bloom_join_pushdown_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bloom-filter join pushdown audit (Spark's runtime bloom-filter
+    join / DPP cousin): the build side is orders filtered to 1998-Q1;
+    its orderkeys hash (k=1, BLOOM_JOIN_BITS buckets, engine-shared
+    md5) into a filter the lineitem probe side consults BEFORE the
+    shuffle. The report: probe rows, true matches, rows passing the
+    filter, false passes, and the shuffle-reduction ratio — the numbers
+    that justify spark.sql.optimizer.runtime.bloomFilter.enabled at
+    100 TB. The filter is an exact distinct-bucket semi-join (an honest
+    one-hash bloom), so both engines compute identical pass sets."""
+    lo_us, hi_us = 883612800000000, 891302400000000  # 1998-01-01..03-31
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
+            "d_us"
+        ),
+    )
+    build = orders.filter(
+        F.col("d_us").between(lo_us, hi_us)
+    ).select("o_orderkey")
+
+    def bucket(col):
+        return F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(col.cast("string"), F.lit(":bj"))
+                    ),
+                    1,
+                    13,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(BLOOM_JOIN_BITS),
+        )
+
+    bloom = build.select(bucket(F.col("o_orderkey")).alias("b")).distinct()
+    probe = load(spark, sf_dir, "lineitem").select("l_orderkey")
+    passed = probe.join(
+        bloom, bucket(F.col("l_orderkey")) == F.col("b"), "left_semi"
+    )
+    matched = probe.join(
+        build.withColumnRenamed("o_orderkey", "l_orderkey"),
+        "l_orderkey",
+        "left_semi",
+    )
+    n_probe = probe.agg(F.count(F.lit(1)).cast("long").alias("n_probe"))
+    n_pass = passed.agg(F.count(F.lit(1)).cast("long").alias("n_pass"))
+    n_match = matched.agg(
+        F.count(F.lit(1)).cast("long").alias("n_match")
+    )
+    n_build = build.agg(
+        F.count(F.lit(1)).cast("long").alias("n_build_keys")
+    )
+    return (
+        n_probe.crossJoin(n_pass)
+        .crossJoin(n_match)
+        .crossJoin(n_build)
+        .select(
+            "n_build_keys",
+            "n_probe",
+            "n_match",
+            "n_pass",
+            (F.col("n_pass") - F.col("n_match"))
+            .cast("long")
+            .alias("false_passes"),
+            F.round(
+                F.lit(1.0)
+                - F.col("n_pass").cast("double")
+                / F.col("n_probe").cast("double"),
+                6,
+            ).alias("shuffle_reduction"),
+        )
+    )

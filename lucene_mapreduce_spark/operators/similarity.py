@@ -2461,3 +2461,61 @@ def centered_anisotropy_audit(
         mpc(F.col("sq"), n_raw).alias("raw_mean_cosine"),
         mpc(F.col("sq_c"), n_cent).alias("centered_mean_cosine"),
     )
+
+
+def quantization_granularity_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-channel vs per-tensor int8 quantization error — the
+    granularity decision every quantized-serving rollout makes
+    (int8_quantization_audit pins the per-channel scheme; this is the
+    comparison that justifies it): both schemes quantize to 256 levels
+    on [min, max] grids (per-dimension vs global), and the report is
+    one row per scheme with corpus MSE and max absolute error.
+    Identical quantize-dequantize IEEE chains on identical operands;
+    per-component squared errors re-enter DECIMAL at 12dp; the max is
+    an order-free selection on 12dp-rounded errors."""
+    from lucene_mapreduce_spark.operators.parity import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>"))
+    ).select(F.col("pos").alias("dim"), F.col("col").alias("v"))
+    dimstats = comp.groupBy("dim").agg(
+        F.min("v").alias("mn"), F.max("v").alias("mx")
+    )
+    glob = comp.agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+
+    def err_frame(joined: DataFrame) -> DataFrame:
+        scale = (F.col("mx") - F.col("mn")) / F.lit(255.0)
+        deq = F.when(F.col("mx") == F.col("mn"), F.col("mn")).otherwise(
+            F.col("mn")
+            + F.round((F.col("v") - F.col("mn")) / scale, 0) * scale
+        )
+        return joined.select(
+            F.round((F.col("v") - deq) * (F.col("v") - deq), 12)
+            .cast("decimal(28,12)")
+            .alias("e2"),
+            F.round(F.abs(F.col("v") - deq), 12).alias("ae"),
+        )
+
+    legs = {
+        "per_channel": err_frame(comp.join(F.broadcast(dimstats), "dim")),
+        "per_tensor": err_frame(comp.crossJoin(F.broadcast(glob))),
+    }
+    out = None
+    for name, e in legs.items():
+        row = e.agg(
+            F.count(F.lit(1)).cast("long").alias("n_components"),
+            F.round(
+                F.sum("e2").cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                12,
+            ).alias("mse"),
+            F.round(F.max("ae"), 6).alias("max_abs_err"),
+        ).select(
+            F.lit(name).alias("scheme"), "n_components", "mse",
+            "max_abs_err",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("scheme")
