@@ -956,6 +956,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_join_pushdown_audit": (
             relational.bloom_join_pushdown_audit
         ),
+        # batch 97: assortativity, weighted median, simhash balance
+        "degree_assortativity": relational.degree_assortativity,
+        "weighted_median_price": relational.weighted_median_price,
+        "simhash_bit_balance": dedup.simhash_bit_balance,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})
@@ -2388,4 +2392,15 @@ WHERE len(list_filter(range(1, len(toks)), i ->
     out["bloom_join_pushdown_audit"] = bloom_join_sql(
         relational.BLOOM_JOIN_BITS, 883612800000000, 891302400000000
     )
+
+    # batch 97: assortativity, weighted median, simhash balance
+    from lucene_mapreduce_spark.operators.oracles import (
+        ASSORTATIVITY_SQL,
+        SIMHASH_BIT_BALANCE_SQL,
+        WEIGHTED_MEDIAN_SQL,
+    )
+
+    out["degree_assortativity"] = ASSORTATIVITY_SQL
+    out["weighted_median_price"] = WEIGHTED_MEDIAN_SQL
+    out["simhash_bit_balance"] = SIMHASH_BIT_BALANCE_SQL
     return out

@@ -1134,3 +1134,48 @@ def bbit_minhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(bbit, 6).alias("bbit_est"),
         F.round(F.abs(bbit - F.col("jaccard")), 6).alias("abs_err"),
     ).orderBy("doc_a", "doc_b")
+
+
+def simhash_bit_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash sketch-health audit: the per-bit 1-fraction across the
+    corpus's 64-bit simhashes — a healthy hash family sits near 0.5 on
+    every bit; systematic bias on a bit position weakens the hamming
+    estimator simhash_near_pairs relies on. Reuses the exact simhash()
+    column; bit extraction is integer shift/mask codegen; one 64-row
+    aggregate. Reports each bit's ones count plus the corpus max
+    deviation from 0.5."""
+    sigs = simhash(spark, sf_dir).select(
+        "doc_id", "simhash_hi", "simhash_lo"
+    )
+    n = sigs.count()  # scalar
+    # shiftright's Column-shift overload throws NOT_ITERABLE (the hll
+    # trap) — enumerate the 64 literal shifts explicitly instead
+    bit_cols = [
+        F.shiftright(
+            F.col("simhash_lo") if i < 32 else F.col("simhash_hi"),
+            i % 32,
+        )
+        .bitwiseAND(F.lit(1))
+        .cast("int")
+        for i in range(64)
+    ]
+    bits = sigs.select(
+        F.posexplode(F.array(*bit_cols)).alias("bit", "val")
+    )
+    per_bit = bits.groupBy("bit").agg(
+        F.sum("val").cast("long").alias("ones")
+    )
+    return per_bit.select(
+        "bit",
+        "ones",
+        F.round(
+            F.col("ones").cast("double") / F.lit(float(n)), 6
+        ).alias("ones_frac"),
+        F.round(
+            F.abs(
+                F.col("ones").cast("double") / F.lit(float(n))
+                - F.lit(0.5)
+            ),
+            6,
+        ).alias("bias"),
+    ).orderBy("bit")

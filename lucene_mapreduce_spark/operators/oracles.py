@@ -14824,3 +14824,94 @@ SELECT nb.n_build_keys, np.n_probe, m.n_match, p.n_pass,
          AS shuffle_reduction
 FROM np, nb, passed p, matched m
 """
+
+
+ASSORTATIVITY_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+            FROM lineitem),
+e AS (
+  SELECT a.pk AS pa, b.pk AS pb
+  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+adj AS (SELECT pa AS u, pb AS v FROM e UNION ALL SELECT pb, pa FROM e),
+deg AS (SELECT u, count(*)::BIGINT AS d FROM adj GROUP BY 1),
+ed AS (
+  SELECT du.d AS dx, dv.d AS dy
+  FROM adj
+  JOIN deg du ON du.u = adj.u
+  JOIN deg dv ON dv.u = adj.v
+),
+agg AS (
+  SELECT count(*)::BIGINT AS m,
+         sum(dx)::BIGINT AS sx, sum(dy)::BIGINT AS sy,
+         sum(dx * dx)::BIGINT AS sxx, sum(dy * dy)::BIGINT AS syy,
+         sum(dx * dy)::BIGINT AS sxy
+  FROM ed
+)
+SELECT (m // 2)::BIGINT AS n_edges,
+       round((m::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+             / (sqrt(m::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                * sqrt(m::DOUBLE * syy::DOUBLE
+                       - sy::DOUBLE * sy::DOUBLE)), 6)
+         AS assortativity
+FROM agg
+"""
+
+
+WEIGHTED_MEDIAN_SQL = """
+WITH li AS (
+  SELECT l_returnflag,
+         round(l_extendedprice, 2)::DECIMAL(18,2) AS price,
+         l_quantity::BIGINT AS w, l_orderkey, l_linenumber
+  FROM lineitem
+),
+tot AS (
+  SELECT l_returnflag, sum(w)::BIGINT AS wtot,
+         count(*)::BIGINT AS n_rows
+  FROM li GROUP BY 1
+),
+cum AS (
+  SELECT l_returnflag, price,
+         (sum(w) OVER (PARTITION BY l_returnflag
+                       ORDER BY price, l_orderkey, l_linenumber
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW))::BIGINT AS cw
+  FROM li
+),
+hit AS (
+  SELECT c.l_returnflag, t.wtot, t.n_rows,
+         min(struct_pack(cw := c.cw, price := c.price)) AS m
+  FROM cum c JOIN tot t USING (l_returnflag)
+  WHERE c.cw * 2 >= t.wtot
+  GROUP BY 1, 2, 3
+)
+SELECT l_returnflag, n_rows, wtot AS total_weight,
+       round((m.price)::DOUBLE, 2) AS weighted_median
+FROM hit ORDER BY l_returnflag
+"""
+
+
+SIMHASH_BIT_BALANCE_SQL = f"""
+WITH tok AS (SELECT doc_id, unnest({TOKS}) AS token FROM documents),
+tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+h AS (SELECT doc_id, tf,
+             md5('0:' || token) || md5('1:' || token) AS h FROM tf),
+per_bit AS (
+  SELECT doc_id, j,
+         sum(tf * CASE WHEN substr(h, (j + 1)::INT, 1)
+                        IN ('1','3','5','7','9','b','d','f')
+                  THEN 1 ELSE -1 END)::BIGINT AS s
+  FROM h, range(0, 64) t(j) GROUP BY 1, 2
+),
+nrow AS (SELECT count(DISTINCT doc_id)::BIGINT AS n FROM per_bit),
+ones AS (
+  SELECT j::INT AS bit,
+         sum(CASE WHEN s > 0 THEN 1 ELSE 0 END)::BIGINT AS ones
+  FROM per_bit GROUP BY 1
+)
+SELECT bit, ones,
+       round(ones::DOUBLE / n::DOUBLE, 6) AS ones_frac,
+       round(abs(ones::DOUBLE / n::DOUBLE - 0.5), 6) AS bias
+FROM ones, nrow ORDER BY bit
+"""

@@ -2656,3 +2656,97 @@ def bloom_join_pushdown_audit(
             ).alias("shuffle_reduction"),
         )
     )
+
+
+def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002, public) of the
+    co-order part graph: the Pearson correlation of endpoint degrees
+    over edges, computed on the DIRECTED edge multiset (each undirected
+    edge contributes both orientations — the standard convention that
+    makes the coefficient symmetric). Sufficient statistics are exact
+    BIGINT sums of degrees and degree products over edges; the final
+    correlation is one fixed IEEE chain. Graph-sized joins only."""
+    edges = _coorder_edges(spark, sf_dir).localCheckpoint()
+    adj = edges.select(
+        F.col("pa").alias("u"), F.col("pb").alias("v")
+    ).unionAll(edges.select(F.col("pb").alias("u"), F.col("pa").alias("v")))
+    deg = adj.groupBy("u").agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    du = deg.select(F.col("u"), F.col("d").alias("dx"))
+    dv = deg.select(F.col("u").alias("v"), F.col("d").alias("dy"))
+    ed = adj.join(du, "u").join(dv, "v")
+    agg = ed.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("dx").cast("long").alias("sx"),
+        F.sum("dy").cast("long").alias("sy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("long").alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).cast("long").alias("syy"),
+        F.sum(F.col("dx") * F.col("dy")).cast("long").alias("sxy"),
+    )
+    md = F.col("m").cast("double")
+    num = md * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    den = F.sqrt(
+        md * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    ) * F.sqrt(
+        md * F.col("syy").cast("double")
+        - F.col("sy").cast("double") * F.col("sy").cast("double")
+    )
+    return agg.select(
+        (F.col("m") / 2).cast("long").alias("n_edges"),
+        F.round(num / den, 6).alias("assortativity"),
+    )
+
+
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median of lineitem extendedprice per
+    returnflag — the weighted quantile the percentile family was
+    missing (every row counts l_quantity times): sort by (price,
+    orderkey, linenumber) within the flag, take the first row whose
+    cumulative weight reaches half the total — exact integer weight
+    arithmetic (quantities are integral TPC-H values), cross-multiplied
+    so no division appears before the output round. One partitioned
+    cumulative window at group size."""
+    from pyspark.sql.window import Window
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice"), 2)
+        .cast("decimal(18,2)")
+        .alias("price"),
+        F.col("l_quantity").cast("long").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = li.groupBy("l_returnflag").agg(
+        F.sum("w").cast("long").alias("wtot"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+    cum = li.select(
+        "l_returnflag",
+        "price",
+        F.sum("w").over(wcum).cast("long").alias("cw"),
+    )
+    # first row with 2*cw >= wtot (cross-multiplied half)
+    hit = (
+        cum.join(tot, "l_returnflag")
+        .filter(F.col("cw") * 2 >= F.col("wtot"))
+        .groupBy("l_returnflag", "wtot", "n_rows")
+        .agg(F.min(F.struct("cw", "price")).alias("m"))
+    )
+    return hit.select(
+        "l_returnflag",
+        "n_rows",
+        F.col("wtot").alias("total_weight"),
+        F.round(F.col("m.price").cast("double"), 2).alias(
+            "weighted_median"
+        ),
+    ).orderBy("l_returnflag")
