@@ -72,11 +72,13 @@ def test_simhash_balance_recompute(spark, sf_dir):
     sigs = dedup.simhash(spark, sf_dir).toPandas()
     n = len(sigs)
     assert len(out) == 64
+    lo = sigs.simhash_lo.astype("int64")
+    hi = sigs.simhash_hi.astype("int64")
     for r in out.itertuples():
         if r.bit < 32:
-            ones = int(((sigs.simhash_lo >> r.bit) & 1).sum())
+            ones = int(((lo >> int(r.bit)) & 1).sum())
         else:
-            ones = int(((sigs.simhash_hi >> (r.bit - 32)) & 1).sum())
+            ones = int(((hi >> int(r.bit - 32)) & 1).sum())
         assert r.ones == ones
         assert abs(r.ones_frac - ones / n) < 5e-7
         assert abs(r.bias - abs(ones / n - 0.5)) < 5e-7
