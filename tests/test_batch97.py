@@ -72,8 +72,8 @@ def test_simhash_balance_recompute(spark, sf_dir):
     sigs = dedup.simhash(spark, sf_dir).toPandas()
     n = len(sigs)
     assert len(out) == 64
-    lo = sigs.simhash_lo.astype("int64")
-    hi = sigs.simhash_hi.astype("int64")
+    lo = sigs.simhash_lo.astype("int64").values
+    hi = sigs.simhash_hi.astype("int64").values
     for r in out.itertuples():
         if r.bit < 32:
             ones = int(((lo >> int(r.bit)) & 1).sum())
