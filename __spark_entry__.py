@@ -960,6 +960,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_assortativity": relational.degree_assortativity,
         "weighted_median_price": relational.weighted_median_price,
         "simhash_bit_balance": dedup.simhash_bit_balance,
+        # batch 98: local clustering, Jain fairness, overlap depth
+        "local_clustering_topk": relational.local_clustering_topk,
+        "jain_fairness_index": relational.jain_fairness_index,
+        "file_overlap_depth": relational.file_overlap_depth,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})
@@ -2403,4 +2407,17 @@ WHERE len(list_filter(range(1, len(toks)), i ->
     out["degree_assortativity"] = ASSORTATIVITY_SQL
     out["weighted_median_price"] = WEIGHTED_MEDIAN_SQL
     out["simhash_bit_balance"] = SIMHASH_BIT_BALANCE_SQL
+
+    # batch 98: local clustering, Jain fairness, overlap depth
+    from lucene_mapreduce_spark.operators.oracles import (
+        JAIN_FAIRNESS_SQL,
+        file_overlap_sql,
+        local_clustering_sql,
+    )
+
+    out["local_clustering_topk"] = local_clustering_sql(
+        relational.AFFINITY_MIN_SUPPORT, 20
+    )
+    out["jain_fairness_index"] = JAIN_FAIRNESS_SQL
+    out["file_overlap_depth"] = file_overlap_sql(relational.SKIP_N_FILES)
     return out

@@ -14915,3 +14915,108 @@ SELECT bit, ones,
        round(abs(ones::DOUBLE / n::DOUBLE - 0.5), 6) AS bias
 FROM ones, nrow ORDER BY bit
 """
+
+
+def local_clustering_sql(support: int, k: int) -> str:
+    """Local-clustering twin: identical triangle credit and ratio."""
+    return f"""
+WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+            FROM lineitem),
+e AS (
+  SELECT a.pk AS pa, b.pk AS pb
+  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+  GROUP BY 1, 2 HAVING count(*) >= {support}
+),
+deg AS (
+  SELECT node, count(*)::BIGINT AS d FROM (
+    SELECT pa AS node FROM e UNION ALL SELECT pb FROM e
+  ) GROUP BY 1
+),
+tri AS (
+  SELECT e1.pa AS x, e1.pb AS y, e2.pb AS z
+  FROM e e1
+  JOIN e e2 ON e2.pa = e1.pb
+  JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+),
+corner AS (
+  SELECT node, count(*)::BIGINT AS t FROM (
+    SELECT x AS node FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri
+  ) GROUP BY 1
+),
+lcc AS (
+  SELECT deg.node, deg.d, coalesce(corner.t, 0)::BIGINT AS t,
+         round(2.0::DOUBLE * coalesce(corner.t, 0)::DOUBLE
+               / (deg.d::DOUBLE * (deg.d::DOUBLE - 1.0)), 6) AS lcc
+  FROM deg LEFT JOIN corner USING (node)
+  WHERE deg.d >= 2
+)
+SELECT node AS p_partkey, d, t, lcc, rank FROM (
+  SELECT *, row_number() OVER (ORDER BY lcc DESC, node ASC)::INT AS rank
+  FROM lcc
+) WHERE rank <= {k} ORDER BY rank
+"""
+
+
+JAIN_FAIRNESS_SQL = """
+WITH per AS (
+  SELECT user_id, count(*)::BIGINT AS x FROM events GROUP BY 1
+),
+agg AS (
+  SELECT count(*)::BIGINT AS n_users, sum(x)::BIGINT AS sx,
+         sum(x * x)::BIGINT AS sxx
+  FROM per
+)
+SELECT n_users, sx AS n_events,
+       round(sx::DOUBLE * sx::DOUBLE
+             / (n_users::DOUBLE * sxx::DOUBLE), 6) AS jain_index,
+       round(1.0::DOUBLE / n_users::DOUBLE, 6) AS worst_case
+FROM agg
+"""
+
+
+def file_overlap_sql(n_files: int) -> str:
+    """Overlap-depth twin: identical ntile files and interval join."""
+    legs = []
+    for lname, order in (
+        ("arrival", "o_orderkey"),
+        ("date_sorted", "d_us, o_orderkey"),
+    ):
+        legs.append(f"""
+SELECT '{lname}' AS layout,
+       count(*)::BIGINT AS n_files,
+       round(sum(depth)::DOUBLE / count(*)::DOUBLE, 6)
+         AS mean_overlap_depth,
+       max(depth)::BIGINT AS max_overlap_depth
+FROM (
+  SELECT a.f, coalesce(d.depth, 0)::BIGINT AS depth
+  FROM (
+    SELECT f, min(d_us) AS mn, max(d_us) AS mx
+    FROM (SELECT ntile({n_files}) OVER (ORDER BY {order}) AS f, d_us
+          FROM o)
+    GROUP BY f
+  ) a
+  LEFT JOIN (
+    SELECT x.f, count(*)::BIGINT AS depth
+    FROM (
+      SELECT f, min(d_us) AS mn, max(d_us) AS mx
+      FROM (SELECT ntile({n_files}) OVER (ORDER BY {order}) AS f, d_us
+            FROM o)
+      GROUP BY f
+    ) x
+    JOIN (
+      SELECT f, min(d_us) AS mn, max(d_us) AS mx
+      FROM (SELECT ntile({n_files}) OVER (ORDER BY {order}) AS f, d_us
+            FROM o)
+      GROUP BY f
+    ) y ON x.f <> y.f AND x.mn <= y.mx AND x.mx >= y.mn
+    GROUP BY x.f
+  ) d ON d.f = a.f
+)""")
+    return (
+        "WITH o AS (SELECT o_orderkey, epoch_us(o_orderdate) AS d_us"
+        " FROM orders)\n"
+        + "\nUNION ALL\n".join(legs)
+        + "\nORDER BY layout"
+    )

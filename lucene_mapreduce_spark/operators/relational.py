@@ -2750,3 +2750,155 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             "weighted_median"
         ),
     ).orderBy("l_returnflag")
+
+
+def local_clustering_topk(
+    spark: SparkSession, sf_dir: str, k: int = 20
+) -> DataFrame:
+    """Per-node local clustering coefficient over the co-order part
+    graph — affinity_triangles' global census localized: lcc(v) =
+    triangles_at_v / C(deg v, 2), triangles enumerated once under the
+    a<b<c orientation and credited to all three corners via one
+    explode. Top-k by (lcc desc, node asc) among nodes with degree >=
+    2, lcc ranked on the 6dp round (the random_score rule). Exact
+    integers until the final ratio."""
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+
+    edges = _coorder_edges(spark, sf_dir).localCheckpoint()
+    deg = (
+        edges.select(F.col("pa").alias("node"))
+        .unionAll(edges.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    e1 = edges.select(F.col("pa").alias("x"), F.col("pb").alias("y"))
+    e2 = edges.select(F.col("pa").alias("y2"), F.col("pb").alias("z"))
+    e3 = edges.select(F.col("pa").alias("x3"), F.col("pb").alias("z3"))
+    tri = (
+        e1.join(e2, e1.y == e2.y2)
+        .join(e3, (F.col("x") == F.col("x3")) & (F.col("z") == F.col("z3")))
+        .select("x", "y", "z")
+    )
+    corner = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+    )
+    lcc = (
+        deg.filter(F.col("d") >= 2)
+        .join(corner, "node", "left")
+        .select(
+            "node",
+            "d",
+            F.coalesce("t", F.lit(0)).cast("long").alias("t"),
+            F.round(
+                F.lit(2.0)
+                * F.coalesce("t", F.lit(0)).cast("double")
+                / (
+                    F.col("d").cast("double")
+                    * (F.col("d").cast("double") - F.lit(1.0))
+                ),
+                6,
+            ).alias("lcc"),
+        )
+    )
+    return ranked_topk(
+        lcc, [F.desc("lcc"), F.asc("node")], k
+    ).select(
+        F.col("node").alias("p_partkey"), "d", "t", "lcc", "rank"
+    )
+
+
+def jain_fairness_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jain's fairness index over per-user event counts — the
+    multi-tenant load-share metric (Jain/Chiu/Hawe 1984, public):
+    J = (sum x)^2 / (n * sum x^2), 1.0 = perfectly even, 1/n = one
+    tenant hogs everything. Exact BIGINT sufficient statistics; one
+    user-cardinality groupBy."""
+    ev = load(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    j = (
+        F.col("sx").cast("double") * F.col("sx").cast("double")
+    ) / (F.col("n_users").cast("double") * F.col("sxx").cast("double"))
+    return agg.select(
+        "n_users",
+        F.col("sx").alias("n_events"),
+        F.round(j, 6).alias("jain_index"),
+        F.round(F.lit(1.0) / F.col("n_users").cast("double"), 6).alias(
+            "worst_case"
+        ),
+    )
+
+
+def file_overlap_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-depth metric for the file_skipping_audit layouts: for
+    each of the 64 ntile files, how many OTHER files' [min,max]
+    orderdate ranges overlap it — the overlap-depth statistic lakehouse
+    OPTIMIZE jobs watch (depth ~ n under arrival order, ~1 after the
+    clustered rewrite; residual overlap comes from duplicate boundary
+    dates). The 64x64 interval join is file-count-bounded, never
+    row-bounded. Reports per-layout mean/max depth."""
+    from pyspark.sql.window import Window
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
+            "d_us"
+        ),
+    )
+    out = None
+    for lname, w in (
+        ("arrival", Window.orderBy("o_orderkey")),
+        ("date_sorted", Window.orderBy("d_us", "o_orderkey")),
+    ):
+        files = (
+            orders.select(
+                F.ntile(SKIP_N_FILES).over(w).alias("f"), "d_us"
+            )
+            .groupBy("f")
+            .agg(F.min("d_us").alias("mn"), F.max("d_us").alias("mx"))
+        )
+        a = files.select(
+            F.col("f").alias("fa"), F.col("mn").alias("mna"),
+            F.col("mx").alias("mxa"),
+        )
+        b = files.select(
+            F.col("f").alias("fb"), F.col("mn").alias("mnb"),
+            F.col("mx").alias("mxb"),
+        )
+        depth = (
+            a.join(
+                b,
+                (F.col("fa") != F.col("fb"))
+                & (F.col("mna") <= F.col("mxb"))
+                & (F.col("mxa") >= F.col("mnb")),
+            )
+            .groupBy("fa")
+            .agg(F.count(F.lit(1)).cast("long").alias("depth"))
+        )
+        full = a.join(depth, "fa", "left").select(
+            F.coalesce("depth", F.lit(0)).cast("long").alias("depth")
+        )
+        row = full.agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.round(
+                F.sum("depth").cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("mean_overlap_depth"),
+            F.max("depth").cast("long").alias("max_overlap_depth"),
+        ).select(
+            F.lit(lname).alias("layout"),
+            "n_files",
+            "mean_overlap_depth",
+            "max_overlap_depth",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("layout")
