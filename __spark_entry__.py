@@ -964,6 +964,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_clustering_topk": relational.local_clustering_topk,
         "jain_fairness_index": relational.jain_fairness_index,
         "file_overlap_depth": relational.file_overlap_depth,
+        # batch 99: join cardinality, entropy bound, randomized response
+        "join_cardinality_audit": relational.join_cardinality_audit,
+        "char_entropy_compression_bound": (
+            textstats.char_entropy_compression_bound
+        ),
+        "randomized_response_audit": textstats.randomized_response_audit,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})
@@ -2420,4 +2426,17 @@ WHERE len(list_filter(range(1, len(toks)), i ->
     )
     out["jain_fairness_index"] = JAIN_FAIRNESS_SQL
     out["file_overlap_depth"] = file_overlap_sql(relational.SKIP_N_FILES)
+
+    # batch 99: join cardinality, entropy bound, randomized response
+    from lucene_mapreduce_spark.operators.oracles import (
+        CHAR_ENTROPY_BOUND_SQL,
+        join_card_sql,
+        rr_audit_sql,
+    )
+
+    out["join_cardinality_audit"] = join_card_sql(
+        relational.JOIN_CARD_PAIRS
+    )
+    out["char_entropy_compression_bound"] = CHAR_ENTROPY_BOUND_SQL
+    out["randomized_response_audit"] = rr_audit_sql(textstats.RR_FLIP_P)
     return out

@@ -15020,3 +15020,90 @@ FROM (
         + "\nUNION ALL\n".join(legs)
         + "\nORDER BY layout"
     )
+
+
+def join_card_sql(pairs: list) -> str:
+    """Join-cardinality twin: identical estimator and q-error."""
+    legs = []
+    for name, ta, ka, tb, kb in pairs:
+        legs.append(f"""
+SELECT '{name}' AS pair, na, nb, da, db, n_actual,
+       round(na::DOUBLE * nb::DOUBLE
+             / greatest(da, db)::DOUBLE, 6) AS n_estimated,
+       round(CASE WHEN n_actual > 0 THEN greatest(
+           (na::DOUBLE * nb::DOUBLE / greatest(da, db)::DOUBLE)
+             / n_actual::DOUBLE,
+           n_actual::DOUBLE
+             / (na::DOUBLE * nb::DOUBLE / greatest(da, db)::DOUBLE))
+       END, 6) AS q_error
+FROM (
+  SELECT
+    (SELECT count(*) FROM {ta})::BIGINT AS na,
+    (SELECT count(*) FROM {tb})::BIGINT AS nb,
+    (SELECT count(DISTINCT {ka}) FROM {ta})::BIGINT AS da,
+    (SELECT count(DISTINCT {kb}) FROM {tb})::BIGINT AS db,
+    (SELECT count(*) FROM {ta} a JOIN {tb} b
+       ON a.{ka} = b.{kb})::BIGINT AS n_actual
+)""")
+    return "\nUNION ALL\n".join(legs) + "\nORDER BY pair"
+
+
+CHAR_ENTROPY_BOUND_SQL = """
+WITH chars AS (
+  SELECT source, unnest(string_split(text, '')) AS ch FROM documents
+),
+filtered AS (SELECT source, ch FROM chars WHERE length(ch) > 0),
+hist AS (
+  SELECT source, ch, count(*)::BIGINT AS c FROM filtered GROUP BY 1, 2
+),
+tot AS (SELECT source, sum(c)::BIGINT AS n FROM hist GROUP BY 1),
+terms AS (
+  SELECT hist.source,
+         round(-(hist.c::DOUBLE / tot.n::DOUBLE)
+               * ln(hist.c::DOUBLE / tot.n::DOUBLE)
+               * 1.4426950408889634, 12)::DECIMAL(28,12) AS term
+  FROM hist JOIN tot USING (source)
+),
+h AS (
+  SELECT source, sum(term)::DOUBLE AS h_bits FROM terms GROUP BY 1
+)
+SELECT h.source, tot.n AS raw_chars,
+       round(h.h_bits, 6) AS entropy_bits_per_char,
+       ceil(h.h_bits * tot.n::DOUBLE / 8.0)::BIGINT AS bound_bytes,
+       round(h.h_bits / 8.0, 6) AS best_ratio
+FROM h JOIN tot USING (source)
+ORDER BY h.source
+"""
+
+
+def rr_audit_sql(flip_p: float) -> str:
+    """Randomized-response twin: identical md5-uniform draws and
+    debiasing corrector."""
+    h = _MD5_52.format(e="user_id::VARCHAR || ':rr'")
+    return f"""
+WITH per AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS truth
+  FROM events GROUP BY 1
+),
+flipped AS (
+  SELECT truth,
+         CASE WHEN (({h}) % {1 << 20})::DOUBLE
+                   / {float(1 << 20)!r} < {flip_p!r}::DOUBLE
+              THEN 1 - truth ELSE truth END AS released
+  FROM per
+),
+agg AS (
+  SELECT count(*)::BIGINT AS n_users,
+         sum(truth)::BIGINT AS n_true,
+         sum(released)::BIGINT AS n_released
+  FROM flipped
+)
+SELECT n_users,
+       round(n_true::DOUBLE / n_users::DOUBLE, 6) AS true_rate,
+       round(n_released::DOUBLE / n_users::DOUBLE, 6) AS observed_rate,
+       round((n_released::DOUBLE / n_users::DOUBLE - {flip_p!r}::DOUBLE)
+             / ({1.0 - 2.0 * flip_p!r}::DOUBLE), 6) AS estimated_rate
+FROM agg
+"""

@@ -2902,3 +2902,59 @@ def file_overlap_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("layout")
+
+
+JOIN_CARD_PAIRS = [
+    ("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+]
+
+
+def join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation audit — the selectivity audit's join
+    sibling: the textbook CBO estimate |A join B| = |A|*|B|/max(ndv_a,
+    ndv_b) against the measured row count, with the q-error planners
+    benchmark on (Leis et al., "How Good Are Query Optimizers",
+    public). NDVs are exact distincts (what perfect statistics would
+    give — the residual q-error is the MODEL's error, not the stats').
+    One aggregate per side plus the actual join count per pair."""
+    out = None
+    for name, ta, ka, tb, kb in JOIN_CARD_PAIRS:
+        a = load(spark, sf_dir, ta).select(F.col(ka).alias("k"))
+        b = load(spark, sf_dir, tb).select(F.col(kb).alias("k"))
+        sa = a.agg(
+            F.count(F.lit(1)).cast("long").alias("na"),
+            F.countDistinct("k").cast("long").alias("da"),
+        )
+        sb = b.agg(
+            F.count(F.lit(1)).cast("long").alias("nb"),
+            F.countDistinct("k").cast("long").alias("db"),
+        )
+        actual = a.join(b, "k").agg(
+            F.count(F.lit(1)).cast("long").alias("n_actual")
+        )
+        j = sa.crossJoin(sb).crossJoin(actual)
+        est = (
+            F.col("na").cast("double")
+            * F.col("nb").cast("double")
+            / F.greatest(F.col("da"), F.col("db")).cast("double")
+        )
+        act = F.col("n_actual").cast("double")
+        row = j.select(
+            F.lit(name).alias("pair"),
+            "na",
+            "nb",
+            "da",
+            "db",
+            "n_actual",
+            F.round(est, 6).alias("n_estimated"),
+            F.round(
+                F.when(
+                    act > 0, F.greatest(est / act, act / est)
+                ).otherwise(F.lit(None)),
+                6,
+            ).alias("q_error"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("pair")

@@ -5831,3 +5831,124 @@ def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(PSI_DECILES).cast("int").alias("n_buckets"),
         F.round(F.sum("term").cast("double"), 6).alias("psi"),
     )
+
+
+def char_entropy_compression_bound(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Order-0 character-entropy compression bound per source: Shannon
+    H over the character distribution gives the floor bytes/char any
+    order-0 entropy coder can reach; the report is raw bytes, H
+    (bits/char), bound bytes, and the best-case ratio — the quick
+    read before spending on a heavier codec (char_trigram_entropy
+    measures order-2 structure; this is its order-0 floor). Character
+    histogram via one explode groupBy; entropy contributions re-enter
+    DECIMAL at 12dp (the entropy-sum rule); the shared 1/ln2 literal
+    converts nats to bits."""
+    _INV_LN2 = 1.4426950408889634
+    docs = load(spark, sf_dir, "documents").select("source", "text")
+    chars = docs.select(
+        "source",
+        F.explode(F.split(F.col("text"), "")).alias("ch"),
+    ).filter(F.length("ch") > 0)
+    hist = chars.groupBy("source", "ch").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = hist.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n")
+    )
+    terms = hist.join(tot, "source").select(
+        "source",
+        F.round(
+            -(F.col("c").cast("double") / F.col("n").cast("double"))
+            * F.log(
+                F.col("c").cast("double") / F.col("n").cast("double")
+            )
+            * F.lit(_INV_LN2),
+            12,
+        )
+        .cast("decimal(28,12)")
+        .alias("term"),
+    )
+    h = terms.groupBy("source").agg(
+        F.sum("term").cast("double").alias("h_bits")
+    )
+    return (
+        h.join(tot, "source")
+        .select(
+            "source",
+            F.col("n").alias("raw_chars"),
+            F.round("h_bits", 6).alias("entropy_bits_per_char"),
+            F.ceil(
+                F.col("h_bits") * F.col("n").cast("double") / F.lit(8.0)
+            )
+            .cast("long")
+            .alias("bound_bytes"),
+            F.round(F.col("h_bits") / F.lit(8.0), 6).alias(
+                "best_ratio"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+RR_FLIP_P = 0.25  # randomized-response flip probability
+
+
+def randomized_response_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Randomized response (Warner 1965, public — the survey-privacy
+    mechanism): each user's true bit (did they purchase?) flips with
+    pinned probability RR_FLIP_P via an md5-uniform draw; the released
+    proportion is debiased by the unbiased corrector
+    pi = (p_obs - p) / (1 - 2p). The audit publishes the true rate,
+    the observed randomized rate, and the estimate — all exact integer
+    counts until three fixed IEEE ops. Deterministic draws make the
+    mechanism's ARITHMETIC gateable (real deployments use true
+    randomness; the estimator is what is under test)."""
+    ev = load(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(
+        F.max(
+            (F.col("event_type") == "purchase").cast("int")
+        ).alias("truth")
+    )
+    u = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.col("user_id").cast("string"), F.lit(":rr"))
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(1 << 20),
+    ).cast("double") / F.lit(float(1 << 20))
+    flipped = per.select(
+        "truth",
+        F.when(u < F.lit(RR_FLIP_P), 1 - F.col("truth"))
+        .otherwise(F.col("truth"))
+        .alias("released"),
+    )
+    agg = flipped.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("truth").cast("long").alias("n_true"),
+        F.sum("released").cast("long").alias("n_released"),
+    )
+    p_obs = F.col("n_released").cast("double") / F.col("n_users").cast(
+        "double"
+    )
+    est = (p_obs - F.lit(RR_FLIP_P)) / F.lit(1.0 - 2.0 * RR_FLIP_P)
+    return agg.select(
+        "n_users",
+        F.round(
+            F.col("n_true").cast("double")
+            / F.col("n_users").cast("double"),
+            6,
+        ).alias("true_rate"),
+        F.round(p_obs, 6).alias("observed_rate"),
+        F.round(est, 6).alias("estimated_rate"),
+    )
