@@ -970,6 +970,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             textstats.char_entropy_compression_bound
         ),
         "randomized_response_audit": textstats.randomized_response_audit,
+        # batch 100: NULL semantics, circular stats, repeat purchases
+        "null_semantics_gate": parity.null_semantics_gate,
+        "circular_hour_concentration": (
+            parity.circular_hour_concentration
+        ),
+        "repeat_part_purchase_rate": parity.repeat_part_purchase_rate,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})
@@ -2439,4 +2445,17 @@ WHERE len(list_filter(range(1, len(toks)), i ->
     )
     out["char_entropy_compression_bound"] = CHAR_ENTROPY_BOUND_SQL
     out["randomized_response_audit"] = rr_audit_sql(textstats.RR_FLIP_P)
+
+    # batch 100: NULL semantics, circular stats, repeat purchases
+    from lucene_mapreduce_spark.operators.oracles import (
+        circular_hour_sql,
+        null_semantics_sql,
+        repeat_part_sql,
+    )
+
+    out["null_semantics_gate"] = null_semantics_sql(parity.NULL_SEM_UID)
+    out["circular_hour_concentration"] = circular_hour_sql(
+        parity.CIRC_TWO_PI
+    )
+    out["repeat_part_purchase_rate"] = repeat_part_sql(20)
     return out

@@ -15107,3 +15107,85 @@ SELECT n_users,
              / ({1.0 - 2.0 * flip_p!r}::DOUBLE), 6) AS estimated_rate
 FROM agg
 """
+
+
+def null_semantics_sql(null_uid: int) -> str:
+    """NULL-semantics twin: identical NULLed build side and three
+    formulations under ANSI three-valued logic."""
+    return f"""
+WITH probe AS (SELECT DISTINCT user_id FROM events),
+build AS (
+  SELECT DISTINCT (CASE WHEN user_id = {null_uid} THEN NULL
+                   ELSE user_id END) AS uid
+  FROM events WHERE event_type = 'error'
+)
+SELECT * FROM (
+  SELECT 'not_in' AS formulation,
+         (SELECT count(*) FROM probe
+          WHERE user_id NOT IN (SELECT uid FROM build))::BIGINT
+           AS n_rows
+  UNION ALL
+  SELECT 'not_exists',
+         (SELECT count(*) FROM probe p
+          WHERE NOT EXISTS (SELECT 1 FROM build b
+                            WHERE b.uid = p.user_id))::BIGINT
+  UNION ALL
+  SELECT 'left_anti_join',
+         (SELECT count(*) FROM probe p
+          LEFT JOIN build b ON b.uid = p.user_id
+          WHERE b.uid IS NULL)::BIGINT
+) ORDER BY formulation
+"""
+
+
+def circular_hour_sql(two_pi: float) -> str:
+    """Circular-concentration twin: shared 2-pi literal, 12dp DECIMAL
+    component sums, sqrt-only resultant."""
+    return f"""
+WITH ev AS (
+  SELECT event_type, epoch_us(ts) AS us FROM events
+),
+comps AS (
+  SELECT event_type,
+         round(cos((us % 86400000000)::DOUBLE / 86400000000.0
+                   * {two_pi!r}::DOUBLE), 12)::DECIMAL(28,12) AS c,
+         round(sin((us % 86400000000)::DOUBLE / 86400000000.0
+                   * {two_pi!r}::DOUBLE), 12)::DECIMAL(28,12) AS s
+  FROM ev
+),
+agg AS (
+  SELECT event_type, count(*)::BIGINT AS n,
+         sum(c)::DOUBLE AS cc, sum(s)::DOUBLE AS ss
+  FROM comps GROUP BY 1
+)
+SELECT event_type, n,
+       round(sqrt(cc * cc + ss * ss) / n::DOUBLE, 6) AS resultant_r
+FROM agg ORDER BY event_type
+"""
+
+
+def repeat_part_sql(k: int) -> str:
+    """Repeat-purchase twin: identical rollup and top-k order."""
+    return f"""
+WITH pc AS (
+  SELECT li.l_partkey, o.o_custkey,
+         count(DISTINCT li.l_orderkey)::BIGINT AS n_ord
+  FROM lineitem li JOIN orders o ON li.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+),
+per_part AS (
+  SELECT l_partkey, count(*)::BIGINT AS n_customers,
+         sum(CASE WHEN n_ord >= 2 THEN 1 ELSE 0 END)::BIGINT
+           AS repeat_customers
+  FROM pc GROUP BY 1
+)
+SELECT l_partkey, n_customers, repeat_customers,
+       round(repeat_customers::DOUBLE / n_customers::DOUBLE, 6)
+         AS repeat_rate,
+       rank
+FROM (
+  SELECT *, row_number() OVER (
+      ORDER BY repeat_customers DESC, l_partkey ASC)::INT AS rank
+  FROM per_part
+) WHERE rank <= {k} ORDER BY rank
+"""

@@ -5887,3 +5887,148 @@ def quantile_disc_cont_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("p")
+
+
+NULL_SEM_UID = 7  # this user's id becomes NULL in the build side
+
+
+def null_semantics_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NOT IN / NOT EXISTS / anti-join NULL-semantics gate — the
+    SQL trap every warehouse migration hits: the build side (users who
+    errored) has one id NULLed (a pinned user), and the three
+    'complement' formulations answer DIFFERENTLY by the standard:
+    NOT IN collapses to zero rows when the in-list holds a NULL
+    (three-valued logic), while NOT EXISTS and LEFT ANTI JOIN ignore
+    the NULL row. One row per formulation with its count — identical
+    ANSI behavior required of both engines. Bounded sets throughout."""
+    ev = load(spark, sf_dir, "events")
+    probe = ev.select("user_id").distinct()
+    build = (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            F.when(
+                F.col("user_id") == NULL_SEM_UID, F.lit(None)
+            )
+            .otherwise(F.col("user_id"))
+            .alias("uid")
+        )
+        .distinct()
+    )
+    probe.createOrReplaceTempView("ns_probe")
+    build.createOrReplaceTempView("ns_build")
+    not_in = spark.sql(
+        "SELECT count(*) AS n FROM ns_probe"
+        " WHERE user_id NOT IN (SELECT uid FROM ns_build)"
+    )
+    not_exists = spark.sql(
+        "SELECT count(*) AS n FROM ns_probe p"
+        " WHERE NOT EXISTS (SELECT 1 FROM ns_build b"
+        " WHERE b.uid = p.user_id)"
+    )
+    anti = probe.join(
+        build, probe.user_id == build.uid, "left_anti"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    out = None
+    for name, df in (
+        ("not_in", not_in),
+        ("not_exists", not_exists),
+        ("left_anti_join", anti),
+    ):
+        row = df.select(
+            F.lit(name).alias("formulation"),
+            F.col("n").cast("long").alias("n_rows"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("formulation")
+
+
+CIRC_TWO_PI = 6.283185307179586
+
+
+def circular_hour_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Circular concentration of event times-of-day (the resultant
+    length R of directional statistics — 0 = uniform around the clock,
+    1 = all at one instant) per event type, WITHOUT atan2 (whose
+    cross-engine rounding is unpinned): hour-angle sin/cos on the
+    shared 2-pi literal, 12dp DECIMAL component sums, R =
+    sqrt(C^2 + S^2)/n via the correctly-rounded sqrt. The uniformity
+    read a diurnal-pattern monitor wants."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    frac = (
+        F.pmod(F.col("us"), F.lit(86400000000)).cast("double")
+        / F.lit(86400000000.0)
+    )
+    theta = frac * F.lit(CIRC_TWO_PI)
+    comps = ev.select(
+        "event_type",
+        F.round(F.cos(theta), 12).cast("decimal(28,12)").alias("c"),
+        F.round(F.sin(theta), 12).cast("decimal(28,12)").alias("s"),
+    )
+    agg = comps.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("double").alias("cc"),
+        F.sum("s").cast("double").alias("ss"),
+    )
+    r = (
+        F.sqrt(F.col("cc") * F.col("cc") + F.col("ss") * F.col("ss"))
+        / F.col("n").cast("double")
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        F.round(r, 6).alias("resultant_r"),
+    ).orderBy("event_type")
+
+
+def repeat_part_purchase_rate(
+    spark: SparkSession, sf_dir: str, k: int = 20
+) -> DataFrame:
+    """Repeat-purchase parts: for each part, the count of customers who
+    ordered it in >= 2 DISTINCT orders and the repeat rate over its
+    customer base — the retail loyalty metric. One (part, customer)
+    rollup through the orders join; top-k by (repeat_customers desc,
+    partkey)."""
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_orderkey"
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    pc = (
+        li.join(
+            orders, li.l_orderkey == orders.o_orderkey
+        )
+        .groupBy("l_partkey", "o_custkey")
+        .agg(F.countDistinct("l_orderkey").cast("long").alias("n_ord"))
+    )
+    per_part = pc.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum((F.col("n_ord") >= 2).cast("int"))
+        .cast("long")
+        .alias("repeat_customers"),
+    )
+    scored = per_part.select(
+        "l_partkey",
+        "n_customers",
+        "repeat_customers",
+        F.round(
+            F.col("repeat_customers").cast("double")
+            / F.col("n_customers").cast("double"),
+            6,
+        ).alias("repeat_rate"),
+    )
+    return ranked_topk(
+        scored,
+        [F.desc("repeat_customers"), F.asc("l_partkey")],
+        k,
+    ).select(
+        "l_partkey", "n_customers", "repeat_customers", "repeat_rate",
+        "rank",
+    )
