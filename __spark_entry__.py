@@ -976,6 +976,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             parity.circular_hour_concentration
         ),
         "repeat_part_purchase_rate": parity.repeat_part_purchase_rate,
+        # batch 101: Good-Turing, Simpson diversity, edit-1 pairs
+        "good_turing_counts": textstats.good_turing_counts,
+        "simpson_diversity_by_source": (
+            textstats.simpson_diversity_by_source
+        ),
+        "vocab_edit1_pairs": textstats.vocab_edit1_pairs,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})
@@ -2458,4 +2464,15 @@ WHERE len(list_filter(range(1, len(toks)), i ->
         parity.CIRC_TWO_PI
     )
     out["repeat_part_purchase_rate"] = repeat_part_sql(20)
+
+    # batch 101: Good-Turing, Simpson diversity, edit-1 pairs
+    from lucene_mapreduce_spark.operators.oracles import (
+        SIMPSON_DIVERSITY_SQL,
+        VOCAB_EDIT1_SQL,
+        good_turing_sql,
+    )
+
+    out["good_turing_counts"] = good_turing_sql(textstats.GT_MAX_R)
+    out["simpson_diversity_by_source"] = SIMPSON_DIVERSITY_SQL
+    out["vocab_edit1_pairs"] = VOCAB_EDIT1_SQL
     return out

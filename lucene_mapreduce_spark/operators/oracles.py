@@ -15189,3 +15189,67 @@ FROM (
   FROM per_part
 ) WHERE rank <= {k} ORDER BY rank
 """
+
+
+def good_turing_sql(max_r: int) -> str:
+    """Good-Turing twin: identical gap-filled ladder and lead lookup."""
+    return f"""
+WITH cf AS (
+  SELECT term, count(*)::BIGINT AS r
+  FROM (SELECT unnest({TOKS}) AS term FROM documents) GROUP BY 1
+),
+nr AS (SELECT r, count(*)::BIGINT AS n_r FROM cf GROUP BY 1),
+ladder AS (SELECT unnest(range(1, {max_r + 2}))::BIGINT AS r),
+filled AS (
+  SELECT ladder.r, coalesce(nr.n_r, 0)::BIGINT AS n_r
+  FROM ladder LEFT JOIN nr USING (r)
+),
+led AS (
+  SELECT r, n_r, lead(n_r) OVER (ORDER BY r) AS n_r1 FROM filled
+)
+SELECT r, n_r,
+       coalesce(n_r1, 0)::BIGINT AS n_r_plus_1,
+       round(CASE WHEN n_r > 0 THEN (r + 1)::DOUBLE
+                  * coalesce(n_r1, 0)::DOUBLE / n_r::DOUBLE END, 6)
+         AS r_star
+FROM led WHERE r <= {max_r} ORDER BY r
+"""
+
+
+SIMPSON_DIVERSITY_SQL = f"""
+WITH tf AS (
+  SELECT source, term, count(*)::BIGINT AS c
+  FROM (SELECT source, unnest({TOKS}) AS term FROM documents)
+  GROUP BY 1, 2
+),
+tot AS (SELECT source, sum(c)::BIGINT AS n FROM tf GROUP BY 1),
+terms AS (
+  SELECT tf.source,
+         round((tf.c::DOUBLE / tot.n::DOUBLE)
+               * (tf.c::DOUBLE / tot.n::DOUBLE), 12)::DECIMAL(28,12)
+           AS sq
+  FROM tf JOIN tot USING (source)
+),
+lam AS (
+  SELECT source, sum(sq)::DOUBLE AS lam FROM terms GROUP BY 1
+)
+SELECT lam.source, tot.n AS n_tokens,
+       round(lam.lam, 6) AS simpson_lambda,
+       round(1.0::DOUBLE / lam.lam, 6) AS effective_vocab
+FROM lam JOIN tot USING (source)
+ORDER BY lam.source
+"""
+
+
+VOCAB_EDIT1_SQL = f"""
+WITH vocab AS (
+  SELECT term, count(*)::BIGINT AS cf
+  FROM (SELECT unnest({TOKS}) AS term FROM documents) GROUP BY 1
+)
+SELECT a.term AS ta, b.term AS tb,
+       levenshtein(a.term, b.term)::INT AS dist,
+       a.cf AS cf_a, b.cf AS cf_b
+FROM vocab a JOIN vocab b ON a.term < b.term
+WHERE levenshtein(a.term, b.term) <= 2
+ORDER BY ta, tb
+"""

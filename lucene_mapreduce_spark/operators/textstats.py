@@ -5952,3 +5952,133 @@ def randomized_response_audit(
         F.round(p_obs, 6).alias("observed_rate"),
         F.round(est, 6).alias("estimated_rate"),
     )
+
+
+GT_MAX_R = 10
+
+
+def good_turing_counts(
+    spark: SparkSession, sf_dir: str, max_r: int = GT_MAX_R
+) -> DataFrame:
+    """Good-Turing frequency re-estimation table (the smoothing
+    classic; Gale & Sampson 1995, public): from the corpus
+    frequency-of-frequencies N_r, the adjusted count r* =
+    (r+1) * N_{r+1} / N_r for r <= GT_MAX_R — the table every
+    closed-vocabulary LM smoother starts from (unigram_logprob pins
+    Laplace; this publishes the GT alternative's inputs). All exact
+    integers until the final ratio; the N_{r+1} lookup is one lead()
+    over the r-ordered, gap-filled ladder."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    cf = (
+        docs.select(F.explode(tokenize_col("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("r"))
+    )
+    nr = cf.groupBy("r").agg(
+        F.count(F.lit(1)).cast("long").alias("n_r")
+    )
+    ladder = spark.range(1, max_r + 2).select(
+        F.col("id").cast("long").alias("r")
+    )
+    filled = ladder.join(nr, "r", "left").select(
+        "r", F.coalesce("n_r", F.lit(0)).cast("long").alias("n_r")
+    )
+    w = Window.orderBy("r")
+    out = filled.select(
+        "r",
+        "n_r",
+        F.lead("n_r").over(w).alias("n_r1"),
+    ).filter(F.col("r") <= max_r)
+    return out.select(
+        "r",
+        "n_r",
+        F.coalesce("n_r1", F.lit(0)).cast("long").alias("n_r_plus_1"),
+        F.round(
+            F.when(
+                F.col("n_r") > 0,
+                (F.col("r") + 1).cast("double")
+                * F.coalesce("n_r1", F.lit(0)).cast("double")
+                / F.col("n_r").cast("double"),
+            ),
+            6,
+        ).alias("r_star"),
+    ).orderBy("r")
+
+
+def simpson_diversity_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Simpson diversity of the token distribution per source:
+    lambda = sum p_i^2 (the vocabulary HHI; 1/lambda = effective
+    vocabulary size) — the concentration read beside lexical_diversity
+    (TTR) and hapax_report. p_i are exact integer ratios; squared
+    shares re-enter DECIMAL at 12dp (the HHI rule)."""
+    docs = load(spark, sf_dir, "documents")
+    tf = docs.select(
+        "source", F.explode(tokenize_col("text")).alias("term")
+    ).groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = tf.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    terms = tf.join(tot, "source").select(
+        "source",
+        F.round(
+            (F.col("c").cast("double") / F.col("n").cast("double"))
+            * (F.col("c").cast("double") / F.col("n").cast("double")),
+            12,
+        )
+        .cast("decimal(28,12)")
+        .alias("sq"),
+    )
+    lam = terms.groupBy("source").agg(
+        F.sum("sq").cast("double").alias("lam")
+    )
+    return (
+        lam.join(tot, "source")
+        .select(
+            "source",
+            F.col("n").alias("n_tokens"),
+            F.round("lam", 6).alias("simpson_lambda"),
+            F.round(F.lit(1.0) / F.col("lam"), 6).alias(
+                "effective_vocab"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def vocab_edit1_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-hygiene report: vocabulary term pairs within
+    Levenshtein distance 2 (typo/variant candidates a fuzzy-matcher or
+    spell-corrector wants precomputed — the gate vocabulary has no
+    distance-1 pairs, so the threshold matches FuzzyQuery's default
+    maxEdits=2), oriented a < b, with the distance and both corpus
+    frequencies. The self-join is vocabulary-sized (never
+    corpus-sized); both engines' levenshtein() agree exactly (the
+    prefix-blocked-verify precedent)."""
+    docs = load(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(tokenize_col("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cf"))
+    )
+    a = vocab.select(
+        F.col("term").alias("ta"), F.col("cf").alias("cf_a")
+    )
+    b = vocab.select(
+        F.col("term").alias("tb"), F.col("cf").alias("cf_b")
+    )
+    pairs = (
+        a.join(b, F.col("ta") < F.col("tb"))
+        .filter(F.levenshtein("ta", "tb") <= 2)
+        .select(
+            "ta",
+            "tb",
+            F.levenshtein("ta", "tb").cast("int").alias("dist"),
+            "cf_a",
+            "cf_b",
+        )
+    )
+    return pairs.orderBy("ta", "tb")
