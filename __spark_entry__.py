@@ -982,6 +982,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             textstats.simpson_diversity_by_source
         ),
         "vocab_edit1_pairs": textstats.vocab_edit1_pairs,
+        # batch 102: posting gaps, pre-purchase dwell, penny rounding
+        "posting_gap_histogram": fulltext.posting_gap_histogram,
+        "pre_purchase_dwell": parity.pre_purchase_dwell,
+        "penny_rounding_audit": parity.penny_rounding_audit,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})
@@ -2475,4 +2479,15 @@ WHERE len(list_filter(range(1, len(toks)), i ->
     out["good_turing_counts"] = good_turing_sql(textstats.GT_MAX_R)
     out["simpson_diversity_by_source"] = SIMPSON_DIVERSITY_SQL
     out["vocab_edit1_pairs"] = VOCAB_EDIT1_SQL
+
+    # batch 102: posting gaps, pre-purchase dwell, penny rounding
+    from lucene_mapreduce_spark.operators.oracles import (
+        PENNY_ROUNDING_SQL,
+        POSTING_GAP_SQL,
+        PRE_PURCHASE_DWELL_SQL,
+    )
+
+    out["posting_gap_histogram"] = POSTING_GAP_SQL
+    out["pre_purchase_dwell"] = PRE_PURCHASE_DWELL_SQL
+    out["penny_rounding_audit"] = PENNY_ROUNDING_SQL
     return out

@@ -7145,3 +7145,68 @@ def set_operations_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(name).alias("op"), "n_users", "witness")
         out = row if out is None else out.unionByName(row)
     return out.orderBy("op")
+
+
+def posting_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting-list doc-id gap statistics per df decade — the number
+    that sizes delta+varbyte posting compression (index/codec.py's
+    encode budget): for each term, the mean doc-id gap is EXACTLY
+    (max_id - min_id) / (df - 1) — no per-posting lag pass needed —
+    and terms aggregate by integer log10(df) decade (digit count, the
+    log_merge_plan rule). Per decade: term count, mean of mean-gaps
+    (12dp DECIMAL re-entry), and the varbyte bytes/posting that gap
+    implies (integer bit-length of the rounded mean gap). Vocabulary-
+    sized everything after the one postings groupBy."""
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_col
+
+    docs = load(spark, sf_dir, "documents")
+    post = (
+        docs.select(
+            "doc_id", F.explode(tokenize_col("text")).alias("term")
+        )
+        .groupBy("term")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("df"),
+            F.min("doc_id").cast("long").alias("lo"),
+            F.max("doc_id").cast("long").alias("hi"),
+        )
+        .filter(F.col("df") >= 2)
+    )
+    per_term = post.select(
+        F.length(F.col("df").cast("string")).cast("int").alias("decade"),
+        (
+            (F.col("hi") - F.col("lo")).cast("double")
+            / (F.col("df") - 1).cast("double")
+        ).alias("mean_gap"),
+    )
+    agg = per_term.groupBy("decade").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.round(
+            F.sum(
+                F.round(F.col("mean_gap"), 12).cast("decimal(28,12)")
+            ).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("mean_of_mean_gaps"),
+    )
+    vb = F.when(
+        F.col("mean_of_mean_gaps") < 1, F.lit(1)
+    ).otherwise(
+        F.floor(
+            (
+                F.length(
+                    F.bin(
+                        F.round(F.col("mean_of_mean_gaps"), 0).cast(
+                            "long"
+                        )
+                    )
+                )
+                + 6
+            )
+            / 7
+        )
+    ).cast("int")
+    return agg.select(
+        "decade", "n_terms", "mean_of_mean_gaps",
+        vb.alias("varbyte_bytes_per_gap"),
+    ).orderBy("decade")

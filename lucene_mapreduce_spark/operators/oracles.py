@@ -15253,3 +15253,72 @@ FROM vocab a JOIN vocab b ON a.term < b.term
 WHERE levenshtein(a.term, b.term) <= 2
 ORDER BY ta, tb
 """
+
+
+POSTING_GAP_SQL = f"""
+WITH post AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df,
+         min(doc_id)::BIGINT AS lo, max(doc_id)::BIGINT AS hi
+  FROM (SELECT doc_id, unnest({TOKS}) AS term FROM documents)
+  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+),
+per_term AS (
+  SELECT length(df::VARCHAR)::INT AS decade,
+         (hi - lo)::DOUBLE / (df - 1)::DOUBLE AS mean_gap
+  FROM post
+),
+agg AS (
+  SELECT decade, count(*)::BIGINT AS n_terms,
+         round(sum(round(mean_gap, 12)::DECIMAL(28,12))::DOUBLE
+               / count(*)::DOUBLE, 6) AS mean_of_mean_gaps
+  FROM per_term GROUP BY 1
+)
+SELECT decade, n_terms, mean_of_mean_gaps,
+       (CASE WHEN mean_of_mean_gaps < 1 THEN 1
+        ELSE (length(bin(round(mean_of_mean_gaps, 0)::BIGINT)) + 6) // 7
+        END)::INT AS varbyte_bytes_per_gap
+FROM agg ORDER BY decade
+"""
+
+
+PRE_PURCHASE_DWELL_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events
+),
+lagged AS (
+  SELECT event_type,
+         (us - lag(us) OVER (PARTITION BY user_id
+                             ORDER BY us, event_id))::DOUBLE
+           / 1000000.0 AS gap_s
+  FROM ev
+)
+SELECT count(*)::BIGINT AS n_purchases,
+       sum(CASE WHEN gap_s IS NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_opening,
+       round(quantile_cont(gap_s, 0.5), 6) AS p50_s,
+       round(quantile_cont(gap_s, 0.9), 6) AS p90_s,
+       round(max(gap_s), 6) AS max_s
+FROM lagged WHERE event_type = 'purchase'
+"""
+
+
+PENNY_ROUNDING_SQL = """
+WITH li AS (
+  SELECT l_returnflag,
+         round(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax), 6)
+           ::DECIMAL(28,6) AS c6
+  FROM lineitem
+),
+agg AS (
+  SELECT l_returnflag, count(*)::BIGINT AS n_lines,
+         sum(round(c6, 2)::DECIMAL(28,2)) AS sum_of_rounded,
+         round(sum(c6), 2) AS rounded_sum
+  FROM li GROUP BY 1
+)
+SELECT l_returnflag, n_lines,
+       round(sum_of_rounded::DOUBLE, 2) AS sum_of_rounded,
+       round(rounded_sum::DOUBLE, 2) AS rounded_sum,
+       ((sum_of_rounded - rounded_sum)::DECIMAL(28,2) * 100)::BIGINT
+         AS diff_cents
+FROM agg ORDER BY l_returnflag
+"""

@@ -6032,3 +6032,73 @@ def repeat_part_purchase_rate(
         "l_partkey", "n_customers", "repeat_customers", "repeat_rate",
         "rank",
     )
+
+
+def pre_purchase_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dwell time immediately before a purchase: the gap between each
+    purchase and the SAME user's previous event (any type), p50/p90/max
+    seconds plus the count of session-opening purchases (no prior
+    event) — the hesitation metric a checkout-flow review reads. One
+    per-user lag window; gaps are exact integer micros scaled by exact
+    1e-6; percentile() == quantile_cont."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    lagged = ev.select(
+        "event_type",
+        ((F.col("us") - F.lag("us").over(w)).cast("double") / F.lit(1e6))
+        .alias("gap_s"),
+    ).filter(F.col("event_type") == "purchase")
+    return lagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        F.sum(F.col("gap_s").isNull().cast("int"))
+        .cast("long")
+        .alias("n_opening"),
+        F.round(F.expr("percentile(gap_s, 0.5)"), 6).alias("p50_s"),
+        F.round(F.expr("percentile(gap_s, 0.9)"), 6).alias("p90_s"),
+        F.round(F.max("gap_s"), 6).alias("max_s"),
+    )
+
+
+def penny_rounding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Penny-rounding audit (the invoicing-discrepancy check): per
+    returnflag, SUM of per-line 2dp-rounded charges vs the 2dp ROUND
+    of the exact 6dp charge sum — the two totals every billing system
+    must reconcile, with the difference in integer cents. Charges are
+    exact decimal products (2dp x 2dp x 2dp = 6dp exactly, the charge
+    trap rule); both legs are order-free DECIMAL sums."""
+    li = load(spark, sf_dir, "lineitem")
+    charge6 = F.round(
+        F.col("l_extendedprice")
+        * (F.lit(1.0) - F.col("l_discount"))
+        * (F.lit(1.0) + F.col("l_tax")),
+        6,
+    ).cast("decimal(28,6)")
+    charge2 = F.round(charge6, 2).cast("decimal(28,2)")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(charge2).alias("sum_of_rounded"),
+        F.round(F.sum(charge6), 2).alias("rounded_sum"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "n_lines",
+        F.round(F.col("sum_of_rounded").cast("double"), 2).alias(
+            "sum_of_rounded"
+        ),
+        F.round(F.col("rounded_sum").cast("double"), 2).alias(
+            "rounded_sum"
+        ),
+        (
+            (
+                F.col("sum_of_rounded") - F.col("rounded_sum")
+            ).cast("decimal(28,2)")
+            * 100
+        )
+        .cast("long")
+        .alias("diff_cents"),
+    ).orderBy("l_returnflag")
