@@ -986,6 +986,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "posting_gap_histogram": fulltext.posting_gap_histogram,
         "pre_purchase_dwell": parity.pre_purchase_dwell,
         "penny_rounding_audit": parity.penny_rounding_audit,
+        # batch 103: transition entropy, next-basket baseline, WIP aging
+        "transition_entropy_rate": parity.transition_entropy_rate,
+        "next_basket_repeat_baseline": (
+            parity.next_basket_repeat_baseline
+        ),
+        "order_aging_wip": parity.order_aging_wip,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})
@@ -2490,4 +2496,15 @@ WHERE len(list_filter(range(1, len(toks)), i ->
     out["posting_gap_histogram"] = POSTING_GAP_SQL
     out["pre_purchase_dwell"] = PRE_PURCHASE_DWELL_SQL
     out["penny_rounding_audit"] = PENNY_ROUNDING_SQL
+
+    # batch 103: transition entropy, next-basket baseline, WIP aging
+    from lucene_mapreduce_spark.operators.oracles import (
+        NEXT_BASKET_SQL,
+        TRANSITION_ENTROPY_SQL,
+        order_aging_sql,
+    )
+
+    out["transition_entropy_rate"] = TRANSITION_ENTROPY_SQL
+    out["next_basket_repeat_baseline"] = NEXT_BASKET_SQL
+    out["order_aging_wip"] = order_aging_sql(parity.WIP_BUCKET_DAYS)
     return out

@@ -15322,3 +15322,87 @@ SELECT l_returnflag, n_lines,
          AS diff_cents
 FROM agg ORDER BY l_returnflag
 """
+
+
+TRANSITION_ENTROPY_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events
+),
+trans AS (
+  SELECT s, t, count(*)::BIGINT AS c FROM (
+    SELECT event_type AS s,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY us, event_id) AS t
+    FROM ev
+  ) WHERE t IS NOT NULL GROUP BY 1, 2
+),
+row_tot AS (SELECT s, sum(c)::BIGINT AS ns FROM trans GROUP BY 1),
+grand AS (SELECT sum(c)::BIGINT AS n FROM trans),
+terms AS (
+  SELECT round(-(trans.c::DOUBLE / grand.n::DOUBLE)
+               * ln(trans.c::DOUBLE / row_tot.ns::DOUBLE), 12)
+           ::DECIMAL(28,12) AS term
+  FROM trans JOIN row_tot USING (s) CROSS JOIN grand
+),
+agg AS (SELECT sum(term)::DOUBLE AS h_nats FROM terms)
+SELECT grand.n AS n_transitions,
+       round(agg.h_nats, 6) AS entropy_nats,
+       round(agg.h_nats * 1.4426950408889634, 6) AS entropy_bits,
+       round(exp(agg.h_nats), 6) AS perplexity
+FROM agg, grand
+"""
+
+
+NEXT_BASKET_SQL = """
+WITH orders_w AS (
+  SELECT o_orderkey AS prev_ok,
+         lead(o_orderkey) OVER (PARTITION BY o_custkey
+                                ORDER BY epoch_us(o_orderdate),
+                                         o_orderkey) AS next_ok
+  FROM orders
+),
+pairs AS (SELECT prev_ok, next_ok FROM orders_w WHERE next_ok IS NOT NULL),
+li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+nxt AS (
+  SELECT p.prev_ok, p.next_ok, li.l_partkey AS pk
+  FROM pairs p JOIN li ON li.l_orderkey = p.next_ok
+),
+nsize AS (
+  SELECT prev_ok, next_ok, count(*)::BIGINT AS n_next
+  FROM nxt GROUP BY 1, 2
+),
+isize AS (
+  SELECT n.prev_ok, n.next_ok, count(*)::BIGINT AS n_hit
+  FROM nxt n
+  WHERE EXISTS (SELECT 1 FROM li
+                WHERE li.l_orderkey = n.prev_ok
+                  AND li.l_partkey = n.pk)
+  GROUP BY 1, 2
+),
+per_pair AS (
+  SELECT round(coalesce(i.n_hit, 0)::DOUBLE / s.n_next::DOUBLE, 12)
+           ::DECIMAL(28,12) AS recall
+  FROM nsize s LEFT JOIN isize i USING (prev_ok, next_ok)
+)
+SELECT count(*)::BIGINT AS n_pairs,
+       round(sum(recall)::DOUBLE / count(*)::DOUBLE, 6)
+         AS mean_repeat_recall
+FROM per_pair
+"""
+
+
+def order_aging_sql(bucket_days: int) -> str:
+    """WIP-aging twin: identical as-of anchor and integer buckets."""
+    return f"""
+WITH o AS (
+  SELECT o_orderstatus, round(o_totalprice, 2)::DECIMAL(18,2) AS tp,
+         epoch_us(o_orderdate) // 86400000000 AS day
+  FROM orders
+),
+anchor AS (SELECT max(day) AS aday FROM o)
+SELECT ((anchor.aday - o.day) // {bucket_days})::BIGINT AS age_bucket,
+       count(*)::BIGINT AS n_orders,
+       round(sum(o.tp)::DOUBLE, 2) AS value
+FROM o, anchor WHERE o.o_orderstatus = 'O'
+GROUP BY 1 ORDER BY 1
+"""

@@ -6102,3 +6102,163 @@ def penny_rounding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("diff_cents"),
     ).orderBy("l_returnflag")
+
+
+def transition_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the per-user event-type Markov chain:
+    H = sum_s pi(s) * H(next | s), with pi the empirical source-state
+    distribution of transitions and the conditional entropies from the
+    same transition counts markov_absorption_3step normalizes — the
+    predictability ceiling for any next-event model (log-loss floor).
+    All probabilities are exact integer ratios; entropy contributions
+    re-enter DECIMAL at 12dp (the entropy-sum rule); the shared 1/ln2
+    literal converts to bits."""
+    _INV_LN2 = 1.4426950408889634
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    trans = (
+        ev.select(
+            F.col("event_type").alias("s"),
+            F.lead("event_type").over(w).alias("t"),
+        )
+        .filter(F.col("t").isNotNull())
+        .groupBy("s", "t")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    row_tot = trans.groupBy("s").agg(F.sum("c").cast("long").alias("ns"))
+    grand = trans.agg(F.sum("c").cast("long").alias("n"))
+    terms = (
+        trans.join(row_tot, "s")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            F.round(
+                -(F.col("c").cast("double") / F.col("n").cast("double"))
+                * F.log(
+                    F.col("c").cast("double") / F.col("ns").cast("double")
+                ),
+                12,
+            )
+            .cast("decimal(28,12)")
+            .alias("term")
+        )
+    )
+    agg = terms.agg(F.sum("term").cast("double").alias("h_nats"))
+    return agg.crossJoin(F.broadcast(grand)).select(
+        F.col("n").alias("n_transitions"),
+        F.round("h_nats", 6).alias("entropy_nats"),
+        F.round(F.col("h_nats") * F.lit(_INV_LN2), 6).alias(
+            "entropy_bits"
+        ),
+        F.round(F.exp("h_nats"), 6).alias("perplexity"),
+    )
+
+
+def next_basket_repeat_baseline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Next-basket repeat baseline (the recsys floor every sequential
+    recommender must beat): predict that a customer's NEXT order
+    contains exactly their PREVIOUS order's parts; score the mean
+    recall |prev intersect next| / |next| over consecutive order
+    pairs. Consecutive orders via one per-customer lead window; the
+    basket intersection is one equi-join on (pair, part). Exact
+    integer ratios re-entering DECIMAL at 12dp for the mean."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
+            "d_us"
+        ),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d_us", "o_orderkey")
+    pairs = orders.select(
+        F.col("o_orderkey").alias("prev_ok"),
+        F.lead("o_orderkey").over(w).alias("next_ok"),
+    ).filter(F.col("next_ok").isNotNull())
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    nxt = pairs.join(
+        li.select(
+            F.col("l_orderkey").alias("next_ok"),
+            F.col("l_partkey").alias("pk"),
+        ),
+        "next_ok",
+    )
+    inter = nxt.join(
+        li.select(
+            F.col("l_orderkey").alias("prev_ok"),
+            F.col("l_partkey").alias("pk"),
+        ),
+        ["prev_ok", "pk"],
+        "left_semi",
+    )
+    nsize = nxt.groupBy("prev_ok", "next_ok").agg(
+        F.count(F.lit(1)).cast("long").alias("n_next")
+    )
+    isize = inter.groupBy("prev_ok", "next_ok").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hit")
+    )
+    per_pair = nsize.join(isize, ["prev_ok", "next_ok"], "left").select(
+        F.round(
+            F.coalesce("n_hit", F.lit(0)).cast("double")
+            / F.col("n_next").cast("double"),
+            12,
+        )
+        .cast("decimal(28,12)")
+        .alias("recall")
+    )
+    return per_pair.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(
+            F.sum("recall").cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("mean_repeat_recall"),
+    )
+
+
+WIP_BUCKET_DAYS = 90
+
+
+def order_aging_wip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Work-in-progress aging report: OPEN orders (o_orderstatus 'O')
+    bucketed by age at the as-of date (the stream's max orderdate) in
+    WIP_BUCKET_DAYS-day buckets, with count and exact DECIMAL value
+    per bucket — the receivables-style aging table an ops review
+    reads. Integer day arithmetic; one scan + aggregate."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        F.round(F.col("o_totalprice"), 2)
+        .cast("decimal(18,2)")
+        .alias("tp"),
+        F.expr(
+            "unix_micros(cast(o_orderdate as timestamp))"
+            " div 86400000000"
+        ).alias("day"),
+    )
+    asof = orders.agg(F.max("day").alias("asof"))
+    open_o = orders.filter(F.col("o_orderstatus") == "O").crossJoin(
+        F.broadcast(asof)
+    )
+    return (
+        open_o.select(
+            F.expr(f"(asof - day) div {WIP_BUCKET_DAYS}")
+            .cast("long")
+            .alias("age_bucket"),
+            "tp",
+        )
+        .groupBy("age_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum("tp").cast("double"), 2).alias("value"),
+        )
+        .orderBy("age_bucket")
+    )
