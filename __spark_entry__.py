@@ -992,6 +992,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             parity.next_basket_repeat_baseline
         ),
         "order_aging_wip": parity.order_aging_wip,
+        # batch 104: stopword plan, winsorized mean, lag-1 coherence
+        "stopword_pruning_plan": fulltext.stopword_pruning_plan,
+        "winsorized_mean_audit": parity.winsorized_mean_audit,
+        "embedding_lag1_coherence": similarity.embedding_lag1_coherence,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})
@@ -2507,4 +2511,21 @@ WHERE len(list_filter(range(1, len(toks)), i ->
     out["transition_entropy_rate"] = TRANSITION_ENTROPY_SQL
     out["next_basket_repeat_baseline"] = NEXT_BASKET_SQL
     out["order_aging_wip"] = order_aging_sql(parity.WIP_BUCKET_DAYS)
+
+    # batch 104: stopword plan, winsorized mean, lag-1 coherence
+    from lucene_mapreduce_spark.operators.oracles import (
+        lag1_coherence_sql,
+        stopword_plan_sql,
+        winsorized_mean_sql,
+    )
+
+    out["stopword_pruning_plan"] = stopword_plan_sql(
+        fulltext.STOPWORD_KS
+    )
+    out["winsorized_mean_audit"] = winsorized_mean_sql(
+        *parity.WINSOR_P
+    )
+    out["embedding_lag1_coherence"] = lag1_coherence_sql(
+        similarity.PAIR_HASH_MULT
+    )
     return out

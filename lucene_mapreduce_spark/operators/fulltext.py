@@ -7210,3 +7210,54 @@ def posting_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decade", "n_terms", "mean_of_mean_gaps",
         vb.alias("varbyte_bytes_per_gap"),
     ).orderBy("decade")
+
+
+STOPWORD_KS = (1, 2, 4, 8)
+
+
+def stopword_pruning_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-pruning capacity plan: if the top-k df terms were
+    dropped at index time (Lucene's classic stopword file / ES
+    common-grams cutover), how many postings disappear — one row per
+    pinned k with the dropped-posting count and the fraction of the
+    corpus posting volume (df-summed). The top-k cut rides the
+    ranked_topk discipline over the vocabulary; exact integers plus
+    one ratio."""
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_col
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    dfT = (
+        docs.select(
+            "doc_id", F.explode(tokenize_col("text")).alias("term")
+        )
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+    total = dfT.agg(F.sum("df").cast("long").alias("total_postings"))
+    ranked = dfT.select(
+        "df",
+        F.row_number()
+        .over(Window.orderBy(F.desc("df"), F.asc("term")))
+        .alias("r"),
+    )
+    out = None
+    for k in STOPWORD_KS:
+        row = (
+            ranked.filter(F.col("r") <= k)
+            .agg(F.sum("df").cast("long").alias("dropped"))
+            .crossJoin(F.broadcast(total))
+            .select(
+                F.lit(k).cast("int").alias("k"),
+                "dropped",
+                "total_postings",
+                F.round(
+                    F.col("dropped").cast("double")
+                    / F.col("total_postings").cast("double"),
+                    6,
+                ).alias("fraction_saved"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("k")

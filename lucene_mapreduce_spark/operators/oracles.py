@@ -15406,3 +15406,98 @@ SELECT ((anchor.aday - o.day) // {bucket_days})::BIGINT AS age_bucket,
 FROM o, anchor WHERE o.o_orderstatus = 'O'
 GROUP BY 1 ORDER BY 1
 """
+
+
+def stopword_plan_sql(ks: tuple) -> str:
+    """Stopword-plan twin: identical df ranking and top-k cuts."""
+    legs = []
+    for k in ks:
+        legs.append(f"""
+SELECT {k}::INT AS k,
+       (SELECT sum(df) FROM ranked WHERE r <= {k})::BIGINT AS dropped,
+       (SELECT sum(df) FROM dft)::BIGINT AS total_postings,
+       round((SELECT sum(df) FROM ranked WHERE r <= {k})::DOUBLE
+             / (SELECT sum(df) FROM dft)::DOUBLE, 6) AS fraction_saved
+""")
+    return f"""
+WITH dft AS (
+  SELECT term, count(*)::BIGINT AS df
+  FROM (SELECT DISTINCT doc_id, unnest({TOKS}) AS term FROM documents)
+  GROUP BY 1
+),
+ranked AS (
+  SELECT df, row_number() OVER (ORDER BY df DESC, term ASC) AS r
+  FROM dft
+)
+{"UNION ALL".join(legs)}
+ORDER BY k
+"""
+
+
+def winsorized_mean_sql(lo_p: float, hi_p: float) -> str:
+    """Winsorized-mean twin: identical type-7 edges and clipping."""
+    return f"""
+WITH ev AS (SELECT value::DOUBLE AS v FROM events),
+edges AS (
+  SELECT quantile_cont(v, {lo_p!r}) AS lo,
+         quantile_cont(v, {hi_p!r}) AS hi
+  FROM ev
+),
+clipped AS (
+  SELECT v, least(greatest(v, lo), hi) AS w, lo, hi FROM ev, edges
+)
+SELECT count(*)::BIGINT AS n,
+       sum(CASE WHEN v < lo THEN 1 ELSE 0 END)::BIGINT AS n_clipped_low,
+       sum(CASE WHEN v > hi THEN 1 ELSE 0 END)::BIGINT
+         AS n_clipped_high,
+       round(sum(round(v, 6)::DECIMAL(28,6))::DOUBLE
+             / count(*)::DOUBLE, 6) AS raw_mean,
+       round(sum(round(w, 6)::DECIMAL(28,6))::DOUBLE
+             / count(*)::DOUBLE, 6) AS winsorized_mean
+FROM clipped
+"""
+
+
+def lag1_coherence_sql(mult: int) -> str:
+    """Lag-1 coherence twin: identical consecutive and Knuth pairs,
+    6dp cosines re-entering DECIMAL for the means."""
+    cos = (
+        "round(list_dot_product(a.av, b.bv)"
+        " / (sqrt(list_dot_product(a.av, a.av))"
+        " * sqrt(list_dot_product(b.bv, b.bv))), 6)"
+    )
+    return f"""
+WITH emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+nrow AS (SELECT count(*)::BIGINT AS n FROM emb),
+lag AS (
+  SELECT count(*)::BIGINT AS n_lag1,
+         round(sum(c)::DOUBLE / count(*)::DOUBLE, 6)
+           AS lag1_mean_cosine
+  FROM (
+    SELECT {cos}::DECIMAL(28,12) AS c
+    FROM (SELECT vec_id AS a_id, v AS av, vec_id + 1 AS b_id
+          FROM emb) a
+    JOIN (SELECT vec_id AS b_id, v AS bv FROM emb) b USING (b_id)
+  )
+),
+base AS (
+  SELECT count(*)::BIGINT AS n_baseline,
+         round(sum(c)::DOUBLE / count(*)::DOUBLE, 6)
+           AS baseline_mean_cosine
+  FROM (
+    SELECT {cos}::DECIMAL(28,12) AS c
+    FROM (SELECT vec_id AS a_id, v AS av,
+                 ((vec_id % n) * ({mult} % n)) % n AS b_id
+          FROM emb, nrow) a
+    JOIN (SELECT vec_id AS b_id, v AS bv FROM emb) b USING (b_id)
+    WHERE a.a_id <> a.b_id
+  )
+)
+SELECT lag.n_lag1, lag.lag1_mean_cosine,
+       base.n_baseline, base.baseline_mean_cosine,
+       round(lag.lag1_mean_cosine - base.baseline_mean_cosine, 6)
+         AS coherence_gap
+FROM lag, base
+"""

@@ -6262,3 +6262,50 @@ def order_aging_wip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("age_bucket")
     )
+
+
+WINSOR_P = (0.05, 0.95)
+
+
+def winsorized_mean_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized-mean robustness audit over event values: clip at the
+    type-7 p5/p95 edges (collected scalars — the centroid rule) and
+    report the raw vs winsorized mean with the clipped-row counts —
+    the outlier-sensitivity read a metrics platform publishes beside
+    every raw mean. Clipped values are exact decimal-rounded before
+    the order-free DECIMAL sum."""
+    lo_p, hi_p = WINSOR_P
+    ev = load(spark, sf_dir, "events").select(
+        F.col("value").cast("double").alias("v")
+    )
+    edges = ev.agg(
+        F.expr(f"percentile(v, {lo_p!r}D)").alias("lo"),
+        F.expr(f"percentile(v, {hi_p!r}D)").alias("hi"),
+    ).collect()[0]
+    lo, hi = float(edges["lo"]), float(edges["hi"])
+    clipped = ev.select(
+        "v",
+        F.least(F.greatest(F.col("v"), F.lit(lo)), F.lit(hi)).alias("w"),
+    )
+    agg = clipped.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.round(F.col("v"), 6).cast("decimal(28,6)")).alias("sv"),
+        F.sum(F.round(F.col("w"), 6).cast("decimal(28,6)")).alias("sw"),
+        F.sum((F.col("v") < F.lit(lo)).cast("int"))
+        .cast("long")
+        .alias("n_clipped_low"),
+        F.sum((F.col("v") > F.lit(hi)).cast("int"))
+        .cast("long")
+        .alias("n_clipped_high"),
+    )
+    return agg.select(
+        "n",
+        "n_clipped_low",
+        "n_clipped_high",
+        F.round(
+            F.col("sv").cast("double") / F.col("n").cast("double"), 6
+        ).alias("raw_mean"),
+        F.round(
+            F.col("sw").cast("double") / F.col("n").cast("double"), 6
+        ).alias("winsorized_mean"),
+    )

@@ -2519,3 +2519,70 @@ def quantization_granularity_audit(
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("scheme")
+
+
+def embedding_lag1_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential coherence of the embedding stream: mean cosine between
+    consecutive vec_ids (lag 1) vs the Knuth-pair baseline mean — if the
+    ingest order carries semantic locality (documents from one crawl
+    batch embedding near each other), lag-1 cosine exceeds the random
+    baseline; a gap near zero certifies order-independence for samplers
+    that assume it. Cosines are the engine-shared fold rounded 6dp,
+    re-entering DECIMAL at 12dp for the two means. Two equi-joins, no
+    all-pairs."""
+    from lucene_mapreduce_spark.operators.parity import load
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    n = emb.count()  # scalar
+    a = emb.select(
+        F.col("vec_id").alias("a_id"), F.col("v").alias("av")
+    )
+    nxt = a.withColumn("b_id", F.col("a_id") + 1)
+    knuth = a.withColumn(
+        "b_id",
+        (
+            (F.col("a_id") % F.lit(int(n)))
+            * F.lit(PAIR_HASH_MULT % n)
+        )
+        % F.lit(int(n)),
+    ).filter(F.col("a_id") != F.col("b_id"))
+    b = emb.select(F.col("vec_id").alias("b_id"), F.col("v").alias("bv"))
+
+    def mean_cos(pairs: DataFrame):
+        return (
+            pairs.join(b, "b_id")
+            .select(
+                F.round(_cosine(F.col("av"), F.col("bv")), 6)
+                .cast("decimal(28,12)")
+                .alias("c")
+            )
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_pairs"),
+                F.round(
+                    F.sum("c").cast("double")
+                    / F.count(F.lit(1)).cast("double"),
+                    6,
+                ).alias("mean_cos"),
+            )
+        )
+
+    lag = mean_cos(nxt).select(
+        F.col("n_pairs").alias("n_lag1"),
+        F.col("mean_cos").alias("lag1_mean_cosine"),
+    )
+    base = mean_cos(knuth).select(
+        F.col("n_pairs").alias("n_baseline"),
+        F.col("mean_cos").alias("baseline_mean_cosine"),
+    )
+    return lag.crossJoin(F.broadcast(base)).select(
+        "n_lag1",
+        "lag1_mean_cosine",
+        "n_baseline",
+        "baseline_mean_cosine",
+        F.round(
+            F.col("lag1_mean_cosine") - F.col("baseline_mean_cosine"),
+            6,
+        ).alias("coherence_gap"),
+    )
