@@ -996,6 +996,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stopword_pruning_plan": fulltext.stopword_pruning_plan,
         "winsorized_mean_audit": parity.winsorized_mean_audit,
         "embedding_lag1_coherence": similarity.embedding_lag1_coherence,
+        # batch 105: Dn rolling retention
+        "dn_retention_summary": parity.dn_retention_summary,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})
@@ -2528,4 +2530,9 @@ WHERE len(list_filter(range(1, len(toks)), i ->
     out["embedding_lag1_coherence"] = lag1_coherence_sql(
         similarity.PAIR_HASH_MULT
     )
+
+    # batch 105: Dn rolling retention
+    from lucene_mapreduce_spark.operators.oracles import dn_retention_sql
+
+    out["dn_retention_summary"] = dn_retention_sql(parity.DN_OFFSETS)
     return out

@@ -15501,3 +15501,36 @@ SELECT lag.n_lag1, lag.lag1_mean_cosine,
          AS coherence_gap
 FROM lag, base
 """
+
+
+def dn_retention_sql(offsets: tuple) -> str:
+    """Dn-retention twin: identical user-day rollup and offset
+    semi-joins."""
+    legs = []
+    for n in offsets:
+        legs.append(f"""
+SELECT {n}::INT AS offset_d,
+       (SELECT count(*) FROM ud
+        WHERE day + {n} <= (SELECT max(day) FROM ud))::BIGINT AS n_base,
+       (SELECT count(*) FROM ud a
+        WHERE a.day + {n} <= (SELECT max(day) FROM ud)
+          AND EXISTS (SELECT 1 FROM ud b
+                      WHERE b.user_id = a.user_id
+                        AND b.day = a.day + {n}))::BIGINT AS n_retained,
+       round((SELECT count(*) FROM ud a
+              WHERE a.day + {n} <= (SELECT max(day) FROM ud)
+                AND EXISTS (SELECT 1 FROM ud b
+                            WHERE b.user_id = a.user_id
+                              AND b.day = a.day + {n}))::DOUBLE
+             / (SELECT count(*) FROM ud
+                WHERE day + {n} <= (SELECT max(day) FROM ud))::DOUBLE, 6)
+         AS retention_rate
+""")
+    return f"""
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+  FROM events
+)
+{"UNION ALL".join(legs)}
+ORDER BY offset_d
+"""

@@ -6309,3 +6309,49 @@ def winsorized_mean_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sw").cast("double") / F.col("n").cast("double"), 6
         ).alias("winsorized_mean"),
     )
+
+
+DN_OFFSETS = (1, 7)
+
+
+def dn_retention_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dn retention summary (the consumer-app D1/D7 headline): for each
+    offset n, over every (user, active-day) pair whose day+n still
+    falls inside the observed stream, the fraction where the user was
+    ALSO active on day+n. One distinct (user, day) rollup + one
+    self-join per offset at user-day granularity; exact integer
+    ratios. Complements retention_cohorts (signup-cohort weekly
+    matrix) and retention_conditions (CH conditional) with the
+    rolling-activity flavor."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(
+            "unix_micros(cast(ts as timestamp)) div 86400000000"
+        ).alias("day"),
+    ).distinct()
+    span = ev.agg(F.max("day").alias("hi")).collect()[0]
+    hi = int(span["hi"])
+    out = None
+    for n in DN_OFFSETS:
+        base = ev.filter(F.col("day") + n <= hi)
+        ret = base.join(
+            ev.select(
+                "user_id", (F.col("day") - n).alias("day")
+            ),
+            ["user_id", "day"],
+            "left_semi",
+        )
+        nb = base.agg(F.count(F.lit(1)).cast("long").alias("n_base"))
+        nr = ret.agg(F.count(F.lit(1)).cast("long").alias("n_retained"))
+        row = nb.crossJoin(nr).select(
+            F.lit(n).cast("int").alias("offset_d"),
+            "n_base",
+            "n_retained",
+            F.round(
+                F.col("n_retained").cast("double")
+                / F.col("n_base").cast("double"),
+                6,
+            ).alias("retention_rate"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("offset_d")
