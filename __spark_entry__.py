@@ -998,6 +998,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_lag1_coherence": similarity.embedding_lag1_coherence,
         # batch 105: Dn rolling retention
         "dn_retention_summary": parity.dn_retention_summary,
+        # batch 106: business days, divmod semantics
+        "business_day_latency": relational.business_day_latency,
+        "integer_division_semantics_gate": (
+            relational.integer_division_semantics_gate
+        ),
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})
@@ -2535,4 +2540,15 @@ WHERE len(list_filter(range(1, len(toks)), i ->
     from lucene_mapreduce_spark.operators.oracles import dn_retention_sql
 
     out["dn_retention_summary"] = dn_retention_sql(parity.DN_OFFSETS)
+
+    # batch 106: business days, divmod semantics
+    from lucene_mapreduce_spark.operators.oracles import (
+        business_day_sql,
+        divmod_semantics_sql,
+    )
+
+    out["business_day_latency"] = business_day_sql(relational.DOW_ANCHOR)
+    out["integer_division_semantics_gate"] = divmod_semantics_sql(
+        relational.DIVMOD_PROBE_SHIFT
+    )
     return out

@@ -15534,3 +15534,60 @@ WITH ud AS (
 {"UNION ALL".join(legs)}
 ORDER BY offset_d
 """
+
+
+def business_day_sql(anchor: int) -> str:
+    """Business-day twin: identical integer calendar walk."""
+    rem_terms = " + ".join(
+        f"(CASE WHEN {i} < (ship_d - ord_d) - ((ship_d - ord_d) // 7) * 7"
+        f" AND (((ord_d - {anchor}) % 7 + 7) % 7 + {i}) % 7 < 5"
+        f" THEN 1 ELSE 0 END)"
+        for i in range(7)
+    )
+    return f"""
+WITH j AS (
+  SELECT o.o_orderpriority,
+         epoch_us(li.l_shipdate) // 86400000000 AS ship_d,
+         epoch_us(o.o_orderdate) // 86400000000 AS ord_d
+  FROM lineitem li JOIN orders o ON li.l_orderkey = o.o_orderkey
+  WHERE epoch_us(li.l_shipdate) // 86400000000
+        >= epoch_us(o.o_orderdate) // 86400000000
+),
+biz AS (
+  SELECT o_orderpriority,
+         (((ship_d - ord_d) // 7) * 5 + ({rem_terms}))::DOUBLE
+           AS biz_days
+  FROM j
+)
+SELECT o_orderpriority, count(*)::BIGINT AS n_lines,
+       round(quantile_cont(biz_days, 0.5), 6) AS p50_biz_days,
+       round(quantile_cont(biz_days, 0.9), 6) AS p90_biz_days,
+       max(biz_days)::BIGINT AS max_biz_days
+FROM biz GROUP BY 1 ORDER BY 1
+"""
+
+
+def divmod_semantics_sql(shift: int) -> str:
+    """Divmod-semantics twin: both engines truncate `div` toward zero
+    and sign-follow `%` (measured); pmod = ((a % 7) + 7) % 7."""
+    return f"""
+WITH ev AS (
+  SELECT DISTINCT (user_id - {shift})::BIGINT AS a FROM events
+),
+trip AS (
+  SELECT a, (a // 7)::BIGINT AS tdiv, (a % 7)::BIGINT AS srem,
+         (((a % 7) + 7) % 7)::BIGINT AS pmod7
+  FROM ev
+)
+SELECT (CASE WHEN a < 0 THEN 'negative' ELSE 'non_negative' END)
+         AS bucket,
+       count(*)::BIGINT AS n,
+       sum(tdiv)::BIGINT AS sum_tdiv,
+       sum(srem)::BIGINT AS sum_srem,
+       sum(pmod7)::BIGINT AS sum_pmod,
+       md5(coalesce(array_to_string(list_sort(list(
+             a::VARCHAR || ':' || tdiv::VARCHAR || ':'
+             || srem::VARCHAR || ':' || pmod7::VARCHAR)), ','), ''))
+         AS witness
+FROM trip GROUP BY 1 ORDER BY 1
+"""

@@ -2958,3 +2958,116 @@ def join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("pair")
+
+
+def business_day_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency in BUSINESS days (weekends excluded) per
+    priority — the SLA convention finance reporting wants, computed
+    with pure integer calendar arithmetic: full weeks contribute 5
+    days; the remainder walks the anchored day-of-week ((epoch_day -
+    2024-01-01) mod 7, the house dow rule — 2024-01-01 was a Monday)
+    counting only dows 0-4. p50/p90 over line items per priority via
+    the exact type-7 percentile. No engine date functions anywhere."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.expr(
+            "unix_micros(cast(l_shipdate as timestamp)) div 86400000000"
+        ).alias("ship_d"),
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.expr(
+            "unix_micros(cast(o_orderdate as timestamp)) div 86400000000"
+        ).alias("ord_d"),
+    )
+    j = li.join(
+        orders, li.l_orderkey == orders.o_orderkey
+    ).filter(F.col("ship_d") >= F.col("ord_d"))
+    # business days in [ord_d, ship_d): full weeks x 5 + remainder scan
+    n_days = F.col("ship_d") - F.col("ord_d")
+    full_weeks = F.expr("(ship_d - ord_d) div 7")
+    rem = n_days - full_weeks * 7
+    start_dow = F.pmod(F.col("ord_d") - F.lit(DOW_ANCHOR), F.lit(7))
+    # remainder contribution: count of i in [0, rem) with
+    # (start_dow + i) % 7 < 5 — rem <= 6, unrolled as a bounded sum
+    rem_biz = F.lit(0)
+    for i in range(7):
+        rem_biz = rem_biz + F.when(
+            (F.lit(i) < rem)
+            & (F.pmod(start_dow + F.lit(i), F.lit(7)) < 5),
+            1,
+        ).otherwise(0)
+    biz = (full_weeks * 5 + rem_biz).cast("double")
+    return (
+        j.select("o_orderpriority", biz.alias("biz_days"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.round(F.expr("percentile(biz_days, 0.5)"), 6).alias(
+                "p50_biz_days"
+            ),
+            F.round(F.expr("percentile(biz_days, 0.9)"), 6).alias(
+                "p90_biz_days"
+            ),
+            F.max("biz_days").cast("long").alias("max_biz_days"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+DOW_ANCHOR = 19723  # 2024-01-01, a Monday (epoch days)
+DIVMOD_PROBE_SHIFT = 75  # derives negative operands from user ids
+
+
+def integer_division_semantics_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Integer division/modulo semantics gate for NEGATIVE operands —
+    the silent-corruption trap behind the house `div`/pmod rules:
+    for data-derived signed values a = user_id - DIVMOD_PROBE_SHIFT,
+    the page shows truncating division (a div 7: both engines truncate
+    toward zero), the sign-following remainder (a % 7: dividend sign,
+    both engines), and the always-positive pmod — counts per
+    (sign bucket) plus md5 witnesses over the ascending triples, so
+    any engine divergence in ANY row flips the hash. Bounded by the
+    user-id domain."""
+    ev = load(spark, sf_dir, "events").select(
+        (F.col("user_id") - F.lit(DIVMOD_PROBE_SHIFT)).alias("a")
+    ).distinct()
+    trip = ev.select(
+        "a",
+        F.expr("a div 7").cast("long").alias("tdiv"),
+        (F.col("a") % 7).cast("long").alias("srem"),
+        F.pmod(F.col("a"), F.lit(7)).cast("long").alias("pmod7"),
+    )
+    return (
+        trip.groupBy(
+            F.when(F.col("a") < 0, F.lit("negative"))
+            .otherwise(F.lit("non_negative"))
+            .alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("tdiv").cast("long").alias("sum_tdiv"),
+            F.sum("srem").cast("long").alias("sum_srem"),
+            F.sum("pmod7").cast("long").alias("sum_pmod"),
+            F.md5(
+                F.array_join(
+                    F.sort_array(
+                        F.collect_list(
+                            F.concat_ws(
+                                ":",
+                                F.col("a").cast("string"),
+                                F.col("tdiv").cast("string"),
+                                F.col("srem").cast("string"),
+                                F.col("pmod7").cast("string"),
+                            )
+                        )
+                    ),
+                    ",",
+                )
+            ).alias("witness"),
+        )
+        .orderBy("bucket")
+    )
