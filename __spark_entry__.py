@@ -1003,6 +1003,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "integer_division_semantics_gate": (
             relational.integer_division_semantics_gate
         ),
+        # batch 107: serving padding waste
+        "padding_waste_audit": textstats.padding_waste_audit,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})
@@ -2550,5 +2552,12 @@ WHERE len(list_filter(range(1, len(toks)), i ->
     out["business_day_latency"] = business_day_sql(relational.DOW_ANCHOR)
     out["integer_division_semantics_gate"] = divmod_semantics_sql(
         relational.DIVMOD_PROBE_SHIFT
+    )
+
+    # batch 107: serving padding waste
+    from lucene_mapreduce_spark.operators.oracles import padding_waste_sql
+
+    out["padding_waste_audit"] = padding_waste_sql(
+        textstats.PADDING_BATCH
     )
     return out

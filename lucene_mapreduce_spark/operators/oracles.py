@@ -15591,3 +15591,36 @@ SELECT (CASE WHEN a < 0 THEN 'negative' ELSE 'non_negative' END)
          AS witness
 FROM trip GROUP BY 1 ORDER BY 1
 """
+
+
+def padding_waste_sql(batch: int) -> str:
+    """Padding-waste twin: identical ntile batching per layout."""
+    legs = []
+    for lname, order in (
+        ("arrival", "doc_id"),
+        ("length_sorted", "dl, doc_id"),
+    ):
+        legs.append(f"""
+SELECT '{lname}' AS layout,
+       count(*)::BIGINT AS n_batches,
+       sum(tok)::BIGINT AS real_tokens,
+       sum(bn * mx - tok)::BIGINT AS padded_slots,
+       round(sum(bn * mx - tok)::DOUBLE
+             / (sum(tok) + sum(bn * mx - tok))::DOUBLE, 6)
+         AS waste_frac
+FROM (
+  SELECT b, count(*)::BIGINT AS bn, max(dl)::BIGINT AS mx,
+         sum(dl)::BIGINT AS tok
+  FROM (
+    SELECT ntile((SELECT (count(*) + {batch - 1}) // {batch}
+                  FROM docs)::INT)
+             OVER (ORDER BY {order}) AS b, dl
+    FROM docs
+  ) GROUP BY b
+)""")
+    return (
+        f"WITH docs AS (SELECT doc_id, len({TOKS})::BIGINT AS dl"
+        " FROM documents)\n"
+        + "\nUNION ALL\n".join(legs)
+        + "\nORDER BY layout"
+    )

@@ -6082,3 +6082,62 @@ def vocab_edit1_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return pairs.orderBy("ta", "tb")
+
+
+PADDING_BATCH = 32
+
+
+def padding_waste_audit(
+    spark: SparkSession, sf_dir: str, batch: int = PADDING_BATCH
+) -> DataFrame:
+    """Inference-serving padding-waste audit: documents batch in groups
+    of PADDING_BATCH (ntile over the total order) under (a) arrival
+    order and (b) token-length-sorted order; every sequence in a batch
+    pads to the batch max, so waste = sum over batches of
+    (batch_size * max_len - sum len). Length-sorted batching is the
+    standard serving trick — this publishes exactly how many padded
+    slots it reclaims. All integer; per-layout one window + one
+    batch-count-bounded aggregate."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(tokenize_col("text")).cast("long").alias("dl"),
+    )
+    out = None
+    for lname, order in (
+        ("arrival", [F.asc("doc_id")]),
+        ("length_sorted", [F.asc("dl"), F.asc("doc_id")]),
+    ):
+        w = Window.orderBy(*order)
+        n_docs = docs.count()  # scalar, same both layouts
+        n_batches = (n_docs + batch - 1) // batch
+        batched = docs.select(
+            F.ntile(int(n_batches)).over(w).alias("b"), "dl"
+        )
+        per_b = batched.groupBy("b").agg(
+            F.count(F.lit(1)).cast("long").alias("bn"),
+            F.max("dl").cast("long").alias("mx"),
+            F.sum("dl").cast("long").alias("tok"),
+        )
+        row = per_b.agg(
+            F.count(F.lit(1)).cast("long").alias("n_batches"),
+            F.sum("tok").cast("long").alias("real_tokens"),
+            F.sum(F.col("bn") * F.col("mx") - F.col("tok"))
+            .cast("long")
+            .alias("padded_slots"),
+        ).select(
+            F.lit(lname).alias("layout"),
+            "n_batches",
+            "real_tokens",
+            "padded_slots",
+            F.round(
+                F.col("padded_slots").cast("double")
+                / (
+                    F.col("real_tokens") + F.col("padded_slots")
+                ).cast("double"),
+                6,
+            ).alias("waste_frac"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("layout")
