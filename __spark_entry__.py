@@ -1005,6 +1005,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # batch 107: serving padding waste
         "padding_waste_audit": textstats.padding_waste_audit,
+        # batch 108: token-bucket rate limiting
+        "token_bucket_rate_limit": parity.token_bucket_rate_limit,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})
@@ -2559,5 +2561,12 @@ WHERE len(list_filter(range(1, len(toks)), i ->
 
     out["padding_waste_audit"] = padding_waste_sql(
         textstats.PADDING_BATCH
+    )
+
+    # batch 108: token-bucket rate limiting
+    from lucene_mapreduce_spark.operators.oracles import token_bucket_sql
+
+    out["token_bucket_rate_limit"] = token_bucket_sql(
+        parity.TB_BURST, parity.TB_RATE_PER_S
     )
     return out

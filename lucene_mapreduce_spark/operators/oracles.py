@@ -15624,3 +15624,49 @@ FROM (
         + "\nUNION ALL\n".join(legs)
         + "\nORDER BY layout"
     )
+
+
+def token_bucket_sql(burst: float, rate: float) -> str:
+    """Token-bucket twin as a RECURSIVE CTE walking every user's
+    (us, event_id)-ordered timeline in lockstep — NOT a list_reduce
+    struct fold: DuckDB's struct-pack lambda accumulator proved
+    execution-shape-dependent here (the same user's fold returned
+    different admit counts filtered vs unfiltered — vectorized field
+    mutation), while the recursive walk is plain scalar arithmetic.
+    The refill chain mirrors the Spark fold expression exactly."""
+    refill = (
+        f"least({burst!r}::DOUBLE,"
+        f" w.tok + (q.us - w.us)::DOUBLE / 1000000.0"
+        f" * {rate!r}::DOUBLE)"
+    )
+    return f"""
+WITH RECURSIVE seq AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS i
+  FROM events
+),
+walk AS (
+  SELECT user_id, i, us,
+         ({burst!r}::DOUBLE - 1.0) AS tok,
+         1::BIGINT AS ok, 0::BIGINT AS dropped
+  FROM seq WHERE i = 1
+  UNION ALL
+  SELECT q.user_id, q.i, q.us,
+         CASE WHEN {refill} >= 1.0 THEN {refill} - 1.0
+              ELSE {refill} END,
+         w.ok + (CASE WHEN {refill} >= 1.0 THEN 1 ELSE 0 END),
+         w.dropped + (CASE WHEN {refill} >= 1.0 THEN 0 ELSE 1 END)
+  FROM walk w JOIN seq q ON q.user_id = w.user_id AND q.i = w.i + 1
+),
+fin AS (
+  SELECT user_id, max_by(ok, i) AS ok, max_by(dropped, i) AS dropped
+  FROM walk GROUP BY 1
+)
+SELECT count(*)::BIGINT AS n_users,
+       sum(ok)::BIGINT AS n_allowed,
+       sum(dropped)::BIGINT AS n_dropped,
+       round(sum(dropped)::DOUBLE
+             / (sum(ok) + sum(dropped))::DOUBLE, 6) AS drop_rate
+FROM fin
+"""

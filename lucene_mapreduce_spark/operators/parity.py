@@ -6355,3 +6355,130 @@ def dn_retention_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("offset_d")
+
+
+TB_RATE_PER_S = 1.0 / 86400.0  # refill: one token per day
+TB_BURST = 2.0  # bucket capacity (events arrive ~2/user/day: both
+# admit and drop outcomes are realized at every sf)
+
+
+def token_bucket_rate_limit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Token-bucket rate-limiter simulation (the API-gateway admission
+    policy) replayed over each user's event timeline: bucket starts
+    full (TB_BURST), refills at TB_RATE_PER_S, each event consumes one
+    token or is dropped. The per-user replay is inherently sequential,
+    so it runs as THE documented bounded fold: one collect_list per
+    user (events-per-user bounded) folded in (us, event_id) order with
+    a fixed IEEE refill chain — identical in both engines (the ewma
+    rule). Summary row: users, allowed, dropped, drop rate."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+    )
+    packed = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("us", "event_id"))
+        ).alias("seq")
+    )
+    folded = packed.select(
+        "user_id",
+        F.aggregate(
+            F.col("seq"),
+            F.struct(
+                F.lit(float(TB_BURST)).alias("tok"),
+                F.lit(-1).cast("long").alias("last"),
+                F.lit(0).cast("long").alias("ok"),
+                F.lit(0).cast("long").alias("drop"),
+            ),
+            lambda acc, x: F.struct(
+                # refill (capped), then spend-or-drop — all from the
+                # snapshot accumulator (Spark evaluates fields from acc)
+                F.when(
+                    F.least(
+                        F.lit(float(TB_BURST)),
+                        acc["tok"]
+                        + F.when(acc["last"] < 0, F.lit(0.0)).otherwise(
+                            (x["us"] - acc["last"]).cast("double")
+                            / F.lit(1e6)
+                            * F.lit(TB_RATE_PER_S)
+                        ),
+                    )
+                    >= 1.0,
+                    F.least(
+                        F.lit(float(TB_BURST)),
+                        acc["tok"]
+                        + F.when(acc["last"] < 0, F.lit(0.0)).otherwise(
+                            (x["us"] - acc["last"]).cast("double")
+                            / F.lit(1e6)
+                            * F.lit(TB_RATE_PER_S)
+                        ),
+                    )
+                    - F.lit(1.0),
+                )
+                .otherwise(
+                    F.least(
+                        F.lit(float(TB_BURST)),
+                        acc["tok"]
+                        + F.when(acc["last"] < 0, F.lit(0.0)).otherwise(
+                            (x["us"] - acc["last"]).cast("double")
+                            / F.lit(1e6)
+                            * F.lit(TB_RATE_PER_S)
+                        ),
+                    )
+                )
+                .alias("tok"),
+                x["us"].alias("last"),
+                (
+                    acc["ok"]
+                    + F.when(
+                        F.least(
+                            F.lit(float(TB_BURST)),
+                            acc["tok"]
+                            + F.when(
+                                acc["last"] < 0, F.lit(0.0)
+                            ).otherwise(
+                                (x["us"] - acc["last"]).cast("double")
+                                / F.lit(1e6)
+                                * F.lit(TB_RATE_PER_S)
+                            ),
+                        )
+                        >= 1.0,
+                        1,
+                    ).otherwise(0)
+                ).alias("ok"),
+                (
+                    acc["drop"]
+                    + F.when(
+                        F.least(
+                            F.lit(float(TB_BURST)),
+                            acc["tok"]
+                            + F.when(
+                                acc["last"] < 0, F.lit(0.0)
+                            ).otherwise(
+                                (x["us"] - acc["last"]).cast("double")
+                                / F.lit(1e6)
+                                * F.lit(TB_RATE_PER_S)
+                            ),
+                        )
+                        >= 1.0,
+                        0,
+                    ).otherwise(1)
+                ).alias("drop"),
+            ),
+        ).alias("acc"),
+    )
+    return folded.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(F.col("acc.ok")).cast("long").alias("n_allowed"),
+        F.sum(F.col("acc.drop")).cast("long").alias("n_dropped"),
+        F.round(
+            F.sum(F.col("acc.drop")).cast("double")
+            / (
+                F.sum(F.col("acc.ok")) + F.sum(F.col("acc.drop"))
+            ).cast("double"),
+            6,
+        ).alias("drop_rate"),
+    )
