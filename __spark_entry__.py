@@ -1007,6 +1007,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "padding_waste_audit": textstats.padding_waste_audit,
         # batch 108: token-bucket rate limiting
         "token_bucket_rate_limit": parity.token_bucket_rate_limit,
+        # batch 109: source minhash, pinball loss
+        "source_minhash_jaccard": dedup.source_minhash_jaccard,
+        "pinball_loss_backtest": parity.pinball_loss_backtest,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})
@@ -2569,4 +2572,13 @@ WHERE len(list_filter(range(1, len(toks)), i ->
     out["token_bucket_rate_limit"] = token_bucket_sql(
         parity.TB_BURST, parity.TB_RATE_PER_S
     )
+
+    # batch 109: source minhash, pinball loss
+    from lucene_mapreduce_spark.operators.oracles import (
+        SOURCE_MINHASH_SQL,
+        pinball_sql,
+    )
+
+    out["source_minhash_jaccard"] = SOURCE_MINHASH_SQL
+    out["pinball_loss_backtest"] = pinball_sql(parity.PINBALL_Q)
     return out

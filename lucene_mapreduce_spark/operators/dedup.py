@@ -1179,3 +1179,80 @@ def simhash_bit_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("bias"),
     ).orderBy("bit")
+
+
+def source_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level MinHash: each SOURCE's signature component i is the
+    min of md5(i:shingle) over every shingle the source contains — the
+    group-level merge of the per-doc signatures (min is associative:
+    the source sketch IS the fold of its docs' sketches, the
+    mergeability that lets 1000 executors sketch partitions
+    independently). Pairwise source similarity estimates
+    (signature-agreement fraction) sit next to the exact shingle-set
+    Jaccard per pair. Source-count-bounded everything after the one
+    shingle scan."""
+    docs = load(spark, sf_dir, "documents")
+    sh = _shingles(docs).join(
+        docs.select("doc_id", "source"), "doc_id"
+    ).select("source", "shingle").distinct()
+    wide = sh.groupBy("source").agg(
+        *[
+            F.min(
+                F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))
+            ).alias(f"s{i}")
+            for i in range(N_MINHASH)
+        ],
+        F.count(F.lit(1)).cast("long").alias("n_sh"),
+    )
+    a = wide.select(
+        F.col("source").alias("sa"),
+        F.col("n_sh").alias("na"),
+        *[F.col(f"s{i}").alias(f"a{i}") for i in range(N_MINHASH)],
+    )
+    b = wide.select(
+        F.col("source").alias("sb"),
+        F.col("n_sh").alias("nb"),
+        *[F.col(f"s{i}").alias(f"b{i}") for i in range(N_MINHASH)],
+    )
+    match = None
+    for i in range(N_MINHASH):
+        m = (F.col(f"a{i}") == F.col(f"b{i}")).cast("int")
+        match = m if match is None else match + m
+    pairs = a.join(b, F.col("sa") < F.col("sb")).select(
+        "sa",
+        "sb",
+        "na",
+        "nb",
+        F.round(
+            match.cast("double") / F.lit(float(N_MINHASH)), 6
+        ).alias("mh_estimate"),
+    )
+    inter = (
+        sh.alias("x")
+        .join(
+            sh.alias("y"),
+            (F.col("x.shingle") == F.col("y.shingle"))
+            & (F.col("x.source") < F.col("y.source")),
+        )
+        .groupBy(
+            F.col("x.source").alias("sa"), F.col("y.source").alias("sb")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    return (
+        pairs.join(inter, ["sa", "sb"], "left")
+        .select(
+            "sa",
+            "sb",
+            F.coalesce("n_inter", F.lit(0)).cast("long").alias("n_inter"),
+            F.round(
+                F.coalesce("n_inter", F.lit(0)).cast("double")
+                / (F.col("na") + F.col("nb") - F.coalesce("n_inter", F.lit(0))).cast(
+                    "double"
+                ),
+                6,
+            ).alias("exact_jaccard"),
+            "mh_estimate",
+        )
+        .orderBy("sa", "sb")
+    )

@@ -15670,3 +15670,68 @@ SELECT count(*)::BIGINT AS n_users,
              / (sum(ok) + sum(dropped))::DOUBLE, 6) AS drop_rate
 FROM fin
 """
+
+
+SOURCE_MINHASH_SQL = f"""
+WITH {_SHINGLES},
+src_sh AS (
+  SELECT DISTINCT d.source, sh.shingle
+  FROM sh JOIN documents d USING (doc_id)
+),
+wide AS (
+  SELECT source,
+         {", ".join(f"min(md5('{i}:' || shingle)) AS s{i}" for i in range(12))},
+         count(*)::BIGINT AS n_sh
+  FROM src_sh GROUP BY 1
+),
+pairs AS (
+  SELECT a.source AS sa, b.source AS sb, a.n_sh AS na, b.n_sh AS nb,
+         round(({" + ".join(f"(CASE WHEN a.s{i} = b.s{i} THEN 1 ELSE 0 END)" for i in range(12))})::DOUBLE
+               / 12.0, 6) AS mh_estimate
+  FROM wide a JOIN wide b ON a.source < b.source
+),
+inter AS (
+  SELECT x.source AS sa, y.source AS sb, count(*)::BIGINT AS n_inter
+  FROM src_sh x JOIN src_sh y
+    ON x.shingle = y.shingle AND x.source < y.source
+  GROUP BY 1, 2
+)
+SELECT p.sa, p.sb,
+       coalesce(i.n_inter, 0)::BIGINT AS n_inter,
+       round(coalesce(i.n_inter, 0)::DOUBLE
+             / (p.na + p.nb - coalesce(i.n_inter, 0))::DOUBLE, 6)
+         AS exact_jaccard,
+       p.mh_estimate
+FROM pairs p LEFT JOIN inter i ON i.sa = p.sa AND i.sb = p.sb
+ORDER BY p.sa, p.sb
+"""
+
+
+def pinball_sql(q: float) -> str:
+    """Pinball-loss twin: identical daily histogram, lags, pinned q."""
+    return f"""
+WITH {_DAILY_HIST},
+lagged AS (
+  SELECT n_events AS y,
+         lag(n_events, 1) OVER (ORDER BY day) AS p_naive,
+         lag(n_events, 7) OVER (ORDER BY day) AS p_snaive
+  FROM hist
+),
+legs AS (
+  SELECT 'naive' AS model, (y - p_naive)::DOUBLE AS d FROM lagged
+  WHERE p_naive IS NOT NULL
+  UNION ALL
+  SELECT 'seasonal_naive', (y - p_snaive)::DOUBLE FROM lagged
+  WHERE p_snaive IS NOT NULL
+),
+loss AS (
+  SELECT model,
+         round(CASE WHEN d >= 0 THEN {q!r}::DOUBLE * d
+               ELSE {1.0 - q!r}::DOUBLE * (-d) END, 12)
+           ::DECIMAL(28,12) AS l
+  FROM legs
+)
+SELECT model, count(*)::BIGINT AS n_points,
+       round(sum(l)::DOUBLE / count(*)::DOUBLE, 6) AS mean_pinball_loss
+FROM loss GROUP BY 1 ORDER BY 1
+"""

@@ -6482,3 +6482,47 @@ def token_bucket_rate_limit(
             6,
         ).alias("drop_rate"),
     )
+
+
+PINBALL_Q = 0.9
+
+
+def pinball_loss_backtest(
+    spark: SparkSession, sf_dir: str, q: float = PINBALL_Q
+) -> DataFrame:
+    """Pinball (quantile) loss of the naive and seasonal-naive
+    one-step forecasts at the pinned q=0.9 — the metric a quantile
+    forecaster is scored on (forecast_baseline_backtest's MAE/MAPE
+    sibling for upper-quantile service levels): loss = q*(y-f) if
+    y >= f else (1-q)*(f-y). Errors are exact integers scaled by the
+    pinned-repr q literal; per-day losses re-enter DECIMAL at 12dp.
+    One row per model."""
+    hist = date_histogram_facets(spark, sf_dir)
+    w = Window.orderBy("day")
+    lagged = hist.select(
+        F.col("n_events").alias("y"),
+        F.lag("n_events", 1).over(w).alias("p_naive"),
+        F.lag("n_events", 7).over(w).alias("p_snaive"),
+    )
+    out = None
+    for model, pcol in (("naive", "p_naive"), ("seasonal_naive", "p_snaive")):
+        e = lagged.filter(F.col(pcol).isNotNull()).select(
+            (F.col("y") - F.col(pcol)).cast("double").alias("d")
+        )
+        loss = F.when(
+            F.col("d") >= 0, F.lit(q) * F.col("d")
+        ).otherwise(F.lit(1.0 - q) * (-F.col("d")))
+        row = e.select(
+            F.round(loss, 12).cast("decimal(28,12)").alias("l")
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            F.round(
+                F.sum("l").cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("mean_pinball_loss"),
+        ).select(
+            F.lit(model).alias("model"), "n_points", "mean_pinball_loss"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("model")
