@@ -1010,6 +1010,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 109: source minhash, pinball loss
         "source_minhash_jaccard": dedup.source_minhash_jaccard,
         "pinball_loss_backtest": parity.pinball_loss_backtest,
+        # batch 110: nonparametric test trio
+        "kruskal_wallis_h": parity.kruskal_wallis_h,
+        "mcnemar_paired_days": parity.mcnemar_paired_days,
+        "cliffs_delta_effect": parity.cliffs_delta_effect,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})

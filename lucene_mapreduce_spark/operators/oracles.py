@@ -15735,3 +15735,108 @@ SELECT model, count(*)::BIGINT AS n_points,
        round(sum(l)::DOUBLE / count(*)::DOUBLE, 6) AS mean_pinball_loss
 FROM loss GROUP BY 1 ORDER BY 1
 """
+
+# ---- batch 110: nonparametric test trio ------------------------------------
+
+ORACLES["kruskal_wallis_h"] = """
+WITH per AS (
+  SELECT event_type, value, count(*)::BIGINT AS c FROM events GROUP BY 1, 2
+),
+pooled AS (
+  SELECT value AS v, sum(c)::BIGINT AS t FROM per GROUP BY 1
+),
+ranked AS (
+  SELECT v, t,
+         2 * (sum(t) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t)
+           + t + 1 AS r2
+  FROM pooled
+),
+grp AS (
+  SELECT event_type, sum(c)::BIGINT AS n_g, sum(c * r2)::BIGINT AS rg2
+  FROM per JOIN ranked ON per.value = ranked.v
+  GROUP BY 1
+),
+ties AS (
+  SELECT sum(t * t * t - t)::BIGINT AS tie3 FROM pooled
+),
+agg AS (
+  SELECT count(*)::BIGINT AS n_groups, sum(n_g)::BIGINT AS n,
+         sum(round(rg2::DOUBLE * rg2::DOUBLE / n_g::DOUBLE, 6)
+             ::DECIMAL(38,6)) AS s
+  FROM grp
+)
+SELECT n_groups, n,
+       round(3.0 * s::DOUBLE / (n::DOUBLE * (n::DOUBLE + 1.0))
+             - 3.0 * (n::DOUBLE + 1.0), 6) AS h,
+       round((3.0 * s::DOUBLE / (n::DOUBLE * (n::DOUBLE + 1.0))
+              - 3.0 * (n::DOUBLE + 1.0))
+             / (1.0 - tie3::DOUBLE
+                      / (n::DOUBLE * n::DOUBLE * n::DOUBLE - n::DOUBLE)),
+             6) AS h_corrected
+FROM agg, ties
+"""
+
+ORACLES["mcnemar_paired_days"] = """
+WITH ud AS (
+  SELECT user_id, date_trunc('day', ts) AS day,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS a,
+         max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS b
+  FROM events GROUP BY 1, 2
+),
+cells AS (
+  SELECT count(*)::BIGINT AS n_pairs,
+         sum(a * b)::BIGINT AS n11,
+         sum(a * (1 - b))::BIGINT AS n10,
+         sum((1 - a) * b)::BIGINT AS n01,
+         sum((1 - a) * (1 - b))::BIGINT AS n00
+  FROM ud
+)
+SELECT n_pairs, n11, n10, n01, n00,
+       round(CASE WHEN n10 + n01 > 0
+                  THEN (abs(n10 - n01)::DOUBLE - 1.0)
+                       * (abs(n10 - n01)::DOUBLE - 1.0)
+                       / (n10 + n01)::DOUBLE
+                  ELSE 0.0 END, 6) AS chi2_cc
+FROM cells
+"""
+
+ORACLES["cliffs_delta_effect"] = """
+WITH per AS (
+  SELECT event_type, value, count(*)::BIGINT AS c
+  FROM events WHERE event_type IN ('purchase', 'click')
+  GROUP BY 1, 2
+),
+pooled AS (
+  SELECT value AS v,
+         coalesce(sum(CASE WHEN event_type = 'purchase' THEN c END), 0)
+           ::BIGINT AS ta,
+         coalesce(sum(CASE WHEN event_type = 'click' THEN c END), 0)
+           ::BIGINT AS tb
+  FROM per GROUP BY 1
+),
+ranked AS (
+  SELECT ta, tb, ta + tb AS t,
+         2 * (sum(ta + tb) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - (ta + tb)) + (ta + tb) + 1 AS r2
+  FROM pooled
+),
+agg AS (
+  SELECT sum(ta)::BIGINT AS n_a, sum(tb)::BIGINT AS n_b,
+         sum(ta * r2)::BIGINT AS ra2
+  FROM ranked
+),
+d AS (
+  SELECT n_a, n_b,
+         round((ra2 - n_a * (n_a + 1) - n_a * n_b)::DOUBLE
+               / (n_a * n_b)::DOUBLE, 6) AS delta
+  FROM agg
+)
+SELECT n_a, n_b, delta,
+       CASE WHEN abs(delta) < 0.147 THEN 'negligible'
+            WHEN abs(delta) < 0.33 THEN 'small'
+            WHEN abs(delta) < 0.474 THEN 'medium'
+            ELSE 'large' END AS magnitude
+FROM d
+"""

@@ -6526,3 +6526,164 @@ def pinball_loss_backtest(
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("model")
+
+
+def kruskal_wallis_h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across ALL event types' value distributions — the
+    k-group extension of mann_whitney_u (one-way ANOVA on ranks; reference
+    analytics never had it, standard in any metrics stack). Exact rank
+    arithmetic end-to-end: per-(type,value) tallies, ONE window over the
+    pooled distinct-value axis (bounded by distinct values), 2x
+    tie-averaged ranks so every rank sum is a BIGINT. Per-group
+    contributions rg2^2/n_g re-enter DECIMAL at 6dp (the order-free
+    canonical-sum recipe) before the k-row fold; the tie correction
+    sum(t^3-t)/(N^3-N) is pure integer. H = 3*S/(N(N+1)) - 3(N+1) with S
+    = sum rg2^2/n_g (the /4 from 2x ranks folded into the 12->3
+    constant)."""
+    ev = load(spark, sf_dir, "events")
+    per = ev.groupBy("event_type", "value").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    pooled = per.groupBy("value").agg(F.sum("c").cast("long").alias("t"))
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = pooled.select(
+        "value",
+        "t",
+        (
+            F.lit(2) * (F.sum("t").over(w) - F.col("t")) + F.col("t") + F.lit(1)
+        ).alias("r2"),
+    )
+    grp = (
+        per.join(ranked.select("value", "r2"), "value")
+        .groupBy("event_type")
+        .agg(
+            F.sum("c").cast("long").alias("n_g"),
+            F.sum(F.col("c") * F.col("r2")).cast("long").alias("rg2"),
+        )
+    )
+    contrib = F.round(
+        F.col("rg2").cast("double") * F.col("rg2").cast("double")
+        / F.col("n_g").cast("double"),
+        6,
+    ).cast("decimal(38,6)")
+    ties = pooled.agg(
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("long")
+        .alias("tie3")
+    )
+    agg = grp.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum(contrib).alias("s"),
+    ).crossJoin(ties)
+    n = F.col("n").cast("double")
+    h = F.lit(3.0) * F.col("s").cast("double") / (n * (n + F.lit(1.0))) - F.lit(
+        3.0
+    ) * (n + F.lit(1.0))
+    corr = F.lit(1.0) - F.col("tie3").cast("double") / (n * n * n - n)
+    return agg.select(
+        "n_groups",
+        "n",
+        F.round(h, 6).alias("h"),
+        F.round(h / corr, 6).alias("h_corrected"),
+    )
+
+
+def mcnemar_paired_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test for marginal homogeneity on PAIRED binary outcomes:
+    subject = active user-day, condition A = had a purchase that day,
+    condition B = had an error that day. Only the discordant cells carry
+    signal — chi2_cc = (|n10-n01|-1)^2/(n10+n01) with the standard
+    continuity correction. All four cells are exact BIGINT counts off one
+    groupBy(user, day); the statistic leaves integer land only in the
+    final division (identical expression both engines)."""
+    ev = load(spark, sf_dir, "events")
+    ud = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("a"),
+        F.max((F.col("event_type") == "error").cast("int")).alias("b"),
+    )
+    agg = ud.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.col("a") * F.col("b")).cast("long").alias("n11"),
+        F.sum(F.col("a") * (F.lit(1) - F.col("b"))).cast("long").alias("n10"),
+        F.sum((F.lit(1) - F.col("a")) * F.col("b")).cast("long").alias("n01"),
+        F.sum((F.lit(1) - F.col("a")) * (F.lit(1) - F.col("b")))
+        .cast("long")
+        .alias("n00"),
+    )
+    d = F.abs(F.col("n10") - F.col("n01")).cast("double")
+    tot = (F.col("n10") + F.col("n01")).cast("double")
+    chi2 = (d - F.lit(1.0)) * (d - F.lit(1.0)) / tot
+    return agg.select(
+        "n_pairs",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.round(
+            F.when(F.col("n10") + F.col("n01") > 0, chi2).otherwise(F.lit(0.0)),
+            6,
+        ).alias("chi2_cc"),
+    )
+
+
+def cliffs_delta_effect(
+    spark: SparkSession,
+    sf_dir: str,
+    type_a: str = MWU_TYPE_A,
+    type_b: str = MWU_TYPE_B,
+) -> DataFrame:
+    """Cliff's delta — the ordinal effect size mann_whitney_u's z-score
+    lacks: delta = (#(x>y) - #(x<y)) / (n_a*n_b), computed EXACTLY from
+    the same 2x tie-averaged rank sums (2*U_a - n_a*n_b = ra2 -
+    n_a*(n_a+1) - n_a*n_b, an integer numerator — no pair enumeration,
+    cost bounded by distinct values). The conventional magnitude label
+    thresholds (0.147/0.33/0.474, Romano et al.) CASE on the rounded
+    delta so the band edges are identical both engines."""
+    ev = load(spark, sf_dir, "events").where(
+        F.col("event_type").isin([type_a, type_b])
+    )
+    per = ev.groupBy("event_type", "value").agg(F.count(F.lit(1)).alias("c"))
+    a = per.where(F.col("event_type") == type_a).select(
+        F.col("value").alias("v"), F.col("c").alias("ta")
+    )
+    b = per.where(F.col("event_type") == type_b).select(
+        F.col("value").alias("v"), F.col("c").alias("tb")
+    )
+    pooled = a.join(b, "v", "full").select(
+        "v",
+        F.coalesce("ta", F.lit(0)).cast("long").alias("ta"),
+        F.coalesce("tb", F.lit(0)).cast("long").alias("tb"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    t = F.col("ta") + F.col("tb")
+    ranked = pooled.select(
+        "ta",
+        "tb",
+        (F.lit(2) * (F.sum(t).over(w) - t) + t + F.lit(1)).alias("r2"),
+    )
+    agg = ranked.agg(
+        F.sum("ta").cast("long").alias("n_a"),
+        F.sum("tb").cast("long").alias("n_b"),
+        F.sum(F.col("ta") * F.col("r2")).cast("long").alias("ra2"),
+    )
+    num = (
+        F.col("ra2")
+        - F.col("n_a") * (F.col("n_a") + F.lit(1))
+        - F.col("n_a") * F.col("n_b")
+    )
+    delta = F.round(
+        num.cast("double") / (F.col("n_a") * F.col("n_b")).cast("double"), 6
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        delta.alias("delta"),
+        F.when(F.abs(delta) < 0.147, F.lit("negligible"))
+        .when(F.abs(delta) < 0.33, F.lit("small"))
+        .when(F.abs(delta) < 0.474, F.lit("medium"))
+        .otherwise(F.lit("large"))
+        .alias("magnitude"),
+    )
