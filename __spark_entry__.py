@@ -1014,6 +1014,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kruskal_wallis_h": parity.kruskal_wallis_h,
         "mcnemar_paired_days": parity.mcnemar_paired_days,
         "cliffs_delta_effect": parity.cliffs_delta_effect,
+        # batch 111: ratio delta-method, SRM, Yule's K
+        "ratio_metric_delta_method": parity.ratio_metric_delta_method,
+        "srm_check": parity.srm_check,
+        "yules_k_by_source": textstats.yules_k_by_source,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})

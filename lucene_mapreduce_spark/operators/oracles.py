@@ -15840,3 +15840,96 @@ SELECT n_a, n_b, delta,
             ELSE 'large' END AS magnitude
 FROM d
 """
+
+# ---- batch 111: ratio delta-method, SRM, Yule's K ---------------------------
+
+_ARM = "(CASE WHEN " + _MD5_52 + " % 2 = 0 THEN 'A' ELSE 'B' END)"
+
+ORACLES["ratio_metric_delta_method"] = f"""
+WITH per AS (
+  SELECT user_id,
+         coalesce(sum(CASE WHEN event_type = 'purchase'
+                           THEN round(value, 2)::DECIMAL(18,2) END),
+                  0)::DECIMAL(18,2) AS y,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1
+),
+g AS (
+  SELECT {_ARM.format(e="user_id::VARCHAR || ':ratio'")} AS arm,
+         count(*)::BIGINT AS u, sum(y) AS sy, sum(n)::BIGINT AS sn,
+         sum(y * y) AS syy, sum(n * n)::BIGINT AS snn, sum(y * n) AS syn
+  FROM per GROUP BY 1
+),
+arms AS (
+  SELECT arm, u,
+         round(sy::DOUBLE / sn::DOUBLE, 6) AS ratio,
+         round(sqrt(((syy::DOUBLE / u::DOUBLE
+                      - (sy::DOUBLE / u::DOUBLE) * (sy::DOUBLE / u::DOUBLE))
+                     - 2.0 * (sy::DOUBLE / sn::DOUBLE)
+                           * (syn::DOUBLE / u::DOUBLE
+                              - (sy::DOUBLE / u::DOUBLE)
+                                * (sn::DOUBLE / u::DOUBLE))
+                     + (sy::DOUBLE / sn::DOUBLE) * (sy::DOUBLE / sn::DOUBLE)
+                       * (snn::DOUBLE / u::DOUBLE
+                          - (sn::DOUBLE / u::DOUBLE)
+                            * (sn::DOUBLE / u::DOUBLE)))
+                    / (u::DOUBLE * (sn::DOUBLE / u::DOUBLE)
+                       * (sn::DOUBLE / u::DOUBLE))), 6) AS se
+  FROM g
+),
+one AS (
+  SELECT max(CASE WHEN arm = 'A' THEN u END) AS n_a,
+         max(CASE WHEN arm = 'B' THEN u END) AS n_b,
+         max(CASE WHEN arm = 'A' THEN ratio END) AS ratio_a,
+         max(CASE WHEN arm = 'B' THEN ratio END) AS ratio_b,
+         max(CASE WHEN arm = 'A' THEN se END) AS se_a,
+         max(CASE WHEN arm = 'B' THEN se END) AS se_b
+  FROM arms
+)
+SELECT n_a, n_b, ratio_a, ratio_b, se_a, se_b,
+       round((ratio_a - ratio_b) / sqrt(se_a * se_a + se_b * se_b), 4) AS z
+FROM one
+"""
+
+ORACLES["srm_check"] = f"""
+WITH g AS (
+  SELECT {_ARM.format(e="user_id::VARCHAR || ':srm'")} AS arm,
+         count(*)::BIGINT AS n
+  FROM (SELECT DISTINCT user_id FROM events) GROUP BY 1
+),
+one AS (
+  SELECT max(CASE WHEN arm = 'A' THEN n END) AS n_a,
+         max(CASE WHEN arm = 'B' THEN n END) AS n_b
+  FROM g
+)
+SELECT n_a, n_b,
+       round((n_a - n_b)::DOUBLE * (n_a - n_b)::DOUBLE
+             / (n_a + n_b)::DOUBLE, 6) AS chi2,
+       round((n_a - n_b)::DOUBLE * (n_a - n_b)::DOUBLE
+             / (n_a + n_b)::DOUBLE, 6) > 3.841459 AS srm_flag
+FROM one
+"""
+
+ORACLES["yules_k_by_source"] = f"""
+WITH toks AS (
+  SELECT source, unnest({TOKS}) AS term FROM documents
+),
+per_src AS (
+  SELECT source, term, count(*)::BIGINT AS cf FROM toks GROUP BY 1, 2
+),
+src_rows AS (
+  SELECT source, count(*)::BIGINT AS vocab, sum(cf)::BIGINT AS n_tokens,
+         sum(cf * cf)::BIGINT AS s2
+  FROM per_src GROUP BY 1
+),
+corpus AS (
+  SELECT '(corpus)' AS source, count(*)::BIGINT AS vocab,
+         sum(cf)::BIGINT AS n_tokens, sum(cf * cf)::BIGINT AS s2
+  FROM (SELECT term, count(*)::BIGINT AS cf FROM toks GROUP BY 1)
+)
+SELECT source, n_tokens, vocab,
+       round(10000.0 * (s2::DOUBLE - n_tokens::DOUBLE)
+             / (n_tokens::DOUBLE * n_tokens::DOUBLE), 6) AS yules_k
+FROM (SELECT * FROM src_rows UNION ALL SELECT * FROM corpus)
+ORDER BY source
+"""

@@ -6687,3 +6687,127 @@ def cliffs_delta_effect(
         .otherwise(F.lit("large"))
         .alias("magnitude"),
     )
+
+
+def _arm_col(salt: str):
+    """md5-parity arm assignment (the cuped/ab_power idiom): first 13 hex
+    chars of md5(user_id:salt) as a 52-bit int, parity picks the arm."""
+    return F.when(
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.col("user_id").cast("string"), F.lit(salt))
+                    ),
+                    1,
+                    13,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(2),
+        )
+        == 0,
+        F.lit("A"),
+    ).otherwise(F.lit("B"))
+
+
+def ratio_metric_delta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method A/B readout for a RATIO metric (revenue per event,
+    user-level randomization) — the variance every naive per-event t-test
+    understates because the denominator is random too (Deng et al. 2017).
+    Per user: y = purchase revenue (DECIMAL 2dp), n = event count; per arm
+    the EXACT sufficient statistics (sy, sn, syy, snn, syn — decimal/
+    BIGINT sums, order-free at any parallelism); then one fixed IEEE chain
+    gives R = sy/sn and Var(R) = (vy - 2R*cyn + R^2*vn) / (u * mu_n^2)
+    with population moments over the u users. The z for the A-B diff is
+    computed from the 6dp-rounded per-arm ratio/se (identical inputs both
+    engines). Two shuffles: user rollup + 2-row arm aggregate."""
+    ev = load(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value"), 2).cast("decimal(18,2)"),
+                )
+            ),
+            F.lit(0).cast("decimal(18,2)"),
+        )
+        .cast("decimal(18,2)")
+        .alias("y"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    g = per.groupBy(_arm_col(":ratio").alias("arm")).agg(
+        F.count(F.lit(1)).cast("long").alias("u"),
+        F.sum("y").alias("sy"),
+        F.sum("n").cast("long").alias("sn"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("snn"),
+        F.sum(F.col("y") * F.col("n")).alias("syn"),
+    )
+    u = F.col("u").cast("double")
+    sy = F.col("sy").cast("double")
+    sn = F.col("sn").cast("double")
+    mu_y = sy / u
+    mu_n = sn / u
+    r = sy / sn
+    vy = F.col("syy").cast("double") / u - mu_y * mu_y
+    vn = F.col("snn").cast("double") / u - mu_n * mu_n
+    cyn = F.col("syn").cast("double") / u - mu_y * mu_n
+    var_r = (vy - F.lit(2.0) * r * cyn + r * r * vn) / (u * mu_n * mu_n)
+    arms = g.select(
+        "arm",
+        "u",
+        F.round(r, 6).alias("ratio"),
+        F.round(F.sqrt(var_r), 6).alias("se"),
+    )
+    one = arms.agg(
+        F.max(F.when(F.col("arm") == "A", F.col("u"))).alias("n_a"),
+        F.max(F.when(F.col("arm") == "B", F.col("u"))).alias("n_b"),
+        F.max(F.when(F.col("arm") == "A", F.col("ratio"))).alias("ratio_a"),
+        F.max(F.when(F.col("arm") == "B", F.col("ratio"))).alias("ratio_b"),
+        F.max(F.when(F.col("arm") == "A", F.col("se"))).alias("se_a"),
+        F.max(F.when(F.col("arm") == "B", F.col("se"))).alias("se_b"),
+    )
+    return one.select(
+        "n_a",
+        "n_b",
+        "ratio_a",
+        "ratio_b",
+        "se_a",
+        "se_b",
+        F.round(
+            (F.col("ratio_a") - F.col("ratio_b"))
+            / F.sqrt(
+                F.col("se_a") * F.col("se_a") + F.col("se_b") * F.col("se_b")
+            ),
+            4,
+        ).alias("z"),
+    )
+
+
+def srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch audit — the first gate any experiment readout
+    must pass: user counts per md5-assigned arm vs the expected 50/50,
+    two-cell chi-square (o-e)^2/e which collapses to (n_a-n_b)^2/(n_a+n_b),
+    flagged at the 0.05 critical value 3.841459. Pure integer counts; one
+    2-row aggregate."""
+    ev = load(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    g = users.select(_arm_col(":srm").alias("arm")).groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    one = g.agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("arm") == "B", F.col("n"))).alias("n_b"),
+    )
+    d = (F.col("n_a") - F.col("n_b")).cast("double")
+    tot = (F.col("n_a") + F.col("n_b")).cast("double")
+    chi2 = d * d / tot
+    return one.select(
+        "n_a",
+        "n_b",
+        F.round(chi2, 6).alias("chi2"),
+        (F.round(chi2, 6) > F.lit(3.841459)).alias("srm_flag"),
+    )

@@ -6141,3 +6141,45 @@ def padding_waste_audit(
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("layout")
+
+
+def yules_k_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yule's characteristic K per source (plus the corpus row) — the
+    classic repeat-rate vocabulary-richness statistic beside
+    lexical_diversity's TTR, hapax_report's tail fraction, and
+    simpson_diversity's HHI: K = 1e4 * (sum cf^2 - N) / N^2 over the term
+    frequency spectrum, which needs only the per-(source, term) counts
+    already bounded by vocabulary size. Exact BIGINT sufficient stats;
+    doubles only in the final expression."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(tokenize_col("text")).alias("term")
+    )
+
+    def k_rows(per: DataFrame, label_col) -> DataFrame:
+        g = per.groupBy(label_col.alias("source")).agg(
+            F.count(F.lit(1)).cast("long").alias("vocab"),
+            F.sum("cf").cast("long").alias("n_tokens"),
+            F.sum(F.col("cf") * F.col("cf")).cast("long").alias("s2"),
+        )
+        n = F.col("n_tokens").cast("double")
+        return g.select(
+            "source",
+            "n_tokens",
+            "vocab",
+            F.round(
+                F.lit(10000.0) * (F.col("s2").cast("double") - n) / (n * n), 6
+            ).alias("yules_k"),
+        )
+
+    per_src = toks.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("cf")
+    )
+    corpus = toks.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("cf")
+    )
+    return (
+        k_rows(per_src, F.col("source"))
+        .unionByName(k_rows(corpus, F.lit("(corpus)")))
+        .orderBy("source")
+    )
