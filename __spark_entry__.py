@@ -1018,6 +1018,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ratio_metric_delta_method": parity.ratio_metric_delta_method,
         "srm_check": parity.srm_check,
         "yules_k_by_source": textstats.yules_k_by_source,
+        # batch 112: link prediction + truncated Katz
+        "link_prediction_scores": relational.link_prediction_scores,
+        "katz_index_pairs": relational.katz_index_pairs,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})

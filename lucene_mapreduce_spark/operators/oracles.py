@@ -15933,3 +15933,86 @@ SELECT source, n_tokens, vocab,
 FROM (SELECT * FROM src_rows UNION ALL SELECT * FROM corpus)
 ORDER BY source
 """
+
+# ---- batch 112: link prediction (CN/Jaccard/AA/RA) + truncated Katz --------
+
+_AFFINITY_EDGES = """
+li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+edges AS (
+  SELECT a.p AS pa, b.p AS pb
+  FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)"""
+
+ORACLES["link_prediction_scores"] = f"""
+WITH {_AFFINITY_EDGES},
+deg AS (
+  SELECT node, count(*)::BIGINT AS d
+  FROM (SELECT pa AS node FROM edges UNION ALL SELECT pb FROM edges)
+  GROUP BY 1
+),
+nbrs AS (
+  SELECT node, nbr, d
+  FROM (SELECT pa AS node, pb AS nbr FROM edges
+        UNION ALL SELECT pb, pa FROM edges)
+  JOIN deg USING (node) WHERE d <= 4096
+),
+wedges AS (
+  SELECT x.nbr AS u, y.nbr AS v, x.d AS dw
+  FROM nbrs x JOIN nbrs y ON x.node = y.node AND x.nbr < y.nbr
+),
+pairs AS (
+  SELECT u, v, count(*)::BIGINT AS cn,
+         sum(round(1.0 / ln(dw::DOUBLE), 12)::DECIMAL(28,12)) AS aa,
+         sum(round(1.0 / dw::DOUBLE, 12)::DECIMAL(28,12)) AS ra
+  FROM wedges GROUP BY 1, 2
+),
+cand AS (
+  SELECT p.* FROM pairs p
+  ANTI JOIN edges e ON p.u = e.pa AND p.v = e.pb
+),
+scored AS (
+  SELECT u, v, cn,
+         round(cn::DOUBLE / (du.d + dv.d - cn)::DOUBLE, 6) AS jaccard,
+         aa, ra
+  FROM cand JOIN deg du ON cand.u = du.node JOIN deg dv ON cand.v = dv.node
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY aa DESC, u, v) AS rank FROM scored
+)
+SELECT rank, u, v, cn, jaccard,
+       round(aa::DOUBLE, 6) AS adamic_adar,
+       round(ra::DOUBLE, 6) AS resource_alloc
+FROM ranked WHERE rank <= 20
+"""
+
+ORACLES["katz_index_pairs"] = f"""
+WITH {_AFFINITY_EDGES},
+nbrs AS (
+  SELECT pa AS s, pb AS t FROM edges UNION ALL SELECT pb, pa FROM edges
+),
+a2 AS (
+  SELECT x.s AS u, y.t AS v, count(*)::BIGINT AS w2
+  FROM nbrs x JOIN nbrs y ON x.t = y.s GROUP BY 1, 2
+),
+a3 AS (
+  SELECT a2.u AS u, y.t AS v, sum(w2)::BIGINT AS w3
+  FROM a2 JOIN nbrs y ON a2.v = y.s GROUP BY 1, 2
+),
+walks AS (
+  SELECT coalesce(a2.u, a3.u) AS u, coalesce(a2.v, a3.v) AS v,
+         coalesce(w2, 0)::BIGINT AS w2, coalesce(w3, 0)::BIGINT AS w3
+  FROM a2 FULL JOIN a3 ON a2.u = a3.u AND a2.v = a3.v
+),
+cand AS (
+  SELECT w.* FROM (SELECT * FROM walks WHERE u < v) w
+  ANTI JOIN edges e ON w.u = e.pa AND w.v = e.pb
+),
+ranked AS (
+  SELECT u, v, w2, w3, w2 * 2500 + w3 * 125 AS kz,
+         row_number() OVER (ORDER BY w2 * 2500 + w3 * 125 DESC, u, v) AS rank
+  FROM cand
+)
+SELECT rank, u, v, w2, w3, kz::DOUBLE / 1000000.0 AS katz
+FROM ranked WHERE rank <= 20
+"""

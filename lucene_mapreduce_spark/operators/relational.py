@@ -25,7 +25,7 @@ representation boundary.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lucene_mapreduce_spark.operators.parity import load
@@ -3070,4 +3070,178 @@ def integer_division_semantics_gate(
             ).alias("witness"),
         )
         .orderBy("bucket")
+    )
+
+
+def _affinity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-order part graph shared by the link-prediction family: edges =
+    part pairs co-ordered in >= AFFINITY_MIN_SUPPORT orders, oriented
+    pa < pb (affinity_triangles' graph)."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("pb"))
+    return (
+        a.join(b, (a.ok == b.ok2) & (a.pa < b.pb))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= AFFINITY_MIN_SUPPORT)
+        .select("pa", "pb")
+    )
+
+
+LINKPRED_K = 20
+LINKPRED_MAX_CENTER_DEG = 4096  # hot-node wedge cap, inactive at test SFs
+
+
+def link_prediction_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the co-order part graph: for every NON-edge at
+    distance 2, common-neighbor count, neighbor-set Jaccard, Adamic-Adar
+    (sum 1/ln deg(w)) and resource allocation (sum 1/deg(w)) — the four
+    classic unsupervised scores (Liben-Nowell & Kleinberg). Distributed as
+    wedge enumeration anchored at the common neighbor w (cost sum deg(w)^2,
+    hot centers capped at LINKPRED_MAX_CENTER_DEG before the self-join —
+    the same cap-before-join discipline as the dedup shingle paths);
+    existing edges leave via one anti-join. AA/RA contributions re-enter
+    DECIMAL at 12dp so the per-pair sums are order-free at any
+    parallelism; ranking on the exact DECIMAL aa with (u, v) tie-break.
+    Top-LINKPRED_K page."""
+    edges = _affinity_edges(spark, sf_dir)
+    deg = (
+        edges.select(F.col("pa").alias("node"))
+        .unionAll(edges.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    nbrs = (
+        edges.select(F.col("pa").alias("node"), F.col("pb").alias("nbr"))
+        .unionAll(
+            edges.select(F.col("pb").alias("node"), F.col("pa").alias("nbr"))
+        )
+        .join(deg, "node")
+        .filter(F.col("d") <= LINKPRED_MAX_CENTER_DEG)
+    )
+    x = nbrs.select(
+        F.col("node").alias("w"), F.col("d").alias("dw"), F.col("nbr").alias("u")
+    )
+    y = nbrs.select(F.col("node").alias("w2"), F.col("nbr").alias("v"))
+    wedges = x.join(y, (F.col("w") == F.col("w2")) & (F.col("u") < F.col("v")))
+    pairs = wedges.groupBy("u", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("cn"),
+        F.sum(
+            F.round(F.lit(1.0) / F.log(F.col("dw").cast("double")), 12).cast(
+                "decimal(28,12)"
+            )
+        ).alias("aa"),
+        F.sum(
+            F.round(F.lit(1.0) / F.col("dw").cast("double"), 12).cast(
+                "decimal(28,12)"
+            )
+        ).alias("ra"),
+    )
+    cand = pairs.join(
+        edges,
+        (pairs.u == edges.pa) & (pairs.v == edges.pb),
+        "left_anti",
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    scored = (
+        cand.join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u",
+            "v",
+            "cn",
+            F.round(
+                F.col("cn").cast("double")
+                / (F.col("du") + F.col("dv") - F.col("cn")).cast("double"),
+                6,
+            ).alias("jaccard"),
+            F.col("aa").alias("aa_exact"),
+            F.col("ra").alias("ra_exact"),
+        )
+    )
+    w = Window.orderBy(F.col("aa_exact").desc(), "u", "v")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= LINKPRED_K)
+        .select(
+            "rank",
+            "u",
+            "v",
+            "cn",
+            "jaccard",
+            F.round(F.col("aa_exact").cast("double"), 6).alias("adamic_adar"),
+            F.round(F.col("ra_exact").cast("double"), 6).alias("resource_alloc"),
+        )
+    )
+
+
+KATZ_BETA_NUM = 5  # beta = 0.05 carried as exact DECIMAL scales
+KATZ_K = 20
+
+
+def katz_index_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated Katz index for link prediction: sum over walk lengths
+    beta^2 * (#2-walks) + beta^3 * (#3-walks) between non-adjacent part
+    pairs (the length-1 term is zero on non-edges by construction), with
+    the pinned beta = 0.05 whose powers are EXACT decimals — so the whole
+    score is exact DECIMAL arithmetic over BIGINT walk counts, no float
+    until display. Walk counts via two chained equi-joins of the adjacency
+    list (the standard A^2 / A^3 matrix-power shape; at 100 TB the chain
+    is degree-capped like link_prediction_scores). Top-KATZ_K by exact
+    score, (u, v) tie-break."""
+    edges = _affinity_edges(spark, sf_dir)
+    nbrs = edges.select(
+        F.col("pa").alias("s"), F.col("pb").alias("t")
+    ).unionAll(edges.select(F.col("pb").alias("s"), F.col("pa").alias("t")))
+    a1 = nbrs.select(F.col("s").alias("u"), F.col("t").alias("m"))
+    a2 = (
+        a1.join(
+            nbrs.select(F.col("s").alias("m"), F.col("t").alias("v")), "m"
+        )
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("w2"))
+    )
+    a3 = (
+        a2.select(F.col("u"), F.col("v").alias("m"), "w2")
+        .join(nbrs.select(F.col("s").alias("m"), F.col("t").alias("v")), "m")
+        .groupBy("u", "v")
+        .agg(F.sum("w2").cast("long").alias("w3"))
+    )
+    both = (
+        a2.join(a3, ["u", "v"], "full")
+        .select(
+            "u",
+            "v",
+            F.coalesce("w2", F.lit(0)).cast("long").alias("w2"),
+            F.coalesce("w3", F.lit(0)).cast("long").alias("w3"),
+        )
+        .filter(F.col("u") < F.col("v"))
+    )
+    cand = both.join(
+        edges,
+        (both.u == edges.pa) & (both.v == edges.pb),
+        "left_anti",
+    )
+    # beta = 0.05: beta^2 = 2500e-6, beta^3 = 125e-6 — the score is the
+    # exact BIGINT micro-units w2*2500 + w3*125; float only at display
+    kz = F.col("w2") * F.lit(2500) + F.col("w3") * F.lit(125)
+    w = Window.orderBy(kz.desc(), "u", "v")
+    return (
+        cand.withColumn("kz", kz.cast("long"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KATZ_K)
+        .select(
+            "rank",
+            "u",
+            "v",
+            "w2",
+            "w3",
+            (F.col("kz").cast("double") / F.lit(1000000.0)).alias("katz"),
+        )
     )
