@@ -1021,6 +1021,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 112: link prediction + truncated Katz
         "link_prediction_scores": relational.link_prediction_scores,
         "katz_index_pairs": relational.katz_index_pairs,
+        # batch 113: MoR delete amplification, frame semantics gate
+        "merge_on_read_amplification": relational.merge_on_read_amplification,
+        "range_rows_frame_gate": parity.range_rows_frame_gate,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})

@@ -16016,3 +16016,52 @@ ranked AS (
 SELECT rank, u, v, w2, w3, kz::DOUBLE / 1000000.0 AS katz
 FROM ranked WHERE rank <= 20
 """
+
+# ---- batch 113: MoR delete amplification + frame semantics gate -------------
+
+ORACLES["merge_on_read_amplification"] = f"""
+WITH d AS (
+  SELECT doc_id // 64 AS file_id,
+         CASE WHEN {_MD5_52.format(e="doc_id::VARCHAR || ':mordel'")} * 20
+                   < 13510798882111488 THEN 1 ELSE 0 END AS del
+  FROM documents
+),
+g AS (
+  SELECT file_id, count(*)::BIGINT AS n_rows, sum(del)::BIGINT AS n_deleted
+  FROM d GROUP BY 1
+)
+SELECT file_id, n_rows, n_deleted,
+       (n_rows - n_deleted)::BIGINT AS n_live,
+       round(n_deleted::DOUBLE / n_rows::DOUBLE, 6) AS delete_frac,
+       round(CASE WHEN n_rows - n_deleted > 0
+                  THEN n_rows::DOUBLE / (n_rows - n_deleted)::DOUBLE END,
+             6) AS read_amplification,
+       round(n_deleted::DOUBLE / n_rows::DOUBLE, 6) >= 0.25 AS rewrite_flag
+FROM g ORDER BY file_id
+"""
+
+ORACLES["range_rows_frame_gate"] = """
+WITH li AS (
+  SELECT l_quantity, l_orderkey, l_linenumber,
+         round(l_extendedprice, 2)::DECIMAL(18,2) AS p
+  FROM lineitem
+  WHERE l_shipdate >= '2000-03-01' AND l_shipdate <= '2000-03-31'
+),
+cum AS (
+  SELECT
+    sum(p) OVER (ORDER BY l_quantity, l_orderkey, l_linenumber
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS rows_cum,
+    sum(p) OVER (ORDER BY l_quantity
+                 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS range_cum,
+    count(*) OVER (PARTITION BY l_quantity) AS n_peers
+  FROM li
+)
+SELECT count(*)::BIGINT AS n_rows,
+       sum(CASE WHEN n_peers > 1 THEN 1 ELSE 0 END)::BIGINT AS n_peer_rows,
+       sum(CASE WHEN range_cum <> rows_cum THEN 1 ELSE 0 END)::BIGINT
+         AS n_differing,
+       max(range_cum - rows_cum)::DOUBLE AS max_gap
+FROM cum
+"""

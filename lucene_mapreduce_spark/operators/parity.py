@@ -6811,3 +6811,45 @@ def srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(chi2, 6).alias("chi2"),
         (F.round(chi2, 6) > F.lit(3.841459)).alias("srm_flag"),
     )
+
+
+def range_rows_frame_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-vs-ROWS window frame semantics gate: on a duplicate-heavy
+    order key (l_quantity over one ship month) the cumulative revenue
+    under RANGE UNBOUNDED..CURRENT includes ALL peers of the current key
+    while ROWS stops at the current row — both engines must agree on
+    where they diverge and by how much. The ROWS leg is only
+    deterministic under a TOTAL order, so it ranks on (quantity,
+    orderkey, linenumber); the RANGE leg peers on quantity alone. Exact
+    DECIMAL(18,2) sums; the month filter bounds the single-partition
+    window (documented, same as the pipeline aggs)."""
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "2000-03-01") & (F.col("l_shipdate") <= "2000-03-31")
+    ).select(
+        "l_quantity",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice"), 2).cast("decimal(18,2)").alias("p"),
+    )
+    w_rows = Window.orderBy(
+        "l_quantity", "l_orderkey", "l_linenumber"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    w_range = Window.orderBy("l_quantity").rangeBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_peer = Window.partitionBy("l_quantity")
+    cum = li.select(
+        F.sum("p").over(w_rows).alias("rows_cum"),
+        F.sum("p").over(w_range).alias("range_cum"),
+        F.count(F.lit(1)).over(w_peer).alias("n_peers"),
+    )
+    return cum.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum((F.col("n_peers") > 1).cast("int")).cast("long").alias("n_peer_rows"),
+        F.sum((F.col("range_cum") != F.col("rows_cum")).cast("int"))
+        .cast("long")
+        .alias("n_differing"),
+        F.max(F.col("range_cum") - F.col("rows_cum"))
+        .cast("double")
+        .alias("max_gap"),
+    )

@@ -3245,3 +3245,54 @@ def katz_index_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("kz").cast("double") / F.lit(1000000.0)).alias("katz"),
         )
     )
+
+
+MOR_FILE_ROWS = 64  # doc_id-range width per modeled data file
+MOR_DELETE_NUM = 3  # deletion rate = 3/20 md5-uniform
+MOR_REWRITE_FRAC = 0.25
+
+
+def merge_on_read_amplification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read delete-vector amplification report (the Iceberg v2 /
+    Delta deletion-vector accounting): documents sit in doc_id-range files
+    of MOR_FILE_ROWS rows; a deterministic md5-uniform 15% of rows carry
+    positional deletes. Per file: rows, deletes, live rows, delete
+    fraction, the read amplification a MoR scan pays (rows scanned / live
+    rows returned), and the compact flag at MOR_REWRITE_FRAC — the table
+    that decides when eager rewrite beats deferred merge. The delete draw
+    compares 20*u < 3*2^52 in exact integers (never a float threshold).
+    One groupBy, file-count-bounded output."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":mordel"))),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("long")
+    deleted = (u * F.lit(20) < F.lit(3 * (1 << 52))).cast("int")
+    g = docs.select(
+        F.expr(f"CAST(doc_id DIV {MOR_FILE_ROWS} AS BIGINT)").alias("file_id"),
+        deleted.alias("del"),
+    ).groupBy("file_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("del").cast("long").alias("n_deleted"),
+    )
+    live = F.col("n_rows") - F.col("n_deleted")
+    frac = F.col("n_deleted").cast("double") / F.col("n_rows").cast("double")
+    return g.select(
+        "file_id",
+        "n_rows",
+        "n_deleted",
+        live.alias("n_live"),
+        F.round(frac, 6).alias("delete_frac"),
+        F.round(
+            F.when(
+                live > 0, F.col("n_rows").cast("double") / live.cast("double")
+            ),
+            6,
+        ).alias("read_amplification"),
+        (F.round(frac, 6) >= F.lit(MOR_REWRITE_FRAC)).alias("rewrite_flag"),
+    ).orderBy("file_id")
