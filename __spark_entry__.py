@@ -1024,6 +1024,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 113: MoR delete amplification, frame semantics gate
         "merge_on_read_amplification": relational.merge_on_read_amplification,
         "range_rows_frame_gate": parity.range_rows_frame_gate,
+        # batch 114: Fisher exact, BH-FDR step-up, HITS authorities
+        "fisher_exact_2x2": textstats.fisher_exact_2x2,
+        "bh_fdr_procedure": parity.bh_fdr_procedure,
+        "hits_authority_3iter": textstats.hits_authority_3iter,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})

@@ -16065,3 +16065,146 @@ SELECT count(*)::BIGINT AS n_rows,
        max(range_cum - rows_cum)::DOUBLE AS max_gap
 FROM cum
 """
+
+# ---- batch 114: Fisher exact 2x2, BH-FDR step-up, HITS authorities --------
+
+# exact BIGINT binomial via the same always-divisible fold as the Spark side
+_BINOM_DUCK = (
+    "(CASE WHEN {r} <= 0 OR {r} >= {n} THEN"
+    " (CASE WHEN {r} = 0 OR {r} = {n} THEN 1 ELSE 0 END)"
+    " ELSE list_reduce(list_prepend(1::BIGINT,"
+    " range(1, least({r}, {n} - {r}) + 1)),"
+    " (acc, i) -> acc * ({n} - least({r}, {n} - {r}) + i) // i) END)::BIGINT"
+)
+
+ORACLES["fisher_exact_2x2"] = f"""
+WITH toks AS (
+  SELECT source, doc_id, unnest({TOKS}) AS term FROM documents
+),
+per AS (
+  SELECT source, count(DISTINCT term)::BIGINT AS vocab,
+         count(*)::BIGINT AS n_tokens,
+         count(DISTINCT doc_id)::BIGINT AS n_docs
+  FROM toks GROUP BY 1
+),
+tot AS (
+  SELECT count(*)::BIGINT AS s, sum(vocab)::BIGINT AS tv,
+         sum(n_tokens)::BIGINT AS tt, sum(n_docs)::BIGINT AS td
+  FROM per
+),
+flags AS (
+  SELECT (vocab * s > tv) AS fa,
+         (n_tokens * td > tt * n_docs) AS fb
+  FROM per CROSS JOIN tot
+),
+cells AS (
+  SELECT sum(CASE WHEN fa AND fb THEN 1 ELSE 0 END)::BIGINT AS n_hh,
+         sum(CASE WHEN fa AND NOT fb THEN 1 ELSE 0 END)::BIGINT AS n_hl,
+         sum(CASE WHEN NOT fa AND fb THEN 1 ELSE 0 END)::BIGINT AS n_lh,
+         sum(CASE WHEN NOT fa AND NOT fb THEN 1 ELSE 0 END)::BIGINT AS n_ll
+  FROM flags
+),
+m AS (
+  SELECT n_hh, n_hl, n_lh, n_ll,
+         n_hh + n_hl AS r1, n_lh + n_ll AS r2,
+         n_hh + n_lh AS kk, n_hh + n_hl + n_lh + n_ll AS nn,
+         {_BINOM_DUCK.format(n="n_hh + n_hl", r="n_hh")}
+           * {_BINOM_DUCK.format(n="n_lh + n_ll", r="n_lh")} AS w_obs
+  FROM cells
+),
+enum AS (
+  SELECT m.*, unnest(range(greatest(0, kk - r2), least(r1, kk) + 1)) AS x
+  FROM m
+),
+wts AS (
+  SELECT *, {_BINOM_DUCK.format(n="r1", r="x")}
+              * {_BINOM_DUCK.format(n="r2", r="(kk - x)")} AS w
+  FROM enum
+)
+SELECT n_hh, n_hl, n_lh, n_ll, nn AS n_total,
+       sum(w)::BIGINT AS w_total,
+       round(sum(CASE WHEN w <= w_obs THEN w ELSE 0 END)::DOUBLE
+             / sum(w)::DOUBLE, 9) AS p_two_sided,
+       max(CASE WHEN n_hl * n_lh > 0
+                THEN round((n_hh * n_ll)::DOUBLE / (n_hl * n_lh)::DOUBLE, 6)
+           END) AS odds_ratio
+FROM wts GROUP BY 1, 2, 3, 4, 5, w_obs
+"""
+
+ORACLES["bh_fdr_procedure"] = f"""
+WITH src AS (SELECT DISTINCT source FROM documents),
+d1 AS (
+  SELECT source,
+         {_MD5_52.format(e="source || ':bhfdr'")} AS u,
+         ({_MD5_52.format(e="source || ':bhsig'")} * 4
+            < 4503599627370496) AS planted
+  FROM src
+),
+d2 AS (
+  SELECT source, u, planted,
+         CASE WHEN planted THEN 4503599627370496000
+              ELSE 4503599627370496 END AS den,
+         u * CASE WHEN planted THEN 1 ELSE 1000 END AS ord_key
+  FROM d1
+),
+d3 AS (
+  SELECT source, planted,
+         row_number() OVER (ORDER BY ord_key, source) AS i,
+         count(*) OVER () AS m,
+         u::DOUBLE / den::DOUBLE AS p
+  FROM d2
+),
+d4 AS (
+  SELECT *, (0.1 * i::DOUBLE) / m::DOUBLE AS thr,
+         CASE WHEN u_le THEN i END AS hit_i
+  FROM (SELECT *, p <= (0.1 * i::DOUBLE) / m::DOUBLE AS u_le FROM d3)
+),
+d5 AS (
+  SELECT *, max(hit_i) OVER () AS kstar,
+         least(1.0, min((p * m::DOUBLE) / i::DOUBLE)
+               OVER (ORDER BY i
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+           AS p_adj_raw
+  FROM d4
+)
+SELECT source, round(p, 12) AS p_value, i AS rank_i,
+       round(thr, 12) AS bh_threshold, round(p_adj_raw, 12) AS p_adj,
+       planted, i <= coalesce(kstar, 0) AS rejected
+FROM d5 ORDER BY rank_i
+"""
+
+_HITS_A_STEP = """
+a{it}r AS (
+  SELECT term, sum(h) AS ar FROM edges JOIN h{prev} USING (doc_id) GROUP BY 1
+),
+a{it} AS (
+  SELECT term, round(ar::DOUBLE / (SELECT max(ar) FROM a{it}r)::DOUBLE,
+                     12)::DECIMAL(28,12) AS a
+  FROM a{it}r
+)"""
+
+_HITS_H_STEP = """
+h{it}r AS (
+  SELECT doc_id, sum(a) AS hr FROM edges JOIN a{it} USING (term) GROUP BY 1
+),
+h{it} AS (
+  SELECT doc_id, round(hr::DOUBLE / (SELECT max(hr) FROM h{it}r)::DOUBLE,
+                       12)::DECIMAL(28,12) AS h
+  FROM h{it}r
+)"""
+
+ORACLES["hits_authority_3iter"] = f"""
+WITH edges AS (
+  SELECT DISTINCT doc_id, unnest({TOKS}) AS term FROM documents
+),
+h0 AS (
+  SELECT DISTINCT doc_id, 1.000000000000::DECIMAL(28,12) AS h FROM edges
+),{_HITS_A_STEP.format(it=1, prev=0)},{_HITS_H_STEP.format(it=1)},
+{_HITS_A_STEP.format(it=2, prev=1)},{_HITS_H_STEP.format(it=2)},
+{_HITS_A_STEP.format(it=3, prev=2)}
+SELECT term, auth_score, rank FROM (
+  SELECT term, a::DOUBLE AS auth_score,
+         row_number() OVER (ORDER BY a DESC, term ASC) AS rank
+  FROM a3
+) WHERE rank <= 10 ORDER BY rank
+"""

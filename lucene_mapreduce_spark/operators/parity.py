@@ -6853,3 +6853,89 @@ def range_rows_frame_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("max_gap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 114: Benjamini-Hochberg FDR step-up procedure gate
+# ---------------------------------------------------------------------------
+
+BH_Q = 0.1  # FDR level
+BH_PLANT_FRAC = 4  # 1-in-4 sources carry a planted (p/1000) signal
+
+
+def bh_fdr_procedure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg step-up FDR correction over a family of
+    per-source p-values — the multiple-testing layer every metrics
+    platform puts on top of its per-test stats (two_proportion_z_test,
+    srm_check, ...).  The p-values are deterministic md5-uniforms
+    (u/2^52) with a planted signal: ~25% of sources (an md5 draw
+    decided by exact integer compare) get p divided by 1000.  The
+    procedure itself is the gate: rank p ascending (EXACT integer
+    order key u * {1 or 1000}, never a float sort), k* = max rank with
+    p_k <= q*k/m, reject ranks <= k* (the STEP-UP — a plain threshold
+    would differ), and adjusted p = min over j >= i of p_j*m/j capped
+    at 1 (a suffix-min window frame).  All doubles involved are exact
+    IEEE results of identical operand chains, so both engines agree
+    bit-for-bit before the 12dp round.  m is source-count-bounded."""
+    docs = load(spark, sf_dir, "documents")
+    src = docs.select("source").distinct()
+
+    def u52(salt: str):
+        return F.conv(
+            F.substring(F.md5(F.concat(F.col("source"), F.lit(salt))), 1, 13),
+            16,
+            10,
+        ).cast("long")
+
+    t = src.select(
+        "source",
+        u52(":bhfdr").alias("u"),
+        (u52(":bhsig") * F.lit(BH_PLANT_FRAC) < F.lit(1 << 52)).alias("planted"),
+    ).select(
+        "source",
+        "u",
+        "planted",
+        F.when(F.col("planted"), F.lit(1000 * (1 << 52)))
+        .otherwise(F.lit(1 << 52))
+        .cast("long")
+        .alias("den"),
+        (
+            F.col("u")
+            * F.when(F.col("planted"), F.lit(1)).otherwise(F.lit(1000))
+        ).alias("ord_key"),
+    )
+    w_all = Window.partitionBy(F.lit(1))
+    wo = Window.orderBy("ord_key", "source")
+    t2 = (
+        t.withColumn("i", F.row_number().over(wo))
+        .withColumn("m", F.count(F.lit(1)).over(w_all))
+        .withColumn("p", F.col("u").cast("double") / F.col("den").cast("double"))
+    )
+    t3 = t2.withColumn(
+        "thr",
+        (F.lit(BH_Q) * F.col("i").cast("double")) / F.col("m").cast("double"),
+    ).withColumn("hit_i", F.when(F.col("p") <= F.col("thr"), F.col("i")))
+    wrev = Window.orderBy("i").rowsBetween(0, Window.unboundedFollowing)
+    t4 = (
+        t3.withColumn("kstar", F.max("hit_i").over(w_all))
+        .withColumn("rejected", F.col("i") <= F.coalesce(F.col("kstar"), F.lit(0)))
+        .withColumn(
+            "p_adj",
+            F.least(
+                F.lit(1.0),
+                F.min(
+                    (F.col("p") * F.col("m").cast("double"))
+                    / F.col("i").cast("double")
+                ).over(wrev),
+            ),
+        )
+    )
+    return t4.select(
+        "source",
+        F.round("p", 12).alias("p_value"),
+        F.col("i").alias("rank_i"),
+        F.round("thr", 12).alias("bh_threshold"),
+        F.round("p_adj", 12).alias("p_adj"),
+        "planted",
+        "rejected",
+    ).orderBy("rank_i")

@@ -6183,3 +6183,182 @@ def yules_k_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(k_rows(corpus, F.lit("(corpus)")))
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 114: Fisher's exact 2x2 (exact integer binomials) + HITS authorities
+# ---------------------------------------------------------------------------
+
+# Exact C(n, r) as a BIGINT fold: after i steps the accumulator is
+# C(n - m + i, i) (m = min(r, n-r)), an integer at every step, and
+# acc * (n - m + i) is always divisible by i (m*C(m-1,i-1) = i*C(m,i)),
+# so integer division is exact in BOTH engines.  Margins here are
+# source-count-sized (~20), so everything fits in BIGINT with huge margin.
+_BINOM_SPARK = (
+    "(CASE WHEN {r} <= 0 OR {r} >= {n} THEN"
+    " (CASE WHEN {r} = 0 OR {r} = {n} THEN 1L ELSE 0L END)"
+    " ELSE aggregate(sequence(1, least({r}, {n} - {r})), 1L,"
+    " (acc, i) -> acc * ({n} - least({r}, {n} - {r}) + i) div i) END)"
+)
+
+
+def fisher_exact_2x2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher's exact test on a source-level 2x2 contingency table —
+    the small-sample independence test beside chi2 (sig_terms_chi2,
+    lang_source_independence) and the rest of the nonparametric family
+    (kruskal_wallis_h, mcnemar_paired_days).  Rows are SOURCES (a
+    bounded, scale-free unit): flag A = source vocabulary above the
+    across-source mean, flag B = source mean doc length above the
+    corpus mean, both decided by exact integer cross-multiplication
+    (never a float division).  The hypergeometric two-sided p-value is
+    computed from EXACT BIGINT binomial weights w(x) = C(r1,x)C(r2,k-x):
+    p = sum of w over tables with w <= w(observed) divided by C(n,k)
+    (Vandermonde: the enumerated weights sum to exactly C(n,k), which
+    the test asserts).  Everything after the source rollup is a
+    ~20-row computation — scale cost is one groupBy over the corpus."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", "doc_id", F.explode(tokenize_col("text")).alias("term")
+    )
+    per = toks.groupBy("source").agg(
+        F.countDistinct("term").cast("long").alias("vocab"),
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+    )
+    tot = per.agg(
+        F.count(F.lit(1)).cast("long").alias("s"),
+        F.sum("vocab").cast("long").alias("tv"),
+        F.sum("n_tokens").cast("long").alias("tt"),
+        F.sum("n_docs").cast("long").alias("td"),
+    )
+    flags = per.crossJoin(F.broadcast(tot)).select(
+        ((F.col("vocab") * F.col("s")) > F.col("tv")).alias("fa"),
+        ((F.col("n_tokens") * F.col("td")) > (F.col("tt") * F.col("n_docs"))).alias(
+            "fb"
+        ),
+    )
+    cells = flags.agg(
+        F.sum((F.col("fa") & F.col("fb")).cast("long")).alias("n_hh"),
+        F.sum((F.col("fa") & ~F.col("fb")).cast("long")).alias("n_hl"),
+        F.sum((~F.col("fa") & F.col("fb")).cast("long")).alias("n_lh"),
+        F.sum((~F.col("fa") & ~F.col("fb")).cast("long")).alias("n_ll"),
+    )
+    m = cells.select(
+        "n_hh",
+        "n_hl",
+        "n_lh",
+        "n_ll",
+        (F.col("n_hh") + F.col("n_hl")).alias("r1"),
+        (F.col("n_lh") + F.col("n_ll")).alias("r2"),
+        (F.col("n_hh") + F.col("n_lh")).alias("kk"),
+        (F.col("n_hh") + F.col("n_hl") + F.col("n_lh") + F.col("n_ll")).alias("nn"),
+    ).withColumn(
+        "w_obs",
+        F.expr(
+            _BINOM_SPARK.format(n="r1", r="n_hh")
+            + " * "
+            + _BINOM_SPARK.format(n="r2", r="n_lh")
+        ),
+    )
+    enum = m.withColumn(
+        "x",
+        F.explode(
+            F.sequence(
+                F.greatest(F.lit(0).cast("long"), F.col("kk") - F.col("r2")),
+                F.least(F.col("r1"), F.col("kk")),
+            )
+        ),
+    ).withColumn(
+        "w",
+        F.expr(
+            _BINOM_SPARK.format(n="r1", r="x")
+            + " * "
+            + _BINOM_SPARK.format(n="r2", r="(kk - x)")
+        ),
+    )
+    return enum.groupBy("n_hh", "n_hl", "n_lh", "n_ll", "nn", "w_obs").agg(
+        F.sum("w").cast("long").alias("w_total"),
+        F.round(
+            F.sum(F.when(F.col("w") <= F.col("w_obs"), F.col("w")).otherwise(0))
+            .cast("double")
+            / F.sum("w").cast("double"),
+            9,
+        ).alias("p_two_sided"),
+        F.max(
+            F.when(
+                F.col("n_hl") * F.col("n_lh") > 0,
+                F.round(
+                    (F.col("n_hh") * F.col("n_ll")).cast("double")
+                    / (F.col("n_hl") * F.col("n_lh")).cast("double"),
+                    6,
+                ),
+            )
+        ).alias("odds_ratio"),
+    ).select(
+        "n_hh",
+        "n_hl",
+        "n_lh",
+        "n_ll",
+        F.col("nn").alias("n_total"),
+        "w_total",
+        "p_two_sided",
+        "odds_ratio",
+    )
+
+
+HITS_ITERS = 3
+HITS_TOP_K = 10
+
+
+def hits_authority_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg hubs/authorities), 3 unrolled iterations over the
+    doc->term bipartite graph — the OTHER classic eigenvector ranking
+    beside part_pagerank_3iter: auth(t) = sum of hub(d) over docs
+    containing t; hub(d) = sum of auth(t) over the doc's terms;
+    max-normalized each half-step.  Determinism is the PageRank recipe:
+    every score re-enters each half-iteration as round(x/max, 12)::
+    DECIMAL(28,12), so the sums are order-free exact and the single
+    division per half-step is IEEE-correctly-rounded from identical
+    operands in both engines.  Scale: the term side is vocab-bounded
+    (broadcast), the doc side is one groupBy per iteration; the rank
+    vector never leaves the cluster."""
+    docs = load(spark, sf_dir, "documents")
+    edges = docs.select(
+        "doc_id", F.explode(tokenize_col("text")).alias("term")
+    ).distinct()
+    hub = (
+        edges.select("doc_id")
+        .distinct()
+        .select("doc_id", F.lit("1.000000000000").cast("decimal(28,12)").alias("h"))
+    )
+    auth = None
+    for _ in range(HITS_ITERS):
+        araw = edges.join(hub, "doc_id").groupBy("term").agg(F.sum("h").alias("ar"))
+        amax = araw.agg(F.max("ar").alias("am"))
+        auth = araw.crossJoin(F.broadcast(amax)).select(
+            "term",
+            F.round(F.col("ar").cast("double") / F.col("am").cast("double"), 12)
+            .cast("decimal(28,12)")
+            .alias("a"),
+        )
+        hraw = (
+            edges.join(F.broadcast(auth), "term")
+            .groupBy("doc_id")
+            .agg(F.sum("a").alias("hr"))
+        )
+        hmax = hraw.agg(F.max("hr").alias("hm"))
+        hub = hraw.crossJoin(F.broadcast(hmax)).select(
+            "doc_id",
+            F.round(F.col("hr").cast("double") / F.col("hm").cast("double"), 12)
+            .cast("decimal(28,12)")
+            .alias("h"),
+        )
+    from pyspark.sql import Window
+
+    out = auth.select("term", F.col("a").cast("double").alias("auth_score"))
+    w = Window.orderBy(F.col("auth_score").desc(), F.col("term").asc())
+    return (
+        out.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= HITS_TOP_K)
+        .orderBy("rank")
+    )
