@@ -1028,6 +1028,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fisher_exact_2x2": textstats.fisher_exact_2x2,
         "bh_fdr_procedure": parity.bh_fdr_procedure,
         "hits_authority_3iter": textstats.hits_authority_3iter,
+        # batch 115: Kneser-Ney bigram, Gunning fog, MATTR
+        "kneser_ney_bigram_logprob": textstats.kneser_ney_bigram_logprob,
+        "gunning_fog_index": textstats.gunning_fog_index,
+        "mattr_lexical_diversity": textstats.mattr_lexical_diversity,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})

@@ -16208,3 +16208,119 @@ SELECT term, auth_score, rank FROM (
   FROM a3
 ) WHERE rank <= 10 ORDER BY rank
 """
+
+# ---- batch 115: Kneser-Ney bigram, Gunning fog, MATTR ----------------------
+
+from lucene_mapreduce_spark.operators.textstats import (  # noqa: E402
+    KN_SENTENCE,
+    MATTR_WINDOW,
+)
+
+_KN_WORDS = KN_SENTENCE.split()
+_KN_VALUES = ", ".join(
+    f"({i + 1}, '{_KN_WORDS[i]}', '{_KN_WORDS[i + 1]}')"
+    for i in range(len(_KN_WORDS) - 1)
+)
+
+ORACLES["kneser_ney_bigram_logprob"] = f"""
+WITH toks AS (SELECT {TOKS} AS ts FROM documents),
+bi AS (
+  SELECT ts[i - 1] AS w1, ts[i] AS w2
+  FROM (SELECT ts, unnest(range(2, len(ts) + 1)) AS i
+        FROM toks WHERE len(ts) >= 2)
+),
+c12 AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM bi GROUP BY 1, 2),
+c1 AS (
+  SELECT w1, sum(c12)::BIGINT AS c1, count(*)::BIGINT AS n1p_fwd
+  FROM c12 GROUP BY 1
+),
+n1b AS (SELECT w2, count(*)::BIGINT AS n1p_bwd FROM c12 GROUP BY 1),
+tt AS (SELECT count(*)::BIGINT AS t_types FROM c12),
+sent(pos, w1, w2) AS (VALUES {_KN_VALUES}),
+j AS (
+  SELECT pos, s.w1, s.w2,
+         coalesce(c12.c12, 0)::BIGINT AS c12,
+         coalesce(c1.c1, 0)::BIGINT AS c1,
+         coalesce(c1.n1p_fwd, 0)::BIGINT AS n1p_fwd,
+         coalesce(n1b.n1p_bwd, 0)::BIGINT AS n1p_bwd,
+         t_types
+  FROM sent s
+  LEFT JOIN c12 ON s.w1 = c12.w1 AND s.w2 = c12.w2
+  LEFT JOIN c1 ON s.w1 = c1.w1
+  LEFT JOIN n1b ON s.w2 = n1b.w2
+  CROSS JOIN tt
+),
+p AS (
+  SELECT *,
+         CASE WHEN c1 > 0
+              THEN greatest(c12::DOUBLE - 0.75, 0.0) / c1::DOUBLE
+                   + (0.75 * n1p_fwd::DOUBLE / c1::DOUBLE)
+                     * (n1p_bwd::DOUBLE / t_types::DOUBLE)
+              ELSE n1p_bwd::DOUBLE / t_types::DOUBLE END AS pkn
+  FROM j
+)
+SELECT pos, w1, w2, c12, c1, n1p_fwd, n1p_bwd,
+       round(pkn, 9) AS p_kn,
+       CASE WHEN pkn > 0 THEN round(ln(pkn), 9) END AS lp
+FROM p ORDER BY pos
+"""
+
+_FOG_CX = (
+    f"len(list_filter(list_transform({TOKS},"
+    " t -> len(regexp_extract_all(lower(t), '[aeiouy]+'))),"
+    " n -> n >= 3))"
+)
+
+ORACLES["gunning_fog_index"] = f"""
+WITH per_doc AS (
+  SELECT source,
+         len({TOKS})::BIGINT AS w,
+         greatest(1, len(regexp_extract_all(lower(text), '[.!?]+')))::BIGINT
+           AS s,
+         {_FOG_CX}::BIGINT AS cx
+  FROM documents WHERE len({TOKS}) > 0
+),
+rolled AS (
+  SELECT source, sum(w)::BIGINT AS n_words, sum(s)::BIGINT AS n_sentences,
+         sum(cx)::BIGINT AS n_complex
+  FROM per_doc GROUP BY 1
+  UNION ALL
+  SELECT '(corpus)', sum(w)::BIGINT, sum(s)::BIGINT, sum(cx)::BIGINT
+  FROM per_doc
+)
+SELECT source, n_words, n_sentences, n_complex,
+       round(0.4 * (n_words::DOUBLE / n_sentences::DOUBLE
+                    + (100.0 * n_complex::DOUBLE) / n_words::DOUBLE), 6)
+         AS fog
+FROM rolled ORDER BY source
+"""
+
+_MW = MATTR_WINDOW
+
+ORACLES["mattr_lexical_diversity"] = f"""
+WITH pos AS (
+  SELECT doc_id, source, len({TOKS})::BIGINT AS dl,
+         unnest({TOKS}) AS term,
+         unnest(range(1, len({TOKS}) + 1)) AS j
+  FROM documents WHERE len({TOKS}) >= {_MW}
+),
+iv AS (
+  SELECT doc_id, source, dl,
+         greatest({_MW}, j,
+                  coalesce(lag(j) OVER (PARTITION BY doc_id, term
+                                        ORDER BY j) + {_MW}, 0)) AS lo,
+         least(dl, j + {_MW - 1}) AS hi
+  FROM pos
+),
+per_doc AS (
+  SELECT doc_id, source, dl,
+         sum(greatest(hi - lo + 1, 0))::BIGINT AS s_distinct
+  FROM iv GROUP BY 1, 2, 3
+)
+SELECT source, count(*)::BIGINT AS n_docs_windowed,
+       round(sum(round(s_distinct::DOUBLE
+                       / ((dl - {_MW} + 1) * {_MW})::DOUBLE,
+                       12)::DECIMAL(28,12))::DOUBLE
+             / count(*)::DOUBLE, 6) AS mattr
+FROM per_doc GROUP BY 1 ORDER BY source
+"""

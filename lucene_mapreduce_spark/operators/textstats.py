@@ -6362,3 +6362,208 @@ def hits_authority_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= HITS_TOP_K)
         .orderBy("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 115: Kneser-Ney bigram LM, Gunning fog, MATTR lexical diversity
+# ---------------------------------------------------------------------------
+
+KN_DISCOUNT = 0.75  # the canonical absolute-discount value (Chen & Goodman)
+KN_SENTENCE = "slow join fast scan dup merge the row"
+
+
+def kneser_ney_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities for a pinned test
+    sentence — the smoothing KenLM actually ships, beside the
+    Laplace-smoothed bigram_logprob and good_turing_counts:
+    p(w2|w1) = max(c(w1,w2) - d, 0)/c(w1·) + (d·N1+(w1,·)/c(w1·)) ·
+    N1+(·,w2)/T, with d = 0.75 pinned, c(w1·) the LEFT-CONTEXT total
+    (sum of bigram counts, not the unigram count), N1+ the forward /
+    backward continuation-type counts, and T the distinct bigram-type
+    total.  The sentence includes the planted rare token 'dup' so at
+    least one bigram exercises the max(·,0)=0 pure-backoff path.  All
+    stats are exact BIGINTs from two groupBys (vocab²-bounded, sparse);
+    the probability chain is IEEE ops in one pinned order; ln at the
+    end (correctly-rounded libm in both engines, house rule)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize_col("text").alias("toks"))
+    bi = toks.where(F.size("toks") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(2), F.size("toks")),
+                lambda i: F.struct(
+                    F.element_at(F.col("toks"), i - F.lit(1)).alias("w1"),
+                    F.element_at(F.col("toks"), i).alias("w2"),
+                ),
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    c12 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    c1 = c12.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("n1p_fwd"),
+    )
+    n1b = c12.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("n1p_bwd"))
+    t_types = c12.agg(F.count(F.lit(1)).cast("long").alias("t_types"))
+
+    words = KN_SENTENCE.split()
+    sent = spark.createDataFrame(
+        [(i + 1, words[i], words[i + 1]) for i in range(len(words) - 1)],
+        "pos INT, w1 STRING, w2 STRING",
+    )
+    j = (
+        sent.join(F.broadcast(c12), ["w1", "w2"], "left")
+        .join(F.broadcast(c1), "w1", "left")
+        .join(F.broadcast(n1b), "w2", "left")
+        .crossJoin(F.broadcast(t_types))
+        .select(
+            "pos",
+            "w1",
+            "w2",
+            F.coalesce(F.col("c12"), F.lit(0)).cast("long").alias("c12"),
+            F.coalesce(F.col("c1"), F.lit(0)).cast("long").alias("c1"),
+            F.coalesce(F.col("n1p_fwd"), F.lit(0)).cast("long").alias("n1p_fwd"),
+            F.coalesce(F.col("n1p_bwd"), F.lit(0)).cast("long").alias("n1p_bwd"),
+            "t_types",
+        )
+    )
+    pc = F.col("n1p_bwd").cast("double") / F.col("t_types").cast("double")
+    pkn = F.when(F.col("c1") > 0,
+        F.greatest(F.col("c12").cast("double") - F.lit(KN_DISCOUNT), F.lit(0.0))
+        / F.col("c1").cast("double")
+        + (F.lit(KN_DISCOUNT) * F.col("n1p_fwd").cast("double") / F.col("c1").cast("double"))
+        * pc,
+    ).otherwise(pc)
+    return j.select(
+        "pos",
+        "w1",
+        "w2",
+        "c12",
+        "c1",
+        "n1p_fwd",
+        "n1p_bwd",
+        F.round(pkn, 9).alias("p_kn"),
+        F.when(pkn > 0, F.round(F.log(pkn), 9)).alias("lp"),
+    ).orderBy("pos")
+
+
+def gunning_fog_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gunning fog readability per source (plus the corpus row) — the
+    third readability gate beside flesch_reading_ease / coleman_liau /
+    ari: fog = 0.4 * (words/sentences + 100 * complex_words/words),
+    complex = 3+ syllable groups ([aeiouy]+ runs in the lowercased
+    token, the flesch heuristic applied per token).  Sentences reuse
+    flesch's greatest(1, [.!?]+ runs) guard (the synthetic corpus has
+    no sentence punctuation).  All sufficient statistics are exact
+    BIGINT sums; doubles only in the final pinned-order expression."""
+    docs = load(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    per_doc = docs.select(
+        "source",
+        F.size(tokenize_col("text")).cast("long").alias("w"),
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.regexp_count(low, F.lit(r"[.!?]+")).cast("long"),
+        ).alias("s"),
+        F.size(
+            F.filter(
+                F.transform(
+                    tokenize_col("text"),
+                    lambda t: F.regexp_count(F.lower(t), F.lit(r"[aeiouy]+")),
+                ),
+                lambda n: n >= F.lit(3),
+            )
+        ).cast("long").alias("cx"),
+    ).where(F.col("w") > 0)
+
+    def fog_rows(g: DataFrame, label) -> DataFrame:
+        agg = g.groupBy(label.alias("source")).agg(
+            F.sum("w").cast("long").alias("n_words"),
+            F.sum("s").cast("long").alias("n_sentences"),
+            F.sum("cx").cast("long").alias("n_complex"),
+        )
+        ww = F.col("n_words").cast("double")
+        return agg.select(
+            "source",
+            "n_words",
+            "n_sentences",
+            "n_complex",
+            F.round(
+                F.lit(0.4)
+                * (
+                    ww / F.col("n_sentences").cast("double")
+                    + (F.lit(100.0) * F.col("n_complex").cast("double")) / ww
+                ),
+                6,
+            ).alias("fog"),
+        )
+
+    return (
+        fog_rows(per_doc, F.col("source"))
+        .unionByName(fog_rows(per_doc, F.lit("(corpus)")))
+        .orderBy("source")
+    )
+
+
+MATTR_WINDOW = 25
+
+
+def mattr_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATTR (moving-average type-token ratio, Covington & McFall 2010)
+    per source — the window-stabilized lexical-diversity measure beside
+    the length-biased plain TTR (lexical_diversity).  The naive form
+    needs a distinct-count per sliding window; this uses the exact
+    interval identity instead: token position j (with previous
+    occurrence of the same term at p_j, -inf if none) counts as a
+    distinct type exactly for window-ends i in [max(j, p_j + W),
+    j + W - 1] (clipped to [W, dl]), so sum over windows of
+    distinct-counts = sum over positions of clipped interval lengths —
+    pure per-row arithmetic after one lag window, no per-window
+    distinct, no window explosion at scale.  Per-doc MATTR =
+    that sum / ((dl - W + 1) * W), rounded 12dp into DECIMAL for the
+    order-free source mean."""
+    from pyspark.sql import Window as W_
+
+    w = MATTR_WINDOW
+    docs = load(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id",
+        "source",
+        F.size(tokenize_col("text")).cast("long").alias("dl"),
+        F.posexplode(tokenize_col("text")).alias("p0", "term"),
+    ).where(F.col("dl") >= w).select(
+        "doc_id", "source", "dl", (F.col("p0") + 1).alias("j"), "term"
+    )
+    lagw = W_.partitionBy("doc_id", "term").orderBy("j")
+    iv = pos.withColumn("pj", F.lag("j").over(lagw)).select(
+        "doc_id",
+        "source",
+        "dl",
+        F.greatest(
+            F.lit(w).cast("long"),
+            F.col("j"),
+            F.coalesce(F.col("pj") + F.lit(w), F.lit(0).cast("long")),
+        ).alias("lo"),
+        F.least(F.col("dl"), F.col("j") + F.lit(w - 1)).alias("hi"),
+    )
+    per_doc = iv.groupBy("doc_id", "source", "dl").agg(
+        F.sum(F.greatest(F.col("hi") - F.col("lo") + 1, F.lit(0).cast("long")))
+        .cast("long")
+        .alias("s_distinct")
+    )
+    mattr_doc = F.round(
+        F.col("s_distinct").cast("double")
+        / ((F.col("dl") - F.lit(w) + 1) * F.lit(w)).cast("double"),
+        12,
+    ).cast("decimal(28,12)")
+    return (
+        per_doc.select("source", mattr_doc.alias("md"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs_windowed"),
+            F.round(
+                F.sum("md").cast("double") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("mattr"),
+        )
+        .orderBy("source")
+    )
