@@ -1032,6 +1032,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kneser_ney_bigram_logprob": textstats.kneser_ney_bigram_logprob,
         "gunning_fog_index": textstats.gunning_fog_index,
         "mattr_lexical_diversity": textstats.mattr_lexical_diversity,
+        # batch 116: power-law MLE, Mantel-Haenszel OR, Brown-Forsythe
+        "degree_powerlaw_mle": relational.degree_powerlaw_mle,
+        "mantel_haenszel_or": parity.mantel_haenszel_or,
+        "brown_forsythe_test": parity.brown_forsythe_test,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})

@@ -16324,3 +16324,124 @@ SELECT source, count(*)::BIGINT AS n_docs_windowed,
              / count(*)::DOUBLE, 6) AS mattr
 FROM per_doc GROUP BY 1 ORDER BY source
 """
+
+# ---- batch 116: power-law MLE, Mantel-Haenszel OR, Brown-Forsythe ----------
+
+ORACLES["degree_powerlaw_mle"] = """
+WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+e AS (
+  SELECT a.p AS pa, b.p AS pb
+  FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+deg AS (
+  SELECT node, count(*)::BIGINT AS d FROM (
+    SELECT pa AS node FROM e UNION ALL SELECT pb FROM e
+  ) GROUP BY 1
+),
+s AS (
+  SELECT min(d)::BIGINT AS d_min, max(d)::BIGINT AS d_max,
+         count(*)::BIGINT AS n_nodes
+  FROM deg
+),
+terms AS (
+  SELECT n_nodes, d_min, d_max,
+         round(ln(d::DOUBLE / (d_min::DOUBLE - 0.5)),
+               12)::DECIMAL(28,12) AS lt
+  FROM deg CROSS JOIN s
+),
+g AS (
+  SELECT n_nodes, d_min, d_max, sum(lt) AS sum_log
+  FROM terms GROUP BY 1, 2, 3
+)
+SELECT n_nodes, d_min, d_max,
+       round(sum_log::DOUBLE, 9) AS sum_log,
+       round(1.0 + n_nodes::DOUBLE / sum_log::DOUBLE, 6) AS alpha
+FROM g
+"""
+
+ORACLES["mantel_haenszel_or"] = f"""
+WITH t AS (
+  SELECT lang,
+         list_contains({TOKS}, 'fast') AS e,
+         list_contains({TOKS}, 'slow') AS o
+  FROM documents
+),
+cells AS (
+  SELECT lang,
+         sum(CASE WHEN e AND o THEN 1 ELSE 0 END)::BIGINT AS n11,
+         sum(CASE WHEN e AND NOT o THEN 1 ELSE 0 END)::BIGINT AS n10,
+         sum(CASE WHEN NOT e AND o THEN 1 ELSE 0 END)::BIGINT AS n01,
+         sum(CASE WHEN NOT e AND NOT o THEN 1 ELSE 0 END)::BIGINT AS n00
+  FROM t GROUP BY 1
+),
+per AS (
+  SELECT lang AS stratum, n11, n10, n01, n00,
+         CASE WHEN n10 * n01 > 0
+              THEN round((n11 * n00)::DOUBLE / (n10 * n01)::DOUBLE, 6)
+         END AS or_value
+  FROM cells
+),
+pooled AS (
+  SELECT '(pooled)' AS stratum,
+         sum(n11)::BIGINT AS n11, sum(n10)::BIGINT AS n10,
+         sum(n01)::BIGINT AS n01, sum(n00)::BIGINT AS n00,
+         round(
+           sum(round((n11 * n00)::DOUBLE
+                     / (n11 + n10 + n01 + n00)::DOUBLE,
+                     12)::DECIMAL(28,12))::DOUBLE
+           / sum(round((n10 * n01)::DOUBLE
+                       / (n11 + n10 + n01 + n00)::DOUBLE,
+                       12)::DECIMAL(28,12))::DOUBLE, 6) AS or_value
+  FROM cells
+)
+SELECT * FROM (SELECT * FROM per UNION ALL SELECT * FROM pooled)
+ORDER BY stratum
+"""
+
+ORACLES["brown_forsythe_test"] = """
+WITH ev AS (
+  SELECT event_type, round(value, 6) AS v FROM events
+),
+med AS (
+  SELECT event_type, quantile_cont(v, 0.5) AS med FROM ev GROUP BY 1
+),
+rows_z AS (
+  SELECT ev.event_type,
+         round(abs(v - med), 6)::DECIMAL(18,6) AS z,
+         round(round(abs(v - med), 6) * round(abs(v - med), 6),
+               6)::DECIMAL(28,6) AS zz
+  FROM ev JOIN med USING (event_type)
+),
+g AS (
+  SELECT event_type, count(*)::BIGINT AS n, sum(z) AS sz, sum(zz) AS szz
+  FROM rows_z GROUP BY 1
+),
+pooled AS (
+  SELECT n, sz, szz,
+         count(*) OVER ()::BIGINT AS k,
+         sum(n) OVER ()::BIGINT AS n_tot,
+         sum(sz) OVER ()::DOUBLE AS sz_tot
+  FROM g
+),
+terms AS (
+  SELECT k, n_tot,
+         round(n::DOUBLE
+               * ((sz::DOUBLE / n::DOUBLE) - (sz_tot / n_tot::DOUBLE))
+               * ((sz::DOUBLE / n::DOUBLE) - (sz_tot / n_tot::DOUBLE)),
+               6)::DECIMAL(28,6) AS ssb_t,
+         round(szz::DOUBLE
+               - n::DOUBLE * (sz::DOUBLE / n::DOUBLE)
+                 * (sz::DOUBLE / n::DOUBLE), 6)::DECIMAL(28,6) AS ssw_t
+  FROM pooled
+),
+fin AS (
+  SELECT k, n_tot, sum(ssb_t) AS ssb, sum(ssw_t) AS ssw
+  FROM terms GROUP BY 1, 2
+)
+SELECT k, n_tot,
+       (k - 1)::BIGINT AS df1, (n_tot - k)::BIGINT AS df2,
+       round((ssb::DOUBLE / (k - 1)::DOUBLE)
+             / (ssw::DOUBLE / (n_tot - k)::DOUBLE), 6) AS f_stat
+FROM fin
+"""

@@ -6939,3 +6939,144 @@ def bh_fdr_procedure(spark: SparkSession, sf_dir: str) -> DataFrame:
         "planted",
         "rejected",
     ).orderBy("rank_i")
+
+
+# ---------------------------------------------------------------------------
+# Batch 116: Mantel-Haenszel pooled odds ratio + Brown-Forsythe test
+# ---------------------------------------------------------------------------
+
+MH_EXPOSURE_TOKEN = "fast"
+MH_OUTCOME_TOKEN = "slow"
+
+
+def mantel_haenszel_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mantel-Haenszel pooled odds ratio across language strata — the
+    stratified-confounding companion to fisher_exact_2x2 and the chi2
+    family: per-lang 2x2 of exposure (doc contains 'fast') vs outcome
+    (doc contains 'slow'), OR_MH = sum_i(a_i d_i / n_i) /
+    sum_i(b_i c_i / n_i).  Per-stratum ratios are single IEEE divisions
+    of exact integers, rounded 12dp and DECIMAL-summed over the
+    lang-bounded strata; per-stratum ORs ride alongside, NULL when the
+    off-diagonal empties.  One corpus scan, lang-bounded everything
+    after."""
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_col
+
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "lang",
+        F.array_contains(tokenize_col("text"), MH_EXPOSURE_TOKEN).alias("e"),
+        F.array_contains(tokenize_col("text"), MH_OUTCOME_TOKEN).alias("o"),
+    )
+    cells = t.groupBy("lang").agg(
+        F.sum((F.col("e") & F.col("o")).cast("long")).alias("n11"),
+        F.sum((F.col("e") & ~F.col("o")).cast("long")).alias("n10"),
+        F.sum((~F.col("e") & F.col("o")).cast("long")).alias("n01"),
+        F.sum((~F.col("e") & ~F.col("o")).cast("long")).alias("n00"),
+    )
+    nn = (
+        F.col("n11") + F.col("n10") + F.col("n01") + F.col("n00")
+    ).cast("double")
+    per = cells.select(
+        F.col("lang").alias("stratum"),
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.when(
+            F.col("n10") * F.col("n01") > 0,
+            F.round(
+                (F.col("n11") * F.col("n00")).cast("double")
+                / (F.col("n10") * F.col("n01")).cast("double"),
+                6,
+            ),
+        ).alias("or_value"),
+    )
+    pooled = cells.select(
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.round((F.col("n11") * F.col("n00")).cast("double") / nn, 12)
+        .cast("decimal(28,12)")
+        .alias("num_t"),
+        F.round((F.col("n10") * F.col("n01")).cast("double") / nn, 12)
+        .cast("decimal(28,12)")
+        .alias("den_t"),
+    ).agg(
+        F.lit("(pooled)").alias("stratum"),
+        F.sum("n11").cast("long").alias("n11"),
+        F.sum("n10").cast("long").alias("n10"),
+        F.sum("n01").cast("long").alias("n01"),
+        F.sum("n00").cast("long").alias("n00"),
+        F.round(
+            F.sum("num_t").cast("double") / F.sum("den_t").cast("double"), 6
+        ).alias("or_value"),
+    )
+    return per.unionByName(pooled).orderBy("stratum")
+
+
+def brown_forsythe_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe variance-homogeneity test across event types —
+    one-way ANOVA (anova_event_value's exact-sufficient-stat recipe) on
+    the absolute deviations z = |v - median(group)|, the
+    median-centered Levene variant that is robust to non-normality.
+    Group medians are exact type-7 percentiles of 6dp-rounded values
+    (Spark percentile == DuckDB quantile_cont, the dl_percentiles
+    agreement rule); z and z^2 are rounded 6dp and DECIMAL-summed so
+    all sums are order-free."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.round("value", 6).alias("v")
+    )
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(v, 0.5)").alias("med")
+    )
+    z6 = F.round(F.abs(F.col("v") - F.col("med")), 6)
+    rows = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        z6.cast("decimal(18,6)").alias("z"),
+        F.round(z6 * z6, 6).cast("decimal(28,6)").alias("zz"),
+    )
+    g = rows.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("z").alias("sz"),
+        F.sum("zz").alias("szz"),
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    pooled = g.select(
+        "n",
+        "sz",
+        "szz",
+        F.count(F.lit(1)).over(w_all).cast("long").alias("k"),
+        F.sum("n").over(w_all).cast("long").alias("n_tot"),
+        F.sum("sz").over(w_all).cast("double").alias("sz_tot"),
+    )
+    nd = F.col("n").cast("double")
+    m_g = F.col("sz").cast("double") / nd
+    m = F.col("sz_tot") / F.col("n_tot").cast("double")
+    ssb_term = nd * (m_g - m) * (m_g - m)
+    ssw_term = F.col("szz").cast("double") - nd * m_g * m_g
+    terms = pooled.select(
+        "k",
+        "n_tot",
+        F.round(ssb_term, 6).cast("decimal(28,6)").alias("ssb_t"),
+        F.round(ssw_term, 6).cast("decimal(28,6)").alias("ssw_t"),
+    )
+    fin = terms.groupBy("k", "n_tot").agg(
+        F.sum("ssb_t").alias("ssb"),
+        F.sum("ssw_t").alias("ssw"),
+    )
+    f_stat = (
+        F.col("ssb").cast("double") / (F.col("k") - 1).cast("double")
+    ) / (
+        F.col("ssw").cast("double")
+        / (F.col("n_tot") - F.col("k")).cast("double")
+    )
+    return fin.select(
+        "k",
+        "n_tot",
+        (F.col("k") - 1).cast("long").alias("df1"),
+        (F.col("n_tot") - F.col("k")).cast("long").alias("df2"),
+        F.round(f_stat, 6).alias("f_stat"),
+    )

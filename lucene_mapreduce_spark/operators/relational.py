@@ -3296,3 +3296,68 @@ def merge_on_read_amplification(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("read_amplification"),
         (F.round(frac, 6) >= F.lit(MOR_REWRITE_FRAC)).alias("rewrite_flag"),
     ).orderBy("file_id")
+
+
+# ---------------------------------------------------------------------------
+# Batch 116: power-law degree MLE over the co-order part graph
+# ---------------------------------------------------------------------------
+
+
+def degree_powerlaw_mle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-approximation power-law exponent MLE (Clauset, Shalizi
+    & Newman 2009) over the degree distribution of the co-order part
+    graph (the same edge set as part_pagerank_3iter / katz_index_pairs):
+    alpha = 1 + n / sum_i ln(d_i / (d_min - 0.5)).  Every summand is a
+    single correctly-rounded ln of identical operands, rounded 12dp and
+    summed as DECIMAL (order-free); d_min rides a broadcast scalar.
+    One self-join bounded by basket size builds the edges, one groupBy
+    the degrees — the degree table is node-count-sized."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("pb"))
+    e = (
+        a.join(b, (a.ok == b.ok2) & (a.pa < b.pb))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= AFFINITY_MIN_SUPPORT)
+        .select("pa", "pb")
+    )
+    deg = (
+        e.select(F.col("pa").alias("node"))
+        .unionAll(e.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    dmin = deg.agg(
+        F.min("d").alias("d_min"),
+        F.max("d").alias("d_max"),
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+    )
+    terms = deg.crossJoin(F.broadcast(dmin)).select(
+        "d_min",
+        "d_max",
+        "n_nodes",
+        F.round(
+            F.log(
+                F.col("d").cast("double")
+                / (F.col("d_min").cast("double") - F.lit(0.5))
+            ),
+            12,
+        )
+        .cast("decimal(28,12)")
+        .alias("lt"),
+    )
+    g = terms.groupBy("n_nodes", "d_min", "d_max").agg(
+        F.sum("lt").alias("sum_log")
+    )
+    return g.select(
+        "n_nodes",
+        "d_min",
+        "d_max",
+        F.round(F.col("sum_log").cast("double"), 9).alias("sum_log"),
+        F.round(
+            F.lit(1.0)
+            + F.col("n_nodes").cast("double") / F.col("sum_log").cast("double"),
+            6,
+        ).alias("alpha"),
+    )
