@@ -1036,6 +1036,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_powerlaw_mle": relational.degree_powerlaw_mle,
         "mantel_haenszel_or": parity.mantel_haenszel_or,
         "brown_forsythe_test": parity.brown_forsythe_test,
+        # batch 117: Ljung-Box Q, sign-flip permutation, Theil's U2
+        "ljung_box_q": parity.ljung_box_q,
+        "permutation_test_signflip": parity.permutation_test_signflip,
+        "theil_u2_forecast": parity.theil_u2_forecast,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})

@@ -16445,3 +16445,119 @@ SELECT k, n_tot,
              / (ssw::DOUBLE / (n_tot - k)::DOUBLE), 6) AS f_stat
 FROM fin
 """
+
+# ---- batch 117: Ljung-Box Q, sign-flip permutation, Theil's U2 -------------
+
+ORACLES["ljung_box_q"] = f"""
+WITH {_DAILY_HIST},
+idx AS (
+  SELECT row_number() OVER (ORDER BY day) AS i, n_events::BIGINT AS x
+  FROM hist
+),
+g AS (
+  SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS s,
+         sum(x * x)::BIGINT AS ss
+  FROM idx
+),
+lags AS (SELECT unnest(range(1, 8))::INT AS lag),
+per AS (
+  SELECT l.lag, count(*)::BIGINT AS n_pairs,
+         sum(h1.x * h2.x)::BIGINT AS sxy,
+         sum(h1.x)::BIGINT AS sh, sum(h2.x)::BIGINT AS st
+  FROM lags l
+  JOIN idx h1 ON true
+  JOIN idx h2 ON h2.i = h1.i + l.lag
+  GROUP BY 1
+),
+rhos AS (
+  SELECT lag, n_pairs, n,
+         (sxy::DOUBLE
+          - (s::DOUBLE / n::DOUBLE) * (sh + st)::DOUBLE
+          + n_pairs::DOUBLE * (s::DOUBLE / n::DOUBLE)
+            * (s::DOUBLE / n::DOUBLE))
+         / (ss::DOUBLE - s::DOUBLE * s::DOUBLE / n::DOUBLE) AS rho
+  FROM per, g
+),
+terms AS (
+  SELECT lag, n_pairs, n, round(rho, 6) AS rho,
+         round((rho * rho) / (n::DOUBLE - lag::DOUBLE),
+               12)::DECIMAL(28,12) AS t12
+  FROM rhos
+)
+SELECT lag, n_pairs, rho,
+       round((n::DOUBLE * (n::DOUBLE + 2.0))
+             * sum(t12) OVER (ORDER BY lag
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW)::DOUBLE, 6) AS q_stat
+FROM terms ORDER BY lag
+"""
+
+ORACLES["permutation_test_signflip"] = f"""
+WITH ev AS (
+  SELECT user_id, round(value, 6)::DECIMAL(18,6) AS v,
+         ((ts::DATE - DATE '1970-01-01') % 2 = 0) AS even
+  FROM events
+),
+d AS (
+  SELECT user_id,
+         (sum(CASE WHEN even THEN v ELSE 0 END)
+          - sum(CASE WHEN NOT even THEN v ELSE 0 END))::DECIMAL(18,6) AS d
+  FROM ev GROUP BY 1
+),
+obs AS (
+  SELECT sum(d)::DECIMAL(38,6) AS t_obs, count(*)::BIGINT AS n_units FROM d
+),
+b AS (SELECT unnest(range(1, {128 + 1}))::INT AS b),
+flips AS (
+  SELECT b,
+         CASE WHEN {_MD5_52.format(
+             e="user_id::VARCHAR || ':' || b::VARCHAR || ':sgnflip'")} * 2
+                   < 4503599627370496
+              THEN d ELSE -d END AS sd
+  FROM d CROSS JOIN b
+),
+perms AS (
+  SELECT b, sum(sd)::DECIMAL(38,6) AS t_b FROM flips GROUP BY 1
+),
+ext AS (
+  SELECT max(n_units)::BIGINT AS n_units, count(*)::BIGINT AS b_perms,
+         max(t_obs::DOUBLE) AS t_obs_d,
+         sum(CASE WHEN abs(t_b) >= abs(t_obs) THEN 1 ELSE 0 END)::BIGINT
+           AS n_extreme
+  FROM perms CROSS JOIN obs
+)
+SELECT n_units, b_perms, round(t_obs_d, 6) AS t_obs, n_extreme,
+       round((1.0 + n_extreme::DOUBLE) / (b_perms::DOUBLE + 1.0), 6)
+         AS p_value
+FROM ext
+"""
+
+ORACLES["theil_u2_forecast"] = """
+WITH daily AS (
+  SELECT ts::DATE AS day,
+         sum(round(value, 6)::DECIMAL(18,6)) AS rev
+  FROM events GROUP BY 1
+),
+idx AS (
+  SELECT day, rev::DOUBLE AS a,
+         lag(rev::DOUBLE, 1) OVER (ORDER BY day) AS a1,
+         lag(rev::DOUBLE, 7) OVER (ORDER BY day) AS f
+  FROM daily
+),
+usable AS (
+  SELECT * FROM idx WHERE f IS NOT NULL AND a1 <> 0.0
+),
+terms AS (
+  SELECT round(((f - a) / a1) * ((f - a) / a1), 12)::DECIMAL(28,12)
+           AS e_model,
+         round(((a - a1) / a1) * ((a - a1) / a1), 12)::DECIMAL(28,12)
+           AS e_naive
+  FROM usable
+)
+SELECT (SELECT count(*)::BIGINT FROM daily) AS n_days,
+       count(*)::BIGINT AS n_terms,
+       round(sum(e_model)::DOUBLE, 9) AS ss_model,
+       round(sum(e_naive)::DOUBLE, 9) AS ss_naive,
+       round(sqrt(sum(e_model)::DOUBLE / sum(e_naive)::DOUBLE), 6) AS u2
+FROM terms
+"""

@@ -7080,3 +7080,221 @@ def brown_forsythe_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_tot") - F.col("k")).cast("long").alias("df2"),
         F.round(f_stat, 6).alias("f_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 117: Ljung-Box Q, sign-flip permutation test, Theil's U2
+# ---------------------------------------------------------------------------
+
+LB_MAX_LAG = 7
+
+
+def ljung_box_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau statistic over the daily event-count series
+    — the whiteness test that sits on top of autocorrelation_daily's
+    ACF: Q(h) = n(n+2) * sum_{l<=h} rho_l^2/(n-l), reported cumulatively
+    per lag (Q(1)..Q(h)).  rho_l reuses the exact-integer sufficient
+    statistics (S, SS, per-lag SXY/SH/ST, all BIGINT over the
+    gap-filled calendar) in autocorrelation_daily's fixed float64
+    chain; each lag's term rho^2/(n-l) is rounded 12dp into DECIMAL and
+    cumulated with a rows-frame window (order-free exact).  Lag table
+    is broadcast; everything is calendar-bounded after one scan."""
+    from pyspark.sql import Window
+
+    hist = date_histogram_facets(spark, sf_dir)
+    idx = hist.select(
+        F.row_number().over(Window.orderBy("day")).alias("i"),
+        F.col("n_events").cast("long").alias("x"),
+    )
+    g = idx.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("ss"),
+    )
+    lags = spark.range(1, LB_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    h1 = idx.crossJoin(F.broadcast(lags)).select(
+        "lag", (F.col("i") + F.col("lag")).alias("j"), F.col("x").alias("x1")
+    )
+    h2 = idx.select(F.col("i").alias("j"), F.col("x").alias("x2"))
+    per = (
+        h1.join(h2, "j")
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.col("x1") * F.col("x2")).cast("long").alias("sxy"),
+            F.sum("x1").cast("long").alias("sh"),
+            F.sum("x2").cast("long").alias("st"),
+        )
+    )
+    nD = F.col("n").cast("double")
+    sD = F.col("s").cast("double")
+    mean = sD / nD
+    rho = (
+        F.col("sxy").cast("double")
+        - mean * (F.col("sh") + F.col("st")).cast("double")
+        + F.col("n_pairs").cast("double") * mean * mean
+    ) / (F.col("ss").cast("double") - sD * sD / nD)
+    terms = per.crossJoin(F.broadcast(g)).select(
+        "lag",
+        "n_pairs",
+        "n",
+        F.round(rho, 6).alias("rho"),
+        F.round((rho * rho) / (nD - F.col("lag").cast("double")), 12)
+        .cast("decimal(28,12)")
+        .alias("t12"),
+    )
+    wcum = Window.orderBy("lag").rowsBetween(Window.unboundedPreceding, 0)
+    return terms.select(
+        "lag",
+        "n_pairs",
+        "rho",
+        F.round(
+            (F.col("n").cast("double") * (F.col("n").cast("double") + F.lit(2.0)))
+            * F.sum("t12").over(wcum).cast("double"),
+            6,
+        ).alias("q_stat"),
+    ).orderBy("lag")
+
+
+SIGNFLIP_B = 128
+
+
+def permutation_test_signflip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-flip permutation test (Fisher randomization) on per-user
+    balanced-split value deltas — the exact-inference companion to the
+    parametric t_test_agg / z tests: d_u = sum of 6dp event values on
+    even epoch-days minus odd epoch-days; under H0 the signs are
+    exchangeable, so T_b = sum_u s_{b,u} d_u over B=128 md5-derived
+    sign vectors, p = (1 + #{|T_b| >= |T_obs|}) / (B+1) (the
+    add-one Monte-Carlo estimator, Phipson & Smyth 2010).  All totals
+    are exact DECIMAL(18,6) sums and the extremeness comparison is an
+    exact DECIMAL compare — no float tie can flip a count.  The B-fold
+    expansion rides a broadcast range; one per-user rollup shuffle."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.round("value", 6).cast("decimal(18,6)").alias("v"),
+        (
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+            % 2
+            == 0
+        ).alias("even"),
+    )
+    d = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("even"), F.col("v")).otherwise(F.lit(0))).alias("sv_e"),
+        F.sum(F.when(~F.col("even"), F.col("v")).otherwise(F.lit(0))).alias("sv_o"),
+    ).select(
+        "user_id",
+        (F.col("sv_e") - F.col("sv_o")).cast("decimal(18,6)").alias("d"),
+    )
+    obs = d.agg(
+        F.sum("d").cast("decimal(38,6)").alias("t_obs"),
+        F.count(F.lit(1)).cast("long").alias("n_units"),
+    )
+    b = spark.range(1, SIGNFLIP_B + 1).select(F.col("id").cast("int").alias("b"))
+    flips = d.crossJoin(F.broadcast(b)).select(
+        "b",
+        F.when(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("user_id").cast("string"),
+                            F.lit(":"),
+                            F.col("b").cast("string"),
+                            F.lit(":sgnflip"),
+                        )
+                    ),
+                    1,
+                    13,
+                ),
+                16,
+                10,
+            ).cast("long")
+            * 2
+            < F.lit(1 << 52),
+            F.col("d"),
+        ).otherwise(-F.col("d")).alias("sd"),
+    )
+    perms = flips.groupBy("b").agg(F.sum("sd").cast("decimal(38,6)").alias("t_b"))
+    ext = perms.crossJoin(F.broadcast(obs)).agg(
+        F.max("n_units").alias("n_units"),
+        F.count(F.lit(1)).cast("long").alias("b_perms"),
+        F.max(F.col("t_obs").cast("double")).alias("t_obs_d"),
+        F.sum(
+            (F.abs(F.col("t_b")) >= F.abs(F.col("t_obs"))).cast("long")
+        ).alias("n_extreme"),
+    )
+    return ext.select(
+        "n_units",
+        "b_perms",
+        F.round("t_obs_d", 6).alias("t_obs"),
+        "n_extreme",
+        F.round(
+            (F.lit(1.0) + F.col("n_extreme").cast("double"))
+            / (F.col("b_perms").cast("double") + F.lit(1.0)),
+            6,
+        ).alias("p_value"),
+    )
+
+
+THEIL_SEASON = 7
+
+
+def theil_u2_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil's U2 forecast-quality ratio for the seasonal-naive
+    (lag-7) forecaster of daily revenue against the naive (lag-1)
+    benchmark — the scale-free skill score beside forecast_baseline
+    _backtest's MAE/MAPE and pinball_loss_backtest: U2 =
+    sqrt(sum((f_t - a_t)/a_{t-1})^2 / sum((a_t - a_{t-1})/a_{t-1})^2),
+    f_t = a_{t-7}, over the observed-day index (documented: gap days
+    carry no revenue and would zero the denominators).  Daily totals
+    are exact DECIMAL(18,6) sums; each squared-ratio term is one IEEE
+    chain rounded 12dp into DECIMAL; sqrt is correctly rounded.
+    Zero-revenue anchor days are excluded and counted."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"),
+        F.round("value", 6).cast("decimal(18,6)").alias("v"),
+    )
+    daily = ev.groupBy("day").agg(F.sum("v").alias("rev"))
+    w = Window.orderBy("day")
+    idx = daily.select(
+        "day",
+        F.col("rev").cast("double").alias("a"),
+        F.lag(F.col("rev").cast("double"), 1).over(w).alias("a1"),
+        F.lag(F.col("rev").cast("double"), THEIL_SEASON).over(w).alias("f"),
+    ).where(F.col("f").isNotNull())
+    usable = idx.where(F.col("a1") != 0.0)
+    terms = usable.select(
+        F.round(
+            ((F.col("f") - F.col("a")) / F.col("a1"))
+            * ((F.col("f") - F.col("a")) / F.col("a1")),
+            12,
+        )
+        .cast("decimal(28,12)")
+        .alias("e_model"),
+        F.round(
+            ((F.col("a") - F.col("a1")) / F.col("a1"))
+            * ((F.col("a") - F.col("a1")) / F.col("a1")),
+            12,
+        )
+        .cast("decimal(28,12)")
+        .alias("e_naive"),
+    )
+    n_days = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    return terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.round(F.sum("e_model").cast("double"), 9).alias("ss_model"),
+        F.round(F.sum("e_naive").cast("double"), 9).alias("ss_naive"),
+        F.round(
+            F.sqrt(
+                F.sum("e_model").cast("double") / F.sum("e_naive").cast("double")
+            ),
+            6,
+        ).alias("u2"),
+    ).crossJoin(F.broadcast(n_days)).select(
+        "n_days", "n_terms", "ss_model", "ss_naive", "u2"
+    )
