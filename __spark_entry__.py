@@ -1040,6 +1040,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ljung_box_q": parity.ljung_box_q,
         "permutation_test_signflip": parity.permutation_test_signflip,
         "theil_u2_forecast": parity.theil_u2_forecast,
+        # batch 118: hex grid, metric rank agreement, NDV sketch audit
+        "geohex_grid_agg": textstats.geohex_grid_agg,
+        "metric_rank_agreement": similarity.metric_rank_agreement,
+        "ndv_sketch_error_by_column": textstats.ndv_sketch_error_by_column,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})

@@ -16561,3 +16561,157 @@ SELECT (SELECT count(*)::BIGINT FROM daily) AS n_days,
        round(sqrt(sum(e_model)::DOUBLE / sum(e_naive)::DOUBLE), 6) AS u2
 FROM terms
 """
+
+# ---- batch 118: hex grid, metric rank agreement, NDV sketch audit ----------
+
+from lucene_mapreduce_spark.operators.textstats import (  # noqa: E402
+    _HLL_ALPHA_NUM,
+    _HLL_M,
+    _NEG_THIRD,
+    _SQRT3_INV,
+    _TWO_THIRDS,
+    HEX_SIZE_DEG,
+    NDV_AUDIT_COLUMNS,
+)
+
+_HEX_BASE = f"""
+base AS (
+  SELECT (({_MD5_52.format(e="doc_id::VARCHAR || ':lat'")}) % 1800001)::DOUBLE
+           / 10000.0 - 90.0 AS lat,
+         (({_MD5_52.format(e="doc_id::VARCHAR || ':lon'")}) % 3600001)::DOUBLE
+           / 10000.0 - 180.0 AS lon
+  FROM documents
+)"""
+
+ORACLES["geohex_grid_agg"] = f"""
+WITH {_HEX_BASE},
+proj AS (
+  SELECT ({_TWO_THIRDS!r} * lon) / {float(HEX_SIZE_DEG)!r} AS qf,
+         (({_NEG_THIRD!r} * lon) + ({_SQRT3_INV!r} * lat))
+           / {float(HEX_SIZE_DEG)!r} AS rf
+  FROM base
+),
+fr AS (
+  SELECT qf, rf, -qf - rf AS yf,
+         floor(qf + 0.5)::BIGINT AS rx,
+         floor(-qf - rf + 0.5)::BIGINT AS ry,
+         floor(rf + 0.5)::BIGINT AS rz
+  FROM proj
+),
+d AS (
+  SELECT rx, ry, rz,
+         abs(rx::DOUBLE - qf) AS dx,
+         abs(ry::DOUBLE - yf) AS dy,
+         abs(rz::DOUBLE - rf) AS dz
+  FROM fr
+),
+keyed AS (
+  SELECT (CASE WHEN dx > dy AND dx > dz THEN -ry - rz ELSE rx END)::VARCHAR
+         || ':' ||
+         (CASE WHEN NOT (dx > dy AND dx > dz) AND NOT (dy > dz)
+               THEN -rx - ry ELSE rz END)::VARCHAR AS hex
+  FROM d
+),
+counts AS (SELECT hex, count(*)::BIGINT AS n_docs FROM keyed GROUP BY 1)
+SELECT hex, n_docs, rank FROM (
+  SELECT *, row_number() OVER (ORDER BY n_docs DESC, hex ASC) AS rank
+  FROM counts
+) WHERE rank <= 10 ORDER BY rank
+"""
+
+ORACLES["metric_rank_agreement"] = """
+WITH q AS (
+  SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0
+),
+scored AS (
+  SELECT vec_id,
+         round(list_dot_product(embedding::DOUBLE[], qvec)
+               / (sqrt(list_dot_product(embedding::DOUBLE[],
+                                        embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(qvec, qvec))), 6) AS cosine,
+         round(list_dot_product(embedding::DOUBLE[], qvec), 6) AS dot
+  FROM embeddings, q WHERE vec_id <> 0
+),
+rct AS (
+  SELECT vec_id, rc FROM (
+    SELECT vec_id,
+           row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS rc
+    FROM scored
+  ) WHERE rc <= 50
+),
+rdt AS (
+  SELECT vec_id, rd FROM (
+    SELECT vec_id,
+           row_number() OVER (ORDER BY dot DESC, vec_id ASC) AS rd
+    FROM scored
+  ) WHERE rd <= 50
+),
+common AS (SELECT vec_id, rc, rd FROM rct JOIN rdt USING (vec_id)),
+pairs AS (
+  SELECT a.rc AS rca, a.rd AS rda, b.rc AS rcb, b.rd AS rdb
+  FROM common a JOIN common b ON a.vec_id < b.vec_id
+),
+counts AS (
+  SELECT coalesce(sum(CASE WHEN (rca - rcb) * (rda - rdb) > 0
+                           THEN 1 ELSE 0 END), 0)::BIGINT AS n_concordant,
+         coalesce(sum(CASE WHEN (rca - rcb) * (rda - rdb) < 0
+                           THEN 1 ELSE 0 END), 0)::BIGINT AS n_discordant
+  FROM pairs
+),
+nc AS (SELECT count(*)::BIGINT AS n_common FROM common)
+SELECT 50::BIGINT AS k_depth, n_common, n_concordant, n_discordant,
+       round((n_concordant - n_discordant)::DOUBLE
+             / (n_common::DOUBLE * (n_common::DOUBLE - 1.0) / 2.0), 6)
+         AS tau
+FROM counts, nc
+"""
+
+
+def _ndv_leg_sql(table: str, col: str) -> str:
+    key = f"{table}.{col}"
+    h = _MD5_52.format(e=f"'{key}:' || v")
+    mask = (1 << 40) - 1
+    m = _HLL_M
+    return f"""
+SELECT '{key}' AS column_name, n_exact, used,
+       round(est, 4) AS hll_estimate,
+       round(abs(est - n_exact::DOUBLE) / n_exact::DOUBLE, 6) AS rel_err
+FROM (
+  WITH vals AS (SELECT DISTINCT {col}::VARCHAR AS v FROM {table}),
+  hashed AS (SELECT ({h}) AS h FROM vals),
+  regs AS (
+    SELECT h >> 40 AS bucket,
+           max(CASE WHEN (h & {mask}) = 0 THEN 41
+                    ELSE 40 - floor(log2((h & {mask})::DOUBLE))::INT
+               END) AS m_j
+    FROM hashed GROUP BY 1
+  ),
+  folded AS (
+    SELECT count(*)::BIGINT AS used,
+           sum(1::BIGINT << (41 - m_j))::BIGINT AS s_used
+    FROM regs
+  ),
+  exact AS (SELECT count(*)::BIGINT AS n_exact FROM vals),
+  est0 AS (
+    SELECT used,
+           {_HLL_ALPHA_NUM!r}
+             / (s_used + ({m} - used) * {1 << 41})::DOUBLE AS e_raw,
+           ({m} - used)::DOUBLE AS ve
+    FROM folded
+  )
+  SELECT n_exact, used,
+         CASE WHEN e_raw <= {2.5 * m!r} AND ve > 0
+              THEN {float(m)!r} * ln({float(m)!r} / ve)
+              ELSE e_raw END AS est
+  FROM est0, exact
+) t
+"""
+
+
+ORACLES["ndv_sketch_error_by_column"] = (
+    "SELECT * FROM ("
+    + " UNION ALL ".join(
+        f"({_ndv_leg_sql(t, c)})" for t, c in NDV_AUDIT_COLUMNS
+    )
+    + ") ORDER BY column_name"
+)

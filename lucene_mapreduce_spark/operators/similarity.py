@@ -2586,3 +2586,85 @@ def embedding_lag1_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("coherence_gap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 118: cosine-vs-dot ranking agreement (Kendall tau)
+# ---------------------------------------------------------------------------
+
+RANK_AGREE_DEPTH = 50
+
+
+def metric_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall-tau agreement between the cosine and dot-product rankings
+    of the corpus against the fixed query vector — the metric-choice
+    audit (normalize-or-not) beside ann_recall_at_k and
+    rank_biased_overlap: both metrics rank their top-RANK_AGREE_DEPTH on
+    ROUNDED (6dp) scores with the vec_id tiebreak (the house rank rule),
+    tau-a = (C - D) / (n(n-1)/2) over the rank pairs of the
+    intersection (row_number ranks are tie-free, so tau-a is exact from
+    integer pair counts).  Pair enumeration is depth-bounded (<= k^2
+    rows); the corpus is scanned once per metric with the broadcast
+    query."""
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qvec")
+    )
+    e = F.col("embedding").cast("array<double>")
+    qv = F.col("qvec").cast("array<double>")
+    dot = F.aggregate(
+        F.zip_with(e, qv, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v
+    )
+    scored = (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(_cosine(e, qv), 6).alias("cosine"),
+            F.round(dot, 6).alias("dot"),
+        )
+    )
+    rc = ranked_topk(
+        scored, [F.desc("cosine"), F.asc("vec_id")], RANK_AGREE_DEPTH
+    ).select("vec_id", F.col("rank").alias("rc"))
+    rd = ranked_topk(
+        scored, [F.desc("dot"), F.asc("vec_id")], RANK_AGREE_DEPTH
+    ).select("vec_id", F.col("rank").alias("rd"))
+    common = rc.join(rd, "vec_id")
+    a = common.select(
+        F.col("vec_id").alias("ida"), F.col("rc").alias("rca"),
+        F.col("rd").alias("rda"),
+    )
+    b = common.select(
+        F.col("vec_id").alias("idb"), F.col("rc").alias("rcb"),
+        F.col("rd").alias("rdb"),
+    )
+    pairs = a.join(b, F.col("ida") < F.col("idb"))
+    sgn = (F.col("rca") - F.col("rcb")) * (F.col("rda") - F.col("rdb"))
+    counts = pairs.agg(
+        F.sum((sgn > 0).cast("long")).alias("n_concordant"),
+        F.sum((sgn < 0).cast("long")).alias("n_discordant"),
+    )
+    n_common = common.agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    return counts.crossJoin(F.broadcast(n_common)).select(
+        F.lit(RANK_AGREE_DEPTH).cast("long").alias("k_depth"),
+        "n_common",
+        F.coalesce(F.col("n_concordant"), F.lit(0)).cast("long").alias(
+            "n_concordant"
+        ),
+        F.coalesce(F.col("n_discordant"), F.lit(0)).cast("long").alias(
+            "n_discordant"
+        ),
+        F.round(
+            (F.coalesce(F.col("n_concordant"), F.lit(0))
+             - F.coalesce(F.col("n_discordant"), F.lit(0))).cast("double")
+            / (
+                F.col("n_common").cast("double")
+                * (F.col("n_common").cast("double") - F.lit(1.0))
+                / F.lit(2.0)
+            ),
+            6,
+        ).alias("tau"),
+    )

@@ -6567,3 +6567,139 @@ def mattr_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 118: hex-grid geo agg + per-column NDV sketch-error audit
+# ---------------------------------------------------------------------------
+
+HEX_SIZE_DEG = 2.5  # hex circumradius in projected degrees
+_TWO_THIRDS = 2.0 / 3.0  # shared literals — same bits in both engines
+_NEG_THIRD = -1.0 / 3.0
+_SQRT3_INV = 0.5773502691896258  # 1/sqrt(3) to double precision, pinned
+
+
+def geohex_grid_agg(
+    spark: SparkSession, sf_dir: str, k: int = 10
+) -> DataFrame:
+    """ES `geohex_grid`-shaped hexagonal binning: axial hex coordinates
+    from the equirectangular-projected md5 lat/lon (the shared synthetic
+    geo field), flat-top hexes of circumradius HEX_SIZE_DEG, cube
+    rounding to the nearest hex center, doc counts per cell, top-k
+    cells.  True H3 uses an icosahedral projection; the axial grid is
+    the deterministic stand-in with the same aggregation contract.
+    Cube rounding is floor(v + 0.5) (never an engine round()) and the
+    diff-comparison chain is identical IEEE ops in both engines; all
+    constants are pinned Python literals.  One codegen projection +
+    one combinable groupBy, geotile_grid_agg's plan shape."""
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+
+    s = float(HEX_SIZE_DEG)
+    pts = _geo_coords(load(spark, sf_dir, "documents"))
+    x = F.col("lon")
+    y = F.col("lat")
+    qf = (F.lit(_TWO_THIRDS) * x) / F.lit(s)
+    rf = ((F.lit(_NEG_THIRD) * x) + (F.lit(_SQRT3_INV) * y)) / F.lit(s)
+    yf = -qf - rf
+    fr = pts.select(
+        qf.alias("qf"),
+        rf.alias("rf"),
+        yf.alias("yf"),
+        F.floor(qf + F.lit(0.5)).alias("rx"),
+        F.floor(yf + F.lit(0.5)).alias("ry"),
+        F.floor(rf + F.lit(0.5)).alias("rz"),
+    ).select(
+        "rx",
+        "ry",
+        "rz",
+        F.abs(F.col("rx").cast("double") - F.col("qf")).alias("dx"),
+        F.abs(F.col("ry").cast("double") - F.col("yf")).alias("dy"),
+        F.abs(F.col("rz").cast("double") - F.col("rf")).alias("dz"),
+    )
+    c1 = (F.col("dx") > F.col("dy")) & (F.col("dx") > F.col("dz"))
+    c3 = ~c1 & ~(F.col("dy") > F.col("dz"))
+    keyed = fr.select(
+        F.concat_ws(
+            ":",
+            F.when(c1, -F.col("ry") - F.col("rz"))
+            .otherwise(F.col("rx"))
+            .cast("string"),
+            F.when(c3, -F.col("rx") - F.col("ry"))
+            .otherwise(F.col("rz"))
+            .cast("string"),
+        ).alias("hex")
+    )
+    counts = keyed.groupBy("hex").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    return ranked_topk(counts, [F.desc("n_docs"), F.asc("hex")], k).select(
+        "hex", "n_docs", "rank"
+    )
+
+
+NDV_AUDIT_COLUMNS = (
+    ("lineitem", "l_partkey"),
+    ("lineitem", "l_suppkey"),
+    ("orders", "o_custkey"),
+    ("events", "user_id"),
+    ("documents", "source"),
+)
+
+
+def ndv_sketch_error_by_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column NDV (distinct-count) sketch-error audit — the
+    CBO-statistics quality report an engine keeps for its column stats:
+    for each pinned (table, column), the exact distinct count beside
+    the HLL p=12 estimate (hll_cardinality's bit-exact register fold,
+    salted per column so sketches are independent) and the relative
+    error.  Each leg is one distinct + one 4096-register fold —
+    column-count-bounded rows out, scan-bounded work in."""
+    legs = []
+    for table, col in NDV_AUDIT_COLUMNS:
+        key = f"{table}.{col}"
+        vals = (
+            load(spark, sf_dir, table)
+            .select(F.col(col).cast("string").alias("v"))
+            .distinct()
+        )
+        h = _md5_52(F.concat(F.lit(f"{key}:"), F.col("v")))
+        w = h.bitwiseAND(F.lit((1 << 40) - 1))
+        rho = F.when(w == 0, F.lit(41)).otherwise(
+            F.lit(40) - F.floor(F.log2(w.cast("double")))
+        ).cast("int")
+        regs = (
+            vals.select(F.shiftright(h, 40).alias("bucket"), rho.alias("rho"))
+            .groupBy("bucket")
+            .agg(F.max("rho").alias("m_j"))
+        )
+        folded = regs.agg(
+            F.count(F.lit(1)).cast("long").alias("used"),
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 41 - m_j)"))
+            .cast("long")
+            .alias("s_used"),
+        )
+        exact = vals.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+        s_int = F.col("s_used") + (F.lit(_HLL_M) - F.col("used")) * F.lit(1 << 41)
+        e_raw = F.lit(_HLL_ALPHA_NUM) / s_int.cast("double")
+        v_empty = (F.lit(_HLL_M) - F.col("used")).cast("double")
+        est = F.when(
+            (e_raw <= F.lit(2.5 * _HLL_M)) & (v_empty > 0),
+            F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / v_empty),
+        ).otherwise(e_raw)
+        legs.append(
+            folded.crossJoin(F.broadcast(exact)).select(
+                F.lit(key).alias("column_name"),
+                "n_exact",
+                "used",
+                F.round(est, 4).alias("hll_estimate"),
+                F.round(
+                    F.abs(est - F.col("n_exact").cast("double"))
+                    / F.col("n_exact").cast("double"),
+                    6,
+                ).alias("rel_err"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out.orderBy("column_name")
