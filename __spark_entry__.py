@@ -1044,6 +1044,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geohex_grid_agg": textstats.geohex_grid_agg,
         "metric_rank_agreement": similarity.metric_rank_agreement,
         "ndv_sketch_error_by_column": textstats.ndv_sketch_error_by_column,
+        # batch 119: runs test, Shapley attribution, personalized PageRank
+        "runs_test_daily": parity.runs_test_daily,
+        "shapley_attribution": parity.shapley_attribution,
+        "personalized_pagerank": relational.personalized_pagerank,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})

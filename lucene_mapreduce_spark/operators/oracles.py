@@ -16715,3 +16715,131 @@ ORACLES["ndv_sketch_error_by_column"] = (
     )
     + ") ORDER BY column_name"
 )
+
+# ---- batch 119: runs test, Shapley attribution, personalized PageRank -----
+
+ORACLES["runs_test_daily"] = f"""
+WITH {_DAILY_HIST},
+med AS (SELECT quantile_cont(n_events, 0.5) AS med FROM hist),
+signed AS (
+  SELECT day, CASE WHEN n_events::DOUBLE > med THEN 1 ELSE 0 END AS sgn
+  FROM hist, med WHERE n_events::DOUBLE <> med
+),
+runs AS (
+  SELECT sgn,
+         CASE WHEN lag(sgn) OVER (ORDER BY day) IS NULL
+                OR lag(sgn) OVER (ORDER BY day) <> sgn
+              THEN 1 ELSE 0 END AS new_run
+  FROM signed
+),
+g AS (
+  SELECT count(*)::BIGINT AS n_days_used, sum(sgn)::BIGINT AS n_above,
+         (count(*) - sum(sgn))::BIGINT AS n_below,
+         sum(new_run)::BIGINT AS n_runs
+  FROM runs
+),
+mu AS (
+  SELECT n_days_used, n_above, n_below, n_runs,
+         (2.0 * n_above::DOUBLE * n_below::DOUBLE) / n_days_used::DOUBLE
+           + 1.0 AS mu
+  FROM g
+)
+SELECT n_days_used, n_above, n_below, n_runs,
+       round(mu, 6) AS exp_runs,
+       round((n_runs::DOUBLE - mu)
+             / sqrt(((mu - 1.0) * (mu - 2.0))
+                    / (n_days_used::DOUBLE - 1.0)), 6) AS z_stat
+FROM mu
+"""
+
+from lucene_mapreduce_spark.operators.parity import (  # noqa: E402
+    SHAPLEY_CHANNELS,
+)
+
+_SHAP_BIT_CASE = "CASE e.event_type " + " ".join(
+    f"WHEN '{c}' THEN {b}" for c, b in SHAPLEY_CHANNELS
+) + " END"
+_SHAP_CHAN_VALUES = ", ".join(f"('{c}', {b})" for c, b in SHAPLEY_CHANNELS)
+
+ORACLES["shapley_attribution"] = f"""
+WITH ev AS (
+  SELECT user_id, ts::DATE AS day, ts, event_type FROM events
+),
+first_buy AS (
+  SELECT user_id, day, min(ts) AS t0
+  FROM ev WHERE event_type = 'purchase' GROUP BY 1, 2
+),
+masks AS (
+  SELECT user_id, day, sum(b)::INT AS m FROM (
+    SELECT DISTINCT e.user_id, e.day, {_SHAP_BIT_CASE} AS b
+    FROM ev e JOIN first_buy f
+      ON e.user_id = f.user_id AND e.day = f.day AND e.ts < f.t0
+    WHERE e.event_type <> 'purchase'
+  ) GROUP BY 1, 2
+),
+conv AS (
+  SELECT coalesce(m, 0) AS m, count(*)::BIGINT AS c
+  FROM first_buy LEFT JOIN masks USING (user_id, day)
+  GROUP BY 1
+),
+coal AS (SELECT unnest(range(16))::INT AS t),
+v AS (
+  SELECT t, coalesce(sum(c), 0)::BIGINT AS v
+  FROM coal LEFT JOIN conv ON (conv.m & coal.t) = conv.m
+  GROUP BY t
+),
+chan AS (SELECT * FROM (VALUES {_SHAP_CHAN_VALUES}) AS x(channel, b)),
+terms AS (
+  SELECT channel,
+         (CASE ((vt.t >> 0) & 1) + ((vt.t >> 1) & 1)
+               + ((vt.t >> 2) & 1) + ((vt.t >> 3) & 1)
+            WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2
+            ELSE 6 END)::BIGINT * (vi.v - vt.v) AS c24
+  FROM chan
+  JOIN v vt ON (vt.t & chan.b) = 0
+  JOIN v vi ON (vt.t | chan.b) = vi.t
+)
+SELECT channel, sum(c24)::BIGINT AS credit24,
+       round(sum(c24)::DOUBLE / 24.0, 6) AS shapley
+FROM terms GROUP BY 1 ORDER BY 1
+"""
+
+from lucene_mapreduce_spark.operators.relational import (  # noqa: E402
+    PPR_D,
+    PPR_TOP_K,
+)
+
+
+def _ppr_iter(prev: str, cur: str) -> str:
+    return f"""{cur} AS (
+  SELECT n.src,
+         (CASE WHEN n.src = (SELECT seed FROM seed)
+               THEN {1.0 - PPR_D!r} ELSE 0.0 END)
+           + coalesce(c.sc, 0.0) AS r
+  FROM (SELECT src FROM deg) n LEFT JOIN (
+    SELECT dst AS src,
+           sum(round({PPR_D!r} * r / deg::DOUBLE, 12)::DECIMAL(28,12))::DOUBLE
+             AS sc
+    FROM edges JOIN {prev} USING (src) JOIN deg USING (src)
+    GROUP BY dst
+  ) c USING (src)
+)"""
+
+
+ORACLES["personalized_pagerank"] = f"""
+WITH {_PR_EDGES},
+seed AS (SELECT min(src) AS seed FROM deg),
+r0 AS (
+  SELECT src, CASE WHEN src = (SELECT seed FROM seed)
+                   THEN 1.0 ELSE 0.0 END AS r
+  FROM deg
+),
+{_ppr_iter("r0", "p1")},
+{_ppr_iter("p1", "p2")},
+{_ppr_iter("p2", "p3")}
+SELECT part, ppr, rank FROM (
+  SELECT src AS part, round(r, 6) AS ppr,
+         row_number() OVER (ORDER BY round(r, 6) DESC, src ASC) AS rank
+  FROM p3 WHERE r > 0
+) WHERE rank <= {PPR_TOP_K} ORDER BY rank
+"""

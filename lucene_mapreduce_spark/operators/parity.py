@@ -7298,3 +7298,156 @@ def theil_u2_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).crossJoin(F.broadcast(n_days)).select(
         "n_days", "n_terms", "ss_model", "ss_naive", "u2"
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 119: Wald-Wolfowitz runs test + exact Shapley attribution
+# ---------------------------------------------------------------------------
+
+
+def runs_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test for randomness over the daily event-count
+    series: days are marked above/below the exact type-7 median of the
+    gap-filled histogram (ties at the median dropped, the standard
+    treatment), the run count R is a lag compare over the ordered
+    calendar, and the normal approximation z = (R - mu)/sigma uses the
+    identity sigma^2 = (mu-1)(mu-2)/(n-1) so both engines execute the
+    same float64 chain from the same exact integers (n1, n2, R).  The
+    windows are calendar-bounded (<= elapsed days), the scan aggregates
+    map-side — the Ljung-Box / Mann-Kendall whiteness-family sibling
+    that tests SIGN patterns instead of magnitudes."""
+    from pyspark.sql import Window
+
+    hist = date_histogram_facets(spark, sf_dir)
+    med = hist.agg(
+        F.expr("percentile(n_events, 0.5)").alias("med")
+    )
+    signed = (
+        hist.crossJoin(F.broadcast(med))
+        .filter(F.col("n_events").cast("double") != F.col("med"))
+        .select(
+            "day",
+            F.when(
+                F.col("n_events").cast("double") > F.col("med"), F.lit(1)
+            ).otherwise(F.lit(0)).alias("sgn"),
+        )
+    )
+    w = Window.orderBy("day")
+    runs = signed.select(
+        "sgn",
+        F.when(
+            F.lag("sgn").over(w).isNull()
+            | (F.lag("sgn").over(w) != F.col("sgn")),
+            F.lit(1),
+        ).otherwise(F.lit(0)).alias("new_run"),
+    )
+    g = runs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days_used"),
+        F.sum("sgn").cast("long").alias("n_above"),
+        (F.count(F.lit(1)) - F.sum("sgn")).cast("long").alias("n_below"),
+        F.sum("new_run").cast("long").alias("n_runs"),
+    )
+    n1 = F.col("n_above").cast("double")
+    n2 = F.col("n_below").cast("double")
+    nD = F.col("n_days_used").cast("double")
+    mu = (F.lit(2.0) * n1 * n2) / nD + F.lit(1.0)
+    var = ((mu - F.lit(1.0)) * (mu - F.lit(2.0))) / (nD - F.lit(1.0))
+    return g.select(
+        "n_days_used",
+        "n_above",
+        "n_below",
+        "n_runs",
+        F.round(mu, 6).alias("exp_runs"),
+        F.round(
+            (F.col("n_runs").cast("double") - mu) / F.sqrt(var), 6
+        ).alias("z_stat"),
+    )
+
+
+SHAPLEY_CHANNELS = (("click", 1), ("error", 2), ("signup", 4), ("view", 8))
+
+
+def shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Shapley-value conversion attribution (the game-theoretic
+    attribution beside last-touch / position-based / time-decay /
+    Markov-absorption in this repo): the unit is a converting USER-DAY
+    (a day with a purchase), its coalition is the set of non-purchase
+    channels seen strictly before that day's first purchase, encoded as
+    a 4-bit mask.  The characteristic function v(T) = conversions whose
+    observed channel set is a subset of T (the standard simplified
+    Shapley game), and each channel's credit is the exact INTEGER
+    sum_T |T|!(3-|T|)! * (v(T+i) - v(T)) in 24ths of a conversion —
+    no floating point until the final display division, so the gate is
+    bit-trivial.  Everything after the one events scan is <=16-row
+    coalition algebra (broadcast joins); sum(shapley) = v(full) -
+    v(empty) by construction, pinned by the test."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day"), "ts", "event_type"
+    )
+    first_buy = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "day")
+        .agg(F.min("ts").alias("t0"))
+    )
+    bit = F.create_map(
+        *[x for c, b in SHAPLEY_CHANNELS for x in (F.lit(c), F.lit(b))]
+    )
+    masks = (
+        ev.filter(F.col("event_type") != "purchase")
+        .join(first_buy, ["user_id", "day"])
+        .filter(F.col("ts") < F.col("t0"))
+        .select("user_id", "day", "event_type")
+        .distinct()
+        .groupBy("user_id", "day")
+        .agg(F.sum(bit[F.col("event_type")]).cast("int").alias("m"))
+    )
+    conv = (
+        first_buy.join(masks, ["user_id", "day"], "left")
+        .select(F.coalesce("m", F.lit(0)).alias("m"))
+        .groupBy("m")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    coal = spark.range(16).select(F.col("id").cast("int").alias("t"))
+    v = (
+        coal.join(
+            conv, conv.m.bitwiseAND(coal.t) == conv.m, "left"
+        )
+        .groupBy("t")
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("v"))
+    )
+    chan = spark.createDataFrame(
+        list(SHAPLEY_CHANNELS), "channel string, b int"
+    )
+    pc = sum(
+        F.shiftright(F.col("t"), i).bitwiseAND(F.lit(1)) for i in range(4)
+    )
+    w24 = (
+        F.when(pc == 0, 6)
+        .when(pc == 1, 2)
+        .when(pc == 2, 2)
+        .otherwise(6)
+        .cast("long")
+    )
+    vt = v.select(F.col("t"), F.col("v").alias("v_t"))
+    vti = v.select(F.col("t").alias("ti"), F.col("v").alias("v_ti"))
+    terms = (
+        chan.crossJoin(vt)
+        .filter(F.col("t").bitwiseAND(F.col("b")) == 0)
+        .join(vti, F.col("t").bitwiseOR(F.col("b")) == F.col("ti"))
+        .select(
+            "channel",
+            (w24 * (F.col("v_ti") - F.col("v_t"))).alias("c24"),
+        )
+    )
+    return (
+        terms.groupBy("channel")
+        .agg(F.sum("c24").cast("long").alias("credit24"))
+        .select(
+            "channel",
+            "credit24",
+            F.round(F.col("credit24").cast("double") / F.lit(24.0), 6).alias(
+                "shapley"
+            ),
+        )
+        .orderBy("channel")
+    )

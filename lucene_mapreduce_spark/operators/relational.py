@@ -3361,3 +3361,91 @@ def degree_powerlaw_mle(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("alpha"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 119: personalized PageRank from a deterministic seed
+# ---------------------------------------------------------------------------
+
+PPR_D = 0.85
+PPR_ITERS = 3
+PPR_TOP_K = 20
+
+
+def personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (random walk with restart) over the
+    undirected co-order part graph — part_pagerank_3iter's seeded twin:
+    the teleport mass (1-d) lands ONLY on the seed node (the smallest
+    part key in the graph, a scale-free pin), so scores measure
+    proximity to the seed instead of global centrality (the
+    related-items / node-similarity primitive).  Three unrolled
+    iterations; each is one join + one aggregate with neighbor
+    contributions rounded 12dp into DECIMAL (order-free), and the rank
+    vector is re-anchored on the full node set every iteration via a
+    left join so unreached nodes carry exact zeros.  Nodes still at
+    zero after 3 hops are dropped before the top-k rank."""
+    from pyspark.sql.window import Window
+
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("pb"))
+    e = (
+        a.join(b, (a.ok == b.ok2) & (a.pa < b.pb))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= AFFINITY_MIN_SUPPORT)
+        .select("pa", "pb")
+    )
+    edges = e.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionAll(
+        e.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    seed = deg.agg(F.min("src").alias("seed"))
+    nodes = deg.select("src").crossJoin(F.broadcast(seed))
+    rank = nodes.select(
+        "src",
+        "seed",
+        F.when(F.col("src") == F.col("seed"), F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("r"),
+    )
+    for _ in range(PPR_ITERS):
+        contrib = (
+            edges.join(rank.select("src", "r"), "src")
+            .join(deg, "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(
+                F.sum(
+                    F.round(
+                        F.lit(PPR_D) * F.col("r") / F.col("deg").cast("double"),
+                        12,
+                    ).cast("decimal(28,12)")
+                )
+                .cast("double")
+                .alias("sc")
+            )
+        )
+        rank = nodes.join(
+            contrib, nodes.src == contrib.node, "left"
+        ).select(
+            "src",
+            "seed",
+            (
+                F.when(F.col("src") == F.col("seed"), F.lit(1.0 - PPR_D))
+                .otherwise(F.lit(0.0))
+                + F.coalesce("sc", F.lit(0.0))
+            ).alias("r"),
+        )
+    scored = rank.filter(F.col("r") > 0).select(
+        F.col("src").alias("part"), F.round("r", 6).alias("ppr")
+    )
+    w = Window.orderBy(F.col("ppr").desc(), F.col("part").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= PPR_TOP_K)
+        .orderBy("rank")
+    )
