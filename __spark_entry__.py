@@ -1048,6 +1048,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "runs_test_daily": parity.runs_test_daily,
         "shapley_attribution": parity.shapley_attribution,
         "personalized_pagerank": relational.personalized_pagerank,
+        # batch 120: Hilbert layout, corpus BLEU-2, Cochran's Q
+        "hilbert_layout_plan": relational.hilbert_layout_plan,
+        "corpus_bleu_pairs": textstats.corpus_bleu_pairs,
+        "cochran_q_test": parity.cochran_q_test,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})
@@ -2208,6 +2212,14 @@ WHERE len(list_filter(range(1, len(toks)), i ->
     )
 
     out["zorder_layout_plan"] = zorder_sql(
+        relational.ZORDER_N_FILES,
+        relational.ZORDER_X_BUCKETS,
+        relational.ZORDER_Y_BUCKETS,
+        relational.ZORDER_PRED_BUCKET,
+    )
+    from lucene_mapreduce_spark.operators.oracles import hilbert_sql
+
+    out["hilbert_layout_plan"] = hilbert_sql(
         relational.ZORDER_N_FILES,
         relational.ZORDER_X_BUCKETS,
         relational.ZORDER_Y_BUCKETS,

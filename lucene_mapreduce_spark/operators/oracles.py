@@ -16843,3 +16843,194 @@ SELECT part, ppr, rank FROM (
   FROM p3 WHERE r > 0
 ) WHERE rank <= {PPR_TOP_K} ORDER BY rank
 """
+
+# ---- batch 120: Hilbert layout, corpus BLEU-2, Cochran's Q -----------------
+
+from lucene_mapreduce_spark.operators.relational import (  # noqa: E402
+    HILBERT_N,
+    hilbert_step_exprs,
+)
+
+
+def hilbert_sql(n_files: int, xb: int, yb: int, pb: int) -> str:
+    """Hilbert-vs-zorder layout twin: the same unrolled xy2d step text
+    as the Spark plan (hilbert_step_exprs, `//` dialect) chained
+    through one CTE per bit so no step reads its own aliases, plus the
+    zorder leg's Morton arithmetic; downstream is zorder_sql's exact
+    ntile/min-max skip accounting."""
+    z = _zexpr_duck(
+        f"(l_partkey * {xb}) // nx", f"(l_suppkey * {yb}) // ny"
+    )
+    keep = "l_partkey, l_suppkey, l_orderkey, l_linenumber, z"
+    ctes = [
+        f"""h0 AS (
+  SELECT l_partkey, l_suppkey, l_orderkey, l_linenumber,
+         {z} AS z,
+         (l_partkey * {xb}) // nx AS x0,
+         (l_suppkey * {yb}) // ny AS y0,
+         0 AS d0
+  FROM lineitem, mk)"""
+    ]
+    step = 0
+    s = HILBERT_N // 2
+    while s > 0:
+        d_term, nxp, nyp = hilbert_step_exprs(
+            s, f"x{step}", f"y{step}", "//"
+        )
+        ctes.append(
+            f"""h{step + 1} AS (
+  SELECT {keep},
+         d{step} + {d_term} AS d{step + 1},
+         {nxp} AS x{step + 1},
+         {nyp} AS y{step + 1}
+  FROM h{step})"""
+        )
+        step += 1
+        s //= 2
+    ctes.append(f"li AS (SELECT {keep}, d{step} AS h FROM h{step})")
+    bounds = {
+        "x_range": (
+            "l_partkey",
+            f"(SELECT nx * {pb} // {xb} FROM mk)",
+            f"(SELECT nx * {pb + 1} // {xb} - 1 FROM mk)",
+        ),
+        "y_range": (
+            "l_suppkey",
+            f"(SELECT ny * {pb} // {yb} FROM mk)",
+            f"(SELECT ny * {pb + 1} // {yb} - 1 FROM mk)",
+        ),
+    }
+    legs = []
+    for lname, order in (
+        ("hilbert", "h, l_partkey, l_suppkey, l_orderkey, l_linenumber"),
+        ("zorder", "z, l_partkey, l_suppkey, l_orderkey, l_linenumber"),
+    ):
+        for pname, (col, lo, hi) in bounds.items():
+            mn, mx = (
+                ("min_x", "max_x")
+                if col == "l_partkey"
+                else ("min_y", "max_y")
+            )
+            hit = f"{mn} <= {hi} AND {mx} >= {lo}"
+            matched = (
+                f"(SELECT count(*) FROM li"
+                f" WHERE {col} BETWEEN {lo} AND {hi})"
+            )
+            legs.append(f"""
+SELECT '{lname}' AS layout, '{pname}' AS predicate,
+       count(*)::BIGINT AS n_files,
+       sum(CASE WHEN {hit} THEN 1 ELSE 0 END)::BIGINT AS files_read,
+       (count(*) - sum(CASE WHEN {hit} THEN 1 ELSE 0 END))::BIGINT
+         AS files_skipped,
+       {matched}::BIGINT AS rows_matched,
+       sum(CASE WHEN {hit} THEN n_rows ELSE 0 END)::BIGINT AS rows_scanned,
+       round(sum(CASE WHEN {hit} THEN n_rows ELSE 0 END)::DOUBLE
+             / {matched}::DOUBLE, 6) AS read_amplification
+FROM (
+  SELECT f, min(l_partkey) AS min_x, max(l_partkey) AS max_x,
+         min(l_suppkey) AS min_y, max(l_suppkey) AS max_y,
+         count(*)::BIGINT AS n_rows
+  FROM (SELECT ntile({n_files}) OVER (ORDER BY {order}) AS f,
+               l_partkey, l_suppkey
+        FROM li)
+  GROUP BY f
+)""")
+    return (
+        "WITH mk AS (SELECT max(l_partkey) + 1 AS nx,"
+        " max(l_suppkey) + 1 AS ny FROM lineitem),\n"
+        + ",\n".join(ctes)
+        + "\n"
+        + "\nUNION ALL\n".join(legs)
+        + "\nORDER BY layout, predicate"
+    )
+
+
+_BLEU_TOKS = duckdb_tokens_sql("text")
+
+ORACLES["corpus_bleu_pairs"] = f"""
+WITH docs AS (SELECT source, {_BLEU_TOKS} AS toks FROM documents),
+uni AS (SELECT source, unnest(toks) AS gram FROM docs),
+bi AS (
+  SELECT source,
+         toks[i] || ' ' || toks[i + 1] AS gram
+  FROM (SELECT source, toks, unnest(range(1, len(toks)))::INT AS i
+        FROM docs WHERE len(toks) >= 2)
+),
+c1 AS (SELECT source, gram, count(*)::BIGINT AS c FROM uni GROUP BY 1, 2),
+c2 AS (SELECT source, gram, count(*)::BIGINT AS c FROM bi GROUP BY 1, 2),
+t1 AS (SELECT source, sum(c)::BIGINT AS tot FROM c1 GROUP BY 1),
+t2 AS (SELECT source, sum(c)::BIGINT AS tot FROM c2 GROUP BY 1),
+m1 AS (
+  SELECT a.source AS cand_source, b.source AS ref_source,
+         sum(least(a.c, b.c))::BIGINT AS match1
+  FROM c1 a JOIN c1 b ON a.gram = b.gram AND a.source <> b.source
+  GROUP BY 1, 2
+),
+m2 AS (
+  SELECT a.source AS cand_source, b.source AS ref_source,
+         sum(least(a.c, b.c))::BIGINT AS match2
+  FROM c2 a JOIN c2 b ON a.gram = b.gram AND a.source <> b.source
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT m1.cand_source, m1.ref_source,
+         tc1.tot AS n1_cand, match1,
+         tc2.tot AS n2_cand, match2,
+         tr.tot AS r_toks
+  FROM m1
+  JOIN m2 USING (cand_source, ref_source)
+  JOIN t1 tc1 ON tc1.source = m1.cand_source
+  JOIN t2 tc2 ON tc2.source = m1.cand_source
+  JOIN t1 tr ON tr.source = m1.ref_source
+  WHERE match1 > 0 AND match2 > 0
+)
+SELECT cand_source, ref_source, n1_cand, match1, n2_cand, match2,
+       round(match1::DOUBLE / n1_cand::DOUBLE, 6) AS p1,
+       round(match2::DOUBLE / n2_cand::DOUBLE, 6) AS p2,
+       round(least(0.0, 1.0 - r_toks::DOUBLE / n1_cand::DOUBLE)
+             + 0.5 * (round(ln(match1::DOUBLE / n1_cand::DOUBLE), 12)
+                      + round(ln(match2::DOUBLE / n2_cand::DOUBLE), 12)),
+             6) AS log_bleu2
+FROM j ORDER BY cand_source, ref_source
+"""
+
+from lucene_mapreduce_spark.operators.parity import (  # noqa: E402
+    COCHRAN_TYPES,
+)
+
+_CQ_K = len(COCHRAN_TYPES)
+_CQ_FLAGS = ", ".join(
+    f"max(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS x{i}"
+    for i, t in enumerate(COCHRAN_TYPES)
+)
+_CQ_R = " + ".join(f"x{i}" for i in range(_CQ_K))
+_CQ_CSUM = ", ".join(
+    f"sum(x{i})::BIGINT AS c{i}" for i in range(_CQ_K)
+)
+_CQ_SC2 = " + ".join(
+    f"c{i}::DOUBLE * c{i}::DOUBLE" for i in range(_CQ_K)
+)
+_CQ_OUT = ", ".join(
+    f"c{i} AS c_{t}" for i, t in enumerate(COCHRAN_TYPES)
+)
+
+ORACLES["cochran_q_test"] = f"""
+WITH ev AS (
+  SELECT user_id, ts::DATE AS day, event_type FROM events
+),
+blocks AS (
+  SELECT user_id, day, {_CQ_FLAGS}
+  FROM ev GROUP BY 1, 2
+),
+g AS (
+  SELECT count(*)::BIGINT AS n_blocks, {_CQ_CSUM},
+         sum({_CQ_R})::BIGINT AS sr,
+         sum(({_CQ_R}) * ({_CQ_R}))::BIGINT AS sr2
+  FROM blocks
+)
+SELECT n_blocks, {_CQ_OUT}, {_CQ_K - 1}::BIGINT AS df,
+       round({float(_CQ_K - 1)!r}
+             * ({float(_CQ_K)!r} * ({_CQ_SC2}) - sr::DOUBLE * sr::DOUBLE)
+             / ({float(_CQ_K)!r} * sr::DOUBLE - sr2::DOUBLE), 6) AS q_stat
+FROM g
+"""

@@ -7451,3 +7451,58 @@ def shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+COCHRAN_TYPES = ("click", "purchase", "view")
+
+
+def cochran_q_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q test for k=3 matched binary treatments — the
+    McNemar generalization (mcnemar_paired_days is the k=2 member):
+    blocks are ACTIVE user-days (any event), treatments are the pinned
+    COCHRAN_TYPES presence flags, and Q = (k-1)(k*sum C_j^2 - N^2) /
+    (k*sum R_i - sum R_i^2) comes entirely from exact BIGINT
+    sufficient statistics (column totals, row-total sum and sum of
+    squares) — one events scan, one user-day groupBy, one row out.
+    Blocks with all-equal flags contribute zero to the denominator by
+    the identity, the textbook treatment."""
+    k = len(COCHRAN_TYPES)
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day"), "event_type"
+    )
+    flags = [
+        F.max((F.col("event_type") == t).cast("int")).alias(f"x{i}")
+        for i, t in enumerate(COCHRAN_TYPES)
+    ]
+    blocks = ev.groupBy("user_id", "day").agg(*flags)
+    r = sum(F.col(f"x{i}") for i in range(k))
+    g = blocks.select(
+        *[F.col(f"x{i}") for i in range(k)], r.alias("r")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        *[
+            F.sum(f"x{i}").cast("long").alias(f"c{i}")
+            for i in range(k)
+        ],
+        F.sum("r").cast("long").alias("sr"),
+        F.sum(F.col("r") * F.col("r")).cast("long").alias("sr2"),
+    )
+    sc2 = sum(
+        F.col(f"c{i}").cast("double") * F.col(f"c{i}").cast("double")
+        for i in range(k)
+    )
+    nD = F.col("sr").cast("double")
+    q = (
+        F.lit(float(k - 1))
+        * (F.lit(float(k)) * sc2 - nD * nD)
+        / (
+            F.lit(float(k)) * F.col("sr").cast("double")
+            - F.col("sr2").cast("double")
+        )
+    )
+    sel = [F.col("n_blocks")]
+    sel += [
+        F.col(f"c{i}").alias(f"c_{t}") for i, t in enumerate(COCHRAN_TYPES)
+    ]
+    sel += [F.lit(k - 1).cast("long").alias("df"), F.round(q, 6).alias("q_stat")]
+    return g.select(*sel)

@@ -3449,3 +3449,159 @@ def personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= PPR_TOP_K)
         .orderBy("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 120: Hilbert-curve file clustering vs Z-order
+# ---------------------------------------------------------------------------
+
+HILBERT_N = 16  # grid side = 2^4: both bucket dims are 4-bit, as in zorder
+
+
+def hilbert_step_exprs(s: int, x: str, y: str, divop: str):
+    """One unrolled step of the classic xy2d Hilbert walk (bit s), as
+    SQL text shared verbatim by Spark (`div`) and DuckDB (`//`): pure
+    integer div/mod/CASE — the quadrant term replaces (3*rx) XOR ry
+    with its closed CASE form, and the rotation is the standard
+    reflect+swap with the full-grid N-1 reflector.  Returns
+    (d_term, x_next, y_next) reading ONLY the step's input columns —
+    no lateral alias capture in either engine."""
+    rx = f"((({x}) {divop} {s}) % 2)"
+    ry = f"((({y}) {divop} {s}) % 2)"
+    d_term = f"{s * s} * (CASE WHEN {rx} = 1 THEN 3 - {ry} ELSE {ry} END)"
+    nx = (
+        f"CASE WHEN {ry} = 1 THEN ({x}) "
+        f"WHEN {rx} = 1 THEN {HILBERT_N - 1} - ({y}) ELSE ({y}) END"
+    )
+    ny = (
+        f"CASE WHEN {ry} = 1 THEN ({y}) "
+        f"WHEN {rx} = 1 THEN {HILBERT_N - 1} - ({x}) ELSE ({x}) END"
+    )
+    return d_term, nx, ny
+
+
+def hilbert_layout_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve file clustering vs Z-order (the Delta/Iceberg
+    OPTIMIZE debate quantified): identical file count, probe ranges and
+    min/max skip accounting as zorder_layout_plan, but the sort key of
+    the second layout is the Hilbert d-index of the two 16-level key
+    buckets — the space-filling curve with strictly better worst-case
+    locality than Morton (no diagonal jumps), which is why engines that
+    offer both default to Hilbert.  The xy2d walk is 4 unrolled
+    integer-only steps (hilbert_step_exprs, shared SQL text with the
+    oracle); everything downstream is zorder_layout_plan's exact
+    integer skip report.  The single-partition ntile window is the
+    test-scale stand-in for repartitionByRange on the same key."""
+    from pyspark.sql.window import Window
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey", "l_linenumber"
+    )
+    mrow = li.agg(
+        F.max("l_partkey").alias("mx"), F.max("l_suppkey").alias("my")
+    ).collect()[0]
+    nx, ny = int(mrow["mx"]) + 1, int(mrow["my"]) + 1
+    bx = f"(l_partkey * {ZORDER_X_BUCKETS}) div {nx}"
+    by = f"(l_suppkey * {ZORDER_Y_BUCKETS}) div {ny}"
+    li = li.withColumn("z", F.expr(_z_expr(bx, by, "div"))).withColumn(
+        "x0", F.expr(bx)
+    ).withColumn("y0", F.expr(by)).withColumn("d0", F.lit(0))
+    step = 0
+    s = HILBERT_N // 2
+    while s > 0:
+        d_term, nxp, nyp = hilbert_step_exprs(
+            s, f"x{step}", f"y{step}", "div"
+        )
+        li = li.select(
+            "l_partkey",
+            "l_suppkey",
+            "l_orderkey",
+            "l_linenumber",
+            "z",
+            F.expr(f"d{step} + {d_term}").alias(f"d{step + 1}"),
+            F.expr(nxp).alias(f"x{step + 1}"),
+            F.expr(nyp).alias(f"y{step + 1}"),
+        )
+        step += 1
+        s //= 2
+    li = li.withColumnRenamed(f"d{step}", "h")
+    pb = ZORDER_PRED_BUCKET
+    preds = {
+        "x_range": (
+            "l_partkey",
+            nx * pb // ZORDER_X_BUCKETS,
+            nx * (pb + 1) // ZORDER_X_BUCKETS - 1,
+        ),
+        "y_range": (
+            "l_suppkey",
+            ny * pb // ZORDER_Y_BUCKETS,
+            ny * (pb + 1) // ZORDER_Y_BUCKETS - 1,
+        ),
+    }
+    layouts = {
+        "hilbert": Window.orderBy(
+            "h", "l_partkey", "l_suppkey", "l_orderkey", "l_linenumber"
+        ),
+        "zorder": Window.orderBy(
+            "z", "l_partkey", "l_suppkey", "l_orderkey", "l_linenumber"
+        ),
+    }
+    matched = li.agg(
+        *[
+            F.sum(F.col(c).between(lo, hi).cast("int"))
+            .cast("long")
+            .alias(f"m_{p}")
+            for p, (c, lo, hi) in preds.items()
+        ]
+    )
+    out = None
+    for lname, w in layouts.items():
+        files = (
+            li.select(
+                F.ntile(ZORDER_N_FILES).over(w).alias("f"),
+                "l_partkey",
+                "l_suppkey",
+            )
+            .groupBy("f")
+            .agg(
+                F.min("l_partkey").alias("min_x"),
+                F.max("l_partkey").alias("max_x"),
+                F.min("l_suppkey").alias("min_y"),
+                F.max("l_suppkey").alias("max_y"),
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+            )
+        )
+        for pname, (col, lo, hi) in preds.items():
+            mn, mx = ("min_x", "max_x") if col == "l_partkey" else (
+                "min_y",
+                "max_y",
+            )
+            hit = (F.col(mn) <= hi) & (F.col(mx) >= lo)
+            row = (
+                files.agg(
+                    F.count(F.lit(1)).cast("long").alias("n_files"),
+                    F.sum(hit.cast("int")).cast("long").alias("files_read"),
+                    F.sum(F.when(hit, F.col("n_rows")).otherwise(0))
+                    .cast("long")
+                    .alias("rows_scanned"),
+                )
+                .crossJoin(F.broadcast(matched))
+                .select(
+                    F.lit(lname).alias("layout"),
+                    F.lit(pname).alias("predicate"),
+                    "n_files",
+                    "files_read",
+                    (F.col("n_files") - F.col("files_read"))
+                    .cast("long")
+                    .alias("files_skipped"),
+                    F.col(f"m_{pname}").alias("rows_matched"),
+                    "rows_scanned",
+                    F.round(
+                        F.col("rows_scanned").cast("double")
+                        / F.col(f"m_{pname}").cast("double"),
+                        6,
+                    ).alias("read_amplification"),
+                )
+            )
+            out = row if out is None else out.unionByName(row)
+    return out.orderBy("layout", "predicate")

@@ -6703,3 +6703,106 @@ def ndv_sketch_error_by_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     for leg in legs[1:]:
         out = out.unionByName(leg)
     return out.orderBy("column_name")
+
+
+# ---------------------------------------------------------------------------
+# Batch 120: corpus-level BLEU-2 between source corpora
+# ---------------------------------------------------------------------------
+
+
+def corpus_bleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level BLEU-2 between every ordered pair of sources,
+    treating each candidate source's n-gram BAG against the reference
+    source's bag (the corpus-overlap variant of BLEU used to compare
+    corpus styles when no segment alignment exists — a cousin of
+    kl_divergence_by_source that scores SURFACE overlap instead of
+    distribution distance).  Modified precision p_n = sum_g
+    min(cand_count, ref_count) / cand_total for n=1,2 — exact BIGINT
+    clipped matches via one gram-keyed equi-join (gram types are
+    vocab-bounded, never a pair blowup) — and the brevity penalty stays
+    in log space (min(0, 1 - r/c)) so no cross-engine exp(); each ln
+    is rounded 12dp before the final combine, the entropy-family rule.
+    Pairs with a zero bigram match are dropped on both sides."""
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_col
+
+    docs = load(spark, sf_dir, "documents").select(
+        "source", tokenize_col("text").alias("toks")
+    )
+    uni = docs.select(
+        "source", F.explode("toks").alias("gram")
+    )
+    bi = docs.filter(F.size("toks") >= 2).select(
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> concat_ws(' ', slice(toks, i, 2)))"
+            )
+        ).alias("gram"),
+    )
+    legs = []
+    for n, grams in ((1, uni), (2, bi)):
+        cnt = grams.groupBy("source", "gram").agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+        tot = cnt.groupBy("source").agg(
+            F.sum("c").cast("long").alias("tot")
+        )
+        ref = cnt.select(
+            F.col("source").alias("ref_source"),
+            "gram",
+            F.col("c").alias("rc"),
+        )
+        match = (
+            cnt.join(ref, "gram")
+            .filter(F.col("source") != F.col("ref_source"))
+            .groupBy(
+                F.col("source").alias("cand_source"), "ref_source"
+            )
+            .agg(
+                F.sum(F.least("c", "rc")).cast("long").alias(f"match{n}")
+            )
+        )
+        legs.append(
+            (
+                match.join(
+                    tot.select(
+                        F.col("source").alias("cand_source"),
+                        F.col("tot").alias(f"n{n}_cand"),
+                    ),
+                    "cand_source",
+                ),
+                tot,
+            )
+        )
+    (m1, tot1), (m2, _) = legs
+    ref_tot = tot1.select(
+        F.col("source").alias("ref_source"), F.col("tot").alias("r_toks")
+    )
+    j = (
+        m1.join(m2, ["cand_source", "ref_source"])
+        .join(ref_tot, "ref_source")
+        .filter((F.col("match1") > 0) & (F.col("match2") > 0))
+    )
+    p1 = F.col("match1").cast("double") / F.col("n1_cand").cast("double")
+    p2 = F.col("match2").cast("double") / F.col("n2_cand").cast("double")
+    log_bp = F.least(
+        F.lit(0.0),
+        F.lit(1.0)
+        - F.col("r_toks").cast("double") / F.col("n1_cand").cast("double"),
+    )
+    return j.select(
+        "cand_source",
+        "ref_source",
+        "n1_cand",
+        "match1",
+        "n2_cand",
+        "match2",
+        F.round(p1, 6).alias("p1"),
+        F.round(p2, 6).alias("p2"),
+        F.round(
+            log_bp
+            + F.lit(0.5) * (F.round(F.log(p1), 12) + F.round(F.log(p2), 12)),
+            6,
+        ).alias("log_bleu2"),
+    ).orderBy("cand_source", "ref_source")
