@@ -1052,6 +1052,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hilbert_layout_plan": relational.hilbert_layout_plan,
         "corpus_bleu_pairs": textstats.corpus_bleu_pairs,
         "cochran_q_test": parity.cochran_q_test,
+        # batch 121: Cochran-Armitage trend, Durbin-Watson, Friedman
+        "cochran_armitage_trend": parity.cochran_armitage_trend,
+        "durbin_watson_daily": parity.durbin_watson_daily,
+        "friedman_test": parity.friedman_test,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})

@@ -17034,3 +17034,134 @@ SELECT n_blocks, {_CQ_OUT}, {_CQ_K - 1}::BIGINT AS df,
              / ({float(_CQ_K)!r} * sr::DOUBLE - sr2::DOUBLE), 6) AS q_stat
 FROM g
 """
+
+# ---- batch 121: Cochran-Armitage trend, Durbin-Watson, Friedman ------------
+
+ORACLES["cochran_armitage_trend"] = """
+WITH ev AS (
+  SELECT (epoch_us(ts) // 86400000000) // 7 AS wk,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+),
+per AS (
+  SELECT wk, count(*)::BIGINT AS n_i, sum(y)::BIGINT AS r_i
+  FROM ev GROUP BY 1
+),
+w0 AS (SELECT min(wk) AS w0 FROM per),
+g AS (
+  SELECT count(*)::BIGINT AS n_weeks,
+         sum(n_i)::BIGINT AS n_events,
+         sum(r_i)::BIGINT AS n_purchases,
+         sum((wk - w0) * n_i)::BIGINT AS stn,
+         sum((wk - w0) * (wk - w0) * n_i)::BIGINT AS st2n,
+         sum((wk - w0) * r_i)::BIGINT AS str
+  FROM per, w0
+)
+SELECT n_weeks, n_events, n_purchases,
+       round(n_purchases::DOUBLE / n_events::DOUBLE, 6) AS p_hat,
+       round((str::DOUBLE - (n_purchases::DOUBLE / n_events::DOUBLE)
+                              * stn::DOUBLE)
+             / sqrt((n_purchases::DOUBLE / n_events::DOUBLE)
+                    * (1.0 - n_purchases::DOUBLE / n_events::DOUBLE)
+                    * (st2n::DOUBLE
+                       - stn::DOUBLE * stn::DOUBLE / n_events::DOUBLE)),
+             6) AS z_trend
+FROM g
+"""
+
+ORACLES["durbin_watson_daily"] = f"""
+WITH {_DAILY_HIST},
+idx AS (
+  SELECT row_number() OVER (ORDER BY day)::BIGINT AS i,
+         n_events::BIGINT AS y
+  FROM hist
+),
+g AS (
+  SELECT count(*)::BIGINT AS n, sum(i)::BIGINT AS si,
+         sum(i * i)::BIGINT AS sii, sum(y)::BIGINT AS sy,
+         sum(i * y)::BIGINT AS siy
+  FROM idx
+),
+fit AS (
+  SELECT n, si, sii, sy, siy,
+         (n::DOUBLE * siy::DOUBLE - si::DOUBLE * sy::DOUBLE)
+           / (n::DOUBLE * sii::DOUBLE - si::DOUBLE * si::DOUBLE) AS b
+  FROM g
+),
+fit2 AS (
+  SELECT n, b, (sy::DOUBLE - b * si::DOUBLE) / n::DOUBLE AS a
+  FROM fit
+),
+res AS (
+  SELECT i, y::DOUBLE - (round(a, 12) + round(b, 12) * i::DOUBLE) AS e
+  FROM idx, fit2
+),
+terms AS (
+  SELECT e,
+         round(e * e, 12)::DECIMAL(38,12) AS e2,
+         CASE WHEN lag(e) OVER (ORDER BY i) IS NOT NULL
+              THEN round((e - lag(e) OVER (ORDER BY i))
+                         * (e - lag(e) OVER (ORDER BY i)), 12)::DECIMAL(38,12)
+         END AS d2
+  FROM res
+)
+SELECT (SELECT n FROM fit2)::BIGINT AS n_days,
+       (SELECT round(b, 6) FROM fit2) AS slope,
+       (SELECT round(a, 6) FROM fit2) AS intercept,
+       round(sum(d2)::DOUBLE / sum(e2)::DOUBLE, 6) AS dw_stat
+FROM terms
+"""
+
+from lucene_mapreduce_spark.operators.parity import (  # noqa: E402
+    FRIEDMAN_TYPES,
+)
+
+_FR_K = len(FRIEDMAN_TYPES)
+_FR_TYPES_IN = ", ".join(f"'{t}'" for t in FRIEDMAN_TYPES)
+_FR_VALUES = ", ".join(f"('{t}')" for t in FRIEDMAN_TYPES)
+_FR_PIV = ", ".join(
+    f"max(CASE WHEN event_type = '{t}' THEN s_j END) AS s2_{t}"
+    for t in FRIEDMAN_TYPES
+)
+
+ORACLES["friedman_test"] = f"""
+WITH ev AS (
+  SELECT user_id, event_type FROM events
+  WHERE event_type IN ({_FR_TYPES_IN})
+),
+users AS (SELECT DISTINCT user_id FROM ev),
+types AS (SELECT * FROM (VALUES {_FR_VALUES}) AS t(event_type)),
+counts AS (
+  SELECT user_id, event_type, count(*)::BIGINT AS v
+  FROM ev GROUP BY 1, 2
+),
+full_grid AS (
+  SELECT u.user_id, t.event_type, coalesce(c.v, 0)::BIGINT AS v
+  FROM users u CROSS JOIN types t
+  LEFT JOIN counts c USING (user_id, event_type)
+),
+ranked AS (
+  SELECT user_id, event_type,
+         (2 * rank() OVER (PARTITION BY user_id ORDER BY v)
+          + count(*) OVER (PARTITION BY user_id, v) - 1)::BIGINT AS s
+  FROM full_grid
+),
+col_sums AS (
+  SELECT event_type, sum(s)::BIGINT AS s_j FROM ranked GROUP BY 1
+),
+nu AS (SELECT count(*)::BIGINT AS n_users FROM users),
+num AS (
+  SELECT sum((s_j - (SELECT n_users FROM nu) * {_FR_K + 1})
+             * (s_j - (SELECT n_users FROM nu) * {_FR_K + 1}))::BIGINT AS num
+  FROM col_sums
+),
+den AS (
+  SELECT sum((s - {_FR_K + 1}) * (s - {_FR_K + 1}))::BIGINT AS den
+  FROM ranked
+),
+piv AS (SELECT {_FR_PIV} FROM col_sums)
+SELECT (SELECT n_users FROM nu) AS n_users, piv.*,
+       {_FR_K - 1}::BIGINT AS df,
+       round({float(_FR_K - 1)!r} * num::DOUBLE / den::DOUBLE, 6) AS q_stat
+FROM piv, num, den
+"""

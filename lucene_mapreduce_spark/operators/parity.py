@@ -7506,3 +7506,202 @@ def cochran_q_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     sel += [F.lit(k - 1).cast("long").alias("df"), F.round(q, 6).alias("q_stat")]
     return g.select(*sel)
+
+
+# ---------------------------------------------------------------------------
+# Batch 121: Cochran-Armitage trend, Durbin-Watson, Friedman test
+# ---------------------------------------------------------------------------
+
+
+def cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage test for a linear trend in a binary proportion
+    across ordered groups: is the purchase share drifting across the
+    stream's WEEKS (epoch-day div 7, the weekly_churn_rate calendar,
+    centered on the first week so scores are small integers)?
+    Z = sum t_i (r_i - p n_i) / sqrt(p(1-p) (sum t_i^2 n_i -
+    (sum t_i n_i)^2 / N)) with every input an exact BIGINT (per-week
+    trials n_i, successes r_i, integer scores t_i); one scan, one
+    week-grain groupBy, one row out — the ordered-alternative sibling
+    of chi2's any-difference test."""
+    ev = load(spark, sf_dir, "events").select(
+        F.expr(
+            "unix_micros(cast(ts as timestamp)) div 86400000000 div 7"
+        ).alias("wk"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    )
+    per = ev.groupBy("wk").agg(
+        F.count(F.lit(1)).cast("long").alias("n_i"),
+        F.sum("y").cast("long").alias("r_i"),
+    )
+    w0 = per.agg(F.min("wk").alias("w0"))
+    g = (
+        per.crossJoin(F.broadcast(w0))
+        .select(
+            (F.col("wk") - F.col("w0")).alias("t"), "n_i", "r_i"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_weeks"),
+            F.sum("n_i").cast("long").alias("n_events"),
+            F.sum("r_i").cast("long").alias("n_purchases"),
+            F.sum(F.col("t") * F.col("n_i")).cast("long").alias("stn"),
+            F.sum(F.col("t") * F.col("t") * F.col("n_i"))
+            .cast("long")
+            .alias("st2n"),
+            F.sum(F.col("t") * F.col("r_i")).cast("long").alias("str"),
+        )
+    )
+    nD = F.col("n_events").cast("double")
+    p = F.col("n_purchases").cast("double") / nD
+    num = F.col("str").cast("double") - p * F.col("stn").cast("double")
+    den = p * (F.lit(1.0) - p) * (
+        F.col("st2n").cast("double")
+        - F.col("stn").cast("double") * F.col("stn").cast("double") / nD
+    )
+    return g.select(
+        "n_weeks",
+        "n_events",
+        "n_purchases",
+        F.round(p, 6).alias("p_hat"),
+        F.round(num / F.sqrt(den), 6).alias("z_trend"),
+    )
+
+
+def durbin_watson_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson first-order autocorrelation statistic on the
+    residuals of the OLS day-index fit of daily event counts (the
+    regression-diagnostics companion to ljung_box_q, which tests the
+    raw series): slope and intercept come from exact BIGINT sufficient
+    statistics over the gap-filled calendar (the ols_token_chars_fit
+    discipline), residuals run the identical float64 chain in both
+    engines, and both quadratic forms (sum of squared successive
+    differences via one lag window, sum of squared residuals) are
+    12dp-rounded DECIMAL sums — order-free.  DW ~ 2(1 - rho1)."""
+    from pyspark.sql import Window
+
+    hist = date_histogram_facets(spark, sf_dir)
+    idx = hist.select(
+        F.row_number().over(Window.orderBy("day")).cast("long").alias("i"),
+        F.col("n_events").cast("long").alias("y"),
+    )
+    g = idx.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("i").cast("long").alias("si"),
+        F.sum(F.col("i") * F.col("i")).cast("long").alias("sii"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("i") * F.col("y")).cast("long").alias("siy"),
+    )
+    nD = F.col("n").cast("double")
+    b = (
+        nD * F.col("siy").cast("double")
+        - F.col("si").cast("double") * F.col("sy").cast("double")
+    ) / (
+        nD * F.col("sii").cast("double")
+        - F.col("si").cast("double") * F.col("si").cast("double")
+    )
+    a = (F.col("sy").cast("double") - b * F.col("si").cast("double")) / nD
+    e = F.col("y").cast("double") - (
+        F.col("a") + F.col("b") * F.col("i").cast("double")
+    )
+    res = idx.crossJoin(
+        F.broadcast(g.select(F.round(b, 12).alias("b"), F.round(a, 12).alias("a")))
+    ).select("i", e.alias("e"))
+    w = Window.orderBy("i")
+    de = F.col("e") - F.lag("e").over(w)
+    terms = res.select(
+        "e",
+        F.round(F.col("e") * F.col("e"), 12)
+        .cast("decimal(38,12)")
+        .alias("e2"),
+        F.when(
+            F.lag("e").over(w).isNotNull(),
+            F.round(de * de, 12).cast("decimal(38,12)"),
+        ).alias("d2"),
+    )
+    fit = g.select(
+        "n", F.round(b, 6).alias("slope"), F.round(a, 6).alias("intercept")
+    )
+    return (
+        terms.agg(
+            F.sum("d2").cast("double").alias("ssd"),
+            F.sum("e2").cast("double").alias("sse"),
+        )
+        .crossJoin(F.broadcast(fit))
+        .select(
+            F.col("n").alias("n_days"),
+            "slope",
+            "intercept",
+            F.round(F.col("ssd") / F.col("sse"), 6).alias("dw_stat"),
+        )
+    )
+
+
+FRIEDMAN_TYPES = ("click", "purchase", "view")
+
+
+def friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman rank test for k=3 related samples: blocks are users,
+    treatments the pinned FRIEDMAN_TYPES, the measurement each user's
+    lifetime count of that type (zero-filled — every block is
+    complete).  Within-block tie-averaged ranks are kept EXACT as
+    doubled ranks s = 2*rank_min + ties - 1 (integers), so both the
+    tie-general statistic Q = (k-1) * sum_j (S_j - n(k+1))^2 /
+    sum_ij (s_ij - (k+1))^2 and its inputs are pure BIGINT arithmetic
+    — the matched-blocks sibling of kruskal_wallis_h (independent
+    groups) and cochran_q_test (binary outcomes)."""
+    from pyspark.sql import Window
+
+    k = len(FRIEDMAN_TYPES)
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(*FRIEDMAN_TYPES)
+    )
+    users = ev.select("user_id").distinct()
+    types = spark.createDataFrame(
+        [(t,) for t in FRIEDMAN_TYPES], "event_type string"
+    )
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("v")
+    )
+    full = (
+        users.crossJoin(F.broadcast(types))
+        .join(counts, ["user_id", "event_type"], "left")
+        .select(
+            "user_id",
+            "event_type",
+            F.coalesce("v", F.lit(0)).cast("long").alias("v"),
+        )
+    )
+    wr = Window.partitionBy("user_id").orderBy("v")
+    wt = Window.partitionBy("user_id", "v")
+    s = (
+        F.lit(2) * F.rank().over(wr)
+        + F.count(F.lit(1)).over(wt)
+        - F.lit(1)
+    ).cast("long")
+    ranked = full.select("user_id", "event_type", s.alias("s"))
+    nu = ranked.select("user_id").distinct().count()
+    col_sums = ranked.groupBy("event_type").agg(
+        F.sum("s").cast("long").alias("s_j")
+    )
+    dev = F.col("s_j") - F.lit(nu * (k + 1))
+    num = col_sums.agg(
+        F.sum(dev * dev).cast("long").alias("num")
+    )
+    cell = F.col("s") - F.lit(k + 1)
+    den = ranked.agg(F.sum(cell * cell).cast("long").alias("den"))
+    piv = col_sums.groupBy().pivot(
+        "event_type", list(FRIEDMAN_TYPES)
+    ).agg(F.first("s_j"))
+    sel = [F.lit(nu).cast("long").alias("n_users")]
+    sel += [F.col(t).alias(f"s2_{t}") for t in FRIEDMAN_TYPES]
+    sel += [
+        F.lit(k - 1).cast("long").alias("df"),
+        F.round(
+            F.lit(float(k - 1))
+            * F.col("num").cast("double")
+            / F.col("den").cast("double"),
+            6,
+        ).alias("q_stat"),
+    ]
+    return piv.crossJoin(F.broadcast(num)).crossJoin(
+        F.broadcast(den)
+    ).select(*sel)
