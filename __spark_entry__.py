@@ -1056,6 +1056,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cochran_armitage_trend": parity.cochran_armitage_trend,
         "durbin_watson_daily": parity.durbin_watson_daily,
         "friedman_test": parity.friedman_test,
+        # batch 122: periodogram, Bartlett, block-max tightness
+        "weekly_periodogram_power": parity.weekly_periodogram_power,
+        "bartlett_variance_test": parity.bartlett_variance_test,
+        "blockmax_tightness_report": textstats.blockmax_tightness_report,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})

@@ -17165,3 +17165,130 @@ SELECT (SELECT n_users FROM nu) AS n_users, piv.*,
        round({float(_FR_K - 1)!r} * num::DOUBLE / den::DOUBLE, 6) AS q_stat
 FROM piv, num, den
 """
+
+# ---- batch 122: periodogram, Bartlett, block-max tightness -----------------
+
+from lucene_mapreduce_spark.operators.parity import (  # noqa: E402
+    BARTLETT_TYPES,
+    PERIODOGRAM_PERIODS,
+    PERIODOGRAM_TRIG,
+)
+
+
+def _periodogram_leg(p: int) -> str:
+    cos_case = "CASE (i % {p}) {arms} END".format(
+        p=p,
+        arms=" ".join(
+            f"WHEN {r} THEN {c!r}"
+            for r, (c, s) in enumerate(PERIODOGRAM_TRIG[p])
+        ),
+    )
+    sin_case = "CASE (i % {p}) {arms} END".format(
+        p=p,
+        arms=" ".join(
+            f"WHEN {r} THEN {s!r}"
+            for r, (c, s) in enumerate(PERIODOGRAM_TRIG[p])
+        ),
+    )
+    return f"""
+SELECT {p}::BIGINT AS period, n_days,
+       round(cs, 6) AS amp_cos, round(ss, 6) AS amp_sin,
+       round(cs * cs + ss * ss, 4) AS power
+FROM (
+  SELECT count(*)::BIGINT AS n_days,
+         sum(round(y::DOUBLE * ({cos_case}), 12)::DECIMAL(38,12))::DOUBLE
+           AS cs,
+         sum(round(y::DOUBLE * ({sin_case}), 12)::DECIMAL(38,12))::DOUBLE
+           AS ss
+  FROM idx
+)"""
+
+
+ORACLES["weekly_periodogram_power"] = (
+    f"WITH {_DAILY_HIST},\n"
+    "idx AS (SELECT row_number() OVER (ORDER BY day) - 1 AS i,"
+    " n_events::BIGINT AS y FROM hist)\n"
+    + "\nUNION ALL\n".join(_periodogram_leg(p) for p in PERIODOGRAM_PERIODS)
+    + "\nORDER BY period"
+)
+
+_BT_K = len(BARTLETT_TYPES)
+
+ORACLES["bartlett_variance_test"] = f"""
+WITH ev AS (
+  SELECT event_type,
+         round(value, 6)::DECIMAL(18,6) AS v,
+         round(value * value, 12)::DECIMAL(38,12) AS vv
+  FROM events
+),
+per AS (
+  SELECT event_type, count(*)::BIGINT AS n_j,
+         sum(v)::DOUBLE AS s, sum(vv)::DOUBLE AS ss
+  FROM ev GROUP BY 1
+),
+terms AS (
+  SELECT n_j,
+         round((n_j::DOUBLE - 1.0)
+               * ((ss - s * s / n_j::DOUBLE) / (n_j::DOUBLE - 1.0)),
+               6)::DECIMAL(38,6) AS w_ss,
+         round((n_j::DOUBLE - 1.0)
+               * round(ln((ss - s * s / n_j::DOUBLE)
+                          / (n_j::DOUBLE - 1.0)), 12),
+               12)::DECIMAL(38,12) AS w_ln,
+         round(1.0 / (n_j::DOUBLE - 1.0), 12)::DECIMAL(38,12) AS inv_df
+  FROM per
+),
+g AS (
+  SELECT count(*)::BIGINT AS k, sum(n_j)::BIGINT AS n_total,
+         sum(w_ss)::DOUBLE AS sw_ss, sum(w_ln)::DOUBLE AS sw_ln,
+         sum(inv_df)::DOUBLE AS s_inv
+  FROM terms
+)
+SELECT k, n_total,
+       round(sw_ss / (n_total - {_BT_K})::DOUBLE, 6) AS pooled_var,
+       {_BT_K - 1}::BIGINT AS df,
+       round(((n_total - {_BT_K})::DOUBLE
+                * round(ln(sw_ss / (n_total - {_BT_K})::DOUBLE), 12)
+              - sw_ln)
+             / (1.0 + (s_inv - 1.0 / (n_total - {_BT_K})::DOUBLE)
+                      / {3.0 * (_BT_K - 1)!r}),
+             6) AS chi2_stat
+FROM g
+"""
+
+from lucene_mapreduce_spark.operators.textstats import (  # noqa: E402
+    BLOCKMAX_B,
+)
+
+ORACLES["blockmax_tightness_report"] = f"""
+WITH docs AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+tf AS (
+  SELECT term, doc_id, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM docs)
+  GROUP BY 1, 2
+),
+blocks AS (
+  SELECT term, blk, max(tf) AS block_max
+  FROM (SELECT term, tf,
+               (row_number() OVER (PARTITION BY term ORDER BY doc_id) - 1)
+                 // {BLOCKMAX_B} AS blk
+        FROM tf)
+  GROUP BY 1, 2
+),
+stats AS (
+  SELECT term, count(*)::BIGINT AS df, max(tf) AS global_max
+  FROM tf GROUP BY 1
+),
+joined AS (
+  SELECT (length(df::VARCHAR) - 1)::BIGINT AS decade, b.term,
+         round(block_max::DOUBLE / global_max::DOUBLE, 6)::DECIMAL(18,6)
+           AS ratio,
+         CASE WHEN block_max = global_max THEN 1 ELSE 0 END AS tight
+  FROM blocks b JOIN stats s ON b.term = s.term
+)
+SELECT decade, count(DISTINCT term)::BIGINT AS n_terms,
+       count(*)::BIGINT AS n_blocks,
+       sum(tight)::BIGINT AS n_tight_blocks,
+       round(sum(ratio)::DOUBLE / count(*)::DOUBLE, 6) AS mean_tightness
+FROM joined GROUP BY decade ORDER BY decade
+"""

@@ -7705,3 +7705,146 @@ def friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return piv.crossJoin(F.broadcast(num)).crossJoin(
         F.broadcast(den)
     ).select(*sel)
+
+
+# ---------------------------------------------------------------------------
+# Batch 122: weekly periodogram + Bartlett variance homogeneity
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+PERIODOGRAM_PERIODS = (7, 5)
+# cos/sin(2*pi*r/p) pinned as Python double literals shared by BOTH
+# engines — never each engine's trig (the _PI_LIT rule): phase index is
+# the exact integer (i mod p), so the only floats are these literals.
+PERIODOGRAM_TRIG = {
+    p: tuple(
+        (_math.cos(2.0 * _math.pi * r / p), _math.sin(2.0 * _math.pi * r / p))
+        for r in range(p)
+    )
+    for p in PERIODOGRAM_PERIODS
+}
+
+
+def weekly_periodogram_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Periodogram power of the daily event-count series at the weekly
+    period (and a period-5 control — the non-harmonic probe): P(p) =
+    (sum y_i cos(2 pi i/p))^2 + (sum y_i sin(2 pi i/p))^2 over the
+    gap-filled calendar, the DFT bin dow_seasonality_strength reads as
+    a variance share.  The phase never touches engine trig: i mod p
+    indexes a table of pinned cos/sin double literals, each product
+    y*lit is the identical IEEE multiply, and both component sums are
+    12dp-rounded DECIMALs (order-free).  Calendar-bounded after one
+    scan."""
+    from pyspark.sql import Window
+
+    hist = date_histogram_facets(spark, sf_dir)
+    idx = hist.select(
+        (F.row_number().over(Window.orderBy("day")) - 1)
+        .cast("long")
+        .alias("i"),
+        F.col("n_events").cast("long").alias("y"),
+    )
+    out = None
+    for p in PERIODOGRAM_PERIODS:
+        cos_map = F.create_map(
+            *[
+                x
+                for r, (c, s) in enumerate(PERIODOGRAM_TRIG[p])
+                for x in (F.lit(r), F.lit(c))
+            ]
+        )
+        sin_map = F.create_map(
+            *[
+                x
+                for r, (c, s) in enumerate(PERIODOGRAM_TRIG[p])
+                for x in (F.lit(r), F.lit(s))
+            ]
+        )
+        ph = F.col("i") % p
+        leg = idx.select(
+            F.round(F.col("y").cast("double") * cos_map[ph], 12)
+            .cast("decimal(38,12)")
+            .alias("tc"),
+            F.round(F.col("y").cast("double") * sin_map[ph], 12)
+            .cast("decimal(38,12)")
+            .alias("ts"),
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.sum("tc").cast("double").alias("cs"),
+            F.sum("ts").cast("double").alias("ss"),
+        ).select(
+            F.lit(p).cast("long").alias("period"),
+            "n_days",
+            F.round("cs", 6).alias("amp_cos"),
+            F.round("ss", 6).alias("amp_sin"),
+            F.round(
+                F.col("cs") * F.col("cs") + F.col("ss") * F.col("ss"), 4
+            ).alias("power"),
+        )
+        out = leg if out is None else out.unionByName(leg)
+    return out.orderBy("period")
+
+
+BARTLETT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def bartlett_variance_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett's test of variance homogeneity across the k=5 event
+    types' value distributions — brown_forsythe_test's parametric
+    sibling (sensitive to non-normality, which is the comparison the
+    pair exists to make).  Group sums ride exact DECIMALs (value
+    rounded 6dp, squares at their exact 12dp scale), per-group and
+    pooled variances are identical float64 chains from those decimals,
+    and each ln is rounded 12dp before the DECIMAL-summed combine (the
+    entropy-family rule).  One scan, k-row algebra after."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.round("value", 6).cast("decimal(18,6)").alias("v"),
+        F.round(F.col("value") * F.col("value"), 12)
+        .cast("decimal(38,12)")
+        .alias("vv"),
+    )
+    per = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_j"),
+        F.sum("v").cast("double").alias("s"),
+        F.sum("vv").cast("double").alias("ss"),
+    )
+    nD = F.col("n_j").cast("double")
+    s2 = (F.col("ss") - F.col("s") * F.col("s") / nD) / (nD - F.lit(1.0))
+    terms = per.select(
+        "n_j",
+        s2.alias("s2"),
+        F.round((nD - F.lit(1.0)) * s2, 6)
+        .cast("decimal(38,6)")
+        .alias("w_ss"),
+        F.round(
+            (nD - F.lit(1.0)) * F.round(F.log(s2), 12), 12
+        )
+        .cast("decimal(38,12)")
+        .alias("w_ln"),
+        F.round(F.lit(1.0) / (nD - F.lit(1.0)), 12)
+        .cast("decimal(38,12)")
+        .alias("inv_df"),
+    )
+    k = len(BARTLETT_TYPES)
+    g = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n_j").cast("long").alias("n_total"),
+        F.sum("w_ss").cast("double").alias("sw_ss"),
+        F.sum("w_ln").cast("double").alias("sw_ln"),
+        F.sum("inv_df").cast("double").alias("s_inv"),
+    )
+    ndf = (F.col("n_total") - F.lit(k)).cast("double")
+    sp2 = F.col("sw_ss") / ndf
+    chi2 = (ndf * F.round(F.log(sp2), 12) - F.col("sw_ln")) / (
+        F.lit(1.0)
+        + (F.col("s_inv") - F.lit(1.0) / ndf) / F.lit(3.0 * (k - 1))
+    )
+    return g.select(
+        "k",
+        "n_total",
+        F.round(sp2, 6).alias("pooled_var"),
+        F.lit(k - 1).cast("long").alias("df"),
+        F.round(chi2, 6).alias("chi2_stat"),
+    )

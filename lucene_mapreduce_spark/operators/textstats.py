@@ -6806,3 +6806,82 @@ def corpus_bleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("log_bleu2"),
     ).orderBy("cand_source", "ref_source")
+
+
+# ---------------------------------------------------------------------------
+# Batch 122: block-max upper-bound tightness (the WAND skip-quality stat)
+# ---------------------------------------------------------------------------
+
+BLOCKMAX_B = 32  # postings per block, small enough for multi-block terms
+
+
+def blockmax_tightness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-max tightness per df decade — the statistic that says how
+    much Block-Max WAND (index/codec.py stores per-block max tf; the
+    serving path prunes on it) actually beats plain WAND's global
+    upper bound: postings of each term (doc_id order, BLOCKMAX_B per
+    block) score each block by block_max_tf / global_max_tf.  A ratio
+    near 1 everywhere means block maxima are as loose as the global
+    bound (no extra skips); low-df terms are structurally tight, which
+    is why the report buckets by EXACT integer df decade
+    (length(df)-1, the log_merge_plan trick).  One tokenize scan, one
+    (term, doc) groupBy, per-term windows, decade-bounded output."""
+    from pyspark.sql import Window
+
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_col
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", tokenize_col("text").alias("toks")
+    )
+    tf = (
+        docs.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    wp = Window.partitionBy("term").orderBy("doc_id")
+    blocks = (
+        tf.select(
+            "term",
+            "tf",
+            F.expr(
+                f"(row_number() OVER (PARTITION BY term ORDER BY doc_id)"
+                f" - 1) div {BLOCKMAX_B}"
+            ).alias("blk"),
+        )
+        .groupBy("term", "blk")
+        .agg(F.max("tf").alias("block_max"))
+    )
+    stats = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.max("tf").alias("global_max"),
+    )
+    joined = blocks.join(stats, "term").select(
+        (F.length(F.col("df").cast("string")) - 1)
+        .cast("long")
+        .alias("decade"),
+        "term",
+        F.round(
+            F.col("block_max").cast("double")
+            / F.col("global_max").cast("double"),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("ratio"),
+        (F.col("block_max") == F.col("global_max"))
+        .cast("int")
+        .alias("tight"),
+    )
+    return (
+        joined.groupBy("decade")
+        .agg(
+            F.countDistinct("term").cast("long").alias("n_terms"),
+            F.count(F.lit(1)).cast("long").alias("n_blocks"),
+            F.sum("tight").cast("long").alias("n_tight_blocks"),
+            F.round(
+                F.sum("ratio").cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("mean_tightness"),
+        )
+        .orderBy("decade")
+    )
