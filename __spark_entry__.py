@@ -1060,6 +1060,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weekly_periodogram_power": parity.weekly_periodogram_power,
         "bartlett_variance_test": parity.bartlett_variance_test,
         "blockmax_tightness_report": textstats.blockmax_tightness_report,
+        # batch 123: Jonckheere-Terpstra, Grubbs, Mood's median
+        "jonckheere_terpstra": relational.jonckheere_terpstra,
+        "grubbs_outlier_day": parity.grubbs_outlier_day,
+        "mood_median_test": parity.mood_median_test,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})

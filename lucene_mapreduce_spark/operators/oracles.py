@@ -17292,3 +17292,109 @@ SELECT decade, count(DISTINCT term)::BIGINT AS n_terms,
        round(sum(ratio)::DOUBLE / count(*)::DOUBLE, 6) AS mean_tightness
 FROM joined GROUP BY decade ORDER BY decade
 """
+
+# ---- batch 123: Jonckheere-Terpstra, Grubbs, Mood's median ------------------
+
+ORACLES["jonckheere_terpstra"] = """
+WITH obs AS (
+  SELECT o.o_orderpriority AS grp, s.v
+  FROM orders o
+  JOIN (SELECT l_orderkey, count(*)::BIGINT AS v
+        FROM lineitem GROUP BY 1) s
+    ON o.o_orderkey = s.l_orderkey
+),
+cnt AS (SELECT grp, v, count(*)::BIGINT AS c FROM obs GROUP BY 1, 2),
+jt AS (
+  SELECT sum(CASE WHEN a.v < b.v THEN 2 * a.c * b.c
+                  WHEN a.v = b.v THEN a.c * b.c
+                  ELSE 0 END)::BIGINT AS jt2
+  FROM cnt a JOIN cnt b ON a.grp < b.grp
+),
+sizes AS (SELECT grp, count(*)::BIGINT AS n_g FROM obs GROUP BY 1),
+g AS (
+  SELECT count(*)::BIGINT AS n_groups, sum(n_g)::BIGINT AS n_total,
+         sum(n_g * n_g)::BIGINT AS sn2,
+         sum(n_g * n_g * (2 * n_g + 3))::BIGINT AS sn23
+  FROM sizes
+)
+SELECT n_groups, n_total, jt2,
+       round((n_total::DOUBLE * n_total::DOUBLE - sn2::DOUBLE) / 4.0, 6)
+         AS e_jt,
+       round((jt2::DOUBLE / 2.0
+              - (n_total::DOUBLE * n_total::DOUBLE - sn2::DOUBLE) / 4.0)
+             / sqrt((n_total::DOUBLE * n_total::DOUBLE
+                       * (2.0 * n_total::DOUBLE + 3.0)
+                     - sn23::DOUBLE) / 72.0), 6) AS z_stat
+FROM jt, g
+"""
+
+from lucene_mapreduce_spark.operators.parity import (  # noqa: E402
+    GRUBBS_CRIT,
+)
+
+ORACLES["grubbs_outlier_day"] = f"""
+WITH {_DAILY_HIST},
+g AS (
+  SELECT count(*)::BIGINT AS n, sum(n_events)::BIGINT AS s,
+         sum(n_events * n_events)::BIGINT AS ss
+  FROM hist
+),
+scored AS (
+  SELECT day::VARCHAR AS day, n,
+         round(s::DOUBLE / n::DOUBLE, 6) AS mean_events,
+         round(sqrt((ss::DOUBLE - s::DOUBLE * (s::DOUBLE / n::DOUBLE))
+                    / (n::DOUBLE - 1.0)), 6) AS sd_events,
+         round(abs(n_events::DOUBLE - s::DOUBLE / n::DOUBLE)
+               / sqrt((ss::DOUBLE - s::DOUBLE * (s::DOUBLE / n::DOUBLE))
+                      / (n::DOUBLE - 1.0)), 6) AS g_stat
+  FROM hist, g
+)
+SELECT n AS n_days, mean_events, sd_events, day AS outlier_day, g_stat,
+       (CASE WHEN g_stat > {GRUBBS_CRIT!r} THEN 1 ELSE 0 END)::INT
+         AS is_outlier
+FROM (
+  SELECT *, row_number() OVER (ORDER BY g_stat DESC, day ASC) AS r
+  FROM scored
+) WHERE r = 1
+"""
+
+ORACLES["mood_median_test"] = """
+WITH med AS (SELECT quantile_cont(value, 0.5) AS med FROM events),
+sides AS (
+  SELECT event_type,
+         CASE WHEN value > med THEN 1 ELSE 0 END AS above
+  FROM events, med WHERE value <> med
+),
+per AS (
+  SELECT event_type, sum(above)::BIGINT AS n_above,
+         (count(*) - sum(above))::BIGINT AS n_below
+  FROM sides GROUP BY 1
+),
+tot AS (
+  SELECT sum(n_above)::BIGINT AS ta, sum(n_below)::BIGINT AS tb FROM per
+),
+terms AS (
+  SELECT event_type, n_above, n_below,
+         round(((n_above::DOUBLE - (n_above + n_below)::DOUBLE * ta::DOUBLE
+                                     / (ta + tb)::DOUBLE)
+                * (n_above::DOUBLE - (n_above + n_below)::DOUBLE * ta::DOUBLE
+                                       / (ta + tb)::DOUBLE))
+               / ((n_above + n_below)::DOUBLE * ta::DOUBLE
+                  / (ta + tb)::DOUBLE)
+               + ((n_below::DOUBLE - (n_above + n_below)::DOUBLE * tb::DOUBLE
+                                       / (ta + tb)::DOUBLE)
+                  * (n_below::DOUBLE - (n_above + n_below)::DOUBLE
+                                         * tb::DOUBLE / (ta + tb)::DOUBLE))
+               / ((n_above + n_below)::DOUBLE * tb::DOUBLE
+                  / (ta + tb)::DOUBLE),
+               12)::DECIMAL(38,12) AS c12
+  FROM per, tot
+),
+chi AS (
+  SELECT count(*)::BIGINT AS k,
+         round(sum(c12)::DOUBLE, 6) AS chi2_stat
+  FROM terms
+)
+SELECT event_type, n_above, n_below, k, (k - 1)::BIGINT AS df, chi2_stat
+FROM terms, chi ORDER BY event_type
+"""

@@ -7848,3 +7848,118 @@ def bartlett_variance_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(k - 1).cast("long").alias("df"),
         F.round(chi2, 6).alias("chi2_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 123: Grubbs outlier day + Mood's median test
+# ---------------------------------------------------------------------------
+
+GRUBBS_CRIT = 2.9085  # two-sided 5% critical value at n=30 (the stream's
+# fixed 30-day calendar), pinned as a literal — the test statistic is the
+# deliverable, the flag is a convenience
+
+
+def grubbs_outlier_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs' test for a single outlier in the daily event-count
+    series: G = max |y - mean| / sd over the gap-filled calendar, with
+    mean and sd from exact BIGINT sufficient statistics; the report
+    carries the argmax day (rank on the 6dp-rounded score with the day
+    as tiebreak, the expansion-query rule) and an is_outlier flag
+    against the pinned n=30 critical value.  The single-day-anomaly
+    complement of seasonal_anomaly_days' median/MAD sweep."""
+    from pyspark.sql import Window
+
+    hist = date_histogram_facets(spark, sf_dir)
+    g = hist.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("n_events").cast("long").alias("s"),
+        F.sum(F.col("n_events") * F.col("n_events")).cast("long").alias("ss"),
+    )
+    nD = F.col("n").cast("double")
+    mean = F.col("s").cast("double") / nD
+    sd = F.sqrt(
+        (F.col("ss").cast("double") - F.col("s").cast("double") * mean)
+        / (nD - F.lit(1.0))
+    )
+    scored = hist.crossJoin(F.broadcast(g)).select(
+        "day",
+        "n",
+        F.round(mean, 6).alias("mean_events"),
+        F.round(sd, 6).alias("sd_events"),
+        F.round(
+            F.abs(F.col("n_events").cast("double") - mean) / sd, 6
+        ).alias("g_stat"),
+    )
+    w = Window.orderBy(F.col("g_stat").desc(), F.col("day").asc())
+    return (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select(
+            F.col("n").alias("n_days"),
+            "mean_events",
+            "sd_events",
+            F.col("day").alias("outlier_day"),
+            "g_stat",
+            (F.col("g_stat") > GRUBBS_CRIT).cast("int").alias("is_outlier"),
+        )
+    )
+
+
+def mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test across the k=5 event types' value columns:
+    split every observation at the GLOBAL exact type-7 median, drop
+    ties at the median (the strict-sides convention, identical in both
+    engines), and run the k x 2 chi-square on the above/below cells —
+    the quick-and-robust cousin of kruskal_wallis_h that only looks at
+    sides.  Cells are exact integers; expectations come from margins
+    in one float64 chain.  Output is per-type cells plus the pooled
+    statistic, all from one scan and one broadcast median."""
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.agg(F.expr("percentile(value, 0.5)").alias("med"))
+    sides = (
+        ev.crossJoin(F.broadcast(med))
+        .filter(F.col("value") != F.col("med"))
+        .select(
+            "event_type",
+            (F.col("value") > F.col("med")).cast("int").alias("above"),
+        )
+    )
+    per = sides.groupBy("event_type").agg(
+        F.sum("above").cast("long").alias("n_above"),
+        (F.count(F.lit(1)) - F.sum("above")).cast("long").alias("n_below"),
+    )
+    tot = per.agg(
+        F.sum("n_above").cast("long").alias("ta"),
+        F.sum("n_below").cast("long").alias("tb"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    nD = (F.col("ta") + F.col("tb")).cast("double")
+    row_n = (F.col("n_above") + F.col("n_below")).cast("double")
+    ea = row_n * F.col("ta").cast("double") / nD
+    eb = row_n * F.col("tb").cast("double") / nD
+    da = F.col("n_above").cast("double") - ea
+    db = F.col("n_below").cast("double") - eb
+    contrib = (da * da) / ea + (db * db) / eb
+    terms = j.select(
+        "event_type",
+        "n_above",
+        "n_below",
+        F.round(contrib, 12).cast("decimal(38,12)").alias("c12"),
+    )
+    chi2 = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.round(F.sum("c12").cast("double"), 6).alias("chi2_stat"),
+    )
+    return (
+        terms.select("event_type", "n_above", "n_below")
+        .crossJoin(F.broadcast(chi2))
+        .select(
+            "event_type",
+            "n_above",
+            "n_below",
+            "k",
+            (F.col("k") - 1).cast("long").alias("df"),
+            "chi2_stat",
+        )
+        .orderBy("event_type")
+    )

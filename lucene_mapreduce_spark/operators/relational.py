@@ -3605,3 +3605,83 @@ def hilbert_layout_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             out = row if out is None else out.unionByName(row)
     return out.orderBy("layout", "predicate")
+
+
+# ---------------------------------------------------------------------------
+# Batch 123: Jonckheere-Terpstra ordered-alternative test
+# ---------------------------------------------------------------------------
+
+
+def jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jonckheere-Terpstra test for an ordered trend in order SIZE
+    (lineitems per order) across the five priority classes (lexical
+    order '1-URGENT'..'5-LOW' is the natural ordering) — the
+    ordered-alternative sibling of kruskal_wallis_h, more powerful
+    when the alternative is monotone.  The measurement is a SMALL
+    integer, so every pairwise Mann-Whitney count collapses onto the
+    (group, value)-count table: 2*U_ij = sum over value pairs of
+    2*c_i(v<w)*c_j(w) + ties, exact BIGINT via a cross join of tables
+    bounded by |values| x |groups| — never an order-pair blowup.  The
+    null mean (N^2 - sum n_g^2)/4 and variance (N^2(2N+3) - sum
+    n_g^2(2n_g+3))/72 are integer-derived.  One lineitem groupBy, one
+    orders join, tiny algebra after."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderpriority").alias("grp")
+    )
+    sz = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("v"))
+    )
+    obs = orders.join(sz, orders.o_orderkey == sz.l_orderkey).select(
+        "grp", "v"
+    )
+    cnt = obs.groupBy("grp", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    a = cnt.select(
+        F.col("grp").alias("ga"), F.col("v").alias("va"), F.col("c").alias("ca")
+    )
+    b = cnt.select(
+        F.col("grp").alias("gb"), F.col("v").alias("vb"), F.col("c").alias("cb")
+    )
+    jt2 = (
+        a.join(b, F.col("ga") < F.col("gb"))
+        .select(
+            F.when(F.col("va") < F.col("vb"), 2 * F.col("ca") * F.col("cb"))
+            .when(F.col("va") == F.col("vb"), F.col("ca") * F.col("cb"))
+            .otherwise(F.lit(0))
+            .alias("u2")
+        )
+        .agg(F.sum("u2").cast("long").alias("jt2"))
+    )
+    sizes = obs.groupBy("grp").agg(F.count(F.lit(1)).cast("long").alias("n_g"))
+    g = sizes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("n_g").cast("long").alias("n_total"),
+        F.sum(F.col("n_g") * F.col("n_g")).cast("long").alias("sn2"),
+        F.sum(
+            F.col("n_g") * F.col("n_g") * (2 * F.col("n_g") + 3)
+        )
+        .cast("long")
+        .alias("sn23"),
+    )
+    nD = F.col("n_total").cast("double")
+    e = (nD * nD - F.col("sn2").cast("double")) / F.lit(4.0)
+    var = (
+        nD * nD * (F.lit(2.0) * nD + F.lit(3.0))
+        - F.col("sn23").cast("double")
+    ) / F.lit(72.0)
+    return (
+        jt2.crossJoin(F.broadcast(g))
+        .select(
+            "n_groups",
+            "n_total",
+            "jt2",
+            F.round(e, 6).alias("e_jt"),
+            F.round(
+                (F.col("jt2").cast("double") / F.lit(2.0) - e) / F.sqrt(var),
+                6,
+            ).alias("z_stat"),
+        )
+    )
