@@ -1064,6 +1064,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jonckheere_terpstra": relational.jonckheere_terpstra,
         "grubbs_outlier_day": parity.grubbs_outlier_day,
         "mood_median_test": parity.mood_median_test,
+        # batch 124: best passage, FST dict stats, team-draft interleave
+        "best_passage_highlight": fulltext.best_passage_highlight,
+        "term_dict_fst_stats": fulltext.term_dict_fst_stats,
+        "team_draft_interleaving": fulltext.team_draft_interleaving,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})
@@ -1100,6 +1104,17 @@ def oracle_sql() -> dict[str, str]:
         + ") t WHERE rank > 10"
     )
     out["tfidf_topk"] = tfidf_sql(fulltext.FLAGSHIP_QUERY)
+    from lucene_mapreduce_spark.operators.oracles import (
+        best_passage_sql,
+        team_draft_sql,
+    )
+
+    out["best_passage_highlight"] = best_passage_sql(
+        fulltext.FLAGSHIP_QUERY, 10, fulltext.PASSAGE_W
+    )
+    out["team_draft_interleaving"] = team_draft_sql(
+        fulltext.FLAGSHIP_QUERY, fulltext.TEAM_DRAFT_L
+    )
     out["terms_enum"] = terms_enum_sql(fulltext.TERMS_ENUM_K)
     out["spell_suggest"] = spell_suggest_sql(fulltext.SPELL_INPUT)
     out["autocomplete"] = autocomplete_sql(fulltext.AUTOCOMPLETE_PREFIX)

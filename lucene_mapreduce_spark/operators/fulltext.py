@@ -7261,3 +7261,206 @@ def stopword_pruning_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("k")
+
+
+# ---------------------------------------------------------------------------
+# Batch 124: best-passage highlight, FST dictionary stats, team-draft
+# interleaving
+# ---------------------------------------------------------------------------
+
+PASSAGE_W = 8  # tokens per passage window
+TEAM_DRAFT_L = 10
+
+
+def best_passage_highlight(
+    spark: SparkSession,
+    sf_dir: str,
+    query_text: str = FLAGSHIP_QUERY,
+    k: int = 10,
+    width: int = PASSAGE_W,
+) -> DataFrame:
+    """Lucene UnifiedHighlighter PASSAGE SCORING parity (the part
+    highlight_all_fragments skips): for each of the query's top-k docs,
+    every width-token window is scored by the sum of BM25-idf weights
+    of the DISTINCT query terms it contains, and the best window wins
+    (rounded-score rank, earliest start on ties — the expansion-query
+    rule).  Weights are 12dp-rounded DECIMALs so the per-window sum is
+    order-free; window enumeration is a codegen sequence/slice chain
+    over the k result docs only — hits-sized, never corpus-sized."""
+    from lucene_mapreduce_spark.functions.tokenize import (
+        tokenize_col,
+        tokenize_string,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    topk = bm25_topk_documents(spark, sf_dir, query_text, k)
+    qts = sorted(set(tokenize_string(query_text)))
+    tokd = docs.select("doc_id", tokenize_col("text").alias("toks"))
+    n_docs = docs.count()
+    dfs = (
+        tokd.select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(qts))
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df_t"))
+    )
+    w12 = F.round(
+        F.log(
+            F.lit(1.0)
+            + (F.lit(float(n_docs)) - F.col("df_t").cast("double") + F.lit(0.5))
+            / (F.col("df_t").cast("double") + F.lit(0.5))
+        ),
+        12,
+    ).cast("decimal(28,12)")
+    weights = dfs.select("term", w12.alias("w"))
+    j = topk.join(tokd, "doc_id")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.lit(1), F.size("toks") - F.lit(width - 1))
+    )
+    wins = j.select(
+        "doc_id", "rank", "toks", F.explode(starts).alias("i")
+    )
+    hit = wins.crossJoin(F.broadcast(weights)).filter(
+        F.exists(
+            F.slice("toks", F.col("i"), width),
+            lambda x: x == F.col("term"),
+        )
+    )
+    scored = hit.groupBy("doc_id", "rank", "i").agg(
+        F.round(F.sum("w").cast("double"), 6).alias("passage_score")
+    )
+    from pyspark.sql.window import Window
+
+    wb = Window.partitionBy("doc_id").orderBy(
+        F.col("passage_score").desc(), F.col("i").asc()
+    )
+    best = (
+        scored.withColumn("r", F.row_number().over(wb))
+        .filter(F.col("r") == 1)
+        .select("doc_id", "rank", "i", "passage_score")
+    )
+    return (
+        best.join(tokd, "doc_id")
+        .select(
+            "doc_id",
+            "rank",
+            (F.col("i") - 1).cast("long").alias("start_pos"),
+            "passage_score",
+            F.array_join(
+                F.slice("toks", F.col("i"), width), " "
+            ).alias("passage"),
+        )
+        .orderBy("rank", "doc_id")
+    )
+
+
+def term_dict_fst_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FST/trie sizing statistics for the term dictionary — the numbers
+    behind Lucene's FST term index (BlockTreeTermsWriter shares both
+    prefixes and suffixes): over the corpus vocabulary, the raw char
+    total, the prefix-trie node count (distinct non-empty prefixes —
+    what a trie stores), the distinct-suffix count (what the FST's
+    suffix sharing collapses), and the prefix-compression saving.  The
+    byte-level companion of term_dict_frontcoding_report (which
+    measures the sorted-block LCP form).  Vocabulary-bounded
+    everywhere: one distinct, two bounded explodes."""
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_col
+
+    vocab = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(tokenize_col("text")).alias("term"))
+        .distinct()
+    )
+    base = vocab.agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum(F.length("term")).cast("long").alias("total_chars"),
+    )
+    prefixes = (
+        vocab.select(
+            F.explode(
+                F.expr("transform(sequence(1, length(term)),"
+                       " i -> substring(term, 1, i))")
+            ).alias("p")
+        )
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("n_trie_nodes"))
+    )
+    suffixes = (
+        vocab.select(
+            F.explode(
+                F.expr("transform(sequence(1, length(term)),"
+                       " i -> substring(term, i))")
+            ).alias("s")
+        )
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("n_suffixes"))
+    )
+    return (
+        base.crossJoin(F.broadcast(prefixes))
+        .crossJoin(F.broadcast(suffixes))
+        .select(
+            "n_terms",
+            "total_chars",
+            "n_trie_nodes",
+            "n_suffixes",
+            F.round(
+                F.lit(1.0)
+                - F.col("n_trie_nodes").cast("double")
+                / F.col("total_chars").cast("double"),
+                6,
+            ).alias("prefix_saving"),
+        )
+    )
+
+
+def team_draft_interleaving(
+    spark: SparkSession, sf_dir: str, l_depth: int = TEAM_DRAFT_L
+) -> DataFrame:
+    """Team-draft interleaving (Radlinski et al. 2008) of the BM25 and
+    ClassicSimilarity top-10 rankings for the flagship query — the
+    online ranker-evaluation primitive: teams alternate picks (the
+    behind team picks; ties broken by the md5('td:<pos>') coin, shared
+    bit-for-bit with the oracle), each picking its highest-ranked doc
+    not yet selected; a team with no candidates left concedes the pick
+    but keeps the credit (pinned convention).  The two rankings are
+    the distributed work; the draft itself is the O(L) serving-side
+    walk, run over the two collected 10-row pages (the MMR bounded-
+    collect precedent) and unrolled as CTE steps in the oracle."""
+    import hashlib
+
+    a = [
+        int(r["doc_id"])
+        for r in bm25_topk_documents(spark, sf_dir, FLAGSHIP_QUERY, l_depth)
+        .orderBy("rank")
+        .collect()
+    ]
+    b = [
+        int(r["doc_id"])
+        for r in tfidf_topk(spark, sf_dir, FLAGSHIP_QUERY, l_depth)
+        .orderBy("rank")
+        .collect()
+    ]
+    picked: list[tuple[int, int, str]] = []
+    seen: set[int] = set()
+    na = nb = 0
+    for pos in range(1, l_depth + 1):
+        coin = (
+            int(hashlib.md5(f"td:{pos}".encode()).hexdigest()[:13], 16) % 2
+        )
+        turn_a = na < nb or (na == nb and coin == 1)
+        prefer = a if turn_a else b
+        other = b if turn_a else a
+        pick = next((d for d in prefer if d not in seen), None)
+        if pick is None:
+            pick = next((d for d in other if d not in seen), None)
+        if pick is None:
+            break
+        seen.add(pick)
+        picked.append((pos, pick, "A" if turn_a else "B"))
+        if turn_a:
+            na += 1
+        else:
+            nb += 1
+    return spark.createDataFrame(
+        picked, "pos int, doc_id bigint, team string"
+    )

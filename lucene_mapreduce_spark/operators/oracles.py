@@ -17398,3 +17398,144 @@ chi AS (
 SELECT event_type, n_above, n_below, k, (k - 1)::BIGINT AS df, chi2_stat
 FROM terms, chi ORDER BY event_type
 """
+
+# ---- batch 124: best passage, FST stats, team-draft interleaving -----------
+
+
+def best_passage_sql(query_text: str, k: int = 10, width: int = 8) -> str:
+    """best_passage_highlight twin: same BM25 top-k page (nested
+    bm25_topk_sql), same 12dp-DECIMAL idf weights, same window
+    enumeration — DuckDB's end-INCLUSIVE list slice spans
+    [i, i+width-1], Spark's length-based slice(toks, i, width) is the
+    identical window."""
+    qlit = query_text.replace("'", "''")
+    return f"""
+WITH topk AS (SELECT * FROM ({bm25_topk_sql(query_text, k)})),
+docs AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+nd AS (SELECT count(*)::DOUBLE AS n FROM documents),
+qt AS (SELECT DISTINCT unnest({duckdb_tokens_sql(f"'{qlit}'")}) AS term),
+dfs AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df_t
+  FROM (SELECT doc_id, unnest(toks) AS term FROM docs)
+  WHERE term IN (SELECT term FROM qt)
+  GROUP BY 1
+),
+weights AS (
+  SELECT term,
+         round(ln(1.0 + ((SELECT n FROM nd) - df_t::DOUBLE + 0.5)
+                        / (df_t::DOUBLE + 0.5)), 12)::DECIMAL(28,12) AS w
+  FROM dfs
+),
+wins AS (
+  SELECT t.doc_id, t.rank, d.toks,
+         unnest(range(1, greatest(1, len(d.toks) - {width - 1}) + 1))::INT
+           AS i
+  FROM topk t JOIN docs d USING (doc_id)
+),
+hit AS (
+  SELECT doc_id, rank, i, w
+  FROM wins, weights
+  WHERE list_contains(toks[i : i + {width - 1}], term)
+),
+scored AS (
+  SELECT doc_id, rank, i, round(sum(w)::DOUBLE, 6) AS passage_score
+  FROM hit GROUP BY 1, 2, 3
+),
+best AS (
+  SELECT doc_id, rank, i, passage_score FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY doc_id ORDER BY passage_score DESC, i ASC) AS r
+    FROM scored
+  ) WHERE r = 1
+)
+SELECT b.doc_id, b.rank, (b.i - 1)::BIGINT AS start_pos, b.passage_score,
+       array_to_string(d.toks[b.i : b.i + {width - 1}], ' ') AS passage
+FROM best b JOIN docs d ON b.doc_id = d.doc_id
+ORDER BY b.rank, b.doc_id
+"""
+
+
+ORACLES["term_dict_fst_stats"] = f"""
+WITH vocab AS (
+  SELECT DISTINCT t AS term
+  FROM (SELECT unnest({TOKS}) AS t FROM documents)
+),
+base AS (
+  SELECT count(*)::BIGINT AS n_terms,
+         sum(length(term))::BIGINT AS total_chars
+  FROM vocab
+),
+prefixes AS (
+  SELECT count(*)::BIGINT AS n_trie_nodes FROM (
+    SELECT DISTINCT substr(term, 1, i) AS p
+    FROM (SELECT term, unnest(range(1, length(term) + 1))::INT AS i
+          FROM vocab)
+  )
+),
+suffixes AS (
+  SELECT count(*)::BIGINT AS n_suffixes FROM (
+    SELECT DISTINCT substr(term, i) AS s
+    FROM (SELECT term, unnest(range(1, length(term) + 1))::INT AS i
+          FROM vocab)
+  )
+)
+SELECT n_terms, total_chars, n_trie_nodes, n_suffixes,
+       round(1.0 - n_trie_nodes::DOUBLE / total_chars::DOUBLE, 6)
+         AS prefix_saving
+FROM base, prefixes, suffixes
+"""
+
+
+def team_draft_sql(query_text: str, l_depth: int = 10) -> str:
+    """team_draft_interleaving twin: both ranked pages nested from
+    their own oracle builders, then the draft unrolled one CTE per
+    position — the picked set rides a BIGINT list (plain CTE re-entry,
+    never a struct-fold accumulator), the behind-team rule and the
+    md5('td:<pos>') tie coin are the pinned Spark conventions, and a
+    team with no unpicked candidate concedes via coalesce but keeps
+    the credit."""
+    steps = []
+    prev = "s0"
+    finals = []
+    for n in range(1, l_depth + 1):
+        coin = _MD5_52.format(e=f"'td:{n}'")
+        pick_a = (
+            "(SELECT doc_id FROM ra WHERE NOT list_contains(p.picked,"
+            " doc_id) ORDER BY rank LIMIT 1)"
+        )
+        pick_b = (
+            "(SELECT doc_id FROM rb WHERE NOT list_contains(p.picked,"
+            " doc_id) ORDER BY rank LIMIT 1)"
+        )
+        steps.append(f"""p{n} AS (
+  SELECT picked, na, nb,
+         CASE WHEN na < nb OR (na = nb AND ({coin}) % 2 = 1)
+              THEN 1 ELSE 0 END AS turn_a
+  FROM {prev}
+),
+c{n} AS (
+  SELECT p.*,
+         coalesce(CASE WHEN p.turn_a = 1 THEN {pick_a} ELSE {pick_b} END,
+                  CASE WHEN p.turn_a = 1 THEN {pick_b} ELSE {pick_a} END)
+           AS pick
+  FROM p{n} p
+),
+s{n} AS (
+  SELECT list_append(picked, pick) AS picked,
+         na + turn_a AS na, nb + 1 - turn_a AS nb, pick, turn_a
+  FROM c{n}
+)""")
+        finals.append(
+            f"SELECT {n}::INT AS pos, pick AS doc_id,"
+            f" CASE WHEN turn_a = 1 THEN 'A' ELSE 'B' END AS team FROM s{n}"
+        )
+        prev = f"s{n}"
+    return (
+        f"WITH ra AS (SELECT * FROM ({bm25_topk_sql(query_text, l_depth)})),\n"
+        f"rb AS (SELECT * FROM ({tfidf_sql(query_text, l_depth)})),\n"
+        "s0 AS (SELECT []::BIGINT[] AS picked, 0 AS na, 0 AS nb),\n"
+        + ",\n".join(steps)
+        + "\n"
+        + "\nUNION ALL\n".join(finals)
+        + "\nORDER BY pos"
+    )
