@@ -1068,6 +1068,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "best_passage_highlight": fulltext.best_passage_highlight,
         "term_dict_fst_stats": fulltext.term_dict_fst_stats,
         "team_draft_interleaving": fulltext.team_draft_interleaving,
+        # batch 125: Page-Hinkley, keyness, earth mover's distance
+        "page_hinkley_drift": parity.page_hinkley_drift,
+        "keyness_loglik_terms": textstats.keyness_loglik_terms,
+        "emd_value_distributions": parity.emd_value_distributions,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})

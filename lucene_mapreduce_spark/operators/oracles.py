@@ -17539,3 +17539,122 @@ s{n} AS (
         + "\nUNION ALL\n".join(finals)
         + "\nORDER BY pos"
     )
+
+# ---- batch 125: Page-Hinkley, keyness, earth mover's distance --------------
+
+from lucene_mapreduce_spark.operators.parity import (  # noqa: E402
+    EMD_TYPE_PAIRS,
+    PH_DELTA,
+    PH_LAMBDA,
+)
+from lucene_mapreduce_spark.operators.textstats import (  # noqa: E402
+    KEYNESS_K,
+    KEYNESS_SOURCE,
+)
+
+ORACLES["page_hinkley_drift"] = f"""
+WITH {_DAILY_HIST},
+mean AS (
+  SELECT sum(n_events)::DOUBLE / count(*)::DOUBLE AS mu FROM hist
+),
+terms AS (
+  SELECT day, n_events,
+         round(n_events::DOUBLE - mu - {PH_DELTA!r}, 12)::DECIMAL(38,12)
+           AS step
+  FROM hist, mean
+),
+cum AS (
+  SELECT day, n_events,
+         sum(step) OVER (ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+  FROM terms
+),
+run AS (
+  SELECT day, n_events, m,
+         min(m) OVER (ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m_min
+  FROM cum
+)
+SELECT day::VARCHAR AS day, n_events,
+       round(m::DOUBLE, 6) AS m_cum,
+       round((m - m_min)::DOUBLE, 6) AS ph_stat,
+       (CASE WHEN (m - m_min)::DOUBLE > {PH_LAMBDA!r}
+             THEN 1 ELSE 0 END)::INT AS alarm
+FROM run ORDER BY day
+"""
+
+_KN_SRC = KEYNESS_SOURCE
+
+ORACLES["keyness_loglik_terms"] = f"""
+WITH toks AS (
+  SELECT source, unnest({TOKS}) AS term FROM documents
+),
+per AS (
+  SELECT term,
+         sum(CASE WHEN source = '{_KN_SRC}' THEN 1 ELSE 0 END)::BIGINT AS a,
+         sum(CASE WHEN source <> '{_KN_SRC}' THEN 1 ELSE 0 END)::BIGINT AS b
+  FROM toks GROUP BY 1
+),
+tot AS (
+  SELECT sum(CASE WHEN source = '{_KN_SRC}' THEN 1 ELSE 0 END)::BIGINT AS c,
+         sum(CASE WHEN source <> '{_KN_SRC}' THEN 1 ELSE 0 END)::BIGINT AS d
+  FROM toks
+),
+scored AS (
+  SELECT term, a, b,
+         round(2.0 * (
+           (CASE WHEN a > 0
+                 THEN a::DOUBLE * ln(a::DOUBLE
+                   / (c::DOUBLE * (a + b)::DOUBLE / (c::DOUBLE + d::DOUBLE)))
+                 ELSE 0.0 END)
+           + (CASE WHEN b > 0
+                   THEN b::DOUBLE * ln(b::DOUBLE
+                     / (d::DOUBLE * (a + b)::DOUBLE / (c::DOUBLE + d::DOUBLE)))
+                   ELSE 0.0 END)), 6) AS ll,
+         (CASE WHEN a * (c + d) > c * (a + b) THEN 1 ELSE 0 END)::INT
+           AS overused
+  FROM per, tot
+)
+SELECT term, a AS n_in_source, b AS n_in_rest, ll, overused, rank
+FROM (
+  SELECT *, row_number() OVER (ORDER BY ll DESC, term ASC) AS rank
+  FROM scored
+) WHERE rank <= {KEYNESS_K} ORDER BY rank
+"""
+
+_EMD_PAIR_VALUES = ", ".join(f"('{a}', '{b}')" for a, b in EMD_TYPE_PAIRS)
+
+ORACLES["emd_value_distributions"] = f"""
+WITH ev AS (
+  SELECT event_type, round(value * 100)::BIGINT AS cents FROM events
+),
+vals AS (
+  SELECT event_type, cents, count(*)::BIGINT AS c FROM ev GROUP BY 1, 2
+),
+pairs AS (SELECT * FROM (VALUES {_EMD_PAIR_VALUES}) AS p(ta, tb)),
+grid AS (
+  SELECT ta, tb, cents,
+         sum(CASE WHEN event_type = ta THEN c ELSE 0 END)::BIGINT AS ca,
+         sum(CASE WHEN event_type = tb THEN c ELSE 0 END)::BIGINT AS cb
+  FROM pairs JOIN vals ON event_type = ta OR event_type = tb
+  GROUP BY 1, 2, 3
+),
+cdf AS (
+  SELECT ta, tb, cents,
+         sum(ca) OVER w AS fa, sum(cb) OVER w AS fb,
+         sum(ca) OVER (PARTITION BY ta, tb) AS na,
+         sum(cb) OVER (PARTITION BY ta, tb) AS nb,
+         lead(cents) OVER w2 - cents AS gap
+  FROM grid
+  WINDOW w AS (PARTITION BY ta, tb ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         w2 AS (PARTITION BY ta, tb ORDER BY cents)
+)
+SELECT ta AS type_a, tb AS type_b, na::BIGINT AS n_a, nb::BIGINT AS n_b,
+       round(sum(round(abs(fa::DOUBLE / na::DOUBLE
+                          - fb::DOUBLE / nb::DOUBLE)
+                       * gap::DOUBLE, 12)::DECIMAL(38,12))::DOUBLE
+             / 100.0, 6) AS emd
+FROM cdf WHERE gap IS NOT NULL
+GROUP BY 1, 2, 3, 4 ORDER BY 1, 2
+"""

@@ -7963,3 +7963,152 @@ def mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 125: Page-Hinkley drift + exact 1-D earth mover's distance
+# ---------------------------------------------------------------------------
+
+PH_DELTA = 0.5  # magnitude slack per step
+PH_LAMBDA = 20.0  # alarm threshold
+
+
+def page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley mean-shift detector over the daily event-count
+    series — cusum_alerts' one-sided drift cousin, in its closed
+    window form (no sequential fold): m_t = cumulative sum of
+    (y - mean - delta) and PH_t = m_t - min_{i<=t} m_i, both exact
+    because each step term is 12dp-rounded DECIMAL and the cumsum /
+    running-min ride ordered ROWS frames over the calendar-bounded
+    histogram.  Alarm rows flag PH > lambda (pinned).  One scan, one
+    broadcast mean, windows bounded by elapsed days."""
+    from pyspark.sql import Window
+
+    hist = date_histogram_facets(spark, sf_dir)
+    mean = hist.agg(
+        (
+            F.sum("n_events").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mu")
+    )
+    terms = hist.crossJoin(F.broadcast(mean)).select(
+        "day",
+        "n_events",
+        F.round(
+            F.col("n_events").cast("double")
+            - F.col("mu")
+            - F.lit(PH_DELTA),
+            12,
+        )
+        .cast("decimal(38,12)")
+        .alias("step"),
+    )
+    wc = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = terms.select(
+        "day",
+        "n_events",
+        F.sum("step").over(wc).alias("m"),
+    )
+    run = cum.select(
+        "day",
+        "n_events",
+        "m",
+        F.min("m").over(wc).alias("m_min"),
+    )
+    ph = (F.col("m") - F.col("m_min")).cast("double")
+    return run.select(
+        "day",
+        "n_events",
+        F.round(F.col("m").cast("double"), 6).alias("m_cum"),
+        F.round(ph, 6).alias("ph_stat"),
+        (ph > PH_LAMBDA).cast("int").alias("alarm"),
+    ).orderBy("day")
+
+
+EMD_TYPE_PAIRS = tuple(
+    (a, b)
+    for i, a in enumerate(("click", "error", "purchase", "signup", "view"))
+    for b in ("click", "error", "purchase", "signup", "view")[i + 1 :]
+)
+
+
+def emd_value_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1-D earth mover's (Wasserstein-1) distance between every
+    pair of event types' value distributions — the magnitude-aware
+    complement of ks_two_sample (KS sees the largest CDF gap, EMD
+    integrates all of them): values land on an exact integer CENT grid
+    (the penny_rounding_audit trick), per-pair CDFs are cumulative
+    integer counts over the merged grid, and EMD = sum |F_a - F_b| *
+    gap_cents with each term 12dp-rounded DECIMAL.  Grid size is
+    value-range-bounded (<= 33k cells at any corpus size), pairs are a
+    pinned literal — never a row blowup."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    vals = ev.groupBy("event_type", "cents").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    pairs = spark.createDataFrame(
+        list(EMD_TYPE_PAIRS), "ta string, tb string"
+    )
+    both = (
+        pairs.join(
+            vals,
+            (F.col("event_type") == F.col("ta"))
+            | (F.col("event_type") == F.col("tb")),
+        )
+        .groupBy("ta", "tb", "cents")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == F.col("ta"), F.col("c")).otherwise(0)
+            )
+            .cast("long")
+            .alias("ca"),
+            F.sum(
+                F.when(F.col("event_type") == F.col("tb"), F.col("c")).otherwise(0)
+            )
+            .cast("long")
+            .alias("cb"),
+        )
+    )
+    wp = Window.partitionBy("ta", "tb").orderBy("cents")
+    wall = Window.partitionBy("ta", "tb")
+    cdf = both.select(
+        "ta",
+        "tb",
+        "cents",
+        F.sum("ca").over(wp.rowsBetween(Window.unboundedPreceding, 0)).alias("fa"),
+        F.sum("cb").over(wp.rowsBetween(Window.unboundedPreceding, 0)).alias("fb"),
+        F.sum("ca").over(wall).alias("na"),
+        F.sum("cb").over(wall).alias("nb"),
+        (F.lead("cents").over(wp) - F.col("cents")).alias("gap"),
+    )
+    term = F.round(
+        F.abs(
+            F.col("fa").cast("double") / F.col("na").cast("double")
+            - F.col("fb").cast("double") / F.col("nb").cast("double")
+        )
+        * F.col("gap").cast("double"),
+        12,
+    ).cast("decimal(38,12)")
+    return (
+        cdf.filter(F.col("gap").isNotNull())
+        .select("ta", "tb", "na", "nb", term.alias("t12"))
+        .groupBy("ta", "tb", "na", "nb")
+        .agg(
+            F.round(
+                F.sum("t12").cast("double") / F.lit(100.0), 6
+            ).alias("emd")
+        )
+        .select(
+            F.col("ta").alias("type_a"),
+            F.col("tb").alias("type_b"),
+            F.col("na").alias("n_a"),
+            F.col("nb").alias("n_b"),
+            "emd",
+        )
+        .orderBy("type_a", "type_b")
+    )

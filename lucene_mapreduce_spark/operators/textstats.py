@@ -6885,3 +6885,81 @@ def blockmax_tightness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decade")
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 125: corpus-linguistics keyness (log-likelihood keywords)
+# ---------------------------------------------------------------------------
+
+KEYNESS_SOURCE = "src0"
+KEYNESS_K = 20
+
+
+def keyness_loglik_terms(
+    spark: SparkSession, sf_dir: str, source: str = KEYNESS_SOURCE,
+    k: int = KEYNESS_K,
+) -> DataFrame:
+    """Rayson-Garside log-likelihood keyness: which terms distinguish
+    one source's TOKEN distribution from the rest of the corpus — the
+    corpus-linguistics G-test over occurrence counts, where the ES
+    significant_terms family (sig_terms_*) works on document
+    frequencies.  LL = 2(a ln(a/E1) + b ln(b/E2)) with expectations
+    from the token margins, zero-count terms contributing their
+    surviving half (0 ln 0 = 0), an integer cross-multiplication
+    overuse flag, and the rounded-score rank rule.  One tokenize scan,
+    one term groupBy, top-k out."""
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_col
+    from lucene_mapreduce_spark.operators.parity import load, ranked_topk
+
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select("source", F.explode(tokenize_col("text")).alias("term"))
+    )
+    per = toks.groupBy("term").agg(
+        F.sum((F.col("source") == source).cast("long"))
+        .cast("long")
+        .alias("a"),
+        F.sum((F.col("source") != source).cast("long"))
+        .cast("long")
+        .alias("b"),
+    )
+    tot = toks.agg(
+        F.sum((F.col("source") == source).cast("long")).cast("long").alias("c"),
+        F.sum((F.col("source") != source).cast("long")).cast("long").alias("d"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    cD = F.col("c").cast("double")
+    dD = F.col("d").cast("double")
+    ab = (F.col("a") + F.col("b")).cast("double")
+    e1 = cD * ab / (cD + dD)
+    e2 = dD * ab / (cD + dD)
+    t1 = F.when(
+        F.col("a") > 0,
+        F.col("a").cast("double") * F.log(F.col("a").cast("double") / e1),
+    ).otherwise(F.lit(0.0))
+    t2 = F.when(
+        F.col("b") > 0,
+        F.col("b").cast("double") * F.log(F.col("b").cast("double") / e2),
+    ).otherwise(F.lit(0.0))
+    scored = j.select(
+        "term",
+        "a",
+        "b",
+        F.round(F.lit(2.0) * (t1 + t2), 6).alias("ll"),
+        (
+            F.col("a") * (F.col("c") + F.col("d"))
+            > F.col("c") * (F.col("a") + F.col("b"))
+        )
+        .cast("int")
+        .alias("overused"),
+    )
+    return ranked_topk(
+        scored, [F.desc("ll"), F.asc("term")], k
+    ).select(
+        F.col("term"),
+        F.col("a").alias("n_in_source"),
+        F.col("b").alias("n_in_rest"),
+        "ll",
+        "overused",
+        "rank",
+    )
