@@ -17488,41 +17488,38 @@ FROM base, prefixes, suffixes
 
 def team_draft_sql(query_text: str, l_depth: int = 10) -> str:
     """team_draft_interleaving twin: both ranked pages nested from
-    their own oracle builders, then the draft unrolled one CTE per
-    position — the picked set rides a BIGINT list (plain CTE re-entry,
-    never a struct-fold accumulator), the behind-team rule and the
-    md5('td:<pos>') tie coin are the pinned Spark conventions, and a
-    team with no unpicked candidate concedes via coalesce but keeps
-    the credit."""
+    their own oracle builders and collapsed ONCE into ordered BIGINT
+    lists, then the draft unrolled one CTE per position over pure list
+    ops (list_filter/list_contains/list_append) — no correlated
+    subqueries against the corpus-scale CTEs (trap 7: DuckDB
+    decorrelates those quadratically; the first version spilled tens
+    of GB at sf1).  The behind-team rule and the md5('td:<pos>') tie
+    coin are the pinned Spark conventions; a team with no unpicked
+    candidate concedes via coalesce but keeps the credit."""
     steps = []
     prev = "s0"
     finals = []
     for n in range(1, l_depth + 1):
         coin = _MD5_52.format(e=f"'td:{n}'")
-        pick_a = (
-            "(SELECT doc_id FROM ra WHERE NOT list_contains(p.picked,"
-            " doc_id) ORDER BY rank LIMIT 1)"
-        )
-        pick_b = (
-            "(SELECT doc_id FROM rb WHERE NOT list_contains(p.picked,"
-            " doc_id) ORDER BY rank LIMIT 1)"
-        )
         steps.append(f"""p{n} AS (
-  SELECT picked, na, nb,
+  SELECT picked, na, nb, al, bl,
          CASE WHEN na < nb OR (na = nb AND ({coin}) % 2 = 1)
               THEN 1 ELSE 0 END AS turn_a
   FROM {prev}
 ),
 c{n} AS (
-  SELECT p.*,
-         coalesce(CASE WHEN p.turn_a = 1 THEN {pick_a} ELSE {pick_b} END,
-                  CASE WHEN p.turn_a = 1 THEN {pick_b} ELSE {pick_a} END)
-           AS pick
-  FROM p{n} p
+  SELECT *, coalesce(CASE WHEN turn_a = 1 THEN pa ELSE pb END,
+                     CASE WHEN turn_a = 1 THEN pb ELSE pa END) AS pick
+  FROM (
+    SELECT *,
+           list_filter(al, x -> NOT list_contains(picked, x))[1] AS pa,
+           list_filter(bl, x -> NOT list_contains(picked, x))[1] AS pb
+    FROM p{n}
+  )
 ),
 s{n} AS (
   SELECT list_append(picked, pick) AS picked,
-         na + turn_a AS na, nb + 1 - turn_a AS nb, pick, turn_a
+         na + turn_a AS na, nb + 1 - turn_a AS nb, pick, turn_a, al, bl
   FROM c{n}
 )""")
         finals.append(
@@ -17533,12 +17530,15 @@ s{n} AS (
     return (
         f"WITH ra AS (SELECT * FROM ({bm25_topk_sql(query_text, l_depth)})),\n"
         f"rb AS (SELECT * FROM ({tfidf_sql(query_text, l_depth)})),\n"
-        "s0 AS (SELECT []::BIGINT[] AS picked, 0 AS na, 0 AS nb),\n"
+        "s0 AS (SELECT []::BIGINT[] AS picked, 0 AS na, 0 AS nb,\n"
+        "  (SELECT list(doc_id ORDER BY rank) FROM ra) AS al,\n"
+        "  (SELECT list(doc_id ORDER BY rank) FROM rb) AS bl),\n"
         + ",\n".join(steps)
         + "\n"
         + "\nUNION ALL\n".join(finals)
         + "\nORDER BY pos"
     )
+
 
 # ---- batch 125: Page-Hinkley, keyness, earth mover's distance --------------
 
