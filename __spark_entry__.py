@@ -1072,6 +1072,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_hinkley_drift": parity.page_hinkley_drift,
         "keyness_loglik_terms": textstats.keyness_loglik_terms,
         "emd_value_distributions": parity.emd_value_distributions,
+        # batch 126: conformal calibration, Brier/ECE, Cronbach's alpha
+        "conformal_interval_calibration": parity.conformal_interval_calibration,
+        "brier_calibration_report": parity.brier_calibration_report,
+        "cronbach_alpha_daily": parity.cronbach_alpha_daily,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})

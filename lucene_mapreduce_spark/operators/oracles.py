@@ -17658,3 +17658,137 @@ SELECT ta AS type_a, tb AS type_b, na::BIGINT AS n_a, nb::BIGINT AS n_b,
 FROM cdf WHERE gap IS NOT NULL
 GROUP BY 1, 2, 3, 4 ORDER BY 1, 2
 """
+
+# ---- batch 126: conformal calibration, Brier/ECE, Cronbach's alpha ---------
+
+from lucene_mapreduce_spark.operators.parity import (  # noqa: E402
+    BRIER_BINS,
+    BRIER_P_SHIFT,
+    CONFORMAL_LAG,
+    CRONBACH_TYPES,
+)
+
+ORACLES["conformal_interval_calibration"] = f"""
+WITH {_DAILY_HIST},
+lagged AS (
+  SELECT row_number() OVER (ORDER BY day)::BIGINT AS i,
+         n_events::BIGINT AS y,
+         lag(n_events, {CONFORMAL_LAG}) OVER (ORDER BY day)::BIGINT AS yhat
+  FROM hist
+),
+lag2 AS (SELECT * FROM lagged WHERE yhat IS NOT NULL),
+nd AS (SELECT count(*)::BIGINT AS n_days FROM hist),
+calib AS (
+  SELECT abs(y - yhat)::BIGINT AS res, i FROM lag2
+  WHERE i <= (SELECT n_days // 2 FROM nd)
+),
+nc AS (SELECT count(*)::BIGINT AS n_cal FROM calib),
+kk AS (
+  SELECT least(((n_cal + 1) * 9 + 9) // 10, n_cal) AS k, n_cal FROM nc
+),
+q AS (
+  SELECT res AS q_hat FROM (
+    SELECT res, row_number() OVER (ORDER BY res ASC, i ASC) AS r FROM calib
+  ) WHERE r = (SELECT k FROM kk)
+),
+test AS (
+  SELECT abs(y - yhat)::BIGINT AS res FROM lag2
+  WHERE i > (SELECT n_days // 2 FROM nd)
+)
+SELECT (SELECT n_cal FROM kk) AS n_cal,
+       count(*)::BIGINT AS n_test,
+       (SELECT q_hat FROM q) AS q_hat,
+       sum(CASE WHEN res <= (SELECT q_hat FROM q)
+                THEN 1 ELSE 0 END)::BIGINT AS n_covered,
+       round(sum(CASE WHEN res <= (SELECT q_hat FROM q)
+                      THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE, 6)
+         AS coverage
+FROM test
+"""
+
+ORACLES["brier_calibration_report"] = f"""
+WITH ev AS (
+  SELECT event_id,
+         value / (value + {BRIER_P_SHIFT!r}) AS p,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+),
+binned AS (
+  SELECT ntile({BRIER_BINS}) OVER (ORDER BY p ASC, event_id ASC) AS bin,
+         round(p, 12)::DECIMAL(38,12) AS p12, y,
+         round((p - y::DOUBLE) * (p - y::DOUBLE), 12)::DECIMAL(38,12)
+           AS sq12
+  FROM ev
+),
+per AS (
+  SELECT bin, count(*)::BIGINT AS n,
+         round(sum(p12)::DOUBLE / count(*)::DOUBLE, 6) AS mean_p,
+         sum(y)::BIGINT AS n_pos,
+         round(sum(y)::DOUBLE / count(*)::DOUBLE, 6) AS frac_pos,
+         sum(sq12)::DOUBLE AS sq_sum,
+         round(abs(sum(p12)::DOUBLE / count(*)::DOUBLE
+                   - sum(y)::DOUBLE / count(*)::DOUBLE)
+               * count(*)::DOUBLE, 12)::DECIMAL(38,12) AS w_gap
+  FROM binned GROUP BY 1
+),
+consts AS (
+  SELECT sum(n)::BIGINT AS n_total,
+         round(sum(sq_sum) / sum(n)::DOUBLE, 6) AS brier,
+         round(sum(w_gap)::DOUBLE / sum(n)::DOUBLE, 6) AS ece
+  FROM per
+)
+SELECT bin, n, mean_p, n_pos, frac_pos,
+       round(abs(mean_p - frac_pos), 6) AS abs_gap,
+       n_total, brier, ece
+FROM per, consts ORDER BY bin
+"""
+
+_CA_K = len(CRONBACH_TYPES)
+_CA_IN = ", ".join(f"'{t}'" for t in CRONBACH_TYPES)
+_CA_VALUES = ", ".join(f"('{t}')" for t in CRONBACH_TYPES)
+
+ORACLES["cronbach_alpha_daily"] = f"""
+WITH {_DAILY_HIST},
+per AS (
+  SELECT ts::DATE::VARCHAR AS day, event_type, count(*)::BIGINT AS c
+  FROM events WHERE event_type IN ({_CA_IN})
+  GROUP BY 1, 2
+),
+grid AS (
+  SELECT h.day::VARCHAR AS day, t.event_type,
+         coalesce(p.c, 0)::BIGINT AS c
+  FROM hist h
+  CROSS JOIN (SELECT * FROM (VALUES {_CA_VALUES}) AS v(event_type)) t
+  LEFT JOIN per p ON p.day = h.day::VARCHAR
+                 AND p.event_type = t.event_type
+),
+item_stats AS (
+  SELECT event_type, count(*)::BIGINT AS n, sum(c)::BIGINT AS s,
+         sum(c * c)::BIGINT AS ss
+  FROM grid GROUP BY 1
+),
+items AS (
+  SELECT sum(round((ss::DOUBLE - s::DOUBLE * s::DOUBLE / n::DOUBLE)
+                   / (n::DOUBLE - 1.0), 12)::DECIMAL(38,12))::DOUBLE
+           AS sum_var_items,
+         min(n) AS n_days
+  FROM item_stats
+),
+daily_tot AS (SELECT day, sum(c)::BIGINT AS t FROM grid GROUP BY 1),
+tot_stats AS (
+  SELECT count(*)::BIGINT AS n, sum(t)::BIGINT AS s,
+         sum(t * t)::BIGINT AS ss
+  FROM daily_tot
+),
+totals AS (
+  SELECT (ss::DOUBLE - s::DOUBLE * s::DOUBLE / n::DOUBLE)
+           / (n::DOUBLE - 1.0) AS var_total
+  FROM tot_stats
+)
+SELECT n_days::BIGINT AS n_days, {_CA_K}::BIGINT AS k_items,
+       round(sum_var_items, 6) AS sum_var_items,
+       round(var_total, 6) AS var_total,
+       round({float(_CA_K) / (_CA_K - 1)!r}
+             * (1.0 - sum_var_items / var_total), 6) AS alpha
+FROM items, totals
+"""

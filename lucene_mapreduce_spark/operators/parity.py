@@ -8112,3 +8112,235 @@ def emd_value_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 126: conformal calibration, Brier/ECE report, Cronbach's alpha
+# ---------------------------------------------------------------------------
+
+CONFORMAL_ALPHA = 0.1
+CONFORMAL_LAG = 7
+
+
+def conformal_interval_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Split-conformal prediction-interval calibration for the
+    seasonal-naive lag-7 forecaster (theil_u2_forecast's model):
+    absolute residuals on the FIRST half of the calendar are the
+    calibration scores, the interval half-width is the exact
+    ceil((n_cal+1)(1-alpha))-th smallest residual (an ORDER STATISTIC
+    — integer, no interpolation, the split-conformal rule), and the
+    report checks empirical coverage on the held-out second half.
+    Everything is exact integers until the final coverage ratio; the
+    order statistic is a rank pick on (residual, day) so ties are
+    deterministic.  The uncertainty-quantification companion of
+    forecast_baseline_backtest's point-error metrics."""
+    from pyspark.sql import Window
+
+    hist = date_histogram_facets(spark, sf_dir)
+    w = Window.orderBy("day")
+    lagged = hist.select(
+        F.row_number().over(w).cast("long").alias("i"),
+        F.col("n_events").cast("long").alias("y"),
+        F.lag("n_events", CONFORMAL_LAG).over(w).cast("long").alias("yhat"),
+    ).filter(F.col("yhat").isNotNull())
+    n_days = hist.count()
+    half = n_days // 2
+    cal = lagged.filter(F.col("i") <= half).select(
+        F.abs(F.col("y") - F.col("yhat")).alias("res"), "i"
+    )
+    n_cal = cal.count()
+    # ceil((n_cal+1)*(1-alpha)) at alpha=.1 — the (m+9)//10 form is
+    # truncation-safe (positive operands), identical in Python and SQL
+    k = min(((n_cal + 1) * 9 + 9) // 10, n_cal)
+    wq = Window.orderBy(F.col("res").asc(), F.col("i").asc())
+    q = cal.select(
+        "res", F.row_number().over(wq).alias("r")
+    ).filter(F.col("r") == k).select(F.col("res").alias("q_hat"))
+    test = lagged.filter(F.col("i") > half).select(
+        F.abs(F.col("y") - F.col("yhat")).alias("res")
+    )
+    cov = test.crossJoin(F.broadcast(q)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.sum((F.col("res") <= F.col("q_hat")).cast("int"))
+        .cast("long")
+        .alias("n_covered"),
+        F.first("q_hat").alias("q_hat"),
+    )
+    return cov.select(
+        F.lit(n_cal).cast("long").alias("n_cal"),
+        "n_test",
+        "q_hat",
+        "n_covered",
+        F.round(
+            F.col("n_covered").cast("double") / F.col("n_test").cast("double"),
+            6,
+        ).alias("coverage"),
+    )
+
+
+BRIER_P_SHIFT = 50.0  # pinned "model": p = value / (value + 50)
+BRIER_BINS = 10
+
+
+def brier_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probabilistic-classifier calibration report for a pinned
+    closed-form scoring rule (p = value/(value+50) predicting
+    event_type == 'purchase'): per-decile (ntile over the total
+    (p, event_id) order — the ccnet tie rule) mean predicted
+    probability, observed positive fraction and |gap|, with the
+    overall Brier score and expected calibration error riding every
+    row as broadcast constants.  All means come from 12dp DECIMAL
+    sums; the outcome is integer.  The classic offline eval a ranking
+    team runs before trusting a score as a probability."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("value") / (F.col("value") + F.lit(BRIER_P_SHIFT))).alias("p"),
+        (F.col("event_type") == "purchase").cast("long").alias("y"),
+    )
+    d = F.col("p") - F.col("y").cast("double")
+    binned = ev.select(
+        F.ntile(BRIER_BINS)
+        .over(Window.orderBy(F.col("p").asc(), F.col("event_id").asc()))
+        .alias("bin"),
+        F.round("p", 12).cast("decimal(38,12)").alias("p12"),
+        "y",
+        F.round(d * d, 12).cast("decimal(38,12)").alias("sq12"),
+    )
+    per = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(
+            F.sum("p12").cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("mean_p"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.round(
+            F.sum("y").cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("frac_pos"),
+        F.sum("sq12").cast("double").alias("sq_sum"),
+    )
+    gap = F.abs(
+        F.sum("p12").cast("double") / F.count(F.lit(1)).cast("double")
+        - F.sum("y").cast("double") / F.count(F.lit(1)).cast("double")
+    )
+    ece_terms = binned.groupBy("bin").agg(
+        F.round(
+            gap * F.count(F.lit(1)).cast("double"), 12
+        )
+        .cast("decimal(38,12)")
+        .alias("w_gap")
+    )
+    tot = per.agg(
+        F.sum("n").cast("long").alias("n_total"),
+        F.sum("sq_sum").alias("brier_sum"),
+    )
+    ece = ece_terms.agg(F.sum("w_gap").cast("double").alias("ece_sum"))
+    consts = tot.crossJoin(F.broadcast(ece)).select(
+        "n_total",
+        F.round(
+            F.col("brier_sum") / F.col("n_total").cast("double"), 6
+        ).alias("brier"),
+        F.round(
+            F.col("ece_sum") / F.col("n_total").cast("double"), 6
+        ).alias("ece"),
+    )
+    return (
+        per.select(
+            "bin",
+            "n",
+            "mean_p",
+            "n_pos",
+            "frac_pos",
+            F.round(F.abs(F.col("mean_p") - F.col("frac_pos")), 6).alias(
+                "abs_gap"
+            ),
+        )
+        .crossJoin(F.broadcast(consts))
+        .orderBy("bin")
+    )
+
+
+CRONBACH_TYPES = ("click", "purchase", "view")
+
+
+def cronbach_alpha_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's alpha over the k=3 pinned event types' daily count
+    series (items = types, observations = the gap-filled calendar):
+    alpha = k/(k-1) * (1 - sum var_item / var_total), every variance
+    from exact BIGINT sufficient statistics (zero-filled empty days
+    included — the same calendar discipline as the rest of the daily
+    family).  The internal-consistency statistic that says whether
+    the three activity streams move together day to day."""
+    k = len(CRONBACH_TYPES)
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(*CRONBACH_TYPES)
+    )
+    hist = date_histogram_facets(spark, sf_dir).select("day")
+    per = (
+        ev.select(
+            F.to_date("ts").cast("string").alias("day"), "event_type"
+        )
+        .groupBy("day", "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    types = spark.createDataFrame(
+        [(t,) for t in CRONBACH_TYPES], "event_type string"
+    )
+    grid = (
+        hist.crossJoin(F.broadcast(types))
+        .join(per, ["day", "event_type"], "left")
+        .select(
+            "day",
+            "event_type",
+            F.coalesce("c", F.lit(0)).cast("long").alias("c"),
+        )
+    )
+    item_stats = grid.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("ss"),
+    )
+    nD = F.col("n").cast("double")
+    v_item = (
+        F.col("ss").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double") / nD
+    ) / (nD - F.lit(1.0))
+    items = item_stats.agg(
+        F.sum(F.round(v_item, 12).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("sum_var_items"),
+        F.first("n").alias("n_days"),
+    )
+    daily_tot = grid.groupBy("day").agg(
+        F.sum("c").cast("long").alias("t")
+    )
+    tot_stats = daily_tot.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("t").cast("long").alias("s"),
+        F.sum(F.col("t") * F.col("t")).cast("long").alias("ss"),
+    )
+    v_tot = (
+        F.col("ss").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double")
+        / F.col("n").cast("double")
+    ) / (F.col("n").cast("double") - F.lit(1.0))
+    totals = tot_stats.select(v_tot.alias("var_total"))
+    return (
+        items.crossJoin(F.broadcast(totals))
+        .select(
+            F.col("n_days").cast("long").alias("n_days"),
+            F.lit(k).cast("long").alias("k_items"),
+            F.round("sum_var_items", 6).alias("sum_var_items"),
+            F.round("var_total", 6).alias("var_total"),
+            F.round(
+                F.lit(float(k) / (k - 1))
+                * (
+                    F.lit(1.0)
+                    - F.col("sum_var_items") / F.col("var_total")
+                ),
+                6,
+            ).alias("alpha"),
+        )
+    )
