@@ -1076,6 +1076,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conformal_interval_calibration": parity.conformal_interval_calibration,
         "brier_calibration_report": parity.brier_calibration_report,
         "cronbach_alpha_daily": parity.cronbach_alpha_daily,
+        # batch 127: Fleiss kappa, information gain, shift-share
+        "fleiss_kappa_quality": textstats.fleiss_kappa_quality,
+        "information_gain_features": parity.information_gain_features,
+        "revenue_shift_share": relational.revenue_shift_share,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})

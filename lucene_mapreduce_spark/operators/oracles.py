@@ -17792,3 +17792,172 @@ SELECT n_days::BIGINT AS n_days, {_CA_K}::BIGINT AS k_items,
              * (1.0 - sum_var_items / var_total), 6) AS alpha
 FROM items, totals
 """
+
+# ---- batch 127: Fleiss kappa, information gain, shift-share ----------------
+
+from lucene_mapreduce_spark.operators.relational import (  # noqa: E402
+    SHIFT_SHARE_Y1,
+    SHIFT_SHARE_Y2,
+)
+from lucene_mapreduce_spark.operators.textstats import (  # noqa: E402
+    FLEISS_MIN_MTL,
+    FLEISS_MIN_TOKS,
+    FLEISS_MIN_TTR,
+)
+
+ORACLES["fleiss_kappa_quality"] = f"""
+WITH docs AS (SELECT {TOKS} AS toks FROM documents),
+feats AS (
+  SELECT len(toks)::BIGINT AS n_t,
+         len(list_distinct(toks))::BIGINT AS n_d,
+         list_reduce(list_transform(toks, x -> length(x)::BIGINT),
+                     (a, b) -> a + b)::BIGINT AS sum_len
+  FROM docs
+),
+flags AS (
+  SELECT CASE WHEN n_t >= {FLEISS_MIN_TOKS} THEN 1 ELSE 0 END AS r1,
+         CASE WHEN n_d::DOUBLE / n_t::DOUBLE >= {FLEISS_MIN_TTR!r}
+              THEN 1 ELSE 0 END AS r2,
+         CASE WHEN sum_len::DOUBLE / n_t::DOUBLE >= {FLEISS_MIN_MTL!r}
+              THEN 1 ELSE 0 END AS r3
+  FROM feats
+),
+per AS (
+  SELECT r1, r2, r3, (r1 + r2 + r3)::BIGINT AS kpos,
+         ((r1 + r2 + r3) * (r1 + r2 + r3 - 1)
+          + (3 - r1 - r2 - r3) * (2 - r1 - r2 - r3))::BIGINT AS agree6
+  FROM flags
+),
+g AS (
+  SELECT count(*)::BIGINT AS n_docs,
+         sum(r1)::BIGINT AS n_pos_r1, sum(r2)::BIGINT AS n_pos_r2,
+         sum(r3)::BIGINT AS n_pos_r3,
+         sum(agree6)::BIGINT AS s_agree6, sum(kpos)::BIGINT AS s_pos
+  FROM per
+)
+SELECT n_docs, n_pos_r1, n_pos_r2, n_pos_r3,
+       round(s_agree6::DOUBLE / (6.0 * n_docs::DOUBLE), 6) AS p_bar,
+       round((s_pos::DOUBLE / (3.0 * n_docs::DOUBLE))
+               * (s_pos::DOUBLE / (3.0 * n_docs::DOUBLE))
+             + (1.0 - s_pos::DOUBLE / (3.0 * n_docs::DOUBLE))
+               * (1.0 - s_pos::DOUBLE / (3.0 * n_docs::DOUBLE)), 6) AS p_e,
+       round((s_agree6::DOUBLE / (6.0 * n_docs::DOUBLE)
+              - ((s_pos::DOUBLE / (3.0 * n_docs::DOUBLE))
+                   * (s_pos::DOUBLE / (3.0 * n_docs::DOUBLE))
+                 + (1.0 - s_pos::DOUBLE / (3.0 * n_docs::DOUBLE))
+                   * (1.0 - s_pos::DOUBLE / (3.0 * n_docs::DOUBLE))))
+             / (1.0 - ((s_pos::DOUBLE / (3.0 * n_docs::DOUBLE))
+                         * (s_pos::DOUBLE / (3.0 * n_docs::DOUBLE))
+                       + (1.0 - s_pos::DOUBLE / (3.0 * n_docs::DOUBLE))
+                         * (1.0 - s_pos::DOUBLE / (3.0 * n_docs::DOUBLE)))),
+             6) AS kappa
+FROM g
+"""
+
+
+def _ig_leg(feat: str, expr: str) -> str:
+    return f"""
+SELECT '{feat}' AS feature,
+       (SELECT count(DISTINCT {expr}) FROM ev)::BIGINT AS n_values,
+       (SELECT round(h, 6) FROM hy) AS h_y,
+       round(hc, 6) AS h_y_given_x,
+       round((SELECT h FROM hy) - hc, 6) AS info_gain,
+       round(((SELECT h FROM hy) - hc) / hx, 6) AS gain_ratio
+FROM (
+  SELECT
+    (SELECT sum(round((cx::DOUBLE / (SELECT n FROM nt))
+                      * -((c::DOUBLE / cx::DOUBLE)
+                          * ln(c::DOUBLE / cx::DOUBLE)), 12)
+                ::DECIMAL(38,12))::DOUBLE
+     FROM (SELECT {expr} AS x, y, count(*)::BIGINT AS c
+           FROM ev GROUP BY 1, 2) cells
+     JOIN (SELECT {expr} AS x, count(*)::BIGINT AS cx
+           FROM ev GROUP BY 1) xt USING (x)) AS hc,
+    (SELECT sum(round(-((cx::DOUBLE / (SELECT n FROM nt))
+                        * ln(cx::DOUBLE / (SELECT n FROM nt))), 12)
+                ::DECIMAL(38,12))::DOUBLE
+     FROM (SELECT {expr} AS x, count(*)::BIGINT AS cx
+           FROM ev GROUP BY 1)) AS hx
+)"""
+
+
+ORACLES["information_gain_features"] = (
+    """
+WITH ev AS (
+  SELECT ((epoch_us(ts) // 3600000000) % 24) // 6 AS hour4,
+         (epoch_us(ts) // 86400000000) % 7 AS dow7,
+         least(3, floor(value / 100)::BIGINT) AS val4,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+),
+nt AS (SELECT count(*)::DOUBLE AS n FROM ev),
+hy AS (
+  SELECT sum(round(-((c::DOUBLE / (SELECT n FROM nt))
+                     * ln(c::DOUBLE / (SELECT n FROM nt))), 12)
+             ::DECIMAL(38,12))::DOUBLE AS h
+  FROM (SELECT y, count(*)::BIGINT AS c FROM ev GROUP BY 1)
+)
+"""
+    + "\nUNION ALL\n".join(
+        _ig_leg(f, f) for f in ("hour4", "dow7", "val4")
+    )
+    + "\nORDER BY feature"
+)
+
+_SS_Y1_LO, _SS_Y1_HI = SHIFT_SHARE_Y1
+_SS_Y2_LO, _SS_Y2_HI = SHIFT_SHARE_Y2
+
+ORACLES["revenue_shift_share"] = f"""
+WITH rev AS (
+  SELECT c.c_nationkey, o.o_orderpriority,
+         sum(CASE WHEN o.o_orderdate >= TIMESTAMP '{_SS_Y1_LO}'
+                   AND o.o_orderdate < TIMESTAMP '{_SS_Y1_HI}'
+                  THEN round(o.o_totalprice, 2)::DECIMAL(28,2)
+                  ELSE 0 END)::DECIMAL(28,2) AS r1,
+         sum(CASE WHEN o.o_orderdate >= TIMESTAMP '{_SS_Y2_LO}'
+                   AND o.o_orderdate < TIMESTAMP '{_SS_Y2_HI}'
+                  THEN round(o.o_totalprice, 2)::DECIMAL(28,2)
+                  ELSE 0 END)::DECIMAL(28,2) AS r2
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE (o.o_orderdate >= TIMESTAMP '{_SS_Y1_LO}'
+         AND o.o_orderdate < TIMESTAMP '{_SS_Y1_HI}')
+     OR (o.o_orderdate >= TIMESTAMP '{_SS_Y2_LO}'
+         AND o.o_orderdate < TIMESTAMP '{_SS_Y2_HI}')
+  GROUP BY 1, 2
+),
+pr AS (
+  SELECT o_orderpriority, sum(r1)::DECIMAL(28,2) AS p1,
+         sum(r2)::DECIMAL(28,2) AS p2
+  FROM rev GROUP BY 1
+),
+tot AS (
+  SELECT sum(r1)::DECIMAL(28,2) AS t1, sum(r2)::DECIMAL(28,2) AS t2
+  FROM rev
+),
+withg AS (
+  SELECT rev.c_nationkey, rev.r1, rev.r2,
+         CASE WHEN p1 > 0
+              THEN round(rev.r1::DOUBLE
+                         * ((p2::DOUBLE / p1::DOUBLE - 1.0)
+                            - (t2::DOUBLE / t1::DOUBLE - 1.0)), 12)
+              ELSE 0.0 END::DECIMAL(38,12) AS mix12,
+         t2::DOUBLE / t1::DOUBLE - 1.0 AS g
+  FROM rev JOIN pr USING (o_orderpriority), tot
+),
+per_nation AS (
+  SELECT c_nationkey, sum(r1)::DECIMAL(28,2) AS rev1,
+         sum(r2)::DECIMAL(28,2) AS rev2,
+         sum(mix12)::DOUBLE AS mix, min(g) AS g
+  FROM withg GROUP BY 1
+)
+SELECT n.n_name,
+       round(rev1::DOUBLE, 2) AS rev1,
+       round(rev2::DOUBLE, 2) AS rev2,
+       round((rev2 - rev1)::DOUBLE, 2) AS actual_delta,
+       round(rev1::DOUBLE * g, 4) AS national_term,
+       round(mix, 4) AS mix_term,
+       round((rev2 - rev1)::DOUBLE - rev1::DOUBLE * g - mix, 4)
+         AS shift_term
+FROM per_nation p JOIN nation n ON p.c_nationkey = n.n_nationkey
+ORDER BY n.n_name
+"""

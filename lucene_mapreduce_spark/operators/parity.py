@@ -8344,3 +8344,89 @@ def cronbach_alpha_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("alpha"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 127: information-gain feature ranking
+# ---------------------------------------------------------------------------
+
+IG_FEATURES = ("hour4", "dow7", "val4")
+
+
+def information_gain_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Information-gain ranking of three closed-form categorical
+    features for predicting event_type == 'purchase' — the decision-
+    tree split-selection primitive as a report: IG = H(y) - H(y|X)
+    and the gain ratio IG / H(X), each entropy from exact integer
+    cell counts with 12dp-DECIMAL -(p ln p) contributions (the
+    kl_divergence scale-safe pattern).  Features avoid engine date
+    functions entirely: 6-hour bucket and day-of-week from epoch
+    integer arithmetic, value bucket from a pinned 100-unit grid."""
+    ev = load(spark, sf_dir, "events").select(
+        F.expr(
+            "(unix_micros(cast(ts as timestamp)) div 3600000000) % 24"
+        ).alias("hr"),
+        F.expr(
+            "(unix_micros(cast(ts as timestamp)) div 86400000000) % 7"
+        ).alias("dw"),
+        "value",
+        (F.col("event_type") == "purchase").cast("long").alias("y"),
+    ).select(
+        F.expr("hr div 6").cast("long").alias("hour4"),
+        F.col("dw").cast("long").alias("dow7"),
+        F.least(F.lit(3), F.floor(F.col("value") / 100))
+        .cast("long")
+        .alias("val4"),
+        "y",
+    )
+    n_total = ev.count()
+
+    def _h_terms(cnt_col, tot_col):
+        p = cnt_col.cast("double") / tot_col.cast("double")
+        return F.round(-(p * F.log(p)), 12).cast("decimal(38,12)")
+
+    ytab = ev.groupBy("y").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    h_y = ytab.agg(
+        F.sum(_h_terms(F.col("c"), F.lit(n_total))).cast("double").alias("h")
+    )
+    out = None
+    for feat in IG_FEATURES:
+        cells = ev.groupBy(feat, "y").agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+        xtab = cells.groupBy(feat).agg(F.sum("c").cast("long").alias("cx"))
+        cond_terms = cells.join(xtab, feat).select(
+            F.round(
+                (F.col("cx").cast("double") / F.lit(float(n_total)))
+                * -(
+                    (F.col("c").cast("double") / F.col("cx").cast("double"))
+                    * F.log(
+                        F.col("c").cast("double") / F.col("cx").cast("double")
+                    )
+                ),
+                12,
+            )
+            .cast("decimal(38,12)")
+            .alias("t"),
+        )
+        h_cond = cond_terms.agg(F.sum("t").cast("double").alias("hc"))
+        h_x = xtab.select(
+            _h_terms(F.col("cx"), F.lit(n_total)).alias("t")
+        ).agg(F.sum("t").cast("double").alias("hx"))
+        nvals = xtab.count()
+        leg = (
+            h_cond.crossJoin(F.broadcast(h_y))
+            .crossJoin(F.broadcast(h_x))
+            .select(
+                F.lit(feat).alias("feature"),
+                F.lit(nvals).cast("long").alias("n_values"),
+                F.round("h", 6).alias("h_y"),
+                F.round("hc", 6).alias("h_y_given_x"),
+                F.round(F.col("h") - F.col("hc"), 6).alias("info_gain"),
+                F.round((F.col("h") - F.col("hc")) / F.col("hx"), 6).alias(
+                    "gain_ratio"
+                ),
+            )
+        )
+        out = leg if out is None else out.unionByName(leg)
+    return out.orderBy("feature")

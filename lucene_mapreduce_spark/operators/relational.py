@@ -3685,3 +3685,112 @@ def jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("z_stat"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 127: shift-share revenue decomposition
+# ---------------------------------------------------------------------------
+
+SHIFT_SHARE_Y1 = ("1996-01-01", "1997-01-01")
+SHIFT_SHARE_Y2 = ("1997-01-01", "1998-01-01")
+
+
+def revenue_shift_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shift-share decomposition of year-over-year order revenue by
+    customer nation (the regional-economics identity, priority class
+    standing in for 'industry'): each nation's actual revenue change
+    splits into the national-growth term r1*G, the mix term
+    sum_p r1_np (G_p - G) (was the nation loaded with fast- or
+    slow-growing priorities?) and the residual competitive-shift
+    term.  Revenue rides exact DECIMAL(28,2) sums; growth rates are
+    one double chain from those; the <=5 per-nation mix terms are
+    12dp-rounded DECIMALs (order-free).  Two scans' worth of orders,
+    nation-grain output."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    legs = {}
+    for tag, (lo, hi) in (("r1", SHIFT_SHARE_Y1), ("r2", SHIFT_SHARE_Y2)):
+        legs[tag] = (
+            orders.filter(
+                (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+            )
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .groupBy("c_nationkey", "o_orderpriority")
+            .agg(
+                F.sum(
+                    F.round("o_totalprice", 2).cast("decimal(28,2)")
+                ).alias(tag)
+            )
+        )
+    np_ = legs["r1"].join(
+        legs["r2"], ["c_nationkey", "o_orderpriority"], "full"
+    ).select(
+        "c_nationkey",
+        "o_orderpriority",
+        F.coalesce("r1", F.lit(0)).cast("decimal(28,2)").alias("r1"),
+        F.coalesce("r2", F.lit(0)).cast("decimal(28,2)").alias("r2"),
+    )
+    pr = np_.groupBy("o_orderpriority").agg(
+        F.sum("r1").alias("p1"), F.sum("r2").alias("p2")
+    )
+    tot = np_.agg(F.sum("r1").alias("t1"), F.sum("r2").alias("t2"))
+    g_all = (
+        F.col("t2").cast("double") / F.col("t1").cast("double") - F.lit(1.0)
+    )
+    withg = (
+        np_.join(F.broadcast(pr), "o_orderpriority")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "c_nationkey",
+            "r1",
+            "r2",
+            F.when(
+                F.col("p1") > 0,
+                F.round(
+                    F.col("r1").cast("double")
+                    * (
+                        (
+                            F.col("p2").cast("double")
+                            / F.col("p1").cast("double")
+                            - F.lit(1.0)
+                        )
+                        - g_all
+                    ),
+                    12,
+                ),
+            )
+            .otherwise(F.lit(0.0))  # empty-y1 priority: r1 = 0, no mix share
+            .cast("decimal(38,12)")
+            .alias("mix12"),
+            g_all.alias("g"),
+        )
+    )
+    per_nation = withg.groupBy("c_nationkey").agg(
+        F.sum("r1").alias("rev1"),
+        F.sum("r2").alias("rev2"),
+        F.sum("mix12").cast("double").alias("mix"),
+        F.first("g").alias("g"),
+    )
+    nat = F.col("rev1").cast("double") * F.col("g")
+    delta = (F.col("rev2") - F.col("rev1")).cast("double")
+    return (
+        per_nation.join(
+            F.broadcast(nation),
+            per_nation.c_nationkey == nation.n_nationkey,
+        )
+        .select(
+            "n_name",
+            F.round(F.col("rev1").cast("double"), 2).alias("rev1"),
+            F.round(F.col("rev2").cast("double"), 2).alias("rev2"),
+            F.round(delta, 2).alias("actual_delta"),
+            F.round(nat, 4).alias("national_term"),
+            F.round(F.col("mix"), 4).alias("mix_term"),
+            F.round(delta - nat - F.col("mix"), 4).alias("shift_term"),
+        )
+        .orderBy("n_name")
+    )

@@ -6963,3 +6963,73 @@ def keyness_loglik_terms(
         "overused",
         "rank",
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 127: Fleiss' kappa over deterministic quality raters
+# ---------------------------------------------------------------------------
+
+FLEISS_MIN_TOKS = 50
+FLEISS_MIN_TTR = 0.5
+FLEISS_MIN_MTL = 4.5
+
+
+def fleiss_kappa_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa over three deterministic binary quality 'raters'
+    (token count >= 50, type-token ratio >= 0.5, mean token length >=
+    4.5) — the inter-annotator-agreement statistic a curation team
+    runs before trusting any single heuristic, with closed-form raters
+    standing in for humans (cohens_kappa is the 2-rater member).  For
+    n=3 raters the per-item agreement P_i has the exact integer form
+    (k(k-1) + (3-k)(2-k))/6 with k = positive votes, so P-bar, the
+    chance agreement p+^2 + p-^2 and kappa all come from BIGINT
+    sufficient statistics in one scan."""
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_col
+
+    docs = load(spark, sf_dir, "documents").select(
+        tokenize_col("text").alias("toks")
+    )
+    n_t = F.size("toks").cast("long")
+    ttr = F.size(F.array_distinct("toks")).cast("double") / n_t.cast("double")
+    mtl = (
+        F.aggregate(
+            F.transform("toks", lambda x: F.length(x)),
+            F.lit(0).cast("long"),
+            lambda a, b: a + b.cast("long"),
+        ).cast("double")
+        / n_t.cast("double")
+    )
+    flags = docs.select(
+        (n_t >= FLEISS_MIN_TOKS).cast("int").alias("r1"),
+        (ttr >= FLEISS_MIN_TTR).cast("int").alias("r2"),
+        (mtl >= FLEISS_MIN_MTL).cast("int").alias("r3"),
+    )
+    kpos = (F.col("r1") + F.col("r2") + F.col("r3")).cast("long")
+    per = flags.select(
+        "r1",
+        "r2",
+        "r3",
+        (kpos * (kpos - 1) + (3 - kpos) * (2 - kpos)).alias("agree6"),
+        kpos.alias("kpos"),
+    )
+    g = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("r1").cast("long").alias("n_pos_r1"),
+        F.sum("r2").cast("long").alias("n_pos_r2"),
+        F.sum("r3").cast("long").alias("n_pos_r3"),
+        F.sum("agree6").cast("long").alias("s_agree6"),
+        F.sum("kpos").cast("long").alias("s_pos"),
+    )
+    nD = F.col("n_docs").cast("double")
+    pbar = F.col("s_agree6").cast("double") / (F.lit(6.0) * nD)
+    ppos = F.col("s_pos").cast("double") / (F.lit(3.0) * nD)
+    pe = ppos * ppos + (F.lit(1.0) - ppos) * (F.lit(1.0) - ppos)
+    return g.select(
+        "n_docs",
+        "n_pos_r1",
+        "n_pos_r2",
+        "n_pos_r3",
+        F.round(pbar, 6).alias("p_bar"),
+        F.round(pe, 6).alias("p_e"),
+        F.round((pbar - pe) / (F.lit(1.0) - pe), 6).alias("kappa"),
+    )
