@@ -1080,6 +1080,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fleiss_kappa_quality": textstats.fleiss_kappa_quality,
         "information_gain_features": parity.information_gain_features,
         "revenue_shift_share": relational.revenue_shift_share,
+        # batch 128: Burrows delta, DP exponential mechanism, skip benefit
+        "burrows_delta_sources": textstats.burrows_delta_sources,
+        "dp_exponential_mechanism": parity.dp_exponential_mechanism,
+        "skip_pointer_benefit": textstats.skip_pointer_benefit,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})
@@ -1127,6 +1131,9 @@ def oracle_sql() -> dict[str, str]:
     out["team_draft_interleaving"] = team_draft_sql(
         fulltext.FLAGSHIP_QUERY, fulltext.TEAM_DRAFT_L
     )
+    from lucene_mapreduce_spark.operators.oracles import skip_benefit_sql
+
+    out["skip_pointer_benefit"] = skip_benefit_sql(fulltext.FLAGSHIP_QUERY)
     out["terms_enum"] = terms_enum_sql(fulltext.TERMS_ENUM_K)
     out["spell_suggest"] = spell_suggest_sql(fulltext.SPELL_INPUT)
     out["autocomplete"] = autocomplete_sql(fulltext.AUTOCOMPLETE_PREFIX)

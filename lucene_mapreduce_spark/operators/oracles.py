@@ -17961,3 +17961,129 @@ SELECT n.n_name,
 FROM per_nation p JOIN nation n ON p.c_nationkey = n.n_nationkey
 ORDER BY n.n_name
 """
+
+# ---- batch 128: Burrows delta, DP exponential mechanism, skip benefit ------
+
+from lucene_mapreduce_spark.operators.parity import (  # noqa: E402
+    DP_EM_EPSILON,
+    DP_EM_SENSITIVITY,
+    _TWO_NEG52,
+)
+from lucene_mapreduce_spark.operators.textstats import (  # noqa: E402
+    BURROWS_K,
+    SKIP_BLOCK_B,
+)
+
+ORACLES["burrows_delta_sources"] = f"""
+WITH toks AS (
+  SELECT source, unnest({TOKS}) AS term FROM documents
+),
+topw AS (
+  SELECT term FROM (
+    SELECT term, row_number() OVER (ORDER BY count(*) DESC, term ASC) AS r
+    FROM toks GROUP BY term
+  ) WHERE r <= {BURROWS_K}
+),
+tot AS (SELECT source, count(*)::BIGINT AS n_toks FROM toks GROUP BY 1),
+cnt AS (
+  SELECT source, term, count(*)::BIGINT AS c
+  FROM toks JOIN topw USING (term) GROUP BY 1, 2
+),
+grid AS (
+  SELECT t.source, w.term,
+         round(coalesce(c.c, 0)::DOUBLE * 1000.0 / t.n_toks::DOUBLE,
+               12)::DECIMAL(38,12) AS r12
+  FROM tot t CROSS JOIN topw w
+  LEFT JOIN cnt c ON c.source = t.source AND c.term = w.term
+),
+stats AS (
+  SELECT term, count(*)::BIGINT AS ns, sum(r12)::DOUBLE AS s,
+         sum(round(r12::DOUBLE * r12::DOUBLE, 12)::DECIMAL(38,12))::DOUBLE
+           AS ss
+  FROM grid GROUP BY 1
+),
+z AS (
+  SELECT g.source, g.term,
+         (g.r12::DOUBLE - s / ns::DOUBLE)
+           / sqrt((ss - s * (s / ns::DOUBLE)) / (ns::DOUBLE - 1.0)) AS z
+  FROM grid g JOIN stats USING (term)
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       round(sum(round(abs(a.z - b.z), 12)::DECIMAL(38,12))::DOUBLE
+             / {float(BURROWS_K)!r}, 6) AS delta
+FROM z a JOIN z b ON a.term = b.term AND a.source < b.source
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+_DPEM_U = (
+    "((" + _MD5_52.format(e="'em:' || event_type") + ")::DOUBLE + 0.5)"
+    f" * {_TWO_NEG52!r}"
+)
+
+ORACLES["dp_exponential_mechanism"] = f"""
+WITH ev AS (
+  SELECT event_type, count(*)::BIGINT AS n_events FROM events GROUP BY 1
+),
+scored AS (
+  SELECT event_type, n_events, {_DPEM_U} AS u FROM ev
+),
+s2 AS (
+  SELECT event_type, n_events, u,
+         round(n_events::DOUBLE
+                 * {DP_EM_EPSILON / (2.0 * DP_EM_SENSITIVITY)!r}
+               + (-round(ln(-round(ln(u), 12)), 12)), 6) AS noisy_score
+  FROM scored
+)
+SELECT event_type, n_events, round(u, 12) AS u, noisy_score,
+       (CASE WHEN row_number() OVER (ORDER BY noisy_score DESC,
+                                     event_type ASC) = 1
+             THEN 1 ELSE 0 END)::INT AS chosen
+FROM s2 ORDER BY event_type
+"""
+
+
+def skip_benefit_sql(query_text: str) -> str:
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_string
+
+    qts = ", ".join(
+        f"'{t}'" for t in sorted(set(tokenize_string(query_text)))
+    )
+    return f"""
+WITH docs AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+post AS (
+  SELECT DISTINCT term, doc_id
+  FROM (SELECT doc_id, unnest(toks) AS term FROM docs)
+  WHERE term IN ({qts})
+),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM post GROUP BY 1),
+blocks AS (
+  SELECT term, blk, min(doc_id) AS lo, max(doc_id) AS hi
+  FROM (SELECT term, doc_id,
+               (row_number() OVER (PARTITION BY term ORDER BY doc_id) - 1)
+                 // {SKIP_BLOCK_B} AS blk
+        FROM post)
+  GROUP BY 1, 2
+),
+touched AS (
+  SELECT t_small, t_large, count(*)::BIGINT AS blocks_touched
+  FROM (
+    SELECT DISTINCT s.term AS t_small, b.term AS t_large, b.blk
+    FROM post s JOIN blocks b
+      ON s.term <> b.term AND s.doc_id BETWEEN b.lo AND b.hi
+  ) GROUP BY 1, 2
+),
+nblk AS (
+  SELECT term AS t_large, count(*)::BIGINT AS n_blocks
+  FROM blocks GROUP BY 1
+)
+SELECT t.t_small, t.t_large, ds.df AS df_small, dl.df AS df_large,
+       n.n_blocks, t.blocks_touched,
+       round(1.0 - t.blocks_touched::DOUBLE * {float(SKIP_BLOCK_B)!r}
+                   / dl.df::DOUBLE, 6) AS decode_saving
+FROM touched t
+JOIN nblk n ON n.t_large = t.t_large
+JOIN dfs dl ON dl.term = t.t_large
+JOIN dfs ds ON ds.term = t.t_small
+WHERE ds.df <= dl.df
+ORDER BY t.t_small, t.t_large
+"""

@@ -8430,3 +8430,60 @@ def information_gain_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = leg if out is None else out.unionByName(leg)
     return out.orderBy("feature")
+
+
+# ---------------------------------------------------------------------------
+# Batch 128: differentially-private exponential mechanism
+# ---------------------------------------------------------------------------
+
+DP_EM_EPSILON = 0.5
+DP_EM_SENSITIVITY = 1.0
+_TWO_NEG52 = 2.0 ** -52
+
+
+def dp_exponential_mechanism(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private selection of the most frequent event
+    type via the EXPONENTIAL mechanism in its Gumbel-max form
+    (argmax of u*eps/(2*sensitivity) + Gumbel noise is an exact
+    sampler for the exponential mechanism) — dp_noisy_counts' Laplace
+    sibling for the SELECTION problem, where Laplace answers counts.
+    The Gumbel draw is -ln(-ln(u)) on the md5('em:<type>')-derived
+    uniform (engine-shared bits, +0.5/2^52 keeps u in (0,1)); each ln
+    is 12dp-rounded so both engines walk the same float64 chain.  The
+    report keeps every candidate with its noisy score and flags the
+    winner — the verifiable face of a randomized mechanism."""
+    from lucene_mapreduce_spark.operators.textstats import _md5_52
+
+    ev = load(spark, sf_dir, "events").groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    u = (
+        _md5_52(F.concat(F.lit("em:"), F.col("event_type"))).cast("double")
+        + F.lit(0.5)
+    ) * F.lit(_TWO_NEG52)
+    l1 = F.round(F.log(u), 12)
+    g = -F.round(F.log(-l1), 12)
+    score = F.round(
+        F.col("n_events").cast("double")
+        * F.lit(DP_EM_EPSILON / (2.0 * DP_EM_SENSITIVITY))
+        + g,
+        6,
+    )
+    scored = ev.select(
+        "event_type",
+        "n_events",
+        F.round(u, 12).alias("u"),
+        score.alias("noisy_score"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(
+        F.col("noisy_score").desc(), F.col("event_type").asc()
+    )
+    return (
+        scored.withColumn(
+            "chosen",
+            (F.row_number().over(w) == 1).cast("int"),
+        )
+        .orderBy("event_type")
+    )

@@ -7033,3 +7033,201 @@ def fleiss_kappa_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pe, 6).alias("p_e"),
         F.round((pbar - pe) / (F.lit(1.0) - pe), 6).alias("kappa"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 128: Burrows' delta stylometry + skip-pointer benefit
+# ---------------------------------------------------------------------------
+
+BURROWS_K = 20
+
+
+def burrows_delta_sources(
+    spark: SparkSession, sf_dir: str, k: int = BURROWS_K
+) -> DataFrame:
+    """Burrows' delta between every source pair — the stylometric
+    authorship distance (Burrows 2002): rates per mille of the top-k
+    corpus words in each source are z-scored against the across-source
+    mean/std, and delta(a,b) = mean |z_a - z_b| over the word panel.
+    Rates and their squares ride 12dp DECIMAL sums so means and stds
+    are order-free; the final per-pair mean is again a 12dp DECIMAL
+    fold over the k-word panel.  Word panel and pair count are pinned
+    constants — the heavy lifting is one tokenize scan and two
+    vocabulary-bounded groupBys."""
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_col
+
+    toks = load(spark, sf_dir, "documents").select(
+        "source", F.explode(tokenize_col("text")).alias("term")
+    )
+    top = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cf"))
+        .orderBy(F.desc("cf"), F.asc("term"))
+        .limit(k)
+        .select("term")
+    )
+    tot = toks.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_toks")
+    )
+    cnt = (
+        toks.join(F.broadcast(top), "term")
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    # complete (source x word) grid with zero rates
+    grid = (
+        tot.crossJoin(F.broadcast(top))
+        .join(cnt, ["source", "term"], "left")
+        .select(
+            "source",
+            "term",
+            F.round(
+                F.coalesce("c", F.lit(0)).cast("double")
+                * F.lit(1000.0)
+                / F.col("n_toks").cast("double"),
+                12,
+            )
+            .cast("decimal(38,12)")
+            .alias("r12"),
+        )
+    )
+    stats = grid.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("ns"),
+        F.sum("r12").cast("double").alias("s"),
+        F.sum(
+            F.round(
+                F.col("r12").cast("double") * F.col("r12").cast("double"), 12
+            ).cast("decimal(38,12)")
+        )
+        .cast("double")
+        .alias("ss"),
+    )
+    nsD = F.col("ns").cast("double")
+    mean = F.col("s") / nsD
+    std = F.sqrt((F.col("ss") - F.col("s") * mean) / (nsD - F.lit(1.0)))
+    z = grid.join(F.broadcast(stats), "term").select(
+        "source",
+        "term",
+        ((F.col("r12").cast("double") - mean) / std).alias("z"),
+    )
+    a = z.select(
+        F.col("source").alias("source_a"), "term", F.col("z").alias("za")
+    )
+    b = z.select(
+        F.col("source").alias("source_b"), "term", F.col("z").alias("zb")
+    )
+    return (
+        a.join(b, "term")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .select(
+            "source_a",
+            "source_b",
+            F.round(F.abs(F.col("za") - F.col("zb")), 12)
+            .cast("decimal(38,12)")
+            .alias("d12"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.round(
+                F.sum("d12").cast("double") / F.lit(float(k)), 6
+            ).alias("delta")
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+SKIP_BLOCK_B = 32
+
+
+def skip_pointer_benefit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured skip-pointer benefit for conjunctive queries over the
+    flagship terms: for each ordered pair (rarer term drives, denser
+    term is probed), the number of the dense term's SKIP_BLOCK_B-doc
+    posting blocks whose [min_doc, max_doc] span contains at least one
+    driver doc — i.e. the blocks a skip-list actually decodes — beside
+    the full decode cost.  The empirical twin of the block-max
+    tightness report (that one bounds scores, this one bounds I/O);
+    the range join is bounded by driver-df x dense-blocks for the
+    pinned 4-term set."""
+    from lucene_mapreduce_spark.functions.tokenize import (
+        tokenize_col,
+        tokenize_string,
+    )
+    from lucene_mapreduce_spark.operators.fulltext import FLAGSHIP_QUERY
+
+    qts = sorted(set(tokenize_string(FLAGSHIP_QUERY)))
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", tokenize_col("text").alias("toks")
+    )
+    post = (
+        docs.select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(qts))
+        .distinct()
+    )
+    dfs = post.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    blocks = (
+        post.select(
+            "term",
+            "doc_id",
+            F.expr(
+                f"(row_number() OVER (PARTITION BY term ORDER BY doc_id)"
+                f" - 1) div {SKIP_BLOCK_B}"
+            ).alias("blk"),
+        )
+        .groupBy("term", "blk")
+        .agg(
+            F.min("doc_id").alias("lo"),
+            F.max("doc_id").alias("hi"),
+        )
+    )
+    small = post.select(
+        F.col("term").alias("t_small"), F.col("doc_id").alias("d")
+    )
+    big = blocks.select(
+        F.col("term").alias("t_large"), "blk", "lo", "hi"
+    )
+    touched = (
+        small.join(
+            big,
+            (F.col("t_small") != F.col("t_large"))
+            & (F.col("d") >= F.col("lo"))
+            & (F.col("d") <= F.col("hi")),
+        )
+        .select("t_small", "t_large", "blk")
+        .distinct()
+        .groupBy("t_small", "t_large")
+        .agg(F.count(F.lit(1)).cast("long").alias("blocks_touched"))
+    )
+    nblk = blocks.groupBy(F.col("term").alias("t_large")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks")
+    )
+    dfl = dfs.select(
+        F.col("term").alias("t_large"), F.col("df").alias("df_large")
+    )
+    dfsm = dfs.select(
+        F.col("term").alias("t_small"), F.col("df").alias("df_small")
+    )
+    return (
+        touched.join(F.broadcast(nblk), "t_large")
+        .join(F.broadcast(dfl), "t_large")
+        .join(F.broadcast(dfsm), "t_small")
+        .filter(F.col("df_small") <= F.col("df_large"))
+        .select(
+            "t_small",
+            "t_large",
+            "df_small",
+            "df_large",
+            "n_blocks",
+            "blocks_touched",
+            F.round(
+                F.lit(1.0)
+                - F.col("blocks_touched").cast("double")
+                * F.lit(float(SKIP_BLOCK_B))
+                / F.col("df_large").cast("double"),
+                6,
+            ).alias("decode_saving"),
+        )
+        .orderBy("t_small", "t_large")
+    )
