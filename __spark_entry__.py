@@ -1084,6 +1084,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "burrows_delta_sources": textstats.burrows_delta_sources,
         "dp_exponential_mechanism": parity.dp_exponential_mechanism,
         "skip_pointer_benefit": textstats.skip_pointer_benefit,
+        # batch 129: log-rank test, RMST, price elasticity
+        "logrank_test": parity.logrank_test,
+        "rmst_survival": parity.rmst_survival,
+        "price_elasticity_ols": relational.price_elasticity_ols,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})

@@ -18087,3 +18087,180 @@ JOIN dfs ds ON ds.term = t.t_small
 WHERE ds.df <= dl.df
 ORDER BY t.t_small, t.t_large
 """
+
+# ---- batch 129: log-rank, RMST, price elasticity ---------------------------
+
+from lucene_mapreduce_spark.operators.parity import (  # noqa: E402
+    RMST_TAU_DAYS,
+)
+
+_SURV_DAY_TABLE = """
+ev AS (
+  SELECT user_id, event_type, epoch_us(ts) // 1000000 AS es FROM events
+),
+tend AS (SELECT max(es) AS t_end FROM ev),
+signup AS (
+  SELECT user_id, min(es) AS s FROM ev
+  WHERE event_type = 'signup' GROUP BY 1
+),
+first_p AS (
+  SELECT e.user_id, min(e.es) AS p
+  FROM ev e JOIN signup g ON e.user_id = g.user_id AND e.es > g.s
+  WHERE e.event_type = 'purchase'
+  GROUP BY 1
+),
+tab AS (
+  SELECT ({MD5GRP}) % 2 AS grp,
+         CASE WHEN p IS NOT NULL THEN (p - s) // 86400
+              ELSE ((SELECT t_end FROM tend) - s) // 86400 END AS t_days,
+         CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END AS event
+  FROM signup LEFT JOIN first_p USING (user_id)
+)"""
+
+
+def _surv_table_sql() -> str:
+    return _SURV_DAY_TABLE.format(
+        MD5GRP=_MD5_52.format(e="'lr:' || user_id::VARCHAR")
+    )
+
+
+ORACLES["logrank_test"] = f"""
+WITH {_surv_table_sql()},
+per AS (
+  SELECT grp, t_days, sum(event)::BIGINT AS d, count(*)::BIGINT AS tot
+  FROM tab GROUP BY 1, 2
+),
+grid AS (
+  SELECT g.grp, dy.t_days,
+         coalesce(p.d, 0)::BIGINT AS d, coalesce(p.tot, 0)::BIGINT AS tot
+  FROM (SELECT DISTINCT t_days FROM per) dy
+  CROSS JOIN (SELECT 0 AS grp UNION ALL SELECT 1) g
+  LEFT JOIN per p ON p.grp = g.grp AND p.t_days = dy.t_days
+),
+risk AS (
+  SELECT grp, t_days, d,
+         sum(tot) OVER (PARTITION BY grp ORDER BY t_days
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)::BIGINT
+           AS n_risk
+  FROM grid
+),
+j AS (
+  SELECT a.t_days, a.d AS d1, a.n_risk AS n1, b.d AS d0, b.n_risk AS n0
+  FROM (SELECT * FROM risk WHERE grp = 1) a
+  JOIN (SELECT * FROM risk WHERE grp = 0) b USING (t_days)
+  WHERE a.d + b.d > 0
+),
+terms AS (
+  SELECT d1,
+         round(d1::DOUBLE - n1::DOUBLE * (d1 + d0)::DOUBLE
+                            / (n1 + n0)::DOUBLE, 12)::DECIMAL(38,12)
+           AS oe12,
+         round(CASE WHEN (n1 + n0) > 1
+               THEN (d1 + d0)::DOUBLE * (n1::DOUBLE / (n1 + n0)::DOUBLE)
+                    * (1.0 - n1::DOUBLE / (n1 + n0)::DOUBLE)
+                    * (((n1 + n0)::DOUBLE - (d1 + d0)::DOUBLE)
+                       / ((n1 + n0)::DOUBLE - 1.0))
+               ELSE 0.0 END, 12)::DECIMAL(38,12) AS v12
+  FROM j
+),
+sizes AS (
+  SELECT grp, count(*)::BIGINT AS n_users, sum(event)::BIGINT AS n_deaths
+  FROM tab GROUP BY 1
+),
+agg AS (
+  SELECT sum(oe12)::DOUBLE AS o_minus_e, sum(v12)::DOUBLE AS var_sum
+  FROM terms
+)
+SELECT (SELECT n_users FROM sizes WHERE grp = 0) AS n_users_0,
+       (SELECT n_users FROM sizes WHERE grp = 1) AS n_users_1,
+       (SELECT n_deaths FROM sizes WHERE grp = 0) AS n_deaths_0,
+       (SELECT n_deaths FROM sizes WHERE grp = 1) AS n_deaths_1,
+       round(o_minus_e, 6) AS o_minus_e,
+       round(var_sum, 6) AS var_sum,
+       round(o_minus_e / sqrt(var_sum), 6) AS z_stat
+FROM agg
+"""
+
+ORACLES["rmst_survival"] = f"""
+WITH {_surv_table_sql()},
+per AS (
+  SELECT t_days, sum(event)::BIGINT AS d, count(*)::BIGINT AS tot
+  FROM tab GROUP BY 1
+),
+risk AS (
+  SELECT t_days, d,
+         sum(tot) OVER (ORDER BY t_days
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)::BIGINT
+           AS n_risk
+  FROM per
+),
+deaths AS (SELECT * FROM risk WHERE d > 0),
+surv AS (
+  SELECT t_days, d, n_risk,
+         sum(CASE WHEN d < n_risk
+                  THEN round(ln(1.0 - d::DOUBLE / n_risk::DOUBLE), 12)
+                  ELSE 0.0 END::DECIMAL(28,12))
+           OVER (ORDER BY t_days
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lns,
+         sum(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+           OVER (ORDER BY t_days
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS any_dead,
+         lead(t_days) OVER (ORDER BY t_days) AS t_next
+  FROM deaths
+),
+terms AS (
+  SELECT round(
+           (CASE WHEN any_dead > 0 THEN 0.0
+                 ELSE exp(lns::DOUBLE) END)
+           * greatest(least(coalesce(t_next, {RMST_TAU_DAYS})::DOUBLE,
+                            {float(RMST_TAU_DAYS)!r})
+                      - least(t_days::DOUBLE, {float(RMST_TAU_DAYS)!r}),
+                      0.0), 12)::DECIMAL(38,12) AS a12
+  FROM surv
+),
+head AS (
+  SELECT least(min(t_days)::DOUBLE, {float(RMST_TAU_DAYS)!r}) AS head
+  FROM deaths
+),
+sizes AS (
+  SELECT count(*)::BIGINT AS n_users, sum(event)::BIGINT AS n_deaths
+  FROM tab
+)
+SELECT {RMST_TAU_DAYS}::BIGINT AS tau_days, n_users, n_deaths,
+       round((SELECT head FROM head)
+             + (SELECT sum(a12)::DOUBLE FROM terms), 6) AS rmst_days
+FROM sizes
+"""
+
+ORACLES["price_elasticity_ols"] = """
+WITH li AS (
+  SELECT round(ln(l_extendedprice / l_quantity), 12) AS x,
+         round(ln(l_quantity), 12) AS y
+  FROM lineitem
+),
+terms AS (
+  SELECT x::DECIMAL(28,12) AS x12, y::DECIMAL(28,12) AS y12,
+         round(x * y, 12)::DECIMAL(38,12) AS xy12,
+         round(x * x, 12)::DECIMAL(38,12) AS xx12,
+         round(y * y, 12)::DECIMAL(38,12) AS yy12
+  FROM li
+),
+g AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(x12)::DOUBLE AS sx, sum(y12)::DOUBLE AS sy,
+         sum(xy12)::DOUBLE AS sxy, sum(xx12)::DOUBLE AS sxx,
+         sum(yy12)::DOUBLE AS syy
+  FROM terms
+)
+SELECT n,
+       round((n::DOUBLE * sxy - sx * sy)
+             / (n::DOUBLE * sxx - sx * sx), 6) AS elasticity,
+       round((sy - ((n::DOUBLE * sxy - sx * sy)
+                    / (n::DOUBLE * sxx - sx * sx)) * sx)
+             / n::DOUBLE, 6) AS intercept,
+       round(((n::DOUBLE * sxy - sx * sy) * (n::DOUBLE * sxy - sx * sy))
+             / ((n::DOUBLE * sxx - sx * sx)
+                * (n::DOUBLE * syy - sy * sy)), 6) AS r2
+FROM g
+"""

@@ -8487,3 +8487,227 @@ def dp_exponential_mechanism(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 129: log-rank test + restricted mean survival time
+# ---------------------------------------------------------------------------
+
+
+def _survival_day_table(spark: SparkSession, sf_dir: str):
+    """Shared day-grain time-to-purchase-after-signup table: one row
+    per user with (grp = md5 parity arm, T_days, event flag), the
+    kaplan_meier_survival convention coarsened to days so risk tables
+    stay calendar-bounded."""
+    from lucene_mapreduce_spark.operators.textstats import _md5_52
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr("unix_micros(cast(ts as timestamp)) div 1000000").alias("es"),
+    )
+    t_end = ev.agg(F.max("es")).collect()[0][0]
+    signup = ev.filter(F.col("event_type") == "signup").groupBy(
+        "user_id"
+    ).agg(F.min("es").alias("s"))
+    first_p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(signup, "user_id")
+        .filter(F.col("es") > F.col("s"))
+        .groupBy("user_id")
+        .agg(F.min("es").alias("p"))
+    )
+    return (
+        signup.join(first_p, "user_id", "left")
+        .select(
+            (
+                _md5_52(F.concat(F.lit("lr:"), F.col("user_id").cast("string")))
+                % 2
+            )
+            .cast("int")
+            .alias("grp"),
+            F.when(
+                F.col("p").isNotNull(),
+                F.expr("(p - s) div 86400"),
+            )
+            .otherwise(F.expr(f"({t_end} - s) div 86400"))
+            .cast("long")
+            .alias("t_days"),
+            F.col("p").isNotNull().cast("int").alias("event"),
+        )
+    )
+
+
+def logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample log-rank test for time-to-purchase-after-signup
+    between the md5-parity arms — the hypothesis test that belongs on
+    top of kaplan_meier_survival / nelson_aalen_hazard's estimates:
+    at each day with deaths, observed-vs-expected group-1 deaths under
+    the shared-hazard null (E = n1 d / n) and the hypergeometric
+    variance, both 12dp-DECIMAL-summed across the day grid;
+    Z = sum(O-E)/sqrt(sum V).  Risk counts are reverse cumulative
+    sums over the (grp, day) table — calendar-bounded windows, exact
+    BIGINTs in, one row out."""
+    from pyspark.sql import Window
+
+    tab = _survival_day_table(spark, sf_dir)
+    per = tab.groupBy("grp", "t_days").agg(
+        F.sum("event").cast("long").alias("d"),
+        F.count(F.lit(1)).cast("long").alias("tot"),
+    )
+    days = per.select("t_days").distinct()
+    grid = (
+        days.crossJoin(spark.range(2).select(F.col("id").cast("int").alias("grp")))
+        .join(per, ["grp", "t_days"], "left")
+        .select(
+            "grp",
+            "t_days",
+            F.coalesce("d", F.lit(0)).cast("long").alias("d"),
+            F.coalesce("tot", F.lit(0)).cast("long").alias("tot"),
+        )
+    )
+    wrev = (
+        Window.partitionBy("grp")
+        .orderBy(F.col("t_days").asc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    risk = grid.select(
+        "grp",
+        "t_days",
+        "d",
+        F.sum("tot").over(wrev).cast("long").alias("n_risk"),
+    )
+    g1 = risk.filter(F.col("grp") == 1).select(
+        "t_days", F.col("d").alias("d1"), F.col("n_risk").alias("n1")
+    )
+    g0 = risk.filter(F.col("grp") == 0).select(
+        "t_days", F.col("d").alias("d0"), F.col("n_risk").alias("n0")
+    )
+    j = g1.join(g0, "t_days").filter(F.col("d1") + F.col("d0") > 0)
+    dT = (F.col("d1") + F.col("d0")).cast("double")
+    nT = (F.col("n1") + F.col("n0")).cast("double")
+    n1D = F.col("n1").cast("double")
+    e1 = n1D * dT / nT
+    v = F.when(
+        nT > 1,
+        dT
+        * (n1D / nT)
+        * (F.lit(1.0) - n1D / nT)
+        * ((nT - dT) / (nT - F.lit(1.0))),
+    ).otherwise(F.lit(0.0))
+    terms = j.select(
+        F.col("d1"),
+        F.round(F.col("d1").cast("double") - e1, 12)
+        .cast("decimal(38,12)")
+        .alias("oe12"),
+        F.round(v, 12).cast("decimal(38,12)").alias("v12"),
+    )
+    sizes = tab.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("event").cast("long").alias("n_deaths"),
+    )
+    piv = sizes.groupBy().pivot("grp", [0, 1]).agg(
+        F.first("n_users").alias("u"), F.first("n_deaths").alias("dth")
+    )
+    agg = terms.agg(
+        F.sum("d1").cast("long").alias("o1"),
+        F.sum("oe12").cast("double").alias("o_minus_e"),
+        F.sum("v12").cast("double").alias("var_sum"),
+    )
+    return agg.crossJoin(F.broadcast(piv)).select(
+        F.col("0_u").alias("n_users_0"),
+        F.col("1_u").alias("n_users_1"),
+        F.col("0_dth").alias("n_deaths_0"),
+        F.col("1_dth").alias("n_deaths_1"),
+        F.round("o_minus_e", 6).alias("o_minus_e"),
+        F.round("var_sum", 6).alias("var_sum"),
+        F.round(
+            F.col("o_minus_e") / F.sqrt(F.col("var_sum")), 6
+        ).alias("z_stat"),
+    )
+
+
+RMST_TAU_DAYS = 14
+
+
+def rmst_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restricted mean survival time at tau=14 days for the pooled
+    time-to-purchase-after-signup curve — the area under Kaplan-Meier
+    up to tau, the censoring-robust 'average days to convert' a plain
+    mean cannot give.  S(t) rides kaplan_meier_survival's exact
+    machinery (12dp-rounded ln(1 - d/n) terms cumulated as DECIMAL,
+    exp at the read point, d == n pinning survival to 0); the area is
+    sum S(t_i) * (min(t_{i+1}, tau) - min(t_i, tau)) plus the S=1 head
+    interval, each term a 12dp DECIMAL.  One row out."""
+    from pyspark.sql import Window
+
+    tab = _survival_day_table(spark, sf_dir)
+    per = tab.groupBy("t_days").agg(
+        F.sum("event").cast("long").alias("d"),
+        F.count(F.lit(1)).cast("long").alias("tot"),
+    )
+    wrev = Window.orderBy(F.col("t_days").asc()).rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    wcum = Window.orderBy(F.col("t_days").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wlead = Window.orderBy(F.col("t_days").asc())
+    risk = per.select(
+        "t_days",
+        "d",
+        F.sum("tot").over(wrev).cast("long").alias("n_risk"),
+    ).filter(F.col("d") > 0)
+    ln_term = F.when(
+        F.col("d") < F.col("n_risk"),
+        F.round(
+            F.log(
+                F.lit(1.0)
+                - F.col("d").cast("double") / F.col("n_risk").cast("double")
+            ),
+            12,
+        ),
+    ).otherwise(F.lit(0.0))
+    dead = (F.col("d") == F.col("n_risk")).cast("int")
+    surv = risk.select(
+        "t_days",
+        "d",
+        "n_risk",
+        F.sum(ln_term.cast("decimal(28,12)")).over(wcum).alias("lns"),
+        F.sum(dead).over(wcum).alias("any_dead"),
+        F.lead("t_days").over(wlead).alias("t_next"),
+    )
+    tau = float(RMST_TAU_DAYS)
+    s_t = F.when(F.col("any_dead") > 0, F.lit(0.0)).otherwise(
+        F.exp(F.col("lns").cast("double"))
+    )
+    seg = (
+        F.least(F.coalesce(F.col("t_next"), F.lit(RMST_TAU_DAYS)).cast("double"), F.lit(tau))
+        - F.least(F.col("t_days").cast("double"), F.lit(tau))
+    )
+    terms = surv.select(
+        F.round(s_t * F.greatest(seg, F.lit(0.0)), 12)
+        .cast("decimal(38,12)")
+        .alias("a12"),
+        "t_days",
+    )
+    # S = 1 head interval [0, first DEATH day) — censor-only days do
+    # not drop the curve
+    head = risk.agg(
+        F.least(F.min("t_days").cast("double"), F.lit(tau)).alias("head")
+    )
+    sizes = tab.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("event").cast("long").alias("n_deaths"),
+    )
+    return (
+        terms.agg(F.sum("a12").cast("double").alias("area"))
+        .crossJoin(F.broadcast(head))
+        .crossJoin(F.broadcast(sizes))
+        .select(
+            F.lit(RMST_TAU_DAYS).cast("long").alias("tau_days"),
+            "n_users",
+            "n_deaths",
+            F.round(F.col("head") + F.col("area"), 6).alias("rmst_days"),
+        )
+    )

@@ -3794,3 +3794,58 @@ def revenue_shift_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 129: log-log price elasticity
+# ---------------------------------------------------------------------------
+
+
+def price_elasticity_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constant-elasticity demand fit: OLS of ln(quantity) on
+    ln(unit price) across lineitem rows (unit price =
+    extendedprice / quantity) — the econometric reading of the
+    warehouse, with the slope as the price elasticity of demand and
+    R^2 from the same sufficient statistics.  Both logs are
+    12dp-rounded before entering the DECIMAL-summed moment matrix
+    (the ols_token_chars_fit discipline on ln-transformed variables);
+    one scan, one row."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.round(
+            F.log(F.col("l_extendedprice") / F.col("l_quantity")), 12
+        ).alias("x"),
+        F.round(F.log("l_quantity"), 12).alias("y"),
+    )
+    terms = li.select(
+        F.col("x").cast("decimal(28,12)").alias("x12"),
+        F.col("y").cast("decimal(28,12)").alias("y12"),
+        F.round(F.col("x") * F.col("y"), 12)
+        .cast("decimal(38,12)")
+        .alias("xy12"),
+        F.round(F.col("x") * F.col("x"), 12)
+        .cast("decimal(38,12)")
+        .alias("xx12"),
+        F.round(F.col("y") * F.col("y"), 12)
+        .cast("decimal(38,12)")
+        .alias("yy12"),
+    )
+    g = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x12").cast("double").alias("sx"),
+        F.sum("y12").cast("double").alias("sy"),
+        F.sum("xy12").cast("double").alias("sxy"),
+        F.sum("xx12").cast("double").alias("sxx"),
+        F.sum("yy12").cast("double").alias("syy"),
+    )
+    nD = F.col("n").cast("double")
+    cov = nD * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = nD * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = nD * F.col("syy") - F.col("sy") * F.col("sy")
+    b = cov / vx
+    a = (F.col("sy") - b * F.col("sx")) / nD
+    return g.select(
+        "n",
+        F.round(b, 6).alias("elasticity"),
+        F.round(a, 6).alias("intercept"),
+        F.round((cov * cov) / (vx * vy), 6).alias("r2"),
+    )
