@@ -1088,6 +1088,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "logrank_test": parity.logrank_test,
         "rmst_survival": parity.rmst_survival,
         "price_elasticity_ols": relational.price_elasticity_ols,
+        # batch 130: Breslow-Day, Tukey HSD, G-test
+        "breslow_day_test": parity.breslow_day_test,
+        "tukey_hsd_pairs": parity.tukey_hsd_pairs,
+        "g_test_lang_source": parity.g_test_lang_source,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})

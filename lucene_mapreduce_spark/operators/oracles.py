@@ -18264,3 +18264,134 @@ SELECT n,
                 * (n::DOUBLE * syy - sy * sy)), 6) AS r2
 FROM g
 """
+
+# ---- batch 130: Breslow-Day, Tukey HSD, G-test -----------------------------
+
+from lucene_mapreduce_spark.operators.parity import (  # noqa: E402
+    MH_EXPOSURE_TOKEN,
+    MH_OUTCOME_TOKEN,
+    TUKEY_Q_CRIT,
+)
+
+ORACLES["breslow_day_test"] = f"""
+WITH t AS (
+  SELECT lang,
+         list_contains({TOKS}, '{MH_EXPOSURE_TOKEN}') AS e,
+         list_contains({TOKS}, '{MH_OUTCOME_TOKEN}') AS o
+  FROM documents
+),
+cells AS (
+  SELECT lang,
+         sum(CASE WHEN e AND o THEN 1 ELSE 0 END)::BIGINT AS a,
+         sum(CASE WHEN e AND NOT o THEN 1 ELSE 0 END)::BIGINT AS b,
+         sum(CASE WHEN NOT e AND o THEN 1 ELSE 0 END)::BIGINT AS c,
+         sum(CASE WHEN NOT e AND NOT o THEN 1 ELSE 0 END)::BIGINT AS d
+  FROM t GROUP BY 1
+),
+pooled AS (
+  SELECT sum(round((a * d)::DOUBLE / (a + b + c + d)::DOUBLE,
+                   12)::DECIMAL(38,12))::DOUBLE AS s_ad,
+         sum(round((b * c)::DOUBLE / (a + b + c + d)::DOUBLE,
+                   12)::DECIMAL(38,12))::DOUBLE AS s_bc
+  FROM cells
+),
+s2 AS (
+  SELECT lang, a, b, c, d,
+         (a + b)::DOUBLE AS r1, (a + c)::DOUBLE AS c1,
+         (a + b + c + d)::DOUBLE AS nn,
+         s_ad / s_bc - 1.0 AS qa,
+         s_ad / s_bc AS orr
+  FROM cells, pooled
+),
+s3 AS (
+  SELECT *, -(qa * (r1 + c1) + nn) AS qb, orr * r1 * c1 AS qc
+  FROM s2
+),
+s4 AS (
+  SELECT *, sqrt(qb * qb - 4.0 * qa * qc) AS disc FROM s3
+),
+s5 AS (
+  SELECT *, (-qb - disc) / (2.0 * qa) AS root_m,
+         (-qb + disc) / (2.0 * qa) AS root_p
+  FROM s4
+),
+s6 AS (
+  SELECT *,
+         CASE WHEN abs(qa) < 1e-12 THEN -qc / qb
+              WHEN root_m >= 0 AND r1 - root_m >= 0 AND c1 - root_m >= 0
+                   AND nn - r1 - c1 + root_m >= 0 THEN root_m
+              ELSE root_p END AS a_exp
+  FROM s5
+),
+terms AS (
+  SELECT round((a::DOUBLE - a_exp) * (a::DOUBLE - a_exp)
+               / (1.0 / (1.0 / a_exp + 1.0 / (r1 - a_exp)
+                         + 1.0 / (c1 - a_exp)
+                         + 1.0 / (nn - r1 - c1 + a_exp))),
+               12)::DECIMAL(38,12) AS t12
+  FROM s6
+)
+SELECT count(*)::BIGINT AS n_strata,
+       (count(*) - 1)::BIGINT AS df,
+       round(sum(t12)::DOUBLE, 6) AS bd_stat
+FROM terms
+"""
+
+ORACLES["tukey_hsd_pairs"] = f"""
+WITH ev AS (
+  SELECT event_type,
+         round(value, 6)::DECIMAL(18,6) AS v,
+         round(value * value, 12)::DECIMAL(38,12) AS vv
+  FROM events
+),
+per AS (
+  SELECT event_type, count(*)::BIGINT AS n,
+         sum(v)::DOUBLE AS s, sum(vv)::DOUBLE AS ss
+  FROM ev GROUP BY 1
+),
+msw AS (
+  SELECT sum(round(ss - s * (s / n::DOUBLE), 12)::DECIMAL(38,12))::DOUBLE
+           / (sum(n) - count(*))::DOUBLE AS msw
+  FROM per
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       a.n AS na, b.n AS nb,
+       round(a.s / a.n::DOUBLE - b.s / b.n::DOUBLE, 6) AS mean_diff,
+       round(abs(a.s / a.n::DOUBLE - b.s / b.n::DOUBLE)
+             / sqrt((msw / 2.0)
+                    * (1.0 / a.n::DOUBLE + 1.0 / b.n::DOUBLE)), 6)
+         AS q_stat,
+       (CASE WHEN abs(a.s / a.n::DOUBLE - b.s / b.n::DOUBLE)
+                  / sqrt((msw / 2.0)
+                         * (1.0 / a.n::DOUBLE + 1.0 / b.n::DOUBLE))
+                  > {TUKEY_Q_CRIT!r}
+             THEN 1 ELSE 0 END)::INT AS significant
+FROM per a JOIN per b ON a.event_type < b.event_type, msw
+ORDER BY type_a, type_b
+"""
+
+ORACLES["g_test_lang_source"] = """
+WITH cells AS (
+  SELECT lang, source, count(*)::BIGINT AS o
+  FROM documents GROUP BY 1, 2
+),
+rm AS (SELECT lang, sum(o)::BIGINT AS rl FROM cells GROUP BY 1),
+cm AS (SELECT source, sum(o)::BIGINT AS cs FROM cells GROUP BY 1),
+tot AS (SELECT sum(o)::BIGINT AS n FROM cells),
+terms AS (
+  SELECT round(2.0 * o::DOUBLE
+               * ln(o::DOUBLE
+                    / (rl::DOUBLE * cs::DOUBLE / n::DOUBLE)),
+               12)::DECIMAL(38,12) AS t12
+  FROM cells JOIN rm USING (lang) JOIN cm USING (source), tot
+),
+dims AS (
+  SELECT count(DISTINCT lang)::BIGINT AS r,
+         count(DISTINCT source)::BIGINT AS c
+  FROM cells
+)
+SELECT n, r, c, ((r - 1) * (c - 1))::BIGINT AS df,
+       round(sum(t12)::DOUBLE, 6) AS g_stat
+FROM terms, dims, tot
+GROUP BY n, r, c
+"""

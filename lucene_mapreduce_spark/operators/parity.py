@@ -8711,3 +8711,242 @@ def rmst_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("head") + F.col("area"), 6).alias("rmst_days"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 130: Breslow-Day, Tukey HSD, G-test of independence
+# ---------------------------------------------------------------------------
+
+
+def breslow_day_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breslow-Day test of odds-ratio homogeneity across the language
+    strata — the diagnostic that says whether mantel_haenszel_or's
+    pooled OR is even meaningful (same 2x2 cells: contains-'fast'
+    exposure vs contains-'slow' outcome per lang).  Per stratum the
+    expected a-cell under the pooled OR solves the standard quadratic
+    (OR-1) a^2 - ((OR-1)(r1+c1) + n) a + OR r1 c1 = 0 (near-linear
+    fallback when |OR-1| ~ 0, root chosen so all four adjusted cells
+    are nonnegative), Var = harmonic of the adjusted cells, and the
+    statistic sums (a - a_exp)^2 / Var as 12dp DECIMALs.  Every input
+    is an exact BIGINT; the quadratic is one shared float64 chain."""
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_col
+
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "lang",
+        F.array_contains(tokenize_col("text"), MH_EXPOSURE_TOKEN).alias("e"),
+        F.array_contains(tokenize_col("text"), MH_OUTCOME_TOKEN).alias("o"),
+    )
+    cells = t.groupBy("lang").agg(
+        F.sum((F.col("e") & F.col("o")).cast("long")).alias("a"),
+        F.sum((F.col("e") & ~F.col("o")).cast("long")).alias("b"),
+        F.sum((~F.col("e") & F.col("o")).cast("long")).alias("c"),
+        F.sum((~F.col("e") & ~F.col("o")).cast("long")).alias("d"),
+    )
+    pooled = cells.agg(
+        F.sum(
+            F.round(
+                (F.col("a") * F.col("d")).cast("double")
+                / (F.col("a") + F.col("b") + F.col("c") + F.col("d")).cast(
+                    "double"
+                ),
+                12,
+            ).cast("decimal(38,12)")
+        )
+        .cast("double")
+        .alias("s_ad"),
+        F.sum(
+            F.round(
+                (F.col("b") * F.col("c")).cast("double")
+                / (F.col("a") + F.col("b") + F.col("c") + F.col("d")).cast(
+                    "double"
+                ),
+                12,
+            ).cast("decimal(38,12)")
+        )
+        .cast("double")
+        .alias("s_bc"),
+    )
+    j = cells.crossJoin(F.broadcast(pooled))
+    orr = F.col("s_ad") / F.col("s_bc")
+    r1 = (F.col("a") + F.col("b")).cast("double")
+    c1 = (F.col("a") + F.col("c")).cast("double")
+    nn = (F.col("a") + F.col("b") + F.col("c") + F.col("d")).cast("double")
+    A = orr - F.lit(1.0)
+    Bq = -(A * (r1 + c1) + nn)
+    Cq = orr * r1 * c1
+    disc = F.sqrt(Bq * Bq - F.lit(4.0) * A * Cq)
+    root_m = (-Bq - disc) / (F.lit(2.0) * A)
+    root_p = (-Bq + disc) / (F.lit(2.0) * A)
+
+    def _valid(r):
+        return (
+            (r >= 0)
+            & (r1 - r >= 0)
+            & (c1 - r >= 0)
+            & (nn - r1 - c1 + r >= 0)
+        )
+
+    a_lin = -Cq / Bq
+    a_exp = F.when(
+        F.abs(A) < 1e-12, a_lin
+    ).otherwise(
+        F.when(_valid(root_m), root_m).otherwise(root_p)
+    )
+    bq = r1 - a_exp
+    cq = c1 - a_exp
+    dq = nn - r1 - c1 + a_exp
+    var = F.lit(1.0) / (
+        F.lit(1.0) / a_exp
+        + F.lit(1.0) / bq
+        + F.lit(1.0) / cq
+        + F.lit(1.0) / dq
+    )
+    terms = j.select(
+        "lang",
+        F.round(
+            (F.col("a").cast("double") - a_exp)
+            * (F.col("a").cast("double") - a_exp)
+            / var,
+            12,
+        )
+        .cast("decimal(38,12)")
+        .alias("t12"),
+    )
+    k = terms.count()
+    return terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+        F.lit(k - 1).cast("long").alias("df"),
+        F.round(F.sum("t12").cast("double"), 6).alias("bd_stat"),
+    )
+
+
+TUKEY_Q_CRIT = 3.858  # studentized range 5%, k=5 groups, df ~ inf
+
+
+def tukey_hsd_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-Kramer HSD pairwise comparisons of mean event value
+    across the five event types — the post-hoc step after
+    anova_event_value's omnibus F: q_ij = |mean_i - mean_j| /
+    sqrt((MSW/2)(1/n_i + 1/n_j)) against the pinned k=5 critical
+    value.  Group sums ride the bartlett_variance_test DECIMAL
+    pattern (values 6dp, squares exact 12dp), MSW is the pooled
+    within-group variance from those, and the 10 pair rows are
+    lang... type-bounded.  The multiple-comparisons report an ANOVA
+    alone cannot give."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.round("value", 6).cast("decimal(18,6)").alias("v"),
+        F.round(F.col("value") * F.col("value"), 12)
+        .cast("decimal(38,12)")
+        .alias("vv"),
+    )
+    per = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").cast("double").alias("s"),
+        F.sum("vv").cast("double").alias("ss"),
+    )
+    ssw_terms = per.select(
+        "event_type",
+        "n",
+        "s",
+        F.round(
+            F.col("ss") - F.col("s") * (F.col("s") / F.col("n").cast("double")),
+            12,
+        )
+        .cast("decimal(38,12)")
+        .alias("ssw12"),
+    )
+    msw = ssw_terms.agg(
+        F.sum("ssw12").cast("double").alias("ssw"),
+        F.sum("n").cast("long").alias("n_tot"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    ).select(
+        (
+            F.col("ssw")
+            / (F.col("n_tot") - F.col("k")).cast("double")
+        ).alias("msw")
+    )
+    a = per.select(
+        F.col("event_type").alias("type_a"),
+        F.col("n").alias("na"),
+        (F.col("s") / F.col("n").cast("double")).alias("ma"),
+    )
+    b = per.select(
+        F.col("event_type").alias("type_b"),
+        F.col("n").alias("nb"),
+        (F.col("s") / F.col("n").cast("double")).alias("mb"),
+    )
+    q = F.abs(F.col("ma") - F.col("mb")) / F.sqrt(
+        (F.col("msw") / F.lit(2.0))
+        * (
+            F.lit(1.0) / F.col("na").cast("double")
+            + F.lit(1.0) / F.col("nb").cast("double")
+        )
+    )
+    return (
+        a.join(b, F.col("type_a") < F.col("type_b"))
+        .crossJoin(F.broadcast(msw))
+        .select(
+            "type_a",
+            "type_b",
+            "na",
+            "nb",
+            F.round(F.col("ma") - F.col("mb"), 6).alias("mean_diff"),
+            F.round(q, 6).alias("q_stat"),
+            (q > TUKEY_Q_CRIT).cast("int").alias("significant"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+def g_test_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Likelihood-ratio G-test of independence for the lang x source
+    contingency table — lang_source_independence's chi-square twin
+    (G = 2 sum O ln(O/E) converges to the same chi2 limit but adds
+    instead of squares, the large-cell-robust member): expectations
+    from exact integer margins, each 2*O*ln(O/E) term 12dp-rounded
+    into a DECIMAL sum, df = (r-1)(c-1).  One scan, table-bounded."""
+    docs = load(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    )
+    rm = cells.groupBy("lang").agg(F.sum("o").cast("long").alias("rl"))
+    cm = cells.groupBy("source").agg(F.sum("o").cast("long").alias("cs"))
+    tot = cells.agg(F.sum("o").cast("long").alias("n"))
+    jj = (
+        cells.join(F.broadcast(rm), "lang")
+        .join(F.broadcast(cm), "source")
+        .crossJoin(F.broadcast(tot))
+    )
+    e = (
+        F.col("rl").cast("double")
+        * F.col("cs").cast("double")
+        / F.col("n").cast("double")
+    )
+    terms = jj.select(
+        F.round(
+            F.lit(2.0)
+            * F.col("o").cast("double")
+            * F.log(F.col("o").cast("double") / e),
+            12,
+        )
+        .cast("decimal(38,12)")
+        .alias("t12"),
+    )
+    dims = cells.agg(
+        F.countDistinct("lang").cast("long").alias("r"),
+        F.countDistinct("source").cast("long").alias("c"),
+    )
+    return (
+        terms.agg(F.round(F.sum("t12").cast("double"), 6).alias("g_stat"))
+        .crossJoin(F.broadcast(dims))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n",
+            "r",
+            "c",
+            ((F.col("r") - 1) * (F.col("c") - 1)).cast("long").alias("df"),
+            "g_stat",
+        )
+    )
