@@ -1092,6 +1092,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "breslow_day_test": parity.breslow_day_test,
         "tukey_hsd_pairs": parity.tukey_hsd_pairs,
         "g_test_lang_source": parity.g_test_lang_source,
+        # batch 131: in-batch collisions, join-order cost, impacts
+        "inbatch_collision_report": textstats.inbatch_collision_report,
+        "join_order_cost_audit": relational.join_order_cost_audit,
+        "impact_quantization_audit": textstats.impact_quantization_audit,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})

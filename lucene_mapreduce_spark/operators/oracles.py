@@ -18395,3 +18395,118 @@ SELECT n, r, c, ((r - 1) * (c - 1))::BIGINT AS df,
 FROM terms, dims, tot
 GROUP BY n, r, c
 """
+
+# ---- batch 131: in-batch collisions, join-order cost, impact quantization --
+
+from lucene_mapreduce_spark.operators.textstats import (  # noqa: E402
+    INBATCH_SIZES,
+)
+
+
+def _inbatch_leg(b: int, oname: str, okey: str) -> str:
+    """Manual ntile (first n%k buckets get base+1) with a
+    data-dependent bucket count — DuckDB's ntile needs a constant."""
+    return f"""
+SELECT {b}::BIGINT AS batch_size, '{oname}' AS order_mode,
+       count(DISTINCT batch)::BIGINT AS n_batches,
+       sum(pairs)::BIGINT AS collision_pairs,
+       round(sum(pairs)::DOUBLE / count(DISTINCT batch)::DOUBLE, 6)
+         AS pairs_per_batch
+FROM (
+  SELECT batch, source, count(*) * (count(*) - 1) // 2 AS pairs
+  FROM (
+    SELECT source,
+           CASE WHEN rn <= (nb + 1) * ex
+                THEN (rn - 1) // (nb + 1) + 1
+                ELSE ex + (rn - ex * (nb + 1) - 1) // nb + 1 END AS batch
+    FROM (
+      SELECT source, row_number() OVER (ORDER BY {okey}) AS rn,
+             (SELECT count(*) FROM documents)
+               // greatest(1, (SELECT count(*) FROM documents) // {b}) AS nb,
+             (SELECT count(*) FROM documents)
+               % greatest(1, (SELECT count(*) FROM documents) // {b}) AS ex
+      FROM documents
+    )
+  )
+  GROUP BY 1, 2
+)"""
+
+
+_INBATCH_SHUF_KEY = (
+    "(" + _MD5_52.format(e="doc_id::VARCHAR") + "), doc_id"
+)
+
+ORACLES["inbatch_collision_report"] = (
+    "\nUNION ALL\n".join(
+        _inbatch_leg(b, oname, okey)
+        for b in INBATCH_SIZES
+        for oname, okey in (
+            ("arrival", "doc_id"),
+            ("shuffled", _INBATCH_SHUF_KEY),
+        )
+    )
+    + "\nORDER BY batch_size, order_mode"
+)
+
+ORACLES["join_order_cost_audit"] = """
+WITH nc AS (SELECT count(*)::BIGINT AS n FROM customer),
+nl AS (SELECT count(*)::BIGINT AS n FROM lineitem),
+co AS (
+  SELECT count(*)::BIGINT AS n
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+ol AS (
+  SELECT count(*)::BIGINT AS n
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+plans AS (
+  SELECT 'co_then_l' AS plan, (SELECT n FROM co) AS intermediate_rows,
+         (SELECT n FROM ol) AS final_rows
+  UNION ALL
+  SELECT 'ol_then_c', (SELECT n FROM ol), (SELECT n FROM ol)
+  UNION ALL
+  SELECT 'cl_cross_then_o',
+         (SELECT n FROM nc) * (SELECT n FROM nl), (SELECT n FROM ol)
+),
+costed AS (
+  SELECT plan, intermediate_rows, final_rows,
+         (intermediate_rows + final_rows)::BIGINT AS cost_cout
+  FROM plans
+)
+SELECT plan, intermediate_rows, final_rows, cost_cout,
+       round(cost_cout::DOUBLE
+             / (SELECT min(cost_cout) FROM costed)::DOUBLE, 6) AS blowup
+FROM costed ORDER BY plan
+"""
+
+ORACLES["impact_quantization_audit"] = f"""
+WITH docs AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+tf AS (
+  SELECT term, doc_id, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM docs)
+  GROUP BY 1, 2
+),
+q AS (
+  SELECT term, tf,
+         CASE WHEN tf >= 8 THEN 3 WHEN tf >= 4 THEN 2
+              WHEN tf >= 2 THEN 1 ELSE 0 END AS bk,
+         CASE WHEN tf >= 8 THEN 8 WHEN tf >= 4 THEN 4
+              WHEN tf >= 2 THEN 2 ELSE 1 END AS ql
+  FROM tf
+),
+per_term AS (
+  SELECT term, count(*)::BIGINT AS df,
+         count(DISTINCT tf)::BIGINT AS n_tf,
+         count(DISTINCT bk)::BIGINT AS n_buckets,
+         max(round((tf - ql)::DOUBLE / tf::DOUBLE, 6)) AS max_underest
+  FROM q GROUP BY 1
+)
+SELECT (length(df::VARCHAR) - 1)::BIGINT AS decade,
+       count(*)::BIGINT AS n_terms,
+       round(sum(n_tf)::DOUBLE / count(*)::DOUBLE, 6) AS mean_distinct_tf,
+       round(sum(n_buckets)::DOUBLE / count(*)::DOUBLE, 6)
+         AS mean_distinct_buckets,
+       round(sum(max_underest::DECIMAL(18,6))::DOUBLE
+             / count(*)::DOUBLE, 6) AS mean_max_underest
+FROM per_term GROUP BY 1 ORDER BY 1
+"""

@@ -3849,3 +3849,53 @@ def price_elasticity_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(a, 6).alias("intercept"),
         F.round((cov * cov) / (vx * vy), 6).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 131: join-order cost audit
+# ---------------------------------------------------------------------------
+
+
+def join_order_cost_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-order cost enumeration for the customer-orders-lineitem
+    chain — the optimizer decision join_cardinality_audit's estimates
+    feed, here with EXACT intermediate cardinalities: cost of a plan =
+    sum of its intermediate result sizes (the textbook C_out metric,
+    Leis et al.), enumerated for the three orders including the
+    Cartesian start (counted analytically as |C| x |L| — never
+    executed).  The report ranks plans and shows the blowup factor of
+    the worst order — the number that justifies join reordering at
+    100 TB.  All BIGINTs from three counts and two real joins."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey")
+    n_c = cust.count()
+    n_o = orders.count()
+    n_l = li.count()
+    co = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).count()
+    ol = li.join(
+        orders.withColumnRenamed("o_orderkey", "ok"),
+        F.col("l_orderkey") == F.col("ok"),
+    ).count()
+    final = ol  # (c ⋈ o ⋈ l) keeps lineitem grain under the FK chain
+    plans = [
+        ("co_then_l", co, final),
+        ("ol_then_c", ol, final),
+        ("cl_cross_then_o", n_c * n_l, final),
+    ]
+    rows = [
+        (name, inter, final, inter + final)
+        for name, inter, final in plans
+    ]
+    best = min(c for _, _, _, c in rows)
+    data = [
+        (name, inter, fin, cost, round(cost / best, 6))
+        for name, inter, fin, cost in rows
+    ]
+    return spark.createDataFrame(
+        sorted(data),
+        "plan string, intermediate_rows bigint, final_rows bigint,"
+        " cost_cout bigint, blowup double",
+    )

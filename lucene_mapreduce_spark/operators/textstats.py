@@ -7231,3 +7231,140 @@ def skip_pointer_benefit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("t_small", "t_large")
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 131: in-batch negative collisions + impact quantization
+# ---------------------------------------------------------------------------
+
+INBATCH_SIZES = (64, 256)
+
+
+def inbatch_collision_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-batch negative collision audit for contrastive training: when
+    documents are batched B at a time, how many SAME-SOURCE pairs land
+    in one batch (those are poisoned negatives) under (a) arrival
+    order (doc_id) and (b) an md5-shuffled order — the number that
+    justifies shuffling before batch assembly.  Batches are ntile over
+    the respective total order (exact), collision pairs are
+    sum C(n_bs, 2) per (batch, source) — all BIGINT.  Two batch sizes,
+    two orders, four rows."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    n = docs.count()
+    out = None
+    from pyspark.sql import Window
+
+    orders = {
+        "arrival": F.col("doc_id").asc_nulls_last(),
+        "shuffled": _md5_52(F.col("doc_id").cast("string")).asc(),
+    }
+    for b in INBATCH_SIZES:
+        n_batches = max(1, n // b)
+        for oname, okey in orders.items():
+            w = Window.orderBy(okey, F.col("doc_id").asc())
+            batched = docs.select(
+                F.ntile(n_batches).over(w).alias("batch"), "source"
+            )
+            cells = batched.groupBy("batch", "source").agg(
+                F.count(F.lit(1)).cast("long").alias("c")
+            )
+            leg = cells.agg(
+                F.sum(
+                    ((F.col("c") * (F.col("c") - 1)) / 2).cast("long")
+                )
+                .cast("long")
+                .alias("collision_pairs"),
+                F.countDistinct("batch").cast("long").alias("n_batches"),
+            ).select(
+                F.lit(b).cast("long").alias("batch_size"),
+                F.lit(oname).alias("order_mode"),
+                "n_batches",
+                "collision_pairs",
+                F.round(
+                    F.col("collision_pairs").cast("double")
+                    / F.col("n_batches").cast("double"),
+                    6,
+                ).alias("pairs_per_batch"),
+            )
+            out = leg if out is None else out.unionByName(leg)
+    return out.orderBy("batch_size", "order_mode")
+
+
+IMPACT_LEVELS = 4
+
+
+def impact_quantization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Impact quantization audit per df decade — the Lucene 'impacts'
+    story (quantize tf into 2^b buckets so WAND bounds stay tight with
+    tiny metadata): per term, the distinct raw tf count beside the
+    distinct bucket count at bucket = min(3, floor(log2(tf))) (exact
+    integer via the digit-free bit-length compare chain) and the worst
+    relative underestimate (tf - 2^bucket)/tf a scorer pays for using
+    the bucket floor.  Decade-bucketed like blockmax_tightness_report
+    — the two reports together price the block-skip machinery."""
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_col
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", tokenize_col("text").alias("toks")
+    )
+    tf = (
+        docs.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    bucket = F.least(
+        F.lit(3),
+        F.when(F.col("tf") >= 8, 3)
+        .when(F.col("tf") >= 4, 2)
+        .when(F.col("tf") >= 2, 1)
+        .otherwise(0),
+    ).cast("long")
+    # shiftleft's Column overload throws NOT_ITERABLE — closed CASE form
+    qlow = (
+        F.when(F.col("tf") >= 8, 8)
+        .when(F.col("tf") >= 4, 4)
+        .when(F.col("tf") >= 2, 2)
+        .otherwise(1)
+        .cast("long")
+    )
+    per_term = tf.select("term", "tf", bucket.alias("bk"), qlow.alias("ql")).groupBy(
+        "term"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.countDistinct("tf").cast("long").alias("n_tf"),
+        F.countDistinct("bk").cast("long").alias("n_buckets"),
+        F.max(
+            F.round(
+                (F.col("tf") - F.col("ql")).cast("double")
+                / F.col("tf").cast("double"),
+                6,
+            )
+        ).alias("max_underest"),
+    )
+    decade = (F.length(F.col("df").cast("string")) - 1).cast("long")
+    return (
+        per_term.select(
+            decade.alias("decade"),
+            "n_tf",
+            "n_buckets",
+            F.col("max_underest").cast("decimal(18,6)").alias("mu"),
+        )
+        .groupBy("decade")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.round(
+                F.sum("n_tf").cast("double") / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("mean_distinct_tf"),
+            F.round(
+                F.sum("n_buckets").cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("mean_distinct_buckets"),
+            F.round(
+                F.sum("mu").cast("double") / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("mean_max_underest"),
+        )
+        .orderBy("decade")
+    )
