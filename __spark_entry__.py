@@ -1096,6 +1096,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inbatch_collision_report": textstats.inbatch_collision_report,
         "join_order_cost_audit": relational.join_order_cost_audit,
         "impact_quantization_audit": textstats.impact_quantization_audit,
+        # batch 132: Erlang-C, Theta backtest, binseg changepoint
+        "erlang_c_staffing": parity.erlang_c_staffing,
+        "theta_forecast_backtest": parity.theta_forecast_backtest,
+        "binseg_changepoint": parity.binseg_changepoint,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})

@@ -18510,3 +18510,123 @@ SELECT (length(df::VARCHAR) - 1)::BIGINT AS decade,
              / count(*)::DOUBLE, 6) AS mean_max_underest
 FROM per_term GROUP BY 1 ORDER BY 1
 """
+
+# ---- batch 132: Erlang-C, Theta backtest, binseg changepoint ---------------
+
+from lucene_mapreduce_spark.operators.parity import (  # noqa: E402
+    ERLANG_MAX_C,
+    ERLANG_MU_PER_S,
+    THETA_ALPHA,
+    THETA_H_TEST,
+    THETA_LN_1MA,
+    erlang_c_terms,
+)
+
+
+def _erlang_leg(c: int) -> str:
+    lows, top = erlang_c_terms("a", c)
+    qexpr = f"({top}) * ({float(c)!r} / ({float(c)!r} - a))"
+    sum_low = " + ".join(lows)
+    return f"""
+SELECT {c}::BIGINT AS servers, peak,
+       round(a, 6) AS offered_load,
+       round(CASE WHEN a >= {float(c)!r} THEN 1.0
+                  ELSE ({qexpr}) / (({sum_low}) + ({qexpr})) END, 6)
+         AS p_wait,
+       (CASE WHEN a < {float(c)!r} THEN 1 ELSE 0 END)::INT AS stable
+FROM base"""
+
+
+ORACLES["erlang_c_staffing"] = (
+    f"""
+WITH hourly AS (
+  SELECT epoch_us(ts) // 3600000000 AS h, count(*)::BIGINT AS n
+  FROM events GROUP BY 1
+),
+peak AS (SELECT max(n)::BIGINT AS peak FROM hourly),
+base AS (
+  SELECT peak, peak::DOUBLE / 3600.0 / {ERLANG_MU_PER_S!r} AS a FROM peak
+)
+"""
+    + "\nUNION ALL\n".join(_erlang_leg(c) for c in range(1, ERLANG_MAX_C + 1))
+    + "\nORDER BY servers"
+)
+
+ORACLES["theta_forecast_backtest"] = f"""
+WITH {_DAILY_HIST},
+idx AS (
+  SELECT row_number() OVER (ORDER BY day)::BIGINT AS i,
+         n_events::BIGINT AS y
+  FROM hist
+),
+nd AS (SELECT count(*)::BIGINT AS n_days FROM idx),
+train AS (
+  SELECT * FROM idx
+  WHERE i <= (SELECT n_days FROM nd) - {THETA_H_TEST}
+),
+g AS (
+  SELECT count(*)::BIGINT AS n, sum(i)::BIGINT AS si,
+         sum(i * i)::BIGINT AS sii, sum(y)::BIGINT AS sy,
+         sum(i * y)::BIGINT AS siy
+  FROM train
+),
+ses AS (
+  SELECT list_reduce(ys, (acc, y) -> {THETA_ALPHA!r} * y
+                             + {1.0 - THETA_ALPHA!r} * acc) AS level
+  FROM (SELECT list(y::DOUBLE ORDER BY i) AS ys FROM train)
+),
+consts AS (
+  SELECT n AS n_train,
+         round((n::DOUBLE * siy::DOUBLE - si::DOUBLE * sy::DOUBLE)
+               / (n::DOUBLE * sii::DOUBLE - si::DOUBLE * si::DOUBLE), 12)
+           AS b,
+         round((SELECT level FROM ses), 12) AS level,
+         round((1.0 - exp(n::DOUBLE * {THETA_LN_1MA!r}))
+               / {THETA_ALPHA!r}, 12) AS damp
+  FROM g
+),
+test AS (
+  SELECT (i - (SELECT n_days FROM nd) + {THETA_H_TEST})::DOUBLE AS j,
+         y::DOUBLE AS y
+  FROM idx WHERE i > (SELECT n_days FROM nd) - {THETA_H_TEST}
+),
+terms AS (
+  SELECT n_train, level, b,
+         round(abs(y - (level + (b / 2.0) * ((j - 1.0) + damp))),
+               12)::DECIMAL(38,12) AS e12
+  FROM test, consts
+)
+SELECT n_train, count(*)::BIGINT AS n_test,
+       round(level, 6) AS ses_level, round(b, 6) AS trend_slope,
+       round(sum(e12)::DOUBLE / count(*)::DOUBLE, 6) AS mae
+FROM terms GROUP BY n_train, level, b
+"""
+
+ORACLES["binseg_changepoint"] = f"""
+WITH {_DAILY_HIST},
+idx AS (
+  SELECT day::VARCHAR AS day,
+         row_number() OVER (ORDER BY day)::BIGINT AS k,
+         sum(n_events) OVER (ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS sk
+  FROM hist
+),
+g AS (
+  SELECT count(*)::BIGINT AS n, sum(n_events)::BIGINT AS s FROM hist
+),
+scored AS (
+  SELECT day, k, n, s, sk,
+         round(((n::DOUBLE * sk::DOUBLE - k::DOUBLE * s::DOUBLE)
+                * (n::DOUBLE * sk::DOUBLE - k::DOUBLE * s::DOUBLE))
+               / (n::DOUBLE * k::DOUBLE * (n::DOUBLE - k::DOUBLE)), 6)
+           AS gain
+  FROM idx, g WHERE k < n
+)
+SELECT n AS n_days, day AS split_after_day, k AS split_k, gain,
+       round(sk::DOUBLE / k::DOUBLE, 6) AS mean_left,
+       round((s - sk)::DOUBLE / (n - k)::DOUBLE, 6) AS mean_right
+FROM (
+  SELECT *, row_number() OVER (ORDER BY gain DESC, k ASC) AS r
+  FROM scored
+) WHERE r = 1
+"""

@@ -8950,3 +8950,229 @@ def g_test_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "g_stat",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 132: Erlang-C staffing, Theta forecast, binary-segmentation split
+# ---------------------------------------------------------------------------
+
+ERLANG_MU_PER_S = 0.02  # pinned service rate: one agent clears 1/50s
+ERLANG_MAX_C = 8
+
+
+def erlang_c_terms(var: str, c: int) -> tuple[list[str], str]:
+    """Shared SQL text for the Erlang-C pieces at server count c: the
+    list of a^k/k! terms for k<c as unrolled products (no pow()) and
+    the a^c/c! term — identical IEEE chains in Spark SQL and DuckDB."""
+    fact = 1
+    terms = []
+    for k in range(c + 1):
+        if k > 0:
+            fact *= k
+        prod = " * ".join([var] * k) if k else "1.0"
+        terms.append(f"(({prod}) / {float(fact)!r})")
+    return terms[:-1], terms[-1]
+
+
+def erlang_c_staffing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Erlang-C staffing table for the stream's peak hour — the SRE /
+    call-center capacity question asked of the event stream: offered
+    load a = peak-hour arrivals per second over the pinned service
+    rate, and for c = 1..8 servers the probability a request queues,
+    P_wait = (a^c/c!) (c/(c-a)) / (sum_{k<c} a^k/k! + (a^c/c!)
+    (c/(c-a))).  Every a^k/k! is an unrolled product over shared
+    literal factorials (no pow(), the cross-engine rule), overloaded
+    systems (a >= c) pin P_wait to 1.  One scan for the peak, eight
+    closed-form rows."""
+    ev = load(spark, sf_dir, "events").select(
+        F.expr("unix_micros(cast(ts as timestamp)) div 3600000000").alias("h")
+    )
+    peak = (
+        ev.groupBy("h")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .agg(F.max("n").cast("long").alias("peak"))
+    )
+    base = peak.select(
+        "peak",
+        (
+            F.col("peak").cast("double")
+            / F.lit(3600.0)
+            / F.lit(ERLANG_MU_PER_S)
+        ).alias("a"),
+    )
+    out = None
+    for c in range(1, ERLANG_MAX_C + 1):
+        lows, top = erlang_c_terms("a", c)
+        qexpr = (
+            f"({top}) * ({float(c)!r} / ({float(c)!r} - a))"
+        )
+        sum_low = " + ".join(lows)
+        p_wait = (
+            f"CASE WHEN a >= {float(c)!r} THEN 1.0 "
+            f"ELSE ({qexpr}) / (({sum_low}) + ({qexpr})) END"
+        )
+        leg = base.select(
+            F.lit(c).cast("long").alias("servers"),
+            "peak",
+            F.round("a", 6).alias("offered_load"),
+            F.round(F.expr(p_wait), 6).alias("p_wait"),
+            F.expr(f"CASE WHEN a < {float(c)!r} THEN 1 ELSE 0 END")
+            .cast("int")
+            .alias("stable"),
+        )
+        out = leg if out is None else out.unionByName(leg)
+    return out.orderBy("servers")
+
+
+THETA_ALPHA = 0.3
+THETA_H_TEST = 7
+# ln(1 - alpha) pinned as a double literal shared with the oracle
+THETA_LN_1MA = -0.35667494393873245
+
+
+def theta_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-method forecast backtest over the daily series — the
+    M3-winning forecaster in its SES-with-drift form (Hyndman &
+    Billah 2003: theta(2) = simple exponential smoothing plus half the
+    linear trend): train on all but the last 7 days, score MAE on the
+    holdout.  The SES level is ONE sequential left fold over the
+    collected train array (the ewma aggregate/list_reduce parity —
+    identical IEEE fold both engines), the drift is OLS slope from
+    exact integer stats, and the damping constant uses exp(h ln(1-a))
+    with a pinned ln literal (no pow()).  Completes the backtest
+    family beside naive / seasonal-naive / pinball / Theil-U2."""
+    from pyspark.sql import Window
+
+    _LN_1MA = THETA_LN_1MA
+    hist = date_histogram_facets(spark, sf_dir)
+    idx = hist.select(
+        F.row_number().over(Window.orderBy("day")).cast("long").alias("i"),
+        F.col("n_events").cast("long").alias("y"),
+    )
+    n_days = idx.count()
+    h = n_days - THETA_H_TEST
+    train = idx.filter(F.col("i") <= h)
+    g = train.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("i").cast("long").alias("si"),
+        F.sum(F.col("i") * F.col("i")).cast("long").alias("sii"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("i") * F.col("y")).cast("long").alias("siy"),
+    )
+    nD = F.col("n").cast("double")
+    b = (
+        nD * F.col("siy").cast("double")
+        - F.col("si").cast("double") * F.col("sy").cast("double")
+    ) / (
+        nD * F.col("sii").cast("double")
+        - F.col("si").cast("double") * F.col("si").cast("double")
+    )
+    ses = train.orderBy("i").agg(
+        F.collect_list(F.col("y").cast("double")).alias("ys")
+    ).select(
+        F.expr(
+            f"aggregate(slice(ys, 2, size(ys) - 1), ys[0],"
+            f" (acc, y) -> {THETA_ALPHA!r} * y"
+            f" + {1.0 - THETA_ALPHA!r} * acc)"
+        ).alias("level")
+    )
+    damp = (
+        F.lit(1.0) - F.exp(F.lit(float(h)) * F.lit(_LN_1MA))
+    ) / F.lit(THETA_ALPHA)
+    consts = (
+        g.crossJoin(F.broadcast(ses))
+        .select(
+            F.col("n").alias("n_train"),
+            F.round(b, 12).alias("b"),
+            F.round("level", 12).alias("level"),
+            F.round(damp, 12).alias("damp"),
+        )
+    )
+    test = idx.filter(F.col("i") > h).select(
+        (F.col("i") - h).cast("double").alias("j"),
+        F.col("y").cast("double").alias("y"),
+    )
+    f_j = (
+        F.col("level")
+        + (F.col("b") / F.lit(2.0))
+        * ((F.col("j") - F.lit(1.0)) + F.col("damp"))
+    )
+    terms = test.crossJoin(F.broadcast(consts)).select(
+        "n_train",
+        "level",
+        "b",
+        F.round(F.abs(F.col("y") - f_j), 12)
+        .cast("decimal(38,12)")
+        .alias("e12"),
+    )
+    return terms.groupBy("n_train", "level", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.round(
+            F.sum("e12").cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("mae"),
+    ).select(
+        "n_train",
+        "n_test",
+        F.round("level", 6).alias("ses_level"),
+        F.round("b", 6).alias("trend_slope"),
+        "mae",
+    )
+
+
+def binseg_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-segmentation changepoint over the daily series — the
+    best single mean-shift split (the first step of the classic
+    binseg/PELT family; change_point_agg's spike detector finds one
+    day, this finds a LEVEL change): gain(k) = (n S_k - k S)^2 /
+    (n k (n-k)), the exact SSE reduction of splitting after position
+    k, from integer prefix sums via one ordered window.  Argmax on
+    the 6dp-rounded gain, earliest k on ties.  Output carries the
+    split day and both segment means."""
+    from pyspark.sql import Window
+
+    hist = date_histogram_facets(spark, sf_dir)
+    w = Window.orderBy("day")
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    idx = hist.select(
+        "day",
+        F.row_number().over(w).cast("long").alias("k"),
+        F.sum("n_events").over(wc).cast("long").alias("sk"),
+    )
+    g = hist.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("n_events").cast("long").alias("s"),
+    )
+    j = idx.crossJoin(F.broadcast(g)).filter(F.col("k") < F.col("n"))
+    nD = F.col("n").cast("double")
+    kD = F.col("k").cast("double")
+    num = (
+        nD * F.col("sk").cast("double") - kD * F.col("s").cast("double")
+    )
+    gain = (num * num) / (nD * kD * (nD - kD))
+    scored = j.select(
+        "day",
+        "k",
+        "n",
+        "s",
+        "sk",
+        F.round(gain, 6).alias("gain"),
+    )
+    wr = Window.orderBy(F.col("gain").desc(), F.col("k").asc())
+    return (
+        scored.withColumn("r", F.row_number().over(wr))
+        .filter(F.col("r") == 1)
+        .select(
+            F.col("n").alias("n_days"),
+            F.col("day").alias("split_after_day"),
+            F.col("k").alias("split_k"),
+            "gain",
+            F.round(
+                F.col("sk").cast("double") / F.col("k").cast("double"), 6
+            ).alias("mean_left"),
+            F.round(
+                (F.col("s") - F.col("sk")).cast("double")
+                / (F.col("n") - F.col("k")).cast("double"),
+                6,
+            ).alias("mean_right"),
+        )
+    )
