@@ -1100,6 +1100,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "erlang_c_staffing": parity.erlang_c_staffing,
         "theta_forecast_backtest": parity.theta_forecast_backtest,
         "binseg_changepoint": parity.binseg_changepoint,
+        # batch 133: result diversity, Poisson dispersion, DPP benefit
+        "result_diversity_ild": similarity.result_diversity_ild,
+        "poisson_dispersion_test": parity.poisson_dispersion_test,
+        "dpp_benefit_audit": relational.dpp_benefit_audit,
+        # batch 134: filter order, Little's law, NQC/WIG
+        "filter_order_audit": relational.filter_order_audit,
+        "littles_law_audit": relational.littles_law_audit,
+        "nqc_wig_predictors": fulltext.nqc_wig_predictors,
+        # batch 135: rich club, circadian regularity, ratio-to-MA
+        "rich_club_coefficient": relational.rich_club_coefficient,
+        "user_circadian_regularity": parity.user_circadian_regularity,
+        "ratio_to_ma_seasonal_indices": parity.ratio_to_ma_seasonal_indices,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})
@@ -1150,6 +1162,11 @@ def oracle_sql() -> dict[str, str]:
     from lucene_mapreduce_spark.operators.oracles import skip_benefit_sql
 
     out["skip_pointer_benefit"] = skip_benefit_sql(fulltext.FLAGSHIP_QUERY)
+    from lucene_mapreduce_spark.operators.oracles import nqc_wig_sql
+
+    out["nqc_wig_predictors"] = nqc_wig_sql(
+        fulltext.FLAGSHIP_QUERY, fulltext.NQC_K
+    )
     out["terms_enum"] = terms_enum_sql(fulltext.TERMS_ENUM_K)
     out["spell_suggest"] = spell_suggest_sql(fulltext.SPELL_INPUT)
     out["autocomplete"] = autocomplete_sql(fulltext.AUTOCOMPLETE_PREFIX)

@@ -7464,3 +7464,93 @@ def team_draft_interleaving(
     return spark.createDataFrame(
         picked, "pos int, doc_id bigint, team string"
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 134: post-retrieval query-performance predictors
+# ---------------------------------------------------------------------------
+
+NQC_K = 50
+
+
+def nqc_wig_predictors(
+    spark: SparkSession,
+    sf_dir: str,
+    query_text: str = FLAGSHIP_QUERY,
+    k: int = NQC_K,
+) -> DataFrame:
+    """Post-retrieval query-performance predictors — the other half of
+    query_difficulty_predictors' pre-retrieval panel: NQC (Shtok et
+    al.: std of the top-k scores over the corpus mean score — high
+    variance means a confident head) and WIG (Zhou & Croft: top-k mean
+    minus the corpus mean, per query term).  Scores come from the
+    exact_scores all-matched path (canonical ascending sums, rounded
+    6dp so page membership follows the expansion-query rule);
+    moments ride DECIMAL sums of the 6dp scores and their exact-12dp
+    squares.  One corpus scan, one row."""
+    from lucene_mapreduce_spark.functions.tokenize import (
+        tokenize_col,
+        tokenize_string,
+    )
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+    from lucene_mapreduce_spark.query.bm25_df import corpus_postings, exact_scores
+
+    docs = load(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        [("q0", query_text)], "query_id string, query_text string"
+    )
+    postings, doclens = corpus_postings(docs)
+    stats = doclens.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    )
+    qterms = queries.select(
+        "query_id", F.explode(tokenize_col("query_text")).alias("term")
+    ).distinct()
+    df_t = (
+        postings.join(
+            F.broadcast(qterms.select("term").distinct()), "term"
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df_t"))
+    )
+    matched = (
+        postings.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(df_t), "term")
+        .join(doclens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    allscores = exact_scores(matched, round_to=6).select("doc_id", "score")
+    topk = ranked_topk(
+        allscores, [F.desc("score"), F.asc("doc_id")], k
+    )
+    sq = F.round(F.col("score") * F.col("score"), 12).cast("decimal(38,12)")
+    top_stats = topk.select(
+        F.col("score").cast("decimal(18,6)").alias("s6"), sq.alias("sq12")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("k_used"),
+        F.sum("s6").cast("double").alias("ts"),
+        F.sum("sq12").cast("double").alias("tss"),
+    )
+    corp_stats = allscores.select(
+        F.col("score").cast("decimal(18,6)").alias("s6")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_matched"),
+        F.sum("s6").cast("double").alias("cs_sum"),
+    )
+    n_q = len(set(tokenize_string(query_text)))
+    kD = F.col("k_used").cast("double")
+    mu_k = F.col("ts") / kD
+    var_k = F.col("tss") / kD - mu_k * mu_k
+    cs = F.col("cs_sum") / F.col("n_matched").cast("double")
+    return top_stats.crossJoin(F.broadcast(corp_stats)).select(
+        F.col("k_used"),
+        "n_matched",
+        F.round(mu_k, 6).alias("mean_topk"),
+        F.round(F.sqrt(var_k), 6).alias("std_topk"),
+        F.round(cs, 6).alias("corpus_mean_score"),
+        F.round(F.sqrt(var_k) / cs, 6).alias("nqc"),
+        F.round(
+            (mu_k - cs) / F.sqrt(F.lit(float(n_q))), 6
+        ).alias("wig"),
+    )

@@ -18630,3 +18630,412 @@ FROM (
   FROM scored
 ) WHERE r = 1
 """
+
+# ---- batch 133: ILD, Poisson dispersion, DPP benefit -----------------------
+
+from lucene_mapreduce_spark.operators.parity import (  # noqa: E402
+    POISSON_CHI2_CRIT_DF29,
+)
+from lucene_mapreduce_spark.operators.relational import (  # noqa: E402
+    DPP_N_FILES,
+    DPP_PRIORITY,
+    DPP_WINDOW,
+)
+from lucene_mapreduce_spark.operators.similarity import ILD_K  # noqa: E402
+
+ORACLES["result_diversity_ild"] = f"""
+WITH q AS (
+  SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0
+),
+page AS (
+  SELECT vec_id FROM (
+    SELECT vec_id,
+           row_number() OVER (
+             ORDER BY round(list_dot_product(embedding::DOUBLE[], qvec)
+                   / (sqrt(list_dot_product(embedding::DOUBLE[],
+                                            embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(qvec, qvec))), 6) DESC,
+             vec_id ASC) AS r
+    FROM embeddings, q WHERE vec_id <> 0
+  ) WHERE r <= {ILD_K}
+),
+vecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v
+  FROM embeddings JOIN page USING (vec_id)
+),
+pairs AS (
+  SELECT round(list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v))), 6)::DECIMAL(18,6)
+           AS c6
+  FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id
+)
+SELECT {ILD_K}::BIGINT AS k, count(*)::BIGINT AS n_pairs,
+       round(1.0 - sum(c6)::DOUBLE / count(*)::DOUBLE, 6) AS mean_ild,
+       min(c6)::DOUBLE AS min_pair_cos,
+       max(c6)::DOUBLE AS max_pair_cos
+FROM pairs
+"""
+
+ORACLES["poisson_dispersion_test"] = f"""
+WITH {_DAILY_HIST},
+ev AS (SELECT ts::DATE::VARCHAR AS day, event_type FROM events),
+types AS (
+  SELECT DISTINCT event_type FROM ev
+  UNION ALL SELECT 'all'
+),
+per AS (
+  SELECT day, event_type, count(*)::BIGINT AS c FROM ev GROUP BY 1, 2
+  UNION ALL
+  SELECT day, 'all', count(*)::BIGINT FROM ev GROUP BY day
+),
+grid AS (
+  SELECT t.event_type, coalesce(p.c, 0)::BIGINT AS c
+  FROM hist h CROSS JOIN types t
+  LEFT JOIN per p ON p.day = h.day::VARCHAR
+                 AND p.event_type = t.event_type
+),
+g AS (
+  SELECT event_type, count(*)::BIGINT AS n, sum(c)::BIGINT AS s,
+         sum(c * c)::BIGINT AS ss
+  FROM grid GROUP BY 1
+)
+SELECT event_type, n,
+       round(s::DOUBLE / n::DOUBLE, 6) AS mean_daily,
+       round((ss::DOUBLE - s::DOUBLE * (s::DOUBLE / n::DOUBLE))
+             / (n::DOUBLE - 1.0), 6) AS var_daily,
+       round((n::DOUBLE - 1.0)
+             * ((ss::DOUBLE - s::DOUBLE * (s::DOUBLE / n::DOUBLE))
+                / (n::DOUBLE - 1.0))
+             / (s::DOUBLE / n::DOUBLE), 6) AS dispersion_stat,
+       (CASE WHEN (n::DOUBLE - 1.0)
+                  * ((ss::DOUBLE - s::DOUBLE * (s::DOUBLE / n::DOUBLE))
+                     / (n::DOUBLE - 1.0))
+                  / (s::DOUBLE / n::DOUBLE) > {POISSON_CHI2_CRIT_DF29!r}
+             THEN 1 ELSE 0 END)::INT AS overdispersed
+FROM g ORDER BY event_type
+"""
+
+ORACLES["dpp_benefit_audit"] = f"""
+WITH keys AS (
+  SELECT o_orderkey AS k FROM orders
+  WHERE o_orderpriority = '{DPP_PRIORITY}'
+    AND o_orderdate >= TIMESTAMP '{DPP_WINDOW[0]}'
+    AND o_orderdate < TIMESTAMP '{DPP_WINDOW[1]}'
+),
+files AS (
+  SELECT f, min(l_orderkey) AS lo, max(l_orderkey) AS hi,
+         count(*)::BIGINT AS n_rows
+  FROM (SELECT ntile({DPP_N_FILES})
+                 OVER (ORDER BY l_orderkey, l_linenumber) AS f,
+               l_orderkey
+        FROM lineitem)
+  GROUP BY f
+),
+hit_files AS (
+  SELECT DISTINCT f FROM keys JOIN files ON k BETWEEN lo AND hi
+),
+hit_stats AS (
+  SELECT count(*)::BIGINT AS files_read_dpp,
+         sum(n_rows)::BIGINT AS rows_scanned_dpp
+  FROM files JOIN hit_files USING (f)
+),
+totals AS (
+  SELECT count(*)::BIGINT AS n_files, sum(n_rows)::BIGINT AS rows_total
+  FROM files
+),
+matched AS (
+  SELECT count(*)::BIGINT AS rows_matched
+  FROM lineitem JOIN keys ON l_orderkey = k
+)
+SELECT n_files, files_read_dpp,
+       (n_files - files_read_dpp)::BIGINT AS files_skipped,
+       rows_total, rows_scanned_dpp, rows_matched,
+       round(rows_scanned_dpp::DOUBLE / rows_matched::DOUBLE, 6)
+         AS read_amplification
+FROM totals, hit_stats, matched
+"""
+
+# ---- batch 134: filter order, Little's law, NQC/WIG ------------------------
+
+from itertools import permutations as _perms  # noqa: E402
+
+from lucene_mapreduce_spark.operators.relational import (  # noqa: E402
+    FILTER_DISC_MIN,
+    FILTER_PREDS,
+    FILTER_QTY_MAX,
+    FILTER_SHIP_WINDOW,
+    LITTLE_WINDOW,
+    LITTLE_WINDOW_DAYS,
+    _day_number,
+)
+
+_FO_SUBSET = {
+    "qty": "q", "disc": "d", "ship": "s",
+}
+
+
+def _fo_count(preds: tuple) -> str:
+    if not preds:
+        return "n"
+    prod = " * ".join(_FO_SUBSET[p] for p in preds)
+    return f"sum({prod})::BIGINT"
+
+
+def _filter_order_sql() -> str:
+    legs = []
+    for perm in _perms(FILTER_PREDS):
+        name = "_".join(perm)
+        legs.append(f"""
+SELECT '{name}' AS filter_order,
+       ((SELECT n FROM g) + (SELECT c1 FROM g_{name})
+        + (SELECT c2 FROM g_{name}))::BIGINT AS rows_inspected,
+       (SELECT c3 FROM g_{name})::BIGINT AS rows_out""")
+    percte = []
+    for perm in _perms(FILTER_PREDS):
+        name = "_".join(perm)
+        percte.append(
+            f"g_{name} AS (SELECT {_fo_count(perm[:1])} AS c1,"
+            f" {_fo_count(perm[:2])} AS c2,"
+            f" {_fo_count(perm)} AS c3 FROM flags)"
+        )
+    return (
+        f"""
+WITH flags AS (
+  SELECT CASE WHEN l_quantity <= {FILTER_QTY_MAX!r} THEN 1 ELSE 0 END AS q,
+         CASE WHEN l_discount >= {FILTER_DISC_MIN!r} THEN 1 ELSE 0 END AS d,
+         CASE WHEN l_shipdate >= TIMESTAMP '{FILTER_SHIP_WINDOW[0]}'
+               AND l_shipdate < TIMESTAMP '{FILTER_SHIP_WINDOW[1]}'
+              THEN 1 ELSE 0 END AS s
+  FROM lineitem
+),
+g AS (SELECT count(*)::BIGINT AS n FROM flags),
+"""
+        + ",\n".join(percte)
+        + ",\ncosted AS (\n"
+        + "\nUNION ALL\n".join(legs)
+        + "\n)\n"
+        + """
+SELECT filter_order, rows_inspected, rows_out,
+       round(rows_inspected::DOUBLE
+             / (SELECT min(rows_inspected) FROM costed)::DOUBLE, 6)
+         AS blowup
+FROM costed ORDER BY filter_order
+"""
+    )
+
+
+ORACLES["filter_order_audit"] = _filter_order_sql()
+
+_LL_LO = _day_number(LITTLE_WINDOW[0])
+_LL_HI = _day_number(LITTLE_WINDOW[1])
+
+ORACLES["littles_law_audit"] = f"""
+WITH done AS (
+  SELECT l_orderkey, max(l_shipdate) AS done FROM lineitem GROUP BY 1
+),
+o AS (
+  SELECT epoch_us(o_orderdate) // 86400000000 AS a,
+         epoch_us(done) // 86400000000 AS z
+  FROM orders JOIN done ON o_orderkey = l_orderkey
+),
+arr AS (
+  SELECT count(*)::BIGINT AS n_arrivals,
+         sum(z - a)::BIGINT AS sum_sojourn
+  FROM o WHERE a >= {_LL_LO} AND a < {_LL_HI}
+),
+lw AS (
+  SELECT sum(greatest(0, least(z, {_LL_HI})
+                      - greatest(a, {_LL_LO})))::BIGINT AS sum_overlap
+  FROM o
+)
+SELECT n_arrivals,
+       round(n_arrivals::DOUBLE / {float(LITTLE_WINDOW_DAYS)!r}, 6)
+         AS lambda_per_day,
+       round(sum_sojourn::DOUBLE / n_arrivals::DOUBLE, 6) AS w_days,
+       round(sum_overlap::DOUBLE / {float(LITTLE_WINDOW_DAYS)!r}, 6)
+         AS l_avg,
+       round((sum_overlap::DOUBLE / {float(LITTLE_WINDOW_DAYS)!r})
+             / ((n_arrivals::DOUBLE / {float(LITTLE_WINDOW_DAYS)!r})
+                * (sum_sojourn::DOUBLE / n_arrivals::DOUBLE)), 6)
+         AS little_ratio
+FROM arr, lw
+"""
+
+
+def nqc_wig_sql(query_text: str, k: int = 50) -> str:
+    """nqc_wig_predictors twin: the bm25_topk_sql scoring CTEs, scores
+    rounded 6dp, moments over the rounded page and the full matched
+    set as DECIMAL sums."""
+    qlit = query_text.replace("'", "''")
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_string
+
+    n_q = len(set(tokenize_string(query_text)))
+    return f"""
+WITH doclens AS (
+  SELECT doc_id, len({TOKS}) AS dl FROM documents
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n_docs, avg(dl::DOUBLE) AS avgdl FROM doclens
+),
+toks AS (
+  SELECT doc_id, unnest({TOKS}) AS term FROM documents
+),
+postings AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2
+),
+qterms AS (
+  SELECT DISTINCT unnest({duckdb_tokens_sql(f"'{qlit}'")}) AS term
+),
+dft AS (
+  SELECT p.term, count(*)::DOUBLE AS df_t
+  FROM postings p JOIN qterms q USING (term) GROUP BY 1
+),
+scored AS (
+  SELECT p.doc_id,
+         ln(1 + (s.n_docs - d.df_t + 0.5) / (d.df_t + 0.5))
+           * (p.tf * {K1 + 1.0}) / (p.tf + {K1} * (1 - {B} + {B} * l.dl / s.avgdl))
+           AS contrib
+  FROM postings p
+  JOIN dft d USING (term)
+  JOIN doclens l USING (doc_id)
+  CROSS JOIN stats s
+),
+agg AS (
+  SELECT doc_id, round(sum(contrib), 6) AS score FROM scored GROUP BY 1
+),
+topk AS (
+  SELECT score FROM (
+    SELECT score, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+    FROM agg
+  ) WHERE r <= {k}
+),
+ts AS (
+  SELECT count(*)::BIGINT AS k_used,
+         sum(score::DECIMAL(18,6))::DOUBLE AS ts,
+         sum(round(score * score, 12)::DECIMAL(38,12))::DOUBLE AS tss
+  FROM topk
+),
+cstat AS (
+  SELECT count(*)::BIGINT AS n_matched,
+         sum(score::DECIMAL(18,6))::DOUBLE AS cs_sum
+  FROM agg
+)
+SELECT k_used, n_matched,
+       round(ts / k_used::DOUBLE, 6) AS mean_topk,
+       round(sqrt(tss / k_used::DOUBLE
+                  - (ts / k_used::DOUBLE) * (ts / k_used::DOUBLE)), 6)
+         AS std_topk,
+       round(cs_sum / n_matched::DOUBLE, 6) AS corpus_mean_score,
+       round(sqrt(tss / k_used::DOUBLE
+                  - (ts / k_used::DOUBLE) * (ts / k_used::DOUBLE))
+             / (cs_sum / n_matched::DOUBLE), 6) AS nqc,
+       round((ts / k_used::DOUBLE - cs_sum / n_matched::DOUBLE)
+             / sqrt({float(n_q)!r}), 6) AS wig
+FROM ts, cstat
+"""
+
+# ---- batch 135: rich club, circadian regularity, ratio-to-MA ---------------
+
+from lucene_mapreduce_spark.operators.parity import _LN24  # noqa: E402
+from lucene_mapreduce_spark.operators.relational import (  # noqa: E402
+    RICH_CLUB_KS,
+)
+
+
+def _rich_club_leg(k: int) -> str:
+    return f"""
+SELECT {k}::BIGINT AS k,
+       (SELECT count(*) FROM deg WHERE deg > {k})::BIGINT AS n_nodes,
+       (SELECT count(*) FROM e
+        WHERE pa IN (SELECT node FROM deg WHERE deg > {k})
+          AND pb IN (SELECT node FROM deg WHERE deg > {k}))::BIGINT
+         AS n_edges,
+       CASE WHEN (SELECT count(*) FROM deg WHERE deg > {k}) >= 2
+            THEN round(2.0 * (SELECT count(*) FROM e
+                              WHERE pa IN (SELECT node FROM deg
+                                           WHERE deg > {k})
+                                AND pb IN (SELECT node FROM deg
+                                           WHERE deg > {k}))::DOUBLE
+                       / ((SELECT count(*) FROM deg WHERE deg > {k})::DOUBLE
+                          * ((SELECT count(*) FROM deg
+                              WHERE deg > {k})::DOUBLE - 1.0)), 6)
+       END AS phi"""
+
+
+ORACLES["rich_club_coefficient"] = (
+    """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+deg AS (
+  SELECT node, count(*)::BIGINT AS deg FROM (
+    SELECT pa AS node FROM e UNION ALL SELECT pb FROM e
+  ) GROUP BY 1
+)
+"""
+    + "\nUNION ALL\n".join(_rich_club_leg(k) for k in RICH_CLUB_KS)
+    + "\nORDER BY k"
+)
+
+ORACLES["user_circadian_regularity"] = f"""
+WITH ev AS (
+  SELECT user_id, (epoch_us(ts) // 3600000000) % 24 AS hr FROM events
+),
+cells AS (
+  SELECT user_id, hr, count(*)::BIGINT AS c FROM ev GROUP BY 1, 2
+),
+tot AS (SELECT user_id, sum(c)::BIGINT AS n FROM cells GROUP BY 1),
+ent AS (
+  SELECT c.user_id,
+         sum(round(-((c.c::DOUBLE / t.n::DOUBLE)
+                     * ln(c.c::DOUBLE / t.n::DOUBLE)),
+                   12)::DECIMAL(38,12))::DOUBLE AS h
+  FROM cells c JOIN tot t USING (user_id)
+  GROUP BY 1
+),
+reg AS (SELECT round(1.0 - h / {_LN24!r}, 6) AS r FROM ent)
+SELECT count(*)::BIGINT AS n_users,
+       round(sum(r::DECIMAL(18,6))::DOUBLE / count(*)::DOUBLE, 6)
+         AS mean_regularity,
+       round(quantile_cont(r, 0.25), 6) AS q1,
+       round(quantile_cont(r, 0.5), 6) AS median,
+       round(quantile_cont(r, 0.75), 6) AS q3
+FROM reg
+"""
+
+ORACLES["ratio_to_ma_seasonal_indices"] = f"""
+WITH {_DAILY_HIST},
+idx AS (
+  SELECT epoch_us(day::TIMESTAMP) // 86400000000 AS ed,
+         n_events::BIGINT AS y
+  FROM hist
+),
+ma AS (
+  SELECT ed, y,
+         count(*) OVER w AS wn,
+         sum(y) OVER w AS ws
+  FROM idx
+  WINDOW w AS (ORDER BY ed ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+ratio AS (
+  SELECT ed % 7 AS dow,
+         round(y::DOUBLE / (ws::DOUBLE / 7.0), 12)::DECIMAL(38,12) AS r12
+  FROM ma WHERE wn = 7
+),
+per AS (
+  SELECT dow, count(*)::BIGINT AS n_days,
+         sum(r12)::DOUBLE / count(*)::DOUBLE AS raw
+  FROM ratio GROUP BY 1
+),
+tot AS (
+  SELECT sum(round(raw, 12)::DECIMAL(38,12))::DOUBLE AS s FROM per
+)
+SELECT dow, n_days, round(raw, 6) AS raw_index,
+       round(raw * 7.0 / s, 6) AS norm_index
+FROM per, tot ORDER BY dow
+"""

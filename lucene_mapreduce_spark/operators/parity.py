@@ -9176,3 +9176,178 @@ def binseg_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_right"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 133: Poisson dispersion test
+# ---------------------------------------------------------------------------
+
+POISSON_CHI2_CRIT_DF29 = 42.557  # chi2 95th percentile at df=29, pinned
+
+
+def poisson_dispersion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-of-dispersion test of the Poisson hypothesis for daily
+    arrivals, per event type and pooled: D = (n-1) s^2 / mean over the
+    zero-filled calendar is chi-square(n-1) under Poisson — the
+    overdispersion check that decides between Poisson and negative-
+    binomial models before any rate forecast is trusted.  All moments
+    are exact BIGINT daily-count sums; the flag compares against the
+    pinned df=29 critical value (the stream's fixed 30-day calendar).
+    One scan, type-bounded output."""
+    ev = load(spark, sf_dir, "events").select(
+        F.to_date("ts").cast("string").alias("day"), "event_type"
+    )
+    hist = date_histogram_facets(spark, sf_dir).select("day")
+    types = ev.select("event_type").distinct().unionByName(
+        spark.createDataFrame([("all",)], "event_type string")
+    )
+    per = ev.groupBy("day", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    pooled = ev.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    ).select("day", F.lit("all").alias("event_type"), "c")
+    grid = (
+        hist.crossJoin(F.broadcast(types))
+        .join(per.unionByName(pooled), ["day", "event_type"], "left")
+        .select(
+            "event_type",
+            F.coalesce("c", F.lit(0)).cast("long").alias("c"),
+        )
+    )
+    g = grid.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("ss"),
+    )
+    nD = F.col("n").cast("double")
+    mean = F.col("s").cast("double") / nD
+    s2 = (F.col("ss").cast("double") - F.col("s").cast("double") * mean) / (
+        nD - F.lit(1.0)
+    )
+    d_stat = (nD - F.lit(1.0)) * s2 / mean
+    return g.select(
+        "event_type",
+        "n",
+        F.round(mean, 6).alias("mean_daily"),
+        F.round(s2, 6).alias("var_daily"),
+        F.round(d_stat, 6).alias("dispersion_stat"),
+        (d_stat > POISSON_CHI2_CRIT_DF29).cast("int").alias("overdispersed"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Batch 135: circadian regularity + ratio-to-MA seasonal indices
+# ---------------------------------------------------------------------------
+
+_LN24 = 3.1780538303479458  # ln(24) pinned
+
+
+def user_circadian_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user circadian regularity — 1 - H(hour-of-day)/ln 24, the
+    behavioral-biometrics signal (1 = always the same hour, 0 =
+    uniform across the clock): hour from epoch arithmetic (never
+    engine hour()), per-user entropy as 12dp-DECIMAL -(p ln p) sums,
+    then the population summary (mean + exact type-7 quartiles across
+    users).  Bot-like accounts sit at the extremes — the circadian
+    twin of bot_burst_detection's rate test.  One scan, user-bounded
+    intermediates, one row out."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(
+            "(unix_micros(cast(ts as timestamp)) div 3600000000) % 24"
+        ).alias("hr"),
+    )
+    cells = ev.groupBy("user_id", "hr").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = cells.groupBy("user_id").agg(F.sum("c").cast("long").alias("n"))
+    p = F.col("c").cast("double") / F.col("n").cast("double")
+    ent = (
+        cells.join(tot, "user_id")
+        .select(
+            "user_id",
+            F.round(-(p * F.log(p)), 12).cast("decimal(38,12)").alias("t12"),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("t12").cast("double").alias("h"))
+    )
+    reg = ent.select(
+        F.round(
+            F.lit(1.0) - F.col("h") / F.lit(_LN24), 6
+        ).alias("r")
+    )
+    return reg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.round(
+            F.sum(F.col("r").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("mean_regularity"),
+        F.round(F.expr("percentile(r, 0.25)"), 6).alias("q1"),
+        F.round(F.expr("percentile(r, 0.5)"), 6).alias("median"),
+        F.round(F.expr("percentile(r, 0.75)"), 6).alias("q3"),
+    )
+
+
+def ratio_to_ma_seasonal_indices(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Classical ratio-to-moving-average seasonal indices for the
+    daily series (the Census-method decomposition step
+    dow_seasonality_strength summarizes): each interior day's ratio to
+    its centered 7-day moving average, averaged per day-of-week
+    (epoch-day mod 7 — never engine dow()) and normalized so the
+    seven indices sum to 7.  MA uses only FULL windows (rows frame,
+    count == 7); ratios and their dow means ride 12dp DECIMAL sums.
+    Calendar-bounded windows, seven rows out."""
+    from pyspark.sql import Window
+
+    hist = date_histogram_facets(spark, sf_dir)
+    idx = hist.select(
+        "day",
+        F.expr(
+            "unix_micros(cast(day as timestamp)) div 86400000000"
+        ).alias("ed"),
+        F.col("n_events").cast("long").alias("y"),
+    )
+    w = Window.orderBy("ed").rowsBetween(-3, 3)
+    ma = idx.select(
+        "ed",
+        "y",
+        F.count(F.lit(1)).over(w).alias("wn"),
+        F.sum("y").over(w).cast("long").alias("ws"),
+    ).filter(F.col("wn") == 7)
+    ratio = ma.select(
+        (F.col("ed") % 7).alias("dow"),
+        F.round(
+            F.col("y").cast("double")
+            / (F.col("ws").cast("double") / F.lit(7.0)),
+            12,
+        )
+        .cast("decimal(38,12)")
+        .alias("r12"),
+    )
+    per = ratio.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        (
+            F.sum("r12").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("raw"),
+    )
+    tot = per.agg(
+        F.sum(F.round("raw", 12).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("s")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "dow",
+            "n_days",
+            F.round("raw", 6).alias("raw_index"),
+            F.round(
+                F.col("raw") * F.lit(7.0) / F.col("s"), 6
+            ).alias("norm_index"),
+        )
+        .orderBy("dow")
+    )

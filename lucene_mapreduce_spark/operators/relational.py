@@ -3899,3 +3899,284 @@ def join_order_cost_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "plan string, intermediate_rows bigint, final_rows bigint,"
         " cost_cout bigint, blowup double",
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 133: dynamic-partition-pruning benefit audit
+# ---------------------------------------------------------------------------
+
+DPP_N_FILES = 64
+DPP_PRIORITY = "1-URGENT"
+DPP_WINDOW = ("1996-01-01", "1996-04-01")
+
+
+def dpp_benefit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-partition-pruning benefit, measured exactly: lineitem
+    laid into DPP_N_FILES orderkey-clustered files (ntile over the
+    total order, the zorder/file_skipping discipline), probed by a
+    selective dimension filter on orders (one priority, one quarter).
+    A static plan scans every file; DPP broadcasts the surviving
+    orderkeys and reads only files whose [min,max] orderkey span
+    contains one — the runtime half of the skipping story
+    (file_skipping_audit is the static half).  Output: exact files
+    and rows read under both plans plus the matching-row floor."""
+    from pyspark.sql.window import Window
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    keys = (
+        load(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderpriority") == DPP_PRIORITY)
+            & (F.col("o_orderdate") >= DPP_WINDOW[0])
+            & (F.col("o_orderdate") < DPP_WINDOW[1])
+        )
+        .select(F.col("o_orderkey").alias("k"))
+    )
+    w = Window.orderBy("l_orderkey", "l_linenumber")
+    files = (
+        li.select(
+            F.ntile(DPP_N_FILES).over(w).alias("f"), "l_orderkey"
+        )
+        .groupBy("f")
+        .agg(
+            F.min("l_orderkey").alias("lo"),
+            F.max("l_orderkey").alias("hi"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+    )
+    hit_files = (
+        keys.join(
+            files,
+            (F.col("k") >= F.col("lo")) & (F.col("k") <= F.col("hi")),
+        )
+        .select("f")
+        .distinct()
+    )
+    hit_stats = files.join(hit_files, "f").agg(
+        F.count(F.lit(1)).cast("long").alias("files_read_dpp"),
+        F.sum("n_rows").cast("long").alias("rows_scanned_dpp"),
+    )
+    totals = files.agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum("n_rows").cast("long").alias("rows_total"),
+    )
+    matched = li.join(F.broadcast(keys), li.l_orderkey == keys.k).agg(
+        F.count(F.lit(1)).cast("long").alias("rows_matched")
+    )
+    return (
+        totals.crossJoin(F.broadcast(hit_stats))
+        .crossJoin(F.broadcast(matched))
+        .select(
+            "n_files",
+            "files_read_dpp",
+            (F.col("n_files") - F.col("files_read_dpp"))
+            .cast("long")
+            .alias("files_skipped"),
+            "rows_total",
+            "rows_scanned_dpp",
+            "rows_matched",
+            F.round(
+                F.col("rows_scanned_dpp").cast("double")
+                / F.col("rows_matched").cast("double"),
+                6,
+            ).alias("read_amplification"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch 134: filter-order audit + Little's law
+# ---------------------------------------------------------------------------
+
+FILTER_PREDS = ("qty", "disc", "ship")
+FILTER_QTY_MAX = 10.0
+FILTER_DISC_MIN = 0.05
+FILTER_SHIP_WINDOW = ("1996-01-01", "1997-01-01")
+
+
+def filter_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate-ordering cost audit — join_order_cost_audit's
+    single-table sibling: three pinned lineitem predicates, and for
+    each of the 6 evaluation orders the exact rows INSPECTED
+    (N for the first predicate, survivors of each prefix for the
+    next) from the 8-cell truth table of one scan.  The report ranks
+    orders and shows the blowup of the worst — why engines order
+    conjuncts by selectivity.  All BIGINTs; the permutation algebra
+    runs on 8 collected cells."""
+    li = load(spark, sf_dir, "lineitem")
+    flags = li.select(
+        (F.col("l_quantity") <= FILTER_QTY_MAX).cast("int").alias("q"),
+        (F.col("l_discount") >= FILTER_DISC_MIN).cast("int").alias("d"),
+        (
+            (F.col("l_shipdate") >= FILTER_SHIP_WINDOW[0])
+            & (F.col("l_shipdate") < FILTER_SHIP_WINDOW[1])
+        )
+        .cast("int")
+        .alias("s"),
+    )
+    cells = {
+        (r["q"], r["d"], r["s"]): r["c"]
+        for r in flags.groupBy("q", "d", "s")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .collect()
+    }
+
+    def count_where(**want):
+        return sum(
+            c
+            for (q, d, s), c in cells.items()
+            if all(
+                {"qty": q, "disc": d, "ship": s}[p] == 1
+                for p in want.get("preds", ())
+            )
+        )
+
+    n = sum(cells.values())
+    from itertools import permutations
+
+    rows = []
+    for perm in permutations(FILTER_PREDS):
+        cost = n
+        cost += count_where(preds=perm[:1])
+        cost += count_where(preds=perm[:2])
+        rows.append(("_".join(perm), cost, count_where(preds=perm)))
+    best = min(c for _, c, _ in rows)
+    data = [
+        (name, cost, fin, round(cost / best, 6))
+        for name, cost, fin in rows
+    ]
+    return spark.createDataFrame(
+        sorted(data),
+        "filter_order string, rows_inspected bigint,"
+        " rows_out bigint, blowup double",
+    )
+
+
+LITTLE_WINDOW = ("1996-01-01", "1997-01-01")
+LITTLE_WINDOW_DAYS = 366  # 1996 is a leap year
+
+
+def littles_law_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Little's law (L = lambda W) measured on the order->ship
+    pipeline over one pinned year: lambda = arrivals per day, W = mean
+    order sojourn (orderdate to last lineitem shipdate, exact integer
+    days, DECIMAL mean) for in-window arrivals, and L = time-average
+    work-in-progress computed EXACTLY as sum of each order's overlap
+    with the window / window length (the integral form — no per-day
+    sweep).  The ratio L/(lambda W) reads how far the pipeline is
+    from steady state — the queueing identity behind order_aging_wip's
+    snapshot."""
+    li = load(spark, sf_dir, "lineitem").groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("done")
+    )
+    o = (
+        load(spark, sf_dir, "orders")
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.expr(
+                "unix_micros(cast(o_orderdate as timestamp)) div 86400000000"
+            ).alias("a"),
+            F.expr(
+                "unix_micros(cast(done as timestamp)) div 86400000000"
+            ).alias("z"),
+        )
+    )
+    lo, hi = [
+        int(pd_ts)
+        for pd_ts in [
+            _day_number(LITTLE_WINDOW[0]),
+            _day_number(LITTLE_WINDOW[1]),
+        ]
+    ]
+    arrivals = o.filter((F.col("a") >= lo) & (F.col("a") < hi))
+    w_stats = arrivals.agg(
+        F.count(F.lit(1)).cast("long").alias("n_arrivals"),
+        F.sum(F.col("z") - F.col("a")).cast("long").alias("sum_sojourn"),
+    )
+    overlap = F.greatest(
+        F.lit(0),
+        F.least(F.col("z"), F.lit(hi)) - F.greatest(F.col("a"), F.lit(lo)),
+    )
+    l_stats = o.agg(F.sum(overlap).cast("long").alias("sum_overlap"))
+    lam = F.col("n_arrivals").cast("double") / F.lit(
+        float(LITTLE_WINDOW_DAYS)
+    )
+    w = F.col("sum_sojourn").cast("double") / F.col("n_arrivals").cast(
+        "double"
+    )
+    l_avg = F.col("sum_overlap").cast("double") / F.lit(
+        float(LITTLE_WINDOW_DAYS)
+    )
+    return w_stats.crossJoin(F.broadcast(l_stats)).select(
+        "n_arrivals",
+        F.round(lam, 6).alias("lambda_per_day"),
+        F.round(w, 6).alias("w_days"),
+        F.round(l_avg, 6).alias("l_avg"),
+        F.round(l_avg / (lam * w), 6).alias("little_ratio"),
+    )
+
+
+def _day_number(date_str: str) -> int:
+    """Epoch-day of a date literal (driver-side, shared with tests)."""
+    import datetime
+
+    return (
+        datetime.date.fromisoformat(date_str) - datetime.date(1970, 1, 1)
+    ).days
+
+
+# ---------------------------------------------------------------------------
+# Batch 135: rich-club coefficient
+# ---------------------------------------------------------------------------
+
+RICH_CLUB_KS = (2, 4, 8)
+
+
+def rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient of the co-order part graph at a pinned
+    degree ladder — do high-degree parts preferentially co-occur with
+    each other (the hub-interconnection statistic beside
+    degree_assortativity's global correlation)?  phi(k) = 2 E_k /
+    (n_k (n_k - 1)) over the subgraph induced by nodes with degree
+    > k.  Degrees and induced-edge counts are exact BIGINTs from the
+    same AFFINITY_MIN_SUPPORT edge list the PageRank family uses; the
+    ladder is three broadcast-filtered passes over the (pa < pb) pair
+    table."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("pb"))
+    e = (
+        a.join(b, (a.ok == b.ok2) & (a.pa < b.pb))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= AFFINITY_MIN_SUPPORT)
+        .select("pa", "pb")
+    )
+    deg = (
+        e.select(F.col("pa").alias("node"))
+        .unionAll(e.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    out = None
+    for k in RICH_CLUB_KS:
+        rich = deg.filter(F.col("deg") > k).select("node")
+        n_k = rich.count()
+        e_k = (
+            e.join(rich.withColumnRenamed("node", "pa"), "pa")
+            .join(rich.withColumnRenamed("node", "pb"), "pb")
+            .count()
+        )
+        phi = (
+            round(2.0 * e_k / (n_k * (n_k - 1)), 6) if n_k >= 2 else None
+        )
+        leg = spark.createDataFrame(
+            [(k, n_k, e_k, phi)],
+            "k bigint, n_nodes bigint, n_edges bigint, phi double",
+        )
+        out = leg if out is None else out.unionByName(leg)
+    return out.orderBy("k")

@@ -2668,3 +2668,46 @@ def metric_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("tau"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 133: intra-list diversity of the ANN result page
+# ---------------------------------------------------------------------------
+
+ILD_K = 10
+
+
+def result_diversity_ild(
+    spark: SparkSession, sf_dir: str, k: int = ILD_K
+) -> DataFrame:
+    """Intra-list diversity of the brute-force cosine top-k page for
+    the fixed query vector — the recsys serving metric MMR exists to
+    improve (mmr_diversified_topk changes the page; this MEASURES the
+    un-diversified one): mean pairwise (1 - cosine) across the k
+    results, with the tightest and loosest pair alongside.  The page
+    is k ids, so the pairwise block is k(k-1)/2 rows of the zip_with
+    cosine — bounded at any corpus size; pair cosines are 6dp-rounded
+    then DECIMAL-summed (order-free)."""
+    page = ann_bruteforce_topk(spark, sf_dir, k).select("vec_id")
+    emb = load(spark, sf_dir, "embeddings")
+    vecs = page.join(emb, "vec_id").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = vecs.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"))
+    b = vecs.select(F.col("vec_id").alias("ib"), F.col("v").alias("vb"))
+    pairs = a.join(b, F.col("ia") < F.col("ib")).select(
+        F.round(_cosine(F.col("va"), F.col("vb")), 6)
+        .cast("decimal(18,6)")
+        .alias("c6")
+    )
+    return pairs.agg(
+        F.lit(k).cast("long").alias("k"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(
+            F.lit(1.0)
+            - F.sum("c6").cast("double") / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("mean_ild"),
+        F.min("c6").cast("double").alias("min_pair_cos"),
+        F.max("c6").cast("double").alias("max_pair_cos"),
+    ).select("k", "n_pairs", "mean_ild", "min_pair_cos", "max_pair_cos")
