@@ -1112,6 +1112,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rich_club_coefficient": relational.rich_club_coefficient,
         "user_circadian_regularity": parity.user_circadian_regularity,
         "ratio_to_ma_seasonal_indices": parity.ratio_to_ma_seasonal_indices,
+        # batch 136: distance correlation, Hill index, lateness profile
+        "distance_correlation_daily": parity.distance_correlation_daily,
+        "hill_tail_index": parity.hill_tail_index,
+        "watermark_lateness_profile": parity.watermark_lateness_profile,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})

@@ -19039,3 +19039,138 @@ SELECT dow, n_days, round(raw, 6) AS raw_index,
        round(raw * 7.0 / s, 6) AS norm_index
 FROM per, tot ORDER BY dow
 """
+
+# ---- batch 136: distance correlation, Hill index, lateness profile ---------
+
+from lucene_mapreduce_spark.operators.parity import (  # noqa: E402
+    DCOR_TYPE_X,
+    DCOR_TYPE_Y,
+    HILL_K,
+    LATENESS_BUCKETS,
+)
+
+ORACLES["distance_correlation_daily"] = f"""
+WITH {_DAILY_HIST},
+ev AS (SELECT ts::DATE::VARCHAR AS day, event_type FROM events),
+xs AS (
+  SELECT h.day::VARCHAR AS day, coalesce(x.c, 0)::BIGINT AS x
+  FROM hist h LEFT JOIN (
+    SELECT day, count(*)::BIGINT AS c FROM ev
+    WHERE event_type = '{DCOR_TYPE_X}' GROUP BY 1
+  ) x ON x.day = h.day::VARCHAR
+),
+ys AS (
+  SELECT h.day::VARCHAR AS day, coalesce(y.c, 0)::BIGINT AS y
+  FROM hist h LEFT JOIN (
+    SELECT day, count(*)::BIGINT AS c FROM ev
+    WHERE event_type = '{DCOR_TYPE_Y}' GROUP BY 1
+  ) y ON y.day = h.day::VARCHAR
+),
+base AS (SELECT xs.day, x, y FROM xs JOIN ys USING (day)),
+nn AS (SELECT count(*)::BIGINT AS n FROM base),
+pairs AS (
+  SELECT i.day AS di, j.day AS dj,
+         abs(i.x - j.x)::BIGINT AS ax, abs(i.y - j.y)::BIGINT AS ay
+  FROM base i CROSS JOIN base j
+),
+rws AS (
+  SELECT di, sum(ax)::BIGINT AS rx, sum(ay)::BIGINT AS ry
+  FROM pairs GROUP BY 1
+),
+cls AS (
+  SELECT dj, sum(ax)::BIGINT AS cx, sum(ay)::BIGINT AS cy
+  FROM pairs GROUP BY 1
+),
+grand AS (SELECT sum(ax)::BIGINT AS gx, sum(ay)::BIGINT AS gy FROM pairs),
+cen AS (
+  SELECT (p.ax::DOUBLE - r.rx::DOUBLE / (SELECT n FROM nn)::DOUBLE
+            - c.cx::DOUBLE / (SELECT n FROM nn)::DOUBLE
+            + g.gx::DOUBLE / ((SELECT n FROM nn)::DOUBLE
+                              * (SELECT n FROM nn)::DOUBLE)) AS A,
+         (p.ay::DOUBLE - r.ry::DOUBLE / (SELECT n FROM nn)::DOUBLE
+            - c.cy::DOUBLE / (SELECT n FROM nn)::DOUBLE
+            + g.gy::DOUBLE / ((SELECT n FROM nn)::DOUBLE
+                              * (SELECT n FROM nn)::DOUBLE)) AS B
+  FROM pairs p
+  JOIN rws r ON r.di = p.di
+  JOIN cls c ON c.dj = p.dj
+  CROSS JOIN grand g
+),
+g2 AS (
+  SELECT sum(round(A * B, 12)::DECIMAL(38,12))::DOUBLE AS sab,
+         sum(round(A * A, 12)::DECIMAL(38,12))::DOUBLE AS saa,
+         sum(round(B * B, 12)::DECIMAL(38,12))::DOUBLE AS sbb
+  FROM cen
+)
+SELECT (SELECT n FROM nn) AS n_days,
+       round(sab / ((SELECT n FROM nn)::DOUBLE
+                    * (SELECT n FROM nn)::DOUBLE), 6) AS dcov2,
+       round(saa / ((SELECT n FROM nn)::DOUBLE
+                    * (SELECT n FROM nn)::DOUBLE), 6) AS dvar_x,
+       round(sbb / ((SELECT n FROM nn)::DOUBLE
+                    * (SELECT n FROM nn)::DOUBLE), 6) AS dvar_y,
+       round(sqrt(sab / ((SELECT n FROM nn)::DOUBLE
+                         * (SELECT n FROM nn)::DOUBLE))
+             / sqrt(sqrt((saa / ((SELECT n FROM nn)::DOUBLE
+                                 * (SELECT n FROM nn)::DOUBLE))
+                         * (sbb / ((SELECT n FROM nn)::DOUBLE
+                                   * (SELECT n FROM nn)::DOUBLE)))),
+             6) AS dcor
+FROM g2
+"""
+
+ORACLES["hill_tail_index"] = f"""
+WITH top AS (
+  SELECT o_totalprice, r FROM (
+    SELECT o_totalprice,
+           row_number() OVER (ORDER BY o_totalprice DESC,
+                              o_orderkey ASC) AS r
+    FROM orders
+  ) WHERE r <= {HILL_K + 1}
+),
+xk1 AS (SELECT o_totalprice AS xk FROM top WHERE r = {HILL_K + 1}),
+g AS (
+  SELECT (SELECT xk FROM xk1) AS xk,
+         sum(round(ln(o_totalprice / (SELECT xk FROM xk1)),
+                   12)::DECIMAL(38,12))::DOUBLE AS s
+  FROM top WHERE r <= {HILL_K}
+)
+SELECT {HILL_K}::BIGINT AS k,
+       round(xk, 2) AS threshold_x,
+       round(s / {float(HILL_K)!r}, 6) AS hill_gamma,
+       round(1.0 / round(s / {float(HILL_K)!r}, 6), 6) AS tail_alpha
+FROM g
+"""
+
+_LB_CASE = "CASE WHEN late_s = 0 THEN 'on_time' " + " ".join(
+    (
+        f"WHEN late_s >= {lo} AND late_s <= {hi} THEN '{name}'"
+        if hi is not None
+        else f"WHEN late_s >= {lo} THEN '{name}'"
+    )
+    for name, lo, hi in LATENESS_BUCKETS[1:]
+) + " END"
+
+ORACLES["watermark_lateness_profile"] = f"""
+WITH ev AS (
+  SELECT event_id, epoch_us(ts) // 1000000 AS es FROM events
+),
+late AS (
+  SELECT (max(es) OVER (ORDER BY es // 600, (list_reduce(list_transform(string_split(substr(md5('arr:' || event_id::VARCHAR), 1, 13), ''), c -> (strpos('0123456789abcdef', c) - 1)::BIGINT), (a, b) -> a * 16 + b)), event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          - es)::BIGINT AS late_s
+  FROM ev
+),
+stats AS (
+  SELECT count(*)::BIGINT AS n_events,
+         round(quantile_cont(late_s, 0.95), 6) AS p95_late_s
+  FROM late
+),
+per AS (
+  SELECT {_LB_CASE} AS bucket, count(*)::BIGINT AS n
+  FROM late GROUP BY 1
+)
+SELECT bucket, n,
+       round(n::DOUBLE / n_events::DOUBLE, 6) AS share, p95_late_s
+FROM per, stats ORDER BY bucket
+"""

@@ -9351,3 +9351,215 @@ def ratio_to_ma_seasonal_indices(
         )
         .orderBy("dow")
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 136: distance correlation, Hill tail index, watermark lateness
+# ---------------------------------------------------------------------------
+
+DCOR_TYPE_X = "click"
+DCOR_TYPE_Y = "purchase"
+
+
+def distance_correlation_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Szekely's distance correlation between the daily click and
+    purchase series — the dependence measure that sees NONLINEAR
+    association where kendall/spearman only see monotone: double-
+    centered pairwise-distance matrices over the 30-day calendar
+    (n^2 = calendar-bounded, never event-bounded), dCov^2 = mean of
+    A.B products, dCor = dCov / sqrt(dVarX dVarY).  Distances are
+    exact integers; centerings are one groupBy each; every product is
+    a 12dp-rounded DECIMAL (order-free).  One events scan."""
+    ev = load(spark, sf_dir, "events").select(
+        F.to_date("ts").cast("string").alias("day"), "event_type"
+    )
+    hist = date_histogram_facets(spark, sf_dir).select("day")
+    series = {}
+    for name, t in (("x", DCOR_TYPE_X), ("y", DCOR_TYPE_Y)):
+        per = (
+            ev.filter(F.col("event_type") == t)
+            .groupBy("day")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+        series[name] = hist.join(per, "day", "left").select(
+            "day", F.coalesce("c", F.lit(0)).cast("long").alias(name)
+        )
+    base = series["x"].join(series["y"], "day")
+    i = base.select(
+        F.col("day").alias("di"), F.col("x").alias("xi"), F.col("y").alias("yi")
+    )
+    jj = base.select(
+        F.col("day").alias("dj"), F.col("x").alias("xj"), F.col("y").alias("yj")
+    )
+    pairs = i.crossJoin(jj).select(
+        "di",
+        "dj",
+        F.abs(F.col("xi") - F.col("xj")).cast("long").alias("ax"),
+        F.abs(F.col("yi") - F.col("yj")).cast("long").alias("ay"),
+    )
+    n = base.count()
+    rows = pairs.groupBy("di").agg(
+        F.sum("ax").cast("long").alias("rx"),
+        F.sum("ay").cast("long").alias("ry"),
+    )
+    cols = pairs.groupBy("dj").agg(
+        F.sum("ax").cast("long").alias("cx"),
+        F.sum("ay").cast("long").alias("cy"),
+    )
+    grand = pairs.agg(
+        F.sum("ax").cast("long").alias("gx"),
+        F.sum("ay").cast("long").alias("gy"),
+    )
+    nD = float(n)
+    cen = (
+        pairs.join(F.broadcast(rows), "di")
+        .join(F.broadcast(cols), "dj")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            (
+                F.col("ax").cast("double")
+                - F.col("rx").cast("double") / F.lit(nD)
+                - F.col("cx").cast("double") / F.lit(nD)
+                + F.col("gx").cast("double") / F.lit(nD * nD)
+            ).alias("A"),
+            (
+                F.col("ay").cast("double")
+                - F.col("ry").cast("double") / F.lit(nD)
+                - F.col("cy").cast("double") / F.lit(nD)
+                + F.col("gy").cast("double") / F.lit(nD * nD)
+            ).alias("B"),
+        )
+    )
+    g = cen.select(
+        F.round(F.col("A") * F.col("B"), 12).cast("decimal(38,12)").alias("ab"),
+        F.round(F.col("A") * F.col("A"), 12).cast("decimal(38,12)").alias("aa"),
+        F.round(F.col("B") * F.col("B"), 12).cast("decimal(38,12)").alias("bb"),
+    ).agg(
+        F.sum("ab").cast("double").alias("sab"),
+        F.sum("aa").cast("double").alias("saa"),
+        F.sum("bb").cast("double").alias("sbb"),
+    )
+    dcov2 = F.col("sab") / F.lit(nD * nD)
+    dvx = F.col("saa") / F.lit(nD * nD)
+    dvy = F.col("sbb") / F.lit(nD * nD)
+    return g.select(
+        F.lit(n).cast("long").alias("n_days"),
+        F.round(dcov2, 6).alias("dcov2"),
+        F.round(dvx, 6).alias("dvar_x"),
+        F.round(dvy, 6).alias("dvar_y"),
+        F.round(
+            F.sqrt(dcov2) / F.sqrt(F.sqrt(dvx * dvy)), 6
+        ).alias("dcor"),
+    )
+
+
+HILL_K = 100
+
+
+def hill_tail_index(spark: SparkSession, sf_dir: str, k: int = HILL_K) -> DataFrame:
+    """Hill estimator of the right-tail index of order totals — the
+    heavy-tail diagnostic beside degree_powerlaw_mle (that one fits
+    discrete degrees; this fits a continuous revenue tail):
+    gamma = (1/k) sum ln(x_(i) / x_(k+1)) over the k largest order
+    totals, each ln 12dp-rounded into a DECIMAL sum; alpha = 1/gamma.
+    Order statistics come from one ranked-topk pass (rank on the raw
+    value, ties by orderkey)."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    top = o.withColumn("r", F.row_number().over(w)).filter(
+        F.col("r") <= k + 1
+    )
+    xk1 = top.filter(F.col("r") == k + 1).select(
+        F.col("o_totalprice").alias("xk")
+    )
+    terms = (
+        top.filter(F.col("r") <= k)
+        .crossJoin(F.broadcast(xk1))
+        .select(
+            F.round(F.log(F.col("o_totalprice") / F.col("xk")), 12)
+            .cast("decimal(38,12)")
+            .alias("t12"),
+            "xk",
+        )
+    )
+    g = terms.groupBy("xk").agg(
+        F.lit(k).cast("long").alias("k"),
+        F.round(
+            F.sum("t12").cast("double") / F.lit(float(k)), 6
+        ).alias("hill_gamma"),
+    )
+    return g.select(
+        "k",
+        F.round(F.col("xk"), 2).alias("threshold_x"),
+        "hill_gamma",
+        F.round(F.lit(1.0) / F.col("hill_gamma"), 6).alias("tail_alpha"),
+    )
+
+
+LATENESS_BUCKETS = (
+    ("on_time", 0, 0),
+    ("le_1m", 1, 60),
+    ("le_10m", 61, 600),
+    ("le_1h", 601, 3600),
+    ("gt_1h", 3601, None),
+)
+
+
+def watermark_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time lateness profile under arrival order (event_id — the
+    synthetic stream's ingest sequence): lateness = running max event
+    time minus own event time, the exact quantity a Structured
+    Streaming watermark must cover (streaming_dedup_watermark and the
+    windowed gates PICK a watermark; this measures what the stream
+    needs).  Integer seconds from epoch arithmetic, one ordered
+    running-max window, pinned bucket ladder plus the exact type-7
+    p95 riding every row."""
+    from pyspark.sql import Window
+
+    from lucene_mapreduce_spark.operators.textstats import _md5_52
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        F.expr("unix_micros(cast(ts as timestamp)) div 1000000").alias("es"),
+    )
+    # arrival model: a collector flushes 10-minute batches whose rows
+    # arrive md5-shuffled WITHIN the batch (event_id alone is already
+    # time-sorted in the synthetic stream — that profile is all-zero)
+    w = Window.orderBy(
+        F.expr("es div 600"),
+        _md5_52(F.concat(F.lit("arr:"), F.col("event_id").cast("string"))),
+        "event_id",
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    late = ev.select(
+        (F.max("es").over(w) - F.col("es")).cast("long").alias("late_s")
+    )
+    bucket = F.when(F.col("late_s") == 0, "on_time")
+    for name, lo, hi in LATENESS_BUCKETS[1:]:
+        cond = (
+            (F.col("late_s") >= lo)
+            if hi is None
+            else ((F.col("late_s") >= lo) & (F.col("late_s") <= hi))
+        )
+        bucket = bucket.when(cond, name)
+    stats = late.agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.expr("percentile(late_s, 0.95)"), 6).alias("p95_late_s"),
+    )
+    per = late.select(bucket.alias("bucket")).groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return (
+        per.crossJoin(F.broadcast(stats))
+        .select(
+            "bucket",
+            "n",
+            F.round(
+                F.col("n").cast("double") / F.col("n_events").cast("double"),
+                6,
+            ).alias("share"),
+            "p95_late_s",
+        )
+        .orderBy("bucket")
+    )
