@@ -1116,6 +1116,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distance_correlation_daily": parity.distance_correlation_daily,
         "hill_tail_index": parity.hill_tail_index,
         "watermark_lateness_profile": parity.watermark_lateness_profile,
+        # batch 137: tail dependence, GPD POT, records test
+        "tail_dependence_daily": parity.tail_dependence_daily,
+        "gpd_pot_fit": parity.gpd_pot_fit,
+        "records_test_daily": parity.records_test_daily,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})

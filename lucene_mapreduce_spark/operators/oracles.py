@@ -19174,3 +19174,109 @@ SELECT bucket, n,
        round(n::DOUBLE / n_events::DOUBLE, 6) AS share, p95_late_s
 FROM per, stats ORDER BY bucket
 """
+
+# ---- batch 137: tail dependence, GPD POT, records test ---------------------
+
+from lucene_mapreduce_spark.operators.parity import (  # noqa: E402
+    GPD_THRESHOLD_Q,
+    TAIL_DEP_Q,
+)
+
+ORACLES["tail_dependence_daily"] = f"""
+WITH {_DAILY_HIST},
+ev AS (SELECT ts::DATE::VARCHAR AS day, event_type FROM events),
+xs AS (
+  SELECT h.day::VARCHAR AS day, coalesce(x.c, 0)::BIGINT AS x
+  FROM hist h LEFT JOIN (
+    SELECT day, count(*)::BIGINT AS c FROM ev
+    WHERE event_type = '{DCOR_TYPE_X}' GROUP BY 1
+  ) x ON x.day = h.day::VARCHAR
+),
+ys AS (
+  SELECT h.day::VARCHAR AS day, coalesce(y.c, 0)::BIGINT AS y
+  FROM hist h LEFT JOIN (
+    SELECT day, count(*)::BIGINT AS c FROM ev
+    WHERE event_type = '{DCOR_TYPE_Y}' GROUP BY 1
+  ) y ON y.day = h.day::VARCHAR
+),
+base AS (SELECT xs.day, x, y FROM xs JOIN ys USING (day)),
+qs AS (
+  SELECT quantile_cont(x, {TAIL_DEP_Q!r}) AS qx,
+         quantile_cont(y, {TAIL_DEP_Q!r}) AS qy,
+         quantile_cont(x, {1.0 - TAIL_DEP_Q!r}) AS px,
+         quantile_cont(y, {1.0 - TAIL_DEP_Q!r}) AS py
+  FROM base
+),
+g AS (
+  SELECT count(*)::BIGINT AS n_days,
+         sum(CASE WHEN x::DOUBLE > qx THEN 1 ELSE 0 END)::BIGINT AS n_up_x,
+         sum(CASE WHEN x::DOUBLE > qx AND y::DOUBLE > qy
+                  THEN 1 ELSE 0 END)::BIGINT AS n_up_both,
+         sum(CASE WHEN x::DOUBLE <= px THEN 1 ELSE 0 END)::BIGINT AS n_lo_x,
+         sum(CASE WHEN x::DOUBLE <= px AND y::DOUBLE <= py
+                  THEN 1 ELSE 0 END)::BIGINT AS n_lo_both,
+         min(qx) AS qx, min(qy) AS qy
+  FROM base, qs
+)
+SELECT n_days, round(qx, 6) AS qx, round(qy, 6) AS qy,
+       n_up_x, n_up_both,
+       round(n_up_both::DOUBLE / n_up_x::DOUBLE, 6) AS lambda_upper,
+       n_lo_x, n_lo_both,
+       round(n_lo_both::DOUBLE / n_lo_x::DOUBLE, 6) AS lambda_lower
+FROM g
+"""
+
+ORACLES["gpd_pot_fit"] = f"""
+WITH u AS (
+  SELECT quantile_cont(value, {GPD_THRESHOLD_Q!r}) AS u FROM events
+),
+ex AS (
+  SELECT u,
+         round(value - u, 6)::DECIMAL(18,6) AS e,
+         round((value - u) * (value - u), 12)::DECIMAL(38,12) AS ee
+  FROM events, u WHERE value > u
+),
+g AS (
+  SELECT u, count(*)::BIGINT AS n_exceed,
+         sum(e)::DOUBLE AS s, sum(ee)::DOUBLE AS ss
+  FROM ex GROUP BY u
+)
+SELECT round(u, 6) AS threshold, n_exceed,
+       round(s / n_exceed::DOUBLE, 6) AS mean_excess,
+       round((ss - s * (s / n_exceed::DOUBLE))
+             / (n_exceed::DOUBLE - 1.0), 6) AS var_excess,
+       round((1.0 - ((s / n_exceed::DOUBLE) * (s / n_exceed::DOUBLE))
+                    / ((ss - s * (s / n_exceed::DOUBLE))
+                       / (n_exceed::DOUBLE - 1.0))) / 2.0, 6) AS xi,
+       round((s / n_exceed::DOUBLE)
+             * (1.0 + ((s / n_exceed::DOUBLE) * (s / n_exceed::DOUBLE))
+                      / ((ss - s * (s / n_exceed::DOUBLE))
+                         / (n_exceed::DOUBLE - 1.0))) / 2.0, 6) AS sigma
+FROM g
+"""
+
+ORACLES["records_test_daily"] = f"""
+WITH {_DAILY_HIST},
+rec AS (
+  SELECT CASE WHEN max(n_events) OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 IS NULL
+              OR n_events > max(n_events) OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS is_rec
+  FROM hist
+),
+nn AS (SELECT count(*)::BIGINT AS n FROM hist),
+harm AS (
+  SELECT sum(round(1.0 / i::DOUBLE, 12)::DECIMAL(38,12))::DOUBLE AS hn,
+         sum(round(1.0 / (i::DOUBLE * i::DOUBLE),
+                   12)::DECIMAL(38,12))::DOUBLE AS hn2
+  FROM (SELECT unnest(range(1, (SELECT n FROM nn) + 1))::BIGINT AS i)
+),
+g AS (SELECT sum(is_rec)::BIGINT AS n_records FROM rec)
+SELECT (SELECT n FROM nn) AS n_days, n_records,
+       round(hn, 6) AS expected_records,
+       round(hn - hn2, 6) AS var_records,
+       round((n_records::DOUBLE - hn) / sqrt(hn - hn2), 6) AS z_stat
+FROM g, harm
+"""

@@ -9563,3 +9563,182 @@ def watermark_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 137: tail dependence, GPD POT fit, records test
+# ---------------------------------------------------------------------------
+
+TAIL_DEP_Q = 0.8
+
+
+def tail_dependence_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical upper- and lower-tail dependence between the daily
+    click and purchase series — the copula question distance
+    correlation cannot answer (do the EXTREMES co-move?):
+    lambda_U = P(Y > q_y | X > q_x) and lambda_L = P(Y <= p_y |
+    X <= p_x) at the exact type-7 quantile thresholds (q = 0.8,
+    p = 0.2).  Thresholds broadcast; every count is an exact BIGINT
+    over the zero-filled calendar.  One scan, one row."""
+    ev = load(spark, sf_dir, "events").select(
+        F.to_date("ts").cast("string").alias("day"), "event_type"
+    )
+    hist = date_histogram_facets(spark, sf_dir).select("day")
+    series = {}
+    for name, t in (("x", DCOR_TYPE_X), ("y", DCOR_TYPE_Y)):
+        per = (
+            ev.filter(F.col("event_type") == t)
+            .groupBy("day")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+        series[name] = hist.join(per, "day", "left").select(
+            "day", F.coalesce("c", F.lit(0)).cast("long").alias(name)
+        )
+    base = series["x"].join(series["y"], "day")
+    qs = base.agg(
+        F.expr(f"percentile(x, {TAIL_DEP_Q!r})").alias("qx"),
+        F.expr(f"percentile(y, {TAIL_DEP_Q!r})").alias("qy"),
+        F.expr(f"percentile(x, {1.0 - TAIL_DEP_Q!r})").alias("px"),
+        F.expr(f"percentile(y, {1.0 - TAIL_DEP_Q!r})").alias("py"),
+    )
+    j = base.crossJoin(F.broadcast(qs))
+    up_x = (F.col("x").cast("double") > F.col("qx")).cast("int")
+    up_both = (
+        (F.col("x").cast("double") > F.col("qx"))
+        & (F.col("y").cast("double") > F.col("qy"))
+    ).cast("int")
+    lo_x = (F.col("x").cast("double") <= F.col("px")).cast("int")
+    lo_both = (
+        (F.col("x").cast("double") <= F.col("px"))
+        & (F.col("y").cast("double") <= F.col("py"))
+    ).cast("int")
+    g = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(up_x).cast("long").alias("n_up_x"),
+        F.sum(up_both).cast("long").alias("n_up_both"),
+        F.sum(lo_x).cast("long").alias("n_lo_x"),
+        F.sum(lo_both).cast("long").alias("n_lo_both"),
+        F.first("qx").alias("qx"),
+        F.first("qy").alias("qy"),
+    )
+    return g.select(
+        "n_days",
+        F.round("qx", 6).alias("qx"),
+        F.round("qy", 6).alias("qy"),
+        "n_up_x",
+        "n_up_both",
+        F.round(
+            F.col("n_up_both").cast("double") / F.col("n_up_x").cast("double"),
+            6,
+        ).alias("lambda_upper"),
+        "n_lo_x",
+        "n_lo_both",
+        F.round(
+            F.col("n_lo_both").cast("double") / F.col("n_lo_x").cast("double"),
+            6,
+        ).alias("lambda_lower"),
+    )
+
+
+GPD_THRESHOLD_Q = 0.9
+
+
+def gpd_pot_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peaks-over-threshold generalized-Pareto fit for event values by
+    the method of moments (the classical EVT recipe): threshold u =
+    exact type-7 q90, excesses e = x - u, and the MOM closed forms
+    xi = (1 - m^2/s^2)/2, sigma = m (1 + m^2/s^2)/2 from exact
+    DECIMAL excess moments (values are 2dp decimals, squares exact at
+    4dp... rounded 12dp for the shared scale).  The tail-risk model
+    behind any 'P99.9 revenue event' claim; hill_tail_index is its
+    order-statistics cousin."""
+    ev = load(spark, sf_dir, "events").select("value")
+    u = ev.agg(
+        F.expr(f"percentile(value, {GPD_THRESHOLD_Q!r})").alias("u")
+    )
+    ex = (
+        ev.crossJoin(F.broadcast(u))
+        .filter(F.col("value") > F.col("u"))
+        .select(
+            "u",
+            F.round(F.col("value") - F.col("u"), 6)
+            .cast("decimal(18,6)")
+            .alias("e"),
+            F.round(
+                (F.col("value") - F.col("u")) * (F.col("value") - F.col("u")),
+                12,
+            )
+            .cast("decimal(38,12)")
+            .alias("ee"),
+        )
+    )
+    g = ex.groupBy("u").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exceed"),
+        F.sum("e").cast("double").alias("s"),
+        F.sum("ee").cast("double").alias("ss"),
+    )
+    nD = F.col("n_exceed").cast("double")
+    m = F.col("s") / nD
+    s2 = (F.col("ss") - F.col("s") * m) / (nD - F.lit(1.0))
+    ratio = m * m / s2
+    return g.select(
+        F.round("u", 6).alias("threshold"),
+        "n_exceed",
+        F.round(m, 6).alias("mean_excess"),
+        F.round(s2, 6).alias("var_excess"),
+        F.round((F.lit(1.0) - ratio) / F.lit(2.0), 6).alias("xi"),
+        F.round(m * (F.lit(1.0) + ratio) / F.lit(2.0), 6).alias("sigma"),
+    )
+
+
+def records_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-records test on daily counts: the number of record highs
+    in the sequence against its exact null distribution under
+    exchangeability — E[R] = H_n (harmonic number) and Var[R] =
+    H_n - H_n^(2) (sum of 1/i - 1/i^2), both as 12dp DECIMAL sums
+    over the calendar-bounded index; z = (R - H_n)/sqrt(Var).  A
+    record is a strict new maximum (day order ties don't count) —
+    the trend probe that only looks at argmax structure, beside
+    mann_kendall's rank slopes."""
+    from pyspark.sql import Window
+
+    hist = date_histogram_facets(spark, sf_dir)
+    w = Window.orderBy("day")
+    wprev = w.rowsBetween(Window.unboundedPreceding, -1)
+    rec = hist.select(
+        F.when(
+            F.max("n_events").over(wprev).isNull()
+            | (F.col("n_events") > F.max("n_events").over(wprev)),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_rec"),
+    )
+    n = hist.count()
+    harm = spark.range(1, n + 1).select(
+        F.round(F.lit(1.0) / F.col("id").cast("double"), 12)
+        .cast("decimal(38,12)")
+        .alias("h1"),
+        F.round(
+            F.lit(1.0)
+            / (F.col("id").cast("double") * F.col("id").cast("double")),
+            12,
+        )
+        .cast("decimal(38,12)")
+        .alias("h2"),
+    ).agg(
+        F.sum("h1").cast("double").alias("hn"),
+        F.sum("h2").cast("double").alias("hn2"),
+    )
+    g = rec.agg(F.sum("is_rec").cast("long").alias("n_records"))
+    return g.crossJoin(F.broadcast(harm)).select(
+        F.lit(n).cast("long").alias("n_days"),
+        "n_records",
+        F.round("hn", 6).alias("expected_records"),
+        F.round(F.col("hn") - F.col("hn2"), 6).alias("var_records"),
+        F.round(
+            (F.col("n_records").cast("double") - F.col("hn"))
+            / F.sqrt(F.col("hn") - F.col("hn2")),
+            6,
+        ).alias("z_stat"),
+    )
