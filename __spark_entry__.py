@@ -1120,6 +1120,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tail_dependence_daily": parity.tail_dependence_daily,
         "gpd_pot_fit": parity.gpd_pot_fit,
         "records_test_daily": parity.records_test_daily,
+        # batch 138: query segmentation, shard merge audit, position bytes
+        "query_segmentation_plan": textstats.query_segmentation_plan,
+        "shard_score_merge_audit": fulltext.shard_score_merge_audit,
+        "position_gap_bytes_estimate": textstats.position_gap_bytes_estimate,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})
@@ -1175,6 +1179,15 @@ def oracle_sql() -> dict[str, str]:
     out["nqc_wig_predictors"] = nqc_wig_sql(
         fulltext.FLAGSHIP_QUERY, fulltext.NQC_K
     )
+    from lucene_mapreduce_spark.operators.oracles import (
+        query_segmentation_sql,
+        shard_merge_sql,
+    )
+
+    out["query_segmentation_plan"] = query_segmentation_sql(
+        fulltext.FLAGSHIP_QUERY
+    )
+    out["shard_score_merge_audit"] = shard_merge_sql(fulltext.FLAGSHIP_QUERY)
     out["terms_enum"] = terms_enum_sql(fulltext.TERMS_ENUM_K)
     out["spell_suggest"] = spell_suggest_sql(fulltext.SPELL_INPUT)
     out["autocomplete"] = autocomplete_sql(fulltext.AUTOCOMPLETE_PREFIX)

@@ -7554,3 +7554,98 @@ def nqc_wig_predictors(
             (mu_k - cs) / F.sqrt(F.lit(float(n_q))), 6
         ).alias("wig"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 138: shard-local score merge audit
+# ---------------------------------------------------------------------------
+
+SHARD_MERGE_N = 4
+SHARD_MERGE_LOCAL_K = 5
+SHARD_MERGE_K = 10
+
+
+def shard_score_merge_audit(
+    spark: SparkSession, sf_dir: str, query_text: str = FLAGSHIP_QUERY
+) -> DataFrame:
+    """Distributed-IR score-drift audit: split the corpus into
+    SHARD_MERGE_N md5 shards, score the flagship query with
+    SHARD-LOCAL statistics (each shard's own N/avgdl/df — what a
+    naive federation does), take local top-5s and merge on the raw
+    local scores; the report carries each merged doc's GLOBAL rank so
+    the drift is visible (terms_shard_approx shows the counting half
+    of this problem; this is the scoring half, the reason engines ship
+    global stats to shards).  One scan builds all shard-local stats
+    via shard-keyed groupBys; the merge touches <= N*5 rows."""
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_string
+    from lucene_mapreduce_spark.operators.textstats import _md5_52
+    from lucene_mapreduce_spark.query.bm25 import B, K1
+    from lucene_mapreduce_spark.query.bm25_df import corpus_postings
+
+    docs = load(spark, sf_dir, "documents")
+    qts = sorted(set(tokenize_string(query_text)))
+    postings, doclens = corpus_postings(docs)
+    shard = (
+        _md5_52(F.col("doc_id").cast("string")) % SHARD_MERGE_N
+    ).cast("int")
+    dl_s = doclens.select("doc_id", "dl", shard.alias("shard"))
+    stats = dl_s.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    )
+    qpost = postings.filter(F.col("term").isin(qts)).join(
+        dl_s.select("doc_id", "shard"), "doc_id"
+    )
+    df_local = qpost.groupBy("shard", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("df_t")
+    )
+    matched = (
+        qpost.join(F.broadcast(df_local), ["shard", "term"])
+        .join(dl_s.select("doc_id", "dl"), "doc_id")
+        .join(F.broadcast(stats), "shard")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs").cast("double") - F.col("df_t") + F.lit(0.5))
+        / (F.col("df_t") + F.lit(0.5))
+    )
+    tf = F.col("tf").cast("double")
+    dl = F.col("dl").cast("double")
+    denom = tf + F.lit(K1) * (
+        F.lit(1.0 - B) + F.lit(B) * dl / F.col("avgdl")
+    )
+    contrib = idf * (tf * F.lit(K1 + 1.0)) / denom
+    local = (
+        matched.select("shard", "doc_id", contrib.alias("c"))
+        .groupBy("shard", "doc_id")
+        .agg(F.round(F.sum("c"), 6).alias("local_score"))
+    )
+    from pyspark.sql.window import Window
+
+    wl = Window.partitionBy("shard").orderBy(
+        F.col("local_score").desc(), F.col("doc_id").asc()
+    )
+    top_local = local.withColumn("lr", F.row_number().over(wl)).filter(
+        F.col("lr") <= SHARD_MERGE_LOCAL_K
+    )
+    wm = Window.orderBy(
+        F.col("local_score").desc(), F.col("doc_id").asc()
+    )
+    merged = (
+        top_local.withColumn("merged_rank", F.row_number().over(wm))
+        .filter(F.col("merged_rank") <= SHARD_MERGE_K)
+    )
+    global_page = bm25_topk_documents(
+        spark, sf_dir, query_text, SHARD_MERGE_K
+    ).select("doc_id", F.col("rank").alias("global_rank"))
+    return (
+        merged.join(F.broadcast(global_page), "doc_id", "left")
+        .select(
+            "merged_rank",
+            "doc_id",
+            "shard",
+            "local_score",
+            "global_rank",
+        )
+        .orderBy("merged_rank")
+    )

@@ -19280,3 +19280,169 @@ SELECT (SELECT n FROM nn) AS n_days, n_records,
        round((n_records::DOUBLE - hn) / sqrt(hn - hn2), 6) AS z_stat
 FROM g, harm
 """
+
+# ---- batch 138: query segmentation, shard merge, position bytes ------------
+
+from lucene_mapreduce_spark.operators.textstats import (  # noqa: E402
+    PMI_SEG_MIN_COUNT,
+    PMI_SEG_THRESHOLD,
+)
+
+
+def query_segmentation_sql(query_text: str) -> str:
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_string
+
+    q = tokenize_string(query_text)
+    pair_vals = ", ".join(
+        f"({i + 1}, '{q[i]}', '{q[i + 1]}')" for i in range(len(q) - 1)
+    )
+    return f"""
+WITH pairs AS (
+  SELECT * FROM (VALUES {pair_vals}) AS p(pos, w1, w2)
+),
+docs AS (SELECT {TOKS} AS toks FROM documents),
+uni AS (
+  SELECT w, count(*)::BIGINT AS c
+  FROM (SELECT unnest(toks) AS w FROM docs) GROUP BY 1
+),
+nu AS (SELECT sum(len(toks))::BIGINT AS nu FROM docs),
+bi AS (
+  SELECT w1, w2, count(*)::BIGINT AS c_ab FROM (
+    SELECT toks[i] AS w1, toks[i + 1] AS w2
+    FROM (SELECT toks, unnest(range(1, len(toks)))::INT AS i
+          FROM docs WHERE len(toks) >= 2)
+  ) GROUP BY 1, 2
+),
+nb AS (
+  SELECT sum(greatest(len(toks) - 1, 0))::BIGINT AS nb FROM docs
+),
+j AS (
+  SELECT p.pos, p.w1, p.w2,
+         coalesce(u1.c, 0)::BIGINT AS c1, coalesce(u2.c, 0)::BIGINT AS c2,
+         coalesce(b.c_ab, 0)::BIGINT AS c_ab,
+         (SELECT nu FROM nu) AS nu, (SELECT nb FROM nb) AS nb
+  FROM pairs p
+  LEFT JOIN uni u1 ON u1.w = p.w1
+  LEFT JOIN uni u2 ON u2.w = p.w2
+  LEFT JOIN bi b ON b.w1 = p.w1 AND b.w2 = p.w2
+)
+SELECT pos, w1, w2, c1, c2, c_ab,
+       CASE WHEN c_ab > 0
+            THEN round(round(ln((c_ab::DOUBLE / nb::DOUBLE)
+                 / ((c1::DOUBLE / nu::DOUBLE)
+                    * (c2::DOUBLE / nu::DOUBLE))), 12), 6)
+       END AS pmi,
+       (CASE WHEN c_ab >= {PMI_SEG_MIN_COUNT}
+              AND (CASE WHEN c_ab > 0
+                        THEN round(ln((c_ab::DOUBLE / nb::DOUBLE)
+                             / ((c1::DOUBLE / nu::DOUBLE)
+                                * (c2::DOUBLE / nu::DOUBLE))), 12)
+                        ELSE -999.0 END) > {PMI_SEG_THRESHOLD!r}
+             THEN 1 ELSE 0 END)::INT AS segment
+FROM j ORDER BY pos
+"""
+
+
+from lucene_mapreduce_spark.operators.fulltext import (  # noqa: E402
+    SHARD_MERGE_K,
+    SHARD_MERGE_LOCAL_K,
+    SHARD_MERGE_N,
+)
+
+
+def shard_merge_sql(query_text: str) -> str:
+    qlit = query_text.replace("'", "''")
+    shard = "(" + _MD5_52.format(e="doc_id::VARCHAR") + f") % {SHARD_MERGE_N}"
+    return f"""
+WITH doclens AS (
+  SELECT doc_id, len({TOKS}) AS dl, ({shard})::INT AS shard
+  FROM documents
+),
+stats AS (
+  SELECT shard, count(*)::DOUBLE AS n_docs, avg(dl::DOUBLE) AS avgdl
+  FROM doclens GROUP BY 1
+),
+toks AS (
+  SELECT doc_id, unnest({TOKS}) AS term FROM documents
+),
+postings AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2
+),
+qterms AS (
+  SELECT DISTINCT unnest({duckdb_tokens_sql(f"'{qlit}'")}) AS term
+),
+qpost AS (
+  SELECT p.doc_id, p.term, p.tf, l.dl, l.shard
+  FROM postings p JOIN qterms q USING (term)
+  JOIN doclens l USING (doc_id)
+),
+dfl AS (
+  SELECT shard, term, count(*)::DOUBLE AS df_t
+  FROM qpost GROUP BY 1, 2
+),
+local AS (
+  SELECT q.shard, q.doc_id,
+         round(sum(
+           ln(1 + (s.n_docs - d.df_t + 0.5) / (d.df_t + 0.5))
+             * (q.tf * {K1 + 1.0})
+             / (q.tf + {K1} * (1 - {B} + {B} * q.dl / s.avgdl))
+         ), 6) AS local_score
+  FROM qpost q
+  JOIN dfl d ON d.shard = q.shard AND d.term = q.term
+  JOIN stats s ON s.shard = q.shard
+  GROUP BY 1, 2
+),
+top_local AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY shard
+               ORDER BY local_score DESC, doc_id ASC) AS lr
+    FROM local
+  ) WHERE lr <= {SHARD_MERGE_LOCAL_K}
+),
+merged AS (
+  SELECT * FROM (
+    SELECT shard, doc_id, local_score,
+           row_number() OVER (ORDER BY local_score DESC, doc_id ASC)
+             AS merged_rank
+    FROM top_local
+  ) WHERE merged_rank <= {SHARD_MERGE_K}
+),
+gpage AS (
+  SELECT doc_id, rank AS global_rank
+  FROM ({bm25_topk_sql(query_text, SHARD_MERGE_K)})
+)
+SELECT m.merged_rank, m.doc_id, m.shard, m.local_score, g.global_rank
+FROM merged m LEFT JOIN gpage g USING (doc_id)
+ORDER BY m.merged_rank
+"""
+
+
+ORACLES["position_gap_bytes_estimate"] = f"""
+WITH docs AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+occ AS (
+  SELECT doc_id, toks[i] AS term, i AS pos
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1))::INT AS i
+        FROM docs)
+),
+gaps AS (
+  SELECT term, doc_id,
+         (pos - coalesce(lag(pos) OVER (PARTITION BY term, doc_id
+                                        ORDER BY pos), 0))::BIGINT AS gap
+  FROM occ
+),
+per_term AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df,
+         count(*)::BIGINT AS n_positions,
+         sum(1 + CASE WHEN gap >= 128 THEN 1 ELSE 0 END
+               + CASE WHEN gap >= 16384 THEN 1 ELSE 0 END)::BIGINT
+           AS bytes_est
+  FROM gaps GROUP BY 1
+)
+SELECT (length(df::VARCHAR) - 1)::BIGINT AS decade,
+       count(*)::BIGINT AS n_terms,
+       sum(n_positions)::BIGINT AS total_positions,
+       sum(bytes_est)::BIGINT AS total_bytes,
+       round(sum(bytes_est)::DOUBLE / sum(n_positions)::DOUBLE, 6)
+         AS bytes_per_position
+FROM per_term GROUP BY 1 ORDER BY 1
+"""

@@ -7368,3 +7368,176 @@ def impact_quantization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decade")
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 138: query segmentation + positional gap bytes
+# ---------------------------------------------------------------------------
+
+PMI_SEG_THRESHOLD = 1.0
+PMI_SEG_MIN_COUNT = 5
+
+
+def query_segmentation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query segmentation for the flagship query — should adjacent
+    word pairs be quoted as phrases?  Corpus PMI per adjacent pair
+    (ln of bigram probability over the unigram product, 12dp-rounded)
+    with a minimum-evidence count, the decision a query rewriter makes
+    before choosing between match and match_phrase clauses
+    (multiword_synonym_query consumes exactly such pairs).  Unigram
+    and bigram tables are the usual vocabulary-bounded groupBys; the
+    pair frame is a 3-row literal."""
+    from lucene_mapreduce_spark.functions.tokenize import (
+        tokenize_col,
+        tokenize_string,
+    )
+    from lucene_mapreduce_spark.operators.fulltext import FLAGSHIP_QUERY
+
+    q = tokenize_string(FLAGSHIP_QUERY)
+    pairs = spark.createDataFrame(
+        [(i + 1, q[i], q[i + 1]) for i in range(len(q) - 1)],
+        "pos int, w1 string, w2 string",
+    )
+    docs = load(spark, sf_dir, "documents").select(
+        tokenize_col("text").alias("toks")
+    )
+    uni = docs.select(F.explode("toks").alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    nu = docs.agg(F.sum(F.size("toks")).cast("long").alias("nu"))
+    bi = (
+        docs.filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> struct(toks[i - 1] AS w1, toks[i] AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+    )
+    nb = docs.agg(
+        F.sum(F.greatest(F.size("toks") - 1, F.lit(0)))
+        .cast("long")
+        .alias("nb")
+    )
+    j = (
+        pairs.join(
+            F.broadcast(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))),
+            "w1",
+            "left",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))),
+            "w2",
+            "left",
+        )
+        .join(F.broadcast(bi), ["w1", "w2"], "left")
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "pos",
+            "w1",
+            "w2",
+            F.coalesce("c1", F.lit(0)).alias("c1"),
+            F.coalesce("c2", F.lit(0)).alias("c2"),
+            F.coalesce("c_ab", F.lit(0)).alias("c_ab"),
+            "nu",
+            "nb",
+        )
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("c_ab").cast("double") / F.col("nb").cast("double"))
+            / (
+                (F.col("c1").cast("double") / F.col("nu").cast("double"))
+                * (F.col("c2").cast("double") / F.col("nu").cast("double"))
+            )
+        ),
+        12,
+    )
+    return j.select(
+        "pos",
+        "w1",
+        "w2",
+        "c1",
+        "c2",
+        "c_ab",
+        F.when(F.col("c_ab") > 0, F.round(pmi, 6)).alias("pmi"),
+        (
+            (F.col("c_ab") >= PMI_SEG_MIN_COUNT)
+            & (F.when(F.col("c_ab") > 0, pmi).otherwise(F.lit(-999.0)) > PMI_SEG_THRESHOLD)
+        )
+        .cast("int")
+        .alias("segment"),
+    ).orderBy("pos")
+
+
+def position_gap_bytes_estimate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Positional-payload sizing per df decade — the positions-sidecar
+    twin of posting_gap_histogram's docid accounting: per (term, doc)
+    the delta-encoded position stream costs sum over gaps of the
+    varbyte width 1 + [gap >= 128] + [gap >= 16384]; aggregated per
+    exact df decade with bytes-per-position — the number that prices
+    with_positions=True at 100 TB.  Positions come from one codegen
+    filter over a sequence (the highlighter's occurrence expression);
+    everything after is integer groupBys."""
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_col
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", tokenize_col("text").alias("toks")
+    )
+    occ = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks)),"
+                " i -> struct(toks[i - 1] AS term, i AS pos))"
+            )
+        ).alias("o"),
+    ).select("doc_id", "o.term", "o.pos")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("term", "doc_id").orderBy("pos")
+    gaps = occ.select(
+        "term",
+        "doc_id",
+        (F.col("pos") - F.coalesce(F.lag("pos").over(w), F.lit(0)))
+        .cast("long")
+        .alias("gap"),
+    )
+    bytes_ = (
+        F.lit(1)
+        + (F.col("gap") >= 128).cast("int")
+        + (F.col("gap") >= 16384).cast("int")
+    ).cast("long")
+    per_term = gaps.select("term", "doc_id", bytes_.alias("b")).groupBy(
+        "term"
+    ).agg(
+        F.countDistinct("doc_id").cast("long").alias("df"),
+        F.count(F.lit(1)).cast("long").alias("n_positions"),
+        F.sum("b").cast("long").alias("bytes_est"),
+    )
+    decade = (F.length(F.col("df").cast("string")) - 1).cast("long")
+    return (
+        per_term.select(
+            decade.alias("decade"), "n_positions", "bytes_est"
+        )
+        .groupBy("decade")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.sum("n_positions").cast("long").alias("total_positions"),
+            F.sum("bytes_est").cast("long").alias("total_bytes"),
+            F.round(
+                F.sum("bytes_est").cast("double")
+                / F.sum("n_positions").cast("double"),
+                6,
+            ).alias("bytes_per_position"),
+        )
+        .orderBy("decade")
+    )
