@@ -1124,6 +1124,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_segmentation_plan": textstats.query_segmentation_plan,
         "shard_score_merge_audit": fulltext.shard_score_merge_audit,
         "position_gap_bytes_estimate": textstats.position_gap_bytes_estimate,
+        # batch 139: Greenwood CI, competing risks, salting plan
+        "km_greenwood_ci": parity.km_greenwood_ci,
+        "competing_risks_cif": parity.competing_risks_cif,
+        "salt_factor_plan": relational.salt_factor_plan,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})

@@ -19446,3 +19446,173 @@ SELECT (length(df::VARCHAR) - 1)::BIGINT AS decade,
          AS bytes_per_position
 FROM per_term GROUP BY 1 ORDER BY 1
 """
+
+# ---- batch 139: Greenwood CI, competing risks, salting plan ----------------
+
+from lucene_mapreduce_spark.operators.parity import (  # noqa: E402
+    _Z95,
+    CR_CAUSES,
+)
+from lucene_mapreduce_spark.operators.relational import (  # noqa: E402
+    SALT_DENOM,
+    SALT_TOP_K,
+)
+
+ORACLES["km_greenwood_ci"] = f"""
+WITH {_surv_table_sql()},
+per AS (
+  SELECT t_days, sum(event)::BIGINT AS d, count(*)::BIGINT AS tot
+  FROM tab GROUP BY 1
+),
+risk AS (
+  SELECT t_days, d,
+         sum(tot) OVER (ORDER BY t_days
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)::BIGINT
+           AS n_risk
+  FROM per
+),
+deaths AS (SELECT * FROM risk WHERE d > 0),
+surv AS (
+  SELECT t_days, d, n_risk,
+         sum(CASE WHEN d < n_risk
+                  THEN round(ln(1.0 - d::DOUBLE / n_risk::DOUBLE), 12)
+                  ELSE 0.0 END::DECIMAL(28,12))
+           OVER w AS lns,
+         sum(CASE WHEN d < n_risk
+                  THEN round(d::DOUBLE / (n_risk::DOUBLE
+                             * (n_risk::DOUBLE - d::DOUBLE)), 12)
+                  ELSE 0.0 END::DECIMAL(28,12))
+           OVER w AS gw,
+         sum(CASE WHEN d = n_risk THEN 1 ELSE 0 END) OVER w AS any_dead
+  FROM deaths
+  WINDOW w AS (ORDER BY t_days
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT t_days, n_risk, d,
+       round(CASE WHEN any_dead > 0 THEN 0.0
+                  ELSE exp(lns::DOUBLE) END, 6) AS s_km,
+       round((CASE WHEN any_dead > 0 THEN 0.0
+                   ELSE exp(lns::DOUBLE) END) * sqrt(gw::DOUBLE), 6)
+         AS se_greenwood,
+       round(greatest((CASE WHEN any_dead > 0 THEN 0.0
+                            ELSE exp(lns::DOUBLE) END)
+                      - {_Z95!r} * (CASE WHEN any_dead > 0 THEN 0.0
+                                         ELSE exp(lns::DOUBLE) END)
+                        * sqrt(gw::DOUBLE), 0.0), 6) AS ci_lo,
+       round(least((CASE WHEN any_dead > 0 THEN 0.0
+                         ELSE exp(lns::DOUBLE) END)
+                   + {_Z95!r} * (CASE WHEN any_dead > 0 THEN 0.0
+                                      ELSE exp(lns::DOUBLE) END)
+                     * sqrt(gw::DOUBLE), 1.0), 6) AS ci_hi
+FROM surv ORDER BY t_days
+"""
+
+_CR_D_COLS = ", ".join(
+    f"sum(CASE WHEN cause = '{c}' THEN 1 ELSE 0 END)::BIGINT AS d_{c}"
+    for c in CR_CAUSES
+)
+_CR_D_ALL = " + ".join(f"d_{c}" for c in CR_CAUSES)
+_CR_CAUSES_IN = ", ".join(f"'{c}'" for c in CR_CAUSES)
+
+ORACLES["competing_risks_cif"] = f"""
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) // 1000000 AS es FROM events
+),
+tend AS (SELECT max(es) AS t_end FROM ev),
+signup AS (
+  SELECT user_id, min(es) AS s FROM ev
+  WHERE event_type = 'signup' GROUP BY 1
+),
+firsts AS (
+  SELECT user_id, event_type AS cause, (es - s) // 86400 AS t_days
+  FROM (
+    SELECT e.user_id, e.event_type, e.es, g.s,
+           row_number() OVER (PARTITION BY e.user_id
+                              ORDER BY e.es, e.event_type) AS r
+    FROM ev e JOIN signup g ON e.user_id = g.user_id AND e.es > g.s
+    WHERE e.event_type IN ({_CR_CAUSES_IN})
+  ) WHERE r = 1
+),
+censored AS (
+  SELECT NULL::VARCHAR AS cause,
+         ((SELECT t_end FROM tend) - s) // 86400 AS t_days
+  FROM signup
+  WHERE user_id NOT IN (SELECT user_id FROM firsts)
+),
+tab AS (
+  SELECT cause, t_days FROM firsts
+  UNION ALL SELECT cause, t_days FROM censored
+),
+per AS (
+  SELECT t_days, count(*)::BIGINT AS tot, {_CR_D_COLS}
+  FROM tab GROUP BY 1
+),
+risk AS (
+  SELECT t_days, {", ".join(f"d_{c}" for c in CR_CAUSES)},
+         ({_CR_D_ALL})::BIGINT AS d,
+         sum(tot) OVER (ORDER BY t_days
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)::BIGINT
+           AS n_risk
+  FROM per
+),
+deaths AS (SELECT * FROM risk WHERE d > 0),
+base AS (
+  SELECT *,
+         coalesce(sum(CASE WHEN d < n_risk
+                  THEN round(ln(1.0 - d::DOUBLE / n_risk::DOUBLE), 12)
+                  ELSE 0.0 END::DECIMAL(28,12))
+           OVER wp, 0::DECIMAL(28,12)) AS lns_prev,
+         coalesce(sum(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+           OVER wp, 0) AS dead_prev
+  FROM deaths
+  WINDOW wp AS (ORDER BY t_days
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+inc AS (
+  SELECT t_days, n_risk, {", ".join(f"d_{c}" for c in CR_CAUSES)},
+         {", ".join(
+             f"round((CASE WHEN dead_prev > 0 THEN 0.0"
+             f" ELSE exp(lns_prev::DOUBLE) END)"
+             f" * d_{c}::DOUBLE / n_risk::DOUBLE, 12)::DECIMAL(38,12)"
+             f" AS i_{c}"
+             for c in CR_CAUSES
+         )}
+  FROM base
+)
+SELECT t_days, n_risk, {", ".join(f"d_{c}" for c in CR_CAUSES)},
+       {", ".join(
+           f"round(sum(i_{c}) OVER (ORDER BY t_days"
+           f" ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::DOUBLE,"
+           f" 6) AS cif_{c}"
+           for c in CR_CAUSES
+       )}
+FROM inc ORDER BY t_days
+"""
+
+ORACLES["salt_factor_plan"] = f"""
+WITH per AS (
+  SELECT l_partkey, count(*)::BIGINT AS n_rows
+  FROM lineitem GROUP BY 1
+),
+tot AS (SELECT sum(n_rows)::BIGINT AS total FROM per),
+scored AS (
+  SELECT l_partkey, n_rows, total,
+         (total + {SALT_DENOM} - 1) // {SALT_DENOM} AS target_rows,
+         (n_rows + (total + {SALT_DENOM} - 1) // {SALT_DENOM} - 1)
+           // ((total + {SALT_DENOM} - 1) // {SALT_DENOM}) AS salt_factor
+  FROM per, tot
+),
+s2 AS (
+  SELECT *,
+         (n_rows + salt_factor - 1) // salt_factor AS rows_per_salt
+  FROM scored
+)
+SELECT rank, l_partkey, n_rows, target_rows, salt_factor,
+       round(n_rows::DOUBLE / total::DOUBLE, 6) AS share_before,
+       round(rows_per_salt::DOUBLE / total::DOUBLE, 6) AS share_after
+FROM (
+  SELECT *, row_number() OVER (ORDER BY n_rows DESC, l_partkey ASC)
+           AS rank
+  FROM s2
+) WHERE rank <= {SALT_TOP_K} ORDER BY rank
+"""

@@ -9742,3 +9742,195 @@ def records_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("z_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 139: Greenwood CI + competing-risks cumulative incidence
+# ---------------------------------------------------------------------------
+
+_Z95 = 1.96
+
+
+def km_greenwood_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier curve with Greenwood 95% bands for the pooled
+    time-to-purchase table — the error bars kaplan_meier_survival and
+    rmst_survival report without: Var[S] = S^2 sum d/(n(n-d)), with
+    the hazard terms and the Greenwood sum both 12dp DECIMAL cumsums
+    over the day-grain risk table, S realized as exp of the ln-sum
+    (the KM pattern, d == n pinning 0), and plain normal bands
+    clamped to [0, 1] (pinned z = 1.96; the log-log transform is a
+    documented alternative, not taken).  Day-bounded rows out."""
+    from pyspark.sql import Window
+
+    tab = _survival_day_table(spark, sf_dir)
+    per = tab.groupBy("t_days").agg(
+        F.sum("event").cast("long").alias("d"),
+        F.count(F.lit(1)).cast("long").alias("tot"),
+    )
+    wrev = Window.orderBy(F.col("t_days").asc()).rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    wcum = Window.orderBy(F.col("t_days").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = per.select(
+        "t_days",
+        "d",
+        F.sum("tot").over(wrev).cast("long").alias("n_risk"),
+    ).filter(F.col("d") > 0)
+    dD = F.col("d").cast("double")
+    nD = F.col("n_risk").cast("double")
+    ln_term = F.when(
+        F.col("d") < F.col("n_risk"),
+        F.round(F.log(F.lit(1.0) - dD / nD), 12),
+    ).otherwise(F.lit(0.0))
+    gw_term = F.when(
+        F.col("d") < F.col("n_risk"),
+        F.round(dD / (nD * (nD - dD)), 12),
+    ).otherwise(F.lit(0.0))
+    dead = (F.col("d") == F.col("n_risk")).cast("int")
+    surv = risk.select(
+        "t_days",
+        "d",
+        "n_risk",
+        F.sum(ln_term.cast("decimal(28,12)")).over(wcum).alias("lns"),
+        F.sum(gw_term.cast("decimal(28,12)")).over(wcum).alias("gw"),
+        F.sum(dead).over(wcum).alias("any_dead"),
+    )
+    s_t = F.when(F.col("any_dead") > 0, F.lit(0.0)).otherwise(
+        F.exp(F.col("lns").cast("double"))
+    )
+    se = s_t * F.sqrt(F.col("gw").cast("double"))
+    return surv.select(
+        "t_days",
+        "n_risk",
+        "d",
+        F.round(s_t, 6).alias("s_km"),
+        F.round(se, 6).alias("se_greenwood"),
+        F.round(F.greatest(s_t - F.lit(_Z95) * se, F.lit(0.0)), 6).alias(
+            "ci_lo"
+        ),
+        F.round(F.least(s_t + F.lit(_Z95) * se, F.lit(1.0)), 6).alias(
+            "ci_hi"
+        ),
+    ).orderBy("t_days")
+
+
+CR_CAUSES = ("purchase", "error")
+
+
+def competing_risks_cif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aalen-Johansen cumulative incidence under competing risks: the
+    first post-signup event is either a purchase or an error (the two
+    pinned causes); CIF_c(t) = sum_{s<=t} S(s-) d_c(s)/n(s), where
+    S(s-) is the any-cause Kaplan-Meier just BEFORE s (exp of the
+    lagged 12dp ln-sum, d == n pinning 0).  The estimator 1-KM gets
+    WRONG under competing risks — the reason this operator exists.
+    Increment terms are 12dp DECIMAL cumsums per cause; the risk
+    table is day-grain exact."""
+    from pyspark.sql import Window
+
+    from lucene_mapreduce_spark.operators.textstats import _md5_52  # noqa: F401
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr("unix_micros(cast(ts as timestamp)) div 1000000").alias("es"),
+    )
+    t_end = ev.agg(F.max("es")).collect()[0][0]
+    signup = ev.filter(F.col("event_type") == "signup").groupBy(
+        "user_id"
+    ).agg(F.min("es").alias("s"))
+    firsts = (
+        ev.filter(F.col("event_type").isin(*CR_CAUSES))
+        .join(signup, "user_id")
+        .filter(F.col("es") > F.col("s"))
+        .groupBy("user_id")
+        .agg(
+            F.min(F.struct("es", "event_type")).alias("fe"),
+            F.first("s").alias("s0"),
+        )
+        .select(
+            "user_id",
+            F.col("fe.event_type").alias("cause"),
+            F.expr("(fe.es - s0) div 86400").cast("long").alias("t_days"),
+        )
+    )
+    censored = (
+        signup.join(firsts.select("user_id"), "user_id", "left_anti")
+        .select(
+            F.lit(None).cast("string").alias("cause"),
+            F.expr(f"({t_end} - s) div 86400").cast("long").alias("t_days"),
+        )
+    )
+    tab = firsts.select("cause", "t_days").unionByName(censored)
+    per = tab.groupBy("t_days").agg(
+        F.count(F.lit(1)).cast("long").alias("tot"),
+        *[
+            F.sum((F.col("cause") == c).cast("int"))
+            .cast("long")
+            .alias(f"d_{c}")
+            for c in CR_CAUSES
+        ],
+    )
+    d_all = sum(F.col(f"d_{c}") for c in CR_CAUSES)
+    wrev = Window.orderBy(F.col("t_days").asc()).rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    wcum = Window.orderBy(F.col("t_days").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wprev = Window.orderBy(F.col("t_days").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    risk = per.select(
+        "t_days",
+        *[F.col(f"d_{c}") for c in CR_CAUSES],
+        d_all.alias("d"),
+        F.sum("tot").over(wrev).cast("long").alias("n_risk"),
+    ).filter(F.col("d") > 0)
+    dD = F.col("d").cast("double")
+    nD = F.col("n_risk").cast("double")
+    ln_term = F.when(
+        F.col("d") < F.col("n_risk"),
+        F.round(F.log(F.lit(1.0) - dD / nD), 12),
+    ).otherwise(F.lit(0.0))
+    dead = (F.col("d") == F.col("n_risk")).cast("int")
+    base = risk.select(
+        "t_days",
+        *[F.col(f"d_{c}") for c in CR_CAUSES],
+        "d",
+        "n_risk",
+        F.coalesce(
+            F.sum(ln_term.cast("decimal(28,12)")).over(wprev),
+            F.lit(0).cast("decimal(28,12)"),
+        ).alias("lns_prev"),
+        F.coalesce(F.sum(dead).over(wprev), F.lit(0)).alias("dead_prev"),
+    )
+    s_prev = F.when(F.col("dead_prev") > 0, F.lit(0.0)).otherwise(
+        F.exp(F.col("lns_prev").cast("double"))
+    )
+    inc = base.select(
+        "t_days",
+        *[F.col(f"d_{c}") for c in CR_CAUSES],
+        "n_risk",
+        *[
+            F.round(
+                s_prev * F.col(f"d_{c}").cast("double") / nD, 12
+            )
+            .cast("decimal(38,12)")
+            .alias(f"i_{c}")
+            for c in CR_CAUSES
+        ],
+    )
+    sel = ["t_days", "n_risk"] + [f"d_{c}" for c in CR_CAUSES]
+    out = inc.select(
+        *sel,
+        *[
+            F.round(
+                F.sum(F.col(f"i_{c}")).over(wcum).cast("double"), 6
+            ).alias(f"cif_{c}")
+            for c in CR_CAUSES
+        ],
+    )
+    return out.orderBy("t_days")

@@ -4180,3 +4180,73 @@ def rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = leg if out is None else out.unionByName(leg)
     return out.orderBy("k")
+
+
+# ---------------------------------------------------------------------------
+# Batch 139: skew salting plan
+# ---------------------------------------------------------------------------
+
+SALT_DENOM = 256  # target rows per (key, salt) = ceil(total / SALT_DENOM)
+SALT_TOP_K = 10
+
+
+def salt_factor_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-salting plan for the lineitem-by-partkey shuffle —
+    join_skew_report's actionable half: with target rows per reduce
+    unit = ceil(total / SALT_DENOM) (scale-free), each hot key gets
+    salt_factor = ceil(rows / target) sub-keys; the report shows the
+    top-10 hottest keys with their before/after share of the largest
+    reduce unit — the exact arithmetic behind the (phash, salt) keys
+    the index build uses (CLAUDE.md shuffle-key rule).  All integer
+    via the truncation-safe (a + b - 1) // b ceilings."""
+    from pyspark.sql.window import Window
+
+    li = load(spark, sf_dir, "lineitem").select("l_partkey")
+    per = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+    tot = per.agg(F.sum("n_rows").cast("long").alias("total"))
+    j = per.crossJoin(F.broadcast(tot))
+    target = F.expr(f"(total + {SALT_DENOM} - 1) div {SALT_DENOM}")
+    salt = F.expr(
+        f"(n_rows + (total + {SALT_DENOM} - 1) div {SALT_DENOM} - 1)"
+        f" div ((total + {SALT_DENOM} - 1) div {SALT_DENOM})"
+    )
+    scored = j.select(
+        "l_partkey",
+        "n_rows",
+        "total",
+        target.cast("long").alias("target_rows"),
+        salt.cast("long").alias("salt_factor"),
+        F.expr(
+            f"(n_rows + (n_rows + (total + {SALT_DENOM} - 1)"
+            f" div {SALT_DENOM} - 1) div ((total + {SALT_DENOM} - 1)"
+            f" div {SALT_DENOM}) - 1) div ((n_rows + (total"
+            f" + {SALT_DENOM} - 1) div {SALT_DENOM} - 1)"
+            f" div ((total + {SALT_DENOM} - 1) div {SALT_DENOM}))"
+        )
+        .cast("long")
+        .alias("rows_per_salt"),
+    )
+    w = Window.orderBy(F.col("n_rows").desc(), F.col("l_partkey").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= SALT_TOP_K)
+        .select(
+            "rank",
+            "l_partkey",
+            "n_rows",
+            "target_rows",
+            "salt_factor",
+            F.round(
+                F.col("n_rows").cast("double") / F.col("total").cast("double"),
+                6,
+            ).alias("share_before"),
+            F.round(
+                F.col("rows_per_salt").cast("double")
+                / F.col("total").cast("double"),
+                6,
+            ).alias("share_after"),
+        )
+        .orderBy("rank")
+    )
