@@ -1128,6 +1128,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "km_greenwood_ci": parity.km_greenwood_ci,
         "competing_risks_cif": parity.competing_risks_cif,
         "salt_factor_plan": relational.salt_factor_plan,
+        # batch 140: UMass coherence, PFOR vs varbyte, sampled top-k
+        "umass_topic_coherence": textstats.umass_topic_coherence,
+        "pfor_vs_varbyte_audit": textstats.pfor_vs_varbyte_audit,
+        "sampled_topk_fidelity": textstats.sampled_topk_fidelity,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})

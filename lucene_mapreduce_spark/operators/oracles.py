@@ -19616,3 +19616,144 @@ FROM (
   FROM s2
 ) WHERE rank <= {SALT_TOP_K} ORDER BY rank
 """
+
+# ---- batch 140: UMass coherence, PFOR vs varbyte, sampled top-k ------------
+
+from lucene_mapreduce_spark.operators.textstats import (  # noqa: E402
+    PFOR_BLOCK,
+    SAMPLE_TOPK_K,
+    SAMPLE_TOPK_MOD,
+    UMASS_K,
+    UMASS_SOURCE,
+)
+
+ORACLES["umass_topic_coherence"] = f"""
+WITH docs AS (
+  SELECT doc_id, source, {TOKS} AS toks FROM documents
+),
+topic AS (
+  SELECT w, cf, row_number() OVER (ORDER BY cf DESC, w ASC) AS r
+  FROM (
+    SELECT w, count(*)::BIGINT AS cf
+    FROM (SELECT unnest(toks) AS w FROM docs
+          WHERE source = '{UMASS_SOURCE}')
+    GROUP BY 1
+  )
+  ORDER BY cf DESC, w ASC LIMIT {UMASS_K}
+),
+presence AS (
+  SELECT DISTINCT d.doc_id, t.w
+  FROM (SELECT doc_id, unnest(list_distinct(toks)) AS w FROM docs) d
+  JOIN topic t ON t.w = d.w
+),
+dfreq AS (
+  SELECT w, count(*)::BIGINT AS d FROM presence GROUP BY 1
+),
+codoc AS (
+  SELECT a.w AS wi, b.w AS wj, count(*)::BIGINT AS d_ij
+  FROM presence a JOIN presence b
+    ON a.doc_id = b.doc_id AND a.w <> b.w
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT ti.w AS wi, tj.w AS wj,
+         coalesce(c.d_ij, 0)::BIGINT AS d_ij, f.d AS dj,
+         round(ln((coalesce(c.d_ij, 0)::DOUBLE + 1.0) / f.d::DOUBLE), 12)
+           AS contrib
+  FROM topic ti
+  JOIN topic tj ON ti.r > tj.r
+  LEFT JOIN codoc c ON c.wi = ti.w AND c.wj = tj.w
+  JOIN dfreq f ON f.w = tj.w
+),
+tot AS (
+  SELECT round(sum(contrib::DECIMAL(38,12))::DOUBLE, 6) AS coherence,
+         count(*)::BIGINT AS n_pairs
+  FROM pairs
+)
+SELECT wi, wj, d_ij, dj, round(contrib, 6) AS contrib, n_pairs, coherence
+FROM pairs, tot ORDER BY wi, wj
+"""
+
+_PFOR_BITS = "CASE " + " ".join(
+    f"WHEN mx >= {1 << b} THEN {b + 1}"
+    for b in range(39, 0, -1)
+) + " ELSE 1 END"
+
+ORACLES["pfor_vs_varbyte_audit"] = f"""
+WITH docs AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+post AS (
+  SELECT DISTINCT term, doc_id
+  FROM (SELECT doc_id, unnest(list_distinct(toks)) AS term FROM docs)
+),
+gaps AS (
+  SELECT term,
+         (doc_id - coalesce(lag(doc_id) OVER w2, -1))::BIGINT AS gap,
+         (row_number() OVER w2 - 1) // {PFOR_BLOCK} AS blk
+  FROM post
+  WINDOW w2 AS (PARTITION BY term ORDER BY doc_id)
+),
+per_block AS (
+  SELECT term, blk, count(*)::BIGINT AS cnt, max(gap) AS mx,
+         sum(1 + CASE WHEN gap >= {1 << 7} THEN 1 ELSE 0 END
+               + CASE WHEN gap >= {1 << 14} THEN 1 ELSE 0 END
+               + CASE WHEN gap >= {1 << 21} THEN 1 ELSE 0 END)::BIGINT
+           AS vb_bytes
+  FROM gaps GROUP BY 1, 2
+),
+per_term AS (
+  SELECT term, sum(cnt)::BIGINT AS df, sum(vb_bytes)::BIGINT AS vb,
+         sum((cnt * ({_PFOR_BITS}) + 7) // 8 + 1)::BIGINT AS pf
+  FROM per_block GROUP BY 1
+)
+SELECT (length(df::VARCHAR) - 1)::BIGINT AS decade,
+       count(*)::BIGINT AS n_terms,
+       sum(df)::BIGINT AS total_postings,
+       sum(vb)::BIGINT AS varbyte_bytes,
+       sum(pf)::BIGINT AS pfor_bytes,
+       round(sum(pf)::DOUBLE / sum(vb)::DOUBLE, 6) AS pfor_over_varbyte
+FROM per_term GROUP BY 1 ORDER BY 1
+"""
+
+_SMP_DRAW = "(" + _MD5_52.format(e="'smp:' || event_id::VARCHAR") + ")"
+
+ORACLES["sampled_topk_fidelity"] = f"""
+WITH exact AS (
+  SELECT user_id, count(*)::BIGINT AS c FROM events GROUP BY 1
+),
+samp AS (
+  SELECT user_id, count(*)::BIGINT AS sc FROM events
+  WHERE {_SMP_DRAW} % {SAMPLE_TOPK_MOD} = 0
+  GROUP BY 1
+),
+te AS (
+  SELECT * FROM (
+    SELECT user_id, c,
+           row_number() OVER (ORDER BY c DESC, user_id ASC) AS r
+    FROM exact
+  ) WHERE r <= {SAMPLE_TOPK_K}
+),
+tsam AS (
+  SELECT * FROM (
+    SELECT user_id,
+           row_number() OVER (ORDER BY sc DESC, user_id ASC) AS r
+    FROM samp
+  ) WHERE r <= {SAMPLE_TOPK_K}
+),
+ov AS (
+  SELECT count(*)::BIGINT AS overlap_at_10
+  FROM te JOIN tsam USING (user_id)
+),
+err AS (
+  SELECT round(sum(round(abs(coalesce(s.sc, 0)::DOUBLE
+                             * {float(SAMPLE_TOPK_MOD)!r} - te.c::DOUBLE)
+                         / te.c::DOUBLE, 12)::DECIMAL(38,12))::DOUBLE
+               / {float(SAMPLE_TOPK_K)!r}, 6) AS mean_rel_err
+  FROM te LEFT JOIN samp s USING (user_id)
+),
+tots AS (
+  SELECT (SELECT count(*) FROM events)::BIGINT AS n_total,
+         (SELECT coalesce(sum(sc), 0) FROM samp)::BIGINT AS n_sample
+)
+SELECT n_total, n_sample, overlap_at_10, mean_rel_err
+FROM tots, ov, err
+"""

@@ -7541,3 +7541,265 @@ def position_gap_bytes_estimate(
         )
         .orderBy("decade")
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 140: UMass topic coherence + PFOR-vs-varbyte + sampled top-k
+# ---------------------------------------------------------------------------
+
+UMASS_K = 8
+UMASS_SOURCE = "src0"
+
+
+def umass_topic_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UMass topic coherence of the pinned 'topic' (the top-8 terms of
+    one source by occurrence count — a stand-in for an LDA topic's
+    head): C = sum over ordered pairs of ln((D(wi, wj) + 1) / D(wj)),
+    the intrinsic coherence measure every topic-model eval reports
+    (Mimno et al. 2011).  Doc-frequency and co-document counts are
+    exact BIGINTs from one tokenize scan (the pair block is k^2
+    literal-bounded); each ln rides the 12dp rule and the total is a
+    DECIMAL sum carried on every pair row."""
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_col
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", tokenize_col("text").alias("toks")
+    )
+    topic = (
+        docs.filter(F.col("source") == UMASS_SOURCE)
+        .select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cf"))
+        .orderBy(F.desc("cf"), F.asc("w"))
+        .limit(UMASS_K)
+        .select("w", "cf")
+    )
+    presence = (
+        docs.select("doc_id", F.explode(F.array_distinct("toks")).alias("w"))
+        .join(F.broadcast(topic.select("w")), "w")
+    )
+    dfreq = presence.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    a = presence.select(F.col("doc_id"), F.col("w").alias("wi"))
+    b = presence.select(F.col("doc_id"), F.col("w").alias("wj"))
+    codoc = (
+        a.join(b, "doc_id")
+        .filter(F.col("wi") != F.col("wj"))
+        .groupBy("wi", "wj")
+        .agg(F.count(F.lit(1)).cast("long").alias("d_ij"))
+    )
+    from pyspark.sql import Window
+
+    ranked = topic.select(
+        "w",
+        "cf",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cf"), F.asc("w")))
+        .alias("r"),
+    )
+    pairs = (
+        ranked.select(F.col("w").alias("wi"), F.col("r").alias("ri"))
+        .join(
+            ranked.select(F.col("w").alias("wj"), F.col("r").alias("rj")),
+            F.col("ri") > F.col("rj"),
+        )
+        .join(codoc, ["wi", "wj"], "left")
+        .join(
+            F.broadcast(dfreq.select(F.col("w").alias("wj"), F.col("d").alias("dj"))),
+            "wj",
+        )
+        .select(
+            "ri",
+            "rj",
+            "wi",
+            "wj",
+            F.coalesce("d_ij", F.lit(0)).alias("d_ij"),
+            "dj",
+            F.round(
+                F.log(
+                    (F.coalesce("d_ij", F.lit(0)).cast("double") + F.lit(1.0))
+                    / F.col("dj").cast("double")
+                ),
+                12,
+            ).alias("contrib"),
+        )
+    )
+    tot = pairs.agg(
+        F.round(
+            F.sum(F.col("contrib").cast("decimal(38,12)")).cast("double"), 6
+        ).alias("coherence"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+    )
+    return (
+        pairs.crossJoin(F.broadcast(tot))
+        .select(
+            "wi",
+            "wj",
+            "d_ij",
+            "dj",
+            F.round("contrib", 6).alias("contrib"),
+            "n_pairs",
+            "coherence",
+        )
+        .orderBy("wi", "wj")
+    )
+
+
+PFOR_BLOCK = 128
+
+
+def pfor_vs_varbyte_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-of-reference vs varbyte posting compression, priced on the
+    real doc-gap stream (the codec decision behind index/codec.py's
+    varbyte choice): per term the docid deltas, then (a) varbyte
+    bytes = 1 + [gap >= 2^7] + [gap >= 2^14] + [gap >= 2^21] per gap
+    and (b) bit-packed FOR blocks of PFOR_BLOCK gaps, each costing
+    ceil(count * bits / 8) + 1 header with bits = bitlength of the
+    block max (a closed CASE ladder — no log2()).  Totals per df
+    decade with the bytes ratio — the sequel to delta_varint_audit
+    and position_gap_bytes_estimate."""
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_col
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", tokenize_col("text").alias("toks")
+    )
+    post = (
+        docs.select("doc_id", F.explode(F.array_distinct("toks")).alias("term"))
+    )
+    w = Window.partitionBy("term").orderBy("doc_id")
+    gaps = post.select(
+        "term",
+        (
+            F.col("doc_id")
+            - F.coalesce(F.lag("doc_id").over(w), F.lit(-1))
+        )
+        .cast("long")
+        .alias("gap"),
+        F.expr(
+            f"(row_number() OVER (PARTITION BY term ORDER BY doc_id) - 1)"
+            f" div {PFOR_BLOCK}"
+        ).alias("blk"),
+    )
+    bits = F.lit(1)
+    for b in range(1, 40):
+        bits = F.when(F.col("mx") >= (1 << b), b + 1).otherwise(bits)
+    vb = (
+        F.lit(1)
+        + (F.col("gap") >= (1 << 7)).cast("int")
+        + (F.col("gap") >= (1 << 14)).cast("int")
+        + (F.col("gap") >= (1 << 21)).cast("int")
+    ).cast("long")
+    per_block = gaps.groupBy("term", "blk").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.max("gap").alias("mx"),
+        F.sum(vb).cast("long").alias("vb_bytes"),
+    )
+    pfor_bytes = (
+        F.expr("(cnt * bits + 7) div 8") + F.lit(1)
+    ).cast("long")
+    per_term = per_block.select(
+        "term",
+        "cnt",
+        "vb_bytes",
+        bits.cast("long").alias("bits"),
+    ).select(
+        "term",
+        "cnt",
+        "vb_bytes",
+        pfor_bytes.alias("pfor_bytes"),
+    ).groupBy("term").agg(
+        F.sum("cnt").cast("long").alias("df"),
+        F.sum("vb_bytes").cast("long").alias("vb"),
+        F.sum("pfor_bytes").cast("long").alias("pf"),
+    )
+    decade = (F.length(F.col("df").cast("string")) - 1).cast("long")
+    return (
+        per_term.select(decade.alias("decade"), "df", "vb", "pf")
+        .groupBy("decade")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.sum("df").cast("long").alias("total_postings"),
+            F.sum("vb").cast("long").alias("varbyte_bytes"),
+            F.sum("pf").cast("long").alias("pfor_bytes"),
+            F.round(
+                F.sum("pf").cast("double") / F.sum("vb").cast("double"), 6
+            ).alias("pfor_over_varbyte"),
+        )
+        .orderBy("decade")
+    )
+
+
+SAMPLE_TOPK_MOD = 8
+SAMPLE_TOPK_K = 10
+
+
+def sampled_topk_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-query-processing fidelity check: a 1/8 md5 row
+    sample of events estimates the top-10 users by event count
+    (estimate = 8x sample count); the report measures page overlap
+    with the exact top-10 and the mean relative error of the scaled
+    estimates ON the exact page — the accuracy story behind
+    random_sampler_agg, sharpened to a ranking task.  Sampling is the
+    engine-shared md5 draw; every count is BIGINT; errors ride 12dp
+    DECIMAL sums."""
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id")
+    exact = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    samp = (
+        ev.filter(
+            _md5_52(F.concat(F.lit("smp:"), F.col("event_id").cast("string")))
+            % SAMPLE_TOPK_MOD
+            == 0
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("sc"))
+    )
+    from pyspark.sql import Window
+
+    we = Window.orderBy(F.col("c").desc(), F.col("user_id").asc())
+    ws = Window.orderBy(F.col("sc").desc(), F.col("user_id").asc())
+    top_exact = exact.withColumn("r", F.row_number().over(we)).filter(
+        F.col("r") <= SAMPLE_TOPK_K
+    )
+    top_samp = samp.withColumn("r", F.row_number().over(ws)).filter(
+        F.col("r") <= SAMPLE_TOPK_K
+    )
+    overlap = top_exact.join(
+        top_samp.select("user_id"), "user_id"
+    ).count()
+    err = (
+        top_exact.join(samp, "user_id", "left")
+        .select(
+            F.round(
+                F.abs(
+                    F.coalesce("sc", F.lit(0)).cast("double")
+                    * F.lit(float(SAMPLE_TOPK_MOD))
+                    - F.col("c").cast("double")
+                )
+                / F.col("c").cast("double"),
+                12,
+            )
+            .cast("decimal(38,12)")
+            .alias("e12")
+        )
+        .agg(
+            F.round(
+                F.sum("e12").cast("double") / F.lit(float(SAMPLE_TOPK_K)), 6
+            ).alias("mean_rel_err")
+        )
+    )
+    counts = ev.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    n_samp = samp.agg(F.sum("sc").cast("long").alias("n_sample"))
+    return (
+        counts.crossJoin(F.broadcast(n_samp))
+        .crossJoin(F.broadcast(err))
+        .select(
+            "n_total",
+            "n_sample",
+            F.lit(overlap).cast("long").alias("overlap_at_10"),
+            "mean_rel_err",
+        )
+    )
