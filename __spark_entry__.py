@@ -1132,6 +1132,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "umass_topic_coherence": textstats.umass_topic_coherence,
         "pfor_vs_varbyte_audit": textstats.pfor_vs_varbyte_audit,
         "sampled_topk_fidelity": textstats.sampled_topk_fidelity,
+        # batch 141: gains/lift, exact AUC, energy distance
+        "cumulative_gains_deciles": parity.cumulative_gains_deciles,
+        "score_auc_exact": parity.score_auc_exact,
+        "energy_distance_values": parity.energy_distance_values,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})

@@ -19757,3 +19757,115 @@ tots AS (
 SELECT n_total, n_sample, overlap_at_10, mean_rel_err
 FROM tots, ov, err
 """
+
+# ---- batch 141: gains/lift, exact AUC, energy distance ---------------------
+
+ORACLES["cumulative_gains_deciles"] = f"""
+WITH ev AS (
+  SELECT event_id, value / (value + {BRIER_P_SHIFT!r}) AS p,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+),
+binned AS (
+  SELECT ntile({BRIER_BINS}) OVER (ORDER BY p DESC, event_id ASC)
+           AS decile, y
+  FROM ev
+),
+per AS (
+  SELECT decile, count(*)::BIGINT AS n, sum(y)::BIGINT AS n_pos
+  FROM binned GROUP BY 1
+),
+tot AS (
+  SELECT sum(n)::BIGINT AS nt, sum(n_pos)::BIGINT AS pt FROM per
+),
+cum AS (
+  SELECT decile, n, n_pos,
+         sum(n) OVER (ORDER BY decile
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+           AS cum_n,
+         sum(n_pos) OVER (ORDER BY decile
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+           AS cum_pos
+  FROM per
+)
+SELECT decile, n, n_pos, cum_pos,
+       round(cum_pos::DOUBLE / pt::DOUBLE, 6) AS gain,
+       round((cum_pos::DOUBLE / pt::DOUBLE)
+             / (cum_n::DOUBLE / nt::DOUBLE), 6) AS lift
+FROM cum, tot ORDER BY decile
+"""
+
+ORACLES["score_auc_exact"] = f"""
+WITH ev AS (
+  SELECT value / (value + {BRIER_P_SHIFT!r}) AS p,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+),
+ranked AS (
+  SELECT y,
+         (2 * rank() OVER (ORDER BY p)
+          + count(*) OVER (PARTITION BY p) - 1)::BIGINT AS s2
+  FROM ev
+),
+g AS (
+  SELECT sum(y)::BIGINT AS n_pos,
+         (count(*) - sum(y))::BIGINT AS n_neg,
+         sum(CASE WHEN y = 1 THEN s2 ELSE 0 END)::BIGINT AS r2_pos
+  FROM ranked
+)
+SELECT n_pos, n_neg, r2_pos,
+       round((r2_pos::DOUBLE / 2.0
+              - n_pos::DOUBLE * (n_pos::DOUBLE + 1.0) / 2.0)
+             / (n_pos::DOUBLE * n_neg::DOUBLE), 6) AS auc,
+       round(2.0 * ((r2_pos::DOUBLE / 2.0
+                     - n_pos::DOUBLE * (n_pos::DOUBLE + 1.0) / 2.0)
+                    / (n_pos::DOUBLE * n_neg::DOUBLE)) - 1.0, 6)
+         AS gini_coef
+FROM g
+"""
+
+ORACLES["energy_distance_values"] = f"""
+WITH ev AS (
+  SELECT event_type, round(value * 100)::BIGINT AS cents
+  FROM events
+  WHERE event_type IN ('{DCOR_TYPE_X}', '{DCOR_TYPE_Y}')
+),
+vals AS (
+  SELECT cents,
+         sum(CASE WHEN event_type = '{DCOR_TYPE_X}'
+                  THEN 1 ELSE 0 END)::BIGINT AS ca,
+         sum(CASE WHEN event_type = '{DCOR_TYPE_Y}'
+                  THEN 1 ELSE 0 END)::BIGINT AS cb
+  FROM ev GROUP BY 1
+),
+cdf AS (
+  SELECT cents,
+         sum(ca) OVER wc AS fa, sum(cb) OVER wc AS fb,
+         sum(ca) OVER () AS na, sum(cb) OVER () AS nb,
+         lead(cents) OVER (ORDER BY cents) - cents AS gap
+  FROM vals
+  WINDOW wc AS (ORDER BY cents
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+terms AS (
+  SELECT na::BIGINT AS na, nb::BIGINT AS nb,
+         round((fa::DOUBLE / na::DOUBLE + fb::DOUBLE / nb::DOUBLE
+                - 2.0 * (fa::DOUBLE / na::DOUBLE)
+                      * (fb::DOUBLE / nb::DOUBLE))
+               * gap::DOUBLE, 12)::DECIMAL(38,12) AS xy,
+         round(2.0 * (fa::DOUBLE / na::DOUBLE)
+               * (1.0 - fa::DOUBLE / na::DOUBLE) * gap::DOUBLE,
+               12)::DECIMAL(38,12) AS xx,
+         round(2.0 * (fb::DOUBLE / nb::DOUBLE)
+               * (1.0 - fb::DOUBLE / nb::DOUBLE) * gap::DOUBLE,
+               12)::DECIMAL(38,12) AS yy
+  FROM cdf WHERE gap IS NOT NULL
+)
+SELECT na AS n_x, nb AS n_y,
+       round(sum(xy)::DOUBLE / 100.0, 6) AS e_abs_xy,
+       round(sum(xx)::DOUBLE / 100.0, 6) AS e_abs_xx,
+       round(sum(yy)::DOUBLE / 100.0, 6) AS e_abs_yy,
+       round((2.0 * sum(xy)::DOUBLE - sum(xx)::DOUBLE - sum(yy)::DOUBLE)
+             / 100.0, 6) AS energy_distance
+FROM terms GROUP BY na, nb
+"""

@@ -9934,3 +9934,180 @@ def competing_risks_cif(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     return out.orderBy("t_days")
+
+
+# ---------------------------------------------------------------------------
+# Batch 141: cumulative gains, exact AUC, energy distance
+# ---------------------------------------------------------------------------
+
+
+def cumulative_gains_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains / lift table for the pinned scoring rule
+    (p = value/(value+50) predicting purchases — the
+    brier_calibration_report model, read as a RANKER): deciles over
+    the (p desc, event_id) total order, cumulative captured-positive
+    share and lift vs random.  The campaign-targeting chart; exact
+    BIGINT cell counts, one ntile window."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("value") / (F.col("value") + F.lit(BRIER_P_SHIFT))).alias("p"),
+        (F.col("event_type") == "purchase").cast("long").alias("y"),
+    )
+    binned = ev.select(
+        F.ntile(BRIER_BINS)
+        .over(Window.orderBy(F.col("p").desc(), F.col("event_id").asc()))
+        .alias("decile"),
+        "y",
+    )
+    per = binned.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("n_pos"),
+    )
+    tot = per.agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.sum("n_pos").cast("long").alias("pt"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.select(
+        "decile",
+        "n",
+        "n_pos",
+        F.sum("n").over(wc).cast("long").alias("cum_n"),
+        F.sum("n_pos").over(wc).cast("long").alias("cum_pos"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n",
+            "n_pos",
+            "cum_pos",
+            F.round(
+                F.col("cum_pos").cast("double") / F.col("pt").cast("double"),
+                6,
+            ).alias("gain"),
+            F.round(
+                (F.col("cum_pos").cast("double") / F.col("pt").cast("double"))
+                / (F.col("cum_n").cast("double") / F.col("nt").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy("decile")
+    )
+
+
+def score_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC of the pinned scorer via the tie-adjusted
+    Mann-Whitney identity AUC = (R_pos - n_pos(n_pos+1)/2) /
+    (n_pos n_neg), with midranks from the kruskal_wallis doubled-rank
+    trick (2r = 2 rank_min + ties - 1, all BIGINT — the rank sum
+    stays exact integer in doubled units).  The discrimination number
+    beside the calibration report: same model, different question.
+    One global rank over the score (value ties make midranks
+    matter)."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        (F.col("value") / (F.col("value") + F.lit(BRIER_P_SHIFT))).alias("p"),
+        (F.col("event_type") == "purchase").cast("long").alias("y"),
+    )
+    wr = Window.orderBy("p")
+    wt = Window.partitionBy("p")
+    s2 = (
+        F.lit(2) * F.rank().over(wr)
+        + F.count(F.lit(1)).over(wt)
+        - F.lit(1)
+    ).cast("long")
+    ranked = ev.select("y", s2.alias("s2"))
+    g = ranked.agg(
+        F.sum("y").cast("long").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("n_neg"),
+        F.sum(F.when(F.col("y") == 1, F.col("s2")).otherwise(0))
+        .cast("long")
+        .alias("r2_pos"),
+    )
+    npos = F.col("n_pos").cast("double")
+    nneg = F.col("n_neg").cast("double")
+    auc = (
+        F.col("r2_pos").cast("double") / F.lit(2.0)
+        - npos * (npos + F.lit(1.0)) / F.lit(2.0)
+    ) / (npos * nneg)
+    return g.select(
+        "n_pos",
+        "n_neg",
+        "r2_pos",
+        F.round(auc, 6).alias("auc"),
+        F.round(F.lit(2.0) * auc - F.lit(1.0), 6).alias("gini_coef"),
+    )
+
+
+def energy_distance_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1-D energy distance between the click and purchase value
+    distributions — E = 2 E|X-Y| - E|X-X'| - E|Y-Y'| with every
+    expectation computed in closed form on the integer cent grid:
+    E|X-Y| = sum over grid gaps of (F(t) + G(t) - 2 F(t) G(t)) dt
+    (the CDF identity — no pair blowup, the EMD machinery's cousin;
+    emd_value_distributions integrates |F-G|, this one the
+    energy kernel).  Terms are 12dp DECIMAL sums; the energy distance
+    is nonnegative iff the distributions differ."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(DCOR_TYPE_X, DCOR_TYPE_Y)
+    ).select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    vals = ev.groupBy("cents").agg(
+        F.sum((F.col("event_type") == DCOR_TYPE_X).cast("int"))
+        .cast("long")
+        .alias("ca"),
+        F.sum((F.col("event_type") == DCOR_TYPE_Y).cast("int"))
+        .cast("long")
+        .alias("cb"),
+    )
+    w = Window.orderBy("cents")
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cdf = vals.select(
+        "cents",
+        F.sum("ca").over(wc).cast("long").alias("fa"),
+        F.sum("cb").over(wc).cast("long").alias("fb"),
+        F.sum("ca").over(wall).cast("long").alias("na"),
+        F.sum("cb").over(wall).cast("long").alias("nb"),
+        (F.lead("cents").over(w) - F.col("cents")).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    FA = F.col("fa").cast("double") / F.col("na").cast("double")
+    FB = F.col("fb").cast("double") / F.col("nb").cast("double")
+    gD = F.col("gap").cast("double")
+    terms = cdf.select(
+        "na",
+        "nb",
+        F.round((FA + FB - F.lit(2.0) * FA * FB) * gD, 12)
+        .cast("decimal(38,12)")
+        .alias("xy"),
+        F.round(F.lit(2.0) * FA * (F.lit(1.0) - FA) * gD, 12)
+        .cast("decimal(38,12)")
+        .alias("xx"),
+        F.round(F.lit(2.0) * FB * (F.lit(1.0) - FB) * gD, 12)
+        .cast("decimal(38,12)")
+        .alias("yy"),
+    )
+    g = terms.groupBy("na", "nb").agg(
+        F.sum("xy").cast("double").alias("exy"),
+        F.sum("xx").cast("double").alias("exx"),
+        F.sum("yy").cast("double").alias("eyy"),
+    )
+    energy = (
+        F.lit(2.0) * F.col("exy") - F.col("exx") - F.col("eyy")
+    ) / F.lit(100.0)
+    return g.select(
+        F.col("na").alias("n_x"),
+        F.col("nb").alias("n_y"),
+        F.round(F.col("exy") / F.lit(100.0), 6).alias("e_abs_xy"),
+        F.round(F.col("exx") / F.lit(100.0), 6).alias("e_abs_xx"),
+        F.round(F.col("eyy") / F.lit(100.0), 6).alias("e_abs_yy"),
+        F.round(energy, 6).alias("energy_distance"),
+    )
