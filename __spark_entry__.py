@@ -1136,6 +1136,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cumulative_gains_deciles": parity.cumulative_gains_deciles,
         "score_auc_exact": parity.score_auc_exact,
         "energy_distance_values": parity.energy_distance_values,
+        # batch 142: MaxP retrieval, QI ladder, tenure hazard
+        "maxp_passage_retrieval_topk": fulltext.maxp_passage_retrieval_topk,
+        "qi_ladder_kmin": textstats.qi_ladder_kmin,
+        "tenure_hazard_table": parity.tenure_hazard_table,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})
@@ -1200,6 +1204,9 @@ def oracle_sql() -> dict[str, str]:
         fulltext.FLAGSHIP_QUERY
     )
     out["shard_score_merge_audit"] = shard_merge_sql(fulltext.FLAGSHIP_QUERY)
+    from lucene_mapreduce_spark.operators.oracles import maxp_sql
+
+    out["maxp_passage_retrieval_topk"] = maxp_sql(fulltext.FLAGSHIP_QUERY)
     out["terms_enum"] = terms_enum_sql(fulltext.TERMS_ENUM_K)
     out["spell_suggest"] = spell_suggest_sql(fulltext.SPELL_INPUT)
     out["autocomplete"] = autocomplete_sql(fulltext.AUTOCOMPLETE_PREFIX)

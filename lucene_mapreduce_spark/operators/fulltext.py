@@ -7649,3 +7649,79 @@ def shard_score_merge_audit(
         )
         .orderBy("merged_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 142: MaxP passage retrieval
+# ---------------------------------------------------------------------------
+
+MAXP_W = 8
+MAXP_K = 10
+
+
+def maxp_passage_retrieval_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_text: str = FLAGSHIP_QUERY,
+    k: int = MAXP_K,
+) -> DataFrame:
+    """MaxP document retrieval: rank DOCUMENTS by the score of their
+    best width-8 passage (Dai & Callan's BERT-MaxP baseline shape,
+    with best_passage_highlight's idf-weighted window scorer standing
+    in for the neural reranker) — long documents stop winning on
+    accumulated matches alone, the length-bias fix passage-level
+    retrieval exists for.  Window scores are 12dp-DECIMAL idf sums of
+    DISTINCT query terms present; the doc score is the max window
+    (rounded, doc_id ties asc).  Candidate docs are ANY doc containing
+    a query term (one posting semi-join), windows are doc-length-
+    bounded codegen."""
+    from lucene_mapreduce_spark.functions.tokenize import (
+        tokenize_col,
+        tokenize_string,
+    )
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+
+    docs = load(spark, sf_dir, "documents")
+    qts = sorted(set(tokenize_string(query_text)))
+    tokd = docs.select("doc_id", tokenize_col("text").alias("toks"))
+    n_docs = docs.count()
+    dfs = (
+        tokd.select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(qts))
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df_t"))
+    )
+    w12 = F.round(
+        F.log(
+            F.lit(1.0)
+            + (F.lit(float(n_docs)) - F.col("df_t").cast("double") + F.lit(0.5))
+            / (F.col("df_t").cast("double") + F.lit(0.5))
+        ),
+        12,
+    ).cast("decimal(28,12)")
+    weights = dfs.select("term", w12.alias("w"))
+    cand = (
+        tokd.filter(
+            F.arrays_overlap("toks", F.array(*[F.lit(t) for t in qts]))
+        )
+    )
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.lit(1), F.size("toks") - F.lit(MAXP_W - 1))
+    )
+    wins = cand.select("doc_id", "toks", F.explode(starts).alias("i"))
+    hit = wins.crossJoin(F.broadcast(weights)).filter(
+        F.exists(
+            F.slice("toks", F.col("i"), MAXP_W),
+            lambda x: x == F.col("term"),
+        )
+    )
+    per_win = hit.groupBy("doc_id", "i").agg(
+        F.round(F.sum("w").cast("double"), 6).alias("ws")
+    )
+    per_doc = per_win.groupBy("doc_id").agg(
+        F.max("ws").alias("maxp_score")
+    )
+    return ranked_topk(
+        per_doc, [F.desc("maxp_score"), F.asc("doc_id")], k
+    ).select("doc_id", "maxp_score", "rank")

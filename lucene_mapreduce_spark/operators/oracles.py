@@ -19869,3 +19869,128 @@ SELECT na AS n_x, nb AS n_y,
              / 100.0, 6) AS energy_distance
 FROM terms GROUP BY na, nb
 """
+
+# ---- batch 142: MaxP, QI ladder, tenure hazard -----------------------------
+
+from lucene_mapreduce_spark.operators.fulltext import (  # noqa: E402
+    MAXP_K,
+    MAXP_W,
+)
+from lucene_mapreduce_spark.operators.textstats import (  # noqa: E402
+    QI_LEN_BUCKET,
+)
+
+
+def maxp_sql(query_text: str, k: int = MAXP_K, width: int = MAXP_W) -> str:
+    qlit = query_text.replace("'", "''")
+    return f"""
+WITH docs AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+nd AS (SELECT count(*)::DOUBLE AS n FROM documents),
+qt AS (SELECT DISTINCT unnest({duckdb_tokens_sql(f"'{qlit}'")}) AS term),
+dfs AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df_t
+  FROM (SELECT doc_id, unnest(toks) AS term FROM docs)
+  WHERE term IN (SELECT term FROM qt)
+  GROUP BY 1
+),
+weights AS (
+  SELECT term,
+         round(ln(1.0 + ((SELECT n FROM nd) - df_t::DOUBLE + 0.5)
+                        / (df_t::DOUBLE + 0.5)), 12)::DECIMAL(28,12) AS w
+  FROM dfs
+),
+cand AS (
+  SELECT d.doc_id, d.toks
+  FROM docs d
+  JOIN (SELECT DISTINCT doc_id
+        FROM (SELECT doc_id, unnest(toks) AS term FROM docs)
+        WHERE term IN (SELECT term FROM qt)) m
+    ON m.doc_id = d.doc_id
+),
+wins AS (
+  SELECT doc_id, toks,
+         unnest(range(1, greatest(1, len(toks) - {width - 1}) + 1))::INT
+           AS i
+  FROM cand
+),
+hit AS (
+  SELECT doc_id, i, w
+  FROM wins, weights
+  WHERE list_contains(toks[i : i + {width - 1}], term)
+),
+per_win AS (
+  SELECT doc_id, i, round(sum(w)::DOUBLE, 6) AS ws
+  FROM hit GROUP BY 1, 2
+),
+per_doc AS (
+  SELECT doc_id, max(ws) AS maxp_score FROM per_win GROUP BY 1
+)
+SELECT doc_id, maxp_score, rank FROM (
+  SELECT doc_id, maxp_score,
+         row_number() OVER (ORDER BY maxp_score DESC, doc_id ASC) AS rank
+  FROM per_doc
+) WHERE rank <= {k} ORDER BY rank
+"""
+
+
+ORACLES["qi_ladder_kmin"] = f"""
+WITH docs AS (
+  SELECT lang, source,
+         (len({TOKS}) // {QI_LEN_BUCKET})::BIGINT AS len_b
+  FROM documents
+),
+nn AS (SELECT count(*)::DOUBLE AS n FROM docs),
+l1 AS (
+  SELECT 'lang' AS qi_set, count(*)::BIGINT AS n_classes,
+         min(c)::BIGINT AS k_min,
+         round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::DOUBLE
+               / (SELECT n FROM nn), 6) AS singleton_share
+  FROM (SELECT count(*)::BIGINT AS c FROM docs GROUP BY lang)
+),
+l2 AS (
+  SELECT 'lang+source', count(*)::BIGINT, min(c)::BIGINT,
+         round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::DOUBLE
+               / (SELECT n FROM nn), 6)
+  FROM (SELECT count(*)::BIGINT AS c FROM docs GROUP BY lang, source)
+),
+l3 AS (
+  SELECT 'lang+source+len', count(*)::BIGINT, min(c)::BIGINT,
+         round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::DOUBLE
+               / (SELECT n FROM nn), 6)
+  FROM (SELECT count(*)::BIGINT AS c FROM docs
+        GROUP BY lang, source, len_b)
+)
+SELECT * FROM l1 UNION ALL SELECT * FROM l2 UNION ALL SELECT * FROM l3
+ORDER BY qi_set
+"""
+
+ORACLES["tenure_hazard_table"] = """
+WITH ev AS (
+  SELECT user_id, (epoch_us(ts) // 86400000000) // 7 AS wk FROM events
+),
+mx AS (SELECT max(wk) AS max_wk FROM ev),
+per_user AS (
+  SELECT user_id, min(wk) AS w0, max(wk) AS w1 FROM ev GROUP BY 1
+),
+tab AS (
+  SELECT (w1 - w0)::BIGINT AS tenure_w,
+         CASE WHEN w1 < (SELECT max_wk FROM mx) THEN 1 ELSE 0 END
+           AS churned
+  FROM per_user
+),
+per AS (
+  SELECT tenure_w, count(*)::BIGINT AS tot,
+         sum(churned)::BIGINT AS n_churned
+  FROM tab GROUP BY 1
+)
+SELECT tenure_w,
+       sum(tot) OVER (ORDER BY tenure_w
+         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)::BIGINT
+         AS n_at_risk,
+       n_churned,
+       round(n_churned::DOUBLE
+             / sum(tot) OVER (ORDER BY tenure_w
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)::DOUBLE,
+             6) AS hazard
+FROM per ORDER BY tenure_w
+"""

@@ -10111,3 +10111,52 @@ def energy_distance_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("eyy") / F.lit(100.0), 6).alias("e_abs_yy"),
         F.round(energy, 6).alias("energy_distance"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 142: discrete-time tenure hazard table
+# ---------------------------------------------------------------------------
+
+
+def tenure_hazard_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-time churn hazard by tenure week: for each user, tenure
+    week w = (last active epoch-week - first active epoch-week); a
+    user 'churns at w' unless their last activity falls in the
+    stream's final week (right-censored).  hazard(w) = churners at w /
+    users still active entering w — the lifecycle table behind
+    weekly_churn_rate's single number, and the discrete twin of the
+    KM family.  All BIGINT; at-risk counts are one reverse cumulative
+    sum over the week-bounded table."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(
+            "unix_micros(cast(ts as timestamp)) div 86400000000 div 7"
+        ).alias("wk"),
+    )
+    max_wk = ev.agg(F.max("wk")).collect()[0][0]
+    per_user = ev.groupBy("user_id").agg(
+        F.min("wk").alias("w0"), F.max("wk").alias("w1")
+    )
+    tab = per_user.select(
+        (F.col("w1") - F.col("w0")).cast("long").alias("tenure_w"),
+        (F.col("w1") < max_wk).cast("int").alias("churned"),
+    )
+    per = tab.groupBy("tenure_w").agg(
+        F.count(F.lit(1)).cast("long").alias("tot"),
+        F.sum("churned").cast("long").alias("n_churned"),
+    )
+    wrev = Window.orderBy(F.col("tenure_w").asc()).rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    return per.select(
+        "tenure_w",
+        F.sum("tot").over(wrev).cast("long").alias("n_at_risk"),
+        "n_churned",
+        F.round(
+            F.col("n_churned").cast("double")
+            / F.sum("tot").over(wrev).cast("double"),
+            6,
+        ).alias("hazard"),
+    ).orderBy("tenure_w")

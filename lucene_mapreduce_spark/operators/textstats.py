@@ -7803,3 +7803,53 @@ def sampled_topk_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_rel_err",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 142: quasi-identifier anonymity ladder
+# ---------------------------------------------------------------------------
+
+QI_LEN_BUCKET = 20  # tokens per length bucket in the widest QI set
+
+
+def qi_ladder_kmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anonymity decay along a quasi-identifier ladder — how k-anonymity
+    (k_anonymity_audit checks ONE QI set) erodes as columns accrete:
+    for QI sets {lang}, {lang, source}, {lang, source, length-bucket}
+    the report gives equivalence-class count, the minimum class size
+    (the k in k-anonymous) and the share of singleton records — the
+    re-identification-risk curve a release review walks.  All BIGINT
+    class counts; the length bucket is an exact integer div."""
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_col
+
+    docs = load(spark, sf_dir, "documents").select(
+        "lang",
+        "source",
+        # positive ints: floor of float division == integer division
+        F.floor(F.size(tokenize_col("text")) / QI_LEN_BUCKET)
+        .cast("long")
+        .alias("len_b"),
+    )
+    n = docs.count()
+    ladders = (
+        ("lang", ["lang"]),
+        ("lang+source", ["lang", "source"]),
+        ("lang+source+len", ["lang", "source", "len_b"]),
+    )
+    out = None
+    for name, cols in ladders:
+        classes = docs.groupBy(*cols).agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+        leg = classes.agg(
+            F.lit(name).alias("qi_set"),
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.min("c").cast("long").alias("k_min"),
+            F.round(
+                F.sum((F.col("c") == 1).cast("int")).cast("double")
+                / F.lit(float(n)),
+                6,
+            ).alias("singleton_share"),
+        )
+        out = leg if out is None else out.unionByName(leg)
+    return out.orderBy("qi_set")
