@@ -1140,6 +1140,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maxp_passage_retrieval_topk": fulltext.maxp_passage_retrieval_topk,
         "qi_ladder_kmin": textstats.qi_ladder_kmin,
         "tenure_hazard_table": parity.tenure_hazard_table,
+        # batch 143: Holm step-down, fixed-effect meta, generalized ESD
+        "holm_bonferroni_gate": parity.holm_bonferroni_gate,
+        "meta_fixed_effect_or": parity.meta_fixed_effect_or,
+        "gesd_outliers_3round": parity.gesd_outliers_3round,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})

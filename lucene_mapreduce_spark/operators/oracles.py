@@ -19994,3 +19994,155 @@ SELECT tenure_w,
              6) AS hazard
 FROM per ORDER BY tenure_w
 """
+
+# ---- batch 143: Holm, fixed-effect meta-analysis, generalized ESD ----------
+
+from lucene_mapreduce_spark.operators.parity import (  # noqa: E402
+    GESD_ROUNDS,
+    HOLM_ALPHA,
+)
+
+ORACLES["holm_bonferroni_gate"] = f"""
+WITH src AS (SELECT DISTINCT source FROM documents),
+d1 AS (
+  SELECT source,
+         {_MD5_52.format(e="source || ':bhfdr'")} AS u,
+         ({_MD5_52.format(e="source || ':bhsig'")} * 4
+            < 4503599627370496) AS planted
+  FROM src
+),
+d2 AS (
+  SELECT source, u, planted,
+         CASE WHEN planted THEN 4503599627370496000
+              ELSE 4503599627370496 END AS den,
+         u * CASE WHEN planted THEN 1 ELSE 1000 END AS ord_key
+  FROM d1
+),
+d3 AS (
+  SELECT source, planted,
+         row_number() OVER (ORDER BY ord_key, source) AS i,
+         count(*) OVER () AS m,
+         u::DOUBLE / den::DOUBLE AS p
+  FROM d2
+),
+d4 AS (
+  SELECT *,
+         least(max((m - i + 1)::DOUBLE * p)
+                 OVER (ORDER BY i
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               1.0) AS holm_adj
+  FROM d3
+),
+d5 AS (
+  SELECT *,
+         sum(CASE WHEN holm_adj > {HOLM_ALPHA!r} THEN 1 ELSE 0 END)
+           OVER (ORDER BY i
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS n_over
+  FROM d4
+)
+SELECT source, i, (CASE WHEN planted THEN 1 ELSE 0 END)::INT AS planted,
+       round(p, 9) AS p_value, round(holm_adj, 9) AS holm_adj_p,
+       (CASE WHEN n_over = 0 THEN 1 ELSE 0 END)::INT AS reject
+FROM d5 ORDER BY i
+"""
+
+ORACLES["meta_fixed_effect_or"] = f"""
+WITH t AS (
+  SELECT lang,
+         list_contains({TOKS}, '{MH_EXPOSURE_TOKEN}') AS e,
+         list_contains({TOKS}, '{MH_OUTCOME_TOKEN}') AS o
+  FROM documents
+),
+cells AS (
+  SELECT lang,
+         sum(CASE WHEN e AND o THEN 1 ELSE 0 END)::BIGINT AS a,
+         sum(CASE WHEN e AND NOT o THEN 1 ELSE 0 END)::BIGINT AS b,
+         sum(CASE WHEN NOT e AND o THEN 1 ELSE 0 END)::BIGINT AS c,
+         sum(CASE WHEN NOT e AND NOT o THEN 1 ELSE 0 END)::BIGINT AS d
+  FROM t GROUP BY 1
+),
+per AS (
+  SELECT lang,
+         round(ln((a::DOUBLE + 0.5) * (d::DOUBLE + 0.5)
+                  / ((b::DOUBLE + 0.5) * (c::DOUBLE + 0.5))), 12) AS lnor,
+         round(1.0 / (1.0 / (a::DOUBLE + 0.5) + 1.0 / (b::DOUBLE + 0.5)
+                      + 1.0 / (c::DOUBLE + 0.5)
+                      + 1.0 / (d::DOUBLE + 0.5)), 12) AS w
+  FROM cells
+),
+sums AS (
+  SELECT count(*)::BIGINT AS k,
+         sum(round(w * lnor, 12)::DECIMAL(38,12))::DOUBLE AS swl,
+         sum(w::DECIMAL(38,12))::DOUBLE AS sw
+  FROM per
+),
+q AS (
+  SELECT k, swl / sw AS pooled,
+         sum(round(w * (lnor - swl / sw) * (lnor - swl / sw),
+                   12)::DECIMAL(38,12))::DOUBLE AS q_het
+  FROM per, sums GROUP BY k, swl, sw
+)
+SELECT k, round(pooled, 6) AS pooled_lnor,
+       round(exp(pooled), 6) AS pooled_or,
+       round(q_het, 6) AS q_het,
+       round(greatest((q_het - (k - 1)::DOUBLE) / q_het, 0.0), 6) AS i2
+FROM q
+"""
+
+
+def _gesd_round_sql(r: int, excl: list) -> str:
+    where = (
+        "WHERE h.day::VARCHAR NOT IN ("
+        + ", ".join(f"(SELECT day FROM e{j})" for j in excl)
+        + ")"
+        if excl
+        else ""
+    )
+    gwhere = (
+        "WHERE day::VARCHAR NOT IN ("
+        + ", ".join(f"(SELECT day FROM e{j})" for j in excl)
+        + ")"
+        if excl
+        else ""
+    )
+    stat = (
+        "round(abs(h.n_events::DOUBLE - g.s::DOUBLE / g.n::DOUBLE)"
+        " / sqrt((g.ss::DOUBLE - g.s::DOUBLE * (g.s::DOUBLE / g.n::DOUBLE))"
+        " / (g.n::DOUBLE - 1.0)), 6)"
+    )
+    return f"""g{r} AS (
+  SELECT count(*)::BIGINT AS n, sum(n_events)::BIGINT AS s,
+         sum(n_events * n_events)::BIGINT AS ss
+  FROM hist {gwhere}
+),
+e{r} AS (
+  SELECT day, n_events, n, r_stat FROM (
+    SELECT h.day::VARCHAR AS day, h.n_events, g.n,
+           {stat} AS r_stat,
+           row_number() OVER (ORDER BY {stat} DESC, h.day ASC) AS rk
+    FROM hist h CROSS JOIN g{r} g
+    {where}
+  ) WHERE rk = 1
+)"""
+
+
+def _gesd_sql() -> str:
+    parts = []
+    for r in range(1, GESD_ROUNDS + 1):
+        parts.append(_gesd_round_sql(r, list(range(1, r))))
+    finals = "\nUNION ALL\n".join(
+        f"SELECT {r}::INT AS round, day, n_events::BIGINT AS n_events,"
+        f" r_stat, n::BIGINT AS n_remaining FROM e{r}"
+        for r in range(1, GESD_ROUNDS + 1)
+    )
+    return (
+        f"WITH {_DAILY_HIST},\n"
+        + ",\n".join(parts)
+        + "\n"
+        + finals
+        + "\nORDER BY round"
+    )
+
+
+ORACLES["gesd_outliers_3round"] = _gesd_sql()

@@ -10160,3 +10160,214 @@ def tenure_hazard_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("hazard"),
     ).orderBy("tenure_w")
+
+
+# ---------------------------------------------------------------------------
+# Batch 143: Holm step-down, fixed-effect meta-analysis, generalized ESD
+# ---------------------------------------------------------------------------
+
+HOLM_ALPHA = 0.05
+
+
+def holm_bonferroni_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holm-Bonferroni step-DOWN FWER correction over the same
+    md5-uniform planted p-value family as bh_fdr_procedure (identical
+    salts — the two procedures on one family is the point: FWER
+    rejects a subset of FDR's): adjusted p_i = max over j <= i of
+    (m - j + 1) p_j capped at 1 (a prefix-max frame over the exact
+    integer order), reject while the running adjusted p stays <=
+    alpha.  Doubles are identical operand chains; the order key never
+    floats."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    src = docs.select("source").distinct()
+
+    def u52(salt: str):
+        return F.conv(
+            F.substring(F.md5(F.concat(F.col("source"), F.lit(salt))), 1, 13),
+            16,
+            10,
+        ).cast("long")
+
+    t = src.select(
+        "source",
+        u52(":bhfdr").alias("u"),
+        (u52(":bhsig") * F.lit(BH_PLANT_FRAC) < F.lit(1 << 52)).alias(
+            "planted"
+        ),
+    ).select(
+        "source",
+        "planted",
+        F.when(F.col("planted"), F.lit(1000 * (1 << 52)))
+        .otherwise(F.lit(1 << 52))
+        .cast("long")
+        .alias("den"),
+        (
+            F.col("u")
+            * F.when(F.col("planted"), F.lit(1)).otherwise(F.lit(1000))
+        ).alias("ord_key"),
+        "u",
+    )
+    w_all = Window.partitionBy(F.lit(1))
+    wo = Window.orderBy("ord_key", "source")
+    wpre = wo.rowsBetween(Window.unboundedPreceding, 0)
+    t2 = (
+        t.withColumn("i", F.row_number().over(wo))
+        .withColumn("m", F.count(F.lit(1)).over(w_all))
+    )
+    p = F.col("u").cast("double") / F.col("den").cast("double")
+    step = (F.col("m") - F.col("i") + 1).cast("double") * p
+    t3 = t2.withColumn("step", step).withColumn(
+        "holm_adj",
+        F.least(F.max("step").over(wpre), F.lit(1.0)),
+    )
+    reject = (
+        F.sum(
+            (F.col("holm_adj") > HOLM_ALPHA).cast("int")
+        ).over(wpre)
+        == 0
+    )
+    return t3.select(
+        "source",
+        "i",
+        F.col("planted").cast("int").alias("planted"),
+        F.round(p, 9).alias("p_value"),
+        F.round("holm_adj", 9).alias("holm_adj_p"),
+        reject.cast("int").alias("reject"),
+    ).orderBy("i")
+
+
+def meta_fixed_effect_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-variance fixed-effect meta-analysis of the per-language
+    log odds ratios (the same 2x2 cells as mantel_haenszel_or, Woolf
+    method with the Haldane-Anscombe +0.5 applied to EVERY cell so
+    zero cells never explode): pooled ln OR = sum w_i ln OR_i / sum
+    w_i with w = 1/Var, plus Cochran's Q heterogeneity and I^2 —
+    whether one pooled number is even honest (Breslow-Day asks the
+    same of the MH pooling; this is the meta-analytic phrasing).
+    lns and weighted terms ride 12dp DECIMAL sums; exp at the read
+    point."""
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_col
+
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "lang",
+        F.array_contains(tokenize_col("text"), MH_EXPOSURE_TOKEN).alias("e"),
+        F.array_contains(tokenize_col("text"), MH_OUTCOME_TOKEN).alias("o"),
+    )
+    cells = t.groupBy("lang").agg(
+        F.sum((F.col("e") & F.col("o")).cast("long")).alias("a"),
+        F.sum((F.col("e") & ~F.col("o")).cast("long")).alias("b"),
+        F.sum((~F.col("e") & F.col("o")).cast("long")).alias("c"),
+        F.sum((~F.col("e") & ~F.col("o")).cast("long")).alias("d"),
+    )
+    ah = F.col("a").cast("double") + F.lit(0.5)
+    bh = F.col("b").cast("double") + F.lit(0.5)
+    ch = F.col("c").cast("double") + F.lit(0.5)
+    dh = F.col("d").cast("double") + F.lit(0.5)
+    lnor = F.round(F.log(ah * dh / (bh * ch)), 12)
+    var = (
+        F.lit(1.0) / ah + F.lit(1.0) / bh + F.lit(1.0) / ch + F.lit(1.0) / dh
+    )
+    wgt = F.lit(1.0) / var
+    per = cells.select(
+        "lang",
+        lnor.alias("lnor"),
+        F.round(wgt, 12).alias("w"),
+    )
+    sums = per.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(
+            F.round(F.col("w") * F.col("lnor"), 12).cast("decimal(38,12)")
+        )
+        .cast("double")
+        .alias("swl"),
+        F.sum(F.col("w").cast("decimal(38,12)")).cast("double").alias("sw"),
+    )
+    pooled = F.col("swl") / F.col("sw")
+    q_terms = per.crossJoin(F.broadcast(sums)).select(
+        "k",
+        F.round(
+            F.col("w")
+            * (F.col("lnor") - pooled)
+            * (F.col("lnor") - pooled),
+            12,
+        )
+        .cast("decimal(38,12)")
+        .alias("q12"),
+        pooled.alias("pooled"),
+    )
+    g = q_terms.groupBy("k", "pooled").agg(
+        F.sum("q12").cast("double").alias("q_het")
+    )
+    dfD = (F.col("k") - 1).cast("double")
+    return g.select(
+        "k",
+        F.round("pooled", 6).alias("pooled_lnor"),
+        F.round(F.exp(F.col("pooled")), 6).alias("pooled_or"),
+        F.round("q_het", 6).alias("q_het"),
+        F.round(
+            F.greatest(
+                (F.col("q_het") - dfD) / F.col("q_het"), F.lit(0.0)
+            ),
+            6,
+        ).alias("i2"),
+    )
+
+
+GESD_ROUNDS = 3
+
+
+def gesd_outliers_3round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalized ESD (iterative Grubbs) for up to 3 outliers in the
+    daily series — the S-H-ESD core: each round recomputes mean/sd
+    over the REMAINING days, takes the largest |y - mean|/sd (rounded
+    stat, earliest day on ties) and removes it.  Grubbs' single-shot
+    test misses masked pairs; the iteration is the fix.  Three
+    bounded driver rounds (one collected argmax row each — the MMR
+    loop precedent); the oracle chains one CTE pair per round."""
+    from pyspark.sql import Window
+
+    hist = date_histogram_facets(spark, sf_dir).select("day", "n_events")
+    removed: list[str] = []
+    rows = []
+    for rnd in range(1, GESD_ROUNDS + 1):
+        rem = hist.filter(~F.col("day").isin(removed)) if removed else hist
+        g = rem.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("n_events").cast("long").alias("s"),
+            F.sum(F.col("n_events") * F.col("n_events"))
+            .cast("long")
+            .alias("ss"),
+        )
+        nD = F.col("n").cast("double")
+        mean = F.col("s").cast("double") / nD
+        sd = F.sqrt(
+            (F.col("ss").cast("double") - F.col("s").cast("double") * mean)
+            / (nD - F.lit(1.0))
+        )
+        scored = rem.crossJoin(F.broadcast(g)).select(
+            "day",
+            "n_events",
+            "n",
+            F.round(
+                F.abs(F.col("n_events").cast("double") - mean) / sd, 6
+            ).alias("r_stat"),
+        )
+        w = Window.orderBy(F.col("r_stat").desc(), F.col("day").asc())
+        top = (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .collect()[0]
+        )
+        rows.append(
+            (rnd, top["day"], int(top["n_events"]), float(top["r_stat"]),
+             int(top["n"]))
+        )
+        removed.append(top["day"])
+    return spark.createDataFrame(
+        rows,
+        "round int, day string, n_events bigint, r_stat double,"
+        " n_remaining bigint",
+    )
