@@ -1144,6 +1144,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holm_bonferroni_gate": parity.holm_bonferroni_gate,
         "meta_fixed_effect_or": parity.meta_fixed_effect_or,
         "gesd_outliers_3round": parity.gesd_outliers_3round,
+        # batch 144: Benford-2, runs up-down, MASE
+        "benford_second_digit": parity.benford_second_digit,
+        "runs_updown_test": parity.runs_updown_test,
+        "mase_backtest": parity.mase_backtest,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})

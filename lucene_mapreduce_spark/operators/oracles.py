@@ -20146,3 +20146,97 @@ def _gesd_sql() -> str:
 
 
 ORACLES["gesd_outliers_3round"] = _gesd_sql()
+
+# ---- batch 144: Benford-2, runs up-down, MASE ------------------------------
+
+from lucene_mapreduce_spark.operators.parity import (  # noqa: E402
+    BENFORD2_P,
+)
+
+_B2_CASE = "CASE digit " + " ".join(
+    f"WHEN {d} THEN {p!r}" for d, p in enumerate(BENFORD2_P)
+) + " END"
+
+ORACLES["benford_second_digit"] = f"""
+WITH o AS (
+  SELECT round(o_totalprice * 100)::BIGINT AS cents FROM orders
+),
+per AS (
+  SELECT substr(cents::VARCHAR, 2, 1)::INT AS digit,
+         count(*)::BIGINT AS observed
+  FROM o WHERE length(cents::VARCHAR) >= 2
+  GROUP BY 1
+),
+tot AS (SELECT sum(observed)::BIGINT AS n FROM per),
+terms AS (
+  SELECT digit, observed,
+         ({_B2_CASE}) * n::DOUBLE AS e
+  FROM per, tot
+),
+chi AS (
+  SELECT round(sum(round(((observed::DOUBLE - e) * (observed::DOUBLE - e))
+                         / e, 12)::DECIMAL(38,12))::DOUBLE, 6)
+           AS chi2_stat
+  FROM terms
+)
+SELECT digit, observed, round(e, 6) AS expected, chi2_stat
+FROM terms, chi ORDER BY digit
+"""
+
+ORACLES["runs_updown_test"] = f"""
+WITH {_DAILY_HIST},
+diffs AS (
+  SELECT day, dlt FROM (
+    SELECT day,
+           n_events - lag(n_events) OVER (ORDER BY day) AS dlt
+    FROM hist
+  ) WHERE dlt IS NOT NULL AND dlt <> 0
+),
+runs AS (
+  SELECT CASE WHEN lag(s) OVER (ORDER BY day) IS NULL
+               OR lag(s) OVER (ORDER BY day) <> s THEN 1 ELSE 0 END
+           AS new_run
+  FROM (SELECT day, CASE WHEN dlt > 0 THEN 1 ELSE 0 END AS s FROM diffs)
+),
+g AS (
+  SELECT count(*)::BIGINT AS n_diffs, sum(new_run)::BIGINT AS n_runs
+  FROM runs
+)
+SELECT n_diffs, n_runs,
+       round((2.0 * (n_diffs + 1)::DOUBLE - 1.0) / 3.0, 6)
+         AS expected_runs,
+       round((n_runs::DOUBLE
+              - (2.0 * (n_diffs + 1)::DOUBLE - 1.0) / 3.0)
+             / sqrt((16.0 * (n_diffs + 1)::DOUBLE - 29.0) / 90.0), 6)
+         AS z_stat
+FROM g
+"""
+
+ORACLES["mase_backtest"] = f"""
+WITH {_DAILY_HIST},
+idx AS (
+  SELECT row_number() OVER (ORDER BY day)::BIGINT AS i,
+         n_events::BIGINT AS y,
+         lag(n_events, 7) OVER (ORDER BY day)::BIGINT AS y7,
+         lag(n_events, 1) OVER (ORDER BY day)::BIGINT AS y1
+  FROM hist
+),
+nd AS (SELECT count(*)::BIGINT AS n FROM hist),
+test AS (
+  SELECT count(*)::BIGINT AS n_test,
+         sum(abs(y - y7))::BIGINT AS sae_model
+  FROM idx WHERE i > (SELECT n FROM nd) - 7 AND y7 IS NOT NULL
+),
+train AS (
+  SELECT count(*)::BIGINT AS n_train,
+         sum(abs(y - y1))::BIGINT AS sae_naive
+  FROM idx WHERE i <= (SELECT n FROM nd) - 7 AND y1 IS NOT NULL
+)
+SELECT n_train, n_test,
+       round(sae_model::DOUBLE / n_test::DOUBLE, 6) AS mae_model,
+       round(sae_naive::DOUBLE / n_train::DOUBLE, 6)
+         AS mae_naive_insample,
+       round((sae_model::DOUBLE / n_test::DOUBLE)
+             / (sae_naive::DOUBLE / n_train::DOUBLE), 6) AS mase
+FROM test, train
+"""

@@ -10371,3 +10371,145 @@ def gesd_outliers_3round(spark: SparkSession, sf_dir: str) -> DataFrame:
         "round int, day string, n_events bigint, r_stat double,"
         " n_remaining bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 144: Benford 2nd digit, runs up-down, MASE backtest
+# ---------------------------------------------------------------------------
+
+import math as _m2
+
+# P(second digit = d) = sum_{k=1..9} log10(1 + 1/(10k + d)), pinned
+BENFORD2_P = tuple(
+    sum(_m2.log10(1.0 + 1.0 / (10 * k + d)) for k in range(1, 10))
+    for d in range(10)
+)
+
+
+def benford_second_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford SECOND-digit conformity of order totals —
+    benford_first_digit's sharper forensic sibling (fabricated data
+    often passes the first-digit test and fails this one): observed
+    counts per second significant digit vs the pinned closed-form
+    Benford-2 probabilities, chi-square contributions as 12dp
+    DECIMALs.  Digit extraction is pure string arithmetic on the
+    integer cent value (no float log10 in the grouping path)."""
+    o = load(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    s = F.col("cents").cast("string")
+    d2 = F.substring(s, 2, 1).cast("int")
+    per = (
+        o.filter(F.length(s) >= 2)
+        .select(d2.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("observed"))
+    )
+    tot = per.agg(F.sum("observed").cast("long").alias("n"))
+    pmap = F.create_map(
+        *[x for d, p in enumerate(BENFORD2_P) for x in (F.lit(d), F.lit(p))]
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    e = pmap[F.col("digit")] * F.col("n").cast("double")
+    dlt = F.col("observed").cast("double") - e
+    terms = j.select(
+        "digit",
+        "observed",
+        F.round(e, 6).alias("expected"),
+        F.round((dlt * dlt) / e, 12).cast("decimal(38,12)").alias("c12"),
+    )
+    chi = terms.agg(
+        F.round(F.sum("c12").cast("double"), 6).alias("chi2_stat")
+    )
+    return (
+        terms.select("digit", "observed", "expected")
+        .crossJoin(F.broadcast(chi))
+        .orderBy("digit")
+    )
+
+
+def runs_updown_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs up-and-down test on the daily series — the DIFFERENCE-sign
+    randomness probe (runs_test_daily splits on the median level;
+    this one on local direction, which catches oscillation a level
+    split misses): count maximal runs of consecutive increases or
+    decreases (zero diffs dropped, the convention), against the exact
+    null E[R] = (2n - 1)/3 and Var[R] = (16n - 29)/90 where n =
+    retained diffs + 1.  All integers until z."""
+    from pyspark.sql import Window
+
+    hist = date_histogram_facets(spark, sf_dir)
+    w = Window.orderBy("day")
+    diffs = hist.select(
+        (F.col("n_events") - F.lag("n_events").over(w)).alias("dlt"),
+        "day",
+    ).filter(F.col("dlt").isNotNull() & (F.col("dlt") != 0))
+    w2 = Window.orderBy("day")
+    sgn = F.when(F.col("dlt") > 0, 1).otherwise(0)
+    runs = diffs.select(
+        sgn.alias("s"),
+        F.when(
+            F.lag(sgn).over(w2).isNull() | (F.lag(sgn).over(w2) != sgn),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    g = runs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_diffs"),
+        F.sum("new_run").cast("long").alias("n_runs"),
+    )
+    nD = (F.col("n_diffs") + 1).cast("double")
+    mu = (F.lit(2.0) * nD - F.lit(1.0)) / F.lit(3.0)
+    var = (F.lit(16.0) * nD - F.lit(29.0)) / F.lit(90.0)
+    return g.select(
+        "n_diffs",
+        "n_runs",
+        F.round(mu, 6).alias("expected_runs"),
+        F.round(
+            (F.col("n_runs").cast("double") - mu) / F.sqrt(var), 6
+        ).alias("z_stat"),
+    )
+
+
+def mase_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean absolute scaled error of the lag-7 seasonal-naive
+    forecaster on the last-7-day holdout, scaled by the IN-SAMPLE
+    naive (lag-1) MAE on the train span — Hyndman's scale-free
+    forecast metric, the missing member beside MAE/MAPE/pinball/
+    Theil-U2 in the backtest family (MASE < 1 beats the naive
+    benchmark regardless of units).  Exact integer absolute errors,
+    DECIMAL-free: everything is BIGINT sums until the final ratio."""
+    from pyspark.sql import Window
+
+    hist = date_histogram_facets(spark, sf_dir)
+    w = Window.orderBy("day")
+    idx = hist.select(
+        F.row_number().over(w).cast("long").alias("i"),
+        F.col("n_events").cast("long").alias("y"),
+        F.lag("n_events", 7).over(w).cast("long").alias("y7"),
+        F.lag("n_events", 1).over(w).cast("long").alias("y1"),
+    )
+    n_days = hist.count()
+    h = n_days - 7
+    test = idx.filter(
+        (F.col("i") > h) & F.col("y7").isNotNull()
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.sum(F.abs(F.col("y") - F.col("y7"))).cast("long").alias("sae_model"),
+    )
+    train = idx.filter(
+        (F.col("i") <= h) & F.col("y1").isNotNull()
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_train"),
+        F.sum(F.abs(F.col("y") - F.col("y1"))).cast("long").alias("sae_naive"),
+    )
+    mae_m = F.col("sae_model").cast("double") / F.col("n_test").cast("double")
+    mae_n = F.col("sae_naive").cast("double") / F.col("n_train").cast("double")
+    return test.crossJoin(F.broadcast(train)).select(
+        "n_train",
+        "n_test",
+        F.round(mae_m, 6).alias("mae_model"),
+        F.round(mae_n, 6).alias("mae_naive_insample"),
+        F.round(mae_m / mae_n, 6).alias("mase"),
+    )
