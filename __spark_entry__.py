@@ -1148,6 +1148,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_second_digit": parity.benford_second_digit,
         "runs_updown_test": parity.runs_updown_test,
         "mase_backtest": parity.mase_backtest,
+        # batch 145: average precision, Youden J, footrule
+        "average_precision_score": parity.average_precision_score,
+        "youden_j_threshold": parity.youden_j_threshold,
+        "spearman_footrule_pages": parity.spearman_footrule_pages,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})
@@ -1215,6 +1219,9 @@ def oracle_sql() -> dict[str, str]:
     from lucene_mapreduce_spark.operators.oracles import maxp_sql
 
     out["maxp_passage_retrieval_topk"] = maxp_sql(fulltext.FLAGSHIP_QUERY)
+    from lucene_mapreduce_spark.operators.oracles import footrule_sql
+
+    out["spearman_footrule_pages"] = footrule_sql(fulltext.FLAGSHIP_QUERY)
     out["terms_enum"] = terms_enum_sql(fulltext.TERMS_ENUM_K)
     out["spell_suggest"] = spell_suggest_sql(fulltext.SPELL_INPUT)
     out["autocomplete"] = autocomplete_sql(fulltext.AUTOCOMPLETE_PREFIX)

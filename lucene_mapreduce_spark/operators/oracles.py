@@ -20240,3 +20240,82 @@ SELECT n_train, n_test,
              / (sae_naive::DOUBLE / n_train::DOUBLE), 6) AS mase
 FROM test, train
 """
+
+# ---- batch 145: average precision, Youden J, footrule ----------------------
+
+ORACLES["average_precision_score"] = f"""
+WITH ev AS (
+  SELECT event_id, value / (value + {BRIER_P_SHIFT!r}) AS p,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+),
+ranked AS (
+  SELECT y,
+         row_number() OVER (ORDER BY p DESC, event_id ASC)::BIGINT AS k,
+         sum(y) OVER (ORDER BY p DESC, event_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS tp
+  FROM ev
+),
+tot AS (
+  SELECT count(*)::BIGINT AS n, sum(y)::BIGINT AS n_pos FROM ev
+),
+ap AS (
+  SELECT sum(round(tp::DOUBLE / k::DOUBLE, 12)::DECIMAL(38,12))::DOUBLE
+           AS s
+  FROM ranked WHERE y = 1
+)
+SELECT n, n_pos,
+       round(s / n_pos::DOUBLE, 6) AS average_precision,
+       round(n_pos::DOUBLE / n::DOUBLE, 6) AS baseline_prevalence
+FROM ap, tot
+"""
+
+ORACLES["youden_j_threshold"] = f"""
+WITH ev AS (
+  SELECT value / (value + {BRIER_P_SHIFT!r}) AS p,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+),
+per AS (
+  SELECT p, sum(y)::BIGINT AS pos,
+         (count(*) - sum(y))::BIGINT AS neg
+  FROM ev GROUP BY 1
+),
+tot AS (
+  SELECT sum(pos)::BIGINT AS tp_all, sum(neg)::BIGINT AS fp_all FROM per
+),
+cum AS (
+  SELECT p,
+         sum(pos) OVER (ORDER BY p DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS tp,
+         sum(neg) OVER (ORDER BY p DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS fp
+  FROM per
+),
+j AS (
+  SELECT p, tp, fp,
+         round(tp::DOUBLE / tp_all::DOUBLE - fp::DOUBLE / fp_all::DOUBLE,
+               6) AS youden_j
+  FROM cum, tot
+)
+SELECT round(p, 6) AS threshold, tp, fp, youden_j FROM (
+  SELECT *, row_number() OVER (ORDER BY youden_j DESC, p ASC) AS r
+  FROM j
+) WHERE r = 1
+"""
+
+
+def footrule_sql(query_text: str) -> str:
+    return f"""
+WITH a AS (SELECT doc_id, rank AS ra
+           FROM ({bm25_topk_sql(query_text, 10)})),
+b AS (SELECT doc_id, rank AS rb FROM ({tfidf_sql(query_text, 10)})),
+g AS (
+  SELECT count(*)::BIGINT AS n_common,
+         sum(abs(ra - rb))::BIGINT AS footrule
+  FROM a JOIN b USING (doc_id)
+)
+SELECT n_common, footrule,
+       round(1.0 - footrule::DOUBLE / 50.0, 6) AS footrule_similarity
+FROM g
+"""

@@ -10513,3 +10513,145 @@ def mase_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mae_n, 6).alias("mae_naive_insample"),
         F.round(mae_m / mae_n, 6).alias("mase"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 145: average precision, Youden J, Spearman footrule
+# ---------------------------------------------------------------------------
+
+
+def average_precision_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (area under the precision-recall curve in its
+    step form) of the pinned scorer — the imbalanced-outcome
+    companion to score_auc_exact (ROC flatters rare positives; PR
+    does not): over the total (p desc, event_id) order, AP = sum over
+    positive positions of precision@k / n_pos.  Exact BIGINT
+    cumulative counts in one window; terms ride 12dp DECIMAL sums."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("value") / (F.col("value") + F.lit(BRIER_P_SHIFT))).alias("p"),
+        (F.col("event_type") == "purchase").cast("long").alias("y"),
+    )
+    w = Window.orderBy(F.col("p").desc(), F.col("event_id").asc())
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    ranked = ev.select(
+        "y",
+        F.row_number().over(w).cast("long").alias("k"),
+        F.sum("y").over(wc).cast("long").alias("tp"),
+    )
+    terms = ranked.filter(F.col("y") == 1).select(
+        F.round(
+            F.col("tp").cast("double") / F.col("k").cast("double"), 12
+        )
+        .cast("decimal(38,12)")
+        .alias("prec12")
+    )
+    tot = ev.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("n_pos"),
+    )
+    ap = terms.agg(F.sum("prec12").cast("double").alias("s"))
+    return ap.crossJoin(F.broadcast(tot)).select(
+        "n",
+        "n_pos",
+        F.round(
+            F.col("s") / F.col("n_pos").cast("double"), 6
+        ).alias("average_precision"),
+        F.round(
+            F.col("n_pos").cast("double") / F.col("n").cast("double"), 6
+        ).alias("baseline_prevalence"),
+    )
+
+
+def youden_j_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Youden's J optimal operating point for the pinned scorer: over
+    every distinct score threshold (predict positive when p >= t),
+    J(t) = TPR - FPR; the report returns the maximizing threshold
+    (rounded J, smallest t on ties) with its confusion counts — the
+    threshold-selection step between score_auc_exact (ranking
+    quality) and brier_calibration_report (probability quality).
+    Cumulative TP/FP ride one ordered window over the distinct-score
+    table (value-bounded, never row-bounded)."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        (F.col("value") / (F.col("value") + F.lit(BRIER_P_SHIFT))).alias("p"),
+        (F.col("event_type") == "purchase").cast("long").alias("y"),
+    )
+    per = ev.groupBy("p").agg(
+        F.sum("y").cast("long").alias("pos"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("neg"),
+    )
+    w = Window.orderBy(F.col("p").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = per.agg(
+        F.sum("pos").cast("long").alias("tp_all"),
+        F.sum("neg").cast("long").alias("fp_all"),
+    )
+    cum = per.select(
+        "p",
+        F.sum("pos").over(w).cast("long").alias("tp"),
+        F.sum("neg").over(w).cast("long").alias("fp"),
+    )
+    j = cum.crossJoin(F.broadcast(tot)).select(
+        "p",
+        "tp",
+        "fp",
+        F.round(
+            F.col("tp").cast("double") / F.col("tp_all").cast("double")
+            - F.col("fp").cast("double") / F.col("fp_all").cast("double"),
+            6,
+        ).alias("youden_j"),
+    )
+    wr = Window.orderBy(F.col("youden_j").desc(), F.col("p").asc())
+    return (
+        j.withColumn("r", F.row_number().over(wr))
+        .filter(F.col("r") == 1)
+        .select(
+            F.round("p", 6).alias("threshold"),
+            "tp",
+            "fp",
+            "youden_j",
+        )
+    )
+
+
+def spearman_footrule_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman footrule distance between the BM25 and
+    ClassicSimilarity top-10 pages for the flagship query — the
+    L1 rank-displacement number beside rank_biased_overlap's
+    weighted-overlap and the Kendall family's pair counts: over the
+    page INTERSECTION, sum |rank_bm25 - rank_tfidf|, with the
+    intersection size and the max-possible displacement for context.
+    Two ranked pages (each already oracle-shared), one join."""
+    from lucene_mapreduce_spark.operators.fulltext import (
+        bm25_topk_documents,
+        tfidf_topk,
+    )
+
+    a = bm25_topk_documents(spark, sf_dir).select(
+        "doc_id", F.col("rank").alias("ra")
+    )
+    b = tfidf_topk(spark, sf_dir).select(
+        "doc_id", F.col("rank").alias("rb")
+    )
+    j = a.join(b, "doc_id")
+    g = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_common"),
+        F.sum(F.abs(F.col("ra") - F.col("rb"))).cast("long").alias(
+            "footrule"
+        ),
+    )
+    return g.select(
+        "n_common",
+        "footrule",
+        F.round(
+            F.lit(1.0)
+            - F.col("footrule").cast("double")
+            / F.lit(50.0),  # max footrule for two 10-perms = floor(k^2/2)
+            6,
+        ).alias("footrule_similarity"),
+    )
