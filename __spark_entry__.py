@@ -1152,6 +1152,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "average_precision_score": parity.average_precision_score,
         "youden_j_threshold": parity.youden_j_threshold,
         "spearman_footrule_pages": parity.spearman_footrule_pages,
+        # batch 146: burstiness, GM-AM gap, Q-Q deciles
+        "interevent_burstiness": parity.interevent_burstiness,
+        "gm_am_revenue_gap": parity.gm_am_revenue_gap,
+        "qq_decile_comparison": parity.qq_decile_comparison,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})

@@ -20319,3 +20319,71 @@ SELECT n_common, footrule,
        round(1.0 - footrule::DOUBLE / 50.0, 6) AS footrule_similarity
 FROM g
 """
+
+# ---- batch 146: burstiness, GM-AM gap, Q-Q deciles -------------------------
+
+from lucene_mapreduce_spark.operators.parity import QQ_DECILES  # noqa: E402
+
+ORACLES["interevent_burstiness"] = """
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) // 1000000 AS es FROM events
+),
+gaps AS (
+  SELECT g FROM (
+    SELECT (es - lag(es) OVER (PARTITION BY user_id
+                               ORDER BY es, event_id))::BIGINT AS g
+    FROM ev
+  ) WHERE g IS NOT NULL
+),
+agg AS (
+  SELECT count(*)::BIGINT AS n_gaps, sum(g)::BIGINT AS s,
+         sum(g * g)::BIGINT AS ss
+  FROM gaps
+)
+SELECT n_gaps,
+       round(s::DOUBLE / n_gaps::DOUBLE, 6) AS mean_gap_s,
+       round(sqrt((ss::DOUBLE - s::DOUBLE * (s::DOUBLE / n_gaps::DOUBLE))
+                  / (n_gaps::DOUBLE - 1.0)), 6) AS sd_gap_s,
+       round(sqrt((ss::DOUBLE - s::DOUBLE * (s::DOUBLE / n_gaps::DOUBLE))
+                  / (n_gaps::DOUBLE - 1.0))
+             / (s::DOUBLE / n_gaps::DOUBLE), 6) AS cv,
+       round((sqrt((ss::DOUBLE - s::DOUBLE * (s::DOUBLE / n_gaps::DOUBLE))
+                   / (n_gaps::DOUBLE - 1.0))
+              / (s::DOUBLE / n_gaps::DOUBLE) - 1.0)
+             / (sqrt((ss::DOUBLE - s::DOUBLE
+                        * (s::DOUBLE / n_gaps::DOUBLE))
+                     / (n_gaps::DOUBLE - 1.0))
+                / (s::DOUBLE / n_gaps::DOUBLE) + 1.0), 6)
+         AS burstiness_b
+FROM agg
+"""
+
+ORACLES["gm_am_revenue_gap"] = """
+WITH g AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(round(o_totalprice, 2)::DECIMAL(28,2)) AS s2,
+         sum(round(ln(o_totalprice), 12)::DECIMAL(38,12))::DOUBLE AS sln
+  FROM orders
+)
+SELECT n,
+       round(s2::DOUBLE / n::DOUBLE, 4) AS arithmetic_mean,
+       round(exp(sln / n::DOUBLE), 4) AS geometric_mean,
+       round(exp(sln / n::DOUBLE) / (s2::DOUBLE / n::DOUBLE), 6)
+         AS gm_over_am
+FROM g
+"""
+
+_QQ_ROWS = "\nUNION ALL\n".join(
+    f"""SELECT {int(p * 100)}::BIGINT AS pct,
+       round((SELECT quantile_cont(value, {p!r}) FROM events
+              WHERE event_type = '{DCOR_TYPE_X}'), 6) AS q_click,
+       round((SELECT quantile_cont(value, {p!r}) FROM events
+              WHERE event_type = '{DCOR_TYPE_Y}'), 6) AS q_purchase,
+       round((SELECT quantile_cont(value, {p!r}) FROM events
+              WHERE event_type = '{DCOR_TYPE_Y}')
+             / (SELECT quantile_cont(value, {p!r}) FROM events
+                WHERE event_type = '{DCOR_TYPE_X}'), 6) AS ratio"""
+    for p in QQ_DECILES
+)
+
+ORACLES["qq_decile_comparison"] = _QQ_ROWS + "\nORDER BY pct"

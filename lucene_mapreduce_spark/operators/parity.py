@@ -10655,3 +10655,110 @@ def spearman_footrule_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("footrule_similarity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 146: inter-event burstiness, GM-AM gap, Q-Q deciles
+# ---------------------------------------------------------------------------
+
+
+def interevent_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh-Barabasi burstiness of the pooled inter-event gaps within
+    users: B = (cv - 1)/(cv + 1) over per-user consecutive-event gap
+    seconds (B = -1 periodic, 0 Poisson, -> 1 bursty) —
+    term_burstiness asks this of token streams, bot_burst_detection
+    of rates; this is the canonical human-dynamics form.  Gaps are
+    exact integers from one per-user lag; moments ride BIGINT sums
+    (gap^2 fits: gaps < 2.6M s, squares < 7e12, x 10k rows per sf
+    well under 2^63)."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.expr("unix_micros(cast(ts as timestamp)) div 1000000").alias("es"),
+    )
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    gaps = ev.select(
+        (F.col("es") - F.lag("es").over(w)).cast("long").alias("g")
+    ).filter(F.col("g").isNotNull())
+    agg = gaps.agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum("g").cast("long").alias("s"),
+        F.sum(F.col("g") * F.col("g")).cast("long").alias("ss"),
+    )
+    nD = F.col("n_gaps").cast("double")
+    mean = F.col("s").cast("double") / nD
+    sd = F.sqrt(
+        (F.col("ss").cast("double") - F.col("s").cast("double") * mean)
+        / (nD - F.lit(1.0))
+    )
+    cv = sd / mean
+    return agg.select(
+        "n_gaps",
+        F.round(mean, 6).alias("mean_gap_s"),
+        F.round(sd, 6).alias("sd_gap_s"),
+        F.round(cv, 6).alias("cv"),
+        F.round((cv - F.lit(1.0)) / (cv + F.lit(1.0)), 6).alias(
+            "burstiness_b"
+        ),
+    )
+
+
+def gm_am_revenue_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric vs arithmetic mean order revenue — the AM-GM gap as a
+    right-skew summary (log-normal-ish revenue makes the arithmetic
+    mean a misleading 'typical order'; the ratio GM/AM quantifies
+    by how much): AM from exact DECIMAL(28,2) sums, GM as exp of the
+    12dp-DECIMAL mean ln, and the gap ratio.  One scan, one row."""
+    o = load(spark, sf_dir, "orders").select("o_totalprice")
+    g = o.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.round("o_totalprice", 2).cast("decimal(28,2)")
+        ).alias("s2"),
+        F.sum(
+            F.round(F.log("o_totalprice"), 12).cast("decimal(38,12)")
+        )
+        .cast("double")
+        .alias("sln"),
+    )
+    am = F.col("s2").cast("double") / F.col("n").cast("double")
+    gm = F.exp(F.col("sln") / F.col("n").cast("double"))
+    return g.select(
+        "n",
+        F.round(am, 4).alias("arithmetic_mean"),
+        F.round(gm, 4).alias("geometric_mean"),
+        F.round(gm / am, 6).alias("gm_over_am"),
+    )
+
+
+QQ_DECILES = tuple(i / 10.0 for i in range(1, 10))
+
+
+def qq_decile_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-quantile comparison of the click vs purchase value
+    distributions at the nine deciles — the distribution-shape probe
+    that localizes WHERE two samples differ (ks/EMD/energy give one
+    number; the Q-Q ladder says 'the upper tail').  Exact type-7
+    quantiles on both sides, per-decile ratio.  Two tiny aggregates,
+    nine rows."""
+    ev = load(spark, sf_dir, "events")
+    legs = {}
+    for name, t in (("x", DCOR_TYPE_X), ("y", DCOR_TYPE_Y)):
+        ps = ", ".join(str(p) for p in QQ_DECILES)
+        legs[name] = ev.filter(F.col("event_type") == t).agg(
+            F.expr(f"percentile(value, array({ps}))").alias(f"q{name}")
+        )
+    j = legs["x"].crossJoin(F.broadcast(legs["y"]))
+    exploded = j.select(
+        F.posexplode(
+            F.arrays_zip(F.col("qx"), F.col("qy"))
+        ).alias("i", "z")
+    ).select(
+        ((F.col("i") + 1).cast("long") * 10).alias("pct"),
+        F.round(F.col("z.qx"), 6).alias("q_click"),
+        F.round(F.col("z.qy"), 6).alias("q_purchase"),
+        F.round(F.col("z.qy") / F.col("z.qx"), 6).alias("ratio"),
+    )
+    return exploded.orderBy("pct")
