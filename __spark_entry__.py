@@ -1156,6 +1156,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interevent_burstiness": parity.interevent_burstiness,
         "gm_am_revenue_gap": parity.gm_am_revenue_gap,
         "qq_decile_comparison": parity.qq_decile_comparison,
+        # batch 147: error MTBF, Theil decomposition, Cohen's d
+        "error_mtbf_report": parity.error_mtbf_report,
+        "theil_decomposition_nations": parity.theil_decomposition_nations,
+        "cohens_d_arms": parity.cohens_d_arms,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})

@@ -20387,3 +20387,113 @@ _QQ_ROWS = "\nUNION ALL\n".join(
 )
 
 ORACLES["qq_decile_comparison"] = _QQ_ROWS + "\nORDER BY pct"
+
+# ---- batch 147: error MTBF, Theil decomposition, Cohen's d -----------------
+
+ORACLES["error_mtbf_report"] = """
+WITH ev AS (
+  SELECT event_id, epoch_us(ts) // 1000000 AS es FROM events
+  WHERE event_type = 'error'
+),
+gaps AS (
+  SELECT g FROM (
+    SELECT (es - lag(es) OVER (ORDER BY es, event_id))::BIGINT AS g
+    FROM ev
+  ) WHERE g IS NOT NULL
+),
+span AS (
+  SELECT count(*)::BIGINT AS n_errors,
+         (max(es) - min(es))::DOUBLE / 86400.0 AS span_days
+  FROM ev
+),
+g AS (
+  SELECT count(*)::BIGINT AS n_gaps,
+         round(sum(g)::DOUBLE / count(*)::DOUBLE, 6) AS mtbf_s,
+         round(quantile_cont(g, 0.5), 6) AS median_gap_s,
+         round(quantile_cont(g, 0.95), 6) AS p95_gap_s
+  FROM gaps
+)
+SELECT n_errors, n_gaps, mtbf_s, median_gap_s, p95_gap_s,
+       round(n_errors::DOUBLE / span_days, 6) AS errors_per_day
+FROM g, span
+"""
+
+ORACLES["theil_decomposition_nations"] = """
+WITH o AS (
+  SELECT c.c_nationkey,
+         round(o.o_totalprice, 2)::DECIMAL(28,2) AS x
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+tot AS (SELECT count(*)::BIGINT AS n, sum(x) AS sx FROM o),
+per_nation AS (
+  SELECT c_nationkey, count(*)::BIGINT AS n_i, sum(x) AS sx_i
+  FROM o GROUP BY 1
+),
+between_t AS (
+  SELECT sum(round((sx_i::DOUBLE / sx::DOUBLE)
+                   * round(ln((sx_i::DOUBLE / n_i::DOUBLE)
+                              / (sx::DOUBLE / n::DOUBLE)), 12),
+                   12)::DECIMAL(38,12))::DOUBLE AS t_between
+  FROM per_nation, tot
+),
+within_t AS (
+  SELECT o.c_nationkey,
+         sum(round((o.x::DOUBLE / p.sx_i::DOUBLE)
+                   * round(ln(o.x::DOUBLE
+                              / (p.sx_i::DOUBLE / p.n_i::DOUBLE)), 12),
+                   12)::DECIMAL(38,12))::DOUBLE AS t_within
+  FROM o JOIN per_nation p USING (c_nationkey)
+  GROUP BY 1
+)
+SELECT n.n_name, p.n_i,
+       round(p.sx_i::DOUBLE / t.sx::DOUBLE, 6) AS revenue_share,
+       round(w.t_within, 6) AS t_within,
+       round(b.t_between, 6) AS t_between
+FROM per_nation p
+JOIN within_t w USING (c_nationkey)
+JOIN nation n ON n.n_nationkey = p.c_nationkey
+CROSS JOIN tot t CROSS JOIN between_t b
+ORDER BY n.n_name
+"""
+
+_CD_ARM = "(" + _MD5_52.format(e="'lr:' || user_id::VARCHAR") + ") % 2"
+
+ORACLES["cohens_d_arms"] = f"""
+WITH ev AS (
+  SELECT ({_CD_ARM})::INT AS arm,
+         round(value, 6)::DECIMAL(18,6) AS v,
+         round(value * value, 12)::DECIMAL(38,12) AS vv
+  FROM events
+),
+per AS (
+  SELECT arm, count(*)::BIGINT AS n, sum(v)::DOUBLE AS s,
+         sum(vv)::DOUBLE AS ss
+  FROM ev GROUP BY 1
+),
+piv AS (
+  SELECT max(CASE WHEN arm = 0 THEN n END) AS n0,
+         max(CASE WHEN arm = 0 THEN s END) AS s0,
+         max(CASE WHEN arm = 0 THEN ss END) AS ss0,
+         max(CASE WHEN arm = 1 THEN n END) AS n1,
+         max(CASE WHEN arm = 1 THEN s END) AS s1,
+         max(CASE WHEN arm = 1 THEN ss END) AS ss1
+  FROM per
+)
+SELECT n0 AS n_arm0, n1 AS n_arm1,
+       round(s0 / n0::DOUBLE, 6) AS mean_arm0,
+       round(s1 / n1::DOUBLE, 6) AS mean_arm1,
+       round(sqrt(((ss0 - s0 * (s0 / n0::DOUBLE))
+                   + (ss1 - s1 * (s1 / n1::DOUBLE)))
+                  / (n0::DOUBLE + n1::DOUBLE - 2.0)), 6) AS pooled_sd,
+       round((s1 / n1::DOUBLE - s0 / n0::DOUBLE)
+             / sqrt(((ss0 - s0 * (s0 / n0::DOUBLE))
+                     + (ss1 - s1 * (s1 / n1::DOUBLE)))
+                    / (n0::DOUBLE + n1::DOUBLE - 2.0)), 6) AS cohens_d,
+       round(((s1 / n1::DOUBLE - s0 / n0::DOUBLE)
+              / sqrt(((ss0 - s0 * (s0 / n0::DOUBLE))
+                      + (ss1 - s1 * (s1 / n1::DOUBLE)))
+                     / (n0::DOUBLE + n1::DOUBLE - 2.0)))
+             * (1.0 - 3.0 / (4.0 * (n0::DOUBLE + n1::DOUBLE - 2.0)
+                             - 1.0)), 6) AS hedges_g
+FROM piv
+"""

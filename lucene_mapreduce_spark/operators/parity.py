@@ -10762,3 +10762,188 @@ def qq_decile_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("z.qy") / F.col("z.qx"), 6).alias("ratio"),
     )
     return exploded.orderBy("pct")
+
+
+# ---------------------------------------------------------------------------
+# Batch 147: error MTBF, Theil decomposition, Cohen's d
+# ---------------------------------------------------------------------------
+
+
+def error_mtbf_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean time between failures for the error stream — the SRE
+    reliability summary read off the event log: consecutive global
+    'error' gaps in seconds (exact integers, (es, event_id) total
+    order), their mean / exact type-7 median and p95, and the
+    errors-per-day rate.  slo_burn_alerts consumes windows; this is
+    the stationary summary those windows fluctuate around."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "error"
+    ).select(
+        "event_id",
+        F.expr("unix_micros(cast(ts as timestamp)) div 1000000").alias("es"),
+    )
+    w = Window.orderBy("es", "event_id")
+    gaps = ev.select(
+        (F.col("es") - F.lag("es").over(w)).cast("long").alias("g")
+    ).filter(F.col("g").isNotNull())
+    n_err = ev.count()
+    span = ev.agg(
+        ((F.max("es") - F.min("es")).cast("double") / F.lit(86400.0)).alias(
+            "span_days"
+        )
+    )
+    g = gaps.agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.round(
+            F.sum("g").cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("mtbf_s"),
+        F.round(F.expr("percentile(g, 0.5)"), 6).alias("median_gap_s"),
+        F.round(F.expr("percentile(g, 0.95)"), 6).alias("p95_gap_s"),
+    )
+    return g.crossJoin(F.broadcast(span)).select(
+        F.lit(n_err).cast("long").alias("n_errors"),
+        "n_gaps",
+        "mtbf_s",
+        "median_gap_s",
+        "p95_gap_s",
+        F.round(
+            F.lit(float(n_err)) / F.col("span_days"), 6
+        ).alias("errors_per_day"),
+    )
+
+
+def theil_decomposition_nations(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Theil-T inequality of order revenue decomposed into between-
+    nation and within-nation components (T = T_between + sum_i
+    share_i T_within_i — the exactly additive decomposition that
+    makes Theil the inequality index of choice over Gini for
+    drill-downs; theil_index_by_source reports the undecomposed
+    number).  Revenue rides DECIMAL(28,2) sums; every ln is
+    12dp-rounded into DECIMAL sums at order grain and nation grain.
+    Output: one row per nation (share, within-T) plus the pooled
+    between/total riding each row."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select(
+        "c_nationkey",
+        F.round("o_totalprice", 2).cast("decimal(28,2)").alias("x"),
+    )
+    tot = o.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+    )
+    mu_all = F.col("sx").cast("double") / F.col("n").cast("double")
+    per_nation = o.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_i"),
+        F.sum("x").alias("sx_i"),
+    )
+    jn = per_nation.crossJoin(F.broadcast(tot))
+    share = F.col("sx_i").cast("double") / F.col("sx").cast("double")
+    mu_i = F.col("sx_i").cast("double") / F.col("n_i").cast("double")
+    between = jn.select(
+        F.round(
+            share * F.round(F.log(mu_i / mu_all), 12), 12
+        )
+        .cast("decimal(38,12)")
+        .alias("b12")
+    ).agg(F.sum("b12").cast("double").alias("t_between"))
+    within_terms = (
+        o.join(per_nation, "c_nationkey")
+        .select(
+            "c_nationkey",
+            F.round(
+                (
+                    F.col("x").cast("double")
+                    / F.col("sx_i").cast("double")
+                )
+                * F.round(
+                    F.log(
+                        F.col("x").cast("double")
+                        / (
+                            F.col("sx_i").cast("double")
+                            / F.col("n_i").cast("double")
+                        )
+                    ),
+                    12,
+                ),
+                12,
+            )
+            .cast("decimal(38,12)")
+            .alias("w12"),
+        )
+        .groupBy("c_nationkey")
+        .agg(F.sum("w12").cast("double").alias("t_within"))
+    )
+    rows = (
+        per_nation.join(within_terms, "c_nationkey")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(between))
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            "n_name",
+            "n_i",
+            F.round(share, 6).alias("revenue_share"),
+            F.round("t_within", 6).alias("t_within"),
+            F.round("t_between", 6).alias("t_between"),
+        )
+    )
+    return rows.orderBy("n_name")
+
+
+def cohens_d_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d (and the small-sample Hedges' g correction) for event
+    value between the md5-parity user arms — the standardized effect
+    size every A/B readout should report beside its p-value
+    (two_proportion_z_test and t_test_agg give significance; this
+    gives magnitude): pooled-SD denominator from exact DECIMAL
+    moments, g = d (1 - 3/(4 df - 1)).  One scan, one row."""
+    from lucene_mapreduce_spark.operators.textstats import _md5_52
+
+    ev = load(spark, sf_dir, "events").select(
+        (
+            _md5_52(F.concat(F.lit("lr:"), F.col("user_id").cast("string")))
+            % 2
+        ).cast("int").alias("arm"),
+        F.round("value", 6).cast("decimal(18,6)").alias("v"),
+        F.round(F.col("value") * F.col("value"), 12)
+        .cast("decimal(38,12)")
+        .alias("vv"),
+    )
+    per = ev.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").cast("double").alias("s"),
+        F.sum("vv").cast("double").alias("ss"),
+    )
+    piv = per.groupBy().pivot("arm", [0, 1]).agg(
+        F.first("n").alias("n"), F.first("s").alias("s"),
+        F.first("ss").alias("ss"),
+    )
+    n0 = F.col("0_n").cast("double")
+    n1 = F.col("1_n").cast("double")
+    m0 = F.col("0_s") / n0
+    m1 = F.col("1_s") / n1
+    ss0 = F.col("0_ss") - F.col("0_s") * m0
+    ss1 = F.col("1_ss") - F.col("1_s") * m1
+    sp = F.sqrt((ss0 + ss1) / (n0 + n1 - F.lit(2.0)))
+    d = (m1 - m0) / sp
+    df = n0 + n1 - F.lit(2.0)
+    g = d * (F.lit(1.0) - F.lit(3.0) / (F.lit(4.0) * df - F.lit(1.0)))
+    return piv.select(
+        F.col("0_n").alias("n_arm0"),
+        F.col("1_n").alias("n_arm1"),
+        F.round(m0, 6).alias("mean_arm0"),
+        F.round(m1, 6).alias("mean_arm1"),
+        F.round(sp, 6).alias("pooled_sd"),
+        F.round(d, 6).alias("cohens_d"),
+        F.round(g, 6).alias("hedges_g"),
+    )
