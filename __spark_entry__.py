@@ -1160,6 +1160,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "error_mtbf_report": parity.error_mtbf_report,
         "theil_decomposition_nations": parity.theil_decomposition_nations,
         "cohens_d_arms": parity.cohens_d_arms,
+        # batch 148: negbin fit, capture-recapture, Chao1
+        "negbin_moment_fit": parity.negbin_moment_fit,
+        "capture_recapture_users": parity.capture_recapture_users,
+        "chao1_vocab_estimate": parity.chao1_vocab_estimate,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})

@@ -20497,3 +20497,81 @@ SELECT n0 AS n_arm0, n1 AS n_arm1,
                              - 1.0)), 6) AS hedges_g
 FROM piv
 """
+
+# ---- batch 148: negbin fit, capture-recapture, Chao1 -----------------------
+
+from lucene_mapreduce_spark.operators.parity import (  # noqa: E402
+    CR_SAMPLE_MOD,
+)
+
+ORACLES["negbin_moment_fit"] = f"""
+WITH {_DAILY_HIST},
+g AS (
+  SELECT count(*)::BIGINT AS n, sum(n_events)::BIGINT AS s,
+         sum(n_events * n_events)::BIGINT AS ss
+  FROM hist
+),
+m AS (
+  SELECT n, s::DOUBLE / n::DOUBLE AS mean,
+         (ss::DOUBLE - s::DOUBLE * (s::DOUBLE / n::DOUBLE))
+           / (n::DOUBLE - 1.0) AS var
+  FROM g
+)
+SELECT n AS n_days, round(mean, 6) AS mean_daily,
+       round(var, 6) AS var_daily,
+       round(var / mean, 6) AS dispersion_ratio,
+       CASE WHEN var > mean
+            THEN round(mean * mean / (var - mean), 6) END AS nb_r,
+       CASE WHEN var > mean THEN round(mean / var, 6) END AS nb_p
+FROM m
+"""
+
+_CAP1 = "(" + _MD5_52.format(e="'cap1:' || user_id::VARCHAR") + ")"
+_CAP2 = "(" + _MD5_52.format(e="'cap2:' || user_id::VARCHAR") + ")"
+
+ORACLES["capture_recapture_users"] = f"""
+WITH users AS (SELECT DISTINCT user_id FROM events),
+g AS (
+  SELECT count(*)::BIGINT AS n_true,
+         sum(CASE WHEN {_CAP1} % {CR_SAMPLE_MOD} = 0
+                  THEN 1 ELSE 0 END)::BIGINT AS n1,
+         sum(CASE WHEN {_CAP2} % {CR_SAMPLE_MOD} = 0
+                  THEN 1 ELSE 0 END)::BIGINT AS n2,
+         sum(CASE WHEN {_CAP1} % {CR_SAMPLE_MOD} = 0
+                   AND {_CAP2} % {CR_SAMPLE_MOD} = 0
+                  THEN 1 ELSE 0 END)::BIGINT AS m
+  FROM users
+)
+SELECT n_true, n1, n2, m,
+       CASE WHEN m > 0
+            THEN round(n1::DOUBLE * n2::DOUBLE / m::DOUBLE, 6) END
+         AS lincoln_petersen,
+       round((n1 + 1)::DOUBLE * (n2 + 1)::DOUBLE / (m + 1)::DOUBLE - 1.0,
+             6) AS chapman,
+       round(((n1 + 1)::DOUBLE * (n2 + 1)::DOUBLE / (m + 1)::DOUBLE - 1.0)
+             / n_true::DOUBLE, 6) AS chapman_over_true
+FROM g
+"""
+
+ORACLES["chao1_vocab_estimate"] = f"""
+WITH freq AS (
+  SELECT term, count(*)::BIGINT AS cf
+  FROM (SELECT unnest({TOKS}) AS term FROM documents)
+  GROUP BY 1
+),
+g AS (
+  SELECT count(*)::BIGINT AS s_obs,
+         sum(CASE WHEN cf = 1 THEN 1 ELSE 0 END)::BIGINT AS f1,
+         sum(CASE WHEN cf = 2 THEN 1 ELSE 0 END)::BIGINT AS f2,
+         sum(cf)::BIGINT AS n_tokens
+  FROM freq
+)
+SELECT s_obs, f1, f2, n_tokens,
+       round(s_obs::DOUBLE
+             + CASE WHEN f2 > 0
+                    THEN f1::DOUBLE * f1::DOUBLE / (2.0 * f2::DOUBLE)
+                    ELSE f1::DOUBLE * (f1::DOUBLE - 1.0) / 2.0 END,
+             6) AS chao1,
+       round(1.0 - f1::DOUBLE / n_tokens::DOUBLE, 6) AS goods_coverage
+FROM g
+"""

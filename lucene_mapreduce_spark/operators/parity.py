@@ -10947,3 +10947,141 @@ def cohens_d_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(d, 6).alias("cohens_d"),
         F.round(g, 6).alias("hedges_g"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 148: negative-binomial fit, capture-recapture, Chao1
+# ---------------------------------------------------------------------------
+
+
+def negbin_moment_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative-binomial method-of-moments fit to the pooled daily
+    event counts — the model poisson_dispersion_test says you need
+    when D rejects Poisson: r = m^2/(s^2 - m), p = m/s^2 from exact
+    BIGINT daily moments over the zero-filled calendar, with the
+    implied overdispersion ratio s^2/m alongside.  Degenerate
+    underdispersion (s^2 <= m) yields NULL r/p with the ratio still
+    reported — the honest outcome for a flat synthetic stream."""
+    hist = date_histogram_facets(spark, sf_dir)
+    g = hist.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("n_events").cast("long").alias("s"),
+        F.sum(F.col("n_events") * F.col("n_events")).cast("long").alias("ss"),
+    )
+    nD = F.col("n").cast("double")
+    m = F.col("s").cast("double") / nD
+    s2 = (F.col("ss").cast("double") - F.col("s").cast("double") * m) / (
+        nD - F.lit(1.0)
+    )
+    over = s2 > m
+    return g.select(
+        F.col("n").alias("n_days"),
+        F.round(m, 6).alias("mean_daily"),
+        F.round(s2, 6).alias("var_daily"),
+        F.round(s2 / m, 6).alias("dispersion_ratio"),
+        F.when(over, F.round(m * m / (s2 - m), 6)).alias("nb_r"),
+        F.when(over, F.round(m / s2, 6)).alias("nb_p"),
+    )
+
+
+CR_SAMPLE_MOD = 4
+
+
+def capture_recapture_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lincoln-Petersen capture-recapture estimate of the distinct user
+    population from two independent md5 'captures' (each tags a user
+    with probability 1/4): N-hat = n1 n2 / m, plus the
+    bias-corrected Chapman form (n1+1)(n2+1)/(m+1) - 1 — the ecology
+    estimator that doubles as a data-quality check when you can only
+    sample two logs (compare against the exact distinct count, also
+    reported).  All integers until the two ratios."""
+    from lucene_mapreduce_spark.operators.textstats import _md5_52
+
+    users = load(spark, sf_dir, "events").select("user_id").distinct()
+    d1 = (
+        _md5_52(F.concat(F.lit("cap1:"), F.col("user_id").cast("string")))
+        % CR_SAMPLE_MOD
+        == 0
+    )
+    d2 = (
+        _md5_52(F.concat(F.lit("cap2:"), F.col("user_id").cast("string")))
+        % CR_SAMPLE_MOD
+        == 0
+    )
+    g = users.agg(
+        F.count(F.lit(1)).cast("long").alias("n_true"),
+        F.sum(d1.cast("int")).cast("long").alias("n1"),
+        F.sum(d2.cast("int")).cast("long").alias("n2"),
+        F.sum((d1 & d2).cast("int")).cast("long").alias("m"),
+    )
+    lp = (
+        F.col("n1").cast("double")
+        * F.col("n2").cast("double")
+        / F.col("m").cast("double")
+    )
+    chap = (
+        (F.col("n1") + 1).cast("double")
+        * (F.col("n2") + 1).cast("double")
+        / (F.col("m") + 1).cast("double")
+        - F.lit(1.0)
+    )
+    return g.select(
+        "n_true",
+        "n1",
+        "n2",
+        "m",
+        F.when(F.col("m") > 0, F.round(lp, 6)).alias("lincoln_petersen"),
+        F.round(chap, 6).alias("chapman"),
+        F.round(chap / F.col("n_true").cast("double"), 6).alias(
+            "chapman_over_true"
+        ),
+    )
+
+
+def chao1_vocab_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 lower-bound richness estimate of the corpus vocabulary —
+    the canonical 'how many types are we NOT seeing' estimator
+    (hapax_report counts the singletons; Chao1 turns them into an
+    unseen-mass estimate): S_chao1 = S_obs + F1^2/(2 F2) from
+    singleton and doubleton type counts, plus Good's coverage
+    C = 1 - F1/N (good_turing_counts' headline number).  The closed
+    31-token synthetic vocabulary makes the estimate collapse onto
+    S_obs — exactly the right answer for a saturated corpus, pinned
+    by the test."""
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_col
+
+    toks = load(spark, sf_dir, "documents").select(
+        F.explode(tokenize_col("text")).alias("term")
+    )
+    freq = toks.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("cf")
+    )
+    g = freq.agg(
+        F.count(F.lit(1)).cast("long").alias("s_obs"),
+        F.sum((F.col("cf") == 1).cast("int")).cast("long").alias("f1"),
+        F.sum((F.col("cf") == 2).cast("int")).cast("long").alias("f2"),
+        F.sum("cf").cast("long").alias("n_tokens"),
+    )
+    chao = F.col("s_obs").cast("double") + F.when(
+        F.col("f2") > 0,
+        F.col("f1").cast("double")
+        * F.col("f1").cast("double")
+        / (F.lit(2.0) * F.col("f2").cast("double")),
+    ).otherwise(
+        # bias-corrected form when F2 = 0
+        F.col("f1").cast("double")
+        * (F.col("f1").cast("double") - F.lit(1.0))
+        / F.lit(2.0)
+    )
+    return g.select(
+        "s_obs",
+        "f1",
+        "f2",
+        "n_tokens",
+        F.round(chao, 6).alias("chao1"),
+        F.round(
+            F.lit(1.0)
+            - F.col("f1").cast("double") / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("goods_coverage"),
+    )
