@@ -1164,6 +1164,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "negbin_moment_fit": parity.negbin_moment_fit,
         "capture_recapture_users": parity.capture_recapture_users,
         "chao1_vocab_estimate": parity.chao1_vocab_estimate,
+        # batch 149: risk ratio panel, GK gamma, variance ratio
+        "risk_ratio_panel": parity.risk_ratio_panel,
+        "goodman_kruskal_gamma": parity.goodman_kruskal_gamma,
+        "variance_ratio_test": parity.variance_ratio_test,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})

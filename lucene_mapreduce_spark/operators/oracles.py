@@ -20575,3 +20575,100 @@ SELECT s_obs, f1, f2, n_tokens,
        round(1.0 - f1::DOUBLE / n_tokens::DOUBLE, 6) AS goods_coverage
 FROM g
 """
+
+# ---- batch 149: risk ratio, gamma, variance ratio --------------------------
+
+ORACLES["risk_ratio_panel"] = f"""
+WITH t AS (
+  SELECT list_contains({TOKS}, '{MH_EXPOSURE_TOKEN}') AS e,
+         list_contains({TOKS}, '{MH_OUTCOME_TOKEN}') AS o
+  FROM documents
+),
+g AS (
+  SELECT sum(CASE WHEN e AND o THEN 1 ELSE 0 END)::BIGINT AS a,
+         sum(CASE WHEN e AND NOT o THEN 1 ELSE 0 END)::BIGINT AS b,
+         sum(CASE WHEN NOT e AND o THEN 1 ELSE 0 END)::BIGINT AS c,
+         sum(CASE WHEN NOT e AND NOT o THEN 1 ELSE 0 END)::BIGINT AS d
+  FROM t
+)
+SELECT a, b, c, d,
+       round(a::DOUBLE / (a + b)::DOUBLE, 6) AS risk_exposed,
+       round(c::DOUBLE / (c + d)::DOUBLE, 6) AS risk_unexposed,
+       round((a::DOUBLE / (a + b)::DOUBLE)
+             / (c::DOUBLE / (c + d)::DOUBLE), 6) AS risk_ratio,
+       round(a::DOUBLE / (a + b)::DOUBLE
+             - c::DOUBLE / (c + d)::DOUBLE, 6) AS risk_difference,
+       round(1.0 / abs(a::DOUBLE / (a + b)::DOUBLE
+                       - c::DOUBLE / (c + d)::DOUBLE), 6) AS nnt,
+       round(((a + c)::DOUBLE / (a + b + c + d)::DOUBLE
+              - c::DOUBLE / (c + d)::DOUBLE)
+             / ((a + c)::DOUBLE / (a + b + c + d)::DOUBLE), 6) AS paf
+FROM g
+"""
+
+ORACLES["goodman_kruskal_gamma"] = """
+WITH obs AS (
+  SELECT o.o_orderpriority AS pr, s.v
+  FROM orders o
+  JOIN (SELECT l_orderkey, count(*)::BIGINT AS v
+        FROM lineitem GROUP BY 1) s
+    ON o.o_orderkey = s.l_orderkey
+),
+qs AS (
+  SELECT quantile_cont(v, 0.25) AS q1, quantile_cont(v, 0.5) AS q2,
+         quantile_cont(v, 0.75) AS q3
+  FROM obs
+),
+b AS (
+  SELECT pr,
+         (CASE WHEN v::DOUBLE > q1 THEN 1 ELSE 0 END
+          + CASE WHEN v::DOUBLE > q2 THEN 1 ELSE 0 END
+          + CASE WHEN v::DOUBLE > q3 THEN 1 ELSE 0 END) AS sb
+  FROM obs, qs
+),
+cells AS (
+  SELECT pr, sb, count(*)::BIGINT AS cnt FROM b GROUP BY 1, 2
+),
+pairs AS (
+  SELECT sum(CASE WHEN x.pr < y.pr AND x.sb < y.sb
+                  THEN x.cnt * y.cnt ELSE 0 END)::BIGINT AS n_concordant,
+         sum(CASE WHEN x.pr < y.pr AND x.sb > y.sb
+                  THEN x.cnt * y.cnt ELSE 0 END)::BIGINT AS n_discordant
+  FROM cells x CROSS JOIN cells y
+)
+SELECT n_concordant, n_discordant,
+       round((n_concordant - n_discordant)::DOUBLE
+             / (n_concordant + n_discordant)::DOUBLE, 6) AS gamma
+FROM pairs
+"""
+
+ORACLES["variance_ratio_test"] = f"""
+WITH {_DAILY_HIST},
+d AS (
+  SELECT n_events - lag(n_events, 1) OVER (ORDER BY day) AS d1,
+         n_events - lag(n_events, 2) OVER (ORDER BY day) AS d2
+  FROM hist
+),
+g1 AS (
+  SELECT count(*)::BIGINT AS n1, sum(d1)::BIGINT AS s1,
+         sum(d1 * d1)::BIGINT AS ss1
+  FROM d WHERE d1 IS NOT NULL
+),
+g2 AS (
+  SELECT count(*)::BIGINT AS n2, sum(d2)::BIGINT AS s2,
+         sum(d2 * d2)::BIGINT AS ss2
+  FROM d WHERE d2 IS NOT NULL
+),
+vv AS (
+  SELECT n1,
+         (ss1::DOUBLE - s1::DOUBLE * (s1::DOUBLE / n1::DOUBLE))
+           / (n1::DOUBLE - 1.0) AS v1,
+         (ss2::DOUBLE - s2::DOUBLE * (s2::DOUBLE / n2::DOUBLE))
+           / (n2::DOUBLE - 1.0) AS v2
+  FROM g1, g2
+)
+SELECT n1 AS n_changes, round(v1, 6) AS var_1d, round(v2, 6) AS var_2d,
+       round(v2 / (2.0 * v1), 6) AS variance_ratio,
+       round((v2 / (2.0 * v1) - 1.0) * sqrt(n1::DOUBLE), 6) AS z_stat
+FROM vv
+"""

@@ -11085,3 +11085,165 @@ def chao1_vocab_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("goods_coverage"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 149: risk-ratio panel, Goodman-Kruskal gamma, variance ratio
+# ---------------------------------------------------------------------------
+
+
+def risk_ratio_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epidemiology effect panel for the pooled exposure/outcome 2x2
+    (contains-'fast' vs contains-'slow', all languages): risk ratio,
+    risk difference, number needed to treat (1/|RD|) and the
+    population attributable fraction (I_pop - I_unexp)/I_pop — the
+    absolute-scale counterparts the odds-ratio family
+    (fisher/MH/Breslow-Day) deliberately avoids.  Exact BIGINT cells,
+    one shared float64 chain."""
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_col
+
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        F.array_contains(tokenize_col("text"), MH_EXPOSURE_TOKEN).alias("e"),
+        F.array_contains(tokenize_col("text"), MH_OUTCOME_TOKEN).alias("o"),
+    )
+    g = t.agg(
+        F.sum((F.col("e") & F.col("o")).cast("long")).alias("a"),
+        F.sum((F.col("e") & ~F.col("o")).cast("long")).alias("b"),
+        F.sum((~F.col("e") & F.col("o")).cast("long")).alias("c"),
+        F.sum((~F.col("e") & ~F.col("o")).cast("long")).alias("d"),
+    )
+    r1 = F.col("a").cast("double") / (F.col("a") + F.col("b")).cast("double")
+    r0 = F.col("c").cast("double") / (F.col("c") + F.col("d")).cast("double")
+    rpop = (F.col("a") + F.col("c")).cast("double") / (
+        F.col("a") + F.col("b") + F.col("c") + F.col("d")
+    ).cast("double")
+    rd = r1 - r0
+    return g.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        F.round(r1, 6).alias("risk_exposed"),
+        F.round(r0, 6).alias("risk_unexposed"),
+        F.round(r1 / r0, 6).alias("risk_ratio"),
+        F.round(rd, 6).alias("risk_difference"),
+        F.round(F.lit(1.0) / F.abs(rd), 6).alias("nnt"),
+        F.round((rpop - r0) / rpop, 6).alias("paf"),
+    )
+
+
+def goodman_kruskal_gamma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goodman-Kruskal gamma between order priority (ordered '1-URGENT'
+    .. '5-LOW') and order-size quartile — the ordinal-by-ordinal
+    association that ignores ties entirely (gamma = (C - D)/(C + D);
+    Kendall's tau-b penalizes them, Jonckheere tests a trend; gamma
+    is the symmetric descriptive member).  Concordant/discordant
+    counts collapse onto the (priority, size-bucket)-count table
+    cross join — cells-squared work, never an order-pair blowup.
+    Size buckets are exact type-7 quartile cuts."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderpriority").alias("pr")
+    )
+    sz = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("v"))
+    )
+    obs = orders.join(sz, orders.o_orderkey == sz.l_orderkey).select(
+        "pr", "v"
+    )
+    qs = obs.agg(
+        F.expr("percentile(v, array(0.25, 0.5, 0.75))").alias("q")
+    )
+    b = obs.crossJoin(F.broadcast(qs)).select(
+        "pr",
+        (
+            (F.col("v").cast("double") > F.element_at("q", 1)).cast("int")
+            + (F.col("v").cast("double") > F.element_at("q", 2)).cast("int")
+            + (F.col("v").cast("double") > F.element_at("q", 3)).cast("int")
+        ).alias("sb"),
+    )
+    cells = b.groupBy("pr", "sb").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    x = cells.select(
+        F.col("pr").alias("pa"), F.col("sb").alias("sa"), F.col("cnt").alias("ca")
+    )
+    y = cells.select(
+        F.col("pr").alias("pb"), F.col("sb").alias("sbb"), F.col("cnt").alias("cb")
+    )
+    pairs = x.crossJoin(y)
+    conc = F.sum(
+        F.when(
+            (F.col("pa") < F.col("pb")) & (F.col("sa") < F.col("sbb")),
+            F.col("ca") * F.col("cb"),
+        ).otherwise(0)
+    ).cast("long")
+    disc = F.sum(
+        F.when(
+            (F.col("pa") < F.col("pb")) & (F.col("sa") > F.col("sbb")),
+            F.col("ca") * F.col("cb"),
+        ).otherwise(0)
+    ).cast("long")
+    g = pairs.agg(conc.alias("n_concordant"), disc.alias("n_discordant"))
+    return g.select(
+        "n_concordant",
+        "n_discordant",
+        F.round(
+            (F.col("n_concordant") - F.col("n_discordant")).cast("double")
+            / (F.col("n_concordant") + F.col("n_discordant")).cast("double"),
+            6,
+        ).alias("gamma"),
+    )
+
+
+def variance_ratio_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lo-MacKinlay variance-ratio test at q=2 on the daily count
+    changes: VR = Var(2-day overlapping changes) / (2 Var(1-day
+    changes)), with the homoskedastic-null z = (VR - 1) sqrt(n)
+    (phi(2) = 1 at q=2 up to the small-sample factor, pinned in this
+    closed form) — the random-walk diagnostic Hurst/autocorrelation
+    approach from other angles.  Changes are exact integers; both
+    variances come from BIGINT moments over lag windows (means NOT
+    subtracted per Lo-MacKinlay's drift-adjusted small-sample form is
+    skipped — the plain moment form is pinned and mirrored)."""
+    from pyspark.sql import Window
+
+    hist = date_histogram_facets(spark, sf_dir)
+    w = Window.orderBy("day")
+    d = hist.select(
+        (F.col("n_events") - F.lag("n_events", 1).over(w)).alias("d1"),
+        (F.col("n_events") - F.lag("n_events", 2).over(w)).alias("d2"),
+    )
+    g1 = d.filter(F.col("d1").isNotNull()).agg(
+        F.count(F.lit(1)).cast("long").alias("n1"),
+        F.sum("d1").cast("long").alias("s1"),
+        F.sum(F.col("d1") * F.col("d1")).cast("long").alias("ss1"),
+    )
+    g2 = d.filter(F.col("d2").isNotNull()).agg(
+        F.count(F.lit(1)).cast("long").alias("n2"),
+        F.sum("d2").cast("long").alias("s2"),
+        F.sum(F.col("d2") * F.col("d2")).cast("long").alias("ss2"),
+    )
+    j = g1.crossJoin(F.broadcast(g2))
+    v1 = (
+        F.col("ss1").cast("double")
+        - F.col("s1").cast("double")
+        * (F.col("s1").cast("double") / F.col("n1").cast("double"))
+    ) / (F.col("n1").cast("double") - F.lit(1.0))
+    v2 = (
+        F.col("ss2").cast("double")
+        - F.col("s2").cast("double")
+        * (F.col("s2").cast("double") / F.col("n2").cast("double"))
+    ) / (F.col("n2").cast("double") - F.lit(1.0))
+    vr = v2 / (F.lit(2.0) * v1)
+    return j.select(
+        F.col("n1").alias("n_changes"),
+        F.round(v1, 6).alias("var_1d"),
+        F.round(v2, 6).alias("var_2d"),
+        F.round(vr, 6).alias("variance_ratio"),
+        F.round(
+            (vr - F.lit(1.0)) * F.sqrt(F.col("n1").cast("double")), 6
+        ).alias("z_stat"),
+    )
