@@ -1168,6 +1168,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "risk_ratio_panel": parity.risk_ratio_panel,
         "goodman_kruskal_gamma": parity.goodman_kruskal_gamma,
         "variance_ratio_test": parity.variance_ratio_test,
+        # batch 150: VWAP/TWAP, FD bins, corrected Cramer's V
+        "vwap_twap_monthly": relational.vwap_twap_monthly,
+        "fd_binwidth_recommendation": parity.fd_binwidth_recommendation,
+        "cramers_v_bias_corrected": parity.cramers_v_bias_corrected,
+        # batch 151: modularity, Atkinson, query clarity
+        "modularity_brand_partition": relational.modularity_brand_partition,
+        "atkinson_index_segments": relational.atkinson_index_segments,
+        "query_clarity_score": fulltext.query_clarity_score,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})
@@ -1222,6 +1230,11 @@ def oracle_sql() -> dict[str, str]:
 
     out["nqc_wig_predictors"] = nqc_wig_sql(
         fulltext.FLAGSHIP_QUERY, fulltext.NQC_K
+    )
+    from lucene_mapreduce_spark.operators.oracles import clarity_sql
+
+    out["query_clarity_score"] = clarity_sql(
+        fulltext.FLAGSHIP_QUERY, fulltext.CLARITY_K
     )
     from lucene_mapreduce_spark.operators.oracles import (
         query_segmentation_sql,

@@ -7725,3 +7725,95 @@ def maxp_passage_retrieval_topk(
     return ranked_topk(
         per_doc, [F.desc("maxp_score"), F.asc("doc_id")], k
     ).select("doc_id", "maxp_score", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Batch 151: Cronen-Townsend query clarity
+# ---------------------------------------------------------------------------
+
+CLARITY_K = 50
+
+
+def query_clarity_score(
+    spark: SparkSession,
+    sf_dir: str,
+    query_text: str = FLAGSHIP_QUERY,
+    k: int = CLARITY_K,
+) -> DataFrame:
+    """Cronen-Townsend clarity score — the third post-retrieval
+    difficulty predictor beside nqc_wig_predictors' NQC/WIG (SIGIR
+    2002, public): KL divergence between the unigram language model of
+    the top-k BM25 page and the corpus LM, clarity =
+    Σ_w p(w|R) ln(p(w|R)/p(w|C)) with p(w|R) = tf_R(w)/|R| over the
+    concatenated page and p(w|C) = cf(w)/T.  Page selection rides the
+    exact_scores rounded-score rule (desc score, asc doc_id); all four
+    LM inputs are exact BIGINTs; each term's contribution is one fixed
+    IEEE chain folded as 12dp DECIMAL.  One corpus scan, one row."""
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_col
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+    from lucene_mapreduce_spark.query.bm25_df import (
+        corpus_postings,
+        exact_scores,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        [("q0", query_text)], "query_id string, query_text string"
+    )
+    postings, doclens = corpus_postings(docs)
+    stats = doclens.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    )
+    qterms = queries.select(
+        "query_id", F.explode(tokenize_col("query_text")).alias("term")
+    ).distinct()
+    df_t = (
+        postings.join(F.broadcast(qterms.select("term").distinct()), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df_t"))
+    )
+    matched = (
+        postings.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(df_t), "term")
+        .join(doclens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    allscores = exact_scores(matched, round_to=6).select("doc_id", "score")
+    topk = ranked_topk(
+        allscores, [F.desc("score"), F.asc("doc_id")], k
+    ).select("doc_id")
+    page = (
+        postings.join(F.broadcast(topk), "doc_id")
+        .groupBy("term")
+        .agg(F.sum("tf").cast("long").alias("tf_r"))
+    )
+    lenr = page.agg(
+        F.sum("tf_r").cast("long").alias("len_r"),
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+    )
+    cf = postings.groupBy("term").agg(F.sum("tf").cast("long").alias("cf"))
+    tot = doclens.agg(F.sum("dl").cast("long").alias("t"))
+    ku = topk.agg(F.count(F.lit(1)).cast("long").alias("k_used"))
+    pr = F.col("tf_r").cast("double") / F.col("len_r").cast("double")
+    pc = F.col("cf").cast("double") / F.col("t").cast("double")
+    contrib = (
+        page.join(cf, "term")
+        .crossJoin(F.broadcast(lenr))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.round(pr * F.log(pr / pc), 12)
+            .cast("decimal(38,12)")
+            .alias("c12"),
+            "len_r",
+            "n_terms",
+        )
+        .groupBy("len_r", "n_terms")
+        .agg(F.sum("c12").cast("double").alias("cl"))
+    )
+    return contrib.crossJoin(F.broadcast(ku)).select(
+        "k_used",
+        F.col("len_r").alias("page_tokens"),
+        "n_terms",
+        F.round("cl", 6).alias("clarity"),
+    )

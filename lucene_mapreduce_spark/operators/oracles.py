@@ -20672,3 +20672,224 @@ SELECT n1 AS n_changes, round(v1, 6) AS var_1d, round(v2, 6) AS var_2d,
        round((v2 / (2.0 * v1) - 1.0) * sqrt(n1::DOUBLE), 6) AS z_stat
 FROM vv
 """
+
+# ---- batch 150: VWAP/TWAP, FD bins, corrected Cramer's V -------------------
+
+from lucene_mapreduce_spark.operators.parity import _THIRD  # noqa: E402
+
+ORACLES["vwap_twap_monthly"] = """
+WITH li AS (
+  SELECT epoch_us(l_shipdate) // 86400000000 AS ed,
+         strftime(l_shipdate, '%Y-%m') AS month,
+         l_quantity, l_extendedprice
+  FROM lineitem
+),
+daily AS (
+  SELECT month, ed,
+         round(sum(round(l_extendedprice / l_quantity,
+                         6)::DECIMAL(28,6))::DOUBLE
+               / count(*)::DOUBLE, 12)::DECIMAL(38,12) AS day_mean
+  FROM li GROUP BY 1, 2
+),
+twap AS (
+  SELECT month, count(*)::BIGINT AS n_days,
+         round(sum(day_mean)::DOUBLE / count(*)::DOUBLE, 6) AS twap
+  FROM daily GROUP BY 1
+),
+vwap AS (
+  SELECT month, count(*)::BIGINT AS n_lines,
+         round(sum(round(l_extendedprice, 2)::DECIMAL(28,2))::DOUBLE
+               / sum(round(l_quantity, 2)::DECIMAL(28,2))::DOUBLE, 6)
+           AS vwap
+  FROM li GROUP BY 1
+)
+SELECT v.month, v.n_lines, t.n_days, v.vwap, t.twap,
+       round(v.vwap / t.twap, 6) AS vwap_over_twap
+FROM vwap v JOIN twap t USING (month)
+ORDER BY v.month
+"""
+
+ORACLES["fd_binwidth_recommendation"] = f"""
+WITH g AS (
+  SELECT count(*)::BIGINT AS n,
+         min(o_totalprice) AS lo, max(o_totalprice) AS hi,
+         quantile_cont(o_totalprice, 0.25) AS q1,
+         quantile_cont(o_totalprice, 0.75) AS q3
+  FROM orders
+)
+SELECT n, round(q3 - q1, 6) AS iqr,
+       round(hi - lo, 6) AS value_range,
+       round(2.0 * (q3 - q1)
+             / exp(round(ln(n::DOUBLE), 12) * {_THIRD!r}), 6)
+         AS fd_binwidth,
+       (floor((hi - lo) / (2.0 * (q3 - q1)
+              / exp(round(ln(n::DOUBLE), 12) * {_THIRD!r}))) + 1)::BIGINT
+         AS n_bins
+FROM g
+"""
+
+ORACLES["cramers_v_bias_corrected"] = """
+WITH cells AS (
+  SELECT lang, source, count(*)::BIGINT AS o
+  FROM documents GROUP BY 1, 2
+),
+rm AS (SELECT lang, sum(o)::BIGINT AS rl FROM cells GROUP BY 1),
+cm AS (SELECT source, sum(o)::BIGINT AS cs FROM cells GROUP BY 1),
+tot AS (
+  SELECT sum(o)::BIGINT AS n,
+         count(DISTINCT lang)::BIGINT AS r,
+         count(DISTINCT source)::BIGINT AS c
+  FROM cells
+),
+chi AS (
+  SELECT n, r, c,
+         sum(round(((o::DOUBLE - rl::DOUBLE * cs::DOUBLE / n::DOUBLE)
+                    * (o::DOUBLE - rl::DOUBLE * cs::DOUBLE / n::DOUBLE))
+                   / (rl::DOUBLE * cs::DOUBLE / n::DOUBLE),
+                   12)::DECIMAL(38,12))::DOUBLE
+         + (n::DOUBLE
+            - sum(round(rl::DOUBLE * cs::DOUBLE / n::DOUBLE,
+                        12)::DECIMAL(38,12))::DOUBLE) AS chi2
+  FROM cells JOIN rm USING (lang) JOIN cm USING (source), tot
+  GROUP BY n, r, c
+)
+SELECT n, r, c, round(chi2, 6) AS chi2,
+       round(chi2 / n::DOUBLE, 6) AS phi2,
+       round(sqrt(greatest(chi2 / n::DOUBLE
+                           - (r - 1)::DOUBLE * (c - 1)::DOUBLE
+                             / (n - 1)::DOUBLE, 0.0)
+                  / least(r::DOUBLE - (r - 1)::DOUBLE * (r - 1)::DOUBLE
+                            / (n - 1)::DOUBLE - 1.0,
+                          c::DOUBLE - (c - 1)::DOUBLE * (c - 1)::DOUBLE
+                            / (n - 1)::DOUBLE - 1.0)), 6)
+         AS cramers_v_corrected
+FROM chi
+"""
+
+# ---- batch 151: modularity, Atkinson, query clarity ------------------------
+
+ORACLES["modularity_brand_partition"] = """
+WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+            FROM lineitem),
+e AS (
+  SELECT a.pk AS pa, b.pk AS pb
+  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+e2 AS (
+  SELECT e.pa, e.pb, la.p_brand AS ca, lb.p_brand AS cb
+  FROM e
+  JOIN part la ON la.p_partkey = e.pa
+  JOIN part lb ON lb.p_partkey = e.pb
+),
+m AS (SELECT count(*)::BIGINT AS m FROM e2),
+adj AS (
+  SELECT pa AS node, ca AS comm FROM e2
+  UNION ALL SELECT pb, cb FROM e2
+),
+deg AS (
+  SELECT comm, count(*)::BIGINT AS n_nodes, sum(d)::BIGINT AS deg_sum
+  FROM (SELECT node, comm, count(*)::BIGINT AS d FROM adj GROUP BY 1, 2)
+  GROUP BY 1
+),
+intra AS (
+  SELECT ca AS comm, count(*)::BIGINT AS intra_edges
+  FROM e2 WHERE ca = cb GROUP BY 1
+)
+SELECT deg.comm AS p_brand, n_nodes, deg_sum,
+       coalesce(intra_edges, 0)::BIGINT AS intra_edges,
+       round(coalesce(intra_edges, 0)::DOUBLE / m::DOUBLE
+             - (deg_sum::DOUBLE / (2.0 * m::DOUBLE))
+               * (deg_sum::DOUBLE / (2.0 * m::DOUBLE)), 6)
+         AS contribution
+FROM deg LEFT JOIN intra ON intra.comm = deg.comm, m
+ORDER BY p_brand
+"""
+
+ORACLES["atkinson_index_segments"] = """
+WITH g AS (
+  SELECT c_mktsegment,
+         count(*)::BIGINT AS n_orders,
+         sum(round(o_totalprice, 2)::DECIMAL(28,2)) AS s1,
+         sum(round(sqrt(o_totalprice), 6)::DECIMAL(28,6)) AS sh
+  FROM orders JOIN customer ON c_custkey = o_custkey
+  GROUP BY 1
+)
+SELECT c_mktsegment, n_orders,
+       round(s1::DOUBLE / n_orders::DOUBLE, 6) AS mean_price,
+       round((sh::DOUBLE / n_orders::DOUBLE)
+             * (sh::DOUBLE / n_orders::DOUBLE), 6) AS ede_price,
+       round(1.0 - (sh::DOUBLE / n_orders::DOUBLE)
+                   * (sh::DOUBLE / n_orders::DOUBLE)
+                   / (s1::DOUBLE / n_orders::DOUBLE), 6) AS atkinson_05
+FROM g
+ORDER BY c_mktsegment
+"""
+
+
+def clarity_sql(query_text: str, k: int = 50) -> str:
+    """query_clarity_score twin: the nqc_wig_sql scoring CTEs kept
+    through topk doc_ids, then the page/corpus unigram LMs from exact
+    BIGINT counts and the KL fold as 12dp DECIMAL."""
+    qlit = query_text.replace("'", "''")
+    return f"""
+WITH doclens AS (
+  SELECT doc_id, len({TOKS}) AS dl FROM documents
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n_docs, avg(dl::DOUBLE) AS avgdl FROM doclens
+),
+toks AS (
+  SELECT doc_id, unnest({TOKS}) AS term FROM documents
+),
+postings AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2
+),
+qterms AS (
+  SELECT DISTINCT unnest({duckdb_tokens_sql(f"'{qlit}'")}) AS term
+),
+dft AS (
+  SELECT p.term, count(*)::DOUBLE AS df_t
+  FROM postings p JOIN qterms q USING (term) GROUP BY 1
+),
+scored AS (
+  SELECT p.doc_id,
+         ln(1 + (s.n_docs - d.df_t + 0.5) / (d.df_t + 0.5))
+           * (p.tf * {K1 + 1.0}) / (p.tf + {K1} * (1 - {B} + {B} * l.dl / s.avgdl))
+           AS contrib
+  FROM postings p
+  JOIN dft d USING (term)
+  JOIN doclens l USING (doc_id)
+  CROSS JOIN stats s
+),
+agg AS (
+  SELECT doc_id, round(sum(contrib), 6) AS score FROM scored GROUP BY 1
+),
+topk AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+    FROM agg
+  ) WHERE r <= {k}
+),
+page AS (
+  SELECT p.term, sum(p.tf)::BIGINT AS tf_r
+  FROM postings p JOIN topk USING (doc_id) GROUP BY 1
+),
+lenr AS (
+  SELECT sum(tf_r)::BIGINT AS len_r, count(*)::BIGINT AS n_terms FROM page
+),
+cf AS (SELECT term, sum(tf)::BIGINT AS cf FROM postings GROUP BY 1),
+tot AS (SELECT sum(dl)::BIGINT AS t FROM doclens),
+ku AS (SELECT count(*)::BIGINT AS k_used FROM topk),
+fold AS (
+  SELECT len_r, n_terms,
+         sum(round((tf_r::DOUBLE / len_r::DOUBLE)
+                   * ln((tf_r::DOUBLE / len_r::DOUBLE)
+                        / (cf::DOUBLE / t::DOUBLE)),
+                   12)::DECIMAL(38,12))::DOUBLE AS cl
+  FROM page JOIN cf USING (term), lenr, tot
+  GROUP BY 1, 2
+)
+SELECT k_used, len_r AS page_tokens, n_terms, round(cl, 6) AS clarity
+FROM fold, ku
+"""

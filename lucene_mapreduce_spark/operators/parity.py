@@ -11247,3 +11247,114 @@ def variance_ratio_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             (vr - F.lit(1.0)) * F.sqrt(F.col("n1").cast("double")), 6
         ).alias("z_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 150: Freedman-Diaconis bins + bias-corrected Cramer's V
+# ---------------------------------------------------------------------------
+
+_THIRD = 1.0 / 3.0
+
+
+def fd_binwidth_recommendation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freedman-Diaconis histogram bin recommendation for order totals
+    — the statistic behind every auto-binned histogram UI (and the
+    parameter histogram_facets pins by hand): width = 2 IQR n^(-1/3)
+    with the cube root via exp(ln(n) * 1/3) on a pinned literal (no
+    cbrt() — not correctly rounded cross-engine), IQR from exact
+    type-7 quartiles, and the implied bin count floor(range/width)+1.
+    One aggregate, one row."""
+    o = load(spark, sf_dir, "orders").select("o_totalprice")
+    g = o.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+        F.expr("percentile(o_totalprice, 0.25)").alias("q1"),
+        F.expr("percentile(o_totalprice, 0.75)").alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    n13 = F.exp(
+        F.round(F.log(F.col("n").cast("double")), 12) * F.lit(_THIRD)
+    )
+    width = F.lit(2.0) * iqr / n13
+    rng = F.col("hi") - F.col("lo")
+    return g.select(
+        "n",
+        F.round(iqr, 6).alias("iqr"),
+        F.round(rng, 6).alias("value_range"),
+        F.round(width, 6).alias("fd_binwidth"),
+        (F.floor(rng / width) + 1).cast("long").alias("n_bins"),
+    )
+
+
+def cramers_v_bias_corrected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bergsma's bias-corrected Cramer's V for the lang x source table
+    — the small-sample fix for plain V's upward bias
+    (lang_source_independence / cramers_v_lang_source report the
+    uncorrected pair): phi2~ = max(0, phi2 - (r-1)(c-1)/(n-1)),
+    r~ = r - (r-1)^2/(n-1), c~ likewise, V~ = sqrt(phi2~ /
+    min(r~-1, c~-1)).  Chi-square contributions ride 12dp DECIMAL
+    sums; empty (lang, source) cells — which a groupBy never sees —
+    contribute exactly their expectation, folded in closed form as
+    n − Σ e_observed (Σ e over ALL cells is n); everything else is
+    one shared float64 chain from exact margins."""
+    docs = load(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    )
+    rm = cells.groupBy("lang").agg(F.sum("o").cast("long").alias("rl"))
+    cm = cells.groupBy("source").agg(F.sum("o").cast("long").alias("cs"))
+    tot = cells.agg(
+        F.sum("o").cast("long").alias("n"),
+        F.countDistinct("lang").cast("long").alias("r"),
+        F.countDistinct("source").cast("long").alias("c"),
+    )
+    jj = (
+        cells.join(F.broadcast(rm), "lang")
+        .join(F.broadcast(cm), "source")
+        .crossJoin(F.broadcast(tot))
+    )
+    e = (
+        F.col("rl").cast("double")
+        * F.col("cs").cast("double")
+        / F.col("n").cast("double")
+    )
+    dlt = F.col("o").cast("double") - e
+    chi = (
+        jj.select(
+            "n",
+            "r",
+            "c",
+            F.round((dlt * dlt) / e, 12).cast("decimal(38,12)").alias("c12"),
+            F.round(e, 12).cast("decimal(38,12)").alias("e12"),
+        )
+        .groupBy("n", "r", "c")
+        .agg(
+            (
+                F.sum("c12").cast("double")
+                + (
+                    F.col("n").cast("double")
+                    - F.sum("e12").cast("double")
+                )
+            ).alias("chi2")
+        )
+    )
+    nD = F.col("n").cast("double")
+    rD = F.col("r").cast("double")
+    cD = F.col("c").cast("double")
+    phi2 = F.col("chi2") / nD
+    phi2t = F.greatest(
+        phi2 - (rD - 1) * (cD - 1) / (nD - 1), F.lit(0.0)
+    )
+    rt = rD - (rD - 1) * (rD - 1) / (nD - 1)
+    ct = cD - (cD - 1) * (cD - 1) / (nD - 1)
+    return chi.select(
+        "n",
+        "r",
+        "c",
+        F.round("chi2", 6).alias("chi2"),
+        F.round(phi2, 6).alias("phi2"),
+        F.round(
+            F.sqrt(phi2t / F.least(rt - 1, ct - 1)), 6
+        ).alias("cramers_v_corrected"),
+    )

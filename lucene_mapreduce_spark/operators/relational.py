@@ -4250,3 +4250,182 @@ def salt_factor_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 150: VWAP vs TWAP monthly
+# ---------------------------------------------------------------------------
+
+
+def vwap_twap_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-weighted vs time-weighted average unit price per ship
+    month — the execution-quality pair from finance applied to the
+    lineitem stream (VWAP follows where the QUANTITY went, TWAP gives
+    every day equal say; their gap flags volume/price correlation
+    within the month).  Months are epoch-day arithmetic (never engine
+    date_trunc in the group key), unit price = extendedprice/quantity;
+    VWAP rides exact DECIMAL price*qty and qty sums, TWAP averages
+    the per-day 12dp DECIMAL mean prices.  Month-bounded output."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.expr(
+            "unix_micros(cast(l_shipdate as timestamp)) div 86400000000"
+        ).alias("ed"),
+        F.date_format("l_shipdate", "yyyy-MM").alias("month"),
+        "l_quantity",
+        "l_extendedprice",
+    )
+    up = F.col("l_extendedprice") / F.col("l_quantity")
+    daily = li.groupBy("month", "ed").agg(
+        F.round(
+            F.sum(F.round(up, 6).cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            12,
+        )
+        .cast("decimal(38,12)")
+        .alias("day_mean"),
+    )
+    twap = daily.groupBy("month").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.round(
+            F.sum("day_mean").cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("twap"),
+    )
+    vwap = li.groupBy("month").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.round(
+            F.sum(
+                F.round(F.col("l_extendedprice"), 2).cast("decimal(28,2)")
+            ).cast("double")
+            / F.sum(
+                F.round(F.col("l_quantity"), 2).cast("decimal(28,2)")
+            ).cast("double"),
+            6,
+        ).alias("vwap"),
+    )
+    return (
+        vwap.join(twap, "month")
+        .select(
+            "month",
+            "n_lines",
+            "n_days",
+            "vwap",
+            "twap",
+            F.round(F.col("vwap") / F.col("twap"), 6).alias("vwap_over_twap"),
+        )
+        .orderBy("month")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch 151: modularity of the brand partition + Atkinson inequality
+# ---------------------------------------------------------------------------
+
+
+def modularity_brand_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the co-order part graph under the p_brand
+    community partition — the quality score the LPA/k-core family never
+    reports: per community c, Q_c = L_c/m − (d_c/2m)², with L_c the
+    intra-community undirected edge count, d_c the community degree
+    sum, m the undirected edge total; Σ_c Q_c is the graph's
+    modularity.  All sufficient statistics are exact BIGINTs off the
+    shared support-pruned edge builder; the final contribution is one
+    fixed IEEE chain.  Brand-bounded output, graph-sized joins only."""
+    edges = _coorder_edges(spark, sf_dir).localCheckpoint()
+    lab = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("node"), F.col("p_brand").alias("comm")
+    )
+    e2 = (
+        edges.join(
+            lab.select(
+                F.col("node").alias("pa"), F.col("comm").alias("ca")
+            ),
+            "pa",
+        ).join(
+            lab.select(
+                F.col("node").alias("pb"), F.col("comm").alias("cb")
+            ),
+            "pb",
+        )
+    )
+    m = edges.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    adj = e2.select(
+        F.col("pa").alias("node"), F.col("ca").alias("comm")
+    ).unionAll(e2.select(F.col("pb").alias("node"), F.col("cb").alias("comm")))
+    deg = (
+        adj.groupBy("node", "comm")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        .groupBy("comm")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("d").cast("long").alias("deg_sum"),
+        )
+    )
+    intra = (
+        e2.filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("comm"))
+        .agg(F.count(F.lit(1)).cast("long").alias("intra_edges"))
+    )
+    mD = F.col("m").cast("double")
+    frac = F.col("deg_sum").cast("double") / (F.lit(2.0) * mD)
+    return (
+        deg.join(intra, "comm", "left")
+        .withColumn(
+            "intra_edges", F.coalesce(F.col("intra_edges"), F.lit(0))
+        )
+        .crossJoin(F.broadcast(m))
+        .select(
+            F.col("comm").alias("p_brand"),
+            "n_nodes",
+            "deg_sum",
+            "intra_edges",
+            F.round(
+                F.col("intra_edges").cast("double") / mD - frac * frac, 6
+            ).alias("contribution"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+def atkinson_index_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atkinson inequality index (ε = 0.5) of order revenue per customer
+    market segment — the welfare-theoretic member of the inequality
+    family (Gini/Theil report dispersion; Atkinson reports the fraction
+    of total income a society could give up and stay equally well off):
+    A = 1 − EDE/mean with EDE = (mean √x)² at ε = ½.  √ is correctly
+    rounded IEEE in both engines; √x rides 6dp DECIMAL sums, x rides
+    exact 2dp DECIMAL sums; the final index is one float chain.
+    Segment-bounded output, one join + one groupBy."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    g = (
+        o.join(c, "o_custkey")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(
+                F.round(F.col("o_totalprice"), 2).cast("decimal(28,2)")
+            ).alias("s1"),
+            F.sum(
+                F.round(F.sqrt(F.col("o_totalprice")), 6).cast(
+                    "decimal(28,6)"
+                )
+            ).alias("sh"),
+        )
+    )
+    nD = F.col("n_orders").cast("double")
+    mean = F.col("s1").cast("double") / nD
+    msq = F.col("sh").cast("double") / nD
+    ede = msq * msq
+    return g.select(
+        "c_mktsegment",
+        "n_orders",
+        F.round(mean, 6).alias("mean_price"),
+        F.round(ede, 6).alias("ede_price"),
+        F.round(F.lit(1.0) - ede / mean, 6).alias("atkinson_05"),
+    ).orderBy("c_mktsegment")
