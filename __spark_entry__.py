@@ -1176,6 +1176,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "modularity_brand_partition": relational.modularity_brand_partition,
         "atkinson_index_segments": relational.atkinson_index_segments,
         "query_clarity_score": fulltext.query_clarity_score,
+        # batch 152: rendezvous hashing, Palma ratio, M/G/1
+        "rendezvous_hash_balance": relational.rendezvous_hash_balance,
+        "palma_ratio_nations": relational.palma_ratio_nations,
+        "mg1_waiting_time": parity.mg1_waiting_time,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})

@@ -20893,3 +20893,108 @@ fold AS (
 SELECT k_used, len_r AS page_tokens, n_terms, round(cl, 6) AS clarity
 FROM fold, ku
 """
+
+# ---- batch 152: rendezvous hashing, Palma ratio, M/G/1 ---------------------
+
+_RVH_H = _MD5_52.format(e="'rvh:' || node::VARCHAR || ':' || key::VARCHAR")
+
+ORACLES["rendezvous_hash_balance"] = f"""
+WITH k AS (SELECT o_orderkey AS key FROM orders),
+p AS (
+  SELECT key, node, {_RVH_H} * 16 + node AS enc
+  FROM k CROSS JOIN (SELECT unnest(range(9)) AS node)
+),
+g AS (
+  SELECT key,
+         max(CASE WHEN node < 8 THEN enc END) AS e8,
+         max(enc) AS e9
+  FROM p GROUP BY 1
+),
+a AS (
+  SELECT (e8 % 16)::BIGINT AS node,
+         (CASE WHEN e9 % 16 = 8 THEN 1 ELSE 0 END)::BIGINT AS moved
+  FROM g
+),
+per AS (
+  SELECT node, count(*)::BIGINT AS n_keys, sum(moved)::BIGINT AS n_moved
+  FROM a GROUP BY 1
+),
+tot AS (SELECT count(*)::BIGINT AS total FROM k)
+SELECT node, n_keys,
+       round(n_keys::DOUBLE / total::DOUBLE, 6) AS share,
+       n_moved,
+       round(n_moved::DOUBLE / n_keys::DOUBLE, 6) AS moved_frac
+FROM per, tot
+ORDER BY node
+"""
+
+ORACLES["palma_ratio_nations"] = """
+WITH j AS (
+  SELECT n_name, o_orderkey,
+         round(o_totalprice, 2)::DECIMAL(28,2) AS price
+  FROM orders
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation ON n_nationkey = c_nationkey
+),
+r AS (
+  SELECT n_name, price,
+         row_number() OVER (PARTITION BY n_name
+                            ORDER BY price DESC, o_orderkey ASC) AS rd,
+         row_number() OVER (PARTITION BY n_name
+                            ORDER BY price ASC, o_orderkey DESC) AS ra
+  FROM j
+),
+cnt AS (
+  SELECT n_name, count(*)::BIGINT AS n_orders,
+         (count(*) - (9 * count(*)) // 10)::BIGINT AS t_cut,
+         ((4 * count(*)) // 10)::BIGINT AS b_cut
+  FROM j GROUP BY 1
+),
+agg AS (
+  SELECT r.n_name, cnt.n_orders, cnt.t_cut AS top10_n,
+         cnt.b_cut AS bottom40_n,
+         sum(CASE WHEN rd <= t_cut THEN price END) AS ts,
+         sum(CASE WHEN ra <= b_cut THEN price END) AS bs
+  FROM r JOIN cnt USING (n_name)
+  GROUP BY 1, 2, 3, 4
+)
+SELECT n_name, n_orders, top10_n, bottom40_n,
+       ts::DOUBLE AS top10_revenue,
+       bs::DOUBLE AS bottom40_revenue,
+       round(ts::DOUBLE / bs::DOUBLE, 6) AS palma_ratio
+FROM agg
+ORDER BY n_name
+"""
+
+ORACLES["mg1_waiting_time"] = """
+WITH g AS (
+  SELECT count(*)::BIGINT AS n_events,
+         (max(epoch_us(ts)) - min(epoch_us(ts)))::BIGINT AS span_us,
+         sum(round(value, 2)::DECIMAL(28,2)) AS s1,
+         sum(round(value * value, 4)::DECIMAL(38,4)) AS s2
+  FROM events
+),
+d AS (
+  SELECT n_events, span_us,
+         n_events::DOUBLE * 1000000.0 / span_us::DOUBLE AS lam,
+         s1::DOUBLE / n_events::DOUBLE / 1000.0 AS es,
+         s2::DOUBLE / n_events::DOUBLE / 1000000.0 AS es2
+  FROM g
+),
+w AS (
+  SELECT *,
+         lam * es AS rho,
+         CASE WHEN lam * es < 1.0
+              THEN lam * es2 / (2.0 * (1.0 - lam * es)) END AS wq
+  FROM d
+)
+SELECT n_events, span_us,
+       round(lam, 6) AS lambda_per_s,
+       round(es, 6) AS es_s,
+       round(es2, 6) AS es2_s2,
+       round(rho, 6) AS rho,
+       round(wq, 6) AS wq_s,
+       round(wq + es, 6) AS w_s,
+       round(lam * wq, 6) AS lq
+FROM w
+"""

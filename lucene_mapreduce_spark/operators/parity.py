@@ -11358,3 +11358,51 @@ def cramers_v_bias_corrected(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(phi2t / F.least(rt - 1, ct - 1)), 6
         ).alias("cramers_v_corrected"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 152: M/G/1 Pollaczek-Khinchine waiting time
+# ---------------------------------------------------------------------------
+
+
+def mg1_waiting_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pollaczek-Khinchine M/G/1 mean-wait panel over the event stream
+    — the general-service-time counterpart of erlang_c_staffing's
+    Erlang-C (which assumes exponential service): arrivals lambda =
+    n/span from exact microsecond bounds, service time S = value/1000
+    seconds, E[S] off exact 2dp DECIMAL sums and E[S^2] off exact 4dp
+    DECIMAL sums (a 2dp square is an exact 4dp decimal), rho =
+    lambda E[S], Wq = lambda E[S^2] / (2(1-rho)) — NULL when rho >= 1,
+    the honest overloaded outcome — plus W = Wq + E[S] and Lq =
+    lambda Wq (Little).  One scan, one row."""
+    ev = load(spark, sf_dir, "events").select(
+        F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
+        "value",
+    )
+    g = ev.agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        (F.max("us") - F.min("us")).cast("long").alias("span_us"),
+        F.sum(F.round(F.col("value"), 2).cast("decimal(28,2)")).alias("s1"),
+        F.sum(
+            F.round(F.col("value") * F.col("value"), 4).cast(
+                "decimal(38,4)"
+            )
+        ).alias("s2"),
+    )
+    nD = F.col("n_events").cast("double")
+    lam = nD * F.lit(1000000.0) / F.col("span_us").cast("double")
+    es = F.col("s1").cast("double") / nD / F.lit(1000.0)
+    es2 = F.col("s2").cast("double") / nD / F.lit(1000000.0)
+    rho = lam * es
+    wq = F.when(rho < 1.0, lam * es2 / (F.lit(2.0) * (F.lit(1.0) - rho)))
+    return g.select(
+        "n_events",
+        "span_us",
+        F.round(lam, 6).alias("lambda_per_s"),
+        F.round(es, 6).alias("es_s"),
+        F.round(es2, 6).alias("es2_s2"),
+        F.round(rho, 6).alias("rho"),
+        F.round(wq, 6).alias("wq_s"),
+        F.round(wq + es, 6).alias("w_s"),
+        F.round(lam * wq, 6).alias("lq"),
+    )

@@ -4429,3 +4429,149 @@ def atkinson_index_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ede, 6).alias("ede_price"),
         F.round(F.lit(1.0) - ede / mean, 6).alias("atkinson_05"),
     ).orderBy("c_mktsegment")
+
+
+# ---------------------------------------------------------------------------
+# Batch 152: rendezvous hashing balance + Palma ratio
+# ---------------------------------------------------------------------------
+
+RVH_NODES = 8  # baseline node count; the remap probe adds node 8
+
+
+def rendezvous_hash_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) hashing balance audit — the
+    stateless shard-placement rule consistent-ring designs compete
+    with (Thaler & Ravishankar 1998, public): each key goes to the
+    node with the largest md5('rvh:'||node||':'||key) weight, and when
+    a 9th node joins, exactly the keys whose new weight tops the old
+    maximum move — HRW's minimal-disruption guarantee, measured here
+    per node.  The argmax is the pure-integer max of enc = h*16+node
+    (52-bit h, injective, deterministic under any tie), one groupBy
+    over keys x 9 literal nodes.  Node-bounded output."""
+    keys = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("key")
+    )
+    pairs = keys.select(
+        "key",
+        F.explode(F.sequence(F.lit(0), F.lit(RVH_NODES))).alias("node"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("rvh:"),
+                    F.col("node").cast("string"),
+                    F.lit(":"),
+                    F.col("key").cast("string"),
+                )
+            ),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("long")
+    enc = h * F.lit(16) + F.col("node")
+    g = pairs.groupBy("key").agg(
+        F.max(F.when(F.col("node") < RVH_NODES, enc)).alias("e8"),
+        F.max(enc).alias("e9"),
+    )
+    assigned = g.select(
+        F.pmod(F.col("e8"), F.lit(16)).cast("long").alias("node"),
+        (F.pmod(F.col("e9"), F.lit(16)) == RVH_NODES)
+        .cast("long")
+        .alias("moved"),
+    )
+    per = assigned.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("moved").cast("long").alias("n_moved"),
+    )
+    tot = keys.agg(F.count(F.lit(1)).cast("long").alias("total"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "node",
+            "n_keys",
+            F.round(
+                F.col("n_keys").cast("double")
+                / F.col("total").cast("double"),
+                6,
+            ).alias("share"),
+            "n_moved",
+            F.round(
+                F.col("n_moved").cast("double")
+                / F.col("n_keys").cast("double"),
+                6,
+            ).alias("moved_frac"),
+        )
+        .orderBy("node")
+    )
+
+
+def palma_ratio_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Palma ratio of order revenue per customer nation — the
+    inequality headline the decile tables imply but never state
+    (Palma 2011, public): revenue captured by the top 10% of orders
+    over revenue captured by the bottom 40%, with count cuts pinned to
+    integer arithmetic (top = n − (9n div 10), bottom = 4n div 10) and
+    membership decided on the (price, orderkey) total order so ties
+    never flip the sets.  Revenue rides exact 2dp DECIMAL sums; one
+    shuffle for the two per-nation rank windows.  Nation-bounded."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    n = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    j = o.join(c, "o_custkey").join(F.broadcast(n), "c_nationkey")
+    wd = Window.partitionBy("n_name").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    wa = Window.partitionBy("n_name").orderBy(
+        F.asc("o_totalprice"), F.desc("o_orderkey")
+    )
+    r = j.select(
+        "n_name",
+        F.round(F.col("o_totalprice"), 2)
+        .cast("decimal(28,2)")
+        .alias("price"),
+        F.row_number().over(wd).alias("rd"),
+        F.row_number().over(wa).alias("ra"),
+    )
+    cnt = j.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+    cut = cnt.select(
+        "n_name",
+        "n_orders",
+        (F.col("n_orders") - F.expr("(9 * n_orders) div 10"))
+        .cast("long")
+        .alias("t_cut"),
+        F.expr("(4 * n_orders) div 10").cast("long").alias("b_cut"),
+    )
+    m = r.join(F.broadcast(cut), "n_name")
+    agg = m.groupBy("n_name").agg(
+        F.first("n_orders").alias("n_orders"),
+        F.first("t_cut").alias("top10_n"),
+        F.first("b_cut").alias("bottom40_n"),
+        F.sum(F.when(F.col("rd") <= F.col("t_cut"), F.col("price"))).alias(
+            "ts"
+        ),
+        F.sum(F.when(F.col("ra") <= F.col("b_cut"), F.col("price"))).alias(
+            "bs"
+        ),
+    )
+    return agg.select(
+        "n_name",
+        "n_orders",
+        "top10_n",
+        "bottom40_n",
+        F.col("ts").cast("double").alias("top10_revenue"),
+        F.col("bs").cast("double").alias("bottom40_revenue"),
+        F.round(
+            F.col("ts").cast("double") / F.col("bs").cast("double"), 6
+        ).alias("palma_ratio"),
+    ).orderBy("n_name")
