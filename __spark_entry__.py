@@ -1180,6 +1180,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rendezvous_hash_balance": relational.rendezvous_hash_balance,
         "palma_ratio_nations": relational.palma_ratio_nations,
         "mg1_waiting_time": parity.mg1_waiting_time,
+        # batch 153: Taylor's law, two-NN intrinsic dim, JSD
+        "taylor_power_law": parity.taylor_power_law,
+        "two_nn_intrinsic_dim": similarity.two_nn_intrinsic_dim,
+        "jsd_source_vs_rest": textstats.jsd_source_vs_rest,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})

@@ -20998,3 +20998,147 @@ SELECT n_events, span_us,
        round(lam * wq, 6) AS lq
 FROM w
 """
+
+# ---- batch 153: Taylor's law, two-NN intrinsic dim, JSD --------------------
+
+ORACLES["taylor_power_law"] = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS ed FROM events
+),
+span AS (SELECT min(ed) AS d0, max(ed) AS d1 FROM ev),
+days AS (SELECT unnest(range(d0, d1 + 1)) AS ed FROM span),
+users AS (SELECT DISTINCT user_id FROM ev),
+counts AS (
+  SELECT user_id, ed, count(*)::BIGINT AS c FROM ev GROUP BY 1, 2
+),
+grid AS (
+  SELECT u.user_id, d.ed, coalesce(c.c, 0)::BIGINT AS c
+  FROM users u CROSS JOIN days d
+  LEFT JOIN counts c ON c.user_id = u.user_id AND c.ed = d.ed
+),
+per AS (
+  SELECT user_id, count(*)::BIGINT AS nd,
+         sum(c)::BIGINT AS s1, sum(c * c)::BIGINT AS s2
+  FROM grid GROUP BY 1
+),
+pts AS (
+  SELECT round(ln(s1::DOUBLE / nd::DOUBLE), 12) AS u,
+         round(ln((s2::DOUBLE - s1::DOUBLE * (s1::DOUBLE / nd::DOUBLE))
+                  / (nd::DOUBLE - 1)), 12) AS w
+  FROM per
+  WHERE s1 > 0
+    AND (s2::DOUBLE - s1::DOUBLE * (s1::DOUBLE / nd::DOUBLE))
+        / (nd::DOUBLE - 1) > 0
+),
+s AS (
+  SELECT count(*)::BIGINT AS k,
+         sum(u::DECIMAL(38,12))::DOUBLE AS su,
+         sum(w::DECIMAL(38,12))::DOUBLE AS sw,
+         sum(round(u * w, 12)::DECIMAL(38,12))::DOUBLE AS suw,
+         sum(round(u * u, 12)::DECIMAL(38,12))::DOUBLE AS suu,
+         sum(round(w * w, 12)::DECIMAL(38,12))::DOUBLE AS sww
+  FROM pts
+)
+SELECT k AS n_users_fit,
+       round((k::DOUBLE * suw - su * sw) / (k::DOUBLE * suu - su * su), 6)
+         AS taylor_b,
+       round((sw - (k::DOUBLE * suw - su * sw)
+                   / (k::DOUBLE * suu - su * su) * su) / k::DOUBLE, 6)
+         AS ln_a,
+       round((k::DOUBLE * suw - su * sw) * (k::DOUBLE * suw - su * sw)
+             / ((k::DOUBLE * suu - su * su)
+                * (k::DOUBLE * sww - sw * sw)), 6) AS r2
+FROM s
+"""
+
+ORACLES["two_nn_intrinsic_dim"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+probes AS (
+  SELECT vec_id AS p_id, v AS pv
+  FROM (
+    SELECT vec_id, v,
+           row_number() OVER (
+             ORDER BY md5(vec_id::VARCHAR || ':2nn') ASC, vec_id ASC
+           ) AS r
+    FROM e
+  ) WHERE r <= 64
+),
+cand AS (
+  SELECT p.p_id, e.vec_id,
+         round(list_dot_product(e.v, e.v) + list_dot_product(p.pv, p.pv)
+               - 2.0 * list_dot_product(e.v, p.pv), 9) AS d2
+  FROM e CROSS JOIN probes p
+  WHERE e.vec_id <> p.p_id
+),
+top2 AS (
+  SELECT p_id, d2, r FROM (
+    SELECT p_id, d2,
+           row_number() OVER (PARTITION BY p_id
+                              ORDER BY d2 ASC, vec_id ASC) AS r
+    FROM cand WHERE d2 > 0
+  ) WHERE r <= 2
+),
+per AS (
+  SELECT p_id,
+         min(CASE WHEN r = 1 THEN d2 END) AS d1,
+         min(CASE WHEN r = 2 THEN d2 END) AS d2nd
+  FROM top2 GROUP BY 1
+),
+agg AS (
+  SELECT count(*)::BIGINT AS n_probes,
+         sum(round(0.5 * ln(d2nd / d1), 12)::DECIMAL(38,12))::DOUBLE AS slm
+  FROM per
+),
+tot AS (SELECT count(*)::BIGINT AS n_vectors FROM e)
+SELECT n_probes, n_vectors,
+       round(slm, 6) AS sum_ln_mu,
+       round(n_probes::DOUBLE / slm, 6) AS intrinsic_dim
+FROM agg, tot
+"""
+
+ORACLES["jsd_source_vs_rest"] = f"""
+WITH toks AS (
+  SELECT source, unnest({TOKS}) AS term FROM documents
+),
+per AS (
+  SELECT source, term, count(*)::BIGINT AS cnt FROM toks GROUP BY 1, 2
+),
+tot_s AS (SELECT source, sum(cnt)::BIGINT AS tot_s FROM per GROUP BY 1),
+corpus AS (SELECT term, sum(cnt)::BIGINT AS cf FROM per GROUP BY 1),
+tot AS (SELECT sum(cf)::BIGINT AS tot FROM corpus),
+grid AS (
+  SELECT s.source, s.tot_s, c.term, c.cf, coalesce(p.cnt, 0)::BIGINT AS cnt,
+         t.tot
+  FROM tot_s s CROSS JOIN corpus c
+  LEFT JOIN per p ON p.source = s.source AND p.term = c.term
+  CROSS JOIN tot t
+),
+contrib AS (
+  SELECT source, tot_s,
+         CASE WHEN cnt > 0 THEN
+           round((cnt::DOUBLE / tot_s::DOUBLE)
+                 * ln((cnt::DOUBLE / tot_s::DOUBLE)
+                      / ((cnt::DOUBLE / tot_s::DOUBLE)
+                         + (cf - cnt)::DOUBLE / (tot - tot_s)::DOUBLE)
+                        * 2.0), 12)
+         ELSE 0.0 END::DECIMAL(28,12) AS cp,
+         CASE WHEN cf > cnt THEN
+           round(((cf - cnt)::DOUBLE / (tot - tot_s)::DOUBLE)
+                 * ln(((cf - cnt)::DOUBLE / (tot - tot_s)::DOUBLE)
+                      / ((cnt::DOUBLE / tot_s::DOUBLE)
+                         + (cf - cnt)::DOUBLE / (tot - tot_s)::DOUBLE)
+                        * 2.0), 12)
+         ELSE 0.0 END::DECIMAL(28,12) AS cq
+  FROM grid
+),
+outp AS (
+  SELECT source, tot_s, count(*)::BIGINT AS vocab_terms,
+         (sum(cp)::DOUBLE + sum(cq)::DOUBLE) / 2.0 AS jsd_raw
+  FROM contrib GROUP BY 1, 2
+)
+SELECT source, tot_s AS n_tokens, vocab_terms,
+       round(jsd_raw, 6) AS jsd_nats,
+       round(sqrt(jsd_raw), 6) AS jsd_distance
+FROM outp
+ORDER BY source
+"""

@@ -11406,3 +11406,93 @@ def mg1_waiting_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(wq + es, 6).alias("w_s"),
         F.round(lam * wq, 6).alias("lq"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 153: Taylor's fluctuation-scaling law
+# ---------------------------------------------------------------------------
+
+
+def taylor_power_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Taylor's fluctuation-scaling law fit over per-user daily event
+    counts — the variance-mean power law (var = a * mean^b, Taylor
+    1961; b near 1 is Poisson-like, near 2 is clumped) that summarizes
+    burstiness across the whole user population where
+    poisson_dispersion tests one stream: each user's daily counts ride
+    the gap-filled global calendar (zero days carry the variance), the
+    per-user moments are exact BIGINTs, and the OLS of ln(var) on
+    ln(mean) uses 12dp-rounded lns with products rounded 12dp before
+    DECIMAL(38,12) sums (the ols_token_chars_fit discipline).
+    Degenerate users (zero or constant counts) are excluded by the
+    var > 0 filter.  One grid join, one row."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias(
+            "ed"
+        ),
+    )
+    span = ev.agg(
+        F.min("ed").alias("d0"), F.max("ed").alias("d1")
+    )
+    days = span.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("ed")
+    )
+    users = ev.select("user_id").distinct()
+    counts = ev.groupBy("user_id", "ed").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    grid = (
+        users.crossJoin(F.broadcast(days))
+        .join(counts, ["user_id", "ed"], "left")
+        .withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
+    )
+    per = grid.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("nd"),
+        F.sum("c").cast("long").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+    )
+    ndD = F.col("nd").cast("double")
+    mean = F.col("s1").cast("double") / ndD
+    var = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * mean
+    ) / (ndD - 1)
+    pts = (
+        per.filter((F.col("s1") > 0))
+        .select(
+            F.round(F.log(mean), 12).alias("u"),
+            F.round(F.log(var), 12).alias("w"),
+            var.alias("rawvar"),
+        )
+        .filter(F.col("rawvar") > 0)
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(F.col("u").cast("decimal(38,12)")).alias("su"),
+        F.sum(F.col("w").cast("decimal(38,12)")).alias("sw"),
+        F.sum(
+            F.round(F.col("u") * F.col("w"), 12).cast("decimal(38,12)")
+        ).alias("suw"),
+        F.sum(
+            F.round(F.col("u") * F.col("u"), 12).cast("decimal(38,12)")
+        ).alias("suu"),
+        F.sum(
+            F.round(F.col("w") * F.col("w"), 12).cast("decimal(38,12)")
+        ).alias("sww"),
+    )
+    kD = F.col("k").cast("double")
+    su = F.col("su").cast("double")
+    sw = F.col("sw").cast("double")
+    suw = F.col("suw").cast("double")
+    suu = F.col("suu").cast("double")
+    sww = F.col("sww").cast("double")
+    num = kD * suw - su * sw
+    dxx = kD * suu - su * su
+    dyy = kD * sww - sw * sw
+    b = num / dxx
+    return s.select(
+        F.col("k").alias("n_users_fit"),
+        F.round(b, 6).alias("taylor_b"),
+        F.round((sw - b * su) / kD, 6).alias("ln_a"),
+        F.round(num * num / (dxx * dyy), 6).alias("r2"),
+    )

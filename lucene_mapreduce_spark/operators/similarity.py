@@ -2711,3 +2711,82 @@ def result_diversity_ild(
         F.min("c6").cast("double").alias("min_pair_cos"),
         F.max("c6").cast("double").alias("max_pair_cos"),
     ).select("k", "n_pairs", "mean_ild", "min_pair_cos", "max_pair_cos")
+
+
+# ---------------------------------------------------------------------------
+# Batch 153: two-NN intrinsic dimension
+# ---------------------------------------------------------------------------
+
+TWO_NN_PROBES = 64
+
+
+def two_nn_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-NN intrinsic-dimension estimate of the embedding corpus
+    (Facco et al. 2017, public): for each of a fixed md5-picked probe
+    set, mu = r2/r1 over the two nearest Euclidean neighbors, and the
+    ML estimator d = P / sum ln mu.  Squared distances come from the
+    engine-shared sequential dot folds combined as |a|^2 + |b|^2 -
+    2 a.b, rounded 9dp so ranking and the ln chain read the same
+    number in both engines; the per-probe top-2 is a WindowGroupLimit
+    over the probe partition; ln-mu contributions fold as 12dp
+    DECIMAL.  Cost is probes x corpus (corpus-independent probe
+    count), never all-pairs; zero-distance duplicates are excluded
+    from the candidate set (documented)."""
+    from lucene_mapreduce_spark.operators.parity import load, ranked_topk
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    probes = ranked_topk(
+        emb.select(
+            F.col("vec_id").alias("p_id"),
+            F.col("v").alias("pv"),
+            F.md5(F.concat(F.col("vec_id").cast("string"), F.lit(":2nn"))).alias(
+                "mk"
+            ),
+        ),
+        [F.asc("mk"), F.asc("p_id")],
+        TWO_NN_PROBES,
+    ).select("p_id", "pv")
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda s, v: s + v,
+        )
+
+    d2 = F.round(
+        dot(F.col("v"), F.col("v"))
+        + dot(F.col("pv"), F.col("pv"))
+        - F.lit(2.0) * dot(F.col("v"), F.col("pv")),
+        9,
+    )
+    cand = (
+        emb.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("p_id"))
+        .select("p_id", "vec_id", d2.alias("d2"))
+        .filter(F.col("d2") > 0)
+    )
+    w = Window.partitionBy("p_id").orderBy(F.asc("d2"), F.asc("vec_id"))
+    top2 = cand.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= 2)
+    per = top2.groupBy("p_id").agg(
+        F.min(F.when(F.col("r") == 1, F.col("d2"))).alias("d1"),
+        F.min(F.when(F.col("r") == 2, F.col("d2"))).alias("d2nd"),
+    )
+    lnmu = F.round(
+        F.lit(0.5) * F.log(F.col("d2nd") / F.col("d1")), 12
+    ).cast("decimal(38,12)")
+    tot = emb.agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+    agg = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_probes"),
+        F.sum(lnmu).cast("double").alias("slm"),
+    )
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "n_probes",
+        "n_vectors",
+        F.round("slm", 6).alias("sum_ln_mu"),
+        F.round(
+            F.col("n_probes").cast("double") / F.col("slm"), 6
+        ).alias("intrinsic_dim"),
+    )

@@ -7853,3 +7853,61 @@ def qi_ladder_kmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = leg if out is None else out.unionByName(leg)
     return out.orderBy("qi_set")
+
+
+# ---------------------------------------------------------------------------
+# Batch 153: Jensen-Shannon divergence, source vs rest
+# ---------------------------------------------------------------------------
+
+
+def jsd_source_vs_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Jensen-Shannon divergence between the source's
+    unigram distribution and the REST of the corpus — the bounded,
+    symmetric twin of kl_divergence_by_source (KL needs the corpus
+    support to cover the source; JSD is finite for any pair, the
+    reason drift dashboards prefer it): JSD = (KL(P||M) + KL(Q||M))/2
+    with M the even mixture.  The grid is vocab x sources (vocab-sized,
+    never corpus-sized), zero-count cells contribute only on the side
+    that owns mass, every contribution is one fixed IEEE chain on
+    exact integer counts folded as 12dp DECIMAL.  Source-bounded
+    output; also reports sqrt(JSD), the metric form."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(tokenize_col("text")).alias("term"))
+    per = toks.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    tot_s = per.groupBy("source").agg(F.sum("cnt").cast("long").alias("tot_s"))
+    corpus = per.groupBy("term").agg(F.sum("cnt").cast("long").alias("cf"))
+    tot = corpus.agg(F.sum("cf").cast("long").alias("tot"))
+    grid = (
+        tot_s.crossJoin(F.broadcast(corpus))
+        .join(per, ["source", "term"], "left")
+        .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+    )
+    p = F.col("cnt").cast("double") / F.col("tot_s").cast("double")
+    q = (F.col("cf") - F.col("cnt")).cast("double") / (
+        F.col("tot") - F.col("tot_s")
+    ).cast("double")
+    m = (p + q) / F.lit(2.0)
+    cp = F.when(
+        F.col("cnt") > 0, F.round(p * F.log(p / m), 12)
+    ).otherwise(F.lit(0.0)).cast("decimal(28,12)")
+    cq = F.when(
+        F.col("cf") > F.col("cnt"), F.round(q * F.log(q / m), 12)
+    ).otherwise(F.lit(0.0)).cast("decimal(28,12)")
+    j = grid.select("source", "tot_s", cp.alias("cp"), cq.alias("cq"))
+    out = j.groupBy("source", "tot_s").agg(
+        F.count(F.lit(1)).cast("long").alias("vocab_terms"),
+        (
+            (F.sum("cp").cast("double") + F.sum("cq").cast("double"))
+            / F.lit(2.0)
+        ).alias("jsd_raw"),
+    )
+    return out.select(
+        "source",
+        F.col("tot_s").alias("n_tokens"),
+        "vocab_terms",
+        F.round("jsd_raw", 6).alias("jsd_nats"),
+        F.round(F.sqrt(F.col("jsd_raw")), 6).alias("jsd_distance"),
+    ).orderBy("source")
