@@ -1184,6 +1184,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "taylor_power_law": parity.taylor_power_law,
         "two_nn_intrinsic_dim": similarity.two_nn_intrinsic_dim,
         "jsd_source_vs_rest": textstats.jsd_source_vs_rest,
+        # batch 154: Croston, Wilcoxon signed-rank, Cox-Stuart
+        "croston_intermittent_demand": parity.croston_intermittent_demand,
+        "wilcoxon_signed_rank": parity.wilcoxon_signed_rank,
+        "cox_stuart_trend": parity.cox_stuart_trend,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})

@@ -21142,3 +21142,110 @@ SELECT source, tot_s AS n_tokens, vocab_terms,
 FROM outp
 ORDER BY source
 """
+
+# ---- batch 154: Croston, Wilcoxon signed-rank, Cox-Stuart ------------------
+
+ORACLES["croston_intermittent_demand"] = """
+WITH pk AS (SELECT min(l_partkey) AS pk FROM lineitem),
+d AS (
+  SELECT pk.pk, epoch_us(l_shipdate::TIMESTAMP) // 86400000000 AS ed,
+         sum(round(l_quantity, 2)::DECIMAL(28,2)) AS qd
+  FROM lineitem, pk WHERE l_partkey = pk.pk
+  GROUP BY 1, 2
+),
+rows_ AS (
+  SELECT pk, ed, qd, qd::DOUBLE AS q,
+         coalesce((ed - lag(ed) OVER (PARTITION BY pk ORDER BY ed))::DOUBLE,
+                  1.0) AS iv
+  FROM d
+),
+packed AS (
+  SELECT pk, count(*)::BIGINT AS n_demand_days,
+         sum(qd)::DOUBLE AS total_qty,
+         list([q, iv] ORDER BY ed) AS arr
+  FROM rows_ GROUP BY 1
+),
+st AS (
+  SELECT pk, n_demand_days, total_qty,
+         list_reduce(arr,
+           (acc, x) -> [(acc[1] + x[1]) / 2.0, (acc[2] + x[2]) / 2.0]) AS s
+  FROM packed
+)
+SELECT pk AS part_key, n_demand_days,
+       round(total_qty, 2) AS total_qty,
+       round(s[1], 6) AS z_final,
+       round(s[2], 6) AS p_final,
+       round(s[1] / s[2], 6) AS croston_forecast,
+       round(0.75 * s[1] / s[2], 6) AS sba_forecast
+FROM st
+"""
+
+ORACLES["wilcoxon_signed_rank"] = """
+WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+span AS (SELECT ((min(us) + max(us)) // 2)::BIGINT AS mid FROM ev),
+per AS (
+  SELECT user_id,
+         sum(CASE WHEN us < mid THEN 1 ELSE 0 END)::BIGINT AS x,
+         sum(CASE WHEN us >= mid THEN 1 ELSE 0 END)::BIGINT AS y
+  FROM ev, span GROUP BY 1
+),
+diffs AS (SELECT y - x AS dd FROM per WHERE y - x <> 0),
+grp AS (
+  SELECT abs(dd)::BIGINT AS ad, count(*)::BIGINT AS c,
+         sum(CASE WHEN dd > 0 THEN 1 ELSE 0 END)::BIGINT AS cpos
+  FROM diffs GROUP BY 1
+),
+ranked AS (
+  SELECT ad, c, cpos,
+         (sum(c) OVER (ORDER BY ad
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          - c)::BIGINT AS a
+  FROM grp
+),
+agg AS (
+  SELECT sum(c)::BIGINT AS n,
+         sum(cpos * (2 * a + c + 1))::BIGINT AS w2,
+         sum(c * c * c - c)::BIGINT AS t3
+  FROM ranked
+)
+SELECT n AS n_pairs,
+       round(w2::DOUBLE / 2, 6) AS w_plus,
+       t3 AS tie_term,
+       round((2 * w2 - n * (n + 1))::DOUBLE
+             / sqrt((2 * n * (n + 1) * (2 * n + 1) - t3)::DOUBLE / 3.0), 6)
+         AS z_stat
+FROM agg
+"""
+
+ORACLES["cox_stuart_trend"] = """
+WITH ev AS (
+  SELECT epoch_us(ts) // 86400000000 AS ed FROM events
+),
+days AS (
+  SELECT unnest(range(d0, d1 + 1)) AS ed,
+         (d1 - d0 + 1)::BIGINT AS nn
+  FROM (SELECT min(ed) AS d0, max(ed) AS d1 FROM ev)
+),
+counts AS (SELECT ed, count(*)::BIGINT AS c FROM ev GROUP BY 1),
+cal AS (
+  SELECT d.ed, d.nn, coalesce(c.c, 0)::BIGINT AS c
+  FROM days d LEFT JOIN counts c ON c.ed = d.ed
+),
+lo AS (SELECT min(ed) AS d0 FROM cal),
+pairs AS (
+  SELECT a.nn, a.c AS y1, b.c AS y2
+  FROM cal a JOIN cal b ON a.ed + a.nn // 2 = b.ed, lo
+  WHERE a.ed < lo.d0 + a.nn // 2
+),
+agg AS (
+  SELECT any_value(nn) AS n_days,
+         sum(CASE WHEN y2 > y1 THEN 1 ELSE 0 END)::BIGINT AS s_plus,
+         sum(CASE WHEN y2 < y1 THEN 1 ELSE 0 END)::BIGINT AS s_minus
+  FROM pairs
+)
+SELECT n_days, (s_plus + s_minus)::BIGINT AS n_pairs_used,
+       s_plus, s_minus,
+       round((2 * s_plus - (s_plus + s_minus))::DOUBLE
+             / sqrt((s_plus + s_minus)::DOUBLE), 6) AS z_stat
+FROM agg
+"""

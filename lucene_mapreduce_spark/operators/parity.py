@@ -11496,3 +11496,205 @@ def taylor_power_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((sw - b * su) / kD, 6).alias("ln_a"),
         F.round(num * num / (dxx * dyy), 6).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 154: Croston, Wilcoxon signed-rank, Cox-Stuart
+# ---------------------------------------------------------------------------
+
+
+def croston_intermittent_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's method (1972, public) on the intermittent daily demand
+    of one deterministic part (the min l_partkey): separate SES folds
+    over the nonzero demand SIZES and the inter-demand INTERVALS,
+    forecast = z/p, plus the Syntetos-Boylan bias correction
+    (1 − α/2) z/p.  α is pinned at 0.5 so every smoothed value is an
+    exact dyadic rational (the halving-gain discipline Holt/HW use);
+    the fold runs over ONE bounded per-part array (demand days, never
+    corpus-sized), seeded z₁ = q₁, p₁ = 1 (pinned first-interval
+    convention).  One row."""
+    li = load(spark, sf_dir, "lineitem")
+    pk = li.agg(F.min("l_partkey").alias("pk"))
+    d = (
+        li.join(F.broadcast(pk), li.l_partkey == F.col("pk"))
+        .select(
+            "pk",
+            F.expr(
+                "unix_micros(cast(l_shipdate as timestamp)) div 86400000000"
+            ).alias("ed"),
+            "l_quantity",
+        )
+        .groupBy("pk", "ed")
+        .agg(
+            F.sum(
+                F.round(F.col("l_quantity"), 2).cast("decimal(28,2)")
+            ).alias("qd")
+        )
+        .select(
+            "pk", "ed", "qd", F.col("qd").cast("double").alias("q")
+        )
+    )
+    w = Window.partitionBy("pk").orderBy("ed")
+    rows = d.select(
+        "pk",
+        "ed",
+        "qd",
+        "q",
+        F.coalesce(
+            (F.col("ed") - F.lag("ed").over(w)).cast("double"), F.lit(1.0)
+        ).alias("iv"),
+    )
+    packed = rows.groupBy("pk").agg(
+        F.count(F.lit(1)).cast("long").alias("n_demand_days"),
+        F.sum("qd").cast("double").alias("total_qty"),
+        F.sort_array(
+            F.collect_list(F.struct("ed", F.array("q", "iv").alias("e")))
+        ).alias("arr"),
+    )
+    state = F.expr(
+        "aggregate(slice(transform(arr, x -> x.e), 2, size(arr) - 1),"
+        " transform(arr, x -> x.e)[0],"
+        " (acc, x) -> array((acc[0] + x[0]) / 2D, (acc[1] + x[1]) / 2D))"
+    )
+    out = packed.withColumn("st", state)
+    z = F.col("st").getItem(0)
+    p = F.col("st").getItem(1)
+    return out.select(
+        F.col("pk").alias("part_key"),
+        "n_demand_days",
+        F.round("total_qty", 2).alias("total_qty"),
+        F.round(z, 6).alias("z_final"),
+        F.round(p, 6).alias("p_final"),
+        F.round(z / p, 6).alias("croston_forecast"),
+        F.round(F.lit(0.75) * z / p, 6).alias("sba_forecast"),
+    )
+
+
+def wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test on paired per-user activity between
+    the two calendar halves of the event stream — the nonparametric
+    paired twin of cohens_d_arms' unpaired comparison: d = second-half
+    minus first-half event count per user active in either half, zero
+    diffs dropped (Wilcoxon's convention), |d| midranks from a
+    (value, count) table so 2·midrank = 2a + c + 1 stays BIGINT, W⁺
+    accumulated as exact doubled sums, and the tie-corrected normal
+    z = (2W₂ − n(n+1)) / sqrt((2n(n+1)(2n+1) − Σ(t³−t)) / 3) is one
+    float chain over five BIGINTs.  No pair blowup anywhere."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
+    )
+    span = ev.agg(
+        ((F.min("us") + F.max("us")) / 2).cast("long").alias("mid")
+    )
+    per = (
+        ev.crossJoin(F.broadcast(span))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("us") < F.col("mid"), 1).otherwise(0))
+            .cast("long")
+            .alias("x"),
+            F.sum(F.when(F.col("us") >= F.col("mid"), 1).otherwise(0))
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    diffs = per.select(
+        (F.col("y") - F.col("x")).alias("dd")
+    ).filter(F.col("dd") != 0)
+    grp = diffs.groupBy(F.abs(F.col("dd")).alias("ad")).agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum(F.when(F.col("dd") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("cpos"),
+    )
+    wo = Window.orderBy("ad").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = grp.select(
+        "ad",
+        "c",
+        "cpos",
+        (F.sum("c").over(wo) - F.col("c")).alias("a"),
+    )
+    agg = ranked.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("cpos") * (2 * F.col("a") + F.col("c") + 1))
+        .cast("long")
+        .alias("w2"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
+        .cast("long")
+        .alias("t3"),
+    )
+    nD = F.col("n").cast("double")
+    num = (2 * F.col("w2") - F.col("n") * (F.col("n") + 1)).cast("double")
+    den = F.sqrt(
+        (
+            2 * F.col("n") * (F.col("n") + 1) * (2 * F.col("n") + 1)
+            - F.col("t3")
+        ).cast("double")
+        / F.lit(3.0)
+    )
+    return agg.select(
+        F.col("n").alias("n_pairs"),
+        F.round(F.col("w2").cast("double") / 2, 6).alias("w_plus"),
+        F.col("t3").alias("tie_term"),
+        F.round(num / den, 6).alias("z_stat"),
+    )
+
+
+def cox_stuart_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cox-Stuart trend test on the daily event-count series — the
+    sign-test-on-halves screen that needs no rank machinery (pair day
+    i with day i+m, m = N div 2, odd middle dropped; under no trend
+    the sign split is Binomial(n, ½)): gap-filled calendar, exact
+    integer counts, z = (2S⁺ − n)/√n.  One self-join on the shifted
+    day index."""
+    ev = load(spark, sf_dir, "events").select(
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias(
+            "ed"
+        )
+    )
+    span = ev.agg(F.min("ed").alias("d0"), F.max("ed").alias("d1"))
+    days = span.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("ed"),
+        ((F.col("d1") - F.col("d0") + 1)).cast("long").alias("nn"),
+    )
+    counts = ev.groupBy("ed").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    cal = days.join(counts, "ed", "left").select(
+        "ed",
+        "nn",
+        F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+    )
+    m = F.expr("nn div 2")
+    a = cal.select(
+        "nn", F.col("ed").alias("e1"), F.col("c").alias("y1"), m.alias("m")
+    )
+    b = cal.select((F.col("ed")).alias("e2"), F.col("c").alias("y2"))
+    pairs = a.join(b, a.e1 + a.m == b.e2)
+    # keep only the first half as left members: e1 < d0 + m
+    lo = cal.agg(F.min("ed").alias("d0"))
+    pairs = pairs.crossJoin(F.broadcast(lo)).filter(
+        F.col("e1") < F.col("d0") + F.col("m")
+    )
+    agg = pairs.agg(
+        F.first("nn").alias("n_days"),
+        F.sum(F.when(F.col("y2") > F.col("y1"), 1).otherwise(0))
+        .cast("long")
+        .alias("s_plus"),
+        F.sum(F.when(F.col("y2") < F.col("y1"), 1).otherwise(0))
+        .cast("long")
+        .alias("s_minus"),
+    )
+    n = (F.col("s_plus") + F.col("s_minus")).cast("long")
+    return agg.select(
+        "n_days",
+        n.alias("n_pairs_used"),
+        "s_plus",
+        "s_minus",
+        F.round(
+            (2 * F.col("s_plus") - n).cast("double")
+            / F.sqrt(n.cast("double")),
+            6,
+        ).alias("z_stat"),
+    )
