@@ -1188,6 +1188,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "croston_intermittent_demand": parity.croston_intermittent_demand,
         "wilcoxon_signed_rank": parity.wilcoxon_signed_rank,
         "cox_stuart_trend": parity.cox_stuart_trend,
+        # batch 155: p-value combination, EB shrinkage, jackknife
+        "pvalue_combination_panel": parity.pvalue_combination_panel,
+        "eb_shrunk_urgent_rates": parity.eb_shrunk_urgent_rates,
+        "jackknife_ratio_se": parity.jackknife_ratio_se,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})

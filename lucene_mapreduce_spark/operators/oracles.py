@@ -21249,3 +21249,136 @@ SELECT n_days, (s_plus + s_minus)::BIGINT AS n_pairs_used,
              / sqrt((s_plus + s_minus)::DOUBLE), 6) AS z_stat
 FROM agg
 """
+
+# ---- batch 155: p-value combination, EB shrinkage, jackknife ---------------
+
+ORACLES["pvalue_combination_panel"] = """
+WITH o AS (
+  SELECT o_custkey,
+         epoch_us(o_orderdate::TIMESTAMP) // 86400000000 AS ed
+  FROM orders
+),
+cells AS (
+  SELECT c_mktsegment, ed % 7 AS dow, count(*)::BIGINT AS obs
+  FROM o JOIN customer ON c_custkey = o_custkey
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT c_mktsegment, sum(obs)::BIGINT AS n_s FROM cells GROUP BY 1
+),
+chi AS (
+  SELECT c.c_mktsegment,
+         sum(round((obs::DOUBLE - n_s::DOUBLE / 7.0)
+                   * (obs::DOUBLE - n_s::DOUBLE / 7.0)
+                   / (n_s::DOUBLE / 7.0), 12)::DECIMAL(38,12))::DOUBLE AS x
+  FROM cells c JOIN tot USING (c_mktsegment)
+  GROUP BY 1
+),
+ps AS (
+  SELECT c_mktsegment,
+         round(exp(-(x / 2.0))
+               * (1.0 + x / 2.0 + (x / 2.0) * (x / 2.0) / 2.0), 12) AS p
+  FROM chi
+),
+agg AS (
+  SELECT count(*)::BIGINT AS k,
+         sum(round(ln(p), 12)::DECIMAL(38,12))::DOUBLE AS slp,
+         sum(round(tan(3.141592653589793 * (0.5 - p)),
+                   12)::DECIMAL(38,12))::DOUBLE AS stan,
+         sum(round(1.0 / p, 12)::DECIMAL(38,12))::DOUBLE AS sinv,
+         min(p) AS minp
+  FROM ps
+)
+SELECT k,
+       round(-2.0 * slp, 6) AS fisher_x,
+       round(exp(-(-2.0 * slp / 2.0))
+             * (1.0 + (-2.0 * slp / 2.0)
+                + (-2.0 * slp / 2.0) * (-2.0 * slp / 2.0) / 2.0
+                + (-2.0 * slp / 2.0) * (-2.0 * slp / 2.0)
+                  * (-2.0 * slp / 2.0) / 6.0
+                + (-2.0 * slp / 2.0) * (-2.0 * slp / 2.0)
+                  * (-2.0 * slp / 2.0) * (-2.0 * slp / 2.0) / 24.0), 6)
+         AS fisher_p,
+       round(k::DOUBLE / sinv, 6) AS hmp,
+       round(stan / k::DOUBLE, 6) AS cauchy_t,
+       round(0.5 - atan(stan / k::DOUBLE) / 3.141592653589793, 6)
+         AS cauchy_p,
+       round(least(1.0, k::DOUBLE * minp), 6) AS bonferroni_p
+FROM agg
+"""
+
+ORACLES["eb_shrunk_urgent_rates"] = """
+WITH per AS (
+  SELECT n_name, count(*)::BIGINT AS n_orders,
+         sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0
+             END)::BIGINT AS n_urgent
+  FROM orders
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation ON n_nationkey = c_nationkey
+  GROUP BY 1
+),
+rts AS (
+  SELECT n_name, n_orders, n_urgent,
+         round(n_urgent::DOUBLE / n_orders::DOUBLE, 12) AS r
+  FROM per
+),
+mom AS (
+  SELECT count(*)::BIGINT AS k,
+         sum(r::DECIMAL(38,12))::DOUBLE AS sr,
+         sum(round(r * r, 12)::DECIMAL(38,12))::DOUBLE AS srr
+  FROM rts
+),
+prior AS (
+  SELECT round((sr / k::DOUBLE)
+               * ((sr / k::DOUBLE) * (1.0 - sr / k::DOUBLE)
+                  / ((srr - sr * (sr / k::DOUBLE)) / (k::DOUBLE - 1))
+                  - 1.0), 12) AS alpha,
+         round((1.0 - sr / k::DOUBLE)
+               * ((sr / k::DOUBLE) * (1.0 - sr / k::DOUBLE)
+                  / ((srr - sr * (sr / k::DOUBLE)) / (k::DOUBLE - 1))
+                  - 1.0), 12) AS beta
+  FROM mom
+)
+SELECT n_name, n_orders, n_urgent,
+       round(r, 6) AS raw_rate,
+       round(alpha, 6) AS alpha,
+       round(beta, 6) AS beta,
+       round((n_urgent::DOUBLE + alpha)
+             / (n_orders::DOUBLE + alpha + beta), 6) AS shrunk_rate
+FROM rts, prior
+ORDER BY n_name
+"""
+
+ORACLES["jackknife_ratio_se"] = """
+WITH li AS (
+  SELECT (epoch_us(l_shipdate::TIMESTAMP) // 86400000000) % 7 AS g,
+         round(l_extendedprice, 2)::DECIMAL(28,2) AS rev,
+         round(l_quantity, 2)::DECIMAL(28,2) AS qty
+  FROM lineitem
+),
+per AS (
+  SELECT g, sum(rev) AS s_g, sum(qty) AS t_g FROM li GROUP BY 1
+),
+tot AS (
+  SELECT count(*)::BIGINT AS gn, sum(s_g) AS s, sum(t_g) AS t FROM per
+),
+jk AS (
+  SELECT gn, s, t,
+         round((s - s_g)::DOUBLE / (t - t_g)::DOUBLE, 12) AS rg
+  FROM per, tot
+),
+agg AS (
+  SELECT gn, s, t,
+         sum(rg::DECIMAL(38,12))::DOUBLE AS srg,
+         sum(round(rg * rg, 12)::DECIMAL(38,12))::DOUBLE AS srg2
+  FROM jk GROUP BY 1, 2, 3
+)
+SELECT gn AS n_groups,
+       round(s::DOUBLE / t::DOUBLE, 6) AS ratio,
+       round(srg / gn::DOUBLE, 6) AS jk_mean,
+       round(sqrt((gn::DOUBLE - 1) / gn::DOUBLE
+                  * (srg2 - srg * (srg / gn::DOUBLE))), 6) AS jk_se,
+       round((gn::DOUBLE - 1)
+             * (srg / gn::DOUBLE - s::DOUBLE / t::DOUBLE), 6) AS jk_bias
+FROM agg
+"""

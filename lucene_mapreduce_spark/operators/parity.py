@@ -11698,3 +11698,225 @@ def cox_stuart_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("z_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 155: p-value combination, EB shrinkage, group jackknife
+# ---------------------------------------------------------------------------
+
+_PI = 3.141592653589793  # shared literal — never each engine's pi()
+
+
+def pvalue_combination_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Meta-analytic p-value combination panel — Fisher's -2 Σ ln p
+    (with its exact even-df chi-square survival, unrolled factorial
+    products, no pow()), the harmonic-mean-p statistic (Wilson 2019),
+    the Cauchy combination test (Liu & Xie 2020, tan/atan on the
+    shared π literal), and the Bonferroni floor — over five
+    independent per-segment day-of-week-uniformity chi-squares (df=6,
+    weekday = epoch-day mod 7, the pinned-class rule; survival =
+    exp(-x/2)(1 + x/2 + (x/2)²/2) exactly for df 6).  Each per-segment
+    p is rounded 12dp before every combiner so both engines fold the
+    same numbers.  One join + two bounded aggregates, one row."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr(
+            "unix_micros(cast(o_orderdate as timestamp)) div 86400000000"
+        ).alias("ed"),
+    )
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    cells = (
+        o.join(c, "o_custkey")
+        .groupBy("c_mktsegment", F.pmod(F.col("ed"), F.lit(7)).alias("dow"))
+        .agg(F.count(F.lit(1)).cast("long").alias("obs"))
+    )
+    tot = cells.groupBy("c_mktsegment").agg(
+        F.sum("obs").cast("long").alias("n_s")
+    )
+    e = F.col("n_s").cast("double") / F.lit(7.0)
+    d = F.col("obs").cast("double") - e
+    chi = (
+        cells.join(tot, "c_mktsegment")
+        .select(
+            "c_mktsegment",
+            F.round(d * d / e, 12).cast("decimal(38,12)").alias("c12"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(F.sum("c12").cast("double").alias("x"))
+    )
+    h = F.col("x") / F.lit(2.0)
+    surv6 = F.exp(-h) * (F.lit(1.0) + h + h * h / F.lit(2.0))
+    ps = chi.select(
+        "c_mktsegment", F.round(surv6, 12).alias("p")
+    )
+    lp = F.round(F.log(F.col("p")), 12).cast("decimal(38,12)")
+    tanv = F.round(
+        F.tan(F.lit(_PI) * (F.lit(0.5) - F.col("p"))), 12
+    ).cast("decimal(38,12)")
+    inv = F.round(F.lit(1.0) / F.col("p"), 12).cast("decimal(38,12)")
+    agg = ps.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(lp).cast("double").alias("slp"),
+        F.sum(tanv).cast("double").alias("stan"),
+        F.sum(inv).cast("double").alias("sinv"),
+        F.min("p").alias("minp"),
+    )
+    kD = F.col("k").cast("double")
+    x = F.lit(-2.0) * F.col("slp")
+    xh = x / F.lit(2.0)
+    # chi2 survival, df = 2k = 10: exp(-x/2) * sum_{j=0..4} (x/2)^j / j!
+    fisher_p = F.exp(-xh) * (
+        F.lit(1.0)
+        + xh
+        + xh * xh / F.lit(2.0)
+        + xh * xh * xh / F.lit(6.0)
+        + xh * xh * xh * xh / F.lit(24.0)
+    )
+    cau_t = F.col("stan") / kD
+    return agg.select(
+        "k",
+        F.round(x, 6).alias("fisher_x"),
+        F.round(fisher_p, 6).alias("fisher_p"),
+        F.round(kD / F.col("sinv"), 6).alias("hmp"),
+        F.round(cau_t, 6).alias("cauchy_t"),
+        F.round(
+            F.lit(0.5) - F.atan(cau_t) / F.lit(_PI), 6
+        ).alias("cauchy_p"),
+        F.round(
+            F.least(F.lit(1.0), kD * F.col("minp")), 6
+        ).alias("bonferroni_p"),
+    )
+
+
+def eb_shrunk_urgent_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes beta-binomial shrinkage of per-nation urgent-
+    order rates — the James-Stein idea in its rate form (small nations
+    get pulled hard toward the pooled prior, big ones barely move):
+    the Beta(α, β) prior is method-of-moments-fit to the raw rate set
+    (m, v from 12dp-DECIMAL sums; α+β = m(1−m)/v − 1), the posterior
+    rate is (x_i + α)/(n_i + α + β).  Degenerate v = 0 would NULL the
+    prior honestly.  Exact integer counts, one bounded second pass."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("u"),
+    )
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    n = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    per = (
+        o.join(c, "o_custkey")
+        .join(F.broadcast(n), "c_nationkey")
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("u").cast("long").alias("n_urgent"),
+        )
+    )
+    rate = F.col("n_urgent").cast("double") / F.col("n_orders").cast("double")
+    rts = per.select(
+        "n_name", "n_orders", "n_urgent", F.round(rate, 12).alias("r")
+    )
+    mom = rts.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(F.col("r").cast("decimal(38,12)")).cast("double").alias("sr"),
+        F.sum(
+            F.round(F.col("r") * F.col("r"), 12).cast("decimal(38,12)")
+        )
+        .cast("double")
+        .alias("srr"),
+    )
+    kD = F.col("k").cast("double")
+    m = F.col("sr") / kD
+    v = (F.col("srr") - F.col("sr") * m) / (kD - 1)
+    ab = m * (F.lit(1.0) - m) / v - F.lit(1.0)
+    prior = mom.select(
+        F.round(m * ab, 12).alias("alpha"),
+        F.round((F.lit(1.0) - m) * ab, 12).alias("beta"),
+    )
+    return (
+        rts.crossJoin(F.broadcast(prior))
+        .select(
+            "n_name",
+            "n_orders",
+            "n_urgent",
+            F.round("r", 6).alias("raw_rate"),
+            F.round("alpha", 6).alias("alpha"),
+            F.round("beta", 6).alias("beta"),
+            F.round(
+                (F.col("n_urgent").cast("double") + F.col("alpha"))
+                / (
+                    F.col("n_orders").cast("double")
+                    + F.col("alpha")
+                    + F.col("beta")
+                ),
+                6,
+            ).alias("shrunk_rate"),
+        )
+        .orderBy("n_name")
+    )
+
+
+def jackknife_ratio_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-group jackknife standard error of the corpus mean
+    unit price R = Σ extendedprice / Σ quantity, groups = the seven
+    epoch-weekday classes of l_shipdate — the resampling-free variance
+    estimate a ratio statistic needs (its SE has no closed form):
+    R₍₋g₎ = (S − s_g)/(T − t_g) from exact 2dp DECIMAL totals,
+    SE = sqrt((G−1)/G · Σ(R₍₋g₎ − R̄)²), bias = (G−1)(R̄ − R).
+    Group-bounded second pass, one row."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.pmod(
+            F.expr(
+                "unix_micros(cast(l_shipdate as timestamp)) div 86400000000"
+            ),
+            F.lit(7),
+        ).alias("g"),
+        F.round(F.col("l_extendedprice"), 2)
+        .cast("decimal(28,2)")
+        .alias("rev"),
+        F.round(F.col("l_quantity"), 2).cast("decimal(28,2)").alias("qty"),
+    )
+    per = li.groupBy("g").agg(
+        F.sum("rev").alias("s_g"), F.sum("qty").alias("t_g")
+    )
+    tot = per.agg(
+        F.count(F.lit(1)).cast("long").alias("gn"),
+        F.sum("s_g").alias("s"),
+        F.sum("t_g").alias("t"),
+    )
+    jk = per.crossJoin(F.broadcast(tot)).select(
+        "gn",
+        "s",
+        "t",
+        F.round(
+            (F.col("s") - F.col("s_g")).cast("double")
+            / (F.col("t") - F.col("t_g")).cast("double"),
+            12,
+        ).alias("rg"),
+    )
+    agg = jk.groupBy("gn", "s", "t").agg(
+        F.sum(F.col("rg").cast("decimal(38,12)")).cast("double").alias("srg"),
+        F.sum(
+            F.round(F.col("rg") * F.col("rg"), 12).cast("decimal(38,12)")
+        )
+        .cast("double")
+        .alias("srg2"),
+    )
+    gD = F.col("gn").cast("double")
+    r = F.col("s").cast("double") / F.col("t").cast("double")
+    rbar = F.col("srg") / gD
+    ssq = F.col("srg2") - F.col("srg") * rbar
+    return agg.select(
+        F.col("gn").alias("n_groups"),
+        F.round(r, 6).alias("ratio"),
+        F.round(rbar, 6).alias("jk_mean"),
+        F.round(F.sqrt((gD - 1) / gD * ssq), 6).alias("jk_se"),
+        F.round((gD - 1) * (rbar - r), 6).alias("jk_bias"),
+    )
