@@ -1192,6 +1192,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pvalue_combination_panel": parity.pvalue_combination_panel,
         "eb_shrunk_urgent_rates": parity.eb_shrunk_urgent_rates,
         "jackknife_ratio_se": parity.jackknife_ratio_se,
+        # batch 156: fighting words, Witten-Bell, agreement panel
+        "fighting_words_log_odds": textstats.fighting_words_log_odds,
+        "witten_bell_perplexity": textstats.witten_bell_perplexity,
+        "agreement_panel_kappa": parity.agreement_panel_kappa,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})

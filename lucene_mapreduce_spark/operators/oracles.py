@@ -21382,3 +21382,163 @@ SELECT gn AS n_groups,
              * (srg / gn::DOUBLE - s::DOUBLE / t::DOUBLE), 6) AS jk_bias
 FROM agg
 """
+
+# ---- batch 156: fighting words, Witten-Bell, agreement panel ---------------
+
+from lucene_mapreduce_spark.operators.textstats import (  # noqa: E402
+    FIGHTING_WORDS_A0,
+    FIGHTING_WORDS_K,
+)
+from lucene_mapreduce_spark.operators.parity import (  # noqa: E402
+    _KAPPA_TH_A,
+    _KAPPA_TH_B,
+)
+
+ORACLES["fighting_words_log_odds"] = f"""
+WITH toks AS (
+  SELECT source, unnest({TOKS}) AS term FROM documents
+),
+per AS (
+  SELECT source, term, count(*)::BIGINT AS cnt FROM toks GROUP BY 1, 2
+),
+tot_s AS (SELECT source, sum(cnt)::BIGINT AS tot_s FROM per GROUP BY 1),
+two AS (
+  SELECT source, tot_s,
+         row_number() OVER (ORDER BY tot_s DESC, source ASC) AS rk
+  FROM tot_s
+),
+corpus AS (SELECT term, sum(cnt)::BIGINT AS cf FROM per GROUP BY 1),
+tot AS (SELECT sum(cf)::BIGINT AS t FROM corpus),
+g1 AS (SELECT source AS src1, tot_s AS n1 FROM two WHERE rk = 1),
+g2 AS (SELECT source AS src2, tot_s AS n2 FROM two WHERE rk = 2),
+base AS (
+  SELECT c.term, c.cf, t.t, g1.src1, g1.n1, g2.src2, g2.n2
+  FROM corpus c, tot t, g1, g2
+),
+grid AS (
+  SELECT b.term, b.cf, b.t, b.src1, b.n1, b.src2, b.n2,
+         coalesce(p1.cnt, 0)::BIGINT AS y1,
+         coalesce(p2.cnt, 0)::BIGINT AS y2
+  FROM base b
+  LEFT JOIN per p1 ON p1.source = b.src1 AND p1.term = b.term
+  LEFT JOIN per p2 ON p2.source = b.src2 AND p2.term = b.term
+),
+scored AS (
+  SELECT term, src1, src2, y1, y2,
+         round(ln((y1::DOUBLE + cf::DOUBLE * {FIGHTING_WORDS_A0!r}
+                   / t::DOUBLE)
+                  / (n1::DOUBLE + {FIGHTING_WORDS_A0!r} - y1::DOUBLE
+                     - cf::DOUBLE * {FIGHTING_WORDS_A0!r} / t::DOUBLE))
+               - ln((y2::DOUBLE + cf::DOUBLE * {FIGHTING_WORDS_A0!r}
+                     / t::DOUBLE)
+                    / (n2::DOUBLE + {FIGHTING_WORDS_A0!r} - y2::DOUBLE
+                       - cf::DOUBLE * {FIGHTING_WORDS_A0!r} / t::DOUBLE)),
+               6) AS delta,
+         round((ln((y1::DOUBLE + cf::DOUBLE * {FIGHTING_WORDS_A0!r}
+                    / t::DOUBLE)
+                   / (n1::DOUBLE + {FIGHTING_WORDS_A0!r} - y1::DOUBLE
+                      - cf::DOUBLE * {FIGHTING_WORDS_A0!r} / t::DOUBLE))
+                - ln((y2::DOUBLE + cf::DOUBLE * {FIGHTING_WORDS_A0!r}
+                      / t::DOUBLE)
+                     / (n2::DOUBLE + {FIGHTING_WORDS_A0!r} - y2::DOUBLE
+                        - cf::DOUBLE * {FIGHTING_WORDS_A0!r}
+                          / t::DOUBLE)))
+               / sqrt(1.0 / (y1::DOUBLE
+                             + cf::DOUBLE * {FIGHTING_WORDS_A0!r}
+                               / t::DOUBLE)
+                      + 1.0 / (y2::DOUBLE
+                               + cf::DOUBLE * {FIGHTING_WORDS_A0!r}
+                                 / t::DOUBLE)), 6) AS z
+  FROM grid
+)
+SELECT rank, term, src1, src2, y1, y2, delta, z
+FROM (
+  SELECT *, row_number() OVER (ORDER BY abs(z) DESC, term ASC) AS rank
+  FROM scored
+) WHERE rank <= {FIGHTING_WORDS_K}
+ORDER BY rank
+"""
+
+ORACLES["witten_bell_perplexity"] = f"""
+WITH toks AS (
+  SELECT doc_id, {TOKS} AS tk FROM documents
+),
+pairs AS (
+  SELECT tk[i - 1] AS u, tk[i] AS v
+  FROM toks, unnest(range(2, len(tk) + 1)) AS r(i)
+  WHERE len(tk) >= 2
+),
+big AS (SELECT u, v, count(*)::BIGINT AS c12 FROM pairs GROUP BY 1, 2),
+ctx AS (SELECT u, count(*)::BIGINT AS tu FROM big GROUP BY 1),
+uni AS (
+  SELECT unnest({TOKS}) AS term FROM documents
+),
+unic AS (SELECT term, count(*)::BIGINT AS cf FROM uni GROUP BY 1),
+tot AS (SELECT sum(cf)::BIGINT AS t FROM unic),
+j AS (
+  SELECT b.c12,
+         round(b.c12::DOUBLE
+               * ln((b.c12::DOUBLE
+                     + ctx.tu::DOUBLE * cv.cf::DOUBLE / tot.t::DOUBLE)
+                    / (cu.cf::DOUBLE + ctx.tu::DOUBLE)),
+               12)::DECIMAL(38,12) AS contrib
+  FROM big b
+  JOIN ctx ON ctx.u = b.u
+  JOIN unic cu ON cu.term = b.u
+  JOIN unic cv ON cv.term = b.v
+  CROSS JOIN tot
+),
+agg AS (
+  SELECT sum(c12)::BIGINT AS n_bigrams,
+         count(*)::BIGINT AS distinct_bigrams,
+         sum(contrib)::DOUBLE AS sll
+  FROM j
+)
+SELECT n_bigrams, distinct_bigrams,
+       round(-(sll) / n_bigrams::DOUBLE, 6) AS avg_neg_ll,
+       round(exp(-(sll) / n_bigrams::DOUBLE), 6) AS perplexity
+FROM agg
+"""
+
+_KAP_A = _MD5_52.format(e="'ra:' || doc_id::VARCHAR")
+_KAP_B = _MD5_52.format(e="'rb:' || doc_id::VARCHAR")
+
+ORACLES["agreement_panel_kappa"] = f"""
+WITH lab AS (
+  SELECT CASE WHEN {_KAP_A} < {_KAPPA_TH_A} THEN n_chars % 3
+              ELSE (n_chars % 3 + 1) % 3 END AS a,
+         CASE WHEN {_KAP_B} < {_KAPPA_TH_B} THEN n_chars % 3
+              ELSE (n_chars % 3 + 2) % 3 END AS b
+  FROM documents
+),
+cells AS (SELECT a, b, count(*)::BIGINT AS c FROM lab GROUP BY 1, 2),
+n AS (SELECT sum(c)::BIGINT AS n FROM cells),
+po_n AS (SELECT sum(c)::BIGINT AS agree FROM cells WHERE a = b),
+ma AS (SELECT a, sum(c)::BIGINT AS ca FROM cells GROUP BY 1),
+mb AS (SELECT b, sum(c)::BIGINT AS cb FROM cells GROUP BY 1),
+pe_c AS (
+  SELECT sum(ca * cb)::BIGINT AS pe_num FROM ma JOIN mb ON ma.a = mb.b
+),
+pooled AS (
+  SELECT sum(mm * mm)::BIGINT AS pe_s_num FROM (
+    SELECT k, sum(m)::BIGINT AS mm FROM (
+      SELECT a AS k, ca AS m FROM ma
+      UNION ALL SELECT b, cb FROM mb
+    ) GROUP BY 1
+  )
+)
+SELECT n,
+       round(agree::DOUBLE / n::DOUBLE, 6) AS po,
+       round(pe_num::DOUBLE / (n::DOUBLE * n::DOUBLE), 6) AS pe_cohen,
+       round((agree::DOUBLE / n::DOUBLE
+              - pe_num::DOUBLE / (n::DOUBLE * n::DOUBLE))
+             / (1.0 - pe_num::DOUBLE / (n::DOUBLE * n::DOUBLE)), 6)
+         AS cohen_kappa,
+       round(pe_s_num::DOUBLE / (4.0 * n::DOUBLE * n::DOUBLE), 6)
+         AS pe_scott,
+       round((agree::DOUBLE / n::DOUBLE
+              - pe_s_num::DOUBLE / (4.0 * n::DOUBLE * n::DOUBLE))
+             / (1.0 - pe_s_num::DOUBLE / (4.0 * n::DOUBLE * n::DOUBLE)), 6)
+         AS scott_pi
+FROM n, po_n, pe_c, pooled
+"""

@@ -11920,3 +11920,94 @@ def jackknife_ratio_se(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt((gD - 1) / gD * ssq), 6).alias("jk_se"),
         F.round((gD - 1) * (rbar - r), 6).alias("jk_bias"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 156: chance-corrected agreement panel
+# ---------------------------------------------------------------------------
+
+# md5-uniform flip thresholds as exact 52-bit integer literals:
+# rater A keeps the true class w.p. 0.8, rater B w.p. 0.7
+_KAPPA_TH_A = int(0.8 * (1 << 52))
+_KAPPA_TH_B = int(0.7 * (1 << 52))
+
+
+def agreement_panel_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa and Scott's pi between two deterministic synthetic
+    raters over the documents table — the 2-rater chance-corrected
+    agreement pair beside fleiss_kappa's 3-rater panel (Cohen 1960 /
+    Scott 1955, public; they differ ONLY in the chance model: Cohen
+    uses each rater's own marginals, Scott the pooled ones).  True
+    class = n_chars mod 3; rater A reports it unless its md5 draw
+    exceeds the pinned 0.8 threshold (then +1 mod 3), rater B at 0.7
+    (then +2 mod 3) — the thresholds are exact 52-bit integer
+    literals, so agreement cells are pure-integer.  po/pe chains ride
+    exact BIGINTs; one scan, one row."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").alias("nc")
+    )
+
+    def draw(tag):
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(tag), F.col("doc_id").cast("string")
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    t = F.pmod(F.col("nc"), F.lit(3))
+    ra = F.when(draw("ra:") < F.lit(_KAPPA_TH_A), t).otherwise(
+        F.pmod(t + 1, F.lit(3))
+    )
+    rb = F.when(draw("rb:") < F.lit(_KAPPA_TH_B), t).otherwise(
+        F.pmod(t + 2, F.lit(3))
+    )
+    lab = docs.select(ra.alias("a"), rb.alias("b"))
+    cells = lab.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    n = cells.agg(F.sum("c").cast("long").alias("n"))
+    po_n = cells.filter(F.col("a") == F.col("b")).agg(
+        F.sum("c").cast("long").alias("agree")
+    )
+    ma = cells.groupBy("a").agg(F.sum("c").cast("long").alias("ca"))
+    mb = cells.groupBy("b").agg(F.sum("c").cast("long").alias("cb"))
+    pe_c = (
+        ma.join(mb, ma.a == mb.b)
+        .select((F.col("ca") * F.col("cb")).cast("long").alias("prod"))
+        .agg(F.sum("prod").cast("long").alias("pe_num"))
+    )
+    # Scott: pooled marginal per class = (ca + cb), pe = sum ((ca+cb)/2n)^2
+    pooled = (
+        ma.select(F.col("a").alias("k"), F.col("ca").alias("m"))
+        .unionAll(mb.select(F.col("b").alias("k"), F.col("cb").alias("m")))
+        .groupBy("k")
+        .agg(F.sum("m").cast("long").alias("mm"))
+        .agg(
+            F.sum(F.col("mm") * F.col("mm")).cast("long").alias("pe_s_num")
+        )
+    )
+    j = (
+        n.crossJoin(F.broadcast(po_n))
+        .crossJoin(F.broadcast(pe_c))
+        .crossJoin(F.broadcast(pooled))
+    )
+    nD = F.col("n").cast("double")
+    po = F.col("agree").cast("double") / nD
+    pec = F.col("pe_num").cast("double") / (nD * nD)
+    pes = F.col("pe_s_num").cast("double") / (F.lit(4.0) * nD * nD)
+    return j.select(
+        "n",
+        F.round(po, 6).alias("po"),
+        F.round(pec, 6).alias("pe_cohen"),
+        F.round((po - pec) / (F.lit(1.0) - pec), 6).alias("cohen_kappa"),
+        F.round(pes, 6).alias("pe_scott"),
+        F.round((po - pes) / (F.lit(1.0) - pes), 6).alias("scott_pi"),
+    )

@@ -7911,3 +7911,166 @@ def jsd_source_vs_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("jsd_raw", 6).alias("jsd_nats"),
         F.round(F.sqrt(F.col("jsd_raw")), 6).alias("jsd_distance"),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# Batch 156: fighting words, Witten-Bell perplexity
+# ---------------------------------------------------------------------------
+
+FIGHTING_WORDS_A0 = 500.0  # pinned Dirichlet prior strength
+FIGHTING_WORDS_K = 10
+
+
+def fighting_words_log_odds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monroe-Colaresi-Quinn 'fighting words' log-odds with an
+    informative Dirichlet prior (2008, public) between the corpus's
+    two largest sources — the keyness method that, unlike
+    keyness_log_likelihood's G², shrinks rare-word noise with a
+    background prior: alpha_w = cf_w * A0/T, delta_w = ln-odds
+    difference of prior-smoothed rates, z = delta/sqrt(1/(y1+a) +
+    1/(y2+a)).  The two groups are picked by (token count desc,
+    source asc) rank; the compute grid is vocab-sized; the page is
+    the top-K by (rounded |z| desc, term asc).  One corpus tokenize,
+    three bounded joins."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(tokenize_col("text")).alias("term"))
+    per = toks.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    from pyspark.sql import Window
+
+    tot_s = per.groupBy("source").agg(F.sum("cnt").cast("long").alias("tot_s"))
+    w = Window.orderBy(F.desc("tot_s"), F.asc("source"))
+    two = tot_s.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= 2
+    )
+    corpus = per.groupBy("term").agg(F.sum("cnt").cast("long").alias("cf"))
+    tot = corpus.agg(F.sum("cf").cast("long").alias("t"))
+    g1 = two.filter(F.col("rk") == 1).select(
+        F.col("source").alias("src1"), F.col("tot_s").alias("n1")
+    )
+    g2 = two.filter(F.col("rk") == 2).select(
+        F.col("source").alias("src2"), F.col("tot_s").alias("n2")
+    )
+    grid = (
+        corpus.crossJoin(F.broadcast(g1))
+        .crossJoin(F.broadcast(g2))
+        .crossJoin(F.broadcast(tot))
+        .join(
+            per.select(
+                F.col("source").alias("src1"),
+                "term",
+                F.col("cnt").alias("y1"),
+            ),
+            ["src1", "term"],
+            "left",
+        )
+        .join(
+            per.select(
+                F.col("source").alias("src2"),
+                "term",
+                F.col("cnt").alias("y2"),
+            ),
+            ["src2", "term"],
+            "left",
+        )
+        .withColumn("y1", F.coalesce(F.col("y1"), F.lit(0)))
+        .withColumn("y2", F.coalesce(F.col("y2"), F.lit(0)))
+    )
+    a = (
+        F.col("cf").cast("double")
+        * F.lit(FIGHTING_WORDS_A0)
+        / F.col("t").cast("double")
+    )
+    a0 = F.lit(FIGHTING_WORDS_A0)
+    y1 = F.col("y1").cast("double")
+    y2 = F.col("y2").cast("double")
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    delta = F.log((y1 + a) / (n1 + a0 - y1 - a)) - F.log(
+        (y2 + a) / (n2 + a0 - y2 - a)
+    )
+    z = delta / F.sqrt(F.lit(1.0) / (y1 + a) + F.lit(1.0) / (y2 + a))
+    scored = grid.select(
+        "term",
+        "src1",
+        "src2",
+        F.col("y1").cast("long").alias("y1"),
+        F.col("y2").cast("long").alias("y2"),
+        F.round(delta, 6).alias("delta"),
+        F.round(z, 6).alias("z"),
+    )
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+
+    return ranked_topk(
+        scored,
+        [F.desc(F.abs(F.col("z"))), F.asc("term")],
+        FIGHTING_WORDS_K,
+    ).select("rank", "term", "src1", "src2", "y1", "y2", "delta", "z")
+
+
+def witten_bell_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-sample corpus perplexity under a Witten-Bell-smoothed bigram
+    LM — the back-off family member bigram_logprob's Laplace model
+    skips (WB's lambda comes from the follower-type count, the
+    smoothing KenLM-era pipelines actually shipped): P(v|u) =
+    (c(u,v) + T(u) * cf(v)/T) / (c(u) + T(u)) with T(u) = distinct
+    followers of u and c(u) the corpus unigram count.  Per-bigram
+    ln p rides exact integer counts weighted by the bigram's corpus
+    frequency (count-then-expand: vocab²-bounded, never a per-token
+    scan twice), folded as 12dp DECIMAL; perplexity = exp(-Σ/N).
+    One row."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize_col("text").alias("toks"))
+    pairs = toks.where(F.size("toks") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(2), F.size("toks")),
+                lambda i: F.struct(
+                    F.element_at(F.col("toks"), i - F.lit(1)).alias("u"),
+                    F.element_at(F.col("toks"), i).alias("v"),
+                ),
+            )
+        ).alias("p")
+    ).select(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
+    big = pairs.groupBy("u", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("c12")
+    )
+    ctx = big.groupBy("u").agg(
+        F.count(F.lit(1)).cast("long").alias("tu"),
+    )
+    uni = (
+        docs.select(F.explode(tokenize_col("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cf"))
+    )
+    tot = uni.agg(F.sum("cf").cast("long").alias("t"))
+    j = (
+        big.join(ctx, "u")
+        .join(uni.select(F.col("term").alias("u"), F.col("cf").alias("cu")), "u")
+        .join(
+            uni.select(F.col("term").alias("v"), F.col("cf").alias("cv")), "v"
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    p = (
+        F.col("c12").cast("double")
+        + F.col("tu").cast("double")
+        * F.col("cv").cast("double")
+        / F.col("t").cast("double")
+    ) / (F.col("cu").cast("double") + F.col("tu").cast("double"))
+    contrib = F.round(
+        F.col("c12").cast("double") * F.log(p), 12
+    ).cast("decimal(38,12)")
+    agg = j.agg(
+        F.sum("c12").cast("long").alias("n_bigrams"),
+        F.count(F.lit(1)).cast("long").alias("distinct_bigrams"),
+        F.sum(contrib).cast("double").alias("sll"),
+    )
+    nD = F.col("n_bigrams").cast("double")
+    return agg.select(
+        "n_bigrams",
+        "distinct_bigrams",
+        F.round(-F.col("sll") / nD, 6).alias("avg_neg_ll"),
+        F.round(F.exp(-F.col("sll") / nD), 6).alias("perplexity"),
+    )
