@@ -1196,6 +1196,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fighting_words_log_odds": textstats.fighting_words_log_odds,
         "witten_bell_perplexity": textstats.witten_bell_perplexity,
         "agreement_panel_kappa": parity.agreement_panel_kappa,
+        # batch 157: Brunner-Munzel, SMOG, consistent ring
+        "brunner_munzel_arms": parity.brunner_munzel_arms,
+        "smog_readability": textstats.smog_readability,
+        "consistent_ring_balance": relational.consistent_ring_balance,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})

@@ -21542,3 +21542,111 @@ SELECT n,
          AS scott_pi
 FROM n, po_n, pe_c, pooled
 """
+
+# ---- batch 157: Brunner-Munzel, SMOG, consistent ring ----------------------
+
+_BM_ARM = _MD5_52.format(e="'lr:' || user_id::VARCHAR")
+
+ORACLES["brunner_munzel_arms"] = f"""
+WITH ev AS (
+  SELECT ({_BM_ARM}) % 2 AS arm,
+         round(value * 100, 0)::BIGINT AS cents
+  FROM events
+),
+tab AS (
+  SELECT cents, count(*)::BIGINT AS cv,
+         sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS cx,
+         sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS cy
+  FROM ev GROUP BY 1
+),
+r AS (
+  SELECT cents, cv, cx, cy,
+         2 * (sum(cv) OVER w - cv) + cv + 1 AS r2,
+         2 * (sum(cx) OVER w - cx) + cx + 1 AS rx2,
+         2 * (sum(cy) OVER w - cy) + cy + 1 AS ry2
+  FROM tab
+  WINDOW w AS (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+agg AS (
+  SELECT sum(cx)::BIGINT AS nx, sum(cy)::BIGINT AS ny,
+         sum(cx * (r2 - rx2))::BIGINT AS sx1,
+         sum((cx * (r2 - rx2) * (r2 - rx2))::DECIMAL(38,0)) AS sx2,
+         sum(cy * (r2 - ry2))::BIGINT AS sy1,
+         sum((cy * (r2 - ry2) * (r2 - ry2))::DECIMAL(38,0)) AS sy2,
+         sum(cx * r2)::BIGINT AS srx,
+         sum(cy * r2)::BIGINT AS sry
+  FROM r
+),
+d AS (
+  SELECT nx, ny,
+         (sx2::DOUBLE - sx1::DOUBLE * sx1::DOUBLE / nx::DOUBLE)
+           / (4.0 * (nx::DOUBLE - 1)) AS sxv,
+         (sy2::DOUBLE - sy1::DOUBLE * sy1::DOUBLE / ny::DOUBLE)
+           / (4.0 * (ny::DOUBLE - 1)) AS syv,
+         sry::DOUBLE / (2.0 * ny::DOUBLE) AS rybar,
+         srx::DOUBLE / (2.0 * nx::DOUBLE) AS rxbar
+  FROM agg
+)
+SELECT nx AS n_x, ny AS n_y,
+       round((rybar - (ny::DOUBLE + 1) / 2) / nx::DOUBLE, 6) AS p_hat,
+       round(nx::DOUBLE * ny::DOUBLE / (nx::DOUBLE + ny::DOUBLE)
+             * (rybar - rxbar)
+             / sqrt(nx::DOUBLE * sxv + ny::DOUBLE * syv), 6) AS w_stat
+FROM d
+"""
+
+ORACLES["smog_readability"] = f"""
+WITH types AS (
+  SELECT term, count(*)::BIGINT AS cnt FROM (
+    SELECT unnest({TOKS}) AS term FROM documents
+  ) GROUP BY 1
+),
+syl AS (
+  SELECT cnt,
+         len(regexp_extract_all(term, '[aeiou]+'))::BIGINT AS sy
+  FROM types
+),
+nd AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+agg AS (
+  SELECT sum(cnt)::BIGINT AS n_words,
+         sum(CASE WHEN sy >= 3 THEN cnt ELSE 0 END)::BIGINT AS n_poly
+  FROM syl
+)
+SELECT n_docs AS n_sentences, n_words,
+       n_poly AS n_polysyllables,
+       round(n_poly::DOUBLE / n_words::DOUBLE, 6) AS polysyllable_rate,
+       round(1.0430 * sqrt(n_poly::DOUBLE * 30.0 / n_docs::DOUBLE)
+             + 3.1291, 6) AS smog_grade
+FROM agg, nd
+"""
+
+_RING_KH = _MD5_52.format(e="'key:' || o_orderkey::VARCHAR")
+_RING_VH = _MD5_52.format(e="'ring:' || node::VARCHAR || ':' || rep::VARCHAR")
+
+ORACLES["consistent_ring_balance"] = f"""
+WITH keys AS (
+  SELECT o_orderkey AS key, {_RING_KH} AS kh FROM orders
+),
+ring AS (
+  SELECT node, ({_RING_VH}) * 16 + node AS enc
+  FROM (SELECT unnest(range(8)) AS node)
+  CROSS JOIN (SELECT unnest(range(16)) AS rep)
+),
+wrap AS (SELECT min(enc) AS wrap_enc FROM ring),
+succ AS (
+  SELECT k.key, min(r.enc) AS senc
+  FROM keys k JOIN ring r ON r.enc // 16 >= k.kh
+  GROUP BY 1
+),
+assigned AS (
+  SELECT (coalesce(s.senc, w.wrap_enc) % 16)::BIGINT AS node
+  FROM keys k LEFT JOIN succ s ON s.key = k.key, wrap w
+),
+tot AS (SELECT count(*)::BIGINT AS total FROM keys)
+SELECT node, 16::BIGINT AS n_vnodes, count(*)::BIGINT AS n_keys,
+       round(count(*)::DOUBLE / any_value(total)::DOUBLE, 6) AS share
+FROM assigned, tot
+GROUP BY node
+ORDER BY node
+"""

@@ -12011,3 +12011,97 @@ def agreement_panel_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pes, 6).alias("pe_scott"),
         F.round((po - pes) / (F.lit(1.0) - pes), 6).alias("scott_pi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 157: Brunner-Munzel
+# ---------------------------------------------------------------------------
+
+
+def brunner_munzel_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brunner-Munzel generalized Wilcoxon test between the md5-parity
+    user arms on event value — the rank test that, unlike
+    mann_whitney_u, stays valid when the two arms have different
+    variances (Brunner & Munzel 2000; the scipy formulation):
+    W = (n m / N)(R̄_y − R̄_x)/sqrt(n S_x + m S_y), with S_k built
+    from per-observation (combined midrank − within midrank) gaps.
+    Everything rides the (value-cents, count) table: doubled midranks
+    2R = 2a + c + 1 keep every rank BIGINT, the per-value gap 2D is
+    shared by all its observations, squares accumulate as
+    DECIMAL(38,0), and the final statistic is one float chain.  Also
+    reports the common-language effect p̂ = P(Y > X) + ½P(Y = X).
+    Same 'lr:' arms as cohens_d_arms, so the two readouts pair."""
+    from lucene_mapreduce_spark.operators.textstats import _md5_52
+
+    ev = load(spark, sf_dir, "events").select(
+        (
+            _md5_52(F.concat(F.lit("lr:"), F.col("user_id").cast("string")))
+            % 2
+        ).cast("int").alias("arm"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    tab = ev.groupBy("cents").agg(
+        F.count(F.lit(1)).cast("long").alias("cv"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("cx"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("cy"),
+    )
+    wo = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = tab.select(
+        "cents",
+        "cv",
+        "cx",
+        "cy",
+        (2 * (F.sum("cv").over(wo) - F.col("cv")) + F.col("cv") + 1).alias(
+            "r2"
+        ),
+        (2 * (F.sum("cx").over(wo) - F.col("cx")) + F.col("cx") + 1).alias(
+            "rx2"
+        ),
+        (2 * (F.sum("cy").over(wo) - F.col("cy")) + F.col("cy") + 1).alias(
+            "ry2"
+        ),
+    )
+    dx = F.col("r2") - F.col("rx2")
+    dy = F.col("r2") - F.col("ry2")
+    agg = r.agg(
+        F.sum("cx").cast("long").alias("nx"),
+        F.sum("cy").cast("long").alias("ny"),
+        F.sum(F.col("cx") * dx).cast("long").alias("sx1"),
+        F.sum((F.col("cx") * dx * dx).cast("decimal(38,0)")).alias("sx2"),
+        F.sum(F.col("cy") * dy).cast("long").alias("sy1"),
+        F.sum((F.col("cy") * dy * dy).cast("decimal(38,0)")).alias("sy2"),
+        F.sum(F.col("cx") * F.col("r2")).cast("long").alias("srx"),
+        F.sum(F.col("cy") * F.col("r2")).cast("long").alias("sry"),
+    )
+    nxD = F.col("nx").cast("double")
+    nyD = F.col("ny").cast("double")
+    nD = nxD + nyD
+    sxv = (
+        F.col("sx2").cast("double")
+        - F.col("sx1").cast("double") * F.col("sx1").cast("double") / nxD
+    ) / (F.lit(4.0) * (nxD - 1))
+    syv = (
+        F.col("sy2").cast("double")
+        - F.col("sy1").cast("double") * F.col("sy1").cast("double") / nyD
+    ) / (F.lit(4.0) * (nyD - 1))
+    rybar = F.col("sry").cast("double") / (F.lit(2.0) * nyD)
+    rxbar = F.col("srx").cast("double") / (F.lit(2.0) * nxD)
+    w = (
+        nxD
+        * nyD
+        / nD
+        * (rybar - rxbar)
+        / F.sqrt(nxD * sxv + nyD * syv)
+    )
+    return agg.select(
+        F.col("nx").alias("n_x"),
+        F.col("ny").alias("n_y"),
+        F.round((rybar - (nyD + 1) / 2) / nxD, 6).alias("p_hat"),
+        F.round(w, 6).alias("w_stat"),
+    )

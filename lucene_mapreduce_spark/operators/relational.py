@@ -4575,3 +4575,103 @@ def palma_ratio_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts").cast("double") / F.col("bs").cast("double"), 6
         ).alias("palma_ratio"),
     ).orderBy("n_name")
+
+
+# ---------------------------------------------------------------------------
+# Batch 157: consistent-hash ring balance
+# ---------------------------------------------------------------------------
+
+RING_NODES = 8
+RING_VNODES = 16
+
+
+def consistent_ring_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent-hashing ring balance audit — the stateful-ring
+    counterpart of rendezvous_hash_balance (Karger et al. 1997,
+    public): 8 nodes x 16 virtual nodes hash onto a 52-bit ring, each
+    key goes to its successor vnode (wrap to the ring minimum), and
+    the per-node key share measures how well 16 vnodes smooth the arc
+    lengths.  The successor argmin is the injective min(vh*16+node)
+    over vnodes clockwise of the key; all md5 integers, one
+    keys x 128 join filtered to the successor arc.  Node-bounded
+    output."""
+    keys = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("key"),
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("key:"), F.col("o_orderkey").cast("string"))),
+                1,
+                13,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("kh"),
+    )
+    ring = (
+        spark.range(RING_NODES)
+        .select(F.col("id").cast("int").alias("node"))
+        .select(
+            "node",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(RING_VNODES - 1))
+            ).alias("rep"),
+        )
+        .select(
+            "node",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("ring:"),
+                                F.col("node").cast("string"),
+                                F.lit(":"),
+                                F.col("rep").cast("string"),
+                            )
+                        ),
+                        1,
+                        13,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                * 16
+                + F.col("node")
+            ).alias("enc"),
+        )
+    )
+    wrap = ring.agg(F.min("enc").alias("wrap_enc"))
+    succ = (
+        keys.crossJoin(F.broadcast(ring))
+        .filter(F.expr("enc div 16") >= F.col("kh"))
+        .groupBy("key")
+        .agg(F.min("enc").alias("senc"))
+    )
+    assigned = (
+        keys.join(succ, "key", "left")
+        .crossJoin(F.broadcast(wrap))
+        .select(
+            F.pmod(
+                F.coalesce(F.col("senc"), F.col("wrap_enc")), F.lit(16)
+            ).cast("long").alias("node")
+        )
+    )
+    tot = keys.agg(F.count(F.lit(1)).cast("long").alias("total"))
+    return (
+        assigned.groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_keys"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "node",
+            F.lit(RING_VNODES).cast("long").alias("n_vnodes"),
+            "n_keys",
+            F.round(
+                F.col("n_keys").cast("double")
+                / F.col("total").cast("double"),
+                6,
+            ).alias("share"),
+        )
+        .orderBy("node")
+    )

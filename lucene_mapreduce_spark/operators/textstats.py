@@ -8074,3 +8074,53 @@ def witten_bell_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(-F.col("sll") / nD, 6).alias("avg_neg_ll"),
         F.round(F.exp(-F.col("sll") / nD), 6).alias("perplexity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 157: SMOG readability
+# ---------------------------------------------------------------------------
+
+
+def smog_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus SMOG grade (McLaughlin 1969, public) — the
+    polysyllable-count member of the readability family beside
+    flesch/ARI/Coleman-Liau: grade = 1.0430 sqrt(polysyllables *
+    30/sentences) + 3.1291, with syllables approximated as vowel
+    groups ([aeiou]+ runs, the standard heuristic) and sentences
+    pinned to the document count (the synthetic corpus has no
+    sentence punctuation — same convention flesch documents).
+    Per-token syllable counts ride the corpus (term, count) table —
+    count-then-expand, one regexp per TYPE not per token.  One row."""
+    docs = load(spark, sf_dir, "documents")
+    types = (
+        docs.select(F.explode(tokenize_col("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    syl = types.select(
+        "cnt",
+        F.expr("regexp_count(term, '[aeiou]+')").cast("long").alias("sy"),
+    )
+    nd = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    agg = syl.agg(
+        F.sum("cnt").cast("long").alias("n_words"),
+        F.sum(F.when(F.col("sy") >= 3, F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("n_poly"),
+    )
+    j = agg.crossJoin(F.broadcast(nd))
+    polyD = F.col("n_poly").cast("double")
+    sD = F.col("n_docs").cast("double")
+    return j.select(
+        F.col("n_docs").alias("n_sentences"),
+        "n_words",
+        F.col("n_poly").alias("n_polysyllables"),
+        F.round(
+            polyD / F.col("n_words").cast("double"), 6
+        ).alias("polysyllable_rate"),
+        F.round(
+            F.lit(1.0430) * F.sqrt(polyD * F.lit(30.0) / sD)
+            + F.lit(3.1291),
+            6,
+        ).alias("smog_grade"),
+    )
