@@ -1200,6 +1200,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brunner_munzel_arms": parity.brunner_munzel_arms,
         "smog_readability": textstats.smog_readability,
         "consistent_ring_balance": relational.consistent_ring_balance,
+        # batch 158: roaring plan, Western Electric, price indices
+        "roaring_container_plan": fulltext.roaring_container_plan,
+        "western_electric_rules": parity.western_electric_rules,
+        "price_index_panel": relational.price_index_panel,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})

@@ -7817,3 +7817,74 @@ def query_clarity_score(
         "n_terms",
         F.round("cl", 6).alias("clarity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 158: Roaring-bitmap container plan
+# ---------------------------------------------------------------------------
+
+ROARING_ARRAY_MAX = 4096  # postings per 2^16 container before bitmap flip
+ROARING_HDR_BYTES = 8  # pinned per-container header cost
+ROARING_BITMAP_BYTES = 8192  # 2^16 bits
+
+
+def roaring_container_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Roaring-bitmap sizing plan for the corpus postings — the
+    container-format decision Lucene's doc-id sets make per 2^16
+    doc-id chunk (Chambi et al. 2016, public; array container when
+    < 4096 members at 2 B each, bitmap container at a flat 8 KiB
+    beyond): counts containers of each kind over the (term, doc_id
+    div 2^16) grid and totals roaring bytes vs the array-only layout,
+    the ratio an index-format migration would quote.  Postings-sized
+    groupBys only, one summary row."""
+    docs = load(spark, sf_dir, "documents")
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_col
+
+    postings = (
+        docs.select("doc_id", F.explode(tokenize_col("text")).alias("term"))
+        .select("term", "doc_id")
+        .distinct()
+    )
+    cont = postings.groupBy(
+        "term", F.expr("doc_id div 65536").alias("container")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    is_arr = F.col("cnt") < ROARING_ARRAY_MAX
+    sized = cont.select(
+        "cnt",
+        is_arr.cast("long").alias("arr"),
+        F.when(
+            is_arr,
+            F.lit(ROARING_HDR_BYTES) + 2 * F.col("cnt"),
+        )
+        .otherwise(F.lit(ROARING_HDR_BYTES + ROARING_BITMAP_BYTES))
+        .cast("long")
+        .alias("rbytes"),
+        (F.lit(ROARING_HDR_BYTES) + 2 * F.col("cnt"))
+        .cast("long")
+        .alias("abytes"),
+    )
+    nt = cont.select("term").distinct().count()
+    agg = sized.agg(
+        F.count(F.lit(1)).cast("long").alias("n_containers"),
+        F.sum("arr").cast("long").alias("n_array_containers"),
+        (F.count(F.lit(1)) - F.sum("arr")).cast("long").alias(
+            "n_bitmap_containers"
+        ),
+        F.sum("cnt").cast("long").alias("n_postings"),
+        F.sum("rbytes").cast("long").alias("bytes_roaring"),
+        F.sum("abytes").cast("long").alias("bytes_array_only"),
+    )
+    return agg.select(
+        F.lit(int(nt)).cast("long").alias("n_terms"),
+        "n_containers",
+        "n_array_containers",
+        "n_bitmap_containers",
+        "n_postings",
+        "bytes_roaring",
+        "bytes_array_only",
+        F.round(
+            F.col("bytes_roaring").cast("double")
+            / F.col("bytes_array_only").cast("double"),
+            6,
+        ).alias("roaring_over_array"),
+    )

@@ -21650,3 +21650,134 @@ FROM assigned, tot
 GROUP BY node
 ORDER BY node
 """
+
+# ---- batch 158: roaring plan, Western Electric, price indices --------------
+
+ORACLES["roaring_container_plan"] = f"""
+WITH postings AS (
+  SELECT DISTINCT term, doc_id FROM (
+    SELECT doc_id, unnest({TOKS}) AS term FROM documents
+  )
+),
+cont AS (
+  SELECT term, doc_id // 65536 AS container, count(*)::BIGINT AS cnt
+  FROM postings GROUP BY 1, 2
+),
+sized AS (
+  SELECT cnt,
+         CASE WHEN cnt < 4096 THEN 1 ELSE 0 END::BIGINT AS arr,
+         CASE WHEN cnt < 4096 THEN 8 + 2 * cnt ELSE 8200 END::BIGINT
+           AS rbytes,
+         (8 + 2 * cnt)::BIGINT AS abytes
+  FROM cont
+),
+nt AS (SELECT count(DISTINCT term)::BIGINT AS n_terms FROM cont),
+agg AS (
+  SELECT count(*)::BIGINT AS n_containers,
+         sum(arr)::BIGINT AS n_array_containers,
+         (count(*) - sum(arr))::BIGINT AS n_bitmap_containers,
+         sum(cnt)::BIGINT AS n_postings,
+         sum(rbytes)::BIGINT AS bytes_roaring,
+         sum(abytes)::BIGINT AS bytes_array_only
+  FROM sized
+)
+SELECT n_terms, n_containers, n_array_containers, n_bitmap_containers,
+       n_postings, bytes_roaring, bytes_array_only,
+       round(bytes_roaring::DOUBLE / bytes_array_only::DOUBLE, 6)
+         AS roaring_over_array
+FROM agg, nt
+"""
+
+ORACLES["western_electric_rules"] = """
+WITH ev AS (
+  SELECT epoch_us(ts) // 86400000000 AS ed FROM events
+),
+days AS (
+  SELECT unnest(range(d0, d1 + 1)) AS ed
+  FROM (SELECT min(ed) AS d0, max(ed) AS d1 FROM ev)
+),
+counts AS (SELECT ed, count(*)::BIGINT AS c FROM ev GROUP BY 1),
+cal AS (
+  SELECT d.ed, coalesce(c.c, 0)::BIGINT AS c
+  FROM days d LEFT JOIN counts c ON c.ed = d.ed
+),
+mom AS (
+  SELECT count(*)::BIGINT AS n, sum(c)::BIGINT AS s1,
+         sum(c * c)::BIGINT AS s2
+  FROM cal
+),
+zz AS (
+  SELECT ed,
+         (c::DOUBLE - s1::DOUBLE / n::DOUBLE)
+         / sqrt(s2::DOUBLE / n::DOUBLE
+                - (s1::DOUBLE / n::DOUBLE) * (s1::DOUBLE / n::DOUBLE))
+           AS z
+  FROM cal, mom
+),
+flags AS (
+  SELECT row_number() OVER (ORDER BY ed) AS i,
+         CASE WHEN abs(z) > 3 THEN 1 ELSE 0 END AS r1,
+         CASE WHEN sum(CASE WHEN z > 2 THEN 1 ELSE 0 END) OVER w3 >= 2
+                OR sum(CASE WHEN z < -2 THEN 1 ELSE 0 END) OVER w3 >= 2
+              THEN 1 ELSE 0 END AS r2raw,
+         CASE WHEN sum(CASE WHEN z > 1 THEN 1 ELSE 0 END) OVER w5 >= 4
+                OR sum(CASE WHEN z < -1 THEN 1 ELSE 0 END) OVER w5 >= 4
+              THEN 1 ELSE 0 END AS r3raw,
+         CASE WHEN sum(CASE WHEN z > 0 THEN 1 ELSE 0 END) OVER w8 >= 8
+                OR sum(CASE WHEN z < 0 THEN 1 ELSE 0 END) OVER w8 >= 8
+              THEN 1 ELSE 0 END AS r4raw
+  FROM zz
+  WINDOW w3 AS (ORDER BY ed ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+         w5 AS (ORDER BY ed ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+         w8 AS (ORDER BY ed ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+)
+SELECT count(*)::BIGINT AS n_days,
+       sum(r1)::BIGINT AS r1_violations,
+       sum(CASE WHEN i >= 3 THEN r2raw ELSE 0 END)::BIGINT AS r2_violations,
+       sum(CASE WHEN i >= 5 THEN r3raw ELSE 0 END)::BIGINT AS r3_violations,
+       sum(CASE WHEN i >= 8 THEN r4raw ELSE 0 END)::BIGINT AS r4_violations
+FROM flags
+"""
+
+ORACLES["price_index_panel"] = """
+WITH li AS (
+  SELECT l_partkey, strftime(l_shipdate, '%Y-%m') AS month,
+         round(l_quantity, 2)::DECIMAL(28,2) AS q,
+         round(l_extendedprice, 2)::DECIMAL(28,2) AS v
+  FROM lineitem
+),
+mm AS (SELECT min(month) AS m0, max(month) AS m1 FROM li),
+per AS (
+  SELECT l_partkey, month, m0, m1,
+         sum(q)::DOUBLE AS qd,
+         round(sum(v)::DOUBLE / sum(q)::DOUBLE, 6) AS p
+  FROM li, mm
+  WHERE month = m0 OR month = m1
+  GROUP BY 1, 2, 3, 4
+),
+a AS (
+  SELECT l_partkey, m0, m1, qd AS q0, p AS p0 FROM per WHERE month = m0
+),
+b AS (
+  SELECT l_partkey, qd AS q1, p AS p1 FROM per WHERE month = m1
+),
+terms AS (
+  SELECT m0, m1,
+         round(p1 * q0, 6)::DECIMAL(38,6) AS p1q0,
+         round(p0 * q0, 6)::DECIMAL(38,6) AS p0q0,
+         round(p1 * q1, 6)::DECIMAL(38,6) AS p1q1,
+         round(p0 * q1, 6)::DECIMAL(38,6) AS p0q1
+  FROM a JOIN b USING (l_partkey)
+),
+agg AS (
+  SELECT m0, m1, count(*)::BIGINT AS n_common_parts,
+         sum(p1q0)::DOUBLE AS s10, sum(p0q0)::DOUBLE AS s00,
+         sum(p1q1)::DOUBLE AS s11, sum(p0q1)::DOUBLE AS s01
+  FROM terms GROUP BY 1, 2
+)
+SELECT m0 AS month0, m1 AS month1, n_common_parts,
+       round(s10 / s00, 6) AS laspeyres,
+       round(s11 / s01, 6) AS paasche,
+       round(sqrt((s10 / s00) * (s11 / s01)), 6) AS fisher
+FROM agg
+"""

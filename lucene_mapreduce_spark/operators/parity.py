@@ -12105,3 +12105,84 @@ def brunner_munzel_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((rybar - (nyD + 1) / 2) / nxD, 6).alias("p_hat"),
         F.round(w, 6).alias("w_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 158: Western Electric rules
+# ---------------------------------------------------------------------------
+
+
+def western_electric_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Western Electric control-chart rules over the gap-filled daily
+    event-count series — the SPC alarm vocabulary (1956 handbook,
+    public) the anomaly family's MAD/EWMA screens don't speak: with
+    z = (c − μ)/σ off exact integer corpus moments (population σ),
+    R1 = |z| > 3, R2 = 2 of 3 consecutive beyond 2σ on the SAME side,
+    R3 = 4 of 5 beyond 1σ same side, R4 = 8 consecutive on one side
+    of center.  A day is flagged when it COMPLETES a pattern; windows
+    are fixed trailing frames over the day-bounded calendar.  One
+    row of per-rule violation counts."""
+    ev = load(spark, sf_dir, "events").select(
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias(
+            "ed"
+        )
+    )
+    span = ev.agg(F.min("ed").alias("d0"), F.max("ed").alias("d1"))
+    days = span.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("ed")
+    )
+    counts = ev.groupBy("ed").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    cal = days.join(counts, "ed", "left").select(
+        "ed", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+    )
+    mom = cal.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+    )
+    z_ = (
+        F.col("c").cast("double")
+        - F.col("s1").cast("double") / F.col("n").cast("double")
+    ) / F.sqrt(
+        F.col("s2").cast("double") / F.col("n").cast("double")
+        - (F.col("s1").cast("double") / F.col("n").cast("double"))
+        * (F.col("s1").cast("double") / F.col("n").cast("double"))
+    )
+    zz = cal.crossJoin(F.broadcast(mom)).select("ed", z_.alias("z"))
+    w3 = Window.orderBy("ed").rowsBetween(-2, 0)
+    w5 = Window.orderBy("ed").rowsBetween(-4, 0)
+    w8 = Window.orderBy("ed").rowsBetween(-7, 0)
+    hi2 = F.when(F.col("z") > 2, 1).otherwise(0)
+    lo2 = F.when(F.col("z") < -2, 1).otherwise(0)
+    hi1 = F.when(F.col("z") > 1, 1).otherwise(0)
+    lo1 = F.when(F.col("z") < -1, 1).otherwise(0)
+    hi0 = F.when(F.col("z") > 0, 1).otherwise(0)
+    lo0 = F.when(F.col("z") < 0, 1).otherwise(0)
+    rn = F.row_number().over(Window.orderBy("ed"))
+    flags = zz.select(
+        "z",
+        rn.alias("i"),
+        F.when(F.abs(F.col("z")) > 3, 1).otherwise(0).alias("r1"),
+        (
+            (F.sum(hi2).over(w3) >= 2) | (F.sum(lo2).over(w3) >= 2)
+        ).cast("int").alias("r2raw"),
+        (
+            (F.sum(hi1).over(w5) >= 4) | (F.sum(lo1).over(w5) >= 4)
+        ).cast("int").alias("r3raw"),
+        (
+            (F.sum(hi0).over(w8) >= 8) | (F.sum(lo0).over(w8) >= 8)
+        ).cast("int").alias("r4raw"),
+    )
+    out = flags.select(
+        "r1",
+        F.when(F.col("i") >= 3, F.col("r2raw")).otherwise(0).alias("r2"),
+        F.when(F.col("i") >= 5, F.col("r3raw")).otherwise(0).alias("r3"),
+        F.when(F.col("i") >= 8, F.col("r4raw")).otherwise(0).alias("r4"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("r1").cast("long").alias("r1_violations"),
+        F.sum("r2").cast("long").alias("r2_violations"),
+        F.sum("r3").cast("long").alias("r3_violations"),
+        F.sum("r4").cast("long").alias("r4_violations"),
+    )
+    return out

@@ -4675,3 +4675,88 @@ def consistent_ring_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("node")
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 158: Laspeyres / Paasche / Fisher price indices
+# ---------------------------------------------------------------------------
+
+
+def price_index_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres, Paasche, and Fisher ideal price indices between the
+    first and last ship months over the parts traded in BOTH — the
+    index-number trio (Fisher 1922, public) the VWAP/TWAP pair leads
+    into: per-part unit prices p = round(Σ value / Σ qty, 6) off
+    exact 2dp DECIMAL sums, index terms p·q rounded 6dp into
+    DECIMAL(38,6) sums, L = Σp1q0/Σp0q0, P = Σp1q1/Σp0q1,
+    F = sqrt(LP).  Month endpoints are min/max of the month key;
+    part-bounded joins.  One row."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.date_format("l_shipdate", "yyyy-MM").alias("month"),
+        F.round(F.col("l_quantity"), 2).cast("decimal(28,2)").alias("q"),
+        F.round(F.col("l_extendedprice"), 2)
+        .cast("decimal(28,2)")
+        .alias("v"),
+    )
+    mm = li.agg(F.min("month").alias("m0"), F.max("month").alias("m1"))
+    per = (
+        li.crossJoin(F.broadcast(mm))
+        .filter((F.col("month") == F.col("m0")) | (F.col("month") == F.col("m1")))
+        .groupBy("l_partkey", "month", "m0", "m1")
+        .agg(F.sum("q").alias("qs"), F.sum("v").alias("vs"))
+        .select(
+            "l_partkey",
+            "month",
+            "m0",
+            "m1",
+            F.col("qs").cast("double").alias("qd"),
+            F.round(
+                F.col("vs").cast("double") / F.col("qs").cast("double"), 6
+            ).alias("p"),
+        )
+    )
+    a = per.filter(F.col("month") == F.col("m0")).select(
+        "l_partkey",
+        "m0",
+        "m1",
+        F.col("qd").alias("q0"),
+        F.col("p").alias("p0"),
+    )
+    b = per.filter(F.col("month") == F.col("m1")).select(
+        "l_partkey", F.col("qd").alias("q1"), F.col("p").alias("p1")
+    )
+    j = a.join(b, "l_partkey")
+    terms = j.select(
+        "m0",
+        "m1",
+        F.round(F.col("p1") * F.col("q0"), 6)
+        .cast("decimal(38,6)")
+        .alias("p1q0"),
+        F.round(F.col("p0") * F.col("q0"), 6)
+        .cast("decimal(38,6)")
+        .alias("p0q0"),
+        F.round(F.col("p1") * F.col("q1"), 6)
+        .cast("decimal(38,6)")
+        .alias("p1q1"),
+        F.round(F.col("p0") * F.col("q1"), 6)
+        .cast("decimal(38,6)")
+        .alias("p0q1"),
+    )
+    agg = terms.groupBy("m0", "m1").agg(
+        F.count(F.lit(1)).cast("long").alias("n_common_parts"),
+        F.sum("p1q0").cast("double").alias("s10"),
+        F.sum("p0q0").cast("double").alias("s00"),
+        F.sum("p1q1").cast("double").alias("s11"),
+        F.sum("p0q1").cast("double").alias("s01"),
+    )
+    lasp = F.col("s10") / F.col("s00")
+    paas = F.col("s11") / F.col("s01")
+    return agg.select(
+        F.col("m0").alias("month0"),
+        F.col("m1").alias("month1"),
+        "n_common_parts",
+        F.round(lasp, 6).alias("laspeyres"),
+        F.round(paas, 6).alias("paasche"),
+        F.round(F.sqrt(lasp * paas), 6).alias("fisher"),
+    )
