@@ -1204,6 +1204,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roaring_container_plan": fulltext.roaring_container_plan,
         "western_electric_rules": parity.western_electric_rules,
         "price_index_panel": relational.price_index_panel,
+        # batch 159: Kendall's W, randomized response, dot-vs-cosine
+        "kendalls_w_concordance": parity.kendalls_w_concordance,
+        "randomized_response_debias": parity.randomized_response_debias,
+        "dot_vs_cosine_overlap": similarity.dot_vs_cosine_overlap,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})

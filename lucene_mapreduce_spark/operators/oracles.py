@@ -21781,3 +21781,153 @@ SELECT m0 AS month0, m1 AS month1, n_common_parts,
        round(sqrt((s10 / s00) * (s11 / s01)), 6) AS fisher
 FROM agg
 """
+
+# ---- batch 159: Kendall's W, randomized response, dot-vs-cosine ------------
+
+from lucene_mapreduce_spark.operators.parity import _RR_KEEP_TH  # noqa: E402
+
+ORACLES["kendalls_w_concordance"] = """
+WITH li AS (
+  SELECT l_orderkey, strftime(l_shipdate, '%Y-%m') AS month,
+         round(l_extendedprice, 2)::DECIMAL(28,2) AS rev
+  FROM lineitem
+),
+months AS (
+  SELECT month FROM (SELECT DISTINCT month FROM li ORDER BY month LIMIT 3)
+),
+present AS (
+  SELECT li.month, n_name, sum(rev) AS rev
+  FROM li
+  JOIN months USING (month)
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation ON n_nationkey = c_nationkey
+  GROUP BY 1, 2
+),
+per AS (
+  SELECT m.month, nn.n_name,
+         coalesce(p.rev, 0::DECIMAL(28,2)) AS rev
+  FROM months m
+  CROSS JOIN (SELECT n_name FROM nation) nn
+  LEFT JOIN present p ON p.month = m.month AND p.n_name = nn.n_name
+),
+grp AS (
+  SELECT month, rev, count(*)::BIGINT AS cnt, list(n_name) AS names
+  FROM per GROUP BY 1, 2
+),
+ranked AS (
+  SELECT month, cnt,
+         2 * (sum(cnt) OVER (PARTITION BY month ORDER BY rev
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) - cnt) + cnt + 1 AS r2,
+         unnest(names) AS n_name
+  FROM grp
+),
+sums AS (
+  SELECT n_name, sum(r2)::BIGINT AS sr2, count(*)::BIGINT AS m
+  FROM ranked GROUP BY 1
+),
+ties AS (
+  SELECT sum(cnt * cnt * cnt - cnt)::BIGINT AS tt FROM grp
+),
+nn AS (
+  SELECT count(*)::BIGINT AS n, any_value(m)::BIGINT AS m,
+         sum(sr2)::BIGINT AS tot_sr2,
+         sum(sr2 * sr2)::BIGINT AS tot_sr2sq
+  FROM sums
+)
+SELECT n AS n_subjects, m AS m_raters, tt AS tie_term,
+       round(12.0 * ((tot_sr2sq::DOUBLE
+                      - tot_sr2::DOUBLE * tot_sr2::DOUBLE / n::DOUBLE) / 4)
+             / (m::DOUBLE * m::DOUBLE
+                * (n::DOUBLE * n::DOUBLE * n::DOUBLE - n::DOUBLE)
+                - m::DOUBLE * tt::DOUBLE), 6) AS kendalls_w,
+       round(m::DOUBLE * (n::DOUBLE - 1)
+             * 12.0 * ((tot_sr2sq::DOUBLE
+                        - tot_sr2::DOUBLE * tot_sr2::DOUBLE / n::DOUBLE)
+                       / 4)
+             / (m::DOUBLE * m::DOUBLE
+                * (n::DOUBLE * n::DOUBLE * n::DOUBLE - n::DOUBLE)
+                - m::DOUBLE * tt::DOUBLE), 6) AS friedman_chi2
+FROM nn, ties
+"""
+
+_RR_D1 = _MD5_52.format(e="'rr1:' || doc_id::VARCHAR")
+_RR_D2 = _MD5_52.format(e="'rr2:' || doc_id::VARCHAR")
+
+ORACLES["randomized_response_debias"] = f"""
+WITH classes AS (
+  SELECT lang, (row_number() OVER (ORDER BY lang) - 1)::BIGINT AS cid
+  FROM (SELECT DISTINCT lang FROM documents)
+),
+ll AS (SELECT count(*)::BIGINT AS ln FROM classes),
+lab AS (
+  SELECT d.lang, c.cid,
+         CASE WHEN {_RR_D1} < {_RR_KEEP_TH} THEN c.cid
+              ELSE ({_RR_D2}) % ll.ln END AS rep
+  FROM documents d JOIN classes c ON c.lang = d.lang, ll
+),
+true_n AS (SELECT cid, count(*)::BIGINT AS true_n FROM lab GROUP BY 1),
+rep_n AS (SELECT rep AS cid, count(*)::BIGINT AS reported_n
+          FROM lab GROUP BY 1),
+tot AS (SELECT count(*)::BIGINT AS n FROM lab)
+SELECT c.lang,
+       coalesce(t.true_n, 0)::BIGINT AS true_n,
+       coalesce(r.reported_n, 0)::BIGINT AS reported_n,
+       round(n::DOUBLE
+             * (coalesce(r.reported_n, 0)::DOUBLE / n::DOUBLE
+                - 0.25 / ln::DOUBLE) / 0.75, 2) AS est_n,
+       round(abs(n::DOUBLE
+                 * (coalesce(r.reported_n, 0)::DOUBLE / n::DOUBLE
+                    - 0.25 / ln::DOUBLE) / 0.75
+                 - coalesce(t.true_n, 0)::DOUBLE), 2) AS abs_err
+FROM classes c
+LEFT JOIN true_n t ON t.cid = c.cid
+LEFT JOIN rep_n r ON r.cid = c.cid, tot, ll
+ORDER BY c.lang
+"""
+
+ORACLES["dot_vs_cosine_overlap"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+probe AS (
+  SELECT vec_id AS p_id, v AS pv FROM (
+    SELECT vec_id, v,
+           row_number() OVER (
+             ORDER BY md5(vec_id::VARCHAR || ':dvc') ASC, vec_id ASC
+           ) AS r
+    FROM e
+  ) WHERE r = 1
+),
+scored AS (
+  SELECT e.vec_id,
+         round(list_dot_product(e.v, p.pv), 6) AS dp,
+         round(list_dot_product(e.v, p.pv)
+               / (sqrt(list_dot_product(e.v, e.v))
+                  * sqrt(list_dot_product(p.pv, p.pv))), 6) AS cos
+  FROM e CROSS JOIN probe p
+  WHERE e.vec_id <> p.p_id
+),
+top_d AS (
+  SELECT vec_id, rd FROM (
+    SELECT vec_id,
+           row_number() OVER (ORDER BY dp DESC, vec_id ASC) AS rd
+    FROM scored
+  ) WHERE rd <= 10
+),
+top_c AS (
+  SELECT vec_id, rc FROM (
+    SELECT vec_id,
+           row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rc
+    FROM scored
+  ) WHERE rc <= 10
+),
+inter AS (
+  SELECT count(*)::BIGINT AS n_overlap,
+         coalesce(sum(abs(rd - rc)), 0)::BIGINT AS footrule_common
+  FROM top_d JOIN top_c USING (vec_id)
+)
+SELECT 10::BIGINT AS k, n_overlap,
+       round(n_overlap::DOUBLE / (20.0 - n_overlap::DOUBLE), 6) AS jaccard,
+       footrule_common
+FROM inter
+"""

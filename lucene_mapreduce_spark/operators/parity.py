@@ -12186,3 +12186,213 @@ def western_electric_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("r4").cast("long").alias("r4_violations"),
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Batch 159: Kendall's W, randomized response
+# ---------------------------------------------------------------------------
+
+KENDALL_W_MONTHS = 3
+
+
+def kendalls_w_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's coefficient of concordance W across the first three
+    ship months ranking the 25 nations by revenue — the m-judge
+    agreement statistic Friedman's test implies but never reports
+    (W = chi2_F / (m(n-1))): per-month midranks of per-nation revenue
+    ride doubled ranks (2R = 2a + c + 1, BIGINT always), S =
+    Σ(ΣR_i − m(n+1)/2)² and the tie term ΣT = Σ(t³−t) stay exact
+    integers via the doubled form, W = 12S/(m²(n³−n) − m ΣT).
+    Nation-bounded everything."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.date_format("l_shipdate", "yyyy-MM").alias("month"),
+        F.round(F.col("l_extendedprice"), 2)
+        .cast("decimal(28,2)")
+        .alias("rev"),
+    )
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_custkey"
+    )
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    n = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    months = (
+        li.select("month")
+        .distinct()
+        .orderBy("month")
+        .limit(KENDALL_W_MONTHS)
+    )
+    present = (
+        li.join(F.broadcast(months), "month")
+        .join(o, "l_orderkey")
+        .join(c, "o_custkey")
+        .join(F.broadcast(n), "c_nationkey")
+        .groupBy("month", "n_name")
+        .agg(F.sum("rev").alias("rev"))
+    )
+    # complete the block design: every nation ranked every month,
+    # absent cells at exactly-zero revenue (ties handled by midranks)
+    per = (
+        months.crossJoin(F.broadcast(n.select("n_name")))
+        .join(present, ["month", "n_name"], "left")
+        .withColumn(
+            "rev",
+            F.coalesce(F.col("rev"), F.lit(0).cast("decimal(28,2)")),
+        )
+    )
+    # midranks via doubled ranks over the per-month revenue order; exact
+    # DECIMAL revenues make ties exact if they occur
+    grp = per.groupBy("month", "rev").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.collect_list("n_name").alias("names"),
+    )
+    wo = Window.partitionBy("month").orderBy("rev").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = grp.select(
+        "month",
+        "cnt",
+        "names",
+        (
+            2 * (F.sum("cnt").over(wo) - F.col("cnt")) + F.col("cnt") + 1
+        ).alias("r2"),
+    ).select(
+        "month", F.explode("names").alias("n_name"), "cnt", "r2"
+    )
+    sums = ranked.groupBy("n_name").agg(
+        F.sum("r2").cast("long").alias("sr2"),
+        F.count(F.lit(1)).cast("long").alias("m"),
+    )
+    ties = (
+        grp.select(
+            "month",
+            (F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")).alias(
+                "t3"
+            ),
+        )
+        .agg(F.sum("t3").cast("long").alias("tt"))
+    )
+    nn = sums.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.first("m").alias("m"),
+        # 4S = Σ(2ΣR_i − m(n+1))² needs n; two-pass below
+        F.sum("sr2").cast("long").alias("tot_sr2"),
+        F.sum(F.col("sr2") * F.col("sr2")).cast("long").alias("tot_sr2sq"),
+    )
+    j = nn.crossJoin(F.broadcast(ties))
+    nD = F.col("n").cast("double")
+    mD = F.col("m").cast("double")
+    # Σ(2ΣR)² − n·mean² identity: 4S = tot_sr2sq − tot_sr2²/n
+    s4 = (
+        F.col("tot_sr2sq").cast("double")
+        - F.col("tot_sr2").cast("double")
+        * F.col("tot_sr2").cast("double")
+        / nD
+    )
+    w = (
+        F.lit(12.0)
+        * (s4 / 4)
+        / (
+            mD * mD * (nD * nD * nD - nD)
+            - mD * F.col("tt").cast("double")
+        )
+    )
+    return j.select(
+        F.col("n").alias("n_subjects"),
+        F.col("m").alias("m_raters"),
+        F.col("tt").alias("tie_term"),
+        F.round(w, 6).alias("kendalls_w"),
+        F.round(mD * (nD - 1) * w, 6).alias("friedman_chi2"),
+    )
+
+
+_RR_KEEP_TH = int(0.75 * (1 << 52))  # report truth w.p. 0.75
+
+
+def randomized_response_debias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Randomized-response frequency estimation (Warner 1965 forced-
+    response variant, public) over document languages — the local-DP
+    collection mechanism beside dp_laplace_counts' central one: each
+    doc reports its true lang w.p. 0.75 (exact 52-bit md5 threshold),
+    else a uniform class from the L observed langs (second md5 draw
+    mod L, classes = langs ranked by name); the collector inverts
+    π̂_c = (o_c/n − (1−p)/L)/p and the query reports true vs reported
+    vs debiased counts per class.  Pure-integer mechanism, one
+    bounded class table."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    classes = (
+        docs.select("lang")
+        .distinct()
+        .select(
+            "lang",
+            (
+                F.row_number().over(Window.orderBy("lang")) - 1
+            ).cast("long").alias("cid"),
+        )
+    )
+    ll = classes.agg(F.count(F.lit(1)).cast("long").alias("ln"))
+
+    def draw(tag):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(tag), F.col("doc_id").cast("string"))),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    lab = (
+        docs.join(F.broadcast(classes), "lang")
+        .crossJoin(F.broadcast(ll))
+        .select(
+            "lang",
+            "cid",
+            F.when(draw("rr1:") < F.lit(_RR_KEEP_TH), F.col("cid"))
+            .otherwise(F.pmod(draw("rr2:"), F.col("ln")))
+            .alias("rep"),
+        )
+    )
+    true_n = lab.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("long").alias("true_n")
+    )
+    rep_n = lab.groupBy(F.col("rep").alias("cid")).agg(
+        F.count(F.lit(1)).cast("long").alias("reported_n")
+    )
+    tot = lab.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    j = (
+        classes.join(true_n, "cid", "left")
+        .join(rep_n, "cid", "left")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ll))
+        .select(
+            "lang",
+            F.coalesce(F.col("true_n"), F.lit(0)).alias("true_n"),
+            F.coalesce(F.col("reported_n"), F.lit(0)).alias("reported_n"),
+            "n",
+            "ln",
+        )
+    )
+    nD = F.col("n").cast("double")
+    est = (
+        nD
+        * (
+            F.col("reported_n").cast("double") / nD
+            - F.lit(0.25) / F.col("ln").cast("double")
+        )
+        / F.lit(0.75)
+    )
+    return j.select(
+        "lang",
+        "true_n",
+        "reported_n",
+        F.round(est, 2).alias("est_n"),
+        F.round(F.abs(est - F.col("true_n").cast("double")), 2).alias(
+            "abs_err"
+        ),
+    ).orderBy("lang")

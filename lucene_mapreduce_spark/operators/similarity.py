@@ -2790,3 +2790,89 @@ def two_nn_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_probes").cast("double") / F.col("slm"), 6
         ).alias("intrinsic_dim"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 159: dot-product vs cosine ranking disagreement
+# ---------------------------------------------------------------------------
+
+DVC_K = 10
+
+
+def dot_vs_cosine_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dot-product vs cosine top-k disagreement for one md5-picked
+    probe vector — the norm-bias audit an embedding store needs
+    before choosing its similarity (MIPS retrieval favors long
+    vectors; cosine normalizes them away; the overlap measures how
+    much that matters on THIS corpus): both rankings use the shared
+    sequential dot fold, scores rounded 6dp with vec_id tiebreaks,
+    and the query reports overlap@k, Jaccard, and the summed rank
+    displacement over the intersection.  Probe-bounded cost."""
+    from lucene_mapreduce_spark.operators.parity import load, ranked_topk
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    probe = ranked_topk(
+        emb.select(
+            F.col("vec_id").alias("p_id"),
+            F.col("v").alias("pv"),
+            F.md5(
+                F.concat(F.col("vec_id").cast("string"), F.lit(":dvc"))
+            ).alias("mk"),
+        ),
+        [F.asc("mk"), F.asc("p_id")],
+        1,
+    ).select("p_id", "pv")
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda s, v: s + v,
+        )
+
+    cand = emb.crossJoin(F.broadcast(probe)).filter(
+        F.col("vec_id") != F.col("p_id")
+    )
+    dp = F.round(dot(F.col("v"), F.col("pv")), 6)
+    cos = F.round(
+        dot(F.col("v"), F.col("pv"))
+        / (
+            F.sqrt(dot(F.col("v"), F.col("v")))
+            * F.sqrt(dot(F.col("pv"), F.col("pv")))
+        ),
+        6,
+    )
+    scored = cand.select("vec_id", dp.alias("dp"), cos.alias("cos"))
+    top_d = ranked_topk(
+        scored.select("vec_id", "dp"),
+        [F.desc("dp"), F.asc("vec_id")],
+        DVC_K,
+        rank_col="rd",
+    ).select("vec_id", "rd")
+    top_c = ranked_topk(
+        scored.select("vec_id", "cos"),
+        [F.desc("cos"), F.asc("vec_id")],
+        DVC_K,
+        rank_col="rc",
+    ).select("vec_id", "rc")
+    inter = top_d.join(top_c, "vec_id")
+    iagg = inter.agg(
+        F.count(F.lit(1)).cast("long").alias("n_overlap"),
+        F.sum(F.abs(F.col("rd") - F.col("rc"))).cast("long").alias(
+            "footrule_common"
+        ),
+    )
+    return iagg.select(
+        F.lit(DVC_K).cast("long").alias("k"),
+        F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
+        F.round(
+            F.col("n_overlap").cast("double")
+            / (F.lit(float(2 * DVC_K)) - F.col("n_overlap").cast("double")),
+            6,
+        ).alias("jaccard"),
+        F.coalesce(F.col("footrule_common"), F.lit(0)).alias(
+            "footrule_common"
+        ),
+    )
