@@ -1208,6 +1208,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kendalls_w_concordance": parity.kendalls_w_concordance,
         "randomized_response_debias": parity.randomized_response_debias,
         "dot_vs_cosine_overlap": similarity.dot_vs_cosine_overlap,
+        # batch 160: Ansari-Bradley, Bland-Altman, deletion vectors
+        "ansari_bradley_scale_test": parity.ansari_bradley_scale_test,
+        "bland_altman_order_totals": parity.bland_altman_order_totals,
+        "deletion_vector_plan": relational.deletion_vector_plan,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})

@@ -21931,3 +21931,122 @@ SELECT 10::BIGINT AS k, n_overlap,
        footrule_common
 FROM inter
 """
+
+# ---- batch 160: Ansari-Bradley, Bland-Altman, deletion vectors -------------
+
+ORACLES["ansari_bradley_scale_test"] = f"""
+WITH ev AS (
+  SELECT ({_BM_ARM}) % 2 AS arm,
+         round(value * 100, 0)::BIGINT AS cents
+  FROM events
+),
+tab AS (
+  SELECT cents, count(*)::BIGINT AS cv,
+         sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS cx
+  FROM ev GROUP BY 1
+),
+tot AS (SELECT sum(cv)::BIGINT AS nn FROM tab),
+r AS (
+  SELECT cv, cx, nn,
+         2 * (sum(cv) OVER (ORDER BY cents
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) - cv) + cv + 1 AS r2
+  FROM tab, tot
+),
+agg AS (
+  SELECT any_value(nn) AS nn,
+         sum(cx)::BIGINT AS nx,
+         sum(cx * least(r2, 2 * (nn + 1) - r2))::BIGINT AS wx2,
+         sum(cv * least(r2, 2 * (nn + 1) - r2))::BIGINT AS ts1,
+         sum((cv * least(r2, 2 * (nn + 1) - r2)
+                 * least(r2, 2 * (nn + 1) - r2))::DECIMAL(38,0)) AS ts2
+  FROM r
+)
+SELECT nx AS n_x, (nn - nx)::BIGINT AS n_y,
+       round(wx2::DOUBLE / 2, 6) AS w_stat,
+       round((wx2::DOUBLE / 2 - nx::DOUBLE * (ts1::DOUBLE / nn::DOUBLE) / 2)
+             / sqrt(nx::DOUBLE * (nn::DOUBLE - nx::DOUBLE)
+                    / (nn::DOUBLE * (nn::DOUBLE - 1))
+                    * (ts2::DOUBLE
+                       - ts1::DOUBLE * (ts1::DOUBLE / nn::DOUBLE)) / 4), 6)
+         AS z_stat
+FROM agg
+"""
+
+ORACLES["bland_altman_order_totals"] = """
+WITH li AS (
+  SELECT l_orderkey AS o_orderkey,
+         sum(round(l_extendedprice, 2)::DECIMAL(28,2)) AS b
+  FROM lineitem GROUP BY 1
+),
+d AS (
+  SELECT (round(o_totalprice, 2)::DECIMAL(28,2) - b)::DECIMAL(28,2) AS d
+  FROM orders JOIN li USING (o_orderkey)
+),
+mom AS (
+  SELECT count(*)::BIGINT AS n, sum(d) AS s1,
+         sum((d * d)::DECIMAL(38,4)) AS s2
+  FROM d
+),
+lims AS (
+  SELECT n,
+         s1::DOUBLE / n::DOUBLE AS bias,
+         sqrt((s2::DOUBLE - s1::DOUBLE * (s1::DOUBLE / n::DOUBLE))
+              / (n::DOUBLE - 1)) AS sd
+  FROM mom
+),
+outside AS (
+  SELECT count(*)::BIGINT AS n_outside
+  FROM d, lims
+  WHERE d::DOUBLE < bias - 1.96 * sd OR d::DOUBLE > bias + 1.96 * sd
+)
+SELECT n AS n_pairs,
+       round(bias, 6) AS bias,
+       round(sd, 6) AS sd_diff,
+       round(bias - 1.96 * sd, 6) AS loa_lower,
+       round(bias + 1.96 * sd, 6) AS loa_upper,
+       n_outside,
+       round(n_outside::DOUBLE / n::DOUBLE, 6) AS pct_outside
+FROM lims, outside
+"""
+
+ORACLES["deletion_vector_plan"] = """
+WITH o AS (
+  SELECT o_orderkey // 8192 AS file_id,
+         epoch_us(o_orderdate::TIMESTAMP) // 86400000000 AS ed
+  FROM orders
+),
+cut AS (
+  SELECT d0 + (d1 - d0) // 4 AS cutoff
+  FROM (SELECT min(ed) AS d0, max(ed) AS d1 FROM o)
+),
+per AS (
+  SELECT file_id, count(*)::BIGINT AS n_rows,
+         sum(CASE WHEN ed < cutoff THEN 1 ELSE 0 END)::BIGINT AS n_del
+  FROM o, cut GROUP BY 1
+),
+sized AS (
+  SELECT n_rows, n_del,
+         CASE WHEN n_del = 0 THEN 'clean'
+              WHEN 8 + least(2 * n_del, 1024)
+                   < 100 * (n_rows - n_del) THEN 'dv'
+              ELSE 'rewrite' END AS action,
+         CASE WHEN n_del > 0 AND 8 + least(2 * n_del, 1024)
+                                 < 100 * (n_rows - n_del)
+              THEN 8 + least(2 * n_del, 1024) ELSE 0 END::BIGINT AS dv_bytes,
+         CASE WHEN n_del > 0 AND NOT (8 + least(2 * n_del, 1024)
+                                      < 100 * (n_rows - n_del))
+              THEN 100 * (n_rows - n_del) ELSE 0 END::BIGINT AS rw_bytes
+  FROM per
+)
+SELECT count(*)::BIGINT AS n_files,
+       sum(CASE WHEN action = 'clean' THEN 1 ELSE 0 END)::BIGINT
+         AS files_clean,
+       sum(CASE WHEN action = 'dv' THEN 1 ELSE 0 END)::BIGINT AS files_dv,
+       sum(CASE WHEN action = 'rewrite' THEN 1 ELSE 0 END)::BIGINT
+         AS files_rewrite,
+       sum(n_del)::BIGINT AS rows_deleted,
+       sum(dv_bytes)::BIGINT AS dv_bytes_total,
+       sum(rw_bytes)::BIGINT AS rewrite_bytes_total
+FROM sized
+"""

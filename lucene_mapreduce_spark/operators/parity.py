@@ -12396,3 +12396,139 @@ def randomized_response_debias(spark: SparkSession, sf_dir: str) -> DataFrame:
             "abs_err"
         ),
     ).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# Batch 160: Ansari-Bradley, Bland-Altman
+# ---------------------------------------------------------------------------
+
+
+def ansari_bradley_scale_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ansari-Bradley test for a DISPERSION difference between the
+    md5-parity arms on event value — the scale counterpart of
+    brunner_munzel_arms' location test (Ansari & Bradley 1960,
+    public): scores rank inward from both ends, S = min(R, N+1−R)
+    with midranks, doubled so 2S = min(2R, 2(N+1)−2R) stays BIGINT;
+    W = Σ_X S, and the exact conditional permutation moments
+    E[W] = n S̄, Var[W] = nm/(N(N−1)) Σ(S−S̄)² come from pure-integer
+    score sums (tie-correct by construction — no separate tie term).
+    One (value, count) table, one row."""
+    from lucene_mapreduce_spark.operators.textstats import _md5_52
+
+    ev = load(spark, sf_dir, "events").select(
+        (
+            _md5_52(F.concat(F.lit("lr:"), F.col("user_id").cast("string")))
+            % 2
+        ).cast("int").alias("arm"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    tab = ev.groupBy("cents").agg(
+        F.count(F.lit(1)).cast("long").alias("cv"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("cx"),
+    )
+    wo = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = tab.agg(F.sum("cv").cast("long").alias("nn"))
+    r = tab.crossJoin(F.broadcast(tot)).select(
+        "cv",
+        "cx",
+        "nn",
+        (2 * (F.sum("cv").over(wo) - F.col("cv")) + F.col("cv") + 1).alias(
+            "r2"
+        ),
+    )
+    s2 = F.least(F.col("r2"), 2 * (F.col("nn") + 1) - F.col("r2"))
+    agg = r.agg(
+        F.first("nn").alias("nn"),
+        F.sum("cx").cast("long").alias("nx"),
+        F.sum(F.col("cx") * s2).cast("long").alias("wx2"),
+        F.sum(F.col("cv") * s2).cast("long").alias("ts1"),
+        F.sum((F.col("cv") * s2 * s2).cast("decimal(38,0)")).alias("ts2"),
+    )
+    nD = F.col("nn").cast("double")
+    nxD = F.col("nx").cast("double")
+    nyD = nD - nxD
+    sbar2 = F.col("ts1").cast("double") / nD  # mean of 2S
+    ssq4 = F.col("ts2").cast("double") - F.col("ts1").cast(
+        "double"
+    ) * sbar2  # Σ(2S)² − N·(mean 2S)² = 4Σ(S−S̄)²
+    w = F.col("wx2").cast("double") / 2
+    ew = nxD * sbar2 / 2
+    varw = nxD * nyD / (nD * (nD - 1)) * ssq4 / 4
+    return agg.select(
+        F.col("nx").alias("n_x"),
+        (F.col("nn") - F.col("nx")).cast("long").alias("n_y"),
+        F.round(w, 6).alias("w_stat"),
+        F.round((w - ew) / F.sqrt(varw), 6).alias("z_stat"),
+    )
+
+
+def bland_altman_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bland-Altman agreement between each order's header total and
+    the sum of its line extended prices — the method-comparison plot
+    statistics (Bland & Altman 1986, public) applied as a data-
+    consistency audit: d = o_totalprice − Σ l_extendedprice rides
+    exact 2dp DECIMALs (d² exact at 4dp), bias = mean d, limits of
+    agreement = bias ± 1.96 s_d, and the fraction of orders outside
+    their own limits.  Orders with no lines are excluded by the inner
+    join (documented).  One join, two passes."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice"), 2).cast("decimal(28,2)").alias("a"),
+    )
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice"), 2).cast("decimal(28,2)")
+            ).alias("b")
+        )
+    )
+    d = o.join(li, "o_orderkey").select(
+        (F.col("a") - F.col("b")).cast("decimal(28,2)").alias("d")
+    )
+    mom = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("d").alias("s1"),
+        F.sum(
+            (F.col("d") * F.col("d")).cast("decimal(38,4)")
+        ).alias("s2"),
+    )
+    nD = F.col("n").cast("double")
+    bias = F.col("s1").cast("double") / nD
+    sd = F.sqrt(
+        (F.col("s2").cast("double") - F.col("s1").cast("double") * bias)
+        / (nD - 1)
+    )
+    lims = mom.select(
+        "n",
+        F.round(bias, 6).alias("bias"),
+        F.round(sd, 6).alias("sd_diff"),
+        F.round(bias - F.lit(1.96) * sd, 6).alias("loa_lower"),
+        F.round(bias + F.lit(1.96) * sd, 6).alias("loa_upper"),
+        (bias - F.lit(1.96) * sd).alias("_lo"),
+        (bias + F.lit(1.96) * sd).alias("_hi"),
+    )
+    outside = (
+        d.crossJoin(F.broadcast(lims))
+        .filter(
+            (F.col("d").cast("double") < F.col("_lo"))
+            | (F.col("d").cast("double") > F.col("_hi"))
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_outside"))
+    )
+    return lims.crossJoin(F.broadcast(outside)).select(
+        F.col("n").alias("n_pairs"),
+        "bias",
+        "sd_diff",
+        "loa_lower",
+        "loa_upper",
+        "n_outside",
+        F.round(
+            F.col("n_outside").cast("double") / F.col("n").cast("double"), 6
+        ).alias("pct_outside"),
+    )

@@ -4760,3 +4760,80 @@ def price_index_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(paas, 6).alias("paasche"),
         F.round(F.sqrt(lasp * paas), 6).alias("fisher"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 160: deletion-vector plan
+# ---------------------------------------------------------------------------
+
+DV_FILE_ROWS = 8192  # pinned rows per data file
+DV_ROW_BYTES = 100  # pinned serialized row cost for the rewrite side
+DV_HDR = 8
+DV_BITMAP_BYTES = 1024  # 8192 rows of bitmap
+
+
+def deletion_vector_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-vector vs copy-on-write rewrite plan — the per-file
+    decision a Delta/Iceberg merge-on-read table makes when deletes
+    land (public format docs): orders are packed 8192/file by key
+    range, deletes are the oldest quartile of the date span (integer
+    cutoff arithmetic), a file's DV costs 8 + min(2·n_del, 1024)
+    bytes (array-or-bitmap, the roaring container rule at file
+    granularity) while a rewrite costs 100 B per surviving row; each
+    touched file takes whichever is cheaper, untouched files are
+    free.  Pure-integer model over file-bounded groups."""
+    o = load(spark, sf_dir, "orders").select(
+        F.expr("o_orderkey div 8192").alias("file_id"),
+        F.expr(
+            "unix_micros(cast(o_orderdate as timestamp)) div 86400000000"
+        ).alias("ed"),
+    )
+    span = o.agg(F.min("ed").alias("d0"), F.max("ed").alias("d1"))
+    cut = span.select(
+        (F.col("d0") + F.expr("(d1 - d0) div 4")).alias("cutoff")
+    )
+    per = (
+        o.crossJoin(F.broadcast(cut))
+        .groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.when(F.col("ed") < F.col("cutoff"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_del"),
+        )
+    )
+    dvb = F.lit(DV_HDR) + F.least(
+        2 * F.col("n_del"), F.lit(DV_BITMAP_BYTES)
+    )
+    rwb = F.lit(DV_ROW_BYTES) * (F.col("n_rows") - F.col("n_del"))
+    sized = per.select(
+        "n_rows",
+        "n_del",
+        F.when(F.col("n_del") == 0, F.lit("clean"))
+        .when(dvb < rwb, F.lit("dv"))
+        .otherwise(F.lit("rewrite"))
+        .alias("action"),
+        F.when((F.col("n_del") > 0) & (dvb < rwb), dvb)
+        .otherwise(0)
+        .cast("long")
+        .alias("dv_bytes"),
+        F.when((F.col("n_del") > 0) & ~(dvb < rwb), rwb)
+        .otherwise(0)
+        .cast("long")
+        .alias("rw_bytes"),
+    )
+    return sized.agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum(F.when(F.col("action") == "clean", 1).otherwise(0))
+        .cast("long")
+        .alias("files_clean"),
+        F.sum(F.when(F.col("action") == "dv", 1).otherwise(0))
+        .cast("long")
+        .alias("files_dv"),
+        F.sum(F.when(F.col("action") == "rewrite", 1).otherwise(0))
+        .cast("long")
+        .alias("files_rewrite"),
+        F.sum("n_del").cast("long").alias("rows_deleted"),
+        F.sum("dv_bytes").cast("long").alias("dv_bytes_total"),
+        F.sum("rw_bytes").cast("long").alias("rewrite_bytes_total"),
+    )
