@@ -1212,6 +1212,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ansari_bradley_scale_test": parity.ansari_bradley_scale_test,
         "bland_altman_order_totals": parity.bland_altman_order_totals,
         "deletion_vector_plan": relational.deletion_vector_plan,
+        # batch 161: Quade, Gumbel block maxima, BH-FDR
+        "quade_test_months": parity.quade_test_months,
+        "gumbel_block_maxima_fit": parity.gumbel_block_maxima_fit,
+        "fdr_bh_nation_uniformity": parity.fdr_bh_nation_uniformity,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})

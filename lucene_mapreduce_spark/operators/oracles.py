@@ -22050,3 +22050,162 @@ SELECT count(*)::BIGINT AS n_files,
        sum(rw_bytes)::BIGINT AS rewrite_bytes_total
 FROM sized
 """
+
+# ---- batch 161: Quade, Gumbel block maxima, BH-FDR -------------------------
+
+ORACLES["quade_test_months"] = """
+WITH li AS (
+  SELECT l_orderkey, strftime(l_shipdate, '%Y-%m') AS month,
+         round(l_extendedprice, 2)::DECIMAL(28,2) AS rev
+  FROM lineitem
+),
+months AS (
+  SELECT month FROM (SELECT DISTINCT month FROM li ORDER BY month LIMIT 3)
+),
+present AS (
+  SELECT li.month, n_name, sum(rev) AS rev
+  FROM li
+  JOIN months USING (month)
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation ON n_nationkey = c_nationkey
+  GROUP BY 1, 2
+),
+grid AS (
+  SELECT m.month, nn.n_name,
+         coalesce(p.rev, 0::DECIMAL(28,2)) AS rev
+  FROM months m
+  CROSS JOIN (SELECT n_name FROM nation) nn
+  LEFT JOIN present p ON p.month = m.month AND p.n_name = nn.n_name
+),
+within AS (
+  SELECT month, n_name,
+         2 * rank() OVER (PARTITION BY n_name ORDER BY rev)
+         + count(*) OVER (PARTITION BY n_name, rev) - 1 AS r2
+  FROM grid
+),
+rng AS (
+  SELECT n_name, (max(rev) - min(rev))::DECIMAL(28,2) AS range_
+  FROM grid GROUP BY 1
+),
+rgrp AS (
+  SELECT range_, count(*)::BIGINT AS c, list(n_name) AS names
+  FROM rng GROUP BY 1
+),
+q2t AS (
+  SELECT 2 * (sum(c) OVER (ORDER BY range_
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) - c) + c + 1 AS q2,
+         unnest(names) AS n_name
+  FROM rgrp
+),
+s4 AS (
+  SELECT w.month, w.n_name, (q.q2 * (w.r2 - 4))::BIGINT AS s4
+  FROM within w JOIN q2t q USING (n_name)
+),
+per_t AS (SELECT month, sum(s4)::BIGINT AS tj FROM s4 GROUP BY 1),
+tots AS (
+  SELECT count(DISTINCT n_name)::BIGINT AS b,
+         count(DISTINCT month)::BIGINT AS k,
+         sum((s4 * s4)::DECIMAL(38,0)) AS a16
+  FROM s4
+),
+bsum AS (SELECT sum((tj * tj)::DECIMAL(38,0)) AS b16n FROM per_t)
+SELECT b AS n_blocks, k AS k_treatments,
+       (k - 1)::BIGINT AS df1,
+       ((b - 1) * (k - 1))::BIGINT AS df2,
+       round((b::DOUBLE - 1) * (b16n::DOUBLE / b::DOUBLE)
+             / (a16::DOUBLE - b16n::DOUBLE / b::DOUBLE), 6) AS quade_f
+FROM tots, bsum
+"""
+
+ORACLES["gumbel_block_maxima_fit"] = """
+WITH ev AS (
+  SELECT epoch_us(ts) // 86400000000 AS ed FROM events
+),
+days AS (
+  SELECT unnest(range(d0, d1 + 1)) AS ed
+  FROM (SELECT min(ed) AS d0, max(ed) AS d1 FROM ev)
+),
+counts AS (SELECT ed, count(*)::BIGINT AS c FROM ev GROUP BY 1),
+cal AS (
+  SELECT d.ed // 7 AS wk, coalesce(c.c, 0)::BIGINT AS c
+  FROM days d LEFT JOIN counts c ON c.ed = d.ed
+),
+wmax AS (SELECT wk, max(c)::BIGINT AS mx FROM cal GROUP BY 1),
+mom AS (
+  SELECT count(*)::BIGINT AS n_blocks, sum(mx)::BIGINT AS s1,
+         sum(mx * mx)::BIGINT AS s2
+  FROM wmax
+),
+d AS (
+  SELECT n_blocks,
+         s1::DOUBLE / n_blocks::DOUBLE AS mean,
+         sqrt((s2::DOUBLE - s1::DOUBLE * (s1::DOUBLE / n_blocks::DOUBLE))
+              / (n_blocks::DOUBLE - 1)) AS sd
+  FROM mom
+)
+SELECT n_blocks,
+       round(mean, 6) AS max_mean,
+       round(sd, 6) AS max_sd,
+       round(sd * sqrt(6.0) / 3.141592653589793, 6) AS gumbel_beta,
+       round(mean - 0.5772156649015329
+                    * (sd * sqrt(6.0) / 3.141592653589793), 6)
+         AS gumbel_mu,
+       round(mean - 0.5772156649015329
+                    * (sd * sqrt(6.0) / 3.141592653589793)
+             - (sd * sqrt(6.0) / 3.141592653589793) * ln(-ln(0.9)), 6)
+         AS return_level_10
+FROM d
+"""
+
+ORACLES["fdr_bh_nation_uniformity"] = """
+WITH o AS (
+  SELECT o_custkey,
+         epoch_us(o_orderdate::TIMESTAMP) // 86400000000 AS ed
+  FROM orders
+),
+cells AS (
+  SELECT n_name, ed % 7 AS dow, count(*)::BIGINT AS obs
+  FROM o
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation ON n_nationkey = c_nationkey
+  GROUP BY 1, 2
+),
+tot AS (SELECT n_name, sum(obs)::BIGINT AS ns FROM cells GROUP BY 1),
+chi AS (
+  SELECT c.n_name,
+         sum(round((obs::DOUBLE - ns::DOUBLE / 7.0)
+                   * (obs::DOUBLE - ns::DOUBLE / 7.0)
+                   / (ns::DOUBLE / 7.0), 12)::DECIMAL(38,12))::DOUBLE AS x
+  FROM cells c JOIN tot USING (n_name)
+  GROUP BY 1
+),
+ps AS (
+  SELECT n_name, round(x, 6) AS chi2,
+         round(exp(-(x / 2.0))
+               * (1.0 + x / 2.0 + (x / 2.0) * (x / 2.0) / 2.0), 12) AS p
+  FROM chi
+),
+cnt AS (SELECT count(*)::BIGINT AS m FROM ps),
+ranked AS (
+  SELECT n_name, chi2, p, m,
+         row_number() OVER (ORDER BY p ASC, n_name ASC) AS rk
+  FROM ps, cnt
+),
+adj AS (
+  SELECT n_name, chi2, p,
+         least(1.0,
+               min(p * m::DOUBLE / rk::DOUBLE)
+                 OVER (ORDER BY p DESC, n_name DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+           AS bh_adj_p
+  FROM ranked
+)
+SELECT n_name, chi2,
+       round(p, 6) AS p_value,
+       round(bh_adj_p, 6) AS bh_adj_p,
+       CASE WHEN bh_adj_p <= 0.10 THEN 1 ELSE 0 END AS rejected
+FROM adj
+ORDER BY n_name
+"""

@@ -12532,3 +12532,245 @@ def bland_altman_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_outside").cast("double") / F.col("n").cast("double"), 6
         ).alias("pct_outside"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 161: Quade test, Gumbel block maxima, BH-FDR
+# ---------------------------------------------------------------------------
+
+
+def quade_test_months(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quade test across the first three ship months over nation
+    blocks — the block-weighted rank ANOVA (Quade 1979, public) that
+    upgrades Friedman/Kendall-W by letting blocks with a larger
+    spread speak louder: within-block midranks (2R = 2 rank + ties −
+    1), block weights Q = cross-block midranks of the block's revenue
+    RANGE, S = Q(R − (k+1)/2) carried as the integer 4S = 2Q(2R − 4),
+    and F = (b−1) B16/(A16 − B16) from pure-integer sums.  Reuses the
+    gap-filled complete design of kendalls_w_concordance."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.date_format("l_shipdate", "yyyy-MM").alias("month"),
+        F.round(F.col("l_extendedprice"), 2)
+        .cast("decimal(28,2)")
+        .alias("rev"),
+    )
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_custkey"
+    )
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    n = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    months = (
+        li.select("month").distinct().orderBy("month").limit(KENDALL_W_MONTHS)
+    )
+    present = (
+        li.join(F.broadcast(months), "month")
+        .join(o, "l_orderkey")
+        .join(c, "o_custkey")
+        .join(F.broadcast(n), "c_nationkey")
+        .groupBy("month", "n_name")
+        .agg(F.sum("rev").alias("rev"))
+    )
+    grid = (
+        months.crossJoin(F.broadcast(n.select("n_name")))
+        .join(present, ["month", "n_name"], "left")
+        .withColumn(
+            "rev", F.coalesce(F.col("rev"), F.lit(0).cast("decimal(28,2)"))
+        )
+    )
+    wb = Window.partitionBy("n_name").orderBy("rev")
+    tie = Window.partitionBy("n_name", "rev")
+    within = grid.select(
+        "month",
+        "n_name",
+        "rev",
+        (2 * F.rank().over(wb) + F.count(F.lit(1)).over(tie) - 1).alias(
+            "r2"
+        ),
+    )
+    rng = grid.groupBy("n_name").agg(
+        (F.max("rev") - F.min("rev")).cast("decimal(28,2)").alias("range")
+    )
+    rgrp = rng.groupBy("range").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.collect_list("n_name").alias("names"),
+    )
+    wo = Window.orderBy("range").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    q2 = rgrp.select(
+        (2 * (F.sum("c").over(wo) - F.col("c")) + F.col("c") + 1).alias(
+            "q2"
+        ),
+        F.explode("names").alias("n_name"),
+    )
+    s4 = within.join(q2, "n_name").select(
+        "month",
+        "n_name",
+        (F.col("q2") * (F.col("r2") - 4)).cast("long").alias("s4"),
+    )
+    per_t = s4.groupBy("month").agg(
+        F.sum("s4").cast("long").alias("tj")
+    )
+    tots = s4.agg(
+        F.countDistinct("n_name").cast("long").alias("b"),
+        F.countDistinct("month").cast("long").alias("k"),
+        F.sum((F.col("s4") * F.col("s4")).cast("decimal(38,0)")).alias(
+            "a16"
+        ),
+    )
+    bsum = per_t.agg(
+        F.sum((F.col("tj") * F.col("tj")).cast("decimal(38,0)")).alias(
+            "b16n"
+        )
+    )
+    j = tots.crossJoin(F.broadcast(bsum))
+    bD = F.col("b").cast("double")
+    kD = F.col("k").cast("double")
+    a16 = F.col("a16").cast("double")
+    b16 = F.col("b16n").cast("double") / bD
+    return j.select(
+        F.col("b").alias("n_blocks"),
+        F.col("k").alias("k_treatments"),
+        ((kD - 1)).cast("long").alias("df1"),
+        ((bD - 1) * (kD - 1)).cast("long").alias("df2"),
+        F.round((bD - 1) * b16 / (a16 - b16), 6).alias("quade_f"),
+    )
+
+
+_EULER_LIT = 0.5772156649015329  # shared literal Euler-Mascheroni
+
+
+def gumbel_block_maxima_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel method-of-moments fit to WEEKLY block maxima of the
+    daily event counts — the block-maxima half of extreme-value
+    theory beside gpd_pot_fit's peaks-over-threshold half (Gumbel
+    1958, public): beta = s sqrt(6)/pi, mu = mean − gamma beta (the
+    shared Euler-Mascheroni literal), and the 10-block return level
+    mu − beta ln(−ln(1 − 1/10)).  Weeks are epoch-day div 7; maxima
+    moments are exact BIGINTs.  One row."""
+    ev = load(spark, sf_dir, "events").select(
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias(
+            "ed"
+        )
+    )
+    span = ev.agg(F.min("ed").alias("d0"), F.max("ed").alias("d1"))
+    days = span.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("ed")
+    )
+    counts = ev.groupBy("ed").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    cal = days.join(counts, "ed", "left").select(
+        F.expr("ed div 7").alias("wk"),
+        F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+    )
+    wmax = cal.groupBy("wk").agg(F.max("c").cast("long").alias("mx"))
+    mom = wmax.agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.sum("mx").cast("long").alias("s1"),
+        F.sum(F.col("mx") * F.col("mx")).cast("long").alias("s2"),
+    )
+    nD = F.col("n_blocks").cast("double")
+    mean = F.col("s1").cast("double") / nD
+    sd = F.sqrt(
+        (F.col("s2").cast("double") - F.col("s1").cast("double") * mean)
+        / (nD - 1)
+    )
+    beta = sd * F.sqrt(F.lit(6.0)) / F.lit(_PI)
+    mu = mean - F.lit(_EULER_LIT) * beta
+    rl = mu - beta * F.log(-F.log(F.lit(0.9)))
+    return mom.select(
+        "n_blocks",
+        F.round(mean, 6).alias("max_mean"),
+        F.round(sd, 6).alias("max_sd"),
+        F.round(beta, 6).alias("gumbel_beta"),
+        F.round(mu, 6).alias("gumbel_mu"),
+        F.round(rl, 6).alias("return_level_10"),
+    )
+
+
+FDR_Q = 0.10
+
+
+def fdr_bh_nation_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR panel over 25 per-nation weekday-
+    uniformity chi-square p-values — the step-up multiple-testing
+    control beside holm's step-down (BH 1995, public): p from the
+    exact even-df chi-square survival (df=6), adjusted p = running
+    min over descending rank of p·n/rank capped at 1, rejected at
+    q = 0.10 iff adj ≤ q.  Per-nation rows, nation-bounded
+    windows."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr(
+            "unix_micros(cast(o_orderdate as timestamp)) div 86400000000"
+        ).alias("ed"),
+    )
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    n = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    cells = (
+        o.join(c, "o_custkey")
+        .join(F.broadcast(n), "c_nationkey")
+        .groupBy("n_name", F.pmod(F.col("ed"), F.lit(7)).alias("dow"))
+        .agg(F.count(F.lit(1)).cast("long").alias("obs"))
+    )
+    tot = cells.groupBy("n_name").agg(F.sum("obs").cast("long").alias("ns"))
+    e = F.col("ns").cast("double") / F.lit(7.0)
+    d = F.col("obs").cast("double") - e
+    chi = (
+        cells.join(tot, "n_name")
+        .select(
+            "n_name",
+            F.round(d * d / e, 12).cast("decimal(38,12)").alias("c12"),
+        )
+        .groupBy("n_name")
+        .agg(F.sum("c12").cast("double").alias("x"))
+    )
+    h = F.col("x") / F.lit(2.0)
+    ps = chi.select(
+        "n_name",
+        F.round("x", 6).alias("chi2"),
+        F.round(
+            F.exp(-h) * (F.lit(1.0) + h + h * h / F.lit(2.0)), 12
+        ).alias("p"),
+    )
+    cnt = ps.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    wr = Window.orderBy(F.asc("p"), F.asc("n_name"))
+    wmin = Window.orderBy(F.desc("p"), F.desc("n_name")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = ps.crossJoin(F.broadcast(cnt)).select(
+        "n_name",
+        "chi2",
+        "p",
+        F.row_number().over(wr).alias("rk"),
+        "m",
+    )
+    adj = ranked.select(
+        "n_name",
+        "chi2",
+        "p",
+        "rk",
+        F.least(
+            F.lit(1.0),
+            F.min(
+                F.col("p")
+                * F.col("m").cast("double")
+                / F.col("rk").cast("double")
+            ).over(wmin),
+        ).alias("bh_adj_p"),
+    )
+    return adj.select(
+        "n_name",
+        "chi2",
+        F.round("p", 6).alias("p_value"),
+        F.round("bh_adj_p", 6).alias("bh_adj_p"),
+        (F.col("bh_adj_p") <= FDR_Q).cast("int").alias("rejected"),
+    ).orderBy("n_name")
