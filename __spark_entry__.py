@@ -1216,6 +1216,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quade_test_months": parity.quade_test_months,
         "gumbel_block_maxima_fit": parity.gumbel_block_maxima_fit,
         "fdr_bh_nation_uniformity": parity.fdr_bh_nation_uniformity,
+        # batch 162: HMM forward, Simpson check, MaxScore
+        "hmm_forward_loglik": parity.hmm_forward_loglik,
+        "simpsons_paradox_check": parity.simpsons_paradox_check,
+        "maxscore_term_partition": fulltext.maxscore_term_partition,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})
@@ -1275,6 +1279,11 @@ def oracle_sql() -> dict[str, str]:
 
     out["query_clarity_score"] = clarity_sql(
         fulltext.FLAGSHIP_QUERY, fulltext.CLARITY_K
+    )
+    from lucene_mapreduce_spark.operators.oracles import maxscore_sql
+
+    out["maxscore_term_partition"] = maxscore_sql(
+        fulltext.FLAGSHIP_QUERY, fulltext.MAXSCORE_K
     )
     from lucene_mapreduce_spark.operators.oracles import (
         query_segmentation_sql,

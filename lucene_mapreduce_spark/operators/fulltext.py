@@ -7888,3 +7888,95 @@ def roaring_container_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("roaring_over_array"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 162: MaxScore term partition
+# ---------------------------------------------------------------------------
+
+MAXSCORE_K = 10
+
+
+def maxscore_term_partition(
+    spark: SparkSession,
+    sf_dir: str,
+    query_text: str = FLAGSHIP_QUERY,
+    k: int = MAXSCORE_K,
+) -> DataFrame:
+    """MaxScore essential/non-essential term split for the flagship
+    query — the other classic dynamic-pruning operator beside WAND
+    (Turtle & Flood 1995, public): with theta = the current k-th page
+    score, the non-essential set is the largest ascending-upper-bound
+    prefix whose cumulative bound stays <= theta (documents matching
+    only those terms can never enter the page).  Upper bounds are the
+    per-term max BM25 contribution over the corpus (rounded 6dp, the
+    expansion-family rule); theta comes from the exact_scores page.
+    One corpus scan, query-term-bounded output."""
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_col
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+    from lucene_mapreduce_spark.query.bm25_df import (
+        _contrib_frame,
+        corpus_postings,
+        exact_scores,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        [("q0", query_text)], "query_id string, query_text string"
+    )
+    postings, doclens = corpus_postings(docs)
+    stats = doclens.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    )
+    qterms = queries.select(
+        "query_id", F.explode(tokenize_col("query_text")).alias("term")
+    ).distinct()
+    df_t = (
+        postings.join(F.broadcast(qterms.select("term").distinct()), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df_t"))
+    )
+    matched = (
+        postings.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(df_t), "term")
+        .join(doclens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    ub = (
+        _contrib_frame(matched)
+        .groupBy("term")
+        .agg(F.round(F.max("contrib"), 6).alias("ub"))
+        .join(F.broadcast(df_t), "term")
+    )
+    page = ranked_topk(
+        exact_scores(matched, round_to=6).select("doc_id", "score"),
+        [F.desc("score"), F.asc("doc_id")],
+        k,
+    )
+    theta = page.agg(F.min("score").alias("theta"))
+    from pyspark.sql import Window
+
+    wo = Window.orderBy(F.asc("ub"), F.asc("term")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = ub.select(
+        "term",
+        F.col("df_t").cast("long").alias("df_t"),
+        "ub",
+        F.round(F.sum("ub").over(wo), 6).alias("cum_ub_asc"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(theta))
+        .select(
+            "term",
+            "df_t",
+            "ub",
+            "cum_ub_asc",
+            F.round("theta", 6).alias("theta"),
+            (F.col("cum_ub_asc") > F.col("theta")).cast("int").alias(
+                "essential"
+            ),
+        )
+        .orderBy(F.asc("ub"), F.asc("term"))
+    )

@@ -22209,3 +22209,159 @@ SELECT n_name, chi2,
 FROM adj
 ORDER BY n_name
 """
+
+# ---- batch 162: HMM forward, Simpson check, MaxScore -----------------------
+
+ORACLES["hmm_forward_loglik"] = """
+WITH ev AS (
+  SELECT epoch_us(ts) // 86400000000 AS ed FROM events
+),
+days AS (
+  SELECT unnest(range(d0, d1 + 1)) AS ed
+  FROM (SELECT min(ed) AS d0, max(ed) AS d1 FROM ev)
+),
+counts AS (SELECT ed, count(*)::BIGINT AS c FROM ev GROUP BY 1),
+cal AS (
+  SELECT d.ed, coalesce(c.c, 0)::BIGINT AS c
+  FROM days d LEFT JOIN counts c ON c.ed = d.ed
+),
+mom AS (SELECT count(*)::BIGINT AS n, sum(c)::BIGINT AS s1 FROM cal),
+obs AS (
+  SELECT ed, (CASE WHEN c * n > s1 THEN 1 ELSE 0 END)::DOUBLE AS o
+  FROM cal, mom
+),
+packed AS (
+  SELECT (SELECT n FROM mom) AS n,
+         sum(o::BIGINT)::BIGINT AS n_high,
+         [[0.5::DOUBLE, 0.5::DOUBLE, 0.0::DOUBLE]]
+           || list_transform(list(o ORDER BY ed), v -> [v]) AS elems
+  FROM obs
+),
+folded AS (
+  SELECT n, n_high,
+         list_reduce(elems, (acc, x) -> [
+           ((acc[1] * 0.8 + acc[2] * 0.3)
+            * (CASE WHEN x[1] = 1.0 THEN 0.2 ELSE 0.8 END))
+           / ((acc[1] * 0.8 + acc[2] * 0.3)
+              * (CASE WHEN x[1] = 1.0 THEN 0.2 ELSE 0.8 END)
+              + (acc[1] * 0.2 + acc[2] * 0.7)
+                * (CASE WHEN x[1] = 1.0 THEN 0.7 ELSE 0.3 END)),
+           ((acc[1] * 0.2 + acc[2] * 0.7)
+            * (CASE WHEN x[1] = 1.0 THEN 0.7 ELSE 0.3 END))
+           / ((acc[1] * 0.8 + acc[2] * 0.3)
+              * (CASE WHEN x[1] = 1.0 THEN 0.2 ELSE 0.8 END)
+              + (acc[1] * 0.2 + acc[2] * 0.7)
+                * (CASE WHEN x[1] = 1.0 THEN 0.7 ELSE 0.3 END)),
+           acc[3] + round(ln(
+             (acc[1] * 0.8 + acc[2] * 0.3)
+             * (CASE WHEN x[1] = 1.0 THEN 0.2 ELSE 0.8 END)
+             + (acc[1] * 0.2 + acc[2] * 0.7)
+               * (CASE WHEN x[1] = 1.0 THEN 0.7 ELSE 0.3 END)), 12)
+         ]) AS st
+  FROM packed
+)
+SELECT n AS n_days, n_high,
+       round(st[3], 6) AS loglik,
+       round(st[1], 6) AS p_state0_final,
+       round(st[2], 6) AS p_state1_final
+FROM folded
+"""
+
+ORACLES["simpsons_paradox_check"] = """
+WITH li AS (
+  SELECT l_returnflag,
+         round(l_discount, 2)::DECIMAL(18,2) AS x,
+         round(l_extendedprice, 2)::DECIMAL(18,2) AS y
+  FROM lineitem
+),
+allb AS (
+  SELECT l_returnflag AS stratum, count(*)::BIGINT AS n_rows,
+         sum(x) AS sx, sum(y) AS sy,
+         sum((x * y)::DECIMAL(38,4)) AS sxy,
+         sum((x * x)::DECIMAL(38,4)) AS sxx,
+         sum((y * y)::DECIMAL(38,4)) AS syy
+  FROM li GROUP BY 1
+  UNION ALL
+  SELECT 'ALL', count(*)::BIGINT,
+         sum(x), sum(y),
+         sum((x * y)::DECIMAL(38,4)),
+         sum((x * x)::DECIMAL(38,4)),
+         sum((y * y)::DECIMAL(38,4))
+  FROM li
+)
+SELECT stratum, n_rows,
+       round((n_rows::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+             / (sqrt(n_rows::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                * sqrt(n_rows::DOUBLE * syy::DOUBLE
+                       - sy::DOUBLE * sy::DOUBLE)), 6) AS pearson_r,
+       sign(round((n_rows::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+             / (sqrt(n_rows::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                * sqrt(n_rows::DOUBLE * syy::DOUBLE
+                       - sy::DOUBLE * sy::DOUBLE)), 6))::INT AS sign
+FROM allb
+ORDER BY stratum
+"""
+
+
+def maxscore_sql(query_text: str, k: int = 10) -> str:
+    """maxscore_term_partition twin: per-term max BM25 contribution,
+    page theta from the same scored CTEs, ascending-bound prefix."""
+    qlit = query_text.replace("'", "''")
+    return f"""
+WITH doclens AS (
+  SELECT doc_id, len({TOKS}) AS dl FROM documents
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n_docs, avg(dl::DOUBLE) AS avgdl FROM doclens
+),
+toks AS (
+  SELECT doc_id, unnest({TOKS}) AS term FROM documents
+),
+postings AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2
+),
+qterms AS (
+  SELECT DISTINCT unnest({duckdb_tokens_sql(f"'{qlit}'")}) AS term
+),
+dft AS (
+  SELECT p.term, count(*)::DOUBLE AS df_t
+  FROM postings p JOIN qterms q USING (term) GROUP BY 1
+),
+scored AS (
+  SELECT p.doc_id, p.term,
+         ln(1 + (s.n_docs - d.df_t + 0.5) / (d.df_t + 0.5))
+           * (p.tf * {K1 + 1.0}) / (p.tf + {K1} * (1 - {B} + {B} * l.dl / s.avgdl))
+           AS contrib
+  FROM postings p
+  JOIN dft d USING (term)
+  JOIN doclens l USING (doc_id)
+  CROSS JOIN stats s
+),
+ub AS (
+  SELECT s.term, d.df_t::BIGINT AS df_t,
+         round(max(s.contrib), 6) AS ub
+  FROM scored s JOIN dft d USING (term)
+  GROUP BY 1, 2
+),
+agg AS (
+  SELECT doc_id, round(sum(contrib), 6) AS score FROM scored GROUP BY 1
+),
+theta AS (
+  SELECT min(score) AS theta FROM (
+    SELECT score, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+    FROM agg
+  ) WHERE r <= {k}
+),
+cum AS (
+  SELECT term, df_t, ub,
+         round(sum(ub) OVER (ORDER BY ub ASC, term ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW), 6) AS cum_ub_asc
+  FROM ub
+)
+SELECT term, df_t, ub, cum_ub_asc,
+       round(theta, 6) AS theta,
+       CASE WHEN cum_ub_asc > theta THEN 1 ELSE 0 END AS essential
+FROM cum, theta
+ORDER BY ub ASC, term ASC
+"""

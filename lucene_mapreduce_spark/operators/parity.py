@@ -12774,3 +12774,143 @@ def fdr_bh_nation_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("bh_adj_p", 6).alias("bh_adj_p"),
         (F.col("bh_adj_p") <= FDR_Q).cast("int").alias("rejected"),
     ).orderBy("n_name")
+
+
+# ---------------------------------------------------------------------------
+# Batch 162: HMM forward log-likelihood, Simpson's paradox check
+# ---------------------------------------------------------------------------
+
+# pinned 2-state HMM: A = [[.8,.2],[.3,.7]], pi = [.5,.5],
+# P(high | state) = [.2, .7]
+
+
+def hmm_forward_loglik(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-algorithm log-likelihood of the daily high/low volume
+    sequence under a pinned 2-state HMM — the probabilistic sequence
+    model the changepoint family (CUSUM/Page-Hinkley/binseg)
+    approximates with frequentist screens (Rabiner 1989 tutorial,
+    public): obs_t = [count_t > mean] decided by the EXACT integer
+    comparison c·n > Σc, the filter runs the scaled forward recursion
+    alpha' = (alpha A) ∘ b(o) with per-step normalization, and the
+    log-likelihood accumulates 12dp-rounded ln normalizers — one
+    bounded fold over the day array, identical op-for-op in both
+    engines (transition applied before every emission, prior [.5,.5];
+    the pinned convention).  One row."""
+    ev = load(spark, sf_dir, "events").select(
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias(
+            "ed"
+        )
+    )
+    span = ev.agg(F.min("ed").alias("d0"), F.max("ed").alias("d1"))
+    days = span.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("ed")
+    )
+    counts = ev.groupBy("ed").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    cal = days.join(counts, "ed", "left").select(
+        "ed", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+    )
+    mom = cal.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s1"),
+    )
+    obs = (
+        cal.crossJoin(F.broadcast(mom))
+        .select(
+            "ed",
+            "n",
+            "s1",
+            F.when(F.col("c") * F.col("n") > F.col("s1"), 1.0)
+            .otherwise(0.0)
+            .alias("o"),
+        )
+    )
+    packed = obs.groupBy("n").agg(
+        F.sum(F.col("o").cast("long")).cast("long").alias("n_high"),
+        F.sort_array(
+            F.collect_list(F.struct("ed", F.col("o").alias("o")))
+        ).alias("arr"),
+    )
+    state = F.expr(
+        "aggregate(transform(arr, x -> x.o), array(0.5D, 0.5D, 0.0D),"
+        " (acc, o) -> array("
+        "  ((acc[0] * 0.8D + acc[1] * 0.3D)"
+        "   * (CASE WHEN o = 1.0D THEN 0.2D ELSE 0.8D END))"
+        "  / ((acc[0] * 0.8D + acc[1] * 0.3D)"
+        "     * (CASE WHEN o = 1.0D THEN 0.2D ELSE 0.8D END)"
+        "     + (acc[0] * 0.2D + acc[1] * 0.7D)"
+        "       * (CASE WHEN o = 1.0D THEN 0.7D ELSE 0.3D END)),"
+        "  ((acc[0] * 0.2D + acc[1] * 0.7D)"
+        "   * (CASE WHEN o = 1.0D THEN 0.7D ELSE 0.3D END))"
+        "  / ((acc[0] * 0.8D + acc[1] * 0.3D)"
+        "     * (CASE WHEN o = 1.0D THEN 0.2D ELSE 0.8D END)"
+        "     + (acc[0] * 0.2D + acc[1] * 0.7D)"
+        "       * (CASE WHEN o = 1.0D THEN 0.7D ELSE 0.3D END)),"
+        "  acc[2] + round(ln("
+        "    (acc[0] * 0.8D + acc[1] * 0.3D)"
+        "    * (CASE WHEN o = 1.0D THEN 0.2D ELSE 0.8D END)"
+        "    + (acc[0] * 0.2D + acc[1] * 0.7D)"
+        "      * (CASE WHEN o = 1.0D THEN 0.7D ELSE 0.3D END)), 12)))"
+    )
+    out = packed.withColumn("st", state)
+    return out.select(
+        F.col("n").alias("n_days"),
+        "n_high",
+        F.round(F.col("st").getItem(2), 6).alias("loglik"),
+        F.round(F.col("st").getItem(0), 6).alias("p_state0_final"),
+        F.round(F.col("st").getItem(1), 6).alias("p_state1_final"),
+    )
+
+
+def simpsons_paradox_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified-correlation (Simpson's paradox) screen: Pearson r of
+    (discount, extendedprice) overall and within each returnflag
+    stratum — the aggregation-reversal audit (Simpson 1951, public)
+    every rollup dashboard needs before trusting a pooled trend.
+    2dp inputs make all cross-products exact 4dp DECIMALs; r is one
+    float chain per stratum; the 'ALL' row pools the same sums, so
+    reversal is visible as a sign flip.  Stratum-bounded output."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_discount"), 2).cast("decimal(18,2)").alias("x"),
+        F.round(F.col("l_extendedprice"), 2)
+        .cast("decimal(18,2)")
+        .alias("y"),
+    )
+    def moments(df, label_col):
+        return df.groupBy(label_col).agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum((F.col("x") * F.col("y")).cast("decimal(38,4)")).alias(
+                "sxy"
+            ),
+            F.sum((F.col("x") * F.col("x")).cast("decimal(38,4)")).alias(
+                "sxx"
+            ),
+            F.sum((F.col("y") * F.col("y")).cast("decimal(38,4)")).alias(
+                "syy"
+            ),
+        )
+
+    per = moments(li, "l_returnflag")
+    allr = moments(
+        li.withColumn("l_returnflag", F.lit("ALL")), "l_returnflag"
+    )
+    both = per.unionAll(allr)
+    nD = F.col("n_rows").cast("double")
+    num = nD * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    den = F.sqrt(
+        nD * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    ) * F.sqrt(
+        nD * F.col("syy").cast("double")
+        - F.col("sy").cast("double") * F.col("sy").cast("double")
+    )
+    return both.select(
+        F.col("l_returnflag").alias("stratum"),
+        "n_rows",
+        F.round(num / den, 6).alias("pearson_r"),
+        F.signum(F.round(num / den, 6)).cast("int").alias("sign"),
+    ).orderBy("stratum")
