@@ -1220,6 +1220,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hmm_forward_loglik": parity.hmm_forward_loglik,
         "simpsons_paradox_check": parity.simpsons_paradox_check,
         "maxscore_term_partition": fulltext.maxscore_term_partition,
+        # batch 163: Ljung-Box, isotonic calibration, Storey q-values
+        "ljung_box_test": parity.ljung_box_test,
+        "isotonic_calibration_bins": parity.isotonic_calibration_bins,
+        "storey_qvalue_panel": parity.storey_qvalue_panel,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})

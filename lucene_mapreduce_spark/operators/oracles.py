@@ -22365,3 +22365,159 @@ SELECT term, df_t, ub, cum_ub_asc,
 FROM cum, theta
 ORDER BY ub ASC, term ASC
 """
+
+# ---- batch 163: Ljung-Box, isotonic calibration, terms partition -----------
+
+ORACLES["ljung_box_test"] = """
+WITH ev AS (
+  SELECT epoch_us(ts) // 86400000000 AS ed FROM events
+),
+days AS (
+  SELECT unnest(range(d0, d1 + 1)) AS ed
+  FROM (SELECT min(ed) AS d0, max(ed) AS d1 FROM ev)
+),
+counts AS (SELECT ed, count(*)::BIGINT AS c FROM ev GROUP BY 1),
+cal AS (
+  SELECT d.ed, coalesce(c.c, 0)::BIGINT AS c
+  FROM days d LEFT JOIN counts c ON c.ed = d.ed
+),
+mom AS (
+  SELECT count(*)::BIGINT AS n, sum(c)::BIGINT AS s1,
+         sum(c * c)::BIGINT AS s2
+  FROM cal
+),
+lags AS (SELECT unnest(range(1, 8)) AS k),
+lagged AS (
+  SELECT l.k,
+         sum(a.c * b.c)::BIGINT AS ak,
+         sum(a.c)::BIGINT AS hk,
+         sum(b.c)::BIGINT AS tk
+  FROM lags l
+  JOIN cal a ON TRUE
+  JOIN cal b ON a.ed + l.k = b.ed
+  GROUP BY 1
+),
+terms AS (
+  SELECT k, n,
+         round((ak::DOUBLE
+                - (s1::DOUBLE / n::DOUBLE) * (hk::DOUBLE + tk::DOUBLE)
+                + (n::DOUBLE - k::DOUBLE) * (s1::DOUBLE / n::DOUBLE)
+                  * (s1::DOUBLE / n::DOUBLE))
+               / (s2::DOUBLE - s1::DOUBLE * (s1::DOUBLE / n::DOUBLE)),
+               12) AS rk
+  FROM lagged, mom
+),
+agg AS (
+  SELECT n,
+         sum(round(rk * rk / (n::DOUBLE - k::DOUBLE),
+                   12)::DECIMAL(38,12))::DOUBLE AS tsum,
+         max(CASE WHEN k = 1 THEN rk END) AS r1,
+         max(CASE WHEN k = 2 THEN rk END) AS r2,
+         max(CASE WHEN k = 3 THEN rk END) AS r3
+  FROM terms GROUP BY 1
+)
+SELECT n AS n_days, 7::BIGINT AS n_lags,
+       round(r1, 6) AS acf_1,
+       round(r2, 6) AS acf_2,
+       round(r3, 6) AS acf_3,
+       round(n::DOUBLE * (n::DOUBLE + 2) * tsum, 6) AS q_stat
+FROM agg
+"""
+
+ORACLES["isotonic_calibration_bins"] = """
+WITH ev AS (
+  SELECT least(9, floor((value / (value + 50.0)) * 10))::BIGINT AS bin,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END::BIGINT AS y
+  FROM events
+),
+per AS (
+  SELECT bin, count(*)::BIGINT AS nb, sum(y)::BIGINT AS yb
+  FROM ev GROUP BY 1
+),
+pre AS (
+  SELECT bin, nb, yb,
+         sum(nb) OVER w AS cn, sum(yb) OVER w AS cy
+  FROM per
+  WINDOW w AS (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+ranges AS (
+  SELECT lo.bin AS k, hi.bin AS j,
+         round((hi.cy - (lo.cy - lo.yb))::DOUBLE
+               / (hi.cn - (lo.cn - lo.nb))::DOUBLE, 12) AS wmean
+  FROM pre lo JOIN pre hi ON hi.bin >= lo.bin
+),
+inner_ AS (
+  SELECT b.bin AS i, r.k, min(r.wmean) AS minmean
+  FROM per b JOIN ranges r ON r.j >= b.bin AND r.k <= b.bin
+  GROUP BY 1, 2
+),
+fit AS (SELECT i, max(minmean) AS iso FROM inner_ GROUP BY 1)
+SELECT p.bin, p.nb AS n_events, p.yb AS n_positive,
+       round(p.yb::DOUBLE / p.nb::DOUBLE, 6) AS observed_rate,
+       round(f.iso, 6) AS isotonic_rate
+FROM per p JOIN fit f ON f.i = p.bin
+ORDER BY p.bin
+"""
+
+
+ORACLES["storey_qvalue_panel"] = """
+WITH o AS (
+  SELECT o_custkey,
+         epoch_us(o_orderdate::TIMESTAMP) // 86400000000 AS ed
+  FROM orders
+),
+cells AS (
+  SELECT n_name, ed % 7 AS dow, count(*)::BIGINT AS obs
+  FROM o
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation ON n_nationkey = c_nationkey
+  GROUP BY 1, 2
+),
+tot AS (SELECT n_name, sum(obs)::BIGINT AS ns FROM cells GROUP BY 1),
+chi AS (
+  SELECT c.n_name,
+         sum(round((obs::DOUBLE - ns::DOUBLE / 7.0)
+                   * (obs::DOUBLE - ns::DOUBLE / 7.0)
+                   / (ns::DOUBLE / 7.0), 12)::DECIMAL(38,12))::DOUBLE AS x
+  FROM cells c JOIN tot USING (n_name)
+  GROUP BY 1
+),
+ps AS (
+  SELECT n_name,
+         round(exp(-(x / 2.0))
+               * (1.0 + x / 2.0 + (x / 2.0) * (x / 2.0) / 2.0), 12) AS p
+  FROM chi
+),
+stats AS (
+  SELECT count(*)::BIGINT AS m,
+         sum(CASE WHEN p > 0.5 THEN 1 ELSE 0 END)::BIGINT AS n_over
+  FROM ps
+),
+pi0 AS (
+  SELECT m,
+         round(least(1.0, n_over::DOUBLE / (0.5 * m::DOUBLE)), 12) AS pi0
+  FROM stats
+),
+ranked AS (
+  SELECT n_name, p, m, pi0,
+         row_number() OVER (ORDER BY p ASC, n_name ASC) AS rk
+  FROM ps, pi0
+),
+adj AS (
+  SELECT n_name, p, pi0,
+         least(1.0,
+               pi0 * min(p * m::DOUBLE / rk::DOUBLE)
+                       OVER (ORDER BY p DESC, n_name DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW)) AS qv
+  FROM ranked
+)
+SELECT n_name,
+       round(p, 6) AS p_value,
+       round(pi0, 6) AS pi0,
+       round(qv, 6) AS q_value,
+       CASE WHEN qv <= 0.05 THEN 1 ELSE 0 END AS significant
+FROM adj
+ORDER BY n_name
+"""

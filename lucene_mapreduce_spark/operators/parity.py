@@ -12914,3 +12914,274 @@ def simpsons_paradox_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(num / den, 6).alias("pearson_r"),
         F.signum(F.round(num / den, 6)).cast("int").alias("sign"),
     ).orderBy("stratum")
+
+
+# ---------------------------------------------------------------------------
+# Batch 163: Ljung-Box, isotonic calibration
+# ---------------------------------------------------------------------------
+
+LJUNG_BOX_LAGS = 7
+
+
+def ljung_box_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test for autocorrelation in the daily
+    event-count series (lags 1..7) — the joint whiteness test beside
+    durbin_watson's lag-1 screen (Ljung & Box 1978, public): each
+    autocovariance expands as c_k n = A_k − μ(H_k + T_k) + (n−k)μ²
+    over exact integer lag products and partial sums (one self-join
+    on the shifted day), r_k = c_k/c_0, Q = n(n+2) Σ r_k²/(n−k).
+    Gap-filled calendar; lag-bounded output columns."""
+    ev = load(spark, sf_dir, "events").select(
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias(
+            "ed"
+        )
+    )
+    span = ev.agg(F.min("ed").alias("d0"), F.max("ed").alias("d1"))
+    days = span.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("ed")
+    )
+    counts = ev.groupBy("ed").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    cal = days.join(counts, "ed", "left").select(
+        "ed", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+    )
+    mom = cal.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+    )
+    lags = span.select(
+        F.explode(
+            F.sequence(F.lit(1), F.lit(LJUNG_BOX_LAGS))
+        ).alias("k")
+    )
+    a = cal.select(F.col("ed").alias("e1"), F.col("c").alias("x1"))
+    b = cal.select(F.col("ed").alias("e2"), F.col("c").alias("x2"))
+    lagged = (
+        lags.crossJoin(a)
+        .join(b, F.col("e1") + F.col("k") == F.col("e2"))
+        .groupBy("k")
+        .agg(
+            F.sum(F.col("x1") * F.col("x2")).cast("long").alias("ak"),
+            F.sum("x1").cast("long").alias("hk"),
+            F.sum("x2").cast("long").alias("tk"),
+        )
+    )
+    j = lagged.crossJoin(F.broadcast(mom))
+    nD = F.col("n").cast("double")
+    mu = F.col("s1").cast("double") / nD
+    ck = (
+        F.col("ak").cast("double")
+        - mu * (F.col("hk").cast("double") + F.col("tk").cast("double"))
+        + (nD - F.col("k").cast("double")) * mu * mu
+    )
+    c0 = F.col("s2").cast("double") - F.col("s1").cast("double") * mu
+    rk = F.round(ck / c0, 12)
+    terms = j.select(
+        "k",
+        "n",
+        rk.alias("rk"),
+        F.round(rk * rk / (nD - F.col("k").cast("double")), 12)
+        .cast("decimal(38,12)")
+        .alias("t12"),
+    )
+    agg = terms.groupBy("n").agg(
+        F.sum("t12").cast("double").alias("tsum"),
+        F.max(F.when(F.col("k") == 1, F.col("rk"))).alias("r1"),
+        F.max(F.when(F.col("k") == 2, F.col("rk"))).alias("r2"),
+        F.max(F.when(F.col("k") == 3, F.col("rk"))).alias("r3"),
+    )
+    return agg.select(
+        F.col("n").alias("n_days"),
+        F.lit(LJUNG_BOX_LAGS).cast("long").alias("n_lags"),
+        F.round("r1", 6).alias("acf_1"),
+        F.round("r2", 6).alias("acf_2"),
+        F.round("r3", 6).alias("acf_3"),
+        F.round(
+            F.col("n").cast("double")
+            * (F.col("n").cast("double") + 2)
+            * F.col("tsum"),
+            6,
+        ).alias("q_stat"),
+    )
+
+
+ISO_BINS = 10
+
+
+def isotonic_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAVA) calibration of the pinned p = value/(value+50)
+    score against the purchase outcome over 10 fixed-width probability
+    bins — the monotone recalibration brier_calibration_report only
+    diagnoses (Ayer et al. 1955; the minimax identity fit_i =
+    max_{k≤i} min_{j≥i} wmean(y, k..j) makes pool-adjacent-violators
+    join-computable: bins² candidate ranges off exact integer prefix
+    sums, no sequential pooling).  Per-bin rows with observed and
+    isotonic rates; the fitted column is non-decreasing by
+    construction."""
+    ev = load(spark, sf_dir, "events").select(
+        (F.col("value") / (F.col("value") + F.lit(50.0))).alias("p"),
+        (F.col("event_type") == "purchase").cast("long").alias("y"),
+    )
+    binned = ev.select(
+        F.least(
+            F.lit(ISO_BINS - 1), F.floor(F.col("p") * ISO_BINS)
+        ).cast("long").alias("bin"),
+        "y",
+    )
+    per = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("nb"),
+        F.sum("y").cast("long").alias("yb"),
+    )
+    wo = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pre = per.select(
+        "bin",
+        "nb",
+        "yb",
+        F.sum("nb").over(wo).alias("cn"),
+        F.sum("yb").over(wo).alias("cy"),
+    )
+    lo = pre.select(
+        F.col("bin").alias("k"),
+        (F.col("cn") - F.col("nb")).alias("cn_lo"),
+        (F.col("cy") - F.col("yb")).alias("cy_lo"),
+    )
+    hi = pre.select(
+        F.col("bin").alias("j"),
+        F.col("cn").alias("cn_hi"),
+        F.col("cy").alias("cy_hi"),
+    )
+    ranges = lo.crossJoin(hi).filter(F.col("j") >= F.col("k")).select(
+        "k",
+        "j",
+        F.round(
+            (F.col("cy_hi") - F.col("cy_lo")).cast("double")
+            / (F.col("cn_hi") - F.col("cn_lo")).cast("double"),
+            12,
+        ).alias("wmean"),
+    )
+    bins = per.select(F.col("bin").alias("i"))
+    inner = (
+        bins.join(ranges, F.col("j") >= F.col("i"))
+        .filter(F.col("k") <= F.col("i"))
+        .groupBy("i", "k")
+        .agg(F.min("wmean").alias("minmean"))
+    )
+    fit = inner.groupBy("i").agg(F.max("minmean").alias("iso"))
+    return (
+        per.join(fit, per.bin == fit.i)
+        .select(
+            "bin",
+            F.col("nb").alias("n_events"),
+            F.col("yb").alias("n_positive"),
+            F.round(
+                F.col("yb").cast("double") / F.col("nb").cast("double"), 6
+            ).alias("observed_rate"),
+            F.round("iso", 6).alias("isotonic_rate"),
+        )
+        .orderBy("bin")
+    )
+
+
+STOREY_LAMBDA = 0.5
+STOREY_Q = 0.05
+
+
+def storey_qvalue_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storey q-values with the π₀ null-fraction estimate over the
+    per-nation weekday-uniformity p-values — the adaptive-FDR upgrade
+    of fdr_bh_nation_uniformity (Storey 2002, public): π̂₀ = min(1,
+    #{p > λ}/((1−λ)m)) at the pinned λ = 0.5, q = min(1, π̂₀ · BH
+    step-up adjustment).  When most nulls are true, π̂₀ ≈ 1 and the
+    panel collapses onto BH — the honest outcome on uniform synthetic
+    weekdays.  Same exact even-df chi-square survival inputs."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr(
+            "unix_micros(cast(o_orderdate as timestamp)) div 86400000000"
+        ).alias("ed"),
+    )
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    n = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    cells = (
+        o.join(c, "o_custkey")
+        .join(F.broadcast(n), "c_nationkey")
+        .groupBy("n_name", F.pmod(F.col("ed"), F.lit(7)).alias("dow"))
+        .agg(F.count(F.lit(1)).cast("long").alias("obs"))
+    )
+    tot = cells.groupBy("n_name").agg(F.sum("obs").cast("long").alias("ns"))
+    e = F.col("ns").cast("double") / F.lit(7.0)
+    d = F.col("obs").cast("double") - e
+    chi = (
+        cells.join(tot, "n_name")
+        .select(
+            "n_name",
+            F.round(d * d / e, 12).cast("decimal(38,12)").alias("c12"),
+        )
+        .groupBy("n_name")
+        .agg(F.sum("c12").cast("double").alias("x"))
+    )
+    h = F.col("x") / F.lit(2.0)
+    ps = chi.select(
+        "n_name",
+        F.round(
+            F.exp(-h) * (F.lit(1.0) + h + h * h / F.lit(2.0)), 12
+        ).alias("p"),
+    )
+    stats = ps.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum(
+            F.when(F.col("p") > STOREY_LAMBDA, 1).otherwise(0)
+        ).cast("long").alias("n_over"),
+    )
+    pi0 = stats.select(
+        "m",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.col("n_over").cast("double")
+                / (
+                    F.lit(1.0 - STOREY_LAMBDA)
+                    * F.col("m").cast("double")
+                ),
+            ),
+            12,
+        ).alias("pi0"),
+    )
+    wr = Window.orderBy(F.asc("p"), F.asc("n_name"))
+    wmin = Window.orderBy(F.desc("p"), F.desc("n_name")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = ps.crossJoin(F.broadcast(pi0)).select(
+        "n_name",
+        "p",
+        "m",
+        "pi0",
+        F.row_number().over(wr).alias("rk"),
+    )
+    adj = ranked.select(
+        "n_name",
+        "p",
+        "pi0",
+        F.least(
+            F.lit(1.0),
+            F.col("pi0")
+            * F.min(
+                F.col("p")
+                * F.col("m").cast("double")
+                / F.col("rk").cast("double")
+            ).over(wmin),
+        ).alias("qv"),
+    )
+    return adj.select(
+        "n_name",
+        F.round("p", 6).alias("p_value"),
+        F.round("pi0", 6).alias("pi0"),
+        F.round("qv", 6).alias("q_value"),
+        (F.col("qv") <= STOREY_Q).cast("int").alias("significant"),
+    ).orderBy("n_name")
