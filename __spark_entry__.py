@@ -1224,6 +1224,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ljung_box_test": parity.ljung_box_test,
         "isotonic_calibration_bins": parity.isotonic_calibration_bins,
         "storey_qvalue_panel": parity.storey_qvalue_panel,
+        # batch 164: merge ladder, Elias-Fano, Lin's CCC
+        "tiered_merge_ladder_plan": fulltext.tiered_merge_ladder_plan,
+        "elias_fano_size_audit": fulltext.elias_fano_size_audit,
+        "lins_ccc_order_totals": parity.lins_ccc_order_totals,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})

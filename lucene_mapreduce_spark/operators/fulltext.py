@@ -7980,3 +7980,156 @@ def maxscore_term_partition(
         )
         .orderBy(F.asc("ub"), F.asc("term"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 164: tiered-merge ladder, Elias-Fano size audit
+# ---------------------------------------------------------------------------
+
+TMP_DOCS_PER_FLUSH = 1000
+TMP_MERGE_FACTOR = 10
+
+
+def tiered_merge_ladder_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tiered-merge-policy steady-state ladder for the corpus — the
+    segment population Lucene's TieredMergePolicy converges to
+    (public docs; with merge factor 10 the state is exactly the
+    base-10 digit decomposition of the flush count): flushes of 1000
+    docs, tier t holds digit_t(n_flush) segments of 1000·10^t docs,
+    and the cumulative write amplification counts how many times each
+    doc has been rewritten by merges into every tier above it.  All
+    integer arithmetic (ceil via (N+999) div 1000, powers exact in
+    the double range).  Tier-bounded rows."""
+    nd = load(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    base = nd.select(
+        "n_docs",
+        F.expr(f"(n_docs + {TMP_DOCS_PER_FLUSH - 1}) div "
+               f"{TMP_DOCS_PER_FLUSH}").alias("n_flush"),
+    )
+    tiers = base.select(
+        "n_docs",
+        "n_flush",
+        F.explode(F.sequence(F.lit(0), F.lit(9))).alias("tier"),
+    ).select(
+        "n_docs",
+        "n_flush",
+        "tier",
+        F.expr("cast(power(10, tier) as bigint)").alias("p10"),
+    ).filter(F.col("p10") <= F.col("n_flush"))
+    rows = tiers.select(
+        "tier",
+        (F.lit(TMP_DOCS_PER_FLUSH) * F.col("p10")).alias("segment_docs"),
+        F.expr(f"(n_flush div p10) % {TMP_MERGE_FACTOR}")
+        .cast("long")
+        .alias("n_segments"),
+        "n_flush",
+        "n_docs",
+        "p10",
+    )
+    # docs written by merges into tier t (t>=1): (n_flush div 10^t) full
+    # next-tier segments, each rewriting 1000*10^t docs
+    wa = rows.agg(
+        F.sum(
+            F.when(
+                F.col("tier") > 0,
+                F.expr("(n_flush div p10) * p10")
+                * F.lit(TMP_DOCS_PER_FLUSH),
+            ).otherwise(0)
+        ).cast("long").alias("merge_docs"),
+        F.first("n_docs").alias("nd"),
+    ).select(
+        "merge_docs",
+        F.round(
+            (F.col("merge_docs") + F.col("nd")).cast("double")
+            / F.col("nd").cast("double"),
+            6,
+        ).alias("write_amp"),
+    )
+    return (
+        rows.crossJoin(F.broadcast(wa))
+        .select(
+            "tier",
+            "segment_docs",
+            "n_segments",
+            "write_amp",
+        )
+        .orderBy("tier")
+    )
+
+
+def elias_fano_size_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Elias-Fano vs varbyte posting-list size model over the corpus —
+    the succinct-encoding option quasi-succinct indices use (Vigna
+    2013, public): per term with n postings over universe U =
+    max(doc_id)+1, low bits l = len(bin(U div n)) − 1 (the exact
+    integer-division convention), EF bits = n·l + 2n; the varbyte
+    baseline prices each d-gap at its 7-bit band (1/2/3/4 bytes).
+    Gap computation is one per-term lag window over sorted postings;
+    totals are exact BIGINTs.  One summary row."""
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_col
+
+    docs = load(spark, sf_dir, "documents")
+    postings = (
+        docs.select("doc_id", F.explode(tokenize_col("text")).alias("term"))
+        .select("term", "doc_id")
+        .distinct()
+    )
+    u = postings.agg((F.max("doc_id") + 1).cast("long").alias("u"))
+    per = postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    ef = (
+        per.crossJoin(F.broadcast(u))
+        .select(
+            "term",
+            "n",
+            (
+                F.col("n")
+                * (
+                    F.length(
+                        F.conv(F.expr("u div n").cast("string"), 10, 2)
+                    ).cast("long")
+                    - 1
+                )
+                + 2 * F.col("n")
+            ).alias("ef_bits"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.sum("n").cast("long").alias("total_postings"),
+            F.sum(F.expr("(ef_bits + 7) div 8")).cast("long").alias(
+                "ef_bytes"
+            ),
+        )
+    )
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("term").orderBy("doc_id")
+    gaps = postings.select(
+        "term",
+        (
+            F.col("doc_id")
+            - F.coalesce(F.lag("doc_id").over(w), F.lit(-1))
+        ).alias("g"),
+    )
+    vb = gaps.select(
+        (
+            F.lit(1)
+            + (F.col("g") >= 128).cast("int")
+            + (F.col("g") >= 16384).cast("int")
+            + (F.col("g") >= 2097152).cast("int")
+        ).cast("long").alias("b")
+    ).agg(F.sum("b").cast("long").alias("vb_bytes"))
+    return ef.crossJoin(F.broadcast(vb)).select(
+        "n_terms",
+        "total_postings",
+        "ef_bytes",
+        "vb_bytes",
+        F.round(
+            F.col("ef_bytes").cast("double")
+            / F.col("vb_bytes").cast("double"),
+            6,
+        ).alias("ef_over_varbyte"),
+    )

@@ -22521,3 +22521,105 @@ SELECT n_name,
 FROM adj
 ORDER BY n_name
 """
+
+# ---- batch 164: tiered merge ladder, Elias-Fano, Lin's CCC -----------------
+
+ORACLES["tiered_merge_ladder_plan"] = """
+WITH nd AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+base AS (
+  SELECT n_docs, (n_docs + 999) // 1000 AS n_flush FROM nd
+),
+tiers AS (
+  SELECT n_docs, n_flush, t.tier, power(10, t.tier)::BIGINT AS p10
+  FROM base, (SELECT unnest(range(10)) AS tier) t
+  WHERE power(10, t.tier)::BIGINT <= n_flush
+),
+rows_ AS (
+  SELECT tier, (1000 * p10)::BIGINT AS segment_docs,
+         ((n_flush // p10) % 10)::BIGINT AS n_segments,
+         n_flush, n_docs, p10
+  FROM tiers
+),
+wa AS (
+  SELECT sum(CASE WHEN tier > 0
+                  THEN (n_flush // p10) * p10 * 1000 ELSE 0 END)::BIGINT
+           AS merge_docs,
+         any_value(n_docs) AS nd
+  FROM rows_
+)
+SELECT tier, segment_docs, n_segments,
+       round((merge_docs + nd)::DOUBLE / nd::DOUBLE, 6) AS write_amp
+FROM rows_, wa
+ORDER BY tier
+"""
+
+ORACLES["elias_fano_size_audit"] = f"""
+WITH postings AS (
+  SELECT DISTINCT term, doc_id FROM (
+    SELECT doc_id, unnest({TOKS}) AS term FROM documents
+  )
+),
+u AS (SELECT (max(doc_id) + 1)::BIGINT AS u FROM postings),
+per AS (SELECT term, count(*)::BIGINT AS n FROM postings GROUP BY 1),
+ef AS (
+  SELECT count(*)::BIGINT AS n_terms,
+         sum(n)::BIGINT AS total_postings,
+         sum((n * (length(bin(u // n)) - 1) + 2 * n + 7) // 8)::BIGINT
+           AS ef_bytes
+  FROM per, u
+),
+gaps AS (
+  SELECT doc_id - coalesce(lag(doc_id) OVER (PARTITION BY term
+                                             ORDER BY doc_id), -1) AS g
+  FROM postings
+),
+vb AS (
+  SELECT sum(1 + CASE WHEN g >= 128 THEN 1 ELSE 0 END
+               + CASE WHEN g >= 16384 THEN 1 ELSE 0 END
+               + CASE WHEN g >= 2097152 THEN 1 ELSE 0 END)::BIGINT
+           AS vb_bytes
+  FROM gaps
+)
+SELECT n_terms, total_postings, ef_bytes, vb_bytes,
+       round(ef_bytes::DOUBLE / vb_bytes::DOUBLE, 6) AS ef_over_varbyte
+FROM ef, vb
+"""
+
+ORACLES["lins_ccc_order_totals"] = """
+WITH li AS (
+  SELECT l_orderkey AS o_orderkey,
+         sum(round(l_extendedprice, 2)::DECIMAL(18,2))::DECIMAL(28,2) AS y
+  FROM lineitem GROUP BY 1
+),
+j AS (
+  SELECT round(o_totalprice, 2)::DECIMAL(18,2) AS x, y
+  FROM orders JOIN li USING (o_orderkey)
+),
+mom AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum((x * y)::DECIMAL(38,4)) AS sxy,
+         sum((x * x)::DECIMAL(38,4)) AS sxx,
+         sum((y * y)::DECIMAL(38,4)) AS syy
+  FROM j
+),
+d AS (
+  SELECT n,
+         sx::DOUBLE / n::DOUBLE AS mx,
+         sy::DOUBLE / n::DOUBLE AS my,
+         sxx::DOUBLE / n::DOUBLE
+           - (sx::DOUBLE / n::DOUBLE) * (sx::DOUBLE / n::DOUBLE) AS vx,
+         syy::DOUBLE / n::DOUBLE
+           - (sy::DOUBLE / n::DOUBLE) * (sy::DOUBLE / n::DOUBLE) AS vy,
+         sxy::DOUBLE / n::DOUBLE
+           - (sx::DOUBLE / n::DOUBLE) * (sy::DOUBLE / n::DOUBLE) AS cxy
+  FROM mom
+)
+SELECT n AS n_pairs,
+       round(mx - my, 6) AS mean_shift,
+       round(cxy / sqrt(vx * vy), 6) AS pearson_r,
+       round(2.0 * cxy / (vx + vy + (mx - my) * (mx - my)), 6) AS lins_ccc,
+       round((2.0 * cxy / (vx + vy + (mx - my) * (mx - my)))
+             / (cxy / sqrt(vx * vy)), 6) AS bias_correction_cb
+FROM d
+"""

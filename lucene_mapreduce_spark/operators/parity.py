@@ -13185,3 +13185,51 @@ def storey_qvalue_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("qv", 6).alias("q_value"),
         (F.col("qv") <= STOREY_Q).cast("int").alias("significant"),
     ).orderBy("n_name")
+
+
+def lins_ccc_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lin's concordance correlation coefficient between order header
+    totals and their lineitem price sums — the single-number
+    agreement score that completes bland_altman_order_totals' limits
+    (Lin 1989, public): CCC = 2 s_xy / (s_x² + s_y² + (x̄ − ȳ)²),
+    penalizing both scatter AND location/scale shift where Pearson
+    sees only scatter; also reports the bias-correction factor
+    C_b = CCC/r.  All moments are exact DECIMAL sums of 2dp inputs.
+    One join, one row."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice"), 2).cast("decimal(18,2)").alias("x"),
+    )
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice"), 2).cast("decimal(18,2)")
+            ).cast("decimal(28,2)").alias("y")
+        )
+    )
+    j = o.join(li, "o_orderkey")
+    mom = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,4)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,4)")).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,4)")).alias("syy"),
+    )
+    nD = F.col("n").cast("double")
+    mx = F.col("sx").cast("double") / nD
+    my = F.col("sy").cast("double") / nD
+    vx = F.col("sxx").cast("double") / nD - mx * mx
+    vy = F.col("syy").cast("double") / nD - my * my
+    cxy = F.col("sxy").cast("double") / nD - mx * my
+    ccc = F.lit(2.0) * cxy / (vx + vy + (mx - my) * (mx - my))
+    r = cxy / F.sqrt(vx * vy)
+    return mom.select(
+        F.col("n").alias("n_pairs"),
+        F.round(mx - my, 6).alias("mean_shift"),
+        F.round(r, 6).alias("pearson_r"),
+        F.round(ccc, 6).alias("lins_ccc"),
+        F.round(ccc / r, 6).alias("bias_correction_cb"),
+    )
