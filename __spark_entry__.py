@@ -1228,6 +1228,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tiered_merge_ladder_plan": fulltext.tiered_merge_ladder_plan,
         "elias_fano_size_audit": fulltext.elias_fano_size_audit,
         "lins_ccc_order_totals": parity.lins_ccc_order_totals,
+        # batch 165: hash collisions, A/A calibration, robust means
+        "hash_collision_audit": parity.hash_collision_audit,
+        "aa_test_calibration": parity.aa_test_calibration,
+        "trimmed_winsorized_means": parity.trimmed_winsorized_means,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})

@@ -22623,3 +22623,111 @@ SELECT n AS n_pairs,
              / (cxy / sqrt(vx * vy)), 6) AS bias_correction_cb
 FROM d
 """
+
+# ---- batch 165: hash collisions, A/A calibration, robust means -------------
+
+def _hash_audit_leg(w: int) -> str:
+    hexes = w // 4
+    h = _MD5_52.format(e="'hc:' || doc_id::VARCHAR")
+    # truncate by using only the first w/4 hex chars
+    h = h.replace("substr(md5('hc:' || doc_id::VARCHAR), 1, 13)",
+                  f"substr(md5('hc:' || doc_id::VARCHAR), 1, {hexes})")
+    return f"""
+  SELECT {w}::BIGINT AS bits, n, buckets_used, observed_pairs,
+         round(n::DOUBLE * (n::DOUBLE - 1) / {float(2 ** (w + 1))!r}, 6)
+           AS expected_pairs
+  FROM (
+    SELECT sum(c)::BIGINT AS n, count(*)::BIGINT AS buckets_used,
+           sum(c * (c - 1) // 2)::BIGINT AS observed_pairs
+    FROM (
+      SELECT {h} AS b, count(*)::BIGINT AS c
+      FROM documents GROUP BY 1
+    )
+  )"""
+
+
+ORACLES["hash_collision_audit"] = (
+    _hash_audit_leg(24)
+    + "\nUNION ALL\n"
+    + _hash_audit_leg(32)
+    + "\nUNION ALL\n"
+    + _hash_audit_leg(40)
+    + "\nORDER BY bits"
+)
+
+ORACLES["aa_test_calibration"] = f"""
+WITH per_user AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS ed,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+             END)::BIGINT AS y
+  FROM events GROUP BY 1, 2
+),
+splits AS (
+  SELECT user_id, y, s.split
+  FROM per_user, (SELECT unnest(range(8)) AS split) s
+),
+armed AS (
+  SELECT split, y,
+         ({_MD5_52.format(e="'aa' || split::VARCHAR || ':' || user_id::VARCHAR")}) % 2
+           AS arm
+  FROM splits
+),
+g AS (
+  SELECT split,
+         sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n0,
+         sum(CASE WHEN arm = 0 THEN y ELSE 0 END)::BIGINT AS y0,
+         sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+         sum(CASE WHEN arm = 1 THEN y ELSE 0 END)::BIGINT AS y1
+  FROM armed GROUP BY 1
+)
+SELECT split, n0, n1,
+       round(y0::DOUBLE / n0::DOUBLE, 6) AS rate0,
+       round(y1::DOUBLE / n1::DOUBLE, 6) AS rate1,
+       round((y0::DOUBLE / n0::DOUBLE - y1::DOUBLE / n1::DOUBLE)
+             / sqrt(((y0 + y1)::DOUBLE / (n0::DOUBLE + n1::DOUBLE))
+                    * (1.0 - (y0 + y1)::DOUBLE / (n0::DOUBLE + n1::DOUBLE))
+                    * (1.0 / n0::DOUBLE + 1.0 / n1::DOUBLE)), 6) AS z_stat,
+       CASE WHEN abs((y0::DOUBLE / n0::DOUBLE - y1::DOUBLE / n1::DOUBLE)
+             / sqrt(((y0 + y1)::DOUBLE / (n0::DOUBLE + n1::DOUBLE))
+                    * (1.0 - (y0 + y1)::DOUBLE / (n0::DOUBLE + n1::DOUBLE))
+                    * (1.0 / n0::DOUBLE + 1.0 / n1::DOUBLE))) > 1.96
+            THEN 1 ELSE 0 END AS false_positive
+FROM g
+ORDER BY split
+"""
+
+ORACLES["trimmed_winsorized_means"] = """
+WITH ev AS (
+  SELECT round(value * 100, 0)::BIGINT AS cents FROM events
+),
+tab AS (SELECT cents, count(*)::BIGINT AS c FROM ev GROUP BY 1),
+tot AS (SELECT sum(c)::BIGINT AS n FROM tab),
+pre AS (
+  SELECT cents, c, n,
+         (sum(c) OVER (ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) - c)::BIGINT AS a,
+         n // 10 AS k
+  FROM tab, tot
+),
+agg AS (
+  SELECT any_value(n) AS n, any_value(k) AS k,
+         sum(cents * c)::BIGINT AS raw_sum,
+         sum(cents * greatest(0, least(a + c, n - k)
+                              - greatest(a, k)))::BIGINT AS trim_sum,
+         max(CASE WHEN a < k + 1 AND a + c >= k + 1
+                  THEN cents END)::BIGINT AS v_low,
+         max(CASE WHEN a < n - k AND a + c >= n - k
+                  THEN cents END)::BIGINT AS v_high
+  FROM pre
+)
+SELECT n AS n_events, k AS k_per_side,
+       round(raw_sum::DOUBLE / n::DOUBLE / 100, 6) AS raw_mean,
+       round(trim_sum::DOUBLE / (n::DOUBLE - 2 * k::DOUBLE) / 100, 6)
+         AS trimmed_mean,
+       round((trim_sum + k * v_low + k * v_high)::DOUBLE / n::DOUBLE / 100,
+             6) AS winsorized_mean,
+       round(v_low::DOUBLE / 100, 2) AS clip_low,
+       round(v_high::DOUBLE / 100, 2) AS clip_high
+FROM agg
+"""

@@ -13233,3 +13233,216 @@ def lins_ccc_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ccc, 6).alias("lins_ccc"),
         F.round(ccc / r, 6).alias("bias_correction_cb"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 165: hash collisions, A/A calibration, robust means
+# ---------------------------------------------------------------------------
+
+HASH_AUDIT_WIDTHS = (24, 32, 40)
+
+
+def hash_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Birthday-bound hash-collision audit — the sizing check every
+    content-addressed store runs before trusting a truncated digest
+    (observed colliding pairs Σ c(c−1)/2 per bucket vs the birthday
+    expectation n(n−1)/2^{w+1}) at 24/32/40-bit md5 prefixes of the
+    doc ids.  Exact integer pair counts; expectation is one float
+    chain per width.  Width-bounded rows."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    out = None
+    for w in HASH_AUDIT_WIDTHS:
+        hexes = w // 4
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("hc:"), F.col("doc_id").cast("string"))),
+                1,
+                hexes,
+            ),
+            16,
+            10,
+        ).cast("long")
+        per = docs.select(h.alias("b")).groupBy("b").agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+        agg = per.agg(
+            F.sum("c").cast("long").alias("n"),
+            F.count(F.lit(1)).cast("long").alias("buckets_used"),
+            F.sum(F.expr("c * (c - 1) div 2")).cast("long").alias(
+                "observed_pairs"
+            ),
+        ).select(
+            F.lit(w).cast("long").alias("bits"),
+            "n",
+            "buckets_used",
+            "observed_pairs",
+            F.round(
+                F.col("n").cast("double")
+                * (F.col("n").cast("double") - 1)
+                / F.lit(float(2 ** (w + 1))),
+                6,
+            ).alias("expected_pairs"),
+        )
+        out = agg if out is None else out.unionAll(agg)
+    return out.orderBy("bits")
+
+
+AA_SPLITS = 8
+
+
+def aa_test_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/A-test calibration panel — the harness health check an
+    experimentation platform runs before any real test (Kohavi,
+    public): eight independent md5 user splits, each tested for a
+    USER-DAY purchase-conversion difference that by construction is
+    pure noise (lifetime conversion saturates at 1.0 on this stream —
+    the ab_power unit rule); randomization stays per-user, so the
+    panel also demonstrates the classic unit-vs-randomization
+    clustering inflation.  Two-proportion z and the |z| > 1.96 flag
+    per split; exact counts; split-bounded rows."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias(
+            "ed"
+        ),
+        "event_type",
+    )
+    per_user = ev.groupBy("user_id", "ed").agg(
+        F.max(
+            (F.col("event_type") == "purchase").cast("long")
+        ).alias("y")
+    )
+    splits = per_user.select(
+        "user_id",
+        "y",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(AA_SPLITS - 1))
+        ).alias("split"),
+    )
+    arm = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("aa"),
+                        F.col("split").cast("string"),
+                        F.lit(":"),
+                        F.col("user_id").cast("string"),
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(2),
+    )
+    g = splits.select("split", "y", arm.alias("arm")).groupBy("split").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n0"),
+        F.sum(F.when(F.col("arm") == 0, F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("y0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("arm") == 1, F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("y1"),
+    )
+    n0 = F.col("n0").cast("double")
+    n1 = F.col("n1").cast("double")
+    p0 = F.col("y0").cast("double") / n0
+    p1 = F.col("y1").cast("double") / n1
+    pp = (F.col("y0") + F.col("y1")).cast("double") / (n0 + n1)
+    z = (p0 - p1) / F.sqrt(
+        pp * (F.lit(1.0) - pp) * (F.lit(1.0) / n0 + F.lit(1.0) / n1)
+    )
+    return g.select(
+        "split",
+        "n0",
+        "n1",
+        F.round(p0, 6).alias("rate0"),
+        F.round(p1, 6).alias("rate1"),
+        F.round(z, 6).alias("z_stat"),
+        (F.abs(z) > 1.96).cast("int").alias("false_positive"),
+    ).orderBy("split")
+
+
+TRIM_FRAC_DIV = 10  # 10% per side
+
+
+def trimmed_winsorized_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10%-trimmed and 10%-winsorized means of event value — the
+    robust-location pair beside the median/MAD family (Tukey,
+    public): k = n div 10 observations clipped per side on the exact
+    value-cents order; the trimmed mean drops them, the winsorized
+    mean pins them to the k+1-th and n−k-th order statistics.  All
+    sums are exact integer cents over (value, count) rank ranges —
+    no per-row sort materializes.  One row."""
+    ev = load(spark, sf_dir, "events").select(
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents")
+    )
+    tab = ev.groupBy("cents").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wo = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = tab.agg(F.sum("c").cast("long").alias("n"))
+    pre = tab.crossJoin(F.broadcast(tot)).select(
+        "cents",
+        "c",
+        "n",
+        (F.sum("c").over(wo) - F.col("c")).alias("a"),
+        F.expr("n div 10").alias("k"),
+    )
+    inside = F.greatest(
+        F.lit(0),
+        F.least(F.col("a") + F.col("c"), F.col("n") - F.col("k"))
+        - F.greatest(F.col("a"), F.col("k")),
+    )
+    lowv = F.when(
+        (F.col("a") < F.col("k") + 1) & (F.col("a") + F.col("c") >= F.col("k") + 1),
+        F.col("cents"),
+    )
+    highv = F.when(
+        (F.col("a") < F.col("n") - F.col("k"))
+        & (F.col("a") + F.col("c") >= F.col("n") - F.col("k")),
+        F.col("cents"),
+    )
+    agg = pre.agg(
+        F.first("n").alias("n"),
+        F.first("k").alias("k"),
+        F.sum("c").cast("long").alias("_nc"),
+        F.sum(F.col("cents") * F.col("c")).cast("long").alias("raw_sum"),
+        F.sum(F.col("cents") * inside).cast("long").alias("trim_sum"),
+        F.max(lowv).cast("long").alias("v_low"),
+        F.max(highv).cast("long").alias("v_high"),
+    )
+    nD = F.col("n").cast("double")
+    kD = F.col("k").cast("double")
+    return agg.select(
+        F.col("n").alias("n_events"),
+        F.col("k").alias("k_per_side"),
+        F.round(
+            F.col("raw_sum").cast("double") / nD / 100, 6
+        ).alias("raw_mean"),
+        F.round(
+            F.col("trim_sum").cast("double") / (nD - 2 * kD) / 100, 6
+        ).alias("trimmed_mean"),
+        F.round(
+            (
+                F.col("trim_sum")
+                + F.col("k") * F.col("v_low")
+                + F.col("k") * F.col("v_high")
+            ).cast("double")
+            / nD
+            / 100,
+            6,
+        ).alias("winsorized_mean"),
+        F.round(F.col("v_low").cast("double") / 100, 2).alias("clip_low"),
+        F.round(F.col("v_high").cast("double") / 100, 2).alias("clip_high"),
+    )
