@@ -1232,6 +1232,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_collision_audit": parity.hash_collision_audit,
         "aa_test_calibration": parity.aa_test_calibration,
         "trimmed_winsorized_means": parity.trimmed_winsorized_means,
+        # batch 166: pivoted norm, LFU curve
+        "pivoted_norm_topk": fulltext.pivoted_norm_topk,
+        "lfu_cache_hit_curve": fulltext.lfu_cache_hit_curve,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})
@@ -1296,6 +1299,11 @@ def oracle_sql() -> dict[str, str]:
 
     out["maxscore_term_partition"] = maxscore_sql(
         fulltext.FLAGSHIP_QUERY, fulltext.MAXSCORE_K
+    )
+    from lucene_mapreduce_spark.operators.oracles import pivoted_norm_sql
+
+    out["pivoted_norm_topk"] = pivoted_norm_sql(
+        fulltext.FLAGSHIP_QUERY, fulltext.PIVOT_K, fulltext.PIVOT_S
     )
     from lucene_mapreduce_spark.operators.oracles import (
         query_segmentation_sql,

@@ -8133,3 +8133,140 @@ def elias_fano_size_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ef_over_varbyte"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 166: pivoted normalization, LFU cache curve
+# ---------------------------------------------------------------------------
+
+PIVOT_S = 0.2
+PIVOT_K = 10
+
+
+def pivoted_norm_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_text: str = FLAGSHIP_QUERY,
+    k: int = PIVOT_K,
+) -> DataFrame:
+    """Pivoted-length-normalization VSM ranking (Singhal, Buckley &
+    Mitra 1996, public) — the pre-BM25 classic the similarity zoo was
+    missing: score = Σ_q (1 + ln(1 + ln(tf))) / ((1−s) + s·dl/avgdl)
+    · ln((N+1)/df) with the pivot slope pinned at s = 0.2.  Scores
+    fold in canonical ascending-term order and rank on the rounded
+    value with doc_id tiebreak (the house expansion rule).  One
+    corpus scan."""
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_col
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+    from lucene_mapreduce_spark.query.bm25_df import corpus_postings
+
+    docs = load(spark, sf_dir, "documents")
+    postings, doclens = corpus_postings(docs)
+    stats = doclens.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    )
+    qterms = (
+        spark.createDataFrame([(query_text,)], "q string")
+        .select(F.explode(tokenize_col("q")).alias("term"))
+        .distinct()
+    )
+    df_t = (
+        postings.join(F.broadcast(qterms), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df_t"))
+    )
+    m = (
+        postings.join(F.broadcast(df_t), "term")
+        .join(doclens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    tfp = F.lit(1.0) + F.log(
+        F.lit(1.0) + F.log(F.col("tf").cast("double"))
+    )
+    norm = F.lit(1.0 - PIVOT_S) + F.lit(PIVOT_S) * F.col("dl").cast(
+        "double"
+    ) / F.col("avgdl")
+    idf = F.log(
+        (F.col("n_docs").cast("double") + 1) / F.col("df_t").cast("double")
+    )
+    contribs = m.select(
+        "doc_id", "term", (tfp / norm * idf).alias("contrib")
+    )
+    per_doc = contribs.groupBy("doc_id").agg(
+        F.round(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("term", "contrib"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["contrib"],
+            ),
+            6,
+        ).alias("score")
+    )
+    return ranked_topk(
+        per_doc, [F.desc("score"), F.asc("doc_id")], k
+    ).select("doc_id", "score", "rank")
+
+
+LFU_SIZES = (8, 16, 32, 64)
+
+
+def lfu_cache_hit_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static frequency-cache (LFU/Zipf) hit-rate curve — the
+    query-result cache sizing question answered from the corpus term
+    distribution as the query-log proxy (documented convention;
+    Baeza-Yates 2007 static caching, public): cache the C most
+    frequent terms, hit rate = their share of total occurrences, for
+    C in 8/16/32/64, with the marginal gain of each doubling.
+    Vocab-bounded windows."""
+    from pyspark.sql import Window
+
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_col
+
+    docs = load(spark, sf_dir, "documents")
+    cf = (
+        docs.select(F.explode(tokenize_col("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cf"))
+    )
+    wo = Window.orderBy(F.desc("cf"), F.asc("term")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = cf.agg(F.sum("cf").cast("long").alias("t"))
+    ranked = cf.select(
+        F.row_number()
+        .over(Window.orderBy(F.desc("cf"), F.asc("term")))
+        .alias("rk"),
+        F.sum("cf").over(wo).alias("cum"),
+    )
+    sizes = docs.sparkSession.createDataFrame(
+        [(c,) for c in LFU_SIZES], "cache_size long"
+    )
+    vocab = cf.agg(F.count(F.lit(1)).cast("long").alias("v"))
+    at = (
+        sizes.crossJoin(F.broadcast(vocab))
+        .join(
+            ranked,
+            F.col("rk")
+            == F.least(F.col("cache_size"), F.col("v")),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "cache_size",
+            F.least(F.col("cache_size"), F.col("v")).alias("terms_cached"),
+            F.round(
+                F.col("cum").cast("double") / F.col("t").cast("double"), 6
+            ).alias("hit_rate"),
+        )
+    )
+    wl = Window.orderBy("cache_size")
+    return at.select(
+        "cache_size",
+        "terms_cached",
+        "hit_rate",
+        F.round(
+            F.col("hit_rate")
+            - F.coalesce(F.lag("hit_rate").over(wl), F.lit(0.0)),
+            6,
+        ).alias("marginal_gain"),
+    ).orderBy("cache_size")

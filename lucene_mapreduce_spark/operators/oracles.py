@@ -22731,3 +22731,80 @@ SELECT n AS n_events, k AS k_per_side,
        round(v_high::DOUBLE / 100, 2) AS clip_high
 FROM agg
 """
+
+# ---- batch 166: RM3, pivoted normalization, LFU cache ----------------------
+
+def pivoted_norm_sql(query_text: str, k: int = 10, s: float = 0.2) -> str:
+    """pivoted_norm_topk twin."""
+    qlit = query_text.replace("'", "''")
+    return f"""
+WITH doclens AS (
+  SELECT doc_id, len({TOKS}) AS dl FROM documents
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n_docs, avg(dl::DOUBLE) AS avgdl FROM doclens
+),
+toks AS (
+  SELECT doc_id, unnest({TOKS}) AS term FROM documents
+),
+postings AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2
+),
+qterms AS (
+  SELECT DISTINCT unnest({duckdb_tokens_sql(f"'{qlit}'")}) AS term
+),
+dft AS (
+  SELECT p.term, count(*)::DOUBLE AS df_t
+  FROM postings p JOIN qterms q USING (term) GROUP BY 1
+),
+scored AS (
+  SELECT p.doc_id,
+         (1.0 + ln(1.0 + ln(p.tf)))
+           / ({1.0 - s!r} + {s!r} * l.dl / st.avgdl)
+           * ln((st.n_docs + 1) / d.df_t) AS contrib
+  FROM postings p
+  JOIN dft d USING (term)
+  JOIN doclens l USING (doc_id)
+  CROSS JOIN stats st
+),
+agg AS (
+  SELECT doc_id, round(sum(contrib), 6) AS score FROM scored GROUP BY 1
+)
+SELECT doc_id, score, rank FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM agg
+) WHERE rank <= {k}
+ORDER BY rank
+"""
+
+
+ORACLES["lfu_cache_hit_curve"] = f"""
+WITH cf AS (
+  SELECT term, count(*)::BIGINT AS cf FROM (
+    SELECT unnest({TOKS}) AS term FROM documents
+  ) GROUP BY 1
+),
+tot AS (SELECT sum(cf)::BIGINT AS t FROM cf),
+vocab AS (SELECT count(*)::BIGINT AS v FROM cf),
+ranked AS (
+  SELECT row_number() OVER (ORDER BY cf DESC, term ASC) AS rk,
+         sum(cf) OVER (ORDER BY cf DESC, term ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS cum
+  FROM cf
+),
+at AS (
+  SELECT s.cache_size, least(s.cache_size, v.v)::BIGINT AS terms_cached,
+         round(r.cum::DOUBLE / t.t::DOUBLE, 6) AS hit_rate
+  FROM (SELECT unnest([8, 16, 32, 64]) AS cache_size) s
+  CROSS JOIN vocab v
+  JOIN ranked r ON r.rk = least(s.cache_size, v.v)
+  CROSS JOIN tot t
+)
+SELECT cache_size, terms_cached, hit_rate,
+       round(hit_rate - coalesce(lag(hit_rate)
+               OVER (ORDER BY cache_size), 0.0), 6) AS marginal_gain
+FROM at
+ORDER BY cache_size
+"""
