@@ -1235,6 +1235,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 166: pivoted norm, LFU curve
         "pivoted_norm_topk": fulltext.pivoted_norm_topk,
         "lfu_cache_hit_curve": fulltext.lfu_cache_hit_curve,
+        # batch 167: Bass diffusion, AUC CI, MCC/F1
+        "bass_diffusion_fit": parity.bass_diffusion_fit,
+        "auc_hanley_mcneil_ci": parity.auc_hanley_mcneil_ci,
+        "mcc_f1_threshold_panel": parity.mcc_f1_threshold_panel,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})

@@ -22808,3 +22808,159 @@ SELECT cache_size, terms_cached, hit_rate,
 FROM at
 ORDER BY cache_size
 """
+
+# ---- batch 167: Bass diffusion, AUC CI, MCC/F1 -----------------------------
+
+ORACLES["bass_diffusion_fit"] = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS ed FROM events
+),
+first_ AS (SELECT user_id, min(ed) AS fd FROM ev GROUP BY 1),
+days AS (
+  SELECT unnest(range(d0, d1 + 1)) AS ed
+  FROM (SELECT min(ed) AS d0, max(ed) AS d1 FROM ev)
+),
+adds AS (SELECT fd AS ed, count(*)::BIGINT AS n_t FROM first_ GROUP BY 1),
+cal AS (
+  SELECT d.ed, coalesce(a.n_t, 0)::BIGINT AS n_t
+  FROM days d LEFT JOIN adds a ON a.ed = d.ed
+),
+pts AS (
+  SELECT n_t AS y,
+         (sum(n_t) OVER (ORDER BY ed
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) - n_t)::BIGINT AS x
+  FROM cal
+),
+s AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(x)::BIGINT AS sx,
+         sum(x * x)::BIGINT AS sx2,
+         sum(x * x * x)::BIGINT AS sx3,
+         sum((x * x * x * x)::DECIMAL(38,0)) AS sx4,
+         sum(y)::BIGINT AS sy,
+         sum(x * y)::BIGINT AS sxy,
+         sum(x * x * y)::BIGINT AS sx2y
+  FROM pts
+),
+d AS (
+  SELECT n, sy,
+         n::DOUBLE * (sx2::DOUBLE * sx4::DOUBLE - sx3::DOUBLE * sx3::DOUBLE)
+         - sx::DOUBLE * (sx::DOUBLE * sx4::DOUBLE - sx3::DOUBLE * sx2::DOUBLE)
+         + sx2::DOUBLE * (sx::DOUBLE * sx3::DOUBLE - sx2::DOUBLE * sx2::DOUBLE)
+           AS det,
+         sy::DOUBLE * (sx2::DOUBLE * sx4::DOUBLE - sx3::DOUBLE * sx3::DOUBLE)
+         - sx::DOUBLE * (sxy::DOUBLE * sx4::DOUBLE - sx3::DOUBLE * sx2y::DOUBLE)
+         + sx2::DOUBLE * (sxy::DOUBLE * sx3::DOUBLE - sx2::DOUBLE * sx2y::DOUBLE)
+           AS da,
+         n::DOUBLE * (sxy::DOUBLE * sx4::DOUBLE - sx3::DOUBLE * sx2y::DOUBLE)
+         - sy::DOUBLE * (sx::DOUBLE * sx4::DOUBLE - sx3::DOUBLE * sx2::DOUBLE)
+         + sx2::DOUBLE * (sx::DOUBLE * sx2y::DOUBLE - sxy::DOUBLE * sx2::DOUBLE)
+           AS db,
+         n::DOUBLE * (sx2::DOUBLE * sx2y::DOUBLE - sxy::DOUBLE * sx3::DOUBLE)
+         - sx::DOUBLE * (sx::DOUBLE * sx2y::DOUBLE - sxy::DOUBLE * sx2::DOUBLE)
+         + sy::DOUBLE * (sx::DOUBLE * sx3::DOUBLE - sx2::DOUBLE * sx2::DOUBLE)
+           AS dc
+  FROM s
+),
+co AS (
+  SELECT n, sy,
+         CASE WHEN det <> 0 THEN da / det END AS a,
+         CASE WHEN det <> 0 THEN db / det END AS bb,
+         CASE WHEN det <> 0 THEN dc / det END AS cc
+  FROM d
+),
+mm AS (
+  SELECT n, sy, a, bb, cc,
+         CASE WHEN a IS NOT NULL AND cc <> 0
+                   AND bb * bb - 4 * a * cc >= 0
+              THEN (-(bb) - sqrt(bb * bb - 4 * a * cc)) / (2 * cc)
+         END AS m
+  FROM co
+)
+SELECT n AS n_days, sy AS n_adopters,
+       round(a, 6) AS coef_a,
+       round(bb, 6) AS coef_b,
+       round(cc, 9) AS coef_c,
+       round(m, 6) AS market_m,
+       round(a / m, 6) AS innovation_p,
+       round(-(cc) * m, 6) AS imitation_q
+FROM mm
+"""
+
+ORACLES["auc_hanley_mcneil_ci"] = """
+WITH ev AS (
+  SELECT round(value * 100, 0)::BIGINT AS cents,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END::BIGINT AS y
+  FROM events
+),
+tab AS (
+  SELECT cents, count(*)::BIGINT AS cv, sum(y)::BIGINT AS cp
+  FROM ev GROUP BY 1
+),
+r AS (
+  SELECT cv, cp,
+         2 * (sum(cv) OVER (ORDER BY cents
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) - cv) + cv + 1 AS r2
+  FROM tab
+),
+agg AS (
+  SELECT sum(cp)::BIGINT AS n1,
+         sum(cv - cp)::BIGINT AS n0,
+         sum(cp * r2)::BIGINT AS sr2
+  FROM r
+),
+d AS (
+  SELECT n1, n0,
+         (sr2::DOUBLE / 2 - n1::DOUBLE * (n1::DOUBLE + 1) / 2)
+           / (n0::DOUBLE * n1::DOUBLE) AS auc
+  FROM agg
+),
+se AS (
+  SELECT n1, n0, auc,
+         sqrt((auc * (1 - auc)
+               + (n1::DOUBLE - 1) * (auc / (2 - auc) - auc * auc)
+               + (n0::DOUBLE - 1)
+                 * (2 * auc * auc / (1 + auc) - auc * auc))
+              / (n0::DOUBLE * n1::DOUBLE)) AS se
+  FROM d
+)
+SELECT n1 AS n_positive, n0 AS n_negative,
+       round(auc, 6) AS auc,
+       round(se, 6) AS se_hanley_mcneil,
+       round(auc - 1.96 * se, 6) AS ci_lower,
+       round(auc + 1.96 * se, 6) AS ci_upper
+FROM se
+"""
+
+ORACLES["mcc_f1_threshold_panel"] = """
+WITH ev AS (
+  SELECT CASE WHEN round(value * 100, 0)::BIGINT > 5000
+              THEN 1 ELSE 0 END::BIGINT AS pred,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END::BIGINT AS y
+  FROM events
+),
+agg AS (
+  SELECT sum(pred * y)::BIGINT AS tp,
+         sum(pred * (1 - y))::BIGINT AS fp,
+         sum((1 - pred) * y)::BIGINT AS fn,
+         sum((1 - pred) * (1 - y))::BIGINT AS tn
+  FROM ev
+)
+SELECT tp, fp, fn, tn,
+       round(tp::DOUBLE / (tp::DOUBLE + fp::DOUBLE), 6) AS precision,
+       round(tp::DOUBLE / (tp::DOUBLE + fn::DOUBLE), 6) AS recall,
+       round(2 * (tp::DOUBLE / (tp::DOUBLE + fp::DOUBLE))
+               * (tp::DOUBLE / (tp::DOUBLE + fn::DOUBLE))
+             / (tp::DOUBLE / (tp::DOUBLE + fp::DOUBLE)
+                + tp::DOUBLE / (tp::DOUBLE + fn::DOUBLE)), 6) AS f1,
+       round((tp::DOUBLE / (tp::DOUBLE + fn::DOUBLE)
+              + tn::DOUBLE / (tn::DOUBLE + fp::DOUBLE)) / 2, 6)
+         AS balanced_accuracy,
+       round((tp::DOUBLE * tn::DOUBLE - fp::DOUBLE * fn::DOUBLE)
+             / sqrt((tp::DOUBLE + fp::DOUBLE) * (tp::DOUBLE + fn::DOUBLE)
+                    * (tn::DOUBLE + fp::DOUBLE)
+                    * (tn::DOUBLE + fn::DOUBLE)), 6) AS mcc
+FROM agg
+"""

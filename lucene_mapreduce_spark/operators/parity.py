@@ -13446,3 +13446,215 @@ def trimmed_winsorized_means(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("v_low").cast("double") / 100, 2).alias("clip_low"),
         F.round(F.col("v_high").cast("double") / 100, 2).alias("clip_high"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 167: Bass diffusion, AUC CI, MCC/F1 panel
+# ---------------------------------------------------------------------------
+
+
+def bass_diffusion_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete Bass diffusion-model fit to daily user adoption — the
+    innovation/imitation decomposition of growth (Bass 1969, public):
+    adopters n_t regressed on cumulative N_{t−1} via the quadratic
+    n = a + bN + cN², solved in closed form by Cramer's rule on the
+    3×3 normal equations (sums are exact BIGINTs from first-seen
+    days; determinants are one float chain), then m = (−b −
+    √(b²−4ac))/(2c), p = a/m, q = −c·m.  Day-bounded second pass,
+    one row."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias(
+            "ed"
+        ),
+    )
+    first = ev.groupBy("user_id").agg(F.min("ed").alias("fd"))
+    span = ev.agg(F.min("ed").alias("d0"), F.max("ed").alias("d1"))
+    days = span.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("ed")
+    )
+    adds = first.groupBy(F.col("fd").alias("ed")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_t")
+    )
+    cal = days.join(adds, "ed", "left").select(
+        "ed", F.coalesce(F.col("n_t"), F.lit(0)).alias("n_t")
+    )
+    wo = Window.orderBy("ed").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pts = cal.select(
+        "ed",
+        F.col("n_t").alias("y"),
+        (F.sum("n_t").over(wo) - F.col("n_t")).alias("x"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sx2"),
+        F.sum(F.col("x") * F.col("x") * F.col("x"))
+        .cast("long")
+        .alias("sx3"),
+        F.sum(
+            (F.col("x") * F.col("x") * F.col("x") * F.col("x")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("sx4"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x") * F.col("y"))
+        .cast("long")
+        .alias("sx2y"),
+    )
+    nD = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sx2 = F.col("sx2").cast("double")
+    sx3 = F.col("sx3").cast("double")
+    sx4 = F.col("sx4").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sx2y = F.col("sx2y").cast("double")
+    # Cramer on [[n,sx,sx2],[sx,sx2,sx3],[sx2,sx3,sx4]] [a,b,c]' = [sy,sxy,sx2y]'
+    det = (
+        nD * (sx2 * sx4 - sx3 * sx3)
+        - sx * (sx * sx4 - sx3 * sx2)
+        + sx2 * (sx * sx3 - sx2 * sx2)
+    )
+    da = (
+        sy * (sx2 * sx4 - sx3 * sx3)
+        - sx * (sxy * sx4 - sx3 * sx2y)
+        + sx2 * (sxy * sx3 - sx2 * sx2y)
+    )
+    db = (
+        nD * (sxy * sx4 - sx3 * sx2y)
+        - sy * (sx * sx4 - sx3 * sx2)
+        + sx2 * (sx * sx2y - sxy * sx2)
+    )
+    dc = (
+        nD * (sx2 * sx2y - sxy * sx3)
+        - sx * (sx * sx2y - sxy * sx2)
+        + sy * (sx * sx3 - sx2 * sx2)
+    )
+    # degenerate design (x takes < 3 distinct values — e.g. every user
+    # adopts on day one at tiny sf) => singular normal equations: NULLs
+    ok = det != 0
+    a = F.when(ok, da / det)
+    bb = F.when(ok, db / det)
+    cc = F.when(ok, dc / det)
+    disc = bb * bb - 4 * a * cc
+    mok = ok & (disc >= 0) & (cc != 0)
+    m = F.when(mok, (-bb - F.sqrt(disc)) / (2 * cc))
+    return s.select(
+        F.col("n").alias("n_days"),
+        F.col("sy").alias("n_adopters"),
+        F.round(a, 6).alias("coef_a"),
+        F.round(bb, 6).alias("coef_b"),
+        F.round(cc, 9).alias("coef_c"),
+        F.round(m, 6).alias("market_m"),
+        F.round(F.when(mok, a / m), 6).alias("innovation_p"),
+        F.round(F.when(mok, -cc * m), 6).alias("imitation_q"),
+    )
+
+
+def auc_hanley_mcneil_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact midrank AUC for the pinned value-score vs purchase
+    outcome with the Hanley-McNeil standard error and 95% CI (1982,
+    public) — the uncertainty exact_midrank_auc leaves off: SE² =
+    (A(1−A) + (n₁−1)(Q₁−A²) + (n₀−1)(Q₂−A²))/(n₀n₁) with
+    Q₁ = A/(2−A), Q₂ = 2A²/(1+A).  AUC rides doubled midranks
+    (pure BIGINT); the CI is one float chain.  One row."""
+    ev = load(spark, sf_dir, "events").select(
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        (F.col("event_type") == "purchase").cast("long").alias("y"),
+    )
+    tab = ev.groupBy("cents").agg(
+        F.count(F.lit(1)).cast("long").alias("cv"),
+        F.sum("y").cast("long").alias("cp"),
+    )
+    wo = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = tab.select(
+        "cv",
+        "cp",
+        (2 * (F.sum("cv").over(wo) - F.col("cv")) + F.col("cv") + 1).alias(
+            "r2"
+        ),
+    )
+    agg = r.agg(
+        F.sum("cp").cast("long").alias("n1"),
+        F.sum(F.col("cv") - F.col("cp")).cast("long").alias("n0"),
+        F.sum(F.col("cp") * F.col("r2")).cast("long").alias("sr2"),
+    )
+    n1 = F.col("n1").cast("double")
+    n0 = F.col("n0").cast("double")
+    auc = (
+        F.col("sr2").cast("double") / 2 - n1 * (n1 + 1) / 2
+    ) / (n0 * n1)
+    q1 = auc / (2 - auc)
+    q2 = 2 * auc * auc / (1 + auc)
+    se = F.sqrt(
+        (
+            auc * (1 - auc)
+            + (n1 - 1) * (q1 - auc * auc)
+            + (n0 - 1) * (q2 - auc * auc)
+        )
+        / (n0 * n1)
+    )
+    return agg.select(
+        F.col("n1").alias("n_positive"),
+        F.col("n0").alias("n_negative"),
+        F.round(auc, 6).alias("auc"),
+        F.round(se, 6).alias("se_hanley_mcneil"),
+        F.round(auc - F.lit(1.96) * se, 6).alias("ci_lower"),
+        F.round(auc + F.lit(1.96) * se, 6).alias("ci_upper"),
+    )
+
+
+MCC_THRESHOLD_CENTS = 5000  # predict positive when value > 50.00
+
+
+def mcc_f1_threshold_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion-matrix quality panel at the pinned value > 50
+    decision threshold against the purchase outcome — precision,
+    recall, F1, balanced accuracy, and the Matthews correlation
+    coefficient (the chance-robust single number; public) that
+    youden_j_threshold and the AUC family complement.  Pure-integer
+    confusion cells; MCC's product denominator rides doubles (the
+    four marginals can overflow a BIGINT product at scale).  One
+    row."""
+    ev = load(spark, sf_dir, "events").select(
+        (
+            F.round(F.col("value") * 100, 0).cast("long")
+            > MCC_THRESHOLD_CENTS
+        ).cast("long").alias("pred"),
+        (F.col("event_type") == "purchase").cast("long").alias("y"),
+    )
+    agg = ev.agg(
+        F.sum(F.col("pred") * F.col("y")).cast("long").alias("tp"),
+        F.sum(F.col("pred") * (1 - F.col("y"))).cast("long").alias("fp"),
+        F.sum((1 - F.col("pred")) * F.col("y")).cast("long").alias("fn"),
+        F.sum((1 - F.col("pred")) * (1 - F.col("y")))
+        .cast("long")
+        .alias("tn"),
+    )
+    tp = F.col("tp").cast("double")
+    fp = F.col("fp").cast("double")
+    fn = F.col("fn").cast("double")
+    tn = F.col("tn").cast("double")
+    prec = tp / (tp + fp)
+    rec = tp / (tp + fn)
+    spec = tn / (tn + fp)
+    mcc = (tp * tn - fp * fn) / F.sqrt(
+        (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+    )
+    return agg.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(2 * prec * rec / (prec + rec), 6).alias("f1"),
+        F.round((rec + spec) / 2, 6).alias("balanced_accuracy"),
+        F.round(mcc, 6).alias("mcc"),
+    )
