@@ -1239,6 +1239,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bass_diffusion_fit": parity.bass_diffusion_fit,
         "auc_hanley_mcneil_ci": parity.auc_hanley_mcneil_ci,
         "mcc_f1_threshold_panel": parity.mcc_f1_threshold_panel,
+        # batch 168: Welch ANOVA, partial correlation, Bowley panel
+        "welch_anova_segments": parity.welch_anova_segments,
+        "partial_correlation_panel": parity.partial_correlation_panel,
+        "bowley_skewness_panel": parity.bowley_skewness_panel,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})

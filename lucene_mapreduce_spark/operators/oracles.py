@@ -22964,3 +22964,109 @@ SELECT tp, fp, fn, tn,
                     * (tn::DOUBLE + fn::DOUBLE)), 6) AS mcc
 FROM agg
 """
+
+# ---- batch 168: Welch ANOVA, partial correlation, Bowley -------------------
+
+ORACLES["welch_anova_segments"] = """
+WITH g AS (
+  SELECT c_mktsegment, count(*)::BIGINT AS n,
+         sum(round(o_totalprice, 2)::DECIMAL(18,2)) AS s1,
+         sum((round(o_totalprice, 2)::DECIMAL(18,2)
+              * round(o_totalprice, 2)::DECIMAL(18,2))::DECIMAL(38,4)) AS s2
+  FROM orders JOIN customer ON c_custkey = o_custkey
+  GROUP BY 1
+),
+per AS (
+  SELECT c_mktsegment, n,
+         round(s1::DOUBLE / n::DOUBLE, 12) AS m,
+         round(n::DOUBLE
+               / ((s2::DOUBLE - s1::DOUBLE * (s1::DOUBLE / n::DOUBLE))
+                  / (n::DOUBLE - 1)), 12) AS w
+  FROM g
+),
+tot AS (
+  SELECT count(*)::BIGINT AS k,
+         sum(w::DECIMAL(38,12))::DOUBLE AS sw,
+         sum(round(w * m, 12)::DECIMAL(38,12))::DOUBLE AS swm
+  FROM per
+),
+agg AS (
+  SELECT k, sw, swm,
+         sum(round(w * (m - swm / sw) * (m - swm / sw),
+                   12)::DECIMAL(38,12))::DOUBLE AS num,
+         sum(round((1.0 - w / sw) * (1.0 - w / sw)
+                   / (n::DOUBLE - 1), 12)::DECIMAL(38,12))::DOUBLE AS lam
+  FROM per, tot
+  GROUP BY 1, 2, 3
+)
+SELECT k AS k_groups,
+       (k - 1)::BIGINT AS df1,
+       round((k::DOUBLE * k::DOUBLE - 1) / (3.0 * lam), 6) AS df2,
+       round((num / (k::DOUBLE - 1))
+             / (1.0 + 2.0 * (k::DOUBLE - 2)
+                      / (k::DOUBLE * k::DOUBLE - 1) * lam), 6) AS welch_f
+FROM agg
+"""
+
+ORACLES["partial_correlation_panel"] = """
+WITH li AS (
+  SELECT round(l_quantity, 2)::DECIMAL(18,2) AS x,
+         round(l_extendedprice, 2)::DECIMAL(18,2) AS y,
+         round(l_discount, 2)::DECIMAL(18,2) AS z
+  FROM lineitem
+),
+mom AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(z) AS sz,
+         sum((x * y)::DECIMAL(38,4)) AS sxy,
+         sum((x * z)::DECIMAL(38,4)) AS sxz,
+         sum((y * z)::DECIMAL(38,4)) AS syz,
+         sum((x * x)::DECIMAL(38,4)) AS sxx,
+         sum((y * y)::DECIMAL(38,4)) AS syy,
+         sum((z * z)::DECIMAL(38,4)) AS szz
+  FROM li
+),
+r AS (
+  SELECT n,
+         (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+           / (sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+              * sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE))
+           AS rxy,
+         (n::DOUBLE * sxz::DOUBLE - sx::DOUBLE * sz::DOUBLE)
+           / (sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+              * sqrt(n::DOUBLE * szz::DOUBLE - sz::DOUBLE * sz::DOUBLE))
+           AS rxz,
+         (n::DOUBLE * syz::DOUBLE - sy::DOUBLE * sz::DOUBLE)
+           / (sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)
+              * sqrt(n::DOUBLE * szz::DOUBLE - sz::DOUBLE * sz::DOUBLE))
+           AS ryz
+  FROM mom
+)
+SELECT n AS n_rows,
+       round(rxy, 6) AS r_xy,
+       round(rxz, 6) AS r_xz,
+       round(ryz, 6) AS r_yz,
+       round((rxy - rxz * ryz)
+             / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)), 6)
+         AS r_xy_given_z
+FROM r
+"""
+
+ORACLES["bowley_skewness_panel"] = """
+WITH g AS (
+  SELECT event_type, count(*)::BIGINT AS n,
+         quantile_cont(value, 0.10) AS p10,
+         quantile_cont(value, 0.25) AS q1,
+         quantile_cont(value, 0.50) AS q2,
+         quantile_cont(value, 0.75) AS q3,
+         quantile_cont(value, 0.90) AS p90
+  FROM events GROUP BY 1
+)
+SELECT event_type, n,
+       round(q2, 6) AS median,
+       round((q3 + q1 - 2 * q2) / (q3 - q1), 6) AS bowley_skew,
+       round((q3 - q1) / (q3 + q1), 6) AS quartile_dispersion,
+       round((p90 + p10 - 2 * q2) / (p90 - p10), 6) AS kelly_skew
+FROM g
+ORDER BY event_type
+"""

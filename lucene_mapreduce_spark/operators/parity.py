@@ -13658,3 +13658,176 @@ def mcc_f1_threshold_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((rec + spec) / 2, 6).alias("balanced_accuracy"),
         F.round(mcc, 6).alias("mcc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 168: Welch ANOVA, partial correlation, Bowley skewness
+# ---------------------------------------------------------------------------
+
+
+def welch_anova_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's heteroscedasticity-robust one-way ANOVA of order totals
+    across the five market segments — the unequal-variance upgrade of
+    anova_event_value's classical F (Welch 1951, public): weights
+    w_g = n_g/s²_g, W* = Σw(x̄_g − x̃)²/(k−1) over the correction
+    1 + 2(k−2)/(k²−1)·Λ, with the Welch-Satterthwaite df₂ =
+    (k²−1)/(3Λ).  Group moments ride exact 2dp/4dp DECIMAL sums; the
+    Λ pieces fold as 12dp DECIMAL.  One row."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice"), 2).cast("decimal(18,2)").alias("x"),
+    )
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    g = (
+        o.join(c, "o_custkey")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").alias("s1"),
+            F.sum((F.col("x") * F.col("x")).cast("decimal(38,4)")).alias(
+                "s2"
+            ),
+        )
+    )
+    nD = F.col("n").cast("double")
+    mean = F.col("s1").cast("double") / nD
+    var = (
+        F.col("s2").cast("double") - F.col("s1").cast("double") * mean
+    ) / (nD - 1)
+    per = g.select(
+        "c_mktsegment",
+        "n",
+        F.round(mean, 12).alias("m"),
+        F.round(nD / var, 12).alias("w"),
+    )
+    tot = per.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(F.col("w").cast("decimal(38,12)")).cast("double").alias("sw"),
+        F.sum(
+            F.round(F.col("w") * F.col("m"), 12).cast("decimal(38,12)")
+        ).cast("double").alias("swm"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    xt = F.col("swm") / F.col("sw")
+    num_t = F.round(
+        F.col("w") * (F.col("m") - xt) * (F.col("m") - xt), 12
+    ).cast("decimal(38,12)")
+    lam_t = F.round(
+        (F.lit(1.0) - F.col("w") / F.col("sw"))
+        * (F.lit(1.0) - F.col("w") / F.col("sw"))
+        / (F.col("n").cast("double") - 1),
+        12,
+    ).cast("decimal(38,12)")
+    agg = j.groupBy("k", "sw", "swm").agg(
+        F.sum(num_t).cast("double").alias("num"),
+        F.sum(lam_t).cast("double").alias("lam"),
+    )
+    kD = F.col("k").cast("double")
+    w_stat = (F.col("num") / (kD - 1)) / (
+        F.lit(1.0)
+        + F.lit(2.0) * (kD - 2) / (kD * kD - 1) * F.col("lam")
+    )
+    return agg.select(
+        F.col("k").alias("k_groups"),
+        (kD - 1).cast("long").alias("df1"),
+        F.round((kD * kD - 1) / (F.lit(3.0) * F.col("lam")), 6).alias(
+            "df2"
+        ),
+        F.round(w_stat, 6).alias("welch_f"),
+    )
+
+
+def partial_correlation_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order partial correlation of (quantity, extendedprice)
+    controlling for discount — the confounder-adjusted association
+    the raw Pearson conflates (public formula): r_xy·z = (r_xy −
+    r_xz r_yz)/√((1−r_xz²)(1−r_yz²)).  All three pairwise r come
+    from one pass of exact 2dp/4dp DECIMAL cross-moments.  One row
+    with the raw and partial coefficients side by side."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_quantity"), 2).cast("decimal(18,2)").alias("x"),
+        F.round(F.col("l_extendedprice"), 2)
+        .cast("decimal(18,2)")
+        .alias("y"),
+        F.round(F.col("l_discount"), 2).cast("decimal(18,2)").alias("z"),
+    )
+    mom = li.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum("z").alias("sz"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,4)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("z")).cast("decimal(38,4)")).alias("sxz"),
+        F.sum((F.col("y") * F.col("z")).cast("decimal(38,4)")).alias("syz"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,4)")).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,4)")).alias("syy"),
+        F.sum((F.col("z") * F.col("z")).cast("decimal(38,4)")).alias("szz"),
+    )
+    nD = F.col("n").cast("double")
+
+    def corr(sab, sa, sb, saa, sbb):
+        num = nD * F.col(sab).cast("double") - F.col(sa).cast(
+            "double"
+        ) * F.col(sb).cast("double")
+        da = F.sqrt(
+            nD * F.col(saa).cast("double")
+            - F.col(sa).cast("double") * F.col(sa).cast("double")
+        )
+        db = F.sqrt(
+            nD * F.col(sbb).cast("double")
+            - F.col(sb).cast("double") * F.col(sb).cast("double")
+        )
+        return num / (da * db)
+
+    rxy = corr("sxy", "sx", "sy", "sxx", "syy")
+    rxz = corr("sxz", "sx", "sz", "sxx", "szz")
+    ryz = corr("syz", "sy", "sz", "syy", "szz")
+    partial = (rxy - rxz * ryz) / F.sqrt(
+        (F.lit(1.0) - rxz * rxz) * (F.lit(1.0) - ryz * ryz)
+    )
+    return mom.select(
+        F.col("n").alias("n_rows"),
+        F.round(rxy, 6).alias("r_xy"),
+        F.round(rxz, 6).alias("r_xz"),
+        F.round(ryz, 6).alias("r_yz"),
+        F.round(partial, 6).alias("r_xy_given_z"),
+    )
+
+
+def bowley_skewness_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile-based robust shape panel per event type — Bowley's
+    skewness (Q₃+Q₁−2Q₂)/(Q₃−Q₁), the quartile coefficient of
+    dispersion (Q₃−Q₁)/(Q₃+Q₁), and Kelly's decile skewness
+    (P₉₀+P₁₀−2Q₂)/(P₉₀−P₁₀) — the outlier-immune alternatives to
+    moment skewness (public classics).  Quantiles are exact type-7
+    (percentile == quantile_cont, the house identity).  Type-bounded
+    rows."""
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr("percentile(value, 0.10)").alias("p10"),
+        F.expr("percentile(value, 0.25)").alias("q1"),
+        F.expr("percentile(value, 0.50)").alias("q2"),
+        F.expr("percentile(value, 0.75)").alias("q3"),
+        F.expr("percentile(value, 0.90)").alias("p90"),
+    )
+    return g.select(
+        "event_type",
+        "n",
+        F.round("q2", 6).alias("median"),
+        F.round(
+            (F.col("q3") + F.col("q1") - 2 * F.col("q2"))
+            / (F.col("q3") - F.col("q1")),
+            6,
+        ).alias("bowley_skew"),
+        F.round(
+            (F.col("q3") - F.col("q1")) / (F.col("q3") + F.col("q1")), 6
+        ).alias("quartile_dispersion"),
+        F.round(
+            (F.col("p90") + F.col("p10") - 2 * F.col("q2"))
+            / (F.col("p90") - F.col("p10")),
+            6,
+        ).alias("kelly_skew"),
+    ).orderBy("event_type")
