@@ -1243,6 +1243,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "welch_anova_segments": parity.welch_anova_segments,
         "partial_correlation_panel": parity.partial_correlation_panel,
         "bowley_skewness_panel": parity.bowley_skewness_panel,
+        # batch 169: ZIP fit, Lorenz asymmetry, diversity panel
+        "zip_moment_fit": parity.zip_moment_fit,
+        "lorenz_asymmetry": parity.lorenz_asymmetry,
+        "ecological_diversity_panel": textstats.ecological_diversity_panel,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})

@@ -23070,3 +23070,112 @@ SELECT event_type, n,
 FROM g
 ORDER BY event_type
 """
+
+# ---- batch 169: ZIP fit, Lorenz asymmetry, diversity panel -----------------
+
+ORACLES["zip_moment_fit"] = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS ed FROM events
+),
+days AS (
+  SELECT unnest(range(d0, d1 + 1)) AS ed
+  FROM (SELECT min(ed) AS d0, max(ed) AS d1 FROM ev)
+),
+users AS (SELECT DISTINCT user_id FROM ev),
+counts AS (
+  SELECT user_id, ed, count(*)::BIGINT AS c FROM ev GROUP BY 1, 2
+),
+grid AS (
+  SELECT u.user_id, d.ed, coalesce(c.c, 0)::BIGINT AS c
+  FROM users u CROSS JOIN days d
+  LEFT JOIN counts c ON c.user_id = u.user_id AND c.ed = d.ed
+),
+mom AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(CASE WHEN c = 0 THEN 1 ELSE 0 END)::BIGINT AS n_zero,
+         sum(c)::BIGINT AS s1, sum(c * c)::BIGINT AS s2
+  FROM grid
+),
+d AS (
+  SELECT n, n_zero,
+         s1::DOUBLE / n::DOUBLE AS m,
+         (s2::DOUBLE - s1::DOUBLE * (s1::DOUBLE / n::DOUBLE))
+           / (n::DOUBLE - 1) AS s2v
+  FROM mom
+),
+f AS (
+  SELECT n, n_zero, m, s2v,
+         (s2v + m * m - m) / m AS lam
+  FROM d
+)
+SELECT n AS n_cells, n_zero AS n_zero_cells,
+       round(m, 6) AS mean,
+       round(s2v, 6) AS variance,
+       round(CASE WHEN lam > m THEN lam END, 6) AS zip_lambda,
+       round(CASE WHEN lam > m THEN 1.0 - m / lam END, 6) AS zip_pi_zero,
+       round(n_zero::DOUBLE / n::DOUBLE, 6) AS observed_zero_frac
+FROM f
+"""
+
+ORACLES["lorenz_asymmetry"] = """
+WITH o AS (
+  SELECT round(o_totalprice, 2)::DECIMAL(18,2) AS v FROM orders
+),
+tab AS (SELECT v, count(*)::BIGINT AS c FROM o GROUP BY 1),
+tot AS (
+  SELECT sum(c)::BIGINT AS n,
+         sum((v * c)::DECIMAL(38,2)) AS t
+  FROM tab
+),
+below AS (
+  SELECT sum(c)::BIGINT AS x1,
+         sum((v * c)::DECIMAL(38,2))::DOUBLE AS s1,
+         max(v::DOUBLE) AS v_below
+  FROM tab, tot WHERE v::DOUBLE < t::DOUBLE / n::DOUBLE
+),
+above AS (
+  SELECT min(v::DOUBLE) AS v_above
+  FROM tab, tot WHERE v::DOUBLE >= t::DOUBLE / n::DOUBLE
+),
+d AS (
+  SELECT n, t, x1, s1, v_below, v_above,
+         (t::DOUBLE / n::DOUBLE - v_below) / (v_above - v_below) AS delta
+  FROM below, above, tot
+)
+SELECT n AS n_orders,
+       round(t::DOUBLE / n::DOUBLE, 6) AS mean_value,
+       round((x1::DOUBLE + delta) / n::DOUBLE, 6) AS f_mu,
+       round((s1 + delta * (t::DOUBLE / n::DOUBLE)) / t::DOUBLE, 6) AS l_mu,
+       round((x1::DOUBLE + delta) / n::DOUBLE
+             + (s1 + delta * (t::DOUBLE / n::DOUBLE)) / t::DOUBLE, 6)
+         AS lorenz_asymmetry
+FROM d
+"""
+
+ORACLES["ecological_diversity_panel"] = f"""
+WITH per AS (
+  SELECT source, term, count(*)::BIGINT AS c FROM (
+    SELECT source, unnest({TOKS}) AS term FROM documents
+  ) GROUP BY 1, 2
+),
+tot AS (SELECT source, sum(c)::BIGINT AS n FROM per GROUP BY 1),
+agg AS (
+  SELECT p.source, t.n,
+         count(*)::BIGINT AS richness,
+         sum(round(-(p.c::DOUBLE / t.n::DOUBLE)
+                   * ln(p.c::DOUBLE / t.n::DOUBLE),
+                   12)::DECIMAL(28,12))::DOUBLE AS shannon_h,
+         sum(p.c * (p.c - 1))::BIGINT AS pairs,
+         max(p.c)::BIGINT AS cmax
+  FROM per p JOIN tot t USING (source)
+  GROUP BY 1, 2
+)
+SELECT source, n AS n_tokens, richness,
+       round(shannon_h, 6) AS shannon_h,
+       round(1.0 - pairs::DOUBLE / (n::DOUBLE * (n::DOUBLE - 1)), 6)
+         AS gini_simpson,
+       round(cmax::DOUBLE / n::DOUBLE, 6) AS berger_parker,
+       round(shannon_h / ln(richness::DOUBLE), 6) AS pielou_evenness
+FROM agg
+ORDER BY source
+"""

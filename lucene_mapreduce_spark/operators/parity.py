@@ -13831,3 +13831,114 @@ def bowley_skewness_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("kelly_skew"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Batch 169: ZIP fit, Lorenz asymmetry
+# ---------------------------------------------------------------------------
+
+
+def zip_moment_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-inflated-Poisson method-of-moments fit to per-user daily
+    event counts on the gap-filled calendar — the structural-zeros
+    companion of negbin_moment_fit's overdispersion story (public
+    MoM: λ̂ = (s² + m² − m)/m, π̂ = 1 − m/λ̂): distinguishes 'users
+    dormant that day' from 'active but low-rate'.  Degenerate
+    underdispersion (λ̂ ≤ m ⇒ π̂ < 0) reports honest NULLs.  Exact
+    BIGINT moments over the users × days grid; one row."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias(
+            "ed"
+        ),
+    )
+    span = ev.agg(F.min("ed").alias("d0"), F.max("ed").alias("d1"))
+    days = span.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("ed")
+    )
+    users = ev.select("user_id").distinct()
+    counts = ev.groupBy("user_id", "ed").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    grid = (
+        users.crossJoin(F.broadcast(days))
+        .join(counts, ["user_id", "ed"], "left")
+        .withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
+    )
+    mom = grid.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("c") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_zero"),
+        F.sum("c").cast("long").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+    )
+    nD = F.col("n").cast("double")
+    m = F.col("s1").cast("double") / nD
+    s2v = (
+        F.col("s2").cast("double") - F.col("s1").cast("double") * m
+    ) / (nD - 1)
+    lam = (s2v + m * m - m) / m
+    ok = lam > m
+    pi = F.when(ok, F.lit(1.0) - m / lam)
+    return mom.select(
+        F.col("n").alias("n_cells"),
+        F.col("n_zero").alias("n_zero_cells"),
+        F.round(m, 6).alias("mean"),
+        F.round(s2v, 6).alias("variance"),
+        F.round(F.when(ok, lam), 6).alias("zip_lambda"),
+        F.round(pi, 6).alias("zip_pi_zero"),
+        F.round(
+            F.col("n_zero").cast("double") / nD, 6
+        ).alias("observed_zero_frac"),
+    )
+
+
+def lorenz_asymmetry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz asymmetry coefficient S = F(μ) + L(μ) of order revenue —
+    the shape diagnostic the scalar Gini hides (Damgaard & Weiner
+    2000, public): S < 1 means inequality is driven by many small
+    orders, S > 1 by a few giants.  F(μ) interpolates the population
+    share below the mean and L(μ) the revenue share, both off exact
+    DECIMAL prefix sums at the mean's insertion point (the δ
+    interpolation on the straddling value group).  One (value, count)
+    pass, one row."""
+    o = load(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice"), 2).cast("decimal(18,2)").alias("v")
+    )
+    tab = o.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = tab.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum((F.col("v") * F.col("c")).cast("decimal(38,2)")).alias("t"),
+    )
+    jt = tab.crossJoin(F.broadcast(tot))
+    mu = F.col("t").cast("double") / F.col("n").cast("double")
+    below = jt.filter(F.col("v").cast("double") < mu).agg(
+        F.sum("c").cast("long").alias("x1"),
+        F.sum((F.col("v") * F.col("c")).cast("decimal(38,2)"))
+        .cast("double")
+        .alias("s1"),
+        F.max(F.col("v").cast("double")).alias("v_below"),
+    )
+    above = jt.filter(F.col("v").cast("double") >= mu).agg(
+        F.min(F.col("v").cast("double")).alias("v_above")
+    )
+    full = (
+        below.crossJoin(F.broadcast(above)).crossJoin(F.broadcast(tot))
+    )
+    nD = F.col("n").cast("double")
+    tD = F.col("t").cast("double")
+    mu2 = tD / nD
+    # Damgaard-Weiner delta interpolation on the straddling values
+    delta = (mu2 - F.col("v_below")) / (
+        F.col("v_above") - F.col("v_below")
+    )
+    fmu = (F.col("x1").cast("double") + delta) / nD
+    lmu = (F.col("s1") + delta * mu2) / tD
+    return full.select(
+        F.col("n").alias("n_orders"),
+        F.round(mu2, 6).alias("mean_value"),
+        F.round(fmu, 6).alias("f_mu"),
+        F.round(lmu, 6).alias("l_mu"),
+        F.round(fmu + lmu, 6).alias("lorenz_asymmetry"),
+    )

@@ -8124,3 +8124,54 @@ def smog_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("smog_grade"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 169: ecological diversity panel
+# ---------------------------------------------------------------------------
+
+
+def ecological_diversity_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ecological diversity panel of each source's token distribution
+    — Shannon H (12dp DECIMAL ln folds), Gini-Simpson 1 − Σp²
+    (exact integer pair arithmetic: Σc(c−1)/(n(n−1)), the unbiased
+    form), Berger-Parker dominance max p, and Pielou evenness
+    H/ln(richness) — the community-structure vocabulary beside the
+    lexical-diversity family's TTR/MATTR/Yule (public classics).
+    Vocab-sized groupBys only; source-bounded rows."""
+    docs = load(spark, sf_dir, "documents")
+    per = (
+        docs.select("source", F.explode(tokenize_col("text")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    tot = per.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    j = per.join(tot, "source")
+    p = F.col("c").cast("double") / F.col("n").cast("double")
+    h12 = F.round(-p * F.log(p), 12).cast("decimal(28,12)")
+    agg = j.groupBy("source", "n").agg(
+        F.count(F.lit(1)).cast("long").alias("richness"),
+        F.sum(h12).cast("double").alias("shannon_h"),
+        F.sum(F.col("c") * (F.col("c") - 1)).cast("long").alias("pairs"),
+        F.max("c").cast("long").alias("cmax"),
+    )
+    nD = F.col("n").cast("double")
+    return agg.select(
+        "source",
+        F.col("n").alias("n_tokens"),
+        "richness",
+        F.round("shannon_h", 6).alias("shannon_h"),
+        F.round(
+            F.lit(1.0)
+            - F.col("pairs").cast("double") / (nD * (nD - 1)),
+            6,
+        ).alias("gini_simpson"),
+        F.round(F.col("cmax").cast("double") / nD, 6).alias(
+            "berger_parker"
+        ),
+        F.round(
+            F.col("shannon_h")
+            / F.log(F.col("richness").cast("double")),
+            6,
+        ).alias("pielou_evenness"),
+    ).orderBy("source")
