@@ -1247,6 +1247,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zip_moment_fit": parity.zip_moment_fit,
         "lorenz_asymmetry": parity.lorenz_asymmetry,
         "ecological_diversity_panel": textstats.ecological_diversity_panel,
+        # batch 170: fan-out tail, ICC, regression to mean
+        "fanout_tail_latency": parity.fanout_tail_latency,
+        "icc_two_way_raters": parity.icc_two_way_raters,
+        "regression_to_mean_audit": parity.regression_to_mean_audit,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})

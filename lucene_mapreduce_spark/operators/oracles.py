@@ -23179,3 +23179,124 @@ SELECT source, n AS n_tokens, richness,
 FROM agg
 ORDER BY source
 """
+
+# ---- batch 170: fan-out tail, ICC, regression to mean ----------------------
+
+ORACLES["fanout_tail_latency"] = """
+WITH ev AS (SELECT event_id, value AS lat FROM events),
+ranked AS (
+  SELECT lat,
+         (row_number() OVER (ORDER BY md5('fo:' || event_id::VARCHAR),
+                             event_id) - 1)::BIGINT AS rn
+  FROM ev
+),
+nq AS (SELECT (count(*) // 4)::BIGINT AS n_quartets FROM ranked),
+quart AS (
+  SELECT rn // 4 AS q, max(lat) AS mx
+  FROM ranked, nq
+  WHERE rn // 4 < n_quartets
+  GROUP BY 1
+),
+single AS (
+  SELECT count(*)::BIGINT AS n_calls,
+         quantile_cont(lat, 0.50) AS s50,
+         quantile_cont(lat, 0.95) AS s95,
+         quantile_cont(lat, 0.99) AS s99
+  FROM ev
+),
+fan AS (
+  SELECT count(*)::BIGINT AS n_fanouts,
+         quantile_cont(mx, 0.50) AS f50,
+         quantile_cont(mx, 0.95) AS f95,
+         quantile_cont(mx, 0.99) AS f99
+  FROM quart
+)
+SELECT n_calls, n_fanouts,
+       round(s50, 6) AS single_p50,
+       round(s95, 6) AS single_p95,
+       round(s99, 6) AS single_p99,
+       round(f50, 6) AS fanout_p50,
+       round(f95, 6) AS fanout_p95,
+       round(f99, 6) AS fanout_p99,
+       round(f50 / s50, 6) AS p50_amplification
+FROM single, fan
+"""
+
+_ICC_NOISE = _MD5_52.format(
+    e="'icc' || r::VARCHAR || ':' || doc_id::VARCHAR"
+)
+
+ORACLES["icc_two_way_raters"] = f"""
+WITH rat AS (
+  SELECT doc_id, r,
+         (n_chars % 100 + ({_ICC_NOISE}) % 21 - 10)::BIGINT AS y
+  FROM documents, (SELECT unnest(range(3)) AS r)
+),
+tot AS (
+  SELECT count(DISTINCT doc_id)::BIGINT AS n,
+         3::BIGINT AS k,
+         sum(y)::BIGINT AS s,
+         sum(y * y)::BIGINT AS ss
+  FROM rat
+),
+rsum AS (
+  SELECT sum(sr * sr)::BIGINT AS ssr FROM (
+    SELECT doc_id, sum(y)::BIGINT AS sr FROM rat GROUP BY 1
+  )
+),
+csum AS (
+  SELECT sum(sc * sc)::BIGINT AS ssc FROM (
+    SELECT r, sum(y)::BIGINT AS sc FROM rat GROUP BY 1
+  )
+),
+d AS (
+  SELECT n, k,
+         ss::DOUBLE - s::DOUBLE * s::DOUBLE / (n::DOUBLE * k::DOUBLE)
+           AS sst,
+         ssr::DOUBLE / k::DOUBLE
+           - s::DOUBLE * s::DOUBLE / (n::DOUBLE * k::DOUBLE) AS ssr_,
+         ssc::DOUBLE / n::DOUBLE
+           - s::DOUBLE * s::DOUBLE / (n::DOUBLE * k::DOUBLE) AS ssc_
+  FROM tot, rsum, csum
+),
+ms AS (
+  SELECT n, k,
+         ssr_ / (n::DOUBLE - 1) AS msr,
+         ssc_ / (k::DOUBLE - 1) AS msc,
+         (sst - ssr_ - ssc_) / ((n::DOUBLE - 1) * (k::DOUBLE - 1)) AS mse
+  FROM d
+)
+SELECT n AS n_subjects, k AS k_raters,
+       round(msr, 6) AS ms_rows,
+       round(msc, 6) AS ms_cols,
+       round(mse, 6) AS ms_error,
+       round((msr - mse)
+             / (msr + (k::DOUBLE - 1) * mse
+                + k::DOUBLE * (msc - mse) / n::DOUBLE), 6) AS icc_2_1
+FROM ms
+"""
+
+ORACLES["regression_to_mean_audit"] = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS us FROM events
+),
+span AS (SELECT ((min(us) + max(us)) // 2)::BIGINT AS mid FROM ev),
+per AS (
+  SELECT user_id,
+         sum(CASE WHEN us < mid THEN 1 ELSE 0 END)::BIGINT AS h1,
+         sum(CASE WHEN us >= mid THEN 1 ELSE 0 END)::BIGINT AS h2
+  FROM ev, span GROUP BY 1
+),
+pop AS (SELECT sum(h1)::BIGINT AS t1, sum(h2)::BIGINT AS t2 FROM per),
+top AS (
+  SELECT user_id, h1, h2,
+         row_number() OVER (ORDER BY h1 DESC, user_id ASC) AS rank
+  FROM per
+)
+SELECT rank, user_id, h1, h2,
+       round(h2::DOUBLE / h1::DOUBLE, 6) AS leader_ratio,
+       round(t2::DOUBLE / t1::DOUBLE, 6) AS population_ratio
+FROM top, pop
+WHERE rank <= 5
+ORDER BY rank
+"""

@@ -13942,3 +13942,205 @@ def lorenz_asymmetry(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(lmu, 6).alias("l_mu"),
         F.round(fmu + lmu, 6).alias("lorenz_asymmetry"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 170: fan-out tail amplification, ICC, regression to mean
+# ---------------------------------------------------------------------------
+
+FANOUT_K = 4
+
+
+def fanout_tail_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fan-out tail-latency amplification — the 'tail at scale' effect
+    (Dean & Barroso 2013, public): a request fanned out to k = 4
+    backends waits for the SLOWEST, so the fleet's p50 becomes the
+    caller's p~94.  Events stand in for backend calls (latency =
+    value ms); quartets are formed deterministically by md5 rank
+    (row_number div 4, remainder dropped — documented), and the
+    panel compares p50/p95/p99 of singles vs quartet maxima, exact
+    type-7 quantiles both.  One window + one groupBy."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", F.col("value").alias("lat")
+    )
+    wo = Window.orderBy(
+        F.md5(F.concat(F.lit("fo:"), F.col("event_id").cast("string"))),
+        F.col("event_id"),
+    )
+    ranked = ev.select(
+        "lat", (F.row_number().over(wo) - 1).alias("rn")
+    )
+    nq = ranked.agg(
+        (F.count(F.lit(1)) / FANOUT_K).cast("long").alias("n_quartets")
+    )
+    quart = (
+        ranked.crossJoin(F.broadcast(nq))
+        .filter(F.expr(f"rn div {FANOUT_K}") < F.col("n_quartets"))
+        .groupBy(F.expr(f"rn div {FANOUT_K}").alias("q"))
+        .agg(F.max("lat").alias("mx"))
+    )
+    single = ev.agg(
+        F.count(F.lit(1)).cast("long").alias("n_calls"),
+        F.expr("percentile(lat, 0.50)").alias("s50"),
+        F.expr("percentile(lat, 0.95)").alias("s95"),
+        F.expr("percentile(lat, 0.99)").alias("s99"),
+    )
+    fan = quart.agg(
+        F.count(F.lit(1)).cast("long").alias("n_fanouts"),
+        F.expr("percentile(mx, 0.50)").alias("f50"),
+        F.expr("percentile(mx, 0.95)").alias("f95"),
+        F.expr("percentile(mx, 0.99)").alias("f99"),
+    )
+    return single.crossJoin(F.broadcast(fan)).select(
+        "n_calls",
+        "n_fanouts",
+        F.round("s50", 6).alias("single_p50"),
+        F.round("s95", 6).alias("single_p95"),
+        F.round("s99", 6).alias("single_p99"),
+        F.round("f50", 6).alias("fanout_p50"),
+        F.round("f95", 6).alias("fanout_p95"),
+        F.round("f99", 6).alias("fanout_p99"),
+        F.round(F.col("f50") / F.col("s50"), 6).alias("p50_amplification"),
+    )
+
+
+ICC_RATERS = 3
+ICC_NOISE = 21  # +-10 integer noise band
+
+
+def icc_two_way_raters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-way random-effects intraclass correlation ICC(2,1) for
+    three deterministic numeric raters scoring every document — the
+    continuous-agreement member beside Cohen/Scott/Fleiss's
+    categorical ones (Shrout & Fleiss 1979, public): rating = the
+    doc's n_chars mod 100 plus per-rater md5 integer noise in
+    [−10, 10], the classic ANOVA decomposition (MSR between subjects,
+    MSC between raters, MSE residual) runs on pure-integer sums, and
+    ICC(2,1) = (MSR − MSE)/(MSR + (k−1)MSE + k(MSC − MSE)/n).
+    One scan, one row."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    rat = docs.select(
+        "doc_id",
+        "n_chars",
+        F.explode(F.sequence(F.lit(0), F.lit(ICC_RATERS - 1))).alias("r"),
+    ).select(
+        "doc_id",
+        "r",
+        (
+            F.pmod(F.col("n_chars"), F.lit(100))
+            + F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("icc"),
+                                F.col("r").cast("string"),
+                                F.lit(":"),
+                                F.col("doc_id").cast("string"),
+                            )
+                        ),
+                        1,
+                        13,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(ICC_NOISE),
+            )
+            - 10
+        ).alias("y"),
+    )
+    tot = rat.agg(
+        F.countDistinct("doc_id").cast("long").alias("n"),
+        F.lit(ICC_RATERS).cast("long").alias("k"),
+        F.sum("y").cast("long").alias("s"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("ss"),
+    )
+    rows = rat.groupBy("doc_id").agg(F.sum("y").cast("long").alias("sr"))
+    rsum = rows.agg(
+        F.sum(F.col("sr") * F.col("sr")).cast("long").alias("ssr")
+    )
+    cols = rat.groupBy("r").agg(F.sum("y").cast("long").alias("sc"))
+    csum = cols.agg(
+        F.sum(F.col("sc") * F.col("sc")).cast("long").alias("ssc")
+    )
+    j = (
+        tot.crossJoin(F.broadcast(rsum)).crossJoin(F.broadcast(csum))
+    )
+    nD = F.col("n").cast("double")
+    kD = F.col("k").cast("double")
+    grand = F.col("s").cast("double")
+    cf = grand * grand / (nD * kD)
+    sst = F.col("ss").cast("double") - cf
+    ssr_ = F.col("ssr").cast("double") / kD - cf
+    ssc_ = F.col("ssc").cast("double") / nD - cf
+    sse = sst - ssr_ - ssc_
+    msr = ssr_ / (nD - 1)
+    msc = ssc_ / (kD - 1)
+    mse = sse / ((nD - 1) * (kD - 1))
+    icc = (msr - mse) / (
+        msr + (kD - 1) * mse + kD * (msc - mse) / nD
+    )
+    return j.select(
+        F.col("n").alias("n_subjects"),
+        F.col("k").alias("k_raters"),
+        F.round(msr, 6).alias("ms_rows"),
+        F.round(msc, 6).alias("ms_cols"),
+        F.round(mse, 6).alias("ms_error"),
+        F.round(icc, 6).alias("icc_2_1"),
+    )
+
+
+RTM_TOP_N = 5
+
+
+def regression_to_mean_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regression-to-the-mean audit — pick the top-5 users by
+    first-half event count and watch their second half (Galton,
+    public; the winner's-curse correction every 'top performers'
+    dashboard needs): per-user first/second-half counts split at the
+    exact microsecond midpoint, the leaders' mean drop vs the
+    population half-over-half ratio.  Per-leader rows plus the pooled
+    ratios as broadcast columns.  Exact integers throughout."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
+    )
+    span = ev.agg(
+        ((F.min("us") + F.max("us")) / 2).cast("long").alias("mid")
+    )
+    per = (
+        ev.crossJoin(F.broadcast(span))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("us") < F.col("mid"), 1).otherwise(0))
+            .cast("long")
+            .alias("h1"),
+            F.sum(F.when(F.col("us") >= F.col("mid"), 1).otherwise(0))
+            .cast("long")
+            .alias("h2"),
+        )
+    )
+    pop = per.agg(
+        F.sum("h1").cast("long").alias("t1"),
+        F.sum("h2").cast("long").alias("t2"),
+    )
+    top = ranked_topk(
+        per, [F.desc("h1"), F.asc("user_id")], RTM_TOP_N
+    )
+    return (
+        top.crossJoin(F.broadcast(pop))
+        .select(
+            "rank",
+            "user_id",
+            "h1",
+            "h2",
+            F.round(
+                F.col("h2").cast("double") / F.col("h1").cast("double"), 6
+            ).alias("leader_ratio"),
+            F.round(
+                F.col("t2").cast("double") / F.col("t1").cast("double"), 6
+            ).alias("population_ratio"),
+        )
+        .orderBy("rank")
+    )
