@@ -1251,6 +1251,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fanout_tail_latency": parity.fanout_tail_latency,
         "icc_two_way_raters": parity.icc_two_way_raters,
         "regression_to_mean_audit": parity.regression_to_mean_audit,
+        # batch 171: Sobel mediation, Markov removal, partition evolution
+        "sobel_mediation_test": parity.sobel_mediation_test,
+        "markov_removal_attribution": parity.markov_removal_attribution,
+        "partition_evolution_plan": relational.partition_evolution_plan,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})

@@ -23300,3 +23300,204 @@ FROM top, pop
 WHERE rank <= 5
 ORDER BY rank
 """
+
+# ---- batch 171: Sobel mediation, Markov removal, partition evolution -------
+
+ORACLES["sobel_mediation_test"] = """
+WITH li AS (
+  SELECT round(l_discount, 2)::DECIMAL(18,2) AS x,
+         round(l_quantity, 2)::DECIMAL(18,2) AS m,
+         round(l_extendedprice, 2)::DECIMAL(18,2) AS y
+  FROM lineitem
+),
+mom AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(x) AS sx, sum(m) AS sm, sum(y) AS sy,
+         sum((x * m)::DECIMAL(38,4)) AS sxm,
+         sum((x * y)::DECIMAL(38,4)) AS sxy,
+         sum((m * y)::DECIMAL(38,4)) AS smy,
+         sum((x * x)::DECIMAL(38,4)) AS sxx,
+         sum((m * m)::DECIMAL(38,4)) AS smm,
+         sum((y * y)::DECIMAL(38,4)) AS syy
+  FROM li
+),
+c AS (
+  SELECT n,
+         sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / n::DOUBLE AS cxx,
+         smm::DOUBLE - sm::DOUBLE * sm::DOUBLE / n::DOUBLE AS cmm,
+         syy::DOUBLE - sy::DOUBLE * sy::DOUBLE / n::DOUBLE AS cyy,
+         sxm::DOUBLE - sx::DOUBLE * sm::DOUBLE / n::DOUBLE AS cxm,
+         sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE / n::DOUBLE AS cxy,
+         smy::DOUBLE - sm::DOUBLE * sy::DOUBLE / n::DOUBLE AS cmy
+  FROM mom
+),
+f AS (
+  SELECT n, cxx, cmm, cyy, cxm, cxy, cmy,
+         cxm / cxx AS a,
+         (cmm - (cxm / cxx) * cxm) / (n::DOUBLE - 2) / cxx AS sa2,
+         cmm * cxx - cxm * cxm AS det
+  FROM c
+),
+g AS (
+  SELECT *,
+         (cmy * cxx - cxy * cxm) / det AS b,
+         (cxy * cmm - cmy * cxm) / det AS bx
+  FROM f
+),
+h AS (
+  SELECT *,
+         (cyy - b * cmy - bx * cxy) / (n::DOUBLE - 3) * cxx / det AS sb2
+  FROM g
+)
+SELECT n AS n_rows,
+       round(a, 6) AS path_a,
+       round(b, 6) AS path_b,
+       round(a * b, 6) AS indirect_ab,
+       round(bx, 6) AS direct_c_prime,
+       round(cxy / cxx, 6) AS total_c,
+       round(a * b / sqrt(b * b * sa2 + a * a * sb2), 6) AS sobel_z
+FROM h
+"""
+
+
+def markov_removal_sql() -> str:
+    """markov_removal_attribution twin: one reach-3 CTE chain per
+    channel (the pinned closed channel set), start-weighted."""
+
+    def reach(tag: str, where: str) -> str:
+        return f"""
+tmat_{tag} AS (
+  SELECT s, t, p FROM tmat {where}
+),
+p1_{tag} AS (
+  SELECT st.s, coalesce(m.p, 0.0) AS pk
+  FROM states st
+  LEFT JOIN tmat_{tag} m ON m.s = st.s AND m.t = 'purchase'
+),
+p2_{tag} AS (
+  SELECT st.s,
+         coalesce(b.pk, 0.0) + coalesce(r.reach, 0.0) AS pk
+  FROM states st
+  LEFT JOIN p1_{tag} b ON b.s = st.s
+  LEFT JOIN (
+    SELECT m.s,
+           sum(round(m.p * c.pk, 12)::DECIMAL(38,12))::DOUBLE AS reach
+    FROM tmat_{tag} m JOIN p1_{tag} c ON c.s = m.t
+    WHERE m.t <> 'purchase'
+    GROUP BY 1
+  ) r ON r.s = st.s
+),
+p3_{tag} AS (
+  SELECT st.s,
+         coalesce(b.pk, 0.0) + coalesce(r.reach, 0.0) AS pk
+  FROM states st
+  LEFT JOIN p1_{tag} b ON b.s = st.s
+  LEFT JOIN (
+    SELECT m.s,
+           sum(round(m.p * c.pk, 12)::DECIMAL(38,12))::DOUBLE AS reach
+    FROM tmat_{tag} m JOIN p2_{tag} c ON c.s = m.t
+    WHERE m.t <> 'purchase'
+    GROUP BY 1
+  ) r ON r.s = st.s
+),
+conv_{tag} AS (
+  SELECT sum(round(st.w::DOUBLE * coalesce(
+               CASE WHEN st.ss = '{tag if tag != "base" else "~"}'
+                    THEN 0.0 ELSE p.pk END, 0.0),
+               12)::DECIMAL(38,12))::DOUBLE
+         / sum(st.w)::DOUBLE AS conv
+  FROM starts st LEFT JOIN p3_{tag} p ON p.s = st.ss
+)"""
+
+    legs = [reach("base", "")]
+    for ch in ["click", "error", "signup", "view"]:
+        legs.append(
+            reach(ch, f"WHERE s <> '{ch}' AND t <> '{ch}'")
+        )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT '{ch}' AS channel, (SELECT conv FROM conv_{ch}) AS conv_without"
+        for ch in ["click", "error", "signup", "view"]
+    )
+    return f"""
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events
+),
+seq AS (
+  SELECT user_id, event_type AS s,
+         lead(event_type) OVER w AS t,
+         row_number() OVER w AS rn
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+trans AS (
+  SELECT s, t, count(*)::BIGINT AS c
+  FROM seq WHERE t IS NOT NULL GROUP BY 1, 2
+),
+totals AS (SELECT s, sum(c)::BIGINT AS n FROM trans GROUP BY 1),
+tmat AS (
+  SELECT tr.s, tr.t, tr.c::DOUBLE / tt.n::DOUBLE AS p
+  FROM trans tr JOIN totals tt ON tt.s = tr.s
+),
+states AS (SELECT s FROM totals),
+starts AS (
+  SELECT s AS ss, count(*)::BIGINT AS w
+  FROM seq WHERE rn = 1 GROUP BY 1
+),
+{",".join(legs)},
+legs AS (
+{unions}
+),
+effs AS (
+  SELECT l.channel, l.conv_without,
+         (SELECT conv FROM conv_base) AS conv,
+         1.0 - l.conv_without / (SELECT conv FROM conv_base) AS eff
+  FROM legs l
+),
+te AS (
+  SELECT sum(round(eff, 12)::DECIMAL(38,12))::DOUBLE AS te FROM effs
+)
+SELECT channel,
+       round(conv, 6) AS baseline_conv,
+       round(conv_without, 6) AS conv_without,
+       round(eff, 6) AS removal_effect,
+       round(eff / te, 6) AS attribution_share
+FROM effs, te
+ORDER BY channel
+"""
+
+
+ORACLES["markov_removal_attribution"] = markov_removal_sql()
+
+ORACLES["partition_evolution_plan"] = """
+WITH o AS (
+  SELECT epoch_us(o_orderdate::TIMESTAMP) // 86400000000 AS ed,
+         strftime(o_orderdate, '%Y-%m') AS month
+  FROM orders
+),
+day AS (
+  SELECT month, ed, count(*)::BIGINT AS rows_ FROM o GROUP BY 1, 2
+),
+mon AS (
+  SELECT month, count(*)::BIGINT AS day_files,
+         sum(rows_)::BIGINT AS rows_
+  FROM day GROUP BY 1
+),
+agg AS (
+  SELECT count(*)::BIGINT AS n_months,
+         sum(day_files)::BIGINT AS day_files_total,
+         sum(rows_)::BIGINT AS n_rows
+  FROM mon
+)
+SELECT n_months,
+       day_files_total AS day_grain_files,
+       n_months AS month_grain_files,
+       n_rows,
+       round(n_rows::DOUBLE / day_files_total::DOUBLE, 6)
+         AS avg_rows_per_day_file,
+       round(n_rows::DOUBLE / n_months::DOUBLE, 6)
+         AS avg_rows_per_month_file,
+       round(day_files_total::DOUBLE / n_months::DOUBLE, 6)
+         AS files_touched_month_query_day_grain,
+       1.0 AS files_touched_month_query_month_grain
+FROM agg
+"""

@@ -14144,3 +14144,205 @@ def regression_to_mean_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 171: Sobel mediation, Markov removal attribution
+# ---------------------------------------------------------------------------
+
+
+def sobel_mediation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baron-Kenny mediation with the Sobel test — does discount act on
+    revenue THROUGH quantity? (public classics): a = slope of m~x,
+    b = partial slope of m in y~m+x (closed two-predictor OLS from the
+    same nine exact DECIMAL cross-moments partial_correlation_panel
+    uses), indirect effect ab, direct effect c-prime, total effect c,
+    and Sobel z = ab/sqrt(b^2 s_a^2 + a^2 s_b^2) with the textbook
+    standard errors.  One pass, one row."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_discount"), 2).cast("decimal(18,2)").alias("x"),
+        F.round(F.col("l_quantity"), 2).cast("decimal(18,2)").alias("m"),
+        F.round(F.col("l_extendedprice"), 2)
+        .cast("decimal(18,2)")
+        .alias("y"),
+    )
+    mom = li.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("m").alias("sm"),
+        F.sum("y").alias("sy"),
+        F.sum((F.col("x") * F.col("m")).cast("decimal(38,4)")).alias("sxm"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,4)")).alias("sxy"),
+        F.sum((F.col("m") * F.col("y")).cast("decimal(38,4)")).alias("smy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,4)")).alias("sxx"),
+        F.sum((F.col("m") * F.col("m")).cast("decimal(38,4)")).alias("smm"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,4)")).alias("syy"),
+    )
+    nD = F.col("n").cast("double")
+    cxx = F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    ).cast("double") / nD
+    cmm = F.col("smm").cast("double") - F.col("sm").cast("double") * F.col(
+        "sm"
+    ).cast("double") / nD
+    cyy = F.col("syy").cast("double") - F.col("sy").cast("double") * F.col(
+        "sy"
+    ).cast("double") / nD
+    cxm = F.col("sxm").cast("double") - F.col("sx").cast("double") * F.col(
+        "sm"
+    ).cast("double") / nD
+    cxy = F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    ).cast("double") / nD
+    cmy = F.col("smy").cast("double") - F.col("sm").cast("double") * F.col(
+        "sy"
+    ).cast("double") / nD
+    a = cxm / cxx
+    sa2 = (cmm - a * cxm) / (nD - 2) / cxx
+    det = cmm * cxx - cxm * cxm
+    b = (cmy * cxx - cxy * cxm) / det
+    bx = (cxy * cmm - cmy * cxm) / det
+    sse = cyy - b * cmy - bx * cxy
+    sb2 = sse / (nD - 3) * cxx / det
+    sobel = a * b / F.sqrt(b * b * sa2 + a * a * sb2)
+    return mom.select(
+        F.col("n").alias("n_rows"),
+        F.round(a, 6).alias("path_a"),
+        F.round(b, 6).alias("path_b"),
+        F.round(a * b, 6).alias("indirect_ab"),
+        F.round(bx, 6).alias("direct_c_prime"),
+        F.round(cxy / cxx, 6).alias("total_c"),
+        F.round(sobel, 6).alias("sobel_z"),
+    )
+
+
+MARKOV_CHANNELS = ["click", "error", "signup", "view"]
+MARKOV_CONV_TARGET = "purchase"
+
+
+def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution over the event-type journey
+    chain — the data-driven multi-touch model beside the
+    position/time-decay/Shapley family (Anderl et al. 2014, public):
+    baseline conversion = start-distribution-weighted 3-step reach of
+    'purchase' (markov_absorption_3step's bounded-horizon
+    discipline), each channel's effect = the relative conversion drop
+    when walks through it die, shares normalized over channels.
+    Channel list pinned to the generator's closed set.  All products
+    12dp-DECIMAL-summed per iteration; state-space-sized frames."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.col("event_type").alias("s"),
+        F.lead("event_type").over(w).alias("t"),
+        F.row_number().over(w).alias("rn"),
+    )
+    trans = (
+        seq.filter(F.col("t").isNotNull())
+        .groupBy("s", "t")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    totals = trans.groupBy("s").agg(F.sum("c").cast("long").alias("n"))
+    tmat = trans.join(totals, "s").select(
+        "s",
+        "t",
+        (F.col("c").cast("double") / F.col("n").cast("double")).alias("p"),
+    ).localCheckpoint()
+    starts = (
+        seq.filter(F.col("rn") == 1)
+        .groupBy(F.col("s").alias("ss"))
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    states = totals.select("s")
+
+    def reach3(mat):
+        p1 = mat.filter(F.col("t") == MARKOV_CONV_TARGET).select(
+            "s", F.col("p").alias("pk")
+        )
+        cur = states.join(p1, "s", "left").select(
+            "s", F.coalesce("pk", F.lit(0.0)).alias("pk")
+        )
+        base = cur.select("s", F.col("pk").alias("direct"))
+        for _ in (2, 3):
+            nxt = (
+                mat.filter(F.col("t") != MARKOV_CONV_TARGET)
+                .join(
+                    cur.select(
+                        F.col("s").alias("t"), F.col("pk").alias("pp")
+                    ),
+                    "t",
+                )
+                .select(
+                    "s",
+                    F.round(F.col("p") * F.col("pp"), 12)
+                    .cast("decimal(38,12)")
+                    .alias("term"),
+                )
+                .groupBy("s")
+                .agg(F.sum("term").cast("double").alias("reach"))
+            )
+            cur = (
+                states.join(base, "s", "left")
+                .join(nxt, "s", "left")
+                .select(
+                    "s",
+                    (
+                        F.coalesce("direct", F.lit(0.0))
+                        + F.coalesce("reach", F.lit(0.0))
+                    ).alias("pk"),
+                )
+            )
+        return cur
+
+    def conv(mat, dead=None):
+        r = reach3(mat)
+        j = starts.join(r, starts.ss == r.s, "left")
+        pk = F.when(
+            F.col("ss") == (dead or " "), F.lit(0.0)
+        ).otherwise(F.coalesce(F.col("pk"), F.lit(0.0)))
+        return j.agg(
+            (
+                F.sum(
+                    F.round(
+                        F.col("w").cast("double") * pk, 12
+                    ).cast("decimal(38,12)")
+                ).cast("double")
+                / F.sum("w").cast("double")
+            ).alias("conv")
+        )
+
+    base_conv = conv(tmat)
+    rows = None
+    for ch in MARKOV_CHANNELS:
+        sub = tmat.filter((F.col("s") != ch) & (F.col("t") != ch))
+        cc = conv(sub, dead=ch).select(
+            F.lit(ch).alias("channel"), F.col("conv").alias("conv_without")
+        )
+        rows = cc if rows is None else rows.unionAll(cc)
+    j = rows.crossJoin(F.broadcast(base_conv))
+    eff = F.lit(1.0) - F.col("conv_without") / F.col("conv")
+    effs = j.select("channel", "conv_without", "conv", eff.alias("eff"))
+    tot_eff = effs.agg(
+        F.sum(F.round(F.col("eff"), 12).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("te")
+    )
+    return (
+        effs.crossJoin(F.broadcast(tot_eff))
+        .select(
+            "channel",
+            F.round("conv", 6).alias("baseline_conv"),
+            F.round("conv_without", 6).alias("conv_without"),
+            F.round("eff", 6).alias("removal_effect"),
+            F.round(F.col("eff") / F.col("te"), 6).alias(
+                "attribution_share"
+            ),
+        )
+        .orderBy("channel")
+    )

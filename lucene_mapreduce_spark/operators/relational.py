@@ -4837,3 +4837,59 @@ def deletion_vector_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("dv_bytes").cast("long").alias("dv_bytes_total"),
         F.sum("rw_bytes").cast("long").alias("rewrite_bytes_total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 171: partition evolution plan
+# ---------------------------------------------------------------------------
+
+
+def partition_evolution_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-evolution cost model — the day-grain vs month-grain
+    layout decision an Iceberg partition-spec evolution weighs
+    (public format docs): with one file per non-empty partition,
+    day grain yields many small files (the classic small-file
+    problem) and a one-month query touches every day file in range,
+    while month grain touches one.  Reports file counts, average
+    rows per file at each grain, and the mean files-touched for a
+    month query under both specs.  Pure-integer aggregates."""
+    o = load(spark, sf_dir, "orders").select(
+        F.expr(
+            "unix_micros(cast(o_orderdate as timestamp)) div 86400000000"
+        ).alias("ed"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+    )
+    day = o.groupBy("month", "ed").agg(
+        F.count(F.lit(1)).cast("long").alias("rows")
+    )
+    mon = day.groupBy("month").agg(
+        F.count(F.lit(1)).cast("long").alias("day_files"),
+        F.sum("rows").cast("long").alias("rows"),
+    )
+    agg = mon.agg(
+        F.count(F.lit(1)).cast("long").alias("n_months"),
+        F.sum("day_files").cast("long").alias("day_files_total"),
+        F.sum("rows").cast("long").alias("n_rows"),
+    )
+    return agg.select(
+        "n_months",
+        F.col("day_files_total").alias("day_grain_files"),
+        F.col("n_months").alias("month_grain_files"),
+        "n_rows",
+        F.round(
+            F.col("n_rows").cast("double")
+            / F.col("day_files_total").cast("double"),
+            6,
+        ).alias("avg_rows_per_day_file"),
+        F.round(
+            F.col("n_rows").cast("double")
+            / F.col("n_months").cast("double"),
+            6,
+        ).alias("avg_rows_per_month_file"),
+        F.round(
+            F.col("day_files_total").cast("double")
+            / F.col("n_months").cast("double"),
+            6,
+        ).alias("files_touched_month_query_day_grain"),
+        F.lit(1.0).alias("files_touched_month_query_month_grain"),
+    )
