@@ -1255,6 +1255,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sobel_mediation_test": parity.sobel_mediation_test,
         "markov_removal_attribution": parity.markov_removal_attribution,
         "partition_evolution_plan": relational.partition_evolution_plan,
+        # batch 172: term gaps, window PMI, TSB forecast
+        "term_gap_histogram": fulltext.term_gap_histogram,
+        "window_cooccurrence_pmi": fulltext.window_cooccurrence_pmi,
+        "tsb_intermittent_forecast": parity.tsb_intermittent_forecast,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})

@@ -8270,3 +8270,107 @@ def lfu_cache_hit_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("marginal_gain"),
     ).orderBy("cache_size")
+
+
+# ---------------------------------------------------------------------------
+# Batch 172: term-pair position gaps, window co-occurrence PMI
+# ---------------------------------------------------------------------------
+
+TERM_GAP_A = "table"
+TERM_GAP_B = "scan"
+
+
+def term_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional distance histogram between the flagship pair
+    ('table', 'scan') — the corpus-level evidence behind sloppy-
+    phrase slop tuning (how far apart do the words actually sit?):
+    per doc containing both, the minimum absolute position gap over
+    the tf_A x tf_B position pairs (the SpanNear candidate-pair cost,
+    bounded per doc by term frequencies), histogrammed over docs.
+    One posexplode + one per-doc positional join."""
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_col
+
+    docs = load(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id", F.posexplode(tokenize_col("text")).alias("p", "term")
+    ).filter(F.col("term").isin(TERM_GAP_A, TERM_GAP_B))
+    a = pos.filter(F.col("term") == TERM_GAP_A).select(
+        "doc_id", F.col("p").alias("pa")
+    )
+    b = pos.filter(F.col("term") == TERM_GAP_B).select(
+        "doc_id", F.col("p").alias("pb")
+    )
+    gaps = (
+        a.join(b, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.min(F.abs(F.col("pa") - F.col("pb"))).cast("long").alias(
+                "gap"
+            )
+        )
+    )
+    return (
+        gaps.groupBy("gap")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("gap")
+    )
+
+
+COOC_WINDOW = 3
+COOC_MIN_COUNT = 5
+COOC_TOP_K = 15
+
+
+def window_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-window co-occurrence PMI — the +-3-token association table
+    that bigram PMI misses (Church & Hanks 1990, public): unordered
+    pairs within distance 1..3, PMI = ln(c_pair N / (c_a c_b)) over
+    pair-event totals, min support 5, top-15 by (rounded PMI desc,
+    pair asc).  The positional self-join fans out 3x per token —
+    bigram cost times the window, still linear in corpus size."""
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_col
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+
+    docs = load(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id", F.posexplode(tokenize_col("text")).alias("p", "w")
+    )
+    lhs = pos.select("doc_id", F.col("p").alias("pi"), F.col("w").alias("wi"))
+    rhs = pos.select("doc_id", F.col("p").alias("pj"), F.col("w").alias("wj"))
+    pairs = (
+        lhs.join(rhs, "doc_id")
+        .filter(
+            (F.col("pj") > F.col("pi"))
+            & (F.col("pj") - F.col("pi") <= COOC_WINDOW)
+        )
+        .select(
+            F.least(F.col("wi"), F.col("wj")).alias("a"),
+            F.greatest(F.col("wi"), F.col("wj")).alias("b"),
+        )
+    )
+    pc = pairs.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = pc.agg(F.sum("c").cast("long").alias("n"))
+    ua = pc.select(F.col("a").alias("w"), "c").unionAll(
+        pc.select(F.col("b").alias("w"), "c")
+    )
+    uc = ua.groupBy("w").agg(F.sum("c").cast("long").alias("cw"))
+    j = (
+        pc.filter(F.col("c") >= COOC_MIN_COUNT)
+        .join(uc.select(F.col("w").alias("a"), F.col("cw").alias("ca")), "a")
+        .join(uc.select(F.col("w").alias("b"), F.col("cw").alias("cb")), "b")
+        .crossJoin(F.broadcast(tot))
+    )
+    pmi = F.round(
+        F.log(
+            F.col("c").cast("double")
+            * F.col("n").cast("double")
+            / (F.col("ca").cast("double") * F.col("cb").cast("double"))
+        ),
+        6,
+    )
+    scored = j.select("a", "b", "c", pmi.alias("pmi"))
+    return ranked_topk(
+        scored, [F.desc("pmi"), F.asc("a"), F.asc("b")], COOC_TOP_K
+    ).select("rank", "a", "b", F.col("c").alias("pair_count"), "pmi")

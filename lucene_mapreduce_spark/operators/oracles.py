@@ -23501,3 +23501,98 @@ SELECT n_months,
        1.0 AS files_touched_month_query_month_grain
 FROM agg
 """
+
+# ---- batch 172: term gaps, window PMI, TSB ---------------------------------
+
+ORACLES["term_gap_histogram"] = f"""
+WITH pos AS (
+  SELECT doc_id, unnest({TOKS}) AS term,
+         unnest(range(0, len({TOKS}))) AS p
+  FROM documents
+),
+a AS (SELECT doc_id, p AS pa FROM pos WHERE term = 'table'),
+b AS (SELECT doc_id, p AS pb FROM pos WHERE term = 'scan'),
+gaps AS (
+  SELECT a.doc_id, min(abs(a.pa - b.pb))::BIGINT AS gap
+  FROM a JOIN b USING (doc_id)
+  GROUP BY 1
+)
+SELECT gap, count(*)::BIGINT AS n_docs
+FROM gaps GROUP BY 1 ORDER BY gap
+"""
+
+ORACLES["window_cooccurrence_pmi"] = f"""
+WITH pos AS (
+  SELECT doc_id, unnest({TOKS}) AS w,
+         unnest(range(0, len({TOKS}))) AS p
+  FROM documents
+),
+pairs AS (
+  SELECT least(l.w, r.w) AS a, greatest(l.w, r.w) AS b
+  FROM pos l JOIN pos r
+    ON l.doc_id = r.doc_id AND r.p > l.p AND r.p - l.p <= 3
+),
+pc AS (SELECT a, b, count(*)::BIGINT AS c FROM pairs GROUP BY 1, 2),
+tot AS (SELECT sum(c)::BIGINT AS n FROM pc),
+uc AS (
+  SELECT w, sum(c)::BIGINT AS cw FROM (
+    SELECT a AS w, c FROM pc UNION ALL SELECT b, c FROM pc
+  ) GROUP BY 1
+),
+scored AS (
+  SELECT pc.a, pc.b, pc.c,
+         round(ln(pc.c::DOUBLE * t.n::DOUBLE
+                  / (ua.cw::DOUBLE * ub.cw::DOUBLE)), 6) AS pmi
+  FROM pc
+  JOIN uc ua ON ua.w = pc.a
+  JOIN uc ub ON ub.w = pc.b
+  CROSS JOIN tot t
+  WHERE pc.c >= 5
+)
+SELECT rank, a, b, c AS pair_count, pmi
+FROM (
+  SELECT *, row_number() OVER (ORDER BY pmi DESC, a ASC, b ASC) AS rank
+  FROM scored
+) WHERE rank <= 15
+ORDER BY rank
+"""
+
+ORACLES["tsb_intermittent_forecast"] = """
+WITH pk AS (SELECT min(l_partkey) AS pk FROM lineitem),
+d AS (
+  SELECT pk.pk, epoch_us(l_shipdate::TIMESTAMP) // 86400000000 AS ed,
+         sum(round(l_quantity, 2)::DECIMAL(28,2)) AS qd
+  FROM lineitem, pk WHERE l_partkey = pk.pk
+  GROUP BY 1, 2
+),
+span AS (SELECT pk, min(ed) AS d0, max(ed) AS d1 FROM d GROUP BY 1),
+cal AS (
+  SELECT pk, unnest(range(d0, d1 + 1)) AS ed FROM span
+),
+grid AS (
+  SELECT c.pk, c.ed,
+         coalesce(d.qd::DOUBLE, 0.0) AS q,
+         CASE WHEN d.qd IS NOT NULL THEN 1.0 ELSE 0.0 END AS has_
+  FROM cal c LEFT JOIN d ON d.pk = c.pk AND d.ed = c.ed
+),
+packed AS (
+  SELECT pk, count(*)::BIGINT AS n_days,
+         sum(has_::BIGINT)::BIGINT AS n_demand_days,
+         list([q, has_] ORDER BY ed) AS arr
+  FROM grid GROUP BY 1
+),
+st AS (
+  SELECT pk, n_days, n_demand_days,
+         list_reduce(arr, (acc, x) -> [
+           CASE WHEN x[2] = 1.0 THEN (acc[1] + x[1]) / 2.0
+                ELSE acc[1] END,
+           (acc[2] + x[2]) / 2.0
+         ]) AS s
+  FROM packed
+)
+SELECT pk AS part_key, n_days, n_demand_days,
+       round(s[1], 6) AS z_final,
+       round(s[2], 6) AS p_final,
+       round(s[2] * s[1], 6) AS tsb_forecast
+FROM st
+"""

@@ -14346,3 +14346,78 @@ def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 172: TSB intermittent forecast
+# ---------------------------------------------------------------------------
+
+
+def tsb_intermittent_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Teunter-Syntetos-Babai intermittent-demand forecast for the
+    same sparsest part croston_intermittent_demand tracks (TSB 2011,
+    public) — the obsolescence-aware variant: the demand PROBABILITY
+    p smooths every period (p <- (p + [demand])/2, so it decays
+    through long droughts where Croston's interval freezes), the size
+    z smooths only on demand days, forecast = p z.  The alpha = 0.5
+    halving keeps every state dyadic-exact; the fold runs over the
+    calendar array from the first demand day, whose [q1, 1] element
+    doubles as the seedless-reduce init.  One row."""
+    li = load(spark, sf_dir, "lineitem")
+    pk = li.agg(F.min("l_partkey").alias("pk"))
+    d = (
+        li.join(F.broadcast(pk), li.l_partkey == F.col("pk"))
+        .select(
+            "pk",
+            F.expr(
+                "unix_micros(cast(l_shipdate as timestamp)) div 86400000000"
+            ).alias("ed"),
+            "l_quantity",
+        )
+        .groupBy("pk", "ed")
+        .agg(
+            F.sum(
+                F.round(F.col("l_quantity"), 2).cast("decimal(28,2)")
+            ).alias("qd")
+        )
+    )
+    span = d.groupBy("pk").agg(
+        F.min("ed").alias("d0"), F.max("ed").alias("d1")
+    )
+    cal = span.select(
+        "pk", F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("ed")
+    )
+    grid = cal.join(d, ["pk", "ed"], "left").select(
+        "pk",
+        "ed",
+        F.coalesce(F.col("qd").cast("double"), F.lit(0.0)).alias("q"),
+        F.when(F.col("qd").isNotNull(), 1.0).otherwise(0.0).alias("has"),
+    )
+    packed = grid.groupBy("pk").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(F.col("has").cast("long")).cast("long").alias("n_demand_days"),
+        F.sort_array(
+            F.collect_list(
+                F.struct("ed", F.array("q", "has").alias("e"))
+            )
+        ).alias("arr"),
+    )
+    state = F.expr(
+        "aggregate(slice(transform(arr, x -> x.e), 2, size(arr) - 1),"
+        " transform(arr, x -> x.e)[0],"
+        " (acc, x) -> array("
+        "   CASE WHEN x[1] = 1.0D THEN (acc[0] + x[0]) / 2D"
+        "        ELSE acc[0] END,"
+        "   (acc[1] + x[1]) / 2D))"
+    )
+    out = packed.withColumn("st", state)
+    z = F.col("st").getItem(0)
+    p = F.col("st").getItem(1)
+    return out.select(
+        F.col("pk").alias("part_key"),
+        "n_days",
+        "n_demand_days",
+        F.round(z, 6).alias("z_final"),
+        F.round(p, 6).alias("p_final"),
+        F.round(p * z, 6).alias("tsb_forecast"),
+    )
