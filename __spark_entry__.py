@@ -1259,6 +1259,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_gap_histogram": fulltext.term_gap_histogram,
         "window_cooccurrence_pmi": fulltext.window_cooccurrence_pmi,
         "tsb_intermittent_forecast": parity.tsb_intermittent_forecast,
+        # batch 173: Spiegelhalter z, reciprocity, MMD drift
+        "spiegelhalter_z_test": parity.spiegelhalter_z_test,
+        "transition_reciprocity": parity.transition_reciprocity,
+        "mmd_rbf_drift": similarity.mmd_rbf_drift,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})

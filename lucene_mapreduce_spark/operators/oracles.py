@@ -23596,3 +23596,103 @@ SELECT pk AS part_key, n_days, n_demand_days,
        round(s[2] * s[1], 6) AS tsb_forecast
 FROM st
 """
+
+# ---- batch 173: Spiegelhalter, reciprocity, MMD ----------------------------
+
+ORACLES["spiegelhalter_z_test"] = """
+WITH ev AS (
+  SELECT value / (value + 50.0) AS p,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END::BIGINT AS y
+  FROM events
+),
+agg AS (
+  SELECT count(*)::BIGINT AS n_events,
+         sum(y)::BIGINT AS n_positive,
+         sum(round((y::DOUBLE - p) * (1.0 - 2 * p),
+                   12)::DECIMAL(38,12))::DOUBLE AS num,
+         sum(round((1.0 - 2 * p) * (1.0 - 2 * p) * p * (1.0 - p),
+                   12)::DECIMAL(38,12))::DOUBLE AS den
+  FROM ev
+)
+SELECT n_events, n_positive,
+       round(num, 6) AS sum_residual_term,
+       round(num / sqrt(den), 6) AS spiegelhalter_z
+FROM agg
+"""
+
+ORACLES["transition_reciprocity"] = """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events
+),
+seq AS (
+  SELECT event_type AS s,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY us, event_id) AS t
+  FROM ev
+),
+tc AS (
+  SELECT s, t, count(*)::BIGINT AS c
+  FROM seq WHERE t IS NOT NULL AND s <> t
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT a.s, a.t, a.c, coalesce(b.c, 0)::BIGINT AS cr
+  FROM tc a LEFT JOIN tc b ON b.s = a.t AND b.t = a.s
+)
+SELECT count(*)::BIGINT AS n_directed_pairs,
+       sum(c)::BIGINT AS total_edges,
+       sum(least(c, cr))::BIGINT AS reciprocated,
+       round(sum(least(c, cr))::DOUBLE / sum(c)::DOUBLE, 6) AS reciprocity
+FROM j
+"""
+
+_MMD_H = _MD5_52.format(e="'mmd:' || vec_id::VARCHAR")
+
+ORACLES["mmd_rbf_drift"] = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         ({_MMD_H}) % 2 AS h,
+         md5('mmds:' || vec_id::VARCHAR) AS mk
+  FROM embeddings
+),
+samp AS (
+  SELECT vec_id, v, h FROM (
+    SELECT vec_id, v, h,
+           row_number() OVER (PARTITION BY h ORDER BY mk, vec_id) AS r
+    FROM e
+  ) WHERE r <= 128
+),
+pairs AS (
+  SELECT a.h AS ha, b.h AS hb,
+         round(exp(-(round(list_dot_product(a.v, a.v)
+                           + list_dot_product(b.v, b.v)
+                           - 2.0 * list_dot_product(a.v, b.v), 9))
+                   / 8.0), 12)::DECIMAL(38,12) AS k
+  FROM samp a CROSS JOIN samp b
+  WHERE a.vec_id <> b.vec_id
+),
+agg AS (
+  SELECT ha, hb, count(*)::BIGINT AS np, sum(k)::DOUBLE AS sk
+  FROM pairs GROUP BY 1, 2
+),
+cnt AS (SELECT h, count(*)::BIGINT AS m FROM samp GROUP BY 1),
+parts AS (
+  SELECT
+    (SELECT m FROM cnt WHERE h = 0) AS m,
+    (SELECT m FROM cnt WHERE h = 1) AS n,
+    (SELECT sk FROM agg WHERE ha = 0 AND hb = 0) AS sxx,
+    (SELECT sk FROM agg WHERE ha = 1 AND hb = 1) AS syy,
+    (SELECT sum(sk::DECIMAL(38,12))::DOUBLE FROM agg WHERE ha <> hb) AS sxy
+),
+d AS (
+  SELECT m, n,
+         sxx / (m::DOUBLE * (m::DOUBLE - 1))
+         + syy / (n::DOUBLE * (n::DOUBLE - 1))
+         - sxy / (m::DOUBLE * n::DOUBLE) AS mmd2
+  FROM parts
+)
+SELECT m AS m_sample, n AS n_sample,
+       round(mmd2, 6) AS mmd2,
+       round(sqrt(greatest(mmd2, 0.0)), 6) AS mmd
+FROM d
+"""

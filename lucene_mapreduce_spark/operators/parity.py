@@ -14421,3 +14421,98 @@ def tsb_intermittent_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p, 6).alias("p_final"),
         F.round(p * z, 6).alias("tsb_forecast"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 173: Spiegelhalter z, transition reciprocity
+# ---------------------------------------------------------------------------
+
+
+def spiegelhalter_z_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spiegelhalter's calibration z-test for the pinned p =
+    value/(value+50) score against the purchase outcome — the
+    significance companion of brier_calibration_report's descriptive
+    Brier/ECE (Spiegelhalter 1986, public): z = Σ(y−p)(1−2p) /
+    sqrt(Σ(1−2p)² p(1−p)); under perfect calibration z ~ N(0,1).
+    Both sums fold as 12dp DECIMAL of one fixed IEEE chain per event.
+    One scan, one row."""
+    ev = load(spark, sf_dir, "events").select(
+        (F.col("value") / (F.col("value") + F.lit(50.0))).alias("p"),
+        (F.col("event_type") == "purchase").cast("long").alias("y"),
+    )
+    num_t = F.round(
+        (F.col("y").cast("double") - F.col("p"))
+        * (F.lit(1.0) - 2 * F.col("p")),
+        12,
+    ).cast("decimal(38,12)")
+    den_t = F.round(
+        (F.lit(1.0) - 2 * F.col("p"))
+        * (F.lit(1.0) - 2 * F.col("p"))
+        * F.col("p")
+        * (F.lit(1.0) - F.col("p")),
+        12,
+    ).cast("decimal(38,12)")
+    agg = ev.agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("y").cast("long").alias("n_positive"),
+        F.sum(num_t).cast("double").alias("num"),
+        F.sum(den_t).cast("double").alias("den"),
+    )
+    return agg.select(
+        "n_events",
+        "n_positive",
+        F.round("num", 6).alias("sum_residual_term"),
+        F.round(
+            F.col("num") / F.sqrt(F.col("den")), 6
+        ).alias("spiegelhalter_z"),
+    )
+
+
+def transition_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocity of the directed event-type transition graph — the
+    two-way-flow share Σ min(c_ij, c_ji)/Σ c_ij over i ≠ j (Garlaschelli
+    & Loffredo 2004, public): do journeys bounce back (view <-> click)
+    or flow one way (click -> purchase)?  Builds on the same per-user
+    lead() transition counts as the Markov family; per ordered pair
+    the reciprocated mass is min with its reverse.  Pure integers,
+    one row plus the per-pair table's top reciprocated pairs folded
+    into counts."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    tc = (
+        ev.select(
+            F.col("event_type").alias("s"),
+            F.lead("event_type").over(w).alias("t"),
+        )
+        .filter(F.col("t").isNotNull() & (F.col("s") != F.col("t")))
+        .groupBy("s", "t")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    rev = tc.select(
+        F.col("t").alias("s"), F.col("s").alias("t"), F.col("c").alias("cr")
+    )
+    j = tc.join(rev, ["s", "t"], "left").withColumn(
+        "cr", F.coalesce(F.col("cr"), F.lit(0))
+    )
+    agg = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_directed_pairs"),
+        F.sum("c").cast("long").alias("total_edges"),
+        F.sum(F.least(F.col("c"), F.col("cr"))).cast("long").alias(
+            "reciprocated"
+        ),
+    )
+    return agg.select(
+        "n_directed_pairs",
+        "total_edges",
+        "reciprocated",
+        F.round(
+            F.col("reciprocated").cast("double")
+            / F.col("total_edges").cast("double"),
+            6,
+        ).alias("reciprocity"),
+    )

@@ -2876,3 +2876,122 @@ def dot_vs_cosine_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "footrule_common"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 173: RBF-kernel MMD drift
+# ---------------------------------------------------------------------------
+
+MMD_SAMPLE = 128
+MMD_SIGMA2 = 4.0  # pinned RBF bandwidth (squared)
+
+
+def mmd_rbf_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kernel two-sample MMD² between the md5-parity halves of the
+    embedding corpus — the distribution-free drift test the moment-
+    based embedding_drift_halves screens approximate (Gretton et al.
+    2012, public): unbiased MMD² = Σk(x,x')/m(m−1) + Σk(y,y')/n(n−1)
+    − 2Σk(x,y)/mn with the RBF kernel exp(−d²/2σ²) at the pinned
+    σ² = 4, over 128 md5-ranked samples per half (sample-bounded
+    cost, never corpus²).  d² rides the shared sequential dot folds
+    rounded 9dp; kernel values fold as 12dp DECIMAL.  One row."""
+    from pyspark.sql import Window as _W
+
+    from lucene_mapreduce_spark.operators.parity import load
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    half = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("mmd:"), F.col("vec_id").cast("string"))
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(2),
+    )
+    keyed = emb.select(
+        "vec_id",
+        "v",
+        half.alias("h"),
+        F.md5(F.concat(F.lit("mmds:"), F.col("vec_id").cast("string"))).alias(
+            "mk"
+        ),
+    )
+    w = _W.partitionBy("h").orderBy("mk", "vec_id")
+    samp = (
+        keyed.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= MMD_SAMPLE)
+        .select("vec_id", "v", "h")
+        .localCheckpoint()
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda s, v: s + v,
+        )
+
+    a = samp.select(
+        F.col("vec_id").alias("ia"), F.col("v").alias("va"),
+        F.col("h").alias("ha"),
+    )
+    b = samp.select(
+        F.col("vec_id").alias("ib"), F.col("v").alias("vb"),
+        F.col("h").alias("hb"),
+    )
+    d2 = F.round(
+        dot(F.col("va"), F.col("va"))
+        + dot(F.col("vb"), F.col("vb"))
+        - F.lit(2.0) * dot(F.col("va"), F.col("vb")),
+        9,
+    )
+    k12 = F.round(
+        F.exp(-d2 / F.lit(2.0 * MMD_SIGMA2)), 12
+    ).cast("decimal(38,12)")
+    pairs = a.crossJoin(b).filter(F.col("ia") != F.col("ib")).select(
+        "ha", "hb", k12.alias("k")
+    )
+    agg = pairs.groupBy("ha", "hb").agg(
+        F.count(F.lit(1)).cast("long").alias("np"),
+        F.sum("k").cast("double").alias("sk"),
+    )
+    cnt = samp.groupBy("h").agg(F.count(F.lit(1)).cast("long").alias("m"))
+    m0 = cnt.filter(F.col("h") == 0).select(F.col("m").alias("m"))
+    m1 = cnt.filter(F.col("h") == 1).select(F.col("m").alias("n"))
+    sxx = agg.filter((F.col("ha") == 0) & (F.col("hb") == 0)).select(
+        F.col("sk").alias("sxx")
+    )
+    syy = agg.filter((F.col("ha") == 1) & (F.col("hb") == 1)).select(
+        F.col("sk").alias("syy")
+    )
+    sxy = (
+        agg.filter(F.col("ha") != F.col("hb"))
+        .agg(F.sum(F.col("sk").cast("decimal(38,12)")).cast("double").alias("sxy"))
+    )
+    j = (
+        m0.crossJoin(m1)
+        .crossJoin(sxx)
+        .crossJoin(syy)
+        .crossJoin(sxy)
+    )
+    mD = F.col("m").cast("double")
+    nD = F.col("n").cast("double")
+    mmd2 = (
+        F.col("sxx") / (mD * (mD - 1))
+        + F.col("syy") / (nD * (nD - 1))
+        - F.col("sxy") / (mD * nD)
+    )
+    return j.select(
+        F.col("m").alias("m_sample"),
+        F.col("n").alias("n_sample"),
+        F.round(mmd2, 6).alias("mmd2"),
+        F.round(F.sqrt(F.greatest(mmd2, F.lit(0.0))), 6).alias("mmd"),
+    )
