@@ -1263,6 +1263,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spiegelhalter_z_test": parity.spiegelhalter_z_test,
         "transition_reciprocity": parity.transition_reciprocity,
         "mmd_rbf_drift": similarity.mmd_rbf_drift,
+        # batch 174: sequential looks, temporal leakage, negative sampling
+        "group_sequential_looks": parity.group_sequential_looks,
+        "temporal_split_leakage": parity.temporal_split_leakage,
+        "negative_sampling_table": textstats.negative_sampling_table,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})

@@ -23696,3 +23696,113 @@ SELECT m AS m_sample, n AS n_sample,
        round(sqrt(greatest(mmd2, 0.0)), 6) AS mmd
 FROM d
 """
+
+# ---- batch 174: sequential looks, temporal leakage, negative sampling ------
+
+ORACLES["group_sequential_looks"] = f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS us, event_type FROM events
+),
+span AS (SELECT min(us) AS u0, max(us) AS u1 FROM ev),
+ud AS (
+  SELECT user_id, us // 86400000000 AS ed,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+             END)::BIGINT AS y,
+         min(us) AS first_us
+  FROM ev GROUP BY 1, 2
+),
+looks AS (
+  SELECT l.look, (u0 + ((u1 - u0) * l.look) // 3)::BIGINT AS cutoff
+  FROM span, (SELECT unnest([1, 2, 3]) AS look) l
+),
+j AS (
+  SELECT lk.look,
+         sum(CASE WHEN ({_BM_ARM}) % 2 = 0 THEN 1 ELSE 0 END)::BIGINT
+           AS n0,
+         sum(CASE WHEN ({_BM_ARM}) % 2 = 0 THEN y ELSE 0 END)::BIGINT
+           AS y0,
+         sum(CASE WHEN ({_BM_ARM}) % 2 = 1 THEN 1 ELSE 0 END)::BIGINT
+           AS n1,
+         sum(CASE WHEN ({_BM_ARM}) % 2 = 1 THEN y ELSE 0 END)::BIGINT
+           AS y1
+  FROM ud CROSS JOIN looks lk
+  WHERE ud.first_us <= lk.cutoff
+  GROUP BY 1
+),
+tot AS (SELECT max(n0 + n1)::BIGINT AS ntot FROM j),
+z AS (
+  SELECT look, n0, n1, y0, y1, ntot,
+         (y0::DOUBLE / n0::DOUBLE - y1::DOUBLE / n1::DOUBLE)
+         / sqrt(((y0 + y1)::DOUBLE / (n0::DOUBLE + n1::DOUBLE))
+                * (1.0 - (y0 + y1)::DOUBLE / (n0::DOUBLE + n1::DOUBLE))
+                * (1.0 / n0::DOUBLE + 1.0 / n1::DOUBLE)) AS zs,
+         CASE look WHEN 1 THEN 3.471 WHEN 2 THEN 2.454
+                   ELSE 2.004 END AS bound
+  FROM j, tot
+)
+SELECT look, (n0 + n1)::BIGINT AS n_units,
+       round((n0 + n1)::DOUBLE / ntot::DOUBLE, 6) AS information_frac,
+       round(zs, 6) AS z_stat,
+       bound AS obf_bound,
+       CASE WHEN abs(zs) > bound THEN 1 ELSE 0 END AS crossed
+FROM z
+ORDER BY look
+"""
+
+ORACLES["temporal_split_leakage"] = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS us FROM events
+),
+span AS (SELECT min(us) AS u0, max(us) AS u1 FROM ev),
+cut AS (
+  SELECT (u0 + ((u1 - u0) * 4) // 5)::BIGINT AS cutoff FROM span
+),
+tagged AS (
+  SELECT user_id, us > cutoff AS is_test FROM ev, cut
+),
+train_u AS (
+  SELECT DISTINCT user_id FROM tagged WHERE NOT is_test
+),
+test_ev AS (SELECT user_id FROM tagged WHERE is_test),
+test_u AS (SELECT DISTINCT user_id FROM test_ev),
+a AS (SELECT count(*)::BIGINT AS train_users FROM train_u),
+b AS (SELECT count(*)::BIGINT AS test_users FROM test_u),
+c AS (
+  SELECT count(*)::BIGINT AS seen_test_users
+  FROM test_u JOIN train_u USING (user_id)
+),
+d AS (SELECT count(*)::BIGINT AS test_events FROM test_ev),
+e AS (
+  SELECT count(*)::BIGINT AS test_events_seen
+  FROM test_ev JOIN train_u USING (user_id)
+)
+SELECT train_users, test_users, seen_test_users,
+       round(seen_test_users::DOUBLE / test_users::DOUBLE, 6)
+         AS user_leakage_frac,
+       test_events, test_events_seen,
+       round(test_events_seen::DOUBLE / test_events::DOUBLE, 6)
+         AS event_leakage_frac
+FROM a, b, c, d, e
+"""
+
+ORACLES["negative_sampling_table"] = f"""
+WITH cf AS (
+  SELECT term, count(*)::BIGINT AS cf FROM (
+    SELECT unnest({TOKS}) AS term FROM documents
+  ) GROUP BY 1
+),
+scored AS (
+  SELECT term, cf,
+         round(sqrt(cf::DOUBLE * sqrt(cf::DOUBLE)), 6) AS w
+  FROM cf
+),
+tot AS (
+  SELECT sum(w::DECIMAL(28,6))::DOUBLE AS tw, sum(cf)::BIGINT AS tc
+  FROM scored
+)
+SELECT term, cf, w AS weight,
+       round(w / tw, 6) AS sample_share,
+       round(cf::DOUBLE / tc::DOUBLE, 6) AS raw_share
+FROM scored, tot
+ORDER BY sample_share DESC, term ASC
+"""

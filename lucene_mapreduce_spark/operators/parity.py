@@ -14516,3 +14516,176 @@ def transition_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("reciprocity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 174: group-sequential looks, temporal leakage, negative sampling
+# ---------------------------------------------------------------------------
+
+# O'Brien-Fleming two-sided boundaries for 3 equally-spaced looks at
+# overall alpha 0.05 (public tables; pinned literals)
+OBF_BOUNDS = (3.471, 2.454, 2.004)
+
+
+def group_sequential_looks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-sequential monitoring with O'Brien-Fleming boundaries —
+    the three-look interim-analysis discipline (OBF 1979, public)
+    applied to the md5-parity arms on user-day purchase conversion
+    (the ab_power unit rule): the two-proportion z at each calendar
+    third against the pinned 3.471/2.454/2.004 ladder, with the
+    information fraction and a crossed flag per look.  Cumulative
+    counts per look are exact integers.  Look-bounded rows."""
+    from lucene_mapreduce_spark.operators.textstats import _md5_52
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
+        "event_type",
+    )
+    span = ev.agg(F.min("us").alias("u0"), F.max("us").alias("u1"))
+    ud = (
+        ev.select(
+            "user_id",
+            F.expr("us div 86400000000").alias("ed"),
+            "us",
+            "event_type",
+        )
+        .groupBy("user_id", "ed")
+        .agg(
+            F.max(
+                (F.col("event_type") == "purchase").cast("long")
+            ).alias("y"),
+            F.min("us").alias("first_us"),
+        )
+    )
+    arm = (
+        _md5_52(F.concat(F.lit("lr:"), F.col("user_id").cast("string")))
+        % 2
+    ).cast("int")
+    looks = span.select(
+        F.explode(F.sequence(F.lit(1), F.lit(3))).alias("look"),
+        "u0",
+        "u1",
+    ).select(
+        "look",
+        F.expr("u0 + ((u1 - u0) * look) div 3").cast("long").alias(
+            "cutoff"
+        ),
+    )
+    j = (
+        ud.select(arm.alias("arm"), "y", "first_us")
+        .crossJoin(F.broadcast(looks))
+        .filter(F.col("first_us") <= F.col("cutoff"))
+        .groupBy("look")
+        .agg(
+            F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n0"),
+            F.sum(F.when(F.col("arm") == 0, F.col("y")).otherwise(0))
+            .cast("long")
+            .alias("y0"),
+            F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n1"),
+            F.sum(F.when(F.col("arm") == 1, F.col("y")).otherwise(0))
+            .cast("long")
+            .alias("y1"),
+        )
+    )
+    n0 = F.col("n0").cast("double")
+    n1 = F.col("n1").cast("double")
+    p0 = F.col("y0").cast("double") / n0
+    p1 = F.col("y1").cast("double") / n1
+    pp = (F.col("y0") + F.col("y1")).cast("double") / (n0 + n1)
+    z = (p0 - p1) / F.sqrt(
+        pp * (F.lit(1.0) - pp) * (F.lit(1.0) / n0 + F.lit(1.0) / n1)
+    )
+    bound = (
+        F.when(F.col("look") == 1, F.lit(OBF_BOUNDS[0]))
+        .when(F.col("look") == 2, F.lit(OBF_BOUNDS[1]))
+        .otherwise(F.lit(OBF_BOUNDS[2]))
+    )
+    tot = j.agg(F.max(F.col("n0") + F.col("n1")).alias("ntot"))
+    return (
+        j.crossJoin(F.broadcast(tot))
+        .select(
+            "look",
+            (F.col("n0") + F.col("n1")).alias("n_units"),
+            F.round(
+                (F.col("n0") + F.col("n1")).cast("double")
+                / F.col("ntot").cast("double"),
+                6,
+            ).alias("information_frac"),
+            F.round(z, 6).alias("z_stat"),
+            bound.alias("obf_bound"),
+            (F.abs(z) > bound).cast("int").alias("crossed"),
+        )
+        .orderBy("look")
+    )
+
+
+TEMPORAL_TEST_FRAC_DIV = 5  # last 1/5 of the calendar is the test split
+
+
+def temporal_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/test split leakage audit — before fitting
+    anything on 'past predicts future', how much of the test period
+    is behaviorally entangled with train? (the ML-pipeline sibling of
+    the shingle contamination family): split at the 80% point of the
+    microsecond span, report test users already seen in train, the
+    share of test EVENTS from seen users, and each split's user
+    count.  Exact integer cutoff arithmetic."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
+    )
+    span = ev.agg(F.min("us").alias("u0"), F.max("us").alias("u1"))
+    cut = span.select(
+        (
+            F.col("u0")
+            + F.expr(
+                f"((u1 - u0) * {TEMPORAL_TEST_FRAC_DIV - 1})"
+                f" div {TEMPORAL_TEST_FRAC_DIV}"
+            )
+        ).cast("long").alias("cutoff")
+    )
+    tagged = ev.crossJoin(F.broadcast(cut)).select(
+        "user_id", (F.col("us") > F.col("cutoff")).alias("is_test")
+    )
+    train_u = (
+        tagged.filter(~F.col("is_test")).select("user_id").distinct()
+    )
+    test_ev = tagged.filter(F.col("is_test"))
+    test_u = test_ev.select("user_id").distinct()
+    seen = test_u.join(train_u, "user_id")
+    test_ev_seen = test_ev.join(F.broadcast(train_u), "user_id")
+    a = train_u.agg(F.count(F.lit(1)).cast("long").alias("train_users"))
+    b = test_u.agg(F.count(F.lit(1)).cast("long").alias("test_users"))
+    c = seen.agg(F.count(F.lit(1)).cast("long").alias("seen_test_users"))
+    d = test_ev.agg(F.count(F.lit(1)).cast("long").alias("test_events"))
+    e = test_ev_seen.agg(
+        F.count(F.lit(1)).cast("long").alias("test_events_seen")
+    )
+    return (
+        a.crossJoin(b)
+        .crossJoin(c)
+        .crossJoin(d)
+        .crossJoin(e)
+        .select(
+            "train_users",
+            "test_users",
+            "seen_test_users",
+            F.round(
+                F.col("seen_test_users").cast("double")
+                / F.col("test_users").cast("double"),
+                6,
+            ).alias("user_leakage_frac"),
+            "test_events",
+            "test_events_seen",
+            F.round(
+                F.col("test_events_seen").cast("double")
+                / F.col("test_events").cast("double"),
+                6,
+            ).alias("event_leakage_frac"),
+        )
+    )

@@ -8175,3 +8175,50 @@ def ecological_diversity_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("pielou_evenness"),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# Batch 174: negative-sampling table
+# ---------------------------------------------------------------------------
+
+
+def negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word2vec negative-sampling distribution — the unigram^0.75
+    proposal (Mikolov et al. 2013, public) that damps head terms when
+    drawing negatives: weight = cf^0.75 computed as
+    sqrt(cf · sqrt(cf)) — a pure sqrt/multiply chain, correctly
+    rounded IEEE in both engines where pow() is not — each weight
+    rounded 6dp into DECIMAL sums for the normalizer, shares per
+    term, plus each term's raw-frequency share for the damping
+    comparison.  Vocab-bounded rows ordered by share."""
+    docs = load(spark, sf_dir, "documents")
+    cf = (
+        docs.select(F.explode(tokenize_col("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cf"))
+    )
+    wgt = F.round(
+        F.sqrt(
+            F.col("cf").cast("double")
+            * F.sqrt(F.col("cf").cast("double"))
+        ),
+        6,
+    )
+    scored = cf.select("term", "cf", wgt.alias("w"))
+    tot = scored.agg(
+        F.sum(F.col("w").cast("decimal(28,6)")).cast("double").alias("tw"),
+        F.sum("cf").cast("long").alias("tc"),
+    )
+    return (
+        scored.crossJoin(F.broadcast(tot))
+        .select(
+            "term",
+            "cf",
+            F.col("w").alias("weight"),
+            F.round(F.col("w") / F.col("tw"), 6).alias("sample_share"),
+            F.round(
+                F.col("cf").cast("double") / F.col("tc").cast("double"), 6
+            ).alias("raw_share"),
+        )
+        .orderBy(F.desc("sample_share"), F.asc("term"))
+    )
