@@ -1267,6 +1267,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_sequential_looks": parity.group_sequential_looks,
         "temporal_split_leakage": parity.temporal_split_leakage,
         "negative_sampling_table": textstats.negative_sampling_table,
+        # batch 175: Qini uplift, LMG importance, covariance ellipse
+        "qini_uplift_deciles": parity.qini_uplift_deciles,
+        "lmg_relative_importance": parity.lmg_relative_importance,
+        "covariance_ellipse_2d": parity.covariance_ellipse_2d,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})

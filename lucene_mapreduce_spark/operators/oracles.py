@@ -23806,3 +23806,198 @@ SELECT term, cf, w AS weight,
 FROM scored, tot
 ORDER BY sample_share DESC, term ASC
 """
+
+# ---- batch 175: Qini uplift, LMG importance, covariance ellipse ------------
+
+ORACLES["qini_uplift_deciles"] = f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS ed, event_type, value
+  FROM events
+),
+ud AS (
+  SELECT user_id, ed,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+             END)::BIGINT AS y,
+         max(value) AS mv
+  FROM ev GROUP BY 1, 2
+),
+scored AS (
+  SELECT ({_BM_ARM}) % 2 AS t, y,
+         mv / (mv + 50.0) AS p, user_id, ed
+  FROM ud
+),
+dec AS (
+  SELECT t, y,
+         ntile(10) OVER (ORDER BY p DESC, user_id ASC, ed ASC) AS decile
+  FROM scored
+),
+per AS (
+  SELECT decile,
+         sum(CASE WHEN t = 1 THEN 1 ELSE 0 END)::BIGINT AS nt,
+         sum(CASE WHEN t = 1 THEN y ELSE 0 END)::BIGINT AS yt,
+         sum(CASE WHEN t = 0 THEN 1 ELSE 0 END)::BIGINT AS nc,
+         sum(CASE WHEN t = 0 THEN y ELSE 0 END)::BIGINT AS yc
+  FROM dec GROUP BY 1
+),
+cum AS (
+  SELECT decile,
+         sum(nt) OVER w AS cnt, sum(yt) OVER w AS cyt,
+         sum(nc) OVER w AS cnc, sum(yc) OVER w AS cyc
+  FROM per
+  WINDOW w AS (ORDER BY decile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT decile,
+       cnt::BIGINT AS cum_treated,
+       cnc::BIGINT AS cum_control,
+       cyt::BIGINT AS cum_treated_resp,
+       cyc::BIGINT AS cum_control_resp,
+       round(cyt::DOUBLE - cyc::DOUBLE * cnt::DOUBLE / cnc::DOUBLE, 6)
+         AS qini
+FROM cum
+ORDER BY decile
+"""
+
+ORACLES["lmg_relative_importance"] = """
+WITH li AS (
+  SELECT round(l_discount, 2)::DECIMAL(18,2) AS x1,
+         round(l_quantity, 2)::DECIMAL(18,2) AS x2,
+         round(l_tax, 2)::DECIMAL(18,2) AS x3,
+         round(l_extendedprice, 2)::DECIMAL(18,2) AS y
+  FROM lineitem
+),
+mom AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(x1) AS s1, sum(x2) AS s2, sum(x3) AS s3, sum(y) AS sy,
+         sum((x1 * x1)::DECIMAL(38,4)) AS x1x1,
+         sum((x2 * x2)::DECIMAL(38,4)) AS x2x2,
+         sum((x3 * x3)::DECIMAL(38,4)) AS x3x3,
+         sum((y * y)::DECIMAL(38,4)) AS yy,
+         sum((x1 * x2)::DECIMAL(38,4)) AS x1x2,
+         sum((x1 * x3)::DECIMAL(38,4)) AS x1x3,
+         sum((x2 * x3)::DECIMAL(38,4)) AS x2x3,
+         sum((x1 * y)::DECIMAL(38,4)) AS x1y,
+         sum((x2 * y)::DECIMAL(38,4)) AS x2y,
+         sum((x3 * y)::DECIMAL(38,4)) AS x3y
+  FROM li
+),
+cv AS (
+  SELECT n,
+         x1x1::DOUBLE - s1::DOUBLE * s1::DOUBLE / n::DOUBLE AS c11,
+         x2x2::DOUBLE - s2::DOUBLE * s2::DOUBLE / n::DOUBLE AS c22,
+         x3x3::DOUBLE - s3::DOUBLE * s3::DOUBLE / n::DOUBLE AS c33,
+         yy::DOUBLE - sy::DOUBLE * sy::DOUBLE / n::DOUBLE AS cyy,
+         x1x2::DOUBLE - s1::DOUBLE * s2::DOUBLE / n::DOUBLE AS c12,
+         x1x3::DOUBLE - s1::DOUBLE * s3::DOUBLE / n::DOUBLE AS c13,
+         x2x3::DOUBLE - s2::DOUBLE * s3::DOUBLE / n::DOUBLE AS c23,
+         x1y::DOUBLE - s1::DOUBLE * sy::DOUBLE / n::DOUBLE AS c1y,
+         x2y::DOUBLE - s2::DOUBLE * sy::DOUBLE / n::DOUBLE AS c2y,
+         x3y::DOUBLE - s3::DOUBLE * sy::DOUBLE / n::DOUBLE AS c3y
+  FROM mom
+),
+rr AS (
+  SELECT n,
+         c1y / sqrt(c11 * cyy) AS r1,
+         c2y / sqrt(c22 * cyy) AS r2,
+         c3y / sqrt(c33 * cyy) AS r3,
+         c12 / sqrt(c11 * c22) AS p12,
+         c13 / sqrt(c11 * c33) AS p13,
+         c23 / sqrt(c22 * c33) AS p23
+  FROM cv
+),
+subs AS (
+  SELECT n, r1, r2, r3, p12, p13, p23,
+         r1 * r1 AS r2_1, r2 * r2 AS r2_2, r3 * r3 AS r2_3,
+         (r1 * r1 + r2 * r2 - 2 * r1 * r2 * p12)
+           / (1.0 - p12 * p12) AS r2_12,
+         (r1 * r1 + r3 * r3 - 2 * r1 * r3 * p13)
+           / (1.0 - p13 * p13) AS r2_13,
+         (r2 * r2 + r3 * r3 - 2 * r2 * r3 * p23)
+           / (1.0 - p23 * p23) AS r2_23,
+         1.0 * (1.0 - p23 * p23)
+           - p12 * (p12 - p23 * p13)
+           + p13 * (p12 * p23 - p13) AS det
+  FROM rr
+),
+bb AS (
+  SELECT *,
+         (r1 * (1.0 - p23 * p23) - p12 * (r2 - p23 * r3)
+          + p13 * (r2 * p23 - r3)) / det AS b1,
+         (1.0 * (r2 - p23 * r3) - r1 * (p12 - p23 * p13)
+          + p13 * (p12 * r3 - p13 * r2)) / det AS b2,
+         (1.0 * (p23 * r2 - r3) * -1.0 - p12 * (p12 * r3 - p13 * r2)
+          + r1 * (p12 * p23 - p13)) / det AS b3
+  FROM subs
+),
+ff AS (
+  SELECT *, b1 * r1 + b2 * r2 + b3 * r3 AS r2_full FROM bb
+),
+lmg AS (
+  SELECT n, r2_1, r2_2, r2_3, r2_full,
+         (1.0 / 3) * r2_1 + (1.0 / 6) * (r2_12 - r2_2)
+           + (1.0 / 6) * (r2_13 - r2_3)
+           + (1.0 / 3) * (r2_full - r2_23) AS l1,
+         (1.0 / 3) * r2_2 + (1.0 / 6) * (r2_12 - r2_1)
+           + (1.0 / 6) * (r2_23 - r2_3)
+           + (1.0 / 3) * (r2_full - r2_13) AS l2,
+         (1.0 / 3) * r2_3 + (1.0 / 6) * (r2_13 - r2_1)
+           + (1.0 / 6) * (r2_23 - r2_2)
+           + (1.0 / 3) * (r2_full - r2_12) AS l3
+  FROM ff
+)
+SELECT feature, n AS n_rows, r2_alone, lmg_share, r2_full
+FROM (
+  SELECT n, 'discount' AS feature, round(r2_1, 6) AS r2_alone,
+         round(l1, 6) AS lmg_share, round(r2_full, 6) AS r2_full
+  FROM lmg
+  UNION ALL
+  SELECT n, 'quantity', round(r2_2, 6), round(l2, 6), round(r2_full, 6)
+  FROM lmg
+  UNION ALL
+  SELECT n, 'tax', round(r2_3, 6), round(l3, 6), round(r2_full, 6)
+  FROM lmg
+)
+ORDER BY feature
+"""
+
+ORACLES["covariance_ellipse_2d"] = """
+WITH li AS (
+  SELECT round(l_quantity, 2)::DECIMAL(18,2) AS x,
+         round(l_extendedprice, 2)::DECIMAL(18,2) AS y
+  FROM lineitem
+),
+mom AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum((x * x)::DECIMAL(38,4)) AS sxx,
+         sum((y * y)::DECIMAL(38,4)) AS syy,
+         sum((x * y)::DECIMAL(38,4)) AS sxy
+  FROM li
+),
+cv AS (
+  SELECT n,
+         (sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / n::DOUBLE)
+           / (n::DOUBLE - 1) AS a,
+         (syy::DOUBLE - sy::DOUBLE * sy::DOUBLE / n::DOUBLE)
+           / (n::DOUBLE - 1) AS c,
+         (sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE / n::DOUBLE)
+           / (n::DOUBLE - 1) AS b
+  FROM mom
+),
+eig AS (
+  SELECT n, a, c, b,
+         (a + c + sqrt((a - c) * (a - c) + 4 * b * b)) / 2 AS l1,
+         (a + c - sqrt((a - c) * (a - c) + 4 * b * b)) / 2 AS l2
+  FROM cv
+)
+SELECT n AS n_rows,
+       round(a, 6) AS var_x,
+       round(c, 6) AS var_y,
+       round(b, 6) AS cov_xy,
+       round(l1, 6) AS lambda1,
+       round(l2, 6) AS lambda2,
+       round(atan2(2 * b, a - c) / 2, 6) AS angle_rad,
+       round(sqrt(1.0 - l2 / l1), 6) AS eccentricity,
+       round(l1 / (l1 + l2), 6) AS explained_share
+FROM eig
+"""

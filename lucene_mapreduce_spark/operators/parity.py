@@ -14689,3 +14689,278 @@ def temporal_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("event_leakage_frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 175: Qini uplift, LMG importance, covariance ellipse
+# ---------------------------------------------------------------------------
+
+
+def qini_uplift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qini uplift curve over score deciles — the targeting-model
+    evaluation (Radcliffe 2007, public) the AUC family can't express
+    (uplift needs BOTH arms): user-day units with the 'lr:' md5 arms,
+    score = the pinned p = max(value)/(max(value)+50) per user-day,
+    deciles by the (score desc, user, day) ccnet total order, and the
+    cumulative Qini q(k) = Y_t(k) − Y_c(k)·N_t(k)/N_c(k).  Exact
+    cumulative integers; decile-bounded rows."""
+    from lucene_mapreduce_spark.operators.textstats import _md5_52
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias(
+            "ed"
+        ),
+        "event_type",
+        "value",
+    )
+    ud = ev.groupBy("user_id", "ed").agg(
+        F.max((F.col("event_type") == "purchase").cast("long")).alias("y"),
+        F.max("value").alias("mv"),
+    )
+    arm = (
+        _md5_52(F.concat(F.lit("lr:"), F.col("user_id").cast("string")))
+        % 2
+    ).cast("int")
+    scored = ud.select(
+        arm.alias("t"),
+        "y",
+        (F.col("mv") / (F.col("mv") + F.lit(50.0))).alias("p"),
+        "user_id",
+        "ed",
+    )
+    dec = scored.select(
+        "t",
+        "y",
+        F.ntile(10)
+        .over(
+            Window.orderBy(
+                F.desc("p"), F.asc("user_id"), F.asc("ed")
+            )
+        )
+        .alias("decile"),
+    )
+    per = dec.groupBy("decile").agg(
+        F.sum(F.when(F.col("t") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("nt"),
+        F.sum(F.when(F.col("t") == 1, F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("yt"),
+        F.sum(F.when(F.col("t") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("nc"),
+        F.sum(F.when(F.col("t") == 0, F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("yc"),
+    )
+    wo = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per.select(
+        "decile",
+        "nt",
+        "nc",
+        F.sum("nt").over(wo).alias("cnt"),
+        F.sum("yt").over(wo).alias("cyt"),
+        F.sum("nc").over(wo).alias("cnc"),
+        F.sum("yc").over(wo).alias("cyc"),
+    )
+    qini = F.col("cyt").cast("double") - F.col("cyc").cast(
+        "double"
+    ) * F.col("cnt").cast("double") / F.col("cnc").cast("double")
+    return cum.select(
+        "decile",
+        F.col("cnt").alias("cum_treated"),
+        F.col("cnc").alias("cum_control"),
+        F.col("cyt").alias("cum_treated_resp"),
+        F.col("cyc").alias("cum_control_resp"),
+        F.round(qini, 6).alias("qini"),
+    ).orderBy("decile")
+
+
+def lmg_relative_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LMG/Shapley decomposition of regression R² across the three
+    lineitem predictors (discount, quantity, tax) of extendedprice —
+    the order-free answer to 'which feature matters' (Lindeman,
+    Merenda & Gold 1980; Grömping's relaimpo, public): every subset
+    R² comes in closed form from the exact-DECIMAL moment matrix
+    (singles r², pairs via the 2-predictor identity, the triple via
+    a Cramer solve), and LMG_i averages the marginal contribution
+    over all 6 orderings with the standard 1/3-1/6 weights.
+    Feature-bounded rows; the shares sum to the full R²."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_discount"), 2).cast("decimal(18,2)").alias("x1"),
+        F.round(F.col("l_quantity"), 2).cast("decimal(18,2)").alias("x2"),
+        F.round(F.col("l_tax"), 2).cast("decimal(18,2)").alias("x3"),
+        F.round(F.col("l_extendedprice"), 2)
+        .cast("decimal(18,2)")
+        .alias("y"),
+    )
+    def s(a, b):
+        return F.sum((F.col(a) * F.col(b)).cast("decimal(38,4)")).alias(
+            a + b
+        )
+
+    mom = li.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum("x3").alias("s3"),
+        F.sum("y").alias("sy"),
+        s("x1", "x1"), s("x2", "x2"), s("x3", "x3"), s("y", "y"),
+        s("x1", "x2"), s("x1", "x3"), s("x2", "x3"),
+        s("x1", "y"), s("x2", "y"), s("x3", "y"),
+    )
+    nD = F.col("n").cast("double")
+
+    def cc(ab, a, b):
+        return F.col(ab).cast("double") - F.col(a).cast("double") * F.col(
+            b
+        ).cast("double") / nD
+
+    c11 = cc("x1x1", "s1", "s1")
+    c22 = cc("x2x2", "s2", "s2")
+    c33 = cc("x3x3", "s3", "s3")
+    cyy = cc("yy", "sy", "sy")
+    c12 = cc("x1x2", "s1", "s2")
+    c13 = cc("x1x3", "s1", "s3")
+    c23 = cc("x2x3", "s2", "s3")
+    c1y = cc("x1y", "s1", "sy")
+    c2y = cc("x2y", "s2", "sy")
+    c3y = cc("x3y", "s3", "sy")
+    r1 = c1y / F.sqrt(c11 * cyy)
+    r2 = c2y / F.sqrt(c22 * cyy)
+    r3 = c3y / F.sqrt(c33 * cyy)
+    p12 = c12 / F.sqrt(c11 * c22)
+    p13 = c13 / F.sqrt(c11 * c33)
+    p23 = c23 / F.sqrt(c22 * c33)
+
+    def r2_pair(ra, rb, rho):
+        return (ra * ra + rb * rb - 2 * ra * rb * rho) / (
+            F.lit(1.0) - rho * rho
+        )
+
+    r2_1 = r1 * r1
+    r2_2 = r2 * r2
+    r2_3 = r3 * r3
+    r2_12 = r2_pair(r1, r2, p12)
+    r2_13 = r2_pair(r1, r3, p13)
+    r2_23 = r2_pair(r2, r3, p23)
+    # full model via Cramer on the correlation system R b = r
+    det = (
+        F.lit(1.0) * (F.lit(1.0) - p23 * p23)
+        - p12 * (p12 - p23 * p13)
+        + p13 * (p12 * p23 - p13)
+    )
+    b1 = (
+        r1 * (F.lit(1.0) - p23 * p23)
+        - p12 * (r2 - p23 * r3)
+        + p13 * (r2 * p23 - r3)
+    ) / det
+    b2 = (
+        F.lit(1.0) * (r2 - p23 * r3)
+        - r1 * (p12 - p23 * p13)
+        + p13 * (p12 * r3 - p13 * r2)
+    ) / det
+    b3 = (
+        F.lit(1.0) * (p23 * r2 - r3) * F.lit(-1.0)
+        - p12 * (p12 * r3 - p13 * r2)
+        + r1 * (p12 * p23 - p13)
+    ) / det
+    r2_full = b1 * r1 + b2 * r2 + b3 * r3
+    third = F.lit(1.0) / 3
+    sixth = F.lit(1.0) / 6
+    lmg1 = (
+        third * r2_1
+        + sixth * (r2_12 - r2_2)
+        + sixth * (r2_13 - r2_3)
+        + third * (r2_full - r2_23)
+    )
+    lmg2 = (
+        third * r2_2
+        + sixth * (r2_12 - r2_1)
+        + sixth * (r2_23 - r2_3)
+        + third * (r2_full - r2_13)
+    )
+    lmg3 = (
+        third * r2_3
+        + sixth * (r2_13 - r2_1)
+        + sixth * (r2_23 - r2_2)
+        + third * (r2_full - r2_12)
+    )
+    base = mom.select(
+        F.col("n").alias("n_rows"),
+        F.round(r2_1, 6).alias("a1"),
+        F.round(r2_2, 6).alias("a2"),
+        F.round(r2_3, 6).alias("a3"),
+        F.round(lmg1, 6).alias("l1"),
+        F.round(lmg2, 6).alias("l2"),
+        F.round(lmg3, 6).alias("l3"),
+        F.round(r2_full, 6).alias("rf"),
+    )
+    rows = None
+    for feat, acol, lcol in (
+        ("discount", "a1", "l1"),
+        ("quantity", "a2", "l2"),
+        ("tax", "a3", "l3"),
+    ):
+        leg = base.select(
+            F.lit(feat).alias("feature"),
+            F.col("n_rows"),
+            F.col(acol).alias("r2_alone"),
+            F.col(lcol).alias("lmg_share"),
+            F.col("rf").alias("r2_full"),
+        )
+        rows = leg if rows is None else rows.unionAll(leg)
+    return rows.orderBy("feature")
+
+
+def covariance_ellipse_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariance-ellipse (2-D PCA) of (quantity, extendedprice) —
+    the closed-form eigendecomposition of the 2x2 covariance matrix
+    (public linear algebra): λ = (a+c ± sqrt((a−c)² + 4b²))/2, major-
+    axis angle = atan2(2b, a−c)/2 on the engine-shared trig chain,
+    eccentricity and the λ₁ explained-variance share.  Exact DECIMAL
+    moments; one row."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_quantity"), 2).cast("decimal(18,2)").alias("x"),
+        F.round(F.col("l_extendedprice"), 2)
+        .cast("decimal(18,2)")
+        .alias("y"),
+    )
+    mom = li.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,4)")).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,4)")).alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,4)")).alias("sxy"),
+    )
+    nD = F.col("n").cast("double")
+    a = (
+        F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double") / nD
+    ) / (nD - 1)
+    c = (
+        F.col("syy").cast("double")
+        - F.col("sy").cast("double") * F.col("sy").cast("double") / nD
+    ) / (nD - 1)
+    b = (
+        F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double") / nD
+    ) / (nD - 1)
+    disc = F.sqrt((a - c) * (a - c) + 4 * b * b)
+    l1 = (a + c + disc) / 2
+    l2 = (a + c - disc) / 2
+    return mom.select(
+        F.col("n").alias("n_rows"),
+        F.round(a, 6).alias("var_x"),
+        F.round(c, 6).alias("var_y"),
+        F.round(b, 6).alias("cov_xy"),
+        F.round(l1, 6).alias("lambda1"),
+        F.round(l2, 6).alias("lambda2"),
+        F.round(F.atan2(2 * b, a - c) / 2, 6).alias("angle_rad"),
+        F.round(F.sqrt(F.lit(1.0) - l2 / l1), 6).alias("eccentricity"),
+        F.round(l1 / (l1 + l2), 6).alias("explained_share"),
+    )
