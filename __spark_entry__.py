@@ -1271,6 +1271,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qini_uplift_deciles": parity.qini_uplift_deciles,
         "lmg_relative_importance": parity.lmg_relative_importance,
         "covariance_ellipse_2d": parity.covariance_ellipse_2d,
+        # batch 176: stratified ATE, Sharpe/Sortino, alpha-nDCG
+        "stratified_ate_quintiles": parity.stratified_ate_quintiles,
+        "sharpe_sortino_daily": parity.sharpe_sortino_daily,
+        "alpha_ndcg_diversity": fulltext.alpha_ndcg_diversity,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})
@@ -1340,6 +1344,11 @@ def oracle_sql() -> dict[str, str]:
 
     out["pivoted_norm_topk"] = pivoted_norm_sql(
         fulltext.FLAGSHIP_QUERY, fulltext.PIVOT_K, fulltext.PIVOT_S
+    )
+    from lucene_mapreduce_spark.operators.oracles import alpha_ndcg_sql
+
+    out["alpha_ndcg_diversity"] = alpha_ndcg_sql(
+        fulltext.FLAGSHIP_QUERY, fulltext.ANDCG_K
     )
     from lucene_mapreduce_spark.operators.oracles import (
         query_segmentation_sql,

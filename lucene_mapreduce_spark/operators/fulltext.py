@@ -8374,3 +8374,131 @@ def window_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked_topk(
         scored, [F.desc("pmi"), F.asc("a"), F.asc("b")], COOC_TOP_K
     ).select("rank", "a", "b", F.col("c").alias("pair_count"), "pmi")
+
+
+# ---------------------------------------------------------------------------
+# Batch 176: alpha-nDCG diversity
+# ---------------------------------------------------------------------------
+
+ANDCG_K = 20
+ANDCG_INV_LN2 = 1.4426950408889634  # shared literal 1/ln 2
+
+
+def alpha_ndcg_diversity(
+    spark: SparkSession,
+    sf_dir: str,
+    query_text: str = FLAGSHIP_QUERY,
+    k: int = ANDCG_K,
+) -> DataFrame:
+    """alpha-nDCG@20 of the flagship BM25 page with document language
+    as the aspect — the canonical diversity-aware gain
+    (Clarke et al. 2008, public) result_diversity_ild's geometric ILD
+    approximates: each repeat of an aspect decays its gain by
+    alpha = 0.5 (exact dyadic 1/2^seen via integer powers), discounts
+    are 1/log2(r+1) on the shared 1/ln2 literal, and the ideal
+    ordering sorts the gain multiset descending (equal gains make the
+    ideal DCG order-free).  One corpus scan, one row."""
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_col
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+    from lucene_mapreduce_spark.query.bm25_df import (
+        corpus_postings,
+        exact_scores,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        [("q0", query_text)], "query_id string, query_text string"
+    )
+    postings, doclens = corpus_postings(docs)
+    stats = doclens.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    )
+    qterms = queries.select(
+        "query_id", F.explode(tokenize_col("query_text")).alias("term")
+    ).distinct()
+    df_t = (
+        postings.join(F.broadcast(qterms.select("term").distinct()), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df_t"))
+    )
+    matched = (
+        postings.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(df_t), "term")
+        .join(doclens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    page = ranked_topk(
+        exact_scores(matched, round_to=6).select("doc_id", "score"),
+        [F.desc("score"), F.asc("doc_id")],
+        k,
+    ).join(docs.select("doc_id", "lang"), "doc_id")
+    from pyspark.sql import Window
+
+    wasp = Window.partitionBy("lang").orderBy("rank")
+    obs = page.select(
+        "rank",
+        "lang",
+        (F.row_number().over(wasp) - 1).alias("seen"),
+    ).select(
+        "rank",
+        "lang",
+        "seen",
+        F.round(
+            (
+                F.lit(1.0)
+                / F.expr("cast(power(2, seen) as bigint)").cast("double")
+            )
+            / (
+                F.log(F.col("rank").cast("double") + 1)
+                * F.lit(ANDCG_INV_LN2)
+            ),
+            12,
+        ).cast("decimal(38,12)").alias("c12"),
+    )
+    dcg = obs.agg(
+        F.count(F.lit(1)).cast("long").alias("k_used"),
+        F.countDistinct("lang").cast("long").alias("n_aspects"),
+        F.sum("c12").cast("double").alias("dcg"),
+    )
+    gains = page.select(
+        "lang",
+        (
+            F.row_number().over(Window.partitionBy("lang").orderBy("rank"))
+            - 1
+        ).alias("j"),
+    ).select(
+        "lang",
+        "j",
+        (
+            F.lit(1.0)
+            / F.expr("cast(power(2, j) as bigint)").cast("double")
+        ).alias("g"),
+    )
+    ideal = gains.select(
+        "g",
+        F.row_number()
+        .over(Window.orderBy(F.desc("g"), F.asc("lang"), F.asc("j")))
+        .alias("pos"),
+    )
+    idcg = ideal.agg(
+        F.sum(
+            F.round(
+                F.col("g")
+                / (
+                    F.log(F.col("pos").cast("double") + 1)
+                    * F.lit(ANDCG_INV_LN2)
+                ),
+                12,
+            ).cast("decimal(38,12)")
+        )
+        .cast("double")
+        .alias("idcg")
+    )
+    return dcg.crossJoin(F.broadcast(idcg)).select(
+        "k_used",
+        "n_aspects",
+        F.round("dcg", 6).alias("alpha_dcg"),
+        F.round("idcg", 6).alias("ideal_dcg"),
+        F.round(F.col("dcg") / F.col("idcg"), 6).alias("alpha_ndcg"),
+    )

@@ -24001,3 +24001,187 @@ SELECT n AS n_rows,
        round(l1 / (l1 + l2), 6) AS explained_share
 FROM eig
 """
+
+# ---- batch 176: stratified ATE, Sharpe/Sortino, alpha-nDCG -----------------
+
+ORACLES["stratified_ate_quintiles"] = """
+WITH li AS (
+  SELECT CASE WHEN round(l_discount, 2) >= 0.05 THEN 1 ELSE 0 END AS t,
+         round(l_extendedprice / l_quantity, 6) AS y,
+         l_quantity, l_orderkey, l_linenumber
+  FROM lineitem
+),
+strat AS (
+  SELECT t, y,
+         ntile(5) OVER (ORDER BY l_quantity ASC, l_orderkey ASC,
+                        l_linenumber ASC) AS stratum
+  FROM li
+),
+per AS (
+  SELECT stratum, count(*)::BIGINT AS n,
+         sum(CASE WHEN t = 1 THEN 1 ELSE 0 END)::BIGINT AS nt,
+         sum(CASE WHEN t = 1
+                  THEN round(y, 12)::DECIMAL(38,12) END) AS syt,
+         sum(CASE WHEN t = 0 THEN 1 ELSE 0 END)::BIGINT AS nc,
+         sum(CASE WHEN t = 0
+                  THEN round(y, 12)::DECIMAL(38,12) END) AS syc
+  FROM strat GROUP BY 1
+),
+tot AS (SELECT sum(n)::BIGINT AS ntot FROM per),
+rows_ AS (
+  SELECT stratum, n, nt, nc,
+         round(syt::DOUBLE / nt::DOUBLE - syc::DOUBLE / nc::DOUBLE, 6)
+           AS stratum_effect,
+         round(n::DOUBLE / ntot::DOUBLE, 6) AS weight
+  FROM per, tot
+),
+ate AS (
+  SELECT sum(round(weight * stratum_effect,
+                   12)::DECIMAL(38,12))::DOUBLE AS ate
+  FROM rows_
+)
+SELECT stratum, n, nt, nc, stratum_effect, weight,
+       round(ate, 6) AS stratified_ate
+FROM rows_, ate
+ORDER BY stratum
+"""
+
+ORACLES["sharpe_sortino_daily"] = """
+WITH o AS (
+  SELECT epoch_us(o_orderdate::TIMESTAMP) // 86400000000 AS ed,
+         round(o_totalprice, 2)::DECIMAL(28,2) AS v
+  FROM orders
+),
+days AS (
+  SELECT unnest(range(d0, d1 + 1)) AS ed
+  FROM (SELECT min(ed) AS d0, max(ed) AS d1 FROM o)
+),
+daily AS (SELECT ed, sum(v) AS rev FROM o GROUP BY 1),
+cal AS (
+  SELECT d.ed, coalesce(dl.rev, 0::DECIMAL(38,2)) AS rev
+  FROM days d LEFT JOIN daily dl ON dl.ed = d.ed
+),
+dd AS (
+  SELECT ed,
+         rev - lag(rev) OVER (ORDER BY ed) AS delta,
+         max(cum) OVER (ORDER BY ed
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) - cum AS drawdown
+  FROM (
+    SELECT ed, rev,
+           sum(rev) OVER (ORDER BY ed
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum
+    FROM cal
+  )
+),
+mom AS (
+  SELECT count(delta)::BIGINT AS n_changes,
+         sum(delta) AS s1,
+         sum((delta * delta)::DECIMAL(38,4)) AS s2,
+         sum(CASE WHEN delta < 0
+                  THEN (delta * delta)::DECIMAL(38,4)
+                  ELSE 0::DECIMAL(38,4) END) AS sdn,
+         max(drawdown)::DOUBLE AS max_drawdown
+  FROM dd
+),
+d AS (
+  SELECT n_changes, max_drawdown,
+         s1::DOUBLE / n_changes::DOUBLE AS mean,
+         sqrt((s2::DOUBLE - s1::DOUBLE * (s1::DOUBLE / n_changes::DOUBLE))
+              / (n_changes::DOUBLE - 1)) AS sd,
+         sqrt(sdn::DOUBLE / n_changes::DOUBLE) AS ddev
+  FROM mom
+)
+SELECT n_changes,
+       round(mean, 6) AS mean_delta,
+       round(sd, 6) AS sd_delta,
+       round(ddev, 6) AS downside_dev,
+       round(mean / sd, 6) AS sharpe,
+       round(mean / ddev, 6) AS sortino,
+       round(max_drawdown, 2) AS max_drawdown
+FROM d
+"""
+
+
+def alpha_ndcg_sql(query_text: str, k: int = 20) -> str:
+    """alpha_ndcg_diversity twin: bm25 page + lang aspects, dyadic
+    0.5^seen gains, shared 1/ln2 discounts."""
+    qlit = query_text.replace("'", "''")
+    return f"""
+WITH doclens AS (
+  SELECT doc_id, len({TOKS}) AS dl FROM documents
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n_docs, avg(dl::DOUBLE) AS avgdl FROM doclens
+),
+toks AS (
+  SELECT doc_id, unnest({TOKS}) AS term FROM documents
+),
+postings AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2
+),
+qterms AS (
+  SELECT DISTINCT unnest({duckdb_tokens_sql(f"'{qlit}'")}) AS term
+),
+dft AS (
+  SELECT p.term, count(*)::DOUBLE AS df_t
+  FROM postings p JOIN qterms q USING (term) GROUP BY 1
+),
+scored AS (
+  SELECT p.doc_id,
+         ln(1 + (s.n_docs - d.df_t + 0.5) / (d.df_t + 0.5))
+           * (p.tf * {K1 + 1.0}) / (p.tf + {K1} * (1 - {B} + {B} * l.dl / s.avgdl))
+           AS contrib
+  FROM postings p
+  JOIN dft d USING (term)
+  JOIN doclens l USING (doc_id)
+  CROSS JOIN stats s
+),
+agg AS (
+  SELECT doc_id, round(sum(contrib), 6) AS score FROM scored GROUP BY 1
+),
+page AS (
+  SELECT a.doc_id, a.r AS rank, d.lang
+  FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+    FROM agg
+  ) a JOIN documents d USING (doc_id)
+  WHERE a.r <= {k}
+),
+obs AS (
+  SELECT rank, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY rank) - 1 AS seen
+  FROM page
+),
+dcg AS (
+  SELECT count(*)::BIGINT AS k_used,
+         count(DISTINCT lang)::BIGINT AS n_aspects,
+         sum(round((1.0 / power(2, seen)::BIGINT::DOUBLE)
+                   / (ln(rank::DOUBLE + 1) * 1.4426950408889634),
+                   12)::DECIMAL(38,12))::DOUBLE AS dcg
+  FROM obs
+),
+gains AS (
+  SELECT lang,
+         row_number() OVER (PARTITION BY lang ORDER BY rank) - 1 AS j
+  FROM page
+),
+ideal AS (
+  SELECT 1.0 / power(2, j)::BIGINT::DOUBLE AS g,
+         row_number() OVER (
+           ORDER BY 1.0 / power(2, j)::BIGINT::DOUBLE DESC,
+                    lang ASC, j ASC) AS pos
+  FROM gains
+),
+idcg AS (
+  SELECT sum(round(g / (ln(pos::DOUBLE + 1) * 1.4426950408889634),
+                   12)::DECIMAL(38,12))::DOUBLE AS idcg
+  FROM ideal
+)
+SELECT k_used, n_aspects,
+       round(dcg, 6) AS alpha_dcg,
+       round(idcg, 6) AS ideal_dcg,
+       round(dcg / idcg, 6) AS alpha_ndcg
+FROM dcg, idcg
+"""

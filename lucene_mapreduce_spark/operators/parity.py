@@ -14964,3 +14964,185 @@ def covariance_ellipse_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(F.lit(1.0) - l2 / l1), 6).alias("eccentricity"),
         F.round(l1 / (l1 + l2), 6).alias("explained_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 176: stratified ATE, Sharpe/Sortino panel
+# ---------------------------------------------------------------------------
+
+ATE_TREAT_DISCOUNT = 0.05  # treatment: discount >= 5%
+
+
+def stratified_ate_quintiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified average-treatment-effect estimate — does a deep
+    discount move the realized unit price once QUANTITY is held
+    fixed? (Cochran 1968 subclassification, public; the observational
+    sibling of the randomized CUPED/DiD family): treatment = discount
+    >= 5%, outcome = extendedprice/quantity, strata = quantity
+    quintiles on the (quantity, orderkey, linenumber) total order,
+    ATE = Σ w_s (ȳ_t − ȳ_c) with population-share weights.  Outcome
+    means ride 12dp DECIMAL sums; per-stratum rows plus the pooled
+    ATE on every row."""
+    li = load(spark, sf_dir, "lineitem").select(
+        (F.round(F.col("l_discount"), 2) >= ATE_TREAT_DISCOUNT)
+        .cast("int")
+        .alias("t"),
+        F.round(
+            F.col("l_extendedprice") / F.col("l_quantity"), 6
+        ).alias("y"),
+        "l_quantity",
+        "l_orderkey",
+        "l_linenumber",
+    )
+    strat = li.select(
+        "t",
+        "y",
+        F.ntile(5)
+        .over(
+            Window.orderBy(
+                F.asc("l_quantity"),
+                F.asc("l_orderkey"),
+                F.asc("l_linenumber"),
+            )
+        )
+        .alias("stratum"),
+    )
+    per = strat.groupBy("stratum").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("t") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("nt"),
+        F.sum(
+            F.when(
+                F.col("t") == 1,
+                F.round(F.col("y"), 12).cast("decimal(38,12)"),
+            )
+        ).alias("syt"),
+        F.sum(F.when(F.col("t") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("nc"),
+        F.sum(
+            F.when(
+                F.col("t") == 0,
+                F.round(F.col("y"), 12).cast("decimal(38,12)"),
+            )
+        ).alias("syc"),
+    )
+    tot = per.agg(F.sum("n").cast("long").alias("ntot"))
+    eff = (
+        F.col("syt").cast("double") / F.col("nt").cast("double")
+        - F.col("syc").cast("double") / F.col("nc").cast("double")
+    )
+    rows = per.crossJoin(F.broadcast(tot)).select(
+        "stratum",
+        "n",
+        "nt",
+        "nc",
+        F.round(eff, 6).alias("stratum_effect"),
+        F.round(
+            F.col("n").cast("double") / F.col("ntot").cast("double"), 6
+        ).alias("weight"),
+    )
+    ate = rows.agg(
+        F.sum(
+            F.round(F.col("weight") * F.col("stratum_effect"), 12).cast(
+                "decimal(38,12)"
+            )
+        )
+        .cast("double")
+        .alias("ate")
+    )
+    return (
+        rows.crossJoin(F.broadcast(ate))
+        .select(
+            "stratum",
+            "n",
+            "nt",
+            "nc",
+            "stratum_effect",
+            "weight",
+            F.round("ate", 6).alias("stratified_ate"),
+        )
+        .orderBy("stratum")
+    )
+
+
+def sharpe_sortino_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharpe and Sortino ratios of the daily revenue-change series —
+    the risk-adjusted pair (Sharpe 1966 / Sortino 1994, public)
+    beside the Bollinger/Hurst time-series family: daily order
+    revenue deltas, mean over total volatility (Sharpe) and over the
+    downside semi-deviation about zero (Sortino), plus the max
+    drawdown of the cumulative series off exact DECIMAL running
+    sums.  Day-bounded windows."""
+    o = load(spark, sf_dir, "orders").select(
+        F.expr(
+            "unix_micros(cast(o_orderdate as timestamp)) div 86400000000"
+        ).alias("ed"),
+        F.round(F.col("o_totalprice"), 2).cast("decimal(28,2)").alias("v"),
+    )
+    span = o.agg(F.min("ed").alias("d0"), F.max("ed").alias("d1"))
+    days = span.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("ed")
+    )
+    daily = o.groupBy("ed").agg(F.sum("v").alias("rev"))
+    cal = days.join(daily, "ed", "left").select(
+        "ed",
+        F.coalesce(F.col("rev"), F.lit(0).cast("decimal(38,2)")).alias(
+            "rev"
+        ),
+    )
+    wlag = Window.orderBy("ed")
+    d = cal.select(
+        "ed",
+        (F.col("rev") - F.lag("rev").over(wlag)).alias("delta"),
+        F.sum("rev").over(
+            Window.orderBy("ed").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ).alias("cum"),
+    )
+    dd = d.select(
+        "ed",
+        "delta",
+        (
+            F.max("cum").over(
+                Window.orderBy("ed").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            )
+            - F.col("cum")
+        ).alias("drawdown"),
+    )
+    mom = dd.agg(
+        F.count(F.when(F.col("delta").isNotNull(), 1)).cast("long").alias(
+            "n_changes"
+        ),
+        F.sum("delta").alias("s1"),
+        F.sum(
+            (F.col("delta") * F.col("delta")).cast("decimal(38,4)")
+        ).alias("s2"),
+        F.sum(
+            F.when(
+                F.col("delta") < 0,
+                (F.col("delta") * F.col("delta")).cast("decimal(38,4)"),
+            ).otherwise(F.lit(0).cast("decimal(38,4)"))
+        ).alias("sdn"),
+        F.max("drawdown").cast("double").alias("max_drawdown"),
+    )
+    nD = F.col("n_changes").cast("double")
+    mean = F.col("s1").cast("double") / nD
+    sd = F.sqrt(
+        (F.col("s2").cast("double") - F.col("s1").cast("double") * mean)
+        / (nD - 1)
+    )
+    ddev = F.sqrt(F.col("sdn").cast("double") / nD)
+    return mom.select(
+        "n_changes",
+        F.round(mean, 6).alias("mean_delta"),
+        F.round(sd, 6).alias("sd_delta"),
+        F.round(ddev, 6).alias("downside_dev"),
+        F.round(mean / sd, 6).alias("sharpe"),
+        F.round(mean / ddev, 6).alias("sortino"),
+        F.round("max_drawdown", 2).alias("max_drawdown"),
+    )
