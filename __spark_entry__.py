@@ -1275,6 +1275,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_ate_quintiles": parity.stratified_ate_quintiles,
         "sharpe_sortino_daily": parity.sharpe_sortino_daily,
         "alpha_ndcg_diversity": fulltext.alpha_ndcg_diversity,
+        # batch 177: ARCH-LM, turning points, Newey-West
+        "arch_lm_test": parity.arch_lm_test,
+        "turning_point_test": parity.turning_point_test,
+        "newey_west_se": parity.newey_west_se,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})

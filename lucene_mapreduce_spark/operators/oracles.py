@@ -24185,3 +24185,144 @@ SELECT k_used, n_aspects,
        round(dcg / idcg, 6) AS alpha_ndcg
 FROM dcg, idcg
 """
+
+# ---- batch 177: ARCH-LM, turning points, Newey-West ------------------------
+
+ORACLES["arch_lm_test"] = """
+WITH ev AS (
+  SELECT epoch_us(ts) // 86400000000 AS ed FROM events
+),
+days AS (
+  SELECT unnest(range(d0, d1 + 1)) AS ed
+  FROM (SELECT min(ed) AS d0, max(ed) AS d1 FROM ev)
+),
+counts AS (SELECT ed, count(*)::BIGINT AS c FROM ev GROUP BY 1),
+cal AS (
+  SELECT d.ed, coalesce(c.c, 0)::BIGINT AS c
+  FROM days d LEFT JOIN counts c ON c.ed = d.ed
+),
+sq AS (
+  SELECT ed,
+         (c - lag(c) OVER (ORDER BY ed))
+         * (c - lag(c) OVER (ORDER BY ed)) AS e2
+  FROM cal
+),
+pair AS (
+  SELECT a.e2 AS y, b.e2 AS x
+  FROM sq a JOIN sq b ON a.ed = b.ed + 1
+  WHERE a.e2 IS NOT NULL AND b.e2 IS NOT NULL
+),
+mom AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+         sum((x * y)::DECIMAL(38,0)) AS sxy,
+         sum((x * x)::DECIMAL(38,0)) AS sxx,
+         sum((y * y)::DECIMAL(38,0)) AS syy
+  FROM pair
+),
+d AS (
+  SELECT n,
+         (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+         * (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+         / ((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+            * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)) AS r2
+  FROM mom
+)
+SELECT n AS n_pairs,
+       round(r2, 6) AS r_squared,
+       round(n::DOUBLE * r2, 6) AS arch_lm_stat,
+       CASE WHEN n::DOUBLE * r2 > 3.841 THEN 1 ELSE 0 END AS reject_at_05
+FROM d
+"""
+
+ORACLES["turning_point_test"] = """
+WITH ev AS (
+  SELECT epoch_us(ts) // 86400000000 AS ed FROM events
+),
+days AS (
+  SELECT unnest(range(d0, d1 + 1)) AS ed
+  FROM (SELECT min(ed) AS d0, max(ed) AS d1 FROM ev)
+),
+counts AS (SELECT ed, count(*)::BIGINT AS c FROM ev GROUP BY 1),
+cal AS (
+  SELECT d.ed, coalesce(c.c, 0)::BIGINT AS c
+  FROM days d LEFT JOIN counts c ON c.ed = d.ed
+),
+tri AS (
+  SELECT lag(c) OVER (ORDER BY ed) AS p, c AS m,
+         lead(c) OVER (ORDER BY ed) AS q
+  FROM cal
+),
+agg AS (
+  SELECT (count(*) + 2)::BIGINT AS n_days,
+         sum(CASE WHEN (m > p AND m > q) OR (m < p AND m < q)
+                  THEN 1 ELSE 0 END)::BIGINT AS turning_points
+  FROM tri WHERE p IS NOT NULL AND q IS NOT NULL
+)
+SELECT n_days, turning_points,
+       round(2.0 * (n_days::DOUBLE - 2) / 3, 6) AS expected,
+       round((turning_points::DOUBLE - 2.0 * (n_days::DOUBLE - 2) / 3)
+             / sqrt((16.0 * n_days::DOUBLE - 29) / 90), 6) AS z_stat
+FROM agg
+"""
+
+ORACLES["newey_west_se"] = """
+WITH ev AS (
+  SELECT epoch_us(ts) // 86400000000 AS ed FROM events
+),
+days AS (
+  SELECT unnest(range(d0, d1 + 1)) AS ed
+  FROM (SELECT min(ed) AS d0, max(ed) AS d1 FROM ev)
+),
+counts AS (SELECT ed, count(*)::BIGINT AS c FROM ev GROUP BY 1),
+cal AS (
+  SELECT d.ed, coalesce(c.c, 0)::BIGINT AS c
+  FROM days d LEFT JOIN counts c ON c.ed = d.ed
+),
+mom AS (
+  SELECT count(*)::BIGINT AS n, sum(c)::BIGINT AS s1,
+         sum(c * c)::BIGINT AS s2
+  FROM cal
+),
+lags AS (SELECT unnest(range(1, 6)) AS k),
+lagged AS (
+  SELECT l.k,
+         sum(a.c * b.c)::BIGINT AS ak,
+         sum(a.c)::BIGINT AS hk,
+         sum(b.c)::BIGINT AS tk
+  FROM lags l
+  JOIN cal a ON TRUE
+  JOIN cal b ON a.ed + l.k = b.ed
+  GROUP BY 1
+),
+terms AS (
+  SELECT n, s1, s2,
+         round((1.0 - k::DOUBLE / 6.0)
+               * ((ak::DOUBLE
+                   - (s1::DOUBLE / n::DOUBLE)
+                     * (hk::DOUBLE + tk::DOUBLE)
+                   + (n::DOUBLE - k::DOUBLE)
+                     * (s1::DOUBLE / n::DOUBLE)
+                     * (s1::DOUBLE / n::DOUBLE)) / n::DOUBLE),
+               12)::DECIMAL(38,12) AS t12
+  FROM lagged, mom
+),
+agg AS (
+  SELECT n, s1, s2, sum(t12)::DOUBLE AS wsum
+  FROM terms GROUP BY 1, 2, 3
+),
+d AS (
+  SELECT n, s1,
+         (s2::DOUBLE - s1::DOUBLE * (s1::DOUBLE / n::DOUBLE))
+           / n::DOUBLE AS g0,
+         wsum
+  FROM agg
+)
+SELECT n AS n_days,
+       round(s1::DOUBLE / n::DOUBLE, 6) AS mean_count,
+       round(g0, 6) AS gamma0,
+       round(g0 + 2 * wsum, 6) AS long_run_var,
+       round(sqrt(g0 / n::DOUBLE), 6) AS naive_se,
+       round(sqrt((g0 + 2 * wsum) / n::DOUBLE), 6) AS newey_west_se
+FROM d
+"""

@@ -15146,3 +15146,205 @@ def sharpe_sortino_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mean / ddev, 6).alias("sortino"),
         F.round("max_drawdown", 2).alias("max_drawdown"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 177: ARCH-LM, turning points, Newey-West
+# ---------------------------------------------------------------------------
+
+
+def arch_lm_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engle's ARCH-LM test (lag 1) for volatility clustering in the
+    daily count changes — the conditional-heteroscedasticity screen
+    the variance-ratio/Ljung-Box pair doesn't cover (Engle 1982,
+    public): regress e²_t on e²_{t−1} (e = day-over-day change), LM =
+    n R² with R² from the exact integer lag moments.  Gap-filled
+    calendar; one self-join on the shifted day."""
+    ev = load(spark, sf_dir, "events").select(
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias(
+            "ed"
+        )
+    )
+    span = ev.agg(F.min("ed").alias("d0"), F.max("ed").alias("d1"))
+    days = span.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("ed")
+    )
+    counts = ev.groupBy("ed").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    cal = days.join(counts, "ed", "left").select(
+        "ed", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+    )
+    wlag = Window.orderBy("ed")
+    sq = cal.select(
+        "ed",
+        (
+            (F.col("c") - F.lag("c").over(wlag))
+            * (F.col("c") - F.lag("c").over(wlag))
+        ).alias("e2"),
+    ).filter(F.col("e2").isNotNull())
+    pair = sq.alias("a").join(
+        sq.alias("b"),
+        F.col("a.ed") == F.col("b.ed") + 1,
+    ).select(
+        F.col("a.e2").alias("y"), F.col("b.e2").alias("x")
+    )
+    mom = pair.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("syy"),
+    )
+    nD = F.col("n").cast("double")
+    num = nD * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    den = (
+        nD * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    ) * (
+        nD * F.col("syy").cast("double")
+        - F.col("sy").cast("double") * F.col("sy").cast("double")
+    )
+    r2 = num * num / den
+    lm = nD * r2
+    # survival for chi2 df=1 has no even-df closed form; report LM only
+    return mom.select(
+        F.col("n").alias("n_pairs"),
+        F.round(r2, 6).alias("r_squared"),
+        F.round(lm, 6).alias("arch_lm_stat"),
+        (lm > F.lit(3.841)).cast("int").alias("reject_at_05"),
+    )
+
+
+def turning_point_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turning-point randomness test on the daily count series — the
+    local-extrema counterpart of the runs test (Kendall, public):
+    T = # of days that are strict local maxima or minima, E[T] =
+    2(n−2)/3, Var[T] = (16n−29)/90, z = (T−E)/sqrt(Var).  Flat
+    triples (ties) count as no turning point (documented).  Exact
+    integers; one window pass."""
+    ev = load(spark, sf_dir, "events").select(
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias(
+            "ed"
+        )
+    )
+    span = ev.agg(F.min("ed").alias("d0"), F.max("ed").alias("d1"))
+    days = span.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("ed")
+    )
+    counts = ev.groupBy("ed").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    cal = days.join(counts, "ed", "left").select(
+        "ed", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+    )
+    wlag = Window.orderBy("ed")
+    tri = cal.select(
+        F.lag("c", 1).over(wlag).alias("p"),
+        F.col("c").alias("m"),
+        F.lead("c", 1).over(wlag).alias("q"),
+    ).filter(F.col("p").isNotNull() & F.col("q").isNotNull())
+    agg = tri.agg(
+        (F.count(F.lit(1)) + 2).cast("long").alias("n_days"),
+        F.sum(
+            F.when(
+                (
+                    (F.col("m") > F.col("p")) & (F.col("m") > F.col("q"))
+                )
+                | (
+                    (F.col("m") < F.col("p")) & (F.col("m") < F.col("q"))
+                ),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("turning_points"),
+    )
+    nD = F.col("n_days").cast("double")
+    et = 2 * (nD - 2) / 3
+    vt = (16 * nD - 29) / 90
+    return agg.select(
+        "n_days",
+        "turning_points",
+        F.round(et, 6).alias("expected"),
+        F.round(
+            (F.col("turning_points").cast("double") - et) / F.sqrt(vt), 6
+        ).alias("z_stat"),
+    )
+
+
+NW_LAGS = 5
+
+
+def newey_west_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newey-West HAC standard error of the mean daily event count —
+    the autocorrelation-robust uncertainty the naive s/sqrt(n)
+    understates on a dependent series (Newey & West 1987, public):
+    long-run variance = γ₀ + 2 Σ_{k=1..5} (1 − k/6) γ_k with the
+    autocovariances off the same exact integer lag machinery
+    Ljung-Box uses (Bartlett kernel weights are exact sixths).
+    Gap-filled calendar; one row with the naive SE beside it."""
+    ev = load(spark, sf_dir, "events").select(
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias(
+            "ed"
+        )
+    )
+    span = ev.agg(F.min("ed").alias("d0"), F.max("ed").alias("d1"))
+    days = span.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("ed")
+    )
+    counts = ev.groupBy("ed").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    cal = days.join(counts, "ed", "left").select(
+        "ed", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+    )
+    mom = cal.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+    )
+    lags = span.select(
+        F.explode(F.sequence(F.lit(1), F.lit(NW_LAGS))).alias("k")
+    )
+    a = cal.select(F.col("ed").alias("e1"), F.col("c").alias("x1"))
+    b = cal.select(F.col("ed").alias("e2"), F.col("c").alias("x2"))
+    lagged = (
+        lags.crossJoin(a)
+        .join(b, F.col("e1") + F.col("k") == F.col("e2"))
+        .groupBy("k")
+        .agg(
+            F.sum(F.col("x1") * F.col("x2")).cast("long").alias("ak"),
+            F.sum("x1").cast("long").alias("hk"),
+            F.sum("x2").cast("long").alias("tk"),
+        )
+    )
+    j = lagged.crossJoin(F.broadcast(mom))
+    nD = F.col("n").cast("double")
+    mu = F.col("s1").cast("double") / nD
+    gk = (
+        F.col("ak").cast("double")
+        - mu * (F.col("hk").cast("double") + F.col("tk").cast("double"))
+        + (nD - F.col("k").cast("double")) * mu * mu
+    ) / nD
+    wgt = F.lit(1.0) - F.col("k").cast("double") / F.lit(
+        float(NW_LAGS + 1)
+    )
+    terms = j.select(
+        "n",
+        "s1",
+        "s2",
+        F.round(wgt * gk, 12).cast("decimal(38,12)").alias("t12"),
+    )
+    agg = terms.groupBy("n", "s1", "s2").agg(
+        F.sum("t12").cast("double").alias("wsum")
+    )
+    g0 = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double")
+        * (F.col("s1").cast("double") / nD)
+    ) / nD
+    lrv = g0 + 2 * F.col("wsum")
+    return agg.select(
+        F.col("n").alias("n_days"),
+        F.round(F.col("s1").cast("double") / nD, 6).alias("mean_count"),
+        F.round(g0, 6).alias("gamma0"),
+        F.round(lrv, 6).alias("long_run_var"),
+        F.round(F.sqrt(g0 / nD), 6).alias("naive_se"),
+        F.round(F.sqrt(lrv / nD), 6).alias("newey_west_se"),
+    )
