@@ -1279,6 +1279,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arch_lm_test": parity.arch_lm_test,
         "turning_point_test": parity.turning_point_test,
         "newey_west_se": parity.newey_west_se,
+        # batch 178: NRR/GRR, centroid stability, triangle support
+        "net_revenue_retention": relational.net_revenue_retention,
+        "label_centroid_stability": similarity.label_centroid_stability,
+        "edge_triangle_support": relational.edge_triangle_support,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})

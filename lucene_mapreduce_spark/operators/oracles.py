@@ -24326,3 +24326,142 @@ SELECT n AS n_days,
        round(sqrt((g0 + 2 * wsum) / n::DOUBLE), 6) AS newey_west_se
 FROM d
 """
+
+# ---- batch 178: NRR/GRR, label-centroid stability, triangle support --------
+
+ORACLES["net_revenue_retention"] = """
+WITH o AS (
+  SELECT o_custkey, strftime(o_orderdate, '%Y-%m') AS month,
+         round(o_totalprice, 2)::DECIMAL(28,2) AS v
+  FROM orders
+),
+per AS (
+  SELECT o_custkey, month, sum(v) AS rev FROM o GROUP BY 1, 2
+),
+months AS (SELECT DISTINCT month FROM per),
+nxt AS (
+  SELECT m0.month AS m0, m1.month AS m1
+  FROM months m0
+  JOIN months m1
+    ON m1.month = strftime((m0.month || '-01')::DATE
+                           + INTERVAL 1 MONTH, '%Y-%m')
+),
+j AS (
+  SELECT n.m0, n.m1, b.o_custkey AS ck, b.rev AS rev0,
+         coalesce(c.rev, 0::DECIMAL(38,2)) AS rev1
+  FROM nxt n
+  JOIN per b ON b.month = n.m0
+  LEFT JOIN per c ON c.month = n.m1 AND c.o_custkey = b.o_custkey
+),
+agg AS (
+  SELECT m0, m1, count(*)::BIGINT AS n_base_customers,
+         sum(CASE WHEN rev1 > 0 THEN 1 ELSE 0 END)::BIGINT AS n_retained,
+         sum(rev0) AS base_rev,
+         sum(rev1) AS ret_rev,
+         sum(least(rev0, rev1)) AS capped_rev
+  FROM j GROUP BY 1, 2
+)
+SELECT m0 AS month_base, m1 AS month_next,
+       n_base_customers, n_retained,
+       round(ret_rev::DOUBLE / base_rev::DOUBLE, 6) AS nrr,
+       round(capped_rev::DOUBLE / base_rev::DOUBLE, 6) AS grr
+FROM agg
+ORDER BY month_base
+"""
+
+_LCS_H = _MD5_52.format(e="'lcs:' || vec_id::VARCHAR")
+
+ORACLES["label_centroid_stability"] = f"""
+WITH comp AS (
+  SELECT label, ({_LCS_H}) % 2 AS h,
+         d.dim, round(embedding[d.dim + 1]::DOUBLE, 6)::DECIMAL(18,6) AS v
+  FROM embeddings,
+       (SELECT unnest(range(64)) AS dim) d
+),
+per AS (
+  SELECT label, h, dim, count(*)::BIGINT AS n, sum(v) AS s
+  FROM comp GROUP BY 1, 2, 3
+),
+m AS (
+  SELECT label, h, dim, s::DOUBLE / n AS m FROM per
+),
+within AS (
+  SELECT h0.label,
+         sqrt(sum(round((h0.m - h1.m) * (h0.m - h1.m),
+                        12)::DECIMAL(38,12))::DOUBLE) AS within_dist
+  FROM (SELECT label, dim, m FROM m WHERE h = 0) h0
+  JOIN (SELECT label, dim, m FROM m WHERE h = 1) h1
+    USING (label, dim)
+  GROUP BY 1
+),
+full_ AS (
+  SELECT label, dim, sum(s)::DOUBLE / sum(n)::DOUBLE AS fm
+  FROM per GROUP BY 1, 2
+),
+between_ AS (
+  SELECT label,
+         sum(round(dist, 12)::DECIMAL(38,12))::DOUBLE
+           / count(*)::DOUBLE AS between_mean
+  FROM (
+    SELECT a.label, b.label AS label_b,
+           sqrt(sum(round((a.fm - b.fm) * (a.fm - b.fm),
+                          12)::DECIMAL(38,12))::DOUBLE) AS dist
+    FROM full_ a JOIN full_ b
+      ON a.dim = b.dim AND a.label <> b.label
+    GROUP BY 1, 2
+  )
+  GROUP BY 1
+),
+cnt AS (
+  SELECT label, count(*)::BIGINT AS n_vectors FROM embeddings GROUP BY 1
+)
+SELECT c.label, c.n_vectors,
+       round(w.within_dist, 6) AS within_half_dist,
+       round(b.between_mean, 6) AS between_label_mean,
+       round(w.within_dist / b.between_mean, 6) AS stability_ratio
+FROM cnt c
+JOIN within w ON w.label = c.label
+JOIN between_ b ON b.label = c.label
+ORDER BY c.label
+"""
+
+ORACLES["edge_triangle_support"] = """
+WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+            FROM lineitem),
+e AS (
+  SELECT a.pk AS pa, b.pk AS pb
+  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+wedges AS (
+  SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+  FROM e e1 JOIN e e2 ON e2.pa = e1.pb
+),
+tris AS (
+  SELECT w.a, w.b, w.c
+  FROM wedges w JOIN e e3 ON e3.pa = w.a AND e3.pb = w.c
+),
+sup AS (
+  SELECT x, y, count(*)::BIGINT AS support FROM (
+    SELECT a AS x, b AS y FROM tris
+    UNION ALL SELECT b, c FROM tris
+    UNION ALL SELECT a, c FROM tris
+  ) GROUP BY 1, 2
+),
+alle AS (
+  SELECT e.pa AS x, e.pb AS y, coalesce(s.support, 0)::BIGINT AS support
+  FROM e LEFT JOIN sup s ON s.x = e.pa AND s.y = e.pb
+),
+hist AS (
+  SELECT support, count(*)::BIGINT AS n_edges FROM alle GROUP BY 1
+),
+truss AS (
+  SELECT sum(CASE WHEN support >= 1 THEN 1 ELSE 0 END)::BIGINT
+           AS truss3_edges,
+         count(*)::BIGINT AS total_edges
+  FROM alle
+)
+SELECT support, n_edges, total_edges, truss3_edges
+FROM hist, truss
+ORDER BY support
+"""

@@ -4893,3 +4893,118 @@ def partition_evolution_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("files_touched_month_query_day_grain"),
         F.lit(1.0).alias("files_touched_month_query_month_grain"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 178: net revenue retention, edge triangle support
+# ---------------------------------------------------------------------------
+
+
+def net_revenue_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month net and gross revenue retention — the SaaS
+    cohort headline (public metric): for each month pair (m−1, m),
+    NRR = revenue in m from customers who spent in m−1 over their
+    m−1 revenue (expansion counts), GRR caps each returning customer
+    at their prior spend (contraction only).  Exact 2dp DECIMAL
+    revenue; month-pair-bounded rows."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.round(F.col("o_totalprice"), 2).cast("decimal(28,2)").alias("v"),
+    )
+    per = o.groupBy("o_custkey", "month").agg(F.sum("v").alias("rev"))
+    months = per.select("month").distinct()
+    nxt = months.select(
+        F.col("month").alias("m0"),
+        F.date_format(
+            F.add_months(F.to_date(F.concat(F.col("month"), F.lit("-01"))), 1),
+            "yyyy-MM",
+        ).alias("m1"),
+    ).join(
+        months.select(F.col("month").alias("m1")), "m1"
+    )
+    base = per.select(
+        F.col("o_custkey").alias("ck"),
+        F.col("month").alias("m0"),
+        F.col("rev").alias("rev0"),
+    )
+    cur = per.select(
+        F.col("o_custkey").alias("ck"),
+        F.col("month").alias("m1"),
+        F.col("rev").alias("rev1"),
+    )
+    j = (
+        nxt.join(base, "m0")
+        .join(cur, ["m1", "ck"], "left")
+        .withColumn(
+            "rev1", F.coalesce(F.col("rev1"), F.lit(0).cast("decimal(38,2)"))
+        )
+    )
+    agg = j.groupBy("m0", "m1").agg(
+        F.count(F.lit(1)).cast("long").alias("n_base_customers"),
+        F.sum(F.when(F.col("rev1") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_retained"),
+        F.sum("rev0").alias("base_rev"),
+        F.sum("rev1").alias("ret_rev"),
+        F.sum(F.least(F.col("rev0"), F.col("rev1"))).alias("capped_rev"),
+    )
+    return agg.select(
+        F.col("m0").alias("month_base"),
+        F.col("m1").alias("month_next"),
+        "n_base_customers",
+        "n_retained",
+        F.round(
+            F.col("ret_rev").cast("double")
+            / F.col("base_rev").cast("double"),
+            6,
+        ).alias("nrr"),
+        F.round(
+            F.col("capped_rev").cast("double")
+            / F.col("base_rev").cast("double"),
+            6,
+        ).alias("grr"),
+    ).orderBy("month_base")
+
+
+def edge_triangle_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge triangle-support histogram and 3-truss size of the
+    co-order part graph — the k-truss vocabulary (Cohen 2008, public)
+    above affinity_triangles' global count: each edge's support = the
+    number of triangles through it (one wedge join against the shared
+    edge set), histogrammed, with the 3-truss (support >= 1) edge
+    count.  Support-pruned edges only; triangle-join-bounded."""
+    edges = _coorder_edges(spark, sf_dir).localCheckpoint()
+    e1 = edges.select(F.col("pa").alias("a"), F.col("pb").alias("b"))
+    e2 = edges.select(F.col("pa").alias("b"), F.col("pb").alias("c"))
+    wedges = e1.join(e2, "b").select("a", "b", "c")
+    e3 = edges.select(F.col("pa").alias("a"), F.col("pb").alias("c"))
+    tris = wedges.join(e3, ["a", "c"]).select("a", "b", "c")
+    sup = (
+        tris.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        .unionAll(tris.select(F.col("b"), F.col("c")))
+        .unionAll(tris.select(F.col("a"), F.col("c")))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+    )
+    alle = edges.select(
+        F.col("pa").alias("x"), F.col("pb").alias("y")
+    ).join(sup, ["x", "y"], "left").withColumn(
+        "support", F.coalesce(F.col("support"), F.lit(0))
+    )
+    hist = alle.groupBy("support").agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges")
+    )
+    truss = alle.agg(
+        F.sum(F.when(F.col("support") >= 1, 1).otherwise(0))
+        .cast("long")
+        .alias("truss3_edges"),
+        F.count(F.lit(1)).cast("long").alias("total_edges"),
+    )
+    return (
+        hist.crossJoin(F.broadcast(truss))
+        .select(
+            "support", "n_edges", "total_edges", "truss3_edges"
+        )
+        .orderBy("support")
+    )

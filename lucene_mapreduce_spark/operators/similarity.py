@@ -2995,3 +2995,121 @@ def mmd_rbf_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mmd2, 6).alias("mmd2"),
         F.round(F.sqrt(F.greatest(mmd2, F.lit(0.0))), 6).alias("mmd"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 178: label-centroid stability
+# ---------------------------------------------------------------------------
+
+
+def label_centroid_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid stability across the md5-parity halves of
+    the embedding corpus — is each label's centroid an estimate of
+    something real, or sampling noise? (the split-half reliability
+    idea applied to embedding_centroid_by_label's report): per label,
+    the L2 distance between its two half-centroids, with the mean
+    distance from the label's full centroid to every OTHER label's as
+    the separation baseline — stable labels have within-distance much
+    smaller than between.  Per-dim sums ride 6dp DECIMAL
+    (label x half x 64 rows); distances are ascending-dim folds.
+    Label-bounded output."""
+    emb = load(spark, sf_dir, "embeddings")
+    half = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("lcs:"), F.col("vec_id").cast("string"))
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(2),
+    )
+    comp = emb.select(
+        "label",
+        half.alias("h"),
+        F.posexplode(F.col("embedding").cast("array<double>")),
+    ).select(
+        "label",
+        "h",
+        F.col("pos").alias("dim"),
+        F.round("col", 6).cast("decimal(18,6)").alias("v"),
+    )
+    per = comp.groupBy("label", "h", "dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").alias("s"),
+    )
+    m = per.select(
+        "label",
+        "h",
+        "dim",
+        (F.col("s").cast("double") / F.col("n")).alias("m"),
+    )
+    h0 = m.filter(F.col("h") == 0).select(
+        "label", "dim", F.col("m").alias("m0")
+    )
+    h1 = m.filter(F.col("h") == 1).select(
+        "label", "dim", F.col("m").alias("m1")
+    )
+    within = (
+        h0.join(h1, ["label", "dim"])
+        .select(
+            "label",
+            F.round(
+                (F.col("m0") - F.col("m1")) * (F.col("m0") - F.col("m1")),
+                12,
+            ).cast("decimal(38,12)").alias("d2"),
+        )
+        .groupBy("label")
+        .agg(F.sqrt(F.sum("d2").cast("double")).alias("within_dist"))
+    )
+    full = per.groupBy("label", "dim").agg(
+        (F.sum("s").cast("double") / F.sum("n").cast("double")).alias("fm")
+    )
+    oth = full.select(
+        F.col("label").alias("label_b"),
+        "dim",
+        F.col("fm").alias("fmb"),
+    )
+    between = (
+        full.join(oth, "dim")
+        .filter(F.col("label") != F.col("label_b"))
+        .select(
+            "label",
+            "label_b",
+            F.round(
+                (F.col("fm") - F.col("fmb")) * (F.col("fm") - F.col("fmb")),
+                12,
+            ).cast("decimal(38,12)").alias("d2"),
+        )
+        .groupBy("label", "label_b")
+        .agg(F.sqrt(F.sum("d2").cast("double")).alias("dist"))
+        .groupBy("label")
+        .agg(
+            (
+                F.sum(F.round(F.col("dist"), 12).cast("decimal(38,12)"))
+                .cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("between_mean")
+        )
+    )
+    cnt = emb.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors")
+    )
+    return (
+        cnt.join(within, "label")
+        .join(between, "label")
+        .select(
+            "label",
+            "n_vectors",
+            F.round("within_dist", 6).alias("within_half_dist"),
+            F.round("between_mean", 6).alias("between_label_mean"),
+            F.round(
+                F.col("within_dist") / F.col("between_mean"), 6
+            ).alias("stability_ratio"),
+        )
+        .orderBy("label")
+    )
