@@ -1283,6 +1283,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "net_revenue_retention": relational.net_revenue_retention,
         "label_centroid_stability": similarity.label_centroid_stability,
         "edge_triangle_support": relational.edge_triangle_support,
+        # batch 179: design effect, Gries DP, sortedness
+        "design_effect_cluster": parity.design_effect_cluster,
+        "gries_dp_dispersion": textstats.gries_dp_dispersion,
+        "column_runs_sortedness": parity.column_runs_sortedness,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})

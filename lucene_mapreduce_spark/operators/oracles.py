@@ -24465,3 +24465,112 @@ SELECT support, n_edges, total_edges, truss3_edges
 FROM hist, truss
 ORDER BY support
 """
+
+# ---- batch 179: design effect, Gries DP, sortedness ------------------------
+
+ORACLES["design_effect_cluster"] = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS ed, event_type
+  FROM events
+),
+ud AS (
+  SELECT user_id, ed,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+             END)::BIGINT AS y
+  FROM ev GROUP BY 1, 2
+),
+per AS (
+  SELECT user_id, count(*)::BIGINT AS m, sum(y)::BIGINT AS sy
+  FROM ud GROUP BY 1
+),
+tot AS (
+  SELECT count(*)::BIGINT AS k, sum(m)::BIGINT AS n,
+         sum(sy)::BIGINT AS s,
+         sum(m * m)::BIGINT AS sm2,
+         sum(round(sy::DOUBLE * sy::DOUBLE / m::DOUBLE,
+                   12)::DECIMAL(38,12))::DOUBLE AS ssb_term
+  FROM per
+),
+d AS (
+  SELECT k, n,
+         s::DOUBLE - s::DOUBLE * s::DOUBLE / n::DOUBLE AS sst,
+         ssb_term - s::DOUBLE * s::DOUBLE / n::DOUBLE AS ssb,
+         (n::DOUBLE - sm2::DOUBLE / n::DOUBLE) / (k::DOUBLE - 1) AS m0
+  FROM tot
+),
+ms AS (
+  SELECT k, n, m0,
+         ssb / (k::DOUBLE - 1) AS msb,
+         (sst - ssb) / (n::DOUBLE - k::DOUBLE) AS msw
+  FROM d
+),
+r AS (
+  SELECT k, n,
+         (msb - msw) / (msb + (m0 - 1) * msw) AS rho,
+         n::DOUBLE / k::DOUBLE AS mbar
+  FROM ms
+)
+SELECT k AS n_clusters, n AS n_units,
+       round(mbar, 6) AS mean_cluster_size,
+       round(rho, 6) AS icc_rho,
+       round(1.0 + (mbar - 1) * rho, 6) AS design_effect,
+       round(n::DOUBLE / (1.0 + (mbar - 1) * rho), 6) AS effective_n
+FROM r
+"""
+
+ORACLES["gries_dp_dispersion"] = f"""
+WITH per AS (
+  SELECT term, source, count(*)::BIGINT AS c FROM (
+    SELECT source, unnest({TOKS}) AS term FROM documents
+  ) GROUP BY 1, 2
+),
+cf AS (SELECT term, sum(c)::BIGINT AS cf FROM per GROUP BY 1),
+psize AS (SELECT source, sum(c)::BIGINT AS ps FROM per GROUP BY 1),
+tot AS (SELECT sum(ps)::BIGINT AS t FROM psize),
+top AS (
+  SELECT term, cf, rk FROM (
+    SELECT term, cf,
+           row_number() OVER (ORDER BY cf DESC, term ASC) AS rk
+    FROM cf
+  ) WHERE rk <= 10
+),
+grid AS (
+  SELECT tp.term, tp.cf, tp.rk, s.source, s.ps,
+         coalesce(p.c, 0)::BIGINT AS c, t.t
+  FROM top tp
+  CROSS JOIN psize s
+  LEFT JOIN per p ON p.term = tp.term AND p.source = s.source
+  CROSS JOIN tot t
+),
+dp AS (
+  SELECT term, cf, rk,
+         sum(round(abs(c::DOUBLE / cf::DOUBLE
+                       - ps::DOUBLE / t::DOUBLE),
+                   12)::DECIMAL(38,12))::DOUBLE / 2 AS dp
+  FROM grid GROUP BY 1, 2, 3
+)
+SELECT rk AS rank, term, cf, round(dp, 6) AS gries_dp
+FROM dp ORDER BY rank
+"""
+
+ORACLES["column_runs_sortedness"] = """
+WITH o AS (
+  SELECT o_orderkey,
+         epoch_us(o_orderdate::TIMESTAMP) // 86400000000 AS ed
+  FROM orders
+),
+runs AS (
+  SELECT CASE WHEN lag(ed) OVER (ORDER BY o_orderkey) IS NULL
+                OR ed < lag(ed) OVER (ORDER BY o_orderkey)
+              THEN 1 ELSE 0 END AS brk
+  FROM o
+),
+agg AS (
+  SELECT count(*)::BIGINT AS n_rows, sum(brk)::BIGINT AS n_runs FROM runs
+)
+SELECT n_rows, n_runs,
+       round((n_rows::DOUBLE + 1) / 2, 6) AS expected_runs_random,
+       round(1.0 - (n_runs::DOUBLE - 1) / (n_rows::DOUBLE - 1), 6)
+         AS sortedness
+FROM agg
+"""

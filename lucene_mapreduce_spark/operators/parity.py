@@ -15348,3 +15348,111 @@ def newey_west_se(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(g0 / nD), 6).alias("naive_se"),
         F.round(F.sqrt(lrv / nD), 6).alias("newey_west_se"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 179: design effect, Gries DP, column sortedness
+# ---------------------------------------------------------------------------
+
+
+def design_effect_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survey design effect of user-clustered sampling on the
+    user-day purchase rate — Kish's DEFF = 1 + (m̄ − 1) ρ (public
+    survey statistics; the quantitative form of the clustering
+    inflation aa_test_calibration demonstrates): the intraclass
+    correlation ρ comes from the one-way ANOVA decomposition of the
+    binary outcome over user clusters (exact integer sums; ρ =
+    (MSB − MSW)/(MSB + (m₀−1)MSW) with the unequal-size m₀), and the
+    effective sample size n/DEFF.  One row."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias(
+            "ed"
+        ),
+        "event_type",
+    )
+    ud = ev.groupBy("user_id", "ed").agg(
+        F.max((F.col("event_type") == "purchase").cast("long")).alias("y")
+    )
+    per = ud.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("y").cast("long").alias("sy"),
+    )
+    tot = per.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("m").cast("long").alias("n"),
+        F.sum("sy").cast("long").alias("s"),
+        F.sum(F.col("m") * F.col("m")).cast("long").alias("sm2"),
+        F.sum(
+            F.round(
+                F.col("sy").cast("double")
+                * F.col("sy").cast("double")
+                / F.col("m").cast("double"),
+                12,
+            ).cast("decimal(38,12)")
+        ).cast("double").alias("ssb_term"),
+    )
+    nD = F.col("n").cast("double")
+    kD = F.col("k").cast("double")
+    grand = F.col("s").cast("double")
+    cf = grand * grand / nD
+    # binary y: total SS = s - s^2/n (since y^2 = y)
+    sst = grand - cf
+    ssb = F.col("ssb_term") - cf
+    ssw = sst - ssb
+    msb = ssb / (kD - 1)
+    msw = ssw / (nD - kD)
+    m0 = (nD - F.col("sm2").cast("double") / nD) / (kD - 1)
+    rho = (msb - msw) / (msb + (m0 - 1) * msw)
+    mbar = nD / kD
+    deff = F.lit(1.0) + (mbar - 1) * rho
+    return tot.select(
+        F.col("k").alias("n_clusters"),
+        F.col("n").alias("n_units"),
+        F.round(mbar, 6).alias("mean_cluster_size"),
+        F.round(rho, 6).alias("icc_rho"),
+        F.round(deff, 6).alias("design_effect"),
+        F.round(nD / deff, 6).alias("effective_n"),
+    )
+
+
+
+def column_runs_sortedness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column sortedness audit in storage order — how clustered is
+    each date-ish column when the table is read in key order? (the
+    min/max-skipping effectiveness precondition the file-skipping
+    audits assume): ascending runs of o_orderdate over the o_orderkey
+    storage order, runs/n against the random-permutation expectation
+    (n+1)/2, and the sortedness score 1 − (runs−1)/(n−1).  One
+    window pass, one row."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr(
+            "unix_micros(cast(o_orderdate as timestamp)) div 86400000000"
+        ).alias("ed"),
+    )
+    w = Window.orderBy("o_orderkey")
+    runs = o.select(
+        F.when(
+            F.lag("ed").over(w).isNull()
+            | (F.col("ed") < F.lag("ed").over(w)),
+            1,
+        )
+        .otherwise(0)
+        .alias("brk")
+    )
+    agg = runs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("brk").cast("long").alias("n_runs"),
+    )
+    nD = F.col("n_rows").cast("double")
+    return agg.select(
+        "n_rows",
+        "n_runs",
+        F.round((nD + 1) / 2, 6).alias("expected_runs_random"),
+        F.round(
+            F.lit(1.0)
+            - (F.col("n_runs").cast("double") - 1) / (nD - 1),
+            6,
+        ).alias("sortedness"),
+    )

@@ -8222,3 +8222,60 @@ def negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("sample_share"), F.asc("term"))
     )
+
+
+GRIES_TOP_K = 10
+
+
+def gries_dp_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gries' DP corpus-dispersion measure for the top-10 terms — the
+    modern replacement for Juilland's D (Gries 2008, public): with
+    sources as corpus parts, DP = ½ Σ_parts |observed share of the
+    term's tokens in part − the part's share of the corpus|; 0 means
+    perfectly even spread, 1 concentrated in one part.  All counts
+    exact; the fold is parts-bounded per term.  Term rows by
+    frequency."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(tokenize_col("text")).alias("term"))
+    per = toks.groupBy("term", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    cf = per.groupBy("term").agg(F.sum("c").cast("long").alias("cf"))
+    psize = per.groupBy("source").agg(F.sum("c").cast("long").alias("ps"))
+    tot = psize.agg(F.sum("ps").cast("long").alias("t"))
+    from pyspark.sql import Window as _W
+
+    top = (
+        cf.withColumn(
+            "rk",
+            F.row_number().over(_W.orderBy(F.desc("cf"), F.asc("term"))),
+        )
+        .filter(F.col("rk") <= GRIES_TOP_K)
+        .select("term", "cf", "rk")
+    )
+    grid = (
+        top.crossJoin(F.broadcast(psize))
+        .join(per, ["term", "source"], "left")
+        .withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+    )
+    diff = F.abs(
+        F.col("c").cast("double") / F.col("cf").cast("double")
+        - F.col("ps").cast("double") / F.col("t").cast("double")
+    )
+    dp = (
+        grid.select(
+            "term",
+            "cf",
+            "rk",
+            F.round(diff, 12).cast("decimal(38,12)").alias("d12"),
+        )
+        .groupBy("term", "cf", "rk")
+        .agg((F.sum("d12").cast("double") / 2).alias("dp"))
+    )
+    return dp.select(
+        F.col("rk").alias("rank"),
+        "term",
+        "cf",
+        F.round("dp", 6).alias("gries_dp"),
+    ).orderBy("rank")
