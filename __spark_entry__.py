@@ -1287,6 +1287,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "design_effect_cluster": parity.design_effect_cluster,
         "gries_dp_dispersion": textstats.gries_dp_dispersion,
         "column_runs_sortedness": parity.column_runs_sortedness,
+        # batch 180: TOST, DerSimonian-Laird RE, Menzerath-Altmann
+        "tost_equivalence_test": parity.tost_equivalence_test,
+        "dersimonian_laird_re": parity.dersimonian_laird_re,
+        "menzerath_altmann_fit": textstats.menzerath_altmann_fit,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})
@@ -1361,6 +1365,13 @@ def oracle_sql() -> dict[str, str]:
 
     out["alpha_ndcg_diversity"] = alpha_ndcg_sql(
         fulltext.FLAGSHIP_QUERY, fulltext.ANDCG_K
+    )
+    from lucene_mapreduce_spark.operators.oracles import (
+        dersimonian_laird_sql,
+    )
+
+    out["dersimonian_laird_re"] = dersimonian_laird_sql(
+        parity.MH_EXPOSURE_TOKEN, parity.MH_OUTCOME_TOKEN
     )
     from lucene_mapreduce_spark.operators.oracles import (
         query_segmentation_sql,

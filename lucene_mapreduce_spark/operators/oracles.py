@@ -24574,3 +24574,152 @@ SELECT n_rows, n_runs,
          AS sortedness
 FROM agg
 """
+
+# ---- batch 180: TOST, DerSimonian-Laird, Menzerath-Altmann -----------------
+
+ORACLES["tost_equivalence_test"] = f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS ed, event_type
+  FROM events
+),
+ud AS (
+  SELECT user_id, ed,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+             END)::BIGINT AS y
+  FROM ev GROUP BY 1, 2
+),
+g AS (
+  SELECT sum(CASE WHEN ({_BM_ARM}) % 2 = 0 THEN 1 ELSE 0 END)::BIGINT
+           AS n0,
+         sum(CASE WHEN ({_BM_ARM}) % 2 = 0 THEN y ELSE 0 END)::BIGINT
+           AS y0,
+         sum(CASE WHEN ({_BM_ARM}) % 2 = 1 THEN 1 ELSE 0 END)::BIGINT
+           AS n1,
+         sum(CASE WHEN ({_BM_ARM}) % 2 = 1 THEN y ELSE 0 END)::BIGINT
+           AS y1
+  FROM ud
+),
+d AS (
+  SELECT n0, n1,
+         y0::DOUBLE / n0::DOUBLE - y1::DOUBLE / n1::DOUBLE AS diff,
+         sqrt((y0::DOUBLE / n0::DOUBLE)
+              * (1.0 - y0::DOUBLE / n0::DOUBLE) / n0::DOUBLE
+              + (y1::DOUBLE / n1::DOUBLE)
+                * (1.0 - y1::DOUBLE / n1::DOUBLE) / n1::DOUBLE) AS se
+  FROM g
+)
+SELECT n0, n1,
+       round(diff, 6) AS rate_diff,
+       round(se, 6) AS se_unpooled,
+       round((diff + 0.02) / se, 6) AS z_lower,
+       round((0.02 - diff) / se, 6) AS z_upper,
+       CASE WHEN (diff + 0.02) / se > 1.645
+              AND (0.02 - diff) / se > 1.645
+            THEN 1 ELSE 0 END AS equivalent
+FROM d
+"""
+
+
+def dersimonian_laird_sql(exposure: str, outcome: str) -> str:
+    """dersimonian_laird_re twin: the meta_fixed_effect cells with the
+    DL tau2 second pass."""
+    return f"""
+WITH t AS (
+  SELECT lang,
+         list_contains({TOKS}, '{exposure}') AS e,
+         list_contains({TOKS}, '{outcome}') AS o
+  FROM documents
+),
+cells AS (
+  SELECT lang,
+         sum(CASE WHEN e AND o THEN 1 ELSE 0 END)::BIGINT AS a,
+         sum(CASE WHEN e AND NOT o THEN 1 ELSE 0 END)::BIGINT AS b,
+         sum(CASE WHEN NOT e AND o THEN 1 ELSE 0 END)::BIGINT AS c,
+         sum(CASE WHEN NOT e AND NOT o THEN 1 ELSE 0 END)::BIGINT AS d
+  FROM t GROUP BY 1
+),
+per AS (
+  SELECT lang,
+         round(ln((a::DOUBLE + 0.5) * (d::DOUBLE + 0.5)
+                  / ((b::DOUBLE + 0.5) * (c::DOUBLE + 0.5))), 12) AS lnor,
+         round(1.0 / (a::DOUBLE + 0.5) + 1.0 / (b::DOUBLE + 0.5)
+               + 1.0 / (c::DOUBLE + 0.5) + 1.0 / (d::DOUBLE + 0.5), 12)
+           AS v,
+         round(1.0 / (1.0 / (a::DOUBLE + 0.5) + 1.0 / (b::DOUBLE + 0.5)
+                      + 1.0 / (c::DOUBLE + 0.5)
+                      + 1.0 / (d::DOUBLE + 0.5)), 12) AS w
+  FROM cells
+),
+sums AS (
+  SELECT count(*)::BIGINT AS k,
+         sum(round(w * lnor, 12)::DECIMAL(38,12))::DOUBLE AS swl,
+         sum(w::DECIMAL(38,12))::DOUBLE AS sw,
+         sum(round(w * w, 12)::DECIMAL(38,12))::DOUBLE AS sww
+  FROM per
+),
+qa AS (
+  SELECT k, sw, sww,
+         sum(round(w * (lnor - swl / sw) * (lnor - swl / sw),
+                   12)::DECIMAL(38,12))::DOUBLE AS q_het
+  FROM per, sums
+  GROUP BY 1, 2, 3
+),
+scal AS (
+  SELECT k, q_het,
+         round(greatest((q_het - (k::DOUBLE - 1))
+                        / (sw - sww / sw), 0.0), 12) AS tau2
+  FROM qa
+),
+re AS (
+  SELECT s.k, s.q_het, s.tau2,
+         sum(round(round(1.0 / (p.v + s.tau2), 12) * p.lnor,
+                   12)::DECIMAL(38,12))::DOUBLE AS swsl,
+         sum(round(1.0 / (p.v + s.tau2), 12)::DECIMAL(38,12))::DOUBLE
+           AS sws
+  FROM per p, scal s
+  GROUP BY 1, 2, 3
+)
+SELECT k,
+       round(q_het, 6) AS q_het,
+       round(tau2, 6) AS tau2,
+       round(swsl / sws, 6) AS re_pooled_lnor,
+       round(exp(swsl / sws), 6) AS re_pooled_or,
+       round(exp(swsl / sws - 1.96 / sqrt(sws)), 6) AS ci_lower_or,
+       round(exp(swsl / sws + 1.96 / sqrt(sws)), 6) AS ci_upper_or
+FROM re
+"""
+
+
+ORACLES["menzerath_altmann_fit"] = f"""
+WITH per AS (
+  SELECT doc_id, len({TOKS}) AS n_tok,
+         list_reduce(list_transform({TOKS}, t -> length(t)::BIGINT),
+                     (a, b) -> a + b) AS chars
+  FROM documents
+  WHERE len({TOKS}) > 0
+),
+pts AS (
+  SELECT round(ln(n_tok::DOUBLE), 12) AS u,
+         round(ln(chars::DOUBLE / n_tok::DOUBLE), 12) AS w
+  FROM per
+),
+s AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(u::DECIMAL(38,12))::DOUBLE AS su,
+         sum(w::DECIMAL(38,12))::DOUBLE AS sw,
+         sum(round(u * w, 12)::DECIMAL(38,12))::DOUBLE AS suw,
+         sum(round(u * u, 12)::DECIMAL(38,12))::DOUBLE AS suu,
+         sum(round(w * w, 12)::DECIMAL(38,12))::DOUBLE AS sww
+  FROM pts
+)
+SELECT n AS n_docs,
+       round((n::DOUBLE * suw - su * sw)
+             / (n::DOUBLE * suu - su * su), 6) AS ma_slope_b,
+       round((sw - (n::DOUBLE * suw - su * sw)
+                   / (n::DOUBLE * suu - su * su) * su) / n::DOUBLE, 6)
+         AS ln_a,
+       round((n::DOUBLE * suw - su * sw) * (n::DOUBLE * suw - su * sw)
+             / ((n::DOUBLE * suu - su * su)
+                * (n::DOUBLE * sww - sw * sw)), 6) AS r2
+FROM s
+"""

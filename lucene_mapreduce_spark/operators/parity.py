@@ -15456,3 +15456,175 @@ def column_runs_sortedness(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("sortedness"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 180: TOST equivalence, DerSimonian-Laird RE, Menzerath-Altmann
+# ---------------------------------------------------------------------------
+
+TOST_MARGIN = 0.02  # equivalence margin on the user-day conversion rate
+
+
+def tost_equivalence_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-one-sided-tests (TOST) equivalence between the md5-parity
+    arms on user-day purchase conversion — the inverted question the
+    z-test family can't answer (Schuirmann 1987, public; absence of
+    evidence is not evidence of absence): with margin δ = 0.02,
+    z_lower = (d + δ)/SE and z_upper = (δ − d)/SE must BOTH clear
+    1.645 to declare the arms equivalent.  Unpooled SE; exact
+    integer counts; one row."""
+    from lucene_mapreduce_spark.operators.textstats import _md5_52
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias(
+            "ed"
+        ),
+        "event_type",
+    )
+    ud = ev.groupBy("user_id", "ed").agg(
+        F.max((F.col("event_type") == "purchase").cast("long")).alias("y")
+    )
+    arm = (
+        _md5_52(F.concat(F.lit("lr:"), F.col("user_id").cast("string")))
+        % 2
+    ).cast("int")
+    g = ud.select(arm.alias("arm"), "y").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n0"),
+        F.sum(F.when(F.col("arm") == 0, F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("y0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("arm") == 1, F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("y1"),
+    )
+    n0 = F.col("n0").cast("double")
+    n1 = F.col("n1").cast("double")
+    p0 = F.col("y0").cast("double") / n0
+    p1 = F.col("y1").cast("double") / n1
+    d = p0 - p1
+    se = F.sqrt(
+        p0 * (F.lit(1.0) - p0) / n0 + p1 * (F.lit(1.0) - p1) / n1
+    )
+    zl = (d + F.lit(TOST_MARGIN)) / se
+    zu = (F.lit(TOST_MARGIN) - d) / se
+    return g.select(
+        "n0",
+        "n1",
+        F.round(d, 6).alias("rate_diff"),
+        F.round(se, 6).alias("se_unpooled"),
+        F.round(zl, 6).alias("z_lower"),
+        F.round(zu, 6).alias("z_upper"),
+        ((zl > 1.645) & (zu > 1.645)).cast("int").alias("equivalent"),
+    )
+
+
+def dersimonian_laird_re(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DerSimonian-Laird random-effects meta-analysis of the per-
+    language log odds ratios — the between-study-variance upgrade of
+    meta_fixed_effect_or's fixed pooling (DL 1986, public): the same
+    Haldane-corrected 2x2 cells, τ² = max(0, (Q − df)/C) with
+    C = Σw − Σw²/Σw, RE weights 1/(v_i + τ²), and the RE pooled OR
+    with its 95% CI.  All weighted terms ride 12dp DECIMAL sums; two
+    bounded passes."""
+    from lucene_mapreduce_spark.functions.tokenize import tokenize_col
+
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "lang",
+        F.array_contains(tokenize_col("text"), MH_EXPOSURE_TOKEN).alias("e"),
+        F.array_contains(tokenize_col("text"), MH_OUTCOME_TOKEN).alias("o"),
+    )
+    cells = t.groupBy("lang").agg(
+        F.sum((F.col("e") & F.col("o")).cast("long")).alias("a"),
+        F.sum((F.col("e") & ~F.col("o")).cast("long")).alias("b"),
+        F.sum((~F.col("e") & F.col("o")).cast("long")).alias("c"),
+        F.sum((~F.col("e") & ~F.col("o")).cast("long")).alias("d"),
+    )
+    ah = F.col("a").cast("double") + F.lit(0.5)
+    bh = F.col("b").cast("double") + F.lit(0.5)
+    ch = F.col("c").cast("double") + F.lit(0.5)
+    dh = F.col("d").cast("double") + F.lit(0.5)
+    lnor = F.round(F.log(ah * dh / (bh * ch)), 12)
+    var = (
+        F.lit(1.0) / ah + F.lit(1.0) / bh + F.lit(1.0) / ch + F.lit(1.0) / dh
+    )
+    per = cells.select(
+        "lang",
+        lnor.alias("lnor"),
+        F.round(var, 12).alias("v"),
+        F.round(F.lit(1.0) / var, 12).alias("w"),
+    )
+    sums = per.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(
+            F.round(F.col("w") * F.col("lnor"), 12).cast("decimal(38,12)")
+        ).cast("double").alias("swl"),
+        F.sum(F.col("w").cast("decimal(38,12)")).cast("double").alias("sw"),
+        F.sum(
+            F.round(F.col("w") * F.col("w"), 12).cast("decimal(38,12)")
+        ).cast("double").alias("sww"),
+    )
+    pooled = F.col("swl") / F.col("sw")
+    q_terms = per.crossJoin(F.broadcast(sums)).select(
+        "lang",
+        "lnor",
+        "v",
+        "k",
+        "sw",
+        "sww",
+        F.round(
+            F.col("w") * (F.col("lnor") - pooled) * (F.col("lnor") - pooled),
+            12,
+        ).cast("decimal(38,12)").alias("q12"),
+    )
+    qa = q_terms.groupBy("k", "sw", "sww").agg(
+        F.sum("q12").cast("double").alias("q_het")
+    )
+    dfD = (F.col("k") - 1).cast("double")
+    cc = F.col("sw") - F.col("sww") / F.col("sw")
+    tau2 = F.greatest((F.col("q_het") - dfD) / cc, F.lit(0.0))
+    scal = qa.select(
+        "k",
+        F.col("q_het").alias("q_het"),
+        F.round(tau2, 12).alias("tau2"),
+    )
+    re = (
+        per.crossJoin(F.broadcast(scal))
+        .select(
+            "k",
+            "q_het",
+            "tau2",
+            F.round(
+                F.lit(1.0) / (F.col("v") + F.col("tau2")), 12
+            ).alias("ws"),
+            "lnor",
+        )
+        .groupBy("k", "q_het", "tau2")
+        .agg(
+            F.sum(
+                F.round(F.col("ws") * F.col("lnor"), 12).cast(
+                    "decimal(38,12)"
+                )
+            ).cast("double").alias("swsl"),
+            F.sum(F.col("ws").cast("decimal(38,12)"))
+            .cast("double")
+            .alias("sws"),
+        )
+    )
+    mu = F.col("swsl") / F.col("sws")
+    sere = F.lit(1.0) / F.sqrt(F.col("sws"))
+    return re.select(
+        "k",
+        F.round("q_het", 6).alias("q_het"),
+        F.round("tau2", 6).alias("tau2"),
+        F.round(mu, 6).alias("re_pooled_lnor"),
+        F.round(F.exp(mu), 6).alias("re_pooled_or"),
+        F.round(F.exp(mu - F.lit(1.96) * sere), 6).alias("ci_lower_or"),
+        F.round(F.exp(mu + F.lit(1.96) * sere), 6).alias("ci_upper_or"),
+    )

@@ -8279,3 +8279,70 @@ def gries_dp_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cf",
         F.round("dp", 6).alias("gries_dp"),
     ).orderBy("rank")
+
+
+# ---------------------------------------------------------------------------
+# Batch 180: Menzerath-Altmann law fit
+# ---------------------------------------------------------------------------
+
+
+def menzerath_altmann_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Menzerath-Altmann law fit — 'the longer the construct, the
+    shorter its constituents' (public quantitative linguistics): OLS
+    of ln(mean token length in chars) on ln(doc length in tokens)
+    across documents; the law predicts a negative slope b in
+    y = a x^b.  Per-doc means are exact integer ratios; both lns
+    ride 12dp rounding with products 12dp-rounded into DECIMAL sums
+    (the house OLS discipline).  One row with slope, intercept,
+    and r²."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize_col("text").alias("tk"))
+    per = toks.select(
+        "doc_id",
+        F.size("tk").cast("long").alias("n_tok"),
+        F.aggregate(
+            F.transform(F.col("tk"), lambda t: F.length(t).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("chars"),
+    ).filter(F.col("n_tok") > 0)
+    pts = per.select(
+        F.round(F.log(F.col("n_tok").cast("double")), 12).alias("u"),
+        F.round(
+            F.log(
+                F.col("chars").cast("double")
+                / F.col("n_tok").cast("double")
+            ),
+            12,
+        ).alias("w"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("u").cast("decimal(38,12)")).alias("su"),
+        F.sum(F.col("w").cast("decimal(38,12)")).alias("sw"),
+        F.sum(
+            F.round(F.col("u") * F.col("w"), 12).cast("decimal(38,12)")
+        ).alias("suw"),
+        F.sum(
+            F.round(F.col("u") * F.col("u"), 12).cast("decimal(38,12)")
+        ).alias("suu"),
+        F.sum(
+            F.round(F.col("w") * F.col("w"), 12).cast("decimal(38,12)")
+        ).alias("sww"),
+    )
+    nD = F.col("n").cast("double")
+    su = F.col("su").cast("double")
+    sw = F.col("sw").cast("double")
+    suw = F.col("suw").cast("double")
+    suu = F.col("suu").cast("double")
+    sww = F.col("sww").cast("double")
+    num = nD * suw - su * sw
+    dxx = nD * suu - su * su
+    dyy = nD * sww - sw * sw
+    b = num / dxx
+    return s.select(
+        F.col("n").alias("n_docs"),
+        F.round(b, 6).alias("ma_slope_b"),
+        F.round((sw - b * su) / nD, 6).alias("ln_a"),
+        F.round(num * num / (dxx * dyy), 6).alias("r2"),
+    )
