@@ -1291,6 +1291,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tost_equivalence_test": parity.tost_equivalence_test,
         "dersimonian_laird_re": parity.dersimonian_laird_re,
         "menzerath_altmann_fit": textstats.menzerath_altmann_fit,
+        # batch 181: regression discontinuity, retention decay, ABC
+        "regression_discontinuity": relational.regression_discontinuity,
+        "retention_decay_fit": relational.retention_decay_fit,
+        "abc_classification": relational.abc_classification,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})

@@ -24723,3 +24723,120 @@ SELECT n AS n_docs,
                 * (n::DOUBLE * sww - sw * sw)), 6) AS r2
 FROM s
 """
+
+# ---- batch 181: regression discontinuity, retention decay, ABC -------------
+
+ORACLES["regression_discontinuity"] = """
+WITH o AS (
+  SELECT o_orderkey, round(o_totalprice, 2)::DOUBLE AS x FROM orders
+),
+li AS (
+  SELECT l_orderkey AS o_orderkey, count(*)::BIGINT AS y
+  FROM lineitem GROUP BY 1
+),
+j AS (
+  SELECT CASE WHEN x >= 250000.0 THEN 1 ELSE 0 END AS side,
+         round((x - 250000.0) / 100000.0, 12) AS u,
+         y::DOUBLE AS y
+  FROM o JOIN li USING (o_orderkey)
+  WHERE x >= 150000.0 AND x < 350000.0
+),
+mom AS (
+  SELECT side, count(*)::BIGINT AS n,
+         sum(u::DECIMAL(38,12))::DOUBLE AS su,
+         sum(round(u * u, 12)::DECIMAL(38,12))::DOUBLE AS suu,
+         sum(y::DECIMAL(38,2))::DOUBLE AS sy,
+         sum(round(u * y, 12)::DECIMAL(38,12))::DOUBLE AS suy
+  FROM j GROUP BY 1
+),
+per AS (
+  SELECT side, n,
+         round((n::DOUBLE * suy - su * sy)
+               / (n::DOUBLE * suu - su * su), 6) AS slope,
+         round((sy - (n::DOUBLE * suy - su * sy)
+                     / (n::DOUBLE * suu - su * su) * su) / n::DOUBLE, 6)
+           AS icpt
+  FROM mom
+)
+SELECT l.n AS n_left, r.n AS n_right,
+       l.slope AS slope_left, r.slope AS slope_right,
+       l.icpt AS intercept_left, r.icpt AS intercept_right,
+       round(r.icpt - l.icpt, 6) AS rd_effect
+FROM (SELECT * FROM per WHERE side = 0) l,
+     (SELECT * FROM per WHERE side = 1) r
+"""
+
+ORACLES["retention_decay_fit"] = """
+WITH ev AS (
+  SELECT DISTINCT user_id,
+         epoch_us(ts) // 86400000000 // 7 AS wk
+  FROM events
+),
+first_ AS (SELECT user_id, min(wk) AS w0 FROM ev GROUP BY 1),
+act AS (
+  SELECT e.user_id, e.wk - f.w0 AS off
+  FROM ev e JOIN first_ f USING (user_id)
+),
+base AS (SELECT count(*)::BIGINT AS n_users FROM first_),
+per AS (
+  SELECT off, count(DISTINCT user_id)::BIGINT AS active
+  FROM act WHERE off >= 1 GROUP BY 1
+),
+pts AS (
+  SELECT off::DOUBLE AS u,
+         round(ln(active::DOUBLE / n_users::DOUBLE), 12) AS w
+  FROM per, base
+),
+s AS (
+  SELECT count(*)::BIGINT AS k,
+         sum(u::DECIMAL(38,6))::DOUBLE AS su,
+         sum(w::DECIMAL(38,12))::DOUBLE AS sw,
+         sum(round(u * w, 12)::DECIMAL(38,12))::DOUBLE AS suw,
+         sum(round(u * u, 6)::DECIMAL(38,6))::DOUBLE AS suu
+  FROM pts
+),
+d AS (
+  SELECT k,
+         CASE WHEN k::DOUBLE * suu - su * su <> 0
+              THEN (k::DOUBLE * suw - su * sw)
+                   / (k::DOUBLE * suu - su * su) END AS slope,
+         su, sw
+  FROM s
+)
+SELECT k AS n_week_offsets,
+       round(slope, 6) AS decay_slope,
+       round(exp((sw - slope * su) / k::DOUBLE), 6) AS week1_level,
+       round(CASE WHEN slope < 0
+                  THEN -0.6931471805599453 / slope END, 6)
+         AS half_life_weeks
+FROM d
+"""
+
+ORACLES["abc_classification"] = """
+WITH per AS (
+  SELECT l_partkey,
+         sum(round(l_extendedprice, 2)::DECIMAL(28,2)) AS rev
+  FROM lineitem GROUP BY 1
+),
+tot AS (SELECT count(*)::BIGINT AS np, sum(rev) AS t FROM per),
+ranked AS (
+  SELECT rev, np, t,
+         sum(rev) OVER (ORDER BY rev DESC, l_partkey ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS cum
+  FROM per, tot
+),
+classed AS (
+  SELECT rev, np, t,
+         CASE WHEN cum::DOUBLE / t::DOUBLE <= 0.80 THEN 'A'
+              WHEN cum::DOUBLE / t::DOUBLE <= 0.95 THEN 'B'
+              ELSE 'C' END AS abc
+  FROM ranked
+)
+SELECT abc, count(*)::BIGINT AS n_parts,
+       round(count(*)::DOUBLE / any_value(np)::DOUBLE, 6) AS part_share,
+       round(sum(rev)::DOUBLE / any_value(t)::DOUBLE, 6) AS revenue_share
+FROM classed
+GROUP BY 1
+ORDER BY abc
+"""

@@ -5008,3 +5008,218 @@ def edge_triangle_support(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("support")
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 181: regression discontinuity, retention decay, ABC classes
+# ---------------------------------------------------------------------------
+
+RD_CUTOFF = 250000.0  # pinned running-variable cutoff
+RD_BANDWIDTH = 100000.0
+
+
+def regression_discontinuity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharp regression-discontinuity estimate at a pinned order-value
+    cutoff — the local-linear jump estimator (Thistlethwaite &
+    Campbell 1960, public) run as a CALIBRATION check (no real
+    treatment exists at 250k, so the honest estimate is ~0): within
+    the ±100k bandwidth, separate OLS lines left and right of the
+    cutoff on the lineitem count per order, RD effect = the gap
+    between the two intercepts evaluated AT the cutoff.  Exact
+    integer outcomes; centered running variable; one row."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice"), 2).cast("double").alias("x"),
+    )
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    j = (
+        o.join(li, "o_orderkey")
+        .filter(
+            (F.col("x") >= RD_CUTOFF - RD_BANDWIDTH)
+            & (F.col("x") < RD_CUTOFF + RD_BANDWIDTH)
+        )
+        .select(
+            (F.col("x") >= RD_CUTOFF).cast("int").alias("side"),
+            F.round(
+                (F.col("x") - F.lit(RD_CUTOFF)) / F.lit(RD_BANDWIDTH), 12
+            ).alias("u"),
+            F.col("y").cast("double").alias("y"),
+        )
+    )
+    mom = j.groupBy("side").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("u").cast("decimal(38,12)")).cast("double").alias("su"),
+        F.sum(
+            F.round(F.col("u") * F.col("u"), 12).cast("decimal(38,12)")
+        ).cast("double").alias("suu"),
+        F.sum(F.col("y").cast("decimal(38,2)")).cast("double").alias("sy"),
+        F.sum(
+            F.round(F.col("u") * F.col("y"), 12).cast("decimal(38,12)")
+        ).cast("double").alias("suy"),
+    )
+    nD = F.col("n").cast("double")
+    slope = (nD * F.col("suy") - F.col("su") * F.col("sy")) / (
+        nD * F.col("suu") - F.col("su") * F.col("su")
+    )
+    intercept = (F.col("sy") - slope * F.col("su")) / nD
+    per = mom.select(
+        "side",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept_at_cutoff"),
+    )
+    lft = per.filter(F.col("side") == 0).select(
+        F.col("n").alias("n_left"),
+        F.col("slope").alias("slope_left"),
+        F.col("intercept_at_cutoff").alias("icpt_left"),
+    )
+    rgt = per.filter(F.col("side") == 1).select(
+        F.col("n").alias("n_right"),
+        F.col("slope").alias("slope_right"),
+        F.col("intercept_at_cutoff").alias("icpt_right"),
+    )
+    return lft.crossJoin(rgt).select(
+        "n_left",
+        "n_right",
+        "slope_left",
+        "slope_right",
+        F.col("icpt_left").alias("intercept_left"),
+        F.col("icpt_right").alias("intercept_right"),
+        F.round(
+            F.col("icpt_right") - F.col("icpt_left"), 6
+        ).alias("rd_effect"),
+    )
+
+
+def retention_decay_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential decay fit to the weekly user-retention curve —
+    retention_cohorts' table compressed to its half-life (public
+    growth-analytics convention): pooled retention rate at each week
+    offset (users active in their signup week AND week w over
+    signup-week users, offsets = epoch-day div 7 deltas), ln-OLS of
+    rate on offset w >= 1, half-life = −ln 2 / slope.  Exact integer
+    cohort counts; offset-bounded rows folded to one."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(
+            "unix_micros(cast(ts as timestamp)) div 86400000000 div 7"
+        ).alias("wk"),
+    ).distinct()
+    first = ev.groupBy("user_id").agg(F.min("wk").alias("w0"))
+    act = ev.join(first, "user_id").select(
+        "user_id", (F.col("wk") - F.col("w0")).alias("off")
+    )
+    base = first.agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    per = (
+        act.filter(F.col("off") >= 1)
+        .groupBy("off")
+        .agg(F.countDistinct("user_id").cast("long").alias("active"))
+    )
+    pts = per.crossJoin(F.broadcast(base)).select(
+        "off",
+        F.round(
+            F.log(
+                F.col("active").cast("double")
+                / F.col("n_users").cast("double")
+            ),
+            12,
+        ).alias("w"),
+        F.col("off").cast("double").alias("u"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(F.col("u").cast("decimal(38,6)")).cast("double").alias("su"),
+        F.sum(F.col("w").cast("decimal(38,12)")).cast("double").alias("sw"),
+        F.sum(
+            F.round(F.col("u") * F.col("w"), 12).cast("decimal(38,12)")
+        ).cast("double").alias("suw"),
+        F.sum(
+            F.round(F.col("u") * F.col("u"), 6).cast("decimal(38,6)")
+        ).cast("double").alias("suu"),
+    )
+    kD = F.col("k").cast("double")
+    dxx = kD * F.col("suu") - F.col("su") * F.col("su")
+    slope = F.when(
+        dxx != 0,
+        (kD * F.col("suw") - F.col("su") * F.col("sw")) / dxx,
+    )
+    icpt = (F.col("sw") - slope * F.col("su")) / kD
+    # an always-on synthetic stream can make retention flat (slope 0)
+    # or leave a single offset (dxx 0): honest NULLs in both cases
+    return s.select(
+        F.col("k").alias("n_week_offsets"),
+        F.round(slope, 6).alias("decay_slope"),
+        F.round(F.exp(icpt), 6).alias("week1_level"),
+        F.round(
+            F.when(slope < 0, -F.lit(0.6931471805599453) / slope), 6
+        ).alias("half_life_weeks"),
+    )
+
+
+def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification of parts by revenue — the 80/15/5
+    Pareto ladder (public operations classic) pareto_share_curve's
+    deciles imply but never label: parts ranked by exact DECIMAL
+    revenue (ties by key), class A until cumulative share crosses
+    80%, B until 95%, C after; per-class part counts, part share,
+    and revenue share.  Rank windows over part-bounded rows."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.round(F.col("l_extendedprice"), 2)
+        .cast("decimal(28,2)")
+        .alias("rev"),
+    )
+    per = li.groupBy("l_partkey").agg(F.sum("rev").alias("rev"))
+    tot = per.agg(
+        F.count(F.lit(1)).cast("long").alias("np"),
+        F.sum("rev").alias("t"),
+    )
+    wo = Window.orderBy(F.desc("rev"), F.asc("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = per.crossJoin(F.broadcast(tot)).select(
+        "l_partkey",
+        "rev",
+        "np",
+        "t",
+        F.sum("rev").over(wo).alias("cum"),
+    )
+    # class decided on the cumulative share INCLUDING the part
+    share = F.col("cum").cast("double") / F.col("t").cast("double")
+    classed = ranked.select(
+        "rev",
+        "np",
+        "t",
+        F.when(share <= 0.80, F.lit("A"))
+        .when(share <= 0.95, F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("abc"),
+    )
+    return (
+        classed.groupBy("abc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum("rev").alias("class_rev"),
+            F.first("np").alias("np"),
+            F.first("t").alias("t"),
+        )
+        .select(
+            "abc",
+            "n_parts",
+            F.round(
+                F.col("n_parts").cast("double")
+                / F.col("np").cast("double"),
+                6,
+            ).alias("part_share"),
+            F.round(
+                F.col("class_rev").cast("double")
+                / F.col("t").cast("double"),
+                6,
+            ).alias("revenue_share"),
+        )
+        .orderBy("abc")
+    )
