@@ -1295,6 +1295,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regression_discontinuity": relational.regression_discontinuity,
         "retention_decay_fit": relational.retention_decay_fit,
         "abc_classification": relational.abc_classification,
+        # batch 182: activity h-index, mode skewness, price endings
+        "activity_h_index": parity.activity_h_index,
+        "mode_skewness_panel": parity.mode_skewness_panel,
+        "price_ending_audit": parity.price_ending_audit,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})

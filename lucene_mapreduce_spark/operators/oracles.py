@@ -24840,3 +24840,88 @@ FROM classed
 GROUP BY 1
 ORDER BY abc
 """
+
+# ---- batch 182: h-index, mode skewness, price endings ----------------------
+
+ORACLES["activity_h_index"] = """
+WITH per AS (
+  SELECT user_id, count(*)::BIGINT AS c FROM events GROUP BY 1
+),
+ranked AS (
+  SELECT c,
+         row_number() OVER (ORDER BY c DESC, user_id ASC) AS rk,
+         sum(c) OVER (ORDER BY c DESC, user_id ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS cum
+  FROM per
+)
+SELECT count(*)::BIGINT AS n_users,
+       sum(c)::BIGINT AS n_events,
+       max(CASE WHEN c >= rk THEN rk END)::BIGINT AS h_index,
+       max(CASE WHEN cum >= rk * rk THEN rk END)::BIGINT AS g_index,
+       round(max(CASE WHEN c >= rk THEN rk END)::DOUBLE
+             / count(*)::DOUBLE, 6) AS h_over_users
+FROM ranked
+"""
+
+ORACLES["mode_skewness_panel"] = """
+WITH ev AS (
+  SELECT round(value * 100, 0)::BIGINT AS cents FROM events
+),
+tab AS (SELECT cents, count(*)::BIGINT AS c FROM ev GROUP BY 1),
+mode_ AS (
+  SELECT cents AS mode_cents FROM (
+    SELECT cents, row_number() OVER (ORDER BY c DESC, cents ASC) AS r
+    FROM tab
+  ) WHERE r = 1
+),
+mom AS (
+  SELECT count(*)::BIGINT AS n, sum(cents)::BIGINT AS s1,
+         sum(cents * cents)::BIGINT AS s2,
+         quantile_cont(cents, 0.5) AS med
+  FROM ev
+),
+d AS (
+  SELECT n, med, mode_cents,
+         s1::DOUBLE / n::DOUBLE AS mean,
+         sqrt((s2::DOUBLE - s1::DOUBLE * (s1::DOUBLE / n::DOUBLE))
+              / (n::DOUBLE - 1)) AS sd
+  FROM mom, mode_
+)
+SELECT n,
+       round(mean / 100, 6) AS mean_value,
+       round(med / 100, 6) AS median_value,
+       round(mode_cents::DOUBLE / 100, 2) AS mode_value,
+       round((mean - mode_cents::DOUBLE) / sd, 6) AS mode_skewness,
+       round(3 * (mean - med) / sd, 6) AS median_skewness
+FROM d
+"""
+
+ORACLES["price_ending_audit"] = """
+WITH o AS (
+  SELECT (round(o_totalprice * 100, 0)::BIGINT % 100)::BIGINT AS ending
+  FROM orders
+),
+cells AS (SELECT ending, count(*)::BIGINT AS c FROM o GROUP BY 1),
+tot AS (
+  SELECT sum(c)::BIGINT AS n, count(*)::BIGINT AS n_endings FROM cells
+),
+chi AS (
+  SELECT sum(round((c::DOUBLE - n::DOUBLE / 100)
+                   * (c::DOUBLE - n::DOUBLE / 100)
+                   / (n::DOUBLE / 100), 12)::DECIMAL(38,12))::DOUBLE
+           AS chi_obs
+  FROM cells, tot
+)
+SELECT rank, ending, c AS n_orders,
+       round(c::DOUBLE / n::DOUBLE, 6) AS share,
+       round(chi_obs + (100 - n_endings)::DOUBLE * n::DOUBLE / 100, 6)
+         AS uniformity_chi2
+FROM (
+  SELECT ending, c,
+         row_number() OVER (ORDER BY c DESC, ending ASC) AS rank
+  FROM cells
+) r, tot, chi
+WHERE rank <= 5
+ORDER BY rank
+"""

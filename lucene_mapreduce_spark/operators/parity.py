@@ -15628,3 +15628,170 @@ def dersimonian_laird_re(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.exp(mu - F.lit(1.96) * sere), 6).alias("ci_lower_or"),
         F.round(F.exp(mu + F.lit(1.96) * sere), 6).alias("ci_upper_or"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 182: activity h-index, mode skewness, price endings
+# ---------------------------------------------------------------------------
+
+
+def activity_h_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hirsch h-index and Egghe g-index of the user-activity
+    distribution (public bibliometrics transplanted to engagement):
+    h = the largest h with >= h users having >= h events; g = the
+    largest g whose top-g users hold >= g² events together.  Both are
+    exact integer rank conditions over the descending count order.
+    One groupBy + one rank window, one row."""
+    ev = load(spark, sf_dir, "events").select("user_id")
+    per = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wo = Window.orderBy(F.desc("c"), F.asc("user_id"))
+    ranked = per.select(
+        "c",
+        F.row_number().over(wo).alias("rk"),
+        F.sum("c")
+        .over(
+            Window.orderBy(F.desc("c"), F.asc("user_id")).rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("cum"),
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("c").cast("long").alias("n_events"),
+        F.max(
+            F.when(F.col("c") >= F.col("rk"), F.col("rk"))
+        ).cast("long").alias("h_index"),
+        F.max(
+            F.when(
+                F.col("cum") >= F.col("rk") * F.col("rk"), F.col("rk")
+            )
+        ).cast("long").alias("g_index"),
+    )
+    return agg.select(
+        "n_users",
+        "n_events",
+        "h_index",
+        "g_index",
+        F.round(
+            F.col("h_index").cast("double")
+            / F.col("n_users").cast("double"),
+            6,
+        ).alias("h_over_users"),
+    )
+
+
+def mode_skewness_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson's mode and median skewness of event value — the
+    pre-moment-era skew pair (Pearson 1895, public) beside Bowley's
+    quartile version: mode = the most frequent exact cent value
+    (lowest on ties), mode skew = (mean − mode)/s, median skew =
+    3(mean − median)/s with the exact type-7 median.  Exact integer
+    cents everywhere; one row."""
+    ev = load(spark, sf_dir, "events").select(
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents")
+    )
+    tab = ev.groupBy("cents").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    mode = tab.agg(
+        F.max(F.struct(F.col("c"), (-F.col("cents")).alias("neg"))).alias(
+            "m"
+        )
+    ).select(
+        (-F.col("m.neg")).cast("long").alias("mode_cents")
+    )
+    mom = ev.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).cast("long").alias("s2"),
+        F.expr("percentile(cents, 0.5)").alias("med"),
+    )
+    j = mom.crossJoin(F.broadcast(mode))
+    nD = F.col("n").cast("double")
+    mean = F.col("s1").cast("double") / nD
+    sd = F.sqrt(
+        (F.col("s2").cast("double") - F.col("s1").cast("double") * mean)
+        / (nD - 1)
+    )
+    return j.select(
+        "n",
+        F.round(mean / 100, 6).alias("mean_value"),
+        F.round(F.col("med") / 100, 6).alias("median_value"),
+        F.round(F.col("mode_cents").cast("double") / 100, 2).alias(
+            "mode_value"
+        ),
+        F.round(
+            (mean - F.col("mode_cents").cast("double")) / sd, 6
+        ).alias("mode_skewness"),
+        F.round(3 * (mean - F.col("med")) / sd, 6).alias(
+            "median_skewness"
+        ),
+    )
+
+
+PRICE_ENDING_TOP_K = 5
+
+
+def price_ending_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charm-pricing / forensic audit of order-price cent endings —
+    the last-two-digits distribution the Benford family's leading
+    digits ignore (public forensic accounting): top-5 endings by
+    count with their share, plus the 100-cell uniformity chi-square
+    on every row (a synthetic uniform price grid should NOT show .99
+    spikes — the honest null read).  Exact integer cells."""
+    o = load(spark, sf_dir, "orders").select(
+        F.pmod(
+            F.round(F.col("o_totalprice") * 100, 0).cast("long"), F.lit(100)
+        ).alias("ending")
+    )
+    cells = o.groupBy("ending").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = cells.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_endings"),
+    )
+    chi = (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            F.round(
+                (
+                    F.col("c").cast("double")
+                    - F.col("n").cast("double") / 100
+                )
+                * (
+                    F.col("c").cast("double")
+                    - F.col("n").cast("double") / 100
+                )
+                / (F.col("n").cast("double") / 100),
+                12,
+            ).cast("decimal(38,12)").alias("c12")
+        )
+        .agg(F.sum("c12").cast("double").alias("chi_obs"))
+    )
+    wo = Window.orderBy(F.desc("c"), F.asc("ending"))
+    top = (
+        cells.withColumn("rank", F.row_number().over(wo))
+        .filter(F.col("rank") <= PRICE_ENDING_TOP_K)
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(chi))
+        .select(
+            "rank",
+            "ending",
+            F.col("c").alias("n_orders"),
+            F.round(
+                F.col("c").cast("double") / F.col("n").cast("double"), 6
+            ).alias("share"),
+            F.round(
+                F.col("chi_obs")
+                + (F.lit(100) - F.col("n_endings")).cast("double")
+                * F.col("n").cast("double")
+                / 100,
+                6,
+            ).alias("uniformity_chi2"),
+        )
+    )
+    return top.orderBy("rank")
