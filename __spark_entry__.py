@@ -1299,6 +1299,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "activity_h_index": parity.activity_h_index,
         "mode_skewness_panel": parity.mode_skewness_panel,
         "price_ending_audit": parity.price_ending_audit,
+        # batch 183: Weibull plot, extremal index, price dispersion
+        "weibull_plot_fit": relational.weibull_plot_fit,
+        "extremal_index_runs": relational.extremal_index_runs,
+        "unit_price_dispersion_topk": relational.unit_price_dispersion_topk,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})

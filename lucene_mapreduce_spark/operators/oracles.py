@@ -24925,3 +24925,112 @@ FROM (
 WHERE rank <= 5
 ORDER BY rank
 """
+
+# ---- batch 183: Weibull plot, extremal index, price dispersion -------------
+
+ORACLES["weibull_plot_fit"] = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id FROM events
+),
+gaps AS (
+  SELECT g FROM (
+    SELECT us - lag(us) OVER (PARTITION BY user_id
+                              ORDER BY us, event_id) AS g
+    FROM ev
+  ) WHERE g IS NOT NULL AND g > 0
+),
+n AS (SELECT count(*)::BIGINT AS n FROM gaps),
+ranked AS (
+  SELECT g, n.n, row_number() OVER (ORDER BY g ASC) AS i
+  FROM gaps, n
+),
+pts AS (
+  SELECT n,
+         round(ln(g::DOUBLE), 12) AS u,
+         round(ln(-ln(1.0 - (i::DOUBLE - 0.3) / (n::DOUBLE + 0.4))),
+               12) AS y
+  FROM ranked
+),
+s AS (
+  SELECT n,
+         sum(u::DECIMAL(38,12))::DOUBLE AS su,
+         sum(y::DECIMAL(38,12))::DOUBLE AS sy,
+         sum(round(u * y, 12)::DECIMAL(38,12))::DOUBLE AS suy,
+         sum(round(u * u, 12)::DECIMAL(38,12))::DOUBLE AS suu
+  FROM pts GROUP BY 1
+),
+d AS (
+  SELECT n,
+         (n::DOUBLE * suy - su * sy) / (n::DOUBLE * suu - su * su) AS k,
+         su, sy
+  FROM s
+)
+SELECT n AS n_gaps,
+       round(k, 6) AS weibull_shape_k,
+       round(exp(-((sy - k * su) / n::DOUBLE) / k), 6)
+         AS weibull_scale_us,
+       CASE WHEN k < 1 THEN 1 ELSE 0 END AS bursty
+FROM d
+"""
+
+ORACLES["extremal_index_runs"] = """
+WITH ev AS (
+  SELECT epoch_us(ts) // 86400000000 AS ed FROM events
+),
+days AS (
+  SELECT unnest(range(d0, d1 + 1)) AS ed
+  FROM (SELECT min(ed) AS d0, max(ed) AS d1 FROM ev)
+),
+counts AS (SELECT ed, count(*)::BIGINT AS c FROM ev GROUP BY 1),
+cal AS (
+  SELECT d.ed, coalesce(c.c, 0)::BIGINT AS c
+  FROM days d LEFT JOIN counts c ON c.ed = d.ed
+),
+thr AS (SELECT quantile_cont(c, 0.9) AS u FROM cal),
+exc AS (
+  SELECT ed, round(u, 6) AS u FROM cal, thr WHERE c::DOUBLE > u
+),
+marks AS (
+  SELECT ed, u,
+         CASE WHEN lag(ed) OVER (ORDER BY ed) IS NULL
+                OR ed - lag(ed) OVER (ORDER BY ed) > 2
+              THEN 1 ELSE 0 END AS new_cluster
+  FROM exc
+)
+SELECT any_value(u) AS threshold,
+       count(*)::BIGINT AS n_exceedances,
+       sum(new_cluster)::BIGINT AS n_clusters,
+       round(sum(new_cluster)::DOUBLE / count(*)::DOUBLE, 6)
+         AS extremal_index
+FROM marks
+"""
+
+ORACLES["unit_price_dispersion_topk"] = """
+WITH li AS (
+  SELECT l_partkey,
+         round(l_extendedprice / l_quantity, 6) AS up
+  FROM lineitem
+),
+per AS (
+  SELECT l_partkey, count(*)::BIGINT AS n_lines,
+         sum(round(up, 12)::DECIMAL(38,12)) AS s1,
+         sum(round(up * up, 12)::DECIMAL(38,12)) AS s2
+  FROM li GROUP BY 1
+  HAVING count(*) >= 5
+),
+scored AS (
+  SELECT l_partkey, n_lines,
+         round(s1::DOUBLE / n_lines::DOUBLE, 6) AS mean_unit_price,
+         round(sqrt((s2::DOUBLE
+                     - s1::DOUBLE * (s1::DOUBLE / n_lines::DOUBLE))
+                    / (n_lines::DOUBLE - 1))
+               / (s1::DOUBLE / n_lines::DOUBLE), 6) AS cv
+  FROM per
+)
+SELECT rank, l_partkey, n_lines, mean_unit_price, cv
+FROM (
+  SELECT *, row_number() OVER (ORDER BY cv DESC, l_partkey ASC) AS rank
+  FROM scored
+) WHERE rank <= 10
+ORDER BY rank
+"""

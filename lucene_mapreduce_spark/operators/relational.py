@@ -5223,3 +5223,176 @@ def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc")
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 183: Weibull plot, extremal index, price dispersion
+# ---------------------------------------------------------------------------
+
+
+def weibull_plot_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weibull probability-plot fit to the pooled within-user
+    inter-event gaps — the reliability-engineering shape/scale read
+    (public median-rank regression): gaps sorted ascending with
+    Benard's median ranks p = (i − 0.3)/(n + 0.4), OLS of
+    ln(−ln(1 − p)) on ln(gap); shape k = slope (k < 1 means
+    burst-prone 'infant mortality' arrivals, the Goh-Barabasi story
+    in Weibull clothes), scale λ = exp(−intercept/k).  Zero gaps
+    (same-microsecond events) are excluded from the log plot
+    (documented).  One rank window + 12dp DECIMAL OLS sums."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gaps = (
+        ev.select((F.col("us") - F.lag("us").over(w)).alias("g"))
+        .filter(F.col("g").isNotNull() & (F.col("g") > 0))
+    )
+    n = gaps.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ranked = gaps.crossJoin(F.broadcast(n)).select(
+        "g",
+        "n",
+        F.row_number()
+        .over(Window.orderBy(F.asc("g")))
+        .alias("i"),
+    )
+    pts = ranked.select(
+        "n",
+        F.round(F.log(F.col("g").cast("double")), 12).alias("u"),
+        F.round(
+            F.log(
+                -F.log(
+                    F.lit(1.0)
+                    - (F.col("i").cast("double") - 0.3)
+                    / (F.col("n").cast("double") + 0.4)
+                )
+            ),
+            12,
+        ).alias("y"),
+    )
+    s = pts.groupBy("n").agg(
+        F.sum(F.col("u").cast("decimal(38,12)")).cast("double").alias("su"),
+        F.sum(F.col("y").cast("decimal(38,12)")).cast("double").alias("sy"),
+        F.sum(
+            F.round(F.col("u") * F.col("y"), 12).cast("decimal(38,12)")
+        ).cast("double").alias("suy"),
+        F.sum(
+            F.round(F.col("u") * F.col("u"), 12).cast("decimal(38,12)")
+        ).cast("double").alias("suu"),
+    )
+    nD = F.col("n").cast("double")
+    k = (nD * F.col("suy") - F.col("su") * F.col("sy")) / (
+        nD * F.col("suu") - F.col("su") * F.col("su")
+    )
+    icpt = (F.col("sy") - k * F.col("su")) / nD
+    return s.select(
+        F.col("n").alias("n_gaps"),
+        F.round(k, 6).alias("weibull_shape_k"),
+        F.round(F.exp(-icpt / k), 6).alias("weibull_scale_us"),
+        (k < 1).cast("int").alias("bursty"),
+    )
+
+
+EXTREMAL_RUN_GAP = 2  # days of quiet that split exceedance clusters
+
+
+def extremal_index_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extremal index by the runs declustering estimator — how much
+    do daily-count extremes CLUSTER? (Smith & Weissman 1994, public;
+    θ = 1 means isolated spikes, θ → 0 long storms — the
+    serial-dependence companion of gpd_pot_fit's marginal tail):
+    exceedances over the exact type-7 p90 of the gap-filled series,
+    clusters split by > 2 quiet days, θ̂ = clusters/exceedances.
+    One window pass."""
+    ev = load(spark, sf_dir, "events").select(
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias(
+            "ed"
+        )
+    )
+    span = ev.agg(F.min("ed").alias("d0"), F.max("ed").alias("d1"))
+    days = span.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("ed")
+    )
+    counts = ev.groupBy("ed").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    cal = days.join(counts, "ed", "left").select(
+        "ed", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+    )
+    thr = cal.agg(F.expr("percentile(c, 0.9)").alias("u"))
+    exc = (
+        cal.crossJoin(F.broadcast(thr))
+        .filter(F.col("c").cast("double") > F.col("u"))
+        .select("ed", F.round("u", 6).alias("u"))
+    )
+    w = Window.orderBy("ed")
+    marks = exc.select(
+        "ed",
+        "u",
+        F.when(
+            F.lag("ed").over(w).isNull()
+            | (F.col("ed") - F.lag("ed").over(w) > EXTREMAL_RUN_GAP),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_cluster"),
+    )
+    agg = marks.agg(
+        F.count(F.lit(1)).cast("long").alias("n_exceedances"),
+        F.sum("new_cluster").cast("long").alias("n_clusters"),
+        F.first("u").alias("threshold"),
+    )
+    return agg.select(
+        "threshold",
+        "n_exceedances",
+        "n_clusters",
+        F.round(
+            F.col("n_clusters").cast("double")
+            / F.col("n_exceedances").cast("double"),
+            6,
+        ).alias("extremal_index"),
+    )
+
+
+PRICE_DISP_MIN_LINES = 5
+PRICE_DISP_K = 10
+
+
+def unit_price_dispersion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit-price dispersion league table — the parts whose realized
+    price varies most across lines (price-consistency audit; the
+    per-part CV of extendedprice/quantity): parts with >= 5 lines,
+    CV from 12dp DECIMAL moment sums, top-10 by (rounded CV desc,
+    part asc).  Part-bounded output."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.round(
+            F.col("l_extendedprice") / F.col("l_quantity"), 6
+        ).alias("up"),
+    )
+    per = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(
+            F.round(F.col("up"), 12).cast("decimal(38,12)")
+        ).alias("s1"),
+        F.sum(
+            F.round(F.col("up") * F.col("up"), 12).cast("decimal(38,12)")
+        ).alias("s2"),
+    ).filter(F.col("n_lines") >= PRICE_DISP_MIN_LINES)
+    nD = F.col("n_lines").cast("double")
+    mean = F.col("s1").cast("double") / nD
+    sd = F.sqrt(
+        (F.col("s2").cast("double") - F.col("s1").cast("double") * mean)
+        / (nD - 1)
+    )
+    scored = per.select(
+        "l_partkey",
+        "n_lines",
+        F.round(mean, 6).alias("mean_unit_price"),
+        F.round(sd / mean, 6).alias("cv"),
+    )
+    from lucene_mapreduce_spark.operators.parity import ranked_topk
+
+    return ranked_topk(
+        scored, [F.desc("cv"), F.asc("l_partkey")], PRICE_DISP_K
+    ).select("rank", "l_partkey", "n_lines", "mean_unit_price", "cv")
