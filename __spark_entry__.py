@@ -1303,6 +1303,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weibull_plot_fit": relational.weibull_plot_fit,
         "extremal_index_runs": relational.extremal_index_runs,
         "unit_price_dispersion_topk": relational.unit_price_dispersion_topk,
+        # batch 184: fairness panel, exponential PPCC
+        "fairness_metrics_panel": parity.fairness_metrics_panel,
+        "ppcc_exponential_test": parity.ppcc_exponential_test,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})

@@ -25034,3 +25034,88 @@ FROM (
 ) WHERE rank <= 10
 ORDER BY rank
 """
+
+# ---- batch 184: fairness panel, exponential PPCC ---------------------------
+
+ORACLES["fairness_metrics_panel"] = f"""
+WITH ev AS (
+  SELECT ({_BM_ARM}) % 2 AS g,
+         CASE WHEN round(value * 100, 0)::BIGINT > 5000
+              THEN 1 ELSE 0 END::BIGINT AS pred,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END::BIGINT AS y
+  FROM events
+),
+per AS (
+  SELECT g, count(*)::BIGINT AS n, sum(pred)::BIGINT AS sel,
+         sum(pred * y)::BIGINT AS tp, sum(y)::BIGINT AS pos,
+         sum(pred * (1 - y))::BIGINT AS fp, sum(1 - y)::BIGINT AS neg
+  FROM ev GROUP BY 1
+),
+j AS (
+  SELECT g0.n AS n0, g0.sel AS sel0, g0.tp AS tp0, g0.pos AS pos0,
+         g0.fp AS fp0, g0.neg AS neg0,
+         g1.n AS n1, g1.sel AS sel1, g1.tp AS tp1, g1.pos AS pos1,
+         g1.fp AS fp1, g1.neg AS neg1
+  FROM (SELECT * FROM per WHERE g = 0) g0,
+       (SELECT * FROM per WHERE g = 1) g1
+),
+d AS (
+  SELECT n0, n1,
+         sel0::DOUBLE / n0::DOUBLE AS sr0,
+         sel1::DOUBLE / n1::DOUBLE AS sr1,
+         tp0::DOUBLE / pos0::DOUBLE AS tpr0,
+         tp1::DOUBLE / pos1::DOUBLE AS tpr1,
+         fp0::DOUBLE / neg0::DOUBLE AS fpr0,
+         fp1::DOUBLE / neg1::DOUBLE AS fpr1
+  FROM j
+)
+SELECT (n0 + n1)::BIGINT AS n_events,
+       round(sr0, 6) AS selection_rate_g0,
+       round(sr1, 6) AS selection_rate_g1,
+       round(sr0 - sr1, 6) AS demographic_parity_diff,
+       round(tpr0 - tpr1, 6) AS equal_opportunity_diff,
+       round(fpr0 - fpr1, 6) AS equalized_odds_fpr_diff,
+       round(least(sr0, sr1) / greatest(sr0, sr1), 6)
+         AS adverse_impact_ratio,
+       CASE WHEN least(sr0, sr1) / greatest(sr0, sr1) >= 0.8
+            THEN 1 ELSE 0 END AS passes_four_fifths
+FROM d
+"""
+
+ORACLES["ppcc_exponential_test"] = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id FROM events
+),
+gaps AS (
+  SELECT g FROM (
+    SELECT us - lag(us) OVER (PARTITION BY user_id
+                              ORDER BY us, event_id) AS g
+    FROM ev
+  ) WHERE g IS NOT NULL AND g > 0
+),
+n AS (SELECT count(*)::BIGINT AS n FROM gaps),
+ranked AS (
+  SELECT n.n, g::DOUBLE AS x,
+         round(-ln(1.0 - ((row_number() OVER (ORDER BY g ASC))::DOUBLE
+                          - 0.3) / (n.n::DOUBLE + 0.4)), 12) AS q
+  FROM gaps, n
+),
+s AS (
+  SELECT n,
+         sum(x::DECIMAL(38,2))::DOUBLE AS sx,
+         sum(q::DECIMAL(38,12))::DOUBLE AS sq,
+         sum(round(x * q, 6)::DECIMAL(38,6))::DOUBLE AS sxq,
+         sum((x * x)::DECIMAL(38,2))::DOUBLE AS sxx,
+         sum(round(q * q, 12)::DECIMAL(38,12))::DOUBLE AS sqq
+  FROM ranked GROUP BY 1
+)
+SELECT n AS n_gaps,
+       round((n::DOUBLE * sxq - sx * sq)
+             / (sqrt(n::DOUBLE * sxx - sx * sx)
+                * sqrt(n::DOUBLE * sqq - sq * sq)), 6) AS ppcc,
+       CASE WHEN (n::DOUBLE * sxq - sx * sq)
+                 / (sqrt(n::DOUBLE * sxx - sx * sx)
+                    * sqrt(n::DOUBLE * sqq - sq * sq)) > 0.95
+            THEN 1 ELSE 0 END AS looks_exponential
+FROM s
+"""

@@ -15795,3 +15795,121 @@ def price_ending_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return top.orderBy("rank")
+
+
+# ---------------------------------------------------------------------------
+# Batch 184: group fairness panel, exponential PPCC
+# ---------------------------------------------------------------------------
+
+
+def fairness_metrics_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-fairness audit of the pinned value > 50 classifier across
+    the md5-parity arms — the ML-fairness vocabulary (public:
+    demographic parity difference, equal-opportunity TPR gap,
+    equalized-odds FPR gap, and the EEOC four-fifths adverse-impact
+    ratio) the accuracy panels (MCC/F1/AUC) never report.  Per-group
+    confusion cells are exact integers; one scan, one row."""
+    from lucene_mapreduce_spark.operators.textstats import _md5_52
+
+    ev = load(spark, sf_dir, "events").select(
+        (
+            _md5_52(F.concat(F.lit("lr:"), F.col("user_id").cast("string")))
+            % 2
+        ).cast("int").alias("g"),
+        (
+            F.round(F.col("value") * 100, 0).cast("long") > 5000
+        ).cast("long").alias("pred"),
+        (F.col("event_type") == "purchase").cast("long").alias("y"),
+    )
+    per = ev.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("pred").cast("long").alias("sel"),
+        F.sum(F.col("pred") * F.col("y")).cast("long").alias("tp"),
+        F.sum(F.col("y")).cast("long").alias("pos"),
+        F.sum(F.col("pred") * (1 - F.col("y"))).cast("long").alias("fp"),
+        F.sum(1 - F.col("y")).cast("long").alias("neg"),
+    )
+    g0 = per.filter(F.col("g") == 0).select(
+        *[F.col(c).alias(c + "0") for c in ("n", "sel", "tp", "pos", "fp", "neg")]
+    )
+    g1 = per.filter(F.col("g") == 1).select(
+        *[F.col(c).alias(c + "1") for c in ("n", "sel", "tp", "pos", "fp", "neg")]
+    )
+    j = g0.crossJoin(g1)
+    sr0 = F.col("sel0").cast("double") / F.col("n0").cast("double")
+    sr1 = F.col("sel1").cast("double") / F.col("n1").cast("double")
+    tpr0 = F.col("tp0").cast("double") / F.col("pos0").cast("double")
+    tpr1 = F.col("tp1").cast("double") / F.col("pos1").cast("double")
+    fpr0 = F.col("fp0").cast("double") / F.col("neg0").cast("double")
+    fpr1 = F.col("fp1").cast("double") / F.col("neg1").cast("double")
+    air = F.least(sr0, sr1) / F.greatest(sr0, sr1)
+    return j.select(
+        (F.col("n0") + F.col("n1")).alias("n_events"),
+        F.round(sr0, 6).alias("selection_rate_g0"),
+        F.round(sr1, 6).alias("selection_rate_g1"),
+        F.round(sr0 - sr1, 6).alias("demographic_parity_diff"),
+        F.round(tpr0 - tpr1, 6).alias("equal_opportunity_diff"),
+        F.round(fpr0 - fpr1, 6).alias("equalized_odds_fpr_diff"),
+        F.round(air, 6).alias("adverse_impact_ratio"),
+        (air >= 0.8).cast("int").alias("passes_four_fifths"),
+    )
+
+
+def ppcc_exponential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability-plot correlation coefficient test of exponential
+    inter-arrival times — the Filliben-style goodness-of-fit read
+    (public) beside weibull_plot_fit's shape estimate: correlation
+    between the sorted within-user gaps and the exponential plotting
+    quantiles −ln(1 − (i − 0.3)/(n + 0.4)); PPCC near 1 means memory-
+    less arrivals, the burstier the stream the lower it falls.
+    Exact integer gaps; 12dp DECIMAL correlation sums; one row."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gaps = (
+        ev.select((F.col("us") - F.lag("us").over(w)).alias("g"))
+        .filter(F.col("g").isNotNull() & (F.col("g") > 0))
+    )
+    n = gaps.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ranked = gaps.crossJoin(F.broadcast(n)).select(
+        "n",
+        F.col("g").cast("double").alias("x"),
+        F.round(
+            -F.log(
+                F.lit(1.0)
+                - (
+                    F.row_number().over(Window.orderBy(F.asc("g")))
+                    .cast("double")
+                    - 0.3
+                )
+                / (F.col("n").cast("double") + 0.4)
+            ),
+            12,
+        ).alias("q"),
+    )
+    s = ranked.groupBy("n").agg(
+        F.sum(F.col("x").cast("decimal(38,2)")).cast("double").alias("sx"),
+        F.sum(F.col("q").cast("decimal(38,12)")).cast("double").alias("sq"),
+        F.sum(
+            F.round(F.col("x") * F.col("q"), 6).cast("decimal(38,6)")
+        ).cast("double").alias("sxq"),
+        F.sum(
+            (F.col("x") * F.col("x")).cast("decimal(38,2)")
+        ).cast("double").alias("sxx"),
+        F.sum(
+            F.round(F.col("q") * F.col("q"), 12).cast("decimal(38,12)")
+        ).cast("double").alias("sqq"),
+    )
+    nD = F.col("n").cast("double")
+    num = nD * F.col("sxq") - F.col("sx") * F.col("sq")
+    den = F.sqrt(
+        nD * F.col("sxx") - F.col("sx") * F.col("sx")
+    ) * F.sqrt(nD * F.col("sqq") - F.col("sq") * F.col("sq"))
+    return s.select(
+        F.col("n").alias("n_gaps"),
+        F.round(num / den, 6).alias("ppcc"),
+        ((num / den) > 0.95).cast("int").alias("looks_exponential"),
+    )
