@@ -1306,6 +1306,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 184: fairness panel, exponential PPCC
         "fairness_metrics_panel": parity.fairness_metrics_panel,
         "ppcc_exponential_test": parity.ppcc_exponential_test,
+        # batch 185: Benford arc, inter-order gaps, single-source risk
+        "benford_mantissa_arc_test": relational.benford_mantissa_arc_test,
+        "interorder_gap_cv": relational.interorder_gap_cv,
+        "single_source_risk": relational.single_source_risk,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({name: fn for name, fn in q.items() if name not in ordered})

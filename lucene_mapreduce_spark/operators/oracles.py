@@ -25119,3 +25119,96 @@ SELECT n AS n_gaps,
             THEN 1 ELSE 0 END AS looks_exponential
 FROM s
 """
+
+# ---- batch 185: Benford arc, inter-order gaps, single-source risk ----------
+
+ORACLES["benford_mantissa_arc_test"] = """
+WITH o AS (
+  SELECT o_totalprice::DOUBLE AS v FROM orders WHERE o_totalprice > 0
+),
+lg AS (
+  SELECT round(ln(v) * 0.43429448190325176, 12) AS l FROM o
+),
+comp AS (
+  SELECT round(cos(6.283185307179586 * (l - floor(l))),
+               12)::DECIMAL(38,12) AS cx,
+         round(sin(6.283185307179586 * (l - floor(l))),
+               12)::DECIMAL(38,12) AS cy
+  FROM lg
+),
+agg AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(cx)::DOUBLE AS sx, sum(cy)::DOUBLE AS sy
+  FROM comp
+)
+SELECT n,
+       round(sx / n::DOUBLE, 6) AS mean_cos,
+       round(sy / n::DOUBLE, 6) AS mean_sin,
+       round(sqrt((sx / n::DOUBLE) * (sx / n::DOUBLE)
+                  + (sy / n::DOUBLE) * (sy / n::DOUBLE)), 6)
+         AS vector_length,
+       round(exp(-(n::DOUBLE) * ((sx / n::DOUBLE) * (sx / n::DOUBLE)
+                                 + (sy / n::DOUBLE) * (sy / n::DOUBLE))),
+             6) AS arc_test_p
+FROM agg
+"""
+
+ORACLES["interorder_gap_cv"] = """
+WITH o AS (
+  SELECT o_custkey,
+         epoch_us(o_orderdate::TIMESTAMP) // 86400000000 AS ed,
+         o_orderkey
+  FROM orders
+),
+gaps AS (
+  SELECT g FROM (
+    SELECT ed - lag(ed) OVER (PARTITION BY o_custkey
+                              ORDER BY ed, o_orderkey) AS g
+    FROM o
+  ) WHERE g IS NOT NULL
+),
+mom AS (
+  SELECT count(*)::BIGINT AS n_gaps, sum(g)::BIGINT AS s1,
+         sum(g * g)::BIGINT AS s2
+  FROM gaps
+),
+d AS (
+  SELECT n_gaps,
+         s1::DOUBLE / n_gaps::DOUBLE AS mean,
+         sqrt((s2::DOUBLE - s1::DOUBLE * (s1::DOUBLE / n_gaps::DOUBLE))
+              / (n_gaps::DOUBLE - 1)) AS sd
+  FROM mom
+)
+SELECT n_gaps,
+       round(mean, 6) AS mean_gap_days,
+       round(sd, 6) AS sd_gap_days,
+       round(sd / mean, 6) AS cv,
+       round((sd / mean - 1) / (sd / mean + 1), 6) AS burstiness_b
+FROM d
+"""
+
+ORACLES["single_source_risk"] = """
+WITH per AS (
+  SELECT l_partkey, l_suppkey,
+         sum(round(l_quantity, 2)::DECIMAL(28,2)) AS qs
+  FROM lineitem GROUP BY 1, 2
+),
+tot AS (
+  SELECT l_partkey,
+         count(*)::BIGINT AS n_suppliers,
+         sum(qs) AS qt,
+         max(qs) AS qmax
+  FROM per GROUP BY 1
+),
+rows_ AS (
+  SELECT n_suppliers,
+         round(qmax::DOUBLE / qt::DOUBLE, 12) AS top_share
+  FROM tot
+)
+SELECT n_suppliers, count(*)::BIGINT AS n_parts,
+       round(sum(round(top_share, 12)::DECIMAL(38,12))::DOUBLE
+             / count(*)::DOUBLE, 6) AS mean_top_share
+FROM rows_
+GROUP BY 1
+ORDER BY n_suppliers
+"""

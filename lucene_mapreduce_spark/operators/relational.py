@@ -5396,3 +5396,129 @@ def unit_price_dispersion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked_topk(
         scored, [F.desc("cv"), F.asc("l_partkey")], PRICE_DISP_K
     ).select("rank", "l_partkey", "n_lines", "mean_unit_price", "cv")
+
+
+# ---------------------------------------------------------------------------
+# Batch 185: Benford mantissa arc, inter-order gaps, single-source risk
+# ---------------------------------------------------------------------------
+
+_INV_LN10 = 0.43429448190325176  # shared literal 1/ln 10
+_TWO_PI = 6.283185307179586
+
+
+def benford_mantissa_arc_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford mantissa arc test — the circular-statistics summary of
+    the WHOLE significand distribution (Alexander 2009, public),
+    stronger than the first/second-digit chi-squares already in the
+    family: each price maps to the unit circle at angle 2π·frac(log10
+    v), and under Benford the mean vector length L ≈ 0 with
+    p = exp(−n L²).  log10 via ln·(1/ln 10) literal; cos/sin are
+    engine-shared chains; components fold as 12dp DECIMAL.  One
+    row."""
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").cast("double").alias("v")
+    ).filter(F.col("v") > 0)
+    lg = F.round(F.log(F.col("v")) * F.lit(_INV_LN10), 12)
+    frac = lg - F.floor(lg)
+    ang = F.lit(_TWO_PI) * frac
+    comp = o.select(
+        F.round(F.cos(ang), 12).cast("decimal(38,12)").alias("cx"),
+        F.round(F.sin(ang), 12).cast("decimal(38,12)").alias("cy"),
+    )
+    agg = comp.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cx").cast("double").alias("sx"),
+        F.sum("cy").cast("double").alias("sy"),
+    )
+    nD = F.col("n").cast("double")
+    xb = F.col("sx") / nD
+    yb = F.col("sy") / nD
+    l2 = xb * xb + yb * yb
+    return agg.select(
+        "n",
+        F.round(xb, 6).alias("mean_cos"),
+        F.round(yb, 6).alias("mean_sin"),
+        F.round(F.sqrt(l2), 6).alias("vector_length"),
+        F.round(F.exp(-nD * l2), 6).alias("arc_test_p"),
+    )
+
+
+def interorder_gap_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pooled inter-order gap regularity — the customer-cadence twin
+    of the event-stream burstiness family, on ORDER dates: per-
+    customer consecutive order-day gaps pooled (exact BIGINT moments),
+    CV of the gap distribution and the Goh-Barabasi B = (cv−1)/(cv+1)
+    read on purchasing rhythm (B < 0 regular subscribers, ~0 Poisson,
+    > 0 bursty).  One lag window, one row."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr(
+            "unix_micros(cast(o_orderdate as timestamp)) div 86400000000"
+        ).alias("ed"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("o_custkey").orderBy("ed", "o_orderkey")
+    gaps = (
+        o.select((F.col("ed") - F.lag("ed").over(w)).alias("g"))
+        .filter(F.col("g").isNotNull())
+    )
+    mom = gaps.agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum("g").cast("long").alias("s1"),
+        F.sum(F.col("g") * F.col("g")).cast("long").alias("s2"),
+    )
+    nD = F.col("n_gaps").cast("double")
+    mean = F.col("s1").cast("double") / nD
+    sd = F.sqrt(
+        (F.col("s2").cast("double") - F.col("s1").cast("double") * mean)
+        / (nD - 1)
+    )
+    cv = sd / mean
+    return mom.select(
+        "n_gaps",
+        F.round(mean, 6).alias("mean_gap_days"),
+        F.round(sd, 6).alias("sd_gap_days"),
+        F.round(cv, 6).alias("cv"),
+        F.round((cv - 1) / (cv + 1), 6).alias("burstiness_b"),
+    )
+
+
+def single_source_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source supply-risk histogram — how many parts depend on
+    one supplier? (the procurement-risk readout Q16's brand counts
+    sidestep): per part the distinct supplier count and the TOP
+    supplier's share of shipped quantity (exact DECIMAL sums; the share
+    needs only the max, so supplier ties are moot), histogrammed by supplier count with the mean
+    top-share per bucket.  Part-bounded rollups."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        F.round(F.col("l_quantity"), 2).cast("decimal(28,2)").alias("q"),
+    )
+    per = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("q").alias("qs")
+    )
+    tot = per.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.sum("qs").alias("qt"),
+        F.max("qs").alias("qmax"),
+    )
+    share = F.col("qmax").cast("double") / F.col("qt").cast("double")
+    rows = tot.select(
+        "n_suppliers",
+        F.round(share, 12).alias("top_share"),
+    )
+    return (
+        rows.groupBy("n_suppliers")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.round(
+                F.sum(
+                    F.round(F.col("top_share"), 12).cast("decimal(38,12)")
+                ).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("mean_top_share"),
+        )
+        .orderBy("n_suppliers")
+    )
