@@ -188,30 +188,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # promoted to the head of the dict (in this order) so CORRECTNESS_r04 verifies
 # 50 previously-unverified queries; the remainder rotate up next round.
 _DRIVER_PRIORITY = [
-    "constant_score_query", "filter_clause_query", "terms_set_query",
-    "common_terms_query", "span_or_near_query", "hit_stats_facets",
-    "delete_by_query", "bm25f_topk", "infix_suggest", "term_vectors",
-    "percolate_match", "events_rollup", "lmjelinekmercer_topk",
-    "boosting_query", "span_within_query", "top_hits_facets",
-    "matched_queries", "random_score_query", "decay_function_score",
-    "highlight_all_fragments", "phrase_suggest", "ann_recall_at_k",
-    "histogram_facets", "adjacency_matrix_facets", "composite_agg_page",
-    "funnel_analysis", "retention_cohorts", "json_props_stats",
-    "filtered_ann_topk", "hybrid_linear_fusion", "domain_quality_rollup",
-    "date_histogram_facets", "moving_avg_pipeline", "bucket_selector_agg",
-    "weighted_avg_agg", "multi_terms_agg", "rare_terms_agg", "pinned_query",
-    "span_containing_query", "rank_feature_query", "distance_feature_query",
-    "terms_shard_approx", "pii_redaction", "source_frequency_cap",
-    "temperature_mixture_weights", "diversified_sampler_topk",
-    "span_multi_near_query", "search_as_you_type", "derivative_pipeline",
-    "vendor_line_parse",
-    # --- slots 51+: verified next round (keep never-verified contiguous) ---
-    "stats_bucket_pipeline", "date_range_facets", "auto_date_histogram", "scroll_slices",
-    "percentile_ranks_agg", "string_stats_agg", "embedding_norm_stats",
-    "serial_diff_pipeline", "bucket_extrema_pipeline",
-    "bucket_script_pipeline", "bucket_sort_pipeline", "normalize_pipeline",
-    "top_metrics_agg", "t_test_agg", "extended_stats_agg", "boxplot_agg",
-    "mad_agg", "matrix_stats_agg", "filters_agg", "has_child_query",
+    "stats_bucket_pipeline", "date_range_facets", "auto_date_histogram",
+    "scroll_slices", "percentile_ranks_agg", "string_stats_agg",
+    "embedding_norm_stats", "serial_diff_pipeline",
+    "bucket_extrema_pipeline", "bucket_script_pipeline",
+    "bucket_sort_pipeline", "normalize_pipeline", "top_metrics_agg",
+    "t_test_agg", "extended_stats_agg", "boxplot_agg", "mad_agg",
+    "matrix_stats_agg", "filters_agg", "has_child_query",
     "has_parent_query", "children_agg", "scripted_metric_agg",
     "combined_fields_query", "rank_eval", "linear_classifier_topk",
     "sampler_agg", "geo_distance_query", "mget_docstore", "intervals_query",
@@ -221,9 +204,12 @@ _DRIVER_PRIORITY = [
     "rate_agg", "categorize_text_agg", "frequent_pairs_agg",
     "tfidf_keywords", "bpe_pair_counts", "geohash_grid_agg", "ip_range_agg",
     "stemmed_terms_agg", "moving_median_pipeline", "packing_stats",
-    "terms_lookup_query", "runtime_field_query", "geo_centroid_agg",
-    "mixture_resample", "token_budget_trim", "contexts_suggest",
-    "random_sampler_agg", "pivot_table_agg", "cube_agg",
+    "terms_lookup_query", "runtime_field_query",
+    # --- slots 51+: verified in later rounds (contiguous never-verified
+    # backlog; VERDICT r4 item 1 — similarity zoo / rerank / dedup-health
+    # / TPC-H families drain first) ---
+    "geo_centroid_agg", "mixture_resample", "token_budget_trim",
+    "contexts_suggest", "random_sampler_agg", "pivot_table_agg", "cube_agg",
     "contamination_fraction", "streaming_stream_join", "slop_match_batch",
     "index_stats", "duplicate_ngram_fraction", "dsir_importance_weights",
     "semdedup", "ann_ivf_topk", "streaming_conversation_progress",
@@ -232,6 +218,33 @@ _DRIVER_PRIORITY = [
     "near_dup_components", "curation_pipeline", "cluster_representative",
     "media_decode_stats", "media_frame_stats", "token_windows",
     "stratified_sample", "token_length_histogram", "unigram_logprob",
+    "sparse_vector_topk", "dfr_topk", "dfi_topk", "axiomatic_topk",
+    "winnowing_dup_candidates", "streaming_topk_keys",
+    "trigram_langid_confusion", "ann_pq_topk", "near_dup_leakage_matrix",
+    "rocchio_prf_topk", "ib_topk", "boolean_sim_topk",
+    "cosine_rescore_topk", "dup_cluster_size_histogram", "most_fields_topk",
+    "streaming_dedup_watermark", "mmr_diversified_topk",
+    "near_dup_degree_histogram", "vector_prf_topk", "top_duplicate_ngrams",
+    "simhash_hamming_histogram", "rfm_segments",
+    "maxsim_late_interaction_topk", "levenshtein_near_dup_pairs",
+    "affinity_triangles", "bm25_tuned_topk", "supplier_hhi_by_nation",
+    "semdedup_threshold_sweep", "part_pagerank_3iter",
+    "knn_label_confusion", "shipping_priority_topk", "mann_whitney_u",
+    "int8_ann_recall", "ann_radius_search", "cross_fields_topk",
+    "covariance_topk_dims", "block_join_avg_topk", "ivf_balance_report",
+    "simple_query_string_query", "mlt_unlike_topk", "bm25plus_topk",
+    "mann_kendall_trend", "pq_distortion_report", "dup_cluster_source_mix",
+    "ann_ivf_pq_topk", "ingest_pipeline_simulate", "pq_rescore_topk",
+    "dup_method_agreement", "item_cosine_similarity",
+    "ivf_nprobe_recall_curve", "lsh_tfidf_cosine_rescore",
+    "dup_shingle_run_report", "shingle_field_topk", "borda_fusion_topk",
+    "duplicate_order_detection", "basket_size_stats", "simhash_bit_balance",
+    "local_clustering_topk", "simpson_diversity_by_source",
+    "next_basket_repeat_baseline", "personalized_pagerank",
+    "sampled_topk_fidelity", "maxp_passage_retrieval_topk",
+    "simpsons_paradox_check", "pivoted_norm_topk", "bass_diffusion_fit",
+    "edge_triangle_support", "dersimonian_laird_re",
+    "menzerath_altmann_fit", "unit_price_dispersion_topk",
 ]
 
 

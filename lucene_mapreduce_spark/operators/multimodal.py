@@ -4,10 +4,21 @@ A 100 TB training-data pipeline carries media as `binary` columns with a
 typed metadata struct, and runs decode / feature-extract / resize /
 frame-sample as Arrow-batched kernels (mapInPandas) so bytes never round-trip
 through Python row-at-a-time. The image/audio codec libraries are not in
-this container, so the *codec* is a deterministic fake over a 16-byte
-header (documented below) — the Spark-side plumbing (schemas, batching,
-partitioning, kernel signatures) is real and tested; swapping the fake for
-PIL/pyav/soundfile changes only the marked lines inside each kernel.
+this container, so the *image/video codec* is a deterministic fake over a
+16-byte header (documented below) — the Spark-side plumbing (schemas,
+batching, partitioning, kernel signatures) is real and tested; swapping the
+fake for PIL/pyav/soundfile changes only the marked lines inside each kernel.
+
+TWO REAL CODECS do run through the mapInPandas seam (stdlib, tested in
+tests/test_multimodal_codec.py):
+  - DEFLATE: compress_media() zlib-compresses payloads and
+    decode_features(codec="deflate") zlib-DECOMPRESSES them inside the
+    kernel before feature extraction — the exact shape of the reference's
+    stored-payload decompress at query time (XdiReportReducer.java:369,
+    Lucene CompressionTools == java.util.zip Deflater == zlib).
+  - RIFF/WAVE: encode_wav() writes genuine WAV containers (8-bit mono PCM)
+    and decode_wav_features() parses them with stdlib `wave` inside the
+    kernel — a real container-format decode, not a header fake.
 
 Fake media format (deterministic, seeded from media_id):
   bytes 0-3   magic b"FMED"
