@@ -72,9 +72,12 @@ def _parse_header(buf: bytes) -> tuple[int, int, int]:
     return struct.unpack("<III", buf[4:16])
 
 
-def decode_features(media: DataFrame) -> DataFrame:
+def decode_features(media: DataFrame, codec: str = "raw") -> DataFrame:
     """Decode + feature-extract kernel: (media_id, kind, n_bytes, sum_bytes,
-    mean_val, std_val). The np.frombuffer line is where a real decoder goes.
+    mean_val, std_val). The np.frombuffer line is where a real decoder goes —
+    and with codec="deflate" a REAL one runs: stdlib zlib.decompress inside
+    the Arrow-batched kernel (pair with compress_media; the reference's
+    stored-payload decompress shape, XdiReportReducer.java:369).
 
     mean/std derive from EXACT integer sums (sum, sum-of-squares fit in
     int64 for any realistic payload) through a fixed float expression —
@@ -82,13 +85,22 @@ def decode_features(media: DataFrame) -> DataFrame:
     the identical expression on the identical integers is bit-identical
     (np.mean/np.std would pairwise-sum and 1-ulp-diverge)."""
     import math
+    import zlib
+
+    if codec not in ("raw", "deflate"):
+        raise ValueError(f"unknown codec {codec!r}")
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, kinds, nb, sb, mean_v, std_v = [], [], [], [], [], []
             for mid, kind, data in zip(pdf["media_id"], pdf["kind"], pdf["data"]):
                 _parse_header(data)
-                arr = np.frombuffer(data, np.uint8, offset=16)  # <- real decode here
+                if codec == "deflate":  # <- real decode: zlib DEFLATE
+                    arr = np.frombuffer(
+                        zlib.decompress(bytes(data[16:])), np.uint8
+                    )
+                else:
+                    arr = np.frombuffer(data, np.uint8, offset=16)  # <- real decode here
                 n = len(arr)
                 s = int(arr.sum(dtype=np.int64))
                 sq = int((arr.astype(np.int64) ** 2).sum())
@@ -110,6 +122,98 @@ def decode_features(media: DataFrame) -> DataFrame:
         schema=(
             "media_id long, kind string, n_bytes long, sum_bytes long, "
             "mean_val double, std_val double"
+        ),
+    )
+
+
+def compress_media(media: DataFrame, level: int = 6) -> DataFrame:
+    """DEFLATE-compress payloads via stdlib zlib inside the mapInPandas seam.
+
+    The 16-byte header stays raw (so schema/partition pruning on metadata
+    never touches compressed bytes); payload bytes 16+ become a zlib stream.
+    Pairs with decode_features(codec="deflate") for a real
+    compress→store→decompress round trip — the reference stores payloads
+    deflated and inflates at query time (XdiReportReducer.java:369, Lucene
+    CompressionTools; java.util.zip Deflater IS zlib)."""
+    import zlib
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, kinds, blobs = [], [], []
+            for mid, kind, data in zip(pdf["media_id"], pdf["kind"], pdf["data"]):
+                _parse_header(data)
+                blobs.append(bytes(data[:16]) + zlib.compress(bytes(data[16:]), level))
+                ids.append(mid)
+                kinds.append(kind)
+            yield pd.DataFrame({"media_id": ids, "kind": kinds, "data": blobs})
+
+    return media.select("media_id", "kind", "data").mapInPandas(
+        kernel, schema="media_id long, kind string, data binary"
+    )
+
+
+def encode_wav(media: DataFrame) -> DataFrame:
+    """Encode audio payloads as genuine RIFF/WAVE containers (8-bit mono
+    unsigned PCM, framerate = rate kHz) via stdlib `wave` inside the kernel.
+    Output blobs are real .wav files any player parses."""
+    import io
+    import wave
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                _, _, rate = _parse_header(data)
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(1)  # 8-bit PCM: sample bytes == payload bytes
+                    w.setframerate(rate * 1000)
+                    w.writeframes(bytes(data[16:]))
+                ids.append(mid)
+                blobs.append(buf.getvalue())
+            yield pd.DataFrame({"media_id": ids, "wav": blobs})
+
+    return (
+        media.filter(F.col("kind") == "audio")
+        .select("media_id", "data")
+        .mapInPandas(kernel, schema="media_id long, wav binary")
+    )
+
+
+def decode_wav_features(wavs: DataFrame) -> DataFrame:
+    """REAL container decode: parse RIFF/WAVE blobs with stdlib `wave`
+    inside the mapInPandas kernel — params from the container header, sample
+    stats from the decoded frames (same exact-integer-sum float expression
+    as decode_features)."""
+    import io
+    import wave
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ns, rates, sb, mean_v = [], [], [], [], []
+            for mid, blob in zip(pdf["media_id"], pdf["wav"]):
+                with wave.open(io.BytesIO(bytes(blob)), "rb") as w:
+                    assert w.getnchannels() == 1 and w.getsampwidth() == 1
+                    n = w.getnframes()
+                    frames = w.readframes(n)
+                arr = np.frombuffer(frames, np.uint8)
+                s = int(arr.sum(dtype=np.int64))
+                ids.append(mid)
+                ns.append(n)
+                rates.append(w.getframerate())
+                sb.append(s)
+                mean_v.append(s / n if n else 0.0)
+            yield pd.DataFrame(
+                {"media_id": ids, "n_samples": ns, "framerate": rates,
+                 "sum_bytes": sb, "mean_val": mean_v}
+            )
+
+    return wavs.mapInPandas(
+        kernel,
+        schema=(
+            "media_id long, n_samples long, framerate long, "
+            "sum_bytes long, mean_val double"
         ),
     )
 

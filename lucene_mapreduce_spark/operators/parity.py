@@ -9467,9 +9467,13 @@ def hill_tail_index(spark: SparkSession, sf_dir: str, k: int = HILL_K) -> DataFr
     from pyspark.sql import Window
 
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
-    top = o.withColumn("r", F.row_number().over(w)).filter(
-        F.col("r") <= k + 1
+    # limit(k+1) BEFORE the window: TakeOrderedAndProject per-partition
+    # heaps, then the rank window sorts only k+1 survivors (never a
+    # single-partition sort of all orders)
+    order = (F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    w = Window.orderBy(*order)
+    top = o.orderBy(*order).limit(k + 1).withColumn(
+        "r", F.row_number().over(w)
     )
     xk1 = top.filter(F.col("r") == k + 1).select(
         F.col("o_totalprice").alias("xk")

@@ -620,10 +620,15 @@ def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey", "o_orderdate")
         .agg(F.sum("rev").alias("revenue"))
     )
-    w = Window.orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+    # limit(k) BEFORE the window: TakeOrderedAndProject per-partition heaps,
+    # then the rank window sorts only the k survivors (never a
+    # single-partition sort of every qualifying order)
+    order = (F.col("revenue").desc(), F.col("o_orderkey").asc())
+    w = Window.orderBy(*order)
     return (
-        agg.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= SHIP_TOP_K)
+        agg.orderBy(*order)
+        .limit(SHIP_TOP_K)
+        .withColumn("rank", F.row_number().over(w))
         .select(
             "o_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),

@@ -1,0 +1,250 @@
+"""Global-window boundedness audit (VERDICT r4 item 6).
+
+Enumerates every unpartitioned `Window.orderBy(...)` site in the package and
+classifies each by the bounded frame it ranks. FAILS (exit 1) if a site's
+enclosing function has no classification — so any new global window must be
+classified here (or repartitioned) before it can land.
+
+Categories (what the window actually sorts — never the raw corpus unless
+marked row-scale):
+
+  calendar   gap-filled date/hour/week histogram — cardinality is elapsed
+             time (the synthetic corpus spans ~1 month; production spans a
+             retention window), independent of corpus row count.
+  vocab      term-dictionary / n-gram / token-type tables — bounded by
+             vocabulary size (closed 31-token vocab here; ~1e6 terms in
+             production), not document count.
+  k-page     post-top-k result pages, k*block-width child sets, shard-local
+             top-k unions — bounded by the query's k. ranked_topk()
+             (parity.py:48) is the canonical safe pattern: orderBy().limit(k)
+             compiles to TakeOrderedAndProject, window ranks only survivors.
+  group-stat small aggregated panels — nations, A/B arms, deciles, bins,
+             p-value families, files/segments/buckets in layout plans.
+  value-grid distinct-(group, value) count tables used by rank tests
+             (Mann-Whitney/Wilcoxon/KS/AUC ...) — bounded by the value
+             domain; the count table IS the sufficient statistic, so the
+             sort never touches raw rows.
+  entity     per-entity aggregate tables (users, customers, parts,
+             suppliers, graph nodes) — grows with scale but is the
+             aggregated dimension (orders of magnitude below corpus rows);
+             diagnostics only, not on build/serve hot paths.
+  row-scale  genuinely corpus-row-proportional global sorts. All are
+             offline one-shot diagnostics, each sf1-gated green; none are on
+             the index-build or serving paths. Promotion remedy if ever
+             needed: distributed sort + per-partition offset ranks
+             (zipWithIndex-style) instead of a single-partition window.
+
+Usage: python tools/audit_windows.py   (prints the table; exit 1 on
+unclassified sites)
+"""
+from __future__ import annotations
+
+import collections
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PKG = os.path.join(REPO, "lucene_mapreduce_spark")
+
+# enclosing function -> category (see header). Reviewed per-site 2026-08-20 (round 5): every site's ranked input
+# was read in context; ntile-over-raw-rows sites honestly row-scale.
+CLASS: dict[str, str] = {
+    # --- fulltext.py
+    "search_collapse": "group-stat",      # rank over per-group leaders
+    "search_grouped_topn": "group-stat",  # lang leaders
+    "to_child_block_join": "k-page",      # k parents x block width (inline note)
+    "stopword_pruning_plan": "vocab",
+    "shard_score_merge_audit": "k-page",  # shards x local-k union
+    "maxscore_term_partition": "vocab",   # query/corpus term stats
+    "lfu_cache_hit_curve": "vocab",
+    "alpha_ndcg_diversity": "k-page",
+    # --- similarity.py
+    "covariance_topk_dims": "group-stat",  # embedding dims (fixed width)
+    # --- textstats.py
+    "curriculum_buckets": "row-scale",     # global difficulty order over docs
+    "fighting_words_log_odds": "vocab",
+    "gini_coefficient": "vocab",  # ranks the term-frequency table,
+    "good_turing_counts": "vocab",
+    "heaps_law_fit": "row-scale",          # cumulative vocab over doc order
+    "hits_authority_3iter": "entity",
+    "inbatch_collision_report": "row-scale",  # manual ntile over docs
+    "neyman_allocation_plan": "group-stat",
+    "padding_waste_audit": "row-scale",    # packing order over docs
+    "sampled_topk_fidelity": "k-page",
+    "stopword_coverage": "vocab",
+    "term_dict_frontcoding_report": "vocab",
+    "textrank_keywords": "vocab",
+    "umass_topic_coherence": "vocab",
+    "variable_width_histogram_agg": "value-grid",
+    "vocab_coverage_curve": "vocab",
+    "zipf_fit": "vocab",
+    # --- relational.py
+    "abc_classification": "entity",
+    "delta_varint_audit": "group-stat",
+    "dpp_benefit_audit": "group-stat",
+    "extremal_index_runs": "calendar",     # daily-grid exceedances
+    "file_overlap_depth": "group-stat",
+    "file_skipping_audit": "group-stat",
+    "hilbert_layout_plan": "group-stat",
+    "histogram_quantile_audit": "value-grid",
+    "katz_index_pairs": "entity",
+    "link_prediction_scores": "entity",
+    "min_cost_supplier": "entity",
+    "part_affinity_lift": "entity",
+    "part_pagerank_3iter": "entity",
+    "personalized_pagerank": "entity",
+    "returned_item_customers": "entity",
+    "rfm_segments": "entity",
+    "rle_encodability_audit": "group-stat",
+    "salt_factor_plan": "group-stat",
+    "shipping_priority_topk": "k-page",    # limit(k) before the window (fixed r5)
+    "systematic_sample_audit": "row-scale",  # global row order by design
+    "waiting_orders_suppliers": "entity",
+    "weibull_plot_fit": "row-scale",       # ADVICE r4: pooled gap ranks
+    "zorder_layout_plan": "group-stat",
+    # --- parity.py (pipeline/stat families)
+    "_daily_rank2": "calendar",
+    "activity_h_index": "entity",
+    "ansari_bradley_scale_test": "value-grid",
+    "arch_lm_test": "calendar",
+    "auc_hanley_mcneil_ci": "value-grid",
+    "autocorrelation_daily": "calendar",
+    "average_precision_score": "row-scale",  # cum-precision over ranked events,
+    "bass_diffusion_fit": "calendar",
+    "bh_fdr_procedure": "group-stat",
+    "binseg_changepoint": "calendar",
+    "bollinger_bands_daily": "calendar",
+    "brier_calibration_report": "row-scale",  # ntile over raw events,
+    "brunner_munzel_arms": "value-grid",
+    "bucket_count_ks_test": "group-stat",
+    "bucket_sort_pipeline": "group-stat",
+    "cliffs_delta_effect": "value-grid",
+    "column_runs_sortedness": "row-scale",  # file-order runs by design
+    "competing_risks_cif": "calendar",
+    "conformal_interval_calibration": "calendar",  # windows over the day histogram,
+    "cumulative_cardinality_pipeline": "calendar",
+    "cumulative_gains_deciles": "row-scale",  # ntile over scored events,
+    "cumulative_sum_pipeline": "calendar",
+    "dense_rank_ties_page": "k-page",
+    "derivative_pipeline": "calendar",
+    "dp_exponential_mechanism": "group-stat",
+    "durbin_watson_daily": "calendar",
+    "energy_distance_values": "value-grid",
+    "error_mtbf_report": "row-scale",  # orders the error-event stream,
+    "fanout_tail_latency": "row-scale",  # md5 quartet pairing over events,
+    "fdr_bh_nation_uniformity": "group-stat",
+    "forecast_baseline_backtest": "calendar",
+    "gesd_outliers_3round": "calendar",
+    "grubbs_outlier_day": "calendar",
+    "hill_tail_index": "k-page",  # limit(k+1) before the window (fixed r5),
+    "holm_bonferroni_gate": "group-stat",
+    "hurst_exponent_daily": "calendar",
+    "index_rollover_plan": "group-stat",
+    "isotonic_calibration_bins": "group-stat",
+    "kaplan_meier_survival": "calendar",
+    "km_greenwood_ci": "calendar",
+    "kruskal_wallis_h": "value-grid",
+    "ks_two_sample": "value-grid",
+    "ljung_box_q": "calendar",
+    "mann_whitney_u": "value-grid",
+    "mase_backtest": "calendar",
+    "moving_avg_pipeline": "calendar",
+    "moving_fn_pipeline": "calendar",
+    "moving_median_pipeline": "calendar",
+    "nelson_aalen_hazard": "calendar",
+    "newest_k_generations": "group-stat",  # <=6 generations
+    "page_hinkley_drift": "calendar",
+    "pareto_share_curve": "entity",
+    "peak_concurrent_sessions": "row-scale",  # +1/-1 sweep over session bounds
+    "pinball_loss_backtest": "calendar",
+    "ppcc_exponential_test": "row-scale",  # ADVICE r4: pooled gap ranks
+    "price_ending_audit": "group-stat",
+    "qini_uplift_deciles": "row-scale",  # ntile over scored users/events,
+    "quade_test_months": "group-stat",
+    "quantile_disc_cont_audit": "value-grid",
+    "randomized_response_debias": "group-stat",
+    "range_rows_frame_gate": "calendar",
+    "ranked_topk": "k-page",  # limit(k) BEFORE the window — canonical pattern
+    "ratio_to_ma_seasonal_indices": "calendar",
+    "records_test_daily": "calendar",
+    "rmst_survival": "calendar",
+    "runs_test_daily": "calendar",
+    "runs_updown_test": "calendar",
+    "score_auc_exact": "row-scale",  # ranks raw event scores,
+    "serial_diff_pipeline": "calendar",
+    "sharpe_sortino_daily": "calendar",
+    "slo_burn_alerts": "calendar",
+    "sprt_daily_llr": "calendar",
+    "storey_qvalue_panel": "group-stat",
+    "stratified_ate_quintiles": "row-scale",  # ntile over lineitem rows,
+    "tenure_hazard_table": "calendar",
+    "theil_u2_forecast": "calendar",
+    "theta_forecast_backtest": "calendar",
+    "trimmed_winsorized_means": "value-grid",
+    "turning_point_test": "calendar",
+    "variance_ratio_test": "calendar",
+    "watermark_lateness_profile": "row-scale",  # arrival order over events,
+    "weekly_periodogram_power": "calendar",
+    "western_electric_rules": "calendar",
+    "wilcoxon_signed_rank": "value-grid",
+    "window_rank_functions": "k-page",
+    "youden_j_threshold": "value-grid",
+}
+
+
+def enumerate_sites() -> list[tuple[str, int, str]]:
+    sites = []
+    for root, _dirs, files in os.walk(PKG):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(root, fn)
+            rel = os.path.relpath(path, REPO)
+            cur = "<module>"
+            for i, ln in enumerate(open(path).readlines(), 1):
+                m = re.match(r"def (\w+)", ln)
+                if m:
+                    cur = m.group(1)
+                stripped = ln.lstrip()
+                if stripped.startswith("#"):
+                    continue
+                if re.search(r"Window\.orderBy|Window\(\)\.orderBy", ln):
+                    sites.append((rel, i, cur))
+    return sites
+
+
+def main() -> int:
+    sites = enumerate_sites()
+    by_cat: dict[str, list] = collections.defaultdict(list)
+    missing = []
+    for rel, line, fn in sites:
+        cat = CLASS.get(fn)
+        if cat is None:
+            missing.append((rel, line, fn))
+        else:
+            by_cat[cat].append((rel, line, fn))
+
+    total = len(sites)
+    print(f"{total} unpartitioned Window.orderBy sites "
+          f"in {len({f for _, _, f in sites})} functions\n")
+    for cat in ("calendar", "vocab", "k-page", "group-stat", "value-grid",
+                "entity", "row-scale"):
+        rows = by_cat.get(cat, [])
+        fns = sorted({f for _, _, f in rows})
+        print(f"{cat:10s} {len(rows):3d} sites / {len(fns):3d} functions")
+        if cat == "row-scale":
+            for f in fns:
+                where = [f"{r}:{ln}" for r, ln, fx in rows if fx == f]
+                print(f"            - {f} ({', '.join(where)})")
+    if missing:
+        print("\nUNCLASSIFIED (add to CLASS or repartition):")
+        for rel, line, fn in missing:
+            print(f"  {rel}:{line}  in {fn}")
+        return 1
+    print("\nall sites classified")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
