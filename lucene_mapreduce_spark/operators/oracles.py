@@ -23699,6 +23699,10 @@ FROM d
 
 # ---- batch 174: sequential looks, temporal leakage, negative sampling ------
 
+from lucene_mapreduce_spark.operators.parity import (  # noqa: E402
+    OBF_BOUNDS as _OBF_BOUNDS,
+)
+
 ORACLES["group_sequential_looks"] = f"""
 WITH ev AS (
   SELECT user_id, epoch_us(ts) AS us, event_type FROM events
@@ -23736,8 +23740,8 @@ z AS (
          / sqrt(((y0 + y1)::DOUBLE / (n0::DOUBLE + n1::DOUBLE))
                 * (1.0 - (y0 + y1)::DOUBLE / (n0::DOUBLE + n1::DOUBLE))
                 * (1.0 / n0::DOUBLE + 1.0 / n1::DOUBLE)) AS zs,
-         CASE look WHEN 1 THEN 3.471 WHEN 2 THEN 2.454
-                   ELSE 2.004 END AS bound
+         CASE look WHEN 1 THEN {_OBF_BOUNDS[0]} WHEN 2 THEN {_OBF_BOUNDS[1]}
+                   ELSE {_OBF_BOUNDS[2]} END AS bound
   FROM j, tot
 )
 SELECT look, (n0 + n1)::BIGINT AS n_units,
@@ -24973,7 +24977,12 @@ SELECT n AS n_gaps,
 FROM d
 """
 
-ORACLES["extremal_index_runs"] = """
+from lucene_mapreduce_spark.operators.relational import (  # noqa: E402
+    EXTREMAL_RUN_GAP as _EXT_GAP,
+    PRICE_DISP_MIN_LINES as _PD_MIN,
+)
+
+ORACLES["extremal_index_runs"] = f"""
 WITH ev AS (
   SELECT epoch_us(ts) // 86400000000 AS ed FROM events
 ),
@@ -24993,7 +25002,7 @@ exc AS (
 marks AS (
   SELECT ed, u,
          CASE WHEN lag(ed) OVER (ORDER BY ed) IS NULL
-                OR ed - lag(ed) OVER (ORDER BY ed) > 2
+                OR ed - lag(ed) OVER (ORDER BY ed) > {_EXT_GAP}
               THEN 1 ELSE 0 END AS new_cluster
   FROM exc
 )
@@ -25005,7 +25014,7 @@ SELECT any_value(u) AS threshold,
 FROM marks
 """
 
-ORACLES["unit_price_dispersion_topk"] = """
+ORACLES["unit_price_dispersion_topk"] = f"""
 WITH li AS (
   SELECT l_partkey,
          round(l_extendedprice / l_quantity, 6) AS up
@@ -25016,7 +25025,7 @@ per AS (
          sum(round(up, 12)::DECIMAL(38,12)) AS s1,
          sum(round(up * up, 12)::DECIMAL(38,12)) AS s2
   FROM li GROUP BY 1
-  HAVING count(*) >= 5
+  HAVING count(*) >= {_PD_MIN}
 ),
 scored AS (
   SELECT l_partkey, n_lines,
