@@ -303,6 +303,16 @@ def main() -> None:
             searcher.search(q, k=10)
             best = min(best, time.perf_counter() - t0)
         cold.append(best)
+    cold_cm: list[float] = []
+    for q in BENCH_QUERIES:  # cold via chunkmax: header-only pruning +
+        # exact chunk rescore (results identical; test_wand_chunkmax)
+        best = float("inf")
+        for _ in range(2):
+            searcher._cache.clear(); searcher._scored_cache.clear()
+            t0 = time.perf_counter()
+            searcher.search(q, k=10, algorithm="chunkmax")
+            best = min(best, time.perf_counter() - t0)
+        cold_cm.append(best)
     lat: list[float] = []
     for i in range(200):  # warm: posting cache resident (steady serving)
         q = BENCH_QUERIES[i % len(BENCH_QUERIES)]
@@ -316,6 +326,7 @@ def main() -> None:
     timings["wand_p95_query"] = round(p95, 4)
     extra["serving"] = {
         "wand_cold_max_s": round(cold[-1], 4),
+        "wand_cold_chunkmax_max_s": round(max(cold_cm), 4),
         "wand_p50_s": round(p50, 4),
         "wand_p95_s": round(p95, 4),
         "queries_per_sec": round(1.0 / max(sum(lat) / len(lat), 1e-9), 1),

@@ -368,3 +368,33 @@ def _decode_concat_bodies(
     base = tot[first] - deltas[first]
     docids = (tot - np.repeat(base, counts)).astype(np.int64)
     return docids, tfs, dls
+
+
+def read_payload_meta(
+    data: np.ndarray, starts: np.ndarray, ends: np.ndarray
+) -> tuple[np.ndarray, list[np.ndarray]]:
+    """Parse ONLY the header + skip table of many payloads — zero stream
+    decode. Returns (counts int64[n], per-payload skip arrays of
+    _SKIP_DTYPE). The serving cold path (wand.search_chunkmax) uses this to
+    get df (sum of counts) and chunk-level block-max upper bounds from
+    (max_tf, min_dl) without paying the varbyte decode for posting lists
+    that can never reach the top-k."""
+    starts = np.asarray(starts, np.int64)
+    ends = np.asarray(ends, np.int64)
+    n = len(starts)
+    counts = np.empty(n, np.int64)
+    skips: list[np.ndarray] = []
+    hs = _HEADER.size
+    ss = _SKIP_DTYPE.itemsize
+    for i in range(n):
+        s, e = int(starts[i]), int(ends[i])
+        magic, ver, count, _bsz, nb = _HEADER.unpack(data[s : s + hs].tobytes())
+        if magic != MAGIC or ver != VERSION:
+            raise ValueError("bad posting payload header")
+        if e - s < hs + nb * ss:
+            raise ValueError("truncated skip table")
+        counts[i] = count
+        skips.append(
+            np.frombuffer(data[s + hs : s + hs + nb * ss].tobytes(), _SKIP_DTYPE)
+        )
+    return counts, skips

@@ -34,7 +34,7 @@ import pyarrow.dataset as ds
 import pyarrow as pa
 
 from lucene_mapreduce_spark.functions.tokenize import tokenize_string
-from lucene_mapreduce_spark.index.codec import decode_postings_many
+from lucene_mapreduce_spark.index.codec import decode_postings_many, read_payload_meta
 from lucene_mapreduce_spark.index.manifest import Manifest, load_manifest, segment_dir
 from lucene_mapreduce_spark.query.bm25 import B, K1, bm25_idf
 
@@ -273,6 +273,9 @@ class IndexSearcher:
         uniq, first = np.unique(docs, return_index=True)
         self._live_doc = uniq
         self._live_seg = seqs[first]
+        # no doc in >1 generation => the liveness filter never drops a
+        # posting and header df counts are exact (chunkmax relies on this)
+        self._shadowed = len(docs) != len(uniq)
         self.n_docs = int(len(uniq))
         self.avgdl = float(dls[first].sum()) / self.n_docs if self.n_docs else 0.0
 
@@ -980,7 +983,11 @@ class IndexSearcher:
         head-term queries where WAND can't prune and a Python-loop pivot
         walk would touch nearly every doc), or "auto" (route by candidate
         volume). Both are exact and tested rank+score-identical.
+        "chunkmax" routes to search_chunkmax (exact early-terminated
+        decode; see that method).
         """
+        if algorithm == "chunkmax":
+            return self.search_chunkmax(query_text, k)
         terms = sorted(set(tokenize_string(query_text)))
         self.prefetch_terms(terms)
         cursors: list[_TermCursor] = []
@@ -1057,6 +1064,158 @@ class IndexSearcher:
                 for c in live[:pivot_i]:
                     c.advance_to(pivot_doc)
 
+        out = sorted(heap, key=lambda e: (-e[0], -e[1]))
+        return [(-d, s) for s, d in out]
+
+    def _read_term_meta(self, term: str):
+        """Header-only term read for the chunkmax cold path: per payload row
+        (chunk, buffer view, skip table) + exact df from header counts —
+        no varbyte stream is decoded. Read-only over immutable dataset
+        handles, safe for the prefetch pool."""
+        p = term_phash(term, self.manifest.num_partitions)
+        rows = []  # (chunk, data_buf, start, end, skip_table)
+        df = 0
+        for dataset in self._datasets:
+            tbl = dataset.to_table(
+                filter=(ds.field("phash") == p) & (ds.field("term") == term),
+                columns=["chunk", "payload"],
+            )
+            if tbl.num_rows == 0:
+                continue
+            chunks = tbl["chunk"].to_numpy()
+            data, bs, be = _binary_views(tbl["payload"])
+            counts, skips = read_payload_meta(data, bs, be)
+            df += int(counts.sum())
+            for i in range(len(chunks)):
+                rows.append((int(chunks[i]), data, int(bs[i]), int(be[i]), skips[i]))
+        if not rows:
+            return None
+        return rows, df
+
+    def search_chunkmax(self, query_text: str, k: int = 10) -> list[tuple[int, float]]:
+        """Cold-path top-k: block-max candidate ranking over UNDECODED
+        payloads, exact chunk-grain rescore — output identical to search()
+        (rank AND float64 score; asserted in tests).
+
+        Phase 1 reads each term's payload rows but parses only headers +
+        skip tables (codec.read_payload_meta): df (=> exact idf) from the
+        header counts, and a per-(term, chunk) upper bound from the block
+        (max_tf, min_dl) maxima — the same bound the BMW cursors use, but
+        available BEFORE any varbyte decode. Phase 2 walks chunks in
+        descending summed-UB order, decoding only the visited chunk's
+        payloads, exact-scoring its docs with the canonical ascending-term
+        scatter-add, and STOPS once the next chunk's UB is strictly below
+        the current kth score (>= must continue: an equal score can still
+        win the doc_id tie-break). Safe pruning at chunk grain => exact
+        top-k while only the competitive fraction of postings is decoded —
+        the cold-query contract BENCH.md documents (a 5-head-term query
+        otherwise decodes ~9M postings before any score is exact).
+
+        Requires that no doc is SHADOWED (present in >1 generation): header
+        df would count shadowed postings the liveness filter drops. Merged
+        or disjoint-generation indexes qualify (the cold-path serving case);
+        otherwise this transparently falls back to exact search().
+
+        Honest measurement: on the UNIFORM synthetic bench corpus block
+        maxima are nearly flat, chunk UBs cannot separate (1-17% of
+        payloads pruned, measured at 60k conversations), and this mode does
+        NOT beat the batched exhaustive cold path there — bench.py records
+        both (wand_cold_max_s vs wand_cold_chunkmax_max_s). On skewed tf
+        distributions — the real-corpus shape — the bounds separate and
+        >70% of payload decodes are skipped
+        (test_chunkmax_prunes_hard_on_skewed_corpus).
+        """
+        if getattr(self, "_shadowed", False) or self.n_docs == 0:
+            return self.search(query_text, k)
+        terms = sorted(set(tokenize_string(query_text)))
+        if not terms:
+            return []
+        metas = list(_pool().map(self._read_term_meta, terms))
+        present = [(t, m) for t, m in zip(terms, metas) if m is not None]
+        if not present:
+            return []
+        # per (chunk, term): rows to decode + the term's UB inside the chunk
+        per_chunk: dict[int, dict[int, list]] = {}
+        ub_chunk_term: dict[int, dict[int, float]] = {}
+        idfs = []
+        for ti, (term, (rows, df)) in enumerate(present):
+            idf = bm25_idf(df, self.n_docs)
+            idfs.append(idf)
+            for chunk, data, s, e, skip in rows:
+                mt = skip["max_tf"].astype(np.float64)
+                md = skip["min_dl"].astype(np.float64)
+                ub = float(
+                    (
+                        idf
+                        * (mt * (K1 + 1.0))
+                        / (mt + K1 * (1.0 - B + B * md / self.avgdl))
+                    ).max()
+                )
+                per_chunk.setdefault(chunk, {}).setdefault(ti, []).append(
+                    (data, s, e)
+                )
+                tmap = ub_chunk_term.setdefault(chunk, {})
+                # multiple segments: a doc lives in exactly one, so the
+                # term's bound inside the chunk is the max, not the sum
+                tmap[ti] = max(tmap.get(ti, 0.0), ub)
+        order = sorted(
+            ((sum(tm.values()), c) for c, tm in ub_chunk_term.items()),
+            key=lambda x: (-x[0], x[1]),
+        )
+        # Chunks are visited in GROUPS so the varbyte decode stays batched
+        # (decode_postings_many's fixed costs dominated a per-chunk loop —
+        # measured 2-3x slower than exhaustive on uniform corpora); early
+        # termination happens at group boundaries, which is still safe
+        # pruning because the group's first UB bounds every chunk in it.
+        group_sz = 64
+        heap: list[tuple[float, int]] = []
+        for g0 in range(0, len(order), group_sz):
+            group = order[g0 : g0 + group_sz]
+            th = heap[0][0] if len(heap) == k else -np.inf
+            if group[0][0] < th:
+                break  # no doc in any remaining chunk can enter the top-k
+            # trim the group's own tail below the threshold (sorted desc)
+            while group and group[-1][0] < th:
+                group.pop()
+            decoded = []  # ascending term order (ti ascending == term asc)
+            for ti in range(len(present)):
+                # batch the group's payloads per underlying Arrow buffer
+                by_buf: dict[int, list] = {}
+                for _ub, chunk in group:
+                    for data, s, e in per_chunk[chunk].get(ti, ()):
+                        by_buf.setdefault(id(data), [data, [], []])
+                        by_buf[id(data)][1].append(s)
+                        by_buf[id(data)][2].append(e)
+                if not by_buf:
+                    continue
+                parts = [
+                    decode_postings_many(
+                        data, np.asarray(ss, np.int64), np.asarray(ee, np.int64)
+                    )
+                    for data, ss, ee in by_buf.values()
+                ]
+                if len(parts) == 1:
+                    d, tf, dl = parts[0]
+                else:
+                    d = np.concatenate([p[0] for p in parts])
+                    tf = np.concatenate([p[1] for p in parts])
+                    dl = np.concatenate([p[2] for p in parts])
+                decoded.append((ti, d, tf, dl))
+            if not decoded:
+                continue
+            uniq = np.unique(np.concatenate([d for _, d, _, _ in decoded]))
+            scores = np.zeros(len(uniq), np.float64)
+            for ti, d, tf, dl in decoded:  # sequential, ascending term
+                idx = np.searchsorted(uniq, d)
+                scores[idx] += self._contrib(idfs[ti], tf, dl)
+            cand = scores >= th  # ties can win via doc_id
+            cd, cs = uniq[cand], scores[cand]
+            for i in np.lexsort((cd, -cs)):
+                entry = (float(cs[i]), -int(cd[i]))
+                if len(heap) < k:
+                    heapq.heappush(heap, entry)
+                elif entry > heap[0]:
+                    heapq.heapreplace(heap, entry)
         out = sorted(heap, key=lambda e: (-e[0], -e[1]))
         return [(-d, s) for s, d in out]
 
