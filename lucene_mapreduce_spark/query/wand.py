@@ -1117,13 +1117,14 @@ class IndexSearcher:
         otherwise this transparently falls back to exact search().
 
         Honest measurement: on the UNIFORM synthetic bench corpus block
-        maxima are nearly flat, chunk UBs cannot separate (1-17% of
-        payloads pruned, measured at 60k conversations), and this mode does
-        NOT beat the batched exhaustive cold path there — bench.py records
-        both (wand_cold_max_s vs wand_cold_chunkmax_max_s). On skewed tf
-        distributions — the real-corpus shape — the bounds separate and
-        >70% of payload decodes are skipped
-        (test_chunkmax_prunes_hard_on_skewed_corpus).
+        maxima are nearly flat and chunk UBs cannot separate (1-17% of
+        payloads pruned, measured at 60k conversations); with pool-parallel
+        per-term decode the mode still runs at parity with the batched
+        exhaustive cold path there (sf0.1 best-of-3: 0.51s vs 0.52s) —
+        bench.py records both (wand_cold_max_s vs wand_cold_chunkmax_max_s).
+        On skewed tf distributions — the real-corpus shape — the bounds
+        separate, pass 2 shrinks toward empty, and >70% of payload decodes
+        are skipped (test_chunkmax_prunes_hard_on_skewed_corpus).
         """
         if getattr(self, "_shadowed", False) or self.n_docs == 0:
             return self.search(query_text, k)
@@ -1162,24 +1163,34 @@ class IndexSearcher:
             ((sum(tm.values()), c) for c, tm in ub_chunk_term.items()),
             key=lambda x: (-x[0], x[1]),
         )
-        # Chunks are visited in GROUPS so the varbyte decode stays batched
+        # Two batched passes so the varbyte decode stays batched
         # (decode_postings_many's fixed costs dominated a per-chunk loop —
-        # measured 2-3x slower than exhaustive on uniform corpora); early
-        # termination happens at group boundaries, which is still safe
-        # pruning because the group's first UB bounds every chunk in it.
+        # measured 2-3x slower than exhaustive on uniform corpora):
+        # pass 1 scores the top-64 chunks by UB to establish the kth-score
+        # threshold; pass 2 scores every remaining chunk whose UB can still
+        # reach it, in ONE decode batch. Skewed corpora leave pass 2 nearly
+        # empty (the win); flat-UB corpora degrade gracefully to ~the
+        # exhaustive path's one batched decode instead of paying per-group
+        # overhead on every group.
         group_sz = 64
         heap: list[tuple[float, int]] = []
-        for g0 in range(0, len(order), group_sz):
-            group = order[g0 : g0 + group_sz]
+        pos = 0
+        first_pass = True
+        while pos < len(order):
             th = heap[0][0] if len(heap) == k else -np.inf
-            if group[0][0] < th:
+            if first_pass:
+                group = order[pos : pos + group_sz]
+                pos += len(group)
+                first_pass = False
+            else:
+                group = [(ub, c) for ub, c in order[pos:] if ub >= th]
+                pos = len(order)
+            if not group or (len(heap) == k and group[0][0] < th):
                 break  # no doc in any remaining chunk can enter the top-k
-            # trim the group's own tail below the threshold (sorted desc)
-            while group and group[-1][0] < th:
-                group.pop()
-            decoded = []  # ascending term order (ti ascending == term asc)
-            for ti in range(len(present)):
-                # batch the group's payloads per underlying Arrow buffer
+            def _decode_term(ti):
+                # batch the group's payloads per underlying Arrow buffer;
+                # the varbyte decode releases the GIL, so terms decode
+                # concurrently in the pool (like prefetch_terms)
                 by_buf: dict[int, list] = {}
                 for _ub, chunk in group:
                     for data, s, e in per_chunk[chunk].get(ti, ()):
@@ -1187,7 +1198,7 @@ class IndexSearcher:
                         by_buf[id(data)][1].append(s)
                         by_buf[id(data)][2].append(e)
                 if not by_buf:
-                    continue
+                    return None
                 parts = [
                     decode_postings_many(
                         data, np.asarray(ss, np.int64), np.asarray(ee, np.int64)
@@ -1200,16 +1211,59 @@ class IndexSearcher:
                     d = np.concatenate([p[0] for p in parts])
                     tf = np.concatenate([p[1] for p in parts])
                     dl = np.concatenate([p[2] for p in parts])
-                decoded.append((ti, d, tf, dl))
+                return (ti, d, tf, dl)
+
+            decoded = [
+                r
+                for r in _pool().map(_decode_term, range(len(present)))
+                if r is not None
+            ]  # map preserves order => ascending term
             if not decoded:
                 continue
-            uniq = np.unique(np.concatenate([d for _, d, _, _ in decoded]))
-            scores = np.zeros(len(uniq), np.float64)
-            for ti, d, tf, dl in decoded:  # sequential, ascending term
-                idx = np.searchsorted(uniq, d)
-                scores[idx] += self._contrib(idfs[ti], tf, dl)
+            total = sum(len(d) for _, d, _, _ in decoded)
+            if total * 2 >= self.n_docs and len(decoded) > 1:
+                # dense group: scatter over the cached sorted live-doc
+                # domain instead of sorting the concatenation (same trick
+                # as _scored_arrays' head-term regime; adds are still the
+                # ascending-term sequence, so scores stay bit-identical)
+                base = self._all_live_docs()
+                scores_full = np.zeros(len(base), np.float64)
+                hit = np.zeros(len(base), bool)
+                idxs = list(
+                    _pool().map(
+                        lambda r: np.searchsorted(base, r[1]), decoded
+                    )
+                )
+                for (ti, d, tf, dl), idx in zip(decoded, idxs):
+                    # sequential adds, ascending term => bit-identical
+                    scores_full[idx] += self._contrib(idfs[ti], tf, dl)
+                    hit[idx] = True
+                uniq, scores = base[hit], scores_full[hit]
+            else:
+                uniq = np.unique(np.concatenate([d for _, d, _, _ in decoded]))
+                scores = np.zeros(len(uniq), np.float64)
+                idxs = list(
+                    _pool().map(
+                        lambda r: np.searchsorted(uniq, r[1]), decoded
+                    )
+                )
+                for (ti, d, tf, dl), idx in zip(decoded, idxs):
+                    # sequential adds, ascending term => bit-identical
+                    scores[idx] += self._contrib(idfs[ti], tf, dl)
             cand = scores >= th  # ties can win via doc_id
             cd, cs = uniq[cand], scores[cand]
+            if len(cd) > 4 * k:
+                # vectorized cut to the k best by (score desc, doc asc)
+                # before the python heap loop: keep everything above the
+                # kth-largest score, plus the k smallest docids among its
+                # exact ties — no excluded row can enter the top-k
+                kth = -np.partition(-cs, k - 1)[k - 1]
+                above = np.flatnonzero(cs > kth)
+                ties = np.flatnonzero(cs == kth)
+                if len(ties) > k:
+                    ties = ties[np.argpartition(cd[ties], k - 1)[:k]]
+                keep = np.concatenate([above, ties])
+                cd, cs = cd[keep], cs[keep]
             for i in np.lexsort((cd, -cs)):
                 entry = (float(cs[i]), -int(cd[i]))
                 if len(heap) < k:
