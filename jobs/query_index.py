@@ -43,6 +43,14 @@ def main() -> None:
         "--as-of", type=int, default=None,
         help="pin the search to a point-in-time commit (batch seq)",
     )
+    ap.add_argument(
+        "--algorithm",
+        choices=["auto", "wand", "exhaustive", "chunkmax"],
+        default="auto",
+        help="serving scorer for plain term queries: auto routes by "
+        "candidate volume; chunkmax prunes undecoded chunks by block-max "
+        "upper bounds (exact results; wins on skewed tf corpora)",
+    )
     args = ap.parse_args()
 
     if args.spell or args.complete:
@@ -73,7 +81,7 @@ def main() -> None:
         elif args.syntax == "lucene":
             hits = searcher.search_parsed(args.query, k=args.k)
         else:
-            hits = searcher.search(args.query, k=args.k)
+            hits = searcher.search(args.query, k=args.k, algorithm=args.algorithm)
         for doc_id, score in hits:
             print(f"{doc_id}\t{score:.6f}")
         return
