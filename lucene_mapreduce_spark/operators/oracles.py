@@ -21092,7 +21092,8 @@ agg AS (
 tot AS (SELECT count(*)::BIGINT AS n_vectors FROM e)
 SELECT n_probes, n_vectors,
        round(slm, 6) AS sum_ln_mu,
-       round(n_probes::DOUBLE / slm, 6) AS intrinsic_dim
+       CASE WHEN slm <> 0.0
+            THEN round(n_probes::DOUBLE / slm, 6) END AS intrinsic_dim
 FROM agg, tot
 """
 

@@ -2786,8 +2786,12 @@ def two_nn_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_probes",
         "n_vectors",
         F.round("slm", 6).alias("sum_ln_mu"),
-        F.round(
-            F.col("n_probes").cast("double") / F.col("slm"), 6
+        # slm == 0 when every probe's two NN distances tie exactly (heavily
+        # duplicated grid embeddings — observed at sf1): the estimator is
+        # undefined there, so report an honest NULL instead of ANSI-erroring
+        F.when(
+            F.col("slm") != 0.0,
+            F.round(F.col("n_probes").cast("double") / F.col("slm"), 6),
         ).alias("intrinsic_dim"),
     )
 
