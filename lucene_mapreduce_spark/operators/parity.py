@@ -56,6 +56,45 @@ def ranked_topk(df: DataFrame, order, k: int, rank_col: str = "rank") -> DataFra
     return top.withColumn(rank_col, F.row_number().over(w))
 
 
+def distributed_row_number(
+    df: DataFrame, order_col: str, rank_col: str = "i"
+) -> DataFrame:
+    """Global 1..n row numbers over ORDER BY order_col WITHOUT a
+    single-partition window (ADVICE r4: the promotion remedy for row-scale
+    rank sites): range-repartition on the key, per-partition parallel
+    row_number, plus each partition's cumulative row-count offset — the
+    RDD zipWithIndex idea in DataFrame terms. The offset table is
+    n_partitions rows collected to the driver (bounded by cluster size,
+    never data size). Ties in order_col receive a contiguous rank block in
+    engine order, so callers must be tie-sum-invariant (both current users
+    — weibull_plot_fit, ppcc_exponential_test — consume ranks only through
+    sums that are invariant to permutations within a tie block)."""
+    part = df.repartitionByRange(F.col(order_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    # pin the physical layout so the count pass and the rank pass see the
+    # SAME partitioning (repartitionByRange samples its boundaries)
+    part = part.localCheckpoint(eager=True)
+    sizes = {
+        r["_pid"]: r["c"]
+        for r in part.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    omap = F.create_map(
+        *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
+    )
+    wloc = Window.partitionBy("_pid").orderBy(F.asc(order_col))
+    return part.withColumn(
+        rank_col, F.row_number().over(wloc) + omap[F.col("_pid")]
+    ).drop("_pid")
+
+
 # ---------------------------------------------------------------- A1
 def latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 — latest-record-per-key argmax by timestamp.
@@ -15878,17 +15917,17 @@ def ppcc_exponential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("g").isNotNull() & (F.col("g") > 0))
     )
     n = gaps.agg(F.count(F.lit(1)).cast("long").alias("n"))
-    ranked = gaps.crossJoin(F.broadcast(n)).select(
+    # distributed global rank (ADVICE r4): range-partitioned + offset, no
+    # single-partition window; the correlation sums are tie-block invariant
+    ranked = distributed_row_number(gaps, "g", "i").crossJoin(
+        F.broadcast(n)
+    ).select(
         "n",
         F.col("g").cast("double").alias("x"),
         F.round(
             -F.log(
                 F.lit(1.0)
-                - (
-                    F.row_number().over(Window.orderBy(F.asc("g")))
-                    .cast("double")
-                    - 0.3
-                )
+                - (F.col("i").cast("double") - 0.3)
                 / (F.col("n").cast("double") + 0.4)
             ),
             12,

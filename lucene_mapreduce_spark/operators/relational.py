@@ -5255,14 +5255,14 @@ def weibull_plot_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select((F.col("us") - F.lag("us").over(w)).alias("g"))
         .filter(F.col("g").isNotNull() & (F.col("g") > 0))
     )
+    from lucene_mapreduce_spark.operators.parity import distributed_row_number
+
     n = gaps.agg(F.count(F.lit(1)).cast("long").alias("n"))
-    ranked = gaps.crossJoin(F.broadcast(n)).select(
-        "g",
-        "n",
-        F.row_number()
-        .over(Window.orderBy(F.asc("g")))
-        .alias("i"),
-    )
+    # distributed global rank (ADVICE r4): range-partitioned + offset, no
+    # single-partition window; the plotting sums are tie-block invariant
+    ranked = distributed_row_number(gaps, "g", "i").crossJoin(
+        F.broadcast(n)
+    ).select("g", "n", "i")
     pts = ranked.select(
         "n",
         F.round(F.log(F.col("g").cast("double")), 12).alias("u"),

@@ -1,0 +1,47 @@
+"""distributed_row_number: global ranks without a single-partition window
+(ADVICE r4 promotion remedy, applied to weibull_plot_fit /
+ppcc_exponential_test)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from lucene_mapreduce_spark.operators.parity import distributed_row_number
+
+
+def test_matches_global_window_on_total_order(spark):
+    df = spark.range(0, 5000).select(
+        (F.xxhash64(F.col("id").cast("string")) % 100000).alias("v"), "id"
+    )
+    # total order via (v, id): compare against the single-partition window
+    got = (
+        distributed_row_number(
+            df.select(F.struct("v", "id").alias("k"), "v", "id"), "k", "i"
+        )
+        .select("v", "id", "i")
+        .toPandas()
+        .sort_values(["v", "id"])
+        .reset_index(drop=True)
+    )
+    w = Window.orderBy("v", "id")
+    exp = (
+        df.withColumn("i", F.row_number().over(w))
+        .toPandas()
+        .sort_values(["v", "id"])
+        .reset_index(drop=True)
+    )
+    assert list(got.i) == list(exp.i)
+
+
+def test_tie_blocks_are_contiguous_and_complete(spark):
+    df = spark.range(0, 3000).select((F.col("id") % 7).alias("v"))
+    out = distributed_row_number(df, "v", "i").toPandas()
+    assert sorted(out.i) == list(range(1, 3001))  # a permutation of 1..n
+    # each tie class owns one contiguous rank block
+    lo_hi = out.groupby("v").i.agg(["min", "max", "count"]).sort_values("min")
+    prev_end = 0
+    for _, row in lo_hi.iterrows():
+        assert row["min"] == prev_end + 1
+        assert row["max"] - row["min"] + 1 == row["count"]
+        prev_end = row["max"]

@@ -101,7 +101,6 @@ CLASS: dict[str, str] = {
     "shipping_priority_topk": "k-page",    # limit(k) before the window (fixed r5)
     "systematic_sample_audit": "row-scale",  # global row order by design
     "waiting_orders_suppliers": "entity",
-    "weibull_plot_fit": "row-scale",       # ADVICE r4: pooled gap ranks
     "zorder_layout_plan": "group-stat",
     # --- parity.py (pipeline/stat families)
     "_daily_rank2": "calendar",
@@ -158,7 +157,6 @@ CLASS: dict[str, str] = {
     "pareto_share_curve": "entity",
     "peak_concurrent_sessions": "row-scale",  # +1/-1 sweep over session bounds
     "pinball_loss_backtest": "calendar",
-    "ppcc_exponential_test": "row-scale",  # ADVICE r4: pooled gap ranks
     "price_ending_audit": "group-stat",
     "qini_uplift_deciles": "row-scale",  # ntile over scored users/events,
     "quade_test_months": "group-stat",
