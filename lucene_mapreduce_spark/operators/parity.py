@@ -10056,14 +10056,17 @@ def score_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("value") / (F.col("value") + F.lit(BRIER_P_SHIFT))).alias("p"),
         (F.col("event_type") == "purchase").cast("long").alias("y"),
     )
-    wr = Window.orderBy("p")
+    # distributed global rank (ADVICE r4 remedy): rank_min of a tie group
+    # == min of its contiguous distributed-row-number block, recovered by
+    # the (hash-partitioned, parallel) per-p window — no single-partition
+    # sort of the event stream
     wt = Window.partitionBy("p")
     s2 = (
-        F.lit(2) * F.rank().over(wr)
+        F.lit(2) * F.min("i").over(wt)
         + F.count(F.lit(1)).over(wt)
         - F.lit(1)
     ).cast("long")
-    ranked = ev.select("y", s2.alias("s2"))
+    ranked = distributed_row_number(ev, "p", "i").select("y", s2.alias("s2"))
     g = ranked.agg(
         F.sum("y").cast("long").alias("n_pos"),
         (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("n_neg"),
@@ -14006,12 +14009,18 @@ def fanout_tail_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select(
         "event_id", F.col("value").alias("lat")
     )
-    wo = Window.orderBy(
-        F.md5(F.concat(F.lit("fo:"), F.col("event_id").cast("string"))),
-        F.col("event_id"),
+    # distributed global rank (ADVICE r4 remedy): (md5, event_id) is a
+    # TOTAL order, so range-partitioned offset ranks are identical to the
+    # single-partition window's
+    keyed = ev.select(
+        "lat",
+        F.struct(
+            F.md5(F.concat(F.lit("fo:"), F.col("event_id").cast("string"))),
+            F.col("event_id"),
+        ).alias("k"),
     )
-    ranked = ev.select(
-        "lat", (F.row_number().over(wo) - 1).alias("rn")
+    ranked = distributed_row_number(keyed, "k", "i").select(
+        "lat", (F.col("i") - 1).alias("rn")
     )
     nq = ranked.agg(
         (F.count(F.lit(1)) / FANOUT_K).cast("long").alias("n_quartets")

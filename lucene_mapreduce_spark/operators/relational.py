@@ -2556,8 +2556,12 @@ def systematic_sample_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", F.col("n_chars").cast("long").alias("x")
     )
-    idx = docs.withColumn(
-        "i", F.row_number().over(Window.orderBy("doc_id")) - 1
+    # distributed global rank (ADVICE r4 remedy): doc_id is unique, so
+    # range-partitioned offset ranks == the single-partition window's
+    from lucene_mapreduce_spark.operators.parity import distributed_row_number
+
+    idx = distributed_row_number(docs, "doc_id", "i1").withColumn(
+        "i", F.col("i1") - 1
     )
     samp = idx.filter(
         F.pmod(F.col("i"), F.lit(SYS_SAMPLE_K)) == SYS_SAMPLE_OFFSET

@@ -99,7 +99,6 @@ CLASS: dict[str, str] = {
     "rle_encodability_audit": "group-stat",
     "salt_factor_plan": "group-stat",
     "shipping_priority_topk": "k-page",    # limit(k) before the window (fixed r5)
-    "systematic_sample_audit": "row-scale",  # global row order by design
     "waiting_orders_suppliers": "entity",
     "zorder_layout_plan": "group-stat",
     # --- parity.py (pipeline/stat families)
@@ -131,7 +130,6 @@ CLASS: dict[str, str] = {
     "durbin_watson_daily": "calendar",
     "energy_distance_values": "value-grid",
     "error_mtbf_report": "row-scale",  # orders the error-event stream,
-    "fanout_tail_latency": "row-scale",  # md5 quartet pairing over events,
     "fdr_bh_nation_uniformity": "group-stat",
     "forecast_baseline_backtest": "calendar",
     "gesd_outliers_3round": "calendar",
@@ -169,7 +167,6 @@ CLASS: dict[str, str] = {
     "rmst_survival": "calendar",
     "runs_test_daily": "calendar",
     "runs_updown_test": "calendar",
-    "score_auc_exact": "row-scale",  # ranks raw event scores,
     "serial_diff_pipeline": "calendar",
     "sharpe_sortino_daily": "calendar",
     "slo_burn_alerts": "calendar",
