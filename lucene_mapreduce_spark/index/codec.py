@@ -382,19 +382,37 @@ def read_payload_meta(
     starts = np.asarray(starts, np.int64)
     ends = np.asarray(ends, np.int64)
     n = len(starts)
-    counts = np.empty(n, np.int64)
-    skips: list[np.ndarray] = []
-    hs = _HEADER.size
-    ss = _SKIP_DTYPE.itemsize
-    for i in range(n):
-        s, e = int(starts[i]), int(ends[i])
-        magic, ver, count, _bsz, nb = _HEADER.unpack(data[s : s + hs].tobytes())
-        if magic != MAGIC or ver != VERSION:
-            raise ValueError("bad posting payload header")
-        if e - s < hs + nb * ss:
-            raise ValueError("truncated skip table")
-        counts[i] = count
-        skips.append(
-            np.frombuffer(data[s + hs : s + hs + nb * ss].tobytes(), _SKIP_DTYPE)
+    if n == 0:
+        return np.zeros(0, np.int64), []
+    hs = _HEADER.size  # <2sBIHI: magic 0:2, version 2, count 3:7 (u32 LE),
+    ss = _SKIP_DTYPE.itemsize  # block_size 7:9, n_blocks 9:13
+    b = np.ascontiguousarray(data)
+
+    def _u32(off: int) -> np.ndarray:  # vectorized LE u32 gather
+        return (
+            b[starts + off].astype(np.int64)
+            | (b[starts + off + 1].astype(np.int64) << 8)
+            | (b[starts + off + 2].astype(np.int64) << 16)
+            | (b[starts + off + 3].astype(np.int64) << 24)
         )
+
+    ok = (
+        (b[starts] == MAGIC[0])
+        & (b[starts + 1] == MAGIC[1])
+        & (b[starts + 2] == VERSION)
+    )
+    if not ok.all():
+        raise ValueError("bad posting payload header")
+    counts = _u32(3)
+    nbs = _u32(9)
+    if ((ends - starts) < hs + nbs * ss).any():
+        raise ValueError("truncated skip table")
+    # zero-copy unaligned structured views into the shared value buffer
+    skips = [
+        np.ndarray(
+            (int(nb),), _SKIP_DTYPE, buffer=b.data, offset=int(s) + hs,
+            strides=(ss,),
+        )
+        for s, nb in zip(starts, nbs)
+    ]
     return counts, skips
