@@ -204,15 +204,16 @@ _DRIVER_PRIORITY = [
     "rate_agg", "categorize_text_agg", "frequent_pairs_agg",
     "tfidf_keywords", "bpe_pair_counts", "geohash_grid_agg", "ip_range_agg",
     "stemmed_terms_agg", "moving_median_pipeline", "packing_stats",
-    "terms_lookup_query", "runtime_field_query",
+    "terms_lookup_query", "bm25_chunkmax_topk",
     # --- slots 51+: verified in later rounds (contiguous never-verified
     # backlog; VERDICT r4 item 1 — similarity zoo / rerank / dedup-health
     # / TPC-H families drain first) ---
-    "geo_centroid_agg", "mixture_resample", "token_budget_trim",
-    "contexts_suggest", "random_sampler_agg", "pivot_table_agg", "cube_agg",
-    "contamination_fraction", "streaming_stream_join", "slop_match_batch",
-    "index_stats", "duplicate_ngram_fraction", "dsir_importance_weights",
-    "semdedup", "ann_ivf_topk", "streaming_conversation_progress",
+    "runtime_field_query", "geo_centroid_agg", "mixture_resample",
+    "token_budget_trim", "contexts_suggest", "random_sampler_agg",
+    "pivot_table_agg", "cube_agg", "contamination_fraction",
+    "streaming_stream_join", "slop_match_batch", "index_stats",
+    "duplicate_ngram_fraction", "dsir_importance_weights", "semdedup",
+    "ann_ivf_topk", "streaming_conversation_progress",
     "streaming_exact_dedup", "streaming_windowed_counts",
     "streaming_session_windows", "streaming_percolate",
     "near_dup_components", "curation_pipeline", "cluster_representative",
@@ -424,6 +425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parsed_query": fulltext.parsed_query,
         "bm25_wand_topk": fulltext.bm25_wand_topk_documents,
         "bm25_wand_topk_unmerged": fulltext.bm25_wand_topk_unmerged,
+        "bm25_chunkmax_topk": fulltext.bm25_chunkmax_topk_documents,
         "boolean_and_query": fulltext.boolean_and_query,
         "boolean_or_query": fulltext.boolean_or_query,
         "boolean_and_not_query": fulltext.boolean_and_not_query,
@@ -1445,6 +1447,7 @@ def oracle_sql() -> dict[str, str]:
     )
     out["bm25_wand_topk"] = bm25_topk_sql(fulltext.FLAGSHIP_QUERY)
     out["bm25_wand_topk_unmerged"] = bm25_topk_sql(fulltext.FLAGSHIP_QUERY)
+    out["bm25_chunkmax_topk"] = bm25_topk_sql(fulltext.FLAGSHIP_QUERY)
     out["synonym_query"] = synonym_sql(fulltext.SYNONYM_SET)
     out["dismax_query"] = dismax_sql(
         fulltext.DISMAX_SUBQUERIES, tie=fulltext.DISMAX_TIE

@@ -1367,6 +1367,30 @@ def bm25_wand_topk_documents(
     return spark.createDataFrame(rows, "doc_id long, score double, rank int")
 
 
+def bm25_chunkmax_topk_documents(
+    spark: SparkSession, sf_dir: str, query_text: str = FLAGSHIP_QUERY, k: int = 10
+) -> DataFrame:
+    """The chunkmax serving mode (header-only block-max pruning + exact
+    batched rescore, wand.search_chunkmax) against the SAME corpus oracle
+    as every other BM25 path: the merged gate index has no shadowed docs,
+    so the header-df path is taken (asserted), and ranks AND float64
+    scores must equal the exhaustive/WAND/scan results."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from lucene_mapreduce_spark.query.wand import IndexSearcher
+
+    ix = _gate_index(spark, sf_dir)
+    searcher = IndexSearcher(ix)
+    assert not getattr(searcher, "_shadowed", False)
+    hits = searcher.search(query_text, k=k, algorithm="chunkmax")
+
+    def _round6(x: float) -> float:
+        return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+    rows = [(int(d), _round6(s), i + 1) for i, (d, s) in enumerate(hits)]
+    return spark.createDataFrame(rows, "doc_id long, score double, rank int")
+
+
 # ---------------------------------------------------------------- synonym
 SYNONYM_SET = ("scan", "merge", "join")  # one synonym group for the gate
 
