@@ -145,3 +145,46 @@ def test_decode_postings_many_empty():
         np.zeros(0, np.uint8), np.zeros(0, np.int64), np.zeros(0, np.int64)
     )
     assert len(d) == len(tf) == len(dl) == 0
+
+
+def test_read_payload_meta_matches_struct_parse():
+    """Vectorized header/skip parse == per-payload struct.unpack reference,
+    across payloads of different block counts sharing one buffer."""
+    import struct
+
+    import numpy as np
+
+    from lucene_mapreduce_spark.index.codec import (
+        _HEADER,
+        _SKIP_DTYPE,
+        encode_postings,
+        read_payload_meta,
+    )
+
+    bufs = []
+    for k, n in ((7, 3000), (5, 130), (3, 1)):
+        d = np.arange(0, n * k, k, dtype=np.int64)
+        bufs.append(encode_postings(d, d % 9 + 1, d % 50 + 20))
+    data = np.frombuffer(b"".join(bufs), np.uint8)
+    starts, ends, off = [], [], 0
+    for b in bufs:
+        starts.append(off)
+        off += len(b)
+        ends.append(off)
+    counts, skips = read_payload_meta(data, starts, ends)
+    for b, c, sk in zip(bufs, counts, skips):
+        magic, ver, count, _bsz, nb = _HEADER.unpack(b[: _HEADER.size])
+        assert c == count
+        ref = np.frombuffer(
+            b[_HEADER.size : _HEADER.size + nb * _SKIP_DTYPE.itemsize],
+            _SKIP_DTYPE,
+        )
+        assert (sk == ref).all()
+
+    # corrupted magic must raise
+    bad = bytearray(bufs[0])
+    bad[0] = 0
+    import pytest
+
+    with pytest.raises(ValueError):
+        read_payload_meta(np.frombuffer(bytes(bad), np.uint8), [0], [len(bad)])
