@@ -64,14 +64,18 @@ def gen_transcripts_pandas(
     total_toks = int(tok_counts.sum())
     draws = rng.zipf(zipf_a, size=total_toks)
     draws = np.minimum(draws - 1, vocab_size - 1)
-    words = vocab[draws]
 
-    bounds = np.cumsum(tok_counts)
-    texts = np.empty(n_rows, dtype=object)
-    start = 0
-    for i, end in enumerate(bounds):
-        texts[i] = " ".join(words[start:end])
-        start = end
+    # Vectorized text assembly: token gather + per-row space-join in Arrow
+    # C++ (byte-identical to the per-row " ".join loop it replaces, which
+    # profiled as ~2/3 of the whole generator).
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    offsets = np.zeros(n_rows + 1, np.int64)
+    np.cumsum(tok_counts, out=offsets[1:])
+    flat = pc.take(pa.array(vocab), pa.array(draws.astype(np.int64)))
+    lists = pa.LargeListArray.from_arrays(pa.array(offsets), flat)
+    texts = pc.binary_join(lists, " ").to_numpy(zero_copy_only=False)
 
     # Sprinkle deterministic oddities.
     odd = rng.choice(n_rows, size=max(1, n_rows // 100), replace=False)
@@ -95,9 +99,14 @@ def gen_transcripts_pandas(
     tools = _TOOLS[rng.integers(0, len(_TOOLS), size=n_rows)].astype(object)
     tools[tools == "none"] = None
 
+    # conv labels built once per conversation, gathered per row (the
+    # per-row np.char pass was 8x the work for identical strings)
+    conv_labels = np.char.add(
+        "conv_", np.char.zfill(np.arange(n_conv).astype(str), 8)
+    )
     return pd.DataFrame(
         {
-            "conv_id": np.char.add("conv_", np.char.zfill(conv_idx.astype(str), 8)),
+            "conv_id": conv_labels[conv_idx],
             "turn_idx": turn_idx.astype("int32"),
             "role": roles,
             "text": texts,
@@ -137,9 +146,17 @@ def transcripts_df_distributed(
             for _, row in pdf.iterrows():
                 lo, hi, part_seed = int(row["lo"]), int(row["hi"]), int(row["seed"])
                 out = gen_transcripts_pandas(n_conv=hi - lo, seed=part_seed, **kw)
-                # re-base conv ids to the partition's global range
-                nums = out["conv_id"].str.slice(5).astype(int) + lo
-                out["conv_id"] = "conv_" + nums.astype(str).str.zfill(8)
+                # re-base conv ids to the partition's global range: conv ids
+                # are emitted in ascending first-occurrence order, so a
+                # factorize + per-conv label rebuild replaces the per-row
+                # string parse (identical strings, ~10x less work)
+                import numpy as _np
+                codes = _pd.factorize(out["conv_id"])[0]
+                labels = _np.char.add(
+                    "conv_",
+                    _np.char.zfill((_np.arange(hi - lo) + lo).astype(str), 8),
+                )
+                out["conv_id"] = labels[codes]
                 yield out
 
     bounds = [

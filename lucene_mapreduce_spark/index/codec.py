@@ -156,10 +156,14 @@ def encode_many(
 
     ``starts`` marks group start indices into the (group-contiguous,
     docid-sorted-within-group) arrays. The varbyte streams for all groups are
-    produced by three whole-array ``vb_encode`` calls; the per-group
-    remainder is only header packing + buffer slicing — this is what lets a
-    build stream-encode an entire shuffle partition without per-group pandas
-    overhead.
+    produced by three whole-array ``vb_encode`` calls; headers, skip tables
+    and the final payload assembly are likewise whole-array passes (one
+    output buffer, vectorized run copies) — the only per-group Python work
+    is slicing the finished buffer into the returned ``bytes`` objects.
+    A build's reduce task holds ~10^5 groups; the previous per-group loop
+    (np.zeros + reduceat + struct.pack + bytes concat per group) was the
+    single largest CPU cost of the whole build stage (profiled 3.4 s of a
+    7.2 s map-encode leg at 250k turns).
     """
     n = len(docids)
     if n == 0:
@@ -169,6 +173,7 @@ def encode_many(
     dls = np.ascontiguousarray(dls, np.uint64)
     starts = np.ascontiguousarray(starts, np.int64)
     ends = np.concatenate([starts[1:], [n]])
+    ng = len(starts)
 
     deltas = docids.copy()
     deltas[1:] = docids[1:] - docids[:-1]
@@ -182,33 +187,81 @@ def encode_many(
     doc_buf, doc_w = vb_encode(deltas)
     tf_buf, tf_w = vb_encode(tfs)
     dl_buf, dl_w = vb_encode(dls)
-    doc_cum = np.concatenate(([0], np.cumsum(doc_w)))
-    tf_cum = np.concatenate(([0], np.cumsum(tf_w)))
-    dl_cum = np.concatenate(([0], np.cumsum(dl_w)))
+    doc_cum = np.zeros(n + 1, np.int64)
+    tf_cum = np.zeros(n + 1, np.int64)
+    dl_cum = np.zeros(n + 1, np.int64)
+    np.cumsum(doc_w, out=doc_cum[1:])
+    np.cumsum(tf_w, out=tf_cum[1:])
+    np.cumsum(dl_w, out=dl_cum[1:])
 
-    payloads: list[bytes] = []
-    for g in range(len(starts)):
-        lo, hi = int(starts[g]), int(ends[g])
-        cnt = hi - lo
-        n_blocks = (cnt + block_size - 1) // block_size
-        bstarts = lo + np.arange(n_blocks, dtype=np.int64) * block_size
-        bends = np.minimum(bstarts + block_size, hi)
-        skips = np.zeros(n_blocks, dtype=_SKIP_DTYPE)
+    hs, ss = _HEADER.size, _SKIP_DTYPE.itemsize
+    cnts = ends - starts
+    nb = (cnts + block_size - 1) // block_size
+    total_blocks = int(nb.sum())
+    nb_cum = np.zeros(ng + 1, np.int64)
+    np.cumsum(nb, out=nb_cum[1:])
+    bg = np.repeat(np.arange(ng, dtype=np.int64), nb)  # group of each block
+    within = np.arange(total_blocks, dtype=np.int64) - nb_cum[bg]
+    bstarts = starts[bg] + within * block_size
+    bends = np.minimum(bstarts + block_size, ends[bg])
+    skips = np.zeros(total_blocks, dtype=_SKIP_DTYPE)
+    if total_blocks:
         skips["last_docid"] = docids[bends - 1]
-        skips["doc_off"] = doc_cum[bstarts] - doc_cum[lo]
-        skips["tf_off"] = tf_cum[bstarts] - tf_cum[lo]
-        skips["dl_off"] = dl_cum[bstarts] - dl_cum[lo]
-        skips["max_tf"] = np.maximum.reduceat(tfs[lo:hi], bstarts - lo)
-        skips["min_dl"] = np.minimum.reduceat(dls[lo:hi], bstarts - lo)
-        header = _HEADER.pack(MAGIC, VERSION, cnt, block_size, n_blocks)
-        payloads.append(
-            header
-            + skips.tobytes()
-            + doc_buf[doc_cum[lo]: doc_cum[hi]]
-            + tf_buf[tf_cum[lo]: tf_cum[hi]]
-            + dl_buf[dl_cum[lo]: dl_cum[hi]]
-        )
-    return payloads
+        skips["doc_off"] = doc_cum[bstarts] - doc_cum[starts[bg]]
+        skips["tf_off"] = tf_cum[bstarts] - tf_cum[starts[bg]]
+        skips["dl_off"] = dl_cum[bstarts] - dl_cum[starts[bg]]
+        # block starts ascend globally and partition [starts[0], n), so one
+        # whole-array reduceat covers every block of every group
+        skips["max_tf"] = np.maximum.reduceat(tfs, bstarts)
+        skips["min_dl"] = np.minimum.reduceat(dls, bstarts)
+
+    # headers, little-endian <2sBIHI, built column-wise
+    hdr = np.empty((ng, hs), np.uint8)
+    hdr[:, 0], hdr[:, 1], hdr[:, 2] = MAGIC[0], MAGIC[1], VERSION
+    cu = cnts.astype(np.uint64)
+    for j in range(4):
+        hdr[:, 3 + j] = (cu >> np.uint64(8 * j)) & np.uint64(0xFF)
+    hdr[:, 7] = block_size & 0xFF
+    hdr[:, 8] = (block_size >> 8) & 0xFF
+    nbu = nb.astype(np.uint64)
+    for j in range(4):
+        hdr[:, 9 + j] = (nbu >> np.uint64(8 * j)) & np.uint64(0xFF)
+
+    doc_len = doc_cum[ends] - doc_cum[starts]
+    tf_len = tf_cum[ends] - tf_cum[starts]
+    dl_len = dl_cum[ends] - dl_cum[starts]
+    skip_len = nb * ss
+    out_len = hs + skip_len + doc_len + tf_len + dl_len
+    out_off = np.zeros(ng + 1, np.int64)
+    np.cumsum(out_len, out=out_off[1:])
+    out = np.empty(int(out_off[-1]), np.uint8)
+
+    out[(out_off[:-1, None] + np.arange(hs)).ravel()] = hdr.ravel()
+    if total_blocks:
+        srows = np.frombuffer(skips.tobytes(), np.uint8).reshape(total_blocks, ss)
+        sidx = ((out_off[bg] + hs + within * ss)[:, None] + np.arange(ss)).ravel()
+        out[sidx] = srows.ravel()
+
+    def _copy_runs(dst_off: np.ndarray, src: np.ndarray, src_off: np.ndarray,
+                   lens: np.ndarray) -> None:
+        tot = int(lens.sum())
+        if tot == 0:
+            return
+        l_cum = np.zeros(len(lens) + 1, np.int64)
+        np.cumsum(lens, out=l_cum[1:])
+        w = np.arange(tot, dtype=np.int64) - np.repeat(l_cum[:-1], lens)
+        out[np.repeat(dst_off, lens) + w] = src[np.repeat(src_off, lens) + w]
+
+    doc_dst = out_off[:-1] + hs + skip_len
+    tf_dst = doc_dst + doc_len
+    dl_dst = tf_dst + tf_len
+    _copy_runs(doc_dst, np.frombuffer(doc_buf, np.uint8), doc_cum[starts], doc_len)
+    _copy_runs(tf_dst, np.frombuffer(tf_buf, np.uint8), tf_cum[starts], tf_len)
+    _copy_runs(dl_dst, np.frombuffer(dl_buf, np.uint8), dl_cum[starts], dl_len)
+
+    ob = out.tobytes()
+    offs = out_off.tolist()
+    return [ob[offs[g]: offs[g + 1]] for g in range(ng)]
 
 
 class PostingReader:

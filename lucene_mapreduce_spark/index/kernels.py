@@ -25,7 +25,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from lucene_mapreduce_spark.index.codec import decode_postings, encode_many
+from lucene_mapreduce_spark.index.codec import decode_postings_many, encode_many
 
 POSTING_SCHEMA = (
     "phash int, term string, chunk long, df_chunk int, cf_chunk long, "
@@ -47,18 +47,18 @@ DOCLEN_SCHEMA = "doc_id long, dl long"
 
 
 def _decode_doclens(batches):
-    """mapInPandas kernel: pseudo-term posting rows -> (doc_id, dl) rows."""
+    """mapInPandas kernel: pseudo-term posting rows -> (doc_id, dl) rows
+    (one batched decode per pandas batch, same shape as segments._decode_rows)."""
     for pdf in batches:
-        ids, dls = [], []
-        for payload in pdf["payload"]:
-            docids, _tfs, dl = decode_postings(payload)
-            if len(docids):
-                ids.append(docids.astype("int64"))
-                dls.append(dl.astype("int64"))
-        if ids:
-            yield pd.DataFrame(
-                {"doc_id": np.concatenate(ids), "dl": np.concatenate(dls)}
-            )
+        if not len(pdf):
+            continue
+        bufs = pdf["payload"].to_numpy().tolist()
+        sizes = np.fromiter((len(b) for b in bufs), np.int64, len(bufs))
+        ends = np.cumsum(sizes)
+        data = np.frombuffer(b"".join(bufs), np.uint8)
+        docids, _tfs, dls = decode_postings_many(data, ends - sizes, ends)
+        if len(docids):
+            yield pd.DataFrame({"doc_id": docids, "dl": dls.astype("int64")})
 
 
 def _make_partial_encoder(num_partitions: int, chunk_docs: int):
@@ -232,6 +232,8 @@ def _merge_stream(batches):
         else:
             head, tail = pdf, None
 
+        nh = len(head)
+        term, chunk, ph = term[:nh], chunk[:nh], ph[:nh]
         payloads = head["payload"].to_numpy()
         seqs = head["seg_seq"].to_numpy() if "seg_seq" in head.columns else None
         deads = (
@@ -240,99 +242,125 @@ def _merge_stream(batches):
             else None
         )
 
-        def row_dead(i: int):
-            if seqs is not None:
-                return dead_map.get((int(seqs[i]), int(chunk[i])))
-            if deads is not None:
+        # per-row dead lists resolved up front (rare: only rows whose chunk
+        # carries a dead list at all are looked up)
+        row_dead = np.full(nh, None, dtype=object)
+        if seqs is not None and dead_map:
+            dchunks = np.fromiter(
+                {c for _, c in dead_map}, np.int64,
+            )
+            for i in np.flatnonzero(np.isin(chunk, dchunks)):
+                row_dead[i] = dead_map.get((int(seqs[i]), int(chunk[i])))
+        elif deads is not None:
+            for i in range(nh):
                 d = deads[i]
-                return (
-                    np.asarray(d, np.uint64)
-                    if d is not None and len(d)
-                    else None
+                if d is not None and len(d):
+                    row_dead[i] = np.asarray(d, np.uint64)
+        has_dead = np.not_equal(row_dead, None)
+
+        ngroups = len(gstarts)
+        gends = np.concatenate([gstarts[1:], [nh]])
+        gsizes = gends - gstarts
+
+        if "df_chunk" in head.columns:
+            dfc = head["df_chunk"].to_numpy()
+            cfc = head["cf_chunk"].to_numpy()
+            mtf = head["max_tf"].to_numpy()
+            mdl = head["min_dl"].to_numpy()
+            stats_ok = ~pd.isna(dfc)
+        else:
+            dfc = None
+            stats_ok = np.zeros(nh, bool)
+
+        # pass-through fast path, in bulk: single-payload group, no dead
+        # list, known stats — copied verbatim by fancy indexing (no decode,
+        # no per-group Python loop)
+        passthrough = (gsizes == 1) & ~has_dead[gstarts] & stats_ok[gstarts]
+
+        out_df = np.zeros(ngroups, np.int64)
+        out_cf = np.zeros(ngroups, np.int64)
+        out_mtf = np.zeros(ngroups, np.int64)
+        out_mdl = np.zeros(ngroups, np.int64)
+        out_pay = np.full(ngroups, None, dtype=object)
+        valid = passthrough.copy()
+
+        # rework groups: ONE batched varbyte decode over every remaining
+        # payload, dead masking on the few rows that carry a list, one
+        # stable lexsort to (group, docid) order — identical to the
+        # per-group stable merge of payloads in row order, because the sort
+        # is stable and payload concatenation order equals row order — then
+        # reduceat stats and one batched re-encode.
+        row_group = np.repeat(np.arange(ngroups, dtype=np.int64), gsizes)
+        rw_rows = np.flatnonzero(~passthrough[row_group])
+        if len(rw_rows):
+            bufs = [payloads[i] for i in rw_rows]
+            sizes = np.fromiter((len(b) for b in bufs), np.int64, len(bufs))
+            p_ends = np.cumsum(sizes)
+            p_starts = p_ends - sizes
+            data = np.frombuffer(b"".join(bufs), np.uint8)
+            counts = (
+                data[p_starts + 3].astype(np.int64)
+                | (data[p_starts + 4].astype(np.int64) << 8)
+                | (data[p_starts + 5].astype(np.int64) << 16)
+                | (data[p_starts + 6].astype(np.int64) << 24)
+            )
+            d, tf, dl = decode_postings_many(data, p_starts, p_ends)
+            pgrp = np.repeat(row_group[rw_rows], counts)
+            dead_rows = np.flatnonzero(has_dead[rw_rows])
+            if len(dead_rows):
+                coff = np.zeros(len(counts) + 1, np.int64)
+                np.cumsum(counts, out=coff[1:])
+                keep = np.ones(len(d), bool)
+                for j in dead_rows:
+                    lo, hi = int(coff[j]), int(coff[j + 1])
+                    keep[lo:hi] = ~np.isin(
+                        d[lo:hi].astype(np.uint64), row_dead[rw_rows[j]]
+                    )
+                if not keep.all():
+                    d, tf, dl, pgrp = d[keep], tf[keep], dl[keep], pgrp[keep]
+            if len(d):
+                order = np.lexsort((d, pgrp))
+                d, tf, dl, pgrp = d[order], tf[order], dl[order], pgrp[order]
+                pstarts = np.flatnonzero(
+                    np.concatenate(([True], pgrp[1:] != pgrp[:-1]))
                 )
-            return None
+                pends = np.concatenate((pstarts[1:], [len(d)]))
+                gids = pgrp[pstarts]
+                out_df[gids] = pends - pstarts
+                out_cf[gids] = np.add.reduceat(tf, pstarts).astype(np.int64)
+                out_mtf[gids] = np.maximum.reduceat(tf, pstarts).astype(np.int64)
+                out_mdl[gids] = np.minimum.reduceat(dl, pstarts).astype(np.int64)
+                enc = encode_many(
+                    d.astype(np.uint64), tf.astype(np.uint64),
+                    dl.astype(np.uint64), pstarts,
+                )
+                enc_arr = np.empty(len(enc), object)
+                enc_arr[:] = enc
+                out_pay[gids] = enc_arr
+                valid[gids] = True
 
-        stats = (
-            {c: head[c].to_numpy() for c in ("df_chunk", "cf_chunk", "max_tf", "min_dl")}
-            if "df_chunk" in head.columns
-            else None
-        )
-        gends = np.concatenate([gstarts[1:], [len(head)]])
-        all_doc, all_tf, all_dl = [], [], []
-        out_starts = []
-        total = 0
-        # per emitted group: (phash, term, chunk, df, cf, max_tf, min_dl,
-        # payload-or-None); None payloads are filled from encode_many after
-        rows: list[list] = []
-        rework_slots: list[int] = []
-        for g in range(len(gstarts)):
-            i0, i1 = int(gstarts[g]), int(gends[g])
-            if (
-                stats is not None
-                and i1 - i0 == 1
-                and row_dead(i0) is None
-                and not pd.isna(stats["df_chunk"][i0])
-            ):
-                rows.append([
-                    int(ph[i0]), term[i0], int(chunk[i0]),
-                    int(stats["df_chunk"][i0]), int(stats["cf_chunk"][i0]),
-                    int(stats["max_tf"][i0]), int(stats["min_dl"][i0]),
-                    payloads[i0],
-                ])
-                continue
-            parts_doc, parts_tf, parts_dl = [], [], []
-            for i in range(i0, i1):
-                docids, tfs, dls = decode_postings(payloads[i])
-                dead = row_dead(i)
-                if dead is not None:
-                    keep = ~np.isin(docids, dead)
-                    docids, tfs, dls = docids[keep], tfs[keep], dls[keep]
-                if len(docids):
-                    parts_doc.append(docids)
-                    parts_tf.append(tfs)
-                    parts_dl.append(dls)
-            if not parts_doc:
-                continue
-            if len(parts_doc) > 1:
-                docids = np.concatenate(parts_doc)
-                tfs = np.concatenate(parts_tf)
-                dls = np.concatenate(parts_dl)
-                order = np.argsort(docids, kind="mergesort")
-                docids, tfs, dls = docids[order], tfs[order], dls[order]
-            else:
-                docids, tfs, dls = parts_doc[0], parts_tf[0], parts_dl[0]
-            all_doc.append(docids)
-            all_tf.append(tfs)
-            all_dl.append(dls)
-            out_starts.append(total)
-            total += len(docids)
-            rows.append([
-                int(ph[i0]), term[i0], int(chunk[i0]),
-                len(docids), int(tfs.sum()), int(tfs.max()), int(dls.min()),
-                None,
-            ])
-            rework_slots.append(len(rows) - 1)
+        if passthrough.any():
+            pt = gstarts[passthrough]
+            out_df[passthrough] = dfc[pt].astype(np.int64)
+            out_cf[passthrough] = cfc[pt].astype(np.int64)
+            out_mtf[passthrough] = mtf[pt].astype(np.int64)
+            out_mdl[passthrough] = mdl[pt].astype(np.int64)
+            out_pay[passthrough] = payloads[pt]
 
-        if not rows:
+        if not valid.any():
             return None, tail
-        if rework_slots:
-            docids = np.concatenate(all_doc)
-            tfs = np.concatenate(all_tf)
-            dls = np.concatenate(all_dl)
-            starts = np.asarray(out_starts, np.int64)
-            enc = encode_many(docids, tfs, dls, starts)
-            for slot, payload in zip(rework_slots, enc):
-                rows[slot][7] = payload
+        vg = np.flatnonzero(valid)
+        vrows = gstarts[vg]
         out = pd.DataFrame(
             {
-                "phash": np.array([r[0] for r in rows], "int32"),
-                "term": [r[1] for r in rows],
-                "chunk": np.array([r[2] for r in rows], "int64"),
-                "df_chunk": np.array([r[3] for r in rows], "int32"),
-                "cf_chunk": np.array([r[4] for r in rows], "int64"),
-                "max_tf": np.array([r[5] for r in rows], "int32"),
-                "min_dl": np.array([r[6] for r in rows], "int32"),
-                "payload": [r[7] for r in rows],
+                "phash": ph[vrows].astype("int32"),
+                "term": term[vrows],
+                "chunk": chunk[vrows].astype("int64"),
+                "df_chunk": out_df[vg].astype("int32"),
+                "cf_chunk": out_cf[vg],
+                "max_tf": out_mtf[vg].astype("int32"),
+                "min_dl": out_mdl[vg].astype("int32"),
+                "payload": out_pay[vg],
             }
         )
         return out, tail

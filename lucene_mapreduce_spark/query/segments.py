@@ -25,33 +25,45 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lucene_mapreduce_spark.functions.tokenize import tokenize_col
-from lucene_mapreduce_spark.index.codec import decode_postings
 from lucene_mapreduce_spark.index.manifest import Manifest, load_manifest, segment_dir
 from lucene_mapreduce_spark.query.bm25_df import score_and_topk
 
 
 def _decode_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Posting-payload rows -> (term, doc_id, tf, dl, seg_seq) rows, one
+    batched varbyte decode per pandas batch (codec.decode_postings_many) —
+    the per-payload loop it replaces paid ~100us of pandas Series fixed
+    cost per payload, the dominant term of the distributed batch-query
+    legs (a 10k-query batch touches ~10^5 payloads)."""
+    import numpy as np
+
+    from lucene_mapreduce_spark.index.codec import decode_postings_many
+
     for pdf in batches:
-        out_term, out_doc, out_tf, out_dl, out_seq = [], [], [], [], []
-        for term, payload, seq in zip(pdf["term"], pdf["payload"], pdf["seg_seq"]):
-            docids, tfs, dls = decode_postings(payload)
-            n = len(docids)
-            if not n:
-                continue
-            out_term.append(pd.Series([term]).repeat(n))
-            out_doc.append(pd.Series(docids.astype("int64")))
-            out_tf.append(pd.Series(tfs.astype("int64")))
-            out_dl.append(pd.Series(dls.astype("int64")))
-            out_seq.append(pd.Series([seq]).repeat(n))
-        if not out_doc:
+        if not len(pdf):
+            continue
+        payloads = pdf["payload"].to_numpy()
+        bufs = payloads.tolist()
+        sizes = np.fromiter((len(b) for b in bufs), np.int64, len(bufs))
+        ends = np.cumsum(sizes)
+        starts = ends - sizes
+        data = np.frombuffer(b"".join(bufs), np.uint8)
+        counts = (
+            data[starts + 3].astype(np.int64)
+            | (data[starts + 4].astype(np.int64) << 8)
+            | (data[starts + 5].astype(np.int64) << 16)
+            | (data[starts + 6].astype(np.int64) << 24)
+        )
+        docids, tfs, dls = decode_postings_many(data, starts, ends)
+        if not len(docids):
             continue
         yield pd.DataFrame(
             {
-                "term": pd.concat(out_term, ignore_index=True),
-                "doc_id": pd.concat(out_doc, ignore_index=True),
-                "tf": pd.concat(out_tf, ignore_index=True),
-                "dl": pd.concat(out_dl, ignore_index=True),
-                "seg_seq": pd.concat(out_seq, ignore_index=True),
+                "term": np.repeat(pdf["term"].to_numpy(), counts),
+                "doc_id": docids,
+                "tf": tfs.astype("int64"),
+                "dl": dls.astype("int64"),
+                "seg_seq": np.repeat(pdf["seg_seq"].to_numpy(), counts),
             }
         )
 
@@ -86,6 +98,33 @@ def read_postings(
     """
     m = manifest or load_manifest(index_dir)
     assert m is not None, f"no index at {index_dir}"
+    segs = m.ordered()
+    rows = _posting_rows(spark, index_dir, terms, m, chunk_range=chunk_range)
+
+    decoded = rows.select("term", "payload", "seg_seq").mapInPandas(
+        _decode_rows, schema="term string, doc_id long, tf long, dl long, seg_seq long"
+    )
+
+    if len(segs) == 1:
+        return decoded.drop("seg_seq")
+
+    # multi-segment: keep only each doc's newest copy (latest-wins upsert)
+    live = live_doclens(spark, index_dir, m, chunk_range=chunk_range).select(
+        "doc_id", "seg_seq"
+    )
+    return decoded.join(live, ["doc_id", "seg_seq"], "left_semi").drop("seg_seq")
+
+
+def _posting_rows(
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str] | DataFrame,
+    m: Manifest,
+    chunk_range: tuple[int, int] | None = None,
+) -> DataFrame:
+    """Raw (undecoded) posting-block rows for the given terms across all
+    generations, with seg_seq attached — the shared scan prologue of
+    read_postings and the no-decode term_dfs stats path."""
     segs = m.ordered()
 
     def _chunked(r: DataFrame) -> DataFrame:
@@ -123,19 +162,40 @@ def read_postings(
                 .withColumn("seg_seq", F.lit(s.min_seq))
             )
             rows = r if rows is None else rows.unionByName(r)
+    return rows
 
-    decoded = rows.select("term", "payload", "seg_seq").mapInPandas(
-        _decode_rows, schema="term string, doc_id long, tf long, dl long, seg_seq long"
+
+def term_dfs(
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str] | DataFrame,
+    manifest: Manifest | None = None,
+    postings: DataFrame | None = None,
+) -> DataFrame:
+    """(term, df_t) — exact per-term live document frequency.
+
+    Single-generation indexes aggregate the posting blocks' df_chunk column
+    (a column-pruned scan of (term, df_chunk), ZERO payload decode — the
+    kernel keeps df_chunk equal to the block's decoded posting count, so the
+    sums are exact). Multi-generation indexes count the decoded live
+    postings (``postings``, or a fresh read) because shadowed copies make
+    block stats an overcount. Values are identical either way; this exists
+    so the batch-query prologue stops decoding every payload twice (once
+    for df_t, once for scoring)."""
+    m = manifest or load_manifest(index_dir)
+    assert m is not None, f"no index at {index_dir}"
+    if len(m.ordered()) == 1:
+        return (
+            _posting_rows(spark, index_dir, terms, m)
+            .groupBy("term")
+            .agg(F.sum("df_chunk").cast("long").alias("df_t"))
+        )
+    p = (
+        postings
+        if postings is not None
+        else read_postings(spark, index_dir, terms, m)
     )
-
-    if len(segs) == 1:
-        return decoded.drop("seg_seq")
-
-    # multi-segment: keep only each doc's newest copy (latest-wins upsert)
-    live = live_doclens(spark, index_dir, m, chunk_range=chunk_range).select(
-        "doc_id", "seg_seq"
-    )
-    return decoded.join(live, ["doc_id", "seg_seq"], "left_semi").drop("seg_seq")
+    return p.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
 
 
 def live_doclens(
@@ -609,7 +669,7 @@ def _matched_frame(
     n_docs, avgdl = exact_stats(spark, index_dir, m)
 
     postings = read_postings(spark, index_dir, terms, m)
-    df_t = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    df_t = term_dfs(spark, index_dir, terms, m, postings=postings)
 
     return (
         postings.join(F.broadcast(qterms), "term", "inner")
@@ -650,7 +710,7 @@ def ext_score_topk(
         return spark.createDataFrame([], "doc_id long, score double, rank int")
     n_docs, avgdl = exact_stats(spark, index_dir)
     postings = read_postings(spark, index_dir, terms)
-    df_t = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    df_t = term_dfs(spark, index_dir, terms, postings=postings)
     wdf = spark.createDataFrame(
         sorted(score_terms), "term string, weight double"
     )
@@ -749,11 +809,8 @@ def more_like_this(
 
     n_docs, avgdl = exact_stats(spark, index_dir)
     dfmap = {
-        r["term"]: int(r["df"])
-        for r in read_postings(spark, index_dir, cand, m)
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .collect()
+        r["term"]: int(r["df_t"])
+        for r in term_dfs(spark, index_dir, cand, m).collect()
     }
     # identical float spec to the oracle: tf * ln(1 + (N - df + .5)/(df + .5))
     ranked = sorted(
@@ -766,7 +823,7 @@ def more_like_this(
     qts = [t for _, t in ranked[:max_terms]]
 
     postings = read_postings(spark, index_dir, qts, m)
-    df_t = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    df_t = term_dfs(spark, index_dir, qts, m, postings=postings)
     qterms = spark.createDataFrame(
         [("q0", t) for t in qts], "query_id string, term string"
     )
