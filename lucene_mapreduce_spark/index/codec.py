@@ -449,6 +449,10 @@ def read_payload_meta(
             | (b[starts + off + 3].astype(np.int64) << 24)
         )
 
+    # length check BEFORE any header gather: a truncated terminal payload
+    # shorter than the header would otherwise index past the buffer
+    if ((ends - starts) < hs).any():
+        raise ValueError("truncated posting payload header")
     ok = (
         (b[starts] == MAGIC[0])
         & (b[starts + 1] == MAGIC[1])

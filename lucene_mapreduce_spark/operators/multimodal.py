@@ -197,11 +197,14 @@ def decode_wav_features(wavs: DataFrame) -> DataFrame:
                     assert w.getnchannels() == 1 and w.getsampwidth() == 1
                     n = w.getnframes()
                     frames = w.readframes(n)
+                    # capture inside the with-block: Wave_read retaining
+                    # attributes after close() is a CPython detail
+                    rate = w.getframerate()
                 arr = np.frombuffer(frames, np.uint8)
                 s = int(arr.sum(dtype=np.int64))
                 ids.append(mid)
                 ns.append(n)
-                rates.append(w.getframerate())
+                rates.append(rate)
                 sb.append(s)
                 mean_v.append(s / n if n else 0.0)
             yield pd.DataFrame(

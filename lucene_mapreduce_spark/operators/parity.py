@@ -73,7 +73,13 @@ def distributed_row_number(
         "_pid", F.spark_partition_id()
     )
     # pin the physical layout so the count pass and the rank pass see the
-    # SAME partitioning (repartitionByRange samples its boundaries)
+    # SAME partitioning (repartitionByRange samples its boundaries).
+    # Retention note (ADVICE r5): the checkpointed blocks live until the
+    # session ends — acceptable for the offline-diagnostic call sites this
+    # serves (each runs once per gate query), and unpersisting here would
+    # free the blocks before the caller materializes the lazily-consumed
+    # ranks. Long-lived serving sessions should not route queries through
+    # this helper repeatedly.
     part = part.localCheckpoint(eager=True)
     sizes = {
         r["_pid"]: r["c"]

@@ -1143,6 +1143,10 @@ class IndexSearcher:
             idf = bm25_idf(df, self.n_docs)
             idfs.append(idf)
             for chunk, data, s, e, skip in rows:
+                if not len(skip):
+                    # empty skip table (count==0 payload): nothing to score
+                    # and .max() over zero blocks would raise
+                    continue
                 mt = skip["max_tf"].astype(np.float64)
                 md = skip["min_dl"].astype(np.float64)
                 ub = float(

@@ -39,6 +39,7 @@ unclassified sites)
 """
 from __future__ import annotations
 
+import ast
 import collections
 import os
 import re
@@ -196,15 +197,25 @@ def enumerate_sites() -> list[tuple[str, int, str]]:
                 continue
             path = os.path.join(root, fn)
             rel = os.path.relpath(path, REPO)
-            cur = "<module>"
-            for i, ln in enumerate(open(path).readlines(), 1):
-                m = re.match(r"def (\w+)", ln)
-                if m:
-                    cur = m.group(1)
-                stripped = ln.lstrip()
-                if stripped.startswith("#"):
+            # a site is attributed to its INNERMOST ENCLOSING def, resolved
+            # from the AST (ADVICE r5: the previous column-0 re.match
+            # classified sites inside nested helpers under the outer
+            # top-level name; indent heuristics break on multiline
+            # signatures) — smallest enclosing span wins
+            src = open(path).read()
+            funcs = [
+                (node.lineno, node.end_lineno, node.name)
+                for node in ast.walk(ast.parse(src))
+                if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef))
+            ]
+            for i, ln in enumerate(src.splitlines(), 1):
+                if ln.lstrip().startswith("#"):
                     continue
                 if re.search(r"Window\.orderBy|Window\(\)\.orderBy", ln):
+                    cur, span = "<module>", None
+                    for s, e, nm in funcs:
+                        if s <= i <= e and (span is None or e - s < span):
+                            cur, span = nm, e - s
                     sites.append((rel, i, cur))
     return sites
 
