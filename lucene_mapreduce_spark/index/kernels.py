@@ -256,7 +256,9 @@ def _merge_stream(batches):
                 d = deads[i]
                 if d is not None and len(d):
                     row_dead[i] = np.asarray(d, np.uint64)
-        has_dead = np.not_equal(row_dead, None)
+        # elementwise object-identity scan, NOT np.not_equal: ndarray
+        # entries would broadcast an elementwise comparison against None
+        has_dead = np.fromiter((x is not None for x in row_dead), bool, nh)
 
         ngroups = len(gstarts)
         gends = np.concatenate([gstarts[1:], [nh]])

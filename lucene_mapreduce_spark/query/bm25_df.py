@@ -171,16 +171,29 @@ def score_and_topk(
     scored = _persist_bounded(_contrib_frame(matched))
 
     eps = 1e-9
-    approx = scored.groupBy("query_id", "doc_id").agg(F.sum("contrib").alias("s_ap"))
+    # approx is persisted too: both phase-1 consumers (the kth-score probe
+    # and the candidate filter) read it, and recomputing it would re-run
+    # the (query, doc) aggregation over the full contrib frame twice.
+    approx = _persist_bounded(
+        scored.groupBy("query_id", "doc_id").agg(F.sum("contrib").alias("s_ap")),
+        keep=2,
+    )
     w_ap = Window.partitionBy("query_id").orderBy(
         F.col("s_ap").desc(), F.col("doc_id").asc()
     )
-    ranked = approx.withColumn("rn", F.row_number().over(w_ap))
-    kth = ranked.filter(F.col("rn") == k).select(
-        "query_id", F.col("s_ap").alias("kth_s")
+    # rn == k is a rank-limit filter: Spark's WindowGroupLimit maintains a
+    # per-partition top-k heap map-side instead of fully sorting every
+    # query's candidate set. The candidate filter below deliberately joins
+    # approx (not the ranked frame) so the ranking window is evaluated
+    # exactly once — the previous shape re-ran the full per-query sort a
+    # second time just to carry an unused rn column into the filter.
+    kth = (
+        approx.withColumn("rn", F.row_number().over(w_ap))
+        .filter(F.col("rn") == k)
+        .select("query_id", F.col("s_ap").alias("kth_s"))
     )
     cand = (
-        ranked.join(F.broadcast(kth), "query_id", "left")
+        approx.join(F.broadcast(kth), "query_id", "left")
         .filter(F.col("kth_s").isNull() | (F.col("s_ap") >= F.col("kth_s") - F.lit(eps)))
         .select("query_id", "doc_id")
     )
