@@ -365,7 +365,11 @@ def build_segment(
     encoded = (
         even_salted_repartition(encoded, n_tasks, n_salt)
         .sortWithinPartitions("phash", "term", "chunk")
-        .select("phash", "term", "chunk", "payload", "dead")
+        # stat columns ride from the map side so single-partial groups (the
+        # dominant shape: map tasks cover contiguous docid spans) take the
+        # kernel's verbatim pass-through — no decode, no re-encode
+        .select("phash", "term", "chunk", "df_chunk", "cf_chunk", "max_tf",
+                "min_dl", "payload", "dead")
         .mapInPandas(_merge_stream, schema=POSTING_SCHEMA)
     )
     (

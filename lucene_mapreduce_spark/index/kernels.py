@@ -32,7 +32,18 @@ POSTING_SCHEMA = (
     "max_tf int, min_dl int, payload binary"
 )
 
-PARTIAL_SCHEMA = "phash int, term string, chunk long, payload binary"
+# Partials carry the same stat columns as finished posting rows: the map
+# side computes (df, cf, max_tf, min_dl) with the reduceats it already runs
+# for encoding, and the reduce kernel's pass-through fast path then copies
+# SINGLE-partial groups verbatim — zero decode/re-encode. Map tasks cover
+# contiguous docid spans, so most (term, chunk) groups have exactly one
+# partial and the build's reduce stage becomes mostly a placement pass
+# (guide §2.3/§2.4: the re-encode added no information — the single payload
+# was already byte-identical to its re-encoding).
+PARTIAL_SCHEMA = (
+    "phash int, term string, chunk long, df_chunk int, cf_chunk long, "
+    "max_tf int, min_dl int, payload binary"
+)
 
 # Reserved pseudo-term that carries per-doc lengths INSIDE the postings
 # parquet (entries are (doc_id, tf=dl, dl=dl), so chunk-level df_chunk /
@@ -72,7 +83,6 @@ def _make_partial_encoder(num_partitions: int, chunk_docs: int):
         import pyarrow.compute as pc
 
         from lucene_mapreduce_spark.functions.hashing import term_phash
-        from lucene_mapreduce_spark.functions.tokenize import _RE2_SPLIT
 
         # Tokenize + per-(doc, term) tf entirely in Arrow C++ / numpy — no
         # per-document Python loop (measured 1.7x on the end-to-end kernel
@@ -90,7 +100,14 @@ def _make_partial_encoder(num_partitions: int, chunk_docs: int):
             ids = batch.column(0).to_numpy(zero_copy_only=False)
             if not len(ids):
                 continue
-            toks = pc.split_pattern_regex(batch.column(1), _RE2_SPLIT)
+            # ascii_split_whitespace splits on exactly the tokenizer's pinned
+            # 6-char ASCII class (" \t\n\v\f\r"; UTF-8 continuation bytes are
+            # >= 0x80 so non-ASCII text can never match) and measured 6.2x
+            # faster than the RE2 split_pattern_regex it replaces — empties
+            # from leading/trailing runs drop in the existing filter, so the
+            # token stream is bit-identical (pinned by test_tokenize's
+            # kernel-splitter parity case)
+            toks = pc.ascii_split_whitespace(batch.column(1))
             flat = pc.list_flatten(toks)
             parent = pc.list_parent_indices(toks)
             mask = pc.not_equal(flat, "")
@@ -123,14 +140,23 @@ def _make_partial_encoder(num_partitions: int, chunk_docs: int):
                 pdl.astype(np.uint64), pstarts,
             )
             ng = len(pstarts)
+            pends = np.concatenate([pstarts[1:], [pn]])
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(np.full(ng, num_partitions, np.int32), type=pa.int32()),
                     pa.array([DL_TERM] * ng, type=pa.string()),
                     pa.array(pchunk[pstarts], type=pa.int64()),
+                    pa.array((pends - pstarts).astype(np.int32), type=pa.int32()),
+                    pa.array(np.add.reduceat(pdl, pstarts).astype(np.int64),
+                             type=pa.int64()),
+                    pa.array(np.maximum.reduceat(pdl, pstarts).astype(np.int32),
+                             type=pa.int32()),
+                    pa.array(np.minimum.reduceat(pdl, pstarts).astype(np.int32),
+                             type=pa.int32()),
                     pa.array(ppayloads, type=pa.binary()),
                 ],
-                names=["phash", "term", "chunk", "payload"],
+                names=["phash", "term", "chunk", "df_chunk", "cf_chunk",
+                       "max_tf", "min_dl", "payload"],
             )
 
         if not flat_parts:
@@ -170,14 +196,23 @@ def _make_partial_encoder(num_partitions: int, chunk_docs: int):
             (term_phash(t, num_partitions) for t in uniq_arr), np.int32, len(uniq_arr)
         )
         g_codes = codes[starts]
+        g_ends = np.concatenate([starts[1:], [n]])
         yield pa.RecordBatch.from_arrays(
             [
                 pa.array(phash_by_code[g_codes], type=pa.int32()),
                 pa.array(uniq_arr[g_codes], type=pa.string()),
                 pa.array(chunk[starts], type=pa.int64()),
+                pa.array((g_ends - starts).astype(np.int32), type=pa.int32()),
+                pa.array(np.add.reduceat(tf, starts).astype(np.int64),
+                         type=pa.int64()),
+                pa.array(np.maximum.reduceat(tf, starts).astype(np.int32),
+                         type=pa.int32()),
+                pa.array(np.minimum.reduceat(dl, starts).astype(np.int32),
+                         type=pa.int32()),
                 pa.array(payloads, type=pa.binary()),
             ],
-            names=["phash", "term", "chunk", "payload"],
+            names=["phash", "term", "chunk", "df_chunk", "cf_chunk",
+                   "max_tf", "min_dl", "payload"],
         )
 
     return fn

@@ -108,14 +108,6 @@ def bm25_scan_topk(
     return score_and_topk(matched, k=k, round_to=round_to)
 
 
-# score_and_topk persists its scored frame so the two-phase rank+rescore
-# reuses one computation; the result is consumed lazily by the caller, so
-# the unpersist can't happen inside the call — the session-level bounded
-# registry evicts older frames instead (asserted in
-# test_scale_robustness::test_score_and_topk_cache_bounded).
-from lucene_mapreduce_spark.session import persist_bounded as _persist_bounded  # noqa: E402
-
-
 def _contrib_frame(matched: DataFrame) -> DataFrame:
     """(query_id, doc_id, term, contrib) — the BM25 per-term contribution
     expression, shared by the top-k and all-scores paths."""
@@ -168,16 +160,19 @@ def score_and_topk(
     float error (e.g. identical documents) all fall inside the margin, so
     the final (score desc, doc_id asc) top-k is bit-identical to the oracle.
     """
-    scored = _persist_bounded(_contrib_frame(matched))
+    # No persist anywhere in this plan (guide §5): the contrib and approx
+    # frames are ROW-SCALE (one row per matched (query, doc[, term])), and
+    # pinning them in executor storage squeezes execution memory for the
+    # very aggregation/window that reads them — measured 42 s vs 28 s on
+    # the 10k-query batch leg with/without the persists, and the pressure
+    # compounds across a long-lived session. The kth-probe branch and the
+    # candidate branch share one identical groupBy subtree, so Spark's
+    # ReusedExchange dedupes that shuffle at runtime; only the phase-2
+    # rescore recomputes the (cheap, column-pruned) posting decode.
+    scored = _contrib_frame(matched)
 
     eps = 1e-9
-    # approx is persisted too: both phase-1 consumers (the kth-score probe
-    # and the candidate filter) read it, and recomputing it would re-run
-    # the (query, doc) aggregation over the full contrib frame twice.
-    approx = _persist_bounded(
-        scored.groupBy("query_id", "doc_id").agg(F.sum("contrib").alias("s_ap")),
-        keep=2,
-    )
+    approx = scored.groupBy("query_id", "doc_id").agg(F.sum("contrib").alias("s_ap"))
     w_ap = Window.partitionBy("query_id").orderBy(
         F.col("s_ap").desc(), F.col("doc_id").asc()
     )

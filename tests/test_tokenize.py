@@ -70,6 +70,36 @@ def test_duckdb_matches_python():
         assert (toks or []) == expected, f"mismatch on {ADVERSARIAL[i]!r}"
 
 
+def test_kernel_splitter_matches_python():
+    """The build kernel's Arrow splitter (ascii_split_whitespace + empty
+    filter, index/kernels.py) must match the pinned spec bit-for-bit —
+    including characters NEAR the class that must NOT split (information
+    separators \\x1c-\\x1f, NEL \\x85, NBSP \\xa0)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    cases = ADVERSARIAL + [
+        "a\x1cb\x1dc\x1ed\x1fe",  # info separators: NOT whitespace here
+        "nel\x85stays",
+        "nbsp\xa0stays",
+        "nul\x00stays",
+        "\t\n\x0b\x0c\r all five",
+    ]
+    arr = pa.array(cases, type=pa.string())
+    toks = pc.ascii_split_whitespace(arr)
+    flat = pc.list_flatten(toks)
+    par = pc.list_parent_indices(toks)
+    mask = pc.not_equal(flat, "")
+    flat = pc.filter(flat, mask).to_pylist()
+    par = pc.filter(par, mask).to_pylist()
+    expected_flat, expected_par = [], []
+    for i, s in enumerate(cases):
+        for t in tokenize_string(s):
+            expected_flat.append(t)
+            expected_par.append(i)
+    assert flat == expected_flat and par == expected_par
+
+
 def test_corpus_equivalence(spark, sf_dir):
     """JVM expression vs Arrow UDF on the real documents table."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
