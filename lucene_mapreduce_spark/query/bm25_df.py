@@ -172,7 +172,21 @@ def score_and_topk(
     scored = _contrib_frame(matched)
 
     eps = 1e-9
-    approx = scored.groupBy("query_id", "doc_id").agg(F.sum("contrib").alias("s_ap"))
+    # phase 1 runs on the non-null (query_id, doc_id) keyspace, declared
+    # ONCE here: the kth-probe branch and the candidate branch otherwise
+    # end up with DIFFERENT pushed-down null filters (the left join pushes
+    # isnotnull(query_id) into kth's subtree, the phase-2 semi join pushes
+    # isnotnull on both keys into cand's), and that one-conjunct difference
+    # defeats canonicalized-subtree equality — AQE then materializes the
+    # same decode+partial-aggregation shuffle TWICE. With the filters
+    # declared on the shared frame both branches canonicalize identically
+    # and the second branch becomes a ReusedExchange (verified in the
+    # executed plan). Join keys are never null here: query_id comes from
+    # the literal query frame, doc_id from the posting decode.
+    nn = scored.filter(
+        F.col("query_id").isNotNull() & F.col("doc_id").isNotNull()
+    )
+    approx = nn.groupBy("query_id", "doc_id").agg(F.sum("contrib").alias("s_ap"))
     w_ap = Window.partitionBy("query_id").orderBy(
         F.col("s_ap").desc(), F.col("doc_id").asc()
     )
