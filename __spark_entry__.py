@@ -182,32 +182,14 @@ def entry(spark: SparkSession) -> DataFrame:
     return fulltext.bm25_topk_documents(spark, "/root/testdata/sf0.001")
 
 
-# Driver-gate rotation (VERDICT r3 item #1): the driver's correctness gate
-# samples the FIRST 50 entries of queries(). Rounds 1-3 verified 106 of 234
-# names; the names below have never had a driver CORRECTNESS row. They are
-# promoted to the head of the dict (in this order) so CORRECTNESS_r04 verifies
-# 50 previously-unverified queries; the remainder rotate up next round.
+# Driver-gate rotation (VERDICT r3 item #1, re-rotated each round): the
+# driver's correctness gate samples the FIRST 50 entries of queries().
+# Rounds 1-5 verified 206 of 805 names; every name below has never had a
+# driver CORRECTNESS row (checked against the union of CORRECTNESS_r01-r05).
+# The r5-verified head-50 was dropped after CORRECTNESS_r05 landed (VERDICT
+# r5 item 1), promoting the next 50 backlog names; the remainder rotate up
+# next round.
 _DRIVER_PRIORITY = [
-    "stats_bucket_pipeline", "date_range_facets", "auto_date_histogram",
-    "scroll_slices", "percentile_ranks_agg", "string_stats_agg",
-    "embedding_norm_stats", "serial_diff_pipeline",
-    "bucket_extrema_pipeline", "bucket_script_pipeline",
-    "bucket_sort_pipeline", "normalize_pipeline", "top_metrics_agg",
-    "t_test_agg", "extended_stats_agg", "boxplot_agg", "mad_agg",
-    "matrix_stats_agg", "filters_agg", "has_child_query",
-    "has_parent_query", "children_agg", "scripted_metric_agg",
-    "combined_fields_query", "rank_eval", "linear_classifier_topk",
-    "sampler_agg", "geo_distance_query", "mget_docstore", "intervals_query",
-    "cumulative_cardinality_pipeline", "moving_fn_pipeline",
-    "geo_bounding_box_query", "geotile_grid_agg", "hll_cardinality",
-    "ewma_pipeline", "percentiles_bucket_pipeline", "change_point_agg",
-    "rate_agg", "categorize_text_agg", "frequent_pairs_agg",
-    "tfidf_keywords", "bpe_pair_counts", "geohash_grid_agg", "ip_range_agg",
-    "stemmed_terms_agg", "moving_median_pipeline", "packing_stats",
-    "terms_lookup_query", "bm25_chunkmax_topk",
-    # --- slots 51+: verified in later rounds (contiguous never-verified
-    # backlog; VERDICT r4 item 1 — similarity zoo / rerank / dedup-health
-    # / TPC-H families drain first) ---
     "runtime_field_query", "geo_centroid_agg", "mixture_resample",
     "token_budget_trim", "contexts_suggest", "random_sampler_agg",
     "pivot_table_agg", "cube_agg", "contamination_fraction",
