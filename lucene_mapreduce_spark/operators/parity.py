@@ -66,9 +66,22 @@ def distributed_row_number(
     RDD zipWithIndex idea in DataFrame terms. The offset table is
     n_partitions rows collected to the driver (bounded by cluster size,
     never data size). Ties in order_col receive a contiguous rank block in
-    engine order, so callers must be tie-sum-invariant (both current users
-    — weibull_plot_fit, ppcc_exponential_test — consume ranks only through
-    sums that are invariant to permutations within a tie block)."""
+    engine order, so callers must be tie-sum-invariant (the rank-site
+    users consume ranks only through sums that are invariant to
+    permutations within a tie block; the ntile/desc-order users below pass
+    a unique composite struct key, where ties cannot occur at all).
+    Composite and descending orders ride a struct key: struct(a, b) orders
+    like (a ASC, b ASC), and negating a non-NaN double column turns its
+    leg descending (struct(-p, id) == ORDER BY p DESC, id ASC)."""
+    return _global_ranked(df, order_col, rank_col)[0]
+
+
+def _global_ranked(
+    df: DataFrame, order_col: str, rank_col: str
+) -> tuple[DataFrame, int]:
+    """(ranked frame, total row count) — the shared core of
+    distributed_row_number and distributed_ntile; the count is a free
+    by-product of the per-partition offset table."""
     part = df.repartitionByRange(F.col(order_col)).withColumn(
         "_pid", F.spark_partition_id()
     )
@@ -96,9 +109,38 @@ def distributed_row_number(
         *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
     )
     wloc = Window.partitionBy("_pid").orderBy(F.asc(order_col))
-    return part.withColumn(
+    ranked = part.withColumn(
         rank_col, F.row_number().over(wloc) + omap[F.col("_pid")]
     ).drop("_pid")
+    return ranked, acc
+
+
+def distributed_ntile(
+    df: DataFrame, order_col: str, k: int, out_col: str = "tile"
+) -> DataFrame:
+    """Exact Spark `ntile(k)` over ORDER BY order_col WITHOUT a
+    single-partition window (VERDICT r5 item 6: the promotion remedy for
+    the row-scale ntile sites). ntile is a pure function of the global row
+    number r and the total count n — with n = q*k + rem, the first `rem`
+    buckets hold q+1 rows — so it rides `distributed_row_number`'s
+    range-partitioned ranks plus the count that machinery already
+    produces. `order_col` must be a TOTAL order (unique key, e.g. a struct
+    with a unique tiebreak column): then every row's rank, and hence its
+    tile, is the same value the single-partition window would assign —
+    bit-identical, at any parallelism. NOT the floor((r-1)*k/n)+1
+    approximation (documented trap: that formula diverges from ntile
+    whenever n % k != 0)."""
+    ranked, n = _global_ranked(df, order_col, "_rn_nt")
+    q, rem = divmod(n, k)
+    if q == 0:  # n < k: every row is its own bucket 1..n
+        tile = F.col("_rn_nt")
+    else:
+        cut = rem * (q + 1)
+        tile = F.expr(
+            f"CASE WHEN _rn_nt <= {cut} THEN 1 + (_rn_nt - 1) div {q + 1} "
+            f"ELSE {rem + 1} + (_rn_nt - 1 - {cut}) div {q} END"
+        )
+    return ranked.withColumn(out_col, tile.cast("int")).drop("_rn_nt")
 
 
 # ---------------------------------------------------------------- A1
@@ -8238,19 +8280,21 @@ def brier_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     overall Brier score and expected calibration error riding every
     row as broadcast constants.  All means come from 12dp DECIMAL
     sums; the outcome is integer.  The classic offline eval a ranking
-    team runs before trusting a score as a probability."""
-    from pyspark.sql import Window
-
+    team runs before trusting a score as a probability.  The (p, event_id)
+    order is TOTAL (event_id unique), so the deciles come from
+    `distributed_ntile` on a struct key — exact ntile semantics without
+    the single-partition window (VERDICT r5 item 6)."""
     ev = load(spark, sf_dir, "events").select(
         "event_id",
         (F.col("value") / (F.col("value") + F.lit(BRIER_P_SHIFT))).alias("p"),
         (F.col("event_type") == "purchase").cast("long").alias("y"),
     )
     d = F.col("p") - F.col("y").cast("double")
-    binned = ev.select(
-        F.ntile(BRIER_BINS)
-        .over(Window.orderBy(F.col("p").asc(), F.col("event_id").asc()))
-        .alias("bin"),
+    keyed = ev.withColumn(
+        "_ord", F.struct(F.col("p").alias("p"), F.col("event_id").alias("eid"))
+    )
+    binned = distributed_ntile(keyed, "_ord", BRIER_BINS, "bin").select(
+        "bin",
         F.round("p", 12).cast("decimal(38,12)").alias("p12"),
         "y",
         F.round(d * d, 12).cast("decimal(38,12)").alias("sq12"),
@@ -9996,7 +10040,10 @@ def cumulative_gains_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     brier_calibration_report model, read as a RANKER): deciles over
     the (p desc, event_id) total order, cumulative captured-positive
     share and lift vs random.  The campaign-targeting chart; exact
-    BIGINT cell counts, one ntile window."""
+    BIGINT cell counts.  The (p desc, event_id) order is TOTAL, so the
+    deciles come from `distributed_ntile` on a struct(-p, event_id) key —
+    exact ntile without the single-partition window (VERDICT r5 item 6);
+    the remaining cumulative window runs over BRIER_BINS rows."""
     from pyspark.sql import Window
 
     ev = load(spark, sf_dir, "events").select(
@@ -10004,10 +10051,11 @@ def cumulative_gains_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("value") / (F.col("value") + F.lit(BRIER_P_SHIFT))).alias("p"),
         (F.col("event_type") == "purchase").cast("long").alias("y"),
     )
-    binned = ev.select(
-        F.ntile(BRIER_BINS)
-        .over(Window.orderBy(F.col("p").desc(), F.col("event_id").asc()))
-        .alias("decile"),
+    keyed = ev.withColumn(
+        "_ord", F.struct((-F.col("p")).alias("np"), F.col("event_id").alias("eid"))
+    )
+    binned = distributed_ntile(keyed, "_ord", BRIER_BINS, "decile").select(
+        "decile",
         "y",
     )
     per = binned.groupBy("decile").agg(
@@ -10577,23 +10625,26 @@ def average_precision_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     step form) of the pinned scorer — the imbalanced-outcome
     companion to score_auc_exact (ROC flatters rare positives; PR
     does not): over the total (p desc, event_id) order, AP = sum over
-    positive positions of precision@k / n_pos.  Exact BIGINT
-    cumulative counts in one window; terms ride 12dp DECIMAL sums."""
-    from pyspark.sql import Window
-
+    positive positions of precision@k / n_pos.  The (p desc, event_id)
+    order is TOTAL (event_id unique), so both cumulative counts are pure
+    rank functions: overall position k is the global row number, and the
+    running positive count tp at a positive row equals that row's rank
+    within the positives-only subset under the same order — two
+    `distributed_row_number` passes on a struct(-p, event_id) key replace
+    the single-partition window (VERDICT r5 item 6), bit-identically.
+    Terms ride 12dp DECIMAL sums."""
     ev = load(spark, sf_dir, "events").select(
         "event_id",
         (F.col("value") / (F.col("value") + F.lit(BRIER_P_SHIFT))).alias("p"),
         (F.col("event_type") == "purchase").cast("long").alias("y"),
     )
-    w = Window.orderBy(F.col("p").desc(), F.col("event_id").asc())
-    wc = w.rowsBetween(Window.unboundedPreceding, 0)
-    ranked = ev.select(
-        "y",
-        F.row_number().over(w).cast("long").alias("k"),
-        F.sum("y").over(wc).cast("long").alias("tp"),
+    keyed = ev.withColumn(
+        "_ord", F.struct((-F.col("p")).alias("np"), F.col("event_id").alias("eid"))
     )
-    terms = ranked.filter(F.col("y") == 1).select(
+    ranked_all = distributed_row_number(keyed, "_ord", "k")
+    pos = ranked_all.filter(F.col("y") == 1)
+    ranked = distributed_row_number(pos, "_ord", "tp")
+    terms = ranked.select(
         F.round(
             F.col("tp").cast("double") / F.col("k").cast("double"), 12
         )
@@ -14787,16 +14838,22 @@ def qini_uplift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ed",
     )
-    dec = scored.select(
+    # (p desc, user_id, ed) is a TOTAL order (user-day grain), so the
+    # deciles come from distributed_ntile on a struct(-p, user, day) key —
+    # exact ntile without the single-partition window (VERDICT r5 item 6);
+    # the cumulative window below runs over 10 rows.
+    keyed = scored.withColumn(
+        "_ord",
+        F.struct(
+            (-F.col("p")).alias("np"),
+            F.col("user_id").alias("u"),
+            F.col("ed").alias("d"),
+        ),
+    )
+    dec = distributed_ntile(keyed, "_ord", 10, "decile").select(
         "t",
         "y",
-        F.ntile(10)
-        .over(
-            Window.orderBy(
-                F.desc("p"), F.asc("user_id"), F.asc("ed")
-            )
-        )
-        .alias("decile"),
+        "decile",
     )
     per = dec.groupBy("decile").agg(
         F.sum(F.when(F.col("t") == 1, 1).otherwise(0))
@@ -15052,18 +15109,22 @@ def stratified_ate_quintiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
     )
-    strat = li.select(
+    # (quantity, orderkey, linenumber) is a TOTAL order (the key pair is
+    # unique), so the quintiles come from distributed_ntile on a struct
+    # key — exact ntile without the single-partition window (VERDICT r5
+    # item 6).
+    keyed = li.withColumn(
+        "_ord",
+        F.struct(
+            F.col("l_quantity").alias("q"),
+            F.col("l_orderkey").alias("ok"),
+            F.col("l_linenumber").alias("ln"),
+        ),
+    )
+    strat = distributed_ntile(keyed, "_ord", 5, "stratum").select(
         "t",
         "y",
-        F.ntile(5)
-        .over(
-            Window.orderBy(
-                F.asc("l_quantity"),
-                F.asc("l_orderkey"),
-                F.asc("l_linenumber"),
-            )
-        )
-        .alias("stratum"),
+        "stratum",
     )
     per = strat.groupBy("stratum").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
@@ -15481,19 +15542,24 @@ def column_runs_sortedness(spark: SparkSession, sf_dir: str) -> DataFrame:
     min/max-skipping effectiveness precondition the file-skipping
     audits assume): ascending runs of o_orderdate over the o_orderkey
     storage order, runs/n against the random-permutation expectation
-    (n+1)/2, and the sortedness score 1 − (runs−1)/(n−1).  One
-    window pass, one row."""
+    (n+1)/2, and the sortedness score 1 − (runs−1)/(n−1).  o_orderkey is
+    unique, so "previous row in key order" is an equi-join on the global
+    row number i == i−1 after `distributed_row_number` — lag without the
+    single-partition window (VERDICT r5 item 6); a run break is a missing
+    predecessor (i = 1) or a date decrease."""
     o = load(spark, sf_dir, "orders").select(
         "o_orderkey",
         F.expr(
             "unix_micros(cast(o_orderdate as timestamp)) div 86400000000"
         ).alias("ed"),
     )
-    w = Window.orderBy("o_orderkey")
-    runs = o.select(
+    ranked = distributed_row_number(o, "o_orderkey", "i")
+    prev = ranked.select(
+        (F.col("i") + 1).alias("i"), F.col("ed").alias("ed_prev")
+    )
+    runs = ranked.join(prev, "i", "left").select(
         F.when(
-            F.lag("ed").over(w).isNull()
-            | (F.col("ed") < F.lag("ed").over(w)),
+            F.col("ed_prev").isNull() | (F.col("ed") < F.col("ed_prev")),
             1,
         )
         .otherwise(0)

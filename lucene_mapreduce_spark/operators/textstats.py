@@ -3843,8 +3843,10 @@ def curriculum_buckets(
     size, length range, token budget, and mean type-token ratio (the
     lexical-diversity signal trainers watch as the curriculum advances).
     TTR per doc is one integer divide rounded 12dp; means sum
-    DECIMAL(28,12) — order-free. One corpus scan + one bounded window."""
-    from pyspark.sql import Window
+    DECIMAL(28,12) — order-free. (dl, doc_id) is a TOTAL order (doc_id
+    unique), so the buckets come from `distributed_ntile` on a struct key
+    — exact ntile without a single-partition window (VERDICT r5 item 6)."""
+    from lucene_mapreduce_spark.operators.parity import distributed_ntile
 
     docs = load(spark, sf_dir, "documents")
     toks = tokenize_col("text")
@@ -3853,11 +3855,13 @@ def curriculum_buckets(
         F.size(toks).cast("long").alias("dl"),
         F.size(F.array_distinct(toks)).cast("long").alias("types"),
     ).filter(F.col("dl") > 0)
-    w = Window.orderBy(F.asc("dl"), F.asc("doc_id"))
     ttr = F.round(
         F.col("types").cast("double") / F.col("dl").cast("double"), 12
     ).cast("decimal(28,12)")
-    b = per.withColumn("bucket", F.ntile(n_buckets).over(w)).select(
+    keyed = per.withColumn(
+        "_ord", F.struct(F.col("dl").alias("l"), F.col("doc_id").alias("d"))
+    )
+    b = distributed_ntile(keyed, "_ord", n_buckets, "bucket").select(
         "bucket", "dl", ttr.alias("ttr")
     )
     return (
@@ -7249,22 +7253,28 @@ def inbatch_collision_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     the respective total order (exact), collision pairs are
     sum C(n_bs, 2) per (batch, source) — all BIGINT.  Two batch sizes,
     two orders, four rows."""
+    from lucene_mapreduce_spark.operators.parity import distributed_ntile
+
     docs = load(spark, sf_dir, "documents").select("doc_id", "source")
     n = docs.count()
     out = None
-    from pyspark.sql import Window
-
+    # both orders are TOTAL (doc_id is unique and tie-breaks the md5 leg),
+    # so the batches come from distributed_ntile on a struct key — exact
+    # ntile without a single-partition window (VERDICT r5 item 6)
     orders = {
-        "arrival": F.col("doc_id").asc_nulls_last(),
-        "shuffled": _md5_52(F.col("doc_id").cast("string")).asc(),
+        "arrival": F.struct(F.col("doc_id").alias("d")),
+        "shuffled": F.struct(
+            _md5_52(F.col("doc_id").cast("string")).alias("h"),
+            F.col("doc_id").alias("d"),
+        ),
     }
     for b in INBATCH_SIZES:
         n_batches = max(1, n // b)
         for oname, okey in orders.items():
-            w = Window.orderBy(okey, F.col("doc_id").asc())
-            batched = docs.select(
-                F.ntile(n_batches).over(w).alias("batch"), "source"
-            )
+            keyed = docs.withColumn("_ord", okey)
+            batched = distributed_ntile(
+                keyed, "_ord", n_batches, "batch"
+            ).select("batch", "source")
             cells = batched.groupBy("batch", "source").agg(
                 F.count(F.lit(1)).cast("long").alias("c")
             )

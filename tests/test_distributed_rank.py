@@ -45,3 +45,44 @@ def test_tie_blocks_are_contiguous_and_complete(spark):
         assert row["min"] == prev_end + 1
         assert row["max"] - row["min"] + 1 == row["count"]
         prev_end = row["max"]
+
+
+def test_ntile_matches_global_window(spark):
+    """distributed_ntile == F.ntile over the same total order, including
+    n % k != 0 (ceil-first bucket distribution) and a desc leg via a
+    negated double in the struct key (VERDICT r5 item 6 promotions)."""
+    from lucene_mapreduce_spark.operators.parity import distributed_ntile
+
+    df = spark.range(0, 3001).select(
+        "id",
+        ((F.xxhash64(F.col("id").cast("string")) % 1000) / 1000.0).alias("p"),
+    )
+    for k in (10, 5, 7, 64):
+        keyed = df.withColumn(
+            "_ord", F.struct((-F.col("p")).alias("np"), F.col("id").alias("i"))
+        )
+        got = (
+            distributed_ntile(keyed, "_ord", k, "tile")
+            .select("id", "tile")
+            .toPandas()
+            .sort_values("id")
+            .reset_index(drop=True)
+        )
+        w = Window.orderBy(F.col("p").desc(), F.col("id").asc())
+        exp = (
+            df.withColumn("tile", F.ntile(k).over(w))
+            .select("id", "tile")
+            .toPandas()
+            .sort_values("id")
+            .reset_index(drop=True)
+        )
+        assert list(got.tile) == list(exp.tile), f"k={k}"
+
+
+def test_ntile_more_buckets_than_rows(spark):
+    from lucene_mapreduce_spark.operators.parity import distributed_ntile
+
+    df = spark.range(0, 6).withColumn("_ord", F.col("id"))
+    got = distributed_ntile(df, "_ord", 10, "tile").toPandas().sort_values("id")
+    # Spark ntile with n < k: each row is its own bucket 1..n
+    assert list(got.tile) == [1, 2, 3, 4, 5, 6]

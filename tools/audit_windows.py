@@ -63,13 +63,11 @@ CLASS: dict[str, str] = {
     # --- similarity.py
     "covariance_topk_dims": "group-stat",  # embedding dims (fixed width)
     # --- textstats.py
-    "curriculum_buckets": "row-scale",     # global difficulty order over docs
     "fighting_words_log_odds": "vocab",
     "gini_coefficient": "vocab",  # ranks the term-frequency table,
     "good_turing_counts": "vocab",
     "heaps_law_fit": "row-scale",          # cumulative vocab over doc order
     "hits_authority_3iter": "entity",
-    "inbatch_collision_report": "row-scale",  # manual ntile over docs
     "neyman_allocation_plan": "group-stat",
     "padding_waste_audit": "row-scale",    # packing order over docs
     "sampled_topk_fidelity": "k-page",
@@ -109,21 +107,18 @@ CLASS: dict[str, str] = {
     "arch_lm_test": "calendar",
     "auc_hanley_mcneil_ci": "value-grid",
     "autocorrelation_daily": "calendar",
-    "average_precision_score": "row-scale",  # cum-precision over ranked events,
     "bass_diffusion_fit": "calendar",
     "bh_fdr_procedure": "group-stat",
     "binseg_changepoint": "calendar",
     "bollinger_bands_daily": "calendar",
-    "brier_calibration_report": "row-scale",  # ntile over raw events,
     "brunner_munzel_arms": "value-grid",
     "bucket_count_ks_test": "group-stat",
     "bucket_sort_pipeline": "group-stat",
     "cliffs_delta_effect": "value-grid",
-    "column_runs_sortedness": "row-scale",  # file-order runs by design
     "competing_risks_cif": "calendar",
     "conformal_interval_calibration": "calendar",  # windows over the day histogram,
     "cumulative_cardinality_pipeline": "calendar",
-    "cumulative_gains_deciles": "row-scale",  # ntile over scored events,
+    "cumulative_gains_deciles": "group-stat",  # deciles via distributed_ntile (r6); cum window over BRIER_BINS rows
     "cumulative_sum_pipeline": "calendar",
     "dense_rank_ties_page": "k-page",
     "derivative_pipeline": "calendar",
@@ -157,7 +152,7 @@ CLASS: dict[str, str] = {
     "peak_concurrent_sessions": "row-scale",  # +1/-1 sweep over session bounds
     "pinball_loss_backtest": "calendar",
     "price_ending_audit": "group-stat",
-    "qini_uplift_deciles": "row-scale",  # ntile over scored users/events,
+    "qini_uplift_deciles": "group-stat",  # deciles via distributed_ntile (r6); cum window over 10 rows
     "quade_test_months": "group-stat",
     "quantile_disc_cont_audit": "value-grid",
     "randomized_response_debias": "group-stat",
@@ -173,7 +168,6 @@ CLASS: dict[str, str] = {
     "slo_burn_alerts": "calendar",
     "sprt_daily_llr": "calendar",
     "storey_qvalue_panel": "group-stat",
-    "stratified_ate_quintiles": "row-scale",  # ntile over lineitem rows,
     "tenure_hazard_table": "calendar",
     "theil_u2_forecast": "calendar",
     "theta_forecast_backtest": "calendar",
