@@ -42,12 +42,26 @@ def main() -> None:
     dump("bm25_range_topk", fulltext.bm25_range_topk_documents(spark, SF))
     dump("more_like_this", fulltext.more_like_this_documents(spark, SF))
 
-    # distributed 5-query batch over the gate index (the shape the bench's
-    # bm25_batch_query / 10k legs time); executed plan shows whether the
-    # candidate branch's phase-1 shuffle is a ReusedExchange (item 9)
+    # distributed 5-query batch over a bench-shaped index (the bench corpus
+    # carries the tokNNNNN vocabulary these queries probe — the sf gate
+    # corpus does not, and an empty hit set makes AQE collapse the executed
+    # plan to EmptyRelation); executed plan shows whether the candidate
+    # branch's phase-1 shuffle is a ReusedExchange (item 9)
+    import tempfile
+
+    from lucene_mapreduce_spark.datagen.transcripts import (
+        transcripts_df_distributed,
+        with_docid,
+    )
+    from lucene_mapreduce_spark.index.build import build_segment
     from lucene_mapreduce_spark.query.segments import bm25_index_topk
 
-    ix = fulltext._gate_index(spark, SF)
+    work = tempfile.mkdtemp(prefix="lmr_plans_")
+    corpus = with_docid(
+        transcripts_df_distributed(spark, n_conv=20000, seed=42, partitions=8)
+    ).select("doc_id", "text")
+    ix = os.path.join(work, "ix")
+    build_segment(spark, corpus, ix, num_partitions=8)
     qdf = spark.createDataFrame(
         [("q0", "tok00000 tok00001"), ("q1", "tok00002 tok00010 tok00100"),
          ("q2", "tok00005 tok01500"), ("q3", "tok00000 tok00001 tok00002"),
