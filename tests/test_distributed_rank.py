@@ -86,3 +86,61 @@ def test_ntile_more_buckets_than_rows(spark):
     got = distributed_ntile(df, "_ord", 10, "tile").toPandas().sort_values("id")
     # Spark ntile with n < k: each row is its own bucket 1..n
     assert list(got.tile) == [1, 2, 3, 4, 5, 6]
+
+
+def test_running_sum_max_match_global_window(spark):
+    """distributed_running == the single-partition running sum/max window
+    on a total order (the heaps/watermark promotion shapes)."""
+    from lucene_mapreduce_spark.operators.parity import distributed_running
+
+    df = spark.range(0, 4000).select(
+        "id",
+        (F.xxhash64(F.col("id").cast("string")) % 97).alias("v"),
+    )
+    got = (
+        distributed_running(df, "id", [("v", "sum", "cs"), ("v", "max", "cm")])
+        .select("id", "cs", "cm")
+        .toPandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
+    exp = (
+        df.select(
+            "id", F.sum("v").over(w).alias("cs"), F.max("v").over(w).alias("cm")
+        )
+        .toPandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert list(got.cs) == list(exp.cs)
+    assert list(got.cm) == list(exp.cm)
+
+
+def test_running_sum_tie_blocks_are_prefix_invariant(spark):
+    """On a non-total order (the peak_concurrent sweep shape: equal
+    (t, delta) keys), the running sum's multiset of prefix values per tie
+    block — and hence its max and the key at the max — is order-free."""
+    from lucene_mapreduce_spark.operators.parity import distributed_running
+
+    # 3 sessions starting at t=100, 2 ending at t=100 (ends sort first)
+    rows = [(100, -1)] * 2 + [(100, 1)] * 3 + [(200, -1)] * 3 + [(50, 1)] * 4
+    df = spark.createDataFrame(rows, "t int, delta int").withColumn(
+        "_ord", F.struct(F.col("t").alias("ts"), F.col("delta").alias("dl"))
+    )
+    got = distributed_running(df, "_ord", [("delta", "sum", "conc")]).toPandas()
+    w = Window.orderBy("t", "delta").rowsBetween(Window.unboundedPreceding, 0)
+    exp = (
+        df.select("t", "delta", F.sum("delta").over(w).alias("conc"))
+        .toPandas()
+    )
+    assert got.conc.max() == exp.conc.max()
+    assert (
+        got[got.conc == got.conc.max()].t.min()
+        == exp[exp.conc == exp.conc.max()].t.min()
+    )
+    # full prefix multisets agree per (t, delta) tie block
+    key = lambda d: d.groupby(["t", "delta"]).conc.apply(
+        lambda s: tuple(sorted(s))
+    )
+    assert key(got).equals(key(exp))

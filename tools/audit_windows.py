@@ -28,11 +28,14 @@ marked row-scale):
              suppliers, graph nodes) — grows with scale but is the
              aggregated dimension (orders of magnitude below corpus rows);
              diagnostics only, not on build/serve hot paths.
-  row-scale  genuinely corpus-row-proportional global sorts. All are
-             offline one-shot diagnostics, each sf1-gated green; none are on
-             the index-build or serving paths. Promotion remedy if ever
-             needed: distributed sort + per-partition offset ranks
-             (zipWithIndex-style) instead of a single-partition window.
+  row-scale  genuinely corpus-row-proportional global sorts. ZERO remain
+             as of round 6: every former site was promoted to the
+             distributed rank/ntile/running-aggregate helpers
+             (parity.distributed_row_number / distributed_ntile /
+             distributed_running — range-repartition + per-partition
+             offsets, bit-identical on the total orders every caller
+             passes). Any new row-scale window must be promoted the same
+             way before it can land.
 
 Usage: python tools/audit_windows.py   (prints the table; exit 1 on
 unclassified sites)
@@ -48,8 +51,10 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 PKG = os.path.join(REPO, "lucene_mapreduce_spark")
 
-# enclosing function -> category (see header). Reviewed per-site 2026-08-20 (round 5): every site's ranked input
-# was read in context; ntile-over-raw-rows sites honestly row-scale.
+# enclosing function -> category (see header). Reviewed per-site 2026-08-20
+# (round 5): every site's ranked input was read in context. Round 6: all 13
+# former row-scale functions promoted to the distributed helpers — the
+# class is now empty and must stay empty.
 CLASS: dict[str, str] = {
     # --- fulltext.py
     "search_collapse": "group-stat",      # rank over per-group leaders
@@ -66,10 +71,8 @@ CLASS: dict[str, str] = {
     "fighting_words_log_odds": "vocab",
     "gini_coefficient": "vocab",  # ranks the term-frequency table,
     "good_turing_counts": "vocab",
-    "heaps_law_fit": "row-scale",          # cumulative vocab over doc order
     "hits_authority_3iter": "entity",
     "neyman_allocation_plan": "group-stat",
-    "padding_waste_audit": "row-scale",    # packing order over docs
     "sampled_topk_fidelity": "k-page",
     "stopword_coverage": "vocab",
     "term_dict_frontcoding_report": "vocab",
@@ -125,7 +128,6 @@ CLASS: dict[str, str] = {
     "dp_exponential_mechanism": "group-stat",
     "durbin_watson_daily": "calendar",
     "energy_distance_values": "value-grid",
-    "error_mtbf_report": "row-scale",  # orders the error-event stream,
     "fdr_bh_nation_uniformity": "group-stat",
     "forecast_baseline_backtest": "calendar",
     "gesd_outliers_3round": "calendar",
@@ -149,7 +151,6 @@ CLASS: dict[str, str] = {
     "newest_k_generations": "group-stat",  # <=6 generations
     "page_hinkley_drift": "calendar",
     "pareto_share_curve": "entity",
-    "peak_concurrent_sessions": "row-scale",  # +1/-1 sweep over session bounds
     "pinball_loss_backtest": "calendar",
     "price_ending_audit": "group-stat",
     "qini_uplift_deciles": "group-stat",  # deciles via distributed_ntile (r6); cum window over 10 rows
@@ -174,7 +175,6 @@ CLASS: dict[str, str] = {
     "trimmed_winsorized_means": "value-grid",
     "turning_point_test": "calendar",
     "variance_ratio_test": "calendar",
-    "watermark_lateness_profile": "row-scale",  # arrival order over events,
     "weekly_periodogram_power": "calendar",
     "western_electric_rules": "calendar",
     "wilcoxon_signed_rank": "value-grid",
